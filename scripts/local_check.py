@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tool only — the
+shipped library has no Python dependency).
+
+Runs each oracle SQL in DuckDB over the same sf dir, loads the Spark
+parquet dump, sorts columns by name and rows by values, and compares.
+Usage: local_check.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def cells_equal(a, b):
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return (a == b) or (math.isnan(a) and math.isnan(b))
+        except TypeError:
+            return False
+    return str(a) == str(b)
+
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        want = canon(con.execute(sql).df())
+    except Exception as e:
+        fails.append(name); print(f"FAIL {name}: oracle error: {e}"); continue
+    try:
+        got = canon(duckdb.query(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df())
+    except Exception as e:
+        fails.append(name); print(f"FAIL {name}: spark dump missing: {e}"); continue
+    if list(got.columns) != list(want.columns):
+        fails.append(name)
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+        continue
+    if len(got) != len(want):
+        fails.append(name)
+        print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+        continue
+    bad = None
+    for c in got.columns:
+        ga, wa = got[c].tolist(), want[c].tolist()
+        for i, (x, y) in enumerate(zip(ga, wa)):
+            if not cells_equal(x, y):
+                bad = (c, i, x, y)
+                break
+        if bad:
+            break
+    if bad:
+        fails.append(name)
+        print(f"FAIL {name}: col {bad[0]} row {bad[1]}: spark={bad[2]!r} oracle={bad[3]!r}")
+    else:
+        print(f"ok   {name} ({len(got)} rows)")
+
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} queries match")
+sys.exit(1 if fails else 0)

@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
+  /** Every operator demonstration, one per SURVEY §2 inventory line
+    * (relational/task shapes, GTFS scalar codecs, text dedup/analysis,
+    * similarity search, events, cascade). */
+  val allQueries: Seq[QueryDef] =
+    RelationalQueries.all ++ CodecQueries.all ++ TextQueries.all ++
+      EmbeddingQueries.all ++ EventQueries.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalQueries.q05.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    allQueries.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+
+  /** Headline queries timed by graft.Bench. */
+  def benchQueries: Seq[QueryDef] = allQueries.filter(_.bench)
 }

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** GTFS scalar codec layer — Spark-native column expressions.
+  *
+  * Semantics mirror the reference's SQLite/Rust scalar functions
+  * (see `/root/reference/impuls/extern/db.rs:101-189` and
+  * `/root/reference/impuls/extern/gtfs/schema.rs`), re-expressed as
+  * codegen-friendly Catalyst column expressions (no UDFs): every helper
+  * here composes `org.apache.spark.sql.functions` builtins only, so the
+  * whole codec stays inside WholeStageCodegen and is distributable at
+  * any scale.
+  */
+object GtfsFunctions {
+
+  /** `"H:MM:SS"` (hours may exceed 23, per GTFS) -> total seconds.
+    * Reference: `parse_gtfs_time`, extern/db.rs:124-151. NULL/''-through.
+    * NOT a timestamp: GTFS times are seconds since noon-12h and routinely
+    * exceed 24:00:00.
+    */
+  def gtfsTimeToSeconds(c: Column): Column = {
+    val p = split(c, ":")
+    when(c.isNull || c === "", lit(null).cast("int"))
+      .otherwise(
+        (element_at(p, 1).cast("int") * 3600 +
+          element_at(p, 2).cast("int") * 60 +
+          element_at(p, 3).cast("int")).cast("int"))
+  }
+
+  /** total seconds -> `"HH:MM:SS"` with hours possibly > 24.
+    * Reference: extern/gtfs/schema.rs:294 `format('%02u:%02u:%02u', ...)`.
+    */
+  def secondsToGtfsTime(c: Column): Column =
+    when(c.isNull, lit(null).cast("string"))
+      .otherwise(format_string("%02d:%02d:%02d",
+        (c / 3600).cast("int"), (c / 60).cast("int") % 60, c % 60))
+
+  /** `"YYYYMMDD"` -> DateType; ''/NULL -> NULL.
+    * Reference: `parse_gtfs_date`, extern/db.rs:101-122. */
+  def parseGtfsDate(c: Column): Column =
+    when(c.isNull || c === "", lit(null).cast("date"))
+      .otherwise(to_date(c, "yyyyMMdd"))
+
+  /** DateType -> `"YYYYMMDD"`. Reference: schema.rs:63 `replace(d,'-','')`. */
+  def formatGtfsDate(c: Column): Column = date_format(c, "yyyyMMdd")
+
+  /** Extended GTFS route types folded onto the 10 standard ones.
+    * Reference: `parse_gtfs_route_type`, extern/db.rs:153-189.
+    * Unknown types yield NULL (the reference raises; callers that need
+    * strictness can assert no NULLs).
+    */
+  def parseGtfsRouteType(c: Column): Column = {
+    val i = c.cast("int")
+    when((i >= 0 && i <= 7) || i === 11 || i === 12, i)
+      .when(i.between(100, 199), 2) // railway service
+      .when(i.between(200, 299), 3) // coach service
+      .when(i === 405, 12) // monorail service
+      .when(i.between(400, 499), 1) // urban railway service (405 caught above)
+      .when(i.between(700, 799), 3) // bus service
+      .when(i.between(800, 899), 11) // trolleybus service
+      .when(i.between(900, 999), 0) // tram service
+      .when(i.between(1000, 1299), 4) // water + ferry service
+      .when(i.between(1300, 1399), 6) // aerial lift service
+      .when(i.between(1400, 1499), 7) // funicular service
+      .otherwise(lit(null).cast("int"))
+  }
+
+  /** Tri-state boolean (NULL/true/false) -> GTFS 0/1/2 code.
+    * Reference: wheelchair CASE, extern/gtfs/schema.rs:184-186. */
+  def triStateToGtfs(c: Column): Column =
+    when(c.isNull, 0).when(c === true, 1).otherwise(2)
+
+  /** GTFS 0/1/2 code -> tri-state boolean. Reference: schema.rs:263-274. */
+  def gtfsToTriState(c: Column): Column =
+    when(c.isNull || c === 0 || c === "", lit(null).cast("boolean"))
+      .when(c === 1, true)
+      .otherwise(false)
+
+  /** Mean Earth radius in meters. Reference: tools/geo.py:7. */
+  val EarthRadiusM: Double = 6371008.8
+
+  /** Great-circle (haversine) distance in meters between two lat/lon
+    * pairs in degrees. Reference: `earth_distance_m`, tools/geo.py:16-32.
+    * Pure column math -> codegen'd, usable inside join predicates
+    * (Merge's <=10m stop dedup) without any UDF overhead.
+    */
+  def haversineMeters(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = pow(sin(dLat), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
+    lit(2 * EarthRadiusM) * asin(sqrt(a))
+  }
+
+  /** Initial great-circle bearing in degrees [0, 360).
+    * Reference: `initial_bearing`, tools/geo.py:35-55. */
+  def initialBearing(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val phi1 = radians(lat1); val phi2 = radians(lat2)
+    val dLon = radians(lon2 - lon1)
+    val y = sin(dLon) * cos(phi2)
+    val x = cos(phi1) * sin(phi2) - sin(phi1) * cos(phi2) * cos(dLon)
+    pmod(degrees(atan2(y, x)) + 360.0, lit(360.0))
+  }
+
+  /** Black-or-white text color for a hex background color, by YIQ
+    * luminance. Reference: `text_color_for`, tools/color.py:56-78. */
+  def textColorFor(hex: Column): Column = {
+    def chan(at: Int) = conv(substring(hex, at, 2), 16, 10).cast("int")
+    val yiq = chan(1) * 299 + chan(3) * 587 + chan(5) * 114
+    when(yiq >= 128000, "000000").otherwise("FFFFFF")
+  }
+
+  /** Register SQL-callable versions so `ExecuteSQL` pipelines can use the
+    * same function names the reference registers on its SQLite connection
+    * (`db.py:212-216`, extern/db.rs:95-189). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("parse_gtfs_time",
+      (s: String) => if (s == null || s.isEmpty) null else {
+        val p = s.split(":"); Integer.valueOf(p(0).toInt * 3600 + p(1).toInt * 60 + p(2).toInt)
+      })
+    spark.udf.register("unicode_casefold", (s: String) => if (s == null) null else s.toLowerCase)
+    spark.udf.register("unicode_title", (s: String) => if (s == null) null else {
+      // Python str.title semantics: every alpha run capitalized
+      val sb = new StringBuilder; var prevAlpha = false
+      s.foreach { ch =>
+        val isA = ch.isLetter
+        sb.append(if (isA && !prevAlpha) ch.toUpper else if (isA) ch.toLower else ch)
+        prevAlpha = isA
+      }
+      sb.toString
+    })
+  }
+}

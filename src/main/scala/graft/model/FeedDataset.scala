@@ -1,0 +1,95 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+
+/** A foreign-key edge: rows of `child` reference `parent` via
+  * `childCols` -> `parentCols`. Mirrors the reference's SQLite
+  * `FOREIGN KEY ... ON DELETE CASCADE` declarations (e.g.
+  * stop_time.py:55), which Spark has no equivalent for — cascades are
+  * re-expressed as explicit semi-joins over this graph.
+  */
+final case class FkEdge(
+    child: String,
+    childCols: Seq[String],
+    parent: String,
+    parentCols: Seq[String])
+
+/** The Spark analogue of the reference's whole SQLite database
+  * (`DBConnection`, db.py): an immutable map of entity name ->
+  * DataFrame. Every Task is a pure function FeedDataset => FeedDataset;
+  * the mutable-DB semantics of the reference become dataflow.
+  */
+final case class FeedDataset(tables: Map[String, DataFrame], fkGraph: Seq[FkEdge]) {
+
+  def apply(name: String): DataFrame = tables(name)
+  def get(name: String): Option[DataFrame] = tables.get(name)
+  def updated(name: String, df: DataFrame): FeedDataset =
+    copy(tables = tables.updated(name, df))
+  def updatedAll(kv: (String, DataFrame)*): FeedDataset =
+    copy(tables = tables ++ kv)
+
+  /** Replace `name` with `df` and drop orphaned children transitively,
+    * emulating SQLite's `ON DELETE CASCADE` (SURVEY §1.4).
+    *
+    * Scale notes: each cascade step is one `left_semi` join on the FK
+    * key — shuffle-free when the parent side is small enough for a
+    * broadcast (Catalyst/AQE decides), and a plain shuffled semi-join
+    * otherwise. Children are processed in BFS order over the FK graph so
+    * multi-parent children (e.g. lineitem -> orders AND supplier) are
+    * semi-joined against every retained parent exactly once per edge.
+    */
+  def withCascade(name: String, df: DataFrame): FeedDataset = {
+    var acc: Map[String, DataFrame] = tables.updated(name, df)
+    // BFS from the updated table; a child may be revisited if several of
+    // its parents shrank.
+    var frontier: List[String] = List(name)
+    var guard = 0
+    while (frontier.nonEmpty && guard < 64) {
+      guard += 1
+      val parent = frontier.head
+      frontier = frontier.tail
+      fkGraph.filter(_.parent == parent).foreach { e =>
+        acc.get(e.child).foreach { child =>
+          val pdf = acc(e.parent).select(e.parentCols.map(acc(e.parent)(_)): _*)
+          val cond = e.childCols.zip(e.parentCols).map { case (cc, pc) =>
+            child(cc) === pdf(pc)
+          }.reduce(_ && _)
+          // SQLite FK semantics: a NULL FK references nothing and is
+          // never cascaded — keep those rows unconditionally.
+          val anyNull = e.childCols.map(child(_).isNull).reduce(_ || _)
+          val kept = child.filter(anyNull)
+            .unionByName(child.filter(!anyNull).join(pdf, cond, "left_semi"))
+          acc = acc.updated(e.child, kept)
+          if (!frontier.contains(e.child)) frontier = frontier :+ e.child
+        }
+      }
+    }
+    copy(tables = acc)
+  }
+}
+
+object FeedDataset {
+  /** FK graph of the 16-table GTFS model, dependency edges from SURVEY
+    * §1.2 (DDL cites per entity). */
+  val gtfsFkGraph: Seq[FkEdge] = Seq(
+    FkEdge("routes", Seq("agency_id"), "agencies", Seq("agency_id")),
+    FkEdge("fare_attributes", Seq("agency_id"), "agencies", Seq("agency_id")),
+    FkEdge("fare_rules", Seq("fare_id"), "fare_attributes", Seq("fare_id")),
+    FkEdge("calendar_exceptions", Seq("calendar_id"), "calendars", Seq("calendar_id")),
+    FkEdge("trips", Seq("route_id"), "routes", Seq("route_id")),
+    FkEdge("trips", Seq("calendar_id"), "calendars", Seq("calendar_id")),
+    FkEdge("stop_times", Seq("trip_id"), "trips", Seq("trip_id")),
+    FkEdge("stop_times", Seq("stop_id"), "stops", Seq("stop_id")),
+    FkEdge("frequencies", Seq("trip_id"), "trips", Seq("trip_id")),
+    FkEdge("shape_points", Seq("shape_id"), "shapes", Seq("shape_id")))
+
+  /** FK graph of the driver's TPC-H-ish synthetic tables (TESTDATA.md),
+    * used by the cascade-delete demonstration query. */
+  val tpchFkGraph: Seq[FkEdge] = Seq(
+    FkEdge("nation", Seq("n_regionkey"), "region", Seq("r_regionkey")),
+    FkEdge("customer", Seq("c_nationkey"), "nation", Seq("n_nationkey")),
+    FkEdge("supplier", Seq("s_nationkey"), "nation", Seq("n_nationkey")),
+    FkEdge("orders", Seq("o_custkey"), "customer", Seq("c_custkey")),
+    FkEdge("lineitem", Seq("l_orderkey"), "orders", Seq("o_orderkey")),
+    FkEdge("lineitem", Seq("l_suppkey"), "supplier", Seq("s_suppkey")))
+}

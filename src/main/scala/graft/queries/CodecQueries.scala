@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.GtfsFunctions
+import QueryDef.t
+
+/** Scalar-function codec demonstrations (SURVEY §2.6) over synthetic
+  * columns, each with a DuckDB oracle mirroring the exact formula. */
+object CodecQueries {
+
+  /** Haversine distance (tools/geo.py:16-32) between deterministic
+    * synthetic coordinates. Output rounded to 10 m-scale so cross-libm
+    * trig ulp differences cannot flip a value across a rounding
+    * boundary. */
+  val q20 = QueryDef(
+    "q20_haversine",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("lat1", (col("c_custkey") % 120 - 60) * 0.7)
+        .withColumn("lon1", (col("c_custkey") % 360 - 180) * 0.9)
+        .withColumn("lat2", (col("c_nationkey") * 7 % 120 - 60) * 0.7)
+        .withColumn("lon2", (col("c_nationkey") * 13 % 360 - 180) * 0.9)
+      c.withColumn("dist_km",
+          round(GtfsFunctions.haversineMeters(col("lat1"), col("lon1"), col("lat2"), col("lon2")) / 1000, 2))
+        .select("c_custkey", "lat1", "lon1", "lat2", "lon2", "dist_km")
+        .orderBy("c_custkey")
+    },
+    // NB: bare 0.7 / 6371008.8 literals parse as DECIMAL in DuckDB (and
+    // as DOUBLE in Spark) — every constant is forced to DOUBLE, and the
+    // 2R factor is interpolated from the same Scala double the Spark
+    // side uses, so both engines run the identical IEEE754 sequence.
+    Some(s"""SELECT c_custkey, lat1, lon1, lat2, lon2,
+        round((${2 * GtfsFunctions.EarthRadiusM})*asin(sqrt(
+          pow(sin(radians(lat2-lat1)/2), 2) +
+          cos(radians(lat1))*cos(radians(lat2))*pow(sin(radians(lon2-lon1)/2), 2)))/1000, 2) AS dist_km
+      FROM (SELECT c_custkey,
+              (c_custkey % 120 - 60) * (0.7::DOUBLE) AS lat1,
+              (c_custkey % 360 - 180) * (0.9::DOUBLE) AS lon1,
+              (c_nationkey * 7 % 120 - 60) * (0.7::DOUBLE) AS lat2,
+              (c_nationkey * 13 % 360 - 180) * (0.9::DOUBLE) AS lon2
+            FROM customer)
+      ORDER BY c_custkey"""))
+
+  /** Extended GTFS route-type fold (extern/db.rs:153-189). */
+  val q21 = QueryDef(
+    "q21_route_type_fold",
+    (s, dir) => {
+      t(s, dir, "part")
+        .withColumn("code", (col("p_partkey") * 37 % 1500).cast("int"))
+        .withColumn("folded", GtfsFunctions.parseGtfsRouteType(col("code")))
+        .select("p_partkey", "code", "folded")
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, code, CASE
+        WHEN (code BETWEEN 0 AND 7) OR code IN (11, 12) THEN code
+        WHEN code BETWEEN 100 AND 199 THEN 2
+        WHEN code BETWEEN 200 AND 299 THEN 3
+        WHEN code = 405 THEN 12
+        WHEN code BETWEEN 400 AND 499 THEN 1
+        WHEN code BETWEEN 700 AND 799 THEN 3
+        WHEN code BETWEEN 800 AND 899 THEN 11
+        WHEN code BETWEEN 900 AND 999 THEN 0
+        WHEN code BETWEEN 1000 AND 1299 THEN 4
+        WHEN code BETWEEN 1300 AND 1399 THEN 6
+        WHEN code BETWEEN 1400 AND 1499 THEN 7
+        ELSE NULL END AS folded
+      FROM (SELECT p_partkey, CAST(p_partkey*37 % 1500 AS INTEGER) AS code FROM part)
+      ORDER BY p_partkey"""))
+
+  /** Tri-state boolean <-> GTFS 0/1/2 codec (schema.rs:184-186). */
+  val q22 = QueryDef(
+    "q22_tristate_codec",
+    (s, dir) => {
+      val tri = when(col("o_orderkey") % 3 === 0, lit(null).cast("boolean"))
+        .when(col("o_orderkey") % 3 === 1, lit(true)).otherwise(lit(false))
+      t(s, dir, "orders")
+        .withColumn("gtfs_code", GtfsFunctions.triStateToGtfs(tri))
+        .groupBy("gtfs_code").agg(count(lit(1)).as("n"))
+        .orderBy("gtfs_code")
+    },
+    Some("""SELECT gtfs_code, count(*) AS n FROM (
+        SELECT CASE WHEN o_orderkey % 3 = 0 THEN 0
+                    WHEN o_orderkey % 3 = 1 THEN 1
+                    ELSE 2 END AS gtfs_code
+        FROM orders)
+      GROUP BY gtfs_code ORDER BY gtfs_code"""))
+
+  /** JSON extra-fields passthrough (extra_fields_json,
+    * extra_fields_mixin.py): get_json_object over the events props
+    * column. */
+  val q23 = QueryDef(
+    "q23_json_extract",
+    (s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(sum(json_extract(props, '$.k')::INTEGER) AS BIGINT) AS sum_k,
+        count(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23)
+}

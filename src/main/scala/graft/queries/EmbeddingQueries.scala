@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QueryDef.t
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors). Dot products are generated as explicit left-associative
+  * 64-term sums so Spark and DuckDB evaluate the identical IEEE754
+  * operation sequence — bit-exact without tolerances.
+  */
+object EmbeddingQueries {
+
+  val Dim = 64
+
+  /** `a[1]*b[1] + ... + a[64]*b[64]` for the given dialect element
+    * accessor. */
+  private def dotSum(elem: (String, Int) => String, a: String, b: String): String =
+    (1 to Dim).map(j => s"(${elem(a, j)} * ${elem(b, j)})").mkString(" + ")
+
+  private def sparkElem(arr: String, j: Int) = s"CAST(element_at($arr, $j) AS DOUBLE)"
+  private def duckElem(arr: String, j: Int) = s"CAST($arr[$j] AS DOUBLE)"
+
+  /** Brute-force cosine top-k against a query vector (vec_id 0): the
+    * exact baseline every ANN variant is measured against. At scale the
+    * query vector broadcasts and the scan is embarrassingly parallel;
+    * top-k is a TakeOrdered, not a full sort. */
+  val q33 = QueryDef(
+    "q33_knn_bruteforce",
+    (s, dir) => {
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql(s"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+            (${dotSum(sparkElem, "embedding", "qv")}) AS dot,
+            (${dotSum(sparkElem, "embedding", "embedding")}) AS naa,
+            (${dotSum(sparkElem, "qv", "qv")}) AS nbb
+          FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+        ranked AS (
+          SELECT vec_id, dot / (sqrt(naa) * sqrt(nbb)) AS cos_raw,
+            row_number() OVER (ORDER BY dot / (sqrt(naa) * sqrt(nbb)) DESC, vec_id) AS rank
+          FROM scored)
+        SELECT rank, vec_id, round(cos_raw, 6) AS cosine
+        FROM ranked WHERE rank <= 10 ORDER BY rank""")
+    },
+    Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT vec_id,
+          (${dotSum(duckElem, "embedding", "qv")}) AS dot,
+          (${dotSum(duckElem, "embedding", "embedding")}) AS naa,
+          (${dotSum(duckElem, "qv", "qv")}) AS nbb
+        FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+      ranked AS (
+        SELECT vec_id, dot / (sqrt(naa) * sqrt(nbb)) AS cos_raw,
+          row_number() OVER (ORDER BY dot / (sqrt(naa) * sqrt(nbb)) DESC, vec_id) AS rank
+        FROM scored)
+      SELECT rank, vec_id, round(cos_raw, 6) AS cosine
+      FROM ranked WHERE rank <= 10 ORDER BY rank"""),
+    bench = true)
+
+  /** Deterministic pseudo-random hyperplane h[p][j] as exact SQL text:
+    * integer residue divided by 48.0 — identical double on any engine. */
+  private def hval(p: Int, j: Int): String = {
+    val v = (p * 131 + (j - 1) * 7919) % 97 - 48
+    s"($v/48.0)"
+  }
+
+  private def planeDot(elem: (String, Int) => String, p: Int): String =
+    (1 to Dim).map(j => s"(${elem("embedding", j)} * ${hval(p, j)})").mkString(" + ")
+
+  private def bucketExpr(elem: (String, Int) => String): String =
+    (0 until 8).map(p =>
+      s"(CASE WHEN (${planeDot(elem, p)}) > 0 THEN ${1 << p} ELSE 0 END)"
+    ).mkString(" + ")
+
+  /** Random-hyperplane LSH bucketing (the scale path for ANN): 8
+    * sign-bits -> 256 buckets; neighbor candidates are then found with
+    * an equi-join on bucket instead of an all-pairs scan. */
+  val q34 = QueryDef(
+    "q34_ann_lsh_bucket",
+    (s, dir) => {
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql(s"SELECT vec_id, (${bucketExpr(sparkElem)}) AS bucket FROM embeddings ORDER BY vec_id")
+    },
+    Some(s"SELECT vec_id, (${bucketExpr(duckElem)}) AS bucket FROM embeddings ORDER BY vec_id"),
+    bench = true)
+
+  val all: Seq[QueryDef] = Seq(q33, q34)
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.FeedDataset
+import QueryDef.t
+
+/** Event-stream-shaped queries (batch over the `events` table) plus the
+  * FK-cascade and binary-metadata demonstrations. */
+object EventQueries {
+
+  /** Hourly tumbling-window aggregation. The events parquet stores
+    * nanosecond timestamps, which Spark's vectorized reader does not
+    * widen — we read them as raw int64 nanos
+    * (spark.sql.legacy.parquet.nanosAsLong) and bucket with exact
+    * integer division; DuckDB's epoch_ns lands in the same bucket. */
+  val q35 = QueryDef(
+    "q35_events_hourly",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events")
+        .withColumn("hour_bucket", expr("ts div 3600000000000"))
+        .groupBy("event_type", "hour_bucket")
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("value") * 100)) / 100, 2).as("sum_value"))
+        .orderBy("event_type", "hour_bucket")
+    },
+    Some("""SELECT event_type, epoch_ns(ts)//3600000000000 AS hour_bucket,
+        count(*) AS n, round(sum(round(value*100))/100, 2) AS sum_value
+      FROM events GROUP BY event_type, hour_bucket
+      ORDER BY event_type, hour_bucket"""))
+
+  /** Per-key last state + error counts (mapGroupsWithState's batch
+    * analogue; ts-free so it also exercises the plain int64 path). */
+  val q36 = QueryDef(
+    "q36_events_last_state",
+    (s, dir) => {
+      t(s, dir, "events").select("user_id", "event_id", "event_type")
+        .groupBy("user_id")
+        .agg(expr("max_by(event_type, event_id)").as("last_type"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, max_by(event_type, event_id) AS last_type,
+        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        count(*) AS n
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** FK cascade delete (SURVEY §1.4 — the explicit replacement for
+    * SQLite's ON DELETE CASCADE): drop region 'ASIA' and let the
+    * cascade semi-join chain prune nation -> {customer, supplier} ->
+    * orders -> lineitem (lineitem via BOTH parents). */
+  val q37 = QueryDef(
+    "q37_cascade_delete",
+    (s, dir) => {
+      val names = Seq("region", "nation", "customer", "supplier", "orders", "lineitem")
+      val feed = FeedDataset(names.map(n => n -> t(s, dir, n)).toMap, FeedDataset.tpchFkGraph)
+      val pruned = feed.withCascade("region", feed("region").filter(col("r_name") =!= "ASIA"))
+      names.tail.map { n =>
+        pruned(n).agg(count(lit(1)).as("n")).withColumn("table_name", lit(n))
+      }.reduce(_ unionByName _).select("table_name", "n").orderBy("table_name")
+    },
+    Some("""WITH rr AS (SELECT r_regionkey FROM region WHERE r_name <> 'ASIA'),
+        rn AS (SELECT n_nationkey FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM rr)),
+        rc AS (SELECT c_custkey FROM customer WHERE c_nationkey IN (SELECT n_nationkey FROM rn)),
+        rs AS (SELECT s_suppkey FROM supplier WHERE s_nationkey IN (SELECT n_nationkey FROM rn)),
+        ro AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM rc)),
+        rl AS (SELECT l_orderkey FROM lineitem
+               WHERE l_orderkey IN (SELECT o_orderkey FROM ro)
+                 AND l_suppkey IN (SELECT s_suppkey FROM rs))
+      SELECT 'customer' AS table_name, count(*) AS n FROM rc
+      UNION ALL SELECT 'lineitem', count(*) FROM rl
+      UNION ALL SELECT 'nation', count(*) FROM rn
+      UNION ALL SELECT 'orders', count(*) FROM ro
+      UNION ALL SELECT 'supplier', count(*) FROM rs
+      ORDER BY table_name"""),
+    bench = true)
+
+  /** Opaque-binary column plumbing (multimodal path): treat text bytes
+    * as a blob, compute byte length + content hash — the schema shape
+    * image/audio columns use. */
+  val q38 = QueryDef(
+    "q38_binary_meta",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("bin", col("text").cast("binary"))
+        .select(col("doc_id"), octet_length(col("bin")).cast("long").as("n_bytes"),
+          md5(col("bin")).as("content_md5"))
+        .orderBy("doc_id")
+    },
+    // DuckDB's md5 only accepts VARCHAR; md5(text) hashes the same
+    // UTF-8 bytes Spark's md5(binary) does.
+    Some("""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        md5(text) AS content_md5
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q35, q36, q37, q38)
+}

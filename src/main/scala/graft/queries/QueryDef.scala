@@ -1,0 +1,26 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator demonstration: a Spark query over the
+  * driver's synthetic tables plus (where SQL-expressible) an equivalent
+  * DuckDB oracle query. `bench = true` marks headline queries timed by
+  * `graft.Bench`.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)
+
+object QueryDef {
+  /** Read one synthetic table (TESTDATA.md layout). The events table
+    * stores TIMESTAMP(NANOS) which Spark only reads as raw int64
+    * (spark.sql.legacy.parquet.nanosAsLong); set it before any events
+    * scan — footer reading fails otherwise even for queries that never
+    * touch `ts`. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+}

@@ -1,0 +1,394 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.GtfsFunctions
+import QueryDef.t
+
+/** Relational operator demonstrations (SURVEY §2.3–2.5) over the
+  * driver's synthetic TPC-H-ish tables, each paired with a DuckDB
+  * oracle.
+  *
+  * Numeric determinism notes (the driver hash-compares values):
+  *  - Money/quantity aggregates use the exact-cents pattern
+  *    `round(sum(round(x*100))/100, 2)`: each per-row `round(x*100)` is
+  *    an exact integer in a double, integer sums are exact in IEEE754
+  *    below 2^53, so Spark and DuckDB produce bit-identical results
+  *    regardless of aggregation order/parallelism.
+  *  - Window orderings always include a unique tiebreaker key.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-shaped pricing summary: groupBy + multi-agg with
+    * map-side partial aggregation (reference analogue: avg/count per
+    * group, SURVEY §2.5). */
+  val q01 = QueryDef(
+    "q01_agg",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(round(col("l_quantity") * 100)) / 100, 2).as("sum_qty"),
+          round(sum(round(col("l_extendedprice") * 100)) / 100, 2).as("sum_base"),
+          round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)) / 10000, 4).as("sum_disc"),
+          round(sum(round(col("l_quantity") * 100)) / count(lit(1)) / 100, 6).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(round(l_quantity*100))/100, 2) AS sum_qty,
+      round(sum(round(l_extendedprice*100))/100, 2) AS sum_base,
+      round(sum(round(l_extendedprice*(1-l_discount)*10000))/10000, 4) AS sum_disc,
+      round(sum(round(l_quantity*100))/count(*)/100, 6) AS avg_qty,
+      count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    bench = true)
+
+  /** Top-1 per group via window (GenerateTripHeadsign J1: "last stop of
+    * the trip" plan shape — row_number replaces the reference's
+    * correlated LIMIT 1 subquery). */
+  val q02 = QueryDef(
+    "q02_top1_per_group",
+    (s, dir) => {
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // the window ordering carries partkey/suppkey tiebreakers to stay
+      // deterministic.
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber").desc, col("l_partkey").desc, col("l_suppkey").desc)
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_partkey").as("last_partkey"),
+          col("l_linenumber").as("last_linenumber"))
+        .orderBy("l_orderkey")
+    },
+    Some("""SELECT l_orderkey, l_partkey AS last_partkey, l_linenumber AS last_linenumber
+      FROM (SELECT l_orderkey, l_partkey, l_linenumber,
+              row_number() OVER (PARTITION BY l_orderkey
+                ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC) AS rn
+            FROM lineitem)
+      WHERE rn = 1 ORDER BY l_orderkey"""),
+    bench = true)
+
+  /** Anti join (RemoveUnusedEntities J2: "agencies w/o routes" shape). */
+  val q03 = QueryDef(
+    "q03_anti_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  /** Semi join (selector-driven trip selection shape, SURVEY §2.5). */
+  val q04 = QueryDef(
+    "q04_semi_join",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderpriority").orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      ORDER BY o_orderkey"""))
+
+  /** Multi-way dimension join + aggregate with explicit broadcasts of
+    * the small dims (SURVEY §4: broadcast hints for dimension tables).
+    * At 100 TB only lineitem/orders are large; region/nation/customer
+    * stay broadcastable. */
+  val q05 = QueryDef(
+    "q05_join_agg_regions",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)) / 10000, 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name")
+    },
+    Some("""SELECT r_name,
+      round(sum(round(l_extendedprice*(1-l_discount)*10000))/10000, 4) AS revenue,
+      count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""),
+    bench = true)
+
+  /** Filter + global aggregate; predicates/projection push to the
+    * parquet scan (TPC-H Q6 shape). */
+  val q06 = QueryDef(
+    "q06_filter_pushdown_agg",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          round(sum(round(col("l_extendedprice") * col("l_discount") * 10000)) / 10000, 4).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT round(sum(round(l_extendedprice*l_discount*10000))/10000, 4) AS revenue, count(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""),
+    bench = true)
+
+  /** count-per-group + HAVING (RemoveUnusedEntities "trips with <=1
+    * stop_time" / AssignDirections "unambiguous stops" shape). */
+  val q07 = QueryDef(
+    "q07_count_having",
+    (s, dir) => {
+      val singles = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n")).filter(col("n") === 1)
+      val o = t(s, dir, "orders")
+      o.join(singles, o("o_orderkey") === singles("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderpriority").orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING count(*) = 1)
+      ORDER BY o_orderkey"""))
+
+  /** UNION + dedup-on-PK preferring the left source (Merge's
+    * `INSERT OR IGNORE` semantics, SURVEY §2.5: row_number over PK with
+    * source-priority ordering). */
+  val q08 = QueryDef(
+    "q08_union_dedup_pk",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"), lit(1).as("src"))
+      val b = c.select((col("c_custkey") + 100).as("c_custkey"),
+        round(col("c_acctbal") + 1000, 2).as("acctbal"), lit(2).as("src"))
+      val w = Window.partitionBy(col("c_custkey")).orderBy(col("src"))
+      a.unionByName(b)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("c_custkey", "acctbal", "src").orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, acctbal, src FROM (
+        SELECT c_custkey, acctbal, src,
+               row_number() OVER (PARTITION BY c_custkey ORDER BY src) AS rn
+        FROM (SELECT c_custkey, round(c_acctbal,2) AS acctbal, 1 AS src FROM customer
+              UNION ALL
+              SELECT c_custkey+100, round(c_acctbal+1000,2), 2 FROM customer))
+      WHERE rn = 1 ORDER BY c_custkey"""))
+
+  /** Running totals per key (framed window; general windowed-agg
+    * surface). */
+  val q09 = QueryDef(
+    "q09_window_running",
+    (s, dir) => {
+      val ord = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val frame = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("running_total", round(sum(round(col("o_totalprice") * 100)).over(frame) / 100, 2))
+        .select("o_custkey", "o_orderkey", "rn", "running_total")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+        row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        round(sum(round(o_totalprice*100)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100, 2) AS running_total
+      FROM orders ORDER BY o_custkey, rn"""),
+    bench = true)
+
+  /** Sessionization: lag + change-flag + running sum = leg index
+    * (SplitTripLegs J9 segmentation kernel). */
+  val q10 = QueryDef(
+    "q10_sessionize_legs",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select("user_id", "event_id", "event_type")
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .withColumn("chg", when(col("prev").isNull || col("prev") =!= col("event_type"), 1).otherwise(0))
+        .withColumn("leg", sum(col("chg")).over(frame))
+        .groupBy(col("user_id"), col("leg"))
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("leg_start"),
+          min(col("event_type")).as("etype"))
+        .orderBy("user_id", "leg")
+    },
+    Some("""SELECT user_id, CAST(leg AS BIGINT) AS leg, count(*) AS n_events,
+        min(event_id) AS leg_start, min(event_type) AS etype
+      FROM (SELECT user_id, event_id, event_type,
+              sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS leg
+            FROM (SELECT user_id, event_id, event_type,
+                    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+                         IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+                  FROM events))
+      GROUP BY user_id, leg ORDER BY user_id, leg"""),
+    bench = true)
+
+  /** Latest-state per key via max_by (merge/dedup "keep newest" shape;
+    * the batch analogue of streaming last-state). */
+  val q11 = QueryDef(
+    "q11_latest_per_key",
+    (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("last_event_id"),
+          expr("max_by(event_type, event_id)").as("last_type"),
+          round(expr("max_by(value, event_id)"), 2).as("last_value"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, max(event_id) AS last_event_id,
+        max_by(event_type, event_id) AS last_type,
+        round(max_by(value, event_id), 2) AS last_value, count(*) AS n
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** Date-range expansion via sequence+explode (calendar expansion J5 —
+    * the shared kernel of TruncateCalendars / SimplifyCalendars /
+    * ExtendCalendars). */
+  val q12 = QueryDef(
+    "q12_date_expand",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(explode(sequence(to_date(col("o_orderdate")),
+          date_add(to_date(col("o_orderdate")), 6))).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("n")).orderBy("d")
+    },
+    Some("""SELECT d, count(*) AS n FROM (
+        SELECT unnest(generate_series(CAST(o_orderdate AS DATE),
+                 CAST(o_orderdate AS DATE) + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE AS d
+        FROM orders WHERE o_orderkey % 97 = 0)
+      GROUP BY d ORDER BY d"""))
+
+  /** Group-by-set-fingerprint (SimplifyCalendars J4: dedup calendars by
+    * identical active-day sets — md5 over the sorted day set). */
+  val q13 = QueryDef(
+    "q13_dayset_fingerprint",
+    (s, dir) => {
+      val days = t(s, dir, "orders")
+        .select(col("o_custkey"), date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("ds"))
+        .distinct()
+      days.groupBy(col("o_custkey"))
+        .agg(md5(array_join(array_sort(collect_list(col("ds"))), ",")).as("fingerprint"))
+        .groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("n_customers"), min(col("o_custkey")).as("rep_custkey"))
+        .orderBy("fingerprint")
+    },
+    Some("""SELECT fingerprint, count(*) AS n_customers, min(o_custkey) AS rep_custkey FROM (
+        SELECT o_custkey, md5(string_agg(ds, ',' ORDER BY ds)) AS fingerprint FROM (
+          SELECT DISTINCT o_custkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS ds FROM orders)
+        GROUP BY o_custkey)
+      GROUP BY fingerprint ORDER BY fingerprint"""),
+    bench = true)
+
+  /** Curation overlay: left join + coalesce overwrite
+    * (ModifyStopsFromCSV P3 semantics: CSV wins where present). */
+  val q14 = QueryDef(
+    "q14_curation_overlay",
+    (s, dir) => {
+      val upd = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100)).as("cents"))
+        .filter(col("cents") > 30000000L)
+        .select(col("o_custkey").as("u_custkey"), lit("VIP").as("seg"))
+      val c = t(s, dir, "customer")
+      c.join(upd, c("c_custkey") === upd("u_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("seg"), col("c_mktsegment")).as("segment"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, coalesce(u.seg, c_mktsegment) AS segment FROM customer
+      LEFT JOIN (SELECT o_custkey, 'VIP' AS seg FROM orders
+                 GROUP BY o_custkey HAVING sum(round(o_totalprice*100)) > 30000000) u
+      ON c_custkey = u.o_custkey ORDER BY c_custkey"""))
+
+  /** Literal-row insertion (AddEntity P2). */
+  val q15 = QueryDef(
+    "q15_add_entity",
+    (s, dir) => {
+      import s.implicits._
+      val extra = Seq((-1L, "Synthetic Customer", "SYNTH"))
+        .toDF("c_custkey", "c_name", "c_mktsegment")
+      t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+        .unionByName(extra).orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+      UNION ALL SELECT -1, 'Synthetic Customer', 'SYNTH'
+      ORDER BY c_custkey"""))
+
+  private val q16Sql =
+    """SELECT o_orderpriority, count(*) AS n FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** ExecuteSQL P1 parity: the *same SQL text* runs through
+    * spark.sql over temp views and through the DuckDB oracle. */
+  val q16 = QueryDef(
+    "q16_execute_sql",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(q16Sql)
+    },
+    Some(q16Sql))
+
+  /** Composable predicate builder (selector.Routes P4): conjunction of
+    * optional equality / set-membership conditions compiled to one
+    * Column — pushed down to the scan. */
+  val q17 = QueryDef(
+    "q17_selector_predicate",
+    (s, dir) => {
+      // selector-style composition: start from lit(true), AND each bound condition
+      val pred = lit(true) &&
+        col("p_size").isin(5, 10, 15, 20, 25) &&
+        col("p_type").isin("ECONOMY", "PROMO")
+      t(s, dir, "part").filter(pred)
+        .select("p_partkey", "p_brand", "p_type", "p_size").orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, p_brand, p_type, p_size FROM part
+      WHERE p_size IN (5,10,15,20,25) AND p_type IN ('ECONOMY','PROMO')
+      ORDER BY p_partkey"""))
+
+  /** GTFS time codec round-trip: seconds -> "HH:MM:SS" (hours may
+    * exceed 24) -> seconds (§2.6 parse_gtfs_time / format). */
+  val q18 = QueryDef(
+    "q18_gtfs_time_codec",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .withColumn("secs", (col("l_orderkey") * 7 + col("l_linenumber") * 3601) % 130000)
+        .withColumn("hhmmss", GtfsFunctions.secondsToGtfsTime(col("secs")))
+        .withColumn("roundtrip_secs", GtfsFunctions.gtfsTimeToSeconds(col("hhmmss")).cast("long"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, secs,
+        printf('%02d:%02d:%02d', secs//3600, (secs//60)%60, secs%60) AS hhmmss,
+        CAST(CAST(string_split(printf('%02d:%02d:%02d', secs//3600, (secs//60)%60, secs%60), ':')[1] AS BIGINT)*3600
+           + CAST(string_split(printf('%02d:%02d:%02d', secs//3600, (secs//60)%60, secs%60), ':')[2] AS BIGINT)*60
+           + CAST(string_split(printf('%02d:%02d:%02d', secs//3600, (secs//60)%60, secs%60), ':')[3] AS BIGINT) AS BIGINT) AS roundtrip_secs
+      FROM (SELECT l_orderkey, l_linenumber,
+              (l_orderkey*7 + l_linenumber*3601) % 130000 AS secs FROM lineitem)
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** GTFS date codec round-trip: date -> "YYYYMMDD" -> date (§2.6). */
+  val q19 = QueryDef(
+    "q19_gtfs_date_codec",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("od", to_date(col("o_orderdate")))
+        .withColumn("ymd", GtfsFunctions.formatGtfsDate(col("od")))
+        .withColumn("roundtrip_date", GtfsFunctions.parseGtfsDate(col("ymd")))
+        .select("o_orderkey", "ymd", "roundtrip_date")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS ymd,
+        strptime(strftime(CAST(o_orderdate AS DATE), '%Y%m%d'), '%Y%m%d')::DATE AS roundtrip_date
+      FROM orders ORDER BY o_orderkey"""))
+
+  val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19)
+}

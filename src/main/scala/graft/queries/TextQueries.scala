@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryDef.t
+
+/** Training-data text operators over the `documents` table: exact and
+  * near dedup (minhash/LSH, simhash, jaccard), token/quality/lang-id
+  * analysis, fingerprinting. All oracle formulas are built from
+  * engine-portable primitives (md5, replace, split, instr) so DuckDB
+  * reproduces Spark bit-for-bit.
+  */
+object TextQueries {
+
+  /** Distinct lowercase whitespace-split words per doc (Spark side). */
+  private def words(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("w"))
+
+  private val wordsSqlDuck =
+    """SELECT DISTINCT doc_id, w FROM (
+         SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+         FROM documents)"""
+
+  /** Exact dedup by content hash (hash-groupBy; at 100 TB this is one
+    * shuffle on a 128-bit key with map-side partial aggregation). */
+  val q24 = QueryDef(
+    "q24_dedup_exact",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("fingerprint"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_doc_id"))
+        .orderBy("fingerprint")
+    },
+    Some("""SELECT md5(text) AS fingerprint, count(*) AS n_dups, min(doc_id) AS keep_doc_id
+      FROM documents GROUP BY md5(text) ORDER BY fingerprint"""),
+    bench = true)
+
+  /** Whitespace token counting (§ text analysis). */
+  val q25 = QueryDef(
+    "q25_token_count",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        n_chars
+      FROM documents ORDER BY doc_id"""))
+
+  /** Quality scoring: length / avg word length / stopword-ish ratio.
+    * Integer-exact numerators keep the ratios bit-identical. */
+  val q26 = QueryDef(
+    "q26_text_quality",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("n_char", length(col("text")).cast("long"))
+        .withColumn("n_nospace", length(regexp_replace(col("text"), " ", "")).cast("long"))
+        .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long"))
+        .withColumn("n_the3", (col("n_char") - length(regexp_replace(col("text"), "the", "")).cast("long")))
+        .select(col("doc_id"), col("n_char"), col("n_tok"),
+          round(col("n_nospace").cast("double") / col("n_tok"), 6).as("avg_word_len"),
+          round(col("n_the3") / 3 / col("n_tok"), 6).as("the_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, n_char, n_tok,
+        round(CAST(n_nospace AS DOUBLE)/n_tok, 6) AS avg_word_len,
+        round(n_the3/3/n_tok, 6) AS the_ratio
+      FROM (SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_char,
+              CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nospace,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+              CAST(length(text) - length(replace(text, 'the', '')) AS BIGINT) AS n_the3
+            FROM documents)
+      ORDER BY doc_id"""))
+
+  /** Marker-word language-ID heuristic (n-gram-style scoring: count
+    * marker occurrences via the replace-length trick, argmax wins). */
+  val q27 = QueryDef(
+    "q27_lang_markers",
+    (s, dir) => {
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      def cnt(marker: String) =
+        ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(s" $marker "), " "))) /
+          (marker.length + 1)).cast("long")
+      t(s, dir, "documents")
+        .withColumn("c_the", cnt("the"))
+        .withColumn("c_data", cnt("data"))
+        .withColumn("c_join", cnt("join"))
+        .withColumn("pred_lang",
+          when(col("c_the") >= col("c_data") && col("c_the") >= col("c_join"), "en")
+            .when(col("c_data") >= col("c_join"), "da").otherwise("jo"))
+        .select("doc_id", "c_the", "c_data", "c_join", "pred_lang", "lang")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, c_the, c_data, c_join,
+        CASE WHEN c_the >= c_data AND c_the >= c_join THEN 'en'
+             WHEN c_data >= c_join THEN 'da' ELSE 'jo' END AS pred_lang, lang
+      FROM (SELECT doc_id, lang,
+              CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ' ')))/4 AS BIGINT) AS c_the,
+              CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' data ', ' ')))/5 AS BIGINT) AS c_data,
+              CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' join ', ' ')))/5 AS BIGINT) AS c_join
+            FROM documents)
+      ORDER BY doc_id"""))
+
+  /** Canonical word-set fingerprint (document fingerprinting): md5 over
+    * the sorted distinct word set. */
+  val q28 = QueryDef(
+    "q28_word_fingerprint",
+    (s, dir) => {
+      val ws = array_distinct(split(trim(lower(col("text"))), "\\s+"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(array_join(array_sort(ws), " ")).as("wset_fp"),
+          size(ws).cast("long").as("n_uniq"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, md5(string_agg(w, ' ' ORDER BY w)) AS wset_fp,
+        count(*) AS n_uniq
+      FROM ($wordsSqlDuck)
+      GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
+
+  /** 3-token shingles per doc (order-sensitive; docs with <3 tokens
+    * produce none). Spark side stays entirely in higher-order array
+    * functions — the only shuffle is the final groupBy. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr(
+        """transform(sequence(1, size(toks)-2),
+             i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"""))
+
+  private val shinglesSqlDuck =
+    """SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+       FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             FROM documents),
+            LATERAL unnest(generate_series(1, len(toks)-2)) AS t(i)"""
+
+  private val sigSqlDuck =
+    s"""SELECT doc_id,
+          ${(0 until 8).map(i => s"min(md5('$i:' || sh)) AS mh$i").mkString(", ")}
+        FROM ($shinglesSqlDuck) GROUP BY doc_id"""
+
+  /** MinHash signatures over 3-token shingles (near-dup dedup): 8
+    * md5-keyed hash families, min over the doc's shingles. md5 is
+    * identical across engines and min over hex strings is order-free —
+    * fully deterministic under any parallelism. */
+  val q29 = QueryDef(
+    "q29_minhash_signature",
+    (s, dir) => {
+      val mhs = (0 until 8).map(i =>
+        array_min(transform(col("sh"), x => md5(concat(lit(s"$i:"), x)))).as(s"mh$i"))
+      shingles(s, dir).select(col("doc_id") +: mhs: _*).orderBy("doc_id")
+    },
+    Some(s"$sigSqlDuck ORDER BY doc_id"),
+    bench = true)
+
+  /** LSH banding over the minhash signatures: candidate pairs agreeing
+    * on band (mh0..mh3) or band (mh4..mh7) — the bucket-equi-join that
+    * replaces all-pairs comparison at 100 TB. */
+  val q30 = QueryDef(
+    "q30_lsh_band_pairs",
+    (s, dir) => {
+      val sig = q29.fn(s, dir)
+      val a = sig.alias("a"); val b = sig.alias("b")
+      def band(cols: Range) = a.join(b,
+          cols.map(i => col(s"a.mh$i") === col(s"b.mh$i")).reduce(_ && _) &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      band(0 until 4).unionByName(band(4 until 8)).distinct().orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH sig AS ($sigSqlDuck)
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+          ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.mh3 = b.mh3
+         AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+          ON a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.mh6 = b.mh6 AND a.mh7 = b.mh7
+         AND a.doc_id < b.doc_id)
+      ORDER BY doc_a, doc_b"""))
+
+  /** Word-set Jaccard similarity between neighboring docs (n-gram
+    * Jaccard near-dup scoring; integer-count ratio is exact). */
+  val q31 = QueryDef(
+    "q31_jaccard_neighbors",
+    (s, dir) => {
+      val w = words(s, dir)
+      val n = w.groupBy("doc_id").agg(count(lit(1)).as("nw"))
+      val wa = w.alias("wa"); val wb = w.alias("wb")
+      val inter = wa.join(wb, col("wb.w") === col("wa.w") &&
+          col("wb.doc_id") === col("wa.doc_id") + 1)
+        .groupBy(col("wa.doc_id").as("doc_a")).agg(count(lit(1)).as("ni"))
+      val d = t(s, dir, "documents").select("doc_id")
+      val d1 = d.alias("d1"); val d2 = d.alias("d2")
+      val n1 = n.alias("n1"); val n2 = n.alias("n2")
+      d1.join(d2, col("d2.doc_id") === col("d1.doc_id") + 1)
+        .join(n1, col("n1.doc_id") === col("d1.doc_id"))
+        .join(n2, col("n2.doc_id") === col("d2.doc_id"))
+        .join(inter, col("doc_a") === col("d1.doc_id"), "left")
+        .select(col("d1.doc_id").as("doc_a"), col("d2.doc_id").as("doc_b"),
+          round(coalesce(col("ni"), lit(0L)).cast("double") /
+            (col("n1.nw") + col("n2.nw") - coalesce(col("ni"), lit(0L))), 6).as("jaccard"))
+        .orderBy("doc_a")
+    },
+    Some(s"""WITH w AS ($wordsSqlDuck),
+        n AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, count(*) AS ni FROM w a JOIN w b
+                    ON b.w = a.w AND b.doc_id = a.doc_id + 1 GROUP BY a.doc_id)
+      SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
+        round(CAST(coalesce(ni, 0) AS DOUBLE) / (n1.nw + n2.nw - coalesce(ni, 0)), 6) AS jaccard
+      FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      JOIN n n1 ON n1.doc_id = d1.doc_id
+      JOIN n n2 ON n2.doc_id = d2.doc_id
+      LEFT JOIN inter ON inter.doc_a = d1.doc_id
+      ORDER BY doc_a"""),
+    bench = true)
+
+  // ---- SimHash: 64-bit signature built from md5 nibbles, generated as
+  // portable SQL (only the word-splitting clause is dialect-specific).
+
+  /** `(instr - 1)` value of hex digit i (0-based) of md5(w). */
+  private def nib(i: Int) =
+    s"(instr('0123456789abcdef', substr(md5(w), ${i + 1}, 1)) - 1)"
+
+  private def simhashSums: String =
+    (for { i <- 0 until 16; k <- 0 until 4 } yield
+      s"sum(CASE WHEN (${nib(i)} & ${1 << k}) > 0 THEN 1 ELSE -1 END) AS s_${i}_$k"
+    ).mkString(",\n        ")
+
+  private def simhashHex: String = {
+    val chars = (0 until 16).map { i =>
+      val nibble = (3 to 0 by -1).map(k =>
+        s"(CASE WHEN s_${i}_$k > 0 THEN ${1 << k} ELSE 0 END)").mkString(" + ")
+      s"substr('0123456789abcdef', 1 + ($nibble), 1)"
+    }
+    s"concat(${chars.mkString(", ")})"
+  }
+
+  private def simhashSql(wordsClause: String): String =
+    s"""SELECT doc_id, $simhashHex AS simhash
+      FROM (SELECT doc_id,
+        $simhashSums
+        FROM ($wordsClause) GROUP BY doc_id)
+      ORDER BY doc_id"""
+
+  private val wordsSqlSpark =
+    """SELECT doc_id, explode(array_distinct(split(trim(lower(text)), '\\s+'))) AS w
+       FROM documents"""
+
+  /** SimHash document fingerprint: per-bit majority vote over md5-hashed
+    * words. The same generated SQL runs on both engines (64 integer
+    * sums -> one groupBy; order-free, scale-clean). */
+  val q32 = QueryDef(
+    "q32_simhash",
+    (s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(simhashSql(wordsSqlSpark))
+    },
+    Some(simhashSql(wordsSqlDuck)),
+    bench = true)
+
+  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32)
+}
