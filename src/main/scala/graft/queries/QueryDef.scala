@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** One verifiable operator demonstration: a Spark query over the
   * driver's synthetic tables plus (where SQL-expressible) an equivalent
@@ -21,6 +22,19 @@ object QueryDef {
     * touch `ts`. */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // The synthetic files are written as a single parquet row group, so
+    // the scan yields ONE partition no matter how it is split — the
+    // md5/codec-heavy text and vector pipelines would run on one core.
+    // Hash-repartitioning these small tables by their key costs a tiny
+    // shuffle (that the downstream per-key groupBy would pay anyway)
+    // and restores full parallelism; the big fact tables are left
+    // untouched — at real scale their parallelism comes from file
+    // splits and a blanket repartition would be a 100 TB shuffle.
+    name match {
+      case "documents"  => df.repartition(col("doc_id"))
+      case "embeddings" => df.repartition(col("vec_id"))
+      case _            => df
+    }
   }
 }

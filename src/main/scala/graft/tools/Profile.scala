@@ -1,0 +1,40 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only micro-profiler for query variants. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(tag: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime; f; println(s"TIMING $tag: ${(System.nanoTime - t0) / 1e9}")
+    }
+    val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val sh = d.withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr("transform(sequence(1, size(toks)-2), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"))
+    time("shingles_only")(sh.select("doc_id", "sh").write.mode("overwrite").format("noop").save())
+    time("shingles_only2")(sh.select("doc_id", "sh").write.mode("overwrite").format("noop").save())
+    def mh1(i: Int) = array_min(transform(col("sh"), x => md5(concat(lit(s"$i:"), x)))).as(s"mh$i")
+    val one = sh.select(col("doc_id"), mh1(0))
+    time("one_hash")(one.write.mode("overwrite").format("noop").save())
+    time("one_hash2")(one.write.mode("overwrite").format("noop").save())
+    val cur = sh.select(col("doc_id") +: (0 until 8).map(mh1): _*)
+    time("cur8")(cur.write.mode("overwrite").format("noop").save())
+    time("cur8b")(cur.write.mode("overwrite").format("noop").save())
+    val curSorted = cur.orderBy("doc_id")
+    time("cur8_sorted")(curSorted.write.mode("overwrite").format("noop").save())
+    // materialize shingle array once per row via explode-free but single-pass:
+    // min over ONE transform producing concat of 8? no — try repartition parallelism
+    println("partitions: " + sh.rdd.getNumPartitions)
+    val shp = sh.repartition(32)
+    val curp = shp.select(col("doc_id") +: (0 until 8).map(mh1): _*)
+    time("cur8_repart")(curp.write.mode("overwrite").format("noop").save())
+    time("cur8_repart2")(curp.write.mode("overwrite").format("noop").save())
+    spark.stop()
+  }
+}
