@@ -1,0 +1,261 @@
+package graft.io
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.GtfsFunctions._
+
+/** Value used for empty/missing GTFS cells
+  * (reference: FallbackValue, extern/gtfs/table.rs:148-192). */
+sealed trait Fallback
+object Fallback {
+  /** keep the empty string */ case object AsIs extends Fallback
+  /** substitute a literal */ final case class Str(v: String) extends Fallback
+  /** substitute an integer (as text, pre-conversion) */ final case class IntV(v: Long) extends Fallback
+  /** substitute SQL NULL (for optional FKs) */ case object Nul extends Fallback
+  /** substitute the 1-based data-row number — mirrors the reference's
+    * deliberate off-by-one (test_load_gtfs.py:97-99) */ case object LineNum extends Fallback
+}
+
+/** How a GTFS text cell converts to/from the typed internal column. */
+sealed trait Conv
+object Conv {
+  case object Text extends Conv
+  case object IntC extends Conv
+  case object LongC extends Conv
+  case object DoubleC extends Conv
+  /** '0'/'1' -> boolean */ case object BoolC extends Conv
+  /** GTFS '1'/'2'/other -> true/false/NULL (schema.rs:184-186) */ case object TriState extends Conv
+  /** YYYYMMDD <-> DateType */ case object DateC extends Conv
+  /** H:MM:SS (possibly >24h) <-> seconds */ case object TimeC extends Conv
+  /** extended route type -> standard (db.rs:153-189) */ case object RouteType extends Conv
+}
+
+/** One column of a GTFS file <-> internal table mapping
+  * (reference: Column, extern/gtfs/schema.rs). */
+final case class GtfsCol(
+    sqlName: String,
+    gtfsName: String,
+    conv: Conv = Conv.Text,
+    fallback: Fallback = Fallback.AsIs) {
+
+  /** Typed internal column from the raw CSV string column (after the
+    * fallback has been applied). */
+  def fromGtfs(raw: Column): Column = conv match {
+    case Conv.Text      => raw
+    case Conv.IntC      => raw.cast("int")
+    case Conv.LongC     => raw.cast("long")
+    case Conv.DoubleC   => raw.cast("double")
+    case Conv.BoolC     => raw.cast("int").cast("boolean")
+    case Conv.TriState  => gtfsToTriState(raw)
+    case Conv.DateC     => parseGtfsDate(raw)
+    case Conv.TimeC     => gtfsTimeToSeconds(raw)
+    case Conv.RouteType => parseGtfsRouteType(raw)
+  }
+
+  /** GTFS text cell from the typed internal column (save path,
+    * gtfs/save.rs:93-140 + to_gtfs exprs in schema.rs). */
+  def toGtfs(c: Column): Column = conv match {
+    case Conv.Text                          => coalesce(c, lit(""))
+    case Conv.IntC | Conv.LongC             => coalesce(c.cast("string"), lit(""))
+    case Conv.DoubleC                       => coalesce(c.cast("string"), lit(""))
+    case Conv.BoolC                         => coalesce(c.cast("int").cast("string"), lit(""))
+    case Conv.TriState                      => triStateToGtfs(c).cast("string")
+    case Conv.DateC                         => coalesce(formatGtfsDate(c), lit(""))
+    case Conv.TimeC                         => coalesce(secondsToGtfsTime(c), lit(""))
+    case Conv.RouteType                     => coalesce(c.cast("string"), lit(""))
+  }
+}
+
+/** One GTFS file <-> internal table (reference: Table, schema.rs). */
+final case class GtfsTableSpec(
+    sqlName: String,
+    gtfsName: String,
+    cols: Seq[GtfsCol],
+    required: Boolean = false,
+    /** (parentTable, parentCol, childGtfsCol): loading this file implies
+      * parent rows exist (INSERT OR IGNORE, load.rs:425-445). */
+    parentImplication: Option[(String, String, String)] = None,
+    hasExtraFields: Boolean = true,
+    /** save-path row filter SQL-ish predicate name (calendars drop
+      * no-weekday rows unless emit_empty_calendars; schema.rs:79). */
+    filterEmptyCalendars: Boolean = false,
+    /** save-path ORDER BY (PK) columns. */
+    orderCols: Seq[String] = Seq.empty)
+
+/** The full GTFS <-> internal mapping, a Spark-native re-expression of
+  * the reference's `TABLES` (extern/gtfs/schema.rs:9-382). */
+object GtfsSpec {
+  import Conv._
+  import Fallback._
+
+  private val MissingAgency = Str("(missing)")
+
+  val tables: Seq[GtfsTableSpec] = Seq(
+    GtfsTableSpec("agencies", "agency.txt", Seq(
+      GtfsCol("agency_id", "agency_id", Text, MissingAgency),
+      GtfsCol("name", "agency_name"),
+      GtfsCol("url", "agency_url"),
+      GtfsCol("timezone", "agency_timezone"),
+      GtfsCol("lang", "agency_lang"),
+      GtfsCol("phone", "agency_phone"),
+      GtfsCol("fare_url", "agency_fare_url")),
+      required = true, orderCols = Seq("agency_id")),
+
+    GtfsTableSpec("attributions", "attributions.txt", Seq(
+      GtfsCol("attribution_id", "attribution_id", Text, LineNum),
+      GtfsCol("organization_name", "organization_name"),
+      GtfsCol("is_producer", "is_producer", BoolC, IntV(0)),
+      GtfsCol("is_operator", "is_operator", BoolC, IntV(0)),
+      GtfsCol("is_authority", "is_authority", BoolC, IntV(0)),
+      GtfsCol("is_data_source", "is_data_source", BoolC, IntV(0)),
+      GtfsCol("url", "attribution_url"),
+      GtfsCol("email", "attribution_email"),
+      GtfsCol("phone", "attribution_phone")),
+      orderCols = Seq("attribution_id")),
+
+    GtfsTableSpec("calendars", "calendar.txt", Seq(
+      GtfsCol("calendar_id", "service_id"),
+      GtfsCol("monday", "monday", BoolC),
+      GtfsCol("tuesday", "tuesday", BoolC),
+      GtfsCol("wednesday", "wednesday", BoolC),
+      GtfsCol("thursday", "thursday", BoolC),
+      GtfsCol("friday", "friday", BoolC),
+      GtfsCol("saturday", "saturday", BoolC),
+      GtfsCol("sunday", "sunday", BoolC),
+      GtfsCol("start_date", "start_date", DateC),
+      GtfsCol("end_date", "end_date", DateC),
+      GtfsCol("desc", "service_desc")),
+      filterEmptyCalendars = true, orderCols = Seq("calendar_id")),
+
+    GtfsTableSpec("calendar_exceptions", "calendar_dates.txt", Seq(
+      GtfsCol("calendar_id", "service_id"),
+      GtfsCol("date", "date", DateC),
+      GtfsCol("exception_type", "exception_type", IntC)),
+      parentImplication = Some(("calendars", "calendar_id", "service_id")),
+      hasExtraFields = false, orderCols = Seq("calendar_id", "date")),
+
+    GtfsTableSpec("feed_info", "feed_info.txt", Seq(
+      GtfsCol("feed_info_id", "", IntC, IntV(0)),
+      GtfsCol("publisher_name", "feed_publisher_name"),
+      GtfsCol("publisher_url", "feed_publisher_url"),
+      GtfsCol("lang", "feed_lang"),
+      GtfsCol("version", "feed_version"),
+      GtfsCol("contact_email", "feed_contact_email"),
+      GtfsCol("contact_url", "feed_contact_url"),
+      GtfsCol("start_date", "feed_start_date", DateC, Nul),
+      GtfsCol("end_date", "feed_end_date", DateC, Nul))),
+
+    GtfsTableSpec("routes", "routes.txt", Seq(
+      GtfsCol("route_id", "route_id"),
+      GtfsCol("agency_id", "agency_id", Text, MissingAgency),
+      GtfsCol("short_name", "route_short_name"),
+      GtfsCol("long_name", "route_long_name"),
+      GtfsCol("type", "route_type", RouteType),
+      GtfsCol("color", "route_color"),
+      GtfsCol("text_color", "route_text_color"),
+      GtfsCol("sort_order", "route_sort_order", IntC, Nul)),
+      required = true, orderCols = Seq("route_id")),
+
+    GtfsTableSpec("stops", "stops.txt", Seq(
+      GtfsCol("stop_id", "stop_id"),
+      GtfsCol("name", "stop_name"),
+      GtfsCol("lat", "stop_lat", DoubleC),
+      GtfsCol("lon", "stop_lon", DoubleC),
+      GtfsCol("code", "stop_code"),
+      GtfsCol("zone_id", "zone_id"),
+      GtfsCol("location_type", "location_type", IntC, IntV(0)),
+      GtfsCol("parent_station", "parent_station", Text, Nul),
+      GtfsCol("wheelchair_boarding", "wheelchair_boarding", TriState),
+      GtfsCol("platform_code", "platform_code")),
+      required = true, orderCols = Seq("stop_id")),
+
+    GtfsTableSpec("fare_attributes", "fare_attributes.txt", Seq(
+      GtfsCol("fare_id", "fare_id"),
+      GtfsCol("price", "price", DoubleC),
+      GtfsCol("currency_type", "currency_type"),
+      GtfsCol("payment_method", "payment_method", IntC),
+      GtfsCol("transfers", "transfers", IntC, Nul),
+      GtfsCol("agency_id", "agency_id", Text, MissingAgency),
+      GtfsCol("transfer_duration", "transfer_duration", IntC, Nul)),
+      orderCols = Seq("fare_id")),
+
+    GtfsTableSpec("fare_rules", "fare_rules.txt", Seq(
+      GtfsCol("fare_id", "fare_id"),
+      GtfsCol("route_id", "route_id", Text, Nul),
+      GtfsCol("origin_id", "origin_id", Text, Nul),
+      GtfsCol("destination_id", "destination_id", Text, Nul),
+      GtfsCol("contains_id", "contains_id", Text, Nul)),
+      hasExtraFields = false, orderCols = Seq("fare_id")),
+
+    GtfsTableSpec("shape_points", "shapes.txt", Seq(
+      GtfsCol("shape_id", "shape_id"),
+      GtfsCol("sequence", "shape_pt_sequence", IntC),
+      GtfsCol("lat", "shape_pt_lat", DoubleC),
+      GtfsCol("lon", "shape_pt_lon", DoubleC),
+      GtfsCol("shape_dist_traveled", "shape_dist_traveled", DoubleC, Nul)),
+      parentImplication = Some(("shapes", "shape_id", "shape_id")),
+      hasExtraFields = false, orderCols = Seq("shape_id", "sequence")),
+
+    GtfsTableSpec("trips", "trips.txt", Seq(
+      GtfsCol("trip_id", "trip_id"),
+      GtfsCol("route_id", "route_id"),
+      GtfsCol("calendar_id", "service_id"),
+      GtfsCol("headsign", "trip_headsign"),
+      GtfsCol("short_name", "trip_short_name"),
+      GtfsCol("direction", "direction_id", IntC, Nul),
+      GtfsCol("block_id", "block_id", Text, Nul),
+      GtfsCol("shape_id", "shape_id", Text, Nul),
+      GtfsCol("wheelchair_accessible", "wheelchair_accessible", TriState),
+      GtfsCol("bikes_allowed", "bikes_allowed", TriState),
+      GtfsCol("exceptional", "exceptional", BoolC, Nul)),
+      required = true, orderCols = Seq("trip_id")),
+
+    GtfsTableSpec("stop_times", "stop_times.txt", Seq(
+      GtfsCol("trip_id", "trip_id"),
+      GtfsCol("stop_id", "stop_id"),
+      GtfsCol("stop_sequence", "stop_sequence", IntC),
+      GtfsCol("arrival_time", "arrival_time", TimeC),
+      GtfsCol("departure_time", "departure_time", TimeC),
+      GtfsCol("pickup_type", "pickup_type", IntC, IntV(0)),
+      GtfsCol("drop_off_type", "drop_off_type", IntC, IntV(0)),
+      GtfsCol("stop_headsign", "stop_headsign"),
+      GtfsCol("shape_dist_traveled", "shape_dist_traveled", DoubleC, Nul),
+      GtfsCol("platform", "platform")),
+      required = true, orderCols = Seq("trip_id", "stop_sequence")),
+
+    GtfsTableSpec("frequencies", "frequencies.txt", Seq(
+      GtfsCol("trip_id", "trip_id"),
+      GtfsCol("start_time", "start_time", TimeC),
+      GtfsCol("end_time", "end_time", TimeC),
+      GtfsCol("headway", "headway_secs", IntC),
+      GtfsCol("exact_times", "exact_times", BoolC, IntV(0))),
+      orderCols = Seq("trip_id", "start_time")),
+
+    GtfsTableSpec("transfers", "transfers.txt", Seq(
+      GtfsCol("from_stop_id", "from_stop_id", Text, Nul),
+      GtfsCol("to_stop_id", "to_stop_id", Text, Nul),
+      GtfsCol("from_route_id", "from_route_id", Text, Nul),
+      GtfsCol("to_route_id", "to_route_id", Text, Nul),
+      GtfsCol("from_trip_id", "from_trip_id", Text, Nul),
+      GtfsCol("to_trip_id", "to_trip_id", Text, Nul),
+      GtfsCol("transfer_type", "transfer_type", IntC),
+      GtfsCol("min_transfer_time", "min_transfer_time", IntC, Nul)),
+      orderCols = Seq("from_stop_id", "to_stop_id")),
+
+    GtfsTableSpec("translations", "translations.txt", Seq(
+      GtfsCol("table_name", "table_name"),
+      GtfsCol("field_name", "field_name"),
+      GtfsCol("language", "language"),
+      GtfsCol("translation", "translation"),
+      GtfsCol("record_id", "record_id"),
+      GtfsCol("record_sub_id", "record_sub_id"),
+      GtfsCol("field_value", "field_value")),
+      orderCols = Seq("table_name", "record_id", "record_sub_id", "field_value",
+        "field_name", "language")))
+
+  def byGtfsName(file: String): Option[GtfsTableSpec] = tables.find(_.gtfsName == file)
+  def bySqlName(table: String): Option[GtfsTableSpec] = tables.find(_.sqlName == table)
+
+  /** The 16 recognized GTFS member filenames (load_gtfs.py:13-29). */
+  val knownFiles: Set[String] = tables.map(_.gtfsName).toSet
+}

@@ -1,0 +1,208 @@
+package graft.io
+
+import java.nio.file.{Files, Path}
+import java.util.zip.ZipFile
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.model.{FeedDataset, GtfsSchemas}
+import graft.operators.{Task, TaskRuntime}
+
+/** GTFS zip/directory -> typed FeedDataset (reference: LoadGTFS,
+  * tasks/load_gtfs.py + the Rust bulk loader extern/gtfs/load.rs).
+  *
+  * Spark-native shape: each member file is read as a permissive
+  * all-string CSV, then normalized with per-column fallback + codec
+  * expressions (one `select`, fully codegen'd — the analogue of the
+  * reference's per-cell fallback fill, table.rs:148-192). Parent
+  * implication (shapes from shapes.txt rows, calendars from
+  * calendar_dates.txt) becomes `select(parent).distinct` + anti-join
+  * union instead of `INSERT OR IGNORE` (load.rs:425-445).
+  *
+  * Scale notes: GTFS zips must be unpacked on the driver (zip is not a
+  * splittable Spark format), but each extracted .txt is then read by
+  * the distributed CSV reader, so a multi-GB stop_times.txt still
+  * parallelizes. All downstream normalization is narrow (no shuffle);
+  * the only wide op is the tiny parent-implication distinct.
+  *
+  * @param resource    zip file or directory containing GTFS .txt members
+  * @param extraFields pack unknown columns of known files into the
+  *                    `extra_fields` map column (load_gtfs.py extra_fields)
+  * @param extraFiles  unknown member files to load into
+  *                    `extra_table_rows` (load_gtfs.py extra_files)
+  */
+final case class LoadGtfs(
+    resource: Path,
+    extraFields: Boolean = false,
+    extraFiles: Seq[String] = Seq.empty) extends Task {
+
+  override def name = "LoadGtfs"
+
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    val dir = extracted(resource)
+    val present: Map[String, Path] =
+      Files.list(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".txt"))
+        .map(p => p.getFileName.toString -> p).toMap
+
+    GtfsSpec.tables.filter(_.required).foreach { t =>
+      require(present.contains(t.gtfsName), s"missing required GTFS file ${t.gtfsName}")
+    }
+
+    var tables: Map[String, DataFrame] =
+      GtfsSchemas.all.map { case (n, schema) =>
+        n -> rt.spark.createDataFrame(
+          rt.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }.toMap
+
+    // known files -> typed tables
+    GtfsSpec.tables.foreach { spec =>
+      present.get(spec.gtfsName).foreach { path =>
+        tables = tables.updated(spec.sqlName, loadTable(rt.spark, spec, path))
+      }
+    }
+
+    // parent implications: shapes <- shape_points, calendars <- calendar_exceptions
+    GtfsSpec.tables.flatMap(s => s.parentImplication.map(s -> _)).foreach {
+      case (spec, (parentTable, parentCol, _)) if present.contains(spec.gtfsName) =>
+        val implied = tables(spec.sqlName)
+          .select(col(if (spec.sqlName == "shape_points") "shape_id" else "calendar_id").as(parentCol))
+          .distinct()
+        val parent = tables(parentTable)
+        // INSERT OR IGNORE: keep existing parents, add missing ids with defaults
+        val missing = implied.join(parent, Seq(parentCol), "left_anti")
+        val newRows = defaultsFor(parentTable, missing, parentCol)
+        tables = tables.updated(parentTable, parent.unionByName(newRows))
+      case _ => ()
+    }
+
+    // unknown files -> extra_table_rows (load.rs:467-527)
+    val unknown = extraFiles.filter(f => present.contains(f) && !GtfsSpec.knownFiles.contains(f))
+    if (unknown.nonEmpty) {
+      val rows = unknown.map { f =>
+        val raw = readCsv(rt.spark, present(f))
+        val names = raw.columns.filterNot(_ == RowIdCol)
+        withLineNumbers(raw)
+          .select(
+            col(RowIdCol).cast("long").as("extra_table_row_id"),
+            lit(f.stripSuffix(".txt")).as("table_name"),
+            map_from_arrays(
+              array(names.map(lit(_)): _*),
+              array(names.map(n => coalesce(col(n), lit(""))): _*)).as("fields"),
+            col(RowIdCol).cast("int").as("row_sort_order"))
+      }.reduce(_ unionByName _)
+      tables = tables.updated("extra_table_rows", rows)
+    }
+
+    FeedDataset(tables, FeedDataset.gtfsFkGraph)
+  }
+
+  private val RowIdCol = "__gtfs_line"
+
+  /** Zip -> temp dir of members (driver-side; GTFS zips are small and
+    * zip isn't splittable), or pass a directory through. */
+  private def extracted(res: Path): Path =
+    if (Files.isDirectory(res)) res
+    else {
+      val tmp = Files.createTempDirectory("gtfs_")
+      val zf = new ZipFile(res.toFile)
+      try {
+        zf.entries().asScala.filterNot(_.isDirectory).foreach { e =>
+          val name = Path.of(e.getName).getFileName.toString // flatten dirs
+          val out = tmp.resolve(name)
+          val in = zf.getInputStream(e)
+          try Files.copy(in, out) finally in.close()
+        }
+      } finally zf.close()
+      tmp
+    }
+
+  private def readCsv(spark: SparkSession, path: Path): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .csv(path.toString)
+
+  /** Attach the 1-based data-row number (LineNum fallback + stable
+    * extra-row ordering). GTFS member files are single CSV files, so
+    * the per-file read order is well-defined. */
+  private def withLineNumbers(df: DataFrame): DataFrame = {
+    val w = Window.orderBy(monotonically_increasing_id())
+    df.withColumn(RowIdCol, row_number().over(w))
+  }
+
+  private def loadTable(spark: SparkSession, spec: GtfsTableSpec, path: Path): DataFrame = {
+    val raw0 = readCsv(spark, path)
+    val needsLineNum = spec.cols.exists(_.fallback == Fallback.LineNum)
+    val raw = if (needsLineNum) withLineNumbers(raw0) else raw0
+    val have = raw.columns.toSet
+
+    def rawCol(c: GtfsCol): Column = {
+      val base =
+        if (c.gtfsName.nonEmpty && have.contains(c.gtfsName)) coalesce(col(c.gtfsName), lit(""))
+        else lit("")
+      c.fallback match {
+        case Fallback.AsIs     => base
+        case Fallback.Str(v)   => when(base === "", lit(v)).otherwise(base)
+        case Fallback.IntV(v)  => when(base === "", lit(v.toString)).otherwise(base)
+        case Fallback.Nul      => when(base === "", lit(null).cast(StringType)).otherwise(base)
+        case Fallback.LineNum  => when(base === "", col(RowIdCol).cast("string")).otherwise(base)
+      }
+    }
+
+    val typed = spec.cols.map(c => c.fromGtfs(rawCol(c)).as(c.sqlName))
+    val extrasCol: Seq[Column] =
+      if (!spec.hasExtraFields) Seq.empty
+      else if (!extraFields) Seq(lit(null).cast("map<string,string>").as("extra_fields"))
+      else {
+        val known = spec.cols.map(_.gtfsName).toSet + RowIdCol
+        val unknown = raw.columns.filterNot(known.contains)
+        val m =
+          if (unknown.isEmpty) lit(null).cast("map<string,string>")
+          else map_from_arrays(
+            array(unknown.map(lit(_)): _*),
+            array(unknown.map(n => coalesce(col(n), lit(""))): _*))
+        Seq(m.as("extra_fields"))
+      }
+
+    val df = raw.select(typed ++ extrasCol: _*)
+    // align exactly to the registry schema (adds nothing, asserts names)
+    val want = GtfsSchemas(spec.sqlName).fieldNames.toSeq
+    val missing = want.filterNot(df.columns.contains)
+    val complete = missing.foldLeft(df) { (d, n) =>
+      val f: StructField = GtfsSchemas(spec.sqlName).apply(n)
+      d.withColumn(n, lit(null).cast(f.dataType))
+    }
+    complete.select(want.map(col): _*)
+  }
+
+  /** Default-valued parent rows for implied parents. */
+  private def defaultsFor(table: String, ids: DataFrame, idCol: String): DataFrame = table match {
+    case "shapes" => ids.select(col(idCol).as("shape_id"))
+    case "calendars" =>
+      // DDL defaults (calendar.py:52-65): all weekday bits 0, sentinel
+      // dates 1111-11-11 (= "exceptions only"), empty desc.
+      ids.select(
+        col(idCol).as("calendar_id"),
+        lit(false).as("monday"), lit(false).as("tuesday"), lit(false).as("wednesday"),
+        lit(false).as("thursday"), lit(false).as("friday"), lit(false).as("saturday"),
+        lit(false).as("sunday"),
+        to_date(lit("1111-11-11")).as("start_date"),
+        to_date(lit("1111-11-11")).as("end_date"),
+        lit("").as("desc"),
+        lit(null).cast("map<string,string>").as("extra_fields"))
+    case other => sys.error(s"no parent-implication defaults for $other")
+  }
+}
+
+object GtfsDates {
+  /** The reference's Date.SIGNALS_EXCEPTIONS sentinel
+    * (utility_types.py:50-55). */
+  val SignalsExceptions: java.sql.Date = java.sql.Date.valueOf("1111-11-11")
+}

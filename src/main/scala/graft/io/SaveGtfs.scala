@@ -1,0 +1,132 @@
+package graft.io
+
+import java.io.{BufferedOutputStream, FileOutputStream, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Path
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.FeedDataset
+import graft.operators.{Task, TaskRuntime}
+
+/** Typed FeedDataset -> GTFS zip (reference: SaveGTFS,
+  * tasks/save_gtfs.py + extern/gtfs/save.rs).
+  *
+  * The caller supplies the exact per-file header list, exactly like the
+  * reference (save_gtfs.py:17-46); each requested header resolves to
+  * the table column's to-GTFS codec expression, or to
+  * `extra_fields[header]` for unknown headers (save.rs:93-140). The
+  * formatting work (time/date/tri-state codecs) runs distributed as one
+  * projection per table; rows then stream to the driver-side zip writer
+  * (the zip container itself is inherently single-writer — same as the
+  * reference, which also funnels through one output file, one thread
+  * per table, save.rs:174-208).
+  *
+  * @param headers             gtfs file name -> ordered GTFS column headers
+  * @param target              output .zip path
+  * @param emitEmptyCalendars  if false, calendars with no weekday bit set
+  *                            are dropped (schema.rs:79 filter_clause)
+  * @param ensureOrder         ORDER BY primary key per file (save.rs:129-137)
+  */
+final case class SaveGtfs(
+    headers: Map[String, Seq[String]],
+    target: Path,
+    emitEmptyCalendars: Boolean = false,
+    ensureOrder: Boolean = false) extends Task {
+
+  override def name = "SaveGtfs"
+
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    val zip = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(target.toFile)))
+    val writer = new OutputStreamWriter(zip, StandardCharsets.UTF_8)
+    try {
+      headers.foreach { case (file, cols) =>
+        val spec = GtfsSpec.byGtfsName(file)
+          .getOrElse(sys.error(s"SaveGtfs: unknown GTFS file $file"))
+        val df = projected(feed(spec.sqlName), spec, cols)
+        zip.putNextEntry(new ZipEntry(file))
+        writeCsv(writer, cols, df)
+        writer.flush()
+        zip.closeEntry()
+      }
+    } finally {
+      writer.flush(); zip.close()
+    }
+    feed
+  }
+
+  private def projected(df: DataFrame, spec: GtfsTableSpec, headerCols: Seq[String]): DataFrame = {
+    val byGtfs = spec.cols.map(c => c.gtfsName -> c).toMap
+    val out: Seq[Column] = headerCols.map { h =>
+      byGtfs.get(h) match {
+        case Some(c) => c.toGtfs(col(c.sqlName)).as(h)
+        case None    => coalesce(element_at(col("extra_fields"), h), lit("")).as(h)
+      }
+    }
+    val filtered =
+      if (spec.filterEmptyCalendars && !emitEmptyCalendars)
+        df.filter(col("monday") || col("tuesday") || col("wednesday") || col("thursday") ||
+          col("friday") || col("saturday") || col("sunday"))
+      else df
+    val ordered =
+      if (ensureOrder && spec.orderCols.nonEmpty) filtered.orderBy(spec.orderCols.map(col): _*)
+      else filtered
+    ordered.select(out: _*)
+  }
+
+  /** CRLF CSV with standard quoting (quote when a cell contains comma,
+    * quote, CR or LF; quotes doubled) — matches the reference's writer
+    * (save.rs:220-222). */
+  private def writeCsv(w: OutputStreamWriter, header: Seq[String], df: DataFrame): Unit = {
+    def cell(v: String): String = {
+      val s = if (v == null) "" else v
+      if (s.exists(ch => ch == ',' || ch == '"' || ch == '\n' || ch == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    }
+    w.write(header.map(cell).mkString(",")); w.write("\r\n")
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      val line = (0 until row.length).map(i => cell(if (row.isNullAt(i)) "" else row.getString(i)))
+      w.write(line.mkString(",")); w.write("\r\n")
+    }
+  }
+}
+
+/** Persist / restore a FeedDataset as one parquet directory per table —
+  * the analogue of the reference's SaveDB / LoadDB sqlite backups
+  * (tasks/save_db.py, tasks/load_db.py). Parquet keeps the typed schema
+  * and is the natural cluster-scale interchange format. */
+object FeedIO {
+  def save(feed: FeedDataset, dir: Path): Unit =
+    feed.tables.foreach { case (n, df) =>
+      df.write.mode("overwrite").parquet(dir.resolve(n).toString)
+    }
+
+  def load(rt: TaskRuntime, dir: Path): FeedDataset = {
+    val tables = graft.model.GtfsSchemas.all.map { case (n, schema) =>
+      val p = dir.resolve(n)
+      val df =
+        if (java.nio.file.Files.exists(p)) rt.spark.read.parquet(p.toString)
+        else rt.spark.createDataFrame(
+          rt.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      n -> df
+    }.toMap
+    FeedDataset(tables, FeedDataset.gtfsFkGraph)
+  }
+
+  /** LoadDB as a Task. */
+  final case class LoadDb(dir: Path) extends Task {
+    override def name = "LoadDb"
+    def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = load(rt, dir)
+  }
+
+  /** SaveDB as a Task (pass-through). */
+  final case class SaveDb(dir: Path) extends Task {
+    override def name = "SaveDb"
+    def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = { save(feed, dir); feed }
+  }
+}

@@ -28,6 +28,19 @@ final case class FeedDataset(tables: Map[String, DataFrame], fkGraph: Seq[FkEdge
   def updatedAll(kv: (String, DataFrame)*): FeedDataset =
     copy(tables = tables ++ kv)
 
+  /** Cut the lineage of the named (small, dimension-sized) tables by
+    * eager local checkpoint. Multi-step tasks that rewrite the same
+    * dimension repeatedly (RemoveUnusedEntities, Merge) MUST do this
+    * between steps: Catalyst analyzes logical plans as trees, so a
+    * chain of cascades over shared, ever-deepening subplans blows up
+    * tree size exponentially. Fact tables (stop_times at 100 TB) are
+    * deliberately NOT checkpointed — they stay lazy chains of
+    * broadcast semi-joins against the flat checkpointed dimensions. */
+  def materialized(names: String*): FeedDataset =
+    copy(tables = names.foldLeft(tables) { (t, n) =>
+      t.updated(n, t(n).localCheckpoint(true))
+    })
+
   /** Replace `name` with `df` and drop orphaned children transitively,
     * emulating SQLite's `ON DELETE CASCADE` (SURVEY §1.4).
     *
@@ -41,24 +54,40 @@ final case class FeedDataset(tables: Map[String, DataFrame], fkGraph: Seq[FkEdge
   def withCascade(name: String, df: DataFrame): FeedDataset = {
     var acc: Map[String, DataFrame] = tables.updated(name, df)
     // BFS from the updated table; a child may be revisited if several of
-    // its parents shrank.
+    // its parents shrank. Each edge is applied at most twice so the
+    // stops self-FK (parent_station) terminates: GTFS's place hierarchy
+    // is at most two levels (station -> stop/exit), and unbounded
+    // re-queueing would grow the logical plan exponentially.
+    val applied = scala.collection.mutable.Map.empty[FkEdge, Int].withDefaultValue(0)
     var frontier: List[String] = List(name)
     var guard = 0
-    while (frontier.nonEmpty && guard < 64) {
+    while (frontier.nonEmpty && guard < 256) {
       guard += 1
       val parent = frontier.head
       frontier = frontier.tail
-      fkGraph.filter(_.parent == parent).foreach { e =>
+      fkGraph.filter(e => e.parent == parent && applied(e) < 2).foreach { e =>
+        applied(e) += 1
         acc.get(e.child).foreach { child =>
-          val pdf = acc(e.parent).select(e.parentCols.map(acc(e.parent)(_)): _*)
-          val cond = e.childCols.zip(e.parentCols).map { case (cc, pc) =>
-            child(cc) === pdf(pc)
+          import org.apache.spark.sql.functions.{col, lit}
+          // Rename the parent key columns so self-FK edges (stops.
+          // parent_station -> stops.stop_id) don't trip Spark's
+          // ambiguous-self-join detection. The child plan must appear
+          // exactly ONCE here — a filter/union split would copy the
+          // child subtree per edge application and grow the logical
+          // plan exponentially across multi-FK tables like transfers.
+          val renamed = e.parentCols.map(pc => s"__cascade_$pc")
+          val parentKeys = acc(e.parent)
+            .select(e.parentCols.map(col): _*).distinct().toDF(renamed: _*)
+            .withColumn("__cascade_hit", lit(1))
+          val cond = e.childCols.zip(renamed).map { case (cc, pc) =>
+            col(cc) === col(pc)
           }.reduce(_ && _)
           // SQLite FK semantics: a NULL FK references nothing and is
           // never cascaded — keep those rows unconditionally.
-          val anyNull = e.childCols.map(child(_).isNull).reduce(_ || _)
-          val kept = child.filter(anyNull)
-            .unionByName(child.filter(!anyNull).join(pdf, cond, "left_semi"))
+          val anyNull = e.childCols.map(col(_).isNull).reduce(_ || _)
+          val kept = child.join(parentKeys, cond, "left")
+            .filter(anyNull || col("__cascade_hit").isNotNull)
+            .drop((renamed :+ "__cascade_hit"): _*)
           acc = acc.updated(e.child, kept)
           if (!frontier.contains(e.child)) frontier = frontier :+ e.child
         }
@@ -75,13 +104,22 @@ object FeedDataset {
     FkEdge("routes", Seq("agency_id"), "agencies", Seq("agency_id")),
     FkEdge("fare_attributes", Seq("agency_id"), "agencies", Seq("agency_id")),
     FkEdge("fare_rules", Seq("fare_id"), "fare_attributes", Seq("fare_id")),
+    FkEdge("fare_rules", Seq("route_id"), "routes", Seq("route_id")),
     FkEdge("calendar_exceptions", Seq("calendar_id"), "calendars", Seq("calendar_id")),
+    FkEdge("stops", Seq("parent_station"), "stops", Seq("stop_id")),
     FkEdge("trips", Seq("route_id"), "routes", Seq("route_id")),
     FkEdge("trips", Seq("calendar_id"), "calendars", Seq("calendar_id")),
+    FkEdge("trips", Seq("shape_id"), "shapes", Seq("shape_id")),
     FkEdge("stop_times", Seq("trip_id"), "trips", Seq("trip_id")),
     FkEdge("stop_times", Seq("stop_id"), "stops", Seq("stop_id")),
     FkEdge("frequencies", Seq("trip_id"), "trips", Seq("trip_id")),
-    FkEdge("shape_points", Seq("shape_id"), "shapes", Seq("shape_id")))
+    FkEdge("shape_points", Seq("shape_id"), "shapes", Seq("shape_id")),
+    FkEdge("transfers", Seq("from_stop_id"), "stops", Seq("stop_id")),
+    FkEdge("transfers", Seq("to_stop_id"), "stops", Seq("stop_id")),
+    FkEdge("transfers", Seq("from_route_id"), "routes", Seq("route_id")),
+    FkEdge("transfers", Seq("to_route_id"), "routes", Seq("route_id")),
+    FkEdge("transfers", Seq("from_trip_id"), "trips", Seq("trip_id")),
+    FkEdge("transfers", Seq("to_trip_id"), "trips", Seq("trip_id")))
 
   /** FK graph of the driver's TPC-H-ish synthetic tables (TESTDATA.md),
     * used by the cascade-delete demonstration query. */

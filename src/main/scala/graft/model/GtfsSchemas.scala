@@ -1,0 +1,172 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Explicit StructTypes for the 16-entity GTFS-ish internal model
+  * (SURVEY §1.2; DDL cites per entity, e.g. stop_time.py:54-68).
+  *
+  * Type mapping (SURVEY §1.3): GTFS times are IntegerType seconds since
+  * noon-12h (may exceed 24h — never TimestampType); dates are DateType
+  * with the `1111-11-11` sentinel meaning "exceptions only"
+  * (utility_types.py:50-55); tri-state flags are nullable BooleanType;
+  * the reference's `extra_fields_json` TEXT column becomes a
+  * MapType(String,String) — strictly better for Catalyst (pruning,
+  * pushdown into map keys), serialized to JSON only at the GTFS csv
+  * boundary.
+  */
+object GtfsSchemas {
+
+  private def extras = StructField("extra_fields", MapType(StringType, StringType), nullable = true)
+  private def s(name: String, nn: Boolean = false) = StructField(name, StringType, nullable = !nn)
+  private def i(name: String, nn: Boolean = false) = StructField(name, IntegerType, nullable = !nn)
+  private def l(name: String, nn: Boolean = false) = StructField(name, LongType, nullable = !nn)
+  private def d(name: String, nn: Boolean = false) = StructField(name, DoubleType, nullable = !nn)
+  private def b(name: String, nn: Boolean = false) = StructField(name, BooleanType, nullable = !nn)
+  private def dt(name: String, nn: Boolean = false) = StructField(name, DateType, nullable = !nn)
+
+  /** agencies (agency.py:48-57) */
+  val agencies: StructType = StructType(Seq(
+    s("agency_id", nn = true), s("name", nn = true), s("url", nn = true),
+    s("timezone", nn = true), s("lang"), s("phone"), s("fare_url"), extras))
+
+  /** attributions (attribution.py:43-54) */
+  val attributions: StructType = StructType(Seq(
+    s("attribution_id", nn = true), s("organization_name", nn = true),
+    b("is_producer", nn = true), b("is_operator", nn = true),
+    b("is_authority", nn = true), b("is_data_source", nn = true),
+    s("url"), s("email"), s("phone"), extras))
+
+  /** calendars (calendar.py:52-65); weekday bits + date range, sentinel
+    * DATE'1111-11-11' = exceptions-only. */
+  val calendars: StructType = StructType(Seq(
+    s("calendar_id", nn = true),
+    b("monday", nn = true), b("tuesday", nn = true), b("wednesday", nn = true),
+    b("thursday", nn = true), b("friday", nn = true), b("saturday", nn = true),
+    b("sunday", nn = true),
+    dt("start_date", nn = true), dt("end_date", nn = true), s("desc"), extras))
+
+  /** calendar_exceptions (calendar_exception.py:43-49);
+    * exception_type 1=ADDED 2=REMOVED. */
+  val calendarExceptions: StructType = StructType(Seq(
+    s("calendar_id", nn = true), dt("date", nn = true), i("exception_type", nn = true)))
+
+  /** feed_info (feed_info.py:46-57) — singleton row (id always 0). */
+  val feedInfo: StructType = StructType(Seq(
+    i("feed_info_id", nn = true), s("publisher_name", nn = true),
+    s("publisher_url", nn = true), s("lang", nn = true), s("version"),
+    s("contact_email"), s("contact_url"), dt("start_date"), dt("end_date"), extras))
+
+  /** routes (route.py:65-78); type is the 10-value standard enum. */
+  val routes: StructType = StructType(Seq(
+    s("route_id", nn = true), s("agency_id", nn = true),
+    s("short_name", nn = true), s("long_name", nn = true), i("type", nn = true),
+    s("color"), s("text_color"), i("sort_order"), extras))
+
+  /** stops (stop.py:67-79); location_type 0=STOP 1=STATION 2=EXIT,
+    * self-FK parent_station. */
+  val stops: StructType = StructType(Seq(
+    s("stop_id", nn = true), s("name", nn = true), d("lat", nn = true), d("lon", nn = true),
+    s("code"), s("zone_id"), i("location_type", nn = true), s("parent_station"),
+    b("wheelchair_boarding"), s("platform_code"), extras))
+
+  /** fare_attributes (fare_attribute.py:46-56) */
+  val fareAttributes: StructType = StructType(Seq(
+    s("fare_id", nn = true), d("price", nn = true), s("currency_type", nn = true),
+    i("payment_method", nn = true), i("transfers"), s("agency_id", nn = true),
+    i("transfer_duration"), extras))
+
+  /** fare_rules (fare_rule.py:71-84); surrogate autoincrement key. */
+  val fareRules: StructType = StructType(Seq(
+    l("fare_rule_id", nn = true), s("fare_id", nn = true), s("route_id"),
+    s("origin_id"), s("destination_id"), s("contains_id")))
+
+  /** shapes — parent table implied by shape_points (shape_point.py:43). */
+  val shapes: StructType = StructType(Seq(s("shape_id", nn = true)))
+
+  /** shape_points (shape_point.py:44-51) */
+  val shapePoints: StructType = StructType(Seq(
+    s("shape_id", nn = true), i("sequence", nn = true),
+    d("lat", nn = true), d("lon", nn = true), d("shape_dist_traveled")))
+
+  /** trips (trip.py:63-78); three tri-state bools. */
+  val trips: StructType = StructType(Seq(
+    s("trip_id", nn = true), s("route_id", nn = true), s("calendar_id", nn = true),
+    s("headsign"), s("short_name"), i("direction"), s("block_id"), s("shape_id"),
+    b("wheelchair_accessible"), b("bikes_allowed"), b("exceptional"), extras))
+
+  /** stop_times (stop_time.py:54-68); times in seconds (may exceed
+    * 24:00:00), PK (trip_id, stop_sequence). */
+  val stopTimes: StructType = StructType(Seq(
+    s("trip_id", nn = true), s("stop_id", nn = true), i("stop_sequence", nn = true),
+    i("arrival_time", nn = true), i("departure_time", nn = true),
+    i("pickup_type", nn = true), i("drop_off_type", nn = true),
+    s("stop_headsign"), d("shape_dist_traveled"), s("platform"), extras))
+
+  /** frequencies (frequency.py:42-50) */
+  val frequencies: StructType = StructType(Seq(
+    s("trip_id", nn = true), i("start_time", nn = true), i("end_time", nn = true),
+    i("headway", nn = true), b("exact_times"), extras))
+
+  /** transfers (transfer.py:58-79); transfer_type 0..5 with
+    * cross-column constraints (validated by LoadGtfs, not the schema). */
+  val transfers: StructType = StructType(Seq(
+    l("transfer_id", nn = true), s("from_stop_id"), s("to_stop_id"),
+    s("from_route_id"), s("to_route_id"), s("from_trip_id"), s("to_trip_id"),
+    i("transfer_type", nn = true), i("min_transfer_time"), extras))
+
+  /** translations (translation.py:114-131) */
+  val translations: StructType = StructType(Seq(
+    l("translation_id", nn = true), s("table_name", nn = true), s("field_name", nn = true),
+    s("language", nn = true), s("translation", nn = true),
+    s("record_id"), s("record_sub_id"), s("field_value"), extras))
+
+  /** extra_table_rows (extra_table_row.py:40-48) — generic rows of
+    * unknown GTFS files; fields as a map like extra_fields. */
+  val extraTableRows: StructType = StructType(Seq(
+    l("extra_table_row_id", nn = true), s("table_name", nn = true),
+    StructField("fields", MapType(StringType, StringType), nullable = false),
+    i("row_sort_order")))
+
+  /** All 16 tables in the reference's dependency order
+    * (ALL_MODEL_ENTITIES, model/__init__.py:53-70). */
+  val all: Seq[(String, StructType)] = Seq(
+    "agencies" -> agencies,
+    "attributions" -> attributions,
+    "calendars" -> calendars,
+    "calendar_exceptions" -> calendarExceptions,
+    "feed_info" -> feedInfo,
+    "routes" -> routes,
+    "stops" -> stops,
+    "fare_attributes" -> fareAttributes,
+    "fare_rules" -> fareRules,
+    "shapes" -> shapes,
+    "shape_points" -> shapePoints,
+    "trips" -> trips,
+    "stop_times" -> stopTimes,
+    "frequencies" -> frequencies,
+    "transfers" -> transfers,
+    "translations" -> translations,
+    "extra_table_rows" -> extraTableRows)
+
+  def apply(table: String): StructType = all.toMap.apply(table)
+
+  /** Primary keys per table (SURVEY §1.2). */
+  val primaryKeys: Map[String, Seq[String]] = Map(
+    "agencies" -> Seq("agency_id"),
+    "attributions" -> Seq("attribution_id"),
+    "calendars" -> Seq("calendar_id"),
+    "calendar_exceptions" -> Seq("calendar_id", "date"),
+    "feed_info" -> Seq("feed_info_id"),
+    "routes" -> Seq("route_id"),
+    "stops" -> Seq("stop_id"),
+    "fare_attributes" -> Seq("fare_id"),
+    "fare_rules" -> Seq("fare_rule_id"),
+    "shapes" -> Seq("shape_id"),
+    "shape_points" -> Seq("shape_id", "sequence"),
+    "trips" -> Seq("trip_id"),
+    "stop_times" -> Seq("trip_id", "stop_sequence"),
+    "frequencies" -> Seq("trip_id", "start_time"),
+    "transfers" -> Seq("transfer_id"),
+    "translations" -> Seq("translation_id"),
+    "extra_table_rows" -> Seq("extra_table_row_id"))
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Calendar expansion — the shared kernel of RemoveUnusedEntities,
+  * SimplifyCalendars, TruncateCalendars and ExtendCalendars (SURVEY J5;
+  * reference: Calendar.compute_active_dates calendar.py:140-157 +
+  * CalendarException.reflect_in_active_dates
+  * calendar_exception.py:88-104).
+  *
+  * Entirely built-in Spark: `sequence` + `explode` + a weekday-bit
+  * filter, then set algebra with the exceptions. One narrow explode; the
+  * result is (calendar_id, date) — at most a few hundred rows per
+  * calendar per year, so even million-calendar feeds stay small.
+  */
+object CalendarOps {
+
+  val Sentinel = "1111-11-11" // Date.SIGNALS_EXCEPTIONS (utility_types.py:50-55)
+
+  /** Active dates of each calendar: DataFrame[calendar_id, date]. */
+  def activeDates(calendars: DataFrame, exceptions: DataFrame): DataFrame = {
+    // weekday bits indexed by Spark's dayofweek (1=Sunday .. 7=Saturday)
+    val bitByDow = array(col("sunday"), col("monday"), col("tuesday"),
+      col("wednesday"), col("thursday"), col("friday"), col("saturday"))
+    val base = calendars
+      .filter(col("start_date") =!= to_date(lit(Sentinel)) &&
+        col("end_date") =!= to_date(lit(Sentinel)) &&
+        col("start_date") <= col("end_date"))
+      .select(col("calendar_id"), bitByDow.as("bits"),
+        explode(sequence(col("start_date"), col("end_date"))).as("date"))
+      .filter(element_at(col("bits"), dayofweek(col("date"))))
+      .select("calendar_id", "date")
+
+    val added = exceptions.filter(col("exception_type") === 1).select("calendar_id", "date")
+    val removed = exceptions.filter(col("exception_type") === 2).select("calendar_id", "date")
+
+    base.unionByName(added).distinct()
+      .join(removed, Seq("calendar_id", "date"), "left_anti")
+  }
+
+  /** Normalize calendars to exception-based form: weekday bits zeroed,
+    * sentinel dates, and one ADDED exception per active date — the
+    * rewrite TruncateCalendars/ExtendCalendars apply
+    * (truncate_calendars.py:82-110, extend_calendars.py:188-208).
+    * Returns (calendars', calendar_exceptions').
+    */
+  def normalizeToExceptions(calendars: DataFrame, active: DataFrame): (DataFrame, DataFrame) = {
+    val normCals = calendars.select(
+      col("calendar_id"),
+      lit(false).as("monday"), lit(false).as("tuesday"), lit(false).as("wednesday"),
+      lit(false).as("thursday"), lit(false).as("friday"), lit(false).as("saturday"),
+      lit(false).as("sunday"),
+      to_date(lit(Sentinel)).as("start_date"),
+      to_date(lit(Sentinel)).as("end_date"),
+      col("desc"), col("extra_fields"))
+    val exceptions = active.select(col("calendar_id"), col("date"),
+      lit(1).as("exception_type"))
+    (normCals, exceptions)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.FeedDataset
+
+/** Curation from CSV (reference: ModifyStopsFromCSV /
+  * ModifyRoutesFromCSV, tasks/modify_from_csv.py:103-290): for each CSV
+  * row keyed by PK, overwrite the entity's attributes where the CSV
+  * cell is non-empty.
+  *
+  * Spark shape (SURVEY P3): one left join entity <- first-per-id CSV
+  * row + per-column `coalesce`-style conditional overwrite — the
+  * random-access `db.update` loop becomes a single set-oriented join.
+  *
+  * Reference row semantics mirrored exactly: duplicate CSV ids are
+  * skipped after the first occurrence (modify_from_csv.py:106-109);
+  * CSV ids with no matching entity warn unless `silent`
+  * (:113-119); `mustCurateAll` fails listing uncurated ids (:159-165);
+  * empty cells keep the old value (:131-133).
+  */
+final case class ModifyFromCsv(
+    table: String,
+    csv: Path,
+    keyCsvCol: String,
+    keySqlCol: String,
+    mapping: Map[String, (String, Column => Column)],
+    mustCurateAll: Boolean = false,
+    silent: Boolean = false) extends Task {
+
+  override def name = s"ModifyFromCsv($table)"
+
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    val raw = rt.spark.read.option("header", "true").csv(csv.toString)
+    // first occurrence per id wins; later duplicates are skipped
+    val w = Window.partitionBy(col(keyCsvCol)).orderBy(monotonically_increasing_id())
+    val firstPerId = raw.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    val entity = feed(table)
+
+    if (!silent) {
+      val missing = firstPerId.select(col(keyCsvCol))
+        .join(entity, col(keyCsvCol) === entity(keySqlCol), "left_anti").count()
+      if (missing > 0)
+        System.err.println(s"[ModifyFromCsv] $missing CSV id(s) don't exist in $table - skipped")
+    }
+    if (mustCurateAll) {
+      val uncurated = entity.select(entity(keySqlCol))
+        .join(firstPerId, entity(keySqlCol) === firstPerId(keyCsvCol), "left_anti")
+        .collect().map(_.getString(0)).sorted
+      require(uncurated.isEmpty,
+        "The following entities weren't curated:\n\t" + uncurated.mkString("\n\t"))
+    }
+
+    val present = firstPerId.columns.toSet
+    val csvSide = firstPerId.select(
+      col(keyCsvCol).as("__curate_key") +:
+        mapping.keys.filter(present.contains).map(c => col(c).as(s"__csv_$c")).toSeq: _*)
+
+    val joined = entity.join(csvSide, entity(keySqlCol) === col("__curate_key"), "left")
+    val updated = mapping.foldLeft(joined) {
+      case (df, (csvCol, (sqlCol, conv))) if present.contains(csvCol) =>
+        val cell = col(s"__csv_$csvCol")
+        df.withColumn(sqlCol,
+          when(cell.isNull || cell === "", col(sqlCol)).otherwise(conv(cell)))
+      case (df, _) => df
+    }
+    val out = updated.drop("__curate_key").drop(
+      mapping.keys.filter(present.contains).map(c => s"__csv_$c").toSeq: _*)
+    feed.updated(table, out)
+  }
+}
+
+object ModifyFromCsv {
+  private val asIs: Column => Column = identity
+  /** CSV '1'/'2'/'0' -> true/false/NULL (modify_from_csv.py:293-300;
+    * note '0' explicitly nulls the field — only '' keeps it). */
+  private val optBool: Column => Column =
+    c => when(c === "1", true).when(c === "2", false).otherwise(lit(null).cast("boolean"))
+
+  /** ModifyStopsFromCSV (modify_from_csv.py:222-238). */
+  def stops(csv: Path, mustCurateAll: Boolean = false, silent: Boolean = false): ModifyFromCsv =
+    ModifyFromCsv("stops", csv, "stop_id", "stop_id", Map(
+      "stop_name" -> ("name", asIs),
+      "stop_code" -> ("code", asIs),
+      "stop_lat" -> ("lat", (c: Column) => c.cast("double")),
+      "stop_lon" -> ("lon", (c: Column) => c.cast("double")),
+      "zone_id" -> ("zone_id", asIs),
+      "wheelchair_boarding" -> ("wheelchair_boarding", optBool),
+      "platform_code" -> ("platform_code", asIs)),
+      mustCurateAll, silent)
+
+  /** ModifyRoutesFromCSV (modify_from_csv.py:245-290). */
+  def routes(csv: Path, mustCurateAll: Boolean = false, silent: Boolean = false): ModifyFromCsv =
+    ModifyFromCsv("routes", csv, "route_id", "route_id", Map(
+      "route_short_name" -> ("short_name", asIs),
+      "route_long_name" -> ("long_name", asIs),
+      "route_type" -> ("type", (c: Column) => c.cast("int")),
+      "route_color" -> ("color", asIs),
+      "route_text_color" -> ("text_color", asIs),
+      "route_sort_order" -> ("sort_order", (c: Column) => c.cast("int"))),
+      mustCurateAll, silent)
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import graft.model.FeedDataset
+
+/** Execution context handed to every task (reference: TaskRuntime,
+  * task.py:14-22): the session, fetched resource paths keyed by name,
+  * and free-form pipeline options. */
+final case class TaskRuntime(
+    spark: SparkSession,
+    resources: Map[String, java.nio.file.Path] = Map.empty,
+    options: Map[String, String] = Map.empty)
+
+/** The unit of work (reference: Task, task.py:25-46) — re-expressed as
+  * a pure function over an immutable FeedDataset instead of a mutation
+  * of a shared SQLite DB. Tasks compose lazily: a pipeline of tasks is
+  * ONE Catalyst DAG unless a task checkpoints. */
+trait Task {
+  def name: String = getClass.getSimpleName.stripSuffix("$")
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset
+}
+
+/** Sequential fold of tasks over the feed (reference: Pipeline,
+  * pipeline.py:18,107-132) with per-task wall-time logging (the
+  * LoadTracker analogue, machine_load.py:92-132).
+  *
+  * `checkpointAfter`: task names after which the feed is materialized
+  * to cut lineage — the Spark stand-in for the reference's "shared mutable DB
+  * persists intermediate state". Expensive multi-pass tasks (Merge)
+  * should be followed by a checkpoint at scale.
+  */
+final class Pipeline(
+    tasks: Seq[Task],
+    checkpointAfter: Set[String] = Set.empty) {
+
+  def run(initial: FeedDataset, rt: TaskRuntime): FeedDataset =
+    tasks.foldLeft(initial) { (feed, task) =>
+      val t0 = System.nanoTime()
+      var out = task.execute(feed, rt)
+      if (checkpointAfter.contains(task.name)) {
+        out = out.copy(tables = out.tables.map { case (n, df) =>
+          n -> df.localCheckpoint(true)
+        })
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      rt.spark.sparkContext.setJobDescription(null)
+      System.err.println(f"[pipeline] ${task.name}%-28s ${secs}%8.3f s")
+      out
+    }
+}

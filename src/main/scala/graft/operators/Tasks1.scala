@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.FeedDataset
+
+/** Insert one literal entity row (reference: AddEntity,
+  * tasks/add_entity.py:8-18). */
+final case class AddEntity(table: String, values: Map[String, Any]) extends Task {
+  override def name = s"AddEntity($table)"
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    import org.apache.spark.sql.types._
+    val schema = feed(table).schema
+    // Unprovided values on non-nullable fields get the entity-model
+    // defaults ('' / false / 0 — mirroring the reference dataclass
+    // defaults); a null in a column Catalyst believes non-nullable
+    // corrupts codegen downstream.
+    def default(f: StructField): Any =
+      if (f.nullable) null
+      else f.dataType match {
+        case StringType            => ""
+        case BooleanType           => false
+        case IntegerType           => 0
+        case LongType              => 0L
+        case DoubleType            => 0.0
+        case _                     => null
+      }
+    val row = Row.fromSeq(schema.fields.toSeq.map(f => values.getOrElse(f.name, default(f))))
+    val one = rt.spark.createDataFrame(java.util.List.of(row), schema)
+    feed.updated(table, feed(table).unionByName(one))
+  }
+}
+
+/** Run one SQL statement with every feed table registered as a temp
+  * view and the GTFS scalar functions registered (reference: ExecuteSQL,
+  * tasks/exec_sql.py:7-17 — there the statement is SQLite SQL; here it
+  * is Spark SQL). SELECT statements may replace a table via `saveAs`;
+  * the reference's UPDATE/DELETE statements are covered by the
+  * UpdateTable / DeleteRows tasks below (SURVEY §7.3: mutation is
+  * re-expressed, not emulated). */
+final case class ExecuteSql(statement: String, saveAs: Option[String] = None) extends Task {
+  override def name = "ExecuteSql"
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    graft.functions.GtfsFunctions.registerAll(rt.spark)
+    feed.tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    val out = rt.spark.sql(statement)
+    saveAs match {
+      case Some(t) => feed.withCascade(t, out)
+      case None    => feed
+    }
+  }
+}
+
+/** UPDATE :table SET col = expr WHERE pred — the join-free Spark
+  * re-expression of the reference's update path (db.py:420-441):
+  * conditional column rewrite. */
+final case class UpdateTable(table: String, set: Map[String, Column], where: Column)
+    extends Task {
+  override def name = s"UpdateTable($table)"
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    val df = set.foldLeft(feed(table)) { case (d, (colName, value)) =>
+      d.withColumn(colName, when(where, value).otherwise(col(colName)))
+    }
+    feed.updated(table, df)
+  }
+}
+
+/** DELETE FROM :table WHERE pred, with FK cascade (SQLite cascades are
+  * implicit in the reference; explicit here, SURVEY §1.4). */
+final case class DeleteRows(table: String, where: Column) extends Task {
+  override def name = s"DeleteRows($table)"
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset =
+    feed.withCascade(table, feed(table).filter(!where || where.isNull))
+}
+
+/** Fill empty trip headsigns with the name of the trip's last stop
+  * (reference: GenerateTripHeadsign, tasks/generate_trip_headsign.py —
+  * a correlated ORDER BY stop_sequence DESC LIMIT 1 subquery, here a
+  * window top-1 + left join; SURVEY J1). */
+case object GenerateTripHeadsign extends Task {
+  override def name = "GenerateTripHeadsign"
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    val w = Window.partitionBy(col("trip_id")).orderBy(col("stop_sequence").desc)
+    val lastStop = feed("stop_times")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(feed("stops").select(col("stop_id"), col("name").as("last_stop_name")),
+        Seq("stop_id"), "left")
+      .select(col("trip_id").as("h_trip_id"), col("last_stop_name"))
+    val trips = feed("trips")
+    val out = trips
+      .join(lastStop, trips("trip_id") === col("h_trip_id"), "left")
+      .withColumn("headsign",
+        when(col("headsign").isNull || col("headsign") === "", col("last_stop_name"))
+          .otherwise(col("headsign")))
+      .drop("h_trip_id", "last_stop_name")
+    feed.updated("trips", out)
+  }
+}
+
+/** Drop entities that serve no purpose, in the reference's fixed order
+  * with FK cascades after every step (reference: RemoveUnusedEntities,
+  * tasks/remove_unused_entities.py; SURVEY J2). Each step is one
+  * anti-/semi-join; calendar date-emptiness uses the expansion kernel. */
+case object RemoveUnusedEntities extends Task {
+  override def name = "RemoveUnusedEntities"
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    var f = feed
+
+    // 1. trips with 0 or 1 stop_time (remove_unused_entities.py:38-42)
+    val multi = f("stop_times").groupBy("trip_id").count().filter(col("count") >= 2)
+      .select("trip_id")
+    f = f.withCascade("trips", f("trips").join(multi, Seq("trip_id"), "left_semi"))
+      .materialized("trips")
+
+    // 2. calendars without trips (:45-49)
+    f = f.withCascade("calendars",
+      f("calendars").join(f("trips").select("calendar_id"), Seq("calendar_id"), "left_semi"))
+      .materialized("calendars", "trips")
+
+    // 3. calendars without active dates (:52-70) — expansion kernel
+    val withDates = CalendarOps.activeDates(f("calendars"), f("calendar_exceptions"))
+      .select("calendar_id").distinct()
+    f = f.withCascade("calendars",
+      f("calendars").join(withDates, Seq("calendar_id"), "left_semi"))
+      .materialized("calendars", "trips")
+
+    // 4. stops (location_type 0) without stop_times (:73-77)
+    val usedStops = f("stop_times").select("stop_id")
+    f = f.withCascade("stops",
+      f("stops").filter(col("location_type") =!= 0)
+        .unionByName(f("stops").filter(col("location_type") === 0)
+          .join(usedStops, Seq("stop_id"), "left_semi")))
+      .materialized("stops")
+
+    // 5. stations (location_type 1) without child stops (:80-85)
+    val parentsInUse = f("stops").filter(col("location_type") === 0)
+      .select(col("parent_station").as("stop_id")).filter(col("stop_id").isNotNull)
+    f = f.withCascade("stops",
+      f("stops").filter(col("location_type") =!= 1)
+        .unionByName(f("stops").filter(col("location_type") === 1)
+          .join(parentsInUse, Seq("stop_id"), "left_semi")))
+      .materialized("stops")
+
+    // 6. routes without trips (:88-92)
+    f = f.withCascade("routes",
+      f("routes").join(f("trips").select("route_id"), Seq("route_id"), "left_semi"))
+      .materialized("routes", "trips")
+
+    // 7. agencies without routes (:95-99)
+    f = f.withCascade("agencies",
+      f("agencies").join(f("routes").select("agency_id"), Seq("agency_id"), "left_semi"))
+
+    f
+  }
+}
+
+/** Composable route filter (reference: selector.Routes,
+  * selector.py:40-78): conjunction of optional conditions, compiled to
+  * one Column predicate — pushed down by Catalyst. */
+final case class RouteSelector(
+    agencyId: Option[String] = None,
+    routeType: Option[Int] = None,
+    ids: Set[String] = Set.empty) {
+
+  def predicate: Column = {
+    var p: Column = lit(true)
+    agencyId.foreach(a => p = p && col("agency_id") === a)
+    routeType.foreach(t => p = p && col("type") === t)
+    if (ids.nonEmpty) p = p && col("route_id").isin(ids.toSeq: _*)
+    p
+  }
+
+  /** Matching routes (selector.find, selector.py:67-78). */
+  def find(feed: FeedDataset): DataFrame = feed("routes").filter(predicate)
+
+  /** Matching route_ids as a one-column frame (selector.find_ids). */
+  def findIds(feed: FeedDataset): DataFrame = find(feed).select("route_id")
+}

@@ -1,0 +1,59 @@
+package graft.tools
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.io.{LoadGtfs, SaveGtfs}
+import graft.model.FeedDataset
+import graft.operators._
+
+/** SURVEY §7.2's minimum end-to-end slice as a runnable pipeline:
+  * LoadGTFS(zip) -> GenerateTripHeadsign -> RemoveUnusedEntities ->
+  * SaveGTFS(out.zip) — "produce a cleaned GTFS".
+  *
+  * Usage: runMain graft.tools.GtfsDemo <in.zip> <out.zip>
+  */
+object GtfsDemo {
+  def main(args: Array[String]): Unit = {
+    val in = Path.of(args(0)); val out = Path.of(args(1))
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rt = TaskRuntime(spark)
+
+    val pipeline = new Pipeline(Seq(
+      LoadGtfs(in, extraFields = true),
+      GenerateTripHeadsign,
+      RemoveUnusedEntities,
+      SaveGtfs(Map(
+        "agency.txt" -> Seq("agency_id", "agency_name", "agency_url", "agency_timezone",
+          "agency_lang"),
+        "routes.txt" -> Seq("agency_id", "route_id", "route_short_name", "route_long_name",
+          "route_type", "route_color", "route_text_color"),
+        "stops.txt" -> Seq("stop_id", "stop_name", "stop_lat", "stop_lon",
+          "wheelchair_boarding"),
+        "calendar.txt" -> Seq("service_id", "monday", "tuesday", "wednesday", "thursday",
+          "friday", "saturday", "sunday", "start_date", "end_date"),
+        "calendar_dates.txt" -> Seq("service_id", "date", "exception_type"),
+        "trips.txt" -> Seq("route_id", "service_id", "trip_id", "trip_headsign",
+          "trip_short_name", "direction_id", "shape_id", "wheelchair_accessible",
+          "bikes_allowed"),
+        "stop_times.txt" -> Seq("trip_id", "arrival_time", "departure_time", "stop_id",
+          "stop_sequence"),
+        "shapes.txt" -> Seq("shape_id", "shape_pt_sequence", "shape_pt_lat", "shape_pt_lon"),
+        "feed_info.txt" -> Seq("feed_publisher_name", "feed_publisher_url", "feed_lang",
+          "feed_version")),
+        out, ensureOrder = true)))
+
+    val empty = FeedDataset(Map.empty, FeedDataset.gtfsFkGraph)
+    val feed = pipeline.run(empty, rt)
+    feed.tables.toSeq.sortBy(_._1).foreach { case (n, df) =>
+      println(f"[demo] $n%-22s ${df.count()}%6d rows")
+    }
+    println(s"[demo] wrote ${out} (${Files.size(out)} bytes)")
+    spark.stop()
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.TaskRuntime
+
+/** Shared local SparkSession for all suites. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  def rt: TaskRuntime = TaskRuntime(spark)
+  def fixture(name: String): java.nio.file.Path =
+    java.nio.file.Path.of(getClass.getResource(s"/fixtures/$name").toURI)
+}
+
+abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = TestSpark.spark
+  def rt: TaskRuntime = TestSpark.rt
+}

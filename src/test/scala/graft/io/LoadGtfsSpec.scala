@@ -1,0 +1,104 @@
+package graft.io
+
+import graft.{SparkSpec, TestSpark}
+import graft.model.FeedDataset
+import org.apache.spark.sql.functions._
+
+/** Golden-count tests against the WKD fixture feed — the same
+  * assertions the reference makes (test_load_gtfs.py:43-52 and the
+  * mutation fixtures). */
+class LoadGtfsSpec extends SparkSpec {
+
+  private def load(zip: String, extraFields: Boolean = false,
+      extraFiles: Seq[String] = Seq.empty): FeedDataset =
+    LoadGtfs(TestSpark.fixture(zip), extraFields, extraFiles)
+      .execute(null, rt)
+
+  lazy val wkd: FeedDataset = load("wkd.zip")
+
+  test("wkd.zip golden counts") {
+    assert(wkd("agencies").count() == 1)
+    assert(wkd("routes").count() == 3)
+    assert(wkd("stops").count() == 28)
+    assert(wkd("calendars").count() == 2)
+    assert(wkd("calendar_exceptions").count() == 14)
+    assert(wkd("fare_attributes").count() == 3)
+    assert(wkd("shape_points").count() == 1128)
+    assert(wkd("trips").count() == 372)
+    assert(wkd("stop_times").count() == 6276)
+  }
+
+  test("shapes implied from shape_points") {
+    val nShapes = wkd("shapes").count()
+    val nDistinct = wkd("shape_points").select("shape_id").distinct().count()
+    assert(nShapes == nDistinct && nShapes > 0)
+  }
+
+  test("typed codecs: times are seconds, sample stop_time row") {
+    // wkd stop_times.txt sample: C-303,05:05:00,05:05:00,wsrod,0
+    val r = wkd("stop_times")
+      .filter(col("trip_id") === "C-303" && col("stop_sequence") === 0)
+      .select("arrival_time", "departure_time", "stop_id").collect().head
+    assert(r.getInt(0) == 5 * 3600 + 5 * 60)
+    assert(r.getInt(1) == 5 * 3600 + 5 * 60)
+    assert(r.getString(2) == "wsrod")
+  }
+
+  test("missing routes.txt fails (required table)") {
+    val e = intercept[IllegalArgumentException](load("wkd-missing-routes.zip"))
+    assert(e.getMessage.contains("routes.txt"))
+  }
+
+  test("missing agency_id column falls back to '(missing)'") {
+    val feed = load("wkd-no-agency-id.zip")
+    val ids = feed("agencies").select("agency_id").collect().map(_.getString(0))
+    assert(ids.toSeq == Seq("(missing)"))
+    val routeAgencies = feed("routes").select("agency_id").distinct().collect().map(_.getString(0))
+    assert(routeAgencies.toSeq == Seq("(missing)"))
+  }
+
+  test("calendar-dates-only: sentinel calendars implied from exceptions") {
+    val feed = load("wkd-calendar-dates-only.zip")
+    val cals = feed("calendars").collect()
+    assert(cals.nonEmpty)
+    cals.foreach { c =>
+      assert(c.getAs[java.sql.Date]("start_date") == GtfsDates.SignalsExceptions)
+      assert(c.getAs[java.sql.Date]("end_date") == GtfsDates.SignalsExceptions)
+      (0 until 7).foreach(_ => ())
+      Seq("monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday")
+        .foreach(d => assert(!c.getAs[Boolean](d)))
+    }
+    val exTypes = feed("calendar_exceptions").select("exception_type").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(exTypes == Set(1))
+  }
+
+  test("attribution without id gets line-number id (reference off-by-one)") {
+    val feed = load("wkd-attribution-without-id.zip")
+    val ids = feed("attributions").select("attribution_id").collect().map(_.getString(0))
+    assert(ids.toSeq == Seq("1"))
+  }
+
+  test("extra fields packed into map when enabled, dropped otherwise") {
+    val on = load("wkd-extra-fields.zip", extraFields = true)
+    val routeExtra = on("routes").select(element_at(col("extra_fields"), "route_is_temporary"))
+      .collect().map(_.getString(0))
+    assert(routeExtra.forall(_ != null))
+    val agencyExtra = on("agencies").select(element_at(col("extra_fields"), "agency_email"))
+      .collect().map(_.getString(0))
+    assert(agencyExtra.toSeq == Seq("wkd@example.com"))
+    val off = load("wkd-extra-fields.zip", extraFields = false)
+    assert(off("routes").filter(col("extra_fields").isNotNull).count() == 0)
+  }
+
+  test("extra files land in extra_table_rows") {
+    val feed = load("wkd-extra-files.zip",
+      extraFiles = Seq("counties.txt", "municipalities.txt", "vehicles.txt"))
+    val byTable = feed("extra_table_rows").groupBy("table_name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTable.keySet == Set("counties", "municipalities", "vehicles"))
+    val sample = feed("extra_table_rows").filter(col("table_name") === "vehicles")
+      .select(element_at(col("fields"), "vehicle_id")).collect()
+    assert(sample.forall(_.getString(0) != null))
+  }
+}

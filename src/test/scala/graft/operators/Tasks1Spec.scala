@@ -1,0 +1,176 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, TestSpark}
+import graft.io.{LoadGtfs, SaveGtfs}
+import graft.model.FeedDataset
+
+/** Wave-1 task suites mirroring the reference's golden-fixture tests
+  * (tests/tasks/test_remove_unused_entities.py, test_save_gtfs.py,
+  * test_modify_from_csv.py shapes) against the wkd feed. */
+class Tasks1Spec extends SparkSpec {
+
+  def wkd: FeedDataset = LoadGtfs(TestSpark.fixture("wkd.zip")).execute(null, rt)
+
+  test("GenerateTripHeadsign fills only empty headsigns with last stop name") {
+    val cleared = UpdateTable("trips", Map("headsign" -> lit("")),
+      col("trip_id") === "C-303").execute(wkd, rt)
+    val out = GenerateTripHeadsign.execute(cleared, rt)
+    val c303 = out("trips").filter(col("trip_id") === "C-303")
+      .select("headsign").collect().head.getString(0)
+    // C-303 ends at Podkowa Leśna Główna (wkd fixture)
+    assert(c303 == "Podkowa Leśna Główna")
+    assert(out("trips").filter(col("headsign").isNull || col("headsign") === "").count() == 0)
+  }
+
+  test("RemoveUnusedEntities drops the reference's synthetic unused set") {
+    // mirror tests/tasks/test_remove_unused_entities.py:27-100
+    var f = wkd
+    f = AddEntity("agencies", Map(
+      "agency_id" -> "X", "name" -> "Unused", "url" -> "https://example.com",
+      "timezone" -> "UTC", "lang" -> "", "phone" -> "", "fare_url" -> "")).execute(f, rt)
+    f = AddEntity("routes", Map(
+      "route_id" -> "X", "agency_id" -> "X", "short_name" -> "X",
+      "long_name" -> "Unused", "type" -> 2, "color" -> "", "text_color" -> "")).execute(f, rt)
+    f = AddEntity("stops", Map(
+      "stop_id" -> "X_station", "name" -> "Unused", "lat" -> 52.12497, "lon" -> 20.74968,
+      "location_type" -> 1)).execute(f, rt)
+    f = AddEntity("stops", Map(
+      "stop_id" -> "X_stop", "name" -> "Unused", "lat" -> 52.12497, "lon" -> 20.74968,
+      "location_type" -> 0, "parent_station" -> "X_station")).execute(f, rt)
+    f = AddEntity("stops", Map(
+      "stop_id" -> "X_exit", "name" -> "Unused", "lat" -> 52.12497, "lon" -> 20.74968,
+      "location_type" -> 2, "parent_station" -> "X_station")).execute(f, rt)
+    f = AddEntity("calendars", Map(
+      "calendar_id" -> "X_no_trips",
+      "monday" -> true, "tuesday" -> true, "wednesday" -> true, "thursday" -> true,
+      "friday" -> true, "saturday" -> false, "sunday" -> false,
+      "start_date" -> java.sql.Date.valueOf("2023-04-01"),
+      "end_date" -> java.sql.Date.valueOf("2023-04-30"))).execute(f, rt)
+    f = AddEntity("calendars", Map(
+      "calendar_id" -> "X_no_dates",
+      "monday" -> true, "tuesday" -> true, "wednesday" -> true, "thursday" -> true,
+      "friday" -> true, "saturday" -> true, "sunday" -> true,
+      "start_date" -> java.sql.Date.valueOf("2023-05-01"),
+      "end_date" -> java.sql.Date.valueOf("2023-05-03"))).execute(f, rt)
+    Seq("2023-05-01", "2023-05-02", "2023-05-03").foreach { d =>
+      f = AddEntity("calendar_exceptions", Map(
+        "calendar_id" -> "X_no_dates", "date" -> java.sql.Date.valueOf(d),
+        "exception_type" -> 2)).execute(f, rt)
+    }
+    f = AddEntity("trips", Map(
+      "trip_id" -> "X_no_stop_times", "route_id" -> "X", "calendar_id" -> "X_no_trips")).execute(f, rt)
+    f = AddEntity("trips", Map(
+      "trip_id" -> "X_one_stop_time", "route_id" -> "X", "calendar_id" -> "X_no_trips")).execute(f, rt)
+    f = AddEntity("stop_times", Map(
+      "trip_id" -> "X_one_stop_time", "stop_id" -> "X_stop", "stop_sequence" -> 0,
+      "arrival_time" -> 36000, "departure_time" -> 36000,
+      "pickup_type" -> 0, "drop_off_type" -> 0)).execute(f, rt)
+    f = AddEntity("trips", Map(
+      "trip_id" -> "X_no_dates", "route_id" -> "X", "calendar_id" -> "X_no_dates")).execute(f, rt)
+    f = AddEntity("stop_times", Map(
+      "trip_id" -> "X_no_dates", "stop_id" -> "wsrod", "stop_sequence" -> 0,
+      "arrival_time" -> 36000, "departure_time" -> 36000,
+      "pickup_type" -> 0, "drop_off_type" -> 0)).execute(f, rt)
+    f = AddEntity("stop_times", Map(
+      "trip_id" -> "X_no_dates", "stop_id" -> "wocho", "stop_sequence" -> 1,
+      "arrival_time" -> 36300, "departure_time" -> 36300,
+      "pickup_type" -> 0, "drop_off_type" -> 0)).execute(f, rt)
+
+    val out = RemoveUnusedEntities.execute(f, rt)
+
+    assert(out("stop_times").count() == 6276)
+    assert(out("trips").count() == 372)
+    val cals = out("calendars").select("calendar_id").collect().map(_.getString(0)).toSet
+    assert(cals == Set("C", "D"))
+    assert(out("stops").count() == 28)
+    assert(!out("routes").select("route_id").collect().map(_.getString(0)).contains("X"))
+    assert(!out("agencies").select("agency_id").collect().map(_.getString(0)).contains("X"))
+  }
+
+  test("SaveGtfs round-trips the wkd feed") {
+    val target = Files.createTempDirectory("gtfs_out").resolve("out.zip")
+    val headers = Map(
+      "agency.txt" -> Seq("agency_id", "agency_name", "agency_url", "agency_timezone", "agency_lang"),
+      "routes.txt" -> Seq("agency_id", "route_id", "route_short_name", "route_long_name",
+        "route_type", "route_color", "route_text_color"),
+      "stops.txt" -> Seq("stop_id", "stop_name", "stop_lat", "stop_lon", "wheelchair_boarding"),
+      "calendar.txt" -> Seq("service_id", "monday", "tuesday", "wednesday", "thursday", "friday",
+        "saturday", "sunday", "start_date", "end_date"),
+      "calendar_dates.txt" -> Seq("service_id", "date", "exception_type"),
+      "trips.txt" -> Seq("route_id", "service_id", "trip_id", "trip_headsign", "trip_short_name",
+        "direction_id", "shape_id", "wheelchair_accessible", "bikes_allowed"),
+      "stop_times.txt" -> Seq("trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence"),
+      "shapes.txt" -> Seq("shape_id", "shape_pt_sequence", "shape_pt_lat", "shape_pt_lon"),
+      "fare_attributes.txt" -> Seq("fare_id", "price", "currency_type", "payment_method",
+        "transfers", "transfer_duration", "agency_id"),
+      "feed_info.txt" -> Seq("feed_publisher_name", "feed_publisher_url", "feed_lang", "feed_version"))
+    SaveGtfs(headers, target, ensureOrder = true).execute(wkd, rt)
+
+    val back = LoadGtfs(target).execute(null, rt)
+    assert(back("agencies").count() == 1)
+    assert(back("routes").count() == 3)
+    assert(back("stops").count() == 28)
+    assert(back("calendars").count() == 2)
+    assert(back("calendar_exceptions").count() == 14)
+    assert(back("trips").count() == 372)
+    assert(back("stop_times").count() == 6276)
+    assert(back("shape_points").count() == 1128)
+    // typed sample survives the round trip
+    val r = back("stop_times")
+      .filter(col("trip_id") === "C-303" && col("stop_sequence") === 0)
+      .select("arrival_time").collect().head.getInt(0)
+    assert(r == 5 * 3600 + 5 * 60)
+  }
+
+  test("ModifyStopsFromCSV overwrites non-empty cells; duplicates skipped") {
+    val csv = Files.createTempFile("curate", ".csv")
+    Files.writeString(csv,
+      """stop_id,stop_name,stop_lat,stop_lon,wheelchair_boarding
+        |wsrod,Renamed Stop,,,1
+        |wsrod,Duplicate Ignored,,,2
+        |nosuch,Ghost,,,
+        |""".stripMargin)
+    val out = ModifyFromCsv.stops(csv, silent = true).execute(wkd, rt)
+    val row = out("stops").filter(col("stop_id") === "wsrod")
+      .select("name", "lat", "wheelchair_boarding").collect().head
+    assert(row.getString(0) == "Renamed Stop")
+    assert(row.getDouble(1) == 52.22768605033) // empty cell kept old value
+    assert(row.getBoolean(2))
+    assert(out("stops").count() == 28)
+  }
+
+  test("ModifyFromCsv mustCurateAll fails listing uncurated ids") {
+    val csv = Files.createTempFile("curate2", ".csv")
+    Files.writeString(csv, "stop_id,stop_name\nwsrod,X\n")
+    val e = intercept[IllegalArgumentException] {
+      ModifyFromCsv.stops(csv, mustCurateAll = true, silent = true).execute(wkd, rt)
+    }
+    assert(e.getMessage.contains("weren't curated"))
+  }
+
+  test("ExecuteSql runs over temp views; DeleteRows cascades") {
+    val f = wkd
+    val n = ExecuteSql("SELECT count(*) AS n FROM trips").execute(f, rt)
+    assert(n == f) // no saveAs: feed unchanged
+    val deleted = DeleteRows("routes", col("route_id") === "A1").execute(f, rt)
+    assert(deleted("routes").count() == 2)
+    assert(deleted("trips").filter(col("route_id") === "A1").count() == 0)
+    val remainingTrips = deleted("trips").select("trip_id")
+    val st = deleted("stop_times").join(remainingTrips, Seq("trip_id"), "left_anti").count()
+    assert(st == 0) // stop_times cascaded through trips
+  }
+
+  test("RouteSelector composes predicates") {
+    val f = wkd
+    assert(RouteSelector().find(f).count() == 3)
+    // wkd: A1 is RAIL (2); ZA1/ZA12 are replacement buses (3)
+    assert(RouteSelector(routeType = Some(2)).find(f).count() == 1)
+    assert(RouteSelector(routeType = Some(3)).find(f).count() == 2)
+    assert(RouteSelector(ids = Set("A1")).find(f).count() == 1)
+    assert(RouteSelector(agencyId = Some("0"), ids = Set("A1", "ZA1")).find(f).count() == 2)
+  }
+}
