@@ -1,0 +1,84 @@
+package graft.model
+
+import java.time.LocalDate
+
+/** Date-range algebra (reference: tools/temporal.py:11-607 — Empty /
+  * Infinite / Left- / Right-unbounded / Bounded with membership, union,
+  * intersection, subset tests). Driver-side only: ranges configure
+  * tasks (TruncateCalendars, MultiFile pre-merge windows); bulk data
+  * uses Column predicates derived via [[DateRange.predicate]].
+  */
+sealed trait DateRange {
+  def contains(d: LocalDate): Boolean
+
+  def intersect(o: DateRange): DateRange = {
+    val s = Seq(start(this), start(o)).flatten.sorted.lastOption
+    val e = Seq(end(this), end(o)).flatten.sorted.headOption
+    (this, o) match {
+      case (DateRange.Empty, _) | (_, DateRange.Empty) => DateRange.Empty
+      case _ => DateRange.make(s, e)
+    }
+  }
+
+  def issubset(o: DateRange): Boolean = this match {
+    case DateRange.Empty => true
+    case _ => intersect(o) == this
+  }
+
+  private def start(r: DateRange): Option[LocalDate] = r match {
+    case DateRange.RightUnbounded(s) => Some(s)
+    case DateRange.Bounded(s, _) => Some(s)
+    case _ => None
+  }
+  private def end(r: DateRange): Option[LocalDate] = r match {
+    case DateRange.LeftUnbounded(e) => Some(e)
+    case DateRange.Bounded(_, e) => Some(e)
+    case _ => None
+  }
+
+  /** Column predicate `dateCol` ∈ range — how ranges reach bulk data. */
+  def predicate(dateCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    this match {
+      case DateRange.Empty => lit(false)
+      case DateRange.Infinite => lit(true)
+      case DateRange.LeftUnbounded(e) => dateCol <= lit(java.sql.Date.valueOf(e))
+      case DateRange.RightUnbounded(s) => dateCol >= lit(java.sql.Date.valueOf(s))
+      case DateRange.Bounded(s, e) =>
+        dateCol.between(lit(java.sql.Date.valueOf(s)), lit(java.sql.Date.valueOf(e)))
+    }
+  }
+}
+
+object DateRange {
+  case object Empty extends DateRange {
+    def contains(d: LocalDate) = false
+  }
+  case object Infinite extends DateRange {
+    def contains(d: LocalDate) = true
+  }
+  /** (-inf, end] */
+  final case class LeftUnbounded(endI: LocalDate) extends DateRange {
+    def contains(d: LocalDate): Boolean = !d.isAfter(endI)
+  }
+  /** [start, +inf) */
+  final case class RightUnbounded(startI: LocalDate) extends DateRange {
+    def contains(d: LocalDate): Boolean = !d.isBefore(startI)
+  }
+  /** [start, end], inclusive both ends (BoundedDateRange). */
+  final case class Bounded(startI: LocalDate, endI: LocalDate) extends DateRange {
+    def contains(d: LocalDate): Boolean = !d.isBefore(startI) && !d.isAfter(endI)
+    def days: Iterator[LocalDate] =
+      Iterator.iterate(startI)(_.plusDays(1)).takeWhile(!_.isAfter(endI))
+  }
+
+  private[model] def make(s: Option[LocalDate], e: Option[LocalDate]): DateRange = (s, e) match {
+    case (None, None) => Infinite
+    case (Some(a), None) => RightUnbounded(a)
+    case (None, Some(b)) => LeftUnbounded(b)
+    case (Some(a), Some(b)) => if (a.isAfter(b)) Empty else Bounded(a, b)
+  }
+
+  def bounded(start: String, end: String): Bounded =
+    Bounded(LocalDate.parse(start), LocalDate.parse(end))
+}

@@ -1,0 +1,214 @@
+package graft.operators
+
+import java.nio.file.Path
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.{DateRange, FeedDataset}
+
+/** Restrict every calendar's active dates to `target`; calendars left
+  * with no dates are dropped (with FK cascade); all surviving calendars
+  * are normalized to exception-based form (reference: TruncateCalendars,
+  * tasks/truncate_calendars.py; SURVEY J6).
+  *
+  * Plan shape: one calendar expansion (J5), one range filter, one
+  * anti-join drop, one rewrite — all set-oriented.
+  *
+  * @param failOnEmpty raise when NO calendar survives
+  *                    (truncate_calendars.py:74-80 NoServicesLeft)
+  */
+final case class TruncateCalendars(target: DateRange, failOnEmpty: Boolean = true)
+    extends Task {
+  override def name = "TruncateCalendars"
+
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    val active = CalendarOps.activeDates(feed("calendars"), feed("calendar_exceptions"))
+    val kept = active.filter(target.predicate(col("date"))).localCheckpoint(true)
+
+    if (failOnEmpty && kept.isEmpty)
+      throw new IllegalStateException(s"No services left after calendar truncation to $target")
+
+    val surviving = feed("calendars")
+      .join(kept.select("calendar_id").distinct(), Seq("calendar_id"), "left_semi")
+    val (normCals, exceptions) = CalendarOps.normalizeToExceptions(surviving, kept)
+    feed
+      .withCascade("calendars", normCals.localCheckpoint(true))
+      .updated("calendar_exceptions", exceptions)
+  }
+}
+
+/** Deduplicate calendars with identical active-day sets; trips are
+  * repointed to the first (lowest-id) calendar of each set, duplicates
+  * deleted, and optionally all ids renumbered sequentially (reference:
+  * SimplifyCalendars, tasks/simplify_calendars.py; SURVEY J4).
+  *
+  * Spark shape: day-set fingerprint = md5 over the sorted active-date
+  * list (exact — two calendars collide only with identical sets, modulo
+  * md5), then min-per-fingerprint + join-remap. Fully distributed; no
+  * driver-side id loop (renumbering is a window over the primaries).
+  */
+final case class SimplifyCalendars(generateNewIds: Boolean = true, idPrefix: String = "")
+    extends Task {
+  override def name = "SimplifyCalendars"
+
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    val active = CalendarOps.activeDates(feed("calendars"), feed("calendar_exceptions"))
+    val fp = active
+      .groupBy("calendar_id")
+      .agg(md5(concat_ws(",", sort_array(collect_list(col("date").cast("string"))))).as("fp"))
+    // calendars with NO active dates share one fingerprint too (the
+    // reference folds them the same way: frozenset() == frozenset())
+    val fpAll = feed("calendars").select("calendar_id")
+      .join(fp, Seq("calendar_id"), "left")
+      .withColumn("fp", coalesce(col("fp"), lit("<empty>")))
+
+    val primary = fpAll.groupBy("fp").agg(min(col("calendar_id")).as("primary_id"))
+    val base = fpAll.join(primary, Seq("fp"))
+      .select(col("calendar_id").as("old_id"), col("primary_id"))
+    val mapping =
+      if (!generateNewIds)
+        base.select(col("old_id"), col("primary_id").as("new_id"))
+      else {
+        val w = Window.orderBy(col("primary_id"))
+        val renumbered = primary
+          .select(col("primary_id"), (row_number().over(w) - 1).cast("string").as("seq"))
+          .select(col("primary_id"), concat(lit(idPrefix), col("seq")).as("final_id"))
+        base.join(renumbered, Seq("primary_id"))
+          .select(col("old_id"), col("final_id").as("new_id"))
+      }
+    val m = mapping.localCheckpoint(true)
+
+    def remap(df: DataFrame, idCol: String): DataFrame =
+      df.join(m.withColumnRenamed("old_id", idCol), Seq(idCol))
+        .drop(idCol).withColumnRenamed("new_id", idCol)
+
+    // trips: repoint every trip to its calendar's final id
+    val trips = remap(feed("trips"), "calendar_id")
+      .select(feed("trips").columns.map(col): _*)
+    // calendars: keep only primaries, under their final id
+    val calendars = feed("calendars")
+      .join(primary.select(col("primary_id").as("calendar_id")), Seq("calendar_id"), "left_semi")
+    val calendarsRenamed = remap(calendars, "calendar_id")
+      .select(feed("calendars").columns.map(col): _*)
+    // exceptions: drop those of folded dupes, rename the survivors
+    val exceptions = feed("calendar_exceptions")
+      .join(primary.select(col("primary_id").as("calendar_id")), Seq("calendar_id"), "left_semi")
+    val exceptionsRenamed = remap(exceptions, "calendar_id")
+      .select(feed("calendar_exceptions").columns.map(col): _*)
+
+    feed.updatedAll(
+      "trips" -> trips,
+      "calendars" -> calendarsRenamed,
+      "calendar_exceptions" -> exceptionsRenamed)
+  }
+}
+
+/** Ensure calendar coverage for `durationDays` from `startDate` by
+  * copying each weekday's latest non-holiday day onto uncovered days
+  * (holidays receive the Sunday template); all calendars are rewritten
+  * to exception-based form (reference: ExtendCalendars,
+  * tasks/extend_calendars.py; SURVEY J7).
+  *
+  * Distributed shape: day->calendars map = the expansion kernel; the
+  * per-weekday template and its fallback resolution are a 7-row
+  * driver-side fold (extend_calendars.py:35-43 lookup table); uncovered
+  * days = generated date spine anti-joined against covered days; copies
+  * = one equi-join on the template day.
+  */
+final case class ExtendCalendars(
+    durationDays: Int = 30,
+    startDate: Option[LocalDate] = None,
+    fallbackWeekdays: Seq[Seq[Int]] = ExtendCalendars.DefaultFallbacks,
+    holidays: Set[LocalDate] = Set.empty) extends Task {
+
+  require(fallbackWeekdays.length == 7, "fallbackWeekdays must have 7 elements")
+  override def name = "ExtendCalendars"
+
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    import rt.spark.implicits._
+    val cals = feed("calendars"); val exs = feed("calendar_exceptions")
+
+    // day -> active calendar set (assignments), plus the full key set of
+    // touched days — a day whose services were all REMOVED still counts
+    // as covered (extend_calendars.py:167-177 keeps the dict key).
+    val active = CalendarOps.activeDates(cals, exs).localCheckpoint(true)
+    val touched = active.select("date")
+      .unionByName(exs.select("date")).distinct().localCheckpoint(true)
+
+    val bounds = touched.agg(min("date"), max("date")).collect().head
+    if (bounds.isNullAt(0)) return feed // no calendar data at all
+    val curStart = bounds.getDate(0).toLocalDate
+    val curEnd = bounds.getDate(1).toLocalDate
+    val expStart = startDate.getOrElse(curStart)
+    val expEnd = expStart.plusDays(durationDays.toLong)
+
+    val needed = !DateRange.Bounded(expStart, expEnd)
+      .issubset(DateRange.Bounded(curStart, curEnd))
+    if (!needed) return feed
+
+    // pythonWeekday: Monday=0..Sunday=6 (Spark dayofweek: Sunday=1)
+    def pyWeekday(c: org.apache.spark.sql.Column) = (dayofweek(c) + 5) % 7
+    val holidayDates = holidays.toSeq.map(java.sql.Date.valueOf)
+
+    // per-weekday latest non-holiday template day over TOUCHED days
+    val templateRows = touched
+      .filter(if (holidayDates.isEmpty) lit(true) else !col("date").isin(holidayDates: _*))
+      .groupBy(pyWeekday(col("date")).as("wd")).agg(max("date").as("template_day"))
+      .collect().map(r => r.getInt(0) -> r.getDate(1).toLocalDate).toMap
+    // fallback resolution (7-entry driver fold, extend_calendars.py:139-163)
+    val resolved: Map[Int, LocalDate] = (0 until 7).flatMap { wd =>
+      templateRows.get(wd)
+        .orElse(fallbackWeekdays(wd).collectFirst {
+          case fb if templateRows.contains(fb) => templateRows(fb)
+        })
+        .map(wd -> _)
+    }.toMap
+
+    // uncovered days of the expected span
+    val spine = DateRange.Bounded(expStart, expEnd).days
+      .map(java.sql.Date.valueOf).toSeq.toDF("date")
+    val uncovered = spine.join(touched, Seq("date"), "left_anti")
+      .withColumn("wd",
+        when(if (holidayDates.isEmpty) lit(false) else col("date").isin(holidayDates: _*), 6)
+          .otherwise(pyWeekday(col("date"))))
+    val srcByWd = resolved.toSeq
+      .map { case (wd, d) => (wd, java.sql.Date.valueOf(d)) }.toDF("wd", "src_day")
+    val copies = uncovered.join(broadcast(srcByWd), Seq("wd"))
+      .join(active.withColumnRenamed("date", "src_day"), Seq("src_day"))
+      .select("calendar_id", "date")
+
+    val extended = active.select("calendar_id", "date").unionByName(copies)
+    val (normCals, exceptions) = CalendarOps.normalizeToExceptions(cals, extended)
+    feed.updatedAll("calendars" -> normCals, "calendar_exceptions" -> exceptions)
+  }
+}
+
+object ExtendCalendars {
+  /** extend_calendars.py:35-43. */
+  val DefaultFallbacks: Seq[Seq[Int]] = Seq(
+    Seq(1, 2, 3, 4), Seq(2, 3, 0, 4), Seq(1, 3, 0, 4), Seq(1, 2, 0, 4),
+    Seq(3, 2, 1, 0), Seq(6), Seq(5))
+
+  /** ExtendCalendarsFromPolishExceptions: holidays lazily loaded from
+    * the Polish calendar-exceptions CSV
+    * (tools/polish_calendar_exceptions.py:60-82). `region` is the
+    * two-digit voivodeship code; rows whose `regions` list is non-empty
+    * apply only to the listed regions. */
+  def fromPolishExceptions(
+      spark: SparkSession,
+      csv: Path,
+      region: String,
+      durationDays: Int = 30,
+      startDate: Option[LocalDate] = None): ExtendCalendars = {
+    val rows = spark.read.option("header", "true").csv(csv.toString)
+      .filter(col("regions").isNull || col("regions") === "" ||
+        array_contains(split(col("regions"), "\\."), region))
+      .filter(array_contains(split(col("exception"), "\\."), "holiday"))
+      .select("date").collect()
+    val holidays = rows.map(r => LocalDate.parse(r.getString(0))).toSet
+    ExtendCalendars(durationDays, startDate, DefaultFallbacks, holidays)
+  }
+}

@@ -28,6 +28,9 @@ object GtfsDemo {
       LoadGtfs(in, extraFields = true),
       GenerateTripHeadsign,
       RemoveUnusedEntities,
+      TruncateCalendars(
+        graft.model.DateRange.bounded("2023-06-01", "2023-12-31"), failOnEmpty = false),
+      SimplifyCalendars(generateNewIds = true, idPrefix = "s"),
       SaveGtfs(Map(
         "agency.txt" -> Seq("agency_id", "agency_name", "agency_url", "agency_timezone",
           "agency_lang"),

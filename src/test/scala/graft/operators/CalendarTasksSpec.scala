@@ -1,0 +1,188 @@
+package graft.operators
+
+import java.sql.Date
+import java.time.LocalDate
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, TestSpark}
+import graft.io.LoadGtfs
+import graft.model.{DateRange, FeedDataset, GtfsSchemas}
+
+class CalendarTasksSpec extends SparkSpec {
+
+  /** Empty 17-table feed. */
+  private def emptyFeed: FeedDataset =
+    FeedDataset(GtfsSchemas.all.map { case (n, s) =>
+      n -> spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    }.toMap, FeedDataset.gtfsFkGraph)
+
+  private def cal(id: String, bits: String, start: String, end: String): Row = {
+    val b = bits.map(_ == '1')
+    Row(id, b(0), b(1), b(2), b(3), b(4), b(5), b(6),
+      Date.valueOf(start), Date.valueOf(end), "", null)
+  }
+  private def ex(id: String, date: String, typ: Int): Row =
+    Row(id, Date.valueOf(date), typ)
+
+  /** The truncate fixture (test_truncate_calendars.py:17-97): May 2020,
+    * Mon-Thu + Fri calendar-based, Sat/Sun exception-based. */
+  private def truncateFixture: FeedDataset = {
+    val s = CalendarOps.Sentinel
+    val cals = spark.createDataFrame(java.util.List.of(
+      cal("Mon-Thu", "1111000", "2020-05-01", "2020-05-24"),
+      cal("Fri", "0000100", "2020-05-01", "2020-05-24"),
+      cal("Sat", "0000000", s, s),
+      cal("Sun", "0000000", s, s)), GtfsSchemas("calendars"))
+    val exs = spark.createDataFrame(java.util.List.of(
+      ex("Fri", "2020-05-01", 2),
+      ex("Sat", "2020-05-02", 1), ex("Sat", "2020-05-09", 1), ex("Sat", "2020-05-23", 1),
+      ex("Sun", "2020-05-01", 1), ex("Sun", "2020-05-03", 1),
+      ex("Sun", "2020-05-10", 1), ex("Sun", "2020-05-24", 1)), GtfsSchemas("calendar_exceptions"))
+    emptyFeed.updatedAll("calendars" -> cals, "calendar_exceptions" -> exs)
+  }
+
+  private def exceptionTuples(f: FeedDataset): Seq[(String, String, Int)] =
+    f("calendar_exceptions").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getInt(2))).toSeq.sorted
+
+  test("TruncateCalendars truncates to range and normalizes (golden)") {
+    val out = TruncateCalendars(DateRange.bounded("2020-05-01", "2020-05-10"))
+      .execute(truncateFixture, rt)
+    val cals = out("calendars").collect()
+    assert(cals.map(_.getString(0)).sorted.toSeq == Seq("Fri", "Mon-Thu", "Sat", "Sun"))
+    cals.foreach { c =>
+      (1 to 7).foreach(i => assert(!c.getBoolean(i)))
+      assert(c.getDate(8).toString == "1111-11-11" && c.getDate(9).toString == "1111-11-11")
+    }
+    assert(exceptionTuples(out) == Seq(
+      ("Fri", "2020-05-08", 1),
+      ("Mon-Thu", "2020-05-04", 1), ("Mon-Thu", "2020-05-05", 1),
+      ("Mon-Thu", "2020-05-06", 1), ("Mon-Thu", "2020-05-07", 1),
+      ("Sat", "2020-05-02", 1), ("Sat", "2020-05-09", 1),
+      ("Sun", "2020-05-01", 1), ("Sun", "2020-05-03", 1), ("Sun", "2020-05-10", 1)).sorted)
+  }
+
+  test("TruncateCalendars drops empty calendars (golden)") {
+    val out = TruncateCalendars(DateRange.bounded("2020-05-01", "2020-05-03"))
+      .execute(truncateFixture, rt)
+    assert(out("calendars").collect().map(_.getString(0)).sorted.toSeq == Seq("Sat", "Sun"))
+    assert(exceptionTuples(out) == Seq(
+      ("Sat", "2020-05-02", 1), ("Sun", "2020-05-01", 1), ("Sun", "2020-05-03", 1)).sorted)
+  }
+
+  test("TruncateCalendars with right-unbounded range (golden)") {
+    val out = TruncateCalendars(DateRange.RightUnbounded(LocalDate.parse("2020-05-18")))
+      .execute(truncateFixture, rt)
+    assert(exceptionTuples(out) == Seq(
+      ("Fri", "2020-05-22", 1),
+      ("Mon-Thu", "2020-05-18", 1), ("Mon-Thu", "2020-05-19", 1),
+      ("Mon-Thu", "2020-05-20", 1), ("Mon-Thu", "2020-05-21", 1),
+      ("Sat", "2020-05-23", 1), ("Sun", "2020-05-24", 1)).sorted)
+  }
+
+  test("TruncateCalendars raises / warns on empty result") {
+    intercept[IllegalStateException] {
+      TruncateCalendars(DateRange.Empty).execute(truncateFixture, rt)
+    }
+    val out = TruncateCalendars(DateRange.Empty, failOnEmpty = false)
+      .execute(truncateFixture, rt)
+    assert(out("calendars").count() == 0)
+  }
+
+  /** The simplify fixture (test_simplify_calendars.py:8-48):
+    * {C1,C2} share day set {Nov 1,2,3}; {D1,D2} share {Nov 4,5,6,7}. */
+  private def simplifyFixture: FeedDataset = {
+    val s = CalendarOps.Sentinel
+    val cals = spark.createDataFrame(java.util.List.of(
+      cal("C1", "0000000", s, s),
+      cal("C2", "0000011", "2025-11-01", "2025-11-07"),
+      cal("D1", "1111000", "2025-11-01", "2025-11-07"),
+      cal("D2", "0000000", s, s)), GtfsSchemas("calendars"))
+    val exs = spark.createDataFrame(java.util.List.of(
+      ex("C1", "2025-11-01", 1), ex("C1", "2025-11-02", 1), ex("C1", "2025-11-03", 1),
+      ex("C2", "2025-11-03", 1),
+      ex("D1", "2025-11-03", 2), ex("D1", "2025-11-07", 1),
+      ex("D2", "2025-11-04", 1), ex("D2", "2025-11-05", 1),
+      ex("D2", "2025-11-06", 1), ex("D2", "2025-11-07", 1)), GtfsSchemas("calendar_exceptions"))
+    val trips = spark.createDataFrame(java.util.List.of(
+      Row("T1", "R", "C2", "", "", null, null, null, null, null, null, null),
+      Row("T2", "R", "D2", "", "", null, null, null, null, null, null, null)),
+      GtfsSchemas("trips"))
+    emptyFeed.updatedAll("calendars" -> cals, "calendar_exceptions" -> exs, "trips" -> trips)
+  }
+
+  test("SimplifyCalendars folds duplicates keeping first id (golden)") {
+    val out = SimplifyCalendars(generateNewIds = false).execute(simplifyFixture, rt)
+    assert(out("calendars").collect().map(_.getString(0)).sorted.toSeq == Seq("C1", "D1"))
+    // exceptions of survivors kept as-is, dupes' dropped
+    assert(exceptionTuples(out) == Seq(
+      ("C1", "2025-11-01", 1), ("C1", "2025-11-02", 1), ("C1", "2025-11-03", 1),
+      ("D1", "2025-11-03", 2), ("D1", "2025-11-07", 1)).sorted)
+    // trips repointed to the primaries
+    val tripCals = out("trips").select("trip_id", "calendar_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tripCals == Map("T1" -> "C1", "T2" -> "D1"))
+  }
+
+  test("SimplifyCalendars renumbers sequentially with prefix (golden)") {
+    val out = SimplifyCalendars(generateNewIds = true, idPrefix = "test:")
+      .execute(simplifyFixture, rt)
+    assert(out("calendars").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("test:0", "test:1"))
+    assert(exceptionTuples(out) == Seq(
+      ("test:0", "2025-11-01", 1), ("test:0", "2025-11-02", 1), ("test:0", "2025-11-03", 1),
+      ("test:1", "2025-11-03", 2), ("test:1", "2025-11-07", 1)).sorted)
+    val tripCals = out("trips").select("calendar_id").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(tripCals == Set("test:0", "test:1"))
+  }
+
+  // --- ExtendCalendars against the wkd feed (test_extend_calendars.py) ---
+
+  private def wkd: FeedDataset = LoadGtfs(TestSpark.fixture("wkd.zip")).execute(null, rt)
+
+  private def calendarsByDate(f: FeedDataset): Map[String, Set[String]] =
+    f("calendar_exceptions").collect()
+      .groupBy(_.getDate(1).toString).map { case (d, rows) =>
+        d -> rows.map(_.getString(0)).toSet
+      }
+
+  test("ExtendCalendars extends wkd by 30 days from 2024-05-01 (golden)") {
+    val out = ExtendCalendars(durationDays = 30,
+      startDate = Some(LocalDate.parse("2024-05-01"))).execute(wkd, rt)
+    assert(out("calendar_exceptions").select("exception_type").distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+    val byDate = calendarsByDate(out)
+    var d = LocalDate.parse("2024-05-01")
+    while (!d.isAfter(LocalDate.parse("2024-05-30"))) {
+      val expected = if (d.getDayOfWeek.getValue >= 6) Set("C") else Set("D")
+      assert(byDate(d.toString) == expected, s"at $d")
+      d = d.plusDays(1)
+    }
+  }
+
+  test("ExtendCalendars with holidays uses Sunday template (golden)") {
+    val out = ExtendCalendars(durationDays = 30,
+      startDate = Some(LocalDate.parse("2024-05-01")),
+      holidays = Set(LocalDate.parse("2024-04-28"), LocalDate.parse("2024-05-01"),
+        LocalDate.parse("2024-05-03"))).execute(wkd, rt)
+    val byDate = calendarsByDate(out)
+    var d = LocalDate.parse("2024-05-01")
+    val holidays = Set("2024-05-01", "2024-05-03")
+    while (!d.isAfter(LocalDate.parse("2024-05-30"))) {
+      val expected =
+        if (holidays.contains(d.toString) || d.getDayOfWeek.getValue >= 6) Set("C") else Set("D")
+      assert(byDate(d.toString) == expected, s"at $d")
+      d = d.plusDays(1)
+    }
+  }
+
+  test("ExtendCalendars is a no-op when coverage suffices") {
+    val feed = wkd
+    val out = ExtendCalendars(durationDays = 30,
+      startDate = Some(LocalDate.parse("2023-06-01"))).execute(feed, rt)
+    assert(out("calendar_exceptions").count() == feed("calendar_exceptions").count())
+  }
+}
