@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.model.FeedDataset
+
+/** Set `trips.direction` from ordered outbound stop pairs (reference:
+  * AssignDirections, tasks/assign_directions.py; SURVEY J8).
+  *
+  * Spark shape: the reference's per-trip loop becomes three joins —
+  * unambiguous stops = groupBy(trip, stop) HAVING count=1; candidate
+  * directions = unambiguous x pairs equi-joined on both stops; the
+  * first matching pair wins via min_by(pair rank). Trips with no
+  * matching pair fail the task, like the reference's aggregated
+  * DataErrors (assign_directions.py:70-73).
+  */
+final case class AssignDirections(
+    outboundStopPairs: Seq[(String, String)],
+    routes: RouteSelector = RouteSelector(),
+    overwrite: Boolean = false) extends Task {
+
+  override def name = "AssignDirections"
+
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    import rt.spark.implicits._
+    val trips = feed("trips")
+
+    val selected = trips
+      .join(routes.findIds(feed), Seq("route_id"), "left_semi")
+      .filter(if (overwrite) lit(true) else col("direction").isNull)
+      .select("trip_id")
+
+    // stop -> sequence, only where the trip calls exactly once
+    // (assign_directions.py:115-126)
+    val unambiguous = feed("stop_times")
+      .join(selected, Seq("trip_id"), "left_semi")
+      .groupBy("trip_id", "stop_id")
+      .agg(count(lit(1)).as("n"), min("stop_sequence").as("seq"))
+      .filter(col("n") === 1)
+
+    val pairs = outboundStopPairs.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }.toDF("pair_rank", "stop_a", "stop_b")
+
+    val a = unambiguous.select(col("trip_id"), col("stop_id").as("stop_a"), col("seq").as("seq_a"))
+    val b = unambiguous.select(col("trip_id"), col("stop_id").as("stop_b"), col("seq").as("seq_b"))
+    val candidates = a.join(broadcast(pairs), Seq("stop_a"))
+      .join(b, Seq("trip_id", "stop_b"))
+      .select(col("trip_id"), col("pair_rank"),
+        when(col("seq_a") < col("seq_b"), 0).otherwise(1).as("dir"))
+
+    val decided = candidates.groupBy("trip_id")
+      .agg(expr("min_by(dir, pair_rank)").as("new_direction"))
+      .localCheckpoint(true)
+
+    // all selected trips must match at least one pair
+    val unmatched = selected.join(decided, Seq("trip_id"), "left_anti")
+      .collect().map(_.getString(0)).sorted
+    if (unmatched.nonEmpty)
+      throw new IllegalStateException(
+        "direction assignment: " + unmatched.take(20).map(t => s"no direction for trip $t")
+          .mkString("; ") + (if (unmatched.length > 20) s" (+${unmatched.length - 20} more)" else ""))
+
+    val out = trips.join(decided, Seq("trip_id"), "left")
+      .withColumn("direction", coalesce(col("new_direction"), col("direction")))
+      .drop("new_direction")
+      .select(trips.columns.map(col): _*)
+    feed.updated("trips", out)
+  }
+}

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.FeedDataset
+
+/** Split trips into legs where per-stop "departure data" changes —
+  * by default separating rail-replacement bus segments flagged by
+  * `StopTime.platform == "BUS"` (reference: SplitTripLegs,
+  * tasks/split_trip_legs.py; SURVEY J9).
+  *
+  * The reference's per-trip Python loop becomes one windowed
+  * sessionization over stop_times: lag -> change flag -> running-sum
+  * leg index, boundary rows duplicated into an arrival-only copy (ends
+  * the previous leg) and a departure-only copy (starts the next) via a
+  * generated-array explode. Multi-leg trips are replaced by
+  * `id<infix><legIdx>` copies; bus legs point at a generated `_BUS`
+  * copy of their route (type = BUS); TIMED transfers link consecutive
+  * legs at the boundary stop. Fully distributed — scales with
+  * stop_times, the fact table.
+  *
+  * Reference edge cases mirrored: a trailing single-stop leg is
+  * dropped (split_trip_legs.py:157-158); a trip whose legs all
+  * collapse to one keeps its ORIGINAL stop_times (update_trip_with_
+  * single_leg does not touch them); `replacementBusShortNamePattern`
+  * marks whole trips as bus without splitting.
+  */
+final case class SplitTripLegs(
+    routeSelector: RouteSelector = RouteSelector(routeType = Some(2)), // RAIL
+    replacementBusShortNamePattern: Option[String] = None,
+    legTripIdInfix: String = "_") extends Task {
+
+  override def name = "SplitTripLegs"
+
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    val trips = feed("trips"); val stopTimes = feed("stop_times")
+
+    val selectedTrips = trips.join(routeSelector.findIds(feed), Seq("route_id"), "left_semi")
+    val isWholeBus: Column = replacementBusShortNamePattern
+      .map(p => coalesce(col("short_name"), lit("")).rlike(p)).getOrElse(lit(false))
+    val wholeBusTrips = selectedTrips.filter(isWholeBus)
+      .select(col("trip_id"), col("route_id")).localCheckpoint(true)
+    val splitTrips = selectedTrips.filter(!isWholeBus).select("trip_id").localCheckpoint(true)
+
+    // --- sessionize stop_times of split candidates ---
+    val w = Window.partitionBy(col("trip_id")).orderBy(col("stop_sequence"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val st = stopTimes.join(splitTrips, Seq("trip_id"), "left_semi")
+      .withColumn("data", coalesce(col("platform") === "BUS", lit(false)))
+      .withColumn("prev", lag(col("data"), 1).over(w))
+      .withColumn("chg", col("prev").isNotNull && col("prev") =!= col("data"))
+      .withColumn("leg", sum(col("chg").cast("int"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("max_leg", max(col("leg")).over(wAll))
+      .withColumn("last_leg_rows",
+        sum(when(col("leg") === col("max_leg"), 1).otherwise(0)).over(wAll))
+      // trailing leg kept only if it has >1 stop_times (incl. its
+      // departure copy) — split_trip_legs.py:157-158
+      .withColumn("eff_max_leg",
+        when(col("last_leg_rows") === 1, col("max_leg") - 1).otherwise(col("max_leg")))
+      .withColumn("n_legs", col("eff_max_leg") + 1)
+
+    val multi = st.filter(col("n_legs") >= 2)
+
+    // per-(trip, leg) data flag, from the rows natively in that leg
+    val legData = st.filter(col("leg") <= col("eff_max_leg"))
+      .groupBy(col("trip_id"), col("leg")).agg(max(col("data")).as("leg_data"))
+      .localCheckpoint(true)
+
+    // --- emit leg stop_times for multi-leg trips ---
+    def fixPlatform(dataFlag: Column): Column =
+      when(dataFlag, lit("BUS"))
+        .when(col("platform") === "BUS", lit(""))
+        .otherwise(coalesce(col("platform"), lit("")))
+    val arrivalCopy = struct((col("leg") - 1).as("out_leg"),
+      col("arrival_time").as("out_arr"), col("arrival_time").as("out_dep"),
+      fixPlatform(col("prev")).as("out_platform"))
+    val departureCopy = struct(col("leg").as("out_leg"),
+      col("departure_time").as("out_arr"), col("departure_time").as("out_dep"),
+      fixPlatform(col("data")).as("out_platform"))
+    val plainCopy = struct(col("leg").as("out_leg"),
+      col("arrival_time").as("out_arr"), col("departure_time").as("out_dep"),
+      coalesce(col("platform"), lit("")).as("out_platform"))
+
+    val emitted = multi
+      .withColumn("copies",
+        when(col("chg"), array(arrivalCopy, departureCopy)).otherwise(array(plainCopy)))
+      .select(col("*"), explode(col("copies")).as("c"))
+      .filter(col("c.out_leg") <= col("eff_max_leg") && col("c.out_leg") >= 0)
+      .withColumn("new_trip_id",
+        concat(col("trip_id"), lit(legTripIdInfix), col("c.out_leg").cast("string")))
+
+    val newStopTimes = emitted.select(
+      col("new_trip_id").as("trip_id"), col("stop_id"), col("stop_sequence"),
+      col("c.out_arr").as("arrival_time"), col("c.out_dep").as("departure_time"),
+      col("pickup_type"), col("drop_off_type"), col("stop_headsign"),
+      col("shape_dist_traveled"), col("c.out_platform").as("platform"), col("extra_fields"))
+
+    // --- new trips ---
+    val multiTripLegs = legData
+      .join(multi.select("trip_id").distinct(), Seq("trip_id"), "left_semi")
+    val replacedTrips = trips.join(multiTripLegs, Seq("trip_id"))
+      .withColumn("new_trip_id",
+        concat(col("trip_id"), lit(legTripIdInfix), col("leg").cast("string")))
+
+    // single-leg (or whole-bus) trips with bus data: route flipped, id kept
+    val singleBusIds = legData
+      .join(multi.select("trip_id").distinct(), Seq("trip_id"), "left_anti")
+      .filter(col("leg_data")).select("trip_id")
+      .unionByName(wholeBusTrips.select("trip_id")).localCheckpoint(true)
+    // zero-leg trips (single-stop, degenerate): deleted outright
+    val zeroLeg = st.filter(col("n_legs") <= 0).select("trip_id").distinct()
+
+    val untouched = trips
+      .join(multiTripLegs.select("trip_id").distinct(), Seq("trip_id"), "left_anti")
+      .join(zeroLeg, Seq("trip_id"), "left_anti")
+    val busFlagged = untouched
+      .join(singleBusIds.withColumn("__bus", lit(true)), Seq("trip_id"), "left")
+      .withColumn("route_id",
+        when(col("__bus"), concat(col("route_id"), lit("_BUS"))).otherwise(col("route_id")))
+      .drop("__bus")
+    val newTrips = replacedTrips
+      .withColumn("route_id",
+        when(col("leg_data"), concat(col("route_id"), lit("_BUS"))).otherwise(col("route_id")))
+      .drop("trip_id", "leg", "leg_data")
+      .withColumnRenamed("new_trip_id", "trip_id")
+      .select(trips.columns.map(col): _*)
+    val outTrips = busFlagged.unionByName(newTrips)
+
+    // --- generated _BUS routes (one copy per original route in use) ---
+    val busRouteIds = outTrips.filter(col("route_id").endsWith("_BUS"))
+      .select(col("route_id")).distinct()
+      .withColumn("orig_route_id", regexp_replace(col("route_id"), "_BUS$", ""))
+    val routes = feed("routes")
+    val busRoutes = routes
+      .join(busRouteIds.select(col("orig_route_id").as("route_id"), col("route_id").as("new_id")),
+        Seq("route_id"))
+      .withColumn("type", lit(3)) // Route.Type.BUS
+      .drop("route_id").withColumnRenamed("new_id", "route_id")
+      .select(routes.columns.map(col): _*)
+    val outRoutes = routes.unionByName(busRoutes)
+
+    // --- TIMED transfers between consecutive legs ---
+    val boundaries = emitted
+      .filter(col("chg") && col("c.out_leg") === col("leg") && col("c.out_leg") >= 1)
+      .select(col("trip_id"), col("stop_id"), col("c.out_leg").as("leg"))
+    val maxExisting = feed("transfers").agg(coalesce(max("transfer_id"), lit(0L)))
+      .collect().head.getLong(0)
+    val newTransfers = boundaries
+      .withColumn("transfer_id",
+        row_number().over(Window.orderBy(col("trip_id"), col("leg"))).cast("long") + maxExisting)
+      .select(
+        col("transfer_id"),
+        col("stop_id").as("from_stop_id"), col("stop_id").as("to_stop_id"),
+        lit(null).cast("string").as("from_route_id"), lit(null).cast("string").as("to_route_id"),
+        concat(col("trip_id"), lit(legTripIdInfix), (col("leg") - 1).cast("string"))
+          .as("from_trip_id"),
+        concat(col("trip_id"), lit(legTripIdInfix), col("leg").cast("string")).as("to_trip_id"),
+        lit(1).as("transfer_type"), // Transfer.Type.TIMED
+        lit(null).cast("int").as("min_transfer_time"),
+        lit(null).cast("map<string,string>").as("extra_fields"))
+    val outTransfers = feed("transfers").unionByName(newTransfers)
+
+    // stop_times: drop rows of replaced/deleted trips, add the leg rows
+    val outStopTimes = stopTimes
+      .join(multi.select("trip_id").distinct(), Seq("trip_id"), "left_anti")
+      .join(zeroLeg, Seq("trip_id"), "left_anti")
+      .unionByName(newStopTimes)
+
+    feed.updatedAll(
+      "trips" -> outTrips.localCheckpoint(true),
+      "routes" -> outRoutes.localCheckpoint(true),
+      "stop_times" -> outStopTimes,
+      "transfers" -> outTransfers)
+  }
+}

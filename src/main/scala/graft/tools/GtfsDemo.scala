@@ -31,6 +31,9 @@ object GtfsDemo {
       TruncateCalendars(
         graft.model.DateRange.bounded("2023-06-01", "2023-12-31"), failOnEmpty = false),
       SimplifyCalendars(generateNewIds = true, idPrefix = "s"),
+      AssignDirections(
+        Seq(("wsrod", "plglo"), ("plglo", "gmrad"), ("plglo", "milgr")), overwrite = true),
+      SplitTripLegs(),
       SaveGtfs(Map(
         "agency.txt" -> Seq("agency_id", "agency_name", "agency_url", "agency_timezone",
           "agency_lang"),

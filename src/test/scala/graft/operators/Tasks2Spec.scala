@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.{FeedDataset, GtfsSchemas}
+
+class Tasks2Spec extends SparkSpec {
+
+  private def emptyFeed: FeedDataset =
+    FeedDataset(GtfsSchemas.all.map { case (n, s) =>
+      n -> spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    }.toMap, FeedDataset.gtfsFkGraph)
+
+  private def trip(id: String, route: String, dir: Any = null, shortName: String = ""): Row =
+    Row(id, route, "CAL", "", shortName, dir, null, null, null, null, null, null)
+
+  private def stopTime(trip: String, stop: String, seq: Int, t: Int, platform: String = ""): Row =
+    Row(trip, stop, seq, t, t + 60, 0, 0, "", null, platform, null)
+
+  private def feedWith(trips: Seq[Row], stopTimes: Seq[Row]): FeedDataset = {
+    import scala.jdk.CollectionConverters._
+    val routes = spark.createDataFrame(java.util.List.of(
+      Row("R", "A", "R", "Rail Line", 2, "", "", null, null),
+      Row("B", "A", "B", "Bus Line", 3, "", "", null, null)), GtfsSchemas("routes"))
+    emptyFeed.updatedAll(
+      "routes" -> routes,
+      "trips" -> spark.createDataFrame(trips.asJava, GtfsSchemas("trips")),
+      "stop_times" -> spark.createDataFrame(stopTimes.asJava, GtfsSchemas("stop_times")))
+  }
+
+  // --- AssignDirections (test_assign_directions.py shapes) ---
+
+  test("AssignDirections decides by first matching pair; preserves existing") {
+    val f = feedWith(
+      Seq(trip("T_out", "R"), trip("T_in", "R"), trip("T_preset", "R", dir = 1)),
+      Seq(
+        stopTime("T_out", "s1", 0, 1000), stopTime("T_out", "s2", 1, 2000),
+        stopTime("T_out", "s3", 2, 3000),
+        stopTime("T_in", "s3", 0, 1000), stopTime("T_in", "s2", 1, 2000),
+        stopTime("T_in", "s1", 2, 3000),
+        stopTime("T_preset", "s1", 0, 1000), stopTime("T_preset", "s2", 1, 2000)))
+    val out = AssignDirections(Seq(("s1", "s3"), ("s1", "s2"))).execute(f, rt)
+    val dirs = out("trips").select("trip_id", "direction").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(dirs == Map("T_out" -> 0, "T_in" -> 1, "T_preset" -> 1))
+  }
+
+  test("AssignDirections skips ambiguous stops and fails on unmatched trips") {
+    // loop trip calls s1 twice -> s1 ambiguous; only pair (s1, s2) exists
+    val f = feedWith(
+      Seq(trip("T_loop", "R")),
+      Seq(stopTime("T_loop", "s1", 0, 1000), stopTime("T_loop", "s2", 1, 2000),
+        stopTime("T_loop", "s1", 2, 3000)))
+    val e = intercept[IllegalStateException] {
+      AssignDirections(Seq(("s1", "s2"))).execute(f, rt)
+    }
+    assert(e.getMessage.contains("no direction for trip T_loop"))
+    // with an unambiguous pair it succeeds
+    val ok = AssignDirections(Seq(("s2", "s9"), ("s2", "s1"))).execute(
+      feedWith(Seq(trip("T2", "R")),
+        Seq(stopTime("T2", "s2", 0, 1000), stopTime("T2", "s1", 1, 2000))), rt)
+    assert(ok("trips").select("direction").collect().head.getInt(0) == 0)
+  }
+
+  // --- SplitTripLegs (split_trip_legs.py compute_legs doc example) ---
+
+  test("SplitTripLegs splits the documented F F T T F F example into 3 legs") {
+    // stops 0..5, platform BUS on seq 2,3 (split_trip_legs.py:104-137)
+    val f = feedWith(
+      Seq(trip("T", "R")),
+      Seq(
+        stopTime("T", "s0", 0, 1000), stopTime("T", "s1", 1, 2000),
+        stopTime("T", "s2", 2, 3000, "BUS"), stopTime("T", "s3", 3, 4000, "BUS"),
+        stopTime("T", "s4", 4, 5000), stopTime("T", "s5", 5, 6000)))
+    val out = SplitTripLegs().execute(f, rt)
+
+    val tripIds = out("trips").select("trip_id").collect().map(_.getString(0)).toSet
+    assert(tripIds == Set("T_0", "T_1", "T_2"))
+    val routesOf = out("trips").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(routesOf == Map("T_0" -> "R", "T_1" -> "R_BUS", "T_2" -> "R"))
+
+    // leg 0: s0, s1, arrival-only s2 (departure == arrival, platform '')
+    val st = out("stop_times").orderBy("trip_id", "stop_sequence").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(3), r.getInt(4), r.getString(9)))
+    assert(st.toSeq == Seq(
+      ("T_0", "s0", 1000, 1060, ""), ("T_0", "s1", 2000, 2060, ""),
+      ("T_0", "s2", 3000, 3000, ""),
+      ("T_1", "s2", 3060, 3060, "BUS"), ("T_1", "s3", 4000, 4060, "BUS"),
+      ("T_1", "s4", 5000, 5000, "BUS"),
+      ("T_2", "s4", 5060, 5060, ""), ("T_2", "s5", 6000, 6060, "")))
+
+    // generated bus route
+    val busRoute = out("routes").filter(col("route_id") === "R_BUS").collect()
+    assert(busRoute.length == 1 && busRoute.head.getInt(4) == 3)
+
+    // TIMED transfers at boundary stops s2 (leg0->1) and s4 (leg1->2)
+    val transfers = out("transfers")
+      .select("from_trip_id", "to_trip_id", "from_stop_id", "transfer_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).sorted
+    assert(transfers.toSeq == Seq(
+      ("T_0", "T_1", "s2", 1), ("T_1", "T_2", "s4", 1)))
+  }
+
+  test("SplitTripLegs: single-leg bus trip keeps id, flips route; trailing single-stop leg dropped") {
+    val f = feedWith(
+      Seq(trip("T_bus", "R"), trip("T_tail", "R")),
+      Seq(
+        // all-BUS trip: one leg, data=true
+        stopTime("T_bus", "s0", 0, 1000, "BUS"), stopTime("T_bus", "s1", 1, 2000, "BUS"),
+        // T T F: trailing leg has 1 stop -> dropped; single leg remains
+        stopTime("T_tail", "s0", 0, 1000, "BUS"), stopTime("T_tail", "s1", 1, 2000, "BUS"),
+        stopTime("T_tail", "s2", 2, 3000)))
+    val out = SplitTripLegs().execute(f, rt)
+    val routesOf = out("trips").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(routesOf == Map("T_bus" -> "R_BUS", "T_tail" -> "R_BUS"))
+    // stop_times untouched for single-leg trips (incl. the non-BUS tail row)
+    assert(out("stop_times").count() == 5)
+    assert(out("transfers").count() == 0)
+  }
+
+  test("SplitTripLegs: whole-trip replacement-bus pattern skips splitting") {
+    val f = feedWith(
+      Seq(trip("T_zka", "R", shortName = "ZKA 123")),
+      Seq(stopTime("T_zka", "s0", 0, 1000), stopTime("T_zka", "s1", 1, 2000, "BUS"),
+        stopTime("T_zka", "s2", 2, 3000)))
+    val out = SplitTripLegs(replacementBusShortNamePattern = Some("ZKA")).execute(f, rt)
+    val routesOf = out("trips").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(routesOf == Map("T_zka" -> "R_BUS"))
+    assert(out("stop_times").count() == 3) // untouched
+  }
+
+  test("SplitTripLegs leaves unselected routes alone") {
+    val f = feedWith(
+      Seq(trip("T_busline", "B")),
+      Seq(stopTime("T_busline", "s0", 0, 1000), stopTime("T_busline", "s1", 1, 2000, "BUS")))
+    val out = SplitTripLegs().execute(f, rt) // selector: RAIL only
+    assert(out("trips").collect().map(_.getString(1)).toSeq == Seq("B"))
+    assert(out("stop_times").count() == 2)
+  }
+}
