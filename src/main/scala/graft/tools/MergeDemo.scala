@@ -1,0 +1,32 @@
+package graft.tools
+
+import java.nio.file.Path
+import org.apache.spark.sql.SparkSession
+import graft.io.LoadGtfs
+import graft.model.{FeedDataset, GtfsSchemas}
+import graft.operators._
+
+/** Versioned-feed merge end to end: wkd + wkd-next -> one feed
+  * (the reference's MultiFile final-pipeline shape).
+  * Usage: runMain graft.tools.MergeDemo <old.zip> <new.zip>
+  */
+object MergeDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rt = TaskRuntime(spark)
+    val empty = FeedDataset(GtfsSchemas.all.map { case (n, s) =>
+      n -> spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }.toMap, FeedDataset.gtfsFkGraph)
+    val merged = Merge(Seq(
+      FeedToMerge("1", r => LoadGtfs(Path.of(args(0))).execute(empty, r)),
+      FeedToMerge("2", r => LoadGtfs(Path.of(args(1))).execute(empty, r)))).execute(empty, rt)
+    merged.tables.toSeq.sortBy(_._1).foreach { case (n, df) =>
+      println(f"[merged] $n%-22s ${df.count()}%6d rows")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, TestSpark}
+import graft.io.LoadGtfs
+import graft.model.{FeedDataset, GtfsSchemas}
+
+/** Mirrors the reference's merge suite (tests/tasks/test_merge.py):
+  * wkd + wkd-next versioned merge goldens, route/stop hash-merge rules,
+  * numeric-suffix conflicts, FeedInfo folding. */
+class MergeSpec extends SparkSpec {
+
+  private def emptyFeed: FeedDataset =
+    FeedDataset(GtfsSchemas.all.map { case (n, s) =>
+      n -> spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    }.toMap, FeedDataset.gtfsFkGraph)
+
+  private def wkd = LoadGtfs(TestSpark.fixture("wkd.zip")).execute(null, rt)
+  private def wkdNext = LoadGtfs(TestSpark.fixture("wkd-next.zip")).execute(null, rt)
+
+  test("merge wkd + wkd-next into empty (TestMergeIntoEmpty goldens)") {
+    val out = Merge(Seq(
+      FeedToMerge("1", _ => wkd),
+      FeedToMerge("2", _ => wkdNext))).execute(emptyFeed, rt)
+
+    assert(out("agencies").count() == 1)
+    val agency = out("agencies").collect().head
+    assert(agency.getString(0) == "0" && agency.getString(1) == "Warszawska Kolej Dojazdowa")
+
+    assert(out("calendars").select("calendar_id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("1:C", "1:D", "2:C", "2:D"))
+
+    val exIds = out("calendar_exceptions").select("calendar_id").collect().map(_.getString(0))
+    assert(exIds.length == 26)
+    assert(exIds.count(_.startsWith("1:")) == 14)
+    assert(exIds.count(_.startsWith("2:")) == 12)
+
+    assert(out("routes").select("route_id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("A1", "ZA1", "ZA12"))
+
+    assert(out("stops").count() == 28) // fully merged across versions
+
+    val tripIds = out("trips").select("trip_id").collect().map(_.getString(0))
+    assert(tripIds.length == 744)
+    assert(tripIds.count(_.startsWith("1:")) == 372)
+    assert(tripIds.count(_.startsWith("2:")) == 372)
+
+    // stop_times follow their trips' renames
+    assert(out("stop_times").count() == wkd("stop_times").count() + wkdNext("stop_times").count())
+    // feed_info: both feeds have one -> first's attrs, versions joined
+    val fi = out("feed_info").collect().head
+    assert(fi.getAs[String]("version").contains("/"))
+  }
+
+  test("merge wkd-next into existing wkd (TestMergeIntoExisting goldens)") {
+    val out = Merge(Seq(FeedToMerge("1", _ => wkdNext))).execute(wkd, rt)
+    assert(out("calendars").select("calendar_id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("1:C", "1:D", "C", "D"))
+    assert(out("routes").count() == 3)
+    assert(out("stops").count() == 28)
+    val tripIds = out("trips").select("trip_id").collect().map(_.getString(0))
+    assert(tripIds.length == 744)
+    assert(tripIds.count(_.startsWith("1:")) == 372)
+    // runtime feed_info kept as-is
+    assert(out("feed_info").collect().head.getAs[String]("version") == "2023-05-08")
+  }
+
+  // --- synthetic route/stop merge rule tests ---
+
+  private def route(id: String, short: String, long: String, typ: Int, color: String): Row =
+    Row(id, "0", short, long, typ, color, "FFFFFF", null, null)
+  private def agency0: Row =
+    Row("0", "Example", "https://example.com", "UTC", "", "", "", null)
+  private def stop(id: String, name: String, lat: Double, lon: Double, code: String = ""): Row =
+    Row(id, name, lat, lon, code, "", 0, null, null, "", null)
+
+  private def feedOf(table: String, rows: Row*): FeedDataset = {
+    import scala.jdk.CollectionConverters._
+    emptyFeed
+      .updated("agencies", spark.createDataFrame(java.util.List.of(agency0), GtfsSchemas("agencies")))
+      .updated(table, spark.createDataFrame(rows.asJava, GtfsSchemas(table)))
+  }
+
+  test("routes: same id and hash merge; first wins (test_similar_ids_and_hash)") {
+    val f1 = feedOf("routes", route("1", "A", "Foo - Bar", 3, "000088"))
+    val f2 = feedOf("routes", route("1", "A", "Foo - Baz", 3, "000088"))
+    val out = Merge(Seq(FeedToMerge("1", _ => f1), FeedToMerge("2", _ => f2)))
+      .execute(emptyFeed, rt)
+    val rows = out("routes").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "1" && rows.head.getString(3) == "Foo - Bar")
+  }
+
+  test("routes: same id, different hash get numeric suffix (test_similar_ids_different_hash)") {
+    val f1 = feedOf("routes", route("1", "A", "Foo - Bar", 3, "000088"))
+    val f2 = feedOf("routes", route("1", "1", "Spam - Eggs", 0, "BB0000"))
+    val out = Merge(Seq(FeedToMerge("1", _ => f1), FeedToMerge("2", _ => f2)))
+      .execute(emptyFeed, rt)
+    val byId = out("routes").collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(byId == Map("1" -> "Foo - Bar", "1:1" -> "Spam - Eggs"))
+  }
+
+  test("routes: different ids, same attrs both kept (test_different_ids)") {
+    val f1 = feedOf("routes", route("1", "A", "Foo - Bar", 3, "000088"))
+    val f2 = feedOf("routes", route("A", "A", "Foo - Bar", 3, "000088"))
+    val out = Merge(Seq(FeedToMerge("1", _ => f1), FeedToMerge("2", _ => f2)))
+      .execute(emptyFeed, rt)
+    assert(out("routes").collect().map(_.getString(0)).sorted.toSeq == Seq("1", "A"))
+  }
+
+  test("stops: same id+hash within radius merge keeping first (test_similar_ids_and_hash)") {
+    val f1 = feedOf("stops", stop("TYO", "Tokyo", 35.68121, 139.76668))
+    val f2 = feedOf("stops", stop("TYO", "Tokyo", 35.68124, 139.76653))
+    val out = Merge(Seq(FeedToMerge("1", _ => f1), FeedToMerge("2", _ => f2)),
+      distanceBetweenSimilarStopsM = 30.0).execute(emptyFeed, rt)
+    val rows = out("stops").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "TYO" && rows.head.getDouble(2) == 35.68121)
+  }
+
+  test("stops: same id+hash but too far get suffix (test_similar_ids_and_hash_but_too_far)") {
+    val f1 = feedOf("stops", stop("TYO", "Tokyo", 35.68121, 139.76668))
+    val f2 = feedOf("stops", stop("TYO", "Tokyo", 35.682, 139.76495))
+    val out = Merge(Seq(FeedToMerge("1", _ => f1), FeedToMerge("2", _ => f2)),
+      distanceBetweenSimilarStopsM = 30.0).execute(emptyFeed, rt)
+    assert(out("stops").collect().map(_.getString(0)).sorted.toSeq == Seq("TYO", "TYO:1"))
+  }
+
+  test("stops: same id, different hash get suffix (test_similar_ids_different_hash)") {
+    val f1 = feedOf("stops", stop("TYO", "Tokyo", 35.68121, 139.76668, code = "JY01"))
+    val f2 = feedOf("stops", stop("TYO", "Tokyo", 35.68124, 139.76653, code = "JK01"))
+    val out = Merge(Seq(FeedToMerge("1", _ => f1), FeedToMerge("2", _ => f2)),
+      distanceBetweenSimilarStopsM = 30.0).execute(emptyFeed, rt)
+    val byId = out("stops").collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(byId == Map("TYO" -> "JY01", "TYO:1" -> "JK01"))
+  }
+
+  test("stops: different ids never merge (test_different_ids)") {
+    val f1 = feedOf("stops", stop("TYO", "Tokyo", 35.68121, 139.76668))
+    val f2 = feedOf("stops", stop("JY01", "Tokyo", 35.68121, 139.76668))
+    val out = Merge(Seq(FeedToMerge("1", _ => f1), FeedToMerge("2", _ => f2)),
+      distanceBetweenSimilarStopsM = 30.0).execute(emptyFeed, rt)
+    assert(out("stops").collect().map(_.getString(0)).sorted.toSeq == Seq("JY01", "TYO"))
+  }
+
+  // --- FeedInfo (TestMergeFeedInfo) ---
+
+  private def feedInfoRow(publisher: String, version: String): Row =
+    Row(0, publisher, "https://example.com", "en", version, "", "", null, null, null)
+  private def withFeedInfo(publisher: String, version: String): FeedDataset =
+    emptyFeed.updated("feed_info",
+      spark.createDataFrame(java.util.List.of(feedInfoRow(publisher, version)),
+        GtfsSchemas("feed_info")))
+
+  test("feed_info: existing runtime info kept (test_existing)") {
+    val runtime = withFeedInfo("Existing", "")
+    val out = Merge(Seq(
+      FeedToMerge("1", _ => withFeedInfo("Incoming 1", "v1")),
+      FeedToMerge("2", _ => withFeedInfo("Incoming 2", "v2")))).execute(runtime, rt)
+    val fi = out("feed_info").collect().head
+    assert(fi.getAs[String]("publisher_name") == "Existing")
+    assert(fi.getAs[String]("version") == "")
+  }
+
+  test("feed_info: all incoming -> first attrs, versions joined (test_all_incoming)") {
+    val out = Merge(Seq(
+      FeedToMerge("1", _ => withFeedInfo("Incoming 1", "v1")),
+      FeedToMerge("2", _ => withFeedInfo("Incoming 2", "v2")))).execute(emptyFeed, rt)
+    val fi = out("feed_info").collect().head
+    assert(fi.getAs[String]("publisher_name") == "Incoming 1")
+    assert(fi.getAs[String]("version") == "v1/v2")
+  }
+
+  test("feed_info: partial incoming -> none created (test_partial_incoming)") {
+    val out = Merge(Seq(
+      FeedToMerge("1", _ => withFeedInfo("Incoming 1", "v1")),
+      FeedToMerge("2", _ => emptyFeed))).execute(emptyFeed, rt)
+    assert(out("feed_info").count() == 0)
+  }
+}
