@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication operators — the training-data
+  * pipeline generalization of Merge's hash+distance entity dedup
+  * (SURVEY §7.1.9). Everything is expression-only (no UDFs) and
+  * shuffle-minimal: one groupBy for signatures, one equi-join per LSH
+  * band for candidates.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash.
+    * Returns the input with `is_duplicate` and `keep_id` columns: for
+    * each group of byte-identical `textCol` values, the row with the
+    * smallest `idCol` is the keeper. One shuffle on a 128-bit key with
+    * map-side partial aggregation — at 100 TB this is the cheapest
+    * possible dedup.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val groups = df.groupBy(md5(col(textCol)).as("__fp"))
+      .agg(min(col(idCol)).as("keep_id"))
+    df.withColumn("__fp", md5(col(textCol)))
+      .join(groups, Seq("__fp"))
+      .withColumn("is_duplicate", col(idCol) =!= col("keep_id"))
+      .drop("__fp")
+  }
+
+  /** Ordered lowercase whitespace tokens. */
+  def tokens(textCol: Column): Column = split(trim(lower(textCol)), "\\s+")
+
+  /** k-token shingles of a document (order-sensitive); docs with fewer
+    * than k tokens produce an empty array. `textColName` is a column
+    * name (Spark 4 Columns no longer expose their expression). */
+  def shingles(textColName: String, k: Int = 3): Column = {
+    val t = s"split(trim(lower($textColName)), '\\\\s+')"
+    val sh = (0 until k).map(j => s"element_at($t, i + $j)").mkString(", ")
+    expr(s"""CASE WHEN size($t) >= $k
+        THEN transform(sequence(1, size($t) - ${k - 1}), i -> concat_ws(' ', $sh))
+        ELSE array() END""")
+  }
+
+  /** MinHash signature columns `mh0..mh{n-1}` over 3-token shingles.
+    * Hash family i = md5("i:" || shingle); min over the doc's shingles
+    * is order-free, so the signature is deterministic under any
+    * partitioning. Input must have a `text` column. */
+  def minhashSignatures(df: DataFrame, numHashes: Int = 8): DataFrame = {
+    val sh = shingles("text")
+    val mhs = (0 until numHashes).map(i =>
+      array_min(transform(sh, x => md5(concat(lit(s"$i:"), x)))).as(s"mh$i"))
+    df.select(col("*") +: mhs: _*)
+  }
+
+  /** LSH candidate pairs: documents agreeing on at least one band of
+    * `bandSize` consecutive minhashes. The band equi-joins replace the
+    * all-pairs comparison — the only scale-viable near-dup shape.
+    * Returns (doc_a, doc_b) with doc_a < doc_b. */
+  def lshCandidatePairs(
+      sigs: DataFrame, idCol: String,
+      numHashes: Int = 8, bandSize: Int = 4): DataFrame = {
+    val bands = (0 until numHashes / bandSize).map(b => (b * bandSize) until ((b + 1) * bandSize))
+    val a = sigs.alias("a"); val b = sigs.alias("b")
+    bands.map { band =>
+      a.join(b,
+        band.map(i => col(s"a.mh$i") === col(s"b.mh$i")).reduce(_ && _) &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+    }.reduce(_ unionByName _).distinct()
+  }
+
+  /** Exact word-set Jaccard similarity for given candidate pairs.
+    * `pairs` has (doc_a, doc_b); result adds a `jaccard` column.
+    * Cost is |pairs| * avg doc size — run AFTER LSH banding. */
+  def jaccardForPairs(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val words = docs.select(col(idCol).as("__id"),
+      explode(array_distinct(tokens(col("text")))).as("__w"))
+    val counts = words.groupBy("__id").agg(count(lit(1)).as("__nw"))
+    val wa = words.alias("wa"); val wb = words.alias("wb")
+    val inter = pairs
+      .join(wa, col("wa.__id") === col("doc_a"))
+      .join(wb, col("wb.__id") === col("doc_b") && col("wb.__w") === col("wa.__w"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__ni"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(counts.withColumnRenamed("__id", "doc_a").withColumnRenamed("__nw", "__na"),
+        Seq("doc_a"))
+      .join(counts.withColumnRenamed("__id", "doc_b").withColumnRenamed("__nw", "__nb"),
+        Seq("doc_b"))
+      .withColumn("jaccard",
+        coalesce(col("__ni"), lit(0L)).cast("double") /
+          (col("__na") + col("__nb") - coalesce(col("__ni"), lit(0L))))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Near-dup dedup end to end: minhash -> LSH bands -> jaccard verify
+    * -> connected keepers. Rows whose doc matches an earlier doc with
+    * jaccard >= `threshold` are flagged. Union-find over candidate
+    * pairs is approximated by "keep the minimum id per duplicate
+    * cluster edge" — each dup points at its smallest similar neighbor.
+    */
+  def nearDuplicates(
+      docs: DataFrame, idCol: String,
+      threshold: Double = 0.8, numHashes: Int = 8, bandSize: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(docs, numHashes)
+    val pairs = lshCandidatePairs(sigs, idCol, numHashes, bandSize)
+    val verified = jaccardForPairs(docs, idCol, pairs).filter(col("jaccard") >= threshold)
+    val keeper = verified.groupBy(col("doc_b").as(idCol))
+      .agg(min(col("doc_a")).as("dup_of"))
+    docs.join(keeper, Seq(idCol), "left")
+      .withColumn("is_near_duplicate", col("dup_of").isNotNull)
+  }
+
+  /** 64-bit SimHash fingerprint (hex string) from md5 nibbles of the
+    * distinct words: per-bit majority vote. Near-dups differ in few
+    * bits — compare with [[hammingHex]]. */
+  def simhash(df: DataFrame, idCol: String): DataFrame = {
+    val words = df.select(col(idCol), explode(array_distinct(tokens(col("text")))).as("__w"))
+    // expression-generated form (identical to the oracle-checked query path)
+    val nib = (i: Int) => s"(instr('0123456789abcdef', substr(md5(__w), ${i + 1}, 1)) - 1)"
+    val aggExprs = for { i <- 0 until 16; k <- 0 until 4 } yield
+      expr(s"sum(CASE WHEN ((${nib(i)}) & ${1 << k}) > 0 THEN 1 ELSE -1 END)").as(s"s_${i}_$k")
+    val grouped = words.groupBy(col(idCol)).agg(aggExprs.head, aggExprs.tail: _*)
+    val chars = (0 until 16).map { i =>
+      val nibble = (3 to 0 by -1).map(k =>
+        s"(CASE WHEN s_${i}_$k > 0 THEN ${1 << k} ELSE 0 END)").mkString(" + ")
+      s"substr('0123456789abcdef', 1 + ($nibble), 1)"
+    }
+    grouped.withColumn("simhash", expr(s"concat(${chars.mkString(", ")})"))
+      .select(col(idCol), col("simhash"))
+  }
+
+  /** Hamming distance between two equal-length hex-string fingerprint
+    * COLUMN NAMES (bit_count over per-nibble XOR). */
+  def hammingHex(aCol: String, bCol: String): Column = {
+    val terms = (1 to 16).map { i =>
+      val na = s"(instr('0123456789abcdef', substr($aCol, $i, 1)) - 1)"
+      val nb = s"(instr('0123456789abcdef', substr($bCol, $i, 1)) - 1)"
+      s"bit_count($na ^ $nb)"
+    }
+    expr(terms.mkString(" + "))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, batch-shaped decode/feature-extract
+  * hooks over `mapPartitions`.
+  *
+  * The Spark-side contract here is real and tested — schema, batching,
+  * partitioning. The actual media decode is STUBBED behind
+  * [[MediaCodec]] (this environment ships no image/audio libraries):
+  * `DeterministicFakeCodec` produces stable synthetic features so the
+  * distributed plumbing can be exercised end to end; production swaps
+  * in a codec backed by javax.imageio / ffmpeg without touching the
+  * pipeline shape.
+  */
+object Multimodal {
+
+  /** Canonical schema of a multimodal asset table: opaque payload +
+    * typed metadata. Mirrors how a 100 TB image/audio corpus is laid
+    * out in parquet (payload column pruned unless needed). */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("source_uri", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Payload-free metadata: byte length + content hash — pure column
+    * expressions, no decode needed. The first pass any multimodal
+    * pipeline runs (dedup by content hash before decoding anything). */
+  def contentMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("n_bytes", octet_length(col(payloadCol)).cast("long"))
+      .withColumn("content_md5", md5(col(payloadCol)))
+
+  /** A media decoder: bytes -> fixed-size feature vector. */
+  trait MediaCodec extends Serializable {
+    def featureDim: Int
+    /** Decode one payload; None when undecodable. */
+    def decode(mediaType: String, payload: Array[Byte]): Option[Array[Float]]
+  }
+
+  /** Deterministic stand-in codec: features derived from content bytes
+    * (stable across runs/partitions) — NOT a real decoder. */
+  final class DeterministicFakeCodec(val featureDim: Int = 16) extends MediaCodec {
+    def decode(mediaType: String, payload: Array[Byte]): Option[Array[Float]] = {
+      if (payload == null || payload.isEmpty) return None
+      val out = new Array[Float](featureDim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+      var j = 0
+      while (j < featureDim) {
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+        out(j) = (h % 1000L) / 1000.0f
+        j += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** Distributed feature extraction: one codec instance per partition
+    * (the `mapInPandas` batch shape — amortizes model/decoder init),
+    * failed decodes yield null features instead of killing the job. */
+  def extractFeatures(
+      df: DataFrame,
+      codec: MediaCodec,
+      payloadCol: String = "payload",
+      mediaTypeCol: String = "media_type"): DataFrame = {
+    val schema = df.schema
+      .add(StructField("features", ArrayType(FloatType), nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val typeIdx = df.schema.fieldIndex(mediaTypeCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      // per-partition init point (load decoder/model ONCE here)
+      rows.map { r =>
+        val feats = codec.decode(
+          r.getString(typeIdx),
+          if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx))
+        Row.fromSeq(r.toSeq :+ feats.map(_.toSeq).orNull)
+      }
+    }(encoder)
+  }
+}

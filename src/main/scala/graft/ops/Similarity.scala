@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>` or
+  * `array<double>`). Brute-force cosine is the exact baseline;
+  * random-hyperplane LSH bucketing is the 100 TB path: candidates come
+  * from an equi-join on bucket instead of a cross join.
+  */
+object Similarity {
+
+  /** Embedding cast to array<double>. */
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two equal-length double arrays —
+    * deterministic (left-to-right IEEE754, no parallel reduction). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k nearest neighbors of `queryVec` (a literal vector) by
+    * cosine. The scan is embarrassingly parallel; the top-k is a
+    * TakeOrdered (no full sort at scale). */
+  def bruteForceKnn(
+      df: DataFrame, embCol: String, idCol: String,
+      queryVec: Seq[Double], k: Int = 10): DataFrame = {
+    val q = array(queryVec.map(lit): _*)
+    df.withColumn("cosine", cosine(col(embCol), q))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component p,j (exact
+    * rational -> identical on any engine; mirrors the oracle-checked
+    * query path). */
+  private def h(p: Int, j: Int): Double = ((p * 131 + j * 7919) % 97 - 48) / 48.0
+
+  /** Random-hyperplane LSH bucket id (`numPlanes` sign bits) for each
+    * row. Same-bucket rows are near-neighbor candidates. */
+  def lshBucket(df: DataFrame, embCol: String, dim: Int, numPlanes: Int = 8): DataFrame = {
+    val bucket = (0 until numPlanes).map { p =>
+      val plane = array((0 until dim).map(j => lit(h(p, j))): _*)
+      when(dot(col(embCol), plane) > 0, 1 << p).otherwise(0)
+    }.reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
+
+  /** Approximate top-k per query row: bucket both sides, join on
+    * bucket, rank candidates by cosine within each query's bucket.
+    * Recall is tunable via numPlanes (fewer planes = bigger buckets =
+    * higher recall, more compute). */
+  def annTopK(
+      data: DataFrame, queries: DataFrame, embCol: String, idCol: String,
+      dim: Int, k: Int = 10, numPlanes: Int = 8): DataFrame = {
+    val d = lshBucket(data, embCol, dim, numPlanes).alias("d")
+    val q = lshBucket(queries, embCol, dim, numPlanes).alias("q")
+    val w = Window.partitionBy(col(s"q.$idCol")).orderBy(col("cosine").desc, col(s"d.$idCol"))
+    q.join(d, col("q.bucket") === col("d.bucket") && col(s"q.$idCol") =!= col(s"d.$idCol"))
+      .withColumn("cosine", cosine(col(s"q.$embCol"), col(s"d.$embCol")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(s"q.$idCol").as("query_id"), col(s"d.$idCol").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH bucket, then pairwise
+    * cosine within buckets, keep pairs above `threshold`. */
+  def cosineNearDupPairs(
+      df: DataFrame, embCol: String, idCol: String,
+      dim: Int, threshold: Double = 0.95, numPlanes: Int = 8): DataFrame = {
+    val b = lshBucket(df, embCol, dim, numPlanes)
+    val a = b.alias("a"); val c = b.alias("c")
+    a.join(c, col("a.bucket") === col("c.bucket") && col(s"a.$idCol") < col(s"c.$idCol"))
+      .withColumn("cosine", cosine(col(s"a.$embCol"), col(s"c.$embCol")))
+      .filter(col("cosine") >= threshold)
+      .select(col(s"a.$idCol").as("id_a"), col(s"c.$idCol").as("id_b"), col("cosine"))
+  }
+}

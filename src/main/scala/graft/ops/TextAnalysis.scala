@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token counting, quality
+  * scoring, marker-based language ID, document fingerprinting. All
+  * codegen'd column expressions — no UDFs in the hot path.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
+
+  /** Occurrences of `needle` in `text` via the replace-length trick
+    * (exact, regex-free, codegen'd). */
+  def countOccurrences(text: Column, needle: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), ""))) /
+      needle.length).cast("long")
+
+  /** Quality metrics: n_chars, n_tokens, avg word length, alpha ratio,
+    * stopword ratio (against a small built-in English stopword list).
+    * Low-quality docs (boilerplate, garbage) score outside the typical
+    * [2..12] avg-word-length and [0.05..0.6] stopword-ratio bands. */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val padded = concat(lit(" "), lower(t), lit(" "))
+    val stopHits = Stopwords.map(w => countOccurrences(padded, s" $w ")).reduce(_ + _)
+    df.withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("avg_word_len",
+        length(regexp_replace(t, "\\s", "")).cast("double") / col("n_tokens"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / col("n_chars"))
+      .withColumn("stopword_ratio", stopHits.cast("double") / col("n_tokens"))
+  }
+
+  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Marker-word language scores + argmax prediction. `markers` maps a
+    * language code to its marker words. N-gram-free heuristic in pure
+    * expressions; real pipelines extend the marker lists per language.
+    */
+  def languageId(
+      df: DataFrame, textCol: String,
+      markers: Map[String, Seq[String]] = DefaultMarkers): DataFrame = {
+    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
+    val scored = markers.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"score_$lang",
+        words.map(w => countOccurrences(padded, s" $w ")).reduce(_ + _))
+    }
+    val langs = markers.keys.toSeq.sorted
+    // greatest-by-score with deterministic tie-break on first-listed
+    val pred = langs.tail.foldLeft((col(s"score_${langs.head}"), lit(langs.head))) {
+      case ((bestScore, bestLang), l) =>
+        val s = col(s"score_$l")
+        (when(s > bestScore, s).otherwise(bestScore),
+          when(s > bestScore, lit(l)).otherwise(bestLang))
+    }._2
+    scored.withColumn("pred_lang", pred)
+  }
+
+  private val DefaultMarkers = Map(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "la", "que"),
+    "fr" -> Seq("le", "la", "et"))
+
+  /** Canonical word-set fingerprint: md5 over the sorted distinct word
+    * set (robust to word order and duplication). */
+  def wordSetFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(trim(lower(text)), "\\s+"))), " "))
+
+  /** Rolling polynomial hash of the token sequence (order-sensitive
+    * fingerprint) via a sequential aggregate fold — deterministic. The
+    * modulus keeps every intermediate below 2^51 so ANSI-mode long
+    * arithmetic can't overflow. */
+  def rollingHash(text: Column): Column = {
+    val m = 1000000007L
+    val toks = split(trim(lower(text)), "\\s+")
+    aggregate(toks, lit(0L),
+      (acc, w) => pmod(acc * 1000003L + pmod(xxhash64(w), lit(m)), lit(m)))
+  }
+}

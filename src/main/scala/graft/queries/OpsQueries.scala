@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextAnalysis}
+import QueryDef.t
+
+/** Oracle-checked queries that drive the graft.ops library modules
+  * DIRECTLY (not re-derived expressions) — proving the first-class
+  * dedup/text operators produce the verified results. */
+object OpsQueries {
+
+  /** Dedup.exact over documents. */
+  val q39 = QueryDef(
+    "q39_dedup_exact_op",
+    (s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "keep_id", "is_duplicate")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, keep_id, doc_id <> keep_id AS is_duplicate FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM documents)
+      ORDER BY doc_id"""))
+
+  /** Dedup.simhash over documents — same oracle formula as the
+    * expression-level q32 (the module generates identical SQL). */
+  val q40 = QueryDef(
+    "q40_simhash_op",
+    (s, dir) => {
+      Dedup.simhash(t(s, dir, "documents"), "doc_id").orderBy("doc_id")
+    },
+    {
+      val nib = (i: Int) => s"(instr('0123456789abcdef', substr(md5(w), ${i + 1}, 1)) - 1)"
+      val sums = (for { i <- 0 until 16; k <- 0 until 4 } yield
+        s"sum(CASE WHEN ((${nib(i)}) & ${1 << k}) > 0 THEN 1 ELSE -1 END) AS s_${i}_$k")
+        .mkString(", ")
+      val chars = (0 until 16).map { i =>
+        val nibble = (3 to 0 by -1).map(k =>
+          s"(CASE WHEN s_${i}_$k > 0 THEN ${1 << k} ELSE 0 END)").mkString(" + ")
+        s"substr('0123456789abcdef', 1 + ($nibble), 1)"
+      }
+      Some(s"""SELECT doc_id, concat(${chars.mkString(", ")}) AS simhash
+        FROM (SELECT doc_id, $sums
+              FROM (SELECT DISTINCT doc_id, w FROM (
+                      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                      FROM documents))
+              GROUP BY doc_id)
+        ORDER BY doc_id""")
+    })
+
+  /** TextAnalysis.qualityMetrics over documents. */
+  val q41 = QueryDef(
+    "q41_text_quality_op",
+    (s, dir) => {
+      TextAnalysis.qualityMetrics(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          round(col("avg_word_len"), 6).as("avg_word_len"),
+          round(col("alpha_ratio"), 6).as("alpha_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"))
+        .orderBy("doc_id")
+    },
+    {
+      val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+      val hits = stop.map(w =>
+        s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)")
+        .mkString(" + ")
+      Some(s"""SELECT doc_id, n_chars, n_tokens,
+          round(CAST(n_nospace AS DOUBLE) / n_tokens, 6) AS avg_word_len,
+          round(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio,
+          round(CAST($hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio
+        FROM (SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nospace,
+                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+                ' ' || lower(text) || ' ' AS p
+              FROM documents)
+        ORDER BY doc_id""")
+    })
+
+  val all: Seq[QueryDef] = Seq(q39, q40, q41)
+}

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"), // near dup of 0
+    (3L, "completely different content about spark engines and data"),
+    (4L, "der schnelle braune fuchs und der faule hund und die katze"))
+    .toDF("doc_id", "text")
+
+  test("Dedup.exact flags byte-identical docs keeping the min id") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    val dupIds = out.filter(col("is_duplicate")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(dupIds == Set(1L))
+    assert(out.filter(col("doc_id") === 1L).select("keep_id").collect().head.getLong(0) == 0L)
+  }
+
+  test("Dedup minhash + LSH finds the near-dup pair, jaccard verifies") {
+    val sigs = Dedup.minhashSignatures(docs)
+    assert(sigs.columns.count(_.startsWith("mh")) == 8)
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
+    val pairSet = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((0L, 1L))) // identical docs always collide
+    val verified = Dedup.jaccardForPairs(docs, "doc_id", pairs)
+    val j01 = verified.filter(col("doc_a") === 0 && col("doc_b") === 1)
+      .select("jaccard").collect().head.getDouble(0)
+    assert(j01 == 1.0)
+  }
+
+  test("Dedup.nearDuplicates end to end") {
+    val out = Dedup.nearDuplicates(docs, "doc_id", threshold = 0.7)
+    val flagged = out.filter(col("is_near_duplicate")).select("doc_id", "dup_of")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(1L) && flagged(1L) == 0L)
+    assert(!flagged.contains(3L) && !flagged.contains(4L))
+  }
+
+  test("Dedup.simhash: identical docs share fingerprints, hamming distance sane") {
+    val sh = Dedup.simhash(docs, "doc_id")
+    val byId = sh.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(0L) == byId(1L))
+    assert(byId(0L).length == 16)
+    val dist = sh.alias("x").join(sh.alias("y"),
+        col("x.doc_id") === 0 && col("y.doc_id") === 3)
+      .select(Dedup.hammingHex("x.simhash", "y.simhash").as("d"))
+      .collect().head.getInt(0)
+    assert(dist > 0 && dist <= 64)
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("Similarity.bruteForceKnn ranks by cosine") {
+    val out = Similarity.bruteForceKnn(vecs, "embedding", "vec_id",
+      Seq(1.0, 0.0, 0.0, 0.0), k = 2)
+    val ids = out.collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(0L, 1L))
+  }
+
+  test("Similarity.lshBucket puts opposite vectors in different buckets") {
+    val out = Similarity.lshBucket(vecs, "embedding", dim = 4)
+    val buckets = out.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(buckets(0L) != buckets(3L)) // antipodal points never share all sign bits
+    assert(out.select("bucket").distinct().count() >= 2)
+  }
+
+  test("Similarity.annTopK finds same-bucket neighbors") {
+    val out = Similarity.annTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "embedding", "vec_id", dim = 4, k = 3)
+    val neighbors = out.collect().map(_.getLong(1)).toSet
+    assert(neighbors.contains(1L)) // closest vector shares the bucket
+  }
+
+  test("TextAnalysis quality metrics + language id + fingerprints") {
+    val q = TextAnalysis.qualityMetrics(docs, "text")
+    val r0 = q.filter(col("doc_id") === 0).collect().head
+    assert(r0.getAs[Long]("n_tokens") == 9)
+    assert(r0.getAs[Double]("stopword_ratio") > 0.1)
+
+    val lang = TextAnalysis.languageId(docs, "text")
+    val preds = lang.select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(0L) == "en")
+    assert(preds(4L) == "de")
+
+    val fp = docs.select(col("doc_id"), TextAnalysis.wordSetFingerprint(col("text")).as("fp"),
+      TextAnalysis.rollingHash(col("text")).as("rh")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L) != fp(2L))
+  }
+
+  test("Multimodal: content meta + stubbed feature extraction plumbing") {
+    val assets = Seq(
+      (1L, "image", "fake-jpeg-bytes-aaaa".getBytes("UTF-8")),
+      (2L, "image", "fake-jpeg-bytes-aaaa".getBytes("UTF-8")),
+      (3L, "audio", "fake-wav-bytes".getBytes("UTF-8")),
+      (4L, "image", Array.empty[Byte]))
+      .toDF("asset_id", "media_type", "payload")
+
+    val meta = Multimodal.contentMeta(assets)
+    val hashes = meta.collect().map(r => r.getLong(0) -> r.getAs[String]("content_md5")).toMap
+    assert(hashes(1L) == hashes(2L)) // content-hash dedup before any decode
+    assert(hashes(1L) != hashes(3L))
+
+    val feats = Multimodal.extractFeatures(assets, new Multimodal.DeterministicFakeCodec(8))
+    val byId = feats.collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("features")
+      r.getLong(0) -> (if (v == null) null else v.toList)
+    }.toMap
+    assert(byId(1L) != null && byId(1L).length == 8)
+    assert(byId(1L) == byId(2L)) // deterministic: same bytes -> same features
+    assert(byId(4L) == null) // undecodable -> null, job survives
+  }
+}
