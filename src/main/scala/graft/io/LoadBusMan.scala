@@ -1,0 +1,162 @@
+package graft.io
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.FeedDataset
+import graft.operators.{Task, TaskRuntime}
+
+/** Load Route/Stop/Calendar/Trip/StopTime from a BusMan MS-Access MDB
+  * (reference: LoadBusManMDB, tasks/load_busman.py; SURVEY S3).
+  *
+  * Table mapping (load_busman.py:107-118): tLines -> routes (type BUS),
+  * tDayTypes -> calendars (sentinel dates, desc only), tStakes ->
+  * stops, tDepts -> trips (via the tDirs pattern table), tPassages ->
+  * stop_times (times are MINUTES -> seconds, load_busman.py:249-250).
+  *
+  * Access to the .mdb goes through `mdb-export` (the same external tool
+  * the reference shells out to); when `resource` is a DIRECTORY, the
+  * tables are read from pre-exported `<table>.csv` files instead, which
+  * keeps the task usable where mdb-tools isn't installed. The id
+  * remappings (`ignoreRouteId` -> nNumber, `ignoreStopId` -> nSymbol,
+  * first-occurrence dedup, load_busman.py:140-199) are broadcast-map
+  * joins.
+  */
+final case class LoadBusMan(
+    resource: Path,
+    agencyId: String,
+    ignoreRouteId: Boolean = false,
+    ignoreStopId: Boolean = false,
+    saveBlocks: Boolean = false) extends Task {
+
+  override def name = "LoadBusMan"
+
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    val s = rt.spark
+    def table(name: String): DataFrame = readTable(s, name)
+
+    // agency row for the provided id (the reference assumes it exists;
+    // here the minimal row is created when absent)
+    val agencies = {
+      val existing = Option(feed).map(_.apply("agencies"))
+      val row = s.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(agencyId, "(BusMan import)", "", "UTC", "", "", "",
+          null: java.util.Map[String, String])), graft.model.GtfsSchemas("agencies"))
+      existing match {
+        case Some(df) => df.unionByName(row.join(df.select("agency_id"), Seq("agency_id"), "left_anti"))
+        case None => row
+      }
+    }
+
+    val lines = table("tLines")
+    val firstByNumber = Window.partitionBy(col("nNumber")).orderBy(monotonically_increasing_id())
+    val routes =
+      (if (ignoreRouteId)
+        lines.withColumn("__rn", row_number().over(firstByNumber)).filter(col("__rn") === 1)
+          .withColumn("route_id", col("nNumber"))
+      else lines.withColumn("route_id", col("ID")))
+        .select(col("route_id"), lit(agencyId).as("agency_id"),
+          col("nNumber").as("short_name"), col("nName").as("long_name"),
+          lit(3).as("type"), lit("").as("color"), lit("").as("text_color"),
+          lit(null).cast("int").as("sort_order"),
+          lit(null).cast("map<string,string>").as("extra_fields"))
+    val routeIdMap =
+      if (ignoreRouteId) lines.select(col("ID").as("old_id"), col("nNumber").as("new_id"))
+      else lines.limit(0).select(col("ID").as("old_id"), col("ID").as("new_id"))
+
+    val calendars = table("tDayTypes").select(
+      col("ID").as("calendar_id"),
+      lit(false).as("monday"), lit(false).as("tuesday"), lit(false).as("wednesday"),
+      lit(false).as("thursday"), lit(false).as("friday"), lit(false).as("saturday"),
+      lit(false).as("sunday"),
+      to_date(lit("1111-11-11")).as("start_date"), to_date(lit("1111-11-11")).as("end_date"),
+      trim(col("nName")).as("desc"),
+      lit(null).cast("map<string,string>").as("extra_fields"))
+
+    val stakes = table("tStakes")
+    val firstBySymbol = Window.partitionBy(col("nSymbol")).orderBy(monotonically_increasing_id())
+    val stops =
+      (if (ignoreStopId)
+        stakes.withColumn("__rn", row_number().over(firstBySymbol)).filter(col("__rn") === 1)
+          .withColumn("stop_id", col("nSymbol"))
+      else stakes.withColumn("stop_id", col("ID")))
+        .select(col("stop_id"), col("nName").as("name"),
+          coalesce(col("nLat").cast("double"), lit(0.0)).as("lat"),
+          coalesce(col("nLong").cast("double"), lit(0.0)).as("lon"),
+          col("nSymbol").as("code"), lit("").as("zone_id"), lit(0).as("location_type"),
+          lit(null).cast("string").as("parent_station"),
+          lit(null).cast("boolean").as("wheelchair_boarding"),
+          lit("").as("platform_code"),
+          lit(null).cast("map<string,string>").as("extra_fields"))
+    val stopIdMap =
+      if (ignoreStopId) stakes.select(col("ID").as("old_id"), col("nSymbol").as("new_id"))
+      else stakes.limit(0).select(col("ID").as("old_id"), col("ID").as("new_id"))
+
+    // pattern -> route (tDirs.nLine through the route id map)
+    val dirs = table("tDirs")
+      .join(broadcast(routeIdMap), col("nLine") === col("old_id"), "left")
+      .select(col("ID").as("pattern_id"),
+        coalesce(col("new_id"), col("nLine")).as("pattern_route_id"))
+    val teams =
+      if (saveBlocks) table("tTeams").select(col("ID").as("team_id"), col("nName").as("team_name"))
+      else null
+
+    var trips = table("tDepts")
+      .join(broadcast(dirs), col("nDir") === col("pattern_id"), "left")
+      .select(col("ID").as("trip_id"), col("pattern_route_id").as("route_id"),
+        col("nDayType").as("calendar_id"), col("nTeam"))
+    trips =
+      if (saveBlocks)
+        trips.join(broadcast(teams), col("nTeam") === col("team_id"), "left")
+          .withColumn("block_id", col("nTeam"))
+          .withColumn("extra_fields",
+            map(lit("block_short_name"), coalesce(col("team_name"), lit(""))))
+      else
+        trips.withColumn("block_id", lit("")).
+          withColumn("extra_fields", lit(null).cast("map<string,string>"))
+    val tripsOut = trips.select(
+      col("trip_id"), col("route_id"), col("calendar_id"),
+      lit("").as("headsign"), lit("").as("short_name"),
+      lit(null).cast("int").as("direction"), col("block_id"),
+      lit(null).cast("string").as("shape_id"),
+      lit(null).cast("boolean").as("wheelchair_accessible"),
+      lit(null).cast("boolean").as("bikes_allowed"),
+      lit(null).cast("boolean").as("exceptional"), col("extra_fields"))
+
+    val stopTimes = table("tPassages")
+      .join(broadcast(stopIdMap), col("nStake") === col("old_id"), "left")
+      .select(col("nDept").as("trip_id"),
+        coalesce(col("new_id"), col("nStake")).as("stop_id"),
+        col("nOrder").cast("int").as("stop_sequence"),
+        (col("nTime").cast("int") * 60).as("arrival_time"),
+        (col("nTime").cast("int") * 60).as("departure_time"),
+        lit(0).as("pickup_type"), lit(0).as("drop_off_type"),
+        lit("").as("stop_headsign"), lit(null).cast("double").as("shape_dist_traveled"),
+        lit("").as("platform"), lit(null).cast("map<string,string>").as("extra_fields"))
+
+    val base = Option(feed).getOrElse(
+      graft.resource.PipelineRunner.emptyFeed(s))
+    base.updatedAll(
+      "agencies" -> agencies, "routes" -> routes, "calendars" -> calendars,
+      "stops" -> stops, "trips" -> tripsOut, "stop_times" -> stopTimes)
+  }
+
+  /** A BusMan table: `<dir>/<name>.csv` for a directory resource, or
+    * `mdb-export <mdb> <name>` for an .mdb file (same tool the
+    * reference uses, extern to the JVM). */
+  private def readTable(s: SparkSession, name: String): DataFrame = {
+    val csvPath =
+      if (Files.isDirectory(resource)) resource.resolve(s"$name.csv")
+      else {
+        val tmp = Files.createTempFile(s"busman_$name", ".csv")
+        val proc = new ProcessBuilder("mdb-export", resource.toString, name)
+          .redirectOutput(tmp.toFile).start()
+        require(proc.waitFor() == 0, s"mdb-export $name failed")
+        tmp
+      }
+    s.read.option("header", "true").csv(csvPath.toString)
+  }
+}

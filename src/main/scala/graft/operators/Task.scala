@@ -4,11 +4,11 @@ import org.apache.spark.sql.SparkSession
 import graft.model.FeedDataset
 
 /** Execution context handed to every task (reference: TaskRuntime,
-  * task.py:14-22): the session, fetched resource paths keyed by name,
-  * and free-form pipeline options. */
+  * task.py:14-22): the session, fetched resources keyed by name, and
+  * free-form pipeline options. */
 final case class TaskRuntime(
     spark: SparkSession,
-    resources: Map[String, java.nio.file.Path] = Map.empty,
+    resources: Map[String, graft.resource.ManagedResource] = Map.empty,
     options: Map[String, String] = Map.empty)
 
 /** The unit of work (reference: Task, task.py:25-46) — re-expressed as

@@ -1,0 +1,136 @@
+package graft.resource
+
+import java.nio.file.{Files, Path}
+import java.time.LocalDate
+
+import org.apache.spark.sql.SparkSession
+
+import graft.io.FeedIO
+import graft.model.{DateRange, FeedDataset, GtfsSchemas}
+import graft.operators._
+
+/** Top-level pipeline runner (reference: App.run + Pipeline.run's
+  * resource stage, app.py:125-147 / pipeline.py:73-132): conditionally
+  * fetch every resource, short-circuit with InputNotModified when
+  * nothing changed (unless forced), then fold the tasks. */
+object PipelineRunner {
+  def run(
+      spark: SparkSession,
+      tasks: Seq[Task],
+      resources: Map[String, Resource] = Map.empty,
+      options: PipelineOptions = PipelineOptions(),
+      initial: Option[FeedDataset] = None): FeedDataset = {
+    val (managed, modified) = ResourceCache.prepareResources(
+      resources, options.workspace, options.fromCache)
+    if (!modified && !options.forceRun) throw new InputNotModified
+    val rt = TaskRuntime(spark, managed, Map.empty)
+    val start = initial.getOrElse(emptyFeed(spark))
+    new Pipeline(tasks).run(start, rt)
+  }
+
+  def emptyFeed(spark: SparkSession): FeedDataset =
+    FeedDataset(GtfsSchemas.all.map { case (n, s) =>
+      n -> spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }.toMap, FeedDataset.gtfsFkGraph)
+}
+
+/** One schedule version of a feed (reference: IntermediateFeed,
+  * multi_file.py). */
+final case class IntermediateFeed(
+    version: String,
+    resource: Resource,
+    resourceName: String,
+    startDate: LocalDate)
+
+/** Supplies the currently needed versions (reference:
+  * IntermediateFeedProvider, multi_file.py:127-138). */
+trait IntermediateFeedProvider {
+  def needed(): Seq[IntermediateFeed]
+}
+
+/** Versioned multi-feed orchestration (reference: MultiFile,
+  * multi_file.py:275-525): per stale version run an intermediate
+  * pipeline and persist the result (parquet FeedDataset keyed by
+  * version — the analogue of `intermediate_dbs/{version}.db`), prune
+  * versions no longer needed, then run a final pipeline whose first
+  * step merges all versions, each pre-truncated to its validity window
+  * [start_i, start_{i+1}-1] so versions don't overlap
+  * (multi_file.py:498-525).
+  *
+  * Cache validity: a version is up to date when its parquet feed
+  * exists and was written at or after the resource's last_modified
+  * (multi_file.py:399-410 mtime rule).
+  */
+final class MultiFile(
+    provider: IntermediateFeedProvider,
+    intermediatePipeline: IntermediateFeed => Seq[Task],
+    finalTasks: Seq[Task] = Seq.empty,
+    options: PipelineOptions = PipelineOptions(),
+    mergeSeparator: String = ":") {
+
+  private def feedDir(v: String): Path =
+    options.workspace.resolve("intermediate_feeds").resolve(v)
+  private def feedStamp(v: String): Path =
+    options.workspace.resolve("intermediate_feeds").resolve(v + ".stamp")
+
+  def prepare(spark: SparkSession): Seq[Task] = {
+    val needed = provider.needed().sortBy(_.startDate)
+    Files.createDirectories(options.workspace.resolve("intermediate_feeds"))
+
+    // prune cached versions that are no longer needed (multi_file.py:326-335)
+    val keep = needed.map(_.version).toSet
+    val dir = options.workspace.resolve("intermediate_feeds")
+    Files.list(dir).forEach { p =>
+      val base = p.getFileName.toString.stripSuffix(".stamp")
+      if (!keep.contains(base)) deleteRecursively(p)
+    }
+
+    // conditional-fetch each version (multi_file.py:356-385)
+    val (managed, _) = ResourceCache.prepareResources(
+      needed.map(f => f.resourceName -> f.resource).toMap,
+      options.workspace, options.fromCache)
+
+    // rebuild stale intermediates (multi_file.py:387-458)
+    needed.foreach { f =>
+      val res = managed(f.resourceName)
+      val fresh = Files.exists(feedStamp(f.version)) &&
+        Files.readString(feedStamp(f.version)).toLong >=
+          res.lastModified.toEpochMilli
+      if (!fresh || options.forceRun) {
+        val rt = TaskRuntime(spark, managed, Map.empty)
+        val feed = new Pipeline(intermediatePipeline(f))
+          .run(PipelineRunner.emptyFeed(spark), rt)
+        FeedIO.save(feed, feedDir(f.version))
+        Files.writeString(feedStamp(f.version), System.currentTimeMillis().toString)
+      }
+    }
+
+    // final pipeline: merge all versions, each truncated to its window
+    // (multi_file.py:460-525)
+    val toMerge = needed.zipWithIndex.map { case (f, i) =>
+      val window: DateRange =
+        if (i + 1 < needed.length)
+          DateRange.Bounded(f.startDate, needed(i + 1).startDate.minusDays(1))
+        else DateRange.RightUnbounded(f.startDate)
+      FeedToMerge(
+        f.version,
+        rt => FeedIO.load(rt, feedDir(f.version)),
+        Some(new Pipeline(Seq(TruncateCalendars(window, failOnEmpty = false)))))
+    }
+    Merge(toMerge, separator = mergeSeparator) +: finalTasks
+  }
+
+  /** prepare + run the final pipeline (reference: Pipelines.run,
+    * multi_file.py:53-57). */
+  def run(spark: SparkSession): FeedDataset = {
+    val tasks = prepare(spark)
+    val rt = TaskRuntime(spark, Map.empty, Map.empty)
+    new Pipeline(tasks).run(PipelineRunner.emptyFeed(spark), rt)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,181 @@
+package graft.resource
+
+import java.io.InputStream
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.time.Instant
+
+/** Raised when every input resource is unchanged — the whole pipeline
+  * run is skipped (reference: InputNotModified, errors.py:9-13). */
+final class InputNotModified extends Exception("no resources have changed")
+
+/** Raised in from-cache mode for resources never fetched (reference:
+  * ResourceNotCached). */
+final class ResourceNotCached(name: String)
+  extends Exception(s"resource $name is not cached")
+
+/** A locally cached resource handed to tasks (reference:
+  * ManagedResource, resource.py:451-571). */
+final case class ManagedResource(storedAt: Path, lastModified: Instant, fetchTime: Instant) {
+  def text: String = Files.readString(storedAt)
+}
+
+/** An external input with conditional-fetch semantics (reference:
+  * Resource, resource.py:55-119). Implementations throw
+  * [[InputNotModified]] from `fetch(conditional = true)` when the
+  * upstream content hasn't changed since `lastModified`. Driver-side
+  * only — fetched files are then read by distributed Spark readers. */
+trait Resource {
+  var lastModified: Instant = Instant.MIN
+  var fetchTime: Instant = Instant.MIN
+  def fetch(conditional: Boolean): InputStream
+}
+
+/** Filesystem resource, conditional on mtime (resource.py:184-241). */
+final case class LocalResource(path: Path) extends Resource {
+  def currentMtime: Instant = Files.getLastModifiedTime(path).toInstant
+  def fetch(conditional: Boolean): InputStream = {
+    val mtime = currentMtime
+    if (conditional && !mtime.isAfter(lastModified)) throw new InputNotModified
+    lastModified = mtime
+    fetchTime = Instant.now()
+    Files.newInputStream(path)
+  }
+}
+
+/** HTTP resource with If-Modified-Since conditional requests
+  * (resource.py:244-351; ETag support folded into the same header
+  * mechanism). */
+final case class HttpResource(url: String) extends Resource {
+  def fetch(conditional: Boolean): InputStream = {
+    val builder = HttpRequest.newBuilder(URI.create(url))
+    if (conditional && lastModified != Instant.MIN)
+      builder.header("If-Modified-Since",
+        java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME
+          .format(lastModified.atZone(java.time.ZoneOffset.UTC)))
+    val resp = HttpClient.newHttpClient()
+      .send(builder.GET().build(), HttpResponse.BodyHandlers.ofInputStream())
+    if (resp.statusCode() == 304) throw new InputNotModified
+    require(resp.statusCode() / 100 == 2, s"GET $url -> ${resp.statusCode()}")
+    lastModified = resp.headers().firstValue("Last-Modified")
+      .map[Instant](v => Instant.from(
+        java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.parse(v)))
+      .orElse(Instant.now())
+    fetchTime = Instant.now()
+    resp.body()
+  }
+}
+
+/** Extracts one member of a zip-compressed inner resource
+  * (resource.py:380-446). */
+final case class ZippedResource(inner: Resource, member: String) extends Resource {
+  def fetch(conditional: Boolean): InputStream = {
+    val tmp = Files.createTempFile("graft_zip", ".zip")
+    try {
+      val in = {
+        // propagate the inner resource's conditional state
+        inner.lastModified = lastModified
+        inner.fetch(conditional)
+      }
+      try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING) finally in.close()
+      lastModified = inner.lastModified
+      fetchTime = inner.fetchTime
+      val zf = new java.util.zip.ZipFile(tmp.toFile)
+      val entry = Option(zf.getEntry(member))
+        .getOrElse { zf.close(); sys.error(s"member $member not in zip") }
+      val bytes = zf.getInputStream(entry).readAllBytes()
+      zf.close()
+      new java.io.ByteArrayInputStream(bytes)
+    } finally Files.deleteIfExists(tmp)
+  }
+}
+
+/** Rate-limit decorator: within `minPeriod` of the last fetch, a
+  * conditional fetch short-circuits to not-modified
+  * (resource.py:354-377). */
+final case class TimeLimitedResource(
+    inner: Resource, minPeriod: java.time.Duration) extends Resource {
+  def fetch(conditional: Boolean): InputStream = {
+    if (conditional && java.time.Duration.between(fetchTime, Instant.now())
+        .compareTo(minPeriod) < 0)
+      throw new InputNotModified
+    inner.lastModified = lastModified
+    val in = inner.fetch(conditional)
+    lastModified = inner.lastModified
+    fetchTime = Instant.now()
+    in
+  }
+}
+
+/** Workspace cache with sidecar metadata (reference:
+  * cache_resources / prepare_resources, resource.py:574-776). */
+object ResourceCache {
+
+  /** Ensure all resources are cached in `workspace`, fetching stale
+    * ones unless `fromCache`. Returns (managed resources, anyModified).
+    * With no resources or `fromCache`, the pipeline should continue
+    * regardless (prepare_resources, resource.py:751-776). */
+  def prepareResources(
+      resources: Map[String, Resource],
+      workspace: Path,
+      fromCache: Boolean = false): (Map[String, ManagedResource], Boolean) = {
+    Files.createDirectories(workspace)
+    if (resources.isEmpty) return (Map.empty, true)
+    if (fromCache) {
+      val managed = resources.map { case (name, res) =>
+        val cached = workspace.resolve(name)
+        if (!Files.exists(cached)) throw new ResourceNotCached(name)
+        readMetadata(res, metadataPath(workspace, name))
+        name -> ManagedResource(cached, res.lastModified, res.fetchTime)
+      }
+      return (managed, true)
+    }
+    var anyModified = false
+    val managed = resources.map { case (name, res) =>
+      val cached = workspace.resolve(name)
+      readMetadata(res, metadataPath(workspace, name))
+      val modified =
+        try {
+          val in = res.fetch(conditional = Files.exists(cached))
+          val tmp = Files.createTempFile(workspace, s".$name", ".tmp")
+          try {
+            Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+            Files.move(tmp, cached, StandardCopyOption.REPLACE_EXISTING,
+              StandardCopyOption.ATOMIC_MOVE)
+          } finally { in.close(); Files.deleteIfExists(tmp) }
+          true
+        } catch { case _: InputNotModified => false }
+      writeMetadata(res, metadataPath(workspace, name))
+      anyModified ||= modified
+      name -> ManagedResource(cached, res.lastModified, res.fetchTime)
+    }
+    (managed, anyModified)
+  }
+
+  private def metadataPath(workspace: Path, name: String): Path =
+    workspace.resolve(name + ".metadata")
+
+  private def writeMetadata(res: Resource, path: Path): Unit =
+    Files.writeString(path,
+      s"""{"last_modified": "${res.lastModified}", "fetch_time": "${res.fetchTime}"}""")
+
+  private def readMetadata(res: Resource, path: Path): Unit =
+    if (Files.exists(path)) {
+      val s = Files.readString(path)
+      val re = """"([a-z_]+)":\s*"([^"]+)"""".r
+      re.findAllMatchIn(s).foreach { m =>
+        m.group(1) match {
+          case "last_modified" => res.lastModified = Instant.parse(m.group(2))
+          case "fetch_time"    => res.fetchTime = Instant.parse(m.group(2))
+          case _               => ()
+        }
+      }
+    }
+}
+
+/** Pipeline behavior switches (reference: PipelineOptions, options.py). */
+final case class PipelineOptions(
+    forceRun: Boolean = false,
+    fromCache: Boolean = false,
+    workspace: Path = Path.of("_impuls_workspace"))

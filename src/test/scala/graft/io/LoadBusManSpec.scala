@@ -1,0 +1,72 @@
+package graft.io
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LoadBusManSpec extends SparkSpec {
+
+  /** Synthetic BusMan export (the reference's table shapes,
+    * load_busman.py:107-118). */
+  private def busmanDir: Path = {
+    val dir = Files.createTempDirectory("busman")
+    def w(name: String, content: String): Unit =
+      Files.writeString(dir.resolve(s"$name.csv"), content)
+    w("tLines", "ID,nNumber,nName\nL1,10,Line Ten\nL2,10,Line Ten Dup\nL3,20,Line Twenty\n")
+    w("tDayTypes", "ID,nName\nD1, Weekdays \nD2,Weekend\n")
+    w("tStakes", "ID,nSymbol,nName,nLat,nLong\nS1,AAA,Alpha,52.1,21.0\nS2,BBB,Beta,,\nS3,AAA,Alpha Again,52.2,21.1\n")
+    w("tDirs", "ID,nLine,nName\nP1,L1,Out\nP2,L3,Back\n")
+    w("tTeams", "ID,nName\nT1,Bus 7\n")
+    w("tDepts", "ID,nDir,nDayType,nTeam\nTR1,P1,D1,T1\nTR2,P2,D2,T1\n")
+    w("tPassages", "nDept,nStake,nOrder,nTime\nTR1,S1,0,300\nTR1,S2,1,305\nTR2,S3,0,1450\n")
+    dir
+  }
+
+  test("LoadBusMan maps BusMan tables to the internal model") {
+    val feed = LoadBusMan(busmanDir, agencyId = "AG").execute(null, rt)
+    assert(feed("routes").count() == 3)
+    val r = feed("routes").filter(col("route_id") === "L1").collect().head
+    assert(r.getAs[String]("short_name") == "10" && r.getAs[Int]("type") == 3)
+    // calendars: sentinel dates, trimmed desc
+    val cal = feed("calendars").filter(col("calendar_id") === "D1").collect().head
+    assert(cal.getAs[String]("desc") == "Weekdays")
+    assert(cal.getAs[java.sql.Date]("start_date").toString == "1111-11-11")
+    // stops: missing lat/lon -> 0.0
+    val s2 = feed("stops").filter(col("stop_id") === "S2").collect().head
+    assert(s2.getAs[Double]("lat") == 0.0)
+    // trips via pattern table
+    val t = feed("trips").collect().map(x =>
+      x.getAs[String]("trip_id") -> x.getAs[String]("route_id")).toMap
+    assert(t == Map("TR1" -> "L1", "TR2" -> "L3"))
+    // stop_times: minutes -> seconds
+    val st = feed("stop_times").filter(col("trip_id") === "TR1" && col("stop_sequence") === 0)
+      .collect().head
+    assert(st.getAs[Int]("arrival_time") == 300 * 60)
+    // times > 24h survive (1450 min)
+    val late = feed("stop_times").filter(col("trip_id") === "TR2").collect().head
+    assert(late.getAs[Int]("arrival_time") == 1450 * 60)
+  }
+
+  test("LoadBusMan id remapping: ignoreRouteId/ignoreStopId dedupe by symbol") {
+    val feed = LoadBusMan(busmanDir, agencyId = "AG",
+      ignoreRouteId = true, ignoreStopId = true, saveBlocks = true).execute(null, rt)
+    // routes collapse by nNumber (first occurrence wins)
+    val routes = feed("routes").collect().map(r =>
+      r.getAs[String]("route_id") -> r.getAs[String]("long_name")).toMap
+    assert(routes == Map("10" -> "Line Ten", "20" -> "Line Twenty"))
+    // trips repointed through the route map
+    val t = feed("trips").collect().map(x =>
+      x.getAs[String]("trip_id") -> x.getAs[String]("route_id")).toMap
+    assert(t == Map("TR1" -> "10", "TR2" -> "20"))
+    // stops collapse by symbol; stop_times repointed
+    assert(feed("stops").count() == 2)
+    val st = feed("stop_times").filter(col("trip_id") === "TR2").collect().head
+    assert(st.getAs[String]("stop_id") == "AAA")
+    // blocks saved with short names in extra_fields
+    val trip = feed("trips").filter(col("trip_id") === "TR1").collect().head
+    assert(trip.getAs[String]("block_id") == "T1")
+    assert(trip.getAs[Map[String, String]]("extra_fields")("block_short_name") == "Bus 7")
+  }
+}

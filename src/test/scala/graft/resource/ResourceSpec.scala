@@ -1,0 +1,132 @@
+package graft.resource
+
+import java.nio.file.{Files, Path}
+import java.time.{Duration, Instant, LocalDate}
+
+import graft.{SparkSpec, TestSpark}
+import graft.io.LoadGtfs
+import graft.operators._
+import org.apache.spark.sql.functions.col
+
+/** Resource cache + pipeline-skip + MultiFile orchestration tests
+  * (mirroring tests/test_resource.py and tests/test_multi_file.py
+  * behaviors). */
+class ResourceSpec extends SparkSpec {
+
+  private def tmpWorkspace: Path = Files.createTempDirectory("graft_ws")
+
+  test("LocalResource conditional fetch: second fetch is not modified") {
+    val f = Files.createTempFile("res", ".txt")
+    Files.writeString(f, "hello")
+    val res = LocalResource(f)
+    val in = res.fetch(conditional = true)
+    assert(new String(in.readAllBytes()) == "hello")
+    intercept[InputNotModified](res.fetch(conditional = true))
+    // touch -> modified again
+    Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.from(Instant.now().plusSeconds(5)))
+    assert(res.fetch(conditional = true).readAllBytes().nonEmpty)
+  }
+
+  test("ResourceCache caches with metadata; unchanged run reports unmodified") {
+    val ws = tmpWorkspace
+    val f = Files.createTempFile("res", ".txt")
+    Files.writeString(f, "data-v1")
+    val (m1, mod1) = ResourceCache.prepareResources(Map("r.txt" -> LocalResource(f)), ws)
+    assert(mod1)
+    assert(Files.readString(m1("r.txt").storedAt) == "data-v1")
+    assert(Files.exists(ws.resolve("r.txt.metadata")))
+    // a FRESH resource object (new process) + unchanged file -> not modified
+    val (_, mod2) = ResourceCache.prepareResources(Map("r.txt" -> LocalResource(f)), ws)
+    assert(!mod2)
+  }
+
+  test("PipelineRunner raises InputNotModified unless forced") {
+    val ws = tmpWorkspace
+    val f = Files.createTempFile("res", ".txt")
+    Files.writeString(f, "x")
+    def opts(force: Boolean) = PipelineOptions(forceRun = force, workspace = ws)
+    // first run proceeds
+    PipelineRunner.run(spark, Seq.empty, Map("r" -> LocalResource(f)), opts(false))
+    // unchanged second run skips
+    intercept[InputNotModified] {
+      PipelineRunner.run(spark, Seq.empty, Map("r" -> LocalResource(f)), opts(false))
+    }
+    // ... unless forced
+    PipelineRunner.run(spark, Seq.empty, Map("r" -> LocalResource(f)), opts(true))
+  }
+
+  test("fromCache mode requires cached resources") {
+    val ws = tmpWorkspace
+    intercept[ResourceNotCached] {
+      ResourceCache.prepareResources(
+        Map("nope" -> LocalResource(Path.of("/nonexistent"))), ws, fromCache = true)
+    }
+  }
+
+  test("ZippedResource extracts a member") {
+    val res = ZippedResource(
+      LocalResource(TestSpark.fixture("wkd.zip")), "agency.txt")
+    val text = new String(res.fetch(conditional = false).readAllBytes())
+    assert(text.contains("Warszawska Kolej Dojazdowa"))
+  }
+
+  test("TimeLimitedResource rate-limits conditional fetches") {
+    val f = Files.createTempFile("res", ".txt")
+    Files.writeString(f, "x")
+    val res = TimeLimitedResource(LocalResource(f), Duration.ofHours(1))
+    assert(res.fetch(conditional = false).readAllBytes().nonEmpty)
+    intercept[InputNotModified](res.fetch(conditional = true))
+  }
+
+  test("MultiFile: intermediate feeds cached, merged with truncation windows") {
+    val ws = tmpWorkspace
+    var intermediateRuns = 0
+
+    val provider = new IntermediateFeedProvider {
+      def needed(): Seq[IntermediateFeed] = Seq(
+        IntermediateFeed("v1", LocalResource(TestSpark.fixture("wkd.zip")), "v1.zip",
+          LocalDate.parse("2023-05-08")),
+        IntermediateFeed("v2", LocalResource(TestSpark.fixture("wkd-next.zip")), "v2.zip",
+          LocalDate.parse("2023-07-01")))
+    }
+    val mf = new MultiFile(
+      provider,
+      f => Seq(
+        new Task {
+          override def name = "CountRuns"
+          def execute(feed: graft.model.FeedDataset, rt: TaskRuntime) = {
+            intermediateRuns += 1; feed
+          }
+        },
+        LoadGtfs(ws.resolve(f.resourceName))),
+      options = PipelineOptions(workspace = ws))
+
+    val out = mf.run(spark)
+    assert(intermediateRuns == 2)
+    // merged: both versions present, prefixed
+    val cals = out("calendars").select("calendar_id").collect().map(_.getString(0)).toSet
+    assert(cals.exists(_.startsWith("v1:")) && cals.exists(_.startsWith("v2:")))
+    // v1 truncated to [2023-05-08, 2023-06-30]: all v1 service dates inside
+    val v1Dates = out("calendar_exceptions")
+      .filter(col("calendar_id").startsWith("v1:"))
+      .select("date").collect().map(_.getDate(0).toLocalDate)
+    assert(v1Dates.nonEmpty)
+    assert(v1Dates.forall(d => !d.isBefore(LocalDate.parse("2023-05-08")) &&
+      !d.isAfter(LocalDate.parse("2023-06-30"))))
+
+    // second run: caches hit, no intermediate re-runs
+    val mf2 = new MultiFile(provider,
+      f => Seq(
+        new Task {
+          override def name = "CountRuns"
+          def execute(feed: graft.model.FeedDataset, rt: TaskRuntime) = {
+            intermediateRuns += 1; feed
+          }
+        },
+        LoadGtfs(ws.resolve(f.resourceName))),
+      options = PipelineOptions(workspace = ws))
+    mf2.run(spark)
+    assert(intermediateRuns == 2)
+  }
+}
