@@ -16,6 +16,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warm-up: run the flagship once untimed so the first
+    // measured query doesn't absorb cold-JIT cost.
+    try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.benchQueries.map { q =>
       val t0 = System.nanoTime()
       try { q.fn(spark, sfDir).write.mode("overwrite").format("noop").save() }

@@ -116,6 +116,7 @@ object GtfsFunctions {
     * same function names the reference registers on its SQLite connection
     * (`db.py:212-216`, extern/db.rs:95-189). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    graft.plans.HaversineDistance.register(spark) // native codegen'd expression
     spark.udf.register("parse_gtfs_time",
       (s: String) => if (s == null || s.isEmpty) null else {
         val p = s.split(":"); Integer.valueOf(p(0).toInt * 3600 + p(1).toInt * 60 + p(2).toInt)

@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for great-circle distance in meters
+  * (haversine, R = 6371008.8 — tools/geo.py:16-32), with whole-stage
+  * codegen: the generated Java is straight-line Math calls, no boxing,
+  * no UDF serialization. This is the hot-path codec for Merge's <=10 m
+  * stop dedup join predicate at scale; the column-math version in
+  * GtfsFunctions is the portable fallback (identical semantics).
+  */
+case class HaversineDistance(
+    lat1: Expression, lon1: Expression, lat2: Expression, lon2: Expression)
+  extends QuaternaryExpression with Serializable {
+
+  override def first: Expression = lat1
+  override def second: Expression = lon1
+  override def third: Expression = lat2
+  override def fourth: Expression = lon2
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "haversine_meters"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    HaversineDistance.compute(
+      a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (la1, lo1, la2, lo2) => {
+      val dLat = ctx.freshName("dLat"); val dLon = ctx.freshName("dLon")
+      val h = ctx.freshName("h")
+      s"""
+        double $dLat = Math.sin(Math.toRadians($la2 - $la1) / 2.0);
+        double $dLon = Math.sin(Math.toRadians($lo2 - $lo1) / 2.0);
+        double $h = $dLat * $dLat +
+          Math.cos(Math.toRadians($la1)) * Math.cos(Math.toRadians($la2)) * $dLon * $dLon;
+        ${ev.value} = ${HaversineDistance.TwoR}D * Math.asin(Math.sqrt($h));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(lat1 = newFirst, lon1 = newSecond, lat2 = newThird, lon2 = newFourth)
+}
+
+object HaversineDistance {
+  val TwoR: Double = 2 * graft.functions.GtfsFunctions.EarthRadiusM
+
+  def compute(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val dLat = math.sin(math.toRadians(lat2 - lat1) / 2)
+    val dLon = math.sin(math.toRadians(lon2 - lon1) / 2)
+    val h = dLat * dLat +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) * dLon * dLon
+    TwoR * math.asin(math.sqrt(h))
+  }
+
+  /** Register `haversine_meters` on an existing session's function
+    * registry (usable from spark.sql / ExecuteSql). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "haversine_meters",
+      (exprs: Seq[Expression]) => HaversineDistance(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "built-in")
+}
+
+/** SparkSessionExtensions installer:
+  * `spark.sql.extensions=graft.plans.GraftExtensions` makes the graft
+  * native functions available in every session of the cluster. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("haversine_meters"),
+      new ExpressionInfo(classOf[HaversineDistance].getName, "haversine_meters"),
+      (exprs: Seq[Expression]) => HaversineDistance(exprs(0), exprs(1), exprs(2), exprs(3))))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over an events stream (the streaming
+  * counterpart of the batch events queries; SURVEY §2.8 — the
+  * reference is batch-only, this is part of the 100 TB design surface).
+  *
+  * Every transform takes a DataFrame/Dataset that may be batch OR
+  * streaming (`spark.readStream` output): identical code paths, which
+  * is the point of Structured Streaming. Watermarks bound state; the
+  * stateful operators use mapGroupsWithState with event-time timeouts
+  * so state size stays proportional to the active-key set, not history.
+  */
+object EventStreams {
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserState(
+      user_id: Long, last_event_id: Long, last_type: String,
+      n_events: Long, n_errors: Long)
+
+  final case class SessionUpdate(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Tumbling-window counts/sums per event type with a watermark —
+    * late events beyond `watermark` are dropped and window state is
+    * reclaimed (mandatory for unbounded streams). */
+  def hourlyAggregates(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Running per-user state (last event, error count) via
+    * mapGroupsWithState — the streaming analogue of the batch
+    * max_by/latest-state query. Emits the updated state per key per
+    * micro-batch (OutputMode.Update). */
+  def lastStatePerUser(events: Dataset[Event]): Dataset[UserState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout) {
+        (userId, batch, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(userId, -1L, "", 0L, 0L))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            val isNewer = e.event_id > acc.last_event_id
+            UserState(
+              userId,
+              if (isNewer) e.event_id else acc.last_event_id,
+              if (isNewer) e.event_type else acc.last_type,
+              acc.n_events + 1,
+              acc.n_errors + (if (e.event_type == "error") 1 else 0))
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Gap-based sessionization with event-time timeout: a session closes
+    * after `gapSeconds` of silence per user, emitting one summary row —
+    * the streaming counterpart of SplitTripLegs-style segmentation. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionUpdate, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, batch, state: GroupState[SessionUpdate]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            val finished = state.get
+            state.remove()
+            Iterator(finished)
+          } else {
+            val events = batch.toSeq.sortBy(_.ts.getTime)
+            var current = state.getOption
+            val closed = Seq.newBuilder[SessionUpdate]
+            events.foreach { e =>
+              current match {
+                case Some(s) if e.ts.getTime - s.session_end.getTime <= gapSeconds * 1000 =>
+                  current = Some(s.copy(session_end = e.ts, n_events = s.n_events + 1))
+                case Some(s) =>
+                  closed += s
+                  current = Some(SessionUpdate(userId, e.ts, e.ts, 1))
+                case None =>
+                  current = Some(SessionUpdate(userId, e.ts, e.ts, 1))
+              }
+            }
+            current.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.session_end.getTime + gapSeconds * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GtfsFunctions
+
+class HaversineDistanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expression matches the column-math haversine and codegens") {
+    HaversineDistance.register(spark)
+    val df = Seq(
+      (52.22768605033, 21.00040372159, 52.2276745587, 21.00035816163), // wkd stops, ~3.5m
+      (35.68121, 139.76668, 35.682, 139.76495), // Tokyo, ~180m
+      (0.0, 0.0, 0.0, 180.0)) // antipodal-ish on the equator
+      .toDF("lat1", "lon1", "lat2", "lon2")
+      .withColumn("native", expr("haversine_meters(lat1, lon1, lat2, lon2)"))
+      .withColumn("colmath",
+        GtfsFunctions.haversineMeters(col("lat1"), col("lon1"), col("lat2"), col("lon2")))
+    val rows = df.select("native", "colmath").collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6,
+        s"native=${r.getDouble(0)} colmath=${r.getDouble(1)}")
+    }
+    // sanity: the wkd pair is inside Merge's 10m dedup radius
+    assert(rows(0).getDouble(0) < 10.0 && rows(0).getDouble(0) > 0.1)
+    // codegen path: on a non-constant-foldable source the expression
+    // runs inside WholeStageCodegen (a literal Seq collapses to
+    // LocalTableScan, which would bypass codegen entirely)
+    val gen = spark.range(1000)
+      .withColumn("lat1", col("id") % 80 * 1.0)
+      .withColumn("lon1", col("id") % 160 * 1.0)
+      .withColumn("native", expr("haversine_meters(lat1, lon1, lat1 + 1.0, lon1 + 1.0)"))
+      .withColumn("colmath", GtfsFunctions.haversineMeters(
+        col("lat1"), col("lon1"), col("lat1") + 1.0, col("lon1") + 1.0))
+    // "*(n)" marks a WholeStageCodegen stage; the native expression must
+    // appear inside one (i.e. on a "*"-prefixed Project line)
+    val plan = gen.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("haversine_meters") && l.trim.startsWith("*")))
+    gen.select("native", "colmath").collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6)
+    }
+    // null-safe eval
+    val n = Seq((Some(1.0), None: Option[Double])).toDF("a", "b")
+      .selectExpr("haversine_meters(a, b, a, a)").collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("GraftExtensions installs the function via spark.sql.extensions") {
+    val ext = new GraftExtensions
+    // smoke: applying the installer to a fresh extensions object works
+    ext.apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import EventStreams._
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String, value: Double = 1.0) =
+    Event(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), user, typ, value)
+
+  test("hourlyAggregates runs on a stream with watermarked window state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = hourlyAggregates(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hourly").outputMode("update").start()
+    try {
+      input.addData(ev(1, 5, 1, "click"), ev(2, 10, 1, "click"), ev(3, 15, 2, "error", 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n, sum_value FROM hourly").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("click", 2L, 2.0), ("error", 1L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("lastStatePerUser keeps running per-key state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = lastStatePerUser(input.toDS())
+      .writeStream.format("memory").queryName("laststate").outputMode("update").start()
+    try {
+      input.addData(ev(1, 1, 7, "signup"), ev(2, 2, 7, "error"))
+      q.processAllAvailable()
+      input.addData(ev(3, 3, 7, "purchase"))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT last_type, n_events, n_errors FROM laststate ORDER BY n_events DESC LIMIT 1")
+        .collect().head
+      assert(last.getString(0) == "purchase")
+      assert(last.getLong(1) == 3 && last.getLong(2) == 1)
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapSeconds = 300)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // burst at 10:01-10:03, then silence; a later event advances the
+      // watermark past the gap so the first session times out
+      input.addData(ev(1, 1, 9, "click"), ev(2, 2, 9, "click"), ev(3, 3, 9, "click"))
+      q.processAllAvailable()
+      input.addData(ev(4, 30, 9, "click"))
+      q.processAllAvailable()
+      input.addData(ev(5, 59, 9, "click"))
+      q.processAllAvailable()
+      val sessions = spark.sql("SELECT n_events FROM sessions").collect().map(_.getLong(0))
+      assert(sessions.contains(3L)) // the burst closed as one 3-event session
+    } finally q.stop()
+  }
+}
