@@ -1,0 +1,52 @@
+package graft.examples
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.FeedDataset
+import graft.operators.{Task, TaskRuntime}
+
+/** Example USER task proving the extension surface (SURVEY §2.7 / S5):
+  * a Spark-first re-expression of the reference's Warsaw example
+  * (examples/warsaw/merge_railway_stations.py) — collapse per-platform
+  * railway stops (ids with '90'..'93' in positions 2-3) into one
+  * station per 4-char prefix at the centroid, and repoint stop_times.
+  *
+  * The reference's correlated LIMIT-1 subqueries become one
+  * groupBy(avg) + first-by-id window; user tasks get the full
+  * DataFrame API and need no Catalyst extension (task.py:25-46
+  * subclass model).
+  */
+final case class MergeRailwayStations() extends Task {
+  override def name = "MergeRailwayStations"
+
+  private val isRailway = substring(col("stop_id"), 2, 2).isin("90", "91", "92", "93")
+
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    val stops = feed("stops")
+    val railway = stops.filter(isRailway)
+      .withColumn("new_stop_id", substring(col("stop_id"), 1, 4))
+    val w = Window.partitionBy(col("new_stop_id")).orderBy(col("stop_id"))
+    val stations = railway
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("avg_lat", avg(col("lat")).over(Window.partitionBy(col("new_stop_id"))))
+      .withColumn("avg_lon", avg(col("lon")).over(Window.partitionBy(col("new_stop_id"))))
+      .filter(col("__rn") === 1)
+      .select(
+        col("new_stop_id").as("stop_id"),
+        regexp_replace(col("name"), "[ 0-9]+$", "").as("name"),
+        col("avg_lat").as("lat"), col("avg_lon").as("lon"),
+        lit("").as("code"), col("zone_id"), lit(0).as("location_type"),
+        lit(null).cast("string").as("parent_station"),
+        col("wheelchair_boarding"), lit("").as("platform_code"),
+        lit(null).cast("map<string,string>").as("extra_fields"))
+
+    val newStops = stops.unionByName(stations)
+    val newStopTimes = feed("stop_times")
+      .withColumn("stop_id",
+        when(isRailway, substring(col("stop_id"), 1, 4)).otherwise(col("stop_id")))
+    // unused per-platform stops are left for RemoveUnusedEntities,
+    // exactly like the reference example notes.
+    feed.updatedAll("stops" -> newStops, "stop_times" -> newStopTimes)
+  }
+}

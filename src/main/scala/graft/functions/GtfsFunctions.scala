@@ -72,11 +72,14 @@ object GtfsFunctions {
   def triStateToGtfs(c: Column): Column =
     when(c.isNull, 0).when(c === true, 1).otherwise(2)
 
-  /** GTFS 0/1/2 code -> tri-state boolean. Reference: schema.rs:263-274. */
-  def gtfsToTriState(c: Column): Column =
-    when(c.isNull || c === 0 || c === "", lit(null).cast("boolean"))
-      .when(c === 1, true)
-      .otherwise(false)
+  /** GTFS 0/1/2 code -> tri-state boolean. Reference: schema.rs:184-186
+    * `CASE ? WHEN '1' THEN 1 WHEN '2' THEN 0 ELSE NULL END` — note
+    * anything else ('0', '', junk) is NULL, and the comparison is
+    * string-typed: a numeric compare would ANSI-throw on empty cells. */
+  def gtfsToTriState(c: Column): Column = {
+    val s = c.cast("string")
+    when(s === "1", true).when(s === "2", false).otherwise(lit(null).cast("boolean"))
+  }
 
   /** Mean Earth radius in meters. Reference: tools/geo.py:7. */
   val EarthRadiusM: Double = 6371008.8

@@ -1,0 +1,56 @@
+package graft.functions
+
+import java.time.{DayOfWeek, LocalDate}
+
+/** Driver-side string/temporal helpers completing the SURVEY §2.6
+  * inventory (reference: tools/strings.py, tools/temporal.py:610-646,
+  * tools/color.py). Pure Scala — these run in task construction and id
+  * resolution, not over bulk data. */
+object Helpers {
+
+  /** camelCase / PascalCase -> snake_case (strings.py:45-56). */
+  def camelToSnake(camel: String): String =
+    camel.zipWithIndex.map {
+      case (c, i) if c.isUpper && i > 0 => s"_${c.toLower}"
+      case (c, _) => c.toLower.toString
+    }.mkString
+
+  private val IllegalPortableNames =
+    Set(".", "..", "CON", "PRN", "AUX", "NUL") ++
+      (1 to 9).flatMap(i => Seq(s"COM$i", s"LPT$i"))
+
+  /** POSIX-portable, Windows-safe filename check (strings.py:58-70). */
+  def isPortableName(name: String): Boolean =
+    !IllegalPortableNames.contains(name.toUpperCase) &&
+      name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit && c < 128 || c == '.' || c == '_' || c == '-')
+
+  /** Lowest free `id<sep>N` suffix (strings.py:73-91) — also embedded
+    * in Merge's conflict resolution. */
+  def findNonConflictingId(used: Set[String], id: String, separator: String = ":"): String =
+    if (!used.contains(id)) id
+    else Iterator.from(1).map(i => s"$id$separator$i").find(c => !used.contains(c)).get
+
+  /** Yearly European railway schedule revision label: changes the
+    * midnight after the 2nd Saturday of December
+    * (temporal.py:610-646). */
+  def europeanRailwayScheduleRevision(forDay: LocalDate = LocalDate.now()): String = {
+    var baseYear = forDay.getYear - 1
+    if (forDay.getMonthValue == 12) {
+      val dec1 = LocalDate.of(forDay.getYear, 12, 1)
+      // days until the first Saturday + 8 = day after the 2nd Saturday
+      val toFirstSat = (DayOfWeek.SATURDAY.getValue - dec1.getDayOfWeek.getValue + 7) % 7
+      val changeDay = dec1.plusDays(toFirstSat + 8L)
+      if (!forDay.isBefore(changeDay)) baseYear = forDay.getYear
+    }
+    s"$baseYear-${baseYear + 1}"
+  }
+
+  /** Black-or-white text color for a hex background by YIQ luminance —
+    * driver-side twin of GtfsFunctions.textColorFor (color.py:56-78). */
+  def textColorFor(hex: String): String = {
+    val v = Integer.parseInt(hex.take(6), 16)
+    val yiq = (v >> 16) * 299 + ((v >> 8) & 0xff) * 587 + (v & 0xff) * 114
+    if (yiq >= 128000) "000000" else "FFFFFF"
+  }
+}

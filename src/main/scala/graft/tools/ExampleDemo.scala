@@ -1,0 +1,44 @@
+package graft.tools
+
+import java.nio.file.Path
+import org.apache.spark.sql.SparkSession
+import graft.examples.MergeRailwayStations
+import graft.io.{LoadGtfs, SaveGtfs}
+import graft.operators._
+import graft.resource.{PipelineOptions, PipelineRunner, LocalResource}
+
+/** Drives the user-task extension example through the full runner:
+  * resource fetch -> load -> merge railway platforms -> prune -> save.
+  * Usage: runMain graft.tools.ExampleDemo <in.zip> <out.zip>
+  */
+object ExampleDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ws = java.nio.file.Files.createTempDirectory("example_ws")
+    val feed = PipelineRunner.run(
+      spark,
+      tasks = Seq(
+        new Task {
+          override def name = "LoadFromResource"
+          def execute(f: graft.model.FeedDataset, rt: TaskRuntime) =
+            LoadGtfs(rt.resources("feed.zip").storedAt).execute(f, rt)
+        },
+        MergeRailwayStations(),
+        RemoveUnusedEntities,
+        SaveGtfs(Map(
+          "agency.txt" -> Seq("agency_id", "agency_name", "agency_url", "agency_timezone"),
+          "stops.txt" -> Seq("stop_id", "stop_name", "stop_lat", "stop_lon"),
+          "stop_times.txt" -> Seq("trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence")),
+          Path.of(args(1)), ensureOrder = true)),
+      resources = Map("feed.zip" -> LocalResource(Path.of(args(0)))),
+      options = PipelineOptions(forceRun = true, workspace = ws))
+    println("[example] stops after pipeline:")
+    feed("stops").orderBy("stop_id").collect().foreach(r =>
+      println(f"[example]   ${r.getString(0)}%-8s ${r.getString(1)}%-14s ${r.getDouble(2)}%.3f ${r.getDouble(3)}%.3f"))
+    spark.stop()
+  }
+}

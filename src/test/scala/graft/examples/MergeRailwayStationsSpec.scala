@@ -1,0 +1,34 @@
+package graft.examples
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.{FeedDataset, GtfsSchemas}
+
+class MergeRailwayStationsSpec extends SparkSpec {
+
+  test("merges per-platform railway stops into centroid stations") {
+    val stops = spark.createDataFrame(java.util.List.of(
+      Row("1901001", "Warszawa Wschodnia 01", 52.10, 21.10, "", "1", 0, null, null, "", null),
+      Row("1901002", "Warszawa Wschodnia 02", 52.20, 21.20, "", "1", 0, null, null, "", null),
+      Row("200501", "Bus Stop", 52.5, 21.5, "", "1", 0, null, null, "", null)),
+      GtfsSchemas("stops"))
+    val stopTimes = spark.createDataFrame(java.util.List.of(
+      Row("T1", "1901001", 0, 100, 100, 0, 0, "", null, "", null),
+      Row("T1", "200501", 1, 200, 200, 0, 0, "", null, "", null)),
+      GtfsSchemas("stop_times"))
+    val feed = FeedDataset(GtfsSchemas.all.map { case (n, s) =>
+      n -> spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    }.toMap, FeedDataset.gtfsFkGraph)
+      .updatedAll("stops" -> stops, "stop_times" -> stopTimes)
+
+    val out = MergeRailwayStations().execute(feed, rt)
+    val station = out("stops").filter(col("stop_id") === "1901").collect().head
+    assert(station.getAs[String]("name") == "Warszawa Wschodnia")
+    assert(math.abs(station.getAs[Double]("lat") - 52.15) < 1e-9) // centroid
+    // stop_times repointed to the station; bus stop untouched
+    val stIds = out("stop_times").orderBy("stop_sequence").collect().map(_.getString(1)).toSeq
+    assert(stIds == Seq("1901", "200501"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.functions
+
+import java.time.LocalDate
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Doctest-derived cases from the reference (strings.py, temporal.py,
+  * color.py). */
+class HelpersSpec extends AnyFunSuite {
+
+  test("camelToSnake (strings.py doctests)") {
+    assert(Helpers.camelToSnake("Foo") == "foo")
+    assert(Helpers.camelToSnake("FooBar") == "foo_bar")
+    assert(Helpers.camelToSnake("fooBarBaz") == "foo_bar_baz")
+  }
+
+  test("findNonConflictingId (strings.py doctests)") {
+    assert(Helpers.findNonConflictingId(Set("A", "B"), "C") == "C")
+    assert(Helpers.findNonConflictingId(Set("A", "B"), "A") == "A:1")
+    assert(Helpers.findNonConflictingId(Set("A", "A/1", "A/2"), "A", "/") == "A/3")
+  }
+
+  test("isPortableName") {
+    assert(Helpers.isPortableName("wkd-2023_v1.zip"))
+    assert(!Helpers.isPortableName("COM1"))
+    assert(!Helpers.isPortableName(".."))
+    assert(!Helpers.isPortableName("weird name"))
+  }
+
+  test("europeanRailwayScheduleRevision (temporal.py doctests)") {
+    assert(Helpers.europeanRailwayScheduleRevision(LocalDate.of(2025, 12, 1)) == "2024-2025")
+    assert(Helpers.europeanRailwayScheduleRevision(LocalDate.of(2025, 12, 13)) == "2024-2025")
+    assert(Helpers.europeanRailwayScheduleRevision(LocalDate.of(2025, 12, 14)) == "2025-2026")
+    assert(Helpers.europeanRailwayScheduleRevision(LocalDate.of(2025, 12, 31)) == "2025-2026")
+    assert(Helpers.europeanRailwayScheduleRevision(LocalDate.of(2024, 12, 14)) == "2023-2024")
+    assert(Helpers.europeanRailwayScheduleRevision(LocalDate.of(2024, 12, 15)) == "2024-2025")
+  }
+
+  test("textColorFor (color.py semantics)") {
+    assert(Helpers.textColorFor("FFFFFF") == "000000")
+    assert(Helpers.textColorFor("000000") == "FFFFFF")
+    assert(Helpers.textColorFor("990099") == "FFFFFF") // wkd purple
+  }
+}
