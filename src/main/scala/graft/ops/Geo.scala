@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GtfsFunctions
+
+/** Geospatial radius joins — the scale path for Merge's <=10 m stop
+  * dedup and any "points within R meters" matching.
+  *
+  * A naive radius join is a theta-join: every same-bucket pair gets a
+  * haversine evaluation (O(n^2) per bucket). `radiusJoin` grid-cells
+  * the globe so candidates come from an EQUI-join on (bucket, cell),
+  * with each left row exploded to its 3x3 neighbor cells; results are
+  * identical to the naive join (cells are sized so that any pair
+  * within `radiusM` shares a neighbor cell), but the pair count drops
+  * from per-bucket-quadratic to per-cell-quadratic.
+  */
+object Geo {
+
+  /** Degrees of latitude per meter (1 deg lat ~ 111.2 km). */
+  private val MetersPerDegLat = 111194.9
+
+  /** Candidate pairs (left x right) within `radiusM`, equi-joined on
+    * `matchCols` and grid cells. Output: left columns prefixed `a_`,
+    * right prefixed `b_`, plus `dist_m`. `maxAbsLat` bounds the data's
+    * latitude so the longitude cell width stays valid (cells widen as
+    * cos(lat) shrinks; beyond ~85 degrees use a coarser scheme). */
+  def radiusJoin(
+      left: DataFrame, right: DataFrame,
+      latCol: String, lonCol: String,
+      matchCols: Seq[String],
+      radiusM: Double,
+      maxAbsLat: Double = 75.0): DataFrame = {
+    val cellLatDeg = math.max(radiusM / MetersPerDegLat, 1e-4)
+    val cellLonDeg = math.max(
+      radiusM / (MetersPerDegLat * math.cos(math.toRadians(maxAbsLat))), 1e-4)
+
+    def cellLat(c: Column) = floor(c / cellLatDeg).cast("long")
+    def cellLon(c: Column) = floor(c / cellLonDeg).cast("long")
+
+    val aCols = left.columns.map(c => col(c).as(s"a_$c"))
+    val bCols = right.columns.map(c => col(c).as(s"b_$c"))
+    // left rows exploded to their 3x3 neighbor cells
+    val offsets = for { dy <- -1 to 1; dx <- -1 to 1 } yield struct(lit(dy), lit(dx))
+    val a = left.select(aCols: _*)
+      .withColumn("__o", explode(array(offsets: _*)))
+      .withColumn("__cell_lat", cellLat(col(s"a_$latCol")) + col("__o.col1"))
+      .withColumn("__cell_lon", cellLon(col(s"a_$lonCol")) + col("__o.col2"))
+      .drop("__o")
+    val b = right.select(bCols: _*)
+      .withColumn("__cell_lat", cellLat(col(s"b_$latCol")))
+      .withColumn("__cell_lon", cellLon(col(s"b_$lonCol")))
+
+    val keys = Seq("__cell_lat", "__cell_lon")
+    val matchCond = matchCols.map(c => col(s"a_$c") === col(s"b_$c"))
+      .foldLeft(lit(true))(_ && _)
+    a.join(b, keys, "inner")
+      .filter(matchCond)
+      .withColumn("dist_m", GtfsFunctions.haversineMeters(
+        col(s"a_$latCol"), col(s"a_$lonCol"), col(s"b_$latCol"), col(s"b_$lonCol")))
+      .filter(col("dist_m") <= radiusM)
+      .drop(keys: _*)
+  }
+}

@@ -101,5 +101,49 @@ object CodecQueries {
         count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23)
+  /** Merge's stop-dedup plan shape (merge.py:387-425) over synthetic
+    * geo data: attribute-hash equi-join (mktsegment) + haversine radius
+    * + min-id keeper. Deterministic: the keeper is chosen by min key,
+    * never by FP distance ordering. */
+  val q42 = QueryDef(
+    "q42_geo_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      def coords(df: DataFrame): DataFrame = df
+        .withColumn("lat", (col("c_custkey") % 120 - 60) * 0.7)
+        .withColumn("lon", (col("c_custkey") % 360 - 180) * 0.9)
+      val c = coords(t(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment"))
+      // grid-cell radius join (graft.ops.Geo): identical result set to
+      // the oracle's brute-force theta-join, but candidates come from
+      // an equi-join on (segment, cell) — the 100 TB shape.
+      val nearby = graft.ops.Geo.radiusJoin(
+          c, c, "lat", "lon", Seq("c_mktsegment"), radiusM = 100000.0, maxAbsLat = 45.0)
+        .filter(col("b_c_custkey") < col("a_c_custkey"))
+        .groupBy(col("a_c_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_nearby"), min(col("b_c_custkey")).as("dup_of"))
+      c.join(nearby, Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_nearby"), lit(0L)).as("n_nearby"), col("dup_of"))
+        .orderBy("c_custkey")
+    },
+    Some(s"""WITH c AS (SELECT c_custkey, c_mktsegment,
+            (c_custkey % 120 - 60) * (0.7::DOUBLE) AS lat,
+            (c_custkey % 360 - 180) * (0.9::DOUBLE) AS lon
+          FROM customer),
+        nearby AS (
+          SELECT a.c_custkey, count(*) AS n_nearby, min(b.c_custkey) AS dup_of
+          FROM c a JOIN c b ON a.c_mktsegment = b.c_mktsegment
+            AND b.c_custkey < a.c_custkey
+            AND (${2 * GtfsFunctions.EarthRadiusM})*asin(sqrt(
+                  pow(sin(radians(b.lat - a.lat)/2), 2) +
+                  cos(radians(a.lat))*cos(radians(b.lat))*
+                  pow(sin(radians(b.lon - a.lon)/2), 2))) <= 100000.0
+          GROUP BY a.c_custkey)
+      SELECT c.c_custkey, coalesce(n_nearby, 0) AS n_nearby, dup_of
+      FROM c LEFT JOIN nearby ON nearby.c_custkey = c.c_custkey
+      ORDER BY c.c_custkey"""),
+    bench = true)
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q42)
 }

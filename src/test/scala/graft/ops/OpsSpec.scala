@@ -102,6 +102,18 @@ class OpsSpec extends SparkSpec {
     assert(fp(0L) != fp(2L))
   }
 
+  test("Geo.radiusJoin equals the naive theta-join") {
+    val pts = Seq(
+      (1L, "X", 52.100, 21.100), (2L, "X", 52.101, 21.101), // ~130m apart
+      (3L, "X", 53.000, 22.000), // far away
+      (4L, "Y", 52.100, 21.100)) // same spot, different bucket
+      .toDF("id", "bucket", "lat", "lon")
+    val fast = Geo.radiusJoin(pts, pts, "lat", "lon", Seq("bucket"), radiusM = 500.0)
+      .filter(col("b_id") < col("a_id"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == Set((2L, 1L))) // only the near same-bucket pair
+  }
+
   test("Multimodal: content meta + stubbed feature extraction plumbing") {
     val assets = Seq(
       (1L, "image", "fake-jpeg-bytes-aaaa".getBytes("UTF-8")),
