@@ -91,6 +91,31 @@ class LoadGtfsSpec extends SparkSpec {
     assert(off("routes").filter(col("extra_fields").isNotNull).count() == 0)
   }
 
+  test("minimal feed: only required columns, every optional column absent") {
+    // regression guard for ANSI-cast landmines on empty/missing cells
+    // (the tri-state codec bug class)
+    val dir = java.nio.file.Files.createTempDirectory("minimal_gtfs")
+    def w(name: String, content: String): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name), content)
+    w("agency.txt", "agency_name,agency_url,agency_timezone\nOp,https://x,UTC\n")
+    w("routes.txt", "route_id,route_short_name,route_long_name,route_type\nR,1,Line,3\n")
+    w("stops.txt", "stop_id,stop_name,stop_lat,stop_lon\nS1,A,52.0,21.0\nS2,B,52.1,21.1\n")
+    w("trips.txt", "route_id,service_id,trip_id\nR,C,T\n")
+    w("stop_times.txt",
+      "trip_id,arrival_time,departure_time,stop_id,stop_sequence\nT,25:00:00,25:01:00,S1,0\nT,25:30:00,25:30:00,S2,1\n")
+    val feed = LoadGtfs(dir).execute(null, rt)
+    // force full materialization of every table (any bad cast throws here)
+    feed.tables.foreach { case (_, df) => df.collect() }
+    assert(feed("agencies").collect().head.getString(0) == "(missing)")
+    val trip = feed("trips").collect().head
+    assert(trip.isNullAt(trip.fieldIndex("direction")))
+    assert(trip.isNullAt(trip.fieldIndex("wheelchair_accessible")))
+    val st = feed("stop_times").orderBy(col("stop_sequence")).collect().head
+    assert(st.getAs[Int]("arrival_time") == 25 * 3600) // >24h time
+    // calendars implied empty (no calendar.txt, no calendar_dates.txt)
+    assert(feed("calendars").count() == 0)
+  }
+
   test("extra files land in extra_table_rows") {
     val feed = load("wkd-extra-files.zip",
       extraFiles = Seq("counties.txt", "municipalities.txt", "vehicles.txt"))
