@@ -1,0 +1,102 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Constraint validation for a FeedDataset — the explicit replacement
+  * for what the reference gets implicitly from SQLite STRICT tables:
+  * PRIMARY KEY uniqueness, FOREIGN KEY integrity, and the per-column
+  * CHECK constraints (SURVEY §1.2 DDL cites).
+  *
+  * Returns a violations report DataFrame (table, check, violations);
+  * every check is one aggregate or anti-join — the whole validation is
+  * a single pass per table at any scale.
+  */
+object FeedValidator {
+
+  final case class Violation(table: String, check: String, violations: Long)
+
+  def validate(feed: FeedDataset): Seq[Violation] = {
+    val checks = Seq.newBuilder[Violation]
+
+    // PRIMARY KEY uniqueness (STRICT table PKs, §1.2)
+    GtfsSchemas.primaryKeys.foreach { case (table, pk) =>
+      feed.get(table).foreach { df =>
+        val dupes = df.groupBy(pk.map(col): _*).count().filter(col("count") > 1).count()
+        if (dupes > 0) checks += Violation(table, s"pk_unique(${pk.mkString(",")})", dupes)
+      }
+    }
+
+    // FOREIGN KEY integrity (the cascade graph run in reverse: orphans)
+    feed.fkGraph.foreach { e =>
+      (feed.get(e.child), feed.get(e.parent)) match {
+        case (Some(child), Some(parent)) =>
+          val nonNull = e.childCols.map(col(_).isNotNull).reduce(_ && _)
+          val renamed = e.parentCols.map(pc => s"__p_$pc")
+          val pKeys = parent.select(e.parentCols.map(col): _*).distinct().toDF(renamed: _*)
+          val cond = e.childCols.zip(renamed).map { case (cc, pc) => col(cc) === col(pc) }
+            .reduce(_ && _)
+          val orphans = child.filter(nonNull).join(pKeys, cond, "left_anti").count()
+          if (orphans > 0)
+            checks += Violation(e.child,
+              s"fk(${e.childCols.mkString(",")} -> ${e.parent})", orphans)
+        case _ => ()
+      }
+    }
+
+    // CHECK constraints (per-entity DDL, §1.2)
+    def check(table: String, name: String, bad: DataFrame => DataFrame): Unit =
+      feed.get(table).foreach { df =>
+        val n = bad(df).count()
+        if (n > 0) checks += Violation(table, name, n)
+      }
+
+    check("routes", "type_in_standard_set",
+      _.filter(!col("type").isin(0, 1, 2, 3, 4, 5, 6, 7, 11, 12)))
+    check("stops", "location_type_in_0_2",
+      _.filter(!col("location_type").isin(0, 1, 2)))
+    check("calendar_exceptions", "exception_type_in_1_2",
+      _.filter(!col("exception_type").isin(1, 2)))
+    check("trips", "direction_in_0_1",
+      _.filter(col("direction").isNotNull && !col("direction").isin(0, 1)))
+    check("stop_times", "stop_sequence_nonnegative",
+      _.filter(col("stop_sequence") < 0))
+    check("stop_times", "pickup_type_in_0_3",
+      _.filter(!col("pickup_type").isin(0, 1, 2, 3)))
+    check("stop_times", "drop_off_type_in_0_3",
+      _.filter(!col("drop_off_type").isin(0, 1, 2, 3)))
+    check("fare_attributes", "price_nonnegative", _.filter(col("price") < 0))
+    check("fare_attributes", "currency_3_chars",
+      _.filter(length(col("currency_type")) =!= 3))
+    check("frequencies", "headway_positive", _.filter(col("headway") <= 0))
+    check("transfers", "transfer_type_in_0_5",
+      _.filter(!col("transfer_type").isin(0, 1, 2, 3, 4, 5)))
+    // transfers cross-column checks (transfer.py:58-79)
+    check("transfers", "stop_ids_required_unless_type_4_5",
+      _.filter(!col("transfer_type").isin(4, 5) &&
+        (col("from_stop_id").isNull || col("to_stop_id").isNull)))
+    check("transfers", "trip_ids_required_for_type_4_5",
+      _.filter(col("transfer_type").isin(4, 5) &&
+        (col("from_trip_id").isNull || col("to_trip_id").isNull)))
+    check("feed_info", "singleton_id_0", _.filter(col("feed_info_id") =!= 0))
+    // translations XOR constraint (translation.py:127-130)
+    check("translations", "record_id_xor_field_value",
+      _.filter(col("field_value") =!= "" && col("record_id") =!= ""))
+
+    checks.result()
+  }
+
+  /** Violations as a DataFrame for reporting/persisting. */
+  def validateAsDf(spark: SparkSession, feed: FeedDataset): DataFrame = {
+    import spark.implicits._
+    validate(feed).toDF("table", "check", "violations")
+  }
+
+  /** Throw if any constraint is violated (the STRICT-table analogue). */
+  def assertValid(feed: FeedDataset): Unit = {
+    val v = validate(feed)
+    require(v.isEmpty,
+      "feed constraint violations:\n" +
+        v.map(x => s"  ${x.table}: ${x.check} (${x.violations})").mkString("\n"))
+  }
+}

@@ -59,6 +59,9 @@ object GtfsDemo {
     feed.tables.toSeq.sortBy(_._1).foreach { case (n, df) =>
       println(f"[demo] $n%-22s ${df.count()}%6d rows")
     }
+    val violations = graft.model.FeedValidator.validate(feed)
+    if (violations.isEmpty) println("[demo] constraints: all PK/FK/CHECK constraints hold")
+    else violations.foreach(v => println(s"[demo] VIOLATION ${v.table}: ${v.check} (${v.violations})"))
     println(s"[demo] wrote ${out} (${Files.size(out)} bytes)")
     spark.stop()
   }

@@ -1,0 +1,38 @@
+package graft.model
+
+import graft.{SparkSpec, TestSpark}
+import graft.io.LoadGtfs
+import graft.operators.AddEntity
+
+class FeedValidatorSpec extends SparkSpec {
+
+  private def wkd: FeedDataset = LoadGtfs(TestSpark.fixture("wkd.zip")).execute(null, rt)
+
+  test("the wkd feed passes every constraint") {
+    FeedValidator.assertValid(wkd)
+  }
+
+  test("violations are detected and attributed") {
+    var f = wkd
+    // orphan stop_time (FK violation) with a duplicate PK
+    f = AddEntity("stop_times", Map(
+      "trip_id" -> "NO_SUCH_TRIP", "stop_id" -> "wsrod", "stop_sequence" -> 0,
+      "arrival_time" -> 100, "departure_time" -> 100,
+      "pickup_type" -> 9, "drop_off_type" -> 0)).execute(f, rt)
+    f = AddEntity("stop_times", Map(
+      "trip_id" -> "NO_SUCH_TRIP", "stop_id" -> "wsrod", "stop_sequence" -> 0,
+      "arrival_time" -> 200, "departure_time" -> 200,
+      "pickup_type" -> 0, "drop_off_type" -> 0)).execute(f, rt)
+    // bad route type
+    f = AddEntity("routes", Map(
+      "route_id" -> "BAD", "agency_id" -> "0", "short_name" -> "B",
+      "long_name" -> "Bad", "type" -> 99)).execute(f, rt)
+
+    val v = FeedValidator.validate(f).map(x => x.table -> x.check).toSet
+    assert(v.contains(("stop_times", "pk_unique(trip_id,stop_sequence)")))
+    assert(v.contains(("stop_times", "fk(trip_id -> trips)")))
+    assert(v.contains(("stop_times", "pickup_type_in_0_3")))
+    assert(v.contains(("routes", "type_in_standard_set")))
+    intercept[IllegalArgumentException](FeedValidator.assertValid(f))
+  }
+}
