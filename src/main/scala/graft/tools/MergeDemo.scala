@@ -27,6 +27,9 @@ object MergeDemo {
     merged.tables.toSeq.sortBy(_._1).foreach { case (n, df) =>
       println(f"[merged] $n%-22s ${df.count()}%6d rows")
     }
+    val violations = graft.model.FeedValidator.validate(merged)
+    if (violations.isEmpty) println("[merged] constraints: all PK/FK/CHECK constraints hold")
+    else violations.foreach(v => println(s"[merged] VIOLATION ${v.table}: ${v.check} (${v.violations})"))
     spark.stop()
   }
 }

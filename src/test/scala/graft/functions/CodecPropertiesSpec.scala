@@ -1,0 +1,88 @@
+package graft.functions
+
+import java.time.LocalDate
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.TestSpark
+import graft.model.DateRange
+
+/** Property tests for the codec layer and DateRange algebra — coverage
+  * the reference only doctests (SURVEY §5). Spark evaluation runs once
+  * per property over a generated column of samples. */
+class CodecPropertiesSpec extends AnyFunSuite {
+
+  private def checkProp(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+  import org.apache.spark.sql.functions._
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("time codec round-trips any non-negative seconds (including >24h)") {
+    val secs = (0 until 2000).map(i => i * 97 + i % 60) ++ Seq(0, 86399, 86400, 359999)
+    val df = secs.toDF("s")
+      .withColumn("txt", GtfsFunctions.secondsToGtfsTime(col("s")))
+      .withColumn("back", GtfsFunctions.gtfsTimeToSeconds(col("txt")))
+    assert(df.filter(col("back") =!= col("s")).count() == 0)
+  }
+
+  test("date codec round-trips dates across centuries") {
+    val dates = (0 until 1000).map(i => java.sql.Date.valueOf(
+      LocalDate.of(1900 + i % 200, 1 + i % 12, 1 + i % 28)))
+    val df = dates.toDF("d")
+      .withColumn("txt", GtfsFunctions.formatGtfsDate(col("d")))
+      .withColumn("back", GtfsFunctions.parseGtfsDate(col("txt")))
+    assert(df.filter(col("back") =!= col("d")).count() == 0)
+  }
+
+  test("route-type fold is idempotent and lands in the standard set") {
+    val codes = (0 until 1600).map(identity)
+    val df = codes.toDF("c")
+      .withColumn("folded", GtfsFunctions.parseGtfsRouteType(col("c")))
+      .withColumn("folded2", GtfsFunctions.parseGtfsRouteType(col("folded")))
+    // idempotent where defined
+    assert(df.filter(col("folded").isNotNull && col("folded2") =!= col("folded")).count() == 0)
+    // always lands in the 10-value standard set
+    val outOfSet = df.filter(col("folded").isNotNull &&
+      !col("folded").isin(0, 1, 2, 3, 4, 5, 6, 7, 11, 12)).count()
+    assert(outOfSet == 0)
+  }
+
+  test("haversine: symmetry, identity, triangle sanity (driver math)") {
+    import graft.plans.HaversineDistance.compute
+    val gen = for {
+      lat1 <- Gen.choose(-80.0, 80.0); lon1 <- Gen.choose(-179.0, 179.0)
+      lat2 <- Gen.choose(-80.0, 80.0); lon2 <- Gen.choose(-179.0, 179.0)
+    } yield (lat1, lon1, lat2, lon2)
+    checkProp(Prop.forAll(gen) { case (a, b, c, d) =>
+      val fwd = compute(a, b, c, d); val rev = compute(c, d, a, b)
+      math.abs(fwd - rev) < 1e-6 && // symmetric
+        fwd >= 0.0 && fwd <= 2.1e7 && // no farther than half the circumference
+        compute(a, b, a, b) == 0.0 // identity
+    })
+  }
+
+  test("DateRange: membership matches intersection/subset algebra") {
+    val dGen = Gen.choose(0L, 4000L).map(LocalDate.ofEpochDay)
+    val rGen: Gen[DateRange] = Gen.oneOf(
+      Gen.const(DateRange.Empty: DateRange),
+      Gen.const(DateRange.Infinite: DateRange),
+      dGen.map(DateRange.LeftUnbounded(_): DateRange),
+      dGen.map(DateRange.RightUnbounded(_): DateRange),
+      Gen.zip(dGen, dGen).map { case (a, b) =>
+        (if (a.isAfter(b)) DateRange.Bounded(b, a) else DateRange.Bounded(a, b)): DateRange
+      })
+    checkProp(Prop.forAll(rGen, rGen, dGen) { (r1, r2, d) =>
+      // membership distributes over intersection; subset respects
+      // membership; Empty/Infinite are bottom/top of the lattice
+      r1.intersect(r2).contains(d) == (r1.contains(d) && r2.contains(d)) &&
+        (!(r1.issubset(r2) && r1.contains(d)) || r2.contains(d)) &&
+        DateRange.Empty.issubset(r1) &&
+        r1.issubset(DateRange.Infinite)
+    })
+  }
+}
