@@ -124,7 +124,10 @@ object GtfsFunctions {
       (s: String) => if (s == null || s.isEmpty) null else {
         val p = s.split(":"); Integer.valueOf(p(0).toInt * 3600 + p(1).toInt * 60 + p(2).toInt)
       })
-    spark.udf.register("unicode_casefold", (s: String) => if (s == null) null else s.toLowerCase)
+    spark.udf.register("unicode_casefold", (s: String) => if (s == null) null else
+      // Python str.casefold: full case folding — the common divergence
+      // from toLowerCase is the German sharp s
+      s.replace("ß", "ss").replace("ẞ", "ss").toLowerCase(java.util.Locale.ROOT))
     spark.udf.register("unicode_title", (s: String) => if (s == null) null else {
       // Python str.title semantics: every alpha run capitalized
       val sb = new StringBuilder; var prevAlpha = false
