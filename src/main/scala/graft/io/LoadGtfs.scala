@@ -5,7 +5,6 @@ import java.util.zip.ZipFile
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
@@ -131,11 +130,11 @@ final case class LoadGtfs(
 
   /** Attach the 1-based data-row number (LineNum fallback + stable
     * extra-row ordering). GTFS member files are single CSV files, so
-    * the per-file read order is well-defined. */
-  private def withLineNumbers(df: DataFrame): DataFrame = {
-    val w = Window.orderBy(monotonically_increasing_id())
-    df.withColumn(RowIdCol, row_number().over(w))
-  }
+    * the per-file read order is well-defined; zipWithIndex numbers the
+    * scan partitions in file-offset order without collapsing the read
+    * to a single partition. */
+  private def withLineNumbers(df: DataFrame): DataFrame =
+    graft.util.Ids.withRowIndex(df, RowIdCol, startAt = 1L)
 
   private def loadTable(spark: SparkSession, spec: GtfsTableSpec, path: Path): DataFrame = {
     val raw0 = readCsv(spark, path)
@@ -144,15 +143,18 @@ final case class LoadGtfs(
     val have = raw.columns.toSet
 
     def rawCol(c: GtfsCol): Column = {
-      val base =
-        if (c.gtfsName.nonEmpty && have.contains(c.gtfsName)) coalesce(col(c.gtfsName), lit(""))
-        else lit("")
+      val present = c.gtfsName.nonEmpty && have.contains(c.gtfsName)
+      val base = if (present) coalesce(col(c.gtfsName), lit("")) else lit("")
+      // absent column -> the fallback applies unconditionally (avoids
+      // degenerate `lit("") === ""` predicates in the plan)
+      def orElse(v: Column): Column =
+        if (present) when(base === "", v).otherwise(base) else v
       c.fallback match {
         case Fallback.AsIs     => base
-        case Fallback.Str(v)   => when(base === "", lit(v)).otherwise(base)
-        case Fallback.IntV(v)  => when(base === "", lit(v.toString)).otherwise(base)
-        case Fallback.Nul      => when(base === "", lit(null).cast(StringType)).otherwise(base)
-        case Fallback.LineNum  => when(base === "", col(RowIdCol).cast("string")).otherwise(base)
+        case Fallback.Str(v)   => orElse(lit(v))
+        case Fallback.IntV(v)  => orElse(lit(v.toString))
+        case Fallback.Nul      => orElse(lit(null).cast(StringType))
+        case Fallback.LineNum  => orElse(col(RowIdCol).cast("string"))
       }
     }
 

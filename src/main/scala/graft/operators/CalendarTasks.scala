@@ -4,7 +4,6 @@ import java.nio.file.Path
 import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.{DateRange, FeedDataset}
@@ -72,10 +71,12 @@ final case class SimplifyCalendars(generateNewIds: Boolean = true, idPrefix: Str
       if (!generateNewIds)
         base.select(col("old_id"), col("primary_id").as("new_id"))
       else {
-        val w = Window.orderBy(col("primary_id"))
-        val renumbered = primary
-          .select(col("primary_id"), (row_number().over(w) - 1).cast("string").as("seq"))
-          .select(col("primary_id"), concat(lit(idPrefix), col("seq")).as("final_id"))
+        // 0-based renumbering in primary_id order: distributed
+        // range-sort + zipWithIndex, not a global window
+        val renumbered = graft.util.Ids.withRowIndex(
+          primary.select("primary_id").orderBy("primary_id"), "__seq", startAt = 0L)
+          .select(col("primary_id"),
+            concat(lit(idPrefix), col("__seq").cast("string")).as("final_id"))
         base.join(renumbered, Seq("primary_id"))
           .select(col("old_id"), col("final_id").as("new_id"))
       }

@@ -94,15 +94,18 @@ final case class Merge(
       val rUnmatched = rJoined.filter(col("mapped_id").isNull).select(incRoutes.columns.map(col): _*)
       val rConflicts = resolveConflicts(
         rUnmatched.select("route_id"), usedRouteIds, "route_id", rt)
-      val routeMap = broadcast(
-        rMerged.unionByName(rConflicts).localCheckpoint(true))
+      // (broadcast hints are applied at the join sites — hinting a
+      // checkpointed frame that is later re-selected detaches the hint
+      // and triggers HintErrorLogger warnings)
+      val routeMap = rMerged.unionByName(rConflicts).localCheckpoint(true)
 
       def remapRoutes(df: DataFrame, c: String): DataFrame = remap(df, c, routeMap)
 
       // NOTE: known hash keeps the ORIGINAL id (hash computed pre-rename,
       // merge.py:349-354) but maps to the renamed id.
       val rUnmatchedWithNew = rUnmatched
-        .join(routeMap.withColumnRenamed("old_id", "route_id"), Seq("route_id"), "left")
+        .join(broadcast(routeMap.withColumnRenamed("old_id", "route_id")),
+          Seq("route_id"), "left")
         .withColumn("final_id", coalesce(col("new_id"), col("route_id")))
       knownRoutes = knownRoutes.unionByName(
         rUnmatchedWithNew.select(
@@ -135,12 +138,13 @@ final case class Merge(
       val sUnmatchedIds = sBest.filter(col("matched_id").isNull).select("stop_id")
       val sUnmatched = incStops.join(sUnmatchedIds, Seq("stop_id"), "left_semi")
       val sConflicts = resolveConflicts(sUnmatchedIds, usedStopIds, "stop_id", rt)
-      val stopMap = broadcast(sMerged.unionByName(sConflicts).localCheckpoint(true))
+      val stopMap = sMerged.unionByName(sConflicts).localCheckpoint(true)
 
       def remapStops(df: DataFrame, c: String): DataFrame = remap(df, c, stopMap)
 
       val sUnmatchedWithNew = sUnmatched
-        .join(stopMap.withColumnRenamed("old_id", "stop_id"), Seq("stop_id"), "left")
+        .join(broadcast(stopMap.withColumnRenamed("old_id", "stop_id")),
+          Seq("stop_id"), "left")
         .withColumn("final_id", coalesce(col("new_id"), col("stop_id")))
       knownStops = knownStops.unionByName(
         sUnmatchedWithNew.select(
@@ -205,15 +209,17 @@ final case class Merge(
         .unionByName(freshIds(acc("transfers"), incTransfers0, "transfer_id"))
 
       // --- translations (merge.py:527-544): feed_info dropped, ids
-      // remapped per table, dedup on the UNIQUE tuple preferring acc
-      val incTrans = inc0("translations")
-        .filter(col("table_name") =!= "feed_info")
+      // remapped per table (conditional broadcast joins against the
+      // rename maps — no collected when-chains), dedup on the UNIQUE
+      // tuple preferring acc
+      val incTrans = remapValueWhere(
+        remapValueWhere(
+          inc0("translations").filter(col("table_name") =!= "feed_info"),
+          "record_id", col("table_name") === "routes", routeMap),
+        "record_id", col("table_name") === "stops", stopMap)
         .withColumn("record_id",
-          when(col("table_name") === "routes",
-            remapValue(col("record_id"), routeMap))
-            .when(col("table_name") === "stops", remapValue(col("record_id"), stopMap))
-            .when(col("table_name").isin("trips", "stop_times") && col("record_id") =!= "",
-              prefixed(col("record_id")))
+          when(col("table_name").isin("trips", "stop_times") && col("record_id") =!= "",
+            prefixed(col("record_id")))
             .otherwise(col("record_id")))
       val uniqueCols = Seq("table_name", "field_name", "language", "record_id",
         "record_sub_id", "field_value")
@@ -266,35 +272,49 @@ final case class Merge(
   /** Rename `idCol` of `df` through a broadcast (old_id, new_id) map;
     * ids absent from the map pass through. */
   private def remap(df: DataFrame, idCol: String, map: DataFrame): DataFrame =
-    df.join(map.select(col("old_id").as(idCol), col("new_id").as(s"__new_$idCol")),
+    df.join(
+      broadcast(map.select(col("old_id").as(idCol), col("new_id").as(s"__new_$idCol"))),
       Seq(idCol), "left")
       .withColumn(idCol, coalesce(col(s"__new_$idCol"), col(idCol)))
       .drop(s"__new_$idCol")
 
-  /** Scalar-expression form of remap for conditional columns
-    * (translations.record_id) — a correlated lookup via a join is not
-    * expressible inside `when`, so the map is collected (rename maps
-    * are small: only renamed ids). */
-  private def remapValue(c: Column, map: DataFrame): Column = {
-    val pairs = map.collect().map(r => (r.getString(0), r.getString(1)))
-    if (pairs.isEmpty) c
-    else pairs.foldLeft(c) { case (acc0, (o, n)) => when(c === o, lit(n)).otherwise(acc0) }
+  /** Conditional remap of `idCol` through the (old_id, new_id) map,
+    * applied only to rows satisfying `rowCond` — a broadcast left join
+    * on `rowCond && idCol = old_id`, so the map never leaves the
+    * executors (merge.py ids_to_change is changed-ids only; no-op
+    * old_id == new_id pairs are filtered out before the join). */
+  private def remapValueWhere(
+      df: DataFrame, idCol: String, rowCond: Column, map: DataFrame): DataFrame = {
+    val renames = map.filter(col("old_id") =!= col("new_id"))
+      .withColumnRenamed("old_id", "__remap_old")
+      .withColumnRenamed("new_id", "__remap_new")
+    df.join(broadcast(renames), rowCond && col(idCol) === col("__remap_old"), "left")
+      .withColumn(idCol, coalesce(col("__remap_new"), col(idCol)))
+      .drop("__remap_old", "__remap_new")
   }
 
   /** `inc` with freshly generated sequential surrogate ids continuing
     * after `cur`'s max (SQLite INTEGER PRIMARY KEY autoincrement
-    * analogue). */
+    * analogue). The max-id is a scalar collect; the numbering itself is
+    * a distributed zipWithIndex (no single-partition window). */
   private def freshIds(cur: DataFrame, inc: DataFrame, idCol: String): DataFrame = {
     val maxId = cur.agg(coalesce(max(col(idCol)), lit(0L))).collect().head.getLong(0)
-    val w = Window.orderBy(monotonically_increasing_id())
-    inc.withColumn(idCol, row_number().over(w).cast("long") + maxId)
+    graft.util.Ids.withRowIndex(inc, "__fresh_id", startAt = maxId + 1)
+      .withColumn(idCol, col("__fresh_id"))
+      .drop("__fresh_id")
   }
 
   /** Reference find_non_conflicting_id (tools/strings.py:73-91): for
     * each unmatched incoming id colliding with a used id, the lowest
     * free `id<sep>N`. Only the conflicting ids and their suffix
     * families are collected — conflicts are rare; everything else stays
-    * distributed. Returns (old_id, new_id) pairs (renames only). */
+    * distributed. Returns (old_id, new_id) pairs (renames only).
+    *
+    * Mirrors merge.py resolve_*_conflicts reservation semantics: the
+    * free-suffix search runs against used ids UNION every unmatched
+    * incoming id (a rename target must not collide with a
+    * non-conflicting id arriving in the same feed), and each assigned
+    * id is reserved before the next conflict is resolved. */
   private def resolveConflicts(
       incomingIds: DataFrame, usedIds: DataFrame, idCol: String,
       rt: TaskRuntime): DataFrame = {
@@ -306,10 +326,14 @@ final case class Merge(
     }
     val cond = conflicts.map(c =>
       col(idCol) === c || col(idCol).startsWith(c + separator)).reduce(_ || _)
-    val family = usedIds.filter(cond).collect().map(_.getString(0)).toSet
-    val renames = conflicts.map { id =>
+    val reserved = usedIds.unionByName(incomingIds)
+    val family = scala.collection.mutable.Set(
+      reserved.filter(cond).collect().map(_.getString(0)): _*)
+    val renames = conflicts.sorted.map { id =>
       val n = Iterator.from(1).find(i => !family.contains(s"$id$separator$i")).get
-      (id, s"$id$separator$n")
+      val newId = s"$id$separator$n"
+      family += newId
+      (id, newId)
     }
     renames.toSeq.toDF("old_id", "new_id")
   }

@@ -148,9 +148,10 @@ final case class SplitTripLegs(
       .select(col("trip_id"), col("stop_id"), col("c.out_leg").as("leg"))
     val maxExisting = feed("transfers").agg(coalesce(max("transfer_id"), lit(0L)))
       .collect().head.getLong(0)
-    val newTransfers = boundaries
-      .withColumn("transfer_id",
-        row_number().over(Window.orderBy(col("trip_id"), col("leg"))).cast("long") + maxExisting)
+    // deterministic ids in (trip_id, leg) order: distributed range-sort
+    // + zipWithIndex, not a global single-partition window
+    val newTransfers = graft.util.Ids.withRowIndex(
+      boundaries.orderBy(col("trip_id"), col("leg")), "transfer_id", maxExisting + 1)
       .select(
         col("transfer_id"),
         col("stop_id").as("from_stop_id"), col("stop_id").as("to_stop_id"),

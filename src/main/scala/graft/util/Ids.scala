@@ -1,0 +1,31 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Distributed sequential-id assignment.
+  *
+  * `row_number().over(Window.orderBy(monotonically_increasing_id()))`
+  * collapses the whole input to ONE partition (Spark warns
+  * "WindowExec: No Partition Defined"). `RDD.zipWithIndex` computes the
+  * same partition-order index in two distributed passes: a cheap
+  * count-per-partition job, then a narrow map that adds each
+  * partition's offset — no shuffle, no single-partition stage.
+  */
+object Ids {
+
+  /** Attach `startAt + i` (i = 0-based position in the DataFrame's
+    * current partition/offset order — the same order
+    * `monotonically_increasing_id` sorts by) as LongType column
+    * `colName`. For a deterministic order, sort the input first:
+    * `withRowIndex(df.orderBy(...), ...)` — zipWithIndex preserves the
+    * range-partitioned sort order.
+    */
+  def withRowIndex(df: DataFrame, colName: String, startAt: Long = 1L): DataFrame = {
+    val schema = df.schema.add(colName, LongType, nullable = false)
+    val indexed = df.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + startAt))
+    }
+    df.sparkSession.createDataFrame(indexed, schema)
+  }
+}
