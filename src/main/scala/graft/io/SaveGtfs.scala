@@ -1,9 +1,13 @@
 package graft.io
 
-import java.io.{BufferedOutputStream, FileOutputStream, OutputStreamWriter}
+import java.io.{BufferedOutputStream, FileOutputStream}
 import java.nio.charset.StandardCharsets
-import java.nio.file.Path
+import java.nio.file.{Files, Path}
+import java.util.Comparator
 import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -17,21 +21,26 @@ import graft.operators.{Task, TaskRuntime}
   * The caller supplies the exact per-file header list, exactly like the
   * reference (save_gtfs.py:17-46); each requested header resolves to
   * the table column's to-GTFS codec expression, or to
-  * `extra_fields[header]` for unknown headers (save.rs:93-140). The
-  * formatting work (time/date/tri-state codecs) runs distributed as one
-  * projection per table; rows then stream to the driver-side zip writer
-  * (the zip container itself is inherently single-writer — same as the
-  * reference, which also funnels through one output file, one thread
-  * per table, save.rs:174-208).
+  * `extra_fields[header]` for unknown headers (save.rs:93-140).
   *
-  * @param headers             gtfs file name -> ordered GTFS column headers
+  * Scale shape: ALL formatting — codecs, quoting, line assembly — runs
+  * as a distributed `df.write.text` per table (CRLF lineSep), with the
+  * per-table Spark jobs submitted CONCURRENTLY (the reference runs one
+  * thread per table, save.rs:174-208). Only the final zip assembly is
+  * driver-side — the zip container is inherently single-writer, and the
+  * driver merely stream-concatenates the finished part files in the
+  * caller-declared member order, never materializing a table in memory.
+  *
+  * @param headers             (gtfs file name, ordered GTFS headers) in
+  *                            the member order to write (a Seq, not a
+  *                            Map — insertion order is the contract)
   * @param target              output .zip path
   * @param emitEmptyCalendars  if false, calendars with no weekday bit set
   *                            are dropped (schema.rs:79 filter_clause)
   * @param ensureOrder         ORDER BY primary key per file (save.rs:129-137)
   */
 final case class SaveGtfs(
-    headers: Map[String, Seq[String]],
+    headers: Seq[(String, Seq[String])],
     target: Path,
     emitEmptyCalendars: Boolean = false,
     ensureOrder: Boolean = false) extends Task {
@@ -39,22 +48,71 @@ final case class SaveGtfs(
   override def name = "SaveGtfs"
 
   def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
-    val zip = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(target.toFile)))
-    val writer = new OutputStreamWriter(zip, StandardCharsets.UTF_8)
+    val scratch = Files.createTempDirectory("gtfs_save_")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(math.max(headers.size, 1), 8))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      headers.foreach { case (file, cols) =>
+      // distributed CSV formatting, one concurrent Spark job per table
+      val jobs = headers.zipWithIndex.map { case ((file, cols), i) =>
         val spec = GtfsSpec.byGtfsName(file)
           .getOrElse(sys.error(s"SaveGtfs: unknown GTFS file $file"))
-        val df = projected(feed(spec.sqlName), spec, cols)
-        zip.putNextEntry(new ZipEntry(file))
-        writeCsv(writer, cols, df)
-        writer.flush()
-        zip.closeEntry()
+        val out = scratch.resolve(s"$i")
+        Future {
+          csvLines(projected(feed(spec.sqlName), spec, cols))
+            .write.option("lineSep", "\r\n").text(out.toString)
+          (file, cols, out)
+        }
       }
+      val done = Await.result(Future.sequence(jobs), Duration.Inf)
+
+      // single-writer zip assembly: header line + raw part-file concat
+      val zip = new ZipOutputStream(
+        new BufferedOutputStream(new FileOutputStream(target.toFile)))
+      try {
+        done.foreach { case (file, cols, dir) =>
+          zip.putNextEntry(new ZipEntry(file))
+          zip.write((cols.map(quoteCell).mkString(",") + "\r\n")
+            .getBytes(StandardCharsets.UTF_8))
+          partFiles(dir).foreach(p => Files.copy(p, zip))
+          zip.closeEntry()
+        }
+      } finally zip.close()
     } finally {
-      writer.flush(); zip.close()
+      pool.shutdown()
+      if (Files.exists(scratch))
+        Files.walk(scratch).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
     }
     feed
+  }
+
+  /** Ordered data part files of a distributed text write. */
+  private def partFiles(dir: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.getFileName.toString)
+  }
+
+  /** One fully-formatted CSV line per row, built with codegen'd string
+    * expressions (quote when a cell contains comma, quote, CR or LF;
+    * quotes doubled — save.rs:220-222 semantics). */
+  private def csvLines(df: DataFrame): DataFrame = {
+    def cell(c: Column): Column = {
+      val s = coalesce(c, lit(""))
+      when(s.rlike("[,\"\r\n]"),
+        concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\"")))
+        .otherwise(s)
+    }
+    df.select(concat_ws(",", df.columns.map(n => cell(col(n))): _*).as("value"))
+  }
+
+  private def quoteCell(v: String): String = {
+    val s = if (v == null) "" else v
+    if (s.exists(ch => ch == ',' || ch == '"' || ch == '\n' || ch == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
   }
 
   private def projected(df: DataFrame, spec: GtfsTableSpec, headerCols: Seq[String]): DataFrame = {
@@ -74,25 +132,6 @@ final case class SaveGtfs(
       if (ensureOrder && spec.orderCols.nonEmpty) filtered.orderBy(spec.orderCols.map(col): _*)
       else filtered
     ordered.select(out: _*)
-  }
-
-  /** CRLF CSV with standard quoting (quote when a cell contains comma,
-    * quote, CR or LF; quotes doubled) — matches the reference's writer
-    * (save.rs:220-222). */
-  private def writeCsv(w: OutputStreamWriter, header: Seq[String], df: DataFrame): Unit = {
-    def cell(v: String): String = {
-      val s = if (v == null) "" else v
-      if (s.exists(ch => ch == ',' || ch == '"' || ch == '\n' || ch == '\r'))
-        "\"" + s.replace("\"", "\"\"") + "\""
-      else s
-    }
-    w.write(header.map(cell).mkString(",")); w.write("\r\n")
-    val it = df.toLocalIterator()
-    while (it.hasNext) {
-      val row = it.next()
-      val line = (0 until row.length).map(i => cell(if (row.isNullAt(i)) "" else row.getString(i)))
-      w.write(line.mkString(",")); w.write("\r\n")
-    }
   }
 }
 

@@ -29,7 +29,7 @@ object ExampleDemo {
         },
         MergeRailwayStations(),
         RemoveUnusedEntities,
-        SaveGtfs(Map(
+        SaveGtfs(Seq(
           "agency.txt" -> Seq("agency_id", "agency_name", "agency_url", "agency_timezone"),
           "stops.txt" -> Seq("stop_id", "stop_name", "stop_lat", "stop_lon"),
           "stop_times.txt" -> Seq("trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence")),

@@ -34,7 +34,7 @@ object GtfsDemo {
       AssignDirections(
         Seq(("wsrod", "plglo"), ("plglo", "gmrad"), ("plglo", "milgr")), overwrite = true),
       SplitTripLegs(),
-      SaveGtfs(Map(
+      SaveGtfs(Seq(
         "agency.txt" -> Seq("agency_id", "agency_name", "agency_url", "agency_timezone",
           "agency_lang"),
         "routes.txt" -> Seq("agency_id", "route_id", "route_short_name", "route_long_name",

@@ -93,7 +93,7 @@ class Tasks1Spec extends SparkSpec {
 
   test("SaveGtfs round-trips the wkd feed") {
     val target = Files.createTempDirectory("gtfs_out").resolve("out.zip")
-    val headers = Map(
+    val headers = Seq(
       "agency.txt" -> Seq("agency_id", "agency_name", "agency_url", "agency_timezone", "agency_lang"),
       "routes.txt" -> Seq("agency_id", "route_id", "route_short_name", "route_long_name",
         "route_type", "route_color", "route_text_color"),
@@ -109,6 +109,15 @@ class Tasks1Spec extends SparkSpec {
         "transfers", "transfer_duration", "agency_id"),
       "feed_info.txt" -> Seq("feed_publisher_name", "feed_publisher_url", "feed_lang", "feed_version"))
     SaveGtfs(headers, target, ensureOrder = true).execute(wkd, rt)
+
+    // zip members appear in the caller-declared header order
+    val zf = new java.util.zip.ZipFile(target.toFile)
+    val memberOrder =
+      try {
+        import scala.jdk.CollectionConverters._
+        zf.entries().asScala.map(_.getName).toSeq
+      } finally zf.close()
+    assert(memberOrder == headers.map(_._1))
 
     val back = LoadGtfs(target).execute(null, rt)
     assert(back("agencies").count() == 1)
