@@ -108,11 +108,14 @@ object GtfsFunctions {
   }
 
   /** Black-or-white text color for a hex background color, by YIQ
-    * luminance. Reference: `text_color_for`, tools/color.py:56-78. */
+    * luminance. Reference: `text_color_for`, tools/color.py:56-78.
+    * Optional leading '#' accepted; strict > threshold (yiq exactly
+    * 128 yields white), matching the reference. */
   def textColorFor(hex: Column): Column = {
-    def chan(at: Int) = conv(substring(hex, at, 2), 16, 10).cast("int")
+    val h = regexp_replace(hex, "^#", "")
+    def chan(at: Int) = conv(substring(h, at, 2), 16, 10).cast("int")
     val yiq = chan(1) * 299 + chan(3) * 587 + chan(5) * 114
-    when(yiq >= 128000, "000000").otherwise("FFFFFF")
+    when(yiq > 128000, "000000").otherwise("FFFFFF")
   }
 
   /** Register SQL-callable versions so `ExecuteSQL` pipelines can use the
@@ -124,6 +127,17 @@ object GtfsFunctions {
       (s: String) => if (s == null || s.isEmpty) null else {
         val p = s.split(":"); Integer.valueOf(p(0).toInt * 3600 + p(1).toInt * 60 + p(2).toInt)
       })
+    spark.udf.register("unicode_lower",
+      (s: String) => if (s == null) null else s.toLowerCase(java.util.Locale.ROOT))
+    spark.udf.register("unicode_upper",
+      (s: String) => if (s == null) null else s.toUpperCase(java.util.Locale.ROOT))
+    // re.sub(pattern, repl, string) — Python argument order AND Python
+    // regex/backref dialect (db.py:216); ported ExecuteSQL text runs
+    // unchanged. Patterns are compiled once per executor (cached).
+    spark.udf.register("re_sub",
+      (pattern: String, repl: String, s: String) =>
+        if (pattern == null || repl == null || s == null) null
+        else Helpers.reSub(pattern, repl, s))
     spark.udf.register("unicode_casefold", (s: String) => if (s == null) null else
       // Python str.casefold: full case folding — the common divergence
       // from toLowerCase is the German sharp s

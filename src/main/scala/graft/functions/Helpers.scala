@@ -47,10 +47,62 @@ object Helpers {
   }
 
   /** Black-or-white text color for a hex background by YIQ luminance —
-    * driver-side twin of GtfsFunctions.textColorFor (color.py:56-78). */
+    * driver-side twin of GtfsFunctions.textColorFor (color.py:56-78).
+    * Accepts an optional leading '#'; the reference's threshold is
+    * STRICT > (yiq exactly 128, e.g. #808080, yields white). */
   def textColorFor(hex: String): String = {
-    val v = Integer.parseInt(hex.take(6), 16)
+    val v = Integer.parseInt(hex.stripPrefix("#").take(6), 16)
     val yiq = (v >> 16) * 299 + ((v >> 8) & 0xff) * 587 + (v & 0xff) * 114
-    if (yiq >= 128000) "000000" else "FFFFFF"
+    if (yiq > 128000) "000000" else "FFFFFF"
+  }
+
+  private val reSubPatterns =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
+  /** Python `re.sub(pattern, repl, string)` (db.py:216 registers it as
+    * the 3-arg SQL function `re_sub`). Python dialect is translated to
+    * Java's: `(?P<name>...)` / `(?P=name)` in the pattern, `\1` /
+    * `\g<name>` backrefs and escape sequences in the replacement. */
+  def reSub(pattern: String, repl: String, s: String): String =
+    reSubPatterns.computeIfAbsent(pattern, p =>
+      java.util.regex.Pattern.compile(
+        p.replace("(?P<", "(?<").replaceAll("""\(\?P=(\w+)\)""", """\\k<$1>""")))
+      .matcher(s).replaceAll(javaReplacement(repl))
+
+  /** Python re.sub replacement text -> java.util.regex.Matcher dialect:
+    * `\N` -> `$N`, `\g<name>` -> `${name}`, resolved escapes and `$`
+    * quoted as literals. */
+  private[functions] def javaReplacement(repl: String): String = {
+    import java.util.regex.Matcher.quoteReplacement
+    val sb = new StringBuilder
+    var i = 0
+    while (i < repl.length) {
+      repl.charAt(i) match {
+        case '$' =>
+          sb.append("\\$"); i += 1
+        case '\\' if i + 1 < repl.length =>
+          val n = repl.charAt(i + 1)
+          if (n.isDigit) {
+            sb.append('$'); i += 1
+            while (i < repl.length && repl.charAt(i).isDigit) {
+              sb.append(repl.charAt(i)); i += 1
+            }
+          } else if (n == 'g' && i + 2 < repl.length && repl.charAt(i + 2) == '<') {
+            val end = repl.indexOf('>', i + 3)
+            require(end > 0, s"unterminated \\g<...> in replacement: $repl")
+            sb.append("${").append(repl.substring(i + 3, end)).append('}')
+            i = end + 1
+          } else {
+            val resolved = n match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case other => other
+            }
+            sb.append(quoteReplacement(resolved.toString)); i += 2
+          }
+        case ch =>
+          sb.append(ch); i += 1
+      }
+    }
+    sb.toString
   }
 }

@@ -145,5 +145,29 @@ object CodecQueries {
       ORDER BY c.c_custkey"""),
     bench = true)
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q42)
+  /** SQL-registered text functions (db.py:212-216): `re_sub` with the
+    * Python argument order and `\N` backref dialect, plus
+    * `unicode_upper`/`unicode_lower` — the exact names a ported
+    * ExecuteSQL statement would call. The Spark text uses doubled
+    * backslashes only because Spark's SQL literal parser processes
+    * escapes; the pattern reaching re_sub is identical to the
+    * oracle's. */
+  val q43 = QueryDef(
+    "q43_re_sub",
+    (s, dir) => {
+      graft.functions.GtfsFunctions.registerAll(s)
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql("""SELECT p_partkey, p_name,
+          re_sub('^(\\w+) (\\w+)', '\\2 \\1', p_name) AS swapped,
+          unicode_upper(p_name) AS name_upper,
+          unicode_lower(p_type) AS type_lower
+        FROM part ORDER BY p_partkey""")
+    },
+    Some("""SELECT p_partkey, p_name,
+        regexp_replace(p_name, '^(\w+) (\w+)', '\2 \1', 'g') AS swapped,
+        upper(p_name) AS name_upper,
+        lower(p_type) AS type_lower
+      FROM part ORDER BY p_partkey"""))
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q42, q43)
 }

@@ -40,5 +40,21 @@ class HelpersSpec extends AnyFunSuite {
     assert(Helpers.textColorFor("FFFFFF") == "000000")
     assert(Helpers.textColorFor("000000") == "FFFFFF")
     assert(Helpers.textColorFor("990099") == "FFFFFF") // wkd purple
+    // strict > threshold: yiq exactly 128 (#808080) -> white
+    assert(Helpers.textColorFor("808080") == "FFFFFF")
+    // optional '#' prefix accepted, as in the reference
+    assert(Helpers.textColorFor("#FFFFFF") == "000000")
+  }
+
+  test("reSub (re.sub parity incl. Python backref dialect)") {
+    assert(Helpers.reSub("a+", "-", "baaanaaana") == "b-n-n-")
+    assert(Helpers.reSub("(a)(b)", "\\2\\1", "xabx") == "xbax")
+    assert(Helpers.reSub("(?P<d>\\d+)", "[\\g<d>]", "a12b3") == "a[12]b[3]")
+    // literal $ in the replacement must not be a Java group ref
+    assert(Helpers.reSub("x", "$1", "axa") == "a$1a")
+    // resolved escapes pass through as literals
+    assert(Helpers.reSub(",", "\\n", "a,b") == "a\nb")
+    // Python named-group pattern dialect
+    assert(Helpers.reSub("(?P<w>ab)(?P=w)", "<\\g<w>>", "zababz") == "z<ab>z")
   }
 }
