@@ -1,0 +1,43 @@
+package graft.errors
+
+/** Input-data error that can be caught and collected so the underlying
+  * process continues (reference: DataError, errors.py:16-24). Extends
+  * IllegalArgumentException: a DataError is always a complaint about
+  * input values, and callers that only know java.lang types still catch
+  * the right supertype. */
+class DataError(message: String) extends IllegalArgumentException(message)
+
+/** A non-zero number of DataErrors raised as ONE failure after the
+  * whole process ran, so every violation surfaces in a single message
+  * (reference: MultipleDataErrors, errors.py:38-120). */
+final class MultipleDataErrors(val when: String, val errors: Seq[DataError])
+  extends DataError(
+    s"${errors.length} error(s) encountered during $when:\n    " +
+      errors.map(_.getMessage).mkString("\n    "))
+
+object MultipleDataErrors {
+
+  /** Run every thunk; DataErrors are collected (other exceptions
+    * propagate immediately), null results dropped, and one
+    * MultipleDataErrors raised at the end if any were caught —
+    * errors.py:57-120 catch_all. */
+  def catchAll[T](when: String, items: Iterable[() => T]): Seq[T] = {
+    val errors = Seq.newBuilder[DataError]
+    val out = Seq.newBuilder[T]
+    items.foreach { f =>
+      try {
+        val v = f()
+        if (v != null) out += v
+      } catch { case e: DataError => errors += e }
+    }
+    val errs = errors.result()
+    if (errs.nonEmpty) throw new MultipleDataErrors(when, errs)
+    out.result()
+  }
+
+  /** Collector form for distributed checks that produce a violation
+    * list: raise all `messages` together, or do nothing when empty. */
+  def raiseAll(when: String, messages: Seq[String]): Unit =
+    if (messages.nonEmpty)
+      throw new MultipleDataErrors(when, messages.map(new DataError(_)))
+}

@@ -53,8 +53,10 @@ final case class ModifyFromCsv(
       val uncurated = entity.select(entity(keySqlCol))
         .join(firstPerId, entity(keySqlCol) === firstPerId(keyCsvCol), "left_anti")
         .collect().map(_.getString(0)).sorted
-      require(uncurated.isEmpty,
-        "The following entities weren't curated:\n\t" + uncurated.mkString("\n\t"))
+      // one MultipleDataErrors carrying every uncurated id (catch_all
+      // parity, errors.py:57-120)
+      graft.errors.MultipleDataErrors.raiseAll(s"curation of $table",
+        uncurated.toSeq.map(id => s"entity $id wasn't curated"))
     }
 
     val present = firstPerId.columns.toSet

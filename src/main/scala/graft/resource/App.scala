@@ -1,0 +1,120 @@
+package graft.resource
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model.FeedDataset
+import graft.operators.Task
+
+/** The default CLI arguments every App parses (app.py:86-121), plus
+  * any unrecognized tokens in `extra` for subclass-defined flags. */
+final case class AppArgs(
+    forceRun: Boolean = false,
+    fromCache: Boolean = false,
+    verbose: Boolean = false,
+    inputNotModifiedExitCode: Int = 2,
+    extra: Seq[String] = Seq.empty)
+
+/** What `App.prepare` returns: one pipeline run, or a versioned
+  * MultiFile orchestration (app.py prepare's
+  * `Pipeline | MultiFile[Resource]` union). */
+sealed trait PreparedRun
+final case class PreparedPipeline(
+    tasks: Seq[Task],
+    resources: Map[String, Resource] = Map.empty,
+    initial: Option[FeedDataset] = None) extends PreparedRun
+final case class PreparedMultiFile(multiFile: MultiFile) extends PreparedRun
+
+/** CLI glue for writing applications over graft pipelines (reference:
+  * App, app.py:19-147): parses the standard flags
+  * (`-f`/`--force-run`, `-c`/`--from-cache`, `-v`/`--verbose`,
+  * `-I`/`--input-not-modified-exit-code`), builds [[PipelineOptions]],
+  * runs the prepared Pipeline or MultiFile, and exits with
+  * `inputNotModifiedExitCode` (default 2) when every input resource is
+  * unchanged — so cron jobs can distinguish "nothing to do" from
+  * failure.
+  *
+  * {{{
+  * object MyApp extends graft.resource.App("my-app") {
+  *   def prepare(args: AppArgs, options: PipelineOptions) =
+  *     PreparedPipeline(Seq(...tasks...), Map("feed.zip" -> HttpResource(...)))
+  * }
+  * // spark-submit --class MyApp ... -f --from-cache
+  * }}}
+  */
+abstract class App(
+    appName: String = null,
+    val workspaceDirectory: Path = Path.of("_impuls_workspace")) {
+
+  def name: String =
+    Option(appName).getOrElse(getClass.getSimpleName.stripSuffix("$"))
+
+  /** Must return the Pipeline or MultiFile to run (app.py:48-53). */
+  def prepare(args: AppArgs, options: PipelineOptions): PreparedRun
+
+  /** Hook between prepare and the run (app.py:73-78). */
+  def beforeRun(): Unit = ()
+
+  /** Hook after a successful run (app.py:80-84); not reached when the
+    * run short-circuits on InputNotModified. */
+  def afterRun(): Unit = ()
+
+  /** Session for the run; override for cluster-specific config. The
+    * default defers to spark-submit / an active session where present. */
+  def sparkSession(): SparkSession =
+    SparkSession.builder()
+      .appName(name)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+
+  /** Overridable for tests; the default terminates the JVM like the
+    * reference's `exit` (app.py:146). */
+  protected def exit(code: Int): Unit = sys.exit(code)
+
+  final def parseArgs(argv: Seq[String]): AppArgs = {
+    val v = argv.toVector
+    var a = AppArgs()
+    val rest = Seq.newBuilder[String]
+    var i = 0
+    while (i < v.length) {
+      v(i) match {
+        case "-f" | "--force-run"  => a = a.copy(forceRun = true); i += 1
+        case "-c" | "--from-cache" => a = a.copy(fromCache = true); i += 1
+        case "-v" | "--verbose"    => a = a.copy(verbose = true); i += 1
+        case "-I" | "--input-not-modified-exit-code" =>
+          require(i + 1 < v.length, s"${v(i)} requires a value")
+          a = a.copy(inputNotModifiedExitCode = v(i + 1).toInt); i += 2
+        case other => rest += other; i += 1
+      }
+    }
+    a.copy(extra = rest.result())
+  }
+
+  /** Parse argv, prepare, and run (app.py:127-147). */
+  final def run(argv: Array[String]): Unit = {
+    val args = parseArgs(argv.toSeq)
+    val options = PipelineOptions(
+      forceRun = args.forceRun, fromCache = args.fromCache,
+      workspace = workspaceDirectory)
+    val spark = sparkSession()
+    if (args.verbose) spark.sparkContext.setLogLevel("INFO")
+    val prepared = prepare(args, options)
+    beforeRun()
+    try {
+      prepared match {
+        case PreparedPipeline(tasks, resources, initial) =>
+          PipelineRunner.run(spark, tasks, resources, options, initial)
+        case PreparedMultiFile(mf) =>
+          mf.run(spark)
+      }
+      afterRun()
+    } catch {
+      case e: InputNotModified =>
+        System.err.println(s"[$name] ${e.getMessage}")
+        exit(args.inputNotModifiedExitCode)
+    }
+  }
+
+  final def main(argv: Array[String]): Unit = run(argv)
+}

@@ -11,9 +11,9 @@ import java.time.Instant
 final class InputNotModified extends Exception("no resources have changed")
 
 /** Raised in from-cache mode for resources never fetched (reference:
-  * ResourceNotCached). */
+  * ResourceNotCached, errors.py:26-35 — a DataError subclass). */
 final class ResourceNotCached(name: String)
-  extends Exception(s"resource $name is not cached")
+  extends graft.errors.DataError(s"Resource is not cached: $name")
 
 /** A locally cached resource handed to tasks (reference:
   * ManagedResource, resource.py:451-571). */

@@ -152,13 +152,16 @@ class Tasks1Spec extends SparkSpec {
     assert(out("stops").count() == 28)
   }
 
-  test("ModifyFromCsv mustCurateAll fails listing uncurated ids") {
+  test("ModifyFromCsv mustCurateAll fails listing ALL uncurated ids at once") {
     val csv = Files.createTempFile("curate2", ".csv")
     Files.writeString(csv, "stop_id,stop_name\nwsrod,X\n")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[graft.errors.MultipleDataErrors] {
       ModifyFromCsv.stops(csv, mustCurateAll = true, silent = true).execute(wkd, rt)
     }
-    assert(e.getMessage.contains("weren't curated"))
+    // every violation in ONE failure (errors.py catch_all parity)
+    assert(e.errors.length == 27) // 28 stops, 1 curated
+    assert(e.getMessage.contains("error(s) encountered during curation of stops"))
+    assert(e.getMessage.contains("wasn't curated"))
   }
 
   test("ExecuteSql runs over temp views; DeleteRows cascades") {

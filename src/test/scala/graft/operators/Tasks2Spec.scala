@@ -53,10 +53,22 @@ class Tasks2Spec extends SparkSpec {
       Seq(trip("T_loop", "R")),
       Seq(stopTime("T_loop", "s1", 0, 1000), stopTime("T_loop", "s2", 1, 2000),
         stopTime("T_loop", "s1", 2, 3000)))
-    val e = intercept[IllegalStateException] {
+    val e = intercept[graft.errors.MultipleDataErrors] {
       AssignDirections(Seq(("s1", "s2"))).execute(f, rt)
     }
     assert(e.getMessage.contains("no direction for trip T_loop"))
+    // multiple unmatched trips are reported together in one failure
+    val f2 = feedWith(
+      Seq(trip("T_loop", "R"), trip("T_loop2", "R")),
+      Seq(stopTime("T_loop", "s1", 0, 1000), stopTime("T_loop", "s2", 1, 2000),
+        stopTime("T_loop", "s1", 2, 3000),
+        stopTime("T_loop2", "s1", 0, 1000), stopTime("T_loop2", "s2", 1, 2000),
+        stopTime("T_loop2", "s1", 2, 3000)))
+    val e2 = intercept[graft.errors.MultipleDataErrors] {
+      AssignDirections(Seq(("s1", "s2"))).execute(f2, rt)
+    }
+    assert(e2.errors.length == 2)
+    assert(e2.getMessage.contains("T_loop") && e2.getMessage.contains("T_loop2"))
     // with an unambiguous pair it succeeds
     val ok = AssignDirections(Seq(("s2", "s9"), ("s2", "s1"))).execute(
       feedWith(Seq(trip("T2", "R")),

@@ -56,6 +56,42 @@ class ResourceSpec extends SparkSpec {
     PipelineRunner.run(spark, Seq.empty, Map("r" -> LocalResource(f)), opts(true))
   }
 
+  test("App CLI: runs the pipeline, exits 2 on InputNotModified, -f forces") {
+    val ws = tmpWorkspace
+    val f = Files.createTempFile("res", ".txt")
+    Files.writeString(f, "x")
+
+    class TestApp extends App("test-app", ws) {
+      var ran = 0
+      var exitCode: Option[Int] = None
+      override def sparkSession() = TestSpark.spark
+      override protected def exit(code: Int): Unit = exitCode = Some(code)
+      def prepare(args: AppArgs, options: PipelineOptions) =
+        PreparedPipeline(
+          Seq(new Task {
+            override def name = "count"
+            def execute(feed: graft.model.FeedDataset, rt: TaskRuntime) = { ran += 1; feed }
+          }),
+          Map("r" -> LocalResource(f)))
+    }
+
+    val app = new TestApp
+    app.run(Array.empty) // first run fetches + runs
+    assert(app.ran == 1 && app.exitCode.isEmpty)
+    app.run(Array.empty) // unchanged input -> exit code 2, task not run
+    assert(app.ran == 1 && app.exitCode.contains(2))
+    app.exitCode = None
+    app.run(Array("-f")) // forced -> runs again
+    assert(app.ran == 2 && app.exitCode.isEmpty)
+    app.exitCode = None
+    app.run(Array("--input-not-modified-exit-code", "7"))
+    assert(app.exitCode.contains(7))
+    // flag parsing: unknown tokens land in extra
+    val parsed = app.parseArgs(Seq("-f", "positional", "-c", "-v"))
+    assert(parsed.forceRun && parsed.fromCache && parsed.verbose &&
+      parsed.extra == Seq("positional"))
+  }
+
   test("fromCache mode requires cached resources") {
     val ws = tmpWorkspace
     intercept[ResourceNotCached] {
