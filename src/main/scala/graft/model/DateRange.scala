@@ -25,6 +25,62 @@ sealed trait DateRange {
     case _ => intersect(o) == this
   }
 
+  /** True when the two ranges share no dates (temporal.py isdisjoint). */
+  def isdisjoint(o: DateRange): Boolean = (this, o) match {
+    case (DateRange.Empty, _) | (_, DateRange.Empty) => true
+    case _ => intersect(o) == DateRange.Empty
+  }
+
+  /** Dates in either range; raises ArithmeticException when the result
+    * would not be contiguous — same contract as temporal.py union
+    * ("creates DateRange with holes"). Adjacent ranges (gap of zero
+    * days) merge. */
+  def union(o: DateRange): DateRange = (this, o) match {
+    case (DateRange.Empty, _) => o
+    case (_, DateRange.Empty) => this
+    case _ =>
+      def gap(s: Option[LocalDate], e: Option[LocalDate]): Boolean =
+        (for { sv <- s; ev <- e } yield sv.isAfter(ev.plusDays(1))).getOrElse(false)
+      if (gap(start(this), end(o)) || gap(start(o), end(this)))
+        throw new ArithmeticException(s"$this | $o creates DateRange with holes")
+      val s = (start(this), start(o)) match {
+        case (Some(a), Some(b)) => Some(Seq(a, b).min)
+        case _ => None
+      }
+      val e = (end(this), end(o)) match {
+        case (Some(a), Some(b)) => Some(Seq(a, b).max)
+        case _ => None
+      }
+      DateRange.make(s, e)
+  }
+
+  /** Dates in `this` but not in `o`; raises ArithmeticException when
+    * `o` splits `this` in two (temporal.py difference). */
+  def difference(o: DateRange): DateRange = (this, o) match {
+    case (DateRange.Empty, _) => DateRange.Empty
+    case (_, DateRange.Empty) => this
+    case _ if isdisjoint(o) => this
+    case _ if issubset(o) => DateRange.Empty
+    case _ =>
+      // o.start <= this.start (None = -inf) / o.end >= this.end (None = +inf)
+      val coversStart = (start(o), start(this)) match {
+        case (None, _) => true
+        case (_, None) => false
+        case (Some(os), Some(ts)) => !os.isAfter(ts)
+      }
+      val coversEnd = (end(o), end(this)) match {
+        case (None, _) => true
+        case (_, None) => false
+        case (Some(oe), Some(te)) => !oe.isBefore(te)
+      }
+      if (coversStart)
+        DateRange.make(end(o).map(_.plusDays(1)), end(this))
+      else if (coversEnd)
+        DateRange.make(start(this), start(o).map(_.minusDays(1)))
+      else
+        throw new ArithmeticException(s"$this - $o creates DateRange with holes")
+  }
+
   private def start(r: DateRange): Option[LocalDate] = r match {
     case DateRange.RightUnbounded(s) => Some(s)
     case DateRange.Bounded(s, _) => Some(s)

@@ -93,11 +93,41 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over an undirected (doc_a, doc_b) edge list
+    * by iterative min-label propagation: every node adopts the minimum
+    * label among itself and its neighbors until a fixpoint. Converges
+    * in O(component diameter) rounds — near-dup clusters are shallow —
+    * and each round is one shuffle join + one aggregation, all
+    * distributed; `maxIters` bounds pathological chains. Labels are
+    * checkpointed per round so the plan stays linear.
+    * Returns (id, comp) where comp = the minimum id in the component.
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("comp").as("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .withColumn("new_comp", least(col("comp"), coalesce(col("nbr_comp"), col("comp"))))
+      changed = next.filter(col("new_comp") =!= col("comp")).count()
+      labels = next.select(col("id"), col("new_comp").as("comp")).localCheckpoint(true)
+      it += 1
+    }
+    labels
+  }
+
   /** Near-dup dedup end to end: minhash -> LSH bands -> jaccard verify
-    * -> connected keepers. Rows whose doc matches an earlier doc with
-    * jaccard >= `threshold` are flagged. Union-find over candidate
-    * pairs is approximated by "keep the minimum id per duplicate
-    * cluster edge" — each dup points at its smallest similar neighbor.
+    * -> connected components over the verified pairs. Every member of a
+    * duplicate cluster except its minimum id is flagged, with `dup_of`
+    * pointing at the cluster keeper — TRANSITIVE: a chain A~B~C with no
+    * direct A~C edge still collapses onto A.
     */
   def nearDuplicates(
       docs: DataFrame, idCol: String,
@@ -105,9 +135,10 @@ object Dedup {
     val sigs = minhashSignatures(docs, numHashes)
     val pairs = lshCandidatePairs(sigs, idCol, numHashes, bandSize)
     val verified = jaccardForPairs(docs, idCol, pairs).filter(col("jaccard") >= threshold)
-    val keeper = verified.groupBy(col("doc_b").as(idCol))
-      .agg(min(col("doc_a")).as("dup_of"))
-    docs.join(keeper, Seq(idCol), "left")
+    val dupMap = connectedComponents(verified)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol), col("comp").as("dup_of"))
+    docs.join(dupMap, Seq(idCol), "left")
       .withColumn("is_near_duplicate", col("dup_of").isNotNull)
   }
 

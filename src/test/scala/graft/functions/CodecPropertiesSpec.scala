@@ -85,4 +85,31 @@ class CodecPropertiesSpec extends AnyFunSuite {
         r1.issubset(DateRange.Infinite)
     })
   }
+
+  test("DateRange: union/difference membership laws (temporal.py parity)") {
+    val dGen = Gen.choose(0L, 4000L).map(LocalDate.ofEpochDay)
+    val rGen: Gen[DateRange] = Gen.oneOf(
+      Gen.const(DateRange.Empty: DateRange),
+      Gen.const(DateRange.Infinite: DateRange),
+      dGen.map(DateRange.LeftUnbounded(_): DateRange),
+      dGen.map(DateRange.RightUnbounded(_): DateRange),
+      Gen.zip(dGen, dGen).map { case (a, b) =>
+        (if (a.isAfter(b)) DateRange.Bounded(b, a) else DateRange.Bounded(a, b)): DateRange
+      })
+    checkProp(Prop.forAll(rGen, rGen, dGen) { (r1, r2, d) =>
+      // union covers exactly the pointwise OR wherever it's contiguous;
+      // a "holes" failure may only happen for disjoint inputs
+      val unionOk =
+        try r1.union(r2).contains(d) == (r1.contains(d) || r2.contains(d))
+        catch { case _: ArithmeticException => r1.isdisjoint(r2) }
+      // difference covers exactly the pointwise AND NOT when contiguous
+      val diffOk =
+        try r1.difference(r2).contains(d) == (r1.contains(d) && !r2.contains(d))
+        catch { case _: ArithmeticException => true }
+      unionOk && diffOk &&
+        r1.difference(r1) == DateRange.Empty &&
+        r1.union(DateRange.Empty) == r1 &&
+        (!r1.isdisjoint(r2) || !(r1.contains(d) && r2.contains(d)))
+    })
+  }
 }

@@ -43,6 +43,27 @@ class OpsSpec extends SparkSpec {
     assert(!flagged.contains(3L) && !flagged.contains(4L))
   }
 
+  test("Dedup.connectedComponents: min-label propagation over chains") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("Dedup.nearDuplicates clusters transitively (A~B~C chain, no A~C edge)") {
+    val ws = (1 to 10).map(i => s"w$i")
+    val a = ws.mkString(" ")                            // w1..w10
+    val b = (ws.take(9) :+ "xx").mkString(" ")          // jacc(a,b) = 9/11
+    val c = (ws.take(8) ++ Seq("yy", "xx")).mkString(" ") // jacc(b,c) = 9/11; jacc(a,c) = 8/12 < 0.7
+    val chain = Seq((10L, a), (11L, b), (12L, c)).toDF("doc_id", "text")
+    val out = Dedup.nearDuplicates(chain, "doc_id", threshold = 0.7, bandSize = 1)
+    val flagged = out.filter(col("is_near_duplicate")).select("doc_id", "dup_of")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the one-hop keeper would leave 12 pointing at 11; components
+    // collapse the whole chain onto the minimum id
+    assert(flagged == Map(11L -> 10L, 12L -> 10L))
+  }
+
   test("Dedup.simhash: identical docs share fingerprints, hamming distance sane") {
     val sh = Dedup.simhash(docs, "doc_id")
     val byId = sh.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
