@@ -139,9 +139,10 @@ object GtfsFunctions {
         if (pattern == null || repl == null || s == null) null
         else Helpers.reSub(pattern, repl, s))
     spark.udf.register("unicode_casefold", (s: String) => if (s == null) null else
-      // Python str.casefold: full case folding — the common divergence
-      // from toLowerCase is the German sharp s
-      s.replace("ß", "ss").replace("ẞ", "ss").toLowerCase(java.util.Locale.ROOT))
+      // Python str.casefold = Unicode full case folding; ICU (bundled
+      // with Spark 4 for collations) implements the same C+F mappings
+      // (ß -> ss, ﬁ -> fi, final sigma -> sigma)
+      com.ibm.icu.lang.UCharacter.foldCase(s, com.ibm.icu.lang.UCharacter.FOLD_CASE_DEFAULT))
     spark.udf.register("unicode_title", (s: String) => if (s == null) null else {
       // Python str.title semantics: every alpha run capitalized
       val sb = new StringBuilder; var prevAlpha = false

@@ -46,22 +46,25 @@ object RelationalQueries {
       ORDER BY l_returnflag, l_linestatus"""),
     bench = true)
 
-  /** Top-1 per group via window (GenerateTripHeadsign J1: "last stop of
-    * the trip" plan shape — row_number replaces the reference's
-    * correlated LIMIT 1 subquery). */
+  /** Top-1 per group (GenerateTripHeadsign J1: "last stop of the trip"
+    * plan shape — replaces the reference's correlated LIMIT 1
+    * subquery). Implemented as max_by over a struct ordering key: a
+    * hash aggregation with map-side partial combine, measured faster
+    * than the sort-based row_number window at sf0.1 and strictly
+    * better at scale (no per-partition sort, no skew from one giant
+    * group's sort buffer). (l_orderkey, l_linenumber) is NOT unique in
+    * the synthetic data — the ordering struct carries partkey/suppkey
+    * tiebreakers to stay deterministic. */
   val q02 = QueryDef(
     "q02_top1_per_group",
     (s, dir) => {
-      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
-      // the window ordering carries partkey/suppkey tiebreakers to stay
-      // deterministic.
-      val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_linenumber").desc, col("l_partkey").desc, col("l_suppkey").desc)
       t(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("l_orderkey"), col("l_partkey").as("last_partkey"),
-          col("l_linenumber").as("last_linenumber"))
+        .groupBy(col("l_orderkey"))
+        .agg(expr("""max_by(
+            named_struct('p', l_partkey, 'n', l_linenumber),
+            named_struct('n', l_linenumber, 'p', l_partkey, 's', l_suppkey))""").as("top"))
+        .select(col("l_orderkey"), col("top.p").as("last_partkey"),
+          col("top.n").as("last_linenumber"))
         .orderBy("l_orderkey")
     },
     Some("""SELECT l_orderkey, l_partkey AS last_partkey, l_linenumber AS last_linenumber

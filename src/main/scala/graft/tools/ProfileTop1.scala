@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dev-only A/B of the top-1-per-group plan shapes (q02): sort-based
+  * row_number window vs max_by hash aggregation. */
+object ProfileTop1 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(tag: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime; f; println(s"TIMING $tag: ${(System.nanoTime - t0) / 1e9}")
+    }
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber").desc, col("l_partkey").desc, col("l_suppkey").desc)
+    val windowForm = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_partkey").as("last_partkey"),
+        col("l_linenumber").as("last_linenumber"))
+    val maxByForm = li.groupBy(col("l_orderkey"))
+      .agg(expr("""max_by(
+          named_struct('p', l_partkey, 'n', l_linenumber),
+          named_struct('n', l_linenumber, 'p', l_partkey, 's', l_suppkey))""").as("top"))
+      .select(col("l_orderkey"), col("top.p").as("last_partkey"),
+        col("top.n").as("last_linenumber"))
+
+    def sink(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    // warm both
+    sink(windowForm); sink(maxByForm)
+    (1 to 3).foreach { i =>
+      time(s"window_$i")(sink(windowForm))
+      time(s"max_by_$i")(sink(maxByForm))
+    }
+    spark.stop()
+  }
+}

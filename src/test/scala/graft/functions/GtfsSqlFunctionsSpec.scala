@@ -1,0 +1,41 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** The SQL-registered function surface (db.py:212-216 names and
+  * semantics) as reached by ported ExecuteSQL statements. */
+class GtfsSqlFunctionsSpec extends SparkSpec {
+
+  private def one(sql: String): String = {
+    GtfsFunctions.registerAll(spark)
+    spark.sql(sql).collect().head.getString(0)
+  }
+
+  test("unicode_casefold: full Unicode case folding (str.casefold parity)") {
+    assert(one("SELECT unicode_casefold('Straße')") == "strasse")
+    assert(one("SELECT unicode_casefold('GROẞ')") == "gross")
+    assert(one("SELECT unicode_casefold('ﬁn')") == "fin") // fi ligature
+    assert(one("SELECT unicode_casefold('ΟΔΟΣ')") == "οδοσ") // final sigma folds to σ
+    assert(one("SELECT unicode_casefold('MiXeD')") == "mixed")
+  }
+
+  test("unicode_lower / unicode_upper / unicode_title") {
+    assert(one("SELECT unicode_lower('ŁÓDŹ Główna')") == "łódź główna")
+    assert(one("SELECT unicode_upper('łódź główna')") == "ŁÓDŹ GŁÓWNA")
+    assert(one("SELECT unicode_title('warszawa zachodnia')") == "Warszawa Zachodnia")
+    assert(one("SELECT unicode_title(\"it's a test\")") == "It'S A Test") // str.title quirk
+  }
+
+  test("re_sub via SQL: Python arg order and backref dialect") {
+    assert(one("SELECT re_sub('a+', '-', 'baaanaaana')") == "b-n-n-")
+    // doubled backslashes: Spark's SQL literal parser consumes one level
+    assert(one("SELECT re_sub('(\\\\w+)@(\\\\w+)', '\\\\2 at \\\\1', 'user@host')") == "host at user")
+  }
+
+  test("parse_gtfs_time via SQL handles >24h and empties") {
+    GtfsFunctions.registerAll(spark)
+    val r = spark.sql("SELECT parse_gtfs_time('25:03:11'), parse_gtfs_time('')").collect().head
+    assert(r.getInt(0) == 25 * 3600 + 3 * 60 + 11)
+    assert(r.isNullAt(1))
+  }
+}
