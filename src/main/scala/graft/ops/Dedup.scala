@@ -42,14 +42,24 @@ object Dedup {
   }
 
   /** MinHash signature columns `mh0..mh{n-1}` over 3-token shingles.
-    * Hash family i = md5("i:" || shingle); min over the doc's shingles
-    * is order-free, so the signature is deterministic under any
-    * partitioning. Input must have a `text` column. */
+    * ONE md5 per shingle; the n hash families are derived by double
+    * hashing h_i = a + i*b from two 28-bit halves of the digest (the
+    * standard Kirsch–Mitzenmacher construction) — 8x cheaper than one
+    * keyed md5 per family, and min over the doc's shingles stays
+    * order-free, so the signature is deterministic under any
+    * partitioning. The (a, b) pair array is projected in its own step
+    * so the md5 pass runs once, not once per family. Input must have a
+    * `text` column. */
   def minhashSignatures(df: DataFrame, numHashes: Int = 8): DataFrame = {
-    val sh = shingles("text")
+    val md5s = transform(shingles("text"), x => md5(x))
+    val ab = transform(md5s, m => struct(
+      conv(m.substr(lit(1), lit(7)), 16, 10).cast("long").as("a"),
+      conv(m.substr(lit(9), lit(7)), 16, 10).cast("long").as("b")))
     val mhs = (0 until numHashes).map(i =>
-      array_min(transform(sh, x => md5(concat(lit(s"$i:"), x)))).as(s"mh$i"))
-    df.select(col("*") +: mhs: _*)
+      array_min(transform(col("__mh_ab"),
+        p => p.getField("a") + lit(i.toLong) * p.getField("b"))).as(s"mh$i"))
+    df.withColumn("__mh_ab", ab)
+      .select(df.columns.map(col) ++ mhs: _*)
   }
 
   /** LSH candidate pairs: documents agreeing on at least one band of

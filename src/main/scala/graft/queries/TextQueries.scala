@@ -140,21 +140,38 @@ object TextQueries {
              FROM documents),
             LATERAL unnest(generate_series(1, len(toks)-2)) AS t(i)"""
 
-  private val sigSqlDuck =
-    s"""SELECT doc_id,
-          ${(0 until 8).map(i => s"min(md5('$i:' || sh)) AS mh$i").mkString(", ")}
-        FROM ($shinglesSqlDuck) GROUP BY doc_id"""
+  /** 28-bit integer from 7 hex digits of `m` starting at 1-based `pos`
+    * — the engine-portable hex decode (instr nibble polynomial, the
+    * same trick the simhash oracle uses). */
+  private def hexPolyDuck(m: String, pos: Int): String =
+    (0 until 7).map(j =>
+      s"(instr('0123456789abcdef', substr($m, ${pos + j}, 1)) - 1) * CAST(${1L << (4 * (6 - j))} AS BIGINT)")
+      .mkString(" + ")
 
-  /** MinHash signatures over 3-token shingles (near-dup dedup): 8
-    * md5-keyed hash families, min over the doc's shingles. md5 is
-    * identical across engines and min over hex strings is order-free —
-    * fully deterministic under any parallelism. */
+  private val sigSqlDuck =
+    s"""SELECT doc_id, ${(0 until 8).map(i => s"min(a + $i*b) AS mh$i").mkString(", ")}
+        FROM (SELECT doc_id,
+                ${hexPolyDuck("m", 1)} AS a,
+                ${hexPolyDuck("m", 9)} AS b
+              FROM (SELECT doc_id, md5(sh) AS m FROM ($shinglesSqlDuck)))
+        GROUP BY doc_id"""
+
+  /** MinHash signatures over 3-token shingles (near-dup dedup): ONE
+    * md5 per shingle, 8 hash families by double hashing h_i = a + i*b
+    * over two 28-bit digest halves (Kirsch–Mitzenmacher) — pure
+    * integer math, bit-identical across engines, and min over the
+    * doc's shingles is order-free under any parallelism. */
   val q29 = QueryDef(
     "q29_minhash_signature",
     (s, dir) => {
+      val ab = expr("""transform(transform(sh, x -> md5(x)),
+          m -> named_struct(
+            'a', CAST(conv(substr(m, 1, 7), 16, 10) AS BIGINT),
+            'b', CAST(conv(substr(m, 9, 7), 16, 10) AS BIGINT)))""")
       val mhs = (0 until 8).map(i =>
-        array_min(transform(col("sh"), x => md5(concat(lit(s"$i:"), x)))).as(s"mh$i"))
-      shingles(s, dir).select(col("doc_id") +: mhs: _*).orderBy("doc_id")
+        expr(s"array_min(transform(__ab, p -> p.a + $i * p.b))").as(s"mh$i"))
+      shingles(s, dir).withColumn("__ab", ab)
+        .select(col("doc_id") +: mhs: _*).orderBy("doc_id")
     },
     Some(s"$sigSqlDuck ORDER BY doc_id"),
     bench = true)

@@ -51,12 +51,12 @@ class OpsSpec extends SparkSpec {
   }
 
   test("Dedup.nearDuplicates clusters transitively (A~B~C chain, no A~C edge)") {
-    val ws = (1 to 10).map(i => s"w$i")
-    val a = ws.mkString(" ")                            // w1..w10
-    val b = (ws.take(9) :+ "xx").mkString(" ")          // jacc(a,b) = 9/11
-    val c = (ws.take(8) ++ Seq("yy", "xx")).mkString(" ") // jacc(b,c) = 9/11; jacc(a,c) = 8/12 < 0.7
+    val ws = (1 to 100).map(i => s"w$i")
+    val a = ws.mkString(" ")                              // w1..w100
+    val b = (ws.take(99) :+ "xx").mkString(" ")           // jacc(a,b) = 99/101 ≈ .980
+    val c = (ws.take(98) ++ Seq("yy", "xx")).mkString(" ") // jacc(b,c) ≈ .980; jacc(a,c) = 98/102 ≈ .961
     val chain = Seq((10L, a), (11L, b), (12L, c)).toDF("doc_id", "text")
-    val out = Dedup.nearDuplicates(chain, "doc_id", threshold = 0.7, bandSize = 1)
+    val out = Dedup.nearDuplicates(chain, "doc_id", threshold = 0.97, bandSize = 1)
     val flagged = out.filter(col("is_near_duplicate")).select("doc_id", "dup_of")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // the one-hop keeper would leave 12 pointing at 11; components
