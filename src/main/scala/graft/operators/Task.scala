@@ -36,6 +36,7 @@ final class Pipeline(
   def run(initial: FeedDataset, rt: TaskRuntime): FeedDataset =
     tasks.foldLeft(initial) { (feed, task) =>
       val t0 = System.nanoTime()
+      val rss0 = LoadTracker.memoryUsageKb()
       var out = task.execute(feed, rt)
       if (checkpointAfter.contains(task.name)) {
         out = out.copy(tables = out.tables.map { case (n, df) =>
@@ -43,8 +44,33 @@ final class Pipeline(
         })
       }
       val secs = (System.nanoTime() - t0) / 1e9
+      val rss1 = LoadTracker.memoryUsageKb()
       rt.spark.sparkContext.setJobDescription(null)
-      System.err.println(f"[pipeline] ${task.name}%-28s ${secs}%8.3f s")
+      System.err.println(
+        f"[pipeline] ${task.name}%-28s ${secs}%8.3f s; " +
+          f"memory usage: ${rss0 / 1024} MiB -> ${rss1 / 1024} MiB (diff ${rss1 - rss0} KiB)")
       out
     }
+}
+
+/** Driver-process load telemetry (reference: LoadTracker,
+  * machine_load.py:92-132): wall time + resident set size around each
+  * task. RSS comes from /proc/self/status on Linux; elsewhere the JVM
+  * heap in use is the best available stand-in. */
+object LoadTracker {
+  def memoryUsageKb(): Long = {
+    val status = java.nio.file.Path.of("/proc/self/status")
+    if (java.nio.file.Files.isReadable(status)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(status).asScala
+        .find(_.startsWith("VmRSS:"))
+        .map(_.replaceAll("[^0-9]", "").toLong)
+        .getOrElse(jvmHeapKb())
+    } else jvmHeapKb()
+  }
+
+  private def jvmHeapKb(): Long = {
+    val r = Runtime.getRuntime
+    (r.totalMemory - r.freeMemory) / 1024
+  }
 }

@@ -69,6 +69,54 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  /** Deterministic IVF codebook: the `k` rows with the smallest ids.
+    * Real systems train k-means; the codebook is always tiny and
+    * driver-resident — the Spark-side shape (broadcast argmax assign,
+    * cell equi-join probe) is identical either way. */
+  def deterministicCentroids(
+      df: DataFrame, embCol: String, idCol: String, k: Int): Seq[(Long, Seq[Double])] =
+    df.select(col(idCol).cast("long"), asDouble(col(embCol)))
+      .orderBy(col(idCol)).limit(k).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+
+  /** Max-cosine centroid (struct argmax; ties -> highest centroid id)
+    * of each row's embedding. */
+  private def bestCells(embCol: String, centroids: Seq[(Long, Seq[Double])]): Seq[Column] =
+    centroids.map { case (cid, vec) =>
+      struct(cosine(col(embCol), array(vec.map(lit): _*)).as("sim"), lit(cid).as("cid"))
+    }
+
+  /** IVF coarse quantization: assign every row to its max-cosine
+    * centroid cell. The codebook is a literal expression per centroid
+    * (no join, no shuffle — a narrow codegen'd pass, the 100 TB shape
+    * for inverted-file partitioning). */
+  def ivfAssign(df: DataFrame, embCol: String, centroids: Seq[(Long, Seq[Double])]): DataFrame =
+    df.withColumn("__best", greatest(bestCells(embCol, centroids): _*))
+      .withColumn("cell", col("__best.cid"))
+      .drop("__best")
+
+  /** IVF approximate top-k: data is assigned to cells once; each query
+    * probes its `nProbe` best cells and ranks only same-cell rows —
+    * candidates come from a cell equi-join instead of a cross join,
+    * with recall tunable via nProbe. */
+  def ivfTopK(
+      data: DataFrame, queries: DataFrame, embCol: String, idCol: String,
+      centroids: Seq[(Long, Seq[Double])], k: Int = 10, nProbe: Int = 2): DataFrame = {
+    val d = ivfAssign(data, embCol, centroids).alias("d")
+    val probed = queries
+      .withColumn("__cells",
+        slice(reverse(array_sort(array(bestCells(embCol, centroids): _*))), 1, nProbe))
+      .withColumn("cell", explode(transform(col("__cells"), c => c.getField("cid"))))
+      .drop("__cells").alias("q")
+    val w = Window.partitionBy(col(s"q.$idCol")).orderBy(col("cosine").desc, col(s"d.$idCol"))
+    probed.join(d, col("q.cell") === col("d.cell") && col(s"q.$idCol") =!= col(s"d.$idCol"))
+      .withColumn("cosine", cosine(col(s"q.$embCol"), col(s"d.$embCol")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(s"q.$idCol").as("query_id"), col(s"d.$idCol").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH bucket, then pairwise
     * cosine within buckets, keep pairs above `threshold`. */
   def cosineNearDupPairs(

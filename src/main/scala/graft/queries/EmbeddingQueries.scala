@@ -85,5 +85,34 @@ object EmbeddingQueries {
     Some(s"SELECT vec_id, (${bucketExpr(duckElem)}) AS bucket FROM embeddings ORDER BY vec_id"),
     bench = true)
 
-  val all: Seq[QueryDef] = Seq(q33, q34)
+  /** IVF coarse-quantization cells (the inverted-file ANN scale path,
+    * complementing q34's hyperplane LSH): 4 deterministic centroids
+    * (vec_id 0..3), every vector assigned to its max-cosine cell, ties
+    * to the highest centroid id. Same left-associative dot-product text
+    * on both engines -> bit-exact. */
+  private def ivfSql(elem: (String, Int) => String): String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+      scored AS (
+        SELECT vec_id, cid,
+          (${dotSum(elem, "embedding", "cv")}) AS dot,
+          (${dotSum(elem, "embedding", "embedding")}) AS naa,
+          (${dotSum(elem, "cv", "cv")}) AS ncc
+        FROM embeddings CROSS JOIN c),
+      ranked AS (
+        SELECT vec_id, cid, dot/(sqrt(naa)*sqrt(ncc)) AS sim,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY dot/(sqrt(naa)*sqrt(ncc)) DESC, cid DESC) AS rn
+        FROM scored)
+      SELECT vec_id, cid AS cell, round(sim, 6) AS best_sim
+      FROM ranked WHERE rn = 1 ORDER BY vec_id"""
+
+  val q44 = QueryDef(
+    "q44_ivf_cells",
+    (s, dir) => {
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql(ivfSql(sparkElem))
+    },
+    Some(ivfSql(duckElem)))
+
+  val all: Seq[QueryDef] = Seq(q33, q34, q44)
 }

@@ -64,6 +64,21 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup by content fingerprint: re-occurrences of a
+    * text hash arriving within the watermark horizon are dropped, and
+    * fingerprint state is reclaimed once the watermark passes —
+    * bounded state, unlike a naive global dropDuplicates. The
+    * streaming counterpart of Dedup.exact for a document ingest
+    * pipeline. */
+  def dedupStream(
+      docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Gap-based sessionization with event-time timeout: a session closes
     * after `gapSeconds` of silence per user, emitting one summary row —
     * the streaming counterpart of SplitTripLegs-style segmentation. */

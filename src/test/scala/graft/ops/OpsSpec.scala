@@ -104,6 +104,26 @@ class OpsSpec extends SparkSpec {
     assert(neighbors.contains(1L)) // closest vector shares the bucket
   }
 
+  test("Similarity IVF: assignment picks max-cosine cell; probe finds the neighbor") {
+    // centroids = vec_id 0 (x axis) and 2 (y axis)
+    val cents = Similarity.deterministicCentroids(
+      vecs.filter(col("vec_id").isin(0L, 2L)), "embedding", "vec_id", k = 2)
+    assert(cents.map(_._1) == Seq(0L, 2L))
+    val assigned = Similarity.ivfAssign(vecs, "embedding", cents)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned(1L) == 0L) // (0.9, 0.1) is nearer the x-axis centroid
+    assert(assigned(2L) == 2L)
+    // query = vec 0; its own cell contains vec 1 (the true nearest)
+    val out = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "embedding", "vec_id", cents, k = 2, nProbe = 1)
+    val neighbors = out.orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(neighbors.head == 1L)
+    // nProbe = 2 widens the search to the y-axis cell too
+    val wide = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "embedding", "vec_id", cents, k = 3, nProbe = 2)
+    assert(wide.collect().map(_.getLong(1)).toSet.contains(2L))
+  }
+
   test("TextAnalysis quality metrics + language id + fingerprints") {
     val q = TextAnalysis.qualityMetrics(docs, "text")
     val r0 = q.filter(col("doc_id") === 0).collect().head

@@ -64,4 +64,27 @@ class EventStreamsSpec extends SparkSpec {
       assert(sessions.contains(3L)) // the burst closed as one 3-event session
     } finally q.stop()
   }
+
+  private case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  test("dedupStream drops same-content docs within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = dedupStream(input.toDF(), "text", "ts", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_docs").outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1, Timestamp.valueOf("2024-01-01 10:00:00"), "same content"),
+        Doc(2, Timestamp.valueOf("2024-01-01 10:01:00"), "same content"),
+        Doc(3, Timestamp.valueOf("2024-01-01 10:02:00"), "other content"))
+      q.processAllAvailable()
+      // duplicate arriving in a later micro-batch, still within watermark
+      input.addData(Doc(4, Timestamp.valueOf("2024-01-01 10:03:00"), "same content"))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM dedup_docs").collect().map(_.getLong(0)).toSet
+      assert(kept.intersect(Set(2L, 4L)).isEmpty) // re-occurrences dropped
+      assert(kept.contains(3L))
+      assert(kept.intersect(Set(1L, 2L, 4L)).size == 1) // exactly one copy kept
+    } finally q.stop()
+  }
 }
