@@ -11,7 +11,8 @@ object SparkEntry {
     * similarity search, events, cascade). */
   val allQueries: Seq[QueryDef] =
     RelationalQueries.all ++ CodecQueries.all ++ TextQueries.all ++
-      EmbeddingQueries.all ++ EventQueries.all ++ OpsQueries.all
+      EmbeddingQueries.all ++ EventQueries.all ++ OpsQueries.all ++
+      SinkQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,118 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.util.zip.ZipFile
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.SaveGtfs
+import graft.model.GtfsSchemas
+import graft.operators.TaskRuntime
+import graft.resource.PipelineRunner
+import QueryDef.t
+
+/** Sink benchmark: the distributed GTFS zip writer driven end to end
+  * at the synthetic tables' scale. Not SQL-expressible (a
+  * side-effecting sink), so the correctness gate is rows-only; the
+  * real assertions live in Tasks1Spec's byte-level round-trip.
+  */
+object SinkQueries {
+
+  /** Null-pad + cast a projection to the registry schema of `table`. */
+  private def conform(df: DataFrame, table: String): DataFrame = {
+    val schema = GtfsSchemas(table)
+    val have = df.columns.toSet
+    schema.fields.foldLeft(df) { (d, f) =>
+      if (have.contains(f.name)) d.withColumn(f.name, col(f.name).cast(f.dataType))
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(schema.fieldNames.map(col): _*)
+  }
+
+  /** A GTFS feed derived from the TPC-H-ish tables: stops from
+    * customer, trips from orders, stop_times from lineitem — the same
+    * cardinality profile as a large national feed at this SF. */
+  private def syntheticFeed(s: SparkSession, dir: String): graft.model.FeedDataset = {
+    import s.implicits._
+    val agencies = conform(
+      Seq(("0", "Graft Transit", "https://example.com", "UTC"))
+        .toDF("agency_id", "name", "url", "timezone"), "agencies")
+    val routes = conform(
+      t(s, dir, "nation").select(
+        col("n_nationkey").cast("string").as("route_id"),
+        lit("0").as("agency_id"),
+        col("n_name").as("short_name"),
+        concat(lit("Route "), col("n_name")).as("long_name"),
+        lit(3).as("type")), "routes")
+    val calendars = conform(
+      Seq(("D", true, true, true, true, true, true, true,
+        java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-12-31"), ""))
+        .toDF("calendar_id", "monday", "tuesday", "wednesday", "thursday", "friday",
+          "saturday", "sunday", "start_date", "end_date", "desc"), "calendars")
+    val stops = conform(
+      t(s, dir, "customer").select(
+        col("c_custkey").cast("string").as("stop_id"),
+        col("c_name").as("name"),
+        ((col("c_custkey") % 120 - 60) * 0.7).as("lat"),
+        ((col("c_custkey") % 360 - 180) * 0.9).as("lon"),
+        lit(0).as("location_type")), "stops")
+    val trips = conform(
+      t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("trip_id"),
+        (col("o_custkey") % 25).cast("string").as("route_id"),
+        lit("D").as("calendar_id"),
+        col("o_orderpriority").as("headsign")), "trips")
+    val stopTimes = conform(
+      t(s, dir, "lineitem").select(
+        col("l_orderkey").cast("string").as("trip_id"),
+        col("l_suppkey").cast("string").as("stop_id"),
+        col("l_linenumber").cast("int").as("stop_sequence"),
+        (col("l_linenumber") * 90 + (col("l_orderkey") % 86400)).cast("int").as("arrival_time"),
+        (col("l_linenumber") * 90 + (col("l_orderkey") % 86400) + 30).cast("int").as("departure_time"),
+        lit(0).as("pickup_type"), lit(0).as("drop_off_type")), "stop_times")
+    PipelineRunner.emptyFeed(s).updatedAll(
+      "agencies" -> agencies, "routes" -> routes, "calendars" -> calendars,
+      "stops" -> stops, "trips" -> trips, "stop_times" -> stopTimes)
+  }
+
+  private val sinkHeaders = Seq(
+    "agency.txt" -> Seq("agency_id", "agency_name", "agency_url", "agency_timezone"),
+    "routes.txt" -> Seq("route_id", "agency_id", "route_short_name", "route_long_name",
+      "route_type"),
+    "calendar.txt" -> Seq("service_id", "monday", "tuesday", "wednesday", "thursday",
+      "friday", "saturday", "sunday", "start_date", "end_date"),
+    "stops.txt" -> Seq("stop_id", "stop_name", "stop_lat", "stop_lon"),
+    "trips.txt" -> Seq("route_id", "service_id", "trip_id", "trip_headsign"),
+    "stop_times.txt" -> Seq("trip_id", "arrival_time", "departure_time", "stop_id",
+      "stop_sequence"))
+
+  /** Write the synthetic feed through the distributed zip sink, then
+    * report per-member line counts read back from the produced zip —
+    * deterministic, and nonzero only if the sink really wrote the
+    * data. */
+  val q45 = QueryDef(
+    "q45_gtfs_sink",
+    (s, dir) => {
+      import s.implicits._
+      val target = Files.createTempDirectory("gtfs_sink_").resolve("out.zip")
+      SaveGtfs(sinkHeaders, target, ensureOrder = true)
+        .execute(syntheticFeed(s, dir), TaskRuntime(s))
+      val zf = new ZipFile(target.toFile)
+      val counts =
+        try {
+          import scala.jdk.CollectionConverters._
+          zf.entries().asScala.map { e =>
+            val in = zf.getInputStream(e)
+            val n = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().size
+            finally in.close()
+            (e.getName, n.toLong - 1) // minus header line
+          }.toSeq
+        } finally zf.close()
+      Files.deleteIfExists(target)
+      counts.toDF("member", "n_rows").orderBy("member")
+    },
+    None, // side-effecting sink: rows-only gate; Tasks1Spec has the byte-level checks
+    bench = true)
+
+  val all: Seq[QueryDef] = Seq(q45)
+}
