@@ -92,11 +92,9 @@ object FeedValidator {
     validate(feed).toDF("table", "check", "violations")
   }
 
-  /** Throw if any constraint is violated (the STRICT-table analogue). */
-  def assertValid(feed: FeedDataset): Unit = {
-    val v = validate(feed)
-    require(v.isEmpty,
-      "feed constraint violations:\n" +
-        v.map(x => s"  ${x.table}: ${x.check} (${x.violations})").mkString("\n"))
-  }
+  /** Throw if any constraint is violated (the STRICT-table analogue) —
+    * ALL violations in one MultipleDataErrors, catch_all style. */
+  def assertValid(feed: FeedDataset): Unit =
+    graft.errors.MultipleDataErrors.raiseAll("feed constraint validation",
+      validate(feed).map(x => s"${x.table}: ${x.check} (${x.violations} rows)"))
 }
