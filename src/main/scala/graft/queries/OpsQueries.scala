@@ -21,31 +21,15 @@ object OpsQueries {
         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM documents)
       ORDER BY doc_id"""))
 
-  /** Dedup.simhash over documents — same oracle formula as the
-    * expression-level q32 (the module generates identical SQL). */
+  /** Dedup.simhash over documents — the oracle is TextQueries' shared
+    * DuckDB simhash statement (q32 and the library module compute the
+    * identical bit layout). */
   val q40 = QueryDef(
     "q40_simhash_op",
     (s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), "doc_id").orderBy("doc_id")
     },
-    {
-      val nib = (i: Int) => s"(instr('0123456789abcdef', substr(md5(w), ${i + 1}, 1)) - 1)"
-      val sums = (for { i <- 0 until 16; k <- 0 until 4 } yield
-        s"sum(CASE WHEN ((${nib(i)}) & ${1 << k}) > 0 THEN 1 ELSE -1 END) AS s_${i}_$k")
-        .mkString(", ")
-      val chars = (0 until 16).map { i =>
-        val nibble = (3 to 0 by -1).map(k =>
-          s"(CASE WHEN s_${i}_$k > 0 THEN ${1 << k} ELSE 0 END)").mkString(" + ")
-        s"substr('0123456789abcdef', 1 + ($nibble), 1)"
-      }
-      Some(s"""SELECT doc_id, concat(${chars.mkString(", ")}) AS simhash
-        FROM (SELECT doc_id, $sums
-              FROM (SELECT DISTINCT doc_id, w FROM (
-                      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-                      FROM documents))
-              GROUP BY doc_id)
-        ORDER BY doc_id""")
-    })
+    Some(TextQueries.simhashDuckSql))
 
   /** TextAnalysis.qualityMetrics over documents. */
   val q41 = QueryDef(

@@ -237,17 +237,33 @@ object TextQueries {
       ORDER BY doc_a"""),
     bench = true)
 
-  // ---- SimHash: 64-bit signature built from md5 nibbles, generated as
-  // portable SQL (only the word-splitting clause is dialect-specific).
+  // ---- SimHash: 64-bit signature, per-bit majority over md5(word).
+  // ONE md5 per word packed into four 32-bit ints, bits tested with
+  // shifts — not 64 separate digest evaluations inside the aggregates.
+  // s_{i}_{k} is still "bit k of hex digit i", so the output strings
+  // are identical to the naive nibble formulation.
 
-  /** `(instr - 1)` value of hex digit i (0-based) of md5(w). */
-  private def nib(i: Int) =
-    s"(instr('0123456789abcdef', substr(md5(w), ${i + 1}, 1)) - 1)"
+  /** The 8-hex-digit group `g` of digest `m` as a BIGINT, per dialect
+    * (Spark has conv; DuckDB gets the instr polynomial). */
+  private def groupInt(dialect: String, g: Int): String =
+    if (dialect == "spark")
+      s"CAST(conv(substr(m, ${8 * g + 1}, 8), 16, 10) AS BIGINT)"
+    else
+      (0 until 8).map(j =>
+        s"(instr('0123456789abcdef', substr(m, ${8 * g + 1 + j}, 1)) - 1) * CAST(${1L << (4 * (7 - j))} AS BIGINT)")
+        .mkString("(", " + ", ")")
 
-  private def simhashSums: String =
+  /** Bit k (LSB-first) of hex digit i of the digest, from the packed
+    * group ints g0..g3. */
+  private def bitOf(dialect: String, i: Int, k: Int): String = {
+    val g = i / 8; val j = i % 8; val bit = (7 - j) * 4 + k
+    if (dialect == "spark") s"(shiftright(g$g, $bit) & 1)"
+    else s"((g$g >> $bit) & 1)"
+  }
+
+  private def simhashSums(dialect: String): String =
     (for { i <- 0 until 16; k <- 0 until 4 } yield
-      s"sum(CASE WHEN (${nib(i)} & ${1 << k}) > 0 THEN 1 ELSE -1 END) AS s_${i}_$k"
-    ).mkString(",\n        ")
+      s"sum(2 * ${bitOf(dialect, i, k)} - 1) AS s_${i}_$k").mkString(",\n        ")
 
   private def simhashHex: String = {
     val chars = (0 until 16).map { i =>
@@ -258,12 +274,18 @@ object TextQueries {
     s"concat(${chars.mkString(", ")})"
   }
 
-  private def simhashSql(wordsClause: String): String =
+  private def simhashSql(dialect: String, wordsClause: String): String =
     s"""SELECT doc_id, $simhashHex AS simhash
       FROM (SELECT doc_id,
-        $simhashSums
-        FROM ($wordsClause) GROUP BY doc_id)
+        ${simhashSums(dialect)}
+        FROM (SELECT doc_id,
+                ${(0 until 4).map(g => s"${groupInt(dialect, g)} AS g$g").mkString(", ")}
+              FROM (SELECT doc_id, md5(w) AS m FROM ($wordsClause)))
+        GROUP BY doc_id)
       ORDER BY doc_id"""
+
+  /** The DuckDB-dialect simhash statement, shared with q40's oracle. */
+  private[queries] def simhashDuckSql: String = simhashSql("duck", wordsSqlDuck)
 
   private val wordsSqlSpark =
     """SELECT doc_id, explode(array_distinct(split(trim(lower(text)), '\\s+'))) AS w
@@ -276,9 +298,9 @@ object TextQueries {
     "q32_simhash",
     (s, dir) => {
       t(s, dir, "documents").createOrReplaceTempView("documents")
-      s.sql(simhashSql(wordsSqlSpark))
+      s.sql(simhashSql("spark", wordsSqlSpark))
     },
-    Some(simhashSql(wordsSqlDuck)),
+    Some(simhashDuckSql),
     bench = true)
 
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32)
