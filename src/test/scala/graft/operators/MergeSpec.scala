@@ -102,6 +102,21 @@ class MergeSpec extends SparkSpec {
     assert(byId == Map("1" -> "Foo - Bar", "1:1" -> "Spam - Eggs"))
   }
 
+  test("routes: rename target must not collide with an incoming id from the same feed") {
+    // feed 2 brings a conflicting "1" (different hash -> suffix) AND a
+    // non-conflicting "1:1"; the resolved id must skip to "1:2"
+    // (merge.py reserves every incoming id before assigning suffixes)
+    val f1 = feedOf("routes", route("1", "A", "Foo - Bar", 3, "000088"))
+    val f2 = feedOf("routes",
+      route("1", "1", "Spam - Eggs", 0, "BB0000"),
+      route("1:1", "Z", "Ham - Toast", 0, "00BB00"))
+    val out = Merge(Seq(FeedToMerge("1", _ => f1), FeedToMerge("2", _ => f2)))
+      .execute(emptyFeed, rt)
+    val byId = out("routes").collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(byId == Map(
+      "1" -> "Foo - Bar", "1:1" -> "Ham - Toast", "1:2" -> "Spam - Eggs"))
+  }
+
   test("routes: different ids, same attrs both kept (test_different_ids)") {
     val f1 = feedOf("routes", route("1", "A", "Foo - Bar", 3, "000088"))
     val f2 = feedOf("routes", route("A", "A", "Foo - Bar", 3, "000088"))
