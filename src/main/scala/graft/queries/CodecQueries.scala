@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.GtfsFunctions
-import QueryDef.t
+import QueryDef._
 
 /** Scalar-function codec demonstrations (SURVEY §2.6) over synthetic
   * columns, each with a DuckDB oracle mirroring the exact formula. */
@@ -23,7 +23,7 @@ object CodecQueries {
       c.withColumn("dist_km",
           round(GtfsFunctions.haversineMeters(col("lat1"), col("lon1"), col("lat2"), col("lon2")) / 1000, 2))
         .select("c_custkey", "lat1", "lon1", "lat2", "lon2", "dist_km")
-        .orderBy("c_custkey")
+        .oracleOrderBy("c_custkey")
     },
     // NB: bare 0.7 / 6371008.8 literals parse as DECIMAL in DuckDB (and
     // as DOUBLE in Spark) — every constant is forced to DOUBLE, and the
@@ -49,7 +49,7 @@ object CodecQueries {
         .withColumn("code", (col("p_partkey") * 37 % 1500).cast("int"))
         .withColumn("folded", GtfsFunctions.parseGtfsRouteType(col("code")))
         .select("p_partkey", "code", "folded")
-        .orderBy("p_partkey")
+        .oracleOrderBy("p_partkey")
     },
     Some("""SELECT p_partkey, code, CASE
         WHEN (code BETWEEN 0 AND 7) OR code IN (11, 12) THEN code
@@ -76,7 +76,7 @@ object CodecQueries {
       t(s, dir, "orders")
         .withColumn("gtfs_code", GtfsFunctions.triStateToGtfs(tri))
         .groupBy("gtfs_code").agg(count(lit(1)).as("n"))
-        .orderBy("gtfs_code")
+        .oracleOrderBy("gtfs_code")
     },
     Some("""SELECT gtfs_code, count(*) AS n FROM (
         SELECT CASE WHEN o_orderkey % 3 = 0 THEN 0
@@ -95,7 +95,7 @@ object CodecQueries {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy("event_type")
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
-        .orderBy("event_type")
+        .oracleOrderBy("event_type")
     },
     Some("""SELECT event_type, CAST(sum(json_extract(props, '$.k')::INTEGER) AS BIGINT) AS sum_k,
         count(*) AS n
@@ -125,7 +125,7 @@ object CodecQueries {
       c.join(nearby, Seq("c_custkey"), "left")
         .select(col("c_custkey"),
           coalesce(col("n_nearby"), lit(0L)).as("n_nearby"), col("dup_of"))
-        .orderBy("c_custkey")
+        .oracleOrderBy("c_custkey")
     },
     Some(s"""WITH c AS (SELECT c_custkey, c_mktsegment,
             (c_custkey % 120 - 60) * (0.7::DOUBLE) AS lat,

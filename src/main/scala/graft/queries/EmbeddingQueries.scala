@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import QueryDef.t
+import QueryDef._
 
 /** Similarity search over the `embeddings` table (64-dim float
   * vectors). Dot products are generated as explicit left-associative

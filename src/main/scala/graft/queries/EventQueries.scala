@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.model.FeedDataset
-import QueryDef.t
+import QueryDef._
 
 /** Event-stream-shaped queries (batch over the `events` table) plus the
   * FK-cascade and binary-metadata demonstrations. */
@@ -22,7 +22,7 @@ object EventQueries {
         .groupBy("event_type", "hour_bucket")
         .agg(count(lit(1)).as("n"),
           round(sum(round(col("value") * 100)) / 100, 2).as("sum_value"))
-        .orderBy("event_type", "hour_bucket")
+        .oracleOrderBy("event_type", "hour_bucket")
     },
     Some("""SELECT event_type, epoch_ns(ts)//3600000000000 AS hour_bucket,
         count(*) AS n, round(sum(round(value*100))/100, 2) AS sum_value
@@ -39,7 +39,7 @@ object EventQueries {
         .agg(expr("max_by(event_type, event_id)").as("last_type"),
           sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
           count(lit(1)).as("n"))
-        .orderBy("user_id")
+        .oracleOrderBy("user_id")
     },
     Some("""SELECT user_id, max_by(event_type, event_id) AS last_type,
         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
@@ -58,7 +58,7 @@ object EventQueries {
       val pruned = feed.withCascade("region", feed("region").filter(col("r_name") =!= "ASIA"))
       names.tail.map { n =>
         pruned(n).agg(count(lit(1)).as("n")).withColumn("table_name", lit(n))
-      }.reduce(_ unionByName _).select("table_name", "n").orderBy("table_name")
+      }.reduce(_ unionByName _).select("table_name", "n").oracleOrderBy("table_name")
     },
     Some("""WITH rr AS (SELECT r_regionkey FROM region WHERE r_name <> 'ASIA'),
         rn AS (SELECT n_nationkey FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM rr)),
@@ -86,7 +86,7 @@ object EventQueries {
         .withColumn("bin", col("text").cast("binary"))
         .select(col("doc_id"), octet_length(col("bin")).cast("long").as("n_bytes"),
           md5(col("bin")).as("content_md5"))
-        .orderBy("doc_id")
+        .oracleOrderBy("doc_id")
     },
     // DuckDB's md5 only accepts VARCHAR; md5(text) hashes the same
     // UTF-8 bytes Spark's md5(binary) does.

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, TextAnalysis}
-import QueryDef.t
+import QueryDef._
 
 /** Oracle-checked queries that drive the graft.ops library modules
   * DIRECTLY (not re-derived expressions) — proving the first-class
@@ -15,7 +15,7 @@ object OpsQueries {
     (s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
         .select("doc_id", "keep_id", "is_duplicate")
-        .orderBy("doc_id")
+        .oracleOrderBy("doc_id")
     },
     Some("""SELECT doc_id, keep_id, doc_id <> keep_id AS is_duplicate FROM (
         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM documents)
@@ -27,7 +27,7 @@ object OpsQueries {
   val q40 = QueryDef(
     "q40_simhash_op",
     (s, dir) => {
-      Dedup.simhash(t(s, dir, "documents"), "doc_id").orderBy("doc_id")
+      Dedup.simhash(t(s, dir, "documents"), "doc_id").oracleOrderBy("doc_id")
     },
     Some(TextQueries.simhashDuckSql))
 
@@ -40,7 +40,7 @@ object OpsQueries {
           round(col("avg_word_len"), 6).as("avg_word_len"),
           round(col("alpha_ratio"), 6).as("alpha_ratio"),
           round(col("stopword_ratio"), 6).as("stopword_ratio"))
-        .orderBy("doc_id")
+        .oracleOrderBy("doc_id")
     },
     {
       val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")

@@ -15,6 +15,18 @@ final case class QueryDef(
     bench: Boolean = false)
 
 object QueryDef {
+
+  /** Final presentation sort for the oracle harness. A plain `orderBy`
+    * range-partitions, and computing the range bounds SAMPLES the child
+    * plan — the (often expensive) upstream executes twice. Verification
+    * outputs are small, so one shuffle to a single partition + an
+    * in-partition sort yields the identical total order in ONE pass.
+    * Presentation-only: a production 100 TB sink would not globally
+    * sort at all. */
+  implicit class OracleOrder(private val df: DataFrame) extends AnyVal {
+    def oracleOrderBy(cols: String*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols.map(col): _*)
+  }
   /** Read one synthetic table (TESTDATA.md layout). The events table
     * stores TIMESTAMP(NANOS) which Spark only reads as raw int64
     * (spark.sql.legacy.parquet.nanosAsLong); set it before any events

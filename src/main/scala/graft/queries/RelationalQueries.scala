@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.GtfsFunctions
-import QueryDef.t
+import QueryDef._
 
 /** Relational operator demonstrations (SURVEY §2.3–2.5) over the
   * driver's synthetic TPC-H-ish tables, each paired with a DuckDB
@@ -34,7 +34,7 @@ object RelationalQueries {
           round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)) / 10000, 4).as("sum_disc"),
           round(sum(round(col("l_quantity") * 100)) / count(lit(1)) / 100, 6).as("avg_qty"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .oracleOrderBy("l_returnflag", "l_linestatus")
     },
     Some("""SELECT l_returnflag, l_linestatus,
       round(sum(round(l_quantity*100))/100, 2) AS sum_qty,
@@ -65,7 +65,7 @@ object RelationalQueries {
             named_struct('n', l_linenumber, 'p', l_partkey, 's', l_suppkey))""").as("top"))
         .select(col("l_orderkey"), col("top.p").as("last_partkey"),
           col("top.n").as("last_linenumber"))
-        .orderBy("l_orderkey")
+        .oracleOrderBy("l_orderkey")
     },
     Some("""SELECT l_orderkey, l_partkey AS last_partkey, l_linenumber AS last_linenumber
       FROM (SELECT l_orderkey, l_partkey, l_linenumber,
@@ -81,7 +81,7 @@ object RelationalQueries {
     (s, dir) => {
       val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-        .select("c_custkey", "c_name").orderBy("c_custkey")
+        .select("c_custkey", "c_name").oracleOrderBy("c_custkey")
     },
     Some("""SELECT c_custkey, c_name FROM customer
       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -94,7 +94,7 @@ object RelationalQueries {
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
       o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
-        .select("o_orderkey", "o_orderpriority").orderBy("o_orderkey")
+        .select("o_orderkey", "o_orderpriority").oracleOrderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey, o_orderpriority FROM orders
       WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
@@ -117,7 +117,7 @@ object RelationalQueries {
         .agg(
           round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)) / 10000, 4).as("revenue"),
           count(lit(1)).as("n_items"))
-        .orderBy("r_name")
+        .oracleOrderBy("r_name")
     },
     Some("""SELECT r_name,
       round(sum(round(l_extendedprice*(1-l_discount)*10000))/10000, 4) AS revenue,
@@ -156,7 +156,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n")).filter(col("n") === 1)
       val o = t(s, dir, "orders")
       o.join(singles, o("o_orderkey") === singles("l_orderkey"), "left_semi")
-        .select("o_orderkey", "o_orderpriority").orderBy("o_orderkey")
+        .select("o_orderkey", "o_orderpriority").oracleOrderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey, o_orderpriority FROM orders
       WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING count(*) = 1)
@@ -175,7 +175,7 @@ object RelationalQueries {
       val w = Window.partitionBy(col("c_custkey")).orderBy(col("src"))
       a.unionByName(b)
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("c_custkey", "acctbal", "src").orderBy("c_custkey")
+        .select("c_custkey", "acctbal", "src").oracleOrderBy("c_custkey")
     },
     Some("""SELECT c_custkey, acctbal, src FROM (
         SELECT c_custkey, acctbal, src,
@@ -196,7 +196,7 @@ object RelationalQueries {
         .withColumn("rn", row_number().over(ord))
         .withColumn("running_total", round(sum(round(col("o_totalprice") * 100)).over(frame) / 100, 2))
         .select("o_custkey", "o_orderkey", "rn", "running_total")
-        .orderBy("o_custkey", "rn")
+        .oracleOrderBy("o_custkey", "rn")
     },
     Some("""SELECT o_custkey, o_orderkey,
         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
@@ -220,7 +220,7 @@ object RelationalQueries {
         .groupBy(col("user_id"), col("leg"))
         .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("leg_start"),
           min(col("event_type")).as("etype"))
-        .orderBy("user_id", "leg")
+        .oracleOrderBy("user_id", "leg")
     },
     Some("""SELECT user_id, CAST(leg AS BIGINT) AS leg, count(*) AS n_events,
         min(event_id) AS leg_start, min(event_type) AS etype
@@ -245,7 +245,7 @@ object RelationalQueries {
           expr("max_by(event_type, event_id)").as("last_type"),
           round(expr("max_by(value, event_id)"), 2).as("last_value"),
           count(lit(1)).as("n"))
-        .orderBy("user_id")
+        .oracleOrderBy("user_id")
     },
     Some("""SELECT user_id, max(event_id) AS last_event_id,
         max_by(event_type, event_id) AS last_type,
@@ -262,7 +262,7 @@ object RelationalQueries {
         .filter(col("o_orderkey") % 97 === 0)
         .select(explode(sequence(to_date(col("o_orderdate")),
           date_add(to_date(col("o_orderdate")), 6))).as("d"))
-        .groupBy("d").agg(count(lit(1)).as("n")).orderBy("d")
+        .groupBy("d").agg(count(lit(1)).as("n")).oracleOrderBy("d")
     },
     Some("""SELECT d, count(*) AS n FROM (
         SELECT unnest(generate_series(CAST(o_orderdate AS DATE),
@@ -282,7 +282,7 @@ object RelationalQueries {
         .agg(md5(array_join(array_sort(collect_list(col("ds"))), ",")).as("fingerprint"))
         .groupBy(col("fingerprint"))
         .agg(count(lit(1)).as("n_customers"), min(col("o_custkey")).as("rep_custkey"))
-        .orderBy("fingerprint")
+        .oracleOrderBy("fingerprint")
     },
     Some("""SELECT fingerprint, count(*) AS n_customers, min(o_custkey) AS rep_custkey FROM (
         SELECT o_custkey, md5(string_agg(ds, ',' ORDER BY ds)) AS fingerprint FROM (
@@ -303,7 +303,7 @@ object RelationalQueries {
       val c = t(s, dir, "customer")
       c.join(upd, c("c_custkey") === upd("u_custkey"), "left")
         .select(col("c_custkey"), coalesce(col("seg"), col("c_mktsegment")).as("segment"))
-        .orderBy("c_custkey")
+        .oracleOrderBy("c_custkey")
     },
     Some("""SELECT c_custkey, coalesce(u.seg, c_mktsegment) AS segment FROM customer
       LEFT JOIN (SELECT o_custkey, 'VIP' AS seg FROM orders
@@ -318,7 +318,7 @@ object RelationalQueries {
       val extra = Seq((-1L, "Synthetic Customer", "SYNTH"))
         .toDF("c_custkey", "c_name", "c_mktsegment")
       t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
-        .unionByName(extra).orderBy("c_custkey")
+        .unionByName(extra).oracleOrderBy("c_custkey")
     },
     Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
       UNION ALL SELECT -1, 'Synthetic Customer', 'SYNTH'
@@ -350,7 +350,7 @@ object RelationalQueries {
         col("p_size").isin(5, 10, 15, 20, 25) &&
         col("p_type").isin("ECONOMY", "PROMO")
       t(s, dir, "part").filter(pred)
-        .select("p_partkey", "p_brand", "p_type", "p_size").orderBy("p_partkey")
+        .select("p_partkey", "p_brand", "p_type", "p_size").oracleOrderBy("p_partkey")
     },
     Some("""SELECT p_partkey, p_brand, p_type, p_size FROM part
       WHERE p_size IN (5,10,15,20,25) AND p_type IN ('ECONOMY','PROMO')
@@ -366,7 +366,7 @@ object RelationalQueries {
         .withColumn("secs", (col("l_orderkey") * 7 + col("l_linenumber") * 3601) % 130000)
         .withColumn("hhmmss", GtfsFunctions.secondsToGtfsTime(col("secs")))
         .withColumn("roundtrip_secs", GtfsFunctions.gtfsTimeToSeconds(col("hhmmss")).cast("long"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .oracleOrderBy("l_orderkey", "l_linenumber")
     },
     Some("""SELECT l_orderkey, l_linenumber, secs,
         printf('%02d:%02d:%02d', secs//3600, (secs//60)%60, secs%60) AS hhmmss,
@@ -386,7 +386,7 @@ object RelationalQueries {
         .withColumn("ymd", GtfsFunctions.formatGtfsDate(col("od")))
         .withColumn("roundtrip_date", GtfsFunctions.parseGtfsDate(col("ymd")))
         .select("o_orderkey", "ymd", "roundtrip_date")
-        .orderBy("o_orderkey")
+        .oracleOrderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS ymd,
         strptime(strftime(CAST(o_orderdate AS DATE), '%Y%m%d'), '%Y%m%d')::DATE AS roundtrip_date

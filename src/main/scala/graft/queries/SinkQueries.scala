@@ -10,7 +10,7 @@ import graft.io.SaveGtfs
 import graft.model.GtfsSchemas
 import graft.operators.TaskRuntime
 import graft.resource.PipelineRunner
-import QueryDef.t
+import QueryDef._
 
 /** Sink benchmark: the distributed GTFS zip writer driven end to end
   * at the synthetic tables' scale. Not SQL-expressible (a
@@ -109,7 +109,7 @@ object SinkQueries {
           }.toSeq
         } finally zf.close()
       Files.deleteIfExists(target)
-      counts.toDF("member", "n_rows").orderBy("member")
+      counts.toDF("member", "n_rows").oracleOrderBy("member")
     },
     None, // side-effecting sink: rows-only gate; Tasks1Spec has the byte-level checks
     bench = true)
