@@ -80,7 +80,10 @@ object EmbeddingQueries {
     "q34_ann_lsh_bucket",
     (s, dir) => {
       t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      s.sql(s"SELECT vec_id, (${bucketExpr(sparkElem)}) AS bucket FROM embeddings ORDER BY vec_id")
+      // sort outside the SQL: a plain ORDER BY would re-execute the
+      // 512-term bucket expression for range-bound sampling
+      s.sql(s"SELECT vec_id, (${bucketExpr(sparkElem)}) AS bucket FROM embeddings")
+        .oracleOrderBy("vec_id")
     },
     Some(s"SELECT vec_id, (${bucketExpr(duckElem)}) AS bucket FROM embeddings ORDER BY vec_id"),
     bench = true)
