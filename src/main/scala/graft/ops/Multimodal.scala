@@ -63,6 +63,110 @@ object Multimodal {
     }
   }
 
+  /** A media transformer: bytes -> bytes (resize / transcode / crop). */
+  trait MediaTransform extends Serializable {
+    def apply(mediaType: String, payload: Array[Byte]): Option[Array[Byte]]
+  }
+
+  /** Deterministic stand-in "resize": content-derived byte squeeze to
+    * `targetBytes` — NOT a real image op; exercises the plumbing. */
+  final class DeterministicFakeResize(val targetBytes: Int = 64) extends MediaTransform {
+    def apply(mediaType: String, payload: Array[Byte]): Option[Array[Byte]] = {
+      if (payload == null || payload.isEmpty) return None
+      val out = new Array[Byte](math.min(targetBytes, payload.length))
+      var i = 0
+      while (i < out.length) {
+        out(i) = (payload(i) ^ payload(payload.length - 1 - i)).toByte
+        i += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** Distributed payload transform (resize/transcode): per-partition
+    * transformer init, same batch shape as [[extractFeatures]]; failed
+    * transforms yield null payloads. */
+  def transformPayload(
+      df: DataFrame,
+      t: MediaTransform,
+      outCol: String = "payload_out",
+      payloadCol: String = "payload",
+      mediaTypeCol: String = "media_type"): DataFrame = {
+    val schema = df.schema.add(StructField(outCol, BinaryType, nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val typeIdx = df.schema.fieldIndex(mediaTypeCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val out = t(
+          r.getString(typeIdx),
+          if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx))
+        Row.fromSeq(r.toSeq :+ out.orNull)
+      }
+    }(encoder)
+  }
+
+  /** A frame sampler: video bytes -> up to n (timestamp_ms, frame
+    * payload) pairs. */
+  trait FrameSampler extends Serializable {
+    def sample(mediaType: String, payload: Array[Byte], durationMs: Long, n: Int)
+      : Seq[(Long, Array[Byte])]
+  }
+
+  /** Deterministic stand-in sampler: evenly-spaced timestamps, frame
+    * payloads are content slices — NOT a real demuxer. */
+  final class DeterministicFakeFrameSampler extends FrameSampler {
+    def sample(mediaType: String, payload: Array[Byte], durationMs: Long, n: Int)
+        : Seq[(Long, Array[Byte])] = {
+      if (payload == null || payload.isEmpty || mediaType != "video" || n <= 0) return Seq.empty
+      (0 until n).map { i =>
+        val ts = if (n == 1) durationMs / 2 else durationMs * i / (n - 1)
+        val start = (payload.length * i / n).min(payload.length - 1)
+        (ts, java.util.Arrays.copyOfRange(payload, start, math.min(start + 16, payload.length)))
+      }
+    }
+  }
+
+  /** Frame-sampled schema: one row per sampled frame with typed
+    * metadata — the layout a video corpus fans out to before per-frame
+    * feature extraction. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("ts_ms", LongType, nullable = false),
+    StructField("frame_payload", BinaryType, nullable = true)))
+
+  /** Distributed frame sampling: explodes each video asset into up to
+    * `framesPerAsset` typed frame rows (narrow — no shuffle; the row
+    * count multiplies, which is why this runs AFTER content-hash dedup
+    * and metadata filters at scale). */
+  def sampleFrames(
+      df: DataFrame,
+      sampler: FrameSampler,
+      framesPerAsset: Int = 4,
+      idCol: String = "asset_id",
+      payloadCol: String = "payload",
+      mediaTypeCol: String = "media_type",
+      durationCol: String = "duration_ms"): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val typeIdx = df.schema.fieldIndex(mediaTypeCol)
+    val durIdx = df.schema.fieldIndex(durationCol)
+    val encoder = org.apache.spark.sql.Encoders.row(frameSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        sampler.sample(
+          r.getString(typeIdx),
+          if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx),
+          if (r.isNullAt(durIdx)) 0L else r.getLong(durIdx),
+          framesPerAsset)
+          .zipWithIndex.map { case ((ts, frame), i) =>
+            Row(r.getLong(idIdx), i, ts, frame)
+          }
+      }
+    }(encoder)
+  }
+
   /** Distributed feature extraction: one codec instance per partition
     * (the `mapInPandas` batch shape — amortizes model/decoder init),
     * failed decodes yield null features instead of killing the job. */

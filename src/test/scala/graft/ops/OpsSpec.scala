@@ -177,4 +177,29 @@ class OpsSpec extends SparkSpec {
     assert(byId(1L) == byId(2L)) // deterministic: same bytes -> same features
     assert(byId(4L) == null) // undecodable -> null, job survives
   }
+
+  test("Multimodal: payload transform + video frame sampling plumbing") {
+    val assets = Seq(
+      (1L, "video", ("frame-data-" * 20).getBytes("UTF-8"), 10000L),
+      (2L, "image", "not-a-video".getBytes("UTF-8"), 0L),
+      (3L, "video", Array.empty[Byte], 5000L))
+      .toDF("asset_id", "media_type", "payload", "duration_ms")
+
+    val resized = Multimodal.transformPayload(
+      assets, new Multimodal.DeterministicFakeResize(32), outCol = "payload_small")
+    val sizes = resized.collect().map { r =>
+      val p = r.getAs[Array[Byte]]("payload_small")
+      r.getLong(0) -> (if (p == null) -1 else p.length)
+    }.toMap
+    assert(sizes(1L) == 32 && sizes(2L) == 11 && sizes(3L) == -1)
+
+    val frames = Multimodal.sampleFrames(
+      assets, new Multimodal.DeterministicFakeFrameSampler, framesPerAsset = 4)
+    val byAsset = frames.collect().groupBy(_.getLong(0))
+    assert(byAsset(1L).length == 4) // one row per sampled frame
+    assert(!byAsset.contains(2L) && !byAsset.contains(3L)) // non-video / empty skipped
+    val ts = byAsset(1L).sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(ts == Seq(0L, 3333L, 6666L, 10000L)) // evenly spaced, typed metadata
+    assert(byAsset(1L).forall(_.getAs[Array[Byte]](3).nonEmpty))
+  }
 }
