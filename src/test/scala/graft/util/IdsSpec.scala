@@ -1,0 +1,36 @@
+package graft.util
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IdsSpec extends SparkSpec {
+
+  test("withRowIndex numbers a MULTI-SPLIT CSV scan in file order") {
+    val f = Files.createTempFile("ids", ".csv")
+    val n = 20000
+    Files.writeString(f, "v\n" + (1 to n).map(i => s"row$i").mkString("\n"))
+    // force the single file into several scan partitions — the split
+    // case the old single-partition window never exercised
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "32768")
+    try {
+      val df = spark.read.option("header", "true").csv(f.toString)
+      assert(df.rdd.getNumPartitions > 1, "test needs a split scan")
+      val indexed = Ids.withRowIndex(df, "idx")
+      val rows = indexed.collect()
+      assert(rows.length == n)
+      // index i must land on the i-th line of the file
+      rows.foreach(r => assert(r.getString(0) == s"row${r.getLong(1)}"))
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
+  test("withRowIndex continues from startAt and follows a prior sort") {
+    import spark.implicits._
+    val df = Seq("c", "a", "b").toDF("v").repartition(3)
+    val indexed = Ids.withRowIndex(df.orderBy("v"), "idx", startAt = 100L)
+    val got = indexed.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 100L, "b" -> 101L, "c" -> 102L))
+  }
+}
