@@ -49,7 +49,14 @@ object Dedup {
     * order-free, so the signature is deterministic under any
     * partitioning. The (a, b) pair array is projected in its own step
     * so the md5 pass runs once, not once per family. Input must have a
-    * `text` column. */
+    * `text` column.
+    *
+    * Measured alternative (tools/ProfileMinhash): hashing per TOKEN and
+    * combining three consecutive token ints polynomially avoids
+    * materializing shingle strings, but benches EQUAL at sf0.1 — the
+    * digest savings are offset by interpreted element_at/struct lambda
+    * overhead (higher-order functions don't codegen). Kept the simpler
+    * per-shingle digest. */
   def minhashSignatures(df: DataFrame, numHashes: Int = 8): DataFrame = {
     val md5s = transform(shingles("text"), x => md5(x))
     val ab = transform(md5s, m => struct(

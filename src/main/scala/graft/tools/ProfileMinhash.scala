@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only A/B of minhash shapes: per-shingle md5 vs per-token md5 +
+  * positional polynomial. */
+object ProfileMinhash {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(tag: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime; f; println(s"TIMING $tag: ${(System.nanoTime - t0) / 1e9}")
+    }
+    val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .repartition(col("doc_id"))
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+
+    // OLD: shingle strings -> md5 per shingle -> (a,b)
+    val oldAb = d
+      .withColumn("sh", expr(
+        """transform(sequence(1, size(toks)-2),
+             i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"""))
+      .withColumn("__ab", expr("""transform(transform(sh, x -> md5(x)),
+          m -> named_struct(
+            'a', CAST(conv(substr(m, 1, 7), 16, 10) AS BIGINT),
+            'b', CAST(conv(substr(m, 9, 7), 16, 10) AS BIGINT)))"""))
+    // NEW: md5 per token -> polynomial combine
+    val newAb = d
+      .withColumn("__tp", expr("""transform(transform(toks, t -> md5(t)),
+          m -> named_struct(
+            'a', CAST(conv(substr(m, 1, 7), 16, 10) AS BIGINT),
+            'b', CAST(conv(substr(m, 9, 7), 16, 10) AS BIGINT)))"""))
+      .withColumn("__ab", expr("""transform(sequence(1, size(toks) - 2),
+          j -> named_struct(
+            'a', element_at(__tp, j).a * 1000003L + element_at(__tp, j + 1).a * 1009L
+                   + element_at(__tp, j + 2).a,
+            'b', element_at(__tp, j).b * 1000003L + element_at(__tp, j + 1).b * 1009L
+                   + element_at(__tp, j + 2).b))"""))
+
+    def sig(base: org.apache.spark.sql.DataFrame) = {
+      val mhs = (0 until 8).map(i =>
+        expr(s"array_min(transform(__ab, p -> p.a + $i * p.b))").as(s"mh$i"))
+      base.select(col("doc_id") +: mhs: _*)
+    }
+    def sink(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    sink(sig(oldAb)); sink(sig(newAb)) // warm
+    (1 to 3).foreach { i =>
+      time(s"shingle_md5_$i")(sink(sig(oldAb)))
+      time(s"token_md5_$i")(sink(sig(newAb)))
+    }
+    spark.stop()
+  }
+}
