@@ -40,4 +40,21 @@ object MultipleDataErrors {
   def raiseAll(when: String, messages: Seq[String]): Unit =
     if (messages.nonEmpty)
       throw new MultipleDataErrors(when, messages.map(new DataError(_)))
+
+  /** raiseAll for checks whose violation set lives in a DataFrame and
+    * may be huge: collects at most `cap` ids (plus an exact total via
+    * count) so a wholesale failure doesn't OOM the driver building the
+    * message; a final summary error carries the remainder. */
+  def raiseAllFromDf(
+      when: String,
+      violations: org.apache.spark.sql.DataFrame,
+      message: String => String,
+      cap: Int = 100): Unit = {
+    val total = violations.count()
+    if (total == 0L) return
+    val sample = violations.limit(cap).collect().map(_.getString(0)).sorted.toSeq
+    val msgs = sample.map(message) ++
+      (if (total > cap) Seq(s"... and ${total - cap} more") else Seq.empty)
+    throw new MultipleDataErrors(when, msgs.map(new DataError(_)))
+  }
 }

@@ -56,23 +56,41 @@ object Helpers {
     if (yiq > 128000) "000000" else "FFFFFF"
   }
 
-  private val reSubPatterns =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private val reSubPatterns = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.util.regex.Pattern, Map[String, String])]()
+
+  private val PyNamedGroup = """\(\?P<([^>]+)>""".r
+
+  /** Python pattern -> compiled Java pattern + (python name -> java
+    * alias) map. Java group names must be [A-Za-z][A-Za-z0-9]* while
+    * Python allows identifiers like `stop_id`, so every name is
+    * aliased to a generated safe one in both `(?P<name>...)` and
+    * `(?P=name)`. */
+  private def translatePattern(p: String): (java.util.regex.Pattern, Map[String, String]) = {
+    val names = PyNamedGroup.findAllMatchIn(p).map(_.group(1)).toSeq.distinct
+    val alias = names.zipWithIndex.map { case (n, i) => n -> s"g$i" }.toMap
+    val out = alias.foldLeft(p) { case (acc, (n, a)) =>
+      acc.replace(s"(?P<$n>", s"(?<$a>").replace(s"(?P=$n)", s"\\k<$a>")
+    }
+    (java.util.regex.Pattern.compile(out), alias)
+  }
 
   /** Python `re.sub(pattern, repl, string)` (db.py:216 registers it as
     * the 3-arg SQL function `re_sub`). Python dialect is translated to
-    * Java's: `(?P<name>...)` / `(?P=name)` in the pattern, `\1` /
-    * `\g<name>` backrefs and escape sequences in the replacement. */
-  def reSub(pattern: String, repl: String, s: String): String =
-    reSubPatterns.computeIfAbsent(pattern, p =>
-      java.util.regex.Pattern.compile(
-        p.replace("(?P<", "(?<").replaceAll("""\(\?P=(\w+)\)""", """\\k<$1>""")))
-      .matcher(s).replaceAll(javaReplacement(repl))
+    * Java's: `(?P<name>...)` / `(?P=name)` in the pattern (names
+    * aliased — Java forbids underscores in group names), `\1` /
+    * `\g<name>` / `\g<N>` backrefs and escape sequences in the
+    * replacement. */
+  def reSub(pattern: String, repl: String, s: String): String = {
+    val (jp, alias) = reSubPatterns.computeIfAbsent(pattern, translatePattern)
+    jp.matcher(s).replaceAll(javaReplacement(repl, alias))
+  }
 
   /** Python re.sub replacement text -> java.util.regex.Matcher dialect:
-    * `\N` -> `$N`, `\g<name>` -> `${name}`, resolved escapes and `$`
-    * quoted as literals. */
-  private[functions] def javaReplacement(repl: String): String = {
+    * `\N` and numeric `\g<N>` -> `$N`, named `\g<name>` -> the pattern's
+    * aliased `${gK}`, resolved escapes and `$` quoted as literals. */
+  private[functions] def javaReplacement(
+      repl: String, alias: Map[String, String] = Map.empty): String = {
     import java.util.regex.Matcher.quoteReplacement
     val sb = new StringBuilder
     var i = 0
@@ -90,7 +108,9 @@ object Helpers {
           } else if (n == 'g' && i + 2 < repl.length && repl.charAt(i + 2) == '<') {
             val end = repl.indexOf('>', i + 3)
             require(end > 0, s"unterminated \\g<...> in replacement: $repl")
-            sb.append("${").append(repl.substring(i + 3, end)).append('}')
+            val name = repl.substring(i + 3, end)
+            if (name.nonEmpty && name.forall(_.isDigit)) sb.append('$').append(name)
+            else sb.append("${").append(alias.getOrElse(name, name)).append('}')
             i = end + 1
           } else {
             val resolved = n match {

@@ -79,10 +79,18 @@ final case class SaveGtfs(
         }
       } finally zip.close()
     } finally {
+      // a failed table job must not race the cleanup: wait for every
+      // in-flight Spark write to finish before deleting its output
+      // (otherwise the walk/delete races concurrent part-file writers
+      // and its DirectoryNotEmptyException masks the real failure)
       pool.shutdown()
-      if (Files.exists(scratch))
-        Files.walk(scratch).sorted(Comparator.reverseOrder[Path]())
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      if (Files.exists(scratch)) {
+        val walk = Files.walk(scratch)
+        try walk.sorted(Comparator.reverseOrder[Path]())
           .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
     }
     feed
   }

@@ -52,13 +52,13 @@ final case class AssignDirections(
       .agg(expr("min_by(dir, pair_rank)").as("new_direction"))
       .localCheckpoint(true)
 
-    // all selected trips must match at least one pair; EVERY violation
-    // is reported in one failure (MultipleDataErrors.catch_all parity,
-    // errors.py:57-120)
-    val unmatched = selected.join(decided, Seq("trip_id"), "left_anti")
-      .collect().map(_.getString(0)).sorted
-    graft.errors.MultipleDataErrors.raiseAll("direction assignment",
-      unmatched.toSeq.map(t => s"no direction for trip $t"))
+    // all selected trips must match at least one pair; violations are
+    // reported together in one failure (MultipleDataErrors.catch_all
+    // parity, errors.py:57-120), capped so a wholesale failure on a
+    // national feed can't OOM the driver building the message
+    graft.errors.MultipleDataErrors.raiseAllFromDf("direction assignment",
+      selected.join(decided, Seq("trip_id"), "left_anti").select("trip_id"),
+      t => s"no direction for trip $t")
 
     val out = trips.join(decided, Seq("trip_id"), "left")
       .withColumn("direction", coalesce(col("new_direction"), col("direction")))

@@ -50,13 +50,13 @@ final case class ModifyFromCsv(
         System.err.println(s"[ModifyFromCsv] $missing CSV id(s) don't exist in $table - skipped")
     }
     if (mustCurateAll) {
-      val uncurated = entity.select(entity(keySqlCol))
-        .join(firstPerId, entity(keySqlCol) === firstPerId(keyCsvCol), "left_anti")
-        .collect().map(_.getString(0)).sorted
-      // one MultipleDataErrors carrying every uncurated id (catch_all
-      // parity, errors.py:57-120)
-      graft.errors.MultipleDataErrors.raiseAll(s"curation of $table",
-        uncurated.toSeq.map(id => s"entity $id wasn't curated"))
+      // one MultipleDataErrors carrying the uncurated ids (catch_all
+      // parity, errors.py:57-120), capped against driver OOM when the
+      // whole table is uncurated
+      graft.errors.MultipleDataErrors.raiseAllFromDf(s"curation of $table",
+        entity.select(entity(keySqlCol))
+          .join(firstPerId, entity(keySqlCol) === firstPerId(keyCsvCol), "left_anti"),
+        id => s"entity $id wasn't curated")
     }
 
     val present = firstPerId.columns.toSet

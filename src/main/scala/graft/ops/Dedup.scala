@@ -119,7 +119,7 @@ object Dedup {
     * checkpointed per round so the plan stays linear.
     * Returns (id, comp) where comp = the minimum id in the component.
     */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 30): DataFrame = {
     val sym = edges
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -131,12 +131,23 @@ object Dedup {
     while (changed > 0 && it < maxIters) {
       val nbrMin = sym.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("comp").as("nbr_comp"))
+      // checkpoint ONCE with both labels so the changed-count and the
+      // next round read the materialized result instead of re-running
+      // the join+aggregation
       val next = labels.join(nbrMin, Seq("id"), "left")
         .withColumn("new_comp", least(col("comp"), coalesce(col("nbr_comp"), col("comp"))))
+        .localCheckpoint(true)
       changed = next.filter(col("new_comp") =!= col("comp")).count()
-      labels = next.select(col("id"), col("new_comp").as("comp")).localCheckpoint(true)
+      labels = next.select(col("id"), col("new_comp").as("comp"))
       it += 1
     }
+    // silent non-convergence would emit an internally inconsistent
+    // cluster map (dup_of pointing at rows that are themselves dups)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — a component's diameter exceeds " +
+          "maxIters; raise it for pathologically chained inputs")
     labels
   }
 

@@ -121,7 +121,8 @@ object Multimodal {
       if (payload == null || payload.isEmpty || mediaType != "video" || n <= 0) return Seq.empty
       (0 until n).map { i =>
         val ts = if (n == 1) durationMs / 2 else durationMs * i / (n - 1)
-        val start = (payload.length * i / n).min(payload.length - 1)
+        // long math: length * i overflows Int for multi-GB payloads
+        val start = (payload.length.toLong * i / n).min(payload.length - 1L).toInt
         (ts, java.util.Arrays.copyOfRange(payload, start, math.min(start + 16, payload.length)))
       }
     }

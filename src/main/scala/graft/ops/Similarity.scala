@@ -90,10 +90,15 @@ object Similarity {
     * centroid cell. The codebook is a literal expression per centroid
     * (no join, no shuffle — a narrow codegen'd pass, the 100 TB shape
     * for inverted-file partitioning). */
-  def ivfAssign(df: DataFrame, embCol: String, centroids: Seq[(Long, Seq[Double])]): DataFrame =
-    df.withColumn("__best", greatest(bestCells(embCol, centroids): _*))
+  def ivfAssign(df: DataFrame, embCol: String, centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "ivfAssign needs at least one centroid")
+    val cells = bestCells(embCol, centroids)
+    // greatest() requires >= 2 args; a 1-centroid codebook is legal
+    val best = if (cells.length == 1) cells.head else greatest(cells: _*)
+    df.withColumn("__best", best)
       .withColumn("cell", col("__best.cid"))
       .drop("__best")
+  }
 
   /** IVF approximate top-k: data is assigned to cells once; each query
     * probes its `nProbe` best cells and ranks only same-cell rows —

@@ -94,7 +94,8 @@ object SinkQueries {
     "q45_gtfs_sink",
     (s, dir) => {
       import s.implicits._
-      val target = Files.createTempDirectory("gtfs_sink_").resolve("out.zip")
+      val tmpDir = Files.createTempDirectory("gtfs_sink_")
+      val target = tmpDir.resolve("out.zip")
       SaveGtfs(sinkHeaders, target, ensureOrder = true)
         .execute(syntheticFeed(s, dir), TaskRuntime(s))
       val zf = new ZipFile(target.toFile)
@@ -109,6 +110,7 @@ object SinkQueries {
           }.toSeq
         } finally zf.close()
       Files.deleteIfExists(target)
+      Files.deleteIfExists(tmpDir) // don't leak one temp dir per run
       counts.toDF("member", "n_rows").oracleOrderBy("member")
     },
     None, // side-effecting sink: rows-only gate; Tasks1Spec has the byte-level checks

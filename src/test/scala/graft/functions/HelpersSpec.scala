@@ -56,5 +56,10 @@ class HelpersSpec extends AnyFunSuite {
     assert(Helpers.reSub(",", "\\n", "a,b") == "a\nb")
     // Python named-group pattern dialect
     assert(Helpers.reSub("(?P<w>ab)(?P=w)", "<\\g<w>>", "zababz") == "z<ab>z")
+    // Python group names may contain underscores (illegal in Java —
+    // names are aliased internally)
+    assert(Helpers.reSub("(?P<stop_id>\\d+)", "[\\g<stop_id>]", "st 42") == "st [42]")
+    // numeric \g<N> form (used when a digit follows the backref)
+    assert(Helpers.reSub("(a)", "\\g<1>1", "xax") == "xa1x")
   }
 }
