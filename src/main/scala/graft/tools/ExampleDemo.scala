@@ -1,26 +1,36 @@
 package graft.tools
 
 import java.nio.file.Path
+
 import org.apache.spark.sql.SparkSession
+
 import graft.examples.MergeRailwayStations
 import graft.io.{LoadGtfs, SaveGtfs}
 import graft.operators._
-import graft.resource.{PipelineOptions, PipelineRunner, LocalResource}
+import graft.resource._
 
-/** Drives the user-task extension example through the full runner:
-  * resource fetch -> load -> merge railway platforms -> prune -> save.
-  * Usage: runMain graft.tools.ExampleDemo <in.zip> <out.zip>
+/** Drives the user-task extension example through the CLI App surface
+  * (app.py parity): standard flags, resource fetch, load -> merge
+  * railway platforms -> prune -> save, exit 2 when the input is
+  * unchanged.
+  *
+  * Usage: runMain graft.tools.ExampleDemo <in.zip> <out.zip> [-f|-c|-v]
   */
-object ExampleDemo {
-  def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+object ExampleDemo extends App(
+    "example-demo", java.nio.file.Files.createTempDirectory("example_ws")) {
+
+  override def sparkSession(): SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val ws = java.nio.file.Files.createTempDirectory("example_ws")
-    val feed = PipelineRunner.run(
-      spark,
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def prepare(args: AppArgs, options: PipelineOptions): PreparedRun = {
+    val Seq(in, out) = args.extra.take(2)
+    PreparedPipeline(
       tasks = Seq(
         new Task {
           override def name = "LoadFromResource"
@@ -29,16 +39,22 @@ object ExampleDemo {
         },
         MergeRailwayStations(),
         RemoveUnusedEntities,
+        new Task {
+          override def name = "PrintStops"
+          def execute(f: graft.model.FeedDataset, rt: TaskRuntime) = {
+            println("[example] stops after pipeline:")
+            f("stops").orderBy("stop_id").collect().foreach(r =>
+              println(f"[example]   ${r.getString(0)}%-8s ${r.getString(1)}%-14s " +
+                f"${r.getDouble(2)}%.3f ${r.getDouble(3)}%.3f"))
+            f
+          }
+        },
         SaveGtfs(Seq(
           "agency.txt" -> Seq("agency_id", "agency_name", "agency_url", "agency_timezone"),
           "stops.txt" -> Seq("stop_id", "stop_name", "stop_lat", "stop_lon"),
-          "stop_times.txt" -> Seq("trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence")),
-          Path.of(args(1)), ensureOrder = true)),
-      resources = Map("feed.zip" -> LocalResource(Path.of(args(0)))),
-      options = PipelineOptions(forceRun = true, workspace = ws))
-    println("[example] stops after pipeline:")
-    feed("stops").orderBy("stop_id").collect().foreach(r =>
-      println(f"[example]   ${r.getString(0)}%-8s ${r.getString(1)}%-14s ${r.getDouble(2)}%.3f ${r.getDouble(3)}%.3f"))
-    spark.stop()
+          "stop_times.txt" -> Seq("trip_id", "arrival_time", "departure_time", "stop_id",
+            "stop_sequence")),
+          Path.of(out), ensureOrder = true)),
+      resources = Map("feed.zip" -> LocalResource(Path.of(in))))
   }
 }
