@@ -14,34 +14,37 @@ object EmbeddingQueries {
 
   /** `a[1]*b[1] + ... + a[64]*b[64]` for the given dialect element
     * accessor. */
-  private def dotSum(elem: (String, Int) => String, a: String, b: String): String =
+  private[queries] def dotSum(elem: (String, Int) => String, a: String, b: String): String =
     (1 to Dim).map(j => s"(${elem(a, j)} * ${elem(b, j)})").mkString(" + ")
 
-  private def sparkElem(arr: String, j: Int) = s"CAST(element_at($arr, $j) AS DOUBLE)"
-  private def duckElem(arr: String, j: Int) = s"CAST($arr[$j] AS DOUBLE)"
+  private[queries] def sparkElem(arr: String, j: Int) = s"CAST(element_at($arr, $j) AS DOUBLE)"
+  private[queries] def duckElem(arr: String, j: Int) = s"CAST($arr[$j] AS DOUBLE)"
 
   /** Brute-force cosine top-k against a query vector (vec_id 0): the
     * exact baseline every ANN variant is measured against. At scale the
     * query vector broadcasts and the scan is embarrassingly parallel;
-    * top-k is a TakeOrdered, not a full sort. */
+    * the Spark top-k is `orderBy().limit(k)` -> TakeOrderedAndProject
+    * (per-partition heaps, no global sort, no single-partition window);
+    * rank is attached to the already-sorted 10-row result with
+    * zipWithIndex. The DuckDB oracle keeps its window formulation —
+    * same rows either way. */
   val q33 = QueryDef(
     "q33_knn_bruteforce",
     (s, dir) => {
       t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      s.sql(s"""
+      val scored = s.sql(s"""
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         scored AS (
           SELECT vec_id,
             (${dotSum(sparkElem, "embedding", "qv")}) AS dot,
             (${dotSum(sparkElem, "embedding", "embedding")}) AS naa,
             (${dotSum(sparkElem, "qv", "qv")}) AS nbb
-          FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
-        ranked AS (
-          SELECT vec_id, dot / (sqrt(naa) * sqrt(nbb)) AS cos_raw,
-            row_number() OVER (ORDER BY dot / (sqrt(naa) * sqrt(nbb)) DESC, vec_id) AS rank
-          FROM scored)
-        SELECT rank, vec_id, round(cos_raw, 6) AS cosine
-        FROM ranked WHERE rank <= 10 ORDER BY rank""")
+          FROM embeddings CROSS JOIN q WHERE vec_id <> 0)
+        SELECT vec_id, dot / (sqrt(naa) * sqrt(nbb)) AS cos_raw FROM scored""")
+      val top10 = scored.orderBy(col("cos_raw").desc, col("vec_id")).limit(10)
+      graft.util.Ids.withRowIndex(top10, "rank")
+        .select(col("rank").cast("int").as("rank"), col("vec_id"),
+          round(col("cos_raw"), 6).as("cosine"))
     },
     Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
       scored AS (
@@ -68,7 +71,7 @@ object EmbeddingQueries {
   private def planeDot(elem: (String, Int) => String, p: Int): String =
     (1 to Dim).map(j => s"(${elem("embedding", j)} * ${hval(p, j)})").mkString(" + ")
 
-  private def bucketExpr(elem: (String, Int) => String): String =
+  private[queries] def bucketExpr(elem: (String, Int) => String): String =
     (0 until 8).map(p =>
       s"(CASE WHEN (${planeDot(elem, p)}) > 0 THEN ${1 << p} ELSE 0 END)"
     ).mkString(" + ")

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
 import QueryDef._
 
 /** Oracle-checked queries that drive the graft.ops library modules
@@ -61,5 +61,137 @@ object OpsQueries {
         ORDER BY doc_id""")
     })
 
-  val all: Seq[QueryDef] = Seq(q39, q40, q41)
+  /** Dedup.nearDuplicates end to end — the flagship LLM-data op:
+    * minhash -> LSH bands -> jaccard verify -> TRANSITIVE connected
+    * components. The oracle rebuilds the identical pipeline in DuckDB,
+    * with a recursive CTE computing the transitive closure (min
+    * reachable id = Spark's min-label fixpoint). */
+  val q46 = QueryDef(
+    "q46_near_dup_pipeline",
+    (s, dir) => {
+      Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", threshold = 0.8)
+        .select(col("doc_id"), col("dup_of"), col("is_near_duplicate"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+      w AS (${TextQueries.wordsSqlDuck}),
+      sig AS (${TextQueries.sigSqlDuck}),
+      pairs AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+            ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.mh3 = b.mh3
+           AND a.doc_id < b.doc_id
+          UNION ALL
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+            ON a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.mh6 = b.mh6 AND a.mh7 = b.mh7
+           AND a.doc_id < b.doc_id)),
+      n AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY doc_id),
+      inter AS (
+        SELECT p.doc_a, p.doc_b, count(*) AS ni
+        FROM pairs p JOIN w a ON a.doc_id = p.doc_a
+        JOIN w b ON b.doc_id = p.doc_b AND b.w = a.w
+        GROUP BY p.doc_a, p.doc_b),
+      verified AS (
+        SELECT p.doc_a, p.doc_b FROM pairs p
+        JOIN n na ON na.doc_id = p.doc_a
+        JOIN n nb ON nb.doc_id = p.doc_b
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        WHERE CAST(coalesce(i.ni, 0) AS DOUBLE)
+                / (na.nw + nb.nw - coalesce(i.ni, 0)) >= CAST(0.8 AS DOUBLE)),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM verified
+        UNION SELECT doc_b, doc_a FROM verified),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, re.r FROM edges e JOIN reach re ON re.id = e.dst),
+      comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      dupmap AS (SELECT id, comp FROM comp WHERE id <> comp)
+      SELECT d.doc_id, dm.comp AS dup_of, dm.id IS NOT NULL AS is_near_duplicate
+      FROM documents d LEFT JOIN dupmap dm ON dm.id = d.doc_id
+      ORDER BY d.doc_id"""),
+    bench = true)
+
+  /** Similarity.annTopK — the neighbor lists an ANN user actually
+    * consumes: LSH-bucket both sides, equi-join on bucket, rank by
+    * cosine within each query. Query set = vec_id < 20. */
+  val q47 = QueryDef(
+    "q47_ann_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 20),
+          "embedding", "vec_id", dim = EmbeddingQueries.Dim, k = 5, numPlanes = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .oracleOrderBy("query_id", "rank")
+    },
+    Some {
+      import EmbeddingQueries.{bucketExpr, dotSum, duckElem}
+      s"""WITH b AS (
+          SELECT vec_id, embedding, (${bucketExpr(duckElem)}) AS bucket FROM embeddings),
+        cand AS (
+          SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+            (${dotSum(duckElem, "q.embedding", "d.embedding")})
+              / (sqrt(${dotSum(duckElem, "q.embedding", "q.embedding")})
+                 * sqrt(${dotSum(duckElem, "d.embedding", "d.embedding")})) AS cos
+          FROM b q JOIN b d ON q.bucket = d.bucket AND q.vec_id <> d.vec_id
+          WHERE q.vec_id < 20),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM cand)
+        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    })
+
+  /** Similarity.ivfTopK — IVF retrieval end to end: assign every row to
+    * its max-cosine cell (4 deterministic centroids, ties -> highest
+    * cid), each query probes its 2 best cells, candidates come from the
+    * cell equi-join, ranked by cosine per query. */
+  val q48 = QueryDef(
+    "q48_ivf_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = Similarity.deterministicCentroids(emb, "embedding", "vec_id", 4)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+          "embedding", "vec_id", centroids, k = 5, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .oracleOrderBy("query_id", "rank")
+    },
+    Some {
+      import EmbeddingQueries.{dotSum, duckElem}
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+        cellscore AS (
+          SELECT vec_id, cid,
+            (${dotSum(duckElem, "embedding", "cv")})
+              / (sqrt(${dotSum(duckElem, "embedding", "embedding")})
+                 * sqrt(${dotSum(duckElem, "cv", "cv")})) AS sim
+          FROM embeddings CROSS JOIN c),
+        cellrank AS (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+          FROM cellscore),
+        assigned AS (SELECT vec_id, cid AS cell FROM cellrank WHERE rn = 1),
+        probes AS (SELECT vec_id, cid AS cell FROM cellrank WHERE rn <= 2 AND vec_id < 20),
+        cand AS (
+          SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+            (${dotSum(duckElem, "eq.embedding", "ed.embedding")})
+              / (sqrt(${dotSum(duckElem, "eq.embedding", "eq.embedding")})
+                 * sqrt(${dotSum(duckElem, "ed.embedding", "ed.embedding")})) AS cos
+          FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+          JOIN embeddings eq ON eq.vec_id = p.vec_id
+          JOIN embeddings ed ON ed.vec_id = a.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM cand)
+        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+    bench = true)
+
+  val all: Seq[QueryDef] = Seq(q39, q40, q41, q46, q47, q48)
 }

@@ -27,13 +27,15 @@ object QueryDef {
     def oracleOrderBy(cols: String*): DataFrame =
       df.repartition(1).sortWithinPartitions(cols.map(col): _*)
   }
-  /** Read one synthetic table (TESTDATA.md layout). The events table
-    * stores TIMESTAMP(NANOS) which Spark only reads as raw int64
-    * (spark.sql.legacy.parquet.nanosAsLong); set it before any events
-    * scan — footer reading fails otherwise even for queries that never
-    * touch `ts`. */
+  /** The events table stores TIMESTAMP(NANOS), which Spark only reads
+    * as raw int64 with this conf set — parquet footer reading fails
+    * otherwise, even for queries that never touch `ts`. Entry points
+    * (Bench/Verify/tools/test harness) set it at session build; query
+    * functions never mutate session state. */
+  val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Read one synthetic table (TESTDATA.md layout). */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
     // The synthetic files are written as a single parquet row group, so
     // the scan yields ONE partition no matter how it is split — the

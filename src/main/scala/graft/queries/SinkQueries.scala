@@ -113,7 +113,19 @@ object SinkQueries {
       Files.deleteIfExists(tmpDir) // don't leak one temp dir per run
       counts.toDF("member", "n_rows").oracleOrderBy("member")
     },
-    None, // side-effecting sink: rows-only gate; Tasks1Spec has the byte-level checks
+    // The oracle checks the sink END TO END: the zip's per-member line
+    // counts must equal DuckDB's row counts of the same source
+    // projections (agency + calendar are literal one-row tables). A
+    // dropped/duplicated row anywhere in the distributed format+concat
+    // path breaks the match; byte-level content checks live in
+    // Tasks1Spec's round-trip.
+    Some("""SELECT 'agency.txt' AS member, CAST(1 AS BIGINT) AS n_rows
+      UNION ALL SELECT 'calendar.txt', CAST(1 AS BIGINT)
+      UNION ALL SELECT 'routes.txt', (SELECT count(*) FROM nation)
+      UNION ALL SELECT 'stops.txt', (SELECT count(*) FROM customer)
+      UNION ALL SELECT 'stop_times.txt', (SELECT count(*) FROM lineitem)
+      UNION ALL SELECT 'trips.txt', (SELECT count(*) FROM orders)
+      ORDER BY member"""),
     bench = true)
 
   val all: Seq[QueryDef] = Seq(q45)

@@ -17,7 +17,7 @@ object TextQueries {
     t(s, dir, "documents").select(col("doc_id"),
       explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("w"))
 
-  private val wordsSqlDuck =
+  private[queries] val wordsSqlDuck =
     """SELECT DISTINCT doc_id, w FROM (
          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
          FROM documents)"""
@@ -148,7 +148,7 @@ object TextQueries {
       s"(instr('0123456789abcdef', substr($m, ${pos + j}, 1)) - 1) * CAST(${1L << (4 * (6 - j))} AS BIGINT)")
       .mkString(" + ")
 
-  private val sigSqlDuck =
+  private[queries] val sigSqlDuck =
     s"""SELECT doc_id, ${(0 until 8).map(i => s"min(a + $i*b) AS mh$i").mkString(", ")}
         FROM (SELECT doc_id,
                 ${hexPolyDuck("m", 1)} AS a,

@@ -13,6 +13,7 @@ object TestSpark {
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.queries.QueryDef.NanosConf, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
