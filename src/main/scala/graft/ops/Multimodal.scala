@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, batch-shaped decode/feature-extract
   * hooks over `mapPartitions`.
   *
-  * The Spark-side contract here is real and tested — schema, batching,
-  * partitioning. The actual media decode is STUBBED behind
-  * [[MediaCodec]] (this environment ships no image/audio libraries):
-  * `DeterministicFakeCodec` produces stable synthetic features so the
-  * distributed plumbing can be exercised end to end; production swaps
-  * in a codec backed by javax.imageio / ffmpeg without touching the
-  * pipeline shape.
+  * The Spark-side contract — schema, batching, partitioning — is real
+  * and tested. IMAGE decode is real too: [[ImageIoCodec]] decodes
+  * PNG/BMP/GIF/JPEG through the JDK's `javax.imageio` (no external
+  * dependency) into width/height/band counts and per-channel pixel
+  * statistics. Audio/video decode remains STUBBED behind
+  * [[DeterministicFakeCodec]] (this environment ships no audio/video
+  * libraries); production swaps in an ffmpeg-backed codec without
+  * touching the pipeline shape.
   */
 object Multimodal {
 
@@ -63,6 +64,72 @@ object Multimodal {
     }
   }
 
+  object ImageIoCodec {
+    /** [width, height, bands, meanR, meanG, meanB, meanA, stdR, stdG,
+      * stdB, stdA, meanLuma] */
+    val Dim = 12
+  }
+
+  /** REAL image decoder over the JDK's built-in `javax.imageio`
+    * (PNG/BMP/GIF/JPEG — no external dependency): features are image
+    * dimensions plus per-channel mean/stddev pixel statistics in the
+    * sRGB space `BufferedImage.getRGB` normalizes to, so the vector is
+    * identical regardless of the file's internal raster layout.
+    * Non-image media types route to `audioVideoFallback` (the one
+    * remaining stub — this environment has no audio/video libraries);
+    * undecodable bytes yield None, not an exception. */
+  final class ImageIoCodec(
+      audioVideoFallback: MediaCodec = new DeterministicFakeCodec(ImageIoCodec.Dim))
+      extends MediaCodec {
+    require(audioVideoFallback.featureDim == ImageIoCodec.Dim,
+      s"fallback featureDim must be ${ImageIoCodec.Dim} so the feature column is rectangular")
+    def featureDim: Int = ImageIoCodec.Dim
+
+    def decode(mediaType: String, payload: Array[Byte]): Option[Array[Float]] = {
+      if (payload == null || payload.isEmpty) return None
+      if (mediaType != "image") return audioVideoFallback.decode(mediaType, payload)
+      // memory-backed streams only — never spill decode temp files to
+      // executor disk (setUseCache is a cheap idempotent static)
+      javax.imageio.ImageIO.setUseCache(false)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      val sums = new Array[Double](4); val sqs = new Array[Double](4)
+      var lumaSum = 0.0
+      val rowBuf = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        var x = 0
+        while (x < w) {
+          val argb = rowBuf(x)
+          val a = (argb >>> 24) & 0xff; val r = (argb >>> 16) & 0xff
+          val g = (argb >>> 8) & 0xff; val b = argb & 0xff
+          sums(0) += r; sums(1) += g; sums(2) += b; sums(3) += a
+          sqs(0) += r.toDouble * r; sqs(1) += g.toDouble * g
+          sqs(2) += b.toDouble * b; sqs(3) += a.toDouble * a
+          lumaSum += 0.299 * r + 0.587 * g + 0.114 * b
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * h
+      def mean(c: Int) = (sums(c) / n).toFloat
+      def std(c: Int) = {
+        val m = sums(c) / n
+        math.sqrt(math.max(0.0, sqs(c) / n - m * m)).toFloat
+      }
+      Some(Array(
+        w.toFloat, h.toFloat, img.getRaster.getNumBands.toFloat,
+        mean(0), mean(1), mean(2), mean(3),
+        std(0), std(1), std(2), std(3),
+        (lumaSum / n).toFloat))
+    }
+  }
+
   /** A media transformer: bytes -> bytes (resize / transcode / crop). */
   trait MediaTransform extends Serializable {
     def apply(mediaType: String, payload: Array[Byte]): Option[Array[Byte]]
@@ -80,6 +147,37 @@ object Multimodal {
         i += 1
       }
       Some(out)
+    }
+  }
+
+  /** REAL image resize via the JDK: decode with `javax.imageio`, scale
+    * with `Graphics2D` bilinear interpolation, re-encode as PNG
+    * (lossless -> byte-deterministic for a given JDK). Non-image types
+    * route to the fallback transform; undecodable bytes yield None. */
+  final class ImageIoResize(
+      targetW: Int, targetH: Int,
+      audioVideoFallback: MediaTransform = new DeterministicFakeResize())
+      extends MediaTransform {
+    require(targetW > 0 && targetH > 0, "resize target must be positive")
+    def apply(mediaType: String, payload: Array[Byte]): Option[Array[Byte]] = {
+      if (payload == null || payload.isEmpty) return None
+      if (mediaType != "image") return audioVideoFallback(mediaType, payload)
+      javax.imageio.ImageIO.setUseCache(false)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null) return None
+      val scaled = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      val g = scaled.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      if (!javax.imageio.ImageIO.write(scaled, "png", out)) None else Some(out.toByteArray)
     }
   }
 

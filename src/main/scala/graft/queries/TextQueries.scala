@@ -161,18 +161,23 @@ object TextQueries {
     * over two 28-bit digest halves (Kirsch–Mitzenmacher) — pure
     * integer math, bit-identical across engines, and min over the
     * doc's shingles is order-free under any parallelism. */
+  /** MinHash signatures WITHOUT the presentation sort — q30's band
+    * joins must see the naturally-partitioned signatures, not a
+    * repartition(1) output (PlanAuditSpec guards this). */
+  private def sigSpark(s: SparkSession, dir: String): DataFrame = {
+    val ab = expr("""transform(transform(sh, x -> md5(x)),
+        m -> named_struct(
+          'a', CAST(conv(substr(m, 1, 7), 16, 10) AS BIGINT),
+          'b', CAST(conv(substr(m, 9, 7), 16, 10) AS BIGINT)))""")
+    val mhs = (0 until 8).map(i =>
+      expr(s"array_min(transform(__ab, p -> p.a + $i * p.b))").as(s"mh$i"))
+    shingles(s, dir).withColumn("__ab", ab)
+      .select(col("doc_id") +: mhs: _*)
+  }
+
   val q29 = QueryDef(
     "q29_minhash_signature",
-    (s, dir) => {
-      val ab = expr("""transform(transform(sh, x -> md5(x)),
-          m -> named_struct(
-            'a', CAST(conv(substr(m, 1, 7), 16, 10) AS BIGINT),
-            'b', CAST(conv(substr(m, 9, 7), 16, 10) AS BIGINT)))""")
-      val mhs = (0 until 8).map(i =>
-        expr(s"array_min(transform(__ab, p -> p.a + $i * p.b))").as(s"mh$i"))
-      shingles(s, dir).withColumn("__ab", ab)
-        .select(col("doc_id") +: mhs: _*).oracleOrderBy("doc_id")
-    },
+    (s, dir) => sigSpark(s, dir).oracleOrderBy("doc_id"),
     Some(s"$sigSqlDuck ORDER BY doc_id"),
     bench = true)
 
@@ -182,7 +187,7 @@ object TextQueries {
   val q30 = QueryDef(
     "q30_lsh_band_pairs",
     (s, dir) => {
-      val sig = q29.fn(s, dir)
+      val sig = sigSpark(s, dir)
       val a = sig.alias("a"); val b = sig.alias("b")
       def band(cols: Range) = a.join(b,
           cols.map(i => col(s"a.mh$i") === col(s"b.mh$i")).reduce(_ && _) &&

@@ -178,6 +178,62 @@ class OpsSpec extends SparkSpec {
     assert(byId(4L) == null) // undecodable -> null, job survives
   }
 
+  /** In-memory PNG with the given ARGB pixel rows. */
+  private def pngBytes(pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length; val w = pixels.head.length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    out.toByteArray
+  }
+
+  test("Multimodal.ImageIoCodec REALLY decodes a PNG: dims + exact channel stats") {
+    // red, green / blue, white: every channel mean and stddev is
+    // exactly 127.5, as is the BT.601 luma mean
+    val png = pngBytes(Array(
+      Array(0xffff0000, 0xff00ff00),
+      Array(0xff0000ff, 0xffffffff)))
+    val assets = Seq(
+      (1L, "image", png),
+      (2L, "image", "not-an-image".getBytes("UTF-8")),
+      (3L, "audio", "fake-wav-bytes".getBytes("UTF-8")))
+      .toDF("asset_id", "media_type", "payload")
+      .repartition(3) // decode must work per-partition, not driver-side
+    val feats = Multimodal.extractFeatures(assets, new Multimodal.ImageIoCodec())
+    val byId = feats.collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("features")
+      r.getLong(0) -> (if (v == null) null else v.toList)
+    }.toMap
+    val img = byId(1L)
+    assert(img != null && img.length == Multimodal.ImageIoCodec.Dim)
+    assert(img(0) == 2.0f && img(1) == 2.0f) // width, height
+    assert(img(2) == 4.0f) // ARGB bands
+    assert(img(3) == 127.5f && img(4) == 127.5f && img(5) == 127.5f) // RGB means
+    assert(img(6) == 255.0f) // alpha mean (opaque)
+    assert(img(7) == 127.5f && img(8) == 127.5f && img(9) == 127.5f) // RGB stddevs
+    assert(img(10) == 0.0f) // alpha stddev
+    assert(img(11) == 127.5f) // luma mean
+    assert(byId(2L) == null) // garbage bytes -> null features, job survives
+    assert(byId(3L) != null && byId(3L).length == Multimodal.ImageIoCodec.Dim) // audio -> fallback
+  }
+
+  test("Multimodal.ImageIoResize REALLY rescales: 4x4 solid red -> 2x2 solid red") {
+    val red = 0xffff0000
+    val assets = Seq(
+      (1L, "image", pngBytes(Array.fill(4)(Array.fill(4)(red)))),
+      (2L, "audio", "fake-wav-bytes".getBytes("UTF-8")))
+      .toDF("asset_id", "media_type", "payload")
+    val resized = Multimodal.transformPayload(
+      assets, new Multimodal.ImageIoResize(2, 2), outCol = "payload_small")
+    val outBytes = resized.filter(col("asset_id") === 1L)
+      .collect().head.getAs[Array[Byte]]("payload_small")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(outBytes))
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 2) assert(img.getRGB(x, y) == red)
+  }
+
   test("Multimodal: payload transform + video frame sampling plumbing") {
     val assets = Seq(
       (1L, "video", ("frame-data-" * 20).getBytes("UTF-8"), 10000L),
