@@ -1,0 +1,291 @@
+package graft.examples
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GtfsFunctions, Helpers}
+import graft.model.{FeedDataset, GtfsSchemas}
+import graft.operators.{RouteSelector, SplitTripLegs, Task, TaskRuntime, UpdateTable}
+
+/** PKP Intercity importer — the second USER-task extension proof
+  * (reference: examples/pkpic). The reference's `CSVImport`
+  * (examples/pkpic/csv_import.py:14-135) is a driver-side Python loop:
+  * `groupby` rows by (departure date, train number), then a sequential
+  * per-train pass building the trip, its stop_times with a
+  * day-rollover recurrence, and first-occurrence routes / stops /
+  * calendars.
+  *
+  * Re-expressed Spark-first, the whole import is declarative:
+  *
+  *  - the consecutive `groupby(DataOdjazdu, NrPociagu)` becomes a
+  *    `groupBy` + `min_by`/`max_by` over a distributed line number
+  *    (the file IS ordered by train, so consecutive == global groups);
+  *  - the reference's `while arrival < previous_departure: arrival +=
+  *    DAY` recurrence is a windowed cumulative wrap count: flatten each
+  *    stop into (arrival, departure) time points, count raw-value
+  *    decreases along the trip, add `86400 * wraps` — identical result
+  *    because every raw time is within one day;
+  *  - first-occurrence `saved_stops` / `saved_routes` /
+  *    `saved_calendars` sets become `min_by(line)` aggregations.
+  */
+final case class PkpIcCsvImport(csvResourceName: String, agencyId: String = "0")
+    extends Task {
+  override def name = "PkpIcCsvImport"
+
+  /** Null-pad + cast a projection to the registry schema of `table`. */
+  private def conform(df: DataFrame, table: String): DataFrame = {
+    val schema = GtfsSchemas(table)
+    val have = df.columns.toSet
+    schema.fields.foldLeft(df) { (d, f) =>
+      if (have.contains(f.name)) d.withColumn(f.name, col(f.name).cast(f.dataType))
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(schema.fieldNames.map(col): _*)
+  }
+
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    val spark = rt.spark
+    // windows-1250 ; -separated CSV (csv_import.py:33-35). Spark 4's
+    // CSV source only accepts UTF charsets, so decode per line in the
+    // executors: cp1250 is single-byte with ASCII newlines, so Hadoop
+    // text splits stay byte-correct and the read remains splittable —
+    // no driver-side transcode, no legacy-charset session conf.
+    val decoded = spark.createDataset(
+      spark.sparkContext.hadoopFile(
+        rt.resources(csvResourceName).storedAt.toString,
+        classOf[org.apache.hadoop.mapred.TextInputFormat],
+        classOf[org.apache.hadoop.io.LongWritable],
+        classOf[org.apache.hadoop.io.Text])
+        .map { case (_, t) => new String(t.getBytes, 0, t.getLength, "windows-1250") }
+    )(org.apache.spark.sql.Encoders.STRING)
+    val raw = spark.read
+      .option("header", "true").option("delimiter", ";")
+      .csv(decoded)
+    // file order drives "first occurrence" and stop sequence — recover
+    // it distributed (count-per-partition + narrow offset add)
+    val lined = graft.util.Ids.withRowIndex(raw, "__line")
+      .withColumn("NrPociaguHandlowy", coalesce(col("NrPociaguHandlowy"), lit("")))
+      .withColumn("NazwaPociagu", coalesce(col("NazwaPociagu"), lit("")))
+      .withColumn("PeronWyjazd", coalesce(col("PeronWyjazd"), lit("")))
+      .withColumn("BUS", coalesce(col("BUS"), lit("")))
+    // virtual stops are dropped BEFORE any per-train logic
+    // (csv_import.py:41)
+    val rows = lined.filter(col("StacjaHandlowa") === "1").localCheckpoint(true)
+
+    val trainKey = Seq(col("DataOdjazdu"), col("NrPociagu"))
+
+    // ---- per-train trip attributes (csv_import.py:43-59) ----
+    val pyTitleUdf = udf(Helpers.pyTitle _)
+    val firstRow = struct(col("KategoriaHandlowa"), col("NrPociaguHandlowy"),
+      col("NazwaPociagu"))
+    val trains = rows.groupBy(trainKey: _*)
+      .agg(
+        min_by(firstRow, col("__line")).as("f"),
+        max_by(col("NazwaStacji"), col("__line")).as("headsign"))
+      .withColumn("route_id", regexp_replace(col("f.KategoriaHandlowa"), "  ", " "))
+      .withColumn("number",
+        when(col("f.NrPociaguHandlowy") =!= "", col("f.NrPociaguHandlowy"))
+          .otherwise(element_at(split(col("NrPociagu"), "/"), 1)))
+      .withColumn("calendar_id", col("DataOdjazdu"))
+      .withColumn("trip_id",
+        concat(col("DataOdjazdu"), lit("_"), regexp_replace(col("NrPociagu"), "/", "-")))
+      .withColumn("titled", pyTitleUdf(col("f.NazwaPociagu")))
+      .withColumn("short_name",
+        when(col("f.NazwaPociagu") =!= "" && col("f.NazwaPociagu").contains(col("number")),
+          regexp_replace(col("titled"), "Zka", "ZKA"))
+          .when(col("f.NazwaPociagu") =!= "",
+            concat(col("number"), lit(" "), col("titled")))
+          .otherwise(col("number")))
+      .localCheckpoint(true)
+
+    val trips = conform(
+      trains.select(col("trip_id"), col("route_id"), col("calendar_id"),
+        col("headsign"), col("short_name")), "trips")
+
+    // ---- stop_times with the day-rollover recurrence ----
+    val wTrain = Window.partitionBy(trainKey: _*).orderBy(col("__line"))
+    val seqd = rows
+      .withColumn("stop_sequence", row_number().over(wTrain) - 1)
+      .withColumn("arr_raw", GtfsFunctions.gtfsTimeToSeconds(col("Przyjazd")))
+      .withColumn("dep_raw", GtfsFunctions.gtfsTimeToSeconds(col("Odjazd")))
+    // flatten to the exact comparison sequence of the reference loop:
+    // arr_0, dep_0, arr_1, dep_1, ... (csv_import.py:77-106); every raw
+    // value is < 24 h, so "add days until monotone" == "+86400 per raw
+    // decrease seen so far"
+    val pts = seqd.select((trainKey :+ col("stop_sequence") :+
+      explode(array(
+        struct(lit(0).as("k"), col("arr_raw").as("raw")),
+        struct(lit(1).as("k"), col("dep_raw").as("raw")))).as("p")): _*)
+      .select((trainKey :+ col("stop_sequence") :+ col("p.k").as("k") :+
+        (col("stop_sequence") * 2 + col("p.k")).as("pi") :+ col("p.raw").as("raw")): _*)
+    val wPts = Window.partitionBy(trainKey: _*).orderBy(col("pi"))
+    val rolled = pts
+      .withColumn("prev", lag(col("raw"), 1).over(wPts))
+      .withColumn("wrap",
+        when(col("prev").isNotNull && col("raw") < col("prev"), 1).otherwise(0))
+      .withColumn("wraps", sum(col("wrap"))
+        .over(wPts.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("actual", col("raw") + col("wraps") * 86400)
+      .groupBy((trainKey :+ col("stop_sequence")): _*)
+      .agg(
+        min(when(col("k") === 0, col("actual"))).as("arrival_time"),
+        min(when(col("k") === 1, col("actual"))).as("departure_time"))
+
+    val platform: Column =
+      when(col("BUS") === "1", "BUS")
+        .when(col("PeronWyjazd").isin("NULL", "BUS"), "")
+        .otherwise(col("PeronWyjazd"))
+    val stopTimes = conform(
+      seqd.select((trainKey :+ col("stop_sequence") :+
+        col("NumerStacji").as("stop_id") :+ platform.as("platform")): _*)
+        .join(rolled, Seq("DataOdjazdu", "NrPociagu", "stop_sequence"))
+        .join(trains.select((trainKey :+ col("trip_id")): _*), Seq("DataOdjazdu", "NrPociagu"))
+        .withColumn("pickup_type", lit(0)).withColumn("drop_off_type", lit(0)),
+      "stop_times")
+
+    // ---- first-occurrence parents (csv_import.py:108-135) ----
+    val routes = conform(
+      trains.select("route_id").distinct()
+        .withColumn("agency_id", lit(agencyId))
+        .withColumn("short_name", col("route_id"))
+        .withColumn("long_name", lit(""))
+        .withColumn("type", lit(2)), // Route.Type.RAIL
+      "routes")
+    val stops = conform(
+      rows.groupBy(col("NumerStacji").as("stop_id"))
+        .agg(min_by(col("NazwaStacji"), col("__line")).as("name"))
+        .withColumn("lat", lit(0.0)).withColumn("lon", lit(0.0))
+        .withColumn("location_type", lit(0)),
+      "stops")
+    val calendars = conform(
+      trains.select("calendar_id").distinct()
+        .withColumn("start_date", to_date(col("calendar_id"), "yyyy-MM-dd"))
+        .withColumn("end_date", col("start_date"))
+        .select((col("calendar_id") +: Seq("monday", "tuesday", "wednesday", "thursday",
+          "friday", "saturday", "sunday").map(d => lit(true).as(d))) :+
+          col("start_date") :+ col("end_date"): _*),
+      "calendars")
+
+    feed.updatedAll(
+      "routes" -> feed("routes").unionByName(routes),
+      "stops" -> feed("stops").unionByName(stops),
+      "calendars" -> feed("calendars").unionByName(calendars),
+      "trips" -> feed("trips").unionByName(trips),
+      "stop_times" -> feed("stop_times").unionByName(stopTimes))
+  }
+}
+
+/** Station coordinate/name enrichment from a PLRailMap-style OSM XML
+  * (reference: examples/pkpic/station_import.py:8-59). The XML is a
+  * small driver-side map file (parsed with the JDK DOM — the osmiter
+  * analogue); everything per-stop is distributed joins:
+  *
+  *  - stops matched by primary ref get the map's name/lat/lon;
+  *  - stops matched only by the secondary ref (`ref:2`) are remapped:
+  *    stop_times repoint to the primary id and the station row is
+  *    re-created under it (station_import.py:44-50 — the reference's
+  *    `(id2, id2)` UPDATE binding is a no-op typo; the surrounding
+  *    code's intent, remap-to-primary, is what's implemented here);
+  *  - stops with no map match are dropped with a warning, like the
+  *    reference's final DELETE + logger.warning loop (:56-59).
+  */
+final case class PkpIcStationImport(osmResourceName: String) extends Task {
+  override def name = "PkpIcStationImport"
+
+  /** (ref, ref2, name, lat, lon) for railway=station OSM nodes. */
+  private[examples] def parseStations(xml: java.io.InputStream): Seq[(String, String, String, Double, Double)] = {
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder().parse(xml)
+    val nodes = doc.getElementsByTagName("node")
+    (0 until nodes.getLength).flatMap { i =>
+      val n = nodes.item(i).asInstanceOf[org.w3c.dom.Element]
+      val tags = n.getElementsByTagName("tag")
+      val tagMap = (0 until tags.getLength).map { j =>
+        val t = tags.item(j).asInstanceOf[org.w3c.dom.Element]
+        t.getAttribute("k") -> t.getAttribute("v")
+      }.toMap
+      if (tagMap.get("railway").contains("station") && tagMap.contains("ref"))
+        Some((tagMap("ref"), tagMap.getOrElse("ref:2", null), tagMap.getOrElse("name", ""),
+          n.getAttribute("lat").toDouble, n.getAttribute("lon").toDouble))
+      else None
+    }
+  }
+
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    import rt.spark.implicits._
+    val in = java.nio.file.Files.newInputStream(rt.resources(osmResourceName).storedAt)
+    val stations = try parseStations(in) finally in.close()
+    val byRef = stations.toDF("ref", "ref2", "map_name", "map_lat", "map_lon")
+
+    val stops = feed("stops")
+    val mapCols = Seq("ref", "ref2", "map_name", "map_lat", "map_lon")
+    // primary-ref matches: enrich in place
+    val primary = stops.join(byRef, col("stop_id") === col("ref"), "left")
+    val unmatched = primary.filter(col("ref").isNull).drop(mapCols: _*)
+    // secondary-ref matches among the rest: re-keyed to the primary id
+    val secondary = unmatched.join(byRef, col("stop_id") === col("ref2"))
+    val remap = secondary
+      .select(col("stop_id").as("old_stop_id"), col("ref").as("new_stop_id"))
+      .localCheckpoint(true)
+
+    unmatched.join(remap, col("stop_id") === col("old_stop_id"), "left_anti")
+      .select("stop_id", "name").collect().foreach { r =>
+        System.err.println(s"[$name] No data for station ${r.getString(0)} (${r.getString(1)})")
+      }
+
+    def enriched(df: DataFrame): DataFrame = df
+      .withColumn("name", col("map_name"))
+      .withColumn("lat", col("map_lat")).withColumn("lon", col("map_lon"))
+      .drop(mapCols: _*)
+    val outStops = enriched(primary.filter(col("ref").isNotNull))
+      .unionByName(enriched(secondary.withColumn("stop_id", col("ref"))))
+    val outStopTimes = feed("stop_times")
+      .join(remap, col("stop_id") === col("old_stop_id"), "left")
+      .withColumn("stop_id", coalesce(col("new_stop_id"), col("stop_id")))
+      .drop("old_stop_id", "new_stop_id")
+
+    feed.updatedAll("stops" -> outStops, "stop_times" -> outStopTimes)
+  }
+}
+
+/** The pkpic pipeline pieces beyond the CSV import, on the library's
+  * task surface (reference: examples/pkpic/__main__.py:74-105 and
+  * set_colors.py — there an ExecuteSQL UPDATE; here the UpdateTable
+  * mutation re-expression). */
+object PkpIc {
+
+  /** Route colors by train category (set_colors.py:4-23). */
+  def setRouteColors: UpdateTable = {
+    val sn = col("short_name")
+    val color = when(sn.isin("TLK", "TLK IC", "IC TLK"), "8505A3")
+      .when(sn === "IC", "F25E18")
+      .when(sn.isin("IC EIC", "EIC", "EIC IC"), "898989")
+      .when(sn === "EC", "9D740F")
+      .when(sn === "EIP", "002664")
+      .when(sn === "EN", "000000")
+      .otherwise("DE4E4E")
+    UpdateTable("routes",
+      Map("text_color" -> lit("FFFFFF"), "color" -> color), lit(true))
+  }
+
+  /** Rail-replacement bus split, on the core SplitTripLegs hooks
+    * (split_bus_legs.py:40: trips whose short_name mentions ZKA are
+    * replaced wholesale; platform=="BUS" legs split out otherwise). */
+  def splitBusLegs: SplitTripLegs = SplitTripLegs(
+    routeSelector = RouteSelector(routeType = Some(2)),
+    replacementBusShortNamePattern = Some("ZKA"))
+
+  /** The example's GTFS member layout (__main__.py:15-66). */
+  val gtfsHeaders: Seq[(String, Seq[String])] = Seq(
+    "agency.txt" -> Seq("agency_id", "agency_name", "agency_url", "agency_timezone",
+      "agency_lang", "agency_phone"),
+    "stops.txt" -> Seq("stop_id", "stop_name", "stop_lat", "stop_lon"),
+    "routes.txt" -> Seq("agency_id", "route_id", "route_short_name", "route_long_name",
+      "route_type", "route_color", "route_text_color"),
+    "trips.txt" -> Seq("route_id", "service_id", "trip_id", "trip_headsign",
+      "trip_short_name"),
+    "stop_times.txt" -> Seq("trip_id", "stop_sequence", "stop_id", "arrival_time",
+      "departure_time", "platform"),
+    "calendar.txt" -> Seq("service_id", "start_date", "end_date", "monday", "tuesday",
+      "wednesday", "thursday", "friday", "saturday", "sunday"))
+}

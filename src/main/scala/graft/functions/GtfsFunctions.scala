@@ -143,15 +143,7 @@ object GtfsFunctions {
       // with Spark 4 for collations) implements the same C+F mappings
       // (ß -> ss, ﬁ -> fi, final sigma -> sigma)
       com.ibm.icu.lang.UCharacter.foldCase(s, com.ibm.icu.lang.UCharacter.FOLD_CASE_DEFAULT))
-    spark.udf.register("unicode_title", (s: String) => if (s == null) null else {
-      // Python str.title semantics: every alpha run capitalized
-      val sb = new StringBuilder; var prevAlpha = false
-      s.foreach { ch =>
-        val isA = ch.isLetter
-        sb.append(if (isA && !prevAlpha) ch.toUpper else if (isA) ch.toLower else ch)
-        prevAlpha = isA
-      }
-      sb.toString
-    })
+    spark.udf.register("unicode_title",
+      (s: String) => if (s == null) null else Helpers.pyTitle(s))
   }
 }

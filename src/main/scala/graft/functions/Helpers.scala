@@ -56,6 +56,20 @@ object Helpers {
     if (yiq > 128000) "000000" else "FFFFFF"
   }
 
+  /** Python `str.title()` semantics: every alphabetic run starts
+    * uppercase, the rest lowercased; non-letters pass through and break
+    * runs. Shared by the `unicode_title` SQL function and the PKP IC
+    * example's train-name casing. */
+  def pyTitle(s: String): String = {
+    val sb = new StringBuilder; var prevAlpha = false
+    s.foreach { ch =>
+      val isA = ch.isLetter
+      sb.append(if (isA && !prevAlpha) ch.toUpper else if (isA) ch.toLower else ch)
+      prevAlpha = isA
+    }
+    sb.toString
+  }
+
   private val reSubPatterns = new java.util.concurrent.ConcurrentHashMap[
     String, (java.util.regex.Pattern, Map[String, String])]()
 

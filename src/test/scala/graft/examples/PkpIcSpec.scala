@@ -1,0 +1,166 @@
+package graft.examples
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{Pipeline, TaskRuntime}
+import graft.resource.{ManagedResource, PipelineRunner}
+
+/** Golden tests for the PKP IC example importer, mirroring the
+  * reference pipeline's expectations (examples/pkpic): windows-1250
+  * ;-CSV -> grouped trains -> trips/stops/routes/calendars/stop_times
+  * with day rollover, then route colors and the ZKA bus split. */
+class PkpIcSpec extends SparkSpec {
+
+  // Column layout used by csv_import.py; Kraków Główny exercises the
+  // windows-1250 decode (ó, ł are single cp1250 bytes)
+  private val csv = Seq(
+    "DataOdjazdu;NrPociagu;NrPociaguHandlowy;NazwaPociagu;KategoriaHandlowa;NumerStacji;NazwaStacji;StacjaHandlowa;Przyjazd;Odjazd;PeronWyjazd;BUS",
+    // train 1: no commercial number (-> partition before '/'), no name,
+    // overnight rollover, a virtual stop, a NULL platform
+    "2024-03-01;1234/5;;;IC;100;Warszawa Wschodnia;1;23:30:00;23:40:00;II;",
+    "2024-03-01;1234/5;;;IC;101;Yard Sidings;0;23:50:00;23:55:00;;",
+    "2024-03-01;1234/5;;;IC;102;Kraków Główny;1;00:30:00;00:35:00;NULL;",
+    // train 2: ZKA replacement bus (short_name keeps ZKA uppercased),
+    // double-space category, repeated station 100 keeps its first name
+    "2024-03-01;777;77;ZKA 77;TLK  IC;100;Warszawa Wsch. Again;1;10:00:00;10:05:00;;1",
+    "2024-03-01;777;77;ZKA 77;TLK  IC;103;Lublin;1;11:00:00;11:00:00;BUS;",
+    // train 3: named train, number not in name -> "333 Pogoria"
+    "2024-03-01;333;333;POGORIA;IC;100;Warszawa Wschodnia;1;12:00:00;12:01:00;I;",
+    "2024-03-01;333;333;POGORIA;IC;104;Katowice;1;14:00:00;14:02:00;II;")
+    .mkString("\n")
+
+  private def runImport() = {
+    val tmp = Files.createTempFile("pkpic_", ".csv")
+    Files.write(tmp, csv.getBytes(java.nio.charset.Charset.forName("windows-1250")))
+    val rt = TaskRuntime(spark, Map(
+      "rozklad_kpd.csv" -> ManagedResource(tmp, Instant.now(), Instant.now())))
+    val feed = PkpIcCsvImport("rozklad_kpd.csv")
+      .execute(PipelineRunner.emptyFeed(spark), rt)
+    (feed, rt, tmp)
+  }
+
+  test("CSVImport: trains become trips with reference naming rules") {
+    val (feed, _, tmp) = runImport()
+    try {
+      val trips = feed("trips").collect()
+        .map(r => r.getAs[String]("trip_id") ->
+          (r.getAs[String]("route_id"), r.getAs[String]("short_name"),
+            r.getAs[String]("headsign"))).toMap
+      assert(trips.keySet == Set("2024-03-01_1234-5", "2024-03-01_777", "2024-03-01_333"))
+      // number falls back to NrPociagu up to '/'; no name -> bare number
+      assert(trips("2024-03-01_1234-5") == ("IC", "1234", "Kraków Główny"))
+      // title-cased name keeps ZKA uppercase; double space collapsed
+      assert(trips("2024-03-01_777") == ("TLK IC", "ZKA 77", "Lublin"))
+      // number not inside name -> "number Name"
+      assert(trips("2024-03-01_333") == ("IC", "333 Pogoria", "Katowice"))
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  test("CSVImport: stop_times roll past midnight like the reference while-loops") {
+    val (feed, _, tmp) = runImport()
+    try {
+      val st = feed("stop_times").filter(col("trip_id") === "2024-03-01_1234-5")
+        .orderBy("stop_sequence").collect()
+        .map(r => (r.getAs[Int]("stop_sequence"), r.getAs[String]("stop_id"),
+          r.getAs[Int]("arrival_time"), r.getAs[Int]("departure_time"),
+          r.getAs[String]("platform")))
+      // virtual stop 101 filtered out BEFORE sequencing; 00:30 next day
+      // = 24:30 = 88200 (arrival < previous departure -> +24h), and its
+      // departure follows suit; platform NULL -> ''
+      assert(st.toSeq == Seq(
+        (0, "100", 84600, 85200, "II"),
+        (1, "102", 88200, 88500, "")))
+      val bus = feed("stop_times").filter(col("trip_id") === "2024-03-01_777")
+        .orderBy("stop_sequence").collect()
+        .map(r => (r.getAs[String]("stop_id"), r.getAs[String]("platform")))
+      // BUS flag wins; a literal 'BUS' platform without the flag clears
+      assert(bus.toSeq == Seq(("100", "BUS"), ("103", "")))
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  test("CSVImport: first-occurrence stops/routes/calendars") {
+    val (feed, _, tmp) = runImport()
+    try {
+      val stops = feed("stops").collect()
+        .map(r => r.getAs[String]("stop_id") -> r.getAs[String]("name")).toMap
+      // station 100 keeps the FIRST name seen in file order
+      assert(stops == Map(
+        "100" -> "Warszawa Wschodnia", "102" -> "Kraków Główny",
+        "103" -> "Lublin", "104" -> "Katowice"))
+      val routes = feed("routes").collect()
+        .map(r => r.getAs[String]("route_id") -> r.getAs[Int]("type")).toMap
+      assert(routes == Map("IC" -> 2, "TLK IC" -> 2))
+      val cal = feed("calendars").collect()
+      assert(cal.length == 1)
+      assert(cal.head.getAs[String]("calendar_id") == "2024-03-01")
+      assert(cal.head.getAs[java.sql.Date]("start_date").toString == "2024-03-01")
+      assert(Seq("monday", "tuesday", "wednesday", "thursday", "friday", "saturday",
+        "sunday").forall(cal.head.getAs[Boolean](_)))
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  test("StationImport: primary enrich, secondary re-key, unmatched dropped") {
+    val osm = """<?xml version="1.0" encoding="UTF-8"?>
+      <osm>
+        <node id="1" lat="52.25" lon="21.05">
+          <tag k="railway" v="station"/><tag k="ref" v="100"/>
+          <tag k="name" v="Warszawa Wschodnia MAP"/>
+        </node>
+        <node id="2" lat="50.07" lon="19.95">
+          <tag k="railway" v="station"/><tag k="ref" v="200"/><tag k="ref:2" v="102"/>
+          <tag k="name" v="Krakow Glowny MAP"/>
+        </node>
+        <node id="3" lat="0.0" lon="0.0">
+          <tag k="railway" v="station"/><tag k="ref" v="999"/><tag k="name" v="Unused"/>
+        </node>
+        <node id="4" lat="1.0" lon="1.0"><tag k="railway" v="halt"/><tag k="ref" v="103"/></node>
+      </osm>"""
+    val (feed0, _, tmpCsv) = runImport()
+    val tmpOsm = Files.createTempFile("plrailmap_", ".osm")
+    Files.writeString(tmpOsm, osm)
+    try {
+      val rt2 = TaskRuntime(spark, Map(
+        "pl_rail_map.osm" -> ManagedResource(tmpOsm, Instant.now(), Instant.now())))
+      val feed = PkpIcStationImport("pl_rail_map.osm").execute(feed0, rt2)
+      val stops = feed("stops").collect()
+        .map(r => r.getAs[String]("stop_id") ->
+          (r.getAs[String]("name"), r.getAs[Double]("lat"), r.getAs[Double]("lon"))).toMap
+      // 100 enriched in place; 102 re-keyed to primary ref 200; the
+      // map-less 103/104 dropped (railway=halt nodes don't count)
+      assert(stops.keySet == Set("100", "200"))
+      assert(stops("100") == (("Warszawa Wschodnia MAP", 52.25, 21.05)))
+      assert(stops("200") == (("Krakow Glowny MAP", 50.07, 19.95)))
+      // stop_times follow the re-key (station_import.py:44-50 intent)
+      val st1 = feed("stop_times").filter(col("trip_id") === "2024-03-01_1234-5")
+        .orderBy("stop_sequence").collect().map(_.getAs[String]("stop_id")).toSeq
+      assert(st1 == Seq("100", "200"))
+    } finally { Files.deleteIfExists(tmpCsv); Files.deleteIfExists(tmpOsm) }
+  }
+
+  test("pipeline: route colors + ZKA bus split on the core task hooks") {
+    val (feed0, rt, tmp) = runImport()
+    try {
+      val feed = new Pipeline(Seq(PkpIc.setRouteColors, PkpIc.splitBusLegs)).run(feed0, rt)
+      val routes = feed("routes").collect()
+        .map(r => r.getAs[String]("route_id") ->
+          (r.getAs[Int]("type"), r.getAs[String]("color"), r.getAs[String]("text_color")))
+        .toMap
+      // set_colors.py values; the replacement-bus route copy is BUS-typed
+      assert(routes("IC") == ((2, "F25E18", "FFFFFF")))
+      assert(routes("TLK IC") == ((2, "8505A3", "FFFFFF")))
+      assert(routes("TLK IC_BUS")._1 == 3)
+      // the ZKA trip is replaced wholesale (split_bus_legs.py:40-41):
+      // same trip id, bus route, stop_times untouched
+      val zka = feed("trips").filter(col("trip_id") === "2024-03-01_777").collect().head
+      assert(zka.getAs[String]("route_id") == "TLK IC_BUS")
+      assert(feed("stop_times").filter(col("trip_id") === "2024-03-01_777").count() == 2)
+      // non-ZKA trains with no BUS legs stay untouched
+      val plain = feed("trips").filter(col("trip_id") === "2024-03-01_333").collect().head
+      assert(plain.getAs[String]("route_id") == "IC")
+    } finally Files.deleteIfExists(tmp)
+  }
+}
