@@ -33,15 +33,8 @@ final case class PkpIcCsvImport(csvResourceName: String, agencyId: String = "0")
     extends Task {
   override def name = "PkpIcCsvImport"
 
-  /** Null-pad + cast a projection to the registry schema of `table`. */
-  private def conform(df: DataFrame, table: String): DataFrame = {
-    val schema = GtfsSchemas(table)
-    val have = df.columns.toSet
-    schema.fields.foldLeft(df) { (d, f) =>
-      if (have.contains(f.name)) d.withColumn(f.name, col(f.name).cast(f.dataType))
-      else d.withColumn(f.name, lit(null).cast(f.dataType))
-    }.select(schema.fieldNames.map(col): _*)
-  }
+  private def conform(df: DataFrame, table: String): DataFrame =
+    GtfsSchemas.conform(df, table)
 
   def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
     val spark = rt.spark

@@ -1,0 +1,362 @@
+package graft.examples.warsaw
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Helpers
+import graft.model.{FeedDataset, GtfsSchemas}
+import graft.operators.{Task, TaskRuntime}
+
+/** Warsaw ZTM importer — the third USER-task extension proof and the
+  * largest reference example surface (examples/warsaw/import_ztm.py).
+  *
+  * The source format forces a sequential driver-side parse (one text
+  * stream with nested `*XX`/`#XX` sections — see [[ZtmParser]]); the
+  * reference then ALSO derives everything sequentially in Python.
+  * Here every derivation over the parsed records is a distributed
+  * DataFrame op:
+  *
+  *  - fare-zone inference per stop area (import_ztm.py:298-310's
+  *    conflicting-zone promotion to "1/2") -> one groupBy over variant
+  *    stops;
+  *  - trip direction detection (:418-430, |stops∩dir0| vs |stops∩dir1|
+  *    after removing overlap :51-55) -> two anti-joins + per-trip
+  *    counts;
+  *  - wheelchair accessibility (:257) -> anti-join against the
+  *    inaccessible departures;
+  *  - exceptional-trip flag (parser.py:72-75) -> per-trip aggregate;
+  *  - calendar exceptions from the KA hierarchy (:285-296,
+  *    match_calendar_id = first used calendar in hierarchy order) ->
+  *    explode + min_by(pos);
+  *  - stop_times with request-stop/terminus pickup types (:312-331) ->
+  *    one left join on the (stop, route) request pairs.
+  *
+  * Driver-side remain only the per-area naming rules (:340-396, string
+  * logic over a few thousand areas) and the per-route color/long-name
+  * table (:398-451, a few hundred rows). The reference's optional 7z
+  * input is not supported (no 7z codec in the JDK) — feed the plain
+  * windows-1250 text, or wrap a zip via resource.ZippedResource.
+  */
+final case class ImportZtm(
+    resourceName: String,
+    stopNamesResourceName: Option[String] = None,
+    agencyId: String = "0") extends Task {
+  override def name = "ImportZtm"
+
+  // ---- driver-side naming rules (import_ztm.py:340-396) ----
+
+  private val replacements = Seq(
+    "." -> ". ", "-" -> " - ", "  " -> " ", "al." -> "Al.", "pl." -> "Pl.",
+    "os." -> "Os.", "ks." -> "Ks.", "św." -> "Św.", "Ak " -> "AK ", "Ch " -> "CH ",
+    "gen." -> "Gen.", "rondo " -> "Rondo ", "most " -> "Most ")
+
+  private[warsaw] def normalizeStopName(name: String): String =
+    replacements.foldLeft(name) { case (s, (a, b)) => s.replace(a, b) }.replaceAll(" +$", "")
+
+  private[warsaw] def normalizeTownName(name: String): String =
+    if (name == "KAMPINOSKI PN") "Kampinoski PN" else Helpers.pyTitle(name)
+
+  private def fold(s: String): String =
+    com.ibm.icu.lang.UCharacter.foldCase(s, com.ibm.icu.lang.UCharacter.FOLD_CASE_DEFAULT)
+
+  /** import_ztm.py:367-396 */
+  private[warsaw] def shouldAddTownName(
+      areaId: String, name: String, townCode: String, townName: String): Boolean =
+    townCode != "--" &&
+      !Set("90", "91", "92", "93").contains(areaId.slice(1, 3)) &&
+      !name.contains("PKP") && !name.contains("WKD") &&
+      !fold(name).contains(fold(townName)) &&
+      !fold(townName).split("\\s+").exists(part => part.nonEmpty && fold(name).contains(part))
+
+  /** Route type/color from the LL description (import_ztm.py:398-416).
+    * Route.Type: 0 tram, 2 rail, 3 bus. */
+  private[warsaw] def routeColorType(id: String, desc: String): (Int, String, String) = {
+    val d = fold(desc)
+    if (d.contains("kolei")) (2, "009955", "FFFFFF")
+    else if (d.contains("tram")) (0, "B60000", "FFFFFF")
+    else if (d.contains("specjalna") && Set("W", "M").contains(id)) (0, "B60000", "FFFFFF")
+    else if (d.contains("nocna")) (3, "000000", "FFFFFF")
+    else if (d.contains("uzupełniająca")) (3, "000088", "FFFFFF")
+    else if (d.contains("strefowa")) (3, "006800", "FFFFFF")
+    else if (d.contains("ekspresowa") || d.contains("przyspieszona")) (3, "B60000", "FFFFFF")
+    else (3, "880077", "FFFFFF")
+  }
+
+  /** Flat `{"id": "name"}` JSON map (the curated stop-names resource —
+    * import_ztm.py:81-83). */
+  private def parseJsonMap(text: String): Map[String, String] =
+    """"([^"]+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2)).toMap
+
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    val spark = rt.spark
+    import spark.implicits._
+
+    val reader = java.nio.file.Files.newBufferedReader(
+      rt.resources(resourceName).storedAt, java.nio.charset.Charset.forName("windows-1250"))
+    val (hierarchy, areas, routes) =
+      try {
+        val p = new ZtmParser(Iterator.continually(reader.readLine()).takeWhile(_ != null))
+        (p.parseKa(), p.parseAreas(), p.parseRoutes())
+      } finally reader.close()
+    val curated = stopNamesResourceName.map(n => parseJsonMap(rt.resources(n).text))
+      .getOrElse(Map.empty)
+
+    // ---- area display names (first the curated name, then the
+    // town-prefix rule; import_ztm.py:120-137) ----
+    val areaNames: Map[String, String] = areas.map { case (a, _) =>
+      val name = normalizeStopName(a.name)
+      val town = normalizeTownName(a.townName)
+      a.id -> curated.getOrElse(a.id,
+        if (shouldAddTownName(a.id, name, a.townCode, town)) s"$town $name" else name)
+    }.toMap
+
+    // ---- flat parsed records -> DataFrames ----
+    val stopRows = for ((area, stops) <- areas; s <- stops) yield
+      (s.id, s"${areaNames(area.id)} ${s.id.takeRight(2)}", s.lat, s.lon, s.wheelchair)
+    val stopsRaw = stopRows.toDF("stop_id", "name", "lat", "lon", "wheelchair_boarding")
+
+    val requestPairs = (for {
+      (_, stops) <- areas; s <- stops
+      route <- s.routesStopping.getOrElse("na żądanie", Seq.empty)
+    } yield (s.id, route)).toDF("stop_id", "route_id").distinct()
+
+    // var_idx = file order of the variant within its route — the order
+    // OriginDestinationCollector sees
+    val variantStops = (for {
+      r <- routes
+      ((v, vstops), varIdx) <- r.variants.zipWithIndex
+      (vs, pos) <- vstops.zipWithIndex
+    } yield (r.route.id, varIdx, v.direction, v.sortOrder, pos, vs.id, vs.zone))
+      .toDF("route_id", "var_idx", "direction", "sort_order", "pos", "stop_id", "zone")
+
+    val inaccessible = routes.flatMap(_.stopDepartures).filter(!_.accessible)
+      .map(_.tripId).distinct.toDF("raw_trip_id")
+
+    val tripRows = for (r <- routes; t <- r.trips) yield
+      (r.route.id, t.id, t.calendarId, t.isExceptional)
+    val tripsRaw = tripRows.toDF("route_id", "raw_trip_id", "raw_calendar_id", "exceptional")
+
+    val stRows = for {
+      r <- routes; t <- r.trips; (st, idx) <- t.stopTimes.zipWithIndex
+    } yield (r.route.id, t.id, idx, st.stopId, st.time, st.terminus)
+    val stRaw = stRows.toDF("route_id", "raw_trip_id", "stop_sequence", "stop_id",
+      "time", "terminus")
+
+    // ---- fare zones: one aggregate; conflicting zones promote to
+    // "1/2" (import_ztm.py:298-310) ----
+    val zoneByArea = variantStops
+      .withColumn("area_id", substring(col("stop_id"), 1, 4))
+      .groupBy("area_id")
+      .agg(when(size(collect_set(col("zone"))) === 1, first(col("zone")))
+        .otherwise("1/2").as("zone_id"))
+
+    val stops = GtfsSchemas.conform(
+      stopsRaw
+        .join(zoneByArea, substring(col("stop_id"), 1, 4) === col("area_id"), "left")
+        .drop("area_id")
+        .withColumn("location_type", lit(0)),
+      "stops")
+
+    // ---- direction stop sets with the overlap removed
+    // (import_ztm.py:51-55) ----
+    val dirStops = variantStops.select("route_id", "direction", "stop_id").distinct()
+    val d0 = dirStops.filter(col("direction") === 0).select("route_id", "stop_id")
+    val d1 = dirStops.filter(col("direction") === 1).select("route_id", "stop_id")
+    val ex0 = d0.join(d1, Seq("route_id", "stop_id"), "left_anti")
+    val ex1 = d1.join(d0, Seq("route_id", "stop_id"), "left_anti")
+    def tripDirCount(ex: DataFrame, out: String) = stRaw
+      .join(ex, Seq("route_id", "stop_id"), "left_semi")
+      .select("route_id", "raw_trip_id", "stop_id").distinct()
+      .groupBy("route_id", "raw_trip_id").agg(count(lit(1)).as(out))
+    val dirCounts = tripDirCount(ex0, "n0")
+      .join(tripDirCount(ex1, "n1"), Seq("route_id", "raw_trip_id"), "full")
+
+    // ---- long-name origin/destination per (route, direction):
+    // the most-important (lowest sort_order) variants; origin = first
+    // stop of the FIRST such variant, dest = last stop of the LAST
+    // (OriginDestinationCollector, import_ztm.py:466-497) ----
+    val minSort = variantStops.groupBy("route_id", "direction")
+      .agg(min(col("sort_order")).as("min_sort"))
+    val odRows = variantStops
+      .join(minSort, Seq("route_id", "direction"))
+      .filter(col("sort_order") === col("min_sort"))
+      .withColumn("area_id", substring(col("stop_id"), 1, 4))
+      .groupBy("route_id", "direction")
+      .agg(
+        min_by(col("area_id"), struct(col("var_idx"), col("pos"))).as("origin"),
+        max_by(col("area_id"), struct(col("var_idx"), col("pos"))).as("dest"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getString(3))).toMap
+
+    /** import_ztm.py:203-215 preference order, then :432-451 naming. */
+    def longName(routeId: String): String = {
+      val out = odRows.get(routeId -> 0); val in = odRows.get(routeId -> 1)
+      val pair = (out, in) match {
+        case (Some(o), Some(i)) => Some((i._2, o._2))
+        case (Some(o), None)    => Some((o._1, o._2))
+        case (None, Some(i))    => Some((i._2, i._1))
+        case (None, None)       => None
+      }
+      pair match {
+        case None =>
+          System.err.println(s"[$name] Unable to infer long name for $routeId")
+          ""
+        case Some((a, b)) =>
+          (areaNames.get(a), areaNames.get(b)) match {
+            case (Some(an), Some(bn)) => s"$an — $bn"
+            case _ =>
+              System.err.println(s"[$name] No name for stop area of route $routeId")
+              ""
+          }
+      }
+    }
+
+    val routeRows = routes.map { pr =>
+      val (tpe, color, text) = routeColorType(pr.route.id, pr.route.description)
+      (pr.route.id, agencyId, pr.route.id, longName(pr.route.id), tpe, color, text)
+    }
+    val routesDf = GtfsSchemas.conform(
+      routeRows.toDF("route_id", "agency_id", "short_name", "long_name", "type",
+        "color", "text_color"),
+      "routes")
+
+    // ---- trips (import_ztm.py:220-262) ----
+    val trips = GtfsSchemas.conform(
+      tripsRaw
+        .join(dirCounts, Seq("route_id", "raw_trip_id"), "left")
+        .withColumn("direction",
+          when(coalesce(col("n0"), lit(0L)) >= coalesce(col("n1"), lit(0L)), 0).otherwise(1))
+        .join(inaccessible.withColumn("__inacc", lit(true)), Seq("raw_trip_id"), "left")
+        .withColumn("wheelchair_accessible", coalesce(col("__inacc"), lit(false)) === false)
+        .withColumn("trip_id", concat(col("route_id"), lit("/"), col("raw_trip_id")))
+        .withColumn("calendar_id", concat(col("route_id"), lit("/"), col("raw_calendar_id"))),
+      "trips")
+
+    // ---- stop_times with request/terminus passenger exchange
+    // (import_ztm.py:264-331; PassengerExchange: 0 scheduled, 1 none,
+    // 3 on-request) ----
+    val t = split(col("time"), "\\.")
+    val stopTimes = GtfsSchemas.conform(
+      stRaw
+        .join(requestPairs.withColumn("__req", lit(true)), Seq("stop_id", "route_id"), "left")
+        .withColumn("secs",
+          element_at(t, 1).cast("int") * 3600 + element_at(t, 2).cast("int") * 60)
+        .withColumn("trip_id", concat(col("route_id"), lit("/"), col("raw_trip_id")))
+        .withColumn("arrival_time", col("secs")).withColumn("departure_time", col("secs"))
+        .withColumn("pickup_type",
+          when(col("terminus"), 1).when(col("__req"), 3).otherwise(0))
+        .withColumn("drop_off_type",
+          when(col("terminus"), 0).when(col("__req"), 3).otherwise(0)),
+      "stop_times")
+
+    // ---- calendars: exceptions-only sentinel rows per (route,
+    // calendar) (import_ztm.py:230-245) ----
+    val usedCals = tripsRaw.select("route_id", "raw_calendar_id").distinct()
+    val calendars = GtfsSchemas.conform(
+      usedCals
+        .withColumn("calendar_id", concat(col("route_id"), lit("/"), col("raw_calendar_id")))
+        .select(col("calendar_id") +:
+          Seq("monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday")
+            .map(d => lit(false).as(d)) :+
+          to_date(lit("1111-11-11")).as("start_date") :+
+          to_date(lit("1111-11-11")).as("end_date"): _*),
+      "calendars")
+
+    // ---- calendar exceptions: first used calendar in each date's
+    // hierarchy (match_calendar_id, import_ztm.py:459-463) ----
+    val hier = hierarchy.flatMap(h => h.calendars.zipWithIndex.map { case (c, i) =>
+      (java.sql.Date.valueOf(h.date), i, c)
+    }).toDF("date", "pos", "raw_calendar_id")
+    val exceptions = GtfsSchemas.conform(
+      hier.join(usedCals, Seq("raw_calendar_id"))
+        .groupBy("route_id", "date")
+        .agg(min_by(col("raw_calendar_id"), col("pos")).as("raw_calendar_id"))
+        .withColumn("calendar_id", concat(col("route_id"), lit("/"), col("raw_calendar_id")))
+        .withColumn("exception_type", lit(1)), // CalendarException.Type.ADDED
+      "calendar_exceptions")
+
+    val agency = GtfsSchemas.conform(
+      Seq((agencyId, "Warszawski Transport Publiczny", "https://wtp.waw.pl/",
+        "Europe/Warsaw", "pl", "19 115"))
+        .toDF("agency_id", "name", "url", "timezone", "lang", "phone"),
+      "agencies")
+
+    feed.updatedAll(
+      "agencies" -> feed("agencies").unionByName(agency),
+      "calendars" -> feed("calendars").unionByName(calendars),
+      "calendar_exceptions" -> feed("calendar_exceptions").unionByName(exceptions),
+      "routes" -> feed("routes").unionByName(routesDf),
+      "stops" -> feed("stops").unionByName(stops),
+      "trips" -> feed("trips").unionByName(trips),
+      "stop_times" -> feed("stop_times").unionByName(stopTimes))
+  }
+}
+
+/** The small Warsaw companion tasks (fix_stop_locations.py,
+  * remove_stops_without_locations.py, generate_trip_headsign.py). */
+object WarsawTasks {
+
+  /** Overlay curated stop coordinates from a `{"id": [lat, lon]}` JSON
+    * resource (fix_stop_locations.py:4-27) — a broadcast-joined
+    * coordinate patch, warning on unused entries. */
+  final case class FixStopLocations(locationsResourceName: String) extends Task {
+    override def name = "FixStopLocations"
+    def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+      import rt.spark.implicits._
+      val entries = """"([^"]+)"\s*:\s*\[\s*([0-9.+-]+)\s*,\s*([0-9.+-]+)\s*\]""".r
+        .findAllMatchIn(rt.resources(locationsResourceName).text)
+        .map(m => (m.group(1), m.group(2).toDouble, m.group(3).toDouble)).toSeq
+      val patch = entries.toDF("stop_id", "new_lat", "new_lon")
+      val unused = patch.join(feed("stops"), Seq("stop_id"), "left_anti")
+        .select("stop_id").collect()
+      unused.foreach(r =>
+        System.err.println(s"[$name] Unused missing stop location for ${r.getString(0)}"))
+      val out = feed("stops").join(patch, Seq("stop_id"), "left")
+        .withColumn("lat", coalesce(col("new_lat"), col("lat")))
+        .withColumn("lon", coalesce(col("new_lon"), col("lon")))
+        .drop("new_lat", "new_lon")
+      feed.updated("stops", out)
+    }
+  }
+
+  /** Drop stops left at (0, 0), cascading into stop_times like the
+    * reference's SQLite FK (remove_stops_without_locations.py:6-16). */
+  case object RemoveStopsWithoutLocations extends Task {
+    override def name = "RemoveStopsWithoutLocations"
+    def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+      val missing = feed("stops").filter(col("lat") === 0.0 && col("lon") === 0.0)
+      missing.select("stop_id", "name").collect().foreach(r =>
+        System.err.println(s"[$name] Stop ${r.getString(0)} (${r.getString(1)}) has no position"))
+      feed.withCascade("stops",
+        feed("stops").filter(!(col("lat") === 0.0 && col("lon") === 0.0)))
+    }
+  }
+
+  /** Warsaw-specific headsigns: depot returns and the airport get
+    * fixed texts, everything else the last stop's name with the
+    * trailing stop-number stripped (generate_trip_headsign.py:7-33).
+    * The correlated LIMIT-1 subquery becomes a window top-1. */
+  case object GenerateTripHeadsign extends Task {
+    override def name = "WarsawGenerateTripHeadsign"
+    def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+      val w = Window.partitionBy(col("trip_id")).orderBy(col("stop_sequence").desc)
+      val lastStop = feed("stop_times")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(feed("stops").select(col("stop_id"), col("name").as("last_name")),
+          Seq("stop_id"), "left")
+      val headsign =
+        when(col("stop_id").isin("503803", "503804"), "Zjazd do zajezdni Wola")
+          .when(col("stop_id") === "103002", "Zjazd do zajezdni Praga")
+          .when(col("stop_id") === "324010", "Zjazd do zajezdni Mokotów")
+          .when(col("stop_id").isin("606107", "606108"), "Zjazd do zajezdni Żoliborz")
+          .when(substring(col("stop_id"), 1, 4) === "4202", "Lotnisko Chopina")
+          .otherwise(regexp_replace(col("last_name"), "[ 0-9]+$", ""))
+      val byTrip = lastStop.select(col("trip_id"), headsign.as("new_headsign"))
+      val out = feed("trips").join(byTrip, Seq("trip_id"), "left")
+        .withColumn("headsign", col("new_headsign")).drop("new_headsign")
+      feed.updated("trips", out)
+    }
+  }
+}

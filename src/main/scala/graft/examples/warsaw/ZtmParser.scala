@@ -1,0 +1,292 @@
+package graft.examples.warsaw
+
+import java.time.LocalDate
+
+/** Parsed records of the Warsaw ZTM fixed-width text format
+  * (reference: examples/warsaw/parser.py:7-75). */
+final case class CalendarHierarchy(date: LocalDate, calendars: Seq[String])
+final case class StopArea(id: String, name: String, townCode: String, townName: String)
+final case class ZtmStop(
+    id: String, lat: Double, lon: Double, wheelchair: Option[Boolean],
+    routesStopping: Map[String, Seq[String]])
+final case class ZtmRoute(id: String, description: String)
+final case class Variant(id: String, direction: Int, sortOrder: Int)
+final case class VariantStop(id: String, onRequest: Boolean, zone: String)
+final case class StopDeparture(tripId: String, time: String, accessible: Boolean)
+final case class TripDeparture(stopId: String, time: String, terminus: Boolean, exceptional: Boolean)
+final case class ZtmTrip(id: String, calendarId: String, stopTimes: Seq[TripDeparture]) {
+  /** parser.py:72-75 */
+  def isExceptional: Boolean =
+    !(id.startsWith("TP") || id.startsWith("TO")) || stopTimes.exists(_.exceptional)
+}
+
+/** One fully-parsed route block: the LL header plus everything nested
+  * under it (TR variants with their LW stop lists and WG/OD departure
+  * boards, then the WK trip section). */
+final case class ParsedRoute(
+    route: ZtmRoute,
+    variants: Seq[(Variant, Seq[VariantStop])],
+    stopDepartures: Seq[StopDeparture],
+    trips: Seq[ZtmTrip])
+
+/** Sequential parser for the ZTM file (reference:
+  * examples/warsaw/parser.py:78-351). The format is a single
+  * windows-1250 text stream with `*XX`/`#XX` section markers nested
+  * per stop area and per route, so parsing is inherently one ordered
+  * driver-side pass — section order violations fail fast, exactly like
+  * the reference's EOFError contract. Everything downstream of the
+  * parse (zone/direction/long-name/exception inference, stop_times
+  * assembly) is distributed in [[ImportZtm]].
+  */
+final class ZtmParser(file: Iterator[String]) {
+
+  /** Python-slice semantics: out-of-range indices clamp, never throw. */
+  private def slc(line: String, from: Int, until: Int): String = {
+    val n = line.length
+    if (from >= n) "" else line.substring(from, math.min(until, n))
+  }
+  private def from(line: String, i: Int): String = slc(line, i, Int.MaxValue min line.length max i)
+
+  private def getLine(): String =
+    if (file.hasNext) file.next().replaceAll("[\r\n]+$", "") else ""
+
+  private def eof(what: String): Nothing =
+    throw new java.io.EOFException(s"EOF reached before $what")
+
+  /** Skip past the `*section` (or `#section` when end) marker line
+    * (parser.py:102-108). */
+  private def skipTo(section: String, end: Boolean = false): Unit = {
+    val searchFor = (if (end) "#" else "*") + section
+    var line = getLine()
+    while (line.nonEmpty) {
+      if (line.contains(searchFor)) return
+      line = getLine()
+    }
+    eof(searchFor)
+  }
+
+  /** True after `*subsection`, false after `#end` (parser.py:110-123). */
+  private def skipToSubsectionOrEnd(subsection: String, end: String): Boolean = {
+    var line = getLine()
+    while (line.nonEmpty) {
+      if (line.contains("*" + subsection)) return true
+      if (line.contains("#" + end)) return false
+      line = getLine()
+    }
+    eof(s"*$subsection or #$end")
+  }
+
+  /** KA: service dates with their calendar-id hierarchy
+    * (parser.py:125-136). */
+  def parseKa(): Seq[CalendarHierarchy] = {
+    skipTo("KA")
+    val out = Seq.newBuilder[CalendarHierarchy]
+    var line = getLine()
+    while (line.nonEmpty) {
+      if (line.contains("#KA")) return out.result()
+      out += CalendarHierarchy(
+        LocalDate.parse(slc(line, 3, 13)),
+        from(line, 22).trim.split("\\s+").toSeq.filter(_.nonEmpty))
+      line = getLine()
+    }
+    eof("#KA")
+  }
+
+  /** ZP/PR: stop areas, each with its nested physical stops
+    * (parser.py:138-202; the interleaved generator contract of the
+    * reference — each area's PR section is consumed before the next
+    * area line). */
+  def parseAreas(): Seq[(StopArea, Seq[ZtmStop])] = {
+    skipTo("ZP")
+    val out = Seq.newBuilder[(StopArea, Seq[ZtmStop])]
+    var line = getLine()
+    while (line.nonEmpty) {
+      if (line.contains("#ZP")) return out.result()
+      val id = slc(line, 3, 7)
+      if (id.forall(_.isDigit) && id.nonEmpty) {
+        val area = StopArea(id,
+          slc(line, 10, 40).replaceAll("[ ,]+$", ""),
+          slc(line, 43, 45), from(line, 47))
+        out += area -> parsePr()
+      }
+      line = getLine()
+    }
+    eof("#ZP")
+  }
+
+  /** PR: the physical stops of one area; `L`-marked continuation lines
+    * carry "routes stopping" classes like na żądanie
+    * (parser.py:156-202). */
+  private def parsePr(): Seq[ZtmStop] = {
+    skipTo("PR")
+    val out = Seq.newBuilder[ZtmStop]
+    var stop: ZtmStop = null
+    var line = getLine()
+    while (line.nonEmpty) {
+      if (line.contains("#PR")) {
+        if (stop != null) out += stop
+        return out.result()
+      }
+      val id = slc(line, 9, 15)
+      if (id.contains("L")) {
+        require(stop != null, "routes-stopping line before any stop")
+        val kind = slc(line, 20, 39).replaceAll("[ :]+$", "")
+        val routes = from(line, 40).trim.split("\\s+").toSeq
+          .filter(_.nonEmpty).map(_.stripSuffix("^"))
+        stop = stop.copy(routesStopping = stop.routesStopping + (kind -> routes))
+      } else {
+        if (stop != null) out += stop
+        val lat = slc(line, 111, 121).trim.toDoubleOption.getOrElse(0.0)
+        val lon = slc(line, 128, 138).trim.toDoubleOption.getOrElse(0.0)
+        val acc = slc(line, 146, 147)
+        val wheelchair =
+          if (!acc.forall(_.isDigit) || acc.isEmpty) None
+          else if (acc.toInt > 5) Some(false)
+          else Some(true)
+        stop = ZtmStop(id, lat, lon, wheelchair, Map.empty)
+      }
+      line = getLine()
+    }
+    eof("#PR")
+  }
+
+  /** LL: every route with its nested TR/LW/WG/OD/WK blocks, consumed
+    * in file order (parser.py:204-218 driving 220-333). */
+  def parseRoutes(): Seq[ParsedRoute] = {
+    skipTo("LL")
+    val out = Seq.newBuilder[ParsedRoute]
+    var line = getLine()
+    while (line.nonEmpty) {
+      if (line.contains("#LL")) return out.result()
+      if (slc(line, 3, 9) == "Linia:") {
+        val route = ZtmRoute(slc(line, 10, 13).replaceAll("^ +", ""), from(line, 17))
+        val (variants, departures) = parseTr()
+        out += ParsedRoute(route, variants, departures, parseWk())
+      }
+      line = getLine()
+    }
+    eof("#LL")
+  }
+
+  /** TR: route variants; each is followed by its LW stop list and
+    * WG/OD departure-board pairs (parser.py:220-235). */
+  private def parseTr(): (Seq[(Variant, Seq[VariantStop])], Seq[StopDeparture]) = {
+    skipTo("TR")
+    val variants = Seq.newBuilder[(Variant, Seq[VariantStop])]
+    val departures = Seq.newBuilder[StopDeparture]
+    var line = getLine()
+    while (line.nonEmpty) {
+      if (line.contains("#TR")) return (variants.result(), departures.result())
+      if (slc(line, 61, 64) == "==>") {
+        val v = Variant(
+          slc(line, 9, 17).replaceAll(" +$", ""),
+          if (slc(line, 113, 114) == "A") 0 else 1,
+          slc(line, 122, 123).toInt)
+        variants += v -> parseLw()
+        departures ++= parseWgOd()
+      }
+      line = getLine()
+    }
+    eof("#TR")
+  }
+
+  /** LW: the ordered stop list of one variant, with zone banner lines
+    * switching the running fare zone (parser.py:237-259). */
+  private def parseLw(): Seq[VariantStop] = {
+    skipTo("LW")
+    val out = Seq.newBuilder[VariantStop]
+    var zone = "1"
+    var line = getLine()
+    while (line.nonEmpty) {
+      if (line.contains("#LW")) return out.result()
+      slc(line, 15, 45) match {
+        case "====== S T R E F A   1 =======" => zone = "1"
+        case "==== PRZYSTANEK GRANICZNY ====" => zone = "1/2"
+        case "====== S T R E F A   2 =======" => zone = "2"
+        case _                                => ()
+      }
+      val stopId = slc(line, 49, 55)
+      if (stopId.nonEmpty && stopId.forall(_.isDigit)) {
+        val zoneOverride = if (slc(line, 89, 91) == "OT" && zone == "2") "2-OT" else zone
+        out += VariantStop(stopId, slc(line, 96, 98) == "NŻ", zoneOverride)
+      }
+      line = getLine()
+    }
+    eof("#LW")
+  }
+
+  /** WG/OD pairs until #RP: per-stop departure boards; WG carries the
+    * accessibility flag, OD the trip id — matched on the
+    * modulo-24-hour time (parser.py:261-305). */
+  private def parseWgOd(): Seq[StopDeparture] = {
+    val out = Seq.newBuilder[StopDeparture]
+    while (skipToSubsectionOrEnd("WG", "RP")) {
+      val byTime = scala.collection.mutable.LinkedHashMap.empty[String, StopDeparture]
+      parseWg().foreach(d => byTime(d.time) = d)
+      val odStart = getLine()
+      require(odStart.contains("*OD"), "*OD did not follow after #WG")
+      parseOd().foreach { case (time, tripId) =>
+        byTime.remove(timeBefore24(time)).foreach(d => out += d.copy(tripId = tripId))
+      }
+    }
+    out.result()
+  }
+
+  private def parseWg(): Seq[StopDeparture] = {
+    val out = Seq.newBuilder[StopDeparture]
+    var line = getLine()
+    while (line.nonEmpty) {
+      if (line.contains("#WG")) return out.result()
+      val hour = slc(line, 33, 35).replaceAll("^ +", "")
+      from(line, 38).trim.split("\\s+").filter(_.nonEmpty).foreach { entry =>
+        val minutes = entry.filter(_.isDigit)
+        out += StopDeparture("", s"$hour.$minutes", accessible = entry.startsWith("["))
+      }
+      line = getLine()
+    }
+    eof("#WG")
+  }
+
+  private def parseOd(): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    var line = getLine()
+    while (line.nonEmpty) {
+      if (line.contains("#OD")) return out.result()
+      out += ((slc(line, 27, 32).replaceAll("^ +", ""), slc(line, 34, 51)))
+      line = getLine()
+    }
+    eof("#OD")
+  }
+
+  /** WK: trips as runs of consecutive same-id stop-time lines
+    * (parser.py:307-333). */
+  private def parseWk(): Seq[ZtmTrip] = {
+    skipTo("WK")
+    val out = Seq.newBuilder[ZtmTrip]
+    var tripId = ""; var calendarId = ""
+    var stopTimes = Seq.newBuilder[TripDeparture]
+    def flush(): Unit = {
+      val st = stopTimes.result()
+      if (st.nonEmpty) out += ZtmTrip(tripId, calendarId, st)
+      stopTimes = Seq.newBuilder[TripDeparture]
+    }
+    var line = getLine()
+    while (line.nonEmpty) {
+      if (line.contains("#WK")) { flush(); return out.result() }
+      val id = slc(line, 9, 26)
+      if (id != tripId) { flush(); tripId = id; calendarId = slc(line, 35, 37) }
+      val flag = slc(line, 45, 46)
+      stopTimes += TripDeparture(
+        slc(line, 28, 34), slc(line, 38, 43).replaceAll("^ +", ""),
+        terminus = flag == "P", exceptional = flag == "B")
+      line = getLine()
+    }
+    eof("#WK")
+  }
+
+  /** `"30.05"` -> `"6.05"` (parser.py:347-351). */
+  private def timeBefore24(time: String): String = {
+    val Array(h, m) = time.split("\\.").map(_.toInt)
+    f"${h % 24}%d.$m%02d"
+  }
+}

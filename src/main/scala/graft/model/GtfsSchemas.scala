@@ -150,6 +150,18 @@ object GtfsSchemas {
 
   def apply(table: String): StructType = all.toMap.apply(table)
 
+  /** Null-pad + cast a projection to the registry schema of `table` —
+    * the standard way importers conform partial frames. */
+  def conform(df: org.apache.spark.sql.DataFrame, table: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val schema = apply(table)
+    val have = df.columns.toSet
+    schema.fields.foldLeft(df) { (d, f) =>
+      if (have.contains(f.name)) d.withColumn(f.name, col(f.name).cast(f.dataType))
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(schema.fieldNames.map(col): _*)
+  }
+
   /** Primary keys per table (SURVEY §1.2). */
   val primaryKeys: Map[String, Seq[String]] = Map(
     "agencies" -> Seq("agency_id"),

@@ -1,0 +1,209 @@
+package graft.examples.warsaw
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.TaskRuntime
+import graft.resource.{ManagedResource, PipelineRunner}
+
+/** Golden tests for the Warsaw ZTM importer against a synthetic
+  * fixed-width fixture exercising every section (KA ZP/PR LL/TR/LW/
+  * WG/OD/WK), the zone/direction/long-name/exception inference, and
+  * the companion tasks. */
+class ImportZtmSpec extends SparkSpec {
+
+  /** Build a line with strings placed at exact 0-based column
+    * offsets — the format is fixed-width, so tests place fields the
+    * way parser.py slices them. */
+  private def at(pairs: (Int, String)*): String = {
+    val end = pairs.map { case (o, s) => o + s.length }.max
+    val buf = Array.fill(end)(' ')
+    pairs.foreach { case (o, s) => s.zipWithIndex.foreach { case (c, i) => buf(o + i) = c } }
+    new String(buf)
+  }
+
+  private val z1 = "====== S T R E F A   1 ======="
+  private val z2 = "====== S T R E F A   2 ======="
+
+  private val fixture: Seq[String] = Seq(
+    at(1 -> "*KA"),
+    at(3 -> "2024-03-04", 22 -> "D1 D2"),
+    at(3 -> "2024-03-05", 22 -> "D2"),
+    at(3 -> "2024-03-06", 22 -> "D9 D2"), // D9 unused -> falls through to D2
+    at(1 -> "#KA"),
+    at(1 -> "*ZP"),
+    at(3 -> "1001", 10 -> "Centrum", 43 -> "--", 47 -> "WARSZAWA"), // '--' = no town prefix
+    at(2 -> "*PR"),
+    at(9 -> "100101", 111 -> "52.230000", 128 -> "21.010000", 146 -> "2"), // accessible
+    at(9 -> "L", 20 -> "na żądanie:", 40 -> "130^ 520"),
+    at(9 -> "100102", 111 -> "52.240000", 128 -> "21.020000", 146 -> "7"), // level>5 -> not
+    at(9 -> "100103", 111 -> "52.250000", 128 -> "21.030000", 146 -> "?"), // unknown
+    at(2 -> "#PR"),
+    at(3 -> "2002", 10 -> "Szkoła", 43 -> "OT", 47 -> "OTWOCK"), // town prefix added
+    at(2 -> "*PR"),
+    at(9 -> "200201", 111 -> "52.100000", 128 -> "21.200000", 146 -> "1"),
+    at(9 -> "200202", 146 -> "1"), // no coordinates -> (0, 0)
+    at(2 -> "#PR"),
+    at(1 -> "#ZP"),
+    at(1 -> "*LL"),
+    at(3 -> "Linia:", 10 -> "130", 17 -> "LINIA AUTOBUSOWA UZUPEŁNIAJĄCA"),
+    at(2 -> "*TR"),
+    // outbound variant, most important (sort_order 1)
+    at(9 -> "TP-MAR", 61 -> "==>", 113 -> "A", 122 -> "1"),
+    at(3 -> "*LW"),
+    at(15 -> z1),
+    at(49 -> "100101"),
+    at(49 -> "100102"),
+    at(15 -> z2),
+    at(49 -> "200201", 96 -> "NŻ"),
+    at(49 -> "200202", 89 -> "OT"), // Otwock override -> zone 2-OT
+    at(3 -> "#LW"),
+    at(3 -> "*WG"),
+    at(33 -> " 6", 38 -> "[05 10"), // 6.05 accessible, 6.10 not
+    at(3 -> "#WG"),
+    at(3 -> "*OD"),
+    at(27 -> " 6.05", 34 -> "TP-MAR/DP/06.05", 52 -> "."),
+    at(27 -> " 6.10", 34 -> "TP-MAR/DP/06.10", 52 -> "."),
+    at(3 -> "#OD"),
+    at(3 -> "#RP"),
+    // inbound variant (no departure boards)
+    at(9 -> "TP-RAM", 61 -> "==>", 113 -> "B", 122 -> "1"),
+    at(3 -> "*LW"),
+    at(49 -> "200201"), // default zone 1 -> area 2002 zones conflict -> 1/2
+    at(49 -> "100103"),
+    at(3 -> "#LW"),
+    at(3 -> "#RP"),
+    at(2 -> "#TR"),
+    at(2 -> "*WK"),
+    at(9 -> "TP-MAR/DP/06.05", 28 -> "100101", 35 -> "D1", 38 -> " 6.05"),
+    at(9 -> "TP-MAR/DP/06.05", 28 -> "100102", 35 -> "D1", 38 -> " 6.07"),
+    at(9 -> "TP-MAR/DP/06.05", 28 -> "200201", 35 -> "D1", 38 -> " 6.15", 45 -> "P"),
+    at(9 -> "TP-MAR/DP/06.10", 28 -> "100101", 35 -> "D2", 38 -> " 6.10"),
+    at(9 -> "TP-MAR/DP/06.10", 28 -> "200201", 35 -> "D2", 38 -> " 6.20", 45 -> "B"),
+    at(9 -> "TO-RAM/DP/25.00", 28 -> "200201", 35 -> "D1", 38 -> "25.00"),
+    at(9 -> "TO-RAM/DP/25.00", 28 -> "100103", 35 -> "D1", 38 -> "25.10", 45 -> "P"),
+    at(2 -> "#WK"),
+    at(1 -> "#LL"))
+
+  // trip ids as sliced from WK lines: 17 chars, space-padded
+  private val t1 = "130/TP-MAR/DP/06.05  "
+  private val t2 = "130/TP-MAR/DP/06.10  "
+  private val t3 = "130/TO-RAM/DP/25.00  "
+
+  private def runImport() = {
+    val tmp = Files.createTempFile("ztm_", ".txt")
+    Files.write(tmp,
+      fixture.mkString("\n").getBytes(java.nio.charset.Charset.forName("windows-1250")))
+    val rt = TaskRuntime(spark, Map(
+      "ztm.txt" -> ManagedResource(tmp, Instant.now(), Instant.now())))
+    val feed = ImportZtm("ztm.txt").execute(PipelineRunner.emptyFeed(spark), rt)
+    (feed, rt, tmp)
+  }
+
+  test("stops: area naming rules, zones, wheelchair levels") {
+    val (feed, _, tmp) = runImport()
+    try {
+      val stops = feed("stops").collect().map(r => r.getAs[String]("stop_id") ->
+        (r.getAs[String]("name"), r.getAs[String]("zone_id"),
+          Option(r.getAs[java.lang.Boolean]("wheelchair_boarding")).map(_.booleanValue))).toMap
+      // Warsaw ('--') never gets the town prefix; Otwock does
+      assert(stops("100101") == (("Centrum 01", "1", Some(true))))
+      assert(stops("100102") == (("Centrum 02", "1", Some(false)))) // level 7 > 5
+      assert(stops("100103")._3.isEmpty) // non-digit accessibility
+      // area 2002 seen in zone 2, 2-OT and 1 -> promoted to 1/2
+      assert(stops("200201") == (("Otwock Szkoła 01", "1/2", Some(true))))
+      assert(stops("200202")._1 == "Otwock Szkoła 02")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  test("routes: description-driven color/type and inferred long name") {
+    val (feed, _, tmp) = runImport()
+    try {
+      val r = feed("routes").collect().head
+      assert(r.getAs[String]("route_id") == "130")
+      assert(r.getAs[Int]("type") == 3) // uzupełniająca -> BUS
+      assert(r.getAs[String]("color") == "000088")
+      assert(r.getAs[String]("text_color") == "FFFFFF")
+      // both directions ok -> "inbound destination — outbound destination"
+      assert(r.getAs[String]("long_name") == "Centrum — Otwock Szkoła")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  test("trips: direction detection, accessibility, exceptional flags") {
+    val (feed, _, tmp) = runImport()
+    try {
+      val trips = feed("trips").collect().map(r => r.getAs[String]("trip_id") ->
+        (r.getAs[Int]("direction"), r.getAs[Boolean]("wheelchair_accessible"),
+          r.getAs[Boolean]("exceptional"))).toMap
+      assert(trips.keySet == Set(t1, t2, t3))
+      assert(trips(t1) == ((0, true, false)))  // outbound stops, [-flagged dep.
+      assert(trips(t2) == ((0, false, true)))  // inaccessible board, B-flagged stop
+      assert(trips(t3) == ((1, true, false)))  // inbound-only stops, TO prefix
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  test("stop_times: >24h times, request stops and terminus exchange types") {
+    val (feed, _, tmp) = runImport()
+    try {
+      val st = feed("stop_times").filter(col("trip_id") === t1)
+        .orderBy("stop_sequence").collect()
+        .map(r => (r.getAs[String]("stop_id"), r.getAs[Int]("arrival_time"),
+          r.getAs[Int]("pickup_type"), r.getAs[Int]("drop_off_type")))
+      // 100101 is a request stop for route 130; the terminus allows
+      // drop-off only
+      assert(st.toSeq == Seq(
+        ("100101", 6 * 3600 + 5 * 60, 3, 3),
+        ("100102", 6 * 3600 + 7 * 60, 0, 0),
+        ("200201", 6 * 3600 + 15 * 60, 1, 0)))
+      val late = feed("stop_times").filter(col("trip_id") === t3)
+        .orderBy("stop_sequence").collect().map(_.getAs[Int]("arrival_time"))
+      assert(late.toSeq == Seq(25 * 3600, 25 * 3600 + 10 * 60)) // past 24:00
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  test("calendars: sentinel rows + hierarchy-matched exceptions") {
+    val (feed, _, tmp) = runImport()
+    try {
+      val cals = feed("calendars").collect()
+        .map(r => r.getAs[String]("calendar_id") ->
+          r.getAs[java.sql.Date]("start_date").toString).toMap
+      assert(cals == Map("130/D1" -> "1111-11-11", "130/D2" -> "1111-11-11"))
+      val exc = feed("calendar_exceptions").collect()
+        .map(r => (r.getAs[String]("calendar_id"), r.getAs[java.sql.Date]("date").toString,
+          r.getAs[Int]("exception_type"))).toSet
+      // first USED calendar in each date's hierarchy wins (D9 skipped)
+      assert(exc == Set(
+        ("130/D1", "2024-03-04", 1),
+        ("130/D2", "2024-03-05", 1),
+        ("130/D2", "2024-03-06", 1)))
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  test("companions: location patch, 0/0 removal, Warsaw headsigns") {
+    val (feed0, _, tmp) = runImport()
+    val tmpJson = Files.createTempFile("locations_", ".json")
+    Files.writeString(tmpJson, """{"200202": [52.31, 21.31], "999999": [1.0, 1.0]}""")
+    try {
+      val rt2 = TaskRuntime(spark, Map(
+        "loc.json" -> ManagedResource(tmpJson, Instant.now(), Instant.now())))
+      val patched = WarsawTasks.FixStopLocations("loc.json").execute(feed0, rt2)
+      val p = patched("stops").filter(col("stop_id") === "200202").collect().head
+      assert(p.getAs[Double]("lat") == 52.31 && p.getAs[Double]("lon") == 21.31)
+
+      // without the patch, 200202 sits at (0,0) and is dropped
+      val removed = WarsawTasks.RemoveStopsWithoutLocations.execute(feed0, rt2)
+      assert(removed("stops").filter(col("stop_id") === "200202").count() == 0)
+      assert(removed("stops").count() == 4)
+
+      val signed = WarsawTasks.GenerateTripHeadsign.execute(feed0, rt2)
+      val hs = signed("trips").collect()
+        .map(r => r.getAs[String]("trip_id") -> r.getAs[String]("headsign")).toMap
+      // last stop's name with the trailing stop number stripped
+      assert(hs(t1) == "Otwock Szkoła")
+      assert(hs(t3) == "Centrum")
+    } finally { Files.deleteIfExists(tmp); Files.deleteIfExists(tmpJson) }
+  }
+}
