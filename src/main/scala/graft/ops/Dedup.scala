@@ -90,11 +90,17 @@ object Dedup {
     * `pairs` has (doc_a, doc_b); result adds a `jaccard` column.
     * Cost is |pairs| * avg doc size — run AFTER LSH banding. */
   def jaccardForPairs(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    // the exploded word list feeds THREE subplans (both join sides +
-    // the per-doc counts); materialize it once instead of re-running
-    // the tokenize+explode pass per consumer
+    // Only docs that appear in a candidate pair matter — semi-join
+    // BEFORE tokenizing. After LSH banding the candidate set is a tiny
+    // fraction of the corpus, so this turns the explode + three joins
+    // from corpus-sized into candidate-sized (the scale win at 100 TB).
+    // The word list still feeds three subplans (both join sides + the
+    // per-doc counts), so it is materialized once.
+    val pairIds = pairs.select(col("doc_a").as("__id"))
+      .unionByName(pairs.select(col("doc_b").as("__id"))).distinct()
     val words = docs.select(col(idCol).as("__id"),
       explode(array_distinct(tokens(col("text")))).as("__w"))
+      .join(pairIds, Seq("__id"), "left_semi")
       .localCheckpoint(true)
     val counts = words.groupBy("__id").agg(count(lit(1)).as("__nw"))
     val wa = words.alias("wa"); val wb = words.alias("wb")

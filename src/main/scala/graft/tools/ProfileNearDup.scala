@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Dev-only stage timing for the q46 near-dup pipeline at sf0.1. */
+object ProfileNearDup {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime; val r = f
+      println(s"TIMING $tag: ${(System.nanoTime - t0) / 1e9}"); r
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .repartition(col("doc_id"))
+    val sigs = time("sigs") {
+      Dedup.minhashSignatures(docs)
+        .select(col("doc_id") +: (0 until 8).map(i => col(s"mh$i")): _*)
+        .localCheckpoint(true)
+    }
+    val pairs = time("pairs") {
+      Dedup.lshCandidatePairs(sigs, "doc_id").localCheckpoint(true)
+    }
+    println("pairs count: " + pairs.count())
+    val verified = time("jaccard") {
+      Dedup.jaccardForPairs(docs, "doc_id", pairs)
+        .filter(col("jaccard") >= 0.8).localCheckpoint(true)
+    }
+    println("verified count: " + verified.count())
+    val comp = time("components")(Dedup.connectedComponents(verified))
+    time("final_join") {
+      val dupMap = comp.filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"), col("comp").as("dup_of"))
+      docs.join(dupMap, Seq("doc_id"), "left")
+        .withColumn("is_near_duplicate", col("dup_of").isNotNull)
+        .write.mode("overwrite").format("noop").save()
+    }
+    // the exact bench path, twice: second run shows the warm cost
+    val q46 = graft.SparkEntry.queries("q46_near_dup_pipeline")
+    time("q46_benchpath_1")(q46(spark, "/root/testdata/sf0.1")
+      .write.mode("overwrite").format("noop").save())
+    time("q46_benchpath_2")(q46(spark, "/root/testdata/sf0.1")
+      .write.mode("overwrite").format("noop").save())
+    spark.stop()
+  }
+}
