@@ -223,7 +223,7 @@ final case class PkpIcStationImport(osmResourceName: String) extends Task {
 
     unmatched.join(remap, col("stop_id") === col("old_stop_id"), "left_anti")
       .select("stop_id", "name").collect().foreach { r =>
-        System.err.println(s"[$name] No data for station ${r.getString(0)} (${r.getString(1)})")
+        graft.util.Logs.warning(name, s"No data for station ${r.getString(0)} (${r.getString(1)})")
       }
 
     def enriched(df: DataFrame): DataFrame = df

@@ -201,13 +201,13 @@ final case class ImportZtm(
       }
       pair match {
         case None =>
-          System.err.println(s"[$name] Unable to infer long name for $routeId")
+          graft.util.Logs.error(name, s"Unable to infer long name for $routeId")
           ""
         case Some((a, b)) =>
           (areaNames.get(a), areaNames.get(b)) match {
             case (Some(an), Some(bn)) => s"$an — $bn"
             case _ =>
-              System.err.println(s"[$name] No name for stop area of route $routeId")
+              graft.util.Logs.error(name, s"No name for stop area of route $routeId")
               ""
           }
       }
@@ -312,7 +312,7 @@ object WarsawTasks {
       val unused = patch.join(feed("stops"), Seq("stop_id"), "left_anti")
         .select("stop_id").collect()
       unused.foreach(r =>
-        System.err.println(s"[$name] Unused missing stop location for ${r.getString(0)}"))
+        graft.util.Logs.warning(name, s"Unused missing stop location for ${r.getString(0)}"))
       val out = feed("stops").join(patch, Seq("stop_id"), "left")
         .withColumn("lat", coalesce(col("new_lat"), col("lat")))
         .withColumn("lon", coalesce(col("new_lon"), col("lon")))
@@ -328,7 +328,7 @@ object WarsawTasks {
     def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
       val missing = feed("stops").filter(col("lat") === 0.0 && col("lon") === 0.0)
       missing.select("stop_id", "name").collect().foreach(r =>
-        System.err.println(s"[$name] Stop ${r.getString(0)} (${r.getString(1)}) has no position"))
+        graft.util.Logs.warning(name, s"Stop ${r.getString(0)} (${r.getString(1)}) has no position"))
       feed.withCascade("stops",
         feed("stops").filter(!(col("lat") === 0.0 && col("lon") === 0.0)))
     }

@@ -46,8 +46,8 @@ final class Pipeline(
       val secs = (System.nanoTime() - t0) / 1e9
       val rss1 = LoadTracker.memoryUsageKb()
       rt.spark.sparkContext.setJobDescription(null)
-      System.err.println(
-        f"[pipeline] ${task.name}%-28s ${secs}%8.3f s; " +
+      graft.util.Logs.info("pipeline",
+        f"${task.name}%-28s ${secs}%8.3f s; " +
           f"memory usage: ${rss0 / 1024} MiB -> ${rss1 / 1024} MiB (diff ${rss1 - rss0} KiB)")
       out
     }

@@ -1,0 +1,48 @@
+package graft.util
+
+/** ANSI-colored stderr logging for pipeline runs (reference:
+  * tools/logs.py:10-77 + tools/color.py). Honors `NO_COLOR`. The
+  * reference's `tools/iteration.py` helpers (`limit`, `walk_len`) are
+  * Scala stdlib (`Iterator.take`, `.size`) and are not re-ported.
+  */
+object Logs {
+
+  private val colored = sys.env.get("NO_COLOR").forall(_.isEmpty)
+  private def c(code: String): String = if (colored) code else ""
+
+  val Reset = c("\u001b[0m"); val Dim = c("\u001b[2m")
+  val Red = c("\u001b[31m"); val Green = c("\u001b[32m")
+  val Yellow = c("\u001b[33m"); val Blue = c("\u001b[34m")
+  val Cyan = c("\u001b[36m"); val White = c("\u001b[37m")
+  val BgRed = c("\u001b[41m")
+
+  sealed abstract class Level(val order: Int, val label: String, val color: String)
+  case object Debug extends Level(0, "DEBUG", Dim)
+  case object Info extends Level(1, "INFO", Reset)
+  case object Warning extends Level(2, "WARNING", Yellow)
+  case object Error extends Level(3, "ERROR", Red)
+  case object Critical extends Level(4, "CRITICAL", White + BgRed)
+
+  @volatile private var minLevel: Level = Info
+
+  /** logs.py:55-61 — verbose lowers the threshold to DEBUG. */
+  def initialize(verbose: Boolean): Unit =
+    minLevel = if (verbose) Debug else Info
+
+  private val timeFmt = java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss.SSS")
+
+  /** One line in the reference's `[LEVEL HH:MM:SS.mmm] name: message`
+    * shape (ColoredFormatter.format, logs.py:38-52), to stderr. */
+  def log(level: Level, name: String, message: String): Unit =
+    if (level.order >= minLevel.order) {
+      val ts = java.time.LocalTime.now().format(timeFmt)
+      System.err.println(
+        s"$Blue[$Cyan${level.label}$Blue $ts] $Green$name$Reset: " +
+          s"${level.color}$message$Reset")
+    }
+
+  def debug(name: String, message: String): Unit = log(Debug, name, message)
+  def info(name: String, message: String): Unit = log(Info, name, message)
+  def warning(name: String, message: String): Unit = log(Warning, name, message)
+  def error(name: String, message: String): Unit = log(Error, name, message)
+}
