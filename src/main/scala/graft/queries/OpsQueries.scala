@@ -193,5 +193,86 @@ object OpsQueries {
     },
     bench = true)
 
-  val all: Seq[QueryDef] = Seq(q39, q40, q41, q46, q47, q48)
+  /** Similarity.cosineNearDupPairs — embedding-cosine near-duplicate
+    * pairs: LSH bucket both copies, in-bucket pairwise cosine, keep
+    * pairs above the threshold. The scale shape: candidates from the
+    * bucket equi-join, never all pairs. */
+  val q49 = QueryDef(
+    "q49_embedding_near_dup",
+    (s, dir) => {
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
+          dim = EmbeddingQueries.Dim, threshold = 0.2, numPlanes = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .oracleOrderBy("id_a", "id_b")
+    },
+    Some {
+      import EmbeddingQueries.{bucketExpr, dotSum, duckElem}
+      s"""WITH b AS (
+          SELECT vec_id, embedding, (${bucketExpr(duckElem)}) AS bucket FROM embeddings)
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+          round((${dotSum(duckElem, "a.embedding", "c.embedding")})
+            / (sqrt(${dotSum(duckElem, "a.embedding", "a.embedding")})
+               * sqrt(${dotSum(duckElem, "c.embedding", "c.embedding")})), 6) AS cosine
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE (${dotSum(duckElem, "a.embedding", "c.embedding")})
+            / (sqrt(${dotSum(duckElem, "a.embedding", "a.embedding")})
+               * sqrt(${dotSum(duckElem, "c.embedding", "c.embedding")}))
+          >= CAST(0.2 AS DOUBLE)
+        ORDER BY id_a, id_b"""
+    },
+    bench = true)
+
+  /** Similarity.bruteForceKnn driven as a library method (q33 proves
+    * the same plan shape from generated SQL): literal query vector,
+    * TakeOrdered top-10, the query row itself included at cosine 1. */
+  val q50 = QueryDef(
+    "q50_knn_op",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = Similarity.deterministicCentroids(emb, "embedding", "vec_id", 1).head._2
+      Similarity.bruteForceKnn(emb, "embedding", "vec_id", qv, k = 10)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    },
+    Some {
+      import EmbeddingQueries.{dotSum, duckElem}
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+            (${dotSum(duckElem, "embedding", "qv")}) AS dot,
+            (${dotSum(duckElem, "embedding", "embedding")}) AS naa,
+            (${dotSum(duckElem, "qv", "qv")}) AS nbb
+          FROM embeddings CROSS JOIN q)
+        SELECT vec_id, round(dot / (sqrt(naa) * sqrt(nbb)), 6) AS cosine
+        FROM scored
+        ORDER BY dot / (sqrt(naa) * sqrt(nbb)) DESC, vec_id LIMIT 10"""
+    })
+
+  /** Dedup.simhash + Dedup.hammingHex — fingerprint distance between
+    * neighboring docs (the simhash near-dup comparison primitive).
+    * Spark's `^` is XOR; DuckDB's is exponentiation, so the oracle
+    * spells xor() explicitly over the same nibble decode. */
+  val q51 = QueryDef(
+    "q51_simhash_hamming",
+    (s, dir) => {
+      val sh = Dedup.simhash(t(s, dir, "documents"), "doc_id")
+      val a = sh.alias("a"); val b = sh.alias("b")
+      a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          Dedup.hammingHex("a.simhash", "b.simhash").as("hamming"))
+        .oracleOrderBy("doc_a")
+    },
+    Some {
+      val terms = (1 to 16).map { i =>
+        val na = s"(instr('0123456789abcdef', substr(a.simhash, $i, 1)) - 1)"
+        val nb = s"(instr('0123456789abcdef', substr(b.simhash, $i, 1)) - 1)"
+        s"bit_count(xor($na, $nb))"
+      }
+      s"""WITH sh AS (${TextQueries.simhashDuckSqlNoOrder})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(${terms.mkString(" + ")} AS INTEGER) AS hamming
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        ORDER BY doc_a"""
+    })
+
+  val all: Seq[QueryDef] = Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51)
 }

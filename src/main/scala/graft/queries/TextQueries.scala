@@ -293,6 +293,10 @@ object TextQueries {
   /** The DuckDB-dialect simhash statement, shared with q40's oracle. */
   private[queries] def simhashDuckSql: String = simhashSql("duck", wordsSqlDuck)
 
+  /** Same, unordered — for embedding in larger oracle statements. */
+  private[queries] def simhashDuckSqlNoOrder: String =
+    simhashSql("duck", wordsSqlDuck, withOrder = false)
+
   private val wordsSqlSpark =
     """SELECT doc_id, explode(array_distinct(split(trim(lower(text)), '\\s+'))) AS w
        FROM documents"""
