@@ -1,0 +1,94 @@
+package graft.resource
+
+import java.io.{ByteArrayInputStream, InputStream}
+import java.nio.file.{Files, Path}
+import java.time.{Duration, Instant}
+
+/** In-library test doubles for resource pipelines (reference:
+  * tools/testing_mocks.py). Shipped in main, like the reference, so
+  * downstream users can test their own pipelines against them. The
+  * reference's MockHTTPResponse mocks the `requests` library and has
+  * no counterpart here — HttpResource tests stub at the [[Resource]]
+  * boundary instead.
+  */
+object TestingMocks {
+
+  /** Deterministic clock fed from an iterator of instants
+    * (MockDatetimeNow, testing_mocks.py:26-89); throws when exhausted,
+    * like the reference's StopIteration. */
+  final class MockClock(times: Iterator[Instant]) extends (() => Instant) {
+    def apply(): Instant =
+      if (times.hasNext) times.next()
+      else throw new NoSuchElementException("MockClock exhausted")
+  }
+
+  object MockClock {
+    def apply(times: Seq[Instant]): MockClock = new MockClock(times.iterator)
+
+    /** testing_mocks.py:60-62 */
+    def constant(t: Instant): MockClock = new MockClock(Iterator.continually(t))
+
+    /** `(start, start + delta, start + 2*delta, ...)`
+      * (testing_mocks.py:64-81). */
+    def evenlySpaced(start: Instant, delta: Duration): MockClock =
+      new MockClock(Iterator.iterate(start)(_.plus(delta)))
+  }
+
+  /** A [[Resource]] with predefined content and a controllable clock
+    * (MockResource, testing_mocks.py:156-206): a conditional fetch
+    * short-circuits to InputNotModified when the content is not newer
+    * than the last fetch; `persistLastModified` re-asserts the
+    * construction-time stamp against the cache layer's overwrites. */
+  final class MockResource(
+      content: Array[Byte] = Array.empty,
+      initialFetchTime: Instant = Instant.MIN,
+      initialLastModified: Instant = Instant.MIN,
+      clock: () => Instant = () => Instant.now(),
+      persistLastModified: Boolean = false) extends Resource {
+    lastModified = initialLastModified
+    fetchTime = initialFetchTime
+    private var persistentLastModified: Option[Instant] =
+      if (persistLastModified) Some(initialLastModified) else None
+
+    /** Number of fetches that actually returned content. */
+    var fetchCount: Int = 0
+
+    def fetch(conditional: Boolean): InputStream = {
+      persistentLastModified.foreach(lastModified = _)
+      if (conditional && lastModified.isAfter(Instant.MIN) &&
+          !lastModified.isAfter(fetchTime))
+        throw new InputNotModified
+      fetchTime = clock()
+      fetchCount += 1
+      new ByteArrayInputStream(content)
+    }
+
+    /** Mark the content as changed now (testing_mocks.py:199-200).
+      * Persisted across the cache layer's sidecar-metadata restore,
+      * which would otherwise reset `lastModified` before the next
+      * fetch — the clobbering the reference's persistent_last_modified
+      * exists to defeat. */
+    def refresh(): Unit = {
+      lastModified = clock()
+      persistentLastModified = Some(lastModified)
+    }
+  }
+
+  /** Temporary file/directory with scoped cleanup (MockFile,
+    * testing_mocks.py:209-243), as a loan pattern. */
+  def withMockFile[T](suffix: String = ".tmp")(body: Path => T): T = {
+    val p = Files.createTempFile("graft-test", suffix)
+    try body(p)
+    finally Files.deleteIfExists(p)
+  }
+
+  def withMockDir[T](body: Path => T): T = {
+    val p = Files.createTempDirectory("graft-test")
+    try body(p)
+    finally {
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.resource
+
+import java.nio.file.Files
+import java.time.{Duration, Instant}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import TestingMocks._
+
+/** Reference-doctest-level checks for the testing mocks
+  * (tools/testing_mocks.py). */
+class TestingMocksSpec extends AnyFunSuite {
+
+  private val t0 = Instant.parse("2020-01-30T05:10:00Z")
+
+  test("MockClock: sequence, exhaustion, constant, evenly spaced") {
+    val clock = MockClock(Seq(t0, t0.plusSeconds(600)))
+    assert(clock() == t0)
+    assert(clock() == t0.plusSeconds(600))
+    intercept[NoSuchElementException](clock())
+
+    val const = MockClock.constant(t0)
+    assert(const() == t0 && const() == t0)
+
+    val spaced = MockClock.evenlySpaced(t0, Duration.ofMinutes(10))
+    assert(Seq(spaced(), spaced(), spaced()) ==
+      Seq(t0, t0.plusSeconds(600), t0.plusSeconds(1200)))
+  }
+
+  test("MockResource: conditional fetch honors last-modified vs fetch-time") {
+    val clock = MockClock.evenlySpaced(t0, Duration.ofMinutes(10))
+    val r = new MockResource("hello".getBytes, clock = clock)
+    // never fetched -> first conditional fetch returns content
+    val got = new String(r.fetch(conditional = true).readAllBytes())
+    assert(got == "hello" && r.fetchCount == 1)
+    assert(r.fetchTime == t0)
+    // unchanged since the fetch -> conditional short-circuits
+    r.lastModified = t0.minusSeconds(60)
+    intercept[InputNotModified](r.fetch(conditional = true))
+    // refresh marks new content -> fetch proceeds again
+    r.refresh() // lastModified = t0 + 10min > fetchTime
+    r.fetch(conditional = true)
+    assert(r.fetchCount == 2)
+    // unconditional always fetches
+    r.fetch(conditional = false)
+    assert(r.fetchCount == 3)
+  }
+
+  test("MockResource plugs into the ResourceCache workspace layer") {
+    val clock = MockClock.evenlySpaced(t0, Duration.ofMinutes(10))
+    val r = new MockResource("payload".getBytes, clock = clock,
+      initialLastModified = t0)
+    withMockDir { ws =>
+      val (m1, mod1) = ResourceCache.prepareResources(Map("r.txt" -> r), ws)
+      assert(mod1 && new String(Files.readAllBytes(m1("r.txt").storedAt)) == "payload")
+      // second prepare: cached + unchanged -> not modified
+      val (_, mod2) = ResourceCache.prepareResources(Map("r.txt" -> r), ws)
+      assert(!mod2)
+      // content refreshed -> modified again
+      r.refresh()
+      val (_, mod3) = ResourceCache.prepareResources(Map("r.txt" -> r), ws)
+      assert(mod3)
+    }
+  }
+
+  test("withMockFile / withMockDir clean up after the loan") {
+    var kept: java.nio.file.Path = null
+    withMockFile(".txt") { p =>
+      Files.writeString(p, "Hello, world!")
+      assert(Files.readString(p) == "Hello, world!")
+      kept = p
+    }
+    assert(!Files.exists(kept))
+    withMockDir { d =>
+      Files.writeString(d.resolve("f"), "x")
+      kept = d
+    }
+    assert(!Files.exists(kept))
+  }
+}
