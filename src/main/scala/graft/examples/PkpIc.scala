@@ -230,14 +230,25 @@ final case class PkpIcStationImport(osmResourceName: String) extends Task {
       .withColumn("name", col("map_name"))
       .withColumn("lat", col("map_lat")).withColumn("lon", col("map_lon"))
       .drop(mapCols: _*)
+    // when BOTH the primary and the secondary id exist as stops (the
+    // renumbering situation ref:2 encodes), the primary row wins — the
+    // secondary stop is only re-keyed when its primary id is absent,
+    // never duplicated (station_import.py:29-50 branch structure)
+    val secondaryKeyed = secondary
+      .join(stops.select(col("stop_id").as("__existing")),
+        col("ref") === col("__existing"), "left_anti")
+      .withColumn("stop_id", col("ref"))
     val outStops = enriched(primary.filter(col("ref").isNotNull))
-      .unionByName(enriched(secondary.withColumn("stop_id", col("ref"))))
+      .unionByName(enriched(secondaryKeyed))
     val outStopTimes = feed("stop_times")
       .join(remap, col("stop_id") === col("old_stop_id"), "left")
       .withColumn("stop_id", coalesce(col("new_stop_id"), col("stop_id")))
       .drop("old_stop_id", "new_stop_id")
 
-    feed.updatedAll("stops" -> outStops, "stop_times" -> outStopTimes)
+    // dropping the map-less stops cascades into their stop_times —
+    // the reference relies on SQLite's ON DELETE CASCADE here
+    // (stop_time.py:56)
+    feed.updated("stop_times", outStopTimes).withCascade("stops", outStops)
   }
 }
 

@@ -11,6 +11,9 @@ final case class ZtmStop(
     routesStopping: Map[String, Seq[String]])
 final case class ZtmRoute(id: String, description: String)
 final case class Variant(id: String, direction: Int, sortOrder: Int)
+/** `onRequest` (the LW "NŻ" flag) is parsed for record parity but the
+  * importer sources request stops from the PR routes-stopping pairs,
+  * exactly like the reference (import_ztm.py:149-150 vs 180-198). */
 final case class VariantStop(id: String, onRequest: Boolean, zone: String)
 final case class StopDeparture(tripId: String, time: String, accessible: Boolean)
 final case class TripDeparture(stopId: String, time: String, terminus: Boolean, exceptional: Boolean)

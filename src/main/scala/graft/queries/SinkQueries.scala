@@ -19,15 +19,8 @@ import QueryDef._
   */
 object SinkQueries {
 
-  /** Null-pad + cast a projection to the registry schema of `table`. */
-  private def conform(df: DataFrame, table: String): DataFrame = {
-    val schema = GtfsSchemas(table)
-    val have = df.columns.toSet
-    schema.fields.foldLeft(df) { (d, f) =>
-      if (have.contains(f.name)) d.withColumn(f.name, col(f.name).cast(f.dataType))
-      else d.withColumn(f.name, lit(null).cast(f.dataType))
-    }.select(schema.fieldNames.map(col): _*)
-  }
+  private def conform(df: DataFrame, table: String): DataFrame =
+    GtfsSchemas.conform(df, table)
 
   /** A GTFS feed derived from the TPC-H-ish tables: stops from
     * customer, trips from orders, stop_times from lineitem — the same

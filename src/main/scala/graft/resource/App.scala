@@ -98,6 +98,7 @@ abstract class App(
       forceRun = args.forceRun, fromCache = args.fromCache,
       workspace = workspaceDirectory)
     val spark = sparkSession()
+    graft.util.Logs.initialize(args.verbose) // app.py:133 logs.initialize
     if (args.verbose) spark.sparkContext.setLogLevel("INFO")
     val prepared = prepare(args, options)
     beforeRun()

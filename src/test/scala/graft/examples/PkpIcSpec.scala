@@ -138,6 +138,9 @@ class PkpIcSpec extends SparkSpec {
       val st1 = feed("stop_times").filter(col("trip_id") === "2024-03-01_1234-5")
         .orderBy("stop_sequence").collect().map(_.getAs[String]("stop_id")).toSeq
       assert(st1 == Seq("100", "200"))
+      // dropping 103/104 cascades into their stop_times (the
+      // reference's SQLite ON DELETE CASCADE, stop_time.py:56)
+      assert(feed("stop_times").filter(col("stop_id").isin("103", "104")).count() == 0)
     } finally { Files.deleteIfExists(tmpCsv); Files.deleteIfExists(tmpOsm) }
   }
 
