@@ -121,12 +121,15 @@ object Dedup {
   }
 
   /** Connected components over an undirected (doc_a, doc_b) edge list
-    * by iterative min-label propagation: every node adopts the minimum
-    * label among itself and its neighbors until a fixpoint. Converges
-    * in O(component diameter) rounds — near-dup clusters are shallow —
-    * and each round is one shuffle join + one aggregation, all
-    * distributed; `maxIters` bounds pathological chains. Labels are
-    * checkpointed per round so the plan stays linear.
+    * by min-label propagation WITH label doubling: every node adopts
+    * the minimum of its own label, its neighbors' labels, and its
+    * label's label (pointer jumping). The jump makes label chains
+    * collapse geometrically, so convergence takes O(log diameter)
+    * shuffle rounds instead of O(diameter) — at 100 TB a 1000-link
+    * chain is ~10 rounds, not 1000. Each round is two joins + one
+    * aggregation, all distributed; `maxIters` bounds pathological
+    * inputs. Labels are checkpointed per round so the plan stays
+    * linear.
     * Returns (id, comp) where comp = the minimum id in the component.
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 30): DataFrame = {
@@ -141,11 +144,18 @@ object Dedup {
     while (changed > 0 && it < maxIters) {
       val nbrMin = sym.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("comp").as("nbr_comp"))
+      // pointer jump: the label of my label (comp is always <= id, and
+      // every label value is itself a node id, so the lookup hits)
+      val jump = labels.select(col("id").as("comp"), col("comp").as("jump_comp"))
       // checkpoint ONCE with both labels so the changed-count and the
       // next round read the materialized result instead of re-running
-      // the join+aggregation
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .withColumn("new_comp", least(col("comp"), coalesce(col("nbr_comp"), col("comp"))))
+      // the joins+aggregation
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(jump, Seq("comp"), "left")
+        .withColumn("new_comp", least(col("comp"),
+          coalesce(col("nbr_comp"), col("comp")),
+          coalesce(col("jump_comp"), col("comp"))))
         .localCheckpoint(true)
       changed = next.filter(col("new_comp") =!= col("comp")).count()
       labels = next.select(col("id"), col("new_comp").as("comp"))

@@ -50,6 +50,16 @@ class OpsSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("Dedup.connectedComponents: label doubling converges in O(log d) rounds") {
+    // a 20-node path has diameter 19: pure min-label propagation needs
+    // ~19 rounds, pointer jumping collapses it within 8
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(chain, maxIters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.keySet == (1L to 20L).toSet)
+    assert(comp.values.toSet == Set(1L))
+  }
+
   test("Dedup.nearDuplicates clusters transitively (A~B~C chain, no A~C edge)") {
     val ws = (1 to 100).map(i => s"w$i")
     val a = ws.mkString(" ")                              // w1..w100
