@@ -1,0 +1,66 @@
+package graft.examples.warsaw
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct parser-contract tests (parser.py semantics not already
+  * covered by ImportZtmSpec's end-to-end fixture). */
+class ZtmParserSpec extends AnyFunSuite {
+
+  private def at(pairs: (Int, String)*): String = {
+    val end = pairs.map { case (o, s) => o + s.length }.max
+    val buf = Array.fill(end)(' ')
+    pairs.foreach { case (o, s) => s.zipWithIndex.foreach { case (c, i) => buf(o + i) = c } }
+    new String(buf)
+  }
+
+  test("OD departures match WG boards modulo 24 hours (parser.py:347-351)") {
+    // WG lists a 6.05 departure; the OD line carries the same
+    // departure as a next-service-day 30.05 — they must pair up
+    val lines = Seq(
+      at(1 -> "*LL"),
+      at(3 -> "Linia:", 10 -> "N01", 17 -> "LINIA NOCNA"),
+      at(2 -> "*TR"),
+      at(9 -> "TP-X", 61 -> "==>", 113 -> "A", 122 -> "1"),
+      at(3 -> "*LW"),
+      at(49 -> "100101"),
+      at(3 -> "#LW"),
+      at(3 -> "*WG"),
+      at(33 -> " 6", 38 -> "[05"),
+      at(3 -> "#WG"),
+      at(3 -> "*OD"),
+      at(27 -> "30.05", 34 -> "TP-X/N/30.05", 52 -> "."),
+      at(3 -> "#OD"),
+      at(3 -> "#RP"),
+      at(2 -> "#TR"),
+      at(2 -> "*WK"),
+      at(9 -> "TP-X/N/30.05", 28 -> "100101", 35 -> "N1", 38 -> "30.05", 45 -> "P"),
+      at(2 -> "#WK"),
+      at(1 -> "#LL"))
+    val routes = new ZtmParser(lines.iterator).parseRoutes()
+    assert(routes.length == 1)
+    val deps = routes.head.stopDepartures
+    assert(deps.length == 1)
+    assert(deps.head.tripId.trim == "TP-X/N/30.05")
+    assert(deps.head.accessible) // the [-prefixed WG entry carried through
+  }
+
+  test("missing section terminator raises the EOFException contract (parser.py:79-94)") {
+    val truncated = Seq(at(1 -> "*KA"), at(3 -> "2024-03-04", 22 -> "D1"))
+    intercept[java.io.EOFException](new ZtmParser(truncated.iterator).parseKa())
+  }
+
+  test("PR stops: unparsable coordinates fall back to 0.0 (parser.py:178-188)") {
+    val lines = Seq(
+      at(1 -> "*ZP"),
+      at(3 -> "1001", 10 -> "Test", 43 -> "--", 47 -> "WARSZAWA"),
+      at(2 -> "*PR"),
+      at(9 -> "100101", 111 -> "y.yyy", 128 -> "x.xxx", 146 -> "8"),
+      at(2 -> "#PR"),
+      at(1 -> "#ZP"))
+    val p = new ZtmParser(lines.iterator)
+    val areas = p.parseAreas()
+    val stop = areas.head._2.head
+    assert(stop.lat == 0.0 && stop.lon == 0.0)
+    assert(stop.wheelchair.contains(false)) // accessibility level 8 > 5
+  }
+}
