@@ -103,6 +103,52 @@ class PkpIcSpec extends SparkSpec {
     } finally Files.deleteIfExists(tmp)
   }
 
+  test("full pipeline: CSV to GTFS zip through the reference __main__ composition") {
+    val (feed0, rt, tmpCsv) = runImport()
+    val outZip = Files.createTempDirectory("pkpic_out_").resolve("pkpic.zip")
+    try {
+      import graft.io.SaveGtfs
+      import graft.operators.{AddEntity, GenerateTripHeadsign}
+      val tasks = Seq(
+        AddEntity("agencies", Map(
+          "agency_id" -> "0", "name" -> "PKP Intercity",
+          "url" -> "https://intercity.pl", "timezone" -> "Europe/Warsaw",
+          "lang" -> "pl", "phone" -> "+48703200200")),
+        GenerateTripHeadsign,
+        PkpIc.splitBusLegs,
+        PkpIc.setRouteColors,
+        SaveGtfs(PkpIc.gtfsHeaders, outZip))
+      new Pipeline(tasks).run(feed0, rt)
+      val zf = new java.util.zip.ZipFile(outZip.toFile)
+      try {
+        import scala.jdk.CollectionConverters._
+        val members = zf.entries().asScala.map(_.getName).toSeq
+        // member order is the caller-declared gtfsHeaders order
+        assert(members == PkpIc.gtfsHeaders.map(_._1))
+        def lines(name: String): Seq[String] = {
+          val in = zf.getInputStream(zf.getEntry(name))
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+          finally in.close()
+        }
+        assert(lines("agency.txt").length == 2) // header + PKP IC
+        val trips = lines("trips.txt")
+        assert(trips.head ==
+          "route_id,service_id,trip_id,trip_headsign,trip_short_name")
+        assert(trips.length == 4) // three trains survive the bus split
+        // >24h times and the ZKA bus route land in the output; the bus
+        // copy keeps its short_name (core-task hook semantics) so the
+        // TLK IC color applies
+        assert(lines("stop_times.txt").exists(_.contains("23:40:00")))
+        assert(lines("routes.txt").exists(l =>
+          l.contains("TLK IC_BUS") && l.contains("8505A3")))
+      } finally zf.close()
+    } finally {
+      Files.deleteIfExists(tmpCsv)
+      Files.deleteIfExists(outZip)
+      Files.deleteIfExists(outZip.getParent)
+    }
+  }
+
   test("StationImport: primary enrich, secondary re-key, unmatched dropped") {
     val osm = """<?xml version="1.0" encoding="UTF-8"?>
       <osm>
