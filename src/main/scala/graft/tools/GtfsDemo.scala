@@ -52,7 +52,13 @@ object GtfsDemo {
         "shapes.txt" -> Seq("shape_id", "shape_pt_sequence", "shape_pt_lat", "shape_pt_lon"),
         "feed_info.txt" -> Seq("feed_publisher_name", "feed_publisher_url", "feed_lang",
           "feed_version")),
-        out, ensureOrder = true)))
+        out, ensureOrder = true)),
+      // cut lineage before the window-heavy tasks: without these, every
+      // one of SplitTripLegs' many subplans re-executes the whole
+      // upstream task chain (measured 85 s -> seconds on the wkd
+      // fixture) — the per-pipeline analogue of stage-boundary
+      // checkpoints in composed operators
+      checkpointAfter = Set("RemoveUnusedEntities", "AssignDirections"))
 
     val empty = FeedDataset(Map.empty, FeedDataset.gtfsFkGraph)
     val feed = pipeline.run(empty, rt)
