@@ -13,6 +13,22 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+")).cast("long")
 
+  /** GPT-2-style BPE pre-tokenizer pattern: contraction suffixes,
+    * letter runs, digit runs, punctuation runs (each with an optional
+    * leading space), then whitespace runs. Differs from the original
+    * GPT-2 pattern only in dropping the `\s+(?!\S)` lookahead (RE2 —
+    * DuckDB's engine — has no lookahead) and using ASCII classes, so
+    * the SAME string is valid and equivalent under Java regex and RE2,
+    * both leftmost-first alternation. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+
+  /** BPE-ish token count: number of pre-tokenizer matches — the
+    * standard proxy for LLM token budgeting when the real tokenizer
+    * is out of reach. Codegen'd (`regexp_count`), no UDF. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern)).cast("long")
+
   /** Occurrences of `needle` in `text` via the replace-length trick
     * (exact, regex-free, codegen'd). */
   def countOccurrences(text: Column, needle: String): Column =

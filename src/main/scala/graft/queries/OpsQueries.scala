@@ -274,5 +274,25 @@ object OpsQueries {
         ORDER BY doc_a"""
     })
 
-  val all: Seq[QueryDef] = Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51)
+  /** TextAnalysis.bpeTokenCount vs the whitespace count — LLM token
+    * budgeting over documents. The identical lookahead-free pattern
+    * runs on Spark's Java regex and DuckDB's RE2 (both leftmost-first
+    * alternation), counted with regexp_count / regexp_extract_all. */
+  val q52 = QueryDef(
+    "q52_bpe_token_count",
+    (s, dir) => {
+      TextAnalysis.qualityMetrics(t(s, dir, "documents"), "text")
+        .withColumn("n_bpe", TextAnalysis.bpeTokenCount(col("text")))
+        .select("doc_id", "n_tokens", "n_bpe")
+        .oracleOrderBy("doc_id")
+    },
+    Some {
+      val p = TextAnalysis.BpePattern.replace("'", "''")
+      s"""SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_bpe
+        FROM documents ORDER BY doc_id"""
+    })
+
+  val all: Seq[QueryDef] = Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51, q52)
 }

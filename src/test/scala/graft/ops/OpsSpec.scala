@@ -134,6 +134,23 @@ class OpsSpec extends SparkSpec {
     assert(wide.collect().map(_.getLong(1)).toSet.contains(2L))
   }
 
+  test("TextAnalysis.bpeTokenCount: GPT-2-style pre-tokenizer splits") {
+    val rows = Seq(
+      (1L, "it's 2024, don't stop!"),
+      (2L, ""),
+      (3L, "hello   world"))
+      .toDF("doc_id", "text")
+    val counts = rows.select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // it|'s|· 2024|,|· don|'t|· stop|! — single spaces fold into the
+    // following word token
+    assert(counts(1L) == 8L)
+    assert(counts(2L) == 0L)
+    // hello|···|world — without GPT-2's lookahead the whole whitespace
+    // run is one token (identical on both engines, which is the point)
+    assert(counts(3L) == 3L)
+  }
+
   test("TextAnalysis quality metrics + language id + fingerprints") {
     val q = TextAnalysis.qualityMetrics(docs, "text")
     val r0 = q.filter(col("doc_id") === 0).collect().head
