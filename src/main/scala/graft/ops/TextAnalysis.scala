@@ -17,11 +17,15 @@ object TextAnalysis {
     * letter runs, digit runs, punctuation runs (each with an optional
     * leading space), then whitespace runs. Differs from the original
     * GPT-2 pattern only in dropping the `\s+(?!\S)` lookahead (RE2 —
-    * DuckDB's engine — has no lookahead) and using ASCII classes, so
-    * the SAME string is valid and equivalent under Java regex and RE2,
-    * both leftmost-first alternation. */
-  val BpePattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+    * DuckDB's engine — has no lookahead) and using explicit ASCII
+    * classes. Whitespace is spelled out rather than `\s` because Java's
+    * `\s` includes vertical tab while RE2's does not — the explicit
+    * class makes the SAME string equivalent under both engines (both
+    * leftmost-first alternation). */
+  val BpePattern: String = {
+    val ws = " \\t\\n\\x0B\\f\\r"
+    s"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^${ws}A-Za-z0-9]+|[$ws]+"
+  }
 
   /** BPE-ish token count: number of pre-tokenizer matches — the
     * standard proxy for LLM token budgeting when the real tokenizer

@@ -85,10 +85,14 @@ object TestingMocks {
   def withMockDir[T](body: Path => T): T = {
     val p = Files.createTempDirectory("graft-test")
     try body(p)
-    finally {
+    finally if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      if (Files.exists(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+      // drain the walk into a list and close the stream BEFORE
+      // deleting: the stream holds open directory handles, and
+      // deleting under an open walk is undefined on some filesystems
+      val walk = Files.walk(p)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverse.foreach(Files.deleteIfExists)
     }
   }
 }
