@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation join helpers. AQE's skew-join split handles most
+  * hot keys at runtime; explicit salting remains the tool when one
+  * join key dominates so heavily that even split partitions of it
+  * overwhelm an executor, or when AQE is unavailable (e.g. inside a
+  * cached/checkpointed boundary).
+  */
+object Joins {
+
+  /** Equi-join `skewed` with `other` on same-named `keys`, spreading
+    * each hot key over `saltBuckets` partitions:
+    *
+    *  - the skewed side gets a DETERMINISTIC per-row salt (hash of the
+    *    whole row — no rand(), so retried tasks and re-executed stages
+    *    salt identically);
+    *  - `other` is replicated `saltBuckets` times (one explode per
+    *    salt value), so every (key, salt) bucket finds its match.
+    *
+    * Result equals `skewed.join(other, keys, how)` row-for-row; only
+    * the shuffle distribution changes: a key with 10^9 rows lands in
+    * `saltBuckets` reducers instead of one. Replication multiplies the
+    * non-skewed side, so size `saltBuckets` to the skew factor, not
+    * higher. `how` must keep `other` replicable: inner or left
+    * (semi/anti/right would change semantics under replication).
+    */
+  def saltedJoin(
+      skewed: DataFrame, other: DataFrame, keys: Seq[String],
+      saltBuckets: Int, how: String = "inner"): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    require(Set("inner", "left", "left_outer").contains(how),
+      s"saltedJoin supports inner/left joins, not $how")
+    val salted = skewed.withColumn("__salt",
+      pmod(hash(skewed.columns.map(col): _*), lit(saltBuckets)))
+    val replicated = other.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    salted.join(replicated, keys :+ "__salt", how).drop("__salt")
+  }
+}

@@ -134,4 +134,23 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"c.$idCol").as("id_b"), col("cosine"))
   }
+
+  /** Embedding near-dup dedup end to end — the vector-space twin of
+    * [[Dedup.nearDuplicates]]: bucketed cosine pairs, then TRANSITIVE
+    * connected components so chains A~B~C collapse onto one keeper.
+    * Every flagged row's `dup_of` points at the minimum id in its
+    * cluster. The pair list is materialized once (it feeds both
+    * directions of the component graph). */
+  def cosineNearDuplicates(
+      df: DataFrame, embCol: String, idCol: String,
+      dim: Int, threshold: Double = 0.95, numPlanes: Int = 8): DataFrame = {
+    val pairs = cosineNearDupPairs(df, embCol, idCol, dim, threshold, numPlanes)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .localCheckpoint(true)
+    val dupMap = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol), col("comp").as("dup_of"))
+    df.join(dupMap, Seq(idCol), "left")
+      .withColumn("is_near_duplicate", col("dup_of").isNotNull)
+  }
 }

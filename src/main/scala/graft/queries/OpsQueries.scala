@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Joins, Similarity, TextAnalysis}
 import QueryDef._
 
 /** Oracle-checked queries that drive the graft.ops library modules
@@ -294,5 +294,62 @@ object OpsQueries {
         FROM documents ORDER BY doc_id"""
     })
 
-  val all: Seq[QueryDef] = Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51, q52)
+  /** Similarity.cosineNearDuplicates — the embedding twin of q46:
+    * bucketed cosine pairs then TRANSITIVE components, against the
+    * same recursive-CTE closure oracle. */
+  val q53 = QueryDef(
+    "q53_embedding_near_dup_clusters",
+    (s, dir) => {
+      Similarity.cosineNearDuplicates(t(s, dir, "embeddings"), "embedding", "vec_id",
+          dim = EmbeddingQueries.Dim, threshold = 0.2, numPlanes = 8)
+        .select(col("vec_id"), col("dup_of"), col("is_near_duplicate"))
+        .oracleOrderBy("vec_id")
+    },
+    Some {
+      import EmbeddingQueries.{bucketExpr, dotSum, duckElem}
+      s"""WITH RECURSIVE
+        b AS (SELECT vec_id, embedding, (${bucketExpr(duckElem)}) AS bucket FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
+          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+          WHERE (${dotSum(duckElem, "a.embedding", "c.embedding")})
+              / (sqrt(${dotSum(duckElem, "a.embedding", "a.embedding")})
+                 * sqrt(${dotSum(duckElem, "c.embedding", "c.embedding")}))
+            >= CAST(0.2 AS DOUBLE)),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, re.r FROM edges e JOIN reach re ON re.id = e.dst),
+        comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+        dupmap AS (SELECT id, comp FROM comp WHERE id <> comp)
+        SELECT v.vec_id, dm.comp AS dup_of, dm.id IS NOT NULL AS is_near_duplicate
+        FROM embeddings v LEFT JOIN dupmap dm ON dm.id = v.vec_id
+        ORDER BY v.vec_id"""
+    })
+
+  /** Joins.saltedJoin — skew-spread fact-dimension equi-join: result
+    * must equal the plain join row-for-row (aggregated for a compact
+    * oracle; exact-cents sum keeps it bit-stable). */
+  val q54 = QueryDef(
+    "q54_salted_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      Joins.saltedJoin(li, sup, Seq("suppkey"), saltBuckets = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("l_extendedprice") * 100)) / 100, 2).as("revenue"))
+        .oracleOrderBy("s_nationkey")
+    },
+    Some("""SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+        round(CAST(sum(round(l_extendedprice * 100)) AS DOUBLE) / 100, 2) AS revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  val all: Seq[QueryDef] = Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51, q52, q53, q54)
 }

@@ -134,6 +134,41 @@ class OpsSpec extends SparkSpec {
     assert(wide.collect().map(_.getLong(1)).toSet.contains(2L))
   }
 
+  test("Similarity.cosineNearDuplicates clusters transitively in vector space") {
+    // cos(0,1)=0.96 and cos(1,2)≈0.944 are above the 0.85 threshold,
+    // cos(0,2)≈0.813 is NOT — the 0-2 link exists only transitively.
+    // All four land in hyperplane bucket 2 under the deterministic
+    // planes, so 3 forms candidate pairs too but its low cosines are
+    // filtered out.
+    val chain = Seq(
+      (0L, Array(0.8f, 0.6f, 0.0f, 0.0f)),
+      (1L, Array(0.6f, 0.8f, 0.0f, 0.0f)),
+      (2L, Array(0.3f, 0.95f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineNearDuplicates(chain, "embedding", "vec_id",
+      dim = 4, threshold = 0.85, numPlanes = 2)
+    val flagged = out.filter(col("is_near_duplicate")).select("vec_id", "dup_of")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged == Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("Joins.saltedJoin equals the plain join for inner and left") {
+    val skewed = (1 to 500).map(i => (if (i <= 450) 1L else (i % 7).toLong, i))
+      .toDF("k", "v") // key 1 carries 90% of rows
+    val dim = Seq((1L, "hot"), (2L, "b"), (3L, "c"), (99L, "unused"))
+      .toDF("k", "name")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "name").collect()
+        .map(r => (r.getLong(0), r.getInt(1), Option(r.getString(2)))).sorted.toSeq
+    assert(canon(Joins.saltedJoin(skewed, dim, Seq("k"), 8)) ==
+      canon(skewed.join(dim, Seq("k"), "inner")))
+    assert(canon(Joins.saltedJoin(skewed, dim, Seq("k"), 8, "left")) ==
+      canon(skewed.join(dim, Seq("k"), "left")))
+    intercept[IllegalArgumentException](
+      Joins.saltedJoin(skewed, dim, Seq("k"), 8, "left_semi"))
+  }
+
   test("TextAnalysis.bpeTokenCount: GPT-2-style pre-tokenizer splits") {
     val rows = Seq(
       (1L, "it's 2024, don't stop!"),
