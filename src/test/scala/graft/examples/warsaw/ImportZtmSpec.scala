@@ -182,6 +182,64 @@ class ImportZtmSpec extends SparkSpec {
     } finally Files.deleteIfExists(tmp)
   }
 
+  test("full pipeline: ZTM text to GTFS zip through the reference __main__ composition") {
+    val (feed0, _, tmpTxt) = runImport()
+    val tmpJson = Files.createTempFile("locations_", ".json")
+    Files.writeString(tmpJson, """{"200202": [52.31, 21.31]}""")
+    val outZip = Files.createTempDirectory("warsaw_out_").resolve("warsaw.zip")
+    try {
+      import graft.io.SaveGtfs
+      import graft.operators.{AddEntity, Pipeline, RemoveUnusedEntities}
+      val rt = TaskRuntime(spark, Map(
+        "stop_locations.json" -> ManagedResource(tmpJson, Instant.now(), Instant.now())))
+      val headers = Seq(
+        "agency.txt" -> Seq("agency_id", "agency_name", "agency_url", "agency_timezone",
+          "agency_lang", "agency_phone"),
+        "stops.txt" -> Seq("stop_id", "stop_name", "stop_lat", "stop_lon", "zone_id",
+          "wheelchair_boarding"),
+        "routes.txt" -> Seq("agency_id", "route_id", "route_short_name", "route_long_name",
+          "route_type", "route_color", "route_text_color"),
+        "trips.txt" -> Seq("route_id", "service_id", "trip_id", "trip_headsign",
+          "direction_id", "wheelchair_accessible", "exceptional"),
+        "stop_times.txt" -> Seq("trip_id", "stop_sequence", "stop_id", "arrival_time",
+          "departure_time", "pickup_type", "drop_off_type"),
+        "calendar_dates.txt" -> Seq("service_id", "date", "exception_type"))
+      // warsaw/__main__.py:68-90 intermediate+final task order (the
+      // ImportZtm step already ran via runImport)
+      val feed = new Pipeline(Seq(
+        AddEntity("feed_info", Map(
+          "feed_info_id" -> 0, "publisher_name" -> "Graft Warsaw",
+          "publisher_url" -> "https://example.com/gtfs/", "lang" -> "pl")),
+        graft.examples.MergeRailwayStations(),
+        WarsawTasks.FixStopLocations("stop_locations.json"),
+        WarsawTasks.GenerateTripHeadsign,
+        WarsawTasks.RemoveStopsWithoutLocations,
+        RemoveUnusedEntities,
+        SaveGtfs(headers, outZip))).run(feed0, rt)
+      // stop 200202: coords patched, but no stop_times -> pruned
+      assert(feed("stops").collect().map(_.getAs[String]("stop_id")).toSet ==
+        Set("100101", "100102", "100103", "200201"))
+      val zf = new java.util.zip.ZipFile(outZip.toFile)
+      try {
+        import scala.jdk.CollectionConverters._
+        assert(zf.entries().asScala.map(_.getName).toSeq == headers.map(_._1))
+        def lines(name: String): Seq[String] = {
+          val in = zf.getInputStream(zf.getEntry(name))
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+          finally in.close()
+        }
+        assert(lines("trips.txt").length == 4) // header + 3 trips
+        assert(lines("calendar_dates.txt").length == 4) // header + 3 ADDED dates
+        // zone + >24h time formatting survive to the GTFS boundary
+        assert(lines("stops.txt").exists(l => l.contains("200201") && l.contains("1/2")))
+        assert(lines("stop_times.txt").exists(_.contains("25:00:00")))
+      } finally zf.close()
+    } finally {
+      Files.deleteIfExists(tmpTxt); Files.deleteIfExists(tmpJson)
+      Files.deleteIfExists(outZip); Files.deleteIfExists(outZip.getParent)
+    }
+  }
+
   test("companions: location patch, 0/0 removal, Warsaw headsigns") {
     val (feed0, _, tmp) = runImport()
     val tmpJson = Files.createTempFile("locations_", ".json")
