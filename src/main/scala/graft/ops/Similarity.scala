@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
   * `array<double>`). Brute-force cosine is the exact baseline;
   * random-hyperplane LSH bucketing is the 100 TB path: candidates come
   * from an equi-join on bucket instead of a cross join.
+  *
+  * All DataFrame-level operators score with the NATIVE codegen'd
+  * [[graft.plans.DotProduct]] expression — the portable
+  * `aggregate(zip_with(...))` fold below runs interpreted (higher-order
+  * array functions don't codegen) and exists as the session-free
+  * fallback with bit-identical results.
   */
 object Similarity {
 
@@ -15,13 +21,25 @@ object Similarity {
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Sequential-fold dot product of two equal-length double arrays —
-    * deterministic (left-to-right IEEE754, no parallel reduction). */
+    * deterministic (left-to-right IEEE754, no parallel reduction).
+    * Portable fallback; prefer the native path via the DataFrame
+    * operators. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Codegen'd dot product (same left-to-right IEEE754 sequence as the
+    * fold — bit-identical, just compiled to a straight loop). */
+  private def nDot(s: SparkSession, a: Column, b: Column): Column = {
+    graft.plans.DotProduct.register(s)
+    call_function("graft_dot", a, b)
+  }
+
+  private def nCosine(s: SparkSession, a: Column, b: Column): Column =
+    nDot(s, a, b) / (sqrt(nDot(s, a, a)) * sqrt(nDot(s, b, b)))
 
   /** Exact top-k nearest neighbors of `queryVec` (a literal vector) by
     * cosine. The scan is embarrassingly parallel; the top-k is a
@@ -30,7 +48,7 @@ object Similarity {
       df: DataFrame, embCol: String, idCol: String,
       queryVec: Seq[Double], k: Int = 10): DataFrame = {
     val q = array(queryVec.map(lit): _*)
-    df.withColumn("cosine", cosine(col(embCol), q))
+    df.withColumn("cosine", nCosine(df.sparkSession, col(embCol), q))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("cosine"))
@@ -46,7 +64,7 @@ object Similarity {
   def lshBucket(df: DataFrame, embCol: String, dim: Int, numPlanes: Int = 8): DataFrame = {
     val bucket = (0 until numPlanes).map { p =>
       val plane = array((0 until dim).map(j => lit(h(p, j))): _*)
-      when(dot(col(embCol), plane) > 0, 1 << p).otherwise(0)
+      when(nDot(df.sparkSession, col(embCol), plane) > 0, 1 << p).otherwise(0)
     }.reduce(_ + _)
     df.withColumn("bucket", bucket)
   }
@@ -62,7 +80,7 @@ object Similarity {
     val q = lshBucket(queries, embCol, dim, numPlanes).alias("q")
     val w = Window.partitionBy(col(s"q.$idCol")).orderBy(col("cosine").desc, col(s"d.$idCol"))
     q.join(d, col("q.bucket") === col("d.bucket") && col(s"q.$idCol") =!= col(s"d.$idCol"))
-      .withColumn("cosine", cosine(col(s"q.$embCol"), col(s"d.$embCol")))
+      .withColumn("cosine", nCosine(data.sparkSession, col(s"q.$embCol"), col(s"d.$embCol")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(s"q.$idCol").as("query_id"), col(s"d.$idCol").as("neighbor_id"),
@@ -81,9 +99,10 @@ object Similarity {
 
   /** Max-cosine centroid (struct argmax; ties -> highest centroid id)
     * of each row's embedding. */
-  private def bestCells(embCol: String, centroids: Seq[(Long, Seq[Double])]): Seq[Column] =
+  private def bestCells(
+      s: SparkSession, embCol: String, centroids: Seq[(Long, Seq[Double])]): Seq[Column] =
     centroids.map { case (cid, vec) =>
-      struct(cosine(col(embCol), array(vec.map(lit): _*)).as("sim"), lit(cid).as("cid"))
+      struct(nCosine(s, col(embCol), array(vec.map(lit): _*)).as("sim"), lit(cid).as("cid"))
     }
 
   /** IVF coarse quantization: assign every row to its max-cosine
@@ -92,7 +111,7 @@ object Similarity {
     * for inverted-file partitioning). */
   def ivfAssign(df: DataFrame, embCol: String, centroids: Seq[(Long, Seq[Double])]): DataFrame = {
     require(centroids.nonEmpty, "ivfAssign needs at least one centroid")
-    val cells = bestCells(embCol, centroids)
+    val cells = bestCells(df.sparkSession, embCol, centroids)
     // greatest() requires >= 2 args; a 1-centroid codebook is legal
     val best = if (cells.length == 1) cells.head else greatest(cells: _*)
     df.withColumn("__best", best)
@@ -110,12 +129,13 @@ object Similarity {
     val d = ivfAssign(data, embCol, centroids).alias("d")
     val probed = queries
       .withColumn("__cells",
-        slice(reverse(array_sort(array(bestCells(embCol, centroids): _*))), 1, nProbe))
+        slice(reverse(array_sort(array(bestCells(queries.sparkSession, embCol, centroids): _*))),
+          1, nProbe))
       .withColumn("cell", explode(transform(col("__cells"), c => c.getField("cid"))))
       .drop("__cells").alias("q")
     val w = Window.partitionBy(col(s"q.$idCol")).orderBy(col("cosine").desc, col(s"d.$idCol"))
     probed.join(d, col("q.cell") === col("d.cell") && col(s"q.$idCol") =!= col(s"d.$idCol"))
-      .withColumn("cosine", cosine(col(s"q.$embCol"), col(s"d.$embCol")))
+      .withColumn("cosine", nCosine(data.sparkSession, col(s"q.$embCol"), col(s"d.$embCol")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(s"q.$idCol").as("query_id"), col(s"d.$idCol").as("neighbor_id"),
@@ -130,7 +150,7 @@ object Similarity {
     val b = lshBucket(df, embCol, dim, numPlanes)
     val a = b.alias("a"); val c = b.alias("c")
     a.join(c, col("a.bucket") === col("c.bucket") && col(s"a.$idCol") < col(s"c.$idCol"))
-      .withColumn("cosine", cosine(col(s"a.$embCol"), col(s"c.$embCol")))
+      .withColumn("cosine", nCosine(df.sparkSession, col(s"a.$embCol"), col(s"c.$embCol")))
       .filter(col("cosine") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"c.$idCol").as("id_b"), col("cosine"))
   }

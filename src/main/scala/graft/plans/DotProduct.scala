@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the float/double-array dot product —
+  * the hot inner loop of every similarity operator.
+  *
+  * The portable formulation (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`)
+  * runs INTERPRETED: Spark's higher-order array functions don't take
+  * part in whole-stage codegen, so each of the 64 elements pays lambda
+  * dispatch and boxing per row (the same effect measured in the
+  * minhash A/B — tools/ProfileMinhash). This expression generates a
+  * straight `for` loop over the unsafe array data.
+  *
+  * Semantics match the fold bit for bit: left-to-right accumulation
+  * starting at 0.0 (identical IEEE754 sequence, so the DuckDB oracle
+  * text stays exact), floats widened per element, NULL when either
+  * array is NULL, contains a NULL element, or the lengths differ
+  * (zip_with would emit a NULL product in those positions).
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two array<float|double> arguments, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    val la = l.asInstanceOf[ArrayData]; val ra = r.asInstanceOf[ArrayData]
+    val n = la.numElements()
+    if (n != ra.numElements()) return null
+    val lFloat = elemType(left) == FloatType
+    val rFloat = elemType(right) == FloatType
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (la.isNullAt(i) || ra.isNullAt(i)) return null
+      val x = if (lFloat) la.getFloat(i).toDouble else la.getDouble(i)
+      val y = if (rFloat) ra.getFloat(i).toDouble else ra.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (la, ra) => {
+      def get(arr: String, e: Expression, i: String): String =
+        if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = $la.numElements();
+        if ($n != $ra.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($la.isNullAt($i) || $ra.isNullAt($i)) { ${ev.isNull} = true; break; }
+            $acc += ${get(la, left, i)} * ${get(ra, right, i)};
+          }
+          if (!${ev.isNull}) ${ev.value} = $acc;
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Register `graft_dot` on the session's function registry —
+    * idempotent; `Similarity` calls it before `call_function`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)),
+      "built-in")
+}

@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Dev-only A/B: interpreted fold dot product vs the native codegen'd
+  * graft_dot expression, brute-force scoring all sf0.1 embeddings
+  * against one query vector (64-dim, 5000 rows, all-pairs per row). */
+object ProfileDot {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(tag: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime; f
+      println(s"TIMING $tag: ${(System.nanoTime - t0) / 1e9}")
+    }
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .repartition(col("vec_id"))
+    // self-join on a constant: every row scored against every row in
+    // its hash bucket of 16 — ~5000*312 dot products, dominated by the
+    // inner loop, which is the thing under test
+    val a = emb.withColumn("g", col("vec_id") % 16).alias("a")
+    val b = emb.withColumn("g", col("vec_id") % 16).alias("b")
+    val joined = a.join(b, col("a.g") === col("b.g"))
+    graft.plans.DotProduct.register(spark)
+    val native = joined.select(
+      call_function("graft_dot", col("a.embedding"), col("b.embedding")).as("d"))
+    val fold = joined.select(
+      Similarity.dot(col("a.embedding"), col("b.embedding")).as("d"))
+    for (round <- 1 to 2) {
+      time(s"fold_$round")(fold.agg(sum("d")).collect())
+      time(s"native_$round")(native.agg(sum("d")).collect())
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Similarity
+
+class DotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def callDot(a: String, b: String) = {
+    DotProduct.register(spark)
+    call_function("graft_dot", col(a), col(b))
+  }
+
+  test("graft_dot equals the interpreted fold bit for bit (float arrays)") {
+    val rows = (0 until 64).map { i =>
+      (i.toLong,
+        Array.tabulate(64)(j => ((i * 31 + j * 7) % 97 / 48.0 - 1).toFloat),
+        Array.tabulate(64)(j => ((i * 13 + j * 5) % 89 / 44.0 - 1).toFloat))
+    }.toDF("id", "a", "b")
+    val out = rows.select(
+      callDot("a", "b").as("native"),
+      Similarity.dot(col("a"), col("b")).as("fold")).collect()
+    out.foreach { r =>
+      // bit-identical, not approximately equal: same IEEE754 sequence
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_dot null semantics: null array, null element, length mismatch") {
+    val rows = Seq(
+      (1L, Array(1.0, 2.0), Array(3.0, 4.0)),
+      (2L, null, Array(3.0, 4.0)),
+      (3L, Array(1.0, 2.0, 5.0), Array(3.0, 4.0))) // length mismatch
+      .toDF("id", "a", "b")
+    val got = rows.select(col("id"), callDot("a", "b").as("d")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(1L -> Some(11.0), 2L -> None, 3L -> None))
+    val withNullElem = Seq((1L, Array[java.lang.Double](1.0, null), Array[java.lang.Double](3.0, 4.0)))
+      .toDF("id", "a", "b")
+      .select(callDot("a", "b").as("d")).collect()
+    assert(withNullElem.head.isNullAt(0))
+  }
+
+  test("graft_dot works in both codegen and interpreted mode") {
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(df.select(callDot("a", "b")).collect().head.getDouble(0) == 11.0)
+    }
+    withSQLConf("spark.sql.codegen.wholeStage" -> "true") {
+      assert(df.select(callDot("a", "b")).collect().head.getDouble(0) == 11.0)
+    }
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}
