@@ -47,25 +47,22 @@ object Dedup {
     * standard Kirsch–Mitzenmacher construction) — 8x cheaper than one
     * keyed md5 per family, and min over the doc's shingles stays
     * order-free, so the signature is deterministic under any
-    * partitioning. The (a, b) pair array is projected in its own step
-    * so the md5 pass runs once, not once per family. Input must have a
-    * `text` column.
+    * partitioning. Input must have a `text` column; docs with fewer
+    * than 3 tokens get all-NULL signatures.
     *
-    * Measured alternative (tools/ProfileMinhash): hashing per TOKEN and
-    * combining three consecutive token ints polynomially avoids
-    * materializing shingle strings, but benches EQUAL at sf0.1 — the
-    * digest savings are offset by interpreted element_at/struct lambda
-    * overhead (higher-order functions don't codegen). Kept the simpler
-    * per-shingle digest. */
+    * Computed by the native [[graft.plans.MinhashSignature]]
+    * expression: the previous `array_min(transform(transform(...)))`
+    * formulation ran every lambda interpreted (higher-order functions
+    * don't codegen — the effect tools/ProfileMinhash measured), and
+    * materialized the shingle + digest arrays per row. The signature
+    * array is projected in its own step so the one-pass expression
+    * runs once, not once per mh column. */
   def minhashSignatures(df: DataFrame, numHashes: Int = 8): DataFrame = {
-    val md5s = transform(shingles("text"), x => md5(x))
-    val ab = transform(md5s, m => struct(
-      conv(m.substr(lit(1), lit(7)), 16, 10).cast("long").as("a"),
-      conv(m.substr(lit(9), lit(7)), 16, 10).cast("long").as("b")))
+    graft.plans.MinhashSignature.register(df.sparkSession)
     val mhs = (0 until numHashes).map(i =>
-      array_min(transform(col("__mh_ab"),
-        p => p.getField("a") + lit(i.toLong) * p.getField("b"))).as(s"mh$i"))
-    df.withColumn("__mh_ab", ab)
+      element_at(col("__mh"), i + 1).as(s"mh$i"))
+    df.withColumn("__mh",
+        call_function("graft_minhash", col("text"), lit(numHashes), lit(3)))
       .select(df.columns.map(col) ++ mhs: _*)
   }
 

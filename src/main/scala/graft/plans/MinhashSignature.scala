@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash signature: `text -> array<long>[numHashes]` in ONE
+  * pass — tokenize, build k-token shingles, md5 each, derive the hash
+  * families by double hashing (h_i = a + i*b over two 28-bit digest
+  * halves, Kirsch–Mitzenmacher), and track the running minima.
+  *
+  * Bit-identical to the expression formulation
+  * (`array_min(transform(transform(shingles, md5), conv ...))`,
+  * Dedup.scala / TextQueries q29) and to the DuckDB oracle: same
+  * UTF8String lower/trim, the same Java `\s+` split, the same hex
+  * prefix arithmetic — but none of the interpreted higher-order lambda
+  * dispatch, and no materialized shingle/digest arrays per row. Docs
+  * with fewer than k tokens yield all-NULL signatures (`array_min` of
+  * an empty array).
+  *
+  * CodegenFallback by design: the cost is the md5 digests, and one
+  * compiled `eval` per row with tight loops keeps the surrounding
+  * projection inside whole-stage codegen.
+  */
+case class MinhashSignature(child: Expression, numHashes: Int, shingleK: Int)
+  extends UnaryExpression with CodegenFallback with Serializable {
+
+  require(numHashes > 0 && shingleK > 0, "numHashes and shingleK must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string argument, got ${child.dataType.catalogString}")
+
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 28-bit int from digest nibbles [from, from+7) — the hex-string
+    * `conv(substr(m, from+1, 7), 16, 10)` without building the hex
+    * string. */
+  private def hexPrefix(digest: Array[Byte], from: Int): Long = {
+    var v = 0L
+    var j = from
+    while (j < from + 7) {
+      val b = digest(j / 2) & 0xff
+      v = v * 16 + (if (j % 2 == 0) b >>> 4 else b & 0xf)
+      j += 1
+    }
+    v
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    // identical normalization chain to split(trim(lower(text)), '\s+'):
+    // UTF8String lower + space-only trim, then the Java regex split
+    val text = input.asInstanceOf[UTF8String].toLowerCase.trim.toString
+    val toks = text.split("\\s+")
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var any = false
+    if (toks.length >= shingleK && !(toks.length == 1 && toks(0).isEmpty)) {
+      val digest = md5.get()
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= toks.length - shingleK) {
+        sb.setLength(0)
+        var j = 0
+        while (j < shingleK) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        digest.reset()
+        val d = digest.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val a = hexPrefix(d, 0)
+        val b = hexPrefix(d, 8)
+        var h = 0
+        while (h < numHashes) {
+          val v = a + h.toLong * b
+          if (v < mins(h)) mins(h) = v
+          h += 1
+        }
+        any = true
+        i += 1
+      }
+    }
+    if (!any) new GenericArrayData(Array.fill[Any](numHashes)(null))
+    else new GenericArrayData(mins.map(v => v: Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashSignature {
+  /** Register `graft_minhash(text[, numHashes, shingleK])` on the
+    * session registry; the int arguments must be literals. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      (exprs: Seq[Expression]) => {
+        def intArg(i: Int, default: Int): Int =
+          if (exprs.length <= i) default
+          else exprs(i) match {
+            case e if e.foldable => e.eval().asInstanceOf[Int]
+            case other => throw new IllegalArgumentException(
+              s"graft_minhash argument ${i + 1} must be a literal int, got $other")
+          }
+        MinhashSignature(exprs.head, intArg(1, 8), intArg(2, 3))
+      },
+      "built-in")
+}

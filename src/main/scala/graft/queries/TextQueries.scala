@@ -123,17 +123,6 @@ object TextQueries {
       GROUP BY doc_id ORDER BY doc_id"""),
     bench = true)
 
-  /** 3-token shingles per doc (order-sensitive; docs with <3 tokens
-    * produce none). Spark side stays entirely in higher-order array
-    * functions — the only shuffle is the final groupBy. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("sh", expr(
-        """transform(sequence(1, size(toks)-2),
-             i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"""))
-
   private val shinglesSqlDuck =
     """SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
        FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
@@ -163,17 +152,13 @@ object TextQueries {
     * doc's shingles is order-free under any parallelism. */
   /** MinHash signatures WITHOUT the presentation sort — q30's band
     * joins must see the naturally-partitioned signatures, not a
-    * repartition(1) output (PlanAuditSpec guards this). */
-  private def sigSpark(s: SparkSession, dir: String): DataFrame = {
-    val ab = expr("""transform(transform(sh, x -> md5(x)),
-        m -> named_struct(
-          'a', CAST(conv(substr(m, 1, 7), 16, 10) AS BIGINT),
-          'b', CAST(conv(substr(m, 9, 7), 16, 10) AS BIGINT)))""")
-    val mhs = (0 until 8).map(i =>
-      expr(s"array_min(transform(__ab, p -> p.a + $i * p.b))").as(s"mh$i"))
-    shingles(s, dir).withColumn("__ab", ab)
-      .select(col("doc_id") +: mhs: _*)
-  }
+    * repartition(1) output (PlanAuditSpec guards this). Drives the
+    * library module (native one-pass expression); the isNotNull filter
+    * mirrors the oracle, which only emits docs that HAVE shingles. */
+  private def sigSpark(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.minhashSignatures(t(s, dir, "documents"))
+      .filter(col("mh0").isNotNull)
+      .select(col("doc_id") +: (0 until 8).map(i => col(s"mh$i")): _*)
 
   val q29 = QueryDef(
     "q29_minhash_signature",

@@ -23,6 +23,35 @@ class OpsSpec extends SparkSpec {
     assert(out.filter(col("doc_id") === 1L).select("keep_id").collect().head.getLong(0) == 0L)
   }
 
+  test("native minhash equals the higher-order-function formulation exactly") {
+    val tricky = docs.unionByName(Seq(
+      (10L, ""), (11L, "   "), (12L, "one two"), // < 3 tokens -> NULL sigs
+      (13L, "  MIXED Case\twith\ttabs  and   runs  "))
+      .toDF("doc_id", "text"))
+    val native = Dedup.minhashSignatures(tricky)
+    val ab = expr("""transform(transform(
+        CASE WHEN size(split(trim(lower(text)), '\\s+')) >= 3
+          THEN transform(sequence(1, size(split(trim(lower(text)), '\\s+')) - 2),
+            i -> concat_ws(' ',
+              element_at(split(trim(lower(text)), '\\s+'), i),
+              element_at(split(trim(lower(text)), '\\s+'), i + 1),
+              element_at(split(trim(lower(text)), '\\s+'), i + 2)))
+          ELSE array() END, x -> md5(x)),
+        m -> named_struct(
+          'a', CAST(conv(substr(m, 1, 7), 16, 10) AS BIGINT),
+          'b', CAST(conv(substr(m, 9, 7), 16, 10) AS BIGINT)))""")
+    val old = tricky.withColumn("__ab", ab)
+      .select(col("doc_id") +: (0 until 8).map(i =>
+        expr(s"array_min(transform(__ab, p -> p.a + $i * p.b))").as(s"mh$i")): _*)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id") +: (0 until 8).map(i => col(s"mh$i")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i)))).toMap
+    assert(rows(native) == rows(old))
+    assert(rows(native)(10L).forall(_.isEmpty)) // short docs -> NULL sigs
+    assert(rows(native)(13L).forall(_.nonEmpty))
+  }
+
   test("Dedup minhash + LSH finds the near-dup pair, jaccard verifies") {
     val sigs = Dedup.minhashSignatures(docs)
     assert(sigs.columns.count(_.startsWith("mh")) == 8)
