@@ -21,6 +21,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a STALE dump from an earlier
+        // run in place — the oracle compare would silently grade old
+        // (possibly correct) data instead of flagging the failure
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(); ()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

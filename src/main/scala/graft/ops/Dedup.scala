@@ -198,27 +198,14 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint (hex string) from md5 of the distinct
-    * words: per-bit majority vote. ONE digest per word, packed into
-    * four 32-bit ints in their own projection; the 64 aggregates are
-    * cheap shift-and-mask sums, not 64 md5 re-evaluations. Near-dups
-    * differ in few bits — compare with [[hammingHex]]. */
+    * words: per-bit majority vote. Computed by the native per-row
+    * [[graft.plans.SimhashFingerprint]] expression — a NARROW
+    * projection with zero shuffle (the previous explode + 64-sum
+    * groupBy formulation shuffled the whole exploded word list).
+    * Near-dups differ in few bits — compare with [[hammingHex]]. */
   def simhash(df: DataFrame, idCol: String): DataFrame = {
-    val words = df.select(col(idCol), explode(array_distinct(tokens(col("text")))).as("__w"))
-      .withColumn("__m", md5(col("__w")))
-    val packed = words.select(col(idCol) +: (0 until 4).map(g =>
-      expr(s"CAST(conv(substr(__m, ${8 * g + 1}, 8), 16, 10) AS BIGINT)").as(s"__g$g")): _*)
-    val aggExprs = for { i <- 0 until 16; k <- 0 until 4 } yield {
-      val g = i / 8; val j = i % 8; val bit = (7 - j) * 4 + k
-      expr(s"sum(2 * (shiftright(__g$g, $bit) & 1) - 1)").as(s"s_${i}_$k")
-    }
-    val grouped = packed.groupBy(col(idCol)).agg(aggExprs.head, aggExprs.tail: _*)
-    val chars = (0 until 16).map { i =>
-      val nibble = (3 to 0 by -1).map(k =>
-        s"(CASE WHEN s_${i}_$k > 0 THEN ${1 << k} ELSE 0 END)").mkString(" + ")
-      s"substr('0123456789abcdef', 1 + ($nibble), 1)"
-    }
-    grouped.withColumn("simhash", expr(s"concat(${chars.mkString(", ")})"))
-      .select(col(idCol), col("simhash"))
+    graft.plans.SimhashFingerprint.register(df.sparkSession)
+    df.select(col(idCol), call_function("graft_simhash", col("text")).as("simhash"))
   }
 
   /** Hamming distance between two equal-length hex-string fingerprint

@@ -1,0 +1,103 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native 64-bit SimHash fingerprint: `text -> 16-char hex string` in
+  * one pass per document — distinct lowercase words, md5 per word,
+  * per-bit majority vote.
+  *
+  * Besides skipping the interpreted lambda chain, this changes the
+  * OPERATOR SHAPE: the expression formulation had to explode the word
+  * list and groupBy doc to sum the 64 votes — one full shuffle of the
+  * exploded corpus. The fingerprint is per-row computable, so
+  * [[graft.ops.Dedup.simhash]] becomes a narrow projection: ZERO
+  * shuffle at any scale. Bit layout matches the expression/oracle
+  * formulation exactly (hex digit i, bit k -> vote s_{i,k}; nibble
+  * reassembled as sum of (s > 0) << k).
+  *
+  * CodegenFallback: digest-bound, one compiled eval per row.
+  */
+case class SimhashFingerprint(child: Expression)
+  extends UnaryExpression with CodegenFallback with Serializable {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string argument, got ${child.dataType.catalogString}")
+
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val HexChars = "0123456789abcdef"
+
+  override def nullSafeEval(input: Any): Any = {
+    // distinct words of split(trim(lower(text)), '\s+') — same
+    // normalization as the expression formulation; vote sums are
+    // commutative so set order is irrelevant
+    val text = input.asInstanceOf[UTF8String].toLowerCase.trim.toString
+    val words = new java.util.LinkedHashSet[String]()
+    text.split("\\s+").foreach(words.add)
+    val votes = new Array[Int](64) // [hex digit i][bit k] = votes[i * 4 + k]
+    val digest = md5.get()
+    val it = words.iterator()
+    while (it.hasNext) {
+      digest.reset()
+      val d = digest.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // the 64-bit fingerprint votes on hex digits 0..15 = digest
+      // bytes 0..7 (groups 0 and 1) — the expression formulation
+      // packed all four groups but only aggregated the first two
+      var g = 0
+      while (g < 2) {
+        // hex chars [8g, 8g+8) = digest bytes [4g, 4g+4) big-endian
+        val v = ((d(4 * g) & 0xff) << 24) | ((d(4 * g + 1) & 0xff) << 16) |
+          ((d(4 * g + 2) & 0xff) << 8) | (d(4 * g + 3) & 0xff)
+        var j = 0
+        while (j < 8) {
+          val nibble = (v >>> ((7 - j) * 4)) & 0xf
+          val i = g * 8 + j
+          var k = 0
+          while (k < 4) {
+            votes(i * 4 + k) += 2 * ((nibble >> k) & 1) - 1
+            k += 1
+          }
+          j += 1
+        }
+        g += 1
+      }
+    }
+    val out = new Array[Byte](16)
+    var i = 0
+    while (i < 16) {
+      var nibble = 0
+      var k = 0
+      while (k < 4) {
+        if (votes(i * 4 + k) > 0) nibble |= 1 << k
+        k += 1
+      }
+      out(i) = HexChars.charAt(nibble).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimhashFingerprint {
+  /** Register `graft_simhash(text)` on the session registry. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash",
+      (exprs: Seq[Expression]) => SimhashFingerprint(exprs.head),
+      "built-in")
+}

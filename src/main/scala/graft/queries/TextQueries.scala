@@ -282,21 +282,15 @@ object TextQueries {
   private[queries] def simhashDuckSqlNoOrder: String =
     simhashSql("duck", wordsSqlDuck, withOrder = false)
 
-  private val wordsSqlSpark =
-    """SELECT doc_id, explode(array_distinct(split(trim(lower(text)), '\\s+'))) AS w
-       FROM documents"""
-
-  /** SimHash document fingerprint: per-bit majority vote over md5-hashed
-    * words. The same generated SQL runs on both engines (64 integer
-    * sums -> one groupBy; order-free, scale-clean). */
+  /** SimHash document fingerprint: per-bit majority vote over
+    * md5-hashed words, driving the library module — since round 3 a
+    * native per-row expression (ZERO shuffle; the DuckDB oracle keeps
+    * the explode + 64-sum formulation and must still hash-match bit
+    * for bit). */
   val q32 = QueryDef(
     "q32_simhash",
     (s, dir) => {
-      t(s, dir, "documents").createOrReplaceTempView("documents")
-      // the presentation sort lives outside the SQL: a plain ORDER BY
-      // range-partitions and re-executes the 64-sum aggregate for
-      // range-bound sampling
-      s.sql(simhashSql("spark", wordsSqlSpark, withOrder = false))
+      graft.ops.Dedup.simhash(t(s, dir, "documents"), "doc_id")
         .oracleOrderBy("doc_id")
     },
     Some(simhashDuckSql),
