@@ -206,6 +206,9 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String): DataFrame = {
     graft.plans.SimhashFingerprint.register(df.sparkSession)
     df.select(col(idCol), call_function("graft_simhash", col("text")).as("simhash"))
+      // the explode-based formulation emitted NO row for NULL text
+      // (explode of a null array) — keep that contract
+      .filter(col("simhash").isNotNull)
   }
 
   /** Hamming distance between two equal-length hex-string fingerprint

@@ -26,15 +26,30 @@ object Joins {
     * non-skewed side, so size `saltBuckets` to the skew factor, not
     * higher. `how` must keep `other` replicable: inner or left
     * (semi/anti/right would change semantics under replication).
+    *
+    * The default salt is a hash of every hashable column of the skewed
+    * side (map-typed columns are excluded — Spark's hash() rejects
+    * them); pass `saltCols` to control it. Rows that are FULLY
+    * identical on the salt columns land in one bucket — no
+    * deterministic function can spread indistinguishable rows, so feed
+    * a disambiguating column (offset, uuid) through `saltCols` when
+    * the hot key consists of duplicate rows.
     */
   def saltedJoin(
       skewed: DataFrame, other: DataFrame, keys: Seq[String],
-      saltBuckets: Int, how: String = "inner"): DataFrame = {
+      saltBuckets: Int, how: String = "inner",
+      saltCols: Seq[String] = Seq.empty): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
     require(Set("inner", "left", "left_outer").contains(how),
       s"saltedJoin supports inner/left joins, not $how")
+    val hashable =
+      if (saltCols.nonEmpty) saltCols
+      else skewed.schema.fields.collect {
+        case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
+      }.toSeq
+    require(hashable.nonEmpty, "saltedJoin needs at least one hashable salt column")
     val salted = skewed.withColumn("__salt",
-      pmod(hash(skewed.columns.map(col): _*), lit(saltBuckets)))
+      pmod(hash(hashable.map(col): _*), lit(saltBuckets)))
     val replicated = other.withColumn("__salt",
       explode(array((0 until saltBuckets).map(lit): _*)))
     salted.join(replicated, keys :+ "__salt", how).drop("__salt")

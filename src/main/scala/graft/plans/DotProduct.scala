@@ -33,13 +33,17 @@ case class DotProduct(left: Expression, right: Expression)
     e.dataType.asInstanceOf[ArrayType].elementType
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // any fixed-width numeric element widens exactly like the fold's
+    // per-element cast-to-double did (Decimal stays on the portable
+    // fold path)
     def ok(e: Expression) = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _                                    => false
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+          ShortType | ByteType, _) => true
+      case _ => false
     }
     if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs two array<float|double> arguments, " +
+      s"$prettyName needs two arrays of fixed-width numeric elements, " +
         s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
@@ -51,15 +55,20 @@ case class DotProduct(left: Expression, right: Expression)
     val la = l.asInstanceOf[ArrayData]; val ra = r.asInstanceOf[ArrayData]
     val n = la.numElements()
     if (n != ra.numElements()) return null
-    val lFloat = elemType(left) == FloatType
-    val rFloat = elemType(right) == FloatType
+    def getter(e: Expression): (ArrayData, Int) => Double = elemType(e) match {
+      case DoubleType => (a, i) => a.getDouble(i)
+      case FloatType  => (a, i) => a.getFloat(i).toDouble
+      case LongType   => (a, i) => a.getLong(i).toDouble
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case ShortType  => (a, i) => a.getShort(i).toDouble
+      case _          => (a, i) => a.getByte(i).toDouble
+    }
+    val getL = getter(left); val getR = getter(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (la.isNullAt(i) || ra.isNullAt(i)) return null
-      val x = if (lFloat) la.getFloat(i).toDouble else la.getDouble(i)
-      val y = if (rFloat) ra.getFloat(i).toDouble else ra.getDouble(i)
-      acc += x * y
+      acc += getL(la, i) * getR(ra, i)
       i += 1
     }
     acc
@@ -67,8 +76,14 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (la, ra) => {
-      def get(arr: String, e: Expression, i: String): String =
-        if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      def get(arr: String, e: Expression, i: String): String = elemType(e) match {
+        case DoubleType  => s"$arr.getDouble($i)"
+        case FloatType   => s"(double) $arr.getFloat($i)"
+        case LongType    => s"(double) $arr.getLong($i)"
+        case IntegerType => s"(double) $arr.getInt($i)"
+        case ShortType   => s"(double) $arr.getShort($i)"
+        case _           => s"(double) $arr.getByte($i)"
+      }
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
@@ -96,7 +111,10 @@ object DotProduct {
     * idempotent; `Similarity` calls it before `call_function`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot",
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)),
-      "built-in")
+      "graft_dot", builder, "built-in")
+
+  private[plans] def builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"graft_dot takes 2 arguments, got ${exprs.length}")
+    DotProduct(exprs(0), exprs(1))
+  }
 }

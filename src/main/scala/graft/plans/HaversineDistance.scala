@@ -70,13 +70,25 @@ object HaversineDistance {
 }
 
 /** SparkSessionExtensions installer:
-  * `spark.sql.extensions=graft.plans.GraftExtensions` makes the graft
-  * native functions available in every session of the cluster. */
+  * `spark.sql.extensions=graft.plans.GraftExtensions` makes ALL the
+  * graft native functions available in every session of the cluster. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("haversine_meters"),
       new ExpressionInfo(classOf[HaversineDistance].getName, "haversine_meters"),
       (exprs: Seq[Expression]) => HaversineDistance(exprs(0), exprs(1), exprs(2), exprs(3))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      DotProduct.builder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
+      MinhashSignature.builder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashFingerprint].getName, "graft_simhash"),
+      SimhashFingerprint.builder))
   }
 }

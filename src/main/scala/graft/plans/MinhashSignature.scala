@@ -61,11 +61,14 @@ case class MinhashSignature(child: Expression, numHashes: Int, shingleK: Int)
   override def nullSafeEval(input: Any): Any = {
     // identical normalization chain to split(trim(lower(text)), '\s+'):
     // UTF8String lower + space-only trim, then the Java regex split
+    // with limit -1 — Spark's split KEEPS trailing empty tokens (text
+    // ending in \t/\n after the space-only trim), Java's default drops
+    // them
     val text = input.asInstanceOf[UTF8String].toLowerCase.trim.toString
-    val toks = text.split("\\s+")
+    val toks = text.split("\\s+", -1)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var any = false
-    if (toks.length >= shingleK && !(toks.length == 1 && toks(0).isEmpty)) {
+    if (toks.length >= shingleK) {
       val digest = md5.get()
       val sb = new java.lang.StringBuilder
       var i = 0
@@ -104,16 +107,24 @@ object MinhashSignature {
     * session registry; the int arguments must be literals. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash",
-      (exprs: Seq[Expression]) => {
-        def intArg(i: Int, default: Int): Int =
-          if (exprs.length <= i) default
-          else exprs(i) match {
-            case e if e.foldable => e.eval().asInstanceOf[Int]
-            case other => throw new IllegalArgumentException(
-              s"graft_minhash argument ${i + 1} must be a literal int, got $other")
-          }
-        MinhashSignature(exprs.head, intArg(1, 8), intArg(2, 3))
-      },
-      "built-in")
+      "graft_minhash", builder, "built-in")
+
+  private[plans] def builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.nonEmpty && exprs.length <= 3,
+      s"graft_minhash takes 1 to 3 arguments, got ${exprs.length}")
+    def intArg(i: Int, default: Int): Int =
+      if (exprs.length <= i) default
+      else exprs(i) match {
+        case e if e.foldable => e.eval() match {
+          case v: Int                     => v
+          case v: Long if v.isValidInt    => v.toInt
+          case v: Short                   => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash argument ${i + 1} must be an int literal, got $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash argument ${i + 1} must be a literal, got $other")
+      }
+    MinhashSignature(exprs.head, intArg(1, 8), intArg(2, 3))
+  }
 }

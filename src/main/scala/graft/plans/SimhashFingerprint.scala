@@ -42,10 +42,12 @@ case class SimhashFingerprint(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     // distinct words of split(trim(lower(text)), '\s+') — same
     // normalization as the expression formulation; vote sums are
-    // commutative so set order is irrelevant
+    // commutative so set order is irrelevant. Limit -1 keeps trailing
+    // empty tokens exactly like Spark's split (Java's default drops
+    // them — divergent for text ending in non-space whitespace).
     val text = input.asInstanceOf[UTF8String].toLowerCase.trim.toString
     val words = new java.util.LinkedHashSet[String]()
-    text.split("\\s+").foreach(words.add)
+    text.split("\\s+", -1).foreach(words.add)
     val votes = new Array[Int](64) // [hex digit i][bit k] = votes[i * 4 + k]
     val digest = md5.get()
     val it = words.iterator()
@@ -97,7 +99,10 @@ object SimhashFingerprint {
   /** Register `graft_simhash(text)` on the session registry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash",
-      (exprs: Seq[Expression]) => SimhashFingerprint(exprs.head),
-      "built-in")
+      "graft_simhash", builder, "built-in")
+
+  private[plans] def builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"graft_simhash takes 1 argument, got ${exprs.length}")
+    SimhashFingerprint(exprs.head)
+  }
 }

@@ -26,7 +26,11 @@ class OpsSpec extends SparkSpec {
   test("native minhash equals the higher-order-function formulation exactly") {
     val tricky = docs.unionByName(Seq(
       (10L, ""), (11L, "   "), (12L, "one two"), // < 3 tokens -> NULL sigs
-      (13L, "  MIXED Case\twith\ttabs  and   runs  "))
+      (13L, "  MIXED Case\twith\ttabs  and   runs  "),
+      // trailing tab survives the space-only trim: Spark's split keeps
+      // the trailing empty token, so "a b\t" has THREE tokens and a
+      // real signature over the shingle "a b "
+      (14L, "a b\t"))
       .toDF("doc_id", "text"))
     val native = Dedup.minhashSignatures(tricky)
     val ab = expr("""transform(transform(
@@ -50,6 +54,7 @@ class OpsSpec extends SparkSpec {
     assert(rows(native) == rows(old))
     assert(rows(native)(10L).forall(_.isEmpty)) // short docs -> NULL sigs
     assert(rows(native)(13L).forall(_.nonEmpty))
+    assert(rows(native)(14L).forall(_.nonEmpty)) // trailing-tab doc is real
   }
 
   test("Dedup minhash + LSH finds the near-dup pair, jaccard verifies") {
@@ -108,6 +113,15 @@ class OpsSpec extends SparkSpec {
     val byId = sh.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(byId(0L) == byId(1L))
     assert(byId(0L).length == 16)
+    // NULL-text docs produce NO row (the explode formulation's
+    // contract); trailing non-space whitespace changes the word set
+    // exactly like Spark's split does
+    val edge = Seq((20L, null), (21L, "a b"), (22L, "a b\t"))
+      .toDF("doc_id", "text")
+    val edgeSh = Dedup.simhash(edge, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(edgeSh.keySet == Set(21L, 22L))
+    assert(edgeSh(21L) != edgeSh(22L)) // the "" token votes too
     val dist = sh.alias("x").join(sh.alias("y"),
         col("x.doc_id") === 0 && col("y.doc_id") === 3)
       .select(Dedup.hammingHex("x.simhash", "y.simhash").as("d"))
