@@ -97,9 +97,21 @@ object SinkQueries {
           import scala.jdk.CollectionConverters._
           zf.entries().asScala.map { e =>
             val in = zf.getInputStream(e)
-            val n = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().size
-            finally in.close()
-            (e.getName, n.toLong - 1) // minus header line
+            // every line (header included) is \r\n-terminated by the
+            // sink, so counting \n bytes == counting lines — without
+            // char-decoding megabytes of CSV just to count them
+            val n = try {
+              val buf = new Array[Byte](1 << 16)
+              var cnt = 0L
+              var r = in.read(buf)
+              while (r > 0) {
+                var i = 0
+                while (i < r) { if (buf(i) == '\n') cnt += 1; i += 1 }
+                r = in.read(buf)
+              }
+              cnt
+            } finally in.close()
+            (e.getName, n - 1) // minus header line
           }.toSeq
         } finally zf.close()
       Files.deleteIfExists(target)
