@@ -108,10 +108,10 @@ case class DotProduct(left: Expression, right: Expression)
 
 object DotProduct {
   /** Register `graft_dot` on the session's function registry —
-    * idempotent; `Similarity` calls it before `call_function`. */
+    * idempotent AND silent on re-registration; `Similarity` calls it
+    * before every `call_function`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", builder, "built-in")
+    NativeFunctions.registerOnce(spark, "graft_dot", builder)
 
   private[plans] def builder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, s"graft_dot takes 2 arguments, got ${exprs.length}")

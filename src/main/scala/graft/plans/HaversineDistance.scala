@@ -61,12 +61,11 @@ object HaversineDistance {
   }
 
   /** Register `haversine_meters` on an existing session's function
-    * registry (usable from spark.sql / ExecuteSql). */
+    * registry (usable from spark.sql / ExecuteSql); idempotent and
+    * silent if already present. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "haversine_meters",
-      (exprs: Seq[Expression]) => HaversineDistance(exprs(0), exprs(1), exprs(2), exprs(3)),
-      "built-in")
+    NativeFunctions.registerOnce(spark, "haversine_meters",
+      (exprs: Seq[Expression]) => HaversineDistance(exprs(0), exprs(1), exprs(2), exprs(3)))
 }
 
 /** SparkSessionExtensions installer:

@@ -104,10 +104,10 @@ case class MinhashSignature(child: Expression, numHashes: Int, shingleK: Int)
 
 object MinhashSignature {
   /** Register `graft_minhash(text[, numHashes, shingleK])` on the
-    * session registry; the int arguments must be literals. */
+    * session registry (idempotent, silent if already present); the int
+    * arguments must be literals. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash", builder, "built-in")
+    NativeFunctions.registerOnce(spark, "graft_minhash", builder)
 
   private[plans] def builder: Seq[Expression] => Expression = { exprs =>
     require(exprs.nonEmpty && exprs.length <= 3,

@@ -1,0 +1,26 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Session-idempotent registration for the graft native functions.
+  *
+  * Operators call `X.register(session)` defensively before every
+  * `call_function` — cheap, but `createOrReplaceTempFunction` WARN-logs
+  * a "replaced a previously registered function" line on every
+  * re-registration, which buries real warnings in the bench/driver
+  * logs. Registering only when the name is absent keeps the call
+  * idempotent AND silent. The registry is per-session state, so the
+  * existence check is exactly the right key (a new session starts
+  * empty and gets one registration).
+  */
+private[plans] object NativeFunctions {
+  def registerOnce(
+      spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier(name)))
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+  }
+}

@@ -96,10 +96,10 @@ case class SimhashFingerprint(child: Expression)
 }
 
 object SimhashFingerprint {
-  /** Register `graft_simhash(text)` on the session registry. */
+  /** Register `graft_simhash(text)` on the session registry
+    * (idempotent, silent if already present). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash", builder, "built-in")
+    NativeFunctions.registerOnce(spark, "graft_simhash", builder)
 
   private[plans] def builder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 1, s"graft_simhash takes 1 argument, got ${exprs.length}")

@@ -16,7 +16,8 @@ object EventQueries {
   val q35 = QueryDef(
     "q35_events_hourly",
     (s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // nanosAsLong is set by every entry point (QueryDef.NanosConf) —
+      // query functions never mutate session state.
       t(s, dir, "events")
         .withColumn("hour_bucket", expr("ts div 3600000000000"))
         .groupBy("event_type", "hour_bucket")
