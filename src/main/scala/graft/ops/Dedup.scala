@@ -85,35 +85,39 @@ object Dedup {
 
   /** Exact word-set Jaccard similarity for given candidate pairs.
     * `pairs` has (doc_a, doc_b); result adds a `jaccard` column.
-    * Cost is |pairs| * avg doc size — run AFTER LSH banding. */
+    * Cost is |pairs| * avg doc size — run AFTER LSH banding.
+    *
+    * Shape: tokenize ONLY docs that appear in a candidate pair
+    * (semi-join first — after banding the candidate set is a tiny
+    * fraction of the corpus), attach each side's distinct-word ARRAY
+    * with one equi-join per side, and compute |A∩B| with a narrow
+    * `array_intersect` (hash-set, O(|A|+|B|)) — no explode, no
+    * word-level shuffle, no per-pair aggregation. The earlier
+    * explode + 3-join + groupBy formulation shuffled the word list
+    * three times and was the most expensive stage of the near-dup
+    * pipeline; the counts (and therefore the jaccard doubles) are
+    * identical.
+    *
+    * Docs whose `text` is NULL have no word set and never score —
+    * inner joins drop their pairs, matching the explode formulation
+    * (explode of a NULL array emits no rows).
+    */
   def jaccardForPairs(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    // Only docs that appear in a candidate pair matter — semi-join
-    // BEFORE tokenizing. After LSH banding the candidate set is a tiny
-    // fraction of the corpus, so this turns the explode + three joins
-    // from corpus-sized into candidate-sized (the scale win at 100 TB).
-    // The word list still feeds three subplans (both join sides + the
-    // per-doc counts), so it is materialized once.
     val pairIds = pairs.select(col("doc_a").as("__id"))
       .unionByName(pairs.select(col("doc_b").as("__id"))).distinct()
-    val words = docs.select(col(idCol).as("__id"),
-      explode(array_distinct(tokens(col("text")))).as("__w"))
+    // candidate-sized; feeds both join sides, so materialize once
+    val toks = docs.select(col(idCol).as("__id"),
+        array_distinct(tokens(col("text"))).as("__t"))
+      .filter(col("__t").isNotNull)
       .join(pairIds, Seq("__id"), "left_semi")
       .localCheckpoint(true)
-    val counts = words.groupBy("__id").agg(count(lit(1)).as("__nw"))
-    val wa = words.alias("wa"); val wb = words.alias("wb")
-    val inter = pairs
-      .join(wa, col("wa.__id") === col("doc_a"))
-      .join(wb, col("wb.__id") === col("doc_b") && col("wb.__w") === col("wa.__w"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__ni"))
     pairs
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .join(counts.withColumnRenamed("__id", "doc_a").withColumnRenamed("__nw", "__na"),
-        Seq("doc_a"))
-      .join(counts.withColumnRenamed("__id", "doc_b").withColumnRenamed("__nw", "__nb"),
-        Seq("doc_b"))
+      .join(toks.select(col("__id").as("doc_a"), col("__t").as("__ta")), Seq("doc_a"))
+      .join(toks.select(col("__id").as("doc_b"), col("__t").as("__tb")), Seq("doc_b"))
+      .withColumn("__ni", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
       .withColumn("jaccard",
-        coalesce(col("__ni"), lit(0L)).cast("double") /
-          (col("__na") + col("__nb") - coalesce(col("__ni"), lit(0L))))
+        col("__ni").cast("double") /
+          (size(col("__ta")) + size(col("__tb")) - col("__ni")))
       .select("doc_a", "doc_b", "jaccard")
   }
 
@@ -134,27 +138,38 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    // Seed with round 1 folded into the initialization: with comp == id
+    // everywhere, the first propagation round reduces to
+    // least(id, min(neighbor id)) and the pointer jump is a no-op — so
+    // compute that directly from the symmetrized edges. One groupBy
+    // replaces the old init-distinct PLUS the whole first (2-join +
+    // agg) round. Every node appears as src in `sym`, so coverage and
+    // the jump invariant (comp <= id, every label is a node id) hold.
+    var labels = sym.groupBy("src").agg(min("dst").as("__m"))
+      .select(col("src").as("id"), least(col("src"), col("__m")).as("comp"))
+      .localCheckpoint(true)
     var changed = 1L
-    var it = 0
+    var it = 1 // the seed IS propagation round 1
     while (changed > 0 && it < maxIters) {
       val nbrMin = sym.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("comp").as("nbr_comp"))
       // pointer jump: the label of my label (comp is always <= id, and
       // every label value is itself a node id, so the lookup hits)
       val jump = labels.select(col("id").as("comp"), col("comp").as("jump_comp"))
-      // checkpoint ONCE with both labels so the changed-count and the
-      // next round read the materialized result instead of re-running
-      // the joins+aggregation
+      // ONE job per round: the convergence count rides the checkpoint's
+      // materialization as an observed metric instead of a second
+      // driver action over the cached result.
+      val obs = org.apache.spark.sql.Observation()
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .join(jump, Seq("comp"), "left")
         .withColumn("new_comp", least(col("comp"),
           coalesce(col("nbr_comp"), col("comp")),
           coalesce(col("jump_comp"), col("comp"))))
+        .observe(obs, sum(when(col("new_comp") =!= col("comp"), 1L).otherwise(0L))
+          .as("changed"))
         .localCheckpoint(true)
-      changed = next.filter(col("new_comp") =!= col("comp")).count()
+      changed = obs.get.get("changed").collect { case n: Long => n }.getOrElse(0L)
       labels = next.select(col("id"), col("new_comp").as("comp"))
       it += 1
     }
