@@ -65,6 +65,17 @@ final case class FeedDataset(tables: Map[String, DataFrame], fkGraph: Seq[FkEdge
       guard += 1
       val parent = frontier.head
       frontier = frontier.tail
+      // One distinct-key build per (parent, key columns) per BFS pop,
+      // materialized: a parent with several outgoing edges on the same
+      // key (nation -> customer AND supplier, trips -> stop_times /
+      // frequencies / transfers) would otherwise re-derive — and at run
+      // time re-EXECUTE — its whole shrink chain once per edge, because
+      // the lazy key-set plan nests every upstream cascade join. The
+      // checkpoint caps the plan at one level per BFS step; key sets
+      // are retained-dimension-key-sized, never fact-sized. Safe to
+      // memoize within a pop: acc(parent) only changes mid-pop via a
+      // self-FK edge, which invalidates the memo below.
+      val keySets = scala.collection.mutable.Map.empty[Seq[String], DataFrame]
       fkGraph.filter(e => e.parent == parent && applied(e) < 2).foreach { e =>
         applied(e) += 1
         acc.get(e.child).foreach { child =>
@@ -76,8 +87,11 @@ final case class FeedDataset(tables: Map[String, DataFrame], fkGraph: Seq[FkEdge
           // child subtree per edge application and grow the logical
           // plan exponentially across multi-FK tables like transfers.
           val renamed = e.parentCols.map(pc => s"__cascade_$pc")
-          val parentKeys = acc(e.parent)
-            .select(e.parentCols.map(col): _*).distinct().toDF(renamed: _*)
+          val parentKeys = keySets.getOrElseUpdate(e.parentCols, {
+            acc(e.parent)
+              .select(e.parentCols.map(col): _*).distinct()
+              .localCheckpoint(true)
+          }).toDF(renamed: _*)
             .withColumn("__cascade_hit", lit(1))
           val cond = e.childCols.zip(renamed).map { case (cc, pc) =>
             col(cc) === col(pc)
@@ -89,6 +103,9 @@ final case class FeedDataset(tables: Map[String, DataFrame], fkGraph: Seq[FkEdge
             .filter(anyNull || col("__cascade_hit").isNotNull)
             .drop((renamed :+ "__cascade_hit"): _*)
           acc = acc.updated(e.child, kept)
+          // a self-FK edge just shrank the table we're popping — the
+          // memoized key sets are stale for the remaining edges
+          if (e.child == parent) keySets.clear()
           if (!frontier.contains(e.child)) frontier = frontier :+ e.child
         }
       }
