@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * and tested. IMAGE decode is real too: [[ImageIoCodec]] decodes
   * PNG/BMP/GIF/JPEG through the JDK's `javax.imageio` (no external
   * dependency) into width/height/band counts and per-channel pixel
-  * statistics. Audio/video decode remains STUBBED behind
-  * [[DeterministicFakeCodec]] (this environment ships no audio/video
-  * libraries); production swaps in an ffmpeg-backed codec without
-  * touching the pipeline shape.
+  * statistics. AUDIO metadata decode is real as well:
+  * [[AudioSystemCodec]] parses WAV/AIFF/AU headers through the JDK's
+  * `javax.sound.sampled` into duration/sample-rate/channels. Only
+  * VIDEO decode remains STUBBED behind [[DeterministicFakeCodec]] (no
+  * ffmpeg in this environment); production swaps in an ffmpeg-backed
+  * codec without touching the pipeline shape.
   */
 object Multimodal {
 
@@ -64,6 +66,59 @@ object Multimodal {
     }
   }
 
+  object AudioSystemCodec {
+    /** [duration_ms, sample_rate, channels, bits_per_sample,
+      * frame_length, frame_rate, frame_size_bytes, big_endian,
+      * encoding_id, 0, 0, 0] — padded to [[ImageIoCodec.Dim]] so a
+      * mixed image+audio table keeps one rectangular feature column. */
+    val Dim = 12
+  }
+
+  /** REAL audio metadata decoder over the JDK's built-in
+    * `javax.sound.sampled` (WAV/AIFF/AU header parse — no external
+    * dependency): duration, sample rate, channel count, sample width.
+    * Only the header is parsed — payload audio frames are never
+    * decoded, so cost per asset is O(header), not O(duration).
+    * Video (and undecodable audio) routes to the fallback —
+    * the ONE remaining stub (no ffmpeg in this environment).
+    * Unknown formats yield None, not an exception. */
+  final class AudioSystemCodec(
+      videoFallback: MediaCodec = new DeterministicFakeCodec(AudioSystemCodec.Dim))
+      extends MediaCodec {
+    require(videoFallback.featureDim == AudioSystemCodec.Dim,
+      s"fallback featureDim must be ${AudioSystemCodec.Dim} so the feature column is rectangular")
+    def featureDim: Int = AudioSystemCodec.Dim
+
+    private def encodingId(e: javax.sound.sampled.AudioFormat.Encoding): Float = {
+      import javax.sound.sampled.AudioFormat.Encoding._
+      e match {
+        case PCM_SIGNED => 0f; case PCM_UNSIGNED => 1f; case PCM_FLOAT => 2f
+        case ULAW => 3f; case ALAW => 4f; case _ => -1f
+      }
+    }
+
+    def decode(mediaType: String, payload: Array[Byte]): Option[Array[Float]] = {
+      if (payload == null || payload.isEmpty) return None
+      if (mediaType != "audio") return videoFallback.decode(mediaType, payload)
+      val aff =
+        try javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (aff == null) return None
+      val f = aff.getFormat
+      val frames = aff.getFrameLength // may be NOT_SPECIFIED (-1)
+      val durationMs =
+        if (frames > 0 && f.getFrameRate > 0)
+          (frames.toDouble / f.getFrameRate * 1000.0).toFloat
+        else -1f
+      Some(Array(
+        durationMs, f.getSampleRate, f.getChannels.toFloat,
+        f.getSampleSizeInBits.toFloat, frames.toFloat, f.getFrameRate,
+        f.getFrameSize.toFloat, if (f.isBigEndian) 1f else 0f,
+        encodingId(f.getEncoding), 0f, 0f, 0f))
+    }
+  }
+
   object ImageIoCodec {
     /** [width, height, bands, meanR, meanG, meanB, meanA, stdR, stdG,
       * stdB, stdA, meanLuma] */
@@ -75,11 +130,12 @@ object Multimodal {
     * dimensions plus per-channel mean/stddev pixel statistics in the
     * sRGB space `BufferedImage.getRGB` normalizes to, so the vector is
     * identical regardless of the file's internal raster layout.
-    * Non-image media types route to `audioVideoFallback` (the one
-    * remaining stub — this environment has no audio/video libraries);
-    * undecodable bytes yield None, not an exception. */
+    * Non-image media types route to `audioVideoFallback` — by default
+    * the real [[AudioSystemCodec]] (WAV/AIFF/AU headers), which in turn
+    * stubs only video; undecodable bytes yield None, not an
+    * exception. */
   final class ImageIoCodec(
-      audioVideoFallback: MediaCodec = new DeterministicFakeCodec(ImageIoCodec.Dim))
+      audioVideoFallback: MediaCodec = new AudioSystemCodec())
       extends MediaCodec {
     require(audioVideoFallback.featureDim == ImageIoCodec.Dim,
       s"fallback featureDim must be ${ImageIoCodec.Dim} so the feature column is rectangular")

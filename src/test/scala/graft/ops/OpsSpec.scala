@@ -321,7 +321,55 @@ class OpsSpec extends SparkSpec {
     assert(img(10) == 0.0f) // alpha stddev
     assert(img(11) == 127.5f) // luma mean
     assert(byId(2L) == null) // garbage bytes -> null features, job survives
-    assert(byId(3L) != null && byId(3L).length == Multimodal.ImageIoCodec.Dim) // audio -> fallback
+    // audio routes to the REAL AudioSystemCodec now — garbage bytes are
+    // not a WAV/AIFF/AU header, so they decode to null, job survives
+    assert(byId(3L) == null)
+  }
+
+  /** In-memory 16-bit mono PCM WAV with `frames` samples at `rateHz`. */
+  private def wavBytes(frames: Int, rateHz: Float, channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rateHz, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * fmt.getFrameSize)
+    var i = 0
+    while (i < frames) { // little sawtooth so bytes aren't all zero
+      pcm(i * fmt.getFrameSize) = (i % 251).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("Multimodal.AudioSystemCodec REALLY parses WAV headers: duration/rate/channels") {
+    // 4000 frames at 8 kHz mono = exactly 500 ms; 2-channel variant too
+    val assets = Seq(
+      (1L, "audio", wavBytes(4000, 8000f)),
+      (2L, "audio", wavBytes(44100, 44100f, channels = 2)),
+      (3L, "audio", "not-audio-at-all".getBytes("UTF-8")),
+      (4L, "video", "fake-mp4-bytes".getBytes("UTF-8")))
+      .toDF("asset_id", "media_type", "payload")
+      .repartition(3) // decode must work per-partition, not driver-side
+    // through the default codec chain: image -> imageio, audio -> real
+    // header parse, video -> deterministic stub
+    val feats = Multimodal.extractFeatures(assets, new Multimodal.ImageIoCodec())
+    val byId = feats.collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("features")
+      r.getLong(0) -> (if (v == null) null else v.toList)
+    }.toMap
+    val mono = byId(1L)
+    assert(mono != null && mono.length == Multimodal.AudioSystemCodec.Dim)
+    assert(mono(0) == 500.0f)  // duration_ms
+    assert(mono(1) == 8000.0f) // sample_rate
+    assert(mono(2) == 1.0f)    // channels
+    assert(mono(3) == 16.0f)   // bits per sample
+    assert(mono(4) == 4000.0f) // frame length
+    val stereo = byId(2L)
+    assert(stereo(0) == 1000.0f && stereo(1) == 44100.0f && stereo(2) == 2.0f)
+    assert(byId(3L) == null)   // garbage audio -> null, job survives
+    assert(byId(4L) != null)   // video still routes to the stub codec
   }
 
   test("Multimodal.ImageIoResize REALLY rescales: 4x4 solid red -> 2x2 solid red") {
