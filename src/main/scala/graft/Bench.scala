@@ -21,18 +21,30 @@ object Bench {
     // measured query doesn't absorb cold-JIT cost.
     try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
+    // n runs per query; the headline number is the MEDIAN so a single
+    // noisy run (GC pause, machine load — observed ±20 % swings) can't
+    // masquerade as a regression, with min/max reported as the spread.
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val results = SparkEntry.benchQueries.map { q =>
-      val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (0 until n).map { _ =>
+        val t0 = System.nanoTime()
+        try { q.fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val median =
+        if (n % 2 == 1) times(n / 2) else (times(n / 2 - 1) + times(n / 2)) / 2
+      (q.name, median, times.head, times.last)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
+    val stats = results.map { case (k, med, lo, hi) =>
+      "\"" + k + "\":{\"median\":" + med + ",\"min\":" + lo + ",\"max\":" + hi + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$n,"stats":$stats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
