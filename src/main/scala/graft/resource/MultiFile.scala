@@ -66,12 +66,18 @@ final class MultiFile(
     intermediatePipeline: IntermediateFeed => Seq[Task],
     finalTasks: Seq[Task] = Seq.empty,
     options: PipelineOptions = PipelineOptions(),
-    mergeSeparator: String = ":") {
+    mergeSeparator: String = ":",
+    additionalResources: Map[String, Resource] = Map.empty) {
 
   private def feedDir(v: String): Path =
     options.workspace.resolve("intermediate_feeds").resolve(v)
   private def feedStamp(v: String): Path =
     options.workspace.resolve("intermediate_feeds").resolve(v + ".stamp")
+
+  /** Resources fetched by the last `prepare` — version archives plus
+    * `additionalResources` (multi_file.py's additional_resources, made
+    * available to BOTH the intermediate and the final pipelines). */
+  private var managedResources: Map[String, ManagedResource] = Map.empty
 
   def prepare(spark: SparkSession): Seq[Task] = {
     val needed = provider.needed().sortBy(_.startDate)
@@ -85,10 +91,12 @@ final class MultiFile(
       if (!keep.contains(base)) deleteRecursively(p)
     }
 
-    // conditional-fetch each version (multi_file.py:356-385)
+    // conditional-fetch each version + the shared additional resources
+    // (multi_file.py:356-385)
     val (managed, _) = ResourceCache.prepareResources(
-      needed.map(f => f.resourceName -> f.resource).toMap,
+      needed.map(f => f.resourceName -> f.resource).toMap ++ additionalResources,
       options.workspace, options.fromCache)
+    managedResources = managed
 
     // rebuild stale intermediates (multi_file.py:387-458)
     needed.foreach { f =>
@@ -124,7 +132,7 @@ final class MultiFile(
     * multi_file.py:53-57). */
   def run(spark: SparkSession): FeedDataset = {
     val tasks = prepare(spark)
-    val rt = TaskRuntime(spark, Map.empty, Map.empty)
+    val rt = TaskRuntime(spark, managedResources, Map.empty)
     new Pipeline(tasks).run(PipelineRunner.emptyFeed(spark), rt)
   }
 
@@ -132,5 +140,19 @@ final class MultiFile(
     if (Files.isDirectory(p))
       Files.list(p).forEach(deleteRecursively)
     Files.deleteIfExists(p)
+  }
+}
+
+object MultiFile {
+  /** Drop feeds that are already superseded on `today`: of the feeds
+    * starting on or before `today`, only the LATEST is still active —
+    * everything earlier is outdated; feeds starting after `today`
+    * are all kept (reference: prune_outdated_feeds,
+    * multi_file.py:141-158 — bisect_right on the sorted start dates). */
+  def pruneOutdatedFeeds(
+      feeds: Seq[IntermediateFeed], today: LocalDate): Seq[IntermediateFeed] = {
+    val sorted = feeds.sortBy(_.startDate)
+    val cutoff = math.max(sorted.lastIndexWhere(f => !f.startDate.isAfter(today)), 0)
+    sorted.drop(cutoff)
   }
 }

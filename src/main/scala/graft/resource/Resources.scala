@@ -6,6 +6,8 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.file.{Files, Path, StandardCopyOption}
 import java.time.Instant
 
+import scala.jdk.CollectionConverters._
+
 /** Raised when every input resource is unchanged — the whole pipeline
   * run is skipped (reference: InputNotModified, errors.py:9-13). */
 final class InputNotModified extends Exception("no resources have changed")
@@ -69,7 +71,7 @@ final case class HttpResource(url: String) extends Resource {
 
 /** Extracts one member of a zip-compressed inner resource
   * (resource.py:380-446). */
-final case class ZippedResource(inner: Resource, member: String) extends Resource {
+final case class ZippedResource(inner: Resource, member: String = null) extends Resource {
   def fetch(conditional: Boolean): InputStream = {
     val tmp = Files.createTempFile("graft_zip", ".zip")
     try {
@@ -82,8 +84,20 @@ final case class ZippedResource(inner: Resource, member: String) extends Resourc
       lastModified = inner.lastModified
       fetchTime = inner.fetchTime
       val zf = new java.util.zip.ZipFile(tmp.toFile)
-      val entry = Option(zf.getEntry(member))
-        .getOrElse { zf.close(); sys.error(s"member $member not in zip") }
+      // a null member mirrors the reference's file_name_in_zip=None
+      // default: the archive must contain exactly one file, which is
+      // extracted (resource.py:384-386)
+      val entry = Option(member) match {
+        case Some(m) =>
+          Option(zf.getEntry(m)).getOrElse { zf.close(); sys.error(s"member $m not in zip") }
+        case None =>
+          val all = zf.entries.asIterator.asScala.filterNot(_.isDirectory).toSeq
+          if (all.length != 1) {
+            zf.close()
+            sys.error(s"expected exactly one file in the archive, got ${all.length}")
+          }
+          all.head
+      }
       val bytes = zf.getInputStream(entry).readAllBytes()
       zf.close()
       new java.io.ByteArrayInputStream(bytes)
