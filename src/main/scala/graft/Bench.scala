@@ -24,7 +24,12 @@ object Bench {
     // n runs per query; the headline number is the MEDIAN so a single
     // noisy run (GC pause, machine load — observed ±20 % swings) can't
     // masquerade as a regression, with min/max reported as the spread.
-    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    val n = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5")
+      val parsed = raw.toIntOption.getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_RUNS must be an integer, got '$raw'"))
+      math.max(1, parsed) // 0/negative would make the median throw
+    }
     val results = SparkEntry.benchQueries.map { q =>
       val times = (0 until n).map { _ =>
         val t0 = System.nanoTime()

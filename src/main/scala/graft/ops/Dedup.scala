@@ -134,6 +134,11 @@ object Dedup {
     * Returns (id, comp) where comp = the minimum id in the component.
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+    // The seed below IS propagation round 1, and certifying convergence
+    // requires observing one further round with zero label changes —
+    // so at least one loop round must be allowed to run.
+    require(maxIters >= 2,
+      s"maxIters must be >= 2 (the seed counts as round 1), got $maxIters")
     val sym = edges
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))

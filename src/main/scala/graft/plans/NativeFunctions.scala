@@ -10,17 +10,28 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * `call_function` — cheap, but `createOrReplaceTempFunction` WARN-logs
   * a "replaced a previously registered function" line on every
   * re-registration, which buries real warnings in the bench/driver
-  * logs. Registering only when the name is absent keeps the call
-  * idempotent AND silent. The registry is per-session state, so the
-  * existence check is exactly the right key (a new session starts
-  * empty and gets one registration).
+  * logs. Idempotence is keyed on GRAFT-OWNED registration per session
+  * (not on mere name existence): the first call in a session always
+  * installs graft's builder — replacing, with one WARN, any
+  * same-named foreign temp function that would otherwise silently
+  * shadow graft's semantics — and every later call is a no-op.
   */
 private[plans] object NativeFunctions {
+  // WeakHashMap so a closed session's entry can be collected; the set
+  // of names a graft register call has installed in that session.
+  private val owned = new java.util.WeakHashMap[SparkSession, java.util.Set[String]]()
+
   def registerOnce(
       spark: SparkSession, name: String,
-      builder: Seq[Expression] => Expression): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(FunctionIdentifier(name)))
+      builder: Seq[Expression] => Expression): Unit = owned.synchronized {
+    val names = owned.computeIfAbsent(spark, _ => new java.util.HashSet[String]())
+    if (!names.contains(name)) {
+      val registry = spark.sessionState.functionRegistry
+      if (registry.functionExists(FunctionIdentifier(name)))
+        System.err.println(s"[graft] WARN: replacing a foreign function " +
+          s"named '$name' with graft's native implementation for this session")
       registry.createOrReplaceTempFunction(name, builder, "built-in")
+      names.add(name)
+    }
   }
 }

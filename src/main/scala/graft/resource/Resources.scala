@@ -70,8 +70,10 @@ final case class HttpResource(url: String) extends Resource {
 }
 
 /** Extracts one member of a zip-compressed inner resource
-  * (resource.py:380-446). */
-final case class ZippedResource(inner: Resource, member: String = null) extends Resource {
+  * (resource.py:380-446). `member = None` mirrors the reference's
+  * `file_name_in_zip=None`: the archive must contain exactly one file. */
+final case class ZippedResource(inner: Resource, member: Option[String] = None)
+    extends Resource {
   def fetch(conditional: Boolean): InputStream = {
     val tmp = Files.createTempFile("graft_zip", ".zip")
     try {
@@ -84,10 +86,9 @@ final case class ZippedResource(inner: Resource, member: String = null) extends 
       lastModified = inner.lastModified
       fetchTime = inner.fetchTime
       val zf = new java.util.zip.ZipFile(tmp.toFile)
-      // a null member mirrors the reference's file_name_in_zip=None
-      // default: the archive must contain exactly one file, which is
-      // extracted (resource.py:384-386)
-      val entry = Option(member) match {
+      // a None member: the archive must contain exactly one file,
+      // which is extracted (resource.py:384-386)
+      val entry = member match {
         case Some(m) =>
           Option(zf.getEntry(m)).getOrElse { zf.close(); sys.error(s"member $m not in zip") }
         case None =>

@@ -102,7 +102,7 @@ class ResourceSpec extends SparkSpec {
 
   test("ZippedResource extracts a member") {
     val res = ZippedResource(
-      LocalResource(TestSpark.fixture("wkd.zip")), "agency.txt")
+      LocalResource(TestSpark.fixture("wkd.zip")), Some("agency.txt"))
     val text = new String(res.fetch(conditional = false).readAllBytes())
     assert(text.contains("Warszawska Kolej Dojazdowa"))
   }
