@@ -1,0 +1,94 @@
+package graft.examples.radom
+
+import java.time.{DayOfWeek, LocalDate}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.errors.DataError
+import graft.model.FeedDataset
+import graft.operators.{Task, TaskRuntime}
+import graft.util.PolishCalendarExceptions
+import graft.util.PolishCalendarExceptions.{ExceptionType, PolishRegion}
+
+/** Turn BusMan's three desc-only day types (POWSZEDNI / SOBOTA /
+  * NIEDZIELA) into real calendars over one year from `startDate`, with
+  * Polish-holiday exceptions for the Mazowieckie voivodeship
+  * (reference: examples/radom/generate_calendars.py).
+  *
+  * Semantics mirrored exactly (generate_calendars.py:23-110):
+  *  - every calendar gets start/end = [startDate, startDate + 365];
+  *  - weekday bits: POWSZEDNI = Mon-Fri, SOBOTA = Sat, NIEDZIELA = Sun;
+  *  - per in-range holiday: falls on Sunday -> no exception; on
+  *    Saturday -> Sunday service ADDED + Saturday service REMOVED;
+  *    else -> Sunday service ADDED + weekday service REMOVED.
+  *
+  * Spark shape: the three id lookups are one tiny collect (the
+  * reference runs the same three driver-side SELECTs); the rewrite is
+  * a per-row conditional column set; the exceptions are a driver-built
+  * literal frame (bounded by 366 days x 2 rows) unioned in.
+  */
+final case class GenerateCalendars(startDate: LocalDate) extends Task {
+  override def name = "GenerateCalendars"
+
+  private val rangeStart = startDate
+  private val rangeEnd = startDate.plusDays(365)
+
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    val cals = feed("calendars")
+
+    // generate_calendars.py:112-115 one_must lookups
+    val descToId = cals.select("desc", "calendar_id")
+      .filter(col("desc").isin("POWSZEDNI", "SOBOTA", "NIEDZIELA"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def idFor(desc: String): String = descToId.getOrElse(desc,
+      throw new DataError(s"Missing calendar with description '$desc'"))
+    val weekdayId = idFor("POWSZEDNI")
+    val saturdayId = idFor("SOBOTA")
+    val sundayId = idFor("NIEDZIELA")
+
+    // generate_calendars.py:33-73: date range on ALL calendars, weekday
+    // bits per day type
+    val bits = Map(
+      weekdayId -> Seq(true, true, true, true, true, false, false),
+      saturdayId -> Seq(false, false, false, false, false, true, false),
+      sundayId -> Seq(false, false, false, false, false, false, true))
+    val dayCols = Seq("monday", "tuesday", "wednesday", "thursday", "friday",
+      "saturday", "sunday")
+    val updated = dayCols.zipWithIndex.foldLeft(
+      cals
+        .withColumn("start_date", to_date(lit(rangeStart.toString)))
+        .withColumn("end_date", to_date(lit(rangeEnd.toString)))) {
+      case (df, (dayCol, i)) =>
+        df.withColumn(dayCol,
+          when(col("calendar_id") === weekdayId, bits(weekdayId)(i))
+            .when(col("calendar_id") === saturdayId, bits(saturdayId)(i))
+            .when(col("calendar_id") === sundayId, bits(sundayId)(i))
+            .otherwise(col(dayCol)))
+    }
+
+    // generate_calendars.py:75-110: holiday exceptions for Mazowieckie
+    val exceptions = PolishCalendarExceptions.loadExceptions(
+      rt.resources("calendar_exceptions.csv"), PolishRegion.Mazowieckie)
+    val newRows = exceptions.toSeq.sortBy(_._1).flatMap { case (date, ex) =>
+      val inRange = !date.isBefore(rangeStart) && !date.isAfter(rangeEnd)
+      if (!inRange || !ex.types.contains(ExceptionType.Holiday)) Nil
+      else date.getDayOfWeek match {
+        case DayOfWeek.SUNDAY => Nil // already a Sunday - not an exception
+        case DayOfWeek.SATURDAY => Seq(
+          Row(sundayId, java.sql.Date.valueOf(date), 1),
+          Row(saturdayId, java.sql.Date.valueOf(date), 2))
+        case _ => Seq(
+          Row(sundayId, java.sql.Date.valueOf(date), 1),
+          Row(weekdayId, java.sql.Date.valueOf(date), 2))
+      }
+    }
+    val exDf = rt.spark.createDataFrame(
+      java.util.Arrays.asList(newRows: _*),
+      graft.model.GtfsSchemas("calendar_exceptions"))
+
+    feed.updatedAll(
+      "calendars" -> updated,
+      "calendar_exceptions" -> feed("calendar_exceptions").unionByName(exDf))
+  }
+}

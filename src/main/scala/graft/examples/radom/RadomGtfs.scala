@@ -1,0 +1,86 @@
+package graft.examples.radom
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{LoadBusMan, SaveGtfs}
+import graft.operators.{AddEntity, DeleteRows, ModifyFromCsv}
+import graft.resource._
+import graft.util.PolishCalendarExceptions
+
+/** The Radom GTFS application (reference: examples/radom/__main__.py):
+  * a [[MultiFile]] orchestration over the published BusMan schedule
+  * versions — the one reference consumer of the
+  * IntermediateFeedProvider machinery.
+  *
+  * Per version (__main__.py:70-118): agency + feed-info rows, the
+  * BusMan import (route ids collapsed to line numbers), two curation
+  * deletes, calendar generation with Polish-holiday exceptions, and
+  * stop positions curated from the SOAP dump. The final pipeline saves
+  * the merged feed as `radom.zip` (__main__.py:119-121).
+  *
+  * All external inputs are injectable for tests; the defaults hit the
+  * real endpoints like the reference.
+  */
+class RadomGtfs(
+    provider: IntermediateFeedProvider = new RadomProvider(),
+    stopsResource: Resource = new RadomStopsResource(),
+    calendarExceptionsResource: Resource = PolishCalendarExceptions.resource,
+    workspace: Path = Path.of("_workspace_radom"))
+  extends App("RadomGtfs", workspace) {
+
+  def prepare(args: AppArgs, options: PipelineOptions): PreparedRun =
+    PreparedMultiFile(new MultiFile(
+      provider = provider,
+      intermediatePipeline = feed => Seq(
+        AddEntity("agencies", Map(
+          "agency_id" -> "0",
+          "name" -> "MZDiK Radom",
+          "url" -> "http://www.mzdik.radom.pl/",
+          "timezone" -> "Europe/Warsaw",
+          "lang" -> "pl")),
+        AddEntity("feed_info", Map(
+          "feed_info_id" -> 0,
+          "publisher_name" -> "Mikołaj Kuranowski",
+          "publisher_url" -> "https://mkuran.pl/gtfs/",
+          "lang" -> "pl",
+          "version" -> feed.version)),
+        LoadBusMan(Right(feed.resourceName), agencyId = "0",
+          ignoreRouteId = true, ignoreStopId = false),
+        // RemoveUnknownStops (__main__.py:100-108)
+        DeleteRows("stops", col("stop_id").isin(RadomGtfs.UnknownStopIds: _*)),
+        // RetainKnownCalendars (__main__.py:109-115)
+        DeleteRows("calendars",
+          !col("desc").isin("POWSZEDNI", "SOBOTA", "NIEDZIELA")),
+        GenerateCalendars(feed.startDate),
+        ModifyFromCsv.stops(Right("soap_stops.csv"))),
+      finalTasks = Seq(
+        SaveGtfs(RadomGtfs.GtfsHeaders, options.workspace.resolve("radom.zip"))),
+      options = options,
+      additionalResources = Map(
+        "soap_stops.csv" -> stopsResource,
+        "calendar_exceptions.csv" -> calendarExceptionsResource)))
+}
+
+object RadomGtfs {
+  /** __main__.py:103-106 */
+  val UnknownStopIds: Seq[String] = Seq(
+    "1220", "1221", "1222", "1223", "1224", "1225", "1226", "1227",
+    "1228", "1229", "649", "652", "653", "659", "662")
+
+  /** __main__.py:16-63 */
+  val GtfsHeaders: Seq[(String, Seq[String])] = Seq(
+    "agency.txt" -> Seq(
+      "agency_id", "agency_name", "agency_url", "agency_timezone", "agency_lang"),
+    "stops.txt" -> Seq("stop_id", "stop_name", "stop_lat", "stop_lon"),
+    "routes.txt" -> Seq(
+      "agency_id", "route_id", "route_short_name", "route_long_name", "route_type"),
+    "trips.txt" -> Seq("route_id", "service_id", "trip_id"),
+    "stop_times.txt" -> Seq(
+      "trip_id", "stop_sequence", "stop_id", "arrival_time", "departure_time"),
+    "calendar.txt" -> Seq(
+      "service_id", "start_date", "end_date", "monday", "tuesday", "wednesday",
+      "thursday", "friday", "saturday", "sunday", "service_desc"),
+    "calendar_dates.txt" -> Seq("service_id", "date", "exception_type"))
+}

@@ -1,0 +1,54 @@
+package graft.examples.radom
+
+import java.net.URI
+import java.nio.charset.StandardCharsets
+import java.time.LocalDate
+
+import graft.resource.{HttpResource, IntermediateFeed, IntermediateFeedProvider, MultiFile, Resource, ZippedResource}
+
+/** Discovers the currently published Radom schedule versions by
+  * scraping the MZDiK download page (reference:
+  * examples/radom/provider.py).
+  *
+  * Each `/upload/file/Rozklady*.zip` link is one feed version; the
+  * version string is the YYYY-MM-DD date embedded in the href, which is
+  * also the feed's start date. The zip contains a single BusMan .mdb,
+  * extracted by a member-less [[ZippedResource]]
+  * (provider.py:41-47). Superseded versions are dropped with
+  * [[MultiFile.pruneOutdatedFeeds]] (provider.py:49).
+  *
+  * `listPage` and `archiveOf` are injectable so tests can run the whole
+  * MultiFile orchestration against in-memory fixtures.
+  */
+final class RadomProvider(
+    forDate: Option[LocalDate] = None,
+    listPage: Resource = HttpResource(RadomProvider.ListUrl),
+    archiveOf: String => Resource = url => ZippedResource(HttpResource(url)))
+  extends IntermediateFeedProvider {
+
+  private val HrefRe = """href=["']([^"']+)["']""".r
+  private val ScheduleRe = """/upload/file/Rozklady.+\.zip""".r
+  private val VersionRe = """[0-9]{4}-[0-9]{2}-[0-9]{2}""".r
+
+  def needed(): Seq[IntermediateFeed] = {
+    val html = new String(
+      listPage.fetch(conditional = false).readAllBytes(), StandardCharsets.UTF_8)
+    val feeds = HrefRe.findAllMatchIn(html).map(_.group(1)).toSeq
+      .filter(href => ScheduleRe.findFirstIn(href).isDefined)
+      .map { href =>
+        val version = VersionRe.findFirstIn(href).getOrElse(
+          sys.error(s"unable to get feed_version from href '$href'"))
+        IntermediateFeed(
+          version = version,
+          resource = archiveOf(URI.create(RadomProvider.ListUrl).resolve(href).toString),
+          resourceName = s"Rozklady-$version.mdb",
+          startDate = LocalDate.parse(version))
+      }
+    MultiFile.pruneOutdatedFeeds(feeds, forDate.getOrElse(LocalDate.now()))
+  }
+}
+
+object RadomProvider {
+  /** provider.py:13 */
+  val ListUrl = "http://mzdik.pl/index.php?id=145"
+}

@@ -1,0 +1,81 @@
+package graft.examples.radom
+
+import java.io.{ByteArrayInputStream, InputStream}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+
+import graft.resource.Resource
+
+/** Radom's stop positions, fetched from the city's SOAP endpoint and
+  * re-dumped as a curation CSV (reference:
+  * examples/radom/stops_resource.py).
+  *
+  * The reference builds a `zeep` WSDL client; the call is a single
+  * fixed operation (`GetGoogleStops`), so here it is one SOAP POST with
+  * a literal envelope — `transport` is injectable for tests (and for
+  * alternative SOAP stacks). A fetch is never conditional: like the
+  * reference, every fetch re-downloads (stops_resource.py:12-14 sets
+  * only fetch_time and never raises InputNotModified).
+  *
+  * Response shape (stops_resource.py:20-38): `<S>` elements with
+  * attributes `id`, `n` (name, stripped), `y` (lat), `x` (lon), dumped
+  * as `stop_id,stop_name,stop_lat,stop_lon` rows.
+  */
+final class RadomStopsResource(
+    transport: () => String = RadomStopsResource.defaultTransport,
+    clock: () => Instant = () => Instant.now()) extends Resource {
+
+  def fetch(conditional: Boolean): InputStream = {
+    fetchTime = clock()
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new ByteArrayInputStream(transport().getBytes(StandardCharsets.UTF_8)))
+    val stops = doc.getElementsByTagName("S")
+    if (stops.getLength == 0)
+      throw new RuntimeException("no stops returned from rkm.mzdik.radom.pl")
+
+    val sb = new StringBuilder("stop_id,stop_name,stop_lat,stop_lon\r\n")
+    (0 until stops.getLength).foreach { i =>
+      val el = stops.item(i).asInstanceOf[org.w3c.dom.Element]
+      sb.append(Seq(
+        el.getAttribute("id"),
+        el.getAttribute("n").trim,
+        el.getAttribute("y"),
+        el.getAttribute("x")).map(csvCell).mkString(",")).append("\r\n")
+    }
+    new ByteArrayInputStream(sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Python csv.writer default quoting: quote only when the cell
+    * contains a delimiter, quote char, or newline. */
+  private def csvCell(v: String): String =
+    if (v.exists(c => c == ',' || c == '"' || c == '\r' || c == '\n'))
+      "\"" + v.replace("\"", "\"\"") + "\""
+    else v
+}
+
+object RadomStopsResource {
+  val ServiceUrl = "http://rkm.mzdik.radom.pl/PublicService.asmx"
+
+  /** One-shot SOAP 1.1 call of the fixed GetGoogleStops operation
+    * (the reference's zeep service bound at stops_resource.py:15-19). */
+  private def defaultTransport(): String = {
+    val envelope =
+      """<?xml version="1.0" encoding="utf-8"?>
+        |<soap:Envelope xmlns:soap="http://schemas.xmlsoap.org/soap/envelope/">
+        |  <soap:Body><GetGoogleStops xmlns="http://PublicService/" /></soap:Body>
+        |</soap:Envelope>""".stripMargin
+    val resp = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(ServiceUrl))
+        .header("Content-Type", "text/xml; charset=utf-8")
+        .header("SOAPAction", "\"http://PublicService/GetGoogleStops\"")
+        .POST(HttpRequest.BodyPublishers.ofString(envelope))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() / 100 == 2,
+      s"GetGoogleStops -> HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+}

@@ -18,15 +18,21 @@ import graft.operators.{Task, TaskRuntime}
   * stop_times (times are MINUTES -> seconds, load_busman.py:249-250).
   *
   * Access to the .mdb goes through `mdb-export` (the same external tool
-  * the reference shells out to); when `resource` is a DIRECTORY, the
-  * tables are read from pre-exported `<table>.csv` files instead, which
-  * keeps the task usable where mdb-tools isn't installed. The id
-  * remappings (`ignoreRouteId` -> nNumber, `ignoreStopId` -> nSymbol,
-  * first-occurrence dedup, load_busman.py:140-199) are broadcast-map
-  * joins.
+  * the reference shells out to); when the source is a DIRECTORY, the
+  * tables are read from pre-exported `<table>.csv` files instead, and
+  * when it is a ZIP archive, from `<table>.csv` members inside it —
+  * both keep the task usable (and testable) where mdb-tools isn't
+  * installed. The id remappings (`ignoreRouteId` -> nNumber,
+  * `ignoreStopId` -> nSymbol, first-occurrence dedup,
+  * load_busman.py:140-199) are broadcast-map joins.
+  *
+  * @param source Left = a path on disk; Right = the name of a pipeline
+  *               resource, resolved through the runtime at execute time
+  *               (the reference's resource-name constructor argument,
+  *               load_busman.py:96-105).
   */
 final case class LoadBusMan(
-    resource: Path,
+    source: Either[Path, String],
     agencyId: String,
     ignoreRouteId: Boolean = false,
     ignoreStopId: Boolean = false,
@@ -36,7 +42,8 @@ final case class LoadBusMan(
 
   def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
     val s = rt.spark
-    def table(name: String): DataFrame = readTable(s, name)
+    val resource = source.fold(identity, name => rt.resources(name).storedAt)
+    def table(name: String): DataFrame = readTable(s, resource, name)
 
     // agency row for the provided id (the reference assumes it exists;
     // here the minimal row is created when absent)
@@ -144,13 +151,24 @@ final case class LoadBusMan(
       "stops" -> stops, "trips" -> tripsOut, "stop_times" -> stopTimes)
   }
 
-  /** A BusMan table: `<dir>/<name>.csv` for a directory resource, or
+  /** A BusMan table: `<dir>/<name>.csv` for a directory resource, a
+    * `<name>.csv` member for a zip archive of pre-exported tables, or
     * `mdb-export <mdb> <name>` for an .mdb file (same tool the
     * reference uses, extern to the JVM). */
-  private def readTable(s: SparkSession, name: String): DataFrame = {
+  private def readTable(s: SparkSession, resource: Path, name: String): DataFrame = {
     val csvPath =
       if (Files.isDirectory(resource)) resource.resolve(s"$name.csv")
-      else {
+      else if (isZip(resource)) {
+        val tmp = Files.createTempFile(s"busman_$name", ".csv")
+        val zf = new java.util.zip.ZipFile(resource.toFile)
+        try {
+          val entry = Option(zf.getEntry(s"$name.csv"))
+            .getOrElse(sys.error(s"$name.csv not in archive $resource"))
+          Files.copy(zf.getInputStream(entry), tmp,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } finally zf.close()
+        tmp
+      } else {
         val tmp = Files.createTempFile(s"busman_$name", ".csv")
         val proc = new ProcessBuilder("mdb-export", resource.toString, name)
           .redirectOutput(tmp.toFile).start()
@@ -158,5 +176,14 @@ final case class LoadBusMan(
         tmp
       }
     s.read.option("header", "true").csv(csvPath.toString)
+  }
+
+  private def isZip(p: Path): Boolean = {
+    val in = Files.newInputStream(p)
+    try {
+      val magic = in.readNBytes(4)
+      magic.length == 4 && magic(0) == 'P' && magic(1) == 'K' &&
+        (magic(2) == 3 || magic(2) == 5 || magic(2) == 7)
+    } finally in.close()
   }
 }

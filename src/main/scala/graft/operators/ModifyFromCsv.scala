@@ -25,7 +25,7 @@ import graft.model.FeedDataset
   */
 final case class ModifyFromCsv(
     table: String,
-    csv: Path,
+    source: Either[Path, String],
     keyCsvCol: String,
     keySqlCol: String,
     mapping: Map[String, (String, Column => Column)],
@@ -35,6 +35,9 @@ final case class ModifyFromCsv(
   override def name = s"ModifyFromCsv($table)"
 
   def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    // Right(name) = a pipeline resource resolved at execute time — the
+    // reference's csv_resource_name lookup (modify_from_csv.py:120-124)
+    val csv = source.fold(identity, name => rt.resources(name).storedAt)
     val raw = rt.spark.read.option("header", "true").csv(csv.toString)
     // first occurrence per id wins; later duplicates are skipped
     val w = Window.partitionBy(col(keyCsvCol)).orderBy(monotonically_increasing_id())
@@ -44,8 +47,9 @@ final case class ModifyFromCsv(
     val entity = feed(table)
 
     if (!silent) {
-      val missing = firstPerId.select(col(keyCsvCol))
-        .join(entity, col(keyCsvCol) === entity(keySqlCol), "left_anti").count()
+      val csvIds = firstPerId.select(col(keyCsvCol).as("__csv_key"))
+      val missing = csvIds
+        .join(entity, csvIds("__csv_key") === entity(keySqlCol), "left_anti").count()
       if (missing > 0)
         System.err.println(s"[ModifyFromCsv] $missing CSV id(s) don't exist in $table - skipped")
     }
@@ -86,7 +90,9 @@ object ModifyFromCsv {
     c => when(c === "1", true).when(c === "2", false).otherwise(lit(null).cast("boolean"))
 
   /** ModifyStopsFromCSV (modify_from_csv.py:222-238). */
-  def stops(csv: Path, mustCurateAll: Boolean = false, silent: Boolean = false): ModifyFromCsv =
+  def stops(
+      csv: Either[Path, String],
+      mustCurateAll: Boolean = false, silent: Boolean = false): ModifyFromCsv =
     ModifyFromCsv("stops", csv, "stop_id", "stop_id", Map(
       "stop_name" -> ("name", asIs),
       "stop_code" -> ("code", asIs),
@@ -98,7 +104,9 @@ object ModifyFromCsv {
       mustCurateAll, silent)
 
   /** ModifyRoutesFromCSV (modify_from_csv.py:245-290). */
-  def routes(csv: Path, mustCurateAll: Boolean = false, silent: Boolean = false): ModifyFromCsv =
+  def routes(
+      csv: Either[Path, String],
+      mustCurateAll: Boolean = false, silent: Boolean = false): ModifyFromCsv =
     ModifyFromCsv("routes", csv, "route_id", "route_id", Map(
       "route_short_name" -> ("short_name", asIs),
       "route_long_name" -> ("long_name", asIs),

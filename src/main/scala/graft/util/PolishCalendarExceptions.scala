@@ -1,0 +1,112 @@
+package graft.util
+
+import java.time.LocalDate
+
+import graft.resource.{HttpResource, ManagedResource}
+
+/** Polish public-holiday / school-break calendar exceptions, loaded
+  * from the community-maintained CSV (reference:
+  * tools/polish_calendar_exceptions.py).
+  *
+  * The CSV is small (a few hundred rows, one per exceptional date) and
+  * is consumed by driver-side pipeline-construction logic — parsing it
+  * with a plain CSV reader mirrors the reference and avoids a Spark
+  * job for a lookup table.
+  */
+object PolishCalendarExceptions {
+
+  /** Default resource with the exceptions CSV
+    * (polish_calendar_exceptions.py:10-13). */
+  val Url: String =
+    "https://docs.google.com/spreadsheets/d/1kSCBQyIE8bz2NgqpzyS75I7ndnlp4dhD3TmEY2jO7K0" +
+      "/export?format=csv"
+  def resource: HttpResource = HttpResource(Url)
+
+  /** A voivodeship code (polish_calendar_exceptions.py:20-40). */
+  final case class PolishRegion(code: String)
+  object PolishRegion {
+    val Dolnoslaskie = PolishRegion("02")
+    val KujawskoPomorskie = PolishRegion("04")
+    val Lubelskie = PolishRegion("06")
+    val Lubuskie = PolishRegion("08")
+    val Lodzkie = PolishRegion("10")
+    val Malopolskie = PolishRegion("12")
+    val Mazowieckie = PolishRegion("14")
+    val Opolskie = PolishRegion("16")
+    val Podkarpackie = PolishRegion("18")
+    val Podlaskie = PolishRegion("20")
+    val Pomorskie = PolishRegion("22")
+    val Slaskie = PolishRegion("24")
+    val Swietokrzyskie = PolishRegion("26")
+    val WarminskoMazurskie = PolishRegion("28")
+    val Wielkopolskie = PolishRegion("30")
+    val Zachodniopomorskie = PolishRegion("32")
+  }
+
+  /** Exception type ("severity"), polish_calendar_exceptions.py:43-48. */
+  object ExceptionType {
+    val Holiday = "holiday"
+    val NoSchool = "no_school"
+    val CommercialSunday = "commercial_sunday"
+  }
+
+  /** One exceptional date (polish_calendar_exceptions.py:51-56). */
+  final case class CalendarException(
+      types: Set[String],
+      summerHoliday: Boolean = false,
+      holidayName: String = "")
+
+  /** All known exceptions applying in `region`, keyed by date
+    * (polish_calendar_exceptions.py:59-82): rows with a non-empty
+    * `regions` list apply only to the listed voivodeships. */
+  def loadExceptions(
+      resource: ManagedResource,
+      region: PolishRegion): Map[LocalDate, CalendarException] = {
+    val rows = parseCsv(resource.text)
+    require(rows.nonEmpty, "calendar exceptions CSV is empty")
+    val header = rows.head.zipWithIndex.toMap
+    def cell(row: Seq[String], name: String): String =
+      header.get(name).flatMap(row.lift).getOrElse("")
+    rows.tail.filter(_.exists(_.nonEmpty)).flatMap { row =>
+      val regions = cell(row, "regions")
+      if (regions.nonEmpty && !regions.split('.').contains(region.code)) None
+      else Some(
+        LocalDate.parse(cell(row, "date")) -> CalendarException(
+          cell(row, "exception").split('.').filter(_.nonEmpty).toSet,
+          summerHoliday = cell(row, "summer_holidays") == "1",
+          holidayName = cell(row, "holiday_name")))
+    }.toMap
+  }
+
+  /** Minimal RFC-4180 parser (quotes, escaped quotes, CR/LF), enough
+    * for the exceptions sheet; values never span lines there, but
+    * quoted newlines are handled for robustness. */
+  private[util] def parseCsv(text: String): Seq[Seq[String]] = {
+    val out = Seq.newBuilder[Seq[String]]
+    val row = Seq.newBuilder[String]
+    val cell = new StringBuilder
+    var inQuotes = false
+    var sawAny = false
+    var i = 0
+    def endCell(): Unit = { row += cell.result(); cell.clear() }
+    def endRow(): Unit = { endCell(); out += row.result(); row.clear() }
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < text.length && text.charAt(i + 1) == '"') { cell += '"'; i += 1 }
+          else inQuotes = false
+        } else cell += c
+      } else c match {
+        case '"'  => inQuotes = true; sawAny = true
+        case ','  => endCell(); sawAny = true
+        case '\r' => () // swallow; the \n ends the row
+        case '\n' => if (sawAny) endRow(); sawAny = false // blank lines skipped
+        case ch   => cell += ch; sawAny = true
+      }
+      i += 1
+    }
+    if (sawAny || cell.nonEmpty) endRow()
+    out.result()
+  }
+}

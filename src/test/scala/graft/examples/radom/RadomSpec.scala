@@ -1,0 +1,271 @@
+package graft.examples.radom
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.time.LocalDate
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.io.FeedIO
+import graft.resource._
+import graft.resource.TestingMocks.MockResource
+import graft.util.PolishCalendarExceptions
+import graft.util.PolishCalendarExceptions.{CalendarException, PolishRegion}
+
+/** Golden end-to-end test of the Radom example — the reference's one
+  * consumer of the IntermediateFeedProvider/MultiFile machinery
+  * (examples/radom/__main__.py). Exercises, against in-memory mocks:
+  * pruneOutdatedFeeds version selection, the member-less single-file
+  * ZippedResource, additionalResources visibility inside the
+  * intermediate pipelines, GenerateCalendars' exception rules, and the
+  * final merged GTFS zip. */
+class RadomSpec extends SparkSpec {
+
+  // ---- fixtures -----------------------------------------------------
+
+  /** BusMan tables as a zip of pre-exported CSVs (LoadBusMan's
+    * testable archive form; the real feed ships an .mdb). */
+  private def busmanArchive: Array[Byte] = zipOf(
+    "tLines.csv" ->
+      "ID,nNumber,nName\nL1,10,Linia 10\nL2,20,Linia 20\n",
+    "tDayTypes.csv" ->
+      "ID,nName\nD1,POWSZEDNI\nD2,SOBOTA\nD3,NIEDZIELA\nD4,SPECJALNY\n",
+    "tStakes.csv" ->
+      "ID,nSymbol,nName,nLat,nLong\nS1,SYM1,Old One,51.0,21.0\nS2,SYM2,Old Two,51.1,21.1\n1220,SYM3,Unknown,51.2,21.2\n",
+    "tDirs.csv" -> "ID,nLine,nName\nP1,L1,Out\nP2,L2,Back\n",
+    "tDepts.csv" ->
+      "ID,nDir,nDayType,nTeam\nTR1,P1,D1,T1\nTR2,P1,D2,T1\nTR3,P2,D3,T1\nTR4,P2,D4,T1\n",
+    "tPassages.csv" ->
+      "nDept,nStake,nOrder,nTime\nTR1,S1,0,300\nTR1,S2,1,305\nTR2,S1,0,400\nTR2,1220,1,405\nTR3,S2,0,500\nTR3,S1,1,505\nTR4,S1,0,600\n")
+
+  /** The download archive: a zip whose SINGLE member (deliberately not
+    * named like the cache name) is the BusMan payload. */
+  private def downloadArchive: Array[Byte] =
+    zipOf("Rozklady.mdb" -> new String(busmanArchive, StandardCharsets.ISO_8859_1))
+
+  private def zipOf(members: (String, String)*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    members.foreach { case (name, content) =>
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes(StandardCharsets.ISO_8859_1))
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  private val listPageHtml =
+    """<html><body>
+      |<a href="/upload/file/Rozklady_2024-01-01.zip">superseded</a>
+      |<a href='/upload/file/Rozklady_2024-06-01.zip'>current</a>
+      |<a href="/upload/file/Rozklady_2024-07-01.zip">next</a>
+      |<a href="/upload/file/other.pdf">not a schedule</a>
+      |<a href="/upload/img/Rozklady_2030-01-01.png">also not</a>
+      |</body></html>""".stripMargin
+
+  private val soapStopsXml =
+    """<?xml version="1.0" encoding="utf-8"?>
+      |<soap:Envelope xmlns:soap="http://schemas.xmlsoap.org/soap/envelope/">
+      |<soap:Body><GetGoogleStopsResponse xmlns="http://PublicService/">
+      |<GetGoogleStopsResult>
+      |<S id="S1" n=" Dworzec Glowny " y="51.401" x="21.154"/>
+      |<S id="S2" n="Plac, Jagiellonski" y="51.405" x="21.160"/>
+      |</GetGoogleStopsResult>
+      |</GetGoogleStopsResponse></soap:Body></soap:Envelope>""".stripMargin
+
+  // 2024-08-15 Thu, 2024-09-14 Sat, 2024-12-01 Sun, 2024-12-25 Wed,
+  // 2025-01-06 region-locked to Malopolska (12), 2025-06-20 Fri only in
+  // v2's 365-day range, 2024-06-08 not a holiday.
+  private val exceptionsCsv =
+    """date,regions,exception,summer_holidays,holiday_name
+      |2024-06-08,,no_school,0,
+      |2024-08-15,,holiday,1,"Wniebowziecie NMP"
+      |2024-09-14,,holiday,0,Synthetic Saturday
+      |2024-12-01,,holiday,0,Synthetic Sunday
+      |2024-12-25,,holiday,0,Boze Narodzenie
+      |2025-01-06,12,holiday,0,Trzech Kroli
+      |2025-06-20,,holiday,0,Late Holiday
+      |""".stripMargin
+
+  private def newProvider(fetches: collection.mutable.Map[String, MockResource]) =
+    new RadomProvider(
+      forDate = Some(LocalDate.parse("2024-06-15")),
+      listPage = new MockResource(listPageHtml.getBytes(StandardCharsets.UTF_8)),
+      archiveOf = url => {
+        val mock = new MockResource(downloadArchive)
+        fetches(url) = mock
+        ZippedResource(mock) // member-less: single-file archive
+      })
+
+  // ---- unit: provider + prune ---------------------------------------
+
+  test("RadomProvider parses the listing, prunes superseded versions") {
+    val fetches = collection.mutable.Map[String, MockResource]()
+    val feeds = newProvider(fetches).needed()
+    assert(feeds.map(_.version) == Seq("2024-06-01", "2024-07-01"))
+    assert(feeds.map(_.resourceName) ==
+      Seq("Rozklady-2024-06-01.mdb", "Rozklady-2024-07-01.mdb"))
+    assert(feeds.map(_.startDate) ==
+      Seq(LocalDate.parse("2024-06-01"), LocalDate.parse("2024-07-01")))
+    // pruned version's archive was never fetched
+    assert(fetches.keys.forall(_.startsWith("http://mzdik.pl/upload/file/")))
+    assert(fetches.values.forall(_.fetchCount == 0))
+  }
+
+  test("pruneOutdatedFeeds: keeps latest started feed plus all future ones") {
+    def feed(v: String) = IntermediateFeed(
+      v, new MockResource(), s"$v.zip", LocalDate.parse(v))
+    val feeds = Seq(feed("2024-01-01"), feed("2024-06-01"), feed("2024-07-01"))
+    def versions(today: String) =
+      MultiFile.pruneOutdatedFeeds(feeds, LocalDate.parse(today)).map(_.version)
+    // between v2 and v3: v1 superseded
+    assert(versions("2024-06-15") == Seq("2024-06-01", "2024-07-01"))
+    // all in the future: keep everything (multi_file.py:141-158 clamp at 0)
+    assert(versions("2023-01-01") ==
+      Seq("2024-01-01", "2024-06-01", "2024-07-01"))
+    // all in the past: only the latest is active
+    assert(versions("2025-01-01") == Seq("2024-07-01"))
+    // exactly on a start date: that feed is active, earlier are dropped
+    assert(versions("2024-06-01") == Seq("2024-06-01", "2024-07-01"))
+  }
+
+  // ---- unit: SOAP stops resource ------------------------------------
+
+  test("RadomStopsResource dumps the SOAP stop list as a curation CSV") {
+    val res = new RadomStopsResource(() => soapStopsXml)
+    val csv = new String(res.fetch(conditional = false).readAllBytes(),
+      StandardCharsets.UTF_8)
+    val lines = csv.split("\r\n").toSeq
+    assert(lines.head == "stop_id,stop_name,stop_lat,stop_lon")
+    assert(lines(1) == "S1,Dworzec Glowny,51.401,21.154") // name stripped
+    assert(lines(2) == "S2,\"Plac, Jagiellonski\",51.405,21.160") // quoted comma
+  }
+
+  test("RadomStopsResource fails on an empty stop list") {
+    val res = new RadomStopsResource(() =>
+      """<?xml version="1.0"?><E xmlns:s="http://schemas.xmlsoap.org/soap/envelope/"/>""")
+    val e = intercept[RuntimeException](res.fetch(conditional = false))
+    assert(e.getMessage.contains("no stops returned"))
+  }
+
+  // ---- unit: polish calendar exceptions loader ----------------------
+
+  test("PolishCalendarExceptions filters by region and parses types") {
+    TestingMocks.withMockFile(".csv") { p =>
+      Files.writeString(p, exceptionsCsv)
+      val mr = ManagedResource(p, java.time.Instant.now(), java.time.Instant.now())
+      val mazowieckie = PolishCalendarExceptions.loadExceptions(mr, PolishRegion.Mazowieckie)
+      assert(!mazowieckie.contains(LocalDate.parse("2025-01-06"))) // region 12 only
+      assert(mazowieckie(LocalDate.parse("2024-08-15")) ==
+        CalendarException(Set("holiday"), summerHoliday = true,
+          holidayName = "Wniebowziecie NMP"))
+      assert(mazowieckie(LocalDate.parse("2024-06-08")).types == Set("no_school"))
+      val malopolskie = PolishCalendarExceptions.loadExceptions(mr, PolishRegion.Malopolskie)
+      assert(malopolskie.contains(LocalDate.parse("2025-01-06")))
+    }
+  }
+
+  // ---- golden: the full MultiFile orchestration ----------------------
+
+  test("RadomGtfs end-to-end: MultiFile versions, calendars, curation, zip") {
+    val ws = Files.createTempDirectory("radom_ws")
+    val fetches = collection.mutable.Map[String, MockResource]()
+    val app = new RadomGtfs(
+      provider = newProvider(fetches),
+      stopsResource = new RadomStopsResource(() => soapStopsXml),
+      calendarExceptionsResource =
+        new MockResource(exceptionsCsv.getBytes(StandardCharsets.UTF_8)),
+      workspace = ws)
+
+    val prepared = app.prepare(AppArgs(), PipelineOptions(workspace = ws))
+      .asInstanceOf[PreparedMultiFile]
+    val merged = prepared.multiFile.run(spark)
+
+    // both kept versions were fetched exactly once and cached; the
+    // pruned 2024-01-01 archive was constructed but never fetched
+    assert(fetches.values.map(_.fetchCount).toSeq.sorted == Seq(0, 1, 1))
+    assert(Files.exists(ws.resolve("Rozklady-2024-06-01.mdb")))
+    assert(Files.exists(ws.resolve("intermediate_feeds/2024-06-01")))
+    assert(Files.exists(ws.resolve("intermediate_feeds/2024-07-01")))
+
+    // ---- intermediate v1 feed: the GenerateCalendars golden ----
+    val v1 = FeedIO.load(rt, ws.resolve("intermediate_feeds/2024-06-01"))
+
+    // calendars: SPECJALNY deleted (with its trip cascaded), ranges set,
+    // weekday bits per day type
+    val cals = v1("calendars").collect().map(r =>
+      r.getAs[String]("calendar_id") -> r).toMap
+    assert(cals.keySet == Set("D1", "D2", "D3"))
+    assert(cals("D1").getAs[java.sql.Date]("start_date").toString == "2024-06-01")
+    assert(cals("D1").getAs[java.sql.Date]("end_date").toString == "2025-06-01")
+    assert(cals("D1").getAs[Boolean]("monday") && cals("D1").getAs[Boolean]("friday")
+      && !cals("D1").getAs[Boolean]("saturday"))
+    assert(cals("D2").getAs[Boolean]("saturday") && !cals("D2").getAs[Boolean]("monday"))
+    assert(cals("D3").getAs[Boolean]("sunday") && !cals("D3").getAs[Boolean]("saturday"))
+    assert(v1("trips").collect().map(_.getAs[String]("trip_id")).toSet ==
+      Set("TR1", "TR2", "TR3")) // TR4 rode SPECJALNY
+
+    // exceptions: Thu/Wed holidays -> sunday ADDED + weekday REMOVED;
+    // Sat holiday -> sunday ADDED + saturday REMOVED; Sun holiday,
+    // region-locked, non-holiday and out-of-range rows -> nothing
+    val exs = v1("calendar_exceptions").collect().map(r =>
+      (r.getAs[String]("calendar_id"), r.getAs[java.sql.Date]("date").toString,
+        r.getAs[Int]("exception_type"))).toSet
+    assert(exs == Set(
+      ("D3", "2024-08-15", 1), ("D1", "2024-08-15", 2),
+      ("D3", "2024-09-14", 1), ("D2", "2024-09-14", 2),
+      ("D3", "2024-12-25", 1), ("D1", "2024-12-25", 2)))
+
+    // stop curation from the SOAP dump (additionalResources visible in
+    // the intermediate pipeline), unknown stop 1220 deleted + cascaded
+    val stops = v1("stops").collect().map(r =>
+      r.getAs[String]("stop_id") -> r).toMap
+    assert(stops.keySet == Set("S1", "S2"))
+    assert(stops("S1").getAs[String]("name") == "Dworzec Glowny")
+    assert(stops("S1").getAs[Double]("lat") == 51.401)
+    assert(stops("S2").getAs[String]("name") == "Plac, Jagiellonski")
+    assert(v1("stop_times").filter(col("stop_id") === "1220").count() == 0)
+    assert(v1("stop_times").filter(col("trip_id") === "TR2").count() == 1)
+
+    // v2 sees the late holiday that is outside v1's 365-day range
+    val v2 = FeedIO.load(rt, ws.resolve("intermediate_feeds/2024-07-01"))
+    val v2Dates = v2("calendar_exceptions").collect()
+      .map(_.getAs[java.sql.Date]("date").toString).toSet
+    assert(v2Dates.contains("2025-06-20"))
+    assert(!v2Dates.contains("2024-06-08"))
+
+    // ---- merged output ----
+    // both versions present; v1 ids conflict with v2 -> version prefixes
+    val mergedCals = merged("calendars").collect()
+      .map(_.getAs[String]("calendar_id")).toSet
+    assert(mergedCals.exists(_.startsWith("2024-06-01:")) ||
+      mergedCals.exists(_.startsWith("2024-07-01:")))
+    assert(merged("agencies").collect().head.getAs[String]("name") == "MZDiK Radom")
+    assert(merged("feed_info").count() == 1)
+
+    // the final GTFS zip with the declared member order
+    val zipPath = ws.resolve("radom.zip")
+    assert(Files.exists(zipPath))
+    val zf = new java.util.zip.ZipFile(zipPath.toFile)
+    try {
+      import scala.jdk.CollectionConverters._
+      val members = zf.entries().asScala.map(_.getName).toSeq
+      assert(members == Seq("agency.txt", "stops.txt", "routes.txt", "trips.txt",
+        "stop_times.txt", "calendar.txt", "calendar_dates.txt"))
+      val agency = new String(
+        zf.getInputStream(zf.getEntry("agency.txt")).readAllBytes(),
+        StandardCharsets.UTF_8)
+      assert(agency.contains("MZDiK Radom"))
+      val calendar = new String(
+        zf.getInputStream(zf.getEntry("calendar.txt")).readAllBytes(),
+        StandardCharsets.UTF_8)
+      assert(calendar.startsWith(
+        "service_id,start_date,end_date,monday,tuesday,wednesday,thursday," +
+          "friday,saturday,sunday,service_desc"))
+    } finally zf.close()
+  }
+}

@@ -25,7 +25,7 @@ class LoadBusManSpec extends SparkSpec {
   }
 
   test("LoadBusMan maps BusMan tables to the internal model") {
-    val feed = LoadBusMan(busmanDir, agencyId = "AG").execute(null, rt)
+    val feed = LoadBusMan(Left(busmanDir), agencyId = "AG").execute(null, rt)
     assert(feed("routes").count() == 3)
     val r = feed("routes").filter(col("route_id") === "L1").collect().head
     assert(r.getAs[String]("short_name") == "10" && r.getAs[Int]("type") == 3)
@@ -50,7 +50,7 @@ class LoadBusManSpec extends SparkSpec {
   }
 
   test("LoadBusMan id remapping: ignoreRouteId/ignoreStopId dedupe by symbol") {
-    val feed = LoadBusMan(busmanDir, agencyId = "AG",
+    val feed = LoadBusMan(Left(busmanDir), agencyId = "AG",
       ignoreRouteId = true, ignoreStopId = true, saveBlocks = true).execute(null, rt)
     // routes collapse by nNumber (first occurrence wins)
     val routes = feed("routes").collect().map(r =>

@@ -143,7 +143,7 @@ class Tasks1Spec extends SparkSpec {
         |wsrod,Duplicate Ignored,,,2
         |nosuch,Ghost,,,
         |""".stripMargin)
-    val out = ModifyFromCsv.stops(csv, silent = true).execute(wkd, rt)
+    val out = ModifyFromCsv.stops(Left(csv), silent = true).execute(wkd, rt)
     val row = out("stops").filter(col("stop_id") === "wsrod")
       .select("name", "lat", "wheelchair_boarding").collect().head
     assert(row.getString(0) == "Renamed Stop")
@@ -156,7 +156,7 @@ class Tasks1Spec extends SparkSpec {
     val csv = Files.createTempFile("curate2", ".csv")
     Files.writeString(csv, "stop_id,stop_name\nwsrod,X\n")
     val e = intercept[graft.errors.MultipleDataErrors] {
-      ModifyFromCsv.stops(csv, mustCurateAll = true, silent = true).execute(wkd, rt)
+      ModifyFromCsv.stops(Left(csv), mustCurateAll = true, silent = true).execute(wkd, rt)
     }
     // every violation in ONE failure (errors.py catch_all parity)
     assert(e.errors.length == 27) // 28 stops, 1 curated
