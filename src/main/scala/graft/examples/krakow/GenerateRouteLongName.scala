@@ -1,0 +1,60 @@
+package graft.examples.krakow
+
+import org.apache.spark.sql.functions._
+
+import graft.model.FeedDataset
+import graft.operators.{Task, TaskRuntime}
+
+/** Set every route's long name to "<outbound> — <inbound>", where each
+  * side is the most common trip headsign of that direction (reference:
+  * examples/krakow/generate_route_long_name.py).
+  *
+  * Fallbacks mirrored exactly (generate_route_long_name.py:18-29): one
+  * side empty -> the other is used twice; both empty -> "".
+  *
+  * Spark shape: the reference runs two correlated
+  * `GROUP BY headsign ORDER BY COUNT(*) DESC LIMIT 1` queries per
+  * route; here it is ONE distributed count over
+  * (route, direction, headsign) + a top-1 fold + a pivot to columns +
+  * a join onto routes — no per-route driver loop, so it scales with
+  * the trip table, not the route count. Count ties are broken toward
+  * the lexicographically smallest headsign (the reference's LIMIT 1
+  * leaves SQLite's choice unspecified; this port is deterministic).
+  */
+case object GenerateRouteLongName extends Task {
+  override def name = "GenerateRouteLongName"
+
+  def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
+    val counts = feed("trips")
+      .filter(col("direction").isin(0, 1))
+      .groupBy(col("route_id"), col("direction"),
+        coalesce(col("headsign"), lit("")).as("headsign"))
+      .agg(count(lit(1)).as("cnt"))
+    // top-1 per (route, direction): min over (-count, headsign) = max
+    // count with the smallest headsign on ties
+    val top = counts
+      .groupBy("route_id", "direction")
+      .agg(min(struct((-col("cnt")).as("neg"), col("headsign"))).as("t"))
+      .select(col("route_id"), col("direction"), col("t.headsign").as("headsign"))
+    val byRoute = top.groupBy("route_id").agg(
+      max(when(col("direction") === 0, col("headsign"))).as("__out_h"),
+      max(when(col("direction") === 1, col("headsign"))).as("__in_h"))
+
+    def nonEmpty(c: org.apache.spark.sql.Column) = c.isNotNull && c =!= ""
+    val longName =
+      when(nonEmpty(col("__out_h")) && nonEmpty(col("__in_h")),
+        concat(col("__out_h"), lit(" — "), col("__in_h")))
+        .when(nonEmpty(col("__out_h")),
+          concat(col("__out_h"), lit(" — "), col("__out_h")))
+        .when(nonEmpty(col("__in_h")),
+          concat(col("__in_h"), lit(" — "), col("__in_h")))
+        .otherwise("")
+
+    val routes = feed("routes")
+      .join(byRoute, Seq("route_id"), "left")
+      .withColumn("long_name", longName)
+      .drop("__out_h", "__in_h")
+      .select(feed("routes").columns.map(col): _*)
+    feed.updated("routes", routes)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.examples.krakow
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Helpers
+import graft.io.{LoadGtfs, SaveGtfs}
+import graft.operators._
+import graft.resource._
+
+/** The Kraków GTFS application (reference: examples/krakow/__main__.py):
+  * one pipeline over the city's published tram or bus GTFS, curating
+  * agency names, stop names/codes, headsigns, colors, and generating
+  * route long names from the dominant headsign per direction.
+  *
+  * The reference's UPDATE/DELETE ExecuteSQL statements are re-expressed
+  * as UpdateTable/DeleteRows column rewrites and one EXISTS semi-join
+  * (SURVEY §7.3); each task cites the statement it mirrors. `re_sub`
+  * calls share [[Helpers.reSub]] — the exact engine behind the
+  * SQL-registered function, Python dialect included.
+  */
+class KrakowGtfs(
+    sourceOverride: Option[Resource] = None,
+    workspace: Path = Path.of("_workspace_krakow"))
+  extends App("KrakowGtfs", workspace) {
+
+  def prepare(args: AppArgs, options: PipelineOptions): PreparedRun = {
+    val feedType = args.extra.headOption.getOrElse(
+      sys.error("usage: KrakowGtfs <bus|tram>"))
+    val (sourceName, sourceUrl) = KrakowGtfs.sourceNameAndUrl(feedType)
+    val reSub = udf((p: String, r: String, s: String) =>
+      if (s == null) null else Helpers.reSub(p, r, s))
+
+    PreparedPipeline(
+      tasks = Seq(
+        LoadGtfs(options.workspace.resolve(sourceName)),
+        // DropBlockID (__main__.py:85)
+        UpdateTable("trips",
+          Map("block_id" -> lit(null).cast("string")), lit(true)),
+        // RemoveTripsWithoutPickup (__main__.py:86-92): keep trips with
+        // at least one boardable stop time
+        ExecuteSql(
+          "SELECT t.* FROM trips t WHERE EXISTS (SELECT 1 FROM stop_times s " +
+            "WHERE t.trip_id = s.trip_id AND s.pickup_type != 1)",
+          saveAs = Some("trips")),
+        RemoveUnusedEntities,
+        // FixAgency (__main__.py:94-103)
+        UpdateTable("agencies", Map("name" ->
+          when(col("url").like("%mpk.krakow.pl%"), "MPK Kraków")
+            .when(col("url").like("%ztp.krakow.pl%"), "ZTP Kraków")
+            .otherwise(col("name"))), lit(true)),
+        // FixStopNames (__main__.py:104-107)
+        UpdateTable("stops", Map("name" ->
+          reSub(lit("""(\w)\.(\w)"""), lit("""\1. \2"""), col("name"))), lit(true)),
+        // FixTripHeadsign (__main__.py:108-114)
+        UpdateTable("trips", Map("headsign" ->
+          reSub(lit(""" *\(n[zż]\)$"""), lit(""),
+            reSub(lit("""(\w)\.(\w)"""), lit("""\1. \2"""), col("headsign")))),
+          lit(true)),
+        // FixRouteColor (__main__.py:115-124)
+        UpdateTable("routes", Map(
+          "text_color" -> lit("FFFFFF"),
+          "color" -> when(col("type") === 0, "002E5F").otherwise("0072AA")),
+          lit(true)),
+        // GenerateStopCode (__main__.py:125-139): tram stops whose ids
+        // end 'x9' get code 0x; otherwise the last two digits
+        UpdateTable("stops", Map("code" -> {
+          val last2 = substring(col("stop_id"), -2, 2)
+          when(last2.rlike("^[1-9]9$"),
+            concat(lit("0"), substring(col("stop_id"), -2, 1)))
+            .when(last2.rlike("^[0-9][0-9]$"), last2)
+            .otherwise("")
+        }), lit(true)),
+        GenerateRouteLongName,
+        SaveGtfs(KrakowGtfs.GtfsHeaders,
+          options.workspace.resolve(s"krakow.$feedType.out.zip"))),
+      resources = Map(
+        sourceName -> sourceOverride.getOrElse(HttpResource(sourceUrl))))
+  }
+}
+
+object KrakowGtfs {
+  /** __main__.py:72-77 */
+  def sourceNameAndUrl(feedType: String): (String, String) = feedType match {
+    case "tram" => ("krakow.tram.zip", "http://gtfs.ztp.krakow.pl/GTFS_KRK_T.zip")
+    case "bus"  => ("krakow.bus.zip", "http://gtfs.ztp.krakow.pl/GTFS_KRK_A.zip")
+    case other  => sys.error(s"type must be bus or tram, got '$other'")
+  }
+
+  /** __main__.py:9-65 */
+  val GtfsHeaders: Seq[(String, Seq[String])] = Seq(
+    "agency.txt" -> Seq("agency_id", "agency_name", "agency_url",
+      "agency_timezone", "agency_lang", "agency_phone"),
+    "stops.txt" -> Seq("stop_id", "stop_code", "stop_name", "stop_lat", "stop_lon"),
+    "routes.txt" -> Seq("agency_id", "route_id", "route_short_name",
+      "route_long_name", "route_type", "route_color", "route_text_color"),
+    "trips.txt" -> Seq("route_id", "service_id", "trip_id", "trip_headsign",
+      "direction_id"),
+    "stop_times.txt" -> Seq("trip_id", "stop_sequence", "stop_id",
+      "arrival_time", "departure_time"),
+    "calendar.txt" -> Seq("service_id", "start_date", "end_date", "monday",
+      "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday"),
+    "calendar_dates.txt" -> Seq("service_id", "date", "exception_type"))
+}

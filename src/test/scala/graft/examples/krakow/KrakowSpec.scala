@@ -1,0 +1,163 @@
+package graft.examples.krakow
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.resource._
+
+/** Golden test of the Kraków example (examples/krakow/__main__.py):
+  * the full curation pipeline over a synthetic city feed, including the
+  * reference's direction_0/direction_1 endpoint pairing for route long
+  * names. */
+class KrakowSpec extends SparkSpec {
+
+  private def gtfsZip: Path = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    def w(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name)); z.write(content.getBytes(StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    w("agency.txt",
+      """agency_id,agency_name,agency_url,agency_timezone
+        |A1,Miejskie,http://www.mpk.krakow.pl/pl,Europe/Warsaw
+        |A2,Zarzad,http://ztp.krakow.pl/,Europe/Warsaw
+        |A3,Unused,http://example.com/,Europe/Warsaw
+        |""".stripMargin)
+    w("routes.txt",
+      """route_id,agency_id,route_short_name,route_long_name,route_type
+        |R1,A1,1,,0
+        |R2,A2,501,,3
+        |""".stripMargin)
+    w("stops.txt",
+      """stop_id,stop_name,stop_lat,stop_lon
+        |329719,os.Kurdwanów,50.012,19.936
+        |328645,Teatr Bagatela,50.064,19.932
+        |stop_xx,pl.Inwalidów,50.071,19.921
+        |""".stripMargin)
+    w("trips.txt",
+      """route_id,service_id,trip_id,trip_headsign,direction_id,block_id
+        |R1,S1,t1,Os.Piastów(nż),0,B1
+        |R1,S1,t2,Os. Piastów,0,
+        |R1,S1,t3,Salwator,0,
+        |R1,S1,t4,Bronowice Małe,1,
+        |R1,S1,t5,Ghost,0,
+        |R2,S1,t6,Dworzec Główny,0,
+        |""".stripMargin)
+    w("stop_times.txt",
+      """trip_id,stop_sequence,stop_id,arrival_time,departure_time,pickup_type
+        |t1,0,329719,06:00:00,06:00:00,0
+        |t1,1,328645,06:10:00,06:10:00,0
+        |t2,0,329719,07:00:00,07:00:00,0
+        |t2,1,328645,07:10:00,07:10:00,0
+        |t3,0,329719,08:00:00,08:00:00,0
+        |t3,1,stop_xx,08:10:00,08:10:00,0
+        |t4,0,328645,09:00:00,09:00:00,0
+        |t4,1,329719,09:10:00,09:10:00,0
+        |t5,0,stop_xx,10:00:00,10:00:00,1
+        |t5,1,329719,10:10:00,10:10:00,1
+        |t6,0,stop_xx,11:00:00,11:00:00,0
+        |t6,1,329719,11:10:00,11:10:00,0
+        |""".stripMargin)
+    w("calendar.txt",
+      """service_id,start_date,end_date,monday,tuesday,wednesday,thursday,friday,saturday,sunday
+        |S1,20240101,20241231,1,1,1,1,1,0,0
+        |""".stripMargin)
+    z.close()
+    val p = Files.createTempFile("krakow_fixture", ".zip")
+    Files.write(p, bos.toByteArray)
+    p
+  }
+
+  test("KrakowGtfs end-to-end: curation, stop codes, route long names") {
+    val ws = Files.createTempDirectory("krakow_ws")
+    val app = new KrakowGtfs(
+      sourceOverride = Some(LocalResource(gtfsZip)), workspace = ws)
+    val prepared = app
+      .prepare(AppArgs(extra = Seq("tram")), PipelineOptions(workspace = ws))
+      .asInstanceOf[PreparedPipeline]
+    val feed = PipelineRunner.run(spark, prepared.tasks, prepared.resources,
+      PipelineOptions(workspace = ws))
+
+    // RemoveTripsWithoutPickup: t5 had pickup_type=1 everywhere
+    val trips = feed("trips").collect().map(r =>
+      r.getAs[String]("trip_id") -> r).toMap
+    assert(trips.keySet == Set("t1", "t2", "t3", "t4", "t6"))
+    // DropBlockID
+    assert(trips.values.forall(_.getAs[String]("block_id") == null))
+    // FixTripHeadsign: dot spacing + (nż) suffix strip
+    assert(trips("t1").getAs[String]("headsign") == "Os. Piastów")
+
+    // RemoveUnusedEntities dropped the agency with no routes; FixAgency
+    // renamed by url
+    val agencies = feed("agencies").collect().map(r =>
+      r.getAs[String]("agency_id") -> r.getAs[String]("name")).toMap
+    assert(agencies == Map("A1" -> "MPK Kraków", "A2" -> "ZTP Kraków"))
+
+    // FixStopNames + GenerateStopCode ('x9' tram rule, two-digit rule,
+    // non-digit fallback)
+    val stops = feed("stops").collect().map(r =>
+      r.getAs[String]("stop_id") -> r).toMap
+    assert(stops("329719").getAs[String]("name") == "os. Kurdwanów")
+    assert(stops("329719").getAs[String]("code") == "01") // '19' is 'x9' -> 0x
+    assert(stops("328645").getAs[String]("code") == "45") // plain last-two rule
+    assert(stops("stop_xx").getAs[String]("code") == "")
+
+    // FixRouteColor + GenerateRouteLongName (direction_0 — direction_1
+    // endpoint pairing; single-direction routes double their endpoint)
+    val routes = feed("routes").collect().map(r =>
+      r.getAs[String]("route_id") -> r).toMap
+    assert(routes("R1").getAs[String]("long_name") == "Os. Piastów — Bronowice Małe")
+    assert(routes("R2").getAs[String]("long_name") == "Dworzec Główny — Dworzec Główny")
+    assert(routes("R1").getAs[String]("color") == "002E5F") // tram
+    assert(routes("R2").getAs[String]("color") == "0072AA") // bus
+    assert(routes.values.forall(_.getAs[String]("text_color") == "FFFFFF"))
+
+    // the saved zip
+    val zipPath = ws.resolve("krakow.tram.out.zip")
+    assert(Files.exists(zipPath))
+    val zf = new java.util.zip.ZipFile(zipPath.toFile)
+    try {
+      import scala.jdk.CollectionConverters._
+      assert(zf.entries().asScala.map(_.getName).toSeq == Seq(
+        "agency.txt", "stops.txt", "routes.txt", "trips.txt",
+        "stop_times.txt", "calendar.txt", "calendar_dates.txt"))
+      val routesTxt = new String(
+        zf.getInputStream(zf.getEntry("routes.txt")).readAllBytes(),
+        StandardCharsets.UTF_8)
+      assert(routesTxt.contains("Os. Piastów — Bronowice Małe"))
+    } finally zf.close()
+  }
+
+  test("GenerateRouteLongName tie-break and empty fallbacks") {
+    import graft.model.GtfsSchemas
+    val empty = PipelineRunner.emptyFeed(spark)
+    def tripRow(id: String, route: String, dir: Any, headsign: String) =
+      org.apache.spark.sql.Row(id, route, "S1", headsign, "", dir, "", null,
+        null, null, null, null)
+    // exercise: tie broken to smallest headsign; NULL-direction trips
+    // ignored; inbound-only route doubles its inbound endpoint
+    val trips = spark.createDataFrame(java.util.Arrays.asList(
+      tripRow("t1", "R1", 0, "Beta"), tripRow("t2", "R1", 0, "Alpha"),
+      tripRow("t3", "R1", 1, "End"), tripRow("t4", "R1", null, "Ignored"),
+      tripRow("t5", "R2", 1, "Only Inbound"),
+      tripRow("t6", "R3", null, "No Direction")),
+      GtfsSchemas("trips"))
+    def routeRow(id: String) = org.apache.spark.sql.Row(
+      id, "A1", "1", "", 3, "", "", null, null)
+    val routes = spark.createDataFrame(java.util.Arrays.asList(
+      routeRow("R1"), routeRow("R2"), routeRow("R3")), GtfsSchemas("routes"))
+    val feed = empty.updatedAll("trips" -> trips, "routes" -> routes)
+
+    val out = GenerateRouteLongName.execute(feed, rt)("routes")
+      .collect().map(r => r.getAs[String]("route_id") -> r.getAs[String]("long_name")).toMap
+    assert(out("R1") == "Alpha — End") // 1-1 count tie -> smallest headsign
+    assert(out("R2") == "Only Inbound — Only Inbound")
+    assert(out("R3") == "") // no directional trips at all
+  }
+}
