@@ -1,0 +1,143 @@
+package graft.resource
+
+import java.io.{BufferedReader, ByteArrayInputStream, InputStream, InputStreamReader, OutputStreamWriter}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+/** A file on an FTP server, with MDTM-based conditional fetch
+  * (reference: examples/pkpic/ftp_resource.py + the PatchedFTP quirks).
+  *
+  * Reference semantics mirrored:
+  *  - the data-connection address from PASV is IGNORED except for the
+  *    port — the control host is used instead, because some servers
+  *    (PKP IC's) advertise unroutable addresses
+  *    (ftp_resource.py:11-15 `makepasv` override);
+  *  - `MDTM` is issued before any transfer, and a conditional fetch
+  *    short-circuits to [[InputNotModified]] when the file is not newer
+  *    than `lastModified` (ftp_resource.py:56-58);
+  *  - mod-times parse as `yyyyMMddHHmmss[.SSS...]` UTC
+  *    (ftp_resource.py:30-37).
+  *
+  * Driver-side only, like every [[Resource]]. The reference connects
+  * over FTPS (`FTP_TLS` + `prot_p`); TLS is a transport concern this
+  * environment cannot exercise against a stub, so this client speaks
+  * plain FTP — wrap the deployment in a TLS tunnel (stunnel, a
+  * sidecar) where the endpoint requires FTPS.
+  */
+final case class FtpResource(
+    host: String,
+    filename: String,
+    username: String,
+    password: String,
+    port: Int = 21) extends Resource {
+
+  def fetch(conditional: Boolean): InputStream = {
+    val ftp = new FtpResource.Client(host, port)
+    try {
+      ftp.login(username, password)
+      val modTime = ftp.modTime(filename)
+      if (conditional && !modTime.isAfter(lastModified))
+        throw new InputNotModified
+      lastModified = modTime
+      fetchTime = Instant.now()
+      new ByteArrayInputStream(ftp.retr(filename))
+    } finally ftp.close()
+  }
+}
+
+object FtpResource {
+
+  /** ftp_resource.py:30-37 — 14 digits, or longer with a fraction. */
+  private[resource] def parseModTime(x: String): Instant = {
+    val base = DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+    if (x.length == 14)
+      LocalDateTime.parse(x, base).toInstant(ZoneOffset.UTC)
+    else if (x.length > 15) {
+      val t = LocalDateTime.parse(x.take(14), base).toInstant(ZoneOffset.UTC)
+      val frac = x.drop(15).takeWhile(_.isDigit).padTo(9, '0').take(9)
+      t.plusNanos(frac.toLong)
+    } else throw new IllegalArgumentException(s"invalid FTP mod_time: $x")
+  }
+
+  /** Just enough of RFC 959 for a conditional single-file download:
+    * USER/PASS, MDTM, TYPE I, PASV, RETR. */
+  private[resource] final class Client(host: String, port: Int) {
+    private val control = new Socket(host, port)
+    private val in = new BufferedReader(
+      new InputStreamReader(control.getInputStream, StandardCharsets.ISO_8859_1))
+    private val out = new OutputStreamWriter(
+      control.getOutputStream, StandardCharsets.ISO_8859_1)
+    expect(220, greeting = true)
+
+    def login(user: String, pass: String): Unit = {
+      val (code, _) = cmd(s"USER $user")
+      if (code == 331) { val (c2, t2) = cmd(s"PASS $pass"); check(c2 == 230, c2, t2) }
+      else check(code == 230, code, "USER")
+    }
+
+    def modTime(filename: String): Instant = {
+      val (code, text) = cmd(s"MDTM $filename")
+      check(code == 213, code, text)
+      parseModTime(text.trim)
+    }
+
+    def retr(filename: String): Array[Byte] = {
+      val (tc, tt) = cmd("TYPE I")
+      check(tc == 200, tc, tt)
+      val dataPort = pasv()
+      // the PatchedFTP rule: connect to the CONTROL host, PASV's
+      // advertised address is not trusted
+      val data = new Socket(host, dataPort)
+      val bytes =
+        try {
+          val (rc, rt) = cmd(s"RETR $filename")
+          check(rc == 150 || rc == 125, rc, rt)
+          data.getInputStream.readAllBytes()
+        } finally data.close()
+      expect(226)
+      bytes
+    }
+
+    /** PASV reply `227 ... (h1,h2,h3,h4,p1,p2)` -> the data port. */
+    private def pasv(): Int = {
+      val (code, text) = cmd("PASV")
+      check(code == 227, code, text)
+      val nums = """\d+""".r.findAllIn(text).toSeq.takeRight(6).map(_.toInt)
+      check(nums.length == 6, code, s"unparsable PASV reply: $text")
+      nums(4) * 256 + nums(5)
+    }
+
+    private def cmd(line: String): (Int, String) = {
+      out.write(line); out.write("\r\n"); out.flush()
+      readReply()
+    }
+
+    private def expect(code: Int, greeting: Boolean = false): Unit = {
+      val (c, t) = readReply()
+      check(c == code, c, if (greeting) s"greeting: $t" else t)
+    }
+
+    /** One (possibly multi-line `nnn-`) reply; returns (code, last text). */
+    private def readReply(): (Int, String) = {
+      var line = in.readLine()
+      check(line != null && line.length >= 4, 0, "connection closed")
+      val code = line.take(3).toInt
+      if (line.charAt(3) == '-') {
+        val end = line.take(3) + " "
+        while (line != null && !line.startsWith(end)) line = in.readLine()
+        check(line != null, 0, "connection closed inside multi-line reply")
+      }
+      (code, line.drop(4))
+    }
+
+    private def check(ok: Boolean, code: Int, text: String): Unit =
+      if (!ok) { close(); throw new RuntimeException(s"FTP error $code: $text") }
+
+    def close(): Unit = {
+      try { out.write("QUIT\r\n"); out.flush() } catch { case _: Throwable => () }
+      try control.close() catch { case _: Throwable => () }
+    }
+  }
+}
