@@ -185,6 +185,7 @@ object Dedup {
         s"connectedComponents did not converge in $maxIters rounds " +
           s"($changed labels still changing) — a component's diameter exceeds " +
           "maxIters; raise it for pathologically chained inputs")
+    graft.util.Logs.debug("dedup", s"connected components converged in $it rounds")
     labels
   }
 

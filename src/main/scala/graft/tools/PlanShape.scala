@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Scale-killer detector over an EXECUTED (post-AQE) physical plan,
+  * shared by the PlanAuditSpec regression gate and the scale-profiling
+  * tools. Flags:
+  *
+  *  - CartesianProduct anywhere;
+  *  - an unpartitioned Window (whole input through ONE partition);
+  *  - a single-partition shuffle Exchange anywhere except the two
+  *    100 TB-correct shapes: the final global aggregation of a
+  *    partial/final pair, and the presentation-only sort at the plan
+  *    ROOT (nothing executes above it);
+  *  - optionally (`banNestedLoop`) a BroadcastNestedLoopJoin — the
+  *    shape an equi-join degrades to when its keys disappear. A
+  *    nested-loop whose BUILD side is a driver-literal LocalTableScan
+  *    (e.g. the k-row IVF codebook crossed with the corpus) is
+  *    allowed: its size is bounded by construction, not by data.
+  */
+object PlanShape {
+
+  /** Wrappers that neither reorder nor redistribute rows — a
+    * single-partition exchange seen only through these from the root is
+    * the presentation sort, not a computation stage. */
+  private def transparent(p: SparkPlan): Boolean = p match {
+    case _: AdaptiveSparkPlanExec | _: QueryStageExec | _: ReusedExchangeExec |
+        _: WholeStageCodegenExec | _: InputAdapter | _: ColumnarToRowExec |
+        _: SortExec | _: ProjectExec =>
+      true
+    case _ => false
+  }
+
+  /** Strip execution wrappers to the node that decides semantics. */
+  private def strip(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => strip(a.executedPlan)
+    case q: QueryStageExec        => strip(q.plan)
+    case r: ReusedExchangeExec    => strip(r.child)
+    case w: WholeStageCodegenExec => strip(w.child)
+    case i: InputAdapter          => strip(i.child)
+    case c: ColumnarToRowExec     => strip(c.child)
+    case other                    => other
+  }
+
+  def violations(root: SparkPlan, banNestedLoop: Boolean = false): Seq[String] = {
+    val acc = collection.mutable.Buffer.empty[String]
+    audit(root, presentationTop = true, banNestedLoop, acc)
+    acc.toSeq
+  }
+
+  private def audit(
+      p: SparkPlan, presentationTop: Boolean, banNestedLoop: Boolean,
+      acc: collection.mutable.Buffer[String]): Unit = {
+    p match {
+      case a: AdaptiveSparkPlanExec => audit(a.executedPlan, presentationTop, banNestedLoop, acc)
+      case q: QueryStageExec        => audit(q.plan, presentationTop, banNestedLoop, acc)
+      case r: ReusedExchangeExec    => audit(r.child, presentationTop, banNestedLoop, acc)
+      case _ =>
+        p match {
+          case c: CartesianProductExec =>
+            acc += s"CartesianProduct: ${c.simpleStringWithNodeId()}"
+          case j: BroadcastNestedLoopJoinExec if banNestedLoop =>
+            val build = j.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+              case _ => j.left
+            }
+            strip(build) match {
+              case _: LocalTableScanExec => () // literal, bounded codebook
+              case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+                if strip(b.child).isInstanceOf[LocalTableScanExec] => ()
+              case _ =>
+                acc += s"BroadcastNestedLoopJoin: ${j.simpleStringWithNodeId()}"
+            }
+          case w: WindowExec if w.partitionSpec.isEmpty =>
+            acc += s"unpartitioned Window: ${w.simpleStringWithNodeId()}"
+          case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1 =>
+            val globalAgg = strip(e.child).isInstanceOf[BaseAggregateExec]
+            if (!globalAgg && !presentationTop)
+              acc += s"single-partition Exchange mid-plan: ${e.simpleStringWithNodeId()}"
+          case _ => ()
+        }
+        val childTop = presentationTop && transparent(p)
+        p.children.foreach(audit(_, childTop, banNestedLoop, acc))
+        p.subqueries.foreach(audit(_, presentationTop = false, banNestedLoop, acc))
+    }
+  }
+}

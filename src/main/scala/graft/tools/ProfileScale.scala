@@ -1,0 +1,107 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+
+/** x10 scale profile for the flagship LLM-data queries (round-4
+  * verdict item 6): blow the sf0.1 corpus up 10x, re-run the q46
+  * near-dup pipeline and the q47/q48 ANN/IVF retrievals, and assert
+  * the EXECUTED (post-AQE) plans keep their shape — no equi-join
+  * flipping to a nested loop, no cartesian, no mid-plan
+  * single-partition funnel — while wall time scales sub-linearly in
+  * input size for the bucketed operators.
+  *
+  * The 10x corpus replicates each document with a distinct id space
+  * and a per-copy marker token appended to the text (so short docs'
+  * cross-copy jaccard drops below the 0.8 threshold while every
+  * copy's INTERNAL near-dup structure is preserved — components get
+  * denser without degenerating into one giant cluster). Embeddings
+  * replicate with shifted ids only: identical vectors stress the
+  * tie-handling and bucket-size paths.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.ProfileScale"
+  */
+object ProfileScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.queries.QueryDef.NanosConf, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.util.Logs.initialize(verbose = true) // surface the components-rounds line
+
+    val scratch = Files.createTempDirectory("graft_scale_")
+
+    // ---- blown-up corpora, written to parquet so scans are real ----
+    val docs = graft.queries.QueryDef.t(spark, sfDir, "documents")
+    val docIdSpan = docs.agg(max("doc_id")).collect().head.getLong(0) + 1
+    (0 until factor).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * docIdSpan)).as("doc_id"),
+        concat(col("text"), lit(s" copymarker$i")).as("text"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scratch/documents10")
+
+    val emb = graft.queries.QueryDef.t(spark, sfDir, "embeddings")
+    val vecIdSpan = emb.agg(max("vec_id")).collect().head.getLong(0) + 1
+    (0 until factor).map { i =>
+      emb.select((col("vec_id") + lit(i * vecIdSpan)).as("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scratch/embeddings10")
+
+    val docs10 = spark.read.parquet(s"$scratch/documents10")
+    val emb10 = spark.read.parquet(s"$scratch/embeddings10")
+    val dim = graft.queries.EmbeddingQueries.Dim
+
+    def q46(d: DataFrame) = Dedup.nearDuplicates(d, "doc_id", threshold = 0.8)
+      .select(col("doc_id"), col("dup_of"), col("is_near_duplicate"))
+    def q47(e: DataFrame) = Similarity.annTopK(e, e.filter(col("vec_id") < 20),
+      "embedding", "vec_id", dim = dim, k = 5, numPlanes = 8)
+    def q48(e: DataFrame) = {
+      val centroids = Similarity.deterministicCentroids(e, "embedding", "vec_id", 4)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20),
+        "embedding", "vec_id", centroids, k = 5, nProbe = 2)
+    }
+
+    // Time CONSTRUCTION + execution: the dedup pipeline materializes
+    // its stage boundaries eagerly (localCheckpoint) while the plan is
+    // being built, so timing only the final action would miss most of
+    // the work.
+    def run(label: String, mk: () => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val df = mk()
+      df.write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val bad = PlanShape.violations(df.queryExecution.executedPlan, banNestedLoop = true)
+      val shape = if (bad.isEmpty) "shape OK" else s"SHAPE VIOLATIONS:\n  ${bad.mkString("\n  ")}"
+      println(f"[scale] $label%-12s $secs%8.3f s   $shape")
+      secs
+    }
+
+    println(s"[scale] corpus x$factor: documents ${docs10.count()}, embeddings ${emb10.count()}")
+    val results = Seq(
+      ("q46 near-dup", () => q46(docs), () => q46(docs10)),
+      ("q47 ann", () => q47(emb), () => q47(emb10)),
+      ("q48 ivf", () => q48(emb), () => q48(emb10))).map { case (name, at1, atN) =>
+      run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
+      val t1 = run(s"$name x1", at1)
+      val tN = run(s"$name x$factor", atN)
+      (name, t1, tN)
+    }
+    results.foreach { case (name, t1, tN) =>
+      println(f"[scale] $name%-12s x1 $t1%7.3f s -> x$factor $tN%7.3f s   " +
+        f"wall ratio ${tN / t1}%5.2fx for ${factor}x input")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** A/B harness for the q45 sink spread (round-4 verdict item 5): runs
+  * the sink query N times and prints per-run wall times next to the
+  * SaveGtfs phase log lines, so the spread can be attributed to the
+  * distributed write, the serial zip concat, or the count read-back.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.ProfileSink"
+  */
+object ProfileSink {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val n = sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "8").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.queries.QueryDef.NanosConf, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.util.Logs.initialize(verbose = true)
+
+    val q = graft.queries.SinkQueries.q45
+    // warm-up
+    q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val times = (1 to n).map { i =>
+      val g0 = gcMillis
+      val t0 = System.nanoTime()
+      q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] run $i%2d: $s%.3f s  (gc ${gcMillis - g0} ms)")
+      s
+    }.sorted
+    println(f"[profile] median ${times(n / 2)}%.3f s  min ${times.head}%.3f s  " +
+      f"max ${times.last}%.3f s  max/median ${times.last / times(n / 2)}%.2f")
+    spark.stop()
+  }
+}

@@ -1,85 +1,34 @@
 package graft
 
-import org.apache.spark.sql.execution._
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
-import org.apache.spark.sql.execution.joins.CartesianProductExec
-import org.apache.spark.sql.execution.window.WindowExec
-
 /** Plan-regression gate: every SparkEntry query must execute without
-  * the three scale-killers — a CartesianProduct, an unpartitioned
-  * Window (the whole input funneled through ONE partition), or a
-  * single-partition shuffle Exchange anywhere except the two shapes
-  * that are correct at 100 TB:
-  *
-  *  - the final global aggregation of a partial/final pair (its input
-  *    is one pre-aggregated row per partition), and
-  *  - the presentation-only `oracleOrderBy` at the plan ROOT (tiny
-  *    verification output; nothing executes above it).
+  * the scale-killers [[graft.tools.PlanShape]] detects — a
+  * CartesianProduct, an unpartitioned Window (the whole input funneled
+  * through ONE partition), or a single-partition shuffle Exchange
+  * anywhere except the two shapes that are correct at 100 TB (the
+  * final global aggregation of a partial/final pair, and the
+  * presentation-only `oracleOrderBy` at the plan ROOT).
   *
   * The audit walks the EXECUTED adaptive plan (post-AQE), so it guards
   * the plans the driver actually benchmarks. Stages materialized by
   * localCheckpoint inside an operator (q37 cascade, q46 components)
   * run as separate jobs and are audited by their own operators' specs.
+  *
+  * `banNestedLoop` stays OFF here: q44's IVF assign legitimately
+  * broadcast-crosses the corpus with its k-row codebook (bounded by
+  * the `vec_id < k` pushed filter, not recognizable as a literal).
+  * The flagship scale runs (tools/ProfileScale) DO ban nested loops —
+  * none of q46/q47/q48 has a bounded cross.
   */
 class PlanAuditSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** Wrappers that neither reorder nor redistribute rows — a
-    * single-partition exchange seen only through these from the root is
-    * the presentation sort, not a computation stage. */
-  private def transparent(p: SparkPlan): Boolean = p match {
-    case _: AdaptiveSparkPlanExec | _: QueryStageExec | _: ReusedExchangeExec |
-        _: WholeStageCodegenExec | _: InputAdapter | _: ColumnarToRowExec |
-        _: SortExec | _: ProjectExec =>
-      true
-    case _ => false
-  }
-
-  /** Strip execution wrappers to the node that decides semantics. */
-  private def strip(p: SparkPlan): SparkPlan = p match {
-    case a: AdaptiveSparkPlanExec => strip(a.executedPlan)
-    case q: QueryStageExec        => strip(q.plan)
-    case r: ReusedExchangeExec    => strip(r.child)
-    case w: WholeStageCodegenExec => strip(w.child)
-    case i: InputAdapter          => strip(i.child)
-    case c: ColumnarToRowExec     => strip(c.child)
-    case other                    => other
-  }
-
-  /** Collect violations; `presentationTop` = only transparent nodes
-    * between here and the root. */
-  private def audit(p: SparkPlan, presentationTop: Boolean, acc: collection.mutable.Buffer[String]): Unit = {
-    p match {
-      case a: AdaptiveSparkPlanExec => audit(a.executedPlan, presentationTop, acc)
-      case q: QueryStageExec        => audit(q.plan, presentationTop, acc)
-      case r: ReusedExchangeExec    => audit(r.child, presentationTop, acc)
-      case _ =>
-        p match {
-          case c: CartesianProductExec =>
-            acc += s"CartesianProduct: ${c.simpleStringWithNodeId()}"
-          case w: WindowExec if w.partitionSpec.isEmpty =>
-            acc += s"unpartitioned Window: ${w.simpleStringWithNodeId()}"
-          case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1 =>
-            val globalAgg = strip(e.child).isInstanceOf[BaseAggregateExec]
-            if (!globalAgg && !presentationTop)
-              acc += s"single-partition Exchange mid-plan: ${e.simpleStringWithNodeId()}"
-          case _ => ()
-        }
-        val childTop = presentationTop && transparent(p)
-        p.children.foreach(audit(_, childTop, acc))
-        p.subqueries.foreach(audit(_, presentationTop = false, acc))
-    }
-  }
-
   for (q <- SparkEntry.allQueries) {
     test(s"${q.name}: no cartesian / unpartitioned window / mid-plan single-partition exchange") {
       val df = q.fn(spark, sfDir)
       df.collect() // drive AQE to the final physical plan
-      val violations = collection.mutable.Buffer.empty[String]
-      audit(df.queryExecution.executedPlan, presentationTop = true, violations)
+      val violations = graft.tools.PlanShape.violations(
+        df.queryExecution.executedPlan)
       assert(violations.isEmpty, violations.mkString("\n"))
     }
   }
