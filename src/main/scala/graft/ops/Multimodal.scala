@@ -14,10 +14,13 @@ import org.apache.spark.sql.types._
   * dependency) into width/height/band counts and per-channel pixel
   * statistics. AUDIO metadata decode is real as well:
   * [[AudioSystemCodec]] parses WAV/AIFF/AU headers through the JDK's
-  * `javax.sound.sampled` into duration/sample-rate/channels. Only
-  * VIDEO decode remains STUBBED behind [[DeterministicFakeCodec]] (no
-  * ffmpeg in this environment); production swaps in an ffmpeg-backed
-  * codec without touching the pipeline shape.
+  * `javax.sound.sampled` into duration/sample-rate/channels. VIDEO
+  * container METADATA decode is real too: [[VideoContainerCodec]]
+  * walks MP4 box / AVI chunk trees for duration, dimensions and track
+  * counts. The one remaining stub is per-FRAME video decode
+  * ([[DeterministicFakeFrameSampler]] — demuxing frames needs an
+  * ffmpeg-class library this environment lacks); production swaps in
+  * an ffmpeg-backed sampler without touching the pipeline shape.
   */
 object Multimodal {
 
@@ -79,11 +82,11 @@ object Multimodal {
     * dependency): duration, sample rate, channel count, sample width.
     * Only the header is parsed — payload audio frames are never
     * decoded, so cost per asset is O(header), not O(duration).
-    * Video (and undecodable audio) routes to the fallback —
-    * the ONE remaining stub (no ffmpeg in this environment).
+    * Video routes to the fallback — by default the real
+    * [[VideoContainerCodec]] (MP4/AVI header parse).
     * Unknown formats yield None, not an exception. */
   final class AudioSystemCodec(
-      videoFallback: MediaCodec = new DeterministicFakeCodec(AudioSystemCodec.Dim))
+      videoFallback: MediaCodec = new VideoContainerCodec())
       extends MediaCodec {
     require(videoFallback.featureDim == AudioSystemCodec.Dim,
       s"fallback featureDim must be ${AudioSystemCodec.Dim} so the feature column is rectangular")
@@ -119,6 +122,132 @@ object Multimodal {
     }
   }
 
+  object VideoContainerCodec {
+    /** [duration_ms, width, height, n_video_tracks, n_tracks,
+      * timescale (mp4) or fps*1000 (avi), container (0=mp4 1=avi),
+      * 0, 0, 0, 0, 0] — padded to the shared Dim so a mixed media
+      * table keeps one rectangular feature column. */
+    val Dim = 12
+  }
+
+  /** REAL video container metadata decoder — pure JVM binary parsing,
+    * no external dependency: walks the ISO-BMFF (MP4/MOV) box tree for
+    * `mvhd` duration/timescale and per-`trak` `tkhd` dimensions, and
+    * the RIFF chunk tree for AVI `avih` frame timing and frame size.
+    * Only headers are touched — cost per asset is O(header bytes),
+    * media data (`mdat`/`movi`) is never read. Decoding FRAMES still
+    * requires an ffmpeg-class demuxer (the one remaining stub,
+    * [[DeterministicFakeFrameSampler]]); metadata no longer does.
+    * Unknown containers / truncated headers yield None. */
+  final class VideoContainerCodec extends MediaCodec {
+    def featureDim: Int = VideoContainerCodec.Dim
+
+    def decode(mediaType: String, payload: Array[Byte]): Option[Array[Float]] = {
+      if (payload == null || payload.length < 12) return None
+      if (mediaType != "video") return None
+      parseMp4(payload).orElse(parseAvi(payload))
+    }
+
+    private def be32(b: Array[Byte], o: Int): Long =
+      if (o + 4 > b.length) -1L
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      if (o + 8 > b.length) -1L else (be32(b, o) << 32) | be32(b, o + 4)
+    private def le32(b: Array[Byte], o: Int): Long =
+      if (o + 4 > b.length) -1L
+      else ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+        ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      if (o + 4 > b.length) "" else new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+    /** ISO-BMFF: top-level boxes -> moov -> (mvhd, trak -> tkhd). */
+    private def parseMp4(b: Array[Byte]): Option[Array[Float]] = {
+      // a conforming file leads with ftyp (or a moov for very old MOV)
+      if (fourcc(b, 4) != "ftyp" && fourcc(b, 4) != "moov") return None
+      var durationMs = -1f; var timescale = 0f
+      var width = 0f; var height = 0f
+      var tracks = 0; var videoTracks = 0
+
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        var o = from
+        while (o + 8 <= to && depth < 8) {
+          val size0 = be32(b, o.toInt)
+          val typ = fourcc(b, o.toInt + 4)
+          val (header, size) =
+            if (size0 == 1L) (16L, be64(b, o.toInt + 8))
+            else if (size0 == 0L) (8L, to - o) // box runs to EOF
+            else (8L, size0)
+          if (size < header || o + size > to) return // corrupt; stop
+          val p = o + header // payload start
+          typ match {
+            case "moov" => walk(p, o + size, depth + 1)
+            case "trak" => tracks += 1; walk(p, o + size, depth + 1)
+            case "mvhd" =>
+              val v = b(p.toInt) & 0xff
+              val (ts, dur) =
+                if (v == 1) (be32(b, p.toInt + 20), be64(b, p.toInt + 24))
+                else (be32(b, p.toInt + 12), be32(b, p.toInt + 16))
+              if (ts > 0 && dur >= 0) {
+                timescale = ts.toFloat
+                durationMs = (dur.toDouble / ts * 1000.0).toFloat
+              }
+            case "tkhd" =>
+              val v = b(p.toInt) & 0xff
+              val wOff = if (v == 1) 88 else 76 // 16.16 fixed-point
+              val w = be32(b, p.toInt + wOff) / 65536.0f
+              val h = be32(b, p.toInt + wOff + 4) / 65536.0f
+              if (w > 0 && h > 0) {
+                videoTracks += 1
+                if (w > width) { width = w; height = h }
+              }
+            case _ => () // mdat and friends: skipped, never read
+          }
+          o += size
+        }
+      }
+      walk(0L, b.length.toLong, 0)
+      if (timescale <= 0) None
+      else Some(Array(durationMs, width, height, videoTracks.toFloat,
+        tracks.toFloat, timescale, 0f, 0f, 0f, 0f, 0f, 0f))
+    }
+
+    /** RIFF/AVI: LIST chunks -> hdrl -> avih (MainAVIHeader). */
+    private def parseAvi(b: Array[Byte]): Option[Array[Float]] = {
+      if (fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+      def findAvih(from: Long, to: Long, depth: Int): Option[Long] = {
+        var o = from
+        while (o + 8 <= to && depth < 8) {
+          val typ = fourcc(b, o.toInt)
+          val size = le32(b, o.toInt + 4)
+          if (size < 0 || o + 8 + size > to) return None
+          typ match {
+            case "avih" => return Some(o + 8)
+            case "LIST" =>
+              val found = findAvih(o + 12, o + 8 + size, depth + 1)
+              if (found.isDefined) return found
+            case _ => ()
+          }
+          o += 8 + size + (size & 1) // chunks are word-aligned
+        }
+        None
+      }
+      findAvih(12L, b.length.toLong, 0).flatMap { p =>
+        val usPerFrame = le32(b, p.toInt)
+        val totalFrames = le32(b, p.toInt + 16)
+        val streams = le32(b, p.toInt + 24)
+        val w = le32(b, p.toInt + 32); val h = le32(b, p.toInt + 36)
+        if (usPerFrame <= 0) None
+        else {
+          val fps = 1e6 / usPerFrame
+          Some(Array(
+            (totalFrames * usPerFrame / 1000.0).toFloat, w.toFloat, h.toFloat,
+            1f, streams.toFloat, (fps * 1000.0).toFloat, 1f, 0f, 0f, 0f, 0f, 0f))
+        }
+      }
+    }
+  }
+
   object ImageIoCodec {
     /** [width, height, bands, meanR, meanG, meanB, meanA, stdR, stdG,
       * stdB, stdA, meanLuma] */
@@ -131,9 +260,9 @@ object Multimodal {
     * sRGB space `BufferedImage.getRGB` normalizes to, so the vector is
     * identical regardless of the file's internal raster layout.
     * Non-image media types route to `audioVideoFallback` — by default
-    * the real [[AudioSystemCodec]] (WAV/AIFF/AU headers), which in turn
-    * stubs only video; undecodable bytes yield None, not an
-    * exception. */
+    * the real [[AudioSystemCodec]] (WAV/AIFF/AU headers), which in
+    * turn routes video to the real [[VideoContainerCodec]] (MP4/AVI
+    * headers); undecodable bytes yield None, not an exception. */
   final class ImageIoCodec(
       audioVideoFallback: MediaCodec = new AudioSystemCodec())
       extends MediaCodec {

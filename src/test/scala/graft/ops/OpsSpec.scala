@@ -343,17 +343,58 @@ class OpsSpec extends SparkSpec {
     out.toByteArray
   }
 
+  // ---- hand-assembled video container fixtures ----
+  private def be32b(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le32b(v: Long): Array[Byte] = be32b(v).reverse
+  private def mp4Box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32b(body.length + 8) ++ typ.getBytes("ISO-8859-1") ++ body
+  }
+
+  /** ftyp + moov{mvhd(timescale 1000, duration 2500) + trak{tkhd
+    * 640x360 16.16}}: a structurally valid ISO-BMFF header. */
+  private def mp4Bytes: Array[Byte] = {
+    val mvhd = Array[Byte](0, 0, 0, 0) ++ // version 0 + flags
+      be32b(0) ++ be32b(0) ++ // creation, modification
+      be32b(1000) ++ be32b(2500) // timescale, duration = 2.5 s
+    val tkhd = Array[Byte](0, 0, 0, 0) ++
+      be32b(0) ++ be32b(0) ++ be32b(1) ++ be32b(0) ++ be32b(2500) ++
+      new Array[Byte](8) ++ // reserved
+      new Array[Byte](8) ++ // layer, alternate_group, volume, reserved
+      new Array[Byte](36) ++ // matrix
+      be32b(640L << 16) ++ be32b(360L << 16) // 16.16 fixed width/height
+    mp4Box("ftyp", "isom".getBytes("ISO-8859-1"), be32b(0)) ++
+      mp4Box("moov", mp4Box("mvhd", mvhd), mp4Box("trak", mp4Box("tkhd", tkhd))) ++
+      mp4Box("mdat", "media-bytes-never-read".getBytes("ISO-8859-1"))
+  }
+
+  /** RIFF/AVI with avih: 25 fps (40 000 us/frame), 250 frames = 10 s,
+    * 2 streams, 320x240. */
+  private def aviBytes: Array[Byte] = {
+    val avih = le32b(40000) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++
+      le32b(250) ++ le32b(0) ++ le32b(2) ++ le32b(0) ++
+      le32b(320) ++ le32b(240) ++ new Array[Byte](16)
+    val avihChunk = "avih".getBytes("ISO-8859-1") ++ le32b(avih.length) ++ avih
+    val hdrl = "hdrl".getBytes("ISO-8859-1") ++ avihChunk
+    val list = "LIST".getBytes("ISO-8859-1") ++ le32b(hdrl.length) ++ hdrl
+    val body = "AVI ".getBytes("ISO-8859-1") ++ list
+    "RIFF".getBytes("ISO-8859-1") ++ le32b(body.length) ++ body
+  }
+
   test("Multimodal.AudioSystemCodec REALLY parses WAV headers: duration/rate/channels") {
     // 4000 frames at 8 kHz mono = exactly 500 ms; 2-channel variant too
     val assets = Seq(
       (1L, "audio", wavBytes(4000, 8000f)),
       (2L, "audio", wavBytes(44100, 44100f, channels = 2)),
       (3L, "audio", "not-audio-at-all".getBytes("UTF-8")),
-      (4L, "video", "fake-mp4-bytes".getBytes("UTF-8")))
+      (4L, "video", mp4Bytes),
+      (5L, "video", "not-a-container".getBytes("UTF-8")))
       .toDF("asset_id", "media_type", "payload")
       .repartition(3) // decode must work per-partition, not driver-side
     // through the default codec chain: image -> imageio, audio -> real
-    // header parse, video -> deterministic stub
+    // header parse, video -> real container metadata parse
     val feats = Multimodal.extractFeatures(assets, new Multimodal.ImageIoCodec())
     val byId = feats.collect().map { r =>
       val v = r.getAs[scala.collection.Seq[Float]]("features")
@@ -369,7 +410,31 @@ class OpsSpec extends SparkSpec {
     val stereo = byId(2L)
     assert(stereo(0) == 1000.0f && stereo(1) == 44100.0f && stereo(2) == 2.0f)
     assert(byId(3L) == null)   // garbage audio -> null, job survives
-    assert(byId(4L) != null)   // video still routes to the stub codec
+    val video = byId(4L)       // video routes through to the REAL parse
+    assert(video != null && video(0) == 2500.0f && video(1) == 640.0f)
+    assert(byId(5L) == null)   // garbage video -> null, job survives
+  }
+
+  test("Multimodal.VideoContainerCodec REALLY parses MP4 boxes and AVI chunks") {
+    val codec = new Multimodal.VideoContainerCodec()
+    val mp4 = codec.decode("video", mp4Bytes).get
+    assert(mp4(0) == 2500.0f) // duration_ms = 2500/1000 * 1000
+    assert(mp4(1) == 640.0f && mp4(2) == 360.0f) // tkhd 16.16 dims
+    assert(mp4(3) == 1.0f && mp4(4) == 1.0f)     // video tracks, tracks
+    assert(mp4(5) == 1000.0f && mp4(6) == 0.0f)  // timescale, container=mp4
+
+    val avi = codec.decode("video", aviBytes).get
+    assert(avi(0) == 10000.0f) // 250 frames x 40 ms
+    assert(avi(1) == 320.0f && avi(2) == 240.0f)
+    assert(avi(4) == 2.0f)     // dwStreams
+    assert(avi(5) == 25000.0f) // fps x 1000
+    assert(avi(6) == 1.0f)     // container=avi
+
+    assert(codec.decode("video", "garbage".getBytes("UTF-8")).isEmpty)
+    assert(codec.decode("video", null).isEmpty)
+    assert(codec.decode("audio", mp4Bytes).isEmpty) // wrong media type
+    // truncated mid-box: parser stops cleanly instead of throwing
+    assert(codec.decode("video", mp4Bytes.take(40)).isEmpty)
   }
 
   test("Multimodal.ImageIoResize REALLY rescales: 4x4 solid red -> 2x2 solid red") {
