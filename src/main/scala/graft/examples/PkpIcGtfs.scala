@@ -1,0 +1,77 @@
+package graft.examples
+
+import java.nio.file.Path
+
+import graft.io.SaveGtfs
+import graft.operators.{AddEntity, GenerateTripHeadsign}
+import graft.resource._
+
+/** The PKP Intercity GTFS application (reference:
+  * examples/pkpic/__main__.py): the schedule CSV arrives as a zip on
+  * the carrier's FTP server (fetched with MDTM conditionals through
+  * [[FtpResource]]), stations are enriched from the community rail
+  * map, then headsigns, the ZKA bus-leg split, and route colors run
+  * before the GTFS zip is saved.
+  *
+  * CLI: `PkpIcGtfs <username> <password>` (the reference's two
+  * positional arguments, __main__.py:70-72). `ftpHost` and
+  * `railMapResource` are injectable for tests.
+  */
+class PkpIcGtfs(
+    ftpHost: String = PkpIcGtfs.FtpHost,
+    ftpPort: Int = 21,
+    railMapResource: Resource = HttpResource(PkpIcGtfs.RailMapUrl),
+    workspace: Path = Path.of("_workspace_pkpic"))
+  extends App("PkpIcGtfs", workspace) {
+
+  def prepare(args: AppArgs, options: PipelineOptions): PreparedRun = {
+    val (username, password) = args.extra match {
+      case Seq(u, p, _*) => (u, p)
+      case _ => sys.error(s"usage: PkpIcGtfs <username> <password> (${PkpIcGtfs.FtpHost})")
+    }
+    PreparedPipeline(
+      tasks = Seq(
+        AddEntity("agencies", Map(
+          "agency_id" -> "0",
+          "name" -> "PKP Intercity",
+          "url" -> "https://intercity.pl",
+          "timezone" -> "Europe/Warsaw",
+          "lang" -> "pl",
+          "phone" -> "+48703200200")),
+        PkpIcCsvImport("rozklad_kpd.csv"),
+        PkpIcStationImport("pl_rail_map.osm"),
+        GenerateTripHeadsign,
+        PkpIc.splitBusLegs,
+        PkpIc.setRouteColors,
+        SaveGtfs(PkpIcGtfs.GtfsHeaders, options.workspace.resolve("pkpic.zip"))),
+      resources = Map(
+        // the zip's single schedule CSV, named like the reference
+        // (__main__.py:97-100)
+        "rozklad_kpd.csv" -> ZippedResource(
+          FtpResource(ftpHost, "rozklad/KPD_Rozklad.zip", username, password, ftpPort),
+          Some("KPD_Rozklad.csv")),
+        "pl_rail_map.osm" -> railMapResource))
+  }
+}
+
+object PkpIcGtfs {
+  /** ftp_resource.py:8 */
+  val FtpHost = "ftps.intercity.pl"
+  /** __main__.py:101-103 */
+  val RailMapUrl =
+    "https://raw.githubusercontent.com/MKuranowski/PLRailMap/master/plrailmap.osm"
+
+  /** __main__.py:15-66 */
+  val GtfsHeaders: Seq[(String, Seq[String])] = Seq(
+    "agency.txt" -> Seq("agency_id", "agency_name", "agency_url",
+      "agency_timezone", "agency_lang", "agency_phone"),
+    "stops.txt" -> Seq("stop_id", "stop_name", "stop_lat", "stop_lon"),
+    "routes.txt" -> Seq("agency_id", "route_id", "route_short_name",
+      "route_long_name", "route_type", "route_color", "route_text_color"),
+    "trips.txt" -> Seq("route_id", "service_id", "trip_id", "trip_headsign",
+      "trip_short_name"),
+    "stop_times.txt" -> Seq("trip_id", "stop_sequence", "stop_id",
+      "arrival_time", "departure_time", "platform"),
+    "calendar.txt" -> Seq("service_id", "start_date", "end_date", "monday",
+      "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday"))
+}

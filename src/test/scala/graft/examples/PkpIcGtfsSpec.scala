@@ -1,0 +1,98 @@
+package graft.examples
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.{Charset, StandardCharsets}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.SparkSpec
+import graft.resource._
+import graft.resource.TestingMocks.MockResource
+
+/** Golden e2e of the PKP IC application wiring: the schedule CSV
+  * travels stub-FTP -> MDTM conditional -> zip member extraction ->
+  * windows-1250 import -> station enrichment -> GTFS zip, exactly the
+  * reference's resource chain (examples/pkpic/__main__.py). */
+class PkpIcGtfsSpec extends SparkSpec {
+
+  private val csv = Seq(
+    "DataOdjazdu;NrPociagu;NrPociaguHandlowy;NazwaPociagu;KategoriaHandlowa;NumerStacji;NazwaStacji;StacjaHandlowa;Przyjazd;Odjazd;PeronWyjazd;BUS",
+    "2024-03-01;333;333;POGORIA;IC;100;Warszawa Wschodnia;1;12:00:00;12:01:00;I;",
+    "2024-03-01;333;333;POGORIA;IC;104;Katowice;1;14:00:00;14:02:00;II;")
+    .mkString("\n")
+
+  private val osm =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<osm>
+      |  <node id="1" lat="52.2550" lon="21.0520">
+      |    <tag k="railway" v="station"/>
+      |    <tag k="name" v="Warszawa Wschodnia"/>
+      |    <tag k="ref" v="100"/>
+      |  </node>
+      |  <node id="2" lat="50.2573" lon="19.0172">
+      |    <tag k="railway" v="station"/>
+      |    <tag k="name" v="Katowice"/>
+      |    <tag k="ref" v="104"/>
+      |  </node>
+      |</osm>""".stripMargin
+
+  /** KPD_Rozklad.zip as the carrier publishes it: one cp1250 CSV. */
+  private def scheduleZip: Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.putNextEntry(new ZipEntry("KPD_Rozklad.csv"))
+    z.write(csv.getBytes(Charset.forName("windows-1250")))
+    z.closeEntry(); z.close()
+    bos.toByteArray
+  }
+
+  test("PkpIcGtfs end-to-end through stub FTP: import, enrich, save") {
+    val stub = new StubFtpServer(scheduleZip, "20240301060000", password = "s3cret")
+    val ws = Files.createTempDirectory("pkpic_ws")
+    try {
+      val app = new PkpIcGtfs(
+        ftpHost = "127.0.0.1", ftpPort = stub.port,
+        railMapResource = new MockResource(osm.getBytes(StandardCharsets.UTF_8),
+          // a real last-modified stamp so the second conditional fetch
+          // can report not-modified (MIN means "always refetch")
+          initialLastModified = java.time.Instant.parse("2024-03-01T00:00:00Z")),
+        workspace = ws)
+      val prepared = app
+        .prepare(AppArgs(extra = Seq("pkp", "s3cret")), PipelineOptions(workspace = ws))
+        .asInstanceOf[PreparedPipeline]
+      val feed = PipelineRunner.run(spark, prepared.tasks, prepared.resources,
+        PipelineOptions(workspace = ws))
+
+      assert(stub.retrCount == 1 && stub.lastUser == "pkp")
+      // cp1250 CSV made it through FTP + zip extraction intact
+      val trips = feed("trips").collect()
+      assert(trips.map(_.getAs[String]("trip_id")).toSet == Set("2024-03-01_333"))
+      assert(trips.head.getAs[String]("short_name") == "333 Pogoria")
+      // station enrichment repositioned the stops from the rail map
+      val stops = feed("stops").collect()
+        .map(r => r.getAs[String]("stop_id") -> r.getAs[Double]("lat")).toMap
+      assert(stops("100") == 52.2550 && stops("104") == 50.2573)
+
+      val zipPath = ws.resolve("pkpic.zip")
+      assert(Files.exists(zipPath))
+      val zf = new java.util.zip.ZipFile(zipPath.toFile)
+      try {
+        import scala.jdk.CollectionConverters._
+        assert(zf.entries().asScala.map(_.getName).toSeq == Seq(
+          "agency.txt", "stops.txt", "routes.txt", "trips.txt",
+          "stop_times.txt", "calendar.txt"))
+        val agency = new String(
+          zf.getInputStream(zf.getEntry("agency.txt")).readAllBytes(),
+          StandardCharsets.UTF_8)
+        assert(agency.contains("PKP Intercity") && agency.contains("+48703200200"))
+      } finally zf.close()
+
+      // second run, unchanged MDTM: the whole pipeline short-circuits
+      intercept[InputNotModified] {
+        PipelineRunner.run(spark, prepared.tasks, prepared.resources,
+          PipelineOptions(workspace = ws))
+      }
+      assert(stub.retrCount == 1) // no re-download either
+    } finally { stub.close() }
+  }
+}

@@ -1,7 +1,5 @@
 package graft.resource
 
-import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
-import java.net.ServerSocket
 import java.nio.charset.StandardCharsets
 import java.time.Instant
 
@@ -9,67 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** FtpResource against an in-process stub server (the reference tests
   * FTPResource semantics only against PKP IC's live endpoint; here the
-  * protocol conversation itself is golden). The stub advertises a
-  * BOGUS address in its PASV reply — transfers succeed only because
-  * the client applies the PatchedFTP rule of trusting the control
-  * host (ftp_resource.py:11-15). */
+  * protocol conversation itself is golden). See [[StubFtpServer]] for
+  * the bogus-PASV-address detail. */
 class FtpResourceSpec extends AnyFunSuite {
-
-  /** Single-threaded minimal FTP stub: USER/PASS/MDTM/TYPE/PASV/RETR. */
-  private final class StubFtp(content: Array[Byte], @volatile var mdtm: String) {
-    val server = new ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
-    @volatile var retrCount = 0
-    @volatile var lastUser: String = ""
-    private val thread = new Thread(() => {
-      try {
-        while (!server.isClosed) {
-          val s = server.accept()
-          try handle(s) finally s.close()
-        }
-      } catch { case _: Throwable => () } // closed
-    })
-    thread.setDaemon(true)
-    thread.start()
-
-    private def handle(s: java.net.Socket): Unit = {
-      val in = new BufferedReader(
-        new InputStreamReader(s.getInputStream, StandardCharsets.ISO_8859_1))
-      val out = new OutputStreamWriter(s.getOutputStream, StandardCharsets.ISO_8859_1)
-      def reply(text: String): Unit = { out.write(text + "\r\n"); out.flush() }
-      // multi-line greeting exercises the reply parser
-      reply("220-stub ftp"); reply("220 ready")
-      var dataServer: ServerSocket = null
-      var line = in.readLine()
-      while (line != null) {
-        val cmd = line.takeWhile(_ != ' ')
-        val arg = line.drop(cmd.length).trim
-        cmd.toUpperCase match {
-          case "USER" => lastUser = arg; reply("331 need password")
-          case "PASS" =>
-            reply(if (arg == "hunter2") "230 logged in" else "530 bad password")
-          case "MDTM" => reply(s"213 $mdtm")
-          case "TYPE" => reply("200 binary")
-          case "PASV" =>
-            dataServer = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
-            val p = dataServer.getLocalPort
-            // deliberately wrong host part (203.0.113.9 is TEST-NET)
-            reply(s"227 Entering Passive Mode (203,0,113,9,${p / 256},${p % 256}).")
-          case "RETR" =>
-            reply("150 opening data connection")
-            val d = dataServer.accept()
-            d.getOutputStream.write(content)
-            d.close(); dataServer.close()
-            retrCount += 1
-            reply("226 transfer complete")
-          case "QUIT" => reply("221 bye"); return
-          case _ => reply("502 not implemented")
-        }
-        line = in.readLine()
-      }
-    }
-
-    def close(): Unit = server.close()
-  }
 
   test("parseModTime: plain, fractional, invalid") {
     assert(FtpResource.parseModTime("20240611213000") ==
@@ -81,10 +21,10 @@ class FtpResourceSpec extends AnyFunSuite {
 
   test("FtpResource: fetch, MDTM conditional skip, change detection") {
     val payload = "rozklad,kolumna\r\n1,2\r\n".getBytes(StandardCharsets.UTF_8)
-    val stub = new StubFtp(payload, "20240611213000")
+    val stub = new StubFtpServer(payload, "20240611213000")
     try {
       val res = FtpResource("127.0.0.1", "rozklad.csv", "pkp", "hunter2",
-        port = stub.server.getLocalPort)
+        port = stub.port)
 
       // unconditional fetch downloads despite the bogus PASV address
       val got = res.fetch(conditional = false).readAllBytes()
@@ -105,10 +45,10 @@ class FtpResourceSpec extends AnyFunSuite {
   }
 
   test("FtpResource: bad credentials surface as an FTP error") {
-    val stub = new StubFtp(Array.emptyByteArray, "20240611213000")
+    val stub = new StubFtpServer(Array.emptyByteArray, "20240611213000")
     try {
       val res = FtpResource("127.0.0.1", "f", "pkp", "wrong",
-        port = stub.server.getLocalPort)
+        port = stub.port)
       val e = intercept[RuntimeException](res.fetch(conditional = false))
       assert(e.getMessage.contains("530"))
     } finally stub.close()

@@ -1,0 +1,68 @@
+package graft.resource
+
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+import java.net.ServerSocket
+import java.nio.charset.StandardCharsets
+
+/** Single-threaded minimal FTP stub for resource tests:
+  * USER/PASS/MDTM/TYPE/PASV/RETR. Advertises a BOGUS address in its
+  * PASV reply (203.0.113.9, TEST-NET) — transfers succeed only
+  * because [[FtpResource]] applies the PatchedFTP rule of trusting
+  * the control host (reference ftp_resource.py:11-15). */
+final class StubFtpServer(
+    content: Array[Byte],
+    @volatile var mdtm: String,
+    password: String = "hunter2") {
+  val server = new ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
+  def port: Int = server.getLocalPort
+  @volatile var retrCount = 0
+  @volatile var lastUser: String = ""
+  private val thread = new Thread(() => {
+    try {
+      while (!server.isClosed) {
+        val s = server.accept()
+        try handle(s) finally s.close()
+      }
+    } catch { case _: Throwable => () } // closed
+  })
+  thread.setDaemon(true)
+  thread.start()
+
+  private def handle(s: java.net.Socket): Unit = {
+    val in = new BufferedReader(
+      new InputStreamReader(s.getInputStream, StandardCharsets.ISO_8859_1))
+    val out = new OutputStreamWriter(s.getOutputStream, StandardCharsets.ISO_8859_1)
+    def reply(text: String): Unit = { out.write(text + "\r\n"); out.flush() }
+    // multi-line greeting exercises the reply parser
+    reply("220-stub ftp"); reply("220 ready")
+    var dataServer: ServerSocket = null
+    var line = in.readLine()
+    while (line != null) {
+      val cmd = line.takeWhile(_ != ' ')
+      val arg = line.drop(cmd.length).trim
+      cmd.toUpperCase match {
+        case "USER" => lastUser = arg; reply("331 need password")
+        case "PASS" =>
+          reply(if (arg == password) "230 logged in" else "530 bad password")
+        case "MDTM" => reply(s"213 $mdtm")
+        case "TYPE" => reply("200 binary")
+        case "PASV" =>
+          dataServer = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+          val p = dataServer.getLocalPort
+          reply(s"227 Entering Passive Mode (203,0,113,9,${p / 256},${p % 256}).")
+        case "RETR" =>
+          reply("150 opening data connection")
+          val d = dataServer.accept()
+          d.getOutputStream.write(content)
+          d.close(); dataServer.close()
+          retrCount += 1
+          reply("226 transfer complete")
+        case "QUIT" => reply("221 bye"); return
+        case _ => reply("502 not implemented")
+      }
+      line = in.readLine()
+    }
+  }
+
+  def close(): Unit = server.close()
+}
