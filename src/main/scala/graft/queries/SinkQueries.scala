@@ -95,24 +95,32 @@ object SinkQueries {
       val counts =
         try {
           import scala.jdk.CollectionConverters._
-          zf.entries().asScala.map { e =>
-            val in = zf.getInputStream(e)
-            // every line (header included) is \r\n-terminated by the
-            // sink, so counting \n bytes == counting lines — without
-            // char-decoding megabytes of CSV just to count them
-            val n = try {
-              val buf = new Array[Byte](1 << 16)
-              var cnt = 0L
-              var r = in.read(buf)
-              while (r > 0) {
-                var i = 0
-                while (i < r) { if (buf(i) == '\n') cnt += 1; i += 1 }
-                r = in.read(buf)
-              }
-              cnt
-            } finally in.close()
-            (e.getName, n - 1) // minus header line
-          }.toSeq
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          // one inflate per member, counted CONCURRENTLY — ZipFile is
+          // thread-safe for independent entry streams, and the serial
+          // read-back was ~25 % of the benched query
+          implicit val ec: ExecutionContext = ExecutionContext.global
+          val jobs = zf.entries().asScala.toSeq.map { e =>
+            Future {
+              val in = zf.getInputStream(e)
+              // every line (header included) is \r\n-terminated by the
+              // sink, so counting \n bytes == counting lines — without
+              // char-decoding megabytes of CSV just to count them
+              val n = try {
+                val buf = new Array[Byte](1 << 16)
+                var cnt = 0L
+                var r = in.read(buf)
+                while (r > 0) {
+                  var i = 0
+                  while (i < r) { if (buf(i) == '\n') cnt += 1; i += 1 }
+                  r = in.read(buf)
+                }
+                cnt
+              } finally in.close()
+              (e.getName, n - 1) // minus header line
+            }
+          }
+          Await.result(Future.sequence(jobs), scala.concurrent.duration.Duration.Inf)
         } finally zf.close()
       Files.deleteIfExists(target)
       Files.deleteIfExists(tmpDir) // don't leak one temp dir per run
