@@ -134,6 +134,14 @@ class KrakowSpec extends SparkSpec {
     } finally zf.close()
   }
 
+  test("source selection mirrors the reference's type switch") {
+    assert(KrakowGtfs.sourceNameAndUrl("tram") ==
+      ("krakow.tram.zip", "http://gtfs.ztp.krakow.pl/GTFS_KRK_T.zip"))
+    assert(KrakowGtfs.sourceNameAndUrl("bus") ==
+      ("krakow.bus.zip", "http://gtfs.ztp.krakow.pl/GTFS_KRK_A.zip"))
+    intercept[RuntimeException](KrakowGtfs.sourceNameAndUrl("metro"))
+  }
+
   test("GenerateRouteLongName tie-break and empty fallbacks") {
     import graft.model.GtfsSchemas
     val empty = PipelineRunner.emptyFeed(spark)

@@ -107,6 +107,14 @@ class ResourceSpec extends SparkSpec {
     assert(text.contains("Warszawska Kolej Dojazdowa"))
   }
 
+  test("ZippedResource member-less mode requires a single-file archive") {
+    // wkd.zip has many members -> the file_name_in_zip=None contract
+    // (resource.py:384-386) must refuse instead of guessing
+    val res = ZippedResource(LocalResource(TestSpark.fixture("wkd.zip")))
+    val e = intercept[RuntimeException](res.fetch(conditional = false))
+    assert(e.getMessage.contains("exactly one file"))
+  }
+
   test("TimeLimitedResource rate-limits conditional fetches") {
     val f = Files.createTempFile("res", ".txt")
     Files.writeString(f, "x")
