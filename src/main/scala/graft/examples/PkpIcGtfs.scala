@@ -20,6 +20,9 @@ import graft.resource._
 class PkpIcGtfs(
     ftpHost: String = PkpIcGtfs.FtpHost,
     ftpPort: Int = 21,
+    // the carrier's endpoint requires FTPS; credentials never travel
+    // before the AUTH TLS upgrade (the reference's FTP_TLS + prot_p)
+    ftpTls: Boolean = true,
     railMapResource: Resource = HttpResource(PkpIcGtfs.RailMapUrl),
     workspace: Path = Path.of("_workspace_pkpic"))
   extends App("PkpIcGtfs", workspace) {
@@ -48,7 +51,8 @@ class PkpIcGtfs(
         // the zip's single schedule CSV, named like the reference
         // (__main__.py:97-100)
         "rozklad_kpd.csv" -> ZippedResource(
-          FtpResource(ftpHost, "rozklad/KPD_Rozklad.zip", username, password, ftpPort),
+          FtpResource(ftpHost, "rozklad/KPD_Rozklad.zip", username, password,
+            ftpPort, tls = ftpTls),
           Some("KPD_Rozklad.csv")),
         "pl_rail_map.osm" -> railMapResource))
   }

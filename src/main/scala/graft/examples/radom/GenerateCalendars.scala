@@ -37,10 +37,19 @@ final case class GenerateCalendars(startDate: LocalDate) extends Task {
   def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
     val cals = feed("calendars")
 
-    // generate_calendars.py:112-115 one_must lookups
-    val descToId = cals.select("desc", "calendar_id")
+    // generate_calendars.py:112-115 one_must lookups. Duplicate descs
+    // are an ERROR here (the reference would silently take SQLite's
+    // first row; two same-desc calendars would get wrong day bits
+    // nondeterministically — fail loudly instead).
+    val descRows = cals.select("desc", "calendar_id")
       .filter(col("desc").isin("POWSZEDNI", "SOBOTA", "NIEDZIELA"))
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+    val dupes = descRows.groupBy(_._1).filter(_._2.length > 1)
+    if (dupes.nonEmpty)
+      throw new DataError(s"Ambiguous calendar descriptions: " +
+        dupes.map { case (d, ids) => s"'$d' -> ${ids.map(_._2).sorted.mkString(",")}" }
+          .mkString("; "))
+    val descToId = descRows.toMap
     def idFor(desc: String): String = descToId.getOrElse(desc,
       throw new DataError(s"Missing calendar with description '$desc'"))
     val weekdayId = idFor("POWSZEDNI")

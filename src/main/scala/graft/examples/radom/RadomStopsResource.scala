@@ -29,8 +29,16 @@ final class RadomStopsResource(
 
   def fetch(conditional: Boolean): InputStream = {
     fetchTime = clock()
-    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      .newDocumentBuilder()
+    // remote XML: DTDs and external entities OFF (XXE / entity-expansion
+    // hardening — the endpoint's response is untrusted input)
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    dbf.setXIncludeAware(false)
+    dbf.setExpandEntityReferences(false)
+    val doc = dbf.newDocumentBuilder()
       .parse(new ByteArrayInputStream(transport().getBytes(StandardCharsets.UTF_8)))
     val stops = doc.getElementsByTagName("S")
     if (stops.getLength == 0)

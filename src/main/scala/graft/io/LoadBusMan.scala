@@ -159,7 +159,10 @@ final case class LoadBusMan(
     val csvPath =
       if (Files.isDirectory(resource)) resource.resolve(s"$name.csv")
       else if (isZip(resource)) {
+        // eager deletion is impossible (spark.read.csv is lazy), so the
+        // extracted table CSVs are reclaimed at JVM exit
         val tmp = Files.createTempFile(s"busman_$name", ".csv")
+        tmp.toFile.deleteOnExit()
         val zf = new java.util.zip.ZipFile(resource.toFile)
         try {
           val entry = Option(zf.getEntry(s"$name.csv"))
@@ -170,6 +173,7 @@ final case class LoadBusMan(
         tmp
       } else {
         val tmp = Files.createTempFile(s"busman_$name", ".csv")
+        tmp.toFile.deleteOnExit()
         val proc = new ProcessBuilder("mdb-export", resource.toString, name)
           .redirectOutput(tmp.toFile).start()
         require(proc.waitFor() == 0, s"mdb-export $name failed")

@@ -28,7 +28,7 @@ private[plans] object NativeFunctions {
     if (!names.contains(name)) {
       val registry = spark.sessionState.functionRegistry
       if (registry.functionExists(FunctionIdentifier(name)))
-        System.err.println(s"[graft] WARN: replacing a foreign function " +
+        graft.util.Logs.warning("plans", s"replacing a foreign function " +
           s"named '$name' with graft's native implementation for this session")
       registry.createOrReplaceTempFunction(name, builder, "built-in")
       names.add(name)

@@ -6,7 +6,9 @@ import java.nio.charset.StandardCharsets
 import java.time.{Instant, LocalDateTime, ZoneOffset}
 import java.time.format.DateTimeFormatter
 
-/** A file on an FTP server, with MDTM-based conditional fetch
+import javax.net.ssl.{SSLContext, SSLSocket}
+
+/** A file on an FTP(S) server, with MDTM-based conditional fetch
   * (reference: examples/pkpic/ftp_resource.py + the PatchedFTP quirks).
   *
   * Reference semantics mirrored:
@@ -18,25 +20,30 @@ import java.time.format.DateTimeFormatter
   *    short-circuits to [[InputNotModified]] when the file is not newer
   *    than `lastModified` (ftp_resource.py:56-58);
   *  - mod-times parse as `yyyyMMddHHmmss[.SSS...]` UTC
-  *    (ftp_resource.py:30-37).
+  *    (ftp_resource.py:30-37);
+  *  - `tls = true` speaks EXPLICIT FTPS exactly like the reference's
+  *    `FTP_TLS` + `prot_p()`: `AUTH TLS` upgrades the control channel
+  *    before credentials are sent, and `PBSZ 0` + `PROT P` wrap every
+  *    data connection in TLS (ftp_resource.py:53-54).
   *
-  * Driver-side only, like every [[Resource]]. The reference connects
-  * over FTPS (`FTP_TLS` + `prot_p`); TLS is a transport concern this
-  * environment cannot exercise against a stub, so this client speaks
-  * plain FTP — wrap the deployment in a TLS tunnel (stunnel, a
-  * sidecar) where the endpoint requires FTPS.
+  * Driver-side only, like every [[Resource]]. `sslContext` defaults to
+  * the JVM's (system trust store); tests inject one trusting their
+  * stub certificate.
   */
 final case class FtpResource(
     host: String,
     filename: String,
     username: String,
     password: String,
-    port: Int = 21) extends Resource {
+    port: Int = 21,
+    tls: Boolean = false,
+    sslContext: Option[SSLContext] = None) extends Resource {
 
   def fetch(conditional: Boolean): InputStream = {
-    val ftp = new FtpResource.Client(host, port)
+    val ftp = new FtpResource.Client(host, port, tls, sslContext)
     try {
       ftp.login(username, password)
+      if (tls) ftp.protP() // reference: ftp.prot_p() right after login
       val modTime = ftp.modTime(filename)
       if (conditional && !modTime.isAfter(lastModified))
         throw new InputNotModified
@@ -61,20 +68,51 @@ object FtpResource {
     } else throw new IllegalArgumentException(s"invalid FTP mod_time: $x")
   }
 
-  /** Just enough of RFC 959 for a conditional single-file download:
-    * USER/PASS, MDTM, TYPE I, PASV, RETR. */
-  private[resource] final class Client(host: String, port: Int) {
-    private val control = new Socket(host, port)
-    private val in = new BufferedReader(
-      new InputStreamReader(control.getInputStream, StandardCharsets.ISO_8859_1))
-    private val out = new OutputStreamWriter(
-      control.getOutputStream, StandardCharsets.ISO_8859_1)
+  /** Just enough of RFC 959 (+ RFC 4217 explicit FTPS) for a
+    * conditional single-file download: AUTH TLS, USER/PASS, PBSZ/PROT,
+    * MDTM, TYPE I, PASV, RETR. */
+  private[resource] final class Client(
+      host: String, port: Int,
+      tls: Boolean = false, sslContext: Option[SSLContext] = None) {
+
+    private var control: Socket = new Socket(host, port)
+    private var in = reader(control)
+    private var out = writer(control)
+    private var dataProtected = false
     expect(220, greeting = true)
+    if (tls) {
+      // upgrade the control channel BEFORE any credentials travel
+      val (c, t) = cmd("AUTH TLS")
+      check(c == 234, c, t)
+      control = wrapTls(control, clientMode = true)
+      in = reader(control); out = writer(control)
+    }
+
+    private def reader(s: Socket) = new BufferedReader(
+      new InputStreamReader(s.getInputStream, StandardCharsets.ISO_8859_1))
+    private def writer(s: Socket) =
+      new OutputStreamWriter(s.getOutputStream, StandardCharsets.ISO_8859_1)
+
+    private def wrapTls(s: Socket, clientMode: Boolean): SSLSocket = {
+      val factory = sslContext.getOrElse(SSLContext.getDefault).getSocketFactory
+      val ssl = factory.createSocket(s, host, port, true).asInstanceOf[SSLSocket]
+      ssl.setUseClientMode(clientMode)
+      ssl.startHandshake()
+      ssl
+    }
 
     def login(user: String, pass: String): Unit = {
       val (code, _) = cmd(s"USER $user")
       if (code == 331) { val (c2, t2) = cmd(s"PASS $pass"); check(c2 == 230, c2, t2) }
       else check(code == 230, code, "USER")
+    }
+
+    /** `PBSZ 0` + `PROT P`: TLS on every data connection from here on
+      * (the reference's `prot_p()`). */
+    def protP(): Unit = {
+      val (pc, pt) = cmd("PBSZ 0"); check(pc == 200, pc, pt)
+      val (c, t) = cmd("PROT P"); check(c == 200, c, t)
+      dataProtected = true
     }
 
     def modTime(filename: String): Instant = {
@@ -89,13 +127,14 @@ object FtpResource {
       val dataPort = pasv()
       // the PatchedFTP rule: connect to the CONTROL host, PASV's
       // advertised address is not trusted
-      val data = new Socket(host, dataPort)
+      val plain = new Socket(host, dataPort)
       val bytes =
         try {
           val (rc, rt) = cmd(s"RETR $filename")
           check(rc == 150 || rc == 125, rc, rt)
+          val data = if (dataProtected) wrapTls(plain, clientMode = true) else plain
           data.getInputStream.readAllBytes()
-        } finally data.close()
+        } finally plain.close()
       expect(226)
       bytes
     }
@@ -119,12 +158,14 @@ object FtpResource {
       check(c == code, c, if (greeting) s"greeting: $t" else t)
     }
 
-    /** One (possibly multi-line `nnn-`) reply; returns (code, last text). */
+    /** One (possibly multi-line `nnn-`) reply; returns (code, last
+      * text). Terse replies of a bare code ("226\r\n") are valid. */
     private def readReply(): (Int, String) = {
       var line = in.readLine()
-      check(line != null && line.length >= 4, 0, "connection closed")
+      check(line != null && line.length >= 3 &&
+        line.take(3).forall(_.isDigit), 0, s"connection closed or garbled: $line")
       val code = line.take(3).toInt
-      if (line.charAt(3) == '-') {
+      if (line.length > 3 && line.charAt(3) == '-') {
         val end = line.take(3) + " "
         while (line != null && !line.startsWith(end)) line = in.readLine()
         check(line != null, 0, "connection closed inside multi-line reply")

@@ -38,8 +38,11 @@ object ProfileSink {
       println(f"[profile] run $i%2d: $s%.3f s  (gc ${gcMillis - g0} ms)")
       s
     }.sorted
-    println(f"[profile] median ${times(n / 2)}%.3f s  min ${times.head}%.3f s  " +
-      f"max ${times.last}%.3f s  max/median ${times.last / times(n / 2)}%.2f")
+    // true even-n median, same definition as Bench.scala
+    val median =
+      if (n % 2 == 1) times(n / 2) else (times(n / 2 - 1) + times(n / 2)) / 2
+    println(f"[profile] median $median%.3f s  min ${times.head}%.3f s  " +
+      f"max ${times.last}%.3f s  max/median ${times.last / median}%.2f")
     spark.stop()
   }
 }

@@ -51,7 +51,7 @@ class PkpIcGtfsSpec extends SparkSpec {
     val ws = Files.createTempDirectory("pkpic_ws")
     try {
       val app = new PkpIcGtfs(
-        ftpHost = "127.0.0.1", ftpPort = stub.port,
+        ftpHost = "127.0.0.1", ftpPort = stub.port, ftpTls = false,
         railMapResource = new MockResource(osm.getBytes(StandardCharsets.UTF_8),
           // a real last-modified stamp so the second conditional fetch
           // can report not-modified (MIN means "always refetch")

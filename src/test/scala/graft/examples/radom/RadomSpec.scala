@@ -152,6 +152,30 @@ class RadomSpec extends SparkSpec {
     assert(e.getMessage.contains("no stops returned"))
   }
 
+  test("RadomStopsResource refuses DOCTYPE payloads (XXE hardening)") {
+    val res = new RadomStopsResource(() =>
+      """<?xml version="1.0"?><!DOCTYPE x [<!ENTITY a "boom">]><r><S id="1" n="&a;" y="0" x="0"/></r>""")
+    val e = intercept[Exception](res.fetch(conditional = false))
+    assert(e.getMessage.toUpperCase.contains("DOCTYPE"))
+  }
+
+  test("GenerateCalendars fails loudly on ambiguous calendar descriptions") {
+    import org.apache.spark.sql.Row
+    val cals = spark.createDataFrame(java.util.Arrays.asList(
+      Row("D1", false, false, false, false, false, false, false,
+        java.sql.Date.valueOf("1111-11-11"), java.sql.Date.valueOf("1111-11-11"),
+        "POWSZEDNI", null),
+      Row("D5", false, false, false, false, false, false, false,
+        java.sql.Date.valueOf("1111-11-11"), java.sql.Date.valueOf("1111-11-11"),
+        "POWSZEDNI", null)), graft.model.GtfsSchemas("calendars"))
+    val feed = PipelineRunner.emptyFeed(spark).updated("calendars", cals)
+    val e = intercept[graft.errors.DataError] {
+      GenerateCalendars(LocalDate.parse("2024-06-01"))
+        .execute(feed, graft.operators.TaskRuntime(spark))
+    }
+    assert(e.getMessage.contains("Ambiguous") && e.getMessage.contains("D1,D5"))
+  }
+
   // ---- unit: polish calendar exceptions loader ----------------------
 
   test("PolishCalendarExceptions filters by region and parses types") {

@@ -44,6 +44,26 @@ class FtpResourceSpec extends AnyFunSuite {
     } finally stub.close()
   }
 
+  test("FtpResource FTPS: AUTH TLS before credentials, PROT P data channel") {
+    val (serverCtx, clientCtx) = FtpResourceSpec.selfSignedContexts()
+    val payload = ("pkpic-schedule," * 1000).getBytes(StandardCharsets.UTF_8)
+    val stub = new StubFtpServer(payload, "20240611213000",
+      password = "s3cret", tlsContext = Some(serverCtx))
+    try {
+      val res = FtpResource("127.0.0.1", "rozklad/KPD_Rozklad.zip", "pkp", "s3cret",
+        port = stub.port, tls = true, sslContext = Some(clientCtx))
+      val got = res.fetch(conditional = false).readAllBytes()
+      assert(got.sameElements(payload))
+      // the control channel upgraded BEFORE USER/PASS, and the data
+      // connection was TLS-wrapped (PROT P) — both server-verified
+      assert(stub.sawAuthTls && stub.sawProtP)
+      assert(res.lastModified == java.time.Instant.parse("2024-06-11T21:30:00Z"))
+      // MDTM conditional skip still works over TLS
+      intercept[InputNotModified](res.fetch(conditional = true))
+      assert(stub.retrCount == 1)
+    } finally stub.close()
+  }
+
   test("FtpResource: bad credentials surface as an FTP error") {
     val stub = new StubFtpServer(Array.emptyByteArray, "20240611213000")
     try {
@@ -52,5 +72,43 @@ class FtpResourceSpec extends AnyFunSuite {
       val e = intercept[RuntimeException](res.fetch(conditional = false))
       assert(e.getMessage.contains("530"))
     } finally stub.close()
+  }
+}
+
+object FtpResourceSpec {
+  /** Server + client SSLContexts from a keytool-generated self-signed
+    * certificate: the server keystore holds the private key, the
+    * client trusts exactly that one certificate. */
+  def selfSignedContexts(): (javax.net.ssl.SSLContext, javax.net.ssl.SSLContext) = {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ftps_ks")
+    val ksPath = dir.resolve("stub.p12")
+    val proc = new ProcessBuilder("keytool", "-genkeypair", "-alias", "stub",
+      "-keyalg", "RSA", "-keysize", "2048", "-validity", "1",
+      "-keystore", ksPath.toString, "-storetype", "PKCS12",
+      "-storepass", "changeit", "-dname", "CN=127.0.0.1")
+      .redirectErrorStream(true).start()
+    require(proc.waitFor() == 0, "keytool failed: " +
+      new String(proc.getInputStream.readAllBytes()))
+
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val ksIn = Files.newInputStream(ksPath)
+    try ks.load(ksIn, "changeit".toCharArray) finally ksIn.close()
+
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val serverCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+
+    val trust = java.security.KeyStore.getInstance("PKCS12")
+    trust.load(null, null)
+    trust.setCertificateEntry("stub", ks.getCertificate("stub"))
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(trust)
+    val clientCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    clientCtx.init(null, tmf.getTrustManagers, null)
+    (serverCtx, clientCtx)
   }
 }

@@ -1,22 +1,28 @@
 package graft.resource
 
 import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
-import java.net.ServerSocket
+import java.net.{ServerSocket, Socket}
 import java.nio.charset.StandardCharsets
 
-/** Single-threaded minimal FTP stub for resource tests:
-  * USER/PASS/MDTM/TYPE/PASV/RETR. Advertises a BOGUS address in its
-  * PASV reply (203.0.113.9, TEST-NET) — transfers succeed only
-  * because [[FtpResource]] applies the PatchedFTP rule of trusting
-  * the control host (reference ftp_resource.py:11-15). */
+import javax.net.ssl.{SSLContext, SSLSocket}
+
+/** Single-threaded minimal FTP(S) stub for resource tests:
+  * USER/PASS/MDTM/TYPE/PASV/RETR, plus AUTH TLS + PBSZ/PROT when a
+  * `tlsContext` is supplied. Advertises a BOGUS address in its PASV
+  * reply (203.0.113.9, TEST-NET) — transfers succeed only because
+  * [[FtpResource]] applies the PatchedFTP rule of trusting the
+  * control host (reference ftp_resource.py:11-15). */
 final class StubFtpServer(
     content: Array[Byte],
     @volatile var mdtm: String,
-    password: String = "hunter2") {
+    password: String = "hunter2",
+    tlsContext: Option[SSLContext] = None) {
   val server = new ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
   @volatile var retrCount = 0
   @volatile var lastUser: String = ""
+  @volatile var sawAuthTls = false
+  @volatile var sawProtP = false
   private val thread = new Thread(() => {
     try {
       while (!server.isClosed) {
@@ -28,19 +34,41 @@ final class StubFtpServer(
   thread.setDaemon(true)
   thread.start()
 
-  private def handle(s: java.net.Socket): Unit = {
-    val in = new BufferedReader(
-      new InputStreamReader(s.getInputStream, StandardCharsets.ISO_8859_1))
-    val out = new OutputStreamWriter(s.getOutputStream, StandardCharsets.ISO_8859_1)
+  private def serverTls(s: Socket): SSLSocket = {
+    val ssl = tlsContext.get.getSocketFactory
+      .createSocket(s, "127.0.0.1", s.getPort, true).asInstanceOf[SSLSocket]
+    ssl.setUseClientMode(false)
+    ssl
+  }
+
+  private def handle(plain: Socket): Unit = {
+    var sock: Socket = plain
+    var in = new BufferedReader(
+      new InputStreamReader(sock.getInputStream, StandardCharsets.ISO_8859_1))
+    var out = new OutputStreamWriter(sock.getOutputStream, StandardCharsets.ISO_8859_1)
     def reply(text: String): Unit = { out.write(text + "\r\n"); out.flush() }
     // multi-line greeting exercises the reply parser
     reply("220-stub ftp"); reply("220 ready")
     var dataServer: ServerSocket = null
+    var protP = false
     var line = in.readLine()
     while (line != null) {
       val cmd = line.takeWhile(_ != ' ')
       val arg = line.drop(cmd.length).trim
       cmd.toUpperCase match {
+        case "AUTH" if arg.equalsIgnoreCase("TLS") && tlsContext.isDefined =>
+          reply("234 proceed with negotiation")
+          sawAuthTls = true
+          sock = serverTls(sock) // handshake happens on first read
+          in = new BufferedReader(
+            new InputStreamReader(sock.getInputStream, StandardCharsets.ISO_8859_1))
+          out = new OutputStreamWriter(sock.getOutputStream, StandardCharsets.ISO_8859_1)
+        case "AUTH" => reply("502 TLS not available")
+        case "PBSZ" => reply("200 PBSZ=0")
+        case "PROT" =>
+          if (arg.equalsIgnoreCase("P") && tlsContext.isDefined) {
+            protP = true; sawProtP = true; reply("200 protection set to private")
+          } else reply("502 only PROT P")
         case "USER" => lastUser = arg; reply("331 need password")
         case "PASS" =>
           reply(if (arg == password) "230 logged in" else "530 bad password")
@@ -52,8 +80,10 @@ final class StubFtpServer(
           reply(s"227 Entering Passive Mode (203,0,113,9,${p / 256},${p % 256}).")
         case "RETR" =>
           reply("150 opening data connection")
-          val d = dataServer.accept()
+          val d0 = dataServer.accept()
+          val d = if (protP) serverTls(d0) else d0
           d.getOutputStream.write(content)
+          d.getOutputStream.flush()
           d.close(); dataServer.close()
           retrCount += 1
           reply("226 transfer complete")
