@@ -17,10 +17,12 @@ import org.apache.spark.sql.types._
   * `javax.sound.sampled` into duration/sample-rate/channels. VIDEO
   * container METADATA decode is real too: [[VideoContainerCodec]]
   * walks MP4 box / AVI chunk trees for duration, dimensions and track
-  * counts. The one remaining stub is per-FRAME video decode
-  * ([[DeterministicFakeFrameSampler]] — demuxing frames needs an
-  * ffmpeg-class library this environment lacks); production swaps in
-  * an ffmpeg-backed sampler without touching the pipeline shape.
+  * counts. Per-frame video decode is real for MJPEG-in-AVI
+  * ([[MjpegAviFrameSampler]] — each `movi` chunk IS a JPEG); the one
+  * remaining stub is frame decode for inter-frame codecs (H.264 et
+  * al., [[DeterministicFakeFrameSampler]] — those need an ffmpeg-class
+  * library this environment lacks); production swaps in an
+  * ffmpeg-backed sampler without touching the pipeline shape.
   */
 object Multimodal {
 
@@ -135,9 +137,10 @@ object Multimodal {
     * `mvhd` duration/timescale and per-`trak` `tkhd` dimensions, and
     * the RIFF chunk tree for AVI `avih` frame timing and frame size.
     * Only headers are touched — cost per asset is O(header bytes),
-    * media data (`mdat`/`movi`) is never read. Decoding FRAMES still
-    * requires an ffmpeg-class demuxer (the one remaining stub,
-    * [[DeterministicFakeFrameSampler]]); metadata no longer does.
+    * media data (`mdat`/`movi`) is never read. Decoding FRAMES is real
+    * for MJPEG AVIs ([[MjpegAviFrameSampler]]); inter-frame codecs
+    * still require an ffmpeg-class demuxer (the one remaining stub,
+    * [[DeterministicFakeFrameSampler]]); metadata never does.
     * Unknown containers / truncated headers yield None. */
   final class VideoContainerCodec extends MediaCodec {
     def featureDim: Int = VideoContainerCodec.Dim
@@ -180,10 +183,15 @@ object Multimodal {
             else (8L, size0)
           if (size < header || o + size > to) return // corrupt; stop
           val p = o + header // payload start
+          // payload must at least hold the version byte; the be32/be64
+          // readers below return -1 on any out-of-bounds offset, so a
+          // truncated fullbox degrades to "field unavailable", never an
+          // ArrayIndexOutOfBounds ("truncated headers yield None")
+          val hasPayload = p < b.length
           typ match {
             case "moov" => walk(p, o + size, depth + 1)
             case "trak" => tracks += 1; walk(p, o + size, depth + 1)
-            case "mvhd" =>
+            case "mvhd" if hasPayload =>
               val v = b(p.toInt) & 0xff
               val (ts, dur) =
                 if (v == 1) (be32(b, p.toInt + 20), be64(b, p.toInt + 24))
@@ -192,7 +200,7 @@ object Multimodal {
                 timescale = ts.toFloat
                 durationMs = (dur.toDouble / ts * 1000.0).toFloat
               }
-            case "tkhd" =>
+            case "tkhd" if hasPayload =>
               val v = b(p.toInt) & 0xff
               val wOff = if (v == 1) 88 else 76 // 16.16 fixed-point
               val w = be32(b, p.toInt + wOff) / 65536.0f
@@ -394,6 +402,85 @@ object Multimodal {
   trait FrameSampler extends Serializable {
     def sample(mediaType: String, payload: Array[Byte], durationMs: Long, n: Int)
       : Seq[(Long, Array[Byte])]
+  }
+
+  /** REAL frame demux for the one container/codec pair a pure JVM can
+    * crack without an ffmpeg-class dependency: MJPEG-in-AVI, where
+    * every `##dc`/`##db` chunk inside the RIFF `movi` LIST is a
+    * complete JPEG image (SOI-led), directly decodable downstream by
+    * [[ImageIoCodec]]. The demux walks the chunk tree once collecting
+    * (offset, size) of JPEG video chunks — O(container structure), no
+    * frame bytes touched — then copies ONLY the `n` evenly-spaced
+    * frames it samples, timestamped from `avih`'s micros-per-frame.
+    * Anything that is not an MJPEG AVI (MP4, DV/XviD AVIs, truncated
+    * containers) routes to `fallback` — by default the deterministic
+    * stand-in, so mixed corpora keep the pipeline shape while the
+    * containers that genuinely need ffmpeg wait for a production
+    * sampler swap. */
+  final class MjpegAviFrameSampler(
+      fallback: FrameSampler = new DeterministicFakeFrameSampler())
+      extends FrameSampler {
+
+    def sample(mediaType: String, payload: Array[Byte], durationMs: Long, n: Int)
+        : Seq[(Long, Array[Byte])] = {
+      if (payload == null || payload.isEmpty || mediaType != "video" || n <= 0)
+        return Seq.empty
+      demux(payload, n).getOrElse(
+        fallback.sample(mediaType, payload, durationMs, n))
+    }
+
+    private def le32(b: Array[Byte], o: Int): Long =
+      if (o < 0 || o + 4 > b.length) -1L
+      else ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+        ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      if (o < 0 || o + 4 > b.length) ""
+      else new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+    /** `##dc` (compressed video) / `##db` (uncompressed-marked, some
+      * muxers still emit JPEGs) chunk of any stream number. */
+    private def isVideoChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))
+
+    private def demux(b: Array[Byte], n: Int): Option[Seq[(Long, Array[Byte])]] = {
+      if (fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+      var usPerFrame = 0L
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (offset, size)
+
+      def walk(from: Long, to: Long, inMovi: Boolean, depth: Int): Unit = {
+        var o = from
+        while (o + 8 <= to && depth < 8) {
+          val id = fourcc(b, o.toInt)
+          val size = le32(b, o.toInt + 4)
+          if (size < 0 || o + 8 + size > to) return // corrupt; stop
+          id match {
+            case "LIST" =>
+              val listType = fourcc(b, o.toInt + 8)
+              walk(o + 12, o + 8 + size, inMovi || listType == "movi", depth + 1)
+            case "avih" => usPerFrame = le32(b, o.toInt + 8)
+            case v if inMovi && isVideoChunk(v) && size >= 2 &&
+                (b(o.toInt + 8) & 0xff) == 0xff && (b(o.toInt + 9) & 0xff) == 0xd8 =>
+              frames += ((o + 8, size)) // JPEG SOI: this is an MJPEG frame
+            case _ => () // index/audio chunks: skipped, never copied
+          }
+          o += 8 + size + (size & 1) // chunks are word-aligned
+        }
+      }
+      walk(12L, b.length.toLong, inMovi = false, 0)
+      if (frames.isEmpty) return None // not MJPEG (or no movi): fall back
+
+      val count = frames.length
+      val k = math.min(n, count)
+      val picks =
+        if (k == 1) Seq(count / 2)
+        else (0 until k).map(i => (count - 1).toLong * i / (k - 1)).map(_.toInt).distinct
+      Some(picks.map { idx =>
+        val (off, size) = frames(idx)
+        val ts = if (usPerFrame > 0) idx * usPerFrame / 1000 else -1L
+        (ts, java.util.Arrays.copyOfRange(b, off.toInt, (off + size).toInt))
+      })
+    }
   }
 
   /** Deterministic stand-in sampler: evenly-spaced timestamps, frame

@@ -383,6 +383,91 @@ class OpsSpec extends SparkSpec {
     "RIFF".getBytes("ISO-8859-1") ++ le32b(body.length) ++ body
   }
 
+  /** A solid-color JPEG (what an MJPEG muxer puts in each `00dc`). */
+  private def jpegBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    out.toByteArray
+  }
+
+  private def aviChunk(id: String, body: Array[Byte]): Array[Byte] =
+    id.getBytes("ISO-8859-1") ++ le32b(body.length) ++ body ++
+      (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+
+  /** A REAL (if minimal) MJPEG AVI: avih at 25 fps + a movi LIST whose
+    * `00dc` chunks are the given complete JPEGs, with a non-JPEG audio
+    * chunk and an index chunk interleaved (both must be skipped). */
+  private def mjpegAviBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val avih = le32b(40000) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++
+      le32b(frames.length) ++ le32b(0) ++ le32b(2) ++ le32b(0) ++
+      le32b(8) ++ le32b(8) ++ new Array[Byte](16)
+    val hdrl = "hdrl".getBytes("ISO-8859-1") ++ aviChunk("avih", avih)
+    val hdrlList = aviChunk("LIST", hdrl)
+    val moviBody = "movi".getBytes("ISO-8859-1") ++
+      frames.zipWithIndex.flatMap { case (f, i) =>
+        val vid = aviChunk("00dc", f).toSeq
+        // interleave an audio chunk after every frame like a real mux
+        vid ++ aviChunk("01wb", Array.fill(37)(0x5a.toByte)).toSeq ++
+          // and one video-id'd chunk that is NOT a JPEG (must be skipped)
+          (if (i == 0) aviChunk("00dc", "not-a-jpeg".getBytes("UTF-8")).toSeq
+           else Seq.empty)
+      }
+    val moviList = "LIST".getBytes("ISO-8859-1") ++ le32b(moviBody.length) ++ moviBody
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrlList ++ moviList ++
+      aviChunk("idx1", new Array[Byte](16))
+    "RIFF".getBytes("ISO-8859-1") ++ le32b(body.length) ++ body
+  }
+
+  test("Multimodal.MjpegAviFrameSampler REALLY demuxes: sampled frames decode as JPEGs") {
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    val avi = mjpegAviBytes(colors.map(jpegBytes(8, 8, _)))
+    val sampler = new Multimodal.MjpegAviFrameSampler()
+
+    // n=2 over 4 frames: first and last, timestamped from avih's 40 ms
+    val two = sampler.sample("video", avi, durationMs = 160L, n = 2)
+    assert(two.map(_._1) == Seq(0L, 120L))
+    val decoded = two.map { case (_, bytes) =>
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    }
+    assert(decoded.forall(img => img != null && img.getWidth == 8 && img.getHeight == 8))
+    // JPEG is lossy; solid frames stay dominant in their own channel
+    def rgbOf(img: java.awt.image.BufferedImage) = {
+      val p = img.getRGB(4, 4); ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    }
+    val (r1, _, b1) = rgbOf(decoded.head)
+    assert(r1 > 200 && b1 < 80) // frame 0 is red
+    val (r2, g2, b2) = rgbOf(decoded.last)
+    assert(r2 > 200 && g2 > 200 && b2 > 200) // frame 3 is white
+
+    // n above the frame count returns every real frame, in order
+    assert(sampler.sample("video", avi, 160L, 10).map(_._1) ==
+      Seq(0L, 40L, 80L, 120L))
+    // n=1 picks the middle frame
+    assert(sampler.sample("video", avi, 160L, 1).map(_._1) == Seq(80L))
+
+    // non-MJPEG payloads route to the fallback, byte-for-byte
+    val fake = new Multimodal.DeterministicFakeFrameSampler()
+    val viaSampler = sampler.sample("video", mp4Bytes, 2500L, 3)
+    val viaFake = fake.sample("video", mp4Bytes, 2500L, 3)
+    assert(viaSampler.map(_._1) == viaFake.map(_._1) &&
+      viaSampler.zip(viaFake).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    // garbage / truncation stays clean (falls back, never throws)
+    assert(sampler.sample("video", avi.take(40), 0L, 2).nonEmpty)
+    assert(sampler.sample("audio", avi, 0L, 2).isEmpty)
+
+    // the distributed path: frame rows come out decodable per-partition
+    val assets = Seq((7L, "video", avi, 160L))
+      .toDF("asset_id", "media_type", "payload", "duration_ms").repartition(2)
+    val rows = Multimodal.sampleFrames(assets, sampler, framesPerAsset = 3)
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 40L, 120L)) // 0, mid, last
+    assert(rows.forall(r => javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame_payload"))) != null))
+  }
+
   test("Multimodal.AudioSystemCodec REALLY parses WAV headers: duration/rate/channels") {
     // 4000 frames at 8 kHz mono = exactly 500 ms; 2-channel variant too
     val assets = Seq(
@@ -435,6 +520,11 @@ class OpsSpec extends SparkSpec {
     assert(codec.decode("audio", mp4Bytes).isEmpty) // wrong media type
     // truncated mid-box: parser stops cleanly instead of throwing
     assert(codec.decode("video", mp4Bytes.take(40)).isEmpty)
+    // a header-only mvhd ending exactly at the buffer edge must not
+    // read past it (None, not ArrayIndexOutOfBounds)
+    val headerOnlyMvhd = mp4Box("ftyp", "isom".getBytes("ISO-8859-1"), be32b(0)) ++
+      mp4Box("moov", mp4Box("mvhd"))
+    assert(codec.decode("video", headerOnlyMvhd).isEmpty)
   }
 
   test("Multimodal.ImageIoResize REALLY rescales: 4x4 solid red -> 2x2 solid red") {
