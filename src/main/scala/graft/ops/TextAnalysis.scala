@@ -87,6 +87,85 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "que"),
     "fr" -> Seq("le", "la", "et"))
 
+  /** Gopher/C4-style composite quality rule filter (Rae et al. 2021
+    * §A1.1 in spirit): token-count band, mean-word-length band, and a
+    * most-frequent-word-fraction cap. Computed NARROWLY — per-row
+    * array HOFs, ZERO shuffle — so at 100 TB the whole filter is a map
+    * over the scan, pruned columns and all. Emits the rule inputs
+    * (`n_tok`, `avg_word_len`, `top_word_frac`) plus a 0/1
+    * `quality_pass` so downstream can either filter or stratify. */
+  def gopherQuality(
+      df: DataFrame, textCol: String,
+      minTok: Long = 30L, maxTok: Long = 70L,
+      minAvgWordLen: Double = 3.5, maxAvgWordLen: Double = 5.0,
+      maxTopWordFrac: Double = 0.1): DataFrame = {
+    val t = col(textCol)
+    val toks = split(trim(lower(t)), "\\s+")
+    // the per-doc mode count without any shuffle: count each distinct
+    // token's occurrences inside the row's own array (O(uniq * total)
+    // per row — bounded by text length, not corpus size)
+    val maxTf = array_max(transform(array_distinct(toks),
+      x => size(filter(toks, y => y === x))))
+    df.withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("avg_word_len",
+        length(regexp_replace(t, " ", "")).cast("double") / col("n_tok"))
+      .withColumn("top_word_frac", maxTf.cast("double") / col("n_tok"))
+      .withColumn("quality_pass",
+        (col("n_tok") >= minTok && col("n_tok") <= maxTok &&
+          col("avg_word_len") >= minAvgWordLen &&
+          col("avg_word_len") <= maxAvgWordLen &&
+          col("top_word_frac") <= maxTopWordFrac).cast("int"))
+  }
+
+  /** The row's n-gram array over lowercased whitespace tokens, built
+    * with an indexed `transform` over a length-trimmed slice — narrow,
+    * no explode. Rows with fewer than `n` tokens get an empty array. */
+  def ngramsOf(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val toks = split(trim(lower(text)), "\\s+")
+    transform(slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      (x, i) => concat_ws(" ", Seq(x) ++ (2 to n).map(k => element_at(toks, i + k)): _*))
+  }
+
+  /** Within-document repetition stats (the Gopher/RefinedWeb repeated
+    * n-gram filter): total and distinct n-gram counts plus the
+    * duplicate fraction `1 - distinct/total`. Narrow — the n-grams
+    * never leave their row, so the filter costs one codegen'd map at
+    * any scale. Rows with no n-grams (< n tokens) get `n_ngrams = 0`
+    * and a NaN fraction — filter on `n_ngrams > 0` downstream. */
+  def repeatedNgramStats(df: DataFrame, textCol: String, n: Int = 2): DataFrame = {
+    val grams = ngramsOf(col(textCol), n)
+    df.withColumn("n_ngrams", size(grams).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(grams)).cast("long"))
+      .withColumn("repeated_frac",
+        // the when-guard keeps ANSI mode from throwing DIVIDE_BY_ZERO
+        // on n-gram-free rows (CaseWhen evaluates branches lazily)
+        when(col("n_ngrams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"))
+          .otherwise(lit(Double.NaN)))
+  }
+
+  /** Corpus-level TF-IDF over whitespace tokens: one row per
+    * (document, term) with term frequency, document frequency and
+    * `tf * ln(N / df)`. Two shuffles by construction — (doc, term)
+    * partial-aggregated counts, then a term-keyed equi-join against
+    * the vocabulary-sized document-frequency side (AQE broadcasts it
+    * when it fits, and its skew handling covers stop-word-heavy
+    * vocabularies — deliberately NOT a window over `term`, which would
+    * buffer every posting of a common term in one task). The document
+    * count N is a driver-side scalar (one columnless metadata-cheap
+    * count), baked in as a literal so the plan stays join-free on it. */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nDocs = df.count()
+    val tok = df.select(col(idCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+    val tf = tok.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "tok")
+      .select(col(idCol), col("tok"), col("tf"), col("df"),
+        (col("tf") * log(lit(nDocs.toDouble) / col("df"))).as("tf_idf"))
+  }
+
   /** Canonical word-set fingerprint: md5 over the sorted distinct word
     * set (robust to word order and duplication). */
   def wordSetFingerprint(text: Column): Column =

@@ -296,5 +296,90 @@ object TextQueries {
     Some(simhashDuckSql),
     bench = true)
 
-  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32)
+  /** Non-distinct lowercased tokens, shared by q55/q57 oracles. */
+  private val tokSqlDuck =
+    """SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+       FROM documents"""
+
+  /** Gopher-style composite quality filter (library module; ZERO
+    * shuffle — per-row HOFs — so at 100 TB it is a map over the scan).
+    * The oracle reconstructs the per-doc mode count the relational way
+    * (unnest + two GROUP BYs); both sides gate the pass flag on the
+    * RAW ratios and round only for presentation. */
+  val q55 = QueryDef(
+    "q55_gopher_quality",
+    (s, dir) => {
+      graft.ops.TextAnalysis.gopherQuality(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tok"),
+          round(col("avg_word_len"), 6).as("avg_word_len"),
+          round(col("top_word_frac"), 6).as("top_word_frac"),
+          col("quality_pass"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(s"""WITH tf AS (SELECT doc_id, tok, count(*) AS c
+                FROM ($tokSqlDuck) GROUP BY doc_id, tok),
+        agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, max(c) AS max_tf
+                FROM tf GROUP BY doc_id),
+        base AS (SELECT d.doc_id, a.n_tok,
+                   CAST(length(replace(d.text, ' ', '')) AS DOUBLE) / a.n_tok AS awl,
+                   CAST(a.max_tf AS DOUBLE) / a.n_tok AS twf
+                 FROM documents d JOIN agg a ON a.doc_id = d.doc_id)
+      SELECT doc_id, n_tok,
+        round(awl, 6) AS avg_word_len, round(twf, 6) AS top_word_frac,
+        CAST(CASE WHEN n_tok BETWEEN 30 AND 70
+                   AND awl >= CAST(3.5 AS DOUBLE) AND awl <= CAST(5.0 AS DOUBLE)
+                   AND twf <= CAST(0.1 AS DOUBLE)
+              THEN 1 ELSE 0 END AS INT) AS quality_pass
+      FROM base ORDER BY doc_id"""))
+
+  /** Repeated-bigram fraction (the Gopher/RefinedWeb within-document
+    * repetition filter; library module — narrow, n-grams never leave
+    * their row). The oracle rebuilds the bigrams via generate_series
+    * like the shingle CTE; docs with <2 tokens drop from both sides. */
+  val q56 = QueryDef(
+    "q56_repeated_bigrams",
+    (s, dir) => {
+      graft.ops.TextAnalysis.repeatedNgramStats(t(s, dir, "documents"), "text", 2)
+        .filter(col("n_ngrams") > 0)
+        .select(col("doc_id"), col("n_ngrams").as("n_bigrams"),
+          col("n_distinct"),
+          round(col("repeated_frac"), 6).as("repeated_frac"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+              FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+                   LATERAL unnest(generate_series(1, len(toks)-1)) AS t(i))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(count(DISTINCT bg) AS BIGINT) AS n_distinct,
+             round(CAST(1 AS DOUBLE) - CAST(count(DISTINCT bg) AS DOUBLE) / count(*), 6)
+               AS repeated_frac
+      FROM bg GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
+
+  /** Corpus TF-IDF (library module): (doc, term) term frequency joined
+    * with the vocabulary-sized document-frequency side, N baked in as
+    * a literal. ln() is the one transcendental in the oracle corpus —
+    * both engines evaluate IEEE-double natural log on identical
+    * inputs, and the 6-decimal round absorbs any ulp slack. */
+  val q57 = QueryDef(
+    "q57_tf_idf",
+    (s, dir) => {
+      graft.ops.TextAnalysis.tfIdf(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          round(col("tf_idf"), 6).as("tf_idf"))
+        .oracleOrderBy("doc_id", "tok")
+    },
+    Some(s"""WITH tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                FROM ($tokSqlDuck) GROUP BY doc_id, tok),
+        dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+      SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+        round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tf_idf
+      FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+      ORDER BY doc_id, tok"""),
+    bench = true)
+
+  val all: Seq[QueryDef] =
+    Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57)
 }

@@ -248,6 +248,56 @@ class OpsSpec extends SparkSpec {
     assert(fp(0L) != fp(2L))
   }
 
+  test("TextAnalysis.gopherQuality: rule inputs and pass flag, zero shuffle") {
+    val rows = Seq(
+      (1L, "aa bb aa cc"), // 4 tokens, awl 8/4=2.0, top 'aa' 2/4=0.5
+      (2L, ("tok " * 49 + "end").trim)) // 50 tokens, awl (49*3+3)/50=3.0, top 49/50
+      .toDF("doc_id", "text")
+    val q = TextAnalysis.gopherQuality(rows, "text",
+      minTok = 2, maxTok = 60, minAvgWordLen = 1.5, maxAvgWordLen = 4.0,
+      maxTopWordFrac = 0.6)
+    val byId = q.collect().map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_tok"), r.getAs[Double]("avg_word_len"),
+        r.getAs[Double]("top_word_frac"), r.getAs[Int]("quality_pass"))).toMap
+    assert(byId(1L) == ((4L, 2.0, 0.5, 1)))
+    val (n2, awl2, twf2, pass2) = byId(2L)
+    assert(n2 == 50L && awl2 == 3.0 && twf2 == 0.98 && pass2 == 0) // top frac over cap
+    // narrow: the filter must add NO exchange over the scan
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("TextAnalysis.repeatedNgramStats: duplicate fraction, short docs") {
+    val rows = Seq(
+      (1L, "a b a b c"), // bigrams: ab,ba,ab,bc -> 4 total, 3 distinct
+      (2L, "one"), // too short for bigrams
+      (3L, "x y z")) // all distinct
+      .toDF("doc_id", "text")
+    val bi = TextAnalysis.repeatedNgramStats(rows, "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("repeated_frac"))).toMap
+    assert(bi(1L) == ((4L, 3L, 0.25)))
+    assert(bi(2L)._1 == 0L) // no bigrams; fraction is NaN by contract
+    assert(bi(2L)._3.isNaN)
+    assert(bi(3L) == ((2L, 2L, 0.0)))
+    // trigram check through the general n path
+    val tri = TextAnalysis.repeatedNgramStats(rows, "text", 3)
+      .filter(col("doc_id") === 1L).collect().head
+    assert(tri.getAs[Long]("n_ngrams") == 3L && tri.getAs[Long]("n_distinct") == 3L)
+    intercept[IllegalArgumentException](TextAnalysis.ngramsOf(col("text"), 0))
+  }
+
+  test("TextAnalysis.tfIdf: counts and ln weighting over a known corpus") {
+    val rows = Seq((1L, "x y"), (2L, "x z z")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(rows, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("tf_idf"))).toMap
+    assert(out((1L, "x")) == ((1L, 2L, 0.0))) // in every doc: ln(2/2)=0
+    assert(out((1L, "y")) == ((1L, 1L, math.log(2.0))))
+    assert(out((2L, "z")) == ((2L, 1L, 2.0 * math.log(2.0))))
+    assert(out.size == 4)
+  }
+
   test("Geo.radiusJoin equals the naive theta-join") {
     val pts = Seq(
       (1L, "X", 52.100, 21.100), (2L, "X", 52.101, 21.101), // ~130m apart
