@@ -97,6 +97,37 @@ object Similarity {
       .orderBy(col(idCol)).limit(k).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
 
+  /** k-means-trained IVF codebook (Lloyd's algorithm, DataFrame-native):
+    * seeds from [[deterministicCentroids]], then `iters` rounds of
+    * assign — the narrow zero-shuffle literal-codebook argmax of
+    * [[ivfAssign]] — followed by ONE per-cell groupBy computing the
+    * element-wise mean. Per round: one scan, one shuffle on `cell`
+    * (k-bounded), one k-by-dim driver collect (the codebook is always
+    * tiny and driver-resident). Cells that go empty keep their previous
+    * centroid. Centroid means average floats in partial-aggregation
+    * order, so training is not bit-deterministic across cluster
+    * layouts — fine for a codebook (assignment quality is what
+    * matters); the oracle-checked IVF queries keep the deterministic
+    * seed codebook. */
+  def trainCodebook(
+      df: DataFrame, embCol: String, idCol: String,
+      k: Int, dim: Int, iters: Int = 5): Seq[(Long, Seq[Double])] = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    var centroids = deterministicCentroids(df, embCol, idCol, k)
+    for (_ <- 0 until iters) {
+      val emb = asDouble(col(embCol))
+      val means = ivfAssign(df, embCol, centroids)
+        .groupBy("cell")
+        .agg(avg(element_at(emb, 1)).as("m0"),
+          (1 until dim).map(j => avg(element_at(emb, j + 1)).as(s"m$j")): _*)
+        .collect()
+        .map(r => r.getLong(0) -> (0 until dim).map(j => r.getDouble(j + 1)).toSeq)
+        .toMap
+      centroids = centroids.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    }
+    centroids
+  }
+
   /** Max-cosine centroid (struct argmax; ties -> highest centroid id)
     * of each row's embedding. */
   private def bestCells(

@@ -177,6 +177,37 @@ class OpsSpec extends SparkSpec {
     assert(wide.collect().map(_.getLong(1)).toSet.contains(2L))
   }
 
+  test("Similarity.trainCodebook: Lloyd's rounds recover separated clusters") {
+    // three well-separated clusters hugging distinct axes; ids 0..2 (the
+    // k-smallest seed rows) land one per cluster, ids 3+ are the bulk
+    val pts = (Seq(
+      (0L, Array(1.0f, 0.05f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.05f, 0.0f)),
+      (2L, Array(0.05f, 0.0f, 1.0f, 0.0f))) ++
+      (0 until 12).map { i =>
+        val base = Array(0.0f, 0.0f, 0.0f, 0.1f)
+        base(i % 3) = 1.0f
+        base(3) = 0.05f * (i % 4) // jitter on the unused axis
+        (3L + i, base)
+      }).toDF("vec_id", "embedding")
+
+    val trained = Similarity.trainCodebook(pts, "embedding", "vec_id",
+      k = 3, dim = 4, iters = 3)
+    assert(trained.map(_._1) == Seq(0L, 1L, 2L)) // cid stays the seed id
+    // every point must assign to the centroid trained from its own axis
+    val cells = Similarity.ivfAssign(pts, "embedding", trained)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- 0 until 12) assert(cells(3L + i) == (i % 3).toLong, s"point ${3 + i}")
+    // trained centroids point down their cluster's axis (dominant dim)
+    trained.foreach { case (cid, vec) =>
+      assert(vec.zipWithIndex.maxBy(_._1)._2 == cid.toInt,
+        s"centroid $cid drifted: $vec")
+    }
+    // iters = 0 degrades to the deterministic seed codebook
+    assert(Similarity.trainCodebook(pts, "embedding", "vec_id", 3, 4, iters = 0) ==
+      Similarity.deterministicCentroids(pts, "embedding", "vec_id", 3))
+  }
+
   test("Similarity.cosineNearDuplicates clusters transitively in vector space") {
     // cos(0,1)=0.96 and cos(1,2)≈0.944 are above the 0.85 threshold,
     // cos(0,2)≈0.813 is NOT — the 0-2 link exists only transitively.
