@@ -173,6 +173,54 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  /** Deterministic per-subspace product-quantization codebooks: the
+    * `k` smallest-id rows' subvectors, one codebook per subspace (the
+    * PQ twin of [[deterministicCentroids]]; production swaps in
+    * [[trainCodebook]]-style Lloyd's per subspace without changing
+    * [[pqEncode]]'s shape). Requires the embedding dim to divide into
+    * `m` equal subspaces. */
+  def pqSubCodebooks(
+      df: DataFrame, embCol: String, idCol: String,
+      m: Int, k: Int): Seq[Seq[(Long, Seq[Double])]] = {
+    val rows = deterministicCentroids(df, embCol, idCol, k)
+    require(rows.nonEmpty, "pqSubCodebooks needs at least one row")
+    val dim = rows.head._2.length
+    require(m >= 1 && dim % m == 0, s"dim $dim does not divide into $m subspaces")
+    val sub = dim / m
+    (0 until m).map(mi =>
+      rows.map { case (cid, v) => cid -> v.slice(mi * sub, (mi + 1) * sub) })
+  }
+
+  /** Product-quantization encode: each embedding is cut into `m`
+    * subvectors and each coded to its nearest sub-centroid by L2 —
+    * `m` small codes replace the full vector (the compact-code ANN
+    * representation: at 100 TB the code table is what gets scanned,
+    * not the raw vectors). The codebooks are literal expressions, so
+    * the whole encode is a NARROW zero-shuffle pass like [[ivfAssign]].
+    * Distances fold left-to-right per subspace (`(x-y)^2` zip, then a
+    * sequential sum) — bit-identical to an explicit SQL sum chain, so
+    * codes are oracle-checkable. Ties go to the smallest centroid id. */
+  def pqEncode(
+      df: DataFrame, embCol: String,
+      codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "pqEncode needs at least one centroid per subspace")
+    val subDim = codebooks.head.head._2.length
+    require(codebooks.flatten.forall(_._2.length == subDim),
+      "all sub-centroids must share the subspace dimension")
+    val emb = asDouble(col(embCol))
+    codebooks.zipWithIndex.foldLeft(df) { case (d, (cb, mi)) =>
+      val subv = slice(emb, lit(mi * subDim + 1), lit(subDim))
+      val cells = cb.map { case (cid, cv) =>
+        val diffSq = zip_with(subv, array(cv.map(lit): _*), (x, y) => (x - y) * (x - y))
+        struct(aggregate(diffSq, lit(0.0), (acc, v) => acc + v).as("dist"),
+          lit(cid).as("cid"))
+      }
+      val best = if (cells.length == 1) cells.head else least(cells: _*)
+      d.withColumn(s"code_$mi", best.getField("cid"))
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH bucket, then pairwise
     * cosine within buckets, keep pairs above `threshold`. */
   def cosineNearDupPairs(

@@ -120,5 +120,55 @@ object EmbeddingQueries {
     },
     Some(ivfSql(duckElem)))
 
-  val all: Seq[QueryDef] = Seq(q33, q34, q44)
+  /** Squared-L2 between embedding and centroid over subspace `mi`
+    * (16 dims starting at mi*16+1), as an explicit left-associative
+    * sum — the same IEEE754 sequence the library's zip+fold runs. */
+  private def subL2(elem: (String, Int) => String, mi: Int): String = {
+    val sub = Dim / PqM
+    (1 to sub).map { j =>
+      val idx = mi * sub + j
+      val d = s"(${elem("embedding", idx)} - ${elem("cv", idx)})"
+      s"($d * $d)"
+    }.mkString(" + ")
+  }
+
+  private val PqM = 4 // subspaces of 16 dims each
+
+  private def pqSql(elem: (String, Int) => String): String = {
+    val picks = (0 until PqM).map { mi =>
+      s"""s$mi AS (
+          SELECT e.vec_id, c.cid, (${subL2(elem, mi)}) AS dist
+          FROM embeddings e CROSS JOIN c),
+        p$mi AS (
+          SELECT vec_id, cid AS code_$mi FROM (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+            FROM s$mi) ranked$mi WHERE rn = 1)"""
+    }.mkString(",\n        ")
+    val joins = (1 until PqM).map(mi => s"JOIN p$mi USING (vec_id)").mkString(" ")
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+        $picks
+      SELECT vec_id, ${(0 until PqM).map(mi => s"code_$mi").mkString(", ")}
+      FROM p0 $joins ORDER BY vec_id"""
+  }
+
+  /** Product-quantization codes (the compact-code ANN representation):
+    * 4 subspaces of 16 dims, each coded to its nearest-L2 deterministic
+    * sub-centroid (vec_id 0..3's subvectors), ties to the lowest cid.
+    * Drives the LIBRARY op (`Similarity.pqEncode` — narrow literal
+    * argmin, zero shuffle); the oracle re-derives every code
+    * relationally with explicit per-subspace distance sums. */
+  val q58 = QueryDef(
+    "q58_pq_codes",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cbs = graft.ops.Similarity.pqSubCodebooks(e, "embedding", "vec_id", m = PqM, k = 4)
+      graft.ops.Similarity.pqEncode(e, "embedding", cbs)
+        .select(col("vec_id") +: (0 until PqM).map(mi => col(s"code_$mi")): _*)
+        .oracleOrderBy("vec_id")
+    },
+    Some(pqSql(duckElem)),
+    bench = true)
+
+  val all: Seq[QueryDef] = Seq(q33, q34, q44, q58)
 }

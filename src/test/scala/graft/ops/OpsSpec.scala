@@ -208,6 +208,32 @@ class OpsSpec extends SparkSpec {
       Similarity.deterministicCentroids(pts, "embedding", "vec_id", 3))
   }
 
+  test("Similarity.pqEncode: per-subspace nearest-L2 codes with low-cid ties") {
+    // dim 4, m=2 subspaces of 2; seeds 0/1 define both sub-codebooks
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.9f, 0.2f)), // sub0 -> cid 0, sub1 -> cid 1
+      (3L, Array(0.5f, 0.5f, 0.5f, 0.5f))) // equidistant everywhere -> ties
+      .toDF("vec_id", "embedding")
+    val cbs = Similarity.pqSubCodebooks(pts, "embedding", "vec_id", m = 2, k = 2)
+    assert(cbs.length == 2 && cbs.head.map(_._1) == Seq(0L, 1L))
+    assert(cbs(0)(0)._2 == Seq(1.0, 0.0) && cbs(1)(0)._2 == Seq(0.0, 1.0))
+    val codes = Similarity.pqEncode(pts, "embedding", cbs)
+      .select("vec_id", "code_0", "code_1").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(codes(0L) == ((0L, 0L))) // seeds code to themselves
+    assert(codes(1L) == ((1L, 1L)))
+    assert(codes(2L) == ((0L, 1L)))
+    assert(codes(3L) == ((0L, 0L))) // exact tie -> smallest centroid id
+    // the encode is narrow: no exchange over the scan
+    val plan = Similarity.pqEncode(pts, "embedding", cbs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    intercept[IllegalArgumentException](
+      Similarity.pqSubCodebooks(pts, "embedding", "vec_id", m = 3, k = 2))
+  }
+
   test("Similarity.cosineNearDuplicates clusters transitively in vector space") {
     // cos(0,1)=0.96 and cos(1,2)≈0.944 are above the 0.85 threshold,
     // cos(0,2)≈0.813 is NOT — the 0-2 link exists only transitively.
