@@ -221,6 +221,39 @@ object Similarity {
     }
   }
 
+  /** PQ asymmetric-distance top-k (ADC): the query vector stays exact;
+    * every data row is scored from its CODES ALONE by summing
+    * per-subspace lookup tables dist(query_sub, centroid[code]) built
+    * driver-side (m × k doubles). The scan touches only the m code
+    * columns — at 100 TB this is the point of PQ: the raw vectors are
+    * never read at query time. Scoring is a narrow sum of m CASE
+    * lookups; top-k is orderBy+limit (TakeOrdered per-partition heaps).
+    * Lookup distances fold left-to-right like [[pqEncode]]'s, so
+    * results stay oracle-checkable. */
+  def pqTopK(
+      data: DataFrame, embCol: String, idCol: String,
+      codebooks: Seq[Seq[(Long, Seq[Double])]],
+      queryVec: Seq[Double], k: Int = 10): DataFrame = {
+    val subDim = codebooks.head.head._2.length
+    require(queryVec.length == codebooks.length * subDim,
+      s"query dim ${queryVec.length} != ${codebooks.length} x $subDim")
+    val encoded = pqEncode(data, embCol, codebooks)
+    val score = codebooks.zipWithIndex.map { case (cb, mi) =>
+      val qs = queryVec.slice(mi * subDim, (mi + 1) * subDim)
+      val lut = cb.map { case (cid, cv) =>
+        cid -> qs.zip(cv).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+      }
+      // codes always hit a cid, so the chain needs no otherwise
+      lut.tail.foldLeft(when(col(s"code_$mi") === lut.head._1, lit(lut.head._2))) {
+        case (acc, (cid, d)) => acc.when(col(s"code_$mi") === cid, lit(d))
+      }
+    }.reduce(_ + _)
+    encoded.withColumn("pq_dist", score)
+      .orderBy(col("pq_dist").asc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("pq_dist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH bucket, then pairwise
     * cosine within buckets, keep pairs above `threshold`. */
   def cosineNearDupPairs(

@@ -170,5 +170,63 @@ object EmbeddingQueries {
     Some(pqSql(duckElem)),
     bench = true)
 
-  val all: Seq[QueryDef] = Seq(q33, q34, q44, q58)
+  /** Squared-L2 between the query vector and centroid over subspace
+    * `mi` — the oracle's lookup-table entry. */
+  private def subL2Q(elem: (String, Int) => String, mi: Int): String = {
+    val sub = Dim / PqM
+    (1 to sub).map { j =>
+      val idx = mi * sub + j
+      val d = s"(${elem("qv", idx)} - ${elem("cv", idx)})"
+      s"($d * $d)"
+    }.mkString(" + ")
+  }
+
+  private def pqAdcSql(elem: (String, Int) => String): String = {
+    val picks = (0 until PqM).map { mi =>
+      s"""s$mi AS (
+          SELECT e.vec_id, c.cid, (${subL2(elem, mi)}) AS dist
+          FROM embeddings e CROSS JOIN c),
+        p$mi AS (
+          SELECT vec_id, cid AS code_$mi FROM (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+            FROM s$mi) ranked$mi WHERE rn = 1),
+        lut$mi AS (SELECT cid, (${subL2Q(elem, mi)}) AS qd FROM c CROSS JOIN q)"""
+    }.mkString(",\n        ")
+    val joins = (1 until PqM).map(mi => s"JOIN p$mi USING (vec_id)").mkString(" ")
+    val lutJoins = (0 until PqM).map(mi => s"JOIN lut$mi l$mi ON l$mi.cid = p$mi.code_$mi").mkString(" ")
+    val distSum = (0 until PqM).map(mi => s"l$mi.qd").mkString(" + ")
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        $picks,
+        scored AS (
+          SELECT p0.vec_id, ($distSum) AS pq_dist
+          FROM p0 $joins $lutJoins)
+      SELECT vec_id, round(pq_dist, 6) AS adc_dist FROM (
+        SELECT vec_id, pq_dist FROM scored
+        ORDER BY pq_dist ASC, vec_id LIMIT 10) topk
+      ORDER BY vec_id"""
+  }
+
+  /** PQ asymmetric-distance top-k (ADC — the compact-code query path):
+    * rows are ranked from their q58 codes alone via per-subspace
+    * lookup tables against the exact query vector (vec_id 0). Drives
+    * the LIBRARY op (`Similarity.pqTopK`, narrow CASE-lookup sum over
+    * the m code columns + TakeOrdered); the oracle re-derives codes,
+    * lookup tables, and the top-10 relationally. */
+  val q59 = QueryDef(
+    "q59_pq_adc_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cbs = graft.ops.Similarity.pqSubCodebooks(e, "embedding", "vec_id", m = PqM, k = 4)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .collect().head.getSeq[Double](0).toSeq
+      graft.ops.Similarity.pqTopK(e, "embedding", "vec_id", cbs, qv, k = 10)
+        .select(col("vec_id"), round(col("pq_dist"), 6).as("adc_dist"))
+        .oracleOrderBy("vec_id")
+    },
+    Some(pqAdcSql(duckElem)))
+
+  val all: Seq[QueryDef] = Seq(q33, q34, q44, q58, q59)
 }

@@ -232,6 +232,17 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
     intercept[IllegalArgumentException](
       Similarity.pqSubCodebooks(pts, "embedding", "vec_id", m = 3, k = 2))
+
+    // ADC: scores come from codes alone. q = id 0's vector; per-row
+    // dist = lut(code_0) + lut(code_1) with luts against the exact q:
+    // id0 (0,0)->0, id3 (0,0)->0 (tie, id order), id2 (0,1)->2, id1 (1,1)->4
+    val top = Similarity.pqTopK(pts, "embedding", "vec_id", cbs,
+      Seq(1.0, 0.0, 0.0, 1.0), k = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(top.map(_._1).toSeq == Seq(0L, 3L, 2L, 1L))
+    assert(top.toMap == Map(0L -> 0.0, 3L -> 0.0, 2L -> 2.0, 1L -> 4.0))
+    intercept[IllegalArgumentException](
+      Similarity.pqTopK(pts, "embedding", "vec_id", cbs, Seq(1.0, 0.0), k = 2))
   }
 
   test("Similarity.cosineNearDuplicates clusters transitively in vector space") {
