@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
 
 /** x10 scale profile for the flagship LLM-data queries (round-4
   * verdict item 6): blow the sf0.1 corpus up 10x, re-run the q46
@@ -72,6 +72,18 @@ object ProfileScale {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 20),
         "embedding", "vec_id", centroids, k = 5, nProbe = 2)
     }
+    // round-5 additions: the two heaviest new text filters + PQ ADC
+    def q56(d: DataFrame) = TextAnalysis.repeatedNgramStats(d, "text", 2)
+      .filter(col("n_ngrams") > 0)
+      .select(col("doc_id"), col("n_ngrams"), col("n_distinct"), col("repeated_frac"))
+    def q57(d: DataFrame) = TextAnalysis.tfIdf(d, "doc_id", "text")
+    def q59(e: DataFrame) = {
+      val cbs = Similarity.pqSubCodebooks(e, "embedding", "vec_id", m = 4, k = 4)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .collect().head.getSeq[Double](0).toSeq
+      Similarity.pqTopK(e, "embedding", "vec_id", cbs, qv, k = 10)
+    }
 
     // Time CONSTRUCTION + execution: the dedup pipeline materializes
     // its stage boundaries eagerly (localCheckpoint) while the plan is
@@ -92,7 +104,10 @@ object ProfileScale {
     val results = Seq(
       ("q46 near-dup", () => q46(docs), () => q46(docs10)),
       ("q47 ann", () => q47(emb), () => q47(emb10)),
-      ("q48 ivf", () => q48(emb), () => q48(emb10))).map { case (name, at1, atN) =>
+      ("q48 ivf", () => q48(emb), () => q48(emb10)),
+      ("q56 repetition", () => q56(docs), () => q56(docs10)),
+      ("q57 tfidf", () => q57(docs), () => q57(docs10)),
+      ("q59 pq-adc", () => q59(emb), () => q59(emb10))).map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)
       val tN = run(s"$name x$factor", atN)
