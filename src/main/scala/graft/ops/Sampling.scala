@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for corpus curation. The
+  * sampling decision is a pure function of the row's id (the first 28
+  * bits of its md5), so a sample is REPRODUCIBLE across runs,
+  * partitionings, and engines: re-running a 100 TB pipeline keeps the
+  * exact same holdout rows, and adding data never reshuffles earlier
+  * membership. Every operator here is a narrow zero-shuffle filter or
+  * projection — sampling costs one codegen'd map over the scan.
+  */
+object Sampling {
+
+  /** 2^28 — the unit-hash denominator. 28 bits = 7 hex digits, enough
+    * resolution for per-million sampling rates while staying exactly
+    * representable in a double (so `u` is a dyadic rational and
+    * compares bit-identically on any IEEE754 engine). */
+  val UnitDenominator: Double = (1L << 28).toDouble
+
+  /** Uniform [0,1) hash of the id: the first 7 hex digits of
+    * md5(id as string) as a 28-bit integer over 2^28. DuckDB spells
+    * the same decode as an instr nibble polynomial (q60's oracle). */
+  def hashUnit(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 7), 16, 10)
+      .cast("long").cast("double") / UnitDenominator
+
+  /** Keep rows whose unit hash falls below `fraction` — a
+    * deterministic Bernoulli sample. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    df.filter(hashUnit(col(idCol)) < fraction)
+  }
+
+  /** Per-stratum sampling rates (quota curation: upsample rare
+    * sources, cap dominant ones). Strata missing from `fractions` get
+    * `defaultFraction`. */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
+    (fractions.values ++ Seq(defaultFraction)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction out of [0,1]: $f"))
+    // deterministic CASE order (sorted keys) so the plan is stable
+    val frac = fractions.toSeq.sortBy(_._1).foldLeft(lit(defaultFraction)) {
+      case (acc, (stratum, f)) => when(col(strataCol) === stratum, lit(f)).otherwise(acc)
+    }
+    df.filter(hashUnit(col(idCol)) < frac)
+  }
+
+  /** Deterministic split assignment (train/val/test): cumulative
+    * thresholds over the unit hash; every row gets exactly one label
+    * and membership never changes as the corpus grows. Weights must be
+    * positive and sum to 1 (within 1e-9). Prefer dyadic weights
+    * (0.75/0.125/0.125) — the cumulative bounds are then exact in
+    * binary and identical in any engine's float parser. */
+  def assignSplit(
+      df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "assignSplit needs at least one split")
+    require(splits.forall(_._2 > 0.0), s"split weights must be positive: $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $splits")
+    val u = hashUnit(col(idCol))
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+    // the last split is the otherwise-branch: u < 1 always lands there
+    val label = splits.zip(bounds).dropRight(1)
+      .foldRight(lit(splits.last._1): Column) { case (((name, _), bound), rest) =>
+        when(u < bound, name).otherwise(rest)
+      }
+    df.withColumn(outCol, label)
+  }
+}

@@ -380,6 +380,46 @@ object TextQueries {
       ORDER BY doc_id, tok"""),
     bench = true)
 
+  /** The unit hash of doc_id in DuckDB: the instr nibble polynomial
+    * over the first 7 hex digits of md5, over 2^28 (the same dyadic
+    * value Spark computes with conv). */
+  private val unitHashDuck = {
+    val poly = (0 until 7).map(j =>
+      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${1 + j}, 1)) - 1) * CAST(${1L << (4 * (6 - j))} AS BIGINT)")
+      .mkString(" + ")
+    s"CAST($poly AS DOUBLE) / CAST(268435456 AS DOUBLE)"
+  }
+
+  /** Deterministic corpus curation (library module `graft.ops.Sampling`
+    * — reproducible at any scale because membership is a pure function
+    * of the id hash, and a narrow zero-shuffle filter): per-source
+    * stratified sampling rates, then dyadic train/val/test split
+    * thresholds (0.75/0.875 are exact in binary — bit-identical CASE
+    * boundaries on both engines). */
+  val q60 = QueryDef(
+    "q60_deterministic_split",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sampled = graft.ops.Sampling.stratifiedSample(docs, "doc_id", "source",
+        Map("src0" -> 0.8, "src1" -> 0.5), defaultFraction = 0.25)
+      graft.ops.Sampling.assignSplit(sampled, "doc_id",
+        Seq(("train", 0.75), ("val", 0.125), ("test", 0.125)))
+        .select(col("doc_id"), col("source"),
+          round(graft.ops.Sampling.hashUnit(col("doc_id")), 6).as("u"),
+          col("split"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(s"""WITH h AS (SELECT doc_id, source, $unitHashDuck AS u FROM documents)
+      SELECT doc_id, source, round(u, 6) AS u,
+        CASE WHEN u < CAST(0.75 AS DOUBLE) THEN 'train'
+             WHEN u < CAST(0.875 AS DOUBLE) THEN 'val'
+             ELSE 'test' END AS split
+      FROM h
+      WHERE u < CASE source WHEN 'src0' THEN CAST(0.8 AS DOUBLE)
+                            WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
+                            ELSE CAST(0.25 AS DOUBLE) END
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57)
+    Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60)
 }

@@ -366,6 +366,46 @@ class OpsSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("Sampling: deterministic membership, strata rates, exhaustive splits") {
+    val rows = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+
+    // membership is a pure function of the id: same rows kept across
+    // partitionings, and a 25% rate lands near 100 of 400
+    val kept = Sampling.deterministicSample(rows, "id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    val keptRepart = Sampling.deterministicSample(rows.repartition(7), "id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == keptRepart)
+    assert(kept.size > 60 && kept.size < 140)
+    assert(Sampling.deterministicSample(rows, "id", 0.0).count() == 0)
+    assert(Sampling.deterministicSample(rows, "id", 1.0).count() == 400)
+
+    // stratified: each stratum is sampled at ITS rate — equal to
+    // running the plain sample on the stratum alone
+    val strat = Sampling.stratifiedSample(rows, "id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.3), defaultFraction = 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(strat.count(_._2 == "src0") == 100) // all of src0 kept
+    assert(strat.filter(_._2 == "src1").map(_._1).toSet ==
+      Sampling.deterministicSample(rows.filter(col("source") === "src1"), "id", 0.3)
+        .collect().map(_.getLong(0)).toSet)
+    assert(!strat.exists(s => s._2 == "src2" || s._2 == "src3")) // default 0
+
+    // splits: exhaustive, deterministic, roughly proportional
+    val split = Sampling.assignSplit(rows, "id",
+      Seq(("train", 0.75), ("val", 0.125), ("test", 0.125)))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split.values.sum == 400)
+    assert(split("train") > 250 && split("val") > 15 && split("test") > 15)
+    intercept[IllegalArgumentException](
+      Sampling.assignSplit(rows, "id", Seq(("a", 0.5), ("b", 0.4))))
+    intercept[IllegalArgumentException](
+      Sampling.deterministicSample(rows, "id", 1.5))
+    // narrow: no exchange over the scan
+    assert(!Sampling.deterministicSample(rows, "id", 0.5)
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("Geo.radiusJoin equals the naive theta-join") {
     val pts = Seq(
       (1L, "X", 52.100, 21.100), (2L, "X", 52.101, 21.101), // ~130m apart
