@@ -162,6 +162,29 @@ object TextAnalysis {
           .otherwise(lit(Double.NaN)))
   }
 
+  /** Benchmark decontamination (the standard pretraining hygiene
+    * pass): count, per training document, the distinct `n`-grams it
+    * shares with a held-out eval corpus, and flag documents at or
+    * above `minOverlap`. The eval n-gram set is DISTINCT and tiny
+    * relative to the corpus — at 100 TB it broadcasts, so the check is
+    * a broadcast join against each training document's exploded
+    * n-grams (one shuffle for the per-doc count, nothing corpus-wide).
+    * Training docs with no overlap keep `n_overlap = 0`. */
+  def decontaminate(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, minOverlap: Long = 1L): DataFrame = {
+    val trainGrams = train.select(col(idCol),
+      explode(array_distinct(ngramsOf(col(textCol), n))).as("gram"))
+    val evalGrams = eval.select(explode(ngramsOf(col(textCol), n)).as("gram")).distinct()
+    val overlap = trainGrams
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    train.join(overlap, Seq(idCol), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated", (col("n_overlap") >= minOverlap).cast("int"))
+  }
+
   /** Corpus-level TF-IDF over whitespace tokens: one row per
     * (document, term) with term frequency, document frequency and
     * `tf * ln(N / df)`. Two shuffles by construction — (doc, term)

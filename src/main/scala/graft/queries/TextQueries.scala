@@ -420,6 +420,34 @@ object TextQueries {
                             ELSE CAST(0.25 AS DOUBLE) END
       ORDER BY doc_id"""))
 
+  /** Benchmark decontamination (library module; at scale the eval
+    * trigram set broadcasts): docs 0..9 act as the held-out eval
+    * corpus, every other document is scored by how many DISTINCT
+    * trigrams it shares with them and flagged at >= 5. The oracle
+    * reuses the shingle CTE on both sides of the join. */
+  val q61 = QueryDef(
+    "q61_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextAnalysis.decontaminate(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", n = 3, minOverlap = 5L)
+        .select(col("doc_id"), col("n_overlap"), col("contaminated"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(s"""WITH tg AS (SELECT DISTINCT doc_id, sh FROM ($shinglesSqlDuck) sh_t
+                WHERE doc_id >= 10),
+        eg AS (SELECT DISTINCT sh FROM ($shinglesSqlDuck) sh_e WHERE doc_id < 10),
+        ov AS (SELECT tg.doc_id, count(*) AS n_overlap
+               FROM tg JOIN eg USING (sh) GROUP BY tg.doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        CAST(CASE WHEN coalesce(ov.n_overlap, 0) >= 5 THEN 1 ELSE 0 END AS INT)
+          AS contaminated
+      FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
+      WHERE d.doc_id >= 10 ORDER BY d.doc_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
-    Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60)
+    Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61)
 }

@@ -366,6 +366,24 @@ class OpsSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("TextAnalysis.decontaminate: distinct shared n-grams flag train docs") {
+    val eval = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox runs"), // shares 'the quick brown', 'quick brown fox'
+      (2L, "a the quick brown fox the quick brown fox b"), // dup shared grams count ONCE each
+      (3L, "entirely different words here"),
+      (4L, "xy")) // too short for trigrams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(train, eval, "doc_id", "text",
+      n = 3, minOverlap = 2L)
+      .select("doc_id", "n_overlap", "contaminated").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out(1L) == ((2L, 1)))
+    assert(out(2L) == ((2L, 1))) // array_distinct before the join
+    assert(out(3L) == ((0L, 0)))
+    assert(out(4L) == ((0L, 0))) // no n-grams, kept with zero overlap
+  }
+
   test("Sampling: deterministic membership, strata rates, exhaustive splits") {
     val rows = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
 
