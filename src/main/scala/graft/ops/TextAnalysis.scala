@@ -185,6 +185,38 @@ object TextAnalysis {
       .withColumn("contaminated", (col("n_overlap") >= minOverlap).cast("int"))
   }
 
+  /** Corpus-frequency boilerplate detection (the C4-style "shared
+    * across many documents" pass, complementing [[repeatedNgramStats]]
+    * which is within-document): an n-gram appearing in at least
+    * `minDocFreq` DISTINCT documents is boilerplate (headers, footers,
+    * license blurbs); each document is scored by how many of its
+    * distinct n-grams are boilerplate and by the fraction they make
+    * up. Two shuffles by construction — distinct (doc, gram) pairs,
+    * then the gram-keyed document-frequency count — and the flagged
+    * gram set joins back gram-keyed (AQE broadcasts it when small).
+    * Docs with no n-grams keep zero counts and a NaN fraction. */
+  def boilerplateStats(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDocFreq: Long = 2L): DataFrame = {
+    require(minDocFreq >= 1, s"minDocFreq must be >= 1, got $minDocFreq")
+    val docGrams = df.select(col(idCol),
+      explode(array_distinct(ngramsOf(col(textCol), n))).as("gram"))
+    val boiler = docGrams.groupBy("gram")
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocFreq)
+    val perDoc = docGrams
+      .join(boiler.select("gram"), Seq("gram"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_boiler"))
+    df.withColumn("n_grams",
+        size(array_distinct(ngramsOf(col(textCol), n))).cast("long"))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+      .withColumn("boiler_frac",
+        when(col("n_grams") > 0,
+          col("n_boiler").cast("double") / col("n_grams"))
+          .otherwise(lit(Double.NaN)))
+  }
+
   /** Corpus-level TF-IDF over whitespace tokens: one row per
     * (document, term) with term frequency, document frequency and
     * `tf * ln(N / df)`. Two shuffles by construction — (doc, term)

@@ -448,6 +448,33 @@ object TextQueries {
       WHERE d.doc_id >= 10 ORDER BY d.doc_id"""),
     bench = true)
 
+  /** Corpus-frequency boilerplate detection (library module — the
+    * cross-document twin of q56's within-document repetition): flag
+    * trigrams appearing in >= 3 distinct docs, score each doc by its
+    * boilerplate count and fraction. */
+  val q62 = QueryDef(
+    "q62_boilerplate_ngrams",
+    (s, dir) => {
+      graft.ops.TextAnalysis.boilerplateStats(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, minDocFreq = 3L)
+        .filter(col("n_grams") > 0)
+        .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+          round(col("boiler_frac"), 6).as("boiler_frac"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(s"""WITH dg AS (SELECT DISTINCT doc_id, sh FROM ($shinglesSqlDuck) s),
+        b AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM dg GROUP BY sh) t
+              WHERE df >= 3),
+        pd AS (SELECT dg.doc_id, count(*) AS n_boiler
+               FROM dg JOIN b USING (sh) GROUP BY dg.doc_id),
+        ng AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id)
+      SELECT d.doc_id, CAST(ng.n_grams AS BIGINT) AS n_grams,
+        CAST(coalesce(pd.n_boiler, 0) AS BIGINT) AS n_boiler,
+        round(CAST(coalesce(pd.n_boiler, 0) AS DOUBLE) / ng.n_grams, 6)
+          AS boiler_frac
+      FROM documents d JOIN ng USING (doc_id) LEFT JOIN pd USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61)
+    Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61, q62)
 }

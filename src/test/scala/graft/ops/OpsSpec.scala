@@ -384,6 +384,26 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0))) // no n-grams, kept with zero overlap
   }
 
+  test("TextAnalysis.boilerplateStats: cross-doc n-gram frequency flags") {
+    val rows = Seq(
+      (1L, "shared footer text plus alpha"),   // 'shared footer text' in 1,2,3
+      (2L, "shared footer text plus beta"),    // 'footer text plus' too
+      (3L, "intro words then shared footer text"),
+      (4L, "totally unrelated content here"),
+      (5L, "xy")) // no trigrams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateStats(rows, "doc_id", "text",
+      n = 3, minDocFreq = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_boiler"),
+          r.getAs[Double]("boiler_frac")))).toMap
+    // only 'shared footer text' reaches doc_freq 3
+    assert(out(1L) == ((3L, 1L, 1.0 / 3)))
+    assert(out(2L)._2 == 1L && out(3L)._2 == 1L)
+    assert(out(4L) == ((2L, 0L, 0.0)))
+    assert(out(5L)._1 == 0L && out(5L)._3.isNaN) // gram-free doc kept
+  }
+
   test("Sampling: deterministic membership, strata rates, exhaustive splits") {
     val rows = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
 
