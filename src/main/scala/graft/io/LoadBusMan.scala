@@ -154,7 +154,16 @@ final case class LoadBusMan(
   /** A BusMan table: `<dir>/<name>.csv` for a directory resource, a
     * `<name>.csv` member for a zip archive of pre-exported tables, or
     * `mdb-export <mdb> <name>` for an .mdb file (same tool the
-    * reference uses, extern to the JVM). */
+    * reference uses, extern to the JVM).
+    *
+    * The zip and mdb paths extract to `java.io.tmpdir` on the DRIVER
+    * and read it with `spark.read.csv` — executors must be able to see
+    * that path, which holds in local mode (this pipeline's deployment,
+    * like the reference's single-process model) or with a shared
+    * tmpdir. On a multi-node cluster point `java.io.tmpdir` (or a
+    * future workspace-dir parameter) at shared storage; the inputs are
+    * single small city feeds, so driver-local staging is not a
+    * scale path. */
   private def readTable(s: SparkSession, resource: Path, name: String): DataFrame = {
     val csvPath =
       if (Files.isDirectory(resource)) resource.resolve(s"$name.csv")

@@ -115,11 +115,19 @@ object Similarity {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     var centroids = deterministicCentroids(df, embCol, idCol, k)
     for (_ <- 0 until iters) {
-      val emb = asDouble(col(embCol))
-      val means = ivfAssign(df, embCol, centroids)
+      // project the cast array ONCE; element_at then hits the
+      // materialized column. Folding asDouble(col(embCol)) into every
+      // aggregate would re-run the array cast per output column —
+      // O(dim^2) per row per iteration (the same Catalyst inlining
+      // pitfall as outer-column lambda references; CollapseProject
+      // keeps this projection because the alias is non-cheap and
+      // referenced dim times).
+      val cast = ivfAssign(df, embCol, centroids)
+        .select(col("cell"), asDouble(col(embCol)).as("__emb"))
+      val means = cast
         .groupBy("cell")
-        .agg(avg(element_at(emb, 1)).as("m0"),
-          (1 until dim).map(j => avg(element_at(emb, j + 1)).as(s"m$j")): _*)
+        .agg(avg(element_at(col("__emb"), 1)).as("m0"),
+          (1 until dim).map(j => avg(element_at(col("__emb"), j + 1)).as(s"m$j")): _*)
         .collect()
         .map(r => r.getLong(0) -> (0 until dim).map(j => r.getDouble(j + 1)).toSeq)
         .toMap
@@ -221,23 +229,24 @@ object Similarity {
     }
   }
 
-  /** PQ asymmetric-distance top-k (ADC): the query vector stays exact;
-    * every data row is scored from its CODES ALONE by summing
-    * per-subspace lookup tables dist(query_sub, centroid[code]) built
-    * driver-side (m × k doubles). The scan touches only the m code
-    * columns — at 100 TB this is the point of PQ: the raw vectors are
-    * never read at query time. Scoring is a narrow sum of m CASE
+  /** PQ asymmetric-distance top-k (ADC) over an ALREADY-ENCODED code
+    * table (`code_0..code_{m-1}` columns, as produced by [[pqEncode]]):
+    * the query vector stays exact; every data row is scored from its
+    * CODES ALONE by summing per-subspace lookup tables
+    * dist(query_sub, centroid[code]) built driver-side (m × k doubles).
+    * The scan touches only the m code columns — at 100 TB this is the
+    * point of PQ: codes are precomputed at ingest and the raw vectors
+    * are never read at query time. Scoring is a narrow sum of m CASE
     * lookups; top-k is orderBy+limit (TakeOrdered per-partition heaps).
     * Lookup distances fold left-to-right like [[pqEncode]]'s, so
     * results stay oracle-checkable. */
-  def pqTopK(
-      data: DataFrame, embCol: String, idCol: String,
+  def pqTopKFromCodes(
+      encoded: DataFrame, idCol: String,
       codebooks: Seq[Seq[(Long, Seq[Double])]],
       queryVec: Seq[Double], k: Int = 10): DataFrame = {
     val subDim = codebooks.head.head._2.length
     require(queryVec.length == codebooks.length * subDim,
       s"query dim ${queryVec.length} != ${codebooks.length} x $subDim")
-    val encoded = pqEncode(data, embCol, codebooks)
     val score = codebooks.zipWithIndex.map { case (cb, mi) =>
       val qs = queryVec.slice(mi * subDim, (mi + 1) * subDim)
       val lut = cb.map { case (cid, cv) =>
@@ -253,6 +262,16 @@ object Similarity {
       .limit(k)
       .select(col(idCol), col("pq_dist"))
   }
+
+  /** Convenience ADC top-k from RAW embeddings: derives the codes on
+    * the fly with [[pqEncode]] (so this variant DOES read the vectors)
+    * and delegates to [[pqTopKFromCodes]]. Production keeps a
+    * materialized code table and queries it directly. */
+  def pqTopK(
+      data: DataFrame, embCol: String, idCol: String,
+      codebooks: Seq[Seq[(Long, Seq[Double])]],
+      queryVec: Seq[Double], k: Int = 10): DataFrame =
+    pqTopKFromCodes(pqEncode(data, embCol, codebooks), idCol, codebooks, queryVec, k)
 
   /** Embedding-cosine near-duplicate pairs: LSH bucket, then pairwise
     * cosine within buckets, keep pairs above `threshold`. */

@@ -39,24 +39,40 @@ object TextAnalysis {
     ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), ""))) /
       needle.length).cast("long")
 
+  /** The ONE whitespace class used everywhere a text op strips or
+    * splits on whitespace — spelled out (no `\s`) so Spark's Java regex
+    * and DuckDB's RE2 agree character for character (Java's `\s`
+    * includes vertical tab, RE2's does not). Must stay in sync with the
+    * class inside [[BpePattern]]. */
+  val WhitespaceClass: String = "[ \\t\\n\\x0B\\f\\r]"
+
   /** Quality metrics: n_chars, n_tokens, avg word length, alpha ratio,
     * stopword ratio (against a small built-in English stopword list).
     * Low-quality docs (boilerplate, garbage) score outside the typical
-    * [2..12] avg-word-length and [0.05..0.6] stopword-ratio bands. */
+    * [2..12] avg-word-length and [0.05..0.6] stopword-ratio bands.
+    *
+    * The stopword count is ONE tokenize + one per-row array filter —
+    * it does not scale with the stopword list (the first formulation
+    * chained one `regexp_replace` full-text scan per stopword, O(list)
+    * passes per document; real lists run to hundreds of words). The
+    * stopword set is a foldable array literal, so referencing it inside
+    * the lambda costs nothing — the Catalyst inlining trap only bites
+    * on non-foldable outer expressions. */
   def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val padded = concat(lit(" "), lower(t), lit(" "))
-    val stopHits = Stopwords.map(w => countOccurrences(padded, s" $w ")).reduce(_ + _)
+    val stopSet = array(Stopwords.map(lit): _*)
+    val toks = split(trim(lower(t)), "\\s+")
+    val stopHits = size(filter(toks, x => array_contains(stopSet, x))).cast("long")
     df.withColumn("n_chars", length(t).cast("long"))
       .withColumn("n_tokens", tokenCount(t))
       .withColumn("avg_word_len",
-        length(regexp_replace(t, "\\s", "")).cast("double") / col("n_tokens"))
+        length(regexp_replace(t, WhitespaceClass, "")).cast("double") / col("n_tokens"))
       .withColumn("alpha_ratio",
         length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / col("n_chars"))
       .withColumn("stopword_ratio", stopHits.cast("double") / col("n_tokens"))
   }
 
-  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  private[graft] val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
   /** Marker-word language scores + argmax prediction. `markers` maps a
     * language code to its marker words. N-gram-free heuristic in pure
@@ -118,7 +134,10 @@ object TextAnalysis {
       acc => acc.getField("best"))
     df.withColumn("n_tok", size(toks).cast("long"))
       .withColumn("avg_word_len",
-        length(regexp_replace(t, " ", "")).cast("double") / col("n_tok"))
+        // the SAME explicit whitespace class the tokenizer's \s+ split
+        // matches — stripping only ' ' would count tabs/newlines into
+        // the character total and inflate the mean word length
+        length(regexp_replace(t, WhitespaceClass, "")).cast("double") / col("n_tok"))
       .withColumn("top_word_frac", maxTf.cast("double") / col("n_tok"))
       .withColumn("quality_pass",
         (col("n_tok") >= minTok && col("n_tok") <= maxTok &&

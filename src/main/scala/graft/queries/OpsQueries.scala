@@ -31,7 +31,12 @@ object OpsQueries {
     },
     Some(TextQueries.simhashDuckSql))
 
-  /** TextAnalysis.qualityMetrics over documents. */
+  /** TextAnalysis.qualityMetrics over documents. The oracle mirrors
+    * the module's one-pass stopword count relationally (unnest + IN +
+    * GROUP BY — token-equality semantics, so consecutive stopwords
+    * each count, unlike the old padded-substring replace trick which
+    * consumed the shared space), and strips the SAME explicit
+    * whitespace class as the Spark side. */
   val q41 = QueryDef(
     "q41_text_quality_op",
     (s, dir) => {
@@ -43,21 +48,23 @@ object OpsQueries {
         .oracleOrderBy("doc_id")
     },
     {
-      val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
-      val hits = stop.map(w =>
-        s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)")
-        .mkString(" + ")
-      Some(s"""SELECT doc_id, n_chars, n_tokens,
+      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      Some(s"""WITH tok AS (SELECT doc_id,
+                  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+                FROM documents),
+          hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_stop
+                   FROM tok WHERE tok IN ($stop) GROUP BY doc_id)
+        SELECT doc_id, n_chars, n_tokens,
           round(CAST(n_nospace AS DOUBLE) / n_tokens, 6) AS avg_word_len,
           round(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio,
-          round(CAST($hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio
+          round(CAST(coalesce(n_stop, 0) AS DOUBLE) / n_tokens, 6) AS stopword_ratio
         FROM (SELECT doc_id,
                 CAST(length(text) AS BIGINT) AS n_chars,
                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-                CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nospace,
-                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
-                ' ' || lower(text) || ' ' AS p
-              FROM documents)
+                CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS BIGINT) AS n_nospace,
+                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha
+              FROM documents) b
+        LEFT JOIN hits USING (doc_id)
         ORDER BY doc_id""")
     })
 

@@ -321,7 +321,7 @@ object TextQueries {
         agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, max(c) AS max_tf
                 FROM tf GROUP BY doc_id),
         base AS (SELECT d.doc_id, a.n_tok,
-                   CAST(length(replace(d.text, ' ', '')) AS DOUBLE) / a.n_tok AS awl,
+                   CAST(length(regexp_replace(d.text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE) / a.n_tok AS awl,
                    CAST(a.max_tf AS DOUBLE) / a.n_tok AS twf
                  FROM documents d JOIN agg a ON a.doc_id = d.doc_id)
       SELECT doc_id, n_tok,

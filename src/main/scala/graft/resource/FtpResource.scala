@@ -28,7 +28,12 @@ import javax.net.ssl.{SSLContext, SSLSocket}
   *
   * Driver-side only, like every [[Resource]]. `sslContext` defaults to
   * the JVM's (system trust store); tests inject one trusting their
-  * stub certificate.
+  * stub certificate. TLS sockets verify the server's hostname against
+  * its certificate (endpoint identification — without it any
+  * CA-issued certificate for any domain would pass, inviting MITM; the
+  * reference's `ftplib.FTP_TLS` verifies nothing by default, which we
+  * deliberately do NOT mirror). Set `verifyHostname = false` only for
+  * stubs whose self-signed certificate lacks a matching SAN.
   */
 final case class FtpResource(
     host: String,
@@ -37,10 +42,11 @@ final case class FtpResource(
     password: String,
     port: Int = 21,
     tls: Boolean = false,
-    sslContext: Option[SSLContext] = None) extends Resource {
+    sslContext: Option[SSLContext] = None,
+    verifyHostname: Boolean = true) extends Resource {
 
   def fetch(conditional: Boolean): InputStream = {
-    val ftp = new FtpResource.Client(host, port, tls, sslContext)
+    val ftp = new FtpResource.Client(host, port, tls, sslContext, verifyHostname)
     try {
       ftp.login(username, password)
       if (tls) ftp.protP() // reference: ftp.prot_p() right after login
@@ -73,7 +79,8 @@ object FtpResource {
     * MDTM, TYPE I, PASV, RETR. */
   private[resource] final class Client(
       host: String, port: Int,
-      tls: Boolean = false, sslContext: Option[SSLContext] = None) {
+      tls: Boolean = false, sslContext: Option[SSLContext] = None,
+      verifyHostname: Boolean = true) {
 
     private var control: Socket = new Socket(host, port)
     private var in = reader(control)
@@ -97,6 +104,13 @@ object FtpResource {
       val factory = sslContext.getOrElse(SSLContext.getDefault).getSocketFactory
       val ssl = factory.createSocket(s, host, port, true).asInstanceOf[SSLSocket]
       ssl.setUseClientMode(clientMode)
+      if (verifyHostname) {
+        // endpoint identification: the certificate must actually be
+        // for `host` (SAN check), not merely chain to a trusted CA
+        val params = ssl.getSSLParameters
+        params.setEndpointIdentificationAlgorithm("HTTPS")
+        ssl.setSSLParameters(params)
+      }
       ssl.startHandshake()
       ssl
     }
@@ -127,14 +141,17 @@ object FtpResource {
       val dataPort = pasv()
       // the PatchedFTP rule: connect to the CONTROL host, PASV's
       // advertised address is not trusted
-      val plain = new Socket(host, dataPort)
+      var data: Socket = new Socket(host, dataPort)
       val bytes =
         try {
           val (rc, rt) = cmd(s"RETR $filename")
           check(rc == 150 || rc == 125, rc, rt)
-          val data = if (dataProtected) wrapTls(plain, clientMode = true) else plain
+          if (dataProtected) data = wrapTls(data, clientMode = true)
           data.getInputStream.readAllBytes()
-        } finally plain.close()
+          // closing the WRAPPED socket sends TLS close_notify (and
+          // closes the underlying plain socket); closing only the plain
+          // one reads as an aborted transfer to strict FTPS servers
+        } finally data.close()
       expect(226)
       bytes
     }

@@ -334,6 +334,39 @@ class OpsSpec extends SparkSpec {
     assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("TextAnalysis.gopherQuality: tabs/newlines strip like spaces in avg_word_len") {
+    // identical token streams under the \s+ tokenizer — the whitespace
+    // class stripped for the character total must match it, or the
+    // tab/newline twin's avg_word_len silently inflates
+    val rows = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha\tbeta\ngamma\r\ndelta"))
+      .toDF("doc_id", "text")
+    val q = TextAnalysis.gopherQuality(rows, "text")
+      .select(col("doc_id"), col("n_tok"), col("avg_word_len"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(q(1L) == ((4L, 19.0 / 4)))
+    assert(q(2L) == q(1L))
+  }
+
+  test("TextAnalysis.qualityMetrics: one-pass stopword count, consecutive stopwords") {
+    // token-equality semantics: in "of the" BOTH stopwords count (the
+    // old padded " w " replace consumed the shared space and missed
+    // the second); tabs/newlines separate tokens like spaces
+    val rows = Seq((1L, "of the\tessence"), (2L, "plain words only")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityMetrics(rows, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("stopword_ratio"),
+          r.getAs[Double]("avg_word_len"))).toMap
+    assert(q(1L) == ((3L, 2.0 / 3, 12.0 / 3)))
+    assert(q(2L)._2 == 0.0)
+    // one-pass: the plan carries exactly ONE regex tokenize for the
+    // stopword count, not one scan per stopword
+    val plan = TextAnalysis.qualityMetrics(rows, "text")
+      .select("stopword_ratio").queryExecution.optimizedPlan.toString
+    assert(!plan.contains("regexp_replace"))
+  }
+
   test("TextAnalysis.repeatedNgramStats: duplicate fraction, short docs") {
     val rows = Seq(
       (1L, "a b a b c"), // bigrams: ab,ba,ab,bc -> 4 total, 3 distinct

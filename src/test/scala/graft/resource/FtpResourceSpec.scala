@@ -64,6 +64,23 @@ class FtpResourceSpec extends AnyFunSuite {
     } finally stub.close()
   }
 
+  test("FtpResource FTPS: hostname mismatch rejected unless verification is off") {
+    // certificate is for dns:example.invalid, we connect to 127.0.0.1:
+    // endpoint identification must refuse the handshake even though the
+    // client TRUSTS the certificate (MITM with any valid cert otherwise)
+    val (serverCtx, clientCtx) = FtpResourceSpec.selfSignedContexts(san = "dns:example.invalid")
+    val payload = "x".getBytes(StandardCharsets.UTF_8)
+    val stub = new StubFtpServer(payload, "20240611213000", tlsContext = Some(serverCtx))
+    try {
+      val res = FtpResource("127.0.0.1", "f", "pkp", "hunter2",
+        port = stub.port, tls = true, sslContext = Some(clientCtx))
+      intercept[java.io.IOException](res.fetch(conditional = false))
+      // the documented stub escape hatch: verification off -> succeeds
+      val lax = res.copy(verifyHostname = false)
+      assert(lax.fetch(conditional = false).readAllBytes().sameElements(payload))
+    } finally stub.close()
+  }
+
   test("FtpResource: bad credentials surface as an FTP error") {
     val stub = new StubFtpServer(Array.emptyByteArray, "20240611213000")
     try {
@@ -78,15 +95,20 @@ class FtpResourceSpec extends AnyFunSuite {
 object FtpResourceSpec {
   /** Server + client SSLContexts from a keytool-generated self-signed
     * certificate: the server keystore holds the private key, the
-    * client trusts exactly that one certificate. */
-  def selfSignedContexts(): (javax.net.ssl.SSLContext, javax.net.ssl.SSLContext) = {
+    * client trusts exactly that one certificate. The default SAN makes
+    * the certificate valid for 127.0.0.1 under endpoint identification
+    * (Java checks IP SANs, not the CN, for IP hosts); pass a different
+    * one to test hostname-mismatch rejection. */
+  def selfSignedContexts(
+      san: String = "ip:127.0.0.1"): (javax.net.ssl.SSLContext, javax.net.ssl.SSLContext) = {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("ftps_ks")
     val ksPath = dir.resolve("stub.p12")
     val proc = new ProcessBuilder("keytool", "-genkeypair", "-alias", "stub",
       "-keyalg", "RSA", "-keysize", "2048", "-validity", "1",
       "-keystore", ksPath.toString, "-storetype", "PKCS12",
-      "-storepass", "changeit", "-dname", "CN=127.0.0.1")
+      "-storepass", "changeit", "-dname", "CN=127.0.0.1",
+      "-ext", s"san=$san")
       .redirectErrorStream(true).start()
     require(proc.waitFor() == 0, "keytool failed: " +
       new String(proc.getInputStream.readAllBytes()))

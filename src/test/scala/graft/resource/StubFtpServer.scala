@@ -27,7 +27,9 @@ final class StubFtpServer(
     try {
       while (!server.isClosed) {
         val s = server.accept()
-        try handle(s) finally s.close()
+        // a failed conversation (e.g. the client aborting the TLS
+        // handshake on hostname mismatch) must not kill the accept loop
+        try handle(s) catch { case _: Exception => () } finally s.close()
       }
     } catch { case _: Throwable => () } // closed
   })
