@@ -1,0 +1,84 @@
+package graft.examples.warsaw
+
+import java.nio.file.Path
+
+import graft.io.SaveGtfs
+import graft.operators.{AddEntity, RemoveUnusedEntities}
+import graft.resource._
+
+/** The Warsaw GTFS application (reference: examples/warsaw/__main__.py)
+  * — the reference's flagship example: a [[MultiFile]] orchestration
+  * over the FTP-published ZTM schedule versions discovered by
+  * [[ZtmFeedProvider]].
+  *
+  * Per version (__main__.py:68-87): the ZTM import with curated stop
+  * names, the feed-info row, railway-station merging, curated missing
+  * stop locations, Warsaw headsigns, dropping position-less stops and
+  * the unused-entity sweep. The final pipeline merges the versions and
+  * saves `warsaw.zip` (__main__.py:88-90). The two curation overlays
+  * ride along as `additional_resources` (__main__.py:91-98), visible
+  * to every intermediate pipeline.
+  *
+  * The provider and both curation resources are injectable for tests;
+  * the defaults hit the real endpoints like the reference.
+  */
+class WarsawGtfs(
+    provider: IntermediateFeedProvider = new ZtmFeedProvider(),
+    stopNamesResource: Resource = HttpResource(WarsawGtfs.StopNamesUrl),
+    stopLocationsResource: Resource = HttpResource(WarsawGtfs.StopLocationsUrl),
+    workspace: Path = Path.of("_workspace_warsaw"))
+  extends App("WarsawGtfs", workspace) {
+
+  def prepare(args: AppArgs, options: PipelineOptions): PreparedRun =
+    PreparedMultiFile(new MultiFile(
+      provider = provider,
+      intermediatePipeline = feed => Seq(
+        ImportZtm(feed.resourceName, stopNamesResourceName = Some("stop_names.json")),
+        AddEntity("feed_info", Map(
+          "feed_info_id" -> 0,
+          "publisher_name" -> "Mikołaj Kuranowski",
+          "publisher_url" -> "https://mkuran.pl/gtfs/",
+          "lang" -> "pl",
+          "version" -> feed.version)),
+        graft.examples.MergeRailwayStations(),
+        WarsawTasks.FixStopLocations("stop_locations.json"),
+        WarsawTasks.GenerateTripHeadsign,
+        WarsawTasks.RemoveStopsWithoutLocations,
+        RemoveUnusedEntities),
+      finalTasks = Seq(
+        SaveGtfs(WarsawGtfs.GtfsHeaders, options.workspace.resolve("warsaw.zip"))),
+      options = options,
+      additionalResources = Map(
+        "stop_names.json" -> stopNamesResource,
+        "stop_locations.json" -> stopLocationsResource)))
+}
+
+object WarsawGtfs {
+  /** __main__.py:92-97 */
+  val StopNamesUrl =
+    "https://raw.githubusercontent.com/MKuranowski/WarsawGTFS/master/data_curated/stop_names.json"
+  val StopLocationsUrl =
+    "https://raw.githubusercontent.com/MKuranowski/WarsawGTFS/master/data_curated/missing_stop_locations.json"
+
+  /** __main__.py:15-60. The reference spells the first member "agency"
+    * with a first column of "agency_id.txt" — an obvious typo (every
+    * sibling example writes `agency.txt` / `agency_id`, and so does
+    * this app). */
+  val GtfsHeaders: Seq[(String, Seq[String])] = Seq(
+    "agency.txt" -> Seq(
+      "agency_id", "agency_name", "agency_url", "agency_timezone",
+      "agency_lang", "agency_phone"),
+    "stops.txt" -> Seq(
+      "stop_id", "stop_name", "stop_lat", "stop_lon", "zone_id",
+      "wheelchair_boarding"),
+    "routes.txt" -> Seq(
+      "agency_id", "route_id", "route_short_name", "route_long_name",
+      "route_type", "route_color", "route_text_color"),
+    "trips.txt" -> Seq(
+      "route_id", "service_id", "trip_id", "trip_headsign", "direction_id",
+      "wheelchair_accessible", "exceptional"),
+    "stop_times.txt" -> Seq(
+      "trip_id", "stop_sequence", "stop_id", "arrival_time", "departure_time",
+      "pickup_type", "drop_off_type"),
+    "calendar_dates.txt" -> Seq("service_id", "date", "exception_type"))
+}

@@ -1,0 +1,59 @@
+package graft.examples.warsaw
+
+import java.time.LocalDate
+
+import graft.resource.{FtpResource, IntermediateFeed, IntermediateFeedProvider, MultiFile, Resource}
+
+/** Discovers the published Warsaw ZTM schedule versions from the
+  * carrier's FTP listing (reference: ZTMFeedProvider,
+  * examples/warsaw/ztm_ftp.py:55-82).
+  *
+  * Every `RAyymmdd.7z` file in the server root is one feed version:
+  * the version string is the filename up to the first dot and the
+  * start date parses from its digits (`RA240611` -> 2024-06-11,
+  * ztm_ftp.py:63-79). Versions superseded on `forDate` are dropped
+  * with [[MultiFile.pruneOutdatedFeeds]] (ztm_ftp.py:81). Each kept
+  * version downloads through an anonymous [[FtpResource]], whose MDTM
+  * conditional rule is the same one the PKP IC app relies on
+  * (ztm_ftp.py:42-52's FTPResource — both reuse the PatchedFTP client
+  * semantics).
+  *
+  * `host`/`port` are injectable so tests drive the REAL listing +
+  * MDTM + retrieval conversation against the in-process stub server.
+  * `adapt` wraps each version's resource: the carrier publishes
+  * 7z-compressed archives, which the JVM cannot decode
+  * (ImportZtm's documented limitation) — production fronts the file
+  * with a decompressing resource there; fixtures feed plain text.
+  */
+final class ZtmFeedProvider(
+    forDate: Option[LocalDate] = None,
+    host: String = ZtmFeedProvider.FtpHost,
+    port: Int = 21,
+    adapt: Resource => Resource = identity) extends IntermediateFeedProvider {
+
+  def needed(): Seq[IntermediateFeed] = {
+    val all = FtpResource.list(
+        host, port, ZtmFeedProvider.AnonymousUser, ZtmFeedProvider.AnonymousPassword)
+      .filter(f => f.startsWith("RA") && f.endsWith(".7z"))
+      .map { filename =>
+        IntermediateFeed(
+          version = filename.takeWhile(_ != '.'),
+          resource = adapt(FtpResource(host, filename,
+            ZtmFeedProvider.AnonymousUser, ZtmFeedProvider.AnonymousPassword, port)),
+          resourceName = filename,
+          startDate = LocalDate.of(
+            2000 + filename.slice(2, 4).toInt,
+            filename.slice(4, 6).toInt,
+            filename.slice(6, 8).toInt))
+      }
+    MultiFile.pruneOutdatedFeeds(all, forDate.getOrElse(LocalDate.now()))
+  }
+}
+
+object ZtmFeedProvider {
+  /** ztm_ftp.py:10 */
+  val FtpHost = "rozklady.ztm.waw.pl"
+  /** ftplib's anonymous-login defaults (ztm_ftp.py:61 `ftp.login()`). */
+  val AnonymousUser = "anonymous"
+  val AnonymousPassword = "anonymous@"
+}

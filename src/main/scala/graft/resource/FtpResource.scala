@@ -62,6 +62,22 @@ final case class FtpResource(
 
 object FtpResource {
 
+  /** One-shot NLST directory listing — the feed-discovery primitive
+    * (reference: `ftp.nlst()` inside ZTMFeedProvider.needed,
+    * ztm_ftp.py:60-77). Anonymous by default, like `ftplib.login()`. */
+  def list(
+      host: String, port: Int = 21,
+      username: String = "anonymous", password: String = "anonymous@",
+      tls: Boolean = false, sslContext: Option[SSLContext] = None,
+      verifyHostname: Boolean = true): Seq[String] = {
+    val ftp = new Client(host, port, tls, sslContext, verifyHostname)
+    try {
+      ftp.login(username, password)
+      if (tls) ftp.protP()
+      ftp.nlst()
+    } finally ftp.close()
+  }
+
   /** ftp_resource.py:30-37 — 14 digits, or longer with a fraction. */
   private[resource] def parseModTime(x: String): Instant = {
     val base = DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
@@ -135,8 +151,19 @@ object FtpResource {
       parseModTime(text.trim)
     }
 
-    def retr(filename: String): Array[Byte] = {
-      val (tc, tt) = cmd("TYPE I")
+    def retr(filename: String): Array[Byte] = transfer(s"RETR $filename", "I")
+
+    /** NLST directory listing (the reference provider's `ftp.nlst()`,
+      * ztm_ftp.py:77): one name per line over an ASCII data
+      * connection. */
+    def nlst(): Seq[String] =
+      new String(transfer("NLST", "A"), StandardCharsets.ISO_8859_1)
+        .split("\r?\n").toSeq.map(_.trim).filter(_.nonEmpty)
+
+    /** One PASV data transfer: TYPE, PASV, the transfer command, read
+      * the data connection to EOF, then the 226 completion reply. */
+    private def transfer(transferCmd: String, typeArg: String): Array[Byte] = {
+      val (tc, tt) = cmd(s"TYPE $typeArg")
       check(tc == 200, tc, tt)
       val dataPort = pasv()
       // the PatchedFTP rule: connect to the CONTROL host, PASV's
@@ -144,7 +171,7 @@ object FtpResource {
       var data: Socket = new Socket(host, dataPort)
       val bytes =
         try {
-          val (rc, rt) = cmd(s"RETR $filename")
+          val (rc, rt) = cmd(transferCmd)
           check(rc == 150 || rc == 125, rc, rt)
           if (dataProtected) data = wrapTls(data, clientMode = true)
           data.getInputStream.readAllBytes()

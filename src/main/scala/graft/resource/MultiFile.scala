@@ -99,19 +99,30 @@ final class MultiFile(
     managedResources = managed
 
     // rebuild stale intermediates (multi_file.py:387-458)
+    var rebuilt = 0
     needed.foreach { f =>
       val res = managed(f.resourceName)
       val fresh = Files.exists(feedStamp(f.version)) &&
         Files.readString(feedStamp(f.version)).toLong >=
           res.lastModified.toEpochMilli
-      if (!fresh || options.forceRun) {
+      // a version whose conditional fetch actually downloaded is
+      // ALWAYS rebuilt (multi_file.py:423-427's `updated` set) — the
+      // stamp rule alone would miss a republish whose mod time still
+      // predates the previous build's wall clock
+      if (!fresh || res.modified || options.forceRun) {
         val rt = TaskRuntime(spark, managed, Map.empty)
         val feed = new Pipeline(intermediatePipeline(f))
           .run(PipelineRunner.emptyFeed(spark), rt)
         FeedIO.save(feed, feedDir(f.version))
         Files.writeString(feedStamp(f.version), System.currentTimeMillis().toString)
+        rebuilt += 1
       }
     }
+
+    // no version needed a rebuild and we are not replaying from cache:
+    // the whole orchestration short-circuits, exactly like a plain
+    // pipeline whose inputs are unchanged (multi_file.py:317-319)
+    if (rebuilt == 0 && !options.fromCache) throw new InputNotModified
 
     // final pipeline: merge all versions, each truncated to its window
     // (multi_file.py:460-525)

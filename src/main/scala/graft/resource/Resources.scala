@@ -19,7 +19,14 @@ final class ResourceNotCached(name: String)
 
 /** A locally cached resource handed to tasks (reference:
   * ManagedResource, resource.py:451-571). */
-final case class ManagedResource(storedAt: Path, lastModified: Instant, fetchTime: Instant) {
+/** A cached external input handed to tasks. `modified` records whether
+  * THIS preparation's conditional fetch actually downloaded new
+  * content (resource.py's cache result flag) — MultiFile rebuilds a
+  * version on it even when the build stamp post-dates the server-side
+  * mod time. */
+final case class ManagedResource(
+    storedAt: Path, lastModified: Instant, fetchTime: Instant,
+    modified: Boolean = false) {
   def text: String = Files.readString(storedAt)
 }
 
@@ -163,7 +170,7 @@ object ResourceCache {
         } catch { case _: InputNotModified => false }
       writeMetadata(res, metadataPath(workspace, name))
       anyModified ||= modified
-      name -> ManagedResource(cached, res.lastModified, res.fetchTime)
+      name -> ManagedResource(cached, res.lastModified, res.fetchTime, modified)
     }
     (managed, anyModified)
   }

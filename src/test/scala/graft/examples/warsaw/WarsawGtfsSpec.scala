@@ -1,0 +1,118 @@
+package graft.examples.warsaw
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.time.{Instant, LocalDate}
+
+import graft.SparkSpec
+import graft.resource._
+import graft.resource.TestingMocks.MockResource
+
+/** Golden e2e of the Warsaw application wiring — the reference's
+  * flagship example (examples/warsaw/__main__.py + ztm_ftp.py): FTP
+  * listing -> version discovery -> pruneOutdatedFeeds ->
+  * MDTM-conditional download per version -> the full ZTM task chain ->
+  * merged windowed versions -> GTFS zip, all against the in-process
+  * stub FTP server. Mirrors PkpIcGtfsSpec's InputNotModified
+  * short-circuit, here through the MultiFile orchestration. */
+class WarsawGtfsSpec extends SparkSpec {
+
+  // three published versions: RA240210 is superseded on the test date,
+  // RA240301 is active, RA240320 is upcoming. v1's third calendar date
+  // (2024-03-21) falls INSIDE v2's validity window and must be
+  // truncated away by the merge windowing; v2 carries its own dates.
+  private val files = Map(
+    "RA240210.7z" -> ZtmFixture.bytes("2024-02-12", "2024-02-13", "2024-02-14"),
+    "RA240301.7z" -> ZtmFixture.bytes("2024-03-04", "2024-03-05", "2024-03-21"),
+    "RA240320.7z" -> ZtmFixture.bytes("2024-03-21", "2024-03-22", "2024-03-23"),
+    "readme.txt" -> "not a feed".getBytes(StandardCharsets.UTF_8),
+    "RAnotes.zip" -> "wrong extension".getBytes(StandardCharsets.UTF_8))
+
+  test("WarsawGtfs end-to-end: listing, prune, MDTM cache, windowed merge, zip") {
+    val stub = new StubFtpServer(Array.emptyByteArray, "20240301060000",
+      password = ZtmFeedProvider.AnonymousPassword, files = files,
+      mdtms = Map("RA240320.7z" -> "20240312080000"))
+    val ws = Files.createTempDirectory("warsaw_ws")
+    try {
+      def newApp = new WarsawGtfs(
+        provider = new ZtmFeedProvider(
+          forDate = Some(LocalDate.parse("2024-03-15")),
+          host = "127.0.0.1", port = stub.port),
+        stopNamesResource = new MockResource(
+          """{"1001": "Śródmieście"}""".getBytes(StandardCharsets.UTF_8),
+          initialLastModified = Instant.parse("2024-03-01T00:00:00Z")),
+        stopLocationsResource = new MockResource(
+          """{"200202": [52.31, 21.31]}""".getBytes(StandardCharsets.UTF_8),
+          initialLastModified = Instant.parse("2024-03-01T00:00:00Z")),
+        workspace = ws)
+      def prepared = newApp.prepare(AppArgs(), PipelineOptions(workspace = ws))
+        .asInstanceOf[PreparedMultiFile]
+
+      val merged = prepared.multiFile.run(spark)
+
+      // FTP-listing discovery: non-RA*.7z names filtered out, the
+      // superseded RA240210 pruned BEFORE any download
+      assert(stub.nlstCount == 1)
+      assert(stub.retrNames.toSet == Set("RA240301.7z", "RA240320.7z"))
+      assert(Files.exists(ws.resolve("intermediate_feeds/RA240301")))
+      assert(Files.exists(ws.resolve("intermediate_feeds/RA240320")))
+      assert(!Files.exists(ws.resolve("intermediate_feeds/RA240210")))
+      assert(!Files.exists(ws.resolve("readme.txt")))
+
+      // curated stop names flow through additionalResources into the
+      // intermediate ImportZtm (area 1001's curated name wins); the
+      // per-version final stop sets are identical, so they merge clean
+      val stopNames = merged("stops").collect().map(r =>
+        r.getAs[String]("stop_id") -> r.getAs[String]("name")).toMap
+      assert(stopNames("100101") == "Śródmieście 01")
+      assert(stopNames.keySet == Set("100101", "100102", "100103", "200201"))
+
+      // version windowing: v1's 2024-03-21 date was truncated away
+      // (it belongs to v2's window), so the date appears exactly once
+      val excDates = merged("calendar_exceptions").collect()
+        .map(_.getAs[java.sql.Date]("date").toString).toSeq
+      assert(excDates.sorted == Seq(
+        "2024-03-04", "2024-03-05", "2024-03-21", "2024-03-22", "2024-03-23"))
+      // identical calendar/trip ids across versions -> conflict
+      // reservation kicked in (version-prefixed ids), 3 trips each
+      assert(merged("trips").count() == 6)
+      val calIds = merged("calendars").collect().map(_.getAs[String]("calendar_id")).toSet
+      assert(calIds.exists(_.startsWith("RA240301:")) ||
+        calIds.exists(_.startsWith("RA240320:")))
+      // FeedInfo folds to one row carrying a version
+      assert(merged("feed_info").count() == 1)
+
+      // the final GTFS zip with the reference's member order
+      val zipPath = ws.resolve("warsaw.zip")
+      assert(Files.exists(zipPath))
+      val zf = new java.util.zip.ZipFile(zipPath.toFile)
+      try {
+        import scala.jdk.CollectionConverters._
+        assert(zf.entries().asScala.map(_.getName).toSeq ==
+          WarsawGtfs.GtfsHeaders.map(_._1))
+        def member(name: String): String = new String(
+          zf.getInputStream(zf.getEntry(name)).readAllBytes(), StandardCharsets.UTF_8)
+        assert(member("agency.txt").contains("Warszawski Transport Publiczny"))
+        assert(member("stops.txt").contains("Śródmieście 01"))
+        // Warsaw headsigns survive to the boundary (last stop, number
+        // stripped — "Otwock Szkoła 01" -> "Otwock Szkoła")
+        assert(member("trips.txt").contains("Otwock Szkoła"))
+        assert(member("calendar_dates.txt").linesIterator.size == 1 + 5)
+      } finally zf.close()
+
+      // second run, all MDTMs unchanged: the MultiFile short-circuits
+      // like a plain pipeline (multi_file.py:317-319) — and nothing is
+      // re-downloaded
+      intercept[InputNotModified](prepared.multiFile.run(spark))
+      assert(stub.retrCount == 2)
+
+      // bump ONE version's MDTM: only that file is re-downloaded and
+      // only its intermediate is rebuilt; the run completes again
+      stub.mdtms += ("RA240301.7z" -> "20240316090000")
+      val merged2 = prepared.multiFile.run(spark)
+      assert(stub.retrNames.count(_ == "RA240301.7z") == 2)
+      assert(stub.retrNames.count(_ == "RA240320.7z") == 1)
+      assert(merged2("trips").count() == 6)
+    } finally stub.close()
+  }
+}

@@ -1,0 +1,94 @@
+package graft.examples.warsaw
+
+import java.nio.charset.Charset
+
+/** The shared synthetic ZTM fixed-width fixture (one route, two
+  * variants, three trips — see [[ImportZtmSpec]] for the per-section
+  * goldens it encodes). The three KA hierarchy dates are
+  * parameterizable so multi-version tests can give each feed version
+  * calendar dates inside its own validity window. */
+object ZtmFixture {
+
+  /** Build a line with strings placed at exact 0-based column
+    * offsets — the format is fixed-width, so tests place fields the
+    * way parser.py slices them. */
+  def at(pairs: (Int, String)*): String = {
+    val end = pairs.map { case (o, s) => o + s.length }.max
+    val buf = Array.fill(end)(' ')
+    pairs.foreach { case (o, s) => s.zipWithIndex.foreach { case (c, i) => buf(o + i) = c } }
+    new String(buf)
+  }
+
+  private val z1 = "====== S T R E F A   1 ======="
+  private val z2 = "====== S T R E F A   2 ======="
+
+  def lines(
+      d1: String = "2024-03-04",
+      d2: String = "2024-03-05",
+      d3: String = "2024-03-06"): Seq[String] = Seq(
+    at(1 -> "*KA"),
+    at(3 -> d1, 22 -> "D1 D2"),
+    at(3 -> d2, 22 -> "D2"),
+    at(3 -> d3, 22 -> "D9 D2"), // D9 unused -> falls through to D2
+    at(1 -> "#KA"),
+    at(1 -> "*ZP"),
+    at(3 -> "1001", 10 -> "Centrum", 43 -> "--", 47 -> "WARSZAWA"), // '--' = no town prefix
+    at(2 -> "*PR"),
+    at(9 -> "100101", 111 -> "52.230000", 128 -> "21.010000", 146 -> "2"), // accessible
+    at(9 -> "L", 20 -> "na żądanie:", 40 -> "130^ 520"),
+    at(9 -> "100102", 111 -> "52.240000", 128 -> "21.020000", 146 -> "7"), // level>5 -> not
+    at(9 -> "100103", 111 -> "52.250000", 128 -> "21.030000", 146 -> "?"), // unknown
+    at(2 -> "#PR"),
+    at(3 -> "2002", 10 -> "Szkoła", 43 -> "OT", 47 -> "OTWOCK"), // town prefix added
+    at(2 -> "*PR"),
+    at(9 -> "200201", 111 -> "52.100000", 128 -> "21.200000", 146 -> "1"),
+    at(9 -> "200202", 146 -> "1"), // no coordinates -> (0, 0)
+    at(2 -> "#PR"),
+    at(1 -> "#ZP"),
+    at(1 -> "*LL"),
+    at(3 -> "Linia:", 10 -> "130", 17 -> "LINIA AUTOBUSOWA UZUPEŁNIAJĄCA"),
+    at(2 -> "*TR"),
+    // outbound variant, most important (sort_order 1)
+    at(9 -> "TP-MAR", 61 -> "==>", 113 -> "A", 122 -> "1"),
+    at(3 -> "*LW"),
+    at(15 -> z1),
+    at(49 -> "100101"),
+    at(49 -> "100102"),
+    at(15 -> z2),
+    at(49 -> "200201", 96 -> "NŻ"),
+    at(49 -> "200202", 89 -> "OT"), // Otwock override -> zone 2-OT
+    at(3 -> "#LW"),
+    at(3 -> "*WG"),
+    at(33 -> " 6", 38 -> "[05 10"), // 6.05 accessible, 6.10 not
+    at(3 -> "#WG"),
+    at(3 -> "*OD"),
+    at(27 -> " 6.05", 34 -> "TP-MAR/DP/06.05", 52 -> "."),
+    at(27 -> " 6.10", 34 -> "TP-MAR/DP/06.10", 52 -> "."),
+    at(3 -> "#OD"),
+    at(3 -> "#RP"),
+    // inbound variant (no departure boards)
+    at(9 -> "TP-RAM", 61 -> "==>", 113 -> "B", 122 -> "1"),
+    at(3 -> "*LW"),
+    at(49 -> "200201"), // default zone 1 -> area 2002 zones conflict -> 1/2
+    at(49 -> "100103"),
+    at(3 -> "#LW"),
+    at(3 -> "#RP"),
+    at(2 -> "#TR"),
+    at(2 -> "*WK"),
+    at(9 -> "TP-MAR/DP/06.05", 28 -> "100101", 35 -> "D1", 38 -> " 6.05"),
+    at(9 -> "TP-MAR/DP/06.05", 28 -> "100102", 35 -> "D1", 38 -> " 6.07"),
+    at(9 -> "TP-MAR/DP/06.05", 28 -> "200201", 35 -> "D1", 38 -> " 6.15", 45 -> "P"),
+    at(9 -> "TP-MAR/DP/06.10", 28 -> "100101", 35 -> "D2", 38 -> " 6.10"),
+    at(9 -> "TP-MAR/DP/06.10", 28 -> "200201", 35 -> "D2", 38 -> " 6.20", 45 -> "B"),
+    at(9 -> "TO-RAM/DP/25.00", 28 -> "200201", 35 -> "D1", 38 -> "25.00"),
+    at(9 -> "TO-RAM/DP/25.00", 28 -> "100103", 35 -> "D1", 38 -> "25.10", 45 -> "P"),
+    at(2 -> "#WK"),
+    at(1 -> "#LL"))
+
+  /** The fixture as the windows-1250 bytes a ZTM file actually is. */
+  def bytes(
+      d1: String = "2024-03-04",
+      d2: String = "2024-03-05",
+      d3: String = "2024-03-06"): Array[Byte] =
+    lines(d1, d2, d3).mkString("\n").getBytes(Charset.forName("windows-1250"))
+}

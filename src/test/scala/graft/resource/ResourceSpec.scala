@@ -159,8 +159,7 @@ class ResourceSpec extends SparkSpec {
     assert(v1Dates.forall(d => !d.isBefore(LocalDate.parse("2023-05-08")) &&
       !d.isAfter(LocalDate.parse("2023-06-30"))))
 
-    // second run: caches hit, no intermediate re-runs
-    val mf2 = new MultiFile(provider,
+    def mfWith(options: PipelineOptions) = new MultiFile(provider,
       f => Seq(
         new Task {
           override def name = "CountRuns"
@@ -169,8 +168,19 @@ class ResourceSpec extends SparkSpec {
           }
         },
         LoadGtfs(ws.resolve(f.resourceName))),
-      options = PipelineOptions(workspace = ws))
-    mf2.run(spark)
+      options = options)
+
+    // second run: unchanged inputs short-circuit the whole
+    // orchestration (multi_file.py:317-319), no intermediate re-runs
+    intercept[InputNotModified](
+      mfWith(PipelineOptions(workspace = ws)).run(spark))
     assert(intermediateRuns == 2)
+
+    // from_cache: replays from the cached intermediates (no provider
+    // re-fetch, no rebuilds) and the final merge still runs
+    val replay = mfWith(PipelineOptions(fromCache = true, workspace = ws)).run(spark)
+    assert(intermediateRuns == 2)
+    assert(replay("calendars").select("calendar_id").collect().map(_.getString(0)).toSet
+      == cals)
   }
 }

@@ -7,19 +7,28 @@ import java.nio.charset.StandardCharsets
 import javax.net.ssl.{SSLContext, SSLSocket}
 
 /** Single-threaded minimal FTP(S) stub for resource tests:
-  * USER/PASS/MDTM/TYPE/PASV/RETR, plus AUTH TLS + PBSZ/PROT when a
-  * `tlsContext` is supplied. Advertises a BOGUS address in its PASV
+  * USER/PASS/MDTM/TYPE/PASV/RETR/NLST, plus AUTH TLS + PBSZ/PROT when
+  * a `tlsContext` is supplied. Advertises a BOGUS address in its PASV
   * reply (203.0.113.9, TEST-NET) — transfers succeed only because
   * [[FtpResource]] applies the PatchedFTP rule of trusting the
-  * control host (reference ftp_resource.py:11-15). */
+  * control host (reference ftp_resource.py:11-15).
+  *
+  * `files` adds a multi-file directory on top of the single default
+  * payload: NLST lists its names (sorted), RETR serves a named member
+  * and `mdtms` overrides the modification time per file — the shape
+  * the Warsaw ZTM feed provider discovers versions from. */
 final class StubFtpServer(
     content: Array[Byte],
     @volatile var mdtm: String,
     password: String = "hunter2",
-    tlsContext: Option[SSLContext] = None) {
+    tlsContext: Option[SSLContext] = None,
+    files: Map[String, Array[Byte]] = Map.empty,
+    @volatile var mdtms: Map[String, String] = Map.empty) {
   val server = new ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
   @volatile var retrCount = 0
+  @volatile var nlstCount = 0
+  @volatile var retrNames: List[String] = Nil
   @volatile var lastUser: String = ""
   @volatile var sawAuthTls = false
   @volatile var sawProtP = false
@@ -74,7 +83,7 @@ final class StubFtpServer(
         case "USER" => lastUser = arg; reply("331 need password")
         case "PASS" =>
           reply(if (arg == password) "230 logged in" else "530 bad password")
-        case "MDTM" => reply(s"213 $mdtm")
+        case "MDTM" => reply(s"213 ${mdtms.getOrElse(arg, mdtm)}")
         case "TYPE" => reply("200 binary")
         case "PASV" =>
           dataServer = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
@@ -84,10 +93,21 @@ final class StubFtpServer(
           reply("150 opening data connection")
           val d0 = dataServer.accept()
           val d = if (protP) serverTls(d0) else d0
-          d.getOutputStream.write(content)
+          d.getOutputStream.write(files.getOrElse(arg, content))
           d.getOutputStream.flush()
           d.close(); dataServer.close()
           retrCount += 1
+          retrNames ::= arg
+          reply("226 transfer complete")
+        case "NLST" =>
+          reply("150 opening data connection")
+          val d0 = dataServer.accept()
+          val d = if (protP) serverTls(d0) else d0
+          d.getOutputStream.write(files.keys.toSeq.sorted
+            .map(_ + "\r\n").mkString.getBytes(StandardCharsets.ISO_8859_1))
+          d.getOutputStream.flush()
+          d.close(); dataServer.close()
+          nlstCount += 1
           reply("226 transfer complete")
         case "QUIT" => reply("221 bye"); return
         case _ => reply("502 not implemented")
