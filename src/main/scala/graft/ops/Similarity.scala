@@ -97,6 +97,11 @@ object Similarity {
       .orderBy(col(idCol)).limit(k).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
 
+  /** The `exactMean` quantization step: 2^20. Quantization error is
+    * ~5e-7 per coordinate — noise for codebook quality, determinism
+    * for the training. */
+  val ExactMeanScale: Double = 1048576.0
+
   /** k-means-trained IVF codebook (Lloyd's algorithm, DataFrame-native):
     * seeds from [[deterministicCentroids]], then `iters` rounds of
     * assign — the narrow zero-shuffle literal-codebook argmax of
@@ -104,14 +109,20 @@ object Similarity {
     * element-wise mean. Per round: one scan, one shuffle on `cell`
     * (k-bounded), one k-by-dim driver collect (the codebook is always
     * tiny and driver-resident). Cells that go empty keep their previous
-    * centroid. Centroid means average floats in partial-aggregation
-    * order, so training is not bit-deterministic across cluster
-    * layouts — fine for a codebook (assignment quality is what
-    * matters); the oracle-checked IVF queries keep the deterministic
-    * seed codebook. */
+    * centroid.
+    *
+    * With `exactMean = false` centroid means average doubles in
+    * partial-aggregation order, so training is not bit-deterministic
+    * across cluster layouts — fine when only assignment quality
+    * matters. `exactMean = true` instead sums each coordinate
+    * QUANTIZED to integers (round(x * 2^20) — exact, order-free
+    * integer addition) and divides once at the end: training becomes
+    * bit-reproducible on any cluster layout and re-derivable
+    * relationally, which is what the q63/q64 oracles check. */
   def trainCodebook(
       df: DataFrame, embCol: String, idCol: String,
-      k: Int, dim: Int, iters: Int = 5): Seq[(Long, Seq[Double])] = {
+      k: Int, dim: Int, iters: Int = 5,
+      exactMean: Boolean = false): Seq[(Long, Seq[Double])] = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     var centroids = deterministicCentroids(df, embCol, idCol, k)
     for (_ <- 0 until iters) {
@@ -124,13 +135,26 @@ object Similarity {
       // referenced dim times).
       val cast = ivfAssign(df, embCol, centroids)
         .select(col("cell"), asDouble(col(embCol)).as("__emb"))
-      val means = cast
-        .groupBy("cell")
-        .agg(avg(element_at(col("__emb"), 1)).as("m0"),
-          (1 until dim).map(j => avg(element_at(col("__emb"), j + 1)).as(s"m$j")): _*)
-        .collect()
-        .map(r => r.getLong(0) -> (0 until dim).map(j => r.getDouble(j + 1)).toSeq)
-        .toMap
+      val means: Map[Long, Seq[Double]] =
+        if (exactMean)
+          cast.groupBy("cell")
+            .agg(count(lit(1)).as("__n"),
+              (0 until dim).map(j =>
+                sum(round(element_at(col("__emb"), j + 1) * ExactMeanScale)
+                  .cast("long")).as(s"m$j")): _*)
+            .collect()
+            .map { r =>
+              val n = r.getLong(1).toDouble
+              r.getLong(0) ->
+                (0 until dim).map(j => r.getLong(j + 2).toDouble / n / ExactMeanScale).toSeq
+            }.toMap
+        else
+          cast.groupBy("cell")
+            .agg(avg(element_at(col("__emb"), 1)).as("m0"),
+              (1 until dim).map(j => avg(element_at(col("__emb"), j + 1)).as(s"m$j")): _*)
+            .collect()
+            .map(r => r.getLong(0) -> (0 until dim).map(j => r.getDouble(j + 1)).toSeq)
+            .toMap
       centroids = centroids.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
     }
     centroids

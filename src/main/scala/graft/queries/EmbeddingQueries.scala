@@ -228,5 +228,127 @@ object EmbeddingQueries {
     },
     Some(pqAdcSql(duckElem)))
 
-  val all: Seq[QueryDef] = Seq(q33, q34, q44, q58, q59)
+  // ---- k-means-trained IVF (q63/q64): the oracle re-derives the same
+  // Lloyd's rounds relationally. Training is engine-portable because
+  // `trainCodebook(exactMean = true)` sums each coordinate QUANTIZED
+  // to integers (round(x * 2^20) — exact, order-free addition) and
+  // divides once at the end; assignment ties go to the highest cid
+  // like ivfAssign's struct-argmax.
+
+  private val TrainIters = 2
+  private val TrainK = 4
+
+  /** The `iters` Lloyd's rounds as chained CTEs: `c0` seeds from the
+    * 4 smallest ids (= deterministicCentroids), each round assigns
+    * every vector to its max-cosine cell and rebuilds the per-cell
+    * quantized-mean centroid list; empty cells keep their previous
+    * centroid. Ends with `c{iters}`. Every CTE is MATERIALIZED:
+    * DuckDB inlines plain CTEs per reference, and each `cv[j]` access
+    * would re-expand the previous round's whole centroid expression —
+    * exponential across rounds (the un-materialized form OOMs at
+    * sf0.01). */
+  private def lloydCtes(elem: (String, Int) => String, iters: Int): String = {
+    val seed =
+      s"c0 AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS cid, " +
+        s"CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < $TrainK)"
+    val rounds = (1 to iters).map { r =>
+      val prev = s"c${r - 1}"
+      val sums = (0 until Dim).map(j =>
+        s"sum(CAST(round(${elem("e.embedding", j + 1)} * 1048576.0) AS BIGINT)) AS s$j")
+        .mkString(", ")
+      val coords = (0 until Dim).map(j => s"CAST(s$j AS DOUBLE) / n / 1048576.0")
+        .mkString(", ")
+      s"""a$r AS MATERIALIZED (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY (${dotSum(elem, "e.embedding", "c.cv")})
+                / (sqrt(${dotSum(elem, "e.embedding", "e.embedding")})
+                   * sqrt(${dotSum(elem, "c.cv", "c.cv")})) DESC, c.cid DESC) AS rn
+          FROM embeddings e CROSS JOIN $prev c) t$r WHERE rn = 1),
+      m$r AS MATERIALIZED (
+        SELECT cell, [$coords] AS mv FROM (
+          SELECT cell, count(*) AS n, $sums
+          FROM embeddings e JOIN a$r USING (vec_id) GROUP BY cell) g$r),
+      c$r AS MATERIALIZED (
+        SELECT p.cid, coalesce(m.mv, p.cv) AS cv
+        FROM $prev p LEFT JOIN m$r m ON m.cell = p.cid)"""
+    }
+    (seed +: rounds).mkString(",\n      ")
+  }
+
+  private def trainedCodebook(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[(Long, Seq[Double])] =
+    graft.ops.Similarity.trainCodebook(t(s, dir, "embeddings"), "embedding", "vec_id",
+      k = TrainK, dim = Dim, iters = TrainIters, exactMean = true)
+
+  /** The trained codebook ITSELF, one row per (centroid, coordinate) —
+    * the direct bit-level check that `trainCodebook(exactMean = true)`
+    * equals the relational Lloyd's re-derivation: two full rounds of
+    * assignment + quantized means must agree on every one of the
+    * k × dim doubles. */
+  val q63 = QueryDef(
+    "q63_kmeans_codebook",
+    (s, dir) => {
+      import s.implicits._
+      trainedCodebook(s, dir)
+        .flatMap { case (cid, v) => v.zipWithIndex.map { case (x, j) => (cid, j + 1, x) } }
+        .toDF("cid", "j", "v")
+        .select(col("cid"), col("j").cast("int").as("j"),
+          round(col("v"), 6).as("coord"))
+        .oracleOrderBy("cid", "j")
+    },
+    Some(s"""WITH ${lloydCtes(duckElem, TrainIters)}
+      SELECT cid, CAST(j AS INTEGER) AS j, round(cv[j], 6) AS coord
+      FROM c$TrainIters, LATERAL unnest(generate_series(1, $Dim)) AS u(j)
+      ORDER BY cid, j"""))
+
+  /** IVF probe retrieval over the TRAINED codebook — q48's end-to-end
+    * shape (assign every row, probe each query's 2 best cells, rank
+    * same-cell candidates by cosine) with the k-means centroids in
+    * place of the seed rows; the oracle chains the Lloyd's CTEs into
+    * the same assignment/probe/rank pipeline. */
+  val q64 = QueryDef(
+    "q64_ivf_trained_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+          "embedding", "vec_id", trainedCodebook(s, dir), k = 5, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .oracleOrderBy("query_id", "rank")
+    },
+    Some {
+      val elem: (String, Int) => String = duckElem
+      s"""WITH ${lloydCtes(elem, TrainIters)},
+        cellscore AS (
+          SELECT vec_id, cid,
+            (${dotSum(elem, "embedding", "cv")})
+              / (sqrt(${dotSum(elem, "embedding", "embedding")})
+                 * sqrt(${dotSum(elem, "cv", "cv")})) AS sim
+          FROM embeddings CROSS JOIN c$TrainIters),
+        cellrank AS (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+          FROM cellscore),
+        assigned AS (SELECT vec_id, cid AS cell FROM cellrank WHERE rn = 1),
+        probes AS (SELECT vec_id, cid AS cell FROM cellrank WHERE rn <= 2 AND vec_id < 20),
+        cand AS (
+          SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+            (${dotSum(elem, "eq.embedding", "ed.embedding")})
+              / (sqrt(${dotSum(elem, "eq.embedding", "eq.embedding")})
+                 * sqrt(${dotSum(elem, "ed.embedding", "ed.embedding")})) AS cos
+          FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+          JOIN embeddings eq ON eq.vec_id = p.vec_id
+          JOIN embeddings ed ON ed.vec_id = a.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM cand)
+        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    })
+
+  val all: Seq[QueryDef] = Seq(q33, q34, q44, q58, q59, q63, q64)
 }

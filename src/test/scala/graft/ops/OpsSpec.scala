@@ -206,6 +206,19 @@ class OpsSpec extends SparkSpec {
     // iters = 0 degrades to the deterministic seed codebook
     assert(Similarity.trainCodebook(pts, "embedding", "vec_id", 3, 4, iters = 0) ==
       Similarity.deterministicCentroids(pts, "embedding", "vec_id", 3))
+
+    // exactMean: bit-identical codebooks on ANY partition layout (the
+    // integer-quantized sums are order-free; a plain double avg is
+    // partial-aggregation-order dependent) — and the same cluster
+    // structure still falls out
+    val exact = Similarity.trainCodebook(pts, "embedding", "vec_id",
+      k = 3, dim = 4, iters = 3, exactMean = true)
+    val shuffled = Similarity.trainCodebook(pts.repartition(7), "embedding", "vec_id",
+      k = 3, dim = 4, iters = 3, exactMean = true)
+    assert(exact == shuffled)
+    exact.foreach { case (cid, vec) =>
+      assert(vec.zipWithIndex.maxBy(_._1)._2 == cid.toInt)
+    }
   }
 
   test("Similarity.pqEncode: per-subspace nearest-L2 codes with low-cid ties") {
