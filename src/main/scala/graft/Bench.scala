@@ -30,23 +30,37 @@ object Bench {
         sys.error(s"SPARK_GRAFT_BENCH_RUNS must be an integer, got '$raw'"))
       math.max(1, parsed) // 0/negative would make the median throw
     }
+    def medianOf(sorted: Seq[Double]): Double =
+      if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+      else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
     val results = SparkEntry.benchQueries.map { q =>
+      val phases = Seq.newBuilder[(Double, Double)]
       val times = (0 until n).map { _ =>
+        graft.io.SaveGtfs.lastPhaseSeconds = None
         val t0 = System.nanoTime()
         try { q.fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
+        // the sink query's per-phase split (format+write vs serial zip
+        // concat), so the stats object separates distributed from
+        // single-writer time run over run
+        graft.io.SaveGtfs.lastPhaseSeconds.foreach(phases += _)
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      val median =
-        if (n % 2 == 1) times(n / 2) else (times(n / 2 - 1) + times(n / 2)) / 2
-      (q.name, median, times.head, times.last)
+      (q.name, medianOf(times), times.head, times.last, phases.result())
     }
-    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
+    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val stats = results.map { case (k, med, lo, hi) =>
-      "\"" + k + "\":{\"median\":" + med + ",\"min\":" + lo + ",\"max\":" + hi + "}"
+    val stats = results.map { case (k, med, lo, hi, phases) =>
+      val phaseJson =
+        if (phases.isEmpty) ""
+        else {
+          val fw = medianOf(phases.map(_._1).sorted)
+          val zc = medianOf(phases.map(_._2).sorted)
+          s""","phases":{"format_write_median":$fw,"zip_concat_median":$zc}"""
+        }
+      "\"" + k + "\":{\"median\":" + med + ",\"min\":" + lo + ",\"max\":" + hi + phaseJson + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$n,"stats":$stats,"sf":"$sfDir"}""")

@@ -88,6 +88,8 @@ final case class SaveGtfs(
           zip.closeEntry()
         }
       } finally zip.close()
+      SaveGtfs.lastPhaseSeconds =
+        Some(((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9))
       graft.util.Logs.info("sink",
         f"SaveGtfs $target: format+write ${(t1 - t0) / 1e9}%.3f s, " +
           f"zip concat ${(System.nanoTime() - t1) / 1e9}%.3f s")
@@ -154,6 +156,16 @@ final case class SaveGtfs(
       else filtered
     ordered.select(out: _*)
   }
+}
+
+object SaveGtfs {
+  /** Benchmark introspection: (format+write seconds, zip-concat
+    * seconds) of the LAST execute in this JVM. Bench reads it per run
+    * to attach phase medians to the sink query's stats, so the
+    * host-contention attribution of q45's spread (serial deflate vs
+    * distributed write) stays continuously verified instead of
+    * re-profiled by hand. */
+  @volatile var lastPhaseSeconds: Option[(Double, Double)] = None
 }
 
 /** Persist / restore a FeedDataset as one parquet directory per table —

@@ -226,7 +226,8 @@ object EmbeddingQueries {
         .select(col("vec_id"), round(col("pq_dist"), 6).as("adc_dist"))
         .oracleOrderBy("vec_id")
     },
-    Some(pqAdcSql(duckElem)))
+    Some(pqAdcSql(duckElem)),
+    bench = true)
 
   // ---- k-means-trained IVF (q63/q64): the oracle re-derives the same
   // Lloyd's rounds relationally. Training is engine-portable because

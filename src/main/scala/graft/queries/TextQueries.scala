@@ -418,7 +418,8 @@ object TextQueries {
       WHERE u < CASE source WHEN 'src0' THEN CAST(0.8 AS DOUBLE)
                             WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
                             ELSE CAST(0.25 AS DOUBLE) END
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    bench = true)
 
   /** Benchmark decontamination (library module; at scale the eval
     * trigram set broadcasts): docs 0..9 act as the held-out eval
@@ -473,7 +474,8 @@ object TextQueries {
         round(CAST(coalesce(pd.n_boiler, 0) AS DOUBLE) / ng.n_grams, 6)
           AS boiler_frac
       FROM documents d JOIN ng USING (doc_id) LEFT JOIN pd USING (doc_id)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    bench = true)
 
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61, q62)
