@@ -84,6 +84,18 @@ object ProfileScale {
         .collect().head.getSeq[Double](0).toSeq
       Similarity.pqTopK(e, "embedding", "vec_id", cbs, qv, k = 10)
     }
+    // round-6 additions: the two remaining shuffle-bearing text ops.
+    // q61's eval side stays FIXED as the corpus grows (ids < 10 exist
+    // only in copy 0) — exactly the production shape where a held-out
+    // benchmark set is scanned against an ever-larger corpus.
+    def q61(d: DataFrame) = TextAnalysis.decontaminate(
+      d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+      "doc_id", "text", n = 3, minOverlap = 5L)
+      .select(col("doc_id"), col("n_overlap"), col("contaminated"))
+    def q62(d: DataFrame) = TextAnalysis.boilerplateStats(
+      d, "doc_id", "text", n = 3, minDocFreq = 3L)
+      .filter(col("n_grams") > 0)
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"), col("boiler_frac"))
 
     // Time CONSTRUCTION + execution: the dedup pipeline materializes
     // its stage boundaries eagerly (localCheckpoint) while the plan is
@@ -107,7 +119,9 @@ object ProfileScale {
       ("q48 ivf", () => q48(emb), () => q48(emb10)),
       ("q56 repetition", () => q56(docs), () => q56(docs10)),
       ("q57 tfidf", () => q57(docs), () => q57(docs10)),
-      ("q59 pq-adc", () => q59(emb), () => q59(emb10))).map { case (name, at1, atN) =>
+      ("q59 pq-adc", () => q59(emb), () => q59(emb10)),
+      ("q61 decontam", () => q61(docs), () => q61(docs10)),
+      ("q62 boiler", () => q62(docs), () => q62(docs10))).map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)
       val tN = run(s"$name x$factor", atN)

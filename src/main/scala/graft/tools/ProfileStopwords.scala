@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+/** A/B rig for the stopword-ratio rewrite (round-6 verdict item 3):
+  * the old formulation chained one `regexp_replace` FULL-TEXT scan per
+  * stopword (cost grows with the list — real lists run to hundreds of
+  * words); the shipped one-pass form tokenizes once and filters the
+  * token array against a literal set, so list size only changes the
+  * per-token membership test. Run over the sf corpus with growing
+  * synthetic lists to show one curve climbing and the other flat:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.ProfileStopwords"
+  */
+object ProfileStopwords {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.queries.QueryDef.NanosConf, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.queries.QueryDef.t(spark, sfDir, "documents")
+
+    // per-stopword replace-length chain — the pre-round-6 formulation
+    def chained(words: Seq[String]): DataFrame = {
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val hits = words.map(w => TextAnalysis.countOccurrences(padded, s" $w ")).reduce(_ + _)
+      docs.select((hits.cast("double") /
+        size(split(trim(col("text")), "\\s+"))).as("r"))
+    }
+
+    // tokenize once + array filter — what qualityMetrics ships
+    def onePass(words: Seq[String]): DataFrame = {
+      val stopSet = array(words.map(lit): _*)
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      docs.select((size(filter(toks, x => array_contains(stopSet, x))).cast("double") /
+        size(toks)).as("r"))
+    }
+
+    def time(mk: () => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      mk().write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // a realistic mix: the builtins plus generated filler words (most
+    // of a big list never matches — exactly like a real 300-word list)
+    def list(n: Int): Seq[String] =
+      (TextAnalysis.Stopwords ++ (0 until n).map(i => s"stopfill$i")).take(n)
+
+    time(() => onePass(list(10))) // JIT/codegen warm-up
+    println(f"[stopwords] ${"list"}%-8s ${"chained"}%10s ${"one-pass"}%10s")
+    for (n <- Seq(10, 50, 150, 300)) {
+      // at 300 words the chained form's generated code exceeds
+      // Janino's 64 KB method limit and the query DIES — the list
+      // doesn't just get slow, it stops compiling
+      val c = try f"${time(() => chained(list(n)))}%9.3f s"
+        catch { case _: Throwable => " codegen-fail" }
+      val o = time(() => onePass(list(n)))
+      println(f"[stopwords] $n%-8d $c $o%9.3f s")
+    }
+    spark.stop()
+  }
+}
