@@ -18,11 +18,13 @@ import org.apache.spark.sql.types._
   * container METADATA decode is real too: [[VideoContainerCodec]]
   * walks MP4 box / AVI chunk trees for duration, dimensions and track
   * counts. Per-frame video decode is real for MJPEG-in-AVI
-  * ([[MjpegAviFrameSampler]] — each `movi` chunk IS a JPEG); the one
-  * remaining stub is frame decode for inter-frame codecs (H.264 et
-  * al., [[DeterministicFakeFrameSampler]] — those need an ffmpeg-class
-  * library this environment lacks); production swaps in an
-  * ffmpeg-backed sampler without touching the pipeline shape.
+  * ([[MjpegAviFrameSampler]] — each `movi` chunk IS a JPEG), and for
+  * inter-frame codecs (H.264 et al.) [[FfmpegFrameSampler]] shells the
+  * `ffmpeg` CLI behind per-JVM capability detection — environments
+  * without the binary (like this build sandbox) route through the
+  * MJPEG demuxer to the deterministic stand-in
+  * ([[DeterministicFakeFrameSampler]]), keeping the pipeline shape
+  * identical either way.
   */
 object Multimodal {
 
@@ -481,6 +483,86 @@ object Multimodal {
         (ts, java.util.Arrays.copyOfRange(b, off.toInt, (off + size).toInt))
       })
     }
+  }
+
+  /** Production frame sampler backed by the `ffmpeg` CLI — the decoder
+    * for inter-frame codecs (H.264/VP9/AV1 et al.) that no pure-JVM
+    * path can crack. Capability-DETECTED per JVM:
+    * [[FfmpegFrameSampler.available]] probes `<binary> -version` once
+    * (executors probe their own environment); when the binary is
+    * missing every call routes to `fallback` — by default the MJPEG
+    * demuxer, which itself falls back to the deterministic stand-in —
+    * so mixed corpora and ffmpeg-less environments keep the exact
+    * pipeline shape. The decode spec skips itself where the binary is
+    * absent (like this build sandbox).
+    *
+    * Each sampled timestamp is one `ffmpeg -ss <ts> -i <tmp>
+    * -frames:v 1 -c:v mjpeg -f image2pipe -` invocation: the payload
+    * is staged to ONE executor-local temp file per asset (MP4's moov
+    * atom may trail the mdat, so stdin is not seekable enough), and
+    * every emitted frame is a complete JPEG — the same downstream
+    * contract as [[MjpegAviFrameSampler]], directly decodable by
+    * [[ImageIoCodec]]. This shells n tiny processes per video: frame
+    * SAMPLING, not transcoding; the per-invocation cost is the seek. */
+  final class FfmpegFrameSampler(
+      binary: String = "ffmpeg",
+      fallback: FrameSampler = new MjpegAviFrameSampler())
+      extends FrameSampler {
+
+    def sample(mediaType: String, payload: Array[Byte], durationMs: Long, n: Int)
+        : Seq[(Long, Array[Byte])] = {
+      if (payload == null || payload.isEmpty || mediaType != "video" || n <= 0)
+        return Seq.empty
+      if (!FfmpegFrameSampler.available(binary))
+        return fallback.sample(mediaType, payload, durationMs, n)
+      val tmp = java.nio.file.Files.createTempFile("graft_ffmpeg_", ".bin")
+      try {
+        java.nio.file.Files.write(tmp, payload)
+        val dur = math.max(durationMs, 0L)
+        val stamps =
+          if (n == 1) Seq(dur / 2)
+          else (0 until n).map(i => dur * i / (n - 1)).distinct
+        val frames = stamps.flatMap(ts => decodeOne(tmp, ts).map(b => (ts, b)))
+        // a payload ffmpeg cannot decode at any timestamp (corrupt,
+        // unsupported) degrades like every other sampler: fall back
+        if (frames.nonEmpty) frames
+        else fallback.sample(mediaType, payload, durationMs, n)
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    }
+
+    /** One frame at `tsMs` as a complete JPEG, or None on any decoder
+      * failure. Seconds are formatted manually ("S.mmm") — `%f` is
+      * locale-dependent and a comma decimal breaks ffmpeg's parser. */
+    private def decodeOne(path: java.nio.file.Path, tsMs: Long): Option[Array[Byte]] =
+      try {
+        val p = new ProcessBuilder(
+          binary, "-hide_banner", "-loglevel", "error",
+          "-ss", f"${tsMs / 1000}%d.${tsMs % 1000}%03d", "-i", path.toString,
+          "-frames:v", "1", "-c:v", "mjpeg", "-f", "image2pipe", "-")
+          .redirectError(ProcessBuilder.Redirect.DISCARD)
+          .start()
+        p.getOutputStream.close()
+        val out = p.getInputStream.readAllBytes()
+        val ok = p.waitFor() == 0 && out.length >= 2 &&
+          (out(0) & 0xff) == 0xff && (out(1) & 0xff) == 0xd8 // JPEG SOI
+        if (ok) Some(out) else None
+      } catch { case _: Exception => None }
+  }
+
+  object FfmpegFrameSampler {
+    // one probe per (JVM, binary name); executors populate their own map
+    private val probed =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+    /** Is `binary` runnable here? Cached per JVM. */
+    def available(binary: String = "ffmpeg"): Boolean =
+      probed.computeIfAbsent(binary, b => java.lang.Boolean.valueOf(
+        try {
+          val p = new ProcessBuilder(b, "-version")
+            .redirectErrorStream(true).start()
+          p.getInputStream.readAllBytes()
+          p.waitFor() == 0
+        } catch { case _: Exception => false }))
   }
 
   /** Deterministic stand-in sampler: evenly-spaced timestamps, frame

@@ -710,6 +710,44 @@ class OpsSpec extends SparkSpec {
       new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame_payload"))) != null))
   }
 
+  test("Multimodal.FfmpegFrameSampler: capability detection routes to the fallback chain") {
+    // a binary that cannot exist -> detection false, calls fall through
+    // to the MJPEG demuxer byte-for-byte (the ffmpeg-less environments'
+    // pipeline shape)
+    assert(!Multimodal.FfmpegFrameSampler.available("graft-no-such-ffmpeg"))
+    val sampler = new Multimodal.FfmpegFrameSampler(binary = "graft-no-such-ffmpeg")
+    val avi = mjpegAviBytes(Seq(0xff0000, 0x00ff00).map(jpegBytes(8, 8, _)))
+    val mjpeg = new Multimodal.MjpegAviFrameSampler()
+    val viaFfmpeg = sampler.sample("video", avi, 80L, 2)
+    val direct = mjpeg.sample("video", avi, 80L, 2)
+    assert(viaFfmpeg.map(_._1) == direct.map(_._1) &&
+      viaFfmpeg.zip(direct).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    assert(sampler.sample("audio", avi, 80L, 2).isEmpty)
+  }
+
+  test("Multimodal.FfmpegFrameSampler REALLY decodes inter-frame video (needs ffmpeg)") {
+    // self-skips where the binary is absent (this sandbox); in
+    // ffmpeg-equipped environments it synthesizes an H.264 MP4 with
+    // lavfi and proves sampled frames decode as JPEGs
+    assume(Multimodal.FfmpegFrameSampler.available(), "no ffmpeg binary on PATH")
+    val mp4 = java.nio.file.Files.createTempFile("graft_testsrc_", ".mp4")
+    try {
+      val gen = new ProcessBuilder("ffmpeg", "-y", "-hide_banner", "-loglevel", "error",
+        "-f", "lavfi", "-i", "testsrc=duration=2:size=64x64:rate=10",
+        "-c:v", "libx264", "-pix_fmt", "yuv420p", mp4.toString)
+        .redirectErrorStream(true).start()
+      gen.getInputStream.readAllBytes()
+      assume(gen.waitFor() == 0, "ffmpeg cannot synthesize the H.264 sample")
+      val payload = java.nio.file.Files.readAllBytes(mp4)
+      val frames = new Multimodal.FfmpegFrameSampler()
+        .sample("video", payload, durationMs = 2000L, n = 3)
+      assert(frames.nonEmpty)
+      assert(frames.forall { case (_, b) =>
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)) != null
+      })
+    } finally java.nio.file.Files.deleteIfExists(mp4)
+  }
+
   test("Multimodal.AudioSystemCodec REALLY parses WAV headers: duration/rate/channels") {
     // 4000 frames at 8 kHz mono = exactly 500 ms; 2-channel variant too
     val assets = Seq(
