@@ -65,7 +65,7 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  private case class Doc(doc_id: Long, ts: Timestamp, text: String)
+  import EventStreamsSpec.Doc
 
   test("dedupStream drops same-content docs within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
@@ -87,4 +87,12 @@ class EventStreamsSpec extends SparkSpec {
       assert(kept.intersect(Set(1L, 2L, 4L)).size == 1) // exactly one copy kept
     } finally q.stop()
   }
+}
+
+object EventStreamsSpec {
+  /** Top-level (not spec-nested) so the generated encoder code can
+    * call the constructor without an outer instance — a nested case
+    * class trips Janino's constructor lookup and forces a
+    * codegen-fallback WARN on every run. */
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 }
