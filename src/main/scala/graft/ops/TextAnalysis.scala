@@ -39,12 +39,16 @@ object TextAnalysis {
     ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), ""))) /
       needle.length).cast("long")
 
+  /** The characters of [[WhitespaceClass]], for embedding in other
+    * classes (e.g. a negated one). */
+  val WhitespaceChars: String = " \\t\\n\\x0B\\f\\r"
+
   /** The ONE whitespace class used everywhere a text op strips or
     * splits on whitespace — spelled out (no `\s`) so Spark's Java regex
     * and DuckDB's RE2 agree character for character (Java's `\s`
     * includes vertical tab, RE2's does not). Must stay in sync with the
     * class inside [[BpePattern]]. */
-  val WhitespaceClass: String = "[ \\t\\n\\x0B\\f\\r]"
+  val WhitespaceClass: String = s"[$WhitespaceChars]"
 
   /** Quality metrics: n_chars, n_tokens, avg word length, alpha ratio,
     * stopword ratio (against a small built-in English stopword list).
@@ -255,6 +259,72 @@ object TextAnalysis {
     tf.join(dfreq, "tok")
       .select(col(idCol), col("tok"), col("tf"), col("df"),
         (col("tf") * log(lit(nDocs.toDouble) / col("df"))).as("tf_idf"))
+  }
+
+  /** Tag-strip + core-entity decode (the C4-style HTML cleanup pass):
+    * `<...>` runs are removed, then the five predefined entities
+    * decode, `&amp;` LAST so `&amp;lt;` yields the literal `&lt;`
+    * rather than double-decoding. Pure codegen'd regexp/replace chain
+    * over an engine-portable pattern (`<[^>]*>` means the same thing
+    * to Java regex and RE2) — a narrow map over the scan at any
+    * scale. Not a full HTML parser (script/style CONTENT survives);
+    * real pipelines run it after a boilerplate-extraction stage. */
+  def stripHtml(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", "")
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+  }
+
+  /** PII redaction (the standard pretraining scrub): URLs then email
+    * addresses collapse to `<URL>` / `<EMAIL>` placeholders — URLs
+    * FIRST so an address inside a URL's userinfo disappears with the
+    * URL instead of leaving a half-redacted splice. Both patterns are
+    * lookahead-free and spell whitespace explicitly, so Spark's Java
+    * regex and DuckDB's RE2 match identical spans. Narrow, codegen'd,
+    * zero shuffle. */
+  def redactPii(text: Column): Column = {
+    val url = s"https?://[^$WhitespaceChars]+"
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    regexp_replace(regexp_replace(text, url, "<URL>"), email, "<EMAIL>")
+  }
+
+  /** Corpus-wide exact paragraph dedup (the Dolma/CCNet pass that
+    * doc-level dedup misses: boilerplate paragraphs shared across
+    * otherwise-distinct documents): split each document on `sep`, keep
+    * only the FIRST occurrence of every distinct paragraph corpus-wide
+    * (first = smallest (doc, position)), and reassemble each document
+    * from its surviving paragraphs in original order.
+    *
+    * Shape at 100 TB: one shuffle keyed by the 128-bit paragraph hash
+    * with map-side partial `min` (NO window over the hash — a
+    * boilerplate paragraph repeated 10^8 times would put all its
+    * copies in one window task; the groupBy+join keeps skewed keys
+    * partial-aggregated), one join back on the hash (AQE handles
+    * skew), one per-doc reassembly groupBy. Documents whose every
+    * paragraph was seen earlier come back with empty `clean_text` —
+    * filter on `n_kept` downstream. */
+  def paragraphDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val parts = df.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "par")))
+      .withColumn("h", md5(col("par")))
+    val first = parts.groupBy("h")
+      .agg(min(struct(col(idCol), col("pos"))).as("k"))
+      .select(col("h"), col(s"k.$idCol").as("keep_id"), col("k.pos").as("keep_pos"))
+    val kept = parts.join(first, Seq("h"))
+      .filter(col(idCol) === col("keep_id") && col("pos") === col("keep_pos"))
+    val rebuilt = kept.groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("pos"), col("par")))).as("ps"))
+      .select(col(idCol),
+        array_join(transform(col("ps"), p => p.getField("par")), sep).as("clean_text"),
+        size(col("ps")).cast("long").as("n_kept"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
   }
 
   /** Canonical word-set fingerprint: md5 over the sorted distinct word

@@ -477,6 +477,88 @@ object TextQueries {
       ORDER BY doc_id"""),
     bench = true)
 
+  /** HTML cleanup (library module `TextAnalysis.stripHtml`): every doc
+    * wrapped in synthetic markup + entities, tags stripped and the
+    * five predefined entities decoded with `&amp;` last. The oracle
+    * spells the identical regexp + replace chain. */
+  val q65 = QueryDef(
+    "q65_strip_html",
+    (s, dir) => {
+      val html = concat(lit("<p class=\"note\">"), col("text"),
+        lit(" &amp; <b>tail</b> &#39;q&#39; &lt;raw&gt;</p>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.TextAnalysis.stripHtml(html).as("clean"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(
+            '<p class="note">' || text || ' &amp; <b>tail</b> &#39;q&#39; &lt;raw&gt;</p>',
+            '<[^>]*>', '', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&#39;', ''''), '&apos;', ''''), '&amp;', '&') AS clean
+      FROM documents ORDER BY doc_id"""))
+
+  /** PII redaction (library module `TextAnalysis.redactPii`): a
+    * synthetic email + URL appended per doc, URLs collapsed before
+    * emails. Both engines run the same lookahead-free patterns with
+    * the explicit whitespace class. */
+  val q66 = QueryDef(
+    "q66_redact_pii",
+    (s, dir) => {
+      val tainted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org or https://crawl.example.org/doc/"),
+        col("doc_id").cast("string"), lit("?ref=1 tail"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.TextAnalysis.redactPii(tainted).as("clean"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.org or https://crawl.example.org/doc/'
+              || CAST(doc_id AS VARCHAR) || '?ref=1 tail',
+            'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean
+      FROM documents ORDER BY doc_id"""))
+
+  /** Corpus-wide paragraph dedup (library module
+    * `TextAnalysis.paragraphDedup`, split on '. ' for the synthetic
+    * corpus): first (doc, pos) occurrence of each distinct paragraph
+    * survives, documents reassemble in order, fully-duplicated docs
+    * come back empty. The oracle keeps a window formulation (result
+    * sets match; the library deliberately uses groupBy+join for skew
+    * safety instead). */
+  val q67 = QueryDef(
+    "q67_paragraph_dedup",
+    (s, dir) => {
+      graft.ops.TextAnalysis.paragraphDedup(
+          t(s, dir, "documents"), "doc_id", "text", sep = ". ")
+        .select(col("doc_id"), col("clean_text"), col("n_kept"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, i AS pos, parts[i] AS par
+        FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents) s,
+             LATERAL unnest(generate_series(1, len(parts))) AS t(i)),
+      keep AS (
+        SELECT doc_id, pos, par FROM (
+          SELECT doc_id, pos, par,
+            row_number() OVER (PARTITION BY md5(par) ORDER BY doc_id, pos) AS rn
+          FROM p) r WHERE rn = 1),
+      agg AS (
+        SELECT doc_id, string_agg(par, '. ' ORDER BY pos) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM keep GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+             coalesce(a.n_kept, 0) AS n_kept
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
-    Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61, q62)
+    Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61, q62,
+      q65, q66, q67)
 }

@@ -380,6 +380,51 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("regexp_replace"))
   }
 
+  test("TextAnalysis.stripHtml: tags removed, entities decoded, &amp; last") {
+    val rows = Seq(
+      (1L, """<p class="x">a &lt;b&gt; c</p>"""),
+      (2L, "&amp;lt; stays literal"), // &amp;-first would double-decode
+      (3L, "no markup at all"),
+      (4L, "<script>var x = 1;</script>body")) // content survives, tags go
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"), TextAnalysis.stripHtml(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a <b> c")
+    assert(out(2L) == "&lt; stays literal")
+    assert(out(3L) == "no markup at all")
+    assert(out(4L) == "var x = 1;body")
+  }
+
+  test("TextAnalysis.redactPii: URLs before emails, whitespace bounds") {
+    val rows = Seq(
+      (1L, "mail me at jo.doe+x@example.co.uk today"),
+      (2L, "see https://a.example.com/p?u=jo@x.org\nnext line"),
+      (3L, "plain text")).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail me at <EMAIL> today")
+    // the email inside the URL's query string vanished WITH the URL,
+    // and the newline bounded the match
+    assert(out(2L) == "see <URL>\nnext line")
+    assert(out(3L) == "plain text")
+  }
+
+  test("TextAnalysis.paragraphDedup: first occurrence wins corpus-wide, order kept") {
+    val rows = Seq(
+      (1L, "alpha\n\nshared\n\nbeta"),
+      (2L, "shared\n\ngamma"), // 'shared' already seen in doc 1
+      (3L, "shared"), // fully duplicated -> empty
+      (4L, "alpha\n\nalpha\n\ndelta")) // within-doc repeat also collapses
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.paragraphDedup(rows, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"))).toMap
+    assert(out(1L) == (("alpha\n\nshared\n\nbeta", 3L)))
+    assert(out(2L) == (("gamma", 1L)))
+    assert(out(3L) == (("", 0L)))
+    assert(out(4L) == (("delta", 1L)))
+  }
+
   test("TextAnalysis.repeatedNgramStats: duplicate fraction, short docs") {
     val rows = Seq(
       (1L, "a b a b c"), // bigrams: ab,ba,ab,bc -> 4 total, 3 distinct
