@@ -261,6 +261,17 @@ object TextAnalysis {
         (col("tf") * log(lit(nDocs.toDouble) / col("df"))).as("tf_idf"))
   }
 
+  /** Unicode NFC normalization of `textCol` into `outCol` (the native
+    * [[graft.plans.NfcNormalize]] expression): canonically-equivalent
+    * spellings ("Café" precomposed vs e + combining acute) become
+    * byte-identical BEFORE any hash-keyed dedup or fingerprinting —
+    * run it first in a real pipeline, or exact dedup silently treats
+    * equivalent documents as distinct. Narrow, zero shuffle. */
+  def nfcNormalize(df: DataFrame, textCol: String, outCol: String = "nfc_text"): DataFrame = {
+    graft.plans.NfcNormalize.register(df.sparkSession)
+    df.withColumn(outCol, call_function("graft_nfc", col(textCol)))
+  }
+
   /** Tag-strip + core-entity decode (the C4-style HTML cleanup pass):
     * `<...>` runs are removed, then the five predefined entities
     * decode, `&amp;` LAST so `&amp;lt;` yields the literal `&lt;`

@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Unicode NFC normalization: `text -> canonically composed
+  * text`. The standard pre-dedup pass — "Café" spelled with a
+  * combining acute and "Café" spelled precomposed are byte-different
+  * (so every hash-keyed dedup/fingerprint op treats them as distinct
+  * documents) but canonically equivalent; NFC collapses them before
+  * hashing. Spark ships no normalization function; this wraps ICU4J's
+  * `Normalizer2` (already on the classpath — Spark 4 bundles ICU for
+  * collation, and the GTFS casefold helper uses it too) as a
+  * per-row expression: narrow, zero shuffle, NULL-preserving.
+  *
+  * The quick-check fast path makes already-NFC text (the vast
+  * majority of a real corpus) a no-copy pass-through.
+  *
+  * CodegenFallback like the other digest-bound graft expressions: one
+  * compiled eval per row dominated by the ICU call. */
+case class NfcNormalize(child: Expression)
+  extends UnaryExpression with CodegenFallback with Serializable {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string argument, got ${child.dataType.catalogString}")
+
+  @transient private lazy val nfc = com.ibm.icu.text.Normalizer2.getNFCInstance
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (nfc.isNormalized(s)) input // fast path: no copy for NFC text
+    else UTF8String.fromString(nfc.normalize(s))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Register `graft_nfc(text)` on the session registry (idempotent,
+    * silent if already present). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    NativeFunctions.registerOnce(spark, "graft_nfc", builder)
+
+  private[plans] def builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"graft_nfc takes 1 argument, got ${exprs.length}")
+    NfcNormalize(exprs.head)
+  }
+}

@@ -558,7 +558,29 @@ object TextQueries {
       ORDER BY doc_id"""),
     bench = true)
 
+  /** Unicode NFC normalization (native expression behind the library
+    * module): decomposed sequences appended per doc (e + combining
+    * acute, A + ring, o + diaeresis) must come back canonically
+    * composed, byte-identical to DuckDB's `nfc_normalize`
+    * (ICU vs utf8proc — both implement the same Unicode algorithm). */
+  val q68 = QueryDef(
+    "q68_nfc_normalize",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        // DECOMPOSED on the way in (e+U+0301, A+U+030A, o+U+0308) so
+        // the Spark expression does the composing, not the literal
+        .withColumn("mixed",
+          concat(col("text"), lit(" Cafe\u0301 A\u030Angstro\u0308m")))
+      graft.ops.TextAnalysis.nfcNormalize(docs, "mixed", "nfc")
+        .select(col("doc_id"), col("nfc"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        nfc_normalize(text || ' Cafe' || chr(769) || ' A' || chr(778)
+          || 'ngstro' || chr(776) || 'm') AS nfc
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61, q62,
-      q65, q66, q67)
+      q65, q66, q67, q68)
 }

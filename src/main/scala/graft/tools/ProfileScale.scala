@@ -96,6 +96,10 @@ object ProfileScale {
       d, "doc_id", "text", n = 3, minDocFreq = 3L)
       .filter(col("n_grams") > 0)
       .select(col("doc_id"), col("n_grams"), col("n_boiler"), col("boiler_frac"))
+    // q67 at x10 is a dedup stress test: the per-copy marker lands in
+    // the LAST '. '-paragraph only, so almost every paragraph is a
+    // cross-copy duplicate and the first-occurrence rule does real work
+    def q67(d: DataFrame) = TextAnalysis.paragraphDedup(d, "doc_id", "text", sep = ". ")
 
     // Time CONSTRUCTION + execution: the dedup pipeline materializes
     // its stage boundaries eagerly (localCheckpoint) while the plan is
@@ -121,7 +125,8 @@ object ProfileScale {
       ("q57 tfidf", () => q57(docs), () => q57(docs10)),
       ("q59 pq-adc", () => q59(emb), () => q59(emb10)),
       ("q61 decontam", () => q61(docs), () => q61(docs10)),
-      ("q62 boiler", () => q62(docs), () => q62(docs10))).map { case (name, at1, atN) =>
+      ("q62 boiler", () => q62(docs), () => q62(docs10)),
+      ("q67 par-dedup", () => q67(docs), () => q67(docs10))).map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)
       val tN = run(s"$name x$factor", atN)

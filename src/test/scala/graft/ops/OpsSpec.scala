@@ -380,6 +380,24 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("regexp_replace"))
   }
 
+  test("TextAnalysis.nfcNormalize: decomposed composes, NFC text passes through, null kept") {
+    val rows = Seq(
+      (1L, "Café"), // e + combining acute
+      (2L, "Café"), // precomposed — the fast path
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.nfcNormalize(rows, "text", "nfc")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("nfc")).toMap
+    // canonically-equivalent spellings become byte-identical — the
+    // property every hash-keyed dedup op depends on
+    assert(out(1L) == "Café" && out(1L) == out(2L))
+    assert(out(3L) == null)
+    // and the md5 fingerprints now collide, which is the point
+    val fps = TextAnalysis.nfcNormalize(rows.filter(col("text").isNotNull), "text", "nfc")
+      .select(md5(col("nfc"))).collect().map(_.getString(0)).toSet
+    assert(fps.size == 1)
+  }
+
   test("TextAnalysis.stripHtml: tags removed, entities decoded, &amp; last") {
     val rows = Seq(
       (1L, """<p class="x">a &lt;b&gt; c</p>"""),
