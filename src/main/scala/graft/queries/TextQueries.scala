@@ -497,7 +497,8 @@ object TextQueries {
             '<[^>]*>', '', 'g'),
           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
           '&#39;', ''''), '&apos;', ''''), '&amp;', '&') AS clean
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id"""),
+    bench = true)
 
   /** PII redaction (library module `TextAnalysis.redactPii`): a
     * synthetic email + URL appended per doc, URLs collapsed before
@@ -522,7 +523,7 @@ object TextQueries {
               || CAST(doc_id AS VARCHAR) || '?ref=1 tail',
             'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g'),
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id"""))  // narrow; q65 benches the regex-map shape
 
   /** Corpus-wide paragraph dedup (library module
     * `TextAnalysis.paragraphDedup`, split on '. ' for the synthetic
@@ -578,7 +579,8 @@ object TextQueries {
     Some("""SELECT doc_id,
         nfc_normalize(text || ' Cafe' || chr(769) || ' A' || chr(778)
           || 'ngstro' || chr(776) || 'm') AS nfc
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id"""),
+    bench = true)
 
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61, q62,

@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Print the executed (post-AQE) plan of one named query at a given
+  * SF — the `.explain` loop the scale design rules prescribe, runnable
+  * against any oracle query:
+  *
+  *   sbt "runMain graft.tools.PlanProbe q62_boilerplate_ngrams /root/testdata/sf0.01"
+  */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q62_boilerplate_ngrams")
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.queries.QueryDef.NanosConf, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val q = graft.SparkEntry.allQueries.find(_.name == name)
+      .getOrElse(sys.error(s"unknown query $name"))
+    val df = q.fn(spark, sfDir)
+    df.write.mode("overwrite").format("noop").save()
+    println(df.queryExecution.executedPlan.toString)
+    spark.stop()
+  }
+}
