@@ -62,9 +62,12 @@ object TextAnalysis {
     * stopword set is a foldable array literal, so referencing it inside
     * the lambda costs nothing — the Catalyst inlining trap only bites
     * on non-foldable outer expressions. */
-  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+  def qualityMetrics(
+      df: DataFrame, textCol: String,
+      stopwords: Seq[String] = Stopwords): DataFrame = {
+    require(stopwords.nonEmpty, "qualityMetrics needs at least one stopword")
     val t = col(textCol)
-    val stopSet = array(Stopwords.map(lit): _*)
+    val stopSet = array(stopwords.map(lit): _*)
     val toks = split(trim(lower(t)), "\\s+")
     val stopHits = size(filter(toks, x => array_contains(stopSet, x))).cast("long")
     df.withColumn("n_chars", length(t).cast("long"))
