@@ -26,6 +26,9 @@ import graft.resource.{FtpResource, IntermediateFeed, IntermediateFeedProvider, 
   * with a decompressing resource there; fixtures feed plain text.
   */
 final class ZtmFeedProvider(
+    // honored when given (the reference's __init__ takes for_date but
+    // overwrites it with Date.today() — ztm_ftp.py:56-57, an apparent
+    // oversight we deliberately do not mirror)
     forDate: Option[LocalDate] = None,
     host: String = ZtmFeedProvider.FtpHost,
     port: Int = 21,

@@ -441,6 +441,21 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == (("gamma", 1L)))
     assert(out(3L) == (("", 0L)))
     assert(out(4L) == (("delta", 1L)))
+
+    // idempotent: after one pass every surviving paragraph is unique
+    // corpus-wide, so a second pass keeps everything
+    val cleaned = rows.drop("text")
+      .join(TextAnalysis.paragraphDedup(rows, "doc_id", "text")
+        .withColumnRenamed("clean_text", "text"), Seq("doc_id"))
+      .filter(col("n_kept") > 0).select("doc_id", "text")
+    val again = TextAnalysis.paragraphDedup(cleaned, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    cleaned.collect().foreach(r =>
+      assert(again(r.getLong(0)) == r.getString(1)))
+    // shape guarantee: the skew-safe formulation carries NO window
+    val plan = TextAnalysis.paragraphDedup(rows, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
   }
 
   test("TextAnalysis.repeatedNgramStats: duplicate fraction, short docs") {
