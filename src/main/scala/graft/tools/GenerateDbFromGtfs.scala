@@ -1,0 +1,62 @@
+package graft.tools
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.io.{FeedIO, LoadGtfs}
+import graft.resource.{LocalResource, PipelineOptions, PipelineRunner}
+
+/** CLI utility mirroring the reference's `generate_db_from_gtfs.py`:
+  * load a GTFS zip and persist it as a parquet FeedDataset (the
+  * analogue of its SQLite "DB"), through a throwaway workspace with
+  * force-run semantics (generate_db_from_gtfs.py:12-26 — LoadGTFS ->
+  * SaveDB in a TemporaryDirectory):
+  *
+  *   sbt "runMain graft.tools.GenerateDbFromGtfs <gtfs.zip> [-o out_dir]"
+  *
+  * The reference defaults its output to `impuls.db`; here the default
+  * is the `graft_db` directory (parquet is a directory format).
+  */
+object GenerateDbFromGtfs {
+
+  /** The reference's generate_db_from_gtfs() body, callable from
+    * tests: one pipeline, temp workspace, forced run. */
+  def run(spark: SparkSession, gtfs: Path, output: Path): Unit = {
+    val ws = Files.createTempDirectory("graft_gendb_")
+    try {
+      val name = gtfs.getFileName.toString
+      PipelineRunner.run(spark,
+        tasks = Seq(LoadGtfs(ws.resolve(name)), FeedIO.SaveDb(output)),
+        resources = Map(name -> LocalResource(gtfs)),
+        options = PipelineOptions(forceRun = true, workspace = ws))
+      ()
+    } finally {
+      val walk = Files.walk(ws)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (out, rest) = args.toSeq match {
+      case Seq("-o", o, g @ _*)           => (o, g)
+      case Seq("--output", o, g @ _*)     => (o, g)
+      case Seq(g, "-o", o)                => (o, Seq(g))
+      case Seq(g, "--output", o)          => (o, Seq(g))
+      case g                              => ("graft_db", g)
+    }
+    require(rest.length == 1,
+      "usage: GenerateDbFromGtfs [-o|--output OUT] <gtfs.zip>")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.util.Logs.initialize(verbose = true) // reference: initialize_logging(verbose=True)
+    run(spark, Path.of(rest.head), Path.of(out))
+    spark.stop()
+  }
+}

@@ -123,6 +123,14 @@ class ResourceSpec extends SparkSpec {
     intercept[InputNotModified](res.fetch(conditional = true))
   }
 
+  test("GenerateDbFromGtfs: load a GTFS zip, persist the parquet DB (reference CLI)") {
+    val out = Files.createTempDirectory("gendb_out").resolve("db")
+    graft.tools.GenerateDbFromGtfs.run(spark, TestSpark.fixture("wkd.zip"), out)
+    val feed = graft.io.FeedIO.load(rt, out)
+    assert(feed("agencies").count() == 1)
+    assert(feed("trips").count() > 0 && feed("stop_times").count() > 0)
+  }
+
   test("MultiFile: intermediate feeds cached, merged with truncation windows") {
     val ws = tmpWorkspace
     var intermediateRuns = 0
