@@ -35,20 +35,33 @@ final class ZtmFeedProvider(
     adapt: Resource => Resource = identity) extends IntermediateFeedProvider {
 
   def needed(): Seq[IntermediateFeed] = {
-    val all = FtpResource.list(
-        host, port, ZtmFeedProvider.AnonymousUser, ZtmFeedProvider.AnonymousPassword)
-      .filter(f => f.startsWith("RA") && f.endsWith(".7z"))
-      .map { filename =>
-        IntermediateFeed(
-          version = filename.takeWhile(_ != '.'),
-          resource = adapt(FtpResource(host, filename,
+    val names = FtpResource.list(
+      host, port, ZtmFeedProvider.AnonymousUser, ZtmFeedProvider.AnonymousPassword)
+    // the full name contract, not just prefix/suffix: the digits must
+    // BE a date, and the name flows into filesystem paths (workspace
+    // cache keys), so a listing entry like "RA_backup.7z" — or a
+    // hostile one with separators, the listing travels plaintext FTP —
+    // must be skipped, not crash feed discovery or escape the cache dir
+    val all = names.flatMap {
+      case name @ ZtmFeedProvider.FeedName(yy, mm, dd) =>
+        try Some(IntermediateFeed(
+          version = name.takeWhile(_ != '.'),
+          resource = adapt(FtpResource(host, name,
             ZtmFeedProvider.AnonymousUser, ZtmFeedProvider.AnonymousPassword, port)),
-          resourceName = filename,
-          startDate = LocalDate.of(
-            2000 + filename.slice(2, 4).toInt,
-            filename.slice(4, 6).toInt,
-            filename.slice(6, 8).toInt))
-      }
+          resourceName = name,
+          startDate = LocalDate.of(2000 + yy.toInt, mm.toInt, dd.toInt)))
+        catch {
+          case _: java.time.DateTimeException =>
+            graft.util.Logs.warning("ZtmFeedProvider",
+              s"skipping feed file with an invalid date: $name")
+            None
+        }
+      case name =>
+        if (name.startsWith("RA") && name.endsWith(".7z"))
+          graft.util.Logs.warning("ZtmFeedProvider",
+            s"skipping malformed feed file name: $name")
+        None
+    }
     MultiFile.pruneOutdatedFeeds(all, forDate.getOrElse(LocalDate.now()))
   }
 }
@@ -56,6 +69,9 @@ final class ZtmFeedProvider(
 object ZtmFeedProvider {
   /** ztm_ftp.py:10 */
   val FtpHost = "rozklady.ztm.waw.pl"
+  /** The published feed-name contract: `RAyymmdd.7z` exactly
+    * (ztm_ftp.py:70-79's slicing assumes it). */
+  private val FeedName = """RA(\d\d)(\d\d)(\d\d)\.7z""".r
   /** ftplib's anonymous-login defaults (ztm_ftp.py:61 `ftp.login()`). */
   val AnonymousUser = "anonymous"
   val AnonymousPassword = "anonymous@"

@@ -554,14 +554,23 @@ object Multimodal {
     private val probed =
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-    /** Is `binary` runnable here? Cached per JVM. */
+    /** Is `binary` runnable here? Cached per JVM. Stdin is closed
+      * immediately and the wait is bounded, so a PATH shim that blocks
+      * on input reads as unavailable instead of hanging every task
+      * behind the probe's map lock. */
     def available(binary: String = "ffmpeg"): Boolean =
       probed.computeIfAbsent(binary, b => java.lang.Boolean.valueOf(
         try {
+          // -version output fits a pipe buffer, so no read is needed:
+          // discard it and never block on the stream
           val p = new ProcessBuilder(b, "-version")
-            .redirectErrorStream(true).start()
-          p.getInputStream.readAllBytes()
-          p.waitFor() == 0
+            .redirectErrorStream(true)
+            .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+            .start()
+          p.getOutputStream.close()
+          val done = p.waitFor(15, java.util.concurrent.TimeUnit.SECONDS)
+          if (!done) p.destroyForcibly()
+          done && p.exitValue() == 0
         } catch { case _: Exception => false }))
   }
 

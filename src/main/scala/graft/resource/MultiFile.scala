@@ -74,6 +74,17 @@ final class MultiFile(
   private def feedStamp(v: String): Path =
     options.workspace.resolve("intermediate_feeds").resolve(v + ".stamp")
 
+  /** Version-set stamp of the last SUCCESSFUL final pipeline. The
+    * short-circuit must not fire when the merged composition changed
+    * without any rebuild (a superseded version pruned away) or when
+    * the final pipeline never completed (it failed after the
+    * intermediates were stamped) — in both cases the published output
+    * is stale even though every version looks fresh. Lives at the
+    * workspace ROOT so the intermediate-feeds prune cannot remove it;
+    * written only at the end of a successful [[run]]. */
+  private def finalStamp: Path = options.workspace.resolve("final_versions.stamp")
+  private var pendingFingerprint: String = ""
+
   /** Resources fetched by the last `prepare` — version archives plus
     * `additionalResources` (multi_file.py's additional_resources, made
     * available to BOTH the intermediate and the final pipelines). */
@@ -86,10 +97,11 @@ final class MultiFile(
     // prune cached versions that are no longer needed (multi_file.py:326-335)
     val keep = needed.map(_.version).toSet
     val dir = options.workspace.resolve("intermediate_feeds")
-    Files.list(dir).forEach { p =>
+    val listing = Files.list(dir)
+    try listing.forEach { p =>
       val base = p.getFileName.toString.stripSuffix(".stamp")
       if (!keep.contains(base)) deleteRecursively(p)
-    }
+    } finally listing.close()
 
     // conditional-fetch each version + the shared additional resources
     // (multi_file.py:356-385)
@@ -119,10 +131,16 @@ final class MultiFile(
       }
     }
 
-    // no version needed a rebuild and we are not replaying from cache:
-    // the whole orchestration short-circuits, exactly like a plain
-    // pipeline whose inputs are unchanged (multi_file.py:317-319)
-    if (rebuilt == 0 && !options.fromCache) throw new InputNotModified
+    // no version needed a rebuild, the last final run completed over
+    // the SAME version set, and we are not replaying from cache: the
+    // whole orchestration short-circuits, like a plain pipeline whose
+    // inputs are unchanged (multi_file.py:317-319; the version-set
+    // stamp is a hardening beyond the reference, which would also skip
+    // after a failed final run or a composition-changing prune)
+    pendingFingerprint = needed.map(_.version).mkString("\n")
+    val finalUpToDate = Files.exists(finalStamp) &&
+      Files.readString(finalStamp) == pendingFingerprint
+    if (rebuilt == 0 && finalUpToDate && !options.fromCache) throw new InputNotModified
 
     // final pipeline: merge all versions, each truncated to its window
     // (multi_file.py:460-525)
@@ -144,12 +162,17 @@ final class MultiFile(
   def run(spark: SparkSession): FeedDataset = {
     val tasks = prepare(spark)
     val rt = TaskRuntime(spark, managedResources, Map.empty)
-    new Pipeline(tasks).run(PipelineRunner.emptyFeed(spark), rt)
+    val out = new Pipeline(tasks).run(PipelineRunner.emptyFeed(spark), rt)
+    // only now is the published output known to cover this version set
+    Files.writeString(finalStamp, pendingFingerprint)
+    out
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val children = Files.list(p)
+      try children.forEach(deleteRecursively) finally children.close()
+    }
     Files.deleteIfExists(p)
   }
 }

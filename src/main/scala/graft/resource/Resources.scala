@@ -18,12 +18,10 @@ final class ResourceNotCached(name: String)
   extends graft.errors.DataError(s"Resource is not cached: $name")
 
 /** A locally cached resource handed to tasks (reference:
-  * ManagedResource, resource.py:451-571). */
-/** A cached external input handed to tasks. `modified` records whether
+  * ManagedResource, resource.py:451-571). `modified` records whether
   * THIS preparation's conditional fetch actually downloaded new
-  * content (resource.py's cache result flag) — MultiFile rebuilds a
-  * version on it even when the build stamp post-dates the server-side
-  * mod time. */
+  * content — MultiFile rebuilds a version on it even when the build
+  * stamp post-dates the server-side mod time. */
 final case class ManagedResource(
     storedAt: Path, lastModified: Instant, fetchTime: Instant,
     modified: Boolean = false) {

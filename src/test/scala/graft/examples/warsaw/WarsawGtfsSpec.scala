@@ -26,7 +26,11 @@ class WarsawGtfsSpec extends SparkSpec {
     "RA240301.7z" -> ZtmFixture.bytes("2024-03-04", "2024-03-05", "2024-03-21"),
     "RA240320.7z" -> ZtmFixture.bytes("2024-03-21", "2024-03-22", "2024-03-23"),
     "readme.txt" -> "not a feed".getBytes(StandardCharsets.UTF_8),
-    "RAnotes.zip" -> "wrong extension".getBytes(StandardCharsets.UTF_8))
+    "RAnotes.zip" -> "wrong extension".getBytes(StandardCharsets.UTF_8),
+    // match the RA*.7z prefix/suffix but violate the name contract:
+    // skipped with a warning, never crash discovery, never fetched
+    "RA_backup.7z" -> "malformed digits".getBytes(StandardCharsets.UTF_8),
+    "RA249999.7z" -> "impossible date".getBytes(StandardCharsets.UTF_8))
 
   test("WarsawGtfs end-to-end: listing, prune, MDTM cache, windowed merge, zip") {
     val stub = new StubFtpServer(Array.emptyByteArray, "20240301060000",
