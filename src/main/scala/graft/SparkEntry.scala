@@ -12,7 +12,7 @@ object SparkEntry {
   val allQueries: Seq[QueryDef] =
     RelationalQueries.all ++ CodecQueries.all ++ TextQueries.all ++
       EmbeddingQueries.all ++ EventQueries.all ++ OpsQueries.all ++
-      SinkQueries.all
+      CurationQueries.all ++ SinkQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Context-window sequence packing — the step between a curated corpus
+  * and a pretraining dataloader: documents are concatenated in a
+  * deterministic order and cut into fixed-size token chunks
+  * ("concat-and-chunk", the standard GPT-style packing). This operator
+  * computes, for every document, WHERE it lands: its global token
+  * offset within its shard and the chunk ids it spans — enough for a
+  * writer to emit chunk files, for a loss mask to find document
+  * boundaries, and for an auditor to measure how many chunks mix many
+  * documents.
+  *
+  * All integer arithmetic over one window — bit-identical on any
+  * engine and any partitioning.
+  */
+object Packing {
+
+  /** Assign each document its token span in the packed stream.
+    *
+    * Documents are packed independently per `shardCol` (at 100 TB the
+    * window is partitioned by shard, so parallelism = shard count and
+    * no global ordering exists — shard by a hash prefix of the id,
+    * e.g. [[Sampling.hashUnit]] buckets, to keep shards bounded;
+    * a single-shard call of this IS the global window a scale run
+    * must avoid). Within a shard, documents are ordered by `idCol` —
+    * deterministic and stable as the corpus grows only in new ids.
+    *
+    * Emits per document:
+    *   - `start_tok` — token offset of the document in its shard's
+    *     concatenated stream (0-based),
+    *   - `first_chunk` / `last_chunk` — ids (0-based, per shard) of
+    *     the `ctxLen`-token chunks the document touches,
+    *   - `chunk_offset` — offset of the document's first token inside
+    *     `first_chunk`,
+    *   - `n_chunks_spanned` — how many chunks the document crosses
+    *     (1 = fits inside one chunk).
+    *
+    * Precondition: every `tokenCol` is >= 1 (a zero-token document
+    * would get `last_chunk < first_chunk`) — filter empties out before
+    * packing. */
+  def packChunks(
+      df: DataFrame, idCol: String, tokenCol: String,
+      ctxLen: Long, shardCol: String): DataFrame = {
+    require(ctxLen >= 1, s"context length must be >= 1, got $ctxLen")
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sum(col(tokenCol)).over(w)
+    // floor() on an exact integral double, then cast — Spark's
+    // double->long cast truncates but DuckDB's ROUNDS, so the explicit
+    // floor is what keeps the two engines identical (token totals stay
+    // below 2^53, where doubles are exact on integers)
+    def chunkOf(tok: org.apache.spark.sql.Column) =
+      floor(tok.cast("double") / lit(ctxLen.toDouble)).cast("long")
+    df.withColumn("__cum", cum)
+      .withColumn("start_tok", col("__cum") - col(tokenCol))
+      .withColumn("first_chunk", chunkOf(col("start_tok")))
+      .withColumn("last_chunk", chunkOf(col("__cum") - 1))
+      .withColumn("chunk_offset", col("start_tok") - col("first_chunk") * ctxLen)
+      .withColumn("n_chunks_spanned", col("last_chunk") - col("first_chunk") + 1)
+      .drop("__cum")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over a document corpus: BM25 scoring and top-k
+  * search. The curation use cases are retrieval-based decontamination
+  * (find training docs that answer an eval question) and targeted
+  * quality audits (pull the corpus slice about a topic).
+  *
+  * Deliberately NOT an inverted-index build: at 100 TB the index is a
+  * second corpus-sized dataset, while a query-time scan is a NARROW
+  * map (per-row term counts against a handful of query terms) feeding
+  * `TakeOrderedAndProject` — no wide shuffle at all. The only
+  * corpus-wide work is one single-row aggregate for the collection
+  * statistics (N, avgdl, per-term document frequencies), which
+  * map-side-combines to one row per partition.
+  */
+object Retrieval {
+
+  /** Okapi BM25 defaults (Robertson et al., TREC-3). */
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+
+  private def toks(textCol: String): Column =
+    split(trim(lower(col(textCol))), "\\s+")
+
+  /** Collection statistics for `queryTerms`: document count, total
+    * token count, and per-term document frequency — ONE single-row
+    * aggregate job (the scan's partial rows are term-count-wide, not
+    * corpus-wide). Returns (N, totalTokens, df per term). */
+  def collectionStats(
+      df: DataFrame, textCol: String,
+      queryTerms: Seq[String]): (Long, Long, Map[String, Long]) = {
+    val t = df.select(toks(textCol).as("__toks"))
+    val aggs =
+      sum(size(col("__toks")).cast("long")).as("__total") +:
+        queryTerms.zipWithIndex.map { case (term, i) =>
+          sum(when(array_contains(col("__toks"), term), 1L).otherwise(0L)).as(s"__df$i")
+        }
+    val row = t.agg(count(lit(1)).as("__n"), aggs: _*).head()
+    val dfs = queryTerms.zipWithIndex
+      .map { case (term, i) => term -> row.getAs[Long](s"__df$i") }.toMap
+    (row.getAs[Long]("__n"), row.getAs[Long]("__total"), dfs)
+  }
+
+  /** BM25 score of every document against `queryTerms`, plus top-k
+    * selection. Emits `(idCol, n_tok, score)` for the `k` best-scoring
+    * documents with at least one query term, ties broken by id.
+    *
+    * The idf uses the non-negative Robertson formulation
+    * `ln(1 + (N - df + 0.5) / (df + 0.5))`. Collection stats are baked
+    * in as literals, so the scoring pass is a pure per-row expression:
+    * tokenize once (projected, so the split is NOT re-inlined into
+    * each term's count — the Catalyst lambda trap), one `filter` count
+    * per query term, and the codegen'd polynomial. The plan is scan →
+    * map → TakeOrderedAndProject: the 100 TB shape. */
+  def bm25TopK(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(queryTerms.map(_.toLowerCase).distinct.size == queryTerms.size,
+      s"query terms must be distinct lowercase tokens: $queryTerms")
+    val (n, totalTok, dfs) = collectionStats(df, textCol, queryTerms)
+    require(n > 0, "bm25TopK over an empty corpus")
+    val avgdl = totalTok.toDouble / n.toDouble
+    val scored = scoreWith(df, idCol, textCol, queryTerms, n, avgdl, dfs, k1, b)
+    scored.filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The scoring map alone (collection stats supplied by the caller —
+    * production keeps them precomputed next to the corpus). */
+  def scoreWith(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], nDocs: Long, avgdl: Double,
+      docFreqs: Map[String, Long],
+      k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    val missing = queryTerms.filterNot(docFreqs.contains)
+    require(missing.isEmpty, s"no document frequency supplied for: $missing")
+    val withToks = df.select(col(idCol), toks(textCol).as("__toks"))
+      .withColumn("n_tok", size(col("__toks")).cast("long"))
+    val perTerm = queryTerms.map { term =>
+      val dft = docFreqs(term)
+      // idf as an ENGINE-evaluated ln over exact inputs (integers and
+      // halves are exact doubles), so the DuckDB twin reproduces the
+      // identical value from the same integers
+      val idf = log(lit(1.0) + lit(nDocs - dft + 0.5) / lit(dft + 0.5))
+      val tf = size(filter(col("__toks"), x => x === term)).cast("double")
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("n_tok").cast("double") / lit(avgdl)))
+    }
+    withToks.select(col(idCol), col("n_tok"),
+      perTerm.reduce(_ + _).as("score"))
+  }
+}

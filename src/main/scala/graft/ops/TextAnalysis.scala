@@ -341,6 +341,91 @@ object TextAnalysis {
       .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
   }
 
+  /** The row's character n-gram array. NARROW — one array per row, no
+    * explode here; callers explode when counting corpus-wide. `text`
+    * should be a PLAIN column reference (project any normalization
+    * into its own column first): the index lambda references it per
+    * element, and Catalyst would inline a non-cheap expression into
+    * every position (the documented quadratic trap). Rows shorter than
+    * `n` characters get an empty array — `sequence(1, 0)` would count
+    * DOWN in Spark, so the guard is load-bearing. */
+  def charNgramsOf(text: Column, n: Int): Column = {
+    require(n >= 1, s"char n-gram size must be >= 1, got $n")
+    val cnt = length(text) - (n - 1)
+    when(cnt >= 1, transform(sequence(lit(1), cnt), i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 2^20 — the log-probability quantizer for [[charLmScore]]. Each
+    * gram's ln(p) is rounded to a multiple of 2^-20 and summed as an
+    * exact integer, so the per-document total is independent of
+    * aggregation order (cross-row double addition is not associative;
+    * the quantized sum is bit-identical on any engine and any
+    * partitioning — the same trick as `Similarity.ExactMeanScale`). */
+  val LogQuantScale: Double = (1L << 20).toDouble
+
+  /** Train a character-level n-gram language model: maximum-likelihood
+    * `P(c_n | c_1..c_{n-1}) = count(gram) / count(prefix)`. Returns
+    * `(gram, c_gram, c_ctx, logp_q)` where `logp_q` is the quantized
+    * ln-probability ([[LogQuantScale]]).
+    *
+    * Shape at 100 TB: one explode + gram-keyed count (map-side partial
+    * agg does the heavy lifting — the distinct-gram space is bounded
+    * by charset^n, NOT corpus size), then a prefix-keyed count derived
+    * from the gram counts (vocabulary-sized input, trivial). The model
+    * itself is vocabulary-sized and broadcasts at scoring time — for
+    * alphabetic scripts the trigram vocabulary is O(100k); for
+    * ideographic corpora (charset in the tens of thousands) drop to
+    * n = 2 or pre-hash the gram space to keep the broadcast bounded. */
+  def charLmTrain(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 2, s"char LM needs n >= 2, got $n")
+    val grams = df.select(col(textCol).as("__t"))
+      .select(explode(charNgramsOf(col("__t"), n)).as("gram"))
+    val cGram = grams.groupBy("gram").agg(count(lit(1)).as("c_gram"))
+    val cCtx = cGram.groupBy(substring(col("gram"), 1, n - 1).as("ctx"))
+      .agg(sum(col("c_gram")).as("c_ctx"))
+    cGram.join(cCtx, substring(cGram("gram"), 1, n - 1) === cCtx("ctx"))
+      .select(col("gram"), col("c_gram"), col("c_ctx"),
+        round(log(col("c_gram").cast("double") / col("c_ctx").cast("double"))
+          * LogQuantScale).cast("long").as("logp_q"))
+  }
+
+  /** Score documents under a trained character n-gram model (the
+    * CCNet-style LM quality signal: low mean negative log-likelihood =
+    * natural text, high = garbage/boilerplate/wrong-language). Emits
+    * `n_grams` (scored grams), `n_unseen` (grams absent from the
+    * model — zero when scoring the training corpus itself) and
+    * `avg_nll` (mean `-ln P` over SEEN grams, NaN when nothing
+    * scored). Unseen grams are counted, not smoothed — pick the
+    * model/corpus split so the model covers the charset, or add-delta
+    * smooth upstream.
+    *
+    * Shape at 100 TB: the model is vocabulary-sized → broadcast join
+    * against each document's exploded grams, then ONE doc-keyed sum of
+    * exact integers (map-side partial agg). Nothing corpus-wide beyond
+    * the per-doc count. */
+  def charLmScore(
+      docs: DataFrame, model: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol), col(textCol).as("__t"))
+      .select(col(idCol), explode(charNgramsOf(col("__t"), n)).as("gram"))
+    val scored = grams
+      .join(broadcast(model.select(col("gram"), col("logp_q"))), Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("logp_q").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(coalesce(col("logp_q"), lit(0L))).as("__s"))
+    docs.join(scored, Seq(idCol), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("n_unseen", coalesce(col("n_unseen"), lit(0L)))
+      .withColumn("avg_nll",
+        when(col("n_grams") - col("n_unseen") > 0,
+          -(col("__s").cast("double") / LogQuantScale)
+            / (col("n_grams") - col("n_unseen")))
+          .otherwise(lit(Double.NaN)))
+      .drop("__s")
+  }
+
   /** Canonical word-set fingerprint: md5 over the sorted distinct word
     * set (robust to word order and duplication). */
   def wordSetFingerprint(text: Column): Column =

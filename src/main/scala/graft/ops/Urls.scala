@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and URL-keyed deduplication — the first pass
+  * of every web-crawl curation pipeline (the same page is fetched as
+  * `HTTP://WWW.Example.COM:80/a/?utm_source=x` and
+  * `http://example.com/a`; without canonicalization, content dedup
+  * pays a full text comparison for what a key normalization solves).
+  *
+  * Everything here is a NARROW codegen'd string expression — zero
+  * shuffle for canonicalization, one hash-keyed shuffle for the dedup
+  * itself — and every primitive (instr/substr/lower/regexp/array ops)
+  * is engine-portable so the DuckDB oracle reproduces it byte for
+  * byte.
+  */
+object Urls {
+
+  /** Query parameters dropped during canonicalization: click/campaign
+    * trackers that never change the fetched content. */
+  val TrackingParams: Seq[String] = Seq("utm_[A-Za-z]+", "fbclid", "gclid", "ref")
+
+  private val trackingRe = s"^(${TrackingParams.mkString("|")})="
+
+  /** Canonicalize an absolute `scheme://host[:port][/path][?query][#frag]`
+    * URL:
+    *
+    *   - fragment dropped (never sent to the server),
+    *   - scheme and host lowercased, a leading `www.` and the
+    *     scheme's default port (`:80` / `:443`) dropped,
+    *   - tracking parameters ([[TrackingParams]]) removed, remaining
+    *     query parameters SORTED (param order is almost always
+    *     insignificant; sorting merges permutations),
+    *   - trailing path slash dropped, empty path becomes `/`.
+    *
+    * Expects well-formed absolute URLs (no userinfo, no relative
+    * refs) — the crawl-frontier shape. Malformed strings pass through
+    * mostly unchanged rather than erroring: this runs inside a map
+    * over billions of rows, where one bad row must not kill a stage. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = regexp_replace(url, "#.*", "")
+    val sep = instr(u, "://")
+    val scheme = lower(substring(u, lit(1), sep - 1))
+    val rest = substring(u, sep + 3, length(u))
+    // authority ends at the first '/' or '?' (query-without-path URLs
+    // like host?a=1 are legal), else runs to the end
+    val slash = instr(rest, "/")
+    val qm = instr(rest, "?")
+    val hostEnd =
+      when(slash > 0 && (qm === 0 || slash < qm), slash)
+        .when(qm > 0, qm)
+        .otherwise(length(rest) + 1)
+    val rawHost = lower(substring(rest, lit(1), hostEnd - 1))
+    val noWww = regexp_replace(rawHost, "^www\\.", "")
+    val host =
+      when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+        .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+        .otherwise(noWww)
+    val tail = substring(rest, hostEnd, length(rest))
+    val tq = instr(tail, "?")
+    val rawPath = when(tq > 0, substring(tail, lit(1), tq - 1)).otherwise(tail)
+    val rawQuery = when(tq > 0, substring(tail, tq + 1, length(tail))).otherwise(lit(""))
+    val noSlash = regexp_replace(rawPath, "/$", "")
+    val path = when(noSlash === "", "/").otherwise(noSlash)
+    val params = array_sort(filter(split(rawQuery, "&"),
+      p => p =!= "" && !p.rlike(trackingRe)))
+    val query = array_join(params, "&")
+    concat(scheme, lit("://"), host, path,
+      when(query === "", "").otherwise(concat(lit("?"), query)))
+  }
+
+  /** `substring(col, startCol, len)` is literal-only in the public API;
+    * `Column.substr` takes columns. */
+  private def substring(c: Column, start: Column, len: Column): Column =
+    c.substr(start, len)
+
+  /** URL-keyed dedup: one row per canonical URL with the duplicate
+    * count and the smallest id (the kept fetch). One shuffle on the
+    * canonical-URL hash with map-side partial aggregation — the q24
+    * exact-dedup shape with the canonicalization fused into the key. */
+  def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.groupBy(canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryDef._
+
+/** Round-6 curation operators over `documents`: character-LM quality
+  * scoring, BM25 retrieval, URL canonicalization/dedup, and sequence
+  * packing. Oracle determinism notes: every DuckDB float literal is
+  * `::DOUBLE` (bare decimals parse as DECIMAL there), every `ln` gets
+  * bit-identical inputs on both engines (exact integer/half-integer
+  * ratios), and cross-row float sums are quantized to exact integers
+  * first (`TextAnalysis.LogQuantScale`) so aggregation order cannot
+  * matter.
+  */
+object CurationQueries {
+
+  /** Character-trigram LM quality scoring (library
+    * `TextAnalysis.charLmTrain` / `charLmScore` — the CCNet-style
+    * signal): the corpus trains an MLE model of
+    * `P(c3 | c1 c2) = count(tri) / count(prefix)`, every document is
+    * scored by its mean negative log-likelihood. Self-scoring keeps
+    * `n_unseen` at zero, which the oracle asserts as a literal. The
+    * per-gram ln is quantized to 2^-20 before the per-doc sum, so the
+    * sum is an exact integer on both engines regardless of order. */
+  val q69 = QueryDef(
+    "q69_char_lm_score",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.ops.TextAnalysis.charLmTrain(docs, "text", n = 3)
+      graft.ops.TextAnalysis.charLmScore(docs, model, "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("n_grams"), col("n_unseen"),
+          round(col("avg_nll"), 6).as("avg_nll"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH g AS MATERIALIZED (
+        SELECT doc_id, substr(text, CAST(i AS INT), 3) AS gram
+        FROM documents, LATERAL unnest(generate_series(1, length(text) - 2)) AS t(i)),
+      cg AS (SELECT gram, count(*) AS c_gram FROM g GROUP BY gram),
+      cc AS (SELECT substr(gram, 1, 2) AS ctx, sum(c_gram) AS c_ctx
+             FROM cg GROUP BY substr(gram, 1, 2)),
+      m AS (SELECT gram,
+              CAST(round(ln(CAST(c_gram AS DOUBLE) / CAST(c_ctx AS DOUBLE))
+                * CAST(1048576 AS DOUBLE)) AS BIGINT) AS lq
+            FROM cg JOIN cc ON substr(cg.gram, 1, 2) = cc.ctx),
+      sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(lq) AS BIGINT) AS s
+             FROM g JOIN m USING (gram) GROUP BY doc_id)
+      SELECT d.doc_id, sc.n_grams, CAST(0 AS BIGINT) AS n_unseen,
+        round(-(CAST(sc.s AS DOUBLE) / CAST(1048576 AS DOUBLE)) / sc.n_grams, 6)
+          AS avg_nll
+      FROM documents d JOIN sc USING (doc_id) ORDER BY d.doc_id"""),
+    bench = true)
+
+  /** BM25 top-k retrieval (library `Retrieval.bm25TopK`): collection
+    * stats are one single-row aggregate, scoring is a pure narrow map
+    * (tokenize once, per-term `filter` counts), selection is
+    * TakeOrderedAndProject — zero wide shuffle at any scale. The
+    * oracle recomputes the identical Robertson idf from the same
+    * integers and spells the scoring polynomial with the same
+    * association order. */
+  val q70 = QueryDef(
+    "q70_bm25_topk",
+    (s, dir) => {
+      graft.ops.Retrieval.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("data", "the", "query"), k = 25)
+        .select(col("doc_id"), col("n_tok"), round(col("score"), 6).as("score"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH tk AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      st AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN list_contains(toks, 'data') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+               CAST(sum(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+               CAST(sum(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END) AS BIGINT) AS df3
+             FROM tk),
+      sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+               ln(CAST(1 AS DOUBLE) + (CAST(st.n - st.df1 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(st.df1 AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+                 / (CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(len(toks) AS DOUBLE) / (CAST(st.total AS DOUBLE) / CAST(st.n AS DOUBLE))))
+               + ln(CAST(1 AS DOUBLE) + (CAST(st.n - st.df2 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(st.df2 AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (CAST(len(list_filter(toks, x -> x = 'the')) AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+                 / (CAST(len(list_filter(toks, x -> x = 'the')) AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(len(toks) AS DOUBLE) / (CAST(st.total AS DOUBLE) / CAST(st.n AS DOUBLE))))
+               + ln(CAST(1 AS DOUBLE) + (CAST(st.n - st.df3 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(st.df3 AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+                 / (CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(len(toks) AS DOUBLE) / (CAST(st.total AS DOUBLE) / CAST(st.n AS DOUBLE))))
+               AS score
+             FROM tk, st)
+      SELECT doc_id, n_tok, round(score, 6) AS score
+      FROM (SELECT * FROM sc WHERE score > CAST(0 AS DOUBLE)
+            ORDER BY score DESC, doc_id LIMIT 25)
+      ORDER BY doc_id"""),
+    bench = true)
+
+  /** URL canonicalization + URL-keyed dedup (library
+    * `Urls.canonicalizeUrl` / `dedupByUrl`): each doc gets a messy
+    * synthetic URL — even ids the upper-case/www/default-port/
+    * tracking-params/fragment variant, odd ids an already-clean
+    * spelling — and the two parities collapse onto the same canonical
+    * key. The oracle replicates the whole normalization chain with the
+    * same instr/substr/regexp/list primitives. */
+  val q71 = QueryDef(
+    "q71_url_canonical_dedup",
+    (s, dir) => {
+      val messy = when(col("doc_id") % 2 === 0,
+        concat(lit("HTTP://WWW.Example.COM:80/docs/"), (col("doc_id") % 50).cast("string"),
+          lit("/?utm_source=feed&b=2&a=1#frag")))
+        .otherwise(concat(lit("http://example.com/docs/"), (col("doc_id") % 50).cast("string"),
+          lit("?a=1&b=2&gclid=xyz")))
+      val withUrl = t(s, dir, "documents").withColumn("url", messy)
+      val dd = graft.ops.Urls.dedupByUrl(withUrl, "url", "doc_id")
+        .withColumnRenamed("keep_id", "keep_doc_id")
+      withUrl.select(col("doc_id"),
+          graft.ops.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
+        .join(dd, Seq("canonical_url"))
+        .select(col("doc_id"), col("canonical_url"), col("n_dups"), col("keep_doc_id"),
+          (col("doc_id") === col("keep_doc_id")).cast("int").as("is_kept"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH u0 AS (
+        SELECT doc_id, regexp_replace(
+          CASE WHEN doc_id % 2 = 0
+               THEN 'HTTP://WWW.Example.COM:80/docs/' || CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag'
+               ELSE 'http://example.com/docs/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2&gclid=xyz' END,
+          '#.*', '') AS u
+        FROM documents),
+      p1 AS (SELECT doc_id, lower(substr(u, 1, instr(u, '://') - 1)) AS scheme,
+               substr(u, instr(u, '://') + 3, length(u)) AS rest FROM u0),
+      p2 AS (SELECT doc_id, scheme, rest, instr(rest, '/') AS sl, instr(rest, '?') AS qm FROM p1),
+      p3 AS (SELECT doc_id, scheme, rest,
+               CASE WHEN sl > 0 AND (qm = 0 OR sl < qm) THEN sl
+                    WHEN qm > 0 THEN qm ELSE length(rest) + 1 END AS hostend FROM p2),
+      p4 AS (SELECT doc_id, scheme, lower(substr(rest, 1, hostend - 1)) AS rawhost,
+               substr(rest, hostend, length(rest)) AS tail FROM p3),
+      p5 AS (SELECT doc_id, scheme,
+               CASE WHEN scheme = 'http' THEN regexp_replace(regexp_replace(rawhost, '^www\.', ''), ':80$', '')
+                    WHEN scheme = 'https' THEN regexp_replace(regexp_replace(rawhost, '^www\.', ''), ':443$', '')
+                    ELSE regexp_replace(rawhost, '^www\.', '') END AS host,
+               tail, instr(tail, '?') AS tq FROM p4),
+      p6 AS (SELECT doc_id, scheme, host,
+               CASE WHEN tq > 0 THEN substr(tail, 1, tq - 1) ELSE tail END AS rawpath,
+               CASE WHEN tq > 0 THEN substr(tail, tq + 1, length(tail)) ELSE '' END AS rawq FROM p5),
+      p7 AS (SELECT doc_id, scheme, host,
+               CASE WHEN regexp_replace(rawpath, '/$', '') = '' THEN '/'
+                    ELSE regexp_replace(rawpath, '/$', '') END AS path,
+               array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+                 x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z]+|fbclid|gclid|ref)='))), '&') AS q
+             FROM p6),
+      canon AS (SELECT doc_id,
+               scheme || '://' || host || path
+                 || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+             FROM p7),
+      dd AS (SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups,
+               min(doc_id) AS keep_doc_id
+             FROM canon GROUP BY canonical_url)
+      SELECT c.doc_id, c.canonical_url, dd.n_dups, dd.keep_doc_id,
+        CAST(CASE WHEN c.doc_id = dd.keep_doc_id THEN 1 ELSE 0 END AS INT) AS is_kept
+      FROM canon c JOIN dd USING (canonical_url) ORDER BY c.doc_id"""),
+    bench = true)
+
+  /** Concat-and-chunk sequence packing (library `Packing.packChunks`):
+    * documents are packed per `source` shard into 512-token context
+    * windows; each doc reports its stream offset and the chunk ids it
+    * spans. Pure integer window arithmetic — the only float is the
+    * chunk divide, floor'd explicitly on both engines because DuckDB's
+    * double->bigint cast ROUNDS where Spark's truncates. */
+  val q72 = QueryDef(
+    "q72_sequence_packing",
+    (s, dir) => {
+      val withTok = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      graft.ops.Packing.packChunks(withTok, "doc_id", "n_tok", 512L, "source")
+        .select(col("doc_id"), col("source"), col("n_tok"), col("start_tok"),
+          col("first_chunk"), col("last_chunk"), col("chunk_offset"),
+          col("n_chunks_spanned"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH tk AS (
+        SELECT doc_id, source,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (SELECT doc_id, source, n_tok,
+              CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM tk)
+      SELECT doc_id, source, n_tok, cum - n_tok AS start_tok,
+        CAST(floor(CAST(cum - n_tok AS DOUBLE) / CAST(512 AS DOUBLE)) AS BIGINT) AS first_chunk,
+        CAST(floor(CAST(cum - 1 AS DOUBLE) / CAST(512 AS DOUBLE)) AS BIGINT) AS last_chunk,
+        (cum - n_tok) - CAST(floor(CAST(cum - n_tok AS DOUBLE) / CAST(512 AS DOUBLE)) AS BIGINT) * 512 AS chunk_offset,
+        CAST(floor(CAST(cum - 1 AS DOUBLE) / CAST(512 AS DOUBLE)) AS BIGINT)
+          - CAST(floor(CAST(cum - n_tok AS DOUBLE) / CAST(512 AS DOUBLE)) AS BIGINT) + 1 AS n_chunks_spanned
+      FROM c ORDER BY doc_id"""),
+    bench = true)
+
+  val all: Seq[QueryDef] = Seq(q69, q70, q71, q72)
+}

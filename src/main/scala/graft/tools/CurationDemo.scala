@@ -3,13 +3,14 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Sampling, TextAnalysis}
+import graft.ops.{Dedup, Packing, Sampling, TextAnalysis}
 
 /** End-to-end corpus curation — the composed pipeline a pretraining
   * data team runs, built ONLY from `graft.ops` modules, in the
   * canonical order: normalize -> clean -> scrub -> quality filter ->
-  * exact dedup -> paragraph dedup -> near-dup dedup -> decontaminate
-  * -> deterministic split. Each stage's wall time and retention is
+  * LM-score filter -> exact dedup -> paragraph dedup -> near-dup
+  * dedup -> decontaminate -> deterministic split -> sequence packing.
+  * Each stage's wall time and retention is
   * printed, so the COMPOSITION (not just each operator in isolation)
   * is demonstrably runnable at SF scale:
   *
@@ -66,6 +67,22 @@ object CurationDemo {
         .filter(col("quality_pass") === 1)
         .select("doc_id", "source", "text")
     }
+    // LM-score gate: train the char-trigram model on the SURVIVORS of
+    // the rule filter (garbage already gone), drop the worst tail —
+    // the CCNet shape, with the corpus standing in for the clean LM
+    // training set
+    stage("lm-score-filter") { d =>
+      val model = TextAnalysis.charLmTrain(d, "text", n = 3)
+      // checkpoint: the scored frame feeds BOTH the quantile scan and
+      // the filter — without it the train+score lineage runs twice
+      val scored = TextAnalysis.charLmScore(d, model, "doc_id", "text", n = 3)
+        .localCheckpoint(true)
+      // CCNet keeps the head/middle perplexity buckets: cut the worst
+      // decile (approxQuantile is one bounded driver-side scalar)
+      val cut = scored.stat.approxQuantile("avg_nll", Array(0.9), 0.001).head
+      scored.filter(col("avg_nll") <= cut)
+        .select("doc_id", "source", "text")
+    }
     // corpus-wide dedup: exact, then shared paragraphs, then near-dup
     stage("exact-dedup") { d =>
       Dedup.exact(d, "text", "doc_id")
@@ -97,6 +114,19 @@ object CurationDemo {
     }
     df.groupBy("split").count().orderBy("split").collect()
       .foreach(r => println(f"[curate]   split ${r.getString(0)}%-5s ${r.getLong(1)}%7d docs"))
+    // pack the train split into 512-token context windows, sharded by
+    // source so the window parallelism is bounded by shard count
+    stage("pack-chunks") { d =>
+      Packing.packChunks(
+        d.filter(col("split") === "train")
+          .withColumn("n_tok", TextAnalysis.tokenCount(col("text"))),
+        "doc_id", "n_tok", 512L, "source")
+    }
+    val chunks = df.groupBy("source").agg(
+      (max(col("last_chunk")) + 1).as("n_chunks"),
+      sum(col("n_tok")).as("n_tok")).collect()
+    chunks.foreach(r => println(f"[curate]   shard ${r.getString(0)}%-6s " +
+      f"${r.getLong(1)}%5d chunks of 512 (${r.getLong(2)}%7d tokens)"))
     spark.stop()
   }
 }

@@ -100,6 +100,27 @@ object ProfileScale {
     // the LAST '. '-paragraph only, so almost every paragraph is a
     // cross-copy duplicate and the first-occurrence rule does real work
     def q67(d: DataFrame) = TextAnalysis.paragraphDedup(d, "doc_id", "text", sep = ". ")
+    // round-6 curation ops: the char-LM (vocabulary-keyed model shuffle
+    // + per-doc score sum), the URL dedup (one hash-keyed shuffle) and
+    // sequence packing (per-shard window). BM25 is a narrow map +
+    // TakeOrdered — flat by construction — but profiled anyway to catch
+    // a regression into a sort.
+    def q69(d: DataFrame) = {
+      val model = TextAnalysis.charLmTrain(d, "text", n = 3)
+      TextAnalysis.charLmScore(d, model, "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("n_grams"), col("n_unseen"), col("avg_nll"))
+    }
+    def q70(d: DataFrame) = graft.ops.Retrieval.bm25TopK(
+      d, "doc_id", "text", Seq("data", "the", "query"), k = 25)
+    def q71(d: DataFrame) = {
+      val messy = concat(lit("HTTP://WWW.Example.COM:80/docs/"),
+        (col("doc_id") % 5000).cast("string"), lit("/?utm_source=feed&b=2&a=1#frag"))
+      graft.ops.Urls.dedupByUrl(d.withColumn("url", messy), "url", "doc_id")
+    }
+    def q72(d: DataFrame) = graft.ops.Packing.packChunks(
+      d.select(col("doc_id"), (col("doc_id") % 64).cast("string").as("shard"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok")),
+      "doc_id", "n_tok", 512L, "shard")
 
     // Time CONSTRUCTION + execution: the dedup pipeline materializes
     // its stage boundaries eagerly (localCheckpoint) while the plan is
@@ -126,7 +147,11 @@ object ProfileScale {
       ("q59 pq-adc", () => q59(emb), () => q59(emb10)),
       ("q61 decontam", () => q61(docs), () => q61(docs10)),
       ("q62 boiler", () => q62(docs), () => q62(docs10)),
-      ("q67 par-dedup", () => q67(docs), () => q67(docs10))).map { case (name, at1, atN) =>
+      ("q67 par-dedup", () => q67(docs), () => q67(docs10)),
+      ("q69 char-lm", () => q69(docs), () => q69(docs10)),
+      ("q70 bm25", () => q70(docs), () => q70(docs10)),
+      ("q71 url-dedup", () => q71(docs), () => q71(docs10)),
+      ("q72 packing", () => q72(docs), () => q72(docs10))).map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)
       val tN = run(s"$name x$factor", atN)

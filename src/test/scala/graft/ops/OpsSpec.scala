@@ -568,6 +568,148 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("TextAnalysis.charNgramsOf + charLmTrain: hand-checked MLE trigram model") {
+    val rows = Seq((1L, "abab"), (2L, "ab")).toDF("doc_id", "text")
+    val grams = rows.select(col("doc_id"),
+      TextAnalysis.charNgramsOf(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(grams(1L) == Seq("aba", "bab"))
+    assert(grams(2L).isEmpty) // shorter than n -> empty, NOT a countdown sequence
+
+    val model = TextAnalysis.charLmTrain(rows, "text", n = 3)
+      .collect().map(r => r.getAs[String]("gram") ->
+        (r.getAs[Long]("c_gram"), r.getAs[Long]("c_ctx"), r.getAs[Long]("logp_q"))).toMap
+    // corpus grams: aba x1 (ctx 'ab'), bab x1 (ctx 'ba') -> both P=1
+    assert(model("aba") == ((1L, 1L, 0L))) // ln(1) = 0 exactly, quantized 0
+    assert(model("bab")._3 == 0L)
+  }
+
+  test("TextAnalysis.charLmScore: unseen grams counted not smoothed, NLL over seen") {
+    val train = Seq((1L, "abcabc")).toDF("doc_id", "text")
+    val model = TextAnalysis.charLmTrain(train, "text", n = 3)
+    // model: abc x2 (ctx ab, P=1), bca x1 (ctx bc, P=1), cab x1 (ctx ca, P=1)
+    val score = TextAnalysis.charLmScore(
+      Seq((10L, "abcab"), (11L, "xyzzy"), (12L, "ab")).toDF("doc_id", "text"),
+      model, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_unseen"),
+          r.getAs[Double]("avg_nll"))).toMap
+    assert(score(10L) == ((3L, 0L, 0.0))) // all P=1 grams -> NLL 0
+    assert(score(11L) == ((3L, 3L, Double.NaN)) ||
+      (score(11L)._1 == 3L && score(11L)._2 == 3L && score(11L)._3.isNaN))
+    assert(score(12L)._1 == 0L && score(12L)._3.isNaN) // too short to score
+  }
+
+  test("Retrieval.bm25TopK: ranking, absent terms, input validation") {
+    val corpus = Seq(
+      (1L, "spark spark spark query engine"),
+      (2L, "spark query"),
+      (3L, "totally unrelated words here"),
+      (4L, "spark")).toDF("doc_id", "text")
+    val (n, total, dfs) = Retrieval.collectionStats(corpus, "text", Seq("spark", "query"))
+    assert(n == 4L && total == 12L)
+    assert(dfs == Map("spark" -> 3L, "query" -> 2L))
+
+    val top = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("spark", "query"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("score")))
+    // doc 3 has no query term -> filtered out entirely
+    assert(!top.map(_._1).contains(3L))
+    // scores strictly ordered; both-term docs beat the one-term doc
+    assert(top.map(_._2).toList.sliding(2).forall {
+      case a :: b :: Nil => a >= b; case _ => true })
+    assert(top.head._1 == 2L || top.head._1 == 1L)
+    assert(top.map(_._1).indexOf(4L) == top.length - 1) // single short match ranks last
+
+    // a term absent from the corpus (df=0) must not divide by zero:
+    // idf = ln(1 + (N+0.5)/0.5) is finite, tf=0 contributes nothing
+    val absent = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("nonexistent"), k = 5)
+    assert(absent.count() == 0)
+
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopK(corpus, "doc_id", "text", Seq.empty, k = 5))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("a", "a"), k = 5))
+    // scoring is narrow: scan -> project -> TakeOrdered, no Exchange.
+    // k must be BELOW the matching row count or EliminateLimits drops
+    // the limit (maxRows <= k) and plans a full range-partitioned sort
+    val plan = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("spark"), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("Urls.canonicalizeUrl: case, ports, www, tracking params, sorting, slashes") {
+    val cases = Seq(
+      // messy vs clean spellings of the same page collapse
+      (1L, "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag"),
+      (2L, "http://example.com/a/b?a=1&b=2"),
+      // https default port, tracking-only query drops the '?' entirely
+      (3L, "HTTPS://site.ORG:443/path?fbclid=abc&gclid=1&ref=tw"),
+      (4L, "https://site.org/path"),
+      // no path at all -> '/', query-without-path URL
+      (5L, "http://Host.com?b=1&a=1"),
+      (6L, "http://host.com/?a=1&b=1"),
+      // root with fragment only
+      (7L, "https://x.io/#top"),
+      // :8080 is NOT a default port and survives; path case preserved
+      (8L, "http://h.net:8080/CaseSensitive/Path"))
+      .toDF("id", "url")
+    val out = cases.select(col("id"), Urls.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "http://example.com/a/b?a=1&b=2")
+    assert(out(1L) == out(2L))
+    assert(out(3L) == "https://site.org/path")
+    assert(out(3L) == out(4L))
+    assert(out(5L) == "http://host.com/?a=1&b=1")
+    assert(out(5L) == out(6L))
+    assert(out(7L) == "https://x.io/")
+    assert(out(8L) == "http://h.net:8080/CaseSensitive/Path")
+
+    val dd = Urls.dedupByUrl(cases, "url", "id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(dd("http://example.com/a/b?a=1&b=2") == ((2L, 1L)))
+    assert(dd("https://site.org/path") == ((2L, 3L)))
+    assert(dd.values.map(_._1).sum == 8L)
+    // canonicalization itself is narrow
+    assert(!cases.select(Urls.canonicalizeUrl(col("url")))
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("Urls.canonicalizeUrl is idempotent: a canonical URL maps to itself") {
+    val urls = Seq(
+      (1L, "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag"),
+      (2L, "https://site.org/path"),
+      (3L, "http://Host.com?b=1&a=1"),
+      (4L, "https://x.io/#top"),
+      (5L, "http://h.net:8080/Deep/Path/?z=9&y=8&ref=feed"))
+      .toDF("id", "url")
+    val once = urls.select(col("id"), Urls.canonicalizeUrl(col("url")).as("url"))
+    val twice = once.select(col("id"), Urls.canonicalizeUrl(col("url")).as("url"))
+    assert(once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      twice.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+  }
+
+  test("Packing.packChunks: offsets, chunk spans, shard independence") {
+    val rows = Seq(
+      (1L, "A", 4L), (2L, "A", 6L), (3L, "A", 3L), // shard A: cum 4, 10, 13
+      (10L, "B", 25L)) // shard B: spans 3 chunks of 10
+      .toDF("id", "shard", "n_tok")
+    val out = Packing.packChunks(rows, "id", "n_tok", 10L, "shard")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("start_tok"), r.getAs[Long]("first_chunk"),
+          r.getAs[Long]("last_chunk"), r.getAs[Long]("chunk_offset"),
+          r.getAs[Long]("n_chunks_spanned"))).toMap
+    assert(out(1L) == ((0L, 0L, 0L, 0L, 1L)))
+    // doc 2 ends EXACTLY at the chunk boundary (cum=10): last token is
+    // index 9, still chunk 0 — the floor((cum-1)/ctx) boundary case
+    assert(out(2L) == ((4L, 0L, 0L, 4L, 1L)))
+    assert(out(3L) == ((10L, 1L, 1L, 0L, 1L)))
+    // shard B packs independently from token 0 and spans chunks 0..2
+    assert(out(10L) == ((0L, 0L, 2L, 0L, 3L)))
+    intercept[IllegalArgumentException](
+      Packing.packChunks(rows, "id", "n_tok", 0L, "shard"))
+  }
+
   test("Geo.radiusJoin equals the naive theta-join") {
     val pts = Seq(
       (1L, "X", 52.100, 21.100), (2L, "X", 52.101, 21.101), // ~130m apart
