@@ -37,7 +37,13 @@ object Urls {
     * Expects well-formed absolute URLs (no userinfo, no relative
     * refs) — the crawl-frontier shape. Malformed strings pass through
     * mostly unchanged rather than erroring: this runs inside a map
-    * over billions of rows, where one bad row must not kill a stage. */
+    * over billions of rows, where one bad row must not kill a stage.
+    *
+    * This Column spelling is for composability on SMALL frames; on
+    * bulk data use [[withCanonicalUrl]] — the identical chain staged
+    * through materialized aliases, which Catalyst would otherwise
+    * inline combinatorially here (each intermediate re-evaluated at
+    * every textual reference). */
   def canonicalizeUrl(url: Column): Column = {
     val u = regexp_replace(url, "#.*", "")
     val sep = instr(u, "://")
@@ -75,11 +81,59 @@ object Urls {
   private def substring(c: Column, start: Column, len: Column): Column =
     c.substr(start, len)
 
+  /** [[canonicalizeUrl]] as a STAGED projection chain — the form to
+    * use on bulk data. The single-Column spelling textually inlines
+    * every intermediate (`rest` appears inside `hostEnd` which appears
+    * inside `host` and `tail`...), exploding into a plan where the
+    * fragment-strip regexp alone is re-evaluated dozens of times per
+    * row (measured 3x slower end-to-end on the sf0.1 dedup query).
+    * Here each intermediate is a NON-CHEAP alias referenced more than
+    * once, which `CollapseProject` deliberately keeps materialized, so
+    * every stage computes once per row. Still narrow — zero shuffle,
+    * one codegen'd pipeline. */
+  def withCanonicalUrl(
+      df: DataFrame, urlCol: String, outCol: String = "canonical_url"): DataFrame = {
+    val u = col("__u"); val rest = col("__rest"); val scheme = col("__scheme")
+    val hostEnd = col("__hostEnd"); val tail = col("__tail"); val tq = col("__tq")
+    val rawPath = col("__rawPath"); val noSlash = col("__noSlash")
+    val staged = df
+      .withColumn("__u", regexp_replace(col(urlCol), "#.*", ""))
+      .withColumn("__sep", instr(u, "://"))
+      .withColumn("__scheme", lower(substring(u, lit(1), col("__sep") - 1)))
+      .withColumn("__rest", substring(u, col("__sep") + 3, length(u)))
+      .withColumn("__slash", instr(rest, "/"))
+      .withColumn("__qm", instr(rest, "?"))
+      .withColumn("__hostEnd",
+        when(col("__slash") > 0 && (col("__qm") === 0 || col("__slash") < col("__qm")),
+          col("__slash"))
+          .when(col("__qm") > 0, col("__qm"))
+          .otherwise(length(rest) + 1))
+      .withColumn("__noWww",
+        regexp_replace(lower(substring(rest, lit(1), hostEnd - 1)), "^www\\.", ""))
+      .withColumn("__host",
+        when(scheme === "http", regexp_replace(col("__noWww"), ":80$", ""))
+          .when(scheme === "https", regexp_replace(col("__noWww"), ":443$", ""))
+          .otherwise(col("__noWww")))
+      .withColumn("__tail", substring(rest, hostEnd, length(rest)))
+      .withColumn("__tq", instr(tail, "?"))
+      .withColumn("__rawPath", when(tq > 0, substring(tail, lit(1), tq - 1)).otherwise(tail))
+      .withColumn("__noSlash", regexp_replace(rawPath, "/$", ""))
+      .withColumn("__query", array_join(array_sort(filter(
+        split(when(tq > 0, substring(tail, tq + 1, length(tail))).otherwise(lit("")), "&"),
+        p => p =!= "" && !p.rlike(trackingRe))), "&"))
+      .withColumn(outCol, concat(scheme, lit("://"), col("__host"),
+        when(noSlash === "", "/").otherwise(noSlash),
+        when(col("__query") === "", "").otherwise(concat(lit("?"), col("__query")))))
+    staged.drop(staged.columns.filter(_.startsWith("__")): _*)
+  }
+
   /** URL-keyed dedup: one row per canonical URL with the duplicate
     * count and the smallest id (the kept fetch). One shuffle on the
     * canonical-URL hash with map-side partial aggregation — the q24
-    * exact-dedup shape with the canonicalization fused into the key. */
+    * exact-dedup shape with the (staged) canonicalization fused into
+    * the key. */
   def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame =
-    df.groupBy(canonicalizeUrl(col(urlCol)).as("canonical_url"))
+    withCanonicalUrl(df, urlCol)
+      .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
 }

@@ -113,11 +113,14 @@ object CurationQueries {
         .otherwise(concat(lit("http://example.com/docs/"), (col("doc_id") % 50).cast("string"),
           lit("?a=1&b=2&gclid=xyz")))
       val withUrl = t(s, dir, "documents").withColumn("url", messy)
-      val dd = graft.ops.Urls.dedupByUrl(withUrl, "url", "doc_id")
-        .withColumnRenamed("keep_id", "keep_doc_id")
-      withUrl.select(col("doc_id"),
-          graft.ops.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
-        .join(dd, Seq("canonical_url"))
+      // the STAGED canonicalization (withCanonicalUrl) — the
+      // single-Column spelling inlines every intermediate
+      // combinatorially and ran 3x slower here
+      val canon = graft.ops.Urls.withCanonicalUrl(withUrl, "url")
+        .select("doc_id", "canonical_url")
+      val dd = canon.groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_doc_id"))
+      canon.join(dd, Seq("canonical_url"))
         .select(col("doc_id"), col("canonical_url"), col("n_dups"), col("keep_doc_id"),
           (col("doc_id") === col("keep_doc_id")).cast("int").as("is_kept"))
         .oracleOrderBy("doc_id")

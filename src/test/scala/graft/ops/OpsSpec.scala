@@ -665,6 +665,12 @@ class OpsSpec extends SparkSpec {
     assert(out(7L) == "https://x.io/")
     assert(out(8L) == "http://h.net:8080/CaseSensitive/Path")
 
+    // the staged projection chain (the bulk-data form) is byte-equal
+    // to the single-Column spelling on every edge case
+    val stagedOut = Urls.withCanonicalUrl(cases, "url")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("canonical_url")).toMap
+    assert(stagedOut == out)
+
     val dd = Urls.dedupByUrl(cases, "url", "id")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(dd("http://example.com/a/b?a=1&b=2") == ((2L, 1L)))
