@@ -136,4 +136,69 @@ object Urls {
     withCanonicalUrl(df, urlCol)
       .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+
+  /** Registrable-domain approximation into `outCol`: the canonical
+    * host (lowercased, `www.` and ANY port dropped) reduced to its
+    * last two dot-labels. Deliberately public-suffix-list-free —
+    * `shop.example.co.uk` yields `co.uk`, which under-merges nothing
+    * and over-merges ccSLD sites; thread a PSL-backed column in place
+    * of this one when exactness matters. Narrow, staged like
+    * [[withCanonicalUrl]]. */
+  def withDomain(df: DataFrame, urlCol: String, outCol: String = "domain"): DataFrame = {
+    val u = col("__u"); val rest = col("__rest")
+    val staged = df
+      .withColumn("__u", regexp_replace(col(urlCol), "#.*", ""))
+      .withColumn("__sep", instr(u, "://"))
+      .withColumn("__rest", substring(u, col("__sep") + 3, length(u)))
+      .withColumn("__slash", instr(rest, "/"))
+      .withColumn("__qm", instr(rest, "?"))
+      .withColumn("__hostEnd",
+        when(col("__slash") > 0 && (col("__qm") === 0 || col("__slash") < col("__qm")),
+          col("__slash"))
+          .when(col("__qm") > 0, col("__qm"))
+          .otherwise(length(rest) + 1))
+      .withColumn("__host", regexp_replace(regexp_replace(
+        lower(substring(rest, lit(1), col("__hostEnd") - 1)),
+        "^www\\.", ""), ":[0-9]+$", ""))
+      .withColumn("__labels", split(col("__host"), "\\."))
+      .withColumn(outCol,
+        when(size(col("__labels")) <= 2, col("__host"))
+          .otherwise(array_join(
+            slice(col("__labels"), size(col("__labels")) - 1, lit(2)), ".")))
+    staged.drop(staged.columns.filter(_.startsWith("__")): _*)
+  }
+
+  /** Per-domain quota cap — the anti-spam pass of a crawl curation
+    * pipeline: at most `maxPerDomain` documents survive per domain,
+    * chosen DETERMINISTICALLY (smallest [[Sampling.hashUnit]] of the
+    * id, ties by id — membership is stable across runs and as other
+    * domains grow). Emits the domain, the domain's total count and a
+    * 0/1 `domain_kept`.
+    *
+    * Skew-aware shape: domain counts are one map-side-combined
+    * aggregate; domains UNDER the cap (the overwhelming majority — a
+    * real corpus's domain histogram is long-tailed) keep all rows and
+    * never enter a window. Only rows of over-cap domains are ranked,
+    * in a window partitioned by domain, so the sort input shrinks to
+    * the spam/mega-domains themselves. A single pathological domain
+    * still ranks in one task — at 100 TB cap such domains first with a
+    * coarse hash-threshold pre-filter (keep
+    * `hashUnit < c * cap / count`), then rank the survivors. */
+  def capPerDomain(
+      df: DataFrame, urlCol: String, idCol: String,
+      maxPerDomain: Long): DataFrame = {
+    require(maxPerDomain >= 1, s"maxPerDomain must be >= 1, got $maxPerDomain")
+    val withDom = withDomain(df, urlCol)
+    val counts = withDom.groupBy("domain").agg(count(lit(1)).as("domain_count"))
+    val joined = withDom.join(counts, Seq("domain"))
+    val under = joined.filter(col("domain_count") <= maxPerDomain)
+      .withColumn("domain_kept", lit(1))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("domain")
+      .orderBy(Sampling.hashUnit(col(idCol)), col(idCol))
+    val over = joined.filter(col("domain_count") > maxPerDomain)
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("domain_kept", (col("__rk") <= maxPerDomain).cast("int"))
+      .drop("__rk")
+    under.unionByName(over)
+  }
 }

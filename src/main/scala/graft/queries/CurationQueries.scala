@@ -200,5 +200,64 @@ object CurationQueries {
       FROM c ORDER BY doc_id"""),
     bench = true)
 
-  val all: Seq[QueryDef] = Seq(q69, q70, q71, q72)
+  /** Per-domain quota capping (library `Urls.withDomain` /
+    * `capPerDomain` — the anti-spam pass): half the corpus lands on
+    * one spam domain, a quarter on `host<i>.example.org` subdomains
+    * (exercising the registrable-domain label slice), the rest on
+    * ~97 under-cap long-tail domains. Cap 100: the two big domains
+    * rank in a domain-partitioned window (ONLY their rows — under-cap
+    * domains bypass it), keeping the 100 smallest id-hashes each. The
+    * oracle replicates the host parse, www/port strip, last-two-label
+    * domain, and the same md5-nibble unit hash as q60. */
+  val q73 = QueryDef(
+    "q73_domain_cap",
+    (s, dir) => {
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 4 < 2, lit("WWW.Spam-Farm.COM:443"))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("host"), (col("doc_id") % 25).cast("string"), lit(".Example.org")))
+          .otherwise(concat(lit("uniq"), (col("doc_id") % 97).cast("string"), lit(".net"))),
+        lit("/page/"), col("doc_id").cast("string"))
+      graft.ops.Urls.capPerDomain(
+        t(s, dir, "documents").withColumn("url", url), "url", "doc_id",
+        maxPerDomain = 100L)
+        .select(col("doc_id"), col("domain"), col("domain_count"), col("domain_kept"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(s"""WITH u0 AS (
+        SELECT doc_id,
+          'https://' ||
+          CASE WHEN doc_id % 4 < 2 THEN 'WWW.Spam-Farm.COM:443'
+               WHEN doc_id % 4 = 2 THEN 'host' || CAST(doc_id % 25 AS VARCHAR) || '.Example.org'
+               ELSE 'uniq' || CAST(doc_id % 97 AS VARCHAR) || '.net' END ||
+          '/page/' || CAST(doc_id AS VARCHAR) AS url,
+          ${TextQueries.unitHashDuck} AS h
+        FROM documents),
+      p1 AS (SELECT doc_id, h,
+               substr(url, instr(url, '://') + 3, length(url)) AS rest FROM u0),
+      p2 AS (SELECT doc_id, h, rest, instr(rest, '/') AS sl, instr(rest, '?') AS qm FROM p1),
+      p3 AS (SELECT doc_id, h, rest,
+               CASE WHEN sl > 0 AND (qm = 0 OR sl < qm) THEN sl
+                    WHEN qm > 0 THEN qm ELSE length(rest) + 1 END AS hostend FROM p2),
+      p4 AS (SELECT doc_id, h,
+               regexp_replace(regexp_replace(
+                 lower(substr(rest, 1, hostend - 1)), '^www\\.', ''), ':[0-9]+$$', '') AS host
+             FROM p3),
+      dom AS (SELECT doc_id, h,
+               CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                    ELSE string_split(host, '.')[len(string_split(host, '.')) - 1]
+                      || '.' || string_split(host, '.')[len(string_split(host, '.'))] END AS domain
+             FROM p4),
+      c AS (SELECT domain, CAST(count(*) AS BIGINT) AS domain_count
+            FROM dom GROUP BY domain),
+      r AS (SELECT dom.doc_id, dom.domain, c.domain_count,
+               row_number() OVER (PARTITION BY dom.domain ORDER BY dom.h, dom.doc_id) AS rk
+             FROM dom JOIN c USING (domain))
+      SELECT doc_id, domain, domain_count,
+        CAST(CASE WHEN domain_count <= 100 THEN 1
+                  WHEN rk <= 100 THEN 1 ELSE 0 END AS INT) AS domain_kept
+      FROM r ORDER BY doc_id"""),
+    bench = true)
+
+  val all: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73)
 }

@@ -383,7 +383,7 @@ object TextQueries {
   /** The unit hash of doc_id in DuckDB: the instr nibble polynomial
     * over the first 7 hex digits of md5, over 2^28 (the same dyadic
     * value Spark computes with conv). */
-  private val unitHashDuck = {
+  private[queries] val unitHashDuck = {
     val poly = (0 until 7).map(j =>
       s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${1 + j}, 1)) - 1) * CAST(${1L << (4 * (6 - j))} AS BIGINT)")
       .mkString(" + ")

@@ -121,6 +121,20 @@ object ProfileScale {
       d.select(col("doc_id"), (col("doc_id") % 64).cast("string").as("shard"),
         TextAnalysis.tokenCount(col("text")).as("n_tok")),
       "doc_id", "n_tok", 512L, "shard")
+    // domain cap: the spam domain holds half the corpus at ANY scale —
+    // the window input is exactly the over-cap rows, which is the
+    // skew the count-split is meant to bound
+    def q73(d: DataFrame) = {
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 4 < 2, lit("WWW.Spam-Farm.COM:443"))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("host"), (col("doc_id") % 25).cast("string"), lit(".Example.org")))
+          .otherwise(concat(lit("uniq"), (col("doc_id") % 4999).cast("string"), lit(".net"))),
+        lit("/page/"), col("doc_id").cast("string"))
+      graft.ops.Urls.capPerDomain(
+        d.withColumn("url", url), "url", "doc_id", maxPerDomain = 100L)
+        .select(col("doc_id"), col("domain"), col("domain_count"), col("domain_kept"))
+    }
 
     // Time CONSTRUCTION + execution: the dedup pipeline materializes
     // its stage boundaries eagerly (localCheckpoint) while the plan is
@@ -151,7 +165,8 @@ object ProfileScale {
       ("q69 char-lm", () => q69(docs), () => q69(docs10)),
       ("q70 bm25", () => q70(docs), () => q70(docs10)),
       ("q71 url-dedup", () => q71(docs), () => q71(docs10)),
-      ("q72 packing", () => q72(docs), () => q72(docs10))).map { case (name, at1, atN) =>
+      ("q72 packing", () => q72(docs), () => q72(docs10)),
+      ("q73 domain-cap", () => q73(docs), () => q73(docs10))).map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)
       val tN = run(s"$name x$factor", atN)

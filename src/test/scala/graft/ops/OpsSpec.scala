@@ -695,6 +695,39 @@ class OpsSpec extends SparkSpec {
       twice.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
   }
 
+  test("Urls.withDomain + capPerDomain: registrable domain, skew-aware quota") {
+    val rows = Seq(
+      (1L, "https://WWW.Spam.COM:443/a"),
+      (2L, "http://sub.deep.spam.com/b"), // same registrable domain as 1
+      (3L, "https://one.example.org/c"),
+      (4L, "https://two.example.org/d"),
+      (5L, "http://solo.net/e"),
+      (6L, "http://localhost/f")) // single label -> kept whole
+      .toDF("id", "url")
+    val dom = Urls.withDomain(rows, "url")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("domain")).toMap
+    assert(dom(1L) == "spam.com" && dom(2L) == "spam.com")
+    assert(dom(3L) == "example.org" && dom(4L) == "example.org")
+    assert(dom(5L) == "solo.net")
+    assert(dom(6L) == "localhost")
+
+    val capped = Urls.capPerDomain(rows, "url", "id", maxPerDomain = 1L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("domain"), r.getAs[Long]("domain_count"),
+          r.getAs[Int]("domain_kept"))).toMap
+    // exactly one survivor per over-cap domain, under-cap kept whole
+    assert(capped.values.count(v => v._1 == "spam.com" && v._3 == 1) == 1)
+    assert(capped.values.count(v => v._1 == "example.org" && v._3 == 1) == 1)
+    assert(capped(5L)._3 == 1 && capped(6L)._3 == 1)
+    assert(capped(1L)._2 == 2L && capped(3L)._2 == 2L)
+    // deterministic: the same survivor on a different partitioning
+    val capped7 = Urls.capPerDomain(rows.repartition(7), "url", "id", maxPerDomain = 1L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("domain_kept")).toMap
+    assert(capped.view.mapValues(_._3).toMap == capped7)
+    intercept[IllegalArgumentException](
+      Urls.capPerDomain(rows, "url", "id", maxPerDomain = 0L))
+  }
+
   test("Packing.packChunks: offsets, chunk spans, shard independence") {
     val rows = Seq(
       (1L, "A", 4L), (2L, "A", 6L), (3L, "A", 3L), // shard A: cum 4, 10, 13
