@@ -434,6 +434,39 @@ object TextAnalysis {
       .drop("__s")
   }
 
+  /** Per-stratum corpus statistics — the reporting pass behind every
+    * curation dashboard: document count, token count, mean document
+    * length, and vocabulary size per stratum (source, language,
+    * split...).
+    *
+    * `approxVocab = true` (the 100 TB path) estimates the vocabulary
+    * with HyperLogLog++ (`approx_count_distinct`, `rsd` relative
+    * error): the count becomes mergeable sketch state — map-side
+    * partial aggregation over the exploded tokens, constant memory per
+    * stratum. The exact variant shuffles every distinct (stratum,
+    * word) pair once before counting — fine at test SF, a
+    * vocabulary-sized shuffle at scale. */
+  def corpusStats(
+      df: DataFrame, textCol: String, strataCol: String,
+      approxVocab: Boolean = false, rsd: Double = 0.05): DataFrame = {
+    // doc/token counts WITHOUT the explode (narrow per-row token
+    // count), vocabulary from the exploded tokens in a SEPARATE
+    // stratum-keyed agg: fusing them into one agg would force Spark's
+    // Expand-based multi-distinct rewrite, replicating every exploded
+    // token row per distinct aggregate
+    val perDoc = df.groupBy(strataCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("n_tokens"))
+    val toks = df.select(col(strataCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("__w"))
+    val vocab = toks.groupBy(strataCol).agg(
+      (if (approxVocab) approx_count_distinct(col("__w"), rsd)
+       else count_distinct(col("__w"))).as("n_vocab"))
+    perDoc.join(vocab, Seq(strataCol))
+      .withColumn("mean_doc_tokens",
+        col("n_tokens").cast("double") / col("n_docs"))
+  }
+
   /** Canonical word-set fingerprint: md5 over the sorted distinct word
     * set (robust to word order and duplication). */
   def wordSetFingerprint(text: Column): Column =

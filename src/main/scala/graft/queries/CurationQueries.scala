@@ -259,5 +259,32 @@ object CurationQueries {
       FROM r ORDER BY doc_id"""),
     bench = true)
 
-  val all: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73)
+  /** Per-stratum corpus statistics (library
+    * `TextAnalysis.corpusStats`, exact-vocabulary form — the approx
+    * HLL form is the 100 TB path, tolerance-tested in OpsSpec but not
+    * oracle-able since DuckDB's sketch differs): docs, tokens,
+    * vocabulary and mean length per source. */
+  val q74 = QueryDef(
+    "q74_corpus_stats",
+    (s, dir) => {
+      graft.ops.TextAnalysis.corpusStats(
+        t(s, dir, "documents"), "text", "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_vocab"),
+          round(col("mean_doc_tokens"), 6).as("mean_doc_tokens"))
+        .oracleOrderBy("source")
+    },
+    Some("""WITH perdoc AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      v AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS n_vocab
+            FROM (SELECT source,
+                    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                  FROM documents) t
+            GROUP BY source)
+      SELECT p.source, p.n_docs, p.n_tokens, v.n_vocab,
+        round(CAST(p.n_tokens AS DOUBLE) / p.n_docs, 6) AS mean_doc_tokens
+      FROM perdoc p JOIN v USING (source) ORDER BY p.source"""))
+
+  val all: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73, q74)
 }

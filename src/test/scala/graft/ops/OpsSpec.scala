@@ -749,6 +749,27 @@ class OpsSpec extends SparkSpec {
       Packing.packChunks(rows, "id", "n_tok", 0L, "shard"))
   }
 
+  test("TextAnalysis.corpusStats: exact counts; HLL vocab within rsd of exact") {
+    val rows = Seq(
+      (1L, "a", "x y z"), (2L, "a", "x x"), // stratum a: 2 docs, 5 tokens, vocab 3
+      (3L, "b", "w"))
+      .toDF("doc_id", "source", "text")
+    val exact = TextAnalysis.corpusStats(rows, "text", "source")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_vocab"), r.getAs[Double]("mean_doc_tokens"))).toMap
+    assert(exact("a") == ((2L, 5L, 3L, 2.5)))
+    assert(exact("b") == ((1L, 1L, 1L, 1.0)))
+
+    // the scale path: HLL++ sketch vocabulary on a larger corpus stays
+    // within a loose multiple of the configured relative error
+    val big = (0L until 2000L).map(i => (i, "c", s"tok${i % 700} filler common"))
+      .toDF("doc_id", "source", "text")
+    val approx = TextAnalysis.corpusStats(big, "text", "source", approxVocab = true)
+      .collect().head.getAs[Long]("n_vocab")
+    assert(math.abs(approx - 702L) <= 702 * 0.15) // 700 + filler + common
+  }
+
   test("Geo.radiusJoin equals the naive theta-join") {
     val pts = Seq(
       (1L, "X", 52.100, 21.100), (2L, "X", 52.101, 21.101), // ~130m apart

@@ -87,6 +87,36 @@ class EventStreamsSpec extends SparkSpec {
       assert(kept.intersect(Set(1L, 2L, 4L)).size == 1) // exactly one copy kept
     } finally q.stop()
   }
+
+  test("narrow curation ops run unchanged on a stream + static blocklist anti-join") {
+    // the batch curation operators are plain column expressions /
+    // projection chains, so the SAME calls compose on a streaming
+    // DataFrame: HTML strip, PII redaction, quality gating, staged URL
+    // canonicalization + domain extraction, and a stream-static
+    // left_anti join against a domain blocklist (the crawl-frontier
+    // filtering shape — all stateless, no watermark needed)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[EventStreamsSpec.UrlDoc]
+    val blocklist = Seq("spam.com").toDF("domain")
+    val cleaned = graft.ops.Urls.withDomain(
+      input.toDF()
+        .withColumn("text", graft.ops.TextAnalysis.redactPii(
+          graft.ops.TextAnalysis.stripHtml(col("text")))),
+      "url")
+      .join(blocklist, Seq("domain"), "left_anti")
+    val q = cleaned.writeStream.format("memory").queryName("cur_docs")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventStreamsSpec.UrlDoc(1, "http://WWW.Spam.COM/x", "<b>buy</b> now"),
+        EventStreamsSpec.UrlDoc(2, "https://ok.org/a", "<p>fine text</p> mail me@x.io"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, domain, text FROM cur_docs").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(rows.toSeq == Seq((2L, "ok.org", "fine text mail <EMAIL>")))
+    } finally q.stop()
+  }
 }
 
 object EventStreamsSpec {
@@ -95,4 +125,5 @@ object EventStreamsSpec {
     * class trips Janino's constructor lookup and forces a
     * codegen-fallback WARN on every run. */
   final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+  final case class UrlDoc(doc_id: Long, url: String, text: String)
 }
