@@ -284,7 +284,8 @@ object CurationQueries {
             GROUP BY source)
       SELECT p.source, p.n_docs, p.n_tokens, v.n_vocab,
         round(CAST(p.n_tokens AS DOUBLE) / p.n_docs, 6) AS mean_doc_tokens
-      FROM perdoc p JOIN v USING (source) ORDER BY p.source"""))
+      FROM perdoc p JOIN v USING (source) ORDER BY p.source"""),
+    bench = true)
 
   val all: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73, q74)
 }

@@ -135,6 +135,11 @@ object ProfileScale {
         d.withColumn("url", url), "url", "doc_id", maxPerDomain = 100L)
         .select(col("doc_id"), col("domain"), col("domain_count"), col("domain_kept"))
     }
+    // corpus stats in the HLL form — the sketch keeps the vocab agg
+    // mergeable, so the x10 growth is all in the token explode
+    def q74(d: DataFrame) = TextAnalysis.corpusStats(
+      d.withColumn("source", (col("doc_id") % 20).cast("string")),
+      "text", "source", approxVocab = true)
 
     // Time CONSTRUCTION + execution: the dedup pipeline materializes
     // its stage boundaries eagerly (localCheckpoint) while the plan is
@@ -166,7 +171,8 @@ object ProfileScale {
       ("q70 bm25", () => q70(docs), () => q70(docs10)),
       ("q71 url-dedup", () => q71(docs), () => q71(docs10)),
       ("q72 packing", () => q72(docs), () => q72(docs10)),
-      ("q73 domain-cap", () => q73(docs), () => q73(docs10))).map { case (name, at1, atN) =>
+      ("q73 domain-cap", () => q73(docs), () => q73(docs10)),
+      ("q74 corpus-stats", () => q74(docs), () => q74(docs10))).map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)
       val tN = run(s"$name x$factor", atN)

@@ -749,6 +749,33 @@ class OpsSpec extends SparkSpec {
       Packing.packChunks(rows, "id", "n_tok", 0L, "shard"))
   }
 
+  test("Packing.packChunks invariants hold over a generated skewed corpus") {
+    // 300 docs, deterministic pseudo-random token counts 1..97, three
+    // shards of very different sizes
+    val rows = (0L until 300L)
+      .map(i => (i, s"s${i % 3}", 1L + (i * 7919L) % 97L))
+      .toDF("id", "shard", "n_tok")
+    val out = Packing.packChunks(rows, "id", "n_tok", 128L, "shard")
+      .collect().map(r => (r.getAs[String]("shard"), r.getAs[Long]("id"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("first_chunk"), r.getAs[Long]("last_chunk"),
+        r.getAs[Long]("chunk_offset"), r.getAs[Long]("n_chunks_spanned")))
+    out.groupBy(_._1).foreach { case (_, docs) =>
+      val inOrder = docs.sortBy(_._2)
+      // the stream is CONTIGUOUS: each doc starts where the previous ended
+      inOrder.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._4 + a._3)
+        case _ =>
+      }
+      assert(inOrder.head._4 == 0L)
+      inOrder.foreach { case (_, _, nTok, start, first, last, off, span) =>
+        assert(off >= 0 && off < 128)
+        assert(first == start / 128 && last == (start + nTok - 1) / 128)
+        assert(span == last - first + 1 && span >= 1)
+      }
+    }
+  }
+
   test("TextAnalysis.corpusStats: exact counts; HLL vocab within rsd of exact") {
     val rows = Seq(
       (1L, "a", "x y z"), (2L, "a", "x x"), // stratum a: 2 docs, 5 tokens, vocab 3
