@@ -33,10 +33,14 @@ object Retrieval {
       df: DataFrame, textCol: String,
       queryTerms: Seq[String]): (Long, Long, Map[String, Long]) = {
     val t = df.select(toks(textCol).as("__toks"))
+    // coalesce: over an EMPTY corpus sum() is SQL NULL and the Long
+    // unboxing below would NPE before the caller's empty-corpus
+    // require could produce its diagnostic
     val aggs =
-      sum(size(col("__toks")).cast("long")).as("__total") +:
+      coalesce(sum(size(col("__toks")).cast("long")), lit(0L)).as("__total") +:
         queryTerms.zipWithIndex.map { case (term, i) =>
-          sum(when(array_contains(col("__toks"), term), 1L).otherwise(0L)).as(s"__df$i")
+          coalesce(sum(when(array_contains(col("__toks"), term), 1L).otherwise(0L)),
+            lit(0L)).as(s"__df$i")
         }
     val row = t.agg(count(lit(1)).as("__n"), aggs: _*).head()
     val dfs = queryTerms.zipWithIndex
@@ -60,8 +64,14 @@ object Retrieval {
       queryTerms: Seq[String], k: Int = 10,
       k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
-    require(queryTerms.map(_.toLowerCase).distinct.size == queryTerms.size,
-      s"query terms must be distinct lowercase tokens: $queryTerms")
+    // documents are tokenized LOWERCASED, so a mixed-case query term
+    // would silently match nothing — reject it rather than return an
+    // empty result that reads as "no documents mention it"
+    require(queryTerms.forall(t => t == t.toLowerCase),
+      s"query terms must be lowercase (documents are lowercased before matching): " +
+        queryTerms.filterNot(t => t == t.toLowerCase).mkString(", "))
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"query terms must be distinct: $queryTerms")
     val (n, totalTok, dfs) = collectionStats(df, textCol, queryTerms)
     require(n > 0, "bm25TopK over an empty corpus")
     val avgdl = totalTok.toDouble / n.toDouble

@@ -43,11 +43,13 @@ object TextAnalysis {
     * classes (e.g. a negated one). */
   val WhitespaceChars: String = " \\t\\n\\x0B\\f\\r"
 
-  /** The ONE whitespace class used everywhere a text op strips or
-    * splits on whitespace — spelled out (no `\s`) so Spark's Java regex
-    * and DuckDB's RE2 agree character for character (Java's `\s`
-    * includes vertical tab, RE2's does not). Must stay in sync with the
-    * class inside [[BpePattern]]. */
+  /** The ONE whitespace class every text op means when it says
+    * "whitespace". Java's `\s` is EXACTLY this class, so Spark-side
+    * `"\\s+"` splits already match it; RE2's `\s` (DuckDB) excludes
+    * `\x0B`, so every DuckDB oracle spells the class out explicitly
+    * (`'[ \t\n\x0B\f\r]+'`) instead of `'\s+'` — the two engines then
+    * tokenize identically even on vertical-tab-bearing text. Must stay
+    * in sync with the class inside [[BpePattern]]. */
   val WhitespaceClass: String = s"[$WhitespaceChars]"
 
   /** Quality metrics: n_chars, n_tokens, avg word length, alpha ratio,

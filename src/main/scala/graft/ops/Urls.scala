@@ -67,7 +67,7 @@ object Urls {
     val tq = instr(tail, "?")
     val rawPath = when(tq > 0, substring(tail, lit(1), tq - 1)).otherwise(tail)
     val rawQuery = when(tq > 0, substring(tail, tq + 1, length(tail))).otherwise(lit(""))
-    val noSlash = regexp_replace(rawPath, "/$", "")
+    val noSlash = regexp_replace(rawPath, "/+$", "")
     val path = when(noSlash === "", "/").otherwise(noSlash)
     val params = array_sort(filter(split(rawQuery, "&"),
       p => p =!= "" && !p.rlike(trackingRe)))
@@ -93,6 +93,7 @@ object Urls {
     * one codegen'd pipeline. */
   def withCanonicalUrl(
       df: DataFrame, urlCol: String, outCol: String = "canonical_url"): DataFrame = {
+    requireNoStagingColumns(df)
     val u = col("__u"); val rest = col("__rest"); val scheme = col("__scheme")
     val hostEnd = col("__hostEnd"); val tail = col("__tail"); val tq = col("__tq")
     val rawPath = col("__rawPath"); val noSlash = col("__noSlash")
@@ -117,7 +118,7 @@ object Urls {
       .withColumn("__tail", substring(rest, hostEnd, length(rest)))
       .withColumn("__tq", instr(tail, "?"))
       .withColumn("__rawPath", when(tq > 0, substring(tail, lit(1), tq - 1)).otherwise(tail))
-      .withColumn("__noSlash", regexp_replace(rawPath, "/$", ""))
+      .withColumn("__noSlash", regexp_replace(rawPath, "/+$", ""))
       .withColumn("__query", array_join(array_sort(filter(
         split(when(tq > 0, substring(tail, tq + 1, length(tail))).otherwise(lit("")), "&"),
         p => p =!= "" && !p.rlike(trackingRe))), "&"))
@@ -144,7 +145,17 @@ object Urls {
     * and over-merges ccSLD sites; thread a PSL-backed column in place
     * of this one when exactness matters. Narrow, staged like
     * [[withCanonicalUrl]]. */
+  /** The staged helpers build (and then drop) `__`-prefixed
+    * intermediates — an input already carrying such a column would be
+    * silently overwritten and removed, so fail loudly instead. */
+  private def requireNoStagingColumns(df: DataFrame): Unit = {
+    val clash = df.columns.filter(_.startsWith("__"))
+    require(clash.isEmpty,
+      s"input columns collide with staging names (rename them first): ${clash.mkString(", ")}")
+  }
+
   def withDomain(df: DataFrame, urlCol: String, outCol: String = "domain"): DataFrame = {
+    requireNoStagingColumns(df)
     val u = col("__u"); val rest = col("__rest")
     val staged = df
       .withColumn("__u", regexp_replace(col(urlCol), "#.*", ""))
@@ -180,9 +191,13 @@ object Urls {
     * real corpus's domain histogram is long-tailed) keep all rows and
     * never enter a window. Only rows of over-cap domains are ranked,
     * in a window partitioned by domain, so the sort input shrinks to
-    * the spam/mega-domains themselves. A single pathological domain
-    * still ranks in one task — at 100 TB cap such domains first with a
-    * coarse hash-threshold pre-filter (keep
+    * the spam/mega-domains themselves. The under/over split consumes
+    * the parsed input twice — a deliberate trade: two narrow scans
+    * cost less than the single-pass alternative, which windows (sorts)
+    * EVERY domain's rows including the long tail; persist the input
+    * upstream if it is expensive to recompute. A single pathological
+    * domain still ranks in one task — at 100 TB cap such domains first
+    * with a coarse hash-threshold pre-filter (keep
     * `hashUnit < c * cap / count`), then rank the survivors. */
   def capPerDomain(
       df: DataFrame, urlCol: String, idCol: String,

@@ -29,6 +29,11 @@ object CurationQueries {
       val docs = t(s, dir, "documents")
       val model = graft.ops.TextAnalysis.charLmTrain(docs, "text", n = 3)
       graft.ops.TextAnalysis.charLmScore(docs, model, "doc_id", "text", n = 3)
+        // restrict to SCORED docs: the library keeps sub-n-char docs
+        // with n_grams=0/avg_nll=NaN, while the oracle's inner join
+        // drops them — the filter makes the row sets equal for ANY
+        // corpus, not just ones without tiny documents
+        .filter(col("n_grams") > 0)
         .select(col("doc_id"), col("n_grams"), col("n_unseen"),
           round(col("avg_nll"), 6).as("avg_nll"))
         .oracleOrderBy("doc_id")
@@ -69,7 +74,7 @@ object CurationQueries {
         .oracleOrderBy("doc_id")
     },
     Some("""WITH tk AS MATERIALIZED (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks
         FROM documents),
       st AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS total,
                CAST(sum(CASE WHEN list_contains(toks, 'data') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
@@ -149,8 +154,8 @@ object CurationQueries {
                CASE WHEN tq > 0 THEN substr(tail, 1, tq - 1) ELSE tail END AS rawpath,
                CASE WHEN tq > 0 THEN substr(tail, tq + 1, length(tail)) ELSE '' END AS rawq FROM p5),
       p7 AS (SELECT doc_id, scheme, host,
-               CASE WHEN regexp_replace(rawpath, '/$', '') = '' THEN '/'
-                    ELSE regexp_replace(rawpath, '/$', '') END AS path,
+               CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+                    ELSE regexp_replace(rawpath, '/+$', '') END AS path,
                array_to_string(list_sort(list_filter(string_split(rawq, '&'),
                  x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z]+|fbclid|gclid|ref)='))), '&') AS q
              FROM p6),
@@ -185,7 +190,7 @@ object CurationQueries {
     },
     Some("""WITH tk AS (
         SELECT doc_id, source,
-          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+          CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tok
         FROM documents),
       c AS (SELECT doc_id, source, n_tok,
               CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
@@ -275,11 +280,11 @@ object CurationQueries {
     },
     Some("""WITH perdoc AS (
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+          CAST(sum(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'))) AS BIGINT) AS n_tokens
         FROM documents GROUP BY source),
       v AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS n_vocab
             FROM (SELECT source,
-                    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                    unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS w
                   FROM documents) t
             GROUP BY source)
       SELECT p.source, p.n_docs, p.n_tokens, v.n_vocab,

@@ -50,7 +50,7 @@ object OpsQueries {
     {
       val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
       Some(s"""WITH tok AS (SELECT doc_id,
-                  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+                  unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
                 FROM documents),
           hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_stop
                    FROM tok WHERE tok IN ($stop) GROUP BY doc_id)
@@ -60,7 +60,7 @@ object OpsQueries {
           round(CAST(coalesce(n_stop, 0) AS DOUBLE) / n_tokens, 6) AS stopword_ratio
         FROM (SELECT doc_id,
                 CAST(length(text) AS BIGINT) AS n_chars,
-                CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
                 CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS BIGINT) AS n_nospace,
                 CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha
               FROM documents) b
@@ -296,7 +296,7 @@ object OpsQueries {
     Some {
       val p = TextAnalysis.BpePattern.replace("'", "''")
       s"""SELECT doc_id,
-          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+          CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
           CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_bpe
         FROM documents ORDER BY doc_id"""
     })

@@ -19,7 +19,7 @@ object TextQueries {
 
   private[queries] val wordsSqlDuck =
     """SELECT DISTINCT doc_id, w FROM (
-         SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+         SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS w
          FROM documents)"""
 
   /** Exact dedup by content hash (hash-groupBy; at 100 TB this is one
@@ -46,7 +46,7 @@ object TextQueries {
           col("n_chars"))
         .oracleOrderBy("doc_id")
     },
-    Some("""SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+    Some("""SELECT doc_id, CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
         n_chars
       FROM documents ORDER BY doc_id"""))
 
@@ -71,7 +71,7 @@ object TextQueries {
       FROM (SELECT doc_id,
               CAST(length(text) AS BIGINT) AS n_char,
               CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nospace,
-              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+              CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tok,
               CAST(length(text) - length(replace(text, 'the', '')) AS BIGINT) AS n_the3
             FROM documents)
       ORDER BY doc_id"""))
@@ -125,7 +125,7 @@ object TextQueries {
 
   private val shinglesSqlDuck =
     """SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
-       FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+       FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks
              FROM documents),
             LATERAL unnest(generate_series(1, len(toks)-2)) AS t(i)"""
 
@@ -298,7 +298,7 @@ object TextQueries {
 
   /** Non-distinct lowercased tokens, shared by q55/q57 oracles. */
   private val tokSqlDuck =
-    """SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+    """SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS tok
        FROM documents"""
 
   /** Gopher-style composite quality filter (library module; ZERO
@@ -347,7 +347,7 @@ object TextQueries {
         .oracleOrderBy("doc_id")
     },
     Some("""WITH bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
-              FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks
                     FROM documents),
                    LATERAL unnest(generate_series(1, len(toks)-1)) AS t(i))
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,

@@ -110,6 +110,16 @@ final class MultiFile(
       options.workspace, options.fromCache)
     managedResources = managed
 
+    // the reference EXPLICITLY ignores changes in additional resources
+    // (multi_file.py:200 "MultiFile ignores changes in additional
+    // Resources", :529) — a curated overlay update then never reaches
+    // the published output until a version happens to change too. We
+    // harden instead: a modified additional resource rebuilds every
+    // intermediate (they may have consumed it) and voids the final
+    // short-circuit.
+    val additionalModified = additionalResources.keys
+      .exists(name => managed.get(name).exists(_.modified))
+
     // rebuild stale intermediates (multi_file.py:387-458)
     var rebuilt = 0
     needed.foreach { f =>
@@ -121,7 +131,7 @@ final class MultiFile(
       // ALWAYS rebuilt (multi_file.py:423-427's `updated` set) — the
       // stamp rule alone would miss a republish whose mod time still
       // predates the previous build's wall clock
-      if (!fresh || res.modified || options.forceRun) {
+      if (!fresh || res.modified || additionalModified || options.forceRun) {
         val rt = TaskRuntime(spark, managed, Map.empty)
         val feed = new Pipeline(intermediatePipeline(f))
           .run(PipelineRunner.emptyFeed(spark), rt)

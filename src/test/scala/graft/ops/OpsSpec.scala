@@ -629,6 +629,10 @@ class OpsSpec extends SparkSpec {
       Retrieval.bm25TopK(corpus, "doc_id", "text", Seq.empty, k = 5))
     intercept[IllegalArgumentException](
       Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("a", "a"), k = 5))
+    // docs are matched lowercased — a mixed-case term would silently
+    // match nothing, so it is rejected up front
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("Spark"), k = 5))
     // scoring is narrow: scan -> project -> TakeOrdered, no Exchange.
     // k must be BELOW the matching row count or EliminateLimits drops
     // the limit (maxRows <= k) and plans a full range-partitioned sort
@@ -687,7 +691,10 @@ class OpsSpec extends SparkSpec {
       (2L, "https://site.org/path"),
       (3L, "http://Host.com?b=1&a=1"),
       (4L, "https://x.io/#top"),
-      (5L, "http://h.net:8080/Deep/Path/?z=9&y=8&ref=feed"))
+      (5L, "http://h.net:8080/Deep/Path/?z=9&y=8&ref=feed"),
+      // multiple trailing slashes collapse in ONE pass ('/+$'), or the
+      // second application would strip further than the first
+      (6L, "http://example.com/a//"))
       .toDF("id", "url")
     val once = urls.select(col("id"), Urls.canonicalizeUrl(col("url")).as("url"))
     val twice = once.select(col("id"), Urls.canonicalizeUrl(col("url")).as("url"))

@@ -190,5 +190,32 @@ class ResourceSpec extends SparkSpec {
     assert(intermediateRuns == 2)
     assert(replay("calendars").select("calendar_id").collect().map(_.getString(0)).toSet
       == cals)
+
+    // a modified ADDITIONAL resource voids the short-circuit and
+    // rebuilds every intermediate (they may have consumed it) — the
+    // reference explicitly ignores such changes (multi_file.py:200,
+    // :529) and would serve stale output forever; this is the one
+    // deliberate behavioral hardening over it
+    // a real initial lastModified, or the mock's conditional fetch can
+    // never report not-modified and every run would look changed
+    val overlay = new TestingMocks.MockResource("stop,name\n1,X".getBytes,
+      initialLastModified = java.time.Instant.now().minusSeconds(60),
+      persistLastModified = true)
+    def mfOverlay() = new MultiFile(provider,
+      f => Seq(LoadGtfs(ws.resolve(f.resourceName)), new Task {
+        override def name = "CountRuns"
+        def execute(feed: graft.model.FeedDataset, rt: TaskRuntime) = {
+          intermediateRuns += 1; feed
+        }
+      }),
+      options = PipelineOptions(workspace = ws),
+      additionalResources = Map("overlay.csv" -> overlay))
+    mfOverlay().run(spark) // overlay is NEW -> everything rebuilds
+    assert(intermediateRuns == 4)
+    intercept[InputNotModified](mfOverlay().run(spark)) // nothing changed
+    assert(intermediateRuns == 4)
+    overlay.refresh() // overlay republished -> rebuild, no stale skip
+    mfOverlay().run(spark)
+    assert(intermediateRuns == 6)
   }
 }
