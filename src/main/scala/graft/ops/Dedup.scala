@@ -19,27 +19,23 @@ object Dedup {
     * possible dedup.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val groups = df.groupBy(md5(col(textCol)).as("__fp"))
+    // NULL text carries no content evidence: such rows come back as
+    // their own keepers (is_duplicate = false), NOT silently dropped
+    // (an inner join on the null fingerprint would lose them) and NOT
+    // grouped with each other (null <=> null would call two unknown
+    // documents identical)
+    val groups = df.filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("__fp"))
       .agg(min(col(idCol)).as("keep_id"))
     df.withColumn("__fp", md5(col(textCol)))
-      .join(groups, Seq("__fp"))
+      .join(groups, Seq("__fp"), "left")
+      .withColumn("keep_id", coalesce(col("keep_id"), col(idCol)))
       .withColumn("is_duplicate", col(idCol) =!= col("keep_id"))
       .drop("__fp")
   }
 
   /** Ordered lowercase whitespace tokens. */
   def tokens(textCol: Column): Column = split(trim(lower(textCol)), "\\s+")
-
-  /** k-token shingles of a document (order-sensitive); docs with fewer
-    * than k tokens produce an empty array. `textColName` is a column
-    * name (Spark 4 Columns no longer expose their expression). */
-  def shingles(textColName: String, k: Int = 3): Column = {
-    val t = s"split(trim(lower($textColName)), '\\\\s+')"
-    val sh = (0 until k).map(j => s"element_at($t, i + $j)").mkString(", ")
-    expr(s"""CASE WHEN size($t) >= $k
-        THEN transform(sequence(1, size($t) - ${k - 1}), i -> concat_ws(' ', $sh))
-        ELSE array() END""")
-  }
 
   /** MinHash signature columns `mh0..mh{n-1}` over 3-token shingles.
     * ONE md5 per shingle; the n hash families are derived by double
@@ -73,6 +69,9 @@ object Dedup {
   def lshCandidatePairs(
       sigs: DataFrame, idCol: String,
       numHashes: Int = 8, bandSize: Int = 4): DataFrame = {
+    require(bandSize >= 1 && numHashes >= bandSize && numHashes % bandSize == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bandSize ($bandSize) — " +
+        "a remainder would silently drop the trailing hashes from every band")
     val bands = (0 until numHashes / bandSize).map(b => (b * bandSize) until ((b + 1) * bandSize))
     val a = sigs.alias("a"); val b = sigs.alias("b")
     bands.map { band =>

@@ -250,8 +250,11 @@ object Multimodal {
         if (usPerFrame <= 0) None
         else {
           val fps = 1e6 / usPerFrame
+          // duration via Double: both factors are unsigned-32-bit, so
+          // the Long product can overflow negative on corrupt headers
+          // (~1.8e19 > Long.MaxValue); doubles just lose precision
           Some(Array(
-            (totalFrames * usPerFrame / 1000.0).toFloat, w.toFloat, h.toFloat,
+            (totalFrames.toDouble * usPerFrame / 1000.0).toFloat, w.toFloat, h.toFloat,
             1f, streams.toFloat, (fps * 1000.0).toFloat, 1f, 0f, 0f, 0f, 0f, 0f))
         }
       }
@@ -518,7 +521,15 @@ object Multimodal {
       val tmp = java.nio.file.Files.createTempFile("graft_ffmpeg_", ".bin")
       try {
         java.nio.file.Files.write(tmp, payload)
-        val dur = math.max(durationMs, 0L)
+        // an unknown caller-side duration (<= 0) would collapse every
+        // stamp to t=0 and return ONE frame where n were asked —
+        // recover it from the container headers (the pure-JVM parser,
+        // O(header) cost) before giving up on spreading the samples
+        val dur = math.max(
+          if (durationMs > 0) durationMs
+          else new VideoContainerCodec().decode("video", payload)
+            .map(f => f(0).toLong).filter(_ > 0).getOrElse(0L),
+          0L)
         val stamps =
           if (n == 1) Seq(dur / 2)
           else (0 until n).map(i => dur * i / (n - 1)).distinct

@@ -39,9 +39,12 @@ object Packing {
     *   - `n_chunks_spanned` — how many chunks the document crosses
     *     (1 = fits inside one chunk).
     *
-    * Precondition: every `tokenCol` is >= 1 (a zero-token document
-    * would get `last_chunk < first_chunk`) — filter empties out before
-    * packing. */
+    * Every `tokenCol` must be >= 1: a zero-token document has no
+    * position in a token stream (`last_chunk < first_chunk`), and
+    * empty docs are easy to produce upstream (paragraphDedup emits
+    * empty `clean_text` for fully-duplicated docs) — so the violation
+    * RAISES on the offending row instead of silently emitting an
+    * inverted span into a chunk writer. Filter empties out first. */
   def packChunks(
       df: DataFrame, idCol: String, tokenCol: String,
       ctxLen: Long, shardCol: String): DataFrame = {
@@ -60,7 +63,15 @@ object Packing {
       .withColumn("first_chunk", chunkOf(col("start_tok")))
       .withColumn("last_chunk", chunkOf(col("__cum") - 1))
       .withColumn("chunk_offset", col("start_tok") - col("first_chunk") * ctxLen)
-      .withColumn("n_chunks_spanned", col("last_chunk") - col("first_chunk") + 1)
+      // the guard lives in an OUTPUT column (not a dropped check
+      // column, which column pruning would optimize away): any
+      // zero/negative token count raises with the offending id
+      .withColumn("n_chunks_spanned",
+        when(col(tokenCol) >= 1, col("last_chunk") - col("first_chunk") + 1)
+          .otherwise(raise_error(concat(
+            lit(s"packChunks: non-positive $tokenCol for $idCol="),
+            col(idCol).cast("string"),
+            lit(" — filter zero-token documents out before packing")))))
       .drop("__cum")
   }
 }

@@ -34,7 +34,12 @@ object TextAnalysis {
     regexp_count(text, lit(BpePattern)).cast("long")
 
   /** Occurrences of `needle` in `text` via the replace-length trick
-    * (exact, regex-free, codegen'd). */
+    * (exact, regex-free, codegen'd). NON-OVERLAPPING: in "ababa" the
+    * needle "aba" counts once — in particular a space-padded word
+    * needle misses every second occurrence in a run of that word (the
+    * shared delimiter is consumed by the previous match); count token
+    * equality over a split instead when that matters (see
+    * [[languageId]]). */
   def countOccurrences(text: Column, needle: String): Column =
     ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), ""))) /
       needle.length).cast("long")
@@ -86,15 +91,23 @@ object TextAnalysis {
   /** Marker-word language scores + argmax prediction. `markers` maps a
     * language code to its marker words. N-gram-free heuristic in pure
     * expressions; real pipelines extend the marker lists per language.
+    *
+    * Scores count TOKEN matches (tokenize once, per-language array
+    * filter) — the earlier space-padded replace trick counted
+    * non-overlapping ` w ` occurrences, so marker runs like "la la la"
+    * scored 2 instead of 3 (the shared delimiter space is consumed by
+    * the previous match), systematically undercounting on short texts.
     */
   def languageId(
       df: DataFrame, textCol: String,
       markers: Map[String, Seq[String]] = DefaultMarkers): DataFrame = {
-    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
-    val scored = markers.foldLeft(df) { case (d, (lang, words)) =>
+    require(markers.nonEmpty, "languageId needs at least one language's markers")
+    val withToks = df.withColumn("__lid_toks", split(trim(lower(col(textCol))), "\\s+"))
+    val scored = markers.foldLeft(withToks) { case (d, (lang, words)) =>
+      val wordSet = array(words.map(lit): _*)
       d.withColumn(s"score_$lang",
-        words.map(w => countOccurrences(padded, s" $w ")).reduce(_ + _))
-    }
+        size(filter(col("__lid_toks"), x => array_contains(wordSet, x))).cast("long"))
+    }.drop("__lid_toks")
     val langs = markers.keys.toSeq.sorted
     // greatest-by-score with deterministic tie-break on first-listed
     val pred = langs.tail.foldLeft((col(s"score_${langs.head}"), lit(langs.head))) {
@@ -464,7 +477,12 @@ object TextAnalysis {
     val vocab = toks.groupBy(strataCol).agg(
       (if (approxVocab) approx_count_distinct(col("__w"), rsd)
        else count_distinct(col("__w"))).as("n_vocab"))
-    perDoc.join(vocab, Seq(strataCol))
+    // LEFT join: a stratum whose every text is NULL explodes to zero
+    // token rows and has no vocab entry — a dashboard must show it as
+    // a data-quality incident (n_vocab 0), not omit it entirely
+    perDoc.join(vocab, Seq(strataCol), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("n_vocab", coalesce(col("n_vocab"), lit(0L)))
       .withColumn("mean_doc_tokens",
         col("n_tokens").cast("double") / col("n_docs"))
   }

@@ -72,8 +72,12 @@ object Urls {
     val params = array_sort(filter(split(rawQuery, "&"),
       p => p =!= "" && !p.rlike(trackingRe)))
     val query = array_join(params, "&")
-    concat(scheme, lit("://"), host, path,
-      when(query === "", "").otherwise(concat(lit("?"), query)))
+    // a scheme-less string (instr = 0) must pass through, not have its
+    // first two characters eaten by the `sep + 3` arithmetic — two
+    // DIFFERENT malformed URLs would otherwise collapse onto one key
+    when(sep === 0, u).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(query === "", "").otherwise(concat(lit("?"), query))))
   }
 
   /** `substring(col, startCol, len)` is literal-only in the public API;
@@ -122,9 +126,12 @@ object Urls {
       .withColumn("__query", array_join(array_sort(filter(
         split(when(tq > 0, substring(tail, tq + 1, length(tail))).otherwise(lit("")), "&"),
         p => p =!= "" && !p.rlike(trackingRe))), "&"))
-      .withColumn(outCol, concat(scheme, lit("://"), col("__host"),
-        when(noSlash === "", "/").otherwise(noSlash),
-        when(col("__query") === "", "").otherwise(concat(lit("?"), col("__query")))))
+      .withColumn(outCol,
+        // scheme-less strings pass through (see canonicalizeUrl)
+        when(col("__sep") === 0, u).otherwise(
+          concat(scheme, lit("://"), col("__host"),
+            when(noSlash === "", "/").otherwise(noSlash),
+            when(col("__query") === "", "").otherwise(concat(lit("?"), col("__query"))))))
     staged.drop(staged.columns.filter(_.startsWith("__")): _*)
   }
 
@@ -173,7 +180,10 @@ object Urls {
         "^www\\.", ""), ":[0-9]+$", ""))
       .withColumn("__labels", split(col("__host"), "\\."))
       .withColumn(outCol,
-        when(size(col("__labels")) <= 2, col("__host"))
+        // scheme-less (or NULL) input has no parseable authority —
+        // domain NULL, never a chopped-prefix pseudo-domain
+        when(col("__sep") === 0, lit(null).cast("string"))
+          .when(size(col("__labels")) <= 2, col("__host"))
           .otherwise(array_join(
             slice(col("__labels"), size(col("__labels")) - 1, lit(2)), ".")))
     staged.drop(staged.columns.filter(_.startsWith("__")): _*)
@@ -204,8 +214,15 @@ object Urls {
       maxPerDomain: Long): DataFrame = {
     require(maxPerDomain >= 1, s"maxPerDomain must be >= 1, got $maxPerDomain")
     val withDom = withDomain(df, urlCol)
+    // null-SAFE join back: unparseable URLs get a NULL domain, which
+    // groupBy keeps as its own group but a plain equi-join would drop —
+    // the operator's contract is one output row per input row, and the
+    // null-domain bucket is capped like any other (it is exactly the
+    // junk a cap exists to bound)
     val counts = withDom.groupBy("domain").agg(count(lit(1)).as("domain_count"))
-    val joined = withDom.join(counts, Seq("domain"))
+      .withColumnRenamed("domain", "__cdomain")
+    val joined = withDom.join(counts, col("domain") <=> col("__cdomain"))
+      .drop("__cdomain")
     val under = joined.filter(col("domain_count") <= maxPerDomain)
       .withColumn("domain_kept", lit(1))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("domain")

@@ -21,6 +21,19 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(dupIds == Set(1L))
     assert(out.filter(col("doc_id") === 1L).select("keep_id").collect().head.getLong(0) == 0L)
+
+    // NULL-text rows survive as their own keepers — not dropped (an
+    // inner fingerprint join would lose them) and not merged with each
+    // other (two unknown documents are not identical)
+    val withNulls = docs.unionByName(
+      Seq((90L, null.asInstanceOf[String]), (91L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val outN = Dedup.exact(withNulls, "text", "doc_id")
+    assert(outN.count() == withNulls.count())
+    val nullRows = outN.filter(col("text").isNull)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("is_duplicate"), r.getAs[Long]("keep_id"))).toMap
+    assert(nullRows == Map(90L -> ((false, 90L)), 91L -> ((false, 91L))))
   }
 
   test("native minhash equals the higher-order-function formulation exactly") {
@@ -321,6 +334,12 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(preds(0L) == "en")
     assert(preds(4L) == "de")
+    // marker RUNS count every occurrence — the old padded-replace
+    // formulation consumed the shared delimiter space and scored 2
+    val run = TextAnalysis.languageId(
+      Seq((1L, "la la la")).toDF("doc_id", "text"), "text")
+      .select("score_es").collect().head.getLong(0)
+    assert(run == 3L)
 
     val fp = docs.select(col("doc_id"), TextAnalysis.wordSetFingerprint(col("text")).as("fp"),
       TextAnalysis.rollingHash(col("text")).as("rh")).collect()
@@ -656,7 +675,12 @@ class OpsSpec extends SparkSpec {
       // root with fragment only
       (7L, "https://x.io/#top"),
       // :8080 is NOT a default port and survives; path case preserved
-      (8L, "http://h.net:8080/CaseSensitive/Path"))
+      (8L, "http://h.net:8080/CaseSensitive/Path"),
+      // scheme-less strings pass through unchanged — the sep+3
+      // arithmetic must not eat their first two characters (two
+      // different malformed URLs would collapse onto one key)
+      (9L, "ab.site.com/x"),
+      (10L, "cd.site.com/x"))
       .toDF("id", "url")
     val out = cases.select(col("id"), Urls.canonicalizeUrl(col("url")).as("c"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -668,6 +692,7 @@ class OpsSpec extends SparkSpec {
     assert(out(5L) == out(6L))
     assert(out(7L) == "https://x.io/")
     assert(out(8L) == "http://h.net:8080/CaseSensitive/Path")
+    assert(out(9L) == "ab.site.com/x" && out(10L) == "cd.site.com/x")
 
     // the staged projection chain (the bulk-data form) is byte-equal
     // to the single-Column spelling on every edge case
@@ -679,7 +704,7 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(dd("http://example.com/a/b?a=1&b=2") == ((2L, 1L)))
     assert(dd("https://site.org/path") == ((2L, 3L)))
-    assert(dd.values.map(_._1).sum == 8L)
+    assert(dd.values.map(_._1).sum == 10L)
     // canonicalization itself is narrow
     assert(!cases.select(Urls.canonicalizeUrl(col("url")))
       .queryExecution.executedPlan.toString.contains("Exchange"))
@@ -733,6 +758,20 @@ class OpsSpec extends SparkSpec {
     assert(capped.view.mapValues(_._3).toMap == capped7)
     intercept[IllegalArgumentException](
       Urls.capPerDomain(rows, "url", "id", maxPerDomain = 0L))
+
+    // unparseable URLs map to the NULL domain, which forms its own
+    // capped bucket — one output row per input row, never dropped
+    val withBad = rows.unionByName(Seq(
+      (20L, "not a url at all"), (21L, "alsobad"))
+      .toDF("id", "url"))
+    val cappedBad = Urls.capPerDomain(withBad, "url", "id", maxPerDomain = 1L)
+    assert(cappedBad.count() == withBad.count())
+    val nullBucket = cappedBad.filter(col("domain").isNull)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("domain_count"), r.getAs[Int]("domain_kept"))).toMap
+    assert(nullBucket.keySet == Set(20L, 21L))
+    assert(nullBucket.values.map(_._1).toSet == Set(2L))
+    assert(nullBucket.values.map(_._2).sum == 1) // capped at 1 like any domain
   }
 
   test("Packing.packChunks: offsets, chunk spans, shard independence") {
@@ -754,6 +793,12 @@ class OpsSpec extends SparkSpec {
     assert(out(10L) == ((0L, 0L, 2L, 0L, 3L)))
     intercept[IllegalArgumentException](
       Packing.packChunks(rows, "id", "n_tok", 0L, "shard"))
+    // a zero-token row raises (with the offending id) instead of
+    // emitting an inverted chunk span into a chunk writer
+    val withEmpty = rows.unionByName(Seq((99L, "A", 0L)).toDF("id", "shard", "n_tok"))
+    val err = intercept[Exception](
+      Packing.packChunks(withEmpty, "id", "n_tok", 10L, "shard").collect())
+    assert(err.getMessage != null || err.getCause != null)
   }
 
   test("Packing.packChunks invariants hold over a generated skewed corpus") {
@@ -802,6 +847,16 @@ class OpsSpec extends SparkSpec {
     val approx = TextAnalysis.corpusStats(big, "text", "source", approxVocab = true)
       .collect().head.getAs[Long]("n_vocab")
     assert(math.abs(approx - 702L) <= 702 * 0.15) // 700 + filler + common
+
+    // an all-NULL-text stratum shows up as a data-quality incident
+    // (zero vocab), not silently missing from the report
+    val withBroken = rows.unionByName(
+      Seq((9L, "broken", null.asInstanceOf[String])).toDF("doc_id", "source", "text"))
+    val broken = TextAnalysis.corpusStats(withBroken, "text", "source")
+      .filter(col("source") === "broken").collect()
+    assert(broken.length == 1)
+    assert(broken.head.getAs[Long]("n_docs") == 1L)
+    assert(broken.head.getAs[Long]("n_vocab") == 0L)
   }
 
   test("Geo.radiusJoin equals the naive theta-join") {
