@@ -112,10 +112,14 @@ object CurationQueries {
   val q71 = QueryDef(
     "q71_url_canonical_dedup",
     (s, dir) => {
+      // an ODD path modulus: with an even one every %-residue class
+      // has a single parity and the messy (even-id) and clean (odd-id)
+      // variants could never land on the same canonical key — the very
+      // collapse this query exists to exercise
       val messy = when(col("doc_id") % 2 === 0,
-        concat(lit("HTTP://WWW.Example.COM:80/docs/"), (col("doc_id") % 50).cast("string"),
+        concat(lit("HTTP://WWW.Example.COM:80/docs/"), (col("doc_id") % 49).cast("string"),
           lit("/?utm_source=feed&b=2&a=1#frag")))
-        .otherwise(concat(lit("http://example.com/docs/"), (col("doc_id") % 50).cast("string"),
+        .otherwise(concat(lit("http://example.com/docs/"), (col("doc_id") % 49).cast("string"),
           lit("?a=1&b=2&gclid=xyz")))
       val withUrl = t(s, dir, "documents").withColumn("url", messy)
       // the STAGED canonicalization (withCanonicalUrl) — the
@@ -133,8 +137,8 @@ object CurationQueries {
     Some("""WITH u0 AS (
         SELECT doc_id, regexp_replace(
           CASE WHEN doc_id % 2 = 0
-               THEN 'HTTP://WWW.Example.COM:80/docs/' || CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag'
-               ELSE 'http://example.com/docs/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2&gclid=xyz' END,
+               THEN 'HTTP://WWW.Example.COM:80/docs/' || CAST(doc_id % 49 AS VARCHAR) || '/?utm_source=feed&b=2&a=1#frag'
+               ELSE 'http://example.com/docs/' || CAST(doc_id % 49 AS VARCHAR) || '?a=1&b=2&gclid=xyz' END,
           '#.*', '') AS u
         FROM documents),
       p1 AS (SELECT doc_id, lower(substr(u, 1, instr(u, '://') - 1)) AS scheme,
@@ -180,8 +184,12 @@ object CurationQueries {
   val q72 = QueryDef(
     "q72_sequence_packing",
     (s, dir) => {
-      val withTok = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      // NULL text would raise in packChunks (NULL token count) while
+      // the oracle's window would carry a NULL row — exclude it on
+      // BOTH sides so the pair agrees on any corpus
+      val withTok = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tok"))
       graft.ops.Packing.packChunks(withTok, "doc_id", "n_tok", 512L, "source")
         .select(col("doc_id"), col("source"), col("n_tok"), col("start_tok"),
           col("first_chunk"), col("last_chunk"), col("chunk_offset"),
@@ -191,7 +199,7 @@ object CurationQueries {
     Some("""WITH tk AS (
         SELECT doc_id, source,
           CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tok
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       c AS (SELECT doc_id, source, n_tok,
               CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
@@ -287,9 +295,10 @@ object CurationQueries {
                     unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS w
                   FROM documents) t
             GROUP BY source)
-      SELECT p.source, p.n_docs, p.n_tokens, v.n_vocab,
-        round(CAST(p.n_tokens AS DOUBLE) / p.n_docs, 6) AS mean_doc_tokens
-      FROM perdoc p JOIN v USING (source) ORDER BY p.source"""),
+      SELECT p.source, p.n_docs, coalesce(p.n_tokens, 0) AS n_tokens,
+        coalesce(v.n_vocab, 0) AS n_vocab,
+        round(CAST(coalesce(p.n_tokens, 0) AS DOUBLE) / p.n_docs, 6) AS mean_doc_tokens
+      FROM perdoc p LEFT JOIN v USING (source) ORDER BY p.source"""),
     bench = true)
 
   val all: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73, q74)

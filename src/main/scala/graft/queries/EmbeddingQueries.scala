@@ -116,7 +116,10 @@ object EmbeddingQueries {
     "q44_ivf_cells",
     (s, dir) => {
       t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      s.sql(ivfSql(sparkElem))
+      // presentation sort via oracleOrderBy, NOT the shared SQL's
+      // ORDER BY: range-partition bound sampling would execute the
+      // heavy IVF scoring subplan twice (the q34 lesson)
+      s.sql(ivfSql(sparkElem).stripSuffix(" ORDER BY vec_id")).oracleOrderBy("vec_id")
     },
     Some(ivfSql(duckElem)))
 

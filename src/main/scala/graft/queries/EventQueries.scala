@@ -19,7 +19,12 @@ object EventQueries {
       // nanosAsLong is set by every entry point (QueryDef.NanosConf) —
       // query functions never mutate session state.
       t(s, dir, "events")
-        .withColumn("hour_bucket", expr("ts div 3600000000000"))
+        // FLOOR division in exact long arithmetic: `div` truncates toward
+        // zero, so a pre-1970 (negative) timestamp would land one
+        // bucket higher than DuckDB's floor-dividing `//`; subtracting
+        // the (always non-negative) pmod first makes the quotient exact
+        .withColumn("hour_bucket",
+          expr("(ts - pmod(ts, 3600000000000)) div 3600000000000"))
         .groupBy("event_type", "hour_bucket")
         .agg(count(lit(1)).as("n"),
           round(sum(round(col("value") * 100)) / 100, 2).as("sum_value"))

@@ -215,7 +215,10 @@ object RelationalQueries {
       t(s, dir, "events")
         .select("user_id", "event_id", "event_type")
         .withColumn("prev", lag(col("event_type"), 1).over(w))
-        .withColumn("chg", when(col("prev").isNull || col("prev") =!= col("event_type"), 1).otherwise(0))
+        // null-SAFE change flag (<=>): the oracle's IS DISTINCT FROM
+        // treats NULL event types as ordinary values; `isNull || =!=`
+        // would disagree with it whenever event_type itself is NULL
+        .withColumn("chg", when(!(col("prev") <=> col("event_type")), 1).otherwise(0))
         .withColumn("leg", sum(col("chg")).over(frame))
         .groupBy(col("user_id"), col("leg"))
         .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("leg_start"),

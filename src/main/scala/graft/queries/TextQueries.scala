@@ -111,7 +111,9 @@ object TextQueries {
     "q28_word_fingerprint",
     (s, dir) => {
       val ws = array_distinct(split(trim(lower(col("text"))), "\\s+"))
-      t(s, dir, "documents")
+      // NULL text: the oracle's per-word GROUP BY has no group for the
+      // doc — drop it here too so the row sets agree on any corpus
+      t(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"),
           md5(array_join(array_sort(ws), " ")).as("wset_fp"),
           size(ws).cast("long").as("n_uniq"))
@@ -309,7 +311,10 @@ object TextQueries {
   val q55 = QueryDef(
     "q55_gopher_quality",
     (s, dir) => {
-      graft.ops.TextAnalysis.gopherQuality(t(s, dir, "documents"), "text")
+      // NULL-text docs get all-NULL metrics from the library; the
+      // oracle's inner join drops them — align the row sets
+      graft.ops.TextAnalysis.gopherQuality(
+          t(s, dir, "documents").filter(col("text").isNotNull), "text")
         .select(col("doc_id"), col("n_tok"),
           round(col("avg_word_len"), 6).as("avg_word_len"),
           round(col("top_word_frac"), 6).as("top_word_frac"),
