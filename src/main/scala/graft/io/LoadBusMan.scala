@@ -113,7 +113,15 @@ final case class LoadBusMan(
 
     var trips = table("tDepts")
       .join(broadcast(dirs), col("nDir") === col("pattern_id"), "left")
-      .select(col("ID").as("trip_id"), col("pattern_route_id").as("route_id"),
+      // a tDepts row whose nDir has no tDirs entry is malformed source
+      // data — the reference's pattern_to_route_id[row["nDir"]] raises
+      // KeyError; a silent NULL route_id would instead surface later
+      // as an unrelated-looking FK violation
+      .select(col("ID").as("trip_id"),
+        when(col("pattern_route_id").isNull,
+          raise_error(concat(lit("LoadBusMan: tDepts row "), col("ID"),
+            lit(" references missing tDirs pattern "), col("nDir"))))
+          .otherwise(col("pattern_route_id")).as("route_id"),
         col("nDayType").as("calendar_id"), col("nTeam"))
     trips =
       if (saveBlocks)
@@ -144,11 +152,19 @@ final case class LoadBusMan(
         lit("").as("stop_headsign"), lit(null).cast("double").as("shape_dist_traveled"),
         lit("").as("platform"), lit(null).cast("map<string,string>").as("extra_fields"))
 
+    // INSERT into the shared feed (the reference runs db.create(...)
+    // INSERTs into one SQLite DB), not wholesale replacement: two
+    // BusMan loads — or LoadGtfs followed by LoadBusMan — accumulate,
+    // exactly like the agencies handling above already did
     val base = Option(feed).getOrElse(
       graft.resource.PipelineRunner.emptyFeed(s))
     base.updatedAll(
-      "agencies" -> agencies, "routes" -> routes, "calendars" -> calendars,
-      "stops" -> stops, "trips" -> tripsOut, "stop_times" -> stopTimes)
+      "agencies" -> agencies,
+      "routes" -> base("routes").unionByName(routes),
+      "calendars" -> base("calendars").unionByName(calendars),
+      "stops" -> base("stops").unionByName(stops),
+      "trips" -> base("trips").unionByName(tripsOut),
+      "stop_times" -> base("stop_times").unionByName(stopTimes))
   }
 
   /** A BusMan table: `<dir>/<name>.csv` for a directory resource, a

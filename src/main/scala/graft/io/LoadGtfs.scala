@@ -43,10 +43,12 @@ final case class LoadGtfs(
 
   def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
     val dir = extracted(resource)
+    val listing = Files.list(dir)
     val present: Map[String, Path] =
-      Files.list(dir).iterator().asScala
+      try listing.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".txt"))
         .map(p => p.getFileName.toString -> p).toMap
+      finally listing.close()
 
     GtfsSpec.tables.filter(_.required).foreach { t =>
       require(present.contains(t.gtfsName), s"missing required GTFS file ${t.gtfsName}")
@@ -68,8 +70,12 @@ final case class LoadGtfs(
     // parent implications: shapes <- shape_points, calendars <- calendar_exceptions
     GtfsSpec.tables.flatMap(s => s.parentImplication.map(s -> _)).foreach {
       case (spec, (parentTable, parentCol, _)) if present.contains(spec.gtfsName) =>
+        // in the SQL model the child stores its FK under the parent's
+        // column name (service_id is already renamed calendar_id by
+        // the column spec), so parentCol IS the child column — no
+        // per-table special case
         val implied = tables(spec.sqlName)
-          .select(col(if (spec.sqlName == "shape_points") "shape_id" else "calendar_id").as(parentCol))
+          .select(col(parentCol))
           .distinct()
         val parent = tables(parentTable)
         // INSERT OR IGNORE: keep existing parents, add missing ids with defaults
@@ -82,18 +88,25 @@ final case class LoadGtfs(
     // unknown files -> extra_table_rows (load.rs:467-527)
     val unknown = extraFiles.filter(f => present.contains(f) && !GtfsSpec.knownFiles.contains(f))
     if (unknown.nonEmpty) {
-      val rows = unknown.map { f =>
+      val perFile = unknown.map { f =>
         val raw = readCsv(rt.spark, present(f))
         val names = raw.columns.filterNot(_ == RowIdCol)
         withLineNumbers(raw)
           .select(
-            col(RowIdCol).cast("long").as("extra_table_row_id"),
             lit(f.stripSuffix(".txt")).as("table_name"),
             map_from_arrays(
               array(names.map(lit(_)): _*),
               array(names.map(n => coalesce(col(n), lit(""))): _*)).as("fields"),
             col(RowIdCol).cast("int").as("row_sort_order"))
       }.reduce(_ unionByName _)
+      // the PK numbers GLOBALLY across files (the reference's single
+      // SQLite autoincrement) — per-file numbering would hand every
+      // extra file a duplicate extra_table_row_id = 1; the per-file
+      // line number survives as row_sort_order
+      val rows = graft.util.Ids
+        .withRowIndex(perFile, "extra_table_row_id", startAt = 1L)
+        .select(col("extra_table_row_id"), col("table_name"),
+          col("fields"), col("row_sort_order"))
       tables = tables.updated("extra_table_rows", rows)
     }
 
@@ -126,6 +139,12 @@ final case class LoadGtfs(
       .option("quote", "\"")
       .option("escape", "\"")
       .option("mode", "PERMISSIVE")
+      // GTFS allows quoted embedded newlines and SaveGtfs emits them;
+      // without multiLine the reader splits such a record mid-cell
+      // into two corrupt rows. Costs per-file splitting — acceptable:
+      // members are single files already, and line numbering stays
+      // deterministic
+      .option("multiLine", "true")
       .csv(path.toString)
 
   /** Attach the 1-based data-row number (LineNum fallback + stable
@@ -181,7 +200,16 @@ final case class LoadGtfs(
       val f: StructField = GtfsSchemas(spec.sqlName).apply(n)
       d.withColumn(n, lit(null).cast(f.dataType))
     }
-    complete.select(want.map(col): _*)
+    val aligned = complete.select(want.map(col): _*)
+    // surrogate primary keys have no GTFS column — the reference's
+    // SQLite `INTEGER PRIMARY KEY` auto-assigns them on insert
+    // (transfer.py:59 et al.); leaving them NULL breaks pk_unique the
+    // moment a feed has two transfers/fare_rules/translations rows
+    LoadGtfs.SurrogatePks.get(spec.sqlName) match {
+      case Some(pk) => graft.util.Ids.withRowIndex(aligned.drop(pk), pk, startAt = 1L)
+        .select(want.map(col): _*)
+      case None => aligned
+    }
   }
 
   /** Default-valued parent rows for implied parents. */
@@ -201,6 +229,16 @@ final case class LoadGtfs(
         lit(null).cast("map<string,string>").as("extra_fields"))
     case other => sys.error(s"no parent-implication defaults for $other")
   }
+}
+
+object LoadGtfs {
+  /** Tables whose primary key exists only in the SQL schema (the
+    * reference's SQLite INTEGER PRIMARY KEY autoincrement) — assigned
+    * at load, never read from the GTFS file. */
+  private[io] val SurrogatePks = Map(
+    "transfers" -> "transfer_id",
+    "fare_rules" -> "fare_rule_id",
+    "translations" -> "translation_id")
 }
 
 object GtfsDates {

@@ -113,9 +113,11 @@ final case class SaveGtfs(
   /** Ordered data part files of a distributed text write. */
   private def partFiles(dir: Path): Seq[Path] = {
     import scala.jdk.CollectionConverters._
-    Files.list(dir).iterator().asScala
+    val listing = Files.list(dir)
+    try listing.iterator().asScala
       .filter(_.getFileName.toString.startsWith("part-"))
       .toSeq.sortBy(_.getFileName.toString)
+    finally listing.close()
   }
 
   /** One fully-formatted CSV line per row, built with codegen'd string

@@ -82,9 +82,14 @@ final case class SimplifyCalendars(generateNewIds: Boolean = true, idPrefix: Str
       }
     val m = mapping.localCheckpoint(true)
 
+    // LEFT join: an id with no mapping (an FK-orphan trip pointing at
+    // a calendar the feed never defined) keeps its old id — an inner
+    // join would silently DELETE the trip while leaving its stop_times
+    // behind, manufacturing new FK violations out of a dedup task
     def remap(df: DataFrame, idCol: String): DataFrame =
-      df.join(m.withColumnRenamed("old_id", idCol), Seq(idCol))
-        .drop(idCol).withColumnRenamed("new_id", idCol)
+      df.join(m.withColumnRenamed("old_id", idCol), Seq(idCol), "left")
+        .withColumn(idCol, coalesce(col("new_id"), col(idCol)))
+        .drop("new_id")
 
     // trips: repoint every trip to its calendar's final id
     val trips = remap(feed("trips"), "calendar_id")

@@ -16,15 +16,32 @@ final case class AddEntity(table: String, values: Map[String, Any]) extends Task
     // Unprovided values on non-nullable fields get the entity-model
     // defaults ('' / false / 0 — mirroring the reference dataclass
     // defaults); a null in a column Catalyst believes non-nullable
-    // corrupts codegen downstream.
+    // corrupts codegen downstream. Nullability comes from the REGISTRY
+    // schema where the table is a known GTFS one: transformations
+    // relax the runtime schema to nullable, but the model contract
+    // (and FeedValidator) still demands the sentinel defaults.
+    val registry = graft.model.GtfsSchemas.all.find(_._1 == table).map(_._2)
+    def modelNullable(f: StructField): Boolean =
+      registry.flatMap(_.fields.find(_.name == f.name).map(_.nullable))
+        .getOrElse(f.nullable)
+    // null only when BOTH schemas allow it: the registry carries the
+    // model contract (runtime schemas relax to nullable after
+    // transformations), while a literal-built runtime table can be
+    // STRICTER than the registry (lit() columns are non-nullable)
     def default(f: StructField): Any =
-      if (f.nullable) null
+      if (modelNullable(f) && f.nullable) null
       else f.dataType match {
         case StringType            => ""
         case BooleanType           => false
         case IntegerType           => 0
         case LongType              => 0L
         case DoubleType            => 0.0
+        // non-nullable dates default to the reference's 1111-11-11
+        // "signals exceptions" sentinel (calendar.py:41-42) and
+        // non-nullable maps (extra_table_rows.fields) to empty —
+        // the old null fallback failed createDataFrame's null check
+        case DateType              => graft.io.GtfsDates.SignalsExceptions
+        case MapType(_, _, _)      => Map.empty[String, String]
         case _                     => null
       }
     val row = Row.fromSeq(schema.fields.toSeq.map(f => values.getOrElse(f.name, default(f))))
@@ -60,9 +77,18 @@ final case class UpdateTable(table: String, set: Map[String, Column], where: Col
     extends Task {
   override def name = s"UpdateTable($table)"
   def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
-    val df = set.foldLeft(feed(table)) { case (d, (colName, value)) =>
-      d.withColumn(colName, when(where, value).otherwise(col(colName)))
-    }
+    // ONE projection, every SET value and the WHERE evaluated against
+    // the ORIGINAL row — SQL UPDATE semantics. A sequential withColumn
+    // fold would let later columns see already-updated data (and Map
+    // iteration order is unspecified): SET a=x, b=a would copy the NEW
+    // a or the old one depending on hash order.
+    val base = feed(table)
+    val df = base.select(base.columns.map { c =>
+      set.get(c) match {
+        case Some(value) => when(where, value).otherwise(col(c)).as(c)
+        case None        => col(c)
+      }
+    }: _*)
     feed.updated(table, df)
   }
 }

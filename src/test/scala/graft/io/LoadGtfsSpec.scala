@@ -125,5 +125,33 @@ class LoadGtfsSpec extends SparkSpec {
     val sample = feed("extra_table_rows").filter(col("table_name") === "vehicles")
       .select(element_at(col("fields"), "vehicle_id")).collect()
     assert(sample.forall(_.getString(0) != null))
+    // the PK numbers GLOBALLY across the three files (the reference's
+    // single SQLite autoincrement) — per-file numbering would repeat 1
+    val ids = feed("extra_table_rows").select("extra_table_row_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.distinct.length == ids.length)
+    assert(ids.head == 1L && ids.last == ids.length.toLong)
+  }
+
+  test("surrogate PKs (transfers) are auto-assigned, unique and non-null") {
+    val dir = java.nio.file.Files.createTempDirectory("transfers_gtfs")
+    def w(name: String, content: String): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name), content)
+    w("agency.txt", "agency_id,agency_name,agency_url,agency_timezone\nA,Op,https://x,UTC\n")
+    w("routes.txt", "route_id,agency_id,route_short_name,route_long_name,route_type\nR,A,1,L,3\n")
+    w("stops.txt", "stop_id,stop_name,stop_lat,stop_lon\nS1,A,52.0,21.0\nS2,B,52.1,21.1\n")
+    w("trips.txt", "route_id,service_id,trip_id\nR,C,T\n")
+    w("stop_times.txt",
+      "trip_id,arrival_time,departure_time,stop_id,stop_sequence\nT,10:00:00,10:00:00,S1,0\nT,10:30:00,10:30:00,S2,1\n")
+    // transfer_id exists only in the SQL schema — the reference's
+    // SQLite INTEGER PRIMARY KEY assigns it on insert; two rows with
+    // NULL PKs would trip pk_unique immediately
+    w("transfers.txt",
+      "from_stop_id,to_stop_id,transfer_type\nS1,S2,0\nS2,S1,2\n")
+    val feed = LoadGtfs(dir).execute(null, rt)
+    val tr = feed("transfers").collect()
+    assert(tr.length == 2)
+    val pks = tr.map(r => r.getAs[Long]("transfer_id")).sorted
+    assert(pks.toSeq == Seq(1L, 2L))
   }
 }

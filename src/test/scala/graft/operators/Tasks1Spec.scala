@@ -176,6 +176,38 @@ class Tasks1Spec extends SparkSpec {
     assert(st == 0) // stop_times cascaded through trips
   }
 
+  test("UpdateTable: every SET value sees the ORIGINAL row (SQL UPDATE semantics)") {
+    val f = wkd
+    // SET headsign = 'X', short_name = old headsign WHERE headsign <> ''
+    // — sequential withColumns would let short_name copy the NEW 'X'
+    // (or skip the row entirely) depending on Map iteration order
+    val before = f("trips").filter(col("headsign") =!= "")
+      .select("trip_id", "headsign").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(before.nonEmpty)
+    val updated = UpdateTable("trips",
+      Map("headsign" -> lit("X"), "short_name" -> col("headsign")),
+      where = col("headsign") =!= "").execute(f, rt)
+    val after = updated("trips").filter(col("headsign") === "X")
+      .select("trip_id", "short_name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after.keySet == before.keySet)
+    after.foreach { case (id, sn) => assert(sn == before(id)) }
+  }
+
+  test("AddEntity defaults non-nullable dates/maps instead of injecting null") {
+    val f = wkd
+    // calendars has non-nullable start/end dates; the reference
+    // defaults them to the 1111-11-11 sentinel (calendar.py:41-42)
+    val out = AddEntity("calendars",
+      Map("calendar_id" -> "NEWCAL", "monday" -> true)).execute(f, rt)
+    val row = out("calendars").filter(col("calendar_id") === "NEWCAL").collect().head
+    assert(row.getAs[java.sql.Date]("start_date") ==
+      graft.io.GtfsDates.SignalsExceptions)
+    assert(row.getAs[java.sql.Date]("end_date") ==
+      graft.io.GtfsDates.SignalsExceptions)
+  }
+
   test("RouteSelector composes predicates") {
     val f = wkd
     assert(RouteSelector().find(f).count() == 3)
