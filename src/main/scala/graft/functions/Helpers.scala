@@ -10,10 +10,11 @@ object Helpers {
 
   /** camelCase / PascalCase -> snake_case (strings.py:45-56). */
   def camelToSnake(camel: String): String =
-    camel.zipWithIndex.map {
-      case (c, i) if c.isUpper && i > 0 => s"_${c.toLower}"
-      case (c, _) => c.toLower.toString
-    }.mkString
+    // the reference's exact regex (strings.py:56): `\B[A-Z]` — an
+    // uppercase letter NOT at a word boundary. The per-character
+    // formulation underscored uppercase at word starts too
+    // ("foo Bar" -> "foo _bar" instead of "foo bar")
+    camel.replaceAll("\\B[A-Z]", "_$0").toLowerCase
 
   private val IllegalPortableNames =
     Set(".", "..", "CON", "PRN", "AUX", "NUL") ++

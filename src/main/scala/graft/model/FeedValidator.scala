@@ -44,6 +44,27 @@ object FeedValidator {
       }
     }
 
+    // NOT NULL constraints (STRICT tables reject NULL in non-nullable
+    // columns; without this, the isin CHECK filters below silently
+    // PASS null values through SQL three-valued logic — `!isin` over
+    // NULL is NULL, the filter drops the row, violations=0). One
+    // aggregate per table, every column summed in the same pass.
+    GtfsSchemas.all.foreach { case (table, schema) =>
+      feed.get(table).foreach { df =>
+        val nn = schema.fields.filterNot(_.nullable).map(_.name)
+          .filter(df.columns.contains)
+        if (nn.nonEmpty) {
+          val aggs = nn.map(n =>
+            coalesce(sum(col(n).isNull.cast("long")), lit(0L)).as(n))
+          val row = df.agg(aggs.head, aggs.tail: _*).head()
+          nn.foreach { n =>
+            val v = row.getAs[Long](n)
+            if (v > 0) checks += Violation(table, s"not_null($n)", v)
+          }
+        }
+      }
+    }
+
     // CHECK constraints (per-entity DDL, §1.2)
     def check(table: String, name: String, bad: DataFrame => DataFrame): Unit =
       feed.get(table).foreach { df =>
@@ -78,10 +99,15 @@ object FeedValidator {
     check("transfers", "trip_ids_required_for_type_4_5",
       _.filter(col("transfer_type").isin(4, 5) &&
         (col("from_trip_id").isNull || col("to_trip_id").isNull)))
+    check("transfers", "min_transfer_time_positive",
+      _.filter(col("min_transfer_time").isNotNull && col("min_transfer_time") <= 0))
     check("feed_info", "singleton_id_0", _.filter(col("feed_info_id") =!= 0))
     // translations XOR constraint (translation.py:127-130)
     check("translations", "record_id_xor_field_value",
       _.filter(col("field_value") =!= "" && col("record_id") =!= ""))
+    // record_sub_id implies record_id (translation.py:129-130)
+    check("translations", "record_sub_id_implies_record_id",
+      _.filter(col("record_sub_id") =!= "" && col("record_id") === ""))
 
     checks.result()
   }

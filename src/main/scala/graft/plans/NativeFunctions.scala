@@ -27,7 +27,14 @@ private[plans] object NativeFunctions {
     val names = owned.computeIfAbsent(spark, _ => new java.util.HashSet[String]())
     if (!names.contains(name)) {
       val registry = spark.sessionState.functionRegistry
-      if (registry.functionExists(FunctionIdentifier(name)))
+      // an existing registration is only FOREIGN if graft did not put
+      // it there: with spark.sql.extensions=GraftExtensions every
+      // session already carries these functions, and warning about our
+      // own injection on the first operator call would cry wolf each
+      // session
+      val installedByExtension = spark.conf
+        .getOption("spark.sql.extensions").exists(_.contains("GraftExtensions"))
+      if (registry.functionExists(FunctionIdentifier(name)) && !installedByExtension)
         graft.util.Logs.warning("plans", s"replacing a foreign function " +
           s"named '$name' with graft's native implementation for this session")
       registry.createOrReplaceTempFunction(name, builder, "built-in")

@@ -85,7 +85,15 @@ abstract class App(
         case "-I" | "--input-not-modified-exit-code" =>
           require(i + 1 < v.length, s"${v(i)} requires a value")
           a = a.copy(inputNotModifiedExitCode = v(i + 1).toInt); i += 2
-        case other => rest += other; i += 1
+        case other =>
+          // unknown FLAGS are an operator error (argparse exits with a
+          // usage message in the reference) — `--force-ru` silently
+          // landing in `extra` would turn an explicit forced run into
+          // an InputNotModified exit-2, fooling the cron job. Bare
+          // tokens stay app-specific positional arguments.
+          require(!other.startsWith("-"),
+            s"unknown flag: $other (app-specific values must not start with '-')")
+          rest += other; i += 1
       }
     }
     a.copy(extra = rest.result())

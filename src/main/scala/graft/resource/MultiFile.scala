@@ -94,13 +94,25 @@ final class MultiFile(
     val needed = provider.needed().sortBy(_.startDate)
     Files.createDirectories(options.workspace.resolve("intermediate_feeds"))
 
-    // prune cached versions that are no longer needed (multi_file.py:326-335)
+    // prune cached versions that are no longer needed
+    // (multi_file.py:326-335) — INCLUDING their cached source archives
+    // + metadata sidecars at the workspace root (the stamp's second
+    // line records the resource name), or a rolling provider's retired
+    // versions accumulate downloads forever
     val keep = needed.map(_.version).toSet
     val dir = options.workspace.resolve("intermediate_feeds")
     val listing = Files.list(dir)
     try listing.forEach { p =>
-      val base = p.getFileName.toString.stripSuffix(".stamp")
-      if (!keep.contains(base)) deleteRecursively(p)
+      val name = p.getFileName.toString
+      val base = name.stripSuffix(".stamp")
+      if (!keep.contains(base)) {
+        if (name.endsWith(".stamp"))
+          Files.readString(p).linesIterator.toSeq.lift(1).foreach { resName =>
+            Files.deleteIfExists(options.workspace.resolve(resName))
+            Files.deleteIfExists(options.workspace.resolve(resName + ".metadata"))
+          }
+        deleteRecursively(p)
+      }
     } finally listing.close()
 
     // conditional-fetch each version + the shared additional resources
@@ -124,8 +136,13 @@ final class MultiFile(
     var rebuilt = 0
     needed.foreach { f =>
       val res = managed(f.resourceName)
+      // the parquet dir must EXIST, not just the stamp: FeedIO.load
+      // silently yields empty tables for a missing path, so a stamp
+      // orphaned by a partial prune/external cleanup would make the
+      // final merge publish a feed with a whole version missing
       val fresh = Files.exists(feedStamp(f.version)) &&
-        Files.readString(feedStamp(f.version)).toLong >=
+        Files.exists(feedDir(f.version)) &&
+        Files.readString(feedStamp(f.version)).linesIterator.next().toLong >=
           res.lastModified.toEpochMilli
       // a version whose conditional fetch actually downloaded is
       // ALWAYS rebuilt (multi_file.py:423-427's `updated` set) — the
@@ -136,7 +153,10 @@ final class MultiFile(
         val feed = new Pipeline(intermediatePipeline(f))
           .run(PipelineRunner.emptyFeed(spark), rt)
         FeedIO.save(feed, feedDir(f.version))
-        Files.writeString(feedStamp(f.version), System.currentTimeMillis().toString)
+        // line 1: build time; line 2: the version's resource name, so
+        // a later prune can also remove the cached source archive
+        Files.writeString(feedStamp(f.version),
+          s"${System.currentTimeMillis()}\n${f.resourceName}")
         rebuilt += 1
       }
     }

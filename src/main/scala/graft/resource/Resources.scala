@@ -61,10 +61,13 @@ final case class HttpResource(url: String) extends Resource {
       builder.header("If-Modified-Since",
         java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME
           .format(lastModified.atZone(java.time.ZoneOffset.UTC)))
-    val resp = HttpClient.newHttpClient()
+    val resp = HttpResource.client
       .send(builder.GET().build(), HttpResponse.BodyHandlers.ofInputStream())
-    if (resp.statusCode() == 304) throw new InputNotModified
-    require(resp.statusCode() / 100 == 2, s"GET $url -> ${resp.statusCode()}")
+    if (resp.statusCode() == 304) { resp.body().close(); throw new InputNotModified }
+    if (resp.statusCode() / 100 != 2) {
+      resp.body().close() // release the pooled connection on the error path
+      throw new IllegalArgumentException(s"GET $url -> ${resp.statusCode()}")
+    }
     lastModified = resp.headers().firstValue("Last-Modified")
       .map[Instant](v => Instant.from(
         java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.parse(v)))
@@ -72,6 +75,17 @@ final case class HttpResource(url: String) extends Resource {
     fetchTime = Instant.now()
     resp.body()
   }
+}
+
+object HttpResource {
+  /** One shared client: follows redirects like the reference's
+    * requests-based HTTPResource (java.net.http defaults to NEVER,
+    * which would fail every 301/302-ing feed URL with a status error),
+    * and reuses its connection pool across the many fetches a
+    * MultiFile run performs. */
+  private val client: HttpClient = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .build()
 }
 
 /** Extracts one member of a zip-compressed inner resource
@@ -91,21 +105,24 @@ final case class ZippedResource(inner: Resource, member: Option[String] = None)
       lastModified = inner.lastModified
       fetchTime = inner.fetchTime
       val zf = new java.util.zip.ZipFile(tmp.toFile)
-      // a None member: the archive must contain exactly one file,
-      // which is extracted (resource.py:384-386)
-      val entry = member match {
-        case Some(m) =>
-          Option(zf.getEntry(m)).getOrElse { zf.close(); sys.error(s"member $m not in zip") }
-        case None =>
-          val all = zf.entries.asIterator.asScala.filterNot(_.isDirectory).toSeq
-          if (all.length != 1) {
-            zf.close()
-            sys.error(s"expected exactly one file in the archive, got ${all.length}")
+      // try/finally, not manual close-on-each-path: a corrupt entry
+      // throwing out of readAllBytes would otherwise leak the handle
+      // (and pin the temp file against deletion on some platforms)
+      val bytes =
+        try {
+          // a None member: the archive must contain exactly one file,
+          // which is extracted (resource.py:384-386)
+          val entry = member match {
+            case Some(m) =>
+              Option(zf.getEntry(m)).getOrElse(sys.error(s"member $m not in zip"))
+            case None =>
+              val all = zf.entries.asIterator.asScala.filterNot(_.isDirectory).toSeq
+              if (all.length != 1)
+                sys.error(s"expected exactly one file in the archive, got ${all.length}")
+              all.head
           }
-          all.head
-      }
-      val bytes = zf.getInputStream(entry).readAllBytes()
-      zf.close()
+          zf.getInputStream(entry).readAllBytes()
+        } finally zf.close()
       new java.io.ByteArrayInputStream(bytes)
     } finally Files.deleteIfExists(tmp)
   }
