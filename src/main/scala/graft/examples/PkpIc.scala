@@ -97,10 +97,20 @@ final case class PkpIcCsvImport(csvResourceName: String, agencyId: String = "0")
 
     // ---- stop_times with the day-rollover recurrence ----
     val wTrain = Window.partitionBy(trainKey: _*).orderBy(col("__line"))
+    // an unparseable/empty time FAILS like the reference's
+    // TimePoint.from_str ValueError (csv_import.py:88-94): a silent
+    // NULL would break the wrap chain (lag over NULL skips a rollover)
+    // and write NULL into the NOT NULL arrival_time
+    def timeOrFail(src: Column, label: String): Column = {
+      val parsed = GtfsFunctions.gtfsTimeToSeconds(src)
+      when(parsed.isNull, raise_error(concat(
+        lit(s"PkpIc: unparseable $label time '"), coalesce(src, lit("NULL")), lit("'"))))
+        .otherwise(parsed)
+    }
     val seqd = rows
       .withColumn("stop_sequence", row_number().over(wTrain) - 1)
-      .withColumn("arr_raw", GtfsFunctions.gtfsTimeToSeconds(col("Przyjazd")))
-      .withColumn("dep_raw", GtfsFunctions.gtfsTimeToSeconds(col("Odjazd")))
+      .withColumn("arr_raw", timeOrFail(col("Przyjazd"), "Przyjazd"))
+      .withColumn("dep_raw", timeOrFail(col("Odjazd"), "Odjazd"))
     // flatten to the exact comparison sequence of the reference loop:
     // arr_0, dep_0, arr_1, dep_1, ... (csv_import.py:77-106); every raw
     // value is < 24 h, so "add days until monotone" == "+86400 per raw
@@ -198,7 +208,12 @@ final case class PkpIcStationImport(osmResourceName: String) extends Task {
         t.getAttribute("k") -> t.getAttribute("v")
       }.toMap
       if (tagMap.get("railway").contains("station") && tagMap.contains("ref"))
-        Some((tagMap("ref"), tagMap.getOrElse("ref:2", null), tagMap.getOrElse("name", ""),
+        // a name-less station node fails loudly (the reference's
+        // row["name"] KeyError, station_import.py:171) — defaulting to
+        // "" would silently erase the stop's real name at enrichment
+        Some((tagMap("ref"), tagMap.getOrElse("ref:2", null),
+          tagMap.getOrElse("name",
+            sys.error(s"plrailmap station ${tagMap("ref")} has no name tag")),
           n.getAttribute("lat").toDouble, n.getAttribute("lon").toDouble))
       else None
     }

@@ -84,10 +84,10 @@ final case class ImportZtm(
   }
 
   /** Flat `{"id": "name"}` JSON map (the curated stop-names resource —
-    * import_ztm.py:81-83). */
+    * import_ztm.py:81-83). Real JSON parse: the earlier regex version
+    * truncated at the first escaped quote. */
   private def parseJsonMap(text: String): Map[String, String] =
-    """"([^"]+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(text)
-      .map(m => m.group(1) -> m.group(2)).toMap
+    graft.util.Json.stringMap(text)
 
   def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
     val spark = rt.spark
@@ -131,8 +131,14 @@ final case class ImportZtm(
     } yield (r.route.id, varIdx, v.direction, v.sortOrder, pos, vs.id, vs.zone))
       .toDF("route_id", "var_idx", "direction", "sort_order", "pos", "stop_id", "zone")
 
-    val inaccessible = routes.flatMap(_.stopDepartures).filter(!_.accessible)
-      .map(_.tripId).distinct.toDF("raw_trip_id")
+    // ROUTE-scoped: raw WK trip ids repeat across routes (that is why
+    // trip ids get route-prefixed), and the reference keeps
+    // inaccessible_trips per RouteParsingState (import_ztm.py:45,
+    // 199-201, 257) — a global id set would mark route B's trip
+    // inaccessible because route A reused the same raw id
+    val inaccessible = (for {
+      r <- routes; sd <- r.stopDepartures if !sd.accessible
+    } yield (r.route.id, sd.tripId)).distinct.toDF("route_id", "raw_trip_id")
 
     val tripRows = for (r <- routes; t <- r.trips) yield
       (r.route.id, t.id, t.calendarId, t.isExceptional)
@@ -228,7 +234,8 @@ final case class ImportZtm(
         .join(dirCounts, Seq("route_id", "raw_trip_id"), "left")
         .withColumn("direction",
           when(coalesce(col("n0"), lit(0L)) >= coalesce(col("n1"), lit(0L)), 0).otherwise(1))
-        .join(inaccessible.withColumn("__inacc", lit(true)), Seq("raw_trip_id"), "left")
+        .join(inaccessible.withColumn("__inacc", lit(true)),
+          Seq("route_id", "raw_trip_id"), "left")
         .withColumn("wheelchair_accessible", coalesce(col("__inacc"), lit(false)) === false)
         .withColumn("trip_id", concat(col("route_id"), lit("/"), col("raw_trip_id")))
         .withColumn("calendar_id", concat(col("route_id"), lit("/"), col("raw_calendar_id"))),
@@ -305,9 +312,9 @@ object WarsawTasks {
     override def name = "FixStopLocations"
     def execute(feed: FeedDataset, rt: TaskRuntime): FeedDataset = {
       import rt.spark.implicits._
-      val entries = """"([^"]+)"\s*:\s*\[\s*([0-9.+-]+)\s*,\s*([0-9.+-]+)\s*\]""".r
-        .findAllMatchIn(rt.resources(locationsResourceName).text)
-        .map(m => (m.group(1), m.group(2).toDouble, m.group(3).toDouble)).toSeq
+      val entries = graft.util.Json
+        .latLonMap(rt.resources(locationsResourceName).text)
+        .map { case (id, (lat, lon)) => (id, lat, lon) }.toSeq
       val patch = entries.toDF("stop_id", "new_lat", "new_lon")
       val unused = patch.join(feed("stops"), Seq("stop_id"), "left_anti")
         .select("stop_id").collect()

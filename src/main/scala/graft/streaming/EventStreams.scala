@@ -8,11 +8,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * counterpart of the batch events queries; SURVEY §2.8 — the
   * reference is batch-only, this is part of the 100 TB design surface).
   *
-  * Every transform takes a DataFrame/Dataset that may be batch OR
-  * streaming (`spark.readStream` output): identical code paths, which
-  * is the point of Structured Streaming. Watermarks bound state; the
-  * stateful operators use mapGroupsWithState with event-time timeouts
-  * so state size stays proportional to the active-key set, not history.
+  * The STATELESS transforms run identically on batch or streaming
+  * inputs. The timeout-driven ones (`sessionize`) are streaming-only:
+  * batch execution never fires timeouts, so the final open session per
+  * key would be silently discarded — for batch sessionization use the
+  * q10-style lag/change-flag window kernel (RelationalQueries.q10 /
+  * SplitTripLegs), which is the same semantics without state.
+  * Watermarks bound state; `lastStatePerUser` keeps one row per key
+  * and offers an idle-TTL so state tracks the ACTIVE key set on
+  * unbounded-churn streams, not every key ever seen.
   */
 object EventStreams {
 
@@ -43,24 +47,40 @@ object EventStreams {
     * mapGroupsWithState — the streaming analogue of the batch
     * max_by/latest-state query. Emits the updated state per key per
     * micro-batch (OutputMode.Update). */
-  def lastStatePerUser(events: Dataset[Event]): Dataset[UserState] = {
+  def lastStatePerUser(
+      events: Dataset[Event],
+      idleTtlSeconds: Option[Long] = None): Dataset[UserState] = {
     import events.sparkSession.implicits._
+    // with a TTL the state of keys idle past the horizon is dropped
+    // (event-time timeout; caller must have set a watermark upstream)
+    // — on a stream with key churn, NoTimeout state grows with every
+    // key ever seen
+    val timeout = if (idleTtlSeconds.isDefined)
+      GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[UserState, UserState](timeout) {
         (userId, batch, state: GroupState[UserState]) =>
-          val prev = state.getOption.getOrElse(UserState(userId, -1L, "", 0L, 0L))
-          val next = batch.foldLeft(prev) { (acc, e) =>
-            val isNewer = e.event_id > acc.last_event_id
-            UserState(
-              userId,
-              if (isNewer) e.event_id else acc.last_event_id,
-              if (isNewer) e.event_type else acc.last_type,
-              acc.n_events + 1,
-              acc.n_errors + (if (e.event_type == "error") 1 else 0))
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserState(userId, -1L, "", 0L, 0L))
+            val next = batch.foldLeft(prev) { (acc, e) =>
+              val isNewer = e.event_id > acc.last_event_id
+              UserState(
+                userId,
+                if (isNewer) e.event_id else acc.last_event_id,
+                if (isNewer) e.event_type else acc.last_type,
+                acc.n_events + 1,
+                acc.n_errors + (if (e.event_type == "error") 1 else 0))
+            }
+            state.update(next)
+            idleTtlSeconds.foreach(ttl => state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs + 1, 0L) + ttl * 1000))
+            next
           }
-          state.update(next)
-          next
       }
   }
 
@@ -72,12 +92,18 @@ object EventStreams {
     * pipeline. */
   def dedupStream(
       docs: DataFrame, textCol: String, tsCol: String,
-      watermark: String = "1 hour"): DataFrame =
-    docs
-      .withColumn("__fp", md5(col(textCol)))
+      watermark: String = "1 hour"): DataFrame = {
+    // NULL text must not dedup: md5(NULL) is NULL and the dropper
+    // treats null keys as equal, so every metadata-only record after
+    // the first would silently vanish — null-text rows bypass the
+    // dedup entirely (two filters of one stream union fine)
+    val withFp = docs.withColumn("__fp", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
+    withFp.filter(col("__fp").isNotNull)
       .dropDuplicatesWithinWatermark("__fp")
+      .unionByName(withFp.filter(col("__fp").isNull))
       .drop("__fp")
+  }
 
   /** Gap-based sessionization with event-time timeout: a session closes
     * after `gapSeconds` of silence per user, emitting one summary row —
@@ -101,7 +127,17 @@ object EventStreams {
             events.foreach { e =>
               current match {
                 case Some(s) if e.ts.getTime - s.session_end.getTime <= gapSeconds * 1000 =>
-                  current = Some(s.copy(session_end = e.ts, n_events = s.n_events + 1))
+                  // a LATE event extends the bounds, never rewinds
+                  // them: min/max instead of overwrite, or an
+                  // out-of-order merge could set end < start and
+                  // re-register a timeout at-or-below the watermark
+                  // (which setTimeoutTimestamp rejects)
+                  current = Some(s.copy(
+                    session_start =
+                      if (e.ts.getTime < s.session_start.getTime) e.ts else s.session_start,
+                    session_end =
+                      if (e.ts.getTime > s.session_end.getTime) e.ts else s.session_end,
+                    n_events = s.n_events + 1))
                 case Some(s) =>
                   closed += s
                   current = Some(SessionUpdate(userId, e.ts, e.ts, 1))
@@ -111,7 +147,9 @@ object EventStreams {
             }
             current.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.session_end.getTime + gapSeconds * 1000)
+              state.setTimeoutTimestamp(math.max(
+                s.session_end.getTime + gapSeconds * 1000,
+                state.getCurrentWatermarkMs + 1))
             }
             closed.result().iterator
           }

@@ -1,0 +1,39 @@
+package graft.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Real JSON parsing for the small driver-side curation resources
+  * (curated stop names, stop locations). A regex "parser" silently
+  * truncates at the first escaped quote and rejects exponent-notation
+  * numbers; Jackson ships on Spark's own classpath, so this costs no
+  * new dependency. The reference simply calls `resource.json()`. */
+object Json {
+
+  private lazy val mapper = new ObjectMapper()
+
+  /** Parse a flat JSON object into its field map; fails loudly on
+    * malformed JSON or a non-object root, like the reference's
+    * `json.load`. */
+  def parseObject(text: String): Map[String, JsonNode] = {
+    val node = mapper.readTree(text)
+    require(node != null && node.isObject, "expected a JSON object at the root")
+    node.properties().asScala.iterator.map(e => e.getKey -> e.getValue).toMap
+  }
+
+  /** `{"id": "name"}` -> Map (curated stop names). */
+  def stringMap(text: String): Map[String, String] =
+    parseObject(text).map { case (k, v) =>
+      require(v.isTextual, s"expected a string value for key '$k', got $v")
+      k -> v.asText()
+    }
+
+  /** `{"id": [lat, lon]}` -> Map (curated stop locations). */
+  def latLonMap(text: String): Map[String, (Double, Double)] =
+    parseObject(text).map { case (k, v) =>
+      require(v.isArray && v.size == 2 && v.get(0).isNumber && v.get(1).isNumber,
+        s"expected [lat, lon] for key '$k', got $v")
+      k -> (v.get(0).asDouble, v.get(1).asDouble)
+    }
+}
