@@ -155,7 +155,12 @@ final case class LoadBusMan(
     // INSERT into the shared feed (the reference runs db.create(...)
     // INSERTs into one SQLite DB), not wholesale replacement: two
     // BusMan loads — or LoadGtfs followed by LoadBusMan — accumulate,
-    // exactly like the agencies handling above already did
+    // exactly like the agencies handling above already did. One
+    // divergence: SQLite raises IntegrityError AT INSERT on a PK
+    // collision (e.g. BusMan day-type id "1" vs a GTFS service_id
+    // "1"); here tables stay lazy, so collisions surface at
+    // FeedValidator.assertValid (pk_unique) instead — run it after
+    // mixed loads
     val base = Option(feed).getOrElse(
       graft.resource.PipelineRunner.emptyFeed(s))
     base.updatedAll(

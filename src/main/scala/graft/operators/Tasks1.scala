@@ -83,8 +83,17 @@ final case class UpdateTable(table: String, set: Map[String, Column], where: Col
     // iteration order is unspecified): SET a=x, b=a would copy the NEW
     // a or the old one depending on hash order.
     val base = feed(table)
+    // resolve SET keys like Spark resolves columns (case-insensitive)
+    // and FAIL on unknowns — SQL UPDATE errors on a bad column, and a
+    // typo'd key silently updating nothing is worse
+    val byKey = set.map { case (k, v) =>
+      val actual = base.columns.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"UpdateTable($table): no such column '$k' (have ${base.columns.mkString(", ")})"))
+      actual -> v
+    }
     val df = base.select(base.columns.map { c =>
-      set.get(c) match {
+      byKey.get(c) match {
         case Some(value) => when(where, value).otherwise(col(c)).as(c)
         case None        => col(c)
       }

@@ -44,14 +44,25 @@ object Packing {
     * empty docs are easy to produce upstream (paragraphDedup emits
     * empty `clean_text` for fully-duplicated docs) — so the violation
     * RAISES on the offending row instead of silently emitting an
-    * inverted span into a chunk writer. Filter empties out first. */
+    * inverted span into a chunk writer. The guard wraps the token
+    * value feeding the window sum, so it survives column pruning for
+    * any consumer of the derived columns (offsets/chunk ids); only a
+    * projection keeping none of them skips it. Filter empties first. */
   def packChunks(
       df: DataFrame, idCol: String, tokenCol: String,
       ctxLen: Long, shardCol: String): DataFrame = {
     require(ctxLen >= 1, s"context length must be >= 1, got $ctxLen")
     val w = Window.partitionBy(shardCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = sum(col(tokenCol)).over(w)
+    // the zero/negative-token guard wraps the value the window sums —
+    // every derived column consumes it, so pruning an individual
+    // output column cannot silently drop the check
+    val guardedTok = when(col(tokenCol) >= 1, col(tokenCol))
+      .otherwise(raise_error(concat(
+        lit(s"packChunks: non-positive $tokenCol for $idCol="),
+        col(idCol).cast("string"),
+        lit(" — filter zero-token documents out before packing"))))
+    val cum = sum(guardedTok).over(w)
     // floor() on an exact integral double, then cast — Spark's
     // double->long cast truncates but DuckDB's ROUNDS, so the explicit
     // floor is what keeps the two engines identical (token totals stay
@@ -63,15 +74,7 @@ object Packing {
       .withColumn("first_chunk", chunkOf(col("start_tok")))
       .withColumn("last_chunk", chunkOf(col("__cum") - 1))
       .withColumn("chunk_offset", col("start_tok") - col("first_chunk") * ctxLen)
-      // the guard lives in an OUTPUT column (not a dropped check
-      // column, which column pruning would optimize away): any
-      // zero/negative token count raises with the offending id
-      .withColumn("n_chunks_spanned",
-        when(col(tokenCol) >= 1, col("last_chunk") - col("first_chunk") + 1)
-          .otherwise(raise_error(concat(
-            lit(s"packChunks: non-positive $tokenCol for $idCol="),
-            col(idCol).cast("string"),
-            lit(" — filter zero-token documents out before packing")))))
+      .withColumn("n_chunks_spanned", col("last_chunk") - col("first_chunk") + 1)
       .drop("__cum")
   }
 }

@@ -102,6 +102,8 @@ object TextAnalysis {
       df: DataFrame, textCol: String,
       markers: Map[String, Seq[String]] = DefaultMarkers): DataFrame = {
     require(markers.nonEmpty, "languageId needs at least one language's markers")
+    require(!df.columns.contains("__lid_toks"),
+      "input column __lid_toks collides with languageId's staging name")
     val withToks = df.withColumn("__lid_toks", split(trim(lower(col(textCol))), "\\s+"))
     val scored = markers.foldLeft(withToks) { case (d, (lang, words)) =>
       val wordSet = array(words.map(lit): _*)

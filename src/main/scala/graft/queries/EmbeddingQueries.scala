@@ -110,18 +110,19 @@ object EmbeddingQueries {
             ORDER BY dot/(sqrt(naa)*sqrt(ncc)) DESC, cid DESC) AS rn
         FROM scored)
       SELECT vec_id, cid AS cell, round(sim, 6) AS best_sim
-      FROM ranked WHERE rn = 1 ORDER BY vec_id"""
+      FROM ranked WHERE rn = 1"""
 
   val q44 = QueryDef(
     "q44_ivf_cells",
     (s, dir) => {
       t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      // presentation sort via oracleOrderBy, NOT the shared SQL's
-      // ORDER BY: range-partition bound sampling would execute the
-      // heavy IVF scoring subplan twice (the q34 lesson)
-      s.sql(ivfSql(sparkElem).stripSuffix(" ORDER BY vec_id")).oracleOrderBy("vec_id")
+      // presentation sort via oracleOrderBy, NOT an ORDER BY in the
+      // shared SQL: range-partition bound sampling would execute the
+      // heavy IVF scoring subplan twice (the q34 lesson). The shared
+      // text carries NO sort; only the oracle appends one.
+      s.sql(ivfSql(sparkElem)).oracleOrderBy("vec_id")
     },
-    Some(ivfSql(duckElem)))
+    Some(ivfSql(duckElem) + " ORDER BY vec_id"))
 
   /** Squared-L2 between embedding and centroid over subspace `mi`
     * (16 dims starting at mi*16+1), as an explicit left-associative

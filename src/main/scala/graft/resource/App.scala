@@ -85,14 +85,20 @@ abstract class App(
         case "-I" | "--input-not-modified-exit-code" =>
           require(i + 1 < v.length, s"${v(i)} requires a value")
           a = a.copy(inputNotModifiedExitCode = v(i + 1).toInt); i += 2
+        case "--" =>
+          // argparse's end-of-flags marker: everything after is a
+          // positional value even if it starts with '-'
+          i += 1
+          while (i < v.length) { rest += v(i); i += 1 }
         case other =>
           // unknown FLAGS are an operator error (argparse exits with a
           // usage message in the reference) — `--force-ru` silently
           // landing in `extra` would turn an explicit forced run into
           // an InputNotModified exit-2, fooling the cron job. Bare
-          // tokens stay app-specific positional arguments.
+          // tokens stay app-specific positional arguments; dash-leading
+          // values go after `--`.
           require(!other.startsWith("-"),
-            s"unknown flag: $other (app-specific values must not start with '-')")
+            s"unknown flag: $other (pass dash-leading values after '--')")
           rest += other; i += 1
       }
     }

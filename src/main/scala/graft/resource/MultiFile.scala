@@ -100,6 +100,10 @@ final class MultiFile(
     // line records the resource name), or a rolling provider's retired
     // versions accumulate downloads forever
     val keep = needed.map(_.version).toSet
+    // archives still referenced by a LIVE resource name (a current
+    // version or an additional resource) must survive the prune even
+    // if a retired version's stamp recorded the same name
+    val liveResourceNames = needed.map(_.resourceName).toSet ++ additionalResources.keySet
     val dir = options.workspace.resolve("intermediate_feeds")
     val listing = Files.list(dir)
     try listing.forEach { p =>
@@ -107,10 +111,11 @@ final class MultiFile(
       val base = name.stripSuffix(".stamp")
       if (!keep.contains(base)) {
         if (name.endsWith(".stamp"))
-          Files.readString(p).linesIterator.toSeq.lift(1).foreach { resName =>
-            Files.deleteIfExists(options.workspace.resolve(resName))
-            Files.deleteIfExists(options.workspace.resolve(resName + ".metadata"))
-          }
+          Files.readString(p).linesIterator.toSeq.lift(1)
+            .filterNot(liveResourceNames.contains).foreach { resName =>
+              Files.deleteIfExists(options.workspace.resolve(resName))
+              Files.deleteIfExists(options.workspace.resolve(resName + ".metadata"))
+            }
         deleteRecursively(p)
       }
     } finally listing.close()

@@ -799,6 +799,12 @@ class OpsSpec extends SparkSpec {
     val err = intercept[Exception](
       Packing.packChunks(withEmpty, "id", "n_tok", 10L, "shard").collect())
     assert(err.getMessage != null || err.getCause != null)
+    // ...and the guard survives column pruning: it wraps the value the
+    // window SUMS, so even a projection keeping one derived column
+    // still evaluates it
+    intercept[Exception](
+      Packing.packChunks(withEmpty, "id", "n_tok", 10L, "shard")
+        .select("first_chunk").collect())
   }
 
   test("Packing.packChunks invariants hold over a generated skewed corpus") {
