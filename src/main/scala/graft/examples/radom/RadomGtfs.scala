@@ -60,7 +60,8 @@ class RadomGtfs(
       options = options,
       additionalResources = Map(
         "soap_stops.csv" -> stopsResource,
-        "calendar_exceptions.csv" -> calendarExceptionsResource)))
+        "calendar_exceptions.csv" -> calendarExceptionsResource),
+      finalArtifacts = Seq(options.workspace.resolve("radom.zip"))))
 }
 
 object RadomGtfs {

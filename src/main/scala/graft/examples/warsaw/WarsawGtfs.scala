@@ -50,7 +50,11 @@ class WarsawGtfs(
       options = options,
       additionalResources = Map(
         "stop_names.json" -> stopNamesResource,
-        "stop_locations.json" -> stopLocationsResource)))
+        "stop_locations.json" -> stopLocationsResource),
+      // declared so the short-circuit re-publishes if the zip is
+      // externally deleted (stamp-only checks would InputNotModified
+      // forever)
+      finalArtifacts = Seq(options.workspace.resolve("warsaw.zip"))))
 }
 
 object WarsawGtfs {

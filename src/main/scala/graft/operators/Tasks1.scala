@@ -92,6 +92,12 @@ final case class UpdateTable(table: String, set: Map[String, Column], where: Col
           s"UpdateTable($table): no such column '$k' (have ${base.columns.mkString(", ")})"))
       actual -> v
     }
+    // two SET keys differing only in case resolve to the same column and
+    // would collapse silently in the Map — fail loudly instead, matching
+    // SQL's "column specified more than once"
+    require(byKey.size == set.size,
+      s"UpdateTable($table): SET keys ${set.keys.mkString(", ")} resolve to " +
+        s"duplicate columns (${byKey.keys.mkString(", ")})")
     val df = base.select(base.columns.map { c =>
       byKey.get(c) match {
         case Some(value) => when(where, value).otherwise(col(c)).as(c)

@@ -530,6 +530,12 @@ object Multimodal {
           else new VideoContainerCodec().decode("video", payload)
             .map(f => f(0).toLong).filter(_ > 0).getOrElse(0L),
           0L)
+        // duration unknown from BOTH the caller and the container: every
+        // stamp would collapse to t=0 and n>1 silently becomes 1 frame —
+        // the frame-indexed fallback can still spread n samples, so
+        // route there instead of under-delivering
+        if (dur == 0 && n > 1)
+          return fallback.sample(mediaType, payload, durationMs, n)
         val stamps =
           if (n == 1) Seq(dur / 2)
           else (0 until n).map(i => dur * i / (n - 1)).distinct

@@ -420,33 +420,74 @@ object TextAnalysis {
     * natural text, high = garbage/boilerplate/wrong-language). Emits
     * `n_grams` (scored grams), `n_unseen` (grams absent from the
     * model — zero when scoring the training corpus itself) and
-    * `avg_nll` (mean `-ln P` over SEEN grams, NaN when nothing
-    * scored). Unseen grams are counted, not smoothed — pick the
-    * model/corpus split so the model covers the charset, or add-delta
-    * smooth upstream.
+    * `avg_nll`.
+    *
+    * `delta = None` (the default, and the self-scoring form): unseen
+    * grams are counted, not smoothed — `avg_nll` is the mean `-ln P`
+    * over SEEN grams only, NaN when nothing scored. That is correct
+    * when scoring the training corpus (nothing is unseen) but wrong
+    * for the CCNet use of scoring a HELD-OUT corpus under a clean
+    * reference model: a document of pure garbage has every gram
+    * unseen, scores over an empty set, and can rank above natural
+    * text. `delta = Some(d)` add-delta smooths instead:
+    * `P(c | ctx) = (c_gram + d) / (c_ctx + d·V)` with `V` the model's
+    * event charset (distinct final gram characters — a vocabulary-
+    * sized driver scalar), so EVERY gram scores (`avg_nll` averages
+    * over all of them; an unseen gram in an unknown context costs
+    * `-ln(1/V)`) and garbage pays for its unseen mass.
     *
     * Shape at 100 TB: the model is vocabulary-sized → broadcast join
-    * against each document's exploded grams, then ONE doc-keyed sum of
-    * exact integers (map-side partial agg). Nothing corpus-wide beyond
-    * the per-doc count. */
+    * against each document's exploded grams (two broadcasts when
+    * smoothing: gram counts + context counts), then ONE doc-keyed sum
+    * of exact integers (map-side partial agg; the per-gram ln is
+    * quantized to [[LogQuantScale]] before summing so aggregation
+    * order cannot matter). Nothing corpus-wide beyond the per-doc
+    * count. */
   def charLmScore(
       docs: DataFrame, model: DataFrame,
-      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+      idCol: String, textCol: String, n: Int = 3,
+      delta: Option[Double] = None): DataFrame = {
     val grams = docs.select(col(idCol), col(textCol).as("__t"))
       .select(col(idCol), explode(charNgramsOf(col("__t"), n)).as("gram"))
-    val scored = grams
-      .join(broadcast(model.select(col("gram"), col("logp_q"))), Seq("gram"), "left")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("logp_q").isNull, 1L).otherwise(0L)).as("n_unseen"),
-        sum(coalesce(col("logp_q"), lit(0L))).as("__s"))
+    val scored = delta match {
+      case None =>
+        grams
+          .join(broadcast(model.select(col("gram"), col("logp_q"))), Seq("gram"), "left")
+          .groupBy(idCol)
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("logp_q").isNull, 1L).otherwise(0L)).as("n_unseen"),
+            sum(coalesce(col("logp_q"), lit(0L))).as("__s"))
+      case Some(d) =>
+        require(d > 0, s"smoothing delta must be > 0, got $d")
+        // the event space: distinct final characters the model has seen
+        // (bounded by the charset; a dimension-table scalar)
+        val v = model.select(substring(col("gram"), n, 1)).distinct().count()
+        require(v > 0, "cannot smooth against an empty model")
+        val ctx = model
+          .groupBy(substring(col("gram"), 1, n - 1).as("__ctx"))
+          .agg(max(col("c_ctx")).as("__cctx"))
+        grams
+          .join(broadcast(model.select(col("gram"), col("c_gram"))), Seq("gram"), "left")
+          .join(broadcast(ctx), substring(col("gram"), 1, n - 1) === col("__ctx"), "left")
+          .withColumn("__logq", round(log(
+            (coalesce(col("c_gram"), lit(0L)).cast("double") + lit(d)) /
+              (coalesce(col("__cctx"), lit(0L)).cast("double") + lit(d * v)))
+            * LogQuantScale).cast("long"))
+          .groupBy(idCol)
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("c_gram").isNull, 1L).otherwise(0L)).as("n_unseen"),
+            sum(col("__logq")).as("__s"))
+    }
+    // smoothed scoring averages over ALL grams; unsmoothed over seen only
+    val denom =
+      if (delta.isDefined) col("n_grams")
+      else col("n_grams") - col("n_unseen")
     docs.join(scored, Seq(idCol), "left")
       .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
       .withColumn("n_unseen", coalesce(col("n_unseen"), lit(0L)))
       .withColumn("avg_nll",
-        when(col("n_grams") - col("n_unseen") > 0,
-          -(col("__s").cast("double") / LogQuantScale)
-            / (col("n_grams") - col("n_unseen")))
+        when(denom > 0,
+          -(col("__s").cast("double") / LogQuantScale) / denom)
           .otherwise(lit(Double.NaN)))
       .drop("__s")
   }

@@ -161,10 +161,13 @@ object Urls {
       s"input columns collide with staging names (rename them first): ${clash.mkString(", ")}")
   }
 
-  def withDomain(df: DataFrame, urlCol: String, outCol: String = "domain"): DataFrame = {
+  /** Canonical host + label array as `__sep`/`__host`/`__labels`
+    * staging columns (host lowercased, `www.` and ANY port dropped) —
+    * shared by the two [[withDomain]] spellings. */
+  private def withHostLabels(df: DataFrame, urlCol: String): DataFrame = {
     requireNoStagingColumns(df)
     val u = col("__u"); val rest = col("__rest")
-    val staged = df
+    df
       .withColumn("__u", regexp_replace(col(urlCol), "#.*", ""))
       .withColumn("__sep", instr(u, "://"))
       .withColumn("__rest", substring(u, col("__sep") + 3, length(u)))
@@ -179,6 +182,10 @@ object Urls {
         lower(substring(rest, lit(1), col("__hostEnd") - 1)),
         "^www\\.", ""), ":[0-9]+$", ""))
       .withColumn("__labels", split(col("__host"), "\\."))
+  }
+
+  def withDomain(df: DataFrame, urlCol: String, outCol: String = "domain"): DataFrame = {
+    val staged = withHostLabels(df, urlCol)
       .withColumn(outCol,
         // scheme-less (or NULL) input has no parseable authority —
         // domain NULL, never a chopped-prefix pseudo-domain
@@ -186,6 +193,64 @@ object Urls {
           .when(size(col("__labels")) <= 2, col("__host"))
           .otherwise(array_join(
             slice(col("__labels"), size(col("__labels")) - 1, lit(2)), ".")))
+    staged.drop(staged.columns.filter(_.startsWith("__")): _*)
+  }
+
+  /** PSL-backed [[withDomain]]: registrable domain = the host's
+    * LONGEST suffix present in `suffixes` (a one-string-column public
+    * suffix table — `co.uk`, `com.au`, `com`, ... — the caller loads
+    * however much of the list their crawl needs) plus one more label.
+    * Hosts matching NO suffix fall back to the last-two-labels
+    * heuristic; a host that IS a bare public suffix has no registrable
+    * domain (NULL).
+    *
+    * Shape: no explode, no row key — the host's last-k-label strings
+    * (k up to the table's deepest suffix, a driver-side scalar off a
+    * dimension table) each broadcast-equi-join the suffix table once,
+    * and the deepest hit wins via coalesce. K narrow broadcast joins,
+    * zero shuffle of the corpus. Plain suffix rules only: the PSL's
+    * wildcard (`*.ck`) and exception (`!www.ck`) rules are out of
+    * scope, documented — they are a handful of entries that a caller
+    * can pre-expand into plain rows if their crawl hits those ccTLDs. */
+  def withDomain(
+      df: DataFrame, urlCol: String, suffixes: DataFrame,
+      outCol: String): DataFrame = {
+    val suffixCol = suffixes.columns.headOption.getOrElse(
+      sys.error("suffix table must have a string column"))
+    // deepest suffix in the table bounds the join count — a bounded
+    // dimension-table scalar (the full PSL tops out at 5 labels)
+    val maxDepth = suffixes
+      .agg(max(size(split(col(suffixCol), "\\.")))).head().getInt(0)
+    require(maxDepth >= 1, "suffix table is empty")
+    val labeled = withHostLabels(df, urlCol)
+      .withColumn("__n", size(col("__labels")))
+    val withCands = (1 to maxDepth).foldLeft(labeled) { (acc, k) =>
+      acc.withColumn(s"__cand$k",
+        when(col("__n") >= k,
+          array_join(slice(col("__labels"), col("__n") - (k - 1), lit(k)), ".")))
+    }
+    val joined = (1 to maxDepth).foldLeft(withCands) { (acc, k) =>
+      acc.join(
+        broadcast(suffixes.select(col(suffixCol).as(s"__sfx$k")).distinct()),
+        col(s"__cand$k") === col(s"__sfx$k"), "left")
+    }
+    // deepest hit wins: ascending fold wraps the deepest test OUTERMOST
+    // (coalesce evaluates outside-in); matched depth d needs d+1 labels
+    // for a registrable domain
+    val matchedDepth = (1 to maxDepth).foldLeft(lit(null).cast("int")) {
+      (acc, k) => coalesce(when(col(s"__sfx$k").isNotNull, lit(k)), acc)
+    }
+    val staged = joined
+      .withColumn("__depth", matchedDepth)
+      .withColumn(outCol,
+        when(col("__sep") === 0, lit(null).cast("string"))
+          .when(col("__depth").isNotNull && col("__n") > col("__depth"),
+            array_join(slice(col("__labels"),
+              col("__n") - col("__depth"), col("__depth") + 1), "."))
+          .when(col("__depth").isNotNull, lit(null).cast("string"))
+          .when(col("__n") <= 2, col("__host"))
+          .otherwise(array_join(
+            slice(col("__labels"), col("__n") - 1, lit(2)), ".")))
     staged.drop(staged.columns.filter(_.startsWith("__")): _*)
   }
 
@@ -205,14 +270,27 @@ object Urls {
     * the parsed input twice — a deliberate trade: two narrow scans
     * cost less than the single-pass alternative, which windows (sorts)
     * EVERY domain's rows including the long tail; persist the input
-    * upstream if it is expensive to recompute. A single pathological
-    * domain still ranks in one task — at 100 TB cap such domains first
-    * with a coarse hash-threshold pre-filter (keep
-    * `hashUnit < c * cap / count`), then rank the survivors. */
+    * upstream if it is expensive to recompute.
+    *
+    * `preFilterFactor` (the 100 TB knob): without it, one pathological
+    * domain holding half the corpus still ranks in ONE window task.
+    * With `Some(c)` (c > 1), rows of over-cap domains whose
+    * [[Sampling.hashUnit]] is at or above `c * cap / count` are cut
+    * from the window input BEFORE ranking — they re-enter the output
+    * as `domain_kept = 0`, never sorted. The result stays EXACT, not
+    * probabilistic: hashUnit is uniform, so a domain's cap-th smallest
+    * hash sits near `cap / count` and `c` of 4–8 leaves the window a
+    * small multiple of the cap; the rare domain whose survivor count
+    * still falls short of the cap (possible — hashes cluster) is
+    * detected by a per-domain survivor count and ranked over its FULL
+    * row set, so no row that belongs in the top `cap` can be lost. */
   def capPerDomain(
       df: DataFrame, urlCol: String, idCol: String,
-      maxPerDomain: Long): DataFrame = {
+      maxPerDomain: Long,
+      preFilterFactor: Option[Double] = None): DataFrame = {
     require(maxPerDomain >= 1, s"maxPerDomain must be >= 1, got $maxPerDomain")
+    preFilterFactor.foreach(c => require(c > 1.0,
+      s"preFilterFactor must be > 1 (margin over the expected cap-th hash), got $c"))
     val withDom = withDomain(df, urlCol)
     // null-SAFE join back: unparseable URLs get a NULL domain, which
     // groupBy keeps as its own group but a plain equi-join would drop —
@@ -225,12 +303,63 @@ object Urls {
       .drop("__cdomain")
     val under = joined.filter(col("domain_count") <= maxPerDomain)
       .withColumn("domain_kept", lit(1))
+    val over = joined.filter(col("domain_count") > maxPerDomain)
+    val ranked = preFilterFactor match {
+      case None    => rankOverCap(over, idCol, maxPerDomain)
+      case Some(c) =>
+        val pre = preWindowSplit(over, idCol, maxPerDomain, c)
+        // survivor-deficient domains (survivors < cap) rank their FULL
+        // row set — exactness; everyone else ranks survivors only and
+        // the cut rows come back unranked as kept = 0
+        val staging = Seq("__h", "__deficient", "__precount", "__factor")
+        val full = rankOverCap(
+          pre.filter(col("__deficient")).drop(staging: _*),
+          idCol, maxPerDomain)
+        val survivors = rankOverCap(
+          pre.filter(!col("__deficient") && col("__h") < preThreshold(maxPerDomain))
+            .drop(staging: _*),
+          idCol, maxPerDomain)
+        val cut = pre
+          .filter(!col("__deficient") && col("__h") >= preThreshold(maxPerDomain))
+          .drop(staging: _*)
+          .withColumn("domain_kept", lit(0))
+        full.unionByName(survivors).unionByName(cut)
+    }
+    under.unionByName(ranked)
+  }
+
+  /** Rank an over-cap subset: smallest `hashUnit(id)` first, ties by
+    * id — deterministic, stable across runs. */
+  private def rankOverCap(over: DataFrame, idCol: String, cap: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("domain")
       .orderBy(Sampling.hashUnit(col(idCol)), col(idCol))
-    val over = joined.filter(col("domain_count") > maxPerDomain)
+    over
       .withColumn("__rk", row_number().over(w))
-      .withColumn("domain_kept", (col("__rk") <= maxPerDomain).cast("int"))
+      .withColumn("domain_kept", (col("__rk") <= cap).cast("int"))
       .drop("__rk")
-    under.unionByName(over)
+  }
+
+  /** The per-row hash-threshold: `c * cap / domain_count`, capped at 1
+    * (small over-cap domains keep everything in the window). Assumes
+    * `__factor` is in scope as a literal via [[preWindowSplit]]. */
+  private def preThreshold(cap: Long): Column =
+    least(lit(1.0), col("__factor") * lit(cap.toDouble) / col("domain_count"))
+
+  /** Annotate the over-cap subset with its hash (`__h`), the pre-filter
+    * survivor count per domain (`__precount`) and the deficiency flag.
+    * `private[ops]` so the spec can assert the window input really is
+    * bounded for a pathological domain. */
+  private[ops] def preWindowSplit(
+      over: DataFrame, idCol: String, cap: Long, c: Double): DataFrame = {
+    val withH = over
+      .withColumn("__factor", lit(c))
+      .withColumn("__h", Sampling.hashUnit(col(idCol)))
+    val preCounts = withH.filter(col("__h") < preThreshold(cap))
+      .groupBy("domain").agg(count(lit(1)).as("__precount"))
+      .withColumnRenamed("domain", "__pdomain")
+    withH.join(preCounts, col("domain") <=> col("__pdomain"), "left")
+      .drop("__pdomain")
+      .withColumn("__deficient",
+        col("__precount").isNull || col("__precount") < cap)
   }
 }

@@ -306,7 +306,8 @@ object EmbeddingQueries {
     Some(s"""WITH ${lloydCtes(duckElem, TrainIters)}
       SELECT cid, CAST(j AS INTEGER) AS j, round(cv[j], 6) AS coord
       FROM c$TrainIters, LATERAL unnest(generate_series(1, $Dim)) AS u(j)
-      ORDER BY cid, j"""))
+      ORDER BY cid, j"""),
+    bench = true)
 
   /** IVF probe retrieval over the TRAINED codebook — q48's end-to-end
     * shape (assign every row, probe each query's 2 best cells, rank
@@ -353,7 +354,8 @@ object EmbeddingQueries {
           FROM cand)
         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
-    })
+    },
+    bench = true)
 
   val all: Seq[QueryDef] = Seq(q33, q34, q44, q58, q59, q63, q64)
 }

@@ -335,7 +335,8 @@ object OpsQueries {
         SELECT v.vec_id, dm.comp AS dup_of, dm.id IS NOT NULL AS is_near_duplicate
         FROM embeddings v LEFT JOIN dupmap dm ON dm.id = v.vec_id
         ORDER BY v.vec_id"""
-    })
+    },
+    bench = true)
 
   /** Joins.saltedJoin — skew-spread fact-dimension equi-join: result
     * must equal the plain join row-for-row (aggregated for a compact

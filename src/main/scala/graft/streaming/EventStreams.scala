@@ -44,9 +44,10 @@ object EventStreams {
         col("n"), col("sum_value"))
 
   /** Running per-user state (last event, error count) via
-    * mapGroupsWithState — the streaming analogue of the batch
+    * flatMapGroupsWithState — the streaming analogue of the batch
     * max_by/latest-state query. Emits the updated state per key per
-    * micro-batch (OutputMode.Update). */
+    * micro-batch (OutputMode.Update); idle-TTL expiry evicts state
+    * SILENTLY (no row — the last update was already emitted). */
   def lastStatePerUser(
       events: Dataset[Event],
       idleTtlSeconds: Option[Long] = None): Dataset[UserState] = {
@@ -59,12 +60,15 @@ object EventStreams {
       GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserState, UserState](timeout) {
+      .flatMapGroupsWithState[UserState, UserState](OutputMode.Update, timeout) {
         (userId, batch, state: GroupState[UserState]) =>
           if (state.hasTimedOut) {
-            val last = state.get
+            // expiry emits NOTHING: the stored state was already emitted
+            // at its last update, and a re-emission is indistinguishable
+            // downstream from a fresh update (flatMap, not map, exists
+            // exactly so eviction can be silent)
             state.remove()
-            last
+            Iterator.empty
           } else {
             val prev = state.getOption.getOrElse(UserState(userId, -1L, "", 0L, 0L))
             val next = batch.foldLeft(prev) { (acc, e) =>
@@ -79,7 +83,7 @@ object EventStreams {
             state.update(next)
             idleTtlSeconds.foreach(ttl => state.setTimeoutTimestamp(
               math.max(state.getCurrentWatermarkMs + 1, 0L) + ttl * 1000))
-            next
+            Iterator.single(next)
           }
       }
   }

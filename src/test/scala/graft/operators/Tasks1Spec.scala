@@ -195,6 +195,20 @@ class Tasks1Spec extends SparkSpec {
     after.foreach { case (id, sn) => assert(sn == before(id)) }
   }
 
+  test("UpdateTable: SET keys colliding after case-insensitive resolution fail loudly") {
+    val f = wkd
+    // "headsign" and "HEADSIGN" resolve to the same column — silently
+    // collapsing them would drop one assignment
+    val ex = intercept[IllegalArgumentException](UpdateTable("trips",
+      Map("headsign" -> lit("A"), "HEADSIGN" -> lit("B")),
+      where = lit(true)).execute(f, rt))
+    assert(ex.getMessage.contains("duplicate"))
+    // a genuinely unknown key still names itself in the error
+    val unknown = intercept[IllegalArgumentException](UpdateTable("trips",
+      Map("no_such" -> lit("A")), where = lit(true)).execute(f, rt))
+    assert(unknown.getMessage.contains("no_such"))
+  }
+
   test("AddEntity defaults non-nullable dates/maps instead of injecting null") {
     val f = wkd
     // calendars has non-nullable start/end dates; the reference

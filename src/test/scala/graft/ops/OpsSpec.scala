@@ -619,6 +619,31 @@ class OpsSpec extends SparkSpec {
     assert(score(12L)._1 == 0L && score(12L)._3.isNaN) // too short to score
   }
 
+  test("TextAnalysis.charLmScore add-delta: held-out natural text ranks above garbage") {
+    val train = Seq((1L, "the cat sat on the mat the cat sat on")).toDF("doc_id", "text")
+    val model = TextAnalysis.charLmTrain(train, "text", n = 3)
+    val heldOut = Seq(
+      (10L, "the cat sat on the mat"), // natural: grams mostly in-model
+      (11L, "qzxjvkw qpzkxqj wvzqzz")  // garbage: every char unseen
+    ).toDF("doc_id", "text")
+    def scores(delta: Option[Double]): Map[Long, (Long, Long, Double)] =
+      TextAnalysis.charLmScore(heldOut, model, "doc_id", "text", n = 3, delta = delta)
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_grams"), r.getAs[Long]("n_unseen"),
+            r.getAs[Double]("avg_nll"))).toMap
+    // UNSMOOTHED (the q69 self-scoring default): all-unseen garbage
+    // scores over an empty set — NaN, un-rankable against natural text
+    val mle = scores(None)
+    assert(mle(11L)._2 == mle(11L)._1 && mle(11L)._3.isNaN)
+    // SMOOTHED: every gram pays; an unseen gram in an unknown context
+    // costs -ln(1/V) — garbage ranks strictly above natural text
+    val sm = scores(Some(0.5))
+    assert(sm(10L)._3 < sm(11L)._3,
+      s"natural ${sm(10L)._3} should rank below garbage ${sm(11L)._3}")
+    assert(!sm(11L)._3.isNaN && sm(11L)._2 == sm(11L)._1) // unseen still REPORTED
+    intercept[IllegalArgumentException](scores(Some(0.0)))
+  }
+
   test("Retrieval.bm25TopK: ranking, absent terms, input validation") {
     val corpus = Seq(
       (1L, "spark spark spark query engine"),
@@ -772,6 +797,66 @@ class OpsSpec extends SparkSpec {
     assert(nullBucket.keySet == Set(20L, 21L))
     assert(nullBucket.values.map(_._1).toSet == Set(2L))
     assert(nullBucket.values.map(_._2).sum == 1) // capped at 1 like any domain
+  }
+
+  test("Urls.capPerDomain preFilter: exact results, pathological window input bounded") {
+    // one spam domain holding ~99% of the corpus — the shape the
+    // pre-filter exists for
+    val rows = ((1L to 400L).map(i => (i, s"http://spam.com/p$i")) ++
+      Seq((1000L, "http://ok.org/x"), (1001L, "http://ok.org/y"),
+        (1002L, "http://tiny.net/z"))).toDF("id", "url")
+    def keeps(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("domain_kept")).toMap
+    val base = keeps(Urls.capPerDomain(rows, "url", "id", maxPerDomain = 5L))
+    // EXACT under any factor: generous margin (survivor path), razor-thin
+    // margin (deficient fallback likely), and a threshold capped at 1
+    for (c <- Seq(1.05, 4.0, 100.0)) {
+      val pre = keeps(Urls.capPerDomain(rows, "url", "id",
+        maxPerDomain = 5L, preFilterFactor = Some(c)))
+      assert(pre == base, s"preFilterFactor=$c diverged")
+    }
+    assert(base.values.count(_ == 1) == 5 + 2 + 1) // spam capped, rest kept
+
+    // the window input really is bounded: with c=4 and cap=5 over 400
+    // rows the survivor threshold is 4*5/400 = 0.05 — a small multiple
+    // of the cap survives, the rest never enter the sort
+    val withDom = Urls.withDomain(rows, "url")
+    val joined = withDom.join(
+      withDom.groupBy("domain").agg(count(lit(1)).as("domain_count")), Seq("domain"))
+    val split = Urls.preWindowSplit(
+      joined.filter(col("domain_count") > 5), "id", cap = 5L, c = 4.0)
+    val spam = split.filter(col("domain") === "spam.com")
+    assert(spam.filter(col("__deficient")).count() == 0)
+    val windowInput = spam.filter(col("__h") < 4.0 * 5 / 400).count()
+    assert(windowInput >= 5 && windowInput <= 60, s"window input $windowInput of 400")
+    intercept[IllegalArgumentException](Urls.capPerDomain(
+      rows, "url", "id", maxPerDomain = 5L, preFilterFactor = Some(1.0)))
+  }
+
+  test("Urls.withDomain with a PSL suffix table: ccSLDs, fallback, bare suffixes") {
+    val psl = Seq("co.uk", "com.au", "com", "uk", "org").toDF("suffix")
+    val rows = Seq(
+      (1L, "https://shop.example.co.uk/x"),      // co.uk beats uk -> example.co.uk
+      (2L, "http://www.books.amazon.com.au/y"),  // com.au -> amazon.com.au
+      (3L, "https://deep.sub.example.com/z"),    // com -> example.com
+      (4L, "http://example.co.uk/"),
+      (5L, "https://co.uk/"),                    // host IS a public suffix
+      (6L, "http://a.b.c.unknowntld/x"),         // no match -> last-two fallback
+      (7L, "not a url")).toDF("id", "url")
+    val dom = Urls.withDomain(rows, "url", psl, "domain")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("domain")).toMap
+    assert(dom(1L) == "example.co.uk")
+    assert(dom(2L) == "amazon.com.au")
+    assert(dom(3L) == "example.com")
+    assert(dom(4L) == "example.co.uk")
+    assert(dom(5L) == null) // bare suffix has no registrable domain
+    assert(dom(6L) == "c.unknowntld")
+    assert(dom(7L) == null)
+    // the default (list-free) path is UNCHANGED by the overload's
+    // existence: last-two-labels chops the ccSLD
+    val heur = Urls.withDomain(rows, "url")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("domain")).toMap
+    assert(heur(1L) == "co.uk" && heur(3L) == "example.com")
   }
 
   test("Packing.packChunks: offsets, chunk spans, shard independence") {

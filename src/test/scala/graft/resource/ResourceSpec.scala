@@ -218,4 +218,36 @@ class ResourceSpec extends SparkSpec {
     mfOverlay().run(spark)
     assert(intermediateRuns == 6)
   }
+
+  test("MultiFile: a deleted final artifact voids the short-circuit") {
+    val ws = tmpWorkspace
+    val provider = new IntermediateFeedProvider {
+      def needed(): Seq[IntermediateFeed] = Seq(
+        IntermediateFeed("v1", LocalResource(TestSpark.fixture("wkd.zip")), "v1.zip",
+          LocalDate.parse("2023-05-08")))
+    }
+    val artifact = ws.resolve("out.marker")
+    var finalRuns = 0
+    def mk() = new MultiFile(provider,
+      f => Seq(LoadGtfs(ws.resolve(f.resourceName))),
+      finalTasks = Seq(new Task {
+        override def name = "WriteMarker"
+        def execute(feed: graft.model.FeedDataset, rt: TaskRuntime) = {
+          finalRuns += 1; Files.writeString(artifact, "ok"); feed
+        }
+      }),
+      options = PipelineOptions(workspace = ws),
+      finalArtifacts = Seq(artifact))
+    mk().run(spark)
+    assert(finalRuns == 1 && Files.exists(artifact))
+    // stamp AND artifact present -> short-circuit as before
+    intercept[InputNotModified](mk().run(spark))
+    assert(finalRuns == 1)
+    // artifact externally deleted: the stamp alone must NOT keep
+    // claiming the output is published — the run re-publishes
+    Files.delete(artifact)
+    mk().run(spark)
+    assert(finalRuns == 2 && Files.exists(artifact))
+    intercept[InputNotModified](mk().run(spark))
+  }
 }
