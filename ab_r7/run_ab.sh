@@ -1,0 +1,16 @@
+#!/bin/bash
+# Fixed-code interleaved A/B (verdict r6 item 1b): the drifted queries'
+# compute paths are diff-identical r5->r6, so the experiment isolates
+# bench-set-size (JIT/GC pressure: 24 vs 37+ queries in one JVM) from
+# host noise. subset = the exact 24-query r5 bench set; full = current.
+cd /root/repo
+R5SET="q01_agg,q02_top1_per_group,q05_join_agg_regions,q06_filter_pushdown_agg,q09_window_running,q10_sessionize_legs,q13_dayset_fingerprint,q24_dedup_exact,q28_word_fingerprint,q29_minhash_signature,q31_jaccard_neighbors,q32_simhash,q33_knn_bruteforce,q34_ann_lsh_bucket,q37_cascade_delete,q42_geo_dedup,q45_gtfs_sink,q46_near_dup_pipeline,q48_ivf_topk,q49_embedding_near_dup,q56_repeated_bigrams,q57_tf_idf,q58_pq_codes,q61_decontaminate"
+for i in 1 2; do
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_RUNS=9 \
+  SPARK_GRAFT_BENCH_ONLY="$R5SET" SPARK_GRAFT_BENCH_STATS_OUT=/root/repo/ab_r7/subset_$i.json \
+  sbt -batch "runMain graft.Bench" > /root/repo/ab_r7/subset_$i.log 2>&1
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_RUNS=9 \
+  SPARK_GRAFT_BENCH_STATS_OUT=/root/repo/ab_r7/full_$i.json \
+  sbt -batch "runMain graft.Bench" > /root/repo/ab_r7/full_$i.log 2>&1
+done
+echo DONE > /root/repo/ab_r7/done.marker

@@ -33,7 +33,22 @@ object Bench {
     def medianOf(sorted: Seq[Double]): Double =
       if (sorted.size % 2 == 1) sorted(sorted.size / 2)
       else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
-    val results = SparkEntry.benchQueries.map { q =>
+    // SPARK_GRAFT_BENCH_ONLY=q34_ann_lsh_bucket,q58_pq_codes restricts the
+    // run to a named subset — the lever for fixed-code A/B experiments
+    // (full set vs a historical round's subset isolates JIT/GC pressure
+    // of the growing bench set from per-query regressions). Unknown names
+    // fail loudly so a typo can't silently bench nothing.
+    val benchSet = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case None => SparkEntry.benchQueries
+      case Some(raw) =>
+        val want = raw.split(",").map(_.trim).filter(_.nonEmpty)
+        val byName = SparkEntry.allQueries.map(q => q.name -> q).toMap
+        val missing = want.filterNot(byName.contains)
+        require(missing.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not found: ${missing.mkString(", ")}")
+        want.toSeq.map(byName)
+    }
+    val results = benchSet.map { q =>
       // input-materialization hook: runs ONCE, untimed, so queries whose
       // correctness form synthesizes input (q71) time only the operator
       try q.benchPrepare.foreach(p => p(spark, sfDir))

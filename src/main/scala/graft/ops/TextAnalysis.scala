@@ -13,25 +13,42 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+")).cast("long")
 
-  /** GPT-2-style BPE pre-tokenizer pattern: contraction suffixes,
-    * letter runs, digit runs, punctuation runs (each with an optional
-    * leading space), then whitespace runs. Differs from the original
-    * GPT-2 pattern only in dropping the `\s+(?!\S)` lookahead (RE2 —
-    * DuckDB's engine — has no lookahead) and using explicit ASCII
-    * classes. Whitespace is spelled out rather than `\s` because Java's
-    * `\s` includes vertical tab while RE2's does not — the explicit
-    * class makes the SAME string equivalent under both engines (both
-    * leftmost-first alternation). */
-  val BpePattern: String = {
-    val ws = " \\t\\n\\x0B\\f\\r"
-    s"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^${ws}A-Za-z0-9]+|[$ws]+"
+  /** GPT-2-style BPE pre-tokenizer pattern — canonical definition in
+    * [[graft.plans.BpeTokenize.PretokenPattern]] (kept there so the
+    * native tokenizer expression and this module share one string).
+    * Engine-portable: the same pattern matches identically under
+    * Java regex and DuckDB's RE2 (no lookahead, explicit whitespace
+    * class — Java's `\s` includes vertical tab, RE2's does not). */
+  val BpePattern: String = graft.plans.BpeTokenize.PretokenPattern
+
+  /** PRE-TOKENIZER piece count: number of GPT-2 pre-tokenizer matches.
+    * This is NOT a BPE token count — no merge table is applied — but
+    * the standard cheap proxy for LLM token budgeting when the real
+    * merges are out of reach (each BPE token is a subsequence of one
+    * piece, so this lower-bounds the true count). Codegen'd
+    * (`regexp_count`), no UDF. For true counts against a real merge
+    * table, see `bpeTokenCount(text, vocab)`. */
+  def preTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern)).cast("long")
+
+  /** True BPE tokens (`array<string>`): pre-tokenize, then apply the
+    * merge table — the real thing `preTokenCount` approximates. The
+    * vocabulary ships in the expression (driver-resident model
+    * pattern); rows never shuffle. Build a [[graft.plans.BpeVocab]]
+    * from a GPT-2 `merges.txt` via `BpeVocab.fromGpt2Lines` or from a
+    * DataFrame via `BpeVocab.fromDataFrame`. */
+  def bpeTokens(text: Column, vocab: graft.plans.BpeVocab): Column = {
+    graft.plans.BpeTokenize.register(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_bpe", text,
+      typedLit(vocab.merges.map { case (l, r) => l + "\u001F" + r }),
+      lit(vocab.byteLevel))
   }
 
-  /** BPE-ish token count: number of pre-tokenizer matches — the
-    * standard proxy for LLM token budgeting when the real tokenizer
-    * is out of reach. Codegen'd (`regexp_count`), no UDF. */
-  def bpeTokenCount(text: Column): Column =
-    regexp_count(text, lit(BpePattern)).cast("long")
+  /** True BPE token count under `vocab` — the number a training run
+    * actually packs and budgets by (feed this to
+    * [[Packing.packChunks]] instead of the pre-tokenizer proxy). */
+  def bpeTokenCount(text: Column, vocab: graft.plans.BpeVocab): Column =
+    size(bpeTokens(text, vocab)).cast("long")
 
   /** Occurrences of `needle` in `text` via the replace-length trick
     * (exact, regex-free, codegen'd). NON-OVERLAPPING: in "ababa" the

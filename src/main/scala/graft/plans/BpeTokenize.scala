@@ -1,0 +1,248 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A BPE merge table plus its application mode — the unit a tokenizer
+  * ships as "merges.txt". Wrapped in its own class (rather than a bare
+  * `Seq` on the expression) so plan strings print `BpeVocab(50000
+  * merges, byteLevel=true)` instead of the whole table.
+  *
+  * `byteLevel = true` is the GPT-2 family: each pre-tokenizer piece is
+  * first mapped byte-for-byte through [[BpeVocab.ByteToChar]] (space
+  * becomes 'Ġ', every byte a printable char) and merges operate on
+  * those byte symbols — multi-byte UTF-8 text works because symbols
+  * ARE bytes. `byteLevel = false` starts from Unicode code points —
+  * the mode for hand-written fixture vocabularies where merge sides
+  * are plain characters (including a literal space).
+  *
+  * The merge loop is the published GPT-2 algorithm (encoder.py
+  * `bpe()`): repeatedly find the LOWEST-RANK adjacent symbol pair and
+  * merge every left-to-right occurrence of it, until no pair is in the
+  * table. Assumes a well-formed table (any merge whose side is a
+  * composite symbol appears after the merge producing that composite —
+  * true of every learned BPE table by construction).
+  */
+final case class BpeVocab(
+    merges: Seq[(String, String)], byteLevel: Boolean = true)
+  extends Serializable {
+  require(merges.nonEmpty, "BpeVocab needs at least one merge")
+  override def toString: String = s"BpeVocab(${merges.size} merges, byteLevel=$byteLevel)"
+
+  /** rank lookup keyed `left + SEP + right` (SEP = U+001F, which never
+    * occurs inside a symbol: byte-level symbols are printable-mapped
+    * and fixture symbols are text). */
+  @transient private[plans] lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.iterator.zipWithIndex.foreach { case ((l, r), i) =>
+      m.putIfAbsent(l + BpeVocab.Sep + r, i) // first (lowest) rank wins on dup lines
+    }
+    m
+  }
+}
+
+object BpeVocab {
+  private[plans] val Sep = "\u001F"
+
+  /** GPT-2 `bytes_to_unicode`: printable latin bytes map to
+    * themselves, every other byte to 256+n in increasing byte order —
+    * space (0x20) lands on 'Ġ' (U+0120). Public algorithm from the
+    * GPT-2 release. */
+  val ByteToChar: Array[Char] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val arr = new Array[Char](256)
+    var n = 0
+    (0 until 256).foreach { b =>
+      if (keep(b)) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+    }
+    arr
+  }
+
+  /** Parse the GPT-2 `merges.txt` format: optional `#version` header,
+    * then one `left right` pair per line (single space separator),
+    * rank = line order. Blank lines are skipped; a line without
+    * exactly one separating space fails loudly (a silently dropped
+    * merge would change every downstream token count). */
+  def fromGpt2Lines(lines: IterableOnce[String], byteLevel: Boolean = true): BpeVocab = {
+    val pairs = lines.iterator.zipWithIndex.flatMap { case (line, i) =>
+      if (line.isEmpty || line.startsWith("#")) None
+      else line.split(" ", -1) match {
+        case Array(l, r) if l.nonEmpty && r.nonEmpty => Some(l -> r)
+        case _ => sys.error(
+          s"merges line ${i + 1} is not 'left right': '$line'")
+      }
+    }.toSeq
+    BpeVocab(pairs, byteLevel)
+  }
+
+  /** Merge table from a DataFrame (`leftCol`, `rightCol`, ordered by
+    * `rankCol`). The collect is bounded vocabulary-size (~50k rows for
+    * GPT-2) — driver-resident like every codebook in this library. */
+  def fromDataFrame(
+      df: org.apache.spark.sql.DataFrame,
+      leftCol: String = "left", rightCol: String = "right",
+      rankCol: String = "rank", byteLevel: Boolean = true): BpeVocab = {
+    import org.apache.spark.sql.functions.col
+    val pairs = df.select(col(leftCol), col(rightCol), col(rankCol))
+      .orderBy(col(rankCol))
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toSeq
+    BpeVocab(pairs, byteLevel)
+  }
+}
+
+/** Native BPE tokenization: `text -> array<string>` of true tokenizer
+  * tokens — pre-tokenize with the GPT-2 pattern, then apply the merge
+  * table per piece. This is the REAL token count (the pre-tokenizer
+  * piece count `TextAnalysis.preTokenCount` only approximates), the
+  * quantity a training pipeline packs and budgets by.
+  *
+  * Distributed shape: the vocabulary rides in the expression (one copy
+  * per task, ~MBs for a 50k table — the same driver-resident-model
+  * pattern as the IVF/PQ codebooks), rows never shuffle, and a
+  * per-thread LRU memoizes piece encodings — natural text repeats
+  * words, so the amortized cost per row is the pre-tokenizer regex
+  * plus hash lookups.
+  *
+  * CodegenFallback like the other graft expressions: the work is the
+  * per-piece merge loop; one compiled eval per row keeps the
+  * surrounding projection inside whole-stage codegen. */
+case class BpeTokenize(child: Expression, vocab: BpeVocab)
+  extends UnaryExpression with CodegenFallback with Serializable {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string argument, got ${child.dataType.catalogString}")
+
+  @transient private lazy val pretoken =
+    java.util.regex.Pattern.compile(BpeTokenize.PretokenPattern)
+
+  /** Per-thread piece-encoding LRU (access-ordered, capped): pieces
+    * follow a Zipfian word distribution, so the hit rate on real text
+    * is high and the map stays small. Thread-local because expression
+    * instances can be shared across a JVM's task threads. */
+  @transient private lazy val cache =
+    new ThreadLocal[java.util.LinkedHashMap[String, Array[String]]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[String, Array[String]](1024, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Array[String]]): Boolean = size() > 8192
+        }
+    }
+
+  private def initialSymbols(piece: String): Array[String] =
+    if (vocab.byteLevel) {
+      val bytes = piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      Array.tabulate(bytes.length)(i => String.valueOf(BpeVocab.ByteToChar(bytes(i) & 0xFF)))
+    } else {
+      // code points, not chars: never split a surrogate pair
+      piece.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    }
+
+  private def encodePiece(piece: String): Array[String] = {
+    val c = cache.get()
+    val hit = c.get(piece)
+    if (hit != null) return hit
+    var word = initialSymbols(piece)
+    val ranks = vocab.ranks
+    var done = word.length < 2
+    while (!done) {
+      // lowest-rank adjacent pair present in the table
+      var bestRank = Int.MaxValue
+      var bestL: String = null; var bestR: String = null
+      var i = 0
+      while (i < word.length - 1) {
+        val r = ranks.get(word(i) + BpeVocab.Sep + word(i + 1))
+        if (r != null && r < bestRank) { bestRank = r; bestL = word(i); bestR = word(i + 1) }
+        i += 1
+      }
+      if (bestL == null) done = true
+      else {
+        // merge every left-to-right occurrence of (bestL, bestR)
+        val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
+        var j = 0
+        while (j < word.length) {
+          if (j < word.length - 1 && word(j) == bestL && word(j + 1) == bestR) {
+            out += bestL + bestR; j += 2
+          } else { out += word(j); j += 1 }
+        }
+        word = out.toArray
+        if (word.length < 2) done = true
+      }
+    }
+    c.put(piece, word)
+    word
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    val m = pretoken.matcher(text)
+    while (m.find()) {
+      val toks = encodePiece(m.group())
+      var i = 0
+      while (i < toks.length) { out += UTF8String.fromString(toks(i)); i += 1 }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenize =
+    copy(child = newChild)
+}
+
+object BpeTokenize {
+  /** The GPT-2 pre-tokenizer pattern — the canonical definition
+    * (`TextAnalysis.BpePattern` forwards here). Contraction suffixes,
+    * letter runs, digit runs, punctuation runs (each with an optional
+    * leading space), then whitespace runs. Differs from the original
+    * GPT-2 pattern only in dropping the `\s+(?!\S)` lookahead (RE2 —
+    * DuckDB's engine — has no lookahead) and using explicit ASCII
+    * classes; whitespace is spelled out because Java's `\s` includes
+    * vertical tab while RE2's does not, so this SAME string matches
+    * identically under both engines. */
+  val PretokenPattern: String = {
+    val ws = " \\t\\n\\x0B\\f\\r"
+    s"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^${ws}A-Za-z0-9]+|[$ws]+"
+  }
+
+  /** Register `graft_bpe(text, merges_array[, byte_level])` — each
+    * merges element is `left || chr(31) || right`, rank = array order
+    * (the SQL-surface encoding; Scala callers use
+    * [[graft.ops.TextAnalysis.bpeTokens]] which passes the vocabulary
+    * through the expression directly). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    NativeFunctions.registerOnce(spark, "graft_bpe", builder)
+
+  private[plans] def builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2 || exprs.length == 3,
+      s"graft_bpe takes 2 or 3 arguments, got ${exprs.length}")
+    val merges = exprs(1) match {
+      case l @ Literal(arr: ArrayData, ArrayType(StringType, _)) =>
+        arr.toArray[UTF8String](StringType).map { u =>
+          u.toString.split(BpeVocab.Sep) match {
+            case Array(left, right) => left -> right
+            case _ => sys.error(s"graft_bpe merge element is not 'left\\u001Fright': '$u'")
+          }
+        }.toSeq
+      case other => sys.error(
+        s"graft_bpe argument 2 must be a literal array<string> of merges, got $other")
+    }
+    val byteLevel = exprs.lift(2) match {
+      case None => true
+      case Some(Literal(b: Boolean, BooleanType)) => b
+      case Some(other) => sys.error(
+        s"graft_bpe argument 3 must be a boolean literal, got $other")
+    }
+    BpeTokenize(exprs.head, BpeVocab(merges, byteLevel))
+  }
+}

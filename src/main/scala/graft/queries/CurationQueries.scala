@@ -318,5 +318,80 @@ object CurationQueries {
       FROM perdoc p LEFT JOIN v USING (source) ORDER BY p.source"""),
     bench = true)
 
-  val all: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73, q74)
+  /** q75's fixture merge table — hand-written but VALID BPE (every
+    * merge whose side is a composite appears after the merge producing
+    * it, like any learned table), over this corpus's charset. Ranks
+    * exercise priority interaction: in " the" the rank-0 (t,h) beats
+    * rank-1 (Ġ,t), steering to Ġ+th→Ġth→Ġthe, while " table" takes
+    * the Ġt route. */
+  private val FixtureMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "Ġ" -> "t", "Ġ" -> "a", "e" -> "r", "Ġ" -> "s",
+    "a" -> "t", "r" -> "o", "Ġ" -> "th", "Ġth" -> "e", "l" -> "e",
+    "Ġs" -> "t", "a" -> "b", "ab" -> "le", "Ġt" -> "able")
+
+  /** REAL BPE tokenization (library `TextAnalysis.bpeTokens`, native
+    * [[graft.plans.BpeTokenize]] expression): pre-tokenize with the
+    * GPT-2 pattern, byte-map (space → 'Ġ'), then apply the merge
+    * table — lowest-rank adjacent pair first, all occurrences merged
+    * left-to-right, until no pair is in the table. The hash covers
+    * EVERY token of every document (chr(31)-joined), not just counts.
+    *
+    * The oracle re-derives the merge loop as a recursive CTE doing ONE
+    * merge (first occurrence of the lowest-rank pair) per step —
+    * equivalent to merge-all-occurrences for a valid table, because a
+    * pair involving a composite always ranks after the merge that
+    * produced the composite, so while occurrences of the best pair
+    * remain no strictly-lower-rank pair can appear. */
+  val q75 = QueryDef(
+    "q75_bpe_tokenize",
+    (s, dir) => {
+      val vocab = graft.plans.BpeVocab(FixtureMerges, byteLevel = true)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.bpeTokens(col("text"), vocab).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_bpe_tokens"),
+          concat_ws("\u001F", col("toks")).as("tokens_str"))
+        .oracleOrderBy("doc_id")
+    },
+    Some {
+      val p = graft.ops.TextAnalysis.BpePattern.replace("'", "''")
+      val vals = FixtureMerges.zipWithIndex
+        .map { case ((l, r), i) => s"('$l','$r',$i)" }.mkString(", ")
+      s"""WITH RECURSIVE
+        mg(l, r, rk) AS (VALUES $vals),
+        mm AS (SELECT map(list(l || chr(31) || r ORDER BY rk),
+                          list(rk ORDER BY rk)) AS m FROM mg),
+        pieces AS (
+          SELECT doc_id, s['i'] AS piece_id, replace(s['p'], ' ', 'Ġ') AS piece
+          FROM (SELECT doc_id,
+                  unnest(list_transform(regexp_extract_all(text, '$p'),
+                    (x, i) -> {'i': i, 'p': x})) AS s
+                FROM documents)),
+        steps AS (
+          SELECT doc_id, piece_id, string_split(piece, '') AS syms, 0 AS step
+          FROM pieces
+          UNION ALL
+          SELECT doc_id, piece_id,
+            syms[1:best[2]-1] || [syms[best[2]] || syms[best[2]+1]]
+              || syms[best[2]+2:] AS syms,
+            step + 1
+          FROM (
+            SELECT doc_id, piece_id, syms, step,
+              list_sort(list_transform(range(1, len(syms)),
+                i -> [coalesce(element_at(m, syms[i] || chr(31) || syms[i+1])[1],
+                               1000000), i]))[1] AS best
+            FROM steps, mm) t
+          WHERE best IS NOT NULL AND best[1] < 1000000),
+        fin AS (SELECT doc_id, piece_id, max_by(syms, step) AS toks
+                FROM steps GROUP BY doc_id, piece_id),
+        agg AS (SELECT doc_id, flatten(list(toks ORDER BY piece_id)) AS toks
+                FROM fin GROUP BY doc_id)
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+          array_to_string(toks, chr(31)) AS tokens_str
+        FROM agg ORDER BY doc_id"""
+    },
+    bench = true)
+
+  val all: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73, q74, q75)
 }

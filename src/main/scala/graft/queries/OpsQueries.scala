@@ -281,15 +281,17 @@ object OpsQueries {
         ORDER BY doc_a"""
     })
 
-  /** TextAnalysis.bpeTokenCount vs the whitespace count — LLM token
-    * budgeting over documents. The identical lookahead-free pattern
-    * runs on Spark's Java regex and DuckDB's RE2 (both leftmost-first
-    * alternation), counted with regexp_count / regexp_extract_all. */
+  /** TextAnalysis.preTokenCount vs the whitespace count — LLM token
+    * budgeting over documents (the pre-tokenizer PIECE count; q75
+    * applies a real merge table on top of these pieces). The identical
+    * lookahead-free pattern runs on Spark's Java regex and DuckDB's
+    * RE2 (both leftmost-first alternation), counted with regexp_count
+    * / regexp_extract_all. */
   val q52 = QueryDef(
     "q52_bpe_token_count",
     (s, dir) => {
       TextAnalysis.qualityMetrics(t(s, dir, "documents"), "text")
-        .withColumn("n_bpe", TextAnalysis.bpeTokenCount(col("text")))
+        .withColumn("n_bpe", TextAnalysis.preTokenCount(col("text")))
         .select("doc_id", "n_tokens", "n_bpe")
         .oracleOrderBy("doc_id")
     },

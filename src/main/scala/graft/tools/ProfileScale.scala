@@ -140,6 +140,15 @@ object ProfileScale {
     def q74(d: DataFrame) = TextAnalysis.corpusStats(
       d.withColumn("source", (col("doc_id") % 20).cast("string")),
       "text", "source", approxVocab = true)
+    // real BPE tokenization: narrow zero-shuffle projection; the vocab
+    // rides in the expression and the per-thread piece LRU makes the
+    // x10 copies near-free (same word distribution = cache hits)
+    val bpeVocab = graft.plans.BpeVocab(Seq(
+      "t" -> "h", "Ġ" -> "t", "Ġ" -> "a", "e" -> "r", "Ġ" -> "s",
+      "a" -> "t", "r" -> "o", "Ġ" -> "th", "Ġth" -> "e", "l" -> "e",
+      "Ġs" -> "t", "a" -> "b", "ab" -> "le", "Ġt" -> "able"))
+    def q75(d: DataFrame) = d.select(col("doc_id"),
+      TextAnalysis.bpeTokenCount(col("text"), bpeVocab).as("n_bpe"))
 
     // Time CONSTRUCTION + execution: the dedup pipeline materializes
     // its stage boundaries eagerly (localCheckpoint) while the plan is
@@ -172,7 +181,8 @@ object ProfileScale {
       ("q71 url-dedup", () => q71(docs), () => q71(docs10)),
       ("q72 packing", () => q72(docs), () => q72(docs10)),
       ("q73 domain-cap", () => q73(docs), () => q73(docs10)),
-      ("q74 corpus-stats", () => q74(docs), () => q74(docs10))).map { case (name, at1, atN) =>
+      ("q74 corpus-stats", () => q74(docs), () => q74(docs10)),
+      ("q75 bpe", () => q75(docs), () => q75(docs10))).map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)
       val tN = run(s"$name x$factor", atN)

@@ -306,13 +306,13 @@ class OpsSpec extends SparkSpec {
       Joins.saltedJoin(skewed, dim, Seq("k"), 8, "left_semi"))
   }
 
-  test("TextAnalysis.bpeTokenCount: GPT-2-style pre-tokenizer splits") {
+  test("TextAnalysis.preTokenCount: GPT-2-style pre-tokenizer splits") {
     val rows = Seq(
       (1L, "it's 2024, don't stop!"),
       (2L, ""),
       (3L, "hello   world"))
       .toDF("doc_id", "text")
-    val counts = rows.select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n"))
+    val counts = rows.select(col("doc_id"), TextAnalysis.preTokenCount(col("text")).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // it|'s|· 2024|,|· don|'t|· stop|! — single spaces fold into the
     // following word token
@@ -321,6 +321,107 @@ class OpsSpec extends SparkSpec {
     // hello|···|world — without GPT-2's lookahead the whole whitespace
     // run is one token (identical on both engines, which is the point)
     assert(counts(3L) == 3L)
+  }
+
+  // the q75 fixture table: a VALID hand-written BPE (composites are
+  // produced before any merge uses them), over lowercase ASCII + space
+  private val bpeFixture = Seq(
+    "t" -> "h", "Ġ" -> "t", "Ġ" -> "a", "e" -> "r", "Ġ" -> "s",
+    "a" -> "t", "r" -> "o", "Ġ" -> "th", "Ġth" -> "e", "l" -> "e",
+    "Ġs" -> "t", "a" -> "b", "ab" -> "le", "Ġt" -> "able")
+
+  test("TextAnalysis.bpeTokens: known tokenizations under the fixture merges") {
+    val vocab = graft.plans.BpeVocab(bpeFixture)
+    val rows = Seq(
+      (1L, "the table"),
+      (2L, " the stream"),
+      (3L, "that"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = rows
+      .select(col("doc_id"), TextAnalysis.bpeTokens(col("text"), vocab).as("toks"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1)).map(_.toList)).toMap
+    // "the": (t,h) then no (th,e) merge; " table" takes the Ġt route:
+    // Ġ+t, l+e, a+b, ab+le, Ġt+able
+    assert(got(1L) == Some(List("th", "e", "Ġtable")))
+    // " the": rank-0 (t,h) beats (Ġ,t), steering to Ġ+th -> Ġth+e;
+    // " stream": Ġ+s then Ġs+t, rest unmerged
+    assert(got(2L) == Some(List("Ġthe", "Ġst", "r", "e", "a", "m")))
+    // "that": (t,h) first, then (a,t) — merges interleave by rank, not
+    // position
+    assert(got(3L) == Some(List("th", "at")))
+    assert(got(4L) == Some(Nil)) // no pieces
+    assert(got(5L) == None) // null in, null out
+
+    // true counts lower-bound: every piece is >= 1 token, and merges
+    // only shrink within a piece, so n_bpe >= n_pieces on any text
+    val both = docs.select(
+      TextAnalysis.bpeTokenCount(col("text"), vocab).as("n_bpe"),
+      TextAnalysis.preTokenCount(col("text")).as("n_pre"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) >= r.getLong(1)))
+  }
+
+  test("TextAnalysis.bpeTokens: byte-level maps UTF-8 bytes, char-level keeps chars") {
+    // é = bytes C3 A9 -> printable-mapped 'Ã','©'; a merge over those
+    // byte symbols reassembles the character
+    val byteVocab = graft.plans.BpeVocab(Seq("Ã" -> "©"))
+    val bl = Seq((1L, "é")).toDF("doc_id", "text")
+      .select(TextAnalysis.bpeTokens(col("text"), byteVocab).as("toks"))
+      .collect().head.getSeq[String](0).toList
+    assert(bl == List("Ã©"))
+
+    // char-level mode: symbols are code points, so a merge side can be
+    // a literal space (no Ġ mapping)
+    val charVocab = graft.plans.BpeVocab(Seq(" " -> "a"), byteLevel = false)
+    val cl = Seq((1L, "b a")).toDF("doc_id", "text")
+      .select(TextAnalysis.bpeTokens(col("text"), charVocab).as("toks"))
+      .collect().head.getSeq[String](0).toList
+    assert(cl == List("b", " a"))
+  }
+
+  test("BpeVocab: GPT-2 merges.txt parsing and DataFrame loading") {
+    val vocab = graft.plans.BpeVocab.fromGpt2Lines(Seq(
+      "#version: 0.2", "t h", "Ġ t", ""))
+    assert(vocab.merges == Seq("t" -> "h", "Ġ" -> "t"))
+    assert(vocab.byteLevel)
+    // malformed lines fail loudly — a silently dropped merge would
+    // change every downstream token count
+    intercept[RuntimeException](
+      graft.plans.BpeVocab.fromGpt2Lines(Seq("a b c")))
+    intercept[RuntimeException](
+      graft.plans.BpeVocab.fromGpt2Lines(Seq("a")))
+
+    // DataFrame form orders by rank, not input order
+    val df = Seq(("Ġ", "t", 1), ("t", "h", 0)).toDF("left", "right", "rank")
+    assert(graft.plans.BpeVocab.fromDataFrame(df).merges ==
+      Seq("t" -> "h", "Ġ" -> "t"))
+  }
+
+  test("packChunks over TRUE BPE counts: boundaries follow the real tokenizer") {
+    val vocab = graft.plans.BpeVocab(bpeFixture)
+    val counted = docs
+      .withColumn("n_tok", TextAnalysis.bpeTokenCount(col("text"), vocab))
+      .withColumn("shard", lit(0))
+    val packed = Packing.packChunks(counted, "doc_id", "n_tok", ctxLen = 16L, "shard")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tok", "start_tok", "first_chunk", "last_chunk")
+      .collect()
+    // start_tok is the exact running sum of TRUE token counts, and the
+    // fixture genuinely spans multiple chunks
+    var cum = 0L
+    packed.foreach { r => assert(r.getLong(2) == cum); cum += r.getLong(1) }
+    assert(packed.map(_.getLong(4)).max > 0L)
+    // the proxy count places boundaries differently — the gap the real
+    // tokenizer closes: byte-level BPE under a small vocab yields far
+    // more tokens than pre-tokenizer pieces
+    val proxyPacked = Packing.packChunks(
+      docs.withColumn("n_tok", TextAnalysis.preTokenCount(col("text")))
+        .withColumn("shard", lit(0)),
+      "doc_id", "n_tok", ctxLen = 16L, "shard")
+      .orderBy("doc_id").select("first_chunk").collect().map(_.getLong(0))
+    assert(packed.map(_.getLong(3)).toSeq != proxyPacked.toSeq)
   }
 
   test("TextAnalysis quality metrics + language id + fingerprints") {
