@@ -231,6 +231,103 @@ object Dedup {
       .filter(col("simhash").isNotNull)
   }
 
+  /** Exact-substring duplicate spans — the span-level generalization of
+    * document dedup (the "remove any text that repeats verbatim
+    * anywhere in the corpus" pass of modern pretraining pipelines,
+    * approximated at `k`-token window granularity instead of suffix
+    * arrays): every window of `k` consecutive whitespace tokens whose
+    * exact text occurs MORE THAN ONCE across the entire corpus — any
+    * document, any position, including twice within one document —
+    * marks its token positions as duplicated; overlapping and adjacent
+    * marks merge into spans. With `keepFirst` (the default, mirroring
+    * remove-all-but-one semantics) the globally first occurrence of
+    * each window — minimum `(id, pos)` — keeps its tokens unmarked, so
+    * one copy of every duplicated passage survives.
+    *
+    * Output adds four columns: `n_dup_windows` (flagged window count),
+    * `n_spans` (merged span count), `dup_spans`
+    * (`array<struct<s,e>>` inclusive 0-based token ranges, empty when
+    * clean, null when `textCol` is null), `n_dup_tokens`, and
+    * `clean_text` — the tokens outside every span rejoined with single
+    * spaces (token-space surgery: the operator tokenizes, so output
+    * whitespace is normalized; case and punctuation inside tokens are
+    * preserved — windows match case-SENSITIVELY, this is *exact*
+    * substring dedup).
+    *
+    * 100 TB shape: one shuffle keying the corpus's windows by a
+    * 128-bit gram hash with map-side partial aggregation (count +
+    * min-occurrence — an aggregate, NOT a window over the gram, so a
+    * million-fold repeated passage never buffers in one task), one
+    * gram-keyed equi-join back, one per-document regroup bounded by
+    * document length. Span merging folds each document's sorted flag
+    * positions in-row; the token filter costs
+    * O(tokens × merged spans) per row — merged spans are bounded by
+    * the document's alternation structure, not its window count. */
+  def exactSubstrSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 50, keepFirst: Boolean = true): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    // staged projections: each step references materialized attributes,
+    // never re-inlines the tokenizer into downstream lambdas
+    val withToks = df.withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+    val occHere = struct(col(idCol).as("d"), col("pos").as("p"))
+    val occ = withToks
+      .select(col(idCol), posexplode(tokenNgrams(col("__toks"), k)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), md5(col("gram")).as("__g"))
+    val dup = occ.groupBy("__g")
+      .agg(count(lit(1)).as("occ_n"), min(occHere).as("first_occ"))
+      .filter(col("occ_n") >= 2)
+    val flagged = occ.join(dup, Seq("__g"))
+      .filter(if (keepFirst) occHere =!= col("first_occ") else lit(true))
+    val perDoc = flagged.groupBy(idCol).agg(
+      sort_array(collect_list(col("pos"))).as("__starts"),
+      count(lit(1)).as("n_dup_windows"))
+
+    val emptySpans = expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    val spansOf = aggregate(
+      coalesce(col("__starts"), expr("CAST(array() AS array<int>)")),
+      emptySpans,
+      (acc, p) => {
+        val last = element_at(acc, -1)
+        val fresh = concat(acc, array(struct(p.as("s"), (p + lit(k - 1)).as("e"))))
+        // sorted equal-length windows: the running span's end is always
+        // the previous start + k - 1, so extend = overwrite the end
+        val extend = concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(last.getField("s").as("s"), (p + lit(k - 1)).as("e"))))
+        when(size(acc) === 0, fresh)
+          .when(p > last.getField("e") + 1, fresh) // gap: covered sets disjoint
+          .otherwise(extend)
+      })
+
+    withToks
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_dup_windows", coalesce(col("n_dup_windows"), lit(0L)))
+      .withColumn("dup_spans",
+        when(col("__toks").isNull, lit(null)).otherwise(spansOf))
+      .drop("__starts")
+      .withColumn("n_spans", coalesce(size(col("dup_spans")), lit(0)).cast("long"))
+      .withColumn("n_dup_tokens", coalesce(
+        aggregate(col("dup_spans"), lit(0),
+          (acc, sp) => acc + sp.getField("e") - sp.getField("s") + 1),
+        lit(0)).cast("long"))
+      .withColumn("clean_text", array_join(
+        filter(col("__toks"), (t, i) =>
+          !exists(col("dup_spans"), sp =>
+            i >= sp.getField("s") && i <= sp.getField("e"))), " "))
+      .drop("__toks")
+  }
+
+  /** `k`-token windows of an already-split token array, by the same
+    * staggered-slice zip (narrow, no outer-column lambda references)
+    * as TextAnalysis.ngramsOf — but case-preserving: exact-substring
+    * semantics must not equate `The` with `the`. */
+  private def tokenNgrams(toks: Column, n: Int): Column = {
+    val len = greatest(size(toks) - (n - 1), lit(0))
+    (2 to n).foldLeft(slice(toks, lit(1), len)) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), len), (a, b) => concat(a, lit(" "), b))
+    }
+  }
+
   /** Hamming distance between two equal-length hex-string fingerprint
     * COLUMN NAMES (bit_count over per-nibble XOR). */
   def hammingHex(aCol: String, bCol: String): Column = {

@@ -18,11 +18,13 @@ import org.apache.spark.sql.types._
   * container METADATA decode is real too: [[VideoContainerCodec]]
   * walks MP4 box / AVI chunk trees for duration, dimensions and track
   * counts. Per-frame video decode is real for MJPEG-in-AVI
-  * ([[MjpegAviFrameSampler]] — each `movi` chunk IS a JPEG), and for
-  * inter-frame codecs (H.264 et al.) [[FfmpegFrameSampler]] shells the
-  * `ffmpeg` CLI behind per-JVM capability detection — environments
-  * without the binary (like this build sandbox) route through the
-  * MJPEG demuxer to the deterministic stand-in
+  * ([[MjpegAviFrameSampler]] — each `movi` chunk IS a JPEG) and for
+  * MJPEG-in-MOV/MP4 ([[MjpegMovFrameSampler]] — sample offsets rebuilt
+  * from the stsz/stco/co64/stsc tables), and for inter-frame codecs
+  * (H.264 et al.) [[FfmpegFrameSampler]] shells the `ffmpeg` CLI
+  * behind per-JVM capability detection — environments without the
+  * binary (like this build sandbox) route through the two MJPEG
+  * demuxers to the deterministic stand-in
   * ([[DeterministicFakeFrameSampler]]), keeping the pipeline shape
   * identical either way.
   */
@@ -488,6 +490,192 @@ object Multimodal {
     }
   }
 
+  /** REAL frame demux for the SECOND container/codec pair a pure JVM
+    * can crack: MJPEG-in-MOV/MP4 (QuickTime `jpeg`/`mjpa` sample
+    * format), where every sample in the `mdat` is a complete JPEG
+    * image. The demux walks the ISO-BMFF box tree once for the first
+    * video track whose `stsd` entry is a JPEG format, rebuilds the
+    * per-sample file offsets from the sample tables (`stsz` sizes,
+    * `stco`/`co64` chunk offsets — co64 because real crawl videos
+    * exceed 4 GiB — and the `stsc` sample-to-chunk map), timestamps
+    * from `stts` deltas over the `mdhd` timescale, then copies ONLY
+    * the `n` evenly-spaced sampled frames: O(sample-table size) walk,
+    * no frame bytes touched beyond the picks. Samples that fail the
+    * JPEG SOI check or fall outside the payload are dropped (truncated
+    * downloads keep their decodable prefix). Anything that is not a
+    * BMFF container with a JPEG video track — H.264 MP4s, AVIs,
+    * garbage — routes to `fallback` (by default the MJPEG AVI demuxer,
+    * which itself falls back to the deterministic stand-in). */
+  final class MjpegMovFrameSampler(
+      fallback: FrameSampler = new MjpegAviFrameSampler())
+      extends FrameSampler {
+
+    def sample(mediaType: String, payload: Array[Byte], durationMs: Long, n: Int)
+        : Seq[(Long, Array[Byte])] = {
+      if (payload == null || payload.isEmpty || mediaType != "video" || n <= 0)
+        return Seq.empty
+      demux(payload, n).getOrElse(
+        fallback.sample(mediaType, payload, durationMs, n))
+    }
+
+    private def be32(b: Array[Byte], o: Int): Long =
+      if (o < 0 || o + 4 > b.length) -1L
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      if (o < 0 || o + 8 > b.length) -1L
+      else (be32(b, o) << 32) | be32(b, o + 4)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      if (o < 0 || o + 4 > b.length) ""
+      else new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+    /** Walk the boxes in [from, to): `f(type, payloadFrom, payloadTo)`.
+      * Handles 64-bit largesize (size == 1) and to-end (size == 0)
+      * boxes; stops on any corrupt size. */
+    private def walkBoxes(
+        b: Array[Byte], from: Long, to: Long,
+        f: (String, Long, Long) => Unit): Unit = {
+      var o = from
+      var ok = true
+      while (ok && o + 8 <= to) {
+        var size = be32(b, o.toInt)
+        val typ = fourcc(b, o.toInt + 4)
+        var hdr = 8L
+        if (size == 1 && o + 16 <= to) { size = be64(b, o.toInt + 8); hdr = 16 }
+        else if (size == 0) size = to - o
+        if (size < hdr || o + size > to) ok = false
+        else { f(typ, o + hdr, o + size); o += size }
+      }
+    }
+
+    private val JpegFormats = Set("jpeg", "mjpa")
+
+    private def demux(b: Array[Byte], n: Int): Option[Seq[(Long, Array[Byte])]] = {
+      // BMFF sniff: the first box must be a known top-level atom type
+      if (b.length < 16) return None
+      if (!Set("ftyp", "moov", "mdat", "wide", "free", "skip", "pnot")
+        .contains(fourcc(b, 4))) return None
+
+      var result: Option[Seq[(Long, Array[Byte])]] = None
+      walkBoxes(b, 0L, b.length.toLong, (typ, pf, pt) =>
+        if (typ == "moov" && result.isEmpty)
+          walkBoxes(b, pf, pt, (t2, tf, tt) =>
+            if (t2 == "trak" && result.isEmpty)
+              result = parseTrak(b, tf, tt, n)))
+      result
+    }
+
+    /** One track's sample tables -> the n sampled (ts_ms, jpeg) pairs,
+      * or None if this is not a JPEG video track. */
+    private def parseTrak(
+        b: Array[Byte], from: Long, to: Long, n: Int)
+        : Option[Seq[(Long, Array[Byte])]] = {
+      var timescale = 0L
+      var format = ""
+      var sizes: Array[Long] = null
+      var chunkOffsets: Array[Long] = null
+      var stsc: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+      var stts: Array[(Long, Long)] = null // (sample_count, delta)
+
+      def parseStbl(sf: Long, st: Long): Unit = walkBoxes(b, sf, st, (t, pf, pt) => t match {
+        case "stsd" =>
+          // ver/flags(4) + entry_count(4) + first entry: size(4) + format(4)
+          if (pf + 16 <= pt) format = fourcc(b, (pf + 12).toInt)
+        case "stsz" =>
+          val fixed = be32(b, (pf + 4).toInt)
+          val count = be32(b, (pf + 8).toInt)
+          if (count >= 0 && count < (1 << 22)) // sanity: ≤4M samples
+            sizes =
+              if (fixed > 0) Array.fill(count.toInt)(fixed)
+              else Array.tabulate(count.toInt)(i => be32(b, (pf + 12 + 4L * i).toInt))
+        case "stco" =>
+          val count = be32(b, (pf + 4).toInt)
+          if (count >= 0 && count < (1 << 22))
+            chunkOffsets = Array.tabulate(count.toInt)(i => be32(b, (pf + 8 + 4L * i).toInt))
+        case "co64" =>
+          val count = be32(b, (pf + 4).toInt)
+          if (count >= 0 && count < (1 << 22))
+            chunkOffsets = Array.tabulate(count.toInt)(i => be64(b, (pf + 8 + 8L * i).toInt))
+        case "stsc" =>
+          val count = be32(b, (pf + 4).toInt)
+          if (count >= 0 && count < (1 << 20))
+            stsc = Array.tabulate(count.toInt)(i =>
+              (be32(b, (pf + 8 + 12L * i).toInt), be32(b, (pf + 12 + 12L * i).toInt)))
+        case "stts" =>
+          val count = be32(b, (pf + 4).toInt)
+          if (count >= 0 && count < (1 << 20))
+            stts = Array.tabulate(count.toInt)(i =>
+              (be32(b, (pf + 8 + 8L * i).toInt), be32(b, (pf + 12 + 8L * i).toInt)))
+        case _ => ()
+      })
+
+      walkBoxes(b, from, to, (t, pf, pt) =>
+        if (t == "mdia") walkBoxes(b, pf, pt, (t2, mf, mt) => t2 match {
+          case "mdhd" =>
+            val version = if (mf < b.length) b(mf.toInt) & 0xff else 0
+            timescale = if (version == 1) be32(b, (mf + 20).toInt) else be32(b, (mf + 12).toInt)
+          case "minf" =>
+            walkBoxes(b, mf, mt, (t3, nf, nt) => if (t3 == "stbl") parseStbl(nf, nt))
+          case _ => ()
+        }))
+
+      if (!JpegFormats.contains(format) || sizes == null || sizes.isEmpty ||
+        chunkOffsets == null || chunkOffsets.isEmpty) return None
+
+      // expand the stsc run-length map: samples_per_chunk for chunk c
+      // (1-based) = the last entry whose first_chunk <= c
+      def samplesPerChunk(c: Int): Long =
+        if (stsc == null || stsc.isEmpty) sizes.length.toLong // one implicit chunk
+        else stsc.foldLeft(1L) { case (acc, (fc, spc)) => if (fc <= c) spc else acc }
+
+      // per-sample absolute offsets: contiguous within each chunk
+      val offsets = new Array[Long](sizes.length)
+      var sampleIdx = 0
+      var c = 0
+      while (c < chunkOffsets.length && sampleIdx < sizes.length) {
+        var off = chunkOffsets(c)
+        var s = 0L
+        val spc = samplesPerChunk(c + 1)
+        while (s < spc && sampleIdx < sizes.length) {
+          offsets(sampleIdx) = off
+          off += sizes(sampleIdx)
+          sampleIdx += 1; s += 1
+        }
+        c += 1
+      }
+
+      // per-sample timestamps in media units (cumulative stts deltas)
+      val tsUnits = new Array[Long](sizes.length)
+      var u = 0L; var i = 0
+      if (stts != null) stts.foreach { case (count, delta) =>
+        var k = 0L
+        while (k < count && i < tsUnits.length) {
+          tsUnits(i) = u; u += delta; i += 1; k += 1
+        }
+      }
+
+      // keep only in-bounds genuine JPEGs (SOI-led) — a truncated
+      // download keeps its decodable prefix
+      val valid = (0 until sampleIdx).filter { j =>
+        val o = offsets(j); val sz = sizes(j)
+        o >= 0 && sz >= 2 && o + sz <= b.length &&
+          (b(o.toInt) & 0xff) == 0xff && (b(o.toInt + 1) & 0xff) == 0xd8
+      }
+      if (valid.isEmpty) return None
+
+      val count = valid.length
+      val k = math.min(n, count)
+      val picks =
+        if (k == 1) Seq(count / 2)
+        else (0 until k).map(x => (count - 1).toLong * x / (k - 1)).map(_.toInt).distinct
+      Some(picks.map { p =>
+        val j = valid(p)
+        val ts = if (timescale > 0 && stts != null) tsUnits(j) * 1000 / timescale else -1L
+        (ts, java.util.Arrays.copyOfRange(b, offsets(j).toInt, (offsets(j) + sizes(j)).toInt))
+      })
+    }
+  }
+
   /** Production frame sampler backed by the `ffmpeg` CLI — the decoder
     * for inter-frame codecs (H.264/VP9/AV1 et al.) that no pure-JVM
     * path can crack. Capability-DETECTED per JVM:
@@ -509,7 +697,7 @@ object Multimodal {
     * SAMPLING, not transcoding; the per-invocation cost is the seek. */
   final class FfmpegFrameSampler(
       binary: String = "ffmpeg",
-      fallback: FrameSampler = new MjpegAviFrameSampler())
+      fallback: FrameSampler = new MjpegMovFrameSampler(new MjpegAviFrameSampler()))
       extends FrameSampler {
 
     def sample(mediaType: String, payload: Array[Byte], durationMs: Long, n: Int)

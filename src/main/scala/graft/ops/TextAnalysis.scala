@@ -245,6 +245,61 @@ object TextAnalysis {
       .withColumn("contaminated", (col("n_overlap") >= minOverlap).cast("int"))
   }
 
+  /** [[decontaminate]] with a Bloom pre-filter — IDENTICAL output
+    * (the exact-verify join removes every false positive), different
+    * 100 TB shape: `decontaminate` broadcasts the full distinct eval
+    * n-gram set to every task, which stops working when the held-out
+    * corpus is itself large (a billion-gram eval set is a multi-GB
+    * broadcast). Here the eval set is folded once into a FIXED-SIZE
+    * Bloom filter (`numBits/8` bytes regardless of eval size, built
+    * by Spark's own `bloom_filter_agg`), the corpus's exploded n-grams
+    * are probed by the codegen'd native membership predicate — narrow,
+    * no shuffle, no UDF — and only the surviving sliver (true overlaps
+    * plus the Bloom's ~1 % false positives) reaches the exact
+    * verification equi-join against the real eval grams. That join
+    * shuffles CANDIDATES, not the corpus: the 100 TB of clean text
+    * never leaves its scan tasks.
+    *
+    * Size the filter by the eval corpus: `expectedEvalGrams` at or
+    * above the true distinct count and `numBits ≈ 10×` that for ~1 %
+    * false positives (the defaults fit a 1M-gram eval set). An
+    * undersized filter stays CORRECT — only the pre-filter gets
+    * leakier, degrading toward plain `decontaminate`'s join volume.
+    * The sketch ships as a LITERAL inside the task binary (the probe
+    * expression requires a foldable filter argument), so keep it in
+    * the MB range — at billion-gram eval scale, shard the eval corpus
+    * into several filters and union the candidate sets rather than
+    * building one giant sketch. */
+  def bloomDecontaminate(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, minOverlap: Long = 1L,
+      expectedEvalGrams: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    graft.plans.BloomMightContain.register(train.sparkSession)
+    val evalGrams = eval
+      .select(explode(ngramsOf(col(textCol), n)).as("gram")).distinct()
+    // ONE driver-resident binary (the model pattern, like the BM25
+    // collection stats): bloom_filter_agg over an empty eval corpus
+    // yields NULL -> nothing can overlap
+    val bf = evalGrams
+      .agg(call_function("graft_bloom_agg", xxhash64(col("gram")),
+        lit(expectedEvalGrams), lit(numBits)).as("bf"))
+      .collect().head.getAs[Array[Byte]]("bf")
+    val overlap =
+      if (bf == null) null
+      else train
+        .select(col(idCol), explode(array_distinct(ngramsOf(col(textCol), n))).as("gram"))
+        .filter(call_function("graft_might_contain", lit(bf), xxhash64(col("gram"))))
+        .join(evalGrams, Seq("gram")) // exact verify: kills false positives
+        .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    val joined =
+      if (overlap == null) train.withColumn("n_overlap", lit(0L))
+      else train.join(overlap, Seq(idCol), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+    joined.withColumn("contaminated", (col("n_overlap") >= minOverlap).cast("int"))
+  }
+
   /** Corpus-frequency boilerplate detection (the C4-style "shared
     * across many documents" pass, complementing [[repeatedNgramStats]]
     * which is within-document): an n-gram appearing in at least

@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+/** Session registration for Spark's own codegen'd Bloom-filter pair.
+  * Spark ships both expressions for its runtime row-level filtering —
+  * `BloomFilterAggregate` builds the sketch, `BloomFilterMightContain`
+  * probes it — but registers NEITHER as a SQL function, so this shim
+  * exposes them to the DataFrame API:
+  *
+  *   - `graft_bloom_agg(xxhash64(value), estimatedItems, numBits)` —
+  *     aggregate to one binary sketch (NULL over empty input);
+  *   - `graft_might_contain(bloomBinary, xxhash64(value))` — the
+  *     membership predicate; the filter argument must be foldable (a
+  *     literal or scalar subquery — the expression enforces this
+  *     itself).
+  *
+  * Both sides must hash with the same `xxhash64` (the aggregate takes
+  * the 64-bit hash, not the raw value — mirroring how Spark's own
+  * injected runtime filters call it).
+  */
+object BloomMightContain {
+  def register(spark: SparkSession): Unit = {
+    NativeFunctions.registerOnce(spark, "graft_bloom_agg", aggBuilder)
+    NativeFunctions.registerOnce(spark, "graft_might_contain", probeBuilder)
+  }
+
+  private[plans] def aggBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3,
+      s"graft_bloom_agg takes (hashedValue, estimatedItems, numBits), got ${exprs.length} args")
+    // the analyzer wraps a bare AggregateFunction into its
+    // AggregateExpression during resolution
+    new BloomFilterAggregate(exprs.head, exprs(1), exprs(2))
+  }
+
+  private[plans] def probeBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"graft_might_contain takes (bloomFilter, hashedValue), got ${exprs.length} args")
+    BloomFilterMightContain(exprs.head, exprs(1))
+  }
+}

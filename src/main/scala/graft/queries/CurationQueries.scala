@@ -393,5 +393,84 @@ object CurationQueries {
     },
     bench = true)
 
-  val all: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73, q74, q75)
+  /** Exact-substring duplicate spans (library
+    * `Dedup.exactSubstrSpans`): every 5-token window occurring more
+    * than once anywhere in the corpus marks its positions, marks merge
+    * to spans, and `clean_text` drops the covered tokens — keeping the
+    * globally first occurrence of each window (min `(doc_id, pos)`)
+    * unmarked, so one copy of each duplicated passage survives. The
+    * hash covers the full cleaned text of every document plus the
+    * window/span/token counts.
+    *
+    * Oracle parity notes: both sides key windows by md5 of the joined
+    * tokens, pick the survivor with a lexicographic min over the
+    * `(doc, pos)` struct, and merge with the same rule (a window
+    * starting at `p` joins the running span unless `p > prev + k`, the
+    * first uncovered index). Spark folds sorted starts in-row; the
+    * oracle is the equivalent gaps-and-islands window — same spans by
+    * construction on sorted equal-length intervals. */
+  val q76 = QueryDef(
+    "q76_exact_substr_dedup",
+    (s, dir) => {
+      graft.ops.Dedup.exactSubstrSpans(
+        t(s, dir, "documents"), "doc_id", "text", k = 5)
+        .select(col("doc_id"), col("n_dup_windows"), col("n_spans"),
+          col("n_dup_tokens"), col("clean_text"))
+        .oracleOrderBy("doc_id")
+    },
+    Some {
+      val k = 5
+      val ws = "[ \\t\\n\\x0B\\f\\r]+"
+      s"""WITH toks AS MATERIALIZED (
+        SELECT doc_id, CASE WHEN text IS NULL THEN NULL
+          ELSE string_split_regex(trim(text), '$ws') END AS t
+        FROM documents),
+      occ AS MATERIALIZED (
+        SELECT doc_id, CAST(r.i - 1 AS INT) AS pos,
+               md5(array_to_string(t[r.i:r.i+${k - 1}], ' ')) AS g
+        FROM toks, LATERAL unnest(range(1, len(t) - $k + 2)) r(i)
+        WHERE t IS NOT NULL),
+      dup AS (
+        SELECT g, min(struct_pack(d := doc_id, p := pos)) AS first_occ
+        FROM occ GROUP BY g HAVING count(*) >= 2),
+      flagged AS (
+        SELECT o.doc_id, o.pos FROM occ o JOIN dup d USING (g)
+        WHERE struct_pack(d := o.doc_id, p := o.pos) <> d.first_occ),
+      isl AS (
+        SELECT doc_id, pos,
+          sum(CASE WHEN prev IS NULL OR pos > prev + $k THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (SELECT doc_id, pos,
+                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM flagged)),
+      spans AS MATERIALIZED (
+        SELECT doc_id, island, min(pos) AS s, max(pos) + $k - 1 AS e,
+               count(*) AS n_windows
+        FROM isl GROUP BY doc_id, island),
+      perdoc AS (
+        SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS n_dup_tokens,
+               sum(n_windows) AS n_dup_windows
+        FROM spans GROUP BY doc_id),
+      kept AS (
+        SELECT t.doc_id, r.i AS i, t.t[r.i] AS tok
+        FROM toks t, LATERAL unnest(range(1, len(t.t) + 1)) r(i)
+        WHERE t.t IS NOT NULL AND NOT EXISTS (
+          SELECT 1 FROM spans s
+          WHERE s.doc_id = t.doc_id AND r.i - 1 BETWEEN s.s AND s.e)),
+      clean AS (
+        SELECT doc_id, array_to_string(list(tok ORDER BY i), ' ') AS clean_text
+        FROM kept GROUP BY doc_id)
+      SELECT t.doc_id,
+        CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+        CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+        CAST(coalesce(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+        CASE WHEN t.t IS NULL THEN NULL
+             ELSE coalesce(c.clean_text, '') END AS clean_text
+      FROM toks t LEFT JOIN perdoc p USING (doc_id)
+                  LEFT JOIN clean c USING (doc_id)
+      ORDER BY t.doc_id"""
+    },
+    bench = true)
+
+  val all: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73, q74, q75, q76)
 }

@@ -454,6 +454,40 @@ object TextQueries {
       WHERE d.doc_id >= 10 ORDER BY d.doc_id"""),
     bench = true)
 
+  /** Bloom-pre-filtered decontamination (library
+    * `TextAnalysis.bloomDecontaminate`): the same held-out split and
+    * threshold as q61, but the eval trigram set is folded into a
+    * fixed-size Bloom sketch (Spark's `bloom_filter_agg`), the train
+    * grams are probed by the codegen'd native membership predicate,
+    * and only the surviving candidates reach the exact verification
+    * join — which removes every false positive, so the OUTPUT is
+    * byte-identical to exact decontamination and the oracle is the
+    * same relational derivation. The filter is sized small (64 Kibit)
+    * on purpose: a leaky Bloom must still verify to the exact rows. */
+  val q77 = QueryDef(
+    "q77_bloom_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextAnalysis.bloomDecontaminate(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", n = 3, minOverlap = 5L,
+        expectedEvalGrams = 1L << 12, numBits = 1L << 16)
+        .select(col("doc_id"), col("n_overlap"), col("contaminated"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(s"""WITH tg AS (SELECT DISTINCT doc_id, sh FROM ($shinglesSqlDuck) sh_t
+                WHERE doc_id >= 10),
+        eg AS (SELECT DISTINCT sh FROM ($shinglesSqlDuck) sh_e WHERE doc_id < 10),
+        ov AS (SELECT tg.doc_id, count(*) AS n_overlap
+               FROM tg JOIN eg USING (sh) GROUP BY tg.doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        CAST(CASE WHEN coalesce(ov.n_overlap, 0) >= 5 THEN 1 ELSE 0 END AS INT)
+          AS contaminated
+      FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
+      WHERE d.doc_id >= 10 ORDER BY d.doc_id"""),
+    bench = true)
+
   /** Corpus-frequency boilerplate detection (library module — the
     * cross-document twin of q56's within-document repetition): flag
     * trigrams appearing in >= 3 distinct docs, score each doc by its
@@ -590,5 +624,5 @@ object TextQueries {
 
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61, q62,
-      q65, q66, q67, q68)
+      q65, q66, q67, q68, q77)
 }

@@ -149,6 +149,13 @@ object ProfileScale {
       "Ġs" -> "t", "a" -> "b", "ab" -> "le", "Ġt" -> "able"))
     def q75(d: DataFrame) = d.select(col("doc_id"),
       TextAnalysis.bpeTokenCount(col("text"), bpeVocab).as("n_bpe"))
+    // exact-substring spans: at x10 the copy marker sits at text END,
+    // so all but the last k-1 windows of every document duplicate
+    // across copies — flagged occurrences ~ the whole corpus's window
+    // count, the worst case for the per-doc span merge
+    def q76(d: DataFrame) = Dedup.exactSubstrSpans(d, "doc_id", "text", k = 5)
+      .select(col("doc_id"), col("n_dup_windows"), col("n_spans"),
+        col("n_dup_tokens"), col("clean_text"))
 
     // Time CONSTRUCTION + execution: the dedup pipeline materializes
     // its stage boundaries eagerly (localCheckpoint) while the plan is
@@ -182,7 +189,8 @@ object ProfileScale {
       ("q72 packing", () => q72(docs), () => q72(docs10)),
       ("q73 domain-cap", () => q73(docs), () => q73(docs10)),
       ("q74 corpus-stats", () => q74(docs), () => q74(docs10)),
-      ("q75 bpe", () => q75(docs), () => q75(docs10))).map { case (name, at1, atN) =>
+      ("q75 bpe", () => q75(docs), () => q75(docs10)),
+      ("q76 exact-substr", () => q76(docs), () => q76(docs10))).map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)
       val tN = run(s"$name x$factor", atN)

@@ -142,6 +142,87 @@ class OpsSpec extends SparkSpec {
     assert(dist > 0 && dist <= 64)
   }
 
+  test("Dedup.exactSubstrSpans: corpus-duplicated windows mark, merge and cut") {
+    val rows = Seq(
+      (1L, "a b c d e X f g h i j"),    // both 5-windows recur in doc 2
+      (2L, "z a b c d e z2 f g h i j"),
+      (3L, "unique words only here doc"), // one window, occurs once
+      (6L, "p q r s t u p q r s t"),      // WITHIN-doc duplicate window
+      (7L, "m n o p q r m n o p q r"),    // two flagged windows OVERLAP
+      (8L, ""),
+      (9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").repartition(3)
+    val out = Dedup.exactSubstrSpans(rows, "doc_id", "text", k = 5)
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") -> ((
+      r.getAs[Long]("n_dup_windows"), r.getAs[Long]("n_spans"),
+      r.getAs[Long]("n_dup_tokens"), r.getAs[String]("clean_text")))).toMap
+
+    // keepFirst: doc 1 holds the first occurrence of both shared
+    // windows, so it survives untouched; doc 2 loses both passages
+    assert(byId(1L) == ((0L, 0L, 0L, "a b c d e X f g h i j")))
+    assert(byId(2L) == ((2L, 2L, 10L, "z z2")))
+    assert(byId(3L) == ((0L, 0L, 0L, "unique words only here doc")))
+    // within-document repeat: the second "p q r s t" (pos 6) is cut
+    assert(byId(6L) == ((1L, 1L, 5L, "p q r s t u")))
+    // the repeated 6-token phrase flags windows at pos 6 AND 7 — their
+    // [6,10] and [7,11] ranges merge into ONE span [6,11]
+    assert(byId(7L) == ((2L, 1L, 6L, "m n o p q r")))
+    assert(byId(8L) == ((0L, 0L, 0L, "")))
+    assert(byId(9L) == ((0L, 0L, 0L, null)))
+    // span bounds are inclusive token indices
+    val spans2 = out.filter(col("doc_id") === 2L)
+      .select("dup_spans").collect().head
+      .getSeq[org.apache.spark.sql.Row](0).map(s => (s.getInt(0), s.getInt(1)))
+    assert(spans2 == Seq((1, 5), (7, 11)))
+    assert(out.filter(col("doc_id") === 9L).select("dup_spans")
+      .collect().head.isNullAt(0)) // null text -> null spans, not empty
+
+    // keepFirst = false: EVERY occurrence of a duplicated window is
+    // cut, first included — doc 1 now loses both passages too, and the
+    // within-doc docs lose everything duplicated
+    val all = Dedup.exactSubstrSpans(rows, "doc_id", "text", k = 5,
+      keepFirst = false)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[String]("clean_text")))).toMap
+    assert(all(1L) == ((2L, "X")))
+    assert(all(6L) == ((2L, "u")))
+    assert(all(7L) == ((1L, ""))) // [0,4]+[1,5]+[6,10]+[7,11] -> [0,11]
+  }
+
+  test("TextAnalysis.bloomDecontaminate: identical to exact decontamination") {
+    val train = docs.filter(col("doc_id") >= 2)
+    val eval = docs.filter(col("doc_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_overlap", "contaminated")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = rows(TextAnalysis.decontaminate(
+      train, eval, "doc_id", "text", n = 3, minOverlap = 2L))
+    // a DELIBERATELY leaky filter (256 bits): false positives must die
+    // in the verify join, leaving exact-identical output
+    val bloomed = TextAnalysis.bloomDecontaminate(
+      train, eval, "doc_id", "text", n = 3, minOverlap = 2L,
+      expectedEvalGrams = 16L, numBits = 256L)
+    assert(rows(bloomed) == exact)
+    // doc 2 shares "the quick brown" etc. with eval doc 0 — the case is
+    // genuinely exercised, not vacuously all-zero
+    assert(exact.exists { case (id, n, c) => id == 2L && n >= 2L && c == 1 })
+    assert(exact.exists { case (_, _, c) => c == 0 })
+    // the pre-filter is REALLY in the plan (native predicate, no UDF)
+    assert(bloomed.queryExecution.optimizedPlan.toString.contains("might_contain"))
+
+    // null-text rows carry no grams on either side and survive scoring
+    val withNull = train.unionByName(
+      Seq((50L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val nr = rows(TextAnalysis.bloomDecontaminate(
+      withNull, eval, "doc_id", "text", n = 3, minOverlap = 2L))
+    assert(nr.contains((50L, 0L, 0)))
+    // empty eval corpus -> null Bloom aggregate -> nothing overlaps
+    val none = rows(TextAnalysis.bloomDecontaminate(
+      train, eval.filter(col("doc_id") < 0), "doc_id", "text", n = 3))
+    assert(none == train.select("doc_id").collect()
+      .map(r => (r.getLong(0), 0L, 0)).toSet)
+  }
+
   private val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
     (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
@@ -1222,6 +1303,141 @@ class OpsSpec extends SparkSpec {
     val body = "AVI ".getBytes("ISO-8859-1") ++ hdrlList ++ moviList ++
       aviChunk("idx1", new Array[Byte](16))
     "RIFF".getBytes("ISO-8859-1") ++ le32b(body.length) ++ body
+  }
+
+  /** A REAL (if minimal) MJPEG QuickTime/MOV in faststart layout
+    * (`moov` before `mdat`, like web-served video): one leading SOUND
+    * trak (stsd format `sowt`, must be skipped), then the video trak
+    * whose stsd format is `jpeg`, timescale 1000, 40 ms per frame. The
+    * samples split across two chunks (3 + rest) with junk bytes between
+    * them inside `mdat`, so the stsc run-length map and the absolute
+    * stco offsets are both genuinely exercised — contiguous-read
+    * assumptions would grab garbage. `use64` swaps stco for co64 (the
+    * >4 GiB offset table real crawl videos need). */
+  private def mjpegMovBytes(frames: Seq[Array[Byte]], use64: Boolean = false): Array[Byte] = {
+    val vf = Array[Byte](0, 0, 0, 0) // version + flags
+    def full(typ: String, payload: Array[Byte]*): Array[Byte] =
+      mp4Box(typ, (vf +: payload): _*)
+    val ftyp = mp4Box("ftyp", "qt  ".getBytes("ISO-8859-1"), be32b(0))
+    val junk = "inter-chunk-bytes-not-samples".getBytes("ISO-8859-1")
+    val c1 = math.min(3, frames.length)
+    val (chunk1, chunk2) = frames.splitAt(c1)
+
+    def stsdOf(format: String): Array[Byte] = {
+      val pad = new Array[Byte](78) // VisualSampleEntry body, unread
+      full("stsd", be32b(1), be32b(8 + pad.length),
+        format.getBytes("ISO-8859-1"), pad)
+    }
+    val mdhd = full("mdhd", be32b(0), be32b(0), // creation, modification
+      be32b(1000), be32b(40L * frames.length), be32b(0)) // timescale, duration, lang
+    val stts = full("stts", be32b(1), be32b(frames.length), be32b(40))
+    val stscEntries =
+      if (chunk2.isEmpty) Seq(1L -> c1.toLong)
+      else Seq(1L -> c1.toLong, 2L -> chunk2.length.toLong)
+    val stsc = full("stsc", be32b(stscEntries.length),
+      stscEntries.toArray.flatMap { case (fc, spc) =>
+        be32b(fc) ++ be32b(spc) ++ be32b(1)
+      })
+    val stsz = full("stsz", be32b(0), be32b(frames.length),
+      frames.toArray.flatMap(f => be32b(f.length)))
+
+    def moovOf(offsets: Seq[Long]): Array[Byte] = {
+      val co =
+        if (use64) full("co64", be32b(offsets.length),
+          offsets.toArray.flatMap(o => be32b(o >> 32) ++ be32b(o & 0xffffffffL)))
+        else full("stco", be32b(offsets.length), offsets.toArray.flatMap(be32b))
+      def trak(stsd: Array[Byte]) = mp4Box("trak", mp4Box("mdia", mdhd,
+        mp4Box("minf", mp4Box("stbl", stsd, stts, stsc, stsz, co))))
+      mp4Box("moov", trak(stsdOf("sowt")), trak(stsdOf("jpeg")))
+    }
+    // two passes: chunk offsets are ABSOLUTE file positions, known only
+    // once the (fixed-size) moov length is
+    val moovLen = moovOf(Seq.fill(if (chunk2.isEmpty) 1 else 2)(0L)).length
+    val off1 = (ftyp.length + moovLen + 8).toLong // + mdat header
+    val off2 = off1 + chunk1.map(_.length).sum + junk.length
+    val offsets = if (chunk2.isEmpty) Seq(off1) else Seq(off1, off2)
+    val mdat = mp4Box("mdat",
+      chunk1.toArray.flatten ++ junk ++ chunk2.toArray.flatten)
+    ftyp ++ moovOf(offsets) ++ mdat
+  }
+
+  test("Multimodal.MjpegMovFrameSampler REALLY demuxes: sample tables -> decodable JPEGs") {
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    val mov = mjpegMovBytes(colors.map(jpegBytes(8, 8, _)))
+    val sampler = new Multimodal.MjpegMovFrameSampler()
+
+    // n=2 over 4 frames: first and last, timestamped from stts's 40 ms
+    // deltas over mdhd's 1000 timescale
+    val two = sampler.sample("video", mov, durationMs = 160L, n = 2)
+    assert(two.map(_._1) == Seq(0L, 120L))
+    val decoded = two.map { case (_, bytes) =>
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    }
+    assert(decoded.forall(img => img != null && img.getWidth == 8 && img.getHeight == 8))
+    def rgbOf(img: java.awt.image.BufferedImage) = {
+      val p = img.getRGB(4, 4); ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    }
+    val (r1, _, b1) = rgbOf(decoded.head)
+    assert(r1 > 200 && b1 < 80) // frame 0 is red
+    val (r2, g2, b2) = rgbOf(decoded.last)
+    assert(r2 > 200 && g2 > 200 && b2 > 200) // frame 3 is white
+
+    // n above the frame count returns every real frame; n=1 the middle;
+    // the co64 offset form demuxes identically
+    assert(sampler.sample("video", mov, 160L, 10).map(_._1) ==
+      Seq(0L, 40L, 80L, 120L))
+    assert(sampler.sample("video", mov, 160L, 1).map(_._1) == Seq(80L))
+    val mov64 = mjpegMovBytes(colors.map(jpegBytes(8, 8, _)), use64 = true)
+    assert(sampler.sample("video", mov64, 160L, 10).map(_._1) ==
+      Seq(0L, 40L, 80L, 120L))
+
+    // a truncated download keeps its decodable prefix: cutting mdat
+    // after the first two samples leaves exactly frames 0 and 1 (moov
+    // leads the file, so the tables survive the cut)
+    val firstTwo = colors.take(2).map(jpegBytes(8, 8, _)).map(_.length).sum
+    val cut = mov.take((mov.length - mdatTailLen(mov)) + firstTwo)
+    assert(sampler.sample("video", cut, 160L, 10).map(_._1) == Seq(0L, 40L))
+
+    // an AVI routes through the fallback to the REAL AVI demuxer,
+    // byte-for-byte; a BMFF file without a JPEG track falls through to
+    // the deterministic stand-in, never throws
+    val avi = mjpegAviBytes(Seq(0xff0000, 0x00ff00).map(jpegBytes(8, 8, _)))
+    val direct = new Multimodal.MjpegAviFrameSampler().sample("video", avi, 80L, 2)
+    val viaMov = sampler.sample("video", avi, 80L, 2)
+    assert(viaMov.map(_._1) == direct.map(_._1) &&
+      viaMov.zip(direct).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    val fake = new Multimodal.DeterministicFakeFrameSampler()
+    val viaSampler = sampler.sample("video", mp4Bytes, 2500L, 3)
+    val viaFake = fake.sample("video", mp4Bytes, 2500L, 3)
+    assert(viaSampler.map(_._1) == viaFake.map(_._1) &&
+      viaSampler.zip(viaFake).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    assert(sampler.sample("audio", mov, 160L, 2).isEmpty)
+    assert(sampler.sample("video", mov.take(40), 160L, 2).nonEmpty) // falls back
+
+    // the ffmpeg-less default chain now cracks MOV before the stand-in
+    val chain = new Multimodal.FfmpegFrameSampler(binary = "graft-no-such-ffmpeg")
+    val viaChain = chain.sample("video", mov, 160L, 2)
+    assert(viaChain.map(_._1) == two.map(_._1) &&
+      viaChain.zip(two).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+
+    // the distributed path: frame rows come out decodable per-partition
+    val assets = Seq((9L, "video", mov, 160L))
+      .toDF("asset_id", "media_type", "payload", "duration_ms").repartition(2)
+    val rows = Multimodal.sampleFrames(assets, sampler, framesPerAsset = 3)
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 40L, 120L))
+    assert(rows.forall(r => javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame_payload"))) != null))
+  }
+
+  /** Length of the mdat box BODY in a `ftyp ++ moov ++ mdat` fixture —
+    * lets the truncation test cut at an exact sample boundary. */
+  private def mdatTailLen(mov: Array[Byte]): Int = {
+    def be(o: Int) = ((mov(o) & 0xff) << 24) | ((mov(o + 1) & 0xff) << 16) |
+      ((mov(o + 2) & 0xff) << 8) | (mov(o + 3) & 0xff)
+    val ftypLen = be(0)
+    val moovLen = be(ftypLen)
+    mov.length - (ftypLen + moovLen + 8)
   }
 
   test("Multimodal.MjpegAviFrameSampler REALLY demuxes: sampled frames decode as JPEGs") {
