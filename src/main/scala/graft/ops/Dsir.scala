@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection with Importance Resampling (DSIR — Xie et al. 2023,
+  * arXiv:2302.03169): pick raw-corpus documents whose hashed n-gram
+  * distribution resembles a small high-quality target corpus. Two
+  * bag-of-hashed-ngram models are fit — `p_target(bucket)` over the
+  * target corpus, `p_raw(bucket)` over the raw corpus — and each raw
+  * document gets the log importance weight
+  * `sum over its n-gram occurrences of ln p_target(b) - ln p_raw(b)`
+  * (add-`delta` smoothing on both models so unseen buckets stay
+  * finite). Selection then resamples without replacement with
+  * probability proportional to `exp(log_weight / temperature)` via the
+  * Gumbel top-k trick.
+  *
+  * Engine-portable determinism (the library-wide playbook): features
+  * hash into buckets through the 28-bit md5 decode of
+  * [[Sampling.hashUnit]]; each bucket's log-ratio is quantized to a
+  * multiple of 2^-20 ([[TextAnalysis.LogQuantScale]]) and summed as an
+  * exact integer, so a document's weight is independent of partitioning
+  * and re-derivable relationally; the resampler's Gumbel noise is a
+  * pure function of the document id (no RNG state), so a 100 TB
+  * selection is reproducible run-over-run.
+  *
+  * 100 TB shape: both models are bucket-bounded aggregates (map-side
+  * partial aggregation collapses the exploded grams to at most
+  * `numBuckets` rows per task before any shuffle), the per-bucket
+  * ratio table broadcasts (a few hundred KB at the paper's 10k
+  * buckets), scoring is one doc-keyed aggregate over a narrow
+  * broadcast-join, and top-k selection is TakeOrdered — partial top-k
+  * per partition, never a global sort. The raw corpus text never
+  * shuffles.
+  */
+object Dsir {
+
+  /** The 28-bit md5 integer of [[Sampling.hashUnit]]'s decode —
+    * shared by feature bucketing and the Gumbel uniform. */
+  private def hash28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** Exploded hashed features: word n-grams of every size in
+    * `1..maxGram` (the paper's unigram+bigram default) over
+    * lowercased whitespace tokens, bucketed mod `numBuckets`. The
+    * zero-length "gram" an empty text produces is dropped on both the
+    * Spark and oracle sides. */
+  private def featureBuckets(
+      df: DataFrame, keep: Seq[Column], textCol: String,
+      maxGram: Int, numBuckets: Int): DataFrame = {
+    val allGrams = (1 to maxGram)
+      .map(n => TextAnalysis.ngramsOf(col(textCol), n))
+      .reduce(concat(_, _))
+    df.select(keep :+ explode(allGrams).as("__gram"): _*)
+      .filter(length(col("__gram")) > 0)
+      .withColumn("bucket", hash28(col("__gram")) % numBuckets)
+      .drop("__gram")
+  }
+
+  /** One corpus's hashed bag-of-ngrams model: `(bucket, c)` counts,
+    * at most `numBuckets` rows. */
+  private def bucketCounts(
+      df: DataFrame, textCol: String, maxGram: Int, numBuckets: Int): DataFrame =
+    featureBuckets(df, Seq.empty, textCol, maxGram, numBuckets)
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+
+  /** Per-document DSIR log importance weights: `raw` scored against a
+    * `target` corpus. Adds `n_feats` (the document's n-gram occurrence
+    * count — weight terms, with multiplicity) and `log_weight`
+    * (`sum ln p_target(b) - ln p_raw(b)`; `0.0` for a document with no
+    * features — the empty-product convention). `delta` is the
+    * add-delta smoothing mass per bucket (Laplace by default), which
+    * keeps target-unseen buckets finite; raw-side buckets are always
+    * seen because the scored corpus IS the raw model's corpus. */
+  def dsirWeights(
+      raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String,
+      numBuckets: Int = 10000, maxGram: Int = 2,
+      delta: Double = 1.0): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be > 0, got $numBuckets")
+    require(maxGram >= 1, s"maxGram must be >= 1, got $maxGram")
+    require(delta > 0, s"smoothing delta must be > 0, got $delta")
+    val cRaw = bucketCounts(raw, textCol, maxGram, numBuckets)
+      .withColumnRenamed("c", "c_raw")
+    val cTgt = bucketCounts(target, textCol, maxGram, numBuckets)
+      .withColumnRenamed("c", "c_tgt")
+    // collection totals baked as literals (the BM25 model pattern):
+    // two bounded driver-side scalars, not a per-row recompute
+    val tRaw = Option(cRaw.agg(sum("c_raw")).collect().head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val tTgt = Option(cTgt.agg(sum("c_tgt")).collect().head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val denomTgt = tTgt.toDouble + delta * numBuckets
+    val denomRaw = tRaw.toDouble + delta * numBuckets
+    // quantized per-bucket log-ratio: ln p_target - ln p_raw rounded
+    // to 2^-20 units ONCE per bucket, then summed exactly per doc
+    val ratioTable = cRaw.join(cTgt, Seq("bucket"), "left")
+      .select(col("bucket"),
+        round((log((coalesce(col("c_tgt"), lit(0L)).cast("double") + delta)
+          / denomTgt)
+          - log((col("c_raw").cast("double") + delta) / denomRaw))
+          * TextAnalysis.LogQuantScale).cast("long").as("logr_q"))
+    val scored = featureBuckets(raw, Seq(col(idCol)), textCol, maxGram, numBuckets)
+      .join(broadcast(ratioTable), Seq("bucket")) // inner: raw buckets are complete
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_feats"), sum("logr_q").as("__s"))
+    raw.join(scored, Seq(idCol), "left")
+      .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
+      .withColumn("log_weight",
+        coalesce(col("__s"), lit(0L)).cast("double")
+          / TextAnalysis.LogQuantScale)
+      .drop("__s")
+  }
+
+  /** Importance resampling without replacement: the `k` documents with
+    * the largest `log_weight / temperature + Gumbel(id)` keys — the
+    * Gumbel top-k trick, equivalent to sequentially drawing `k`
+    * documents with probability proportional to
+    * `exp(log_weight / temperature)` and removing each draw. The
+    * Gumbel noise `-ln(-ln u)` uses the id's unit hash (offset half a
+    * unit so `u` is never 0 or 1) — deterministic, partition-free,
+    * reproducible. `temperature -> 0` degenerates to plain top-k by
+    * weight; the paper's selection is `temperature = 1`. Ties (same
+    * key — only plausible for identical id hashes) break by id. */
+  def dsirResample(
+      raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      numBuckets: Int = 10000, maxGram: Int = 2,
+      delta: Double = 1.0, temperature: Double = 1.0): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    val u = (hash28(col(idCol).cast("string")).cast("double") + 0.5d) /
+      Sampling.UnitDenominator
+    dsirWeights(raw, target, idCol, textCol, numBuckets, maxGram, delta)
+      .withColumn("gumbel_key",
+        col("log_weight") / temperature - log(-log(u)))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -472,5 +472,109 @@ object CurationQueries {
     },
     bench = true)
 
-  val all: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73, q74, q75, q76)
+  /** 28-bit md5 integer of an arbitrary DuckDB expression — the instr
+    * nibble polynomial (TextQueries.unitHashDuck generalizes over
+    * doc_id only), matching Spark's `conv(substring(md5(x),1,7),16,10)`. */
+  private def md5PolyDuck(x: String): String =
+    (0 until 7).map(j =>
+      s"(instr('0123456789abcdef', substr(md5($x), ${1 + j}, 1)) - 1) * CAST(${1L << (4 * (6 - j))} AS BIGINT)")
+      .mkString(" + ")
+
+  /** Shared CTE prefix for q78/q79: hashed unigram+bigram features of
+    * every document, the two bucket models (raw = doc_id >= 10, target
+    * = doc_id < 10), and the quantized per-bucket log-ratio table —
+    * the relational re-derivation of `Dsir.dsirWeights` with
+    * numBuckets = 4096, delta = 1. Both engines feed `ln` the same
+    * exact (count + 1.0) / (total + 4096.0) ratios and round once per
+    * bucket, so per-doc sums are exact integers. */
+  private val dsirCtesDuck = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]+"
+    s"""toks AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '$ws') AS t
+        FROM documents),
+      grams AS MATERIALIZED (
+        SELECT doc_id, g FROM (
+          SELECT doc_id, t[r.i] AS g
+          FROM toks, LATERAL unnest(generate_series(1, len(t))) r(i)
+          UNION ALL
+          SELECT doc_id, t[r.i] || ' ' || t[r.i + 1] AS g
+          FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) r(i))
+        WHERE g <> ''),
+      feats AS MATERIALIZED (
+        SELECT doc_id, (${md5PolyDuck("g")}) % 4096 AS bucket FROM grams),
+      braw AS (SELECT bucket, count(*) AS c_raw FROM feats
+               WHERE doc_id >= 10 GROUP BY bucket),
+      btgt AS (SELECT bucket, count(*) AS c_tgt FROM feats
+               WHERE doc_id < 10 GROUP BY bucket),
+      tot AS (SELECT (SELECT coalesce(sum(c_raw), 0) FROM braw) AS traw,
+                     (SELECT coalesce(sum(c_tgt), 0) FROM btgt) AS ttgt),
+      tbl AS MATERIALIZED (
+        SELECT bucket,
+          CAST(round((ln((coalesce(c_tgt, 0) + CAST(1.0 AS DOUBLE))
+                        / (ttgt + CAST(4096.0 AS DOUBLE)))
+                    - ln((c_raw + CAST(1.0 AS DOUBLE))
+                        / (traw + CAST(4096.0 AS DOUBLE))))
+                    * CAST(1048576 AS DOUBLE)) AS BIGINT) AS logr_q
+        FROM braw LEFT JOIN btgt USING (bucket), tot),
+      dsir_scored AS MATERIALIZED (
+        SELECT f.doc_id, count(*) AS n_feats, sum(logr_q) AS s
+        FROM feats f JOIN tbl USING (bucket)
+        WHERE f.doc_id >= 10 GROUP BY f.doc_id),
+      dsir_w AS MATERIALIZED (
+        SELECT d.doc_id,
+          CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+          CAST(coalesce(sc.s, 0) AS DOUBLE) / CAST(1048576 AS DOUBLE)
+            AS log_weight
+        FROM documents d LEFT JOIN dsir_scored sc ON sc.doc_id = d.doc_id
+        WHERE d.doc_id >= 10)"""
+  }
+
+  /** DSIR importance weights (library `Dsir.dsirWeights` — Xie et al.
+    * 2023's data-selection signal): the raw split (doc_id >= 10) scored
+    * against the target split (doc_id < 10) under hashed
+    * unigram+bigram models. `log_weight` is a sum of per-bucket
+    * 2^-20-quantized log-ratios — an exact dyadic rational, hash-safe
+    * on both engines. */
+  val q78 = QueryDef(
+    "q78_dsir_weights",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Dsir.dsirWeights(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", numBuckets = 4096)
+        .select(col("doc_id"), col("n_feats"), col("log_weight"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(s"""WITH $dsirCtesDuck
+      SELECT doc_id, n_feats, log_weight FROM dsir_w ORDER BY doc_id"""),
+    bench = true)
+
+  /** DSIR Gumbel top-k resampling (library `Dsir.dsirResample`): the
+    * 100 raw documents with the largest
+    * `log_weight + Gumbel(doc_id hash)` keys — a deterministic draw
+    * proportional to `exp(log_weight)` without replacement. The
+    * selected SET is the oracle surface (the float Gumbel key itself
+    * stays out of the hash: its last-ulp `ln` agreement across engines
+    * is not contractual, the selected rows' exact columns are). */
+  val q79 = QueryDef(
+    "q79_dsir_resample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Dsir.dsirResample(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", k = 100, numBuckets = 4096)
+        .select(col("doc_id"), col("n_feats"), col("log_weight"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(s"""WITH $dsirCtesDuck
+      SELECT doc_id, n_feats, log_weight FROM (
+        SELECT *, log_weight - ln(-ln(
+            (${md5PolyDuck("CAST(doc_id AS VARCHAR)")} + CAST(0.5 AS DOUBLE))
+              / CAST(268435456 AS DOUBLE))) AS gk
+        FROM dsir_w
+        ORDER BY gk DESC, doc_id LIMIT 100)
+      ORDER BY doc_id"""),
+    bench = true)
+
+  val all: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79)
 }

@@ -156,6 +156,21 @@ object ProfileScale {
     def q76(d: DataFrame) = Dedup.exactSubstrSpans(d, "doc_id", "text", k = 5)
       .select(col("doc_id"), col("n_dup_windows"), col("n_spans"),
         col("n_dup_tokens"), col("clean_text"))
+    // Bloom decontamination under the same fixed-eval shape as q61:
+    // the sketch build cost is constant in corpus size, the probe is
+    // narrow — only the candidate sliver should grow with the corpus
+    def q77(d: DataFrame) = TextAnalysis.bloomDecontaminate(
+      d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+      "doc_id", "text", n = 3, minOverlap = 5L,
+      expectedEvalGrams = 1L << 12, numBits = 1L << 16)
+      .select(col("doc_id"), col("n_overlap"), col("contaminated"))
+    // DSIR under the q61/q77 fixed-target shape: the raw model and the
+    // scoring pass grow with the corpus, the target model and the
+    // bucket-ratio broadcast stay constant-size
+    def q78(d: DataFrame) = graft.ops.Dsir.dsirWeights(
+      d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+      "doc_id", "text", numBuckets = 4096)
+      .select(col("doc_id"), col("n_feats"), col("log_weight"))
 
     // Time CONSTRUCTION + execution: the dedup pipeline materializes
     // its stage boundaries eagerly (localCheckpoint) while the plan is
@@ -190,7 +205,9 @@ object ProfileScale {
       ("q73 domain-cap", () => q73(docs), () => q73(docs10)),
       ("q74 corpus-stats", () => q74(docs), () => q74(docs10)),
       ("q75 bpe", () => q75(docs), () => q75(docs10)),
-      ("q76 exact-substr", () => q76(docs), () => q76(docs10))).map { case (name, at1, atN) =>
+      ("q76 exact-substr", () => q76(docs), () => q76(docs10)),
+      ("q77 bloom-decon", () => q77(docs), () => q77(docs10)),
+      ("q78 dsir", () => q78(docs), () => q78(docs10))).map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)
       val tN = run(s"$name x$factor", atN)
