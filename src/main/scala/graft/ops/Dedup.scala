@@ -317,16 +317,11 @@ object Dedup {
       .drop("__toks")
   }
 
-  /** `k`-token windows of an already-split token array, by the same
-    * staggered-slice zip (narrow, no outer-column lambda references)
-    * as TextAnalysis.ngramsOf — but case-preserving: exact-substring
-    * semantics must not equate `The` with `the`. */
-  private def tokenNgrams(toks: Column, n: Int): Column = {
-    val len = greatest(size(toks) - (n - 1), lit(0))
-    (2 to n).foldLeft(slice(toks, lit(1), len)) { (acc, j) =>
-      zip_with(acc, slice(toks, lit(j), len), (a, b) => concat(a, lit(" "), b))
-    }
-  }
+  /** Case-preserving `k`-token windows (exact-substring semantics must
+    * not equate `The` with `the`) — the canonical staggered-slice zip
+    * lives in [[TextAnalysis.ngramsOfTokens]]. */
+  private def tokenNgrams(toks: Column, n: Int): Column =
+    TextAnalysis.ngramsOfTokens(toks, n)
 
   /** Hamming distance between two equal-length hex-string fingerprint
     * COLUMN NAMES (bit_count over per-nibble XOR). */

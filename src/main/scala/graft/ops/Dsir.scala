@@ -37,8 +37,7 @@ object Dsir {
 
   /** The 28-bit md5 integer of [[Sampling.hashUnit]]'s decode —
     * shared by feature bucketing and the Gumbel uniform. */
-  private def hash28(c: Column): Column =
-    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+  private def hash28(c: Column): Column = Sampling.hash28(c)
 
   /** Exploded hashed features: word n-grams of every size in
     * `1..maxGram` (the paper's unigram+bigram default) over
@@ -80,28 +79,30 @@ object Dsir {
     require(numBuckets > 0, s"numBuckets must be > 0, got $numBuckets")
     require(maxGram >= 1, s"maxGram must be >= 1, got $maxGram")
     require(delta > 0, s"smoothing delta must be > 0, got $delta")
+    // both models are driver-resident (the BM25/bloom model pattern):
+    // at most numBuckets rows each, collected ONCE at construction —
+    // executing the returned plan re-scans neither corpus for them
     val cRaw = bucketCounts(raw, textCol, maxGram, numBuckets)
-      .withColumnRenamed("c", "c_raw")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val cTgt = bucketCounts(target, textCol, maxGram, numBuckets)
-      .withColumnRenamed("c", "c_tgt")
-    // collection totals baked as literals (the BM25 model pattern):
-    // two bounded driver-side scalars, not a per-row recompute
-    val tRaw = Option(cRaw.agg(sum("c_raw")).collect().head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val tTgt = Option(cTgt.agg(sum("c_tgt")).collect().head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val denomTgt = tTgt.toDouble + delta * numBuckets
-    val denomRaw = tRaw.toDouble + delta * numBuckets
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val denomTgt = cTgt.values.sum.toDouble + delta * numBuckets
+    val denomRaw = cRaw.values.sum.toDouble + delta * numBuckets
     // quantized per-bucket log-ratio: ln p_target - ln p_raw rounded
-    // to 2^-20 units ONCE per bucket, then summed exactly per doc
-    val ratioTable = cRaw.join(cTgt, Seq("bucket"), "left")
-      .select(col("bucket"),
-        round((log((coalesce(col("c_tgt"), lit(0L)).cast("double") + delta)
-          / denomTgt)
-          - log((col("c_raw").cast("double") + delta) / denomRaw))
-          * TextAnalysis.LogQuantScale).cast("long").as("logr_q"))
+    // to 2^-20 units ONCE per bucket (Math.log — the same function
+    // Spark's codegen'd log calls), then summed exactly per doc
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val ratioTable = broadcast(cRaw.toSeq.map { case (bucket, cr) =>
+      val lr = math.log((cTgt.getOrElse(bucket, 0L).toDouble + delta) / denomTgt) -
+        math.log((cr.toDouble + delta) / denomRaw)
+      // HALF_UP, not math.round: Spark's round() and DuckDB's round
+      // both take half-integers AWAY from zero, math.round floors them
+      (bucket, BigDecimal(lr * TextAnalysis.LogQuantScale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.toDF("bucket", "logr_q"))
     val scored = featureBuckets(raw, Seq(col(idCol)), textCol, maxGram, numBuckets)
-      .join(broadcast(ratioTable), Seq("bucket")) // inner: raw buckets are complete
+      .join(ratioTable, Seq("bucket")) // inner: raw buckets are complete
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_feats"), sum("logr_q").as("__s"))
     raw.join(scored, Seq(idCol), "left")

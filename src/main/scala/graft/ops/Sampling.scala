@@ -19,12 +19,18 @@ object Sampling {
     * compares bit-identically on any IEEE754 engine). */
   val UnitDenominator: Double = (1L << 28).toDouble
 
+  /** The 28-bit md5 integer behind [[hashUnit]] — the single source of
+    * the engine-portable decode, shared with [[Dsir]]'s feature
+    * bucketing and Gumbel uniform so the two modules can never
+    * silently diverge from the DuckDB nibble-polynomial mirror. */
+  private[ops] def hash28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
   /** Uniform [0,1) hash of the id: the first 7 hex digits of
     * md5(id as string) as a 28-bit integer over 2^28. DuckDB spells
     * the same decode as an instr nibble polynomial (q60's oracle). */
   def hashUnit(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 7), 16, 10)
-      .cast("long").cast("double") / UnitDenominator
+    hash28(id.cast("string")).cast("double") / UnitDenominator
 
   /** Keep rows whose unit hash falls below `fraction` — a
     * deterministic Bernoulli sample. */

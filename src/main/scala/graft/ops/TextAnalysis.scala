@@ -195,9 +195,17 @@ object TextAnalysis {
     * Catalyst inlined the split expression per element — quadratic
     * per row, 5.9 s for the corpus vs ~0.4 s for this one.) Rows with
     * fewer than `n` tokens get an empty array. */
-  def ngramsOf(text: Column, n: Int): Column = {
+  def ngramsOf(text: Column, n: Int): Column =
+    ngramsOfTokens(split(trim(lower(text)), "\\s+"), n)
+
+  /** `n`-token windows of an already-split token array, by the
+    * staggered-slice zip (narrow, no outer-column lambda references —
+    * the shape that keeps Catalyst from re-inlining the tokenizer
+    * combinatorially). The one canonical copy: [[ngramsOf]] feeds it
+    * lowercased tokens, `Dedup.exactSubstrSpans` case-preserving
+    * ones. */
+  private[ops] def ngramsOfTokens(toks: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val toks = split(trim(lower(text)), "\\s+")
     val len = greatest(size(toks) - (n - 1), lit(0))
     (2 to n).foldLeft(slice(toks, lit(1), len)) { (acc, k) =>
       zip_with(acc, slice(toks, lit(k), len), (a, b) => concat(a, lit(" "), b))
