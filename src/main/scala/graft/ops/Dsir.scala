@@ -35,6 +35,11 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
+  /** Ceiling on `numBuckets` (2^22): both bucket models are collected
+    * to the driver and the log-ratio table broadcasts, so the model
+    * must stay MBs-sized at any corpus scale. */
+  val MaxBuckets: Int = 1 << 22
+
   /** The 28-bit md5 integer of [[Sampling.hashUnit]]'s decode —
     * shared by feature bucketing and the Gumbel uniform. */
   private def hash28(c: Column): Column = Sampling.hash28(c)
@@ -77,6 +82,14 @@ object Dsir {
       numBuckets: Int = 10000, maxGram: Int = 2,
       delta: Double = 1.0): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be > 0, got $numBuckets")
+    // both models are collected to the driver (O(numBuckets) rows each)
+    // and the ratio table broadcasts — a bucket count beyond ~4M stops
+    // being "a few MB of driver-resident model" and means the caller
+    // confused feature buckets with a per-gram vocabulary
+    require(numBuckets <= Dsir.MaxBuckets,
+      s"numBuckets must be <= ${Dsir.MaxBuckets} (both bucket models are " +
+        s"driver-collected and broadcast; hashed-ngram DSIR needs ~10k buckets, " +
+        s"not a vocabulary), got $numBuckets")
     require(maxGram >= 1, s"maxGram must be >= 1, got $maxGram")
     require(delta > 0, s"smoothing delta must be > 0, got $delta")
     // both models are driver-resident (the BM25/bloom model pattern):

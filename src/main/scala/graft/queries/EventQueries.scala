@@ -8,23 +8,32 @@ import QueryDef._
   * FK-cascade and binary-metadata demonstrations. */
 object EventQueries {
 
-  /** Hourly tumbling-window aggregation. The events parquet stores
-    * nanosecond timestamps, which Spark's vectorized reader does not
-    * widen — we read them as raw int64 nanos
-    * (spark.sql.legacy.parquet.nanosAsLong) and bucket with exact
+  /** Hourly tumbling-window aggregation. The events parquet has stored
+    * `ts` as TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    * reads raw via spark.sql.legacy.parquet.nanosAsLong — set by every
+    * entry point) in some generations and TIMESTAMP(MICROS) in others —
+    * so the bucketing adapts to the schema it actually reads: either
+    * way `ts` becomes exact int64 epoch nanos, bucketed with exact
     * integer division; DuckDB's epoch_ns lands in the same bucket. */
   val q35 = QueryDef(
     "q35_events_hourly",
     (s, dir) => {
-      // nanosAsLong is set by every entry point (QueryDef.NanosConf) —
-      // query functions never mutate session state.
-      t(s, dir, "events")
+      val ev = t(s, dir, "events")
+      val tsNanos = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts") // nanosAsLong path
+        // TIMESTAMP/TIMESTAMP_NTZ micros; the session zone is UTC at
+        // every entry point, so the NTZ->instant cast is the identity
+        case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+      }
+      ev
         // FLOOR division in exact long arithmetic: `div` truncates toward
         // zero, so a pre-1970 (negative) timestamp would land one
         // bucket higher than DuckDB's floor-dividing `//`; subtracting
         // the (always non-negative) pmod first makes the quotient exact
+        .withColumn("__ns", tsNanos)
         .withColumn("hour_bucket",
-          expr("(ts - pmod(ts, 3600000000000)) div 3600000000000"))
+          expr("(__ns - pmod(__ns, 3600000000000)) div 3600000000000"))
+        .drop("__ns")
         .groupBy("event_type", "hour_bucket")
         .agg(count(lit(1)).as("n"),
           round(sum(round(col("value") * 100)) / 100, 2).as("sum_value"))

@@ -1695,4 +1695,13 @@ class OpsSpec extends SparkSpec {
     assert(Dsir.dsirResample(raw, target, "doc_id", "text", k = 99,
       numBuckets = 512).count() == 5)
   }
+
+  test("Dsir: numBuckets beyond the driver-model ceiling fails loudly") {
+    val df = Seq((0L, "a b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dsir.dsirWeights(df, df, "doc_id", "text", numBuckets = (1 << 22) + 1)
+    }
+    assert(e.getMessage.contains("driver-collected"))
+    assert(e.getMessage.contains((1 << 22).toString))
+  }
 }
