@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.{BpeSymbols, BpeVocab}
+
+/** Greedy BPE merge-table TRAINING (Sennrich et al. 2016 — the learning
+  * half of the tokenizer; [[graft.plans.BpeTokenize]] is the applying
+  * half): pre-tokenize the corpus with the GPT-2 pattern, collapse to
+  * DISTINCT pieces with occurrence weights, then repeat `numMerges`
+  * times: count adjacent symbol pairs (weighted by piece frequency),
+  * pick the max-count pair with a deterministic tie-break (count desc,
+  * then pair lexicographic — byte order, the same collation Spark,
+  * DuckDB and a plain string sort all agree on), and merge every
+  * left-to-right non-overlapping occurrence of it in every piece.
+  *
+  * Engine-portable determinism: every quantity is an exact integer
+  * (weighted pair counts) and the tie-break is total, so the learned
+  * table is bit-identical on any partitioning and re-derivable
+  * relationally round by round — the q80 oracle replays the exact
+  * loop in DuckDB.
+  *
+  * 100 TB shape: the corpus is touched ONCE (pre-tokenize + piece
+  * count — one shuffle keyed by piece with map-side partial agg); all
+  * training rounds run on the DISTINCT-piece table, which is
+  * vocabulary-bounded (Zipf), not corpus-bounded. Each round is one
+  * pair-space-bounded aggregate (map-side partials collapse to at most
+  * |symbol-vocab|^2 rows per task), one TakeOrdered(1) — never a
+  * global sort — and one narrow per-row merge pass, checkpointed so
+  * the plan stays linear across rounds (the `trainCodebook` /
+  * `connectedComponents` bounded-rounds pattern). Real tokenizers run
+  * tens of thousands of merges; each round is cheap here (the working
+  * set is the piece table), but the loop is inherently sequential —
+  * train on a SAMPLE of a 100 TB corpus, as every production tokenizer
+  * pipeline does, rather than scaling rounds to the full corpus.
+  */
+object BpeTrain {
+
+  /** One learned merge: `rank` is the merge order (0-based — exactly
+    * the merges.txt line order), `pairCount` the weighted adjacent-pair
+    * count that won the round. */
+  final case class LearnedMerge(rank: Int, left: String, right: String, pairCount: Long)
+
+  /** Learn `numMerges` merges from `df`'s `textCol`. Stops early when
+    * no adjacent pair reaches `minPairCount` (default 2 — a merge
+    * occurring once compresses nothing). */
+  def train(
+      df: DataFrame, textCol: String, numMerges: Int,
+      byteLevel: Boolean = true, minPairCount: Long = 2L): Seq[LearnedMerge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val spark = df.sparkSession
+    BpeSymbols.register(spark)
+    // the ONE corpus-wide pass: pieces -> weights. Everything after
+    // runs on the vocabulary-bounded distinct-piece table.
+    val pieces = df
+      .select(explode(regexp_extract_all(
+        col(textCol), lit(graft.ops.TextAnalysis.BpePattern), lit(0))).as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("w"))
+    var words = pieces
+      .select(call_function("graft_bpe_syms", col("piece"), lit(byteLevel)).as("syms"),
+        col("w"))
+      .filter(size(col("syms")) >= 2) // single-symbol pieces never pair
+      .localCheckpoint(true)
+
+    val out = Seq.newBuilder[LearnedMerge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      // weighted adjacent-pair counts: the staggered-slice zip (no
+      // outer-column lambda references), exploded once, aggregated with
+      // map-side partials over the bounded pair space; the argmax is
+      // TakeOrdered(1), not a global sort
+      val best = words
+        .select(col("w"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("w").as("c"))
+        .filter(col("c") >= minPairCount)
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, c) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        out += LearnedMerge(rank, l, r, c)
+        words = words
+          .withColumn("syms", applyMerge(col("syms"), l, r))
+          .filter(size(col("syms")) >= 2) // fully-merged pieces retire
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  /** [[train]] packaged as a ready-to-apply [[BpeVocab]] — feeds
+    * [[TextAnalysis.bpeTokens]] unchanged. */
+  def trainVocab(
+      df: DataFrame, textCol: String, numMerges: Int,
+      byteLevel: Boolean = true, minPairCount: Long = 2L): BpeVocab = {
+    val merges = train(df, textCol, numMerges, byteLevel, minPairCount)
+    require(merges.nonEmpty,
+      s"BPE training learned no merges (no adjacent pair reached " +
+        s"minPairCount=$minPairCount) — the corpus is empty or degenerate")
+    BpeVocab(merges.sortBy(_.rank).map(m => m.left -> m.right), byteLevel)
+  }
+
+  /** Merge every left-to-right non-overlapping occurrence of `(l, r)`
+    * in a symbol array — the BPE apply step, as a narrow fold: the
+    * accumulator carries the emitted prefix plus one pending symbol,
+    * so a merged composite is never itself re-merged in the same pass
+    * ("a a a" under (a,a) yields ["aa","a"], not ["aa","aa"]). The
+    * lambda touches only its accumulator and element (no outer-column
+    * references — the Catalyst inlining trap). O(len^2) array appends
+    * per piece per round is fine: pieces are pre-tokenizer words. */
+  private def applyMerge(syms: Column, l: String, r: String): Column = {
+    val emptyOut = expr("CAST(array() AS array<string>)")
+    val noPending = lit(null).cast("string")
+    aggregate(
+      syms,
+      struct(emptyOut.as("out"), noPending.as("prev")),
+      (acc, x) => {
+        val outA = acc.getField("out")
+        val prev = acc.getField("prev")
+        when(prev.isNull, struct(outA.as("out"), x.as("prev")))
+          .when(prev === lit(l) && x === lit(r),
+            struct(concat(outA, array(lit(l + r))).as("out"), noPending.as("prev")))
+          .otherwise(struct(concat(outA, array(prev)).as("out"), x.as("prev")))
+      },
+      acc => when(acc.getField("prev").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("prev")))))
+  }
+}

@@ -80,6 +80,19 @@ object BpeVocab {
     BpeVocab(pairs, byteLevel)
   }
 
+  /** Initial symbol sequence of one pre-tokenizer piece — the state BPE
+    * merges start from. Byte-level maps each UTF-8 byte through
+    * [[ByteToChar]] (the GPT-2 mode); code-point mode splits into
+    * Unicode code points (never splitting a surrogate pair). Shared by
+    * [[BpeTokenize]] (apply) and [[BpeSymbols]]/`BpeTrain` (train). */
+  def initialSymbols(piece: String, byteLevel: Boolean): Array[String] =
+    if (byteLevel) {
+      val bytes = piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      Array.tabulate(bytes.length)(i => String.valueOf(ByteToChar(bytes(i) & 0xFF)))
+    } else {
+      piece.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    }
+
   /** Merge table from a DataFrame (`leftCol`, `rightCol`, ordered by
     * `rankCol`). The collect is bounded vocabulary-size (~50k rows for
     * GPT-2) — driver-resident like every codebook in this library. */
@@ -140,20 +153,11 @@ case class BpeTokenize(child: Expression, vocab: BpeVocab)
         }
     }
 
-  private def initialSymbols(piece: String): Array[String] =
-    if (vocab.byteLevel) {
-      val bytes = piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      Array.tabulate(bytes.length)(i => String.valueOf(BpeVocab.ByteToChar(bytes(i) & 0xFF)))
-    } else {
-      // code points, not chars: never split a surrogate pair
-      piece.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
-    }
-
   private def encodePiece(piece: String): Array[String] = {
     val c = cache.get()
     val hit = c.get(piece)
     if (hit != null) return hit
-    var word = initialSymbols(piece)
+    var word = BpeVocab.initialSymbols(piece, vocab.byteLevel)
     val ranks = vocab.ranks
     var done = word.length < 2
     while (!done) {
@@ -244,5 +248,49 @@ object BpeTokenize {
         s"graft_bpe argument 3 must be a boolean literal, got $other")
     }
     BpeTokenize(exprs.head, BpeVocab(merges, byteLevel))
+  }
+}
+
+/** Initial BPE symbol sequence of a pre-tokenizer piece:
+  * `string -> array<string>` via [[BpeVocab.initialSymbols]] — the
+  * round-zero state BPE merge TRAINING starts from (`graft.ops
+  * .BpeTrain` maps every distinct piece through this once, then all
+  * training rounds operate on the symbol arrays). Narrow, zero
+  * shuffle; CodegenFallback like the other graft expressions. */
+case class BpeSymbols(child: Expression, byteLevel: Boolean)
+  extends UnaryExpression with CodegenFallback with Serializable {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_syms"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val syms = BpeVocab.initialSymbols(input.asInstanceOf[UTF8String].toString, byteLevel)
+    new GenericArrayData(syms.map(UTF8String.fromString).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSymbols =
+    copy(child = newChild)
+}
+
+object BpeSymbols {
+  /** Register `graft_bpe_syms(piece[, byte_level])`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    NativeFunctions.registerOnce(spark, "graft_bpe_syms", builder)
+
+  private[plans] def builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1 || exprs.length == 2,
+      s"graft_bpe_syms takes 1 or 2 arguments, got ${exprs.length}")
+    val byteLevel = exprs.lift(1) match {
+      case None => true
+      case Some(Literal(b: Boolean, BooleanType)) => b
+      case Some(other) => sys.error(
+        s"graft_bpe_syms argument 2 must be a boolean literal, got $other")
+    }
+    BpeSymbols(exprs.head, byteLevel)
   }
 }

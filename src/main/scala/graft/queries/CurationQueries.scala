@@ -576,5 +576,68 @@ object CurationQueries {
       ORDER BY doc_id"""),
     bench = true)
 
-  val all: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79)
+  /** BPE merge-table TRAINING (library `BpeTrain.train` — the learning
+    * half q75 applies): 24 greedy rounds over the documents corpus,
+    * each round = weighted adjacent-pair count over the distinct-piece
+    * table, argmax with the (count desc, pair lexicographic)
+    * tie-break, merge-all-occurrences apply. The oracle replays the
+    * EXACT loop round by round as an unrolled CTE chain: piece symbol
+    * sequences ride as chr(31)-wrapped strings (`␟s␟␟y␟␟m␟...`), and
+    * one merge step is a single `replace('␟l␟␟r␟' -> '␟lr␟')` — SQL
+    * replace scans left-to-right past each substitution, which IS the
+    * non-overlapping merge-all semantics ("a a a" -> ["aa","a"]).
+    * Hash covers every learned (rank, left, right, weighted count). */
+  // defined BEFORE q80: a forward val reference inside an object body
+  // reads the uninitialized default (0) at construction time
+  private val BpeTrainRounds = 24
+
+  val q80 = QueryDef(
+    "q80_bpe_train",
+    (s, dir) => {
+      val learned = graft.ops.BpeTrain.train(
+        t(s, dir, "documents"), "text", numMerges = BpeTrainRounds)
+      import s.implicits._
+      learned.map(m => (m.rank, m.left, m.right, m.pairCount))
+        .toDF("merge_rank", "lhs", "rhs", "pair_count")
+        .oracleOrderBy("merge_rank")
+    },
+    Some(bpeTrainOracle(BpeTrainRounds)),
+    bench = true)
+
+  /** The unrolled round-by-round DuckDB re-derivation of
+    * `BpeTrain.train(numMerges = n, minPairCount = 2)`. */
+  private def bpeTrainOracle(n: Int): String = {
+    val p = graft.ops.TextAnalysis.BpePattern.replace("'", "''")
+    val S = "chr(31)"
+    val head = s"""words AS MATERIALIZED (
+        SELECT replace(piece, ' ', 'Ġ') AS piece, CAST(count(*) AS BIGINT) AS w
+        FROM (SELECT unnest(regexp_extract_all(text, '$p')) AS piece
+              FROM documents WHERE text IS NOT NULL)
+        GROUP BY 1),
+      r0 AS MATERIALIZED (
+        SELECT w, $S || array_to_string(string_split(piece, ''), $S||$S) || $S AS s
+        FROM words)"""
+    val rounds = (0 until n).map { i =>
+      s"""p$i AS (
+        SELECT l, r, CAST(sum(w) AS BIGINT) AS c FROM (
+          SELECT w, syms[i] AS l, syms[i+1] AS r
+          FROM (SELECT w, string_split(trim(s, $S), $S||$S) AS syms FROM r$i),
+               LATERAL unnest(range(1, len(syms))) t(i))
+        GROUP BY l, r),
+      b$i AS MATERIALIZED (
+        SELECT l, r, c FROM p$i WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1),
+      r${i + 1} AS MATERIALIZED (
+        SELECT w, CASE WHEN b.l IS NULL THEN s
+          ELSE replace(s, $S||b.l||$S||$S||b.r||$S, $S||b.l||b.r||$S) END AS s
+        FROM r$i LEFT JOIN b$i b ON TRUE)"""
+    }
+    val union = (0 until n)
+      .map(i => s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $head,
+      ${rounds.mkString(",\n      ")}
+      SELECT * FROM ($union) ORDER BY merge_rank"""
+  }
+
+  val all: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80)
 }

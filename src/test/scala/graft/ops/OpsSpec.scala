@@ -480,6 +480,56 @@ class OpsSpec extends SparkSpec {
       Seq("t" -> "h", "Ġ" -> "t"))
   }
 
+  test("BpeTrain: learns the classic greedy merge sequence, stops when pairs dry up") {
+    // the textbook BPE corpus (word frequencies): hug x10, pug x5,
+    // pun x12, bun x4, hugs x5 — one word per row so every piece is
+    // bare (no leading-space Ġ variants to track by hand)
+    val corpus = (
+      Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(12)("pun") ++
+        Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text").repartition(4)
+    val learned = BpeTrain.train(corpus, "text", numMerges = 10)
+    // hand-derived greedy sequence, weighted counts included; round 4
+    // is a genuine tie ((hug,s)=5 vs (p,ug)=5) broken lexicographically
+    assert(learned.map(m => (m.rank, m.left, m.right, m.pairCount)) == Seq(
+      (0, "u", "g", 20L), (1, "u", "n", 16L), (2, "h", "ug", 15L),
+      (3, "p", "un", 12L), (4, "hug", "s", 5L), (5, "p", "ug", 5L),
+      (6, "b", "un", 4L)))
+    // asked for 10, pairs ran dry after 7 — early stop, not padding
+
+    // partitioning must not change a single learned merge
+    val again = BpeTrain.train(corpus.repartition(1), "text", numMerges = 10)
+    assert(again == learned)
+
+    // train -> apply round-trip: the learned table drives bpeTokens
+    // unchanged, reproducing the known GPT-2-style tokenization
+    val vocab = BpeTrain.trainVocab(corpus, "text", numMerges = 10)
+    val toks = Seq((0L, "hugs pun")).toDF("doc_id", "text")
+      .select(TextAnalysis.bpeTokens(col("text"), vocab).as("toks"))
+      .collect().head.getSeq[String](0).toList
+    // "hugs" merges to one token; " pun" maps to [Ġ,p,u,n] and merges
+    // (u,n) then (p,un) — no (Ġ,pun) was learned, so Ġ stays alone
+    assert(toks == List("hugs", "Ġ", "pun"))
+  }
+
+  test("BpeTrain: char-level mode, minPairCount floor, degenerate corpus") {
+    val corpus = Seq((0L, "ab"), (1L, "ab"), (2L, "ab"), (3L, "b"))
+      .toDF("doc_id", "text")
+    val learned = BpeTrain.train(corpus, "text", numMerges = 5, byteLevel = false)
+    assert(learned.map(m => (m.left, m.right, m.pairCount)) == Seq(("a", "b", 3L)))
+
+    // raising the floor excludes the pair entirely
+    assert(BpeTrain.train(corpus, "text", numMerges = 5, byteLevel = false,
+      minPairCount = 4L).isEmpty)
+    // trainVocab on a degenerate corpus fails loudly instead of
+    // building an unusable empty vocabulary
+    val single = Seq((0L, "a")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      BpeTrain.trainVocab(single, "text", numMerges = 3))
+    assert(e.getMessage.contains("no merges"))
+  }
+
   test("packChunks over TRUE BPE counts: boundaries follow the real tokenizer") {
     val vocab = graft.plans.BpeVocab(bpeFixture)
     val counted = docs
