@@ -48,8 +48,9 @@ object Dsir {
     * `1..maxGram` (the paper's unigram+bigram default) over
     * lowercased whitespace tokens, bucketed mod `numBuckets`. The
     * zero-length "gram" an empty text produces is dropped on both the
-    * Spark and oracle sides. */
-  private def featureBuckets(
+    * Spark and oracle sides. Shared feature machinery — the
+    * [[NbClassifier]] trains over exactly these buckets. */
+  private[ops] def featureBuckets(
       df: DataFrame, keep: Seq[Column], textCol: String,
       maxGram: Int, numBuckets: Int): DataFrame = {
     val allGrams = (1 to maxGram)
@@ -60,6 +61,15 @@ object Dsir {
       .withColumn("bucket", hash28(col("__gram")) % numBuckets)
       .drop("__gram")
   }
+
+  /** Quantize a log-probability (or log-ratio) to an exact integer
+    * multiple of 2^-20. HALF_UP, not math.round: Spark's round() and
+    * DuckDB's round both take half-integers AWAY from zero, math.round
+    * floors them. Shared by the DSIR ratio table and the
+    * [[NbClassifier]] model. */
+  private[ops] def quantLog(x: Double): Long =
+    BigDecimal(x * TextAnalysis.LogQuantScale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 
   /** One corpus's hashed bag-of-ngrams model: `(bucket, c)` counts,
     * at most `numBuckets` rows. */
@@ -109,10 +119,7 @@ object Dsir {
     val ratioTable = broadcast(cRaw.toSeq.map { case (bucket, cr) =>
       val lr = math.log((cTgt.getOrElse(bucket, 0L).toDouble + delta) / denomTgt) -
         math.log((cr.toDouble + delta) / denomRaw)
-      // HALF_UP, not math.round: Spark's round() and DuckDB's round
-      // both take half-integers AWAY from zero, math.round floors them
-      (bucket, BigDecimal(lr * TextAnalysis.LogQuantScale)
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      (bucket, quantLog(lr))
     }.toDF("bucket", "logr_q"))
     val scored = featureBuckets(raw, Seq(col(idCol)), textCol, maxGram, numBuckets)
       .join(ratioTable, Seq("bucket")) // inner: raw buckets are complete

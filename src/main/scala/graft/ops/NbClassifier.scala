@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Trained multinomial Naive Bayes over hashed n-gram features — the
+  * REAL language/quality classifier the marker-list
+  * [[TextAnalysis.languageId]] heuristic stands in for: instead of a
+  * handful of hand-picked marker words, the model learns per-class
+  * distributions over the SAME hashed unigram+bigram buckets DSIR
+  * selection uses ([[Dsir.featureBuckets]] — fastText-style bag of
+  * hashed n-grams).
+  *
+  * `score_c(doc) = ln P(c) + sum over the doc's n-gram occurrences of
+  * ln P(bucket | c)` with add-`delta` smoothing
+  * (`P(b|c) = (count(b,c) + delta) / (total_c + delta * numBuckets)`),
+  * predicted class = argmax (ties -> lexicographically first label).
+  *
+  * Engine-portable determinism (the library playbook): every per-term
+  * log-probability is quantized ONCE to a multiple of 2^-20
+  * ([[TextAnalysis.LogQuantScale]], HALF_UP) at model construction and
+  * documents sum exact integers — scores are bit-identical on any
+  * partitioning and re-derivable relationally (the q81 oracle checks
+  * every doc's per-class integer score).
+  *
+  * 100 TB shape: training is ONE bucket-bounded aggregate over the
+  * labeled corpus (map-side partials collapse the exploded grams to at
+  * most `numBuckets * numClasses` rows per task) plus a class-count
+  * aggregate; the model is driver-resident and bounded
+  * (`numBuckets * numClasses` integers — the [[Dsir.MaxBuckets]]
+  * ceiling applies). Scoring broadcasts the model, probes it with one
+  * equi-join against each document's exploded features, and reduces
+  * with ONE doc-keyed sum. The corpus text never shuffles.
+  */
+object NbClassifier {
+
+  /** Classes beyond this make the per-class score columns (and the
+    * `numBuckets * numClasses` model) a design smell — a 1000-class
+    * problem wants a label-keyed long model layout, not columns. */
+  val MaxClasses: Int = 64
+
+  /** Driver-resident trained model. `labels` sorted ascending;
+    * `priorQ`/`defaultQ` align with it; each `buckets` row carries the
+    * per-label quantized `ln P(bucket | label)` in the same order
+    * (`defaultQ` is the score of a bucket the training corpus never
+    * produced: `Q(ln(delta / (total_c + delta * numBuckets)))`). */
+  final case class NbModel(
+      labels: Seq[String],
+      priorQ: Seq[Long],
+      defaultQ: Seq[Long],
+      buckets: Seq[(Long, Seq[Long])],
+      numBuckets: Int, maxGram: Int, delta: Double) {
+    override def toString: String =
+      s"NbModel(${labels.size} classes, ${buckets.size}/$numBuckets buckets, " +
+        s"maxGram=$maxGram, delta=$delta)"
+  }
+
+  /** Fit the model from a labeled corpus: per-class document counts
+    * (priors) + per-(class, bucket) occurrence counts, both
+    * bucket-bounded aggregates collected once. NULL labels fail
+    * loudly — silently folding unknowns into a pseudo-class would
+    * corrupt every prior. */
+  def train(
+      df: DataFrame, labelCol: String, textCol: String,
+      numBuckets: Int = 10000, maxGram: Int = 2,
+      delta: Double = 1.0): NbModel = {
+    require(numBuckets > 0 && numBuckets <= Dsir.MaxBuckets,
+      s"numBuckets must be in 1..${Dsir.MaxBuckets} (the model is " +
+        s"driver-resident and broadcast), got $numBuckets")
+    require(maxGram >= 1, s"maxGram must be >= 1, got $maxGram")
+    require(delta > 0, s"smoothing delta must be > 0, got $delta")
+    val classCounts = df.groupBy(col(labelCol).cast("string").as("__lbl"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map { r =>
+        require(!r.isNullAt(0),
+          s"NbClassifier.train: NULL label in '$labelCol' — drop or impute first")
+        r.getString(0) -> r.getLong(1)
+      }.toMap
+    require(classCounts.nonEmpty, "NbClassifier.train: empty training corpus")
+    require(classCounts.size <= MaxClasses,
+      s"NbClassifier.train: ${classCounts.size} classes exceeds $MaxClasses — " +
+        "a wide-class problem wants a label-keyed model, not score columns")
+    val labels = classCounts.keys.toSeq.sorted
+    val nTotal = classCounts.values.sum.toDouble
+
+    // ONE corpus pass: (class, bucket) occurrence counts
+    val bc = Dsir.featureBuckets(
+        df.select(col(labelCol).cast("string").as("__lbl"), col(textCol)),
+        Seq(col("__lbl")), textCol, maxGram, numBuckets)
+      .groupBy("__lbl", "bucket").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val totals = labels.map(l =>
+      bc.collect { case ((`l`, _), c) => c }.sum)
+    val denoms = totals.map(_.toDouble + delta * numBuckets)
+    val priorQ = labels.map(l => Dsir.quantLog(math.log(classCounts(l) / nTotal)))
+    val defaultQ = denoms.map(d => Dsir.quantLog(math.log(delta / d)))
+    val allBuckets = bc.keys.map(_._2).toSeq.distinct.sorted
+    val rows = allBuckets.map { b =>
+      b -> labels.zipWithIndex.map { case (l, i) =>
+        Dsir.quantLog(math.log((bc.getOrElse((l, b), 0L).toDouble + delta) / denoms(i)))
+      }
+    }
+    NbModel(labels, priorQ, defaultQ, rows, numBuckets, maxGram, delta)
+  }
+
+  /** Score `docs` under a trained model: adds `n_feats`, one exact
+    * integer `score_q_<label>` column per class, and the argmax
+    * `pred_label`. Documents with no features score their priors
+    * alone. One broadcast probe join + one doc-keyed exact-integer
+    * sum — nothing corpus-wide. */
+  def score(docs: DataFrame, model: NbModel, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = model.labels.size
+    val tbl = broadcast(
+      model.buckets.toDF("bucket", "__lps").select(
+        col("bucket") +: (0 until k).map(i =>
+          element_at(col("__lps"), i + 1).as(s"__lp$i")): _*))
+    val feats = Dsir.featureBuckets(
+      docs.select(col(idCol), col(textCol)), Seq(col(idCol)),
+      textCol, model.maxGram, model.numBuckets)
+    val aggs = count(lit(1)).as("n_feats") +: (0 until k).map(i =>
+      // buckets outside the trained table score the unseen default
+      sum(coalesce(col(s"__lp$i"), lit(model.defaultQ(i)))).as(s"__s$i"))
+    val scored = feats.join(tbl, Seq("bucket"), "left")
+      .groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    val scoreExprs = model.labels.indices.map(i =>
+      lit(model.priorQ(i)) + coalesce(col(s"__s$i"), lit(0L)))
+    // argmax = the FIRST label (ascending) achieving the maximum —
+    // the same total tie-break rule as languageId's fold
+    val pred = model.labels.indices.tail
+      .foldLeft((scoreExprs.head, lit(model.labels.head))) {
+        case ((bestS, bestL), i) =>
+          (when(scoreExprs(i) > bestS, scoreExprs(i)).otherwise(bestS),
+            when(scoreExprs(i) > bestS, lit(model.labels(i))).otherwise(bestL))
+      }._2
+    val withScores = model.labels.zipWithIndex.foldLeft(
+      docs.join(scored, Seq(idCol), "left")
+        .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))) {
+      case (d, (l, i)) => d.withColumn(s"score_q_$l", scoreExprs(i))
+    }
+    withScores
+      .withColumn("pred_label", pred)
+      .drop(model.labels.indices.map(i => s"__s$i"): _*)
+  }
+
+  /** Train on `train`, score `docs` — the one-call form. */
+  def classify(
+      docs: DataFrame, train: DataFrame,
+      idCol: String, textCol: String, labelCol: String,
+      numBuckets: Int = 10000, maxGram: Int = 2, delta: Double = 1.0): DataFrame =
+    score(docs, this.train(train, labelCol, textCol, numBuckets, maxGram, delta),
+      idCol, textCol)
+}

@@ -487,7 +487,10 @@ object CurationQueries {
     * numBuckets = 4096, delta = 1. Both engines feed `ln` the same
     * exact (count + 1.0) / (total + 4096.0) ratios and round once per
     * bucket, so per-doc sums are exact integers. */
-  private val dsirCtesDuck = {
+  /** Hashed unigram+bigram feature buckets of every document
+    * (numBuckets = 4096) — the `Dsir.featureBuckets` re-derivation
+    * shared by the DSIR (q78/q79) and Naive Bayes (q81) oracles. */
+  private val featCtesDuck = {
     val ws = "[ \\t\\n\\x0B\\f\\r]+"
     s"""toks AS MATERIALIZED (
         SELECT doc_id, string_split_regex(trim(lower(text)), '$ws') AS t
@@ -501,7 +504,11 @@ object CurationQueries {
           FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) r(i))
         WHERE g <> ''),
       feats AS MATERIALIZED (
-        SELECT doc_id, (${md5PolyDuck("g")}) % 4096 AS bucket FROM grams),
+        SELECT doc_id, (${md5PolyDuck("g")}) % 4096 AS bucket FROM grams)"""
+  }
+
+  private val dsirCtesDuck = {
+    s"""$featCtesDuck,
       braw AS (SELECT bucket, count(*) AS c_raw FROM feats
                WHERE doc_id >= 10 GROUP BY bucket),
       btgt AS (SELECT bucket, count(*) AS c_tgt FROM feats
@@ -604,6 +611,83 @@ object CurationQueries {
     Some(bpeTrainOracle(BpeTrainRounds)),
     bench = true)
 
+  /** Trained hashed-ngram Naive Bayes classification (library
+    * `NbClassifier` — the learned replacement for the marker-list
+    * languageId heuristic): classes are a 3-way source grouping,
+    * trained on the doc_id >= 50 split and scored over EVERY document
+    * (self-scored and held-out alike). Each class score is
+    * `Q(ln prior) + sum of per-bucket Q(ln P(bucket|class))` — all
+    * exact 2^-20-quantized integers, so the hash covers every doc's
+    * full per-class score vector plus the argmax label (ties break to
+    * the lexicographically first label on both engines). */
+  val q81 = QueryDef(
+    "q81_nb_classify",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("label", concat(lit("g"),
+          (substring(col("source"), 4, 10).cast("int") % 3).cast("string")))
+      graft.ops.NbClassifier.classify(
+        docs, docs.filter(col("doc_id") >= 50),
+        "doc_id", "text", "label", numBuckets = 4096)
+        .select(col("doc_id"), col("n_feats"),
+          col("score_q_g0"), col("score_q_g1"), col("score_q_g2"),
+          col("pred_label"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(s"""WITH $featCtesDuck,
+      lab AS (SELECT doc_id,
+                'g' || CAST(CAST(substr(source, 4, 10) AS INT) % 3 AS VARCHAR) AS label
+              FROM documents),
+      trn AS (SELECT doc_id, label FROM lab WHERE doc_id >= 50),
+      cls AS (SELECT label, CAST(count(*) AS BIGINT) AS n_docs FROM trn GROUP BY label),
+      ntot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n FROM cls),
+      bc AS MATERIALIZED (
+        SELECT t.label, f.bucket, CAST(count(*) AS BIGINT) AS c
+        FROM feats f JOIN trn t USING (doc_id) GROUP BY 1, 2),
+      tot AS (SELECT label, CAST(sum(c) AS DOUBLE) AS tf FROM bc GROUP BY label),
+      lp AS MATERIALIZED (
+        SELECT b.bucket, cl.label,
+          CAST(round(ln((coalesce(bc.c, 0) + CAST(1.0 AS DOUBLE)) /
+                        (tot.tf + CAST(4096.0 AS DOUBLE)))
+                     * CAST(1048576 AS DOUBLE)) AS BIGINT) AS lp_q
+        FROM (SELECT DISTINCT bucket FROM bc) b
+        CROSS JOIN cls cl
+        JOIN tot ON tot.label = cl.label
+        LEFT JOIN bc ON bc.bucket = b.bucket AND bc.label = cl.label),
+      pri AS (SELECT label,
+                CAST(round(ln(n_docs / n) * CAST(1048576 AS DOUBLE)) AS BIGINT) AS prior_q
+              FROM cls, ntot),
+      defl AS (SELECT label,
+                 CAST(round(ln(CAST(1.0 AS DOUBLE) / (tf + CAST(4096.0 AS DOUBLE)))
+                            * CAST(1048576 AS DOUBLE)) AS BIGINT) AS def_q
+               FROM tot),
+      sc AS MATERIALIZED (
+        SELECT f.doc_id, cl.label, count(*) AS nf,
+               CAST(sum(coalesce(lp.lp_q, d.def_q)) AS BIGINT) AS s
+        FROM feats f
+        CROSS JOIN cls cl
+        JOIN defl d ON d.label = cl.label
+        LEFT JOIN lp ON lp.bucket = f.bucket AND lp.label = cl.label
+        GROUP BY 1, 2),
+      piv AS (
+        SELECT doc_id, max(nf) AS n_feats,
+          max(CASE WHEN label = 'g0' THEN s END) AS s0,
+          max(CASE WHEN label = 'g1' THEN s END) AS s1,
+          max(CASE WHEN label = 'g2' THEN s END) AS s2
+        FROM sc GROUP BY doc_id),
+      fin AS (
+        SELECT d.doc_id,
+          CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
+          (SELECT prior_q FROM pri WHERE label = 'g0') + coalesce(p.s0, 0) AS score_q_g0,
+          (SELECT prior_q FROM pri WHERE label = 'g1') + coalesce(p.s1, 0) AS score_q_g1,
+          (SELECT prior_q FROM pri WHERE label = 'g2') + coalesce(p.s2, 0) AS score_q_g2
+        FROM documents d LEFT JOIN piv p USING (doc_id))
+      SELECT doc_id, n_feats, score_q_g0, score_q_g1, score_q_g2,
+        CASE WHEN score_q_g0 >= score_q_g1 AND score_q_g0 >= score_q_g2 THEN 'g0'
+             WHEN score_q_g1 >= score_q_g2 THEN 'g1' ELSE 'g2' END AS pred_label
+      FROM fin ORDER BY doc_id"""),
+    bench = true)
+
   /** The unrolled round-by-round DuckDB re-derivation of
     * `BpeTrain.train(numMerges = n, minPairCount = 2)`. */
   private def bpeTrainOracle(n: Int): String = {
@@ -639,5 +723,5 @@ object CurationQueries {
       SELECT * FROM ($union) ORDER BY merge_rank"""
   }
 
-  val all: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80)
+  val all: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81)
 }

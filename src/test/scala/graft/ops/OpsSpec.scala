@@ -530,6 +530,67 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("no merges"))
   }
 
+  test("NbClassifier: learns what the marker-list heuristic cannot") {
+    // two-language training corpus: the ENGLISH docs use "la" as a
+    // noun ("la la land"...) while never containing any Spanish marker
+    // grammar; the SPANISH docs are normal prose. languageId's marker
+    // list counts "la" tokens and calls the English doc Spanish; the
+    // trained model sees the full hashed n-gram distribution.
+    val train = (
+      Seq.fill(6)("en" -> "the song la la la plays on and the crowd sings la la") ++
+        Seq.fill(6)("en" -> "the movie la la land won the award and the critics cheered") ++
+        Seq.fill(6)("es" -> "la casa es grande y la puerta es blanca") ++
+        Seq.fill(6)("es" -> "el perro corre por la calle y la plaza"))
+      .zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("doc_id", "label", "text")
+    val test = Seq((100L, "la la la sings the crowd the song plays on"))
+      .toDF("doc_id", "text")
+
+    // the heuristic misfires: 4+ "la" tokens vs 2 "the" -> "es"
+    val marker = TextAnalysis.languageId(test, "text",
+      markers = Map("en" -> Seq("the", "and", "of"), "es" -> Seq("el", "la", "que")))
+      .select("pred_lang").collect().head.getString(0)
+    assert(marker == "es")
+
+    // the trained classifier gets it right
+    val model = NbClassifier.train(train, "label", "text", numBuckets = 2048)
+    val out = NbClassifier.score(test, model, "doc_id", "text").collect().head
+    assert(out.getAs[String]("pred_label") == "en")
+    assert(out.getAs[Long]("score_q_en") > out.getAs[Long]("score_q_es"))
+
+    // scores are exact integers, invariant under partitioning
+    val a = NbClassifier.score(train, model, "doc_id", "text")
+      .select("doc_id", "score_q_en", "score_q_es").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = NbClassifier.score(train.repartition(7), model, "doc_id", "text")
+      .select("doc_id", "score_q_en", "score_q_es").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b)
+    // and the model classifies its own training split correctly
+    val preds = NbClassifier.score(train, model, "doc_id", "text")
+      .select("label", "pred_label").collect()
+    preds.foreach(r => assert(r.getString(0) == r.getString(1)))
+
+    // featureless docs score the priors alone; ties break to the
+    // lexicographically FIRST label on equal priors
+    val empty = NbClassifier.score(
+      Seq((7L, ""), (8L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      model, "doc_id", "text").collect()
+    empty.foreach { r =>
+      assert(r.getAs[Long]("n_feats") == 0L)
+      assert(r.getAs[String]("pred_label") == "en") // equal priors -> first
+      assert(r.getAs[Long]("score_q_en") == r.getAs[Long]("score_q_es"))
+    }
+
+    // NULL labels and degenerate configs fail loudly
+    val nullLab = Seq((0L, null.asInstanceOf[String], "x")).toDF("doc_id", "label", "text")
+    assert(intercept[IllegalArgumentException](
+      NbClassifier.train(nullLab, "label", "text")).getMessage.contains("NULL label"))
+    assert(intercept[IllegalArgumentException](
+      NbClassifier.train(train, "label", "text", numBuckets = 0))
+      .getMessage.contains("numBuckets"))
+  }
+
   test("packChunks over TRUE BPE counts: boundaries follow the real tokenizer") {
     val vocab = graft.plans.BpeVocab(bpeFixture)
     val counted = docs
