@@ -323,6 +323,141 @@ object Dedup {
   private def tokenNgrams(toks: Column, n: Int): Column =
     TextAnalysis.ngramsOfTokens(toks, n)
 
+  /** Minimum-match-length duplicate spans — [[exactSubstrSpans]] with
+    * the window size decoupled from the match length (the seed-and-
+    * extend narrowing toward suffix-array semantics): SEED with
+    * duplicated `seedK`-token windows, EXTEND each non-first seed
+    * occurrence against the window's globally-first occurrence (exact
+    * token-by-token longest common extension, both directions, in-row),
+    * keep only maximal extensions of at least `minLen` tokens, and
+    * union the surviving intervals per document. Compared to a plain
+    * `exactSubstrSpans(k = seedK)` pass, short coincidental repeats
+    * below `minLen` are rejected after extension instead of marked —
+    * the OpsSpec exercises inputs where the two answers differ.
+    *
+    * APPROXIMATION, stated precisely: each occurrence is extended only
+    * against its seed gram's FIRST occurrence (min `(id, pos)`), not
+    * against every other occurrence. A passage all of whose copies
+    * share their full extent (the overwhelmingly common case —
+    * boilerplate, quotations, mirrored documents) is found exactly;
+    * an occurrence whose longest partner is NOT the seed's first
+    * occurrence can under-extend when every one of its seed grams
+    * first occurs in some shorter-matching location. Exhaustive
+    * pairing would be quadratic in a gram's occurrence count (a
+    * million-fold-repeated passage forbids it); first-occurrence
+    * pairing keeps the pair set EXACTLY as large as the flagged
+    * occurrence set. The q82 oracle re-derives this approximation
+    * bit-for-bit.
+    *
+    * Output mirrors [[exactSubstrSpans]]: `n_seed_hits` (flagged seed
+    * windows), `n_spans`, `dup_spans` (inclusive 0-based token ranges,
+    * null for null text), `n_dup_tokens`, `clean_text`.
+    *
+    * 100 TB shape: the seed pass is the exactSubstrSpans shape (one
+    * gram-hash-keyed aggregate with map-side partials — never a window
+    * over the gram), and extension joins token arrays ONLY for the
+    * candidate sliver (semi-join first, the `jaccardForPairs`
+    * pattern). One pair row per flagged occurrence, extension is a
+    * narrow per-row scan bounded by document length. */
+  def minLenDupSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50, seedK: Int = 25): DataFrame = {
+    require(seedK >= 2, s"seed window must span at least 2 tokens, got $seedK")
+    require(minLen >= seedK,
+      s"minLen ($minLen) must be >= seedK ($seedK) — a seed the operator " +
+        "cannot even observe would silently never match")
+    val withToks = df.withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+    val occHere = struct(col(idCol).as("d"), col("pos").as("p"))
+    val occ = withToks
+      .select(col(idCol), posexplode(tokenNgrams(col("__toks"), seedK)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), md5(col("gram")).as("__g"))
+    val dup = occ.groupBy("__g")
+      .agg(count(lit(1)).as("occ_n"), min(occHere).as("first_occ"))
+      .filter(col("occ_n") >= 2)
+    // one pair per flagged occurrence: (occurrence, gram's first occ);
+    // checkpointed — it feeds the id sliver AND the extension join
+    val flagged = occ.join(dup, Seq("__g"))
+      .filter(occHere =!= col("first_occ"))
+      .select(col(idCol), col("pos"),
+        col("first_occ.d").as("__fd"), col("first_occ.p").as("__fp"))
+      .localCheckpoint(true)
+    // token arrays ONLY for docs appearing in some pair (sliver; both
+    // join sides read it, so materialize once)
+    val pairIds = flagged.select(col(idCol).as("__id"))
+      .unionByName(flagged.select(col("__fd").as("__id"))).distinct()
+    val toks = withToks.select(col(idCol).as("__id"), col("__toks").as("__t"))
+      .join(pairIds, Seq("__id"), "left_semi")
+      .localCheckpoint(true)
+    // longest common extension against the first occurrence, both
+    // directions. The lambdas index MATERIALIZED attribute arrays
+    // (checkpointed join outputs) — not recomputed expressions, so the
+    // Catalyst re-inlining trap does not apply. array_position returns
+    // 0 (not null) when no mismatch exists -> all maxN positions match.
+    def extLen(maxN: Column, eqAt: Column => Column): Column = {
+      val eqArr = transform(sequence(lit(1), greatest(maxN, lit(1))), eqAt)
+      val firstFalse = array_position(eqArr, lit(false))
+      when(maxN < 1, lit(0)).otherwise(
+        coalesce(when(firstFalse === 0, lit(null)).otherwise(firstFalse - 1), maxN))
+        .cast("int")
+    }
+    val ext = flagged
+      .join(toks.select(col("__id").as(idCol), col("__t").as("__ta")), Seq(idCol))
+      .join(toks.select(col("__id").as("__fd"), col("__t").as("__tb")), Seq("__fd"))
+    val el = extLen(least(col("pos"), col("__fp")),
+      j => element_at(col("__ta"), col("pos") - j + 1) ===
+        element_at(col("__tb"), col("__fp") - j + 1))
+    val er = extLen(
+      least(size(col("__ta")) - col("pos") - seedK,
+        size(col("__tb")) - col("__fp") - seedK),
+      j => element_at(col("__ta"), col("pos") + lit(seedK) + j) ===
+        element_at(col("__tb"), col("__fp") + lit(seedK) + j))
+    val spans0 = ext
+      .withColumn("__el", el).withColumn("__er", er)
+      .filter(lit(seedK) + col("__el") + col("__er") >= minLen)
+      .select(col(idCol), (col("pos") - col("__el")).as("s"),
+        (col("pos") + lit(seedK - 1) + col("__er")).as("e"))
+    val perDoc = spans0.groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__sp"))
+    val seedCounts = flagged.groupBy(idCol).agg(count(lit(1)).as("n_seed_hits"))
+
+    // general interval union (lengths vary, unlike exactSubstrSpans's
+    // equal windows): fold sorted (s, e), extending with the running
+    // max end
+    val emptySpans = expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    val mergedSpans = aggregate(
+      coalesce(col("__sp"), expr("CAST(array() AS array<struct<s:int,e:int>>)")),
+      emptySpans,
+      (acc, sp) => {
+        val last = element_at(acc, -1)
+        val fresh = concat(acc, array(struct(
+          sp.getField("s").as("s"), sp.getField("e").as("e"))))
+        val extend = concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(last.getField("s").as("s"),
+            greatest(last.getField("e"), sp.getField("e")).as("e"))))
+        when(size(acc) === 0, fresh)
+          .when(sp.getField("s") > last.getField("e") + 1, fresh)
+          .otherwise(extend)
+      })
+
+    withToks
+      .join(seedCounts, Seq(idCol), "left")
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_seed_hits", coalesce(col("n_seed_hits"), lit(0L)))
+      .withColumn("dup_spans",
+        when(col("__toks").isNull, lit(null)).otherwise(mergedSpans))
+      .drop("__sp")
+      .withColumn("n_spans", coalesce(size(col("dup_spans")), lit(0)).cast("long"))
+      .withColumn("n_dup_tokens", coalesce(
+        aggregate(col("dup_spans"), lit(0),
+          (acc, sp) => acc + sp.getField("e") - sp.getField("s") + 1),
+        lit(0)).cast("long"))
+      .withColumn("clean_text", array_join(
+        filter(col("__toks"), (t, i) =>
+          !exists(col("dup_spans"), sp =>
+            i >= sp.getField("s") && i <= sp.getField("e"))), " "))
+      .drop("__toks")
+  }
+
   /** Hamming distance between two equal-length hex-string fingerprint
     * COLUMN NAMES (bit_count over per-nibble XOR). */
   def hammingHex(aCol: String, bCol: String): Column = {

@@ -611,6 +611,102 @@ object CurationQueries {
     Some(bpeTrainOracle(BpeTrainRounds)),
     bench = true)
 
+  /** Minimum-match-length duplicate spans (library
+    * `Dedup.minLenDupSpans` — seed-and-extend): 4-token seed windows
+    * duplicated anywhere in the corpus are extended token-by-token
+    * against their globally-first occurrence, and only maximal
+    * extensions of >= 8 tokens mark spans — coincidental short repeats
+    * that a plain 4-window pass would flag die after extension. Both
+    * sides pair each occurrence with the seed gram's first occurrence
+    * (the documented deterministic approximation), extend via
+    * first-mismatch position over an index list (NB: both engines'
+    * array/list_position return 0, not null, when no mismatch exists),
+    * and union intervals per doc with the running-max-end rule. Hash
+    * covers every doc's counts and full cleaned text. */
+  val q82 = QueryDef(
+    "q82_minlen_dup_spans",
+    (s, dir) => {
+      graft.ops.Dedup.minLenDupSpans(
+        t(s, dir, "documents"), "doc_id", "text", minLen = 8, seedK = 4)
+        .select(col("doc_id"), col("n_seed_hits"), col("n_spans"),
+          col("n_dup_tokens"), col("clean_text"))
+        .oracleOrderBy("doc_id")
+    },
+    Some {
+      val k = 4
+      val L = 8
+      val ws = "[ \\t\\n\\x0B\\f\\r]+"
+      s"""WITH toks AS MATERIALIZED (
+        SELECT doc_id, CASE WHEN text IS NULL THEN NULL
+          ELSE string_split_regex(trim(text), '$ws') END AS t
+        FROM documents),
+      occ AS MATERIALIZED (
+        SELECT doc_id, CAST(r.i - 1 AS INT) AS pos,
+               md5(array_to_string(t[r.i:r.i+${k - 1}], ' ')) AS g
+        FROM toks, LATERAL unnest(range(1, len(t) - $k + 2)) r(i)
+        WHERE t IS NOT NULL),
+      dup AS (
+        SELECT g, min(struct_pack(d := doc_id, p := pos)) AS first_occ
+        FROM occ GROUP BY g HAVING count(*) >= 2),
+      flagged AS MATERIALIZED (
+        SELECT o.doc_id, o.pos, d.first_occ.d AS fd, d.first_occ.p AS fp
+        FROM occ o JOIN dup d USING (g)
+        WHERE struct_pack(d := o.doc_id, p := o.pos) <> d.first_occ),
+      ext AS MATERIALIZED (
+        SELECT f.doc_id, f.pos, ta.t AS ta, tb.t AS tb, f.fp,
+          least(f.pos, f.fp) AS maxl,
+          least(len(ta.t) - f.pos - $k, len(tb.t) - f.fp - $k) AS maxr
+        FROM flagged f
+        JOIN toks ta ON ta.doc_id = f.doc_id
+        JOIN toks tb ON tb.doc_id = f.fd),
+      spans0 AS MATERIALIZED (
+        SELECT doc_id, pos - el AS s, pos + ${k - 1} + er AS e
+        FROM (
+          SELECT doc_id, pos,
+            coalesce(nullif(list_position(list_transform(range(1, maxl + 1),
+              j -> ta[pos - j + 1] = tb[fp - j + 1]), false), 0) - 1, maxl) AS el,
+            coalesce(nullif(list_position(list_transform(range(1, maxr + 1),
+              j -> ta[pos + $k + j] = tb[fp + $k + j]), false), 0) - 1, maxr) AS er
+          FROM ext)
+        WHERE $k + el + er >= $L),
+      isl AS (
+        SELECT doc_id, s, e,
+          sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+        FROM (SELECT doc_id, s, e,
+                max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+              FROM spans0)),
+      spans AS MATERIALIZED (
+        SELECT doc_id, island, min(s) AS s, max(e) AS e
+        FROM isl GROUP BY doc_id, island),
+      perdoc AS (
+        SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS n_dup_tokens
+        FROM spans GROUP BY doc_id),
+      seedc AS (
+        SELECT doc_id, count(*) AS n_seed_hits FROM flagged GROUP BY doc_id),
+      kept AS (
+        SELECT t.doc_id, r.i AS i, t.t[r.i] AS tok
+        FROM toks t, LATERAL unnest(range(1, len(t.t) + 1)) r(i)
+        WHERE t.t IS NOT NULL AND NOT EXISTS (
+          SELECT 1 FROM spans s
+          WHERE s.doc_id = t.doc_id AND r.i - 1 BETWEEN s.s AND s.e)),
+      clean AS (
+        SELECT doc_id, array_to_string(list(tok ORDER BY i), ' ') AS clean_text
+        FROM kept GROUP BY doc_id)
+      SELECT t.doc_id,
+        CAST(coalesce(sc.n_seed_hits, 0) AS BIGINT) AS n_seed_hits,
+        CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+        CAST(coalesce(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+        CASE WHEN t.t IS NULL THEN NULL
+             ELSE coalesce(c.clean_text, '') END AS clean_text
+      FROM toks t LEFT JOIN perdoc p USING (doc_id)
+                  LEFT JOIN seedc sc USING (doc_id)
+                  LEFT JOIN clean c USING (doc_id)
+      ORDER BY t.doc_id"""
+    },
+    bench = true)
+
   /** Trained hashed-ngram Naive Bayes classification (library
     * `NbClassifier` — the learned replacement for the marker-list
     * languageId heuristic): classes are a 3-way source grouping,
@@ -723,5 +819,6 @@ object CurationQueries {
       SELECT * FROM ($union) ORDER BY merge_rank"""
   }
 
-  val all: Seq[QueryDef] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81)
+  val all: Seq[QueryDef] =
+    Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82)
 }

@@ -189,6 +189,70 @@ class OpsSpec extends SparkSpec {
     assert(all(7L) == ((1L, ""))) // [0,4]+[1,5]+[6,10]+[7,11] -> [0,11]
   }
 
+  test("Dedup.minLenDupSpans: seed-and-extend differs from the plain k-window pass") {
+    val rows = Seq(
+      // docs 1/2 share EXACTLY 5 tokens (a..e): a seedK=3 window pass
+      // marks them, but extension tops out at 5 < minLen=6 -> rejected
+      (1L, "a b c d e x1 x2 x3 x4 x5"),
+      (2L, "y1 y2 a b c d e y3 y4 y5"),
+      // docs 3/4 share a 9-token run (p1..p9) at different offsets
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 u1 u2"),
+      (4L, "v1 v2 v3 p1 p2 p3 p4 p5 p6 p7 p8 p9"),
+      // doc 6 repeats a 6-token phrase within itself: second copy cut
+      (6L, "w1 w2 w3 w4 w5 w6 z w1 w2 w3 w4 w5 w6"),
+      (8L, ""),
+      (9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").repartition(3)
+
+    val out = Dedup.minLenDupSpans(rows, "doc_id", "text", minLen = 6, seedK = 3)
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") -> ((
+      r.getAs[Long]("n_seed_hits"), r.getAs[Long]("n_spans"),
+      r.getAs[Long]("n_dup_tokens"), r.getAs[String]("clean_text")))).toMap
+
+    // the k-window pass disagrees on docs 1/2: brute force says the
+    // shared run is 5 tokens long — below the 6-token minimum
+    val kPass = Dedup.exactSubstrSpans(rows, "doc_id", "text", k = 3)
+      .filter(col("doc_id") === 2L).collect().head
+    assert(kPass.getAs[Long]("n_spans") == 1L) // window pass marks it...
+    assert(byId(2L)._1 == 3L && byId(2L)._2 == 0L) // ...min-L rejects after extension
+    assert(byId(2L)._4 == "y1 y2 a b c d e y3 y4 y5") // nothing cut
+    assert(byId(1L)._2 == 0L)
+
+    // doc 4's 9-token run extends to its full brute-force extent [3,11]
+    // (doc 3 holds the first occurrences and survives untouched)
+    assert(byId(3L) == ((0L, 0L, 0L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 u1 u2")))
+    assert(byId(4L)._2 == 1L && byId(4L)._3 == 9L)
+    assert(byId(4L)._4 == "v1 v2 v3")
+    val spans4 = out.filter(col("doc_id") === 4L).select("dup_spans")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(s => (s.getInt(0), s.getInt(1)))
+    assert(spans4 == Seq((3, 11)))
+
+    // within-doc repetition: the second w1..w6 copy (positions 7..12)
+    // is one maximal span; the first copy survives
+    assert(byId(6L)._2 == 1L && byId(6L)._3 == 6L)
+    assert(byId(6L)._4 == "w1 w2 w3 w4 w5 w6 z")
+    assert(byId(8L) == ((0L, 0L, 0L, "")))
+    assert(byId(9L) == ((0L, 0L, 0L, null)))
+
+    // partitioning invariance of the whole span map
+    val again = Dedup.minLenDupSpans(rows.repartition(1), "doc_id", "text",
+      minLen = 6, seedK = 3)
+      .select("doc_id", "n_seed_hits", "n_spans", "n_dup_tokens", "clean_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    val first = out
+      .select("doc_id", "n_seed_hits", "n_spans", "n_dup_tokens", "clean_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(again == first)
+
+    // config guards
+    assert(intercept[IllegalArgumentException](
+      Dedup.minLenDupSpans(rows, "doc_id", "text", minLen = 2, seedK = 3))
+      .getMessage.contains("minLen"))
+  }
+
   test("TextAnalysis.bloomDecontaminate: identical to exact decontamination") {
     val train = docs.filter(col("doc_id") >= 2)
     val eval = docs.filter(col("doc_id") < 2)
