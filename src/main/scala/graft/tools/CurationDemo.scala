@@ -3,22 +3,25 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Packing, Sampling, TextAnalysis}
+import graft.ops.{BpeTrain, Dedup, Dsir, Packing, Sampling, TextAnalysis}
 
 /** End-to-end corpus curation — the composed pipeline a pretraining
   * data team runs, built ONLY from `graft.ops` modules, in the
   * canonical order: normalize -> clean -> scrub -> quality filter ->
-  * LM-score filter -> exact dedup -> paragraph dedup -> near-dup
-  * dedup -> decontaminate -> deterministic split -> sequence packing.
-  * Each stage's wall time and retention is
-  * printed, so the COMPOSITION (not just each operator in isolation)
-  * is demonstrably runnable at SF scale:
+  * LM-score filter -> exact dedup -> paragraph dedup -> exact-substring
+  * span dedup -> near-dup dedup -> Bloom-prefiltered decontamination ->
+  * DSIR selection -> deterministic split -> BPE tokenizer training ->
+  * true-token counting -> sequence packing (+ a per-source stats
+  * report). Each stage's wall time and retention is printed, so the
+  * COMPOSITION (not just each operator in isolation) is demonstrably
+  * runnable at SF scale:
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.CurationDemo"
   *
-  * Every stage is either narrow (normalize/clean/scrub/quality/split)
-  * or hash-bucketed (the dedups, decontamination) — the same shapes
-  * the per-operator oracles and the x10 profile verify, chained.
+  * Every stage is either narrow (normalize/clean/scrub/quality/split),
+  * hash-bucketed (the dedups, decontamination), or driver-model-sized
+  * (LM/DSIR/BPE training) — the same shapes the per-operator oracles
+  * and the x10 profile verify, chained.
   */
 object CurationDemo {
   def main(args: Array[String]): Unit = {
@@ -48,7 +51,7 @@ object CurationDemo {
       println(f"[curate] $name%-18s $n%7d docs  ${(System.nanoTime() - t0) / 1e9}%7.2f s")
     }
 
-    // narrow text passes: each rewrites `text` in place
+    // 1-3: narrow text passes — each rewrites `text` in place
     stage("nfc-normalize") { d =>
       TextAnalysis.nfcNormalize(d, "text", "nfc")
         .drop("text").withColumnRenamed("nfc", "text")
@@ -59,7 +62,7 @@ object CurationDemo {
     stage("redact-pii") { d =>
       d.withColumn("text", TextAnalysis.redactPii(col("text")))
     }
-    // quality gate (band bounds matched to the synthetic corpus)
+    // 4: quality gate (band bounds matched to the synthetic corpus)
     stage("quality-filter") { d =>
       TextAnalysis.gopherQuality(d, "text",
           minTok = 5, maxTok = 200, minAvgWordLen = 2.0, maxAvgWordLen = 12.0,
@@ -67,8 +70,8 @@ object CurationDemo {
         .filter(col("quality_pass") === 1)
         .select("doc_id", "source", "text")
     }
-    // LM-score gate: train the char-trigram model on the SURVIVORS of
-    // the rule filter (garbage already gone), drop the worst tail —
+    // 5: LM-score gate: train the char-trigram model on the SURVIVORS
+    // of the rule filter (garbage already gone), drop the worst tail —
     // the CCNet shape, with the corpus standing in for the clean LM
     // training set
     stage("lm-score-filter") { d =>
@@ -83,7 +86,8 @@ object CurationDemo {
       scored.filter(col("avg_nll") <= cut)
         .select("doc_id", "source", "text")
     }
-    // corpus-wide dedup: exact, then shared paragraphs, then near-dup
+    // 6-9: corpus-wide dedup, coarsest to finest: whole-document exact,
+    // shared paragraphs, verbatim >=12-token passages, then near-dup
     stage("exact-dedup") { d =>
       Dedup.exact(d, "text", "doc_id")
         .filter(!col("is_duplicate"))
@@ -95,38 +99,79 @@ object CurationDemo {
         .join(d.select("doc_id", "source"), Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("clean_text").as("text"))
     }
+    stage("substr-span-dedup") { d =>
+      // seed-and-extend span surgery: any verbatim run of >= 12 tokens
+      // repeated anywhere in the corpus loses its non-first copies;
+      // documents shrink rather than die (drop the hollowed-out ones)
+      Dedup.minLenDupSpans(d, "doc_id", "text", minLen = 12, seedK = 6)
+        .filter(length(trim(col("clean_text"))) > 0)
+        .select(col("doc_id"), col("source"), col("clean_text").as("text"))
+    }
     stage("near-dup-dedup") { d =>
       Dedup.nearDuplicates(d, "doc_id", threshold = 0.8)
         .filter(!col("is_near_duplicate"))
         .select("doc_id", "source", "text")
     }
-    // decontaminate against a held-out eval set (ids < 10 stand in)
-    stage("decontaminate") { d =>
-      TextAnalysis.decontaminate(
+    // 10: decontaminate against a held-out eval set (ids < 10 stand
+    // in) through the fixed-size Bloom prefilter — the clean-corpus
+    // bulk never reaches the verify join
+    stage("bloom-decontam") { d =>
+      TextAnalysis.bloomDecontaminate(
           d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
-          "doc_id", "text", n = 3, minOverlap = 5L)
+          "doc_id", "text", n = 3, minOverlap = 5L,
+          expectedEvalGrams = 1L << 16, numBits = 1L << 19)
         .filter(col("contaminated") === 0)
         .select("doc_id", "source", "text")
     }
+    // 11: DSIR data selection — keep the 85% of the corpus whose hashed
+    // n-gram distribution best resembles the stand-in target slice
+    // (every 17th doc), via the deterministic Gumbel resample
+    stage("dsir-select") { d =>
+      val target = d.filter(col("doc_id") % 17 === 0)
+      val raw = d.filter(col("doc_id") % 17 =!= 0)
+      val keep = math.max(1L, (raw.count() * 85L) / 100L)
+      Dsir.dsirResample(raw, target, "doc_id", "text",
+          k = keep.toInt, numBuckets = 4096)
+        .select("doc_id", "source", "text")
+        .unionByName(target.select("doc_id", "source", "text"))
+    }
+    // 12: deterministic split
     stage("split") { d =>
       Sampling.assignSplit(d, "doc_id",
         Seq(("train", 0.75), ("val", 0.125), ("test", 0.125)))
     }
     df.groupBy("split").count().orderBy("split").collect()
       .foreach(r => println(f"[curate]   split ${r.getString(0)}%-5s ${r.getLong(1)}%7d docs"))
-    // pack the train split into 512-token context windows, sharded by
-    // source so the window parallelism is bounded by shard count
+    // 13-14: train the tokenizer ON THE CURATED TRAIN SPLIT (the order
+    // a real pipeline uses — the tokenizer must not see eval text),
+    // then count TRUE BPE tokens under the learned table
+    var vocabSize = 0
+    stage("bpe-train-count") { d =>
+      val vocab = BpeTrain.trainVocab(
+        d.filter(col("split") === "train"), "text", numMerges = 48)
+      vocabSize = vocab.merges.size
+      d.withColumn("n_tok", TextAnalysis.bpeTokenCount(col("text"), vocab))
+    }
+    println(f"[curate]   learned $vocabSize%d BPE merges from the train split")
+    // 15: pack the train split into 512-token context windows by TRUE
+    // token counts, sharded by source so the window parallelism is
+    // bounded by shard count
     stage("pack-chunks") { d =>
       Packing.packChunks(
-        d.filter(col("split") === "train")
-          .withColumn("n_tok", TextAnalysis.tokenCount(col("text"))),
-        "doc_id", "n_tok", 512L, "source")
+        d.filter(col("split") === "train"), "doc_id", "n_tok", 512L, "source")
     }
     val chunks = df.groupBy("source").agg(
       (max(col("last_chunk")) + 1).as("n_chunks"),
       sum(col("n_tok")).as("n_tok")).collect()
     chunks.foreach(r => println(f"[curate]   shard ${r.getString(0)}%-6s " +
-      f"${r.getLong(1)}%5d chunks of 512 (${r.getLong(2)}%7d tokens)"))
+      f"${r.getLong(1)}%5d chunks of 512 (${r.getLong(2)}%7d BPE tokens)"))
+    // per-source report over the packed corpus (HLL vocabulary — the
+    // sketch path a 100 TB dashboard uses)
+    val t0 = System.nanoTime()
+    val stats = TextAnalysis.corpusStats(df, "text", "source", approxVocab = true)
+      .orderBy("source").collect()
+    println(f"[curate] ${"corpus-stats"}%-18s ${stats.length}%7d rows  " +
+      f"${(System.nanoTime() - t0) / 1e9}%7.2f s")
     spark.stop()
   }
 }
