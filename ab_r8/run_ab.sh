@@ -1,0 +1,18 @@
+#!/bin/bash
+# Fixed-code interleaved A/B for the r7 q57_tf_idf reading (verdict r7
+# item 4): r7's driver bench recorded q57 at 0.99 s vs r6's 0.75 s with
+# TextAnalysis.tfIdf untouched. Two arms, interleaved, n=9, quiet host:
+# the 4-query text-analysis family (small-context), then the full
+# current bench set. If q57 lands within ±10% of the r6 reading in both
+# arms, the 0.99 was the r7 bench run's host state.
+cd /root/repo
+FAMILY="q55_gopher_quality,q56_repeated_bigrams,q57_tf_idf,q62_boilerplate_ngrams"
+for i in 1 2; do
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_RUNS=9 \
+  SPARK_GRAFT_BENCH_ONLY="$FAMILY" SPARK_GRAFT_BENCH_STATS_OUT=/root/repo/ab_r8/family_$i.json \
+  sbt -batch "runMain graft.Bench" > /root/repo/ab_r8/family_$i.log 2>&1
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_RUNS=9 \
+  SPARK_GRAFT_BENCH_STATS_OUT=/root/repo/ab_r8/full_$i.json \
+  sbt -batch "runMain graft.Bench" > /root/repo/ab_r8/full_$i.log 2>&1
+done
+echo DONE > /root/repo/ab_r8/done.marker

@@ -42,7 +42,10 @@ object Bench {
       case None => SparkEntry.benchQueries
       case Some(raw) =>
         val want = raw.split(",").map(_.trim).filter(_.nonEmpty)
-        val byName = SparkEntry.allQueries.map(q => q.name -> q).toMap
+        // benchQueries adds the synthetic unbenched-tail group entry,
+        // which is not in allQueries — both must be addressable here
+        val byName = (SparkEntry.allQueries ++ SparkEntry.benchQueries)
+          .map(q => q.name -> q).toMap
         val missing = want.filterNot(byName.contains)
         require(missing.isEmpty,
           s"SPARK_GRAFT_BENCH_ONLY names not found: ${missing.mkString(", ")}")
