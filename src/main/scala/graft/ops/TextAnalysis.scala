@@ -572,6 +572,88 @@ object TextAnalysis {
       .drop("__s")
   }
 
+  /** Interpolated (Jelinek–Mercer) character n-gram scoring — the
+    * CCNet/KenLM-style upgrade over single-order [[charLmScore]]: the
+    * probability of each character mixes ALL orders,
+    * `P(c|ctx) = λ_n P_n + ... + λ_1 P_1 + λ_0 / V`, with `P_k` the
+    * maximum-likelihood k-gram model of the TRAIN corpus and the
+    * `λ_0/V` uniform floor keeping every gram finite — a held-out
+    * document full of unseen trigrams still scores through its seen
+    * bigrams/unigrams instead of degenerating (the failure mode the
+    * unsmoothed scorer documents). `lambdas` weights orders n down
+    * to 1 and must sum to < 1; the remainder is the uniform mass.
+    *
+    * Emits `n_grams`, `n_unseen_top` (doc grams absent from the
+    * top-order model — the backoff-pressure signal), and `avg_nll`.
+    *
+    * Determinism: each gram's interpolated ln-probability is a pure
+    * function of the model counts (identical double arithmetic on any
+    * engine — the oracle spells the same association order), quantized
+    * to 2^-20 per occurrence and summed as exact integers — documents
+    * score bit-identically under any partitioning.
+    *
+    * 100 TB shape: all n models are vocabulary-bounded (charset^k) and
+    * broadcast; scoring is n broadcast probe joins against the
+    * exploded grams and ONE doc-keyed exact-integer sum. Only the
+    * scored corpus scales. */
+  def charLmScoreInterp(
+      docs: DataFrame, train: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      lambdas: Seq[Double] = Seq(0.5, 0.3, 0.15)): DataFrame = {
+    require(n >= 2, s"interpolated char LM needs n >= 2, got $n")
+    require(lambdas.length == n,
+      s"need one lambda per order $n..1, got ${lambdas.length}")
+    require(lambdas.forall(_ >= 0), s"lambdas must be >= 0, got $lambdas")
+    val lam0 = 1.0 - lambdas.sum
+    require(lam0 > 0,
+      s"lambdas must sum to < 1 (got ${lambdas.sum}) — the uniform floor " +
+        "needs positive mass or an all-unseen gram hits ln(0)")
+    // unigram model: per-char counts + total + charset size (driver
+    // scalars, dimension-table sized)
+    val uni = train.select(explode(charNgramsOf(col(textCol), 1)).as("__c1g"))
+      .groupBy("__c1g").agg(count(lit(1)).as("__c1"))
+      .localCheckpoint(true)
+    val (vocabV, totalT) = {
+      val r = uni.agg(count(lit(1)), sum("__c1")).collect().head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    require(vocabV > 0, "cannot train an interpolated LM on an empty corpus")
+    val grams = docs.select(col(idCol), explode(charNgramsOf(col(textCol), n)).as("gram"))
+    // per-order probe joins, top order first (k = n, n-1, ..., 2)
+    var joined = grams
+    val pTerms = Seq.newBuilder[Column]
+    (n to 2 by -1).foreach { k =>
+      val mk = charLmTrain(train, textCol, k)
+        .select(col("gram").as(s"__g$k"),
+          col("c_gram").as(s"__c$k"), col("c_ctx").as(s"__x$k"))
+      joined = joined.join(broadcast(mk),
+        substring(col("gram"), n - k + 1, k) === col(s"__g$k"), "left")
+      pTerms += lit(lambdas(n - k)) *
+        coalesce(col(s"__c$k").cast("double") / col(s"__x$k").cast("double"), lit(0.0))
+    }
+    joined = joined.join(broadcast(uni),
+      substring(col("gram"), n, 1) === col("__c1g"), "left")
+    pTerms += lit(lambdas(n - 1)) *
+      coalesce(col("__c1").cast("double") / lit(totalT.toDouble), lit(0.0))
+    pTerms += lit(lam0 / vocabV)
+    // left-assoc sum mirrored EXACTLY by the oracle's `+` chain
+    val p = pTerms.result().reduce(_ + _)
+    val scored = joined
+      .withColumn("__lq", round(log(p) * LogQuantScale).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col(s"__c$n").isNull, 1L).otherwise(0L)).as("n_unseen_top"),
+        sum(col("__lq")).as("__s"))
+    docs.join(scored, Seq(idCol), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("n_unseen_top", coalesce(col("n_unseen_top"), lit(0L)))
+      .withColumn("avg_nll",
+        when(col("n_grams") > 0,
+          -(col("__s").cast("double") / LogQuantScale) / col("n_grams"))
+          .otherwise(lit(Double.NaN)))
+      .drop("__s")
+  }
+
   /** Per-stratum corpus statistics — the reporting pass behind every
     * curation dashboard: document count, token count, mean document
     * length, and vocabulary size per stratum (source, language,

@@ -93,6 +93,22 @@ object BpeVocab {
       piece.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     }
 
+  /** Serialize a vocabulary back to GPT-2 `merges.txt` lines — the
+    * inverse of [[fromGpt2Lines]], so a table learned by
+    * `graft.ops.BpeTrain` ships as the standard artifact any tokenizer
+    * stack loads. Fails loudly on a merge side that the format cannot
+    * represent (embedded space or newline — impossible for byte-level
+    * tables, whose symbols are printable-mapped, but a hand-built
+    * char-level table could try). */
+  def toGpt2Lines(vocab: BpeVocab): Seq[String] = {
+    vocab.merges.zipWithIndex.foreach { case ((l, r), i) =>
+      require(!(l + r).exists(c => c == ' ' || c == '\n' || c == '\r'),
+        s"merge ${i + 1} ('$l' + '$r') contains a space or newline — " +
+          "not representable in the space-separated merges.txt format")
+    }
+    "#version: 0.2" +: vocab.merges.map { case (l, r) => s"$l $r" }
+  }
+
   /** Merge table from a DataFrame (`leftCol`, `rightCol`, ordered by
     * `rankCol`). The collect is bounded vocabulary-size (~50k rows for
     * GPT-2) — driver-resident like every codebook in this library. */

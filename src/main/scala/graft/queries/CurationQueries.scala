@@ -611,6 +611,69 @@ object CurationQueries {
     Some(bpeTrainOracle(BpeTrainRounds)),
     bench = true)
 
+  /** Interpolated (Jelinek–Mercer) char-LM scoring (library
+    * `TextAnalysis.charLmScoreInterp` — the CCNet/KenLM-style upgrade
+    * of q69): every document scored under a model trained on the
+    * doc_id >= 10 split, each character's probability mixing trigram /
+    * bigram / unigram ML models (0.5/0.3/0.15) plus a 0.05/V uniform
+    * floor — held-out docs with unseen trigrams back off instead of
+    * degenerating. Both engines compute the identical left-associated
+    * double polynomial per gram, quantize once to 2^-20, and sum
+    * exact integers; the hash covers every scored doc's gram counts,
+    * top-order-unseen count, and 6-decimal avg_nll. */
+  val q83 = QueryDef(
+    "q83_char_lm_interp",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextAnalysis.charLmScoreInterp(
+        docs, docs.filter(col("doc_id") >= 10), "doc_id", "text", n = 3)
+        .filter(col("n_grams") > 0)
+        .select(col("doc_id"), col("n_grams"), col("n_unseen_top"),
+          round(col("avg_nll"), 6).as("avg_nll"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH g AS MATERIALIZED (
+        SELECT doc_id, substr(text, CAST(i AS INT), 3) AS gram
+        FROM documents, LATERAL unnest(generate_series(1, length(text) - 2)) AS t(i)),
+      c3 AS MATERIALIZED (
+        SELECT gram, CAST(count(*) AS BIGINT) AS c FROM g
+        WHERE doc_id >= 10 GROUP BY gram),
+      x3 AS (SELECT substr(gram, 1, 2) AS ctx, sum(c) AS x FROM c3 GROUP BY 1),
+      m3 AS (SELECT gram, c, x FROM c3 JOIN x3 ON substr(c3.gram, 1, 2) = x3.ctx),
+      tg2 AS (SELECT substr(text, CAST(i AS INT), 2) AS gram
+              FROM documents, LATERAL unnest(generate_series(1, length(text) - 1)) AS t(i)
+              WHERE doc_id >= 10),
+      c2 AS (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM tg2 GROUP BY gram),
+      x2 AS (SELECT substr(gram, 1, 1) AS ctx, sum(c) AS x FROM c2 GROUP BY 1),
+      m2 AS (SELECT gram, c, x FROM c2 JOIN x2 ON substr(c2.gram, 1, 1) = x2.ctx),
+      c1 AS (SELECT substr(text, CAST(i AS INT), 1) AS gram, CAST(count(*) AS BIGINT) AS c
+             FROM documents, LATERAL unnest(generate_series(1, length(text))) AS t(i)
+             WHERE doc_id >= 10 GROUP BY 1),
+      uv AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c) AS DOUBLE) AS tot FROM c1),
+      sc AS (
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(sum(CASE WHEN m3.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen_top,
+          CAST(sum(CAST(round(ln(
+            CAST(0.5 AS DOUBLE) * coalesce(CAST(m3.c AS DOUBLE) / CAST(m3.x AS DOUBLE),
+                                           CAST(0 AS DOUBLE))
+            + CAST(0.3 AS DOUBLE) * coalesce(CAST(m2.c AS DOUBLE) / CAST(m2.x AS DOUBLE),
+                                             CAST(0 AS DOUBLE))
+            + CAST(0.15 AS DOUBLE) * coalesce(CAST(c1.c AS DOUBLE) / uv.tot,
+                                              CAST(0 AS DOUBLE))
+            + (CAST(1.0 AS DOUBLE)
+               - (CAST(0.5 AS DOUBLE) + CAST(0.3 AS DOUBLE) + CAST(0.15 AS DOUBLE))) / uv.v
+            ) * CAST(1048576 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
+        FROM g
+        LEFT JOIN m3 ON m3.gram = g.gram
+        LEFT JOIN m2 ON m2.gram = substr(g.gram, 2, 2)
+        LEFT JOIN c1 ON c1.gram = substr(g.gram, 3, 1)
+        CROSS JOIN uv
+        GROUP BY g.doc_id)
+      SELECT doc_id, n_grams, n_unseen_top,
+        round(-(CAST(s AS DOUBLE) / CAST(1048576 AS DOUBLE)) / n_grams, 6) AS avg_nll
+      FROM sc ORDER BY doc_id"""),
+    bench = true)
+
   /** Minimum-match-length duplicate spans (library
     * `Dedup.minLenDupSpans` — seed-and-extend): 4-token seed windows
     * duplicated anywhere in the corpus are extended token-by-token
@@ -820,5 +883,5 @@ object CurationQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82)
+    Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83)
 }

@@ -622,7 +622,71 @@ object TextQueries {
       FROM documents ORDER BY doc_id"""),
     bench = true)
 
+  /** MinHash-based FUZZY decontamination (library
+    * `Dedup.fuzzyDecontaminate` — the near-duplicate complement of
+    * q61/q77's exact n-gram overlap): train docs (doc_id >= 10) whose
+    * word-set jaccard against ANY eval doc (doc_id < 10) reaches 0.8,
+    * where candidates come from the SAME two-band LSH scheme as
+    * q29/q30 — never an all-pairs comparison — and every candidate is
+    * exactly verified. The oracle replays signatures (Kirsch–
+    * Mitzenmacher double hashing over one md5), both band joins, and
+    * the verify jaccard; the hash covers each train doc's match count,
+    * 6-decimal max candidate jaccard, and flag. */
+  val q84 = QueryDef(
+    "q84_fuzzy_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.fuzzyDecontaminate(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", threshold = 0.8)
+        .select(col("doc_id"), col("n_fuzzy_matches"),
+          round(col("max_jaccard"), 6).as("max_jaccard"),
+          col("fuzzy_contaminated"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(s"""WITH sig AS MATERIALIZED ($sigSqlDuck),
+      cand AS (
+        SELECT DISTINCT ta, eb FROM (
+          SELECT a.doc_id AS ta, b.doc_id AS eb FROM sig a JOIN sig b
+            ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.mh3 = b.mh3
+          WHERE a.doc_id >= 10 AND b.doc_id < 10
+          UNION ALL
+          SELECT a.doc_id AS ta, b.doc_id AS eb FROM sig a JOIN sig b
+            ON a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.mh6 = b.mh6 AND a.mh7 = b.mh7
+          WHERE a.doc_id >= 10 AND b.doc_id < 10)),
+      w AS MATERIALIZED ($wordsSqlDuck),
+      n AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY doc_id),
+      inter AS (
+        SELECT c.ta, c.eb, count(*) AS ni
+        FROM cand c
+        JOIN w wa ON wa.doc_id = c.ta
+        JOIN w wb ON wb.doc_id = c.eb AND wb.w = wa.w
+        GROUP BY c.ta, c.eb),
+      j AS (
+        SELECT c.ta, c.eb,
+          CAST(coalesce(i.ni, 0) AS DOUBLE)
+            / (na.nw + nb.nw - coalesce(i.ni, 0)) AS jac
+        FROM cand c
+        LEFT JOIN inter i ON i.ta = c.ta AND i.eb = c.eb
+        JOIN n na ON na.doc_id = c.ta
+        JOIN n nb ON nb.doc_id = c.eb),
+      agg AS (
+        SELECT ta,
+          CAST(sum(CASE WHEN jac >= CAST(0.8 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_fuzzy_matches,
+          max(jac) AS mx
+        FROM j GROUP BY ta)
+      SELECT d.doc_id,
+        coalesce(a.n_fuzzy_matches, 0) AS n_fuzzy_matches,
+        round(coalesce(a.mx, CAST(0 AS DOUBLE)), 6) AS max_jaccard,
+        CAST(CASE WHEN coalesce(a.n_fuzzy_matches, 0) > 0 THEN 1 ELSE 0 END AS INT)
+          AS fuzzy_contaminated
+      FROM documents d LEFT JOIN agg a ON a.ta = d.doc_id
+      WHERE d.doc_id >= 10
+      ORDER BY d.doc_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61, q62,
-      q65, q66, q67, q68, q77)
+      q65, q66, q67, q68, q77, q84)
 }

@@ -172,6 +172,38 @@ object ProfileScale {
       "doc_id", "text", numBuckets = 4096)
       .select(col("doc_id"), col("n_feats"), col("log_weight"))
 
+    // round-8 additions. BPE training: the corpus is touched once
+    // (piece counting); all 24 greedy rounds run on the DISTINCT-piece
+    // table, which barely grows at x10 (same Zipf vocabulary + ten
+    // marker words) — training cost should be nearly FLAT in corpus
+    // size, the whole point of the weighted-piece formulation
+    def q80(d: DataFrame) = {
+      val merges = graft.ops.BpeTrain.train(d, "text", numMerges = 24)
+      import spark.implicits._
+      merges.map(m => (m.rank, m.left, m.right, m.pairCount))
+        .toDF("merge_rank", "lhs", "rhs", "c")
+    }
+    // NB classifier under a fixed bucket space: model fit + broadcast
+    // probe both corpus-linear, the model itself constant-size
+    def q81(d: DataFrame) = {
+      val lab = d.withColumn("label",
+        concat(lit("g"), (col("doc_id") % 3).cast("string")))
+      graft.ops.NbClassifier.classify(
+        lab, lab.filter(col("doc_id") >= 50), "doc_id", "text", "label",
+        numBuckets = 4096)
+        .select(col("doc_id"), col("n_feats"), col("pred_label"))
+    }
+    // min-length spans at x10 are the DELIBERATE worst case: the copy
+    // marker sits at text end, so nearly every seed window duplicates
+    // across copies — the flagged set approaches the corpus's whole
+    // window count and every pair extends to near-full documents. A
+    // real pipeline runs exact-dedup first (CurationDemo does); this
+    // profiles the operator without that mercy.
+    def q82(d: DataFrame) = Dedup.minLenDupSpans(
+      d, "doc_id", "text", minLen = 8, seedK = 4)
+      .select(col("doc_id"), col("n_seed_hits"), col("n_spans"),
+        col("n_dup_tokens"), col("clean_text"))
+
     // Time CONSTRUCTION + execution: the dedup pipeline materializes
     // its stage boundaries eagerly (localCheckpoint) while the plan is
     // being built, so timing only the final action would miss most of
@@ -207,7 +239,10 @@ object ProfileScale {
       ("q75 bpe", () => q75(docs), () => q75(docs10)),
       ("q76 exact-substr", () => q76(docs), () => q76(docs10)),
       ("q77 bloom-decon", () => q77(docs), () => q77(docs10)),
-      ("q78 dsir", () => q78(docs), () => q78(docs10))).map { case (name, at1, atN) =>
+      ("q78 dsir", () => q78(docs), () => q78(docs10)),
+      ("q80 bpe-train", () => q80(docs), () => q80(docs10)),
+      ("q81 nb-classify", () => q81(docs), () => q81(docs10)),
+      ("q82 minlen-spans", () => q82(docs), () => q82(docs10))).map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)
       val tN = run(s"$name x$factor", atN)

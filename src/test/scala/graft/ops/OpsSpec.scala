@@ -253,6 +253,50 @@ class OpsSpec extends SparkSpec {
       .getMessage.contains("minLen"))
   }
 
+  test("Dedup.fuzzyDecontaminate: catches light edits exact 13-grams miss") {
+    // eval doc: 60 distinct tokens. The leaked train copy edits ONE
+    // token per 10 (positions 9,19,...,59) — the "rephrase a word per
+    // sentence" laundering that deterministically breaks EVERY exact
+    // 13-gram (max clean run is 9 tokens) while keeping 42/58 shingles
+    // and a 54/66 word-set jaccard.
+    val evalToks = (1 to 60).map(i => s"w$i")
+    val leaked = evalToks.zipWithIndex.map { case (w, i) =>
+      if (i % 10 == 9) s"x${i / 10}" else w
+    }
+    val eval = Seq((100L, evalToks.mkString(" "))).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, leaked.mkString(" ")),
+      // unrelated: must stay clean
+      (2L, "completely different content about spark engines and data"),
+      // ID COLLISION with the eval doc: side-tagging must keep them apart
+      (100L, "unrelated words entirely zebra quokka wombat platypus here"))
+      .toDF("doc_id", "text").repartition(3)
+
+    // wider banding (16 hashes, rows of 2) — the production knob for
+    // catching moderate shingle overlap; 8x4 targets near-identical docs
+    val out = Dedup.fuzzyDecontaminate(train, eval, "doc_id",
+      threshold = 0.8, numHashes = 16, bandSize = 2)
+      .select("doc_id", "n_fuzzy_matches", "max_jaccard", "fuzzy_contaminated")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    assert(out(1L)._3 == 1 && out(1L)._1 == 1L)
+    assert(out(1L)._2 == 54.0 / 66.0) // exact integer-derived jaccard
+    assert(out(2L) == ((0L, 0.0, 0)))
+    assert(out(100L) == ((0L, 0.0, 0))) // id collision did not cross-link
+
+    // the exact pass at the standard 13-gram span finds NOTHING: every
+    // window of 13 consecutive tokens contains an edit
+    val exact = TextAnalysis.decontaminate(train, eval, "doc_id", "text",
+      n = 13, minOverlap = 1L)
+      .filter(col("doc_id") === 1L).collect().head
+    assert(exact.getAs[Long]("n_overlap") == 0L)
+    assert(exact.getAs[Int]("contaminated") == 0)
+
+    // every train row survives the left join even with zero matches
+    assert(Dedup.fuzzyDecontaminate(train, eval, "doc_id",
+      threshold = 0.999, numHashes = 16, bandSize = 2).count() == 3)
+  }
+
   test("TextAnalysis.bloomDecontaminate: identical to exact decontamination") {
     val train = docs.filter(col("doc_id") >= 2)
     val eval = docs.filter(col("doc_id") < 2)
@@ -592,6 +636,63 @@ class OpsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       BpeTrain.trainVocab(single, "text", numMerges = 3))
     assert(e.getMessage.contains("no merges"))
+  }
+
+  test("BpeVocab.toGpt2Lines: learned tables round-trip through merges.txt") {
+    val corpus = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(12)("pun"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val learned = BpeTrain.trainVocab(corpus, "text", numMerges = 5)
+    val lines = graft.plans.BpeVocab.toGpt2Lines(learned)
+    assert(lines.head == "#version: 0.2")
+    val back = graft.plans.BpeVocab.fromGpt2Lines(lines)
+    assert(back.merges == learned.merges)
+    // a char-level merge with a space is not representable — loud error
+    val spacey = graft.plans.BpeVocab(Seq(" " -> "a"), byteLevel = false)
+    assert(intercept[IllegalArgumentException](
+      graft.plans.BpeVocab.toGpt2Lines(spacey)).getMessage.contains("space"))
+  }
+
+  test("TextAnalysis.charLmScoreInterp: backoff scores what unsmoothed cannot") {
+    val train = Seq(
+      (10L, "the data the data engine"),
+      (11L, "the engine runs the data"))
+      .toDF("doc_id", "text")
+    // held-out doc: tokens reuse the training CHARSET but form unseen
+    // trigrams ("atad" reversed etc.) — the unsmoothed scorer sees
+    // nothing, interpolation backs off through bigrams/unigrams
+    val test = Seq(
+      (0L, "atad eht"),        // unseen trigrams, seen chars
+      (1L, "the data engine"), // fully in-distribution
+      (2L, "ab"),              // shorter than n: no trigrams
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+
+    val out = TextAnalysis.charLmScoreInterp(test, train, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> ((
+        r.getAs[Long]("n_grams"), r.getAs[Long]("n_unseen_top"),
+        r.getAs[Double]("avg_nll")))).toMap
+    // the off-distribution doc scores FINITE (backoff did its job)
+    // and strictly worse than the in-distribution one
+    assert(out(0L)._2 > 0L && !out(0L)._3.isNaN)
+    assert(out(1L)._3 < out(0L)._3)
+    assert(out(1L)._2 == 0L) // every trigram seen
+    assert(out(2L)._1 == 0L && out(2L)._3.isNaN)
+    assert(out(3L)._1 == 0L && out(3L)._3.isNaN)
+
+    // partition invariance of the quantized sums
+    val a = TextAnalysis.charLmScoreInterp(test.repartition(5), train.repartition(3),
+      "doc_id", "text", n = 3)
+      .select("doc_id", "avg_nll").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    Seq(0L, 1L).foreach(id => assert(a(id) == out(id)._3))
+
+    // lambda guards: weights must leave positive uniform mass
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.charLmScoreInterp(test, train, "doc_id", "text", n = 3,
+        lambdas = Seq(0.5, 0.3, 0.2))).getMessage.contains("sum to < 1"))
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.charLmScoreInterp(test, train, "doc_id", "text", n = 3,
+        lambdas = Seq(0.5, 0.3))).getMessage.contains("one lambda per order"))
   }
 
   test("NbClassifier: learns what the marker-list heuristic cannot") {
