@@ -328,4 +328,47 @@ object Similarity {
     df.join(dupMap, Seq(idCol), "left")
       .withColumn("is_near_duplicate", col("dup_of").isNotNull)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by k-means clustering — train an `exactMean`
+    * codebook ([[trainCodebook]] — bit-deterministic Lloyd's), assign
+    * every embedding to its max-cosine cell (narrow literal-codebook
+    * argmax, zero shuffle), compare pairs ONLY within a cell, and
+    * collapse transitive near-dup groups onto their minimum id (the
+    * paper keeps one representative per group; min-id is this
+    * library's deterministic choice throughout). Differs from
+    * [[cosineNearDuplicates]] exactly as the paper differs from plain
+    * LSH: clusters are LEARNED from the data's own density, so
+    * semantically-close-but-bit-different documents land in one cell
+    * without a hyperplane family's tuning.
+    *
+    * Adds `dup_of` + `is_semantic_duplicate`. 100 TB shape: the
+    * codebook is driver-resident (k × dim), assignment narrow; the
+    * within-cell self-join is the paper's own cost model — size `k`
+    * so cells stay pairwise-feasible (they use k ~ sqrt(N)/const; a
+    * skewed giant cell means k is too small for the corpus). Pairs
+    * are materialized once and feed both component directions. */
+  def semDeDup(
+      df: DataFrame, embCol: String, idCol: String,
+      k: Int, dim: Int, iters: Int = 2, threshold: Double = 0.95): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val codebook = trainCodebook(df, embCol, idCol, k, dim, iters, exactMean = true)
+    val cells = ivfAssign(df, embCol, codebook)
+      .select(col(idCol), col(embCol), col("cell"))
+      .localCheckpoint(true)
+    val a = cells.alias("a"); val c = cells.alias("c")
+    val pairs = a
+      .join(c, col("a.cell") === col("c.cell") && col(s"a.$idCol") < col(s"c.$idCol"))
+      .withColumn("cosine",
+        nCosine(df.sparkSession, col(s"a.$embCol"), col(s"c.$embCol")))
+      .filter(col("cosine") >= threshold)
+      .select(col(s"a.$idCol").as("doc_a"), col(s"c.$idCol").as("doc_b"))
+      .localCheckpoint(true)
+    val dupMap = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol), col("comp").as("dup_of"))
+    df.join(dupMap, Seq(idCol), "left")
+      .withColumn("is_semantic_duplicate", col("dup_of").isNotNull)
+  }
 }

@@ -357,5 +357,63 @@ object EmbeddingQueries {
     },
     bench = true)
 
-  val all: Seq[QueryDef] = Seq(q33, q34, q44, q58, q59, q63, q64)
+  /** SemDeDup (library `Similarity.semDeDup` — Abbas et al. 2023):
+    * semantic dedup over the TRAINED k-means cells — assign every
+    * embedding to its max-cosine trained centroid, compare pairs only
+    * within a cell, flag transitive >= 0.95-cosine groups keeping the
+    * minimum id. The oracle chains the Lloyd's CTEs (the q63/q64
+    * machinery) into the final-codebook assignment, the within-cell
+    * pairwise cosine filter, and the q46-style recursive reachability
+    * closure — every vector's keeper pointer is hash-checked. */
+  val q85 = QueryDef(
+    "q85_semdedup",
+    (s, dir) => {
+      graft.ops.Similarity.semDeDup(
+        t(s, dir, "embeddings"), "embedding", "vec_id",
+        k = TrainK, dim = Dim, iters = TrainIters, threshold = 0.95)
+        .select(col("vec_id"), col("dup_of"), col("is_semantic_duplicate"))
+        .oracleOrderBy("vec_id")
+    },
+    Some {
+      val elem: (String, Int) => String = duckElem
+      s"""WITH RECURSIVE ${lloydCtes(elem, TrainIters)},
+        cellscore AS (
+          SELECT vec_id, cid,
+            (${dotSum(elem, "embedding", "cv")})
+              / (sqrt(${dotSum(elem, "embedding", "embedding")})
+                 * sqrt(${dotSum(elem, "cv", "cv")})) AS sim
+          FROM embeddings CROSS JOIN c$TrainIters),
+        assigned AS MATERIALIZED (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY sim DESC, cid DESC) AS rn
+            FROM cellscore) t WHERE rn = 1),
+        pairs AS MATERIALIZED (
+          SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+          FROM assigned a
+          JOIN assigned b ON b.cell = a.cell AND a.vec_id < b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id
+          WHERE (${dotSum(elem, "ea.embedding", "eb.embedding")})
+                / (sqrt(${dotSum(elem, "ea.embedding", "ea.embedding")})
+                   * sqrt(${dotSum(elem, "eb.embedding", "eb.embedding")}))
+                >= CAST(0.95 AS DOUBLE)),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, re.r FROM edges e JOIN reach re ON re.id = e.dst),
+        comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+        dupmap AS (SELECT id, comp FROM comp WHERE id <> comp)
+        SELECT v.vec_id, dm.comp AS dup_of,
+          dm.id IS NOT NULL AS is_semantic_duplicate
+        FROM embeddings v LEFT JOIN dupmap dm ON dm.id = v.vec_id
+        ORDER BY v.vec_id"""
+    },
+    bench = true)
+
+  val all: Seq[QueryDef] = Seq(q33, q34, q44, q58, q59, q63, q64, q85)
 }

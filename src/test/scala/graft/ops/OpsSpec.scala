@@ -479,6 +479,35 @@ class OpsSpec extends SparkSpec {
     assert(flagged == Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("Similarity.semDeDup: trained cells scope pairwise, groups collapse to min id") {
+    // two tight directions (x-ish and y-ish) plus one isolated vector;
+    // within x-ish: 10~11 and 11~12 clear 0.95 but 10~12 (18.9° apart,
+    // cos 0.946) links only transitively. k=2 training separates the
+    // directions, so the x-ish/y-ish cross pairs are never COMPARED.
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.05f, 0f, 0f)),
+      (11L, Array(1.0f, 0.22f, 0f, 0f)),
+      (12L, Array(1.0f, 0.40f, 0f, 0f)),
+      (20L, Array(0.05f, 1.0f, 0f, 0f)),
+      (21L, Array(0.08f, 1.0f, 0f, 0f)),
+      (30L, Array(0f, 0f, 1.0f, 0f)))
+      .toDF("vec_id", "embedding").repartition(3)
+    val out = Similarity.semDeDup(vecs, "embedding", "vec_id",
+      k = 2, dim = 4, iters = 2, threshold = 0.95)
+    val flagged = out.filter(col("is_semantic_duplicate"))
+      .select("vec_id", "dup_of")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged == Map(11L -> 10L, 12L -> 10L, 21L -> 20L))
+    assert(out.count() == 6) // non-dups survive the left join
+
+    // exactMean training + integer-derived cosines: partition-invariant
+    val again = Similarity.semDeDup(vecs.repartition(1), "embedding", "vec_id",
+      k = 2, dim = 4, iters = 2, threshold = 0.95)
+      .filter(col("is_semantic_duplicate")).select("vec_id", "dup_of")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == flagged)
+  }
+
   test("Joins.saltedJoin equals the plain join for inner and left") {
     val skewed = (1 to 500).map(i => (if (i <= 450) 1L else (i % 7).toLong, i))
       .toDF("k", "v") // key 1 carries 90% of rows
