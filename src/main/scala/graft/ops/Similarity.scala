@@ -87,6 +87,58 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  /** Exact multi-query brute-force top-k — the ground-truth side of
+    * ANN evaluation ([[recallAtK]]). Every (query, candidate) pair is
+    * scored: O(|queries| × |data|) BY CONSTRUCTION, which is exactly
+    * why ANN retrieval exists — run it over a SAMPLED query panel
+    * (tens to thousands of queries), never corpus × corpus. The query
+    * panel broadcasts via a hash equi-join on a constant key (a
+    * BroadcastHashJoin that stays in whole-stage codegen — not the
+    * nested-loop join a raw crossJoin would plan); ranking windows are
+    * partitioned BY QUERY, so even at panel × corpus size no
+    * unpartitioned sort appears. */
+  def bruteForceTopK(
+      data: DataFrame, queries: DataFrame, embCol: String, idCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val d = data.select(col(idCol), col(embCol))
+      .withColumn("__one", lit(1)).alias("d")
+    val q = queries.select(col(idCol), col(embCol))
+      .withColumn("__one", lit(1)).alias("q")
+    val w = Window.partitionBy(col(s"q.$idCol"))
+      .orderBy(col("cosine").desc, col(s"d.$idCol"))
+    d.join(broadcast(q),
+        col("q.__one") === col("d.__one") && col(s"q.$idCol") =!= col(s"d.$idCol"))
+      .withColumn("cosine", nCosine(data.sparkSession, col(s"q.$embCol"), col(s"d.$embCol")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(s"q.$idCol").as("query_id"), col(s"d.$idCol").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
+  /** Recall@k — the standard ANN quality metric: for each query, the
+    * fraction of the EXACT top-k ([[bruteForceTopK]]) that the
+    * approximate result set ([[annTopK]] / [[ivfTopK]] /
+    * [[pqTopKFromCodes]]) recovered. Both inputs are
+    * `(query_id, neighbor_id, ...)` result sets. Output is one row per
+    * query WITH GROUND TRUTH (a query absent from `exact` has no
+    * denominator — callers evaluate over the panel they ranked):
+    * `n_exact`, `n_hits`, `recall = n_hits / n_exact`. The division is
+    * small-integer-exact, so recall is bit-identical on any engine.
+    *
+    * Shape at 100 TB: both result sets are panel-sized (queries × k),
+    * not corpus-sized — everything here is dimension-table work. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val ex = exact.select(col("query_id"), col("neighbor_id"))
+    val ap = approx.select(col("query_id"), col("neighbor_id"))
+    val nEx = ex.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val hits = ap.join(ex, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    nEx.join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_exact"))
+  }
+
   /** Deterministic IVF codebook: the `k` rows with the smallest ids.
     * Real systems train k-means; the codebook is always tiny and
     * driver-resident — the Spark-side shape (broadcast argmax assign,

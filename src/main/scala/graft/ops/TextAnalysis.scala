@@ -438,6 +438,40 @@ object TextAnalysis {
       .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
   }
 
+  /** Within-document duplicate-line removal — the Gopher-style
+    * repetition scrub that CROSS-document [[paragraphDedup]] misses:
+    * navigation menus, cookie banners, and chorus-like refrains repeat
+    * INSIDE one document, and line-level dedup inside the row is the
+    * standard first pass against them. Each document is split on
+    * newline; a line survives iff it is blank (whitespace-only — a
+    * structural separator, not repetition) or it is the FIRST
+    * occurrence of its exact text within the document. Emits `n_lines`,
+    * `n_dup_lines` and the reassembled `clean_text` (null text stays
+    * null with zero counts).
+    *
+    * Shape at 100 TB: NARROW and zero-shuffle — the whole pass is one
+    * codegen'd projection per row; no explode, no groupBy, nothing
+    * corpus-wide. The first-occurrence test is `array_position` per
+    * line (O(lines^2) per document worst case — fine for real document
+    * line counts; a million-line pathological row is a data-quality
+    * incident upstream filters catch first). Blank-line detection uses
+    * space-only `trim` on BOTH engines so the oracle can mirror it
+    * exactly. */
+  def dedupLines(df: DataFrame, textCol: String): DataFrame = {
+    val ls = col("__lines")
+    df.withColumn("__lines", split(col(textCol), "\n", -1))
+      .withColumn("__kept",
+        filter(ls, (x, i) =>
+          trim(x) === lit("") || array_position(ls, x) === i.cast("long") + lit(1L)))
+      .withColumn("n_lines",
+        when(col(textCol).isNull, lit(0L)).otherwise(size(ls).cast("long")))
+      .withColumn("n_dup_lines",
+        when(col(textCol).isNull, lit(0L))
+          .otherwise((size(ls) - size(col("__kept"))).cast("long")))
+      .withColumn("clean_text", array_join(col("__kept"), "\n"))
+      .drop("__lines", "__kept")
+  }
+
   /** The row's character n-gram array. NARROW — one array per row, no
     * explode here; callers explode when counting corpus-wide.
     *
@@ -690,6 +724,71 @@ object TextAnalysis {
       .withColumn("n_vocab", coalesce(col("n_vocab"), lit(0L)))
       .withColumn("mean_doc_tokens",
         col("n_tokens").cast("double") / col("n_docs"))
+  }
+
+  /** Bin-count ceiling for [[quantileBuckets]]: the histogram is
+    * driver-collected, so it must stay MBs-sized at any corpus scale.
+    * 2^22 bins ≈ a few tens of MB collected — far beyond any sane
+    * `binScale` for a bounded quality signal. */
+  val MaxQuantileBins: Int = 1 << 22
+
+  /** Exact bin-granularity quantile bucketing — the CCNet move: split
+    * a corpus into `numBuckets` quality tiers (head / middle / tail
+    * for 3) by a per-document score, WITHOUT a global sort. Each
+    * document's score is quantized to an integer bin
+    * (`floor(score * binScale)`); the bin histogram is a BOUNDED
+    * aggregate (the bin space is score-range × binScale, independent
+    * of corpus size) collected to the driver, where cumulative counts
+    * pick the threshold bins `t_i` = smallest bin with
+    * `cum >= ceil(i·n/numBuckets)`; documents are then assigned their
+    * tier by a broadcast literal CASE over their bin. Bucket
+    * boundaries sit at bin granularity — documents sharing a bin share
+    * a tier (raise `binScale` to sharpen), which is exactly what makes
+    * the assignment deterministic, order-free, and re-derivable
+    * relationally: no row_number over the corpus, no tie to break by
+    * id.
+    *
+    * Rows with a NULL or NaN score take no part in the histogram and
+    * get a NULL bucket (upstream scoring marks unscorable docs that
+    * way; a tier label would be a lie). Buckets are 0-based, 0 = the
+    * LOWEST scores — for a negative-log-likelihood signal that is the
+    * most-natural-text tier, matching CCNet's "head".
+    *
+    * Shape at 100 TB: one bounded groupBy-count (map-side partial agg
+    * collapses each task to its distinct bins), one driver cumulative
+    * pass over the histogram, one narrow codegen'd CASE per row.
+    * Nothing corpus-sized moves. */
+  def quantileBuckets(
+      df: DataFrame, scoreCol: String,
+      numBuckets: Int = 3, binScale: Double = 1024.0,
+      outCol: String = "qbucket"): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    require(binScale > 0, s"binScale must be > 0, got $binScale")
+    val score = col(scoreCol)
+    val valid = score.isNotNull && !isnan(score)
+    val bin = floor(score * binScale).cast("long")
+    val hist = df.filter(valid).groupBy(bin.as("__bin"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    require(hist.length <= MaxQuantileBins,
+      s"quantileBuckets histogram has ${hist.length} bins (> $MaxQuantileBins): " +
+        s"binScale $binScale is too fine for this score's range — the histogram " +
+        "must stay a driver-sized model, not a per-document table")
+    if (hist.isEmpty) return df.withColumn(outCol, lit(null).cast("int"))
+    val n = hist.map(_._2).sum
+    val cum = hist.scanLeft(0L)(_ + _._2).tail
+    // threshold bin for each interior quantile: smallest bin whose
+    // cumulative count reaches ceil(i*n/numBuckets)
+    val thresholds = (1 until numBuckets).map { i =>
+      val need = (i * n + numBuckets - 1) / numBuckets
+      hist(cum.indexWhere(_ >= need))._1
+    }
+    // ascending CASE chain: first threshold >= bin wins
+    val assigned = thresholds.zipWithIndex
+      .foldRight(lit(numBuckets - 1): Column) { case ((t, i), rest) =>
+        when(bin <= t, i).otherwise(rest)
+      }
+    df.withColumn(outCol, when(valid, assigned).otherwise(lit(null).cast("int")))
   }
 
   /** Canonical word-set fingerprint: md5 over the sorted distinct word

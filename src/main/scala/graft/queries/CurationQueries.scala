@@ -882,6 +882,63 @@ object CurationQueries {
       SELECT * FROM ($union) ORDER BY merge_rank"""
   }
 
+  /** CCNet-style perplexity tiering (library
+    * `TextAnalysis.quantileBuckets` over the q69 char-LM signal):
+    * every scored document lands in a head / middle / tail tier by
+    * exact bin-granularity terciles of its mean NLL — no global sort,
+    * no row_number over the corpus. Both engines derive the identical
+    * per-doc double NLL from the same exact-integer sum, quantize it
+    * to the same `floor(nll*1024)` bin, build the same bounded bin
+    * histogram, and pick the same threshold bins
+    * (`smallest bin with cum >= ceil(i*n/3)`); the hash covers every
+    * document's tier. Tier 0 = lowest NLL = most natural text. */
+  val q86 = QueryDef(
+    "q86_ppl_buckets",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.ops.TextAnalysis.charLmTrain(docs, "text", n = 3)
+      val scored = graft.ops.TextAnalysis
+        .charLmScore(docs, model, "doc_id", "text", n = 3)
+        .filter(col("n_grams") > 0)
+        .select(col("doc_id"), col("n_grams"), col("avg_nll"))
+      graft.ops.TextAnalysis
+        .quantileBuckets(scored, "avg_nll",
+          numBuckets = 3, binScale = 1024.0, outCol = "ppl_tier")
+        .select(col("doc_id"), col("n_grams"),
+          round(col("avg_nll"), 6).as("avg_nll"), col("ppl_tier"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH g AS MATERIALIZED (
+        SELECT doc_id, substr(text, CAST(i AS INT), 3) AS gram
+        FROM documents, LATERAL unnest(generate_series(1, length(text) - 2)) AS t(i)),
+      cg AS (SELECT gram, count(*) AS c_gram FROM g GROUP BY gram),
+      cc AS (SELECT substr(gram, 1, 2) AS ctx, sum(c_gram) AS c_ctx
+             FROM cg GROUP BY substr(gram, 1, 2)),
+      m AS (SELECT gram,
+              CAST(round(ln(CAST(c_gram AS DOUBLE) / CAST(c_ctx AS DOUBLE))
+                * CAST(1048576 AS DOUBLE)) AS BIGINT) AS lq
+            FROM cg JOIN cc ON substr(cg.gram, 1, 2) = cc.ctx),
+      sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(lq) AS BIGINT) AS s
+             FROM g JOIN m USING (gram) GROUP BY doc_id),
+      b AS MATERIALIZED (
+        SELECT doc_id, n_grams,
+          -(CAST(s AS DOUBLE) / CAST(1048576 AS DOUBLE)) / n_grams AS nll,
+          CAST(floor(-(CAST(s AS DOUBLE) / CAST(1048576 AS DOUBLE)) / n_grams
+            * CAST(1024 AS DOUBLE)) AS BIGINT) AS bin
+        FROM sc),
+      h AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+      cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cc2 FROM h),
+      nn AS (SELECT count(*) AS n FROM b),
+      t1 AS (SELECT min(bin) AS t FROM cum, nn WHERE cc2 >= (1 * n + 2) // 3),
+      t2 AS (SELECT min(bin) AS t FROM cum, nn WHERE cc2 >= (2 * n + 2) // 3)
+      SELECT b.doc_id, b.n_grams, round(b.nll, 6) AS avg_nll,
+        CAST(CASE WHEN b.bin <= t1.t THEN 0
+                  WHEN b.bin <= t2.t THEN 1 ELSE 2 END AS INT) AS ppl_tier
+      FROM b, t1, t2 ORDER BY b.doc_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
-    Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83)
+    Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
+      q86)
 }

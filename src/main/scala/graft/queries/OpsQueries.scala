@@ -152,6 +152,68 @@ object OpsQueries {
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
     })
 
+  /** Similarity.recallAtK over q47's ANN results vs exact brute-force
+    * ground truth (`Similarity.bruteForceTopK` — panel queries
+    * vec_id < 20, k = 5): the evaluation harness every ANN deployment
+    * needs before trusting its index — per-query
+    * `|approx ∩ exact| / |exact|`. The oracle re-derives BOTH sides
+    * (the q47 LSH bucket/rank pipeline and an all-pairs window rank)
+    * and the same intersect-count join; recall is a small-integer
+    * division, bit-exact on both engines. */
+  val q87 = QueryDef(
+    "q87_ann_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val panel = emb.filter(col("vec_id") < 20)
+      val approx = Similarity.annTopK(emb, panel,
+        "embedding", "vec_id", dim = EmbeddingQueries.Dim, k = 5, numPlanes = 8)
+      val exact = Similarity.bruteForceTopK(emb, panel, "embedding", "vec_id", k = 5)
+      Similarity.recallAtK(approx, exact)
+        .select(col("query_id"), col("n_exact"), col("n_hits"),
+          round(col("recall"), 6).as("recall"))
+        .oracleOrderBy("query_id")
+    },
+    Some {
+      import EmbeddingQueries.{bucketExpr, dotSum, duckElem}
+      s"""WITH b AS MATERIALIZED (
+          SELECT vec_id, embedding, (${bucketExpr(duckElem)}) AS bucket FROM embeddings),
+        acand AS (
+          SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+            (${dotSum(duckElem, "q.embedding", "d.embedding")})
+              / (sqrt(${dotSum(duckElem, "q.embedding", "q.embedding")})
+                 * sqrt(${dotSum(duckElem, "d.embedding", "d.embedding")})) AS cos
+          FROM b q JOIN b d ON q.bucket = d.bucket AND q.vec_id <> d.vec_id
+          WHERE q.vec_id < 20),
+        approx AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM acand) ar WHERE rank <= 5),
+        ecand AS (
+          SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+            (${dotSum(duckElem, "q.embedding", "d.embedding")})
+              / (sqrt(${dotSum(duckElem, "q.embedding", "q.embedding")})
+                 * sqrt(${dotSum(duckElem, "d.embedding", "d.embedding")})) AS cos
+          FROM embeddings q JOIN embeddings d ON q.vec_id <> d.vec_id
+          WHERE q.vec_id < 20),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM ecand) er WHERE rank <= 5),
+        ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id),
+        nh AS (SELECT a.query_id, count(*) AS n_hits
+               FROM approx a JOIN exact e USING (query_id, neighbor_id)
+               GROUP BY a.query_id)
+        SELECT ne.query_id, ne.n_exact, coalesce(nh.n_hits, 0) AS n_hits,
+          round(CAST(coalesce(nh.n_hits, 0) AS DOUBLE) / ne.n_exact, 6) AS recall
+        FROM ne LEFT JOIN nh USING (query_id)
+        ORDER BY ne.query_id"""
+    },
+    bench = true)
+
   /** Similarity.ivfTopK — IVF retrieval end to end: assign every row to
     * its max-cosine cell (4 deterministic centroids, ties -> highest
     * cid), each query probes its 2 best cells, candidates come from the
@@ -361,5 +423,6 @@ object OpsQueries {
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
-  val all: Seq[QueryDef] = Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51, q52, q53, q54)
+  val all: Seq[QueryDef] =
+    Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51, q52, q53, q54, q87)
 }

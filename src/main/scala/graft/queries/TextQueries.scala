@@ -686,7 +686,61 @@ object TextQueries {
       ORDER BY d.doc_id"""),
     bench = true)
 
+  /** Within-document duplicate-line removal (library
+    * `TextAnalysis.dedupLines` — the Gopher-style in-document
+    * repetition scrub that the cross-document paragraph pass q67
+    * misses). The synthetic corpus is single-line, so the query first
+    * LINEIFIES each document deterministically — 5-token lines, then a
+    * blank line and a repeat of the first line (guaranteeing every
+    * multi-line doc at least one true duplicate plus natural repeats
+    * from the corpus's own token runs) — and the operator then keeps
+    * blank lines and first occurrences only. Both engines build the
+    * identical lineified text and the identical first-occurrence test
+    * (array_position / list_position); the hash covers the full
+    * cleaned text. */
+  val q91 = QueryDef(
+    "q91_line_dedup",
+    (s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val nLines = floor((size(toks) + lit(4)) / lit(5)).cast("int")
+      val lines = transform(sequence(lit(0), nLines - 1),
+        i => concat_ws(" ", slice(toks, i * 5 + 1, lit(5))))
+      val lined = concat(array_join(lines, "\n"), lit("\n\n"),
+        element_at(lines, 1))
+      val input = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("text").isNull, lit(null)).otherwise(lined).as("text"))
+      graft.ops.TextAnalysis.dedupLines(input, "text")
+        .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+          col("clean_text"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH tk AS (
+        SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
+        FROM documents),
+      ln AS (
+        SELECT doc_id, list_transform(
+            range(0, CAST(floor((len(t) + 4) / 5) AS INT)),
+            i -> array_to_string(t[(i*5+1):(i*5+5)], ' ')) AS lines
+        FROM tk),
+      d AS (
+        SELECT doc_id,
+          string_split(array_to_string(lines, chr(10)) || chr(10) || chr(10)
+            || lines[1], chr(10)) AS ls
+        FROM ln),
+      k AS (
+        SELECT doc_id, len(ls) AS n_lines,
+          list_transform(
+            list_filter(range(1, len(ls) + 1),
+              i -> trim(ls[i]) = '' OR list_position(ls, ls[i]) = i),
+            i -> ls[i]) AS kept
+        FROM d)
+      SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        CAST(n_lines - len(kept) AS BIGINT) AS n_dup_lines,
+        array_to_string(kept, chr(10)) AS clean_text
+      FROM k ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61, q62,
-      q65, q66, q67, q68, q77, q84)
+      q65, q66, q67, q68, q77, q84, q91)
 }

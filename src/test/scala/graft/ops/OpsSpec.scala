@@ -2009,4 +2009,120 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("driver-collected"))
     assert(e.getMessage.contains((1 << 22).toString))
   }
+
+  test("bruteForceTopK ranks every query against every candidate exactly") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),   // closest to 0
+      (2L, Seq(0.0f, 1.0f)),   // orthogonal to 0
+      (3L, Seq(-1.0f, 0.0f)),  // opposite to 0
+      (4L, Seq(0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val panel = vecs.filter(col("vec_id") < 2)
+    val out = Similarity.bruteForceTopK(vecs, panel, "embedding", "vec_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // query 0: best 1 (cos ~.994), then 4 (cos ~.970)
+    assert(out((0L, 1)) == 1L && out((0L, 2)) == 4L)
+    // query 1 = (0.9, 0.1): cos(1,0) ≈ .9939 beats cos(1,4) ≈ .9910
+    assert(out((1L, 1)) == 0L && out((1L, 2)) == 4L)
+    assert(out.size == 4) // 2 queries x k=2, self excluded
+
+    // the panel join is a broadcast HASH join (constant-key equi-join),
+    // not the nested-loop join a raw crossJoin would plan
+    val plan = Similarity.bruteForceTopK(vecs, panel, "embedding", "vec_id", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("recallAtK counts per-query overlap against ground truth") {
+    val exact = Seq((0L, 10L), (0L, 11L), (0L, 12L), (1L, 20L), (1L, 21L), (1L, 22L))
+      .toDF("query_id", "neighbor_id")
+    // query 0: 2/3 recovered; query 1: nothing recovered (disjoint ids)
+    val approx = Seq((0L, 10L), (0L, 12L), (0L, 99L), (1L, 30L), (1L, 31L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.recallAtK(approx, exact)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(0L) == ((3L, 2L, 2.0 / 3)))
+    assert(out(1L) == ((3L, 0L, 0.0)))
+    // only queries WITH ground truth appear
+    assert(out.size == 2)
+  }
+
+  test("quantileBuckets: exact bin-granularity terciles, invalid scores null") {
+    // scores 0.1 .. 1.2 — 12 valid docs, terciles need cum >= 4 and 8;
+    // binScale 10 puts each score in its own bin (floor(s*10))
+    val rows: Seq[(Long, Option[Double])] =
+      (1 to 12).map(i => (i.toLong, Some(i / 10.0))) ++
+        Seq((90L, Some(Double.NaN)), (91L, None))
+    val df = rows.toDF("doc_id", "score")
+    val out = TextAnalysis.quantileBuckets(df, "score",
+      numBuckets = 3, binScale = 10.0)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getInt(2))).toMap
+    (1 to 4).foreach(i => assert(out(i.toLong) == 0, s"doc $i"))
+    (5 to 8).foreach(i => assert(out(i.toLong) == 1, s"doc $i"))
+    (9 to 12).foreach(i => assert(out(i.toLong) == 2, s"doc $i"))
+    assert(out(90L) == null && out(91L) == null)
+
+    // bucket assignment is partition-invariant (histogram + thresholds
+    // are order-free by construction)
+    val re = TextAnalysis.quantileBuckets(df.repartition(7), "score",
+      numBuckets = 3, binScale = 10.0)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getInt(2))).toMap
+    assert(re == out)
+  }
+
+  test("quantileBuckets: shared bins share a tier; degenerate cases") {
+    // all 6 docs in ONE bin (binScale 1, scores in [0,1)): the first
+    // threshold bin covers everything -> everyone is tier 0
+    val same = (1 to 6).map(i => (i.toLong, 0.1 * i / 10)).toDF("doc_id", "score")
+    val outSame = TextAnalysis.quantileBuckets(same, "score",
+      numBuckets = 3, binScale = 1.0)
+      .select("qbucket").collect().map(_.getInt(0)).toSet
+    assert(outSame == Set(0))
+
+    // empty input (no valid scores): all-null bucket column, no throw
+    val empty = Seq((1L, Double.NaN)).toDF("doc_id", "score")
+    assert(TextAnalysis.quantileBuckets(empty, "score")
+      .select("qbucket").collect().forall(_.isNullAt(0)))
+
+    intercept[IllegalArgumentException](
+      TextAnalysis.quantileBuckets(same, "score", numBuckets = 1))
+    intercept[IllegalArgumentException](
+      TextAnalysis.quantileBuckets(same, "score", binScale = 0.0))
+  }
+
+  test("dedupLines keeps blank lines and first occurrences only") {
+    val rows = Seq(
+      // menu, content, menu again, blank, content, chorus x3
+      (0L, "Home | About\nreal paragraph one\nHome | About\n\nreal two\nla la\nla la\nla la"),
+      (1L, "a\nb\nc"),                // no dups
+      (2L, "  \n  \n\t\n  "),         // whitespace-only lines all survive
+      (3L, "x\nx \n x\nx"),           // whitespace variants are NOT dups
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(rows, "text")
+      .select("doc_id", "n_lines", "n_dup_lines", "clean_text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+    assert(out(0L) == ((8L, 3L,
+      "Home | About\nreal paragraph one\n\nreal two\nla la")))
+    assert(out(1L) == ((3L, 0L, "a\nb\nc")))
+    // trim here is space-only (the engine-portable rule): the tab line
+    // is NOT blank, but it has no earlier occurrence either
+    assert(out(2L) == ((4L, 0L, "  \n  \n\t\n  ")))
+    assert(out(3L) == ((4L, 1L, "x\nx \n x")))
+    assert(out(4L)._1 == 0L && out(4L)._2 == 0L && out(4L)._3 == null)
+  }
+
+  test("dedupLines is narrow: no shuffle in the plan") {
+    val df = Seq((0L, "a\na\nb")).toDF("doc_id", "text")
+    val plan = TextAnalysis.dedupLines(df, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
