@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling for corpus curation. The
@@ -52,6 +53,101 @@ object Sampling {
       case (acc, (stratum, f)) => when(col(strataCol) === stratum, lit(f)).otherwise(acc)
     }
     df.filter(hashUnit(col(idCol)) < frac)
+  }
+
+  /** Largest-remainder apportionment of `k` slots over target
+    * proportions — deterministic: every stratum gets its floor share
+    * `floor(k·p)`, and the leftover slots go to the largest fractional
+    * remainders (ties by stratum name ascending). The exact-seat
+    * method election systems use; never over- or under-allocates. */
+  private[ops] def apportion(target: Seq[(String, Double)], k: Int): Map[String, Long] = {
+    val base = target.map { case (s, p) =>
+      val share = k * p
+      (s, math.floor(share).toLong, share - math.floor(share))
+    }
+    val left = (k - base.map(_._2).sum).toInt
+    val bump = base.sortBy { case (s, _, frac) => (-frac, s) }
+      .take(left).map(_._1).toSet
+    base.map { case (s, b, _) => s -> (b + (if (bump(s)) 1L else 0L)) }.toMap
+  }
+
+  /** Domain-mixture resampling — the data-mixing pass every pretraining
+    * corpus gets (the DoReMi/Pile recipe applied): select `k` documents
+    * whose stratum composition matches `target` proportions, e.g.
+    * upweighting rare languages against a web-crawl's natural skew.
+    * Per-stratum quotas come from largest-remainder [[apportion]]ment;
+    * within each stratum the quota fills with the smallest
+    * `(hashUnit(id), id)` rows — a deterministic uniform draw without
+    * replacement, reproducible across runs, partitionings, and engines.
+    * Every input row comes back with `mix_kept` 1/0 (strata outside
+    * the target — including a NULL stratum — are all 0). A stratum
+    * with fewer rows than its quota keeps everything it has: the
+    * output then UNDERSHOOTS `k`, which is the honest answer — check
+    * `sum(mix_kept)` downstream rather than silently backfilling from
+    * over-represented strata.
+    *
+    * Shape at 100 TB: quotas and (with `preFilterFactor`) per-stratum
+    * counts are dimension-sized driver models; selection is one window
+    * per stratum. `preFilterFactor = Some(c)` bounds that window's
+    * input the way [[graft.ops.Urls.capPerDomain]] does: only rows
+    * with `hash < c·quota/count` are ranked (an expected `c·quota`
+    * rows per stratum instead of the stratum's full row set — the
+    * dominant-language window input drops from corpus-scale to
+    * quota-scale), survivor-deficient strata fall back to ranking
+    * their full set so the result NEVER changes, and cut rows come
+    * back unranked as `mix_kept` 0. */
+  def mixtureSample(
+      df: DataFrame, idCol: String, strataCol: String,
+      target: Seq[(String, Double)], k: Int,
+      preFilterFactor: Option[Double] = None): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(target.nonEmpty, "mixtureSample needs at least one target stratum")
+    require(target.map(_._1).distinct.size == target.size,
+      s"duplicate target strata: ${target.map(_._1)}")
+    require(target.forall(_._2 > 0.0), s"target proportions must be positive: $target")
+    require(math.abs(target.map(_._2).sum - 1.0) < 1e-9,
+      s"target proportions must sum to 1: $target")
+    preFilterFactor.foreach(c => require(c > 1.0,
+      s"preFilterFactor must be > 1 (margin over the expected quota-th hash), got $c"))
+    val quotas = apportion(target, k)
+    val quotaCol = quotas.toSeq.sortBy(_._1).foldLeft(lit(0L): Column) {
+      case (acc, (s, q)) => when(col(strataCol) === s, lit(q)).otherwise(acc)
+    }
+    val u = hashUnit(col(idCol))
+    val w = Window.partitionBy(strataCol).orderBy(u, col(idCol))
+    def rankQuota(part: DataFrame): DataFrame = part
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("mix_kept", (col("__rk") <= quotaCol).cast("int"))
+      .drop("__rk")
+    val inTarget = coalesce(col(strataCol).isin(quotas.keys.toSeq: _*), lit(false))
+    val tgt = df.filter(inTarget)
+    val rest = df.filter(!inTarget).withColumn("mix_kept", lit(0))
+    val ranked = preFilterFactor match {
+      case None => rankQuota(tgt)
+      case Some(c) =>
+        val counts = tgt.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val thr = quotas.toSeq.sortBy(_._1).foldLeft(lit(0.0): Column) {
+          case (acc, (s, q)) =>
+            val n = counts.getOrElse(s, 0L)
+            val t = if (n == 0) 1.0 else math.min(1.0, c * q.toDouble / n)
+            when(col(strataCol) === s, lit(t)).otherwise(acc)
+        }
+        val surv = tgt.filter(u < thr)
+        val survCounts = surv.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val deficient = quotas.collect {
+          case (s, q) if survCounts.getOrElse(s, 0L) < q => s
+        }.toSeq
+        val defCol =
+          if (deficient.isEmpty) lit(false)
+          else col(strataCol).isin(deficient: _*)
+        rankQuota(tgt.filter(defCol))
+          .unionByName(rankQuota(tgt.filter(!defCol && u < thr)))
+          .unionByName(tgt.filter(!defCol && u >= thr)
+            .withColumn("mix_kept", lit(0)))
+    }
+    ranked.unionByName(rest)
   }
 
   /** Deterministic split assignment (train/val/test): cumulative

@@ -349,6 +349,87 @@ object Similarity {
       queryVec: Seq[Double], k: Int = 10): DataFrame =
     pqTopKFromCodes(pqEncode(data, embCol, codebooks), idCol, codebooks, queryVec, k)
 
+  /** Per-dimension `(min, max)` ranges for int8 scalar quantization
+    * ([[sqEncode]]) — ONE bounded aggregate (2 × dim output columns,
+    * map-side partial min/max), collected to the driver like every
+    * model in this library. The cast array is projected ONCE before
+    * the per-dimension `element_at`s (the [[trainCodebook]] lesson:
+    * folding the cast into each aggregate re-runs it per column). */
+  def sqFit(df: DataFrame, embCol: String, dim: Int): Seq[(Double, Double)] = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val cast = df.select(asDouble(col(embCol)).as("__emb"))
+    val aggs = (0 until dim).flatMap(j => Seq(
+      min(element_at(col("__emb"), j + 1)).as(s"mn$j"),
+      max(element_at(col("__emb"), j + 1)).as(s"mx$j")))
+    val r = cast.agg(aggs.head, aggs.tail: _*).collect().head
+    (0 until dim).map(j => (r.getDouble(2 * j), r.getDouble(2 * j + 1)))
+  }
+
+  /** Int8 scalar quantization (SQ8 — the FAISS `ScalarQuantizer`
+    * shape): each coordinate is affinely mapped to a 0..255 code,
+    * `code_j = clamp(round((x_j - min_j) / scale_j))` with
+    * `scale_j = (max_j - min_j) / 255` — a 4× (float) / 8× (double)
+    * compression that, unlike PQ, keeps per-dimension resolution.
+    * Appends `codes` (array<int>) and `recon_err` (the squared-L2
+    * reconstruction error against the dequantized vector — the
+    * quantization-quality signal; per-dimension terms are quantized to
+    * 2^-20 and summed as exact integers, so the error is bit-identical
+    * on any engine). A degenerate dimension (max == min) codes to 0.
+    *
+    * Shape at 100 TB: the stats are 2 × dim driver-resident doubles
+    * baked into the expression as literals — the encode is a NARROW
+    * zero-shuffle codegen'd pass like [[pqEncode]]. */
+  def sqEncode(
+      df: DataFrame, embCol: String,
+      stats: Seq[(Double, Double)]): DataFrame = {
+    require(stats.nonEmpty, "sqEncode needs at least one dimension stat")
+    val scales = stats.map { case (mn, mx) => (mx - mn) / 255.0 }
+    val emb = col("__sqemb")
+    val codes = stats.zipWithIndex.map { case ((mn, _), j) =>
+      if (scales(j) == 0.0) lit(0)
+      else least(lit(255), greatest(lit(0),
+        round((element_at(emb, j + 1) - mn) / scales(j)).cast("int")))
+    }
+    val errQ = stats.zipWithIndex.map { case ((mn, _), j) =>
+      val xhat = lit(mn) + element_at(col("codes"), j + 1).cast("double") * scales(j)
+      val d = element_at(emb, j + 1) - xhat
+      round(d * d * TextAnalysis.LogQuantScale).cast("long")
+    }.reduce(_ + _)
+    df.withColumn("__sqemb", asDouble(col(embCol)))
+      .withColumn("codes", array(codes: _*))
+      .withColumn("recon_err", errQ.cast("double") / TextAnalysis.LogQuantScale)
+      .drop("__sqemb")
+  }
+
+  /** SQ asymmetric-distance top-k over an ALREADY-ENCODED code table
+    * (`codes` as produced by [[sqEncode]]): the query stays exact,
+    * every row is scored from its codes alone by squared-L2 against
+    * the dequantized coordinates — at scale the materialized code
+    * table is what gets scanned, never the raw vectors (the
+    * [[pqTopKFromCodes]] story with per-dimension resolution).
+    * Distance terms are quantized to 2^-20 and summed as exact
+    * integers, so the ranking (dist asc, id) is engine-portable;
+    * `sq_dist` reports the dequantized double. TakeOrdered — no
+    * global sort. */
+  def sqTopKFromCodes(
+      encoded: DataFrame, idCol: String,
+      stats: Seq[(Double, Double)], queryVec: Seq[Double],
+      k: Int = 10): DataFrame = {
+    require(queryVec.length == stats.length,
+      s"query dim ${queryVec.length} != ${stats.length}")
+    val scales = stats.map { case (mn, mx) => (mx - mn) / 255.0 }
+    val distQ = stats.zipWithIndex.map { case ((mn, _), j) =>
+      val xhat = lit(mn) + element_at(col("codes"), j + 1).cast("double") * scales(j)
+      val d = lit(queryVec(j)) - xhat
+      round(d * d * TextAnalysis.LogQuantScale).cast("long")
+    }.reduce(_ + _)
+    encoded.withColumn("__dq", distQ)
+      .orderBy(col("__dq").asc, col(idCol))
+      .limit(k)
+      .select(col(idCol),
+        (col("__dq").cast("double") / TextAnalysis.LogQuantScale).as("sq_dist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH bucket, then pairwise
     * cosine within buckets, keep pairs above `threshold`. */
   def cosineNearDupPairs(

@@ -456,10 +456,16 @@ object TextAnalysis {
     * line counts; a million-line pathological row is a data-quality
     * incident upstream filters catch first). Blank-line detection uses
     * space-only `trim` on BOTH engines so the oracle can mirror it
-    * exactly. */
-  def dedupLines(df: DataFrame, textCol: String): DataFrame = {
+    * exactly.
+    *
+    * `sep` defaults to newline; pass `". "` to dedup repeated
+    * SENTENCES on a corpus without line structure (the separator is
+    * taken literally, not as a regex). */
+  def dedupLines(df: DataFrame, textCol: String, sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "dedupLines needs a non-empty separator")
     val ls = col("__lines")
-    df.withColumn("__lines", split(col(textCol), "\n", -1))
+    df.withColumn("__lines",
+        split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
       .withColumn("__kept",
         filter(ls, (x, i) =>
           trim(x) === lit("") || array_position(ls, x) === i.cast("long") + lit(1L)))
@@ -468,7 +474,7 @@ object TextAnalysis {
       .withColumn("n_dup_lines",
         when(col(textCol).isNull, lit(0L))
           .otherwise((size(ls) - size(col("__kept"))).cast("long")))
-      .withColumn("clean_text", array_join(col("__kept"), "\n"))
+      .withColumn("clean_text", array_join(col("__kept"), sep))
       .drop("__lines", "__kept")
   }
 

@@ -938,7 +938,50 @@ object CurationQueries {
       FROM b, t1, t2 ORDER BY b.doc_id"""),
     bench = true)
 
+  /** Domain-mixture resampling (library `Sampling.mixtureSample` —
+    * the DoReMi/Pile-style data-mixing pass): 101 documents drawn to a
+    * 40/20/20/10/10 language mixture against the corpus's natural
+    * skew, each stratum's quota (largest-remainder apportionment:
+    * en 41, zh/es 20, de/fr 10) filled by the smallest
+    * `(md5-unit-hash, id)` rows — a deterministic uniform draw without
+    * replacement. The Spark side runs the `preFilterFactor` path (the
+    * dominant stratum's ranking window sees ~2×quota rows, not its
+    * whole stratum); the oracle ranks full strata — the pre-filter is
+    * exactness-preserving, so the kept SET is identical, which is
+    * precisely what the hash checks. */
+  val q90 = QueryDef(
+    "q90_mixture_sample",
+    (s, dir) => {
+      graft.ops.Sampling.mixtureSample(
+        t(s, dir, "documents"), "doc_id", "lang",
+        Seq("en" -> 0.4, "zh" -> 0.2, "es" -> 0.2, "de" -> 0.1, "fr" -> 0.1),
+        k = 101, preFilterFactor = Some(2.0))
+        .select(col("doc_id"), col("lang"),
+          round(graft.ops.Sampling.hashUnit(col("doc_id")), 6).as("u"),
+          col("mix_kept"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(s"""WITH h AS (
+        SELECT doc_id, lang, ${TextQueries.unitHashDuck} AS u FROM documents),
+      tq AS (
+        SELECT doc_id, lang, u,
+          CASE lang WHEN 'en' THEN 41 WHEN 'zh' THEN 20 WHEN 'es' THEN 20
+                    WHEN 'de' THEN 10 WHEN 'fr' THEN 10 ELSE 0 END AS quota
+        FROM h),
+      r AS (
+        SELECT doc_id, lang, u, quota,
+          row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk
+        FROM tq WHERE quota > 0)
+      SELECT doc_id, lang, round(u, 6) AS u,
+        CAST(CASE WHEN rk <= quota THEN 1 ELSE 0 END AS INT) AS mix_kept
+      FROM r
+      UNION ALL
+      SELECT doc_id, lang, round(u, 6) AS u, CAST(0 AS INT) AS mix_kept
+      FROM tq WHERE quota = 0
+      ORDER BY doc_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
-      q86)
+      q86, q90)
 }

@@ -415,5 +415,91 @@ object EmbeddingQueries {
     },
     bench = true)
 
-  val all: Seq[QueryDef] = Seq(q33, q34, q44, q58, q59, q63, q64, q85)
+  /** Shared SQ8 derivation CTEs (q88/q89): per-dimension min/max over
+    * the corpus, per-coordinate scale `(mx-mn)/255`, and every
+    * vector's clamped affine code — ending in
+    * `cd(vec_id, j, x, mn, sc, code)`. Mirrors
+    * `Similarity.sqFit`/`sqEncode` exactly: identical doubles in,
+    * identical `round` (both engines take halves away from zero),
+    * identical clamp. */
+  private def sqCtes: String =
+    s"""e AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      st AS MATERIALIZED (
+        SELECT j, min(v[j]) AS mn, max(v[j]) AS mx
+        FROM e, LATERAL unnest(generate_series(1, $Dim)) t(j) GROUP BY j),
+      c0 AS (
+        SELECT e.vec_id, s.j, e.v[s.j] AS x, s.mn,
+          CASE WHEN s.mx = s.mn THEN CAST(0 AS DOUBLE)
+               ELSE (s.mx - s.mn) / CAST(255 AS DOUBLE) END AS sc
+        FROM e CROSS JOIN st s),
+      cd AS MATERIALIZED (
+        SELECT vec_id, j, x, mn, sc,
+          CASE WHEN sc = 0 THEN 0
+               ELSE CAST(least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                 round((x - mn) / sc))) AS INT) END AS code
+        FROM c0)"""
+
+  /** Int8 scalar quantization (library `Similarity.sqFit`/`sqEncode` —
+    * the FAISS ScalarQuantizer shape, complementing q58's PQ): every
+    * coordinate affinely coded to 0..255 against per-dimension corpus
+    * min/max, plus the squared-L2 reconstruction error (per-dim terms
+    * quantized to 2^-20, summed as exact integers). The oracle
+    * re-derives stats, every one of the 64 codes per vector, and the
+    * exact-integer error sum; the hash covers the full code string. */
+  val q88 = QueryDef(
+    "q88_sq_codes",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val stats = graft.ops.Similarity.sqFit(e, "embedding", Dim)
+      graft.ops.Similarity.sqEncode(e, "embedding", stats)
+        .select(col("vec_id"),
+          array_join(col("codes").cast("array<string>"), " ").as("codes"),
+          round(col("recon_err"), 6).as("recon_err"))
+        .oracleOrderBy("vec_id")
+    },
+    Some(s"""WITH $sqCtes,
+      ag AS (
+        SELECT vec_id,
+          array_to_string(list(code ORDER BY j), ' ') AS codes,
+          sum(CAST(round((x - (mn + code * sc)) * (x - (mn + code * sc))
+            * CAST(1048576 AS DOUBLE)) AS BIGINT)) AS eq
+        FROM cd GROUP BY vec_id)
+      SELECT vec_id, codes,
+        round(CAST(eq AS DOUBLE) / CAST(1048576 AS DOUBLE), 6) AS recon_err
+      FROM ag ORDER BY vec_id"""),
+    bench = true)
+
+  /** SQ asymmetric-distance top-k (library `Similarity.sqTopKFromCodes`
+    * — the q59 ADC story with per-dimension resolution): rows ranked
+    * against the exact query vector (vec_id 0) from their int8 codes
+    * alone; per-dimension distance terms quantized to 2^-20 and summed
+    * as exact integers, so the (dist, id) ranking is engine-portable.
+    * The oracle chains the q88 CTEs into the same scoring and top-10. */
+  val q89 = QueryDef(
+    "q89_sq_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val stats = graft.ops.Similarity.sqFit(e, "embedding", Dim)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .collect().head.getSeq[Double](0).toSeq
+      val encoded = graft.ops.Similarity.sqEncode(e, "embedding", stats)
+      graft.ops.Similarity.sqTopKFromCodes(encoded, "vec_id", stats, qv, k = 10)
+        .select(col("vec_id"), round(col("sq_dist"), 6).as("sq_dist"))
+        .oracleOrderBy("vec_id")
+    },
+    Some(s"""WITH $sqCtes,
+      q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      dt AS (
+        SELECT cd.vec_id,
+          sum(CAST(round((q.qv[cd.j] - (cd.mn + cd.code * cd.sc))
+            * (q.qv[cd.j] - (cd.mn + cd.code * cd.sc))
+            * CAST(1048576 AS DOUBLE)) AS BIGINT)) AS dq
+        FROM cd CROSS JOIN q GROUP BY cd.vec_id)
+      SELECT vec_id, round(CAST(dq AS DOUBLE) / CAST(1048576 AS DOUBLE), 6) AS sq_dist
+      FROM (SELECT vec_id, dq FROM dt ORDER BY dq ASC, vec_id LIMIT 10) topk
+      ORDER BY vec_id"""))
+
+  val all: Seq[QueryDef] = Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89)
 }

@@ -8,10 +8,11 @@ import graft.ops.{BpeTrain, Dedup, Dsir, Packing, Sampling, TextAnalysis}
 /** End-to-end corpus curation — the composed pipeline a pretraining
   * data team runs, built ONLY from `graft.ops` modules, in the
   * canonical order: normalize -> clean -> scrub -> quality filter ->
-  * LM-score filter -> exact dedup -> paragraph dedup -> exact-substring
-  * span dedup -> near-dup dedup -> Bloom-prefiltered decontamination ->
-  * DSIR selection -> deterministic split -> BPE tokenizer training ->
-  * true-token counting -> sequence packing (+ a per-source stats
+  * in-document sentence dedup -> LM perplexity-tier filter -> exact
+  * dedup -> paragraph dedup -> exact-substring span dedup -> near-dup
+  * dedup -> Bloom-prefiltered decontamination -> DSIR selection ->
+  * mixture balancing -> deterministic split -> BPE tokenizer training
+  * -> true-token counting -> sequence packing (+ a per-source stats
   * report). Each stage's wall time and retention is printed, so the
   * COMPOSITION (not just each operator in isolation) is demonstrably
   * runnable at SF scale:
@@ -70,23 +71,33 @@ object CurationDemo {
         .filter(col("quality_pass") === 1)
         .select("doc_id", "source", "text")
     }
-    // 5: LM-score gate: train the char-trigram model on the SURVIVORS
-    // of the rule filter (garbage already gone), drop the worst tail —
-    // the CCNet shape, with the corpus standing in for the clean LM
-    // training set
+    // 5: in-document repetition scrub — repeated sentences within one
+    // document lose their non-first copies (the corpus has no line
+    // structure, so the separator is the sentence boundary); a narrow
+    // zero-shuffle pass, cheapest of all the dedups, so it runs first
+    stage("sent-dedup") { d =>
+      TextAnalysis.dedupLines(d, "text", sep = ". ")
+        .filter(length(trim(col("clean_text"))) > 0)
+        .select(col("doc_id"), col("source"), col("clean_text").as("text"))
+    }
+    // 6: LM-score gate: train the char-trigram model on the SURVIVORS
+    // of the rule filter (garbage already gone), tier by EXACT
+    // bin-granularity perplexity deciles (the library's own
+    // quantileBuckets — deterministic, no global sort, no
+    // approxQuantile error bar) and drop the worst-decile tail — the
+    // CCNet head/middle-keeping shape
     stage("lm-score-filter") { d =>
       val model = TextAnalysis.charLmTrain(d, "text", n = 3)
-      // checkpoint: the scored frame feeds BOTH the quantile scan and
+      // checkpoint: the scored frame feeds BOTH the histogram scan and
       // the filter — without it the train+score lineage runs twice
       val scored = TextAnalysis.charLmScore(d, model, "doc_id", "text", n = 3)
         .localCheckpoint(true)
-      // CCNet keeps the head/middle perplexity buckets: cut the worst
-      // decile (approxQuantile is one bounded driver-side scalar)
-      val cut = scored.stat.approxQuantile("avg_nll", Array(0.9), 0.001).head
-      scored.filter(col("avg_nll") <= cut)
+      TextAnalysis.quantileBuckets(scored, "avg_nll",
+          numBuckets = 10, binScale = 1024.0, outCol = "ppl_tier")
+        .filter(col("ppl_tier") < 9)
         .select("doc_id", "source", "text")
     }
-    // 6-9: corpus-wide dedup, coarsest to finest: whole-document exact,
+    // 7-10: corpus-wide dedup, coarsest to finest: whole-document exact,
     // shared paragraphs, verbatim >=12-token passages, then near-dup
     stage("exact-dedup") { d =>
       Dedup.exact(d, "text", "doc_id")
@@ -112,7 +123,7 @@ object CurationDemo {
         .filter(!col("is_near_duplicate"))
         .select("doc_id", "source", "text")
     }
-    // 10: decontaminate against a held-out eval set (ids < 10 stand
+    // 11: decontaminate against a held-out eval set (ids < 10 stand
     // in) through the fixed-size Bloom prefilter — the clean-corpus
     // bulk never reaches the verify join
     stage("bloom-decontam") { d =>
@@ -123,7 +134,7 @@ object CurationDemo {
         .filter(col("contaminated") === 0)
         .select("doc_id", "source", "text")
     }
-    // 11: DSIR data selection — keep the 85% of the corpus whose hashed
+    // 12: DSIR data selection — keep the 85% of the corpus whose hashed
     // n-gram distribution best resembles the stand-in target slice
     // (every 17th doc), via the deterministic Gumbel resample
     stage("dsir-select") { d =>
@@ -135,14 +146,29 @@ object CurationDemo {
         .select("doc_id", "source", "text")
         .unionByName(target.select("doc_id", "source", "text"))
     }
-    // 12: deterministic split
+    // 13: mixture balancing — flatten the surviving corpus toward a
+    // uniform source mixture (the data-mixing pass: dominant sources
+    // give up their excess, each source's quota fills by the
+    // deterministic id-hash draw; sources shorter than their quota
+    // keep everything — the honest undershoot)
+    stage("mixture-balance") { d =>
+      val sources = d.select("source").distinct()
+        .collect().map(_.getString(0)).sorted
+      val uniform = sources.map(s => s -> 1.0 / sources.length).toSeq
+      val k = (d.count() * 92L / 100L).toInt
+      Sampling.mixtureSample(d, "doc_id", "source", uniform, k,
+          preFilterFactor = Some(2.0))
+        .filter(col("mix_kept") === 1)
+        .select("doc_id", "source", "text")
+    }
+    // 14: deterministic split
     stage("split") { d =>
       Sampling.assignSplit(d, "doc_id",
         Seq(("train", 0.75), ("val", 0.125), ("test", 0.125)))
     }
     df.groupBy("split").count().orderBy("split").collect()
       .foreach(r => println(f"[curate]   split ${r.getString(0)}%-5s ${r.getLong(1)}%7d docs"))
-    // 13-14: train the tokenizer ON THE CURATED TRAIN SPLIT (the order
+    // 15-16: train the tokenizer ON THE CURATED TRAIN SPLIT (the order
     // a real pipeline uses — the tokenizer must not see eval text),
     // then count TRUE BPE tokens under the learned table
     var vocabSize = 0
@@ -153,7 +179,7 @@ object CurationDemo {
       d.withColumn("n_tok", TextAnalysis.bpeTokenCount(col("text"), vocab))
     }
     println(f"[curate]   learned $vocabSize%d BPE merges from the train split")
-    // 15: pack the train split into 512-token context windows by TRUE
+    // 17: pack the train split into 512-token context windows by TRUE
     // token counts, sharded by source so the window parallelism is
     // bounded by shard count
     stage("pack-chunks") { d =>

@@ -229,6 +229,51 @@ object ProfileScale {
       e, "embedding", "vec_id", k = k, dim = dim, iters = 2, threshold = 0.95)
       .select(col("vec_id"), col("dup_of"), col("is_semantic_duplicate"))
 
+    // perplexity tiering: the scored plan executes twice (bounded bin
+    // histogram, then assignment) — both passes corpus-linear, the
+    // histogram/threshold model driver-sized at any scale
+    def q86(d: DataFrame) = {
+      val model = TextAnalysis.charLmTrain(d, "text", n = 3)
+      val scored = TextAnalysis.charLmScore(d, model, "doc_id", "text", n = 3)
+        .filter(col("n_grams") > 0)
+        .select(col("doc_id"), col("n_grams"), col("avg_nll"))
+      TextAnalysis.quantileBuckets(scored, "avg_nll",
+        numBuckets = 3, binScale = 1024.0, outCol = "ppl_tier")
+    }
+    // ANN recall eval: the approx side is q47's band join; the exact
+    // side is the DELIBERATE panel x corpus ground-truth scan (fixed
+    // 20-query panel, windows partitioned by query) — cost grows
+    // linearly with the corpus, which is the honest price of exact
+    // ground truth and why it runs on a sampled panel
+    def q87(e: DataFrame) = {
+      val panel = e.filter(col("vec_id") < 20)
+      Similarity.recallAtK(
+        Similarity.annTopK(e, panel, "embedding", "vec_id",
+          dim = dim, k = 5, numPlanes = 8),
+        Similarity.bruteForceTopK(e, panel, "embedding", "vec_id", k = 5))
+    }
+    // SQ8 encode: one bounded min/max aggregate + a narrow literal
+    // projection — should scale like the scan
+    def q88(e: DataFrame) = {
+      val stats = Similarity.sqFit(e, "embedding", dim)
+      Similarity.sqEncode(e, "embedding", stats)
+        .select(col("vec_id"), col("codes"), col("recon_err"))
+    }
+    // mixture sampling with k FIXED as the corpus grows: the
+    // pre-filter keeps each stratum's ranking window at ~2x its quota
+    // regardless of corpus size — only the count passes scale
+    def q90(d: DataFrame) = graft.ops.Sampling.mixtureSample(
+      d.withColumn("lang", concat(lit("l"), (col("doc_id") % 5).cast("string"))),
+      "doc_id", "lang",
+      Seq("l0" -> 0.4, "l1" -> 0.2, "l2" -> 0.2, "l3" -> 0.1, "l4" -> 0.1),
+      k = 101, preFilterFactor = Some(2.0))
+      .select(col("doc_id"), col("lang"), col("mix_kept"))
+    // line dedup: narrow zero-shuffle projection (lineified on the fly
+    // by turning ' the ' into newlines — natural duplicate lines)
+    def q91(d: DataFrame) = TextAnalysis.dedupLines(
+      d.withColumn("text", regexp_replace(col("text"), " the ", "\n")), "text")
+      .select(col("doc_id"), col("n_lines"), col("n_dup_lines"), col("clean_text"))
+
     // Time CONSTRUCTION + execution: the dedup pipeline materializes
     // its stage boundaries eagerly (localCheckpoint) while the plan is
     // being built, so timing only the final action would miss most of
@@ -270,7 +315,12 @@ object ProfileScale {
       ("q82 minlen-spans", () => q82(docs), () => q82(docs10)),
       ("q83 interp-lm", () => q83(docs), () => q83(docs10)),
       ("q84 fuzzy-decon", () => q84(docs), () => q84(docs10)),
-      ("q85 semdedup", () => q85(emb, 4), () => q85(emb10, 4 * factor)))
+      ("q85 semdedup", () => q85(emb, 4), () => q85(emb10, 4 * factor)),
+      ("q86 ppl-tiers", () => q86(docs), () => q86(docs10)),
+      ("q87 ann-recall", () => q87(emb), () => q87(emb10)),
+      ("q88 sq-encode", () => q88(emb), () => q88(emb10)),
+      ("q90 mixture", () => q90(docs), () => q90(docs10)),
+      ("q91 line-dedup", () => q91(docs), () => q91(docs10)))
       .map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)

@@ -2035,6 +2035,48 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("sqFit/sqEncode: affine int8 codes, HALF_UP rounding, degenerate dims") {
+    val vecs = Seq(
+      (0L, Seq(0.0f, 10.0f)),
+      (1L, Seq(1.0f, 10.0f)),
+      (2L, Seq(0.5f, 10.0f))) // dim 2 is constant -> scale 0 -> code 0
+      .toDF("vec_id", "embedding")
+    val stats = Similarity.sqFit(vecs, "embedding", 2)
+    assert(stats == Seq((0.0, 1.0), (10.0, 10.0)))
+    val enc = Similarity.sqEncode(vecs, "embedding", stats)
+      .select("vec_id", "codes", "recon_err")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1).toList, r.getDouble(2)))).toMap
+    // 0.5 * 255 = 127.5 rounds HALF_UP to 128 (not banker's 127)
+    assert(enc(0L)._1 == List(0, 0) && enc(1L)._1 == List(255, 0))
+    assert(enc(2L)._1 == List(128, 0))
+    // endpoints reconstruct exactly; the midpoint does not
+    assert(enc(0L)._2 == 0.0 && enc(1L)._2 == 0.0 && enc(2L)._2 > 0.0)
+
+    // encode is narrow: literal stats, no shuffle
+    val plan = Similarity.sqEncode(vecs, "embedding", stats)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("sqTopKFromCodes ranks by dequantized distance from codes alone") {
+    val vecs = Seq(
+      (0L, Seq(0.0f, 10.0f)),
+      (1L, Seq(1.0f, 10.0f)),
+      (2L, Seq(0.5f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val stats = Similarity.sqFit(vecs, "embedding", 2)
+    val enc = Similarity.sqEncode(vecs, "embedding", stats)
+    // query (0.6, 10): dequantized dists ~0.0096 (vec 2), 0.16 (1), 0.36 (0)
+    val top = Similarity.sqTopKFromCodes(enc, "vec_id", stats,
+      Seq(0.6, 10.0), k = 2)
+      .collect().map(_.getLong(0)).toList
+    assert(top == List(2L, 1L))
+
+    intercept[IllegalArgumentException](
+      Similarity.sqTopKFromCodes(enc, "vec_id", stats, Seq(1.0), k = 1))
+  }
+
   test("recallAtK counts per-query overlap against ground truth") {
     val exact = Seq((0L, 10L), (0L, 11L), (0L, 12L), (1L, 20L), (1L, 21L), (1L, 22L))
       .toDF("query_id", "neighbor_id")
@@ -2095,6 +2137,68 @@ class OpsSpec extends SparkSpec {
       TextAnalysis.quantileBuckets(same, "score", binScale = 0.0))
   }
 
+  test("apportion: largest-remainder quotas, deterministic tie-break") {
+    assert(Sampling.apportion(
+      Seq("en" -> 0.4, "zh" -> 0.2, "es" -> 0.2, "de" -> 0.1, "fr" -> 0.1), 101)
+      == Map("en" -> 41L, "zh" -> 20L, "es" -> 20L, "de" -> 10L, "fr" -> 10L))
+    // exact division: no remainder to distribute
+    assert(Sampling.apportion(Seq("a" -> 0.5, "b" -> 0.5), 10)
+      == Map("a" -> 5L, "b" -> 5L))
+    // equal remainders (.5/.5, one slot): tie breaks by name — "a" wins
+    assert(Sampling.apportion(Seq("b" -> 0.5, "a" -> 0.5), 1)
+      == Map("a" -> 1L, "b" -> 0L))
+  }
+
+  test("mixtureSample: quotas filled, pre-filter exactness, undershoot") {
+    val rows = (0 until 60).map(i =>
+      (i.toLong, if (i < 40) "big" else if (i < 55) "mid" else "tiny")) ++
+      Seq((90L, "other"), (91L, null.asInstanceOf[String]))
+    val df = rows.toDF("doc_id", "stratum")
+    val target = Seq("big" -> 0.5, "mid" -> 0.3, "tiny" -> 0.2)
+    // k=10 -> quotas big 5, mid 3, tiny 2
+    val out = Sampling.mixtureSample(df, "doc_id", "stratum", target, k = 10)
+    val keptBy = out.filter(col("mix_kept") === 1)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptBy == Map("big" -> 5L, "mid" -> 3L, "tiny" -> 2L))
+    // every row comes back exactly once; non-target strata all 0
+    assert(out.count() == df.count())
+    assert(out.filter(col("doc_id") >= 90).select("mix_kept")
+      .collect().forall(_.getInt(0) == 0))
+
+    // the pre-filter path must select the IDENTICAL set
+    val pre = Sampling.mixtureSample(df, "doc_id", "stratum", target, k = 10,
+      preFilterFactor = Some(1.5))
+    val a = out.select("doc_id", "mix_kept").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = pre.select("doc_id", "mix_kept").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+
+    // a stratum SHORTER than its quota keeps all it has (undershoot —
+    // routed through the pre-filter's deficiency fallback: tiny's
+    // threshold saturates at 1, all 5 survivors < quota 8 -> full rank):
+    // k=40 -> quotas big 20, mid 12, tiny 8 but tiny has only 5 rows
+    val big = Sampling.mixtureSample(df, "doc_id", "stratum", target, k = 40,
+      preFilterFactor = Some(1.5))
+    val keptBig = big.filter(col("mix_kept") === 1)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptBig == Map("big" -> 20L, "mid" -> 12L, "tiny" -> 5L))
+
+    // partition-invariant (pure id-hash selection)
+    val re = Sampling.mixtureSample(df.repartition(7), "doc_id", "stratum",
+      target, k = 10).select("doc_id", "mix_kept").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(re == a)
+
+    intercept[IllegalArgumentException](
+      Sampling.mixtureSample(df, "doc_id", "stratum", Seq("x" -> 0.5), k = 5))
+    intercept[IllegalArgumentException](
+      Sampling.mixtureSample(df, "doc_id", "stratum", target, k = 5,
+        preFilterFactor = Some(1.0)))
+  }
+
   test("dedupLines keeps blank lines and first occurrences only") {
     val rows = Seq(
       // menu, content, menu again, blank, content, chorus x3
@@ -2117,6 +2221,20 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == ((4L, 0L, "  \n  \n\t\n  ")))
     assert(out(3L) == ((4L, 1L, "x\nx \n x")))
     assert(out(4L)._1 == 0L && out(4L)._2 == 0L && out(4L)._3 == null)
+  }
+
+  test("dedupLines with a custom separator dedups repeated sentences") {
+    val rows = Seq((0L, "buy now. great offer. buy now. act fast. buy now"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(rows, "text", sep = ". ")
+      .select("n_lines", "n_dup_lines", "clean_text").collect().head
+    assert(out.getLong(0) == 5L && out.getLong(1) == 2L)
+    assert(out.getString(2) == "buy now. great offer. act fast")
+    // the separator is literal, not a regex: a '.' must not match-any
+    val dot = Seq((0L, "ab. xb. ab")).toDF("doc_id", "text")
+    val kept = TextAnalysis.dedupLines(dot, "text", sep = ". ")
+      .select("clean_text").collect().head.getString(0)
+    assert(kept == "ab. xb")
   }
 
   test("dedupLines is narrow: no shuffle in the plan") {
