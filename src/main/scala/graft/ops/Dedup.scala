@@ -275,6 +275,69 @@ object Dedup {
       .withColumn("fuzzy_contaminated", (col("n_fuzzy_matches") > 0).cast("int"))
   }
 
+  /** INCREMENTAL dedup: screen a NEW batch of documents against an
+    * already-curated corpus without reprocessing the corpus — the
+    * append-only ingestion shape (a 100 TB corpus is curated once;
+    * each day's crawl must dedup against it, not trigger an
+    * all-corpus re-dedup). Two screens, both corpus-preserving:
+    *
+    *  1. EXACT — the batch anti-probes the corpus's distinct md5
+    *     fingerprint set (at scale: a precomputed fingerprint table;
+    *     the join is one equi-join on a 128-bit key, and only the
+    *     batch side is new work).
+    *  2. NEAR — MinHash/LSH band equi-joins BETWEEN batch and corpus
+    *     signatures only (never corpus x corpus — that work is
+    *     already done), candidates verified by exact word-set jaccard
+    *     ([[jaccardForPairs]]'s candidate-sliver tokenization).
+    *
+    * Emits every batch row plus `exact_dup`, `near_dup`,
+    * `near_dup_of` (smallest verified corpus match, NULL when none)
+    * and `is_new` (survives both screens). NULL-text batch rows
+    * carry no content evidence and pass as new ([[exact]]'s rule).
+    * Ids must be unique ACROSS the two frames (one id space — the
+    * append-only invariant); both frames need a `text` column (the
+    * [[minhashSignatures]] contract). */
+  def dedupAgainst(
+      corpus: DataFrame, batch: DataFrame, idCol: String,
+      threshold: Double = 0.8, numHashes: Int = 8, bandSize: Int = 4): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    require(bandSize >= 1 && numHashes >= bandSize && numHashes % bandSize == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bandSize ($bandSize)")
+    val corpusFp = corpus.filter(col("text").isNotNull)
+      .select(md5(col("text")).as("__fp")).distinct()
+    val exactHit = batch.filter(col("text").isNotNull)
+      .select(col(idCol), md5(col("text")).as("__fp"))
+      .join(corpusFp, Seq("__fp"), "left_semi")
+      .select(col(idCol), lit(true).as("exact_dup"))
+    val bSig = minhashSignatures(batch, numHashes).filter(col("mh0").isNotNull)
+      .select(col(idCol) +: (0 until numHashes).map(i => col(s"mh$i")): _*)
+      .localCheckpoint(true)
+    val cSig = minhashSignatures(corpus, numHashes).filter(col("mh0").isNotNull)
+      .select(col(idCol) +: (0 until numHashes).map(i => col(s"mh$i")): _*)
+      .localCheckpoint(true)
+    val bands = (0 until numHashes / bandSize)
+      .map(b => (b * bandSize) until ((b + 1) * bandSize))
+    val a = bSig.alias("a"); val b = cSig.alias("b")
+    // doc_a = batch id, doc_b = corpus id — a cross-frame pair carries
+    // no a<b ordering (the id spaces are disjoint, not interleaved)
+    val pairs = bands.map { band =>
+      a.join(b, band.map(i => col(s"a.mh$i") === col(s"b.mh$i")).reduce(_ && _))
+        .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+    }.reduce(_ unionByName _).distinct().localCheckpoint(true)
+    val docs = batch.select(col(idCol), col("text"))
+      .unionByName(corpus.select(col(idCol), col("text")))
+    val nearHit = jaccardForPairs(docs, idCol, pairs)
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_a").as(idCol))
+      .agg(min(col("doc_b")).as("near_dup_of"))
+    batch.join(exactHit, Seq(idCol), "left")
+      .join(nearHit, Seq(idCol), "left")
+      .withColumn("exact_dup", coalesce(col("exact_dup"), lit(false)))
+      .withColumn("near_dup", col("near_dup_of").isNotNull)
+      .withColumn("is_new", !col("exact_dup") && !col("near_dup"))
+  }
+
   /** 64-bit SimHash fingerprint (hex string) from md5 of the distinct
     * words: per-bit majority vote. Computed by the native per-row
     * [[graft.plans.SimhashFingerprint]] expression — a NARROW

@@ -105,4 +105,43 @@ object Retrieval {
     withToks.select(col(idCol), col("n_tok"),
       perTerm.reduce(_ + _).as("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of N ranked
+    * result lists — the standard hybrid-retrieval combiner (e.g. BM25
+    * lexical + embedding-cosine semantic over the same id space):
+    * `score(d) = Σ_i 1 / (rrfK + rank_i(d))`, documents absent from a
+    * list contribute 0 for it. Each input must carry `(idCol, rank)`
+    * with 1-based ranks.
+    *
+    * Determinism: the per-list ranks are PIVOTED to columns first
+    * (one groupBy on id over result-list-sized input — top-k lists,
+    * never corpus-sized) and the reciprocal terms are summed as an
+    * explicit left-to-right column expression, so the fused score is
+    * bit-identical on any engine/partitioning — never a float SUM in
+    * arbitrary aggregation order. Emits the fused top-`k`:
+    * `(idCol, rank_0..rank_{n-1}, rrf_score, rank)`, ties by id;
+    * the final rank attaches via zipWithIndex on the already-sorted
+    * k rows (no single-partition window). */
+  def rrfFuse(
+      rankings: Seq[DataFrame], idCol: String,
+      rrfK: Int = 60, k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(rrfK >= 0, s"rrfK must be >= 0, got $rrfK")
+    val n = rankings.size
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), lit(i).as("__sys"), col("rank").cast("long").as("__rank"))
+    }.reduce(_ unionByName _)
+    val pivoted = tagged.groupBy(idCol)
+      .agg(max(when(col("__sys") === 0, col("__rank"))).as("rank_0"),
+        (1 until n).map(i =>
+          max(when(col("__sys") === i, col("__rank"))).as(s"rank_$i")): _*)
+    val score = (0 until n).map(i =>
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col(s"rank_$i").cast("double")),
+          lit(0.0)))
+      .reduce(_ + _)
+    val top = pivoted.withColumn("rrf_score", score)
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(k)
+    graft.util.Ids.withRowIndex(top, "rank")
+  }
 }

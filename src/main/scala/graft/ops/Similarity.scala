@@ -305,6 +305,58 @@ object Similarity {
     }
   }
 
+  /** k-means-TRAINED product-quantization codebooks: per-subspace
+    * Lloyd's rounds (the [[trainCodebook]] pattern applied to each of
+    * the `m` subspaces at once). Seeds from [[pqSubCodebooks]], then
+    * per round: ONE [[pqEncode]] assignment pass (narrow literal
+    * argmin by squared L2, ties to the smallest centroid id — the
+    * exact rule the encoder itself uses, so training optimizes the
+    * quantizer that will actually run) followed by ONE
+    * `(subspace, code)`-keyed aggregate computing every sub-centroid
+    * mean — the m subspaces share a single shuffle per round via
+    * posexplode, and the aggregate output is `m x k` rows regardless
+    * of corpus size. Means are exact-integer quantized
+    * (round(x * 2^20) summed as longs, divided once — order-free,
+    * bit-reproducible on any cluster layout, re-derivable
+    * relationally; the [[trainCodebook]] `exactMean` discipline).
+    * Sub-cells that go empty keep their previous centroid. */
+  def trainPqCodebooks(
+      df: DataFrame, embCol: String, idCol: String,
+      m: Int, k: Int, dim: Int, iters: Int = 5): Seq[Seq[(Long, Seq[Double])]] = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(m >= 1 && dim % m == 0, s"dim $dim does not divide into $m subspaces")
+    var codebooks = pqSubCodebooks(df, embCol, idCol, m, k)
+    val subDim = dim / m
+    for (_ <- 0 until iters) {
+      // project the cast ONCE (the trainCodebook lesson), then explode
+      // the m (subspace, code) assignments of each row into rows and
+      // slice out the matching subvector — one scan, one m*k-bounded
+      // shuffle, never one aggregate per subspace
+      val enc = pqEncode(df, embCol, codebooks)
+        .select(asDouble(col(embCol)).as("__emb"),
+          array((0 until m).map(mi => col(s"code_$mi")): _*).as("__codes"))
+        .select(posexplode(col("__codes")).as(Seq("mi", "code")), col("__emb"))
+        .select(col("mi"), col("code"),
+          slice(col("__emb"), col("mi") * subDim + 1, lit(subDim)).as("__sub"))
+      val means: Map[(Int, Long), Seq[Double]] =
+        enc.groupBy("mi", "code")
+          .agg(count(lit(1)).as("__n"),
+            (0 until subDim).map(j =>
+              sum(round(element_at(col("__sub"), j + 1) * ExactMeanScale)
+                .cast("long")).as(s"m$j")): _*)
+          .collect()
+          .map { r =>
+            val n = r.getLong(2).toDouble
+            (r.getInt(0), r.getLong(1)) ->
+              (0 until subDim).map(j => r.getLong(j + 3).toDouble / n / ExactMeanScale).toSeq
+          }.toMap
+      codebooks = codebooks.zipWithIndex.map { case (cb, mi) =>
+        cb.map { case (cid, old) => cid -> means.getOrElse((mi, cid), old) }
+      }
+    }
+    codebooks
+  }
+
   /** PQ asymmetric-distance top-k (ADC) over an ALREADY-ENCODED code
     * table (`code_0..code_{m-1}` columns, as produced by [[pqEncode]]):
     * the query vector stays exact; every data row is scored from its

@@ -981,7 +981,90 @@ object CurationQueries {
       ORDER BY doc_id"""),
     bench = true)
 
+  /** The q94 BM25 side, ranked: q70's scoring polynomial (same three
+    * terms, same association order) ending in a 1-based rank over the
+    * positive-score docs — `ra(doc_id, rank_0)`. */
+  private def bm25RankSqlDuck(k: Int): String =
+    s"""tk AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
+        FROM documents),
+      st AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN list_contains(toks, 'data') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+               CAST(sum(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+               CAST(sum(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END) AS BIGINT) AS df3
+             FROM tk),
+      sc AS (SELECT doc_id,
+               ln(CAST(1 AS DOUBLE) + (CAST(st.n - st.df1 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(st.df1 AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+                 / (CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(len(toks) AS DOUBLE) / (CAST(st.total AS DOUBLE) / CAST(st.n AS DOUBLE))))
+               + ln(CAST(1 AS DOUBLE) + (CAST(st.n - st.df2 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(st.df2 AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (CAST(len(list_filter(toks, x -> x = 'the')) AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+                 / (CAST(len(list_filter(toks, x -> x = 'the')) AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(len(toks) AS DOUBLE) / (CAST(st.total AS DOUBLE) / CAST(st.n AS DOUBLE))))
+               + ln(CAST(1 AS DOUBLE) + (CAST(st.n - st.df3 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(st.df3 AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+                 / (CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(len(toks) AS DOUBLE) / (CAST(st.total AS DOUBLE) / CAST(st.n AS DOUBLE))))
+               AS score
+             FROM tk, st),
+      ra AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_0
+        FROM sc WHERE score > CAST(0 AS DOUBLE)
+        QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= $k)"""
+
+  /** Hybrid retrieval via reciprocal-rank fusion (library
+    * `Retrieval.rrfFuse` — Cormack et al. 2009): the BM25 lexical
+    * top-50 (q70's query terms) fused with the embedding-cosine
+    * semantic top-50 (query = vec 0, the q33 ranking) over the shared
+    * doc/vec id space; `score = 1/(60+rank_lex) + 1/(60+rank_sem)`,
+    * absent lists contribute 0. The oracle re-derives both rankings,
+    * full-outer-joins them, and spells the two reciprocal terms in the
+    * same left-to-right order — the fused doubles are bit-identical. */
+  val q94 = QueryDef(
+    "q94_rrf_hybrid",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = graft.util.Ids.withRowIndex(
+        graft.ops.Retrieval.bm25TopK(docs, "doc_id", "text",
+          Seq("data", "the", "query"), k = 50),
+        "rank")
+      val sem = graft.ops.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 0), "embedding", "vec_id", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.ops.Retrieval.rrfFuse(Seq(lex, sem), "doc_id", rrfK = 60, k = 10)
+        .select(col("rank"), col("doc_id"), col("rank_0"), col("rank_1"),
+          round(col("rrf_score"), 6).as("rrf_score"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(s"""WITH ${bm25RankSqlDuck(50)},
+      semsc AS (
+        SELECT e.vec_id AS doc_id,
+          (${EmbeddingQueries.dotSum(EmbeddingQueries.duckElem, "e.embedding", "q.embedding")})
+            / (sqrt(${EmbeddingQueries.dotSum(EmbeddingQueries.duckElem, "e.embedding", "e.embedding")})
+               * sqrt(${EmbeddingQueries.dotSum(EmbeddingQueries.duckElem, "q.embedding", "q.embedding")})) AS cos
+        FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0),
+      rb AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_1
+        FROM semsc
+        QUALIFY row_number() OVER (ORDER BY cos DESC, doc_id) <= 50),
+      fused AS (
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.rank_0, b.rank_1,
+          coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(a.rank_0 AS DOUBLE)), CAST(0 AS DOUBLE))
+          + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(b.rank_1 AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf_score
+        FROM ra a FULL OUTER JOIN rb b ON a.doc_id = b.doc_id),
+      topk AS (
+        SELECT doc_id, rank_0, rank_1, rrf_score,
+          CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+        FROM fused
+        QUALIFY row_number() OVER (ORDER BY rrf_score DESC, doc_id) <= 10)
+      SELECT rank, doc_id, rank_0, rank_1, round(rrf_score, 6) AS rrf_score
+      FROM topk ORDER BY doc_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
-      q86, q90)
+      q86, q90, q94)
 }

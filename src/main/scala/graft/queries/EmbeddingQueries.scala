@@ -501,5 +501,157 @@ object EmbeddingQueries {
       FROM (SELECT vec_id, dq FROM dt ORDER BY dq ASC, vec_id LIMIT 10) topk
       ORDER BY vec_id"""))
 
-  val all: Seq[QueryDef] = Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89)
+  // ---- k-means-TRAINED product quantization (q92/q93): per-subspace
+  // Lloyd's rounds re-derived relationally. The library
+  // (`Similarity.trainPqCodebooks`) assigns with pqEncode's own rule
+  // (squared L2, ties -> smallest cid) and computes quantized-integer
+  // means (round(x * 2^20) summed as longs — order-free), so every
+  // trained coordinate is bit-reproducible from SQL.
+
+  private val PqTrainIters = 2
+
+  /** Squared-L2 between embedding subspace `mi` (full-vector indices
+    * mi*16+1 .. mi*16+16) and a SUBSPACE-LOCAL centroid `cv[1..16]`,
+    * as an explicit left-associative sum (pqEncode's fold order). */
+  private def subL2Train(elem: (String, Int) => String, mi: Int): String = {
+    val sub = Dim / PqM
+    (1 to sub).map { j =>
+      val d = s"(${elem("e.embedding", mi * sub + j)} - c.cv[$j])"
+      s"($d * $d)"
+    }.mkString(" + ")
+  }
+
+  /** The per-subspace Lloyd's rounds as chained CTEs: for each of the
+    * `PqM` subspaces, `pc{mi}_0` seeds from the 4 smallest ids'
+    * subvectors (= pqSubCodebooks), each round assigns every vector's
+    * subvector to its nearest-L2 sub-centroid (ties to the smallest
+    * cid — the ENCODER's own rule) and rebuilds quantized-mean
+    * sub-centroids; empty sub-cells keep their previous centroid.
+    * Every CTE MATERIALIZED (the q63 lesson: DuckDB inlines plain
+    * CTEs and the centroid expressions re-expand exponentially across
+    * rounds). Ends with `pc{mi}_{iters}` per subspace. */
+  private def pqLloydCtes(elem: (String, Int) => String, iters: Int): String = {
+    val sub = Dim / PqM
+    (0 until PqM).map { mi =>
+      val seedCoords = (1 to sub).map(j => elem("embedding", mi * sub + j)).mkString(", ")
+      val seed =
+        s"pc${mi}_0 AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS cid, " +
+          s"[$seedCoords] AS cv FROM embeddings WHERE vec_id < 4)"
+      val rounds = (1 to iters).map { r =>
+        val prev = s"pc${mi}_${r - 1}"
+        val sums = (0 until sub).map(j =>
+          s"sum(CAST(round(${elem("e.embedding", mi * sub + j + 1)} * 1048576.0) AS BIGINT)) AS s$j")
+          .mkString(", ")
+        val coords = (0 until sub).map(j => s"CAST(s$j AS DOUBLE) / n / 1048576.0")
+          .mkString(", ")
+        s"""pa${mi}_$r AS MATERIALIZED (
+          SELECT vec_id, cid AS code FROM (
+            SELECT e.vec_id, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY (${subL2Train(elem, mi)}) ASC, c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN $prev c) t${mi}_$r WHERE rn = 1),
+        pm${mi}_$r AS MATERIALIZED (
+          SELECT code, [$coords] AS mv FROM (
+            SELECT a.code, count(*) AS n, $sums
+            FROM embeddings e JOIN pa${mi}_$r a USING (vec_id) GROUP BY a.code) g${mi}_$r),
+        pc${mi}_$r AS MATERIALIZED (
+          SELECT p.cid, coalesce(m.mv, p.cv) AS cv
+          FROM $prev p LEFT JOIN pm${mi}_$r m ON m.code = p.cid)"""
+      }
+      (seed +: rounds).mkString(",\n      ")
+    }.mkString(",\n      ")
+  }
+
+  private def trainedPqCodebooks(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[Seq[(Long, Seq[Double])]] =
+    graft.ops.Similarity.trainPqCodebooks(t(s, dir, "embeddings"), "embedding", "vec_id",
+      m = PqM, k = 4, dim = Dim, iters = PqTrainIters)
+
+  /** The TRAINED PQ codebooks themselves, one row per
+    * (subspace, sub-centroid, coordinate) — the direct bit-level check
+    * that `trainPqCodebooks` equals the relational per-subspace
+    * Lloyd's re-derivation: two rounds of encoder-rule assignment +
+    * quantized means must agree on all m x k x 16 doubles. */
+  val q92 = QueryDef(
+    "q92_pq_train",
+    (s, dir) => {
+      import s.implicits._
+      trainedPqCodebooks(s, dir).zipWithIndex
+        .flatMap { case (cb, mi) =>
+          cb.flatMap { case (cid, v) =>
+            v.zipWithIndex.map { case (x, j) => (mi, cid, j + 1, x) }
+          }
+        }
+        .toDF("mi", "cid", "j", "v")
+        .select(col("mi").cast("int").as("mi"), col("cid"),
+          col("j").cast("int").as("j"), round(col("v"), 6).as("coord"))
+        .oracleOrderBy("mi", "cid", "j")
+    },
+    Some {
+      val sub = Dim / PqM
+      val parts = (0 until PqM).map(mi =>
+        s"""SELECT $mi AS mi, cid, CAST(j AS INTEGER) AS j, round(cv[j], 6) AS coord
+          FROM pc${mi}_$PqTrainIters, LATERAL unnest(generate_series(1, $sub)) AS u$mi(j)""")
+        .mkString("\n      UNION ALL\n      ")
+      s"""WITH ${pqLloydCtes(duckElem, PqTrainIters)}
+      $parts
+      ORDER BY mi, cid, j"""
+    },
+    bench = true)
+
+  /** PQ ADC top-k over the TRAINED codebooks — q59's compact-code
+    * query path with learned sub-centroids in place of the seed rows:
+    * rows are re-encoded against the trained books (one narrow pass)
+    * and ranked from their codes alone via per-subspace lookup tables
+    * against the exact query vector (vec_id 0). The oracle chains the
+    * Lloyd's CTEs into final assignment, lookup tables, and the same
+    * explicit left-to-right 4-term distance sum. */
+  val q93 = QueryDef(
+    "q93_pq_trained_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cbs = trainedPqCodebooks(s, dir)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .collect().head.getSeq[Double](0).toSeq
+      graft.ops.Similarity.pqTopK(e, "embedding", "vec_id", cbs, qv, k = 10)
+        .select(col("vec_id"), round(col("pq_dist"), 6).as("adc_dist"))
+        .oracleOrderBy("vec_id")
+    },
+    Some {
+      val elem: (String, Int) => String = duckElem
+      val sub = Dim / PqM
+      val finals = (0 until PqM).map { mi =>
+        val lutTerms = (1 to sub).map { j =>
+          val d = s"(${elem("q.qv", mi * sub + j)} - c.cv[$j])"
+          s"($d * $d)"
+        }.mkString(" + ")
+        s"""fa$mi AS (
+          SELECT vec_id, cid AS code_$mi FROM (
+            SELECT e.vec_id, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY (${subL2Train(elem, mi)}) ASC, c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN pc${mi}_$PqTrainIters c) ft$mi WHERE rn = 1),
+        flut$mi AS (
+          SELECT cid, ($lutTerms) AS qd FROM pc${mi}_$PqTrainIters c CROSS JOIN qq q)"""
+      }.mkString(",\n        ")
+      val joins = (1 until PqM).map(mi => s"JOIN fa$mi USING (vec_id)").mkString(" ")
+      val lutJoins = (0 until PqM)
+        .map(mi => s"JOIN flut$mi l$mi ON l$mi.cid = fa$mi.code_$mi").mkString(" ")
+      val distSum = (0 until PqM).map(mi => s"l$mi.qd").mkString(" + ")
+      s"""WITH ${pqLloydCtes(elem, PqTrainIters)},
+        qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        $finals,
+        scored AS (
+          SELECT fa0.vec_id, ($distSum) AS pq_dist
+          FROM fa0 $joins $lutJoins)
+      SELECT vec_id, round(pq_dist, 6) AS adc_dist FROM (
+        SELECT vec_id, pq_dist FROM scored
+        ORDER BY pq_dist ASC, vec_id LIMIT 10) topk
+      ORDER BY vec_id"""
+    },
+    bench = true)
+
+  val all: Seq[QueryDef] =
+    Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89, q92, q93)
 }

@@ -214,6 +214,68 @@ object OpsQueries {
     },
     bench = true)
 
+  /** Dedup.dedupAgainst — INCREMENTAL dedup of a new batch (odd ids)
+    * against an already-curated corpus (even ids): exact md5 probe +
+    * batch-x-corpus-only LSH band joins + word-set jaccard verify,
+    * the append-only ingestion shape (the corpus is never re-banded
+    * against itself). The oracle splits the shared signature CTEs by
+    * parity and re-derives both screens; the hash covers every batch
+    * doc's exact/near flags and smallest matched corpus id. */
+  val q95 = QueryDef(
+    "q95_dedup_incremental",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dedupAgainst(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", threshold = 0.8)
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+          col("near_dup_of"), col("is_new"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(s"""WITH w AS MATERIALIZED (${TextQueries.wordsSqlDuck}),
+      sig AS MATERIALIZED (${TextQueries.sigSqlDuck}),
+      bs AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+      cs AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+      cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+          SELECT b.doc_id AS doc_a, c.doc_id AS doc_b FROM bs b JOIN cs c
+            ON b.mh0 = c.mh0 AND b.mh1 = c.mh1 AND b.mh2 = c.mh2 AND b.mh3 = c.mh3
+          UNION ALL
+          SELECT b.doc_id AS doc_a, c.doc_id AS doc_b FROM bs b JOIN cs c
+            ON b.mh4 = c.mh4 AND b.mh5 = c.mh5 AND b.mh6 = c.mh6 AND b.mh7 = c.mh7)),
+      n AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY doc_id),
+      inter AS (
+        SELECT p.doc_a, p.doc_b, count(*) AS ni
+        FROM cand p JOIN w a ON a.doc_id = p.doc_a
+        JOIN w b ON b.doc_id = p.doc_b AND b.w = a.w
+        GROUP BY p.doc_a, p.doc_b),
+      near AS (
+        SELECT p.doc_a AS doc_id, min(p.doc_b) AS near_dup_of
+        FROM cand p
+        JOIN n na ON na.doc_id = p.doc_a
+        JOIN n nb ON nb.doc_id = p.doc_b
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        WHERE CAST(coalesce(i.ni, 0) AS DOUBLE)
+                / (na.nw + nb.nw - coalesce(i.ni, 0)) >= CAST(0.8 AS DOUBLE)
+        GROUP BY p.doc_a),
+      ex AS (
+        SELECT DISTINCT b.doc_id
+        FROM documents b JOIN documents c
+          ON c.doc_id % 2 = 0 AND md5(c.text) = md5(b.text)
+        WHERE b.doc_id % 2 = 1)
+      SELECT d.doc_id,
+        (ex.doc_id IS NOT NULL) AS exact_dup,
+        (nr.near_dup_of IS NOT NULL) AS near_dup,
+        nr.near_dup_of,
+        (ex.doc_id IS NULL AND nr.near_dup_of IS NULL) AS is_new
+      FROM documents d
+      LEFT JOIN ex ON ex.doc_id = d.doc_id
+      LEFT JOIN near nr ON nr.doc_id = d.doc_id
+      WHERE d.doc_id % 2 = 1
+      ORDER BY d.doc_id"""),
+    bench = true)
+
   /** Similarity.ivfTopK — IVF retrieval end to end: assign every row to
     * its max-cosine cell (4 deterministic centroids, ties -> highest
     * cid), each query probes its 2 best cells, candidates come from the
@@ -424,5 +486,5 @@ object OpsQueries {
       GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
   val all: Seq[QueryDef] =
-    Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51, q52, q53, q54, q87)
+    Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51, q52, q53, q54, q87, q95)
 }

@@ -2243,4 +2243,103 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("trainPqCodebooks: per-subspace Lloyd's converges to sub-cluster means") {
+    // dim 4, m 2 (subDim 2). Subspace 0 has two tight clusters around
+    // (0,0) and (10,10); subspace 1 around (5,0) and (0,5). Seeds are
+    // rows 0 and 1 (one in each cluster per subspace), so one round
+    // assigns every row to its true sub-cluster and the mean lands on
+    // the exact cluster centroid.
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.2f, 5.0f, 0.0f)),
+      (1L, Seq(10.0f, 10.0f, 0.0f, 5.0f)),
+      (2L, Seq(0.2f, 0.0f, 5.2f, 0.0f)),
+      (3L, Seq(10.2f, 9.8f, 0.2f, 5.2f)),
+      (4L, Seq(0.1f, 0.1f, 4.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val trained = Similarity.trainPqCodebooks(
+      vecs, "embedding", "vec_id", m = 2, k = 2, dim = 4, iters = 2)
+    assert(trained.size == 2 && trained.forall(_.size == 2))
+    def close(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-4 }
+    // subspace 0: cluster of rows {0,2,4} -> mean (0.1, 0.1); {1,3} -> (10.1, 9.9)
+    assert(close(trained(0)(0)._2, Seq(0.1, 0.1)), trained(0).toString)
+    assert(close(trained(0)(1)._2, Seq(10.1, 9.9)), trained(0).toString)
+    // subspace 1: {0,2,4} -> (5.0, 0.0666..); {1,3} -> (0.1, 5.1)
+    assert(close(trained(1)(0)._2, Seq(5.0, 0.2 / 3.0)), trained(1).toString)
+    assert(close(trained(1)(1)._2, Seq(0.1, 5.1)), trained(1).toString)
+
+    // iters = 0 returns the seeds unchanged, and the trained books
+    // still drive the unchanged encoder (codes cover all rows)
+    val seeds = Similarity.trainPqCodebooks(
+      vecs, "embedding", "vec_id", m = 2, k = 2, dim = 4, iters = 0)
+    assert(seeds == Similarity.pqSubCodebooks(vecs, "embedding", "vec_id", m = 2, k = 2))
+    val encoded = Similarity.pqEncode(vecs, "embedding", trained)
+    assert(encoded.count() == 5)
+    // rows {0,2,4} share sub-cluster 0 in both subspaces, {1,3} cluster 1
+    val codes = encoded.select("vec_id", "code_0", "code_1").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(Set(0L, 2L, 4L).forall(id => codes(id) == ((0L, 0L))), codes.toString)
+    assert(Set(1L, 3L).forall(id => codes(id) == ((1L, 1L))), codes.toString)
+  }
+
+  test("trainPqCodebooks: empty sub-cells keep their previous centroid") {
+    // k=2 seeds from rows 0,1 but every row's subvectors sit nearest
+    // seed 0 in BOTH subspaces after round 1 re-centering cannot steal
+    // a member for cell 1 -> cell 1 must survive untouched, not NaN
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.0f)),
+      (1L, Seq(100.0f, 100.0f)), // isolated seed; nothing else joins it
+      (2L, Seq(0.1f, 0.1f)),
+      (3L, Seq(0.2f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val trained = Similarity.trainPqCodebooks(
+      vecs, "embedding", "vec_id", m = 1, k = 2, dim = 2, iters = 3)
+    val cell1 = trained(0).find(_._1 == 1L).get._2
+    assert(cell1 == Seq(100.0, 100.0), cell1.toString)
+    assert(trained(0).find(_._1 == 0L).get._2.forall(!_.isNaN))
+  }
+
+  test("rrfFuse: reciprocal-rank sum, absent lists contribute zero") {
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val sem = Seq((20L, 1L), (10L, 2L), (40L, 3L)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(lex, sem), "doc_id", rrfK = 60, k = 10)
+      .select("doc_id", "rank_0", "rank_1", "rrf_score", "rank").collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2))), r.getDouble(3), r.getLong(4))).toMap
+    assert(out.size == 4)
+    val s10 = 1.0 / 61 + 1.0 / 62
+    val s20 = 1.0 / 62 + 1.0 / 61
+    assert(out(10L)._2 == s10 && out(20L)._2 == s20)
+    // 10 and 20 tie exactly (symmetric ranks) -> id breaks the tie
+    assert(out(10L)._3 == 1L && out(20L)._3 == 2L)
+    // docs in one list only: the other side is NULL and contributes 0
+    assert(out(30L)._1 == ((Some(3L), None)) && out(30L)._2 == 1.0 / 63)
+    assert(out(40L)._1 == ((None, Some(3L))) && out(40L)._2 == 1.0 / 63)
+    // 30 and 40 tie at 1/63 -> smaller id first
+    assert(out(30L)._3 == 3L && out(40L)._3 == 4L)
+  }
+
+  test("dedupAgainst: exact probe, cross-frame-only banding, new docs survive") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and then naps"),
+      (2L, "completely different content about spark engines and data"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog and then naps"), // exact
+      (13L, "the quick brown fox jumps over the lazy cat and then naps"), // near of 0
+      (15L, "unrelated fresh material with novel words nothing shared here ok"),
+      (17L, null.asInstanceOf[String])) // no content evidence -> new
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupAgainst(corpus, batch, "doc_id", threshold = 0.5)
+      .select("doc_id", "exact_dup", "near_dup", "near_dup_of", "is_new")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), Option(r.get(3)), r.getBoolean(4))).toMap
+    assert(out(11L)._1 && !out(11L)._4)
+    assert(out(13L)._2 && out(13L)._3 == Some(0L) && !out(13L)._4)
+    assert(out(15L) == ((false, false, None, true)))
+    assert(out(17L) == ((false, false, None, true)))
+    // every batch row comes back exactly once; the corpus is not emitted
+    assert(out.keySet == Set(11L, 13L, 15L, 17L))
+  }
 }
