@@ -338,6 +338,30 @@ object Dedup {
       .withColumn("is_new", !col("exact_dup") && !col("near_dup"))
   }
 
+  /** Quality-aware keeper selection: given cluster assignments (e.g.
+    * [[nearDuplicates]]' components) and a per-document quality score,
+    * keep the BEST document of each cluster instead of the smallest
+    * id — the curation-grade dedup rule (min-id keeps whichever
+    * variant crawled first; a real pipeline keeps the cleanest).
+    * Argmax per cluster with ties broken by the smallest id, computed
+    * as ONE struct-max aggregate (map-side partial, k-bounded output —
+    * never a per-cluster sort or window). NULL scores rank below
+    * every real score. Emits every input row plus `keeper_id`,
+    * `n_members`, and `is_kept`. */
+  def keepBest(
+      docs: DataFrame, idCol: String,
+      clusterCol: String, scoreCol: String): DataFrame = {
+    val best = docs.groupBy(col(clusterCol))
+      .agg(
+        max(struct(
+          coalesce(col(scoreCol).cast("double"), lit(Double.NegativeInfinity)).as("s"),
+          (-col(idCol)).as("ni"))).as("__b"),
+        count(lit(1)).as("n_members"))
+      .select(col(clusterCol), (-col("__b.ni")).as("keeper_id"), col("n_members"))
+    docs.join(best, Seq(clusterCol))
+      .withColumn("is_kept", col(idCol) === col("keeper_id"))
+  }
+
   /** 64-bit SimHash fingerprint (hex string) from md5 of the distinct
     * words: per-bit majority vote. Computed by the native per-row
     * [[graft.plans.SimhashFingerprint]] expression — a NARROW

@@ -276,6 +276,81 @@ object OpsQueries {
       ORDER BY d.doc_id"""),
     bench = true)
 
+  /** Dedup.keepBest over Dedup.nearDuplicates clusters — curation-grade
+    * keeper selection: each near-dup cluster keeps its highest
+    * `alpha_ratio` member (ties -> smallest id) instead of blindly
+    * keeping the smallest id; singletons keep themselves. One
+    * struct-max aggregate per cluster — never a per-cluster window.
+    * The oracle chains the q46 component re-derivation into the same
+    * exact-integer-ratio argmax. */
+  val q96 = QueryDef(
+    "q96_cluster_keeper",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clustered = Dedup.nearDuplicates(docs, "doc_id", threshold = 0.8)
+        .select(col("doc_id"), coalesce(col("dup_of"), col("doc_id")).as("cluster"))
+      val scored = TextAnalysis.qualityMetrics(docs, "text")
+        .select(col("doc_id"), col("alpha_ratio"))
+      Dedup.keepBest(clustered.join(scored, Seq("doc_id")),
+          "doc_id", "cluster", "alpha_ratio")
+        .select(col("doc_id"), col("cluster"), col("keeper_id"),
+          col("n_members"), col("is_kept"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+      w AS (${TextQueries.wordsSqlDuck}),
+      sig AS (${TextQueries.sigSqlDuck}),
+      pairs AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+            ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.mh3 = b.mh3
+           AND a.doc_id < b.doc_id
+          UNION ALL
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+            ON a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.mh6 = b.mh6 AND a.mh7 = b.mh7
+           AND a.doc_id < b.doc_id)),
+      n AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY doc_id),
+      inter AS (
+        SELECT p.doc_a, p.doc_b, count(*) AS ni
+        FROM pairs p JOIN w a ON a.doc_id = p.doc_a
+        JOIN w b ON b.doc_id = p.doc_b AND b.w = a.w
+        GROUP BY p.doc_a, p.doc_b),
+      verified AS (
+        SELECT p.doc_a, p.doc_b FROM pairs p
+        JOIN n na ON na.doc_id = p.doc_a
+        JOIN n nb ON nb.doc_id = p.doc_b
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        WHERE CAST(coalesce(i.ni, 0) AS DOUBLE)
+                / (na.nw + nb.nw - coalesce(i.ni, 0)) >= CAST(0.8 AS DOUBLE)),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM verified
+        UNION SELECT doc_b, doc_a FROM verified),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, re.r FROM edges e JOIN reach re ON re.id = e.dst),
+      comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      clus AS (
+        SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+      sc AS (
+        SELECT doc_id,
+          CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+          CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents),
+      ranked AS (
+        SELECT cl.doc_id, cl.cluster,
+          row_number() OVER (PARTITION BY cl.cluster
+            ORDER BY CAST(sc.n_alpha AS DOUBLE) / sc.n_chars DESC, cl.doc_id ASC) AS rn,
+          count(*) OVER (PARTITION BY cl.cluster) AS n_members
+        FROM clus cl JOIN sc ON sc.doc_id = cl.doc_id),
+      keep AS (SELECT cluster, doc_id AS keeper_id FROM ranked WHERE rn = 1)
+      SELECT r.doc_id, r.cluster, k.keeper_id, r.n_members,
+        (r.doc_id = k.keeper_id) AS is_kept
+      FROM ranked r JOIN keep k ON k.cluster = r.cluster
+      ORDER BY r.doc_id"""),
+    bench = true)
+
   /** Similarity.ivfTopK — IVF retrieval end to end: assign every row to
     * its max-cosine cell (4 deterministic centroids, ties -> highest
     * cid), each query probes its 2 best cells, candidates come from the
@@ -486,5 +561,5 @@ object OpsQueries {
       GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
   val all: Seq[QueryDef] =
-    Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51, q52, q53, q54, q87, q95)
+    Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51, q52, q53, q54, q87, q95, q96)
 }

@@ -2320,6 +2320,29 @@ class OpsSpec extends SparkSpec {
     assert(out(30L)._3 == 3L && out(40L)._3 == 4L)
   }
 
+  test("keepBest: per-cluster quality argmax, id tie-break, null scores lose") {
+    val rows = Seq(
+      (1L, 100L, 0.5), (2L, 100L, 0.9), (3L, 100L, 0.9), // 2 wins the 0.9 tie
+      (4L, 200L, 0.1),                                   // singleton keeps itself
+      (5L, 300L, Double.NaN), (6L, 300L, 0.0))
+      .toDF("doc_id", "cluster", "score")
+      // NaN placeholder -> real NULL for the null-score case
+      .withColumn("score", when(isnan(col("score")), lit(null)).otherwise(col("score")))
+    val out = Dedup.keepBest(rows, "doc_id", "cluster", "score")
+      .select("doc_id", "keeper_id", "n_members", "is_kept").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.size == 6)
+    assert(Seq(1L, 2L, 3L).forall(id => out(id)._1 == 2L && out(id)._2 == 3L))
+    assert(out(2L)._3 && !out(1L)._3 && !out(3L)._3)
+    assert(out(4L) == ((4L, 1L, true)))
+    // a real 0.0 beats a NULL score
+    assert(out(5L)._1 == 6L && out(6L)._3)
+    // one aggregate, no window: the plan has no WindowExec
+    val plan = Dedup.keepBest(rows, "doc_id", "cluster", "score")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("dedupAgainst: exact probe, cross-frame-only banding, new docs survive") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog and then naps"),
