@@ -1,0 +1,142 @@
+package graft.io
+
+import java.io.{ByteArrayInputStream, EOFException, InputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC / WET ingestion (ISO 28500 — the Common Crawl wire format,
+  * the de-facto entry point of every web-scale training-data
+  * pipeline). Pure-JVM record parser + Spark readers.
+  *
+  * Layout per record: a `WARC/x.y` version line, CRLF-terminated
+  * `Name: value` headers up to a blank line, exactly
+  * `Content-Length` payload bytes, then a blank-line record
+  * separator. Compressed archives are CONCATENATED per-record gzip
+  * members (`.warc.gz` / `.wet.gz`) — `GZIPInputStream` consumes
+  * member chains natively, so one stream decodes the whole file.
+  *
+  * Scale shape: WARC files are non-splittable (per-record gzip
+  * members have no index), so the unit of parallelism is the FILE —
+  * exactly how Common Crawl ships them (~1 GB each, 64 000 files per
+  * crawl). `spark.read.format("binaryFile")` gives one task per
+  * file; the parse is a NARROW flatMap (no shuffle), and downstream
+  * curation repartitions by doc id anyway. A 100 TB crawl is ~100 k
+  * files — ample tasks for any cluster. Payload bytes stay opaque
+  * `binary` until a consumer decodes them (the Multimodal rule:
+  * prune the payload column before any wide stage).
+  */
+object LoadWarc {
+
+  /** One parsed WARC record. `rec_index` is the record's 0-based
+    * position in its file — (`file`, `rec_index`) is the stable
+    * identity of a record across runs. Optional headers come back
+    * null, never "". */
+  final case class WarcRecord(
+      file: String,
+      rec_index: Int,
+      warc_type: String,
+      record_id: String,
+      target_uri: String,
+      warc_date: String,
+      content_type: String,
+      content_length: Long,
+      payload: Array[Byte])
+
+  private val Gzip1 = 0x1f.toByte
+  private val Gzip2 = 0x8b.toByte
+
+  /** Parse every record of one WARC file's bytes (gzip
+    * auto-detected by magic number — member-chained gzip decodes as
+    * one stream). Malformed input fails loudly with file context:
+    * silently skipping a truncated record would undercount a crawl
+    * without a trace. */
+  def parseAll(file: String, bytes: Array[Byte]): Seq[WarcRecord] = {
+    val raw = new ByteArrayInputStream(bytes)
+    val in =
+      if (bytes.length >= 2 && bytes(0) == Gzip1 && bytes(1) == Gzip2)
+        new GZIPInputStream(raw)
+      else raw
+    val out = Seq.newBuilder[WarcRecord]
+    var idx = 0
+    var line = readLine(in)
+    while (line != null) {
+      if (line.nonEmpty) { // tolerate blank separators between records
+        require(line.startsWith("WARC/"),
+          s"$file record $idx: expected WARC/x.y version line, got '${line.take(40)}'")
+        val headers = Iterator.continually(readLine(in))
+          .takeWhile(l => l != null && l.nonEmpty)
+          .map { l =>
+            val c = l.indexOf(':')
+            require(c > 0, s"$file record $idx: malformed header '${l.take(40)}'")
+            l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim
+          }.toMap
+        val len = headers.getOrElse("content-length",
+          throw new IllegalArgumentException(
+            s"$file record $idx: missing Content-Length")).toLong
+        val payload = new Array[Byte](len.toInt)
+        var off = 0
+        while (off < len) {
+          val n = in.read(payload, off, len.toInt - off)
+          if (n < 0) throw new EOFException(
+            s"$file record $idx: payload truncated at $off of $len bytes")
+          off += n
+        }
+        out += WarcRecord(
+          file, idx,
+          headers.getOrElse("warc-type", null),
+          headers.getOrElse("warc-record-id", null),
+          headers.getOrElse("warc-target-uri", null),
+          headers.getOrElse("warc-date", null),
+          headers.getOrElse("content-type", null),
+          len, payload)
+        idx += 1
+      }
+      line = readLine(in)
+    }
+    out.result()
+  }
+
+  /** One header line as ISO-8859-1 (the WARC header charset), CRLF or
+    * bare-LF terminated, without the terminator; null at EOF. Reads
+    * byte-at-a-time from the (buffered/in-memory) stream — header
+    * sections are tiny next to payloads. */
+  private def readLine(in: InputStream): String = {
+    val sb = new java.lang.StringBuilder
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') {
+      if (b != '\r') sb.append(b.toChar)
+      b = in.read()
+    }
+    sb.toString
+  }
+
+  /** All records of every WARC/WET file under `path` (glob ok):
+    * one task per file, narrow parse, payloads opaque binary. */
+  def records(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) => parseAll(p, bytes) }
+      .toDF()
+  }
+
+  /** WET text extraction: `conversion` records (the WET payload IS
+    * the extracted page text) decoded as UTF-8 into a `documents`-
+    * shaped frame — `(doc_id, url, fetched_at, text)`. `doc_id` is
+    * `xxhash64(file, rec_index)`: stable across runs, computable on
+    * any executor, no global counter (a monotonically-increasing id
+    * would renumber every re-read). */
+  def documents(spark: SparkSession, path: String): DataFrame =
+    records(spark, path)
+      .filter(col("warc_type") === "conversion")
+      .select(
+        xxhash64(col("file"), col("rec_index")).as("doc_id"),
+        col("target_uri").as("url"),
+        col("warc_date").as("fetched_at"),
+        decode(col("payload"), StandardCharsets.UTF_8.name).as("text"))
+}

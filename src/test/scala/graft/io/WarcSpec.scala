@@ -1,0 +1,104 @@
+package graft.io
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** LoadWarc against fixture archives BUILT IN-TEST (byte-exact control
+  * over CRLF, Content-Length, gzip member boundaries). */
+class WarcSpec extends SparkSpec {
+
+  private def record(
+      typ: String, uri: String, payload: Array[Byte],
+      id: String = "<urn:uuid:0001>", crlf: String = "\r\n"): Array[Byte] = {
+    val h = new StringBuilder
+    h ++= s"WARC/1.0$crlf"
+    h ++= s"WARC-Type: $typ$crlf"
+    h ++= s"WARC-Record-ID: $id$crlf"
+    if (uri != null) h ++= s"WARC-Target-URI: $uri$crlf"
+    h ++= s"WARC-Date: 2026-08-14T00:00:00Z$crlf"
+    h ++= s"Content-Type: text/plain$crlf"
+    h ++= s"Content-Length: ${payload.length}$crlf"
+    h ++= crlf
+    h.toString.getBytes(UTF_8) ++ payload ++ s"$crlf$crlf".getBytes(UTF_8)
+  }
+
+  // multibyte text: Content-Length counts BYTES, not chars
+  private val text1 = "hello warc world"
+  private val text2 = "zażółć gęślą jaźń — multibyte"
+  private def wetBytes(crlf: String = "\r\n"): Array[Byte] =
+    record("warcinfo", null, "software: test".getBytes(UTF_8), "<urn:uuid:info>", crlf) ++
+      record("conversion", "http://a.example/x", text1.getBytes(UTF_8), "<urn:uuid:a>", crlf) ++
+      record("conversion", "http://b.example/y", text2.getBytes(UTF_8), "<urn:uuid:b>", crlf)
+
+  private def gzipMembers(recs: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    recs.foreach { r => // one gzip MEMBER per record, concatenated (the CC layout)
+      val gz = new GZIPOutputStream(out); gz.write(r); gz.finish(); gz.close()
+    }
+    out.toByteArray
+  }
+
+  test("parseAll: plain WET — headers, byte-exact payloads, record indices") {
+    val recs = LoadWarc.parseAll("f.wet", wetBytes())
+    assert(recs.map(_.warc_type) == Seq("warcinfo", "conversion", "conversion"))
+    assert(recs.map(_.rec_index) == Seq(0, 1, 2))
+    assert(recs(1).target_uri == "http://a.example/x")
+    assert(recs(0).target_uri == null) // absent header -> null, not ""
+    assert(new String(recs(2).payload, UTF_8) == text2)
+    assert(recs(2).content_length == text2.getBytes(UTF_8).length.toLong)
+    assert(recs.forall(_.warc_date == "2026-08-14T00:00:00Z"))
+  }
+
+  test("parseAll: concatenated per-record gzip members decode as one stream") {
+    val gz = gzipMembers(Seq(
+      record("warcinfo", null, "software: test".getBytes(UTF_8), "<urn:uuid:info>"),
+      record("conversion", "http://a.example/x", text1.getBytes(UTF_8), "<urn:uuid:a>"),
+      record("conversion", "http://b.example/y", text2.getBytes(UTF_8), "<urn:uuid:b>")))
+    val recs = LoadWarc.parseAll("f.wet.gz", gz)
+    assert(recs.size == 3)
+    assert(new String(recs(1).payload, UTF_8) == text1)
+    assert(new String(recs(2).payload, UTF_8) == text2)
+  }
+
+  test("parseAll: bare-LF headers tolerated; truncation and junk fail loudly") {
+    assert(LoadWarc.parseAll("lf.wet", wetBytes(crlf = "\n")).size == 3)
+    val truncated = wetBytes().dropRight(text2.getBytes(UTF_8).length + 2)
+    val e = intercept[Exception](LoadWarc.parseAll("t.wet", truncated))
+    assert(e.getMessage.contains("t.wet"), e.getMessage)
+    val junk = "NOT-A-WARC\r\n\r\n".getBytes(UTF_8)
+    val e2 = intercept[IllegalArgumentException](LoadWarc.parseAll("j.wet", junk))
+    assert(e2.getMessage.contains("version line"), e2.getMessage)
+  }
+
+  test("documents: WET conversion records -> documents-shaped frame via Spark") {
+    val dir: Path = Files.createTempDirectory("warcspec")
+    try {
+      Files.write(dir.resolve("a.wet"), wetBytes())
+      Files.write(dir.resolve("b.wet.gz"), gzipMembers(Seq(
+        record("conversion", "http://c.example/z", "third doc".getBytes(UTF_8), "<urn:uuid:c>"))))
+      val docs = LoadWarc.documents(spark, dir.toString + "/*")
+      val rows = docs.orderBy("url").collect()
+      assert(rows.length == 3) // warcinfo filtered out
+      assert(rows.map(_.getString(1)).toSeq ==
+        Seq("http://a.example/x", "http://b.example/y", "http://c.example/z"))
+      assert(rows(1).getString(3) == text2)
+      // doc_id is stable across re-reads (hash of file + rec_index)
+      val again = LoadWarc.documents(spark, dir.toString + "/*")
+        .orderBy("url").collect().map(_.getLong(0)).toSeq
+      assert(rows.map(_.getLong(0)).toSeq == again)
+      assert(again.distinct.size == 3)
+      // narrow ingest: no shuffle anywhere in the parse plan
+      val plan = docs.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    } finally {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.delete(p); () })
+    }
+  }
+}
