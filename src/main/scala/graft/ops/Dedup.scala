@@ -625,6 +625,45 @@ object Dedup {
       .drop("__toks")
   }
 
+  /** All pairs within `maxHamming` bits over a 16-hex-char (64-bit)
+    * fingerprint column (SimHash, perceptual image hash, any 64-bit
+    * sketch) — EXACT, never all-pairs: the hash splits into
+    * `maxHamming + 1` disjoint nibble bands and pairs are generated
+    * by per-band equi-joins, then verified with the true Hamming
+    * distance. Pigeonhole makes the banding complete: at most
+    * `maxHamming` differing bits cannot touch all `maxHamming + 1`
+    * bands, so every qualifying pair agrees on some whole band and
+    * surfaces in that band's join — the result set equals the
+    * brute-force quadratic filter at equi-join cost (the
+    * [[lshCandidatePairs]] discipline applied to Hamming space).
+    * Emits `(id_a, id_b, hamming)` with `id_a < id_b`; NULL
+    * fingerprints never pair. */
+  def hammingNearDupPairs(
+      df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    // 15 -> 16 one-nibble bands, the finest split 16 nibbles allow
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
+    val nBands = maxHamming + 1
+    // 1-based substr bounds of nBands contiguous nibble ranges
+    val bounds = (0 to nBands).map(i => 1 + (16 * i) / nBands)
+    val withBands = df.filter(col(hashCol).isNotNull)
+      .select(col(idCol) +: col(hashCol) +: (0 until nBands).map(bi =>
+        substring(col(hashCol), bounds(bi), bounds(bi + 1) - bounds(bi))
+          .as(s"__b$bi")): _*)
+      .localCheckpoint(true) // feeds one subplan per (band x side)
+    val a = withBands.alias("a"); val b = withBands.alias("b")
+    val pairs = (0 until nBands).map { bi =>
+      a.join(b, col(s"a.__b$bi") === col(s"b.__b$bi") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          col(s"a.$hashCol").as("__ha"), col(s"b.$hashCol").as("__hb"))
+    }.reduce(_ unionByName _).distinct()
+    pairs.withColumn("hamming", hammingHex("__ha", "__hb"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Hamming distance between two equal-length hex-string fingerprint
     * COLUMN NAMES (bit_count over per-nibble XOR). */
   def hammingHex(aCol: String, bCol: String): Column = {

@@ -330,6 +330,113 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual difference-hash (dHash) of an image: REAL
+    * pixel-level near-duplicate fingerprinting over the JDK decoder —
+    * the image twin of [[Dedup.simhash]] (re-encoded, resized, or
+    * lightly edited copies land a few bits apart; byte-level hashes
+    * see them as unrelated). Luma is area-averaged into a 9 x 8 grid
+    * BY HAND (never `Graphics2D` scaling — its interpolation is
+    * implementation-dependent, and a fingerprint that differs by JVM
+    * is useless), then each of the 64 bits is the sign of one
+    * horizontal gradient `cell(x) > cell(x+1)`. */
+  object PerceptualHash {
+    def dHash64(payload: Array[Byte]): Option[Long] = {
+      if (payload == null || payload.isEmpty) return None
+      javax.imageio.ImageIO.setUseCache(false)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      val gw = 9; val gh = 8
+      // sub-grid images have empty cells: no stable gradient, no hash
+      if (w < gw || h < gh) return None
+      val sums = Array.ofDim[Double](gh, gw)
+      val counts = Array.ofDim[Long](gh, gw)
+      val rowBuf = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        val gy = (y.toLong * gh / h).toInt
+        var x = 0
+        while (x < w) {
+          val argb = rowBuf(x)
+          val r = (argb >>> 16) & 0xff; val g = (argb >>> 8) & 0xff
+          val b = argb & 0xff
+          val gx = (x.toLong * gw / w).toInt
+          sums(gy)(gx) += 0.299 * r + 0.587 * g + 0.114 * b
+          counts(gy)(gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var bits = 0L
+      var i = 0
+      var gy = 0
+      while (gy < gh) {
+        var gx = 0
+        while (gx < gw - 1) {
+          if (sums(gy)(gx) / counts(gy)(gx) > sums(gy)(gx + 1) / counts(gy)(gx + 1))
+            bits |= 1L << i
+          i += 1
+          gx += 1
+        }
+        gy += 1
+      }
+      Some(bits)
+    }
+  }
+
+  /** Attach `phash` — [[PerceptualHash.dHash64]] as a 16-hex-char
+    * string (the [[Dedup.hammingHex]] / [[Dedup.hammingNearDupPairs]]
+    * fingerprint convention) — to every image row; non-image rows and
+    * undecodable payloads get NULL. A narrow batch-decode
+    * mapPartitions pass like [[extractFeatures]]: decode once at
+    * ingest, compare hashes forever after without touching payloads. */
+  def perceptualHash(
+      df: DataFrame,
+      payloadCol: String = "payload",
+      mediaTypeCol: String = "media_type"): DataFrame = {
+    val schema = df.schema.add(StructField("phash", StringType, nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val typeIdx = df.schema.fieldIndex(mediaTypeCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val ph =
+          if (r.getString(typeIdx) == "image" && !r.isNullAt(payloadIdx))
+            PerceptualHash.dHash64(r.getAs[Array[Byte]](payloadIdx))
+          else None
+        Row.fromSeq(r.toSeq :+ ph.map(h => f"$h%016x").orNull)
+      }
+    }(encoder)
+  }
+
+  /** Image near-duplicate clusters over the perceptual hash: decode
+    * each image ONCE into its 64-bit dHash (narrow), generate
+    * candidate pairs with the exact banded Hamming join
+    * ([[Dedup.hammingNearDupPairs]] — never all-pairs), and collapse
+    * transitive groups with the O(log d) component fold. Emits
+    * `(idCol, phash, dup_of, is_near_duplicate)` — the
+    * [[Dedup.nearDuplicates]] contract over pixels instead of
+    * words. */
+  def imageNearDuplicates(
+      df: DataFrame, idCol: String,
+      maxHamming: Int = 3,
+      payloadCol: String = "payload",
+      mediaTypeCol: String = "media_type"): DataFrame = {
+    val hashed = perceptualHash(df, payloadCol, mediaTypeCol)
+      .select(col(idCol), col("phash"))
+      .localCheckpoint(true) // hashes feed the band joins AND the final join
+    val pairs = Dedup.hammingNearDupPairs(hashed, idCol, "phash", maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val dupMap = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol), col("comp").as("dup_of"))
+    hashed.join(dupMap, Seq(idCol), "left")
+      .withColumn("is_near_duplicate", col("dup_of").isNotNull)
+  }
+
   /** A media transformer: bytes -> bytes (resize / transcode / crop). */
   trait MediaTransform extends Serializable {
     def apply(mediaType: String, payload: Array[Byte]): Option[Array[Byte]]

@@ -101,10 +101,16 @@ object Similarity {
       data: DataFrame, queries: DataFrame, embCol: String, idCol: String,
       k: Int = 10): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // the all-pairs comparison is INTENTIONAL (this is the ground
+    // truth an ANN index is measured against), but it must still plan
+    // as a broadcast HASH join: a literal key constant-folds out of
+    // the join condition and the planner degrades to a nested-loop
+    // join — deriving the single shared key from the id column keeps
+    // it an equi-join the optimizer cannot fold away
     val d = data.select(col(idCol), col(embCol))
-      .withColumn("__one", lit(1)).alias("d")
+      .withColumn("__one", pmod(col(idCol).cast("long"), lit(1L))).alias("d")
     val q = queries.select(col(idCol), col(embCol))
-      .withColumn("__one", lit(1)).alias("q")
+      .withColumn("__one", pmod(col(idCol).cast("long"), lit(1L))).alias("q")
     val w = Window.partitionBy(col(s"q.$idCol"))
       .orderBy(col("cosine").desc, col(s"d.$idCol"))
     d.join(broadcast(q),

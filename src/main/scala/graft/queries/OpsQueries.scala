@@ -480,6 +480,37 @@ object OpsQueries {
         ORDER BY doc_a"""
     })
 
+  /** Dedup.hammingNearDupPairs over Dedup.simhash — ALL pairs within
+    * 3 bits of each other across the whole corpus, found by the exact
+    * banded equi-join (4 disjoint 16-bit bands; pigeonhole makes the
+    * banding complete, so the oracle is the brute-force quadratic
+    * filter — the very comparison the banding exists to avoid
+    * running). The shared fingerprint convention means this same op
+    * clusters perceptual image hashes (Multimodal.imageNearDuplicates). */
+  val q97 = QueryDef(
+    "q97_hamming_near_dup",
+    (s, dir) => {
+      val sh = Dedup.simhash(t(s, dir, "documents"), "doc_id")
+      Dedup.hammingNearDupPairs(sh, "doc_id", "simhash", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .oracleOrderBy("id_a", "id_b")
+    },
+    Some {
+      val terms = (1 to 16).map { i =>
+        val na = s"(instr('0123456789abcdef', substr(a.simhash, $i, 1)) - 1)"
+        val nb = s"(instr('0123456789abcdef', substr(b.simhash, $i, 1)) - 1)"
+        s"bit_count(xor($na, $nb))"
+      }
+      s"""WITH sh AS MATERIALIZED (${TextQueries.simhashDuckSqlNoOrder}),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(${terms.mkString(" + ")} AS INTEGER) AS hamming
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+        ORDER BY id_a, id_b"""
+    },
+    bench = true)
+
   /** TextAnalysis.preTokenCount vs the whitespace count — LLM token
     * budgeting over documents (the pre-tokenizer PIECE count; q75
     * applies a real merge table on top of these pieces). The identical
@@ -561,5 +592,6 @@ object OpsQueries {
       GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
   val all: Seq[QueryDef] =
-    Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51, q52, q53, q54, q87, q95, q96)
+    Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51, q52, q53, q54, q87, q95,
+      q96, q97)
 }

@@ -270,6 +270,38 @@ object ProfileScale {
       .select(col("doc_id"), col("lang"), col("mix_kept"))
     // line dedup: narrow zero-shuffle projection (lineified on the fly
     // by turning ' the ' into newlines — natural duplicate lines)
+    def q92(e: DataFrame) = {
+      // training is collect-based (bounded m x k model) — the timed
+      // work happens inside mk(); the returned frame is the tiny
+      // codebook table
+      import spark.implicits._
+      val cbs = Similarity.trainPqCodebooks(
+        e, "embedding", "vec_id", m = 4, k = 4, dim = dim, iters = 2)
+      cbs.zipWithIndex.flatMap { case (cb, mi) =>
+        cb.map { case (cid, v) => (mi, cid, v) }
+      }.toDF("mi", "cid", "cv")
+    }
+    def q94(d: DataFrame, e: DataFrame) = {
+      val lex = graft.util.Ids.withRowIndex(
+        graft.ops.Retrieval.bm25TopK(d, "doc_id", "text",
+          Seq("data", "the", "query"), k = 50), "rank")
+      val sem = Similarity.bruteForceTopK(
+          e, e.filter(col("vec_id") === 0), "embedding", "vec_id", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.ops.Retrieval.rrfFuse(Seq(lex, sem), "doc_id", rrfK = 60, k = 10)
+    }
+    def q95(d: DataFrame) = Dedup.dedupAgainst(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "doc_id", threshold = 0.8)
+      .select("doc_id", "exact_dup", "near_dup", "near_dup_of", "is_new")
+    def q96(d: DataFrame) = {
+      val clustered = Dedup.nearDuplicates(d, "doc_id", threshold = 0.8)
+        .select(col("doc_id"), coalesce(col("dup_of"), col("doc_id")).as("cluster"))
+      val scored = TextAnalysis.qualityMetrics(d, "text")
+        .select(col("doc_id"), col("alpha_ratio"))
+      Dedup.keepBest(clustered.join(scored, Seq("doc_id")),
+        "doc_id", "cluster", "alpha_ratio")
+    }
     def q91(d: DataFrame) = TextAnalysis.dedupLines(
       d.withColumn("text", regexp_replace(col("text"), " the ", "\n")), "text")
       .select(col("doc_id"), col("n_lines"), col("n_dup_lines"), col("clean_text"))
@@ -320,7 +352,11 @@ object ProfileScale {
       ("q87 ann-recall", () => q87(emb), () => q87(emb10)),
       ("q88 sq-encode", () => q88(emb), () => q88(emb10)),
       ("q90 mixture", () => q90(docs), () => q90(docs10)),
-      ("q91 line-dedup", () => q91(docs), () => q91(docs10)))
+      ("q91 line-dedup", () => q91(docs), () => q91(docs10)),
+      ("q92 pq-train", () => q92(emb), () => q92(emb10)),
+      ("q94 rrf-hybrid", () => q94(docs, emb), () => q94(docs10, emb10)),
+      ("q95 incr-dedup", () => q95(docs), () => q95(docs10)),
+      ("q96 keeper", () => q96(docs), () => q96(docs10)))
       .map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)

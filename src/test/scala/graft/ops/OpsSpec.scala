@@ -2320,6 +2320,80 @@ class OpsSpec extends SparkSpec {
     assert(out(30L)._3 == 3L && out(40L)._3 == 4L)
   }
 
+  test("hammingNearDupPairs: banded join equals the brute-force filter") {
+    val rows = Seq(
+      (1L, "0000000000000000"),
+      (2L, "0000000000000001"), // 1 bit from id 1
+      (3L, "000000000000000f"), // 4 bits from id 1, 3 from id 2
+      (4L, "ffffffffffffffff"), // far from everything
+      // 3 flipped bits spread across THREE different 4-nibble bands —
+      // only the 4th band matches id 1; pigeonhole must still find it
+      (5L, "0001000100010000"),
+      (6L, null.asInstanceOf[String])) // no fingerprint, never pairs
+      .toDF("doc_id", "fp")
+    val out = Dedup.hammingNearDupPairs(rows, "doc_id", "fp", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // (1,3) is 4 bits, (2,5) is 4 bits, everything with id 4 is >= 60,
+    // id 6 has no fingerprint — all excluded
+    assert(out == Map((1L, 2L) -> 1, (2L, 3L) -> 3, (1L, 5L) -> 3))
+  }
+
+  test("PerceptualHash.dHash64: gradient signs, constants, tiny images") {
+    def gradientPng(reverse: Boolean): Array[Byte] = {
+      val px = Array.tabulate(80, 90) { (_, x) =>
+        val v = if (reverse) 255 - (x * 255 / 89) else x * 255 / 89
+        0xff000000 | (v << 16) | (v << 8) | v
+      }
+      pngBytes(px)
+    }
+    // brightness increasing left-to-right: cell(x) < cell(x+1)
+    // everywhere -> no bit set; decreasing -> all 64 bits set
+    assert(Multimodal.PerceptualHash.dHash64(gradientPng(reverse = false)) == Some(0L))
+    assert(Multimodal.PerceptualHash.dHash64(gradientPng(reverse = true)) == Some(-1L))
+    // constant image: strict > never fires
+    val flat = pngBytes(Array.fill(16, 18)(0xff808080))
+    assert(Multimodal.PerceptualHash.dHash64(flat) == Some(0L))
+    // smaller than the 9x8 grid -> no stable hash
+    val tiny = pngBytes(Array.fill(4, 4)(0xff808080))
+    assert(Multimodal.PerceptualHash.dHash64(tiny) == None)
+    assert(Multimodal.PerceptualHash.dHash64("junk".getBytes("UTF-8")) == None)
+  }
+
+  test("imageNearDuplicates: light edits cluster, unrelated images don't") {
+    def base(edit: Boolean): Array[Byte] = {
+      val px = Array.tabulate(80, 90) { (y, x) =>
+        val v = (x * 255 / 89 + y * 31 / 79) % 256
+        0xff000000 | (v << 16) | (v << 8) | v
+      }
+      if (edit) // a small bright patch: a few cells shift, most don't
+        for (y <- 0 until 8; x <- 0 until 8) px(y)(x) = 0xffffffff
+      pngBytes(px)
+    }
+    val inverted = pngBytes(Array.tabulate(80, 90) { (_, x) =>
+      val v = 255 - (x * 255 / 89)
+      0xff000000 | (v << 16) | (v << 8) | v
+    })
+    val assets = Seq(
+      (1L, "image", base(edit = false)),
+      (2L, "image", base(edit = true)),
+      (3L, "image", inverted),
+      (4L, "audio", "not-an-image".getBytes("UTF-8")))
+      .toDF("asset_id", "media_type", "payload")
+      .repartition(3)
+    val out = Multimodal.imageNearDuplicates(assets, "asset_id", maxHamming = 8)
+      .select("asset_id", "phash", "dup_of", "is_near_duplicate").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.get(2)), r.getBoolean(3))).toMap
+    assert(out(2L)._2 == Some(1L) && out(2L)._3) // edited copy clusters to base
+    assert(!out(1L)._3 && !out(3L)._3)           // keeper + unrelated stay solo
+    assert(out(4L)._1.isEmpty)                   // non-image: no phash
+    // sanity: the edit moved SOME bits but few
+    val h1 = java.lang.Long.parseUnsignedLong(out(1L)._1.get, 16)
+    val h2 = java.lang.Long.parseUnsignedLong(out(2L)._1.get, 16)
+    val d = java.lang.Long.bitCount(h1 ^ h2)
+    assert(d > 0 && d <= 8, s"edit moved $d bits")
+  }
+
   test("keepBest: per-cluster quality argmax, id tie-break, null scores lose") {
     val rows = Seq(
       (1L, 100L, 0.5), (2L, 100L, 0.9), (3L, 100L, 0.9), // 2 wins the 0.9 tie
