@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF-PQ index: the production form of the ANN stack.
+  * [[Similarity.trainCodebook]] / [[Similarity.trainPqCodebooks]] /
+  * [[Similarity.pqEncode]] run ONCE at ingest; what lands on disk is
+  * the compact code table plus the (tiny) models, and query time
+  * never touches a raw vector again.
+  *
+  * Layout under `dir`:
+  *  - `ivf_centroids/` — (cid, cv) coarse cells, k rows
+  *  - `pq_codebooks/`  — (mi, cid, cv) sub-centroids, m x k rows
+  *  - `codes/`         — (id, cell, code_0..code_{m-1}),
+  *                       PARTITIONED BY cell
+  *
+  * The cell partitioning is the point at 100 TB: an `nProbe`-cell
+  * query reads `nProbe` directories and nothing else — partition
+  * pruning happens in the file listing, before a single row is
+  * scanned (the `.explain` check is `PartitionFilters` on `cell`).
+  * Raw embeddings per row: dim x 4 bytes; code rows: m bytes — the
+  * scan shrinks by dim*4/m (64-dim float to m=4: 64x) BEFORE pruning.
+  */
+object AnnIndex {
+
+  final case class Handle(
+      dir: String,
+      centroids: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Long, Seq[Double])]])
+
+  /** Train both quantizers on the corpus, encode every row, persist.
+    * One pass for IVF assignment + PQ codes (both are narrow
+    * literal-codebook maps); the code table shuffles once on `cell`
+    * for the partitioned write (that shuffle IS the index build). */
+  def build(
+      df: DataFrame, embCol: String, idCol: String, dir: String,
+      nCells: Int, m: Int, k: Int, dim: Int, iters: Int = 3): Handle = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centroids = Similarity.trainCodebook(
+      df, embCol, idCol, nCells, dim, iters, exactMean = true)
+    val codebooks = Similarity.trainPqCodebooks(df, embCol, idCol, m, k, dim, iters)
+    centroids.toDF("cid", "cv")
+      .write.mode("overwrite").parquet(s"$dir/ivf_centroids")
+    codebooks.zipWithIndex
+      .flatMap { case (cb, mi) => cb.map { case (cid, v) => (mi, cid, v) } }
+      .toDF("mi", "cid", "cv")
+      .write.mode("overwrite").parquet(s"$dir/pq_codebooks")
+    val encoded = Similarity.pqEncode(
+        Similarity.ivfAssign(df, embCol, centroids), embCol, codebooks)
+      .select(col(idCol) +: col("cell") +:
+        (0 until m).map(mi => col(s"code_$mi")): _*)
+    encoded
+      .repartition(col("cell")) // one writer wave per cell, no tiny files
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    Handle(dir, centroids, codebooks)
+  }
+
+  /** Re-open a persisted index: the models are dimension-table-sized
+    * driver reads; the code table stays on disk until a query prunes
+    * into it. */
+  def load(spark: SparkSession, dir: String): Handle = {
+    val centroids = spark.read.parquet(s"$dir/ivf_centroids")
+      .select(col("cid").cast("long"), col("cv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).toSeq
+    val cbRows = spark.read.parquet(s"$dir/pq_codebooks")
+      .select(col("mi").cast("int"), col("cid").cast("long"), col("cv"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toSeq))
+    require(centroids.nonEmpty, s"$dir/ivf_centroids is empty")
+    require(cbRows.nonEmpty, s"$dir/pq_codebooks is empty")
+    val codebooks = cbRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(r => r._2 -> r._3).toSeq }
+    Handle(dir, centroids, codebooks)
+  }
+
+  /** ADC top-k against the PERSISTED codes: rank the query's `nProbe`
+    * best cells driver-side (centroids are in the handle), scan ONLY
+    * those cell partitions, score rows from their m code columns
+    * alone ([[Similarity.pqTopKFromCodes]]' lookup-table sum), take
+    * the top `k`. The plan must show `PartitionFilters` on `cell` —
+    * everything outside the probed cells is skipped at file-listing
+    * time. */
+  def query(
+      spark: SparkSession, handle: Handle, idCol: String,
+      queryVec: Seq[Double], k: Int = 10, nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1 && nProbe <= handle.centroids.size,
+      s"nProbe must be in [1, ${handle.centroids.size}], got $nProbe")
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val qn = math.sqrt(dot(queryVec, queryVec))
+    val probed = handle.centroids
+      .map { case (cid, cv) =>
+        cid -> dot(queryVec, cv) / (qn * math.sqrt(dot(cv, cv)))
+      }
+      .sortBy { case (cid, sim) => (-sim, -cid) } // ivfAssign tie rule: highest cid wins
+      .take(nProbe).map(_._1)
+    val codes = spark.read.parquet(s"${handle.dir}/codes")
+      .filter(col("cell").isin(probed: _*))
+    Similarity.pqTopKFromCodes(codes, idCol, handle.codebooks, queryVec, k)
+  }
+}

@@ -2394,6 +2394,55 @@ class OpsSpec extends SparkSpec {
     assert(d > 0 && d <= 8, s"edit moved $d bits")
   }
 
+  test("AnnIndex: build/load round-trip, partition-pruned query equals in-memory") {
+    val dir = java.nio.file.Files.createTempDirectory("annindex").toString
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val dim = 64
+      val built = AnnIndex.build(emb, "embedding", "vec_id", dir,
+        nCells = 4, m = 4, k = 4, dim = dim, iters = 2)
+      val loaded = AnnIndex.load(spark, dir)
+      // models survive parquet bit-exactly (doubles round-trip)
+      assert(loaded.centroids == built.centroids)
+      assert(loaded.codebooks == built.codebooks)
+
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .collect().head.getSeq[Double](0).toSeq
+      val viaIndex = AnnIndex.query(spark, loaded, "vec_id", qv, k = 5, nProbe = 2)
+      // the same probe/score computed WITHOUT the index round-trip
+      val assigned = graft.ops.Similarity.ivfAssign(emb, "embedding", built.centroids)
+      val inMem = {
+        def dot(a: Seq[Double], b: Seq[Double]) =
+          a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+        val qn = math.sqrt(dot(qv, qv))
+        val cells = built.centroids
+          .map { case (cid, cv) => cid -> dot(qv, cv) / (qn * math.sqrt(dot(cv, cv))) }
+          .sortBy { case (cid, sim) => (-sim, -cid) }.take(2).map(_._1)
+        graft.ops.Similarity.pqTopKFromCodes(
+          graft.ops.Similarity.pqEncode(
+            assigned.filter(col("cell").isin(cells: _*)), "embedding", built.codebooks),
+          "vec_id", built.codebooks, qv, k = 5)
+      }
+      val a = viaIndex.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = inMem.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b, s"index $a vs in-memory $b")
+      assert(a.nonEmpty)
+
+      // the probed read PRUNES partitions: the scan lists only the
+      // probed cell directories (PartitionFilters on cell), and the
+      // raw embedding column is nowhere in the read schema
+      val plan = viaIndex.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"), plan)
+      assert(plan.contains("cell"), plan)
+      assert(!plan.contains("embedding"), plan)
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("keepBest: per-cluster quality argmax, id tie-break, null scores lose") {
     val rows = Seq(
       (1L, 100L, 0.5), (2L, 100L, 0.9), (3L, 100L, 0.9), // 2 wins the 0.9 tie
