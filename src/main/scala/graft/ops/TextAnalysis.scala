@@ -694,6 +694,110 @@ object TextAnalysis {
       .drop("__s")
   }
 
+  /** WORD-level interpolated bigram LM scoring with an UNK-capped
+    * vocabulary — the CCNet-shaped perplexity filter proper (CCNet
+    * scores with a WORD n-gram model; [[charLmScoreInterp]] is its
+    * character-level sibling). The train corpus's `maxVocab` most
+    * frequent words (ties -> lexicographic) form the vocabulary;
+    * every other token maps to `<unk>` BEFORE any counting, so the
+    * bigram/unigram models and the broadcast they ride in are
+    * bounded by `maxVocab^2` worst-case and in practice by the seen
+    * bigram set — never by corpus size. That cap is what makes a
+    * word LM viable at 100 TB: the raw word-bigram space of a web
+    * corpus is corpus-sized, the UNK-capped one is a dial.
+    *
+    * Per doc-bigram probability:
+    * `P(c|p) = λ2·c_bi/c_ctx + λ1·c_uni/T + (1-λ2-λ1)/V`
+    * (Jelinek–Mercer to the uniform floor, V = |vocab| + 1 for
+    * `<unk>`), ln-quantized to 2^-20 and summed as exact integers —
+    * bit-identical on any engine/partitioning, the [[LogQuantScale]]
+    * discipline. Emits `n_grams`, `n_unseen_bi` (doc bigrams absent
+    * from the bigram model — zero when self-scoring) and `avg_nll`;
+    * docs with fewer than two tokens score NaN over zero grams.
+    *
+    * 100 TB shape: vocabulary selection is one gram-keyed count +
+    * TakeOrdered(maxVocab); token->vocab mapping is two broadcast
+    * probe joins on the exploded bigrams (never a position-keyed
+    * self-join); model fitting is one (prev, cur)-keyed aggregate
+    * with map-side partials; scoring is broadcast probes + ONE
+    * doc-keyed exact-integer sum. */
+  def wordLmScore(
+      docs: DataFrame, train: DataFrame,
+      idCol: String, textCol: String,
+      maxVocab: Int = 10000,
+      lambda2: Double = 0.5, lambda1: Double = 0.25): DataFrame = {
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    require(lambda2 >= 0 && lambda1 >= 0, s"lambdas must be >= 0")
+    val lam0 = 1.0 - lambda2 - lambda1
+    require(lam0 > 0,
+      s"lambda2 + lambda1 must sum to < 1 (got ${lambda2 + lambda1}) — " +
+        "the uniform floor needs positive mass or an unseen bigram hits ln(0)")
+    def toks(c: Column) = split(trim(lower(c)), "\\s+")
+    val counts = train.select(explode(toks(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_uni"))
+      .localCheckpoint(true) // feeds the top-K AND the total
+    val vocab = counts.orderBy(col("c_uni").desc, col("w")).limit(maxVocab)
+      .localCheckpoint(true) // feeds two probe markers + the unigram model
+    val totalT = counts.agg(coalesce(sum("c_uni"), lit(0L))).collect().head.getLong(0)
+    require(totalT > 0, "cannot train a word LM on an empty corpus")
+    val vStats = vocab.agg(count(lit(1)), coalesce(sum("c_uni"), lit(0L))).collect().head
+    val vocabV = vStats.getLong(0) + 1 // + <unk>
+    val unkCount = totalT - vStats.getLong(1)
+    val spark = train.sparkSession
+    val uni = vocab.select(col("w").as("__u"), col("c_uni").as("__cu"))
+      .unionByName(spark.range(1)
+        .select(lit("<unk>").as("__u"), lit(unkCount).as("__cu")))
+
+    // in-row bigram formation (tokens can't contain the whitespace
+    // they were split on, so no separator ambiguity), then vocab
+    // mapping via broadcast probes — never a position-keyed self-join
+    def bigramsOf(df: DataFrame, cols: Seq[Column]): DataFrame = {
+      val t = toks(col(textCol))
+      val len = greatest(size(t) - 1, lit(0))
+      val pairs = zip_with(slice(t, lit(1), len), slice(t, lit(2), len),
+        (a, b) => struct(a.as("p"), b.as("c")))
+      df.select(cols :+ explode(pairs).as("__bg"): _*)
+        .select(cols :+ col("__bg.p").as("rawp") :+ col("__bg.c").as("rawc"): _*)
+    }
+    def mapped(bg: DataFrame): DataFrame = bg
+      .join(broadcast(vocab.select(col("w").as("rawp"), lit(1).as("__ip"))),
+        Seq("rawp"), "left")
+      .join(broadcast(vocab.select(col("w").as("rawc"), lit(1).as("__ic"))),
+        Seq("rawc"), "left")
+      .withColumn("mp", when(col("__ip").isNotNull, col("rawp")).otherwise(lit("<unk>")))
+      .withColumn("mc", when(col("__ic").isNotNull, col("rawc")).otherwise(lit("<unk>")))
+
+    val bi = mapped(bigramsOf(train, Seq.empty))
+      .groupBy("mp", "mc").agg(count(lit(1)).as("__cbi"))
+      .localCheckpoint(true) // feeds the context counts AND the probe
+    val ctx = bi.groupBy("mp").agg(sum(col("__cbi")).as("__cctx"))
+
+    val joined = mapped(bigramsOf(docs, Seq(col(idCol))))
+      .join(broadcast(bi), Seq("mp", "mc"), "left")
+      .join(broadcast(ctx), Seq("mp"), "left")
+      .join(broadcast(uni.select(col("__u").as("mc"), col("__cu"))), Seq("mc"), "left")
+    // left-assoc 3-term sum, mirrored exactly by the oracle's + chain
+    val p = lit(lambda2) *
+        coalesce(col("__cbi").cast("double") / col("__cctx").cast("double"), lit(0.0)) +
+      lit(lambda1) *
+        coalesce(col("__cu").cast("double") / lit(totalT.toDouble), lit(0.0)) +
+      lit(lam0 / vocabV)
+    val scored = joined
+      .withColumn("__lq", round(log(p) * LogQuantScale).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__cbi").isNull, 1L).otherwise(0L)).as("n_unseen_bi"),
+        sum(col("__lq")).as("__s"))
+    docs.join(scored, Seq(idCol), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("n_unseen_bi", coalesce(col("n_unseen_bi"), lit(0L)))
+      .withColumn("avg_nll",
+        when(col("n_grams") > 0,
+          -(col("__s").cast("double") / LogQuantScale) / col("n_grams"))
+          .otherwise(lit(Double.NaN)))
+      .drop("__s")
+  }
+
   /** Per-stratum corpus statistics — the reporting pass behind every
     * curation dashboard: document count, token count, mean document
     * length, and vocabulary size per stratum (source, language,

@@ -1064,7 +1064,71 @@ object CurationQueries {
       FROM topk ORDER BY doc_id"""),
     bench = true)
 
+  /** WORD-level interpolated bigram LM with an UNK-capped vocabulary
+    * (library `TextAnalysis.wordLmScore` — the CCNet-shaped
+    * perplexity filter proper; q69/q83 are its character-level
+    * siblings): the 100 most frequent words (ties lexicographic)
+    * form the vocabulary, everything else maps to `<unk>` BEFORE
+    * counting, and each bigram scores
+    * `ln(0.5·c_bi/c_ctx + 0.25·c_uni/T + 0.25/V)` quantized to 2^-20
+    * and summed exactly. The oracle re-derives the vocabulary cut,
+    * the UNK pooling, both models, and the same left-associative
+    * interpolation — every document's score is bit-exact.
+    * Self-scoring keeps `n_unseen_bi` at zero, which the oracle
+    * asserts as a literal. */
+  val q99 = QueryDef(
+    "q99_word_lm",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextAnalysis.wordLmScore(docs, docs, "doc_id", "text",
+          maxVocab = 100, lambda2 = 0.5, lambda1 = 0.25)
+        .filter(col("n_grams") > 0)
+        .select(col("doc_id"), col("n_grams"), col("n_unseen_bi"),
+          round(col("avg_nll"), 6).as("avg_nll"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH tk AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks
+        FROM documents),
+      cnt AS MATERIALIZED (
+        SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+      voc AS MATERIALIZED (
+        SELECT w, c FROM (
+          SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM cnt) rv
+        WHERE rn <= 100),
+      vstat AS (SELECT count(*) AS nv, CAST(sum(c) AS BIGINT) AS sv FROM voc),
+      bg AS MATERIALIZED (
+        SELECT doc_id, toks[i] AS rawp, toks[i+1] AS rawc
+        FROM tk, LATERAL unnest(generate_series(1, len(toks) - 1)) u(i)),
+      mbg AS MATERIALIZED (
+        SELECT doc_id, coalesce(vp.w, '<unk>') AS mp, coalesce(vc.w, '<unk>') AS mc
+        FROM bg LEFT JOIN voc vp ON vp.w = bg.rawp
+        LEFT JOIN voc vc ON vc.w = bg.rawc),
+      bi AS MATERIALIZED (SELECT mp, mc, count(*) AS c_bi FROM mbg GROUP BY mp, mc),
+      ctx AS (SELECT mp, sum(c_bi) AS c_ctx FROM bi GROUP BY mp),
+      uni AS (SELECT w AS mc, CAST(c AS BIGINT) AS cu FROM voc
+              UNION ALL SELECT '<unk>', t - sv FROM tot, vstat),
+      sc AS (
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(sum(CAST(round(ln(
+            CAST(0.5 AS DOUBLE) * (CAST(b.c_bi AS DOUBLE) / CAST(x.c_ctx AS DOUBLE))
+            + CAST(0.25 AS DOUBLE) * (CAST(u.cu AS DOUBLE) / CAST(tot.t AS DOUBLE))
+            + CAST(0.25 AS DOUBLE) / CAST(vstat.nv + 1 AS DOUBLE))
+            * CAST(1048576 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
+        FROM mbg g
+        JOIN bi b ON b.mp = g.mp AND b.mc = g.mc
+        JOIN ctx x ON x.mp = g.mp
+        JOIN uni u ON u.mc = g.mc
+        CROSS JOIN tot CROSS JOIN vstat
+        GROUP BY g.doc_id)
+      SELECT d.doc_id, sc.n_grams, CAST(0 AS BIGINT) AS n_unseen_bi,
+        round(-(CAST(sc.s AS DOUBLE) / CAST(1048576 AS DOUBLE)) / sc.n_grams, 6)
+          AS avg_nll
+      FROM documents d JOIN sc USING (doc_id) ORDER BY d.doc_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
-      q86, q90, q94)
+      q86, q90, q94, q99)
 }

@@ -302,6 +302,10 @@ object ProfileScale {
       Dedup.keepBest(clustered.join(scored, Seq("doc_id")),
         "doc_id", "cluster", "alpha_ratio")
     }
+    def q99(d: DataFrame) = TextAnalysis.wordLmScore(
+        d, d, "doc_id", "text", maxVocab = 100, lambda2 = 0.5, lambda1 = 0.25)
+      .filter(col("n_grams") > 0)
+      .select("doc_id", "n_grams", "n_unseen_bi", "avg_nll")
     def q91(d: DataFrame) = TextAnalysis.dedupLines(
       d.withColumn("text", regexp_replace(col("text"), " the ", "\n")), "text")
       .select(col("doc_id"), col("n_lines"), col("n_dup_lines"), col("clean_text"))
@@ -356,7 +360,8 @@ object ProfileScale {
       ("q92 pq-train", () => q92(emb), () => q92(emb10)),
       ("q94 rrf-hybrid", () => q94(docs, emb), () => q94(docs10, emb10)),
       ("q95 incr-dedup", () => q95(docs), () => q95(docs10)),
-      ("q96 keeper", () => q96(docs), () => q96(docs10)))
+      ("q96 keeper", () => q96(docs), () => q96(docs10)),
+      ("q99 word-lm", () => q99(docs), () => q99(docs10)))
       .map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)

@@ -2394,6 +2394,39 @@ class OpsSpec extends SparkSpec {
     assert(d > 0 && d <= 8, s"edit moved $d bits")
   }
 
+  test("wordLmScore: UNK-capped vocab, held-out garbage pays, short docs NaN") {
+    // train keeps its FULL vocabulary (maxVocab = 10 > 4 words), so
+    // <unk> gets zero train mass and an out-of-vocabulary held-out
+    // bigram can only score through the uniform floor
+    val train = Seq(
+      (0L, "a b a b a b a b"),
+      (1L, "c d c d"))
+      .toDF("doc_id", "text")
+    val held = Seq(
+      (10L, "a b a b"),      // in-distribution: every bigram seen
+      (11L, "zz qq zz qq"),  // all-OOV: every bigram unseen
+      (12L, "a"))            // one token: no bigrams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.wordLmScore(held, train, "doc_id", "text",
+        maxVocab = 10, lambda2 = 0.5, lambda1 = 0.25)
+      .select("doc_id", "n_grams", "n_unseen_bi", "avg_nll").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(10L)._1 == 3L && out(10L)._2 == 0L)
+    assert(out(11L)._1 == 3L && out(11L)._2 == 3L)
+    assert(out(12L)._1 == 0L && out(12L)._3.isNaN)
+    // the all-OOV doc scores exactly the uniform floor: vocab 4 words
+    // + <unk> -> -ln(0.25 / 5) per bigram (quantized to 2^-20)
+    val floor = -math.round(math.log(0.25 / 5) * 1048576.0) / 1048576.0
+    assert(math.abs(out(11L)._3 - floor) < 1e-9, out(11L).toString)
+    // and strictly worse than the in-distribution doc
+    assert(out(10L)._3 < out(11L)._3, out.toString)
+    // lambdas must leave positive uniform mass
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.wordLmScore(held, train, "doc_id", "text",
+        maxVocab = 10, lambda2 = 0.8, lambda1 = 0.2))
+    assert(e.getMessage.contains("uniform floor"))
+  }
+
   test("AnnIndex: build/load round-trip, partition-pruned query equals in-memory") {
     val dir = java.nio.file.Files.createTempDirectory("annindex").toString
     try {
