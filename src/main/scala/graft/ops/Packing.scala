@@ -77,4 +77,50 @@ object Packing {
       .withColumn("n_chunks_spanned", col("last_chunk") - col("first_chunk") + 1)
       .drop("__cum")
   }
+
+  /** Per-document overlapping token windows — the RAG/retrieval-side
+    * chunker ([[packChunks]] is the pretraining-side one): each
+    * document is cut into `ctxLen`-token chunks starting every
+    * `stride` tokens (`stride < ctxLen` ⇒ consecutive chunks overlap
+    * by `ctxLen − stride`), the standard sliding-window chunking for
+    * embedding indexes and long-document QA.
+    *
+    * Chunk starts are `0, stride, 2·stride, …` while `< n_tokens`;
+    * a start whose window would end inside the PREVIOUS chunk's span
+    * (`s + ctxLen − stride >= n_tokens` for `s > 0`) is dropped — it
+    * would be a strict sub-span of an already-emitted chunk and a
+    * duplicate row in any downstream embedding index. The final kept
+    * chunk is clipped at the document end.
+    *
+    * Emits one row per (document, chunk): `chunk_id` (0-based after
+    * the containment drop), `start_tok` (0-based), `n_tok`, and
+    * `chunk_fp` — md5 over the space-joined token slice, the join key
+    * for chunk-level dedup across documents.
+    *
+    * 100 TB shape: entirely narrow — `sequence` + `filter` +
+    * `posexplode` + in-row `slice`/`md5` per document, zero shuffles;
+    * chunking composes with any downstream op without repartitioning.
+    * Zero-token documents emit zero rows (nothing to chunk — not an
+    * error, unlike [[packChunks]] where a document must occupy
+    * stream positions). */
+  def chunkWithOverlap(
+      df: DataFrame, idCol: String, textCol: String,
+      ctxLen: Int, stride: Int): DataFrame = {
+    require(ctxLen >= 1, s"context length must be >= 1, got $ctxLen")
+    require(stride >= 1 && stride <= ctxLen,
+      s"stride must be in [1, ctxLen=$ctxLen], got $stride")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val n = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(toks))
+    val starts = filter(
+      sequence(lit(0), greatest(n - 1, lit(0)), lit(stride)),
+      s => s < n && (s === 0 || s + lit(ctxLen - stride) < n))
+    df.withColumn("__n", n)
+      .select(col(idCol), col(textCol), col("__n"),
+        posexplode(starts).as(Seq("chunk_id", "start_tok")))
+      .withColumn("n_tok",
+        least(lit(ctxLen), col("__n") - col("start_tok")))
+      .withColumn("chunk_fp",
+        md5(array_join(slice(toks, col("start_tok") + 1, col("n_tok")), " ")))
+      .drop(textCol, "__n")
+  }
 }

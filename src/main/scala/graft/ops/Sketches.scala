@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch frequency estimation (Cormode & Muthukrishnan 2005)
+  * — the third member of the library's mergeable-sketch family
+  * (HyperLogLog++ cardinality in [[TextAnalysis.corpusStats]], Bloom
+  * membership in [[TextAnalysis.bloomDecontaminate]]): answer "how
+  * often does this phrase occur in the corpus?" from `depth × width`
+  * counters instead of a vocabulary-sized exact table. The estimate is
+  * `min` over `depth` independent hash rows of the counter the phrase
+  * lands in — never an undercount, overcounting bounded by
+  * `e·N/width` with probability `1 − e^−depth`.
+  *
+  * Engine-portable determinism: row `r`'s bucket for gram `g` is
+  * `hash28(r:g) mod width` through the same 28-bit md5 decode as
+  * [[Sampling.hashUnit]], so an oracle re-derives every counter and
+  * every estimate bit-exactly — no sketch-library internals to match.
+  *
+  * 100 TB shape: the sketch IS a bounded aggregate — grouping the
+  * exploded grams by (row, bucket) collapses each task to at most
+  * `depth × width` partial rows before the one tiny shuffle, the same
+  * pattern as [[Dsir.featureBuckets]] model fitting. Sketches from
+  * disjoint corpus shards MERGE by counter addition
+  * ([[Sketches.cmsMerge]]), which is what makes the state streamable
+  * and incrementally maintainable. Probing joins the (small) probe set
+  * against the broadcast sketch — the corpus itself is touched only by
+  * the build pass.
+  */
+object Sketches {
+
+  /** Ceiling on `depth × width`: the sketch broadcasts to every probe
+    * task and may be collected, so it must stay MBs-sized no matter
+    * the corpus. 2^24 counters ≈ 256 MB of longs — far beyond any
+    * sane accuracy target (width 2^20 at depth 8 is 2^23). */
+  val MaxCounters: Long = 1L << 24
+
+  private def bucketOf(g: Column, row: Int, width: Int): Column =
+    pmod(Sampling.hash28(concat(lit(s"$row:"), g)), lit(width.toLong))
+
+  /** Word `gram`-gram multiset of `textCol`, exploded — occurrences,
+    * not distinct grams: CMS counts frequencies. */
+  private def gramRows(df: DataFrame, textCol: String, gram: Int): DataFrame =
+    df.select(explode(TextAnalysis.ngramsOf(col(textCol), gram)).as("g"))
+      .filter(length(col("g")) > 0)
+
+  /** Build the sketch over the word `gram`-grams of `textCol`:
+    * one DataFrame of `(r, b, cnt)` counter rows — at most
+    * `depth × width`, absent counters implicitly zero. */
+  def cmsBuild(
+      df: DataFrame, textCol: String,
+      gram: Int = 1, depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    require(depth.toLong * width <= MaxCounters,
+      s"depth * width = ${depth.toLong * width} exceeds $MaxCounters: the sketch " +
+        "must stay a broadcast-sized model, not a per-gram table")
+    val rows = (0 until depth).map(r =>
+      struct(lit(r).as("r"), bucketOf(col("g"), r, width).as("b")))
+    gramRows(df, textCol, gram)
+      .select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketch states built with the SAME (depth, width, gram) over
+    * disjoint corpus shards: counter-wise addition. This is the whole
+    * point of sketch state — a 1000-shard build is 1000 independent
+    * bounded aggregates plus this fold, and yields bit-identical
+    * counters to a single pass over the union. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("r", "b").agg(sum("cnt").as("cnt"))
+
+  /** Point-query the sketch: for each row of `probes`, the CMS
+    * estimate of its `gramCol` phrase — `min` over the `depth` rows of
+    * the counter it hashes to (0 when a counter row is absent: the
+    * phrase never occurred). The sketch side broadcasts; `probes` is
+    * by contract a bounded candidate list (an eval set's phrases, a
+    * blocklist, a heavy-hitter shortlist), so nothing corpus-sized
+    * moves. */
+  def cmsEstimate(
+      sketch: DataFrame, probes: DataFrame, gramCol: String,
+      depth: Int = 4, width: Int = 1024,
+      outCol: String = "cms_est"): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape ($depth, $width)")
+    val withBuckets = (0 until depth).foldLeft(probes) { (df, r) =>
+      df.withColumn(s"__b$r", bucketOf(col(gramCol), r, width))
+    }
+    val joined = (0 until depth).foldLeft(withBuckets) { (df, r) =>
+      df.join(
+        broadcast(sketch.filter(col("r") === r)
+          .select(col("b").as(s"__b$r"), col("cnt").as(s"__c$r"))),
+        Seq(s"__b$r"), "left")
+    }
+    val est = (0 until depth)
+      .map(r => coalesce(col(s"__c$r"), lit(0L)))
+      .reduce(least(_, _))
+    joined.withColumn(outCol, est)
+      .drop((0 until depth).flatMap(r => Seq(s"__b$r", s"__c$r")): _*)
+  }
+
+  /** Build + probe in one call, with the exact count alongside for
+    * audit: each probe phrase gets `cms_est` (sketch estimate),
+    * `true_cnt` (exact occurrences — computed by filtering the gram
+    * stream to the broadcast probe set BEFORE any shuffle, so the
+    * exact side is probe-bounded too), and `overest = cms_est −
+    * true_cnt >= 0`. The audit is how a pipeline sizes `width` for its
+    * corpus: rerun on a sample until the overestimate quantile is
+    * acceptable. */
+  def cmsFrequencyAudit(
+      df: DataFrame, textCol: String, probes: DataFrame, gramCol: String,
+      gram: Int = 1, depth: Int = 4, width: Int = 1024): DataFrame = {
+    val sketch = cmsBuild(df, textCol, gram, depth, width)
+      .localCheckpoint(true) // one build feeds every probe row
+    val exact = gramRows(df, textCol, gram)
+      .join(broadcast(probes.select(col(gramCol).as("g")).distinct()), Seq("g"))
+      .groupBy(col("g").as(gramCol)).agg(count(lit(1)).as("true_cnt"))
+    cmsEstimate(sketch, probes, gramCol, depth, width)
+      .join(exact, Seq(gramCol), "left")
+      .withColumn("true_cnt", coalesce(col("true_cnt"), lit(0L)))
+      .withColumn("overest", col("cms_est") - col("true_cnt"))
+  }
+}

@@ -253,6 +253,48 @@ object TextAnalysis {
       .withColumn("contaminated", (col("n_overlap") >= minOverlap).cast("int"))
   }
 
+  /** Eval-side contamination REPORT — the reverse direction of
+    * [[decontaminate]] (which flags training documents): for each
+    * held-out eval document, the fraction of its distinct `n`-grams
+    * that occur anywhere in the training corpus. This is the
+    * containment metric benchmark cards publish ("x% of eval n-grams
+    * appear in training data") — a measurement, not a filter, and a
+    * per-benchmark number the dedup/decontamination stages are judged
+    * by.
+    *
+    * 100 TB shape: the eval gram set is bounded (a benchmark, not a
+    * corpus) and broadcasts INTO the training gram stream, which is
+    * filtered to that sliver before its distinct — the corpus-sized
+    * side never shuffles more than the grams that actually match.
+    * The matched-gram set (≤ eval set) then broadcasts back onto the
+    * per-doc eval grams for one small doc-keyed aggregate. Eval docs
+    * with fewer than `n` tokens have no grams: `n_grams = 0`,
+    * `containment` NaN. */
+  def containmentScore(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = eval.select(col(idCol),
+      explode(array_distinct(ngramsOf(col(textCol), n))).as("gram"))
+    val evalGramSet = evalGrams.select("gram").distinct()
+    val matched = train
+      .select(explode(array_distinct(ngramsOf(col(textCol), n))).as("gram"))
+      .join(broadcast(evalGramSet), Seq("gram"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    val agg = evalGrams
+      .join(broadcast(matched), Seq("gram"), "left")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_matched"))
+    eval.join(agg, Seq(idCol), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("containment",
+        when(col("n_grams") > 0,
+          col("n_matched").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(Double.NaN)))
+  }
+
   /** [[decontaminate]] with a Bloom pre-filter — IDENTICAL output
     * (the exact-verify join removes every false positive), different
     * 100 TB shape: `decontaminate` broadcasts the full distinct eval
@@ -782,6 +824,100 @@ object TextAnalysis {
       lit(lambda1) *
         coalesce(col("__cu").cast("double") / lit(totalT.toDouble), lit(0.0)) +
       lit(lam0 / vocabV)
+    val scored = joined
+      .withColumn("__lq", round(log(p) * LogQuantScale).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__cbi").isNull, 1L).otherwise(0L)).as("n_unseen_bi"),
+        sum(col("__lq")).as("__s"))
+    docs.join(scored, Seq(idCol), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("n_unseen_bi", coalesce(col("n_unseen_bi"), lit(0L)))
+      .withColumn("avg_nll",
+        when(col("n_grams") > 0,
+          -(col("__s").cast("double") / LogQuantScale) / col("n_grams"))
+          .otherwise(lit(Double.NaN)))
+      .drop("__s")
+  }
+
+  /** Kneser–Ney smoothed word-bigram LM scoring — the KenLM shape the
+    * CCNet pipeline actually ships (Wenzek et al. 2020), where
+    * [[wordLmScore]] is its Jelinek–Mercer sibling: absolute
+    * discounting moves mass `D` off every seen bigram onto a
+    * CONTINUATION model — `p_cont(w) ∝` how many distinct contexts
+    * `w` follows, not how often it occurs — so boilerplate tokens
+    * frequent in only one context ("Francisco") stop inflating the
+    * backoff the way raw unigram interpolation lets them.
+    *
+    * Per doc-bigram probability (interpolated bigram KN):
+    * `P(c|p) = (max(c_bi − D, 0) + D · N1+(p·) · p_cont(c)) / c_ctx`
+    * with `p_cont(c) = (N1+(·c) + 1) / (B + V)` (add-one over the `B`
+    * distinct bigram types and `V = |vocab|+1`, keeping unseen
+    * continuations finite); a document bigram whose CONTEXT is unseen
+    * (never when self-scoring) backs off to `p_cont(c)` alone. Same
+    * UNK-capped vocabulary, 2^-20 ln-quantization and exact-integer
+    * sums as [[wordLmScore]]; both engines evaluate the identical
+    * left-associated expression, so every score is bit-exact.
+    *
+    * 100 TB shape: identical to [[wordLmScore]] — every model table
+    * (bigrams, contexts, follower/continuation type counts) is bounded
+    * by the UNK-capped bigram space and broadcasts; scoring is
+    * broadcast probes over the exploded doc bigrams plus one
+    * doc-keyed exact-integer aggregate. */
+  def wordLmScoreKN(
+      docs: DataFrame, train: DataFrame,
+      idCol: String, textCol: String,
+      maxVocab: Int = 10000, discount: Double = 0.75): DataFrame = {
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    def toks(c: Column) = split(trim(lower(c)), "\\s+")
+    val counts = train.select(explode(toks(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_uni"))
+    val vocab = counts.orderBy(col("c_uni").desc, col("w")).limit(maxVocab)
+      .select("w")
+      .localCheckpoint(true) // feeds both probe markers + V
+    val vocabV = vocab.count() + 1 // + <unk>
+
+    def bigramsOf(df: DataFrame, cols: Seq[Column]): DataFrame = {
+      val t = toks(col(textCol))
+      val len = greatest(size(t) - 1, lit(0))
+      val pairs = zip_with(slice(t, lit(1), len), slice(t, lit(2), len),
+        (a, b) => struct(a.as("p"), b.as("c")))
+      df.select(cols :+ explode(pairs).as("__bg"): _*)
+        .select(cols :+ col("__bg.p").as("rawp") :+ col("__bg.c").as("rawc"): _*)
+    }
+    def mapped(bg: DataFrame): DataFrame = bg
+      .join(broadcast(vocab.select(col("w").as("rawp"), lit(1).as("__ip"))),
+        Seq("rawp"), "left")
+      .join(broadcast(vocab.select(col("w").as("rawc"), lit(1).as("__ic"))),
+        Seq("rawc"), "left")
+      .withColumn("mp", when(col("__ip").isNotNull, col("rawp")).otherwise(lit("<unk>")))
+      .withColumn("mc", when(col("__ic").isNotNull, col("rawc")).otherwise(lit("<unk>")))
+
+    val bi = mapped(bigramsOf(train, Seq.empty))
+      .groupBy("mp", "mc").agg(count(lit(1)).as("__cbi"))
+      .localCheckpoint(true) // feeds ctx, N1+ fwd/bwd, B and the probe
+    val ctx = bi.groupBy("mp").agg(sum(col("__cbi")).as("__cctx"))
+    // KN's two type-count tables: each bi row IS one distinct pair, so
+    // N1+(p·) / N1+(·c) are plain row counts per side
+    val n1fwd = bi.groupBy("mp").agg(count(lit(1)).as("__nf"))
+    val n1bwd = bi.groupBy("mc").agg(count(lit(1)).as("__nb"))
+    val bTypes = bi.count()
+
+    val joined = mapped(bigramsOf(docs, Seq(col(idCol))))
+      .join(broadcast(bi), Seq("mp", "mc"), "left")
+      .join(broadcast(ctx), Seq("mp"), "left")
+      .join(broadcast(n1fwd), Seq("mp"), "left")
+      .join(broadcast(n1bwd), Seq("mc"), "left")
+    val pCont = (coalesce(col("__nb"), lit(0L)) + lit(1L)).cast("double") /
+      lit((bTypes + vocabV).toDouble)
+    val p = when(col("__cctx").isNotNull,
+      (greatest(coalesce(col("__cbi"), lit(0L)).cast("double") - lit(discount),
+          lit(0.0)) +
+        lit(discount) * coalesce(col("__nf"), lit(0L)).cast("double") * pCont) /
+        col("__cctx").cast("double"))
+      .otherwise(pCont)
     val scored = joined
       .withColumn("__lq", round(log(p) * LogQuantScale).cast("long"))
       .groupBy(idCol)

@@ -1128,7 +1128,173 @@ object CurationQueries {
       FROM documents d JOIN sc USING (doc_id) ORDER BY d.doc_id"""),
     bench = true)
 
+  /** Count-min sketch frequency audit (library `Sketches` — the
+    * mergeable-sketch family's frequency member, next to q74's HLL
+    * cardinality and q77's Bloom membership): a 4×256 sketch over the
+    * corpus word BIGRAMS (916 distinct at sf0.01 — ~3.6 per counter,
+    * so collisions are real and the min-over-rows actually works;
+    * the unigram space is only 31 strings and would fit collision-
+    * free) — probed with the 40 most frequent bigrams (ties
+    * lexicographic) plus five absent sentinels.
+    * The oracle re-derives every counter through the same md5 bucket
+    * polynomial and asserts `cms_est >= true_cnt` bit-exactly per
+    * probe; the absent sentinels exercise the zero / collision path. */
+  val q100 = QueryDef(
+    "q100_cms_frequency",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cnt = docs
+        .select(explode(graft.ops.TextAnalysis.ngramsOf(col("text"), 2)).as("g"))
+        .filter(length(col("g")) > 0)
+        .groupBy("g").agg(count(lit(1)).as("c"))
+      val top = cnt.orderBy(col("c").desc, col("g")).limit(40)
+        .select(col("g").as("w"))
+      val absent = s.range(1, 6)
+        .select(concat(lit("zzzabsent"), col("id")).as("w"))
+      val probes = top.unionByName(absent)
+      graft.ops.Sketches
+        .cmsFrequencyAudit(docs, "text", probes, "w",
+          gram = 2, depth = 4, width = 256)
+        .select(col("w"), col("cms_est"), col("true_cnt"), col("overest"))
+        .oracleOrderBy("w")
+    },
+    Some {
+      val ws = "[ \\t\\n\\x0B\\f\\r]+"
+      s"""WITH toks AS MATERIALIZED (
+        SELECT string_split_regex(trim(lower(text)), '$ws') AS t FROM documents),
+      g AS MATERIALIZED (
+        SELECT g FROM (
+          SELECT t[r.i] || ' ' || t[r.i + 1] AS g
+          FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) r(i))
+        WHERE g <> ''),
+      cnt AS MATERIALIZED (SELECT g, count(*) AS c FROM g GROUP BY g),
+      probes AS MATERIALIZED (
+        SELECT g AS w FROM (
+          SELECT g, row_number() OVER (ORDER BY c DESC, g) AS rn FROM cnt) rv
+        WHERE rn <= 40
+        UNION ALL
+        SELECT 'zzzabsent' || i FROM generate_series(1, 5) s(i)),
+      counters AS MATERIALIZED (
+        SELECT d.r, (${md5PolyDuck("d.r || ':' || g.g")}) % 256 AS b,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM g, (SELECT unnest(generate_series(0, 3)) AS r) d
+        GROUP BY 1, 2),
+      est AS (
+        SELECT w, min(coalesce(c.cnt, 0)) AS cms_est
+        FROM (
+          SELECT p.w, d.r, (${md5PolyDuck("d.r || ':' || p.w")}) % 256 AS b
+          FROM probes p, (SELECT unnest(generate_series(0, 3)) AS r) d) pb
+        LEFT JOIN counters c ON c.r = pb.r AND c.b = pb.b
+        GROUP BY w)
+      SELECT e.w, e.cms_est,
+        coalesce(cnt.c, 0) AS true_cnt,
+        e.cms_est - coalesce(cnt.c, 0) AS overest
+      FROM est e LEFT JOIN cnt ON cnt.g = e.w
+      ORDER BY e.w"""
+    },
+    bench = true)
+
+  /** Kneser–Ney smoothed word-bigram LM (library
+    * `TextAnalysis.wordLmScoreKN` — the KenLM/CCNet smoothing proper;
+    * q99 is its Jelinek–Mercer sibling over the same UNK-capped
+    * vocabulary): absolute discount D = 0.75 off every seen bigram,
+    * redistributed through follower type counts `N1+(p·)` and an
+    * add-one continuation model `(N1+(·c) + 1)/(B + V)`. The oracle
+    * re-derives the vocabulary cut, the bigram/context tables, BOTH
+    * type-count tables and the identical left-associated discount
+    * expression — every document's score is bit-exact, and
+    * self-scoring keeps `n_unseen_bi` at zero which the oracle asserts
+    * as a literal. */
+  val q101 = QueryDef(
+    "q101_word_lm_kn",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextAnalysis.wordLmScoreKN(docs, docs, "doc_id", "text",
+          maxVocab = 100, discount = 0.75)
+        .filter(col("n_grams") > 0)
+        .select(col("doc_id"), col("n_grams"), col("n_unseen_bi"),
+          round(col("avg_nll"), 6).as("avg_nll"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH tk AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks
+        FROM documents),
+      cnt AS MATERIALIZED (
+        SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+      voc AS MATERIALIZED (
+        SELECT w FROM (
+          SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rn FROM cnt) rv
+        WHERE rn <= 100),
+      vstat AS (SELECT count(*) AS nv FROM voc),
+      bg AS MATERIALIZED (
+        SELECT doc_id, toks[i] AS rawp, toks[i+1] AS rawc
+        FROM tk, LATERAL unnest(generate_series(1, len(toks) - 1)) u(i)),
+      mbg AS MATERIALIZED (
+        SELECT doc_id, coalesce(vp.w, '<unk>') AS mp, coalesce(vc.w, '<unk>') AS mc
+        FROM bg LEFT JOIN voc vp ON vp.w = bg.rawp
+        LEFT JOIN voc vc ON vc.w = bg.rawc),
+      bi AS MATERIALIZED (SELECT mp, mc, count(*) AS c_bi FROM mbg GROUP BY mp, mc),
+      ctx AS (SELECT mp, sum(c_bi) AS c_ctx FROM bi GROUP BY mp),
+      nf AS (SELECT mp, CAST(count(*) AS BIGINT) AS nf FROM bi GROUP BY mp),
+      nb AS (SELECT mc, CAST(count(*) AS BIGINT) AS nb FROM bi GROUP BY mc),
+      bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi),
+      sc AS (
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(sum(CAST(round(ln(
+            (greatest(CAST(b.c_bi AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+             + CAST(0.75 AS DOUBLE) * CAST(f.nf AS DOUBLE)
+               * (CAST(nb.nb + 1 AS DOUBLE) / CAST(bt.b + vstat.nv + 1 AS DOUBLE)))
+            / CAST(x.c_ctx AS DOUBLE))
+            * CAST(1048576 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
+        FROM mbg g
+        JOIN bi b ON b.mp = g.mp AND b.mc = g.mc
+        JOIN ctx x ON x.mp = g.mp
+        JOIN nf f ON f.mp = g.mp
+        JOIN nb ON nb.mc = g.mc
+        CROSS JOIN bt CROSS JOIN vstat
+        GROUP BY g.doc_id)
+      SELECT d.doc_id, sc.n_grams, CAST(0 AS BIGINT) AS n_unseen_bi,
+        round(-(CAST(sc.s AS DOUBLE) / CAST(1048576 AS DOUBLE)) / sc.n_grams, 6)
+          AS avg_nll
+      FROM documents d JOIN sc USING (doc_id) ORDER BY d.doc_id"""),
+    bench = true)
+
+  /** Sliding-window document chunking (library
+    * `Packing.chunkWithOverlap` — the RAG-side chunker; q72's
+    * concat-and-chunk packs the pretraining side): 32-token windows
+    * every 24 tokens, trailing windows fully contained in their
+    * predecessor dropped, final window clipped. The oracle re-derives
+    * starts, the containment rule, clipped lengths and the md5 slice
+    * fingerprint per (doc, chunk) — bit-exact, including the
+    * chunk-id renumbering after the containment drop. */
+  val q102 = QueryDef(
+    "q102_chunk_overlap",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Packing.chunkWithOverlap(docs, "doc_id", "text",
+          ctxLen = 32, stride = 24)
+        .oracleOrderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH tk AS MATERIALIZED (
+        SELECT doc_id,
+          CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') END AS t
+        FROM documents),
+      st AS (SELECT doc_id, t, len(t) AS n FROM tk),
+      starts AS (
+        SELECT doc_id, t, n, s.s AS start_tok,
+          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s.s) - 1 AS INT)
+            AS chunk_id
+        FROM st, LATERAL unnest(generate_series(0, n - 1, 24)) s(s)
+        WHERE s.s < n AND (s.s = 0 OR s.s + 8 < n))
+      SELECT doc_id, chunk_id, CAST(start_tok AS INT) AS start_tok,
+        CAST(least(32, n - start_tok) AS INT) AS n_tok,
+        md5(array_to_string(t[start_tok + 1 : start_tok + least(32, n - start_tok)], ' '))
+          AS chunk_fp
+      FROM starts ORDER BY doc_id, chunk_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
-      q86, q90, q94, q99)
+      q86, q90, q94, q99, q100, q101, q102)
 }

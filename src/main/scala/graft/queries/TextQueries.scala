@@ -740,7 +740,38 @@ object TextQueries {
         array_to_string(kept, chr(10)) AS clean_text
       FROM k ORDER BY doc_id"""))
 
+  /** Eval-side contamination containment report (library
+    * `TextAnalysis.containmentScore` — the reverse direction of
+    * q61/q77, which flag TRAINING docs): per held-out eval document,
+    * the fraction of its distinct trigrams found anywhere in the
+    * training split — the number benchmark cards publish. The oracle
+    * re-derives both distinct gram sets and every per-doc ratio
+    * bit-exactly. */
+  val q103 = QueryDef(
+    "q103_containment",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextAnalysis.containmentScore(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", n = 3)
+        .filter(col("n_grams") > 0)
+        .select(col("doc_id"), col("n_grams"), col("n_matched"),
+          round(col("containment"), 6).as("containment"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(s"""WITH eg AS (SELECT DISTINCT doc_id, sh FROM ($shinglesSqlDuck) se
+                WHERE doc_id < 10),
+        tset AS (SELECT DISTINCT sh FROM ($shinglesSqlDuck) st WHERE doc_id >= 10),
+        m AS (SELECT eg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_matched
+              FROM eg LEFT JOIN tset t USING (sh) GROUP BY eg.doc_id)
+      SELECT doc_id, n_grams, n_matched,
+        round(CAST(n_matched AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS containment
+      FROM m ORDER BY doc_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61, q62,
-      q65, q66, q67, q68, q77, q84, q91)
+      q65, q66, q67, q68, q77, q84, q91, q103)
 }

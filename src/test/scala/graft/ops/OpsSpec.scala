@@ -2521,4 +2521,107 @@ class OpsSpec extends SparkSpec {
     // every batch row comes back exactly once; the corpus is not emitted
     assert(out.keySet == Set(11L, 13L, 15L, 17L))
   }
+
+  test("Sketches: CMS estimate never undercounts; merge == single build") {
+    val probes = Seq("the", "fox", "spark", "zebra-absent").toDF("w")
+    val audit = Sketches.cmsFrequencyAudit(docs, "text", probes, "w",
+      gram = 1, depth = 4, width = 16) // tiny width: collisions guaranteed
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("cms_est"), r.getAs[Long]("true_cnt"))).toMap
+    assert(audit.keySet == Set("the", "fox", "spark", "zebra-absent"))
+    // "the" occurs 6x (3 docs x 2), "fox" 3x, "spark" 1x, zebra 0
+    assert(audit("the")._2 == 6L && audit("fox")._2 == 3L)
+    assert(audit("spark")._2 == 1L && audit("zebra-absent")._2 == 0L)
+    audit.values.foreach { case (est, truth) => assert(est >= truth) }
+
+    // mergeability: shard builds summed == whole-corpus build
+    val a = Sketches.cmsBuild(docs.filter(col("doc_id") < 2), "text", 1, 4, 16)
+    val b = Sketches.cmsBuild(docs.filter(col("doc_id") >= 2), "text", 1, 4, 16)
+    val merged = Sketches.cmsMerge(a, b)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Sketches.cmsBuild(docs, "text", 1, 4, 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+
+    // the counter-count ceiling fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Sketches.cmsBuild(docs, "text", 1, 16, (Sketches.MaxCounters / 4).toInt)
+    }
+    assert(e.getMessage.contains("broadcast-sized"))
+  }
+
+  test("TextAnalysis.wordLmScoreKN: discounting + continuation model") {
+    val train = Seq(
+      (0L, "san francisco is foggy"),
+      (1L, "san francisco is sunny"),
+      (2L, "new york is big"),
+      (3L, "the city is big")).toDF("doc_id", "text")
+    val out = TextAnalysis.wordLmScoreKN(train, train, "doc_id", "text",
+      maxVocab = 100, discount = 0.75)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_unseen_bi"),
+          r.getAs[Double]("avg_nll"))).toMap
+    // self-scoring: every bigram seen, scores finite and positive
+    assert(out.values.forall(v => v._2 == 0L && v._3 > 0 && !v._3.isNaN))
+    // "francisco" follows ONLY "san": its continuation type count is 1,
+    // so doc 0/1 (containing san->francisco twice-seen bigrams) score
+    // BETTER (lower nll) than doc 2 whose bigrams are all singletons
+    assert(out(0L)._3 < out(2L)._3)
+
+    // unseen context backs off to the continuation model, stays finite
+    val probe = Seq((9L, "zzz francisco")).toDF("doc_id", "text")
+    val p = TextAnalysis.wordLmScoreKN(probe, train, "doc_id", "text")
+      .collect().head
+    assert(p.getAs[Long]("n_grams") == 1L && p.getAs[Long]("n_unseen_bi") == 1L)
+    assert(!p.getAs[Double]("avg_nll").isNaN)
+  }
+
+  test("Packing.chunkWithOverlap: starts, containment drop, clipping, fp") {
+    val df = Seq(
+      (0L, "a b c d e f g h i j"), // 10 toks
+      (1L, "x y"),                 // 2 toks -> single chunk
+      (2L, ""),                    // empty -> no rows
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // ctxLen 4, stride 2: starts 0,2,4,6,8 but 8+2>=10 -> dropped (its
+    // window [8,10) is inside [6,10)); kept 0,2,4,6
+    val out = Packing.chunkWithOverlap(df, "doc_id", "text", ctxLen = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d0 = out.filter(_.getLong(0) == 0L)
+    assert(d0.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((0, 0, 4), (1, 2, 4), (2, 4, 4), (3, 6, 4)))
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((0, 0, 2)))
+    assert(!out.exists(r => r.getLong(0) >= 2L)) // empty + null: no rows
+    // fingerprint = md5 of the joined slice
+    assert(d1.head.getString(4) ==
+      java.security.MessageDigest.getInstance("MD5").digest("x y".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    // clipped tail chunk when it extends past the previous one:
+    // 11 toks, ctxLen 4, stride 2 -> start 8 kept (8+2 < 11), n_tok 3
+    val df2 = Seq((0L, "a b c d e f g h i j k")).toDF("doc_id", "text")
+    val tail2 = Packing.chunkWithOverlap(df2, "doc_id", "text", 4, 2)
+      .orderBy("chunk_id").collect().last
+    assert(tail2.getInt(2) == 8 && tail2.getInt(3) == 3)
+  }
+
+  test("TextAnalysis.containmentScore: per-eval-doc matched fraction") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "one two three four five")).toDF("doc_id", "text")
+    val eval = Seq(
+      (0L, "alpha beta gamma delta"), // all 2 trigrams contained
+      (1L, "one two three unseen words here"), // 1 of 4 contained
+      (2L, "nothing shared at all between corpora"),
+      (3L, "ab")) // < 3 tokens: no grams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.containmentScore(train, eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_matched"),
+          r.getAs[Double]("containment"))).toMap
+    assert(out(0L) == ((2L, 2L, 1.0)))
+    assert(out(1L)._1 == 4L && out(1L)._2 == 1L && out(1L)._3 == 0.25)
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0.0)
+    assert(out(3L)._1 == 0L && out(3L)._3.isNaN)
+  }
 }
