@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Dedup-at-ingest over an unbounded document stream — the streaming
+  * counterpart of the batch pair `Dedup.exact` (one corpus) and
+  * `Dedup.dedupAgainst` (corpus + batch): every arriving document gets
+  * an immutable verdict row the moment it is seen, without ever
+  * re-scanning what came before. The keyed state IS the corpus
+  * fingerprint set, held by Spark's state store (RocksDB-backed and
+  * checkpointed on a real cluster) — at 100 TB of history, state is
+  * one (hash -> first id) entry per DISTINCT document, partitioned by
+  * hash across executors; the documents themselves are never retained.
+  *
+  * Semantics match the batch op where the two can be compared:
+  * the keeper is the FIRST arrival (ties inside one micro-batch break
+  * to the smallest id, so replaying a batch is deterministic), NULL
+  * text carries no content evidence — such rows come back as their own
+  * keepers, never grouped with each other, and leave no state behind.
+  *
+  * An idle-TTL (event-time timeout against the stream's watermark)
+  * bounds state for dedup-within-horizon policies ("a re-crawl a year
+  * later is a refresh, not a duplicate"); without it state tracks
+  * every distinct document ever seen — the exact-dedup contract.
+  */
+object StreamingDedup {
+
+  final case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** One verdict per arriving document: its content hash, whether it
+    * is the first occurrence, and the keeper it duplicates
+    * (`first_doc_id == doc_id` for keepers and for null-text rows). */
+  final case class DedupVerdict(
+      doc_id: Long, content_hash: String, is_first: Boolean, first_doc_id: Long)
+
+  /** Internal per-hash state (public because Spark's generated state
+    * serializer code must reach the accessors — janino cannot touch a
+    * private class); `n_seen` counts occurrences for observability. */
+  final case class SeenState(first_doc_id: Long, n_seen: Long)
+
+  /** Exact content dedup on a stream. Emits verdicts in Append mode —
+    * they are immutable facts, never updated. `idleTtlSeconds`
+    * requires a watermark on `ts` upstream (set one with
+    * `withWatermark` before calling, as the spec does); state for a
+    * hash idle past the TTL is evicted silently, after which the next
+    * occurrence counts as first again. */
+  def exactDedupStream(
+      docs: Dataset[StreamDoc],
+      idleTtlSeconds: Option[Long] = None): Dataset[DedupVerdict] = {
+    import docs.sparkSession.implicits._
+    val timeout = if (idleTtlSeconds.isDefined)
+      GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    // md5 here matches Dedup.exact's fingerprint byte-for-byte, so a
+    // batch backfill and the live stream agree on every hash
+    def hashOf(text: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // key directly on the typed rows (groupByKey appends the key
+    // column, keeping the caller's watermarked `ts` attribute alive —
+    // a .map to a tuple would strip the event-time metadata and
+    // EventTimeTimeout would refuse the plan); null text gets a
+    // per-row unique sentinel key so such rows pass through as their
+    // own keepers without ever sharing state
+    docs
+      .groupByKey(d => if (d.text == null) s"null:${d.doc_id}" else hashOf(d.text))
+      .flatMapGroupsWithState[SeenState, DedupVerdict](OutputMode.Append, timeout) {
+        (key, rows, state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) {
+            // horizon passed with no new occurrence: evict silently —
+            // every verdict for this hash was already emitted
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq
+            if (batch.exists(_.text == null)) {
+              // null-text sentinel keys hold exactly one row and keep
+              // no state: the row is its own keeper
+              batch.iterator.map(d =>
+                DedupVerdict(d.doc_id, null, is_first = false, first_doc_id = d.doc_id))
+            } else {
+              val sorted = batch.sortBy(_.doc_id)
+              val wasNew = state.getOption.isEmpty
+              val keeper = state.getOption
+                .map(_.first_doc_id)
+                .getOrElse(sorted.head.doc_id)
+              val seen = state.getOption.map(_.n_seen).getOrElse(0L)
+              state.update(SeenState(keeper, seen + batch.size))
+              idleTtlSeconds.foreach { ttl =>
+                // TTL measured from the newest occurrence's event time
+                val newest = batch.map(_.ts.getTime).max
+                state.setTimeoutTimestamp(newest + ttl * 1000L)
+              }
+              sorted.iterator.map(d =>
+                DedupVerdict(d.doc_id, key,
+                  is_first = wasNew && d.doc_id == keeper, first_doc_id = keeper))
+            }
+          }
+      }
+  }
+}

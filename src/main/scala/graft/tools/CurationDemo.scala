@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{BpeTrain, Dedup, Dsir, Packing, Sampling, TextAnalysis}
+import graft.ops.{BpeTrain, Dedup, Dsir, Packing, Sampling, Sketches, TextAnalysis}
 
 /** End-to-end corpus curation — the composed pipeline a pretraining
   * data team runs, built ONLY from `graft.ops` modules, in the
@@ -87,10 +87,15 @@ object CurationDemo {
     // approxQuantile error bar) and drop the worst-decile tail — the
     // CCNet head/middle-keeping shape
     stage("lm-score-filter") { d =>
-      val model = TextAnalysis.charLmTrain(d, "text", n = 3)
+      // Kneser–Ney word-bigram scoring — the KenLM smoothing CCNet
+      // ships (wordLmScoreKN), over an UNK-capped 4096-word vocab; the
+      // char-LM (charLmScore) remains the fallback for corpora too
+      // small to fit a word model. Sub-2-token docs have no bigrams
+      // (n_grams = 0 -> NaN score -> NULL tier) and drop with the tail.
       // checkpoint: the scored frame feeds BOTH the histogram scan and
       // the filter — without it the train+score lineage runs twice
-      val scored = TextAnalysis.charLmScore(d, model, "doc_id", "text", n = 3)
+      val scored = TextAnalysis.wordLmScoreKN(d, d, "doc_id", "text",
+          maxVocab = 4096, discount = 0.75)
         .localCheckpoint(true)
       TextAnalysis.quantileBuckets(scored, "avg_nll",
           numBuckets = 10, binScale = 1024.0, outCol = "ppl_tier")
@@ -133,6 +138,18 @@ object CurationDemo {
           expectedEvalGrams = 1L << 16, numBits = 1L << 19)
         .filter(col("contaminated") === 0)
         .select("doc_id", "source", "text")
+    }
+    // containment REPORT, the other direction: after removing flagged
+    // training docs, what fraction of each held-out eval doc's
+    // trigrams still occurs anywhere in the surviving corpus (the
+    // number a benchmark card publishes; sub-threshold overlaps keep
+    // it above zero by design)
+    locally {
+      val evalDocs = graft.queries.QueryDef.t(spark, sfDir, "documents")
+        .filter(col("doc_id") < 10).select("doc_id", "text")
+      val cont = TextAnalysis.containmentScore(df, evalDocs, "doc_id", "text", n = 3)
+        .agg(avg(when(col("n_grams") > 0, col("containment")))).collect().head.getDouble(0)
+      println(f"[curate]   residual eval containment ${cont * 100}%6.2f%% of trigrams")
     }
     // 12: DSIR data selection — keep the 85% of the corpus whose hashed
     // n-gram distribution best resembles the stand-in target slice
@@ -198,6 +215,32 @@ object CurationDemo {
       .orderBy("source").collect()
     println(f"[curate] ${"corpus-stats"}%-18s ${stats.length}%7d rows  " +
       f"${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    // frequency-sketch audit: CMS estimates for the 10 hottest bigrams
+    // vs their exact counts — the dial a pipeline turns to size `width`
+    locally {
+      val t1 = System.nanoTime()
+      val probes = df
+        .select(explode(TextAnalysis.ngramsOf(col("text"), 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("g")).limit(10).select(col("g").as("w"))
+      val audit = Sketches.cmsFrequencyAudit(df, "text", probes, "w",
+          gram = 2, depth = 4, width = 1024)
+        .agg(max("overest"), sum("true_cnt")).collect().head
+      println(f"[curate] ${"cms-freq-audit"}%-18s max overestimate " +
+        f"${audit.getLong(0)}%d on ${audit.getLong(1)}%d probe occurrences  " +
+        f"${(System.nanoTime() - t1) / 1e9}%7.2f s")
+    }
+    // RAG chunk index over the packed train docs: 64-token windows
+    // every 48, chunk-level dedup by slice fingerprint
+    locally {
+      val t1 = System.nanoTime()
+      val ch = Packing.chunkWithOverlap(df, "doc_id", "text",
+          ctxLen = 64, stride = 48).localCheckpoint(true)
+      val n = ch.count()
+      val nd = ch.select("chunk_fp").distinct().count()
+      println(f"[curate] ${"rag-chunks"}%-18s $n%7d chunks ($nd%d distinct fps)  " +
+        f"${(System.nanoTime() - t1) / 1e9}%7.2f s")
+    }
     spark.stop()
   }
 }

@@ -306,6 +306,22 @@ object ProfileScale {
         d, d, "doc_id", "text", maxVocab = 100, lambda2 = 0.5, lambda1 = 0.25)
       .filter(col("n_grams") > 0)
       .select("doc_id", "n_grams", "n_unseen_bi", "avg_nll")
+    def q100(d: DataFrame) = {
+      val cnt = d.select(explode(TextAnalysis.ngramsOf(col("text"), 2)).as("g"))
+        .filter(length(col("g")) > 0).groupBy("g").agg(count(lit(1)).as("c"))
+      val top = cnt.orderBy(col("c").desc, col("g")).limit(40).select(col("g").as("w"))
+      graft.ops.Sketches.cmsFrequencyAudit(d, "text", top, "w",
+        gram = 2, depth = 4, width = 256)
+    }
+    def q101(d: DataFrame) = TextAnalysis.wordLmScoreKN(
+        d, d, "doc_id", "text", maxVocab = 100, discount = 0.75)
+      .filter(col("n_grams") > 0)
+      .select("doc_id", "n_grams", "n_unseen_bi", "avg_nll")
+    def q102(d: DataFrame) = graft.ops.Packing.chunkWithOverlap(
+      d, "doc_id", "text", ctxLen = 32, stride = 24)
+    def q103(d: DataFrame) = TextAnalysis.containmentScore(
+      d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+      "doc_id", "text", n = 3)
     def q91(d: DataFrame) = TextAnalysis.dedupLines(
       d.withColumn("text", regexp_replace(col("text"), " the ", "\n")), "text")
       .select(col("doc_id"), col("n_lines"), col("n_dup_lines"), col("clean_text"))
@@ -361,7 +377,11 @@ object ProfileScale {
       ("q94 rrf-hybrid", () => q94(docs, emb), () => q94(docs10, emb10)),
       ("q95 incr-dedup", () => q95(docs), () => q95(docs10)),
       ("q96 keeper", () => q96(docs), () => q96(docs10)),
-      ("q99 word-lm", () => q99(docs), () => q99(docs10)))
+      ("q99 word-lm", () => q99(docs), () => q99(docs10)),
+      ("q100 cms", () => q100(docs), () => q100(docs10)),
+      ("q101 kn-lm", () => q101(docs), () => q101(docs10)),
+      ("q102 chunking", () => q102(docs), () => q102(docs10)),
+      ("q103 containment", () => q103(docs), () => q103(docs10)))
       .map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)

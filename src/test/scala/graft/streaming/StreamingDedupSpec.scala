@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import StreamingDedup._
+
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, minute: Int, text: String) =
+    StreamDoc(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), text)
+
+  test("exactDedupStream: first arrival keeps, later micro-batches point at it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = exactDedupStream(input.toDS())
+      .writeStream.format("memory").queryName("dedupv").outputMode("append").start()
+    try {
+      // batch 1: two distinct docs plus an in-batch duplicate pair —
+      // the pair's keeper must be the smaller id (deterministic replay)
+      input.addData(
+        doc(5, 1, "the quick brown fox"),
+        doc(3, 1, "the quick brown fox"),
+        doc(7, 1, "something else entirely"))
+      q.processAllAvailable()
+      // batch 2: a cross-batch duplicate of batch 1 and a fresh doc
+      input.addData(
+        doc(9, 2, "the quick brown fox"),
+        doc(11, 2, "brand new content here"))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, is_first, first_doc_id FROM dedupv")
+        .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+      assert(out(3L) == ((true, 3L)))   // in-batch tie -> min id keeps
+      assert(out(5L) == ((false, 3L)))
+      assert(out(7L) == ((true, 7L)))
+      assert(out(9L) == ((false, 3L))) // cross-batch dup points at the keeper
+      assert(out(11L) == ((true, 11L)))
+      // the fingerprint matches the batch op byte-for-byte
+      val batchFp = graft.ops.Dedup.exact(
+          Seq((3L, "the quick brown fox")).toDF("doc_id", "text"), "text", "doc_id")
+      val streamFp = spark.sql("SELECT content_hash FROM dedupv WHERE doc_id = 3")
+        .collect().head.getString(0)
+      import org.apache.spark.sql.functions.md5
+      val expFp = Seq("the quick brown fox").toDF("t")
+        .select(md5($"t")).collect().head.getString(0)
+      assert(streamFp == expFp, s"stream $streamFp vs batch-md5 $expFp")
+      assert(batchFp.count() == 1) // sanity: batch op agrees it's a keeper
+    } finally q.stop()
+  }
+
+  test("exactDedupStream: null text is its own keeper, leaves no state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = exactDedupStream(input.toDS())
+      .writeStream.format("memory").queryName("dedupnull").outputMode("append").start()
+    try {
+      input.addData(doc(1, 1, null), doc(2, 1, null))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, is_first, first_doc_id, content_hash FROM dedupnull")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getString(3)))
+      // two null docs are NOT grouped together: each is its own keeper
+      assert(out.toSet == Set((1L, false, 1L, null), (2L, false, 2L, null)))
+    } finally q.stop()
+  }
+
+  test("exactDedupStream: idle TTL evicts state, later copy counts as first again") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = exactDedupStream(
+        input.toDS().withWatermark("ts", "1 minute").as[StreamDoc],
+        idleTtlSeconds = Some(120))
+      .writeStream.format("memory").queryName("dedupttl").outputMode("append").start()
+    try {
+      input.addData(doc(1, 1, "ephemeral page"))
+      q.processAllAvailable()
+      // advance the watermark far past the 2-minute TTL so state evicts
+      input.addData(doc(2, 30, "unrelated heartbeat"))
+      q.processAllAvailable()
+      input.addData(doc(3, 31, "ephemeral page")) // re-crawl after horizon
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, is_first, first_doc_id FROM dedupttl")
+        .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+      assert(out(1L) == ((true, 1L)))
+      assert(out(3L) == ((true, 3L)), s"state should have been evicted: $out")
+    } finally q.stop()
+  }
+}
