@@ -123,4 +123,63 @@ object Packing {
         md5(array_join(slice(toks, col("start_tok") + 1, col("n_tok")), " ")))
       .drop(textCol, "__n")
   }
+
+  /** MATERIALIZE the packed training sequences [[packChunks]] only
+    * addresses: one row per (shard, chunk) carrying the chunk's actual
+    * token sequence — what a dataloader reads. Documents are
+    * lowercase-whitespace tokenized (the library's token convention),
+    * concatenated per shard in `idCol` order, and cut at exact
+    * `ctxLen` boundaries; the final chunk per shard is the honest
+    * partial. Token-free documents (empty/whitespace/null text) are
+    * dropped — they have no stream position.
+    *
+    * Emits `shard`-named `shardCol`, `chunk_id` (0-based per shard),
+    * `n_tok`, `tokens` (the ordered slice) and `chunk_text` (space
+    * re-join — feeding `chunk_fp`-style dedup or a text sink).
+    *
+    * 100 TB shape: offsets ride the [[packChunks]] per-shard window;
+    * the ONE corpus-sized shuffle is the (shard, chunk)-keyed
+    * re-grouping — the unavoidable materialization shuffle, keyed so
+    * each training sequence assembles on one task. In-chunk order is
+    * restored by an explicit `array_sort` on (position, token) structs
+    * — never `collect_list` arrival order, which is
+    * partitioning-dependent. */
+  def materializeChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      ctxLen: Long, shardCol: String): DataFrame = {
+    require(ctxLen >= 1, s"context length must be >= 1, got $ctxLen")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val nTok = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(toks))
+    val withTok = df
+      .withColumn("__toks", toks).withColumn("__ntok", nTok.cast("long"))
+      .filter(col("__ntok") >= 1)
+    val packed = packChunks(withTok, idCol, "__ntok", ctxLen, shardCol)
+    val exploded = packed
+      .select(col(shardCol).as("shard"), col("start_tok"),
+        posexplode(col("__toks")).as(Seq("__i", "__tok")))
+      .withColumn("__pos", col("start_tok") + col("__i"))
+    exploded
+      .groupBy(col("shard"),
+        floor(col("__pos").cast("double") / lit(ctxLen.toDouble)).cast("long")
+          .as("chunk_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        transform(
+          array_sort(collect_list(struct(col("__pos").as("p"), col("__tok").as("t")))),
+          x => x.getField("t")).as("tokens"))
+      .withColumn("chunk_text", array_join(col("tokens"), " "))
+  }
+
+  /** Write materialized chunks as a training-ready layout:
+    * `outDir/chunks/shard=<s>/…` parquet (partition pruning means a
+    * loader reading one shard touches only its files) plus
+    * `outDir/manifest/` — one JSON row per shard with chunk and token
+    * totals, the file a dataloader checks before an epoch. */
+  def writeTokenShards(chunks: DataFrame, outDir: String): Unit = {
+    chunks.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/chunks")
+    chunks.groupBy("shard")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tok").as("n_tokens"))
+      .coalesce(1)
+      .write.mode("overwrite").json(s"$outDir/manifest")
+  }
 }

@@ -144,6 +144,55 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "que"),
     "fr" -> Seq("le", "la", "et"))
 
+  /** Script classes for [[scriptProfile]] as EXPLICIT codepoint ranges
+    * — not `\p{Script}` classes, whose membership tables drift across
+    * regex engines and Unicode versions; a fixed range means any
+    * engine re-derives the same counts forever. Order is the
+    * deterministic dominance tie-break (first listed wins). */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin"    -> "a-zA-Z\\u00C0-\\u024F",
+    "cyrillic" -> "\\u0400-\\u04FF",
+    "greek"    -> "\\u0370-\\u03FF",
+    "arabic"   -> "\\u0600-\\u06FF",
+    "devanagari" -> "\\u0900-\\u097F",
+    "hangul"   -> "\\uAC00-\\uD7AF\\u1100-\\u11FF",
+    "cjk"      -> "\\u4E00-\\u9FFF\\u3040-\\u30FF")
+
+  /** Codepoint-range script profiling — the zero-cost first-stage
+    * language router every web pipeline runs BEFORE any trained
+    * lang-id ([[languageId]] marker lists and the [[NbClassifier]]
+    * both assume the script is already known): per document, the
+    * character count in each script class of [[ScriptRanges]], the
+    * dominant script (most chars, ties to the first-listed class,
+    * `"none"` when no class matches at all), and the dominant class's
+    * fraction of ALL classified chars (NaN when none).
+    *
+    * 100 TB shape: one narrow codegen'd projection — a
+    * `regexp_count`-style length difference per class, no explode, no
+    * shuffle; composes with any downstream routing filter for free. */
+  def scriptProfile(df: DataFrame, textCol: String): DataFrame = {
+    val counted = ScriptRanges.foldLeft(df) { case (d, (name, range)) =>
+      d.withColumn(s"n_$name",
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), s"[$range]", ""))).cast("long"))
+    }
+    val total = ScriptRanges.map { case (n, _) => col(s"n_$n") }
+      .reduce(_ + _)
+    val (domScript, domCount) = ScriptRanges.tail
+      .foldLeft((lit(ScriptRanges.head._1), col(s"n_${ScriptRanges.head._1}"))) {
+        case ((bestName, bestCount), (n, _)) =>
+          val c = col(s"n_$n")
+          (when(c > bestCount, lit(n)).otherwise(bestName),
+            when(c > bestCount, c).otherwise(bestCount))
+      }
+    counted
+      .withColumn("script",
+        when(total > 0, domScript).otherwise(lit("none")))
+      .withColumn("script_frac",
+        when(total > 0, domCount.cast("double") / total.cast("double"))
+          .otherwise(lit(Double.NaN)))
+  }
+
   /** Gopher/C4-style composite quality rule filter (Rae et al. 2021
     * §A1.1 in spirit): token-count band, mean-word-length band, and a
     * most-frequent-word-fraction cap. Computed NARROWLY — per-row

@@ -1294,7 +1294,42 @@ object CurationQueries {
       FROM starts ORDER BY doc_id, chunk_id"""),
     bench = true)
 
+  /** Materialized training sequences (library
+    * `Packing.materializeChunks` — q72 computes WHERE every document
+    * lands, this emits the actual 128-token chunk a dataloader reads):
+    * per-source concat-and-chunk with the final partial chunk honest,
+    * in-chunk order restored by explicit position sort. The oracle
+    * re-derives offsets (cumulative sums), the position explode, the
+    * chunk cut and the space-joined content md5 of every chunk —
+    * a single wrong token anywhere in the corpus breaks the hash. */
+  val q105 = QueryDef(
+    "q105_materialize_chunks",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Packing.materializeChunks(docs, "doc_id", "text",
+          ctxLen = 128L, shardCol = "source")
+        .select(col("shard"), col("chunk_id"), col("n_tok"),
+          md5(col("chunk_text")).as("chunk_fp"))
+        .oracleOrderBy("shard", "chunk_id")
+    },
+    Some("""WITH tk AS MATERIALIZED (
+        SELECT doc_id, source, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t
+        FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+      n AS (SELECT doc_id, source, t, len(t) AS ntok FROM tk),
+      cum AS (
+        SELECT *, sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - ntok AS start_tok FROM n),
+      ex AS (
+        SELECT source, start_tok + u.i - 1 AS pos, t[u.i] AS tok
+        FROM cum, LATERAL unnest(generate_series(1, ntok)) u(i))
+      SELECT source AS shard,
+        CAST(floor(pos / CAST(128 AS DOUBLE)) AS BIGINT) AS chunk_id,
+        CAST(count(*) AS BIGINT) AS n_tok,
+        md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+      FROM ex GROUP BY source, chunk_id ORDER BY shard, chunk_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
-      q86, q90, q94, q99, q100, q101, q102)
+      q86, q90, q94, q99, q100, q101, q102, q105)
 }

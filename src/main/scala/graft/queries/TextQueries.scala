@@ -771,7 +771,67 @@ object TextQueries {
       FROM m ORDER BY doc_id"""),
     bench = true)
 
+  /** Codepoint-range script profiling (library
+    * `TextAnalysis.scriptProfile` — the zero-cost first-stage language
+    * router): the ASCII corpus is deterministically mixed first —
+    * every 7th-mod-3 doc gets vowels+tnsrhl transliterated to Cyrillic
+    * lookalikes (flipping its dominant script), every 7th-mod-5 doc
+    * only `a`/`o` (Cyrillic present, Latin still dominant) — then each
+    * doc's per-script char counts, dominant script and dominance
+    * fraction are hash-checked. Fixed codepoint ranges, not
+    * `\p{Script}` classes, so both engines count identically. */
+  val q104 = QueryDef(
+    "q104_script_profile",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mixed = docs.withColumn("text",
+        when(col("doc_id") % 7 === 3,
+          translate(col("text"), "aeioutnsrhl", "аеіоутнсрхл"))
+          .when(col("doc_id") % 7 === 5, translate(col("text"), "ao", "ао"))
+          .otherwise(col("text")))
+      graft.ops.TextAnalysis.scriptProfile(mixed, "text")
+        .select(col("doc_id"), col("n_latin"), col("n_cyrillic"), col("n_greek"),
+          col("n_cjk"), col("script"),
+          round(col("script_frac"), 6).as("script_frac"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH mixed AS MATERIALIZED (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 3
+                 THEN translate(text, 'aeioutnsrhl', 'аеіоутнсрхл')
+               WHEN doc_id % 7 = 5 THEN translate(text, 'ao', 'ао')
+               ELSE text END AS text
+        FROM documents),
+      counted AS (
+        SELECT doc_id,
+          CAST(length(text) - length(regexp_replace(text, '[a-zA-Z\x{00C0}-\x{024F}]', '', 'g')) AS BIGINT) AS n_latin,
+          CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+          CAST(length(text) - length(regexp_replace(text, '[\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS n_greek,
+          CAST(length(text) - length(regexp_replace(text, '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
+          CAST(length(text) - length(regexp_replace(text, '[\x{0900}-\x{097F}]', '', 'g')) AS BIGINT) AS n_devanagari,
+          CAST(length(text) - length(regexp_replace(text, '[\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}]', '', 'g')) AS BIGINT) AS n_hangul,
+          CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS BIGINT) AS n_cjk
+        FROM mixed),
+      dom AS (
+        SELECT counted.*,
+          n_latin + n_cyrillic + n_greek + n_arabic + n_devanagari + n_hangul + n_cjk AS tot,
+          greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_devanagari, n_hangul, n_cjk) AS mx
+        FROM counted)
+      SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk,
+        CASE WHEN tot <= 0 THEN 'none'
+             WHEN n_latin = mx THEN 'latin'
+             WHEN n_cyrillic = mx THEN 'cyrillic'
+             WHEN n_greek = mx THEN 'greek'
+             WHEN n_arabic = mx THEN 'arabic'
+             WHEN n_devanagari = mx THEN 'devanagari'
+             WHEN n_hangul = mx THEN 'hangul'
+             ELSE 'cjk' END AS script,
+        CASE WHEN tot > 0 THEN round(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE), 6) END
+          AS script_frac
+      FROM dom ORDER BY doc_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61, q62,
-      q65, q66, q67, q68, q77, q84, q91, q103)
+      q65, q66, q67, q68, q77, q84, q91, q103, q104)
 }

@@ -322,6 +322,19 @@ object ProfileScale {
     def q103(d: DataFrame) = TextAnalysis.containmentScore(
       d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
       "doc_id", "text", n = 3)
+    def q104(d: DataFrame) = TextAnalysis.scriptProfile(
+      d.withColumn("text",
+        when(col("doc_id") % 7 === 3,
+          translate(col("text"), "aeioutnsrhl", "аеіоутнсрхл"))
+          .otherwise(col("text"))), "text")
+    def q105(d: DataFrame) = {
+      // the x10 corpus has no `source`: shard by an id-hash prefix (the
+      // documented scale pattern for bounding window parallelism)
+      val sharded = d.withColumn("shard_key",
+        (graft.ops.Sampling.hashUnit(col("doc_id")) * 32).cast("int"))
+      graft.ops.Packing.materializeChunks(sharded, "doc_id", "text",
+        ctxLen = 128L, shardCol = "shard_key")
+    }
     def q91(d: DataFrame) = TextAnalysis.dedupLines(
       d.withColumn("text", regexp_replace(col("text"), " the ", "\n")), "text")
       .select(col("doc_id"), col("n_lines"), col("n_dup_lines"), col("clean_text"))
@@ -381,7 +394,9 @@ object ProfileScale {
       ("q100 cms", () => q100(docs), () => q100(docs10)),
       ("q101 kn-lm", () => q101(docs), () => q101(docs10)),
       ("q102 chunking", () => q102(docs), () => q102(docs10)),
-      ("q103 containment", () => q103(docs), () => q103(docs10)))
+      ("q103 containment", () => q103(docs), () => q103(docs10)),
+      ("q104 scripts", () => q104(docs), () => q104(docs10)),
+      ("q105 mat-chunks", () => q105(docs), () => q105(docs10)))
       .map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)

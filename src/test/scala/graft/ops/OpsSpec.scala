@@ -2605,6 +2605,57 @@ class OpsSpec extends SparkSpec {
     assert(tail2.getInt(2) == 8 && tail2.getInt(3) == 3)
   }
 
+  test("Packing.materializeChunks + writeTokenShards: content, order, manifest") {
+    val df = Seq(
+      (0L, "sA", "a b c"),   // 3 toks
+      (1L, "sA", "d e f g"), // crosses the 4-token chunk boundary at d
+      (2L, "sA", ""),        // token-free: dropped
+      (3L, "sB", "x y z")).toDF("doc_id", "source", "text")
+    val out = Packing.materializeChunks(df, "doc_id", "text", ctxLen = 4L, "source")
+      .orderBy("shard", "chunk_id").collect()
+    // shard sA stream: a b c d | e f g  — doc 1 split across chunks
+    val sA = out.filter(_.getString(0) == "sA")
+    assert(sA.map(r => (r.getLong(1), r.getLong(2), r.getString(4))).toSeq ==
+      Seq((0L, 4L, "a b c d"), (1L, 3L, "e f g")))
+    val sB = out.filter(_.getString(0) == "sB")
+    assert(sB.map(_.getString(4)).toSeq == Seq("x y z"))
+
+    val dir = java.nio.file.Files.createTempDirectory("shards_").toString
+    Packing.writeTokenShards(
+      Packing.materializeChunks(df, "doc_id", "text", 4L, "source"), dir)
+    // partition-pruned layout + manifest totals
+    assert(new java.io.File(s"$dir/chunks/shard=sA").exists())
+    val back = spark.read.parquet(s"$dir/chunks")
+    assert(back.count() == 3)
+    val mf = spark.read.json(s"$dir/manifest")
+      .collect().map(r => r.getAs[String]("shard") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_tokens"))).toMap
+    assert(mf == Map("sA" -> ((2L, 7L)), "sB" -> ((1L, 3L))))
+  }
+
+  test("TextAnalysis.scriptProfile: counts, dominance, tie-break, none") {
+    val df = Seq(
+      (0L, "hello world"),            // pure latin
+      (1L, "привет мир"),             // pure cyrillic
+      (2L, "hello мир"),              // latin 5 > cyrillic 3
+      (3L, "hi мир"),                 // latin 2 < cyrillic 3
+      (4L, "ab яз"),                  // 2-2 tie -> first-listed (latin)
+      (5L, "12345 !!"),               // no classified chars -> none
+      (6L, "日本語テスト")             // cjk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(df, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_latin"), r.getAs[Long]("n_cyrillic"),
+          r.getAs[String]("script"), r.getAs[Double]("script_frac"))).toMap
+    assert(out(0L)._3 == "latin" && out(0L)._4 == 1.0)
+    assert(out(1L)._3 == "cyrillic" && out(1L)._1 == 0L && out(1L)._2 == 9L)
+    assert(out(2L)._3 == "latin" && out(2L)._1 == 5L && out(2L)._2 == 3L)
+    assert(out(3L)._3 == "cyrillic")
+    assert(out(4L)._3 == "latin") // equal counts: first-listed wins
+    assert(out(5L)._3 == "none" && out(5L)._4.isNaN)
+    assert(out(6L)._3 == "cjk")
+  }
+
   test("TextAnalysis.containmentScore: per-eval-doc matched fraction") {
     val train = Seq(
       (10L, "alpha beta gamma delta"),
