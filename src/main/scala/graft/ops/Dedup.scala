@@ -120,6 +120,62 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Banding-configuration evaluation harness — the tuning question
+    * every MinHash deployment answers BEFORE a 100 TB run: for this
+    * (numHashes, bandSize), what fraction of the truly-similar pairs
+    * does banding surface (recall), and how much junk does the verify
+    * stage then have to kill (precision)? Ground truth is brute-force
+    * all-pairs Jaccard over the SAME 3-token shingle sets the MinHash
+    * signatures sketch — the similarity banding actually approximates,
+    * so recall measures the banding S-curve's miss rate at
+    * `threshold`, not a different metric's disagreement. Docs with no
+    * shingles (< 3 tokens) are outside this metric entirely (exact
+    * dedup owns them). Brute force means this is by contract an
+    * EVALUATION on a bounded sample (`maxSampleRows` guards the
+    * quadratic — tune on the sample, deploy the config on the
+    * corpus); the all-pairs join rides a constant-key broadcast HASH
+    * join (codegen), never a CartesianProduct node.
+    *
+    * Returns one row: `n_truth`, `n_cand`, `n_hit` (candidates that
+    * are true pairs), `precision` (n_hit/n_cand), `recall`
+    * (n_hit/n_truth) — NaN when the denominator is zero. */
+  def lshEvaluate(
+      docs: DataFrame, idCol: String, threshold: Double,
+      numHashes: Int = 8, bandSize: Int = 4,
+      maxSampleRows: Long = 100000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold out of (0,1]: $threshold")
+    val spark = docs.sparkSession
+    val nDocs = docs.count()
+    require(nDocs <= maxSampleRows,
+      s"lshEvaluate is a quadratic EVALUATION harness: got $nDocs rows " +
+        s"(> $maxSampleRows) — evaluate on a sample, deploy the config on the corpus")
+    // distinct 3-shingle set per doc — the set the signatures sketch
+    val shingled = docs.select(col(idCol).as("__id"),
+        array_distinct(tokenNgrams(tokens(col("text")), 3)).as("__t"))
+      .filter(col("__t").isNotNull && size(col("__t")) > 0)
+      .withColumn("__k", lit(1))
+      .localCheckpoint(true) // feeds both sides of the all-pairs join
+    val a = shingled.alias("a"); val b = shingled.alias("b")
+    val truth = a.join(broadcast(b),
+        col("a.__k") === col("b.__k") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+        col("a.__t").as("__ta"), col("b.__t").as("__tb"))
+      .withColumn("__ni", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .filter(col("__ni").cast("double") /
+        (size(col("__ta")) + size(col("__tb")) - col("__ni")) >= threshold)
+      .select("doc_a", "doc_b").localCheckpoint(true)
+    val cand = lshCandidatePairs(
+        minhashSignatures(docs, numHashes).filter(col("mh0").isNotNull),
+        idCol, numHashes, bandSize)
+      .localCheckpoint(true)
+    val nTruth = truth.count(); val nCand = cand.count()
+    val nHit = cand.join(truth, Seq("doc_a", "doc_b")).count()
+    spark.range(1).select(
+      lit(nTruth).as("n_truth"), lit(nCand).as("n_cand"), lit(nHit).as("n_hit"),
+      (if (nCand > 0) lit(nHit.toDouble / nCand) else lit(Double.NaN)).as("precision"),
+      (if (nTruth > 0) lit(nHit.toDouble / nTruth) else lit(Double.NaN)).as("recall"))
+  }
+
   /** Connected components over an undirected (doc_a, doc_b) edge list
     * by min-label propagation WITH label doubling: every node adopts
     * the minimum of its own label, its neighbors' labels, and its

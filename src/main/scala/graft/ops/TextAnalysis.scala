@@ -193,6 +193,35 @@ object TextAnalysis {
           .otherwise(lit(Double.NaN)))
   }
 
+  /** Blocklist term filtering — the C4 "bad words" pass (Raffel et al.
+    * 2020 filtered any document containing a listed term; RefinedWeb
+    * thresholds on the ratio instead — `minHits` expresses both):
+    * per document, the number of lowercase whitespace tokens that
+    * appear in `terms`, the fraction of all tokens they make up, and
+    * the flag at `n_hits >= minHits`. Matching is exact-token (the
+    * documented C4 behavior, scunthorpe-safe), not substring.
+    *
+    * 100 TB shape: the list rides the expression as an array literal
+    * (a blocklist is KBs), the count is one narrow codegen'd
+    * `filter`/`size` over the token array — zero shuffles, zero
+    * joins. */
+  def blocklistFilter(
+      df: DataFrame, textCol: String,
+      terms: Seq[String], minHits: Long = 1L): DataFrame = {
+    require(terms.nonEmpty, "blocklistFilter needs at least one term")
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val termSet = array(terms.map(t => lit(t.toLowerCase)): _*)
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val nToks = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(toks))
+    df.withColumn("n_hits",
+        size(filter(toks, x => array_contains(termSet, x))).cast("long"))
+      .withColumn("n_hits", when(col("n_hits") < 0, lit(0L)).otherwise(col("n_hits")))
+      .withColumn("hit_frac",
+        when(nToks > 0, col("n_hits").cast("double") / nToks.cast("double"))
+          .otherwise(lit(Double.NaN)))
+      .withColumn("blocked", (col("n_hits") >= minHits).cast("int"))
+  }
+
   /** Gopher/C4-style composite quality rule filter (Rae et al. 2021
     * §A1.1 in spirit): token-count band, mean-word-length band, and a
     * most-frequent-word-fraction cap. Computed NARROWLY — per-row

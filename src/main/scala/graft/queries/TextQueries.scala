@@ -831,7 +831,90 @@ object TextQueries {
       FROM dom ORDER BY doc_id"""),
     bench = true)
 
+  /** LSH banding evaluation (library `Dedup.lshEvaluate` — the
+    * precision/recall tuning pass run on a SAMPLE before committing a
+    * banding config to a corpus-scale run; q87 is its ANN sibling):
+    * brute-force ground truth over the SAME 3-shingle sets the
+    * signatures sketch (the similarity banding approximates — recall
+    * is the banding S-curve's actual miss rate, not a different
+    * metric's disagreement), threshold 0.5, vs the 2×4-band candidate
+    * set. The oracle replays the quadratic shingle-set truth
+    * (shared-shingle pairs only — a zero-overlap pair cannot reach a
+    * positive threshold), the signature band joins, and the exact hit
+    * counts and ratios. */
+  val q106 = QueryDef(
+    "q106_lsh_eval",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.lshEvaluate(docs, "doc_id", threshold = 0.5,
+          numHashes = 8, bandSize = 4)
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"))
+    },
+    Some(s"""WITH shd AS MATERIALIZED (
+        SELECT DISTINCT doc_id, sh FROM ($shinglesSqlDuck)),
+      sz AS (SELECT doc_id, count(*) AS s FROM shd GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        WHERE CAST(ni AS DOUBLE) / (sa.s + sb.s - ni) >= CAST(0.5 AS DOUBLE)),
+      sig AS MATERIALIZED ($sigSqlDuck),
+      cand AS MATERIALIZED (
+        SELECT DISTINCT doc_a, doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+            ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.mh3 = b.mh3
+            AND a.doc_id < b.doc_id
+          UNION ALL
+          SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+            ON a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.mh6 = b.mh6 AND a.mh7 = b.mh7
+            AND a.doc_id < b.doc_id)),
+      hit AS (SELECT count(*) AS h FROM cand JOIN truth USING (doc_a, doc_b)),
+      c AS (SELECT (SELECT count(*) FROM truth) AS n_truth,
+                   (SELECT count(*) FROM cand) AS n_cand,
+                   (SELECT h FROM hit) AS n_hit)
+      SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
+        CAST(n_hit AS BIGINT) AS n_hit,
+        round(CAST(n_hit AS DOUBLE) / n_cand, 6) AS precision,
+        round(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall
+      FROM c"""),
+    bench = true)
+
+  /** Blocklist term filtering (library `TextAnalysis.blocklistFilter`
+    * — the C4 bad-words pass, exact-token so no scunthorpe effect):
+    * a deterministic blocklist drawn from the corpus's own vocabulary
+    * exercises real hits; every count, fraction and flag
+    * hash-checks. */
+  val q107 = QueryDef(
+    "q107_blocklist",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextAnalysis.blocklistFilter(docs, "text",
+          terms = Seq("batch", "slow", "error"), minHits = 2L)
+        .select(col("doc_id"), col("n_hits"),
+          round(col("hit_frac"), 6).as("hit_frac"), col("blocked"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH tk AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t,
+          CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) END AS ntok
+        FROM documents),
+      h AS (
+        SELECT doc_id,
+          CAST(len(list_filter(t, x -> x IN ('batch', 'slow', 'error'))) AS BIGINT)
+            AS n_hits, ntok
+        FROM tk)
+      SELECT doc_id, n_hits,
+        CASE WHEN ntok > 0 THEN round(CAST(n_hits AS DOUBLE) / ntok, 6) END AS hit_frac,
+        CAST(CASE WHEN n_hits >= 2 THEN 1 ELSE 0 END AS INT) AS blocked
+      FROM h ORDER BY doc_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61, q62,
-      q65, q66, q67, q68, q77, q84, q91, q103, q104)
+      q65, q66, q67, q68, q77, q84, q91, q103, q104, q106, q107)
 }

@@ -2605,6 +2605,48 @@ class OpsSpec extends SparkSpec {
     assert(tail2.getInt(2) == 8 && tail2.getInt(3) == 3)
   }
 
+  test("Dedup.lshEvaluate: shingle-set truth, banding hit, guard fires") {
+    val sample = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "the quick brown fox jumps over the lazy dog today"), // near dup of 0
+      (2L, "completely different content about spark engines and data"),
+      (3L, "tiny pair"), // identical pair but NO 3-shingles: outside
+      (4L, "tiny pair")) // the metric (exact dedup owns such docs)
+      .toDF("doc_id", "text")
+    val r = Dedup.lshEvaluate(sample, "doc_id", threshold = 0.5).collect().head
+    val (nTruth, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // truth is shingle-set jaccard: only (0,1) at 7/9; the 2-token pair
+    // has no shingle set and is not part of what banding approximates
+    assert(nTruth == 1L, s"truth $nTruth")
+    assert(nHit == 1L && nCand >= nHit)
+    assert(r.getDouble(4) == 1.0) // recall: the banding surfaced it
+    // the quadratic guard fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshEvaluate(sample, "doc_id", 0.5, maxSampleRows = 2L)
+    }
+    assert(e.getMessage.contains("sample"))
+  }
+
+  test("TextAnalysis.blocklistFilter: token-exact hits, ratio, null safety") {
+    val df = Seq(
+      (0L, "clean text nothing bad here"),
+      (1L, "BADWORD appears once only maybe"),          // 1 hit (case-folded)
+      (2L, "badword badword twice in five"),            // 2 of 5
+      (3L, "scunthorpe contains a substring not a token"), // no substring match
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistFilter(df, "text",
+      terms = Seq("BadWord", "scunt"), minHits = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("hit_frac"),
+          r.getAs[Int]("blocked"))).toMap
+    assert(out(0L) == ((0L, 0.0, 0)))
+    assert(out(1L)._1 == 1L && out(1L)._3 == 0)
+    assert(out(2L) == ((2L, 0.4, 1)))
+    assert(out(3L)._1 == 0L) // "scunthorpe" is not the token "scunt"
+    assert(out(4L)._1 == 0L && out(4L)._2.isNaN && out(4L)._3 == 0)
+  }
+
   test("Packing.materializeChunks + writeTokenShards: content, order, manifest") {
     val df = Seq(
       (0L, "sA", "a b c"),   // 3 toks
