@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent dedup state: the production form of
+  * [[Dedup.dedupAgainst]]. That operator re-fingerprints and
+  * re-minhashes the whole corpus on every call — correct, but at
+  * 100 TB the corpus pass dwarfs the batch. Here the corpus-derived
+  * state lands on disk ONCE and each ingest batch probes it; the
+  * daily cost is proportional to the batch, never the corpus
+  * ([[AnnIndex]] is the same move for the ANN stack; see also
+  * `streaming/StreamingDedup` for the per-event form).
+  *
+  * Layout under `dir`:
+  *  - `fingerprints/` — (fp) distinct md5 of every non-null text
+  *  - `signatures/`   — (id, mh0..mh{n-1}) MinHash rows,
+  *                      PARTITIONED BY `band0` (a bucket hash of the
+  *                      first band mod [[NumBandPartitions]]); the
+  *                      probe's band-0 join carries the implied
+  *                      `band0` equality, so with AQE dynamic
+  *                      partition pruning a small batch reads only
+  *                      the buckets its own band-0 values hash to —
+  *                      the other bands scan the (mh-columns-only,
+  *                      columnar) table
+  *  - `words/`        — (id, words) distinct-word arrays, read only
+  *                      for the candidate sliver during verify
+  *  - `meta/`         — one JSON row: idCol, numHashes
+  *
+  * [[append]] adds a new slice's state in place (parquet append per
+  * table), so yesterday's batch becomes part of today's corpus
+  * without any rebuild — the append-only ingestion loop closed.
+  */
+object DedupIndex {
+
+  /** Bucket count for the signature table's partition key. */
+  val NumBandPartitions: Int = 64
+
+  final case class Handle(dir: String, idCol: String, numHashes: Int)
+
+  private def bandKey(numHashes: Int): org.apache.spark.sql.Column =
+    pmod(hash((0 until math.min(4, numHashes)).map(i => col(s"mh$i")): _*),
+      lit(NumBandPartitions))
+
+  private def stateFrames(
+      corpus: DataFrame, idCol: String, numHashes: Int):
+      (DataFrame, DataFrame, DataFrame) = {
+    val fps = corpus.filter(col("text").isNotNull)
+      .select(md5(col("text")).as("fp")).distinct()
+    val sigs = Dedup.minhashSignatures(corpus, numHashes)
+      .filter(col("mh0").isNotNull)
+      .select(col(idCol) +: (0 until numHashes).map(i => col(s"mh$i")): _*)
+      .withColumn("band0", bandKey(numHashes))
+    val words = corpus.filter(col("text").isNotNull)
+      .select(col(idCol), array_distinct(Dedup.tokens(col("text"))).as("words"))
+    (fps, sigs, words)
+  }
+
+  /** One corpus pass -> persisted state. */
+  def build(
+      corpus: DataFrame, idCol: String, dir: String,
+      numHashes: Int = 8): Handle = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (fps, sigs, words) = stateFrames(corpus, idCol, numHashes)
+    fps.write.mode("overwrite").parquet(s"$dir/fingerprints")
+    sigs.repartition(col("band0")) // one writer wave per bucket
+      .write.mode("overwrite").partitionBy("band0").parquet(s"$dir/signatures")
+    words.write.mode("overwrite").parquet(s"$dir/words")
+    Seq((idCol, numHashes)).toDF("idCol", "numHashes")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/meta")
+    Handle(dir, idCol, numHashes)
+  }
+
+  /** Fold a new slice into the persisted state — the post-ingest
+    * bookkeeping step after its batch has been screened: parquet
+    * appends only, no rebuild. (Fingerprints may accumulate
+    * duplicates across appends; the probe is a semi-join, so
+    * duplicates cost bytes, never correctness.) */
+  def append(handle: Handle, slice: DataFrame): Unit = {
+    val (fps, sigs, words) = stateFrames(slice, handle.idCol, handle.numHashes)
+    fps.write.mode("append").parquet(s"${handle.dir}/fingerprints")
+    sigs.repartition(col("band0"))
+      .write.mode("append").partitionBy("band0").parquet(s"${handle.dir}/signatures")
+    words.write.mode("append").parquet(s"${handle.dir}/words")
+  }
+
+  def load(spark: SparkSession, dir: String): Handle = {
+    val meta = spark.read.json(s"$dir/meta").collect()
+    require(meta.length == 1, s"$dir/meta must hold exactly one row")
+    Handle(dir, meta.head.getAs[String]("idCol"),
+      meta.head.getAs[Long]("numHashes").toInt)
+  }
+
+  /** Screen a batch against the persisted state — the same verdict
+    * columns as [[Dedup.dedupAgainst]] (`exact_dup`, `near_dup`,
+    * `near_dup_of`, `is_new`), same thresholds, same null-text rule;
+    * the only difference is WHERE the corpus side comes from. The
+    * corpus is touched as: one semi-join against the fingerprint
+    * table, band equi-joins against the signature table, and a
+    * words read for the candidate sliver only. */
+  def dedupBatch(
+      spark: SparkSession, handle: Handle, batch: DataFrame,
+      threshold: Double = 0.8, bandSize: Int = 4): DataFrame = {
+    val idCol = handle.idCol
+    val numHashes = handle.numHashes
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    require(bandSize >= 1 && numHashes >= bandSize && numHashes % bandSize == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bandSize ($bandSize)")
+    val corpusFp = spark.read.parquet(s"${handle.dir}/fingerprints")
+    val exactHit = batch.filter(col("text").isNotNull)
+      .select(col(idCol), md5(col("text")).as("fp"))
+      .join(corpusFp, Seq("fp"), "left_semi")
+      .select(col(idCol), lit(true).as("exact_dup"))
+    val bSig = Dedup.minhashSignatures(batch, numHashes)
+      .filter(col("mh0").isNotNull)
+      .select(col(idCol) +: (0 until numHashes).map(i => col(s"mh$i")): _*)
+      .withColumn("band0", bandKey(numHashes))
+      .localCheckpoint(true)
+    val cSig = spark.read.parquet(s"${handle.dir}/signatures")
+    val bands = (0 until numHashes / bandSize)
+      .map(b => (b * bandSize) until ((b + 1) * bandSize))
+    val a = bSig.alias("a"); val b = cSig.alias("b")
+    val pairs = bands.zipWithIndex.map { case (band, bi) =>
+      // equal band-0 minhashes imply equal band0 buckets: stating the
+      // (redundant) partition-column equality on the first band is
+      // what lets dynamic partition pruning skip buckets on disk
+      val cond = band.map(i => col(s"a.mh$i") === col(s"b.mh$i")).reduce(_ && _)
+      val full = if (bi == 0) cond && col("a.band0") === col("b.band0") else cond
+      a.join(b, full)
+        .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+    }.reduce(_ unionByName _).distinct().localCheckpoint(true)
+    // verify: batch word sets computed, corpus word sets READ — and
+    // only for ids that appear in a candidate pair
+    val bWords = batch.filter(col("text").isNotNull)
+      .select(col(idCol).as("doc_a"),
+        array_distinct(Dedup.tokens(col("text"))).as("__ta"))
+      .join(pairs.select("doc_a").distinct(), Seq("doc_a"), "left_semi")
+    val cWords = spark.read.parquet(s"${handle.dir}/words")
+      .select(col(idCol).as("doc_b"), col("words").as("__tb"))
+      .join(pairs.select("doc_b").distinct(), Seq("doc_b"), "left_semi")
+    val nearHit = pairs
+      .join(bWords, Seq("doc_a")).join(cWords, Seq("doc_b"))
+      .withColumn("__ni", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("jaccard",
+        col("__ni").cast("double") /
+          (size(col("__ta")) + size(col("__tb")) - col("__ni")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_a").as(idCol))
+      .agg(min(col("doc_b")).as("near_dup_of"))
+    batch.join(exactHit, Seq(idCol), "left")
+      .join(nearHit, Seq(idCol), "left")
+      .withColumn("exact_dup", coalesce(col("exact_dup"), lit(false)))
+      .withColumn("near_dup", col("near_dup_of").isNotNull)
+      .withColumn("is_new", !col("exact_dup") && !col("near_dup"))
+  }
+}

@@ -1050,6 +1050,42 @@ object TextAnalysis {
         col("n_tokens").cast("double") / col("n_docs"))
   }
 
+  /** Corpus vocabulary statistics — the Zipf report behind tokenizer
+    * sizing and quality monitoring ([[corpusStats]] reports per
+    * stratum; this profiles the vocabulary itself): total token
+    * occurrences, exact vocabulary size, hapax count (words seen
+    * once — the long tail a BPE vocabulary cut discards), and the
+    * occurrence mass captured by the `topK` most frequent words (ties
+    * lexicographic — how head-heavy the distribution is; natural text
+    * ~0.4-0.5 at k=100, boilerplate corpora much higher).
+    *
+    * 100 TB shape: ONE vocabulary-keyed count with map-side partial
+    * aggregation, then two vocabulary-sized (not corpus-sized)
+    * aggregates and a TakeOrdered top-k — the same exact-count path
+    * [[corpusStats]] documents, with its HLL variant the fallback
+    * when even the vocabulary is too wide to count exactly. */
+  def vocabStats(df: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds totals AND the top-k
+    val agg = counts.agg(
+      coalesce(sum("c"), lit(0L)).as("n_tokens"),
+      count(lit(1)).as("n_vocab"),
+      coalesce(sum(when(col("c") === 1, 1L).otherwise(0L)), lit(0L)).as("n_hapax"))
+    val topMass = counts.orderBy(col("c").desc, col("w")).limit(topK)
+      .agg(coalesce(sum("c"), lit(0L)).as("__top"))
+    agg.withColumn("__k", lit(1))
+      .join(topMass.withColumn("__k", lit(1)), Seq("__k")).drop("__k")
+      .withColumn("topk_mass_frac",
+        when(col("n_tokens") > 0,
+          col("__top").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(Double.NaN)))
+      .drop("__top")
+  }
+
   /** Bin-count ceiling for [[quantileBuckets]]: the histogram is
     * driver-collected, so it must stay MBs-sized at any corpus scale.
     * 2^22 bins ≈ a few tens of MB collected — far beyond any sane

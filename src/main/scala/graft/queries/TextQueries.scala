@@ -914,7 +914,37 @@ object TextQueries {
       FROM h ORDER BY doc_id"""),
     bench = true)
 
+  /** Vocabulary/Zipf statistics (library `TextAnalysis.vocabStats` —
+    * the tokenizer-sizing report; q74 profiles strata, this profiles
+    * the vocabulary itself): exact token/vocab/hapax counts plus the
+    * top-10 occurrence mass fraction, all one vocabulary-keyed
+    * aggregate + TakeOrdered. */
+  val q108 = QueryDef(
+    "q108_vocab_stats",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextAnalysis.vocabStats(docs, "text", topK = 10)
+        .select(col("n_tokens"), col("n_vocab"), col("n_hapax"),
+          round(col("topk_mass_frac"), 6).as("topk_mass_frac"))
+    },
+    Some("""WITH cnt AS MATERIALIZED (
+        SELECT w, count(*) AS c FROM (
+          SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS w
+          FROM documents) u
+        WHERE len(w) > 0 GROUP BY w),
+      tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_vocab,
+                     CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_hapax
+              FROM cnt),
+      topm AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t FROM (
+        SELECT c FROM cnt ORDER BY c DESC, w LIMIT 10) x)
+      SELECT n_tokens, n_vocab, n_hapax,
+        round(CAST(t AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS topk_mass_frac
+      FROM tot, topm"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61, q62,
-      q65, q66, q67, q68, q77, q84, q91, q103, q104, q106, q107)
+      q65, q66, q67, q68, q77, q84, q91, q103, q104, q106, q107, q108)
 }

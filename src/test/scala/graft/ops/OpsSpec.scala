@@ -2605,6 +2605,54 @@ class OpsSpec extends SparkSpec {
     assert(tail2.getInt(2) == 8 && tail2.getInt(3) == 3)
   }
 
+  test("TextAnalysis.vocabStats: totals, hapax, top-k mass") {
+    val df = Seq(
+      (0L, "a a a b b c"),
+      (1L, "a d")).toDF("doc_id", "text")
+    // counts: a=4 b=2 c=1 d=1 -> 8 tokens, 4 vocab, 2 hapax
+    val r = TextAnalysis.vocabStats(df, "text", topK = 2).collect().head
+    assert(r.getAs[Long]("n_tokens") == 8L)
+    assert(r.getAs[Long]("n_vocab") == 4L)
+    assert(r.getAs[Long]("n_hapax") == 2L)
+    assert(r.getAs[Double]("topk_mass_frac") == 6.0 / 8.0) // a + b
+    // empty corpus: zero counts, NaN mass
+    val e = TextAnalysis.vocabStats(
+      Seq((0L, "")).toDF("doc_id", "text"), "text").collect().head
+    assert(e.getAs[Long]("n_tokens") == 0L && e.getAs[Double]("topk_mass_frac").isNaN)
+  }
+
+  test("DedupIndex: build/load/probe matches dedupAgainst; append extends state") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and then naps"),
+      (2L, "completely different content about spark engines and data"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog and then naps"), // exact
+      (13L, "the quick brown fox jumps over the lazy cat and then naps"), // near of 0
+      (15L, "unrelated fresh material with novel words nothing shared here ok"),
+      (17L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx_").toString
+    DedupIndex.build(corpus, "doc_id", dir)
+    val handle = DedupIndex.load(spark, dir)
+    assert(handle.idCol == "doc_id" && handle.numHashes == 8)
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "exact_dup", "near_dup", "near_dup_of", "is_new")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), Option(r.get(3)), r.getBoolean(4))).toMap
+    val fromIndex = verdicts(DedupIndex.dedupBatch(spark, handle, batch, threshold = 0.5))
+    val direct = verdicts(Dedup.dedupAgainst(corpus, batch, "doc_id", threshold = 0.5))
+    assert(fromIndex == direct, s"index $fromIndex vs direct $direct")
+    assert(fromIndex(11L)._1 && fromIndex(13L)._2 && fromIndex(15L)._4 && fromIndex(17L)._4)
+
+    // fold the screened batch in; a re-send of 15's text now hits
+    DedupIndex.append(handle, batch.filter(col("doc_id") === 15L))
+    val again = verdicts(DedupIndex.dedupBatch(spark, handle,
+      Seq((21L, "unrelated fresh material with novel words nothing shared here ok"))
+        .toDF("doc_id", "text"), threshold = 0.5))
+    assert(again(21L)._1 && !again(21L)._4, s"appended state missed: $again")
+  }
+
   test("Dedup.lshEvaluate: shingle-set truth, banding hit, guard fires") {
     val sample = Seq(
       (0L, "the quick brown fox jumps over the lazy dog tonight"),
