@@ -176,20 +176,26 @@ object TextAnalysis {
         (length(col(textCol)) -
           length(regexp_replace(col(textCol), s"[$range]", ""))).cast("long"))
     }
-    val total = ScriptRanges.map { case (n, _) => col(s"n_$n") }
-      .reduce(_ + _)
-    val (domScript, domCount) = ScriptRanges.tail
-      .foldLeft((lit(ScriptRanges.head._1), col(s"n_${ScriptRanges.head._1}"))) {
-        case ((bestName, bestCount), (n, _)) =>
-          val c = col(s"n_$n")
-          (when(c > bestCount, lit(n)).otherwise(bestName),
-            when(c > bestCount, c).otherwise(bestCount))
+    // dominance as greatest() + a FLAT first-match when-chain (first
+    // class at the max = first-listed tie-break) — a max-tracking fold
+    // would nest every earlier count inside every later comparison,
+    // and once a downstream filter pushes through the projection the
+    // substituted predicate grows quadratically past janino's 64 KB
+    // method limit (observed: the demo's script-route filter fell off
+    // codegen). The flat form stays linear in the class count.
+    val counts = ScriptRanges.map { case (n, _) => col(s"n_$n") }
+    val total = counts.reduce(_ + _)
+    val mx = greatest(counts: _*)
+    val domChain = ScriptRanges.tail
+      .foldLeft(when(col(s"n_${ScriptRanges.head._1}") === mx,
+        lit(ScriptRanges.head._1))) {
+        case (chain, (n, _)) => chain.when(col(s"n_$n") === mx, lit(n))
       }
     counted
       .withColumn("script",
-        when(total > 0, domScript).otherwise(lit("none")))
+        when(total > 0, domChain).otherwise(lit("none")))
       .withColumn("script_frac",
-        when(total > 0, domCount.cast("double") / total.cast("double"))
+        when(total > 0, mx.cast("double") / total.cast("double"))
           .otherwise(lit(Double.NaN)))
   }
 

@@ -63,6 +63,21 @@ object CurationDemo {
     stage("redact-pii") { d =>
       d.withColumn("text", TextAnalysis.redactPii(col("text")))
     }
+    // 4a: script routing — the zero-cost first-stage language router:
+    // keep the Latin-dominant documents this (English) pipeline owns
+    stage("script-route") { d =>
+      TextAnalysis.scriptProfile(d, "text")
+        .filter(col("script") === "latin")
+        .select("doc_id", "source", "text")
+    }
+    // 4b: blocklist gate — the C4 bad-words pass, exact-token; the
+    // list here is a stand-in drawn from the synthetic vocabulary
+    stage("blocklist") { d =>
+      TextAnalysis.blocklistFilter(d, "text",
+          terms = Seq("error", "slow"), minHits = 8L)
+        .filter(col("blocked") === 0)
+        .select("doc_id", "source", "text")
+    }
     // 4: quality gate (band bounds matched to the synthetic corpus)
     stage("quality-filter") { d =>
       TextAnalysis.gopherQuality(d, "text",
@@ -104,6 +119,16 @@ object CurationDemo {
     }
     // 7-10: corpus-wide dedup, coarsest to finest: whole-document exact,
     // shared paragraphs, verbatim >=12-token passages, then near-dup
+    // banding-config sanity on a sample BEFORE any cross-document dedup
+    // runs (afterwards the near-dup structure is gone by construction):
+    // the precision/recall the (8, 4) config delivers at threshold 0.5
+    locally {
+      val sample = df.filter(col("doc_id") % 3 === 0)
+      val r = Dedup.lshEvaluate(sample, "doc_id", threshold = 0.5).collect().head
+      println(f"[curate]   lsh-eval on a 1/3 sample: truth ${r.getLong(0)}%d " +
+        f"cand ${r.getLong(1)}%d hit ${r.getLong(2)}%d " +
+        f"precision ${r.getDouble(3)}%.3f recall ${r.getDouble(4)}%.3f")
+    }
     stage("exact-dedup") { d =>
       Dedup.exact(d, "text", "doc_id")
         .filter(!col("is_duplicate"))
@@ -228,6 +253,15 @@ object CurationDemo {
         .agg(max("overest"), sum("true_cnt")).collect().head
       println(f"[curate] ${"cms-freq-audit"}%-18s max overestimate " +
         f"${audit.getLong(0)}%d on ${audit.getLong(1)}%d probe occurrences  " +
+        f"${(System.nanoTime() - t1) / 1e9}%7.2f s")
+    }
+    // vocabulary report: the Zipf numbers a tokenizer cut is sized by
+    locally {
+      val t1 = System.nanoTime()
+      val v = TextAnalysis.vocabStats(df, "text", topK = 10).collect().head
+      println(f"[curate] ${"vocab-stats"}%-18s ${v.getAs[Long]("n_tokens")}%7d tokens, " +
+        f"${v.getAs[Long]("n_vocab")}%d vocab, ${v.getAs[Long]("n_hapax")}%d hapax, " +
+        f"top-10 mass ${v.getAs[Double]("topk_mass_frac") * 100}%.1f%%  " +
         f"${(System.nanoTime() - t1) / 1e9}%7.2f s")
     }
     // RAG chunk index over the packed train docs: 64-token windows
