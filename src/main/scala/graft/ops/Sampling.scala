@@ -156,6 +156,55 @@ object Sampling {
     * positive and sum to 1 (within 1e-9). Prefer dyadic weights
     * (0.75/0.125/0.125) — the cumulative bounds are then exact in
     * binary and identical in any engine's float parser. */
+  /** UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151 —
+    * the multilingual mixing rule): distribute a total token `budget`
+    * across strata so every stratum gets an EQUAL share of what
+    * remains, except no stratum may repeat its own corpus more than
+    * `maxEpochs` times — water-filling from the smallest stratum up.
+    * The small strata hit their epoch cap and hand their unused share
+    * back; the large ones split the rest uniformly. This is the
+    * principled alternative to temperature sampling ([[mixtureSample]]
+    * covers the fixed-proportion case): no tuned exponent, and no
+    * low-resource stratum is repeated into memorization.
+    *
+    * Exact integer arithmetic end to end: strata are processed in
+    * ascending (token-count, name) order; at each step the share is
+    * `floor(remaining_budget / remaining_strata)` and the allocation
+    * `min(share, maxEpochs · n_tokens)` — every number re-derivable
+    * relationally (the oracle replays the fold as a recursive CTE).
+    *
+    * Returns one row per stratum: `n_tokens`, `alloc_tokens`,
+    * `epochs` (alloc/n, the sampling rate a loader applies — > 1
+    * means repeat). 100 TB shape: ONE stratum-keyed token count
+    * (map-side partial agg), then a driver fold over the
+    * strata-bounded table — the model-sized collect every allocator
+    * in this library uses. */
+  def uniMaxAllocation(
+      df: DataFrame, textCol: String, strataCol: String,
+      budget: Long, maxEpochs: Long = 4L): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(strataCol).agg(
+      coalesce(sum(
+        when(col(textCol).isNull || length(trim(col(textCol))) === 0, 0)
+          .otherwise(size(split(trim(col(textCol)), "\\s+")))
+          .cast("long")), lit(0L)).as("n_tokens"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (s, n) => (n, s) } // ascending: small strata cap first
+    var rem = budget
+    var left = counts.length
+    val rows = counts.map { case (s, n) =>
+      val share = rem / left // floor — exact on both engines
+      val alloc = math.min(share, maxEpochs * n)
+      rem -= alloc; left -= 1
+      (s, n, alloc,
+        if (n > 0) alloc.toDouble / n.toDouble else Double.NaN)
+    }
+    rows.toSeq.toDF(strataCol, "n_tokens", "alloc_tokens", "epochs")
+  }
+
   def assignSplit(
       df: DataFrame, idCol: String,
       splits: Seq[(String, Double)], outCol: String = "split"): DataFrame = {

@@ -1329,7 +1329,52 @@ object CurationQueries {
       FROM ex GROUP BY source, chunk_id ORDER BY shard, chunk_id"""),
     bench = true)
 
+  /** UniMax budget allocation (library `Sampling.uniMaxAllocation`,
+    * Chung et al. 2023 — the epoch-capped water-filling mixing rule;
+    * q90's largest-remainder quotas cover the fixed-proportion case):
+    * a 50k-token budget over the 20 sources at 2 epochs max — the
+    * sf0.01 corpus's per-source caps 2n sum to ~54.3k and span
+    * [~2.3k, ~3.1k], so a 50k budget CAPS the small strata (which
+    * hand budget back) while the largest stay share-limited below 2
+    * epochs: both branches of the fold exercised and hash-checked.
+    * The oracle replays the ascending fold as a recursive CTE with
+    * the same floor divisions — every allocation integer-exact. */
+  val q109 = QueryDef(
+    "q109_unimax_alloc",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Sampling.uniMaxAllocation(docs, "text", "source",
+          budget = 50000L, maxEpochs = 2L)
+        .select(col("source"), col("n_tokens"), col("alloc_tokens"),
+          round(col("epochs"), 6).as("epochs"))
+        .oracleOrderBy("source")
+    },
+    Some("""WITH RECURSIVE cnt AS MATERIALIZED (
+        SELECT source,
+          CAST(coalesce(sum(CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END), 0) AS BIGINT)
+            AS n
+        FROM documents GROUP BY source),
+      ord AS MATERIALIZED (
+        SELECT source, n, CAST(row_number() OVER (ORDER BY n, source) AS BIGINT) AS r,
+          (SELECT CAST(count(*) AS BIGINT) FROM cnt) AS d
+        FROM cnt),
+      alloc AS (
+        SELECT CAST(0 AS BIGINT) AS r, CAST(50000 AS BIGINT) AS rem
+        UNION ALL
+        SELECT o.r, a.rem - least(a.rem // (o.d - a.r), 2 * o.n)
+        FROM alloc a JOIN ord o ON o.r = a.r + 1),
+      sel AS (
+        SELECT o.source, o.n,
+          least(a.rem // (o.d - a.r), 2 * o.n) AS alloc
+        FROM ord o JOIN alloc a ON a.r = o.r - 1)
+      SELECT source, n AS n_tokens, CAST(alloc AS BIGINT) AS alloc_tokens,
+        CASE WHEN n > 0
+          THEN round(CAST(alloc AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS epochs
+      FROM sel ORDER BY source"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
-      q86, q90, q94, q99, q100, q101, q102, q105)
+      q86, q90, q94, q99, q100, q101, q102, q105, q109)
 }

@@ -335,6 +335,8 @@ object ProfileScale {
       graft.ops.Packing.materializeChunks(sharded, "doc_id", "text",
         ctxLen = 128L, shardCol = "shard_key")
     }
+    def q109(d: DataFrame) = graft.ops.Sampling.uniMaxAllocation(
+      d, "text", "shard_key_s", budget = 500000L, maxEpochs = 2L)
     def q91(d: DataFrame) = TextAnalysis.dedupLines(
       d.withColumn("text", regexp_replace(col("text"), " the ", "\n")), "text")
       .select(col("doc_id"), col("n_lines"), col("n_dup_lines"), col("clean_text"))
@@ -396,6 +398,10 @@ object ProfileScale {
       ("q102 chunking", () => q102(docs), () => q102(docs10)),
       ("q103 containment", () => q103(docs), () => q103(docs10)),
       ("q104 scripts", () => q104(docs), () => q104(docs10)),
+      ("q109 unimax", () => q109(docs.withColumn("shard_key_s",
+          concat(lit("s"), (graft.ops.Sampling.hashUnit(col("doc_id")) * 16).cast("int")))),
+        () => q109(docs10.withColumn("shard_key_s",
+          concat(lit("s"), (graft.ops.Sampling.hashUnit(col("doc_id")) * 16).cast("int"))))),
       ("q105 mat-chunks", () => q105(docs), () => q105(docs10)))
       .map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x

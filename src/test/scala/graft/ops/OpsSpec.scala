@@ -2605,6 +2605,27 @@ class OpsSpec extends SparkSpec {
     assert(tail2.getInt(2) == 8 && tail2.getInt(3) == 3)
   }
 
+  test("Sampling.uniMaxAllocation: water-filling with the epoch cap") {
+    val df = Seq(
+      (0L, "A", "a b c d e f g h i j"),          // A: 10 tokens
+      (1L, "B", (1 to 100).map(_ => "w").mkString(" ")), // B: 100
+      (2L, "C", (1 to 100).map(_ => "w").mkString(" ")), // C: 100
+      (3L, "D", ""))                              // D: token-free
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.uniMaxAllocation(df, "text", "source",
+      budget = 150L, maxEpochs = 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // ascending: D(0) share 150/4=37 cap 0 -> 0; A(10) share 150/3=50
+    // cap 20 -> 20; B share 130/2=65 -> 65; C share 65/1=65 -> 65
+    assert(out("D")._2 == 0L && out("D")._3.isNaN)
+    assert(out("A") == ((10L, 20L, 2.0))) // capped at 2 epochs
+    assert(out("B") == ((100L, 65L, 0.65)))
+    assert(out("C") == ((100L, 65L, 0.65)))
+    // budget never exceeded, unused cap-returns flow to big strata
+    assert(out.values.map(_._2).sum <= 150L)
+  }
+
   test("TextAnalysis.vocabStats: totals, hapax, top-k mass") {
     val df = Seq(
       (0L, "a a a b b c"),
