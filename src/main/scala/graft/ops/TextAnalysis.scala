@@ -1092,6 +1092,70 @@ object TextAnalysis {
       .drop("__top")
   }
 
+  /** Corpus drift monitor — the check a continuously-ingesting
+    * pipeline runs between snapshots ("did today's crawl shift?"):
+    * both corpora's unigram distributions are folded into the same
+    * `numBuckets` hashed buckets ([[Dsir]]'s bucket trick — model
+    * size is a dial, not vocabulary-sized), add-`delta` smoothed, and
+    * compared by KL divergence in BOTH directions (KL is asymmetric:
+    * `kl_ab` punishes mass A has where B is thin — new-content drift;
+    * `kl_ba` the reverse — vanished-content drift).
+    *
+    * Exact-integer discipline (the q78 playbook): each bucket's
+    * smoothed log-probability quantizes ONCE to 2^-20; the divergence
+    * numerator is then `Σ (c+δ) · (lnq_a − lnq_b)` — integer × integer
+    * summed as DECIMAL(38,0), so the result is bit-identical on any
+    * engine and any partitioning, and overflow-safe far past 100 TB
+    * token counts. Buckets absent from both corpora still carry
+    * smoothed mass (they enter through the full `numBuckets` range,
+    * not a join of present buckets).
+    *
+    * 100 TB shape: two bounded bucket aggregates (map-side partial),
+    * two scalar totals, one `numBuckets`-row three-way join, one
+    * exact aggregate. Nothing corpus-sized moves after the token
+    * explode. */
+  def vocabDrift(
+      a: DataFrame, b: DataFrame, textCol: String,
+      numBuckets: Int = 4096, delta: Long = 1L): DataFrame = {
+    require(numBuckets >= 2 && numBuckets <= Dsir.MaxBuckets,
+      s"numBuckets must be in [2, ${Dsir.MaxBuckets}], got $numBuckets")
+    require(delta >= 1, s"delta must be >= 1, got $delta")
+    val spark = a.sparkSession
+    def buckets(df: DataFrame): DataFrame = df
+      .select(explode(ngramsOf(col(textCol), 1)).as("g"))
+      .filter(length(col("g")) > 0)
+      .groupBy(pmod(Sampling.hash28(col("g")), lit(numBuckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val ca = buckets(a).localCheckpoint(true)
+    val cb = buckets(b).localCheckpoint(true)
+    val ta = ca.agg(coalesce(sum("c"), lit(0L))).collect().head.getLong(0)
+    val tb = cb.agg(coalesce(sum("c"), lit(0L))).collect().head.getLong(0)
+    val denomA = (ta + numBuckets.toLong * delta).toDouble
+    val denomB = (tb + numBuckets.toLong * delta).toDouble
+    val joined = spark.range(numBuckets).select(col("id").as("bucket"))
+      .join(ca.select(col("bucket"), col("c").as("__ca")), Seq("bucket"), "left")
+      .join(cb.select(col("bucket"), col("c").as("__cb")), Seq("bucket"), "left")
+      .withColumn("__wa", coalesce(col("__ca"), lit(0L)) + lit(delta))
+      .withColumn("__wb", coalesce(col("__cb"), lit(0L)) + lit(delta))
+      .withColumn("__lqa",
+        round(log(col("__wa").cast("double") / lit(denomA)) * LogQuantScale)
+          .cast("long"))
+      .withColumn("__lqb",
+        round(log(col("__wb").cast("double") / lit(denomB)) * LogQuantScale)
+          .cast("long"))
+    // cast the FACTORS to decimal before multiplying: a long x long
+    // product would overflow silently first at extreme token counts
+    joined.agg(
+        sum(col("__wa").cast("decimal(19,0)") *
+          (col("__lqa") - col("__lqb")).cast("decimal(18,0)")).as("__sab"),
+        sum(col("__wb").cast("decimal(19,0)") *
+          (col("__lqb") - col("__lqa")).cast("decimal(18,0)")).as("__sba"))
+      .select(
+        lit(ta).as("n_tokens_a"), lit(tb).as("n_tokens_b"),
+        (col("__sab").cast("double") / lit(denomA * LogQuantScale)).as("kl_ab"),
+        (col("__sba").cast("double") / lit(denomB * LogQuantScale)).as("kl_ba"))
+  }
+
   /** Bin-count ceiling for [[quantileBuckets]]: the histogram is
     * driver-collected, so it must stay MBs-sized at any corpus scale.
     * 2^22 bins ≈ a few tens of MB collected — far beyond any sane

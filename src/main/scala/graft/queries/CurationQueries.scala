@@ -1374,7 +1374,65 @@ object CurationQueries {
       FROM sel ORDER BY source"""),
     bench = true)
 
+  /** Corpus drift monitor (library `TextAnalysis.vocabDrift` — the
+    * between-snapshots distribution check a continuous-ingest
+    * pipeline alarms on): even-id vs odd-id halves of the corpus
+    * through 4096 hashed buckets, add-one smoothing, KL in both
+    * directions. The oracle re-derives both bucket models, every
+    * 2^-20-quantized log-probability, and the exact HUGEINT
+    * divergence numerators — both KLs bit-exact. */
+  val q110 = QueryDef(
+    "q110_vocab_drift",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextAnalysis.vocabDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "text", numBuckets = 4096, delta = 1L)
+        .select(col("n_tokens_a"), col("n_tokens_b"),
+          round(col("kl_ab"), 6).as("kl_ab"),
+          round(col("kl_ba"), 6).as("kl_ba"))
+    },
+    Some {
+      val ws = "[ \\t\\n\\x0B\\f\\r]+"
+      s"""WITH gg AS MATERIALIZED (
+        SELECT doc_id, g FROM (
+          SELECT doc_id, t[r.i] AS g
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '$ws') AS t
+                FROM documents),
+               LATERAL unnest(generate_series(1, len(t))) r(i))
+        WHERE g <> ''),
+      bca AS MATERIALIZED (
+        SELECT (${md5PolyDuck("g")}) % 4096 AS bucket, CAST(count(*) AS BIGINT) AS c
+        FROM gg WHERE doc_id % 2 = 0 GROUP BY 1),
+      bcb AS MATERIALIZED (
+        SELECT (${md5PolyDuck("g")}) % 4096 AS bucket, CAST(count(*) AS BIGINT) AS c
+        FROM gg WHERE doc_id % 2 = 1 GROUP BY 1),
+      tot AS (SELECT (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM bca) AS ta,
+                     (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM bcb) AS tb),
+      j AS (
+        SELECT coalesce(a.c, 0) + 1 AS wa, coalesce(bb.c, 0) + 1 AS wb,
+          CAST(round(ln(CAST(coalesce(a.c, 0) + 1 AS DOUBLE)
+            / CAST(ta + 4096 AS DOUBLE)) * CAST(1048576 AS DOUBLE)) AS BIGINT) AS lqa,
+          CAST(round(ln(CAST(coalesce(bb.c, 0) + 1 AS DOUBLE)
+            / CAST(tb + 4096 AS DOUBLE)) * CAST(1048576 AS DOUBLE)) AS BIGINT) AS lqb
+        FROM (SELECT unnest(generate_series(0, 4095)) AS bucket) allb
+        LEFT JOIN bca a USING (bucket) LEFT JOIN bcb bb USING (bucket)
+        CROSS JOIN tot),
+      sagg AS (SELECT
+          sum(CAST(wa AS HUGEINT) * CAST(lqa - lqb AS HUGEINT)) AS sab,
+          sum(CAST(wb AS HUGEINT) * CAST(lqb - lqa AS HUGEINT)) AS sba
+        FROM j)
+      SELECT ta AS n_tokens_a, tb AS n_tokens_b,
+        round(CAST(sab AS DOUBLE)
+          / (CAST(ta + 4096 AS DOUBLE) * CAST(1048576 AS DOUBLE)), 6) AS kl_ab,
+        round(CAST(sba AS DOUBLE)
+          / (CAST(tb + 4096 AS DOUBLE) * CAST(1048576 AS DOUBLE)), 6) AS kl_ba
+      FROM sagg CROSS JOIN tot"""
+    },
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
-      q86, q90, q94, q99, q100, q101, q102, q105, q109)
+      q86, q90, q94, q99, q100, q101, q102, q105, q109, q110)
 }

@@ -337,6 +337,9 @@ object ProfileScale {
     }
     def q109(d: DataFrame) = graft.ops.Sampling.uniMaxAllocation(
       d, "text", "shard_key_s", budget = 500000L, maxEpochs = 2L)
+    def q110(d: DataFrame) = TextAnalysis.vocabDrift(
+      d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+      "text", numBuckets = 4096)
     def q91(d: DataFrame) = TextAnalysis.dedupLines(
       d.withColumn("text", regexp_replace(col("text"), " the ", "\n")), "text")
       .select(col("doc_id"), col("n_lines"), col("n_dup_lines"), col("clean_text"))
@@ -402,7 +405,8 @@ object ProfileScale {
           concat(lit("s"), (graft.ops.Sampling.hashUnit(col("doc_id")) * 16).cast("int")))),
         () => q109(docs10.withColumn("shard_key_s",
           concat(lit("s"), (graft.ops.Sampling.hashUnit(col("doc_id")) * 16).cast("int"))))),
-      ("q105 mat-chunks", () => q105(docs), () => q105(docs10)))
+      ("q105 mat-chunks", () => q105(docs), () => q105(docs10)),
+      ("q110 vocab-drift", () => q110(docs), () => q110(docs10)))
       .map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)

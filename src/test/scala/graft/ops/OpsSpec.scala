@@ -2605,6 +2605,26 @@ class OpsSpec extends SparkSpec {
     assert(tail2.getInt(2) == 8 && tail2.getInt(3) == 3)
   }
 
+  test("TextAnalysis.vocabDrift: zero on identical corpora, directional on drift") {
+    val a = Seq((0L, "alpha beta gamma delta"), (1L, "alpha beta")).toDF("doc_id", "text")
+    val same = TextAnalysis.vocabDrift(a, a, "text", numBuckets = 64).collect().head
+    assert(same.getAs[Double]("kl_ab") == 0.0 && same.getAs[Double]("kl_ba") == 0.0)
+    assert(same.getAs[Long]("n_tokens_a") == 6L)
+    // B = A plus a heavy new token: kl_ab and kl_ba both positive,
+    // and the asymmetry is real (different denominators + direction)
+    val b = a.unionByName(
+      Seq((2L, "omega omega omega omega omega omega")).toDF("doc_id", "text"))
+    val drift = TextAnalysis.vocabDrift(a, b, "text", numBuckets = 64).collect().head
+    assert(drift.getAs[Double]("kl_ab") > 0.0 && drift.getAs[Double]("kl_ba") > 0.0)
+    assert(drift.getAs[Double]("kl_ba") > drift.getAs[Double]("kl_ab"),
+      "mass B holds where A is thin must dominate kl_ba")
+    // partition invariance: exact integers -> identical under repartition
+    val rep = TextAnalysis.vocabDrift(
+      a.repartition(7), b.repartition(13), "text", numBuckets = 64).collect().head
+    assert(rep.getAs[Double]("kl_ab") == drift.getAs[Double]("kl_ab"))
+    assert(rep.getAs[Double]("kl_ba") == drift.getAs[Double]("kl_ba"))
+  }
+
   test("Sampling.uniMaxAllocation: water-filling with the epoch cap") {
     val df = Seq(
       (0L, "A", "a b c d e f g h i j"),          // A: 10 tokens
