@@ -142,15 +142,20 @@ object Dedup {
   def lshEvaluate(
       docs: DataFrame, idCol: String, threshold: Double,
       numHashes: Int = 8, bandSize: Int = 4,
-      maxSampleRows: Long = 100000L): DataFrame = {
+      maxSampleRows: Long = 10000L): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold out of (0,1]: $threshold")
     val spark = docs.sparkSession
-    val nDocs = docs.count()
+    // count on a materialized two-column projection — no re-execution
+    // of the caller's lineage, and the same frame feeds the join below
+    val sample = docs.select(col(idCol).as("__id"), col("text"))
+      .localCheckpoint(true)
+    val nDocs = sample.count()
     require(nDocs <= maxSampleRows,
       s"lshEvaluate is a quadratic EVALUATION harness: got $nDocs rows " +
-        s"(> $maxSampleRows) — evaluate on a sample, deploy the config on the corpus")
+        s"(> $maxSampleRows) — n^2 pairs AND a broadcast of every row's " +
+        s"3-shingle array; evaluate on a sample, deploy the config on the corpus")
     // distinct 3-shingle set per doc — the set the signatures sketch
-    val shingled = docs.select(col(idCol).as("__id"),
+    val shingled = sample.select(col("__id"),
         array_distinct(tokenNgrams(tokens(col("text")), 3)).as("__t"))
       .filter(col("__t").isNotNull && size(col("__t")) > 0)
       .withColumn("__k", lit(1))
@@ -165,8 +170,8 @@ object Dedup {
         (size(col("__ta")) + size(col("__tb")) - col("__ni")) >= threshold)
       .select("doc_a", "doc_b").localCheckpoint(true)
     val cand = lshCandidatePairs(
-        minhashSignatures(docs, numHashes).filter(col("mh0").isNotNull),
-        idCol, numHashes, bandSize)
+        minhashSignatures(sample, numHashes).filter(col("mh0").isNotNull),
+        "__id", numHashes, bandSize)
       .localCheckpoint(true)
     val nTruth = truth.count(); val nCand = cand.count()
     val nHit = cand.join(truth, Seq("doc_a", "doc_b")).count()

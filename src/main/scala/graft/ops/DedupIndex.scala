@@ -36,40 +36,50 @@ object DedupIndex {
   /** Bucket count for the signature table's partition key. */
   val NumBandPartitions: Int = 64
 
-  final case class Handle(dir: String, idCol: String, numHashes: Int)
+  /** `bandSize` is the band width the index was BUILT for: the
+    * partition key hashes the first `min(bandSize, numHashes)`
+    * minhashes, so the probe's band-0 equality implies the partition
+    * key's equality exactly when the probe uses a band at least that
+    * wide ([[dedupBatch]] checks; probing narrower is still correct —
+    * the partition-pruning equality is simply not stated). */
+  final case class Handle(dir: String, idCol: String, numHashes: Int, bandSize: Int)
 
-  private def bandKey(numHashes: Int): org.apache.spark.sql.Column =
-    pmod(hash((0 until math.min(4, numHashes)).map(i => col(s"mh$i")): _*),
+  private def bandKey(numHashes: Int, bandSize: Int): org.apache.spark.sql.Column =
+    pmod(hash((0 until math.min(bandSize, numHashes)).map(i => col(s"mh$i")): _*),
       lit(NumBandPartitions))
 
   private def stateFrames(
-      corpus: DataFrame, idCol: String, numHashes: Int):
+      corpus: DataFrame, idCol: String, numHashes: Int, bandSize: Int):
       (DataFrame, DataFrame, DataFrame) = {
     val fps = corpus.filter(col("text").isNotNull)
       .select(md5(col("text")).as("fp")).distinct()
     val sigs = Dedup.minhashSignatures(corpus, numHashes)
       .filter(col("mh0").isNotNull)
       .select(col(idCol) +: (0 until numHashes).map(i => col(s"mh$i")): _*)
-      .withColumn("band0", bandKey(numHashes))
+      .withColumn("band0", bandKey(numHashes, bandSize))
     val words = corpus.filter(col("text").isNotNull)
       .select(col(idCol), array_distinct(Dedup.tokens(col("text"))).as("words"))
     (fps, sigs, words)
   }
 
-  /** One corpus pass -> persisted state. */
+  /** One corpus pass -> persisted state. `bandSize` fixes the band
+    * width the partition key is derived from and is persisted in
+    * `meta` — probes default to it. */
   def build(
       corpus: DataFrame, idCol: String, dir: String,
-      numHashes: Int = 8): Handle = {
+      numHashes: Int = 8, bandSize: Int = 4): Handle = {
+    require(bandSize >= 1 && numHashes >= bandSize && numHashes % bandSize == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bandSize ($bandSize)")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (fps, sigs, words) = stateFrames(corpus, idCol, numHashes)
+    val (fps, sigs, words) = stateFrames(corpus, idCol, numHashes, bandSize)
     fps.write.mode("overwrite").parquet(s"$dir/fingerprints")
     sigs.repartition(col("band0")) // one writer wave per bucket
       .write.mode("overwrite").partitionBy("band0").parquet(s"$dir/signatures")
     words.write.mode("overwrite").parquet(s"$dir/words")
-    Seq((idCol, numHashes)).toDF("idCol", "numHashes")
+    Seq((idCol, numHashes, bandSize)).toDF("idCol", "numHashes", "bandSize")
       .coalesce(1).write.mode("overwrite").json(s"$dir/meta")
-    Handle(dir, idCol, numHashes)
+    Handle(dir, idCol, numHashes, bandSize)
   }
 
   /** Fold a new slice into the persisted state — the post-ingest
@@ -78,7 +88,8 @@ object DedupIndex {
     * duplicates across appends; the probe is a semi-join, so
     * duplicates cost bytes, never correctness.) */
   def append(handle: Handle, slice: DataFrame): Unit = {
-    val (fps, sigs, words) = stateFrames(slice, handle.idCol, handle.numHashes)
+    val (fps, sigs, words) =
+      stateFrames(slice, handle.idCol, handle.numHashes, handle.bandSize)
     fps.write.mode("append").parquet(s"${handle.dir}/fingerprints")
     sigs.repartition(col("band0"))
       .write.mode("append").partitionBy("band0").parquet(s"${handle.dir}/signatures")
@@ -86,10 +97,15 @@ object DedupIndex {
   }
 
   def load(spark: SparkSession, dir: String): Handle = {
-    val meta = spark.read.json(s"$dir/meta").collect()
+    val metaDf = spark.read.json(s"$dir/meta")
+    val meta = metaDf.collect()
     require(meta.length == 1, s"$dir/meta must hold exactly one row")
+    // indexes written before bandSize was persisted used a fixed
+    // 4-hash partition key — that is their effective build bandSize
+    val bandSize = if (metaDf.schema.fieldNames.contains("bandSize"))
+      meta.head.getAs[Long]("bandSize").toInt else 4
     Handle(dir, meta.head.getAs[String]("idCol"),
-      meta.head.getAs[Long]("numHashes").toInt)
+      meta.head.getAs[Long]("numHashes").toInt, bandSize)
   }
 
   /** Screen a batch against the persisted state — the same verdict
@@ -98,16 +114,20 @@ object DedupIndex {
     * the only difference is WHERE the corpus side comes from. The
     * corpus is touched as: one semi-join against the fingerprint
     * table, band equi-joins against the signature table, and a
-    * words read for the candidate sliver only. */
+    * words read for the candidate sliver only.
+    * `bandSize = 0` (the default) probes with the index's build
+    * bandSize; an explicit narrower band is legal but forgoes the
+    * band-0 partition-pruning equality (see [[Handle]]). */
   def dedupBatch(
       spark: SparkSession, handle: Handle, batch: DataFrame,
-      threshold: Double = 0.8, bandSize: Int = 4): DataFrame = {
+      threshold: Double = 0.8, bandSize: Int = 0): DataFrame = {
     val idCol = handle.idCol
     val numHashes = handle.numHashes
+    val bs = if (bandSize == 0) handle.bandSize else bandSize
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    require(bandSize >= 1 && numHashes >= bandSize && numHashes % bandSize == 0,
-      s"numHashes ($numHashes) must be a positive multiple of bandSize ($bandSize)")
+    require(bs >= 1 && numHashes >= bs && numHashes % bs == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bandSize ($bs)")
     val corpusFp = spark.read.parquet(s"${handle.dir}/fingerprints")
     val exactHit = batch.filter(col("text").isNotNull)
       .select(col(idCol), md5(col("text")).as("fp"))
@@ -116,18 +136,25 @@ object DedupIndex {
     val bSig = Dedup.minhashSignatures(batch, numHashes)
       .filter(col("mh0").isNotNull)
       .select(col(idCol) +: (0 until numHashes).map(i => col(s"mh$i")): _*)
-      .withColumn("band0", bandKey(numHashes))
+      .withColumn("band0", bandKey(numHashes, handle.bandSize))
       .localCheckpoint(true)
     val cSig = spark.read.parquet(s"${handle.dir}/signatures")
-    val bands = (0 until numHashes / bandSize)
-      .map(b => (b * bandSize) until ((b + 1) * bandSize))
+    val bands = (0 until numHashes / bs)
+      .map(b => (b * bs) until ((b + 1) * bs))
+    // the stored partition key hashes the first `storedKeyWidth`
+    // minhashes; band-0 equality implies key equality only when band 0
+    // covers at least those columns — otherwise stating it would DROP
+    // true band-0 candidates whose keys differ on uncovered hashes
+    val storedKeyWidth = math.min(handle.bandSize, numHashes)
+    val pruneOnBand0 = storedKeyWidth <= bs
     val a = bSig.alias("a"); val b = cSig.alias("b")
     val pairs = bands.zipWithIndex.map { case (band, bi) =>
       // equal band-0 minhashes imply equal band0 buckets: stating the
       // (redundant) partition-column equality on the first band is
       // what lets dynamic partition pruning skip buckets on disk
       val cond = band.map(i => col(s"a.mh$i") === col(s"b.mh$i")).reduce(_ && _)
-      val full = if (bi == 0) cond && col("a.band0") === col("b.band0") else cond
+      val full = if (bi == 0 && pruneOnBand0)
+        cond && col("a.band0") === col("b.band0") else cond
       a.join(b, full)
         .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
     }.reduce(_ unionByName _).distinct().localCheckpoint(true)

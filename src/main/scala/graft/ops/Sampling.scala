@@ -192,10 +192,13 @@ object Sampling {
           .otherwise(size(split(trim(col(textCol)), "\\s+")))
           .cast("long")), lit(0L)).as("n_tokens"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
-      .sortBy { case (s, n) => (n, s) } // ascending: small strata cap first
+    require(counts.forall(_._1 != null),
+      s"uniMaxAllocation: NULL value in stratum column '$strataCol' — " +
+        "coalesce nulls to a label or filter them out before allocating")
+    val sorted = counts.sortBy { case (s, n) => (n, s) } // ascending: small strata cap first
     var rem = budget
-    var left = counts.length
-    val rows = counts.map { case (s, n) =>
+    var left = sorted.length
+    val rows = sorted.map { case (s, n) =>
       val share = rem / left // floor — exact on both engines
       val alloc = math.min(share, maxEpochs * n)
       rem -= alloc; left -= 1

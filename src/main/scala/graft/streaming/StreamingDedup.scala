@@ -44,10 +44,17 @@ object StreamingDedup {
     * requires a watermark on `ts` upstream (set one with
     * `withWatermark` before calling, as the spec does); state for a
     * hash idle past the TTL is evicted silently, after which the next
-    * occurrence counts as first again. */
+    * occurrence counts as first again. The TTL must be positive (a
+    * zero/negative TTL would set a timeout at or before the current
+    * watermark, which fails the query at runtime), and rows must carry
+    * a non-null `ts` for the TTL clock — a batch whose timestamps are
+    * all null leaves the previous timeout in place. */
   def exactDedupStream(
       docs: Dataset[StreamDoc],
       idleTtlSeconds: Option[Long] = None): Dataset[DedupVerdict] = {
+    require(idleTtlSeconds.forall(_ > 0),
+      s"idleTtlSeconds must be positive when set, got $idleTtlSeconds — " +
+        "a non-positive TTL times out at/before the watermark and fails the query")
     import docs.sparkSession.implicits._
     val timeout = if (idleTtlSeconds.isDefined)
       GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
@@ -87,9 +94,11 @@ object StreamingDedup {
               val seen = state.getOption.map(_.n_seen).getOrElse(0L)
               state.update(SeenState(keeper, seen + batch.size))
               idleTtlSeconds.foreach { ttl =>
-                // TTL measured from the newest occurrence's event time
-                val newest = batch.map(_.ts.getTime).max
-                state.setTimeoutTimestamp(newest + ttl * 1000L)
+                // TTL measured from the newest occurrence's event time;
+                // null timestamps carry no clock — skip rather than NPE
+                val times = batch.collect { case d if d.ts != null => d.ts.getTime }
+                if (times.nonEmpty)
+                  state.setTimeoutTimestamp(times.max + ttl * 1000L)
               }
               sorted.iterator.map(d =>
                 DedupVerdict(d.doc_id, key,

@@ -2644,6 +2644,14 @@ class OpsSpec extends SparkSpec {
     assert(out("C") == ((100L, 65L, 0.65)))
     // budget never exceeded, unused cap-returns flow to big strata
     assert(out.values.map(_._2).sum <= 150L)
+    // a NULL stratum is a clear error, not a driver-side NPE
+    val e = intercept[IllegalArgumentException] {
+      Sampling.uniMaxAllocation(
+        Seq((0L, null.asInstanceOf[String], "a b"), (1L, null.asInstanceOf[String], "c d"))
+          .toDF("doc_id", "source", "text"),
+        "text", "source", budget = 10L)
+    }
+    assert(e.getMessage.contains("NULL"))
   }
 
   test("TextAnalysis.vocabStats: totals, hapax, top-k mass") {
@@ -2692,6 +2700,55 @@ class OpsSpec extends SparkSpec {
       Seq((21L, "unrelated fresh material with novel words nothing shared here ok"))
         .toDF("doc_id", "text"), threshold = 0.5))
     assert(again(21L)._1 && !again(21L)._4, s"appended state missed: $again")
+  }
+
+  test("DedupIndex: bandSize=2 — partition key follows the band; narrow probe of a wide index stays complete") {
+    // 60 near-dup pairs: corpus doc i vs batch doc i+1000 with one
+    // late word substituted (word-set jaccard 11/13 ~ 0.85); the pair
+    // count is sized so several pairs agree on (mh0, mh1) yet differ
+    // inside mh2..mh3 (minhash agreement is correlated across the
+    // Kirsch–Mitzenmacher families, so such pairs are rarer than
+    // independence suggests — measured ~4/60 on this fixture)
+    val bases = (0 until 60).map { i =>
+      val words = (0 until 12).map(j => s"w${i}x$j")
+      (i.toLong, words.mkString(" "), words.updated(10, s"sub$i").mkString(" "))
+    }
+    val corpus = bases.map { case (i, a, _) => (i, a) }.toDF("doc_id", "text")
+    val batch = bases.map { case (i, _, b) => (i + 1000L, b) }.toDF("doc_id", "text")
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "exact_dup", "near_dup", "near_dup_of", "is_new")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), Option(r.get(3)), r.getBoolean(4))).toMap
+    // premise: at least one pair agrees on (mh0, mh1) — band 0 at
+    // width 2 — while disagreeing somewhere in mh2..mh3, i.e. the
+    // pair a 4-hash partition key would bucket apart and silently drop
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(df, 8).select("doc_id", "mh0", "mh1", "mh2", "mh3")
+        .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2), r.get(3), r.get(4))).toMap
+    val cs = sigs(corpus); val bsig = sigs(batch)
+    assert(bases.exists { case (i, _, _) =>
+      val c = cs(i); val b = bsig(i + 1000L)
+      c._1 == b._1 && c._2 == b._2 && (c._3 != b._3 || c._4 != b._4)
+    }, "fixture no longer has a band0-agree/4-hash-key-disagree pair — vary the texts")
+
+    // (a) index BUILT at bandSize=2: key derives from the 2-hash band
+    val dir2 = java.nio.file.Files.createTempDirectory("dedupidx_b2_").toString
+    DedupIndex.build(corpus, "doc_id", dir2, numHashes = 8, bandSize = 2)
+    val h2 = DedupIndex.load(spark, dir2)
+    assert(h2.bandSize == 2)
+    val direct2 = verdicts(Dedup.dedupAgainst(corpus, batch, "doc_id",
+      threshold = 0.5, bandSize = 2))
+    val idx2 = verdicts(DedupIndex.dedupBatch(spark, h2, batch, threshold = 0.5))
+    assert(idx2 == direct2, s"bandSize=2 index $idx2 vs direct $direct2")
+    // (b) default-built (4-hash key) index probed at bandSize=2: the
+    // pruning equality is NOT implied, so it must be omitted — parity
+    // with the batch op still holds
+    val dir4 = java.nio.file.Files.createTempDirectory("dedupidx_b4_").toString
+    DedupIndex.build(corpus, "doc_id", dir4)
+    val idx4n = verdicts(DedupIndex.dedupBatch(
+      spark, DedupIndex.load(spark, dir4), batch, threshold = 0.5, bandSize = 2))
+    assert(idx4n == direct2, s"narrow probe of wide index $idx4n vs direct $direct2")
+    assert(idx4n.values.count(_._2) > 0, "no near-dup surfaced at all")
   }
 
   test("Dedup.lshEvaluate: shingle-set truth, banding hit, guard fires") {

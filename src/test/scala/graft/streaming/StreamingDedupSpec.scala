@@ -87,4 +87,17 @@ class StreamingDedupSpec extends SparkSpec {
       assert(out(3L) == ((true, 3L)), s"state should have been evicted: $out")
     } finally q.stop()
   }
+
+  test("exactDedupStream: non-positive TTL rejected at entry, not at runtime") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val e = intercept[IllegalArgumentException] {
+      exactDedupStream(input.toDS(), idleTtlSeconds = Some(0L))
+    }
+    assert(e.getMessage.contains("positive"))
+    val e2 = intercept[IllegalArgumentException] {
+      exactDedupStream(input.toDS(), idleTtlSeconds = Some(-5L))
+    }
+    assert(e2.getMessage.contains("positive"))
+  }
 }
