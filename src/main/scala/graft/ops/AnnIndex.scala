@@ -57,6 +57,30 @@ object AnnIndex {
     Handle(dir, centroids, codebooks)
   }
 
+  /** Fold a new slice of embeddings into the persisted index under
+    * the FROZEN quantizers — the FAISS `add()` analogue
+    * ([[DedupIndex.append]] is the same move for the dedup stack):
+    * assign each vector its coarse cell and PQ codes with the models
+    * already in the handle, then parquet-append the code rows to
+    * their cell partitions. No retraining, no rebuild; a query after
+    * append sees old + new rows through the same pruned scan. The
+    * state after append is EXACTLY what [[build]] would have written
+    * for the union under these models (OpsSpec asserts row-level
+    * equality with the in-memory encoding of the union) — retrain
+    * deliberately when distribution drift warrants it, the
+    * [[Similarity]] training ops are one call away. */
+  def append(
+      handle: Handle, df: DataFrame, embCol: String, idCol: String): Unit = {
+    val m = handle.codebooks.size
+    val encoded = Similarity.pqEncode(
+        Similarity.ivfAssign(df, embCol, handle.centroids), embCol, handle.codebooks)
+      .select(col(idCol) +: col("cell") +:
+        (0 until m).map(mi => col(s"code_$mi")): _*)
+    encoded
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"${handle.dir}/codes")
+  }
+
   /** Re-open a persisted index: the models are dimension-table-sized
     * driver reads; the code table stays on disk until a query prunes
     * into it. */

@@ -97,12 +97,184 @@ object BpeTrain {
     out.result()
   }
 
+  /** Driver piece-table ceiling for [[trainFast]] — the library's
+    * usual explicit-guard discipline for driver-resident state
+    * (`Dsir.MaxBuckets` et al.). 2M distinct pre-tokenizer pieces at
+    * tens of bytes each is low hundreds of MB; a corpus whose
+    * distinct-piece table exceeds this should train with [[train]]
+    * (or on a sample, as production tokenizer pipelines do). */
+  val MaxPieces: Long = 1L << 21
+
+  /** [[train]] with the greedy rounds run DRIVER-side: the ONE
+    * distributed corpus pass (pre-tokenize + piece count) is
+    * unchanged, then the vocabulary-bounded weighted piece table is
+    * collected (under the [[MaxPieces]] guard) and the classic
+    * incremental pair-count loop with a lazily-invalidated max-heap
+    * learns the merges — no per-merge Spark job round-trips.
+    *
+    * Bit-identical to [[train]] by construction: the same distributed
+    * expressions produce the pieces AND their initial symbol arrays
+    * (`graft_bpe_syms`), the same exact-integer weighted pair counts,
+    * and the same total tie-break (count desc, then left/right in
+    * UTF-8 byte order — compared on bytes here because Spark's ORDER
+    * BY is binary UTF-8, not Java's UTF-16 `compareTo`). OpsSpec
+    * asserts equality with the distributed loop merge-for-merge,
+    * including tie rounds and the early stop.
+    *
+    * Crossover: [[train]] costs one Spark job round-trip per merge
+    * (~100 ms floor each — 32k merges is hours regardless of data
+    * size); this costs one collect plus microseconds per merge, so it
+    * wins from a few dozen merges up, i.e. for every real tokenizer.
+    * Use [[train]] only when the distinct-piece table genuinely
+    * cannot sit on the driver (the guard will say so). */
+  def trainFast(
+      df: DataFrame, textCol: String, numMerges: Int,
+      byteLevel: Boolean = true, minPairCount: Long = 2L,
+      maxPieces: Long = MaxPieces): Seq[LearnedMerge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val spark = df.sparkSession
+    BpeSymbols.register(spark)
+    // the identical ONE corpus-wide pass as train's, symbols included
+    val pieces = df
+      .select(explode(regexp_extract_all(
+        col(textCol), lit(graft.ops.TextAnalysis.BpePattern), lit(0))).as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("w"))
+      .select(call_function("graft_bpe_syms", col("piece"), lit(byteLevel)).as("syms"),
+        col("w"))
+      .filter(size(col("syms")) >= 2)
+      .localCheckpoint(true)
+    val nPieces = pieces.count()
+    require(nPieces <= maxPieces,
+      s"trainFast collects the distinct-piece table to the driver: got " +
+        s"$nPieces pieces (> $maxPieces) — raise maxPieces deliberately, " +
+        "train on a sample, or fall back to the distributed train()")
+    val rows = pieces.collect()
+    val words = rows.map(_.getSeq[String](0).toArray)
+    val weights = rows.map(_.getLong(1))
+    driverGreedyLoop(words, weights, numMerges, minPairCount)
+  }
+
+  /** Spark's string ORDER BY compares binary UTF-8; Java's
+    * `String.compareTo` compares UTF-16 code units, which disagrees
+    * for supplementary characters — so the driver tie-break compares
+    * the encoded bytes. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** The classic incremental BPE learner over the collected piece
+    * table: per-pair weighted counts, a word index per pair, and a
+    * max-heap with lazy invalidation (every count change pushes a
+    * fresh entry; popped entries are discarded unless they match the
+    * live count — so the valid top IS the argmax under the same
+    * (count desc, l, r) total order the distributed loop sorts by). */
+  private def driverGreedyLoop(
+      words: Array[Array[String]], weights: Array[Long],
+      numMerges: Int, minPairCount: Long): Seq[LearnedMerge] = {
+    import scala.collection.mutable
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occurs = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(p: (Long, String, String), q: (Long, String, String)): Int = {
+        if (p._1 != q._1) java.lang.Long.compare(p._1, q._1) // bigger count wins
+        else {
+          val cl = utf8Compare(p._2, q._2)
+          if (cl != 0) -cl else -utf8Compare(p._3, q._3) // smaller string wins
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+
+    def addWordPairs(idx: Int, sign: Long, touched: mutable.Set[(String, String)]): Unit = {
+      val s = words(idx); val w = weights(idx) * sign
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val nc = counts.getOrElse(p, 0L) + w
+        if (nc <= 0L) counts.remove(p) else counts(p) = nc
+        if (sign > 0) occurs.getOrElseUpdate(p, mutable.Set.empty) += idx
+        touched += p
+        i += 1
+      }
+    }
+    locally {
+      val init = mutable.Set.empty[(String, String)]
+      var idx = 0
+      while (idx < words.length) { addWordPairs(idx, 1L, init); idx += 1 }
+      init.foreach(p => heap.enqueue((counts(p), p._1, p._2)))
+    }
+
+    // the same left-to-right non-overlapping merge as applyMerge
+    def mergeWord(s: Array[String], l: String, r: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i < s.length - 1 && s(i) == l && s(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+
+    val out = Seq.newBuilder[LearnedMerge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      // pop to the first live entry (count matches the current map)
+      var best: Option[(Long, String, String)] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (counts.getOrElse((e._2, e._3), 0L) == e._1) best = Some(e)
+      }
+      best match {
+        case Some((c, l, r)) if c >= minPairCount =>
+          out += LearnedMerge(rank, l, r, c)
+          val touched = mutable.Set.empty[(String, String)]
+          val affected = occurs.getOrElse((l, r), mutable.Set.empty).toArray
+          affected.foreach { idx =>
+            val s = words(idx)
+            var has = false
+            var i = 0
+            while (!has && i < s.length - 1) {
+              if (s(i) == l && s(i + 1) == r) has = true; i += 1
+            }
+            if (has) { // occurs entries can be stale — verify first
+              addWordPairs(idx, -1L, touched)
+              words(idx) = mergeWord(s, l, r)
+              addWordPairs(idx, 1L, touched)
+            }
+          }
+          occurs.remove((l, r))
+          touched.foreach { p =>
+            val nc = counts.getOrElse(p, 0L)
+            if (nc > 0L) heap.enqueue((nc, p._1, p._2))
+          }
+          rank += 1
+        case _ => done = true // heap dry or best below the floor
+      }
+    }
+    out.result()
+  }
+
   /** [[train]] packaged as a ready-to-apply [[BpeVocab]] — feeds
-    * [[TextAnalysis.bpeTokens]] unchanged. */
+    * [[TextAnalysis.bpeTokens]] unchanged. `fast = true` learns the
+    * identical table via [[trainFast]]'s driver loop (the default for
+    * real merge counts). */
   def trainVocab(
       df: DataFrame, textCol: String, numMerges: Int,
-      byteLevel: Boolean = true, minPairCount: Long = 2L): BpeVocab = {
-    val merges = train(df, textCol, numMerges, byteLevel, minPairCount)
+      byteLevel: Boolean = true, minPairCount: Long = 2L,
+      fast: Boolean = false): BpeVocab = {
+    val merges = if (fast) trainFast(df, textCol, numMerges, byteLevel, minPairCount)
+      else train(df, textCol, numMerges, byteLevel, minPairCount)
     require(merges.nonEmpty,
       s"BPE training learned no merges (no adjacent pair reached " +
         s"minPairCount=$minPairCount) — the corpus is empty or degenerate")

@@ -529,6 +529,28 @@ object Dedup {
   private def tokenNgrams(toks: Column, n: Int): Column =
     TextAnalysis.ngramsOfTokens(toks, n)
 
+  /** General interval union over a SORTED `array<struct<s,e>>` column
+    * (lengths vary, unlike [[exactSubstrSpans]]'s equal windows): fold
+    * (s, e) pairs, extending the running span with the running max
+    * end; adjacent-or-overlapping intervals coalesce. */
+  private def mergeIntervals(sp: Column): Column = {
+    val emptySpans = expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    aggregate(
+      coalesce(sp, expr("CAST(array() AS array<struct<s:int,e:int>>)")),
+      emptySpans,
+      (acc, x) => {
+        val last = element_at(acc, -1)
+        val fresh = concat(acc, array(struct(
+          x.getField("s").as("s"), x.getField("e").as("e"))))
+        val extend = concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(last.getField("s").as("s"),
+            greatest(last.getField("e"), x.getField("e")).as("e"))))
+        when(size(acc) === 0, fresh)
+          .when(x.getField("s") > last.getField("e") + 1, fresh)
+          .otherwise(extend)
+      })
+  }
+
   /** Minimum-match-length duplicate spans — [[exactSubstrSpans]] with
     * the window size decoupled from the match length (the seed-and-
     * extend narrowing toward suffix-array semantics): SEED with
@@ -555,6 +577,24 @@ object Dedup {
     * occurrence set. The q82 oracle re-derives this approximation
     * bit-for-bit.
     *
+    * `refine = true` runs a SECOND extension round that closes the
+    * common under-extension without going quadratic: each merged
+    * round-1 span contributes its two boundary seed windows (span
+    * start; last full window before the end), each re-paired with its
+    * gram's SECOND-earliest occurrence — the partner round 1 never
+    * consulted — and extended the same way; only pairs whose partner
+    * is strictly earlier (the keeper rule) survive, and intervals of
+    * at least `minLen` union into the round-1 set. One or two pairs
+    * per surviving span, so the extra cost is bounded by the final
+    * span count, not the occurrence count. A passage whose true
+    * longest partner is the third-or-later occurrence of every
+    * boundary gram can still under-extend — each round is a rank down
+    * the occurrence list, quadratic in the limit, and one round
+    * covers the decoy-first-occurrence case that actually arises. The
+    * q112 oracle re-derives the refined answer bit-for-bit; OpsSpec
+    * has the fixture where round 1 under-extends and the refined pass
+    * equals brute force.
+    *
     * Output mirrors [[exactSubstrSpans]]: `n_seed_hits` (flagged seed
     * windows), `n_spans`, `dup_spans` (inclusive 0-based token ranges,
     * null for null text), `n_dup_tokens`, `clean_text`.
@@ -567,7 +607,7 @@ object Dedup {
     * narrow per-row scan bounded by document length. */
   def minLenDupSpans(
       df: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 50, seedK: Int = 25): DataFrame = {
+      minLen: Int = 50, seedK: Int = 25, refine: Boolean = false): DataFrame = {
     require(seedK >= 2, s"seed window must span at least 2 tokens, got $seedK")
     require(minLen >= seedK,
       s"minLen ($minLen) must be >= seedK ($seedK) — a seed the operator " +
@@ -644,35 +684,48 @@ object Dedup {
       .filter(lit(seedK) + col("__el") + col("__er") >= minLen)
       .select(col(idCol), (col("pos") - col("__el")).as("s"),
         (col("pos") + lit(seedK - 1) + col("__er")).as("e"))
-    val perDoc = spans0.groupBy(idCol)
+
+    // optional round 2: re-pair each merged round-1 span's boundary
+    // windows with their grams' SECOND occurrence (see scaladoc) —
+    // one or two pairs per surviving span, same extension machinery
+    val allSpans = if (!refine) spans0 else {
+      val merged1 = spans0.groupBy(idCol)
+        .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__sp"))
+        .select(col(idCol), explode(mergeIntervals(col("__sp"))).as("__m"))
+        .select(col(idCol), col("__m.s").as("s"), col("__m.e").as("e"))
+      val seconds = occ.join(dup, Seq("__g"))
+        .filter(occHere =!= col("first_occ"))
+        .groupBy("__g").agg(min(occHere).as("second_occ"))
+      val seeds2 = merged1.select(col(idCol),
+        explode(array_distinct(array(col("s"), col("e") - lit(seedK - 1)))).as("pos"))
+      val pairs2 = seeds2
+        .join(occ, Seq(idCol, "pos"))
+        .join(seconds, Seq("__g"))
+        .filter(col("second_occ") < occHere) // strictly-earlier keeper rule
+        .select(col(idCol), col("pos"),
+          col("second_occ.d").as("__fd"), col("second_occ.p").as("__fp"))
+      val ext2 = pairs2
+        .join(toks.select(col("__id").as(idCol), col("__t").as("__ta")), Seq(idCol))
+        .join(toks.select(col("__id").as("__fd"), col("__t").as("__tb")), Seq("__fd"))
+      val spans2 = ext2
+        .withColumn("__el", el).withColumn("__er", er)
+        .filter(lit(seedK) + col("__el") + col("__er") >= minLen)
+        .select(col(idCol), (col("pos") - col("__el")).as("s"),
+          (col("pos") + lit(seedK - 1) + col("__er")).as("e"))
+      spans0.unionByName(spans2)
+    }
+
+    val perDoc = allSpans.groupBy(idCol)
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__sp"))
     val seedCounts = flagged.groupBy(idCol).agg(count(lit(1)).as("n_seed_hits"))
-
-    // general interval union (lengths vary, unlike exactSubstrSpans's
-    // equal windows): fold sorted (s, e), extending with the running
-    // max end
-    val emptySpans = expr("CAST(array() AS array<struct<s:int,e:int>>)")
-    val mergedSpans = aggregate(
-      coalesce(col("__sp"), expr("CAST(array() AS array<struct<s:int,e:int>>)")),
-      emptySpans,
-      (acc, sp) => {
-        val last = element_at(acc, -1)
-        val fresh = concat(acc, array(struct(
-          sp.getField("s").as("s"), sp.getField("e").as("e"))))
-        val extend = concat(slice(acc, lit(1), size(acc) - 1),
-          array(struct(last.getField("s").as("s"),
-            greatest(last.getField("e"), sp.getField("e")).as("e"))))
-        when(size(acc) === 0, fresh)
-          .when(sp.getField("s") > last.getField("e") + 1, fresh)
-          .otherwise(extend)
-      })
 
     withToks
       .join(seedCounts, Seq(idCol), "left")
       .join(perDoc, Seq(idCol), "left")
       .withColumn("n_seed_hits", coalesce(col("n_seed_hits"), lit(0L)))
       .withColumn("dup_spans",
-        when(col("__toks").isNull, lit(null)).otherwise(mergedSpans))
+        when(col("__toks").isNull, lit(null))
+          .otherwise(mergeIntervals(col("__sp"))))
       .drop("__sp")
       .withColumn("n_spans", coalesce(size(col("dup_spans")), lit(0)).cast("long"))
       .withColumn("n_dup_tokens", coalesce(

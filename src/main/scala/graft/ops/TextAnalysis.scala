@@ -513,17 +513,47 @@ object TextAnalysis {
       .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
   }
 
-  /** PII redaction (the standard pretraining scrub): URLs then email
-    * addresses collapse to `<URL>` / `<EMAIL>` placeholders — URLs
-    * FIRST so an address inside a URL's userinfo disappears with the
-    * URL instead of leaving a half-redacted splice. Both patterns are
-    * lookahead-free and spell whitespace explicitly, so Spark's Java
+  /** PII redaction (the standard pretraining scrub): URLs, email
+    * addresses, IP addresses and phone numbers collapse to `<URL>` /
+    * `<EMAIL>` / `<IP>` / `<PHONE>` placeholders. Order is load-
+    * bearing: URLs FIRST so an address inside a URL's userinfo
+    * disappears with the URL instead of leaving a half-redacted
+    * splice; IPs before phones so a dotted quad never half-matches a
+    * dot-separated phone. All patterns are lookahead-free (RE2 has no
+    * lookaround) and spell whitespace explicitly, so Spark's Java
     * regex and DuckDB's RE2 match identical spans. Narrow, codegen'd,
-    * zero shuffle. */
+    * zero shuffle.
+    *
+    * Pattern scope, stated precisely:
+    *  - IPv4: dotted quads bracketed by non-digit-non-dot context, so
+    *    version strings (`1.2.3`, `1.2.3.4.5`) survive. The bracketing
+    *    consumes one context character, so back-to-back quads split by
+    *    a SINGLE character hide the second from one pass — the pass
+    *    runs twice (`\\z`, not `$`, ends the context: Java's `$` also
+    *    matches before a trailing newline, RE2's does not).
+    *  - IPv6: 5+ colon-separated hex groups — clock times (`08:30:45`)
+    *    never match; 6-group MAC addresses do (hardware ids are PII).
+    *  - Phones: parenthesized area code (`(022) 345 6789`),
+    *    international `+`-prefixed groups (`+1 800 555 0199`), and
+    *    3-3-4 separated (`555-867-5309`). ISO dates (`2024-01-15`,
+    *    4-2-2) and SSN-shaped 3-2-4 runs do NOT match — dates are the
+    *    classic false positive, and SSNs deserve a dedicated pass, not
+    *    an accidental one. */
   def redactPii(text: Column): Column = {
     val url = s"https?://[^$WhitespaceChars]+"
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    regexp_replace(regexp_replace(text, url, "<URL>"), email, "<EMAIL>")
+    val ipv6 = "\\b(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}\\b"
+    val ipv4 = "(^|[^0-9.])((?:[0-9]{1,3}\\.){3}[0-9]{1,3})(\\z|[^0-9.])"
+    val phoneParen = "\\(\\d{2,4}\\)[ -]?\\d{3}[ -]?\\d{2,4}"
+    val phoneIntl = "\\+\\d{1,3}[ -]?\\d{2,4}[ -]?\\d{3,4}[ -]?\\d{2,4}"
+    val phoneSep = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    val noUrlEmail =
+      regexp_replace(regexp_replace(text, url, "<URL>"), email, "<EMAIL>")
+    val noIp6 = regexp_replace(noUrlEmail, ipv6, "<IP>")
+    val noIp = regexp_replace(
+      regexp_replace(noIp6, ipv4, "$1<IP>$3"), ipv4, "$1<IP>$3")
+    regexp_replace(regexp_replace(regexp_replace(noIp,
+      phoneParen, "<PHONE>"), phoneIntl, "<PHONE>"), phoneSep, "<PHONE>")
   }
 
   /** Corpus-wide exact paragraph dedup (the Dolma/CCNet pass that
@@ -1187,7 +1217,13 @@ object TextAnalysis {
     * Shape at 100 TB: one bounded groupBy-count (map-side partial agg
     * collapses each task to its distinct bins), one driver cumulative
     * pass over the histogram, one narrow codegen'd CASE per row.
-    * Nothing corpus-sized moves. */
+    * Nothing corpus-sized moves.
+    *
+    * The INPUT executes twice — once for the histogram collect, once
+    * when the returned frame is consumed. Hand this a MATERIALIZED
+    * frame (parquet read, `localCheckpoint`, cache); an expensive
+    * unmaterialized lineage (e.g. LM scoring) would re-run end to end
+    * and double the query's cost. */
   def quantileBuckets(
       df: DataFrame, scoreCol: String,
       numBuckets: Int = 3, binScale: Double = 1024.0,

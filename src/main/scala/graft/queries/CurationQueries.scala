@@ -611,6 +611,25 @@ object CurationQueries {
     Some(bpeTrainOracle(BpeTrainRounds)),
     bench = true)
 
+  /** The driver-side fast BPE training path (`BpeTrain.trainFast` —
+    * one distributed corpus pass, then the classic incremental
+    * pair-count/heap loop over the collected vocabulary-bounded piece
+    * table): the SAME oracle as q80, because the fast loop is
+    * bit-identical to the distributed one — this locks that identity
+    * to the DuckDB replay, not just the OpsSpec cross-check. */
+  val q111 = QueryDef(
+    "q111_bpe_train_fast",
+    (s, dir) => {
+      val learned = graft.ops.BpeTrain.trainFast(
+        t(s, dir, "documents"), "text", numMerges = BpeTrainRounds)
+      import s.implicits._
+      learned.map(m => (m.rank, m.left, m.right, m.pairCount))
+        .toDF("merge_rank", "lhs", "rhs", "pair_count")
+        .oracleOrderBy("merge_rank")
+    },
+    Some(bpeTrainOracle(BpeTrainRounds)),
+    bench = true)
+
   /** Interpolated (Jelinek–Mercer) char-LM scoring (library
     * `TextAnalysis.charLmScoreInterp` — the CCNet/KenLM-style upgrade
     * of q69): every document scored under a model trained on the
@@ -770,6 +789,149 @@ object CurationQueries {
     },
     bench = true)
 
+  /** Refined minimum-match-length duplicate spans (library
+    * `Dedup.minLenDupSpans(refine = true)` — q82 plus the second
+    * extension round): each merged round-1 span contributes its two
+    * boundary seed windows, re-paired with the gram's SECOND-earliest
+    * occurrence (strictly earlier than the occurrence itself — the
+    * keeper rule), extended identically, and unioned into the
+    * round-1 intervals. The oracle replays the full two-round
+    * derivation: round-1 spans and their island merge, the
+    * second-occurrence table, boundary re-pairing, the second
+    * extension, and the final island merge. Hash covers every doc's
+    * counts and full cleaned text. */
+  val q112 = QueryDef(
+    "q112_minlen_refine",
+    (s, dir) => {
+      graft.ops.Dedup.minLenDupSpans(
+        t(s, dir, "documents"), "doc_id", "text",
+        minLen = 8, seedK = 4, refine = true)
+        .select(col("doc_id"), col("n_seed_hits"), col("n_spans"),
+          col("n_dup_tokens"), col("clean_text"))
+        .oracleOrderBy("doc_id")
+    },
+    Some {
+      val k = 4
+      val L = 8
+      val ws = "[ \\t\\n\\x0B\\f\\r]+"
+      s"""WITH toks AS MATERIALIZED (
+        SELECT doc_id, CASE WHEN text IS NULL THEN NULL
+          ELSE string_split_regex(trim(text), '$ws') END AS t
+        FROM documents),
+      occ AS MATERIALIZED (
+        SELECT doc_id, CAST(r.i - 1 AS INT) AS pos,
+               md5(array_to_string(t[r.i:r.i+${k - 1}], ' ')) AS g
+        FROM toks, LATERAL unnest(range(1, len(t) - $k + 2)) r(i)
+        WHERE t IS NOT NULL),
+      dup AS MATERIALIZED (
+        SELECT g, min(struct_pack(d := doc_id, p := pos)) AS first_occ
+        FROM occ GROUP BY g HAVING count(*) >= 2),
+      flagged AS MATERIALIZED (
+        SELECT o.doc_id, o.pos, d.first_occ.d AS fd, d.first_occ.p AS fp
+        FROM occ o JOIN dup d USING (g)
+        WHERE struct_pack(d := o.doc_id, p := o.pos) <> d.first_occ),
+      ext AS MATERIALIZED (
+        SELECT f.doc_id, f.pos, ta.t AS ta, tb.t AS tb, f.fp,
+          least(f.pos, f.fp) AS maxl,
+          least(len(ta.t) - f.pos - $k, len(tb.t) - f.fp - $k) AS maxr
+        FROM flagged f
+        JOIN toks ta ON ta.doc_id = f.doc_id
+        JOIN toks tb ON tb.doc_id = f.fd),
+      spans0 AS MATERIALIZED (
+        SELECT doc_id, pos - el AS s, pos + ${k - 1} + er AS e
+        FROM (
+          SELECT doc_id, pos,
+            coalesce(nullif(list_position(list_transform(range(1, maxl + 1),
+              j -> ta[pos - j + 1] = tb[fp - j + 1]), false), 0) - 1, maxl) AS el,
+            coalesce(nullif(list_position(list_transform(range(1, maxr + 1),
+              j -> ta[pos + $k + j] = tb[fp + $k + j]), false), 0) - 1, maxr) AS er
+          FROM ext)
+        WHERE $k + el + er >= $L),
+      isl1 AS (
+        SELECT doc_id, s, e,
+          sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+        FROM (SELECT doc_id, s, e,
+                max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+              FROM spans0)),
+      spans1 AS MATERIALIZED (
+        SELECT doc_id, island, min(s) AS s, max(e) AS e
+        FROM isl1 GROUP BY doc_id, island),
+      seconds AS MATERIALIZED (
+        SELECT g, min(struct_pack(d := o.doc_id, p := o.pos)) AS second_occ
+        FROM occ o JOIN dup d USING (g)
+        WHERE struct_pack(d := o.doc_id, p := o.pos) <> d.first_occ
+        GROUP BY g),
+      seeds2 AS (
+        SELECT DISTINCT doc_id, pos FROM (
+          SELECT doc_id, s AS pos FROM spans1
+          UNION ALL
+          SELECT doc_id, e - ${k - 1} AS pos FROM spans1) u),
+      pairs2 AS (
+        SELECT s2.doc_id, s2.pos, sec.second_occ.d AS fd, sec.second_occ.p AS fp
+        FROM seeds2 s2
+        JOIN occ o ON o.doc_id = s2.doc_id AND o.pos = s2.pos
+        JOIN seconds sec ON sec.g = o.g
+        WHERE sec.second_occ < struct_pack(d := s2.doc_id, p := s2.pos)),
+      ext2 AS MATERIALIZED (
+        SELECT f.doc_id, f.pos, ta.t AS ta, tb.t AS tb, f.fp,
+          least(f.pos, f.fp) AS maxl,
+          least(len(ta.t) - f.pos - $k, len(tb.t) - f.fp - $k) AS maxr
+        FROM pairs2 f
+        JOIN toks ta ON ta.doc_id = f.doc_id
+        JOIN toks tb ON tb.doc_id = f.fd),
+      spans2 AS (
+        SELECT doc_id, pos - el AS s, pos + ${k - 1} + er AS e
+        FROM (
+          SELECT doc_id, pos,
+            coalesce(nullif(list_position(list_transform(range(1, maxl + 1),
+              j -> ta[pos - j + 1] = tb[fp - j + 1]), false), 0) - 1, maxl) AS el,
+            coalesce(nullif(list_position(list_transform(range(1, maxr + 1),
+              j -> ta[pos + $k + j] = tb[fp + $k + j]), false), 0) - 1, maxr) AS er
+          FROM ext2)
+        WHERE $k + el + er >= $L),
+      allsp AS (
+        SELECT doc_id, s, e FROM spans0
+        UNION ALL SELECT doc_id, s, e FROM spans2),
+      isl2 AS (
+        SELECT doc_id, s, e,
+          sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+        FROM (SELECT doc_id, s, e,
+                max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+              FROM allsp)),
+      spans AS MATERIALIZED (
+        SELECT doc_id, island, min(s) AS s, max(e) AS e
+        FROM isl2 GROUP BY doc_id, island),
+      perdoc AS (
+        SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS n_dup_tokens
+        FROM spans GROUP BY doc_id),
+      seedc AS (
+        SELECT doc_id, count(*) AS n_seed_hits FROM flagged GROUP BY doc_id),
+      kept AS (
+        SELECT t.doc_id, r.i AS i, t.t[r.i] AS tok
+        FROM toks t, LATERAL unnest(range(1, len(t.t) + 1)) r(i)
+        WHERE t.t IS NOT NULL AND NOT EXISTS (
+          SELECT 1 FROM spans s
+          WHERE s.doc_id = t.doc_id AND r.i - 1 BETWEEN s.s AND s.e)),
+      clean AS (
+        SELECT doc_id, array_to_string(list(tok ORDER BY i), ' ') AS clean_text
+        FROM kept GROUP BY doc_id)
+      SELECT t.doc_id,
+        CAST(coalesce(sc.n_seed_hits, 0) AS BIGINT) AS n_seed_hits,
+        CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+        CAST(coalesce(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+        CASE WHEN t.t IS NULL THEN NULL
+             ELSE coalesce(c.clean_text, '') END AS clean_text
+      FROM toks t LEFT JOIN perdoc p USING (doc_id)
+                  LEFT JOIN seedc sc USING (doc_id)
+                  LEFT JOIN clean c USING (doc_id)
+      ORDER BY t.doc_id"""
+    },
+    bench = true)
+
   /** Trained hashed-ngram Naive Bayes classification (library
     * `NbClassifier` — the learned replacement for the marker-list
     * languageId heuristic): classes are a 3-way source grouping,
@@ -897,10 +1059,15 @@ object CurationQueries {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val model = graft.ops.TextAnalysis.charLmTrain(docs, "text", n = 3)
+      // quantileBuckets executes its input twice (histogram collect,
+      // then the tier projection) — materialize the LM scoring once
+      // instead of re-running the whole lineage (CurationDemo does the
+      // same; a production pipeline would have parquet here)
       val scored = graft.ops.TextAnalysis
         .charLmScore(docs, model, "doc_id", "text", n = 3)
         .filter(col("n_grams") > 0)
         .select(col("doc_id"), col("n_grams"), col("avg_nll"))
+        .localCheckpoint(true)
       graft.ops.TextAnalysis
         .quantileBuckets(scored, "avg_nll",
           numBuckets = 3, binScale = 1024.0, outCol = "ppl_tier")
@@ -1434,5 +1601,5 @@ object CurationQueries {
 
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
-      q86, q90, q94, q99, q100, q101, q102, q105, q109, q110)
+      q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112)
 }

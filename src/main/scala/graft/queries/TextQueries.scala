@@ -540,28 +540,51 @@ object TextQueries {
     bench = true)
 
   /** PII redaction (library module `TextAnalysis.redactPii`): a
-    * synthetic email + URL appended per doc, URLs collapsed before
-    * emails. Both engines run the same lookahead-free patterns with
-    * the explicit whitespace class. */
+    * synthetic email, URL, two IPs (adjacent — the bracketed-context
+    * two-pass case), an IPv6, and three phone shapes appended per doc,
+    * plus the canonical FALSE positives that must survive — a version
+    * string, a five-part dotted run, an ISO date, a clock time, and an
+    * SSN-shaped 3-2-4 run. Both engines run the same lookahead-free
+    * patterns; the hash proves every placeholder lands and every
+    * negative survives in all 500 documents. */
   val q66 = QueryDef(
     "q66_redact_pii",
     (s, dir) => {
       val tainted = concat(col("text"),
         lit(" contact user"), col("doc_id").cast("string"),
         lit("@mail.example.org or https://crawl.example.org/doc/"),
-        col("doc_id").cast("string"), lit("?ref=1 tail"))
+        col("doc_id").cast("string"), lit("?ref=1 from 10.0."),
+        pmod(col("doc_id"), lit(250)).cast("string"),
+        lit(".7 10.99.0.8 via fe80:0:0:ab:1:2:3:4 ring (022) 345 67"),
+        pmod(col("doc_id"), lit(100)).cast("string"),
+        lit(" or +1 800 555 0199 or 555-867-5309"),
+        lit(" keep v1.2.3 1.2.3.4.5 2024-01-15 08:30:45 123-45-6789 tail"))
       t(s, dir, "documents")
         .select(col("doc_id"), graft.ops.TextAnalysis.redactPii(tainted).as("clean"))
         .oracleOrderBy("doc_id")
     },
     Some("""SELECT doc_id,
-        regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(
+          regexp_replace(
+          regexp_replace(
           regexp_replace(
             text || ' contact user' || CAST(doc_id AS VARCHAR)
               || '@mail.example.org or https://crawl.example.org/doc/'
-              || CAST(doc_id AS VARCHAR) || '?ref=1 tail',
+              || CAST(doc_id AS VARCHAR) || '?ref=1 from 10.0.'
+              || CAST(doc_id % 250 AS VARCHAR)
+              || '.7 10.99.0.8 via fe80:0:0:ab:1:2:3:4 ring (022) 345 67'
+              || CAST(doc_id % 100 AS VARCHAR)
+              || ' or +1 800 555 0199 or 555-867-5309'
+              || ' keep v1.2.3 1.2.3.4.5 2024-01-15 08:30:45 123-45-6789 tail',
             'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g'),
-          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}\b', '<IP>', 'g'),
+          '(^|[^0-9.])((?:[0-9]{1,3}\.){3}[0-9]{1,3})(\z|[^0-9.])', '\1<IP>\3', 'g'),
+          '(^|[^0-9.])((?:[0-9]{1,3}\.){3}[0-9]{1,3})(\z|[^0-9.])', '\1<IP>\3', 'g'),
+          '\(\d{2,4}\)[ -]?\d{3}[ -]?\d{2,4}', '<PHONE>', 'g'),
+          '\+\d{1,3}[ -]?\d{2,4}[ -]?\d{3,4}[ -]?\d{2,4}', '<PHONE>', 'g'),
+          '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean
       FROM documents ORDER BY doc_id"""),
     bench = true)
 

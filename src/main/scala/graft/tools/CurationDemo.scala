@@ -215,8 +215,16 @@ object CurationDemo {
     // then count TRUE BPE tokens under the learned table
     var vocabSize = 0
     stage("bpe-train-count") { d =>
+      // production merge depth: the driver-side fast loop learns the
+      // identical table trainVocab's distributed loop would (OpsSpec
+      // proves bit-parity) without a Spark job per merge — 2048 merges
+      // cost one corpus pass + one collect, not 2048 round-trips.
+      // minPairCount=1 trains to target vocab size the way production
+      // tokenizers do (the synthetic corpus's count>=2 pair space
+      // dries up at ~124 merges — too small to exercise real depth)
       val vocab = BpeTrain.trainVocab(
-        d.filter(col("split") === "train"), "text", numMerges = 48)
+        d.filter(col("split") === "train"), "text", numMerges = 2048,
+        minPairCount = 1L, fast = true)
       vocabSize = vocab.merges.size
       d.withColumn("n_tok", TextAnalysis.bpeTokenCount(col("text"), vocab))
     }

@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.BpeTrain
+
+/** BPE training depth profile — measures the crossover the fast path
+  * exists for. The distributed loop (`BpeTrain.train`) costs one Spark
+  * job round-trip PER MERGE, so its wall time is
+  * `numMerges × per-round floor` regardless of data size; the driver
+  * loop (`BpeTrain.trainFast`) pays one corpus pass + one collect and
+  * then microseconds per merge. This tool times both on a corpus with
+  * a genuinely large piece space (the testdata documents' 31-word
+  * vocabulary exhausts after ~125 merges, far too small to exercise
+  * production depth): ~30k distinct pseudo-words of 6-10 lowercase
+  * chars derived from a hash counter — deterministic, so reruns are
+  * comparable.
+  *
+  * Reported: distributed per-merge cost at a small prefix, fast-loop
+  * total at production depth (8192 merges), and the merge-for-merge
+  * prefix equality between the two (the OpsSpec bit-parity check,
+  * re-run here on the profile corpus).
+  */
+object ProfileBpe {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 40k docs x 12 words from a 32k-word pseudo-vocabulary: word w_k
+    // is the base-26 lowercase rendering of a multiplicative hash of
+    // k, 6-10 chars — large piece space, Zipf-free but merge-rich
+    val docs = spark.range(40000).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map { j =>
+        val k = pmod(hash(col("id") * 12 + j), lit(32768))
+        // deterministic 6-10 char lowercase word from the hash
+        val h = abs(hash(k, lit(7)))
+        concat(
+          lpad(conv((h % 308915776L).cast("string"), 10, 26), 6, "0"),
+          conv((pmod(h, lit(676))).cast("string"), 10, 26))
+      }: _*).as("text"))
+      .withColumn("text", lower(regexp_replace(col("text"), "[0-9]", "q")))
+      .localCheckpoint(true)
+    println(s"[bpe-profile] corpus: ${docs.count()} docs, " +
+      docs.select(explode(split(col("text"), " ")).as("w"))
+        .agg(countDistinct("w")).head.getLong(0) + " distinct words")
+
+    // distributed loop on a small prefix: the per-merge round-trip cost
+    val tSlow0 = System.nanoTime()
+    val slowPrefix = BpeTrain.train(docs, "text", numMerges = 24)
+    val slowSec = (System.nanoTime() - tSlow0) / 1e9
+    println(f"[bpe-profile] distributed train, 24 merges: $slowSec%.2f s " +
+      f"(${slowSec / 24 * 1000}%.0f ms/merge -> 32k merges would be " +
+      f"${slowSec / 24 * 32768 / 60}%.0f min)")
+
+    // driver loop at production depth
+    val tFast0 = System.nanoTime()
+    val fast = BpeTrain.trainFast(docs, "text", numMerges = 8192, minPairCount = 1L)
+    val fastSec = (System.nanoTime() - tFast0) / 1e9
+    println(f"[bpe-profile] trainFast, asked 8192 merges: learned " +
+      f"${fast.length}%d in $fastSec%.2f s (corpus pass + collect included)")
+
+    // bit-parity on the shared prefix, on THIS corpus too
+    val fastPrefix = BpeTrain.trainFast(docs, "text", numMerges = 24)
+    require(fastPrefix == slowPrefix,
+      "driver loop diverged from the distributed loop on the profile corpus")
+    println("[bpe-profile] prefix parity: 24/24 merges identical")
+
+    spark.stop()
+  }
+}

@@ -253,6 +253,48 @@ class OpsSpec extends SparkSpec {
       .getMessage.contains("minLen"))
   }
 
+  test("Dedup.minLenDupSpans refine: round 2 recovers what decoy first occurrences truncate") {
+    // doc 0 holds the FIRST occurrence of every seed gram of the long
+    // run t1..t8, but contiguously only t1..t6 — t5t6t7 / t6t7t8 sit in
+    // dead-end contexts. Docs 1/2 share the FULL 8-token run; round 1
+    // extends every boundary gram against doc 0 and stops at t6.
+    val rows = Seq(
+      (0L, "t1 t2 t3 t4 t5 t6 x t5 t6 t7 y t6 t7 t8"),
+      (1L, "b1 b2 t1 t2 t3 t4 t5 t6 t7 t8 b3 b4"),
+      (2L, "c1 c2 t1 t2 t3 t4 t5 t6 t7 t8 c3 c4"))
+      .toDF("doc_id", "text").repartition(3)
+    def spansOf(df: org.apache.spark.sql.DataFrame, id: Long) =
+      df.filter(col("doc_id") === id).select("dup_spans").collect().head
+        .getSeq[org.apache.spark.sql.Row](0).map(s => (s.getInt(0), s.getInt(1)))
+    val r1 = Dedup.minLenDupSpans(rows, "doc_id", "text", minLen = 6, seedK = 3)
+    // round-1 under-extension: both copies stop at t6
+    assert(spansOf(r1, 1L) == Seq((2, 7)))
+    assert(spansOf(r1, 2L) == Seq((2, 7)))
+
+    val r2 = Dedup.minLenDupSpans(rows, "doc_id", "text",
+      minLen = 6, seedK = 3, refine = true)
+    // brute force: docs 1/2 share t1..t8. Doc 1 is the EARLIER copy of
+    // the full run, so it marks only t1..t6 (doc 0 is earlier still
+    // there); doc 2 marks the whole run via its round-2 pairing with
+    // doc 1 — the second occurrence of both boundary grams.
+    assert(spansOf(r2, 1L) == Seq((2, 7)))
+    assert(spansOf(r2, 2L) == Seq((2, 9)))
+    val byId = r2.collect().map(r => r.getAs[Long]("doc_id") -> ((
+      r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_tokens"),
+      r.getAs[String]("clean_text")))).toMap
+    assert(byId(0L) == ((0L, 0L, "t1 t2 t3 t4 t5 t6 x t5 t6 t7 y t6 t7 t8")))
+    assert(byId(1L) == ((1L, 6L, "b1 b2 t7 t8 b3 b4")))
+    assert(byId(2L) == ((1L, 8L, "c1 c2 c3 c4")))
+
+    // partitioning invariance of the refined pass
+    val again = Dedup.minLenDupSpans(rows.repartition(1), "doc_id", "text",
+      minLen = 6, seedK = 3, refine = true)
+      .collect().map(r => r.getAs[Long]("doc_id") -> ((
+        r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_tokens"),
+        r.getAs[String]("clean_text")))).toMap
+    assert(again == byId)
+  }
+
   test("Dedup.fuzzyDecontaminate: catches light edits exact 13-grams miss") {
     // eval doc: 60 distinct tokens. The leaked train copy edits ONE
     // token per 10 (positions 9,19,...,59) — the "rephrase a word per
@@ -650,6 +692,45 @@ class OpsSpec extends SparkSpec {
     assert(toks == List("hugs", "Ġ", "pun"))
   }
 
+  test("BpeTrain.trainFast: bit-identical to the distributed loop, q80 corpus included") {
+    // textbook corpus with the genuine tie round — the driver heap's
+    // tie-break must match orderBy(count desc, l, r) exactly
+    val corpus = (
+      Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(12)("pun") ++
+        Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text").repartition(4)
+    assert(BpeTrain.trainFast(corpus, "text", numMerges = 10) ==
+      BpeTrain.train(corpus, "text", numMerges = 10))
+    // early stop + minPairCount floor agree too
+    val tiny = Seq((0L, "ab"), (1L, "ab"), (2L, "ab"), (3L, "b")).toDF("doc_id", "text")
+    assert(BpeTrain.trainFast(tiny, "text", 5, byteLevel = false) ==
+      BpeTrain.train(tiny, "text", 5, byteLevel = false))
+    assert(BpeTrain.trainFast(tiny, "text", 5, byteLevel = false, minPairCount = 4L)
+      == BpeTrain.train(tiny, "text", 5, byteLevel = false, minPairCount = 4L))
+
+    // the q80 oracle corpus: every learned merge equal at the oracle's
+    // own round count — the driver loop would produce the same q80 hash
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val slow = BpeTrain.train(docs, "text", numMerges = 24)
+    val fast = BpeTrain.trainFast(docs, "text", numMerges = 24)
+    assert(fast == slow, s"driver loop diverged from distributed loop")
+    // deep merge counts stay cheap driver-side (the whole point):
+    // 400 merges in one collect + a driver loop, no per-merge jobs
+    val deep = BpeTrain.trainFast(docs, "text", numMerges = 400)
+    assert(deep.take(24) == slow && deep.length > 24)
+    assert(deep.map(_.rank) == deep.indices)
+
+    // the driver-residency guard fails loudly
+    val e = intercept[IllegalArgumentException](
+      BpeTrain.trainFast(docs, "text", numMerges = 5, maxPieces = 10L))
+    assert(e.getMessage.contains("maxPieces") || e.getMessage.contains("pieces"))
+
+    // trainVocab(fast = true) builds the identical vocabulary
+    assert(BpeTrain.trainVocab(corpus, "text", 10, fast = true).merges ==
+      BpeTrain.trainVocab(corpus, "text", 10).merges)
+  }
+
   test("BpeTrain: char-level mode, minPairCount floor, degenerate corpus") {
     val corpus = Seq((0L, "ab"), (1L, "ab"), (2L, "ab"), (3L, "b"))
       .toDF("doc_id", "text")
@@ -931,6 +1012,34 @@ class OpsSpec extends SparkSpec {
     // and the newline bounded the match
     assert(out(2L) == "see <URL>\nnext line")
     assert(out(3L) == "plain text")
+  }
+
+  test("TextAnalysis.redactPii: IPs and phones redact; versions, dates, times, SSN-shapes survive") {
+    val rows = Seq(
+      (1L, "host 192.168.0.1 and neighbor 10.0.0.2 up"),
+      (2L, "adjacent 10.0.0.1 10.0.0.2 10.0.0.3 end"), // single-space quads: the two-pass case
+      (3L, "at end of line 172.16.254.3"),
+      (4L, "v6 fe80:0:0:ab:1:2:3:4 here"),
+      (5L, "call (022) 345 6789 or +1 800 555 0199 or 555-867-5309 now"),
+      (6L, "dotted phone 555.867.5309 also"),
+      // the canonical false positives — every one must survive intact
+      (7L, "release v1.2.3 artifact 1.2.3.4.5 checksum ok"),
+      (8L, "dated 2024-01-15 at 08:30:45 sharp"),
+      (9L, "ssn-shaped 123-45-6789 and isbn 978-0-306-40615-7"),
+      (10L, "big number 4000.1.2.3 stays")) // 4-digit first group: not a quad
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "host <IP> and neighbor <IP> up")
+    assert(out(2L) == "adjacent <IP> <IP> <IP> end")
+    assert(out(3L) == "at end of line <IP>")
+    assert(out(4L) == "v6 <IP> here")
+    assert(out(5L) == "call <PHONE> or <PHONE> or <PHONE> now")
+    assert(out(6L) == "dotted phone <PHONE> also")
+    assert(out(7L) == "release v1.2.3 artifact 1.2.3.4.5 checksum ok")
+    assert(out(8L) == "dated 2024-01-15 at 08:30:45 sharp")
+    assert(out(9L) == "ssn-shaped 123-45-6789 and isbn 978-0-306-40615-7")
+    assert(out(10L) == "big number 4000.1.2.3 stays")
   }
 
   test("TextAnalysis.paragraphDedup: first occurrence wins corpus-wide, order kept") {
@@ -2469,6 +2578,48 @@ class OpsSpec extends SparkSpec {
       assert(plan.contains("PartitionFilters"), plan)
       assert(plan.contains("cell"), plan)
       assert(!plan.contains("embedding"), plan)
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
+  test("AnnIndex.append: frozen-model fold-in equals encoding the union; pruning survives") {
+    val dir = java.nio.file.Files.createTempDirectory("annappend").toString
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val old = emb.filter(col("vec_id") < 400)
+      val fresh = emb.filter(col("vec_id") >= 400)
+      val built = AnnIndex.build(old, "embedding", "vec_id", dir,
+        nCells = 4, m = 4, k = 4, dim = 64, iters = 2)
+      AnnIndex.append(built, fresh, "embedding", "vec_id")
+
+      // state-level equality: the code table now holds exactly what
+      // build would have written for the union under these models
+      def codeRows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("vec_id").cast("long"), col("cell").cast("long"),
+          col("code_0").cast("int"), col("code_1").cast("int"),
+          col("code_2").cast("int"), col("code_3").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toSet
+      val onDisk = codeRows(spark.read.parquet(s"$dir/codes"))
+      val inMem = codeRows(graft.ops.Similarity.pqEncode(
+        graft.ops.Similarity.ivfAssign(emb, "embedding", built.centroids),
+        "embedding", built.codebooks))
+      assert(onDisk == inMem, s"disk ${onDisk.size} rows vs in-mem ${inMem.size}")
+
+      // a query whose vector IS an appended embedding finds it, via the
+      // same pruned scan
+      val qv = emb.filter(col("vec_id") === 450)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .collect().head.getSeq[Double](0).toSeq
+      val reloaded = AnnIndex.load(spark, dir)
+      val res = AnnIndex.query(spark, reloaded, "vec_id", qv, k = 5, nProbe = 2)
+      val ids = res.collect().map(_.getLong(0)).toSeq
+      assert(ids.exists(_ >= 400L), s"no appended row surfaced: $ids")
+      val plan = res.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && !plan.contains("embedding"), plan)
     } finally {
       val root = java.nio.file.Path.of(dir)
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())

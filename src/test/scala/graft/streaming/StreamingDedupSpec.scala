@@ -88,6 +88,63 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDedupSink: a later batch's near-duplicate is flagged against an earlier batch's doc; parity with the batch loop") {
+    import graft.ops.DedupIndex
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and then naps"),
+      (2L, "completely different content about spark engines and data"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (100L, "the quick brown fox jumps over the lazy cat and then naps"), // near of corpus 0
+      (101L, "unrelated fresh material with novel words nothing shared here ok"))
+    val b2 = Seq(
+      // near-dup of 101 (from batch 1!): one APPENDED word keeps all of
+      // 101's shingles (similarity 10/11), so the (8,4) banding
+      // reliably surfaces the pair — a mid-text substitution at this
+      // doc length would sit on the S-curve's miss slope
+      (200L, "unrelated fresh material with novel words nothing shared here ok extra"),
+      (201L, "unrelated fresh material with novel words nothing shared here ok"),   // exact of 101
+      (202L, "entirely new third batch document with its own vocabulary set"))
+
+    val root = java.nio.file.Files.createTempDirectory("neardedup_").toString
+    val handle = DedupIndex.build(corpus, "doc_id", s"$root/idx")
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(StreamingDedup.nearDedupSink(handle, s"$root/verdicts", threshold = 0.5))
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$root/verdicts")
+      .select("doc_id", "exact_dup", "near_dup", "near_dup_of", "is_new")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), Option(r.get(3)), r.getBoolean(4))).toMap
+    // the cross-batch near-dup: 200 duplicates 101, which arrived in a
+    // PREVIOUS micro-batch (not the original corpus)
+    assert(streamed(100L) == ((false, true, Some(0L), false)), s"$streamed")
+    assert(streamed(101L) == ((false, false, None, true)))
+    assert(streamed(200L) == ((false, true, Some(101L), false)), s"$streamed")
+    assert(streamed(201L)._1 && !streamed(201L)._4) // exact re-send caught
+    assert(streamed(202L)._4)
+
+    // parity: the same frames through the batch-op loop in arrival order
+    val h2 = DedupIndex.build(corpus, "doc_id", s"$root/idx2")
+    def run(b: Seq[(Long, String)]) = {
+      val df = b.toDF("doc_id", "text")
+      val v = DedupIndex.dedupBatch(spark, h2, df, threshold = 0.5).localCheckpoint(true)
+      DedupIndex.append(h2, v.filter(col("is_new")).select("doc_id", "text"))
+      v.select("doc_id", "exact_dup", "near_dup", "near_dup_of", "is_new")
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), r.getBoolean(2), Option(r.get(3)), r.getBoolean(4))).toMap
+    }
+    val manual = run(b1) ++ run(b2)
+    assert(streamed == manual, s"stream $streamed vs batch loop $manual")
+  }
+
   test("exactDedupStream: non-positive TTL rejected at entry, not at runtime") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamDoc]
