@@ -1,0 +1,21 @@
+#!/bin/bash
+# Fixed-code quiet-host A/B for the r8 q45_gtfs_sink reading (verdict
+# r8 "What's wrong" #2): the final r8 driver bench recorded q45 at
+# 2.56 s vs BENCH_r07's 1.80 s (1.42x) with SaveGtfs untouched; its
+# in-round history spans 1.72-2.56 s and the r5 ProfileSink work
+# attributed the spread to write-phase system noise. Two arms,
+# interleaved, n=9, quiet host: q45 alone, then q45 inside a small
+# mixed family (one scan-heavy, one sink query) to catch any
+# interaction. If the medians land near the 1.7-2.0 s band in both
+# arms, the 2.56 was the driver bench run's host state.
+cd /root/repo
+FAMILY="q45_gtfs_sink,q01_agg,q42_geo_dedup"
+for i in 1 2; do
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_RUNS=9 \
+  SPARK_GRAFT_BENCH_ONLY="q45_gtfs_sink" SPARK_GRAFT_BENCH_STATS_OUT=/root/repo/ab_r9/solo_$i.json \
+  sbt -batch "runMain graft.Bench" > /root/repo/ab_r9/solo_$i.log 2>&1
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_RUNS=9 \
+  SPARK_GRAFT_BENCH_ONLY="$FAMILY" SPARK_GRAFT_BENCH_STATS_OUT=/root/repo/ab_r9/family_$i.json \
+  sbt -batch "runMain graft.Bench" > /root/repo/ab_r9/family_$i.log 2>&1
+done
+echo DONE > /root/repo/ab_r9/done.marker

@@ -181,6 +181,35 @@ object Dedup {
       (if (nTruth > 0) lit(nHit.toDouble / nTruth) else lit(Double.NaN)).as("recall"))
   }
 
+  /** One banding configuration with its S-curve characteristics at a
+    * target similarity: `pCandidate` = 1 − (1 − t^bandSize)^bands (the
+    * probability a pair of true similarity `t` shares at least one
+    * band) and `midpoint` = (1/bands)^(1/bandSize), the similarity
+    * where the curve crosses ~0.5 — the classic (b, r) design rule
+    * places it at the dedup threshold. */
+  final case class LshPlan(
+      numHashes: Int, bandSize: Int, bands: Int,
+      pCandidate: Double, midpoint: Double)
+
+  /** Banding-plan chooser — the design-time companion of
+    * [[lshEvaluate]] (which MEASURES a config on a sample, while this
+    * enumerates the choices worth measuring): every (numHashes =
+    * bands × bandSize) ≤ `maxHashes`, ranked by |midpoint − threshold|
+    * (then fewer hashes — cheaper signatures win ties). Driver-side
+    * arithmetic over a few dozen combinations; nothing distributed. */
+  def lshPlans(threshold: Double, maxHashes: Int = 64): Seq[LshPlan] = {
+    require(threshold > 0 && threshold < 1, s"threshold out of (0,1): $threshold")
+    require(maxHashes >= 2, s"maxHashes must be >= 2, got $maxHashes")
+    val plans = for {
+      r <- 1 to maxHashes
+      b <- 1 to maxHashes / r
+      if b * r >= 2
+    } yield LshPlan(b * r, r, b,
+      1.0 - math.pow(1.0 - math.pow(threshold, r), b),
+      math.pow(1.0 / b, 1.0 / r))
+    plans.sortBy(p => (math.abs(p.midpoint - threshold), p.numHashes, p.bandSize))
+  }
+
   /** Connected components over an undirected (doc_a, doc_b) edge list
     * by min-label propagation WITH label doubling: every node adopts
     * the minimum of its own label, its neighbors' labels, and its

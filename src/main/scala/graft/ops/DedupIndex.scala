@@ -96,6 +96,43 @@ object DedupIndex {
     words.write.mode("append").parquet(s"${handle.dir}/words")
   }
 
+  /** Rewrite the index state deduplicated — the maintenance pass for a
+    * long-running append loop: fingerprints collapse to distinct
+    * (appends re-add shared hashes), signature and word rows collapse
+    * to one per id (a doc re-appended under the same id — e.g. a
+    * replayed ingest batch — holds identical derived rows, so any
+    * survivor is THE row; `max_by` keeps the pick deterministic).
+    * Probe results are identical before and after — compaction buys
+    * bytes and probe-join input size, never answers. Writes through a
+    * temp subdirectory then swaps, so a crash mid-compact leaves the
+    * original state readable. */
+  def compact(handle: Handle): Unit = {
+    val spark = SparkSession.active
+    val dir = handle.dir
+    val tmp = s"$dir/compact_tmp"
+    val idc = col(handle.idCol)
+    spark.read.parquet(s"$dir/fingerprints").distinct()
+      .write.mode("overwrite").parquet(s"$tmp/fingerprints")
+    val mhCols = (0 until handle.numHashes).map(i => s"mh$i")
+    spark.read.parquet(s"$dir/signatures")
+      .groupBy(idc).agg(
+        max(struct(mhCols.map(col) :+ col("band0"): _*)).as("__s"))
+      .select(idc +: (mhCols :+ "band0").map(c => col(s"__s.$c").as(c)): _*)
+      .repartition(col("band0"))
+      .write.mode("overwrite").partitionBy("band0").parquet(s"$tmp/signatures")
+    spark.read.parquet(s"$dir/words")
+      .groupBy(idc).agg(max_by(col("words"), size(col("words"))).as("words"))
+      .write.mode("overwrite").parquet(s"$tmp/words")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq("fingerprints", "signatures", "words").foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$t"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$t"),
+        new org.apache.hadoop.fs.Path(s"$dir/$t"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   def load(spark: SparkSession, dir: String): Handle = {
     val metaDf = spark.read.json(s"$dir/meta")
     val meta = metaDf.collect()

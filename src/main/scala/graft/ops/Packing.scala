@@ -169,6 +169,58 @@ object Packing {
       .withColumn("chunk_text", array_join(col("tokens"), " "))
   }
 
+  /** [[materializeChunks]] with an EOS separator and the document-
+    * boundary map — the layout GPT-style pretraining actually packs:
+    * `eosToken` terminates every document in the concatenated stream
+    * (so a model can learn document ends, and a sampler can split on
+    * them), and each chunk carries `doc_starts` — the ascending
+    * in-chunk offsets where a NEW document begins, the attention-reset
+    * / loss-mask input. A chunk that begins mid-document has no 0
+    * entry; a chunk of pure continuation has an empty array.
+    * Token-free documents are dropped entirely (no stray EOS).
+    *
+    * 100 TB shape: identical to [[materializeChunks]] — the boundary
+    * offsets are collected by the SAME (shard, chunk)-keyed aggregate
+    * that assembles the tokens (a document start is just the row where
+    * the in-document position is 0), so the EOS variant costs no extra
+    * shuffle, window pass or join. */
+  def materializeChunksEos(
+      df: DataFrame, idCol: String, textCol: String,
+      ctxLen: Long, shardCol: String,
+      eosToken: String = "<|endoftext|>"): DataFrame = {
+    require(ctxLen >= 1, s"context length must be >= 1, got $ctxLen")
+    require(eosToken.nonEmpty && !eosToken.exists(_.isWhitespace),
+      s"eosToken must be a non-empty whitespace-free token, got '$eosToken'")
+    val baseToks = split(trim(lower(col(textCol))), "\\s+")
+    val nBase = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(baseToks))
+    val withTok = df
+      .withColumn("__nbase", nBase)
+      .filter(col("__nbase") >= 1)
+      .withColumn("__toks", concat(baseToks, array(lit(eosToken))))
+      .withColumn("__ntok", (col("__nbase") + 1).cast("long"))
+    val packed = packChunks(withTok, idCol, "__ntok", ctxLen, shardCol)
+    val exploded = packed
+      .select(col(shardCol).as("shard"), col("start_tok"),
+        posexplode(col("__toks")).as(Seq("__i", "__tok")))
+      .withColumn("__pos", col("start_tok") + col("__i"))
+    exploded
+      .groupBy(col("shard"),
+        floor(col("__pos").cast("double") / lit(ctxLen.toDouble)).cast("long")
+          .as("chunk_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        transform(
+          array_sort(collect_list(struct(col("__pos").as("p"), col("__tok").as("t")))),
+          x => x.getField("t")).as("tokens"),
+        // a document's first token has in-document position 0; its
+        // in-chunk offset is pos mod ctxLen (chunk cuts are exact
+        // multiples). collect_list drops the nulls of non-start rows.
+        sort_array(collect_list(
+          when(col("__i") === 0, pmod(col("__pos"), lit(ctxLen)).cast("int"))))
+          .as("doc_starts"))
+      .withColumn("chunk_text", array_join(col("tokens"), " "))
+      .withColumn("n_docs_started", size(col("doc_starts")).cast("long"))
+  }
+
   /** Write materialized chunks as a training-ready layout:
     * `outDir/chunks/shard=<s>/…` parquet (partition pruning means a
     * loader reading one shard touches only its files) plus

@@ -208,6 +208,63 @@ object Sampling {
     rows.toSeq.toDF(strataCol, "n_tokens", "alloc_tokens", "epochs")
   }
 
+  /** Temperature-scaled token allocation — the multilingual mixing
+    * baseline [[uniMaxAllocation]] improves on (and [[mixtureSample]]'s
+    * fixed proportions generalize): stratum i's share of `budget` is
+    * proportional to `n_i^tau`. `tau = 1` reproduces natural
+    * proportions; `tau -> 0` approaches uniform; mT5's 0.3 and XLM-R's
+    * 0.7 are the canonical settings. No epoch cap — that is exactly
+    * UniMax's critique — so small strata CAN be allocated past
+    * repetition (`epochs` > maxEpochs); this operator exists as the
+    * comparable baseline, not the recommendation.
+    *
+    * Engine-portable determinism: the only transcendental step is
+    * `w_i = round(exp(tau * ln n_i) * 2^20)` (both engines spell the
+    * identical exp/ln composition, quantized once); everything after
+    * is exact integer arithmetic — `floor(budget*w_i / sum w)` base
+    * shares via BigInt, leftover tokens to the largest exact
+    * remainders (`budget*w_i - base_i*sum_w`, ties by stratum
+    * ascending). ONE stratum-keyed token count, then a strata-bounded
+    * driver fold — the allocator shape of this library. */
+  def temperatureAllocation(
+      df: DataFrame, textCol: String, strataCol: String,
+      budget: Long, tau: Double = 0.7): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(strataCol).agg(
+      coalesce(sum(
+        when(col(textCol).isNull || length(trim(col(textCol))) === 0, 0)
+          .otherwise(size(split(trim(col(textCol)), "\\s+")))
+          .cast("long")), lit(0L)).as("n_tokens"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.forall(_._1 != null),
+      s"temperatureAllocation: NULL value in stratum column '$strataCol' — " +
+        "coalesce nulls to a label or filter them out before allocating")
+    val wq = counts.map { case (s, n) =>
+      val w = if (n <= 0L) 0L
+        else math.round(math.exp(tau * math.log(n.toDouble)) * 1048576.0)
+      (s, n, w)
+    }
+    val sw = wq.map(t => BigInt(t._3)).sum
+    require(sw > 0, "temperatureAllocation: no stratum has any tokens")
+    val based = wq.map { case (s, n, w) =>
+      val num = BigInt(budget) * BigInt(w)
+      val b = (num / sw).toLong
+      (s, n, w, b, num - BigInt(b) * sw) // exact remainder
+    }
+    val left = budget - based.map(_._4).sum
+    val bump = based
+      .sortWith((a, b) => if (a._5 != b._5) a._5 > b._5 else a._1 < b._1)
+      .take(left.toInt).map(_._1).toSet
+    based.toSeq.map { case (s, n, w, b, _) =>
+      val alloc = b + (if (bump(s)) 1L else 0L)
+      (s, n, w, alloc,
+        if (n > 0) alloc.toDouble / n.toDouble else Double.NaN)
+    }.toDF(strataCol, "n_tokens", "weight_q", "alloc_tokens", "epochs")
+  }
+
   def assignSplit(
       df: DataFrame, idCol: String,
       splits: Seq[(String, Double)], outCol: String = "split"): DataFrame = {

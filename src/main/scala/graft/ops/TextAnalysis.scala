@@ -50,6 +50,21 @@ object TextAnalysis {
   def bpeTokenCount(text: Column, vocab: graft.plans.BpeVocab): Column =
     size(bpeTokens(text, vocab)).cast("long")
 
+  /** BPE tokenization straight to vocabulary IDS (`array<int>`) — the
+    * column a training dataloader consumes. Same segmentation as
+    * [[bpeTokens]]; ids follow [[graft.plans.BpeVocab.idTableRows]]'
+    * deterministic construction (byte alphabet at 0..255 in byte
+    * order, composites at `256 + rank`), so a table learned by
+    * [[BpeTrain]] yields ids without shipping a separate vocab.json.
+    * Byte-level never emits -1; char-level emits -1 for characters
+    * outside the fixture alphabet. */
+  def bpeTokenIds(text: Column, vocab: graft.plans.BpeVocab): Column = {
+    graft.plans.BpeTokenIds.register(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_bpe_ids", text,
+      typedLit(vocab.merges.map { case (l, r) => l + "\u001F" + r }),
+      lit(vocab.byteLevel))
+  }
+
   /** Occurrences of `needle` in `text` via the replace-length trick
     * (exact, regex-free, codegen'd). NON-OVERLAPPING: in "ababa" the
     * needle "aba" counts once — in particular a space-padded word
@@ -554,6 +569,32 @@ object TextAnalysis {
       regexp_replace(noIp6, ipv4, "$1<IP>$3"), ipv4, "$1<IP>$3")
     regexp_replace(regexp_replace(regexp_replace(noIp,
       phoneParen, "<PHONE>"), phoneIntl, "<PHONE>"), phoneSep, "<PHONE>")
+  }
+
+  /** Per-document PII audit — what [[redactPii]] WOULD remove, by
+    * type: `n_url` / `n_email` / `n_ip` / `n_phone` occurrence counts
+    * plus `pii_total`, the numbers a data card reports and a
+    * threshold filter gates on (drop documents that are mostly PII).
+    * Counts come from the redacted text via the replace-length trick
+    * ([[countOccurrences]]), minus any LITERAL placeholder strings
+    * already present in the input so a document containing the text
+    * "<URL>" is not miscounted. Narrow, codegen'd, zero shuffle —
+    * the redaction chain runs once per row and the counts are
+    * arithmetic over it. */
+  def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val placeholders = Seq(
+      "n_url" -> "<URL>", "n_email" -> "<EMAIL>",
+      "n_ip" -> "<IP>", "n_phone" -> "<PHONE>")
+    val withRed = df.withColumn("__red", redactPii(col(textCol)))
+    val counted = placeholders.foldLeft(withRed) { case (acc, (out, ph)) =>
+      acc.withColumn(out,
+        (countOccurrences(col("__red"), ph) -
+          countOccurrences(col(textCol), ph)).cast("long"))
+    }
+    counted
+      .withColumn("pii_total",
+        placeholders.map(p => col(p._1)).reduce(_ + _))
+      .drop("__red")
   }
 
   /** Corpus-wide exact paragraph dedup (the Dolma/CCNet pass that

@@ -43,6 +43,37 @@ final case class BpeVocab(
     }
     m
   }
+
+  /** Ordered (token, id) table — the vocab.json analogue of this merge
+    * table, by deterministic construction rather than a shipped file:
+    * byte-level puts the 256 byte symbols at ids 0..255 in BYTE order
+    * ([[BpeVocab.ByteToChar]] applied to byte b has id b), char-level
+    * puts the distinct single-code-point symbols appearing in merge
+    * sides at ids 0.. in code-point order; then each merge's composite
+    * takes `alphabet_size + rank`. A composite string produced by two
+    * different merge paths keeps its FIRST id (same rule as rank
+    * lookup). Ids are dense except for such duplicates. */
+  lazy val idTableRows: Seq[(String, Int)] = {
+    val alphabet: Seq[String] =
+      if (byteLevel) (0 until 256).map(b => String.valueOf(BpeVocab.ByteToChar(b)))
+      else merges.flatMap { case (l, r) => Seq(l, r) }
+        .flatMap(s => s.codePoints().toArray.map(cp => new String(Character.toChars(cp))))
+        .distinct.sorted
+    val base = alphabet.size
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    alphabet.zipWithIndex.foreach { case (s, i) => seen.getOrElseUpdate(s, i) }
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      seen.getOrElseUpdate(l + r, base + i)
+    }
+    seen.toSeq
+  }
+
+  /** token string -> id lookup built from [[idTableRows]]. */
+  @transient private[plans] lazy val tokenIds: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](idTableRows.size * 2)
+    idTableRows.foreach { case (t, i) => m.put(t, i) }
+    m
+  }
 }
 
 object BpeVocab {
@@ -153,13 +184,34 @@ case class BpeTokenize(child: Expression, vocab: BpeVocab)
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName needs a string argument, got ${child.dataType.catalogString}")
 
+  @transient private lazy val enc = new BpeEncoder(vocab)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    enc.foreachPiece(text) { toks =>
+      var i = 0
+      while (i < toks.length) { out += UTF8String.fromString(toks(i)); i += 1 }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenize =
+    copy(child = newChild)
+}
+
+/** The shared per-task BPE piece encoder: pre-tokenizer matching plus
+  * the GPT-2 merge loop, with a per-thread access-ordered LRU over
+  * piece encodings (pieces follow a Zipfian word distribution, so the
+  * hit rate on real text is high and the map stays small; thread-local
+  * because expression instances can be shared across a JVM's task
+  * threads). Backs [[BpeTokenize]] (token strings) and [[BpeTokenIds]]
+  * (vocabulary ids) with identical segmentation. */
+private[plans] final class BpeEncoder(vocab: BpeVocab) extends Serializable {
+
   @transient private lazy val pretoken =
     java.util.regex.Pattern.compile(BpeTokenize.PretokenPattern)
 
-  /** Per-thread piece-encoding LRU (access-ordered, capped): pieces
-    * follow a Zipfian word distribution, so the hit rate on real text
-    * is high and the map stays small. Thread-local because expression
-    * instances can be shared across a JVM's task threads. */
   @transient private lazy val cache =
     new ThreadLocal[java.util.LinkedHashMap[String, Array[String]]] {
       override def initialValue() =
@@ -169,7 +221,7 @@ case class BpeTokenize(child: Expression, vocab: BpeVocab)
         }
     }
 
-  private def encodePiece(piece: String): Array[String] = {
+  def encodePiece(piece: String): Array[String] = {
     val c = cache.get()
     val hit = c.get(piece)
     if (hit != null) return hit
@@ -204,19 +256,50 @@ case class BpeTokenize(child: Expression, vocab: BpeVocab)
     word
   }
 
+  /** Run `f` over each pre-tokenizer piece's encoded tokens in order. */
+  def foreachPiece(text: String)(f: Array[String] => Unit): Unit = {
+    val m = pretoken.matcher(text)
+    while (m.find()) f(encodePiece(m.group()))
+  }
+}
+
+/** BPE tokenization straight to VOCABULARY IDS: the same segmentation
+  * as [[BpeTokenize]], each token mapped through the deterministic id
+  * table ([[BpeVocab.idTableRows]]) — the `array<int>` a training
+  * dataloader actually consumes, skipping the token-string
+  * materialization entirely. Byte-level tokens are always in the
+  * table (every token is a byte symbol or a merge composite);
+  * char-level input characters outside the fixture alphabet map to
+  * -1 — filter or fail upstream, the id table has no learned <unk>. */
+case class BpeTokenIds(child: Expression, vocab: BpeVocab)
+  extends UnaryExpression with CodegenFallback with Serializable {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_bpe_ids"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string argument, got ${child.dataType.catalogString}")
+
+  @transient private lazy val enc = new BpeEncoder(vocab)
+
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
-    val m = pretoken.matcher(text)
-    while (m.find()) {
-      val toks = encodePiece(m.group())
+    val ids = vocab.tokenIds
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    enc.foreachPiece(text) { toks =>
       var i = 0
-      while (i < toks.length) { out += UTF8String.fromString(toks(i)); i += 1 }
+      while (i < toks.length) {
+        val id = ids.get(toks(i))
+        out += (if (id == null) -1 else id.intValue())
+        i += 1
+      }
     }
     new GenericArrayData(out.toArray[Any])
   }
 
-  override protected def withNewChildInternal(newChild: Expression): BpeTokenize =
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenIds =
     copy(child = newChild)
 }
 
@@ -264,6 +347,41 @@ object BpeTokenize {
         s"graft_bpe argument 3 must be a boolean literal, got $other")
     }
     BpeTokenize(exprs.head, BpeVocab(merges, byteLevel))
+  }
+
+  private[plans] def parseVocabArgs(
+      exprs: Seq[Expression], name: String): BpeVocab = {
+    require(exprs.length == 2 || exprs.length == 3,
+      s"$name takes 2 or 3 arguments, got ${exprs.length}")
+    val merges = exprs(1) match {
+      case Literal(arr: ArrayData, ArrayType(StringType, _)) =>
+        arr.toArray[UTF8String](StringType).map { u =>
+          u.toString.split(BpeVocab.Sep) match {
+            case Array(left, right) => left -> right
+            case _ => sys.error(s"$name merge element is not 'left\\u001Fright': '$u'")
+          }
+        }.toSeq
+      case other => sys.error(
+        s"$name argument 2 must be a literal array<string> of merges, got $other")
+    }
+    val byteLevel = exprs.lift(2) match {
+      case None => true
+      case Some(Literal(b: Boolean, BooleanType)) => b
+      case Some(other) => sys.error(
+        s"$name argument 3 must be a boolean literal, got $other")
+    }
+    BpeVocab(merges, byteLevel)
+  }
+}
+
+object BpeTokenIds {
+  /** Register `graft_bpe_ids(text, merges_array[, byte_level])` — the
+    * same argument encoding as `graft_bpe`, ids out. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    NativeFunctions.registerOnce(spark, "graft_bpe_ids", builder)
+
+  private[plans] def builder: Seq[Expression] => Expression = { exprs =>
+    BpeTokenIds(exprs.head, BpeTokenize.parseVocabArgs(exprs, "graft_bpe_ids"))
   }
 }
 

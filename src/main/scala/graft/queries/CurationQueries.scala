@@ -393,6 +393,87 @@ object CurationQueries {
     },
     bench = true)
 
+  /** BPE tokenization to VOCABULARY IDS (library
+    * `TextAnalysis.bpeTokenIds`, native [[graft.plans.BpeTokenIds]]):
+    * the q75 segmentation mapped through the deterministic id table —
+    * byte alphabet at ids 0..255 in byte order (GPT-2
+    * `bytes_to_unicode` applied to byte b has id b), composites at
+    * `256 + rank`. The oracle rebuilds BOTH halves relationally: the
+    * byte→char alphabet via the same keep-set windows, the composite
+    * ids from the merge VALUES, and the q75 recursive merge loop —
+    * then maps every token of every document. Hash covers every id. */
+  val q113 = QueryDef(
+    "q113_bpe_token_ids",
+    (s, dir) => {
+      val vocab = graft.plans.BpeVocab(FixtureMerges, byteLevel = true)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.bpeTokenIds(col("text"), vocab).as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_bpe_tokens"),
+          concat_ws("\u001F", transform(col("ids"), i => i.cast("string")))
+            .as("ids_str"))
+        .oracleOrderBy("doc_id")
+    },
+    Some {
+      val p = graft.ops.TextAnalysis.BpePattern.replace("'", "''")
+      val vals = FixtureMerges.zipWithIndex
+        .map { case ((l, r), i) => s"('$l','$r',$i)" }.mkString(", ")
+      s"""WITH RECURSIVE
+        mg(l, r, rk) AS (VALUES $vals),
+        mm AS (SELECT map(list(l || chr(31) || r ORDER BY rk),
+                          list(rk ORDER BY rk)) AS m FROM mg),
+        bytes AS (
+          SELECT CAST(r.i AS INT) AS b,
+            CASE WHEN (r.i BETWEEN 33 AND 126) OR (r.i BETWEEN 161 AND 172)
+                 OR (r.i BETWEEN 174 AND 255) THEN 1 ELSE 0 END AS keep
+          FROM range(0, 256) r(i)),
+        alpha AS (
+          SELECT b,
+            CASE WHEN keep = 1 THEN chr(b)
+              ELSE chr(256 + CAST(coalesce(sum(1 - keep) OVER
+                (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS INT))
+            END AS tok
+          FROM bytes),
+        idt AS (
+          SELECT tok, CAST(min(id) AS INT) AS id FROM (
+            SELECT tok, b AS id FROM alpha
+            UNION ALL SELECT l || r AS tok, 256 + rk AS id FROM mg) u
+          GROUP BY tok),
+        im AS (SELECT map(list(tok), list(id)) AS m2 FROM idt),
+        pieces AS (
+          SELECT doc_id, s['i'] AS piece_id, replace(s['p'], ' ', 'Ġ') AS piece
+          FROM (SELECT doc_id,
+                  unnest(list_transform(regexp_extract_all(text, '$p'),
+                    (x, i) -> {'i': i, 'p': x})) AS s
+                FROM documents)),
+        steps AS (
+          SELECT doc_id, piece_id, string_split(piece, '') AS syms, 0 AS step
+          FROM pieces
+          UNION ALL
+          SELECT doc_id, piece_id,
+            syms[1:best[2]-1] || [syms[best[2]] || syms[best[2]+1]]
+              || syms[best[2]+2:] AS syms,
+            step + 1
+          FROM (
+            SELECT doc_id, piece_id, syms, step,
+              list_sort(list_transform(range(1, len(syms)),
+                i -> [coalesce(element_at(m, syms[i] || chr(31) || syms[i+1])[1],
+                               1000000), i]))[1] AS best
+            FROM steps, mm) t
+          WHERE best IS NOT NULL AND best[1] < 1000000),
+        fin AS (SELECT doc_id, piece_id, max_by(syms, step) AS toks
+                FROM steps GROUP BY doc_id, piece_id),
+        agg AS (SELECT doc_id, flatten(list(toks ORDER BY piece_id)) AS toks
+                FROM fin GROUP BY doc_id)
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+          array_to_string(list_transform(toks,
+            t -> CAST(element_at(m2, t)[1] AS VARCHAR)), chr(31)) AS ids_str
+        FROM agg, im ORDER BY doc_id"""
+    },
+    bench = true)
+
   /** Exact-substring duplicate spans (library
     * `Dedup.exactSubstrSpans`): every 5-token window occurring more
     * than once anywhere in the corpus marks its positions, marks merge
@@ -1496,6 +1577,53 @@ object CurationQueries {
       FROM ex GROUP BY source, chunk_id ORDER BY shard, chunk_id"""),
     bench = true)
 
+  /** EOS-separated training sequences with document boundaries
+    * (library `Packing.materializeChunksEos` — the production form of
+    * q105's packing: every document ends with `<|endoftext|>` in the
+    * stream, and each chunk reports `doc_starts`, the in-chunk offsets
+    * where a new document begins — the attention-reset mask input).
+    * The oracle re-derives the EOS-extended token stream, the same
+    * cumulative offsets, the chunk cut, each chunk's content md5 AND
+    * its comma-joined boundary-offset list — one wrong token or one
+    * wrong boundary anywhere breaks the hash. */
+  val q114 = QueryDef(
+    "q114_materialize_eos",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Packing.materializeChunksEos(docs, "doc_id", "text",
+          ctxLen = 128L, shardCol = "source")
+        .select(col("shard"), col("chunk_id"), col("n_tok"),
+          md5(col("chunk_text")).as("chunk_fp"),
+          concat_ws(",", transform(col("doc_starts"), i => i.cast("string")))
+            .as("doc_starts_str"),
+          col("n_docs_started"))
+        .oracleOrderBy("shard", "chunk_id")
+    },
+    Some("""WITH tk AS MATERIALIZED (
+        SELECT doc_id, source,
+          string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')
+            || ['<|endoftext|>'] AS t
+        FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+      n AS (SELECT doc_id, source, t, len(t) AS ntok FROM tk),
+      cum AS (
+        SELECT *, sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - ntok AS start_tok FROM n),
+      ex AS (
+        SELECT source, start_tok + u.i - 1 AS pos, t[u.i] AS tok,
+          (u.i = 1) AS is_start
+        FROM cum, LATERAL unnest(generate_series(1, ntok)) u(i))
+      SELECT source AS shard,
+        CAST(floor(pos / CAST(128 AS DOUBLE)) AS BIGINT) AS chunk_id,
+        CAST(count(*) AS BIGINT) AS n_tok,
+        md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp,
+        coalesce(array_to_string(
+          list(CAST(pos % 128 AS VARCHAR) ORDER BY pos) FILTER (WHERE is_start),
+          ','), '') AS doc_starts_str,
+        CAST(coalesce(count(*) FILTER (WHERE is_start), 0) AS BIGINT)
+          AS n_docs_started
+      FROM ex GROUP BY source, chunk_id ORDER BY shard, chunk_id"""),
+    bench = true)
+
   /** UniMax budget allocation (library `Sampling.uniMaxAllocation`,
     * Chung et al. 2023 — the epoch-capped water-filling mixing rule;
     * q90's largest-remainder quotas cover the fixed-proportion case):
@@ -1539,6 +1667,56 @@ object CurationQueries {
         CASE WHEN n > 0
           THEN round(CAST(alloc AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS epochs
       FROM sel ORDER BY source"""),
+    bench = true)
+
+  /** Temperature-scaled allocation (library
+    * `Sampling.temperatureAllocation` — the n^tau mixing baseline
+    * q109's UniMax improves on; tau = 0.7 is XLM-R's setting): the
+    * only transcendental step is the per-stratum weight
+    * `round(exp(0.7 * ln n) * 2^20)`, spelled identically on both
+    * engines and quantized ONCE; base shares and the largest-remainder
+    * leftover distribution are exact integer arithmetic (HUGEINT /
+    * BigInt), remainder ties breaking by stratum name. Hash covers
+    * every stratum's weight, allocation and epochs. */
+  val q116 = QueryDef(
+    "q116_temperature_alloc",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Sampling.temperatureAllocation(docs, "text", "source",
+          budget = 50000L, tau = 0.7)
+        .select(col("source"), col("n_tokens"), col("weight_q"),
+          col("alloc_tokens"), round(col("epochs"), 6).as("epochs"))
+        .oracleOrderBy("source")
+    },
+    Some("""WITH cnt AS MATERIALIZED (
+        SELECT source,
+          CAST(coalesce(sum(CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END), 0) AS BIGINT)
+            AS n
+        FROM documents GROUP BY source),
+      w AS MATERIALIZED (
+        SELECT source, n,
+          CASE WHEN n <= 0 THEN CAST(0 AS HUGEINT)
+            ELSE CAST(round(exp(CAST(0.7 AS DOUBLE) * ln(CAST(n AS DOUBLE)))
+              * CAST(1048576 AS DOUBLE)) AS HUGEINT) END AS wq
+        FROM cnt),
+      tot AS (SELECT CAST(sum(wq) AS HUGEINT) AS sw FROM w),
+      base AS MATERIALIZED (
+        SELECT source, n, wq,
+          CAST((CAST(50000 AS HUGEINT) * wq) // sw AS BIGINT) AS b,
+          CAST(50000 AS HUGEINT) * wq
+            - ((CAST(50000 AS HUGEINT) * wq) // sw) * sw AS rem
+        FROM w, tot),
+      lft AS (SELECT 50000 - CAST(sum(b) AS BIGINT) AS leftover FROM base),
+      rk AS (SELECT source, n, wq, b,
+               row_number() OVER (ORDER BY rem DESC, source) AS r
+             FROM base)
+      SELECT source, n AS n_tokens, CAST(wq AS BIGINT) AS weight_q,
+        CAST(b + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens,
+        CASE WHEN n > 0 THEN round(
+          CAST(b + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS DOUBLE)
+            / CAST(n AS DOUBLE), 6) END AS epochs
+      FROM rk, lft ORDER BY source"""),
     bench = true)
 
   /** Corpus drift monitor (library `TextAnalysis.vocabDrift` — the
@@ -1601,5 +1779,6 @@ object CurationQueries {
 
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
-      q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112)
+      q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
+      q114, q116)
 }

@@ -588,6 +588,76 @@ object TextQueries {
       FROM documents ORDER BY doc_id"""),
     bench = true)
 
+  /** PII audit counts (library `TextAnalysis.piiStats` — what q66's
+    * redaction removes, counted by type; the data-card / gating
+    * metric). Same taint as q66 (1 URL, 1 email, 3 IPs, 3 phones per
+    * doc plus the false-positive gauntlet), counts derived on both
+    * engines via the identical replace-length arithmetic over the
+    * redacted text, minus literal placeholders already present. */
+  val q115 = QueryDef(
+    "q115_pii_stats",
+    (s, dir) => {
+      val tainted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org or https://crawl.example.org/doc/"),
+        col("doc_id").cast("string"), lit("?ref=1 from 10.0."),
+        pmod(col("doc_id"), lit(250)).cast("string"),
+        lit(".7 10.99.0.8 via fe80:0:0:ab:1:2:3:4 ring (022) 345 67"),
+        pmod(col("doc_id"), lit(100)).cast("string"),
+        lit(" or +1 800 555 0199 or 555-867-5309"),
+        lit(" keep v1.2.3 1.2.3.4.5 2024-01-15 08:30:45 123-45-6789 tail"))
+      graft.ops.TextAnalysis.piiStats(
+          t(s, dir, "documents").select(col("doc_id"), tainted.as("text")),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_url"), col("n_email"),
+          col("n_ip"), col("n_phone"), col("pii_total"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH red AS MATERIALIZED (
+        SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@mail.example.org or https://crawl.example.org/doc/'
+            || CAST(doc_id AS VARCHAR) || '?ref=1 from 10.0.'
+            || CAST(doc_id % 250 AS VARCHAR)
+            || '.7 10.99.0.8 via fe80:0:0:ab:1:2:3:4 ring (022) 345 67'
+            || CAST(doc_id % 100 AS VARCHAR)
+            || ' or +1 800 555 0199 or 555-867-5309'
+            || ' keep v1.2.3 1.2.3.4.5 2024-01-15 08:30:45 123-45-6789 tail' AS o
+        FROM documents),
+      rr AS MATERIALIZED (
+        SELECT doc_id, o,
+          regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(o,
+            'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}\b', '<IP>', 'g'),
+          '(^|[^0-9.])((?:[0-9]{1,3}\.){3}[0-9]{1,3})(\z|[^0-9.])', '\1<IP>\3', 'g'),
+          '(^|[^0-9.])((?:[0-9]{1,3}\.){3}[0-9]{1,3})(\z|[^0-9.])', '\1<IP>\3', 'g'),
+          '\(\d{2,4}\)[ -]?\d{3}[ -]?\d{2,4}', '<PHONE>', 'g'),
+          '\+\d{1,3}[ -]?\d{2,4}[ -]?\d{3,4}[ -]?\d{2,4}', '<PHONE>', 'g'),
+          '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS r
+        FROM red)
+      SELECT doc_id,
+        CAST((len(r) - len(replace(r, '<URL>', ''))) // 5
+           - (len(o) - len(replace(o, '<URL>', ''))) // 5 AS BIGINT) AS n_url,
+        CAST((len(r) - len(replace(r, '<EMAIL>', ''))) // 7
+           - (len(o) - len(replace(o, '<EMAIL>', ''))) // 7 AS BIGINT) AS n_email,
+        CAST((len(r) - len(replace(r, '<IP>', ''))) // 4
+           - (len(o) - len(replace(o, '<IP>', ''))) // 4 AS BIGINT) AS n_ip,
+        CAST((len(r) - len(replace(r, '<PHONE>', ''))) // 7
+           - (len(o) - len(replace(o, '<PHONE>', ''))) // 7 AS BIGINT) AS n_phone,
+        CAST((len(r) - len(replace(r, '<URL>', ''))) // 5
+           - (len(o) - len(replace(o, '<URL>', ''))) // 5
+           + (len(r) - len(replace(r, '<EMAIL>', ''))) // 7
+           - (len(o) - len(replace(o, '<EMAIL>', ''))) // 7
+           + (len(r) - len(replace(r, '<IP>', ''))) // 4
+           - (len(o) - len(replace(o, '<IP>', ''))) // 4
+           + (len(r) - len(replace(r, '<PHONE>', ''))) // 7
+           - (len(o) - len(replace(o, '<PHONE>', ''))) // 7 AS BIGINT) AS pii_total
+      FROM rr ORDER BY doc_id"""),
+    bench = true)
+
   /** Corpus-wide paragraph dedup (library module
     * `TextAnalysis.paragraphDedup`, split on '. ' for the synthetic
     * corpus): first (doc, pos) occurrence of each distinct paragraph
@@ -978,5 +1048,5 @@ object TextQueries {
 
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61, q62,
-      q65, q66, q67, q68, q77, q84, q91, q103, q104, q106, q107, q108)
+      q65, q66, q67, q68, q77, q84, q91, q103, q104, q106, q107, q108, q115)
 }

@@ -63,6 +63,15 @@ object CurationDemo {
     stage("redact-pii") { d =>
       d.withColumn("text", TextAnalysis.redactPii(col("text")))
     }
+    // PII audit line for the data card: totals by type (counted on the
+    // pre-redaction frame would be identical — placeholders are new)
+    locally {
+      val a = TextAnalysis.piiStats(df, "doc_id", "text")
+        .agg(sum("n_url"), sum("n_email"), sum("n_ip"), sum("n_phone"))
+        .collect().head
+      println(f"[curate]   pii residue after redaction: urls ${a.getLong(0)}%d " +
+        f"emails ${a.getLong(1)}%d ips ${a.getLong(2)}%d phones ${a.getLong(3)}%d")
+    }
     // 4a: script routing — the zero-cost first-stage language router:
     // keep the Latin-dominant documents this (English) pipeline owns
     stage("script-route") { d =>
@@ -241,6 +250,20 @@ object CurationDemo {
       sum(col("n_tok")).as("n_tok")).collect()
     chunks.foreach(r => println(f"[curate]   shard ${r.getString(0)}%-6s " +
       f"${r.getLong(1)}%5d chunks of 512 (${r.getLong(2)}%7d BPE tokens)"))
+    // EOS-separated materialization with the attention-mask boundary
+    // map — what the dataloader actually reads (packChunks above
+    // computes WHERE docs land; this emits the sequences)
+    locally {
+      val t1 = System.nanoTime()
+      val eos = Packing.materializeChunksEos(
+          df.filter(col("split") === "train"), "doc_id", "text", 512L, "source")
+        .agg(count(lit(1)), sum("n_tok"), sum("n_docs_started"),
+          avg(size(col("doc_starts")))).collect().head
+      println(f"[curate] ${"eos-materialize"}%-18s ${eos.getLong(0)}%7d seqs  " +
+        f"${(System.nanoTime() - t1) / 1e9}%7.2f s " +
+        f"(${eos.getLong(1)}%d whitespace tokens incl EOS, " +
+        f"${eos.getLong(2)}%d doc starts, ${eos.getDouble(3)}%.1f boundaries/seq)")
+    }
     // per-source report over the packed corpus (HLL vocabulary — the
     // sketch path a 100 TB dashboard uses)
     val t0 = System.nanoTime()

@@ -343,6 +343,23 @@ object ProfileScale {
     def q91(d: DataFrame) = TextAnalysis.dedupLines(
       d.withColumn("text", regexp_replace(col("text"), " the ", "\n")), "text")
       .select(col("doc_id"), col("n_lines"), col("n_dup_lines"), col("clean_text"))
+    def q112(d: DataFrame) = Dedup.minLenDupSpans(
+      d, "doc_id", "text", minLen = 8, seedK = 4, refine = true)
+    val profileVocab = graft.plans.BpeVocab(Seq(
+      "t" -> "h", "Ġ" -> "t", "Ġ" -> "a", "e" -> "r", "Ġ" -> "s",
+      "a" -> "t", "r" -> "o", "Ġ" -> "th", "Ġth" -> "e", "l" -> "e",
+      "Ġs" -> "t", "a" -> "b", "ab" -> "le", "Ġt" -> "able"), byteLevel = true)
+    def q113(d: DataFrame) = d.select(col("doc_id"),
+      TextAnalysis.bpeTokenIds(col("text"), profileVocab).as("ids"))
+    def q114(d: DataFrame) = {
+      val sharded = d.withColumn("shard_key",
+        (graft.ops.Sampling.hashUnit(col("doc_id")) * 32).cast("int"))
+      graft.ops.Packing.materializeChunksEos(sharded, "doc_id", "text",
+        ctxLen = 128L, shardCol = "shard_key")
+    }
+    def q115(d: DataFrame) = TextAnalysis.piiStats(d, "doc_id", "text")
+    def q116(d: DataFrame) = graft.ops.Sampling.temperatureAllocation(
+      d, "text", "shard_key_s", budget = 500000L, tau = 0.7)
 
     // Time CONSTRUCTION + execution: the dedup pipeline materializes
     // its stage boundaries eagerly (localCheckpoint) while the plan is
@@ -406,7 +423,15 @@ object ProfileScale {
         () => q109(docs10.withColumn("shard_key_s",
           concat(lit("s"), (graft.ops.Sampling.hashUnit(col("doc_id")) * 16).cast("int"))))),
       ("q105 mat-chunks", () => q105(docs), () => q105(docs10)),
-      ("q110 vocab-drift", () => q110(docs), () => q110(docs10)))
+      ("q110 vocab-drift", () => q110(docs), () => q110(docs10)),
+      ("q112 refine-spans", () => q112(docs), () => q112(docs10)),
+      ("q113 bpe-ids", () => q113(docs), () => q113(docs10)),
+      ("q114 eos-chunks", () => q114(docs), () => q114(docs10)),
+      ("q115 pii-stats", () => q115(docs), () => q115(docs10)),
+      ("q116 temp-alloc", () => q116(docs.withColumn("shard_key_s",
+          concat(lit("s"), (graft.ops.Sampling.hashUnit(col("doc_id")) * 16).cast("int")))),
+        () => q116(docs10.withColumn("shard_key_s",
+          concat(lit("s"), (graft.ops.Sampling.hashUnit(col("doc_id")) * 16).cast("int"))))))
       .map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)

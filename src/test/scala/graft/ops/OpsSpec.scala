@@ -748,6 +748,48 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("no merges"))
   }
 
+  test("TextAnalysis.bpeTokenIds: deterministic id table, ids mirror token strings") {
+    import graft.plans.BpeVocab
+    val vocab = BpeVocab(Seq(
+      "t" -> "h", "Ġ" -> "t", "Ġ" -> "a", "e" -> "r", "Ġ" -> "s",
+      "a" -> "t", "r" -> "o", "Ġ" -> "th", "Ġth" -> "e", "l" -> "e",
+      "Ġs" -> "t", "a" -> "b", "ab" -> "le", "Ġt" -> "able"), byteLevel = true)
+    // table construction: byte alphabet occupies ids 0..255 in byte
+    // order, composites 256 + rank
+    val ids = vocab.idTableRows.toMap
+    assert(ids("a") == 97 && ids("t") == 116)       // printable bytes keep their value
+    assert(ids("Ġ") == 32) // the byte-order id of the space byte it maps
+    assert(ids("th") == 256 && ids("Ġt") == 257 && ids("Ġthe") == 264)
+    assert(ids("Ġtable") == 269)
+    // ids mirror the token strings through the reverse table
+    val rev = vocab.idTableRows.map(_.swap).toMap
+    val df = Seq((0L, "the table is set"), (1L, "")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.bpeTokens(col("text"), vocab).as("toks"),
+        TextAnalysis.bpeTokenIds(col("text"), vocab).as("ids"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1).toList, r.getSeq[Int](2).toList)).toMap
+    assert(out(0L)._2 == out(0L)._1.map(ids), s"ids ${out(0L)}")
+    assert(out(0L)._2.map(rev) == out(0L)._1)
+    assert(out(0L)._2.forall(_ >= 0)) // byte-level never emits -1
+    assert(out(1L)._2.isEmpty)
+    // char-level: characters outside the fixture alphabet map to -1
+    val charVocab = BpeVocab(Seq("a" -> "b"), byteLevel = false)
+    val cids = Seq((0L, "ab z")).toDF("doc_id", "text")
+      .select(TextAnalysis.bpeTokenIds(col("text"), charVocab).as("ids"))
+      .collect().head.getSeq[Int](0).toList
+    // alphabet {a, b} -> ids 0, 1; composite ab -> 2; ' ' and 'z' unseen
+    assert(cids == List(2, -1, -1), s"char-level $cids")
+    // a trainFast-learned table feeds ids directly
+    val corpus = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(12)("pun"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val learned = BpeTrain.trainVocab(corpus, "text", 5, fast = true)
+    val lids = corpus.limit(1)
+      .select(TextAnalysis.bpeTokenIds(col("text"), learned).as("ids"))
+      .collect().head.getSeq[Int](0)
+    assert(lids.nonEmpty && lids.forall(_ >= 0))
+  }
+
   test("BpeVocab.toGpt2Lines: learned tables round-trip through merges.txt") {
     val corpus = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(12)("pun"))
       .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
@@ -2805,6 +2847,76 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("NULL"))
   }
 
+  test("Sampling.temperatureAllocation: n^tau shares, exact remainders, tau=1 = natural") {
+    val df = Seq(
+      (0L, "A", (1 to 10).map(_ => "w").mkString(" ")),   // 10 tokens
+      (1L, "B", (1 to 90).map(_ => "w").mkString(" ")),   // 90
+      (2L, "C", (1 to 900).map(_ => "w").mkString(" ")),  // 900
+      (3L, "D", ""))                                      // token-free
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.temperatureAllocation(df, "text", "source",
+        budget = 1000L, tau = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getDouble(4))).toMap
+    // sqrt weighting: sqrt(10):sqrt(90):sqrt(900) = 1 : 3 : 9.4868...
+    // -> small strata get far more than their 1% natural share
+    assert(out("A")._2 > 10L && out("A")._2 < out("B")._2)
+    assert(out("D")._2 == 0L && out("D")._3.isNaN)
+    // budget exactly spent
+    assert(out.values.map(_._2).sum == 1000L)
+    // tau = 1 recovers natural proportions (up to remainder rounding)
+    val nat = Sampling.temperatureAllocation(df, "text", "source",
+        budget = 1000L, tau = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(nat("C") - 900L) <= 1L && math.abs(nat("A") - 10L) <= 1L)
+    assert(nat.values.sum == 1000L)
+    // upsampling small strata can exceed an epoch — the UniMax critique
+    val hot = Sampling.temperatureAllocation(df, "text", "source",
+      budget = 3000L, tau = 0.3)
+    assert(hot.collect().exists(r => r.getDouble(4) > 1.0))
+    val e = intercept[IllegalArgumentException](
+      Sampling.temperatureAllocation(df, "text", "source", budget = 0L))
+    assert(e.getMessage.contains("budget"))
+  }
+
+  test("TextAnalysis.piiStats: typed counts, pre-existing placeholders uncounted") {
+    val rows = Seq(
+      (1L, "mail jo@x.org or see https://a.example.com/p and call 555-867-5309"),
+      (2L, "hosts 10.0.0.1 10.0.0.2 and fe80:0:0:ab:1:2:3:4"),
+      (3L, "the literal string <URL> is not a url"),
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiStats(rows, "doc_id", "text")
+      .select("doc_id", "n_url", "n_email", "n_ip", "n_phone", "pii_total")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) == ((1L, 1L, 0L, 1L, 3L)))
+    assert(out(2L) == ((0L, 0L, 3L, 0L, 3L)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L, 0L))) // literal placeholder uncounted
+    assert(out(4L) == ((0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("Dedup.lshPlans: S-curve math, ranking by midpoint distance") {
+    val plans = Dedup.lshPlans(threshold = 0.7, maxHashes = 16)
+    // (9, 3): midpoint (1/3)^(1/3) ~ 0.693 — the closest to 0.7 within
+    // 16 hashes, beating the classic (16, 4)'s 0.707 by half a point
+    val top = plans.head
+    assert(top.numHashes == 9 && top.bandSize == 3 && top.bands == 3, top.toString)
+    assert(math.abs(top.midpoint - math.pow(1.0 / 3.0, 1.0 / 3.0)) < 1e-12)
+    // pCandidate is the published formula
+    val p = 1.0 - math.pow(1.0 - math.pow(0.7, 3), 3)
+    assert(math.abs(top.pCandidate - p) < 1e-12)
+    // at threshold 0.71 the 0.7071-midpoint family tops the list, and
+    // (4, 2) beats (16, 4) — identical midpoint ((1/2)^(1/2) =
+    // (1/4)^(1/4)), fewer hashes wins the tie
+    val t71 = Dedup.lshPlans(threshold = 0.71, maxHashes = 16).head
+    assert(t71.numHashes == 4 && t71.bandSize == 2, t71.toString)
+    assert(math.abs(t71.midpoint - math.sqrt(0.5)) < 1e-12)
+    // every plan respects the hash budget
+    assert(plans.forall(pl => pl.numHashes <= 16 && pl.bands * pl.bandSize == pl.numHashes))
+    val e = intercept[IllegalArgumentException](Dedup.lshPlans(1.0))
+    assert(e.getMessage.contains("threshold"))
+  }
+
   test("TextAnalysis.vocabStats: totals, hapax, top-k mass") {
     val df = Seq(
       (0L, "a a a b b c"),
@@ -2851,6 +2963,40 @@ class OpsSpec extends SparkSpec {
       Seq((21L, "unrelated fresh material with novel words nothing shared here ok"))
         .toDF("doc_id", "text"), threshold = 0.5))
     assert(again(21L)._1 && !again(21L)._4, s"appended state missed: $again")
+  }
+
+  test("DedupIndex.compact: replayed appends collapse, probe verdicts unchanged") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and then naps"),
+      (2L, "completely different content about spark engines and data"))
+      .toDF("doc_id", "text")
+    val slice = Seq(
+      (10L, "unrelated fresh material with novel words nothing shared here ok"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (20L, "unrelated fresh material with novel words nothing shared here ok"), // exact of 10
+      (21L, "the quick brown fox jumps over the lazy cat and then naps"))        // near of 0
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx_c_").toString
+    val handle = DedupIndex.build(corpus, "doc_id", dir)
+    // a replayed ingest: the same slice appended twice
+    DedupIndex.append(handle, slice)
+    DedupIndex.append(handle, slice)
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "exact_dup", "near_dup", "near_dup_of", "is_new")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), Option(r.get(3)), r.getBoolean(4))).toMap
+    val before = verdicts(DedupIndex.dedupBatch(spark, handle, probe, threshold = 0.5))
+    val sigBefore = spark.read.parquet(s"$dir/signatures").count()
+    DedupIndex.compact(handle)
+    val sigAfter = spark.read.parquet(s"$dir/signatures").count()
+    assert(sigAfter < sigBefore, s"$sigBefore -> $sigAfter")
+    assert(sigAfter == 3L) // one row per distinct id (0, 2, 10)
+    assert(spark.read.parquet(s"$dir/fingerprints").distinct().count() ==
+      spark.read.parquet(s"$dir/fingerprints").count())
+    val after = verdicts(DedupIndex.dedupBatch(spark, handle, probe, threshold = 0.5))
+    assert(after == before, s"compaction changed verdicts: $before vs $after")
+    assert(after(20L)._1 && after(21L)._2)
   }
 
   test("DedupIndex: bandSize=2 — partition key follows the band; narrow probe of a wide index stays complete") {
@@ -2970,6 +3116,31 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("shard") ->
         (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_tokens"))).toMap
     assert(mf == Map("sA" -> ((2L, 7L)), "sB" -> ((1L, 3L))))
+  }
+
+  test("Packing.materializeChunksEos: EOS terminates docs, doc_starts map boundaries") {
+    val df = Seq(
+      (0L, "sA", "a b c"),   // 4 with EOS -> starts at 0
+      (1L, "sA", "d e f g"), // 5 with EOS -> starts at 4
+      (2L, "sA", "h i"),     // 3 with EOS -> starts at 9
+      (3L, "sA", ""),        // token-free: dropped, NO stray EOS
+      (4L, "sB", "x"))       // 2 with EOS
+      .toDF("doc_id", "source", "text")
+    // sA stream (ctx 5): a b c <e> d | e f g <e> h | i <e>
+    val out = Packing.materializeChunksEos(df, "doc_id", "text",
+        ctxLen = 5L, shardCol = "source", eosToken = "<e>")
+      .orderBy("shard", "chunk_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(5), r.getSeq[Int](4).toList))).toMap
+    assert(out(("sA", 0L)) == ((5L, "a b c <e> d", List(0, 4))))
+    assert(out(("sA", 1L)) == ((5L, "e f g <e> h", List(4))))
+    assert(out(("sA", 2L)) == ((2L, "i <e>", Nil))) // pure continuation
+    assert(out(("sB", 0L)) == ((2L, "x <e>", List(0))))
+    // a chunk that begins mid-document has no 0 entry (chunk sA/1)
+    assert(!out(("sA", 1L))._3.contains(0))
+    val e = intercept[IllegalArgumentException](
+      Packing.materializeChunksEos(df, "doc_id", "text", 5L, "source", "two toks"))
+    assert(e.getMessage.contains("whitespace"))
   }
 
   test("TextAnalysis.scriptProfile: counts, dominance, tie-break, none") {
