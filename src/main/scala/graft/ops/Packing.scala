@@ -78,6 +78,22 @@ object Packing {
       .drop("__cum")
   }
 
+  /** Deterministic corpus shuffle key — pretraining packs documents in
+    * pseudo-random order so correlated neighbors (same crawl batch,
+    * same site) don't share context windows; a sorted-by-id pack would
+    * bake ingest order into every sequence. The key is
+    * `md5(seed ':' id) ':' id` — a stable engine-portable permutation
+    * (re-runs reproduce it; a new `seed` draws a fresh epoch order;
+    * the id suffix makes the order total even under md5 collisions).
+    * Pass the key column as [[packChunks]]' / the materializers'
+    * `idCol`. Narrow, zero shuffle. */
+  def withShuffleKey(
+      df: DataFrame, idCol: String, seed: String,
+      outCol: String = "shuffle_key"): DataFrame =
+    df.withColumn(outCol, concat(
+      md5(concat_ws(":", lit(seed), col(idCol).cast("string"))),
+      lit(":"), col(idCol).cast("string")))
+
   /** Per-document overlapping token windows — the RAG/retrieval-side
     * chunker ([[packChunks]] is the pretraining-side one): each
     * document is cut into `ctxLen`-token chunks starting every
@@ -218,6 +234,53 @@ object Packing {
           when(col("__i") === 0, pmod(col("__pos"), lit(ctxLen)).cast("int"))))
           .as("doc_starts"))
       .withColumn("chunk_text", array_join(col("tokens"), " "))
+      .withColumn("n_docs_started", size(col("doc_starts")).cast("long"))
+  }
+
+  /** END-TO-END id-level training sequences — the array a dataloader
+    * memory-maps: every document's REAL BPE vocabulary ids
+    * ([[TextAnalysis.bpeTokenIds]] under a trained table) terminated
+    * by `eosId`, concatenated per shard in `idCol` order, cut at
+    * exact `ctxLen` boundaries, with the [[materializeChunksEos]]
+    * `doc_starts` boundary map. [[materializeChunksEos]] packs
+    * whitespace tokens (the library's inspection convention); this is
+    * the production artifact. `eosId` defaults to one past the vocab
+    * table (GPT-2 places `<|endoftext|>` last). Documents yielding
+    * zero tokens (empty/null text) are dropped — no stray EOS.
+    *
+    * Same shapes as [[materializeChunksEos]]: the per-shard offset
+    * window, ONE (shard, chunk)-keyed materialization shuffle, the
+    * boundary offsets collected by the same aggregate. The vocabulary
+    * rides in the tokenizer expression (driver-resident model
+    * pattern); rows carry int ids, ~4 bytes a token. */
+  def packTokenIds(
+      df: DataFrame, idCol: String, textCol: String,
+      vocab: graft.plans.BpeVocab, ctxLen: Long, shardCol: String,
+      eosId: Option[Int] = None): DataFrame = {
+    require(ctxLen >= 1, s"context length must be >= 1, got $ctxLen")
+    val eos = eosId.getOrElse(vocab.idTableRows.size)
+    val ids = TextAnalysis.bpeTokenIds(col(textCol), vocab)
+    val withTok = df
+      .withColumn("__base", ids)
+      .filter(size(col("__base")) >= 1)
+      .withColumn("__ids", concat(col("__base"), array(lit(eos))))
+      .withColumn("__ntok", (size(col("__base")) + 1).cast("long"))
+    val packed = packChunks(withTok, idCol, "__ntok", ctxLen, shardCol)
+    val exploded = packed
+      .select(col(shardCol).as("shard"), col("start_tok"),
+        posexplode(col("__ids")).as(Seq("__i", "__id")))
+      .withColumn("__pos", col("start_tok") + col("__i"))
+    exploded
+      .groupBy(col("shard"),
+        floor(col("__pos").cast("double") / lit(ctxLen.toDouble)).cast("long")
+          .as("chunk_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        transform(
+          array_sort(collect_list(struct(col("__pos").as("p"), col("__id").as("t")))),
+          x => x.getField("t")).as("ids"),
+        sort_array(collect_list(
+          when(col("__i") === 0, pmod(col("__pos"), lit(ctxLen)).cast("int"))))
+          .as("doc_starts"))
       .withColumn("n_docs_started", size(col("doc_starts")).cast("long"))
   }
 

@@ -50,6 +50,33 @@ object TextAnalysis {
   def bpeTokenCount(text: Column, vocab: graft.plans.BpeVocab): Column =
     size(bpeTokens(text, vocab)).cast("long")
 
+  /** Per-document tokenizer evaluation — the two numbers a tokenizer
+    * card reports and a vocab-size decision turns on: `fertility`
+    * (BPE tokens per whitespace word — how many pieces the tokenizer
+    * shatters a word into; ~1 is ideal for in-domain text) and
+    * `bytes_per_token` (UTF-8 bytes per BPE token — the compression
+    * the context window actually buys). Emits the raw counts too
+    * (`n_bytes`, `n_ws_tokens`, `n_bpe_tokens`); token-free documents
+    * report NaN ratios. One narrow projection, the vocabulary riding
+    * the tokenizer expression. */
+  def tokenizerStats(
+      df: DataFrame, idCol: String, textCol: String,
+      vocab: graft.plans.BpeVocab): DataFrame = {
+    val wsTokens = when(length(trim(col(textCol))) === 0, lit(0L))
+      .otherwise(size(split(trim(col(textCol)), "\\s+")).cast("long"))
+    df.withColumn("n_bytes", octet_length(col(textCol)).cast("long"))
+      .withColumn("n_ws_tokens", wsTokens)
+      .withColumn("n_bpe_tokens", bpeTokenCount(col(textCol), vocab))
+      .withColumn("fertility",
+        when(col("n_ws_tokens") > 0,
+          col("n_bpe_tokens").cast("double") / col("n_ws_tokens"))
+          .otherwise(lit(Double.NaN)))
+      .withColumn("bytes_per_token",
+        when(col("n_bpe_tokens") > 0,
+          col("n_bytes").cast("double") / col("n_bpe_tokens"))
+          .otherwise(lit(Double.NaN)))
+  }
+
   /** BPE tokenization straight to vocabulary IDS (`array<int>`) — the
     * column a training dataloader consumes. Same segmentation as
     * [[bpeTokens]]; ids follow [[graft.plans.BpeVocab.idTableRows]]'

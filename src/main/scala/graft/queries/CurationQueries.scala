@@ -230,6 +230,42 @@ object CurationQueries {
       FROM c ORDER BY doc_id"""),
     bench = true)
 
+  /** Shuffled-order sequence packing (library `Packing.withShuffleKey`
+    * + `packChunks` — q72 under the deterministic pseudo-random epoch
+    * order a real pretraining pack uses, so correlated neighbors don't
+    * share context windows): both engines derive the identical
+    * `md5(seed ':' id) ':' id` key and run the same per-shard
+    * cumulative window over it. The hash covers every document's
+    * shuffled stream position. */
+  val q119 = QueryDef(
+    "q119_shuffled_packing",
+    (s, dir) => {
+      val withTok = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      graft.ops.Packing.packChunks(
+          graft.ops.Packing.withShuffleKey(withTok, "doc_id", seed = "epoch0"),
+          "shuffle_key", "n_tok", 512L, "source")
+        .select(col("doc_id"), col("shuffle_key"), col("n_tok"),
+          col("start_tok"), col("first_chunk"), col("last_chunk"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH tk AS (
+        SELECT doc_id, source,
+          md5('epoch0' || ':' || CAST(doc_id AS VARCHAR))
+            || ':' || CAST(doc_id AS VARCHAR) AS shuffle_key,
+          CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tok
+        FROM documents WHERE text IS NOT NULL),
+      c AS (SELECT doc_id, shuffle_key, n_tok,
+              CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY shuffle_key
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM tk)
+      SELECT doc_id, shuffle_key, n_tok, cum - n_tok AS start_tok,
+        CAST(floor(CAST(cum - n_tok AS DOUBLE) / CAST(512 AS DOUBLE)) AS BIGINT) AS first_chunk,
+        CAST(floor(CAST(cum - 1 AS DOUBLE) / CAST(512 AS DOUBLE)) AS BIGINT) AS last_chunk
+      FROM c ORDER BY doc_id"""),
+    bench = true)
+
   /** Per-domain quota capping (library `Urls.withDomain` /
     * `capPerDomain` — the anti-spam pass): half the corpus lands on
     * one spam domain, a quarter on `host<i>.example.org` subdomains
@@ -471,6 +507,181 @@ object CurationQueries {
           array_to_string(list_transform(toks,
             t -> CAST(element_at(m2, t)[1] AS VARCHAR)), chr(31)) AS ids_str
         FROM agg, im ORDER BY doc_id"""
+    },
+    bench = true)
+
+  /** Tokenizer evaluation metrics (library
+    * `TextAnalysis.tokenizerStats` — fertility and bytes-per-token,
+    * the vocab-sizing numbers, under q75's fixture table): the oracle
+    * re-derives the BPE token count through the recursive merge loop,
+    * byte lengths via strlen, whitespace counts via the explicit
+    * class, and the same rounded ratios. */
+  val q118 = QueryDef(
+    "q118_tokenizer_stats",
+    (s, dir) => {
+      val vocab = graft.plans.BpeVocab(FixtureMerges, byteLevel = true)
+      graft.ops.TextAnalysis.tokenizerStats(
+          t(s, dir, "documents"), "doc_id", "text", vocab)
+        .select(col("doc_id"), col("n_bytes"), col("n_ws_tokens"),
+          col("n_bpe_tokens"), round(col("fertility"), 6).as("fertility"),
+          round(col("bytes_per_token"), 6).as("bytes_per_token"))
+        .oracleOrderBy("doc_id")
+    },
+    Some {
+      val ws = "[ \\t\\n\\x0B\\f\\r]+"
+      val p = graft.ops.TextAnalysis.BpePattern.replace("'", "''")
+      val vals = FixtureMerges.zipWithIndex
+        .map { case ((l, r), i) => s"('$l','$r',$i)" }.mkString(", ")
+      s"""WITH RECURSIVE
+        mg(l, r, rk) AS (VALUES $vals),
+        mm AS (SELECT map(list(l || chr(31) || r ORDER BY rk),
+                          list(rk ORDER BY rk)) AS m FROM mg),
+        pieces AS (
+          SELECT doc_id, s['i'] AS piece_id, replace(s['p'], ' ', 'Ġ') AS piece
+          FROM (SELECT doc_id,
+                  unnest(list_transform(regexp_extract_all(text, '$p'),
+                    (x, i) -> {'i': i, 'p': x})) AS s
+                FROM documents)),
+        steps AS (
+          SELECT doc_id, piece_id, string_split(piece, '') AS syms, 0 AS step
+          FROM pieces
+          UNION ALL
+          SELECT doc_id, piece_id,
+            syms[1:best[2]-1] || [syms[best[2]] || syms[best[2]+1]]
+              || syms[best[2]+2:] AS syms,
+            step + 1
+          FROM (
+            SELECT doc_id, piece_id, syms, step,
+              list_sort(list_transform(range(1, len(syms)),
+                i -> [coalesce(element_at(m, syms[i] || chr(31) || syms[i+1])[1],
+                               1000000), i]))[1] AS best
+            FROM steps, mm) t
+          WHERE best IS NOT NULL AND best[1] < 1000000),
+        fin AS (SELECT doc_id, piece_id, CAST(len(max_by(syms, step)) AS BIGINT) AS n
+                FROM steps GROUP BY doc_id, piece_id),
+        bpe AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bpe FROM fin GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+          CAST(CASE WHEN len(trim(d.text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(d.text), '$ws'))
+          END AS BIGINT) AS n_ws_tokens,
+          CAST(CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(b.n_bpe, 0) END AS BIGINT) AS n_bpe_tokens,
+          CASE WHEN (CASE WHEN len(trim(d.text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(d.text), '$ws')) END) > 0
+            THEN round(CAST(coalesce(b.n_bpe, 0) AS DOUBLE)
+              / CAST(CASE WHEN len(trim(d.text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(d.text), '$ws'))
+                END AS DOUBLE), 6)
+            ELSE CAST('nan' AS DOUBLE) END AS fertility,
+          CASE WHEN coalesce(b.n_bpe, 0) > 0
+            THEN round(CAST(strlen(d.text) AS DOUBLE)
+              / CAST(b.n_bpe AS DOUBLE), 6)
+            ELSE CAST('nan' AS DOUBLE) END AS bytes_per_token
+        FROM documents d LEFT JOIN bpe b USING (doc_id)
+        ORDER BY d.doc_id"""
+    },
+    bench = true)
+
+  /** END-TO-END id-level training shards (library
+    * `Packing.packTokenIds` — the production artifact a dataloader
+    * memory-maps: q113's vocabulary ids, EOS id 270 terminating every
+    * document, packed into 128-id sequences with q114's `doc_starts`
+    * boundary map). The oracle chains the ENTIRE derivation
+    * relationally: the byte alphabet, the recursive merge loop, the
+    * id mapping, the EOS append, per-shard cumulative offsets, the
+    * chunk cut, each sequence's id-content md5 and its boundary
+    * list — one wrong id or boundary anywhere in the corpus breaks
+    * the hash. */
+  val q117 = QueryDef(
+    "q117_pack_token_ids",
+    (s, dir) => {
+      val vocab = graft.plans.BpeVocab(FixtureMerges, byteLevel = true)
+      val docs = t(s, dir, "documents")
+      graft.ops.Packing.packTokenIds(docs, "doc_id", "text", vocab,
+          ctxLen = 128L, shardCol = "source", eosId = Some(270))
+        .select(col("shard"), col("chunk_id"), col("n_tok"),
+          md5(concat_ws(" ", transform(col("ids"), i => i.cast("string"))))
+            .as("ids_fp"),
+          concat_ws(",", transform(col("doc_starts"), i => i.cast("string")))
+            .as("doc_starts_str"),
+          col("n_docs_started"))
+        .oracleOrderBy("shard", "chunk_id")
+    },
+    Some {
+      val p = graft.ops.TextAnalysis.BpePattern.replace("'", "''")
+      val vals = FixtureMerges.zipWithIndex
+        .map { case ((l, r), i) => s"('$l','$r',$i)" }.mkString(", ")
+      s"""WITH RECURSIVE
+        mg(l, r, rk) AS (VALUES $vals),
+        mm AS (SELECT map(list(l || chr(31) || r ORDER BY rk),
+                          list(rk ORDER BY rk)) AS m FROM mg),
+        bytes AS (
+          SELECT CAST(r.i AS INT) AS b,
+            CASE WHEN (r.i BETWEEN 33 AND 126) OR (r.i BETWEEN 161 AND 172)
+                 OR (r.i BETWEEN 174 AND 255) THEN 1 ELSE 0 END AS keep
+          FROM range(0, 256) r(i)),
+        alpha AS (
+          SELECT b,
+            CASE WHEN keep = 1 THEN chr(b)
+              ELSE chr(256 + CAST(coalesce(sum(1 - keep) OVER
+                (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS INT))
+            END AS tok
+          FROM bytes),
+        idt AS (
+          SELECT tok, CAST(min(id) AS INT) AS id FROM (
+            SELECT tok, b AS id FROM alpha
+            UNION ALL SELECT l || r AS tok, 256 + rk AS id FROM mg) u
+          GROUP BY tok),
+        im AS (SELECT map(list(tok), list(id)) AS m2 FROM idt),
+        pieces AS (
+          SELECT doc_id, s['i'] AS piece_id, replace(s['p'], ' ', 'Ġ') AS piece
+          FROM (SELECT doc_id,
+                  unnest(list_transform(regexp_extract_all(text, '$p'),
+                    (x, i) -> {'i': i, 'p': x})) AS s
+                FROM documents)),
+        steps AS (
+          SELECT doc_id, piece_id, string_split(piece, '') AS syms, 0 AS step
+          FROM pieces
+          UNION ALL
+          SELECT doc_id, piece_id,
+            syms[1:best[2]-1] || [syms[best[2]] || syms[best[2]+1]]
+              || syms[best[2]+2:] AS syms,
+            step + 1
+          FROM (
+            SELECT doc_id, piece_id, syms, step,
+              list_sort(list_transform(range(1, len(syms)),
+                i -> [coalesce(element_at(m, syms[i] || chr(31) || syms[i+1])[1],
+                               1000000), i]))[1] AS best
+            FROM steps, mm) t
+          WHERE best IS NOT NULL AND best[1] < 1000000),
+        fin AS (SELECT doc_id, piece_id, max_by(syms, step) AS toks
+                FROM steps GROUP BY doc_id, piece_id),
+        agg AS (SELECT doc_id, flatten(list(toks ORDER BY piece_id)) AS toks
+                FROM fin GROUP BY doc_id),
+        docids AS (
+          SELECT a.doc_id, d.source,
+            list_transform(a.toks, t -> element_at(m2, t)[1]) || [270] AS ids
+          FROM agg a JOIN documents d USING (doc_id), im),
+        n AS (SELECT doc_id, source, ids, len(ids) AS ntok FROM docids),
+        cum AS (
+          SELECT *, sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - ntok AS start_tok FROM n),
+        ex AS (
+          SELECT source, start_tok + u.i - 1 AS pos, ids[u.i] AS id,
+            (u.i = 1) AS is_start
+          FROM cum, LATERAL unnest(generate_series(1, ntok)) u(i))
+        SELECT source AS shard,
+          CAST(floor(pos / CAST(128 AS DOUBLE)) AS BIGINT) AS chunk_id,
+          CAST(count(*) AS BIGINT) AS n_tok,
+          md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos)) AS ids_fp,
+          coalesce(array_to_string(
+            list(CAST(pos % 128 AS VARCHAR) ORDER BY pos) FILTER (WHERE is_start),
+            ','), '') AS doc_starts_str,
+          CAST(coalesce(count(*) FILTER (WHERE is_start), 0) AS BIGINT)
+            AS n_docs_started
+        FROM ex GROUP BY source, chunk_id ORDER BY shard, chunk_id"""
     },
     bench = true)
 
@@ -1780,5 +1991,5 @@ object CurationQueries {
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
-      q114, q116)
+      q114, q116, q117, q118, q119)
 }

@@ -3143,6 +3143,77 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("whitespace"))
   }
 
+  test("Packing.withShuffleKey: deterministic permutation, fresh order per seed") {
+    val df = (0L to 19L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def order(seed: String) = Packing.withShuffleKey(df, "doc_id", seed)
+      .select("doc_id", "shuffle_key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._2).map(_._1).toSeq
+    val e0 = order("epoch0")
+    assert(order("epoch0") == e0)           // reproducible
+    assert(e0 != (0L to 19L).toSeq)         // actually shuffled
+    assert(order("epoch1") != e0)           // new seed, new epoch order
+    assert(e0.distinct.size == 20)          // total order, id-suffixed keys
+  }
+
+  test("TextAnalysis.tokenizerStats: fertility, bytes-per-token, degenerate docs") {
+    val trainCorpus = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val vocab = BpeTrain.trainVocab(trainCorpus, "text", 6, fast = true)
+    val docs = Seq(
+      (0L, "hug hug"),   // in-vocab: "hug" is one token, " hug" = Ġ + hug
+      (1L, "zzz"),       // out-of-vocab: shatters to 3 byte tokens
+      (2L, ""),          // token-free
+      (3L, "héllo hug")) // multi-byte UTF-8 counts BYTES
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenizerStats(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getAs[Long]("doc_id") -> ((
+        r.getAs[Long]("n_bytes"), r.getAs[Long]("n_ws_tokens"),
+        r.getAs[Long]("n_bpe_tokens"), r.getAs[Double]("fertility")))).toMap
+    // "hug" -> [hug]; " hug" -> [Ġ, hug] (no Ġhug merge learned)
+    assert(out(0L) == ((7L, 2L, 3L, 1.5)))
+    assert(out(1L)._3 == 3L && out(1L)._4 == 3.0) // full shatter
+    assert(out(2L)._3 == 0L && out(2L)._4.isNaN)
+    assert(out(3L)._1 == 10L) // é is 2 bytes
+  }
+
+  test("Packing.packTokenIds: id streams with EOS terminators match a scala replay") {
+    import graft.plans.BpeVocab
+    val trainCorpus = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(12)("pun"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val vocab = BpeTrain.trainVocab(trainCorpus, "text", 6, fast = true)
+    val eos = vocab.idTableRows.size // default: one past the table
+    val docs = Seq(
+      (0L, "sA", "hug pug"),
+      (1L, "sA", "hug hug hug"),
+      (2L, "sA", ""),            // token-free: dropped, no stray EOS
+      (3L, "sB", "pun")).toDF("doc_id", "source", "text")
+    val out = Packing.packTokenIds(docs, "doc_id", "text", vocab,
+        ctxLen = 4L, shardCol = "source")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getSeq[Int](3).toList, r.getSeq[Int](4).toList))).toMap
+    // scala replay over the engine's own per-doc ids
+    val perDoc = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.bpeTokenIds(col("text"), vocab).as("ids"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[Int](2).toList))
+      .sortBy(_._1)
+    val streams = perDoc.groupBy(_._2).map { case (shard, ds) =>
+      val stream = ds.sortBy(_._1).flatMap(d => d._3 :+ eos)
+      val starts = ds.sortBy(_._1)
+        .scanLeft(0)((acc, d) => acc + d._3.length + 1).init
+      shard -> ((stream, starts))
+    }
+    streams.foreach { case (shard, (stream, starts)) =>
+      stream.grouped(4).zipWithIndex.foreach { case (chunk, ci) =>
+        val expStarts = starts.filter(s => s / 4 == ci).map(_ % 4).sorted
+        assert(out((shard, ci.toLong)) == ((chunk.toList, expStarts.toList)),
+          s"$shard/$ci: ${out((shard, ci.toLong))} vs ($chunk, $expStarts)")
+      }
+    }
+    assert(out.values.flatMap(_._1).count(_ == eos) == 3) // one EOS per kept doc
+    assert(out.values.flatMap(_._1).forall(i => i >= 0 && i <= eos))
+  }
+
   test("TextAnalysis.scriptProfile: counts, dominance, tie-break, none") {
     val df = Seq(
       (0L, "hello world"),            // pure latin
