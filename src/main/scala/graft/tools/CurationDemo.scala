@@ -222,7 +222,7 @@ object CurationDemo {
     // 15-16: train the tokenizer ON THE CURATED TRAIN SPLIT (the order
     // a real pipeline uses — the tokenizer must not see eval text),
     // then count TRUE BPE tokens under the learned table
-    var vocabSize = 0
+    var trainedVocab: Option[graft.plans.BpeVocab] = None
     stage("bpe-train-count") { d =>
       // production merge depth: the driver-side fast loop learns the
       // identical table trainVocab's distributed loop would (OpsSpec
@@ -234,10 +234,18 @@ object CurationDemo {
       val vocab = BpeTrain.trainVocab(
         d.filter(col("split") === "train"), "text", numMerges = 2048,
         minPairCount = 1L, fast = true)
-      vocabSize = vocab.merges.size
+      trainedVocab = Some(vocab)
       d.withColumn("n_tok", TextAnalysis.bpeTokenCount(col("text"), vocab))
     }
-    println(f"[curate]   learned $vocabSize%d BPE merges from the train split")
+    println(f"[curate]   learned ${trainedVocab.get.merges.size}%d BPE merges " +
+      "from the train split")
+    // tokenizer card line: fertility + compression under the trained table
+    locally {
+      val ts = TextAnalysis.tokenizerStats(df, "doc_id", "text", trainedVocab.get)
+        .agg(avg("fertility"), avg("bytes_per_token")).collect().head
+      println(f"[curate]   tokenizer: fertility ${ts.getDouble(0)}%.2f " +
+        f"tokens/word, ${ts.getDouble(1)}%.2f bytes/token")
+    }
     // 17: pack the train split into 512-token context windows by TRUE
     // token counts, sharded by source so the window parallelism is
     // bounded by shard count
@@ -263,6 +271,20 @@ object CurationDemo {
         f"${(System.nanoTime() - t1) / 1e9}%7.2f s " +
         f"(${eos.getLong(1)}%d whitespace tokens incl EOS, " +
         f"${eos.getLong(2)}%d doc starts, ${eos.getDouble(3)}%.1f boundaries/seq)")
+    }
+    // the FINAL artifact: true vocabulary-id sequences under the
+    // trained table, in a deterministic shuffled epoch order so
+    // context windows don't inherit crawl adjacency
+    locally {
+      val t1 = System.nanoTime()
+      val train = Packing.withShuffleKey(
+        df.filter(col("split") === "train"), "doc_id", seed = "epoch0")
+      val shards = Packing.packTokenIds(train, "shuffle_key", "text",
+          trainedVocab.get, ctxLen = 512L, shardCol = "source")
+        .agg(count(lit(1)), sum("n_tok")).collect().head
+      println(f"[curate] ${"id-shards"}%-18s ${shards.getLong(0)}%7d seqs  " +
+        f"${(System.nanoTime() - t1) / 1e9}%7.2f s " +
+        f"(${shards.getLong(1)}%d vocabulary ids incl EOS, shuffled epoch order)")
     }
     // per-source report over the packed corpus (HLL vocabulary — the
     // sketch path a 100 TB dashboard uses)
