@@ -81,6 +81,32 @@ object AnnIndex {
       .write.mode("append").partitionBy("cell").parquet(s"${handle.dir}/codes")
   }
 
+  /** Rewrite the code table compacted — the maintenance pass for the
+    * append loop ([[DedupIndex.compact]] is the dedup-side twin):
+    * every [[append]] lays a new file wave into each touched cell
+    * partition, so a long-running ingest accumulates small files;
+    * this reads the table back, collapses EXACT duplicate rows (a
+    * replayed append re-encodes identically under the frozen models —
+    * any survivor is THE row), and rewrites one wave per cell through
+    * a temp directory + swap. For a clean append history the answers
+    * are untouched; after a REPLAYED append, compaction also restores
+    * single-copy top-k (a duplicated row would otherwise occupy two
+    * result slots). */
+  def compact(handle: Handle): Unit = {
+    val spark = SparkSession.active
+    val dir = handle.dir
+    spark.read.parquet(s"$dir/codes").distinct()
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/compact_tmp/codes")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/compact_tmp/codes"),
+      new org.apache.hadoop.fs.Path(s"$dir/codes"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/compact_tmp"), true)
+  }
+
   /** Re-open a persisted index: the models are dimension-table-sized
     * driver reads; the code table stays on disk until a query prunes
     * into it. */

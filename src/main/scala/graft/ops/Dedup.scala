@@ -650,10 +650,12 @@ object Dedup {
       .agg(count(lit(1)).as("occ_n"), min(occHere).as("first_occ"))
       .filter(col("occ_n") >= 2)
     // one pair per flagged occurrence: (occurrence, gram's first occ);
-    // checkpointed — it feeds the id sliver AND the extension join
+    // checkpointed — it feeds the id sliver, the extension join, and
+    // (with __g retained) the refine round's second-occurrence table,
+    // so no stage ever re-walks the corpus gram stream
     val flagged = occ.join(dup, Seq("__g"))
       .filter(occHere =!= col("first_occ"))
-      .select(col(idCol), col("pos"),
+      .select(col("__g"), col(idCol), col("pos"),
         col("first_occ.d").as("__fd"), col("first_occ.p").as("__fp"))
       .localCheckpoint(true)
     // token arrays ONLY for docs appearing in some pair (sliver; both
@@ -722,13 +724,19 @@ object Dedup {
         .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__sp"))
         .select(col(idCol), explode(mergeIntervals(col("__sp"))).as("__m"))
         .select(col(idCol), col("__m.s").as("s"), col("__m.e").as("e"))
-      val seconds = occ.join(dup, Seq("__g"))
-        .filter(occHere =!= col("first_occ"))
-        .groupBy("__g").agg(min(occHere).as("second_occ"))
+      // flagged IS the non-first occurrence stream, so the per-gram
+      // second occurrence is one bounded aggregate over it — no second
+      // corpus tokenization pass
+      val seconds = flagged.groupBy("__g").agg(min(occHere).as("second_occ"))
       val seeds2 = merged1.select(col(idCol),
         explode(array_distinct(array(col("s"), col("e") - lit(seedK - 1)))).as("pos"))
+      // the boundary window's gram rebuilds in-row from the token
+      // sliver (same space-join + md5 as the occ stream) — joining occ
+      // here would re-tokenize the corpus a third time
       val pairs2 = seeds2
-        .join(occ, Seq(idCol, "pos"))
+        .join(toks.select(col("__id").as(idCol), col("__t")), Seq(idCol))
+        .withColumn("__g",
+          md5(array_join(slice(col("__t"), col("pos") + 1, lit(seedK)), " ")))
         .join(seconds, Seq("__g"))
         .filter(col("second_occ") < occHere) // strictly-earlier keeper rule
         .select(col(idCol), col("pos"),

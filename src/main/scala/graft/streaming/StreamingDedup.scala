@@ -132,31 +132,65 @@ object StreamingDedup {
     * BATCH (the corpus is touched via band equi-joins + a words read
     * for the candidate sliver — [[DedupIndex.dedupBatch]]'s contract);
     * state lives in band0-partitioned parquet, not the state store, so
-    * corpus size never bloats checkpoints. Caveats: documents inside
-    * ONE micro-batch are screened against the index but not each
-    * other (both copies fold in; a later batch resolves against the
-    * first of them — run [[exactDedupStream]] upstream or
-    * `Dedup.exact` per batch if in-trigger dedup matters), and the
-    * append is not transactional with the verdict write — a crashed
-    * trigger may replay a batch, which re-emits verdicts but cannot
-    * corrupt the index (duplicate state rows cost bytes, not
-    * correctness).
+    * corpus size never bloats checkpoints.
+    *
+    * `inBatchExact = true` (the default) first collapses exact
+    * duplicates INSIDE the micro-batch — the non-keeper copies get an
+    * `exact_dup` verdict with `near_dup_of` pointing at their
+    * in-batch keeper, and only keepers probe the index / fold in, so
+    * a burst of identical documents in one trigger leaves ONE index
+    * entry. With it off, in-batch copies are
+    * screened against the index only (each folds in; a later batch
+    * resolves against the first). In-batch NEAR-duplicates are out of
+    * scope either way — they resolve one trigger later, by design.
+    * The append is not transactional with the verdict write — a
+    * crashed trigger may replay a batch, which re-emits verdicts but
+    * cannot corrupt the index (duplicate state rows cost bytes, not
+    * correctness; [[DedupIndex.compact]] reclaims them).
     *
     * Use as `docs.writeStream.foreachBatch(nearDedupSink(...)).start()`.
     */
   def nearDedupSink(
       handle: DedupIndex.Handle, verdictsDir: String,
-      threshold: Double = 0.8, foldInNew: Boolean = true):
+      threshold: Double = 0.8, foldInNew: Boolean = true,
+      inBatchExact: Boolean = true):
       (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
+      import org.apache.spark.sql.functions.{md5, min, lit}
+      val idCol = handle.idCol
       // materialize the micro-batch once: dedupBatch walks it several
       // times (fingerprint probe, signatures, verify words)
       val frozen = batch.localCheckpoint(true)
+      val (toScreen, inBatchDup) = if (!inBatchExact) (frozen, None) else {
+        // same fingerprint + min-id keeper rule as Dedup.exact; null
+        // text carries no content evidence and stays a keeper
+        val withFp = frozen.withColumn("__fp", md5(col("text")))
+        val keepers = withFp.filter(col("text").isNotNull)
+          .groupBy("__fp").agg(min(col(idCol)).as("__keep"))
+        val joined = withFp.join(keepers, Seq("__fp"), "left")
+        val dupes = joined
+          .filter(col("text").isNotNull && col(idCol) =!= col("__keep"))
+          .select(frozen.columns.map(col) :+ col("__keep"): _*)
+        val keep = joined
+          .filter(col("text").isNull || col(idCol) === col("__keep"))
+          .select(frozen.columns.map(col): _*)
+        (keep.localCheckpoint(true),
+          if (dupes.isEmpty) None else Some(dupes.localCheckpoint(true)))
+      }
       val verdicts = DedupIndex
-        .dedupBatch(spark, handle, frozen, threshold)
+        .dedupBatch(spark, handle, toScreen, threshold)
         .localCheckpoint(true) // verdicts fixed BEFORE the index grows
-      verdicts.write.mode("append").parquet(verdictsDir)
+      val allVerdicts = inBatchDup match {
+        case None => verdicts
+        case Some(d) => verdicts.unionByName(d
+          .withColumn("exact_dup", lit(true))
+          .withColumn("near_dup", lit(false))
+          .withColumn("near_dup_of", col("__keep"))
+          .withColumn("is_new", lit(false))
+          .drop("__keep"))
+      }
+      allVerdicts.write.mode("append").parquet(verdictsDir)
       if (foldInNew) {
         val fresh = verdicts.filter(col("is_new"))
           .select(frozen.columns.map(col): _*)

@@ -2669,6 +2669,53 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("AnnIndex.compact: replayed appends collapse, queries unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("anncompact").toString
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val old = emb.filter(col("vec_id") < 400)
+      val fresh = emb.filter(col("vec_id") >= 400)
+      val built = AnnIndex.build(old, "embedding", "vec_id", dir,
+        nCells = 4, m = 4, k = 4, dim = 64, iters = 2)
+      // a replayed ingest: the same slice appended twice
+      AnnIndex.append(built, fresh, "embedding", "vec_id")
+      AnnIndex.append(built, fresh, "embedding", "vec_id")
+      val qv = emb.filter(col("vec_id") === 450)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .collect().head.getSeq[Double](0).toSeq
+      def top5 = AnnIndex.query(spark, built, "vec_id", qv, k = 5, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // before compaction the replayed rows occupy duplicate slots
+      val before = top5
+      assert(before.map(_._1).distinct.size < before.size,
+        s"expected duplicate top-k slots pre-compaction: $before")
+      val rowsBefore = spark.read.parquet(s"$dir/codes").count()
+      AnnIndex.compact(built)
+      val rowsAfter = spark.read.parquet(s"$dir/codes").count()
+      assert(rowsAfter < rowsBefore, s"$rowsBefore -> $rowsAfter")
+      assert(rowsAfter == emb.count()) // one row per distinct vector
+      // compaction restores single-copy answers == a clean-history index
+      val cleanDir = java.nio.file.Files.createTempDirectory("anncompact_ref").toString
+      val ref = try {
+        AnnIndex.build(old, "embedding", "vec_id", cleanDir,
+          nCells = 4, m = 4, k = 4, dim = 64, iters = 2)
+        val h = AnnIndex.Handle(cleanDir, built.centroids, built.codebooks)
+        AnnIndex.append(h, fresh, "embedding", "vec_id")
+        AnnIndex.query(spark, h, "vec_id", qv, k = 5, nProbe = 2)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      } finally {
+        val root = java.nio.file.Path.of(cleanDir)
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+      assert(top5 == ref, s"compacted ${top5} vs clean-history $ref")
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("keepBest: per-cluster quality argmax, id tie-break, null scores lose") {
     val rows = Seq(
       (1L, 100L, 0.5), (2L, 100L, 0.9), (3L, 100L, 0.9), // 2 wins the 0.9 tie

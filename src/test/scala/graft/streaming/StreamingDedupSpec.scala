@@ -145,6 +145,48 @@ class StreamingDedupSpec extends SparkSpec {
     assert(streamed == manual, s"stream $streamed vs batch loop $manual")
   }
 
+  test("nearDedupSink: in-batch exact burst collapses to one index entry") {
+    import graft.ops.DedupIndex
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "completely different content about spark engines and data"))
+      .toDF("doc_id", "text")
+    // one trigger carrying THREE copies of the same page (a crawl
+    // burst) plus a fresh doc
+    val burst = Seq(
+      (10L, "identical crawl burst page body with many shared words here"),
+      (11L, "identical crawl burst page body with many shared words here"),
+      (12L, "identical crawl burst page body with many shared words here"),
+      (13L, "a genuinely different document with its own vocabulary entirely"))
+    val root = java.nio.file.Files.createTempDirectory("neardedup_b_").toString
+    val handle = DedupIndex.build(corpus, "doc_id", s"$root/idx")
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(StreamingDedup.nearDedupSink(handle, s"$root/verdicts", threshold = 0.5))
+      .start()
+    try { input.addData(burst: _*); q.processAllAvailable() } finally q.stop()
+    val v = spark.read.parquet(s"$root/verdicts")
+      .select("doc_id", "exact_dup", "near_dup", "near_dup_of", "is_new")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), Option(r.get(3)), r.getBoolean(4))).toMap
+    // keeper 10 is new; 11/12 are in-batch exact dupes pointing at it
+    assert(v(10L) == ((false, false, None, true)), s"$v")
+    assert(v(11L) == ((true, false, Some(10L), false)), s"$v")
+    assert(v(12L) == ((true, false, Some(10L), false)), s"$v")
+    assert(v(13L)._4)
+    // exactly ONE copy of the burst landed in the index: a re-send is
+    // an exact hit, and the signature table grew by the two keepers
+    val again = graft.ops.DedupIndex.dedupBatch(spark, handle,
+      Seq((20L, "identical crawl burst page body with many shared words here"))
+        .toDF("doc_id", "text"), threshold = 0.5)
+      .select("exact_dup").collect().head.getBoolean(0)
+    assert(again)
+    assert(spark.read.parquet(s"$root/idx/signatures")
+      .filter(col("doc_id") >= 10L).count() == 2L) // docs 10 and 13 only
+  }
+
   test("exactDedupStream: non-positive TTL rejected at entry, not at runtime") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamDoc]
