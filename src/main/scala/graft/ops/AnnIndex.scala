@@ -88,8 +88,11 @@ object AnnIndex {
     * this reads the table back, collapses EXACT duplicate rows (a
     * replayed append re-encodes identically under the frozen models —
     * any survivor is THE row), and rewrites one wave per cell through
-    * a temp directory + swap. For a clean append history the answers
-    * are untouched; after a REPLAYED append, compaction also restores
+    * a temp directory + rename-aside swap (a crash between the two
+    * renames leaves `codes` missing with `codes_precompact` and
+    * `compact_tmp/codes` both intact — rename either back; no data is
+    * ever lost). For a clean append history the answers are
+    * untouched; after a REPLAYED append, compaction also restores
     * single-copy top-k (a duplicated row would otherwise occupy two
     * result slots). */
   def compact(handle: Handle): Unit = {
@@ -101,9 +104,11 @@ object AnnIndex {
       .parquet(s"$dir/compact_tmp/codes")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/compact_tmp/codes"),
-      new org.apache.hadoop.fs.Path(s"$dir/codes"))
+    val live = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val aside = new org.apache.hadoop.fs.Path(s"$dir/codes_precompact")
+    fs.rename(live, aside)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/compact_tmp/codes"), live)
+    fs.delete(aside, true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/compact_tmp"), true)
   }
 

@@ -145,15 +145,16 @@ object Dedup {
       maxSampleRows: Long = 10000L): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold out of (0,1]: $threshold")
     val spark = docs.sparkSession
-    // count on a materialized two-column projection — no re-execution
-    // of the caller's lineage, and the same frame feeds the join below
-    val sample = docs.select(col(idCol).as("__id"), col("text"))
-      .localCheckpoint(true)
-    val nDocs = sample.count()
+    // guard FIRST on a cheap projected count (an oversized input must
+    // fail with the require, not an executor OOM while checkpointing
+    // it), THEN materialize the projection once for all downstream use
+    val proj = docs.select(col(idCol).as("__id"), col("text"))
+    val nDocs = proj.count()
     require(nDocs <= maxSampleRows,
       s"lshEvaluate is a quadratic EVALUATION harness: got $nDocs rows " +
         s"(> $maxSampleRows) — n^2 pairs AND a broadcast of every row's " +
         s"3-shingle array; evaluate on a sample, deploy the config on the corpus")
+    val sample = proj.localCheckpoint(true)
     // distinct 3-shingle set per doc — the set the signatures sketch
     val shingled = sample.select(col("__id"),
         array_distinct(tokenNgrams(tokens(col("text")), 3)).as("__t"))
@@ -720,7 +721,10 @@ object Dedup {
     // windows with their grams' SECOND occurrence (see scaladoc) —
     // one or two pairs per surviving span, same extension machinery
     val allSpans = if (!refine) spans0 else {
-      val merged1 = spans0.groupBy(idCol)
+      // spans0 feeds the refine seeds AND the final union — checkpoint
+      // so the round-1 extension lineage (the heaviest stage) runs once
+      val spans0c = spans0.localCheckpoint(true)
+      val merged1 = spans0c.groupBy(idCol)
         .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__sp"))
         .select(col(idCol), explode(mergeIntervals(col("__sp"))).as("__m"))
         .select(col(idCol), col("__m.s").as("s"), col("__m.e").as("e"))
@@ -749,7 +753,7 @@ object Dedup {
         .filter(lit(seedK) + col("__el") + col("__er") >= minLen)
         .select(col(idCol), (col("pos") - col("__el")).as("s"),
           (col("pos") + lit(seedK - 1) + col("__er")).as("e"))
-      spans0.unionByName(spans2)
+      spans0c.unionByName(spans2)
     }
 
     val perDoc = allSpans.groupBy(idCol)

@@ -99,13 +99,20 @@ object DedupIndex {
   /** Rewrite the index state deduplicated — the maintenance pass for a
     * long-running append loop: fingerprints collapse to distinct
     * (appends re-add shared hashes), signature and word rows collapse
-    * to one per id (a doc re-appended under the same id — e.g. a
-    * replayed ingest batch — holds identical derived rows, so any
-    * survivor is THE row; `max_by` keeps the pick deterministic).
-    * Probe results are identical before and after — compaction buys
-    * bytes and probe-join input size, never answers. Writes through a
-    * temp subdirectory then swaps, so a crash mid-compact leaves the
-    * original state readable. */
+    * to one per id. Assumes the library-wide contract that an id maps
+    * to ONE document text: a replayed ingest re-appends identical
+    * derived rows, so any survivor is THE row (the `max`/`max(struct)`
+    * picks make the survivor deterministic regardless). If a caller
+    * re-appended the same id with DIFFERENT text, per-id state was
+    * already ambiguous before compaction (both versions were being
+    * probed); compaction keeps one deterministic version of each
+    * table — rebuild from the source of truth if that happened.
+    *
+    * Crash behavior: each table is written complete to `compact_tmp`,
+    * the old table renamed aside, the new renamed in, the old
+    * deleted. A crash between the two renames leaves that table
+    * missing with both `compact_tmp/<t>` and `<t>_precompact` intact
+    * — rename either back to recover; no data is ever lost. */
   def compact(handle: Handle): Unit = {
     val spark = SparkSession.active
     val dir = handle.dir
@@ -121,14 +128,17 @@ object DedupIndex {
       .repartition(col("band0"))
       .write.mode("overwrite").partitionBy("band0").parquet(s"$tmp/signatures")
     spark.read.parquet(s"$dir/words")
-      .groupBy(idc).agg(max_by(col("words"), size(col("words"))).as("words"))
+      .groupBy(idc).agg(max(struct(col("words"))).as("__w"))
+      .select(idc, col("__w.words").as("words"))
       .write.mode("overwrite").parquet(s"$tmp/words")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     Seq("fingerprints", "signatures", "words").foreach { t =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$t"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$t"),
-        new org.apache.hadoop.fs.Path(s"$dir/$t"))
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      val aside = new org.apache.hadoop.fs.Path(s"$dir/${t}_precompact")
+      fs.rename(live, aside)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$t"), live)
+      fs.delete(aside, true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }

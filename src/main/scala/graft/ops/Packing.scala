@@ -244,9 +244,12 @@ object Packing {
     * exact `ctxLen` boundaries, with the [[materializeChunksEos]]
     * `doc_starts` boundary map. [[materializeChunksEos]] packs
     * whitespace tokens (the library's inspection convention); this is
-    * the production artifact. `eosId` defaults to one past the vocab
-    * table (GPT-2 places `<|endoftext|>` last). Documents yielding
-    * zero tokens (empty/null text) are dropped — no stray EOS.
+    * the production artifact. `eosId` defaults to one past the
+    * LARGEST assigned id (GPT-2 places `<|endoftext|>` last) — not
+    * the table's row count, which undercounts by one per duplicate
+    * composite and would collide with a real token's id. Documents
+    * yielding zero tokens (empty/null text) are dropped — no stray
+    * EOS.
     *
     * Same shapes as [[materializeChunksEos]]: the per-shard offset
     * window, ONE (shard, chunk)-keyed materialization shuffle, the
@@ -258,7 +261,7 @@ object Packing {
       vocab: graft.plans.BpeVocab, ctxLen: Long, shardCol: String,
       eosId: Option[Int] = None): DataFrame = {
     require(ctxLen >= 1, s"context length must be >= 1, got $ctxLen")
-    val eos = eosId.getOrElse(vocab.idTableRows.size)
+    val eos = eosId.getOrElse(vocab.idTableRows.map(_._2).max + 1)
     val ids = TextAnalysis.bpeTokenIds(col(textCol), vocab)
     val withTok = df
       .withColumn("__base", ids)

@@ -605,9 +605,13 @@ object TextAnalysis {
     * Counts come from the redacted text via the replace-length trick
     * ([[countOccurrences]]), minus any LITERAL placeholder strings
     * already present in the input so a document containing the text
-    * "<URL>" is not miscounted. Narrow, codegen'd, zero shuffle —
-    * the redaction chain runs once per row and the counts are
-    * arithmetic over it. */
+    * "<URL>" is not miscounted, clamped at zero — a literal
+    * placeholder sitting INSIDE a redacted URL is consumed by the
+    * redaction, which can make the raw delta under-count (never a
+    * phantom hit); the clamp keeps pathological inputs from driving
+    * a count negative and inverting a threshold gate. Narrow,
+    * codegen'd, zero shuffle — the redaction chain runs once per row
+    * and the counts are arithmetic over it. */
   def piiStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val placeholders = Seq(
       "n_url" -> "<URL>", "n_email" -> "<EMAIL>",
@@ -615,8 +619,8 @@ object TextAnalysis {
     val withRed = df.withColumn("__red", redactPii(col(textCol)))
     val counted = placeholders.foldLeft(withRed) { case (acc, (out, ph)) =>
       acc.withColumn(out,
-        (countOccurrences(col("__red"), ph) -
-          countOccurrences(col(textCol), ph)).cast("long"))
+        greatest(countOccurrences(col("__red"), ph) -
+          countOccurrences(col(textCol), ph), lit(0L)).cast("long"))
     }
     counted
       .withColumn("pii_total",

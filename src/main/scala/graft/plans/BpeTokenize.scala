@@ -58,7 +58,11 @@ final case class BpeVocab(
       if (byteLevel) (0 until 256).map(b => String.valueOf(BpeVocab.ByteToChar(b)))
       else merges.flatMap { case (l, r) => Seq(l, r) }
         .flatMap(s => s.codePoints().toArray.map(cp => new String(Character.toChars(cp))))
-        .distinct.sorted
+        .distinct
+        // code-point (== UTF-8 byte) order, NOT Scala's .sorted (Java
+        // UTF-16 code-unit order) — they disagree when a supplementary
+        // character meets a BMP char in 0xE000..0xFFFF
+        .sortBy(s => s.codePointAt(0))
     val base = alphabet.size
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     alphabet.zipWithIndex.foreach { case (s, i) => seen.getOrElseUpdate(s, i) }

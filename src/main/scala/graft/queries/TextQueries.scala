@@ -639,22 +639,22 @@ object TextQueries {
           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS r
         FROM red)
       SELECT doc_id,
-        CAST((len(r) - len(replace(r, '<URL>', ''))) // 5
-           - (len(o) - len(replace(o, '<URL>', ''))) // 5 AS BIGINT) AS n_url,
-        CAST((len(r) - len(replace(r, '<EMAIL>', ''))) // 7
-           - (len(o) - len(replace(o, '<EMAIL>', ''))) // 7 AS BIGINT) AS n_email,
-        CAST((len(r) - len(replace(r, '<IP>', ''))) // 4
-           - (len(o) - len(replace(o, '<IP>', ''))) // 4 AS BIGINT) AS n_ip,
-        CAST((len(r) - len(replace(r, '<PHONE>', ''))) // 7
-           - (len(o) - len(replace(o, '<PHONE>', ''))) // 7 AS BIGINT) AS n_phone,
-        CAST((len(r) - len(replace(r, '<URL>', ''))) // 5
-           - (len(o) - len(replace(o, '<URL>', ''))) // 5
-           + (len(r) - len(replace(r, '<EMAIL>', ''))) // 7
-           - (len(o) - len(replace(o, '<EMAIL>', ''))) // 7
-           + (len(r) - len(replace(r, '<IP>', ''))) // 4
-           - (len(o) - len(replace(o, '<IP>', ''))) // 4
-           + (len(r) - len(replace(r, '<PHONE>', ''))) // 7
-           - (len(o) - len(replace(o, '<PHONE>', ''))) // 7 AS BIGINT) AS pii_total
+        CAST(greatest((len(r) - len(replace(r, '<URL>', ''))) // 5
+           - (len(o) - len(replace(o, '<URL>', ''))) // 5, 0) AS BIGINT) AS n_url,
+        CAST(greatest((len(r) - len(replace(r, '<EMAIL>', ''))) // 7
+           - (len(o) - len(replace(o, '<EMAIL>', ''))) // 7, 0) AS BIGINT) AS n_email,
+        CAST(greatest((len(r) - len(replace(r, '<IP>', ''))) // 4
+           - (len(o) - len(replace(o, '<IP>', ''))) // 4, 0) AS BIGINT) AS n_ip,
+        CAST(greatest((len(r) - len(replace(r, '<PHONE>', ''))) // 7
+           - (len(o) - len(replace(o, '<PHONE>', ''))) // 7, 0) AS BIGINT) AS n_phone,
+        CAST(greatest((len(r) - len(replace(r, '<URL>', ''))) // 5
+           - (len(o) - len(replace(o, '<URL>', ''))) // 5, 0)
+           + greatest((len(r) - len(replace(r, '<EMAIL>', ''))) // 7
+           - (len(o) - len(replace(o, '<EMAIL>', ''))) // 7, 0)
+           + greatest((len(r) - len(replace(r, '<IP>', ''))) // 4
+           - (len(o) - len(replace(o, '<IP>', ''))) // 4, 0)
+           + greatest((len(r) - len(replace(r, '<PHONE>', ''))) // 7
+           - (len(o) - len(replace(o, '<PHONE>', ''))) // 7, 0) AS BIGINT) AS pii_total
       FROM rr ORDER BY doc_id"""),
     bench = true)
 

@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ops.AnnIndex
+
+/** Streaming ANN ingestion — the vector side of
+  * [[StreamingDedup.nearDedupSink]]'s loop: each micro-batch of
+  * embeddings is assigned and PQ-encoded under the persistent index's
+  * FROZEN quantizers and parquet-appended to its cell partitions
+  * ([[AnnIndex.append]]), so a query issued after any trigger sees
+  * every vector ingested so far without a rebuild.
+  *
+  * Scale shape: per trigger, one narrow assign+encode pass over the
+  * BATCH plus one cell-keyed write — the index's size never enters
+  * the trigger cost. Append is not checkpoint-transactional: a
+  * replayed trigger re-appends identical code rows, which cost bytes
+  * and duplicate top-k slots until [[AnnIndex.compact]] reclaims them
+  * — run compaction on whatever cadence the file counts suggest.
+  * Retrain deliberately (new build) when embedding drift warrants;
+  * the frozen-quantizer contract is what makes the sink cheap.
+  *
+  * Use as `vecs.writeStream.foreachBatch(AnnIngest.annAppendSink(...)).start()`.
+  */
+object AnnIngest {
+
+  def annAppendSink(
+      handle: AnnIndex.Handle, embCol: String, idCol: String):
+      (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    if (!batch.isEmpty)
+      AnnIndex.append(handle, batch.localCheckpoint(true), embCol, idCol)
+  }
+}

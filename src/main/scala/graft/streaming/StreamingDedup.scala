@@ -135,11 +135,14 @@ object StreamingDedup {
     * corpus size never bloats checkpoints.
     *
     * `inBatchExact = true` (the default) first collapses exact
-    * duplicates INSIDE the micro-batch — the non-keeper copies get an
-    * `exact_dup` verdict with `near_dup_of` pointing at their
-    * in-batch keeper, and only keepers probe the index / fold in, so
-    * a burst of identical documents in one trigger leaves ONE index
-    * entry. With it off, in-batch copies are
+    * duplicates INSIDE the micro-batch — the non-keeper copies get
+    * `exact_dup = true, near_dup = true, near_dup_of = <keeper>`
+    * (exactly the flag shape `dedupBatch` emits for an exact corpus
+    * duplicate, whose jaccard of 1 also clears any threshold — so the
+    * `near_dup == near_dup_of.isNotNull` invariant holds across every
+    * row in `verdictsDir`), and only keepers probe the index / fold
+    * in, so a burst of identical documents in one trigger leaves ONE
+    * index entry. With it off, in-batch copies are
     * screened against the index only (each folds in; a later batch
     * resolves against the first). In-batch NEAR-duplicates are out of
     * scope either way — they resolve one trigger later, by design.
@@ -185,7 +188,7 @@ object StreamingDedup {
         case None => verdicts
         case Some(d) => verdicts.unionByName(d
           .withColumn("exact_dup", lit(true))
-          .withColumn("near_dup", lit(false))
+          .withColumn("near_dup", lit(true)) // jaccard 1 clears any threshold
           .withColumn("near_dup_of", col("__keep"))
           .withColumn("is_new", lit(false))
           .drop("__keep"))

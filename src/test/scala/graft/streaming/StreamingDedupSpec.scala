@@ -172,9 +172,11 @@ class StreamingDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         (r.getBoolean(1), r.getBoolean(2), Option(r.get(3)), r.getBoolean(4))).toMap
     // keeper 10 is new; 11/12 are in-batch exact dupes pointing at it
+    // (flag shape matches dedupBatch's for exact corpus dupes: both
+    // flags set, jaccard 1 clears any threshold)
     assert(v(10L) == ((false, false, None, true)), s"$v")
-    assert(v(11L) == ((true, false, Some(10L), false)), s"$v")
-    assert(v(12L) == ((true, false, Some(10L), false)), s"$v")
+    assert(v(11L) == ((true, true, Some(10L), false)), s"$v")
+    assert(v(12L) == ((true, true, Some(10L), false)), s"$v")
     assert(v(13L)._4)
     // exactly ONE copy of the burst landed in the index: a re-send is
     // an exact hit, and the signature table grew by the two keepers
