@@ -387,6 +387,131 @@ object Multimodal {
     }
   }
 
+  /** Audio energy-envelope difference hash — the audio twin of
+    * [[PerceptualHash.dHash64]] and the THIRD fingerprint the banded
+    * Hamming machinery serves (text simhash, image dHash, audio
+    * aHash): PCM frames REALLY decode through the JDK's
+    * `javax.sound.sampled` (WAV/AIFF/AU; signed/unsigned 8- and
+    * 16-bit, any channel count — channels mix to mono), mean ABSOLUTE
+    * amplitude is area-averaged into 65 equal TIME windows, and each
+    * of the 64 bits is the sign of one envelope gradient
+    * `win(i) > win(i+1)` — exactly dHash's construction, over time
+    * instead of space. Time-fraction windows make the hash
+    * sample-rate-invariant (the same clip resampled keeps its
+    * envelope); gradient signs make it gain-invariant (volume
+    * normalization preserves every comparison). Undecodable payloads,
+    * non-PCM encodings, and clips under 65 frames yield None. */
+  object AudioFingerprint {
+    private val Windows = 65
+
+    def aHash64(payload: Array[Byte]): Option[Long] = {
+      if (payload == null || payload.isEmpty) return None
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (in == null) return None
+      try {
+        val f = in.getFormat
+        import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+        val enc = f.getEncoding
+        val bits = f.getSampleSizeInBits
+        if (!(enc == PCM_SIGNED || enc == PCM_UNSIGNED)) return None
+        if (bits != 8 && bits != 16) return None
+        val bytes =
+          try in.readAllBytes() catch { case _: Exception => return None }
+        val frameSize = f.getFrameSize
+        val channels = f.getChannels
+        if (frameSize <= 0 || channels <= 0) return None
+        val n = bytes.length / frameSize
+        if (n < Windows) return None
+        val sums = new Array[Double](Windows)
+        val counts = new Array[Long](Windows)
+        val bps = bits / 8
+        var i = 0
+        while (i < n) {
+          var c = 0
+          var mix = 0.0
+          while (c < channels) {
+            val o = i * frameSize + c * bps
+            val v: Double =
+              if (bits == 8) {
+                if (enc == PCM_UNSIGNED) (bytes(o) & 0xff) - 128.0
+                else bytes(o).toDouble
+              } else {
+                val raw =
+                  if (f.isBigEndian) (bytes(o) << 8) | (bytes(o + 1) & 0xff)
+                  else (bytes(o + 1) << 8) | (bytes(o) & 0xff)
+                if (enc == PCM_UNSIGNED) ((raw & 0xffff) - 32768).toDouble
+                else raw.toDouble
+              }
+            mix += math.abs(v)
+            c += 1
+          }
+          val w = (i.toLong * Windows / n).toInt
+          sums(w) += mix / channels
+          counts(w) += 1
+          i += 1
+        }
+        var out = 0L
+        var k = 0
+        while (k < Windows - 1) {
+          if (sums(k) / counts(k) > sums(k + 1) / counts(k + 1)) out |= 1L << k
+          k += 1
+        }
+        Some(out)
+      } finally in.close()
+    }
+  }
+
+  /** Attach `ahash` — [[AudioFingerprint.aHash64]] as a 16-hex-char
+    * string (the [[Dedup.hammingHex]] / [[Dedup.hammingNearDupPairs]]
+    * fingerprint convention) — to every audio row; non-audio rows and
+    * undecodable payloads get NULL. Narrow batch-decode mapPartitions
+    * like [[perceptualHash]]: decode once at ingest, compare hashes
+    * forever after without touching payloads. */
+  def audioFingerprint(
+      df: DataFrame,
+      payloadCol: String = "payload",
+      mediaTypeCol: String = "media_type"): DataFrame = {
+    val schema = df.schema.add(StructField("ahash", StringType, nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val typeIdx = df.schema.fieldIndex(mediaTypeCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val ah =
+          if (r.getString(typeIdx) == "audio" && !r.isNullAt(payloadIdx))
+            AudioFingerprint.aHash64(r.getAs[Array[Byte]](payloadIdx))
+          else None
+        Row.fromSeq(r.toSeq :+ ah.map(h => f"$h%016x").orNull)
+      }
+    }(encoder)
+  }
+
+  /** Audio near-duplicate clusters over the envelope hash — the
+    * [[imageNearDuplicates]] contract for clips: decode each clip
+    * ONCE into its 64-bit aHash (narrow), candidate pairs via the
+    * exact banded Hamming join, transitive groups via the O(log d)
+    * component fold. Emits `(idCol, ahash, dup_of,
+    * is_near_duplicate)`. */
+  def audioNearDuplicates(
+      df: DataFrame, idCol: String,
+      maxHamming: Int = 3,
+      payloadCol: String = "payload",
+      mediaTypeCol: String = "media_type"): DataFrame = {
+    val hashed = audioFingerprint(df, payloadCol, mediaTypeCol)
+      .select(col(idCol), col("ahash"))
+      .localCheckpoint(true) // hashes feed the band joins AND the final join
+    val pairs = Dedup.hammingNearDupPairs(hashed, idCol, "ahash", maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val dupMap = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol), col("comp").as("dup_of"))
+    hashed.join(dupMap, Seq(idCol), "left")
+      .withColumn("is_near_duplicate", col("dup_of").isNotNull)
+  }
+
   /** Attach `phash` — [[PerceptualHash.dHash64]] as a 16-hex-char
     * string (the [[Dedup.hammingHex]] / [[Dedup.hammingNearDupPairs]]
     * fingerprint convention) — to every image row; non-image rows and

@@ -432,6 +432,13 @@ object ProfileScale {
           concat(lit("s"), (graft.ops.Sampling.hashUnit(col("doc_id")) * 16).cast("int")))),
         () => q116(docs10.withColumn("shard_key_s",
           concat(lit("s"), (graft.ops.Sampling.hashUnit(col("doc_id")) * 16).cast("int"))))))
+      // SPARK_GRAFT_SCALE_ONLY=q82,q112 restricts the sweep (label
+      // prefix match) — the A/B lever for re-profiling one family
+      // after a change without the full multi-minute run
+      .filter { case (name, _, _) =>
+        sys.env.get("SPARK_GRAFT_SCALE_ONLY").forall(
+          _.split(",").exists(p => name.startsWith(p.trim + " ") || name == p.trim))
+      }
       .map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)

@@ -1981,6 +1981,66 @@ class OpsSpec extends SparkSpec {
     } finally java.nio.file.Files.deleteIfExists(mp4)
   }
 
+  /** 16-bit mono PCM WAV from explicit sample values. */
+  private def wavFromSamples(samples: Array[Short], rateHz: Float): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rateHz, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(i * 2) = (samples(i) & 0xff).toByte
+      pcm(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("Multimodal.AudioFingerprint: gain- and rate-invariant envelope hash, near-dup clusters") {
+    // |amplitude| IS the envelope: alternate sign so abs(sample) tracks
+    // amp(t) exactly; envelope = asymmetric ramp + wiggle (a symmetric
+    // shape would survive reversal and prove nothing)
+    def clip(nFrames: Int, rate: Float, gain: Double, reversed: Boolean = false) =
+      wavFromSamples(Array.tabulate(nFrames) { i =>
+        val t0 = i.toDouble / nFrames
+        val t = if (reversed) 1.0 - t0 else t0
+        val amp = 2000.0 + 15000.0 * t + 6000.0 * math.sin(4 * math.Pi * t)
+        val s = gain * amp * (if (i % 2 == 0) 1 else -1)
+        s.toShort
+      }, rate)
+    val a = clip(4000, 8000f, 1.0)
+    val halfGain = clip(4000, 8000f, 0.5)
+    val resampled = clip(8000, 16000f, 1.0) // same envelope over TIME
+    val rev = clip(4000, 8000f, 1.0, reversed = true)
+    def hx(b: Array[Byte]) = Multimodal.AudioFingerprint.aHash64(b).get
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hx(a) == hx(halfGain), "gain change must not move a bit")
+    assert(ham(hx(a), hx(resampled)) <= 3, s"resample moved ${ham(hx(a), hx(resampled))} bits")
+    assert(ham(hx(a), hx(rev)) > 16, "reversed envelope must be far")
+    // too-short and garbage payloads yield None, never throw
+    assert(Multimodal.AudioFingerprint.aHash64(
+      wavFromSamples(Array.fill[Short](64)(100), 8000f)).isEmpty)
+    assert(Multimodal.AudioFingerprint.aHash64("junk".getBytes("UTF-8")).isEmpty)
+
+    // the distributed near-dup pass: copies cluster, the reversed clip
+    // stays solo, the image row carries no ahash
+    val assets = Seq(
+      (1L, "audio", a), (2L, "audio", halfGain), (3L, "audio", resampled),
+      (4L, "audio", rev),
+      (5L, "image", pngBytes(Array.fill(8)(Array.fill(8)(0x808080)))))
+      .toDF("asset_id", "media_type", "payload").repartition(3)
+    val out = Multimodal.audioNearDuplicates(assets, "asset_id")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.get(2)), r.getBoolean(3)))).toMap
+    assert(out(2L)._2 == Some(1L) && out(2L)._3)
+    assert(out(3L)._2 == Some(1L) && out(3L)._3)
+    assert(!out(1L)._3 && !out(4L)._3) // keeper + reversed stay solo
+    assert(out(5L)._1.isEmpty)         // image: no audio hash
+  }
+
   test("Multimodal.AudioSystemCodec REALLY parses WAV headers: duration/rate/channels") {
     // 4000 frames at 8 kHz mono = exactly 500 ms; 2-channel variant too
     val assets = Seq(
