@@ -3250,6 +3250,50 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("whitespace"))
   }
 
+  test("StagedCuration: cached prefixes load, config changes invalidate downstream only") {
+    import graft.ops.StagedCuration.Stage
+    val ws = java.nio.file.Files.createTempDirectory("staged_").toString
+    val src = (0L to 99L).map(i => (i, s"doc number $i body")).toDF("doc_id", "text")
+    def stages(minId: Long) = Seq(
+      Stage("keep-even", "mod=2", d => d.filter(col("doc_id") % 2 === 0)),
+      Stage("tag", s"min=$minId", d =>
+        d.withColumn("kept", (col("doc_id") >= minId).cast("int"))),
+      Stage("final-filter", "kept=1", d => d.filter(col("kept") === 1)))
+
+    val (out1, r1) = StagedCuration.run(spark, ws, src, "srcv1", stages(10L))
+    assert(r1.computedCount == 3 && r1.loadedCount == 0)
+    assert(out1.count() == 45) // even ids >= 10
+
+    // identical re-run: the whole chain comes off disk, same answer
+    val (out2, r2) = StagedCuration.run(spark, ws, src, "srcv1", stages(10L))
+    assert(r2.loadedCount == 3 && r2.computedCount == 0, r2.toString)
+    assert(out2.collect().map(_.getLong(0)).sorted.toSeq ==
+      out1.collect().map(_.getLong(0)).sorted.toSeq)
+
+    // changing stage 2's config recomputes 2 and 3, stage 1 still loads
+    val (out3, r3) = StagedCuration.run(spark, ws, src, "srcv1", stages(50L))
+    assert(r3.stages == Seq(("keep-even", true), ("tag", false), ("final-filter", false)),
+      r3.toString)
+    assert(out3.count() == 25) // even ids >= 50
+
+    // a new source fingerprint invalidates everything
+    val (_, r4) = StagedCuration.run(spark, ws, src, "srcv2", stages(50L))
+    assert(r4.computedCount == 3, r4.toString)
+
+    // a missing sidecar recomputes THAT stage; downstream fingerprints
+    // are unchanged, so later stages still load
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ws/tag.fp"), false)
+    val (_, r5) = StagedCuration.run(spark, ws, src, "srcv2", stages(50L))
+    assert(r5.stages == Seq(("keep-even", true), ("tag", false), ("final-filter", true)),
+      r5.toString)
+
+    val e = intercept[IllegalArgumentException](
+      StagedCuration.run(spark, ws, src, "x", Seq(
+        Stage("a", "", identity), Stage("a", "", identity))))
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("Packing.withShuffleKey: deterministic permutation, fresh order per seed") {
     val df = (0L to 19L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     def order(seed: String) = Packing.withShuffleKey(df, "doc_id", seed)
