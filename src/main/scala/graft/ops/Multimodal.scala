@@ -464,6 +464,50 @@ object Multimodal {
     }
   }
 
+  /** Shared narrow hash-attach pass for [[perceptualHash]] /
+    * [[audioFingerprint]]: decode each `mediaType` payload once into
+    * a 64-bit fingerprint, emitted as a 16-hex-char string column
+    * (the [[Dedup.hammingHex]] convention); other media types and
+    * undecodable payloads get NULL. */
+  private def attachMediaHash(
+      df: DataFrame, outCol: String, mediaType: String,
+      payloadCol: String, mediaTypeCol: String)(
+      hashFn: Array[Byte] => Option[Long]): DataFrame = {
+    val schema = df.schema.add(StructField(outCol, StringType, nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val typeIdx = df.schema.fieldIndex(mediaTypeCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val h =
+          if (r.getString(typeIdx) == mediaType && !r.isNullAt(payloadIdx))
+            hashFn(r.getAs[Array[Byte]](payloadIdx))
+          else None
+        Row.fromSeq(r.toSeq :+ h.map(v => f"$v%016x").orNull)
+      }
+    }(encoder)
+  }
+
+  /** Shared near-dup cluster orchestration over a `(idCol, hashCol)`
+    * frame: exact banded Hamming candidate pairs
+    * ([[Dedup.hammingNearDupPairs]] — never all-pairs), transitive
+    * groups via the O(log d) component fold, then `dup_of` /
+    * `is_near_duplicate` attached by a left join. One body for every
+    * modality so pairing/flag-semantics fixes land once. */
+  private def clusterByHammingHash(
+      hashed0: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    val hashed = hashed0
+      .localCheckpoint(true) // hashes feed the band joins AND the final join
+    val pairs = Dedup.hammingNearDupPairs(hashed, idCol, hashCol, maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val dupMap = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol), col("comp").as("dup_of"))
+    hashed.join(dupMap, Seq(idCol), "left")
+      .withColumn("is_near_duplicate", col("dup_of").isNotNull)
+  }
+
   /** Attach `ahash` — [[AudioFingerprint.aHash64]] as a 16-hex-char
     * string (the [[Dedup.hammingHex]] / [[Dedup.hammingNearDupPairs]]
     * fingerprint convention) — to every audio row; non-audio rows and
@@ -473,21 +517,9 @@ object Multimodal {
   def audioFingerprint(
       df: DataFrame,
       payloadCol: String = "payload",
-      mediaTypeCol: String = "media_type"): DataFrame = {
-    val schema = df.schema.add(StructField("ahash", StringType, nullable = true))
-    val payloadIdx = df.schema.fieldIndex(payloadCol)
-    val typeIdx = df.schema.fieldIndex(mediaTypeCol)
-    val encoder = org.apache.spark.sql.Encoders.row(schema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val ah =
-          if (r.getString(typeIdx) == "audio" && !r.isNullAt(payloadIdx))
-            AudioFingerprint.aHash64(r.getAs[Array[Byte]](payloadIdx))
-          else None
-        Row.fromSeq(r.toSeq :+ ah.map(h => f"$h%016x").orNull)
-      }
-    }(encoder)
-  }
+      mediaTypeCol: String = "media_type"): DataFrame =
+    attachMediaHash(df, "ahash", "audio", payloadCol, mediaTypeCol)(
+      AudioFingerprint.aHash64)
 
   /** Audio near-duplicate clusters over the envelope hash — the
     * [[imageNearDuplicates]] contract for clips: decode each clip
@@ -499,18 +531,11 @@ object Multimodal {
       df: DataFrame, idCol: String,
       maxHamming: Int = 3,
       payloadCol: String = "payload",
-      mediaTypeCol: String = "media_type"): DataFrame = {
-    val hashed = audioFingerprint(df, payloadCol, mediaTypeCol)
-      .select(col(idCol), col("ahash"))
-      .localCheckpoint(true) // hashes feed the band joins AND the final join
-    val pairs = Dedup.hammingNearDupPairs(hashed, idCol, "ahash", maxHamming)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    val dupMap = Dedup.connectedComponents(pairs)
-      .filter(col("id") =!= col("comp"))
-      .select(col("id").as(idCol), col("comp").as("dup_of"))
-    hashed.join(dupMap, Seq(idCol), "left")
-      .withColumn("is_near_duplicate", col("dup_of").isNotNull)
-  }
+      mediaTypeCol: String = "media_type"): DataFrame =
+    clusterByHammingHash(
+      audioFingerprint(df, payloadCol, mediaTypeCol)
+        .select(col(idCol), col("ahash")),
+      idCol, "ahash", maxHamming)
 
   /** Attach `phash` — [[PerceptualHash.dHash64]] as a 16-hex-char
     * string (the [[Dedup.hammingHex]] / [[Dedup.hammingNearDupPairs]]
@@ -521,21 +546,9 @@ object Multimodal {
   def perceptualHash(
       df: DataFrame,
       payloadCol: String = "payload",
-      mediaTypeCol: String = "media_type"): DataFrame = {
-    val schema = df.schema.add(StructField("phash", StringType, nullable = true))
-    val payloadIdx = df.schema.fieldIndex(payloadCol)
-    val typeIdx = df.schema.fieldIndex(mediaTypeCol)
-    val encoder = org.apache.spark.sql.Encoders.row(schema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val ph =
-          if (r.getString(typeIdx) == "image" && !r.isNullAt(payloadIdx))
-            PerceptualHash.dHash64(r.getAs[Array[Byte]](payloadIdx))
-          else None
-        Row.fromSeq(r.toSeq :+ ph.map(h => f"$h%016x").orNull)
-      }
-    }(encoder)
-  }
+      mediaTypeCol: String = "media_type"): DataFrame =
+    attachMediaHash(df, "phash", "image", payloadCol, mediaTypeCol)(
+      PerceptualHash.dHash64)
 
   /** Image near-duplicate clusters over the perceptual hash: decode
     * each image ONCE into its 64-bit dHash (narrow), generate
@@ -549,18 +562,11 @@ object Multimodal {
       df: DataFrame, idCol: String,
       maxHamming: Int = 3,
       payloadCol: String = "payload",
-      mediaTypeCol: String = "media_type"): DataFrame = {
-    val hashed = perceptualHash(df, payloadCol, mediaTypeCol)
-      .select(col(idCol), col("phash"))
-      .localCheckpoint(true) // hashes feed the band joins AND the final join
-    val pairs = Dedup.hammingNearDupPairs(hashed, idCol, "phash", maxHamming)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    val dupMap = Dedup.connectedComponents(pairs)
-      .filter(col("id") =!= col("comp"))
-      .select(col("id").as(idCol), col("comp").as("dup_of"))
-    hashed.join(dupMap, Seq(idCol), "left")
-      .withColumn("is_near_duplicate", col("dup_of").isNotNull)
-  }
+      mediaTypeCol: String = "media_type"): DataFrame =
+    clusterByHammingHash(
+      perceptualHash(df, payloadCol, mediaTypeCol)
+        .select(col(idCol), col("phash")),
+      idCol, "phash", maxHamming)
 
   /** A media transformer: bytes -> bytes (resize / transcode / crop). */
   trait MediaTransform extends Serializable {

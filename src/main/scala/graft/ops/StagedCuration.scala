@@ -13,8 +13,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * off disk while 7 onward recompute; change nothing and the whole
   * chain is parquet reads.
   *
-  * The fingerprint chains: `fp(stage) = md5(fp(parent) | name |
-  * config)`, seeded by the caller's `sourceFingerprint` (hash the
+  * The fingerprint chains: `fp(stage) = md5(md5(fp(parent)) |
+  * md5(name) | md5(config))` (components hashed individually so the
+  * encoding is injective), seeded by the caller's `sourceFingerprint`
+  * (hash the
   * input files' paths + modification times, a snapshot id — whatever
   * identifies the source data's version). Any upstream change
   * therefore invalidates everything downstream without tracking data
@@ -22,9 +24,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (deterministically, same config) while its DOWNSTREAM can still
   * load — their chained fingerprints are unchanged.
   *
-  * Crash safety: the sidecar is written AFTER the parquet, so a run
-  * killed mid-write leaves a stale-or-missing sidecar and the stage
-  * recomputes next time — a half-written table is never trusted.
+  * Crash safety: the OLD sidecar is deleted before a recompute
+  * touches the parquet dir, and the new sidecar is written only AFTER
+  * the parquet commits — so a run killed anywhere mid-recompute
+  * leaves no sidecar and the stage recomputes next time. A
+  * half-written table is never trusted, even if the config is later
+  * reverted to a value the crashed dir once matched.
   *
   * 100 TB shape: this IS the production pattern (materialize each
   * curation stage, resume from the last good one) — stage boundaries
@@ -48,6 +53,12 @@ object StagedCuration {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Injective chain step: components are hashed individually before
+    * joining so a '|' inside `sourceFingerprint` or `config` cannot
+    * alias a different (parent, name, config) triple. */
+  private def chainFp(parentFp: String, name: String, config: String): String =
+    md5Hex(s"${md5Hex(parentFp)}|${md5Hex(name)}|${md5Hex(config)}")
+
   /** Run `stages` over `source`, loading every still-valid prefix from
     * `workspace`. Returns the final frame plus the per-stage
     * load/compute report. Stage names must be unique and
@@ -61,7 +72,10 @@ object StagedCuration {
       s"duplicate stage names: ${stages.map(_.name)}")
     stages.foreach(s => require(s.name.matches("[A-Za-z0-9._-]+"),
       s"stage name must be filesystem-safe: '${s.name}'"))
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    // Resolve the filesystem FROM the workspace path, not the default
+    // FS — a workspace on s3a:// etc. with a different fs.defaultFS
+    // would otherwise throw "Wrong FS" on every sidecar probe.
+    val fs = new org.apache.hadoop.fs.Path(workspace).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     def sidecar(name: String) =
       new org.apache.hadoop.fs.Path(s"$workspace/$name.fp")
@@ -81,7 +95,7 @@ object StagedCuration {
     var df = source
     val report = Seq.newBuilder[(String, Boolean)]
     stages.foreach { st =>
-      val fp = md5Hex(s"$parentFp|${st.name}|${st.config}")
+      val fp = chainFp(parentFp, st.name, st.config)
       val dir = s"$workspace/${st.name}.parquet"
       val cached = readSidecar(st.name).contains(fp) &&
         fs.exists(new org.apache.hadoop.fs.Path(dir))
@@ -89,6 +103,12 @@ object StagedCuration {
         report += ((st.name, true))
         spark.read.parquet(dir)
       } else {
+        // Drop the old sidecar BEFORE touching the parquet dir: a crash
+        // anywhere inside the recompute then always forces a recompute
+        // next run — without this, reverting config to a value whose
+        // sidecar survived a mid-overwrite crash would trust a partial
+        // table.
+        fs.delete(sidecar(st.name), false)
         val out = st.f(df)
         out.write.mode("overwrite").parquet(dir)
         writeSidecar(st.name, fp) // sidecar LAST: a crashed write is untrusted

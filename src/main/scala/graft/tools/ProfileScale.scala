@@ -434,10 +434,14 @@ object ProfileScale {
           concat(lit("s"), (graft.ops.Sampling.hashUnit(col("doc_id")) * 16).cast("int"))))))
       // SPARK_GRAFT_SCALE_ONLY=q82,q112 restricts the sweep (label
       // prefix match) — the A/B lever for re-profiling one family
-      // after a change without the full multi-minute run
+      // after a change without the full multi-minute run. Blank
+      // tokens are ignored (an empty/whitespace value = no filter);
+      // a filter that matches nothing fails loudly instead of
+      // silently sweeping zero queries.
       .filter { case (name, _, _) =>
-        sys.env.get("SPARK_GRAFT_SCALE_ONLY").forall(
-          _.split(",").exists(p => name.startsWith(p.trim + " ") || name == p.trim))
+        val pats = sys.env.get("SPARK_GRAFT_SCALE_ONLY").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        pats.isEmpty || pats.exists(p => name.startsWith(p + " ") || name == p)
       }
       .map { case (name, at1, atN) =>
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
@@ -445,6 +449,9 @@ object ProfileScale {
       val tN = run(s"$name x$factor", atN)
       (name, t1, tN)
     }
+    require(results.nonEmpty,
+      s"SPARK_GRAFT_SCALE_ONLY='${sys.env.getOrElse("SPARK_GRAFT_SCALE_ONLY", "")}' " +
+        "matched no benchmark labels — check the query prefixes (e.g. q82,q112)")
     results.foreach { case (name, t1, tN) =>
       println(f"[scale] $name%-12s x1 $t1%7.3f s -> x$factor $tN%7.3f s   " +
         f"wall ratio ${tN / t1}%5.2fx for ${factor}x input")

@@ -3292,6 +3292,36 @@ class OpsSpec extends SparkSpec {
       StagedCuration.run(spark, ws, src, "x", Seq(
         Stage("a", "", identity), Stage("a", "", identity))))
     assert(e.getMessage.contains("duplicate"))
+
+    // crash window: a recompute that dies mid-stage must NOT leave the
+    // previous config's sidecar behind — otherwise reverting the
+    // config would trust whatever partial parquet the crash left.
+    val (_, rWarm) = StagedCuration.run(spark, ws, src, "srcv2", stages(50L))
+    assert(rWarm.loadedCount == 3)
+    intercept[RuntimeException](
+      StagedCuration.run(spark, ws, src, "srcv2", Seq(
+        stages(50L).head,
+        Stage("tag", "min=7", _ => throw new RuntimeException("boom")),
+        stages(50L).last)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ws/tag.fp")),
+      "stale tag sidecar must be deleted before the recompute starts")
+    // reverting to the old config now recomputes tag instead of
+    // trusting the (potentially partial) on-disk table
+    val (_, rRevert) = StagedCuration.run(spark, ws, src, "srcv2", stages(50L))
+    assert(rRevert.stages ==
+      Seq(("keep-even", true), ("tag", false), ("final-filter", true)),
+      rRevert.toString)
+
+    // fingerprint injectivity: '|' inside config/source can't alias a
+    // different (parent, name, config) triple — these two runs must
+    // not share cache entries
+    val ws2 = java.nio.file.Files.createTempDirectory("staged2_").toString
+    val sneakyA = Seq(Stage("a", "c", d => d.withColumn("v", lit(1))))
+    val sneakyB = Seq(Stage("a", "Y|a|c", d => d.withColumn("v", lit(2))))
+    StagedCuration.run(spark, ws2, src, "X|a|Y", sneakyA)
+    val (outB, rB) = StagedCuration.run(spark, ws2, src, "X", sneakyB)
+    assert(rB.computedCount == 1, rB.toString)
+    assert(outB.select("v").head.getInt(0) == 2)
   }
 
   test("Packing.withShuffleKey: deterministic permutation, fresh order per seed") {
