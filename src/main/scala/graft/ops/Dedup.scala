@@ -211,6 +211,109 @@ object Dedup {
     plans.sortBy(p => (math.abs(p.midpoint - threshold), p.numHashes, p.bandSize))
   }
 
+  /** Principled S-curve banding planner — the MMDS ch.3 upgrade of
+    * [[lshPlans]]' midpoint heuristic: for every (bands b, rows r)
+    * with b·r ≤ `maxHashes`, integrate the banding curve
+    * P(s) = 1 − (1 − s^r)^b on both sides of `threshold` and pick the
+    * config minimizing `fnWeight · fn_area + fp_area`, where
+    * `fn_area` = ∫ₜ¹ (1 − P) ds is the mass of TRUE near-dup pairs
+    * banding misses and `fp_area` = ∫₀ᵗ P ds the junk it surfaces for
+    * the verify stage to kill. False negatives are unrecoverable
+    * (a missed pair never reaches verify) while false positives only
+    * cost verify compute — hence the asymmetric default weight.
+    *
+    * Engine-portable by construction, so the whole candidate table
+    * hash-checks against a DuckDB replay: midpoint-rule integration on
+    * `steps` DYADIC sample points s_i = (2i−1)/(2·steps) (exactly
+    * representable doubles), powers computed as left-associated
+    * multiply chains (`aggregate(sequence(...))` — no libm, identical
+    * IEEE rounding in any engine), each term quantized to 2⁻²⁰ and
+    * summed as exact BIGINTs. The frame is bounded by
+    * maxHashes·H(maxHashes) rows (~380 at 64); selection is a
+    * single-row min-struct aggregate broadcast back — no window.
+    *
+    * Returns one row per candidate: `bands`, `rows_per_band`,
+    * `hashes_used`, `p_at_t` (P at `threshold`, 6 dp), `fp_area`,
+    * `fn_area` (6 dp), `cost_q` (exact quantized-integer objective)
+    * and `chosen`. */
+  def lshPlanCurve(
+      spark: org.apache.spark.sql.SparkSession,
+      threshold: Double, maxHashes: Int = 16,
+      fnWeight: Long = 10L, steps: Int = 1024): DataFrame = {
+    require(threshold > 0 && threshold < 1, s"threshold out of (0,1): $threshold")
+    require(maxHashes >= 2 && maxHashes <= 64,
+      s"maxHashes out of [2,64]: $maxHashes — signatures beyond 64 hashes " +
+        "buy no banding resolution at these corpus scales")
+    require(fnWeight >= 1, s"fnWeight must be >= 1, got $fnWeight")
+    require(steps >= 16 && steps <= 65536 && (steps & (steps - 1)) == 0,
+      s"steps must be a power of two in [16,65536] (dyadic sample points), got $steps")
+    import spark.implicits._
+    val cands = for { r <- 1 to maxHashes; b <- 1 to maxHashes / r } yield (b, r)
+    val base = cands.toDF("bands", "rows_per_band")
+    // P(s) = 1 − (1 − s^r)^b via multiply chains: 1.0·s·s·…  is
+    // bit-identical to DuckDB's list_reduce over the same list
+    def pDetect(s: Column): Column = {
+      val sr = aggregate(sequence(lit(1), col("rows_per_band")),
+        lit(1.0d), (acc, _) => acc * s)
+      lit(1.0d) - aggregate(sequence(lit(1), col("bands")),
+        lit(1.0d), (acc, _) => acc * (lit(1.0d) - sr))
+    }
+    val q = lit(1048576.0d) // 2^20
+    val scored = base
+      .select(col("bands"), col("rows_per_band"),
+        explode(sequence(lit(1), lit(steps))).as("i"))
+      .withColumn("s", (col("i") * 2 - 1).cast("double") / lit((2 * steps).toDouble))
+      .withColumn("p", pDetect(col("s")))
+      .groupBy("bands", "rows_per_band")
+      .agg(
+        sum(when(col("s") < threshold,
+          round(col("p") * q).cast("long")).otherwise(0L)).as("fp_q"),
+        sum(when(col("s") >= threshold,
+          round((lit(1.0d) - col("p")) * q).cast("long")).otherwise(0L)).as("fn_q"))
+      .withColumn("cost_q", lit(fnWeight) * col("fn_q") + col("fp_q"))
+      .withColumn("p_at_t_q", round(pDetect(lit(threshold)) * q).cast("long"))
+    val best = scored.agg(min(struct(
+      col("cost_q"), col("bands"), col("rows_per_band"))).as("__b"))
+      .withColumn("__k", lit(1))
+    // constant-key broadcast HASH join (not a nested loop) back onto
+    // the candidate table — the q87/q96 single-row-attach pattern
+    scored.withColumn("__k", lit(1)).join(broadcast(best), Seq("__k"))
+      .select(col("bands"), col("rows_per_band"),
+        (col("bands") * col("rows_per_band")).as("hashes_used"),
+        round(col("p_at_t_q").cast("double") / q, 6).as("p_at_t"),
+        round(col("fp_q").cast("double") / q / steps, 6).as("fp_area"),
+        round(col("fn_q").cast("double") / q / steps, 6).as("fn_area"),
+        col("cost_q"),
+        (struct(col("cost_q"), col("bands"), col("rows_per_band")) === col("__b"))
+          .as("chosen"))
+  }
+
+  /** Plan-then-apply: run [[lshPlanCurve]], take the chosen (b, r),
+    * compute b·r-hash signatures over `docs` and surface the banding
+    * candidate pairs at that config — the full design-to-deployment
+    * LSH loop ([[lshEvaluate]] measures a config on a sample, this
+    * picks one and runs it). The plan frame is bounded (driver
+    * collect of one chosen row is the library's dimension-collect
+    * discipline); the apply side is the usual band equi-joins.
+    * Returns one row: the chosen config's plan columns plus
+    * `n_cand_pairs` over `docs`. */
+  def lshPlanAndBand(
+      docs: DataFrame, idCol: String, threshold: Double,
+      maxHashes: Int = 16, fnWeight: Long = 10L, steps: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    val plan = lshPlanCurve(spark, threshold, maxHashes, fnWeight, steps)
+      .filter(col("chosen")).localCheckpoint(true)
+    val chosen = plan.select("bands", "rows_per_band").head()
+    val (b, r) = (chosen.getInt(0), chosen.getInt(1))
+    val nCand = lshCandidatePairs(
+      minhashSignatures(docs.select(col(idCol).as("__id"), col("text")), b * r)
+        .filter(col("mh0").isNotNull),
+      "__id", b * r, r).count()
+    plan.select(col("bands"), col("rows_per_band"), col("hashes_used"),
+      col("p_at_t"), col("fp_area"), col("fn_area"),
+      lit(nCand).as("n_cand_pairs"))
+  }
+
   /** Connected components over an undirected (doc_a, doc_b) edge list
     * by min-label propagation WITH label doubling: every node adopts
     * the minimum of its own label, its neighbors' labels, and its

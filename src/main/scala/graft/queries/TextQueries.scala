@@ -1046,7 +1046,116 @@ object TextQueries {
       FROM tot, topm"""),
     bench = true)
 
+  /** Shared planner CTE block for q120/q121 — the DuckDB re-derivation
+    * of `Dedup.lshPlanCurve(threshold=0.5, maxHashes=16, fnWeight=10,
+    * steps=1024)`. Engine parity is exact by construction: dyadic
+    * sample points s=(2i−1)/2048, powers as left-associated
+    * `list_reduce` multiply chains (identical IEEE rounding to
+    * Spark's `aggregate(sequence(...))` fold — 1.0·s equals s
+    * exactly, so the chains coincide), per-term half-up quantization
+    * to 2⁻²⁰ (DuckDB rounds half away from zero, the JVM half-up —
+    * identical for these positive terms), BIGINT sums. */
+  private val lshPlanCtesDuck =
+    """cand AS (
+        SELECT CAST(b AS INT) AS b, CAST(r AS INT) AS r
+        FROM unnest(generate_series(1, 16)) AS tr(r),
+             unnest(generate_series(1, 16)) AS tb(b)
+        WHERE b * r <= 16),
+      pt AS (
+        SELECT b, r, s,
+          CAST(1.0 AS DOUBLE) - list_reduce(list_transform(generate_series(1, b), x ->
+            CAST(1.0 AS DOUBLE) - list_reduce(
+              list_transform(generate_series(1, r), y -> s), (p1, q1) -> p1 * q1)),
+            (p1, q1) -> p1 * q1) AS p
+        FROM (SELECT b, r, CAST(2*i - 1 AS DOUBLE) / CAST(2048 AS DOUBLE) AS s
+              FROM cand, LATERAL unnest(generate_series(1, 1024)) AS t(i))),
+      agg AS (
+        SELECT b, r,
+          CAST(sum(CASE WHEN s < CAST(0.5 AS DOUBLE)
+            THEN CAST(round(p * CAST(1048576 AS DOUBLE)) AS BIGINT) ELSE 0 END) AS BIGINT) AS fp_q,
+          CAST(sum(CASE WHEN s >= CAST(0.5 AS DOUBLE)
+            THEN CAST(round((CAST(1.0 AS DOUBLE) - p) * CAST(1048576 AS DOUBLE)) AS BIGINT) ELSE 0 END) AS BIGINT) AS fn_q
+        FROM pt GROUP BY b, r),
+      patt AS (
+        SELECT b, r,
+          CAST(round((CAST(1.0 AS DOUBLE) - list_reduce(list_transform(generate_series(1, b), x ->
+            CAST(1.0 AS DOUBLE) - list_reduce(
+              list_transform(generate_series(1, r), y -> CAST(0.5 AS DOUBLE)), (p1, q1) -> p1 * q1)),
+            (p1, q1) -> p1 * q1)) * CAST(1048576 AS DOUBLE)) AS BIGINT) AS p_at_t_q
+        FROM cand),
+      costed AS (
+        SELECT agg.b, agg.r, fp_q, fn_q, 10 * fn_q + fp_q AS cost_q, p_at_t_q
+        FROM agg JOIN patt USING (b, r))"""
+
+  /** Principled LSH banding planner (library `Dedup.lshPlanCurve` —
+    * the MMDS S-curve design step that picks (bands, rows) BEFORE a
+    * corpus-scale dedup run, upgrading the midpoint heuristic): every
+    * config with b·r ≤ 16 hashes scored by midpoint-rule integration
+    * of the banding curve on both sides of threshold 0.5, false
+    * negatives weighted 10× (a missed pair never reaches verify; a
+    * false positive only costs verify compute). Both engines compute
+    * identical IEEE multiply chains on dyadic sample points and sum
+    * 2⁻²⁰-quantized integers — the full candidate table hash-checks,
+    * including the exact integer objective and the argmin choice. */
+  val q120 = QueryDef(
+    "q120_lsh_plan",
+    (s, _) => graft.ops.Dedup.lshPlanCurve(s, threshold = 0.5, maxHashes = 16,
+        fnWeight = 10L, steps = 1024)
+      .oracleOrderBy("rows_per_band", "bands"),
+    Some(s"""WITH $lshPlanCtesDuck,
+      best AS (SELECT b AS mb, r AS mr FROM costed ORDER BY cost_q, b, r LIMIT 1)
+      SELECT b AS bands, r AS rows_per_band, b * r AS hashes_used,
+        round(CAST(p_at_t_q AS DOUBLE) / 1048576, 6) AS p_at_t,
+        round(CAST(fp_q AS DOUBLE) / 1048576 / 1024, 6) AS fp_area,
+        round(CAST(fn_q AS DOUBLE) / 1048576 / 1024, 6) AS fn_area,
+        cost_q, (b = mb AND r = mr) AS chosen
+      FROM costed, best
+      ORDER BY rows_per_band, bands"""),
+    bench = true)
+
+  /** Plan-then-apply (library `Dedup.lshPlanAndBand` — the full
+    * design-to-deployment LSH loop: q120 picks the config, this runs
+    * it): signatures at the chosen b·r hash count over the corpus,
+    * banding candidate pairs via the band equi-joins. The oracle
+    * re-derives the argmin config, re-generates the double-hashing
+    * signature family at that width (the same h_i = a + i·b 28-bit
+    * construction as q29, parametric in i), bands rows by i div r
+    * with an ordered string key, and counts the identical distinct
+    * pair set. */
+  val q121 = QueryDef(
+    "q121_lsh_plan_band",
+    (s, dir) => graft.ops.Dedup.lshPlanAndBand(
+      t(s, dir, "documents"), "doc_id", threshold = 0.5, maxHashes = 16,
+      fnWeight = 10L, steps = 1024),
+    Some(s"""WITH $lshPlanCtesDuck,
+      ch AS (SELECT b AS cb, r AS cr, p_at_t_q, fp_q, fn_q
+             FROM costed ORDER BY cost_q, b, r LIMIT 1),
+      base AS MATERIALIZED (
+        SELECT doc_id, ${hexPolyDuck("m", 1)} AS a, ${hexPolyDuck("m", 9)} AS bb
+        FROM (SELECT doc_id, md5(sh) AS m FROM ($shinglesSqlDuck))),
+      sigrow AS MATERIALIZED (
+        SELECT doc_id, i, min(a + i * bb) AS mh
+        FROM base, ch, LATERAL unnest(generate_series(0, CAST(cb AS BIGINT) * cr - 1)) AS t(i)
+        GROUP BY doc_id, i),
+      bkey AS MATERIALIZED (
+        SELECT s.doc_id, s.i // ch.cr AS band,
+          string_agg(CAST(s.mh AS VARCHAR), ',' ORDER BY s.i) AS key
+        FROM sigrow s, ch GROUP BY s.doc_id, band),
+      pairs AS (
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        FROM bkey x JOIN bkey y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_cand_pairs FROM pairs)
+      SELECT cb AS bands, cr AS rows_per_band, cb * cr AS hashes_used,
+        round(CAST(p_at_t_q AS DOUBLE) / 1048576, 6) AS p_at_t,
+        round(CAST(fp_q AS DOUBLE) / 1048576 / 1024, 6) AS fp_area,
+        round(CAST(fn_q AS DOUBLE) / 1048576 / 1024, 6) AS fn_area,
+        n_cand_pairs
+      FROM ch, n"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61, q62,
-      q65, q66, q67, q68, q77, q84, q91, q103, q104, q106, q107, q108, q115)
+      q65, q66, q67, q68, q77, q84, q91, q103, q104, q106, q107, q108, q115,
+      q120, q121)
 }

@@ -428,6 +428,10 @@ object ProfileScale {
       ("q113 bpe-ids", () => q113(docs), () => q113(docs10)),
       ("q114 eos-chunks", () => q114(docs), () => q114(docs10)),
       ("q115 pii-stats", () => q115(docs), () => q115(docs10)),
+      ("q121 plan-band", () => graft.ops.Dedup.lshPlanAndBand(
+          docs, "doc_id", 0.5, maxHashes = 16, fnWeight = 10L, steps = 1024),
+        () => graft.ops.Dedup.lshPlanAndBand(
+          docs10, "doc_id", 0.5, maxHashes = 16, fnWeight = 10L, steps = 1024)),
       ("q116 temp-alloc", () => q116(docs.withColumn("shard_key_s",
           concat(lit("s"), (graft.ops.Sampling.hashUnit(col("doc_id")) * 16).cast("int")))),
         () => q116(docs10.withColumn("shard_key_s",

@@ -3024,6 +3024,120 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("threshold"))
   }
 
+  test("Dedup.lshPlanCurve: exact quantized S-curve areas, asymmetric objective, plan-and-band") {
+    val plan = Dedup.lshPlanCurve(spark, threshold = 0.5, maxHashes = 8,
+      fnWeight = 10L, steps = 256).collect()
+    val byBr = plan.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+    // candidate set: every (b, r) with b*r <= 8
+    assert(byBr.keySet == (for { r <- 1 to 8; b <- 1 to 8 / r } yield (b, r)).toSet)
+
+    // re-derive (3, 2)'s integers with the IDENTICAL fold arithmetic —
+    // the engine must match bit-for-bit, not within tolerance
+    def chain(x: Double, n: Int): Double = (1 to n).foldLeft(1.0)((a, _) => a * x)
+    def p(b: Int, r: Int, s: Double) = 1.0 - chain(1.0 - chain(s, r), b)
+    def q20(x: Double) = math.round(x * 1048576.0)
+    val (fpQ, fnQ) = (1 to 256).foldLeft((0L, 0L)) { case ((fp, fn), i) =>
+      val s = (2 * i - 1).toDouble / 512.0
+      if (s < 0.5) (fp + q20(p(3, 2, s)), fn) else (fp, fn + q20(1.0 - p(3, 2, s)))
+    }
+    val r32 = byBr((3, 2))
+    assert(r32.getLong(r32.fieldIndex("cost_q")) == 10L * fnQ + fpQ, r32.toString)
+    assert(math.abs(r32.getDouble(r32.fieldIndex("p_at_t")) -
+      q20(p(3, 2, 0.5)).toDouble / 1048576.0) < 1e-6)
+
+    // exactly one chosen row, and it is the (cost, b, r) argmin
+    val chosen = plan.filter(_.getBoolean(plan.head.fieldIndex("chosen")))
+    assert(chosen.length == 1)
+    val costIdx = plan.head.fieldIndex("cost_q")
+    val minCost = plan.map(_.getLong(costIdx)).min
+    assert(chosen.head.getLong(costIdx) == minCost)
+
+    // heavier fn weight never chooses a config that misses MORE:
+    // fn_area(chosen | w=100) <= fn_area(chosen | w=1)
+    def chosenFn(w: Long) = {
+      val p2 = Dedup.lshPlanCurve(spark, 0.5, 8, w, 256).collect()
+      p2.filter(_.getBoolean(p2.head.fieldIndex("chosen")))
+        .head.getDouble(p2.head.fieldIndex("fn_area"))
+    }
+    assert(chosenFn(100L) <= chosenFn(1L))
+
+    // plan-and-band: n_cand_pairs equals a direct banding run at the
+    // chosen config over the same corpus
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),   // exact dup of 0
+      (2L, "alpha beta gamma delta epsilon ETA"),    // near dup of 0
+      (3L, "one two three four five six"),
+      (4L, "seven eight nine ten eleven twelve"),
+      (5L, "a b")).toDF("doc_id", "text")            // too short: null sig
+    val out = Dedup.lshPlanAndBand(docs, "doc_id", 0.5, maxHashes = 8,
+      fnWeight = 10L, steps = 256).collect()
+    assert(out.length == 1)
+    val ob = out.head.getInt(out.head.fieldIndex("bands"))
+    val or_ = out.head.getInt(out.head.fieldIndex("rows_per_band"))
+    assert((ob, or_) == (chosen.head.getInt(0), chosen.head.getInt(1)))
+    val direct = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(docs, ob * or_).filter(col("mh0").isNotNull),
+      "doc_id", ob * or_, or_).count()
+    assert(out.head.getLong(out.head.fieldIndex("n_cand_pairs")) == direct)
+
+    val eT = intercept[IllegalArgumentException](Dedup.lshPlanCurve(spark, 1.0))
+    assert(eT.getMessage.contains("threshold"))
+    val eS = intercept[IllegalArgumentException](
+      Dedup.lshPlanCurve(spark, 0.5, steps = 1000))
+    assert(eS.getMessage.contains("power of two"))
+  }
+
+  test("UnigramTokenizer: Viterbi DP, tie-break to longer piece, unk fallback, long-word cap") {
+    import graft.plans.UnigramVocab
+    val vocab = UnigramVocab(Seq("ab" -> -10L, "a" -> -5L, "b" -> -5L, "c" -> -7L))
+    val docs = Seq(
+      (0L, "ab"),                       // [ab] vs [a,b] both -10: longer last piece wins
+      (1L, "abc"),                      // [ab, c] = -17, 2 pieces
+      (2L, "az"),                       // z -> unk fallback
+      (3L, "aaaaaaaaaaaaaaaaa a"),      // 17-char word excluded, "a" scored
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = UnigramTokenizer.score(docs, "doc_id", "text", vocab,
+        unkLnProb = -1.0, maxWordLen = 16)
+      .select("doc_id", "score_q", "n_pieces", "n_words", "n_long").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def tup(id: Long) = {
+      val r = out(id)
+      (r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))
+    }
+    assert(tup(0L) == ((-10L, 1, 1, 0)))
+    assert(tup(1L) == ((-17L, 2, 1, 0)))
+    assert(tup(2L) == ((-5L - 1048576L, 2, 1, 0)))
+    assert(tup(3L) == ((-5L, 1, 1, 1)))
+    assert(out(4L).isNullAt(1)) // null text scores null, not zero
+
+    // seed vocab: exact counts, all single chars + deterministic top-K
+    val sdocs = Seq((0L, "abab abab cd")).toDF("doc_id", "text")
+    val vdf = UnigramTokenizer.seedVocab(sdocs, "text",
+      maxPieceLen = 2, vocabSize = 2, maxWordLen = 16)
+    val rows = vdf.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // abab (wc 2): a x2, ab x2, b x2, ba x1 per occurrence; cd: c, d, cd
+    assert(rows.keySet == Set("a", "b", "c", "d", "ab", "ba"))
+    assert(rows("a")._1 == 4L && rows("ab")._1 == 4L && rows("ba")._1 == 2L
+      && rows("c")._1 == 1L)
+    val total = 4L + 4L + 1L + 1L + 4L + 2L
+    assert(rows("a")._2 == math.round(math.log(4.0 / total) * 1048576.0))
+    assert(rows("ba")._2 == math.round(math.log(2.0 / total) * 1048576.0))
+
+    // buildVocab round-trip scores the corpus it was seeded from
+    val v2 = UnigramTokenizer.buildVocab(vdf)
+    val s2 = UnigramTokenizer.score(sdocs, "doc_id", "text", v2).collect().head
+    assert(s2.getAs[Int]("n_words") == 3 && s2.getAs[Int]("n_long") == 0)
+    // "abab" -> [ab, ab] (2 pieces beats any 3/4-piece split), "cd" -> [c, d]
+    assert(s2.getAs[Int]("n_pieces") == 2 + 2 + 2)
+    val lp = rows.map { case (k, v) => k -> v._2 }
+    assert(s2.getAs[Long]("score_q") == 2L * (2L * lp("ab")) + lp("c") + lp("d"))
+
+    val eU = intercept[IllegalArgumentException](
+      UnigramTokenizer.score(docs, "doc_id", "text", vocab, unkLnProb = 1.0))
+    assert(eU.getMessage.contains("negative"))
+  }
+
   test("TextAnalysis.vocabStats: totals, hapax, top-k mass") {
     val df = Seq(
       (0L, "a a a b b c"),
