@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer (the SentencePiece model family — Kudo 2018,
+  * the other production tokenizer beside BPE): a piece vocabulary
+  * with log-probabilities, applied by Viterbi best-segmentation
+  * instead of BPE's merge loop. This module covers the corpus side:
+  * the frequency seed vocabulary (SentencePiece's own starting point
+  * before EM pruning) and exact distributed Viterbi scoring under a
+  * vocabulary — the pieces of a quality/perplexity signal and of
+  * token-budget accounting that don't need the full EM trainer.
+  *
+  * 100 TB shape: the vocabulary is the driver-resident model (same
+  * pattern as the BPE merge table and the IVF/PQ codebooks — bounded
+  * by [[UnigramTokenizer.MaxVocab]] with an explicit require);
+  * seeding is ONE substring-exploded aggregate over the
+  * Zipf-bounded word table plus a TakeOrdered selection; scoring is
+  * a narrow per-row expression with a per-thread word LRU — rows
+  * never shuffle.
+  *
+  * All log-probs are 2⁻²⁰-quantized BIGINTs (`lp_q`), so Viterbi
+  * sums are exact integers — the fixed-point convention the LM
+  * scorers established for engine-parity oracles. */
+object UnigramTokenizer {
+
+  /** Ceiling on a collectable vocabulary (driver-resident model). */
+  val MaxVocab: Int = 1 << 18
+
+  /** Frequency seed vocabulary: all substrings of length 1..
+    * `maxPieceLen` of every whitespace word (≤ `maxWordLen` chars,
+    * weighted by word occurrences), keeping EVERY single-character
+    * piece (full coverage) plus the `vocabSize` most frequent
+    * multi-character pieces (count desc, piece asc — deterministic).
+    * `lp_q = round(ln(cnt / total_selected) · 2²⁰)` where the
+    * normalizer is the selected pieces' count mass.
+    * Returns `(piece, cnt, lp_q)`. */
+  def seedVocab(
+      docs: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, vocabSize: Int = 256,
+      maxWordLen: Int = 16): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"maxPieceLen out of [1,16]: $maxPieceLen")
+    require(vocabSize >= 1 && vocabSize <= MaxVocab,
+      s"vocabSize out of [1,$MaxVocab]: $vocabSize")
+    require(maxWordLen >= maxPieceLen,
+      s"maxWordLen ($maxWordLen) must be >= maxPieceLen ($maxPieceLen)")
+    val words = docs
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val subs = words
+      .select(col("wc"), explode(flatten(transform(
+        sequence(lit(0), length(col("w")) - 1),
+        i => transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - i)),
+          l => substr(col("w"), i + 1, l))))).as("piece"))
+      .groupBy("piece").agg(sum(col("wc")).as("cnt"))
+      .localCheckpoint(true) // feeds chars, the top-K sort, and nothing else twice
+    val sel = subs.filter(length(col("piece")) === 1)
+      .unionByName(subs.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece")).limit(vocabSize))
+    val tot = sel.agg(sum("cnt").as("__tot")).withColumn("__k", lit(1))
+    sel.withColumn("__k", lit(1)).join(broadcast(tot), Seq("__k"))
+      .select(col("piece"), col("cnt"),
+        round(log(col("cnt").cast("double") / col("__tot").cast("double"))
+          * 1048576.0d).cast("long").as("lp_q"))
+  }
+
+  /** Collect a `(piece, …, lp_q)` vocabulary frame into the
+    * driver-resident model, under the [[MaxVocab]] guard. */
+  def buildVocab(vocabDf: DataFrame): graft.plans.UnigramVocab = {
+    val proj = vocabDf.select(col("piece"), col("lp_q").cast("long"))
+    val n = proj.count()
+    require(n <= MaxVocab,
+      s"vocabulary has $n pieces (> $MaxVocab) — a unigram vocab is a " +
+        "driver-resident model; cap the selection before building")
+    graft.plans.UnigramVocab(
+      proj.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq)
+  }
+
+  /** Viterbi score column over `trim(lower(text))` — see
+    * [[graft.plans.UnigramScore]] for the exact DP and tie-break.
+    * Returns a struct `(score_q, n_pieces, n_words, n_long)`. */
+  def scoreCol(
+      text: Column, vocab: graft.plans.UnigramVocab,
+      unkLpQ: Long, maxWordLen: Int): Column = {
+    graft.plans.UnigramScore.register(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_unigram", trim(lower(text)),
+      typedLit(vocab.pieces.map(_._1)), typedLit(vocab.pieces.map(_._2)),
+      lit(unkLpQ), lit(maxWordLen))
+  }
+
+  /** Per-document Viterbi segmentation report under `vocab`:
+    * `(…, score_q, n_pieces, n_words, n_long, avg_nll)` where
+    * `avg_nll = −score_q/2²⁰/n_pieces` (NULL when nothing scored).
+    * `unkLnProb` is the per-character fallback log-prob for
+    * characters outside the vocabulary. */
+  def score(
+      docs: DataFrame, idCol: String, textCol: String,
+      vocab: graft.plans.UnigramVocab,
+      unkLnProb: Double = -25.0, maxWordLen: Int = 16): DataFrame = {
+    require(unkLnProb < 0, s"unkLnProb must be negative, got $unkLnProb")
+    val unkQ = math.round(unkLnProb * 1048576.0d)
+    docs
+      .withColumn("__u", scoreCol(col(textCol), vocab, unkQ, maxWordLen))
+      .withColumn("score_q", col("__u.score_q"))
+      .withColumn("n_pieces", col("__u.n_pieces"))
+      .withColumn("n_words", col("__u.n_words"))
+      .withColumn("n_long", col("__u.n_long"))
+      .withColumn("avg_nll",
+        when(col("n_pieces") > 0,
+          -(col("score_q").cast("double") / 1048576.0d) / col("n_pieces")))
+      .drop("__u")
+  }
+}

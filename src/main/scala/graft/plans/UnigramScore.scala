@@ -1,0 +1,177 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A unigram-LM tokenizer vocabulary (the SentencePiece model family —
+  * Kudo 2018): pieces with 2⁻²⁰-quantized log-probabilities
+  * (`lp_q = round(ln(p) · 2²⁰)`, an exact BIGINT both engines can sum
+  * without float drift — the same fixed-point convention as the
+  * char/word LM scorers). Wrapped in a class so plan strings print
+  * `UnigramVocab(512 pieces)` rather than the table. */
+final case class UnigramVocab(pieces: Seq[(String, Long)]) extends Serializable {
+  require(pieces.nonEmpty, "UnigramVocab needs at least one piece")
+  override def toString: String = s"UnigramVocab(${pieces.size} pieces)"
+
+  @transient private[plans] lazy val lpq: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.size * 2)
+    pieces.foreach { case (p, q) => m.putIfAbsent(p, q) }
+    m
+  }
+  @transient private[plans] lazy val maxPieceLen: Int =
+    pieces.iterator.map(_._1.length).max
+}
+
+/** Viterbi unigram segmentation score over whitespace words —
+  * `graft_unigram(text) -> struct(score_q, n_pieces, n_words,
+  * n_long)`. Each word of `lower(trim(text)).split("\\s+")` is
+  * segmented by the classic unigram-LM DP (best[j] = max over pieces
+  * ending at j of best[i] + lp_q(piece)); a character not covered by
+  * any piece falls back to a single-char step at `unkLpQ`, so every
+  * word ≤ `maxWordLen` chars scores. Words longer than `maxWordLen`
+  * are excluded and counted in `n_long` — unsegmentable blobs (URLs,
+  * base64, DNA strings) would otherwise dominate a document's score,
+  * the same cap rationale as the LM scorers' UNK buckets.
+  *
+  * DETERMINISTIC tie-break, exact in integers: candidates compare by
+  * (score_q, last_piece_len) — on equal score the LONGER final piece
+  * wins. Equal (score, last_len) implies the identical candidate, so
+  * the rule is total; the DuckDB oracle replays it via an arithmetic
+  * encoding `score·1024 + last_len·32 + n_pieces` whose BIGINT order
+  * equals the lexicographic tuple order.
+  *
+  * Distributed shape: the vocabulary rides in the expression (the
+  * driver-resident-model pattern of the BPE/IVF/PQ family), rows
+  * never shuffle, per-thread LRU memoizes word scores (Zipfian text
+  * repeats words). CodegenFallback like the other graft expressions. */
+case class UnigramScore(
+    child: Expression, vocab: UnigramVocab, unkLpQ: Long, maxWordLen: Int)
+  extends UnaryExpression with CodegenFallback with Serializable {
+  require(maxWordLen >= 1 && maxWordLen <= 1024,
+    s"maxWordLen out of [1,1024]: $maxWordLen")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("score_q", LongType, nullable = false),
+    StructField("n_pieces", IntegerType, nullable = false),
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_long", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_unigram"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string argument, got ${child.dataType.catalogString}")
+
+  @transient private lazy val cache =
+    new ThreadLocal[java.util.LinkedHashMap[String, (Long, Int)]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[String, (Long, Int)](1024, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, (Long, Int)]): Boolean = size() > 8192
+        }
+    }
+
+  /** (score_q, n_pieces) for one word — the DP described above. */
+  private[plans] def scoreWord(w: String): (Long, Int) = {
+    val c = cache.get()
+    val hit = c.get(w)
+    if (hit != null) return hit
+    val n = w.length
+    val L = math.min(vocab.maxPieceLen, n)
+    val score = new Array[Long](n + 1)
+    val lastLen = new Array[Int](n + 1)
+    val pieces = new Array[Int](n + 1)
+    var j = 1
+    while (j <= n) {
+      var bs = Long.MinValue; var bl = 0; var bn = 0
+      var l = 1
+      while (l <= math.min(L, j)) {
+        val i = j - l
+        val lp: java.lang.Long = {
+          val v = vocab.lpq.get(w.substring(i, j))
+          if (v != null) v
+          else if (l == 1) java.lang.Long.valueOf(unkLpQ)
+          else null
+        }
+        if (lp != null) {
+          val cs = score(i) + lp.longValue()
+          if (cs > bs || (cs == bs && l > bl)) { bs = cs; bl = l; bn = pieces(i) + 1 }
+        }
+        l += 1
+      }
+      score(j) = bs; lastLen(j) = bl; pieces(j) = bn
+      j += 1
+    }
+    val out = (score(n), pieces(n))
+    c.put(w, out)
+    out
+  }
+
+  // Case/trim normalization is the CALLER's job (pass
+  // lower(trim(text)) — Spark's lower(), whose engine parity with
+  // DuckDB's is established by the existing text oracles; the JVM's
+  // own toLowerCase/trim have different semantics). Empty fragments
+  // from leading whitespace are dropped, matching the oracle's
+  // len(w) > 0 filter.
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    var scoreQ = 0L; var nPieces = 0; var nWords = 0; var nLong = 0
+    text.split("\\s+").foreach { w =>
+      if (w.isEmpty) ()
+      else if (w.length > maxWordLen) nLong += 1
+      else {
+        val (s, p) = scoreWord(w)
+        scoreQ += s; nPieces += p; nWords += 1
+      }
+    }
+    InternalRow(scoreQ, nPieces, nWords, nLong)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramScore =
+    copy(child = newChild)
+}
+
+object UnigramScore {
+
+  /** Register `graft_unigram(text, pieces_array, lp_q_array, unk_lp_q,
+    * max_word_len)` — pieces and their quantized log-probs as parallel
+    * literal arrays (the SQL-surface encoding; Scala callers use
+    * [[graft.ops.UnigramTokenizer.score]] which passes the vocabulary
+    * through the expression directly). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    NativeFunctions.registerOnce(spark, "graft_unigram", builder)
+
+  private[plans] def builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 5,
+      s"graft_unigram takes 5 arguments, got ${exprs.length}")
+    val pieces = exprs(1) match {
+      case Literal(arr: ArrayData, ArrayType(StringType, _)) =>
+        arr.toArray[UTF8String](StringType).map(_.toString).toSeq
+      case other => sys.error(
+        s"graft_unigram argument 2 must be a literal array<string>, got $other")
+    }
+    val lps = exprs(2) match {
+      case Literal(arr: ArrayData, ArrayType(LongType, _)) =>
+        arr.toArray[Long](LongType).toSeq
+      case other => sys.error(
+        s"graft_unigram argument 3 must be a literal array<bigint>, got $other")
+    }
+    require(pieces.length == lps.length,
+      s"piece/lp arrays differ in length: ${pieces.length} vs ${lps.length}")
+    val unk = exprs(3) match {
+      case Literal(v: Long, LongType) => v
+      case Literal(v: Int, IntegerType) => v.toLong
+      case other => sys.error(s"graft_unigram argument 4 must be a literal long, got $other")
+    }
+    val mwl = exprs(4) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => sys.error(s"graft_unigram argument 5 must be a literal int, got $other")
+    }
+    UnigramScore(exprs.head, UnigramVocab(pieces.zip(lps)), unk, mwl)
+  }
+}

@@ -1988,8 +1988,139 @@ object CurationQueries {
     },
     bench = true)
 
+  // ---- Unigram tokenizer (q122/q123) oracle machinery -------------
+
+  /** Seed-vocabulary CTEs shared by q122/q123 — the DuckDB replay of
+    * `UnigramTokenizer.seedVocab(maxPieceLen=4, vocabSize=256,
+    * maxWordLen=16)`: word counts over the same whitespace split, all
+    * substrings 1..4 weighted by word occurrences, every single char
+    * kept plus the top-256 multi-char pieces (count desc, piece asc),
+    * `lp_q = round(ln(cnt/total)·2²⁰)` over the selected mass. */
+  private val uniVocabCtesDuck =
+    """uwrd AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+          SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS w
+          FROM documents) u
+        WHERE len(w) > 0 AND len(w) <= 16 GROUP BY w),
+      usub AS MATERIALIZED (
+        SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+          CAST(sum(wc) AS BIGINT) AS cnt
+        FROM uwrd,
+          LATERAL unnest(generate_series(1, len(w))) AS t(i),
+          LATERAL unnest(generate_series(1, least(4, len(w) - i + 1))) AS t2(l)
+        GROUP BY piece),
+      usel AS MATERIALIZED (
+        SELECT piece, cnt FROM usub WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt FROM usub WHERE len(piece) > 1
+          ORDER BY cnt DESC, piece LIMIT 256) x),
+      utot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tt FROM usel),
+      uvq AS MATERIALIZED (
+        SELECT piece, cnt,
+          CAST(round(ln(CAST(cnt AS DOUBLE) / tt) * CAST(1048576 AS DOUBLE)) AS BIGINT) AS lp_q
+        FROM usel, utot)"""
+
+  /** `round(-25.0 · 2²⁰)` — the q123 UNK per-char fallback. */
+  private val uniUnkQ: Long = math.round(-25.0 * 1048576.0)
+
+  /** The unrolled Viterbi DP chain (positions 1..16, pieces 1..4) —
+    * the q80-style mechanical unroll. DP state per position is ONE
+    * BIGINT `score·1024 + last_len·32 + n_pieces`, whose numeric
+    * order equals the expression's lexicographic (score, last_len)
+    * tie-break (equal pairs imply the identical candidate, so the
+    * trailing n_pieces never decides); `greatest` ignores NULL
+    * candidates and the single-char UNK fallback keeps every position
+    * reachable. */
+  private def uniDpCtesDuck: String = {
+    val L = 4; val W = 16
+    def low(b: String) = s"(($b % 1024 + 1024) % 1024)"
+    def scoreOf(b: String) = s"(($b - ${low(b)}) // 1024)"
+    def nOf(b: String) = s"(${low(b)} % 32)"
+    val ctes = (1 to W).map { j =>
+      val cands = (1 to math.min(L, j)).map { l =>
+        val prev = if (j - l == 0) "CAST(0 AS BIGINT)" else s"b${j - l}"
+        val lookup = s"(SELECT lp_q FROM uvq WHERE piece = substr(w, ${j - l + 1}, $l))"
+        if (l == 1)
+          s"((${scoreOf(prev)} + coalesce($lookup, CAST($uniUnkQ AS BIGINT))) * 1024 + ${l * 32} + ${nOf(prev)} + 1)"
+        else
+          s"CASE WHEN $lookup IS NOT NULL THEN ((${scoreOf(prev)} + $lookup) * 1024 + ${l * 32} + ${nOf(prev)} + 1) END"
+      }
+      val g = if (cands.size == 1) cands.head else s"greatest(${cands.mkString(", ")})"
+      s"ud$j AS (SELECT *, CASE WHEN len(w) >= $j THEN $g END AS b$j FROM ud${j - 1})"
+    }
+    val pick = (1 to W).map(j => s"WHEN $j THEN b$j").mkString(" ")
+    s"""ud0 AS (SELECT DISTINCT w FROM udw WHERE len(w) <= $W),
+      ${ctes.mkString(",\n      ")},
+      uws AS (SELECT w, CASE len(w) $pick END AS bf FROM ud$W),
+      uwsd AS (SELECT w, ${scoreOf("bf")} AS sc, ${nOf("bf")} AS np FROM uws)"""
+  }
+
+  /** Unigram-LM tokenizer seed vocabulary (library
+    * `UnigramTokenizer.seedVocab` — the SentencePiece starting point:
+    * substring frequencies before EM pruning): exact weighted counts
+    * for every substring piece, full single-char coverage, the
+    * deterministic top-256 multi-char selection, and the quantized
+    * log-probability over the selected mass. */
+  val q122 = QueryDef(
+    "q122_unigram_seed_vocab",
+    (s, dir) => graft.ops.UnigramTokenizer.seedVocab(
+        t(s, dir, "documents"), "text",
+        maxPieceLen = 4, vocabSize = 256, maxWordLen = 16)
+      .oracleOrderBy("piece"),
+    Some(s"""WITH $uniVocabCtesDuck
+      SELECT piece, cnt, lp_q FROM uvq ORDER BY piece"""),
+    bench = true)
+
+  /** Unigram Viterbi segmentation scoring (library
+    * `UnigramTokenizer.score` under the q122 seed vocabulary — the
+    * SentencePiece-family application step, BPE's merge loop replaced
+    * by best-segmentation DP): every document's exact integer Viterbi
+    * score, piece/word counts and the long-word exclusions. The
+    * oracle re-derives the vocabulary and replays the DP as a
+    * 16-position unrolled CTE chain with the arithmetic-encoded
+    * (score, last_len) tie-break — both engines integer-exact. */
+  val q123 = QueryDef(
+    "q123_unigram_segment",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.ops.UnigramTokenizer.buildVocab(
+        graft.ops.UnigramTokenizer.seedVocab(docs, "text",
+          maxPieceLen = 4, vocabSize = 256, maxWordLen = 16))
+      graft.ops.UnigramTokenizer.score(docs, "doc_id", "text", vocab,
+          unkLnProb = -25.0, maxWordLen = 16)
+        .select(col("doc_id"), col("n_words"), col("n_long"), col("n_pieces"),
+          col("score_q"), round(col("avg_nll"), 6).as("avg_nll"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(s"""WITH $uniVocabCtesDuck,
+      udw AS MATERIALIZED (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+          FROM documents WHERE text IS NOT NULL) u
+        WHERE len(w) > 0 GROUP BY doc_id, w),
+      $uniDpCtesDuck,
+      udg AS (
+        SELECT t.doc_id,
+          CAST(sum(CASE WHEN len(t.w) <= 16 THEN t.c ELSE 0 END) AS INT) AS n_words,
+          CAST(sum(CASE WHEN len(t.w) > 16 THEN t.c ELSE 0 END) AS INT) AS n_long,
+          CAST(sum(CASE WHEN len(t.w) <= 16 THEN t.c * uwsd.np ELSE 0 END) AS INT) AS n_pieces,
+          CAST(sum(CASE WHEN len(t.w) <= 16 THEN t.c * uwsd.sc ELSE 0 END) AS BIGINT) AS score_q
+        FROM udw t LEFT JOIN uwsd ON t.w = uwsd.w
+        GROUP BY t.doc_id)
+      SELECT d.doc_id,
+        CASE WHEN d.text IS NOT NULL THEN coalesce(g.n_words, 0) END AS n_words,
+        CASE WHEN d.text IS NOT NULL THEN coalesce(g.n_long, 0) END AS n_long,
+        CASE WHEN d.text IS NOT NULL THEN coalesce(g.n_pieces, 0) END AS n_pieces,
+        CASE WHEN d.text IS NOT NULL THEN coalesce(g.score_q, 0) END AS score_q,
+        CASE WHEN coalesce(g.n_pieces, 0) > 0
+          THEN round(-(CAST(g.score_q AS DOUBLE) / 1048576) / g.n_pieces, 6) END AS avg_nll
+      FROM documents d LEFT JOIN udg g ON d.doc_id = g.doc_id
+      ORDER BY d.doc_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
-      q114, q116, q117, q118, q119)
+      q114, q116, q117, q118, q119, q122, q123)
 }

@@ -428,6 +428,16 @@ object ProfileScale {
       ("q113 bpe-ids", () => q113(docs), () => q113(docs10)),
       ("q114 eos-chunks", () => q114(docs), () => q114(docs10)),
       ("q115 pii-stats", () => q115(docs), () => q115(docs10)),
+      ("q123 unigram", () => {
+          val v = graft.ops.UnigramTokenizer.buildVocab(
+            graft.ops.UnigramTokenizer.seedVocab(docs, "text", 4, 256, 16))
+          graft.ops.UnigramTokenizer.score(docs, "doc_id", "text", v)
+        },
+        () => {
+          val v = graft.ops.UnigramTokenizer.buildVocab(
+            graft.ops.UnigramTokenizer.seedVocab(docs10, "text", 4, 256, 16))
+          graft.ops.UnigramTokenizer.score(docs10, "doc_id", "text", v)
+        }),
       ("q121 plan-band", () => graft.ops.Dedup.lshPlanAndBand(
           docs, "doc_id", 0.5, maxHashes = 16, fnWeight = 10L, steps = 1024),
         () => graft.ops.Dedup.lshPlanAndBand(
