@@ -61,6 +61,7 @@ object UnigramTokenizer {
     val sel = subs.filter(length(col("piece")) === 1)
       .unionByName(subs.filter(length(col("piece")) > 1)
         .orderBy(col("cnt").desc, col("piece")).limit(vocabSize))
+      .localCheckpoint(true) // feeds the normalizer agg AND the output
     val tot = sel.agg(sum("cnt").as("__tot")).withColumn("__k", lit(1))
     sel.withColumn("__k", lit(1)).join(broadcast(tot), Seq("__k"))
       .select(col("piece"), col("cnt"),
@@ -98,7 +99,7 @@ object UnigramTokenizer {
     * `unkLnProb` is the per-character fallback log-prob for
     * characters outside the vocabulary. */
   def score(
-      docs: DataFrame, idCol: String, textCol: String,
+      docs: DataFrame, textCol: String,
       vocab: graft.plans.UnigramVocab,
       unkLnProb: Double = -25.0, maxWordLen: Int = 16): DataFrame = {
     require(unkLnProb < 0, s"unkLnProb must be negative, got $unkLnProb")

@@ -16,6 +16,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `UnigramVocab(512 pieces)` rather than the table. */
 final case class UnigramVocab(pieces: Seq[(String, Long)]) extends Serializable {
   require(pieces.nonEmpty, "UnigramVocab needs at least one piece")
+  require(pieces.forall(_._1.nonEmpty),
+    "UnigramVocab pieces must be non-empty strings")
   override def toString: String = s"UnigramVocab(${pieces.size} pieces)"
 
   @transient private[plans] lazy val lpq: java.util.HashMap[String, java.lang.Long] = {
@@ -23,8 +25,10 @@ final case class UnigramVocab(pieces: Seq[(String, Long)]) extends Serializable 
     pieces.foreach { case (p, q) => m.putIfAbsent(p, q) }
     m
   }
+  // CODE POINTS, not UTF-16 units — the DP slices by code point so
+  // SQL-side length()/substr() semantics (and the DuckDB oracle) agree
   @transient private[plans] lazy val maxPieceLen: Int =
-    pieces.iterator.map(_._1.length).max
+    pieces.iterator.map { case (p, _) => p.codePointCount(0, p.length) }.max
 }
 
 /** Viterbi unigram segmentation score over whitespace words —
@@ -76,15 +80,19 @@ case class UnigramScore(
         }
     }
 
-  /** (score_q, n_pieces) for one word — the DP described above. */
+  /** (score_q, n_pieces) for one word — the DP described above.
+    * Positions are CODE POINTS (a surrogate pair is one position), so
+    * lengths and piece slices agree with SQL `length()`/`substr()`
+    * semantics and the DuckDB oracle — the same code-point discipline
+    * as [[BpeVocab.idTableRows]]. */
   private[plans] def scoreWord(w: String): (Long, Int) = {
     val c = cache.get()
     val hit = c.get(w)
     if (hit != null) return hit
-    val n = w.length
+    val cps = w.codePoints().toArray
+    val n = cps.length
     val L = math.min(vocab.maxPieceLen, n)
     val score = new Array[Long](n + 1)
-    val lastLen = new Array[Int](n + 1)
     val pieces = new Array[Int](n + 1)
     var j = 1
     while (j <= n) {
@@ -93,7 +101,7 @@ case class UnigramScore(
       while (l <= math.min(L, j)) {
         val i = j - l
         val lp: java.lang.Long = {
-          val v = vocab.lpq.get(w.substring(i, j))
+          val v = vocab.lpq.get(new String(cps, i, l))
           if (v != null) v
           else if (l == 1) java.lang.Long.valueOf(unkLpQ)
           else null
@@ -104,7 +112,7 @@ case class UnigramScore(
         }
         l += 1
       }
-      score(j) = bs; lastLen(j) = bl; pieces(j) = bn
+      score(j) = bs; pieces(j) = bn
       j += 1
     }
     val out = (score(n), pieces(n))
@@ -123,7 +131,7 @@ case class UnigramScore(
     var scoreQ = 0L; var nPieces = 0; var nWords = 0; var nLong = 0
     text.split("\\s+").foreach { w =>
       if (w.isEmpty) ()
-      else if (w.length > maxWordLen) nLong += 1
+      else if (w.codePointCount(0, w.length) > maxWordLen) nLong += 1
       else {
         val (s, p) = scoreWord(w)
         scoreQ += s; nPieces += p; nWords += 1

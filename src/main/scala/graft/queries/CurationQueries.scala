@@ -2087,7 +2087,7 @@ object CurationQueries {
       val vocab = graft.ops.UnigramTokenizer.buildVocab(
         graft.ops.UnigramTokenizer.seedVocab(docs, "text",
           maxPieceLen = 4, vocabSize = 256, maxWordLen = 16))
-      graft.ops.UnigramTokenizer.score(docs, "doc_id", "text", vocab,
+      graft.ops.UnigramTokenizer.score(docs, "text", vocab,
           unkLnProb = -25.0, maxWordLen = 16)
         .select(col("doc_id"), col("n_words"), col("n_long"), col("n_pieces"),
           col("score_q"), round(col("avg_nll"), 6).as("avg_nll"))

@@ -431,12 +431,12 @@ object ProfileScale {
       ("q123 unigram", () => {
           val v = graft.ops.UnigramTokenizer.buildVocab(
             graft.ops.UnigramTokenizer.seedVocab(docs, "text", 4, 256, 16))
-          graft.ops.UnigramTokenizer.score(docs, "doc_id", "text", v)
+          graft.ops.UnigramTokenizer.score(docs, "text", v)
         },
         () => {
           val v = graft.ops.UnigramTokenizer.buildVocab(
             graft.ops.UnigramTokenizer.seedVocab(docs10, "text", 4, 256, 16))
-          graft.ops.UnigramTokenizer.score(docs10, "doc_id", "text", v)
+          graft.ops.UnigramTokenizer.score(docs10, "text", v)
         }),
       ("q121 plan-band", () => graft.ops.Dedup.lshPlanAndBand(
           docs, "doc_id", 0.5, maxHashes = 16, fnWeight = 10L, steps = 1024),

@@ -3097,7 +3097,7 @@ class OpsSpec extends SparkSpec {
       (2L, "az"),                       // z -> unk fallback
       (3L, "aaaaaaaaaaaaaaaaa a"),      // 17-char word excluded, "a" scored
       (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
-    val out = UnigramTokenizer.score(docs, "doc_id", "text", vocab,
+    val out = UnigramTokenizer.score(docs, "text", vocab,
         unkLnProb = -1.0, maxWordLen = 16)
       .select("doc_id", "score_q", "n_pieces", "n_words", "n_long").collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -3126,7 +3126,7 @@ class OpsSpec extends SparkSpec {
 
     // buildVocab round-trip scores the corpus it was seeded from
     val v2 = UnigramTokenizer.buildVocab(vdf)
-    val s2 = UnigramTokenizer.score(sdocs, "doc_id", "text", v2).collect().head
+    val s2 = UnigramTokenizer.score(sdocs, "text", v2).collect().head
     assert(s2.getAs[Int]("n_words") == 3 && s2.getAs[Int]("n_long") == 0)
     // "abab" -> [ab, ab] (2 pieces beats any 3/4-piece split), "cd" -> [c, d]
     assert(s2.getAs[Int]("n_pieces") == 2 + 2 + 2)
@@ -3134,8 +3134,22 @@ class OpsSpec extends SparkSpec {
     assert(s2.getAs[Long]("score_q") == 2L * (2L * lp("ab")) + lp("c") + lp("d"))
 
     val eU = intercept[IllegalArgumentException](
-      UnigramTokenizer.score(docs, "doc_id", "text", vocab, unkLnProb = 1.0))
+      UnigramTokenizer.score(docs, "text", vocab, unkLnProb = 1.0))
     assert(eU.getMessage.contains("negative"))
+
+    // code-point discipline: a surrogate-pair char is ONE DP position
+    // (matching SQL length()/substr()), never two half-surrogates
+    val clef = new String(Character.toChars(0x1D11E)) // 𝄞, non-BMP
+    val d2 = Seq((0L, s"a$clef"), (1L, clef * 17)).toDF("doc_id", "text")
+    val o2 = UnigramTokenizer.score(d2, "text", vocab,
+        unkLnProb = -1.0, maxWordLen = 16)
+      .select("doc_id", "score_q", "n_pieces", "n_words", "n_long").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(o2(0L).getLong(1) == -5L - 1048576L && o2(0L).getInt(2) == 2)
+    assert(o2(1L).getInt(4) == 1 && o2(1L).getInt(3) == 0) // 17 code points -> long
+
+    val eP = intercept[IllegalArgumentException](UnigramVocab(Seq("" -> -1L)))
+    assert(eP.getMessage.contains("non-empty"))
   }
 
   test("TextAnalysis.vocabStats: totals, hapax, top-k mass") {
