@@ -152,4 +152,53 @@ object NbClassifier {
       numBuckets: Int = 10000, maxGram: Int = 2, delta: Double = 1.0): DataFrame =
     score(docs, this.train(train, labelCol, textCol, numBuckets, maxGram, delta),
       idCol, textCol)
+
+  /** Margin-binned reliability report — the calibration question every
+    * deployed quality/language classifier answers before its
+    * predictions gate a corpus: does a larger decision margin actually
+    * mean a more reliable prediction? Train on `train`, score the
+    * labeled held-out `docs`, bin each document by its decision
+    * margin (best minus second-best class score — an EXACT BIGINT of
+    * 2⁻²⁰ log-units, so the bin edges are deterministic integers, no
+    * softmax float drift), and report per-bin empirical accuracy
+    * against `labelCol`. Margins are measured in whole nats
+    * (`margin_q div 2²⁰`) and capped at `maxMarginNats` — a bounded
+    * bin histogram, the [[graft.ops.TextAnalysis]] quantile-bucket
+    * discipline.
+    *
+    * The per-document argmax/tie rule is [[score]]'s (first label
+    * ascending achieving the maximum); a tied best pair lands in bin
+    * 0 with margin zero. Returns one row per occupied bin:
+    * `(margin_nats, n_docs, n_correct, accuracy)`.
+    *
+    * 100 TB shape: scoring is the broadcast probe + doc-keyed sum;
+    * the report is ONE bounded groupBy over ≤ maxMarginNats+1 keys. */
+  def reliabilityReport(
+      docs: DataFrame, train: DataFrame,
+      idCol: String, textCol: String, labelCol: String,
+      numBuckets: Int = 10000, maxGram: Int = 2, delta: Double = 1.0,
+      maxMarginNats: Int = 8): DataFrame = {
+    require(maxMarginNats >= 1 && maxMarginNats <= 1024,
+      s"maxMarginNats out of [1,1024]: $maxMarginNats")
+    val model = this.train(train, labelCol, textCol, numBuckets, maxGram, delta)
+    require(model.labels.size >= 2,
+      s"reliability needs >= 2 classes, got ${model.labels.size}")
+    val scored = score(docs, model, idCol, textCol)
+    // sort ascending on (negated score, label): element 0 is the
+    // argmax under score()'s exact tie rule (max score, then first
+    // label ascending), element 1 the runner-up — class-count bounded
+    val arr = sort_array(array(model.labels.map(l =>
+      struct((-col(s"score_q_$l")).as("ns"), lit(l).as("lab"))): _*))
+    scored
+      .withColumn("__arr", arr)
+      .withColumn("__margin_q", col("__arr")(1)("ns") - col("__arr")(0)("ns"))
+      .withColumn("margin_nats",
+        least(expr("__margin_q div 1048576"), lit(maxMarginNats.toLong)).cast("int"))
+      .withColumn("__correct",
+        when(col(labelCol) === col("__arr")(0)("lab"), 1L).otherwise(0L))
+      .groupBy("margin_nats")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__correct")).as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n_docs").cast("double"))
+  }
 }

@@ -2119,8 +2119,96 @@ object CurationQueries {
       ORDER BY d.doc_id"""),
     bench = true)
 
+  /** Classifier reliability report (library
+    * `NbClassifier.reliabilityReport` — the calibration check before
+    * a classifier's predictions gate a corpus; q87/q106 are its
+    * ANN/LSH evaluation siblings): the q81 model trained on the
+    * doc_id >= 50 split, the held-out doc_id < 50 docs binned by
+    * EXACT integer decision margin (best minus second-best score_q,
+    * in whole 2²⁰-unit nats, capped) with per-bin empirical accuracy.
+    * The oracle re-derives the full q81 score chain restricted to the
+    * held-out split and computes the 3-class runner-up as
+    * sum − greatest − least (exact for any ties). */
+  val q124 = QueryDef(
+    "q124_nb_reliability",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("label", concat(lit("g"),
+          (substring(col("source"), 4, 10).cast("int") % 3).cast("string")))
+      graft.ops.NbClassifier.reliabilityReport(
+        docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50),
+        "doc_id", "text", "label", numBuckets = 4096, maxMarginNats = 8)
+        .select(col("margin_nats"), col("n_docs"), col("n_correct"),
+          round(col("accuracy"), 6).as("accuracy"))
+        .oracleOrderBy("margin_nats")
+    },
+    Some(s"""WITH $featCtesDuck,
+      lab AS (SELECT doc_id,
+                'g' || CAST(CAST(substr(source, 4, 10) AS INT) % 3 AS VARCHAR) AS label
+              FROM documents),
+      trn AS (SELECT doc_id, label FROM lab WHERE doc_id >= 50),
+      cls AS (SELECT label, CAST(count(*) AS BIGINT) AS n_docs FROM trn GROUP BY label),
+      ntot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n FROM cls),
+      bc AS MATERIALIZED (
+        SELECT t.label, f.bucket, CAST(count(*) AS BIGINT) AS c
+        FROM feats f JOIN trn t USING (doc_id) GROUP BY 1, 2),
+      tot AS (SELECT label, CAST(sum(c) AS DOUBLE) AS tf FROM bc GROUP BY label),
+      lp AS MATERIALIZED (
+        SELECT b.bucket, cl.label,
+          CAST(round(ln((coalesce(bc.c, 0) + CAST(1.0 AS DOUBLE)) /
+                        (tot.tf + CAST(4096.0 AS DOUBLE)))
+                     * CAST(1048576 AS DOUBLE)) AS BIGINT) AS lp_q
+        FROM (SELECT DISTINCT bucket FROM bc) b
+        CROSS JOIN cls cl
+        JOIN tot ON tot.label = cl.label
+        LEFT JOIN bc ON bc.bucket = b.bucket AND bc.label = cl.label),
+      pri AS (SELECT label,
+                CAST(round(ln(n_docs / n) * CAST(1048576 AS DOUBLE)) AS BIGINT) AS prior_q
+              FROM cls, ntot),
+      defl AS (SELECT label,
+                 CAST(round(ln(CAST(1.0 AS DOUBLE) / (tf + CAST(4096.0 AS DOUBLE)))
+                            * CAST(1048576 AS DOUBLE)) AS BIGINT) AS def_q
+               FROM tot),
+      sc AS MATERIALIZED (
+        SELECT f.doc_id, cl.label,
+               CAST(sum(coalesce(lp.lp_q, d.def_q)) AS BIGINT) AS s
+        FROM feats f
+        CROSS JOIN cls cl
+        JOIN defl d ON d.label = cl.label
+        LEFT JOIN lp ON lp.bucket = f.bucket AND lp.label = cl.label
+        WHERE f.doc_id < 50
+        GROUP BY 1, 2),
+      piv AS (
+        SELECT doc_id,
+          max(CASE WHEN label = 'g0' THEN s END) AS s0,
+          max(CASE WHEN label = 'g1' THEN s END) AS s1,
+          max(CASE WHEN label = 'g2' THEN s END) AS s2
+        FROM sc GROUP BY doc_id),
+      fin AS (
+        SELECT d.doc_id, l.label AS truth,
+          (SELECT prior_q FROM pri WHERE label = 'g0') + coalesce(p.s0, 0) AS g0,
+          (SELECT prior_q FROM pri WHERE label = 'g1') + coalesce(p.s1, 0) AS g1,
+          (SELECT prior_q FROM pri WHERE label = 'g2') + coalesce(p.s2, 0) AS g2
+        FROM documents d JOIN lab l USING (doc_id) LEFT JOIN piv p USING (doc_id)
+        WHERE d.doc_id < 50),
+      marg AS (
+        SELECT doc_id, truth,
+          CASE WHEN g0 >= g1 AND g0 >= g2 THEN 'g0'
+               WHEN g1 >= g2 THEN 'g1' ELSE 'g2' END AS pred,
+          least((greatest(g0, g1, g2) -
+                 (g0 + g1 + g2 - greatest(g0, g1, g2) - least(g0, g1, g2)))
+                // 1048576, 8) AS margin_nats
+        FROM fin)
+      SELECT CAST(margin_nats AS INT) AS margin_nats,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        round(CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6) AS accuracy
+      FROM marg GROUP BY margin_nats ORDER BY margin_nats"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
-      q114, q116, q117, q118, q119, q122, q123)
+      q114, q116, q117, q118, q119, q122, q123, q124)
 }

@@ -908,6 +908,45 @@ class OpsSpec extends SparkSpec {
       .getMessage.contains("numBuckets"))
   }
 
+  test("NbClassifier.reliabilityReport: exact margin bins, per-bin accuracy, prior-only tie") {
+    val train = (
+      Seq.fill(8)("en" -> "the quick brown fox and the lazy dog run over the hill") ++
+        Seq.fill(8)("es" -> "el zorro y el perro corren por la colina verde"))
+      .zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("doc_id", "label", "text")
+    val eval = Seq(
+      (100L, "en", "the quick fox and the dog run over the hill"), // big-margin correct
+      (101L, "es", "el perro corre por la colina"),                // big-margin correct
+      (102L, "en", "el zorro y el perro corren"),                  // planted WRONG label
+      (103L, "en", "")).toDF("doc_id", "label", "text")            // featureless: priors tie
+    val rep = NbClassifier.reliabilityReport(eval, train,
+      "doc_id", "text", "label", numBuckets = 2048, maxMarginNats = 8)
+    val byBin = rep.collect().map(r =>
+      r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // independent re-derivation from score(): margin and correctness
+    val model = NbClassifier.train(train, "label", "text", numBuckets = 2048)
+    val scored = NbClassifier.score(eval, model, "doc_id", "text")
+      .select("doc_id", "label", "score_q_en", "score_q_es", "pred_label").collect()
+    val expect = scored.map { r =>
+      val (en, es) = (r.getLong(2), r.getLong(3))
+      val bin = math.min((math.max(en, es) - math.min(en, es)) / 1048576L, 8L).toInt
+      bin -> (if (r.getString(4) == r.getString(1)) 1L else 0L)
+    }
+    val expBins = expect.groupBy(_._1).map { case (b, xs) =>
+      b -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    assert(byBin == expBins, s"$byBin vs $expBins")
+
+    // the planted-wrong doc is confidently wrong: its bin's accuracy < 1
+    val wrongBin = expect(scored.indexWhere(_.getLong(0) == 102L))._1
+    assert(byBin(wrongBin)._2 < byBin(wrongBin)._1)
+    // the featureless doc lands in bin 0 (equal priors -> zero margin)
+    assert(byBin.contains(0) && byBin(0)._1 >= 1L)
+    // accuracy column is the exact ratio
+    val accs = rep.collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    accs.foreach { case (n, c, a) => assert(a == c.toDouble / n) }
+  }
+
   test("packChunks over TRUE BPE counts: boundaries follow the real tokenizer") {
     val vocab = graft.plans.BpeVocab(bpeFixture)
     val counted = docs
