@@ -177,7 +177,62 @@ object NbClassifier {
       docs: DataFrame, train: DataFrame,
       idCol: String, textCol: String, labelCol: String,
       numBuckets: Int = 10000, maxGram: Int = 2, delta: Double = 1.0,
+      maxMarginNats: Int = 8): DataFrame =
+    margined(docs, train, idCol, textCol, labelCol,
+      numBuckets, maxGram, delta, maxMarginNats)
+      .groupBy("margin_nats")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__correct")).as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n_docs").cast("double"))
+
+  /** Selective-prediction (abstention) curve — the deployment dial the
+    * reliability bins feed: if the classifier only PREDICTS when its
+    * decision margin is at least `min_margin_nats` and abstains
+    * otherwise, what fraction of documents does it still cover, and
+    * how accurate is it on those? One row per occupied threshold
+    * 0..`maxMarginNats`: `(min_margin_nats, n_total, n_covered,
+    * coverage, n_correct, selective_accuracy)` — the classic
+    * risk–coverage trade-off, exact integers throughout. Thresholds
+    * nothing reaches emit no row.
+    *
+    * Shape: the bounded bin aggregate, a ≤(cap+1)² narrow explode of
+    * per-bin rows over the thresholds they satisfy (no range join, no
+    * window), and a constant-key broadcast of the single-row total. */
+  def selectiveAccuracy(
+      docs: DataFrame, train: DataFrame,
+      idCol: String, textCol: String, labelCol: String,
+      numBuckets: Int = 10000, maxGram: Int = 2, delta: Double = 1.0,
       maxMarginNats: Int = 8): DataFrame = {
+    val m = margined(docs, train, idCol, textCol, labelCol,
+      numBuckets, maxGram, delta, maxMarginNats)
+      .localCheckpoint(true) // feeds the bin agg AND the total agg
+    val bins = m.groupBy("margin_nats")
+      .agg(count(lit(1)).as("__n"), sum(col("__correct")).as("__c"))
+    val th = bins
+      .select(explode(sequence(lit(0), col("margin_nats"))).as("min_margin_nats"),
+        col("__n"), col("__c"))
+      .groupBy("min_margin_nats")
+      .agg(sum(col("__n")).as("n_covered"), sum(col("__c")).as("n_correct"))
+    val tot = m.agg(count(lit(1)).as("n_total")).withColumn("__k", lit(1))
+    th.withColumn("__k", lit(1)).join(broadcast(tot), Seq("__k"))
+      .select(col("min_margin_nats"), col("n_total"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_total").cast("double"))
+          .as("coverage"),
+        col("n_correct"),
+        when(col("n_covered") > 0,
+          col("n_correct").cast("double") / col("n_covered").cast("double"))
+          .as("selective_accuracy"))
+  }
+
+  /** Per-document margin/correctness frame shared by
+    * [[reliabilityReport]] and [[selectiveAccuracy]]: `margin_nats`
+    * (exact BIGINT decision margin in whole 2⁻²⁰-unit nats, capped)
+    * and `__correct` under [[score]]'s argmax/tie rule. */
+  private def margined(
+      docs: DataFrame, train: DataFrame,
+      idCol: String, textCol: String, labelCol: String,
+      numBuckets: Int, maxGram: Int, delta: Double,
+      maxMarginNats: Int): DataFrame = {
     require(maxMarginNats >= 1 && maxMarginNats <= 1024,
       s"maxMarginNats out of [1,1024]: $maxMarginNats")
     val model = this.train(train, labelCol, textCol, numBuckets, maxGram, delta)
@@ -196,9 +251,5 @@ object NbClassifier {
         least(expr("__margin_q div 1048576"), lit(maxMarginNats.toLong)).cast("int"))
       .withColumn("__correct",
         when(col(labelCol) === col("__arr")(0)("lab"), 1L).otherwise(0L))
-      .groupBy("margin_nats")
-      .agg(count(lit(1)).as("n_docs"), sum(col("__correct")).as("n_correct"))
-      .withColumn("accuracy",
-        col("n_correct").cast("double") / col("n_docs").cast("double"))
   }
 }

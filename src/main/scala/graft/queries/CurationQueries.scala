@@ -2119,30 +2119,10 @@ object CurationQueries {
       ORDER BY d.doc_id"""),
     bench = true)
 
-  /** Classifier reliability report (library
-    * `NbClassifier.reliabilityReport` — the calibration check before
-    * a classifier's predictions gate a corpus; q87/q106 are its
-    * ANN/LSH evaluation siblings): the q81 model trained on the
-    * doc_id >= 50 split, the held-out doc_id < 50 docs binned by
-    * EXACT integer decision margin (best minus second-best score_q,
-    * in whole 2²⁰-unit nats, capped) with per-bin empirical accuracy.
-    * The oracle re-derives the full q81 score chain restricted to the
-    * held-out split and computes the 3-class runner-up as
-    * sum − greatest − least (exact for any ties). */
-  val q124 = QueryDef(
-    "q124_nb_reliability",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-        .withColumn("label", concat(lit("g"),
-          (substring(col("source"), 4, 10).cast("int") % 3).cast("string")))
-      graft.ops.NbClassifier.reliabilityReport(
-        docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50),
-        "doc_id", "text", "label", numBuckets = 4096, maxMarginNats = 8)
-        .select(col("margin_nats"), col("n_docs"), col("n_correct"),
-          round(col("accuracy"), 6).as("accuracy"))
-        .oracleOrderBy("margin_nats")
-    },
-    Some(s"""WITH $featCtesDuck,
+  /** The q124/q125 shared margin chain: the q81 score derivation
+    * restricted to the held-out doc_id < 50 split, ending in a `marg`
+    * CTE of per-doc (truth, pred, capped integer margin). */
+  private val nbMargCtesDuck = s"""$featCtesDuck,
       lab AS (SELECT doc_id,
                 'g' || CAST(CAST(substr(source, 4, 10) AS INT) % 3 AS VARCHAR) AS label
               FROM documents),
@@ -2198,7 +2178,32 @@ object CurationQueries {
           least((greatest(g0, g1, g2) -
                  (g0 + g1 + g2 - greatest(g0, g1, g2) - least(g0, g1, g2)))
                 // 1048576, 8) AS margin_nats
-        FROM fin)
+        FROM fin)"""
+
+  /** Classifier reliability report (library
+    * `NbClassifier.reliabilityReport` — the calibration check before
+    * a classifier's predictions gate a corpus; q87/q106 are its
+    * ANN/LSH evaluation siblings): the q81 model trained on the
+    * doc_id >= 50 split, the held-out doc_id < 50 docs binned by
+    * EXACT integer decision margin (best minus second-best score_q,
+    * in whole 2²⁰-unit nats, capped) with per-bin empirical accuracy.
+    * The oracle re-derives the full q81 score chain restricted to the
+    * held-out split and computes the 3-class runner-up as
+    * sum − greatest − least (exact for any ties). */
+  val q124 = QueryDef(
+    "q124_nb_reliability",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("label", concat(lit("g"),
+          (substring(col("source"), 4, 10).cast("int") % 3).cast("string")))
+      graft.ops.NbClassifier.reliabilityReport(
+        docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50),
+        "doc_id", "text", "label", numBuckets = 4096, maxMarginNats = 8)
+        .select(col("margin_nats"), col("n_docs"), col("n_correct"),
+          round(col("accuracy"), 6).as("accuracy"))
+        .oracleOrderBy("margin_nats")
+    },
+    Some(s"""WITH $nbMargCtesDuck
       SELECT CAST(margin_nats AS INT) AS margin_nats,
         CAST(count(*) AS BIGINT) AS n_docs,
         CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
@@ -2207,8 +2212,50 @@ object CurationQueries {
       FROM marg GROUP BY margin_nats ORDER BY margin_nats"""),
     bench = true)
 
+  /** Selective-prediction curve (library
+    * `NbClassifier.selectiveAccuracy` — the deployment dial the q124
+    * bins feed: predict only at margin >= threshold, abstain below):
+    * coverage and selective accuracy at every occupied abstention
+    * threshold, the classic risk-coverage trade-off with exact
+    * integer numerators. The oracle extends the q124 margin chain
+    * with a threshold explode (no range join) and the same
+    * single-row total. */
+  val q125 = QueryDef(
+    "q125_nb_selective",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("label", concat(lit("g"),
+          (substring(col("source"), 4, 10).cast("int") % 3).cast("string")))
+      graft.ops.NbClassifier.selectiveAccuracy(
+        docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50),
+        "doc_id", "text", "label", numBuckets = 4096, maxMarginNats = 8)
+        .select(col("min_margin_nats"), col("n_total"), col("n_covered"),
+          round(col("coverage"), 6).as("coverage"), col("n_correct"),
+          round(col("selective_accuracy"), 6).as("selective_accuracy"))
+        .oracleOrderBy("min_margin_nats")
+    },
+    Some(s"""WITH $nbMargCtesDuck,
+      bins AS (
+        SELECT margin_nats, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM marg GROUP BY margin_nats),
+      thr AS (
+        SELECT CAST(tt.t AS INT) AS min_margin_nats,
+          CAST(sum(n) AS BIGINT) AS n_covered, CAST(sum(c) AS BIGINT) AS n_correct
+        FROM bins, LATERAL unnest(generate_series(0, margin_nats)) AS tt(t)
+        GROUP BY 1),
+      total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM marg)
+      SELECT min_margin_nats, n_total, n_covered,
+        round(CAST(n_covered AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS coverage,
+        n_correct,
+        CASE WHEN n_covered > 0
+          THEN round(CAST(n_correct AS DOUBLE) / CAST(n_covered AS DOUBLE), 6) END
+          AS selective_accuracy
+      FROM thr, total ORDER BY min_margin_nats"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
-      q114, q116, q117, q118, q119, q122, q123, q124)
+      q114, q116, q117, q118, q119, q122, q123, q124, q125)
 }

@@ -945,6 +945,21 @@ class OpsSpec extends SparkSpec {
     // accuracy column is the exact ratio
     val accs = rep.collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
     accs.foreach { case (n, c, a) => assert(a == c.toDouble / n) }
+
+    // selective-prediction curve: each threshold's coverage/accuracy
+    // is the tail-sum of the reliability bins; threshold 0 covers all
+    val sel = NbClassifier.selectiveAccuracy(eval, train,
+      "doc_id", "text", "label", numBuckets = 2048, maxMarginNats = 8)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    val nTotal = eval.count()
+    sel.foreach { case (t, (tot, cov, cor)) =>
+      val tail = expBins.filter(_._1 >= t).values
+      assert(tot == nTotal && cov == tail.map(_._1).sum && cor == tail.map(_._2).sum,
+        s"threshold $t")
+    }
+    assert(sel(0)._2 == nTotal)                       // zero threshold covers all
+    assert(sel.keySet == expBins.keySet.flatMap(b => 0 to b)) // occupied thresholds only
   }
 
   test("packChunks over TRUE BPE counts: boundaries follow the real tokenizer") {
