@@ -203,17 +203,19 @@ object NbClassifier {
       idCol: String, textCol: String, labelCol: String,
       numBuckets: Int = 10000, maxGram: Int = 2, delta: Double = 1.0,
       maxMarginNats: Int = 8): DataFrame = {
-    val m = margined(docs, train, idCol, textCol, labelCol,
+    // ONE pass over the per-doc frame; everything after is over the
+    // ≤ cap+1 bin rows (checkpointed: they feed the curve AND the total)
+    val bins = margined(docs, train, idCol, textCol, labelCol,
       numBuckets, maxGram, delta, maxMarginNats)
-      .localCheckpoint(true) // feeds the bin agg AND the total agg
-    val bins = m.groupBy("margin_nats")
+      .groupBy("margin_nats")
       .agg(count(lit(1)).as("__n"), sum(col("__correct")).as("__c"))
+      .localCheckpoint(true)
     val th = bins
       .select(explode(sequence(lit(0), col("margin_nats"))).as("min_margin_nats"),
         col("__n"), col("__c"))
       .groupBy("min_margin_nats")
       .agg(sum(col("__n")).as("n_covered"), sum(col("__c")).as("n_correct"))
-    val tot = m.agg(count(lit(1)).as("n_total")).withColumn("__k", lit(1))
+    val tot = bins.agg(sum(col("__n")).as("n_total")).withColumn("__k", lit(1))
     th.withColumn("__k", lit(1)).join(broadcast(tot), Seq("__k"))
       .select(col("min_margin_nats"), col("n_total"), col("n_covered"),
         (col("n_covered").cast("double") / col("n_total").cast("double"))
@@ -249,7 +251,14 @@ object NbClassifier {
       .withColumn("__margin_q", col("__arr")(1)("ns") - col("__arr")(0)("ns"))
       .withColumn("margin_nats",
         least(expr("__margin_q div 1048576"), lit(maxMarginNats.toLong)).cast("int"))
+      // a NULL truth label fails LOUDLY (the train() discipline) — the
+      // null-safe alternative would silently count the doc as a
+      // confidently-wrong prediction and deflate the whole report
       .withColumn("__correct",
-        when(col(labelCol) === col("__arr")(0)("lab"), 1L).otherwise(0L))
+        when(col(labelCol).isNull, raise_error(lit(
+          s"reliability: NULL value in label column '$labelCol' — " +
+            "filter or label the held-out docs first")).cast("long"))
+          .otherwise(when(col(labelCol) === col("__arr")(0)("lab"), 1L)
+            .otherwise(0L)))
   }
 }

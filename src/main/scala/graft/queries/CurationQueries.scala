@@ -1224,31 +1224,12 @@ object CurationQueries {
     },
     bench = true)
 
-  /** Trained hashed-ngram Naive Bayes classification (library
-    * `NbClassifier` — the learned replacement for the marker-list
-    * languageId heuristic): classes are a 3-way source grouping,
-    * trained on the doc_id >= 50 split and scored over EVERY document
-    * (self-scored and held-out alike). Each class score is
-    * `Q(ln prior) + sum of per-bucket Q(ln P(bucket|class))` — all
-    * exact 2^-20-quantized integers, so the hash covers every doc's
-    * full per-class score vector plus the argmax label (ties break to
-    * the lexicographically first label on both engines). */
-  val q81 = QueryDef(
-    "q81_nb_classify",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-        .withColumn("label", concat(lit("g"),
-          (substring(col("source"), 4, 10).cast("int") % 3).cast("string")))
-      graft.ops.NbClassifier.classify(
-        docs, docs.filter(col("doc_id") >= 50),
-        "doc_id", "text", "label", numBuckets = 4096)
-        .select(col("doc_id"), col("n_feats"),
-          col("score_q_g0"), col("score_q_g1"), col("score_q_g2"),
-          col("pred_label"))
-        .oracleOrderBy("doc_id")
-    },
-    Some(s"""WITH $featCtesDuck,
-      lab AS (SELECT doc_id,
+  /** The q81/q124/q125 shared NB model derivation: labels from the
+    * 3-way source grouping, the doc_id >= 50 training split, bucket
+    * counts, Laplace-smoothed per-bucket quantized log-probs, priors
+    * and unseen-bucket defaults — ONE copy so a model fix can never
+    * drift between the classify and calibration oracles. */
+  private val nbModelCtesDuck = """lab AS (SELECT doc_id,
                 'g' || CAST(CAST(substr(source, 4, 10) AS INT) % 3 AS VARCHAR) AS label
               FROM documents),
       trn AS (SELECT doc_id, label FROM lab WHERE doc_id >= 50),
@@ -1273,7 +1254,33 @@ object CurationQueries {
       defl AS (SELECT label,
                  CAST(round(ln(CAST(1.0 AS DOUBLE) / (tf + CAST(4096.0 AS DOUBLE)))
                             * CAST(1048576 AS DOUBLE)) AS BIGINT) AS def_q
-               FROM tot),
+               FROM tot)"""
+
+  /** Trained hashed-ngram Naive Bayes classification (library
+    * `NbClassifier` — the learned replacement for the marker-list
+    * languageId heuristic): classes are a 3-way source grouping,
+    * trained on the doc_id >= 50 split and scored over EVERY document
+    * (self-scored and held-out alike). Each class score is
+    * `Q(ln prior) + sum of per-bucket Q(ln P(bucket|class))` — all
+    * exact 2^-20-quantized integers, so the hash covers every doc's
+    * full per-class score vector plus the argmax label (ties break to
+    * the lexicographically first label on both engines). */
+  val q81 = QueryDef(
+    "q81_nb_classify",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("label", concat(lit("g"),
+          (substring(col("source"), 4, 10).cast("int") % 3).cast("string")))
+      graft.ops.NbClassifier.classify(
+        docs, docs.filter(col("doc_id") >= 50),
+        "doc_id", "text", "label", numBuckets = 4096)
+        .select(col("doc_id"), col("n_feats"),
+          col("score_q_g0"), col("score_q_g1"), col("score_q_g2"),
+          col("pred_label"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(s"""WITH $featCtesDuck,
+      $nbModelCtesDuck,
       sc AS MATERIALIZED (
         SELECT f.doc_id, cl.label, count(*) AS nf,
                CAST(sum(coalesce(lp.lp_q, d.def_q)) AS BIGINT) AS s
@@ -2123,32 +2130,7 @@ object CurationQueries {
     * restricted to the held-out doc_id < 50 split, ending in a `marg`
     * CTE of per-doc (truth, pred, capped integer margin). */
   private val nbMargCtesDuck = s"""$featCtesDuck,
-      lab AS (SELECT doc_id,
-                'g' || CAST(CAST(substr(source, 4, 10) AS INT) % 3 AS VARCHAR) AS label
-              FROM documents),
-      trn AS (SELECT doc_id, label FROM lab WHERE doc_id >= 50),
-      cls AS (SELECT label, CAST(count(*) AS BIGINT) AS n_docs FROM trn GROUP BY label),
-      ntot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n FROM cls),
-      bc AS MATERIALIZED (
-        SELECT t.label, f.bucket, CAST(count(*) AS BIGINT) AS c
-        FROM feats f JOIN trn t USING (doc_id) GROUP BY 1, 2),
-      tot AS (SELECT label, CAST(sum(c) AS DOUBLE) AS tf FROM bc GROUP BY label),
-      lp AS MATERIALIZED (
-        SELECT b.bucket, cl.label,
-          CAST(round(ln((coalesce(bc.c, 0) + CAST(1.0 AS DOUBLE)) /
-                        (tot.tf + CAST(4096.0 AS DOUBLE)))
-                     * CAST(1048576 AS DOUBLE)) AS BIGINT) AS lp_q
-        FROM (SELECT DISTINCT bucket FROM bc) b
-        CROSS JOIN cls cl
-        JOIN tot ON tot.label = cl.label
-        LEFT JOIN bc ON bc.bucket = b.bucket AND bc.label = cl.label),
-      pri AS (SELECT label,
-                CAST(round(ln(n_docs / n) * CAST(1048576 AS DOUBLE)) AS BIGINT) AS prior_q
-              FROM cls, ntot),
-      defl AS (SELECT label,
-                 CAST(round(ln(CAST(1.0 AS DOUBLE) / (tf + CAST(4096.0 AS DOUBLE)))
-                            * CAST(1048576 AS DOUBLE)) AS BIGINT) AS def_q
-               FROM tot),
+      $nbModelCtesDuck,
       sc AS MATERIALIZED (
         SELECT f.doc_id, cl.label,
                CAST(sum(coalesce(lp.lp_q, d.def_q)) AS BIGINT) AS s

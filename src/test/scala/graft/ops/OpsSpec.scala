@@ -960,6 +960,16 @@ class OpsSpec extends SparkSpec {
     }
     assert(sel(0)._2 == nTotal)                       // zero threshold covers all
     assert(sel.keySet == expBins.keySet.flatMap(b => 0 to b)) // occupied thresholds only
+
+    // a NULL truth label fails LOUDLY (train()'s discipline) instead
+    // of silently counting the doc as a wrong prediction
+    val nullEval = Seq((200L, null.asInstanceOf[String], "the fox runs"))
+      .toDF("doc_id", "label", "text")
+    val ex = intercept[Throwable](NbClassifier.reliabilityReport(
+      nullEval, train, "doc_id", "text", "label", numBuckets = 2048).collect())
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    assert(msgs(ex).contains("NULL value in label"), msgs(ex))
   }
 
   test("packChunks over TRUE BPE counts: boundaries follow the real tokenizer") {
