@@ -251,9 +251,25 @@ object Packing {
     * yielding zero tokens (empty/null text) are dropped — no stray
     * EOS.
     *
+    * Beyond `ids` + `doc_starts`, every sequence carries the two
+    * attention-layout arrays a packed-attention dataloader needs and
+    * cannot re-derive from the chunk alone:
+    *  - `position_ids` — each token's TRUE in-document offset. Inside
+    *    the chunk it resets to 0 exactly at every `doc_starts` entry,
+    *    and a chunk that begins mid-document carries the real
+    *    continuation offset (information that lives only in the
+    *    packing pass — `doc_starts` alone cannot reconstruct it).
+    *  - `segment_ids` — which document-within-the-chunk each token
+    *    belongs to: 0 for the carried-in prefix, then +1 at every
+    *    boundary; equal ids mark the blocks of a block-diagonal
+    *    attention mask.
+    *
     * Same shapes as [[materializeChunksEos]]: the per-shard offset
     * window, ONE (shard, chunk)-keyed materialization shuffle, the
-    * boundary offsets collected by the same aggregate. The vocabulary
+    * boundary offsets collected by the same aggregate — the position
+    * array rides the struct the token sort already collects, and the
+    * segment array is a narrow post-transform of `doc_starts`, so
+    * neither adds a shuffle, window pass or join. The vocabulary
     * rides in the tokenizer expression (driver-resident model
     * pattern); rows carry int ids, ~4 bytes a token. */
   def packTokenIds(
@@ -278,13 +294,20 @@ object Packing {
         floor(col("__pos").cast("double") / lit(ctxLen.toDouble)).cast("long")
           .as("chunk_id"))
       .agg(count(lit(1)).as("n_tok"),
-        transform(
-          array_sort(collect_list(struct(col("__pos").as("p"), col("__id").as("t")))),
-          x => x.getField("t")).as("ids"),
+        array_sort(collect_list(struct(col("__pos").as("p"), col("__id").as("t"),
+          col("__i").as("i")))).as("__seq"),
         sort_array(collect_list(
           when(col("__i") === 0, pmod(col("__pos"), lit(ctxLen)).cast("int"))))
           .as("doc_starts"))
+      .withColumn("ids", transform(col("__seq"), x => x.getField("t")))
+      .withColumn("position_ids", transform(col("__seq"), x => x.getField("i")))
+      .drop("__seq")
       .withColumn("n_docs_started", size(col("doc_starts")).cast("long"))
+      // token k belongs to segment |{s in doc_starts : s <= k}| — 0 is
+      // the carried-in prefix of a chunk that starts mid-document
+      .withColumn("segment_ids",
+        transform(sequence(lit(0), size(col("ids")) - 1),
+          k => size(filter(col("doc_starts"), s => s <= k))))
   }
 
   /** Write materialized chunks as a training-ready layout:

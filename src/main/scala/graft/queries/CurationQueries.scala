@@ -670,7 +670,7 @@ object CurationQueries {
             ROWS UNBOUNDED PRECEDING) - ntok AS start_tok FROM n),
         ex AS (
           SELECT source, start_tok + u.i - 1 AS pos, ids[u.i] AS id,
-            (u.i = 1) AS is_start
+            (u.i = 1) AS is_start, u.i - 1 AS docpos
           FROM cum, LATERAL unnest(generate_series(1, ntok)) u(i))
         SELECT source AS shard,
           CAST(floor(pos / CAST(128 AS DOUBLE)) AS BIGINT) AS chunk_id,
@@ -682,6 +682,110 @@ object CurationQueries {
           CAST(coalesce(count(*) FILTER (WHERE is_start), 0) AS BIGINT)
             AS n_docs_started
         FROM ex GROUP BY source, chunk_id ORDER BY shard, chunk_id"""
+    },
+    bench = true)
+
+  /** Attention-layout arrays on the q117 training sequences (library
+    * `Packing.packTokenIds` — the two per-token arrays a
+    * packed-attention dataloader cannot re-derive from a chunk alone):
+    * `position_ids` is every token's TRUE in-document offset, resetting
+    * to 0 exactly at the `doc_starts` boundaries and carrying the real
+    * continuation offset into a chunk that begins mid-document;
+    * `segment_ids` numbers each token's document-within-the-chunk (0 =
+    * the carried-in prefix), the block structure of a block-diagonal
+    * attention mask. The oracle chains the full q117 derivation and
+    * re-derives both arrays from the packed token stream — one wrong
+    * position or segment anywhere in the corpus breaks the hash. */
+  val q126 = QueryDef(
+    "q126_attention_layout",
+    (s, dir) => {
+      val vocab = graft.plans.BpeVocab(FixtureMerges, byteLevel = true)
+      val docs = t(s, dir, "documents")
+      graft.ops.Packing.packTokenIds(docs, "doc_id", "text", vocab,
+          ctxLen = 128L, shardCol = "source", eosId = Some(270))
+        .select(col("shard"), col("chunk_id"), col("n_tok"),
+          md5(concat_ws(",", transform(col("position_ids"), i => i.cast("string"))))
+            .as("position_fp"),
+          md5(concat_ws(",", transform(col("segment_ids"), i => i.cast("string"))))
+            .as("segment_fp"))
+        .oracleOrderBy("shard", "chunk_id")
+    },
+    Some {
+      val p = graft.ops.TextAnalysis.BpePattern.replace("'", "''")
+      val vals = FixtureMerges.zipWithIndex
+        .map { case ((l, r), i) => s"('$l','$r',$i)" }.mkString(", ")
+      s"""WITH RECURSIVE
+        mg(l, r, rk) AS (VALUES $vals),
+        mm AS (SELECT map(list(l || chr(31) || r ORDER BY rk),
+                          list(rk ORDER BY rk)) AS m FROM mg),
+        bytes AS (
+          SELECT CAST(r.i AS INT) AS b,
+            CASE WHEN (r.i BETWEEN 33 AND 126) OR (r.i BETWEEN 161 AND 172)
+                 OR (r.i BETWEEN 174 AND 255) THEN 1 ELSE 0 END AS keep
+          FROM range(0, 256) r(i)),
+        alpha AS (
+          SELECT b,
+            CASE WHEN keep = 1 THEN chr(b)
+              ELSE chr(256 + CAST(coalesce(sum(1 - keep) OVER
+                (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS INT))
+            END AS tok
+          FROM bytes),
+        idt AS (
+          SELECT tok, CAST(min(id) AS INT) AS id FROM (
+            SELECT tok, b AS id FROM alpha
+            UNION ALL SELECT l || r AS tok, 256 + rk AS id FROM mg) u
+          GROUP BY tok),
+        im AS (SELECT map(list(tok), list(id)) AS m2 FROM idt),
+        pieces AS (
+          SELECT doc_id, s['i'] AS piece_id, replace(s['p'], ' ', 'Ġ') AS piece
+          FROM (SELECT doc_id,
+                  unnest(list_transform(regexp_extract_all(text, '$p'),
+                    (x, i) -> {'i': i, 'p': x})) AS s
+                FROM documents)),
+        steps AS (
+          SELECT doc_id, piece_id, string_split(piece, '') AS syms, 0 AS step
+          FROM pieces
+          UNION ALL
+          SELECT doc_id, piece_id,
+            syms[1:best[2]-1] || [syms[best[2]] || syms[best[2]+1]]
+              || syms[best[2]+2:] AS syms,
+            step + 1
+          FROM (
+            SELECT doc_id, piece_id, syms, step,
+              list_sort(list_transform(range(1, len(syms)),
+                i -> [coalesce(element_at(m, syms[i] || chr(31) || syms[i+1])[1],
+                               1000000), i]))[1] AS best
+            FROM steps, mm) t
+          WHERE best IS NOT NULL AND best[1] < 1000000),
+        fin AS (SELECT doc_id, piece_id, max_by(syms, step) AS toks
+                FROM steps GROUP BY doc_id, piece_id),
+        agg AS (SELECT doc_id, flatten(list(toks ORDER BY piece_id)) AS toks
+                FROM fin GROUP BY doc_id),
+        docids AS (
+          SELECT a.doc_id, d.source,
+            list_transform(a.toks, t -> element_at(m2, t)[1]) || [270] AS ids
+          FROM agg a JOIN documents d USING (doc_id), im),
+        n AS (SELECT doc_id, source, ids, len(ids) AS ntok FROM docids),
+        cum AS (
+          SELECT *, sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - ntok AS start_tok FROM n),
+        ex AS (
+          SELECT source, start_tok + u.i - 1 AS pos, ids[u.i] AS id,
+            (u.i = 1) AS is_start, u.i - 1 AS docpos
+          FROM cum, LATERAL unnest(generate_series(1, ntok)) u(i)),
+        seg AS (
+          SELECT source, pos, docpos,
+            floor(pos / CAST(128 AS DOUBLE)) AS ck,
+            CAST(count(*) FILTER (WHERE is_start) OVER (
+              PARTITION BY source, floor(pos / CAST(128 AS DOUBLE))
+              ORDER BY pos ROWS UNBOUNDED PRECEDING) AS INT) AS sg
+          FROM ex)
+        SELECT source AS shard, CAST(ck AS BIGINT) AS chunk_id,
+          CAST(count(*) AS BIGINT) AS n_tok,
+          md5(string_agg(CAST(docpos AS VARCHAR), ',' ORDER BY pos)) AS position_fp,
+          md5(string_agg(CAST(sg AS VARCHAR), ',' ORDER BY pos)) AS segment_fp
+        FROM seg GROUP BY source, ck ORDER BY shard, chunk_id"""
     },
     bench = true)
 
@@ -2239,5 +2343,5 @@ object CurationQueries {
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
-      q114, q116, q117, q118, q119, q122, q123, q124, q125)
+      q114, q116, q117, q118, q119, q122, q123, q124, q125, q126)
 }

@@ -3562,8 +3562,8 @@ class OpsSpec extends SparkSpec {
       (3L, "sB", "pun")).toDF("doc_id", "source", "text")
     val out = Packing.packTokenIds(docs, "doc_id", "text", vocab,
         ctxLen = 4L, shardCol = "source")
-      .collect().map(r => (r.getString(0), r.getLong(1)) ->
-        ((r.getSeq[Int](3).toList, r.getSeq[Int](4).toList))).toMap
+      .collect().map(r => (r.getAs[String]("shard"), r.getAs[Long]("chunk_id")) ->
+        ((r.getAs[Seq[Int]]("ids").toList, r.getAs[Seq[Int]]("doc_starts").toList))).toMap
     // scala replay over the engine's own per-doc ids
     val perDoc = docs.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("source"),
@@ -3585,6 +3585,36 @@ class OpsSpec extends SparkSpec {
     }
     assert(out.values.flatMap(_._1).count(_ == eos) == 3) // one EOS per kept doc
     assert(out.values.flatMap(_._1).forall(i => i >= 0 && i <= eos))
+  }
+
+  test("Packing.packTokenIds attention layout: true position carry + segment blocks") {
+    import graft.plans.BpeVocab
+    // byte-level vocab with one never-matching merge: every byte of a
+    // lowercase word is one token
+    val vocab = BpeVocab(Seq(("Q", "Z")), byteLevel = true)
+    val docs = Seq(
+      (0L, "sA", "abcde"),   // 5 ids + EOS = 6 tokens: spills into chunk 1
+      (1L, "sA", "xy"),      // 2 ids + EOS
+      (2L, "sA", "q")        // 1 id + EOS
+    ).toDF("doc_id", "source", "text")
+    val rows = Packing.packTokenIds(docs, "doc_id", "text", vocab,
+        ctxLen = 4L, shardCol = "source")
+      .collect().map(r => r.getAs[Long]("chunk_id") ->
+        ((r.getAs[Seq[Int]]("position_ids").toList,
+          r.getAs[Seq[Int]]("segment_ids").toList,
+          r.getAs[Seq[Int]]("doc_starts").toList))).toMap
+    // stream: a b c d | e EOS x y | EOS q EOS
+    assert(rows(0L) == ((List(0, 1, 2, 3), List(1, 1, 1, 1), List(0))))
+    // chunk 1 starts mid-doc-0: carry-in positions 4,5 at segment 0,
+    // then doc 1 resets to 0 at in-chunk offset 2 (segment 1)
+    assert(rows(1L) == ((List(4, 5, 0, 1), List(0, 0, 1, 1), List(2))))
+    // chunk 2: doc 1's EOS carried (position 2, segment 0), doc 2 at 1
+    assert(rows(2L) == ((List(2, 0, 1), List(0, 1, 1), List(1))))
+    // invariant: position resets to 0 exactly at the doc_starts offsets
+    rows.values.foreach { case (pos, seg, starts) =>
+      assert(pos.zipWithIndex.filter(_._1 == 0).map(_._2) == starts)
+      assert(seg == seg.sorted && seg.head == (if (starts.contains(0)) 1 else 0))
+    }
   }
 
   test("TextAnalysis.scriptProfile: counts, dominance, tie-break, none") {
