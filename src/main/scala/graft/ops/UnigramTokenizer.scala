@@ -81,6 +81,77 @@ object UnigramTokenizer {
       proj.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq)
   }
 
+  /** Best-segmentation pieces of ONE already-normalized word (or a
+    * whitespace-joined run of them) — see
+    * [[graft.plans.UnigramSegment]]. Returns `array<string>`. */
+  def segmentCol(
+      word: Column, vocab: graft.plans.UnigramVocab,
+      unkLpQ: Long, maxWordLen: Int): Column = {
+    graft.plans.UnigramScore.register(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_unigram_pieces", word,
+      typedLit(vocab.pieces.map(_._1)), typedLit(vocab.pieces.map(_._2)),
+      lit(unkLpQ), lit(maxWordLen))
+  }
+
+  /** One Viterbi-EM round (the SentencePiece training step this
+    * module's seed/score halves were built toward — Kudo 2018 §3.2's
+    * EM loop in its hard-EM form): segment every distinct corpus word
+    * under the CURRENT vocabulary, credit each vocabulary piece with
+    * the word-occurrence-weighted number of times it appears in a
+    * best segmentation (the Viterbi E step), then re-estimate
+    * `lp_q = round(ln((cnt + delta) / (total + delta·K)) · 2²⁰)` over
+    * the kept pieces (Laplace-`delta` M step, exact-integer
+    * quantization) and PRUNE: multi-character pieces used fewer than
+    * `minCount` times drop; single-character pieces always stay (the
+    * SentencePiece required-character rule — coverage survives any
+    * number of rounds). UNK fallback pieces (characters outside the
+    * vocabulary) are never adopted — EM re-weights the existing
+    * vocabulary. Output `(piece, cnt, lp_q)` chains: feed it back via
+    * [[buildVocab]] for the next round.
+    *
+    * 100 TB shape: ONE aggregate to the Zipf-bounded distinct-word
+    * table, segmentation as a narrow expression over THAT table (the
+    * corpus is never re-read per round), a piece-keyed aggregate
+    * bounded by the vocabulary, and a broadcast of the single-row
+    * normalizer — the same bounded-model discipline as [[seedVocab]].
+    * Words longer than `maxWordLen` code points are excluded, exactly
+    * as [[score]] excludes them (`n_long`). */
+  def emRound(
+      docs: DataFrame, textCol: String, vocabDf: DataFrame,
+      unkLnProb: Double = -25.0, maxWordLen: Int = 16,
+      minCount: Long = 1L, delta: Double = 1.0): DataFrame = {
+    require(unkLnProb < 0, s"unkLnProb must be negative, got $unkLnProb")
+    require(minCount >= 0, s"minCount must be >= 0, got $minCount")
+    require(delta > 0, s"delta must be > 0, got $delta")
+    val vocab = buildVocab(vocabDf)
+    val unkQ = math.round(unkLnProb * 1048576.0d)
+    val words = docs
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val cnts = words
+      .select(col("wc"),
+        explode(segmentCol(col("w"), vocab, unkQ, maxWordLen)).as("piece"))
+      .groupBy("piece").agg(sum(col("wc")).as("cnt_em"))
+    val kept = vocabDf.select(col("piece"))
+      .join(cnts, Seq("piece"), "left")
+      .withColumn("cnt", coalesce(col("cnt_em"), lit(0L)))
+      .filter(length(col("piece")) === 1 || col("cnt") >= minCount)
+      .select(col("piece"), col("cnt"))
+      .localCheckpoint(true) // feeds the normalizer agg AND the output
+    // the normalizer is ONE row over the vocabulary-bounded kept
+    // table — bake it as literals (this op already collects the
+    // vocabulary, and a constant-key join of a single row plans as a
+    // nested-loop build): denominator spelled tot + delta·K, the
+    // exact arithmetic the DuckDB replay performs
+    val totRow = kept.agg(sum("cnt"), count(lit(1))).collect().head
+    val totD = (if (totRow.isNullAt(0)) 0L else totRow.getLong(0)).toDouble
+    val denom = totD + delta * totRow.getLong(1).toDouble
+    kept.select(col("piece"), col("cnt"),
+      round(log((col("cnt").cast("double") + lit(delta)) / lit(denom))
+        * 1048576.0d).cast("long").as("lp_q"))
+  }
+
   /** Viterbi score column over `trim(lower(text))` — see
     * [[graft.plans.UnigramScore]] for the exact DP and tie-break.
     * Returns a struct `(score_q, n_pieces, n_words, n_long)`. */

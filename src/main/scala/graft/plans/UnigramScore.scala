@@ -80,42 +80,14 @@ case class UnigramScore(
         }
     }
 
-  /** (score_q, n_pieces) for one word — the DP described above.
-    * Positions are CODE POINTS (a surrogate pair is one position), so
-    * lengths and piece slices agree with SQL `length()`/`substr()`
-    * semantics and the DuckDB oracle — the same code-point discipline
-    * as [[BpeVocab.idTableRows]]. */
+  /** (score_q, n_pieces) for one word — the shared
+    * [[UnigramScore.bestSegmentation]] DP. */
   private[plans] def scoreWord(w: String): (Long, Int) = {
     val c = cache.get()
     val hit = c.get(w)
     if (hit != null) return hit
-    val cps = w.codePoints().toArray
-    val n = cps.length
-    val L = math.min(vocab.maxPieceLen, n)
-    val score = new Array[Long](n + 1)
-    val pieces = new Array[Int](n + 1)
-    var j = 1
-    while (j <= n) {
-      var bs = Long.MinValue; var bl = 0; var bn = 0
-      var l = 1
-      while (l <= math.min(L, j)) {
-        val i = j - l
-        val lp: java.lang.Long = {
-          val v = vocab.lpq.get(new String(cps, i, l))
-          if (v != null) v
-          else if (l == 1) java.lang.Long.valueOf(unkLpQ)
-          else null
-        }
-        if (lp != null) {
-          val cs = score(i) + lp.longValue()
-          if (cs > bs || (cs == bs && l > bl)) { bs = cs; bl = l; bn = pieces(i) + 1 }
-        }
-        l += 1
-      }
-      score(j) = bs; pieces(j) = bn
-      j += 1
-    }
-    val out = (score(n), pieces(n))
+    val (s, pieces) = UnigramScore.bestSegmentation(w, vocab, unkLpQ)
+    val out = (s, pieces.length)
     c.put(w, out)
     out
   }
@@ -144,42 +116,161 @@ case class UnigramScore(
     copy(child = newChild)
 }
 
+/** Viterbi best-segmentation PIECES over whitespace words —
+  * `graft_unigram_pieces(word) -> array<string>`: the pieces of every
+  * word's best segmentation, concatenated in order (words longer than
+  * `maxWordLen` code points contribute nothing — the same exclusion
+  * as [[UnigramScore]]'s `n_long`). The DP, UNK fallback and
+  * (score, last_piece_len) tie-break are the SAME code path as the
+  * scorer ([[UnigramScore.bestSegmentation]]), so the emitted pieces
+  * always sum to the scorer's `score_q` — the property the EM
+  * re-estimation step ([[graft.ops.UnigramTokenizer.emRound]])
+  * depends on. Same distributed shape: vocabulary in the expression,
+  * narrow, per-thread LRU. */
+case class UnigramSegment(
+    child: Expression, vocab: UnigramVocab, unkLpQ: Long, maxWordLen: Int)
+  extends UnaryExpression with CodegenFallback with Serializable {
+  require(maxWordLen >= 1 && maxWordLen <= 1024,
+    s"maxWordLen out of [1,1024]: $maxWordLen")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_unigram_pieces"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string argument, got ${child.dataType.catalogString}")
+
+  @transient private lazy val cache =
+    new ThreadLocal[java.util.LinkedHashMap[String, Array[UTF8String]]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[String, Array[UTF8String]](1024, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Array[UTF8String]]): Boolean =
+            size() > 8192
+        }
+    }
+
+  private def segmentWord(w: String): Array[UTF8String] = {
+    val c = cache.get()
+    val hit = c.get(w)
+    if (hit != null) return hit
+    val out = UnigramScore.bestSegmentation(w, vocab, unkLpQ)
+      ._2.map(UTF8String.fromString)
+    c.put(w, out)
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    text.split("\\s+").foreach { w =>
+      if (w.nonEmpty && w.codePointCount(0, w.length) <= maxWordLen)
+        buf ++= segmentWord(w)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramSegment =
+    copy(child = newChild)
+}
+
 object UnigramScore {
+
+  /** The unigram Viterbi DP over one word, with backtrace — the ONE
+    * implementation behind both [[UnigramScore]] (score + counts) and
+    * [[UnigramSegment]] (the pieces themselves): `best[j] = max over
+    * pieces ending at j of best[i] + lp_q(piece)`, single-char UNK
+    * fallback at `unkLpQ`, ties to the LONGER final piece. Positions
+    * are CODE POINTS (a surrogate pair is one position), so lengths
+    * and piece slices agree with SQL `length()`/`substr()` semantics
+    * and the DuckDB oracle — the same code-point discipline as
+    * [[BpeVocab.idTableRows]]. Returns (score_q, pieces in order). */
+  private[plans] def bestSegmentation(
+      w: String, vocab: UnigramVocab, unkLpQ: Long): (Long, Array[String]) = {
+    val cps = w.codePoints().toArray
+    val n = cps.length
+    val L = math.min(vocab.maxPieceLen, n)
+    val score = new Array[Long](n + 1)
+    val blen = new Array[Int](n + 1)
+    var j = 1
+    while (j <= n) {
+      var bs = Long.MinValue; var bl = 0
+      var l = 1
+      while (l <= math.min(L, j)) {
+        val i = j - l
+        val lp: java.lang.Long = {
+          val v = vocab.lpq.get(new String(cps, i, l))
+          if (v != null) v
+          else if (l == 1) java.lang.Long.valueOf(unkLpQ)
+          else null
+        }
+        if (lp != null) {
+          val cs = score(i) + lp.longValue()
+          if (cs > bs || (cs == bs && l > bl)) { bs = cs; bl = l }
+        }
+        l += 1
+      }
+      score(j) = bs; blen(j) = bl
+      j += 1
+    }
+    val out = new Array[String](n) // ≤ n pieces; trimmed below
+    var k = 0; var p = n
+    while (p > 0) { val l = blen(p); out(k) = new String(cps, p - l, l); k += 1; p -= l }
+    val pieces = new Array[String](k)
+    var i = 0
+    while (i < k) { pieces(i) = out(k - 1 - i); i += 1 }
+    (score(n), pieces)
+  }
 
   /** Register `graft_unigram(text, pieces_array, lp_q_array, unk_lp_q,
     * max_word_len)` — pieces and their quantized log-probs as parallel
     * literal arrays (the SQL-surface encoding; Scala callers use
     * [[graft.ops.UnigramTokenizer.score]] which passes the vocabulary
     * through the expression directly). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     NativeFunctions.registerOnce(spark, "graft_unigram", builder)
+    NativeFunctions.registerOnce(spark, "graft_unigram_pieces",
+      exprs => {
+        val (child, vocab, unk, mwl) = parseArgs("graft_unigram_pieces", exprs)
+        UnigramSegment(child, vocab, unk, mwl)
+      })
+  }
 
   private[plans] def builder: Seq[Expression] => Expression = { exprs =>
+    val (child, vocab, unk, mwl) = parseArgs("graft_unigram", exprs)
+    UnigramScore(child, vocab, unk, mwl)
+  }
+
+  /** Shared (text, pieces, lp_qs, unk_lp_q, max_word_len) argument
+    * decoding for the two unigram function surfaces. */
+  private def parseArgs(name: String, exprs: Seq[Expression])
+      : (Expression, UnigramVocab, Long, Int) = {
     require(exprs.length == 5,
-      s"graft_unigram takes 5 arguments, got ${exprs.length}")
+      s"$name takes 5 arguments, got ${exprs.length}")
     val pieces = exprs(1) match {
       case Literal(arr: ArrayData, ArrayType(StringType, _)) =>
         arr.toArray[UTF8String](StringType).map(_.toString).toSeq
       case other => sys.error(
-        s"graft_unigram argument 2 must be a literal array<string>, got $other")
+        s"$name argument 2 must be a literal array<string>, got $other")
     }
     val lps = exprs(2) match {
       case Literal(arr: ArrayData, ArrayType(LongType, _)) =>
         arr.toArray[Long](LongType).toSeq
       case other => sys.error(
-        s"graft_unigram argument 3 must be a literal array<bigint>, got $other")
+        s"$name argument 3 must be a literal array<bigint>, got $other")
     }
     require(pieces.length == lps.length,
       s"piece/lp arrays differ in length: ${pieces.length} vs ${lps.length}")
     val unk = exprs(3) match {
       case Literal(v: Long, LongType) => v
       case Literal(v: Int, IntegerType) => v.toLong
-      case other => sys.error(s"graft_unigram argument 4 must be a literal long, got $other")
+      case other => sys.error(s"$name argument 4 must be a literal long, got $other")
     }
     val mwl = exprs(4) match {
       case Literal(v: Int, IntegerType) => v
-      case other => sys.error(s"graft_unigram argument 5 must be a literal int, got $other")
+      case other => sys.error(s"$name argument 5 must be a literal int, got $other")
     }
-    UnigramScore(exprs.head, UnigramVocab(pieces.zip(lps)), unk, mwl)
+    (exprs.head, UnigramVocab(pieces.zip(lps)), unk, mwl)
   }
 }

@@ -2230,6 +2230,78 @@ object CurationQueries {
       ORDER BY d.doc_id"""),
     bench = true)
 
+  /** Backtrace + EM re-estimation over the q123 DP chain — the q127
+    * machinery: walk each word's encoded DP states back from
+    * position len(w) (the chosen last-piece length lives in bits
+    * 5..9 of `b_pos`), emitting the best segmentation's pieces; then
+    * weight by word occurrences, credit the CURRENT vocabulary's
+    * pieces (UNK fallback pieces drop at the vocab join), keep
+    * single-char pieces unconditionally plus multi-char pieces with
+    * count ≥ 1, and Laplace-1 re-quantize over the kept table.
+    * Ends with `ukept(piece, cnt)` and `uktot(tt, kk)`. */
+  private def uniEmCtesDuck: String = {
+    val W = 16
+    def low(b: String) = s"(($b % 1024 + 1024) % 1024)"
+    def lenOf(b: String) = s"(${low(b)} // 32)"
+    val steps = (1 to W).map { k =>
+      val lenAt = (1 to W).map(j => s"WHEN $j THEN ${lenOf(s"b$j")}").mkString(" ")
+      s"""ubt$k AS (
+        SELECT *, CASE WHEN q${k - 1} > 0
+            THEN substr(w, q${k - 1} - l$k + 1, l$k) END AS p$k,
+          CASE WHEN q${k - 1} > 0 THEN q${k - 1} - l$k ELSE 0 END AS q$k
+        FROM (SELECT *, CASE WHEN q${k - 1} > 0
+                THEN (CASE q${k - 1} $lenAt END) ELSE 0 END AS l$k
+              FROM ubt${k - 1}) s$k)"""
+    }
+    s"""ubt0 AS (SELECT *, len(w) AS q0 FROM ud$W),
+      ${steps.mkString(",\n      ")},
+      upc AS (
+        SELECT w, unnest(list_filter(
+          [${(1 to W).map(i => s"p$i").mkString(", ")}],
+          x -> x IS NOT NULL)) AS piece
+        FROM ubt$W),
+      ucnt AS MATERIALIZED (
+        SELECT u.piece, CAST(sum(r.wc) AS BIGINT) AS cnt_em
+        FROM upc u JOIN uwrd r USING (w) GROUP BY u.piece),
+      uem AS (SELECT v.piece, coalesce(c.cnt_em, CAST(0 AS BIGINT)) AS cnt
+              FROM uvq v LEFT JOIN ucnt c USING (piece)),
+      ukept AS MATERIALIZED (
+        SELECT piece, cnt FROM uem WHERE len(piece) = 1 OR cnt >= 1),
+      uktot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tt,
+                  CAST(count(*) AS DOUBLE) AS kk FROM ukept)"""
+  }
+
+  /** One unigram Viterbi-EM training round (library
+    * `UnigramTokenizer.emRound` under the q122 seed vocabulary — the
+    * SentencePiece EM step the seed/score halves were built toward):
+    * every distinct word segmented by the exact q123 DP, pieces
+    * credited with occurrence-weighted usage, multi-char pieces at
+    * zero usage pruned (single chars stay — coverage), Laplace-1
+    * re-quantized log-probs over the kept table. The oracle replays
+    * the WHOLE chain — seed vocab, the 16-position DP, the encoded-
+    * state BACKTRACE, the weighted piece credit, pruning and
+    * re-estimation — one wrong piece in any word's segmentation
+    * anywhere in the corpus breaks the hash. */
+  val q127 = QueryDef(
+    "q127_unigram_em_round",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vdf = graft.ops.UnigramTokenizer.seedVocab(docs, "text",
+        maxPieceLen = 4, vocabSize = 256, maxWordLen = 16)
+      graft.ops.UnigramTokenizer.emRound(docs, "text", vdf,
+          unkLnProb = -25.0, maxWordLen = 16, minCount = 1L, delta = 1.0)
+        .oracleOrderBy("piece")
+    },
+    Some(s"""WITH $uniVocabCtesDuck,
+      udw AS (SELECT w FROM uwrd),
+      $uniDpCtesDuck,
+      $uniEmCtesDuck
+      SELECT piece, cnt,
+        CAST(round(ln((CAST(cnt AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (tt + kk))
+          * CAST(1048576 AS DOUBLE)) AS BIGINT) AS lp_q
+      FROM ukept, uktot ORDER BY piece"""),
+    bench = true)
+
   /** The q124/q125 shared margin chain: the q81 score derivation
     * restricted to the held-out doc_id < 50 split, ending in a `marg`
     * CTE of per-doc (truth, pred, capped integer margin). */
@@ -2343,5 +2415,5 @@ object CurationQueries {
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
-      q114, q116, q117, q118, q119, q122, q123, q124, q125, q126)
+      q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127)
 }

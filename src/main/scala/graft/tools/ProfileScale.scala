@@ -438,6 +438,26 @@ object ProfileScale {
             graft.ops.UnigramTokenizer.seedVocab(docs10, "text", 4, 256, 16))
           graft.ops.UnigramTokenizer.score(docs10, "text", v)
         }),
+      ("q127 unigram-em", () => {
+          val v = graft.ops.UnigramTokenizer.seedVocab(docs, "text", 4, 256, 16)
+          graft.ops.UnigramTokenizer.emRound(docs, "text", v)
+        },
+        () => {
+          val v = graft.ops.UnigramTokenizer.seedVocab(docs10, "text", 4, 256, 16)
+          graft.ops.UnigramTokenizer.emRound(docs10, "text", v)
+        }),
+      ("q126 attn-layout", () => {
+          val sharded = docs.withColumn("shard_key",
+            (graft.ops.Sampling.hashUnit(col("doc_id")) * 32).cast("int"))
+          graft.ops.Packing.packTokenIds(sharded, "doc_id", "text",
+            profileVocab, ctxLen = 128L, shardCol = "shard_key")
+        },
+        () => {
+          val sharded = docs10.withColumn("shard_key",
+            (graft.ops.Sampling.hashUnit(col("doc_id")) * 32).cast("int"))
+          graft.ops.Packing.packTokenIds(sharded, "doc_id", "text",
+            profileVocab, ctxLen = 128L, shardCol = "shard_key")
+        }),
       ("q121 plan-band", () => graft.ops.Dedup.lshPlanAndBand(
           docs, "doc_id", 0.5, maxHashes = 16, fnWeight = 10L, steps = 1024),
         () => graft.ops.Dedup.lshPlanAndBand(

@@ -3216,6 +3216,54 @@ class OpsSpec extends SparkSpec {
     assert(eP.getMessage.contains("non-empty"))
   }
 
+  test("UnigramTokenizer.emRound: Viterbi-EM counts, re-estimation, pruning, coverage") {
+    import graft.plans.UnigramVocab
+    // segmentation pieces ride the scorer's exact DP (shared code path)
+    val vocab = UnigramVocab(Seq("ab" -> -10L, "a" -> -5L, "b" -> -5L, "c" -> -7L))
+    val segs = Seq((0L, "ab"), (1L, "abc"), (2L, "az"), (3L, "a" * 17))
+      .toDF("doc_id", "w")
+      .select(col("doc_id"),
+        UnigramTokenizer.segmentCol(col("w"), vocab, -1048576L, 16).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(segs(0L) == List("ab"))     // -10 tie: longer last piece wins
+    assert(segs(1L) == List("ab", "c"))
+    assert(segs(2L) == List("a", "z")) // unk char emitted as a piece
+    assert(segs(3L) == Nil)            // long word contributes nothing
+
+    // one EM round over the seed: "abab" x2 -> [ab, ab]; "cd" -> [c, d]
+    val sdocs = Seq((0L, "abab abab cd")).toDF("doc_id", "text")
+    val vdf = UnigramTokenizer.seedVocab(sdocs, "text",
+      maxPieceLen = 2, vocabSize = 2, maxWordLen = 16)
+    val em = UnigramTokenizer.emRound(sdocs, "text", vdf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // counts: ab=4, c=1, d=1; a/b unused but single-char (coverage);
+    // ba multi-char at 0 -> pruned
+    assert(em.keySet == Set("a", "b", "c", "d", "ab"))
+    assert(em("ab")._1 == 4L && em("c")._1 == 1L && em("a")._1 == 0L)
+    val tot = 6.0; val k = 5.0 // Laplace delta=1 over the kept table
+    assert(em("ab")._2 == math.round(math.log(5.0 / (tot + k)) * 1048576.0))
+    assert(em("a")._2 == math.round(math.log(1.0 / (tot + k)) * 1048576.0))
+
+    // the output chains: round-2 vocabulary still segments the corpus
+    val v2 = UnigramTokenizer.buildVocab(em.toSeq.map { case (p, (c, q)) => (p, c, q) }
+      .toDF("piece", "cnt", "lp_q"))
+    val s2 = UnigramTokenizer.score(sdocs, "text", v2).collect().head
+    assert(s2.getAs[Int]("n_pieces") == 6) // [ab, ab] x2 + [c, d]
+
+    // an UNK-fallback piece is never adopted into the vocabulary
+    val manual = Seq(("a", -5L), ("b", -5L), ("ab", -10L), ("c", -7L))
+      .toDF("piece", "lp_q")
+    val em2 = UnigramTokenizer.emRound(
+        Seq((0L, "cd ab")).toDF("doc_id", "text"), "text", manual)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(em2.keySet == Set("a", "b", "c", "ab")) // no 'd'
+    assert(em2("c") == 1L && em2("ab") == 1L && em2("b") == 0L)
+
+    val eD = intercept[IllegalArgumentException](
+      UnigramTokenizer.emRound(sdocs, "text", vdf, delta = 0.0))
+    assert(eD.getMessage.contains("delta"))
+  }
+
   test("TextAnalysis.vocabStats: totals, hapax, top-k mass") {
     val df = Seq(
       (0L, "a a a b b c"),
