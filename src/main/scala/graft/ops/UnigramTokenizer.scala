@@ -152,6 +152,26 @@ object UnigramTokenizer {
         * 1048576.0d).cast("long").as("lp_q"))
   }
 
+  /** The multi-round trainer: [[seedVocab]] then `rounds` chained
+    * [[emRound]]s (each round's output feeds the next — lineage is
+    * cut per round by emRound's checkpoint, so plans stay flat).
+    * `rounds = 0` returns the seed unchanged. Returns the final
+    * `(piece, cnt, lp_q)` table — [[buildVocab]] it for scoring. */
+  def train(
+      docs: DataFrame, textCol: String, rounds: Int = 2,
+      maxPieceLen: Int = 4, vocabSize: Int = 256, maxWordLen: Int = 16,
+      unkLnProb: Double = -25.0, minCount: Long = 1L,
+      delta: Double = 1.0): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    var v = seedVocab(docs, textCol, maxPieceLen, vocabSize, maxWordLen)
+    var i = 0
+    while (i < rounds) {
+      v = emRound(docs, textCol, v, unkLnProb, maxWordLen, minCount, delta)
+      i += 1
+    }
+    v
+  }
+
   /** Viterbi score column over `trim(lower(text))` — see
     * [[graft.plans.UnigramScore]] for the exact DP and tie-break.
     * Returns a struct `(score_q, n_pieces, n_words, n_long)`. */

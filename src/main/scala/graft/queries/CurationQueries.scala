@@ -2143,7 +2143,13 @@ object CurationQueries {
     * trailing n_pieces never decides); `greatest` ignores NULL
     * candidates and the single-char UNK fallback keeps every position
     * reachable. */
-  private def uniDpCtesDuck: String = {
+  private def uniDpCtesDuck: String = uniDpCtesDuckFor("uvq", "u")
+
+  /** The unrolled DP chain parametrized on the vocabulary table and a
+    * CTE-name prefix, so a CHAIN of training rounds (q128) can run a
+    * second DP under the round-1 re-estimated vocabulary without name
+    * collisions: emits `{p}d0..{p}d16`, `{p}ws`, `{p}wsd`. */
+  private def uniDpCtesDuckFor(vocabTable: String, p: String): String = {
     val L = 4; val W = 16
     def low(b: String) = s"(($b % 1024 + 1024) % 1024)"
     def scoreOf(b: String) = s"(($b - ${low(b)}) // 1024)"
@@ -2151,20 +2157,20 @@ object CurationQueries {
     val ctes = (1 to W).map { j =>
       val cands = (1 to math.min(L, j)).map { l =>
         val prev = if (j - l == 0) "CAST(0 AS BIGINT)" else s"b${j - l}"
-        val lookup = s"(SELECT lp_q FROM uvq WHERE piece = substr(w, ${j - l + 1}, $l))"
+        val lookup = s"(SELECT lp_q FROM $vocabTable WHERE piece = substr(w, ${j - l + 1}, $l))"
         if (l == 1)
           s"((${scoreOf(prev)} + coalesce($lookup, CAST($uniUnkQ AS BIGINT))) * 1024 + ${l * 32} + ${nOf(prev)} + 1)"
         else
           s"CASE WHEN $lookup IS NOT NULL THEN ((${scoreOf(prev)} + $lookup) * 1024 + ${l * 32} + ${nOf(prev)} + 1) END"
       }
       val g = if (cands.size == 1) cands.head else s"greatest(${cands.mkString(", ")})"
-      s"ud$j AS (SELECT *, CASE WHEN len(w) >= $j THEN $g END AS b$j FROM ud${j - 1})"
+      s"${p}d$j AS (SELECT *, CASE WHEN len(w) >= $j THEN $g END AS b$j FROM ${p}d${j - 1})"
     }
     val pick = (1 to W).map(j => s"WHEN $j THEN b$j").mkString(" ")
-    s"""ud0 AS (SELECT DISTINCT w FROM udw WHERE len(w) <= $W),
+    s"""${p}d0 AS (SELECT DISTINCT w FROM udw WHERE len(w) <= $W),
       ${ctes.mkString(",\n      ")},
-      uws AS (SELECT w, CASE len(w) $pick END AS bf FROM ud$W),
-      uwsd AS (SELECT w, ${scoreOf("bf")} AS sc, ${nOf("bf")} AS np FROM uws)"""
+      ${p}ws AS (SELECT w, CASE len(w) $pick END AS bf FROM ${p}d$W),
+      ${p}wsd AS (SELECT w, ${scoreOf("bf")} AS sc, ${nOf("bf")} AS np FROM ${p}ws)"""
   }
 
   /** Unigram-LM tokenizer seed vocabulary (library
@@ -2239,36 +2245,42 @@ object CurationQueries {
     * single-char pieces unconditionally plus multi-char pieces with
     * count ≥ 1, and Laplace-1 re-quantize over the kept table.
     * Ends with `ukept(piece, cnt)` and `uktot(tt, kk)`. */
-  private def uniEmCtesDuck: String = {
+  private def uniEmCtesDuck: String = uniEmCtesDuckFor("uvq", "u")
+
+  /** The backtrace + EM re-estimation parametrized like
+    * [[uniDpCtesDuckFor]] (same prefix `p` — reads `{p}d16`, emits
+    * `{p}bt*`, `{p}kept`, `{p}ktot`), so q128 can chain a second
+    * round over the first round's output vocabulary. */
+  private def uniEmCtesDuckFor(vocabTable: String, p: String): String = {
     val W = 16
     def low(b: String) = s"(($b % 1024 + 1024) % 1024)"
     def lenOf(b: String) = s"(${low(b)} // 32)"
     val steps = (1 to W).map { k =>
       val lenAt = (1 to W).map(j => s"WHEN $j THEN ${lenOf(s"b$j")}").mkString(" ")
-      s"""ubt$k AS (
+      s"""${p}bt$k AS (
         SELECT *, CASE WHEN q${k - 1} > 0
             THEN substr(w, q${k - 1} - l$k + 1, l$k) END AS p$k,
           CASE WHEN q${k - 1} > 0 THEN q${k - 1} - l$k ELSE 0 END AS q$k
         FROM (SELECT *, CASE WHEN q${k - 1} > 0
                 THEN (CASE q${k - 1} $lenAt END) ELSE 0 END AS l$k
-              FROM ubt${k - 1}) s$k)"""
+              FROM ${p}bt${k - 1}) s$k)"""
     }
-    s"""ubt0 AS (SELECT *, len(w) AS q0 FROM ud$W),
+    s"""${p}bt0 AS (SELECT *, len(w) AS q0 FROM ${p}d$W),
       ${steps.mkString(",\n      ")},
-      upc AS (
+      ${p}pc AS (
         SELECT w, unnest(list_filter(
           [${(1 to W).map(i => s"p$i").mkString(", ")}],
           x -> x IS NOT NULL)) AS piece
-        FROM ubt$W),
-      ucnt AS MATERIALIZED (
+        FROM ${p}bt$W),
+      ${p}cnt AS MATERIALIZED (
         SELECT u.piece, CAST(sum(r.wc) AS BIGINT) AS cnt_em
-        FROM upc u JOIN uwrd r USING (w) GROUP BY u.piece),
-      uem AS (SELECT v.piece, coalesce(c.cnt_em, CAST(0 AS BIGINT)) AS cnt
-              FROM uvq v LEFT JOIN ucnt c USING (piece)),
-      ukept AS MATERIALIZED (
-        SELECT piece, cnt FROM uem WHERE len(piece) = 1 OR cnt >= 1),
-      uktot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tt,
-                  CAST(count(*) AS DOUBLE) AS kk FROM ukept)"""
+        FROM ${p}pc u JOIN uwrd r USING (w) GROUP BY u.piece),
+      ${p}em AS (SELECT v.piece, coalesce(c.cnt_em, CAST(0 AS BIGINT)) AS cnt
+              FROM $vocabTable v LEFT JOIN ${p}cnt c USING (piece)),
+      ${p}kept AS MATERIALIZED (
+        SELECT piece, cnt FROM ${p}em WHERE len(piece) = 1 OR cnt >= 1),
+      ${p}ktot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tt,
+                  CAST(count(*) AS DOUBLE) AS kk FROM ${p}kept)"""
   }
 
   /** One unigram Viterbi-EM training round (library
@@ -2300,6 +2312,40 @@ object CurationQueries {
         CAST(round(ln((CAST(cnt AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (tt + kk))
           * CAST(1048576 AS DOUBLE)) AS BIGINT) AS lp_q
       FROM ukept, uktot ORDER BY piece"""),
+    bench = true)
+
+  /** TWO chained unigram EM rounds (library
+    * `UnigramTokenizer.train(rounds = 2)` — the training loop
+    * actually converging): round 1 exactly as q127, then the DP and
+    * backtrace run AGAIN under round 1's re-estimated vocabulary and
+    * re-estimate once more. The oracle chains both rounds in one
+    * derivation — seed, DP₁, backtrace₁, re-estimate, DP₂ (every
+    * word re-segmented under the new log-probs), backtrace₂,
+    * re-estimate — locking the multi-round trainer bit-exact, not
+    * just one step of it. */
+  val q128 = QueryDef(
+    "q128_unigram_em_chain",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.UnigramTokenizer.train(docs, "text", rounds = 2,
+          maxPieceLen = 4, vocabSize = 256, maxWordLen = 16)
+        .oracleOrderBy("piece")
+    },
+    Some(s"""WITH $uniVocabCtesDuck,
+      udw AS (SELECT w FROM uwrd),
+      ${uniDpCtesDuckFor("uvq", "u")},
+      ${uniEmCtesDuckFor("uvq", "u")},
+      uvq2 AS MATERIALIZED (
+        SELECT piece,
+          CAST(round(ln((CAST(cnt AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (tt + kk))
+            * CAST(1048576 AS DOUBLE)) AS BIGINT) AS lp_q
+        FROM ukept, uktot),
+      ${uniDpCtesDuckFor("uvq2", "v")},
+      ${uniEmCtesDuckFor("uvq2", "v")}
+      SELECT piece, cnt,
+        CAST(round(ln((CAST(cnt AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (tt + kk))
+          * CAST(1048576 AS DOUBLE)) AS BIGINT) AS lp_q
+      FROM vkept, vktot ORDER BY piece"""),
     bench = true)
 
   /** The q124/q125 shared margin chain: the q81 score derivation
@@ -2415,5 +2461,6 @@ object CurationQueries {
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
-      q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127)
+      q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
+      q128)
 }

@@ -3262,6 +3262,18 @@ class OpsSpec extends SparkSpec {
     val eD = intercept[IllegalArgumentException](
       UnigramTokenizer.emRound(sdocs, "text", vdf, delta = 0.0))
     assert(eD.getMessage.contains("delta"))
+
+    // train(rounds = 2) == emRound(emRound(seed)) piece-for-piece
+    val chained = UnigramTokenizer.emRound(sdocs, "text",
+        UnigramTokenizer.emRound(sdocs, "text", vdf))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val trained = UnigramTokenizer.train(sdocs, "text", rounds = 2,
+        maxPieceLen = 2, vocabSize = 2, maxWordLen = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(trained == chained)
+    assert(UnigramTokenizer.train(sdocs, "text", rounds = 0,
+      maxPieceLen = 2, vocabSize = 2).collect().map(_.getString(0)).toSet ==
+      vdf.collect().map(_.getString(0)).toSet)
   }
 
   test("TextAnalysis.vocabStats: totals, hapax, top-k mass") {
