@@ -208,6 +208,45 @@ object Sampling {
     rows.toSeq.toDF(strataCol, "n_tokens", "alloc_tokens", "epochs")
   }
 
+  /** Quality-ranked selection: keep the `k` BEST rows of every
+    * stratum by `scoreCol` (ties broken by `idCol` — total order,
+    * deterministic), flagging survivors with `stratum_kept` = 1 and
+    * keeping every input row (filter on the flag to materialize the
+    * cut). The curation move after a quality scorer has run: "the top
+    * 10k documents per domain/source by LM score", the score-ranked
+    * sibling of `Urls.capPerDomain`'s hash-ranked cap.
+    *
+    * Skew-aware 100 TB shape (capPerDomain's construction): ONE
+    * stratum-keyed count, then only the OVER-cap strata's rows enter
+    * the partitioned rank window — under-cap strata (the long tail,
+    * almost all rows under a Zipfian stratum distribution) pass
+    * through a narrow filter and never shuffle into the window. A
+    * NULL stratum is its own capped group (null-safe join), NULL
+    * scores always rank LAST regardless of direction. For a single
+    * pathologically dominant stratum, pre-cut with a score threshold
+    * from `TextAnalysis.quantileBuckets` before ranking. */
+  def topKPerStratum(
+      df: DataFrame, strataCol: String, scoreCol: String, idCol: String,
+      k: Long, ascending: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+      .withColumnRenamed(strataCol, "__cstrat")
+    val joined = df.join(counts, col(strataCol) <=> col("__cstrat"))
+      .drop("__cstrat")
+    val under = joined.filter(col("__n") <= k)
+      .withColumn("stratum_kept", lit(1))
+    val over = joined.filter(col("__n") > k)
+    val ord =
+      if (ascending) Seq(col(scoreCol).asc_nulls_last, col(idCol))
+      else Seq(col(scoreCol).desc_nulls_last, col(idCol))
+    val w = Window.partitionBy(strataCol).orderBy(ord: _*)
+    val ranked = over
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("stratum_kept", (col("__rk") <= k).cast("int"))
+      .drop("__rk")
+    under.unionByName(ranked).drop("__n")
+  }
+
   /** Temperature-scaled token allocation — the multilingual mixing
     * baseline [[uniMaxAllocation]] improves on (and [[mixtureSample]]'s
     * fixed proportions generalize): stratum i's share of `budget` is

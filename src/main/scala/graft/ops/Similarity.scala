@@ -69,6 +69,88 @@ object Similarity {
     df.withColumn("bucket", bucket)
   }
 
+  /** Seeded variant of [[h]] for the dense projection matrix — a
+    * DIFFERENT seed yields a different (deterministic) matrix, so
+    * sketches for independent purposes don't share planes. */
+  private def hs(seed: Int, p: Int, j: Int): Double =
+    ((p * 131 + j * 7919 + seed * 31) % 97 - 48) / 48.0
+
+  /** Johnson–Lindenstrauss random projection: reduce `dim`-dimensional
+    * embeddings to `outDim` coordinates `y_p = Σ_j h(seed,p,j)·x_j`
+    * under the library's deterministic rational plane family (exact on
+    * any engine — the [[lshBucket]] construction, kept dense instead
+    * of thresholded to sign bits). Distances/cosines are preserved in
+    * expectation with ~1/√outDim relative error, so a brute-force
+    * scan over the sketch costs `outDim/dim` of the full scan —
+    * shortlist on the sketch, re-score survivors exactly (the classic
+    * two-stage retrieval; [[recallAtK]] measures what the shortlist
+    * misses).
+    *
+    * 100 TB shape: the outDim×dim matrix rides in the plan as
+    * literals (driver-resident-model pattern, guarded), each output
+    * coordinate is ONE codegen'd [[graft.plans.DotProduct]] straight
+    * loop — a narrow zero-shuffle projection; nothing driver-side
+    * touches row data. Appends `projected` (`array<double>`). */
+  def randomProject(
+      df: DataFrame, embCol: String, dim: Int, outDim: Int,
+      seed: Int = 0): DataFrame = {
+    require(dim >= 1 && outDim >= 1 && outDim <= dim,
+      s"need 1 <= outDim <= dim, got outDim=$outDim dim=$dim")
+    require(seed >= 0, s"seed must be >= 0, got $seed")
+    require(outDim.toLong * dim <= (1 << 20),
+      s"projection matrix $outDim x $dim exceeds the literal-plan guard")
+    val s = df.sparkSession
+    val coords = (0 until outDim).map { p =>
+      val row = array((0 until dim).map(j => lit(hs(seed, p, j))): _*)
+      nDot(s, col(embCol), row)
+    }
+    df.withColumn("projected", array(coords: _*))
+  }
+
+  /** Driver-side replay of one projected coordinate — the same
+    * left-to-right IEEE754 fold the [[graft.plans.DotProduct]]
+    * expression runs, so a query vector projected here is
+    * bit-identical to a row projected in the plan. */
+  private def projectVec(v: Seq[Double], outDim: Int, seed: Int): Seq[Double] =
+    (0 until outDim).map { p =>
+      var acc = 0.0
+      v.indices.foreach(j => acc += v(j) * hs(seed, p, j))
+      acc
+    }
+
+  /** Two-stage retrieval over the [[randomProject]] sketch — the
+    * composition that makes a JL sketch pay at 100 TB: stage 1
+    * shortlists `shortlist` candidates by cosine on the `outDim`-wide
+    * sketch (the full scan touches `outDim/dim` of the bytes an exact
+    * scan reads), stage 2 re-scores ONLY the shortlist against the
+    * full vectors and keeps the exact-cosine top `k`. Both stages are
+    * TakeOrdered — no global sort, no window. Recall is tunable via
+    * `shortlist` (wider = closer to exact; [[recallAtK]] measures the
+    * gap against [[bruteForceKnn]]). Ties break to the lower id at
+    * both stages — deterministic. */
+  def sketchTopK(
+      df: DataFrame, embCol: String, idCol: String,
+      queryVec: Seq[Double], dim: Int, k: Int = 10,
+      outDim: Int = 16, seed: Int = 0, shortlist: Int = 50): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist >= k >= 1, got k=$k shortlist=$shortlist")
+    require(queryVec.length == dim,
+      s"query vector has ${queryVec.length} dims, expected $dim")
+    val s = df.sparkSession
+    val qSketch = array(projectVec(queryVec, outDim, seed).map(lit): _*)
+    val short = randomProject(df, embCol, dim, outDim, seed)
+      .withColumn("__scos", nCosine(s, col("projected"), qSketch))
+      .orderBy(col("__scos").desc, col(idCol))
+      .limit(shortlist)
+      .localCheckpoint(true) // stage 2 must not re-run the stage-1 scan
+    val q = array(queryVec.map(lit): _*)
+    short
+      .withColumn("cosine", nCosine(s, col(embCol), q))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cosine"))
+  }
+
   /** Approximate top-k per query row: bucket both sides, join on
     * bucket, rank candidates by cosine within each query's bucket.
     * Recall is tunable via numPlanes (fewer planes = bigger buckets =

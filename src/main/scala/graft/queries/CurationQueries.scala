@@ -2348,6 +2348,37 @@ object CurationQueries {
       FROM vkept, vktot ORDER BY piece"""),
     bench = true)
 
+  /** Quality-ranked per-stratum selection (library
+    * `Sampling.topKPerStratum` — "the k best documents per source by
+    * score", the score-ranked sibling of q73's hash-ranked domain
+    * cap): strata from the first source digit (one deliberately
+    * dominant stratum — 'src1' + 'src10'..'src19' — so BOTH the
+    * under-cap pass-through and the over-cap rank window execute),
+    * score = text length, ties to the lower doc_id, NULL scores last.
+    * The oracle replays the rank window; the Spark side only windows
+    * the over-cap slice. */
+  val q130 = QueryDef(
+    "q130_topk_per_stratum",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("stratum", substring(col("source"), 4, 1))
+        .withColumn("score", length(col("text")).cast("long"))
+      graft.ops.Sampling.topKPerStratum(docs, "stratum", "score", "doc_id", k = 50)
+        .select(col("doc_id"), col("stratum"), col("score"), col("stratum_kept"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH s AS (
+        SELECT doc_id, substr(source, 4, 1) AS stratum, len(text) AS score
+        FROM documents),
+      r AS (SELECT doc_id, stratum, score,
+              row_number() OVER (PARTITION BY stratum
+                ORDER BY score DESC NULLS LAST, doc_id) AS rk
+            FROM s)
+      SELECT doc_id, stratum, score,
+        CAST(CASE WHEN rk <= 50 THEN 1 ELSE 0 END AS INT) AS stratum_kept
+      FROM r ORDER BY doc_id"""),
+    bench = true)
+
   /** The q124/q125 shared margin chain: the q81 score derivation
     * restricted to the held-out doc_id < 50 split, ending in a `marg`
     * CTE of per-doc (truth, pred, capped integer margin). */
@@ -2462,5 +2493,5 @@ object CurationQueries {
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
-      q128)
+      q128, q130)
 }

@@ -652,6 +652,104 @@ object EmbeddingQueries {
     },
     bench = true)
 
+  /** Seeded dense plane component h[seed][p][j] as exact SQL text —
+    * the q34 `hval` family with the seed term `Similarity.randomProject`
+    * mixes in. */
+  private def hsval(seed: Int, p: Int, j: Int): String = {
+    val v = (p * 131 + (j - 1) * 7919 + seed * 31) % 97 - 48
+    s"($v/48.0)"
+  }
+
+  /** `arr[1]*h(p,1) + ... + arr[64]*h(p,64)` — one projected
+    * coordinate, left-associative. */
+  private def projCoord(elem: (String, Int) => String, seed: Int, p: Int,
+      arr: String = "embedding"): String =
+    (1 to Dim).map(j => s"(${elem(arr, j)} * ${hsval(seed, p, j)})")
+      .mkString(" + ")
+
+  /** Johnson–Lindenstrauss random projection (library
+    * `Similarity.randomProject`): 64-dim vectors reduced to 16 dense
+    * coordinates under the deterministic rational plane family (q34's
+    * construction kept dense instead of thresholded to sign bits) —
+    * the sketch a two-stage retrieval shortlists on at 1/4 the scan
+    * cost. Every coordinate of every vector is checked: the hash
+    * covers the 2⁻²⁰-quantized integer value of all 16 outputs per
+    * row (the native DotProduct loop and the oracle's explicit
+    * left-associative sum are bit-identical IEEE754 sequences). */
+  val q129 = QueryDef(
+    "q129_random_projection",
+    (s, dir) => {
+      val proj = graft.ops.Similarity.randomProject(
+        t(s, dir, "embeddings"), "embedding", dim = Dim, outDim = 16, seed = 0)
+      proj.select(col("vec_id"),
+          md5(concat_ws(",", transform(col("projected"),
+            y => round(y * 1048576.0d).cast("long").cast("string")))).as("proj_fp"))
+        .oracleOrderBy("vec_id")
+    },
+    Some {
+      val coords = (0 until 16).map(p =>
+        s"CAST(round((${projCoord(duckElem, 0, p)}) * 1048576.0) AS BIGINT)")
+      s"""SELECT vec_id,
+        md5(concat_ws(',', ${coords.map(c => s"CAST($c AS VARCHAR)").mkString(", ")}))
+          AS proj_fp
+      FROM embeddings ORDER BY vec_id"""
+    },
+    bench = true)
+
+  /** Two-stage sketch retrieval (library `Similarity.sketchTopK` —
+    * the composition that makes q129's JL sketch pay: shortlist 50
+    * candidates by cosine on the 16-dim sketch, exact-rescore only
+    * the shortlist, keep the true-cosine top 10). The oracle replays
+    * both stages — the 16 projected coordinates of every vector AND
+    * of the query, the sketch-cosine shortlist rank, then the exact
+    * 64-dim rescore — so a single shortlist miss or rank swap breaks
+    * the hash. Query = vec 0's embedding, excluded from the corpus
+    * (the q33 convention; q33 is this query's exact baseline). */
+  val q131 = QueryDef(
+    "q131_sketch_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).map(_.toDouble)
+      val top = graft.ops.Similarity.sketchTopK(
+        emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", qv,
+        dim = Dim, k = 10, outDim = 16, seed = 0, shortlist = 50)
+      graft.util.Ids.withRowIndex(top, "rank")
+        .select(col("rank").cast("int").as("rank"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+    },
+    Some {
+      val ys = (0 until 16).map(p => s"(${projCoord(duckElem, 0, p)}) AS y$p")
+      val zs = (0 until 16).map(p => s"(${projCoord(duckElem, 0, p, "qv")}) AS z$p")
+      def chain(f: Int => String) = (0 until 16).map(f).mkString(" + ")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        pr AS (SELECT vec_id, embedding, qv,
+            ${(ys ++ zs).mkString(",\n            ")}
+          FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+        sc AS (SELECT vec_id, embedding, qv,
+            (${chain(p => s"(y$p * z$p)")}) AS dotyz,
+            (${chain(p => s"(y$p * y$p)")}) AS naa,
+            (${chain(p => s"(z$p * z$p)")}) AS nbb
+          FROM pr),
+        shortl AS (SELECT vec_id, embedding, qv,
+            row_number() OVER (
+              ORDER BY dotyz / (sqrt(naa) * sqrt(nbb)) DESC, vec_id) AS srk
+          FROM sc),
+        ex AS (SELECT vec_id,
+            (${dotSum(duckElem, "embedding", "qv")}) AS dot,
+            (${dotSum(duckElem, "embedding", "embedding")}) AS naa2,
+            (${dotSum(duckElem, "qv", "qv")}) AS nbb2
+          FROM shortl WHERE srk <= 50),
+        ranked AS (SELECT vec_id, dot / (sqrt(naa2) * sqrt(nbb2)) AS cos_raw,
+            row_number() OVER (
+              ORDER BY dot / (sqrt(naa2) * sqrt(nbb2)) DESC, vec_id) AS rank
+          FROM ex)
+      SELECT rank, vec_id, round(cos_raw, 6) AS cosine
+      FROM ranked WHERE rank <= 10 ORDER BY rank"""
+    },
+    bench = true)
+
   val all: Seq[QueryDef] =
-    Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89, q92, q93)
+    Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89, q92, q93, q129,
+      q131)
 }

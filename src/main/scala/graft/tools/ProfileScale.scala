@@ -458,6 +458,24 @@ object ProfileScale {
           graft.ops.Packing.packTokenIds(sharded, "doc_id", "text",
             profileVocab, ctxLen = 128L, shardCol = "shard_key")
         }),
+      ("q129 rand-proj", () => graft.ops.Similarity.randomProject(
+          emb, "embedding", dim = 64, outDim = 16),
+        () => graft.ops.Similarity.randomProject(
+          emb10, "embedding", dim = 64, outDim = 16)),
+      ("q131 sketch-topk", () => graft.ops.Similarity.sketchTopK(
+          emb, "embedding", "vec_id", (0 until 64).map(j => (j % 7 - 3) / 3.0),
+          dim = 64, k = 10, outDim = 16, shortlist = 50),
+        () => graft.ops.Similarity.sketchTopK(
+          emb10, "embedding", "vec_id", (0 until 64).map(j => (j % 7 - 3) / 3.0),
+          dim = 64, k = 10, outDim = 16, shortlist = 50)),
+      ("q130 topk-stratum", () => graft.ops.Sampling.topKPerStratum(
+          docs.withColumn("stratum", pmod(col("doc_id"), lit(1000)))
+            .withColumn("score", length(col("text")).cast("long")),
+          "stratum", "score", "doc_id", k = 3),
+        () => graft.ops.Sampling.topKPerStratum(
+          docs10.withColumn("stratum", pmod(col("doc_id"), lit(1000)))
+            .withColumn("score", length(col("text")).cast("long")),
+          "stratum", "score", "doc_id", k = 3)),
       ("q121 plan-band", () => graft.ops.Dedup.lshPlanAndBand(
           docs, "doc_id", 0.5, maxHashes = 16, fnWeight = 10L, steps = 1024),
         () => graft.ops.Dedup.lshPlanAndBand(

@@ -3276,6 +3276,90 @@ class OpsSpec extends SparkSpec {
       vdf.collect().map(_.getString(0)).toSet)
   }
 
+  test("Similarity.randomProject: exact rational projection, guards") {
+    def hs(seed: Int, p: Int, j: Int): Double =
+      ((p * 131 + j * 7919 + seed * 31) % 97 - 48) / 48.0
+    val df = Seq((0L, Seq(1.0f, 2.0f, 3.0f)), (1L, Seq(-1.0f, 0.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(df, "embedding", dim = 3, outDim = 2, seed = 7)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](r.fieldIndex("projected")).toList).toMap
+    def proj(v: Seq[Float], p: Int): Double = {
+      var acc = 0.0
+      (0 until 3).foreach(j => acc += v(j).toDouble * hs(7, p, j))
+      acc
+    }
+    assert(out(0L) == List(proj(Seq(1f, 2f, 3f), 0), proj(Seq(1f, 2f, 3f), 1)))
+    assert(out(1L) == List(proj(Seq(-1f, 0f, 0.5f), 0), proj(Seq(-1f, 0f, 0.5f), 1)))
+    // a different seed is a different matrix
+    val out2 = Similarity.randomProject(df, "embedding", dim = 3, outDim = 2, seed = 8)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](r.fieldIndex("projected")).toList).toMap
+    assert(out2(0L) != out(0L))
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.randomProject(df, "embedding", dim = 3, outDim = 4))
+    assert(e1.getMessage.contains("outDim"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.randomProject(df, "embedding", dim = 3, outDim = 2, seed = -1))
+    assert(e2.getMessage.contains("seed"))
+  }
+
+  test("Similarity.sketchTopK: full shortlist == exact; narrow shortlist still ranked") {
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, (0 until 8).map(j => math.sin(i * 8 + j).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val qv = vecs.head._2.map(_.toDouble)
+    val corpus = df.filter(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceKnn(corpus, "embedding", "vec_id", qv, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    // shortlist covering the whole corpus => stage 2 IS the exact scan
+    val viaSketch = Similarity.sketchTopK(corpus, "embedding", "vec_id", qv,
+        dim = 8, k = 5, outDim = 8, seed = 0, shortlist = 11)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(viaSketch == exact) // bit-identical, same cosine spelling
+    // a narrow shortlist still returns k exact-cosine-ranked rows
+    val narrow = Similarity.sketchTopK(corpus, "embedding", "vec_id", qv,
+        dim = 8, k = 3, outDim = 4, seed = 0, shortlist = 5)
+      .collect().map(_.getDouble(1)).toList
+    assert(narrow.size == 3 && narrow == narrow.sorted.reverse)
+    val e1 = intercept[IllegalArgumentException](Similarity.sketchTopK(
+      corpus, "embedding", "vec_id", qv, dim = 8, k = 5, shortlist = 4))
+    assert(e1.getMessage.contains("shortlist"))
+    val e2 = intercept[IllegalArgumentException](Similarity.sketchTopK(
+      corpus, "embedding", "vec_id", Seq(1.0), dim = 8))
+    assert(e2.getMessage.contains("dims"))
+  }
+
+  test("Sampling.topKPerStratum: under/over branches, ties, null score + stratum") {
+    val df = Seq(
+      (0L, "A", java.lang.Long.valueOf(10L)),
+      (1L, "A", java.lang.Long.valueOf(30L)),
+      (2L, "A", java.lang.Long.valueOf(30L)),   // tie with 1: lower id kept
+      (3L, "A", null.asInstanceOf[java.lang.Long]), // null score ranks last
+      (4L, "B", java.lang.Long.valueOf(1L)),    // under-cap stratum
+      (5L, null.asInstanceOf[String], java.lang.Long.valueOf(2L)),
+      (6L, null.asInstanceOf[String], java.lang.Long.valueOf(3L)),
+      (7L, null.asInstanceOf[String], java.lang.Long.valueOf(4L))
+    ).toDF("id", "stratum", "score")
+    val out = Sampling.topKPerStratum(df, "stratum", "score", "id", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("stratum_kept")).toMap
+    assert(out.size == 8) // one output row per input row
+    assert(out(1L) == 1 && out(2L) == 1)  // top-2 of A: the 30-tie pair
+    assert(out(0L) == 0 && out(3L) == 0)  // 10 and NULL cut
+    assert(out(4L) == 1)                   // under-cap passes through
+    // null stratum is its own capped group: best 2 of {2,3,4}
+    assert(out(6L) == 1 && out(7L) == 1 && out(5L) == 0)
+    // ascending flips the direction, null score still last
+    val asc = Sampling.topKPerStratum(df, "stratum", "score", "id",
+        k = 2, ascending = true)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("stratum_kept")).toMap
+    assert(asc(0L) == 1 && asc(1L) == 1 && asc(2L) == 0 && asc(3L) == 0)
+    assert(asc(5L) == 1 && asc(6L) == 1 && asc(7L) == 0)
+    val eK = intercept[IllegalArgumentException](
+      Sampling.topKPerStratum(df, "stratum", "score", "id", k = 0))
+    assert(eK.getMessage.contains("k must be"))
+  }
+
   test("TextAnalysis.vocabStats: totals, hapax, top-k mass") {
     val df = Seq(
       (0L, "a a a b b c"),
