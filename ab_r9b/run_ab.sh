@@ -1,0 +1,16 @@
+#!/bin/bash
+# Fixed-code quiet-host A/B for the 7 readings in this round's final
+# bench that drifted >±25% vs the previous in-round run (q119 1.59x,
+# q124 1.37x, q118 1.36x, q104 1.33x, q122 1.32x, q123 1.29x, q64
+# 1.25x — all in the 0.2-1.8 s band; the shared-set total moved +5%,
+# suggesting the bench ran on a warm host). Two interleaved passes,
+# n=9 each. If medians return to the prior band, the final-bench
+# readings were host state, not code.
+cd /root/repo
+QS="q119_shuffled_packing,q124_nb_reliability,q118_tokenizer_stats,q104_script_profile,q122_unigram_seed_vocab,q123_unigram_segment,q64_ivf_trained_topk"
+for i in 1 2; do
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_RUNS=9 \
+  SPARK_GRAFT_BENCH_ONLY="$QS" SPARK_GRAFT_BENCH_STATS_OUT=/root/repo/ab_r9b/pass_$i.json \
+  sbt -batch "runMain graft.Bench" > /root/repo/ab_r9b/pass_$i.log 2>&1
+done
+echo DONE > /root/repo/ab_r9b/done.marker
