@@ -85,30 +85,41 @@ object AnnIndex {
     * append loop ([[DedupIndex.compact]] is the dedup-side twin):
     * every [[append]] lays a new file wave into each touched cell
     * partition, so a long-running ingest accumulates small files;
-    * this reads the table back, collapses EXACT duplicate rows (a
-    * replayed append re-encodes identically under the frozen models —
-    * any survivor is THE row), and rewrites one wave per cell through
-    * a temp directory + rename-aside swap (a crash between the two
-    * renames leaves `codes` missing with `codes_precompact` and
-    * `compact_tmp/codes` both intact — rename either back; no data is
-    * ever lost). For a clean append history the answers are
-    * untouched; after a REPLAYED append, compaction also restores
-    * single-copy top-k (a duplicated row would otherwise occupy two
-    * result slots). */
+    * this snapshots the table's file list, collapses EXACT duplicate
+    * rows across the snapshot (a replayed append re-encodes
+    * identically under the frozen models — any survivor is THE row),
+    * and rewrites one wave per cell through a temp directory + the
+    * checked rename-aside swap of [[Maintenance.swapCompacted]]:
+    * every rename's result is verified before anything is deleted, a
+    * leftover `codes_precompact` from a prior crash aborts the pass
+    * untouched, and files appended after the snapshot (a concurrent
+    * [[graft.streaming.AnnIngest]] micro-batch) are folded back in —
+    * see the [[Maintenance]] doc for the exact crash / concurrency
+    * contract. For a clean append history the answers are untouched;
+    * after a REPLAYED append, compaction also restores single-copy
+    * top-k (a duplicated row would otherwise occupy two result
+    * slots). */
   def compact(handle: Handle): Unit = {
     val spark = SparkSession.active
     val dir = handle.dir
-    spark.read.parquet(s"$dir/codes").distinct()
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/compact_tmp/codes")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(s"$dir/codes")
-    val aside = new org.apache.hadoop.fs.Path(s"$dir/codes_precompact")
-    fs.rename(live, aside)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/compact_tmp/codes"), live)
-    fs.delete(aside, true)
+    // refuse crashed state BEFORE the expensive rewrite (swapCompacted
+    // re-checks right before the swap)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes_precompact")),
+      s"$dir/codes_precompact already exists — a prior compact crashed " +
+        "mid-swap; recover it manually before compacting again")
+    val snapshot = Maintenance.dataFiles(fs, live)
+    require(snapshot.nonEmpty, s"$live holds no data files — nothing to compact")
+    spark.read.option("basePath", s"$dir/codes")
+      .parquet(snapshot.map(rel => s"$dir/codes/$rel"): _*)
+      .distinct()
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/compact_tmp/codes")
+    Maintenance.swapCompacted(fs, live,
+      new org.apache.hadoop.fs.Path(s"$dir/compact_tmp/codes"), snapshot.toSet)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/compact_tmp"), true)
   }
 

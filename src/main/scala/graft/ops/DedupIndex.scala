@@ -108,37 +108,54 @@ object DedupIndex {
     * probed); compaction keeps one deterministic version of each
     * table — rebuild from the source of truth if that happened.
     *
-    * Crash behavior: each table is written complete to `compact_tmp`,
-    * the old table renamed aside, the new renamed in, the old
-    * deleted. A crash between the two renames leaves that table
-    * missing with both `compact_tmp/<t>` and `<t>_precompact` intact
-    * — rename either back to recover; no data is ever lost. */
+    * Crash / concurrency behavior: each table is written complete to
+    * `compact_tmp` from a SNAPSHOT of the table's file list, then
+    * swapped in by [[Maintenance.swapCompacted]] — renames are
+    * checked before anything is deleted, a leftover `<t>_precompact`
+    * from a prior crash aborts the whole pass before any mutation,
+    * and files a concurrent [[graft.streaming.StreamingDedup]] append
+    * laid down after the snapshot are folded back into the compacted
+    * table. See [[Maintenance]] for the exact contract. */
   def compact(handle: Handle): Unit = {
     val spark = SparkSession.active
     val dir = handle.dir
     val tmp = s"$dir/compact_tmp"
     val idc = col(handle.idCol)
-    spark.read.parquet(s"$dir/fingerprints").distinct()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tables = Seq("fingerprints", "signatures", "words")
+    tables.foreach { t => // refuse crashed state BEFORE the expensive writes
+      val aside = new org.apache.hadoop.fs.Path(s"$dir/${t}_precompact")
+      require(!fs.exists(aside),
+        s"$aside already exists — a prior compact crashed mid-swap; " +
+          "recover it manually before compacting again")
+    }
+    val snapshots: Map[String, Seq[String]] = tables.map { t =>
+      val files = Maintenance.dataFiles(
+        fs, new org.apache.hadoop.fs.Path(s"$dir/$t"))
+      require(files.nonEmpty, s"$dir/$t holds no data files — nothing to compact")
+      t -> files
+    }.toMap
+    def snap(t: String): DataFrame =
+      spark.read.option("basePath", s"$dir/$t")
+        .parquet(snapshots(t).map(rel => s"$dir/$t/$rel"): _*)
+    snap("fingerprints").distinct()
       .write.mode("overwrite").parquet(s"$tmp/fingerprints")
     val mhCols = (0 until handle.numHashes).map(i => s"mh$i")
-    spark.read.parquet(s"$dir/signatures")
+    snap("signatures")
       .groupBy(idc).agg(
         max(struct(mhCols.map(col) :+ col("band0"): _*)).as("__s"))
       .select(idc +: (mhCols :+ "band0").map(c => col(s"__s.$c").as(c)): _*)
       .repartition(col("band0"))
       .write.mode("overwrite").partitionBy("band0").parquet(s"$tmp/signatures")
-    spark.read.parquet(s"$dir/words")
+    snap("words")
       .groupBy(idc).agg(max(struct(col("words"))).as("__w"))
       .select(idc, col("__w.words").as("words"))
       .write.mode("overwrite").parquet(s"$tmp/words")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    Seq("fingerprints", "signatures", "words").foreach { t =>
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
-      val aside = new org.apache.hadoop.fs.Path(s"$dir/${t}_precompact")
-      fs.rename(live, aside)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$t"), live)
-      fs.delete(aside, true)
+    tables.foreach { t =>
+      Maintenance.swapCompacted(
+        fs, new org.apache.hadoop.fs.Path(s"$dir/$t"),
+        new org.apache.hadoop.fs.Path(s"$tmp/$t"), snapshots(t).toSet)
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }

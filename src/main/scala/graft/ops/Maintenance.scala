@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Shared crash-safe machinery for the index compaction passes
+  * ([[AnnIndex.compact]], [[DedupIndex.compact]]). Both follow the
+  * same protocol: snapshot the live table's data files, write a
+  * compacted copy to a temp dir FROM THAT SNAPSHOT ONLY, then swap.
+  *
+  * The swap is defensive on every filesystem edge Hadoop exposes:
+  *
+  *  - `FileSystem.rename` signals failure by returning FALSE, not by
+  *    throwing — every rename's result is `require`d, and nothing is
+  *    deleted until both renames succeeded, so a failed rename leaves
+  *    the original table intact (possibly under its `_precompact`
+  *    name, which [[swapCompacted]] refuses to overwrite).
+  *  - A leftover `<table>_precompact` dir from a prior crash aborts
+  *    the swap BEFORE any mutation — a crashed compact is recovered
+  *    by hand (rename the precompact or compact_tmp copy back), never
+  *    silently renamed over.
+  *  - Files that appeared under the live table AFTER the snapshot
+  *    (a concurrent ingest append) are folded into the compacted tree
+  *    at their original relative paths before the old copy is
+  *    deleted, so the result equals "compact finished, then the
+  *    append landed" and no appended row is lost. The fold-in covers
+  *    appends that commit before the live dir is renamed aside; an
+  *    append committing INSIDE the two-rename window is still a race
+  *    — run compaction from the ingest driver between micro-batches
+  *    (its natural cadence) rather than from a separate process.
+  */
+private[graft] object Maintenance {
+
+  /** Root-relative paths of every data file under `root`, recursively,
+    * skipping bookkeeping names (`_SUCCESS`, checksums, hidden files). */
+  def dataFiles(fs: FileSystem, root: Path): Seq[String] = {
+    val qualified = fs.makeQualified(root).toString
+    val out = ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        out += st.getPath.toString.stripPrefix(qualified + "/")
+    }
+    out.toSeq
+  }
+
+  /** Swap `tmpTable` (the freshly-written compacted copy) into place
+    * at `live`, folding in any data file that appeared under `live`
+    * after `snapshot` was taken. See the object doc for the crash /
+    * concurrency contract. On success the `_precompact` aside copy is
+    * deleted; the caller deletes its own temp parent dir. */
+  def swapCompacted(
+      fs: FileSystem, live: Path, tmpTable: Path,
+      snapshot: Set[String]): Unit = {
+    val aside = new Path(live.getParent, live.getName + "_precompact")
+    require(!fs.exists(aside),
+      s"$aside already exists — a prior compact crashed mid-swap. " +
+        s"Recover manually (rename it, or the compact_tmp copy, back to " +
+        s"${live.getName}) before compacting again; refusing to touch it.")
+    require(fs.rename(live, aside),
+      s"rename $live -> $aside failed; table left untouched")
+    require(fs.rename(tmpTable, live),
+      s"rename $tmpTable -> $live failed; the original table is intact " +
+        s"at $aside — rename it back to recover")
+    // late-append fold-in: anything under the aside copy that the
+    // compaction snapshot never read arrived during the compact
+    dataFiles(fs, aside).filterNot(snapshot.contains).foreach { rel =>
+      val src = new Path(aside, rel)
+      val dst = new Path(live, rel)
+      if (!fs.exists(dst.getParent)) fs.mkdirs(dst.getParent)
+      require(fs.rename(src, dst),
+        s"fold-in rename $src -> $dst failed; the file is still under " +
+          s"$aside — move it into $live by hand before deleting the aside copy")
+    }
+    require(fs.delete(aside, true), s"delete $aside failed")
+  }
+}

@@ -71,9 +71,16 @@ object Similarity {
 
   /** Seeded variant of [[h]] for the dense projection matrix — a
     * DIFFERENT seed yields a different (deterministic) matrix, so
-    * sketches for independent purposes don't share planes. */
-  private def hs(seed: Int, p: Int, j: Int): Double =
-    ((p * 131 + j * 7919 + seed * 31) % 97 - 48) / 48.0
+    * sketches for independent purposes don't share planes. The hash
+    * runs in Long + floorMod so ANY seed keeps coefficients in the
+    * symmetric [-1, 1] family — Int arithmetic would overflow
+    * `seed * 31` for large seeds and bias the sketch (the % result
+    * goes negative, coefficients collapse to [-3, 1]/48). For the
+    * non-negative small seeds of every shipped query this is
+    * value-identical to the historical Int form, so oracle hashes are
+    * unchanged. */
+  private[graft] def hs(seed: Int, p: Int, j: Int): Double =
+    (Math.floorMod(p * 131L + j * 7919L + seed * 31L, 97L) - 48L) / 48.0
 
   /** Johnson–Lindenstrauss random projection: reduce `dim`-dimensional
     * embeddings to `outDim` coordinates `y_p = Σ_j h(seed,p,j)·x_j`

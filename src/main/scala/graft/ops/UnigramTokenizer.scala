@@ -145,6 +145,11 @@ object UnigramTokenizer {
     // nested-loop build): denominator spelled tot + delta·K, the
     // exact arithmetic the DuckDB replay performs
     val totRow = kept.agg(sum("cnt"), count(lit(1))).collect().head
+    require(totRow.getLong(1) > 0,
+      "the vocabulary pruned to nothing this round — every piece was " +
+        "multi-char AND below minCount (single-char pieces survive " +
+        "unconditionally). Lower minCount, or seed the vocabulary with " +
+        "single-char coverage pieces (seedVocab always includes them).")
     val totD = (if (totRow.isNullAt(0)) 0L else totRow.getLong(0)).toDouble
     val denom = totD + delta * totRow.getLong(1).toDouble
     kept.select(col("piece"), col("cnt"),

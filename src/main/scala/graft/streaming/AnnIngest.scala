@@ -16,7 +16,10 @@ import graft.ops.AnnIndex
   * the trigger cost. Append is not checkpoint-transactional: a
   * replayed trigger re-appends identical code rows, which cost bytes
   * and duplicate top-k slots until [[AnnIndex.compact]] reclaims them
-  * — run compaction on whatever cadence the file counts suggest.
+  * — run compaction on whatever cadence the file counts suggest,
+  * FROM THIS DRIVER between micro-batches: compact folds in files
+  * appended after its snapshot, but an append committing inside its
+  * rename window is a race it cannot see (see [[graft.ops.Maintenance]]).
   * Retrain deliberately (new build) when embedding drift warrants;
   * the frozen-quantizer contract is what makes the sink cheap.
   *

@@ -2840,6 +2840,75 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Maintenance.swapCompacted: checked swap, late-append fold-in, precompact refusal") {
+    val dir = java.nio.file.Files.createTempDirectory("swapcompact").toString
+    try {
+      val live = s"$dir/t"
+      Seq(1, 2, 2, 3).toDF("v").write.parquet(live)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val livePath = new org.apache.hadoop.fs.Path(live)
+      val snapshot = Maintenance.dataFiles(fs, livePath)
+      assert(snapshot.nonEmpty && snapshot.forall(!_.contains("_SUCCESS")))
+      // the compacted copy is written FROM THE SNAPSHOT ONLY
+      spark.read.option("basePath", live)
+        .parquet(snapshot.map(rel => s"$live/$rel"): _*)
+        .distinct().write.parquet(s"$dir/tmp/t")
+      // a concurrent ingest lands a file AFTER the snapshot
+      Seq(9).toDF("v").write.mode("append").parquet(live)
+      Maintenance.swapCompacted(
+        fs, livePath, new org.apache.hadoop.fs.Path(s"$dir/tmp/t"), snapshot.toSet)
+      // result == "compact finished, then the append landed": distinct
+      // of the snapshot plus the late row — nothing lost
+      val vs = spark.read.parquet(live).collect().map(_.getInt(0)).sorted.toSeq
+      assert(vs == Seq(1, 2, 3, 9), s"got $vs")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${live}_precompact")))
+
+      // a leftover precompact dir aborts BEFORE any mutation
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"${live}_precompact"))
+      spark.read.parquet(live).write.parquet(s"$dir/tmp2/t")
+      val ex = intercept[IllegalArgumentException] {
+        Maintenance.swapCompacted(fs, livePath,
+          new org.apache.hadoop.fs.Path(s"$dir/tmp2/t"),
+          Maintenance.dataFiles(fs, livePath).toSet)
+      }
+      assert(ex.getMessage.contains("crashed mid-swap"))
+      val vsAfter = spark.read.parquet(live).collect().map(_.getInt(0)).sorted.toSeq
+      assert(vsAfter == Seq(1, 2, 3, 9)) // live table untouched by the refusal
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
+  test("Similarity.hs: coefficients stay in [-1,1] for every seed, small seeds unchanged") {
+    // the historical Int form, for parity on the seeds shipped queries use
+    def hsInt(seed: Int, p: Int, j: Int): Double =
+      ((p * 131 + j * 7919 + seed * 31) % 97 - 48) / 48.0
+    for (seed <- Seq(0, 1, 7, 12345, 1 << 16); p <- 0 until 4; j <- 0 until 8)
+      assert(Similarity.hs(seed, p, j) == hsInt(seed, p, j))
+    // seeds whose seed*31 overflows Int: the Int form escapes the
+    // symmetric family; the Long+floorMod form must not
+    for (seed <- Seq(Int.MaxValue, Int.MaxValue / 31 + 1); p <- 0 until 4; j <- 0 until 8) {
+      val v = Similarity.hs(seed, p, j)
+      assert(v >= -1.0 && v <= 1.0, s"hs($seed,$p,$j) = $v out of [-1,1]")
+    }
+    assert((0 until 8).exists(j => hsInt(Int.MaxValue, 0, j) < -1.0),
+      "premise: the Int form really did escape the range for large seeds")
+  }
+
+  test("UnigramTokenizer.emRound: vocabulary pruning to nothing fails loudly") {
+    val d = Seq((0L, "aa bb aa")).toDF("doc_id", "text")
+    // only multi-char pieces, none of which can appear in a best
+    // segmentation (their characters don't occur) -> all prune
+    val vocab = Seq(("zq", -1048576L), ("xw", -1048576L)).toDF("piece", "lp_q")
+    val ex = intercept[IllegalArgumentException] {
+      UnigramTokenizer.emRound(d, "text", vocab)
+    }
+    assert(ex.getMessage.contains("pruned to nothing"))
+  }
+
   test("keepBest: per-cluster quality argmax, id tie-break, null scores lose") {
     val rows = Seq(
       (1L, 100L, 0.5), (2L, 100L, 0.9), (3L, 100L, 0.9), // 2 wins the 0.9 tie
