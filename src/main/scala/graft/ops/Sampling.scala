@@ -320,4 +320,78 @@ object Sampling {
       }
     df.withColumn(outCol, label)
   }
+
+  /** Ceiling on [[tokenBudgetSelect]]'s histogram resolution — the
+    * per-bin token sums are a driver-resident model. */
+  val MaxBudgetBins: Int = 1 << 16
+
+  /** Budget-constrained quality selection — "take the best documents
+    * until the token budget is spent", the curation step that turns a
+    * scored corpus into a fixed-size training set: documents are
+    * ranked by a `[0,1]` quality score (descending), then by id, and
+    * the selection is the longest prefix whose token sum fits
+    * `budget`.
+    *
+    * A naive implementation is a GLOBAL sort + running sum — a
+    * single-partition window, the banned scale-killer. This is the
+    * two-pass histogram form instead: quality quantizes to one of
+    * `bins` integer bins, pass 1 aggregates per-bin token sums
+    * (bounded by [[MaxBudgetBins]], collected as the driver-resident
+    * cutoff model), the driver walks bins best-first to find the
+    * boundary bin and its remaining budget, and pass 2 selects whole
+    * bins above the boundary plus the id-ordered prefix INSIDE the
+    * boundary bin — the only windowed work is a partitioned running
+    * sum over that single bin's rows. Within-bin ranking is by id
+    * (quality ties at `bins` resolution are broken deterministically,
+    * not by a finer sort); NULL quality never selects.
+    *
+    * Note the two passes scan `df` twice — materialize an expensive
+    * upstream first (the [[TextAnalysis.quantileBuckets]] contract).
+    * Token counts must be non-negative (the prefix rule needs a
+    * monotone running sum). Returns the input plus `budget_bin` and
+    * `selected`. */
+  def tokenBudgetSelect(
+      df: DataFrame, idCol: String, qualityCol: String, tokensCol: String,
+      budget: Long, bins: Int = 1024): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(bins >= 1 && bins <= MaxBudgetBins,
+      s"bins out of [1, $MaxBudgetBins]: $bins")
+    // spelled with an explicit null branch: Spark's least/greatest SKIP
+    // nulls, so least(floor(null * bins), bins-1) would quietly file a
+    // null-quality row into the TOP bin instead of keeping it null
+    val binc = when(col(qualityCol).isNull, lit(null).cast("long"))
+      .otherwise(greatest(least(floor(col(qualityCol) * bins),
+        lit((bins - 1).toDouble)), lit(0.0d)).cast("long"))
+    val binned = df.withColumn("budget_bin", binc)
+    val hist = binned.groupBy("budget_bin")
+      .agg(sum(col(tokensCol).cast("long")).as("ts"))
+      .collect()
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0) -> r.getLong(1)))
+      .sortBy(-_._1)
+    var acc = 0L
+    var boundary = -1L // -1: every non-null bin is a full bin
+    var rem = 0L
+    val it = hist.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val (bin, ts) = it.next()
+      if (acc + ts <= budget) acc += ts
+      else { boundary = bin; rem = budget - acc; done = true }
+    }
+    if (!done) {
+      // everything fits: no boundary bin, all non-null bins select
+      binned.withColumn("selected", col("budget_bin").isNotNull)
+    } else {
+      val fullPart = binned.filter(col("budget_bin") > boundary)
+        .withColumn("selected", lit(true))
+      val w = Window.partitionBy("budget_bin").orderBy(col(idCol))
+      val boundaryPart = binned.filter(col("budget_bin") === boundary)
+        .withColumn("selected",
+          sum(col(tokensCol).cast("long")).over(w) <= rem)
+      val restPart = binned
+        .filter(col("budget_bin") < boundary || col("budget_bin").isNull)
+        .withColumn("selected", lit(false))
+      fullPart.unionByName(boundaryPart).unionByName(restPart)
+    }
+  }
 }

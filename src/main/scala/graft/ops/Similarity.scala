@@ -307,6 +307,58 @@ object Similarity {
     centroids
   }
 
+  /** Ceiling on a nearest-class-mean model's class count — the
+    * prototype table is a driver-resident model. */
+  val MaxProtoClasses: Int = 1 << 12
+
+  /** Nearest-class-mean (Rocchio / prototype) classifier over
+    * embeddings — the cheap embedding-space domain/quality filter
+    * (a labeled seed set stands in for a trained head; the
+    * FineWeb-style "classifier gate" at its simplest): each class's
+    * prototype is the EXACT-integer mean of its training embeddings
+    * (the [[trainCodebook]] `exactMean` discipline — coordinates
+    * quantized `round(x·2²⁰)`, order-free BIGINT sums, one division
+    * at the end — so training is bit-reproducible on any cluster
+    * layout and re-derivable relationally), and every scored row
+    * takes the argmax-cosine prototype, ties to the LOWEST label.
+    *
+    * 100 TB shape: ONE class-keyed aggregate over the (small) train
+    * split builds the model; scoring is a narrow zero-shuffle
+    * literal-prototype argmax over the corpus — the [[ivfAssign]]
+    * shape with class prototypes for cells. Appends `pred_label`
+    * (long) and `pred_cosine` to `score`'s rows. */
+  def centroidClassify(
+      train: DataFrame, score: DataFrame, embCol: String, idCol: String,
+      labelCol: String, dim: Int): DataFrame = {
+    val spark = train.sparkSession
+    val cast = train.select(col(labelCol).cast("long").as("__lbl"),
+      asDouble(col(embCol)).as("__emb"))
+    val rows = cast.groupBy("__lbl")
+      .agg(count(lit(1)).as("__n"),
+        (0 until dim).map(j =>
+          sum(round(element_at(col("__emb"), j + 1) * ExactMeanScale)
+            .cast("long")).as(s"s$j")): _*)
+      .collect()
+    require(rows.nonEmpty, "centroidClassify: the train split is empty")
+    require(rows.length <= MaxProtoClasses,
+      s"centroidClassify: ${rows.length} classes exceed the " +
+        s"driver-resident-model ceiling $MaxProtoClasses")
+    val protos: Seq[(Long, Seq[Double])] = rows.map { r =>
+      val n = r.getLong(1).toDouble
+      r.getLong(0) ->
+        (0 until dim).map(j => r.getLong(j + 2).toDouble / n / ExactMeanScale).toSeq
+    }.toSeq.sortBy(_._1)
+    val cands = protos.map { case (lbl, v) =>
+      struct(nCosine(spark, col(embCol), array(v.map(lit): _*)).as("sim"),
+        lit(-lbl).as("nl")) // greatest on ties -> highest nl -> LOWEST label
+    }
+    val best = if (cands.length == 1) cands.head else greatest(cands: _*)
+    score.withColumn("__best", best)
+      .withColumn("pred_label", -col("__best.nl"))
+      .withColumn("pred_cosine", col("__best.sim"))
+      .drop("__best")
+  }
+
   /** Max-cosine centroid (struct argmax; ties -> highest centroid id)
     * of each row's embedding. */
   private def bestCells(

@@ -92,6 +92,39 @@ object TextAnalysis {
       lit(vocab.byteLevel))
   }
 
+  /** Decode BPE vocabulary ids back to text — the inverse of
+    * [[bpeTokenIds]], byte-level only: ids map through the
+    * deterministic id table to their token strings, the concatenated
+    * alphabet characters map back to their UTF-8 bytes (the inverse of
+    * GPT-2 `bytes_to_unicode`), and the byte string decodes as UTF-8.
+    * Because the pre-tokenizer pattern covers EVERY character
+    * (letters, digits, punctuation, whitespace all match some
+    * alternative) and byte-level merges never cross piece boundaries,
+    * `bpeDecodeIds(bpeTokenIds(text)) == text` exactly — the lossless
+    * round-trip a training dataloader relies on. Entirely
+    * expression-composed (two literal-map lookups + `unhex`/`decode`),
+    * so it stays inside whole-stage codegen; the id and byte tables
+    * ride the plan as literals (driver-resident model, vocab-bounded).
+    * An id outside the table yields NULL for the whole row — fail
+    * loudly downstream rather than silently dropping a token. */
+  def bpeDecodeIds(ids: Column, vocab: graft.plans.BpeVocab): Column = {
+    require(vocab.byteLevel,
+      "bpeDecodeIds is defined for byte-level vocabularies (char-level " +
+        "tokenization can emit -1 for out-of-alphabet characters, which " +
+        "has no inverse)")
+    val idTok: Map[Int, String] = vocab.idTableRows.map(_.swap).toMap
+    val charHex: Map[String, String] = (0 until 256)
+      .map(b => String.valueOf(graft.plans.BpeVocab.ByteToChar(b)) -> f"$b%02x")
+      .toMap
+    val toks = transform(ids, i => element_at(typedLit(idTok), i))
+    val alpha = array_join(toks, "")
+    val hex = array_join(
+      transform(filter(split(alpha, ""), c => length(c) > 0),
+        c => element_at(typedLit(charHex), c)), "")
+    when(exists(toks, t => t.isNull), lit(null).cast("string"))
+      .otherwise(decode(unhex(hex), "UTF-8"))
+  }
+
   /** Occurrences of `needle` in `text` via the replace-length trick
     * (exact, regex-free, codegen'd). NON-OVERLAPPING: in "ababa" the
     * needle "aba" counts once — in particular a space-padded word
@@ -1343,5 +1376,93 @@ object TextAnalysis {
     val toks = split(trim(lower(text)), "\\s+")
     aggregate(toks, lit(0L),
       (acc, w) => pmod(acc * 1000003L + pmod(xxhash64(w), lit(m)), lit(m)))
+  }
+
+  /** Top collocations by pointwise mutual information — the classic
+    * corpus-analytics pass (multiword-expression mining, tokenizer
+    * merge candidates, named-entity seeds): for each adjacent word
+    * pair, `PMI = ln(c12·N / (c1·c2))`, computed as a SUM OF
+    * PER-COUNT QUANTIZED LOGS (`lnq(x) = round(ln(x)·2²⁰)` as BIGINT,
+    * so `pmi_q = lnq(c12)+lnq(N)−lnq(c1)−lnq(c2)`) — order-free
+    * integer arithmetic, bit-identical on any engine and any
+    * partitioning. Words are the library-wide `trim(lower)`/
+    * whitespace tokens; bigrams never cross document boundaries.
+    *
+    * 100 TB shape: one bigram-keyed aggregate and one unigram-keyed
+    * aggregate (both Zipf-vocabulary-bounded), the bigram table
+    * checkpointed once (it feeds the N normalizer AND the output —
+    * the q86 double-execution lesson), unigram counts broadcast into
+    * the two count joins, and a TakeOrdered top-k. No window, no
+    * all-pairs anything. Returns `(w1, w2, c12, c1, c2, pmi_q)`,
+    * top `topK` by `(pmi_q desc, w1, w2)`. */
+  def pmiCollocations(
+      df: DataFrame, textCol: String,
+      minCount: Long = 3L, topK: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val lnScale = 1048576.0d
+    def lnq(c: Column): Column =
+      round(log(c.cast("double")) * lnScale).cast("long")
+    val ws = df
+      .select(filter(Dedup.tokens(col(textCol)), w => length(w) > 0).as("ws"))
+    val bigrams = ws.filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true) // feeds the N aggregate AND the output
+    val nTotal = bigrams.agg(sum("c12")).collect().head.getLong(0)
+    val unigrams = ws.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // JVM Math.log == Spark SQL log == DuckDB ln on these inputs (the
+    // library-wide ln-parity convention the LM scorers established)
+    val lnNq = math.round(math.log(nTotal.toDouble) * lnScale)
+    bigrams.filter(col("c12") >= minCount)
+      .join(broadcast(unigrams.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
+      .join(broadcast(unigrams.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        (lnq(col("c12")) + lit(lnNq) - lnq(col("c1")) - lnq(col("c2")))
+          .as("pmi_q"))
+      .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Per-document character-distribution entropy (nats) — the cheap
+    * randomness/quality signal that separates natural prose from
+    * base64 blobs, minified code and key-mash spam (prose sits near
+    * the language's characteristic ~3 nats; uniform-alphabet noise
+    * pushes toward ln(alphabet)): `H = Σ_c p_c·ln(1/p_c)` over the
+    * document's characters, each term quantized to a 2⁻²⁰ BIGINT
+    * before the sum (order-free, engine-exact — every term is
+    * non-negative so half-up rounding agrees everywhere).
+    *
+    * 100 TB shape: ZERO shuffle — the per-document character
+    * histogram is computed IN-ROW over the bounded distinct-character
+    * set (`array_distinct` + per-char `filter` counts, O(distinct ×
+    * len) inside one codegen'd projection), never exploded to a
+    * row-per-character shuffle. Documents with no characters are
+    * omitted (entropy of nothing is undefined, not zero). Returns
+    * `idCol, n_chars, n_distinct_chars, entropy_q`. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lnScale = 1048576.0d
+    val base = df
+      .withColumn("__cs", filter(split(col(textCol), ""), c => length(c) > 0))
+      .withColumn("__n", size(col("__cs")))
+      .filter(col("__n") > 0)
+      .withColumn("__ds", array_distinct(col("__cs")))
+    val termFor = (d: Column, cs: Column, n: Column) => {
+      val c = size(filter(cs, x => x === d)).cast("double")
+      val nD = n.cast("double")
+      round((c / nD) * log(nD / c) * lit(lnScale)).cast("long")
+    }
+    base
+      .withColumn("entropy_q",
+        aggregate(
+          transform(col("__ds"), d => termFor(d, col("__cs"), col("__n"))),
+          lit(0L), (acc, x) => acc + x))
+      .select(col(idCol), col("__n").cast("long").as("n_chars"),
+        size(col("__ds")).cast("long").as("n_distinct_chars"),
+        col("entropy_q"))
   }
 }

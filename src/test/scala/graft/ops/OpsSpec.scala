@@ -3872,4 +3872,129 @@ class OpsSpec extends SparkSpec {
     assert(out(2L)._2 == 0L && out(2L)._3 == 0.0)
     assert(out(3L)._1 == 0L && out(3L)._3.isNaN)
   }
+
+  test("bpeDecodeIds inverts bpeTokenIds exactly; unknown ids go NULL") {
+    val vocab = graft.plans.BpeVocab(Seq(("h", "e"), ("l", "l"), ("he", "ll")))
+    val texts = Seq(
+      "hello world",
+      "it's a hell of a day, isn't it?",
+      "  leading and trailing  ",
+      "tabs\tand\nnewlines\r\nmixed",
+      "umlauts hällo wörld größe",
+      "日本語テキスト",
+      "mixed 123   bytes ©®",
+      "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val out = df
+      .withColumn("ids", TextAnalysis.bpeTokenIds(col("t"), vocab))
+      .withColumn("back", TextAnalysis.bpeDecodeIds(col("ids"), vocab))
+      .select("id", "t", "back").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    texts.indices.foreach { i =>
+      assert(out(i.toLong)._2 == out(i.toLong)._1,
+        s"round-trip broke on '${texts(i)}': got '${out(i.toLong)._2}'")
+    }
+    // an id outside the table nulls the row rather than dropping a token
+    val bad = Seq(Seq(0, 999999)).toDF("ids")
+      .select(TextAnalysis.bpeDecodeIds(col("ids"), vocab).as("back"))
+      .collect().head
+    assert(bad.isNullAt(0))
+    // char-level vocabularies are refused
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeDecodeIds(col("ids"),
+        graft.plans.BpeVocab(Seq(("a", "b")), byteLevel = false))
+    }
+  }
+
+  test("pmiCollocations: quantized-log PMI, min count, bigram windows per doc") {
+    def lnq(x: Long): Long = math.round(math.log(x.toDouble) * 1048576.0)
+    val d = Seq(
+      (0L, "strong coffee strong coffee"),
+      (1L, "strong coffee and weak tea"),
+      (2L, "tea and coffee"),
+      (3L, "one"), // single-token doc: unigram counts, no bigram
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(d, "text", minCount = 2L, topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // bigrams: (strong,coffee)x3, (coffee,strong)x1, (coffee,and)x1,
+    // (and,weak)x1, (weak,tea)x1, (tea,and)x1, (and,coffee)x1 -> N=9
+    // minCount=2 keeps only (strong,coffee)
+    assert(out.keySet == Set(("strong", "coffee")))
+    val (c12, c1, c2, pmiQ) = out(("strong", "coffee"))
+    assert((c12, c1, c2) == ((3L, 3L, 4L)))
+    assert(pmiQ == lnq(3) + lnq(9) - lnq(3) - lnq(4))
+  }
+
+  test("charEntropy: in-row per-term-quantized entropy, empty/null docs omitted") {
+    def termQ(c: Long, n: Long): Long =
+      math.round((c.toDouble / n.toDouble) *
+        math.log(n.toDouble / c.toDouble) * 1048576.0)
+    val d = Seq((0L, "aab"), (1L, "ab"), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "zzzz")).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 4L)) // empty and null docs omitted
+    assert(out(0L) == ((3L, 2L, termQ(2, 3) + termQ(1, 3))))
+    assert(out(1L) == ((2L, 2L, termQ(1, 2) + termQ(1, 2)))) // = ln 2
+    assert(out(4L) == ((4L, 1L, 0L))) // single-char doc: zero entropy
+  }
+
+  test("centroidClassify: exact-mean prototypes, argmax cosine, ties to lowest label") {
+    val train = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.0f, 1.0f), 1), (3L, Seq(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val score = Seq(
+      (10L, Seq(0.8f, 0.2f)), // class-0 side
+      (11L, Seq(0.2f, 0.8f)), // class-1 side
+      (12L, Seq(0.5f, 0.5f))) // symmetric: equal cosine, tie -> label 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.centroidClassify(
+      train, score, "embedding", "vec_id", "label", dim = 2)
+      .select("vec_id", "pred_label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 0L, 11L -> 1L, 12L -> 0L))
+    // empty train split fails loudly
+    intercept[IllegalArgumentException] {
+      Similarity.centroidClassify(train.filter(col("vec_id") < 0), score,
+        "embedding", "vec_id", "label", dim = 2)
+    }
+  }
+
+  test("tokenBudgetSelect: whole bins best-first, id-ordered prefix in the boundary bin") {
+    val d = Seq(
+      // bin 9 (quality .95): 12 tokens total - fits whole
+      (1L, 0.95, 7L), (2L, 0.96, 5L),
+      // bin 5 (quality .55): boundary under budget 19 (rem = 7)
+      (3L, 0.55, 5L), (4L, 0.55, 10L), (5L, 0.57, 2L),
+      // bin 1: below the boundary, never selected
+      (6L, 0.15, 1L))
+      .toDF("doc_id", "quality", "tokens")
+      .unionByName(Seq((7L, Double.NaN, 3L)).toDF("doc_id", "quality", "tokens")
+        .withColumn("quality",
+          when(isnan(col("quality")), lit(null)).otherwise(col("quality"))))
+    val out = Sampling.tokenBudgetSelect(
+      d, "doc_id", "quality", "tokens", budget = 19L, bins = 10)
+      .select("doc_id", "budget_bin", "selected").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -99L else r.getLong(1)), r.getBoolean(2))).toMap
+    assert(out(1L) == ((9L, true)) && out(2L) == ((9L, true)))
+    // boundary bin 5, rem = 19 - 12 = 7: prefix by id -> doc 3 (cum 5)
+    // selects, doc 4 (cum 15) overflows, doc 5 (cum 17) stays blocked
+    // even though its own 2 tokens would fit - the prefix rule
+    assert(out(3L) == ((5L, true)))
+    assert(out(4L) == ((5L, false)) && out(5L) == ((5L, false)))
+    assert(out(6L) == ((1L, false)))
+    assert(out(7L) == ((-99L, false))) // NULL quality never selects
+    // everything fits -> no boundary, all non-null bins select
+    val all = Sampling.tokenBudgetSelect(
+      d, "doc_id", "quality", "tokens", budget = 1000L, bins = 10)
+      .select("doc_id", "selected").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(all.filter(_._1 != 7L).values.forall(identity) && !all(7L))
+  }
 }
