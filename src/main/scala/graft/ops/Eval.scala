@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classifier evaluation — the confusion-matrix report that closes the
+  * model-evaluation family ([[NbClassifier.reliabilityReport]] covers
+  * calibration, its selective-prediction curve coverage/accuracy
+  * trade-offs; this is the per-class quality card a gate decision
+  * reads): exact per-(truth, pred) counts, then per-class true
+  * positives, false positives, false negatives, support, and the
+  * derived precision / recall / F1.
+  *
+  * 100 TB shape: ONE (truth, pred)-keyed aggregate over the scored
+  * corpus — bounded by classes² — then everything else is arithmetic
+  * on that tiny table (two re-aggregations + outer joins, all
+  * class-count-sized). Ratios are computed from the exact BIGINT
+  * counts with plain IEEE division, so any engine re-derives them
+  * bit-identically; classes absent from one side (never predicted /
+  * never true) appear with zero counts rather than vanishing.
+  */
+object Eval {
+
+  /** Per-class confusion report. `truthCol`/`predCol` may be any
+    * equality-comparable type; NULL truth or pred rows are counted
+    * into the grid like any other value (a NULL prediction is a real
+    * outcome worth seeing) but form their own class row. Returns
+    * `(label, tp, fp, fn, support, n_pred, precision, recall, f1)`
+    * with NULL ratios where the denominator is zero. */
+  def confusion(df: DataFrame, truthCol: String, predCol: String): DataFrame = {
+    val cm = df
+      .groupBy(col(truthCol).cast("string").as("truth"),
+        col(predCol).cast("string").as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // classes^2-bounded; feeds three aggregates
+    val byTruth = cm.groupBy(col("truth").as("label"))
+      .agg(sum("n").as("support"))
+    val byPred = cm.groupBy(col("pred").as("label"))
+      .agg(sum("n").as("n_pred"))
+    val tp = cm.filter(col("truth") <=> col("pred"))
+      .select(col("truth").as("label"), col("n").as("tp0"))
+    val base = byTruth
+      .join(byPred, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("tp0"), lit(0L)).as("tp"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("support"), lit(0L)).as("support"))
+    base.select(col("label"), col("tp"),
+      (col("n_pred") - col("tp")).as("fp"),
+      (col("support") - col("tp")).as("fn"),
+      col("support"), col("n_pred"),
+      when(col("n_pred") > 0,
+        col("tp").cast("double") / col("n_pred").cast("double")).as("precision"),
+      when(col("support") > 0,
+        col("tp").cast("double") / col("support").cast("double")).as("recall"),
+      when(col("n_pred") > 0 && col("support") > 0 && col("tp") > 0,
+        lit(2.0) * (col("tp").cast("double") / col("n_pred").cast("double"))
+          * (col("tp").cast("double") / col("support").cast("double"))
+          / ((col("tp").cast("double") / col("n_pred").cast("double"))
+            + (col("tp").cast("double") / col("support").cast("double"))))
+        .otherwise(when(col("n_pred") > 0 && col("support") > 0, lit(0.0)))
+        .as("f1"))
+  }
+}

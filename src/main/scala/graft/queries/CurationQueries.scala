@@ -2489,9 +2489,93 @@ object CurationQueries {
       FROM thr, total ORDER BY min_margin_nats"""),
     bench = true)
 
+  /** BPE decode round-trip (library `TextAnalysis.bpeDecodeIds` — the
+    * exact inverse of q113's id tokenization, the lossless property a
+    * training dataloader relies on): every document is encoded to ids
+    * under the fixture table and decoded BACK (id table → alphabet
+    * chars → UTF-8 bytes → text), and the oracle hash-checks the md5
+    * of every DECODED document against DuckDB's md5 of the RAW text —
+    * any lost byte anywhere in either direction breaks the hash. The
+    * `roundtrip_ok` flag must come back TRUE for every row (the
+    * byte-level pre-tokenizer covers every character, so the inverse
+    * is total). */
+  val q132 = QueryDef(
+    "q132_bpe_decode",
+    (s, dir) => {
+      val vocab = graft.plans.BpeVocab(FixtureMerges, byteLevel = true)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          graft.ops.TextAnalysis.bpeDecodeIds(
+            graft.ops.TextAnalysis.bpeTokenIds(col("text"), vocab), vocab)
+            .as("decoded"))
+        .select(col("doc_id"), md5(col("decoded")).as("decoded_md5"),
+          (col("decoded") <=> col("text")).as("roundtrip_ok"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""SELECT doc_id, md5(text) AS decoded_md5, TRUE AS roundtrip_ok
+      FROM documents ORDER BY doc_id"""),
+    bench = true)
+
+  /** Budget-constrained quality selection (library
+    * `Sampling.tokenBudgetSelect` — "take the best documents until the
+    * token budget is spent", the step that turns a scored corpus into
+    * a fixed-size training set): quality = alphabetic-character
+    * fraction quantized to 256 bins, tokens = whitespace token count,
+    * budget 12 000 tokens. The library finds the boundary bin with a
+    * bounded histogram + driver walk (no global sort); the oracle
+    * re-derives the histogram, the boundary bin, its remaining budget
+    * and the id-ordered prefix INSIDE the boundary bin relationally —
+    * every document's bin and selection flag is hash-checked. */
+  val q136 = QueryDef(
+    "q136_token_budget_select",
+    (s, dir) => {
+      val scored = t(s, dir, "documents")
+        .withColumn("tokens", when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(split(trim(lower(col("text"))), "\\s+")).cast("long")))
+        .withColumn("quality", when(length(col("text")) > 0,
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("double")
+            / length(col("text")).cast("double")))
+      graft.ops.Sampling.tokenBudgetSelect(
+          scored, "doc_id", "quality", "tokens", budget = 12000L, bins = 256)
+        .select(col("doc_id"), col("tokens"), col("budget_bin"), col("selected"))
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH d AS MATERIALIZED (
+        SELECT doc_id,
+          CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'))
+          END AS tokens,
+          CASE WHEN length(text) > 0 THEN
+            CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+              AS DOUBLE) / CAST(length(text) AS DOUBLE)
+          END AS q
+        FROM documents),
+      b AS MATERIALIZED (
+        SELECT doc_id, tokens,
+          CASE WHEN q IS NULL THEN NULL
+               ELSE CAST(greatest(least(floor(q * 256), 255.0), 0.0) AS BIGINT)
+          END AS bin
+        FROM d),
+      h AS (SELECT bin, sum(tokens) AS ts FROM b WHERE bin IS NOT NULL GROUP BY bin),
+      c AS (SELECT bin, ts, sum(ts) OVER (ORDER BY bin DESC) AS cumts FROM h),
+      bd AS (SELECT max(bin) AS bstar FROM c WHERE cumts > 12000),
+      rr AS (SELECT coalesce((SELECT bstar FROM bd), -1) AS bstar,
+               coalesce((SELECT 12000 - (cumts - ts) FROM c
+                         WHERE bin = (SELECT bstar FROM bd)), 0) AS rem)
+      SELECT b.doc_id, CAST(b.tokens AS BIGINT) AS tokens, b.bin AS budget_bin,
+        CASE WHEN b.bin IS NULL THEN FALSE
+             WHEN b.bin > r.bstar THEN TRUE
+             WHEN b.bin = r.bstar
+               AND sum(b.tokens) OVER (PARTITION BY b.bin ORDER BY b.doc_id)
+                     <= r.rem THEN TRUE
+             ELSE FALSE END AS selected
+      FROM b, rr r ORDER BY doc_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
-      q128, q130)
+      q128, q130, q132, q136)
 }

@@ -749,7 +749,119 @@ object EmbeddingQueries {
     },
     bench = true)
 
+  /** Nearest-class-mean classification (library
+    * `Similarity.centroidClassify` — the cheap embedding-space
+    * domain/quality gate; q81's NB classifier is its text-feature
+    * sibling): per-label EXACT-integer-mean prototypes trained on the
+    * `vec_id % 5 <> 0` split (the q63 `exactMean` discipline, so the
+    * model is re-derivable relationally), every held-out vector
+    * assigned its argmax-cosine prototype, ties to the lowest label.
+    * The oracle rebuilds the 10 prototypes from the same quantized
+    * sums and replays the cosine argmax — every held-out vector's
+    * prediction, cosine and correctness flag are hash-checked. */
+  /** Shared q135/q137 oracle CTE block: exact-integer-mean prototypes
+    * from the `vec_id % 5 <> 0` split, cosine argmax over the held-out
+    * rows, ending in a `pr` CTE of per-vector (label, pred). */
+  private val protoCtesDuck: String = {
+    val elem: (String, Int) => String = duckElem
+    val sums = (0 until Dim).map(j =>
+      s"sum(CAST(round(${elem("embedding", j + 1)} * 1048576.0) AS BIGINT)) AS s$j")
+      .mkString(", ")
+    val coords = (0 until Dim).map(j => s"CAST(s$j AS DOUBLE) / n / 1048576.0")
+      .mkString(", ")
+    s"""tr AS MATERIALIZED (
+        SELECT CAST(label AS BIGINT) AS lbl, embedding
+        FROM embeddings WHERE vec_id % 5 <> 0),
+      g AS MATERIALIZED (
+        SELECT lbl, count(*) AS n, $sums FROM tr GROUP BY lbl),
+      cent AS MATERIALIZED (SELECT lbl, [$coords] AS cv FROM g),
+      sc AS (
+        SELECT e.vec_id, CAST(e.label AS INT) AS label, c.lbl,
+          (${dotSum(elem, "e.embedding", "c.cv")})
+            / (sqrt(${dotSum(elem, "e.embedding", "e.embedding")})
+               * sqrt(${dotSum(elem, "c.cv", "c.cv")})) AS sim
+        FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 5 = 0),
+      rk AS (
+        SELECT vec_id, label, lbl, sim,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, lbl ASC) AS rn
+        FROM sc),
+      pr AS MATERIALIZED (
+        SELECT vec_id, label, CAST(lbl AS BIGINT) AS pred_label, sim
+        FROM rk WHERE rn = 1)"""
+  }
+
+  val q135 = QueryDef(
+    "q135_centroid_classify",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.centroidClassify(
+          emb.filter(col("vec_id") % 5 =!= 0), emb.filter(col("vec_id") % 5 === 0),
+          "embedding", "vec_id", "label", dim = Dim)
+        .select(col("vec_id"), col("label"), col("pred_label"),
+          round(col("pred_cosine"), 6).as("pred_cosine"),
+          (col("pred_label") === col("label")).as("correct"))
+        .oracleOrderBy("vec_id")
+    },
+    Some(s"""WITH $protoCtesDuck
+      SELECT vec_id, label, pred_label,
+        round(sim, 6) AS pred_cosine, (pred_label = label) AS correct
+      FROM pr ORDER BY vec_id"""),
+    bench = true)
+
+  /** Per-class confusion report over the q135 predictions (library
+    * `Eval.confusion` — the per-class quality card that closes the
+    * evaluation family next to q124's calibration and q125's
+    * selective-prediction curve): exact per-(truth, pred) counts fold
+    * to per-class tp/fp/fn/support and the derived precision, recall
+    * and F1 — classes never predicted (or never true) keep zero-count
+    * rows instead of vanishing. The oracle replays the q135 prototype
+    * chain into the same grid arithmetic. */
+  val q137 = QueryDef(
+    "q137_confusion_matrix",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val preds = graft.ops.Similarity.centroidClassify(
+        emb.filter(col("vec_id") % 5 =!= 0), emb.filter(col("vec_id") % 5 === 0),
+        "embedding", "vec_id", "label", dim = Dim)
+      graft.ops.Eval.confusion(preds, "label", "pred_label")
+        .select(col("label"), col("tp"), col("fp"), col("fn"),
+          col("support"), col("n_pred"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"))
+        .oracleOrderBy("label")
+    },
+    Some(s"""WITH $protoCtesDuck,
+      cm AS MATERIALIZED (
+        SELECT CAST(label AS VARCHAR) AS truth, CAST(pred_label AS VARCHAR) AS pred,
+          count(*) AS n
+        FROM pr GROUP BY 1, 2),
+      bt AS (SELECT truth AS label, sum(n) AS support FROM cm GROUP BY 1),
+      bp AS (SELECT pred AS label, sum(n) AS n_pred FROM cm GROUP BY 1),
+      tp AS (SELECT truth AS label, n AS tp0 FROM cm WHERE truth = pred),
+      base AS (
+        SELECT coalesce(bt.label, bp.label) AS label,
+          CAST(coalesce(tp.tp0, 0) AS BIGINT) AS tp,
+          CAST(coalesce(bp.n_pred, 0) AS BIGINT) AS n_pred,
+          CAST(coalesce(bt.support, 0) AS BIGINT) AS support
+        FROM bt FULL OUTER JOIN bp ON bt.label = bp.label
+        LEFT JOIN tp ON tp.label = coalesce(bt.label, bp.label))
+      SELECT label, tp, n_pred - tp AS fp, support - tp AS fn, support, n_pred,
+        CASE WHEN n_pred > 0
+          THEN round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END AS precision,
+        CASE WHEN support > 0
+          THEN round(CAST(tp AS DOUBLE) / CAST(support AS DOUBLE), 6) END AS recall,
+        CASE WHEN n_pred > 0 AND support > 0 AND tp > 0
+          THEN round(2.0 * (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+            * (CAST(tp AS DOUBLE) / CAST(support AS DOUBLE))
+            / ((CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+               + (CAST(tp AS DOUBLE) / CAST(support AS DOUBLE))), 6)
+          WHEN n_pred > 0 AND support > 0 THEN 0.0 END AS f1
+      FROM base ORDER BY label"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89, q92, q93, q129,
-      q131)
+      q131, q135, q137)
 }

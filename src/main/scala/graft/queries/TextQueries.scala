@@ -1154,8 +1154,78 @@ object TextQueries {
       FROM ch, n"""),
     bench = true)
 
+  /** Top collocations by pointwise mutual information (library
+    * `TextAnalysis.pmiCollocations` — multiword-expression mining /
+    * tokenizer merge candidates): adjacent-word pairs with count >= 3,
+    * `pmi_q = lnq(c12)+lnq(N)-lnq(c1)-lnq(c2)` as per-count 2⁻²⁰
+    * quantized logs (order-free BIGINT arithmetic, the library's
+    * ln-parity convention), top 50 by `(pmi_q desc, w1, w2)`. The
+    * oracle re-derives both count tables, the N normalizer and every
+    * quantized-log sum. */
+  val q133 = QueryDef(
+    "q133_pmi_collocations",
+    (s, dir) => {
+      graft.ops.TextAnalysis.pmiCollocations(
+        t(s, dir, "documents"), "text", minCount = 3L, topK = 50)
+        .oracleOrderBy("w1", "w2")
+    },
+    Some("""WITH tk AS MATERIALIZED (
+        SELECT list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
+                 w -> len(w) > 0) AS ws
+        FROM documents),
+      bg AS MATERIALIZED (
+        SELECT s['w1'] AS w1, s['w2'] AS w2, count(*) AS c12 FROM (
+          SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+            i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS s
+          FROM tk WHERE len(ws) >= 2) u
+        GROUP BY 1, 2),
+      un AS MATERIALIZED (
+        SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM tk) u GROUP BY w),
+      nn AS (SELECT CAST(round(ln(CAST(sum(c12) AS DOUBLE)) * 1048576.0) AS BIGINT)
+               AS lnn FROM bg),
+      j AS (
+        SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS c12,
+          CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2,
+          CAST(round(ln(CAST(b.c12 AS DOUBLE)) * 1048576.0) AS BIGINT) + nn.lnn
+            - CAST(round(ln(CAST(u1.c AS DOUBLE)) * 1048576.0) AS BIGINT)
+            - CAST(round(ln(CAST(u2.c AS DOUBLE)) * 1048576.0) AS BIGINT) AS pmi_q
+        FROM bg b JOIN un u1 ON u1.w = b.w1 JOIN un u2 ON u2.w = b.w2 CROSS JOIN nn
+        WHERE b.c12 >= 3)
+      SELECT w1, w2, c12, c1, c2, pmi_q FROM j
+      ORDER BY pmi_q DESC, w1, w2 LIMIT 50"""),
+    bench = true)
+
+  /** Per-document character entropy (library `TextAnalysis.charEntropy`
+    * — the cheap randomness signal that separates prose from base64 /
+    * key-mash noise): `H = Σ p·ln(1/p)` over each document's
+    * characters, per-term 2⁻²⁰ quantized. The Spark side computes the
+    * histogram IN-ROW over the distinct-character set (zero shuffle);
+    * the oracle replays the identical per-term arithmetic with list
+    * lambdas. Empty/null docs are omitted by contract. */
+  val q134 = QueryDef(
+    "q134_char_entropy",
+    (s, dir) => {
+      graft.ops.TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH cs AS MATERIALIZED (
+        SELECT doc_id, list_filter(string_split(text, ''), c -> len(c) > 0) AS cs
+        FROM documents),
+      t AS (SELECT doc_id, cs, len(cs) AS n, list_distinct(cs) AS ds
+            FROM cs WHERE len(cs) > 0)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        CAST(len(ds) AS BIGINT) AS n_distinct_chars,
+        CAST(list_sum(list_transform(ds, d ->
+          CAST(round((CAST(len(list_filter(cs, x -> x = d)) AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+            * ln(CAST(n AS DOUBLE)
+                   / CAST(len(list_filter(cs, x -> x = d)) AS DOUBLE))
+            * 1048576.0) AS BIGINT))) AS BIGINT) AS entropy_q
+      FROM t ORDER BY doc_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61, q62,
       q65, q66, q67, q68, q77, q84, q91, q103, q104, q106, q107, q108, q115,
-      q120, q121)
+      q120, q121, q133, q134)
 }

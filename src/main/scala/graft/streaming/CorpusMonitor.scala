@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ingest health monitoring over an unbounded document stream — the
+  * canonical watermark + windowed-aggregation form ([[StreamingDedup]]
+  * and [[AnnIngest]] cover dedup/index maintenance; this is the
+  * dashboard feed an ingest pipeline alarms on): per event-time
+  * window and source, the document count, byte volume, mean quality
+  * proxy and null-text count, finalized exactly once per window when
+  * the watermark passes (Append mode — a closed window's row is an
+  * immutable fact, the same contract as the dedup verdicts).
+  *
+  * 100 TB shape: the state store holds one partial aggregate per open
+  * (window, source) pair — source-cardinality × a handful of open
+  * windows, independent of document volume — and the watermark bounds
+  * it by construction: closed windows leave the store. The quality
+  * proxy (alphabetic-character fraction) is a narrow codegen'd
+  * expression computed BEFORE the aggregation, so the only shuffle is
+  * the windowed groupBy itself.
+  *
+  * Alerting composes batch-side: [[alerts]] joins finalized windows
+  * against a broadcast per-source baseline profile (expected share
+  * and quality floor, a dimension table) and flags deviations — run
+  * it inside `foreachBatch` on this monitor's output, or over the
+  * persisted window table.
+  */
+object CorpusMonitor {
+
+  /** Alphabetic-character fraction — the same cheap quality proxy the
+    * q136 budget selection ranks by; NULL for null/empty text. */
+  private def alphaFrac(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[A-Za-z]", ""))).cast("double")
+        / length(text).cast("double"))
+
+  /** Watermarked per-(window, source) ingest statistics. `docs` must
+    * carry `tsCol` (timestamp), `sourceCol`, `textCol`. Emits one row
+    * per finalized window in Append mode:
+    * `(window_start, window_end, source, n_docs, n_bytes, n_null_text,
+    * mean_quality)`. The mean is exact from two aggregates (quality
+    * sum is plain double addition — monitoring tolerance, not an
+    * oracle surface). */
+  def windowedStats(
+      docs: DataFrame, tsCol: String, sourceCol: String, textCol: String,
+      windowDuration: String = "1 minute",
+      watermarkDelay: String = "2 minutes"): DataFrame = {
+    docs
+      .withColumn("__q", alphaFrac(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(octet_length(col(textCol)).cast("long")), lit(0L))
+          .as("n_bytes"),
+        sum(when(col(textCol).isNull, 1L).otherwise(0L)).as("n_null_text"),
+        avg(col("__q")).as("mean_quality"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("source"), col("n_docs"), col("n_bytes"), col("n_null_text"),
+        col("mean_quality"))
+  }
+
+  /** Flag finalized windows that deviate from a per-source baseline.
+    * `baseline` is a dimension table `(source, expected_share,
+    * min_quality)`; per window, a source alarms when its document
+    * share drops below `shareTolerance × expected_share`, when its
+    * mean quality falls under `min_quality`, or when the source is
+    * missing from the baseline entirely (an unregistered feed is its
+    * own alarm). Broadcast join — the baseline is driver-sized. */
+  def alerts(
+      stats: DataFrame, baseline: DataFrame,
+      shareTolerance: Double = 0.5): DataFrame = {
+    require(shareTolerance > 0.0 && shareTolerance <= 1.0,
+      s"shareTolerance out of (0,1]: $shareTolerance")
+    val totals = stats.groupBy("window_start", "window_end")
+      .agg(sum("n_docs").as("__total"))
+    stats
+      .join(totals, Seq("window_start", "window_end"))
+      .join(broadcast(baseline), Seq("source"), "left")
+      .withColumn("share",
+        col("n_docs").cast("double") / col("__total").cast("double"))
+      .withColumn("unknown_source", col("expected_share").isNull)
+      .withColumn("share_alarm",
+        col("expected_share").isNotNull &&
+          col("share") < col("expected_share") * shareTolerance)
+      .withColumn("quality_alarm",
+        col("min_quality").isNotNull &&
+          (col("mean_quality").isNull || col("mean_quality") < col("min_quality")))
+      .withColumn("alarm",
+        col("unknown_source") || col("share_alarm") || col("quality_alarm"))
+      .drop("__total")
+  }
+}

@@ -212,6 +212,29 @@ object CurationDemo {
         .filter(col("mix_kept") === 1)
         .select("doc_id", "source", "text")
     }
+    // 13b: token-budget cap — "best documents until the budget is
+    // spent": rank by character-entropy quality (normalized into
+    // [0,1] against a 5-nat ceiling) and keep the top tiers up to 90%
+    // of the surviving whitespace tokens, boundary tier filled by the
+    // id-ordered prefix (bounded histogram + driver cutoff — no
+    // global sort; see Sampling.tokenBudgetSelect)
+    stage("budget-select") { d =>
+      val scored = TextAnalysis.charEntropy(d, "doc_id", "text")
+        .select(col("doc_id"), (least(col("entropy_q").cast("double")
+          / lit(5.0 * 1048576.0), lit(1.0))).as("quality"))
+      val withTok = d
+        .join(scored, Seq("doc_id"), "left")
+        .withColumn("tokens", when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")))
+        // three passes read this frame (budget total, bin histogram,
+        // output) — materialize the entropy+join lineage once
+        .localCheckpoint(true)
+      val budget = withTok.agg(sum("tokens")).collect().head.getLong(0) * 90L / 100L
+      Sampling.tokenBudgetSelect(withTok, "doc_id", "quality", "tokens",
+          budget = budget, bins = 512)
+        .filter(col("selected"))
+        .select("doc_id", "source", "text")
+    }
     // 14: deterministic split
     stage("split") { d =>
       Sampling.assignSplit(d, "doc_id",
@@ -239,6 +262,15 @@ object CurationDemo {
     }
     println(f"[curate]   learned ${trainedVocab.get.merges.size}%d BPE merges " +
       "from the train split")
+    // decode audit: the id stream must invert losslessly under the
+    // trained table before anything downstream trusts it
+    locally {
+      val bad = df.filter(!(TextAnalysis.bpeDecodeIds(
+          TextAnalysis.bpeTokenIds(col("text"), trainedVocab.get),
+          trainedVocab.get) <=> col("text"))).count()
+      require(bad == 0L, s"BPE decode round-trip broke on $bad documents")
+      println("[curate]   decode round-trip: every document inverts losslessly")
+    }
     // tokenizer card line: fertility + compression under the trained table
     locally {
       val ts = TextAnalysis.tokenizerStats(df, "doc_id", "text", trainedVocab.get)

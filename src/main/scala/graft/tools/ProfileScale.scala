@@ -358,6 +358,24 @@ object ProfileScale {
         ctxLen = 128L, shardCol = "shard_key")
     }
     def q115(d: DataFrame) = TextAnalysis.piiStats(d, "doc_id", "text")
+    def q132(d: DataFrame) = d.select(col("doc_id"),
+      TextAnalysis.bpeDecodeIds(
+        TextAnalysis.bpeTokenIds(col("text"), profileVocab), profileVocab)
+        .as("decoded"))
+    def q135(e: DataFrame) = {
+      val lab = e.withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))
+      Similarity.centroidClassify(
+        lab.filter(col("vec_id") % 5 =!= 0), lab.filter(col("vec_id") % 5 === 0),
+        "embedding", "vec_id", "label", dim = 64)
+    }
+    def q136(d: DataFrame) = graft.ops.Sampling.tokenBudgetSelect(
+      d.withColumn("tokens", when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(split(trim(lower(col("text"))), "\\s+")).cast("long")))
+        .withColumn("quality", when(length(col("text")) > 0,
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("double")
+            / length(col("text")).cast("double"))),
+      "doc_id", "quality", "tokens", budget = 12000L, bins = 256)
     def q116(d: DataFrame) = graft.ops.Sampling.temperatureAllocation(
       d, "text", "shard_key_s", budget = 500000L, tau = 0.7)
 
@@ -483,7 +501,16 @@ object ProfileScale {
       ("q116 temp-alloc", () => q116(docs.withColumn("shard_key_s",
           concat(lit("s"), (graft.ops.Sampling.hashUnit(col("doc_id")) * 16).cast("int")))),
         () => q116(docs10.withColumn("shard_key_s",
-          concat(lit("s"), (graft.ops.Sampling.hashUnit(col("doc_id")) * 16).cast("int"))))))
+          concat(lit("s"), (graft.ops.Sampling.hashUnit(col("doc_id")) * 16).cast("int"))))),
+      ("q132 bpe-decode", () => q132(docs), () => q132(docs10)),
+      ("q133 pmi", () => TextAnalysis.pmiCollocations(docs, "text", 3L, 50),
+        () => TextAnalysis.pmiCollocations(docs10, "text", 3L, 50)),
+      ("q134 entropy", () => TextAnalysis.charEntropy(docs, "doc_id", "text"),
+        () => TextAnalysis.charEntropy(docs10, "doc_id", "text")),
+      ("q135 centroid", () => q135(emb), () => q135(emb10)),
+      ("q136 budget", () => q136(docs), () => q136(docs10)),
+      ("q137 confusion", () => graft.ops.Eval.confusion(q135(emb), "label", "pred_label"),
+        () => graft.ops.Eval.confusion(q135(emb10), "label", "pred_label")))
       // SPARK_GRAFT_SCALE_ONLY=q82,q112 restricts the sweep (label
       // prefix match) — the A/B lever for re-profiling one family
       // after a change without the full multi-minute run. Blank

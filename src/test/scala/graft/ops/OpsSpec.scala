@@ -3965,6 +3965,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Eval.confusion: zero-count classes survive, exact grid arithmetic") {
+    val preds = Seq(
+      ("a", "a"), ("a", "b"), ("a", "x"),
+      ("b", "b"), ("b", "b"), ("c", "b"))
+      .toDF("truth", "pred")
+    val out = Eval.confusion(preds, "truth", "pred")
+      .collect().map { r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) null else r.getDouble(6),
+          if (r.isNullAt(7)) null else r.getDouble(7),
+          if (r.isNullAt(8)) null else r.getDouble(8)))
+      }.toMap
+    assert(out.keySet == Set("a", "b", "c", "x"))
+    //                 tp  fp  fn  sup npred precision recall    f1
+    assert(out("a") == ((1L, 0L, 2L, 3L, 1L, 1.0, 1.0 / 3.0, 0.5)))
+    assert(out("b") == ((2L, 2L, 0L, 2L, 4L, 0.5, 1.0, 2.0 / 3.0)))
+    assert(out("c") == ((0L, 0L, 1L, 1L, 0L, null, 0.0, null))) // never predicted
+    assert(out("x") == ((0L, 1L, 0L, 0L, 1L, 0.0, null, null))) // never true
+  }
+
   test("tokenBudgetSelect: whole bins best-first, id-ordered prefix in the boundary bin") {
     val d = Seq(
       // bin 9 (quality .95): 12 tokens total - fits whole

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusMonitorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Doc(ts: Timestamp, source: String, text: String)
+  private def at(minute: Int, second: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$second%02d")
+
+  test("windowedStats: windows finalize on watermark with exact counts; late rows drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val stats = CorpusMonitor.windowedStats(
+      input.toDF().toDF("ts", "source", "text"),
+      "ts", "source", "text",
+      windowDuration = "1 minute", watermarkDelay = "1 minute")
+    val q = stats.writeStream.format("memory").queryName("monw")
+      .outputMode("append").start()
+    try {
+      // window [10:00,10:01): two web docs (one null text) + one wiki doc
+      input.addData(
+        (at(0, 10), "web", "aaaa"),
+        (at(0, 20), "web", null),
+        (at(0, 30), "wiki", "bb cc"))
+      q.processAllAvailable()
+      // advance event time far enough to close the first window
+      // (watermark = max ts - 1 min >= 10:01)
+      input.addData((at(3), "web", "later doc"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT source, n_docs, n_bytes, n_null_text, mean_quality FROM monw " +
+          "WHERE window_start = timestamp'2024-01-01 10:00:00'")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+      assert(rows.keySet == Set("web", "wiki"))
+      assert(rows("web")._1 == 2L && rows("web")._2 == 4L && rows("web")._3 == 1L)
+      assert(rows("web")._4 == 1.0) // the null-text doc doesn't drag the mean
+      assert(rows("wiki") == ((1L, 5L, 0L, 0.8))) // "bb cc": 4 alpha / 5 chars
+      // a LATE row for the closed window is dropped by the watermark:
+      // the finalized counts never change
+      input.addData((at(0, 40), "web", "too late"))
+      q.processAllAvailable()
+      input.addData((at(6), "web", "push watermark further"))
+      q.processAllAvailable()
+      val webDocs = spark.sql(
+        "SELECT n_docs FROM monw WHERE window_start = timestamp'2024-01-01 10:00:00' " +
+          "AND source = 'web'").collect().map(_.getLong(0)).toSeq
+      assert(webDocs == Seq(2L), s"late row leaked into a finalized window: $webDocs")
+    } finally q.stop()
+  }
+
+  test("alerts: share drop, quality floor, unknown source") {
+    val stats = Seq(
+      // window A: web 8 docs (share .8, quality .9), wiki 2 (share .2, quality .5)
+      (at(0), at(1), "web", 8L, 100L, 0L, 0.9),
+      (at(0), at(1), "wiki", 2L, 50L, 0L, 0.5),
+      // window B: web collapses to 1 of 10 (share .1 < .5*.6) and a
+      // source nobody registered shows up
+      (at(1), at(2), "web", 1L, 10L, 0L, 0.9),
+      (at(1), at(2), "wiki", 4L, 40L, 0L, 0.55),
+      (at(1), at(2), "mystery", 5L, 50L, 0L, 0.2))
+      .toDF("window_start", "window_end", "source", "n_docs", "n_bytes",
+        "n_null_text", "mean_quality")
+    val baseline = Seq(("web", 0.6, 0.7), ("wiki", 0.4, 0.4))
+      .toDF("source", "expected_share", "min_quality")
+    val out = CorpusMonitor.alerts(stats, baseline, shareTolerance = 0.5)
+      .select(col("window_start"), col("source"), col("unknown_source"),
+        col("share_alarm"), col("quality_alarm"), col("alarm"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    assert(out((at(0), "web")) == ((false, false, false, false)))
+    assert(out((at(0), "wiki")) == ((false, false, false, false)))
+    // window B: web share 0.1 < 0.5*0.6 -> share alarm
+    assert(out((at(1), "web")) == ((false, true, false, true)))
+    // wiki share 0.4 >= 0.2 tolerance, quality .55 >= .4 -> clean
+    assert(out((at(1), "wiki")) == ((false, false, false, false)))
+    // unregistered feed alarms on its own
+    assert(out((at(1), "mystery"))._1 && out((at(1), "mystery"))._4)
+  }
+}
