@@ -1437,32 +1437,19 @@ object TextAnalysis {
     * before the sum (order-free, engine-exact — every term is
     * non-negative so half-up rounding agrees everywhere).
     *
-    * 100 TB shape: ZERO shuffle — the per-document character
-    * histogram is computed IN-ROW over the bounded distinct-character
-    * set (`array_distinct` + per-char `filter` counts, O(distinct ×
-    * len) inside one codegen'd projection), never exploded to a
-    * row-per-character shuffle. Documents with no characters are
-    * omitted (entropy of nothing is undefined, not zero). Returns
-    * `idCol, n_chars, n_distinct_chars, entropy_q`. */
+    * 100 TB shape: ZERO shuffle — ONE native histogram pass per row
+    * ([[graft.plans.CharEntropyStats]]): the expression formulation
+    * (`array_distinct` + per-char `filter` counts) costs O(distinct ×
+    * len) in interpreted lambda evals, ~1 ms/document; the compiled
+    * hash-map pass is the same arithmetic at O(len). Documents with
+    * no characters are omitted (entropy of nothing is undefined, not
+    * zero). Returns `idCol, n_chars, n_distinct_chars, entropy_q`. */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lnScale = 1048576.0d
-    val base = df
-      .withColumn("__cs", filter(split(col(textCol), ""), c => length(c) > 0))
-      .withColumn("__n", size(col("__cs")))
-      .filter(col("__n") > 0)
-      .withColumn("__ds", array_distinct(col("__cs")))
-    val termFor = (d: Column, cs: Column, n: Column) => {
-      val c = size(filter(cs, x => x === d)).cast("double")
-      val nD = n.cast("double")
-      round((c / nD) * log(nD / c) * lit(lnScale)).cast("long")
-    }
-    base
-      .withColumn("entropy_q",
-        aggregate(
-          transform(col("__ds"), d => termFor(d, col("__cs"), col("__n"))),
-          lit(0L), (acc, x) => acc + x))
-      .select(col(idCol), col("__n").cast("long").as("n_chars"),
-        size(col("__ds")).cast("long").as("n_distinct_chars"),
-        col("entropy_q"))
+    graft.plans.CharEntropyStats.register(df.sparkSession)
+    df.withColumn("__st", call_function("graft_char_entropy", col(textCol)))
+      .filter(col("__st").isNotNull)
+      .select(col(idCol), col("__st.n_chars").as("n_chars"),
+        col("__st.n_distinct_chars").as("n_distinct_chars"),
+        col("__st.entropy_q").as("entropy_q"))
   }
 }
