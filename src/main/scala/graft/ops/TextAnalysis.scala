@@ -1428,6 +1428,66 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Greedy bigram-LM rollout — the generation sanity probe run
+    * against a corpus-trained LM (and the cheapest memorization
+    * check: a rollout that reproduces a long corpus passage verbatim
+    * is the signal dedup missed something): train the bigram
+    * maximum-likelihood "next word" table over the corpus, then from
+    * every vocabulary word follow the argmax chain for `steps` steps
+    * (ties to the lexicographically smallest continuation — greedy
+    * decoding is deterministic by contract). A word never seen as a
+    * bigram head dead-ends: its remaining steps stay NULL.
+    *
+    * 100 TB shape: one unigram + one bigram aggregate (both
+    * Zipf-bounded), the vocabulary capped at `maxVocab` by TakeOrdered
+    * (count desc, word — the bigram table then caps at maxVocab², in
+    * practice far sparser), the next-word table a per-head rank
+    * window over the BOUNDED bigram table, and the rollout itself
+    * `steps` chained broadcast joins of that dimension table — no
+    * corpus-sized shuffle anywhere past the two count aggregates.
+    * Returns `(seed, s1..s{steps}, rollout, n_steps)`. */
+  def greedyBigramRollout(
+      df: DataFrame, textCol: String,
+      steps: Int = 4, maxVocab: Int = 1 << 16): DataFrame = {
+    require(steps >= 1 && steps <= 16, s"steps out of [1,16]: $steps")
+    require(maxVocab >= 1 && maxVocab <= (1 << 18),
+      s"maxVocab out of [1,${1 << 18}]: $maxVocab")
+    val ws = df.select(filter(Dedup.tokens(col(textCol)), w => length(w) > 0).as("ws"))
+    val voc = ws.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxVocab)
+      .select("w")
+      .localCheckpoint(true) // vocab-bounded; feeds two joins + the seeds
+    val bg = ws.filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("mp"),
+          element_at(col("ws"), i + 1).as("mc")))).as("b"))
+      .select(col("b.mp"), col("b.mc"))
+      .join(broadcast(voc.select(col("w").as("mp"))), Seq("mp"), "left_semi")
+      .join(broadcast(voc.select(col("w").as("mc"))), Seq("mc"), "left_semi")
+      .groupBy("mp", "mc").agg(count(lit(1)).as("c"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("mp").orderBy(col("c").desc, col("mc"))
+    val next = bg.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") === 1)
+      .select(col("mp"), col("mc").as("__nw"))
+    var cur = voc.select(col("w").as("seed"), col("w").as("__prev"))
+    (1 to steps).foreach { i =>
+      // a fresh aliased copy of the next table per step sidesteps
+      // repeated-self-join attribute ambiguity
+      val ni = next.select(col("mp").as(s"__mp$i"), col("__nw").as(s"s$i"))
+      cur = cur.join(broadcast(ni), cur("__prev") === ni(s"__mp$i"), "left")
+        .drop(s"__mp$i").drop("__prev")
+        .withColumn("__prev", col(s"s$i"))
+    }
+    val stepCols = (1 to steps).map(i => col(s"s$i"))
+    cur.select(col("seed") +: stepCols: _*)
+      .withColumn("rollout",
+        concat_ws(" ", col("seed") +: stepCols: _*))
+      .withColumn("n_steps",
+        stepCols.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _))
+  }
+
   /** Per-document character-distribution entropy (nats) — the cheap
     * randomness/quality signal that separates natural prose from
     * base64 blobs, minified code and key-mash spam (prose sits near

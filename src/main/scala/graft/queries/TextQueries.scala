@@ -1224,8 +1224,63 @@ object TextQueries {
       FROM t ORDER BY doc_id"""),
     bench = true)
 
+  /** Greedy bigram-LM rollout (library
+    * `TextAnalysis.greedyBigramRollout` — the generation sanity probe
+    * and cheapest memorization check against a corpus-trained LM):
+    * the bigram maximum-likelihood next-word table, then every
+    * vocabulary word's 4-step argmax chain, ties to the
+    * lexicographically smallest continuation, dead ends NULL. The
+    * oracle re-derives the vocabulary cap, the count tables, the
+    * per-head rank and all four chained joins. */
+  val q138 = QueryDef(
+    "q138_lm_rollout",
+    (s, dir) => {
+      graft.ops.TextAnalysis.greedyBigramRollout(
+        t(s, dir, "documents"), "text", steps = 4)
+        .oracleOrderBy("seed")
+    },
+    Some("""WITH tk AS MATERIALIZED (
+        SELECT list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
+                 w -> len(w) > 0) AS ws
+        FROM documents),
+      cnt AS MATERIALIZED (
+        SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM tk) u GROUP BY w),
+      voc AS MATERIALIZED (
+        SELECT w FROM (
+          SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rn FROM cnt) rv
+        WHERE rn <= 65536),
+      bg AS MATERIALIZED (
+        SELECT s['mp'] AS mp, s['mc'] AS mc FROM (
+          SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+            i -> {'mp': ws[i], 'mc': ws[i + 1]})) AS s
+          FROM tk WHERE len(ws) >= 2) u),
+      bgv AS (
+        SELECT mp, mc, count(*) AS c FROM bg
+        WHERE mp IN (SELECT w FROM voc) AND mc IN (SELECT w FROM voc)
+        GROUP BY 1, 2),
+      nx AS MATERIALIZED (
+        SELECT mp, mc AS nw FROM (
+          SELECT mp, mc, row_number() OVER (PARTITION BY mp
+            ORDER BY c DESC, mc) AS rn FROM bgv) rb
+        WHERE rn = 1),
+      r AS (
+        SELECT v.w AS seed, n1.nw AS s1, n2.nw AS s2, n3.nw AS s3, n4.nw AS s4
+        FROM voc v
+        LEFT JOIN nx n1 ON n1.mp = v.w
+        LEFT JOIN nx n2 ON n2.mp = n1.nw
+        LEFT JOIN nx n3 ON n3.mp = n2.nw
+        LEFT JOIN nx n4 ON n4.mp = n3.nw)
+      SELECT seed, s1, s2, s3, s4,
+        concat_ws(' ', seed, s1, s2, s3, s4) AS rollout,
+        CAST((CASE WHEN s1 IS NULL THEN 0 ELSE 1 END)
+           + (CASE WHEN s2 IS NULL THEN 0 ELSE 1 END)
+           + (CASE WHEN s3 IS NULL THEN 0 ELSE 1 END)
+           + (CASE WHEN s4 IS NULL THEN 0 ELSE 1 END) AS INT) AS n_steps
+      FROM r ORDER BY seed"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61, q62,
       q65, q66, q67, q68, q77, q84, q91, q103, q104, q106, q107, q108, q115,
-      q120, q121, q133, q134)
+      q120, q121, q133, q134, q138)
 }

@@ -510,7 +510,9 @@ object ProfileScale {
       ("q135 centroid", () => q135(emb), () => q135(emb10)),
       ("q136 budget", () => q136(docs), () => q136(docs10)),
       ("q137 confusion", () => graft.ops.Eval.confusion(q135(emb), "label", "pred_label"),
-        () => graft.ops.Eval.confusion(q135(emb10), "label", "pred_label")))
+        () => graft.ops.Eval.confusion(q135(emb10), "label", "pred_label")),
+      ("q138 rollout", () => TextAnalysis.greedyBigramRollout(docs, "text", steps = 4),
+        () => TextAnalysis.greedyBigramRollout(docs10, "text", steps = 4)))
       // SPARK_GRAFT_SCALE_ONLY=q82,q112 restricts the sweep (label
       // prefix match) — the A/B lever for re-profiling one family
       // after a change without the full multi-minute run. Blank

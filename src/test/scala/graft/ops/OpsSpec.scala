@@ -3965,6 +3965,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("greedyBigramRollout: argmax chain, lexicographic ties, dead ends stay null") {
+    val d = Seq("a b c", "a b d", "b c", "x y", "x z").toDF("text")
+    val out = TextAnalysis.greedyBigramRollout(d, "text", steps = 3)
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)), Option(r.getString(3)),
+          r.getString(4), r.getInt(5)))).toMap
+    assert(out.keySet == Set("a", "b", "c", "d", "x", "y", "z"))
+    // (a,b)=2 so a->b; (b,c)=2 beats (b,d)=1 so b->c; c never heads
+    assert(out("a") == ((Some("b"), Some("c"), None, "a b c", 2)))
+    assert(out("b") == ((Some("c"), None, None, "b c", 1)))
+    assert(out("c") == ((None, None, None, "c", 0)))
+    assert(out("d") == ((None, None, None, "d", 0)))
+    // (x,y) and (x,z) tie at 1 -> lexicographically smallest wins
+    assert(out("x")._1 == Some("y"))
+  }
+
   test("Eval.confusion: zero-count classes survive, exact grid arithmetic") {
     val preds = Seq(
       ("a", "a"), ("a", "b"), ("a", "x"),
