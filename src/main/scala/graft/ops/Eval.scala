@@ -33,15 +33,22 @@ object Eval {
         col(predCol).cast("string").as("pred"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint(true) // classes^2-bounded; feeds three aggregates
-    val byTruth = cm.groupBy(col("truth").as("label"))
+    // null-safe (<=>) join keys throughout: equi-joins on `label` would
+    // never match the NULL class against itself, splitting it into two
+    // half-rows and losing its true positives — the doc promises NULL
+    // truth/pred forms ONE class row like any other value
+    val byTruth = cm.groupBy(col("truth").as("label_t"))
       .agg(sum("n").as("support"))
-    val byPred = cm.groupBy(col("pred").as("label"))
+    val byPred = cm.groupBy(col("pred").as("label_p"))
       .agg(sum("n").as("n_pred"))
     val tp = cm.filter(col("truth") <=> col("pred"))
-      .select(col("truth").as("label"), col("n").as("tp0"))
+      .select(col("truth").as("label_tp"), col("n").as("tp0"))
     val base = byTruth
-      .join(byPred, Seq("label"), "full_outer")
-      .join(tp, Seq("label"), "left")
+      .join(byPred, col("label_t") <=> col("label_p"), "full_outer")
+      .withColumn("label",
+        when(col("label_t").isNotNull || col("support").isNotNull,
+          col("label_t")).otherwise(col("label_p")))
+      .join(tp, col("label") <=> col("label_tp"), "left")
       .select(col("label"),
         coalesce(col("tp0"), lit(0L)).as("tp"),
         coalesce(col("n_pred"), lit(0L)).as("n_pred"),

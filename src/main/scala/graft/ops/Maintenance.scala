@@ -33,16 +33,23 @@ import scala.collection.mutable.ArrayBuffer
 private[graft] object Maintenance {
 
   /** Root-relative paths of every data file under `root`, recursively,
-    * skipping bookkeeping names (`_SUCCESS`, checksums, hidden files). */
+    * skipping bookkeeping entries. The filter applies to EVERY path
+    * component, not just the leaf: a concurrent writer's in-flight
+    * `_temporary/.../part-*.parquet` attempt files have ordinary leaf
+    * names but live under a bookkeeping directory — treating them as
+    * committed data would snapshot partial files (and the fold-in
+    * would rename them into the new tree at `_temporary/...` paths
+    * readers skip). */
   def dataFiles(fs: FileSystem, root: Path): Seq[String] = {
     val qualified = fs.makeQualified(root).toString
     val out = ArrayBuffer.empty[String]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
-      val name = st.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith("."))
-        out += st.getPath.toString.stripPrefix(qualified + "/")
+      val rel = st.getPath.toString.stripPrefix(qualified + "/")
+      val bookkeeping = rel.split('/')
+        .exists(c => c.startsWith("_") || c.startsWith("."))
+      if (!bookkeeping) out += rel
     }
     out.toSeq
   }

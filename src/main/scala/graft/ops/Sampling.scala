@@ -356,11 +356,14 @@ object Sampling {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(bins >= 1 && bins <= MaxBudgetBins,
       s"bins out of [1, $MaxBudgetBins]: $bins")
-    // spelled with an explicit null branch: Spark's least/greatest SKIP
-    // nulls, so least(floor(null * bins), bins-1) would quietly file a
-    // null-quality row into the TOP bin instead of keeping it null
-    val binc = when(col(qualityCol).isNull, lit(null).cast("long"))
-      .otherwise(greatest(least(floor(col(qualityCol) * bins),
+    // spelled with an explicit null/NaN branch: Spark's least/greatest
+    // SKIP nulls (least(floor(null * bins), bins-1) would quietly file
+    // a null-quality row into the TOP bin) and order NaN ABOVE every
+    // double (least(NaN, bins-1) = bins-1 — a 0/0 quality ratio would
+    // select FIRST); both mean "no quality evidence" = never selected
+    val q = col(qualityCol).cast("double")
+    val binc = when(q.isNull || isnan(q), lit(null).cast("long"))
+      .otherwise(greatest(least(floor(q * bins),
         lit((bins - 1).toDouble)), lit(0.0d)).cast("long"))
     val binned = df.withColumn("budget_bin", binc)
     val hist = binned.groupBy("budget_bin")

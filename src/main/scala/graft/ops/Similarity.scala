@@ -343,6 +343,14 @@ object Similarity {
     require(rows.length <= MaxProtoClasses,
       s"centroidClassify: ${rows.length} classes exceed the " +
         s"driver-resident-model ceiling $MaxProtoClasses")
+    rows.foreach { r =>
+      require(!r.isNullAt(0),
+        "centroidClassify: the train split contains NULL labels — " +
+          "filter them out or assign a class before training")
+      require(!(2 until dim + 2).exists(r.isNullAt),
+        s"centroidClassify: class ${r.getLong(0)} has no non-null " +
+          s"$dim-dimensional embeddings — its prototype is undefined")
+    }
     val protos: Seq[(Long, Seq[Double])] = rows.map { r =>
       val n = r.getLong(1).toDouble
       r.getLong(0) ->

@@ -50,6 +50,25 @@ object TextAnalysis {
   def bpeTokenCount(text: Column, vocab: graft.plans.BpeVocab): Column =
     size(bpeTokens(text, vocab)).cast("long")
 
+  /** Whitespace token count — the ONE canonical "how many words"
+    * expression ([[tokenizerStats]]' `n_ws_tokens`, the q136 budget
+    * unit, [[graft.tools.CurationDemo]]'s budget stage): 0 for
+    * empty/whitespace-only text, else the whitespace-split size.
+    * Case-insensitive by construction (counts don't see case). */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** Alphabetic-character fraction — the ONE canonical cheap quality
+    * proxy (the q136 budget ranking and
+    * [[graft.streaming.CorpusMonitor]]'s mean-quality signal share
+    * this definition; the q136 oracle hash-checks its exact
+    * arithmetic). NULL for null/empty text. */
+  def alphaFraction(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[A-Za-z]", ""))).cast("double")
+        / length(text).cast("double"))
+
   /** Per-document tokenizer evaluation — the two numbers a tokenizer
     * card reports and a vocab-size decision turns on: `fertility`
     * (BPE tokens per whitespace word — how many pieces the tokenizer
@@ -62,10 +81,8 @@ object TextAnalysis {
   def tokenizerStats(
       df: DataFrame, idCol: String, textCol: String,
       vocab: graft.plans.BpeVocab): DataFrame = {
-    val wsTokens = when(length(trim(col(textCol))) === 0, lit(0L))
-      .otherwise(size(split(trim(col(textCol)), "\\s+")).cast("long"))
     df.withColumn("n_bytes", octet_length(col(textCol)).cast("long"))
-      .withColumn("n_ws_tokens", wsTokens)
+      .withColumn("n_ws_tokens", wsTokenCount(col(textCol)))
       .withColumn("n_bpe_tokens", bpeTokenCount(col(textCol), vocab))
       .withColumn("fertility",
         when(col("n_ws_tokens") > 0,
@@ -1412,7 +1429,15 @@ object TextAnalysis {
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
       .localCheckpoint(true) // feeds the N aggregate AND the output
-    val nTotal = bigrams.agg(sum("c12")).collect().head.getLong(0)
+    val nRow = bigrams.agg(sum("c12")).collect().head
+    if (nRow.isNullAt(0)) {
+      // no document has two tokens: an empty result with the right
+      // schema, not an unboxing NPE on the NULL sum
+      return bigrams.filter(lit(false))
+        .select(col("w1"), col("w2"), col("c12"),
+          col("c12").as("c1"), col("c12").as("c2"), col("c12").as("pmi_q"))
+    }
+    val nTotal = nRow.getLong(0)
     val unigrams = ws.select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     // JVM Math.log == Spark SQL log == DuckDB ln on these inputs (the

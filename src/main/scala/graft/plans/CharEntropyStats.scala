@@ -33,6 +33,10 @@ case class CharEntropyStats(child: Expression)
     StructField("n_chars", LongType, nullable = false),
     StructField("n_distinct_chars", LongType, nullable = false),
     StructField("entropy_q", LongType, nullable = false)))
+  // empty input yields null even when the child is non-nullable — an
+  // inherited nullable=false would let NullPropagation erase the
+  // caller's isNotNull filter (DotProduct sets this for the same reason)
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_char_entropy"
 
   override def checkInputDataTypes(): TypeCheckResult =

@@ -2530,12 +2530,8 @@ object CurationQueries {
     "q136_token_budget_select",
     (s, dir) => {
       val scored = t(s, dir, "documents")
-        .withColumn("tokens", when(length(trim(col("text"))) === 0, lit(0L))
-          .otherwise(size(split(trim(lower(col("text"))), "\\s+")).cast("long")))
-        .withColumn("quality", when(length(col("text")) > 0,
-          (length(col("text")) -
-            length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("double")
-            / length(col("text")).cast("double")))
+        .withColumn("tokens", graft.ops.TextAnalysis.wsTokenCount(col("text")))
+        .withColumn("quality", graft.ops.TextAnalysis.alphaFraction(col("text")))
       graft.ops.Sampling.tokenBudgetSelect(
           scored, "doc_id", "quality", "tokens", budget = 12000L, bins = 256)
         .select(col("doc_id"), col("tokens"), col("budget_bin"), col("selected"))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Ingest health monitoring over an unbounded document stream — the
@@ -28,13 +28,6 @@ import org.apache.spark.sql.functions._
   */
 object CorpusMonitor {
 
-  /** Alphabetic-character fraction — the same cheap quality proxy the
-    * q136 budget selection ranks by; NULL for null/empty text. */
-  private def alphaFrac(text: Column): Column =
-    when(length(text) > 0,
-      (length(text) - length(regexp_replace(text, "[A-Za-z]", ""))).cast("double")
-        / length(text).cast("double"))
-
   /** Watermarked per-(window, source) ingest statistics. `docs` must
     * carry `tsCol` (timestamp), `sourceCol`, `textCol`. Emits one row
     * per finalized window in Append mode:
@@ -47,7 +40,7 @@ object CorpusMonitor {
       windowDuration: String = "1 minute",
       watermarkDelay: String = "2 minutes"): DataFrame = {
     docs
-      .withColumn("__q", alphaFrac(col(textCol)))
+      .withColumn("__q", graft.ops.TextAnalysis.alphaFraction(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowDuration), col(sourceCol).as("source"))
       .agg(
@@ -68,7 +61,12 @@ object CorpusMonitor {
     * share drops below `shareTolerance × expected_share`, when its
     * mean quality falls under `min_quality`, or when the source is
     * missing from the baseline entirely (an unregistered feed is its
-    * own alarm). Broadcast join — the baseline is driver-sized. */
+    * own alarm). Crucially, every REGISTERED source gets a row in
+    * every finalized window even when it produced nothing — a total
+    * feed outage is the loudest share alarm, not a silently absent
+    * row (the windows × baseline grid is built first and stats
+    * left-joins into it). Broadcast joins — the baseline is
+    * driver-sized, the grid windows × sources. */
   def alerts(
       stats: DataFrame, baseline: DataFrame,
       shareTolerance: Double = 0.5): DataFrame = {
@@ -76,9 +74,15 @@ object CorpusMonitor {
       s"shareTolerance out of (0,1]: $shareTolerance")
     val totals = stats.groupBy("window_start", "window_end")
       .agg(sum("n_docs").as("__total"))
-    stats
+    // every finalized window x every registered source, so an outage
+    // (no stats row) still surfaces; unregistered sources come from
+    // the stats side of the outer join
+    val grid = totals.select("window_start", "window_end")
+      .crossJoin(broadcast(baseline))
+    grid
+      .join(stats, Seq("window_start", "window_end", "source"), "full_outer")
       .join(totals, Seq("window_start", "window_end"))
-      .join(broadcast(baseline), Seq("source"), "left")
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
       .withColumn("share",
         col("n_docs").cast("double") / col("__total").cast("double"))
       .withColumn("unknown_source", col("expected_share").isNull)

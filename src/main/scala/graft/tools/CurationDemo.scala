@@ -224,8 +224,7 @@ object CurationDemo {
           / lit(5.0 * 1048576.0), lit(1.0))).as("quality"))
       val withTok = d
         .join(scored, Seq("doc_id"), "left")
-        .withColumn("tokens", when(length(trim(col("text"))) === 0, lit(0L))
-          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")))
+        .withColumn("tokens", TextAnalysis.wsTokenCount(col("text")))
         // three passes read this frame (budget total, bin histogram,
         // output) — materialize the entropy+join lineage once
         .localCheckpoint(true)

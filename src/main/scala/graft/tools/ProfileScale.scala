@@ -369,12 +369,8 @@ object ProfileScale {
         "embedding", "vec_id", "label", dim = 64)
     }
     def q136(d: DataFrame) = graft.ops.Sampling.tokenBudgetSelect(
-      d.withColumn("tokens", when(length(trim(col("text"))) === 0, lit(0L))
-          .otherwise(size(split(trim(lower(col("text"))), "\\s+")).cast("long")))
-        .withColumn("quality", when(length(col("text")) > 0,
-          (length(col("text")) -
-            length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("double")
-            / length(col("text")).cast("double"))),
+      d.withColumn("tokens", TextAnalysis.wsTokenCount(col("text")))
+        .withColumn("quality", TextAnalysis.alphaFraction(col("text"))),
       "doc_id", "quality", "tokens", budget = 12000L, bins = 256)
     def q116(d: DataFrame) = graft.ops.Sampling.temperatureAllocation(
       d, "text", "shard_key_s", budget = 500000L, tau = 0.7)

@@ -2854,10 +2854,20 @@ class OpsSpec extends SparkSpec {
       spark.read.option("basePath", live)
         .parquet(snapshot.map(rel => s"$live/$rel"): _*)
         .distinct().write.parquet(s"$dir/tmp/t")
-      // a concurrent ingest lands a file AFTER the snapshot
+      // a concurrent ingest lands a file AFTER the snapshot — and
+      // another writer is MID-write (an uncommitted _temporary attempt
+      // file, which must be treated as bookkeeping, not data)
       Seq(9).toDF("v").write.mode("append").parquet(live)
+      val tmpAttempt = new org.apache.hadoop.fs.Path(
+        s"$live/_temporary/0/task_1/part-inflight.parquet")
+      fs.mkdirs(tmpAttempt.getParent)
+      fs.create(tmpAttempt).close() // zero-byte partial file
+      assert(!Maintenance.dataFiles(fs, livePath).exists(_.contains("_temporary")),
+        "in-flight attempt files must not be listed as data")
       Maintenance.swapCompacted(
         fs, livePath, new org.apache.hadoop.fs.Path(s"$dir/tmp/t"), snapshot.toSet)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$live/_temporary")),
+        "the abandoned attempt dir must not be folded into the new tree")
       // result == "compact finished, then the append landed": distinct
       // of the snapshot plus the late row — nothing lost
       val vs = spark.read.parquet(live).collect().map(_.getInt(0)).sorted.toSeq
@@ -3926,6 +3936,12 @@ class OpsSpec extends SparkSpec {
     val (c12, c1, c2, pmiQ) = out(("strong", "coffee"))
     assert((c12, c1, c2) == ((3L, 3L, 4L)))
     assert(pmiQ == lnq(3) + lnq(9) - lnq(3) - lnq(4))
+    // a corpus with no bigrams returns an empty frame, not an NPE on
+    // the NULL total
+    val none = TextAnalysis.pmiCollocations(
+      Seq("one", "").toDF("text"), "text", minCount = 1L)
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("w1", "w2", "c12", "c1", "c2", "pmi_q"))
   }
 
   test("charEntropy: in-row per-term-quantized entropy, empty/null docs omitted") {
@@ -3994,6 +4010,28 @@ class OpsSpec extends SparkSpec {
           if (r.isNullAt(7)) null else r.getDouble(7),
           if (r.isNullAt(8)) null else r.getDouble(8)))
       }.toMap
+    checkGrid(out)
+    // NULL truth/pred is ONE class row with its own tp — not two
+    // half-rows losing the (null, null) hit to non-null-safe joins
+    val withNulls = preds.unionByName(Seq(
+      (Option.empty[String], Option("a")),
+      (Option.empty[String], Option.empty[String]),
+      (Option("b"), Option.empty[String]))
+      .toDF("truth", "pred"))
+    val outN = Eval.confusion(withNulls, "truth", "pred")
+      .collect().map { r =>
+        (if (r.isNullAt(0)) "<null>" else r.getString(0)) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      }.toMap
+    //                         tp  fp  fn  sup npred
+    assert(outN("<null>") == ((1L, 1L, 1L, 2L, 2L)))
+    assert(outN("a") == ((1L, 1L, 2L, 3L, 2L))) // (null,a) adds an fp
+    assert(outN("b") == ((2L, 2L, 1L, 3L, 4L))) // (b,null) adds an fn
+    assert(outN.keySet == Set("<null>", "a", "b", "c", "x"))
+  }
+
+  private def checkGrid(
+      out: Map[String, (Long, Long, Long, Long, Long, Any, Any, Any)]): Unit = {
     assert(out.keySet == Set("a", "b", "c", "x"))
     //                 tp  fp  fn  sup npred precision recall    f1
     assert(out("a") == ((1L, 0L, 2L, 3L, 1L, 1.0, 1.0 / 3.0, 0.5)))
@@ -4014,6 +4052,10 @@ class OpsSpec extends SparkSpec {
       .unionByName(Seq((7L, Double.NaN, 3L)).toDF("doc_id", "quality", "tokens")
         .withColumn("quality",
           when(isnan(col("quality")), lit(null)).otherwise(col("quality"))))
+      // a RAW NaN quality (0/0 ratio upstream): Spark orders NaN above
+      // every double, so an unguarded least() would file it into the
+      // TOP bin and select it first — it must behave like null instead
+      .unionByName(Seq((8L, Double.NaN, 2L)).toDF("doc_id", "quality", "tokens"))
     val out = Sampling.tokenBudgetSelect(
       d, "doc_id", "quality", "tokens", budget = 19L, bins = 10)
       .select("doc_id", "budget_bin", "selected").collect()
@@ -4027,11 +4069,13 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) == ((5L, false)) && out(5L) == ((5L, false)))
     assert(out(6L) == ((1L, false)))
     assert(out(7L) == ((-99L, false))) // NULL quality never selects
+    assert(out(8L) == ((-99L, false))) // NaN quality never selects either
     // everything fits -> no boundary, all non-null bins select
     val all = Sampling.tokenBudgetSelect(
       d, "doc_id", "quality", "tokens", budget = 1000L, bins = 10)
       .select("doc_id", "selected").collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-    assert(all.filter(_._1 != 7L).values.forall(identity) && !all(7L))
+    assert(all.filter(r => r._1 != 7L && r._1 != 8L).values.forall(identity))
+    assert(!all(7L) && !all(8L)) // null and NaN stay out even when all fits
   }
 }

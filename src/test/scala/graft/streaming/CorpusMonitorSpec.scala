@@ -66,7 +66,9 @@ class CorpusMonitorSpec extends SparkSpec {
       // source nobody registered shows up
       (at(1), at(2), "web", 1L, 10L, 0L, 0.9),
       (at(1), at(2), "wiki", 4L, 40L, 0L, 0.55),
-      (at(1), at(2), "mystery", 5L, 50L, 0L, 0.2))
+      (at(1), at(2), "mystery", 5L, 50L, 0L, 0.2),
+      // window C: wiki is COMPLETELY absent - the total-outage case
+      (at(2), at(3), "web", 6L, 60L, 0L, 0.9))
       .toDF("window_start", "window_end", "source", "n_docs", "n_bytes",
         "n_null_text", "mean_quality")
     val baseline = Seq(("web", 0.6, 0.7), ("wiki", 0.4, 0.4))
@@ -86,5 +88,11 @@ class CorpusMonitorSpec extends SparkSpec {
     assert(out((at(1), "wiki")) == ((false, false, false, false)))
     // unregistered feed alarms on its own
     assert(out((at(1), "mystery"))._1 && out((at(1), "mystery"))._4)
+    // total outage: the registered-but-absent source still gets a row,
+    // and it alarms on share (0 docs) AND quality (no reading)
+    assert(out.contains((at(2), "wiki")),
+      s"missing-source row absent: ${out.keySet}")
+    assert(out((at(2), "wiki")) == ((false, true, true, true)))
+    assert(out((at(2), "web")) == ((false, false, false, false)))
   }
 }
