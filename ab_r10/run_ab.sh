@@ -1,0 +1,14 @@
+#!/bin/bash
+# Fixed-code quiet-host A/B for the 5 readings in the round-10 bench
+# that drifted >+25% vs BENCH_r09 (q95 1.33x, q68 1.27x, q77 1.26x,
+# q107 1.26x, q67 1.26x — all 0.2-1.4 s absolutes; none of their code
+# paths changed this round). Two interleaved passes, n=9 each. If
+# medians return to the prior band, the readings were host state.
+cd /root/repo
+QS="q95_dedup_incremental,q68_nfc_normalize,q77_bloom_decontaminate,q107_blocklist,q67_paragraph_dedup"
+for i in 1 2; do
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_RUNS=9 \
+  SPARK_GRAFT_BENCH_ONLY="$QS" SPARK_GRAFT_BENCH_STATS_OUT=/root/repo/ab_r10/pass_$i.json \
+  sbt -batch "runMain graft.Bench" > /root/repo/ab_r10/pass_$i.log 2>&1
+done
+echo DONE > /root/repo/ab_r10/done.marker

