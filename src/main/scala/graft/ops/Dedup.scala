@@ -34,6 +34,35 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Snapshot diff between two corpus versions — the release-ops
+    * question every refreshed training set answers before shipping
+    * ("what actually changed since the last cut?"): per id, `added`
+    * (new only), `removed` (old only), `changed` (both sides, content
+    * md5 differs — including to/from NULL text), or `unchanged`.
+    * Returns `(idCol, status, old_md5, new_md5)`.
+    *
+    * 100 TB shape: md5 computed in-scan on both sides, ONE id-keyed
+    * full-outer hash join, a narrow CASE — nothing else. Feed the
+    * `changed`+`added` slice into incremental dedup
+    * ([[dedupAgainst]] / [[DedupIndex.dedupBatch]]) and the
+    * `removed` slice into index maintenance and the refresh pipeline
+    * only ever touches the delta. */
+  def corpusDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(textCol)).as("old_md5"))
+      .withColumn("__in_old", lit(true))
+    val n = newDf.select(col(idCol), md5(col(textCol)).as("new_md5"))
+      .withColumn("__in_new", lit(true))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(col("old_md5") <=> col("new_md5"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col(idCol), col("status"), col("old_md5"), col("new_md5"))
+  }
+
   /** Ordered lowercase whitespace tokens. */
   def tokens(textCol: Column): Column = split(trim(lower(textCol)), "\\s+")
 

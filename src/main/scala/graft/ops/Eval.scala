@@ -69,4 +69,48 @@ object Eval {
         .otherwise(when(col("n_pred") > 0 && col("support") > 0, lit(0.0)))
         .as("f1"))
   }
+
+  /** Ceiling on the number of columns one health report may profile —
+    * the per-column distinct aggregates expand the scan `k`-fold. */
+  val MaxHealthColumns: Int = 64
+
+  /** Declarative table-health report — the data-contract check (the
+    * deequ / Great-Expectations move) an ingest pipeline runs before
+    * a snapshot is allowed downstream: per profiled column, the row
+    * count, NULL count and fraction, exact distinct (non-null) count
+    * and duplicate-row count (`non-null − distinct`). A primary-key
+    * contract is the report read `n_null == 0 && n_dup == 0` on the
+    * key's row; a required-field contract is `null_frac == 0`.
+    *
+    * 100 TB shape: ONE aggregation pass over the table (the multiple
+    * exact `count(distinct)`s plan as a `k`-way Expand — a deliberate
+    * trade for EXACT contract numbers, bounded by
+    * [[MaxHealthColumns]]; swap in `approx_count_distinct` upstream
+    * when an estimate is acceptable), collected as one
+    * dimension-sized row and re-shaped driver-side into the k-row
+    * report. Returns `(column, n_rows, n_null, null_frac,
+    * n_distinct, n_dup)` sorted by column name. */
+  def tableHealth(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableHealth needs at least one column")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    require(cols.size <= MaxHealthColumns,
+      s"${cols.size} columns exceed MaxHealthColumns=$MaxHealthColumns — " +
+        "profile in batches, the expanded scan is k-fold")
+    val aggs = count(lit(1)).as("__n") +:
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val n = r.getLong(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    cols.sorted.map { c =>
+      val nonNull = r.getAs[Long](s"__nn_$c")
+      val nd = r.getAs[Long](s"__nd_$c")
+      val nNull = n - nonNull
+      (c, n, nNull,
+        if (n > 0) Some(nNull.toDouble / n.toDouble) else None,
+        nd, nonNull - nd)
+    }.toDF("column", "n_rows", "n_null", "null_frac", "n_distinct", "n_dup")
+  }
 }

@@ -591,7 +591,71 @@ object OpsQueries {
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
+  /** Corpus snapshot diff (library `Dedup.corpusDiff` — "what changed
+    * since the last cut?", the release-ops report an incremental
+    * refresh pipeline keys off): two deterministic variants of the
+    * documents table (old drops every 7th id; new drops every
+    * 11th-mod-3 and revises every 5th's text) full-outer-joined on id
+    * with per-side content md5 — every id's added/removed/changed/
+    * unchanged verdict and both md5s hash-checked. */
+  val q139 = QueryDef(
+    "q139_corpus_diff",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text")
+      val neu = docs.filter(col("doc_id") % 11 =!= 3)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        .select("doc_id", "text")
+      graft.ops.Dedup.corpusDiff(old, neu, "doc_id", "text")
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH o AS MATERIALIZED (
+        SELECT doc_id, md5(text) AS old_md5 FROM documents WHERE doc_id % 7 <> 0),
+      n AS MATERIALIZED (
+        SELECT doc_id,
+          md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END)
+            AS new_md5
+        FROM documents WHERE doc_id % 11 <> 3)
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        CASE WHEN o.doc_id IS NULL THEN 'added'
+             WHEN n.doc_id IS NULL THEN 'removed'
+             WHEN o.old_md5 IS NOT DISTINCT FROM n.new_md5 THEN 'unchanged'
+             ELSE 'changed' END AS status,
+        o.old_md5, n.new_md5
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id ORDER BY 1"""),
+    bench = true)
+
+  /** Table-health / data-contract report (library `Eval.tableHealth`
+    * — the deequ-style gate an ingest runs before a snapshot goes
+    * downstream): per profiled column the exact row/null/distinct/
+    * duplicate counts from ONE expanded aggregation pass; the oracle
+    * re-derives every number per column. The doc_id row doubles as
+    * the primary-key contract (0 nulls, 0 dups). */
+  val q140 = QueryDef(
+    "q140_table_health",
+    (s, dir) => {
+      graft.ops.Eval.tableHealth(t(s, dir, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .select(col("column").as("col_name"), col("n_rows"), col("n_null"),
+          round(col("null_frac"), 6).as("null_frac"),
+          col("n_distinct"), col("n_dup"))
+        .oracleOrderBy("col_name")
+    },
+    Some {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.sorted.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) - count($c) AS BIGINT) AS n_null,
+          round(CAST(count(*) - count($c) AS DOUBLE) / count(*), 6) AS null_frac,
+          CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+          CAST(count($c) - count(DISTINCT $c) AS BIGINT) AS n_dup
+        FROM documents"""
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51, q52, q53, q54, q87, q95,
-      q96, q97)
+      q96, q97, q139, q140)
 }

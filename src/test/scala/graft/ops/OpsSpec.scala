@@ -3981,6 +3981,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("corpusDiff: added/removed/changed/unchanged, null text compares content-wise") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]), (4L, "d"))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "a"), (2L, "bX"), (3L, "c"), (5L, "e"))
+      .toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(old, neu, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+    // both sides null text: no content evidence changed -> unchanged
+    val o2 = Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val d2 = Dedup.corpusDiff(o2, o2, "doc_id", "text").collect().head
+    assert(d2.getString(1) == "unchanged")
+  }
+
+  test("tableHealth: exact per-column contract numbers from one pass") {
+    val d = Seq((1L, Some("x")), (2L, None), (2L, Some("y")))
+      .toDF("id", "v")
+    val out = Eval.tableHealth(d, Seq("id", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3),
+          r.getLong(4), r.getLong(5)))).toMap
+    assert(out("id") == ((3L, 0L, 0.0, 2L, 1L))) // duplicate pk visible as n_dup
+    assert(out("v") == ((3L, 1L, 1.0 / 3.0, 2L, 0L)))
+    intercept[IllegalArgumentException] { Eval.tableHealth(d, Seq.empty) }
+    intercept[IllegalArgumentException] { Eval.tableHealth(d, Seq("id", "id")) }
+  }
+
   test("greedyBigramRollout: argmax chain, lexicographic ties, dead ends stay null") {
     val d = Seq("a b c", "a b d", "b c", "x y", "x z").toDF("text")
     val out = TextAnalysis.greedyBigramRollout(d, "text", steps = 3)
