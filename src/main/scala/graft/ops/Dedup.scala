@@ -440,6 +440,44 @@ object Dedup {
       .withColumn("is_near_duplicate", col("dup_of").isNotNull)
   }
 
+  /** Candidate-pair similarity histogram — the threshold-tuning
+    * artifact a near-dup deployment reads BEFORE committing a
+    * threshold ([[lshEvaluate]] scores one config against quadratic
+    * truth on a sample; this profiles the verified-candidate
+    * DISTRIBUTION at corpus scale): the same banded candidate
+    * generation as [[nearDuplicates]], exact word-set jaccard per
+    * candidate, histogrammed into `bins` equal-width buckets over
+    * [0, 1] (jaccard 1.0 clamps into the top bin). A bimodal shape —
+    * mass near 0 from band collisions, mass near 1 from real dups —
+    * shows where the threshold cuts; empty bins are emitted so the
+    * valley is visible. Returns `(bin, lo, hi, n_pairs)`.
+    *
+    * 100 TB shape: candidates come from band equi-joins (never
+    * all-pairs), the verify tokenizes only pair members (the
+    * [[jaccardForPairs]] sliver), and the histogram is ONE bounded
+    * aggregate joined onto a `bins`-row spine. */
+  def similarityHistogram(
+      docs: DataFrame, idCol: String, bins: Int = 20,
+      numHashes: Int = 8, bandSize: Int = 4): DataFrame = {
+    require(bins >= 1 && bins <= 4096, s"bins out of [1,4096]: $bins")
+    val sigs = minhashSignatures(docs, numHashes)
+      .filter(col("mh0").isNotNull)
+      .select(col(idCol) +: (0 until numHashes).map(i => col(s"mh$i")): _*)
+      .localCheckpoint(true)
+    val pairs = lshCandidatePairs(sigs, idCol, numHashes, bandSize)
+      .localCheckpoint(true)
+    val counts = jaccardForPairs(docs, idCol, pairs)
+      .withColumn("bin",
+        least(floor(col("jaccard") * bins), lit((bins - 1).toDouble)).cast("long"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+    docs.sparkSession.range(bins).select(col("id").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (col("bin").cast("double") / bins).as("lo"),
+        ((col("bin") + 1).cast("double") / bins).as("hi"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+  }
+
   /** MinHash-based FUZZY decontamination — the near-duplicate
     * complement of `TextAnalysis.decontaminate`'s exact n-gram
     * overlap (the Dolma-style eval hygiene pass: a training document

@@ -310,6 +310,42 @@ object Packing {
           k => size(filter(col("doc_starts"), s => s <= k))))
   }
 
+  /** Packing-efficiency sweep — the capacity-planning report behind a
+    * context-length decision: for each candidate `ctxLen`, per shard,
+    * how many context windows the EOS-separated stream fills
+    * ([[materializeChunksEos]]' packing model: every document costs
+    * `tokens + 1` for its EOS, documents may span windows, so padding
+    * exists only in each shard's final window) and what fraction of
+    * the window budget is padding. All integer arithmetic (`div`, no
+    * double rounding) so any engine re-derives it exactly. Returns
+    * `(ctx_len, shardCol, n_docs, n_tokens_eos, n_chunks, n_pad,
+    * waste_frac)`.
+    *
+    * 100 TB shape: ONE shard-keyed aggregate, then the sweep is a
+    * `ctxLens.size`-way explode of that bounded table — the corpus is
+    * scanned once for every candidate length combined, not once per
+    * candidate. */
+  def packingEfficiency(
+      df: DataFrame, idCol: String, tokCol: String, shardCol: String,
+      ctxLens: Seq[Long]): DataFrame = {
+    require(ctxLens.nonEmpty && ctxLens.size <= 64,
+      s"1..64 candidate context lengths, got ${ctxLens.size}")
+    require(ctxLens.forall(_ >= 1), s"context lengths must be >= 1: $ctxLens")
+    require(ctxLens.distinct.size == ctxLens.size, s"duplicates in $ctxLens")
+    df.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokCol) + 1).as("n_tokens_eos"))
+      .select(col(shardCol), col("n_docs"), col("n_tokens_eos"),
+        explode(typedLit(ctxLens.sorted)).as("ctx_len"))
+      .withColumn("n_chunks",
+        expr("(n_tokens_eos + ctx_len - 1) div ctx_len"))
+      .withColumn("n_pad", col("n_chunks") * col("ctx_len") - col("n_tokens_eos"))
+      .withColumn("waste_frac",
+        col("n_pad").cast("double") / (col("n_chunks") * col("ctx_len")).cast("double"))
+      .select(col("ctx_len"), col(shardCol), col("n_docs"),
+        col("n_tokens_eos"), col("n_chunks"), col("n_pad"), col("waste_frac"))
+  }
+
   /** Write materialized chunks as a training-ready layout:
     * `outDir/chunks/shard=<s>/…` parquet (partition pruning means a
     * loader reading one shard touches only its files) plus

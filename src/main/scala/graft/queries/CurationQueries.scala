@@ -2591,9 +2591,47 @@ object CurationQueries {
       FROM b, rr r ORDER BY doc_id"""),
     bench = true)
 
+  /** Packing-efficiency sweep (library `Packing.packingEfficiency` —
+    * the capacity-planning report behind a context-length decision):
+    * per (candidate ctx_len × source shard), the EOS-separated
+    * stream's window count and padding fraction under q114's packing
+    * model, all integer arithmetic. ONE corpus aggregate, then a
+    * 4-way explode of the bounded shard table. */
+  val q141 = QueryDef(
+    "q141_packing_efficiency",
+    (s, dir) => {
+      val toks = t(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("tok", graft.ops.TextAnalysis.wsTokenCount(col("text")))
+      graft.ops.Packing.packingEfficiency(
+          toks, "doc_id", "tok", "source", Seq(128L, 256L, 512L, 1024L))
+        .select(col("ctx_len"), col("source"), col("n_docs"),
+          col("n_tokens_eos"), col("n_chunks"), col("n_pad"),
+          round(col("waste_frac"), 6).as("waste_frac"))
+        .oracleOrderBy("ctx_len", "source")
+    },
+    Some("""WITH base AS MATERIALIZED (
+        SELECT source, count(*) AS n_docs,
+          sum(CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'))
+              END + 1) AS n_tokens_eos
+        FROM documents WHERE text IS NOT NULL GROUP BY source),
+      sweep AS (
+        SELECT c.ctx_len, b.source, b.n_docs, b.n_tokens_eos,
+          (b.n_tokens_eos + c.ctx_len - 1) // c.ctx_len AS n_chunks
+        FROM base b CROSS JOIN (VALUES (128), (256), (512), (1024)) c(ctx_len))
+      SELECT CAST(ctx_len AS BIGINT) AS ctx_len, source,
+        CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(n_tokens_eos AS BIGINT) AS n_tokens_eos,
+        CAST(n_chunks AS BIGINT) AS n_chunks,
+        CAST(n_chunks * ctx_len - n_tokens_eos AS BIGINT) AS n_pad,
+        round(CAST(n_chunks * ctx_len - n_tokens_eos AS DOUBLE)
+          / (n_chunks * ctx_len), 6) AS waste_frac
+      FROM sweep ORDER BY ctx_len, source"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
-      q128, q130, q132, q136)
+      q128, q130, q132, q136, q141)
 }

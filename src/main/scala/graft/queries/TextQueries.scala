@@ -1279,8 +1279,60 @@ object TextQueries {
       FROM r ORDER BY seed"""),
     bench = true)
 
+  /** Candidate-pair similarity histogram (library
+    * `Dedup.similarityHistogram` — the threshold-tuning artifact read
+    * before committing a near-dup threshold; q106 scores ONE config
+    * against quadratic truth, this profiles the verified-candidate
+    * distribution at corpus scale): q30's banded candidates, q31's
+    * exact word-set jaccard per candidate, 20 equal-width bins with
+    * empty bins emitted. The oracle chains the q29/q30/q31 machinery
+    * into the same binning. */
+  val q142 = QueryDef(
+    "q142_similarity_histogram",
+    (s, dir) => {
+      graft.ops.Dedup.similarityHistogram(
+          t(s, dir, "documents"), "doc_id", bins = 20)
+        .select(col("bin"), round(col("lo"), 6).as("lo"),
+          round(col("hi"), 6).as("hi"), col("n_pairs"))
+        .oracleOrderBy("bin")
+    },
+    Some(s"""WITH sig AS MATERIALIZED ($sigSqlDuck),
+      pairs AS MATERIALIZED (
+        SELECT DISTINCT doc_a, doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+            ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.mh3 = b.mh3
+           AND a.doc_id < b.doc_id
+          UNION ALL
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+            ON a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.mh6 = b.mh6 AND a.mh7 = b.mh7
+           AND a.doc_id < b.doc_id) u),
+      w AS MATERIALIZED ($wordsSqlDuck),
+      n AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY doc_id),
+      inter AS (
+        SELECT p.doc_a, p.doc_b, count(*) AS ni
+        FROM pairs p JOIN w wa ON wa.doc_id = p.doc_a
+        JOIN w wb ON wb.doc_id = p.doc_b AND wb.w = wa.w
+        GROUP BY 1, 2),
+      j AS (
+        SELECT p.doc_a, p.doc_b,
+          CAST(coalesce(i.ni, 0) AS DOUBLE)
+            / (na.nw + nb.nw - coalesce(i.ni, 0)) AS jac
+        FROM pairs p JOIN n na ON na.doc_id = p.doc_a
+        JOIN n nb ON nb.doc_id = p.doc_b
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b),
+      bcnt AS (
+        SELECT CAST(least(floor(jac * 20), 19.0) AS BIGINT) AS bin,
+          count(*) AS n_pairs
+        FROM j GROUP BY 1)
+      SELECT CAST(r.i AS BIGINT) AS bin,
+        round(CAST(r.i AS DOUBLE) / 20, 6) AS lo,
+        round(CAST(r.i + 1 AS DOUBLE) / 20, 6) AS hi,
+        CAST(coalesce(b.n_pairs, 0) AS BIGINT) AS n_pairs
+      FROM range(0, 20) r(i) LEFT JOIN bcnt b ON b.bin = r.i ORDER BY bin"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q55, q56, q57, q60, q61, q62,
       q65, q66, q67, q68, q77, q84, q91, q103, q104, q106, q107, q108, q115,
-      q120, q121, q133, q134, q138)
+      q120, q121, q133, q134, q138, q142)
 }

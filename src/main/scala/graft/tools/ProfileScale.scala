@@ -372,6 +372,19 @@ object ProfileScale {
       d.withColumn("tokens", TextAnalysis.wsTokenCount(col("text")))
         .withColumn("quality", TextAnalysis.alphaFraction(col("text"))),
       "doc_id", "quality", "tokens", budget = 12000L, bins = 256)
+    def q139(d: DataFrame) = Dedup.corpusDiff(
+      d.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text"),
+      d.filter(col("doc_id") % 11 =!= 3)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        .select("doc_id", "text"),
+      "doc_id", "text")
+    def q141(d: DataFrame) = graft.ops.Packing.packingEfficiency(
+      d.filter(col("text").isNotNull)
+        .withColumn("tok", TextAnalysis.wsTokenCount(col("text")))
+        .withColumn("shard",
+          (graft.ops.Sampling.hashUnit(col("doc_id")) * 32).cast("int")),
+      "doc_id", "tok", "shard", Seq(128L, 256L, 512L, 1024L))
     def q116(d: DataFrame) = graft.ops.Sampling.temperatureAllocation(
       d, "text", "shard_key_s", budget = 500000L, tau = 0.7)
 
@@ -508,7 +521,15 @@ object ProfileScale {
       ("q137 confusion", () => graft.ops.Eval.confusion(q135(emb), "label", "pred_label"),
         () => graft.ops.Eval.confusion(q135(emb10), "label", "pred_label")),
       ("q138 rollout", () => TextAnalysis.greedyBigramRollout(docs, "text", steps = 4),
-        () => TextAnalysis.greedyBigramRollout(docs10, "text", steps = 4)))
+        () => TextAnalysis.greedyBigramRollout(docs10, "text", steps = 4)),
+      ("q139 corpus-diff", () => q139(docs), () => q139(docs10)),
+      ("q140 table-health",
+        () => graft.ops.Eval.tableHealth(docs, Seq("doc_id", "text")),
+        () => graft.ops.Eval.tableHealth(docs10, Seq("doc_id", "text"))),
+      ("q141 pack-sweep", () => q141(docs), () => q141(docs10)),
+      ("q142 sim-histogram",
+        () => Dedup.similarityHistogram(docs, "doc_id", bins = 20),
+        () => Dedup.similarityHistogram(docs10, "doc_id", bins = 20)))
       // SPARK_GRAFT_SCALE_ONLY=q82,q112 restricts the sweep (label
       // prefix match) — the A/B lever for re-profiling one family
       // after a change without the full multi-minute run. Blank

@@ -3981,6 +3981,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("similarityHistogram: verified candidates binned, empty bins kept, 1.0 clamps") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // jaccard 1.0
+      (2L, "the quick brown fox jumps over the lazy cat tonight"), // high but < 1
+      (3L, "completely different content about spark engines and planning"))
+      .toDF("doc_id", "text")
+    val out = Dedup.similarityHistogram(d, "doc_id", bins = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(out.length == 10) // every bin present, zeros included
+    val m = out.toMap
+    assert(m(9)._3 >= 1L, s"the 1.0 pair must clamp into bin 9: $m")
+    assert(m(0)._1 == 0.0 && m(9)._2 == 1.0)
+    assert(m.values.map(_._3).sum >= 2L) // both genuine candidates verified
+  }
+
+  test("packingEfficiency: exact integer window arithmetic per (ctx, shard)") {
+    val d = Seq(
+      (1L, "s0", 100L), (2L, "s0", 27L), // s0: 129 tokens incl EOS
+      (3L, "s1", 63L))                   // s1: 64 tokens incl EOS
+      .toDF("doc_id", "shard", "tok")
+    val out = Packing.packingEfficiency(d, "doc_id", "tok", "shard", Seq(64L, 128L))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    // s0 at ctx 64: 129 -> 3 chunks, pad 63; at 128: 2 chunks, pad 127
+    assert(out((64L, "s0")) == ((2L, 129L, 3L, 63L, 63.0 / 192.0)))
+    assert(out((128L, "s0")) == ((2L, 129L, 2L, 127L, 127.0 / 256.0)))
+    // s1 at ctx 64: exact fill, zero waste
+    assert(out((64L, "s1")) == ((1L, 64L, 1L, 0L, 0.0)))
+    intercept[IllegalArgumentException] {
+      Packing.packingEfficiency(d, "doc_id", "tok", "shard", Seq(64L, 64L))
+    }
+  }
+
   test("corpusDiff: added/removed/changed/unchanged, null text compares content-wise") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]), (4L, "d"))
       .toDF("doc_id", "text")
