@@ -48,11 +48,15 @@ object CorpusMonitor {
         coalesce(sum(octet_length(col(textCol)).cast("long")), lit(0L))
           .as("n_bytes"),
         sum(when(col(textCol).isNull, 1L).otherwise(0L)).as("n_null_text"),
-        avg(col("__q")).as("mean_quality"))
+        avg(col("__q")).as("mean_quality"),
+        // sketch-sized distinct-content estimate per window — a crude
+        // LIVE dup-rate signal (estimate << n_docs ⇒ the feed is
+        // replaying) ahead of the exact streaming dedup verdicts
+        approx_count_distinct(md5(col(textCol))).as("n_distinct_approx"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("source"), col("n_docs"), col("n_bytes"), col("n_null_text"),
-        col("mean_quality"))
+        col("mean_quality"), col("n_distinct_approx"))
   }
 
   /** Flag finalized windows that deviate from a per-source baseline.

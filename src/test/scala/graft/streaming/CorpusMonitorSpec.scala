@@ -34,6 +34,14 @@ class CorpusMonitorSpec extends SparkSpec {
       // (watermark = max ts - 1 min >= 10:01)
       input.addData((at(3), "web", "later doc"))
       q.processAllAvailable()
+      // the tiny-cardinality HLL estimate is exact: 2 distinct web
+      // contents (one real + the null hash bucket counts the null? no
+      // - md5(NULL) is NULL and approx_count_distinct skips nulls)
+      val nd = spark.sql(
+        "SELECT source, n_distinct_approx FROM monw " +
+          "WHERE window_start = timestamp'2024-01-01 10:00:00'")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(nd("web") == 1L && nd("wiki") == 1L, s"approx distinct: $nd")
       val rows = spark.sql(
         "SELECT source, n_docs, n_bytes, n_null_text, mean_quality FROM monw " +
           "WHERE window_start = timestamp'2024-01-01 10:00:00'")
