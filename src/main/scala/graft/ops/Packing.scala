@@ -346,6 +346,65 @@ object Packing {
         col("n_tokens_eos"), col("n_chunks"), col("n_pad"), col("waste_frac"))
   }
 
+  /** One no-split packing assignment row. */
+  final case class NoSplitPacked(
+      shard: String, doc_id: Long, n_tok: Long,
+      chunk_id: Long, offset_in_chunk: Long, truncated: Boolean)
+
+  /** No-split greedy packing — the SFT/instruction-tuning packing
+    * mode ([[packChunks]]' concat-and-chunk is the pretraining mode):
+    * documents may NOT span context windows, so per shard, docs in id
+    * order fill windows first-fit-sequentially — a doc joins the
+    * current window if it fits, else opens a new one; an OVERSIZE doc
+    * (`tokens > ctxLen`) takes a window of its own, flagged
+    * `truncated` (the loader clips it). Null token counts are
+    * excluded (no token evidence).
+    *
+    * Window assignment is sequential BY NATURE — each break depends
+    * on the fill so far — so this is the library's documented
+    * mapPartitions case (the Merge-fold precedent): shards hash to
+    * partitions, rows sort within partition by (shard, id), and one
+    * O(1)-state streaming fold walks each partition — parallelism
+    * comes from the shard count, exactly how an SFT corpus is laid
+    * out, and no whole group is ever materialized. Returns
+    * `(shard, doc_id, n_tok, chunk_id, offset_in_chunk, truncated)`
+    * with `chunk_id` numbered per shard from 0. */
+  def packGreedyNoSplit(
+      df: DataFrame, idCol: String, tokCol: String, shardCol: String,
+      ctxLen: Long): DataFrame = {
+    require(ctxLen >= 1, s"ctxLen must be >= 1, got $ctxLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(shardCol).cast("string").as("shard"),
+        col(idCol).cast("long").as("doc_id"),
+        col(tokCol).cast("long").as("n_tok"))
+      .filter(col("n_tok").isNotNull)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var cur: String = null
+        var chunk = -1L
+        var fill = 0L
+        it.map { case (sh, id, tok) =>
+          if (sh != cur) { cur = sh; chunk = -1L; fill = 0L }
+          var off = 0L
+          var trunc = false
+          if (tok > ctxLen) {
+            // own window, clipped; fill = ctxLen forces the next doc
+            // to open a fresh window
+            chunk += 1; off = 0L; trunc = true; fill = ctxLen
+          } else if (chunk == -1L || fill + tok > ctxLen) {
+            chunk += 1; off = 0L; fill = tok
+          } else {
+            off = fill; fill += tok
+          }
+          NoSplitPacked(sh, id, tok, chunk, off, trunc)
+        }
+      }
+      .toDF()
+  }
+
   /** Write materialized chunks as a training-ready layout:
     * `outDir/chunks/shard=<s>/…` parquet (partition pruning means a
     * loader reading one shard touches only its files) plus

@@ -2629,9 +2629,59 @@ object CurationQueries {
       FROM sweep ORDER BY ctx_len, source"""),
     bench = true)
 
+  /** No-split greedy packing (library `Packing.packGreedyNoSplit` —
+    * the SFT/instruction-tuning packing mode where documents may not
+    * span windows; q72 is the pretraining concat-and-chunk mode):
+    * per-source first-fit-sequential window fill at ctx 64, oversize
+    * docs own-window truncated. Sequential by nature, so the oracle
+    * is a RECURSIVE CTE advancing one per-shard rank per iteration
+    * (the q80 unrolled-replay discipline, recursion depth = largest
+    * shard) — every doc's window id, offset and truncation flag
+    * hash-matched. */
+  val q143 = QueryDef(
+    "q143_pack_nosplit",
+    (s, dir) => {
+      val toks = t(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("tok", graft.ops.TextAnalysis.wsTokenCount(col("text")))
+      graft.ops.Packing.packGreedyNoSplit(
+          toks, "doc_id", "tok", "source", ctxLen = 64L)
+        .oracleOrderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE base AS (
+        SELECT source AS shard, doc_id,
+          CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'))
+              END AS BIGINT) AS n_tok
+        FROM documents WHERE text IS NOT NULL),
+      rk AS MATERIALIZED (
+        SELECT shard, doc_id, n_tok,
+          row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM base),
+      st AS (
+        SELECT shard, doc_id, n_tok, rn,
+          CAST(0 AS BIGINT) AS chunk_id,
+          CAST(0 AS BIGINT) AS offset_in_chunk,
+          (n_tok > 64) AS truncated,
+          CAST(CASE WHEN n_tok > 64 THEN 64 ELSE n_tok END AS BIGINT) AS fill
+        FROM rk WHERE rn = 1
+        UNION ALL
+        SELECT n.shard, n.doc_id, n.n_tok, n.rn,
+          CASE WHEN n.n_tok > 64 OR s.fill + n.n_tok > 64
+               THEN s.chunk_id + 1 ELSE s.chunk_id END,
+          CASE WHEN n.n_tok > 64 OR s.fill + n.n_tok > 64
+               THEN CAST(0 AS BIGINT) ELSE s.fill END,
+          (n.n_tok > 64),
+          CAST(CASE WHEN n.n_tok > 64 THEN 64
+               WHEN s.fill + n.n_tok > 64 THEN n.n_tok
+               ELSE s.fill + n.n_tok END AS BIGINT)
+        FROM st s JOIN rk n ON n.shard = s.shard AND n.rn = s.rn + 1)
+      SELECT shard, doc_id, n_tok, chunk_id, offset_in_chunk, truncated
+      FROM st ORDER BY doc_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
-      q128, q130, q132, q136, q141)
+      q128, q130, q132, q136, q141, q143)
 }

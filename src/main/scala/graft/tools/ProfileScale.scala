@@ -529,7 +529,18 @@ object ProfileScale {
       ("q141 pack-sweep", () => q141(docs), () => q141(docs10)),
       ("q142 sim-histogram",
         () => Dedup.similarityHistogram(docs, "doc_id", bins = 20),
-        () => Dedup.similarityHistogram(docs10, "doc_id", bins = 20)))
+        () => Dedup.similarityHistogram(docs10, "doc_id", bins = 20)),
+      ("q143 pack-nosplit",
+        () => graft.ops.Packing.packGreedyNoSplit(
+          docs.withColumn("tok", TextAnalysis.wsTokenCount(col("text")))
+            .withColumn("shard",
+              (graft.ops.Sampling.hashUnit(col("doc_id")) * 32).cast("int")),
+          "doc_id", "tok", "shard", ctxLen = 64L),
+        () => graft.ops.Packing.packGreedyNoSplit(
+          docs10.withColumn("tok", TextAnalysis.wsTokenCount(col("text")))
+            .withColumn("shard",
+              (graft.ops.Sampling.hashUnit(col("doc_id")) * 32).cast("int")),
+          "doc_id", "tok", "shard", ctxLen = 64L)))
       // SPARK_GRAFT_SCALE_ONLY=q82,q112 restricts the sweep (label
       // prefix match) — the A/B lever for re-profiling one family
       // after a change without the full multi-minute run. Blank

@@ -4016,6 +4016,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("packGreedyNoSplit: first-fit sequential per shard, oversize own-window truncated") {
+    val d = Seq(
+      (1L, "s0", 40L), (2L, "s0", 30L), (3L, "s0", 40L), // 40+30 fit; 40 opens w1
+      (4L, "s0", 120L),                                  // oversize -> own w2, truncated
+      (5L, "s0", 10L),                                   // after oversize: fresh w3
+      (6L, "s1", 100L), (7L, "s1", 1L))                  // s1: exact fill, then w1
+      .toDF("doc_id", "shard", "tok")
+    val out = Packing.packGreedyNoSplit(d, "doc_id", "tok", "shard", ctxLen = 100L)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getString(0), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == (("s0", 0L, 0L, false)))
+    assert(out(2L) == (("s0", 0L, 40L, false)))
+    assert(out(3L) == (("s0", 1L, 0L, false))) // 70+40 > 100 -> new window
+    assert(out(4L) == (("s0", 2L, 0L, true)))  // 120 > 100 -> own window, clipped
+    assert(out(5L) == (("s0", 3L, 0L, false))) // never packs after a clipped window
+    assert(out(6L) == (("s1", 0L, 0L, false)))
+    assert(out(7L) == (("s1", 1L, 0L, false))) // 100+1 > 100 -> new window
+  }
+
   test("corpusDiff: added/removed/changed/unchanged, null text compares content-wise") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]), (4L, "d"))
       .toDF("doc_id", "text")
