@@ -405,6 +405,47 @@ object Packing {
       .toDF()
   }
 
+  /** SFT loss-mask layout over [[packGreedyNoSplit]] assignments: per
+    * (shard, window), the 0/1 mask a supervised-fine-tuning loader
+    * applies to the cross-entropy — positions inside some document's
+    * COMPLETION span (after its `promptCol` tokens) score 1, prompt
+    * positions and padding score 0; a `truncated` document's span
+    * clips at the window edge. Input is the packed frame JOINED back
+    * with a per-doc prompt length (`0 <= prompt <= n_tok` required
+    * row-wise — a mask that silently mis-scored would poison
+    * training).
+    *
+    * 100 TB shape: ONE (shard, window)-keyed aggregate collecting the
+    * window's few doc spans, then the mask is an in-row transform
+    * over the ctxLen positions — bounded by window size, no second
+    * shuffle. Returns `(shard, chunk_id, n_docs, n_loss_tokens,
+    * mask_str)` — the mask packed as a ctxLen-char 0/1 string (the
+    * compact engine-portable form). */
+  def sftLossMask(
+      packed: DataFrame, promptCol: String, ctxLen: Long): DataFrame = {
+    require(ctxLen >= 1, s"ctxLen must be >= 1, got $ctxLen")
+    val bad = col(promptCol).isNull || col(promptCol) < 0 ||
+      col(promptCol) > col("n_tok")
+    val spans = packed
+      .select(col("shard"), col("chunk_id"),
+        when(bad, raise_error(concat(
+          lit("sftLossMask: prompt length out of [0, n_tok] for doc "),
+          col("doc_id").cast("string"))))
+          .otherwise(col("offset_in_chunk") + col(promptCol)).as("__s"),
+        least(col("offset_in_chunk") + col("n_tok"), lit(ctxLen)).as("__e"))
+    spans.groupBy("shard", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        collect_list(struct(col("__s"), col("__e"))).as("__spans"))
+      .withColumn("__mask", transform(sequence(lit(0L), lit(ctxLen - 1)),
+        p => when(exists(col("__spans"),
+          s => s.getField("__s") <= p && p < s.getField("__e")), lit(1L))
+          .otherwise(lit(0L))))
+      .select(col("shard"), col("chunk_id"), col("n_docs"),
+        aggregate(col("__mask"), lit(0L), (a, x) => a + x).as("n_loss_tokens"),
+        concat_ws("",
+          transform(col("__mask"), x => x.cast("string"))).as("mask_str"))
+  }
+
   /** Write materialized chunks as a training-ready layout:
     * `outDir/chunks/shard=<s>/…` parquet (partition pruning means a
     * loader reading one shard touches only its files) plus

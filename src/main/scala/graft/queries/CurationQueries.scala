@@ -2638,16 +2638,10 @@ object CurationQueries {
     * (the q80 unrolled-replay discipline, recursion depth = largest
     * shard) — every doc's window id, offset and truncation flag
     * hash-matched. */
-  val q143 = QueryDef(
-    "q143_pack_nosplit",
-    (s, dir) => {
-      val toks = t(s, dir, "documents").filter(col("text").isNotNull)
-        .withColumn("tok", graft.ops.TextAnalysis.wsTokenCount(col("text")))
-      graft.ops.Packing.packGreedyNoSplit(
-          toks, "doc_id", "tok", "source", ctxLen = 64L)
-        .oracleOrderBy("doc_id")
-    },
-    Some("""WITH RECURSIVE base AS (
+  /** The q143/q144 shared no-split-packing replay: a recursive CTE
+    * advancing one per-shard rank per iteration, ending in `st` with
+    * every doc's (chunk_id, offset_in_chunk, truncated, fill). */
+  private val noSplitCtesDuck = """base AS (
         SELECT source AS shard, doc_id,
           CAST(CASE WHEN len(trim(text)) = 0 THEN 0
                ELSE len(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'))
@@ -2674,14 +2668,65 @@ object CurationQueries {
           CAST(CASE WHEN n.n_tok > 64 THEN 64
                WHEN s.fill + n.n_tok > 64 THEN n.n_tok
                ELSE s.fill + n.n_tok END AS BIGINT)
-        FROM st s JOIN rk n ON n.shard = s.shard AND n.rn = s.rn + 1)
+        FROM st s JOIN rk n ON n.shard = s.shard AND n.rn = s.rn + 1)"""
+
+  val q143 = QueryDef(
+    "q143_pack_nosplit",
+    (s, dir) => {
+      val toks = t(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("tok", graft.ops.TextAnalysis.wsTokenCount(col("text")))
+      graft.ops.Packing.packGreedyNoSplit(
+          toks, "doc_id", "tok", "source", ctxLen = 64L)
+        .oracleOrderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $noSplitCtesDuck
       SELECT shard, doc_id, n_tok, chunk_id, offset_in_chunk, truncated
       FROM st ORDER BY doc_id"""),
+    bench = true)
+
+  /** SFT loss-mask layout (library `Packing.sftLossMask` over q143's
+    * no-split windows): each document's completion span — after a
+    * deterministic `n_tok div 3` prompt length — scores 1, prompt and
+    * padding positions 0, truncated docs clip at the window edge; the
+    * mask ships as a 64-char 0/1 string. The oracle chains the q143
+    * recursive replay into the same per-window span fold. */
+  val q144 = QueryDef(
+    "q144_sft_loss_mask",
+    (s, dir) => {
+      val toks = t(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("tok", graft.ops.TextAnalysis.wsTokenCount(col("text")))
+      val packed = graft.ops.Packing.packGreedyNoSplit(
+          toks, "doc_id", "tok", "source", ctxLen = 64L)
+        .withColumn("prompt", expr("n_tok div 3"))
+      graft.ops.Packing.sftLossMask(packed, "prompt", ctxLen = 64L)
+        .oracleOrderBy("shard", "chunk_id")
+    },
+    Some(s"""WITH RECURSIVE $noSplitCtesDuck,
+      sp AS (
+        SELECT shard, chunk_id,
+          offset_in_chunk + (n_tok // 3) AS s,
+          least(offset_in_chunk + n_tok, 64) AS e
+        FROM st),
+      g AS (
+        SELECT shard, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+          list({'s': s, 'e': e}) AS spans
+        FROM sp GROUP BY 1, 2),
+      m AS (
+        SELECT shard, chunk_id, n_docs,
+          list_transform(generate_series(0, 63), p ->
+            CASE WHEN len(list_filter(spans,
+              d -> d['s'] <= p AND p < d['e'])) > 0 THEN 1 ELSE 0 END) AS mask
+        FROM g)
+      SELECT shard, chunk_id, n_docs,
+        CAST(list_sum(mask) AS BIGINT) AS n_loss_tokens,
+        array_to_string(list_transform(mask, x -> CAST(x AS VARCHAR)), '')
+          AS mask_str
+      FROM m ORDER BY shard, chunk_id"""),
     bench = true)
 
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
-      q128, q130, q132, q136, q141, q143)
+      q128, q130, q132, q136, q141, q143, q144)
 }

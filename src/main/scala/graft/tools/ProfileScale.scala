@@ -379,6 +379,14 @@ object ProfileScale {
           concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
         .select("doc_id", "text"),
       "doc_id", "text")
+    def q144mask(d: DataFrame) = graft.ops.Packing.sftLossMask(
+      graft.ops.Packing.packGreedyNoSplit(
+        d.withColumn("tok", TextAnalysis.wsTokenCount(col("text")))
+          .withColumn("shard",
+            (graft.ops.Sampling.hashUnit(col("doc_id")) * 32).cast("int")),
+        "doc_id", "tok", "shard", ctxLen = 64L)
+        .withColumn("prompt", expr("n_tok div 3")),
+      "prompt", ctxLen = 64L)
     def q141(d: DataFrame) = graft.ops.Packing.packingEfficiency(
       d.filter(col("text").isNotNull)
         .withColumn("tok", TextAnalysis.wsTokenCount(col("text")))
@@ -540,7 +548,8 @@ object ProfileScale {
           docs10.withColumn("tok", TextAnalysis.wsTokenCount(col("text")))
             .withColumn("shard",
               (graft.ops.Sampling.hashUnit(col("doc_id")) * 32).cast("int")),
-          "doc_id", "tok", "shard", ctxLen = 64L)))
+          "doc_id", "tok", "shard", ctxLen = 64L)),
+      ("q144 sft-mask", () => q144mask(docs), () => q144mask(docs10)))
       // SPARK_GRAFT_SCALE_ONLY=q82,q112 restricts the sweep (label
       // prefix match) — the A/B lever for re-profiling one family
       // after a change without the full multi-minute run. Blank

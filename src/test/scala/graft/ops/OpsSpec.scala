@@ -4035,6 +4035,28 @@ class OpsSpec extends SparkSpec {
     assert(out(7L) == (("s1", 1L, 0L, false))) // 100+1 > 100 -> new window
   }
 
+  test("sftLossMask: completion spans score 1, prompts/padding 0, truncation clips") {
+    val d = Seq(
+      (1L, "s0", 4L, 1L), (2L, "s0", 3L, 2L), // window 0: [p c c c][p p c] pad
+      (3L, "s0", 12L, 5L))                    // oversize at ctx 8: clips at edge
+      .toDF("doc_id", "shard", "tok", "prompt")
+    val packed = Packing.packGreedyNoSplit(d, "doc_id", "tok", "shard", ctxLen = 8L)
+      .join(d.select(col("doc_id"), col("prompt")), Seq("doc_id"))
+    val out = Packing.sftLossMask(packed, "prompt", ctxLen = 8L)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // window 0: doc1 at 0 (prompt 1 -> loss 1..3), doc2 at 4 (prompt 2 -> loss 6)
+    assert(out(0L) == ((2L, 4L, "01110010")))
+    // window 1: doc3 truncated, prompt 5 -> loss 5..7 (clipped at the edge)
+    assert(out(1L) == ((1L, 3L, "00000111")))
+    // a prompt longer than the doc fails loudly
+    val badPacked = packed.withColumn("prompt",
+      when(col("doc_id") === 2L, lit(99L)).otherwise(col("prompt")))
+    intercept[Exception] {
+      Packing.sftLossMask(badPacked, "prompt", ctxLen = 8L).collect()
+    }
+  }
+
   test("corpusDiff: added/removed/changed/unchanged, null text compares content-wise") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]), (4L, "d"))
       .toDF("doc_id", "text")
