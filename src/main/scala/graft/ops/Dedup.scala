@@ -41,6 +41,13 @@ object Dedup {
     * md5 differs — including to/from NULL text), or `unchanged`.
     * Returns `(idCol, status, old_md5, new_md5)`.
     *
+    * Precondition (the library-wide id contract): `idCol` is unique
+    * within each side — a duplicated id fans the full-outer join out
+    * into one verdict row per pairing, double-counting the delta. Run
+    * [[Eval.tableHealth]]'s primary-key contract on both snapshots
+    * first if uniqueness is in doubt; this op deliberately does not
+    * pay a corpus-wide distinct to re-check it.
+    *
     * 100 TB shape: md5 computed in-scan on both sides, ONE id-keyed
     * full-outer hash join, a narrow CASE — nothing else. Feed the
     * `changed`+`added` slice into incremental dedup

@@ -90,17 +90,25 @@ object Eval {
     * dimension-sized row and re-shaped driver-side into the k-row
     * report. Returns `(column, n_rows, n_null, null_frac,
     * n_distinct, n_dup)` sorted by column name. */
+  /** The ONE-pass aggregation [[tableHealth]] reshapes — exposed so
+    * the scale profiler audits the REAL expanded-scan plan
+    * (tableHealth itself returns a LocalRelation after the driver
+    * reshape, which would make a plan-shape check vacuous). */
+  private[graft] def healthAgg(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +:
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   def tableHealth(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "tableHealth needs at least one column")
     require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
     require(cols.size <= MaxHealthColumns,
       s"${cols.size} columns exceed MaxHealthColumns=$MaxHealthColumns — " +
         "profile in batches, the expanded scan is k-fold")
-    val aggs = count(lit(1)).as("__n") +:
-      cols.flatMap(c => Seq(
-        count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c")))
-    val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val r = healthAgg(df, cols).collect().head
     val n = r.getLong(0)
     val spark = df.sparkSession
     import spark.implicits._

@@ -324,7 +324,9 @@ object Packing {
     * 100 TB shape: ONE shard-keyed aggregate, then the sweep is a
     * `ctxLens.size`-way explode of that bounded table — the corpus is
     * scanned once for every candidate length combined, not once per
-    * candidate. */
+    * candidate. NULL token counts are excluded (no token evidence —
+    * the [[packGreedyNoSplit]] rule), so `n_docs` and `n_tokens_eos`
+    * always describe the same population. */
   def packingEfficiency(
       df: DataFrame, idCol: String, tokCol: String, shardCol: String,
       ctxLens: Seq[Long]): DataFrame = {
@@ -332,7 +334,8 @@ object Packing {
       s"1..64 candidate context lengths, got ${ctxLens.size}")
     require(ctxLens.forall(_ >= 1), s"context lengths must be >= 1: $ctxLens")
     require(ctxLens.distinct.size == ctxLens.size, s"duplicates in $ctxLens")
-    df.groupBy(col(shardCol))
+    df.filter(col(tokCol).isNotNull)
+      .groupBy(col(shardCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokCol) + 1).as("n_tokens_eos"))
       .select(col(shardCol), col("n_docs"), col("n_tokens_eos"),
@@ -387,6 +390,9 @@ object Packing {
         var chunk = -1L
         var fill = 0L
         it.map { case (sh, id, tok) =>
+          require(tok >= 0L,
+            s"packGreedyNoSplit: negative token count $tok for doc $id — " +
+              "a corrupt count would assign overlapping windows")
           if (sh != cur) { cur = sh; chunk = -1L; fill = 0L }
           var off = 0L
           var trunc = false

@@ -437,6 +437,9 @@ case class BpeDecodeIds(child: Expression, vocab: BpeVocab)
     val out = new java.io.ByteArrayOutputStream(ids.numElements() * 4)
     var k = 0
     while (k < ids.numElements()) {
+      // a NULL element must NULL the row — an unchecked slot reads as
+      // int 0 and would silently splice token 0's bytes into the text
+      if (ids.isNullAt(k)) return null
       val id = ids.getInt(k)
       if (id < 0 || id >= idTok.length || idTok(id) == null) return null
       val t = idTok(id)

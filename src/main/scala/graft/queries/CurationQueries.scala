@@ -2629,15 +2629,6 @@ object CurationQueries {
       FROM sweep ORDER BY ctx_len, source"""),
     bench = true)
 
-  /** No-split greedy packing (library `Packing.packGreedyNoSplit` —
-    * the SFT/instruction-tuning packing mode where documents may not
-    * span windows; q72 is the pretraining concat-and-chunk mode):
-    * per-source first-fit-sequential window fill at ctx 64, oversize
-    * docs own-window truncated. Sequential by nature, so the oracle
-    * is a RECURSIVE CTE advancing one per-shard rank per iteration
-    * (the q80 unrolled-replay discipline, recursion depth = largest
-    * shard) — every doc's window id, offset and truncation flag
-    * hash-matched. */
   /** The q143/q144 shared no-split-packing replay: a recursive CTE
     * advancing one per-shard rank per iteration, ending in `st` with
     * every doc's (chunk_id, offset_in_chunk, truncated, fill). */
@@ -2670,6 +2661,15 @@ object CurationQueries {
                ELSE s.fill + n.n_tok END AS BIGINT)
         FROM st s JOIN rk n ON n.shard = s.shard AND n.rn = s.rn + 1)"""
 
+  /** No-split greedy packing (library `Packing.packGreedyNoSplit` —
+    * the SFT/instruction-tuning packing mode where documents may not
+    * span windows; q72 is the pretraining concat-and-chunk mode):
+    * per-source first-fit-sequential window fill at ctx 64, oversize
+    * docs own-window truncated. Sequential by nature, so the oracle
+    * is a RECURSIVE CTE advancing one per-shard rank per iteration
+    * (the q80 unrolled-replay discipline, recursion depth = largest
+    * shard) — every doc's window id, offset and truncation flag
+    * hash-matched. */
   val q143 = QueryDef(
     "q143_pack_nosplit",
     (s, dir) => {

@@ -32,9 +32,11 @@ object CorpusMonitor {
     * carry `tsCol` (timestamp), `sourceCol`, `textCol`. Emits one row
     * per finalized window in Append mode:
     * `(window_start, window_end, source, n_docs, n_bytes, n_null_text,
-    * mean_quality)`. The mean is exact from two aggregates (quality
-    * sum is plain double addition — monitoring tolerance, not an
-    * oracle surface). */
+    * mean_quality, n_distinct_approx)`. The mean is exact from two
+    * aggregates (quality sum is plain double addition — monitoring
+    * tolerance, not an oracle surface); `n_distinct_approx` is the
+    * HLL content-distinct estimate, the live dup-rate signal
+    * (estimate << n_docs means the feed is replaying). */
   def windowedStats(
       docs: DataFrame, tsCol: String, sourceCol: String, textCol: String,
       windowDuration: String = "1 minute",

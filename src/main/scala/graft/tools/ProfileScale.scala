@@ -531,9 +531,12 @@ object ProfileScale {
       ("q138 rollout", () => TextAnalysis.greedyBigramRollout(docs, "text", steps = 4),
         () => TextAnalysis.greedyBigramRollout(docs10, "text", steps = 4)),
       ("q139 corpus-diff", () => q139(docs), () => q139(docs10)),
+      // profile the underlying expanded aggregation: tableHealth's
+      // public form returns a driver-reshaped LocalRelation, which
+      // would make the plan-shape audit vacuous
       ("q140 table-health",
-        () => graft.ops.Eval.tableHealth(docs, Seq("doc_id", "text")),
-        () => graft.ops.Eval.tableHealth(docs10, Seq("doc_id", "text"))),
+        () => graft.ops.Eval.healthAgg(docs, Seq("doc_id", "text")),
+        () => graft.ops.Eval.healthAgg(docs10, Seq("doc_id", "text"))),
       ("q141 pack-sweep", () => q141(docs), () => q141(docs10)),
       ("q142 sim-histogram",
         () => Dedup.similarityHistogram(docs, "doc_id", bins = 20),

@@ -3909,6 +3909,13 @@ class OpsSpec extends SparkSpec {
       .select(TextAnalysis.bpeDecodeIds(col("ids"), vocab).as("back"))
       .collect().head
     assert(bad.isNullAt(0))
+    // a NULL ELEMENT also nulls the row — an unchecked slot would read
+    // as id 0 and splice token 0's bytes into the text
+    val nullElem = Seq(1).toDF("x")
+      .select(TextAnalysis.bpeDecodeIds(
+        expr("array(72, cast(null as int))"), vocab).as("back"))
+      .collect().head
+    assert(nullElem.isNullAt(0))
     // char-level vocabularies are refused
     intercept[IllegalArgumentException] {
       TextAnalysis.bpeDecodeIds(col("ids"),
@@ -4033,6 +4040,13 @@ class OpsSpec extends SparkSpec {
     assert(out(5L) == (("s0", 3L, 0L, false))) // never packs after a clipped window
     assert(out(6L) == (("s1", 0L, 0L, false)))
     assert(out(7L) == (("s1", 1L, 0L, false))) // 100+1 > 100 -> new window
+    // a negative token count fails loudly instead of assigning
+    // overlapping windows
+    intercept[Exception] {
+      Packing.packGreedyNoSplit(
+        Seq((1L, "s0", -5L)).toDF("doc_id", "shard", "tok"),
+        "doc_id", "tok", "shard", ctxLen = 100L).collect()
+    }
   }
 
   test("sftLossMask: completion spans score 1, prompts/padding 0, truncation clips") {
