@@ -1,0 +1,15 @@
+#!/bin/bash
+# Fixed-code quiet-host A/B for the round-11 watch items: q70 bm25
+# (0.63->0.94 s) and q75 bpe-tokenize (0.37->0.54 s) exceeded +-25%
+# in the final 02:33 r10 sweep AFTER the recorded ab_r10 audit, and
+# q95 dedup-incremental is the carried watch item (top of its
+# 0.94-1.55 band). Code for all three is unchanged since r9. Two
+# interleaved passes, n=9 each, at round-11 open on a quiet host.
+cd /root/repo
+QS="q70_bm25_topk,q75_bpe_tokenize,q95_dedup_incremental"
+for i in 1 2; do
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_RUNS=9 \
+  SPARK_GRAFT_BENCH_ONLY="$QS" SPARK_GRAFT_BENCH_STATS_OUT=/root/repo/ab_r11/pass_$i.json \
+  sbt -batch "runMain graft.Bench" > /root/repo/ab_r11/pass_$i.log 2>&1
+done
+echo DONE > /root/repo/ab_r11/done.marker

@@ -76,9 +76,15 @@ object AnnIndex {
         Similarity.ivfAssign(df, embCol, handle.centroids), embCol, handle.codebooks)
       .select(col(idCol) +: col("cell") +:
         (0 until m).map(mi => col(s"code_$mi")): _*)
-    encoded
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"${handle.dir}/codes")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    // marker/lock handshake with a concurrent compact — see Maintenance
+    Maintenance.withAppendMarker(
+        fs, new org.apache.hadoop.fs.Path(handle.dir)) {
+      encoded
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"${handle.dir}/codes")
+    }
   }
 
   /** Rewrite the code table compacted — the maintenance pass for the
@@ -99,11 +105,21 @@ object AnnIndex {
     * after a REPLAYED append, compaction also restores single-copy
     * top-k (a duplicated row would otherwise occupy two result
     * slots). */
-  def compact(handle: Handle): Unit = {
+  def compact(handle: Handle, waitForAppendsMs: Long = 60000L): Unit = {
     val spark = SparkSession.active
     val dir = handle.dir
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    Maintenance.acquireCompactLock(fs, root, waitForAppendsMs)
+    try compactLocked(spark, handle, fs)
+    finally Maintenance.releaseCompactLock(fs, root)
+  }
+
+  private def compactLocked(
+      spark: SparkSession, handle: Handle,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val dir = handle.dir
     val live = new org.apache.hadoop.fs.Path(s"$dir/codes")
     // refuse crashed state BEFORE the expensive rewrite (swapCompacted
     // re-checks right before the swap)

@@ -90,10 +90,16 @@ object DedupIndex {
   def append(handle: Handle, slice: DataFrame): Unit = {
     val (fps, sigs, words) =
       stateFrames(slice, handle.idCol, handle.numHashes, handle.bandSize)
-    fps.write.mode("append").parquet(s"${handle.dir}/fingerprints")
-    sigs.repartition(col("band0"))
-      .write.mode("append").partitionBy("band0").parquet(s"${handle.dir}/signatures")
-    words.write.mode("append").parquet(s"${handle.dir}/words")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      slice.sparkSession.sparkContext.hadoopConfiguration)
+    // marker/lock handshake with a concurrent compact — see Maintenance
+    Maintenance.withAppendMarker(
+        fs, new org.apache.hadoop.fs.Path(handle.dir)) {
+      fps.write.mode("append").parquet(s"${handle.dir}/fingerprints")
+      sigs.repartition(col("band0"))
+        .write.mode("append").partitionBy("band0").parquet(s"${handle.dir}/signatures")
+      words.write.mode("append").parquet(s"${handle.dir}/words")
+    }
   }
 
   /** Rewrite the index state deduplicated — the maintenance pass for a
@@ -115,14 +121,27 @@ object DedupIndex {
     * from a prior crash aborts the whole pass before any mutation,
     * and files a concurrent [[graft.streaming.StreamingDedup]] append
     * laid down after the snapshot are folded back into the compacted
-    * table. See [[Maintenance]] for the exact contract. */
-  def compact(handle: Handle): Unit = {
+    * table. The whole pass runs under the index-wide `_compact.lock`
+    * ([[Maintenance.acquireCompactLock]]): in-flight appends drain
+    * first (up to `waitForAppendsMs`), and appends arriving during
+    * the pass refuse loudly instead of racing the swap. See
+    * [[Maintenance]] for the exact contract. */
+  def compact(handle: Handle, waitForAppendsMs: Long = 60000L): Unit = {
     val spark = SparkSession.active
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(handle.dir)
+    Maintenance.acquireCompactLock(fs, root, waitForAppendsMs)
+    try compactLocked(spark, handle, fs)
+    finally Maintenance.releaseCompactLock(fs, root)
+  }
+
+  private def compactLocked(
+      spark: SparkSession, handle: Handle,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val dir = handle.dir
     val tmp = s"$dir/compact_tmp"
     val idc = col(handle.idCol)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val tables = Seq("fingerprints", "signatures", "words")
     tables.foreach { t => // refuse crashed state BEFORE the expensive writes
       val aside = new org.apache.hadoop.fs.Path(s"$dir/${t}_precompact")

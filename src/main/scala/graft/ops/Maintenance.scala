@@ -24,11 +24,35 @@ import scala.collection.mutable.ArrayBuffer
   *    (a concurrent ingest append) are folded into the compacted tree
   *    at their original relative paths before the old copy is
   *    deleted, so the result equals "compact finished, then the
-  *    append landed" and no appended row is lost. The fold-in covers
-  *    appends that commit before the live dir is renamed aside; an
-  *    append committing INSIDE the two-rename window is still a race
-  *    — run compaction from the ingest driver between micro-batches
-  *    (its natural cadence) rather than from a separate process.
+  *    append landed" and no appended row is lost.
+  *
+  * '''Compaction / ingest handshake.''' An append committing INSIDE
+  * the two-rename swap window would recreate the live dir out from
+  * under the swap; rather than racing, compaction and appends
+  * coordinate through two kinds of bookkeeping files in the index
+  * dir (both `_`-prefixed, so [[dataFiles]] and parquet readers skip
+  * them):
+  *
+  *  - Compaction holds `_compact.lock` for its whole snapshot→swap
+  *    span ([[acquireCompactLock]] / [[releaseCompactLock]]). An
+  *    append that sees the lock refuses loudly (retry after the
+  *    compact — its natural cadence is between ingest micro-batches
+  *    anyway).
+  *  - An append announces itself with an `_appending.<uuid>` marker
+  *    via [[withAppendMarker]], created BEFORE it checks the lock and
+  *    deleted after its writes commit. Compaction, AFTER taking the
+  *    lock, waits for all markers to drain before touching anything.
+  *
+  * The ordering closes the race under sequential FS metadata ops:
+  * an append either (a) creates its marker before the lock exists —
+  * then compaction's post-lock marker wait sees it and blocks until
+  * the append commits (whose files the snapshot or fold-in then
+  * covers), or (b) sees the lock at its post-marker check — then it
+  * aborts without writing. No interleaving lets an append's files
+  * land during the swap window. A crashed compact leaves the lock
+  * behind (appends refuse until it is removed by hand, same recovery
+  * posture as a leftover `_precompact`); a crashed append leaves its
+  * marker (compaction times out with instructions).
   */
 private[graft] object Maintenance {
 
@@ -54,14 +78,84 @@ private[graft] object Maintenance {
     out.toSeq
   }
 
+  private def lockFile(indexDir: Path): Path =
+    new Path(indexDir, "_compact.lock")
+
+  private def appendMarkers(fs: FileSystem, indexDir: Path): Seq[Path] =
+    if (!fs.exists(indexDir)) Seq.empty
+    else fs.listStatus(indexDir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("_appending."))
+
+  /** Take the index-wide compaction lock, then wait (up to
+    * `waitForAppendsMs`) for in-flight append markers to drain. See
+    * the object doc for why this order is the safe one. Fails loudly
+    * — without deleting the lock — if the lock is already held;
+    * fails loudly AND releases the lock if markers do not drain. */
+  def acquireCompactLock(
+      fs: FileSystem, indexDir: Path, waitForAppendsMs: Long = 60000L): Unit = {
+    val lock = lockFile(indexDir)
+    // exists-check first for the clear message; create(overwrite=false)
+    // is the atomic backstop if two compactors race to this line
+    require(!fs.exists(lock),
+      s"$lock already exists — another compaction is running (or a prior " +
+        s"one crashed holding it). If no compactor is alive, delete the " +
+        s"lock file by hand and re-check for a leftover _precompact dir.")
+    try fs.create(lock, false).close()
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"could not take $lock (concurrent compactor, or IO failure): $e", e)
+    }
+    val deadline = System.currentTimeMillis() + waitForAppendsMs
+    var markers = appendMarkers(fs, indexDir)
+    while (markers.nonEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100L)
+      markers = appendMarkers(fs, indexDir)
+    }
+    if (markers.nonEmpty) {
+      fs.delete(lock, false)
+      throw new IllegalStateException(
+        s"in-flight appends did not drain within ${waitForAppendsMs} ms: " +
+          s"${markers.mkString(", ")}. A crashed append leaves its marker " +
+          s"behind — delete the marker by hand once the writer is known dead.")
+    }
+  }
+
+  /** Drop the compaction lock. Call from the compactor's `finally`. */
+  def releaseCompactLock(fs: FileSystem, indexDir: Path): Unit = {
+    fs.delete(lockFile(indexDir), false)
+    ()
+  }
+
+  /** Run `body` (an append's writes) under an `_appending.<uuid>`
+    * marker, refusing if the compaction lock is held. The marker is
+    * created BEFORE the lock check — see the object doc's race
+    * argument — and removed in `finally` either way. */
+  def withAppendMarker[T](fs: FileSystem, indexDir: Path)(body: => T): T = {
+    val marker =
+      new Path(indexDir, "_appending." + java.util.UUID.randomUUID().toString)
+    fs.create(marker, false).close()
+    try {
+      val lock = lockFile(indexDir)
+      if (fs.exists(lock)) throw new IllegalStateException(
+        s"refusing to append: a compaction holds $lock. Retry after it " +
+          s"finishes (if no compactor is alive, delete the stale lock by hand).")
+      body
+    } finally {
+      fs.delete(marker, false)
+    }
+  }
+
   /** Swap `tmpTable` (the freshly-written compacted copy) into place
     * at `live`, folding in any data file that appeared under `live`
     * after `snapshot` was taken. See the object doc for the crash /
     * concurrency contract. On success the `_precompact` aside copy is
-    * deleted; the caller deletes its own temp parent dir. */
+    * deleted; the caller deletes its own temp parent dir.
+    * `beforeSwap` is a test seam invoked between the two renames —
+    * production callers leave the default no-op. */
   def swapCompacted(
       fs: FileSystem, live: Path, tmpTable: Path,
-      snapshot: Set[String]): Unit = {
+      snapshot: Set[String], beforeSwap: () => Unit = () => ()): Unit = {
     val aside = new Path(live.getParent, live.getName + "_precompact")
     require(!fs.exists(aside),
       s"$aside already exists — a prior compact crashed mid-swap. " +
@@ -69,9 +163,28 @@ private[graft] object Maintenance {
         s"${live.getName}) before compacting again; refusing to touch it.")
     require(fs.rename(live, aside),
       s"rename $live -> $aside failed; table left untouched")
+    beforeSwap()
+    // If a concurrent writer recreated `live` inside the swap window
+    // (an append bypassing the lock handshake), rename(tmpTable, live)
+    // would "succeed" by moving the compacted table INSIDE the
+    // recreated dir — silent layout damage. Re-check emptiness first,
+    // and verify the landing layout after, so it aborts loudly instead.
+    require(!fs.exists(live),
+      s"$live reappeared between the rename-aside and the swap — a " +
+        s"concurrent writer recreated it (an append outside the " +
+        s"_compact.lock handshake?). Nothing was deleted: the original " +
+        s"table is intact at $aside and the compacted copy at $tmpTable. " +
+        s"Recover by hand: move the concurrent writer's files out of " +
+        s"$live, delete it, then rename $aside back.")
     require(fs.rename(tmpTable, live),
       s"rename $tmpTable -> $live failed; the original table is intact " +
         s"at $aside — rename it back to recover")
+    require(!fs.exists(new Path(live, tmpTable.getName)),
+      s"the swap landed $tmpTable INSIDE $live instead of AT it — a " +
+        s"concurrent writer recreated $live during the swap window. The " +
+        s"original table is intact at $aside; move the nested compacted " +
+        s"copy and the concurrent files out, delete $live, and rename " +
+        s"$aside back to recover.")
     // late-append fold-in: anything under the aside copy that the
     // compaction snapshot never read arrived during the compact
     dataFiles(fs, aside).filterNot(snapshot.contains).foreach { rel =>

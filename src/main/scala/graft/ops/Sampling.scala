@@ -343,12 +343,16 @@ object Sampling {
     * boundary bin — the only windowed work is a partitioned running
     * sum over that single bin's rows. Within-bin ranking is by id
     * (quality ties at `bins` resolution are broken deterministically,
-    * not by a finer sort); NULL quality never selects.
+    * not by a finer sort); NULL quality never selects, and neither
+    * does a NULL token count — a row with no token evidence can't be
+    * charged against the budget, so it routes to the never-selected
+    * bucket exactly like NULL quality (its `budget_bin` stays NULL).
     *
     * Note the two passes scan `df` twice — materialize an expensive
     * upstream first (the [[TextAnalysis.quantileBuckets]] contract).
     * Token counts must be non-negative (the prefix rule needs a
-    * monotone running sum). Returns the input plus `budget_bin` and
+    * monotone running sum) — enforced at runtime from the same
+    * pass-1 aggregate. Returns the input plus `budget_bin` and
     * `selected`. */
   def tokenBudgetSelect(
       df: DataFrame, idCol: String, qualityCol: String, tokensCol: String,
@@ -362,14 +366,27 @@ object Sampling {
     // double (least(NaN, bins-1) = bins-1 — a 0/0 quality ratio would
     // select FIRST); both mean "no quality evidence" = never selected
     val q = col(qualityCol).cast("double")
-    val binc = when(q.isNull || isnan(q), lit(null).cast("long"))
+    val toks = col(tokensCol).cast("long")
+    val binc = when(q.isNull || isnan(q) || toks.isNull,
+        lit(null).cast("long"))
       .otherwise(greatest(least(floor(q * bins),
         lit((bins - 1).toDouble)), lit(0.0d)).cast("long"))
     val binned = df.withColumn("budget_bin", binc)
-    val hist = binned.groupBy("budget_bin")
-      .agg(sum(col(tokensCol).cast("long")).as("ts"))
+    // min(toks) rides the same pass-1 aggregate: one extra column, no
+    // extra scan, and it turns the documented non-negativity
+    // precondition into a loud failure instead of a silently
+    // non-monotone running sum
+    val hist0 = binned.groupBy("budget_bin")
+      .agg(sum(toks).as("ts"), min(toks).as("mn"))
       .collect()
-      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0) -> r.getLong(1)))
+    hist0.foreach { r =>
+      require(r.isNullAt(2) || r.getLong(2) >= 0L,
+        s"tokenBudgetSelect: negative token count in $tokensCol " +
+          s"(bin min ${r.getLong(2)}); token counts must be >= 0")
+    }
+    val hist = hist0
+      .flatMap(r => if (r.isNullAt(0)) None
+        else Some(r.getLong(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))))
       .sortBy(-_._1)
     var acc = 0L
     var boundary = -1L // -1: every non-null bin is a full bin

@@ -16,10 +16,14 @@ import graft.ops.AnnIndex
   * the trigger cost. Append is not checkpoint-transactional: a
   * replayed trigger re-appends identical code rows, which cost bytes
   * and duplicate top-k slots until [[AnnIndex.compact]] reclaims them
-  * — run compaction on whatever cadence the file counts suggest,
-  * FROM THIS DRIVER between micro-batches: compact folds in files
-  * appended after its snapshot, but an append committing inside its
-  * rename window is a race it cannot see (see [[graft.ops.Maintenance]]).
+  * — run compaction on whatever cadence the file counts suggest.
+  * Compaction and appends coordinate through the `_compact.lock` /
+  * `_appending.*` marker handshake (see [[graft.ops.Maintenance]]):
+  * compact drains in-flight appends before touching anything, and an
+  * append landing mid-compact refuses loudly — so a trigger firing
+  * during an external compact fails that micro-batch rather than
+  * racing the swap; running compact from this driver between
+  * micro-batches remains the zero-contention cadence.
   * Retrain deliberately (new build) when embedding drift warrants;
   * the frozen-quantizer contract is what makes the sink cheap.
   *

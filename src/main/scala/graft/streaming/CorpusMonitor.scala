@@ -95,8 +95,13 @@ object CorpusMonitor {
       .withColumn("share_alarm",
         col("expected_share").isNotNull &&
           col("share") < col("expected_share") * shareTolerance)
+      // gated on n_docs > 0: a source absent from a window has NULL
+      // mean_quality from the outage, not from bad quality — that is
+      // the share alarm's job, and double-labeling it as a quality
+      // deviation misroutes the on-call response. With docs present,
+      // NULL mean_quality (all-NULL scores) still alarms.
       .withColumn("quality_alarm",
-        col("min_quality").isNotNull &&
+        col("min_quality").isNotNull && col("n_docs") > 0 &&
           (col("mean_quality").isNull || col("mean_quality") < col("min_quality")))
       .withColumn("alarm",
         col("unknown_source") || col("share_alarm") || col("quality_alarm"))

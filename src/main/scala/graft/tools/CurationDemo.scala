@@ -228,7 +228,9 @@ object CurationDemo {
         // three passes read this frame (budget total, bin histogram,
         // output) — materialize the entropy+join lineage once
         .localCheckpoint(true)
-      val budget = withTok.agg(sum("tokens")).collect().head.getLong(0) * 90L / 100L
+      // coalesce: sum() is NULL on an empty frame (or all-NULL tokens)
+      val budget = withTok.agg(coalesce(sum("tokens"), lit(0L)))
+        .collect().head.getLong(0) * 90L / 100L
       Sampling.tokenBudgetSelect(withTok, "doc_id", "quality", "tokens",
           budget = budget, bins = 512)
         .filter(col("selected"))

@@ -76,9 +76,15 @@ class CorpusMonitorSpec extends SparkSpec {
       (at(1), at(2), "wiki", 4L, 40L, 0L, 0.55),
       (at(1), at(2), "mystery", 5L, 50L, 0L, 0.2),
       // window C: wiki is COMPLETELY absent - the total-outage case
-      (at(2), at(3), "web", 6L, 60L, 0L, 0.9))
+      (at(2), at(3), "web", 6L, 60L, 0L, 0.9),
+      // window D: web has docs but NO quality reading (all-NULL scores)
+      // - with docs present, missing quality IS a quality alarm
+      (at(3), at(4), "web", 6L, 60L, 0L, Double.NaN),
+      (at(3), at(4), "wiki", 4L, 40L, 0L, 0.5))
       .toDF("window_start", "window_end", "source", "n_docs", "n_bytes",
         "n_null_text", "mean_quality")
+      .withColumn("mean_quality",
+        when(isnan(col("mean_quality")), lit(null)).otherwise(col("mean_quality")))
     val baseline = Seq(("web", 0.6, 0.7), ("wiki", 0.4, 0.4))
       .toDF("source", "expected_share", "min_quality")
     val out = CorpusMonitor.alerts(stats, baseline, shareTolerance = 0.5)
@@ -97,10 +103,16 @@ class CorpusMonitorSpec extends SparkSpec {
     // unregistered feed alarms on its own
     assert(out((at(1), "mystery"))._1 && out((at(1), "mystery"))._4)
     // total outage: the registered-but-absent source still gets a row,
-    // and it alarms on share (0 docs) AND quality (no reading)
+    // and it alarms on share (0 docs) ONLY — NULL mean_quality from an
+    // outage is not quality evidence, so the alert is labeled as the
+    // feed problem it is, not additionally as a quality deviation
     assert(out.contains((at(2), "wiki")),
       s"missing-source row absent: ${out.keySet}")
-    assert(out((at(2), "wiki")) == ((false, true, true, true)))
+    assert(out((at(2), "wiki")) == ((false, true, false, true)))
     assert(out((at(2), "web")) == ((false, false, false, false)))
+    // window D: web present (share .6) but no quality reading -> the
+    // NULL-mean branch fires exactly when docs exist to back it
+    assert(out((at(3), "web")) == ((false, false, true, true)))
+    assert(out((at(3), "wiki")) == ((false, false, false, false)))
   }
 }
