@@ -1,0 +1,271 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent lexical (BM25) retrieval index: the production form of
+  * [[Retrieval.bm25TopK]]. That operator re-tokenizes the corpus and
+  * recomputes collection statistics on EVERY query — correct, and the
+  * right shape for one-off audits, but a RAG or decontamination user
+  * issues thousands of queries against one corpus; at 100 TB each one
+  * would pay a full corpus pass. Here the corpus tokenizes ONCE into a
+  * term-bucket-partitioned postings table and each query probes only
+  * its own terms' buckets ([[DedupIndex]] / [[AnnIndex]] are the same
+  * build/save/load/append/compact move for the dedup and ANN stacks).
+  *
+  * Layout under `dir`:
+  *  - `postings/` — (term, id, tf, n_tok) one row per (term, doc),
+  *    PARTITIONED BY `term_bucket` (murmur3 of the term mod
+  *    [[DefaultNumBuckets]]) and sorted by `term` within each
+  *    partition, so a probe reads only the query terms' bucket
+  *    directories (partition pruning) and, inside them, only the row
+  *    groups whose term range covers a query term (parquet min/max +
+  *    dictionary pushdown on the sorted files). `n_tok` is
+  *    denormalized onto every posting so scoring never joins a doc
+  *    table.
+  *  - `doclens/` — (id, n_tok) one row per corpus doc (NULL n_tok for
+  *    NULL text, mirroring [[Retrieval.collectionStats]]'s population
+  *    accounting); read only by [[compact]] to re-derive the
+  *    collection statistics.
+  *  - `meta/` — one JSON row: idCol, numBuckets, nDocs, totalTokens.
+  *    N and the average doc length come from here at query time — no
+  *    corpus-wide aggregate per query. Per-term document frequencies
+  *    are NOT persisted: df(term) is exactly the posting-row count of
+  *    that term, already in the probe's pruned slice — so appends
+  *    never maintain a df table and df is always in sync with the
+  *    postings actually scored.
+  *
+  * Scoring is bit-identical to [[Retrieval.scoreWith]]: the same
+  * Robertson idf spelled over the same integers, the same polynomial
+  * in the same association order, per-term columns added left-to-right
+  * in query-term order (a float `sum()` aggregate would re-associate
+  * by partition layout). OpsSpec asserts result equality with
+  * [[Retrieval.bm25TopK]] row-for-row, score-for-score.
+  *
+  * Concurrency: appends and compaction coordinate through the
+  * `_compact.lock` / `_appending.*` handshake ([[Maintenance]]).
+  * Appends are the single-ingest-driver loop (the [[DedupIndex]]
+  * contract): a REPLAYED append re-adds identical posting rows —
+  * duplicates inflate that term's derived df and double-count the
+  * replayed docs in `meta` until [[compact]] collapses the rows and
+  * recounts the stats from the deduplicated doclens (the same
+  * "cost bytes and slots until compact" posture as the other two
+  * indexes).
+  */
+object Bm25Index {
+
+  /** Bucket count for the postings table's partition key — enough to
+    * prune hard at any corpus size (bucket count is about pruning
+    * granularity, not parallelism: files inside a bucket still split). */
+  val DefaultNumBuckets: Int = 64
+
+  /** Ceiling on query-term count — the per-term stats and the pivoted
+    * score columns are a driver-resident model. */
+  val MaxQueryTerms: Int = 64
+
+  final case class Handle(
+      dir: String, idCol: String, numBuckets: Int,
+      nDocs: Long, totalTokens: Long)
+
+  private def toks(textCol: String) = split(trim(lower(col(textCol))), "\\s+")
+
+  private def bucketCol(numBuckets: Int) =
+    pmod(hash(col("term")), lit(numBuckets)).as("term_bucket")
+
+  /** Driver-side bucket ids for the query's terms, computed by the
+    * ENGINE's own murmur3 (one local-relation row, never a scan) so
+    * the probe's pruning predicate can never drift from the hash the
+    * build wrote. */
+  private def bucketsFor(
+      spark: SparkSession, terms: Seq[String], numBuckets: Int): Seq[Int] = {
+    val row = spark.range(1).select(terms.zipWithIndex.map { case (t, i) =>
+      pmod(hash(lit(t)), lit(numBuckets)).cast("int").as(s"__b$i") }: _*).head()
+    terms.indices.map(row.getInt)
+  }
+
+  private def statFrames(
+      corpus: DataFrame, idCol: String, numBuckets: Int):
+      (DataFrame, DataFrame) = {
+    val id = col(idCol)
+    val postings = corpus.filter(col("text").isNotNull)
+      .select(id, toks("text").as("__toks"))
+      .select(id, size(col("__toks")).cast("long").as("n_tok"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("term"), id, col("n_tok"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("term_bucket", bucketCol(numBuckets))
+    // NULL n_tok for NULL text: collectionStats counts those docs in N
+    // but never in the token total — doclens must carry the same split
+    val doclens = corpus.select(id, size(toks("text")).cast("long").as("n_tok"))
+    (postings, doclens)
+  }
+
+  private def writeMeta(
+      spark: SparkSession, dir: String, idCol: String, numBuckets: Int,
+      nDocs: Long, totalTokens: Long): Unit = {
+    import spark.implicits._
+    Seq((idCol, numBuckets, nDocs, totalTokens))
+      .toDF("idCol", "numBuckets", "nDocs", "totalTokens")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/meta")
+  }
+
+  private def statsOf(doclens: DataFrame): (Long, Long) = {
+    val r = doclens.agg(count(lit(1)).as("__n"),
+      coalesce(sum(col("n_tok")), lit(0L)).as("__total")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** One corpus pass → persisted postings + collection stats. */
+  def build(
+      corpus: DataFrame, idCol: String, dir: String,
+      numBuckets: Int = DefaultNumBuckets): Handle = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val spark = corpus.sparkSession
+    val (postings, doclens) = statFrames(corpus, idCol, numBuckets)
+    postings.repartition(col("term_bucket")).sortWithinPartitions("term")
+      .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$dir/postings")
+    doclens.write.mode("overwrite").parquet(s"$dir/doclens")
+    val (n, total) = statsOf(spark.read.parquet(s"$dir/doclens"))
+    writeMeta(spark, dir, idCol, numBuckets, n, total)
+    Handle(dir, idCol, numBuckets, n, total)
+  }
+
+  /** Fold a new slice into the persisted state — parquet appends plus
+    * a meta rewrite; no rebuild, no corpus pass. Returns the updated
+    * handle (stale handles still probe correctly — they'd just score
+    * with yesterday's N/avgdl — but re-load or chain the return). */
+  def append(handle: Handle, slice: DataFrame): Handle = {
+    val spark = slice.sparkSession
+    val (postings, doclens) = statFrames(slice, handle.idCol, handle.numBuckets)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // marker/lock handshake with a concurrent compact — see Maintenance
+    Maintenance.withAppendMarker(
+        fs, new org.apache.hadoop.fs.Path(handle.dir)) {
+      postings.repartition(col("term_bucket")).sortWithinPartitions("term")
+        .write.mode("append").partitionBy("term_bucket")
+        .parquet(s"${handle.dir}/postings")
+      doclens.write.mode("append").parquet(s"${handle.dir}/doclens")
+      val (dn, dtotal) = statsOf(doclens)
+      val n = handle.nDocs + dn
+      val total = handle.totalTokens + dtotal
+      writeMeta(spark, handle.dir, handle.idCol, handle.numBuckets, n, total)
+      Handle(handle.dir, handle.idCol, handle.numBuckets, n, total)
+    }
+  }
+
+  /** Rewrite the index state deduplicated and re-sorted — the
+    * maintenance pass for the append loop: posting rows collapse to
+    * distinct (a replayed append re-derives identical rows under the
+    * frozen tokenizer), doclens to one row per id, and the collection
+    * stats are recounted from the deduplicated doclens, healing any
+    * replay drift in `meta`. Runs under the compaction lock; see
+    * [[Maintenance]] for the crash/concurrency contract. */
+  def compact(handle: Handle, waitForAppendsMs: Long = 60000L): Handle = {
+    val spark = SparkSession.active
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(handle.dir)
+    Maintenance.acquireCompactLock(fs, root, waitForAppendsMs)
+    try compactLocked(spark, handle, fs)
+    finally Maintenance.releaseCompactLock(fs, root)
+  }
+
+  private def compactLocked(
+      spark: SparkSession, handle: Handle,
+      fs: org.apache.hadoop.fs.FileSystem): Handle = {
+    val dir = handle.dir
+    val tmp = s"$dir/compact_tmp"
+    val tables = Seq("postings", "doclens")
+    tables.foreach { t => // refuse crashed state BEFORE the expensive writes
+      val aside = new org.apache.hadoop.fs.Path(s"$dir/${t}_precompact")
+      require(!fs.exists(aside),
+        s"$aside already exists — a prior compact crashed mid-swap; " +
+          "recover it manually before compacting again")
+    }
+    val snapshots: Map[String, Seq[String]] = tables.map { t =>
+      val files = Maintenance.dataFiles(
+        fs, new org.apache.hadoop.fs.Path(s"$dir/$t"))
+      require(files.nonEmpty, s"$dir/$t holds no data files — nothing to compact")
+      t -> files
+    }.toMap
+    def snap(t: String): DataFrame =
+      spark.read.option("basePath", s"$dir/$t")
+        .parquet(snapshots(t).map(rel => s"$dir/$t/$rel"): _*)
+    snap("postings").distinct()
+      .repartition(col("term_bucket")).sortWithinPartitions("term")
+      .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$tmp/postings")
+    snap("doclens")
+      .groupBy(col(handle.idCol)).agg(max(col("n_tok")).as("n_tok"))
+      .write.mode("overwrite").parquet(s"$tmp/doclens")
+    tables.foreach { t =>
+      Maintenance.swapCompacted(
+        fs, new org.apache.hadoop.fs.Path(s"$dir/$t"),
+        new org.apache.hadoop.fs.Path(s"$tmp/$t"), snapshots(t).toSet)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val (n, total) = statsOf(spark.read.parquet(s"$dir/doclens"))
+    writeMeta(spark, dir, handle.idCol, handle.numBuckets, n, total)
+    Handle(dir, handle.idCol, handle.numBuckets, n, total)
+  }
+
+  /** Re-open a persisted index: one tiny JSON read, no data touched. */
+  def load(spark: SparkSession, dir: String): Handle = {
+    val meta = spark.read.json(s"$dir/meta").collect()
+    require(meta.length == 1, s"$dir/meta must hold exactly one row")
+    Handle(dir, meta.head.getAs[String]("idCol"),
+      meta.head.getAs[Long]("numBuckets").toInt,
+      meta.head.getAs[Long]("nDocs"), meta.head.getAs[Long]("totalTokens"))
+  }
+
+  /** Index-backed BM25 top-k — result-identical to
+    * [[Retrieval.bm25TopK]] over the same corpus, but the work is
+    * proportional to the QUERY TERMS' postings, never the corpus:
+    * one partition-pruned scan for the per-term document frequencies
+    * (a term-count-sized collect under [[MaxQueryTerms]]), one more
+    * for the candidate rows, a doc-keyed pivot aggregate over the
+    * candidates only, and TakeOrderedAndProject. */
+  def topK(
+      spark: SparkSession, handle: Handle, queryTerms: Seq[String],
+      k: Int = 10, k1: Double = Retrieval.DefaultK1,
+      b: Double = Retrieval.DefaultB): DataFrame = {
+    require(queryTerms.nonEmpty, "topK needs at least one query term")
+    require(queryTerms.size <= MaxQueryTerms,
+      s"at most $MaxQueryTerms query terms (driver-resident per-term stats), " +
+        s"got ${queryTerms.size}")
+    require(queryTerms.forall(t => t == t.toLowerCase),
+      s"query terms must be lowercase (documents are lowercased before matching): " +
+        queryTerms.filterNot(t => t == t.toLowerCase).mkString(", "))
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"query terms must be distinct: $queryTerms")
+    require(handle.nDocs > 0, "topK over an empty index")
+    val buckets = bucketsFor(spark, queryTerms, handle.numBuckets).distinct
+    val pruned = spark.read.parquet(s"${handle.dir}/postings")
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(queryTerms: _*))
+    // df(term) == posting-row count: exact, and only the pruned slice
+    val dfs: Map[String, Long] = pruned.groupBy("term")
+      .agg(count(lit(1)).as("__df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avgdl = handle.totalTokens.toDouble / handle.nDocs.toDouble
+    val id = col(handle.idCol)
+    // pivot each term's tf to its own column so the per-term scores
+    // add LEFT-TO-RIGHT in query-term order — bit-identical to
+    // Retrieval.scoreWith's column reduce, independent of row layout
+    val pivoted = pruned.groupBy(id, col("n_tok")).agg(
+      max(when(col("term") === queryTerms.head, col("tf"))).as("__tf0"),
+      queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
+        max(when(col("term") === t, col("tf"))).as(s"__tf$i") }: _*)
+    val perTerm = queryTerms.zipWithIndex.map { case (term, i) =>
+      val dft = dfs.getOrElse(term, 0L)
+      val idf = log(lit(1.0) + lit(handle.nDocs - dft + 0.5) / lit(dft + 0.5))
+      val tf = coalesce(col(s"__tf$i").cast("double"), lit(0.0))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("n_tok").cast("double") / lit(avgdl)))
+    }
+    pivoted.select(id, col("n_tok"), perTerm.reduce(_ + _).as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, id)
+      .limit(k)
+  }
+}

@@ -63,6 +63,19 @@ object ProfileScale {
     val emb10 = spark.read.parquet(s"$scratch/embeddings10")
     val dim = graft.queries.EmbeddingQueries.Dim
 
+    // round-11: the persistent BM25 index is built ONCE per scale
+    // outside the timed region (its operator shape is a standing index
+    // probed repeatedly) so the sweep times the probe alone — whose
+    // work must track the query terms' postings, never the corpus.
+    // lazy: the builds only run when the q145 entry survives
+    // SPARK_GRAFT_SCALE_ONLY filtering (the thunks force them).
+    lazy val bm25H1 = graft.ops.Bm25Index.load(spark, graft.ops.Bm25Index
+      .build(docs, "doc_id", s"$scratch/bm25idx1").dir)
+    lazy val bm25H10 = graft.ops.Bm25Index.load(spark, graft.ops.Bm25Index
+      .build(docs10, "doc_id", s"$scratch/bm25idx10").dir)
+    def q145probe(h: => graft.ops.Bm25Index.Handle) = graft.ops.Bm25Index.topK(
+      spark, h, Seq("data", "the", "query"), k = 25)
+
     def q46(d: DataFrame) = Dedup.nearDuplicates(d, "doc_id", threshold = 0.8)
       .select(col("doc_id"), col("dup_of"), col("is_near_duplicate"))
     def q47(e: DataFrame) = Similarity.annTopK(e, e.filter(col("vec_id") < 20),
@@ -552,7 +565,9 @@ object ProfileScale {
             .withColumn("shard",
               (graft.ops.Sampling.hashUnit(col("doc_id")) * 32).cast("int")),
           "doc_id", "tok", "shard", ctxLen = 64L)),
-      ("q144 sft-mask", () => q144mask(docs), () => q144mask(docs10)))
+      ("q144 sft-mask", () => q144mask(docs), () => q144mask(docs10)),
+      ("q145 bm25-index-probe",
+        () => q145probe(bm25H1), () => q145probe(bm25H10)))
       // SPARK_GRAFT_SCALE_ONLY=q82,q112 restricts the sweep (label
       // prefix match) — the A/B lever for re-profiling one family
       // after a change without the full multi-minute run. Blank

@@ -2840,6 +2840,92 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Bm25Index: build/load/topK bit-matches bm25TopK; probe scan prunes") {
+    val corpus = Seq(
+      (0L, "the quick data pipeline processes the query stream"),
+      (1L, "a long document about nothing in particular with many extra words here"),
+      (2L, "data data data everywhere and the query too"),
+      (3L, "the the the the repeated stopword document"),
+      (4L, "query optimization for data systems"),
+      (5L, "unrelated text with zero matching terms"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    try {
+      val built = Bm25Index.build(corpus, "doc_id", dir, numBuckets = 8)
+      val loaded = Bm25Index.load(spark, dir)
+      assert(loaded == built, s"load round-trip: $loaded vs $built")
+      // N counts the NULL-text doc (collectionStats parity), tokens don't
+      assert(loaded.nDocs == 7L && loaded.totalTokens > 0L)
+      val terms = Seq("data", "the", "query")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val viaIndex = Bm25Index.topK(spark, loaded, terms, k = 4)
+      val direct = rows(Retrieval.bm25TopK(corpus, "doc_id", "text", terms, k = 4))
+      // row-for-row AND bit-for-bit: same docs, same order, EXACT scores
+      assert(rows(viaIndex) == direct, s"index ${rows(viaIndex)} vs direct $direct")
+      assert(direct.nonEmpty)
+      // a term absent from the corpus contributes the same exact zero
+      val withMiss = Seq("data", "nosuchterm")
+      assert(rows(Bm25Index.topK(spark, loaded, withMiss, k = 4)) ==
+        rows(Retrieval.bm25TopK(corpus, "doc_id", "text", withMiss, k = 4)))
+      // the probe scan prunes: PartitionFilters on term_bucket, and the
+      // doc text is nowhere in the read schema
+      val plan = viaIndex.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"), plan)
+      assert(plan.contains("term_bucket"), plan)
+      assert(!plan.contains("text#"), plan)
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
+  test("Bm25Index: append catches new docs with fresh stats; compact heals a replayed append") {
+    val old = Seq(
+      (0L, "the quick data pipeline processes the query stream"),
+      (1L, "a long document about nothing in particular"),
+      (2L, "query optimization for data systems"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "data data data data the ultimate data document"))
+      .toDF("doc_id", "text")
+    val union = old.unionByName(fresh)
+    val terms = Seq("data", "the")
+    val dir = java.nio.file.Files.createTempDirectory("bm25app").toString
+    try {
+      val built = Bm25Index.build(old, "doc_id", dir, numBuckets = 8)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val h2 = Bm25Index.append(built, fresh)
+      assert(h2.nDocs == 4L, s"append must update N: $h2")
+      // the appended doc surfaces, and every score equals bm25TopK over
+      // the UNION — N, avgdl and df all moved with the append
+      val viaIndex = rows(Bm25Index.topK(spark, h2, terms, k = 4))
+      val direct = rows(Retrieval.bm25TopK(union, "doc_id", "text", terms, k = 4))
+      assert(viaIndex == direct, s"index $viaIndex vs direct $direct")
+      assert(viaIndex.exists(_._1 == 10L), s"appended doc missing: $viaIndex")
+      // a REPLAYED append (same slice twice) drifts df and N...
+      val h3 = Bm25Index.append(h2, fresh)
+      assert(h3.nDocs == 5L) // drifted — documented until compact
+      // ...and compact collapses the duplicate rows and recounts stats
+      val h4 = Bm25Index.compact(h3, waitForAppendsMs = 0L)
+      assert(h4.nDocs == 4L && h4.totalTokens == h2.totalTokens,
+        s"compact must heal replay drift: $h4 vs $h2")
+      assert(rows(Bm25Index.topK(spark, h4, terms, k = 4)) == direct)
+      // reload agrees with the healed meta
+      assert(Bm25Index.load(spark, dir) == h4)
+      // postings hold one row per (term, doc) again
+      val posts = spark.read.parquet(s"$dir/postings")
+      assert(posts.count() == posts.select("term", "doc_id").distinct().count())
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("Maintenance.swapCompacted: checked swap, late-append fold-in, precompact refusal") {
     val dir = java.nio.file.Files.createTempDirectory("swapcompact").toString
     try {
@@ -2885,6 +2971,88 @@ class OpsSpec extends SparkSpec {
       assert(ex.getMessage.contains("crashed mid-swap"))
       val vsAfter = spark.read.parquet(live).collect().map(_.getInt(0)).sorted.toSeq
       assert(vsAfter == Seq(1, 2, 3, 9)) // live table untouched by the refusal
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
+  test("Maintenance: compact-lock / append-marker handshake") {
+    val dir = java.nio.file.Files.createTempDirectory("mlock").toString
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(dir)
+      fs.mkdirs(root)
+      // an append arriving while the lock is held refuses WITHOUT
+      // running its body, and cleans its marker up
+      Maintenance.acquireCompactLock(fs, root, waitForAppendsMs = 0L)
+      val ex = intercept[IllegalStateException] {
+        Maintenance.withAppendMarker(fs, root) {
+          fail("append body must not run under a compact lock")
+        }
+      }
+      assert(ex.getMessage.contains("_compact.lock"), ex.getMessage)
+      assert(!fs.listStatus(root).exists(_.getPath.getName.startsWith("_appending.")),
+        "a refused append must not leave its marker behind")
+      // a second compactor refuses while the first holds the lock
+      val ex2 = intercept[IllegalArgumentException] {
+        Maintenance.acquireCompactLock(fs, root, waitForAppendsMs = 0L)
+      }
+      assert(ex2.getMessage.contains("another compaction"), ex2.getMessage)
+      Maintenance.releaseCompactLock(fs, root)
+      // an in-flight append (marker created before any lock existed)
+      // blocks acquisition; past the drain timeout it fails loudly AND
+      // releases the lock so the ingest side is not wedged
+      val marker = new org.apache.hadoop.fs.Path(dir, "_appending.inflight")
+      fs.create(marker, false).close()
+      val ex3 = intercept[IllegalStateException] {
+        Maintenance.acquireCompactLock(fs, root, waitForAppendsMs = 300L)
+      }
+      assert(ex3.getMessage.contains("did not drain"), ex3.getMessage)
+      assert(Maintenance.withAppendMarker(fs, root)(42) == 42,
+        "a timed-out compact attempt must release the lock")
+      // with the marker drained the lock acquires cleanly
+      fs.delete(marker, false)
+      Maintenance.acquireCompactLock(fs, root, waitForAppendsMs = 0L)
+      Maintenance.releaseCompactLock(fs, root)
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
+  test("Maintenance.swapCompacted: a live dir recreated inside the swap window aborts loudly, nothing deleted") {
+    val dir = java.nio.file.Files.createTempDirectory("swapwindow").toString
+    try {
+      val live = s"$dir/t"
+      Seq(1, 2, 2).toDF("v").write.parquet(live)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val livePath = new org.apache.hadoop.fs.Path(live)
+      val snapshot = Maintenance.dataFiles(fs, livePath)
+      spark.read.option("basePath", live)
+        .parquet(snapshot.map(rel => s"$live/$rel"): _*)
+        .distinct().write.parquet(s"$dir/tmp/t")
+      // the ADVICE r10 scenario: a writer outside the lock handshake
+      // recreates `live` between the rename-aside and the swap —
+      // without the re-check, rename(tmp, live) "succeeds" by nesting
+      // the compacted table INSIDE the recreated dir, silently
+      val ex = intercept[IllegalArgumentException] {
+        Maintenance.swapCompacted(
+          fs, livePath, new org.apache.hadoop.fs.Path(s"$dir/tmp/t"),
+          snapshot.toSet,
+          beforeSwap = () => { Seq(9).toDF("v").write.parquet(live); () })
+      }
+      assert(ex.getMessage.contains("reappeared"), ex.getMessage)
+      // loud AND lossless: the concurrent write sits at live, the
+      // original table at the aside name, the compacted copy in tmp
+      assert(spark.read.parquet(live).collect().map(_.getInt(0)).toSeq == Seq(9))
+      assert(spark.read.parquet(s"${live}_precompact").collect()
+        .map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 2))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tmp/t")))
     } finally {
       val root = java.nio.file.Path.of(dir)
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
@@ -3519,6 +3687,41 @@ class OpsSpec extends SparkSpec {
     val after = verdicts(DedupIndex.dedupBatch(spark, handle, probe, threshold = 0.5))
     assert(after == before, s"compaction changed verdicts: $before vs $after")
     assert(after(20L)._1 && after(21L)._2)
+  }
+
+  test("DedupIndex: append refuses under an external compact lock; compact drains in-flight markers") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and then naps"))
+      .toDF("doc_id", "text")
+    val slice = Seq(
+      (10L, "unrelated fresh material with novel words nothing shared here ok"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx_lk_").toString
+    val handle = DedupIndex.build(corpus, "doc_id", dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(dir, "_compact.lock")
+    fs.create(lock, false).close() // an external compactor holds the index
+    val ex = intercept[IllegalStateException] { DedupIndex.append(handle, slice) }
+    assert(ex.getMessage.contains("compaction holds"), ex.getMessage)
+    fs.delete(lock, false)
+    DedupIndex.append(handle, slice) // lock released -> the append lands
+    assert(spark.read.parquet(s"$dir/words").count() == 2L)
+    // a crashed append's leftover marker makes compact time out loudly
+    // instead of racing its swap — and leaves no lock behind
+    val marker = new org.apache.hadoop.fs.Path(dir, "_appending.crashed")
+    fs.create(marker, false).close()
+    val ex2 = intercept[IllegalStateException] {
+      DedupIndex.compact(handle, waitForAppendsMs = 300L)
+    }
+    assert(ex2.getMessage.contains("did not drain"), ex2.getMessage)
+    assert(!fs.exists(lock), "a timed-out compact must release its lock")
+    fs.delete(marker, false)
+    DedupIndex.compact(handle, waitForAppendsMs = 0L) // drained -> compacts
+    assert(!fs.exists(lock) &&
+      !fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .exists(_.getPath.getName.startsWith("_appending.")))
+    assert(spark.read.parquet(s"$dir/words").count() == 2L)
   }
 
   test("DedupIndex: bandSize=2 — partition key follows the band; narrow probe of a wide index stays complete") {
@@ -4196,5 +4399,40 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(all.filter(r => r._1 != 7L && r._1 != 8L).values.forall(identity))
     assert(!all(7L) && !all(8L)) // null and NaN stay out even when all fits
+  }
+
+  test("tokenBudgetSelect: NULL tokens never select or charge; negative tokens refuse loudly") {
+    val d = Seq(
+      (1L, Option(0.95), Option(7L)), (2L, Option(0.96), Option(5L)),
+      // quality evidence but NO token evidence: can't be charged, so
+      // it routes to the never-selected bucket like NULL quality
+      (3L, Option(0.95), Option.empty[Long]),
+      (4L, Option(0.15), Option(1L)))
+      .toDF("doc_id", "quality", "tokens")
+    // budget exactly covers bin 9's non-null sum — doc 3 must not ride
+    // along uncharged in the "full bin"
+    val out = Sampling.tokenBudgetSelect(
+      d, "doc_id", "quality", "tokens", budget = 12L, bins = 10)
+      .select("doc_id", "budget_bin", "selected").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -99L else r.getLong(1)), r.getBoolean(2))).toMap
+    assert(out(1L) == ((9L, true)) && out(2L) == ((9L, true)))
+    assert(out(3L) == ((-99L, false)), s"NULL-token row selected uncharged: $out")
+    assert(out(4L) == ((1L, false)))
+    // an all-NULL-token frame used to NPE on the driver's getLong
+    val allNull = Seq((1L, 0.9), (2L, 0.2)).toDF("doc_id", "quality")
+      .withColumn("tokens", lit(null).cast("long"))
+    val nn = Sampling.tokenBudgetSelect(
+      allNull, "doc_id", "quality", "tokens", budget = 5L, bins = 10)
+      .select("selected").collect().map(_.getBoolean(0))
+    assert(nn.length == 2 && nn.forall(!_))
+    // negative token counts break the monotone-prefix precondition —
+    // enforced from the pass-1 aggregate, not silently mis-selected
+    val neg = Seq((1L, 0.9, 5L), (2L, 0.8, -3L)).toDF("doc_id", "quality", "tokens")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSelect(
+        neg, "doc_id", "quality", "tokens", budget = 5L, bins = 10)
+    }
+    assert(ex.getMessage.contains("negative token count"), ex.getMessage)
   }
 }
