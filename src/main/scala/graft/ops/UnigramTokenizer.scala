@@ -177,6 +177,112 @@ object UnigramTokenizer {
     v
   }
 
+  /** Per-piece likelihood-loss column — the SentencePiece shrink
+    * question for one multi-char piece: `alt_q` is the best
+    * segmentation score of the piece's OWN surface with the full-span
+    * candidate banned (the piece removed from the vocabulary — see
+    * [[graft.plans.UnigramAltScore]]); NULL for single-char pieces. */
+  private def altScoreCol(
+      piece: Column, vocab: graft.plans.UnigramVocab, unkLpQ: Long): Column = {
+    graft.plans.UnigramScore.register(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_unigram_alt", piece,
+      typedLit(vocab.pieces.map(_._1)), typedLit(vocab.pieces.map(_._2)),
+      lit(unkLpQ))
+  }
+
+  /** The vocabulary with per-piece pruning losses attached:
+    * `loss_q = cnt · (lp_q − alt_q)` for multi-char pieces (how much
+    * total corpus log-likelihood the vocabulary loses if the piece's
+    * occurrences re-segment through the remaining pieces — Kudo
+    * 2018 §3.2's pruning criterion in its Viterbi approximation),
+    * NULL for single-char pieces (never pruned — coverage). Exact
+    * integers end to end. Emits `(piece, cnt, lp_q, alt_q, loss_q)`;
+    * model-sized work (the vocab probes itself under the expression),
+    * no corpus pass. */
+  def pieceLosses(
+      vocabDf: DataFrame, unkLnProb: Double = -25.0): DataFrame = {
+    require(unkLnProb < 0, s"unkLnProb must be negative, got $unkLnProb")
+    val vocab = buildVocab(vocabDf)
+    val unkQ = math.round(unkLnProb * 1048576.0d)
+    vocabDf.select(col("piece"), col("cnt"), col("lp_q"))
+      .withColumn("alt_q", altScoreCol(col("piece"), vocab, unkQ))
+      .withColumn("loss_q",
+        when(length(col("piece")) > 1,
+          col("cnt") * (col("lp_q") - col("alt_q"))))
+  }
+
+  /** Prune the vocabulary to at most `targetVocab` pieces by
+    * likelihood loss: every single-char piece is retained (the
+    * SentencePiece required-character rule), multi-char pieces keep
+    * the `targetVocab − n_single` most valuable by
+    * (loss_q desc, piece asc) — the deterministic total order the
+    * DuckDB replay ranks by. Log-probs pass through UNCHANGED;
+    * re-estimate after pruning ([[shrinkRound]] chains [[emRound]]).
+    * Returns `(piece, cnt, lp_q)`. */
+  def pruneByLoss(
+      vocabDf: DataFrame, targetVocab: Int,
+      unkLnProb: Double = -25.0): DataFrame = {
+    require(targetVocab >= 1 && targetVocab <= MaxVocab,
+      s"targetVocab out of [1,$MaxVocab]: $targetVocab")
+    val losses = pieceLosses(vocabDf, unkLnProb)
+      .localCheckpoint(true) // feeds the single-count agg AND both arms
+    val nSingle = losses.filter(length(col("piece")) === 1).count()
+    require(targetVocab >= nSingle,
+      s"targetVocab ($targetVocab) below the single-char floor " +
+        s"($nSingle pieces) — single-char coverage is never pruned")
+    val keepMulti = (targetVocab - nSingle).toInt
+    losses.filter(length(col("piece")) === 1)
+      .select(col("piece"), col("cnt"), col("lp_q"))
+      .unionByName(losses.filter(length(col("piece")) > 1)
+        .orderBy(col("loss_q").desc, col("piece")).limit(keepMulti)
+        .select(col("piece"), col("cnt"), col("lp_q")))
+  }
+
+  /** One shrink step: prune to `targetVocab` by likelihood loss, then
+    * re-estimate with a full [[emRound]] (every corpus word
+    * re-segments under the survivors, usage re-credits, log-probs
+    * re-quantize). The returned table chains like any round output. */
+  def shrinkRound(
+      docs: DataFrame, textCol: String, vocabDf: DataFrame,
+      targetVocab: Int, unkLnProb: Double = -25.0, maxWordLen: Int = 16,
+      minCount: Long = 1L, delta: Double = 1.0): DataFrame =
+    emRound(docs, textCol, pruneByLoss(vocabDf, targetVocab, unkLnProb),
+      unkLnProb, maxWordLen, minCount, delta)
+
+  /** Shrink-to-target: the SentencePiece vocabulary schedule — repeat
+    * (prune the lowest-loss multi-char pieces, re-estimate) until the
+    * vocabulary fits `targetVocab`. Each round keeps at most
+    * `shrinkKeep` of the surviving multi-char pieces (Kudo's gradual
+    * schedule: pruning everything at once mis-ranks pieces whose loss
+    * changes as their neighbors disappear), floored at the target so
+    * the last round lands exactly. Terminates: `floor(m·shrinkKeep) <
+    * m` for every m ≥ 1. Without this, [[train]]'s zero-use pruning
+    * leaves the vocabulary seed-sized — the trained vocab was never
+    * CHOSEN. Returns the final `(piece, cnt, lp_q)`. */
+  def shrinkToTarget(
+      docs: DataFrame, textCol: String, vocabDf: DataFrame,
+      targetVocab: Int, shrinkKeep: Double = 0.75,
+      unkLnProb: Double = -25.0, maxWordLen: Int = 16,
+      minCount: Long = 1L, delta: Double = 1.0): DataFrame = {
+    require(shrinkKeep > 0.0 && shrinkKeep < 1.0,
+      s"shrinkKeep out of (0,1): $shrinkKeep")
+    var v = vocabDf
+    var total = v.count()
+    while (total > targetVocab) {
+      val nSingle = v.filter(length(col("piece")) === 1).count()
+      require(targetVocab >= nSingle,
+        s"targetVocab ($targetVocab) below the single-char floor ($nSingle)")
+      val multis = (total - nSingle).toInt
+      val keep = math.max(targetVocab - nSingle.toInt,
+        (multis * shrinkKeep).toInt)
+      v = emRound(docs, textCol,
+        pruneByLoss(v, nSingle.toInt + keep, unkLnProb),
+        unkLnProb, maxWordLen, minCount, delta)
+      total = v.count()
+    }
+    v
+  }
+
   /** Viterbi score column over `trim(lower(text))` — see
     * [[graft.plans.UnigramScore]] for the exact DP and tie-break.
     * Returns a struct `(score_q, n_pieces, n_words, n_long)`. */

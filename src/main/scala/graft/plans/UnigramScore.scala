@@ -175,6 +175,43 @@ case class UnigramSegment(
     copy(child = newChild)
 }
 
+/** Best ALTERNATIVE segmentation score of one piece's surface —
+  * `graft_unigram_alt(word) -> bigint`: the Viterbi DP with the
+  * full-span candidate banned ([[UnigramScore.bestSegmentation]]'s
+  * `banFullSpan`). This is the SentencePiece shrink step's question:
+  * dropping piece `p` from the vocabulary costs
+  * `cnt(p) · (lp_q(p) − alt_q(p))` where `alt_q` is this score over
+  * `p`'s own surface — a piece can only appear in its own surface as
+  * the full span, so banning that span IS removing the piece.
+  * NULL for inputs of fewer than 2 code points (a banned 1-char word
+  * has no candidates; single-char pieces are never pruned anyway).
+  * Runs over the vocabulary-bounded piece table — model-sized work,
+  * but expressed as the same narrow expression family as the scorer
+  * so the DP and its tie-break stay ONE code path. */
+case class UnigramAltScore(
+    child: Expression, vocab: UnigramVocab, unkLpQ: Long)
+  extends UnaryExpression with CodegenFallback with Serializable {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_unigram_alt"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val w = input.asInstanceOf[UTF8String].toString
+    if (w.codePointCount(0, w.length) < 2) null
+    else java.lang.Long.valueOf(
+      UnigramScore.bestSegmentation(w, vocab, unkLpQ, banFullSpan = true)._1)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramAltScore =
+    copy(child = newChild)
+}
+
 object UnigramScore {
 
   /** The unigram Viterbi DP over one word, with backtrace — the ONE
@@ -185,9 +222,18 @@ object UnigramScore {
     * are CODE POINTS (a surrogate pair is one position), so lengths
     * and piece slices agree with SQL `length()`/`substr()` semantics
     * and the DuckDB oracle — the same code-point discipline as
-    * [[BpeVocab.idTableRows]]. Returns (score_q, pieces in order). */
+    * [[BpeVocab.idTableRows]]. Returns (score_q, pieces in order).
+    *
+    * `banFullSpan = true` excludes the single candidate covering the
+    * WHOLE word — the "segment this piece's surface without the piece
+    * itself" question the SentencePiece shrink step asks (a vocabulary
+    * piece can only appear in its own surface as the full span, so
+    * banning that span IS removing the piece from the vocabulary for
+    * this word). Callers pass words of ≥ 2 code points (a banned
+    * 1-char word would have no candidates at all). */
   private[plans] def bestSegmentation(
-      w: String, vocab: UnigramVocab, unkLpQ: Long): (Long, Array[String]) = {
+      w: String, vocab: UnigramVocab, unkLpQ: Long,
+      banFullSpan: Boolean = false): (Long, Array[String]) = {
     val cps = w.codePoints().toArray
     val n = cps.length
     val L = math.min(vocab.maxPieceLen, n)
@@ -199,11 +245,15 @@ object UnigramScore {
       var l = 1
       while (l <= math.min(L, j)) {
         val i = j - l
+        val banned = banFullSpan && j == n && l == n
         val lp: java.lang.Long = {
-          val v = vocab.lpq.get(new String(cps, i, l))
-          if (v != null) v
-          else if (l == 1) java.lang.Long.valueOf(unkLpQ)
-          else null
+          if (banned) null
+          else {
+            val v = vocab.lpq.get(new String(cps, i, l))
+            if (v != null) v
+            else if (l == 1) java.lang.Long.valueOf(unkLpQ)
+            else null
+          }
         }
         if (lp != null) {
           val cs = score(i) + lp.longValue()
@@ -234,6 +284,16 @@ object UnigramScore {
       exprs => {
         val (child, vocab, unk, mwl) = parseArgs("graft_unigram_pieces", exprs)
         UnigramSegment(child, vocab, unk, mwl)
+      })
+    // alt takes no max_word_len (pieces are maxPieceLen-bounded by
+    // construction); reuse the 5-arg decoder with a dummy literal
+    NativeFunctions.registerOnce(spark, "graft_unigram_alt",
+      exprs => {
+        require(exprs.length == 4,
+          s"graft_unigram_alt takes 4 arguments, got ${exprs.length}")
+        val (child, vocab, unk, _) = parseArgs("graft_unigram_alt",
+          exprs :+ Literal(1, IntegerType))
+        UnigramAltScore(child, vocab, unk)
       })
   }
 

@@ -2357,6 +2357,93 @@ object CurationQueries {
       FROM vkept, vktot ORDER BY piece"""),
     bench = true)
 
+  /** The q146 alternative-segmentation DP: positions 1..4 over the
+    * vocabulary's own MULTI-char pieces (each piece's surface is the
+    * "word"), same encoded-state machinery as [[uniDpCtesDuckFor]],
+    * with the FULL-SPAN candidate banned — the `l == j` candidate
+    * covers `[0, j)`, which is the whole word exactly when
+    * `len(w) = j`, so that one case is guarded out. This is the
+    * SentencePiece shrink question: the best score of a piece's
+    * surface through the REST of the vocabulary. Emits
+    * `{p}alt(piece, cnt, lp_q, alt_q)`. */
+  private def uniAltDpCtesDuck(vocabTable: String, p: String): String = {
+    val W = 4
+    def low(b: String) = s"(($b % 1024 + 1024) % 1024)"
+    def scoreOf(b: String) = s"(($b - ${low(b)}) // 1024)"
+    def nOf(b: String) = s"(${low(b)} % 32)"
+    val ctes = (1 to W).map { j =>
+      val cands = (1 to j).map { l =>
+        val prev = if (j - l == 0) "CAST(0 AS BIGINT)" else s"b${j - l}"
+        val lookup = s"(SELECT lp_q FROM $vocabTable WHERE piece = substr(w, ${j - l + 1}, $l))"
+        val core =
+          if (l == 1)
+            s"((${scoreOf(prev)} + coalesce($lookup, CAST($uniUnkQ AS BIGINT))) * 1024 + ${l * 32} + ${nOf(prev)} + 1)"
+          else
+            s"CASE WHEN $lookup IS NOT NULL THEN ((${scoreOf(prev)} + $lookup) * 1024 + ${l * 32} + ${nOf(prev)} + 1) END"
+        if (l == j) s"CASE WHEN len(w) <> $j THEN $core END" else core
+      }
+      val g = if (cands.size == 1) cands.head else s"greatest(${cands.mkString(", ")})"
+      s"${p}d$j AS (SELECT *, CASE WHEN len(w) >= $j THEN $g END AS b$j FROM ${p}d${j - 1})"
+    }
+    val pick = (2 to W).map(j => s"WHEN $j THEN b$j").mkString(" ")
+    s"""${p}d0 AS (SELECT piece AS w, cnt, lp_q FROM $vocabTable WHERE len(piece) > 1),
+      ${ctes.mkString(",\n      ")},
+      ${p}alt AS (SELECT w AS piece, cnt, lp_q,
+        ${scoreOf(s"(CASE len(w) $pick END)")} AS alt_q FROM ${p}d$W)"""
+  }
+
+  /** SentencePiece vocabulary shrink-to-target (library
+    * `UnigramTokenizer.shrinkRound` — Kudo 2018 §3.2's pruning step,
+    * the piece missing from `train`'s zero-use pruning: the trained
+    * vocabulary is CHOSEN, not seed-sized): after one EM round, every
+    * multi-char piece gets a likelihood loss
+    * `cnt · (lp_q − alt_q)` — `alt_q` the Viterbi score of the
+    * piece's own surface with the piece itself banned — the top
+    * `target − n_single` multi-char pieces by (loss desc, piece asc)
+    * survive beside the full single-char floor, and a second EM round
+    * re-segments the whole corpus under the survivors and
+    * re-quantizes. The oracle replays the ENTIRE chain: seed, DP₁,
+    * backtrace₁, re-estimate, the banned-full-span alt DP, the loss
+    * ranking, the prune, DP₂ (every word re-segmented under the
+    * shrunk vocabulary), backtrace₂, re-estimate — one mis-ranked
+    * piece or one wrong re-segmentation anywhere breaks the hash. */
+  val q146 = QueryDef(
+    "q146_unigram_shrink",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = graft.ops.UnigramTokenizer.train(docs, "text", rounds = 1,
+        maxPieceLen = 4, vocabSize = 256, maxWordLen = 16)
+      graft.ops.UnigramTokenizer.shrinkRound(docs, "text", v1,
+          targetVocab = 40, unkLnProb = -25.0, maxWordLen = 16)
+        .oracleOrderBy("piece")
+    },
+    Some(s"""WITH $uniVocabCtesDuck,
+      udw AS (SELECT w FROM uwrd),
+      ${uniDpCtesDuckFor("uvq", "u")},
+      ${uniEmCtesDuckFor("uvq", "u")},
+      uvq2 AS MATERIALIZED (
+        SELECT piece, cnt,
+          CAST(round(ln((CAST(cnt AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (tt + kk))
+            * CAST(1048576 AS DOUBLE)) AS BIGINT) AS lp_q
+        FROM ukept, uktot),
+      ${uniAltDpCtesDuck("uvq2", "a")},
+      uloss AS (SELECT piece, lp_q, cnt * (lp_q - alt_q) AS loss_q FROM aalt),
+      upr AS MATERIALIZED (
+        SELECT piece, lp_q FROM uvq2 WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, lp_q FROM (
+          SELECT piece, lp_q,
+            row_number() OVER (ORDER BY loss_q DESC, piece) AS rn
+          FROM uloss) r
+        WHERE rn <= 40 - (SELECT count(*) FROM uvq2 WHERE len(piece) = 1)),
+      ${uniDpCtesDuckFor("upr", "s")},
+      ${uniEmCtesDuckFor("upr", "s")}
+      SELECT piece, cnt,
+        CAST(round(ln((CAST(cnt AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (tt + kk))
+          * CAST(1048576 AS DOUBLE)) AS BIGINT) AS lp_q
+      FROM skept, sktot ORDER BY piece"""),
+    bench = true)
+
   /** Quality-ranked per-stratum selection (library
     * `Sampling.topKPerStratum` — "the k best documents per source by
     * score", the score-ranked sibling of q73's hash-ranked domain
@@ -2768,5 +2855,5 @@ object CurationQueries {
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
-      q128, q130, q132, q136, q141, q143, q144, q145)
+      q128, q130, q132, q136, q141, q143, q144, q145, q146)
 }

@@ -494,6 +494,19 @@ object ProfileScale {
           val v = graft.ops.UnigramTokenizer.seedVocab(docs10, "text", 4, 256, 16)
           graft.ops.UnigramTokenizer.emRound(docs10, "text", v)
         }),
+      // the shrink step over a FIXED post-EM vocabulary: the loss DP is
+      // model-sized (the vocab probes itself), so the x10 cost is all
+      // in the re-estimating EM round's word table — same band as q127
+      ("q146 unigram-shrink", () => {
+          val v = graft.ops.UnigramTokenizer.train(docs, "text", rounds = 1,
+            maxPieceLen = 4, vocabSize = 256, maxWordLen = 16)
+          graft.ops.UnigramTokenizer.shrinkRound(docs, "text", v, targetVocab = 40)
+        },
+        () => {
+          val v = graft.ops.UnigramTokenizer.train(docs10, "text", rounds = 1,
+            maxPieceLen = 4, vocabSize = 256, maxWordLen = 16)
+          graft.ops.UnigramTokenizer.shrinkRound(docs10, "text", v, targetVocab = 40)
+        }),
       ("q126 attn-layout", () => {
           val sharded = docs.withColumn("shard_key",
             (graft.ops.Sampling.hashUnit(col("doc_id")) * 32).cast("int"))

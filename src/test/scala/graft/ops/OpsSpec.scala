@@ -3523,6 +3523,65 @@ class OpsSpec extends SparkSpec {
       vdf.collect().map(_.getString(0)).toSet)
   }
 
+  test("UnigramTokenizer shrink: loss-ranked prune beyond zero-use, coverage floor, re-segmentation") {
+    // corpus: "abab" x3, "cdcd" x1. After one EM round the vocabulary
+    // is {a,b,c,d, ab(cnt 6), cd(cnt 2)} — BOTH multis are used, so
+    // zero-use pruning keeps both; only the loss ranking separates them
+    val docs = Seq((0L, "abab abab abab cdcd")).toDF("doc_id", "text")
+    val v1 = UnigramTokenizer.train(docs, "text", rounds = 1,
+      maxPieceLen = 2, vocabSize = 16, maxWordLen = 16)
+    val before = v1.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(before.keySet == Set("a", "b", "c", "d", "ab", "cd"), before.keySet)
+    assert(before("cd")._1 == 2L) // used — minCount pruning would KEEP it
+
+    // losses: alt_q = banned-full-span DP over the piece's own surface;
+    // singles get NULL (never pruned). ab re-segments as [a,b], so
+    // loss(ab) = 6·(lp(ab) − lp(a) − lp(b)) — checked exactly
+    val losses = UnigramTokenizer.pieceLosses(v1).collect()
+      .map(r => r.getString(0) ->
+        ((if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(losses("a")._2.isEmpty && losses("ab")._2.nonEmpty)
+    assert(losses("ab")._1.get == before("a")._2 + before("b")._2)
+    assert(losses("ab")._2.get == 6L * (before("ab")._2 - losses("ab")._1.get))
+    assert(losses("ab")._2.get > losses("cd")._2.get)
+
+    // shrink to 5 = 4 singles + 1 multi: cd is pruned BY LOSS, and the
+    // re-estimating EM round re-credits the survivors exactly
+    val shrunk = UnigramTokenizer.shrinkRound(docs, "text", v1, targetVocab = 5)
+    val m = shrunk.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m.keySet == Set("a", "b", "c", "d", "ab"), m.keySet)
+    assert(m("ab")._1 == 6L && m("c")._1 == 2L && m("a")._1 == 0L)
+    assert(m("ab")._2 == math.round(math.log(7.0 / 15.0) * 1048576.0))
+    assert(m("c")._2 == math.round(math.log(3.0 / 15.0) * 1048576.0))
+    // the pruned piece's word re-segments through singles: cdcd was
+    // [cd,cd] (2 pieces), now [c,d,c,d] (4) — the segmentation CHANGED
+    val np = UnigramTokenizer.score(
+        Seq((0L, "cdcd")).toDF("doc_id", "text"), "text",
+        UnigramTokenizer.buildVocab(shrunk))
+      .collect().head.getAs[Int]("n_pieces")
+    assert(np == 4, s"cdcd must re-segment to singles, got $np pieces")
+
+    // the single-char floor is enforced, not silently violated
+    val e = intercept[IllegalArgumentException](
+      UnigramTokenizer.pruneByLoss(v1, targetVocab = 3))
+    assert(e.getMessage.contains("single-char floor"), e.getMessage)
+
+    // shrinkToTarget: the gradual schedule (keep ≤ 50% of multis per
+    // round) needs TWO rounds from 12 pieces to 9 and retains coverage
+    val docs2 = Seq((0L, "abab abab abab cdcd efef efef gh gh gh"))
+      .toDF("doc_id", "text")
+    val v2 = UnigramTokenizer.train(docs2, "text", rounds = 1,
+      maxPieceLen = 2, vocabSize = 16, maxWordLen = 16)
+    assert(v2.count() == 12L) // 8 singles + ab/cd/ef/gh
+    val t2 = UnigramTokenizer.shrinkToTarget(docs2, "text", v2,
+      targetVocab = 9, shrinkKeep = 0.5)
+    val ps = t2.collect().map(_.getString(0)).toSet
+    assert(ps.size <= 9 && Set("a", "b", "c", "d", "e", "f", "g", "h").subsetOf(ps), ps)
+  }
+
   test("Similarity.randomProject: exact rational projection, guards") {
     def hs(seed: Int, p: Int, j: Int): Double =
       ((p * 131 + j * 7919 + seed * 31) % 97 - 48) / 48.0
