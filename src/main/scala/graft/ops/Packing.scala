@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -450,6 +450,91 @@ object Packing {
         aggregate(col("__mask"), lit(0L), (a, x) => a + x).as("n_loss_tokens"),
         concat_ws("",
           transform(col("__mask"), x => x.cast("string"))).as("mask_str"))
+  }
+
+  /** END-TO-END SFT training sequences — the no-split analogue of
+    * [[packTokenIds]], and the materialized form of what
+    * [[packGreedyNoSplit]] assigns and [[sftLossMask]] masks: each
+    * example's REAL BPE ids (prompt and completion tokenized
+    * SEPARATELY — BPE is not concatenation-stable, and an SFT loader
+    * needs the prompt/completion boundary to fall exactly on a token
+    * edge), completion terminated by `eosId` (scored — the model must
+    * learn to stop), packed first-fit no-split per shard and padded to
+    * exact `ctxLen` windows. Per window:
+    *  - `ids`         — `ctxLen` vocabulary ids, `padId` beyond the fill
+    *    (defaults to the EOS id, the GPT-2 convention; pad positions
+    *    are mask-0 so the choice never reaches the loss)
+    *  - `loss_mask`   — aligned array<int>: 1 exactly on completion+EOS
+    *    positions, 0 on prompt and padding; a `truncated` example's
+    *    spans clip at the window edge (a prompt longer than the window
+    *    masks to all-0 rather than mis-scoring)
+    *  - `position_ids`— each token's TRUE in-example offset (resets to
+    *    0 at every example start; 0 on padding)
+    *  - `doc_starts`  — each example's window offset, ascending
+    * plus `n_docs` and `n_tok` (non-pad positions). Rows with a NULL
+    * prompt or completion are dropped (no token evidence, the
+    * [[packGreedyNoSplit]] rule).
+    *
+    * 100 TB shape: tokenize narrow, ONE shard-partitioned streaming
+    * fold for the window assignment ([[packGreedyNoSplit]] — counts
+    * only: keeping the id arrays out of the fold's partition sort is
+    * cheaper than carrying them through it), ONE id-keyed join to
+    * re-attach the arrays, ONE (shard, window)-keyed aggregate, then
+    * every per-window array is an in-row transform bounded by
+    * `ctxLen`. Feed the result straight to [[writeTokenShards]]. */
+  def packSftSequences(
+      df: DataFrame, idCol: String, promptCol: String, completionCol: String,
+      vocab: graft.plans.BpeVocab, ctxLen: Long, shardCol: String,
+      eosId: Option[Int] = None, padId: Option[Int] = None): DataFrame = {
+    require(ctxLen >= 1, s"context length must be >= 1, got $ctxLen")
+    val eos = eosId.getOrElse(vocab.idTableRows.map(_._2).max + 1)
+    val pad = padId.getOrElse(eos)
+    val toked = df
+      .filter(col(promptCol).isNotNull && col(completionCol).isNotNull)
+      .withColumn("__pids", TextAnalysis.bpeTokenIds(col(promptCol), vocab))
+      .withColumn("__cids", TextAnalysis.bpeTokenIds(col(completionCol), vocab))
+      .withColumn("__ids",
+        concat(col("__pids"), col("__cids"), array(lit(eos))))
+      .withColumn("__plen", size(col("__pids")).cast("long"))
+      .withColumn("__ntok", size(col("__ids")).cast("long"))
+    val asg = packGreedyNoSplit(toked, idCol, "__ntok", shardCol, ctxLen)
+    val payload = toked.select(col(idCol).cast("long").as("doc_id"),
+      col("__ids"), col("__plen"))
+    val placed = asg.join(payload, Seq("doc_id"))
+    val win = placed.groupBy(col("shard"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("n_tok"), lit(ctxLen))).as("__fill"),
+        // off is unique within a window, so the sort is total and the
+        // assembled arrays are layout-independent
+        sort_array(collect_list(struct(
+          col("offset_in_chunk").as("off"), col("__plen").as("plen"),
+          least(col("n_tok"), lit(ctxLen)).as("len"),
+          col("__ids").as("ids")))).as("__docs"),
+        sort_array(collect_list(col("offset_in_chunk"))).as("doc_starts"))
+    val positions = sequence(lit(0L), lit(ctxLen - 1L))
+    // try_: a pad position's filter comes back empty, which ANSI
+    // element_at treats as an indexing error rather than a miss
+    def docAt(p: Column): Column = try_element_at(filter(col("__docs"),
+      s => s.getField("off") <= p && p < s.getField("off") + s.getField("len")), lit(1))
+    win
+      .withColumn("ids", transform(positions, p => {
+        val d = docAt(p)
+        when(d.isNull, lit(pad)).otherwise(
+          element_at(d.getField("ids"), (p - d.getField("off") + 1L).cast("int")))
+      }))
+      .withColumn("loss_mask", transform(positions, p => {
+        val d = docAt(p)
+        when(d.isNull, lit(0))
+          .when(p - d.getField("off") >= d.getField("plen"), lit(1))
+          .otherwise(lit(0))
+      }))
+      .withColumn("position_ids", transform(positions, p => {
+        val d = docAt(p)
+        when(d.isNull, lit(0)).otherwise((p - d.getField("off")).cast("int"))
+      }))
+      .select(col("shard"), col("chunk_id"), col("n_docs"),
+        col("__fill").as("n_tok"), col("ids"), col("loss_mask"),
+        col("position_ids"), col("doc_starts"))
   }
 
   /** Write materialized chunks as a training-ready layout:

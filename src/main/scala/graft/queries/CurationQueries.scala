@@ -2444,6 +2444,165 @@ object CurationQueries {
       FROM skept, sktot ORDER BY piece"""),
     bench = true)
 
+  /** END-TO-END SFT training shards (library `Packing.packSftSequences`
+    * — the no-split analogue of q117's pretraining artifact: REAL BPE
+    * ids with prompt and completion tokenized separately, EOS 270
+    * terminating and SCORED, first-fit no-split window assignment per
+    * shard, padding to exact 128-id windows with an aligned loss mask
+    * and true in-example position ids). The oracle chains q117's full
+    * id derivation (byte alphabet, recursive merge loop, id mapping —
+    * run over BOTH text parts), q143's one-doc-per-step no-split
+    * recursion, and the window grid assembly with pad = EOS — one
+    * wrong id, mask bit, position or boundary in any window breaks
+    * the hash. */
+  val q147 = QueryDef(
+    "q147_sft_sequences",
+    (s, dir) => {
+      val vocab = graft.plans.BpeVocab(FixtureMerges, byteLevel = true)
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("prompt", concat(lit("summarize document "),
+          col("doc_id").cast("string"), lit(": ")))
+      graft.ops.Packing.packSftSequences(docs, "doc_id", "prompt", "text",
+          vocab, ctxLen = 128L, shardCol = "source", eosId = Some(270))
+        .select(col("shard"), col("chunk_id"), col("n_docs"), col("n_tok"),
+          md5(concat_ws(" ", transform(col("ids"), i => i.cast("string"))))
+            .as("ids_fp"),
+          concat_ws("", transform(col("loss_mask"), i => i.cast("string")))
+            .as("mask_str"),
+          md5(concat_ws(" ", transform(col("position_ids"), i => i.cast("string"))))
+            .as("pos_fp"),
+          concat_ws(",", transform(col("doc_starts"), i => i.cast("string")))
+            .as("doc_starts_str"))
+        .oracleOrderBy("shard", "chunk_id")
+    },
+    Some {
+      val p = graft.ops.TextAnalysis.BpePattern.replace("'", "''")
+      val vals = FixtureMerges.zipWithIndex
+        .map { case ((l, r), i) => s"('$l','$r',$i)" }.mkString(", ")
+      s"""WITH RECURSIVE
+        mg(l, r, rk) AS (VALUES $vals),
+        mm AS (SELECT map(list(l || chr(31) || r ORDER BY rk),
+                          list(rk ORDER BY rk)) AS m FROM mg),
+        bytes AS (
+          SELECT CAST(r.i AS INT) AS b,
+            CASE WHEN (r.i BETWEEN 33 AND 126) OR (r.i BETWEEN 161 AND 172)
+                 OR (r.i BETWEEN 174 AND 255) THEN 1 ELSE 0 END AS keep
+          FROM range(0, 256) r(i)),
+        alpha AS (
+          SELECT b,
+            CASE WHEN keep = 1 THEN chr(b)
+              ELSE chr(256 + CAST(coalesce(sum(1 - keep) OVER
+                (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS INT))
+            END AS tok
+          FROM bytes),
+        idt AS (
+          SELECT tok, CAST(min(id) AS INT) AS id FROM (
+            SELECT tok, b AS id FROM alpha
+            UNION ALL SELECT l || r AS tok, 256 + rk AS id FROM mg) u
+          GROUP BY tok),
+        im AS (SELECT map(list(tok), list(id)) AS m2 FROM idt),
+        parts AS (
+          SELECT doc_id, 0 AS part,
+            'summarize document ' || CAST(doc_id AS VARCHAR) || ': ' AS txt
+          FROM documents WHERE text IS NOT NULL
+          UNION ALL
+          SELECT doc_id, 1 AS part, text AS txt
+          FROM documents WHERE text IS NOT NULL),
+        pieces AS (
+          SELECT doc_id, part, s['i'] AS piece_id, replace(s['p'], ' ', 'Ġ') AS piece
+          FROM (SELECT doc_id, part,
+                  unnest(list_transform(regexp_extract_all(txt, '$p'),
+                    (x, i) -> {'i': i, 'p': x})) AS s
+                FROM parts)),
+        steps AS (
+          SELECT doc_id, part, piece_id, string_split(piece, '') AS syms, 0 AS step
+          FROM pieces
+          UNION ALL
+          SELECT doc_id, part, piece_id,
+            syms[1:best[2]-1] || [syms[best[2]] || syms[best[2]+1]]
+              || syms[best[2]+2:] AS syms,
+            step + 1
+          FROM (
+            SELECT doc_id, part, piece_id, syms, step,
+              list_sort(list_transform(range(1, len(syms)),
+                i -> [coalesce(element_at(m, syms[i] || chr(31) || syms[i+1])[1],
+                               1000000), i]))[1] AS best
+            FROM steps, mm) t
+          WHERE best IS NOT NULL AND best[1] < 1000000),
+        fin AS (SELECT doc_id, part, piece_id, max_by(syms, step) AS toks
+                FROM steps GROUP BY doc_id, part, piece_id),
+        agg AS (SELECT doc_id, part, flatten(list(toks ORDER BY piece_id)) AS toks
+                FROM fin GROUP BY doc_id, part),
+        docids AS (
+          SELECT d.doc_id, d.source,
+            coalesce(p0.ids, CAST([] AS INT[]))
+              || coalesce(p1.ids, CAST([] AS INT[])) || [270] AS ids,
+            CAST(len(coalesce(p0.ids, CAST([] AS INT[]))) AS BIGINT) AS plen
+          FROM (SELECT doc_id, source FROM documents WHERE text IS NOT NULL) d
+          LEFT JOIN (SELECT doc_id,
+              list_transform(toks, t -> element_at(m2, t)[1]) AS ids
+            FROM agg, im WHERE part = 0) p0 USING (doc_id)
+          LEFT JOIN (SELECT doc_id,
+              list_transform(toks, t -> element_at(m2, t)[1]) AS ids
+            FROM agg, im WHERE part = 1) p1 USING (doc_id)),
+        rk AS MATERIALIZED (
+          SELECT source AS shard, doc_id, ids, plen,
+            CAST(len(ids) AS BIGINT) AS n_tok,
+            row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM docids),
+        st AS (
+          SELECT shard, doc_id, ids, plen, n_tok, rn,
+            CAST(0 AS BIGINT) AS chunk_id,
+            CAST(0 AS BIGINT) AS offset_in_chunk,
+            CAST(CASE WHEN n_tok > 128 THEN 128 ELSE n_tok END AS BIGINT) AS fill
+          FROM rk WHERE rn = 1
+          UNION ALL
+          SELECT n.shard, n.doc_id, n.ids, n.plen, n.n_tok, n.rn,
+            CASE WHEN n.n_tok > 128 OR s.fill + n.n_tok > 128
+                 THEN s.chunk_id + 1 ELSE s.chunk_id END,
+            CASE WHEN n.n_tok > 128 OR s.fill + n.n_tok > 128
+                 THEN CAST(0 AS BIGINT) ELSE s.fill END,
+            CAST(CASE WHEN n.n_tok > 128 THEN 128
+                 WHEN s.fill + n.n_tok > 128 THEN n.n_tok
+                 ELSE s.fill + n.n_tok END AS BIGINT)
+          FROM st s JOIN rk n ON n.shard = s.shard AND n.rn = s.rn + 1),
+        ex AS (
+          SELECT shard, chunk_id, offset_in_chunk + u.i - 1 AS pos,
+            ids[u.i] AS id,
+            CASE WHEN u.i - 1 >= plen THEN 1 ELSE 0 END AS loss,
+            CAST(u.i - 1 AS INT) AS docpos
+          FROM st,
+            LATERAL unnest(generate_series(1, CAST(least(n_tok, 128) AS INT))) u(i)),
+        grid AS (
+          SELECT w.shard, w.chunk_id, CAST(g.p AS BIGINT) AS p
+          FROM (SELECT DISTINCT shard, chunk_id FROM st) w,
+            LATERAL unnest(generate_series(0, 127)) g(p)),
+        win AS (
+          SELECT grid.shard, grid.chunk_id, grid.p,
+            coalesce(e.id, 270) AS id,
+            coalesce(e.loss, 0) AS loss,
+            coalesce(e.docpos, 0) AS docpos
+          FROM grid LEFT JOIN ex e
+            ON e.shard = grid.shard AND e.chunk_id = grid.chunk_id
+              AND e.pos = grid.p),
+        stt AS (
+          SELECT shard, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(least(n_tok, 128)) AS BIGINT) AS n_tok,
+            array_to_string(list(CAST(offset_in_chunk AS VARCHAR)
+              ORDER BY offset_in_chunk), ',') AS doc_starts_str
+          FROM st GROUP BY shard, chunk_id)
+        SELECT w.shard, w.chunk_id, s.n_docs, s.n_tok,
+          md5(string_agg(CAST(w.id AS VARCHAR), ' ' ORDER BY w.p)) AS ids_fp,
+          string_agg(CAST(w.loss AS VARCHAR), '' ORDER BY w.p) AS mask_str,
+          md5(string_agg(CAST(w.docpos AS VARCHAR), ' ' ORDER BY w.p)) AS pos_fp,
+          s.doc_starts_str
+        FROM win w JOIN stt s USING (shard, chunk_id)
+        GROUP BY w.shard, w.chunk_id, s.n_docs, s.n_tok, s.doc_starts_str
+        ORDER BY shard, chunk_id"""
+    },
+    bench = true)
+
   /** Quality-ranked per-stratum selection (library
     * `Sampling.topKPerStratum` — "the k best documents per source by
     * score", the score-ranked sibling of q73's hash-ranked domain
@@ -2855,5 +3014,5 @@ object CurationQueries {
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
-      q128, q130, q132, q136, q141, q143, q144, q145, q146)
+      q128, q130, q132, q136, q141, q143, q144, q145, q146, q147)
 }

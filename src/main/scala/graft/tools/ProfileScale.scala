@@ -580,7 +580,25 @@ object ProfileScale {
           "doc_id", "tok", "shard", ctxLen = 64L)),
       ("q144 sft-mask", () => q144mask(docs), () => q144mask(docs10)),
       ("q145 bm25-index-probe",
-        () => q145probe(bm25H1), () => q145probe(bm25H10)))
+        () => q145probe(bm25H1), () => q145probe(bm25H10)),
+      ("q147 sft-pack", () => {
+          val withPrompt = docs.withColumn("prompt",
+            concat(lit("summarize document "), col("doc_id").cast("string"),
+              lit(": ")))
+            .withColumn("shard_key",
+              (graft.ops.Sampling.hashUnit(col("doc_id")) * 32).cast("int"))
+          graft.ops.Packing.packSftSequences(withPrompt, "doc_id", "prompt",
+            "text", profileVocab, ctxLen = 128L, shardCol = "shard_key")
+        },
+        () => {
+          val withPrompt = docs10.withColumn("prompt",
+            concat(lit("summarize document "), col("doc_id").cast("string"),
+              lit(": ")))
+            .withColumn("shard_key",
+              (graft.ops.Sampling.hashUnit(col("doc_id")) * 32).cast("int"))
+          graft.ops.Packing.packSftSequences(withPrompt, "doc_id", "prompt",
+            "text", profileVocab, ctxLen = 128L, shardCol = "shard_key")
+        }))
       // SPARK_GRAFT_SCALE_ONLY=q82,q112 restricts the sweep (label
       // prefix match) — the A/B lever for re-profiling one family
       // after a change without the full multi-minute run. Blank

@@ -4072,6 +4072,95 @@ class OpsSpec extends SparkSpec {
     assert(out.values.flatMap(_._1).forall(i => i >= 0 && i <= eos))
   }
 
+  test("Packing.packSftSequences: no-split windows, pad tail, aligned mask, truncation clip") {
+    import graft.plans.BpeVocab
+    val trainCorpus = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(12)("pun"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val vocab = BpeTrain.trainVocab(trainCorpus, "text", 6, fast = true)
+    val eos = vocab.idTableRows.map(_._2).max + 1
+    val docs = Seq(
+      (0L, "sA", "hug", "pug"),
+      (1L, "sA", "pug", "hug hug"),
+      (2L, "sA", null.asInstanceOf[String], "pun"), // dropped: no prompt
+      (3L, "sB", "hug", "pun pun pun pun pun pun pun pun")) // oversize
+      .toDF("doc_id", "source", "prompt", "text")
+    val C = 6L
+    val out = Packing.packSftSequences(docs, "doc_id", "prompt", "text",
+        vocab, ctxLen = C, shardCol = "source")
+      .collect().map(r => (r.getAs[String]("shard"), r.getAs[Long]("chunk_id")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tok"),
+          r.getAs[Seq[Int]]("ids").toList, r.getAs[Seq[Int]]("loss_mask").toList,
+          r.getAs[Seq[Int]]("position_ids").toList,
+          r.getAs[Seq[Long]]("doc_starts").toList))).toMap
+
+    // independent scala replay over the engine's own per-part ids
+    val perDoc = docs.filter(col("prompt").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.bpeTokenIds(col("prompt"), vocab).as("pi"),
+        TextAnalysis.bpeTokenIds(col("text"), vocab).as("ci"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[Int](2).toList, r.getSeq[Int](3).toList))
+    val expected = perDoc.groupBy(_._2).flatMap { case (shard, ds) =>
+      var chunk = -1L; var fill = 0L
+      val placed = ds.sortBy(_._1).map { case (_, _, pi, ci) =>
+        val ids = pi ++ ci :+ eos
+        val n = ids.length.toLong
+        var off = 0L
+        if (n > C) { chunk += 1; off = 0; fill = C }
+        else if (chunk == -1L || fill + n > C) { chunk += 1; off = 0; fill = n }
+        else { off = fill; fill += n }
+        (chunk, off, pi.length.toLong, ids.take(C.toInt min ids.length))
+      }
+      placed.groupBy(_._1).map { case (ci, ws) =>
+        val arr = Array.fill(C.toInt)(eos) // pad default = eos
+        val mask = Array.fill(C.toInt)(0)
+        val pos = Array.fill(C.toInt)(0)
+        ws.foreach { case (_, off, plen, ids) =>
+          ids.zipWithIndex.foreach { case (id, k) =>
+            arr(off.toInt + k) = id
+            pos(off.toInt + k) = k
+            if (k >= plen) mask(off.toInt + k) = 1
+          }
+        }
+        (shard, ci) -> ((ws.size.toLong, ws.map(_._4.length.toLong).sum,
+          arr.toList, mask.toList, pos.toList, ws.map(_._2).sorted.toList))
+      }
+    }
+    assert(out == expected, s"\n$out\nvs\n$expected")
+
+    // targeted guarantees the replay could mask: the dropped doc is in
+    // no window; sB's oversize doc clips at the window edge with no
+    // pad; every mask-1 position sits at docpos >= plen
+    assert(out.values.map(_._1).sum == 3L)
+    val sb = out(("sB", 0L))
+    assert(sb._2 == C && sb._3.size == C.toInt, s"truncated window: $sb")
+    assert(sb._4.take(1) == List(0), "prompt positions never score")
+    // pad tail on sA's last window: ids = eos, mask 0, position 0
+    val lastA = out.filterKeys(_._1 == "sA").maxBy(_._1._2)._2
+    if (lastA._2 < C) {
+      val padTail = (lastA._2.toInt until C.toInt)
+      assert(padTail.forall(i => lastA._3(i) == eos && lastA._4(i) == 0 &&
+        lastA._5(i) == 0), s"pad tail: $lastA")
+    }
+
+    // writeTokenShards round-trip: shard-partitioned layout + manifest
+    val dir = java.nio.file.Files.createTempDirectory("sftshards").toString
+    try {
+      Packing.writeTokenShards(Packing.packSftSequences(docs, "doc_id",
+        "prompt", "text", vocab, ctxLen = C, shardCol = "source"), dir)
+      val back = spark.read.parquet(s"$dir/chunks")
+      assert(back.count() == out.size.toLong)
+      assert(back.columns.contains("loss_mask") && back.columns.contains("ids"))
+      val man = spark.read.json(s"$dir/manifest").collect()
+        .map(r => r.getAs[String]("shard") -> r.getAs[Long]("n_tokens")).toMap
+      assert(man("sB") == C)
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("Packing.packTokenIds attention layout: true position carry + segment blocks") {
     import graft.plans.BpeVocab
     // byte-level vocab with one never-matching merge: every byte of a
