@@ -268,4 +268,63 @@ object Bm25Index {
       .orderBy(col("score").desc, id)
       .limit(k)
   }
+
+  /** Batched BM25 top-k — the RAG evaluation shape: thousands of
+    * queries amortize ONE pruned pass over the index instead of one
+    * probe each. `queries` carries `(qidCol, termsCol: array<string>)`
+    * with no bound on the query count or the term universe:
+    * bucket pruning comes from the DISTINCT BUCKETS of the batch's
+    * terms (a collect bounded by `numBuckets`, never by the terms),
+    * the term restriction is a semi-join (broadcast when the batch is
+    * small), per-term df stays a DataFrame (never collected), and the
+    * per-query ranking is a qid-PARTITIONED window over candidate
+    * rows only — no global sort, no driver-resident query state.
+    *
+    * Scores are emitted in the library's exact-integer convention:
+    * each (query, doc, term) score quantizes to `round(s·2²⁰)` and
+    * `score_q` is their BIGINT sum — order-free, bit-identical on any
+    * partitioning (a float sum across a query's terms would
+    * re-associate by row layout). [[topK]] keeps raw doubles for
+    * bit-parity with [[Retrieval.bm25TopK]]; the two conventions
+    * agree on ranking to 2⁻²⁰ resolution. Duplicate terms within a
+    * query are collapsed (BM25 scores term presence once per term).
+    * Emits `(qidCol, idCol, n_tok, score_q, rank)`, ranks 1..k by
+    * (score_q desc, id). */
+  def topKBatch(
+      spark: SparkSession, handle: Handle, queries: DataFrame,
+      qidCol: String, termsCol: String, k: Int = 10,
+      k1: Double = Retrieval.DefaultK1,
+      b: Double = Retrieval.DefaultB): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(handle.nDocs > 0, "topKBatch over an empty index")
+    val qt = queries
+      .select(col(qidCol), explode(array_distinct(col(termsCol))).as("term"))
+    // distinct buckets of the batch's terms: a <= numBuckets collect
+    val buckets = qt
+      .select(pmod(hash(col("term")), lit(handle.numBuckets)).cast("int").as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = spark.read.parquet(s"${handle.dir}/postings")
+      .filter(col("term_bucket").isin(buckets: _*))
+      .join(qt.select("term").distinct(), Seq("term"), "left_semi")
+      .localCheckpoint(true) // feeds df counts AND candidates
+    val dfs = pruned.groupBy("term").agg(count(lit(1)).as("__df"))
+    val avgdl = handle.totalTokens.toDouble / handle.nDocs.toDouble
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      (lit(handle.nDocs.toDouble) - col("__df").cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5)))
+    val termScore = idf * (tf * lit(k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("n_tok").cast("double") / lit(avgdl)))
+    val id = col(handle.idCol)
+    val scored = qt.join(pruned, Seq("term")).join(dfs, Seq("term"))
+      .withColumn("__sq", round(termScore * lit(1048576.0d)).cast("long"))
+      .groupBy(col(qidCol), id, col("n_tok"))
+      .agg(sum(col("__sq")).as("score_q"))
+      .filter(col("score_q") > 0L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(col("score_q").desc, id)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

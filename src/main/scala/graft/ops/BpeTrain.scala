@@ -42,6 +42,41 @@ object BpeTrain {
     * count that won the round. */
   final case class LearnedMerge(rank: Int, left: String, right: String, pairCount: Long)
 
+  /** The ONE corpus-wide pass shared by every trainer: pre-tokenize,
+    * collapse to distinct weighted pieces, attach symbol arrays, drop
+    * single-symbol pieces (they never pair), checkpoint. */
+  private def piecesFrame(
+      df: DataFrame, textCol: String, byteLevel: Boolean): DataFrame = {
+    BpeSymbols.register(df.sparkSession)
+    df.select(explode(regexp_extract_all(
+        col(textCol), lit(graft.ops.TextAnalysis.BpePattern), lit(0))).as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("w"))
+      .select(call_function("graft_bpe_syms", col("piece"), lit(byteLevel)).as("syms"),
+        col("w"))
+      .filter(size(col("syms")) >= 2)
+      .localCheckpoint(true)
+  }
+
+  /** One distributed round's argmax: weighted adjacent-pair counts via
+    * the staggered-slice zip (no outer-column lambda references),
+    * map-side partials over the bounded pair space, TakeOrdered(1) —
+    * never a global sort. None = no pair reaches `minPairCount`. */
+  private def bestPairOf(
+      words: DataFrame, minPairCount: Long): Option[(String, String, Long)] = {
+    val best = words
+      .select(col("w"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("w").as("c"))
+      .filter(col("c") >= minPairCount)
+      .orderBy(col("c").desc, col("l"), col("r"))
+      .limit(1)
+      .collect()
+    best.headOption.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+  }
+
   /** Learn `numMerges` merges from `df`'s `textCol`. Stops early when
     * no adjacent pair reaches `minPairCount` (default 2 — a merge
     * occurring once compresses nothing). */
@@ -50,42 +85,16 @@ object BpeTrain {
       byteLevel: Boolean = true, minPairCount: Long = 2L): Seq[LearnedMerge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
-    val spark = df.sparkSession
-    BpeSymbols.register(spark)
-    // the ONE corpus-wide pass: pieces -> weights. Everything after
-    // runs on the vocabulary-bounded distinct-piece table.
-    val pieces = df
-      .select(explode(regexp_extract_all(
-        col(textCol), lit(graft.ops.TextAnalysis.BpePattern), lit(0))).as("piece"))
-      .groupBy("piece").agg(count(lit(1)).as("w"))
-    var words = pieces
-      .select(call_function("graft_bpe_syms", col("piece"), lit(byteLevel)).as("syms"),
-        col("w"))
-      .filter(size(col("syms")) >= 2) // single-symbol pieces never pair
-      .localCheckpoint(true)
+    var words = piecesFrame(df, textCol, byteLevel)
 
     val out = Seq.newBuilder[LearnedMerge]
     var rank = 0
     var done = false
     while (rank < numMerges && !done) {
-      // weighted adjacent-pair counts: the staggered-slice zip (no
-      // outer-column lambda references), exploded once, aggregated with
-      // map-side partials over the bounded pair space; the argmax is
-      // TakeOrdered(1), not a global sort
-      val best = words
-        .select(col("w"), explode(zip_with(
-          slice(col("syms"), lit(1), size(col("syms")) - 1),
-          slice(col("syms"), lit(2), size(col("syms")) - 1),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("w").as("c"))
-        .filter(col("c") >= minPairCount)
-        .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1)
-        .collect()
+      val best = bestPairOf(words, minPairCount)
       if (best.isEmpty) done = true
       else {
-        val (l, r, c) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        val (l, r, c) = best.get
         out += LearnedMerge(rank, l, r, c)
         words = words
           .withColumn("syms", applyMerge(col("syms"), l, r))
@@ -133,26 +142,69 @@ object BpeTrain {
       maxPieces: Long = MaxPieces): Seq[LearnedMerge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
-    val spark = df.sparkSession
-    BpeSymbols.register(spark)
     // the identical ONE corpus-wide pass as train's, symbols included
-    val pieces = df
-      .select(explode(regexp_extract_all(
-        col(textCol), lit(graft.ops.TextAnalysis.BpePattern), lit(0))).as("piece"))
-      .groupBy("piece").agg(count(lit(1)).as("w"))
-      .select(call_function("graft_bpe_syms", col("piece"), lit(byteLevel)).as("syms"),
-        col("w"))
-      .filter(size(col("syms")) >= 2)
-      .localCheckpoint(true)
+    val pieces = piecesFrame(df, textCol, byteLevel)
     val nPieces = pieces.count()
     require(nPieces <= maxPieces,
       s"trainFast collects the distinct-piece table to the driver: got " +
         s"$nPieces pieces (> $maxPieces) — raise maxPieces deliberately, " +
-        "train on a sample, or fall back to the distributed train()")
+        "train on a sample, use trainHybrid (distributed rounds until the " +
+        "table fits), or fall back to the distributed train()")
     val rows = pieces.collect()
     val words = rows.map(_.getSeq[String](0).toArray)
     val weights = rows.map(_.getLong(1))
     driverGreedyLoop(words, weights, numMerges, minPairCount)
+  }
+
+  /** [[trainFast]] without the cliff: when the distinct-piece table
+    * exceeds `maxPieces` (a 100 TB multilingual corpus can), run the
+    * DISTRIBUTED merge rounds first — each merge retires pieces that
+    * collapse to a single symbol, and frequent words collapse first,
+    * so the table shrinks round over round — and switch to the driver
+    * heap loop the moment the survivors fit. Bit-identical to [[train]]
+    * by construction: both phases implement the same recurrence over
+    * the same exact-integer counts and (count desc, l, r) UTF-8
+    * tie-break, and the driver phase resumes from the post-merge
+    * symbol state with the remaining budget (OpsSpec asserts
+    * merge-for-merge equality across the crossover). The per-round
+    * `count()` is one job over the already-checkpointed piece table —
+    * noise against the round's aggregate, and it makes the switch
+    * exact. `switchProbe` is instrumentation (tests, ProfileBpe):
+    * called once with (merges done distributed, pieces collected) iff
+    * the driver phase starts. */
+  def trainHybrid(
+      df: DataFrame, textCol: String, numMerges: Int,
+      byteLevel: Boolean = true, minPairCount: Long = 2L,
+      maxPieces: Long = MaxPieces,
+      switchProbe: (Int, Long) => Unit = (_, _) => ()): Seq[LearnedMerge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    var words = piecesFrame(df, textCol, byteLevel)
+    val out = Seq.newBuilder[LearnedMerge]
+    var rank = 0
+    var done = false
+    var n = words.count()
+    while (n > maxPieces && rank < numMerges && !done) {
+      bestPairOf(words, minPairCount) match {
+        case None => done = true
+        case Some((l, r, c)) =>
+          out += LearnedMerge(rank, l, r, c)
+          words = words
+            .withColumn("syms", applyMerge(col("syms"), l, r))
+            .filter(size(col("syms")) >= 2)
+            .localCheckpoint(true)
+          rank += 1
+          n = words.count()
+      }
+    }
+    if (!done && rank < numMerges) {
+      switchProbe(rank, n)
+      val rows = words.collect()
+      out ++= driverGreedyLoop(
+        rows.map(_.getSeq[String](0).toArray), rows.map(_.getLong(1)),
+        numMerges - rank, minPairCount, rankOffset = rank)
+    }
+    out.result()
   }
 
   /** Spark's string ORDER BY compares binary UTF-8; Java's
@@ -180,7 +232,8 @@ object BpeTrain {
     * (count desc, l, r) total order the distributed loop sorts by). */
   private def driverGreedyLoop(
       words: Array[Array[String]], weights: Array[Long],
-      numMerges: Int, minPairCount: Long): Seq[LearnedMerge] = {
+      numMerges: Int, minPairCount: Long,
+      rankOffset: Int = 0): Seq[LearnedMerge] = {
     import scala.collection.mutable
     val counts = mutable.HashMap.empty[(String, String), Long]
     val occurs = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
@@ -237,7 +290,7 @@ object BpeTrain {
       }
       best match {
         case Some((c, l, r)) if c >= minPairCount =>
-          out += LearnedMerge(rank, l, r, c)
+          out += LearnedMerge(rankOffset + rank, l, r, c)
           val touched = mutable.Set.empty[(String, String)]
           val affected = occurs.getOrElse((l, r), mutable.Set.empty).toArray
           affected.foreach { idx =>

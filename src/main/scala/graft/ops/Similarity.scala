@@ -685,30 +685,106 @@ object Similarity {
     * Adds `dup_of` + `is_semantic_duplicate`. 100 TB shape: the
     * codebook is driver-resident (k × dim), assignment narrow; the
     * within-cell self-join is the paper's own cost model — size `k`
-    * so cells stay pairwise-feasible (they use k ~ sqrt(N)/const; a
-    * skewed giant cell means k is too small for the corpus). Pairs
-    * are materialized once and feed both component directions. */
+    * so cells stay pairwise-feasible (they use k ~ sqrt(N)/const).
+    * The quadratic is BOUNDED, not assumed: a cell above
+    * `maxCellSize` (a duplicated web corpus produces exactly such
+    * degenerate cells) refuses loudly by default — raise `k`, the
+    * paper's own prescription — or, with `bandOversized = true`, only
+    * the oversized cells switch to banded candidate generation (the
+    * minhash/simhash banding move): `bands` sign-bit keys of
+    * `planesPerBand` hyperplanes each, candidates = same cell AND
+    * agreement on ≥ 1 band, DISTINCT, then exact-cosine verified.
+    * Probabilistic recall inside those cells only — and the
+    * near-identical mass that blew the cell up agrees on every band,
+    * so it is exactly what banding retains; healthy cells keep the
+    * paper's exact within-cell semantics bit-for-bit. Pairs are
+    * materialized once and feed both component directions. */
   def semDeDup(
       df: DataFrame, embCol: String, idCol: String,
-      k: Int, dim: Int, iters: Int = 2, threshold: Double = 0.95): DataFrame = {
+      k: Int, dim: Int, iters: Int = 2, threshold: Double = 0.95,
+      maxCellSize: Long = MaxSemDedupCell, bandOversized: Boolean = false,
+      bands: Int = 4, planesPerBand: Int = 4): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
+    require(maxCellSize >= 1, s"maxCellSize must be >= 1, got $maxCellSize")
+    require(bands >= 1 && planesPerBand >= 1 && bands * planesPerBand <= 30,
+      s"bands x planesPerBand out of [1, 30]: $bands x $planesPerBand")
+    val spark = df.sparkSession
     val codebook = trainCodebook(df, embCol, idCol, k, dim, iters, exactMean = true)
     val cells = ivfAssign(df, embCol, codebook)
       .select(col(idCol), col(embCol), col("cell"))
       .localCheckpoint(true)
-    val a = cells.alias("a"); val c = cells.alias("c")
-    val pairs = a
-      .join(c, col("a.cell") === col("c.cell") && col(s"a.$idCol") < col(s"c.$idCol"))
-      .withColumn("cosine",
-        nCosine(df.sparkSession, col(s"a.$embCol"), col(s"c.$embCol")))
-      .filter(col("cosine") >= threshold)
-      .select(col(s"a.$idCol").as("doc_a"), col(s"c.$idCol").as("doc_b"))
-      .localCheckpoint(true)
+    // the skew check is one aggregate over the k-bounded cell space
+    val oversized = cells.groupBy("cell").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCellSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(oversized.isEmpty || bandOversized,
+      s"semDeDup: cell(s) above maxCellSize=$maxCellSize — " +
+        oversized.map { case (c, n) =>
+          s"cell $c holds $n rows (~${n * n / 2} pair candidates)" }
+          .mkString("; ") +
+        ". Raise k (the paper sizes k so cells stay pairwise-feasible)" +
+        " or set bandOversized = true to switch the oversized cells to" +
+        " banded candidate generation (probabilistic recall there only).")
+    def allPairsOf(in: DataFrame): DataFrame = {
+      val a = in.alias("a"); val c = in.alias("c")
+      a.join(c, col("a.cell") === col("c.cell") && col(s"a.$idCol") < col(s"c.$idCol"))
+        .withColumn("cosine",
+          nCosine(spark, col(s"a.$embCol"), col(s"c.$embCol")))
+        .filter(col("cosine") >= threshold)
+        .select(col(s"a.$idCol").as("doc_a"), col(s"c.$idCol").as("doc_b"))
+    }
+    val pairs = (if (oversized.isEmpty) allPairsOf(cells) else {
+      val overIds = oversized.map(_._1)
+      val healthy = allPairsOf(cells.filter(!col("cell").isin(overIds: _*)))
+      // banded candidates inside the oversized cells: ONE sign-bit
+      // bucket of bands*planesPerBand hyperplanes, sliced into
+      // per-band keys; candidates = same cell AND >= 1 agreeing band,
+      // DISTINCT before the exact-cosine verify (the
+      // Dedup.nearDuplicates candidate discipline)
+      val bb = lshBucket(cells.filter(col("cell").isin(overIds: _*)),
+          embCol, dim, bands * planesPerBand)
+        .localCheckpoint(true)
+      val cand = bandedCandidates(bb, idCol, bands, planesPerBand)
+      val emb = bb.select(col(idCol), col(embCol))
+      val banded = cand
+        .join(emb.select(col(idCol).as("doc_a"), col(embCol).as("__ea")), Seq("doc_a"))
+        .join(emb.select(col(idCol).as("doc_b"), col(embCol).as("__eb")), Seq("doc_b"))
+        .withColumn("cosine", nCosine(spark, col("__ea"), col("__eb")))
+        .filter(col("cosine") >= threshold)
+        .select(col("doc_a"), col("doc_b"))
+      healthy.unionByName(banded)
+    }).localCheckpoint(true)
     val dupMap = Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol), col("comp").as("dup_of"))
     df.join(dupMap, Seq(idCol), "left")
       .withColumn("is_semantic_duplicate", col("dup_of").isNotNull)
   }
+
+  /** [[semDeDup]]'s oversized-cell candidate generator, factored out
+    * so the pair-count bound is directly testable: per band `i`, the
+    * key is `planesPerBand` sign bits sliced out of the ONE
+    * `lshBucket` value; candidates = same cell AND same key on ≥ 1
+    * band, `(doc_a < doc_b)`-oriented, DISTINCT across bands. */
+  private[graft] def bandedCandidates(
+      bb: DataFrame, idCol: String, bands: Int, planesPerBand: Int): DataFrame = {
+    val mask = (1 << planesPerBand) - 1
+    (0 until bands).map { i =>
+      val keyed = bb.withColumn("__band",
+        shiftright(col("bucket"), i * planesPerBand).bitwiseAND(lit(mask)))
+      val a = keyed.alias("a"); val c = keyed.alias("c")
+      a.join(c, col("a.cell") === col("c.cell") &&
+          col("a.__band") === col("c.__band") &&
+          col(s"a.$idCol") < col(s"c.$idCol"))
+        .select(col(s"a.$idCol").as("doc_a"), col(s"c.$idCol").as("doc_b"))
+    }.reduce(_ unionByName _).distinct()
+  }
+
+  /** Per-cell row ceiling for [[semDeDup]]'s within-cell self-join:
+    * 2¹⁴ rows is ~1.3·10⁸ pair candidates in ONE cell — the largest
+    * quadratic a healthy cluster should ever pay. A corpus that
+    * breaches it is telling you `k` is too small for its size (or to
+    * opt into the banded fallback for the skewed cells). */
+  val MaxSemDedupCell: Long = 1L << 14
 }

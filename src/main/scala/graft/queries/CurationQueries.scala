@@ -3010,9 +3010,88 @@ object CurationQueries {
       benchFn = Some(probe))
   }
 
+  /** Batched BM25 over the persistent index (library
+    * `Bm25Index.topKBatch` — the RAG-evaluation shape: a query TABLE
+    * amortizes one pruned index pass; q145's `topK` is the
+    * single-query form): three queries incl. a duplicate term (scored
+    * once) and a term absent from the corpus (contributes nothing),
+    * scores in the exact-integer `score_q = Σ round(s·2²⁰)`
+    * convention so the per-query sums are order-free, ranking a
+    * qid-partitioned window. The oracle re-derives the postings,
+    * df per term, the identical double polynomial quantized per
+    * (query, doc, term), the integer sums and the ranks. */
+  val q148 = {
+    def idxDir(dir: String) =
+      s"${System.getProperty("java.io.tmpdir")}/graft_bm25idx_b_${Integer.toHexString(dir.hashCode)}"
+    def probe(s: SparkSession, dir: String): DataFrame = {
+      import s.implicits._
+      val queries = Seq(
+        (1L, Seq("data", "the")),
+        (2L, Seq("query", "query", "nosuchterm")),
+        (3L, Seq("the"))).toDF("qid", "terms")
+      graft.ops.Bm25Index.topKBatch(
+          s, graft.ops.Bm25Index.load(s, idxDir(dir)),
+          queries, "qid", "terms", k = 10)
+        .select(col("qid"), col("doc_id"), col("n_tok"),
+          col("score_q"), col("rank"))
+        .oracleOrderBy("qid", "rank")
+    }
+    QueryDef(
+      "q148_bm25_batch",
+      (s, dir) => {
+        graft.ops.Bm25Index.build(t(s, dir, "documents"), "doc_id", idxDir(dir))
+        probe(s, dir)
+      },
+      Some("""WITH tk AS MATERIALIZED (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks
+          FROM documents),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                 CAST(sum(len(toks)) AS BIGINT) AS total FROM tk),
+        q(qid, term) AS (
+          SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'data'), (1, 'the'),
+            (2, 'query'), (2, 'nosuchterm'), (3, 'the')) v),
+        post AS MATERIALIZED (
+          SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok, qt.term,
+            CAST(len(list_filter(t.toks, x -> x = qt.term)) AS BIGINT) AS tf
+          FROM tk t, (SELECT DISTINCT term FROM q) qt
+          WHERE list_contains(t.toks, qt.term)),
+        dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM post GROUP BY term),
+        sc AS (
+          SELECT q.qid, p.doc_id, p.n_tok,
+            CAST(round(
+              ln(CAST(1 AS DOUBLE) +
+                (CAST(nn.nd AS DOUBLE) - CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+              * (CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+              / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                 * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                    * CAST(p.n_tok AS DOUBLE)
+                    / (CAST(nn.total AS DOUBLE) / CAST(nn.nd AS DOUBLE))))
+              * CAST(1048576 AS DOUBLE)) AS BIGINT) AS sq
+          FROM q JOIN post p USING (term) JOIN dfs d ON d.term = q.term, nn),
+        agg AS (
+          SELECT qid, doc_id, n_tok, CAST(sum(sq) AS BIGINT) AS score_q
+          FROM sc GROUP BY qid, doc_id, n_tok
+          HAVING sum(sq) > 0),
+        rk AS (
+          SELECT qid, doc_id, n_tok, score_q,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY score_q DESC, doc_id) AS INT) AS rank
+          FROM agg)
+        SELECT qid, doc_id, n_tok, score_q, rank
+        FROM rk WHERE rank <= 10 ORDER BY qid, rank"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => {
+        graft.ops.Bm25Index.build(t(s, dir, "documents"), "doc_id", idxDir(dir))
+        ()
+      }),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
-      q128, q130, q132, q136, q141, q143, q144, q145, q146, q147)
+      q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148)
 }

@@ -73,6 +73,53 @@ object ProfileBpe {
       "driver loop diverged from the distributed loop on the profile corpus")
     println("[bpe-profile] prefix parity: 24/24 merges identical")
 
+    // the hybrid past a (deliberately lowered) driver ceiling. The
+    // crossover economics it demonstrates: a distributed round costs
+    // one job round-trip (~the slowSec/24 per-merge figure above) and
+    // shrinks the table only by pieces that COLLAPSE TO ONE SYMBOL —
+    // on a Zipf corpus the ultra-frequent short words go first, so a
+    // small breach clears in a few rounds, but rounds-to-fit grows
+    // with the breach. So: set maxPieces as high as driver memory
+    // honestly allows and treat the distributed phase as a short
+    // head, never a training strategy. The blended corpus makes the
+    // retirement band explicit: five ultra-frequent 2-char words
+    // (the Zipf head, counts far above any random-corpus bigram) own
+    // the top five pair counts, each merge retires one, and a ceiling
+    // 5 below the piece count crosses over in a handful of rounds.
+    val head = Seq(("xq", 200000), ("zq", 160000), ("vq", 120000),
+      ("wq", 80000), ("yq", 40000))
+    // first-match when-chain (a fold that WRAPS the accumulator puts
+    // the broadest condition outermost and collapses every row onto
+    // the last word)
+    val cum = head.scanLeft(0L)(_ + _._2.toLong).tail
+    val headWord = head.zip(cum).drop(1)
+      .foldLeft(when(col("id") < lit(cum.head), lit(head.head._1))) {
+        case (acc, ((w, _), c)) => acc.when(col("id") < lit(c), lit(w))
+      }
+    val blended = docs.unionByName(
+      spark.range(head.map(_._2.toLong).sum).select(
+        (col("id") + 1000000L).as("doc_id"), headWord.as("text")))
+      .localCheckpoint(true)
+    val fastBlend = BpeTrain.trainFast(blended, "text", numMerges = 8192,
+      minPairCount = 1L)
+    // exact multi-symbol distinct-piece count (ASCII corpus: chars ==
+    // byte symbols), so the lowered ceiling is a real 5-piece breach
+    val pieces0 = blended.select(explode(regexp_extract_all(col("text"),
+        lit(graft.ops.TextAnalysis.BpePattern), lit(0))).as("p"))
+      .filter(length(col("p")) >= 2).distinct().count()
+    var hswitch = (0, 0L)
+    val tHy0 = System.nanoTime()
+    val hybrid = BpeTrain.trainHybrid(blended, "text", numMerges = 8192,
+      minPairCount = 1L, maxPieces = pieces0 - 5L,
+      switchProbe = (r, n) => hswitch = (r, n))
+    val hySec = (System.nanoTime() - tHy0) / 1e9
+    println(f"[bpe-profile] trainHybrid (ceiling = pieces-5): " +
+      f"${hswitch._1}%d distributed rounds to shrink to ${hswitch._2}%d " +
+      f"pieces, then driver; total $hySec%.2f s for ${hybrid.length}%d merges")
+    require(hybrid == fastBlend,
+      "hybrid diverged from trainFast across the crossover on the profile corpus")
+    println("[bpe-profile] hybrid parity: full merge table identical across the crossover")
+
     spark.stop()
   }
 }

@@ -581,6 +581,18 @@ object ProfileScale {
       ("q144 sft-mask", () => q144mask(docs), () => q144mask(docs10)),
       ("q145 bm25-index-probe",
         () => q145probe(bm25H1), () => q145probe(bm25H10)),
+      ("q148 bm25-batch", () => {
+          import spark.implicits._
+          val qs = Seq((1L, Seq("data", "the")), (2L, Seq("query")),
+            (3L, Seq("the", "query", "data"))).toDF("qid", "terms")
+          graft.ops.Bm25Index.topKBatch(spark, bm25H1, qs, "qid", "terms", k = 25)
+        },
+        () => {
+          import spark.implicits._
+          val qs = Seq((1L, Seq("data", "the")), (2L, Seq("query")),
+            (3L, Seq("the", "query", "data"))).toDF("qid", "terms")
+          graft.ops.Bm25Index.topKBatch(spark, bm25H10, qs, "qid", "terms", k = 25)
+        }),
       ("q147 sft-pack", () => {
           val withPrompt = docs.withColumn("prompt",
             concat(lit("summarize document "), col("doc_id").cast("string"),

@@ -550,6 +550,60 @@ class OpsSpec extends SparkSpec {
     assert(again == flagged)
   }
 
+  test("Similarity.semDeDup: oversized cells refuse by default; banding bounds the quadratic with full recall on the degenerate mass") {
+    // a degenerate cell: 60 near-identical x-ish vectors (what a
+    // duplicated web corpus produces) plus a tight y-ish pair; k=2
+    // puts all 60 in one cell regardless of k's sizing intent
+    val xish = (0 until 60).map(i =>
+      (100L + i, Array(1.0f, 0.001f * i, 0f, 0f)))
+    val vecs = (xish ++ Seq(
+      (20L, Array(0.05f, 1.0f, 0f, 0f)),
+      (21L, Array(0.08f, 1.0f, 0f, 0f))))
+      .toDF("vec_id", "embedding").repartition(3)
+    // exact all-pairs ground truth (cap far above the cell)
+    def flags(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("is_semantic_duplicate")).select("vec_id", "dup_of")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = flags(Similarity.semDeDup(vecs, "embedding", "vec_id",
+      k = 2, dim = 4, iters = 2, threshold = 0.95))
+    assert(exact.size == 60, s"fixture: 59 x-ish dups + 21->20, got $exact")
+
+    // the cap refuses loudly by default, naming the cell and remedies
+    val e = intercept[IllegalArgumentException](
+      Similarity.semDeDup(vecs, "embedding", "vec_id",
+        k = 2, dim = 4, iters = 2, threshold = 0.95, maxCellSize = 30L))
+    assert(e.getMessage.contains("Raise k") &&
+      e.getMessage.contains("bandOversized"), e.getMessage)
+
+    // the banded fallback: identical verdicts here — near-identical
+    // vectors agree on EVERY band, so the degenerate mass that blew
+    // the cell up is exactly what banding retains; the healthy y-ish
+    // cell keeps exact all-pairs semantics
+    val banded = Similarity.semDeDup(vecs, "embedding", "vec_id",
+      k = 2, dim = 4, iters = 2, threshold = 0.95,
+      maxCellSize = 30L, bandOversized = true)
+    assert(flags(banded) == exact)
+
+    // the candidate count is genuinely BOUNDED, not just re-verified:
+    // two far-apart tight groups forced into ONE cell (k=1 training)
+    // get different band keys, so the ~40x40 cross-group candidates
+    // never form — all-pairs would be 80*79/2 = 3160
+    val twoGroups = ((0 until 40).map(i => (i.toLong, Array(1.0f, 0.001f * i, 0f, 0f)))
+      ++ (0 until 40).map(i => (100L + i, Array(0.001f * i, 0f, 1.0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val oneCell = twoGroups.withColumn("cell", lit(0L))
+    val bb = Similarity.lshBucket(oneCell, "embedding", dim = 4, numPlanes = 16)
+    val cand = Similarity.bandedCandidates(bb, "vec_id",
+      bands = 4, planesPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cross = cand.count { case (a, b) => (a < 100L) != (b < 100L) }
+    // all-pairs would form all 1600 cross candidates; a band agrees
+    // across near-orthogonal groups only by coin-flip signs
+    // (~1-(15/16)^4 ≈ 23% expected), so most never form
+    assert(cross < 1600 / 2, s"cross-group candidates not pruned: $cross of 1600")
+    assert(cand.length < 3160, s"candidate set must shrink: ${cand.length} of 3160")
+  }
+
   test("Joins.saltedJoin equals the plain join for inner and left") {
     val skewed = (1 to 500).map(i => (if (i <= 450) 1L else (i % 7).toLong, i))
       .toDF("k", "v") // key 1 carries 90% of rows
@@ -729,6 +783,42 @@ class OpsSpec extends SparkSpec {
     // trainVocab(fast = true) builds the identical vocabulary
     assert(BpeTrain.trainVocab(corpus, "text", 10, fast = true).merges ==
       BpeTrain.trainVocab(corpus, "text", 10).merges)
+  }
+
+  test("BpeTrain.trainHybrid: distributed rounds shrink the table, driver loop resumes bit-identically") {
+    // 6 distinct multi-symbol pieces, ceiling 3: merges retire words as
+    // they collapse to one symbol — (u,g)21, (u,n)17, then hug(10),
+    // pun(12), pug(7) retire in rank order, reaching 3 survivors after
+    // exactly 5 distributed rounds; the driver heap finishes bun, bug
+    // and mud (the (m,u)/(u,d) count-3 tie breaks to (m,u) on l)
+    val corpus = (
+      Seq.fill(10)("hug") ++ Seq.fill(7)("pug") ++ Seq.fill(12)("pun") ++
+        Seq.fill(5)("bun") ++ Seq.fill(4)("bug") ++ Seq.fill(3)("mud"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text").repartition(4)
+    val slow = BpeTrain.train(corpus, "text", numMerges = 12, minPairCount = 1L)
+    var switched = Option.empty[(Int, Long)]
+    val hybrid = BpeTrain.trainHybrid(corpus, "text", numMerges = 12,
+      minPairCount = 1L, maxPieces = 3L,
+      switchProbe = (r, n) => switched = Some((r, n)))
+    assert(hybrid == slow, s"hybrid diverged across the crossover:\n$hybrid\nvs\n$slow")
+    assert(switched.contains((5, 3L)),
+      s"expected the driver phase to start after 5 distributed rounds " +
+        s"with 3 surviving pieces, got $switched")
+    assert(hybrid.map(_.rank) == hybrid.indices, "ranks must stay contiguous")
+
+    // under the ceiling from the start: pure driver path, same table
+    var early = Option.empty[(Int, Long)]
+    assert(BpeTrain.trainHybrid(corpus, "text", 12, minPairCount = 1L,
+      switchProbe = (r, n) => early = Some((r, n))) == slow)
+    assert(early.exists(_._1 == 0), s"no-crossover case must collect at rank 0: $early")
+
+    // merge budget exhausted INSIDE the distributed phase: never collects
+    var never = Option.empty[(Int, Long)]
+    val short = BpeTrain.trainHybrid(corpus, "text", numMerges = 3,
+      minPairCount = 1L, maxPieces = 3L,
+      switchProbe = (r, n) => never = Some((r, n)))
+    assert(short == slow.take(3) && never.isEmpty, s"$short / $never")
   }
 
   test("BpeTrain: char-level mode, minPairCount floor, degenerate corpus") {
@@ -2875,6 +2965,53 @@ class OpsSpec extends SparkSpec {
       assert(plan.contains("PartitionFilters"), plan)
       assert(plan.contains("term_bucket"), plan)
       assert(!plan.contains("text#"), plan)
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
+  test("Bm25Index.topKBatch: one pruned pass for a query table, quantized order-free scores") {
+    val corpus = Seq(
+      (0L, "the quick data pipeline processes the query stream"),
+      (1L, "a long document about nothing in particular with many extra words here"),
+      (2L, "data data data everywhere and the query too"),
+      (3L, "the the the the repeated stopword document"),
+      (4L, "query optimization for data systems"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25batch").toString
+    try {
+      val h = Bm25Index.build(corpus, "doc_id", dir, numBuckets = 8)
+      val queries = Seq(
+        (1L, Seq("data", "the")),
+        (2L, Seq("query", "query", "nosuchterm")), // dup collapsed, miss inert
+        (3L, Seq("zzz"))) // nothing matches: no rows for qid 3
+        .toDF("qid", "terms")
+      def ranked(df: org.apache.spark.sql.DataFrame) = df
+        .collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) ->
+          ((r.getAs[Long]("doc_id"), r.getAs[Long]("score_q")))).toMap
+      val out = ranked(Bm25Index.topKBatch(spark, h, queries, "qid", "terms", k = 3))
+      assert(!out.keySet.exists(_._1 == 3L), s"empty query leaked rows: $out")
+      // per query, the doc ORDER equals the single-query probe's (the
+      // two score conventions agree on ranking at 2^-20 resolution)
+      for ((qid, terms) <- Seq(1L -> Seq("data", "the"), 2L -> Seq("query"))) {
+        val single = Bm25Index.topK(spark, h, terms, k = 3)
+          .collect().map(_.getLong(0)).toSeq
+        val batch = (1 to single.size)
+          .map(rk => out((qid, rk))._1)
+        assert(batch == single, s"qid $qid: batch $batch vs single $single")
+      }
+      // dup terms score once: qid 2's top score equals a dedup'd probe
+      val dedupQ = Seq((9L, Seq("query"))).toDF("qid", "terms")
+      val once = ranked(Bm25Index.topKBatch(spark, h, dedupQ, "qid", "terms", k = 3))
+      assert(out((2L, 1))._2 == once((9L, 1))._2,
+        "duplicate query terms must not double-score")
+      // exact-integer scores are partition-invariant
+      val again = ranked(Bm25Index.topKBatch(
+        spark, h, queries.repartition(7), "qid", "terms", k = 3))
+      assert(again == out)
     } finally {
       val root = java.nio.file.Path.of(dir)
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
