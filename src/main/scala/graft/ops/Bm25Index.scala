@@ -64,7 +64,7 @@ object Bm25Index {
   val MaxQueryTerms: Int = 64
 
   final case class Handle(
-      dir: String, idCol: String, numBuckets: Int,
+      dir: String, idCol: String, textCol: String, numBuckets: Int,
       nDocs: Long, totalTokens: Long)
 
   private def toks(textCol: String) = split(trim(lower(col(textCol))), "\\s+")
@@ -84,11 +84,11 @@ object Bm25Index {
   }
 
   private def statFrames(
-      corpus: DataFrame, idCol: String, numBuckets: Int):
+      corpus: DataFrame, idCol: String, textCol: String, numBuckets: Int):
       (DataFrame, DataFrame) = {
     val id = col(idCol)
-    val postings = corpus.filter(col("text").isNotNull)
-      .select(id, toks("text").as("__toks"))
+    val postings = corpus.filter(col(textCol).isNotNull)
+      .select(id, toks(textCol).as("__toks"))
       .select(id, size(col("__toks")).cast("long").as("n_tok"),
         explode(col("__toks")).as("term"))
       .groupBy(col("term"), id, col("n_tok"))
@@ -96,16 +96,16 @@ object Bm25Index {
       .withColumn("term_bucket", bucketCol(numBuckets))
     // NULL n_tok for NULL text: collectionStats counts those docs in N
     // but never in the token total — doclens must carry the same split
-    val doclens = corpus.select(id, size(toks("text")).cast("long").as("n_tok"))
+    val doclens = corpus.select(id, size(toks(textCol)).cast("long").as("n_tok"))
     (postings, doclens)
   }
 
   private def writeMeta(
-      spark: SparkSession, dir: String, idCol: String, numBuckets: Int,
-      nDocs: Long, totalTokens: Long): Unit = {
+      spark: SparkSession, dir: String, idCol: String, textCol: String,
+      numBuckets: Int, nDocs: Long, totalTokens: Long): Unit = {
     import spark.implicits._
-    Seq((idCol, numBuckets, nDocs, totalTokens))
-      .toDF("idCol", "numBuckets", "nDocs", "totalTokens")
+    Seq((idCol, textCol, numBuckets, nDocs, totalTokens))
+      .toDF("idCol", "textCol", "numBuckets", "nDocs", "totalTokens")
       .coalesce(1).write.mode("overwrite").json(s"$dir/meta")
   }
 
@@ -118,16 +118,16 @@ object Bm25Index {
   /** One corpus pass → persisted postings + collection stats. */
   def build(
       corpus: DataFrame, idCol: String, dir: String,
-      numBuckets: Int = DefaultNumBuckets): Handle = {
+      numBuckets: Int = DefaultNumBuckets, textCol: String = "text"): Handle = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     val spark = corpus.sparkSession
-    val (postings, doclens) = statFrames(corpus, idCol, numBuckets)
+    val (postings, doclens) = statFrames(corpus, idCol, textCol, numBuckets)
     postings.repartition(col("term_bucket")).sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$dir/postings")
     doclens.write.mode("overwrite").parquet(s"$dir/doclens")
     val (n, total) = statsOf(spark.read.parquet(s"$dir/doclens"))
-    writeMeta(spark, dir, idCol, numBuckets, n, total)
-    Handle(dir, idCol, numBuckets, n, total)
+    writeMeta(spark, dir, idCol, textCol, numBuckets, n, total)
+    Handle(dir, idCol, textCol, numBuckets, n, total)
   }
 
   /** Fold a new slice into the persisted state — parquet appends plus
@@ -136,7 +136,8 @@ object Bm25Index {
     * with yesterday's N/avgdl — but re-load or chain the return). */
   def append(handle: Handle, slice: DataFrame): Handle = {
     val spark = slice.sparkSession
-    val (postings, doclens) = statFrames(slice, handle.idCol, handle.numBuckets)
+    val (postings, doclens) =
+      statFrames(slice, handle.idCol, handle.textCol, handle.numBuckets)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     // marker/lock handshake with a concurrent compact — see Maintenance
@@ -149,8 +150,9 @@ object Bm25Index {
       val (dn, dtotal) = statsOf(doclens)
       val n = handle.nDocs + dn
       val total = handle.totalTokens + dtotal
-      writeMeta(spark, handle.dir, handle.idCol, handle.numBuckets, n, total)
-      Handle(handle.dir, handle.idCol, handle.numBuckets, n, total)
+      writeMeta(spark, handle.dir, handle.idCol, handle.textCol,
+        handle.numBuckets, n, total)
+      handle.copy(nDocs = n, totalTokens = total)
     }
   }
 
@@ -205,8 +207,8 @@ object Bm25Index {
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     val (n, total) = statsOf(spark.read.parquet(s"$dir/doclens"))
-    writeMeta(spark, dir, handle.idCol, handle.numBuckets, n, total)
-    Handle(dir, handle.idCol, handle.numBuckets, n, total)
+    writeMeta(spark, dir, handle.idCol, handle.textCol, handle.numBuckets, n, total)
+    handle.copy(nDocs = n, totalTokens = total)
   }
 
   /** Re-open a persisted index: one tiny JSON read, no data touched. */
@@ -214,6 +216,7 @@ object Bm25Index {
     val meta = spark.read.json(s"$dir/meta").collect()
     require(meta.length == 1, s"$dir/meta must hold exactly one row")
     Handle(dir, meta.head.getAs[String]("idCol"),
+      meta.head.getAs[String]("textCol"),
       meta.head.getAs[Long]("numBuckets").toInt,
       meta.head.getAs[Long]("nDocs"), meta.head.getAs[Long]("totalTokens"))
   }
@@ -286,8 +289,12 @@ object Bm25Index {
     * partitioning (a float sum across a query's terms would
     * re-associate by row layout). [[topK]] keeps raw doubles for
     * bit-parity with [[Retrieval.bm25TopK]]; the two conventions
-    * agree on ranking to 2⁻²⁰ resolution. Duplicate terms within a
-    * query are collapsed (BM25 scores term presence once per term).
+    * agree on ranking to 2⁻²⁰ resolution. Duplicate terms collapse
+    * per qid — within an array AND across rows sharing the qid (BM25
+    * scores term presence once per term). The single-query probe's
+    * input guards hold here too, enforced IN-PLAN because the term
+    * universe is unbounded: a NULL term element or a non-lowercase
+    * term raises row-wise instead of silently matching nothing.
     * Emits `(qidCol, idCol, n_tok, score_q, rank)`, ranks 1..k by
     * (score_q desc, id). */
   def topKBatch(
@@ -298,7 +305,15 @@ object Bm25Index {
     require(k >= 1, s"k must be >= 1, got $k")
     require(handle.nDocs > 0, "topKBatch over an empty index")
     val qt = queries
-      .select(col(qidCol), explode(array_distinct(col(termsCol))).as("term"))
+      .select(col(qidCol), explode(col(termsCol)).as("__t"))
+      .select(col(qidCol),
+        when(col("__t").isNull, raise_error(lit(
+          "topKBatch: NULL term element in the query terms array")))
+          .when(col("__t") =!= lower(col("__t")), raise_error(concat(
+            lit("topKBatch: query terms must be lowercase (documents are " +
+              "lowercased before matching): "), col("__t"))))
+          .otherwise(col("__t")).as("term"))
+      .distinct()
     // distinct buckets of the batch's terms: a <= numBuckets collect
     val buckets = qt
       .select(pmod(hash(col("term")), lit(handle.numBuckets)).cast("int").as("__b"))

@@ -497,6 +497,10 @@ object Packing {
         concat(col("__pids"), col("__cids"), array(lit(eos))))
       .withColumn("__plen", size(col("__pids")).cast("long"))
       .withColumn("__ntok", size(col("__ids")).cast("long"))
+      // both the assignment fold and the payload join consume this —
+      // without the checkpoint the BPE encode (the expensive stage)
+      // would run twice
+      .localCheckpoint(true)
     val asg = packGreedyNoSplit(toked, idCol, "__ntok", shardCol, ctxLen)
     val payload = toked.select(col(idCol).cast("long").as("doc_id"),
       col("__ids"), col("__plen"))

@@ -67,12 +67,15 @@ object ProfileScale {
     // outside the timed region (its operator shape is a standing index
     // probed repeatedly) so the sweep times the probe alone — whose
     // work must track the query terms' postings, never the corpus.
-    // lazy: the builds only run when the q145 entry survives
-    // SPARK_GRAFT_SCALE_ONLY filtering (the thunks force them).
-    lazy val bm25H1 = graft.ops.Bm25Index.load(spark, graft.ops.Bm25Index
-      .build(docs, "doc_id", s"$scratch/bm25idx1").dir)
-    lazy val bm25H10 = graft.ops.Bm25Index.load(spark, graft.ops.Bm25Index
-      .build(docs10, "doc_id", s"$scratch/bm25idx10").dir)
+    // lazy so the builds only run when a bm25 entry survives
+    // SPARK_GRAFT_SCALE_ONLY filtering — but they are FORCED before
+    // the timed loop (below), never inside a measured thunk: the
+    // first sweep recorded q145 x10 at 9.18x because the lazy x10
+    // build ran inside the probe's timing window.
+    lazy val bm25H1 = graft.ops.Bm25Index.build(
+      docs, "doc_id", s"$scratch/bm25idx1")
+    lazy val bm25H10 = graft.ops.Bm25Index.build(
+      docs10, "doc_id", s"$scratch/bm25idx10")
     def q145probe(h: => graft.ops.Bm25Index.Handle) = graft.ops.Bm25Index.topK(
       spark, h, Seq("data", "the", "query"), k = 25)
 
@@ -623,6 +626,12 @@ object ProfileScale {
         pats.isEmpty || pats.exists(p => name.startsWith(p + " ") || name == p)
       }
       .map { case (name, at1, atN) =>
+      // per-entry UNTIMED setup: the harness warms only the x1 thunk,
+      // so any lazily-built per-scale state (the bm25 indexes) must be
+      // forced here or the xN timing absorbs a one-time build
+      if (name.startsWith("q145") || name.startsWith("q148")) {
+        bm25H1.dir; bm25H10.dir; ()
+      }
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)
       val tN = run(s"$name x$factor", atN)

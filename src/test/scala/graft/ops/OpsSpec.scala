@@ -3012,6 +3012,22 @@ class OpsSpec extends SparkSpec {
       val again = ranked(Bm25Index.topKBatch(
         spark, h, queries.repartition(7), "qid", "terms", k = 3))
       assert(again == out)
+      // duplicate terms collapse ACROSS rows sharing a qid, not just
+      // within one array
+      val splitRows = Seq((7L, Seq("query")), (7L, Seq("query")))
+        .toDF("qid", "terms")
+      val merged = ranked(Bm25Index.topKBatch(
+        spark, h, splitRows, "qid", "terms", k = 3))
+      assert(merged((7L, 1))._2 == once((9L, 1))._2,
+        "a term repeated across rows of one qid must not double-score")
+      // the in-plan guards raise loudly instead of silently matching
+      // nothing: mixed case and NULL term elements
+      val e1 = intercept[Exception](Bm25Index.topKBatch(spark, h,
+        Seq((1L, Seq("Data"))).toDF("qid", "terms"), "qid", "terms").collect())
+      val e2 = intercept[Exception](Bm25Index.topKBatch(spark, h,
+        Seq((1L, Seq("data", null.asInstanceOf[String]))).toDF("qid", "terms"),
+        "qid", "terms").collect())
+      assert(e1 != null && e2 != null)
     } finally {
       val root = java.nio.file.Path.of(dir)
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
