@@ -131,9 +131,13 @@ object Bm25Index {
   }
 
   /** Fold a new slice into the persisted state — parquet appends plus
-    * a meta rewrite; no rebuild, no corpus pass. Returns the updated
-    * handle (stale handles still probe correctly — they'd just score
-    * with yesterday's N/avgdl — but re-load or chain the return). */
+    * a meta rewrite; no rebuild, no corpus pass. The stat delta is
+    * added to the CURRENT on-disk meta, not the caller's handle
+    * snapshot — a streaming sink's closure handle goes stale after
+    * its first micro-batch, and trusting it would silently rewind N
+    * and the token total ([[graft.streaming.Bm25Ingest]] relies on
+    * this). Returns the updated handle (a stale handle still probes
+    * correctly — it would just score with yesterday's N/avgdl). */
   def append(handle: Handle, slice: DataFrame): Handle = {
     val spark = slice.sparkSession
     val (postings, doclens) =
@@ -148,11 +152,12 @@ object Bm25Index {
         .parquet(s"${handle.dir}/postings")
       doclens.write.mode("append").parquet(s"${handle.dir}/doclens")
       val (dn, dtotal) = statsOf(doclens)
-      val n = handle.nDocs + dn
-      val total = handle.totalTokens + dtotal
-      writeMeta(spark, handle.dir, handle.idCol, handle.textCol,
-        handle.numBuckets, n, total)
-      handle.copy(nDocs = n, totalTokens = total)
+      val cur = load(spark, handle.dir)
+      val n = cur.nDocs + dn
+      val total = cur.totalTokens + dtotal
+      writeMeta(spark, handle.dir, cur.idCol, cur.textCol,
+        cur.numBuckets, n, total)
+      cur.copy(nDocs = n, totalTokens = total)
     }
   }
 

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ops.Bm25Index
+
+/** Streaming lexical-index ingestion — the retrieval side of
+  * [[AnnIngest]]'s loop: each micro-batch of documents tokenizes and
+  * parquet-appends to the persistent BM25 index's term-bucket
+  * partitions ([[Bm25Index.append]]), with the collection statistics
+  * (N, total tokens) moved by the batch's delta against the CURRENT
+  * on-disk meta — so a query issued after any trigger scores every
+  * document ingested so far under up-to-date idf/avgdl, no rebuild.
+  *
+  * Scale shape: per trigger, one tokenize pass over the BATCH plus
+  * one bucket-keyed write and a meta-sized stat fold — the index's
+  * size never enters the trigger cost. Append is not
+  * checkpoint-transactional: a replayed trigger re-appends identical
+  * posting rows, inflating that term's derived df and double-counting
+  * the replayed docs in meta until [[Bm25Index.compact]] collapses
+  * the rows and recounts (the same posture as the dedup/ANN sinks).
+  * Compaction and appends coordinate through the `_compact.lock` /
+  * `_appending.*` handshake ([[graft.ops.Maintenance]]); a trigger
+  * firing during an external compact fails that micro-batch loudly
+  * rather than racing the swap.
+  *
+  * Use as `docs.writeStream.foreachBatch(Bm25Ingest.bm25AppendSink(handle)).start()`.
+  */
+object Bm25Ingest {
+
+  def bm25AppendSink(handle: Bm25Index.Handle): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        Bm25Index.append(handle, batch.localCheckpoint(true))
+        ()
+      }
+  }
+}

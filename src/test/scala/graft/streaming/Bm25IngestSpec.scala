@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.{Bm25Index, Retrieval}
+
+class Bm25IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25AppendSink: per-trigger docs queryable with moving stats; stale closure handle never rewinds meta") {
+    implicit val sqlCtx = spark.sqlContext
+    val seed = Seq(
+      (0L, "the quick data pipeline processes the query stream"),
+      (1L, "a long document about nothing in particular"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((10L, "fresh data about retrieval engines"))
+    val b2 = Seq((20L, "the freshest data of all data documents"),
+      (21L, "unrelated words entirely"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25stream_").toString
+    try {
+      val handle = Bm25Index.build(seed, "doc_id", dir, numBuckets = 8)
+
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDS().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(Bm25Ingest.bm25AppendSink(handle))
+        .start()
+      try {
+        input.addData(b1: _*); q.processAllAvailable()
+        // the sink's closure handle is now STALE — the second trigger
+        // must still move N forward, not rewind to snapshot + delta
+        input.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+
+      val loaded = Bm25Index.load(spark, dir)
+      assert(loaded.nDocs == 5L && loaded.totalTokens > handle.totalTokens,
+        s"meta must reflect both triggers: $loaded vs built $handle")
+      // a second-trigger doc is retrievable, and every score equals the
+      // direct operator over the full ingested corpus
+      val union = seed.unionByName(b1.toDF("doc_id", "text"))
+        .unionByName(b2.toDF("doc_id", "text"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val viaIndex = rows(Bm25Index.topK(spark, loaded, Seq("data"), k = 5))
+      assert(viaIndex.exists(_._1 == 20L), s"second-trigger doc missing: $viaIndex")
+      assert(viaIndex ==
+        rows(Retrieval.bm25TopK(union, "doc_id", "text", Seq("data"), k = 5)),
+        "streamed index must score exactly like the direct operator")
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+}
