@@ -3089,9 +3089,70 @@ object CurationQueries {
       benchFn = Some(probe))
   }
 
+  /** Hybrid retrieval over BOTH persistent indexes (library
+    * `Bm25Index.topK` + `AnnIndex.query` + `Retrieval.rrfFuse` — q94's
+    * fusion with its two sides replaced by their production, standing
+    * forms: the postings index answers the lexical top-50 from its
+    * term buckets, the IVF-PQ index answers the semantic top-50 from
+    * its probed cells, and RRF fuses the ranks): the full persisted
+    * RAG query path end to end, every stage reading index state, no
+    * corpus pass anywhere. The oracle chains q145's BM25 derivation,
+    * q149's complete ANN replay (training chains, assignment, probe,
+    * ADC) and q94's reciprocal-rank fold — the fused doubles are
+    * bit-identical. The bench form builds both indexes untimed. */
+  val q150 = {
+    def bmDir(dir: String) =
+      s"${System.getProperty("java.io.tmpdir")}/graft_bm25idx_h_${Integer.toHexString(dir.hashCode)}"
+    def prep(s: SparkSession, dir: String): Unit = {
+      graft.ops.Bm25Index.build(t(s, dir, "documents"), "doc_id", bmDir(dir))
+      EmbeddingQueries.buildAnnIdx(s, dir)
+    }
+    def probe(s: SparkSession, dir: String): DataFrame = {
+      val lex = graft.util.Ids.withRowIndex(
+        graft.ops.Bm25Index.topK(s, graft.ops.Bm25Index.load(s, bmDir(dir)),
+          Seq("data", "the", "query"), k = 50),
+        "rank")
+      val sem = graft.util.Ids.withRowIndex(
+          graft.ops.AnnIndex.query(s,
+            graft.ops.AnnIndex.load(s, EmbeddingQueries.annIdxDir(dir)),
+            "vec_id", EmbeddingQueries.queryVec0(s, dir), k = 50, nProbe = 2),
+          "rank")
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      graft.ops.Retrieval.rrfFuse(Seq(lex, sem), "doc_id", rrfK = 60, k = 10)
+        .select(col("rank"), col("doc_id"), col("rank_0"), col("rank_1"),
+          round(col("rrf_score"), 6).as("rrf_score"))
+        .oracleOrderBy("doc_id")
+    }
+    QueryDef(
+      "q150_hybrid_index_rag",
+      (s, dir) => { prep(s, dir); probe(s, dir) },
+      Some(s"""WITH ${bm25RankSqlDuck(50)},
+        ${EmbeddingQueries.annProbeCtesDuck},
+        rb AS (
+          SELECT vec_id AS doc_id,
+            CAST(row_number() OVER (ORDER BY pq_dist ASC, vec_id) AS BIGINT) AS rank_1
+          FROM annscored
+          QUALIFY row_number() OVER (ORDER BY pq_dist ASC, vec_id) <= 50),
+        fused AS (
+          SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.rank_0, b.rank_1,
+            coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(a.rank_0 AS DOUBLE)), CAST(0 AS DOUBLE))
+            + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(b.rank_1 AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf_score
+          FROM ra a FULL OUTER JOIN rb b ON a.doc_id = b.doc_id),
+        topk AS (
+          SELECT doc_id, rank_0, rank_1, rrf_score,
+            CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+          FROM fused
+          QUALIFY row_number() OVER (ORDER BY rrf_score DESC, doc_id) <= 10)
+        SELECT rank, doc_id, rank_0, rank_1, round(rrf_score, 6) AS rrf_score
+        FROM topk ORDER BY doc_id"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => prep(s, dir)),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
-      q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148)
+      q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150)
 }

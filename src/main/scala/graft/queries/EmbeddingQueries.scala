@@ -861,7 +861,124 @@ object EmbeddingQueries {
       FROM base ORDER BY label"""),
     bench = true)
 
+  /** q149's fixed index location — q150's hybrid probes the SAME
+    * persisted index (build once, two consumers). */
+  private[queries] def annIdxDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${Integer.toHexString(dir.hashCode)}"
+
+  private[queries] def buildAnnIdx(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    graft.ops.AnnIndex.build(t(s, dir, "embeddings"), "embedding", "vec_id",
+      annIdxDir(dir), nCells = TrainK, m = PqM, k = 4, dim = Dim,
+      iters = TrainIters)
+    ()
+  }
+
+  /** vec 0's embedding as the query vector, double-cast in-plan (the
+    * q93 convention, so the collected doubles are the engine's own). */
+  private[queries] def queryVec0(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[Double] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().head.getSeq[Double](0).toSeq
+
+  /** The q149/q150 shared DuckDB replay of `AnnIndex.build` + `query`
+    * for vec 0 at nProbe = 2: both training chains (the q63/q64 IVF
+    * machinery AND the q92/q93 per-subspace machinery — CTE families
+    * name-disjoint), the corpus cell assignment, the driver's
+    * nProbe-cell rule ((-sim, -cid) = sim DESC, cid DESC), the
+    * encoder-rule code assignment, the ADC lookup tables, and the
+    * probed-cells-only scores. Ends with `annscored(vec_id, pq_dist)`
+    * — NOT yet ranked or limited, so q149 can top-k it and q150 can
+    * rank it for fusion. */
+  private[queries] def annProbeCtesDuck: String = {
+    val elem: (String, Int) => String = duckElem
+    val sub = Dim / PqM
+    val finals = (0 until PqM).map { mi =>
+      val lutTerms = (1 to sub).map { j =>
+        val d = s"(${elem("q.qv", mi * sub + j)} - c.cv[$j])"
+        s"($d * $d)"
+      }.mkString(" + ")
+      s"""fa$mi AS (
+        SELECT vec_id, cid AS code_$mi FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY (${subL2Train(elem, mi)}) ASC, c.cid ASC) AS rn
+          FROM embeddings e CROSS JOIN pc${mi}_$PqTrainIters c) ft$mi WHERE rn = 1),
+      flut$mi AS (
+        SELECT cid, ($lutTerms) AS qd FROM pc${mi}_$PqTrainIters c CROSS JOIN qq q)"""
+    }.mkString(",\n      ")
+    val joins = (1 until PqM).map(mi => s"JOIN fa$mi USING (vec_id)").mkString(" ")
+    val lutJoins = (0 until PqM)
+      .map(mi => s"JOIN flut$mi l$mi ON l$mi.cid = fa$mi.code_$mi").mkString(" ")
+    val distSum = (0 until PqM).map(mi => s"l$mi.qd").mkString(" + ")
+    s"""${lloydCtes(elem, TrainIters)},
+      ${pqLloydCtes(elem, PqTrainIters)},
+      qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      cellscore AS (
+        SELECT vec_id, cid,
+          (${dotSum(elem, "embedding", "cv")})
+            / (sqrt(${dotSum(elem, "embedding", "embedding")})
+               * sqrt(${dotSum(elem, "cv", "cv")})) AS sim
+        FROM embeddings CROSS JOIN c$TrainIters),
+      assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, cid DESC) AS rn
+          FROM cellscore) x WHERE rn = 1),
+      qcell AS (
+        SELECT cid AS cell FROM (
+          SELECT c.cid,
+            row_number() OVER (ORDER BY
+              (${dotSum(elem, "q.qv", "c.cv")})
+                / (sqrt(${dotSum(elem, "q.qv", "q.qv")})
+                   * sqrt(${dotSum(elem, "c.cv", "c.cv")})) DESC,
+              c.cid DESC) AS rn
+          FROM c$TrainIters c CROSS JOIN qq q) y WHERE rn <= 2),
+      $finals,
+      annscored AS (
+        SELECT fa0.vec_id, ($distSum) AS pq_dist
+        FROM fa0 $joins $lutJoins
+        JOIN assigned a ON a.vec_id = fa0.vec_id
+        JOIN qcell qc ON qc.cell = a.cell)"""
+  }
+
+  /** Persistent ANN index probe (library `AnnIndex` build/load/query —
+    * the IVF-PQ index whose cell-partitioned code table a probe reads
+    * only `nProbe` cells of; until now verified by OpsSpec parity
+    * only, this gives the END-TO-END disk round-trip its own DuckDB
+    * oracle): train (k-means centroids + PQ codebooks, both
+    * exact-integer Lloyd's), persist, re-load, then answer vec 0's
+    * query through the pruned scan. The oracle chains BOTH training
+    * replays, the corpus cell assignment, the driver's nProbe-cell
+    * rule, the encoder-rule code assignment, the ADC lookup table and
+    * the probed-cells-only ranking ([[annProbeCtesDuck]]) — one wrong
+    * centroid coordinate, code or probe cell anywhere breaks the
+    * hash. The bench form splits the one-time build out of the timed
+    * region (the q145 discipline). */
+  val q149 = {
+    def probe(s: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame = {
+      graft.ops.AnnIndex.query(s, graft.ops.AnnIndex.load(s, annIdxDir(dir)),
+          "vec_id", queryVec0(s, dir), k = 10, nProbe = 2)
+        .select(col("vec_id"), round(col("pq_dist"), 6).as("adc_dist"))
+        .oracleOrderBy("vec_id")
+    }
+    QueryDef(
+      "q149_ann_index_topk",
+      (s, dir) => { buildAnnIdx(s, dir); probe(s, dir) },
+      Some(s"""WITH $annProbeCtesDuck
+      SELECT vec_id, round(pq_dist, 6) AS adc_dist FROM (
+        SELECT vec_id, pq_dist FROM annscored
+        ORDER BY pq_dist ASC, vec_id LIMIT 10) topk
+      ORDER BY vec_id"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => buildAnnIdx(s, dir)),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89, q92, q93, q129,
-      q131, q135, q137)
+      q131, q135, q137, q149)
 }

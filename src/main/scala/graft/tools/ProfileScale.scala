@@ -78,6 +78,30 @@ object ProfileScale {
       docs10, "doc_id", s"$scratch/bm25idx10")
     def q145probe(h: => graft.ops.Bm25Index.Handle) = graft.ops.Bm25Index.topK(
       spark, h, Seq("data", "the", "query"), k = 25)
+    // the persistent ANN index, same discipline: nCells scales with the
+    // corpus (the q85 rule) so cells stay constant-size and the probe
+    // reads a constant FRACTION — the sub-linear claim under test
+    lazy val annH1 = graft.ops.AnnIndex.build(emb, "embedding", "vec_id",
+      s"$scratch/annidx1", nCells = 4, m = 4, k = 4, dim = dim, iters = 2)
+    lazy val annH10 = graft.ops.AnnIndex.build(emb10, "embedding", "vec_id",
+      s"$scratch/annidx10", nCells = 4 * factor, m = 4, k = 4, dim = dim, iters = 2)
+    lazy val qv1 = emb.filter(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().head.getSeq[Double](0).toSeq
+    lazy val qv10 = emb10.filter(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().head.getSeq[Double](0).toSeq
+    def q150hybrid(bm: => graft.ops.Bm25Index.Handle,
+        ann: => graft.ops.AnnIndex.Handle, qv: => Seq[Double]) = {
+      val lex = graft.util.Ids.withRowIndex(
+        graft.ops.Bm25Index.topK(spark, bm, Seq("data", "the", "query"), k = 50),
+        "rank")
+      val sem = graft.util.Ids.withRowIndex(
+          graft.ops.AnnIndex.query(spark, ann, "vec_id", qv, k = 50, nProbe = 2),
+          "rank")
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      graft.ops.Retrieval.rrfFuse(Seq(lex, sem), "doc_id", rrfK = 60, k = 10)
+    }
 
     def q46(d: DataFrame) = Dedup.nearDuplicates(d, "doc_id", threshold = 0.8)
       .select(col("doc_id"), col("dup_of"), col("is_near_duplicate"))
@@ -596,6 +620,14 @@ object ProfileScale {
             (3L, Seq("the", "query", "data"))).toDF("qid", "terms")
           graft.ops.Bm25Index.topKBatch(spark, bm25H10, qs, "qid", "terms", k = 25)
         }),
+      ("q149 ann-index-probe",
+        () => graft.ops.AnnIndex.query(spark, annH1, "vec_id", qv1,
+          k = 25, nProbe = 2),
+        () => graft.ops.AnnIndex.query(spark, annH10, "vec_id", qv10,
+          k = 25, nProbe = 2)),
+      ("q150 hybrid-rag",
+        () => q150hybrid(bm25H1, annH1, qv1),
+        () => q150hybrid(bm25H10, annH10, qv10)),
       ("q147 sft-pack", () => {
           val withPrompt = docs.withColumn("prompt",
             concat(lit("summarize document "), col("doc_id").cast("string"),
@@ -629,8 +661,12 @@ object ProfileScale {
       // per-entry UNTIMED setup: the harness warms only the x1 thunk,
       // so any lazily-built per-scale state (the bm25 indexes) must be
       // forced here or the xN timing absorbs a one-time build
-      if (name.startsWith("q145") || name.startsWith("q148")) {
+      if (name.startsWith("q145") || name.startsWith("q148") ||
+          name.startsWith("q150")) {
         bm25H1.dir; bm25H10.dir; ()
+      }
+      if (name.startsWith("q149") || name.startsWith("q150")) {
+        annH1.dir; annH10.dir; qv1.size; qv10.size; ()
       }
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)
