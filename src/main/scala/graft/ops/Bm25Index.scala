@@ -147,12 +147,21 @@ object Bm25Index {
     // marker/lock handshake with a concurrent compact — see Maintenance
     Maintenance.withAppendMarker(
         fs, new org.apache.hadoop.fs.Path(handle.dir)) {
+      val cur = load(spark, handle.dir)
+      // checked BEFORE anything lands: the postings are about to be
+      // bucketed/tokenized with the HANDLE's layout — if the index was
+      // rebuilt under different parameters since the handle was taken,
+      // those rows would be unfindable (wrong bucket mod) or
+      // mis-tokenized; refuse loudly instead of writing them
+      require(cur.numBuckets == handle.numBuckets &&
+          cur.textCol == handle.textCol && cur.idCol == handle.idCol,
+        s"append: the on-disk index layout changed since this handle was " +
+          s"taken (disk: $cur vs handle: $handle) — re-load and re-append")
       postings.repartition(col("term_bucket")).sortWithinPartitions("term")
         .write.mode("append").partitionBy("term_bucket")
         .parquet(s"${handle.dir}/postings")
       doclens.write.mode("append").parquet(s"${handle.dir}/doclens")
       val (dn, dtotal) = statsOf(doclens)
-      val cur = load(spark, handle.dir)
       val n = cur.nDocs + dn
       val total = cur.totalTokens + dtotal
       writeMeta(spark, handle.dir, cur.idCol, cur.textCol,
@@ -218,10 +227,15 @@ object Bm25Index {
 
   /** Re-open a persisted index: one tiny JSON read, no data touched. */
   def load(spark: SparkSession, dir: String): Handle = {
-    val meta = spark.read.json(s"$dir/meta").collect()
+    val metaDf = spark.read.json(s"$dir/meta")
+    val meta = metaDf.collect()
     require(meta.length == 1, s"$dir/meta must hold exactly one row")
-    Handle(dir, meta.head.getAs[String]("idCol"),
-      meta.head.getAs[String]("textCol"),
+    // indexes written before textCol was persisted were hardwired to
+    // "text" — that is their effective build column (the DedupIndex
+    // bandSize back-compat rule)
+    val textCol = if (metaDf.schema.fieldNames.contains("textCol"))
+      meta.head.getAs[String]("textCol") else "text"
+    Handle(dir, meta.head.getAs[String]("idCol"), textCol,
       meta.head.getAs[Long]("numBuckets").toInt,
       meta.head.getAs[Long]("nDocs"), meta.head.getAs[Long]("totalTokens"))
   }

@@ -2975,6 +2975,21 @@ object CurationQueries {
       FROM m ORDER BY shard, chunk_id"""),
     bench = true)
 
+  /** The ONE persisted BM25 index q145/q148/q150 all probe — same
+    * corpus, same params ⇒ identical bit content, so it builds once
+    * per JVM (whichever query runs first) and never leaks across
+    * sessions (a fresh JVM rebuilds). */
+  private def bm25IdxDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_bm25idx_${Integer.toHexString(dir.hashCode)}"
+
+  private val bm25Built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def ensureBm25Idx(s: SparkSession, dir: String): Unit =
+    if (bm25Built.add(bm25IdxDir(dir))) {
+      graft.ops.Bm25Index.build(t(s, dir, "documents"), "doc_id", bm25IdxDir(dir))
+      ()
+    }
+
   /** Persistent BM25 index probe (library `Bm25Index`
     * build/load/topK — the production form of q70's operator): the
     * corpus tokenizes ONCE into a term-bucket-partitioned postings
@@ -2987,26 +3002,18 @@ object CurationQueries {
     * bench form splits the one-time build out of the timed region —
     * repeated probes of a standing index are the operator's shape. */
   val q145 = {
-    def idxDir(dir: String) =
-      s"${System.getProperty("java.io.tmpdir")}/graft_bm25idx_${Integer.toHexString(dir.hashCode)}"
     def probe(s: SparkSession, dir: String): DataFrame =
       graft.ops.Bm25Index.topK(
-          s, graft.ops.Bm25Index.load(s, idxDir(dir)),
+          s, graft.ops.Bm25Index.load(s, bm25IdxDir(dir)),
           Seq("data", "the", "query"), k = 25)
         .select(col("doc_id"), col("n_tok"), round(col("score"), 6).as("score"))
         .oracleOrderBy("doc_id")
     QueryDef(
       "q145_bm25_index_topk",
-      (s, dir) => {
-        graft.ops.Bm25Index.build(t(s, dir, "documents"), "doc_id", idxDir(dir))
-        probe(s, dir)
-      },
+      (s, dir) => { ensureBm25Idx(s, dir); probe(s, dir) },
       Some(bm25TopkOracleDuck),
       bench = true,
-      benchPrepare = Some((s, dir) => {
-        graft.ops.Bm25Index.build(t(s, dir, "documents"), "doc_id", idxDir(dir))
-        ()
-      }),
+      benchPrepare = Some((s, dir) => ensureBm25Idx(s, dir)),
       benchFn = Some(probe))
   }
 
@@ -3021,8 +3028,6 @@ object CurationQueries {
     * df per term, the identical double polynomial quantized per
     * (query, doc, term), the integer sums and the ranks. */
   val q148 = {
-    def idxDir(dir: String) =
-      s"${System.getProperty("java.io.tmpdir")}/graft_bm25idx_b_${Integer.toHexString(dir.hashCode)}"
     def probe(s: SparkSession, dir: String): DataFrame = {
       import s.implicits._
       val queries = Seq(
@@ -3030,7 +3035,7 @@ object CurationQueries {
         (2L, Seq("query", "query", "nosuchterm")),
         (3L, Seq("the"))).toDF("qid", "terms")
       graft.ops.Bm25Index.topKBatch(
-          s, graft.ops.Bm25Index.load(s, idxDir(dir)),
+          s, graft.ops.Bm25Index.load(s, bm25IdxDir(dir)),
           queries, "qid", "terms", k = 10)
         .select(col("qid"), col("doc_id"), col("n_tok"),
           col("score_q"), col("rank"))
@@ -3038,10 +3043,7 @@ object CurationQueries {
     }
     QueryDef(
       "q148_bm25_batch",
-      (s, dir) => {
-        graft.ops.Bm25Index.build(t(s, dir, "documents"), "doc_id", idxDir(dir))
-        probe(s, dir)
-      },
+      (s, dir) => { ensureBm25Idx(s, dir); probe(s, dir) },
       Some("""WITH tk AS MATERIALIZED (
           SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks
           FROM documents),
@@ -3082,10 +3084,7 @@ object CurationQueries {
         SELECT qid, doc_id, n_tok, score_q, rank
         FROM rk WHERE rank <= 10 ORDER BY qid, rank"""),
       bench = true,
-      benchPrepare = Some((s, dir) => {
-        graft.ops.Bm25Index.build(t(s, dir, "documents"), "doc_id", idxDir(dir))
-        ()
-      }),
+      benchPrepare = Some((s, dir) => ensureBm25Idx(s, dir)),
       benchFn = Some(probe))
   }
 
@@ -3101,15 +3100,17 @@ object CurationQueries {
     * ADC) and q94's reciprocal-rank fold — the fused doubles are
     * bit-identical. The bench form builds both indexes untimed. */
   val q150 = {
-    def bmDir(dir: String) =
-      s"${System.getProperty("java.io.tmpdir")}/graft_bm25idx_h_${Integer.toHexString(dir.hashCode)}"
     def prep(s: SparkSession, dir: String): Unit = {
-      graft.ops.Bm25Index.build(t(s, dir, "documents"), "doc_id", bmDir(dir))
+      // both indexes are the SHARED build-once state q145/q148 and
+      // q149 also probe — identical corpus + params ⇒ identical bits
+      ensureBm25Idx(s, dir)
       EmbeddingQueries.buildAnnIdx(s, dir)
+      EmbeddingQueries.queryVec0(s, dir) // warm the memo (bench discipline)
+      ()
     }
     def probe(s: SparkSession, dir: String): DataFrame = {
       val lex = graft.util.Ids.withRowIndex(
-        graft.ops.Bm25Index.topK(s, graft.ops.Bm25Index.load(s, bmDir(dir)),
+        graft.ops.Bm25Index.topK(s, graft.ops.Bm25Index.load(s, bm25IdxDir(dir)),
           Seq("data", "the", "query"), k = 50),
         "rank")
       val sem = graft.util.Ids.withRowIndex(

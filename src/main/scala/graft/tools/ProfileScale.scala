@@ -78,9 +78,12 @@ object ProfileScale {
       docs10, "doc_id", s"$scratch/bm25idx10")
     def q145probe(h: => graft.ops.Bm25Index.Handle) = graft.ops.Bm25Index.topK(
       spark, h, Seq("data", "the", "query"), k = 25)
-    // the persistent ANN index, same discipline: nCells scales with the
-    // corpus (the q85 rule) so cells stay constant-size and the probe
-    // reads a constant FRACTION — the sub-linear claim under test
+    // the persistent ANN index, same discipline: nCells scales with
+    // the corpus (the q85 rule) so cells stay constant-size — with
+    // nProbe fixed the probe reads ~constant ABSOLUTE work (nProbe
+    // cells) at any scale, so the expected ratio is ~flat; readings
+    // above ~2x reflect fixed overheads (more cell files listed, the
+    // 10x-wider partition pruning) and noise, not corpus-linear work
     lazy val annH1 = graft.ops.AnnIndex.build(emb, "embedding", "vec_id",
       s"$scratch/annidx1", nCells = 4, m = 4, k = 4, dim = dim, iters = 2)
     lazy val annH10 = graft.ops.AnnIndex.build(emb10, "embedding", "vec_id",
