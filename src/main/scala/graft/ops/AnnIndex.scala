@@ -182,4 +182,71 @@ object AnnIndex {
       .filter(col("cell").isin(probed: _*))
     Similarity.pqTopKFromCodes(codes, idCol, handle.codebooks, queryVec, k)
   }
+
+  /** Batched index probe — the vector-side twin of
+    * [[Bm25Index.topKBatch]]: a query TABLE of embeddings amortizes
+    * ONE pruned pass over the code table instead of one probe each
+    * (the ANN-evaluation / RAG-eval shape). Per query row, the same
+    * nProbe-best-cells rule as [[query]] (struct (sim, cid) sorted
+    * descending — ties to the higher cid, the `ivfAssign` rule),
+    * computed IN-PLAN; the scan prunes to the UNION of all queries'
+    * probe cells (a ≤ nCells collect, never query-bounded). The ADC
+    * distance is the [[Similarity.pqTopKFromCodes]] lookup table
+    * MATERIALIZED per (query, subspace, sub-centroid): the sub-L2
+    * expressions evaluate over the QUERY table only (nQueries × k
+    * rows per subspace — never the corpus, and never a corpus-side
+    * when-chain that would blow the codegen method-size limit at
+    * real codebook sizes), then the corpus side is m broadcast
+    * equi-joins plus one addition per subspace — whole-stage
+    * codegen-clean at any k. Identical arithmetic order to the
+    * driver-literal LUT, so per-pair distances are BIT-EQUAL to
+    * [[query]]'s. Ranking is a query-partitioned window over
+    * candidate rows only. Emits `(query_id, neighbor_id, pq_dist,
+    * rank)`, ranks 1..k by (pq_dist asc, id); a query row present in
+    * the corpus ranks itself (vector semantics, as [[query]] does). */
+  def queryBatch(
+      spark: SparkSession, handle: Handle, queries: DataFrame,
+      embCol: String, idCol: String, k: Int = 10, nProbe: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1 && nProbe <= handle.centroids.size,
+      s"nProbe must be in [1, ${handle.centroids.size}], got $nProbe")
+    val m = handle.codebooks.size
+    val subDim = handle.codebooks.head.head._2.length
+    val qemb = queries
+      .select(col(idCol).cast("long").as("query_id"), col(embCol).as("__q"))
+      .localCheckpoint(true) // feeds the probe AND the m LUT builds
+    val probed = qemb
+      .withColumn("__cells", slice(reverse(array_sort(array(
+        Similarity.bestCells(spark, "__q", handle.centroids): _*))), 1, nProbe))
+      .withColumn("cell", explode(transform(col("__cells"), c => c.getField("cid"))))
+      .select(col("query_id"), col("cell"))
+    val cells = probed.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val codes = spark.read.parquet(s"${handle.dir}/codes")
+      .filter(col("cell").isin(cells: _*))
+    def subL2(mi: Int, cv: Seq[Double]): org.apache.spark.sql.Column =
+      (0 until subDim).map { j =>
+        val d = col("__q").getItem(mi * subDim + j).cast("double") - lit(cv(j))
+        d * d
+      }.reduce(_ + _)
+    val luts = handle.codebooks.zipWithIndex.map { case (cb, mi) =>
+      cb.map { case (cid, cv) =>
+        qemb.select(col("query_id"), lit(cid).as(s"code_$mi"),
+          subL2(mi, cv).as(s"__qd$mi"))
+      }.reduce(_ unionByName _)
+    }
+    val joined = luts.zipWithIndex.foldLeft(probed.join(codes, Seq("cell"))) {
+      case (df, (lut, mi)) =>
+        df.join(broadcast(lut), Seq("query_id", s"code_$mi"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("pq_dist").asc, col(idCol))
+    joined
+      .withColumn("pq_dist",
+        (0 until m).map(mi => col(s"__qd$mi")).reduce(_ + _))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("pq_dist"), col("rank"))
+  }
 }

@@ -369,7 +369,7 @@ object Similarity {
 
   /** Max-cosine centroid (struct argmax; ties -> highest centroid id)
     * of each row's embedding. */
-  private def bestCells(
+  private[ops] def bestCells(
       s: SparkSession, embCol: String, centroids: Seq[(Long, Seq[Double])]): Seq[Column] =
     centroids.map { case (cid, vec) =>
       struct(nCosine(s, col(embCol), array(vec.map(lit): _*)).as("sim"), lit(cid).as("cid"))

@@ -905,30 +905,24 @@ object EmbeddingQueries {
     * probed-cells-only scores. Ends with `annscored(vec_id, pq_dist)`
     * — NOT yet ranked or limited, so q149 can top-k it and q150 can
     * rank it for fusion. */
-  private[queries] def annProbeCtesDuck: String = {
+  /** The index-state replay every ANN-index oracle shares: both
+    * training chains (IVF Lloyd's + per-subspace PQ Lloyd's, CTE
+    * families name-disjoint), the corpus cell assignment, and the
+    * encoder-rule code assignment `fa0..fa{m-1}`. Query-specific
+    * probing/ADC layers on top (q149/q150's vec-0 form below, q151's
+    * per-query-row form). */
+  private[queries] def annIndexStateCtesDuck: String = {
     val elem: (String, Int) => String = duckElem
-    val sub = Dim / PqM
-    val finals = (0 until PqM).map { mi =>
-      val lutTerms = (1 to sub).map { j =>
-        val d = s"(${elem("q.qv", mi * sub + j)} - c.cv[$j])"
-        s"($d * $d)"
-      }.mkString(" + ")
+    val fas = (0 until PqM).map { mi =>
       s"""fa$mi AS (
         SELECT vec_id, cid AS code_$mi FROM (
           SELECT e.vec_id, c.cid,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY (${subL2Train(elem, mi)}) ASC, c.cid ASC) AS rn
-          FROM embeddings e CROSS JOIN pc${mi}_$PqTrainIters c) ft$mi WHERE rn = 1),
-      flut$mi AS (
-        SELECT cid, ($lutTerms) AS qd FROM pc${mi}_$PqTrainIters c CROSS JOIN qq q)"""
+          FROM embeddings e CROSS JOIN pc${mi}_$PqTrainIters c) ft$mi WHERE rn = 1)"""
     }.mkString(",\n      ")
-    val joins = (1 until PqM).map(mi => s"JOIN fa$mi USING (vec_id)").mkString(" ")
-    val lutJoins = (0 until PqM)
-      .map(mi => s"JOIN flut$mi l$mi ON l$mi.cid = fa$mi.code_$mi").mkString(" ")
-    val distSum = (0 until PqM).map(mi => s"l$mi.qd").mkString(" + ")
     s"""${lloydCtes(elem, TrainIters)},
       ${pqLloydCtes(elem, PqTrainIters)},
-      qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
       cellscore AS (
         SELECT vec_id, cid,
           (${dotSum(elem, "embedding", "cv")})
@@ -941,6 +935,26 @@ object EmbeddingQueries {
             row_number() OVER (PARTITION BY vec_id
               ORDER BY sim DESC, cid DESC) AS rn
           FROM cellscore) x WHERE rn = 1),
+      $fas"""
+  }
+
+  private[queries] def annProbeCtesDuck: String = {
+    val elem: (String, Int) => String = duckElem
+    val sub = Dim / PqM
+    val fluts = (0 until PqM).map { mi =>
+      val lutTerms = (1 to sub).map { j =>
+        val d = s"(${elem("q.qv", mi * sub + j)} - c.cv[$j])"
+        s"($d * $d)"
+      }.mkString(" + ")
+      s"""flut$mi AS (
+        SELECT cid, ($lutTerms) AS qd FROM pc${mi}_$PqTrainIters c CROSS JOIN qq q)"""
+    }.mkString(",\n      ")
+    val joins = (1 until PqM).map(mi => s"JOIN fa$mi USING (vec_id)").mkString(" ")
+    val lutJoins = (0 until PqM)
+      .map(mi => s"JOIN flut$mi l$mi ON l$mi.cid = fa$mi.code_$mi").mkString(" ")
+    val distSum = (0 until PqM).map(mi => s"l$mi.qd").mkString(" + ")
+    s"""$annIndexStateCtesDuck,
+      qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
       qcell AS (
         SELECT cid AS cell FROM (
           SELECT c.cid,
@@ -950,7 +964,7 @@ object EmbeddingQueries {
                    * sqrt(${dotSum(elem, "c.cv", "c.cv")})) DESC,
               c.cid DESC) AS rn
           FROM c$TrainIters c CROSS JOIN qq q) y WHERE rn <= 2),
-      $finals,
+      $fluts,
       annscored AS (
         SELECT fa0.vec_id, ($distSum) AS pq_dist
         FROM fa0 $joins $lutJoins
@@ -996,7 +1010,79 @@ object EmbeddingQueries {
       benchFn = Some(probe))
   }
 
+  /** Batched ANN index probe (library `AnnIndex.queryBatch` — the
+    * vector-side twin of q148's batched BM25: a query TABLE amortizes
+    * one pruned pass over the persisted code table; q149 is the
+    * single-vector form): 8 query rows, each probing its own 2 best
+    * cells, ADC-scored and ranked per query. The oracle layers the
+    * per-query probe rule and per-(query, sub-centroid) lookup tables
+    * over the shared index-state replay — every query's candidate
+    * set, distance and rank hash-checked. */
+  val q151 = {
+    def probe(s: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame = {
+      val e = t(s, dir, "embeddings")
+      graft.ops.AnnIndex.queryBatch(s,
+          graft.ops.AnnIndex.load(s, annIdxDir(dir)),
+          e.filter(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("pq_dist"), 6).as("adc_dist"), col("rank"))
+        .oracleOrderBy("query_id", "rank")
+    }
+    QueryDef(
+      "q151_ann_batch",
+      (s, dir) => { buildAnnIdx(s, dir); probe(s, dir) },
+      Some {
+        val elem: (String, Int) => String = duckElem
+        val sub = Dim / PqM
+        val qluts = (0 until PqM).map { mi =>
+          val lutTerms = (1 to sub).map { j =>
+            val d = s"(${elem("q.embedding", mi * sub + j)} - c.cv[$j])"
+            s"($d * $d)"
+          }.mkString(" + ")
+          s"""qlut$mi AS (
+          SELECT q.qid, c.cid, ($lutTerms) AS qd
+          FROM qset q CROSS JOIN pc${mi}_$PqTrainIters c)"""
+        }.mkString(",\n        ")
+        val faJoins = (1 until PqM)
+          .map(mi => s"JOIN fa$mi ON fa$mi.vec_id = fa0.vec_id").mkString(" ")
+        val lutJoins = (0 until PqM)
+          .map(mi => s"JOIN qlut$mi l$mi ON l$mi.qid = p.qid AND l$mi.cid = fa$mi.code_$mi")
+          .mkString(" ")
+        val distSum = (0 until PqM).map(mi => s"l$mi.qd").mkString(" + ")
+        s"""WITH $annIndexStateCtesDuck,
+        qset AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 8),
+        qprobes AS (
+          SELECT qid, cid AS cell FROM (
+            SELECT q.qid, c.cid,
+              row_number() OVER (PARTITION BY q.qid ORDER BY
+                (${dotSum(elem, "q.embedding", "c.cv")})
+                  / (sqrt(${dotSum(elem, "q.embedding", "q.embedding")})
+                     * sqrt(${dotSum(elem, "c.cv", "c.cv")})) DESC,
+                c.cid DESC) AS rn
+            FROM qset q CROSS JOIN c$TrainIters c) z WHERE rn <= 2),
+        $qluts,
+        bscored AS (
+          SELECT p.qid, fa0.vec_id, ($distSum) AS pq_dist
+          FROM qprobes p
+          JOIN assigned a ON a.cell = p.cell
+          JOIN fa0 ON fa0.vec_id = a.vec_id $faJoins $lutJoins),
+        brk AS (
+          SELECT qid, vec_id, pq_dist,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY pq_dist ASC, vec_id) AS INT) AS rank
+          FROM bscored)
+        SELECT qid AS query_id, vec_id AS neighbor_id,
+          round(pq_dist, 6) AS adc_dist, rank
+        FROM brk WHERE rank <= 5 ORDER BY query_id, rank"""
+      },
+      bench = true,
+      benchPrepare = Some((s, dir) => buildAnnIdx(s, dir)),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89, q92, q93, q129,
-      q131, q135, q137, q149)
+      q131, q135, q137, q149, q151)
 }

@@ -631,6 +631,13 @@ object ProfileScale {
       ("q150 hybrid-rag",
         () => q150hybrid(bm25H1, annH1, qv1),
         () => q150hybrid(bm25H10, annH10, qv10)),
+      ("q151 ann-batch",
+        () => graft.ops.AnnIndex.queryBatch(spark, annH1,
+          emb.filter(col("vec_id") < 8), "embedding", "vec_id",
+          k = 25, nProbe = 2),
+        () => graft.ops.AnnIndex.queryBatch(spark, annH10,
+          emb10.filter(col("vec_id") < 8), "embedding", "vec_id",
+          k = 25, nProbe = 2)),
       ("q147 sft-pack", () => {
           val withPrompt = docs.withColumn("prompt",
             concat(lit("summarize document "), col("doc_id").cast("string"),
@@ -668,7 +675,8 @@ object ProfileScale {
           name.startsWith("q150")) {
         bm25H1.dir; bm25H10.dir; ()
       }
-      if (name.startsWith("q149") || name.startsWith("q150")) {
+      if (name.startsWith("q149") || name.startsWith("q150") ||
+          name.startsWith("q151")) {
         annH1.dir; annH10.dir; qv1.size; qv10.size; ()
       }
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x

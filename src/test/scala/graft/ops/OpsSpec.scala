@@ -2841,6 +2841,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("AnnIndex.queryBatch: bit-equal to per-query probes, one pruned pass") {
+    val dir = java.nio.file.Files.createTempDirectory("annbatch").toString
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val built = AnnIndex.build(emb, "embedding", "vec_id", dir,
+        nCells = 4, m = 4, k = 4, dim = 64, iters = 2)
+      val loaded = AnnIndex.load(spark, dir)
+      val batch = AnnIndex.queryBatch(spark, loaded,
+          emb.filter(col("vec_id") < 6), "embedding", "vec_id", k = 5, nProbe = 2)
+      val byQuery = batch.collect()
+        .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      // every query's ranked answers equal the single-vector probe's,
+      // distance for distance: the in-plan ADC arithmetic runs in the
+      // same order as the driver-literal LUT, so the doubles are
+      // BIT-EQUAL, not just close
+      for (q <- 0L until 6L) {
+        val qv = emb.filter(col("vec_id") === q)
+          .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .collect().head.getSeq[Double](0).toSeq
+        val single = AnnIndex.query(spark, loaded, "vec_id", qv, k = 5, nProbe = 2)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val fromBatch = (1 to single.size).map(rk => byQuery((q, rk)))
+        assert(fromBatch == single, s"query $q: $fromBatch vs $single")
+      }
+      // the scan prunes to the union of probe cells; raw embeddings
+      // are nowhere in the code-table read
+      val plan = batch.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"), plan)
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("AnnIndex.append: frozen-model fold-in equals encoding the union; pruning survives") {
     val dir = java.nio.file.Files.createTempDirectory("annappend").toString
     try {
