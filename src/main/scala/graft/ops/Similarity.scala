@@ -781,6 +781,60 @@ object Similarity {
     }.reduce(_ unionByName _).distinct()
   }
 
+  /** Embedding-distribution drift between two corpus snapshots under
+    * a FROZEN codebook — the measurement [[AnnIndex]]'s retrain
+    * contract calls for ("retrain deliberately when drift warrants")
+    * and the vector-side sibling of the text monitors (corpusDiff /
+    * vocabDrift): assign BOTH snapshots to the standing centroids
+    * (the index's own quantizers), then per cell report the
+    * population share and the mean cosine-to-centroid fit of each
+    * snapshot. A cell whose share moved is traffic drift; a cell
+    * whose NEW fit degraded holds vectors its centroid no longer
+    * represents — the retrain signal.
+    *
+    * Exact-integer discipline: per-row fit quantizes to
+    * `round(cos·2²⁰)` and the per-cell means divide the BIGINT sums,
+    * so every output is partition-invariant and engine-replayable.
+    * 100 TB shape: one narrow literal-codebook assignment pass per
+    * snapshot feeding ONE cell-keyed aggregate each (k-bounded,
+    * collected under the driver-resident-model discipline — the
+    * totals come from the k rows, no extra corpus pass); the result
+    * is a k-row report. Emits `(cell, n_old, n_new, share_old,
+    * share_new, fit_old, fit_new)` — shares over each snapshot's own
+    * total, fits NULL for an empty cell, one row per centroid even
+    * when both snapshots miss it (an emptied cell IS drift). */
+  def embeddingDrift(
+      oldDf: DataFrame, newDf: DataFrame, embCol: String,
+      centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "embeddingDrift needs at least one centroid")
+    val s = oldDf.sparkSession
+    import s.implicits._
+    def cellAgg(df: DataFrame): Map[Long, (Long, Long)] = {
+      val cells = bestCells(s, embCol, centroids)
+      val best = if (cells.length == 1) cells.head else greatest(cells: _*)
+      df.withColumn("__b", best)
+        .select(col("__b.cid").as("cell"),
+          round(col("__b.sim") * lit(1048576.0d)).cast("long").as("__fq"))
+        .groupBy("cell").agg(count(lit(1)).as("n"), sum("__fq").as("sq"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    val o = cellAgg(oldDf)
+    val nw = cellAgg(newDf)
+    val totOld = o.values.map(_._1).sum
+    val totNew = nw.values.map(_._1).sum
+    val rows = centroids.map(_._1).sorted.map { cid =>
+      val (no, sqo) = o.getOrElse(cid, (0L, 0L))
+      val (nn, sqn) = nw.getOrElse(cid, (0L, 0L))
+      (cid, no, nn,
+        if (totOld > 0) no.toDouble / totOld.toDouble else 0.0,
+        if (totNew > 0) nn.toDouble / totNew.toDouble else 0.0,
+        if (no > 0) Some(sqo.toDouble / no.toDouble / 1048576.0d) else None,
+        if (nn > 0) Some(sqn.toDouble / nn.toDouble / 1048576.0d) else None)
+    }
+    rows.toDF("cell", "n_old", "n_new", "share_old", "share_new",
+      "fit_old", "fit_new")
+  }
+
   /** Per-cell row ceiling for [[semDeDup]]'s within-cell self-join:
     * 2¹⁴ rows is ~1.3·10⁸ pair candidates in ONE cell — the largest
     * quadratic a healthy cluster should ever pay. A corpus that

@@ -1082,7 +1082,75 @@ object EmbeddingQueries {
       benchFn = Some(probe))
   }
 
+  /** Embedding-distribution drift under a frozen codebook (library
+    * `Similarity.embeddingDrift` — the measurement `AnnIndex`'s
+    * "retrain deliberately when drift warrants" contract calls for,
+    * and corpusDiff/vocabDrift's vector-side sibling): the old
+    * snapshot is the full table (the population the codebook was
+    * trained on), the new snapshot its odd-id half; per trained cell,
+    * both snapshots' shares and mean quantized cosine-to-centroid
+    * fits. The oracle chains the Lloyd's replay into both
+    * assignments (keeping the winning sim), the 2⁻²⁰ quantization,
+    * the BIGINT sums and the same division/rounding order. */
+  val q152 = QueryDef(
+    "q152_embedding_drift",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ops.Similarity.embeddingDrift(
+          e, e.filter(col("vec_id") % 2 === 1), "embedding",
+          trainedCodebook(s, dir))
+        .select(col("cell"), col("n_old"), col("n_new"),
+          round(col("share_old"), 6).as("share_old"),
+          round(col("share_new"), 6).as("share_new"),
+          round(col("fit_old"), 6).as("fit_old"),
+          round(col("fit_new"), 6).as("fit_new"))
+        .oracleOrderBy("cell")
+    },
+    Some {
+      val elem: (String, Int) => String = duckElem
+      def assignCtes(p: String, filter: String): String =
+        s"""${p}sc AS (
+          SELECT vec_id, cid,
+            (${dotSum(elem, "embedding", "cv")})
+              / (sqrt(${dotSum(elem, "embedding", "embedding")})
+                 * sqrt(${dotSum(elem, "cv", "cv")})) AS sim
+          FROM embeddings CROSS JOIN c$TrainIters $filter),
+        ${p}asg AS (
+          SELECT vec_id, cid, sim FROM (
+            SELECT vec_id, cid, sim,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY sim DESC, cid DESC) AS rn
+            FROM ${p}sc) x WHERE rn = 1),
+        ${p}agg AS (
+          SELECT cid AS cell, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(round(sim * 1048576.0) AS BIGINT)) AS BIGINT) AS sq
+          FROM ${p}asg GROUP BY cid)"""
+      s"""WITH ${lloydCtes(elem, TrainIters)},
+        ${assignCtes("o", "")},
+        ${assignCtes("w", "WHERE vec_id % 2 = 1")},
+        tot AS (SELECT (SELECT sum(n) FROM oagg) AS t_old,
+                  (SELECT sum(n) FROM wagg) AS t_new),
+        spine AS (SELECT cid AS cell FROM c$TrainIters)
+      SELECT s.cell,
+        coalesce(o.n, 0) AS n_old, coalesce(w.n, 0) AS n_new,
+        round(CAST(coalesce(o.n, 0) AS DOUBLE) / CAST(t.t_old AS DOUBLE), 6)
+          AS share_old,
+        round(CAST(coalesce(w.n, 0) AS DOUBLE) / CAST(t.t_new AS DOUBLE), 6)
+          AS share_new,
+        CASE WHEN o.n > 0 THEN
+          round(CAST(o.sq AS DOUBLE) / CAST(o.n AS DOUBLE) / 1048576.0, 6)
+        END AS fit_old,
+        CASE WHEN w.n > 0 THEN
+          round(CAST(w.sq AS DOUBLE) / CAST(w.n AS DOUBLE) / 1048576.0, 6)
+        END AS fit_new
+      FROM spine s
+      LEFT JOIN oagg o ON o.cell = s.cell
+      LEFT JOIN wagg w ON w.cell = s.cell, tot t
+      ORDER BY s.cell"""
+    },
+    bench = true)
+
   val all: Seq[QueryDef] =
     Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89, q92, q93, q129,
-      q131, q135, q137, q149, q151)
+      q131, q135, q137, q149, q151, q152)
 }

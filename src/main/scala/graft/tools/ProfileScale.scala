@@ -631,6 +631,16 @@ object ProfileScale {
       ("q150 hybrid-rag",
         () => q150hybrid(bm25H1, annH1, qv1),
         () => q150hybrid(bm25H10, annH10, qv10)),
+      // the codebook is FROZEN by the op's definition (the standing
+      // index's quantizers), so both scales assign against the SAME
+      // centroids — the ratio measures the corpus-linear assignment
+      // pass, not an O(n·k) conflation of data and codebook growth
+      ("q152 emb-drift",
+        () => graft.ops.Similarity.embeddingDrift(
+          emb, emb.filter(col("vec_id") % 2 === 1), "embedding", annH1.centroids),
+        () => graft.ops.Similarity.embeddingDrift(
+          emb10, emb10.filter(col("vec_id") % 2 === 1), "embedding",
+          annH1.centroids)),
       ("q151 ann-batch",
         () => graft.ops.AnnIndex.queryBatch(spark, annH1,
           emb.filter(col("vec_id") < 8), "embedding", "vec_id",
@@ -676,7 +686,7 @@ object ProfileScale {
         bm25H1.dir; bm25H10.dir; ()
       }
       if (name.startsWith("q149") || name.startsWith("q150") ||
-          name.startsWith("q151")) {
+          name.startsWith("q151") || name.startsWith("q152")) {
         annH1.dir; annH10.dir; qv1.size; qv10.size; ()
       }
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x

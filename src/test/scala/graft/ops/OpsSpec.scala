@@ -550,6 +550,42 @@ class OpsSpec extends SparkSpec {
     assert(again == flagged)
   }
 
+  test("Similarity.embeddingDrift: frozen-codebook share/fit movement, empty cells reported") {
+    val centroids = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 1.0, 0.0)))
+    val old = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)), (1L, Array(1.0f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 1.0f, 0f, 0f)), (3L, Array(0f, 1.0f, 0.1f, 0f)))
+      .toDF("vec_id", "embedding")
+    // the new snapshot abandons cell 1 entirely and crowds cell 0 with
+    // vectors its centroid fits WORSE — the retrain signal
+    val fresh = Seq(
+      (10L, Array(1.0f, 0.6f, 0f, 0f)),
+      (11L, Array(1.0f, 0.7f, 0f, 0f)),
+      (12L, Array(1.0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    def report(o: org.apache.spark.sql.DataFrame, n: org.apache.spark.sql.DataFrame) =
+      Similarity.embeddingDrift(o, n, "embedding", centroids)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+            if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+            if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    val out = report(old, fresh)
+    assert(out.keySet == Set(0L, 1L, 2L), s"one row per centroid: ${out.keySet}")
+    val c0 = out(0L); val c1 = out(1L); val c2 = out(2L)
+    assert((c0._1, c0._2, c0._3, c0._4) == ((2L, 3L, 0.5, 1.0)), s"cell 0: $c0")
+    assert((c1._1, c1._2, c1._3, c1._4) == ((2L, 0L, 0.5, 0.0)), s"cell 1: $c1")
+    assert(c2 == ((0L, 0L, 0.0, 0.0, None, None)), s"empty cell IS drift: $c2")
+    assert(c1._6.isEmpty, "an emptied cell has no new fit")
+    // the crowding degraded the fit: new mean cosine below old
+    assert(c0._6.get < c0._5.get, s"fit must degrade: $c0")
+    assert(c0._5.get > 0.99 && c0._6.get < 0.95)
+    // exact-integer sums: partition-invariant
+    assert(report(old.repartition(3), fresh.repartition(2)) == out)
+  }
+
   test("Similarity.semDeDup: oversized cells refuse by default; banding bounds the quadratic with full recall on the degenerate mass") {
     // a degenerate cell: 60 near-identical x-ish vectors (what a
     // duplicated web corpus produces) plus a tight y-ish pair; k=2
