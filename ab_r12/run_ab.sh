@@ -1,0 +1,19 @@
+#!/bin/bash
+# Fixed-code quiet-host A/B for the round-12 open watch items:
+# q112 minlen-refine read 6.77 s in BENCH_r11 (band 4.1-5.2), climbing
+# monotonically across three same-day sweeps in code untouched since r9.
+# Arms: SOLO (q112 alone) interleaved with FAMILY (q112 + dedup-family
+# sibling q82 + carried q70 + passengers q124/q125). n=9 each, 3 passes
+# per arm, at round-12 open (cold page cache: 4G/125G buff+cache).
+cd /root/repo
+SOLO="q112_minlen_refine"
+FAM="q112_minlen_refine,q82_minlen_dup_spans,q70_bm25_topk,q124_nb_reliability,q125_nb_selective"
+for i in 1 2 3; do
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_RUNS=9 \
+  SPARK_GRAFT_BENCH_ONLY="$SOLO" SPARK_GRAFT_BENCH_STATS_OUT=/root/repo/ab_r12/solo_$i.json \
+  sbt -batch "runMain graft.Bench" > /root/repo/ab_r12/solo_$i.log 2>&1
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_RUNS=9 \
+  SPARK_GRAFT_BENCH_ONLY="$FAM" SPARK_GRAFT_BENCH_STATS_OUT=/root/repo/ab_r12/fam_$i.json \
+  sbt -batch "runMain graft.Bench" > /root/repo/ab_r12/fam_$i.log 2>&1
+done
+echo DONE > /root/repo/ab_r12/done.marker

@@ -139,6 +139,99 @@ object AnnIndex {
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/compact_tmp"), true)
   }
 
+  /** Retrain-and-migrate — the operator form of the drift→retrain
+    * contract ([[Similarity.embeddingDrift]] is the measurement that
+    * triggers it): retrain BOTH quantizers on the CURRENT corpus,
+    * re-encode every row under the new models, and swap all three
+    * tables (codes, ivf_centroids, pq_codebooks) into place under the
+    * same `_compact.lock` / `_appending.*` handshake as [[compact]].
+    * The end state is bit-identical to what [[build]] would write for
+    * `corpus` at these parameters — a frozen-model [[append]] history
+    * whose recall decayed is replaced wholesale by the canonical
+    * state (the q153 oracle replays exactly that equivalence).
+    *
+    * `corpus` must be the full current corpus including every row
+    * ever [[append]]ed — the code table is derived state, never the
+    * source of truth for raw vectors (PQ codes cannot be decoded back
+    * losslessly). The lock is held for the WHOLE retrain+encode+swap
+    * span, so an ingest append during a rebuild refuses loudly
+    * instead of landing rows encoded under models about to be thrown
+    * away (and the post-snapshot fold-in set of each swap is empty by
+    * construction — folding an old-model append into a new-model
+    * table would corrupt it). Rebuild is the expensive, occasional
+    * move; [[compact]] stays the cheap frequent one.
+    *
+    * Crash posture: a crash before the first swap leaves the live
+    * tables untouched (plus an inert `rebuild_tmp` and the lock — the
+    * next rebuild clears the tmp; the lock is removed by hand, the
+    * [[Maintenance]] rule). A crash INSIDE the three-table swap span
+    * leaves a `<table>_precompact` aside dir, which blocks every
+    * maintenance op until recovered by hand — the aside copies are
+    * the old state, `rebuild_tmp` holds whatever was not yet swapped.
+    * `beforeSwap` is a test seam invoked between the first table's
+    * two renames; production callers leave the default no-op. */
+  def rebuild(
+      corpus: DataFrame, embCol: String, idCol: String, dir: String,
+      nCells: Int, m: Int, k: Int, dim: Int, iters: Int = 3,
+      waitForAppendsMs: Long = 60000L,
+      beforeSwap: () => Unit = () => ()): Handle = {
+    val spark = corpus.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    Maintenance.acquireCompactLock(fs, root, waitForAppendsMs)
+    try rebuildLocked(corpus, embCol, idCol, dir, nCells, m, k, dim,
+      iters, fs, beforeSwap)
+    finally Maintenance.releaseCompactLock(fs, root)
+  }
+
+  private def rebuildLocked(
+      corpus: DataFrame, embCol: String, idCol: String, dir: String,
+      nCells: Int, m: Int, k: Int, dim: Int, iters: Int,
+      fs: org.apache.hadoop.fs.FileSystem,
+      beforeSwap: () => Unit): Handle = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val tables = Seq("codes", "ivf_centroids", "pq_codebooks")
+    tables.foreach { t => // refuse crashed state BEFORE the expensive retrain
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/${t}_precompact")),
+        s"$dir/${t}_precompact already exists — a prior rebuild/compact " +
+          "crashed mid-swap; recover it manually before rebuilding")
+    }
+    // a leftover rebuild_tmp from a pre-swap crash is inert (the live
+    // tables were never touched) — clear it and start over
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/rebuild_tmp"), true)
+    val centroids = Similarity.trainCodebook(
+      corpus, embCol, idCol, nCells, dim, iters, exactMean = true)
+    val codebooks =
+      Similarity.trainPqCodebooks(corpus, embCol, idCol, m, k, dim, iters)
+    val tmp = s"$dir/rebuild_tmp"
+    centroids.toDF("cid", "cv")
+      .write.mode("overwrite").parquet(s"$tmp/ivf_centroids")
+    codebooks.zipWithIndex
+      .flatMap { case (cb, mi) => cb.map { case (cid, v) => (mi, cid, v) } }
+      .toDF("mi", "cid", "cv")
+      .write.mode("overwrite").parquet(s"$tmp/pq_codebooks")
+    Similarity.pqEncode(
+        Similarity.ivfAssign(corpus, embCol, centroids), embCol, codebooks)
+      .select(col(idCol) +: col("cell") +:
+        (0 until m).map(mi => col(s"code_$mi")): _*)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
+    tables.zipWithIndex.foreach { case (t, i) =>
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      // snapshot under the held lock: appends are excluded for the
+      // whole span, so nothing can appear after this listing — the
+      // swap's fold-in set is provably empty
+      val snapshot = Maintenance.dataFiles(fs, live).toSet
+      Maintenance.swapCompacted(fs, live,
+        new org.apache.hadoop.fs.Path(s"$tmp/$t"), snapshot,
+        if (i == 0) beforeSwap else () => ())
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    Handle(dir, centroids, codebooks)
+  }
+
   /** Re-open a persisted index: the models are dimension-table-sized
     * driver reads; the code table stays on disk until a query prunes
     * into it. */
@@ -212,8 +305,22 @@ object AnnIndex {
       s"nProbe must be in [1, ${handle.centroids.size}], got $nProbe")
     val m = handle.codebooks.size
     val subDim = handle.codebooks.head.head._2.length
+    // input guards, IN-PLAN because the query table is unbounded (the
+    // topKBatch posture): a duplicate query id would duplicate that
+    // query's LUT and probe rows — silently corrupting its candidate
+    // set and ranks — and a NULL embedding would NULL-poison every
+    // sub-distance; both raise row-wise at the checkpoint instead
+    val dupW = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
     val qemb = queries
       .select(col(idCol).cast("long").as("query_id"), col(embCol).as("__q"))
+      .withColumn("__n", count(lit(1)).over(dupW))
+      .select(
+        when(col("__n") > 1, raise_error(concat(
+            lit("queryBatch: duplicate query id "), col("query_id"))))
+          .otherwise(col("query_id")).as("query_id"),
+        when(col("__q").isNull, raise_error(concat(
+            lit("queryBatch: NULL embedding for query id "), col("query_id"))))
+          .otherwise(col("__q")).as("__q"))
       .localCheckpoint(true) // feeds the probe AND the m LUT builds
     val probed = qemb
       .withColumn("__cells", slice(reverse(array_sort(array(

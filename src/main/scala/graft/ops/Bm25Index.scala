@@ -140,8 +140,14 @@ object Bm25Index {
     * correctly — it would just score with yesterday's N/avgdl). */
   def append(handle: Handle, slice: DataFrame): Handle = {
     val spark = slice.sparkSession
+    // ONE materialization feeds all three outputs (postings write,
+    // doclens write, stat delta): a non-deterministic slice would
+    // otherwise land postings/doclens/meta that disagree with each
+    // other — build() heals itself by re-reading the written doclens,
+    // append must not rely on callers checkpointing first
+    val frozen = slice.localCheckpoint(true)
     val (postings, doclens) =
-      statFrames(slice, handle.idCol, handle.textCol, handle.numBuckets)
+      statFrames(frozen, handle.idCol, handle.textCol, handle.numBuckets)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     // marker/lock handshake with a concurrent compact — see Maintenance

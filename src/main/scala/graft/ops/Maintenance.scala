@@ -90,7 +90,19 @@ private[graft] object Maintenance {
     * `waitForAppendsMs`) for in-flight append markers to drain. See
     * the object doc for why this order is the safe one. Fails loudly
     * — without deleting the lock — if the lock is already held;
-    * fails loudly AND releases the lock if markers do not drain. */
+    * fails loudly AND releases the lock if markers do not drain.
+    *
+    * '''Filesystem contract.''' Mutual exclusion is only a hard
+    * guarantee on filesystems whose `create(overwrite = false)` is
+    * atomic (HDFS and kin). On `RawLocalFileSystem` and most object
+    * stores it decomposes into exists-then-create, so two compactors
+    * racing the same millisecond could both pass it; as a backstop,
+    * the acquirer writes a unique token into the lock file and reads
+    * it back AFTER the create — the loser of a non-atomic race sees
+    * the winner's token and aborts WITHOUT deleting the lock (best
+    * effort: it narrows the race to the sub-millisecond write window
+    * rather than closing it; deploy compaction on an atomic-create
+    * filesystem when two compactors can genuinely race). */
   def acquireCompactLock(
       fs: FileSystem, indexDir: Path, waitForAppendsMs: Long = 60000L): Unit = {
     val lock = lockFile(indexDir)
@@ -100,12 +112,26 @@ private[graft] object Maintenance {
       s"$lock already exists — another compaction is running (or a prior " +
         s"one crashed holding it). If no compactor is alive, delete the " +
         s"lock file by hand and re-check for a leftover _precompact dir.")
-    try fs.create(lock, false).close()
-    catch {
+    val token = java.util.UUID.randomUUID().toString
+    try {
+      val out = fs.create(lock, false)
+      out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    } catch {
       case e: java.io.IOException =>
         throw new IllegalStateException(
           s"could not take $lock (concurrent compactor, or IO failure): $e", e)
     }
+    val readBack = {
+      val in = fs.open(lock)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    if (readBack != token) throw new IllegalStateException(
+      s"$lock holds another compactor's token ($readBack, not $token) — " +
+        s"lost a create race on a filesystem without atomic exclusive " +
+        s"create. The winner owns the lock; NOT deleting it. Retry after " +
+        s"its compaction finishes.")
     val deadline = System.currentTimeMillis() + waitForAppendsMs
     var markers = appendMarkers(fs, indexDir)
     while (markers.nonEmpty && System.currentTimeMillis() < deadline) {

@@ -2980,7 +2980,7 @@ object CurationQueries {
     * per JVM (whichever query runs first) and never leaks across
     * sessions (a fresh JVM rebuilds). */
   private def bm25IdxDir(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_bm25idx_${Integer.toHexString(dir.hashCode)}"
+    QueryDef.idxScratchDir("bm25idx", dir)
 
   private val bm25Built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 

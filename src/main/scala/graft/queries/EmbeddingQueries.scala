@@ -864,7 +864,7 @@ object EmbeddingQueries {
   /** q149's fixed index location — q150's hybrid probes the SAME
     * persisted index (build once, two consumers). */
   private[queries] def annIdxDir(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${Integer.toHexString(dir.hashCode)}"
+    QueryDef.idxScratchDir("annidx", dir)
 
   /** Build-once-per-JVM: q149 and q150 share the persisted index
     * (identical corpus + params ⇒ identical bit content, so whichever
@@ -1150,7 +1150,69 @@ object EmbeddingQueries {
     },
     bench = true)
 
+  /** q153's index dir: a SEPARATE on-disk state from q149's, because
+    * its history is different — built on the even half, frozen-model
+    * appended the odd half, then [[graft.ops.AnnIndex.rebuild]]t on
+    * the full corpus. */
+  private def annRebuildDir(dir: String): String =
+    QueryDef.idxScratchDir("annrebuild", dir)
+
+  private val annRebuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def buildAnnRebuildIdx(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    if (annRebuilt.add(annRebuildDir(dir))) {
+      val e = t(s, dir, "embeddings")
+      val d = annRebuildDir(dir)
+      val h = graft.ops.AnnIndex.build(e.filter(col("vec_id") % 2 === 0),
+        "embedding", "vec_id", d, nCells = TrainK, m = PqM, k = 4, dim = Dim,
+        iters = TrainIters)
+      graft.ops.AnnIndex.append(h, e.filter(col("vec_id") % 2 === 1),
+        "embedding", "vec_id")
+      graft.ops.AnnIndex.rebuild(e, "embedding", "vec_id", d,
+        nCells = TrainK, m = PqM, k = 4, dim = Dim, iters = TrainIters)
+      ()
+    }
+
+  /** Retrain-and-migrate (library `AnnIndex.rebuild` — the operator
+    * form of q152's drift→retrain contract): the index is built on
+    * HALF the corpus, the other half folded in under those frozen
+    * (now-stale) quantizers, then rebuild retrains both quantizers on
+    * the full corpus, re-encodes every row and swaps all three tables
+    * under the maintenance lock. The oracle is q149's full derivation
+    * VERBATIM — training on the full corpus, probe rule, ADC — so the
+    * hash passes only if rebuild's end state is bit-identical to a
+    * clean build of the current corpus: one stale centroid, leftover
+    * old-model code row or missed swap anywhere breaks it (the
+    * q145-vs-q70 "one text proves both" move, applied to state
+    * migration). */
+  val q153 = {
+    def probe(s: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame = {
+      graft.ops.AnnIndex.query(s,
+          graft.ops.AnnIndex.load(s, annRebuildDir(dir)),
+          "vec_id", queryVec0(s, dir), k = 10, nProbe = 2)
+        .select(col("vec_id"), round(col("pq_dist"), 6).as("adc_dist"))
+        .oracleOrderBy("vec_id")
+    }
+    QueryDef(
+      "q153_ann_rebuild",
+      (s, dir) => { buildAnnRebuildIdx(s, dir); probe(s, dir) },
+      Some(s"""WITH $annProbeCtesDuck
+      SELECT vec_id, round(pq_dist, 6) AS adc_dist FROM (
+        SELECT vec_id, pq_dist FROM annscored
+        ORDER BY pq_dist ASC, vec_id LIMIT 10) topk
+      ORDER BY vec_id"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => {
+        buildAnnRebuildIdx(s, dir)
+        queryVec0(s, dir) // warm the memo: the probe must not pay the fetch
+        ()
+      }),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89, q92, q93, q129,
-      q131, q135, q137, q149, q151, q152)
+      q131, q135, q137, q149, q151, q152, q153)
 }

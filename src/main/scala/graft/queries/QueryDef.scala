@@ -42,6 +42,23 @@ object QueryDef {
     * functions never mutate session state. */
   val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
+  /** Per-JVM scratch location for a persisted index keyed to a corpus
+    * dir. The key is the corpus path's sanitized BASENAME plus a
+    * SHA-256 prefix of the FULL path — two distinct dirs can never
+    * map to one location (the old `hashCode` hex could collide, and
+    * the per-JVM build-once memo would then silently serve the first
+    * corpus's index to the second) — plus the JVM's pid, so
+    * concurrent JVMs pointed at the same corpus never race one
+    * directory (the build memos are per-JVM anyway; sharing the path
+    * across processes was never sound). */
+  def idxScratchDir(kind: String, dir: String): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
+      s"${ProcessHandle.current().pid()}_${base}_$sha"
+  }
+
   /** Read one synthetic table (TESTDATA.md layout). */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")

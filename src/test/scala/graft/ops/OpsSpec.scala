@@ -3002,6 +3002,119 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  // Drift fixture shared by the rebuild tests: the OLD corpus varies
+  // only in PQ subspace 0 (dims 0-1), the DRIFTED slice only in
+  // subspace 3 (dims 6-7), in 4 exact patterns of 16 vectors each —
+  // codebooks trained on the old corpus collapse every drifted vector
+  // to ONE code (their subspace-3 training data was constant), so the
+  // frozen index cannot rank drifted neighbors; retrained codebooks
+  // seed from the drifted rows (smallest ids) and separate the 4
+  // patterns exactly.
+  private def annDriftFixture = {
+    val patterns = Seq((1.0, 1.0), (1.0, 9.0), (9.0, 1.0), (9.0, 9.0))
+    val drifted = (0 until 64).map { i =>
+      val (c, d) = patterns(i % 4)
+      (i.toLong, Seq(1.0, 1.0, 1.0, 1.0, 1.0, 1.0, c, d))
+    }
+    val old = (0 until 64).map { i =>
+      (100L + i, Seq(11.0 + i % 8, 11.0 + (i / 8) % 8, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0))
+    }
+    (old.toDF("vec_id", "embedding"), drifted.toDF("vec_id", "embedding"))
+  }
+
+  test("AnnIndex.rebuild: retrained quantizers restore recall; end state equals a clean build") {
+    val dir = java.nio.file.Files.createTempDirectory("annrebuild").toString
+    try {
+      val (old, drifted) = annDriftFixture
+      val union = old.unionByName(drifted)
+      val built = AnnIndex.build(old, "embedding", "vec_id", dir,
+        nCells = 2, m = 4, k = 4, dim = 8, iters = 2)
+      AnnIndex.append(built, drifted, "embedding", "vec_id")
+      val queries = drifted.filter(col("vec_id") < 4)
+      def top5(h: AnnIndex.Handle): Map[Long, Seq[Long]] =
+        AnnIndex.queryBatch(spark, h, queries, "embedding", "vec_id",
+            k = 5, nProbe = 2)
+          .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+          .groupBy(_._1).map { case (q, rs) =>
+            q -> rs.sortBy(_._2).map(_._3).toSeq }
+      // exact L2 top-5 of query g = its own pattern group's 5 smallest
+      // ids (16 members at distance 0; every other row is >= 64 away)
+      val exact = (0L until 4L).map(g => g -> (0 until 5).map(j => g + 4 * j)).toMap
+      val frozen = top5(AnnIndex.load(spark, dir))
+      // the frozen index cannot tell drifted vectors apart: every one
+      // carries the same codes, so each query's "top-5" is just the 5
+      // smallest candidate ids — recall strictly below 1 for all
+      val frozenRecall = exact.map { case (g, ex) =>
+        g -> frozen(g).count(ex.contains).toDouble / 5.0 }
+      assert(frozenRecall.values.forall(_ < 1.0), s"$frozenRecall via $frozen")
+      val rebuilt = AnnIndex.rebuild(union, "embedding", "vec_id", dir,
+        nCells = 2, m = 4, k = 4, dim = 8, iters = 2)
+      val after = top5(rebuilt)
+      (0L until 4L).foreach { g =>
+        assert(after(g) == exact(g), s"query $g: ${after(g)} vs ${exact(g)}")
+        assert(frozenRecall(g) < 1.0)
+      }
+      // end state is bit-identical to what build() writes for the
+      // union: same models on disk, same code rows
+      val loaded = AnnIndex.load(spark, dir)
+      assert(loaded.centroids == rebuilt.centroids)
+      assert(loaded.codebooks == rebuilt.codebooks)
+      val cleanDir = java.nio.file.Files.createTempDirectory("annrebuild_ref").toString
+      try {
+        AnnIndex.build(union, "embedding", "vec_id", cleanDir,
+          nCells = 2, m = 4, k = 4, dim = 8, iters = 2)
+        def rows(d: String) = spark.read.parquet(s"$d/codes")
+          .select(col("vec_id").cast("long"), col("cell").cast("long"),
+            col("code_0").cast("long"), col("code_1").cast("long"),
+            col("code_2").cast("long"), col("code_3").cast("long"))
+          .collect().map(r => (0 until 6).map(r.getLong)).toSet
+        assert(rows(dir) == rows(cleanDir))
+      } finally {
+        val root = java.nio.file.Path.of(cleanDir)
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+      // lock released: a follow-up compact acquires and runs clean
+      AnnIndex.compact(rebuilt)
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
+  test("AnnIndex.rebuild: an append inside the swap window is refused, never folded") {
+    val dir = java.nio.file.Files.createTempDirectory("annrebuildlock").toString
+    try {
+      val (old, drifted) = annDriftFixture
+      val built = AnnIndex.build(old, "embedding", "vec_id", dir,
+        nCells = 2, m = 4, k = 4, dim = 8, iters = 2)
+      var refused: Option[Throwable] = None
+      AnnIndex.rebuild(old, "embedding", "vec_id", dir,
+        nCells = 2, m = 4, k = 4, dim = 8, iters = 2,
+        beforeSwap = () => {
+          // an ingest trigger firing between the two renames must see
+          // the held lock and refuse — its rows may never land in a
+          // table about to be swapped away
+          refused = Some(intercept[IllegalStateException](
+            AnnIndex.append(built, drifted, "embedding", "vec_id")))
+        })
+      assert(refused.exists(_.getMessage.contains("_compact.lock")),
+        s"append was not refused: $refused")
+      val ids = spark.read.parquet(s"$dir/codes")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(ids == (100L until 164L).toSet,
+        s"refused append's rows leaked into the rebuilt table: $ids")
+      // and no marker/lock debris: a fresh append works afterwards
+      AnnIndex.append(AnnIndex.load(spark, dir), drifted, "embedding", "vec_id")
+      assert(spark.read.parquet(s"$dir/codes").count() == 128L)
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("Bm25Index: build/load/topK bit-matches bm25TopK; probe scan prunes") {
     val corpus = Seq(
       (0L, "the quick data pipeline processes the query stream"),
