@@ -331,19 +331,35 @@ object AnnIndex {
       .collect().map(_.getLong(0)).toSeq
     val codes = spark.read.parquet(s"${handle.dir}/codes")
       .filter(col("cell").isin(cells: _*))
-    def subL2(mi: Int, cv: Seq[Double]): org.apache.spark.sql.Column =
-      (0 until subDim).map { j =>
-        val d = col("__q").getItem(mi * subDim + j).cast("double") - lit(cv(j))
-        d * d
-      }.reduce(_ + _)
-    val luts = handle.codebooks.zipWithIndex.map { case (cb, mi) =>
-      cb.map { case (cid, cv) =>
-        qemb.select(col("query_id"), lit(cid).as(s"code_$mi"),
-          subL2(mi, cv).as(s"__qd$mi"))
-      }.reduce(_ unionByName _)
-    }
-    val joined = luts.zipWithIndex.foldLeft(probed.join(codes, Seq("cell"))) {
-      case (df, (lut, mi)) =>
+    // ONE literal codebook DataFrame (mi, cid, cv) — m·k rows — crossed
+    // with the query table builds every LUT entry in a single plan
+    // branch; the old per-sub-centroid select+union was O(m·k) plan
+    // nodes (4,096 branches re-scanning the query table at a
+    // FAISS-typical 256×16 codebook — planning time and plan size grew
+    // with codebook size). The sub-distance arithmetic is BIT-EQUAL to
+    // the per-centroid columns it replaces: per element the same
+    // double-cast subtraction and square, folded left-to-right with a
+    // +0.0 seed (x ≥ +0.0 makes the seed exact), in the same element
+    // order — so per-pair distances still match [[query]]'s
+    // driver-literal LUT bit-for-bit.
+    import spark.implicits._
+    val cbDf = handle.codebooks.zipWithIndex
+      .flatMap { case (cb, mi) => cb.map { case (cid, cv) => (mi, cid, cv) } }
+      .toDF("mi", "cid", "cv")
+    val lutAll = qemb.crossJoin(broadcast(cbDf))
+      .select(col("query_id"), col("mi"), col("cid"),
+        aggregate(
+          zip_with(
+            slice(transform(col("__q"), x => x.cast("double")),
+              col("mi") * subDim + 1, lit(subDim)),
+            col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v).as("qd"))
+      .localCheckpoint(true) // m·k·nQueries rows feed the m join slices
+    val joined = (0 until m).foldLeft(probed.join(codes, Seq("cell"))) {
+      case (df, mi) =>
+        val lut = lutAll.filter(col("mi") === mi)
+          .select(col("query_id"), col("cid").as(s"code_$mi"),
+            col("qd").as(s"__qd$mi"))
         df.join(broadcast(lut), Seq("query_id", s"code_$mi"))
     }
     val w = org.apache.spark.sql.expressions.Window

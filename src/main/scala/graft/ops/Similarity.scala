@@ -523,27 +523,71 @@ object Similarity {
     * lookups; top-k is orderBy+limit (TakeOrdered per-partition heaps).
     * Lookup distances fold left-to-right like [[pqEncode]]'s, so
     * results stay oracle-checkable. */
+  /** LUT-size ceiling for the when-chain ADC formulation: past ~1k
+    * total entries the single generated expression approaches janino's
+    * 64 KB method limit and falls back to interpreted eval — exactly
+    * the hot path that must stay compiled. Larger codebooks switch to
+    * m broadcast equi-joins against literal LUT frames (the
+    * [[graft.ops.AnnIndex.queryBatch]] shape), bit-equal by
+    * construction: the SAME driver-computed lookup doubles enter the
+    * plan as join payloads instead of when-branch literals, and the
+    * per-subspace columns add in the same left-to-right order. */
+  val MaxWhenChainLutEntries: Int = 1024
+
   def pqTopKFromCodes(
       encoded: DataFrame, idCol: String,
       codebooks: Seq[Seq[(Long, Seq[Double])]],
       queryVec: Seq[Double], k: Int = 10): DataFrame = {
-    val subDim = codebooks.head.head._2.length
-    require(queryVec.length == codebooks.length * subDim,
-      s"query dim ${queryVec.length} != ${codebooks.length} x $subDim")
-    val score = codebooks.zipWithIndex.map { case (cb, mi) =>
-      val qs = queryVec.slice(mi * subDim, (mi + 1) * subDim)
-      val lut = cb.map { case (cid, cv) =>
-        cid -> qs.zip(cv).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
-      }
-      // codes always hit a cid, so the chain needs no otherwise
-      lut.tail.foldLeft(when(col(s"code_$mi") === lut.head._1, lit(lut.head._2))) {
-        case (acc, (cid, d)) => acc.when(col(s"code_$mi") === cid, lit(d))
-      }
-    }.reduce(_ + _)
-    encoded.withColumn("pq_dist", score)
+    val luts = pqQueryLuts(codebooks, queryVec)
+    val scored =
+      if (codebooks.map(_.size).sum <= MaxWhenChainLutEntries) {
+        val score = luts.zipWithIndex.map { case (lut, mi) =>
+          // codes always hit a cid, so the chain needs no otherwise
+          lut.tail.foldLeft(when(col(s"code_$mi") === lut.head._1, lit(lut.head._2))) {
+            case (acc, (cid, d)) => acc.when(col(s"code_$mi") === cid, lit(d))
+          }
+        }.reduce(_ + _)
+        encoded.withColumn("pq_dist", score)
+      } else pqScoreJoined(encoded, luts)
+    scored
       .orderBy(col("pq_dist").asc, col(idCol))
       .limit(k)
       .select(col(idCol), col("pq_dist"))
+  }
+
+  /** Per-subspace `(cid, dist(query_sub, centroid))` lookup tables,
+    * computed driver-side — the shared input of both ADC formulations
+    * (folded left-to-right like [[pqEncode]]'s distances, so either
+    * path stays oracle-checkable). */
+  private[ops] def pqQueryLuts(
+      codebooks: Seq[Seq[(Long, Seq[Double])]],
+      queryVec: Seq[Double]): Seq[Seq[(Long, Double)]] = {
+    val subDim = codebooks.head.head._2.length
+    require(queryVec.length == codebooks.length * subDim,
+      s"query dim ${queryVec.length} != ${codebooks.length} x $subDim")
+    codebooks.zipWithIndex.map { case (cb, mi) =>
+      val qs = queryVec.slice(mi * subDim, (mi + 1) * subDim)
+      cb.map { case (cid, cv) =>
+        cid -> qs.zip(cv).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+      }
+    }
+  }
+
+  /** Join-based ADC scoring for codebooks past the when-chain ceiling:
+    * each subspace's LUT becomes a k-row literal frame broadcast-joined
+    * on the code column — m compact equi-joins instead of one
+    * m·k-branch expression, whole-stage-codegen-clean at any size. */
+  private[ops] def pqScoreJoined(
+      encoded: DataFrame, luts: Seq[Seq[(Long, Double)]]): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val joined = luts.zipWithIndex.foldLeft(encoded) { case (df, (lut, mi)) =>
+      df.join(
+        broadcast(lut.toDF(s"code_$mi", s"__qd$mi")), Seq(s"code_$mi"))
+    }
+    joined.withColumn("pq_dist",
+      luts.indices.map(mi => col(s"__qd$mi")).reduce(_ + _))
+      .drop(luts.indices.map(mi => s"__qd$mi"): _*)
   }
 
   /** Convenience ADC top-k from RAW embeddings: derives the codes on

@@ -106,6 +106,35 @@ object ProfileScale {
       graft.ops.Retrieval.rrfFuse(Seq(lex, sem), "doc_id", rrfK = 60, k = 10)
     }
 
+    // round-12 batched-probe fixtures: the x10 QUERY tables and the
+    // synthetic 256x16-codebook index (see the q148/q151 -10q/-bigcb
+    // entries below for why)
+    def bm25BatchQs(n: Int): DataFrame = {
+      import spark.implicits._
+      (0 until n).flatMap { i =>
+        Seq((1L + 3 * i, Seq("data", "the")), (2L + 3 * i, Seq("query")),
+          (3L + 3 * i, Seq("the", "query", "data")))
+      }.toDF("qid", "terms")
+    }
+    lazy val bigCbCodebooks: Seq[Seq[(Long, Seq[Double])]] =
+      (0 until 16).map { mi =>
+        (0L until 256L).map(cid =>
+          cid -> Seq.tabulate(4)(j => ((mi * 31 + cid * 7 + j) % 97).toDouble)).toSeq
+      }
+    lazy val bigCbCentroids: Seq[(Long, Seq[Double])] =
+      (0L until 8L).map(c =>
+        c -> Seq.tabulate(dim)(j => ((c * 13 + j * 7) % 29 - 14.0) / 7.0))
+    def writeBigCbCodes(src: DataFrame, dest: String): graft.ops.AnnIndex.Handle = {
+      src.select(col("vec_id") +: pmod(col("vec_id"), lit(8)).as("cell") +:
+          (0 until 16).map(mi =>
+            pmod(col("vec_id") * (mi + 1), lit(256)).as(s"code_$mi")): _*)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dest/codes")
+      graft.ops.AnnIndex.Handle(dest, bigCbCentroids, bigCbCodebooks)
+    }
+    lazy val bigCbH1 = writeBigCbCodes(emb, s"$scratch/bigcb1")
+    lazy val bigCbH10 = writeBigCbCodes(emb10, s"$scratch/bigcb10")
+
     def q46(d: DataFrame) = Dedup.nearDuplicates(d, "doc_id", threshold = 0.8)
       .select(col("doc_id"), col("dup_of"), col("is_near_duplicate"))
     def q47(e: DataFrame) = Similarity.annTopK(e, e.filter(col("vec_id") < 20),
@@ -648,6 +677,47 @@ object ProfileScale {
         () => graft.ops.AnnIndex.queryBatch(spark, annH10,
           emb10.filter(col("vec_id") < 8), "embedding", "vec_id",
           k = 25, nProbe = 2)),
+      // round-12: the batched probes' OTHER axis. The corpus-x10 arms
+      // above prove index-size independence at a fixed batch; these
+      // hold each corpus FIXED and scale the QUERY TABLE x10 — the
+      // amortization claim itself (one pruned pass serves the whole
+      // batch, so 10x the queries must cost well under 10x)
+      ("q148 bm25-batch-10q-c1",
+        () => graft.ops.Bm25Index.topKBatch(
+          spark, bm25H1, bm25BatchQs(1), "qid", "terms", k = 25),
+        () => graft.ops.Bm25Index.topKBatch(
+          spark, bm25H1, bm25BatchQs(10), "qid", "terms", k = 25)),
+      ("q148 bm25-batch-10q-c10",
+        () => graft.ops.Bm25Index.topKBatch(
+          spark, bm25H10, bm25BatchQs(1), "qid", "terms", k = 25),
+        () => graft.ops.Bm25Index.topKBatch(
+          spark, bm25H10, bm25BatchQs(10), "qid", "terms", k = 25)),
+      ("q151 ann-batch-10q-c1",
+        () => graft.ops.AnnIndex.queryBatch(spark, annH1,
+          emb.filter(col("vec_id") < 8), "embedding", "vec_id",
+          k = 25, nProbe = 2),
+        () => graft.ops.AnnIndex.queryBatch(spark, annH1,
+          emb.filter(col("vec_id") < 80), "embedding", "vec_id",
+          k = 25, nProbe = 2)),
+      ("q151 ann-batch-10q-c10",
+        () => graft.ops.AnnIndex.queryBatch(spark, annH10,
+          emb10.filter(col("vec_id") < 8), "embedding", "vec_id",
+          k = 25, nProbe = 2),
+        () => graft.ops.AnnIndex.queryBatch(spark, annH10,
+          emb10.filter(col("vec_id") < 80), "embedding", "vec_id",
+          k = 25, nProbe = 2)),
+      // round-12: FAISS-typical 256x16 codebook probe — the LUT-join
+      // plan must stay O(m) and whole-stage-codegen-clean at real
+      // codebook sizes (the retired per-sub-centroid union was 4,096
+      // plan branches here). Trained models aren't needed to measure
+      // the probe, so the codes are synthetic over the real id space.
+      ("q151 ann-batch-bigcb",
+        () => graft.ops.AnnIndex.queryBatch(spark, bigCbH1,
+          emb.filter(col("vec_id") < 8), "embedding", "vec_id",
+          k = 25, nProbe = 2),
+        () => graft.ops.AnnIndex.queryBatch(spark, bigCbH10,
+          emb10.filter(col("vec_id") < 8), "embedding", "vec_id",
+          k = 25, nProbe = 2)),
       ("q147 sft-pack", () => {
           val withPrompt = docs.withColumn("prompt",
             concat(lit("summarize document "), col("doc_id").cast("string"),
@@ -689,6 +759,7 @@ object ProfileScale {
           name.startsWith("q151") || name.startsWith("q152")) {
         annH1.dir; annH10.dir; qv1.size; qv10.size; ()
       }
+      if (name.contains("bigcb")) { bigCbH1.dir; bigCbH10.dir; () }
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)
       val tN = run(s"$name x$factor", atN)

@@ -2913,6 +2913,92 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("AnnIndex.queryBatch: plan stays O(m) at a FAISS-sized 256x16 codebook") {
+    val dir = java.nio.file.Files.createTempDirectory("annbigcb").toString
+    try {
+      val m = 16
+      val k = 256
+      val subDim = 2 // dim 32
+      // synthetic handle: the models never came from training — the
+      // point is the PLAN SHAPE, which depends only on m and k
+      val centroids = Seq(
+        0L -> Seq.tabulate(32)(j => 1.0 + j),
+        1L -> Seq.tabulate(32)(j => 33.0 - j))
+      val codebooks = (0 until m).map { mi =>
+        (0L until k.toLong).map(cid =>
+          cid -> Seq(mi + cid * 0.5, mi - cid * 0.25)).toSeq
+      }.toSeq
+      val codes = (0L until 40L).map { id =>
+        (id, id % 2) -> (0 until m).map(mi => (id * (mi + 1)) % k)
+      }
+      codes.map { case ((id, cell), cs) =>
+        (id, cell, cs(0), cs(1), cs(2), cs(3), cs(4), cs(5), cs(6), cs(7),
+          cs(8), cs(9), cs(10), cs(11), cs(12), cs(13), cs(14), cs(15))
+      }.toDF("vec_id" +: "cell" +: (0 until m).map(mi => s"code_$mi"): _*)
+        .write.partitionBy("cell").parquet(s"$dir/codes")
+      val handle = AnnIndex.Handle(dir, centroids, codebooks)
+      val queries = (0L until 4L).map(q =>
+        (q, Seq.tabulate(32)(j => (q + j).toDouble))).toDF("vec_id", "embedding")
+      val out = AnnIndex.queryBatch(spark, handle, queries,
+        "embedding", "vec_id", k = 5, nProbe = 2)
+      // the old per-sub-centroid select+union LUT build was m*k = 4096
+      // plan branches over the query table; the literal-codebook join
+      // keeps the logical plan proportional to m alone
+      val nNodes = out.queryExecution.optimizedPlan.collect { case n => n }.length
+      assert(nNodes < 300, s"optimized plan has $nNodes nodes — O(m*k) regression?")
+      // and it actually executes at this codebook size (the when-chain
+      // formulation ran interpreted past janino's 64 KB method limit)
+      val rows = out.collect()
+      assert(rows.length == 4 * 5, s"${rows.length} rows")
+      val perQ = rows.groupBy(_.getLong(0))
+      assert(perQ.keySet == (0L until 4L).toSet)
+      perQ.values.foreach { rs =>
+        assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to 5), rs.mkString(","))
+      }
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
+  test("pqTopKFromCodes: join-based ADC is bit-equal to the when-chain; big codebooks execute") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+    val cbs = Similarity.trainPqCodebooks(emb, "embedding", "vec_id",
+      m = 4, k = 4, dim = 64, iters = 1)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().head.getSeq[Double](0).toSeq
+    val encoded = Similarity.pqEncode(emb, "embedding", cbs)
+      .select(col("vec_id") +: (0 until 4).map(mi => col(s"code_$mi")): _*)
+      .localCheckpoint(true)
+    // small codebook -> the public path takes the when-chain; force the
+    // join formulation on the same inputs and compare bit-for-bit
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("pq_dist"))).toSeq
+    val viaChain = res(Similarity.pqTopKFromCodes(encoded, "vec_id", cbs, qv, k = 10))
+    val viaJoin = res(
+      Similarity.pqScoreJoined(encoded, Similarity.pqQueryLuts(cbs, qv))
+        .orderBy(col("pq_dist").asc, col("vec_id")).limit(10)
+        .select(col("vec_id"), col("pq_dist")))
+    assert(viaChain == viaJoin, s"$viaChain vs $viaJoin")
+    // a 16x256 codebook (4096 LUT entries, past the when-chain ceiling)
+    // routes through the join path and executes
+    assert(4096 > Similarity.MaxWhenChainLutEntries)
+    val bigCbs = (0 until 16).map { mi =>
+      (0L until 256L).map(cid => cid -> Seq(mi + cid * 0.5, mi - cid * 0.25)).toSeq
+    }.toSeq
+    val bigCodes = (0L until 30L).map { id =>
+      val cs = (0 until 16).map(mi => (id * (mi + 1)) % 256)
+      (id, cs(0), cs(1), cs(2), cs(3), cs(4), cs(5), cs(6), cs(7),
+        cs(8), cs(9), cs(10), cs(11), cs(12), cs(13), cs(14), cs(15))
+    }.toDF("vec_id" +: (0 until 16).map(mi => s"code_$mi"): _*)
+    val bigQv = Seq.tabulate(32)(j => j.toDouble)
+    val big = Similarity.pqTopKFromCodes(bigCodes, "vec_id", bigCbs, bigQv, k = 5)
+    assert(big.collect().length == 5)
+  }
+
   test("AnnIndex.append: frozen-model fold-in equals encoding the union; pruning survives") {
     val dir = java.nio.file.Files.createTempDirectory("annappend").toString
     try {
