@@ -63,9 +63,27 @@ object Bm25Index {
     * score columns are a driver-resident model. */
   val MaxQueryTerms: Int = 64
 
+  /** Postings layout version. v2 (round 12) adds `field` (source text
+    * column), `positions` (0-based token indices within the field,
+    * sorted ascending), `n_tok_f` (the doc's length in that field) —
+    * one posting row per (term, field, doc) — enabling [[phraseTopK]]
+    * and [[bm25fTopK]]. v1 indexes stay READABLE by [[topK]] /
+    * [[topKBatch]] (they never touch the new columns); the
+    * positional/field probes and [[append]]/[[compact]] refuse loudly
+    * on v1 (appending v2 rows into v1 files would leave a
+    * mixed-schema table) — rebuild to upgrade. */
+  val CurrentVersion: Int = 2
+
+  /** `fields`/`fieldTokens` are aligned (per-field corpus token
+    * totals — BM25F's per-field avgdl comes from them); single-field
+    * indexes carry the one entry. v1 handles load with
+    * `version = 1` and their layout's implied single field. */
   final case class Handle(
       dir: String, idCol: String, textCol: String, numBuckets: Int,
-      nDocs: Long, totalTokens: Long)
+      nDocs: Long, totalTokens: Long,
+      version: Int = CurrentVersion,
+      fields: Seq[String] = Seq.empty,
+      fieldTokens: Seq[Long] = Seq.empty)
 
   private def toks(textCol: String) = split(trim(lower(col(textCol))), "\\s+")
 
@@ -83,51 +101,98 @@ object Bm25Index {
     terms.indices.map(row.getInt)
   }
 
+  /** v2 stat frames. Postings: one row per (term, field, doc) with
+    * `tf`, sorted 0-based `positions`, the doc's field length
+    * `n_tok_f` and total length `n_tok` (both denormalized so scoring
+    * never joins a doc table). Doclens: one row per (doc, field) with
+    * NULL n_tok_f for a NULL field value — those docs count in N but
+    * never in the token totals, mirroring v1's NULL-text accounting.
+    * Positions come from `posexplode` grouped back per (term, field,
+    * doc) and `sort_array`ed — deterministic regardless of partial-
+    * aggregation arrival order. */
   private def statFrames(
-      corpus: DataFrame, idCol: String, textCol: String, numBuckets: Int):
+      corpus: DataFrame, idCol: String, fields: Seq[String], numBuckets: Int):
       (DataFrame, DataFrame) = {
     val id = col(idCol)
-    val postings = corpus.filter(col(textCol).isNotNull)
-      .select(id, toks(textCol).as("__toks"))
-      .select(id, size(col("__toks")).cast("long").as("n_tok"),
-        explode(col("__toks")).as("term"))
-      .groupBy(col("term"), id, col("n_tok"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("term_bucket", bucketCol(numBuckets))
-    // NULL n_tok for NULL text: collectionStats counts those docs in N
-    // but never in the token total — doclens must carry the same split
-    val doclens = corpus.select(id, size(toks(textCol)).cast("long").as("n_tok"))
+    val perField = fields.map { f =>
+      corpus.filter(col(f).isNotNull)
+        .select(id, lit(f).as("field"), toks(f).as("__toks"))
+        .select(id, col("field"), size(col("__toks")).cast("long").as("n_tok_f"),
+          posexplode(col("__toks")).as(Seq("pos", "term")))
+    }.reduce(_ unionByName _)
+    val fieldPostings = perField
+      .groupBy(col("term"), id, col("field"), col("n_tok_f"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+    val doclens = fields.map { f =>
+      corpus.select(id, lit(f).as("field"), size(toks(f)).cast("long").as("n_tok_f"))
+    }.reduce(_ unionByName _)
+    val postings =
+      if (fields.size == 1)
+        fieldPostings.withColumn("n_tok", col("n_tok_f"))
+          .withColumn("term_bucket", bucketCol(numBuckets))
+      else {
+        // sum ignores NULLs; a doc whose every field is NULL never has
+        // a posting row, so the join key set is covered
+        val totals = doclens.groupBy(id).agg(sum(col("n_tok_f")).as("n_tok"))
+        fieldPostings.join(totals, Seq(idCol))
+          .withColumn("term_bucket", bucketCol(numBuckets))
+      }
     (postings, doclens)
   }
 
   private def writeMeta(
-      spark: SparkSession, dir: String, idCol: String, textCol: String,
-      numBuckets: Int, nDocs: Long, totalTokens: Long): Unit = {
+      spark: SparkSession, dir: String, idCol: String, numBuckets: Int,
+      nDocs: Long, totalTokens: Long,
+      fields: Seq[String], fieldTokens: Seq[Long]): Unit = {
     import spark.implicits._
-    Seq((idCol, textCol, numBuckets, nDocs, totalTokens))
-      .toDF("idCol", "textCol", "numBuckets", "nDocs", "totalTokens")
+    Seq((idCol, fields.head, numBuckets, nDocs, totalTokens,
+        CurrentVersion, fields, fieldTokens))
+      .toDF("idCol", "textCol", "numBuckets", "nDocs", "totalTokens",
+        "version", "fields", "fieldTokens")
       .coalesce(1).write.mode("overwrite").json(s"$dir/meta")
   }
 
-  private def statsOf(doclens: DataFrame): (Long, Long) = {
-    val r = doclens.agg(count(lit(1)).as("__n"),
-      coalesce(sum(col("n_tok")), lit(0L)).as("__total")).head()
-    (r.getLong(0), r.getLong(1))
+  /** Collection statistics from a v2 doclens frame: distinct docs,
+    * total tokens, and the per-field token totals (aligned to
+    * `fields`). */
+  private def statsOf(
+      doclens: DataFrame, idCol: String, fields: Seq[String]):
+      (Long, Long, Seq[Long]) = {
+    val r = doclens.agg(
+      countDistinct(col(idCol)).as("__n"),
+      coalesce(sum(col("n_tok_f")), lit(0L)).as("__total") +:
+        fields.map(f => coalesce(sum(when(col("field") === f, col("n_tok_f"))),
+          lit(0L)).as(s"__ft_$f")): _*).head()
+    (r.getLong(0), r.getLong(1), fields.indices.map(i => r.getLong(i + 2)))
   }
 
   /** One corpus pass → persisted postings + collection stats. */
   def build(
       corpus: DataFrame, idCol: String, dir: String,
-      numBuckets: Int = DefaultNumBuckets, textCol: String = "text"): Handle = {
+      numBuckets: Int = DefaultNumBuckets, textCol: String = "text"): Handle =
+    buildFields(corpus, idCol, dir, Seq(textCol), numBuckets)
+
+  /** Multi-field build — each doc contributes one posting row per
+    * (term, field); [[bm25fTopK]] weights the fields at query time
+    * (index once, tune weights freely), [[topK]] scores the
+    * "concatenated document" (summed tf, total length). */
+  def buildFields(
+      corpus: DataFrame, idCol: String, dir: String,
+      fields: Seq[String], numBuckets: Int = DefaultNumBuckets): Handle = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    require(fields.nonEmpty && fields.distinct.size == fields.size,
+      s"fields must be non-empty and distinct: $fields")
     val spark = corpus.sparkSession
-    val (postings, doclens) = statFrames(corpus, idCol, textCol, numBuckets)
+    val (postings, doclens) = statFrames(corpus, idCol, fields, numBuckets)
     postings.repartition(col("term_bucket")).sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$dir/postings")
     doclens.write.mode("overwrite").parquet(s"$dir/doclens")
-    val (n, total) = statsOf(spark.read.parquet(s"$dir/doclens"))
-    writeMeta(spark, dir, idCol, textCol, numBuckets, n, total)
-    Handle(dir, idCol, textCol, numBuckets, n, total)
+    val (n, total, perField) =
+      statsOf(spark.read.parquet(s"$dir/doclens"), idCol, fields)
+    writeMeta(spark, dir, idCol, numBuckets, n, total, fields, perField)
+    Handle(dir, idCol, fields.head, numBuckets, n, total,
+      CurrentVersion, fields, perField)
   }
 
   /** Fold a new slice into the persisted state — parquet appends plus
@@ -146,33 +211,41 @@ object Bm25Index {
     // other — build() heals itself by re-reading the written doclens,
     // append must not rely on callers checkpointing first
     val frozen = slice.localCheckpoint(true)
+    // a hand-built handle may omit `fields`; its textCol is the field
+    val handleFields =
+      if (handle.fields.nonEmpty) handle.fields else Seq(handle.textCol)
     val (postings, doclens) =
-      statFrames(frozen, handle.idCol, handle.textCol, handle.numBuckets)
+      statFrames(frozen, handle.idCol, handleFields, handle.numBuckets)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     // marker/lock handshake with a concurrent compact — see Maintenance
     Maintenance.withAppendMarker(
         fs, new org.apache.hadoop.fs.Path(handle.dir)) {
       val cur = load(spark, handle.dir)
+      require(cur.version == CurrentVersion,
+        s"append: ${handle.dir} is a v${cur.version} (legacy) index — " +
+          s"appending v$CurrentVersion posting rows would leave a " +
+          s"mixed-schema table; rebuild the index to upgrade")
       // checked BEFORE anything lands: the postings are about to be
       // bucketed/tokenized with the HANDLE's layout — if the index was
       // rebuilt under different parameters since the handle was taken,
       // those rows would be unfindable (wrong bucket mod) or
       // mis-tokenized; refuse loudly instead of writing them
       require(cur.numBuckets == handle.numBuckets &&
-          cur.textCol == handle.textCol && cur.idCol == handle.idCol,
+          cur.fields == handleFields && cur.idCol == handle.idCol,
         s"append: the on-disk index layout changed since this handle was " +
           s"taken (disk: $cur vs handle: $handle) — re-load and re-append")
       postings.repartition(col("term_bucket")).sortWithinPartitions("term")
         .write.mode("append").partitionBy("term_bucket")
         .parquet(s"${handle.dir}/postings")
       doclens.write.mode("append").parquet(s"${handle.dir}/doclens")
-      val (dn, dtotal) = statsOf(doclens)
+      val (dn, dtotal, dPerField) = statsOf(doclens, cur.idCol, cur.fields)
       val n = cur.nDocs + dn
       val total = cur.totalTokens + dtotal
-      writeMeta(spark, handle.dir, cur.idCol, cur.textCol,
-        cur.numBuckets, n, total)
-      cur.copy(nDocs = n, totalTokens = total)
+      val perField = cur.fieldTokens.zip(dPerField).map { case (a, b) => a + b }
+      writeMeta(spark, handle.dir, cur.idCol, cur.numBuckets, n, total,
+        cur.fields, perField)
+      cur.copy(nDocs = n, totalTokens = total, fieldTokens = perField)
     }
   }
 
@@ -214,11 +287,16 @@ object Bm25Index {
     def snap(t: String): DataFrame =
       spark.read.option("basePath", s"$dir/$t")
         .parquet(snapshots(t).map(rel => s"$dir/$t/$rel"): _*)
+    val cur = load(spark, dir)
+    require(cur.version == CurrentVersion,
+      s"compact: $dir is a v${cur.version} (legacy) index — rewriting it " +
+        s"would mix schemas; rebuild the index to upgrade")
     snap("postings").distinct()
       .repartition(col("term_bucket")).sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$tmp/postings")
     snap("doclens")
-      .groupBy(col(handle.idCol)).agg(max(col("n_tok")).as("n_tok"))
+      .groupBy(col(handle.idCol), col("field"))
+      .agg(max(col("n_tok_f")).as("n_tok_f"))
       .write.mode("overwrite").parquet(s"$tmp/doclens")
     tables.foreach { t =>
       Maintenance.swapCompacted(
@@ -226,9 +304,11 @@ object Bm25Index {
         new org.apache.hadoop.fs.Path(s"$tmp/$t"), snapshots(t).toSet)
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    val (n, total) = statsOf(spark.read.parquet(s"$dir/doclens"))
-    writeMeta(spark, dir, handle.idCol, handle.textCol, handle.numBuckets, n, total)
-    handle.copy(nDocs = n, totalTokens = total)
+    val (n, total, perField) =
+      statsOf(spark.read.parquet(s"$dir/doclens"), cur.idCol, cur.fields)
+    writeMeta(spark, dir, cur.idCol, cur.numBuckets, n, total,
+      cur.fields, perField)
+    cur.copy(nDocs = n, totalTokens = total, fieldTokens = perField)
   }
 
   /** Re-open a persisted index: one tiny JSON read, no data touched. */
@@ -236,14 +316,25 @@ object Bm25Index {
     val metaDf = spark.read.json(s"$dir/meta")
     val meta = metaDf.collect()
     require(meta.length == 1, s"$dir/meta must hold exactly one row")
+    val names = metaDf.schema.fieldNames.toSet
     // indexes written before textCol was persisted were hardwired to
     // "text" — that is their effective build column (the DedupIndex
     // bandSize back-compat rule)
-    val textCol = if (metaDf.schema.fieldNames.contains("textCol"))
+    val textCol = if (names.contains("textCol"))
       meta.head.getAs[String]("textCol") else "text"
+    // pre-v2 metas carry no version: their layout IS v1
+    val version = if (names.contains("version"))
+      meta.head.getAs[Long]("version").toInt else 1
+    val fields = if (names.contains("fields"))
+      meta.head.getAs[scala.collection.Seq[String]]("fields").toSeq
+    else Seq(textCol)
+    val fieldTokens = if (names.contains("fieldTokens"))
+      meta.head.getAs[scala.collection.Seq[Long]]("fieldTokens").toSeq
+    else Seq(meta.head.getAs[Long]("totalTokens"))
     Handle(dir, meta.head.getAs[String]("idCol"), textCol,
       meta.head.getAs[Long]("numBuckets").toInt,
-      meta.head.getAs[Long]("nDocs"), meta.head.getAs[Long]("totalTokens"))
+      meta.head.getAs[Long]("nDocs"), meta.head.getAs[Long]("totalTokens"),
+      version, fields, fieldTokens)
   }
 
   /** Index-backed BM25 top-k — result-identical to
@@ -268,10 +359,20 @@ object Bm25Index {
       s"query terms must be distinct: $queryTerms")
     require(handle.nDocs > 0, "topK over an empty index")
     val buckets = bucketsFor(spark, queryTerms, handle.numBuckets).distinct
-    val pruned = spark.read.parquet(s"${handle.dir}/postings")
+    val raw = spark.read.parquet(s"${handle.dir}/postings")
       .filter(col("term_bucket").isin(buckets: _*) &&
         col("term").isin(queryTerms: _*))
-    // df(term) == posting-row count: exact, and only the pruned slice
+    // v2 multi-field rows are per (term, field, doc): classic BM25
+    // scores the "concatenated document", so collapse to per
+    // (term, doc) summed tf first (exact integer sum; on a
+    // single-field index this aggregates one row per key — values
+    // unchanged, scores stay bit-identical to Retrieval.bm25TopK)
+    val pruned = raw
+      .groupBy(col("term"), col(handle.idCol), col("n_tok"))
+      .agg(sum(col("tf")).as("tf"))
+    // df(term) == distinct docs in the pruned slice (== posting-row
+    // count on v1/single-field; a multi-field doc matching in two
+    // fields must still count once)
     val dfs: Map[String, Long] = pruned.groupBy("term")
       .agg(count(lit(1)).as("__df")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -346,6 +447,9 @@ object Bm25Index {
     val pruned = spark.read.parquet(s"${handle.dir}/postings")
       .filter(col("term_bucket").isin(buckets: _*))
       .join(qt.select("term").distinct(), Seq("term"), "left_semi")
+      // collapse v2 multi-field rows to per (term, doc) — see topK
+      .groupBy(col("term"), col(handle.idCol), col("n_tok"))
+      .agg(sum(col("tf")).as("tf"))
       .localCheckpoint(true) // feeds df counts AND candidates
     val dfs = pruned.groupBy("term").agg(count(lit(1)).as("__df"))
     val avgdl = handle.totalTokens.toDouble / handle.nDocs.toDouble
@@ -366,5 +470,169 @@ object Bm25Index {
       .partitionBy(qidCol).orderBy(col("score_q").desc, id)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  private def requirePositional(handle: Handle, op: String): Unit =
+    require(handle.version >= CurrentVersion,
+      s"$op needs the positional v$CurrentVersion layout; ${handle.dir} is " +
+        s"v${handle.version} (no positions/fields on its posting rows) — " +
+        s"rebuild the index to upgrade")
+
+  private def requireQueryTerms(terms: Seq[String], op: String): Unit = {
+    require(terms.nonEmpty, s"$op needs at least one query term")
+    require(terms.forall(t => t != null && t.nonEmpty && t == t.toLowerCase),
+      s"$op: query terms must be non-empty and lowercase (documents are " +
+        s"lowercased before matching): $terms")
+  }
+
+  /** Phrase top-k over the positional postings (v2 layout): candidates
+    * are the docs containing every DISTINCT phrase term in `field`
+    * (one pruned pass, the [[topK]] discipline), then the adjacency
+    * check verifies the exact token sequence from the sorted
+    * `positions` arrays IN the pruned slice — a bag-of-words doc that
+    * merely contains the terms is rejected; `phrase_tf` counts the
+    * phrase's occurrences. Matching docs rank by the classic BM25
+    * polynomial over the distinct terms RESTRICTED to the field
+    * (field length, field avgdl from the meta sidecar, field df from
+    * the slice): for a phrase probe the field is the document. Work
+    * is proportional to the phrase terms' postings — the corpus is
+    * never re-tokenized (the oracle re-derives positions from raw
+    * text and must agree with the index's). Emits
+    * `(id, n_tok, phrase_tf, score)`, top `k` by (score desc, id). */
+  def phraseTopK(
+      spark: SparkSession, handle: Handle, phrase: Seq[String],
+      k: Int = 10, field: Option[String] = None,
+      k1: Double = Retrieval.DefaultK1,
+      b: Double = Retrieval.DefaultB): DataFrame = {
+    requirePositional(handle, "phraseTopK")
+    requireQueryTerms(phrase, "phraseTopK")
+    require(phrase.size >= 2,
+      "a phrase needs at least two terms — use topK for a single term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(handle.nDocs > 0, "phraseTopK over an empty index")
+    val distinctTerms = phrase.distinct
+    require(distinctTerms.size <= MaxQueryTerms,
+      s"at most $MaxQueryTerms distinct phrase terms, got ${distinctTerms.size}")
+    val fld = field.getOrElse {
+      require(handle.fields.size == 1,
+        s"multi-field index (${handle.fields.mkString(", ")}): name the " +
+          "field to run the phrase against")
+      handle.fields.head
+    }
+    val fi = handle.fields.indexOf(fld)
+    require(fi >= 0, s"unknown field '$fld' — index has ${handle.fields}")
+    val buckets = bucketsFor(spark, distinctTerms, handle.numBuckets).distinct
+    val pruned = spark.read.parquet(s"${handle.dir}/postings")
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(distinctTerms: _*) && col("field") === fld)
+    // rows are unique per (term, field, doc): row count == field df
+    val dfs: Map[String, Long] = pruned.groupBy("term")
+      .agg(count(lit(1)).as("__df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val id = col(handle.idCol)
+    val pivoted = pruned.groupBy(id, col("n_tok_f")).agg(
+      max(when(col("term") === distinctTerms.head, col("tf"))).as("__tf0"),
+      (distinctTerms.zipWithIndex.drop(1).map { case (t, i) =>
+        max(when(col("term") === t, col("tf"))).as(s"__tf$i") } ++
+        distinctTerms.zipWithIndex.map { case (t, i) =>
+          max(when(col("term") === t, col("positions"))).as(s"__pos$i") }): _*)
+    val present = distinctTerms.indices
+      .map(i => col(s"__pos$i").isNotNull).reduce(_ && _)
+    // an occurrence at position p needs slot j's term at p + j for all j
+    val slot = phrase.map(distinctTerms.indexOf)
+    val phraseTf = size(filter(col(s"__pos${slot.head}"),
+      p => slot.zipWithIndex.drop(1)
+        .map { case (d, j) => array_contains(col(s"__pos$d"), p + j) }
+        .reduce(_ && _)))
+    val avgdlF = handle.fieldTokens(fi).toDouble / handle.nDocs.toDouble
+    val perTerm = distinctTerms.zipWithIndex.map { case (term, i) =>
+      val dft = dfs.getOrElse(term, 0L)
+      val idf = log(lit(1.0) + lit(handle.nDocs - dft + 0.5) / lit(dft + 0.5))
+      val tf = coalesce(col(s"__tf$i").cast("double"), lit(0.0))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("n_tok_f").cast("double") / lit(avgdlF)))
+    }
+    pivoted.filter(present)
+      .withColumn("phrase_tf", phraseTf.cast("long"))
+      .filter(col("phrase_tf") >= 1)
+      .select(id, col("n_tok_f").as("n_tok"), col("phrase_tf"),
+        perTerm.reduce(_ + _).as("score"))
+      .orderBy(col("score").desc, id)
+      .limit(k)
+  }
+
+  /** Field-weighted BM25F top-k (the simple Robertson form): per
+    * field, tf normalizes by THAT field's length
+    * (`B_f = (1-b) + b·len_f/avgdl_f`), the weighted normalized tfs
+    * sum across fields into one pseudo-frequency, and saturation
+    * applies ONCE to the combined value —
+    * `score(d) = Σ_t idf_t · tf̃_t / (k1 + tf̃_t)` with idf over docs
+    * matching in ANY weighted field. Index once, tune `weights` per
+    * query — a title hit can outrank a body hit without re-indexing.
+    * The cross-FIELD sum quantizes each component to `round(x·2²⁰)`
+    * and integer-sums (order-free on any partitioning — the
+    * [[topKBatch]] convention); cross-term addition is a
+    * left-to-right column reduce. One pruned pass; work proportional
+    * to the query terms' postings. Emits `(id, score)`, top `k` by
+    * (score desc, id). */
+  def bm25fTopK(
+      spark: SparkSession, handle: Handle, queryTerms: Seq[String],
+      weights: Seq[(String, Double)], k: Int = 10,
+      k1: Double = Retrieval.DefaultK1,
+      b: Double = Retrieval.DefaultB): DataFrame = {
+    requirePositional(handle, "bm25fTopK")
+    requireQueryTerms(queryTerms, "bm25fTopK")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"query terms must be distinct: $queryTerms")
+    require(queryTerms.size <= MaxQueryTerms,
+      s"at most $MaxQueryTerms query terms, got ${queryTerms.size}")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(handle.nDocs > 0, "bm25fTopK over an empty index")
+    require(weights.nonEmpty &&
+        weights.map(_._1).distinct.size == weights.size,
+      s"weights must be non-empty with distinct fields: $weights")
+    weights.foreach { case (f, w) =>
+      require(handle.fields.contains(f),
+        s"unknown field '$f' — index has ${handle.fields}")
+      require(w > 0.0, s"field weight must be positive: $f -> $w")
+    }
+    val wFields = weights.map(_._1)
+    val buckets = bucketsFor(spark, queryTerms, handle.numBuckets).distinct
+    val pruned = spark.read.parquet(s"${handle.dir}/postings")
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(queryTerms: _*) && col("field").isin(wFields: _*))
+    val id = col(handle.idCol)
+    // a doc matching the term in TWO fields still counts once
+    val dfs: Map[String, Long] = pruned.groupBy("term")
+      .agg(countDistinct(id).as("__df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avgdlF: Map[String, Double] = handle.fields.zip(handle.fieldTokens)
+      .map { case (f, t) => f -> t.toDouble / handle.nDocs.toDouble }.toMap
+    def fieldChain(value: String => Double) =
+      wFields.tail.foldLeft(
+        when(col("field") === wFields.head, lit(value(wFields.head)))) {
+        case (acc, f) => acc.when(col("field") === f, lit(value(f)))
+      }
+    val bF = lit(1.0 - b) + lit(b) * col("n_tok_f").cast("double") /
+      fieldChain(avgdlF)
+    val wtf = fieldChain(weights.toMap) * col("tf").cast("double") / bF
+    val perTermDoc = pruned
+      .withColumn("__wq", round(wtf * lit(1048576.0d)).cast("long"))
+      .groupBy(id, col("term")).agg(sum(col("__wq")).as("__twq"))
+    val pivoted = perTermDoc.groupBy(id).agg(
+      max(when(col("term") === queryTerms.head, col("__twq"))).as("__tw0"),
+      queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
+        max(when(col("term") === t, col("__twq"))).as(s"__tw$i") }: _*)
+    val perTerm = queryTerms.zipWithIndex.map { case (term, i) =>
+      val dft = dfs.getOrElse(term, 0L)
+      val idf = log(lit(1.0) + lit(handle.nDocs - dft + 0.5) / lit(dft + 0.5))
+      val tft = coalesce(col(s"__tw$i"), lit(0L)).cast("double") / lit(1048576.0d)
+      idf * tft / (lit(k1) + tft)
+    }
+    pivoted.select(id, perTerm.reduce(_ + _).as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, id)
+      .limit(k)
   }
 }

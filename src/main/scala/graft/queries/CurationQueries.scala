@@ -3151,9 +3151,169 @@ object CurationQueries {
       benchFn = Some(probe))
   }
 
+  /** Phrase retrieval over the positional postings (library
+    * `Bm25Index.phraseTopK`, new in the v2 layout): "the data" as an
+    * exact token sequence — docs holding both words in the wrong
+    * order or apart are REJECTED by the adjacency check on the
+    * index's sorted positions arrays, and survivors rank by the
+    * classic per-field BM25 polynomial with `phrase_tf` counting
+    * occurrences. The oracle re-derives every token position from the
+    * raw text (parallel unnest), self-joins p+1 adjacency, counts
+    * occurrences and replays the identical scoring doubles — one
+    * wrong position in the index anywhere and the hash breaks. Probes
+    * the SAME standing index as q145/q148/q150. */
+  val q154 = {
+    def probe(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Bm25Index.phraseTopK(
+          s, graft.ops.Bm25Index.load(s, bm25IdxDir(dir)),
+          Seq("the", "data"), k = 10)
+        .select(col("doc_id"), col("n_tok"), col("phrase_tf"),
+          round(col("score"), 6).as("score"))
+        .oracleOrderBy("doc_id")
+    QueryDef(
+      "q154_bm25_phrase",
+      (s, dir) => { ensureBm25Idx(s, dir); probe(s, dir) },
+      Some("""WITH tk AS MATERIALIZED (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks
+          FROM documents),
+        st AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS total,
+            CAST(sum(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+            CAST(sum(CASE WHEN list_contains(toks, 'data') THEN 1 ELSE 0 END) AS BIGINT) AS df2
+          FROM tk),
+        pos AS MATERIALIZED (
+          SELECT doc_id, unnest(toks) AS term, unnest(range(0, len(toks))) AS p
+          FROM tk),
+        ph AS (
+          SELECT a.doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
+          FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+          WHERE a.term = 'the' AND b.term = 'data'
+          GROUP BY a.doc_id),
+        sc AS (
+          SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok, ph.phrase_tf,
+            ln(CAST(1 AS DOUBLE) + (CAST(st.n - st.df1 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(st.df1 AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+              * (CAST(len(list_filter(t.toks, x -> x = 'the')) AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+              / (CAST(len(list_filter(t.toks, x -> x = 'the')) AS DOUBLE)
+                 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(len(t.toks) AS DOUBLE) / (CAST(st.total AS DOUBLE) / CAST(st.n AS DOUBLE))))
+            + ln(CAST(1 AS DOUBLE) + (CAST(st.n - st.df2 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(st.df2 AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+              * (CAST(len(list_filter(t.toks, x -> x = 'data')) AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+              / (CAST(len(list_filter(t.toks, x -> x = 'data')) AS DOUBLE)
+                 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(len(t.toks) AS DOUBLE) / (CAST(st.total AS DOUBLE) / CAST(st.n AS DOUBLE))))
+            AS score
+          FROM tk t JOIN ph ON ph.doc_id = t.doc_id, st)
+        SELECT doc_id, n_tok, phrase_tf, round(score, 6) AS score
+        FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 10) topk
+        ORDER BY doc_id"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25Idx(s, dir)),
+      benchFn = Some(probe))
+  }
+
+  /** q155's multi-field index — a SEPARATE standing state from
+    * q145's: `title` (lang + ' ' + source — short, high-signal) and
+    * the full `text` body, one posting row per (term, field, doc). */
+  private def bm25fIdxDir(dir: String): String =
+    QueryDef.idxScratchDir("bm25fidx", dir)
+
+  private val bm25fBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def ensureBm25fIdx(s: SparkSession, dir: String): Unit =
+    if (bm25fBuilt.add(bm25fIdxDir(dir))) {
+      graft.ops.Bm25Index.buildFields(
+        t(s, dir, "documents").withColumn("title",
+          concat_ws(" ", col("lang"), col("source"))),
+        "doc_id", bm25fIdxDir(dir), Seq("title", "text"))
+      ()
+    }
+
+  /** Field-weighted BM25F over the multi-field postings (library
+    * `Bm25Index.buildFields` + `bm25fTopK`): title hits ('en',
+    * 'src3' live only in the title field) weigh 2×, body hits
+    * ('data') 1× — per field tf normalizes by THAT field's length
+    * against THAT field's avgdl, the weighted components quantize to
+    * 2⁻²⁰ and integer-sum across fields (order-free), saturation
+    * applies once to the combined pseudo-frequency, idf counts a doc
+    * once however many fields matched. The oracle rebuilds both
+    * fields' posting rows from raw columns and replays the exact
+    * quantize/sum/divide chain. */
+  val q155 = {
+    def probe(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Bm25Index.bm25fTopK(
+          s, graft.ops.Bm25Index.load(s, bm25fIdxDir(dir)),
+          Seq("en", "src3", "data"), Seq("title" -> 2.0, "text" -> 1.0),
+          k = 10)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .oracleOrderBy("doc_id")
+    QueryDef(
+      "q155_bm25f_fields",
+      (s, dir) => { ensureBm25fIdx(s, dir); probe(s, dir) },
+      Some("""WITH base AS MATERIALIZED (
+          SELECT doc_id,
+            string_split_regex(trim(lower(lang || ' ' || source)), '[ \t\n\x0B\f\r]+') AS ttoks,
+            string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS btoks
+          FROM documents),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(len(ttoks)) AS BIGINT) AS t_title,
+            CAST(sum(len(btoks)) AS BIGINT) AS t_body
+          FROM base),
+        q(term) AS (SELECT * FROM (VALUES ('en'), ('src3'), ('data')) v),
+        rows_ AS MATERIALIZED (
+          SELECT b.doc_id, 'title' AS field, q.term,
+            CAST(len(list_filter(b.ttoks, x -> x = q.term)) AS BIGINT) AS tf,
+            CAST(len(b.ttoks) AS BIGINT) AS n_tok_f
+          FROM base b, q WHERE list_contains(b.ttoks, q.term)
+          UNION ALL
+          SELECT b.doc_id, 'text' AS field, q.term,
+            CAST(len(list_filter(b.btoks, x -> x = q.term)) AS BIGINT) AS tf,
+            CAST(len(b.btoks) AS BIGINT) AS n_tok_f
+          FROM base b, q WHERE list_contains(b.btoks, q.term)),
+        dfs AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM rows_ GROUP BY term),
+        wq AS (
+          SELECT r.doc_id, r.term,
+            CAST(sum(CAST(round(
+              (CASE r.field WHEN 'title' THEN CAST(2 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END
+                 * CAST(r.tf AS DOUBLE))
+              / (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(r.n_tok_f AS DOUBLE)
+                 / (CASE r.field WHEN 'title'
+                      THEN CAST(st.t_title AS DOUBLE) / CAST(st.n AS DOUBLE)
+                      ELSE CAST(st.t_body AS DOUBLE) / CAST(st.n AS DOUBLE) END))
+              * CAST(1048576 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS twq
+          FROM rows_ r, st GROUP BY r.doc_id, r.term),
+        piv AS (
+          SELECT doc_id,
+            CAST(coalesce(max(CASE WHEN term = 'en' THEN twq END), 0) AS BIGINT) AS tw0,
+            CAST(coalesce(max(CASE WHEN term = 'src3' THEN twq END), 0) AS BIGINT) AS tw1,
+            CAST(coalesce(max(CASE WHEN term = 'data' THEN twq END), 0) AS BIGINT) AS tw2
+          FROM wq GROUP BY doc_id),
+        sc AS (
+          SELECT p.doc_id,
+            ln(CAST(1 AS DOUBLE) + (CAST(st.n - d0.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(d0.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+              * (CAST(p.tw0 AS DOUBLE) / CAST(1048576 AS DOUBLE))
+              / (CAST(1.2 AS DOUBLE) + CAST(p.tw0 AS DOUBLE) / CAST(1048576 AS DOUBLE))
+            + ln(CAST(1 AS DOUBLE) + (CAST(st.n - d1.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(d1.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+              * (CAST(p.tw1 AS DOUBLE) / CAST(1048576 AS DOUBLE))
+              / (CAST(1.2 AS DOUBLE) + CAST(p.tw1 AS DOUBLE) / CAST(1048576 AS DOUBLE))
+            + ln(CAST(1 AS DOUBLE) + (CAST(st.n - d2.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(d2.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+              * (CAST(p.tw2 AS DOUBLE) / CAST(1048576 AS DOUBLE))
+              / (CAST(1.2 AS DOUBLE) + CAST(p.tw2 AS DOUBLE) / CAST(1048576 AS DOUBLE))
+            AS score
+          FROM piv p, st,
+            (SELECT df FROM dfs WHERE term = 'en') d0,
+            (SELECT df FROM dfs WHERE term = 'src3') d1,
+            (SELECT df FROM dfs WHERE term = 'data') d2)
+        SELECT doc_id, round(score, 6) AS score
+        FROM (SELECT * FROM sc WHERE score > CAST(0 AS DOUBLE)
+              ORDER BY score DESC, doc_id LIMIT 10) topk
+        ORDER BY doc_id"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25fIdx(s, dir)),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
-      q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150)
+      q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
+      q154, q155)
 }

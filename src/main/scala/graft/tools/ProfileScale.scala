@@ -134,6 +134,14 @@ object ProfileScale {
     }
     lazy val bigCbH1 = writeBigCbCodes(emb, s"$scratch/bigcb1")
     lazy val bigCbH10 = writeBigCbCodes(emb10, s"$scratch/bigcb10")
+    // round-12 multi-field (BM25F) indexes: a synthetic short title
+    // alongside the body — the field mix is what the probe pays for
+    def withTitle(d: DataFrame): DataFrame = d.withColumn("title",
+      concat(lit("doc "), (col("doc_id") % 100).cast("string")))
+    lazy val bm25fH1 = graft.ops.Bm25Index.buildFields(
+      withTitle(docs), "doc_id", s"$scratch/bm25fidx1", Seq("title", "text"))
+    lazy val bm25fH10 = graft.ops.Bm25Index.buildFields(
+      withTitle(docs10), "doc_id", s"$scratch/bm25fidx10", Seq("title", "text"))
 
     def q46(d: DataFrame) = Dedup.nearDuplicates(d, "doc_id", threshold = 0.8)
       .select(col("doc_id"), col("dup_of"), col("is_near_duplicate"))
@@ -706,6 +714,20 @@ object ProfileScale {
         () => graft.ops.AnnIndex.queryBatch(spark, annH10,
           emb10.filter(col("vec_id") < 80), "embedding", "vec_id",
           k = 25, nProbe = 2)),
+      // round-12: positional and field-weighted probes of the standing
+      // postings index — like q145, the cost must track the query
+      // terms' postings (now with positions arrays riding along),
+      // never the corpus
+      ("q154 bm25-phrase",
+        () => graft.ops.Bm25Index.phraseTopK(
+          spark, bm25H1, Seq("the", "data"), k = 25),
+        () => graft.ops.Bm25Index.phraseTopK(
+          spark, bm25H10, Seq("the", "data"), k = 25)),
+      ("q155 bm25f",
+        () => graft.ops.Bm25Index.bm25fTopK(spark, bm25fH1,
+          Seq("doc", "data", "query"), Seq("title" -> 2.0, "text" -> 1.0), k = 25),
+        () => graft.ops.Bm25Index.bm25fTopK(spark, bm25fH10,
+          Seq("doc", "data", "query"), Seq("title" -> 2.0, "text" -> 1.0), k = 25)),
       // round-12: FAISS-typical 256x16 codebook probe — the LUT-join
       // plan must stay O(m) and whole-stage-codegen-clean at real
       // codebook sizes (the retired per-sub-centroid union was 4,096
@@ -760,6 +782,8 @@ object ProfileScale {
         annH1.dir; annH10.dir; qv1.size; qv10.size; ()
       }
       if (name.contains("bigcb")) { bigCbH1.dir; bigCbH10.dir; () }
+      if (name.startsWith("q154")) { bm25H1.dir; bm25H10.dir; () }
+      if (name.startsWith("q155")) { bm25fH1.dir; bm25fH10.dir; () }
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)
       val tN = run(s"$name x$factor", atN)

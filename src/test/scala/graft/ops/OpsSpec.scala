@@ -3306,6 +3306,160 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Bm25Index.phraseTopK: adjacency rejects bag-of-words; positions survive append+compact") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25phrase").toString
+    try {
+      val corpus = Seq(
+        (0L, "big table scan over the big table here"), // "big table" x2
+        (1L, "table big scan"),                         // bag of words only
+        (2L, "a big table"),                            // phrase x1
+        (3L, "big big table"),                          // phrase x1 (2nd big)
+        (4L, "nothing relevant"),
+        (5L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")
+      val h = Bm25Index.build(corpus, "doc_id", dir, numBuckets = 8)
+      def phrases = Bm25Index.phraseTopK(spark, h, Seq("big", "table"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap // id -> phrase_tf
+      val res = phrases
+      assert(res.keySet == Set(0L, 2L, 3L), res.toString)
+      assert(res(0L) == 2L && res(2L) == 1L && res(3L) == 1L, res.toString)
+      // overlapping/repeated-term phrase: "big big" matches doc 3 once
+      val rep = Bm25Index.phraseTopK(spark, h, Seq("big", "big"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(rep == Map(3L -> 1L), rep.toString)
+      // scoring matches the classic polynomial computed per field
+      // (single field: field == document), so the phrase ranking is
+      // the topK ranking restricted to phrase-matching docs
+      val scores = Bm25Index.phraseTopK(spark, h, Seq("big", "table"), k = 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      val classic = Bm25Index.topK(spark, h, Seq("big", "table"), k = 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      scores.foreach { case (id, s) =>
+        assert(s == classic(id), s"doc $id: phrase $s vs classic ${classic(id)}")
+      }
+      // append two docs (one adds a new phrase occurrence), then a
+      // replayed append + compact: positions collapse to one row and
+      // the phrase answers are those of a clean-history index
+      val extra = Seq(
+        (6L, "another big table appears"),
+        (7L, "table stacks big")).toDF("doc_id", "text")
+      val h2 = Bm25Index.append(h, extra)
+      Bm25Index.append(h2, extra) // replay
+      val healed = Bm25Index.compact(h2)
+      val after = Bm25Index.phraseTopK(spark, healed, Seq("big", "table"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(after == Map(0L -> 2L, 2L -> 1L, 3L -> 1L, 6L -> 1L), after.toString)
+      assert(spark.read.parquet(s"$dir/postings")
+        .groupBy("term", "doc_id").count().filter(col("count") > 1).count() == 0L)
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
+  test("Bm25Index.bm25fTopK: field weights re-rank title vs body hits without re-indexing") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25f").toString
+    try {
+      val corpus = Seq(
+        (0L, "spark guide", "a long body about many other things entirely here now"),
+        (1L, "other title", "spark mentioned once deep in a long body of text here"),
+        (2L, "unrelated", "nothing at all"))
+        .toDF("doc_id", "title", "body")
+      val h = Bm25Index.buildFields(corpus, "doc_id", dir,
+        Seq("title", "body"), numBuckets = 8)
+      assert(h.version == Bm25Index.CurrentVersion)
+      assert(h.fields == Seq("title", "body"))
+      // title+body token accounting: meta totals equal hand counts
+      // (titles 2+2+1, bodies 10+11+3)
+      assert(h.fieldTokens == Seq(5L, 24L), h.toString)
+      assert(h.nDocs == 3L && h.totalTokens == 29L)
+      def top(wTitle: Double, wBody: Double) =
+        Bm25Index.bm25fTopK(spark, h, Seq("spark"),
+          Seq("title" -> wTitle, "body" -> wBody), k = 5)
+          .collect().map(_.getLong(0)).toSeq
+      // heavy title weight: the title hit wins
+      assert(top(8.0, 1.0).head == 0L)
+      // heavy body weight: the body hit wins
+      assert(top(0.1, 8.0).head == 1L)
+      // hand-check one score: doc 0, weights (2, 1): only a title hit.
+      // B_title = (1-b) + b * (2 / (5/3)) with b = 0.75; wtf = 2*1/B;
+      // tf~ from the quantized sum; idf over df(spark) = 2 of N=3
+      val s0 = Bm25Index.bm25fTopK(spark, h, Seq("spark"),
+        Seq("title" -> 2.0, "body" -> 1.0), k = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val bTitle = 0.25 + 0.75 * (2.0 / (5.0 / 3.0))
+      val tfTilde = math.round(2.0 * 1.0 / bTitle * 1048576.0).toDouble / 1048576.0
+      val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+      assert(s0(0L) == idf * tfTilde / (1.2 + tfTilde), s0.toString)
+      // classic topK on the multi-field index scores the concatenated
+      // document: summed tf, total length
+      val classic = Bm25Index.topK(spark, h, Seq("spark"), k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(classic.keySet == Set(0L, 1L))
+      assert(classic(0L) == 12L && classic(1L) == 13L) // total n_tok
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
+  test("Bm25Index: legacy v1 layout stays readable; positional/field ops refuse loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25v1").toString
+    try {
+      val corpus = Seq(
+        (0L, "the quick data pipeline processes the query stream"),
+        (1L, "data data data everywhere and the query too"),
+        (2L, "a quiet document"))
+        .toDF("doc_id", "text")
+      // hand-write the v1 layout: postings without field/positions,
+      // meta without version/fields — byte-for-byte what a round-11
+      // build produced
+      val id = col("doc_id")
+      val postings = corpus.filter(col("text").isNotNull)
+        .select(id, split(trim(lower(col("text"))), "\\s+").as("__toks"))
+        .select(id, size(col("__toks")).cast("long").as("n_tok"),
+          explode(col("__toks")).as("term"))
+        .groupBy(col("term"), id, col("n_tok"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("term_bucket", pmod(hash(col("term")), lit(8)))
+      postings.repartition(col("term_bucket")).sortWithinPartitions("term")
+        .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$dir/postings")
+      val doclens = corpus.select(id,
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tok"))
+      doclens.write.mode("overwrite").parquet(s"$dir/doclens")
+      Seq(("doc_id", "text", 8L, 3L, 19L))
+        .toDF("idCol", "textCol", "numBuckets", "nDocs", "totalTokens")
+        .coalesce(1).write.mode("overwrite").json(s"$dir/meta")
+      val h = Bm25Index.load(spark, dir)
+      assert(h.version == 1 && h.fields == Seq("text") && h.nDocs == 3L)
+      // classic probes work on the legacy files, matching the scan op
+      val viaIndex = Bm25Index.topK(spark, h, Seq("data", "query"), k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val viaScan = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        Seq("data", "query"), k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(viaIndex == viaScan, s"$viaIndex vs $viaScan")
+      // positional/field/mutating ops refuse with the upgrade message
+      val e1 = intercept[IllegalArgumentException](
+        Bm25Index.phraseTopK(spark, h, Seq("data", "query")))
+      assert(e1.getMessage.contains("v1"))
+      val e2 = intercept[IllegalArgumentException](
+        Bm25Index.bm25fTopK(spark, h, Seq("data"), Seq("text" -> 1.0)))
+      assert(e2.getMessage.contains("v1"))
+      val e3 = intercept[IllegalArgumentException](
+        Bm25Index.append(h, corpus))
+      assert(e3.getMessage.contains("legacy"))
+      val e4 = intercept[IllegalArgumentException](Bm25Index.compact(h))
+      assert(e4.getMessage.contains("legacy"))
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("Bm25Index: append catches new docs with fresh stats; compact heals a replayed append") {
     val old = Seq(
       (0L, "the quick data pipeline processes the query stream"),
