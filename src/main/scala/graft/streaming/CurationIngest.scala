@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lit, md5, min}
+
+import graft.ops.{AnnIndex, Bm25Index, DedupIndex}
+
+/** The unified curation-at-ingest pipeline: ONE foreachBatch sink
+  * composing the three standing-index loops ([[StreamingDedup]]'s
+  * dedup screen, [[Bm25Ingest]]'s postings append, [[AnnIngest]]'s
+  * code append) so each micro-batch flows
+  *
+  *   dedup verdict → quality gate → keepers into BOTH indexes
+  *
+  * in the SAME trigger. A near-duplicate or a quality reject never
+  * reaches the retrieval indexes at all — the alternative (three
+  * independent sinks on the same stream) lets a duplicate land in
+  * BM25/ANN before a later compactor reconciles, and nothing ever
+  * removes it. The hybrid RAG path ([[graft.ops.Retrieval.rrfFuse]]
+  * over both indexes) sees a batch's keepers as soon as its trigger
+  * commits.
+  *
+  * Per trigger: the in-batch exact collapse and
+  * [[DedupIndex.dedupBatch]] screen from [[StreamingDedup.nearDedupSink]]
+  * (verdict columns identical), an added `quality_pass` column (the
+  * caller's boolean `qualityGate` expression over the batch's own
+  * columns — a `TextAnalysis` score threshold, a length band, a
+  * classifier output), the verdict append, then ONLY the
+  * `is_new AND quality_pass` slice folds into the dedup index AND
+  * appends to the BM25 postings and ANN code tables. Rejected rows
+  * still get verdict rows (`quality_pass = false` is an auditable
+  * fact) but leave no state anywhere — a re-send of a rejected doc
+  * re-screens from scratch, by design.
+  *
+  * Scale shape: every stage is batch-proportional (band-pruned probe
+  * joins, one tokenize pass, one assign+encode pass); index size
+  * never enters the trigger cost. The three appends share the batch's
+  * one materialization. Appends are not checkpoint-transactional
+  * across the three indexes: a crash between appends may leave a
+  * keeper in one index and not another until the trigger replays —
+  * replay re-screens (the keeper now hits its own fingerprint, so the
+  * dedup index stays single-copy) and the BM25/ANN duplicate rows
+  * cost bytes until [[Bm25Index.compact]]/[[AnnIndex.compact]]
+  * reclaim them — the same at-least-once posture as the single-index
+  * sinks, with the same compact-heals contract. All three indexes'
+  * appends run under the `_compact.lock`/`_appending.*` handshake; a
+  * trigger firing during an external compact fails that micro-batch
+  * loudly rather than racing a swap.
+  *
+  * Use as
+  * `docs.writeStream.foreachBatch(CurationIngest.curationSink(...)).start()`
+  * with rows carrying the id, the text column the BM25 index was
+  * built on, and `embCol`.
+  */
+object CurationIngest {
+
+  def curationSink(
+      dedup: DedupIndex.Handle,
+      bm25: Bm25Index.Handle,
+      ann: AnnIndex.Handle,
+      verdictsDir: String,
+      embCol: String,
+      qualityGate: Column,
+      threshold: Double = 0.8): (DataFrame, Long) => Unit = {
+    require(bm25.idCol == dedup.idCol,
+      s"the dedup and BM25 indexes disagree on the id column " +
+        s"(${dedup.idCol} vs ${bm25.idCol}) — they must screen the same key")
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val idCol = dedup.idCol
+        // materialize the micro-batch once: the screen walks it several
+        // times and all three appends reuse it
+        val frozen = batch.localCheckpoint(true)
+        // in-batch exact collapse — the nearDedupSink rule verbatim:
+        // same fingerprint + min-id keeper, null text stays its own row
+        val withFp = frozen.withColumn("__fp", md5(col("text")))
+        val keepers = withFp.filter(col("text").isNotNull)
+          .groupBy("__fp").agg(min(col(idCol)).as("__keep"))
+        val joined = withFp.join(keepers, Seq("__fp"), "left")
+        val dupes = joined
+          .filter(col("text").isNotNull && col(idCol) =!= col("__keep"))
+          .select(frozen.columns.map(col) :+ col("__keep"): _*)
+        val toScreen = joined
+          .filter(col("text").isNull || col(idCol) === col("__keep"))
+          .select(frozen.columns.map(col): _*)
+          .localCheckpoint(true)
+        val inBatchDup =
+          if (dupes.isEmpty) None else Some(dupes.localCheckpoint(true))
+        // verdicts fixed BEFORE any index grows
+        val verdicts = DedupIndex.dedupBatch(spark, dedup, toScreen, threshold)
+          .withColumn("quality_pass", qualityGate)
+          .localCheckpoint(true)
+        val allVerdicts = inBatchDup match {
+          case None => verdicts
+          case Some(d) => verdicts.unionByName(d
+            .withColumn("exact_dup", lit(true))
+            .withColumn("near_dup", lit(true)) // jaccard 1 clears any threshold
+            .withColumn("near_dup_of", col("__keep"))
+            .withColumn("is_new", lit(false))
+            // recorded for audit symmetry; a duplicate never folds in
+            // regardless of its quality
+            .withColumn("quality_pass", qualityGate)
+            .drop("__keep"))
+        }
+        allVerdicts.write.mode("append").parquet(verdictsDir)
+        val fresh = verdicts
+          .filter(col("is_new") && col("quality_pass"))
+          .select(frozen.columns.map(col): _*)
+        if (!fresh.isEmpty) {
+          val folded = fresh.localCheckpoint(true)
+          DedupIndex.append(dedup, folded)
+          Bm25Index.append(bm25, folded)
+          AnnIndex.append(ann, folded, embCol, idCol)
+        }
+      }
+  }
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.{AnnIndex, Bm25Index, DedupIndex, Retrieval}
+
+/** End-to-end unified curation ingest: dedup screen → quality gate →
+  * keepers into BOTH retrieval indexes in the same trigger. */
+class CurationIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(id: Long): Seq[Double] =
+    Seq.tabulate(8)(j => ((id * 7 + j) % 5).toDouble)
+
+  test("curationSink: dup and quality rejects never reach either index; keepers queryable next trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("curation_").toString
+    val seed = Seq(
+      (0L, "completely different content about spark engines and data"),
+      (1L, "another seed document with distinct vocabulary here"))
+      .toDF("doc_id", "text")
+    val seedEmb = Seq(0L, 1L).map(i => (i, emb(i))).toDF("doc_id", "embedding")
+    val dedupH = DedupIndex.build(seed, "doc_id", s"$root/dedup")
+    val bm25H = Bm25Index.build(seed, "doc_id", s"$root/bm25", numBuckets = 8)
+    val annH = AnnIndex.build(seedEmb, "embedding", "doc_id", s"$root/ann",
+      nCells = 2, m = 4, k = 2, dim = 8, iters = 1)
+
+    val b1 = Seq(
+      (10L, "retrieval augmented generation pipelines need fresh relevant passages ok"),
+      (11L, "tiny"), // quality reject: too short
+      (12L, "completely different content about spark engines and data extra")) // near-dup of seed 0
+    val b2 = Seq(
+      (20L, "retrieval augmented generation pipelines need fresh relevant passages ok extra"), // near-dup of 10 (batch 1!)
+      (21L, "entirely new second batch document with its own vocabulary set"),
+      (22L, "tiny")) // exact text of REJECTED 11 — which left no state
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(7)),
+          j => ((col("doc_id") * 7 + j) % 5).cast("double")))
+      .writeStream
+      .foreachBatch(CurationIngest.curationSink(
+        dedupH, bm25H, annH, s"$root/verdicts", "embedding",
+        qualityGate = col("text").isNotNull && length(col("text")) > 20,
+        threshold = 0.5))
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      // the hybrid RAG path sees batch 1's keeper as soon as its
+      // trigger commits: lexical side finds doc 10 by its own term,
+      // the ANN side ranks it (nProbe = nCells ⇒ all cells probed),
+      // and the fused list carries it
+      val bmNow = Bm25Index.load(spark, s"$root/bm25")
+      val lex = graft.util.Ids.withRowIndex(
+        Bm25Index.topK(spark, bmNow, Seq("retrieval", "passages"), k = 10), "rank")
+      assert(lex.collect().map(_.getLong(0)).contains(10L))
+      val annNow = AnnIndex.load(spark, s"$root/ann")
+      val sem = graft.util.Ids.withRowIndex(
+          AnnIndex.query(spark, annNow, "doc_id", emb(10L), k = 10, nProbe = 2), "rank")
+        .select(col("doc_id"), col("rank"))
+      val fused = Retrieval.rrfFuse(Seq(lex, sem), "doc_id", rrfK = 60, k = 10)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(fused.contains(10L), s"hybrid path missed the batch-1 keeper: $fused")
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val v = spark.read.parquet(s"$root/verdicts")
+      .select("doc_id", "near_dup", "near_dup_of", "is_new", "quality_pass")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.get(2)), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(v(10L) == ((false, None, true, true)), s"$v")
+    assert(v(11L) == ((false, None, true, false)), s"$v") // new but rejected
+    assert(v(12L) == ((true, Some(0L), false, true)), s"$v") // near-dup of seed
+    // the batch-2 near-dup resolves against batch 1's keeper
+    assert(v(20L) == ((true, Some(10L), false, true)), s"$v")
+    assert(v(21L) == ((false, None, true, true)), s"$v")
+    // the rejected doc left NO state: its exact re-send screens as new
+    // again (and is rejected again) — rejection is stateless by design
+    assert(v(22L) == ((false, None, true, false)), s"$v")
+
+    // index state: seed + the two quality keepers, nothing else —
+    // the near-dups and quality rejects reached NEITHER index
+    val bmIds = spark.read.parquet(s"$root/bm25/doclens")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bmIds == Set(0L, 1L, 10L, 21L), s"bm25 holds $bmIds")
+    val annIds = spark.read.parquet(s"$root/ann/codes")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(annIds == Set(0L, 1L, 10L, 21L), s"ann holds $annIds")
+    val dedupIds = spark.read.parquet(s"$root/dedup/signatures")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dedupIds == Set(0L, 1L, 10L, 21L), s"dedup holds $dedupIds")
+    // and the collection stats moved by exactly the two keepers
+    val bmMeta = Bm25Index.load(spark, s"$root/bm25")
+    assert(bmMeta.nDocs == 4L, bmMeta.toString)
+  }
+}
