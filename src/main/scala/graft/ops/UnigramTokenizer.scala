@@ -317,4 +317,65 @@ object UnigramTokenizer {
           -(col("score_q").cast("double") / 1048576.0d) / col("n_pieces")))
       .drop("__u")
   }
+
+  /** Serialize a trained unigram vocabulary to the standard
+    * SentencePiece `.vocab` text artifact — one `piece<TAB>log_prob`
+    * line per piece with `<unk>` FIRST (the SentencePiece convention;
+    * its score carries the model's unknown-character log-prob), then
+    * the pieces in vocabulary order. This is the unigram stack's
+    * `BpeVocab.toGpt2Lines`: the trained model can leave the cluster
+    * and load anywhere the format does. Log-probs print as
+    * shortest-round-trip doubles of `lp_q/2²⁰` — the quantized values
+    * are exact doubles and Java's shortest representation
+    * round-trips, so [[fromSentencePieceLines]] recovers every `lp_q`
+    * BIT-EXACTLY and a re-imported model segments identically. Fails
+    * loudly on anything the format cannot represent: a piece with an
+    * embedded tab/newline/carriage-return, a duplicate piece (the
+    * parse would silently keep one), or a literal piece spelled
+    * `<unk>` (reserved line). */
+  def toSentencePieceLines(
+      vocab: graft.plans.UnigramVocab, unkLpQ: Long): Seq[String] = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    vocab.pieces.foreach { case (p, _) =>
+      require(!p.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"piece '${p.flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString)}' " +
+          "contains a tab or newline — not representable in the " +
+          "tab-separated .vocab format")
+      require(p != "<unk>",
+        "a literal piece '<unk>' collides with the reserved unknown entry")
+      require(seen.add(p),
+        s"duplicate piece '$p' — the artifact would silently drop one")
+    }
+    def fmt(q: Long): String = (q.toDouble / 1048576.0d).toString
+    s"<unk>\t${fmt(unkLpQ)}" +:
+      vocab.pieces.map { case (p, q) => s"$p\t${fmt(q)}" }
+  }
+
+  /** Parse a `.vocab` artifact back into `(vocabulary, unkLpQ)` — the
+    * exact inverse of [[toSentencePieceLines]] (bit-parity round-trip
+    * on every `lp_q`), accepting any artifact in the piece-TAB-score
+    * shape with the conventional `<unk>` head line. Loud errors name
+    * the offending 1-based line. */
+  def fromSentencePieceLines(
+      lines: Seq[String]): (graft.plans.UnigramVocab, Long) = {
+    require(lines.nonEmpty, "empty .vocab artifact")
+    def parse(line: String, i: Int): (String, Long) = {
+      val cut = line.lastIndexOf('\t')
+      require(cut > 0, s".vocab line ${i + 1} is not piece<TAB>log_prob: '$line'")
+      val lp = try line.substring(cut + 1).toDouble catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s".vocab line ${i + 1} has an unparseable log-prob: '$line'", e)
+      }
+      // lp_q/2^20 scales back exactly (power-of-two exponent shift on
+      // an exact double), so round() recovers the original integer
+      (line.substring(0, cut), math.round(lp * 1048576.0d))
+    }
+    val (unkPiece, unkQ) = parse(lines.head, 0)
+    require(unkPiece == "<unk>",
+      s"the first .vocab line must be the <unk> entry, got '${lines.head}'")
+    val pieces = lines.zipWithIndex.drop(1).map { case (l, i) => parse(l, i) }
+    val dup = pieces.groupBy(_._1).collectFirst { case (p, g) if g.size > 1 => p }
+    require(dup.isEmpty, s"duplicate piece '${dup.getOrElse("")}' in the artifact")
+    (graft.plans.UnigramVocab(pieces), unkQ)
+  }
 }

@@ -3665,6 +3665,55 @@ class OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("pruned to nothing"))
   }
 
+  test("UnigramTokenizer: SentencePiece .vocab round-trip is bit-exact; bad artifacts refuse") {
+    val docs = Seq(
+      (0L, "the data table holds the data rows"),
+      (1L, "query the table for data values"),
+      (2L, "tables and queries and values again")).toDF("doc_id", "text")
+    val trained = UnigramTokenizer.train(docs, "text", rounds = 1,
+      maxPieceLen = 3, vocabSize = 48)
+    val vocab = UnigramTokenizer.buildVocab(trained)
+    val unkQ = math.round(-25.0 * 1048576.0d)
+    val lines = UnigramTokenizer.toSentencePieceLines(vocab, unkQ)
+    // the artifact shape: <unk> first, then piece<TAB>score per piece
+    assert(lines.head.startsWith("<unk>\t"))
+    assert(lines.size == vocab.pieces.size + 1)
+    assert(lines.tail.forall(_.count(_ == '\t') == 1))
+    val (back, backUnk) = UnigramTokenizer.fromSentencePieceLines(lines)
+    // BIT-exact: every lp_q survives the decimal text round-trip
+    assert(back.pieces == vocab.pieces)
+    assert(backUnk == unkQ)
+    // and the re-imported model segments identically (same score_q,
+    // same piece counts on fresh text)
+    def seg(v: graft.plans.UnigramVocab) =
+      UnigramTokenizer.score(docs, "text", v)
+        .select("doc_id", "score_q", "n_pieces")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Any](2))).toSet
+    assert(seg(vocab) == seg(back))
+    // unrepresentable / malformed artifacts fail loudly
+    val tabby = graft.plans.UnigramVocab(Seq(("a\tb", -1L), ("c", -2L)))
+    assert(intercept[IllegalArgumentException](
+      UnigramTokenizer.toSentencePieceLines(tabby, unkQ))
+      .getMessage.contains("tab or newline"))
+    val dup = graft.plans.UnigramVocab(Seq(("aa", -1L), ("aa", -2L)))
+    assert(intercept[IllegalArgumentException](
+      UnigramTokenizer.toSentencePieceLines(dup, unkQ))
+      .getMessage.contains("duplicate"))
+    val unkNamed = graft.plans.UnigramVocab(Seq(("<unk>", -1L)))
+    assert(intercept[IllegalArgumentException](
+      UnigramTokenizer.toSentencePieceLines(unkNamed, unkQ))
+      .getMessage.contains("reserved"))
+    assert(intercept[IllegalArgumentException](
+      UnigramTokenizer.fromSentencePieceLines(Seq("a\t-1.5", "b\t-2.0")))
+      .getMessage.contains("<unk>"))
+    assert(intercept[IllegalArgumentException](
+      UnigramTokenizer.fromSentencePieceLines(Seq("<unk>\t-25.0", "piecewithnotab")))
+      .getMessage.contains("line 2"))
+    assert(intercept[IllegalArgumentException](
+      UnigramTokenizer.fromSentencePieceLines(Seq("<unk>\t-25.0", "a\tnotanumber")))
+      .getMessage.contains("unparseable"))
+  }
+
   test("keepBest: per-cluster quality argmax, id tie-break, null scores lose") {
     val rows = Seq(
       (1L, 100L, 0.5), (2L, 100L, 0.9), (3L, 100L, 0.9), // 2 wins the 0.9 tie
