@@ -24,10 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  /** `hasTombstones` — whether a `tombstones/` side table exists
+    * ([[delete]] since the last [[compact]]/[[rebuild]]): when false
+    * every probe skips the tombstone anti-join entirely, so an index
+    * that never deletes pays nothing for the feature. */
   final case class Handle(
       dir: String,
       centroids: Seq[(Long, Seq[Double])],
-      codebooks: Seq[Seq[(Long, Seq[Double])]])
+      codebooks: Seq[Seq[(Long, Seq[Double])]],
+      hasTombstones: Boolean = false)
 
   /** Train both quantizers on the corpus, encode every row, persist.
     * One pass for IVF assignment + PQ codes (both are narrow
@@ -81,11 +86,74 @@ object AnnIndex {
     // marker/lock handshake with a concurrent compact — see Maintenance
     Maintenance.withAppendMarker(
         fs, new org.apache.hadoop.fs.Path(handle.dir)) {
+      // a tombstoned id must not be re-added before compact: the
+      // tombstone would hide the new row from every probe and the
+      // next compact would PURGE it — refuse loudly (the Bm25Index
+      // contract; re-add after compact works normally)
+      val tombs = new org.apache.hadoop.fs.Path(s"${handle.dir}/tombstones")
+      if (fs.exists(tombs)) {
+        val hit = encoded.select(col(idCol))
+          .join(df.sparkSession.read.parquet(tombs.toString),
+            Seq(idCol), "left_semi")
+          .limit(1).collect()
+        require(hit.isEmpty,
+          s"append: the slice re-adds id '${hit.head.get(0)}' which is " +
+            s"tombstoned in ${handle.dir} — run compact to purge the " +
+            "tombstone first, then re-append")
+      }
       encoded
         .repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"${handle.dir}/codes")
     }
   }
+
+  /** Tombstone-delete vectors from the index — the
+    * right-to-be-forgotten path for the vector side ([[Bm25Index
+    * .delete]] is the lexical twin): at 100 TB a delete must not
+    * rewrite the cell-partitioned code table (that is [[compact]]'s
+    * job). `ids` is a DataFrame holding `idCol` (deletion lists are
+    * corpus-scaled). Ids land in a small `tombstones/` side table;
+    * [[query]] and [[queryBatch]] anti-join it (skipped entirely
+    * while the handle records none), so a deleted vector can never
+    * occupy a result slot. The quantizers are untouched — cell
+    * shapes reflect the corpus they were trained on until a
+    * [[rebuild]], which also clears the tombstones (its `corpus`
+    * argument is the post-delete source of truth). Idempotent
+    * against replays: already-tombstoned ids are skipped, ids the
+    * code table never held are tombstoned anyway (the code table is
+    * derived state — a concurrent ingest may land the row later, and
+    * the tombstone must already cover it... which [[append]]'s
+    * re-add refusal makes loud instead of silent). Returns a handle
+    * that probes the post-delete state. */
+  def delete(handle: Handle, ids: DataFrame, idCol: String): Handle = {
+    val spark = ids.sparkSession
+    require(ids.columns.contains(idCol),
+      s"delete: the ids frame must carry '$idCol', " +
+        s"has ${ids.columns.mkString(", ")}")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Maintenance.withAppendMarker(
+        fs, new org.apache.hadoop.fs.Path(handle.dir)) {
+      val tombs = s"${handle.dir}/tombstones"
+      val idOnly = ids.select(col(idCol)).na.drop().distinct()
+      val fresh =
+        if (fs.exists(new org.apache.hadoop.fs.Path(tombs)))
+          idOnly.join(spark.read.parquet(tombs), Seq(idCol), "left_anti")
+        else idOnly
+      fresh.write.mode("append").parquet(tombs)
+      handle.copy(hasTombstones = true)
+    }
+  }
+
+  /** The probe-side tombstone filter ([[Bm25Index.liveOnly]]'s
+    * vector twin): no read and no join node while the handle records
+    * no tombstones. */
+  private def liveOnly(
+      spark: SparkSession, handle: Handle, idCol: String,
+      rows: DataFrame): DataFrame =
+    if (!handle.hasTombstones) rows
+    else rows.join(spark.read.parquet(s"${handle.dir}/tombstones"),
+      Seq(idCol), "left_anti")
 
   /** Rewrite the code table compacted — the maintenance pass for the
     * append loop ([[DedupIndex.compact]] is the dedup-side twin):
@@ -128,14 +196,29 @@ object AnnIndex {
         "mid-swap; recover it manually before compacting again")
     val snapshot = Maintenance.dataFiles(fs, live)
     require(snapshot.nonEmpty, s"$live holds no data files — nothing to compact")
-    spark.read.option("basePath", s"$dir/codes")
-      .parquet(snapshot.map(rel => s"$dir/codes/$rel"): _*)
+    // the physical purge for delete(): tombstoned rows drop from the
+    // compacted codes, then the tombstones clear (the lock excludes
+    // concurrent delete()s; crash after the swap leaves stale
+    // tombstones anti-joining already-purged ids — harmless, cleared
+    // by the next compact). The id column name comes from the code
+    // table itself: every column that is not `cell` or a `code_*` is
+    // the id.
+    val tombs = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val purge: DataFrame => DataFrame =
+      if (fs.exists(tombs)) {
+        val ts = spark.read.parquet(tombs.toString)
+        val idCol = ts.schema.fieldNames.head
+        df => df.join(ts, Seq(idCol), "left_anti")
+      } else identity
+    purge(spark.read.option("basePath", s"$dir/codes")
+        .parquet(snapshot.map(rel => s"$dir/codes/$rel"): _*))
       .distinct()
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/compact_tmp/codes")
     Maintenance.swapCompacted(fs, live,
       new org.apache.hadoop.fs.Path(s"$dir/compact_tmp/codes"), snapshot.toSet)
+    fs.delete(tombs, true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/compact_tmp"), true)
   }
 
@@ -228,6 +311,9 @@ object AnnIndex {
         new org.apache.hadoop.fs.Path(s"$tmp/$t"), snapshot,
         if (i == 0) beforeSwap else () => ())
     }
+    // the rebuilt state IS canonical for `corpus` (the caller's
+    // post-delete source of truth) — tombstones are obsolete
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     Handle(dir, centroids, codebooks)
   }
@@ -247,7 +333,10 @@ object AnnIndex {
     require(cbRows.nonEmpty, s"$dir/pq_codebooks is empty")
     val codebooks = cbRows.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(r => r._2 -> r._3).toSeq }
-    Handle(dir, centroids, codebooks)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Handle(dir, centroids, codebooks,
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
   }
 
   /** ADC top-k against the PERSISTED codes: rank the query's `nProbe`
@@ -271,8 +360,9 @@ object AnnIndex {
       }
       .sortBy { case (cid, sim) => (-sim, -cid) } // ivfAssign tie rule: highest cid wins
       .take(nProbe).map(_._1)
-    val codes = spark.read.parquet(s"${handle.dir}/codes")
-      .filter(col("cell").isin(probed: _*))
+    val codes = liveOnly(spark, handle, idCol,
+      spark.read.parquet(s"${handle.dir}/codes")
+        .filter(col("cell").isin(probed: _*)))
     Similarity.pqTopKFromCodes(codes, idCol, handle.codebooks, queryVec, k)
   }
 
@@ -329,8 +419,9 @@ object AnnIndex {
       .select(col("query_id"), col("cell"))
     val cells = probed.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val codes = spark.read.parquet(s"${handle.dir}/codes")
-      .filter(col("cell").isin(cells: _*))
+    val codes = liveOnly(spark, handle, idCol,
+      spark.read.parquet(s"${handle.dir}/codes")
+        .filter(col("cell").isin(cells: _*)))
     // ONE literal codebook DataFrame (mi, cid, cv) — m·k rows — crossed
     // with the query table builds every LUT entry in a single plan
     // branch; the old per-sub-centroid select+union was O(m·k) plan

@@ -77,13 +77,17 @@ object Bm25Index {
   /** `fields`/`fieldTokens` are aligned (per-field corpus token
     * totals — BM25F's per-field avgdl comes from them); single-field
     * indexes carry the one entry. v1 handles load with
-    * `version = 1` and their layout's implied single field. */
+    * `version = 1` and their layout's implied single field.
+    * `nTombstones` counts ids [[delete]]d since the last [[compact]]
+    * — when 0 every probe skips the tombstone anti-join entirely, so
+    * an index that never deletes pays nothing for the feature. */
   final case class Handle(
       dir: String, idCol: String, textCol: String, numBuckets: Int,
       nDocs: Long, totalTokens: Long,
       version: Int = CurrentVersion,
       fields: Seq[String] = Seq.empty,
-      fieldTokens: Seq[Long] = Seq.empty)
+      fieldTokens: Seq[Long] = Seq.empty,
+      nTombstones: Long = 0L)
 
   private def toks(textCol: String) = split(trim(lower(col(textCol))), "\\s+")
 
@@ -144,12 +148,13 @@ object Bm25Index {
   private def writeMeta(
       spark: SparkSession, dir: String, idCol: String, numBuckets: Int,
       nDocs: Long, totalTokens: Long,
-      fields: Seq[String], fieldTokens: Seq[Long]): Unit = {
+      fields: Seq[String], fieldTokens: Seq[Long],
+      nTombstones: Long = 0L): Unit = {
     import spark.implicits._
     Seq((idCol, fields.head, numBuckets, nDocs, totalTokens,
-        CurrentVersion, fields, fieldTokens))
+        CurrentVersion, fields, fieldTokens, nTombstones))
       .toDF("idCol", "textCol", "numBuckets", "nDocs", "totalTokens",
-        "version", "fields", "fieldTokens")
+        "version", "fields", "fieldTokens", "nTombstones")
       .coalesce(1).write.mode("overwrite").json(s"$dir/meta")
   }
 
@@ -235,6 +240,20 @@ object Bm25Index {
           cur.fields == handleFields && cur.idCol == handle.idCol,
         s"append: the on-disk index layout changed since this handle was " +
           s"taken (disk: $cur vs handle: $handle) — re-load and re-append")
+      // a tombstoned id must not be re-added before compact: the
+      // tombstone would hide the new rows from every probe and the
+      // next compact would PURGE them — refuse loudly instead of
+      // silently losing the doc (re-add after compact works normally)
+      if (cur.nTombstones > 0) {
+        val hit = frozen.select(col(cur.idCol))
+          .join(spark.read.parquet(s"${handle.dir}/tombstones"),
+            Seq(cur.idCol), "left_semi")
+          .limit(1).collect()
+        require(hit.isEmpty,
+          s"append: the slice re-adds id '${hit.head.get(0)}' which is " +
+            s"tombstoned in ${handle.dir} — run compact to purge the " +
+            "tombstone first, then re-append")
+      }
       postings.repartition(col("term_bucket")).sortWithinPartitions("term")
         .write.mode("append").partitionBy("term_bucket")
         .parquet(s"${handle.dir}/postings")
@@ -244,10 +263,80 @@ object Bm25Index {
       val total = cur.totalTokens + dtotal
       val perField = cur.fieldTokens.zip(dPerField).map { case (a, b) => a + b }
       writeMeta(spark, handle.dir, cur.idCol, cur.numBuckets, n, total,
-        cur.fields, perField)
+        cur.fields, perField, cur.nTombstones)
       cur.copy(nDocs = n, totalTokens = total, fieldTokens = perField)
     }
   }
+
+  /** Tombstone-delete documents from the index — the
+    * right-to-be-forgotten path: at 100 TB a delete must not rewrite
+    * the postings table (that is [[compact]]'s job). `ids` is a
+    * DataFrame holding the handle's id column (deletion lists are
+    * corpus-scaled — never a driver Seq). Ids land in a small
+    * `tombstones/` side table; every probe anti-joins it (skipped
+    * entirely while `nTombstones == 0`) and the collection statistics
+    * in `meta` are decremented here from the doclens rows of the
+    * newly-tombstoned ids, so probe-time N / avgdl / df all describe
+    * the REMAINDER — [[topK]] after a delete is bit-identical to
+    * [[Retrieval.bm25TopK]] over the filtered corpus (OpsSpec asserts
+    * it). Idempotent against replays: ids already tombstoned or
+    * absent from the index contribute nothing. The physical purge —
+    * and re-addability of a deleted id — comes with the next
+    * [[compact]]. Crash between the tombstone write and the meta
+    * rewrite leaves stats at their pre-delete values until the
+    * ingest driver replays the delete or compact recounts (the same
+    * at-least-once / compact-heals posture as [[append]]). */
+  def delete(handle: Handle, ids: DataFrame): Handle = {
+    val spark = ids.sparkSession
+    require(ids.columns.contains(handle.idCol),
+      s"delete: the ids frame must carry '${handle.idCol}', " +
+        s"has ${ids.columns.mkString(", ")}")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Maintenance.withAppendMarker(
+        fs, new org.apache.hadoop.fs.Path(handle.dir)) {
+      val cur = load(spark, handle.dir)
+      require(cur.version == CurrentVersion,
+        s"delete: ${handle.dir} is a v${cur.version} (legacy) index — " +
+          "rebuild the index to upgrade before deleting from it")
+      val idOnly = ids.select(col(cur.idCol)).na.drop().distinct()
+      val inIndex = idOnly.join(
+        spark.read.parquet(s"${handle.dir}/doclens").select(col(cur.idCol)),
+        Seq(cur.idCol), "left_semi")
+      val fresh = (if (cur.nTombstones > 0)
+          inIndex.join(spark.read.parquet(s"${handle.dir}/tombstones"),
+            Seq(cur.idCol), "left_anti")
+        else inIndex)
+        .localCheckpoint(true) // one materialization feeds write + delta
+      val doomed = spark.read.parquet(s"${handle.dir}/doclens")
+        .join(fresh, Seq(cur.idCol), "left_semi")
+      val (dn, dtotal, dPerField) = statsOf(doomed, cur.idCol, cur.fields)
+      if (dn == 0L) cur
+      else {
+        fresh.write.mode("append").parquet(s"${handle.dir}/tombstones")
+        writeMeta(spark, handle.dir, cur.idCol, cur.numBuckets,
+          cur.nDocs - dn, cur.totalTokens - dtotal,
+          cur.fields,
+          cur.fieldTokens.zip(dPerField).map { case (a, b) => a - b },
+          cur.nTombstones + dn)
+        cur.copy(nDocs = cur.nDocs - dn, totalTokens = cur.totalTokens - dtotal,
+          fieldTokens =
+            cur.fieldTokens.zip(dPerField).map { case (a, b) => a - b },
+          nTombstones = cur.nTombstones + dn)
+      }
+    }
+  }
+
+  /** The probe-side tombstone filter: anti-join the id column against
+    * `tombstones/` — a no-op (no read, no join node) while the handle
+    * records none. Probes that took their handle before a concurrent
+    * delete committed score the pre-delete state — the documented
+    * stale-handle posture, same as stats. */
+  private def liveOnly(
+      spark: SparkSession, handle: Handle, rows: DataFrame): DataFrame =
+    if (handle.nTombstones <= 0) rows
+    else rows.join(spark.read.parquet(s"${handle.dir}/tombstones"),
+      Seq(handle.idCol), "left_anti")
 
   /** Rewrite the index state deduplicated and re-sorted — the
     * maintenance pass for the append loop: posting rows collapse to
@@ -291,10 +380,22 @@ object Bm25Index {
     require(cur.version == CurrentVersion,
       s"compact: $dir is a v${cur.version} (legacy) index — rewriting it " +
         s"would mix schemas; rebuild the index to upgrade")
-    snap("postings").distinct()
+    // the physical purge for delete(): tombstoned rows drop from the
+    // compacted postings/doclens, then the tombstones themselves are
+    // cleared (the lock excludes concurrent delete()s, so the dir
+    // read here is the complete set; crash after the swaps leaves
+    // stale tombstones anti-joining already-purged ids — harmless,
+    // cleared by the next compact)
+    val tombs = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val purge: DataFrame => DataFrame =
+      if (fs.exists(tombs)) {
+        val ts = spark.read.parquet(tombs.toString)
+        df => df.join(ts, Seq(cur.idCol), "left_anti")
+      } else identity
+    purge(snap("postings")).distinct()
       .repartition(col("term_bucket")).sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$tmp/postings")
-    snap("doclens")
+    purge(snap("doclens"))
       .groupBy(col(handle.idCol), col("field"))
       .agg(max(col("n_tok_f")).as("n_tok_f"))
       .write.mode("overwrite").parquet(s"$tmp/doclens")
@@ -303,12 +404,14 @@ object Bm25Index {
         fs, new org.apache.hadoop.fs.Path(s"$dir/$t"),
         new org.apache.hadoop.fs.Path(s"$tmp/$t"), snapshots(t).toSet)
     }
+    fs.delete(tombs, true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     val (n, total, perField) =
       statsOf(spark.read.parquet(s"$dir/doclens"), cur.idCol, cur.fields)
     writeMeta(spark, dir, cur.idCol, cur.numBuckets, n, total,
       cur.fields, perField)
-    cur.copy(nDocs = n, totalTokens = total, fieldTokens = perField)
+    cur.copy(nDocs = n, totalTokens = total, fieldTokens = perField,
+      nTombstones = 0L)
   }
 
   /** Re-open a persisted index: one tiny JSON read, no data touched. */
@@ -331,10 +434,13 @@ object Bm25Index {
     val fieldTokens = if (names.contains("fieldTokens"))
       meta.head.getAs[scala.collection.Seq[Long]]("fieldTokens").toSeq
     else Seq(meta.head.getAs[Long]("totalTokens"))
+    // metas written before delete() existed imply "no tombstones"
+    val nTombstones = if (names.contains("nTombstones"))
+      meta.head.getAs[Long]("nTombstones") else 0L
     Handle(dir, meta.head.getAs[String]("idCol"), textCol,
       meta.head.getAs[Long]("numBuckets").toInt,
       meta.head.getAs[Long]("nDocs"), meta.head.getAs[Long]("totalTokens"),
-      version, fields, fieldTokens)
+      version, fields, fieldTokens, nTombstones)
   }
 
   /** Index-backed BM25 top-k — result-identical to
@@ -359,9 +465,10 @@ object Bm25Index {
       s"query terms must be distinct: $queryTerms")
     require(handle.nDocs > 0, "topK over an empty index")
     val buckets = bucketsFor(spark, queryTerms, handle.numBuckets).distinct
-    val raw = spark.read.parquet(s"${handle.dir}/postings")
-      .filter(col("term_bucket").isin(buckets: _*) &&
-        col("term").isin(queryTerms: _*))
+    val raw = liveOnly(spark, handle,
+      spark.read.parquet(s"${handle.dir}/postings")
+        .filter(col("term_bucket").isin(buckets: _*) &&
+          col("term").isin(queryTerms: _*)))
     // v2 multi-field rows are per (term, field, doc): classic BM25
     // scores the "concatenated document", so collapse to per
     // (term, doc) summed tf first (exact integer sum; on a
@@ -444,9 +551,10 @@ object Bm25Index {
     val buckets = qt
       .select(pmod(hash(col("term")), lit(handle.numBuckets)).cast("int").as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val pruned = spark.read.parquet(s"${handle.dir}/postings")
-      .filter(col("term_bucket").isin(buckets: _*))
-      .join(qt.select("term").distinct(), Seq("term"), "left_semi")
+    val pruned = liveOnly(spark, handle,
+        spark.read.parquet(s"${handle.dir}/postings")
+          .filter(col("term_bucket").isin(buckets: _*))
+          .join(qt.select("term").distinct(), Seq("term"), "left_semi"))
       // collapse v2 multi-field rows to per (term, doc) — see topK
       .groupBy(col("term"), col(handle.idCol), col("n_tok"))
       .agg(sum(col("tf")).as("tf"))
@@ -522,9 +630,10 @@ object Bm25Index {
     val fi = handle.fields.indexOf(fld)
     require(fi >= 0, s"unknown field '$fld' — index has ${handle.fields}")
     val buckets = bucketsFor(spark, distinctTerms, handle.numBuckets).distinct
-    val pruned = spark.read.parquet(s"${handle.dir}/postings")
-      .filter(col("term_bucket").isin(buckets: _*) &&
-        col("term").isin(distinctTerms: _*) && col("field") === fld)
+    val pruned = liveOnly(spark, handle,
+      spark.read.parquet(s"${handle.dir}/postings")
+        .filter(col("term_bucket").isin(buckets: _*) &&
+          col("term").isin(distinctTerms: _*) && col("field") === fld))
     // rows are unique per (term, field, doc): row count == field df
     val dfs: Map[String, Long] = pruned.groupBy("term")
       .agg(count(lit(1)).as("__df")).collect()
@@ -560,6 +669,109 @@ object Bm25Index {
         perTerm.reduce(_ + _).as("score"))
       .orderBy(col("score").desc, id)
       .limit(k)
+  }
+
+  /** Batched phrase probe — [[phraseTopK]]'s table form and the
+    * phrase member of the amortized-probe family
+    * ([[topKBatch]]/[[graft.ops.AnnIndex.queryBatch]]): a TABLE of
+    * phrases shares ONE pruned pass over the positional postings.
+    * `queries` carries `(qidCol, phraseCol: array<string>)`, no bound
+    * on the query count or term universe — guards are IN-PLAN
+    * (duplicate qid, sub-2-term phrase, NULL or non-lowercase element
+    * all raise row-wise). Adjacency is fully relational so it
+    * composes at any phrase length per row: each phrase SLOT's
+    * postings explode to `(qid, doc, base = position − slot)` rows
+    * and a base where ALL slots are present is one phrase occurrence
+    * — repeated-term phrases work because every slot joins the term's
+    * posting row independently. Scoring is the field-restricted BM25
+    * polynomial over each phrase's DISTINCT terms in the exact-integer
+    * `score_q` convention (per-(query, doc, term) `round(s·2²⁰)`
+    * BIGINT-summed — order-free), df stays a DataFrame (never
+    * collected), ranking a qid-partitioned window over adjacency
+    * survivors only. Emits `(qidCol, idCol, n_tok, phrase_tf,
+    * score_q, rank)`, ranks 1..k by (score_q desc, id); a phrase with
+    * no matching doc simply emits nothing. */
+  def phraseTopKBatch(
+      spark: SparkSession, handle: Handle, queries: DataFrame,
+      qidCol: String, phraseCol: String, k: Int = 10,
+      field: Option[String] = None,
+      k1: Double = Retrieval.DefaultK1,
+      b: Double = Retrieval.DefaultB): DataFrame = {
+    requirePositional(handle, "phraseTopKBatch")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(handle.nDocs > 0, "phraseTopKBatch over an empty index")
+    val fld = field.getOrElse {
+      require(handle.fields.size == 1,
+        s"multi-field index (${handle.fields.mkString(", ")}): name the " +
+          "field to run the phrases against")
+      handle.fields.head
+    }
+    val fi = handle.fields.indexOf(fld)
+    require(fi >= 0, s"unknown field '$fld' — index has ${handle.fields}")
+    val dupW = org.apache.spark.sql.expressions.Window.partitionBy(qidCol)
+    val qv = queries
+      .withColumn("__n", count(lit(1)).over(dupW))
+      .select(
+        when(col("__n") > 1, raise_error(concat(
+            lit("phraseTopKBatch: duplicate query id "), col(qidCol))))
+          .otherwise(col(qidCol)).as(qidCol),
+        when(size(col(phraseCol)) < 2, raise_error(concat(
+            lit("phraseTopKBatch: a phrase needs at least two terms, query "),
+            col(qidCol))))
+          .otherwise(col(phraseCol)).as("__phrase"))
+    val slots = qv
+      .select(col(qidCol), size(col("__phrase")).as("__plen"),
+        posexplode(col("__phrase")).as(Seq("__slot", "__t")))
+      .select(col(qidCol), col("__plen"), col("__slot"),
+        when(col("__t").isNull, raise_error(lit(
+          "phraseTopKBatch: NULL term element in a phrase")))
+          .when(col("__t") =!= lower(col("__t")), raise_error(concat(
+            lit("phraseTopKBatch: phrase terms must be lowercase " +
+              "(documents are lowercased before matching): "), col("__t"))))
+          .otherwise(col("__t")).as("term"))
+      .localCheckpoint(true) // feeds buckets, the slot join, the score join
+    val buckets = slots
+      .select(pmod(hash(col("term")), lit(handle.numBuckets)).cast("int").as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val id = col(handle.idCol)
+    val pruned = liveOnly(spark, handle,
+        spark.read.parquet(s"${handle.dir}/postings")
+          .filter(col("term_bucket").isin(buckets: _*) && col("field") === fld)
+          .join(slots.select("term").distinct(), Seq("term"), "left_semi"))
+      .localCheckpoint(true) // feeds df counts, the slot join, the score join
+    val dfs = pruned.groupBy("term").agg(count(lit(1)).as("__df"))
+    // one row per (query, slot, matching doc), exploded to the base
+    // position each slot's occurrences would anchor: base where every
+    // slot appears == one occurrence of the full phrase
+    val bases = slots.join(pruned, Seq("term"))
+      .select(col(qidCol), col("__plen"), col("__slot"), id,
+        explode(expr("transform(positions, x -> x - __slot)")).as("__base"))
+    val matched = bases
+      .groupBy(col(qidCol), id, col("__base"), col("__plen"))
+      .agg(countDistinct(col("__slot")).as("__nslots"))
+      .filter(col("__nslots") === col("__plen"))
+      .groupBy(col(qidCol), id)
+      .agg(count(lit(1)).as("phrase_tf"))
+    val avgdlF = handle.fieldTokens(fi).toDouble / handle.nDocs.toDouble
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      (lit(handle.nDocs.toDouble) - col("__df").cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5)))
+    val termScore = idf * (tf * lit(k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("n_tok_f").cast("double") / lit(avgdlF)))
+    val scored = slots.select(col(qidCol), col("term")).distinct()
+      .join(pruned, Seq("term")).join(dfs, Seq("term"))
+      .withColumn("__sq", round(termScore * lit(1048576.0d)).cast("long"))
+      .groupBy(col(qidCol), id, col("n_tok_f"))
+      .agg(sum(col("__sq")).as("score_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(col("score_q").desc, id)
+    matched.join(scored, Seq(qidCol, handle.idCol))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), id, col("n_tok_f").as("n_tok"),
+        col("phrase_tf"), col("score_q"), col("rank"))
   }
 
   /** Field-weighted BM25F top-k (the simple Robertson form): per
@@ -599,9 +811,10 @@ object Bm25Index {
     }
     val wFields = weights.map(_._1)
     val buckets = bucketsFor(spark, queryTerms, handle.numBuckets).distinct
-    val pruned = spark.read.parquet(s"${handle.dir}/postings")
-      .filter(col("term_bucket").isin(buckets: _*) &&
-        col("term").isin(queryTerms: _*) && col("field").isin(wFields: _*))
+    val pruned = liveOnly(spark, handle,
+      spark.read.parquet(s"${handle.dir}/postings")
+        .filter(col("term_bucket").isin(buckets: _*) &&
+          col("term").isin(queryTerms: _*) && col("field").isin(wFields: _*)))
     val id = col(handle.idCol)
     // a doc matching the term in TWO fields still counts once
     val dfs: Map[String, Long] = pruned.groupBy("term")

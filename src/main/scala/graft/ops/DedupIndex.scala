@@ -42,7 +42,12 @@ object DedupIndex {
     * key's equality exactly when the probe uses a band at least that
     * wide ([[dedupBatch]] checks; probing narrower is still correct —
     * the partition-pruning equality is simply not stated). */
-  final case class Handle(dir: String, idCol: String, numHashes: Int, bandSize: Int)
+  /** `hasTombstones` — whether a `tombstones/` side table exists
+    * ([[delete]] since the last [[compact]]): when false every probe
+    * skips the tombstone anti-joins entirely. */
+  final case class Handle(
+      dir: String, idCol: String, numHashes: Int, bandSize: Int,
+      hasTombstones: Boolean = false)
 
   private def bandKey(numHashes: Int, bandSize: Int): org.apache.spark.sql.Column =
     pmod(hash((0 until math.min(bandSize, numHashes)).map(i => col(s"mh$i")): _*),
@@ -95,10 +100,66 @@ object DedupIndex {
     // marker/lock handshake with a concurrent compact — see Maintenance
     Maintenance.withAppendMarker(
         fs, new org.apache.hadoop.fs.Path(handle.dir)) {
+      // a tombstoned id must not be re-added before compact: its new
+      // state rows would be anti-joined away by every probe and then
+      // PURGED by the next compact — refuse loudly (the Bm25Index
+      // contract; re-add after compact works normally)
+      val tombs = new org.apache.hadoop.fs.Path(s"${handle.dir}/tombstones")
+      if (fs.exists(tombs)) {
+        val hit = slice.select(col(handle.idCol))
+          .join(slice.sparkSession.read.parquet(tombs.toString)
+            .select(col(handle.idCol)), Seq(handle.idCol), "left_semi")
+          .limit(1).collect()
+        require(hit.isEmpty,
+          s"append: the slice re-adds id '${hit.head.get(0)}' which is " +
+            s"tombstoned in ${handle.dir} — run compact to purge the " +
+            "tombstone first, then re-append")
+      }
       fps.write.mode("append").parquet(s"${handle.dir}/fingerprints")
       sigs.repartition(col("band0"))
         .write.mode("append").partitionBy("band0").parquet(s"${handle.dir}/signatures")
       words.write.mode("append").parquet(s"${handle.dir}/words")
+    }
+  }
+
+  /** Tombstone-delete documents from the standing dedup state — the
+    * right-to-be-forgotten path for the dedup stack ([[Bm25Index
+    * .delete]] / [[AnnIndex.delete]] are the lexical/vector twins):
+    * a deleted doc must stop matching future batches (its minhash
+    * bands, word set AND exact fingerprint all stand down), and none
+    * of the three corpus-scaled tables is rewritten — that is
+    * [[compact]]'s job. `docs` must carry `(idCol, text)` — the
+    * DOCUMENTS, not bare ids, because the fingerprint table stores
+    * only `md5(text)`: the fp to retire is recomputed here from the
+    * caller's source of truth. Ids land in a small `tombstones/`
+    * side table as `(id, fp)` (fp NULL for null-text docs);
+    * [[dedupBatch]] anti-joins fingerprints on fp and signatures/
+    * words on id. If two live ids carry the SAME text, deleting one
+    * retires the shared fingerprint — per-id state was already
+    * ambiguous under the one-id-one-text contract (the [[compact]]
+    * scaladoc's rule); rebuild from the source of truth if that
+    * state matters. Idempotent against replays (already-tombstoned
+    * ids are skipped); the physical purge and re-addability come
+    * with the next [[compact]]. */
+  def delete(handle: Handle, docs: DataFrame): Handle = {
+    val spark = docs.sparkSession
+    require(docs.columns.contains(handle.idCol) && docs.columns.contains("text"),
+      s"delete: the docs frame must carry '${handle.idCol}' and 'text', " +
+        s"has ${docs.columns.mkString(", ")}")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Maintenance.withAppendMarker(
+        fs, new org.apache.hadoop.fs.Path(handle.dir)) {
+      val tombs = s"${handle.dir}/tombstones"
+      val rows = docs.select(col(handle.idCol), md5(col("text")).as("fp"))
+        .na.drop(Seq(handle.idCol)).dropDuplicates(handle.idCol)
+      val fresh =
+        if (fs.exists(new org.apache.hadoop.fs.Path(tombs)))
+          rows.join(spark.read.parquet(tombs).select(col(handle.idCol)),
+            Seq(handle.idCol), "left_anti")
+        else rows
+      fresh.write.mode("append").parquet(tombs)
+      handle.copy(hasTombstones = true)
     }
   }
 
@@ -158,16 +219,28 @@ object DedupIndex {
     def snap(t: String): DataFrame =
       spark.read.option("basePath", s"$dir/$t")
         .parquet(snapshots(t).map(rel => s"$dir/$t/$rel"): _*)
-    snap("fingerprints").distinct()
+    // the physical purge for delete(): tombstoned fingerprints/ids
+    // drop from the compacted tables, then the tombstones clear (the
+    // lock excludes concurrent delete()s; crash after the swaps
+    // leaves stale tombstones anti-joining already-purged state —
+    // harmless, cleared by the next compact)
+    val tombs = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val (purgeFp, purgeId): (DataFrame => DataFrame, DataFrame => DataFrame) =
+      if (fs.exists(tombs)) {
+        val ts = spark.read.parquet(tombs.toString)
+        (df => df.join(ts.select("fp").na.drop(), Seq("fp"), "left_anti"),
+         df => df.join(ts.select(handle.idCol), Seq(handle.idCol), "left_anti"))
+      } else (identity, identity)
+    purgeFp(snap("fingerprints")).distinct()
       .write.mode("overwrite").parquet(s"$tmp/fingerprints")
     val mhCols = (0 until handle.numHashes).map(i => s"mh$i")
-    snap("signatures")
+    purgeId(snap("signatures"))
       .groupBy(idc).agg(
         max(struct(mhCols.map(col) :+ col("band0"): _*)).as("__s"))
       .select(idc +: (mhCols :+ "band0").map(c => col(s"__s.$c").as(c)): _*)
       .repartition(col("band0"))
       .write.mode("overwrite").partitionBy("band0").parquet(s"$tmp/signatures")
-    snap("words")
+    purgeId(snap("words"))
       .groupBy(idc).agg(max(struct(col("words"))).as("__w"))
       .select(idc, col("__w.words").as("words"))
       .write.mode("overwrite").parquet(s"$tmp/words")
@@ -176,6 +249,7 @@ object DedupIndex {
         fs, new org.apache.hadoop.fs.Path(s"$dir/$t"),
         new org.apache.hadoop.fs.Path(s"$tmp/$t"), snapshots(t).toSet)
     }
+    fs.delete(tombs, true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
@@ -187,8 +261,11 @@ object DedupIndex {
     // 4-hash partition key — that is their effective build bandSize
     val bandSize = if (metaDf.schema.fieldNames.contains("bandSize"))
       meta.head.getAs[Long]("bandSize").toInt else 4
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
     Handle(dir, meta.head.getAs[String]("idCol"),
-      meta.head.getAs[Long]("numHashes").toInt, bandSize)
+      meta.head.getAs[Long]("numHashes").toInt, bandSize,
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
   }
 
   /** Screen a batch against the persisted state — the same verdict
@@ -211,7 +288,17 @@ object DedupIndex {
       s"threshold must be in (0, 1], got $threshold")
     require(bs >= 1 && numHashes >= bs && numHashes % bs == 0,
       s"numHashes ($numHashes) must be a positive multiple of bandSize ($bs)")
-    val corpusFp = spark.read.parquet(s"${handle.dir}/fingerprints")
+    // the delete() filters: a tombstoned doc's fingerprint, bands and
+    // word set all stand down (no read, no join nodes while the
+    // handle records no tombstones)
+    val tombstones =
+      if (handle.hasTombstones)
+        Some(spark.read.parquet(s"${handle.dir}/tombstones").localCheckpoint(true))
+      else None
+    val corpusFp = tombstones.foldLeft(
+        spark.read.parquet(s"${handle.dir}/fingerprints")) {
+      (df, ts) => df.join(ts.select("fp").na.drop(), Seq("fp"), "left_anti")
+    }
     val exactHit = batch.filter(col("text").isNotNull)
       .select(col(idCol), md5(col("text")).as("fp"))
       .join(corpusFp, Seq("fp"), "left_semi")
@@ -221,7 +308,10 @@ object DedupIndex {
       .select(col(idCol) +: (0 until numHashes).map(i => col(s"mh$i")): _*)
       .withColumn("band0", bandKey(numHashes, handle.bandSize))
       .localCheckpoint(true)
-    val cSig = spark.read.parquet(s"${handle.dir}/signatures")
+    val cSig = tombstones.foldLeft(
+        spark.read.parquet(s"${handle.dir}/signatures")) {
+      (df, ts) => df.join(ts.select(idCol), Seq(idCol), "left_anti")
+    }
     val bands = (0 until numHashes / bs)
       .map(b => (b * bs) until ((b + 1) * bs))
     // the stored partition key hashes the first `storedKeyWidth`

@@ -2990,6 +2990,20 @@ object CurationQueries {
       ()
     }
 
+  /** q157's own index — build-then-delete would poison the shared one
+    * for q148/q150, so the delete probe gets a separate dir. */
+  private def bm25DelIdxDir(dir: String): String =
+    QueryDef.idxScratchDir("bm25delidx", dir)
+
+  private def ensureBm25DelIdx(s: SparkSession, dir: String): Unit =
+    if (bm25Built.add(bm25DelIdxDir(dir))) {
+      val docs = t(s, dir, "documents")
+      val h = graft.ops.Bm25Index.build(docs, "doc_id", bm25DelIdxDir(dir))
+      graft.ops.Bm25Index.delete(
+        h, docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+      ()
+    }
+
   /** Persistent BM25 index probe (library `Bm25Index`
     * build/load/topK — the production form of q70's operator): the
     * corpus tokenizes ONCE into a term-bucket-partitioned postings
@@ -3310,10 +3324,127 @@ object CurationQueries {
       benchFn = Some(probe))
   }
 
+  /** Batched phrase probe (library `Bm25Index.phraseTopKBatch` — the
+    * phrase member of the amortized-probe family: a phrase TABLE
+    * shares one pruned pass over the positional postings): three
+    * phrases — an ordinary bigram, a REPEATED-term phrase ("table
+    * table", both slots joining the same posting row independently),
+    * and one whose terms co-occur but never adjacently at rank depth
+    * (drops out naturally). Adjacency is the relational base-position
+    * form (`base = position − slot`, a base with ALL slots present is
+    * one occurrence); scores in the exact-integer `score_q`
+    * convention over each phrase's distinct terms. The oracle replays
+    * positions (parallel unnest), the slot join, the distinct-slot
+    * count, the per-(query, doc, term) quantized polynomial and the
+    * per-query ranks. */
+  val q156 = {
+    def probe(s: SparkSession, dir: String): DataFrame = {
+      import s.implicits._
+      val queries = Seq(
+        (1L, Seq("the", "data")),
+        (2L, Seq("table", "table")),
+        (3L, Seq("fast", "scan"))).toDF("qid", "phrase")
+      graft.ops.Bm25Index.phraseTopKBatch(
+          s, graft.ops.Bm25Index.load(s, bm25IdxDir(dir)),
+          queries, "qid", "phrase", k = 5)
+        .select(col("qid"), col("doc_id"), col("n_tok"),
+          col("phrase_tf"), col("score_q"), col("rank"))
+        .oracleOrderBy("qid", "rank")
+    }
+    QueryDef(
+      "q156_bm25_phrase_batch",
+      (s, dir) => { ensureBm25Idx(s, dir); probe(s, dir) },
+      Some("""WITH tk AS MATERIALIZED (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks
+          FROM documents),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                 CAST(sum(len(toks)) AS BIGINT) AS total FROM tk),
+        pos AS MATERIALIZED (
+          SELECT doc_id, unnest(toks) AS term, unnest(range(0, len(toks))) AS p
+          FROM tk),
+        q(qid, slot, term) AS (
+          SELECT * FROM (VALUES (CAST(1 AS BIGINT), 0, 'the'), (1, 1, 'data'),
+            (2, 0, 'table'), (2, 1, 'table'), (3, 0, 'fast'), (3, 1, 'scan')) v),
+        qlen AS (SELECT qid, count(*) AS plen FROM q GROUP BY qid),
+        bases AS (
+          SELECT q.qid, pos.doc_id, pos.p - q.slot AS base,
+            count(DISTINCT q.slot) AS nslots
+          FROM q JOIN pos ON pos.term = q.term
+          GROUP BY q.qid, pos.doc_id, pos.p - q.slot),
+        ph AS (
+          SELECT b.qid, b.doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
+          FROM bases b JOIN qlen l ON l.qid = b.qid
+          WHERE b.nslots = l.plen GROUP BY b.qid, b.doc_id),
+        post AS MATERIALIZED (
+          SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok, qt.term,
+            CAST(len(list_filter(t.toks, x -> x = qt.term)) AS BIGINT) AS tf
+          FROM tk t, (SELECT DISTINCT term FROM q) qt
+          WHERE list_contains(t.toks, qt.term)),
+        dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM post GROUP BY term),
+        sc AS (
+          SELECT qt.qid, p.doc_id, p.n_tok,
+            CAST(round(
+              ln(CAST(1 AS DOUBLE) +
+                (CAST(nn.nd AS DOUBLE) - CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+              * (CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+              / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                 * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                    * CAST(p.n_tok AS DOUBLE)
+                    / (CAST(nn.total AS DOUBLE) / CAST(nn.nd AS DOUBLE))))
+              * CAST(1048576 AS DOUBLE)) AS BIGINT) AS sq
+          FROM (SELECT DISTINCT qid, term FROM q) qt
+          JOIN post p ON p.term = qt.term JOIN dfs d ON d.term = qt.term, nn),
+        agg AS (
+          SELECT qid, doc_id, n_tok, CAST(sum(sq) AS BIGINT) AS score_q
+          FROM sc GROUP BY qid, doc_id, n_tok),
+        rk AS (
+          SELECT ph.qid, ph.doc_id, a.n_tok, ph.phrase_tf, a.score_q,
+            CAST(row_number() OVER (PARTITION BY ph.qid
+              ORDER BY a.score_q DESC, ph.doc_id) AS INT) AS rank
+          FROM ph JOIN agg a ON a.qid = ph.qid AND a.doc_id = ph.doc_id)
+        SELECT qid, doc_id, n_tok, phrase_tf, score_q, rank
+        FROM rk WHERE rank <= 5 ORDER BY qid, rank"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25Idx(s, dir)),
+      benchFn = Some(probe))
+  }
+
+  /** Tombstone deletion on the persistent BM25 index (library
+    * `Bm25Index.delete` — the right-to-be-forgotten path: a delete
+    * writes a small tombstone side table and decrements the meta
+    * stats, NEVER rewrites the 100 TB postings table; the physical
+    * purge is compact's job). This probe builds its OWN index (the
+    * shared q145 one stays pristine for q148/q150), deletes every
+    * `doc_id % 7 = 3` document, and runs q145's exact probe. The
+    * oracle is q70's derivation text with the remainder filter
+    * spliced into the corpus CTE — the ONE derivation now proves the
+    * direct scan (q70), the index round-trip (q145) and
+    * delete-equals-rebuild-on-the-remainder (here): probe-time N,
+    * avgdl and df must all describe the post-delete corpus or the
+    * hash breaks. */
+  val q157 = {
+    def probe(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Bm25Index.topK(
+          s, graft.ops.Bm25Index.load(s, bm25DelIdxDir(dir)),
+          Seq("data", "the", "query"), k = 25)
+        .select(col("doc_id"), col("n_tok"), round(col("score"), 6).as("score"))
+        .oracleOrderBy("doc_id")
+    QueryDef(
+      "q157_bm25_delete_probe",
+      (s, dir) => { ensureBm25DelIdx(s, dir); probe(s, dir) },
+      Some(bm25TopkOracleDuck.replace(
+        "FROM documents)", "FROM documents WHERE doc_id % 7 <> 3)")),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25DelIdx(s, dir)),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
       q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
-      q154, q155)
+      q154, q155, q156, q157)
 }

@@ -1212,7 +1212,63 @@ object EmbeddingQueries {
       benchFn = Some(probe))
   }
 
+  /** q158's index dir: q149's exact state plus a tombstone delete —
+    * its own dir so the shared index stays pristine for q149/q150/
+    * q151. */
+  private def annDelIdxDir(dir: String): String =
+    QueryDef.idxScratchDir("anndelidx", dir)
+
+  private def buildAnnDelIdx(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    if (annRebuilt.add(annDelIdxDir(dir))) {
+      val e = t(s, dir, "embeddings")
+      val d = annDelIdxDir(dir)
+      val h = graft.ops.AnnIndex.build(e, "embedding", "vec_id", d,
+        nCells = TrainK, m = PqM, k = 4, dim = Dim, iters = TrainIters)
+      graft.ops.AnnIndex.delete(h,
+        e.filter(col("vec_id") % 5 === 2).select(col("vec_id")), "vec_id")
+      ()
+    }
+
+  /** Tombstone deletion on the persistent ANN index (library
+    * `AnnIndex.delete` — the vector-side right-to-be-forgotten path:
+    * a delete writes a small tombstone side table that every probe
+    * anti-joins; the cell-partitioned code table is never rewritten
+    * — that is compact's job). Build q149's exact index in its own
+    * dir, delete every `vec_id % 5 = 2` vector, run the same vec-0
+    * probe. The oracle is q149's full derivation (both training
+    * chains on the FULL corpus — the quantizers are frozen by a
+    * delete — probe rule, ADC) with the remainder filter applied to
+    * the candidate set only: a deleted vector occupying any result
+    * slot, or the filter leaking into training, breaks the hash. */
+  val q158 = {
+    def probe(s: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame = {
+      graft.ops.AnnIndex.query(s,
+          graft.ops.AnnIndex.load(s, annDelIdxDir(dir)),
+          "vec_id", queryVec0(s, dir), k = 10, nProbe = 2)
+        .select(col("vec_id"), round(col("pq_dist"), 6).as("adc_dist"))
+        .oracleOrderBy("vec_id")
+    }
+    QueryDef(
+      "q158_ann_delete_probe",
+      (s, dir) => { buildAnnDelIdx(s, dir); probe(s, dir) },
+      Some(s"""WITH $annProbeCtesDuck
+      SELECT vec_id, round(pq_dist, 6) AS adc_dist FROM (
+        SELECT vec_id, pq_dist FROM annscored
+        WHERE vec_id % 5 <> 2
+        ORDER BY pq_dist ASC, vec_id LIMIT 10) topk
+      ORDER BY vec_id"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => {
+        buildAnnDelIdx(s, dir)
+        queryVec0(s, dir) // warm the memo: the probe must not pay the fetch
+        ()
+      }),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89, q92, q93, q129,
-      q131, q135, q137, q149, q151, q152, q153)
+      q131, q135, q137, q149, q151, q152, q153, q158)
 }

@@ -221,22 +221,16 @@ object OpsQueries {
     * against itself). The oracle splits the shared signature CTEs by
     * parity and re-derives both screens; the hash covers every batch
     * doc's exact/near flags and smallest matched corpus id. */
-  val q95 = QueryDef(
-    "q95_dedup_incremental",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.dedupAgainst(
-          docs.filter(col("doc_id") % 2 === 0),
-          docs.filter(col("doc_id") % 2 === 1),
-          "doc_id", threshold = 0.8)
-        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
-          col("near_dup_of"), col("is_new"))
-        .oracleOrderBy("doc_id")
-    },
-    Some(s"""WITH w AS MATERIALIZED (${TextQueries.wordsSqlDuck}),
+  /** The q95/q159 shared incremental-screen replay: batch = odd ids,
+    * corpus = every doc satisfying `corpusPred(prefix)` (q95's full
+    * even half; q159's even half minus the deleted ids) — the corpus
+    * predicate is spliced into BOTH screens (band candidates and the
+    * exact-md5 probe). */
+  private def dedupIncrOracleDuck(corpusPred: String => String): String =
+    s"""WITH w AS MATERIALIZED (${TextQueries.wordsSqlDuck}),
       sig AS MATERIALIZED (${TextQueries.sigSqlDuck}),
       bs AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
-      cs AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+      cs AS (SELECT * FROM sig WHERE ${corpusPred("")}),
       cand AS (
         SELECT DISTINCT doc_a, doc_b FROM (
           SELECT b.doc_id AS doc_a, c.doc_id AS doc_b FROM bs b JOIN cs c
@@ -262,7 +256,7 @@ object OpsQueries {
       ex AS (
         SELECT DISTINCT b.doc_id
         FROM documents b JOIN documents c
-          ON c.doc_id % 2 = 0 AND md5(c.text) = md5(b.text)
+          ON ${corpusPred("c.")} AND md5(c.text) = md5(b.text)
         WHERE b.doc_id % 2 = 1)
       SELECT d.doc_id,
         (ex.doc_id IS NOT NULL) AS exact_dup,
@@ -273,8 +267,72 @@ object OpsQueries {
       LEFT JOIN ex ON ex.doc_id = d.doc_id
       LEFT JOIN near nr ON nr.doc_id = d.doc_id
       WHERE d.doc_id % 2 = 1
-      ORDER BY d.doc_id"""),
+      ORDER BY d.doc_id"""
+
+  val q95 = QueryDef(
+    "q95_dedup_incremental",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dedupAgainst(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", threshold = 0.8)
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+          col("near_dup_of"), col("is_new"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(dedupIncrOracleDuck(p => s"${p}doc_id % 2 = 0")),
     bench = true)
+
+  /** q159's own persisted dedup index (the even half, then every
+    * `% 3 = 0` member tombstone-deleted) — per-JVM memo, the
+    * bm25DelIdx discipline. */
+  private def dedupDelIdxDir(dir: String): String =
+    QueryDef.idxScratchDir("dedupdelidx", dir)
+
+  private val dedupDelBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def ensureDedupDelIdx(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.ops.DedupIndex.Handle = {
+    val d = dedupDelIdxDir(dir)
+    if (dedupDelBuilt.add(d)) {
+      val docs = t(s, dir, "documents")
+      val h = graft.ops.DedupIndex.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", d)
+      graft.ops.DedupIndex.delete(
+        h, docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 3 === 0))
+      ()
+    }
+    graft.ops.DedupIndex.load(s, d)
+  }
+
+  /** Tombstone deletion on the persistent dedup index (library
+    * `DedupIndex.delete` — the dedup-side right-to-be-forgotten path:
+    * a deleted doc's fingerprint, minhash bands and word set all
+    * stand down without rewriting any of the three corpus-scaled
+    * tables). Build q95's corpus state as a PERSISTED index, delete
+    * every `doc_id % 3 = 0` member, screen the odd batch through
+    * `dedupBatch`. The oracle is q95's derivation with the remainder
+    * predicate spliced into both screens — a deleted doc still
+    * producing an exact or near verdict breaks the hash (and so does
+    * a tombstone leaking into the batch side). */
+  val q159 = QueryDef(
+    "q159_dedup_index_delete",
+    (s, dir) => {
+      val h = ensureDedupDelIdx(s, dir)
+      graft.ops.DedupIndex.dedupBatch(spark = s, handle = h,
+          batch = t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+          threshold = 0.8)
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+          col("near_dup_of"), col("is_new"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(dedupIncrOracleDuck(p =>
+      s"${p}doc_id % 2 = 0 AND ${p}doc_id % 3 <> 0")),
+    bench = true,
+    benchPrepare = Some((s, dir) => { ensureDedupDelIdx(s, dir); () }))
 
   /** Dedup.keepBest over Dedup.nearDuplicates clusters — curation-grade
     * keeper selection: each near-dup cluster keeps its highest
@@ -657,5 +715,5 @@ object OpsQueries {
 
   val all: Seq[QueryDef] =
     Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51, q52, q53, q54, q87, q95,
-      q96, q97, q139, q140)
+      q96, q97, q139, q140, q159)
 }

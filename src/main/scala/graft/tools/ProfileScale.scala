@@ -116,6 +116,62 @@ object ProfileScale {
           (3L + 3 * i, Seq("the", "query", "data")))
       }.toDF("qid", "terms")
     }
+    def phraseBatchQs(n: Int): DataFrame = {
+      import spark.implicits._
+      (0 until n).flatMap { i =>
+        Seq((1L + 3 * i, Seq("the", "data")), (2L + 3 * i, Seq("data", "the")),
+          (3L + 3 * i, Seq("and", "the", "data")))
+      }.toDF("qid", "phrase")
+    }
+    // round-12 deleted-index twins (q157/q158/q159): the tombstone
+    // anti-join's probe overhead is what these measure, so each is a
+    // FILE COPY of its pristine sibling (no second corpus pass) plus
+    // a delete — the shared indexes stay tombstone-free for every
+    // other entry
+    def copyDir(src: String, dst: String): Unit = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(src), fs,
+        new org.apache.hadoop.fs.Path(dst), false, conf)
+      ()
+    }
+    lazy val bm25DelH1 = {
+      copyDir(bm25H1.dir, s"$scratch/bm25del1")
+      graft.ops.Bm25Index.delete(
+        graft.ops.Bm25Index.load(spark, s"$scratch/bm25del1"),
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+    }
+    lazy val bm25DelH10 = {
+      copyDir(bm25H10.dir, s"$scratch/bm25del10")
+      graft.ops.Bm25Index.delete(
+        graft.ops.Bm25Index.load(spark, s"$scratch/bm25del10"),
+        docs10.filter(col("doc_id") % 7 === 3).select("doc_id"))
+    }
+    lazy val annDelH1 = {
+      copyDir(annH1.dir, s"$scratch/anndel1")
+      graft.ops.AnnIndex.delete(annH1.copy(dir = s"$scratch/anndel1"),
+        emb.filter(col("vec_id") % 5 === 2).select("vec_id"), "vec_id")
+    }
+    lazy val annDelH10 = {
+      copyDir(annH10.dir, s"$scratch/anndel10")
+      graft.ops.AnnIndex.delete(annH10.copy(dir = s"$scratch/anndel10"),
+        emb10.filter(col("vec_id") % 5 === 2).select("vec_id"), "vec_id")
+    }
+    lazy val dedupDelH1 = {
+      val h = graft.ops.DedupIndex.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", s"$scratch/dedupdel1")
+      graft.ops.DedupIndex.delete(
+        h, docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 3 === 0))
+    }
+    lazy val dedupDelH10 = {
+      val h = graft.ops.DedupIndex.build(
+        docs10.filter(col("doc_id") % 2 === 0), "doc_id", s"$scratch/dedupdel10")
+      graft.ops.DedupIndex.delete(
+        h, docs10.filter(col("doc_id") % 2 === 0 && col("doc_id") % 3 === 0))
+    }
+    lazy val dedupProbeBatch = docs.filter(col("doc_id") % 2 === 1)
+      .limit(500).localCheckpoint(true)
     lazy val bigCbCodebooks: Seq[Seq[(Long, Seq[Double])]] =
       (0 until 16).map { mi =>
         (0L until 256L).map(cid =>
@@ -740,6 +796,38 @@ object ProfileScale {
         () => graft.ops.AnnIndex.queryBatch(spark, bigCbH10,
           emb10.filter(col("vec_id") < 8), "embedding", "vec_id",
           k = 25, nProbe = 2)),
+      // round-12: the phrase member of the batched-probe family —
+      // corpus axis (one pruned positional pass, index-size-bounded)
+      // and query axis (one pass amortizes the whole phrase table)
+      ("q156 bm25-phrase-batch",
+        () => graft.ops.Bm25Index.phraseTopKBatch(
+          spark, bm25H1, phraseBatchQs(1), "qid", "phrase", k = 25),
+        () => graft.ops.Bm25Index.phraseTopKBatch(
+          spark, bm25H10, phraseBatchQs(1), "qid", "phrase", k = 25)),
+      ("q156 bm25-phrase-batch-10q-c10",
+        () => graft.ops.Bm25Index.phraseTopKBatch(
+          spark, bm25H10, phraseBatchQs(1), "qid", "phrase", k = 25),
+        () => graft.ops.Bm25Index.phraseTopKBatch(
+          spark, bm25H10, phraseBatchQs(10), "qid", "phrase", k = 25)),
+      // round-12: tombstoned-index probes — the delete anti-join must
+      // stay a broadcast against the small tombstone table; the probe
+      // keeps tracking the query's postings/cells, never the corpus
+      ("q157 bm25-del-probe",
+        () => graft.ops.Bm25Index.topK(
+          spark, bm25DelH1, Seq("data", "the", "query"), k = 25),
+        () => graft.ops.Bm25Index.topK(
+          spark, bm25DelH10, Seq("data", "the", "query"), k = 25)),
+      ("q158 ann-del-probe",
+        () => graft.ops.AnnIndex.query(spark, annDelH1, "vec_id", qv1,
+          k = 25, nProbe = 2),
+        () => graft.ops.AnnIndex.query(spark, annDelH10, "vec_id", qv10,
+          k = 25, nProbe = 2)),
+      // fixed 500-doc batch against 1x vs 10x tombstoned corpus state
+      ("q159 dedup-del-probe",
+        () => graft.ops.DedupIndex.dedupBatch(
+          spark, dedupDelH1, dedupProbeBatch, threshold = 0.8),
+        () => graft.ops.DedupIndex.dedupBatch(
+          spark, dedupDelH10, dedupProbeBatch, threshold = 0.8)),
       ("q147 sft-pack", () => {
           val withPrompt = docs.withColumn("prompt",
             concat(lit("summarize document "), col("doc_id").cast("string"),
@@ -782,8 +870,17 @@ object ProfileScale {
         annH1.dir; annH10.dir; qv1.size; qv10.size; ()
       }
       if (name.contains("bigcb")) { bigCbH1.dir; bigCbH10.dir; () }
-      if (name.startsWith("q154")) { bm25H1.dir; bm25H10.dir; () }
+      if (name.startsWith("q154") || name.startsWith("q156")) {
+        bm25H1.dir; bm25H10.dir; ()
+      }
       if (name.startsWith("q155")) { bm25fH1.dir; bm25fH10.dir; () }
+      if (name.startsWith("q157")) { bm25DelH1.dir; bm25DelH10.dir; () }
+      if (name.startsWith("q158")) {
+        annDelH1.dir; annDelH10.dir; qv1.size; qv10.size; ()
+      }
+      if (name.startsWith("q159")) {
+        dedupDelH1.dir; dedupDelH10.dir; dedupProbeBatch.count(); ()
+      }
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)
       val tN = run(s"$name x$factor", atN)

@@ -2877,6 +2877,71 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("AnnIndex.delete: probes skip tombstoned vectors; compact purges; rebuild clears") {
+    val dir = java.nio.file.Files.createTempDirectory("anndel").toString
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val built = AnnIndex.build(emb, "embedding", "vec_id", dir,
+        nCells = 4, m = 4, k = 4, dim = 64, iters = 2)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .collect().head.getSeq[Double](0).toSeq
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.getLong(0)).toSeq
+      val before = ids(AnnIndex.query(spark, built, "vec_id", qv, k = 5, nProbe = 2))
+      assert(before.nonEmpty)
+      // delete the query's own top hits — they must vanish and the
+      // next-best candidates take their slots (same probed cells)
+      val doomed = before.take(2)
+      val h2 = AnnIndex.delete(built, doomed.toDF("vec_id"), "vec_id")
+      assert(h2.hasTombstones)
+      val after = ids(AnnIndex.query(spark, h2, "vec_id", qv, k = 5, nProbe = 2))
+      assert(after.intersect(doomed).isEmpty, s"$after still holds $doomed")
+      assert(after.size == 5, after.toString)
+      // load picks the tombstones up from disk (no handle threading)
+      assert(AnnIndex.load(spark, dir).hasTombstones)
+      assert(ids(AnnIndex.query(spark, AnnIndex.load(spark, dir), "vec_id",
+        qv, k = 5, nProbe = 2)) == after)
+      // the batch probe honors them identically
+      val batch = AnnIndex.queryBatch(spark, h2,
+        emb.filter(col("vec_id") === 0), "embedding", "vec_id", k = 5, nProbe = 2)
+        .collect().map(_.getLong(1)).toSeq
+      assert(batch == after, s"batch $batch vs single $after")
+      // deleting again (replay) and deleting unknown ids is a no-op
+      AnnIndex.delete(h2, (doomed :+ 999999L).toDF("vec_id"), "vec_id")
+      assert(spark.read.parquet(s"$dir/tombstones").count() == 3L) // +unknown only
+      // re-adding a tombstoned id before compact refuses loudly
+      val e = intercept[Exception](AnnIndex.append(
+        h2, emb.filter(col("vec_id") === doomed.head), "embedding", "vec_id"))
+      assert(e.getMessage.contains("tombstoned"), e.getMessage)
+      // compact: physical purge, tombstones cleared, answers unchanged
+      AnnIndex.compact(h2)
+      assert(!java.nio.file.Files.exists(java.nio.file.Path.of(s"$dir/tombstones")))
+      val h3 = AnnIndex.load(spark, dir)
+      assert(!h3.hasTombstones)
+      assert(spark.read.parquet(s"$dir/codes")
+        .filter(col("vec_id").isin(doomed: _*)).count() == 0L)
+      assert(ids(AnnIndex.query(spark, h3, "vec_id", qv, k = 5, nProbe = 2)) == after)
+      // ...and the purged id is re-addable now
+      AnnIndex.append(h3, emb.filter(col("vec_id") === doomed.head),
+        "embedding", "vec_id")
+      assert(ids(AnnIndex.query(spark, AnnIndex.load(spark, dir), "vec_id",
+        qv, k = 5, nProbe = 2)).contains(doomed.head))
+      // rebuild clears tombstones: delete, then rebuild on the remainder
+      val h4 = AnnIndex.delete(AnnIndex.load(spark, dir),
+        Seq(doomed.head).toDF("vec_id"), "vec_id")
+      assert(h4.hasTombstones)
+      AnnIndex.rebuild(emb.filter(col("vec_id") =!= doomed.head),
+        "embedding", "vec_id", dir, nCells = 4, m = 4, k = 4, dim = 64, iters = 2)
+      assert(!java.nio.file.Files.exists(java.nio.file.Path.of(s"$dir/tombstones")))
+      assert(!AnnIndex.load(spark, dir).hasTombstones)
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("AnnIndex.queryBatch: bit-equal to per-query probes, one pruned pass") {
     val dir = java.nio.file.Files.createTempDirectory("annbatch").toString
     try {
@@ -3351,6 +3416,125 @@ class OpsSpec extends SparkSpec {
       assert(after == Map(0L -> 2L, 2L -> 1L, 3L -> 1L, 6L -> 1L), after.toString)
       assert(spark.read.parquet(s"$dir/postings")
         .groupBy("term", "doc_id").count().filter(col("count") > 1).count() == 0L)
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
+  test("Bm25Index.phraseTopKBatch: one pruned pass agrees with per-phrase probes; guards raise") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25phraseb").toString
+    try {
+      val corpus = Seq(
+        (0L, "big table scan over the big table here"),
+        (1L, "table big scan"),
+        (2L, "a big table"),
+        (3L, "big big table"),
+        (4L, "nothing relevant here"))
+        .toDF("doc_id", "text")
+      val h = Bm25Index.build(corpus, "doc_id", dir, numBuckets = 8)
+      val queries = Seq(
+        (1L, Seq("big", "table")),
+        (2L, Seq("big", "big")),
+        (3L, Seq("relevant", "big"))) // terms exist, phrase never occurs
+        .toDF("qid", "phrase")
+      val out = Bm25Index.phraseTopKBatch(spark, h, queries, "qid", "phrase", k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(5)) ->
+          ((r.getLong(1), r.getLong(3)))).toMap // (qid, rank) -> (doc, phrase_tf)
+      // per-phrase parity: ranked docs and occurrence counts match the
+      // single-phrase probe (the two score conventions agree on rank)
+      for ((qid, phrase) <- Seq(1L -> Seq("big", "table"), 2L -> Seq("big", "big"))) {
+        val single = Bm25Index.phraseTopK(spark, h, phrase, k = 10)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+        val fromBatch = (1 to single.size).map(rk => out((qid, rk)))
+        assert(fromBatch == single, s"qid $qid: $fromBatch vs $single")
+      }
+      // the no-occurrence phrase emits nothing
+      assert(!out.keys.exists(_._1 == 3L), out.toString)
+      // in-plan guards: duplicate qid, sub-2-term phrase, uppercase term
+      def run(qs: Seq[(Long, Seq[String])]) =
+        Bm25Index.phraseTopKBatch(spark, h,
+          qs.toDF("qid", "phrase"), "qid", "phrase").collect()
+      assert(intercept[Exception](run(Seq(1L -> Seq("big", "table"),
+        1L -> Seq("big", "big")))).getMessage.contains("duplicate"))
+      assert(intercept[Exception](run(Seq(1L -> Seq("big"))))
+        .getMessage.contains("at least two"))
+      assert(intercept[Exception](run(Seq(1L -> Seq("BIG", "table"))))
+        .getMessage.contains("lowercase"))
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
+  test("Bm25Index.delete: probes score the remainder exactly; compact purges and re-opens the id") {
+    val corpus = Seq(
+      (0L, "the quick data pipeline processes the query stream"),
+      (1L, "a long document about nothing in particular with many extra words here"),
+      (2L, "data data data everywhere and the query too"),
+      (3L, "the the the the repeated stopword document"),
+      (4L, "query optimization for data systems"),
+      (5L, "unrelated text with zero matching terms"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25del").toString
+    try {
+      val h = Bm25Index.build(corpus, "doc_id", dir, numBuckets = 8)
+      val terms = Seq("data", "the", "query")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // delete two docs (one a top scorer, one NULL-text), plus an id
+      // the index never held — the unknown id must contribute nothing
+      val h2 = Bm25Index.delete(h, Seq(2L, 6L, 99L).toDF("doc_id"))
+      assert(h2.nTombstones == 2L, h2.toString)
+      assert(h2.nDocs == 5L, h2.toString)
+      val remainder = corpus.filter(!col("doc_id").isin(2L, 6L))
+      // bit-parity with a fresh scan over the remainder: N, avgdl and
+      // df all describe the post-delete corpus
+      val direct = rows(Retrieval.bm25TopK(remainder, "doc_id", "text", terms, k = 4))
+      assert(rows(Bm25Index.topK(spark, h2, terms, k = 4)) == direct, "topK")
+      assert(direct.nonEmpty && !direct.exists(_._1 == 2L))
+      // replaying the delete (and deleting already-gone ids) is a no-op
+      val h3 = Bm25Index.delete(h2, Seq(2L, 6L).toDF("doc_id"))
+      assert(h3 == h2, s"$h3 vs $h2")
+      // a STALE pre-delete handle still probes (yesterday's state)
+      assert(rows(Bm25Index.topK(spark, h, terms, k = 4)).nonEmpty)
+      // re-adding a tombstoned id before compact refuses loudly
+      val readd = Seq((2L, "data query revival")).toDF("doc_id", "text")
+      val e = intercept[Exception](Bm25Index.append(h2, readd))
+      assert(e.getMessage.contains("tombstoned"), e.getMessage)
+      // appending a NEW doc keeps the tombstones in force
+      val h4 = Bm25Index.append(h2, Seq((7L, "more data here")).toDF("doc_id", "text"))
+      assert(h4.nTombstones == 2L && h4.nDocs == 6L, h4.toString)
+      val withNew = remainder.union(Seq((7L, "more data here")).toDF("doc_id", "text"))
+      assert(rows(Bm25Index.topK(spark, h4, terms, k = 5)) ==
+        rows(Retrieval.bm25TopK(withNew, "doc_id", "text", terms, k = 5)), "after append")
+      // compact: physical purge, stats recount, tombstones cleared
+      val h5 = Bm25Index.compact(h4)
+      assert(h5.nTombstones == 0L && h5.nDocs == 6L, h5.toString)
+      assert(!java.nio.file.Files.exists(java.nio.file.Path.of(s"$dir/tombstones")))
+      assert(Bm25Index.load(spark, dir) == h5)
+      assert(rows(Bm25Index.topK(spark, h5, terms, k = 5)) ==
+        rows(Retrieval.bm25TopK(withNew, "doc_id", "text", terms, k = 5)), "after compact")
+      // the purged postings really are gone (no anti-join crutch):
+      // a fresh 0-tombstone handle reads the files directly
+      assert(spark.read.parquet(s"$dir/postings")
+        .filter(col("doc_id") === 2L).count() == 0L)
+      // ...and the id is re-addable now
+      val h6 = Bm25Index.append(h5, readd)
+      assert(rows(Bm25Index.topK(spark, h6, terms, k = 7)) ==
+        rows(Retrieval.bm25TopK(
+          withNew.union(readd), "doc_id", "text", terms, k = 7)), "re-add")
+      // positional + batch probes honor tombstones too
+      val h7 = Bm25Index.delete(h6, Seq(0L).toDF("doc_id"))
+      assert(!Bm25Index.phraseTopK(spark, h7, Seq("data", "pipeline"), k = 10)
+        .collect().exists(_.getLong(0) == 0L))
+      assert(!Bm25Index.topKBatch(spark, h7,
+          Seq((1L, Seq("data", "query"))).toDF("qid", "terms"), "qid", "terms", k = 10)
+        .collect().exists(_.getLong(1) == 0L))
     } finally {
       val root = java.nio.file.Path.of(dir)
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
@@ -4339,6 +4523,64 @@ class OpsSpec extends SparkSpec {
       Seq((21L, "unrelated fresh material with novel words nothing shared here ok"))
         .toDF("doc_id", "text"), threshold = 0.5))
     assert(again(21L)._1 && !again(21L)._4, s"appended state missed: $again")
+  }
+
+  test("DedupIndex.delete: deleted docs stop matching; compact purges and re-opens the id") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and then naps"),
+      (2L, "completely different content about spark engines and data"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog and then naps"), // exact of 0
+      (13L, "the quick brown fox jumps over the lazy cat and then naps"), // near of 0
+      (15L, "completely different content about spark engines and data")) // exact of 2
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx_d_").toString
+    try {
+      val h = DedupIndex.build(corpus, "doc_id", dir)
+      def verdicts(hh: DedupIndex.Handle) =
+        DedupIndex.dedupBatch(spark, hh, probe, threshold = 0.5)
+          .select("doc_id", "exact_dup", "near_dup", "is_new")
+          .collect().map(r => r.getLong(0) ->
+            (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+      val before = verdicts(h)
+      assert(before(11L)._1 && before(13L)._2 && before(15L)._1, before.toString)
+      // delete doc 0 (with its text — the fp comes from it): the
+      // exact hit AND the near hit both stand down; doc 2 still hits
+      val h2 = DedupIndex.delete(h, corpus.filter(col("doc_id") === 0L))
+      assert(h2.hasTombstones)
+      val after = verdicts(h2)
+      assert(!after(11L)._1 && after(11L)._3, after.toString)
+      assert(!after(13L)._2 && after(13L)._3, after.toString)
+      assert(after(15L)._1 && !after(15L)._3, after.toString)
+      // load picks the tombstones up from disk
+      assert(DedupIndex.load(spark, dir).hasTombstones)
+      assert(verdicts(DedupIndex.load(spark, dir)) == after)
+      // replaying the delete adds nothing
+      DedupIndex.delete(h2, corpus.filter(col("doc_id") === 0L))
+      assert(spark.read.parquet(s"$dir/tombstones").count() == 1L)
+      // re-adding the tombstoned id before compact refuses loudly
+      val e = intercept[Exception](DedupIndex.append(
+        h2, corpus.filter(col("doc_id") === 0L)))
+      assert(e.getMessage.contains("tombstoned"), e.getMessage)
+      // compact: physical purge, tombstones cleared, verdicts stable
+      DedupIndex.compact(h2)
+      assert(!java.nio.file.Files.exists(java.nio.file.Path.of(s"$dir/tombstones")))
+      val h3 = DedupIndex.load(spark, dir)
+      assert(!h3.hasTombstones)
+      assert(spark.read.parquet(s"$dir/signatures")
+        .filter(col("doc_id") === 0L).count() == 0L)
+      assert(spark.read.parquet(s"$dir/fingerprints").count() == 1L) // doc 2's
+      assert(verdicts(h3) == after, s"${verdicts(h3)} vs $after")
+      // ...and the id is re-addable now: the exact hit comes back
+      DedupIndex.append(h3, corpus.filter(col("doc_id") === 0L))
+      val readded = verdicts(DedupIndex.load(spark, dir))
+      assert(readded(11L)._1 && readded(13L)._2, readded.toString)
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
   }
 
   test("DedupIndex.compact: replayed appends collapse, probe verdicts unchanged") {
