@@ -774,6 +774,169 @@ object Bm25Index {
         col("phrase_tf"), col("score_q"), col("rank"))
   }
 
+  /** Weighted-term BM25 top-k — the second pass of relevance-feedback
+    * retrieval ([[rm3Expand]] produces the weights; any caller-built
+    * `(term, weight_q)` table works). The term set is DATA-DERIVED
+    * (an expansion model's output), so nothing here is
+    * driver-resident: guards are in-plan, bucket pruning comes from
+    * the distinct buckets of the weight table's terms (a
+    * ≤ numBuckets collect), df stays a DataFrame, and the score is
+    * the exact-integer convention composed with the weights —
+    * per (term, doc) `round(weight_q · s)` where `s` is the classic
+    * per-term BM25 double and `weight_q` the term's 2²⁰-quantized
+    * weight, BIGINT-summed per doc (order-free; `score_q2` is thus in
+    * units of 2⁻⁴⁰ of a weighted score). Emits `(id, n_tok,
+    * score_q2)`, top `k` by (score_q2 desc, id). */
+  def topKWeighted(
+      spark: SparkSession, handle: Handle, weights: DataFrame,
+      k: Int = 10, k1: Double = Retrieval.DefaultK1,
+      b: Double = Retrieval.DefaultB): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(handle.nDocs > 0, "topKWeighted over an empty index")
+    require(weights.columns.contains("term") && weights.columns.contains("weight_q"),
+      s"weights must carry (term, weight_q), has ${weights.columns.mkString(", ")}")
+    val dupW = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val wt = weights
+      .withColumn("__n", count(lit(1)).over(dupW))
+      .select(
+        when(col("term").isNull, raise_error(lit(
+            "topKWeighted: NULL term")))
+          .when(col("term") =!= lower(col("term")), raise_error(concat(
+            lit("topKWeighted: terms must be lowercase (documents are " +
+              "lowercased before matching): "), col("term"))))
+          .when(col("__n") > 1, raise_error(concat(
+            lit("topKWeighted: duplicate term "), col("term"))))
+          .otherwise(col("term")).as("term"),
+        when(col("weight_q") <= 0L, raise_error(concat(
+            lit("topKWeighted: weight_q must be positive for "), col("term"))))
+          .otherwise(col("weight_q").cast("long")).as("weight_q"))
+      .localCheckpoint(true) // feeds bucket collect AND the score join
+    val buckets = wt
+      .select(pmod(hash(col("term")), lit(handle.numBuckets)).cast("int").as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = liveOnly(spark, handle,
+        spark.read.parquet(s"${handle.dir}/postings")
+          .filter(col("term_bucket").isin(buckets: _*))
+          .join(wt.select("term"), Seq("term"), "left_semi"))
+      // collapse v2 multi-field rows to per (term, doc) — see topK
+      .groupBy(col("term"), col(handle.idCol), col("n_tok"))
+      .agg(sum(col("tf")).as("tf"))
+      .localCheckpoint(true) // feeds df counts AND candidates
+    val dfs = pruned.groupBy("term").agg(count(lit(1)).as("__df"))
+    val avgdl = handle.totalTokens.toDouble / handle.nDocs.toDouble
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      (lit(handle.nDocs.toDouble) - col("__df").cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5)))
+    val termScore = idf * (tf * lit(k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("n_tok").cast("double") / lit(avgdl)))
+    val id = col(handle.idCol)
+    wt.join(pruned, Seq("term")).join(dfs, Seq("term"))
+      .withColumn("__sq",
+        round(col("weight_q").cast("double") * termScore).cast("long"))
+      .groupBy(id, col("n_tok"))
+      .agg(sum(col("__sq")).as("score_q2"))
+      .filter(col("score_q2") > 0L)
+      .orderBy(col("score_q2").desc, id)
+      .limit(k)
+  }
+
+  /** RM3 pseudo-relevance-feedback query expansion over the standing
+    * index: run the original query, treat its top `fbDocs` hits as
+    * relevant, build a relevance model from their term statistics,
+    * and interpolate it with the original query into a weighted term
+    * table for [[topKWeighted]] — retrieval quality's classic
+    * no-supervision lever (Lavrenko & Croft's relevance models; the
+    * reference pipeline has no retrieval feedback loop — this is
+    * engine-side infrastructure for the RAG stack).
+    *
+    * Every weight is derived in exact integer arithmetic so the
+    * chain is order-free and oracle-replayable:
+    *  - first pass: [[topK]]'s candidates in the [[topKBatch]]
+    *    convention — doc score `s_q = Σ_t round(s_t·2²⁰)` (BIGINT),
+    *    top `fbDocs` by (s_q desc, id);
+    *  - relevance model: for every term t of feedback doc d
+    *    (re-tokenized from `corpus` — the postings table is
+    *    term-partitioned, a by-doc read of it would scan every
+    *    bucket; fetching `fbDocs` rows by id from the corpus is the
+    *    production-shaped point lookup), the contribution
+    *    `round(tf_td · s_q(d) / len_d)` — P(t|d) times the doc's
+    *    (quantized) query likelihood — BIGINT-summed over the
+    *    feedback set into `w_q(t)`;
+    *  - expansion: top `fbTerms` candidates by (w_q desc, term);
+    *  - interpolation: original terms get `round(λ·2²⁰/|Q|)` each
+    *    (uniform query model), selected terms add
+    *    `round((1−λ)·2²⁰·w_q/Σw_q)` (the relevance model normalized
+    *    over the selected set) — both exact given the integer
+    *    inputs.
+    * Emits `(term, weight_q, in_query, w_q)` — ready for
+    * [[topKWeighted]], with the provenance columns for auditing. */
+  def rm3Expand(
+      spark: SparkSession, handle: Handle, corpus: DataFrame,
+      queryTerms: Seq[String], fbDocs: Int = 5, fbTerms: Int = 5,
+      lambda: Double = 0.5, textCol: String = "text",
+      k1: Double = Retrieval.DefaultK1,
+      b: Double = Retrieval.DefaultB): DataFrame = {
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(fbTerms >= 1, s"fbTerms must be >= 1, got $fbTerms")
+    require(lambda > 0.0 && lambda < 1.0,
+      s"lambda must be in (0, 1) — 1 disables feedback, 0 discards the query; " +
+        s"got $lambda")
+    require(queryTerms.nonEmpty && queryTerms.distinct.size == queryTerms.size,
+      s"query terms must be non-empty and distinct: $queryTerms")
+    require(queryTerms.forall(t => t == t.toLowerCase),
+      s"query terms must be lowercase: $queryTerms")
+    import spark.implicits._
+    // first pass in the quantized convention (one row per query)
+    val first = topKBatch(spark, handle,
+        Seq((0L, queryTerms)).toDF("__qid", "__terms"), "__qid", "__terms",
+        k = fbDocs, k1 = k1, b = b)
+      .select(col(handle.idCol), col("score_q"))
+    val fb = first.collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    require(fb.nonEmpty, s"rm3Expand: the query $queryTerms matched nothing")
+    val fbIds = fb.map(_._1)
+    // fbDocs point lookups by id — literal isin pushes to the scan
+    val fbScores = fb.toDF(handle.idCol, "__sq_doc")
+    val toksOf = split(trim(lower(col(textCol))), "\\s+")
+    val wq = corpus.filter(col(handle.idCol).isin(fbIds: _*))
+      .select(col(handle.idCol), toksOf.as("__toks"))
+      .select(col(handle.idCol), size(col("__toks")).cast("long").as("__len"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col(handle.idCol), col("__len"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+      .join(broadcast(fbScores), Seq(handle.idCol))
+      .withColumn("__c", round(col("__tf").cast("double") *
+        col("__sq_doc").cast("double") / col("__len").cast("double")).cast("long"))
+      .groupBy("term").agg(sum(col("__c")).as("w_q"))
+    val selected = wq
+      .orderBy(col("w_q").desc, col("term")) // TakeOrderedAndProject
+      .limit(fbTerms)
+      .localCheckpoint(true) // tiny (fbTerms rows); feeds sum + join
+    val totalW = selected.agg(sum("w_q")).collect().head.getLong(0)
+    require(totalW > 0L,
+      s"rm3Expand: the feedback docs' relevance-model mass rounded to zero " +
+        s"(every candidate term's tf·s/len < 0.5) — raise fbDocs or rethink " +
+        s"the query $queryTerms")
+    val origQ = math.round(lambda * 1048576.0 / queryTerms.size)
+    val orig = queryTerms.map(t => (t, origQ)).toDF("term", "__oq")
+    orig.join(selected.select(col("term"),
+          round(lit(1.0 - lambda) * lit(1048576.0) *
+            col("w_q").cast("double") / lit(totalW.toDouble)).cast("long")
+            .as("__eq"), col("w_q")),
+        Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("__oq"), lit(0L)) + coalesce(col("__eq"), lit(0L)))
+          .as("weight_q"),
+        col("__oq").isNotNull.as("in_query"),
+        coalesce(col("w_q"), lit(0L)).as("w_q"))
+      // a selected term whose interpolated weight rounds to zero
+      // (w_q/Σw_q < 2⁻²¹ under a dominant sibling) contributes
+      // nothing — drop it rather than hand topKWeighted a
+      // zero-weight row its guard would (rightly) refuse
+      .filter(col("weight_q") > 0L)
+  }
+
   /** Field-weighted BM25F top-k (the simple Robertson form): per
     * field, tf normalizes by THAT field's length
     * (`B_f = (1-b) + b·len_f/avgdl_f`), the weighted normalized tfs

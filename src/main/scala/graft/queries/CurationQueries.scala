@@ -3441,10 +3441,157 @@ object CurationQueries {
       benchFn = Some(probe))
   }
 
+  /** The q160/q161 shared replay of `Bm25Index.rm3Expand`'s exact-
+    * integer chain over the "data the query" probe: first pass in the
+    * quantized topKBatch convention (per-(doc, term) `round(s·2²⁰)`
+    * BIGINT-summed, top-fbDocs by (score desc, id)), relevance-model
+    * contributions `round(tf·s_q(d)/len)` summed per term, the
+    * top-fbTerms selection (w desc, term), and the λ-interpolated
+    * final weights. Ends with `fin(term, weight_q, in_query, w_q)`
+    * — q160 selects it, q161 layers the weighted second pass on
+    * top. */
+  private val rm3CtesDuck: String = """WITH tk AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks
+        FROM documents),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(len(toks)) AS BIGINT) AS total FROM tk),
+      qt(term) AS (SELECT * FROM (VALUES ('data'), ('the'), ('query')) v),
+      post AS MATERIALIZED (
+        SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok, q.term,
+          CAST(len(list_filter(t.toks, x -> x = q.term)) AS BIGINT) AS tf
+        FROM tk t, qt q WHERE list_contains(t.toks, q.term)),
+      dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM post GROUP BY term),
+      sq AS (
+        SELECT p.doc_id,
+          CAST(round(
+            ln(CAST(1 AS DOUBLE) +
+              (CAST(nn.nd AS DOUBLE) - CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+            * (CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+            / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+               * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                  * CAST(p.n_tok AS DOUBLE)
+                  / (CAST(nn.total AS DOUBLE) / CAST(nn.nd AS DOUBLE))))
+            * CAST(1048576 AS DOUBLE)) AS BIGINT) AS s
+        FROM post p JOIN dfs d ON d.term = p.term, nn),
+      docsq AS (
+        SELECT doc_id, CAST(sum(s) AS BIGINT) AS sq_doc
+        FROM sq GROUP BY doc_id HAVING sum(s) > 0),
+      fb AS (SELECT doc_id, sq_doc FROM docsq
+             ORDER BY sq_doc DESC, doc_id LIMIT 5),
+      fbt AS (
+        SELECT f.doc_id, f.sq_doc, CAST(len(t.toks) AS BIGINT) AS len,
+          unnest(t.toks) AS term
+        FROM fb f JOIN tk t ON t.doc_id = f.doc_id),
+      contrib AS (
+        SELECT doc_id, term,
+          CAST(round(CAST(count(*) AS DOUBLE) * CAST(max(sq_doc) AS DOUBLE)
+            / CAST(max(len) AS DOUBLE)) AS BIGINT) AS c
+        FROM fbt GROUP BY doc_id, term),
+      wq AS (SELECT term, CAST(sum(c) AS BIGINT) AS w_q
+             FROM contrib GROUP BY term),
+      sel AS (SELECT term, w_q FROM wq ORDER BY w_q DESC, term LIMIT 5),
+      tot AS (SELECT CAST(sum(w_q) AS BIGINT) AS tw FROM sel),
+      orig(term) AS (SELECT * FROM (VALUES ('data'), ('the'), ('query')) v2),
+      fin AS (
+        SELECT coalesce(o.term, s.term) AS term,
+          CAST(coalesce(CASE WHEN o.term IS NOT NULL THEN
+              CAST(round(CAST(0.5 AS DOUBLE) * CAST(1048576 AS DOUBLE)
+                / CAST(3 AS DOUBLE)) AS BIGINT) END, 0)
+            + coalesce(CAST(round((CAST(0.5 AS DOUBLE) * CAST(1048576 AS DOUBLE))
+                * CAST(s.w_q AS DOUBLE) / CAST(tot.tw AS DOUBLE)) AS BIGINT), 0)
+            AS BIGINT) AS weight_q,
+          (o.term IS NOT NULL) AS in_query,
+          CAST(coalesce(s.w_q, 0) AS BIGINT) AS w_q
+        FROM orig o FULL OUTER JOIN sel s ON s.term = o.term, tot)"""
+
+  /** RM3 pseudo-relevance-feedback expansion (library
+    * `Bm25Index.rm3Expand` — retrieval quality's classic
+    * no-supervision lever over the standing index: the original
+    * query's top hits vote terms into a relevance model, interpolated
+    * back into a weighted query). Every weight is exact-integer
+    * (contributions `round(tf·s_q/len)` BIGINT-summed, λ-shares
+    * rounded once), so the oracle replays the WHOLE chain — first
+    * pass, feedback-doc term statistics, top-term selection and the
+    * interpolation — and one wrong weight anywhere breaks the hash. */
+  val q160 = {
+    def probe(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Bm25Index.rm3Expand(
+          s, graft.ops.Bm25Index.load(s, bm25IdxDir(dir)),
+          t(s, dir, "documents"), Seq("data", "the", "query"),
+          fbDocs = 5, fbTerms = 5, lambda = 0.5)
+        .select(col("term"), col("weight_q"), col("in_query"), col("w_q"))
+        .oracleOrderBy("term")
+    QueryDef(
+      "q160_rm3_expand",
+      (s, dir) => { ensureBm25Idx(s, dir); probe(s, dir) },
+      Some(s"""$rm3CtesDuck
+      SELECT term, weight_q, in_query, w_q FROM fin
+      WHERE weight_q > 0 ORDER BY term"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25Idx(s, dir)),
+      benchFn = Some(probe))
+  }
+
+  /** The expanded retrieval itself (library `Bm25Index.topKWeighted`
+    * over q160's expansion — the RM3 second pass): the weighted term
+    * table probes the index relationally (nothing driver-resident:
+    * the term set is data-derived), scoring per (doc, term)
+    * `round(weight_q · s)` BIGINT-summed. The oracle chains q160's
+    * whole derivation into the weighted scoring pass — df for the
+    * expansion terms, the weighted quantized polynomial, and the
+    * final ranking all replayed. */
+  val q161 = {
+    def probe(s: SparkSession, dir: String): DataFrame = {
+      val h = graft.ops.Bm25Index.load(s, bm25IdxDir(dir))
+      graft.ops.Bm25Index.topKWeighted(s, h,
+          graft.ops.Bm25Index.rm3Expand(s, h, t(s, dir, "documents"),
+            Seq("data", "the", "query"), fbDocs = 5, fbTerms = 5, lambda = 0.5),
+          k = 10)
+        .select(col("doc_id"), col("n_tok"), col("score_q2"))
+        .oracleOrderBy("doc_id")
+    }
+    QueryDef(
+      "q161_rm3_topk",
+      (s, dir) => { ensureBm25Idx(s, dir); probe(s, dir) },
+      Some(s"""$rm3CtesDuck,
+      wterm AS (SELECT term, weight_q FROM fin WHERE weight_q > 0),
+      post2 AS MATERIALIZED (
+        SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok, w.term,
+          w.weight_q,
+          CAST(len(list_filter(t.toks, x -> x = w.term)) AS BIGINT) AS tf
+        FROM tk t, wterm w WHERE list_contains(t.toks, w.term)),
+      dfs2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+               FROM post2 GROUP BY term),
+      sq2 AS (
+        SELECT p.doc_id, p.n_tok,
+          CAST(round(CAST(p.weight_q AS DOUBLE) * (
+            ln(CAST(1 AS DOUBLE) +
+              (CAST(nn.nd AS DOUBLE) - CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+            * (CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+            / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+               * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                  * CAST(p.n_tok AS DOUBLE)
+                  / (CAST(nn.total AS DOUBLE) / CAST(nn.nd AS DOUBLE))))))
+            AS BIGINT) AS s
+        FROM post2 p JOIN dfs2 d ON d.term = p.term, nn),
+      agg2 AS (
+        SELECT doc_id, n_tok, CAST(sum(s) AS BIGINT) AS score_q2
+        FROM sq2 GROUP BY doc_id, n_tok HAVING sum(s) > 0)
+      SELECT doc_id, n_tok, score_q2 FROM (
+        SELECT * FROM agg2 ORDER BY score_q2 DESC, doc_id LIMIT 10) x
+      ORDER BY doc_id"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25Idx(s, dir)),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
       q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
-      q154, q155, q156, q157)
+      q154, q155, q156, q157, q160, q161)
 }

@@ -809,6 +809,19 @@ object ProfileScale {
           spark, bm25H10, phraseBatchQs(1), "qid", "phrase", k = 25),
         () => graft.ops.Bm25Index.phraseTopKBatch(
           spark, bm25H10, phraseBatchQs(10), "qid", "phrase", k = 25)),
+      // round-12: the full RM3 chain (first pass -> fbDocs point
+      // lookups in the corpus -> relevance model -> weighted second
+      // pass) — cost must track the query/expansion terms' postings
+      // plus a constant-size corpus fetch, never a corpus pass
+      ("q161 rm3-expand-topk",
+        () => graft.ops.Bm25Index.topKWeighted(spark, bm25H1,
+          graft.ops.Bm25Index.rm3Expand(spark, bm25H1, docs,
+            Seq("data", "the", "query"), fbDocs = 5, fbTerms = 5,
+            lambda = 0.5), k = 25),
+        () => graft.ops.Bm25Index.topKWeighted(spark, bm25H10,
+          graft.ops.Bm25Index.rm3Expand(spark, bm25H10, docs10,
+            Seq("data", "the", "query"), fbDocs = 5, fbTerms = 5,
+            lambda = 0.5), k = 25)),
       // round-12: tombstoned-index probes — the delete anti-join must
       // stay a broadcast against the small tombstone table; the probe
       // keeps tracking the query's postings/cells, never the corpus
@@ -870,7 +883,8 @@ object ProfileScale {
         annH1.dir; annH10.dir; qv1.size; qv10.size; ()
       }
       if (name.contains("bigcb")) { bigCbH1.dir; bigCbH10.dir; () }
-      if (name.startsWith("q154") || name.startsWith("q156")) {
+      if (name.startsWith("q154") || name.startsWith("q156") ||
+          name.startsWith("q161")) {
         bm25H1.dir; bm25H10.dir; ()
       }
       if (name.startsWith("q155")) { bm25fH1.dir; bm25fH10.dir; () }

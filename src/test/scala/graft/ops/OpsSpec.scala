@@ -3542,6 +3542,65 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Bm25Index.rm3Expand/topKWeighted: feedback terms widen recall; uniform weights reduce to topKBatch") {
+    val corpus = Seq(
+      (0L, "alpha beta beta gamma"),
+      (1L, "beta gamma delta"),          // shares only expansion terms with the query
+      (2L, "unrelated words entirely here"),
+      (3L, "alpha gamma"),
+      (4L, "nothing relevant"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25rm3").toString
+    try {
+      val h = Bm25Index.build(corpus, "doc_id", dir, numBuckets = 8)
+      // uniform 2^20 weights on the plain query terms == topKBatch's
+      // quantized convention exactly (round(2^20 * s) == round(s * 2^20))
+      val uni = Seq(("alpha", 1048576L), ("gamma", 1048576L))
+        .toDF("term", "weight_q")
+      val viaWeighted = Bm25Index.topKWeighted(spark, h, uni, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val viaBatch = Bm25Index.topKBatch(spark, h,
+          Seq((0L, Seq("alpha", "gamma"))).toDF("qid", "terms"), "qid", "terms", k = 10)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(viaWeighted == viaBatch, s"$viaWeighted vs $viaBatch")
+      // rm3 on "alpha": feedback docs are 0 and 3; beta/gamma surface
+      val exp = Bm25Index.rm3Expand(spark, h, corpus, Seq("alpha"),
+        fbDocs = 2, fbTerms = 3, lambda = 0.5)
+      val rows = exp.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3))))
+        .toMap
+      assert(rows("alpha")._2, rows.toString) // in_query
+      assert(rows.contains("beta") || rows.contains("gamma"), rows.toString)
+      assert(rows.values.forall(_._1 > 0L), rows.toString)
+      // the original term carries lambda * 2^20 (|Q| = 1) plus its rm share
+      assert(rows("alpha")._1 >= 524288L, rows.toString)
+      // end-to-end: doc 1 shares NO original term, only expansion terms
+      // — invisible to the plain query, retrieved after expansion
+      val plain = Bm25Index.topK(spark, h, Seq("alpha"), k = 10)
+        .collect().map(_.getLong(0)).toSeq
+      assert(!plain.contains(1L), plain.toString)
+      val expanded = Bm25Index.topKWeighted(spark, h, exp, k = 10)
+        .collect().map(_.getLong(0)).toSeq
+      assert(expanded.contains(1L), expanded.toString)
+      assert(expanded.contains(0L), expanded.toString)
+      // guards: lambda bounds, uppercase query, duplicate weighted term
+      assert(intercept[IllegalArgumentException](Bm25Index.rm3Expand(
+        spark, h, corpus, Seq("alpha"), lambda = 1.0)).getMessage.contains("lambda"))
+      assert(intercept[IllegalArgumentException](Bm25Index.rm3Expand(
+        spark, h, corpus, Seq("Alpha"))).getMessage.contains("lowercase"))
+      assert(intercept[Exception](Bm25Index.topKWeighted(spark, h,
+          Seq(("alpha", 5L), ("alpha", 7L)).toDF("term", "weight_q"), k = 3)
+        .collect()).getMessage.contains("duplicate"))
+      assert(intercept[Exception](Bm25Index.topKWeighted(spark, h,
+          Seq(("alpha", 0L)).toDF("term", "weight_q"), k = 3)
+        .collect()).getMessage.contains("positive"))
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("Bm25Index.bm25fTopK: field weights re-rank title vs body hits without re-indexing") {
     val dir = java.nio.file.Files.createTempDirectory("bm25f").toString
     try {
