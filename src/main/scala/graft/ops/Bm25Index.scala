@@ -671,6 +671,109 @@ object Bm25Index {
       .limit(k)
   }
 
+  /** Snippet extraction from the positional postings — the
+    * presentation step a RAG pipeline runs after ranking: for each of
+    * the query's top-`k` docs, the best `width`-token window
+    * (maximizing DISTINCT query terms covered, then total term hits,
+    * then the smallest start) computed entirely from the index's
+    * sorted `positions` arrays — the raw text is NEVER re-read or
+    * re-tokenized (the caller slices the snippet out of the stored
+    * doc by token offset). Candidate windows are anchored at term
+    * occurrences: any window slides right to its first hit without
+    * losing one, so the hit-anchored set contains an optimal window
+    * and the tie-break makes the answer unique. The whole
+    * window-scan is per-row array arithmetic on the pivoted
+    * positions (one `transform` over the candidate starts, an
+    * `array_max` over lexicographic (n_terms, n_hits, −start)
+    * structs) — no explode, no self-join, codegen-friendly; work is
+    * proportional to the top docs' occurrence counts. Scoring and
+    * ranking are [[phraseTopK]]'s field-restricted polynomial over
+    * the same pruned slice. Emits `(id, n_tok, score, win_start,
+    * win_n_terms, win_n_hits)`, top `k` by (score desc, id). */
+  def snippetTopK(
+      spark: SparkSession, handle: Handle, queryTerms: Seq[String],
+      width: Int = 16, k: Int = 10, field: Option[String] = None,
+      k1: Double = Retrieval.DefaultK1,
+      b: Double = Retrieval.DefaultB): DataFrame = {
+    requirePositional(handle, "snippetTopK")
+    requireQueryTerms(queryTerms, "snippetTopK")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"query terms must be distinct: $queryTerms")
+    require(queryTerms.size <= MaxQueryTerms,
+      s"at most $MaxQueryTerms query terms, got ${queryTerms.size}")
+    require(width >= 1, s"width must be >= 1, got $width")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(handle.nDocs > 0, "snippetTopK over an empty index")
+    val fld = field.getOrElse {
+      require(handle.fields.size == 1,
+        s"multi-field index (${handle.fields.mkString(", ")}): name the " +
+          "field to snippet against")
+      handle.fields.head
+    }
+    val fi = handle.fields.indexOf(fld)
+    require(fi >= 0, s"unknown field '$fld' — index has ${handle.fields}")
+    val buckets = bucketsFor(spark, queryTerms, handle.numBuckets).distinct
+    val pruned = liveOnly(spark, handle,
+      spark.read.parquet(s"${handle.dir}/postings")
+        .filter(col("term_bucket").isin(buckets: _*) &&
+          col("term").isin(queryTerms: _*) && col("field") === fld))
+    val dfs: Map[String, Long] = pruned.groupBy("term")
+      .agg(count(lit(1)).as("__df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val id = col(handle.idCol)
+    val pivoted = pruned.groupBy(id, col("n_tok_f")).agg(
+      max(when(col("term") === queryTerms.head, col("tf"))).as("__tf0"),
+      (queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
+        max(when(col("term") === t, col("tf"))).as(s"__tf$i") } ++
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          max(when(col("term") === t,
+            col("positions"))).as(s"__pos$i") }): _*)
+    val avgdlF = handle.fieldTokens(fi).toDouble / handle.nDocs.toDouble
+    val perTerm = queryTerms.zipWithIndex.map { case (term, i) =>
+      val dft = dfs.getOrElse(term, 0L)
+      val idf = log(lit(1.0) + lit(handle.nDocs - dft + 0.5) / lit(dft + 0.5))
+      val tf = coalesce(col(s"__tf$i").cast("double"), lit(0.0))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("n_tok_f").cast("double") / lit(avgdlF)))
+    }
+    // per-row window scan: candidate starts are every term occurrence;
+    // score each start by (distinct terms covered, total hits, −start)
+    // and take the lexicographic array_max — integer-only, unique
+    val starts = array_distinct(flatten(
+      array(queryTerms.indices.map(i => col(s"__pos$i")): _*)))
+    def inWin(i: Int, p: org.apache.spark.sql.Column) =
+      filter(col(s"__pos$i"), x => x >= p && x < p + lit(width))
+    val winStructs = transform(starts, p => struct(
+      queryTerms.indices
+        .map(i => when(exists(col(s"__pos$i"), x => x >= p && x < p + lit(width)),
+          lit(1)).otherwise(lit(0)))
+        .reduce(_ + _).as("nt"),
+      queryTerms.indices.map(i => size(inWin(i, p))).reduce(_ + _).as("nh"),
+      (-p).as("negstart")))
+    val best = array_max(winStructs)
+    // orderBy → select → limit is the Limit(Project(Sort)) shape that
+    // plans as ONE TakeOrderedAndProject: the top k surface through a
+    // partial per-partition take (no global sort exchange), and the
+    // window-scan projection runs on the K SURVIVORS only — a project
+    // placed above the limit instead would break the pattern into
+    // Sort + single-partition Exchange + GlobalLimit (a mid-plan
+    // funnel) and scan windows for every candidate
+    pivoted
+      .select((id +: col("n_tok_f").as("n_tok") +:
+        perTerm.reduce(_ + _).as("score") +:
+        queryTerms.indices.map(i =>
+          coalesce(col(s"__pos$i"), array().cast("array<int>"))
+            .as(s"__pos$i"))): _*)
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, id)
+      .select(id, col("n_tok"), col("score"),
+        (-best.getField("negstart")).cast("long").as("win_start"),
+        best.getField("nt").cast("long").as("win_n_terms"),
+        best.getField("nh").cast("long").as("win_n_hits"))
+      .limit(k)
+  }
+
   /** Batched phrase probe — [[phraseTopK]]'s table form and the
     * phrase member of the amortized-probe family
     * ([[topKBatch]]/[[graft.ops.AnnIndex.queryBatch]]): a TABLE of

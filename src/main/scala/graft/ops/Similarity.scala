@@ -234,6 +234,96 @@ object Similarity {
       .withColumn("recall", col("n_hits").cast("double") / col("n_exact"))
   }
 
+  /** Round-half-away-from-zero — Spark `round()` and DuckDB `round()`
+    * both round halves AWAY from zero; `math.round` rounds toward
+    * +∞, which disagrees on negative halves — a driver-side replay of
+    * an engine quantization must use this. */
+  private def roundHalfAway(x: Double): Long =
+    if (x >= 0) math.round(x) else -math.round(-x)
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein) —
+    * the diversity pass a RAG retriever runs over its candidate list:
+    * greedily pick `k` items maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)` so near-duplicate hits
+    * stop crowding out coverage. The greedy loop is inherently
+    * sequential and the candidate list is top-N-sized BY CONSTRUCTION
+    * (a retriever's output, never the corpus) — so this runs on the
+    * driver over the collected candidates, with `maxCandidates` the
+    * loud ceiling (the [[trainCodebook]] "models are driver-resident"
+    * posture; the corpus-scaled work already happened upstream in the
+    * index probe that produced `candidates`).
+    *
+    * Determinism: each step's selection value quantizes ONCE to
+    * `mmr_q = round((λ·rel − (1−λ)·maxSim)·2²⁰)` (half away from
+    * zero, the engine rule) and ties break to the smaller id — the
+    * whole trajectory is exactly replayable as `k` unrolled argmax
+    * CTEs. `maxSim` is 0 while the selected set is empty, so step 1
+    * is the pure-relevance argmax. Cosines are spelled exactly as the
+    * relational scorers spell them (left-associated dot chains,
+    * `dot/(√·√)`).
+    *
+    * `candidates`: `(idCol, relCol)` — ids long-castable, rel double
+    * (a cosine, an RRF score… higher = more relevant). `embeddings`
+    * supplies `(idCol, embCol)` for every candidate id (missing one
+    * raises). Emits `(idCol, relCol, mmr_q, mmr_rank)`, ranks 1..k in
+    * selection order. */
+  def mmrRerank(
+      candidates: DataFrame, embeddings: DataFrame,
+      idCol: String, relCol: String, embCol: String,
+      k: Int = 10, lambda: Double = 0.7,
+      maxCandidates: Int = 1024): DataFrame = {
+    val spark = candidates.sparkSession
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda > 0.0 && lambda < 1.0,
+      s"lambda must be in (0, 1) — 1 is plain relevance ranking, 0 ignores " +
+        s"it entirely; got $lambda")
+    val cand = candidates
+      .select(col(idCol).cast("long").as("__id"),
+        col(relCol).cast("double").as("__rel"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    require(cand.nonEmpty, "mmrRerank: empty candidate set")
+    require(cand.size <= maxCandidates,
+      s"mmrRerank: ${cand.size} candidates exceed maxCandidates=" +
+        s"$maxCandidates — MMR is a top-N re-ranker, trim upstream or " +
+        "raise the ceiling deliberately")
+    require(cand.map(_._1).distinct.size == cand.size,
+      s"mmrRerank: duplicate candidate ids")
+    val ids = cand.map(_._1)
+    val vecs: Map[Long, Seq[Double]] = embeddings
+      .filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).cast("long"),
+        transform(col(embCol), x => x.cast("double")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val missing = ids.filterNot(vecs.contains)
+    require(missing.isEmpty,
+      s"mmrRerank: no embedding for candidate ids ${missing.take(5)}")
+    def dotD(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val norm: Map[Long, Double] =
+      vecs.map { case (id, v) => id -> math.sqrt(dotD(v, v)) }
+    def sim(a: Long, b: Long): Double =
+      dotD(vecs(a), vecs(b)) / (norm(a) * norm(b))
+    val oneMinus = 1.0 - lambda
+    var remaining = cand.map { case (id, rel) => (id, rel, 0.0) } // (id, rel, maxSim)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long, Int)]
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, rel, ms) =>
+        (id, rel, ms, roundHalfAway((lambda * rel - oneMinus * ms) * 1048576.0))
+      }
+      val (bid, brel, _, bq) = scored.minBy { case (id, _, _, q) => (-q, id) }
+      picked += ((bid, brel, bq, rank))
+      remaining = remaining.collect {
+        case (id, rel, ms) if id != bid => (id, rel, math.max(ms, sim(id, bid)))
+      }
+      rank += 1
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("__id", "__rel", "mmr_q", "mmr_rank")
+      .select(col("__id").as(idCol), col("__rel").as(relCol),
+        col("mmr_q"), col("mmr_rank"))
+  }
+
   /** Deterministic IVF codebook: the `k` rows with the smallest ids.
     * Real systems train k-means; the codebook is always tiny and
     * driver-resident — the Spark-side shape (broadcast argmax assign,

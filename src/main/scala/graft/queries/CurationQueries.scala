@@ -3588,10 +3588,66 @@ object CurationQueries {
       benchFn = Some(probe))
   }
 
+  /** Snippet extraction (library `Bm25Index.snippetTopK` — the RAG
+    * presentation step: for each top doc, the best fixed-width token
+    * window by (distinct query terms covered, total hits, leftmost),
+    * computed from the index's stored positions arrays — the raw
+    * text is never re-read). The oracle re-derives every token
+    * position from raw text (q154's parallel unnest), enumerates the
+    * hit-anchored candidate windows relationally, applies the same
+    * lexicographic argmax, and joins q70's scoring chain for the
+    * ranking — one wrong stored position, window count or tie-break
+    * breaks the hash. */
+  val q163 = {
+    val wsDuck = "[ \\t\\n\\x0B\\f\\r]+"
+    def probe(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Bm25Index.snippetTopK(
+          s, graft.ops.Bm25Index.load(s, bm25IdxDir(dir)),
+          Seq("data", "the", "query"), width = 8, k = 10)
+        .select(col("doc_id"), col("n_tok"), round(col("score"), 6).as("score"),
+          col("win_start"), col("win_n_terms"), col("win_n_hits"))
+        .oracleOrderBy("doc_id")
+    QueryDef(
+      "q163_bm25_snippets",
+      (s, dir) => { ensureBm25Idx(s, dir); probe(s, dir) },
+      Some(s"""WITH topk AS MATERIALIZED (
+        ${bm25TopkOracleDuck.replace("LIMIT 25", "LIMIT 10")}
+      ),
+      tk2 AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '$wsDuck') AS toks
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM topk)),
+      qpos AS MATERIALIZED (
+        SELECT doc_id, term, p FROM (
+          SELECT doc_id, unnest(toks) AS term,
+            unnest(range(0, len(toks))) AS p
+          FROM tk2) x
+        WHERE term IN ('data', 'the', 'query')),
+      wins AS (
+        SELECT s.doc_id, s.p AS start,
+          count(DISTINCT h.term) AS nt, count(*) AS nh
+        FROM (SELECT DISTINCT doc_id, p FROM qpos) s
+        JOIN qpos h ON h.doc_id = s.doc_id
+          AND h.p >= s.p AND h.p < s.p + 8
+        GROUP BY s.doc_id, s.p),
+      best AS (
+        SELECT doc_id, start, nt, nh FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY nt DESC, nh DESC, start ASC) AS rn
+          FROM wins) b WHERE rn = 1)
+      SELECT t.doc_id, t.n_tok, t.score,
+        CAST(b.start AS BIGINT) AS win_start,
+        CAST(b.nt AS BIGINT) AS win_n_terms,
+        CAST(b.nh AS BIGINT) AS win_n_hits
+      FROM topk t JOIN best b USING (doc_id) ORDER BY t.doc_id"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25Idx(s, dir)),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
       q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
-      q154, q155, q156, q157, q160, q161)
+      q154, q155, q156, q157, q160, q161, q163)
 }

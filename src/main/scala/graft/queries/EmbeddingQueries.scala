@@ -1268,7 +1268,82 @@ object EmbeddingQueries {
       benchFn = Some(probe))
   }
 
+  /** MMR diversity re-ranking (library `Similarity.mmrRerank` —
+    * Carbonell & Goldstein's maximal marginal relevance over a
+    * retriever's candidate list: greedy picks maximize
+    * `λ·rel − (1−λ)·max_sel cos`, so near-duplicate hits stop
+    * crowding out coverage): brute-force cosine top-20 for vec 0
+    * feeds a 5-pick MMR at λ = 0.7. The greedy trajectory is exactly
+    * replayable because each step's value quantizes once to
+    * `round(v·2²⁰)` with ties to the smaller id — the oracle unrolls
+    * all five argmax steps as CTEs (select → re-score the remainder
+    * with `greatest(ms, cos(·, picked))` → select …), the q80
+    * unrolled-DP discipline. One wrong cosine, quantization or
+    * tie-break anywhere reorders the picks and breaks the hash. */
+  val q162 = {
+    def probe(s: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame = {
+      val e = t(s, dir, "embeddings")
+      val cand = graft.ops.Similarity.bruteForceTopK(
+          e, e.filter(col("vec_id") === 0), "embedding", "vec_id", k = 20)
+        .select(col("neighbor_id").as("vec_id"), col("cosine").as("rel"))
+      graft.ops.Similarity.mmrRerank(cand, e, "vec_id", "rel", "embedding",
+          k = 5, lambda = 0.7)
+        .select(col("vec_id"), round(col("rel"), 6).as("rel"),
+          col("mmr_q"), col("mmr_rank"))
+        .oracleOrderBy("mmr_rank")
+    }
+    QueryDef(
+      "q162_mmr_rerank",
+      probe,
+      Some {
+        val elem: (String, Int) => String = duckElem
+        def cos(a: String, b: String) =
+          s"(${dotSum(elem, a, b)}) / (sqrt(${dotSum(elem, a, a)}) " +
+            s"* sqrt(${dotSum(elem, b, b)}))"
+        // λ = 0.7 spelled as literals; 1−λ MUST be spelled (1 − 0.7)
+        // — the Scala side computes 1.0 − 0.7 = 0.30000000000000004,
+        // not the literal 0.3
+        def vq(ms: String) =
+          s"CAST(round((CAST(0.7 AS DOUBLE) * rel - " +
+            s"(CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * $ms) " +
+            s"* CAST(1048576 AS DOUBLE)) AS BIGINT)"
+        val steps = (1 to 5).map { j =>
+          val prev = if (j == 1) "cand" else s"r${j - 1}"
+          val ms = if (j == 1) "CAST(0 AS DOUBLE)" else "ms"
+          val pick = s"""s$j AS (
+            SELECT id, rel, emb${if (j == 1) "" else ", ms"}, ${vq(ms)} AS q
+            FROM $prev ORDER BY ${vq(ms)} DESC, id LIMIT 1)"""
+          val rescore = if (j == 5) "" else s""",
+          r$j AS (
+            SELECT c.id, c.rel, c.emb,
+              greatest(${if (j == 1) "CAST(0 AS DOUBLE)" else "c.ms"},
+                ${cos("c.emb", "s.emb")}) AS ms
+            FROM $prev c, s$j s WHERE c.id <> s.id)"""
+          pick + rescore
+        }.mkString(",\n          ")
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          cand AS MATERIALIZED (
+            SELECT id, rel, emb FROM (
+              SELECT d.vec_id AS id, ${cos("q.qv", "d.embedding")} AS rel,
+                d.embedding AS emb
+              FROM embeddings d, q WHERE d.vec_id <> 0
+              ORDER BY rel DESC, d.vec_id LIMIT 20) c0),
+          $steps
+          SELECT id AS vec_id, round(rel, 6) AS rel, q AS mmr_q,
+            CAST(rk AS INT) AS mmr_rank
+          FROM (
+            SELECT id, rel, q, 1 AS rk FROM s1
+            UNION ALL SELECT id, rel, q, 2 FROM s2
+            UNION ALL SELECT id, rel, q, 3 FROM s3
+            UNION ALL SELECT id, rel, q, 4 FROM s4
+            UNION ALL SELECT id, rel, q, 5 FROM s5) u
+          ORDER BY mmr_rank"""
+      },
+      bench = true)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89, q92, q93, q129,
-      q131, q135, q137, q149, q151, q152, q153, q158)
+      q131, q135, q137, q149, q151, q152, q153, q158, q162)
 }

@@ -2877,6 +2877,46 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Similarity.mmrRerank: diversity demotes the near-duplicate; lambda tunes the trade") {
+    val cand = Seq((1L, 0.9), (2L, 0.89), (3L, 0.5), (4L, 0.4))
+      .toDF("vec_id", "rel")
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.001f, 0.0f, 0.0f)), // near-identical to 1
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    def order(lambda: Double) = Similarity.mmrRerank(
+        cand, embs, "vec_id", "rel", "embedding", k = 4, lambda = lambda)
+      .orderBy("mmr_rank").collect().map(_.getLong(0)).toSeq
+    // balanced lambda: the top doc's near-duplicate drops to LAST even
+    // though it has the second-best relevance — diversity at work
+    assert(order(0.5) == Seq(1L, 3L, 4L, 2L), order(0.5).toString)
+    // relevance-heavy lambda: plain relevance order survives
+    assert(order(0.99) == Seq(1L, 2L, 3L, 4L), order(0.99).toString)
+    // the quantized selection value is non-increasing down the ranks
+    val qs = Similarity.mmrRerank(cand, embs, "vec_id", "rel", "embedding",
+        k = 4, lambda = 0.5)
+      .orderBy("mmr_rank").collect().map(_.getLong(2)).toSeq
+    assert(qs == qs.sorted.reverse, qs.toString)
+    // k caps the output; k > n yields all candidates
+    assert(Similarity.mmrRerank(cand, embs, "vec_id", "rel", "embedding",
+      k = 2, lambda = 0.5).count() == 2L)
+    // guards: lambda bounds, missing embedding, duplicate ids, ceiling
+    assert(intercept[IllegalArgumentException](Similarity.mmrRerank(
+      cand, embs, "vec_id", "rel", "embedding", lambda = 1.0))
+      .getMessage.contains("lambda"))
+    assert(intercept[IllegalArgumentException](Similarity.mmrRerank(
+      cand, embs.filter(col("vec_id") =!= 3L), "vec_id", "rel", "embedding"))
+      .getMessage.contains("no embedding"))
+    assert(intercept[IllegalArgumentException](Similarity.mmrRerank(
+      cand.union(cand), embs, "vec_id", "rel", "embedding"))
+      .getMessage.contains("duplicate"))
+    assert(intercept[IllegalArgumentException](Similarity.mmrRerank(
+      cand, embs, "vec_id", "rel", "embedding", maxCandidates = 2))
+      .getMessage.contains("maxCandidates"))
+  }
+
   test("AnnIndex.delete: probes skip tombstoned vectors; compact purges; rebuild clears") {
     val dir = java.nio.file.Files.createTempDirectory("anndel").toString
     try {
@@ -3535,6 +3575,55 @@ class OpsSpec extends SparkSpec {
       assert(!Bm25Index.topKBatch(spark, h7,
           Seq((1L, Seq("data", "query"))).toDF("qid", "terms"), "qid", "terms", k = 10)
         .collect().exists(_.getLong(1) == 0L))
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
+  test("Bm25Index.snippetTopK: best window by (terms, hits, leftmost) from stored positions only") {
+    val corpus = Seq(
+      (0L, "alpha x x x beta gamma x alpha"),
+      (1L, "beta beta beta"),
+      (2L, "alpha y alpha"),
+      (3L, "no query words at all"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25snip").toString
+    try {
+      val h = Bm25Index.build(corpus, "doc_id", dir, numBuckets = 8)
+      val out = Bm25Index.snippetTopK(spark, h,
+          Seq("alpha", "beta", "gamma"), width = 4, k = 10)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+      // doc 0: window [4,8) covers beta@4 gamma@5 alpha@7 — all three
+      // terms — beating the [0,4) window that holds only alpha@0
+      assert(out(0L) == ((4L, 3L, 3L)), out.toString)
+      // doc 1: one distinct term, all three hits from position 0
+      assert(out(1L) == ((0L, 1L, 3L)), out.toString)
+      // doc 2: two equal one-hit windows — the LEFTMOST wins
+      assert(out(2L)._1 == 0L, out.toString)
+      // a doc with no query term never appears
+      assert(!out.contains(3L), out.toString)
+      // ranking matches the classic probe over the same terms
+      val snippetOrder = Bm25Index.snippetTopK(spark, h,
+        Seq("alpha", "beta", "gamma"), width = 4, k = 10)
+        .collect().map(_.getLong(0)).toSeq
+      val topOrder = Bm25Index.topK(spark, h,
+        Seq("alpha", "beta", "gamma"), k = 10)
+        .collect().map(_.getLong(0)).toSeq
+      assert(snippetOrder == topOrder, s"$snippetOrder vs $topOrder")
+      // a narrow window shrinks coverage: width 1 caps n_terms at 1
+      val narrow = Bm25Index.snippetTopK(spark, h,
+          Seq("alpha", "beta", "gamma"), width = 1, k = 10)
+        .collect().map(r => r.getLong(4)).toSeq
+      assert(narrow.forall(_ == 1L), narrow.toString)
+      // guards
+      assert(intercept[IllegalArgumentException](Bm25Index.snippetTopK(
+        spark, h, Seq("alpha"), width = 0)).getMessage.contains("width"))
+      assert(intercept[IllegalArgumentException](Bm25Index.snippetTopK(
+        spark, h, Seq("Alpha"))).getMessage.contains("lowercase"))
     } finally {
       val root = java.nio.file.Path.of(dir)
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
