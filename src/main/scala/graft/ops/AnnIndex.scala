@@ -146,14 +146,22 @@ object AnnIndex {
   }
 
   /** The probe-side tombstone filter ([[Bm25Index.liveOnly]]'s
-    * vector twin): no read and no join node while the handle records
-    * no tombstones. */
+    * vector twin): no read and no join node while no tombstones
+    * exist. The gate is a LIVE filesystem check rather than the
+    * handle's snapshot flag — a long-lived query service holds its
+    * handle across deletes, and a stale no-tombstone flag would
+    * silently keep serving deleted vectors (the `hasTombstones`
+    * field stays informational: what load() saw). */
   private def liveOnly(
       spark: SparkSession, handle: Handle, idCol: String,
-      rows: DataFrame): DataFrame =
-    if (!handle.hasTombstones) rows
+      rows: DataFrame): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"${handle.dir}/tombstones")))
+      rows
     else rows.join(spark.read.parquet(s"${handle.dir}/tombstones"),
       Seq(idCol), "left_anti")
+  }
 
   /** Rewrite the code table compacted — the maintenance pass for the
     * append loop ([[DedupIndex.compact]] is the dedup-side twin):

@@ -328,15 +328,24 @@ object Bm25Index {
   }
 
   /** The probe-side tombstone filter: anti-join the id column against
-    * `tombstones/` — a no-op (no read, no join node) while the handle
-    * records none. Probes that took their handle before a concurrent
-    * delete committed score the pre-delete state — the documented
-    * stale-handle posture, same as stats. */
+    * `tombstones/` — no read and no join node while none exist. The
+    * gate is a LIVE filesystem check, not the handle's
+    * `nTombstones` snapshot: a long-lived query service holds its
+    * handle across concurrent deletes, and a stale no-tombstone flag
+    * would silently keep serving deleted docs — the one thing a
+    * right-to-be-forgotten tombstone must never do. A handle that
+    * pre-dates the delete does still score with ITS meta snapshot
+    * (yesterday's N / avgdl — the documented stale-stats posture);
+    * re-load for remainder-exact scores. */
   private def liveOnly(
-      spark: SparkSession, handle: Handle, rows: DataFrame): DataFrame =
-    if (handle.nTombstones <= 0) rows
+      spark: SparkSession, handle: Handle, rows: DataFrame): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"${handle.dir}/tombstones")))
+      rows
     else rows.join(spark.read.parquet(s"${handle.dir}/tombstones"),
       Seq(handle.idCol), "left_anti")
+  }
 
   /** Rewrite the index state deduplicated and re-sorted — the
     * maintenance pass for the append loop: posting rows collapse to

@@ -289,10 +289,18 @@ object DedupIndex {
     require(bs >= 1 && numHashes >= bs && numHashes % bs == 0,
       s"numHashes ($numHashes) must be a positive multiple of bandSize ($bs)")
     // the delete() filters: a tombstoned doc's fingerprint, bands and
-    // word set all stand down (no read, no join nodes while the
-    // handle records no tombstones)
+    // word set all stand down. The gate is a LIVE filesystem check,
+    // not the handle's snapshot flag: a long-lived probe loop (the
+    // CurationIngest sink) holds its handle across triggers, and a
+    // stale no-tombstone flag would silently screen new batches
+    // against deleted docs — the exact failure the tombstone exists
+    // to prevent. One driver-side exists() per probe buys an
+    // always-current verdict; when no tombstones exist there is
+    // still no read and no join node.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
     val tombstones =
-      if (handle.hasTombstones)
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"${handle.dir}/tombstones")))
         Some(spark.read.parquet(s"${handle.dir}/tombstones").localCheckpoint(true))
       else None
     val corpusFp = tombstones.foldLeft(

@@ -115,4 +115,49 @@ object CurationIngest {
         }
       }
   }
+
+  /** The forget half of the curation lifecycle: a stream of deletion
+    * requests (right-to-be-forgotten, takedowns, retractions) applied
+    * to ALL THREE standing indexes in the same trigger — the
+    * tombstone [[DedupIndex.delete]]/[[Bm25Index.delete]]/
+    * [[AnnIndex.delete]] path, so a trigger's cost is proportional to
+    * the batch, never the indexes. Requests carry the id AND the
+    * text ([[DedupIndex.delete]] retires `md5(text)` — the caller is
+    * the source of truth for what the doc said). After the trigger
+    * commits, the doc answers no retrieval probe, names no dedup
+    * match, and its exact text screens as NEW again; the physical
+    * purge is the compact pass's job, and re-INGESTING a deleted id
+    * stays refused until then (the append contract). A small audit
+    * row `(id, fp, batch_id)` lands in `auditDir` per request.
+    *
+    * At-least-once: all three deletes are idempotent against replays
+    * (already-tombstoned ids are skipped), so a crash between them
+    * heals on the replayed trigger — the [[curationSink]] posture.
+    * Closure handles may go stale across triggers; every delete
+    * re-reads the on-disk state under its marker, so staleness never
+    * rewinds a tombstone.
+    *
+    * Use as `deletes.writeStream.foreachBatch(
+    * CurationIngest.deletionSink(...)).start()` with rows carrying
+    * the id and text columns. */
+  def deletionSink(
+      dedup: DedupIndex.Handle,
+      bm25: Bm25Index.Handle,
+      ann: AnnIndex.Handle,
+      auditDir: String): (DataFrame, Long) => Unit = {
+    require(bm25.idCol == dedup.idCol,
+      s"the dedup and BM25 indexes disagree on the id column " +
+        s"(${dedup.idCol} vs ${bm25.idCol}) — they must forget the same key")
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val idCol = dedup.idCol
+        val frozen = batch.localCheckpoint(true)
+        DedupIndex.delete(dedup, frozen)
+        Bm25Index.delete(bm25, frozen.select(col(idCol)))
+        AnnIndex.delete(ann, frozen.select(col(idCol)), idCol)
+        frozen.select(col(idCol), md5(col("text")).as("fp"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(auditDir)
+      }
+  }
 }

@@ -3540,8 +3540,11 @@ class OpsSpec extends SparkSpec {
       // replaying the delete (and deleting already-gone ids) is a no-op
       val h3 = Bm25Index.delete(h2, Seq(2L, 6L).toDF("doc_id"))
       assert(h3 == h2, s"$h3 vs $h2")
-      // a STALE pre-delete handle still probes (yesterday's state)
-      assert(rows(Bm25Index.topK(spark, h, terms, k = 4)).nonEmpty)
+      // a STALE pre-delete handle keeps working, and the tombstone
+      // filter is LIVE even through it — the deleted doc is gone from
+      // its results too (only the stats snapshot is yesterday's)
+      val staleRows = rows(Bm25Index.topK(spark, h, terms, k = 4))
+      assert(staleRows.nonEmpty && !staleRows.exists(_._1 == 2L), staleRows.toString)
       // re-adding a tombstoned id before compact refuses loudly
       val readd = Seq((2L, "data query revival")).toDF("doc_id", "text")
       val e = intercept[Exception](Bm25Index.append(h2, readd))

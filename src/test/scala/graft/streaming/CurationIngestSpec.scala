@@ -96,4 +96,87 @@ class CurationIngestSpec extends SparkSpec {
     val bmMeta = Bm25Index.load(spark, s"$root/bm25")
     assert(bmMeta.nDocs == 4L, bmMeta.toString)
   }
+
+  test("deletionSink: a deleted doc vanishes everywhere; re-send screens new; re-ingest blocked until compact") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("curation_del_").toString
+    val seed = Seq(
+      (0L, "completely different content about spark engines and data"),
+      (1L, "another seed document with distinct vocabulary here"))
+      .toDF("doc_id", "text")
+    val seedEmb = Seq(0L, 1L).map(i => (i, emb(i))).toDF("doc_id", "embedding")
+    val dedupH = DedupIndex.build(seed, "doc_id", s"$root/dedup")
+    val bm25H = Bm25Index.build(seed, "doc_id", s"$root/bm25", numBuckets = 8)
+    val annH = AnnIndex.build(seedEmb, "embedding", "doc_id", s"$root/ann",
+      nCells = 2, m = 4, k = 2, dim = 8, iters = 1)
+    val text10 = "retrieval augmented generation pipelines need fresh relevant passages ok"
+    def ingest(rows: (Long, String)*): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDS().toDF("doc_id", "text")
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(7)),
+            j => ((col("doc_id") * 7 + j) % 5).cast("double")))
+        .writeStream
+        .foreachBatch(CurationIngest.curationSink(
+          dedupH, bm25H, annH, s"$root/verdicts", "embedding",
+          qualityGate = col("text").isNotNull && length(col("text")) > 20,
+          threshold = 0.5))
+        .start()
+      try { in.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    }
+    ingest(10L -> text10)
+    def lexIds = Bm25Index.topK(spark, Bm25Index.load(spark, s"$root/bm25"),
+      Seq("retrieval", "passages"), k = 10).collect().map(_.getLong(0)).toSeq
+    def semIds = AnnIndex.query(spark, AnnIndex.load(spark, s"$root/ann"),
+      "doc_id", emb(10L), k = 10, nProbe = 2).collect().map(_.getLong(0)).toSeq
+    assert(lexIds.contains(10L) && semIds.contains(10L))
+
+    // the forget trigger: one deletion request hits all three indexes
+    val delIn = MemoryStream[(Long, String)]
+    val dq = delIn.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch(CurationIngest.deletionSink(
+        dedupH, bm25H, annH, s"$root/audit"))
+      .start()
+    try { delIn.addData(10L -> text10); dq.processAllAvailable() } finally dq.stop()
+
+    assert(!lexIds.contains(10L), lexIds.toString)
+    assert(!semIds.contains(10L), semIds.toString)
+    // BM25 stats describe the remainder again (the two seed docs)
+    assert(Bm25Index.load(spark, s"$root/bm25").nDocs == 2L)
+    // the exact text screens as NEW: the fingerprint and bands stood down
+    val verdict = DedupIndex.dedupBatch(spark,
+        DedupIndex.load(spark, s"$root/dedup"),
+        Seq(30L -> text10).toDF("doc_id", "text"), threshold = 0.5)
+      .select("is_new").collect().head.getBoolean(0)
+    assert(verdict, "deleted doc still screens its own re-send")
+    // the audit trail recorded the request
+    assert(spark.read.parquet(s"$root/audit")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(10L))
+
+    // re-ingesting the deleted ID before compact fails its trigger
+    // LOUDLY (the append re-add contract) instead of silently losing
+    // the doc to the next compact's purge
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Path.of(s"$root/dedup/tombstones")), "dedup tombs missing")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Path.of(s"$root/bm25/tombstones")), "bm25 tombs missing")
+    val eDirect = intercept[Exception](DedupIndex.append(
+      DedupIndex.load(spark, s"$root/dedup"),
+      Seq(10L -> text10).toDF("doc_id", "text")))
+    assert(eDirect.getMessage.contains("tombstoned"), eDirect.getMessage)
+    val e = intercept[Exception](ingest(10L -> text10))
+    val causes = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(causes.exists(_.contains("tombstoned")), causes.mkString(" | "))
+
+    // compact purges the tombstones; the id is ingestable again and
+    // flows back into the hybrid path
+    DedupIndex.compact(DedupIndex.load(spark, s"$root/dedup"))
+    Bm25Index.compact(Bm25Index.load(spark, s"$root/bm25"))
+    AnnIndex.compact(AnnIndex.load(spark, s"$root/ann"))
+    ingest(10L -> text10)
+    assert(lexIds.contains(10L) && semIds.contains(10L),
+      s"re-ingest after compact invisible: $lexIds / $semIds")
+    assert(Bm25Index.load(spark, s"$root/bm25").nDocs == 3L)
+  }
 }
