@@ -86,21 +86,9 @@ object AnnIndex {
     // marker/lock handshake with a concurrent compact — see Maintenance
     Maintenance.withAppendMarker(
         fs, new org.apache.hadoop.fs.Path(handle.dir)) {
-      // a tombstoned id must not be re-added before compact: the
-      // tombstone would hide the new row from every probe and the
-      // next compact would PURGE it — refuse loudly (the Bm25Index
-      // contract; re-add after compact works normally)
-      val tombs = new org.apache.hadoop.fs.Path(s"${handle.dir}/tombstones")
-      if (fs.exists(tombs)) {
-        val hit = encoded.select(col(idCol))
-          .join(df.sparkSession.read.parquet(tombs.toString),
-            Seq(idCol), "left_semi")
-          .limit(1).collect()
-        require(hit.isEmpty,
-          s"append: the slice re-adds id '${hit.head.get(0)}' which is " +
-            s"tombstoned in ${handle.dir} — run compact to purge the " +
-            "tombstone first, then re-append")
-      }
+      // a tombstoned id must not be re-added before compact — the
+      // shared live-gated guard (see Tombstones)
+      Tombstones.refuseReAdd(df.sparkSession, handle.dir, idCol, encoded)
       encoded
         .repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"${handle.dir}/codes")
@@ -134,14 +122,18 @@ object AnnIndex {
       spark.sparkContext.hadoopConfiguration)
     Maintenance.withAppendMarker(
         fs, new org.apache.hadoop.fs.Path(handle.dir)) {
-      val tombs = s"${handle.dir}/tombstones"
       val idOnly = ids.select(col(idCol)).na.drop().distinct()
-      val fresh =
-        if (fs.exists(new org.apache.hadoop.fs.Path(tombs)))
-          idOnly.join(spark.read.parquet(tombs), Seq(idCol), "left_anti")
-        else idOnly
-      fresh.write.mode("append").parquet(tombs)
-      handle.copy(hasTombstones = true)
+      val fresh = Tombstones.liveOnly(spark, handle.dir, idCol, idOnly)
+        .localCheckpoint(true) // one materialization: emptiness + write
+      // an all-replayed (or all-null) request must not create an
+      // empty side table — that would flip every probe's exists()
+      // gate on for nothing until a compact clears it
+      if (fresh.isEmpty) handle.copy(
+        hasTombstones = fs.exists(Tombstones.path(handle.dir)))
+      else {
+        fresh.write.mode("append").parquet(Tombstones.path(handle.dir).toString)
+        handle.copy(hasTombstones = true)
+      }
     }
   }
 
@@ -154,14 +146,8 @@ object AnnIndex {
     * field stays informational: what load() saw). */
   private def liveOnly(
       spark: SparkSession, handle: Handle, idCol: String,
-      rows: DataFrame): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"${handle.dir}/tombstones")))
-      rows
-    else rows.join(spark.read.parquet(s"${handle.dir}/tombstones"),
-      Seq(idCol), "left_anti")
-  }
+      rows: DataFrame): DataFrame =
+    Tombstones.liveOnly(spark, handle.dir, idCol, rows)
 
   /** Rewrite the code table compacted — the maintenance pass for the
     * append loop ([[DedupIndex.compact]] is the dedup-side twin):

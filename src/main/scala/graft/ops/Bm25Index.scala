@@ -240,20 +240,13 @@ object Bm25Index {
           cur.fields == handleFields && cur.idCol == handle.idCol,
         s"append: the on-disk index layout changed since this handle was " +
           s"taken (disk: $cur vs handle: $handle) — re-load and re-append")
-      // a tombstoned id must not be re-added before compact: the
-      // tombstone would hide the new rows from every probe and the
-      // next compact would PURGE them — refuse loudly instead of
-      // silently losing the doc (re-add after compact works normally)
-      if (cur.nTombstones > 0) {
-        val hit = frozen.select(col(cur.idCol))
-          .join(spark.read.parquet(s"${handle.dir}/tombstones"),
-            Seq(cur.idCol), "left_semi")
-          .limit(1).collect()
-        require(hit.isEmpty,
-          s"append: the slice re-adds id '${hit.head.get(0)}' which is " +
-            s"tombstoned in ${handle.dir} — run compact to purge the " +
-            "tombstone first, then re-append")
-      }
+      // a tombstoned id must not be re-added before compact — the
+      // shared guard checks the LIVE side table, not the meta
+      // snapshot (a delete that crashed before its meta rewrite, or
+      // one committing concurrently with this append, has already
+      // written its tombstones: trusting nTombstones here would land
+      // rows the next compact silently purges)
+      Tombstones.refuseReAdd(spark, handle.dir, cur.idCol, frozen)
       postings.repartition(col("term_bucket")).sortWithinPartitions("term")
         .write.mode("append").partitionBy("term_bucket")
         .parquet(s"${handle.dir}/postings")
@@ -283,9 +276,11 @@ object Bm25Index {
     * absent from the index contribute nothing. The physical purge —
     * and re-addability of a deleted id — comes with the next
     * [[compact]]. Crash between the tombstone write and the meta
-    * rewrite leaves stats at their pre-delete values until the
-    * ingest driver replays the delete or compact recounts (the same
-    * at-least-once / compact-heals posture as [[append]]). */
+    * rewrite leaves stats at their pre-delete values — and a replayed
+    * delete is a no-op against the already-written tombstones, so the
+    * drift stands until [[compact]] recounts (probes are SAFE
+    * meanwhile: the tombstone filter is live, only N/avgdl are a
+    * delete behind — the same compact-heals posture as [[append]]). */
   def delete(handle: Handle, ids: DataFrame): Handle = {
     val spark = ids.sparkSession
     require(ids.columns.contains(handle.idCol),
@@ -303,10 +298,10 @@ object Bm25Index {
       val inIndex = idOnly.join(
         spark.read.parquet(s"${handle.dir}/doclens").select(col(cur.idCol)),
         Seq(cur.idCol), "left_semi")
-      val fresh = (if (cur.nTombstones > 0)
-          inIndex.join(spark.read.parquet(s"${handle.dir}/tombstones"),
-            Seq(cur.idCol), "left_anti")
-        else inIndex)
+      // replay-idempotence vs the LIVE side table (not the meta
+      // snapshot: a crashed delete leaves tombstones with no meta
+      // update — its retry must not double-write them)
+      val fresh = Tombstones.liveOnly(spark, handle.dir, cur.idCol, inIndex)
         .localCheckpoint(true) // one materialization feeds write + delta
       val doomed = spark.read.parquet(s"${handle.dir}/doclens")
         .join(fresh, Seq(cur.idCol), "left_semi")
@@ -338,14 +333,8 @@ object Bm25Index {
     * (yesterday's N / avgdl — the documented stale-stats posture);
     * re-load for remainder-exact scores. */
   private def liveOnly(
-      spark: SparkSession, handle: Handle, rows: DataFrame): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"${handle.dir}/tombstones")))
-      rows
-    else rows.join(spark.read.parquet(s"${handle.dir}/tombstones"),
-      Seq(handle.idCol), "left_anti")
-  }
+      spark: SparkSession, handle: Handle, rows: DataFrame): DataFrame =
+    Tombstones.liveOnly(spark, handle.dir, handle.idCol, rows)
 
   /** Rewrite the index state deduplicated and re-sorted — the
     * maintenance pass for the append loop: posting rows collapse to
@@ -1000,16 +989,20 @@ object Bm25Index {
     require(queryTerms.forall(t => t == t.toLowerCase),
       s"query terms must be lowercase: $queryTerms")
     import spark.implicits._
-    // first pass in the quantized convention (one row per query)
+    // first pass in the quantized convention (one row per query);
+    // id-type-agnostic: the id column stays whatever the index was
+    // built with (long, string, …) — only the tiny feedback frame is
+    // collected, and only for the isin pushdown literals
     val first = topKBatch(spark, handle,
         Seq((0L, queryTerms)).toDF("__qid", "__terms"), "__qid", "__terms",
         k = fbDocs, k1 = k1, b = b)
-      .select(col(handle.idCol), col("score_q"))
-    val fb = first.collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
-    require(fb.nonEmpty, s"rm3Expand: the query $queryTerms matched nothing")
-    val fbIds = fb.map(_._1)
+      .select(col(handle.idCol), col("score_q").as("__sq_doc"))
+      .localCheckpoint(true) // fbDocs rows; feeds the collect AND the join
+    val fbIds: Seq[Any] = first.select(col(handle.idCol))
+      .collect().map(_.get(0)).toSeq
+    require(fbIds.nonEmpty, s"rm3Expand: the query $queryTerms matched nothing")
     // fbDocs point lookups by id — literal isin pushes to the scan
-    val fbScores = fb.toDF(handle.idCol, "__sq_doc")
+    val fbScores = first
     val toksOf = split(trim(lower(col(textCol))), "\\s+")
     val wq = corpus.filter(col(handle.idCol).isin(fbIds: _*))
       .select(col(handle.idCol), toksOf.as("__toks"))

@@ -100,21 +100,9 @@ object DedupIndex {
     // marker/lock handshake with a concurrent compact — see Maintenance
     Maintenance.withAppendMarker(
         fs, new org.apache.hadoop.fs.Path(handle.dir)) {
-      // a tombstoned id must not be re-added before compact: its new
-      // state rows would be anti-joined away by every probe and then
-      // PURGED by the next compact — refuse loudly (the Bm25Index
-      // contract; re-add after compact works normally)
-      val tombs = new org.apache.hadoop.fs.Path(s"${handle.dir}/tombstones")
-      if (fs.exists(tombs)) {
-        val hit = slice.select(col(handle.idCol))
-          .join(slice.sparkSession.read.parquet(tombs.toString)
-            .select(col(handle.idCol)), Seq(handle.idCol), "left_semi")
-          .limit(1).collect()
-        require(hit.isEmpty,
-          s"append: the slice re-adds id '${hit.head.get(0)}' which is " +
-            s"tombstoned in ${handle.dir} — run compact to purge the " +
-            "tombstone first, then re-append")
-      }
+      // a tombstoned id must not be re-added before compact — the
+      // shared live-gated guard (see Tombstones)
+      Tombstones.refuseReAdd(slice.sparkSession, handle.dir, handle.idCol, slice)
       fps.write.mode("append").parquet(s"${handle.dir}/fingerprints")
       sigs.repartition(col("band0"))
         .write.mode("append").partitionBy("band0").parquet(s"${handle.dir}/signatures")
@@ -150,16 +138,18 @@ object DedupIndex {
       spark.sparkContext.hadoopConfiguration)
     Maintenance.withAppendMarker(
         fs, new org.apache.hadoop.fs.Path(handle.dir)) {
-      val tombs = s"${handle.dir}/tombstones"
       val rows = docs.select(col(handle.idCol), md5(col("text")).as("fp"))
         .na.drop(Seq(handle.idCol)).dropDuplicates(handle.idCol)
-      val fresh =
-        if (fs.exists(new org.apache.hadoop.fs.Path(tombs)))
-          rows.join(spark.read.parquet(tombs).select(col(handle.idCol)),
-            Seq(handle.idCol), "left_anti")
-        else rows
-      fresh.write.mode("append").parquet(tombs)
-      handle.copy(hasTombstones = true)
+      val fresh = Tombstones.liveOnly(spark, handle.dir, handle.idCol, rows)
+        .localCheckpoint(true) // one materialization: emptiness + write
+      // an all-replayed request must not create an empty side table —
+      // that would flip every probe's exists() gate on for nothing
+      if (fresh.isEmpty) handle.copy(
+        hasTombstones = fs.exists(Tombstones.path(handle.dir)))
+      else {
+        fresh.write.mode("append").parquet(Tombstones.path(handle.dir).toString)
+        handle.copy(hasTombstones = true)
+      }
     }
   }
 
@@ -289,20 +279,14 @@ object DedupIndex {
     require(bs >= 1 && numHashes >= bs && numHashes % bs == 0,
       s"numHashes ($numHashes) must be a positive multiple of bandSize ($bs)")
     // the delete() filters: a tombstoned doc's fingerprint, bands and
-    // word set all stand down. The gate is a LIVE filesystem check,
-    // not the handle's snapshot flag: a long-lived probe loop (the
-    // CurationIngest sink) holds its handle across triggers, and a
-    // stale no-tombstone flag would silently screen new batches
-    // against deleted docs — the exact failure the tombstone exists
-    // to prevent. One driver-side exists() per probe buys an
-    // always-current verdict; when no tombstones exist there is
-    // still no read and no join node.
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // word set all stand down. The gate is a LIVE filesystem check
+    // (the shared Tombstones contract), not the handle's snapshot
+    // flag: a long-lived probe loop (the CurationIngest sink) holds
+    // its handle across triggers, and a stale no-tombstone flag
+    // would silently screen new batches against deleted docs — the
+    // exact failure the tombstone exists to prevent.
     val tombstones =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"${handle.dir}/tombstones")))
-        Some(spark.read.parquet(s"${handle.dir}/tombstones").localCheckpoint(true))
-      else None
+      Tombstones.read(spark, handle.dir).map(_.localCheckpoint(true))
     val corpusFp = tombstones.foldLeft(
         spark.read.parquet(s"${handle.dir}/fingerprints")) {
       (df, ts) => df.join(ts.select("fp").na.drop(), Seq("fp"), "left_anti")

@@ -224,3 +224,62 @@ private[graft] object Maintenance {
     require(fs.delete(aside, true), s"delete $aside failed")
   }
 }
+
+/** The shared tombstone-delete contract for the three persistent
+  * indexes ([[Bm25Index]]/[[AnnIndex]]/[[DedupIndex]]): a `delete`
+  * writes ids into a small `tombstones/` side table instead of
+  * rewriting corpus-scaled state; every probe anti-joins it; `append`
+  * refuses to re-add a tombstoned id; `compact` physically purges and
+  * clears. These helpers single-source the pieces that MUST agree
+  * across the three indexes — in particular that every gate is a
+  * LIVE `fs.exists` check, never a handle or meta snapshot: a
+  * long-lived service (a [[graft.streaming.CurationIngest]] sink, a
+  * query server) holds its handle across concurrent deletes, and a
+  * stale no-tombstone snapshot would either silently serve/screen
+  * deleted docs or silently land rows the next compact purges — the
+  * two failure modes the tombstone exists to prevent. The snapshot
+  * fields (`Bm25Index.Handle.nTombstones`,
+  * `AnnIndex.Handle.hasTombstones`, …) stay informational. */
+private[ops] object Tombstones {
+
+  def path(indexDir: String): Path = new Path(s"$indexDir/tombstones")
+
+  /** The tombstone frame if the side table exists RIGHT NOW. */
+  def read(spark: org.apache.spark.sql.SparkSession, indexDir: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path(indexDir))) Some(spark.read.parquet(path(indexDir).toString))
+    else None
+  }
+
+  /** The probe-side filter: anti-join `idCol` against the live
+    * tombstones — no read and no join node while none exist. */
+  def liveOnly(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      idCol: String, rows: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    read(spark, indexDir) match {
+      case None => rows
+      case Some(ts) =>
+        rows.join(ts.select(org.apache.spark.sql.functions.col(idCol)),
+          Seq(idCol), "left_anti")
+    }
+
+  /** The append-side guard: a tombstoned id must not be re-added
+    * before compact — its new rows would be hidden from every probe
+    * by the anti-join and then PURGED by the next compact; refuse
+    * loudly instead of losing the doc silently. */
+  def refuseReAdd(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      idCol: String, slice: org.apache.spark.sql.DataFrame): Unit =
+    read(spark, indexDir).foreach { ts =>
+      val hit = slice.select(org.apache.spark.sql.functions.col(idCol))
+        .join(ts.select(org.apache.spark.sql.functions.col(idCol)),
+          Seq(idCol), "left_semi")
+        .limit(1).collect()
+      require(hit.isEmpty,
+        s"append: the slice re-adds id '${hit.head.get(0)}' which is " +
+          s"tombstoned in $indexDir — run compact to purge the tombstone " +
+          "first, then re-append")
+    }
+}

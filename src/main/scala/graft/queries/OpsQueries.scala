@@ -221,16 +221,25 @@ object OpsQueries {
     * against itself). The oracle splits the shared signature CTEs by
     * parity and re-derives both screens; the hash covers every batch
     * doc's exact/near flags and smallest matched corpus id. */
-  /** The q95/q159 shared incremental-screen replay: batch = odd ids,
-    * corpus = every doc satisfying `corpusPred(prefix)` (q95's full
-    * even half; q159's even half minus the deleted ids) — the corpus
-    * predicate is spliced into BOTH screens (band candidates and the
-    * exact-md5 probe). */
-  private def dedupIncrOracleDuck(corpusPred: String => String): String =
+  /** The q95/q159 shared incremental-screen replay: batch = odd ids.
+    * `bandPred` filters the SIGNATURE side (near-dup candidates —
+    * per-id state, so a deleted id drops out entirely); `exPred`
+    * filters the exact-md5 corpus side; `retiredFpPred`, when given,
+    * models `DedupIndex.delete`'s FINGERPRINT retirement: the exact
+    * screen anti-joins retired fps, so a batch doc whose text matches
+    * a deleted doc screens new even if a KEPT corpus doc shares that
+    * exact text (fp state is per-fingerprint, not per-id — the
+    * library's documented shared-text semantics; an oracle spelling
+    * remainder semantics here would diverge the moment a duplicate
+    * text straddles the delete boundary). */
+  private def dedupIncrOracleDuck(
+      bandPred: String => String,
+      exPred: String => String,
+      retiredFpPred: Option[String => String] = None): String =
     s"""WITH w AS MATERIALIZED (${TextQueries.wordsSqlDuck}),
       sig AS MATERIALIZED (${TextQueries.sigSqlDuck}),
       bs AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
-      cs AS (SELECT * FROM sig WHERE ${corpusPred("")}),
+      cs AS (SELECT * FROM sig WHERE ${bandPred("")}),
       cand AS (
         SELECT DISTINCT doc_a, doc_b FROM (
           SELECT b.doc_id AS doc_a, c.doc_id AS doc_b FROM bs b JOIN cs c
@@ -256,8 +265,10 @@ object OpsQueries {
       ex AS (
         SELECT DISTINCT b.doc_id
         FROM documents b JOIN documents c
-          ON ${corpusPred("c.")} AND md5(c.text) = md5(b.text)
-        WHERE b.doc_id % 2 = 1)
+          ON ${exPred("c.")} AND md5(c.text) = md5(b.text)
+        WHERE b.doc_id % 2 = 1${retiredFpPred.map(p => s"""
+          AND NOT EXISTS (SELECT 1 FROM documents t
+            WHERE ${p("t.")} AND md5(t.text) = md5(b.text))""").getOrElse("")})
       SELECT d.doc_id,
         (ex.doc_id IS NOT NULL) AS exact_dup,
         (nr.near_dup_of IS NOT NULL) AS near_dup,
@@ -281,7 +292,8 @@ object OpsQueries {
           col("near_dup_of"), col("is_new"))
         .oracleOrderBy("doc_id")
     },
-    Some(dedupIncrOracleDuck(p => s"${p}doc_id % 2 = 0")),
+    Some(dedupIncrOracleDuck(
+      p => s"${p}doc_id % 2 = 0", p => s"${p}doc_id % 2 = 0")),
     bench = true)
 
   /** q159's own persisted dedup index (the even half, then every
@@ -329,8 +341,13 @@ object OpsQueries {
           col("near_dup_of"), col("is_new"))
         .oracleOrderBy("doc_id")
     },
-    Some(dedupIncrOracleDuck(p =>
-      s"${p}doc_id % 2 = 0 AND ${p}doc_id % 3 <> 0")),
+    Some(dedupIncrOracleDuck(
+      // signatures retire per ID: the band side is the remainder
+      p => s"${p}doc_id % 2 = 0 AND ${p}doc_id % 3 <> 0",
+      // fingerprints retire per FP: the exact side is the full built
+      // corpus minus every fp a deleted doc carried
+      p => s"${p}doc_id % 2 = 0",
+      Some(p => s"${p}doc_id % 2 = 0 AND ${p}doc_id % 3 = 0"))),
     bench = true,
     benchPrepare = Some((s, dir) => { ensureDedupDelIdx(s, dir); () }))
 

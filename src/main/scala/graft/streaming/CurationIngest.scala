@@ -137,6 +137,18 @@ object CurationIngest {
     * re-reads the on-disk state under its marker, so staleness never
     * rewinds a tombstone.
     *
+    * '''One metadata writer.''' [[Bm25Index]]'s collection stats are
+    * a read-modify-write of `meta/`, and `_appending.*` markers are
+    * not mutually exclusive among writers — running this sink
+    * CONCURRENTLY with [[curationSink]] (or any other appender)
+    * against the same BM25 index can lose one side's stats update
+    * (last meta write wins) until a compact recounts. Drive ingest
+    * and deletion from one serialized driver (alternate triggers, or
+    * one upstream stream carrying an op column). The SAFETY
+    * properties never depend on this: tombstone filtering, the
+    * re-add refusal and dedup screening all gate on the live side
+    * tables, not on meta — only N/avgdl exactness is at stake.
+    *
     * Use as `deletes.writeStream.foreachBatch(
     * CurationIngest.deletionSink(...)).start()` with rows carrying
     * the id and text columns. */

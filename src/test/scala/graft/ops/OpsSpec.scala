@@ -4734,6 +4734,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("DedupIndex.delete: shared-text semantics — the fp retires index-wide, the kept twin's bands still match") {
+    // two ids carry the SAME text (already-ambiguous per-id state
+    // under the one-id-one-text contract); deleting one retires the
+    // shared fingerprint, so the exact screen stands down even though
+    // the twin is kept — but the twin's SIGNATURES are per-id and
+    // keep near-matching. The q159 oracle spells exactly this split
+    // (fp retirement per fingerprint, band retirement per id).
+    val shared = "the quick brown fox jumps over the lazy dog and then naps"
+    val corpus = Seq((0L, shared), (4L, shared),
+      (2L, "completely different content about spark engines and data"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx_s_").toString
+    try {
+      val h = DedupIndex.build(corpus, "doc_id", dir)
+      val h2 = DedupIndex.delete(h, corpus.filter(col("doc_id") === 0L))
+      val v = DedupIndex.dedupBatch(spark, h2,
+          Seq((11L, shared)).toDF("doc_id", "text"), threshold = 0.5)
+        .select("exact_dup", "near_dup", "near_dup_of", "is_new")
+        .collect().head
+      assert(!v.getBoolean(0), "exact screen must stand down with the fp")
+      assert(v.getBoolean(1) && v.getLong(2) == 4L,
+        s"the kept twin must still near-match: $v")
+      assert(!v.getBoolean(3), v.toString)
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("DedupIndex.compact: replayed appends collapse, probe verdicts unchanged") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog and then naps"),
