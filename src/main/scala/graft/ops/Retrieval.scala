@@ -144,4 +144,89 @@ object Retrieval {
       .limit(k)
     graft.util.Ids.withRowIndex(top, "rank")
   }
+
+  /** Ranking-quality evaluation over a judged panel — the metric
+    * harness a retrieval deployment runs before and after every
+    * index/scoring change ([[Similarity.recallAtK]] is the ANN twin;
+    * this is the graded-relevance general form): per query,
+    * reciprocal rank, hits@k, and nDCG@k against a qrels table.
+    *
+    * `results` carries `(qidCol, idCol, rankCol)` — any ranked list
+    * ([[Bm25Index.topKBatch]], [[AnnIndex.queryBatch]],
+    * [[rrfFuse]]…); ranks beyond `k` are ignored. `qrels` carries
+    * `(qidCol, idCol, grade)` with integer grades ≥ 0 (0 = judged
+    * non-relevant, ≥ 1 = relevant; graded values feed nDCG's
+    * `2^grade − 1` gains). Output is one row per query WITH at least
+    * one relevant judgment (the [[Similarity.recallAtK]] posture —
+    * callers evaluate the panel they judged):
+    *
+    *  - `n_rel` — relevant judgments for the query
+    *  - `hits_k` — relevant docs in the top `k`
+    *  - `rr_q` — `round(2²⁰ / first_relevant_rank)` (0 when no
+    *    relevant doc ranks ≤ k): an exact integer, order-free
+    *  - `dcg_q` / `idcg_q` — `Σ round((2^grade − 1) / (ln(rank+1)
+    *    / ln 2) · 2²⁰)` over the relevant hits at their actual /
+    *    ideal positions (ideal = grades sorted desc, ties to the
+    *    smaller id), BIGINT sums of per-hit quantizations — the
+    *    log spelled `ln(x)/ln(2)` so any engine replays it
+    *    bit-for-bit (a native log2 may round differently)
+    *  - `ndcg` — `dcg_q / idcg_q` as a double (both sides exact
+    *    integers, so the division is engine-invariant)
+    *
+    * Every stage is a qid-keyed join/aggregate or a qid-partitioned
+    * window — panel-sized work, nothing corpus-scaled, no global
+    * sort. */
+  def evalRanking(
+      results: DataFrame, qrels: DataFrame,
+      qidCol: String, idCol: String, rankCol: String = "rank",
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    Seq(qidCol, idCol, rankCol).foreach(c =>
+      require(results.columns.contains(c),
+        s"results must carry '$c', has ${results.columns.mkString(", ")}"))
+    Seq(qidCol, idCol, "grade").foreach(c =>
+      require(qrels.columns.contains(c),
+        s"qrels must carry '$c', has ${qrels.columns.mkString(", ")}"))
+    val qid = col(qidCol)
+    val rel = qrels
+      .select(qid, col(idCol), col("grade").cast("long").as("grade"))
+      .filter(col("grade") >= 1L)
+    val perQuery = rel.groupBy(qidCol).agg(count(lit(1)).as("n_rel"))
+    val log2rank: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      r => log(r.cast("double") + lit(1.0)) / log(lit(2.0))
+    val gain = (g: org.apache.spark.sql.Column) =>
+      pow(lit(2.0), g.cast("double")) - lit(1.0)
+    // relevant hits at their ACTUAL ranks
+    val hits = results
+      .select(qid, col(idCol), col(rankCol).cast("long").as("__rank"))
+      .filter(col("__rank") <= k)
+      .join(rel, Seq(qidCol, idCol))
+      .withColumn("__dg",
+        round(gain(col("grade")) / log2rank(col("__rank")) * lit(1048576.0d))
+          .cast("long"))
+    val actual = hits.groupBy(qidCol).agg(
+      count(lit(1)).as("hits_k"),
+      min(col("__rank")).as("__minr"),
+      sum(col("__dg")).as("dcg_q"))
+    // the IDEAL ordering: grades descending, ties to the smaller id
+    val idealW = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(col("grade").desc, col(idCol))
+    val ideal = rel
+      .withColumn("__pos", row_number().over(idealW))
+      .filter(col("__pos") <= k)
+      .withColumn("__dg",
+        round(gain(col("grade")) / log2rank(col("__pos")) * lit(1048576.0d))
+          .cast("long"))
+      .groupBy(qidCol).agg(sum(col("__dg")).as("idcg_q"))
+    perQuery.join(ideal, Seq(qidCol))
+      .join(actual, Seq(qidCol), "left")
+      .select(qid, col("n_rel"),
+        coalesce(col("hits_k"), lit(0L)).as("hits_k"),
+        coalesce(round(lit(1048576.0d) / col("__minr").cast("double"))
+          .cast("long"), lit(0L)).as("rr_q"),
+        coalesce(col("dcg_q"), lit(0L)).as("dcg_q"),
+        col("idcg_q"),
+        (coalesce(col("dcg_q"), lit(0L)).cast("double") /
+          col("idcg_q").cast("double")).as("ndcg"))
+  }
 }

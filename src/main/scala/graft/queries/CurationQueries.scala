@@ -3644,10 +3644,129 @@ object CurationQueries {
       benchFn = Some(probe))
   }
 
+  /** Ranking-quality evaluation (library `Retrieval.evalRanking` —
+    * the graded-relevance metric harness: per query RR, hits@k and
+    * nDCG@k over a judged panel; `recallAtK` is the ANN-side twin):
+    * three `topKBatch` probes of the standing index are scored
+    * against a synthetic deterministic qrels table (relevance a pure
+    * function of (qid, doc_id), graded 1/2). The oracle replays the
+    * batched retrieval (the q148 derivation), derives the same
+    * qrels, and re-computes every metric — the quantized
+    * `(2^grade−1)/(ln(r+1)/ln 2)·2²⁰` DCG terms, the ideal
+    * ordering's tie-break, the reciprocal-rank quantization — so one
+    * wrong rank, gain or rounding anywhere breaks the hash. */
+  val q164 = {
+    def probe(s: SparkSession, dir: String): DataFrame = {
+      import s.implicits._
+      val h = graft.ops.Bm25Index.load(s, bm25IdxDir(dir))
+      val queries = Seq(
+        (1L, Seq("data", "the")),
+        (2L, Seq("query")),
+        (3L, Seq("the", "query", "data"))).toDF("qid", "terms")
+      val results = graft.ops.Bm25Index.topKBatch(
+        s, h, queries, "qid", "terms", k = 10)
+      val qrels = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("qid", explode(array(lit(1L), lit(2L), lit(3L))))
+        .filter((col("doc_id") + col("qid")) % 17 === 0)
+        .withColumn("grade",
+          when(col("doc_id") % 3 === 0, lit(2L)).otherwise(lit(1L)))
+      graft.ops.Retrieval.evalRanking(results, qrels, "qid", "doc_id",
+          "rank", k = 10)
+        .select(col("qid"), col("n_rel"), col("hits_k"), col("rr_q"),
+          col("dcg_q"), col("idcg_q"), round(col("ndcg"), 6).as("ndcg"))
+        .oracleOrderBy("qid")
+    }
+    QueryDef(
+      "q164_eval_ranking",
+      (s, dir) => { ensureBm25Idx(s, dir); probe(s, dir) },
+      Some("""WITH tk AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks
+        FROM documents),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(len(toks)) AS BIGINT) AS total FROM tk),
+      qt(qid, term) AS (SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'data'), (1, 'the'),
+        (2, 'query'), (3, 'the'), (3, 'query'), (3, 'data')) v),
+      post AS MATERIALIZED (
+        SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok, q.term,
+          CAST(len(list_filter(t.toks, x -> x = q.term)) AS BIGINT) AS tf
+        FROM tk t, (SELECT DISTINCT term FROM qt) q
+        WHERE list_contains(t.toks, q.term)),
+      dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM post GROUP BY term),
+      sq AS (
+        SELECT q.qid, p.doc_id,
+          CAST(round(
+            ln(CAST(1 AS DOUBLE) +
+              (CAST(nn.nd AS DOUBLE) - CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+            * (CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+            / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+               * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                  * CAST(p.n_tok AS DOUBLE)
+                  / (CAST(nn.total AS DOUBLE) / CAST(nn.nd AS DOUBLE))))
+            * CAST(1048576 AS DOUBLE)) AS BIGINT) AS s
+        FROM qt q JOIN post p ON p.term = q.term
+        JOIN dfs d ON d.term = q.term, nn),
+      agg AS (
+        SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score_q
+        FROM sq GROUP BY qid, doc_id HAVING sum(s) > 0),
+      ranked AS (
+        SELECT qid, doc_id, rank FROM (
+          SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+            ORDER BY score_q DESC, doc_id) AS rank
+          FROM agg) r WHERE rank <= 10),
+      qrels AS (
+        SELECT q.qid, d.doc_id,
+          CASE WHEN d.doc_id % 3 = 0 THEN CAST(2 AS BIGINT)
+               ELSE CAST(1 AS BIGINT) END AS grade
+        FROM documents d, (VALUES (CAST(1 AS BIGINT)), (2), (3)) q(qid)
+        WHERE (d.doc_id + q.qid) % 17 = 0),
+      nq AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
+             FROM qrels GROUP BY qid),
+      hits AS (
+        SELECT r.qid, r.doc_id, r.rank, k.grade,
+          CAST(round(
+            (power(CAST(2 AS DOUBLE), CAST(k.grade AS DOUBLE)) - CAST(1 AS DOUBLE))
+            / (ln(CAST(r.rank AS DOUBLE) + CAST(1 AS DOUBLE))
+               / ln(CAST(2 AS DOUBLE)))
+            * CAST(1048576 AS DOUBLE)) AS BIGINT) AS dg
+        FROM ranked r JOIN qrels k ON k.qid = r.qid AND k.doc_id = r.doc_id),
+      act AS (
+        SELECT qid, CAST(count(*) AS BIGINT) AS hits_k,
+          CAST(min(rank) AS BIGINT) AS minr, CAST(sum(dg) AS BIGINT) AS dcg_q
+        FROM hits GROUP BY qid),
+      ideal AS (
+        SELECT qid, CAST(sum(dg) AS BIGINT) AS idcg_q FROM (
+          SELECT qid,
+            CAST(round(
+              (power(CAST(2 AS DOUBLE), CAST(grade AS DOUBLE)) - CAST(1 AS DOUBLE))
+              / (ln(CAST(pos AS DOUBLE) + CAST(1 AS DOUBLE))
+                 / ln(CAST(2 AS DOUBLE)))
+              * CAST(1048576 AS DOUBLE)) AS BIGINT) AS dg
+          FROM (
+            SELECT qid, grade, row_number() OVER (PARTITION BY qid
+              ORDER BY grade DESC, doc_id) AS pos
+            FROM qrels) p WHERE pos <= 10) x GROUP BY qid)
+      SELECT nq.qid, nq.n_rel,
+        CAST(coalesce(a.hits_k, 0) AS BIGINT) AS hits_k,
+        CAST(coalesce(CAST(round(CAST(1048576 AS DOUBLE)
+          / CAST(a.minr AS DOUBLE)) AS BIGINT), 0) AS BIGINT) AS rr_q,
+        CAST(coalesce(a.dcg_q, 0) AS BIGINT) AS dcg_q,
+        i.idcg_q,
+        round(CAST(coalesce(a.dcg_q, 0) AS DOUBLE)
+          / CAST(i.idcg_q AS DOUBLE), 6) AS ndcg
+      FROM nq JOIN ideal i USING (qid) LEFT JOIN act a USING (qid)
+      ORDER BY nq.qid"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25Idx(s, dir)),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
       q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
-      q154, q155, q156, q157, q160, q161, q163)
+      q154, q155, q156, q157, q160, q161, q163, q164)
 }

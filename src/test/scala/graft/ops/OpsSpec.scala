@@ -2877,6 +2877,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Retrieval.evalRanking: RR / hits@k / nDCG against graded qrels, hand-checked") {
+    val results = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 20L, 3), (1L, 40L, 4), // 40: beyond k
+      (2L, 50L, 1), // judged panel, miss
+      (3L, 60L, 1)) // unjudged query → no output row
+      .toDF("qid", "doc_id", "rank")
+    val qrels = Seq(
+      (1L, 10L, 2L), (1L, 20L, 1L), (1L, 30L, 1L), // 30 never retrieved
+      (1L, 99L, 0L), // judged NON-relevant — retrieved at rank 2, no credit
+      (2L, 70L, 1L), // relevant, never retrieved
+      (4L, 80L, 0L)) // only grade-0 judgments → query excluded
+      .toDF("qid", "doc_id", "grade")
+    val out = Retrieval.evalRanking(results, qrels, "qid", "doc_id", "rank", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    assert(out.keySet == Set(1L, 2L), out.toString)
+    // the op's exact arithmetic, respelled: (gain / (ln(r+1)/ln 2)) * 2^20
+    def dg(grade: Long, rank: Long): Long = math.round(
+      (math.pow(2.0, grade.toDouble) - 1.0) /
+        (math.log(rank.toDouble + 1.0) / math.log(2.0)) * 1048576.0)
+    val (nRel1, hits1, rr1, dcg1, idcg1, ndcg1) = out(1L)
+    assert(nRel1 == 3L && hits1 == 2L && rr1 == 1048576L, out.toString)
+    assert(dcg1 == dg(2, 1) + dg(1, 3), s"$dcg1")
+    assert(idcg1 == dg(2, 1) + dg(1, 2) + dg(1, 3), s"$idcg1")
+    assert(ndcg1 == dcg1.toDouble / idcg1.toDouble && ndcg1 > 0.8 && ndcg1 < 1.0)
+    // a judged query that retrieved nothing relevant: zeros, ndcg 0
+    assert(out(2L) == ((1L, 0L, 0L, 0L, dg(1, 1), 0.0)), out.toString)
+  }
+
   test("Similarity.mmrRerank: diversity demotes the near-duplicate; lambda tunes the trade") {
     val cand = Seq((1L, 0.9), (2L, 0.89), (3L, 0.5), (4L, 0.4))
       .toDF("vec_id", "rel")
