@@ -152,6 +152,60 @@ object CurationIngest {
     * Use as `deletes.writeStream.foreachBatch(
     * CurationIngest.deletionSink(...)).start()` with rows carrying
     * the id and text columns. */
+  /** The full curation lifecycle in ONE stream: rows carry an `op`
+    * column (`"upsert"` or `"delete"`) and each trigger applies the
+    * deletes, then screens-and-folds the upserts — [[curationSink]]
+    * and [[deletionSink]] composed behind a single serialized
+    * foreachBatch. This is the deployment shape the one-metadata-
+    * writer contract asks for: ingest and forget can never race the
+    * BM25 meta read-modify-write because they share the trigger.
+    *
+    * In-trigger ordering is deletes-first, and an id appearing in
+    * BOTH halves of one trigger is refused up front with a clear
+    * message: delete-then-re-add cannot work until a compact purges
+    * the tombstone (the append contract), so letting the upsert half
+    * run would fail the trigger with the generic re-add error on
+    * every replay — better to name the conflict. An unknown op value
+    * raises row-wise. */
+  def lifecycleSink(
+      dedup: DedupIndex.Handle,
+      bm25: Bm25Index.Handle,
+      ann: AnnIndex.Handle,
+      verdictsDir: String,
+      auditDir: String,
+      embCol: String,
+      qualityGate: Column,
+      opCol: String = "op",
+      threshold: Double = 0.8): (DataFrame, Long) => Unit = {
+    val ingest = curationSink(
+      dedup, bm25, ann, verdictsDir, embCol, qualityGate, threshold)
+    val forget = deletionSink(dedup, bm25, ann, auditDir)
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        import org.apache.spark.sql.functions.{concat, lit => flit, raise_error, when}
+        val idCol = dedup.idCol
+        val frozen = batch
+          .withColumn(opCol,
+            when(col(opCol).isin("upsert", "delete"), col(opCol))
+              .otherwise(raise_error(concat(
+                flit(s"lifecycleSink: unknown op '"), col(opCol),
+                flit(s"' for id "), col(idCol).cast("string")))))
+          .localCheckpoint(true)
+        val dels = frozen.filter(col(opCol) === "delete").drop(opCol)
+        val ups = frozen.filter(col(opCol) === "upsert").drop(opCol)
+        val both = dels.select(col(idCol))
+          .join(ups.select(col(idCol)), Seq(idCol), "left_semi")
+          .limit(1).collect()
+        require(both.isEmpty,
+          s"lifecycleSink: id '${both.headOption.map(_.get(0)).orNull}' is " +
+            "both deleted and upserted in one trigger — a deleted id is " +
+            "not re-addable until compact purges its tombstone; split the " +
+            "re-add into a post-compact batch")
+        forget(dels, batchId)
+        ingest(ups, batchId)
+      }
+  }
+
   def deletionSink(
       dedup: DedupIndex.Handle,
       bm25: Bm25Index.Handle,

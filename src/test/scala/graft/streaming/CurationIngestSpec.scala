@@ -97,6 +97,59 @@ class CurationIngestSpec extends SparkSpec {
     assert(bmMeta.nDocs == 4L, bmMeta.toString)
   }
 
+  test("lifecycleSink: one op-routed stream ingests and forgets; same-trigger conflicts refuse with the named reason") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("curation_lc_").toString
+    val seed = Seq(
+      (0L, "completely different content about spark engines and data"))
+      .toDF("doc_id", "text")
+    val seedEmb = Seq((0L, emb(0L))).toDF("doc_id", "embedding")
+    val dedupH = DedupIndex.build(seed, "doc_id", s"$root/dedup")
+    val bm25H = Bm25Index.build(seed, "doc_id", s"$root/bm25", numBuckets = 8)
+    val annH = AnnIndex.build(seedEmb, "embedding", "doc_id", s"$root/ann",
+      nCells = 2, m = 4, k = 2, dim = 8, iters = 1)
+    val textA = "retrieval augmented generation pipelines need fresh relevant passages ok"
+    val textC = "entirely new second batch document with its own vocabulary set"
+    def run(rows: (Long, String, String)*): Unit = {
+      val in = MemoryStream[(Long, String, String)]
+      val q = in.toDS().toDF("doc_id", "text", "op")
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(7)),
+            j => ((col("doc_id") * 7 + j) % 5).cast("double")))
+        .writeStream
+        .foreachBatch(CurationIngest.lifecycleSink(
+          dedupH, bm25H, annH, s"$root/verdicts", s"$root/audit", "embedding",
+          qualityGate = col("text").isNotNull && length(col("text")) > 20,
+          threshold = 0.5))
+        .start()
+      try { in.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    }
+    def lexIds = Bm25Index.topK(spark, Bm25Index.load(spark, s"$root/bm25"),
+      Seq("retrieval", "passages", "vocabulary"), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    // trigger 1: plain ingest
+    run((10L, textA, "upsert"))
+    assert(lexIds.contains(10L))
+    // trigger 2: delete 10 AND ingest a new doc in the SAME trigger
+    run((10L, textA, "delete"), (21L, textC, "upsert"))
+    assert(!lexIds.contains(10L) && lexIds.contains(21L), lexIds.toString)
+    assert(Bm25Index.load(spark, s"$root/bm25").nDocs == 2L) // seed + 21
+    assert(spark.read.parquet(s"$root/audit").count() == 1L)
+    // same-trigger delete+upsert of ONE id refuses with the named reason
+    val e = intercept[Exception](
+      run((21L, textC, "delete"), (21L, textC, "upsert")))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("both deleted and upserted")), msgs.mkString(" | "))
+    // the refused trigger left no partial state: 21 still queryable
+    assert(lexIds.contains(21L), lexIds.toString)
+    // unknown op raises row-wise
+    val e2 = intercept[Exception](run((30L, textC, "purge")))
+    val msgs2 = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs2.exists(_.contains("unknown op")), msgs2.mkString(" | "))
+  }
+
   test("deletionSink: a deleted doc vanishes everywhere; re-send screens new; re-ingest blocked until compact") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("curation_del_").toString
