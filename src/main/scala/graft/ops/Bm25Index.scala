@@ -772,6 +772,107 @@ object Bm25Index {
       .limit(k)
   }
 
+  /** Proximity-weighted BM25 top-k over the positional postings —
+    * between bag-of-words [[topK]] and exact-sequence [[phraseTopK]]:
+    * documents where the query terms cluster TOGETHER outrank
+    * bag-of-words matches without requiring exact adjacency (minimal
+    * span weighting — Tao & Zhai's finding that the best proximity
+    * signal is the smallest window covering all terms). Scoring is
+    * the exact-integer convention: `score_q = Σ_t round(s_t·2²⁰)`
+    * (the field-restricted polynomial per term) plus, for docs
+    * containing EVERY distinct query term, a bonus
+    * `round(proxWeight·2²⁰·|Q| / minwin)` where `minwin` is the
+    * smallest token window containing all terms (minwin ≥ |Q|, so
+    * the bonus caps at `proxWeight·2²⁰` for perfectly-packed terms
+    * and decays with spread). `minwin` is computed per candidate row
+    * from the index's sorted positions arrays with array arithmetic
+    * (for each occurrence position s, the window must stretch to
+    * `max_t min{p ∈ pos_t : p ≥ s}`; the minimum over starts is the
+    * answer — no explode, no self-join), emitted as a column for
+    * auditing (NULL when a term is missing). One pruned pass; work
+    * proportional to the query terms' postings. Emits `(id, n_tok,
+    * minwin, score_q)`, top `k` by (score_q desc, id). */
+  def proximityTopK(
+      spark: SparkSession, handle: Handle, queryTerms: Seq[String],
+      k: Int = 10, proxWeight: Double = 1.0, field: Option[String] = None,
+      k1: Double = Retrieval.DefaultK1,
+      b: Double = Retrieval.DefaultB): DataFrame = {
+    requirePositional(handle, "proximityTopK")
+    requireQueryTerms(queryTerms, "proximityTopK")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"query terms must be distinct: $queryTerms")
+    require(queryTerms.size >= 2,
+      "proximity needs at least two terms — use topK for one")
+    require(queryTerms.size <= MaxQueryTerms,
+      s"at most $MaxQueryTerms query terms, got ${queryTerms.size}")
+    require(proxWeight > 0.0, s"proxWeight must be positive, got $proxWeight")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(handle.nDocs > 0, "proximityTopK over an empty index")
+    val fld = field.getOrElse {
+      require(handle.fields.size == 1,
+        s"multi-field index (${handle.fields.mkString(", ")}): name the " +
+          "field to probe")
+      handle.fields.head
+    }
+    val fi = handle.fields.indexOf(fld)
+    require(fi >= 0, s"unknown field '$fld' — index has ${handle.fields}")
+    val buckets = bucketsFor(spark, queryTerms, handle.numBuckets).distinct
+    val pruned = liveOnly(spark, handle,
+      spark.read.parquet(s"${handle.dir}/postings")
+        .filter(col("term_bucket").isin(buckets: _*) &&
+          col("term").isin(queryTerms: _*) && col("field") === fld))
+    val dfs: Map[String, Long] = pruned.groupBy("term")
+      .agg(count(lit(1)).as("__df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val id = col(handle.idCol)
+    val pivoted = pruned.groupBy(id, col("n_tok_f")).agg(
+      max(when(col("term") === queryTerms.head, col("tf"))).as("__tf0"),
+      (queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
+        max(when(col("term") === t, col("tf"))).as(s"__tf$i") } ++
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          max(when(col("term") === t,
+            col("positions"))).as(s"__pos$i") }): _*)
+    val avgdlF = handle.fieldTokens(fi).toDouble / handle.nDocs.toDouble
+    val perTermQ = queryTerms.zipWithIndex.map { case (term, i) =>
+      val dft = dfs.getOrElse(term, 0L)
+      val idf = log(lit(1.0) + lit(handle.nDocs - dft + 0.5) / lit(dft + 0.5))
+      val tf = coalesce(col(s"__tf$i").cast("double"), lit(0.0))
+      round(idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("n_tok_f").cast("double") / lit(avgdlF)))
+        * lit(1048576.0d)).cast("long")
+    }
+    // minwin from the positions arrays: candidate window starts are
+    // every occurrence; per start the window stretches to each term's
+    // NEXT occurrence at-or-after it — the greatest of those minus
+    // the start (+1) is that start's width, the minimum over starts
+    // the doc's minimal span
+    val starts = array_distinct(flatten(
+      array(queryTerms.indices.map(i =>
+        coalesce(col(s"__pos$i"), array().cast("array<int>"))): _*)))
+    def nextGE(i: Int, s: org.apache.spark.sql.Column) =
+      array_min(filter(coalesce(col(s"__pos$i"), array().cast("array<int>")),
+        p => p >= s))
+    val widths = transform(starts, s =>
+      when(queryTerms.indices.map(i => nextGE(i, s).isNotNull).reduce(_ && _), {
+        val nexts = queryTerms.indices.map(i => nextGE(i, s))
+        greatest(nexts: _*) - s + lit(1)
+      }))
+    val minwin = array_min(filter(widths, w => w.isNotNull)).cast("long")
+    val bonus = when(col("minwin").isNotNull,
+        round(lit(proxWeight) * lit(1048576.0d) *
+          lit(queryTerms.size.toDouble) / col("minwin").cast("double"))
+          .cast("long"))
+      .otherwise(lit(0L))
+    pivoted
+      .withColumn("minwin", minwin)
+      .select(id, col("n_tok_f").as("n_tok"), col("minwin"),
+        (perTermQ.reduce(_ + _) + bonus).as("score_q"))
+      .filter(col("score_q") > 0L)
+      .orderBy(col("score_q").desc, id)
+      .limit(k)
+  }
+
   /** Batched phrase probe — [[phraseTopK]]'s table form and the
     * phrase member of the amortized-probe family
     * ([[topKBatch]]/[[graft.ops.AnnIndex.queryBatch]]): a TABLE of

@@ -3763,10 +3763,89 @@ object CurationQueries {
       benchFn = Some(probe))
   }
 
+  /** Proximity-weighted retrieval (library `Bm25Index.proximityTopK`
+    * — minimal-span weighting between bag-of-words topK and
+    * exact-sequence phraseTopK: docs whose query terms cluster
+    * together earn `round(2²⁰·|Q|/minwin)` on top of the quantized
+    * BM25 sum, docs missing a term earn nothing). The oracle replays
+    * the per-term quantized polynomial AND the minimal-window
+    * derivation relationally — every occurrence position as a window
+    * start, each term's next-at-or-after occurrence, the max-minus-
+    * start width, the per-doc minimum — so one wrong stored position
+    * or rounding shifts a score and breaks the hash. */
+  val q165 = {
+    def probe(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Bm25Index.proximityTopK(
+          s, graft.ops.Bm25Index.load(s, bm25IdxDir(dir)),
+          Seq("data", "the", "query"), k = 10, proxWeight = 1.0)
+        .select(col("doc_id"), col("n_tok"), col("minwin"), col("score_q"))
+        .oracleOrderBy("doc_id")
+    QueryDef(
+      "q165_bm25_proximity",
+      (s, dir) => { ensureBm25Idx(s, dir); probe(s, dir) },
+      Some("""WITH tk AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks
+        FROM documents),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(len(toks)) AS BIGINT) AS total FROM tk),
+      qt(term) AS (SELECT * FROM (VALUES ('data'), ('the'), ('query')) v),
+      post AS MATERIALIZED (
+        SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok, q.term,
+          CAST(len(list_filter(t.toks, x -> x = q.term)) AS BIGINT) AS tf
+        FROM tk t, qt q WHERE list_contains(t.toks, q.term)),
+      dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM post GROUP BY term),
+      sq AS (
+        SELECT p.doc_id, p.n_tok,
+          CAST(round(
+            ln(CAST(1 AS DOUBLE) +
+              (CAST(nn.nd AS DOUBLE) - CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+            * (CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+            / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+               * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                  * CAST(p.n_tok AS DOUBLE)
+                  / (CAST(nn.total AS DOUBLE) / CAST(nn.nd AS DOUBLE))))
+            * CAST(1048576 AS DOUBLE)) AS BIGINT) AS s
+        FROM post p JOIN dfs d ON d.term = p.term, nn),
+      agg AS (
+        SELECT doc_id, n_tok, CAST(sum(s) AS BIGINT) AS base
+        FROM sq GROUP BY doc_id, n_tok),
+      qpos AS MATERIALIZED (
+        SELECT doc_id, term, p FROM (
+          SELECT doc_id, unnest(toks) AS term,
+            unnest(range(0, len(toks))) AS p
+          FROM tk) x WHERE term IN ('data', 'the', 'query')),
+      nxt AS (
+        SELECT st.doc_id, st.s, q.term, min(q.p) AS np
+        FROM (SELECT DISTINCT doc_id, p AS s FROM qpos) st
+        JOIN qpos q ON q.doc_id = st.doc_id AND q.p >= st.s
+        GROUP BY st.doc_id, st.s, q.term),
+      wins AS (
+        SELECT doc_id, s, max(np) - s + 1 AS w
+        FROM nxt GROUP BY doc_id, s HAVING count(DISTINCT term) = 3),
+      mw AS (SELECT doc_id, CAST(min(w) AS BIGINT) AS minwin
+             FROM wins GROUP BY doc_id),
+      scored AS (
+        SELECT a.doc_id, a.n_tok, m.minwin,
+          a.base + coalesce(CAST(round(
+            (CAST(1 AS DOUBLE) * CAST(1048576 AS DOUBLE))
+              * CAST(3 AS DOUBLE) / CAST(m.minwin AS DOUBLE)) AS BIGINT),
+            CAST(0 AS BIGINT)) AS score_q
+        FROM agg a LEFT JOIN mw m USING (doc_id))
+      SELECT doc_id, n_tok, minwin, score_q FROM (
+        SELECT * FROM scored WHERE score_q > 0
+        ORDER BY score_q DESC, doc_id LIMIT 10) topk
+      ORDER BY doc_id"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25Idx(s, dir)),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
       q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
-      q154, q155, q156, q157, q160, q161, q163, q164)
+      q154, q155, q156, q157, q160, q161, q163, q164, q165)
 }

@@ -779,6 +779,11 @@ object ProfileScale {
           spark, bm25H1, Seq("the", "data"), k = 25),
         () => graft.ops.Bm25Index.phraseTopK(
           spark, bm25H10, Seq("the", "data"), k = 25)),
+      ("q165 bm25-proximity",
+        () => graft.ops.Bm25Index.proximityTopK(
+          spark, bm25H1, Seq("the", "data", "query"), k = 25),
+        () => graft.ops.Bm25Index.proximityTopK(
+          spark, bm25H10, Seq("the", "data", "query"), k = 25)),
       ("q163 bm25-snippets",
         () => graft.ops.Bm25Index.snippetTopK(
           spark, bm25H1, Seq("the", "data", "query"), width = 8, k = 25),
@@ -889,7 +894,8 @@ object ProfileScale {
       }
       if (name.contains("bigcb")) { bigCbH1.dir; bigCbH10.dir; () }
       if (name.startsWith("q154") || name.startsWith("q156") ||
-          name.startsWith("q161") || name.startsWith("q163")) {
+          name.startsWith("q161") || name.startsWith("q163") ||
+          name.startsWith("q165")) {
         bm25H1.dir; bm25H10.dir; ()
       }
       if (name.startsWith("q155")) { bm25fH1.dir; bm25fH10.dir; () }

@@ -3615,6 +3615,52 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Bm25Index.proximityTopK: clustered terms outrank spread ones; minwin order-insensitive") {
+    val corpus = Seq(
+      (0L, "alpha beta filler filler filler"),  // adjacent: minwin 2
+      (1L, "alpha filler filler filler beta"),  // spread: minwin 5
+      (2L, "alpha alpha alpha filler filler"),  // beta missing: no bonus
+      (3L, "beta alpha"))                       // reversed order: minwin 2
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25prox").toString
+    try {
+      val h = Bm25Index.build(corpus, "doc_id", dir, numBuckets = 8)
+      val out = Bm25Index.proximityTopK(spark, h, Seq("alpha", "beta"), k = 10)
+        .collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getLong(3)))).toMap
+      assert(out(0L)._1 == Some(2L), out.toString)
+      assert(out(1L)._1 == Some(5L), out.toString)
+      assert(out(2L)._1 == None, out.toString)
+      assert(out(3L)._1 == Some(2L), out.toString) // order-insensitive
+      // docs 0 and 1 have IDENTICAL tf/length — only the bonus differs,
+      // by exactly the two quantized bonus values
+      val bonus = (w: Long) => math.round(1.0 * 1048576.0 * 2.0 / w.toDouble)
+      assert(out(0L)._2 - out(1L)._2 == bonus(2) - bonus(5),
+        s"${out(0L)} vs ${out(1L)}")
+      assert(out(0L)._2 > out(1L)._2)
+      // a doc missing a term scores the plain quantized BM25 (the
+      // topKBatch convention) — no bonus
+      val viaBatch = Bm25Index.topKBatch(spark, h,
+          Seq((0L, Seq("alpha", "beta"))).toDF("qid", "terms"), "qid", "terms",
+          k = 10)
+        .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+      assert(out(2L)._2 == viaBatch(2L), s"${out(2L)} vs ${viaBatch(2L)}")
+      // guards
+      assert(intercept[IllegalArgumentException](Bm25Index.proximityTopK(
+        spark, h, Seq("alpha"))).getMessage.contains("at least two"))
+      assert(intercept[IllegalArgumentException](Bm25Index.proximityTopK(
+        spark, h, Seq("Alpha", "beta"))).getMessage.contains("lowercase"))
+      assert(intercept[IllegalArgumentException](Bm25Index.proximityTopK(
+        spark, h, Seq("alpha", "beta"), proxWeight = 0.0))
+        .getMessage.contains("proxWeight"))
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("Bm25Index.snippetTopK: best window by (terms, hits, leftmost) from stored positions only") {
     val corpus = Seq(
       (0L, "alpha x x x beta gamma x alpha"),
