@@ -145,6 +145,44 @@ object Retrieval {
     graft.util.Ids.withRowIndex(top, "rank")
   }
 
+  /** Batched reciprocal-rank fusion — [[rrfFuse]]'s table form and
+    * the hybrid member of the amortized-probe family: every ranking
+    * carries a query id, and each query's lists fuse independently
+    * (the RAG-evaluation shape — [[Bm25Index.topKBatch]] +
+    * [[AnnIndex.queryBatch]] feed it directly). Same arithmetic as
+    * the single-query form: per system `1/(rrfK + rank)` summed
+    * left-to-right in system order (deterministic — never a float
+    * aggregate), absent-from-a-system contributes exact 0. Ranking
+    * is a qid-PARTITIONED window over fused candidates only — no
+    * global sort at any query count. Emits `(qidCol, idCol,
+    * rank_0..rank_{n-1}, rrf_score, rank)`, ranks 1..k by
+    * (rrf_score desc, id). */
+  def rrfFuseBatch(
+      rankings: Seq[DataFrame], qidCol: String, idCol: String,
+      rrfK: Int = 60, k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuseBatch needs at least one ranking")
+    require(rrfK >= 0, s"rrfK must be >= 0, got $rrfK")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = rankings.size
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(qidCol), col(idCol), lit(i).as("__sys"),
+        col("rank").cast("long").as("__rank"))
+    }.reduce(_ unionByName _)
+    val pivoted = tagged.groupBy(qidCol, idCol)
+      .agg(max(when(col("__sys") === 0, col("__rank"))).as("rank_0"),
+        (1 until n).map(i =>
+          max(when(col("__sys") === i, col("__rank"))).as(s"rank_$i")): _*)
+    val score = (0 until n).map(i =>
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col(s"rank_$i").cast("double")),
+          lit(0.0)))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(qidCol)
+      .orderBy(col("rrf_score").desc, col(idCol))
+    pivoted.withColumn("rrf_score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Ranking-quality evaluation over a judged panel — the metric
     * harness a retrieval deployment runs before and after every
     * index/scoring change ([[Similarity.recallAtK]] is the ANN twin;

@@ -3842,10 +3842,110 @@ object CurationQueries {
       benchFn = Some(probe))
   }
 
+  /** Batched hybrid RAG (library `Retrieval.rrfFuseBatch` over
+    * `Bm25Index.topKBatch` + `AnnIndex.queryBatch` — q150's hybrid
+    * probe at evaluation scale: a query TABLE runs one pruned pass
+    * over EACH standing index and fuses per query; with this, every
+    * single-query probe in the retrieval stack has its amortized
+    * batch twin). Four queries, each with its own term list and its
+    * own embedding; the oracle chains the batched-BM25 replay, the
+    * FULL batched-ANN replay (training + probe rule + ADC) and the
+    * per-query reciprocal-rank fusion — the q150 derivation with
+    * qid-partitioned ranking throughout. */
+  val q166 = {
+    val wsDuckLit = "[ \\t\\n\\x0B\\f\\r]+"
+    def prep(s: SparkSession, dir: String): Unit = {
+      ensureBm25Idx(s, dir)
+      EmbeddingQueries.buildAnnIdx(s, dir)
+      ()
+    }
+    def probe(s: SparkSession, dir: String): DataFrame = {
+      import s.implicits._
+      val lexQs = Seq(
+        (0L, Seq("data", "the")), (1L, Seq("query")),
+        (2L, Seq("the", "query")), (3L, Seq("data"))).toDF("qid", "terms")
+      val lex = graft.ops.Bm25Index.topKBatch(
+          s, graft.ops.Bm25Index.load(s, bm25IdxDir(dir)),
+          lexQs, "qid", "terms", k = 20)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val sem = graft.ops.AnnIndex.queryBatch(
+          s, graft.ops.AnnIndex.load(s, EmbeddingQueries.annIdxDir(dir)),
+          t(s, dir, "embeddings").filter(col("vec_id") < 4),
+          "embedding", "vec_id", k = 20, nProbe = 2)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      graft.ops.Retrieval.rrfFuseBatch(Seq(lex, sem), "qid", "doc_id",
+          rrfK = 60, k = 5)
+        .select(col("qid"), col("doc_id"), col("rank_0"), col("rank_1"),
+          round(col("rrf_score"), 6).as("rrf_score"), col("rank"))
+        .oracleOrderBy("qid", "rank")
+    }
+    QueryDef(
+      "q166_hybrid_batch_rag",
+      (s, dir) => { prep(s, dir); probe(s, dir) },
+      Some(s"""WITH ${EmbeddingQueries.annBatchCtesDuck("vec_id < 4")},
+      sem20 AS (SELECT qid, vec_id AS doc_id, CAST(rank AS BIGINT) AS rank_1
+                FROM brk WHERE rank <= 20),
+      ltk AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '$wsDuckLit') AS toks
+        FROM documents),
+      lnn AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(len(toks)) AS BIGINT) AS total FROM ltk),
+      lqt(qid, term) AS (SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), 'data'), (0, 'the'), (1, 'query'),
+        (2, 'the'), (2, 'query'), (3, 'data')) v),
+      lpost AS MATERIALIZED (
+        SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok, q.term,
+          CAST(len(list_filter(t.toks, x -> x = q.term)) AS BIGINT) AS tf
+        FROM ltk t, (SELECT DISTINCT term FROM lqt) q
+        WHERE list_contains(t.toks, q.term)),
+      ldfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+               FROM lpost GROUP BY term),
+      lsq AS (
+        SELECT q.qid, p.doc_id,
+          CAST(round(
+            ln(CAST(1 AS DOUBLE) +
+              (CAST(lnn.nd AS DOUBLE) - CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+            * (CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+            / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+               * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                  * CAST(p.n_tok AS DOUBLE)
+                  / (CAST(lnn.total AS DOUBLE) / CAST(lnn.nd AS DOUBLE))))
+            * CAST(1048576 AS DOUBLE)) AS BIGINT) AS s
+        FROM lqt q JOIN lpost p ON p.term = q.term
+        JOIN ldfs d ON d.term = q.term, lnn),
+      lagg AS (
+        SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score_q
+        FROM lsq GROUP BY qid, doc_id HAVING sum(s) > 0),
+      lex20 AS (
+        SELECT qid, doc_id, CAST(rank AS BIGINT) AS rank_0 FROM (
+          SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+            ORDER BY score_q DESC, doc_id) AS rank
+          FROM lagg) r WHERE rank <= 20),
+      fused AS (
+        SELECT coalesce(a.qid, b.qid) AS qid,
+          coalesce(a.doc_id, b.doc_id) AS doc_id, a.rank_0, b.rank_1,
+          coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(a.rank_0 AS DOUBLE)), CAST(0 AS DOUBLE))
+          + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(b.rank_1 AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf_score
+        FROM lex20 a FULL OUTER JOIN sem20 b
+          ON b.qid = a.qid AND b.doc_id = a.doc_id)
+      SELECT qid, doc_id, rank_0, rank_1, round(rrf_score, 6) AS rrf_score,
+        CAST(rank AS INT) AS rank
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fused) f WHERE rank <= 5
+      ORDER BY qid, rank"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => prep(s, dir)),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
       q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
-      q154, q155, q156, q157, q160, q161, q163, q164, q165)
+      q154, q155, q156, q157, q160, q161, q163, q164, q165, q166)
 }

@@ -1018,41 +1018,32 @@ object EmbeddingQueries {
     * per-query probe rule and per-(query, sub-centroid) lookup tables
     * over the shared index-state replay — every query's candidate
     * set, distance and rank hash-checked. */
-  val q151 = {
-    def probe(s: org.apache.spark.sql.SparkSession, dir: String)
-        : org.apache.spark.sql.DataFrame = {
-      val e = t(s, dir, "embeddings")
-      graft.ops.AnnIndex.queryBatch(s,
-          graft.ops.AnnIndex.load(s, annIdxDir(dir)),
-          e.filter(col("vec_id") < 8), "embedding", "vec_id",
-          k = 5, nProbe = 2)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("pq_dist"), 6).as("adc_dist"), col("rank"))
-        .oracleOrderBy("query_id", "rank")
-    }
-    QueryDef(
-      "q151_ann_batch",
-      (s, dir) => { buildAnnIdx(s, dir); probe(s, dir) },
-      Some {
-        val elem: (String, Int) => String = duckElem
-        val sub = Dim / PqM
-        val qluts = (0 until PqM).map { mi =>
-          val lutTerms = (1 to sub).map { j =>
-            val d = s"(${elem("q.embedding", mi * sub + j)} - c.cv[$j])"
-            s"($d * $d)"
-          }.mkString(" + ")
-          s"""qlut$mi AS (
+  /** The q151/q166 shared batched-probe replay: the full index-state
+    * derivation ([[annIndexStateCtesDuck]]) plus, for the query set
+    * `qsetWhere` selects from `embeddings`, the per-query probe rule,
+    * per-(query, sub-centroid) lookup tables and the qid-partitioned
+    * ranking. Ends with `brk(qid, vec_id, pq_dist, rank)` — callers
+    * cut at their own k. */
+  private[queries] def annBatchCtesDuck(qsetWhere: String): String = {
+    val elem: (String, Int) => String = duckElem
+    val sub = Dim / PqM
+    val qluts = (0 until PqM).map { mi =>
+      val lutTerms = (1 to sub).map { j =>
+        val d = s"(${elem("q.embedding", mi * sub + j)} - c.cv[$j])"
+        s"($d * $d)"
+      }.mkString(" + ")
+      s"""qlut$mi AS (
           SELECT q.qid, c.cid, ($lutTerms) AS qd
           FROM qset q CROSS JOIN pc${mi}_$PqTrainIters c)"""
-        }.mkString(",\n        ")
-        val faJoins = (1 until PqM)
-          .map(mi => s"JOIN fa$mi ON fa$mi.vec_id = fa0.vec_id").mkString(" ")
-        val lutJoins = (0 until PqM)
-          .map(mi => s"JOIN qlut$mi l$mi ON l$mi.qid = p.qid AND l$mi.cid = fa$mi.code_$mi")
-          .mkString(" ")
-        val distSum = (0 until PqM).map(mi => s"l$mi.qd").mkString(" + ")
-        s"""WITH $annIndexStateCtesDuck,
-        qset AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 8),
+    }.mkString(",\n        ")
+    val faJoins = (1 until PqM)
+      .map(mi => s"JOIN fa$mi ON fa$mi.vec_id = fa0.vec_id").mkString(" ")
+    val lutJoins = (0 until PqM)
+      .map(mi => s"JOIN qlut$mi l$mi ON l$mi.qid = p.qid AND l$mi.cid = fa$mi.code_$mi")
+      .mkString(" ")
+    val distSum = (0 until PqM).map(mi => s"l$mi.qd").mkString(" + ")
+    s"""$annIndexStateCtesDuck,
+        qset AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE $qsetWhere),
         qprobes AS (
           SELECT qid, cid AS cell FROM (
             SELECT q.qid, c.cid,
@@ -1072,11 +1063,28 @@ object EmbeddingQueries {
           SELECT qid, vec_id, pq_dist,
             CAST(row_number() OVER (PARTITION BY qid
               ORDER BY pq_dist ASC, vec_id) AS INT) AS rank
-          FROM bscored)
+          FROM bscored)"""
+  }
+
+  val q151 = {
+    def probe(s: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame = {
+      val e = t(s, dir, "embeddings")
+      graft.ops.AnnIndex.queryBatch(s,
+          graft.ops.AnnIndex.load(s, annIdxDir(dir)),
+          e.filter(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("pq_dist"), 6).as("adc_dist"), col("rank"))
+        .oracleOrderBy("query_id", "rank")
+    }
+    QueryDef(
+      "q151_ann_batch",
+      (s, dir) => { buildAnnIdx(s, dir); probe(s, dir) },
+      Some(s"""WITH ${annBatchCtesDuck("vec_id < 8")}
         SELECT qid AS query_id, vec_id AS neighbor_id,
           round(pq_dist, 6) AS adc_dist, rank
-        FROM brk WHERE rank <= 5 ORDER BY query_id, rank"""
-      },
+        FROM brk WHERE rank <= 5 ORDER BY query_id, rank"""),
       bench = true,
       benchPrepare = Some((s, dir) => buildAnnIdx(s, dir)),
       benchFn = Some(probe))

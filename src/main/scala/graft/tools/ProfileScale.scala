@@ -779,6 +779,29 @@ object ProfileScale {
           spark, bm25H1, Seq("the", "data"), k = 25),
         () => graft.ops.Bm25Index.phraseTopK(
           spark, bm25H10, Seq("the", "data"), k = 25)),
+      // round-12: batched hybrid — one pruned pass per index for the
+      // whole query table, fused per qid; both index sizes scale
+      ("q166 hybrid-batch",
+        () => graft.ops.Retrieval.rrfFuseBatch(Seq(
+          graft.ops.Bm25Index.topKBatch(
+            spark, bm25H1, bm25BatchQs(1), "qid", "terms", k = 20)
+            .select(col("qid"), col("doc_id"), col("rank")),
+          graft.ops.AnnIndex.queryBatch(spark, annH1,
+            emb.filter(col("vec_id").isin(1L, 2L, 3L)), "embedding", "vec_id",
+            k = 20, nProbe = 2)
+            .select(col("query_id").as("qid"),
+              col("neighbor_id").as("doc_id"), col("rank"))),
+          "qid", "doc_id", rrfK = 60, k = 5),
+        () => graft.ops.Retrieval.rrfFuseBatch(Seq(
+          graft.ops.Bm25Index.topKBatch(
+            spark, bm25H10, bm25BatchQs(1), "qid", "terms", k = 20)
+            .select(col("qid"), col("doc_id"), col("rank")),
+          graft.ops.AnnIndex.queryBatch(spark, annH10,
+            emb10.filter(col("vec_id").isin(1L, 2L, 3L)), "embedding", "vec_id",
+            k = 20, nProbe = 2)
+            .select(col("query_id").as("qid"),
+              col("neighbor_id").as("doc_id"), col("rank"))),
+          "qid", "doc_id", rrfK = 60, k = 5)),
       ("q165 bm25-proximity",
         () => graft.ops.Bm25Index.proximityTopK(
           spark, bm25H1, Seq("the", "data", "query"), k = 25),
@@ -905,6 +928,9 @@ object ProfileScale {
       }
       if (name.startsWith("q159")) {
         dedupDelH1.dir; dedupDelH10.dir; dedupProbeBatch.count(); ()
+      }
+      if (name.startsWith("q166")) {
+        bm25H1.dir; bm25H10.dir; annH1.dir; annH10.dir; ()
       }
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)

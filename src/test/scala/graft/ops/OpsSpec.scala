@@ -2877,6 +2877,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Retrieval.rrfFuseBatch: per-query fusion agrees with single-query rrfFuse") {
+    val lex = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
+      (2L, 40L, 1), (2L, 10L, 2)).toDF("qid", "doc_id", "rank")
+    val sem = Seq((1L, 20L, 1), (1L, 99L, 2),
+      (2L, 40L, 1), (2L, 50L, 2)).toDF("qid", "doc_id", "rank")
+    val fused = Retrieval.rrfFuseBatch(Seq(lex, sem), "qid", "doc_id",
+        rrfK = 60, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(5)) ->
+        ((r.getLong(1), r.getDouble(4)))).toMap // (qid, rank) -> (doc, score)
+    // per-qid parity with the single-query fuser (bit-equal scores)
+    for (qid <- Seq(1L, 2L)) {
+      val single = Retrieval.rrfFuse(Seq(
+          lex.filter(col("qid") === qid).drop("qid"),
+          sem.filter(col("qid") === qid).drop("qid")),
+        "doc_id", rrfK = 60, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+      val fromBatch = (1 to single.size).map(rk => fused((qid, rk)))
+      assert(fromBatch == single, s"qid $qid: $fromBatch vs $single")
+    }
+    // a doc in one system only still fuses (exact-zero other side)
+    assert(fused.exists { case ((q, _), (d, _)) => q == 1L && d == 99L })
+    // queries never mix: qid 2's docs don't appear under qid 1
+    assert(!fused.exists { case ((q, _), (d, _)) => q == 1L && d == 50L })
+  }
+
   test("Retrieval.evalRanking: RR / hits@k / nDCG against graded qrels, hand-checked") {
     val results = Seq(
       (1L, 10L, 1), (1L, 99L, 2), (1L, 20L, 3), (1L, 40L, 4), // 40: beyond k
