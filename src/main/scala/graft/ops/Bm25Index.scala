@@ -772,6 +772,81 @@ object Bm25Index {
       .limit(k)
   }
 
+  /** Index consistency check — the fsck every long-lived on-disk
+    * state needs after enough appends, deletes, compactions and
+    * crash recoveries: one pass over the index's own tables (never
+    * the corpus) verifying the invariants the probes rely on, as a
+    * `(check, value)` report. All-zero drift/orphan/mismatch rows =
+    * healthy; the absolute rows (`n_docs`, `total_tokens`,
+    * `doclens_rows`, `posting_rows`) let a caller cross-check
+    * against the source of truth. Checks:
+    *
+    *  - `meta_ndocs_drift` / `meta_tokens_drift` — meta stats minus
+    *    a recount over the LIVE doclens (distinct per (id, field),
+    *    tombstoned ids excluded): nonzero after a replayed append or
+    *    a crashed delete, healed by compact — this row quantifies
+    *    exactly what compact would fix
+    *  - `postings_orphan_docs` — distinct posting ids with no
+    *    doclens row (a torn append's partial write)
+    *  - `tombstone_orphans` — tombstoned ids the doclens never held
+    *    (harmless to probes, but evidence of a caller deleting
+    *    unknown ids)
+    *  - `positions_tf_mismatch` — v2 posting rows where
+    *    `size(positions) ≠ tf`
+    *  - `positions_out_of_range` — rows where a position ≥ the
+    *    field length
+    *  - `duplicate_posting_rows` — rows minus distinct rows
+    *    (replayed appends; compact collapses them)
+    *
+    * Every check is one scan/aggregate over index tables — at 100 TB
+    * this is the cheap audit you run BEFORE trusting a recovered
+    * index, not a corpus pass. */
+  def fsck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = load(spark, dir)
+    require(h.version == CurrentVersion,
+      s"fsck: $dir is a v${h.version} (legacy) index — rebuild to upgrade")
+    val doclens = spark.read.parquet(s"$dir/doclens")
+    val postings = spark.read.parquet(s"$dir/postings")
+    val tombs = Tombstones.read(spark, dir)
+    val liveDoclens = tombs match {
+      case None => doclens
+      case Some(ts) => doclens.join(ts.select(col(h.idCol)),
+        Seq(h.idCol), "left_anti")
+    }
+    val dedupedLive = liveDoclens
+      .groupBy(col(h.idCol), col("field"))
+      .agg(max(col("n_tok_f")).as("n_tok_f"))
+    val (liveN, liveTokens, _) = statsOf(dedupedLive, h.idCol, h.fields)
+    val postingOrphans = postings.select(col(h.idCol)).distinct()
+      .join(doclens.select(col(h.idCol)).distinct(), Seq(h.idCol), "left_anti")
+      .count()
+    val tombOrphans = tombs.map(_.select(col(h.idCol)).distinct()
+      .join(doclens.select(col(h.idCol)).distinct(), Seq(h.idCol), "left_anti")
+      .count()).getOrElse(0L)
+    val badRows = postings.agg(
+      coalesce(sum(when(size(col("positions")) =!= col("tf"), 1L)), lit(0L)),
+      coalesce(sum(when(
+        array_max(col("positions")).cast("long") >= col("n_tok_f"), 1L)),
+        lit(0L)),
+      count(lit(1))).head()
+    val dupPostings = badRows.getLong(2) - postings.distinct().count()
+    Seq(
+      ("doclens_rows", doclens.count()),
+      ("posting_rows", badRows.getLong(2)),
+      ("n_docs", h.nDocs),
+      ("total_tokens", h.totalTokens),
+      ("n_tombstones", h.nTombstones),
+      ("meta_ndocs_drift", h.nDocs - liveN),
+      ("meta_tokens_drift", h.totalTokens - liveTokens),
+      ("postings_orphan_docs", postingOrphans),
+      ("tombstone_orphans", tombOrphans),
+      ("positions_tf_mismatch", badRows.getLong(0)),
+      ("positions_out_of_range", badRows.getLong(1)),
+      ("duplicate_posting_rows", dupPostings))
+      .toDF("check", "value")
+  }
+
   /** Proximity-weighted BM25 top-k over the positional postings —
     * between bag-of-words [[topK]] and exact-sequence [[phraseTopK]]:
     * documents where the query terms cluster TOGETHER outrank

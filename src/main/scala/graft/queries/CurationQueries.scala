@@ -3942,10 +3942,55 @@ object CurationQueries {
       benchFn = Some(probe))
   }
 
+  /** Index consistency check (library `Bm25Index.fsck` — the audit a
+    * recovered or long-ingesting index runs before being trusted:
+    * meta-vs-recount drift, orphaned postings/tombstones, positional
+    * invariants, replay duplicates, as a `(check, value)` report
+    * over the INDEX tables only). On the shared pristine index every
+    * drift/orphan/mismatch row must be exactly zero AND the absolute
+    * rows must match the corpus-derived truth — the oracle re-derives
+    * `doclens_rows`/`n_docs` (every doc, NULL text included),
+    * `posting_rows` (distinct terms per non-null doc summed) and
+    * `total_tokens` (non-null docs' lengths) from raw text, so a
+    * build that dropped or duplicated a single row breaks the hash. */
+  val q167 = {
+    def probe(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Bm25Index.fsck(s, bm25IdxDir(dir))
+        .oracleOrderBy("check")
+    QueryDef(
+      "q167_bm25_fsck",
+      (s, dir) => { ensureBm25Idx(s, dir); probe(s, dir) },
+      Some("""WITH tk AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks
+        FROM documents)
+      SELECT * FROM (
+        SELECT 'doclens_rows' AS "check", CAST(count(*) AS BIGINT) AS value
+        FROM documents
+        UNION ALL
+        SELECT 'posting_rows', CAST(sum(len(list_distinct(toks))) AS BIGINT)
+        FROM tk
+        UNION ALL
+        SELECT 'n_docs', CAST(count(*) AS BIGINT) FROM documents
+        UNION ALL
+        SELECT 'total_tokens', CAST(sum(len(toks)) AS BIGINT) FROM tk
+        UNION ALL SELECT 'n_tombstones', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'meta_ndocs_drift', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'meta_tokens_drift', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'postings_orphan_docs', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'tombstone_orphans', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'positions_tf_mismatch', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'positions_out_of_range', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'duplicate_posting_rows', CAST(0 AS BIGINT)) r
+      ORDER BY "check""""),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25Idx(s, dir)),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
       q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
-      q154, q155, q156, q157, q160, q161, q163, q164, q165, q166)
+      q154, q155, q156, q157, q160, q161, q163, q164, q165, q166, q167)
 }

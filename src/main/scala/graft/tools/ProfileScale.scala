@@ -802,6 +802,9 @@ object ProfileScale {
             .select(col("query_id").as("qid"),
               col("neighbor_id").as("doc_id"), col("rank"))),
           "qid", "doc_id", rrfK = 60, k = 5)),
+      ("q167 bm25-fsck",
+        () => graft.ops.Bm25Index.fsck(spark, bm25H1.dir),
+        () => graft.ops.Bm25Index.fsck(spark, bm25H10.dir)),
       ("q165 bm25-proximity",
         () => graft.ops.Bm25Index.proximityTopK(
           spark, bm25H1, Seq("the", "data", "query"), k = 25),
@@ -918,7 +921,7 @@ object ProfileScale {
       if (name.contains("bigcb")) { bigCbH1.dir; bigCbH10.dir; () }
       if (name.startsWith("q154") || name.startsWith("q156") ||
           name.startsWith("q161") || name.startsWith("q163") ||
-          name.startsWith("q165")) {
+          name.startsWith("q165") || name.startsWith("q167")) {
         bm25H1.dir; bm25H10.dir; ()
       }
       if (name.startsWith("q155")) { bm25fH1.dir; bm25fH10.dir; () }

@@ -3565,6 +3565,57 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Bm25Index.fsck: clean build all-zero; replay drift quantified; compact heals; orphans flagged") {
+    val corpus = Seq(
+      (0L, "the quick data pipeline"),
+      (1L, "data data everywhere"),
+      (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25fsck").toString
+    try {
+      val h = Bm25Index.build(corpus, "doc_id", dir, numBuckets = 8)
+      def report() = Bm25Index.fsck(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val clean = report()
+      assert(clean("doclens_rows") == 3L && clean("n_docs") == 3L, clean.toString)
+      assert(clean("meta_ndocs_drift") == 0L && clean("meta_tokens_drift") == 0L)
+      assert(clean("postings_orphan_docs") == 0L &&
+        clean("positions_tf_mismatch") == 0L &&
+        clean("positions_out_of_range") == 0L &&
+        clean("duplicate_posting_rows") == 0L, clean.toString)
+      // a delete WITHOUT compact stays drift-free: fsck's recount is
+      // over the live (tombstone-filtered) doclens, matching the
+      // decremented meta exactly
+      val h2 = Bm25Index.delete(h, Seq(1L).toDF("doc_id"))
+      val afterDel = report()
+      assert(afterDel("n_tombstones") == 1L &&
+        afterDel("meta_ndocs_drift") == 0L &&
+        afterDel("meta_tokens_drift") == 0L, afterDel.toString)
+      // a REPLAYED append: drift quantified, duplicates counted...
+      val slice = Seq((7L, "fresh extra words")).toDF("doc_id", "text")
+      val h3 = Bm25Index.append(h2, slice)
+      Bm25Index.append(h3, slice) // replay
+      val drifted = report()
+      assert(drifted("meta_ndocs_drift") == 1L, drifted.toString) // 7 counted twice
+      assert(drifted("meta_tokens_drift") == 3L, drifted.toString) // its 3 tokens twice
+      assert(drifted("duplicate_posting_rows") == 3L, drifted.toString)
+      // ...and compact heals every row back to zero
+      Bm25Index.compact(h3)
+      val healed = report()
+      assert(healed("meta_ndocs_drift") == 0L &&
+        healed("meta_tokens_drift") == 0L &&
+        healed("duplicate_posting_rows") == 0L &&
+        healed("n_tombstones") == 0L, healed.toString)
+      // a hand-planted tombstone for an id the index never held
+      Seq(999L).toDF("doc_id").write.mode("append").parquet(s"$dir/tombstones")
+      assert(report()("tombstone_orphans") == 1L)
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("Bm25Index.delete: probes score the remainder exactly; compact purges and re-opens the id") {
     val corpus = Seq(
       (0L, "the quick data pipeline processes the query stream"),
