@@ -333,6 +333,53 @@ object AnnIndex {
       fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
   }
 
+
+  /** Index consistency check — [[Bm25Index.fsck]]'s vector twin: one
+    * pass over the index's own tables verifying what the probes rely
+    * on, as a `(check, value)` report. Zero invalid/orphan/duplicate
+    * rows = healthy; `code_rows` is the absolute for cross-checking
+    * against the source corpus. Checks:
+    *
+    *  - `invalid_cells` — code rows whose `cell` is not a trained
+    *    centroid id (a torn write, or rows encoded under models that
+    *    were since [[rebuild]]t non-atomically — impossible through
+    *    this API, so nonzero means external tampering)
+    *  - `invalid_codes` — rows with a sub-code outside the trained
+    *    codebook's id range
+    *  - `duplicate_code_rows` — rows minus distinct rows (replayed
+    *    appends; compact collapses them)
+    *  - `tombstone_orphans` — tombstoned ids the code table never
+    *    held */
+  def fsck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = load(spark, dir)
+    val m = h.codebooks.size
+    val codes = spark.read.parquet(s"$dir/codes")
+    val idCol = codes.schema.fieldNames
+      .filterNot(f => f == "cell" || f.startsWith("code_")).head
+    val validCells = h.centroids.map(_._1)
+    val invalidCode = (0 until m).map { mi =>
+      val ids = h.codebooks(mi).map(_._1)
+      !col(s"code_$mi").isin(ids: _*)
+    }.reduce(_ || _)
+    val agg = codes.agg(
+      count(lit(1)),
+      coalesce(sum(when(!col("cell").isin(validCells: _*), 1L)), lit(0L)),
+      coalesce(sum(when(invalidCode, 1L)), lit(0L))).head()
+    val dupRows = agg.getLong(0) - codes.distinct().count()
+    val tombOrphans = Tombstones.read(spark, dir)
+      .map(_.select(col(idCol)).distinct()
+        .join(codes.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+        .count()).getOrElse(0L)
+    Seq(
+      ("code_rows", agg.getLong(0)),
+      ("invalid_cells", agg.getLong(1)),
+      ("invalid_codes", agg.getLong(2)),
+      ("duplicate_code_rows", dupRows),
+      ("tombstone_orphans", tombOrphans))
+      .toDF("check", "value")
+  }
+
   /** ADC top-k against the PERSISTED codes: rank the query's `nProbe`
     * best cells driver-side (centroids are in the handle), scan ONLY
     * those cell partitions, score rows from their m code columns

@@ -258,6 +258,43 @@ object DedupIndex {
       fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
   }
 
+
+  /** Index consistency check — [[Bm25Index.fsck]]'s dedup twin: one
+    * pass over the three state tables, as a `(check, value)` report.
+    * `fingerprint_rows` is corpus-derivable truth (distinct md5 of
+    * every non-null text); the signature/word tables must cover the
+    * same id set (a torn append leaves one without the other), and
+    * stored `band0` values must re-derive from the row's own
+    * minhashes (a partition key drifting from its hash breaks the
+    * probe's pruning equality silently). */
+  def fsck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = load(spark, dir)
+    val sigs = spark.read.parquet(s"$dir/signatures")
+    val words = spark.read.parquet(s"$dir/words")
+    val fps = spark.read.parquet(s"$dir/fingerprints")
+    val idc = col(h.idCol)
+    val sigIds = sigs.select(idc).distinct()
+    val wordIds = words.select(idc).distinct()
+    val sigsNotWords = sigIds.join(wordIds, Seq(h.idCol), "left_anti").count()
+    val wordsNotSigs = wordIds.join(sigIds, Seq(h.idCol), "left_anti").count()
+    val badBand = sigs.filter(
+      col("band0") =!= bandKey(h.numHashes, h.bandSize)).count()
+    val dupSigs = sigs.count() - sigs.distinct().count()
+    val tombOrphans = Tombstones.read(spark, dir)
+      .map(_.select(idc).distinct()
+        .join(sigIds, Seq(h.idCol), "left_anti").count()).getOrElse(0L)
+    Seq(
+      ("fingerprint_rows", fps.distinct().count()),
+      ("signature_docs", sigIds.count()),
+      ("sig_docs_missing_words", sigsNotWords),
+      ("word_docs_missing_sigs", wordsNotSigs),
+      ("band0_hash_mismatch", badBand),
+      ("duplicate_signature_rows", dupSigs),
+      ("tombstone_orphans", tombOrphans))
+      .toDF("check", "value")
+  }
+
   /** Screen a batch against the persisted state — the same verdict
     * columns as [[Dedup.dedupAgainst]] (`exact_dup`, `near_dup`,
     * `near_dup_of`, `is_new`), same thresholds, same null-text rule;

@@ -1351,7 +1351,31 @@ object EmbeddingQueries {
       bench = true)
   }
 
+  /** ANN-index consistency check (library `AnnIndex.fsck` —
+    * `Bm25Index.fsck`'s vector twin), run against q158's
+    * built-then-deleted state: pre-compact the code table is intact
+    * (`code_rows` = the full corpus), every cell a trained centroid,
+    * every sub-code in its codebook, no duplicates, and the
+    * tombstones all reference rows the table holds. */
+  val q169 = QueryDef(
+    "q169_ann_fsck",
+    (s, dir) => {
+      buildAnnDelIdx(s, dir)
+      graft.ops.AnnIndex.fsck(s, annDelIdxDir(dir))
+        .oracleOrderBy("check")
+    },
+    Some("""SELECT * FROM (
+        SELECT 'code_rows' AS "check", CAST(count(*) AS BIGINT) AS value
+        FROM embeddings
+        UNION ALL SELECT 'invalid_cells', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'invalid_codes', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'duplicate_code_rows', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'tombstone_orphans', CAST(0 AS BIGINT)) r
+      ORDER BY "check""""),
+    bench = true,
+    benchPrepare = Some((s, dir) => { buildAnnDelIdx(s, dir); () }))
+
   val all: Seq[QueryDef] =
     Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89, q92, q93, q129,
-      q131, q135, q137, q149, q151, q152, q153, q158, q162)
+      q131, q135, q137, q149, q151, q152, q153, q158, q162, q169)
 }

@@ -730,7 +730,41 @@ object OpsQueries {
     },
     bench = true)
 
+  /** Dedup-index consistency check (library `DedupIndex.fsck` —
+    * `Bm25Index.fsck`'s dedup twin), run against q159's
+    * built-then-deleted state: pre-compact, a delete must leave the
+    * physical tables INTACT (tombstones do the filtering), so
+    * `fingerprint_rows` still counts the full even half's distinct
+    * md5s and `signature_docs` every even doc with a signature —
+    * both corpus-derived (the signature count reuses the shared
+    * replay, so a dropped or duplicated signature breaks the hash) —
+    * while every coverage/band/duplicate/orphan row is exactly
+    * zero. */
+  val q168 = QueryDef(
+    "q168_dedup_fsck",
+    (s, dir) => {
+      ensureDedupDelIdx(s, dir)
+      graft.ops.DedupIndex.fsck(s, dedupDelIdxDir(dir))
+        .oracleOrderBy("check")
+    },
+    Some(s"""WITH sig AS MATERIALIZED (${TextQueries.sigSqlDuck})
+      SELECT * FROM (
+        SELECT 'fingerprint_rows' AS "check",
+          CAST(count(DISTINCT md5(text)) AS BIGINT) AS value
+        FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
+        UNION ALL
+        SELECT 'signature_docs', CAST(count(*) AS BIGINT)
+        FROM sig WHERE doc_id % 2 = 0
+        UNION ALL SELECT 'sig_docs_missing_words', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'word_docs_missing_sigs', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'band0_hash_mismatch', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'duplicate_signature_rows', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'tombstone_orphans', CAST(0 AS BIGINT)) r
+      ORDER BY "check""""),
+    bench = true,
+    benchPrepare = Some((s, dir) => { ensureDedupDelIdx(s, dir); () }))
+
   val all: Seq[QueryDef] =
     Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51, q52, q53, q54, q87, q95,
-      q96, q97, q139, q140, q159)
+      q96, q97, q139, q140, q159, q168)
 }

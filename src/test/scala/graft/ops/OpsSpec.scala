@@ -3037,6 +3037,65 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("AnnIndex.fsck / DedupIndex.fsck: pristine zeros; planted corruption and torn appends flagged") {
+    val annDir = java.nio.file.Files.createTempDirectory("annfsck").toString
+    val dedupDir = java.nio.file.Files.createTempDirectory("dedupfsck").toString
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      AnnIndex.build(emb, "embedding", "vec_id", annDir,
+        nCells = 4, m = 4, k = 4, dim = 64, iters = 2)
+      def annReport() = AnnIndex.fsck(spark, annDir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cleanAnn = annReport()
+      assert(cleanAnn("code_rows") == emb.count(), cleanAnn.toString)
+      assert(cleanAnn("invalid_cells") == 0L && cleanAnn("invalid_codes") == 0L &&
+        cleanAnn("duplicate_code_rows") == 0L &&
+        cleanAnn("tombstone_orphans") == 0L, cleanAnn.toString)
+      // plant one corrupt row: unknown cell AND out-of-range sub-code
+      spark.read.parquet(s"$annDir/codes").limit(1)
+        .withColumn("code_0", lit(99))
+        .withColumn("cell", lit(999L))
+        .write.mode("append").partitionBy("cell").parquet(s"$annDir/codes")
+      val badAnn = annReport()
+      assert(badAnn("invalid_cells") == 1L && badAnn("invalid_codes") == 1L,
+        badAnn.toString)
+
+      val corpus = Seq(
+        (0L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different content about spark engines"))
+        .toDF("doc_id", "text")
+      DedupIndex.build(corpus, "doc_id", dedupDir)
+      def dedupReport() = DedupIndex.fsck(spark, dedupDir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cleanDedup = dedupReport()
+      assert(cleanDedup("fingerprint_rows") == 2L &&
+        cleanDedup("signature_docs") == 2L, cleanDedup.toString)
+      assert(cleanDedup("sig_docs_missing_words") == 0L &&
+        cleanDedup("word_docs_missing_sigs") == 0L &&
+        cleanDedup("band0_hash_mismatch") == 0L &&
+        cleanDedup("duplicate_signature_rows") == 0L, cleanDedup.toString)
+      // a torn append: a words row lands, its signatures never do
+      spark.read.parquet(s"$dedupDir/words").limit(1)
+        .withColumn("doc_id", lit(777L))
+        .write.mode("append").parquet(s"$dedupDir/words")
+      // and a signature row whose stored band0 drifted from its hashes
+      spark.read.parquet(s"$dedupDir/signatures").limit(1)
+        .withColumn("doc_id", lit(888L))
+        .withColumn("band0", pmod(col("band0") + 1, lit(64)))
+        .write.mode("append").partitionBy("band0").parquet(s"$dedupDir/signatures")
+      val badDedup = dedupReport()
+      assert(badDedup("word_docs_missing_sigs") == 1L, badDedup.toString)
+      assert(badDedup("band0_hash_mismatch") == 1L, badDedup.toString)
+      assert(badDedup("sig_docs_missing_words") == 1L, badDedup.toString) // 888 has no words
+    } finally {
+      Seq(annDir, dedupDir).foreach { d =>
+        val root = java.nio.file.Path.of(d)
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+    }
+  }
+
   test("AnnIndex.queryBatch: bit-equal to per-query probes, one pruned pass") {
     val dir = java.nio.file.Files.createTempDirectory("annbatch").toString
     try {
