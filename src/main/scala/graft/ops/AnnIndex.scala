@@ -367,12 +367,15 @@ object AnnIndex {
       coalesce(sum(when(!col("cell").isin(validCells: _*), 1L)), lit(0L)),
       coalesce(sum(when(invalidCode, 1L)), lit(0L))).head()
     val dupRows = agg.getLong(0) - codes.distinct().count()
-    val tombOrphans = Tombstones.read(spark, dir)
+    val tombs = Tombstones.read(spark, dir)
+    val nTombstones = tombs.map(_.count()).getOrElse(0L)
+    val tombOrphans = tombs
       .map(_.select(col(idCol)).distinct()
         .join(codes.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
         .count()).getOrElse(0L)
     Seq(
       ("code_rows", agg.getLong(0)),
+      ("n_tombstones", nTombstones),
       ("invalid_cells", agg.getLong(1)),
       ("invalid_codes", agg.getLong(2)),
       ("duplicate_code_rows", dupRows),

@@ -281,12 +281,15 @@ object DedupIndex {
     val badBand = sigs.filter(
       col("band0") =!= bandKey(h.numHashes, h.bandSize)).count()
     val dupSigs = sigs.count() - sigs.distinct().count()
-    val tombOrphans = Tombstones.read(spark, dir)
+    val tombs = Tombstones.read(spark, dir)
+    val nTombstones = tombs.map(_.count()).getOrElse(0L)
+    val tombOrphans = tombs
       .map(_.select(idc).distinct()
         .join(sigIds, Seq(h.idCol), "left_anti").count()).getOrElse(0L)
     Seq(
       ("fingerprint_rows", fps.distinct().count()),
       ("signature_docs", sigIds.count()),
+      ("n_tombstones", nTombstones),
       ("sig_docs_missing_words", sigsNotWords),
       ("word_docs_missing_sigs", wordsNotSigs),
       ("band0_hash_mismatch", badBand),

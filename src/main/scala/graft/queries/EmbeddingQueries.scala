@@ -1367,6 +1367,9 @@ object EmbeddingQueries {
     Some("""SELECT * FROM (
         SELECT 'code_rows' AS "check", CAST(count(*) AS BIGINT) AS value
         FROM embeddings
+        UNION ALL
+        SELECT 'n_tombstones', CAST(count(*) AS BIGINT)
+        FROM embeddings WHERE vec_id % 5 = 2
         UNION ALL SELECT 'invalid_cells', CAST(0 AS BIGINT)
         UNION ALL SELECT 'invalid_codes', CAST(0 AS BIGINT)
         UNION ALL SELECT 'duplicate_code_rows', CAST(0 AS BIGINT)

@@ -755,6 +755,9 @@ object OpsQueries {
         UNION ALL
         SELECT 'signature_docs', CAST(count(*) AS BIGINT)
         FROM sig WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 'n_tombstones', CAST(count(*) AS BIGINT)
+        FROM documents WHERE doc_id % 2 = 0 AND doc_id % 3 = 0
         UNION ALL SELECT 'sig_docs_missing_words', CAST(0 AS BIGINT)
         UNION ALL SELECT 'word_docs_missing_sigs', CAST(0 AS BIGINT)
         UNION ALL SELECT 'band0_hash_mismatch', CAST(0 AS BIGINT)

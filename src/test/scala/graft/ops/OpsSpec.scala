@@ -3050,6 +3050,7 @@ class OpsSpec extends SparkSpec {
       assert(cleanAnn("code_rows") == emb.count(), cleanAnn.toString)
       assert(cleanAnn("invalid_cells") == 0L && cleanAnn("invalid_codes") == 0L &&
         cleanAnn("duplicate_code_rows") == 0L &&
+        cleanAnn("n_tombstones") == 0L &&
         cleanAnn("tombstone_orphans") == 0L, cleanAnn.toString)
       // plant one corrupt row: unknown cell AND out-of-range sub-code
       spark.read.parquet(s"$annDir/codes").limit(1)
@@ -3073,6 +3074,7 @@ class OpsSpec extends SparkSpec {
       assert(cleanDedup("sig_docs_missing_words") == 0L &&
         cleanDedup("word_docs_missing_sigs") == 0L &&
         cleanDedup("band0_hash_mismatch") == 0L &&
+        cleanDedup("n_tombstones") == 0L &&
         cleanDedup("duplicate_signature_rows") == 0L, cleanDedup.toString)
       // a torn append: a words row lands, its signatures never do
       spark.read.parquet(s"$dedupDir/words").limit(1)
