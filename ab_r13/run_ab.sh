@@ -1,0 +1,23 @@
+#!/bin/bash
+# Fixed-code quiet-host A/B for the round-13 open watch items:
+# q100_cms_frequency read 1.37x/1.44x over its r11 median (2.10 s) in BOTH
+# r12 sweeps with Sketches.scala untouched all round; passengers
+# q09_window_running (0.44->0.74, but 0.51 in the 16:21 close sweep),
+# q94_rrf_hybrid (0.74->1.00), q02_top1_per_group (0.56->0.87/0.74).
+# Also re-baselining the post-close FIRST readings q153_ann_rebuild (0.34),
+# q168_dedup_fsck (2.30), q169_ann_fsck (0.61) - the final BENCH_r12 sweep
+# started ~5 min after the 496-test suite (documented digestion mode).
+# Arms: SOLO (q100 alone) interleaved with FAM (all seven). n=9 each,
+# 3 passes per arm, at round-13 open (host: 4G/125G buff+cache, idle).
+cd /root/repo
+SOLO="q100_cms_frequency"
+FAM="q100_cms_frequency,q09_window_running,q94_rrf_hybrid,q02_top1_per_group,q153_ann_rebuild,q168_dedup_fsck,q169_ann_fsck"
+for i in 1 2 3; do
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_RUNS=9 \
+  SPARK_GRAFT_BENCH_ONLY="$SOLO" SPARK_GRAFT_BENCH_STATS_OUT=/root/repo/ab_r13/solo_$i.json \
+  sbt -batch "runMain graft.Bench" > /root/repo/ab_r13/solo_$i.log 2>&1
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_RUNS=9 \
+  SPARK_GRAFT_BENCH_ONLY="$FAM" SPARK_GRAFT_BENCH_STATS_OUT=/root/repo/ab_r13/fam_$i.json \
+  sbt -batch "runMain graft.Bench" > /root/repo/ab_r13/fam_$i.log 2>&1
+done
+echo DONE > /root/repo/ab_r13/done.marker
