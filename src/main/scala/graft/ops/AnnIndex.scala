@@ -34,13 +34,54 @@ object AnnIndex {
       codebooks: Seq[Seq[(Long, Seq[Double])]],
       hasTombstones: Boolean = false)
 
+  /** Encode a slice under frozen models into the code-table row shape:
+    * id FIRST (the column-order contract [[fsck]] and [[load]] infer
+    * the id column by), then `cell`, the m codes, and any `attrCols` —
+    * filterable metadata (language, source, license tier…) stored
+    * INSIDE the cell-partitioned table so a filtered probe evaluates
+    * its predicate on the pruned cell scan (a parquet-pushed filter),
+    * never against a second corpus-sized side table. */
+  private def encodeRows(
+      df: DataFrame, embCol: String, idCol: String,
+      centroids: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Long, Seq[Double])]],
+      attrCols: Seq[String]): DataFrame = {
+    attrCols.foreach { a =>
+      require(df.columns.contains(a),
+        s"attribute column '$a' not in the slice " +
+          s"(has ${df.columns.mkString(", ")})")
+      require(a != idCol && a != "cell" && !a.startsWith("code_"),
+        s"attribute column '$a' collides with the code-table layout " +
+          "(id / cell / code_*)")
+    }
+    Similarity.pqEncode(
+        Similarity.ivfAssign(df, embCol, centroids), embCol, codebooks)
+      .select(col(idCol) +: col("cell") +:
+        (codebooks.indices.map(mi => col(s"code_$mi")) ++
+          attrCols.map(col)): _*)
+  }
+
+  /** The attribute columns a persisted code table carries: everything
+    * in its schema that is not the id (first data field, the write
+    * contract), the partition key, or a code column. */
+  private def attrColsOf(spark: SparkSession, dir: String, idCol: String): Seq[String] =
+    spark.read.parquet(s"$dir/codes").schema.fieldNames
+      .filterNot(f => f == idCol || f == "cell" || f.startsWith("code_"))
+      .toSeq
+
   /** Train both quantizers on the corpus, encode every row, persist.
     * One pass for IVF assignment + PQ codes (both are narrow
     * literal-codebook maps); the code table shuffles once on `cell`
-    * for the partitioned write (that shuffle IS the index build). */
+    * for the partitioned write (that shuffle IS the index build).
+    * `attrCols` names metadata columns of `df` to store alongside the
+    * codes for FILTERED probes ([[query]]/[[queryBatch]]'s `filter`):
+    * at 100 TB a "top-k where lang = 'en'" must rank k QUALIFYING
+    * rows from the pruned cells, not post-filter an unfiltered top-k
+    * down to whatever survives. */
   def build(
       df: DataFrame, embCol: String, idCol: String, dir: String,
-      nCells: Int, m: Int, k: Int, dim: Int, iters: Int = 3): Handle = {
+      nCells: Int, m: Int, k: Int, dim: Int, iters: Int = 3,
+      attrCols: Seq[String] = Nil): Handle = {
     val spark = df.sparkSession
     import spark.implicits._
     val centroids = Similarity.trainCodebook(
@@ -52,11 +93,7 @@ object AnnIndex {
       .flatMap { case (cb, mi) => cb.map { case (cid, v) => (mi, cid, v) } }
       .toDF("mi", "cid", "cv")
       .write.mode("overwrite").parquet(s"$dir/pq_codebooks")
-    val encoded = Similarity.pqEncode(
-        Similarity.ivfAssign(df, embCol, centroids), embCol, codebooks)
-      .select(col(idCol) +: col("cell") +:
-        (0 until m).map(mi => col(s"code_$mi")): _*)
-    encoded
+    encodeRows(df, embCol, idCol, centroids, codebooks, attrCols)
       .repartition(col("cell")) // one writer wave per cell, no tiny files
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
     Handle(dir, centroids, codebooks)
@@ -76,11 +113,13 @@ object AnnIndex {
     * [[Similarity]] training ops are one call away. */
   def append(
       handle: Handle, df: DataFrame, embCol: String, idCol: String): Unit = {
-    val m = handle.codebooks.size
-    val encoded = Similarity.pqEncode(
-        Similarity.ivfAssign(df, embCol, handle.centroids), embCol, handle.codebooks)
-      .select(col(idCol) +: col("cell") +:
-        (0 until m).map(mi => col(s"code_$mi")): _*)
+    // the slice must carry whatever attribute columns the table was
+    // built with — a parquet append with a narrower schema would
+    // silently NULL the attrs on the new rows and a filtered probe
+    // would never return them
+    val attrs = attrColsOf(df.sparkSession, handle.dir, idCol)
+    val encoded = encodeRows(
+      df, embCol, idCol, handle.centroids, handle.codebooks, attrs)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       df.sparkSession.sparkContext.hadoopConfiguration)
     // marker/lock handshake with a concurrent compact — see Maintenance
@@ -278,6 +317,9 @@ object AnnIndex {
     // a leftover rebuild_tmp from a pre-swap crash is inert (the live
     // tables were never touched) — clear it and start over
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/rebuild_tmp"), true)
+    // the rebuilt table keeps the live table's attribute columns —
+    // `corpus` is the post-delete source of truth and must carry them
+    val attrs = attrColsOf(spark, dir, idCol)
     val centroids = Similarity.trainCodebook(
       corpus, embCol, idCol, nCells, dim, iters, exactMean = true)
     val codebooks =
@@ -289,10 +331,7 @@ object AnnIndex {
       .flatMap { case (cb, mi) => cb.map { case (cid, v) => (mi, cid, v) } }
       .toDF("mi", "cid", "cv")
       .write.mode("overwrite").parquet(s"$tmp/pq_codebooks")
-    Similarity.pqEncode(
-        Similarity.ivfAssign(corpus, embCol, centroids), embCol, codebooks)
-      .select(col(idCol) +: col("cell") +:
-        (0 until m).map(mi => col(s"code_$mi")): _*)
+    encodeRows(corpus, embCol, idCol, centroids, codebooks, attrs)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
     tables.zipWithIndex.foreach { case (t, i) =>
@@ -392,7 +431,8 @@ object AnnIndex {
     * time. */
   def query(
       spark: SparkSession, handle: Handle, idCol: String,
-      queryVec: Seq[Double], k: Int = 10, nProbe: Int = 2): DataFrame = {
+      queryVec: Seq[Double], k: Int = 10, nProbe: Int = 2,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(nProbe >= 1 && nProbe <= handle.centroids.size,
       s"nProbe must be in [1, ${handle.centroids.size}], got $nProbe")
     def dot(a: Seq[Double], b: Seq[Double]): Double =
@@ -404,9 +444,18 @@ object AnnIndex {
       }
       .sortBy { case (cid, sim) => (-sim, -cid) } // ivfAssign tie rule: highest cid wins
       .take(nProbe).map(_._1)
+    // the metadata predicate restricts the CANDIDATE set, before
+    // ranking: the k results are the k best QUALIFYING rows from the
+    // probed cells (post-filtering an unfiltered top-k would return
+    // fewer — possibly zero — qualifying hits). The predicate sits
+    // directly on the pruned parquet scan over the attribute columns
+    // stored with the codes, so it pushes down to the reader; a
+    // predicate naming a column the index was not built with fails
+    // analysis loudly.
+    val scan = spark.read.parquet(s"${handle.dir}/codes")
+      .filter(col("cell").isin(probed: _*))
     val codes = liveOnly(spark, handle, idCol,
-      spark.read.parquet(s"${handle.dir}/codes")
-        .filter(col("cell").isin(probed: _*)))
+      filter.fold(scan)(scan.filter))
     Similarity.pqTopKFromCodes(codes, idCol, handle.codebooks, queryVec, k)
   }
 
@@ -433,7 +482,8 @@ object AnnIndex {
     * the corpus ranks itself (vector semantics, as [[query]] does). */
   def queryBatch(
       spark: SparkSession, handle: Handle, queries: DataFrame,
-      embCol: String, idCol: String, k: Int = 10, nProbe: Int = 2): DataFrame = {
+      embCol: String, idCol: String, k: Int = 10, nProbe: Int = 2,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nProbe >= 1 && nProbe <= handle.centroids.size,
       s"nProbe must be in [1, ${handle.centroids.size}], got $nProbe")
@@ -463,9 +513,12 @@ object AnnIndex {
       .select(col("query_id"), col("cell"))
     val cells = probed.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
+    // metadata predicate on the pruned scan — every query in the
+    // batch ranks k QUALIFYING candidates (see [[query]])
+    val scan = spark.read.parquet(s"${handle.dir}/codes")
+      .filter(col("cell").isin(cells: _*))
     val codes = liveOnly(spark, handle, idCol,
-      spark.read.parquet(s"${handle.dir}/codes")
-        .filter(col("cell").isin(cells: _*)))
+      filter.fold(scan)(scan.filter))
     // ONE literal codebook DataFrame (mi, cid, cv) — m·k rows — crossed
     // with the query table builds every LUT entry in a single plan
     // branch; the old per-sub-centroid select+union was O(m·k) plan

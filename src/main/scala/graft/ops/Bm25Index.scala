@@ -98,6 +98,30 @@ object Bm25Index {
     * ENGINE's own murmur3 (one local-relation row, never a scan) so
     * the probe's pruning predicate can never drift from the hash the
     * build wrote. */
+  /** Collapse a pruned postings slice to one `(term, doc, n_tok, tf)`
+    * row per key — the classic-BM25 "concatenated document" view
+    * shared by [[topK]]/[[topKBatch]]/[[topKWeighted]], and the ONE
+    * place the pre-compact duplicate-row semantics of an
+    * at-least-once replayed [[append]] are decided for that family: a
+    * replayed append lays bit-identical posting rows, so the inner
+    * `max` collapses them (never a `sum`, which would double the
+    * doc's tf until [[compact]]), while the outer `sum` is the real
+    * v2 across-FIELDS total. On a clean index both levels aggregate
+    * one row per key — values, and therefore scores, bit-identical to
+    * the single-level form this replaces. Neither level reads the
+    * `positions` column, so the scan keeps its narrow projection. */
+  private def collapseTf(handle: Handle, raw: DataFrame): DataFrame =
+    if (handle.version >= 2)
+      raw.groupBy(col("term"), col(handle.idCol), col("field"), col("n_tok"))
+        .agg(max(col("tf")).as("tf"))
+        .groupBy(col("term"), col(handle.idCol), col("n_tok"))
+        .agg(sum(col("tf")).as("tf"))
+    else
+      // v1 rows are already per (term, doc) — max collapses replay
+      // duplicates and equals the row's tf on a clean index
+      raw.groupBy(col("term"), col(handle.idCol), col("n_tok"))
+        .agg(max(col("tf")).as("tf"))
+
   private def bucketsFor(
       spark: SparkSession, terms: Seq[String], numBuckets: Int): Seq[Int] = {
     val row = spark.range(1).select(terms.zipWithIndex.map { case (t, i) =>
@@ -467,19 +491,15 @@ object Bm25Index {
       spark.read.parquet(s"${handle.dir}/postings")
         .filter(col("term_bucket").isin(buckets: _*) &&
           col("term").isin(queryTerms: _*)))
-    // v2 multi-field rows are per (term, field, doc): classic BM25
-    // scores the "concatenated document", so collapse to per
-    // (term, doc) summed tf first (exact integer sum; on a
-    // single-field index this aggregates one row per key — values
-    // unchanged, scores stay bit-identical to Retrieval.bm25TopK)
-    val pruned = raw
-      .groupBy(col("term"), col(handle.idCol), col("n_tok"))
-      .agg(sum(col("tf")).as("tf"))
+    val pruned = collapseTf(handle, raw)
     // df(term) == distinct docs in the pruned slice (== posting-row
     // count on v1/single-field; a multi-field doc matching in two
     // fields must still count once)
+    // distinct-doc df — the [[collapseTf]] pre-compact convention
+    // (see phraseTopK): replayed-append duplicate rows must not
+    // inflate df in the positional probes only
     val dfs: Map[String, Long] = pruned.groupBy("term")
-      .agg(count(lit(1)).as("__df")).collect()
+      .agg(countDistinct(col(handle.idCol)).as("__df")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val avgdl = handle.totalTokens.toDouble / handle.nDocs.toDouble
     val id = col(handle.idCol)
@@ -549,13 +569,10 @@ object Bm25Index {
     val buckets = qt
       .select(pmod(hash(col("term")), lit(handle.numBuckets)).cast("int").as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val pruned = liveOnly(spark, handle,
+    val pruned = collapseTf(handle, liveOnly(spark, handle,
         spark.read.parquet(s"${handle.dir}/postings")
           .filter(col("term_bucket").isin(buckets: _*))
-          .join(qt.select("term").distinct(), Seq("term"), "left_semi"))
-      // collapse v2 multi-field rows to per (term, doc) — see topK
-      .groupBy(col("term"), col(handle.idCol), col("n_tok"))
-      .agg(sum(col("tf")).as("tf"))
+          .join(qt.select("term").distinct(), Seq("term"), "left_semi")))
       .localCheckpoint(true) // feeds df counts AND candidates
     val dfs = pruned.groupBy("term").agg(count(lit(1)).as("__df"))
     val avgdl = handle.totalTokens.toDouble / handle.nDocs.toDouble
@@ -632,9 +649,13 @@ object Bm25Index {
       spark.read.parquet(s"${handle.dir}/postings")
         .filter(col("term_bucket").isin(buckets: _*) &&
           col("term").isin(distinctTerms: _*) && col("field") === fld))
-    // rows are unique per (term, field, doc): row count == field df
+    // df counts DISTINCT docs, the [[collapseTf]] pre-compact
+    // convention: an at-least-once replayed append lays bit-identical
+    // posting rows, and a raw row count here would inflate df in the
+    // positional probes only — the same index must score consistently
+    // across probe families until compact reclaims the duplicates
     val dfs: Map[String, Long] = pruned.groupBy("term")
-      .agg(count(lit(1)).as("__df")).collect()
+      .agg(countDistinct(col(handle.idCol)).as("__df")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val id = col(handle.idCol)
     val pivoted = pruned.groupBy(id, col("n_tok_f")).agg(
@@ -715,8 +736,11 @@ object Bm25Index {
       spark.read.parquet(s"${handle.dir}/postings")
         .filter(col("term_bucket").isin(buckets: _*) &&
           col("term").isin(queryTerms: _*) && col("field") === fld))
+    // distinct-doc df — the [[collapseTf]] pre-compact convention
+    // (see phraseTopK): replayed-append duplicate rows must not
+    // inflate df in the positional probes only
     val dfs: Map[String, Long] = pruned.groupBy("term")
-      .agg(count(lit(1)).as("__df")).collect()
+      .agg(countDistinct(col(handle.idCol)).as("__df")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val id = col(handle.idCol)
     val pivoted = pruned.groupBy(id, col("n_tok_f")).agg(
@@ -896,8 +920,11 @@ object Bm25Index {
       spark.read.parquet(s"${handle.dir}/postings")
         .filter(col("term_bucket").isin(buckets: _*) &&
           col("term").isin(queryTerms: _*) && col("field") === fld))
+    // distinct-doc df — the [[collapseTf]] pre-compact convention
+    // (see phraseTopK): replayed-append duplicate rows must not
+    // inflate df in the positional probes only
     val dfs: Map[String, Long] = pruned.groupBy("term")
-      .agg(count(lit(1)).as("__df")).collect()
+      .agg(countDistinct(col(handle.idCol)).as("__df")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val id = col(handle.idCol)
     val pivoted = pruned.groupBy(id, col("n_tok_f")).agg(
@@ -1011,11 +1038,22 @@ object Bm25Index {
       .select(pmod(hash(col("term")), lit(handle.numBuckets)).cast("int").as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val id = col(handle.idCol)
+    // (term, doc)-keyed dropDuplicates = the [[collapseTf]]
+    // pre-compact convention for a probe that also reads `positions`:
+    // an at-least-once replayed append lays bit-identical rows (so
+    // any survivor is THE row), which would otherwise inflate df,
+    // double every per-term score in the sum below AND double each
+    // base occurrence — this probe keeps the positions column either
+    // way, so the dedup costs one shuffle of the already-pruned
+    // slice, not a wider scan
     val pruned = liveOnly(spark, handle,
         spark.read.parquet(s"${handle.dir}/postings")
           .filter(col("term_bucket").isin(buckets: _*) && col("field") === fld)
           .join(slots.select("term").distinct(), Seq("term"), "left_semi"))
+      .dropDuplicates("term", handle.idCol)
       .localCheckpoint(true) // feeds df counts, the slot join, the score join
+    // rows now unique per (term, doc) within the fixed field: row
+    // count == field df
     val dfs = pruned.groupBy("term").agg(count(lit(1)).as("__df"))
     // one row per (query, slot, matching doc), exploded to the base
     // position each slot's occurrences would anchor: base where every
@@ -1091,13 +1129,10 @@ object Bm25Index {
     val buckets = wt
       .select(pmod(hash(col("term")), lit(handle.numBuckets)).cast("int").as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val pruned = liveOnly(spark, handle,
+    val pruned = collapseTf(handle, liveOnly(spark, handle,
         spark.read.parquet(s"${handle.dir}/postings")
           .filter(col("term_bucket").isin(buckets: _*))
-          .join(wt.select("term"), Seq("term"), "left_semi"))
-      // collapse v2 multi-field rows to per (term, doc) — see topK
-      .groupBy(col("term"), col(handle.idCol), col("n_tok"))
-      .agg(sum(col("tf")).as("tf"))
+          .join(wt.select("term"), Seq("term"), "left_semi")))
       .localCheckpoint(true) // feeds df counts AND candidates
     val dfs = pruned.groupBy("term").agg(count(lit(1)).as("__df"))
     val avgdl = handle.totalTokens.toDouble / handle.nDocs.toDouble
@@ -1276,6 +1311,11 @@ object Bm25Index {
     val wtf = fieldChain(weights.toMap) * col("tf").cast("double") / bF
     val perTermDoc = pruned
       .withColumn("__wq", round(wtf * lit(1048576.0d)).cast("long"))
+      // inner max collapses bit-identical replayed-append rows (the
+      // [[collapseTf]] pre-compact convention), outer sum is the real
+      // across-fields total; on a clean index both aggregate one row
+      // per key — values unchanged
+      .groupBy(id, col("term"), col("field")).agg(max(col("__wq")).as("__wq"))
       .groupBy(id, col("term")).agg(sum(col("__wq")).as("__twq"))
     val pivoted = perTermDoc.groupBy(id).agg(
       max(when(col("term") === queryTerms.head, col("__twq"))).as("__tw0"),

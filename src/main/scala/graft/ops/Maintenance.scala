@@ -223,6 +223,82 @@ private[graft] object Maintenance {
     }
     require(fs.delete(aside, true), s"delete $aside failed")
   }
+
+  /** Cross-index lifecycle audit over the three standing indexes a
+    * unified ingest co-writes ([[graft.streaming.CurationIngest]]:
+    * dedup screen → BM25 postings → ANN codes, one trigger) — the
+    * per-index `fsck`s verify each index against ITSELF; this one
+    * verifies the three against EACH OTHER, which is where a failed
+    * trigger, a lost delete, or an operator mishap shows up first.
+    * One `(check, value)` report, every count from id-keyed
+    * anti-joins/distincts (index-table-linear, nothing corpus-scaled
+    * beyond the tables themselves):
+    *
+    *  - `dedup_live_docs` / `bm25_live_docs` / `ann_live_codes` —
+    *    distinct ids each index would answer for right now
+    *    (tombstone-filtered), the absolutes to cross-check against
+    *    the ingest's own ledger
+    *  - `bm25_meta_ndocs` — the BM25 meta doc count (maintained by
+    *    append/delete), the fourth opinion
+    *  - `bm25_not_ann` / `ann_not_bm25` / `bm25_not_dedup` /
+    *    `dedup_not_bm25` / `ann_not_dedup` / `dedup_not_ann` — live
+    *    id-set differences; all six are 0 for a healthy co-written
+    *    trio (a keeper reached every index, a delete reached every
+    *    index)
+    *  - `tombstone_disagreements` — ids tombstoned in at least one
+    *    index but not all three (union minus intersection): the
+    *    signature of a partially-applied deletion
+    *
+    * All three indexes must agree on the id column name — co-written
+    * indexes screen and forget the same key. */
+  def crossFsck(
+      spark: org.apache.spark.sql.SparkSession,
+      dedupDir: String, bm25Dir: String, annDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dedupH = DedupIndex.load(spark, dedupDir)
+    val bm25H = Bm25Index.load(spark, bm25Dir)
+    val annCodes = spark.read.parquet(s"$annDir/codes")
+    // the ANN code table's id is its first non-layout field (the
+    // AnnIndex write contract: id first, then cell/codes/attrs)
+    val annId = annCodes.schema.fieldNames
+      .filterNot(f => f == "cell" || f.startsWith("code_")).head
+    require(dedupH.idCol == bm25H.idCol && bm25H.idCol == annId,
+      s"crossFsck: the indexes disagree on the id column " +
+        s"(dedup '${dedupH.idCol}', bm25 '${bm25H.idCol}', ann '$annId') " +
+        "— a co-written trio screens and forgets one key")
+    val idc = dedupH.idCol
+    def liveIds(raw: org.apache.spark.sql.DataFrame, dir: String) =
+      Tombstones.liveOnly(spark, dir, idc, raw.select(col(idc)))
+        .distinct().localCheckpoint(true) // feeds counts + 2 anti-joins each
+    val dedupIds = liveIds(
+      spark.read.parquet(s"$dedupDir/signatures"), dedupDir)
+    val bm25Ids = liveIds(
+      spark.read.parquet(s"$bm25Dir/doclens"), bm25Dir)
+    val annIds = liveIds(annCodes.withColumnRenamed(annId, idc), annDir)
+    def notIn(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.join(b, Seq(idc), "left_anti").count()
+    def tombs(dir: String) = Tombstones.read(spark, dir)
+      .map(_.select(col(idc)).distinct())
+      .getOrElse(dedupIds.limit(0)) // id-typed empty frame
+    val tAll = Seq(tombs(dedupDir), tombs(bm25Dir), tombs(annDir))
+    val tUnion = tAll.reduce(_ unionByName _).distinct().count()
+    val tInter = tAll.reduce((a, b) => a.join(b, Seq(idc), "left_semi")).count()
+    Seq(
+      ("dedup_live_docs", dedupIds.count()),
+      ("bm25_live_docs", bm25Ids.count()),
+      ("ann_live_codes", annIds.count()),
+      ("bm25_meta_ndocs", bm25H.nDocs),
+      ("bm25_not_ann", notIn(bm25Ids, annIds)),
+      ("ann_not_bm25", notIn(annIds, bm25Ids)),
+      ("bm25_not_dedup", notIn(bm25Ids, dedupIds)),
+      ("dedup_not_bm25", notIn(dedupIds, bm25Ids)),
+      ("ann_not_dedup", notIn(annIds, dedupIds)),
+      ("dedup_not_ann", notIn(dedupIds, annIds)),
+      ("tombstone_disagreements", tUnion - tInter))
+      .toDF("check", "value")
+  }
 }
 
 /** The shared tombstone-delete contract for the three persistent

@@ -226,7 +226,24 @@ object Retrieval {
       require(qrels.columns.contains(c),
         s"qrels must carry '$c', has ${qrels.columns.mkString(", ")}"))
     val qid = col(qidCol)
-    val rel = qrels
+    // duplicate-(qid, id) guards, in-plan because both tables are
+    // unbounded (the topKBatch/queryBatch posture): a duplicate
+    // judgment row would silently inflate n_rel and idcg_q, a
+    // duplicate result row hits_k and dcg_q — raise loudly instead
+    def dupGuard(df: DataFrame, what: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(qidCol, idCol)
+      df.withColumn("__n", count(lit(1)).over(w))
+        .select(df.columns.map(c =>
+          if (c == idCol)
+            when(col("__n") > 1, raise_error(concat(
+                lit(s"evalRanking: duplicate ($qidCol, $idCol) in $what: ("),
+                qid.cast("string"), lit(", "), col(idCol).cast("string"),
+                lit(")"))))
+              .otherwise(col(idCol)).as(idCol)
+          else col(c)): _*)
+    }
+    val rel = dupGuard(qrels, "qrels")
       .select(qid, col(idCol), col("grade").cast("long").as("grade"))
       .filter(col("grade") >= 1L)
     val perQuery = rel.groupBy(qidCol).agg(count(lit(1)).as("n_rel"))
@@ -234,8 +251,11 @@ object Retrieval {
       r => log(r.cast("double") + lit(1.0)) / log(lit(2.0))
     val gain = (g: org.apache.spark.sql.Column) =>
       pow(lit(2.0), g.cast("double")) - lit(1.0)
-    // relevant hits at their ACTUAL ranks
-    val hits = results
+    // relevant hits at their ACTUAL ranks (the duplicate guard runs
+    // over the FULL result table, not the rank<=k slice — a ranked
+    // list carrying the same doc twice is malformed wherever the
+    // copies sit)
+    val hits = dupGuard(results, "results")
       .select(qid, col(idCol), col(rankCol).cast("long").as("__rank"))
       .filter(col("__rank") <= k)
       .join(rel, Seq(qidCol, idCol))

@@ -100,19 +100,42 @@ object BpeVocab {
 
   /** Parse the GPT-2 `merges.txt` format: optional `#version` header,
     * then one `left right` pair per line (single space separator),
-    * rank = line order. Blank lines are skipped; a line without
-    * exactly one separating space fails loudly (a silently dropped
-    * merge would change every downstream token count). */
+    * rank = line order. Blank lines are skipped, and a trailing `\r`
+    * is stripped per line — a third-party export checked out on
+    * Windows (or served with CRLF endings) would otherwise silently
+    * glue `\r` onto every rank's RIGHT symbol and change every
+    * downstream token. A line without exactly one separating space
+    * fails loudly (a silently dropped merge would change every
+    * downstream token count). */
   def fromGpt2Lines(lines: IterableOnce[String], byteLevel: Boolean = true): BpeVocab = {
-    val pairs = lines.iterator.zipWithIndex.flatMap { case (line, i) =>
-      if (line.isEmpty || line.startsWith("#")) None
-      else line.split(" ", -1) match {
-        case Array(l, r) if l.nonEmpty && r.nonEmpty => Some(l -> r)
-        case _ => sys.error(
-          s"merges line ${i + 1} is not 'left right': '$line'")
-      }
-    }.toSeq
+    val pairs = lines.iterator.map(_.stripSuffix("\r")).zipWithIndex
+      .flatMap { case (line, i) =>
+        if (line.isEmpty || line.startsWith("#")) None
+        else line.split(" ", -1) match {
+          case Array(l, r) if l.nonEmpty && r.nonEmpty => Some(l -> r)
+          case _ => sys.error(
+            s"merges line ${i + 1} is not 'left right': '$line'")
+        }
+      }.toSeq
     BpeVocab(pairs, byteLevel)
+  }
+
+  /** Load a `merges.txt` through the Hadoop filesystem layer — the
+    * cluster form of [[fromGpt2Lines]] (the artifact usually lives on
+    * HDFS/S3 next to the model it came from; a vocabulary is
+    * driver-resident by design, like every codebook in this library).
+    * Decontamination and packing can then replay a THIRD-PARTY
+    * model's exact tokenization against the corpus. */
+  def fromGpt2File(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      byteLevel: Boolean = true): BpeVocab = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      fromGpt2Lines(src.getLines(), byteLevel)
+    } finally in.close()
   }
 
   /** Initial symbol sequence of one pre-tokenizer piece — the state BPE

@@ -438,6 +438,56 @@ object CurationQueries {
     },
     bench = true)
 
+  /** The imported vocabulary q172 tokenizes under: the fixture table
+    * serialized to a REAL `merges.txt` on disk — CRLF line endings
+    * and a trailing newline, the shape a Windows checkout or
+    * text-mode download delivers — and loaded back through the
+    * Hadoop-FS reader. Memoized per corpus dir so the bench probe
+    * never re-parses the file. */
+  private val importedVocab =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.plans.BpeVocab]()
+
+  private def ensureImportedVocab(
+      s: SparkSession, dir: String): graft.plans.BpeVocab =
+    importedVocab.computeIfAbsent(dir, _ => {
+      val scratch = QueryDef.idxScratchDir("merges", dir)
+      new java.io.File(scratch).mkdirs()
+      val path = s"$scratch/merges.txt"
+      val text = graft.plans.BpeVocab.toGpt2Lines(
+          graft.plans.BpeVocab(FixtureMerges, byteLevel = true))
+        .mkString("", "\r\n", "\r\n")
+      java.nio.file.Files.writeString(java.nio.file.Path.of(path), text)
+      graft.plans.BpeVocab.fromGpt2File(s, path)
+    })
+
+  /** Third-party tokenizer import (library `BpeVocab.fromGpt2File` /
+    * `fromGpt2Lines` — replay a foreign model's exact tokenization,
+    * the decontamination/packing prerequisite): q75's fixture table
+    * ships out as a standard GPT-2 `merges.txt` and comes back
+    * through the Hadoop-FS loader, then the corpus tokenizes under
+    * the IMPORTED vocabulary against q75's oracle VERBATIM (the
+    * q145-vs-q70 "one derivation proves both" move) — the hash passes
+    * only if the file round-trip preserved the merge table exactly,
+    * down to every token of every document. */
+  val q172 = {
+    def probe(vocab: graft.plans.BpeVocab)(
+        s: SparkSession, dir: String): DataFrame =
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.bpeTokens(col("text"), vocab).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_bpe_tokens"),
+          concat_ws("\u001F", col("toks")).as("tokens_str"))
+        .oracleOrderBy("doc_id")
+    QueryDef(
+      "q172_imported_vocab_tokenize",
+      (s, dir) => probe(ensureImportedVocab(s, dir))(s, dir),
+      q75.oracle,
+      bench = true,
+      benchPrepare = Some((s, dir) => { ensureImportedVocab(s, dir); () }),
+      benchFn = Some((s, dir) => probe(importedVocab.get(dir))(s, dir)))
+  }
+
   /** BPE tokenization to VOCABULARY IDS (library
     * `TextAnalysis.bpeTokenIds`, native [[graft.plans.BpeTokenIds]]):
     * the q75 segmentation mapped through the deterministic id table —
@@ -3987,10 +4037,105 @@ object CurationQueries {
       benchFn = Some(probe))
   }
 
+  /** q171's co-keyed index trio — the [[graft.streaming.CurationIngest]]
+    * deployment state (dedup + BM25 on `documents`, ANN on the
+    * doc-aligned `embeddings`, one shared `doc_id` key), with a
+    * CO-WRITTEN delete (`doc_id % 7 = 3` forgotten from all three) and
+    * a deliberately PARTIAL one (`doc_id % 11 = 5` forgotten from BM25
+    * only) so the cross-audit has a real discrepancy to quantify. Own
+    * dirs + per-JVM memo, the bm25DelIdx discipline. */
+  private def trioDir(kind: String, dir: String): String =
+    QueryDef.idxScratchDir(kind, dir)
+
+  private val trioBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def ensureLifecycleTrio(s: SparkSession, dir: String): Unit =
+    if (trioBuilt.add(trioDir("triodedup", dir))) {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val dh = graft.ops.DedupIndex.build(
+        docs, "doc_id", trioDir("triodedup", dir))
+      val bh = graft.ops.Bm25Index.build(
+        docs, "doc_id", trioDir("triobm25", dir))
+      val ah = graft.ops.AnnIndex.build(
+        emb, "embedding", "doc_id", trioDir("trioann", dir),
+        nCells = 4, m = 4, k = 4, dim = 64, iters = 1)
+      val del7 = col("doc_id") % 7 === 3
+      val bh2 = graft.ops.Bm25Index.delete(bh, docs.filter(del7).select(col("doc_id")))
+      graft.ops.AnnIndex.delete(ah, emb.filter(del7).select(col("doc_id")), "doc_id")
+      graft.ops.DedupIndex.delete(dh, docs.filter(del7))
+      // the partial delete: reaches BM25, never the other two
+      graft.ops.Bm25Index.delete(bh2,
+        docs.filter(col("doc_id") % 11 === 5 && !del7).select(col("doc_id")))
+      ()
+    }
+
+  /** Cross-index lifecycle audit (library `Maintenance.crossFsck` —
+    * the per-index fscks q167–q169 verify each index against itself;
+    * this verifies the co-written trio against EACH OTHER): live
+    * id-set differences between the dedup/BM25/ANN indexes, the four
+    * doc-count opinions, and the tombstone-set disagreement count.
+    * The fixture forgets `doc_id % 7 = 3` from all three indexes and
+    * `doc_id % 11 = 5` from BM25 ONLY — a partially-applied deletion,
+    * exactly what this audit exists to surface — so the oracle pins
+    * NONZERO discrepancy counts derived from the corpus predicates
+    * (and the signature replay, for the dedup side), not just a row
+    * of healthy zeros. */
+  val q171 = {
+    def probe(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Maintenance.crossFsck(s,
+          trioDir("triodedup", dir), trioDir("triobm25", dir),
+          trioDir("trioann", dir))
+        .oracleOrderBy("check")
+    QueryDef(
+      "q171_lifecycle_cross_fsck",
+      (s, dir) => { ensureLifecycleTrio(s, dir); probe(s, dir) },
+      Some(s"""WITH sig AS MATERIALIZED (${TextQueries.sigSqlDuck})
+      SELECT * FROM (
+        SELECT 'dedup_live_docs' AS "check", CAST(count(*) AS BIGINT) AS value
+        FROM sig WHERE doc_id % 7 <> 3
+        UNION ALL
+        SELECT 'bm25_live_docs', CAST(count(*) AS BIGINT)
+        FROM documents WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5
+        UNION ALL
+        SELECT 'ann_live_codes', CAST(count(*) AS BIGINT)
+        FROM embeddings WHERE vec_id % 7 <> 3
+        UNION ALL
+        SELECT 'bm25_meta_ndocs', CAST(count(*) AS BIGINT)
+        FROM documents WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5
+        UNION ALL SELECT 'bm25_not_ann', CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'ann_not_bm25', CAST(count(*) AS BIGINT)
+        FROM embeddings WHERE vec_id % 7 <> 3 AND vec_id % 11 = 5
+        UNION ALL
+        SELECT 'bm25_not_dedup', CAST(count(*) AS BIGINT)
+        FROM documents d
+        WHERE d.doc_id % 7 <> 3 AND d.doc_id % 11 <> 5
+          AND d.doc_id NOT IN (SELECT doc_id FROM sig)
+        UNION ALL
+        SELECT 'dedup_not_bm25', CAST(count(*) AS BIGINT)
+        FROM sig WHERE doc_id % 7 <> 3 AND doc_id % 11 = 5
+        UNION ALL
+        SELECT 'ann_not_dedup', CAST(count(*) AS BIGINT)
+        FROM embeddings e
+        WHERE e.vec_id % 7 <> 3
+          AND e.vec_id NOT IN (SELECT doc_id FROM sig)
+        UNION ALL SELECT 'dedup_not_ann', CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'tombstone_disagreements', CAST(count(*) AS BIGINT)
+        FROM documents WHERE doc_id % 7 <> 3 AND doc_id % 11 = 5) r
+      ORDER BY "check""""),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureLifecycleTrio(s, dir)),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
       q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
-      q154, q155, q156, q157, q160, q161, q163, q164, q165, q166, q167)
+      q154, q155, q156, q157, q160, q161, q163, q164, q165, q166, q167, q171,
+      q172)
 }

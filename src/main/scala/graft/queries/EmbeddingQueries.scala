@@ -1220,6 +1220,63 @@ object EmbeddingQueries {
       benchFn = Some(probe))
   }
 
+  /** q170's index dir: q149's exact training/codes state plus the
+    * `label` column stored alongside the codes — its own dir so the
+    * attribute column never perturbs the shared index's files. */
+  private def annAttrIdxDir(dir: String): String =
+    QueryDef.idxScratchDir("annattridx", dir)
+
+  private def buildAnnAttrIdx(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    if (annRebuilt.add(annAttrIdxDir(dir))) {
+      graft.ops.AnnIndex.build(
+        t(s, dir, "embeddings"), "embedding", "vec_id", annAttrIdxDir(dir),
+        nCells = TrainK, m = PqM, k = 4, dim = Dim, iters = TrainIters,
+        attrCols = Seq("label"))
+      ()
+    }
+
+  /** Filtered ANN probe (library `AnnIndex.query` with a metadata
+    * predicate — the "top-k where lang = 'en'" production shape):
+    * the index stores the `label` attribute INSIDE the
+    * cell-partitioned code table, and the probe's predicate restricts
+    * the CANDIDATE set before ranking, so the k results are the k
+    * best QUALIFYING vectors from the probed cells — post-filtering
+    * an unfiltered top-k would surface fewer (here: strictly fewer)
+    * qualifying hits. The oracle is q149's full derivation (training
+    * chains, probe rule, ADC) with the label predicate applied to the
+    * scored candidates only — a filter leaking into training or cell
+    * selection, or a non-qualifying row occupying a slot, breaks the
+    * hash. */
+  val q170 = {
+    def probe(s: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame = {
+      graft.ops.AnnIndex.query(s,
+          graft.ops.AnnIndex.load(s, annAttrIdxDir(dir)),
+          "vec_id", queryVec0(s, dir), k = 10, nProbe = 2,
+          filter = Some(col("label") === 3))
+        .select(col("vec_id"), round(col("pq_dist"), 6).as("adc_dist"))
+        .oracleOrderBy("vec_id")
+    }
+    QueryDef(
+      "q170_ann_filtered_probe",
+      (s, dir) => { buildAnnAttrIdx(s, dir); probe(s, dir) },
+      Some(s"""WITH $annProbeCtesDuck
+      SELECT vec_id, round(pq_dist, 6) AS adc_dist FROM (
+        SELECT s.vec_id, s.pq_dist FROM annscored s
+        JOIN embeddings e ON e.vec_id = s.vec_id
+        WHERE e.label = 3
+        ORDER BY s.pq_dist ASC, s.vec_id LIMIT 10) topk
+      ORDER BY vec_id"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => {
+        buildAnnAttrIdx(s, dir)
+        queryVec0(s, dir) // warm the memo: the probe must not pay the fetch
+        ()
+      }),
+      benchFn = Some(probe))
+  }
+
   /** q158's index dir: q149's exact state plus a tombstone delete —
     * its own dir so the shared index stays pristine for q149/q150/
     * q151. */
@@ -1380,5 +1437,5 @@ object EmbeddingQueries {
 
   val all: Seq[QueryDef] =
     Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89, q92, q93, q129,
-      q131, q135, q137, q149, q151, q152, q153, q158, q162, q169)
+      q131, q135, q137, q149, q151, q152, q153, q158, q162, q169, q170)
 }

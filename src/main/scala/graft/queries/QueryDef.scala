@@ -55,8 +55,50 @@ object QueryDef {
     val sha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
       s"${ProcessHandle.current().pid()}_${base}_$sha"
+    // lifecycle: this JVM's pid-keyed dirs die with it (one shutdown
+    // hook deletes every dir handed out), and the FIRST call also
+    // sweeps siblings left by DEAD pids (a crashed/killed prior run
+    // never reaches its own hook) — without either, every JVM on a
+    // shared/CI host leaks its index builds into java.io.tmpdir
+    // forever. Live foreign pids are never touched.
+    if (scratchDirs.add(p) && scratchHooked.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        scratchDirs.forEach(d => deleteScratch(new java.io.File(d)))))
+      sweepDeadPidScratch()
+    }
+    p
+  }
+
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val scratchHooked =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def deleteScratch(f: java.io.File): Unit = {
+    try {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteScratch))
+      f.delete()
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+    ()
+  }
+
+  /** Delete `graft_<kind>_<pid>_…` scratch dirs whose pid is no longer
+    * alive — exposed for the spec; called once per JVM from
+    * [[idxScratchDir]]. */
+  private[queries] def sweepDeadPidScratch(): Unit = {
+    val re = "^graft_[A-Za-z0-9]+_([0-9]+)_.*".r
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val self = ProcessHandle.current().pid()
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case re(pid) if pid.toLong != self &&
+            !ProcessHandle.of(pid.toLong).isPresent =>
+          deleteScratch(f)
+        case _ => ()
+      }
+    }
   }
 
   /** Read one synthetic table (TESTDATA.md layout). */

@@ -36,13 +36,19 @@ import graft.ops.{AnnIndex, Bm25Index, DedupIndex}
   * joins, one tokenize pass, one assign+encode pass); index size
   * never enters the trigger cost. The three appends share the batch's
   * one materialization. Appends are not checkpoint-transactional
-  * across the three indexes: a crash between appends may leave a
-  * keeper in one index and not another until the trigger replays —
-  * replay re-screens (the keeper now hits its own fingerprint, so the
-  * dedup index stays single-copy) and the BM25/ANN duplicate rows
-  * cost bytes until [[Bm25Index.compact]]/[[AnnIndex.compact]]
-  * reclaim them — the same at-least-once posture as the single-index
-  * sinks, with the same compact-heals contract. All three indexes'
+  * across the three indexes: a crash (or an append refused on a
+  * concurrent `_compact.lock`) between appends may leave a keeper in
+  * one index and not another until the trigger replays. The appends
+  * run retrieval-indexes-first, DEDUP FOLD-IN LAST, which is what
+  * makes the replay heal: the failed trigger never recorded the
+  * keeper's fingerprint, so the replayed batch re-screens it as new
+  * and re-appends everywhere, and the only residue is duplicate
+  * BM25/ANN rows that cost bytes until
+  * [[Bm25Index.compact]]/[[AnnIndex.compact]] reclaim them — the same
+  * at-least-once posture as the single-index sinks. (Folding the
+  * dedup index FIRST would be a silent data-loss bug: the replayed
+  * keeper would hit its own fingerprint, screen `is_new = false`,
+  * and never reach the retrieval indexes at all.) All three indexes'
   * appends run under the `_compact.lock`/`_appending.*` handshake; a
   * trigger firing during an external compact fails that micro-batch
   * loudly rather than racing a swap.
@@ -109,9 +115,21 @@ object CurationIngest {
           .select(frozen.columns.map(col): _*)
         if (!fresh.isEmpty) {
           val folded = fresh.localCheckpoint(true)
-          DedupIndex.append(dedup, folded)
+          // ORDER IS LOAD-BEARING: the dedup fold-in runs LAST. The
+          // replay-heals contract below only holds this way round — a
+          // keeper folded into the dedup index BEFORE a BM25/ANN
+          // append that then fails (crash, or an append refusing on a
+          // concurrent _compact.lock) would re-screen on the replayed
+          // trigger as an exact duplicate OF ITSELF (is_new = false)
+          // and be silently and permanently dropped from both
+          // retrieval indexes. With the dedup write last, a partial
+          // failure leaves the keeper's fingerprint unrecorded, the
+          // replay re-screens it as new and re-appends everywhere,
+          // and the only residue is duplicate BM25/ANN rows that
+          // compact reclaims.
           Bm25Index.append(bm25, folded)
           AnnIndex.append(ann, folded, embCol, idCol)
+          DedupIndex.append(dedup, folded)
         }
       }
   }

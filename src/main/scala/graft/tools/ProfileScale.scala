@@ -172,6 +172,43 @@ object ProfileScale {
     }
     lazy val dedupProbeBatch = docs.filter(col("doc_id") % 2 === 1)
       .limit(500).localCheckpoint(true)
+    // round-13: rebuild arm state — rebuild RETRAINS and RE-ENCODES,
+    // so its own dirs (copies) keep the shared indexes' models frozen
+    // for every other arm; each timed run re-runs the full rebuild
+    lazy val annRebDir1 = { copyDir(annH1.dir, s"$scratch/annreb1"); s"$scratch/annreb1" }
+    lazy val annRebDir10 = { copyDir(annH10.dir, s"$scratch/annreb10"); s"$scratch/annreb10" }
+    // round-13: filtered-probe indexes — the attribute column stored
+    // with the codes; nCells scales like annH so cells stay
+    // constant-size and the filtered probe's expected ratio is ~flat
+    lazy val annAttrH1 = graft.ops.AnnIndex.build(
+      emb.withColumn("lang",
+        when(col("vec_id") % 3 === 0, "en").otherwise("pl")),
+      "embedding", "vec_id", s"$scratch/annattr1",
+      nCells = 4, m = 4, k = 4, dim = dim, iters = 2,
+      attrCols = Seq("lang"))
+    lazy val annAttrH10 = graft.ops.AnnIndex.build(
+      emb10.withColumn("lang",
+        when(col("vec_id") % 3 === 0, "en").otherwise("pl")),
+      "embedding", "vec_id", s"$scratch/annattr10",
+      nCells = 4 * factor, m = 4, k = 4, dim = dim, iters = 2,
+      attrCols = Seq("lang"))
+    // round-13: the crossFsck trio — one shared doc_id key (the ANN
+    // side re-keys the vector ids), pristine tombstone-free state;
+    // the audit is index-table-linear by contract
+    lazy val trioDedupDir1 = {
+      graft.ops.DedupIndex.build(docs, "doc_id", s"$scratch/triodedup1").dir
+    }
+    lazy val trioDedupDir10 = {
+      graft.ops.DedupIndex.build(docs10, "doc_id", s"$scratch/triodedup10").dir
+    }
+    lazy val trioAnnDir1 = graft.ops.AnnIndex.build(
+      emb.select(col("vec_id").as("doc_id"), col("embedding")),
+      "embedding", "doc_id", s"$scratch/trioann1",
+      nCells = 4, m = 4, k = 4, dim = dim, iters = 2).dir
+    lazy val trioAnnDir10 = graft.ops.AnnIndex.build(
+      emb10.select(col("vec_id").as("doc_id"), col("embedding")),
+      "embedding", "doc_id", s"$scratch/trioann10",
+      nCells = 4 * factor, m = 4, k = 4, dim = dim, iters = 2).dir
     lazy val bigCbCodebooks: Seq[Seq[(Long, Seq[Double])]] =
       (0 until 16).map { mi =>
         (0L until 256L).map(cid =>
@@ -285,6 +322,18 @@ object ProfileScale {
       "Ġs" -> "t", "a" -> "b", "ab" -> "le", "Ġt" -> "able"))
     def q75(d: DataFrame) = d.select(col("doc_id"),
       TextAnalysis.bpeTokenCount(col("text"), bpeVocab).as("n_bpe"))
+    // round-13: the imported-vocab arm — same merge table as the q75
+    // arm, round-tripped through a CRLF merges.txt (the import itself
+    // is driver-side and untimed; the arm proves the tokenize pass
+    // under an imported table keeps q75's corpus-linear shape)
+    lazy val importedArmVocab = {
+      val p = java.nio.file.Path.of(s"$scratch/merges.txt")
+      java.nio.file.Files.writeString(p,
+        graft.plans.BpeVocab.toGpt2Lines(bpeVocab).mkString("", "\r\n", "\r\n"))
+      graft.plans.BpeVocab.fromGpt2File(spark, p.toString)
+    }
+    def q172(d: DataFrame) = d.select(col("doc_id"),
+      TextAnalysis.bpeTokenCount(col("text"), importedArmVocab).as("n_bpe"))
     // exact-substring spans: at x10 the copy marker sits at text END,
     // so all but the last k-1 windows of every document duplicate
     // across copies — flagged occurrences ~ the whole corpus's window
@@ -877,6 +926,41 @@ object ProfileScale {
           spark, dedupDelH1, dedupProbeBatch, threshold = 0.8),
         () => graft.ops.DedupIndex.dedupBatch(
           spark, dedupDelH10, dedupProbeBatch, threshold = 0.8)),
+      // round-13: rebuild is CORPUS-LINEAR BY CONTRACT (retrain both
+      // quantizers + re-encode every row + swap) — the arm documents
+      // that the constant factor holds, it does not claim sub-linear
+      ("q153 ann-rebuild",
+        () => { graft.ops.AnnIndex.rebuild(emb, "embedding", "vec_id",
+          annRebDir1, nCells = 4, m = 4, k = 4, dim = dim, iters = 2)
+          spark.range(1).toDF() }, // rebuild does its own writes
+        () => { graft.ops.AnnIndex.rebuild(emb10, "embedding", "vec_id",
+          annRebDir10, nCells = 4 * factor, m = 4, k = 4, dim = dim,
+          iters = 2)
+          spark.range(1).toDF() }),
+      // round-13: the fsck twins are index-table-linear by contract
+      // (one pass over the index's own tables)
+      ("q168 dedup-fsck",
+        () => graft.ops.DedupIndex.fsck(spark, dedupDelH1.dir),
+        () => graft.ops.DedupIndex.fsck(spark, dedupDelH10.dir)),
+      ("q169 ann-fsck",
+        () => graft.ops.AnnIndex.fsck(spark, annDelH1.dir),
+        () => graft.ops.AnnIndex.fsck(spark, annDelH10.dir)),
+      // round-13: filtered probe — the predicate evaluates on the
+      // pruned cell scan (constant-size cells, nProbe fixed), so the
+      // expected ratio stays the ann-probe ~flat shape
+      ("q170 ann-filtered-probe",
+        () => graft.ops.AnnIndex.query(spark, annAttrH1, "vec_id", qv1,
+          k = 25, nProbe = 2, filter = Some(col("lang") === "en")),
+        () => graft.ops.AnnIndex.query(spark, annAttrH10, "vec_id", qv10,
+          k = 25, nProbe = 2, filter = Some(col("lang") === "en"))),
+      // round-13: cross-index audit — id-keyed distincts/anti-joins
+      // over the three indexes' own tables, index-table-linear
+      ("q171 cross-fsck",
+        () => graft.ops.Maintenance.crossFsck(
+          spark, trioDedupDir1, bm25H1.dir, trioAnnDir1),
+        () => graft.ops.Maintenance.crossFsck(
+          spark, trioDedupDir10, bm25H10.dir, trioAnnDir10)),
+      ("q172 imported-bpe", () => q172(docs), () => q172(docs10)),
       ("q147 sft-pack", () => {
           val withPrompt = docs.withColumn("prompt",
             concat(lit("summarize document "), col("doc_id").cast("string"),
@@ -935,6 +1019,21 @@ object ProfileScale {
       if (name.startsWith("q166")) {
         bm25H1.dir; bm25H10.dir; annH1.dir; annH10.dir; ()
       }
+      if (name.startsWith("q153")) {
+        annH1.dir; annH10.dir; annRebDir1; annRebDir10; ()
+      }
+      if (name.startsWith("q168")) { dedupDelH1.dir; dedupDelH10.dir; () }
+      if (name.startsWith("q169")) {
+        annDelH1.dir; annDelH10.dir; ()
+      }
+      if (name.startsWith("q170")) {
+        annAttrH1.dir; annAttrH10.dir; qv1.size; qv10.size; ()
+      }
+      if (name.startsWith("q171")) {
+        bm25H1.dir; bm25H10.dir
+        trioDedupDir1; trioDedupDir10; trioAnnDir1; trioAnnDir10; ()
+      }
+      if (name.startsWith("q172")) { importedArmVocab; () }
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)
       val tN = run(s"$name x$factor", atN)

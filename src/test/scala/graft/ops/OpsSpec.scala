@@ -930,6 +930,44 @@ class OpsSpec extends SparkSpec {
       graft.plans.BpeVocab.toGpt2Lines(spacey)).getMessage.contains("space"))
   }
 
+  test("BpeVocab.fromGpt2File: a foreign CRLF merges.txt loads byte-correct") {
+    // the file shape a third-party export actually arrives in: version
+    // header, CRLF line endings (Windows checkout / text-mode
+    // download), interior blank lines, trailing newline
+    val dir = java.nio.file.Files.createTempDirectory("merges").toString
+    val path = s"$dir/merges.txt"
+    try {
+      val foreign = "#version: 0.2\r\nt h\r\n\r\nĠ t\r\nth e\r\n\r\n"
+      java.nio.file.Files.write(java.nio.file.Path.of(path),
+        foreign.getBytes("UTF-8"))
+      val vocab = graft.plans.BpeVocab.fromGpt2File(spark, path)
+      // no symbol picked up a stray \r; ranks follow line order with
+      // blanks and the header skipped
+      assert(vocab.merges == Seq("t" -> "h", "Ġ" -> "t", "th" -> "e"),
+        vocab.merges.toString)
+      // the imported table tokenizes identically to the in-memory one
+      val docs = Seq((1L, "the throne")).toDF("doc_id", "text")
+      val viaFile = docs.select(
+        graft.ops.TextAnalysis.bpeTokens(col("text"), vocab))
+        .collect().map(_.getSeq[String](0))
+      val inMem = docs.select(
+        graft.ops.TextAnalysis.bpeTokens(col("text"),
+          graft.plans.BpeVocab(Seq("t" -> "h", "Ġ" -> "t", "th" -> "e"))))
+        .collect().map(_.getSeq[String](0))
+      assert(viaFile.toSeq == inMem.toSeq)
+      // a malformed line (two separating spaces) still fails loudly
+      java.nio.file.Files.write(java.nio.file.Path.of(path),
+        "t h\r\na b c\r\n".getBytes("UTF-8"))
+      val e = intercept[RuntimeException](
+        graft.plans.BpeVocab.fromGpt2File(spark, path))
+      assert(e.getMessage.contains("line 2"), e.getMessage)
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("TextAnalysis.charLmScoreInterp: backoff scores what unsmoothed cannot") {
     val train = Seq(
       (10L, "the data the data engine"),
@@ -2930,6 +2968,21 @@ class OpsSpec extends SparkSpec {
     assert(ndcg1 == dcg1.toDouble / idcg1.toDouble && ndcg1 > 0.8 && ndcg1 < 1.0)
     // a judged query that retrieved nothing relevant: zeros, ndcg 0
     assert(out(2L) == ((1L, 0L, 0L, 0L, dg(1, 1), 0.0)), out.toString)
+    // duplicate-(qid, id) rows raise loudly instead of silently
+    // inflating the sums — a duplicate RESULT row (even past k)…
+    val dupRes = results.union(Seq((1L, 10L, 4)).toDF("qid", "doc_id", "rank"))
+    val e1 = intercept[Exception](
+      Retrieval.evalRanking(dupRes, qrels, "qid", "doc_id", "rank", k = 3)
+        .collect())
+    assert(e1.getMessage.contains("duplicate (qid, doc_id) in results"),
+      e1.getMessage)
+    // …and a duplicate JUDGMENT row
+    val dupQrels = qrels.union(Seq((1L, 20L, 1L)).toDF("qid", "doc_id", "grade"))
+    val e2 = intercept[Exception](
+      Retrieval.evalRanking(results, dupQrels, "qid", "doc_id", "rank", k = 3)
+        .collect())
+    assert(e2.getMessage.contains("duplicate (qid, doc_id) in qrels"),
+      e2.getMessage)
   }
 
   test("Similarity.mmrRerank: diversity demotes the near-duplicate; lambda tunes the trade") {
@@ -2970,6 +3023,98 @@ class OpsSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](Similarity.mmrRerank(
       cand, embs, "vec_id", "rel", "embedding", maxCandidates = 2))
       .getMessage.contains("maxCandidates"))
+  }
+
+  test("AnnIndex filtered probe: k qualifying results from the pruned scan, not a post-filter") {
+    val dir = java.nio.file.Files.createTempDirectory("annfilter").toString
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("lang",
+          when(col("vec_id") % 3 === 0, "en").otherwise("pl"))
+      val h = AnnIndex.build(emb, "embedding", "vec_id", dir,
+        nCells = 4, m = 4, k = 4, dim = 64, iters = 2,
+        attrCols = Seq("lang", "label"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .collect().head.getSeq[Double](0).toSeq
+      val n = emb.count().toInt
+      // ground truth: the unfiltered ranking over the SAME probed
+      // cells at k = corpus size, filtered driver-side — the filtered
+      // probe must return exactly its first k qualifying entries
+      val fullRank = AnnIndex.query(spark, h, "vec_id", qv, k = n, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val enIds = emb.filter(col("lang") === "en")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val expected = fullRank.filter { case (id, _) => enIds.contains(id) }.take(5)
+      val filtered = AnnIndex.query(spark, h, "vec_id", qv, k = 5, nProbe = 2,
+          filter = Some(col("lang") === "en"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(filtered == expected, s"filtered $filtered vs expected $expected")
+      // the selective-filter failure a post-filter design has: fewer
+      // qualifying docs in the unfiltered top-k than k — the filtered
+      // probe still fills all k slots
+      val unfilteredTop5 = fullRank.take(5).map(_._1).toSet
+      assert(filtered.size == 5)
+      assert(unfilteredTop5.count(enIds.contains) < 5,
+        "fixture too easy: the unfiltered top-5 already satisfies the filter")
+      // compound predicates over several stored attrs work
+      val both = AnnIndex.query(spark, h, "vec_id", qv, k = 3, nProbe = 2,
+          filter = Some(col("lang") === "en" && col("label") >= 5))
+        .collect().map(_.getLong(0))
+      val okIds = emb.filter(col("lang") === "en" && col("label") >= 5)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(both.nonEmpty && both.forall(okIds.contains), both.mkString(", "))
+      // the predicate reaches the parquet reader as a pushed filter on
+      // the pruned cell scan — no join node anywhere in the plan
+      val plan = AnnIndex.query(spark, h, "vec_id", qv, k = 5, nProbe = 2,
+          filter = Some(col("lang") === "en"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: ["), plan)
+      assert(plan.toLowerCase.contains("isnotnull(lang)") ||
+        plan.contains("EqualTo(lang,en)"), plan)
+      assert(!plan.contains("Join"), plan)
+      // queryBatch with the same predicate agrees per query
+      val qrows = emb.filter(col("vec_id").isin(0L, 7L))
+      val batch = AnnIndex.queryBatch(spark, h, qrows, "embedding", "vec_id",
+          k = 5, nProbe = 2, filter = Some(col("lang") === "en"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val single = Seq(0L, 7L).flatMap { q =>
+        val qvq = emb.filter(col("vec_id") === q)
+          .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .collect().head.getSeq[Double](0).toSeq
+        AnnIndex.query(spark, h, "vec_id", qvq, k = 5, nProbe = 2,
+            filter = Some(col("lang") === "en"))
+          .collect().map(r => (q, r.getLong(0)))
+      }.sorted
+      assert(batch == single, s"batch $batch vs single $single")
+      // append derives the attr set from the table and refuses a
+      // slice that does not carry it
+      val missing = intercept[IllegalArgumentException] {
+        AnnIndex.append(h,
+          emb.select("vec_id", "embedding").filter(col("vec_id") < 0),
+          "embedding", "vec_id")
+      }
+      assert(missing.getMessage.contains("lang"), missing.getMessage)
+      // an appended slice WITH the attrs is filterable immediately
+      val extra = Seq((100000L, Seq.fill(64)(0.25f), "en", 99))
+        .toDF("vec_id", "embedding", "lang", "label")
+      AnnIndex.append(h, extra, "embedding", "vec_id")
+      val afterAppend = AnnIndex.query(spark, h, "vec_id", qv, k = n + 1,
+          nProbe = 4, filter = Some(col("label") === 99))
+        .collect().map(_.getLong(0)).toSeq
+      assert(afterAppend == Seq(100000L), afterAppend.toString)
+      // a predicate naming a column the index was not built with
+      // fails analysis loudly, never silently returns everything
+      val bad = intercept[Exception] {
+        AnnIndex.query(spark, h, "vec_id", qv, k = 5, nProbe = 2,
+          filter = Some(col("no_such_attr") === 1)).collect()
+      }
+      assert(bad.getMessage.contains("no_such_attr"), bad.getMessage)
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
   }
 
   test("AnnIndex.delete: probes skip tombstoned vectors; compact purges; rebuild clears") {
@@ -3576,6 +3721,80 @@ class OpsSpec extends SparkSpec {
       val root = java.nio.file.Path.of(dir)
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
+  test("Bm25Index: a replayed append changes NO probe family's answer pre-compact") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25replay").toString
+    val fDir = java.nio.file.Files.createTempDirectory("bm25freplay").toString
+    try {
+      val corpus = Seq(
+        (0L, "big table scan over the big table here"),
+        (1L, "table big scan and more data"),
+        (2L, "a big table of data"),
+        (3L, "nothing relevant at all"))
+        .toDF("doc_id", "text")
+      val extra = Seq(
+        (6L, "another big table appears with data"),
+        (7L, "table stacks big data")).toDF("doc_id", "text")
+      val h0 = Bm25Index.build(corpus, "doc_id", dir, numBuckets = 8)
+      val h = Bm25Index.append(h0, extra)
+      val weights = Seq(("big", 1048576L), ("data", 524288L)).toDF("term", "weight_q")
+      val batchQs = Seq((1L, Seq("big", "data")), (2L, Seq("table")))
+        .toDF("qid", "terms")
+      val phraseQs = Seq((1L, Seq("big", "table")), (2L, Seq("big", "data")))
+        .toDF("qid", "phrase")
+      // every probe family, driven off the SAME handle (meta stats
+      // fixed) so the only replay effect in scope is the duplicated
+      // posting/doclens rows; each output fully sorted so the compare
+      // never depends on partition arrival order
+      def sorted(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] =
+        df.sort(df.columns.map(col).toIndexedSeq: _*).collect().toSeq
+      def probes(): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
+        sorted(Bm25Index.topK(spark, h, Seq("big", "data"), k = 10)),
+        sorted(Bm25Index.topKBatch(spark, h, batchQs, "qid", "terms", k = 10)),
+        sorted(Bm25Index.topKWeighted(spark, h, weights, k = 10)),
+        sorted(Bm25Index.phraseTopK(spark, h, Seq("big", "table"), k = 10)),
+        sorted(Bm25Index.phraseTopKBatch(spark, h, phraseQs, "qid", "phrase", k = 10)),
+        sorted(Bm25Index.snippetTopK(spark, h, Seq("big", "data"), width = 4, k = 10)),
+        sorted(Bm25Index.proximityTopK(spark, h, Seq("big", "data"), k = 10)))
+      val before = probes()
+      Bm25Index.append(h, extra) // the at-least-once replay
+      // the duplicate rows ARE on disk (fsck quantifies the drift)…
+      val dup = Bm25Index.fsck(spark, dir)
+        .filter(col("check") === "duplicate_posting_rows")
+        .head().getLong(1)
+      assert(dup > 0L, "replay fixture laid no duplicate rows")
+      // …but no probe family's answer moved
+      val after = probes()
+      before.zip(after).zipWithIndex.foreach { case ((b, a), i) =>
+        assert(b == a, s"probe family $i drifted after a replayed append:" +
+          s"\nbefore ${b.mkString("; ")}\nafter  ${a.mkString("; ")}")
+      }
+      // the field-weighted probe, on a multi-field index
+      val fCorpus = Seq(
+        (0L, "big title", "big table of data rows"),
+        (1L, "data digest", "table scan with data"),
+        (2L, "other", "nothing relevant"))
+        .toDF("doc_id", "title", "text")
+      val fh = Bm25Index.buildFields(
+        fCorpus, "doc_id", fDir, Seq("title", "text"), numBuckets = 8)
+      val fw = Seq("title" -> 2.0, "text" -> 1.0)
+      val fBefore = sorted(
+        Bm25Index.bm25fTopK(spark, fh, Seq("big", "data"), fw, k = 10))
+      Bm25Index.append(fh,
+        Seq((0L, "big title", "big table of data rows"))
+          .toDF("doc_id", "title", "text")) // replays doc 0's rows
+      val fAfter = sorted(
+        Bm25Index.bm25fTopK(spark, fh, Seq("big", "data"), fw, k = 10))
+      assert(fBefore == fAfter,
+        s"bm25f drifted:\n$fBefore\n$fAfter")
+    } finally {
+      Seq(dir, fDir).foreach { d =>
+        val root = java.nio.file.Path.of(d)
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
     }
   }
 

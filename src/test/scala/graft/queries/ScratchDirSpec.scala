@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scratch-dir lifecycle: pid-keyed index scratch must not accumulate
+  * across JVMs on a shared host (round-13 ADVICE item — unbounded tmp
+  * growth). */
+class ScratchDirSpec extends AnyFunSuite {
+
+  private def mk(name: String): java.io.File = {
+    val d = new java.io.File(System.getProperty("java.io.tmpdir"), name)
+    d.mkdirs()
+    val payload = new java.io.File(d, "codes")
+    payload.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(payload, "part-0").toPath, "x")
+    d
+  }
+
+  test("sweepDeadPidScratch deletes dead-pid dirs, spares live-pid and foreign names") {
+    val self = ProcessHandle.current().pid()
+    // a pid that is certainly not alive: probe down from a huge value
+    val dead = Iterator.iterate(3999999L)(_ - 1)
+      .find(p => !ProcessHandle.of(p).isPresent).get
+    val deadDir = mk(s"graft_testsweep_${dead}_docs_abcd1234")
+    val liveDir = mk(s"graft_testsweep_${self}_docs_abcd1234")
+    val foreign = mk("graft-not-a-scratch-dir")
+    try {
+      QueryDef.sweepDeadPidScratch()
+      assert(!deadDir.exists(), "dead-pid scratch survived the sweep")
+      assert(liveDir.exists(), "live-pid scratch was deleted")
+      assert(foreign.exists(), "non-matching tmp entry was deleted")
+    } finally {
+      Seq(deadDir, liveDir, foreign).foreach { d =>
+        if (d.exists())
+          java.nio.file.Files.walk(d.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+    }
+  }
+
+  test("idxScratchDir is pid-keyed, corpus-keyed, and registered for shutdown delete") {
+    val a = QueryDef.idxScratchDir("kindx", "/some/corpus/dir")
+    val b = QueryDef.idxScratchDir("kindx", "/some/other/dir")
+    assert(a != b, "two corpora mapped to one scratch location")
+    assert(a.contains(ProcessHandle.current().pid().toString))
+    // same inputs → same location (the per-JVM build-once memo key)
+    assert(QueryDef.idxScratchDir("kindx", "/some/corpus/dir") == a)
+  }
+}

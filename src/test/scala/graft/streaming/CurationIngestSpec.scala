@@ -232,4 +232,93 @@ class CurationIngestSpec extends SparkSpec {
       s"re-ingest after compact invisible: $lexIds / $semIds")
     assert(Bm25Index.load(spark, s"$root/bm25").nDocs == 3L)
   }
+
+  test("curationSink: a trigger failing between appends heals on replay — dedup fold-in is last") {
+    val root = java.nio.file.Files.createTempDirectory("curation_part_").toString
+    val seed = Seq(
+      (0L, "completely different content about spark engines and data"),
+      (1L, "another seed document with distinct vocabulary here"))
+      .toDF("doc_id", "text")
+    val seedEmb = Seq(0L, 1L).map(i => (i, emb(i))).toDF("doc_id", "embedding")
+    val dedupH = DedupIndex.build(seed, "doc_id", s"$root/dedup")
+    val bm25H = Bm25Index.build(seed, "doc_id", s"$root/bm25", numBuckets = 8)
+    val annH = AnnIndex.build(seedEmb, "embedding", "doc_id", s"$root/ann",
+      nCells = 2, m = 4, k = 2, dim = 8, iters = 1)
+    // drive the foreachBatch function directly: the at-least-once
+    // contract is about ONE trigger failing and the SAME batch being
+    // re-delivered, which a direct call replays exactly
+    val sink = CurationIngest.curationSink(
+      dedupH, bm25H, annH, s"$root/verdicts", "embedding",
+      qualityGate = col("text").isNotNull && length(col("text")) > 20,
+      threshold = 0.5)
+    val batch = Seq(
+      (30L, "a genuinely novel keeper document about streaming curation"))
+      .toDF("doc_id", "text")
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(7)),
+          j => ((col("doc_id") * 7 + j) % 5).cast("double")))
+
+    // an external compactor holds the ANN lock: the trigger fails
+    // AFTER the BM25 append, BEFORE the ANN append and the dedup fold
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val annLock = new org.apache.hadoop.fs.Path(s"$root/ann/_compact.lock")
+    fs.create(annLock, false).close()
+    val ex = intercept[IllegalStateException] { sink(batch, 0L) }
+    assert(ex.getMessage.contains("_compact.lock"), ex.getMessage)
+    def ids(table: String): Set[Long] = spark.read.parquet(s"$root/$table")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the partial state the ordering contract promises: the keeper
+    // landed in BM25 only — critically, NOT in the dedup index, so
+    // the replay can still screen it as new
+    assert(ids("bm25/doclens").contains(30L), "bm25 missing the keeper")
+    assert(!ids("ann/codes").contains(30L), "ann append should have failed")
+    assert(!ids("dedup/signatures").contains(30L),
+      "dedup fold-in ran before the failed append — replay would drop the keeper")
+    // the cross-index audit quantifies exactly this partial state
+    def cross(): Map[String, Long] = graft.ops.Maintenance.crossFsck(
+        spark, s"$root/dedup", s"$root/bm25", s"$root/ann")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val broken = cross()
+    assert(broken("bm25_not_ann") == 1L && broken("bm25_not_dedup") == 1L,
+      broken.toString)
+    assert(broken("ann_not_bm25") == 0L && broken("dedup_not_bm25") == 0L &&
+      broken("ann_not_dedup") == 0L && broken("dedup_not_ann") == 0L,
+      broken.toString)
+    assert(broken("bm25_live_docs") == 3L && broken("ann_live_codes") == 2L &&
+      broken("dedup_live_docs") == 2L, broken.toString)
+
+    // the replayed trigger: re-screens as new (fingerprint unrecorded),
+    // re-appends everywhere — the keeper reaches ALL THREE indexes
+    fs.delete(annLock, false)
+    sink(batch, 0L)
+    assert(ids("bm25/doclens").contains(30L))
+    assert(ids("ann/codes").contains(30L), "replay did not heal the ANN index")
+    assert(ids("dedup/signatures").contains(30L), "replay did not fold the dedup state")
+    // both screenings said is_new — the keeper never matched itself
+    val verdicts = spark.read.parquet(s"$root/verdicts")
+      .filter(col("doc_id") === 30L).select("is_new", "exact_dup")
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1))).toSeq
+    assert(verdicts == Seq((true, false), (true, false)), verdicts.toString)
+    // the residue is duplicate BM25 rows (at-least-once), reclaimed by
+    // compact with the probe answer unchanged
+    val dupRows = spark.read.parquet(s"$root/bm25/doclens")
+      .filter(col("doc_id") === 30L).count()
+    assert(dupRows == 2L, s"expected the replayed doclens row, got $dupRows")
+    Bm25Index.compact(Bm25Index.load(spark, s"$root/bm25"))
+    assert(spark.read.parquet(s"$root/bm25/doclens")
+      .filter(col("doc_id") === 30L).count() == 1L)
+    val topk = Bm25Index.topK(spark, Bm25Index.load(spark, s"$root/bm25"),
+      Seq("streaming", "curation"), k = 10).collect().map(_.getLong(0))
+    assert(topk.contains(30L), topk.mkString(", "))
+    // the healed trio cross-audits clean: every live diff zero, all
+    // three live counts agree (the bm25 meta still remembers the
+    // replayed append until a recount — per-index fsck territory)
+    val healed = cross()
+    assert(Seq("bm25_not_ann", "ann_not_bm25", "bm25_not_dedup",
+        "dedup_not_bm25", "ann_not_dedup", "dedup_not_ann",
+        "tombstone_disagreements").forall(healed(_) == 0L), healed.toString)
+    assert(healed("bm25_live_docs") == 3L && healed("ann_live_codes") == 3L &&
+      healed("dedup_live_docs") == 3L, healed.toString)
+  }
 }
