@@ -285,6 +285,79 @@ object Bm25Index {
     }
   }
 
+  /** Merge independently-built shard indexes into one — the
+    * federated-ingest shape: N sites (or N pipeline partitions) each
+    * [[build]] over their own slice, then one merge unifies the
+    * shards WITHOUT re-tokenizing a single document. Because the
+    * posting/doclens rows of a doc depend only on the doc and the
+    * layout (bucket hash, fields), the merged table is ROW-IDENTICAL
+    * to what one [[build]] over the union corpus would write — so
+    * every probe answers as if the index had been built whole (the
+    * OpsSpec + q173 contract), and the physical work is one
+    * filesystem copy per data file ([[Maintenance.copyDataFiles]]:
+    * no decode, no shuffle — partition directories line up because
+    * every shard hashes terms with the same `numBuckets`). Loud
+    * preconditions instead of silent corruption: same layout
+    * (idCol/fields/numBuckets), current schema version, no
+    * tombstones (compact a shard first — merge copies files
+    * verbatim), pairwise-DISJOINT doc id sets (an id in two shards
+    * would double-count tf and N), and a fresh `outDir`. Collection
+    * stats are the exact sums of the shard metas. */
+  def merge(
+      spark: SparkSession, shardDirs: Seq[String], outDir: String): Handle = {
+    require(shardDirs.size >= 2,
+      s"merge needs at least two shards, got ${shardDirs.size}")
+    require(shardDirs.distinct.size == shardDirs.size,
+      s"merge: duplicate shard dirs in $shardDirs")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(outDir)),
+      s"merge: $outDir already exists — refusing to mix into prior state")
+    val hs = shardDirs.map(load(spark, _))
+    val h0 = hs.head
+    hs.zip(shardDirs).foreach { case (h, d) =>
+      require(h.version == CurrentVersion,
+        s"merge: $d is a v${h.version} (legacy) index — rebuild it to " +
+          s"v$CurrentVersion first (mixed-schema postings are unreadable)")
+      require(h.idCol == h0.idCol && h.numBuckets == h0.numBuckets &&
+          h.fields == h0.fields,
+        s"merge: shard layouts disagree — ${shardDirs.head} has " +
+          s"(${h0.idCol}, buckets=${h0.numBuckets}, ${h0.fields}) but $d " +
+          s"has (${h.idCol}, buckets=${h.numBuckets}, ${h.fields})")
+      require(!fs.exists(Tombstones.path(d)),
+        s"merge: $d has tombstones — compact it first (merge copies " +
+          "files verbatim and would resurrect the deleted docs)")
+    }
+    // disjointness is data, not layout — check it with one aggregate
+    val dup = shardDirs.zipWithIndex.map { case (d, i) =>
+        spark.read.parquet(s"$d/doclens").select(col(h0.idCol)).distinct()
+          .withColumn("__shard", lit(i))
+      }.reduce(_ unionByName _)
+      .groupBy(col(h0.idCol))
+      .agg(countDistinct(col("__shard")).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge: id '${dup.headOption.map(_.get(0)).orNull}' appears in " +
+        "more than one shard — shard doc sets must be disjoint (the merged " +
+        "index would double-count its tf and N)")
+    shardDirs.zipWithIndex.foreach { case (d, i) =>
+      Maintenance.copyDataFiles(fs,
+        new org.apache.hadoop.fs.Path(s"$d/postings"),
+        new org.apache.hadoop.fs.Path(s"$outDir/postings"), s"s$i", conf)
+      Maintenance.copyDataFiles(fs,
+        new org.apache.hadoop.fs.Path(s"$d/doclens"),
+        new org.apache.hadoop.fs.Path(s"$outDir/doclens"), s"s$i", conf)
+    }
+    val n = hs.map(_.nDocs).sum
+    val total = hs.map(_.totalTokens).sum
+    val perField = hs.map(_.fieldTokens)
+      .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    writeMeta(spark, outDir, h0.idCol, h0.numBuckets, n, total,
+      h0.fields, perField)
+    Handle(outDir, h0.idCol, h0.textCol, h0.numBuckets, n, total,
+      CurrentVersion, h0.fields, perField)
+  }
+
   /** Tombstone-delete documents from the index — the
     * right-to-be-forgotten path: at 100 TB a delete must not rewrite
     * the postings table (that is [[compact]]'s job). `ids` is a

@@ -110,6 +110,68 @@ object DedupIndex {
     }
   }
 
+  /** Merge independently-built shard states into one — the
+    * federated-ingest shape ([[Bm25Index.merge]] is the lexical
+    * twin): N pipeline partitions each [[build]] over their slice,
+    * one merge unifies them without re-fingerprinting or
+    * re-minhashing a document. Minhash/fingerprint state depends
+    * only on the doc and the layout (numHashes, bandSize), so the
+    * merged signature/word tables are ROW-IDENTICAL to a whole-corpus
+    * [[build]]'s and every [[dedupBatch]] verdict matches (q174 pins
+    * it); fingerprints may hold the same md5 in several shards —
+    * the exact screen is a semi-join, so duplicates cost bytes until
+    * [[compact]] collapses them, never correctness. Physical work is
+    * one filesystem copy per data file (signature partition dirs line
+    * up because every shard buckets `band0` the same way). Loud
+    * preconditions: same layout (idCol/numHashes/bandSize), no
+    * tombstones (compact first — merge copies files verbatim),
+    * pairwise-DISJOINT id sets, fresh `outDir`. */
+  def merge(
+      spark: SparkSession, shardDirs: Seq[String], outDir: String): Handle = {
+    require(shardDirs.size >= 2,
+      s"merge needs at least two shards, got ${shardDirs.size}")
+    require(shardDirs.distinct.size == shardDirs.size,
+      s"merge: duplicate shard dirs in $shardDirs")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(outDir)),
+      s"merge: $outDir already exists — refusing to mix into prior state")
+    val hs = shardDirs.map(load(spark, _))
+    val h0 = hs.head
+    hs.zip(shardDirs).foreach { case (h, d) =>
+      require(h.idCol == h0.idCol && h.numHashes == h0.numHashes &&
+          h.bandSize == h0.bandSize,
+        s"merge: shard layouts disagree — ${shardDirs.head} has " +
+          s"(${h0.idCol}, hashes=${h0.numHashes}, band=${h0.bandSize}) " +
+          s"but $d has (${h.idCol}, hashes=${h.numHashes}, band=${h.bandSize})")
+      require(!fs.exists(Tombstones.path(d)),
+        s"merge: $d has tombstones — compact it first (merge copies " +
+          "files verbatim and would resurrect the deleted docs)")
+    }
+    val dup = shardDirs.zipWithIndex.map { case (d, i) =>
+        spark.read.parquet(s"$d/signatures").select(col(h0.idCol)).distinct()
+          .withColumn("__shard", lit(i))
+      }.reduce(_ unionByName _)
+      .groupBy(col(h0.idCol))
+      .agg(countDistinct(col("__shard")).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge: id '${dup.headOption.map(_.get(0)).orNull}' appears in " +
+        "more than one shard — shard id sets must be disjoint")
+    shardDirs.zipWithIndex.foreach { case (d, i) =>
+      Seq("fingerprints", "signatures", "words").foreach { t =>
+        Maintenance.copyDataFiles(fs,
+          new org.apache.hadoop.fs.Path(s"$d/$t"),
+          new org.apache.hadoop.fs.Path(s"$outDir/$t"), s"s$i", conf)
+      }
+    }
+    import spark.implicits._
+    Seq((h0.idCol, h0.numHashes, h0.bandSize))
+      .toDF("idCol", "numHashes", "bandSize")
+      .coalesce(1).write.mode("overwrite").json(s"$outDir/meta")
+    Handle(outDir, h0.idCol, h0.numHashes, h0.bandSize)
+  }
+
   /** Tombstone-delete documents from the standing dedup state — the
     * right-to-be-forgotten path for the dedup stack ([[Bm25Index
     * .delete]] / [[AnnIndex.delete]] are the lexical/vector twins):

@@ -224,6 +224,25 @@ private[graft] object Maintenance {
     require(fs.delete(aside, true), s"delete $aside failed")
   }
 
+  /** Copy a table's committed data files into `dst` preserving the
+    * relative layout (partition directories included), each leaf
+    * prefixed so files from different sources never collide — the
+    * physical half of an index MERGE: no decode, no shuffle, no Spark
+    * job, just one filesystem copy per file (a server-side copy on
+    * object stores). Bookkeeping entries (`_SUCCESS`, `_temporary`,
+    * dotfiles) are skipped via [[dataFiles]]. */
+  def copyDataFiles(
+      fs: FileSystem, src: Path, dst: Path, prefix: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit =
+    dataFiles(fs, src).foreach { rel =>
+      val from = new Path(src, rel)
+      val parent = new Path(dst, rel).getParent
+      val to = new Path(parent, s"$prefix-${new Path(rel).getName}")
+      if (!fs.exists(parent)) fs.mkdirs(parent)
+      require(org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false, conf),
+        s"copy $from -> $to failed")
+    }
+
   /** Cross-index lifecycle audit over the three standing indexes a
     * unified ingest co-writes ([[graft.streaming.CurationIngest]]:
     * dedup screen → BM25 postings → ANN codes, one trigger) — the

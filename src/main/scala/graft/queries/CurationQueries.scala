@@ -4071,6 +4071,49 @@ object CurationQueries {
       ()
     }
 
+  /** q173's merged index — two disjoint shards built independently
+    * (even / odd doc ids), unified by `Bm25Index.merge` (file-level
+    * copy, no re-tokenization). Per-JVM memo. */
+  private def bm25MergeDir(dir: String): String =
+    QueryDef.idxScratchDir("bm25merged", dir)
+
+  private def ensureBm25MergedIdx(s: SparkSession, dir: String): Unit =
+    if (bm25Built.add(bm25MergeDir(dir))) {
+      val docs = t(s, dir, "documents")
+      val a = QueryDef.idxScratchDir("bm25sharda", dir)
+      val b = QueryDef.idxScratchDir("bm25shardb", dir)
+      graft.ops.Bm25Index.build(docs.filter(col("doc_id") % 2 === 0), "doc_id", a)
+      graft.ops.Bm25Index.build(docs.filter(col("doc_id") % 2 === 1), "doc_id", b)
+      graft.ops.Bm25Index.merge(s, Seq(a, b), bm25MergeDir(dir))
+      ()
+    }
+
+  /** Shard-merge for the persistent BM25 index (library
+    * `Bm25Index.merge` — the federated-ingest shape: N sites build
+    * over their own slices, one merge unifies the shards by FILE
+    * COPY, no re-tokenization, stats as exact meta sums): the corpus
+    * splits into even/odd shards built independently, merge unifies
+    * them, and the probe must answer EXACTLY as q145's whole-corpus
+    * build does — q70's oracle text VERBATIM, so one derivation
+    * proves the scan, the single build, and the shard merge against
+    * each other. A double-counted doc, a lost shard file or a wrong
+    * meta sum anywhere breaks the hash. */
+  val q173 = {
+    def probe(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Bm25Index.topK(
+          s, graft.ops.Bm25Index.load(s, bm25MergeDir(dir)),
+          Seq("data", "the", "query"), k = 25)
+        .select(col("doc_id"), col("n_tok"), round(col("score"), 6).as("score"))
+        .oracleOrderBy("doc_id")
+    QueryDef(
+      "q173_bm25_shard_merge",
+      (s, dir) => { ensureBm25MergedIdx(s, dir); probe(s, dir) },
+      Some(bm25TopkOracleDuck),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25MergedIdx(s, dir)),
+      benchFn = Some(probe))
+  }
+
   /** Cross-index lifecycle audit (library `Maintenance.crossFsck` —
     * the per-index fscks q167–q169 verify each index against itself;
     * this verifies the co-written trio against EACH OTHER): live
@@ -4137,5 +4180,5 @@ object CurationQueries {
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
       q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
       q154, q155, q156, q157, q160, q161, q163, q164, q165, q166, q167, q171,
-      q172)
+      q172, q173)
 }

@@ -330,6 +330,54 @@ object OpsQueries {
     * predicate spliced into both screens — a deleted doc still
     * producing an exact or near verdict breaks the hash (and so does
     * a tombstone leaking into the batch side). */
+  /** q174's merged dedup state — the even half built as two disjoint
+    * shards (`%4 = 0` and `%4 = 2`), unified by `DedupIndex.merge`
+    * (file-level copy, no re-fingerprinting). Per-JVM memo. */
+  private def dedupMergeDir(dir: String): String =
+    QueryDef.idxScratchDir("dedupmerged", dir)
+
+  private def ensureDedupMergedIdx(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.ops.DedupIndex.Handle = {
+    val d = dedupMergeDir(dir)
+    if (dedupDelBuilt.add(d)) {
+      val docs = t(s, dir, "documents")
+      val a = QueryDef.idxScratchDir("dedupsharda", dir)
+      val b = QueryDef.idxScratchDir("dedupshardb", dir)
+      graft.ops.DedupIndex.build(docs.filter(col("doc_id") % 4 === 0), "doc_id", a)
+      graft.ops.DedupIndex.build(docs.filter(col("doc_id") % 4 === 2), "doc_id", b)
+      graft.ops.DedupIndex.merge(s, Seq(a, b), d)
+      ()
+    }
+    graft.ops.DedupIndex.load(s, d)
+  }
+
+  /** Shard-merge for the persistent dedup index (library
+    * `DedupIndex.merge` — `Bm25Index.merge`'s dedup twin: the even
+    * half of the corpus is built as TWO disjoint shards and unified
+    * by file copy), screened with q95's exact probe: the odd batch
+    * against the even corpus. The oracle is q95's derivation
+    * VERBATIM — the merged state answers correctly only if the
+    * signature/word rows are row-identical to a whole-corpus build
+    * and the fingerprint union covers both shards; a lost shard
+    * file, a band0 layout mismatch or a dropped fingerprint breaks
+    * the hash. */
+  val q174 = QueryDef(
+    "q174_dedup_shard_merge",
+    (s, dir) => {
+      val h = ensureDedupMergedIdx(s, dir)
+      graft.ops.DedupIndex.dedupBatch(spark = s, handle = h,
+          batch = t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+          threshold = 0.8)
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+          col("near_dup_of"), col("is_new"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(dedupIncrOracleDuck(
+      p => s"${p}doc_id % 2 = 0", p => s"${p}doc_id % 2 = 0")),
+    bench = true,
+    benchPrepare = Some((s, dir) => { ensureDedupMergedIdx(s, dir); () }))
+
   val q159 = QueryDef(
     "q159_dedup_index_delete",
     (s, dir) => {
@@ -769,5 +817,5 @@ object OpsQueries {
 
   val all: Seq[QueryDef] =
     Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51, q52, q53, q54, q87, q95,
-      q96, q97, q139, q140, q159, q168)
+      q96, q97, q139, q140, q159, q168, q174)
 }

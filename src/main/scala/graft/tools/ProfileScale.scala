@@ -192,6 +192,20 @@ object ProfileScale {
       "embedding", "vec_id", s"$scratch/annattr10",
       nCells = 4 * factor, m = 4, k = 4, dim = dim, iters = 2,
       attrCols = Seq("lang"))
+    // round-13: merge-arm shards — built once untimed; the timed
+    // region is the merge itself (guards + file copy + meta sum)
+    lazy val mergeShards1 = {
+      graft.ops.Bm25Index.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", s"$scratch/mg_ba")
+      graft.ops.Bm25Index.build(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", s"$scratch/mg_bb")
+    }
+    lazy val mergeShards10 = {
+      graft.ops.Bm25Index.build(
+        docs10.filter(col("doc_id") % 2 === 0), "doc_id", s"$scratch/mg_ba10")
+      graft.ops.Bm25Index.build(
+        docs10.filter(col("doc_id") % 2 === 1), "doc_id", s"$scratch/mg_bb10")
+    }
     // round-13: the crossFsck trio — one shared doc_id key (the ANN
     // side re-keys the vector ids), pristine tombstone-free state;
     // the audit is index-table-linear by contract
@@ -961,6 +975,19 @@ object ProfileScale {
         () => graft.ops.Maintenance.crossFsck(
           spark, trioDedupDir10, bm25H10.dir, trioAnnDir10)),
       ("q172 imported-bpe", () => q172(docs), () => q172(docs10)),
+      // round-13: shard merge — file-copy + one disjointness
+      // aggregate; data-sized IO by contract, zero shuffle/decode.
+      // Each timed run merges into a FRESH dir (merge refuses to mix
+      // into prior state), so the timing includes the copy every time.
+      ("q173 bm25-merge",
+        () => { graft.ops.Bm25Index.merge(spark,
+            Seq(s"$scratch/mg_ba", s"$scratch/mg_bb"),
+            s"$scratch/mg_out1_${System.nanoTime()}")
+          spark.range(1).toDF() },
+        () => { graft.ops.Bm25Index.merge(spark,
+            Seq(s"$scratch/mg_ba10", s"$scratch/mg_bb10"),
+            s"$scratch/mg_out10_${System.nanoTime()}")
+          spark.range(1).toDF() }),
       ("q147 sft-pack", () => {
           val withPrompt = docs.withColumn("prompt",
             concat(lit("summarize document "), col("doc_id").cast("string"),
@@ -1034,6 +1061,7 @@ object ProfileScale {
         trioDedupDir1; trioDedupDir10; trioAnnDir1; trioAnnDir10; ()
       }
       if (name.startsWith("q172")) { importedArmVocab; () }
+      if (name.startsWith("q173")) { mergeShards1; mergeShards10; () }
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)
       val tN = run(s"$name x$factor", atN)

@@ -3724,6 +3724,93 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Bm25Index.merge / DedupIndex.merge: shard union is row-identical to a whole build; guards refuse") {
+    val root = java.nio.file.Files.createTempDirectory("idxmerge").toString
+    try {
+      val docs = Seq(
+        (0L, "big table scan over the big table here"),
+        (1L, "table big scan and more data"),
+        (2L, "a big table of data"),
+        (3L, "nothing relevant at all"),
+        (4L, "another big table appears with data"),
+        (5L, "table stacks big data"))
+        .toDF("doc_id", "text")
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+      // --- BM25 ---
+      Bm25Index.build(even, "doc_id", s"$root/ba", numBuckets = 8)
+      Bm25Index.build(odd, "doc_id", s"$root/bb", numBuckets = 8)
+      val merged = Bm25Index.merge(spark, Seq(s"$root/ba", s"$root/bb"),
+        s"$root/bm")
+      val whole = Bm25Index.build(docs, "doc_id", s"$root/bw", numBuckets = 8)
+      // physical rows identical (postings AND doclens), not just top-k
+      def rows(d: String, t: String) = spark.read.parquet(s"$root/$d/$t")
+        .collect().map(_.toString).sorted.toSeq
+      assert(rows("bm", "postings") == rows("bw", "postings"))
+      assert(rows("bm", "doclens") == rows("bw", "doclens"))
+      // meta sums == whole-build stats; probes answer identically
+      assert(merged.nDocs == whole.nDocs &&
+        merged.totalTokens == whole.totalTokens &&
+        merged.fieldTokens == whole.fieldTokens)
+      val a = Bm25Index.topK(spark, merged, Seq("big", "data"), k = 10)
+        .collect().map(_.toString).toSeq
+      val b = Bm25Index.topK(spark, whole, Seq("big", "data"), k = 10)
+        .collect().map(_.toString).toSeq
+      assert(a == b, s"merged $a vs whole $b")
+      // fsck over the merged index: clean (no duplicates, no drift)
+      val bad = Bm25Index.fsck(spark, s"$root/bm")
+        .filter(col("check").isin("duplicate_posting_rows",
+          "meta_ndocs_drift", "meta_tokens_drift", "postings_orphan_docs"))
+        .filter(col("value") =!= 0L).count()
+      assert(bad == 0L)
+      // guards: overlapping ids, tombstoned shard, existing outDir
+      val overlap = intercept[IllegalArgumentException](
+        Bm25Index.merge(spark, Seq(s"$root/ba", s"$root/bw"), s"$root/bo"))
+      assert(overlap.getMessage.contains("disjoint"), overlap.getMessage)
+      val evenDel = Bm25Index.delete(
+        Bm25Index.load(spark, s"$root/ba"),
+        Seq(0L).toDF("doc_id"))
+      val tomb = intercept[IllegalArgumentException](
+        Bm25Index.merge(spark, Seq(s"$root/ba", s"$root/bb"), s"$root/bt"))
+      assert(tomb.getMessage.contains("tombstones"), tomb.getMessage)
+      assert(evenDel.nTombstones == 1L)
+      val exists = intercept[IllegalArgumentException](
+        Bm25Index.merge(spark, Seq(s"$root/bb", s"$root/bw"), s"$root/bm"))
+      assert(exists.getMessage.contains("already exists"), exists.getMessage)
+      // --- Dedup ---
+      DedupIndex.build(even, "doc_id", s"$root/da")
+      DedupIndex.build(odd, "doc_id", s"$root/db")
+      val dm = DedupIndex.merge(spark, Seq(s"$root/da", s"$root/db"),
+        s"$root/dm")
+      DedupIndex.build(docs, "doc_id", s"$root/dw")
+      assert(rows("dm", "signatures") == rows("dw", "signatures"))
+      assert(rows("dm", "words") == rows("dw", "words"))
+      assert(rows("dm", "fingerprints").distinct ==
+        rows("dw", "fingerprints").distinct)
+      // a batch screens identically against merged and whole state
+      val batch = Seq(
+        (10L, "a big table of data"), // exact dup of doc 2 (even shard)
+        (11L, "table stacks big data"), // exact dup of doc 5 (odd shard)
+        (12L, "wholly novel content never seen before anywhere"))
+        .toDF("doc_id", "text")
+      val vm = DedupIndex.dedupBatch(spark, dm, batch, threshold = 0.8)
+        .collect().map(_.toString).sorted.toSeq
+      val vw = DedupIndex.dedupBatch(spark,
+          DedupIndex.load(spark, s"$root/dw"), batch, threshold = 0.8)
+        .collect().map(_.toString).sorted.toSeq
+      assert(vm == vw, s"merged $vm vs whole $vw")
+      val layout = intercept[IllegalArgumentException] {
+        DedupIndex.build(odd, "doc_id", s"$root/dn", numHashes = 16)
+        DedupIndex.merge(spark, Seq(s"$root/da", s"$root/dn"), s"$root/dx")
+      }
+      assert(layout.getMessage.contains("disagree"), layout.getMessage)
+    } finally {
+      val r = java.nio.file.Path.of(root)
+      java.nio.file.Files.walk(r).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("Bm25Index: a replayed append changes NO probe family's answer pre-compact") {
     val dir = java.nio.file.Files.createTempDirectory("bm25replay").toString
     val fDir = java.nio.file.Files.createTempDirectory("bm25freplay").toString
