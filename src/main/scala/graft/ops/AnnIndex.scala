@@ -459,6 +459,37 @@ object AnnIndex {
     Similarity.pqTopKFromCodes(codes, idCol, handle.codebooks, queryVec, k)
   }
 
+  /** ADC-shortlist + exact re-rank — the FAISS "refine" pattern: the
+    * compressed codes are a lossy quantization, so the true nearest
+    * neighbor can sit just below an ADC top-k cutoff; probing a
+    * `refine`-times-larger shortlist and re-ranking it by EXACT
+    * cosine over the raw vectors recovers most of that recall for a
+    * candidate-bounded price. The index itself never stores raw
+    * vectors (the whole point of PQ) — `corpus` is the caller's
+    * embedding table, touched as a POINT LOOKUP: the ≤ `k·refine`
+    * shortlist ids collect to the driver (the rm3Expand fetch shape)
+    * and push into the corpus scan as an in-filter, so the exact pass
+    * reads candidate rows, never the corpus. Tombstones and the
+    * metadata `filter` apply at the ADC stage, exactly as [[query]]
+    * does. Emits `(id, cosine)`, top `k` by (cosine desc, id). */
+  def queryRefined(
+      spark: SparkSession, handle: Handle, corpus: DataFrame,
+      embCol: String, idCol: String, queryVec: Seq[Double],
+      k: Int = 10, nProbe: Int = 2, refine: Int = 4,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    require(k.toLong * refine <= 65536,
+      s"k*refine = ${k.toLong * refine} — the shortlist collects to the " +
+        "driver (point-lookup fetch); keep it under 65536")
+    val ids = query(spark, handle, idCol, queryVec, k * refine, nProbe, filter)
+      .select(col(idCol)).collect().map(_.get(0)).toSeq
+    // an all-filtered shortlist yields an empty (schema-correct) result
+    val cand = (if (ids.isEmpty) corpus.filter(lit(false))
+      else corpus.filter(col(idCol).isin(ids: _*)))
+      .select(col(idCol), col(embCol))
+    Similarity.bruteForceKnn(cand, embCol, idCol, queryVec, k)
+  }
+
   /** Batched index probe — the vector-side twin of
     * [[Bm25Index.topKBatch]]: a query TABLE of embeddings amortizes
     * ONE pruned pass over the code table instead of one probe each

@@ -1277,6 +1277,55 @@ object EmbeddingQueries {
       benchFn = Some(probe))
   }
 
+  /** Refined ANN probe (library `AnnIndex.queryRefined` — the FAISS
+    * "refine" pattern: ADC shortlist `k·refine` from the compressed
+    * codes, then EXACT cosine re-rank over the raw vectors fetched as
+    * a point lookup): the true neighbor a lossy PQ cutoff would
+    * misrank is recovered at a candidate-bounded price. The oracle
+    * composes q149's full derivation (training, probe rule, ADC) with
+    * q33's exact-cosine machinery: the ADC top-40 by (pq_dist, id)
+    * feeds an element-exact cosine against vec 0, top-10 by (cosine
+    * desc, id). A wrong shortlist member, fetch leak (a row outside
+    * the shortlist scoring) or re-rank tie-break breaks the hash. */
+  val q175 = {
+    def probe(s: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame = {
+      graft.ops.AnnIndex.queryRefined(s,
+          graft.ops.AnnIndex.load(s, annIdxDir(dir)),
+          t(s, dir, "embeddings"), "embedding", "vec_id",
+          queryVec0(s, dir), k = 10, nProbe = 2, refine = 4)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .oracleOrderBy("vec_id")
+    }
+    QueryDef(
+      "q175_ann_refined_probe",
+      (s, dir) => { buildAnnIdx(s, dir); probe(s, dir) },
+      Some(s"""WITH $annProbeCtesDuck,
+      shortlist AS (
+        SELECT vec_id FROM annscored
+        ORDER BY pq_dist ASC, vec_id LIMIT 40),
+      qq2 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      rescored AS (
+        SELECT e.vec_id,
+          (${dotSum(duckElem, "e.embedding", "q.qv")}) AS dot,
+          (${dotSum(duckElem, "e.embedding", "e.embedding")}) AS naa,
+          (${dotSum(duckElem, "q.qv", "q.qv")}) AS nbb
+        FROM embeddings e JOIN shortlist sl ON sl.vec_id = e.vec_id
+        CROSS JOIN qq2 q)
+      SELECT vec_id, round(cosine, 6) AS cosine FROM (
+        SELECT vec_id, dot / (sqrt(naa) * sqrt(nbb)) AS cosine
+        FROM rescored
+        ORDER BY dot / (sqrt(naa) * sqrt(nbb)) DESC, vec_id LIMIT 10) topk
+      ORDER BY vec_id"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => {
+        buildAnnIdx(s, dir)
+        queryVec0(s, dir) // warm the memo: the probe must not pay the fetch
+        ()
+      }),
+      benchFn = Some(probe))
+  }
+
   /** q158's index dir: q149's exact state plus a tombstone delete —
     * its own dir so the shared index stays pristine for q149/q150/
     * q151. */
@@ -1437,5 +1486,6 @@ object EmbeddingQueries {
 
   val all: Seq[QueryDef] =
     Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89, q92, q93, q129,
-      q131, q135, q137, q149, q151, q152, q153, q158, q162, q169, q170)
+      q131, q135, q137, q149, q151, q152, q153, q158, q162, q169, q170,
+      q175)
 }

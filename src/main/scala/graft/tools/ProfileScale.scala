@@ -975,6 +975,14 @@ object ProfileScale {
         () => graft.ops.Maintenance.crossFsck(
           spark, trioDedupDir10, bm25H10.dir, trioAnnDir10)),
       ("q172 imported-bpe", () => q172(docs), () => q172(docs10)),
+      // round-13: refined probe — ADC shortlist (constant cells) +
+      // exact re-rank over a point-lookup fetch (candidate-bounded);
+      // the corpus enters only through the pushed id in-filter
+      ("q175 ann-refined-probe",
+        () => graft.ops.AnnIndex.queryRefined(spark, annH1, emb,
+          "embedding", "vec_id", qv1, k = 25, nProbe = 2, refine = 4),
+        () => graft.ops.AnnIndex.queryRefined(spark, annH10, emb10,
+          "embedding", "vec_id", qv10, k = 25, nProbe = 2, refine = 4)),
       // round-13: shard merge — file-copy + one disjointness
       // aggregate; data-sized IO by contract, zero shuffle/decode.
       // Each timed run merges into a FRESH dir (merge refuses to mix
@@ -1062,6 +1070,9 @@ object ProfileScale {
       }
       if (name.startsWith("q172")) { importedArmVocab; () }
       if (name.startsWith("q173")) { mergeShards1; mergeShards10; () }
+      if (name.startsWith("q175")) {
+        annH1.dir; annH10.dir; qv1.size; qv10.size; ()
+      }
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
       val t1 = run(s"$name x1", at1)
       val tN = run(s"$name x$factor", atN)

@@ -3117,6 +3117,64 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("AnnIndex.queryRefined: exact re-rank of the ADC shortlist; filters and edge cases hold") {
+    val dir = java.nio.file.Files.createTempDirectory("annrefine").toString
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val h = AnnIndex.build(emb, "embedding", "vec_id", dir,
+        nCells = 4, m = 4, k = 4, dim = 64, iters = 2)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .collect().head.getSeq[Double](0).toSeq
+      // definitionally: brute-force cosine restricted to the ADC
+      // shortlist, top k — computed independently here
+      val slIds = AnnIndex.query(spark, h, "vec_id", qv, k = 20, nProbe = 2)
+        .collect().map(_.getLong(0)).toSet
+      val expected = Similarity.bruteForceKnn(
+          emb.filter(col("vec_id").isin(slIds.toSeq: _*)),
+          "embedding", "vec_id", qv, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val refined = AnnIndex.queryRefined(spark, h, emb, "embedding",
+          "vec_id", qv, k = 5, nProbe = 2, refine = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(refined == expected, s"refined $refined vs expected $expected")
+      // the exact pass REORDERS the lossy ADC ranking (that is the
+      // point): same shortlist, better metric — and recall vs the
+      // full brute-force truth is at least the plain probe's
+      val adcTop = AnnIndex.query(spark, h, "vec_id", qv, k = 5, nProbe = 2)
+        .collect().map(_.getLong(0)).toSeq
+      val truth = Similarity.bruteForceKnn(emb, "embedding", "vec_id", qv, k = 5)
+        .collect().map(_.getLong(0)).toSet
+      val rIds = refined.map(_._1)
+      assert(rIds.count(truth.contains) >= adcTop.count(truth.contains),
+        s"refine lost recall: adc $adcTop vs refined $rIds vs truth $truth")
+      // tombstones apply at the ADC stage: a deleted shortlist member
+      // never reaches the exact pass
+      val h2 = AnnIndex.delete(h,
+        Seq(refined.head._1).toDF("vec_id"), "vec_id")
+      val afterDel = AnnIndex.queryRefined(spark, h2, emb, "embedding",
+          "vec_id", qv, k = 5, nProbe = 2, refine = 4)
+        .collect().map(_.getLong(0)).toSeq
+      assert(!afterDel.contains(refined.head._1), afterDel.toString)
+      // an all-excluding metadata filter yields an empty result, not
+      // an error (isin over an empty shortlist)
+      AnnIndex.compact(h2) // purge the tombstone so only the filter acts
+      val none = AnnIndex.queryRefined(spark,
+        AnnIndex.load(spark, dir), emb, "embedding", "vec_id", qv,
+        k = 5, nProbe = 2, refine = 4,
+        filter = Some(col("vec_id") < 0))
+      assert(none.count() == 0L)
+      val cap = intercept[IllegalArgumentException](
+        AnnIndex.queryRefined(spark, h, emb, "embedding", "vec_id", qv,
+          k = 40000, refine = 4))
+      assert(cap.getMessage.contains("65536"), cap.getMessage)
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("AnnIndex.delete: probes skip tombstoned vectors; compact purges; rebuild clears") {
     val dir = java.nio.file.Files.createTempDirectory("anndel").toString
     try {
