@@ -104,9 +104,15 @@ object TextAnalysis {
     * outside the fixture alphabet. */
   def bpeTokenIds(text: Column, vocab: graft.plans.BpeVocab): Column = {
     graft.plans.BpeTokenIds.register(org.apache.spark.sql.SparkSession.active)
-    call_function("graft_bpe_ids", text,
+    val base = Seq(text,
       typedLit(vocab.merges.map { case (l, r) => l + "\u001F" + r }),
       lit(vocab.byteLevel))
+    // a foreign vocab.json's id table rides as argument 4 -- without
+    // it the function would silently fall back to the deterministic
+    // table and emit the WRONG ids for an imported model
+    val args = base ++ vocab.explicitIds.map(tbl =>
+      typedLit(tbl.map { case (t, i) => t + "\u001F" + i })).toSeq
+    call_function("graft_bpe_ids", args: _*)
   }
 
   /** Decode BPE vocabulary ids back to text — the inverse of
@@ -131,9 +137,14 @@ object TextAnalysis {
         "tokenization can emit -1 for out-of-alphabet characters, which " +
         "has no inverse)")
     graft.plans.BpeDecodeIds.register(org.apache.spark.sql.SparkSession.active)
-    call_function("graft_bpe_decode", ids,
+    val base = Seq(ids,
       typedLit(vocab.merges.map { case (l, r) => l + "\u001F" + r }),
       lit(vocab.byteLevel))
+    // the imported id table must ride along or decode would read the
+    // deterministic ids -- the inverse of the bpeTokenIds convention
+    val args = base ++ vocab.explicitIds.map(tbl =>
+      typedLit(tbl.map { case (t, i) => t + "\u001F" + i })).toSeq
+    call_function("graft_bpe_decode", args: _*)
   }
 
   /** Occurrences of `needle` in `text` via the replace-length trick

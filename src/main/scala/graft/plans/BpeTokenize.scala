@@ -28,10 +28,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * true of every learned BPE table by construction).
   */
 final case class BpeVocab(
-    merges: Seq[(String, String)], byteLevel: Boolean = true)
+    merges: Seq[(String, String)], byteLevel: Boolean = true,
+    explicitIds: Option[Seq[(String, Int)]] = None)
   extends Serializable {
   require(merges.nonEmpty, "BpeVocab needs at least one merge")
-  override def toString: String = s"BpeVocab(${merges.size} merges, byteLevel=$byteLevel)"
+  explicitIds.foreach { tbl =>
+    require(tbl.nonEmpty, "an explicit id table must be non-empty")
+    require(tbl.map(_._1).distinct.size == tbl.size,
+      "explicit id table has duplicate tokens")
+    require(tbl.map(_._2).distinct.size == tbl.size,
+      "explicit id table has duplicate ids")
+    require(tbl.forall(_._2 >= 0), "explicit ids must be non-negative")
+  }
+  override def toString: String =
+    s"BpeVocab(${merges.size} merges, byteLevel=$byteLevel" +
+      explicitIds.map(t => s", ${t.size} explicit ids").getOrElse("") + ")"
 
   /** rank lookup keyed `left + SEP + right` (SEP = U+001F, which never
     * occurs inside a symbol: byte-level symbols are printable-mapped
@@ -44,16 +55,21 @@ final case class BpeVocab(
     m
   }
 
-  /** Ordered (token, id) table — the vocab.json analogue of this merge
-    * table, by deterministic construction rather than a shipped file:
-    * byte-level puts the 256 byte symbols at ids 0..255 in BYTE order
-    * ([[BpeVocab.ByteToChar]] applied to byte b has id b), char-level
-    * puts the distinct single-code-point symbols appearing in merge
-    * sides at ids 0.. in code-point order; then each merge's composite
-    * takes `alphabet_size + rank`. A composite string produced by two
-    * different merge paths keeps its FIRST id (same rule as rank
-    * lookup). Ids are dense except for such duplicates. */
-  lazy val idTableRows: Seq[(String, Int)] = {
+  /** Ordered (token, id) table. When `explicitIds` is set (a
+    * third-party model's shipped `vocab.json`, loaded via
+    * [[BpeVocab.fromVocabJsonFile]]), THAT table is the truth — ids
+    * are whatever the foreign model assigned, including gaps and
+    * special tokens the merge loop never produces. Otherwise the
+    * table is the deterministic vocab.json analogue of this merge
+    * table: byte-level puts the 256 byte symbols at ids 0..255 in
+    * BYTE order ([[BpeVocab.ByteToChar]] applied to byte b has id b),
+    * char-level puts the distinct single-code-point symbols appearing
+    * in merge sides at ids 0.. in code-point order; then each merge's
+    * composite takes `alphabet_size + rank`. A composite string
+    * produced by two different merge paths keeps its FIRST id (same
+    * rule as rank lookup). Ids are dense except for such
+    * duplicates. */
+  lazy val idTableRows: Seq[(String, Int)] = explicitIds.getOrElse {
     val alphabet: Seq[String] =
       if (byteLevel) (0 until 256).map(b => String.valueOf(BpeVocab.ByteToChar(b)))
       else merges.flatMap { case (l, r) => Seq(l, r) }
@@ -150,6 +166,64 @@ object BpeVocab {
     } else {
       piece.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     }
+
+  /** Load the GPT-2 artifact PAIR — `merges.txt` (the merge table)
+    * plus `vocab.json` (the token→id map) — so downstream id work
+    * (packing, decontamination by token ids, loss masking) replays
+    * the THIRD-PARTY model's exact ids, not this library's
+    * deterministic table ([[BpeVocab.idTableRows]]'s default). Both
+    * files read through the Hadoop filesystem layer; vocab.json
+    * parses with Jackson (Spark's own JSON stack — unicode escapes,
+    * surrogate pairs and all). Loud validation instead of silent
+    * -1s downstream: every token the merge table can PRODUCE (byte
+    * alphabet + every composite) must have an id; extra entries
+    * (special tokens like an end-of-text marker) are kept — the
+    * encoder never emits them, the decoder can resolve them. */
+  def fromVocabJsonFile(
+      spark: org.apache.spark.sql.SparkSession,
+      mergesPath: String, vocabJsonPath: String,
+      byteLevel: Boolean = true): BpeVocab = {
+    val base = fromGpt2File(spark, mergesPath, byteLevel)
+    val p = new org.apache.hadoop.fs.Path(vocabJsonPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val table: Seq[(String, Int)] =
+      try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.readTree(in)
+        require(root.isObject,
+          s"$vocabJsonPath: vocab.json must be one JSON object of token -> id")
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+        val it = root.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          require(e.getValue.isIntegralNumber,
+            s"$vocabJsonPath: id for token '${e.getKey}' is not an integer: " +
+              e.getValue.toString)
+          out += e.getKey -> e.getValue.asInt()
+        }
+        out.toSeq
+      } finally in.close()
+    val ids = table.toMap
+    val producible = base.idTableRows.map(_._1)
+    val missing = producible.filterNot(ids.contains)
+    require(missing.isEmpty,
+      s"$vocabJsonPath is missing ids for ${missing.size} tokens the merge " +
+        s"table produces (first: '${missing.headOption.orNull}') — the " +
+        "files are not from the same model")
+    BpeVocab(base.merges, byteLevel, Some(table))
+  }
+
+  /** Serialize the id table as a canonical `vocab.json` string — the
+    * inverse of [[fromVocabJsonFile]]'s second artifact, so a
+    * library-trained tokenizer ships the full GPT-2 pair. Jackson
+    * handles the escaping. */
+  def toVocabJsonString(vocab: BpeVocab): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    vocab.idTableRows.foreach { case (t, i) => node.put(t, i) }
+    mapper.writeValueAsString(node)
+  }
 
   /** Serialize a vocabulary back to GPT-2 `merges.txt` lines — the
     * inverse of [[fromGpt2Lines]], so a table learned by
@@ -378,8 +452,8 @@ object BpeTokenize {
 
   private[plans] def parseVocabArgs(
       exprs: Seq[Expression], name: String): BpeVocab = {
-    require(exprs.length == 2 || exprs.length == 3,
-      s"$name takes 2 or 3 arguments, got ${exprs.length}")
+    require(exprs.length >= 2 && exprs.length <= 4,
+      s"$name takes 2 to 4 arguments, got ${exprs.length}")
     val merges = exprs(1) match {
       case Literal(arr: ArrayData, ArrayType(StringType, _)) =>
         arr.toArray[UTF8String](StringType).map { u =>
@@ -397,7 +471,22 @@ object BpeTokenize {
       case Some(other) => sys.error(
         s"$name argument 3 must be a boolean literal, got $other")
     }
-    BpeVocab(merges, byteLevel)
+    // optional explicit id table (a foreign vocab.json), encoded as
+    // one array<string> of 'token<SEP>id' — the same SEP convention
+    // as the merges argument (U+001F never occurs inside a symbol)
+    val explicit = exprs.lift(3).map {
+      case Literal(arr: ArrayData, ArrayType(StringType, _)) =>
+        arr.toArray[UTF8String](StringType).map { u =>
+          u.toString.split(BpeVocab.Sep) match {
+            case Array(tok, id) => tok -> id.toInt
+            case _ => sys.error(s"$name id element is not 'token\\u001Fid': '$u'")
+          }
+        }.toSeq
+      case other => sys.error(
+        s"$name argument 4 must be a literal array<string> of token\\u001Fid " +
+          s"pairs, got $other")
+    }
+    BpeVocab(merges, byteLevel, explicit)
   }
 }
 

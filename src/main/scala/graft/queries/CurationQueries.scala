@@ -569,6 +569,84 @@ object CurationQueries {
     },
     bench = true)
 
+  /** The imported GPT-2 artifact PAIR q176 tokenizes under: q75's
+    * merge table as merges.txt plus a vocab.json whose ids are the
+    * deterministic table SHIFTED by +1000 (and one special token) —
+    * a foreign model's ids are arbitrary, and only the shipped file
+    * can say what they are. Memoized per corpus dir. */
+  private val importedIdVocab =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.plans.BpeVocab]()
+
+  private def ensureImportedIdVocab(
+      s: SparkSession, dir: String): graft.plans.BpeVocab =
+    importedIdVocab.computeIfAbsent(dir, _ => {
+      val scratch = QueryDef.idxScratchDir("vocabjson", dir)
+      new java.io.File(scratch).mkdirs()
+      val base = graft.plans.BpeVocab(FixtureMerges, byteLevel = true)
+      val shifted = base.idTableRows.map { case (t, i) => (t, i + 1000) } :+
+        ("<|endoftext|>" -> 50256)
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(s"$scratch/merges.txt"),
+        graft.plans.BpeVocab.toGpt2Lines(base).mkString("", "\n", "\n"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(s"$scratch/vocab.json"),
+        graft.plans.BpeVocab.toVocabJsonString(
+          graft.plans.BpeVocab(FixtureMerges, byteLevel = true, Some(shifted))))
+      graft.plans.BpeVocab.fromVocabJsonFile(
+        s, s"$scratch/merges.txt", s"$scratch/vocab.json")
+    })
+
+  /** Foreign-id tokenization (library `BpeVocab.fromVocabJsonFile` —
+    * the merges.txt import of q172 completed to the ID level: packing,
+    * id-level decontamination and loss masking replay a third-party
+    * model's EXACT ids only if the shipped vocab.json overrides this
+    * library's deterministic table): q113's segmentation and output
+    * contract, under an imported pair whose ids are the deterministic
+    * ids + 1000. The oracle is q113's derivation with the two id
+    * constructors shifted — spliced by exact text replacement with
+    * presence checks, so a drift in q113's text fails loudly here
+    * rather than silently diverging. If the explicit table were
+    * dropped anywhere along the load → expression → eval path, every
+    * id would come out unshifted and the hash would break. */
+  val q176 = {
+    val from1 = "SELECT tok, b AS id FROM alpha"
+    val from2 = "UNION ALL SELECT l || r AS tok, 256 + rk AS id FROM mg"
+    QueryDef(
+      "q176_imported_vocab_ids",
+      (s, dir) => {
+        val vocab = ensureImportedIdVocab(s, dir)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.bpeTokenIds(col("text"), vocab).as("ids"))
+          .select(col("doc_id"),
+            size(col("ids")).cast("long").as("n_bpe_tokens"),
+            concat_ws("\u001F", transform(col("ids"), i => i.cast("string")))
+              .as("ids_str"))
+          .oracleOrderBy("doc_id")
+      },
+      q113.oracle.map { o =>
+        require(o.contains(from1) && o.contains(from2),
+          "q113's oracle text drifted — update q176's id-shift splice")
+        o.replace(from1, "SELECT tok, b + 1000 AS id FROM alpha")
+          .replace(from2,
+            "UNION ALL SELECT l || r AS tok, 1256 + rk AS id FROM mg")
+      },
+      bench = true,
+      benchPrepare = Some((s, dir) => { ensureImportedIdVocab(s, dir); () }),
+      benchFn = Some((s, dir) => {
+        val vocab = importedIdVocab.get(dir)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.bpeTokenIds(col("text"), vocab).as("ids"))
+          .select(col("doc_id"),
+            size(col("ids")).cast("long").as("n_bpe_tokens"),
+            concat_ws("\u001F", transform(col("ids"), i => i.cast("string")))
+              .as("ids_str"))
+          .oracleOrderBy("doc_id")
+      }))
+  }
+
+
   /** Tokenizer evaluation metrics (library
     * `TextAnalysis.tokenizerStats` — fertility and bytes-per-token,
     * the vocab-sizing numbers, under q75's fixture table): the oracle
@@ -4180,5 +4258,5 @@ object CurationQueries {
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
       q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
       q154, q155, q156, q157, q160, q161, q163, q164, q165, q166, q167, q171,
-      q172, q173)
+      q172, q173, q176)
 }

@@ -348,6 +348,23 @@ object ProfileScale {
     }
     def q172(d: DataFrame) = d.select(col("doc_id"),
       TextAnalysis.bpeTokenCount(col("text"), importedArmVocab).as("n_bpe"))
+    // round-13: the foreign-ID variant — same segmentation, ids from a
+    // written-and-reloaded vocab.json (shifted, so a silent fallback to
+    // the deterministic table would be visible in the output)
+    lazy val importedIdsArmVocab = {
+      val shifted = bpeVocab.idTableRows.map { case (t, i) => (t, i + 1000) }
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(s"$scratch/arm_merges.txt"),
+        graft.plans.BpeVocab.toGpt2Lines(bpeVocab).mkString("", "\n", "\n"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(s"$scratch/arm_vocab.json"),
+        graft.plans.BpeVocab.toVocabJsonString(
+          bpeVocab.copy(explicitIds = Some(shifted))))
+      graft.plans.BpeVocab.fromVocabJsonFile(
+        spark, s"$scratch/arm_merges.txt", s"$scratch/arm_vocab.json")
+    }
+    def q176(d: DataFrame) = d.select(col("doc_id"),
+      TextAnalysis.bpeTokenIds(col("text"), importedIdsArmVocab).as("ids"))
     // exact-substring spans: at x10 the copy marker sits at text END,
     // so all but the last k-1 windows of every document duplicate
     // across copies — flagged occurrences ~ the whole corpus's window
@@ -975,6 +992,7 @@ object ProfileScale {
         () => graft.ops.Maintenance.crossFsck(
           spark, trioDedupDir10, bm25H10.dir, trioAnnDir10)),
       ("q172 imported-bpe", () => q172(docs), () => q172(docs10)),
+      ("q176 imported-ids", () => q176(docs), () => q176(docs10)),
       // round-13: refined probe — ADC shortlist (constant cells) +
       // exact re-rank over a point-lookup fetch (candidate-bounded);
       // the corpus enters only through the pushed id in-filter
@@ -1069,6 +1087,7 @@ object ProfileScale {
         trioDedupDir1; trioDedupDir10; trioAnnDir1; trioAnnDir10; ()
       }
       if (name.startsWith("q172")) { importedArmVocab; () }
+      if (name.startsWith("q176")) { importedIdsArmVocab; () }
       if (name.startsWith("q173")) { mergeShards1; mergeShards10; () }
       if (name.startsWith("q175")) {
         annH1.dir; annH10.dir; qv1.size; qv10.size; ()

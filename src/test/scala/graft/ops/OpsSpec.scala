@@ -930,6 +930,63 @@ class OpsSpec extends SparkSpec {
       graft.plans.BpeVocab.toGpt2Lines(spacey)).getMessage.contains("space"))
   }
 
+  test("BpeVocab.fromVocabJsonFile: a foreign id table overrides the deterministic ids end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("vocabjson").toString
+    try {
+      val base = graft.plans.BpeVocab(
+        Seq("t" -> "h", "Ġ" -> "t", "th" -> "e"), byteLevel = true)
+      // a foreign model's ids: the deterministic table shifted +1000,
+      // plus a special token the merge loop never produces
+      val shifted = base.idTableRows.map { case (t, i) => (t, i + 1000) } :+
+        ("<|endoftext|>" -> 50256)
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(s"$dir/merges.txt"),
+        graft.plans.BpeVocab.toGpt2Lines(base).mkString("", "\n", "\n"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(s"$dir/vocab.json"),
+        graft.plans.BpeVocab.toVocabJsonString(
+          graft.plans.BpeVocab(base.merges, byteLevel = true, Some(shifted))))
+      val vocab = graft.plans.BpeVocab.fromVocabJsonFile(
+        spark, s"$dir/merges.txt", s"$dir/vocab.json")
+      assert(vocab.idTableRows == shifted)
+      // the expression path honors the imported ids (the silent
+      // fallback to deterministic ids is the failure this guards)
+      val docs = Seq((1L, "the throne")).toDF("doc_id", "text")
+      val ids = docs.select(
+        graft.ops.TextAnalysis.bpeTokenIds(col("text"), vocab))
+        .collect().head.getSeq[Int](0)
+      val detIds = docs.select(
+        graft.ops.TextAnalysis.bpeTokenIds(col("text"), base))
+        .collect().head.getSeq[Int](0)
+      assert(ids == detIds.map(_ + 1000), s"$ids vs $detIds")
+      // decode inverts under the SAME foreign table (lossless round trip)
+      val back = docs.select(graft.ops.TextAnalysis.bpeDecodeIds(
+        graft.ops.TextAnalysis.bpeTokenIds(col("text"), vocab), vocab))
+        .collect().head.getString(0)
+      assert(back == "the throne", back)
+      // the special token's id decodes to its literal text
+      val special = Seq(Seq(50256)).toDF("ids").select(
+        graft.ops.TextAnalysis.bpeDecodeIds(col("ids"), vocab))
+        .collect().head.getString(0)
+      assert(special == "<|endoftext|>", special)
+      // a vocab.json missing a producible token fails at LOAD, not as
+      // silent -1s downstream
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(s"$dir/bad.json"),
+        graft.plans.BpeVocab.toVocabJsonString(
+          graft.plans.BpeVocab(base.merges, byteLevel = true,
+            Some(shifted.filterNot(_._1 == "the")))))
+      val e = intercept[IllegalArgumentException](
+        graft.plans.BpeVocab.fromVocabJsonFile(
+          spark, s"$dir/merges.txt", s"$dir/bad.json"))
+      assert(e.getMessage.contains("missing ids"), e.getMessage)
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("BpeVocab.fromGpt2File: a foreign CRLF merges.txt loads byte-correct") {
     // the file shape a third-party export actually arrives in: version
     // header, CRLF line endings (Windows checkout / text-mode
