@@ -490,6 +490,44 @@ object AnnIndex {
     Similarity.bruteForceKnn(cand, embCol, idCol, queryVec, k)
   }
 
+  /** Batched refine — [[queryRefined]] for a query TABLE: the ADC
+    * stage is one [[queryBatch]] pass (the whole batch amortizes one
+    * pruned code scan), then ONE exact pass re-ranks every query's
+    * shortlist together: the `(query, candidate)` shortlist —
+    * `nQueries × k × refine` rows, batch-bounded — broadcast-joins
+    * the corpus ON THE CANDIDATE ID, the query table broadcast-joins
+    * back on the query id, and the exact cosine + per-query window
+    * rank run over shortlist-sized rows only. The corpus is touched
+    * in ONE scan of (id, embedding) for the whole batch (the
+    * amortization every batch API here buys); tombstones and the
+    * metadata `filter` apply at the ADC stage. Emits `(query_id,
+    * neighbor_id, cosine, rank)`, ranks 1..k by (cosine desc, id). */
+  def queryBatchRefined(
+      spark: SparkSession, handle: Handle, queries: DataFrame,
+      corpus: DataFrame, embCol: String, idCol: String,
+      k: Int = 10, nProbe: Int = 2, refine: Int = 4,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val shortlist = queryBatch(
+        spark, handle, queries, embCol, idCol, k * refine, nProbe, filter)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true) // ADC ran once; the exact pass reuses rows
+    val qemb = queries.select(
+      col(idCol).cast("long").as("query_id"),
+      col(embCol).as("__qv"))
+    val cand = corpus
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("__cv"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(qemb), Seq("query_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .withColumn("cosine", Similarity.cosineOf(spark, col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Batched index probe — the vector-side twin of
     * [[Bm25Index.topKBatch]]: a query TABLE of embeddings amortizes
     * ONE pruned pass over the code table instead of one probe each

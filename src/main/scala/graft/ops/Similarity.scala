@@ -41,6 +41,11 @@ object Similarity {
   private def nCosine(s: SparkSession, a: Column, b: Column): Column =
     nDot(s, a, b) / (sqrt(nDot(s, a, a)) * sqrt(nDot(s, b, b)))
 
+  /** The native cosine, for sibling ops ([[AnnIndex.queryBatchRefined]]'s
+    * exact pass) — same left-to-right IEEE754 sequence as [[cosine]]. */
+  private[ops] def cosineOf(s: SparkSession, a: Column, b: Column): Column =
+    nCosine(s, a, b)
+
   /** Exact top-k nearest neighbors of `queryVec` (a literal vector) by
     * cosine. The scan is embarrassingly parallel; the top-k is a
     * TakeOrdered (no full sort at scale). */

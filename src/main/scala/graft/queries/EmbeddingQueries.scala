@@ -1326,6 +1326,52 @@ object EmbeddingQueries {
       benchFn = Some(probe))
   }
 
+  /** Batched refine (library `AnnIndex.queryBatchRefined` — q175's
+    * exact re-rank for a query TABLE: one ADC pass amortizes the
+    * pruned code scan over the batch, one broadcast-joined exact pass
+    * re-ranks every query's shortlist together, the corpus touched in
+    * ONE (id, embedding) scan): three query vectors, ADC top-40 each,
+    * exact cosine top-10 each. The oracle composes q151's per-query
+    * batch derivation with the element-exact cosine — a wrong
+    * per-query shortlist, a cross-query candidate leak or a re-rank
+    * tie-break breaks the hash. */
+  val q177 = {
+    def probe(s: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame = {
+      val e = t(s, dir, "embeddings")
+      graft.ops.AnnIndex.queryBatchRefined(s,
+          graft.ops.AnnIndex.load(s, annIdxDir(dir)),
+          e.filter(col("vec_id") < 3), e, "embedding", "vec_id",
+          k = 10, nProbe = 2, refine = 4)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .oracleOrderBy("qid", "rank")
+    }
+    QueryDef(
+      "q177_ann_batch_refined",
+      (s, dir) => { buildAnnIdx(s, dir); probe(s, dir) },
+      Some(s"""WITH ${annBatchCtesDuck("vec_id < 3")},
+        sl AS (SELECT qid, vec_id FROM brk WHERE rank <= 40),
+        rescored AS (
+          SELECT sl.qid, e.vec_id,
+            (${dotSum(duckElem, "q.embedding", "e.embedding")}) AS dot,
+            (${dotSum(duckElem, "q.embedding", "q.embedding")}) AS nqq,
+            (${dotSum(duckElem, "e.embedding", "e.embedding")}) AS nee
+          FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id
+          JOIN qset q ON q.qid = sl.qid),
+        rr AS (
+          SELECT qid, vec_id, dot / (sqrt(nqq) * sqrt(nee)) AS cosine,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY dot / (sqrt(nqq) * sqrt(nee)) DESC, vec_id) AS INT)
+              AS rank
+          FROM rescored)
+        SELECT qid, vec_id, round(cosine, 6) AS cosine, rank
+        FROM rr WHERE rank <= 10 ORDER BY qid, rank"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => { buildAnnIdx(s, dir); () }),
+      benchFn = Some(probe))
+  }
+
   /** q158's index dir: q149's exact state plus a tombstone delete —
     * its own dir so the shared index stays pristine for q149/q150/
     * q151. */
@@ -1487,5 +1533,5 @@ object EmbeddingQueries {
   val all: Seq[QueryDef] =
     Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89, q92, q93, q129,
       q131, q135, q137, q149, q151, q152, q153, q158, q162, q169, q170,
-      q175)
+      q175, q177)
 }

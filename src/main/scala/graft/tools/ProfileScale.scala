@@ -1001,6 +1001,15 @@ object ProfileScale {
           "embedding", "vec_id", qv1, k = 25, nProbe = 2, refine = 4),
         () => graft.ops.AnnIndex.queryRefined(spark, annH10, emb10,
           "embedding", "vec_id", qv10, k = 25, nProbe = 2, refine = 4)),
+      // round-13: batched refine — one ADC pass + ONE corpus
+      // (id, embedding) scan for the whole batch, shortlist broadcast
+      ("q177 ann-batch-refined",
+        () => graft.ops.AnnIndex.queryBatchRefined(spark, annH1,
+          emb.filter(col("vec_id") < 8), emb, "embedding", "vec_id",
+          k = 25, nProbe = 2, refine = 4),
+        () => graft.ops.AnnIndex.queryBatchRefined(spark, annH10,
+          emb10.filter(col("vec_id") < 8), emb10, "embedding", "vec_id",
+          k = 25, nProbe = 2, refine = 4)),
       // round-13: shard merge — file-copy + one disjointness
       // aggregate; data-sized IO by contract, zero shuffle/decode.
       // Each timed run merges into a FRESH dir (merge refuses to mix
@@ -1089,7 +1098,7 @@ object ProfileScale {
       if (name.startsWith("q172")) { importedArmVocab; () }
       if (name.startsWith("q176")) { importedIdsArmVocab; () }
       if (name.startsWith("q173")) { mergeShards1; mergeShards10; () }
-      if (name.startsWith("q175")) {
+      if (name.startsWith("q175") || name.startsWith("q177")) {
         annH1.dir; annH10.dir; qv1.size; qv10.size; ()
       }
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x

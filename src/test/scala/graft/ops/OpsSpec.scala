@@ -3232,6 +3232,64 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("AnnIndex.queryBatchRefined: per-query agreement with queryRefined, one corpus pass") {
+    val dir = java.nio.file.Files.createTempDirectory("annbrefine").toString
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val h = AnnIndex.build(emb, "embedding", "vec_id", dir,
+        nCells = 4, m = 4, k = 4, dim = 64, iters = 2)
+      val qids = Seq(0L, 3L, 11L)
+      val batch = AnnIndex.queryBatchRefined(spark, h,
+          emb.filter(col("vec_id").isin(qids: _*)), emb, "embedding",
+          "vec_id", k = 5, nProbe = 2, refine = 4)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      val single = qids.flatMap { q =>
+        val qv = emb.filter(col("vec_id") === q)
+          .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .collect().head.getSeq[Double](0).toSeq
+        AnnIndex.queryRefined(spark, h, emb, "embedding", "vec_id", qv,
+            k = 5, nProbe = 2, refine = 4)
+          .collect().zipWithIndex
+          .map { case (r, i) => (q, r.getLong(0), r.getDouble(1), i + 1) }
+      }.sortBy(t => (t._1, t._4))
+      // same neighbors, same ranks; cosines equal to rounding (the
+      // single path casts the query vector to double driver-side, the
+      // batch path in-plan — same values, compared at oracle precision)
+      assert(batch.map(t => (t._1, t._2, t._4)) ==
+        single.map(t => (t._1, t._2, t._4)),
+        s"batch $batch\nvs single $single")
+      batch.zip(single).foreach { case (b, s) =>
+        assert(math.abs(b._3 - s._3) < 1e-9, s"$b vs $s")
+      }
+      // the metadata filter applies per query at the ADC stage
+      val embL = emb.withColumn("lang",
+        when(col("vec_id") % 3 === 0, "en").otherwise("pl"))
+      val dirF = java.nio.file.Files.createTempDirectory("annbrefinef").toString
+      try {
+        val hf = AnnIndex.build(embL, "embedding", "vec_id", dirF,
+          nCells = 4, m = 4, k = 4, dim = 64, iters = 2,
+          attrCols = Seq("lang"))
+        val filtered = AnnIndex.queryBatchRefined(spark, hf,
+            embL.filter(col("vec_id").isin(qids: _*)), embL, "embedding",
+            "vec_id", k = 5, nProbe = 2, refine = 4,
+            filter = Some(col("lang") === "en"))
+          .collect().map(_.getLong(1)).toSet
+        assert(filtered.nonEmpty && filtered.forall(_ % 3 == 0),
+          filtered.toString)
+      } finally {
+        val rf = java.nio.file.Path.of(dirF)
+        java.nio.file.Files.walk(rf).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("AnnIndex.delete: probes skip tombstoned vectors; compact purges; rebuild clears") {
     val dir = java.nio.file.Files.createTempDirectory("anndel").toString
     try {
