@@ -869,6 +869,123 @@ object Bm25Index {
       .limit(k)
   }
 
+  /** Batched snippet extraction — [[snippetTopK]] for a query TABLE
+    * (the RAG-presentation step at evaluation scale, completing the
+    * batch family: [[topKBatch]] scores, [[phraseTopKBatch]] matches
+    * phrases, this one also returns each hit's best window): one
+    * pruned positional pass serves every query, scoring is the
+    * exact-integer `score_q = Σ round(s·2²⁰)` batch convention,
+    * ranking a qid-partitioned window, and the window-scan arithmetic
+    * (distinct terms covered, total hits, smallest start — computed
+    * from the stored `positions` arrays, the text never re-read) runs
+    * over the k SURVIVORS per query only: survivors join back to the
+    * pruned slice, positions collect per (query, doc), and the scan
+    * is per-row higher-order-function arithmetic — no explode, no
+    * self-join. Emits `(qid, id, n_tok, score_q, rank, win_start,
+    * win_n_terms, win_n_hits)`, ranks 1..k by (score_q desc, id). */
+  def snippetTopKBatch(
+      spark: SparkSession, handle: Handle, queries: DataFrame,
+      qidCol: String, termsCol: String, width: Int = 16, k: Int = 10,
+      field: Option[String] = None, k1: Double = Retrieval.DefaultK1,
+      b: Double = Retrieval.DefaultB): DataFrame = {
+    requirePositional(handle, "snippetTopKBatch")
+    require(width >= 1, s"width must be >= 1, got $width")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(handle.nDocs > 0, "snippetTopKBatch over an empty index")
+    val fld = field.getOrElse {
+      require(handle.fields.size == 1,
+        s"multi-field index (${handle.fields.mkString(", ")}): name the " +
+          "field to snippet against")
+      handle.fields.head
+    }
+    val fi = handle.fields.indexOf(fld)
+    require(fi >= 0, s"unknown field '$fld' — index has ${handle.fields}")
+    // in-plan guards (the topKBatch posture — the query table is
+    // unbounded): duplicate qids, empty term arrays, duplicate terms
+    // within a query, NULL / non-lowercase terms all raise row-wise
+    val dupW = org.apache.spark.sql.expressions.Window.partitionBy(qidCol)
+    val qv = queries
+      .withColumn("__n", count(lit(1)).over(dupW))
+      .select(
+        when(col("__n") > 1, raise_error(concat(
+            lit("snippetTopKBatch: duplicate query id "),
+            col(qidCol).cast("string"))))
+          .otherwise(col(qidCol)).as(qidCol),
+        when(size(col(termsCol)) < 1, raise_error(concat(
+            lit("snippetTopKBatch: empty terms for query "),
+            col(qidCol).cast("string"))))
+          .when(size(array_distinct(col(termsCol))) =!= size(col(termsCol)),
+            raise_error(concat(
+              lit("snippetTopKBatch: duplicate terms for query "),
+              col(qidCol).cast("string"))))
+          .otherwise(col(termsCol)).as("__terms"))
+    val qt = qv
+      .select(col(qidCol), explode(col("__terms")).as("__t"))
+      .select(col(qidCol),
+        when(col("__t").isNull, raise_error(lit(
+          "snippetTopKBatch: NULL term element in the query terms array")))
+          .when(col("__t") =!= lower(col("__t")), raise_error(concat(
+            lit("snippetTopKBatch: query terms must be lowercase " +
+              "(documents are lowercased before matching): "), col("__t"))))
+          .otherwise(col("__t")).as("term"))
+      .localCheckpoint(true) // feeds buckets, the score join, the window join
+    val buckets = qt
+      .select(pmod(hash(col("term")), lit(handle.numBuckets)).cast("int").as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val id = col(handle.idCol)
+    // (term, doc)-keyed dropDuplicates — the collapseTf pre-compact
+    // convention for positional probes (see phraseTopKBatch)
+    val pruned = liveOnly(spark, handle,
+        spark.read.parquet(s"${handle.dir}/postings")
+          .filter(col("term_bucket").isin(buckets: _*) && col("field") === fld)
+          .join(qt.select("term").distinct(), Seq("term"), "left_semi"))
+      .dropDuplicates("term", handle.idCol)
+      .localCheckpoint(true) // feeds df counts, the score join, the window join
+    val dfs = pruned.groupBy("term").agg(count(lit(1)).as("__df"))
+    val avgdlF = handle.fieldTokens(fi).toDouble / handle.nDocs.toDouble
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      (lit(handle.nDocs.toDouble) - col("__df").cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5)))
+    val termScore = idf * (tf * lit(k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("n_tok_f").cast("double") / lit(avgdlF)))
+    val cand = qt.join(pruned, Seq("term"))
+    val scored = cand.join(dfs, Seq("term"))
+      .withColumn("__sq", round(termScore * lit(1048576.0d)).cast("long"))
+      .groupBy(col(qidCol), id, col("n_tok_f"))
+      .agg(sum(col("__sq")).as("score_q"))
+      .filter(col("score_q") > 0L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(col("score_q").desc, id)
+    val surv = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    // window arithmetic on the survivors only: one positions array per
+    // (query, DISTINCT term, doc) row collects per hit, then the scan
+    // is order-free per-row arithmetic (nt/nh are sums over the
+    // arrays, array_max picks the lexicographic best)
+    val ps = surv
+      .join(cand.select(col(qidCol), id, col("positions")),
+        Seq(qidCol, handle.idCol))
+      .groupBy(col(qidCol), id, col("n_tok_f"), col("score_q"), col("rank"))
+      .agg(collect_list(col("positions")).as("__ps"))
+    val starts = array_distinct(flatten(col("__ps")))
+    val winStructs = transform(starts, p => struct(
+      aggregate(col("__ps"), lit(0), (acc, ar) =>
+        acc + when(exists(ar, x => x >= p && x < p + lit(width)), lit(1))
+          .otherwise(lit(0))).as("nt"),
+      aggregate(col("__ps"), lit(0), (acc, ar) =>
+        acc + size(filter(ar, x => x >= p && x < p + lit(width)))).as("nh"),
+      (-p).as("negstart")))
+    val best = array_max(winStructs)
+    ps.select(col(qidCol), id, col("n_tok_f").as("n_tok"),
+      col("score_q"), col("rank"),
+      (-best.getField("negstart")).cast("long").as("win_start"),
+      best.getField("nt").cast("long").as("win_n_terms"),
+      best.getField("nh").cast("long").as("win_n_hits"))
+  }
+
   /** Index consistency check — the fsck every long-lived on-disk
     * state needs after enough appends, deletes, compactions and
     * crash recoveries: one pass over the index's own tables (never

@@ -3772,6 +3772,106 @@ object CurationQueries {
       benchFn = Some(probe))
   }
 
+  /** Batched snippet extraction (library `Bm25Index.snippetTopKBatch`
+    * — q163's presentation step at RAG-evaluation scale: one pruned
+    * positional pass scores AND windows every query's top docs; the
+    * batch family's last member): three queries over the standing
+    * index, exact-integer `score_q` convention, per-query ranks, and
+    * each survivor's best width-8 window from the stored positions.
+    * The oracle re-derives the batched scoring (the q148 CTE shape),
+    * the per-qid ranks, and the per-(qid, doc) window scan over raw
+    * text positions (the q163 shape, qid-partitioned) — one wrong
+    * score, rank, window anchor or tie-break breaks the hash. */
+  val q178 = {
+    val wsDuck = "[ \\t\\n\\x0B\\f\\r]+"
+    def probe(s: SparkSession, dir: String): DataFrame = {
+      import s.implicits._
+      val queries = Seq(
+        (1L, Seq("data", "the")),
+        (2L, Seq("query")),
+        (3L, Seq("the", "query", "data"))).toDF("qid", "terms")
+      graft.ops.Bm25Index.snippetTopKBatch(
+          s, graft.ops.Bm25Index.load(s, bm25IdxDir(dir)),
+          queries, "qid", "terms", width = 8, k = 10)
+        .select(col("qid"), col("doc_id"), col("n_tok"), col("score_q"),
+          col("rank"), col("win_start"), col("win_n_terms"), col("win_n_hits"))
+        .oracleOrderBy("qid", "rank")
+    }
+    QueryDef(
+      "q178_bm25_snippet_batch",
+      (s, dir) => { ensureBm25Idx(s, dir); probe(s, dir) },
+      Some(s"""WITH tk AS MATERIALIZED (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '$wsDuck') AS toks
+          FROM documents),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                 CAST(sum(len(toks)) AS BIGINT) AS total FROM tk),
+        q(qid, term) AS (
+          SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'data'), (1, 'the'),
+            (2, 'query'), (3, 'the'), (3, 'query'), (3, 'data')) v),
+        post AS MATERIALIZED (
+          SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok, qt.term,
+            CAST(len(list_filter(t.toks, x -> x = qt.term)) AS BIGINT) AS tf
+          FROM tk t, (SELECT DISTINCT term FROM q) qt
+          WHERE list_contains(t.toks, qt.term)),
+        dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM post GROUP BY term),
+        sc AS (
+          SELECT q.qid, p.doc_id, p.n_tok,
+            CAST(round(
+              ln(CAST(1 AS DOUBLE) +
+                (CAST(nn.nd AS DOUBLE) - CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+              * (CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+              / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                 * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                    * CAST(p.n_tok AS DOUBLE)
+                    / (CAST(nn.total AS DOUBLE) / CAST(nn.nd AS DOUBLE))))
+              * CAST(1048576 AS DOUBLE)) AS BIGINT) AS sq
+          FROM q JOIN post p USING (term) JOIN dfs d ON d.term = q.term, nn),
+        agg AS (
+          SELECT qid, doc_id, n_tok, CAST(sum(sq) AS BIGINT) AS score_q
+          FROM sc GROUP BY qid, doc_id, n_tok
+          HAVING sum(sq) > 0),
+        surv AS (
+          SELECT qid, doc_id, n_tok, score_q,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY score_q DESC, doc_id) AS INT) AS rank
+          FROM agg QUALIFY rank <= 10),
+        qpos AS MATERIALIZED (
+          SELECT doc_id, term, p FROM (
+            SELECT doc_id, unnest(toks) AS term,
+              unnest(range(0, len(toks))) AS p
+            FROM tk
+            WHERE doc_id IN (SELECT doc_id FROM surv)) x
+          WHERE term IN (SELECT DISTINCT term FROM q)),
+        qp AS (
+          SELECT s.qid, h.doc_id, h.term, h.p
+          FROM surv s
+          JOIN q ON q.qid = s.qid
+          JOIN qpos h ON h.doc_id = s.doc_id AND h.term = q.term),
+        wins AS (
+          SELECT s.qid, s.doc_id, s.p AS start,
+            count(DISTINCT h.term) AS nt, count(*) AS nh
+          FROM (SELECT DISTINCT qid, doc_id, p FROM qp) s
+          JOIN qp h ON h.qid = s.qid AND h.doc_id = s.doc_id
+            AND h.p >= s.p AND h.p < s.p + 8
+          GROUP BY s.qid, s.doc_id, s.p),
+        best AS (
+          SELECT qid, doc_id, start, nt, nh FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid, doc_id
+              ORDER BY nt DESC, nh DESC, start ASC) AS rn
+            FROM wins) b WHERE rn = 1)
+        SELECT s.qid, s.doc_id, s.n_tok, s.score_q, s.rank,
+          CAST(b.start AS BIGINT) AS win_start,
+          CAST(b.nt AS BIGINT) AS win_n_terms,
+          CAST(b.nh AS BIGINT) AS win_n_hits
+        FROM surv s JOIN best b ON b.qid = s.qid AND b.doc_id = s.doc_id
+        ORDER BY s.qid, s.rank"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25Idx(s, dir)),
+      benchFn = Some(probe))
+  }
+
   /** Ranking-quality evaluation (library `Retrieval.evalRanking` —
     * the graded-relevance metric harness: per query RR, hits@k and
     * nDCG@k over a judged panel; `recallAtK` is the ANN-side twin):
@@ -4258,5 +4358,5 @@ object CurationQueries {
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
       q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
       q154, q155, q156, q157, q160, q161, q163, q164, q165, q166, q167, q171,
-      q172, q173, q176)
+      q172, q173, q176, q178)
 }

@@ -925,6 +925,13 @@ object ProfileScale {
           spark, bm25H10, phraseBatchQs(1), "qid", "phrase", k = 25),
         () => graft.ops.Bm25Index.phraseTopKBatch(
           spark, bm25H10, phraseBatchQs(10), "qid", "phrase", k = 25)),
+      // round-13: the batch snippet member — cost tracks the batch's
+      // terms' postings; the window scan runs on the k survivors only
+      ("q178 bm25-snippet-batch",
+        () => graft.ops.Bm25Index.snippetTopKBatch(
+          spark, bm25H1, bm25BatchQs(1), "qid", "terms", width = 8, k = 25),
+        () => graft.ops.Bm25Index.snippetTopKBatch(
+          spark, bm25H10, bm25BatchQs(1), "qid", "terms", width = 8, k = 25)),
       // round-12: the full RM3 chain (first pass -> fbDocs point
       // lookups in the corpus -> relevance model -> weighted second
       // pass) — cost must track the query/expansion terms' postings
@@ -1067,7 +1074,8 @@ object ProfileScale {
       if (name.contains("bigcb")) { bigCbH1.dir; bigCbH10.dir; () }
       if (name.startsWith("q154") || name.startsWith("q156") ||
           name.startsWith("q161") || name.startsWith("q163") ||
-          name.startsWith("q165") || name.startsWith("q167")) {
+          name.startsWith("q165") || name.startsWith("q167") ||
+          name.startsWith("q178")) {
         bm25H1.dir; bm25H10.dir; ()
       }
       if (name.startsWith("q155")) { bm25fH1.dir; bm25fH10.dir; () }

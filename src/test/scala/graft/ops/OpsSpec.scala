@@ -4105,6 +4105,56 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Bm25Index.snippetTopKBatch: one pruned pass agrees with per-query snippet probes; guards raise") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25snipb").toString
+    try {
+      val corpus = Seq(
+        (0L, "big table scan over the big table here and data"),
+        (1L, "table big scan and more data about data"),
+        (2L, "a big table of data"),
+        (3L, "nothing relevant at all"),
+        (4L, "data data data spread big out table far apart big"),
+        (5L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")
+      val h = Bm25Index.build(corpus, "doc_id", dir, numBuckets = 8)
+      val queries = Seq(
+        (1L, Seq("big", "data")),
+        (2L, Seq("table")),
+        (3L, Seq("data", "table", "big"))).toDF("qid", "terms")
+      val batch = Bm25Index.snippetTopKBatch(
+          spark, h, queries, "qid", "terms", width = 4, k = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))
+        .sortBy(t => (t._1, t._3)).toSeq
+      val single = Seq(
+        1L -> Seq("big", "data"), 2L -> Seq("table"),
+        3L -> Seq("data", "table", "big")).flatMap { case (q, ts) =>
+        Bm25Index.snippetTopK(spark, h, ts, width = 4, k = 3)
+          .collect().zipWithIndex.map { case (r, i) =>
+            (q, r.getLong(0), i + 1, r.getLong(3), r.getLong(4), r.getLong(5)) }
+      }.sortBy(t => (t._1, t._3))
+      assert(batch == single, s"batch:\n$batch\nsingle:\n$single")
+      // guards: duplicate qid, duplicate terms in one query, uppercase
+      val dupQ = queries.union(Seq((1L, Seq("x"))).toDF("qid", "terms"))
+      assert(intercept[Exception](Bm25Index.snippetTopKBatch(
+          spark, h, dupQ, "qid", "terms", width = 4, k = 3).collect())
+        .getMessage.contains("duplicate query id"))
+      assert(intercept[Exception](Bm25Index.snippetTopKBatch(
+          spark, h, Seq((9L, Seq("big", "big"))).toDF("qid", "terms"),
+          "qid", "terms", width = 4, k = 3).collect())
+        .getMessage.contains("duplicate terms"))
+      assert(intercept[Exception](Bm25Index.snippetTopKBatch(
+          spark, h, Seq((9L, Seq("Big"))).toDF("qid", "terms"),
+          "qid", "terms", width = 4, k = 3).collect())
+        .getMessage.contains("lowercase"))
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("Bm25Index.fsck: clean build all-zero; replay drift quantified; compact heals; orphans flagged") {
     val corpus = Seq(
       (0L, "the quick data pipeline"),
