@@ -99,6 +99,103 @@ object AnnIndex {
     Handle(dir, centroids, codebooks)
   }
 
+  /** Persist a NEW index from a slice encoded under GIVEN quantizers
+    * — the train-centrally / encode-at-site deployment shape: one
+    * site trains the models (a [[build]] or [[rebuild]]), every other
+    * site encodes ITS slice under those frozen models into its own
+    * index dir, and [[merge]] later unifies the shards (legal exactly
+    * because the models match). Also the disaster path: re-encode a
+    * slice from source under a surviving model pair. The written
+    * state is bit-identical to what [[build]] would produce had its
+    * training landed on these models. */
+  def buildWith(
+      df: DataFrame, embCol: String, idCol: String, dir: String,
+      centroids: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Long, Seq[Double])]],
+      attrCols: Seq[String] = Nil): Handle = {
+    require(centroids.nonEmpty && codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "buildWith needs trained models (non-empty centroids and codebooks)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    centroids.toDF("cid", "cv")
+      .write.mode("overwrite").parquet(s"$dir/ivf_centroids")
+    codebooks.zipWithIndex
+      .flatMap { case (cb, mi) => cb.map { case (cid, v) => (mi, cid, v) } }
+      .toDF("mi", "cid", "cv")
+      .write.mode("overwrite").parquet(s"$dir/pq_codebooks")
+    encodeRows(df, embCol, idCol, centroids, codebooks, attrCols)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    Handle(dir, centroids, codebooks)
+  }
+
+  /** Merge shard indexes that share ONE model pair into one index —
+    * the vector member of the merge family ([[Bm25Index.merge]] /
+    * [[DedupIndex.merge]] are the lexical/dedup twins): shards come
+    * from [[buildWith]] under a common training (or from a common
+    * [[rebuild]] baseline grown by per-site appends), so their code
+    * rows are already in the SAME quantizer space and the physical
+    * work is one filesystem copy per data file — no re-encoding, no
+    * shuffle. Loud preconditions: the centroids AND every codebook
+    * must be BIT-EQUAL across shards (codes from different trainings
+    * are incommensurable — a merged probe would rank apples against
+    * oranges silently), same attribute schema, no tombstones
+    * (compact first), pairwise-DISJOINT id sets, fresh `outDir`. */
+  def merge(
+      spark: SparkSession, shardDirs: Seq[String], outDir: String): Handle = {
+    require(shardDirs.size >= 2,
+      s"merge needs at least two shards, got ${shardDirs.size}")
+    require(shardDirs.distinct.size == shardDirs.size,
+      s"merge: duplicate shard dirs in $shardDirs")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(outDir)),
+      s"merge: $outDir already exists — refusing to mix into prior state")
+    val hs = shardDirs.map(load(spark, _))
+    val h0 = hs.head
+    val schema0 = spark.read.parquet(s"${shardDirs.head}/codes")
+      .schema.fieldNames.toSeq
+    hs.zip(shardDirs).foreach { case (h, d) =>
+      require(h.centroids == h0.centroids && h.codebooks == h0.codebooks,
+        s"merge: $d was encoded under DIFFERENT models than " +
+          s"${shardDirs.head} — codes from different trainings are " +
+          "incommensurable; rebuild one side under the other's models " +
+          "(buildWith) before merging")
+      require(!fs.exists(Tombstones.path(d)),
+        s"merge: $d has tombstones — compact it first (merge copies " +
+          "files verbatim and would resurrect the deleted vectors)")
+      val sch = spark.read.parquet(s"$d/codes").schema.fieldNames.toSeq
+      require(sch == schema0,
+        s"merge: shard code schemas disagree — ${shardDirs.head} has " +
+          s"$schema0 but $d has $sch (id/attr layout must match)")
+    }
+    val annId = schema0
+      .filterNot(f => f == "cell" || f.startsWith("code_")).head
+    val dup = shardDirs.zipWithIndex.map { case (d, i) =>
+        spark.read.parquet(s"$d/codes").select(col(annId)).distinct()
+          .withColumn("__shard", lit(i))
+      }.reduce(_ unionByName _)
+      .groupBy(col(annId))
+      .agg(countDistinct(col("__shard")).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge: id '${dup.headOption.map(_.get(0)).orNull}' appears in " +
+        "more than one shard — shard id sets must be disjoint")
+    import spark.implicits._
+    h0.centroids.toDF("cid", "cv")
+      .write.mode("overwrite").parquet(s"$outDir/ivf_centroids")
+    h0.codebooks.zipWithIndex
+      .flatMap { case (cb, mi) => cb.map { case (cid, v) => (mi, cid, v) } }
+      .toDF("mi", "cid", "cv")
+      .write.mode("overwrite").parquet(s"$outDir/pq_codebooks")
+    shardDirs.zipWithIndex.foreach { case (d, i) =>
+      Maintenance.copyDataFiles(fs,
+        new org.apache.hadoop.fs.Path(s"$d/codes"),
+        new org.apache.hadoop.fs.Path(s"$outDir/codes"), s"s$i", conf)
+    }
+    Handle(outDir, h0.centroids, h0.codebooks)
+  }
+
   /** Fold a new slice of embeddings into the persisted index under
     * the FROZEN quantizers — the FAISS `add()` analogue
     * ([[DedupIndex.append]] is the same move for the dedup stack):

@@ -1372,6 +1372,66 @@ object EmbeddingQueries {
       benchFn = Some(probe))
   }
 
+  /** q179's merged index — the train-centrally / encode-at-site flow:
+    * the shared index's models (trained on the FULL corpus) encode
+    * the even and odd halves into separate shard dirs (`buildWith`),
+    * then `AnnIndex.merge` unifies them by file copy. Per-JVM memo. */
+  private def annMergeDir(dir: String): String =
+    QueryDef.idxScratchDir("annmerged", dir)
+
+  private def buildAnnMergedIdx(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    if (annRebuilt.add(annMergeDir(dir))) {
+      buildAnnIdx(s, dir) // the model donor
+      val h = graft.ops.AnnIndex.load(s, annIdxDir(dir))
+      val e = t(s, dir, "embeddings")
+      val a = QueryDef.idxScratchDir("annsharda", dir)
+      val b = QueryDef.idxScratchDir("annshardb", dir)
+      graft.ops.AnnIndex.buildWith(e.filter(col("vec_id") % 2 === 0),
+        "embedding", "vec_id", a, h.centroids, h.codebooks)
+      graft.ops.AnnIndex.buildWith(e.filter(col("vec_id") % 2 === 1),
+        "embedding", "vec_id", b, h.centroids, h.codebooks)
+      graft.ops.AnnIndex.merge(s, Seq(a, b), annMergeDir(dir))
+      ()
+    }
+
+  /** Shard-merge for the persistent ANN index (library
+    * `AnnIndex.buildWith` + `AnnIndex.merge` — the vector member of
+    * the merge family, and the train-centrally / encode-at-site
+    * deployment shape: one site trains, every site encodes its slice
+    * under the frozen models, one merge unifies the shards by FILE
+    * COPY — legal exactly because the models are bit-equal): the full
+    * corpus's models encode the even/odd halves into two shard dirs,
+    * merge unifies them, and the vec-0 probe must answer EXACTLY as
+    * q149's whole-corpus build does — q149's oracle VERBATIM, so one
+    * derivation proves the single build, the per-site encode and the
+    * merge against each other. */
+  val q179 = {
+    def probe(s: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame = {
+      graft.ops.AnnIndex.query(s,
+          graft.ops.AnnIndex.load(s, annMergeDir(dir)),
+          "vec_id", queryVec0(s, dir), k = 10, nProbe = 2)
+        .select(col("vec_id"), round(col("pq_dist"), 6).as("adc_dist"))
+        .oracleOrderBy("vec_id")
+    }
+    QueryDef(
+      "q179_ann_shard_merge",
+      (s, dir) => { buildAnnMergedIdx(s, dir); probe(s, dir) },
+      Some(s"""WITH $annProbeCtesDuck
+      SELECT vec_id, round(pq_dist, 6) AS adc_dist FROM (
+        SELECT vec_id, pq_dist FROM annscored
+        ORDER BY pq_dist ASC, vec_id LIMIT 10) topk
+      ORDER BY vec_id"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => {
+        buildAnnMergedIdx(s, dir)
+        queryVec0(s, dir) // warm the memo: the probe must not pay the fetch
+        ()
+      }),
+      benchFn = Some(probe))
+  }
+
   /** q158's index dir: q149's exact state plus a tombstone delete —
     * its own dir so the shared index stays pristine for q149/q150/
     * q151. */
@@ -1533,5 +1593,5 @@ object EmbeddingQueries {
   val all: Seq[QueryDef] =
     Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89, q92, q93, q129,
       q131, q135, q137, q149, q151, q152, q153, q158, q162, q169, q170,
-      q175, q177)
+      q175, q177, q179)
 }

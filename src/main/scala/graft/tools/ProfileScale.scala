@@ -206,6 +206,20 @@ object ProfileScale {
       graft.ops.Bm25Index.build(
         docs10.filter(col("doc_id") % 2 === 1), "doc_id", s"$scratch/mg_bb10")
     }
+    // round-13: ANN merge-arm shards — per-site encodes under the
+    // shared models, built once untimed
+    lazy val annMergeShards1 = {
+      graft.ops.AnnIndex.buildWith(emb.filter(col("vec_id") % 2 === 0),
+        "embedding", "vec_id", s"$scratch/mg_aa", annH1.centroids, annH1.codebooks)
+      graft.ops.AnnIndex.buildWith(emb.filter(col("vec_id") % 2 === 1),
+        "embedding", "vec_id", s"$scratch/mg_ab", annH1.centroids, annH1.codebooks)
+    }
+    lazy val annMergeShards10 = {
+      graft.ops.AnnIndex.buildWith(emb10.filter(col("vec_id") % 2 === 0),
+        "embedding", "vec_id", s"$scratch/mg_aa10", annH10.centroids, annH10.codebooks)
+      graft.ops.AnnIndex.buildWith(emb10.filter(col("vec_id") % 2 === 1),
+        "embedding", "vec_id", s"$scratch/mg_ab10", annH10.centroids, annH10.codebooks)
+    }
     // round-13: the crossFsck trio — one shared doc_id key (the ANN
     // side re-keys the vector ids), pristine tombstone-free state;
     // the audit is index-table-linear by contract
@@ -1021,6 +1035,15 @@ object ProfileScale {
       // aggregate; data-sized IO by contract, zero shuffle/decode.
       // Each timed run merges into a FRESH dir (merge refuses to mix
       // into prior state), so the timing includes the copy every time.
+      ("q179 ann-merge",
+        () => { graft.ops.AnnIndex.merge(spark,
+            Seq(s"$scratch/mg_aa", s"$scratch/mg_ab"),
+            s"$scratch/mg_aout1_${System.nanoTime()}")
+          spark.range(1).toDF() },
+        () => { graft.ops.AnnIndex.merge(spark,
+            Seq(s"$scratch/mg_aa10", s"$scratch/mg_ab10"),
+            s"$scratch/mg_aout10_${System.nanoTime()}")
+          spark.range(1).toDF() }),
       ("q173 bm25-merge",
         () => { graft.ops.Bm25Index.merge(spark,
             Seq(s"$scratch/mg_ba", s"$scratch/mg_bb"),
@@ -1106,6 +1129,7 @@ object ProfileScale {
       if (name.startsWith("q172")) { importedArmVocab; () }
       if (name.startsWith("q176")) { importedIdsArmVocab; () }
       if (name.startsWith("q173")) { mergeShards1; mergeShards10; () }
+      if (name.startsWith("q179")) { annMergeShards1; annMergeShards10; () }
       if (name.startsWith("q175") || name.startsWith("q177")) {
         annH1.dir; annH10.dir; qv1.size; qv10.size; ()
       }

@@ -3174,6 +3174,55 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("AnnIndex.buildWith + merge: per-site encode under shared models unifies to a whole build") {
+    val root = java.nio.file.Files.createTempDirectory("annmerge").toString
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val whole = AnnIndex.build(emb, "embedding", "vec_id", s"$root/w",
+        nCells = 4, m = 4, k = 4, dim = 64, iters = 2)
+      AnnIndex.buildWith(emb.filter(col("vec_id") % 2 === 0),
+        "embedding", "vec_id", s"$root/a", whole.centroids, whole.codebooks)
+      AnnIndex.buildWith(emb.filter(col("vec_id") % 2 === 1),
+        "embedding", "vec_id", s"$root/b", whole.centroids, whole.codebooks)
+      val merged = AnnIndex.merge(spark, Seq(s"$root/a", s"$root/b"), s"$root/m")
+      assert(merged.centroids == whole.centroids &&
+        merged.codebooks == whole.codebooks)
+      // code rows identical to the whole build's (the encode is
+      // deterministic under frozen models)
+      def rows(d: String) = spark.read.parquet(s"$root/$d/codes")
+        .collect().map(_.toString).sorted.toSeq
+      assert(rows("m") == rows("w"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .collect().head.getSeq[Double](0).toSeq
+      val a = AnnIndex.query(spark, merged, "vec_id", qv, k = 5, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = AnnIndex.query(spark, whole, "vec_id", qv, k = 5, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b, s"merged $a vs whole $b")
+      // guards: different models refuse (incommensurable codes)
+      AnnIndex.build(emb.filter(col("vec_id") % 2 === 1), "embedding",
+        "vec_id", s"$root/c", nCells = 4, m = 4, k = 4, dim = 64, iters = 1)
+      val mm = intercept[IllegalArgumentException](
+        AnnIndex.merge(spark, Seq(s"$root/a", s"$root/c"), s"$root/x1"))
+      assert(mm.getMessage.contains("DIFFERENT models"), mm.getMessage)
+      // overlapping ids refuse
+      val ov = intercept[IllegalArgumentException](
+        AnnIndex.merge(spark, Seq(s"$root/a", s"$root/w"), s"$root/x2"))
+      assert(ov.getMessage.contains("disjoint"), ov.getMessage)
+      // tombstoned shard refuses
+      AnnIndex.delete(AnnIndex.load(spark, s"$root/b"),
+        Seq(1L).toDF("vec_id"), "vec_id")
+      val tb = intercept[IllegalArgumentException](
+        AnnIndex.merge(spark, Seq(s"$root/a", s"$root/b"), s"$root/x3"))
+      assert(tb.getMessage.contains("tombstones"), tb.getMessage)
+    } finally {
+      val r = java.nio.file.Path.of(root)
+      java.nio.file.Files.walk(r).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("AnnIndex.queryRefined: exact re-rank of the ADC shortlist; filters and edge cases hold") {
     val dir = java.nio.file.Files.createTempDirectory("annrefine").toString
     try {
