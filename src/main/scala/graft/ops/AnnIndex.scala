@@ -210,18 +210,21 @@ object AnnIndex {
     * [[Similarity]] training ops are one call away. */
   def append(
       handle: Handle, df: DataFrame, embCol: String, idCol: String): Unit = {
-    // the slice must carry whatever attribute columns the table was
-    // built with — a parquet append with a narrower schema would
-    // silently NULL the attrs on the new rows and a filtered probe
-    // would never return them
-    val attrs = attrColsOf(df.sparkSession, handle.dir, idCol)
-    val encoded = encodeRows(
-      df, embCol, idCol, handle.centroids, handle.codebooks, attrs)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       df.sparkSession.sparkContext.hadoopConfiguration)
     // marker/lock handshake with a concurrent compact — see Maintenance
     Maintenance.withAppendMarker(
         fs, new org.apache.hadoop.fs.Path(handle.dir)) {
+      // the slice must carry whatever attribute columns the table was
+      // built with — a parquet append with a narrower schema would
+      // silently NULL the attrs on the new rows and a filtered probe
+      // would never return them. Read the live schema INSIDE the
+      // marker, after the lock check: mid-swap (a rebuild/compact
+      // between its renames) the codes dir briefly does not exist,
+      // and the refusal must be the lock's, not a path error's.
+      val attrs = attrColsOf(df.sparkSession, handle.dir, idCol)
+      val encoded = encodeRows(
+        df, embCol, idCol, handle.centroids, handle.codebooks, attrs)
       // a tombstoned id must not be re-added before compact — the
       // shared live-gated guard (see Tombstones)
       Tombstones.refuseReAdd(df.sparkSession, handle.dir, idCol, encoded)
