@@ -522,6 +522,35 @@ object AnnIndex {
       .toDF("check", "value")
   }
 
+  /** Per-cell occupancy report — the operational metric that drives
+    * the nProbe/recall trade and tells an operator when cells have
+    * drifted out of balance ([[graft.ops.Similarity.embeddingDrift]]
+    * measures the DISTRIBUTION shift; this measures its effect on the
+    * index layout): one row per TRAINED centroid (empty cells report
+    * 0 — an empty cell is itself a finding), with total code rows and
+    * the live (tombstone-filtered) count. A skewed profile means some
+    * probes scan far more than corpus/nCells rows (latency tail) while
+    * others return starved candidate sets (recall floor) — the
+    * [[rebuild]] trigger, alongside drift. One pass over the code
+    * table's (id, cell) columns; the report is nCells rows. */
+  def cellStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = load(spark, dir)
+    val codes = spark.read.parquet(s"$dir/codes")
+    val idCol = codes.schema.fieldNames
+      .filterNot(f => f == "cell" || f.startsWith("code_")).head
+    val all = codes.groupBy("cell").agg(count(lit(1)).as("n_codes"))
+    val live = Tombstones.liveOnly(spark, dir, idCol,
+        codes.select(col(idCol), col("cell")))
+      .groupBy("cell").agg(count(lit(1)).as("n_live"))
+    h.centroids.map(_._1).toDF("cell")
+      .join(all, Seq("cell"), "left")
+      .join(live, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_codes"), lit(0L)).as("n_codes"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"))
+  }
+
   /** ADC top-k against the PERSISTED codes: rank the query's `nProbe`
     * best cells driver-side (centroids are in the handle), scan ONLY
     * those cell partitions, score rows from their m code columns

@@ -1590,8 +1590,38 @@ object EmbeddingQueries {
     bench = true,
     benchPrepare = Some((s, dir) => { buildAnnDelIdx(s, dir); () }))
 
+  /** Cell-occupancy report (library `AnnIndex.cellStats` — the
+    * operational metric behind the nProbe/recall trade and the
+    * rebuild trigger q152's drift monitor complements), over q158's
+    * built-then-deleted state so live ≠ total: one row per trained
+    * centroid with total and tombstone-filtered counts. The oracle
+    * replays the cell assignment (q149's training + assignment CTEs)
+    * and counts per cell with and without the deletion predicate —
+    * a lost row, a miscounted tombstone or a dropped empty cell
+    * breaks the hash. */
+  val q180 = QueryDef(
+    "q180_ann_cell_stats",
+    (s, dir) => {
+      buildAnnDelIdx(s, dir)
+      graft.ops.AnnIndex.cellStats(s, annDelIdxDir(dir))
+        .oracleOrderBy("cell")
+    },
+    Some(s"""WITH $annIndexStateCtesDuck,
+      cnt AS (
+        SELECT a.cell,
+          CAST(count(*) AS BIGINT) AS n_codes,
+          CAST(count(*) FILTER (WHERE a.vec_id % 5 <> 2) AS BIGINT) AS n_live
+        FROM assigned a GROUP BY a.cell)
+      SELECT c.cid AS cell,
+        coalesce(cnt.n_codes, 0) AS n_codes,
+        coalesce(cnt.n_live, 0) AS n_live
+      FROM c$TrainIters c LEFT JOIN cnt ON cnt.cell = c.cid
+      ORDER BY cell"""),
+    bench = true,
+    benchPrepare = Some((s, dir) => { buildAnnDelIdx(s, dir); () }))
+
   val all: Seq[QueryDef] =
     Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89, q92, q93, q129,
       q131, q135, q137, q149, q151, q152, q153, q158, q162, q169, q170,
-      q175, q177, q179)
+      q175, q177, q179, q180)
 }

@@ -997,6 +997,9 @@ object ProfileScale {
       ("q169 ann-fsck",
         () => graft.ops.AnnIndex.fsck(spark, annDelH1.dir),
         () => graft.ops.AnnIndex.fsck(spark, annDelH10.dir)),
+      ("q180 ann-cell-stats",
+        () => graft.ops.AnnIndex.cellStats(spark, annDelH1.dir),
+        () => graft.ops.AnnIndex.cellStats(spark, annDelH10.dir)),
       // round-13: filtered probe — the predicate evaluates on the
       // pruned cell scan (constant-size cells, nProbe fixed), so the
       // expected ratio stays the ann-probe ~flat shape
@@ -1116,7 +1119,7 @@ object ProfileScale {
         annH1.dir; annH10.dir; annRebDir1; annRebDir10; ()
       }
       if (name.startsWith("q168")) { dedupDelH1.dir; dedupDelH10.dir; () }
-      if (name.startsWith("q169")) {
+      if (name.startsWith("q169") || name.startsWith("q180")) {
         annDelH1.dir; annDelH10.dir; ()
       }
       if (name.startsWith("q170")) {
