@@ -1,0 +1,184 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AnnIndex, Bm25Index, DedupIndex, Maintenance, Retrieval}
+
+/** End-to-end STANDING-INDEX lifecycle — the composed loop a serving
+  * deployment runs, built ONLY from the persistent-index modules, in
+  * the order the contracts prescribe (`CurationDemo` is the batch
+  * curation composition; this is the index-side twin):
+  *
+  *   shard build at two sites -> merge -> streaming-shaped ingest
+  *   (screen + co-write the trio) -> hybrid probe -> filtered probe
+  *   -> refined probe -> tombstone delete -> probe the remainder ->
+  *   per-index fsck + cross-index fsck -> compact all three ->
+  *   cross-fsck clean -> cell stats -> rebuild -> probe again.
+  *
+  * Each step's wall time prints, so the COMPOSITION — every
+  * round-12/13 lifecycle operator chained against the same live
+  * state — is demonstrably runnable at SF scale:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.LifecycleDemo"
+  *
+  * Every step is index-probe-shaped (query-terms/cells-bounded),
+  * index-table-linear (fsck/compact/stats), or corpus-linear by
+  * contract (build/rebuild) — the same shapes the per-operator
+  * oracles and the ×10 profile verify, chained.
+  */
+object LifecycleDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.queries.QueryDef.NanosConf, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft_lifecycle_").toString
+    def step[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"[lifecycle] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      out
+    }
+
+    val docs = graft.queries.QueryDef.t(spark, sfDir, "documents")
+      .localCheckpoint(true)
+    val emb = graft.queries.QueryDef.t(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"),
+        col("label").cast("string").as("tier"))
+      .localCheckpoint(true)
+    val half = docs.agg(max("doc_id")).head().getLong(0) / 2
+    // the embeddings table covers a smaller id range than documents at
+    // some SFs — split the vector shards on ITS midpoint
+    val embHalf = emb.agg(max("doc_id")).head().getLong(0) / 2
+
+    // ---- 1. two sites build shards; merges unify them -------------
+    val dedupH = step("dedup: shard build x2 + merge") {
+      DedupIndex.build(docs.filter(col("doc_id") <= half), "doc_id", s"$root/d_a")
+      DedupIndex.build(docs.filter(col("doc_id") > half), "doc_id", s"$root/d_b")
+      DedupIndex.merge(spark, Seq(s"$root/d_a", s"$root/d_b"), s"$root/dedup")
+    }
+    val bm25H = step("bm25: shard build x2 + merge") {
+      Bm25Index.build(docs.filter(col("doc_id") <= half), "doc_id", s"$root/b_a")
+      Bm25Index.build(docs.filter(col("doc_id") > half), "doc_id", s"$root/b_b")
+      Bm25Index.merge(spark, Seq(s"$root/b_a", s"$root/b_b"), s"$root/bm25")
+    }
+    val annH = step("ann: central train, encode-at-site x2 + merge") {
+      val models = AnnIndex.build(emb, "embedding", "doc_id", s"$root/a_models",
+        nCells = 8, m = 4, k = 4, dim = 64, iters = 2)
+      AnnIndex.buildWith(emb.filter(col("doc_id") <= embHalf), "embedding",
+        "doc_id", s"$root/a_a", models.centroids, models.codebooks,
+        attrCols = Seq("tier"))
+      AnnIndex.buildWith(emb.filter(col("doc_id") > embHalf), "embedding",
+        "doc_id", s"$root/a_b", models.centroids, models.codebooks,
+        attrCols = Seq("tier"))
+      AnnIndex.merge(spark, Seq(s"$root/a_a", s"$root/a_b"), s"$root/ann")
+    }
+
+    // ---- 2. one streaming-shaped ingest trigger (screen + co-write)
+    val fresh = Seq(
+      (900001L, "a lifecycle demo document about standing index ingest paths"),
+      (900002L, "a second new document with its own distinct vocabulary"))
+      .toDF("doc_id", "text")
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)),
+        j => ((col("doc_id") % 97 + j * 13) % 41).cast("double") / lit(41.0)))
+      .withColumn("tier", lit("9"))
+    step("ingest: screen + co-write one batch") {
+      graft.streaming.CurationIngest.curationSink(
+        dedupH, bm25H, annH, s"$root/verdicts", "embedding",
+        qualityGate = length(col("text")) > 20)(fresh, 0L)
+    }
+
+    // ---- 3. probes against the live trio ---------------------------
+    val qv = emb.filter(col("doc_id") === 0)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .head().getSeq[Double](0).toSeq
+    step("probe: hybrid RAG (bm25 + ann + rrf)") {
+      val lex = graft.util.Ids.withRowIndex(
+        Bm25Index.topK(spark, Bm25Index.load(spark, s"$root/bm25"),
+          Seq("data", "the", "query"), k = 20), "rank")
+      val sem = graft.util.Ids.withRowIndex(
+        AnnIndex.query(spark, AnnIndex.load(spark, s"$root/ann"),
+          "doc_id", qv, k = 20, nProbe = 2), "rank")
+      Retrieval.rrfFuse(Seq(lex, sem), "doc_id", rrfK = 60, k = 10).count()
+    }
+    step("probe: filtered (tier = '3')") {
+      AnnIndex.query(spark, AnnIndex.load(spark, s"$root/ann"), "doc_id",
+        qv, k = 10, nProbe = 2, filter = Some(col("tier") === "3")).count()
+    }
+    step("probe: refined (ADC top-40 -> exact top-10)") {
+      AnnIndex.queryRefined(spark, AnnIndex.load(spark, s"$root/ann"),
+        emb, "embedding", "doc_id", qv, k = 10, nProbe = 2, refine = 4).count()
+    }
+
+    // ---- 4. forget a slice, audit, compact, audit again ------------
+    val doomed = docs.filter(col("doc_id") % 101 === 7)
+    step("delete: tombstone the slice in all three") {
+      graft.streaming.CurationIngest.deletionSink(
+        DedupIndex.load(spark, s"$root/dedup"),
+        Bm25Index.load(spark, s"$root/bm25"),
+        AnnIndex.load(spark, s"$root/ann"),
+        s"$root/audit")(doomed.select("doc_id", "text"), 1L)
+    }
+    step("probe: remainder answers only") {
+      Bm25Index.topK(spark, Bm25Index.load(spark, s"$root/bm25"),
+        Seq("data", "the"), k = 20).count()
+    }
+    val report = step("audit: fsck x3 + crossFsck (pre-compact)") {
+      Bm25Index.fsck(spark, s"$root/bm25").count()
+      AnnIndex.fsck(spark, s"$root/ann").count()
+      DedupIndex.fsck(spark, s"$root/dedup").count()
+      Maintenance.crossFsck(spark, s"$root/dedup", s"$root/bm25", s"$root/ann")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // the corpus is structurally asymmetric (documents without
+    // embeddings), so bm25_not_ann/dedup_not_ann are EXPECTED — and
+    // must agree with each other; every other diff is 0 for a healthy
+    // co-written trio, tombstones included (the delete hit all three)
+    require(Seq("ann_not_bm25", "ann_not_dedup", "bm25_not_dedup",
+        "dedup_not_bm25", "tombstone_disagreements").forall(report(_) == 0L) &&
+        report("bm25_not_ann") == report("dedup_not_ann"),
+      s"co-written trio diverged: $report")
+    step("compact: purge tombstones in all three") {
+      Bm25Index.compact(Bm25Index.load(spark, s"$root/bm25"))
+      AnnIndex.compact(AnnIndex.load(spark, s"$root/ann"))
+      DedupIndex.compact(DedupIndex.load(spark, s"$root/dedup"))
+    }
+    val clean = step("audit: crossFsck (post-compact)") {
+      Maintenance.crossFsck(spark, s"$root/dedup", s"$root/bm25", s"$root/ann")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    require(clean("tombstone_disagreements") == 0L &&
+      clean("bm25_live_docs") == clean("bm25_meta_ndocs"),
+      s"compact left disagreement: $clean")
+
+    // ---- 5. layout health, retrain --------------------------------
+    step("stats: per-cell occupancy") {
+      AnnIndex.cellStats(spark, s"$root/ann").count()
+    }
+    step("rebuild: retrain + re-encode + swap") {
+      // the corpus argument is the post-delete source of truth: the
+      // original embeddings minus the forgotten slice (the ingested
+      // pair would also belong here in a real deployment — the demo
+      // retrains on the surviving base corpus)
+      val remainder = emb.join(
+        doomed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      AnnIndex.rebuild(remainder, "embedding", "doc_id", s"$root/ann",
+        nCells = 8, m = 4, k = 4, dim = 64, iters = 2)
+    }
+    step("probe: post-rebuild answers") {
+      AnnIndex.query(spark, AnnIndex.load(spark, s"$root/ann"),
+        "doc_id", qv, k = 10, nProbe = 2).count()
+    }
+    println(s"[lifecycle] done; state under $root")
+    spark.stop()
+  }
+}
