@@ -350,6 +350,48 @@ object ProfileScale {
       "Ġs" -> "t", "a" -> "b", "ab" -> "le", "Ġt" -> "able"))
     def q75(d: DataFrame) = d.select(col("doc_id"),
       TextAnalysis.bpeTokenCount(col("text"), bpeVocab).as("n_bpe"))
+    // round-13: the streaming-ingest claim — "index size never enters
+    // the trigger cost" (CurationIngest scaladoc). Dedicated COPIES of
+    // the trio at both scales (the sink appends; shared arm state must
+    // never mutate), and every call folds FRESH ids so each timed run
+    // exercises the full screen -> gate -> three-append trigger.
+    lazy val ingTrio1 = {
+      copyDir(trioDedupDir1, s"$scratch/ing1_dedup")
+      copyDir(bm25H1.dir, s"$scratch/ing1_bm25")
+      copyDir(trioAnnDir1, s"$scratch/ing1_ann")
+      (graft.ops.DedupIndex.load(spark, s"$scratch/ing1_dedup"),
+        graft.ops.Bm25Index.load(spark, s"$scratch/ing1_bm25"),
+        graft.ops.AnnIndex.load(spark, s"$scratch/ing1_ann"))
+    }
+    lazy val ingTrio10 = {
+      copyDir(trioDedupDir10, s"$scratch/ing10_dedup")
+      copyDir(bm25H10.dir, s"$scratch/ing10_bm25")
+      copyDir(trioAnnDir10, s"$scratch/ing10_ann")
+      (graft.ops.DedupIndex.load(spark, s"$scratch/ing10_dedup"),
+        graft.ops.Bm25Index.load(spark, s"$scratch/ing10_bm25"),
+        graft.ops.AnnIndex.load(spark, s"$scratch/ing10_ann"))
+    }
+    var ingestEpoch = 0L
+    def ingestBatch(): DataFrame = {
+      ingestEpoch += 1
+      val base = 10000000L * ingestEpoch
+      spark.range(200)
+        .select((col("id") + lit(base)).as("doc_id"))
+        .withColumn("text", concat(lit("fresh ingest document number "),
+          col("doc_id").cast("string"),
+          lit(" with a deterministic tail of filler words")))
+        .withColumn("embedding", transform(sequence(lit(0), lit(63)),
+          j => ((col("doc_id") % 89 + j * 17) % 37).cast("double") / lit(37.0)))
+    }
+    def ingestRun(
+        trio: (graft.ops.DedupIndex.Handle, graft.ops.Bm25Index.Handle,
+          graft.ops.AnnIndex.Handle), tag: Int): DataFrame = {
+      val (dh, bh, ah) = trio
+      graft.streaming.CurationIngest.curationSink(
+        dh, bh, ah, s"$scratch/ing_verdicts$tag", "embedding",
+        qualityGate = length(col("text")) > 20)(ingestBatch(), ingestEpoch)
+      spark.range(1).toDF() // the sink does its own writes
+    }
     // round-13: the imported-vocab arm — same merge table as the q75
     // arm, round-tripped through a CRLF merges.txt (the import itself
     // is driver-side and untimed; the arm proves the tokenize pass
@@ -1017,6 +1059,13 @@ object ProfileScale {
           spark, trioDedupDir10, bm25H10.dir, trioAnnDir10)),
       ("q172 imported-bpe", () => q172(docs), () => q172(docs10)),
       ("q176 imported-ids", () => q176(docs), () => q176(docs10)),
+      // round-13: a fixed 200-doc batch through the full curation
+      // trigger against a 1x vs 10x standing trio — the claim is
+      // batch-proportional trigger cost (band-pruned probe joins, one
+      // tokenize pass, one encode pass), never index-size-linear
+      ("ingest curation-trigger",
+        () => ingestRun(ingTrio1, 1),
+        () => ingestRun(ingTrio10, 10)),
       // round-13: refined probe — ADC shortlist (constant cells) +
       // exact re-rank over a point-lookup fetch (candidate-bounded);
       // the corpus enters only through the pushed id in-filter
@@ -1133,6 +1182,11 @@ object ProfileScale {
       if (name.startsWith("q176")) { importedIdsArmVocab; () }
       if (name.startsWith("q173")) { mergeShards1; mergeShards10; () }
       if (name.startsWith("q179")) { annMergeShards1; annMergeShards10; () }
+      if (name.startsWith("ingest")) {
+        bm25H1.dir; bm25H10.dir
+        trioDedupDir1; trioDedupDir10; trioAnnDir1; trioAnnDir10
+        ingTrio1; ingTrio10; ()
+      }
       if (name.startsWith("q175") || name.startsWith("q177")) {
         annH1.dir; annH10.dir; qv1.size; qv10.size; ()
       }
