@@ -1620,8 +1620,109 @@ object EmbeddingQueries {
     bench = true,
     benchPrepare = Some((s, dir) => { buildAnnDelIdx(s, dir); () }))
 
+  /** Refine-recall evaluation (library `Similarity.recallAtK` over
+    * `AnnIndex.queryBatch` vs `queryBatchRefined` — the measurement
+    * that justifies the refine pattern: how much of the EXACT top-5
+    * does each probe recover, per query, on the same index): an
+    * 8-query panel, self excluded on every side (the q87 recall
+    * convention), ADC top-5 vs exact-re-ranked top-5 from a ×4
+    * shortlist, against brute-force ground truth. The oracle replays
+    * the batched ADC (q151's derivation), the shortlist re-rank
+    * (q177's), the exact panel, and both recall joins — refined
+    * recall ≥ ADC recall per query is a THEOREM given the shortlist
+    * contains the ADC top-k; the oracle pins the exact values. */
+  val q181 = {
+    def probe(s: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame = {
+      val e = t(s, dir, "embeddings")
+      val panel = e.filter(col("vec_id") < 8)
+      val h = graft.ops.AnnIndex.load(s, annIdxDir(dir))
+      val exact = graft.ops.Similarity.bruteForceTopK(
+        e, panel, "embedding", "vec_id", k = 5)
+      def dropSelfTop5(df: org.apache.spark.sql.DataFrame,
+          ord: org.apache.spark.sql.Column) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(ord, col("neighbor_id"))
+        df.filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("__r", row_number().over(w)).filter(col("__r") <= 5)
+          .select(col("query_id"), col("neighbor_id"))
+      }
+      val adc = dropSelfTop5(
+        graft.ops.AnnIndex.queryBatch(s, h, panel, "embedding", "vec_id",
+          k = 6, nProbe = 2), col("pq_dist").asc)
+      val refined = dropSelfTop5(
+        graft.ops.AnnIndex.queryBatchRefined(s, h, panel, e, "embedding",
+          "vec_id", k = 6, nProbe = 2, refine = 4), col("cosine").desc)
+      graft.ops.Similarity.recallAtK(adc, exact)
+        .withColumn("probe", lit("adc"))
+        .unionByName(graft.ops.Similarity.recallAtK(refined, exact)
+          .withColumn("probe", lit("refined")))
+        .select(col("probe"), col("query_id"), col("n_exact"),
+          col("n_hits"), round(col("recall"), 6).as("recall"))
+        .oracleOrderBy("probe", "query_id")
+    }
+    QueryDef(
+      "q181_refine_recall",
+      (s, dir) => { buildAnnIdx(s, dir); probe(s, dir) },
+      Some(s"""WITH ${annBatchCtesDuck("vec_id < 8")},
+        adc AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+              ORDER BY rank) AS rn
+            FROM brk WHERE rank <= 6 AND vec_id <> qid) a WHERE rn <= 5),
+        sl AS (SELECT qid, vec_id FROM brk WHERE rank <= 24),
+        resc AS (
+          SELECT sl.qid, e.vec_id,
+            (${dotSum(duckElem, "q.embedding", "e.embedding")})
+              / (sqrt(${dotSum(duckElem, "q.embedding", "q.embedding")})
+                 * sqrt(${dotSum(duckElem, "e.embedding", "e.embedding")}))
+              AS cosine
+          FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id
+          JOIN qset q ON q.qid = sl.qid),
+        ref6 AS (
+          SELECT qid, vec_id, cosine, row_number() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, vec_id) AS rank
+          FROM resc QUALIFY rank <= 6),
+        ref AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+              ORDER BY rank) AS rn
+            FROM ref6 WHERE vec_id <> qid) r WHERE rn <= 5),
+        ecand AS (
+          SELECT q.qid, d.vec_id,
+            (${dotSum(duckElem, "q.embedding", "d.embedding")})
+              / (sqrt(${dotSum(duckElem, "q.embedding", "q.embedding")})
+                 * sqrt(${dotSum(duckElem, "d.embedding", "d.embedding")}))
+              AS cosine
+          FROM qset q JOIN embeddings d ON d.vec_id <> q.qid),
+        ex AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, vec_id) AS rank
+            FROM ecand) er WHERE rank <= 5),
+        ne AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact
+               FROM ex GROUP BY qid),
+        ha AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n_hits
+               FROM adc a JOIN ex USING (qid, vec_id) GROUP BY a.qid),
+        hr AS (SELECT r.qid, CAST(count(*) AS BIGINT) AS n_hits
+               FROM ref r JOIN ex USING (qid, vec_id) GROUP BY r.qid)
+        SELECT probe, qid AS query_id, n_exact, n_hits,
+          round(CAST(n_hits AS DOUBLE) / n_exact, 6) AS recall
+        FROM (
+          SELECT 'adc' AS probe, ne.qid, ne.n_exact,
+            coalesce(ha.n_hits, 0) AS n_hits
+          FROM ne LEFT JOIN ha ON ha.qid = ne.qid
+          UNION ALL
+          SELECT 'refined', ne.qid, ne.n_exact, coalesce(hr.n_hits, 0)
+          FROM ne LEFT JOIN hr ON hr.qid = ne.qid) u
+        ORDER BY probe, query_id"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => { buildAnnIdx(s, dir); () }),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89, q92, q93, q129,
       q131, q135, q137, q149, q151, q152, q153, q158, q162, q169, q170,
-      q175, q177, q179, q180)
+      q175, q177, q179, q180, q181)
 }

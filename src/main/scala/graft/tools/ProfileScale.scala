@@ -1087,6 +1087,28 @@ object ProfileScale {
       // aggregate; data-sized IO by contract, zero shuffle/decode.
       // Each timed run merges into a FRESH dir (merge refuses to mix
       // into prior state), so the timing includes the copy every time.
+      // round-13: the refine-recall harness — exact panel is
+      // all-pairs BY CONTRACT over the 8 queries (broadcast hash),
+      // the probes stay cell/shortlist-bounded
+      ("q181 refine-recall",
+        () => {
+          val panel = emb.filter(col("vec_id") < 8)
+          val exact = graft.ops.Similarity.bruteForceTopK(
+            emb, panel, "embedding", "vec_id", k = 5)
+          graft.ops.Similarity.recallAtK(
+            graft.ops.AnnIndex.queryBatchRefined(spark, annH1, panel, emb,
+              "embedding", "vec_id", k = 6, nProbe = 2, refine = 4)
+              .select(col("query_id"), col("neighbor_id")), exact)
+        },
+        () => {
+          val panel = emb10.filter(col("vec_id") < 8)
+          val exact = graft.ops.Similarity.bruteForceTopK(
+            emb10, panel, "embedding", "vec_id", k = 5)
+          graft.ops.Similarity.recallAtK(
+            graft.ops.AnnIndex.queryBatchRefined(spark, annH10, panel, emb10,
+              "embedding", "vec_id", k = 6, nProbe = 2, refine = 4)
+              .select(col("query_id"), col("neighbor_id")), exact)
+        }),
       ("q179 ann-merge",
         () => { graft.ops.AnnIndex.merge(spark,
             Seq(s"$scratch/mg_aa", s"$scratch/mg_ab"),
@@ -1187,7 +1209,8 @@ object ProfileScale {
         trioDedupDir1; trioDedupDir10; trioAnnDir1; trioAnnDir10
         ingTrio1; ingTrio10; ()
       }
-      if (name.startsWith("q175") || name.startsWith("q177")) {
+      if (name.startsWith("q175") || name.startsWith("q177") ||
+          name.startsWith("q181")) {
         annH1.dir; annH10.dir; qv1.size; qv10.size; ()
       }
       run(s"$name x1(warm)", at1) // JIT/codegen warm-up at 1x
