@@ -161,6 +161,8 @@ object AnnIndex {
           s"${shardDirs.head} — codes from different trainings are " +
           "incommensurable; rebuild one side under the other's models " +
           "(buildWith) before merging")
+      Maintenance.requireQuiesced(
+        fs, new org.apache.hadoop.fs.Path(d), "merge")
       require(!fs.exists(Tombstones.path(d)),
         s"merge: $d has tombstones — compact it first (merge copies " +
           "files verbatim and would resurrect the deleted vectors)")

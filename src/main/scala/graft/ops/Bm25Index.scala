@@ -324,6 +324,8 @@ object Bm25Index {
         s"merge: shard layouts disagree — ${shardDirs.head} has " +
           s"(${h0.idCol}, buckets=${h0.numBuckets}, ${h0.fields}) but $d " +
           s"has (${h.idCol}, buckets=${h.numBuckets}, ${h.fields})")
+      Maintenance.requireQuiesced(
+        fs, new org.apache.hadoop.fs.Path(d), "merge")
       require(!fs.exists(Tombstones.path(d)),
         s"merge: $d has tombstones — compact it first (merge copies " +
           "files verbatim and would resurrect the deleted docs)")

@@ -144,6 +144,8 @@ object DedupIndex {
         s"merge: shard layouts disagree — ${shardDirs.head} has " +
           s"(${h0.idCol}, hashes=${h0.numHashes}, band=${h0.bandSize}) " +
           s"but $d has (${h.idCol}, hashes=${h.numHashes}, band=${h.bandSize})")
+      Maintenance.requireQuiesced(
+        fs, new org.apache.hadoop.fs.Path(d), "merge")
       require(!fs.exists(Tombstones.path(d)),
         s"merge: $d has tombstones — compact it first (merge copies " +
           "files verbatim and would resurrect the deleted docs)")

@@ -81,6 +81,23 @@ private[graft] object Maintenance {
   private def lockFile(indexDir: Path): Path =
     new Path(indexDir, "_compact.lock")
 
+  /** The merge-side quiescence guard: a shard being COPIED must have
+    * no in-flight append (its files would be copied mid-wave — a
+    * partial parquet commit in the merged index) and no compactor
+    * mid-swap. Shared by all three index merges. */
+  private[ops] def requireQuiesced(
+      fs: FileSystem, indexDir: Path, what: String): Unit = {
+    val markers = appendMarkers(fs, indexDir)
+    require(markers.isEmpty,
+      s"$what: $indexDir has an append in flight " +
+        s"(${markers.head.getName}) — a mid-wave copy would land a " +
+        "partial commit; quiesce the shard's ingest first")
+    require(!fs.exists(lockFile(indexDir)),
+      s"$what: $indexDir is being compacted (${lockFile(indexDir).getName} " +
+        "held) — its file set is mid-swap; retry after the compactor " +
+        "finishes")
+  }
+
   private def appendMarkers(fs: FileSystem, indexDir: Path): Seq[Path] =
     if (!fs.exists(indexDir)) Seq.empty
     else fs.listStatus(indexDir).toSeq.map(_.getPath)

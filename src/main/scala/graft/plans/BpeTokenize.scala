@@ -190,6 +190,11 @@ object BpeVocab {
     val table: Seq[(String, Int)] =
       try {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        // a vocab.json with a REPEATED token key would otherwise keep
+        // whichever id comes last, silently — two models disagreeing
+        // about one token is exactly the corruption to refuse loudly
+        mapper.enable(
+          com.fasterxml.jackson.core.JsonParser.Feature.STRICT_DUPLICATE_DETECTION)
         val root = mapper.readTree(in)
         require(root.isObject,
           s"$vocabJsonPath: vocab.json must be one JSON object of token -> id")

@@ -980,6 +980,15 @@ class OpsSpec extends SparkSpec {
         graft.plans.BpeVocab.fromVocabJsonFile(
           spark, s"$dir/merges.txt", s"$dir/bad.json"))
       assert(e.getMessage.contains("missing ids"), e.getMessage)
+      // a REPEATED token key refuses at parse (Jackson would otherwise
+      // keep whichever id comes last, silently)
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(s"$dir/dup.json"),
+        """{"t": 1, "h": 2, "t": 3}""")
+      val dup = intercept[Exception](
+        graft.plans.BpeVocab.fromVocabJsonFile(
+          spark, s"$dir/merges.txt", s"$dir/dup.json"))
+      assert(dup.getMessage.toLowerCase.contains("duplicate"), dup.getMessage)
     } finally {
       val root = java.nio.file.Path.of(dir)
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
@@ -4026,6 +4035,18 @@ class OpsSpec extends SparkSpec {
         DedupIndex.merge(spark, Seq(s"$root/da", s"$root/dn"), s"$root/dx")
       }
       assert(layout.getMessage.contains("disagree"), layout.getMessage)
+      // a shard with an append IN FLIGHT refuses — copying mid-wave
+      // would land a partial parquet commit in the merged index
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$root/da/_appending.test-inflight")
+      fs.create(marker, false).close()
+      try {
+        val busy = intercept[IllegalArgumentException](
+          DedupIndex.merge(spark, Seq(s"$root/da", s"$root/db"), s"$root/dy"))
+        assert(busy.getMessage.contains("append in flight"), busy.getMessage)
+      } finally fs.delete(marker, false)
     } finally {
       val r = java.nio.file.Path.of(root)
       java.nio.file.Files.walk(r).sorted(java.util.Comparator.reverseOrder())
