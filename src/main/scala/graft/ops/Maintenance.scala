@@ -84,7 +84,11 @@ private[graft] object Maintenance {
   /** The merge-side quiescence guard: a shard being COPIED must have
     * no in-flight append (its files would be copied mid-wave — a
     * partial parquet commit in the merged index) and no compactor
-    * mid-swap. Shared by all three index merges. */
+    * mid-swap. Shared by all three index merges. The check is
+    * POINT-IN-TIME — merge holds no lock on the shards, so the caller
+    * owns keeping shard ingest paused for the merge's duration (the
+    * natural deployment: shards are handed over, not live-written,
+    * when a merge runs). */
   private[ops] def requireQuiesced(
       fs: FileSystem, indexDir: Path, what: String): Unit = {
     val markers = appendMarkers(fs, indexDir)
