@@ -143,14 +143,9 @@ object AnnIndex {
     * (compact first), pairwise-DISJOINT id sets, fresh `outDir`. */
   def merge(
       spark: SparkSession, shardDirs: Seq[String], outDir: String): Handle = {
-    require(shardDirs.size >= 2,
-      s"merge needs at least two shards, got ${shardDirs.size}")
-    require(shardDirs.distinct.size == shardDirs.size,
-      s"merge: duplicate shard dirs in $shardDirs")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(conf)
-    require(!fs.exists(new org.apache.hadoop.fs.Path(outDir)),
-      s"merge: $outDir already exists — refusing to mix into prior state")
+    Maintenance.requireMergeable(fs, shardDirs, outDir, "vectors")
     val hs = shardDirs.map(load(spark, _))
     val h0 = hs.head
     val schema0 = spark.read.parquet(s"${shardDirs.head}/codes")
@@ -161,11 +156,6 @@ object AnnIndex {
           s"${shardDirs.head} — codes from different trainings are " +
           "incommensurable; rebuild one side under the other's models " +
           "(buildWith) before merging")
-      Maintenance.requireQuiesced(
-        fs, new org.apache.hadoop.fs.Path(d), "merge")
-      require(!fs.exists(Tombstones.path(d)),
-        s"merge: $d has tombstones — compact it first (merge copies " +
-          "files verbatim and would resurrect the deleted vectors)")
       val sch = spark.read.parquet(s"$d/codes").schema.fieldNames.toSeq
       require(sch == schema0,
         s"merge: shard code schemas disagree — ${shardDirs.head} has " +
@@ -173,16 +163,8 @@ object AnnIndex {
     }
     val annId = schema0
       .filterNot(f => f == "cell" || f.startsWith("code_")).head
-    val dup = shardDirs.zipWithIndex.map { case (d, i) =>
-        spark.read.parquet(s"$d/codes").select(col(annId)).distinct()
-          .withColumn("__shard", lit(i))
-      }.reduce(_ unionByName _)
-      .groupBy(col(annId))
-      .agg(countDistinct(col("__shard")).as("__n"))
-      .filter(col("__n") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"merge: id '${dup.headOption.map(_.get(0)).orNull}' appears in " +
-        "more than one shard — shard id sets must be disjoint")
+    Maintenance.requireDisjointShardIds(spark, shardDirs, "codes", annId,
+      "id sets must be disjoint")
     import spark.implicits._
     h0.centroids.toDF("cid", "cv")
       .write.mode("overwrite").parquet(s"$outDir/ivf_centroids")

@@ -94,10 +94,6 @@ object Bm25Index {
   private def bucketCol(numBuckets: Int) =
     pmod(hash(col("term")), lit(numBuckets)).as("term_bucket")
 
-  /** Driver-side bucket ids for the query's terms, computed by the
-    * ENGINE's own murmur3 (one local-relation row, never a scan) so
-    * the probe's pruning predicate can never drift from the hash the
-    * build wrote. */
   /** Collapse a pruned postings slice to one `(term, doc, n_tok, tf)`
     * row per key — the classic-BM25 "concatenated document" view
     * shared by [[topK]]/[[topKBatch]]/[[topKWeighted]], and the ONE
@@ -122,6 +118,10 @@ object Bm25Index {
       raw.groupBy(col("term"), col(handle.idCol), col("n_tok"))
         .agg(max(col("tf")).as("tf"))
 
+  /** Driver-side bucket ids for the query's terms, computed by the
+    * ENGINE's own murmur3 (one local-relation row, never a scan) so
+    * the probe's pruning predicate can never drift from the hash the
+    * build wrote. */
   private def bucketsFor(
       spark: SparkSession, terms: Seq[String], numBuckets: Int): Seq[Int] = {
     val row = spark.range(1).select(terms.zipWithIndex.map { case (t, i) =>
@@ -305,14 +305,9 @@ object Bm25Index {
     * stats are the exact sums of the shard metas. */
   def merge(
       spark: SparkSession, shardDirs: Seq[String], outDir: String): Handle = {
-    require(shardDirs.size >= 2,
-      s"merge needs at least two shards, got ${shardDirs.size}")
-    require(shardDirs.distinct.size == shardDirs.size,
-      s"merge: duplicate shard dirs in $shardDirs")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(conf)
-    require(!fs.exists(new org.apache.hadoop.fs.Path(outDir)),
-      s"merge: $outDir already exists — refusing to mix into prior state")
+    Maintenance.requireMergeable(fs, shardDirs, outDir, "docs")
     val hs = shardDirs.map(load(spark, _))
     val h0 = hs.head
     hs.zip(shardDirs).foreach { case (h, d) =>
@@ -324,24 +319,11 @@ object Bm25Index {
         s"merge: shard layouts disagree — ${shardDirs.head} has " +
           s"(${h0.idCol}, buckets=${h0.numBuckets}, ${h0.fields}) but $d " +
           s"has (${h.idCol}, buckets=${h.numBuckets}, ${h.fields})")
-      Maintenance.requireQuiesced(
-        fs, new org.apache.hadoop.fs.Path(d), "merge")
-      require(!fs.exists(Tombstones.path(d)),
-        s"merge: $d has tombstones — compact it first (merge copies " +
-          "files verbatim and would resurrect the deleted docs)")
     }
     // disjointness is data, not layout — check it with one aggregate
-    val dup = shardDirs.zipWithIndex.map { case (d, i) =>
-        spark.read.parquet(s"$d/doclens").select(col(h0.idCol)).distinct()
-          .withColumn("__shard", lit(i))
-      }.reduce(_ unionByName _)
-      .groupBy(col(h0.idCol))
-      .agg(countDistinct(col("__shard")).as("__n"))
-      .filter(col("__n") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"merge: id '${dup.headOption.map(_.get(0)).orNull}' appears in " +
-        "more than one shard — shard doc sets must be disjoint (the merged " +
-        "index would double-count its tf and N)")
+    Maintenance.requireDisjointShardIds(spark, shardDirs, "doclens", h0.idCol,
+      "doc sets must be disjoint (the merged index would double-count " +
+        "its tf and N)")
     shardDirs.zipWithIndex.foreach { case (d, i) =>
       Maintenance.copyDataFiles(fs,
         new org.apache.hadoop.fs.Path(s"$d/postings"),

@@ -128,14 +128,9 @@ object DedupIndex {
     * pairwise-DISJOINT id sets, fresh `outDir`. */
   def merge(
       spark: SparkSession, shardDirs: Seq[String], outDir: String): Handle = {
-    require(shardDirs.size >= 2,
-      s"merge needs at least two shards, got ${shardDirs.size}")
-    require(shardDirs.distinct.size == shardDirs.size,
-      s"merge: duplicate shard dirs in $shardDirs")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(conf)
-    require(!fs.exists(new org.apache.hadoop.fs.Path(outDir)),
-      s"merge: $outDir already exists — refusing to mix into prior state")
+    Maintenance.requireMergeable(fs, shardDirs, outDir, "docs")
     val hs = shardDirs.map(load(spark, _))
     val h0 = hs.head
     hs.zip(shardDirs).foreach { case (h, d) =>
@@ -144,22 +139,9 @@ object DedupIndex {
         s"merge: shard layouts disagree — ${shardDirs.head} has " +
           s"(${h0.idCol}, hashes=${h0.numHashes}, band=${h0.bandSize}) " +
           s"but $d has (${h.idCol}, hashes=${h.numHashes}, band=${h.bandSize})")
-      Maintenance.requireQuiesced(
-        fs, new org.apache.hadoop.fs.Path(d), "merge")
-      require(!fs.exists(Tombstones.path(d)),
-        s"merge: $d has tombstones — compact it first (merge copies " +
-          "files verbatim and would resurrect the deleted docs)")
     }
-    val dup = shardDirs.zipWithIndex.map { case (d, i) =>
-        spark.read.parquet(s"$d/signatures").select(col(h0.idCol)).distinct()
-          .withColumn("__shard", lit(i))
-      }.reduce(_ unionByName _)
-      .groupBy(col(h0.idCol))
-      .agg(countDistinct(col("__shard")).as("__n"))
-      .filter(col("__n") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"merge: id '${dup.headOption.map(_.get(0)).orNull}' appears in " +
-        "more than one shard — shard id sets must be disjoint")
+    Maintenance.requireDisjointShardIds(spark, shardDirs, "signatures",
+      h0.idCol, "id sets must be disjoint")
     shardDirs.zipWithIndex.foreach { case (d, i) =>
       Seq("fingerprints", "signatures", "words").foreach { t =>
         Maintenance.copyDataFiles(fs,

@@ -107,6 +107,55 @@ private[graft] object Maintenance {
     else fs.listStatus(indexDir).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("_appending."))
 
+  /** The merge preconditions every persistent index shares
+    * ([[Bm25Index.merge]]/[[AnnIndex.merge]]/[[DedupIndex.merge]] —
+    * single-sourced so a future tightening of any guard reaches all
+    * three): ≥ 2 distinct shards, a fresh `outDir` (merge is file
+    * copy, mixing into prior state would be silent corruption), and
+    * per shard no append in flight, no compactor mid-swap, no
+    * tombstones (copied files would resurrect the deleted rows —
+    * `thing` names them in the message: docs, vectors). Layout
+    * compatibility stays with each index — that part is genuinely
+    * per-schema. */
+  private[ops] def requireMergeable(
+      fs: FileSystem, shardDirs: Seq[String], outDir: String,
+      thing: String): Unit = {
+    require(shardDirs.size >= 2,
+      s"merge needs at least two shards, got ${shardDirs.size}")
+    require(shardDirs.distinct.size == shardDirs.size,
+      s"merge: duplicate shard dirs in $shardDirs")
+    require(!fs.exists(new Path(outDir)),
+      s"merge: $outDir already exists — refusing to mix into prior state")
+    shardDirs.foreach { d =>
+      requireQuiesced(fs, new Path(d), "merge")
+      require(!fs.exists(Tombstones.path(d)),
+        s"merge: $d has tombstones — compact it first (merge copies " +
+          s"files verbatim and would resurrect the deleted $thing)")
+    }
+  }
+
+  /** The merge disjointness check: shard id sets must not overlap
+    * (an id in two shards would double-count its stats in the merged
+    * index). One union-and-count aggregate over each shard's
+    * id-bearing table at `<shard>/$table` — data-sized but
+    * column-pruned to the single id column, and it short-circuits at
+    * the first duplicate. */
+  private[ops] def requireDisjointShardIds(
+      spark: org.apache.spark.sql.SparkSession, shardDirs: Seq[String],
+      table: String, idCol: String, why: String): Unit = {
+    import org.apache.spark.sql.functions.{col, countDistinct, lit}
+    val dup = shardDirs.zipWithIndex.map { case (d, i) =>
+        spark.read.parquet(s"$d/$table").select(col(idCol)).distinct()
+          .withColumn("__shard", lit(i))
+      }.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__shard")).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge: id '${dup.headOption.map(_.get(0)).orNull}' appears in " +
+        s"more than one shard — shard $why")
+  }
+
   /** Take the index-wide compaction lock, then wait (up to
     * `waitForAppendsMs`) for in-flight append markers to drain. See
     * the object doc for why this order is the safe one. Fails loudly
@@ -337,6 +386,86 @@ private[graft] object Maintenance {
       ("ann_not_dedup", notIn(annIds, dedupIds)),
       ("dedup_not_ann", notIn(dedupIds, annIds)),
       ("tombstone_disagreements", tUnion - tInter))
+      .toDF("check", "value")
+  }
+
+  /** The repair half of [[crossFsck]]'s `tombstone_disagreements`:
+    * propagate the UNION of the three tombstone sets to every index
+    * through its own `delete()` — the "forgotten anywhere = forgotten
+    * everywhere" policy for a co-written trio, healing the exact state
+    * a partially-applied deletion (crashed
+    * [[graft.streaming.CurationIngest]] forget trigger, operator
+    * one-index delete) leaves behind. Audit reports; this one acts.
+    *
+    * Per-index semantics follow each index's own delete contract:
+    * BM25 records only ids present in its doclens (its meta stats
+    * track actually-doomed docs); ANN records any id (the
+    * refuse-re-add guard then covers future appends); dedup needs the
+    * document TEXT to stand its fingerprint down, so `docs` (the
+    * corpus source of truth, `(idCol, text)`) resolves the missing
+    * rows — union ids absent from `docs` are reported as
+    * `dedup_unresolvable` and left alone rather than half-deleted.
+    *
+    * Returns a `(check, value)` report: `union_tombstones`, per-index
+    * `added_*` (newly recorded this pass — a replay adds 0 everywhere:
+    * each delete() is tombstone-idempotent), `dedup_unresolvable`, and
+    * `post_disagreements` re-measured after the writes (0 whenever
+    * BM25's doclens covers the union and `docs` resolves every dedup
+    * gap). Cost shape: three tombstone-table reads + id-keyed
+    * anti-joins + three deletes over the MISSING ids only — deletion
+    * lists, never corpus-scaled. */
+  def reconcileTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      dedupDir: String, bm25Dir: String, annDir: String,
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dedupH = DedupIndex.load(spark, dedupDir)
+    val bm25H = Bm25Index.load(spark, bm25Dir)
+    val annCodes = spark.read.parquet(s"$annDir/codes")
+    val annId = annCodes.schema.fieldNames
+      .filterNot(f => f == "cell" || f.startsWith("code_")).head
+    require(dedupH.idCol == bm25H.idCol && bm25H.idCol == annId,
+      s"reconcileTombstones: the indexes disagree on the id column " +
+        s"(dedup '${dedupH.idCol}', bm25 '${bm25H.idCol}', ann '$annId')")
+    val idc = dedupH.idCol
+    require(docs.columns.contains(idc) && docs.columns.contains("text"),
+      s"reconcileTombstones: docs must carry '$idc' and 'text', " +
+        s"has ${docs.columns.mkString(", ")}")
+    def tombIds(dir: String): org.apache.spark.sql.DataFrame =
+      Tombstones.read(spark, dir)
+        .map(_.select(col(idc)).distinct())
+        .getOrElse(spark.read.parquet(s"$dedupDir/signatures")
+          .select(col(idc)).limit(0))
+        .localCheckpoint(true)
+    val before = Seq(dedupDir, bm25Dir, annDir).map(tombIds)
+    val union = before.reduce(_ unionByName _).distinct().localCheckpoint(true)
+    val nUnion = union.count()
+    // dedup: resolve missing ids to (id, text) through the corpus
+    val missDedup = union.join(before(0), Seq(idc), "left_anti")
+    val dedupRows = docs.select(col(idc), col("text"))
+      .join(missDedup, Seq(idc), "left_semi").localCheckpoint(true)
+    val unresolvable =
+      missDedup.count() - dedupRows.select(col(idc)).distinct().count()
+    DedupIndex.delete(dedupH, dedupRows)
+    Bm25Index.delete(bm25H, union.join(before(1), Seq(idc), "left_anti"))
+    AnnIndex.delete(
+      AnnIndex.load(spark, annDir),
+      union.join(before(2), Seq(idc), "left_anti"), idc)
+    val after = Seq(dedupDir, bm25Dir, annDir).map(tombIds)
+    val added = before.zip(after).map { case (b, a) =>
+      a.join(b, Seq(idc), "left_anti").count()
+    }
+    val postDisagree = after.reduce(_ unionByName _).distinct().count() -
+      after.reduce((a, b) => a.join(b, Seq(idc), "left_semi")).count()
+    Seq(
+      ("union_tombstones", nUnion),
+      ("added_dedup", added(0)),
+      ("added_bm25", added(1)),
+      ("added_ann", added(2)),
+      ("dedup_unresolvable", unresolvable),
+      ("post_disagreements", postDisagree))
       .toDF("check", "value")
   }
 }

@@ -434,6 +434,45 @@ object TextAnalysis {
       .withColumn("contaminated", (col("n_overlap") >= minOverlap).cast("int"))
   }
 
+  /** Token-ID-level decontamination — [[decontaminate]] with the
+    * n-grams built over a TOKEN-ID array column instead of
+    * whitespace words: the GPT-3/PaLM protocol ("remove training
+    * documents sharing a 13-gram with any benchmark example") is
+    * defined on the production model's exact tokenization, and two
+    * texts that differ in whitespace/casing can still collide (or
+    * split apart) at the id level — so the hygiene pass must run on
+    * the ids the model will actually see. Feed `idsCol` from
+    * [[bpeTokenIds]] under a vocabulary imported via
+    * [[graft.plans.BpeVocab.fromVocabJsonFile]] to replay a
+    * third-party model's tokenization byte-exactly.
+    *
+    * Same 100 TB shape as [[decontaminate]]: the eval id-gram set is
+    * DISTINCT and benchmark-sized — it broadcasts — and the training
+    * side pays one explode + one per-doc count, nothing corpus-wide.
+    * Documents shorter than `n` ids have no grams and keep
+    * `n_overlap = 0`. */
+  def decontaminateIds(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, idsCol: String,
+      n: Int = 13, minOverlap: Long = 1L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(c: Column): Column =
+      when(c.isNotNull && size(c) >= n,
+        transform(sequence(lit(0), size(c) - n),
+          i => concat_ws("_",
+            transform(slice(c, i + lit(1), lit(n)), x => x.cast("string")))))
+        .otherwise(array().cast("array<string>"))
+    val trainGrams = train.select(col(idCol),
+      explode(array_distinct(grams(col(idsCol)))).as("gram"))
+    val evalGrams = eval.select(explode(grams(col(idsCol))).as("gram")).distinct()
+    val overlap = trainGrams
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    train.join(overlap, Seq(idCol), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated", (col("n_overlap") >= minOverlap).cast("int"))
+  }
+
   /** Eval-side contamination REPORT — the reverse direction of
     * [[decontaminate]] (which flags training documents): for each
     * held-out eval document, the fraction of its distinct `n`-grams

@@ -202,9 +202,13 @@ object BpeVocab {
         val it = root.fields()
         while (it.hasNext) {
           val e = it.next()
-          require(e.getValue.isIntegralNumber,
-            s"$vocabJsonPath: id for token '${e.getKey}' is not an integer: " +
-              e.getValue.toString)
+          // canConvertToInt, not just isIntegralNumber: asInt() would
+          // silently TRUNCATE an id above Int.MaxValue (4294967297 →
+          // 1) — exactly the silent corruption the strict-duplicate
+          // and missing-token checks around this loop refuse loudly
+          require(e.getValue.isIntegralNumber && e.getValue.canConvertToInt,
+            s"$vocabJsonPath: id for token '${e.getKey}' is not a 32-bit " +
+              s"integer: ${e.getValue.toString}")
           out += e.getKey -> e.getValue.asInt()
         }
         out.toSeq

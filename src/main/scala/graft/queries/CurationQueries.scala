@@ -611,19 +611,22 @@ object CurationQueries {
   val q176 = {
     val from1 = "SELECT tok, b AS id FROM alpha"
     val from2 = "UNION ALL SELECT l || r AS tok, 256 + rk AS id FROM mg"
+    // one probe body shared by fn and benchFn (the q172 discipline) —
+    // they differ only in ensure-vs-get of the vocab memo, and a
+    // second copy would let the benched plan drift from the verified
+    def probe(vocab: graft.plans.BpeVocab)(s: SparkSession, dir: String)
+        : DataFrame =
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.bpeTokenIds(col("text"), vocab).as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_bpe_tokens"),
+          concat_ws("\u001F", transform(col("ids"), i => i.cast("string")))
+            .as("ids_str"))
+        .oracleOrderBy("doc_id")
     QueryDef(
       "q176_imported_vocab_ids",
-      (s, dir) => {
-        val vocab = ensureImportedIdVocab(s, dir)
-        t(s, dir, "documents")
-          .select(col("doc_id"),
-            graft.ops.TextAnalysis.bpeTokenIds(col("text"), vocab).as("ids"))
-          .select(col("doc_id"),
-            size(col("ids")).cast("long").as("n_bpe_tokens"),
-            concat_ws("\u001F", transform(col("ids"), i => i.cast("string")))
-              .as("ids_str"))
-          .oracleOrderBy("doc_id")
-      },
+      (s, dir) => probe(ensureImportedIdVocab(s, dir))(s, dir),
       q113.oracle.map { o =>
         require(o.contains(from1) && o.contains(from2),
           "q113's oracle text drifted — update q176's id-shift splice")
@@ -633,17 +636,7 @@ object CurationQueries {
       },
       bench = true,
       benchPrepare = Some((s, dir) => { ensureImportedIdVocab(s, dir); () }),
-      benchFn = Some((s, dir) => {
-        val vocab = importedIdVocab.get(dir)
-        t(s, dir, "documents")
-          .select(col("doc_id"),
-            graft.ops.TextAnalysis.bpeTokenIds(col("text"), vocab).as("ids"))
-          .select(col("doc_id"),
-            size(col("ids")).cast("long").as("n_bpe_tokens"),
-            concat_ws("\u001F", transform(col("ids"), i => i.cast("string")))
-              .as("ids_str"))
-          .oracleOrderBy("doc_id")
-      }))
+      benchFn = Some((s, dir) => probe(importedIdVocab.get(dir))(s, dir)))
   }
 
 
@@ -4312,44 +4305,206 @@ object CurationQueries {
     QueryDef(
       "q171_lifecycle_cross_fsck",
       (s, dir) => { ensureLifecycleTrio(s, dir); probe(s, dir) },
-      Some(s"""WITH sig AS MATERIALIZED (${TextQueries.sigSqlDuck})
+      // Scale-invariant replay of crossFsck's set algebra: the live
+      // and tombstone id sets are derived from the trio's delete
+      // predicates, NEVER from an assumed docs==embeddings id
+      // alignment (at sf0.1 embeddings covers only a 2/5 id-subset of
+      // documents, so a hard-coded `bm25_not_ann = 0` would be wrong
+      // there even though the library is correct — the structural
+      // docs-without-embeddings diff is a REAL reported discrepancy).
+      Some(s"""WITH sig AS MATERIALIZED (${TextQueries.sigSqlDuck}),
+        dedup_live AS (SELECT doc_id FROM sig WHERE doc_id % 7 <> 3),
+        bm25_live AS (SELECT doc_id FROM documents
+                      WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5),
+        ann_live AS (SELECT vec_id AS doc_id FROM embeddings
+                     WHERE vec_id % 7 <> 3),
+        t_dedup AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 3),
+        t_bm25 AS (SELECT doc_id FROM documents
+                   WHERE doc_id % 7 = 3 OR doc_id % 11 = 5),
+        t_ann AS (SELECT vec_id AS doc_id FROM embeddings WHERE vec_id % 7 = 3)
       SELECT * FROM (
-        SELECT 'dedup_live_docs' AS "check", CAST(count(*) AS BIGINT) AS value
-        FROM sig WHERE doc_id % 7 <> 3
+        SELECT 'dedup_live_docs' AS "check",
+               CAST(count(*) AS BIGINT) AS value FROM dedup_live
         UNION ALL
-        SELECT 'bm25_live_docs', CAST(count(*) AS BIGINT)
-        FROM documents WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5
+        SELECT 'bm25_live_docs', CAST(count(*) AS BIGINT) FROM bm25_live
         UNION ALL
-        SELECT 'ann_live_codes', CAST(count(*) AS BIGINT)
-        FROM embeddings WHERE vec_id % 7 <> 3
+        SELECT 'ann_live_codes', CAST(count(*) AS BIGINT) FROM ann_live
         UNION ALL
-        SELECT 'bm25_meta_ndocs', CAST(count(*) AS BIGINT)
-        FROM documents WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5
-        UNION ALL SELECT 'bm25_not_ann', CAST(0 AS BIGINT)
+        SELECT 'bm25_meta_ndocs', CAST(count(*) AS BIGINT) FROM bm25_live
         UNION ALL
-        SELECT 'ann_not_bm25', CAST(count(*) AS BIGINT)
-        FROM embeddings WHERE vec_id % 7 <> 3 AND vec_id % 11 = 5
+        SELECT 'bm25_not_ann', CAST(count(*) AS BIGINT) FROM bm25_live
+        WHERE doc_id NOT IN (SELECT doc_id FROM ann_live)
         UNION ALL
-        SELECT 'bm25_not_dedup', CAST(count(*) AS BIGINT)
-        FROM documents d
-        WHERE d.doc_id % 7 <> 3 AND d.doc_id % 11 <> 5
-          AND d.doc_id NOT IN (SELECT doc_id FROM sig)
+        SELECT 'ann_not_bm25', CAST(count(*) AS BIGINT) FROM ann_live
+        WHERE doc_id NOT IN (SELECT doc_id FROM bm25_live)
         UNION ALL
-        SELECT 'dedup_not_bm25', CAST(count(*) AS BIGINT)
-        FROM sig WHERE doc_id % 7 <> 3 AND doc_id % 11 = 5
+        SELECT 'bm25_not_dedup', CAST(count(*) AS BIGINT) FROM bm25_live
+        WHERE doc_id NOT IN (SELECT doc_id FROM dedup_live)
         UNION ALL
-        SELECT 'ann_not_dedup', CAST(count(*) AS BIGINT)
-        FROM embeddings e
-        WHERE e.vec_id % 7 <> 3
-          AND e.vec_id NOT IN (SELECT doc_id FROM sig)
-        UNION ALL SELECT 'dedup_not_ann', CAST(0 AS BIGINT)
+        SELECT 'dedup_not_bm25', CAST(count(*) AS BIGINT) FROM dedup_live
+        WHERE doc_id NOT IN (SELECT doc_id FROM bm25_live)
         UNION ALL
-        SELECT 'tombstone_disagreements', CAST(count(*) AS BIGINT)
-        FROM documents WHERE doc_id % 7 <> 3 AND doc_id % 11 = 5) r
+        SELECT 'ann_not_dedup', CAST(count(*) AS BIGINT) FROM ann_live
+        WHERE doc_id NOT IN (SELECT doc_id FROM dedup_live)
+        UNION ALL
+        SELECT 'dedup_not_ann', CAST(count(*) AS BIGINT) FROM dedup_live
+        WHERE doc_id NOT IN (SELECT doc_id FROM ann_live)
+        UNION ALL
+        SELECT 'tombstone_disagreements',
+          (SELECT CAST(count(*) AS BIGINT) FROM (
+             SELECT doc_id FROM t_dedup UNION
+             SELECT doc_id FROM t_bm25 UNION
+             SELECT doc_id FROM t_ann) u)
+          - (SELECT CAST(count(*) AS BIGINT) FROM (
+             SELECT doc_id FROM t_dedup INTERSECT
+             SELECT doc_id FROM t_bm25 INTERSECT
+             SELECT doc_id FROM t_ann) i)) r
       ORDER BY "check""""),
       bench = true,
       benchPrepare = Some((s, dir) => ensureLifecycleTrio(s, dir)),
       benchFn = Some(probe))
+  }
+
+  /** q182's trio — SEPARATE on-disk state from q171's (reconcile
+    * MUTATES the tombstone tables; q171's audit must keep seeing the
+    * un-repaired discrepancy), built with the identical co-written +
+    * partial-delete construction, then repaired ONCE per JVM by
+    * [[graft.ops.Maintenance.reconcileTombstones]] with the first
+    * pass's report memoized — the oracle grades THAT report (a
+    * replay's report is all-zero `added_*` by tombstone-idempotence,
+    * which is what the benchFn times). */
+  private val reconReport =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+
+  private def ensureReconciledTrio(
+      s: SparkSession, dir: String): Seq[(String, Long)] =
+    reconReport.computeIfAbsent(dir, _ => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val dh = graft.ops.DedupIndex.build(
+        docs, "doc_id", trioDir("recdedup", dir))
+      val bh = graft.ops.Bm25Index.build(
+        docs, "doc_id", trioDir("recbm25", dir))
+      val ah = graft.ops.AnnIndex.build(
+        emb, "embedding", "doc_id", trioDir("recann", dir),
+        nCells = 4, m = 4, k = 4, dim = 64, iters = 1)
+      val del7 = col("doc_id") % 7 === 3
+      val bh2 = graft.ops.Bm25Index.delete(
+        bh, docs.filter(del7).select(col("doc_id")))
+      graft.ops.AnnIndex.delete(
+        ah, emb.filter(del7).select(col("doc_id")), "doc_id")
+      graft.ops.DedupIndex.delete(dh, docs.filter(del7))
+      graft.ops.Bm25Index.delete(bh2,
+        docs.filter(col("doc_id") % 11 === 5 && !del7).select(col("doc_id")))
+      graft.ops.Maintenance.reconcileTombstones(s,
+          trioDir("recdedup", dir), trioDir("recbm25", dir),
+          trioDir("recann", dir), docs)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    })
+
+  /** Cross-index tombstone reconciliation (library
+    * `Maintenance.reconcileTombstones` — the REPAIR half of q171's
+    * audit: crossFsck reports a partially-applied deletion, this op
+    * heals it by propagating the tombstone union to every index
+    * through its own delete()): the q171 construction — a co-written
+    * %7 delete plus a deliberately PARTIAL %11 delete that reached
+    * BM25 only — then one reconcile pass. The graded report pins the
+    * whole repair: the union size, exactly the %11 stragglers added
+    * to dedup, the union-minus-ann-universe rows added to ANN, zero
+    * added to the already-complete BM25 side, zero unresolvable (the
+    * corpus covers every union id), and ZERO disagreements left
+    * (re-measured after the writes — the contract the repair
+    * exists for). All counts are id-keyed anti-joins over deletion
+    * lists — nothing corpus-scaled. The benchFn times the IDEMPOTENT
+    * replay on the repaired trio (the steady-state shape: three
+    * tombstone reads, the union, three no-op deletes). */
+  val q182 = {
+    def report(rows: Seq[(String, Long)], s: SparkSession): DataFrame = {
+      import s.implicits._
+      rows.toDF("check", "value").oracleOrderBy("check")
+    }
+    QueryDef(
+      "q182_tombstone_reconcile",
+      (s, dir) => report(ensureReconciledTrio(s, dir), s),
+      Some("""WITH u AS (
+        SELECT doc_id FROM documents WHERE doc_id % 7 = 3 OR doc_id % 11 = 5)
+      SELECT * FROM (
+        SELECT 'union_tombstones' AS "check",
+               CAST(count(*) AS BIGINT) AS value FROM u
+        UNION ALL
+        SELECT 'added_dedup', CAST(count(*) AS BIGINT)
+        FROM documents WHERE doc_id % 11 = 5 AND doc_id % 7 <> 3
+        UNION ALL SELECT 'added_bm25', CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'added_ann',
+          (SELECT CAST(count(*) AS BIGINT) FROM u)
+          - (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+             WHERE vec_id % 7 = 3)
+        UNION ALL SELECT 'dedup_unresolvable', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'post_disagreements', CAST(0 AS BIGINT)) r
+      ORDER BY "check""""),
+      bench = true,
+      benchPrepare = Some((s, dir) => { ensureReconciledTrio(s, dir); () }),
+      benchFn = Some((s, dir) =>
+        graft.ops.Maintenance.reconcileTombstones(s,
+            trioDir("recdedup", dir), trioDir("recbm25", dir),
+            trioDir("recann", dir), t(s, dir, "documents"))
+          .oracleOrderBy("check")))
+  }
+
+  /** Token-ID-level decontamination under the IMPORTED vocabulary
+    * (library `TextAnalysis.decontaminateIds` fed by `bpeTokenIds`
+    * under q176's file-imported GPT-2 pair — the full third-party
+    * replay: "remove training documents sharing an id n-gram with any
+    * benchmark example, in the ids THAT model actually sees"): docs
+    * split into train (`doc_id % 10 ≠ 7`) and a held-out eval slice,
+    * 20-gram id shingles (the synthetic corpus is template-generated,
+    * so shorter windows flag everything; the library default stays
+    * the published 13), per-train-doc distinct-overlap count + flag.
+    * The oracle re-derives the ids through q176's full spliced
+    * derivation (merge recursion + shifted id table), then builds the
+    * same grams by list-slice — a drift anywhere in import, id
+    * assignment, gram windowing or the broadcast-join overlap count
+    * breaks the hash. 100 TB shape: eval grams are benchmark-sized
+    * (broadcast), the corpus side pays one explode + one doc-keyed
+    * count — the [[graft.ops.TextAnalysis.decontaminate]] shape at
+    * the id level. */
+  val q183 = {
+    def probe(vocab: graft.plans.BpeVocab)(s: SparkSession, dir: String)
+        : DataFrame = {
+      val ids = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.TextAnalysis.bpeTokenIds(col("text"), vocab).as("ids"))
+      graft.ops.TextAnalysis.decontaminateIds(
+          ids.filter(col("doc_id") % 10 =!= 7),
+          ids.filter(col("doc_id") % 10 === 7),
+          "doc_id", "ids", n = 20)
+        .select(col("doc_id"), col("n_overlap"), col("contaminated"))
+        .oracleOrderBy("doc_id")
+    }
+    QueryDef(
+      "q183_id_decontaminate",
+      (s, dir) => probe(ensureImportedIdVocab(s, dir))(s, dir),
+      q176.oracle.map(tok => s"""WITH tok AS ($tok),
+        idarr AS (SELECT doc_id, string_split(ids_str, chr(31)) AS arr
+                  FROM tok),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(arr, gi, gi + 19), '_') AS g
+          FROM idarr, UNNEST(range(1, len(arr) - 18)) AS t(gi)
+          WHERE len(arr) >= 20),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 7),
+        ov AS (SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+               FROM grams gr JOIN ev ON gr.g = ev.g
+               WHERE gr.doc_id % 10 <> 7 GROUP BY gr.doc_id)
+      SELECT tok.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+             CAST(coalesce(ov.n_overlap, 0) >= 1 AS INT) AS contaminated
+      FROM tok LEFT JOIN ov ON tok.doc_id = ov.doc_id
+      WHERE tok.doc_id % 10 <> 7
+      ORDER BY tok.doc_id"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => { ensureImportedIdVocab(s, dir); () }),
+      benchFn = Some((s, dir) => probe(importedIdVocab.get(dir))(s, dir)))
   }
 
   val all: Seq[QueryDef] =
@@ -4358,5 +4513,5 @@ object CurationQueries {
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
       q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
       q154, q155, q156, q157, q160, q161, q163, q164, q165, q166, q167, q171,
-      q172, q173, q176, q178)
+      q172, q173, q176, q178, q182, q183)
 }

@@ -62,14 +62,29 @@ object QueryDef {
     // sweeps siblings left by DEAD pids (a crashed/killed prior run
     // never reaches its own hook) — without either, every JVM on a
     // shared/CI host leaks its index builds into java.io.tmpdir
-    // forever. Live foreign pids are never touched.
-    if (scratchDirs.add(p) && scratchHooked.compareAndSet(false, true)) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        scratchDirs.forEach(d => deleteScratch(new java.io.File(d)))))
-      sweepDeadPidScratch()
+    // forever. Live foreign pids are never touched, and neither is
+    // any dir this harness did not hand out: every path gets a
+    // SIBLING `<path>.owned` marker (sibling, not inside — merge/build
+    // consumers require the dir itself not to exist yet), and the
+    // sweep only ever deletes marker-carrying dirs. A name that merely
+    // pattern-matches `graft_<word>_<digits>_*` but belongs to someone
+    // else has no marker and is left alone.
+    if (scratchDirs.add(p)) {
+      try new java.io.File(p + OwnedMarkerSuffix).createNewFile()
+      catch { case scala.util.control.NonFatal(_) => false } // best-effort
+      if (scratchHooked.compareAndSet(false, true)) {
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          scratchDirs.forEach { d =>
+            deleteScratch(new java.io.File(d))
+            deleteScratch(new java.io.File(d + OwnedMarkerSuffix))
+          }))
+        sweepDeadPidScratch()
+      }
     }
     p
   }
+
+  private[queries] val OwnedMarkerSuffix = ".owned"
 
   private val scratchDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -85,17 +100,24 @@ object QueryDef {
   }
 
   /** Delete `graft_<kind>_<pid>_…` scratch dirs whose pid is no longer
-    * alive — exposed for the spec; called once per JVM from
-    * [[idxScratchDir]]. */
+    * alive AND that carry this harness's `<path>.owned` sibling marker
+    * (written at hand-out; a foreign dir that happens to match the
+    * name pattern is never touched) — exposed for the spec; called
+    * once per JVM from [[idxScratchDir]]. */
   private[queries] def sweepDeadPidScratch(): Unit = {
     val re = "^graft_[A-Za-z0-9]+_([0-9]+)_.*".r
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val self = ProcessHandle.current().pid()
     Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
-      f.getName match {
+      f.getName.stripSuffix(OwnedMarkerSuffix) match {
         case re(pid) if pid.toLong != self &&
-            !ProcessHandle.of(pid.toLong).isPresent =>
-          deleteScratch(f)
+            !ProcessHandle.of(pid.toLong).isPresent &&
+            new java.io.File(
+              f.getPath.stripSuffix(OwnedMarkerSuffix) + OwnedMarkerSuffix
+            ).exists() =>
+          deleteScratch(new java.io.File(f.getPath.stripSuffix(OwnedMarkerSuffix)))
+          deleteScratch(new java.io.File(
+            f.getPath.stripSuffix(OwnedMarkerSuffix) + OwnedMarkerSuffix))
         case _ => ()
       }
     }

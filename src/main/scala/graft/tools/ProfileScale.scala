@@ -237,6 +237,36 @@ object ProfileScale {
       emb10.select(col("vec_id").as("doc_id"), col("embedding")),
       "embedding", "doc_id", s"$scratch/trioann10",
       nCells = 4 * factor, m = 4, k = 4, dim = dim, iters = 2).dir
+    // round-13: q182's reconcile trio — the partial-deletion
+    // construction (co-written %7 delete, %11 delete reaching BM25
+    // only), REPAIRED once untimed here; the timed arm is the
+    // idempotent steady-state pass (three tombstone reads + union +
+    // id-keyed anti-joins + three no-op deletes — the q182 benchFn
+    // shape). Deletion-list-sized by contract: corpus size enters
+    // only through the tombstone tables (%-predicates ⇒ ~linear).
+    def buildRecTrio(
+        d: DataFrame, e: DataFrame, tag: String, cells: Int)
+        : (String, String, String) = {
+      val dd = graft.ops.DedupIndex.build(d, "doc_id", s"$scratch/${tag}_dedup")
+      val bb = graft.ops.Bm25Index.build(d, "doc_id", s"$scratch/${tag}_bm25")
+      val aa = graft.ops.AnnIndex.build(
+        e.select(col("vec_id").as("doc_id"), col("embedding")),
+        "embedding", "doc_id", s"$scratch/${tag}_ann",
+        nCells = cells, m = 4, k = 4, dim = dim, iters = 2)
+      val del7 = col("doc_id") % 7 === 3
+      val b2 = graft.ops.Bm25Index.delete(
+        bb, d.filter(del7).select(col("doc_id")))
+      graft.ops.AnnIndex.delete(aa,
+        e.select(col("vec_id").as("doc_id")).filter(del7), "doc_id")
+      graft.ops.DedupIndex.delete(dd, d.filter(del7))
+      graft.ops.Bm25Index.delete(b2,
+        d.filter(col("doc_id") % 11 === 5 && !del7).select(col("doc_id")))
+      graft.ops.Maintenance.reconcileTombstones(
+        spark, dd.dir, bb.dir, aa.dir, d).collect()
+      (dd.dir, bb.dir, aa.dir)
+    }
+    lazy val recTrio1 = buildRecTrio(docs, emb, "rec1", 4)
+    lazy val recTrio10 = buildRecTrio(docs10, emb10, "rec10", 4 * factor)
     lazy val bigCbCodebooks: Seq[Seq[(Long, Seq[Double])]] =
       (0 until 16).map { mi =>
         (0L until 256L).map(cid =>
@@ -421,6 +451,18 @@ object ProfileScale {
     }
     def q176(d: DataFrame) = d.select(col("doc_id"),
       TextAnalysis.bpeTokenIds(col("text"), importedIdsArmVocab).as("ids"))
+    // round-13: id-level decontamination over the imported ids — the
+    // eval gram set is a fixed corpus slice (grows with the corpus
+    // here, broadcast by contract at benchmark scale); the train side
+    // pays one tokenize + explode + doc-keyed count
+    def q183(d: DataFrame) = {
+      val ids = q176(d)
+      TextAnalysis.decontaminateIds(
+          ids.filter(col("doc_id") % 10 =!= 7),
+          ids.filter(col("doc_id") % 10 === 7),
+          "doc_id", "ids", n = 20)
+        .select(col("doc_id"), col("n_overlap"), col("contaminated"))
+    }
     // exact-substring spans: at x10 the copy marker sits at text END,
     // so all but the last k-1 windows of every document duplicate
     // across copies — flagged occurrences ~ the whole corpus's window
@@ -1059,6 +1101,15 @@ object ProfileScale {
           spark, trioDedupDir10, bm25H10.dir, trioAnnDir10)),
       ("q172 imported-bpe", () => q172(docs), () => q172(docs10)),
       ("q176 imported-ids", () => q176(docs), () => q176(docs10)),
+      ("q183 id-decontam", () => q183(docs), () => q183(docs10)),
+      // round-13: tombstone reconcile — idempotent steady-state pass
+      // over the repaired trio (the warm-up run performed the actual
+      // repair); tombstone-table-sized reads + no-op deletes
+      ("q182 tombstone-reconcile",
+        () => { val (dd, bb, aa) = recTrio1
+          graft.ops.Maintenance.reconcileTombstones(spark, dd, bb, aa, docs) },
+        () => { val (dd, bb, aa) = recTrio10
+          graft.ops.Maintenance.reconcileTombstones(spark, dd, bb, aa, docs10) }),
       // round-13: a fixed 200-doc batch through the full curation
       // trigger against a 1x vs 10x standing trio — the claim is
       // batch-proportional trigger cost (band-pruned probe joins, one
@@ -1201,7 +1252,10 @@ object ProfileScale {
         trioDedupDir1; trioDedupDir10; trioAnnDir1; trioAnnDir10; ()
       }
       if (name.startsWith("q172")) { importedArmVocab; () }
-      if (name.startsWith("q176")) { importedIdsArmVocab; () }
+      if (name.startsWith("q176") || name.startsWith("q183")) {
+        importedIdsArmVocab; ()
+      }
+      if (name.startsWith("q182")) { recTrio1; recTrio10; () }
       if (name.startsWith("q173")) { mergeShards1; mergeShards10; () }
       if (name.startsWith("q179")) { annMergeShards1; annMergeShards10; () }
       if (name.startsWith("ingest")) {

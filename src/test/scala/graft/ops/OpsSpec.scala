@@ -989,6 +989,16 @@ class OpsSpec extends SparkSpec {
         graft.plans.BpeVocab.fromVocabJsonFile(
           spark, s"$dir/merges.txt", s"$dir/dup.json"))
       assert(dup.getMessage.toLowerCase.contains("duplicate"), dup.getMessage)
+      // an id past Int.MaxValue refuses at parse — Jackson's asInt()
+      // would otherwise TRUNCATE (4294967297 → 1) and the loader would
+      // proceed with a silently wrong id
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(s"$dir/big.json"),
+        """{"t": 4294967297, "h": 2}""")
+      val big = intercept[IllegalArgumentException](
+        graft.plans.BpeVocab.fromVocabJsonFile(
+          spark, s"$dir/merges.txt", s"$dir/big.json"))
+      assert(big.getMessage.contains("32-bit"), big.getMessage)
     } finally {
       val root = java.nio.file.Path.of(dir)
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
@@ -1457,6 +1467,29 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1))) // array_distinct before the join
     assert(out(3L) == ((0L, 0)))
     assert(out(4L) == ((0L, 0))) // no n-grams, kept with zero overlap
+  }
+
+  test("TextAnalysis.decontaminateIds: id-window overlap, short and null docs kept at zero") {
+    val eval = Seq((100L, Seq(1, 2, 3, 4, 5))).toDF("doc_id", "ids")
+    val train = Seq(
+      (1L, Seq(9, 1, 2, 3, 8)),          // windows 9_1_2 1_2_3 2_3_8: shares 1_2_3
+      (2L, Seq(1, 2, 3, 1, 2, 3)),       // 1_2_3 twice — counts ONCE (distinct)
+      (3L, Seq(3, 4, 5, 2, 3, 4)),       // shares 3_4_5 AND 2_3_4
+      (4L, Seq(7, 8)),                   // too short for trigrams
+      (5L, Seq(3, 2, 1)))                // reversed — ids are ORDERED, no hit
+      .toDF("doc_id", "ids")
+      .unionByName(Seq(6L).toDF("doc_id") // null ids survive with zero
+        .withColumn("ids", lit(null).cast("array<int>")))
+    val out = TextAnalysis.decontaminateIds(train, eval, "doc_id", "ids",
+      n = 3, minOverlap = 2L)
+      .select("doc_id", "n_overlap", "contaminated").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out(1L) == ((1L, 0)), out.toString) // below minOverlap
+    assert(out(2L) == ((1L, 0)), out.toString)
+    assert(out(3L) == ((2L, 1)), out.toString)
+    assert(out(4L) == ((0L, 0)), out.toString)
+    assert(out(5L) == ((0L, 0)), out.toString)
+    assert(out(6L) == ((0L, 0)), out.toString)
   }
 
   test("TextAnalysis.boilerplateStats: cross-doc n-gram frequency flags") {

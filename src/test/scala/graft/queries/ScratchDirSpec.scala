@@ -17,25 +17,42 @@ class ScratchDirSpec extends AnyFunSuite {
     d
   }
 
-  test("sweepDeadPidScratch deletes dead-pid dirs, spares live-pid and foreign names") {
+  private def own(d: java.io.File): java.io.File = {
+    val m = new java.io.File(d.getPath + QueryDef.OwnedMarkerSuffix)
+    java.nio.file.Files.writeString(m.toPath, "")
+    m
+  }
+
+  test("sweepDeadPidScratch deletes owned dead-pid dirs, spares live-pid, foreign and UNOWNED names") {
     val self = ProcessHandle.current().pid()
     // a pid that is certainly not alive: probe down from a huge value
     val dead = Iterator.iterate(3999999L)(_ - 1)
       .find(p => !ProcessHandle.of(p).isPresent).get
     val deadDir = mk(s"graft_testsweep_${dead}_docs_abcd1234")
+    val deadMark = own(deadDir)
     val liveDir = mk(s"graft_testsweep_${self}_docs_abcd1234")
+    own(liveDir)
     val foreign = mk("graft-not-a-scratch-dir")
+    // the ownership fix: a user dir that merely MATCHES the
+    // graft_<word>_<digits>_* pattern but was never handed out by
+    // idxScratchDir (no sibling .owned marker) must never be touched
+    val unowned = mk(s"graft_export_${dead}_results")
     try {
       QueryDef.sweepDeadPidScratch()
       assert(!deadDir.exists(), "dead-pid scratch survived the sweep")
+      assert(!deadMark.exists(), "dead-pid marker survived the sweep")
       assert(liveDir.exists(), "live-pid scratch was deleted")
       assert(foreign.exists(), "non-matching tmp entry was deleted")
+      assert(unowned.exists(), "foreign dir matching the name pattern " +
+        "was deleted despite carrying no ownership marker")
     } finally {
-      Seq(deadDir, liveDir, foreign).foreach { d =>
-        if (d.exists())
-          java.nio.file.Files.walk(d.toPath)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => { java.nio.file.Files.delete(p); () })
+      Seq(deadDir, liveDir, foreign, unowned).foreach { d =>
+        Seq(d, new java.io.File(d.getPath + QueryDef.OwnedMarkerSuffix))
+          .filter(_.exists()).foreach { f =>
+            java.nio.file.Files.walk(f.toPath)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { java.nio.file.Files.delete(p); () })
+          }
       }
     }
   }
@@ -47,5 +64,9 @@ class ScratchDirSpec extends AnyFunSuite {
     assert(a.contains(ProcessHandle.current().pid().toString))
     // same inputs → same location (the per-JVM build-once memo key)
     assert(QueryDef.idxScratchDir("kindx", "/some/corpus/dir") == a)
+    // the hand-out writes the sibling ownership marker the dead-pid
+    // sweep keys on — without it a crashed run's dirs would leak forever
+    assert(new java.io.File(a + QueryDef.OwnedMarkerSuffix).exists(),
+      "idxScratchDir did not write the .owned sibling marker")
   }
 }

@@ -321,4 +321,65 @@ class CurationIngestSpec extends SparkSpec {
     assert(healed("bm25_live_docs") == 3L && healed("ann_live_codes") == 3L &&
       healed("dedup_live_docs") == 3L, healed.toString)
   }
+
+  test("reconcileTombstones: heals a partial deletion, reports unresolvable ids, replays to zero") {
+    val root = java.nio.file.Files.createTempDirectory("reconcile_").toString
+    val docs = Seq(
+      (0L, "completely different content about spark engines and data"),
+      (1L, "another seed document with distinct vocabulary here"),
+      (2L, "a third standing document carrying separate unique words"),
+      (3L, "fourth corpus member with yet another token inventory"))
+      .toDF("doc_id", "text")
+    val embs = Seq(0L, 1L, 2L, 3L).map(i => (i, emb(i))).toDF("doc_id", "embedding")
+    DedupIndex.build(docs, "doc_id", s"$root/dedup")
+    val bm25H = Bm25Index.build(docs, "doc_id", s"$root/bm25", numBuckets = 8)
+    AnnIndex.build(embs, "embedding", "doc_id", s"$root/ann",
+      nCells = 2, m = 4, k = 2, dim = 8, iters = 1)
+    def cross(): Map[String, Long] = graft.ops.Maintenance.crossFsck(
+        spark, s"$root/dedup", s"$root/bm25", s"$root/ann")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def reconcile(withDocs: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      graft.ops.Maintenance.reconcileTombstones(
+          spark, s"$root/dedup", s"$root/bm25", s"$root/ann", withDocs)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def tombs(idx: String): Set[Long] =
+      spark.read.parquet(s"$root/$idx/tombstones")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // the partial deletion: doc 1 forgotten from BM25 only
+    Bm25Index.delete(bm25H, Seq(1L).toDF("doc_id"))
+    assert(cross()("tombstone_disagreements") == 1L)
+    val r1 = reconcile(docs)
+    assert(r1 == Map("union_tombstones" -> 1L, "added_dedup" -> 1L,
+      "added_bm25" -> 0L, "added_ann" -> 1L, "dedup_unresolvable" -> 0L,
+      "post_disagreements" -> 0L), r1.toString)
+    assert(cross()("tombstone_disagreements") == 0L)
+    Seq("dedup", "bm25", "ann").foreach(i => assert(tombs(i) == Set(1L), i))
+    // the repair is visible to every probe: doc 1 answers nowhere
+    assert(!Bm25Index.topK(spark, Bm25Index.load(spark, s"$root/bm25"),
+      Seq("seed", "vocabulary"), k = 10).collect().map(_.getLong(0))
+      .contains(1L), "bm25 still serves the reconciled delete")
+    assert(!AnnIndex.query(spark, AnnIndex.load(spark, s"$root/ann"),
+      "doc_id", emb(1L), k = 4, nProbe = 2).collect().map(_.getLong(0))
+      .contains(1L), "ann still serves the reconciled delete")
+
+    // an id whose document is GONE from the corpus: propagates to the
+    // id-keyed indexes, reported unresolvable for the fingerprint side
+    AnnIndex.delete(AnnIndex.load(spark, s"$root/ann"),
+      Seq(2L).toDF("doc_id"), "doc_id")
+    val r2 = reconcile(docs.filter(col("doc_id") =!= 2L))
+    assert(r2 == Map("union_tombstones" -> 2L, "added_dedup" -> 0L,
+      "added_bm25" -> 1L, "added_ann" -> 0L, "dedup_unresolvable" -> 1L,
+      "post_disagreements" -> 1L), r2.toString)
+    assert(tombs("dedup") == Set(1L), "unresolvable id was half-deleted")
+    // with the document back in the corpus the gap closes
+    val r3 = reconcile(docs)
+    assert(r3("added_dedup") == 1L && r3("dedup_unresolvable") == 0L &&
+      r3("post_disagreements") == 0L, r3.toString)
+    // tombstone-idempotent replay: all zeros
+    val r4 = reconcile(docs)
+    assert(r4 == Map("union_tombstones" -> 2L, "added_dedup" -> 0L,
+      "added_bm25" -> 0L, "added_ann" -> 0L, "dedup_unresolvable" -> 0L,
+      "post_disagreements" -> 0L), r4.toString)
+  }
 }
