@@ -13,8 +13,10 @@ import graft.ops.{AnnIndex, Bm25Index, DedupIndex, Maintenance, Retrieval}
   *   shard build at two sites -> merge -> streaming-shaped ingest
   *   (screen + co-write the trio) -> hybrid probe -> filtered probe
   *   -> refined probe -> tombstone delete -> probe the remainder ->
-  *   per-index fsck + cross-index fsck -> compact all three ->
-  *   cross-fsck clean -> cell stats -> rebuild -> probe again.
+  *   per-index fsck + cross-index fsck -> a PARTIAL delete breaks the
+  *   trio -> crossFsck flags it -> reconcileTombstones repairs it ->
+  *   compact all three -> cross-fsck clean -> cell stats -> rebuild
+  *   -> probe again.
   *
   * Each step's wall time prints, so the COMPOSITION — every
   * round-12/13 lifecycle operator chained against the same live
@@ -147,6 +149,31 @@ object LifecycleDemo {
         "dedup_not_bm25", "tombstone_disagreements").forall(report(_) == 0L) &&
         report("bm25_not_ann") == report("dedup_not_ann"),
       s"co-written trio diverged: $report")
+
+    // ---- 4b. a PARTIAL deletion breaks the trio; reconcile repairs it
+    val partial = docs.filter(col("doc_id") % 103 === 11 &&
+      col("doc_id") % 101 =!= 7)
+    val nPartial = step("break: a delete reaches bm25 only") {
+      Bm25Index.delete(Bm25Index.load(spark, s"$root/bm25"),
+        partial.select(col("doc_id")))
+      partial.count()
+    }
+    step("audit: crossFsck flags the partial delete") {
+      val broken = Maintenance.crossFsck(
+          spark, s"$root/dedup", s"$root/bm25", s"$root/ann")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(broken("tombstone_disagreements") == nPartial,
+        s"expected $nPartial flagged, got: $broken")
+    }
+    step("repair: reconcileTombstones") {
+      val rep = Maintenance.reconcileTombstones(
+          spark, s"$root/dedup", s"$root/bm25", s"$root/ann", docs)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(rep("post_disagreements") == 0L &&
+        rep("added_dedup") == nPartial && rep("added_ann") == nPartial &&
+        rep("added_bm25") == 0L && rep("dedup_unresolvable") == 0L,
+        s"repair diverged from the contract: $rep")
+    }
     step("compact: purge tombstones in all three") {
       Bm25Index.compact(Bm25Index.load(spark, s"$root/bm25"))
       AnnIndex.compact(AnnIndex.load(spark, s"$root/ann"))
