@@ -340,24 +340,49 @@ private[graft] object Maintenance {
     *
     * All three indexes must agree on the id column name — co-written
     * indexes screen and forget the same key. */
+  /** Shared prologue for the cross-index operators
+    * ([[crossFsck]]/[[reconcileTombstones]]): load the handles,
+    * derive the ANN code table's id column (its first non-layout
+    * field — the AnnIndex write contract: id first, then
+    * cell/codes/attrs), and require the three indexes agree on it
+    * (a co-written trio screens and forgets ONE key). Returns the id
+    * column and the BM25 handle (the one whose meta the callers
+    * read). */
+  private def loadTrioIdCol(
+      spark: org.apache.spark.sql.SparkSession,
+      dedupDir: String, bm25Dir: String, annDir: String, what: String)
+      : (String, Bm25Index.Handle) = {
+    val dedupH = DedupIndex.load(spark, dedupDir)
+    val bm25H = Bm25Index.load(spark, bm25Dir)
+    val annId = spark.read.parquet(s"$annDir/codes").schema.fieldNames
+      .filterNot(f => f == "cell" || f.startsWith("code_")).head
+    require(dedupH.idCol == bm25H.idCol && bm25H.idCol == annId,
+      s"$what: the indexes disagree on the id column " +
+        s"(dedup '${dedupH.idCol}', bm25 '${bm25H.idCol}', ann '$annId') " +
+        "— a co-written trio screens and forgets one key")
+    (dedupH.idCol, bm25H)
+  }
+
+  /** One index's distinct tombstoned ids, or an id-typed EMPTY frame
+    * (from `proto`) when no side table exists. */
+  private def tombstoneIdsOf(
+      spark: org.apache.spark.sql.SparkSession, dir: String, idc: String,
+      proto: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Tombstones.read(spark, dir)
+      .map(_.select(col(idc)).distinct())
+      .getOrElse(proto.select(col(idc)).limit(0))
+  }
+
   def crossFsck(
       spark: org.apache.spark.sql.SparkSession,
       dedupDir: String, bm25Dir: String, annDir: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    val dedupH = DedupIndex.load(spark, dedupDir)
-    val bm25H = Bm25Index.load(spark, bm25Dir)
-    val annCodes = spark.read.parquet(s"$annDir/codes")
-    // the ANN code table's id is its first non-layout field (the
-    // AnnIndex write contract: id first, then cell/codes/attrs)
-    val annId = annCodes.schema.fieldNames
-      .filterNot(f => f == "cell" || f.startsWith("code_")).head
-    require(dedupH.idCol == bm25H.idCol && bm25H.idCol == annId,
-      s"crossFsck: the indexes disagree on the id column " +
-        s"(dedup '${dedupH.idCol}', bm25 '${bm25H.idCol}', ann '$annId') " +
-        "— a co-written trio screens and forgets one key")
-    val idc = dedupH.idCol
+    val (idc, bm25H) = loadTrioIdCol(spark, dedupDir, bm25Dir, annDir,
+      "crossFsck")
     def liveIds(raw: org.apache.spark.sql.DataFrame, dir: String) =
       Tombstones.liveOnly(spark, dir, idc, raw.select(col(idc)))
         .distinct().localCheckpoint(true) // feeds counts + 2 anti-joins each
@@ -365,13 +390,11 @@ private[graft] object Maintenance {
       spark.read.parquet(s"$dedupDir/signatures"), dedupDir)
     val bm25Ids = liveIds(
       spark.read.parquet(s"$bm25Dir/doclens"), bm25Dir)
-    val annIds = liveIds(annCodes.withColumnRenamed(annId, idc), annDir)
+    val annIds = liveIds(spark.read.parquet(s"$annDir/codes"), annDir)
     def notIn(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
       a.join(b, Seq(idc), "left_anti").count()
-    def tombs(dir: String) = Tombstones.read(spark, dir)
-      .map(_.select(col(idc)).distinct())
-      .getOrElse(dedupIds.limit(0)) // id-typed empty frame
-    val tAll = Seq(tombs(dedupDir), tombs(bm25Dir), tombs(annDir))
+    val tAll = Seq(dedupDir, bm25Dir, annDir)
+      .map(tombstoneIdsOf(spark, _, idc, dedupIds))
     val tUnion = tAll.reduce(_ unionByName _).distinct().count()
     val tInter = tAll.reduce((a, b) => a.join(b, Seq(idc), "left_semi")).count()
     Seq(
@@ -421,24 +444,15 @@ private[graft] object Maintenance {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
+    val (idc, bm25H) = loadTrioIdCol(spark, dedupDir, bm25Dir, annDir,
+      "reconcileTombstones")
     val dedupH = DedupIndex.load(spark, dedupDir)
-    val bm25H = Bm25Index.load(spark, bm25Dir)
-    val annCodes = spark.read.parquet(s"$annDir/codes")
-    val annId = annCodes.schema.fieldNames
-      .filterNot(f => f == "cell" || f.startsWith("code_")).head
-    require(dedupH.idCol == bm25H.idCol && bm25H.idCol == annId,
-      s"reconcileTombstones: the indexes disagree on the id column " +
-        s"(dedup '${dedupH.idCol}', bm25 '${bm25H.idCol}', ann '$annId')")
-    val idc = dedupH.idCol
     require(docs.columns.contains(idc) && docs.columns.contains("text"),
       s"reconcileTombstones: docs must carry '$idc' and 'text', " +
         s"has ${docs.columns.mkString(", ")}")
+    val proto = spark.read.parquet(s"$dedupDir/signatures")
     def tombIds(dir: String): org.apache.spark.sql.DataFrame =
-      Tombstones.read(spark, dir)
-        .map(_.select(col(idc)).distinct())
-        .getOrElse(spark.read.parquet(s"$dedupDir/signatures")
-          .select(col(idc)).limit(0))
-        .localCheckpoint(true)
+      tombstoneIdsOf(spark, dir, idc, proto).localCheckpoint(true)
     val before = Seq(dedupDir, bm25Dir, annDir).map(tombIds)
     val union = before.reduce(_ unionByName _).distinct().localCheckpoint(true)
     val nUnion = union.count()

@@ -4220,27 +4220,41 @@ object CurationQueries {
 
   private val trioBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** THE partial-deletion trio construction — single-sourced because
+    * BOTH oracles (q171's audit counts AND q182's repair counts) are
+    * derived from exactly these predicates: a co-written `%7 = 3`
+    * delete reaching all three indexes, then a `%11 = 5` delete that
+    * DELIBERATELY reaches BM25 only. `kinds` = (dedup, bm25, ann)
+    * scratch kinds, so the audit query and the mutating repair query
+    * each get their own on-disk state. (ProfileScale.buildRecTrio
+    * mirrors this shape for the ×10 arm — no oracle depends on that
+    * copy.) */
+  private def buildPartialDeleteTrio(
+      s: SparkSession, dir: String,
+      kinds: (String, String, String)): Unit = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val dh = graft.ops.DedupIndex.build(
+      docs, "doc_id", trioDir(kinds._1, dir))
+    val bh = graft.ops.Bm25Index.build(
+      docs, "doc_id", trioDir(kinds._2, dir))
+    val ah = graft.ops.AnnIndex.build(
+      emb, "embedding", "doc_id", trioDir(kinds._3, dir),
+      nCells = 4, m = 4, k = 4, dim = 64, iters = 1)
+    val del7 = col("doc_id") % 7 === 3
+    val bh2 = graft.ops.Bm25Index.delete(bh, docs.filter(del7).select(col("doc_id")))
+    graft.ops.AnnIndex.delete(ah, emb.filter(del7).select(col("doc_id")), "doc_id")
+    graft.ops.DedupIndex.delete(dh, docs.filter(del7))
+    // the partial delete: reaches BM25, never the other two
+    graft.ops.Bm25Index.delete(bh2,
+      docs.filter(col("doc_id") % 11 === 5 && !del7).select(col("doc_id")))
+    ()
+  }
+
   private def ensureLifecycleTrio(s: SparkSession, dir: String): Unit =
-    if (trioBuilt.add(trioDir("triodedup", dir))) {
-      val docs = t(s, dir, "documents")
-      val emb = t(s, dir, "embeddings")
-        .select(col("vec_id").as("doc_id"), col("embedding"))
-      val dh = graft.ops.DedupIndex.build(
-        docs, "doc_id", trioDir("triodedup", dir))
-      val bh = graft.ops.Bm25Index.build(
-        docs, "doc_id", trioDir("triobm25", dir))
-      val ah = graft.ops.AnnIndex.build(
-        emb, "embedding", "doc_id", trioDir("trioann", dir),
-        nCells = 4, m = 4, k = 4, dim = 64, iters = 1)
-      val del7 = col("doc_id") % 7 === 3
-      val bh2 = graft.ops.Bm25Index.delete(bh, docs.filter(del7).select(col("doc_id")))
-      graft.ops.AnnIndex.delete(ah, emb.filter(del7).select(col("doc_id")), "doc_id")
-      graft.ops.DedupIndex.delete(dh, docs.filter(del7))
-      // the partial delete: reaches BM25, never the other two
-      graft.ops.Bm25Index.delete(bh2,
-        docs.filter(col("doc_id") % 11 === 5 && !del7).select(col("doc_id")))
-      ()
-    }
+    if (trioBuilt.add(trioDir("triodedup", dir)))
+      buildPartialDeleteTrio(s, dir, ("triodedup", "triobm25", "trioann"))
 
   /** q173's merged index — two disjoint shards built independently
     * (even / odd doc ids), unified by `Bm25Index.merge` (file-level
@@ -4379,27 +4393,10 @@ object CurationQueries {
   private def ensureReconciledTrio(
       s: SparkSession, dir: String): Seq[(String, Long)] =
     reconReport.computeIfAbsent(dir, _ => {
-      val docs = t(s, dir, "documents")
-      val emb = t(s, dir, "embeddings")
-        .select(col("vec_id").as("doc_id"), col("embedding"))
-      val dh = graft.ops.DedupIndex.build(
-        docs, "doc_id", trioDir("recdedup", dir))
-      val bh = graft.ops.Bm25Index.build(
-        docs, "doc_id", trioDir("recbm25", dir))
-      val ah = graft.ops.AnnIndex.build(
-        emb, "embedding", "doc_id", trioDir("recann", dir),
-        nCells = 4, m = 4, k = 4, dim = 64, iters = 1)
-      val del7 = col("doc_id") % 7 === 3
-      val bh2 = graft.ops.Bm25Index.delete(
-        bh, docs.filter(del7).select(col("doc_id")))
-      graft.ops.AnnIndex.delete(
-        ah, emb.filter(del7).select(col("doc_id")), "doc_id")
-      graft.ops.DedupIndex.delete(dh, docs.filter(del7))
-      graft.ops.Bm25Index.delete(bh2,
-        docs.filter(col("doc_id") % 11 === 5 && !del7).select(col("doc_id")))
+      buildPartialDeleteTrio(s, dir, ("recdedup", "recbm25", "recann"))
       graft.ops.Maintenance.reconcileTombstones(s,
           trioDir("recdedup", dir), trioDir("recbm25", dir),
-          trioDir("recann", dir), docs)
+          trioDir("recann", dir), t(s, dir, "documents"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     })
 

@@ -75,8 +75,12 @@ object QueryDef {
       if (scratchHooked.compareAndSet(false, true)) {
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
           scratchDirs.forEach { d =>
-            deleteScratch(new java.io.File(d))
-            deleteScratch(new java.io.File(d + OwnedMarkerSuffix))
+            val dir = new java.io.File(d)
+            deleteScratch(dir)
+            // marker only once the dir is confirmed gone — a partial
+            // delete must stay visible to a later sweep's retry
+            if (!dir.exists())
+              deleteScratch(new java.io.File(d + OwnedMarkerSuffix))
           }))
         sweepDeadPidScratch()
       }
@@ -102,8 +106,15 @@ object QueryDef {
   /** Delete `graft_<kind>_<pid>_…` scratch dirs whose pid is no longer
     * alive AND that carry this harness's `<path>.owned` sibling marker
     * (written at hand-out; a foreign dir that happens to match the
-    * name pattern is never touched) — exposed for the spec; called
-    * once per JVM from [[idxScratchDir]]. */
+    * name pattern is never touched — the deliberate trade: dirs leaked
+    * by PRE-marker versions of this code, or whose best-effort marker
+    * write failed, are never reclaimed either and need one manual
+    * sweep; safety against deleting someone else's data wins) —
+    * exposed for the spec; called once per JVM from [[idxScratchDir]].
+    * The marker is removed only AFTER the dir is confirmed gone: a
+    * partially-deletable dir (held-open file, permission error on one
+    * child) keeps its marker so the next sweep retries, instead of
+    * becoming a permanently unsweepable leftover. */
   private[queries] def sweepDeadPidScratch(): Unit = {
     val re = "^graft_[A-Za-z0-9]+_([0-9]+)_.*".r
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
@@ -115,9 +126,10 @@ object QueryDef {
             new java.io.File(
               f.getPath.stripSuffix(OwnedMarkerSuffix) + OwnedMarkerSuffix
             ).exists() =>
-          deleteScratch(new java.io.File(f.getPath.stripSuffix(OwnedMarkerSuffix)))
-          deleteScratch(new java.io.File(
-            f.getPath.stripSuffix(OwnedMarkerSuffix) + OwnedMarkerSuffix))
+          val dir = new java.io.File(f.getPath.stripSuffix(OwnedMarkerSuffix))
+          deleteScratch(dir)
+          if (!dir.exists())
+            deleteScratch(new java.io.File(dir.getPath + OwnedMarkerSuffix))
         case _ => ()
       }
     }

@@ -193,11 +193,15 @@ object LifecycleDemo {
     }
     step("rebuild: retrain + re-encode + swap") {
       // the corpus argument is the post-delete source of truth: the
-      // original embeddings minus the forgotten slice (the ingested
-      // pair would also belong here in a real deployment — the demo
-      // retrains on the surviving base corpus)
-      val remainder = emb.join(
-        doomed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      // original embeddings minus EVERY forgotten slice — both the
+      // co-written delete and the reconciled partial one (rebuild
+      // re-encodes whatever it is given; feeding it a resurrected id
+      // would silently diverge the trio the repair just healed). The
+      // ingested pair would also belong here in a real deployment —
+      // the demo retrains on the surviving base corpus.
+      val remainder = emb
+        .join(doomed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(partial.select(col("doc_id")), Seq("doc_id"), "left_anti")
       AnnIndex.rebuild(remainder, "embedding", "doc_id", s"$root/ann",
         nCells = 8, m = 4, k = 4, dim = 64, iters = 2)
     }
@@ -205,6 +209,13 @@ object LifecycleDemo {
       AnnIndex.query(spark, AnnIndex.load(spark, s"$root/ann"),
         "doc_id", qv, k = 10, nProbe = 2).count()
     }
+    val last = step("audit: crossFsck (post-rebuild)") {
+      Maintenance.crossFsck(spark, s"$root/dedup", s"$root/bm25", s"$root/ann")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    require(last("ann_not_bm25") == 0L && last("ann_not_dedup") == 0L &&
+      last("tombstone_disagreements") == 0L,
+      s"rebuild resurrected forgotten docs: $last")
     println(s"[lifecycle] done; state under $root")
     spark.stop()
   }

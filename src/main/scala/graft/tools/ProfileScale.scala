@@ -239,7 +239,9 @@ object ProfileScale {
       nCells = 4 * factor, m = 4, k = 4, dim = dim, iters = 2).dir
     // round-13: q182's reconcile trio — the partial-deletion
     // construction (co-written %7 delete, %11 delete reaching BM25
-    // only), REPAIRED once untimed here; the timed arm is the
+    // only — mirrors CurationQueries.buildPartialDeleteTrio, the
+    // canonical copy whose predicates the q171/q182 oracles pin; this
+    // arm has no oracle, only the timing), REPAIRED once untimed; the
     // idempotent steady-state pass (three tombstone reads + union +
     // id-keyed anti-joins + three no-op deletes — the q182 benchFn
     // shape). Deletion-list-sized by contract: corpus size enters
