@@ -612,17 +612,21 @@ object AnnIndex {
     * back on the query id, and the exact cosine + per-query window
     * rank run over shortlist-sized rows only. The corpus is touched
     * in ONE scan of (id, embedding) for the whole batch (the
-    * amortization every batch API here buys); tombstones and the
-    * metadata `filter` apply at the ADC stage. Emits `(query_id,
-    * neighbor_id, cosine, rank)`, ranks 1..k by (cosine desc, id). */
+    * amortization every batch API here buys); tombstones, the
+    * metadata `filter` and the per-query `attrEquals` equality apply
+    * at the ADC stage (the shortlist is already qualifying, so the
+    * exact pass needs no re-filter). Emits `(query_id, neighbor_id,
+    * cosine, rank)`, ranks 1..k by (cosine desc, id). */
   def queryBatchRefined(
       spark: SparkSession, handle: Handle, queries: DataFrame,
       corpus: DataFrame, embCol: String, idCol: String,
       k: Int = 10, nProbe: Int = 2, refine: Int = 4,
-      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      filter: Option[org.apache.spark.sql.Column] = None,
+      attrEquals: Option[(String, String)] = None): DataFrame = {
     require(refine >= 1, s"refine must be >= 1, got $refine")
     val shortlist = queryBatch(
-        spark, handle, queries, embCol, idCol, k * refine, nProbe, filter)
+        spark, handle, queries, embCol, idCol, k * refine, nProbe, filter,
+        attrEquals)
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint(true) // ADC ran once; the exact pass reuses rows
     val qemb = queries.select(
@@ -662,13 +666,31 @@ object AnnIndex {
     * candidate rows only. Emits `(query_id, neighbor_id, pq_dist,
     * rank)`, ranks 1..k by (pq_dist asc, id); a query row present in
     * the corpus ranks itself (vector semantics, as [[query]] does). */
+  /** `attrEquals = Some((attrCol, queryCol))` is the PER-QUERY
+    * metadata filter of multi-tenant batched retrieval (the shared
+    * `filter` predicate applies one condition to the whole batch;
+    * this one lets every query row carry its own): a candidate
+    * qualifies for a query only when the code table's `attrCol`
+    * equals THAT query's `queryCol` value — tenant isolation, "each
+    * query ranks k docs in ITS language", per-user corpora. The
+    * equality prunes candidates BEFORE the m LUT joins and the
+    * ranking window, so every query still ranks k QUALIFYING
+    * candidates and pays only its qualifying slice. A NULL query
+    * value matches nothing (SQL equality), yielding zero rows for
+    * that query — the loud alternative is the caller's NULL guard. */
   def queryBatch(
       spark: SparkSession, handle: Handle, queries: DataFrame,
       embCol: String, idCol: String, k: Int = 10, nProbe: Int = 2,
-      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      filter: Option[org.apache.spark.sql.Column] = None,
+      attrEquals: Option[(String, String)] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nProbe >= 1 && nProbe <= handle.centroids.size,
       s"nProbe must be in [1, ${handle.centroids.size}], got $nProbe")
+    attrEquals.foreach { case (_, qc) =>
+      require(queries.columns.contains(qc),
+        s"queryBatch: queries must carry the per-query attribute " +
+          s"column '$qc', has ${queries.columns.mkString(", ")}")
+    }
     val m = handle.codebooks.size
     val subDim = handle.codebooks.head.head._2.length
     // input guards, IN-PLAN because the query table is unbounded (the
@@ -677,22 +699,26 @@ object AnnIndex {
     // set and ranks — and a NULL embedding would NULL-poison every
     // sub-distance; both raise row-wise at the checkpoint instead
     val dupW = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+    val qattr = attrEquals.toSeq.map { case (_, qc) => col(qc).as("__qattr") }
     val qemb = queries
-      .select(col(idCol).cast("long").as("query_id"), col(embCol).as("__q"))
+      .select(Seq(col(idCol).cast("long").as("query_id"),
+        col(embCol).as("__q")) ++ qattr: _*)
       .withColumn("__n", count(lit(1)).over(dupW))
-      .select(
+      .select(Seq(
         when(col("__n") > 1, raise_error(concat(
             lit("queryBatch: duplicate query id "), col("query_id"))))
           .otherwise(col("query_id")).as("query_id"),
         when(col("__q").isNull, raise_error(concat(
             lit("queryBatch: NULL embedding for query id "), col("query_id"))))
-          .otherwise(col("__q")).as("__q"))
+          .otherwise(col("__q")).as("__q")) ++
+        attrEquals.toSeq.map(_ => col("__qattr")): _*)
       .localCheckpoint(true) // feeds the probe AND the m LUT builds
     val probed = qemb
       .withColumn("__cells", slice(reverse(array_sort(array(
         Similarity.bestCells(spark, "__q", handle.centroids): _*))), 1, nProbe))
       .withColumn("cell", explode(transform(col("__cells"), c => c.getField("cid"))))
-      .select(col("query_id"), col("cell"))
+      .select(Seq(col("query_id"), col("cell")) ++
+        attrEquals.toSeq.map(_ => col("__qattr")): _*)
     val cells = probed.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
     // metadata predicate on the pruned scan — every query in the
@@ -725,7 +751,21 @@ object AnnIndex {
             col("cv"), (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, v) => acc + v).as("qd"))
       .localCheckpoint(true) // m·k·nQueries rows feed the m join slices
-    val joined = (0 until m).foldLeft(probed.join(codes, Seq("cell"))) {
+    // the per-query attribute equality prunes candidates BEFORE the m
+    // LUT joins — a non-qualifying row never pays a distance
+    val paired = attrEquals match {
+      case None => probed.join(codes, Seq("cell"))
+      case Some((ac, _)) =>
+        require(codes.columns.contains(ac),
+          s"queryBatch: the code table carries no attribute column " +
+            s"'$ac' (stored attrs: " +
+            s"${codes.columns.filterNot(c => c == "cell" || c == idCol ||
+              c.startsWith("code_")).mkString(", ")}) — build the index " +
+            "with attrCols to store it")
+        probed.join(codes, Seq("cell"))
+          .filter(col(ac) === col("__qattr"))
+    }
+    val joined = (0 until m).foldLeft(paired) {
       case (df, mi) =>
         val lut = lutAll.filter(col("mi") === mi)
           .select(col("query_id"), col("cid").as(s"code_$mi"),

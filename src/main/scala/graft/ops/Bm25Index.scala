@@ -528,11 +528,29 @@ object Bm25Index {
     * one partition-pruned scan for the per-term document frequencies
     * (a term-count-sized collect under [[MaxQueryTerms]]), one more
     * for the candidate rows, a doc-keyed pivot aggregate over the
-    * candidates only, and TakeOrderedAndProject. */
+    * candidates only, and TakeOrderedAndProject.
+    *
+    * `docFilter` is the metadata predicate of production retrieval
+    * ("top-k where lang = 'en'" — [[AnnIndex.query]]'s `filter` is the
+    * vector twin): a frame carrying the handle's id column whose rows
+    * are the QUALIFYING docs (the caller applies arbitrary predicates
+    * to their attribute table and passes the id projection). The k
+    * results are the k best qualifying docs — post-filtering an
+    * unfiltered top-k would surface fewer. Collection statistics
+    * (N, avgdl, df) deliberately stay CORPUS-wide: idf describes the
+    * collection, not the filtered slice (the IR convention — scores of
+    * qualifying docs are bit-identical to their unfiltered scores, so
+    * pagination and cross-filter score comparison stay coherent). The
+    * join is candidate-slice × id-projected filter scan: the filter
+    * side's predicate and projection push down to ITS source, and the
+    * slice side is query-term-bounded — Catalyst broadcasts whichever
+    * side is small (an allowlist broadcasts; a corpus-scaled attribute
+    * scan shuffles only the slice's ids against it). */
   def topK(
       spark: SparkSession, handle: Handle, queryTerms: Seq[String],
       k: Int = 10, k1: Double = Retrieval.DefaultK1,
-      b: Double = Retrieval.DefaultB): DataFrame = {
+      b: Double = Retrieval.DefaultB,
+      docFilter: Option[DataFrame] = None): DataFrame = {
     require(queryTerms.nonEmpty, "topK needs at least one query term")
     require(queryTerms.size <= MaxQueryTerms,
       s"at most $MaxQueryTerms query terms (driver-resident per-term stats), " +
@@ -560,10 +578,20 @@ object Bm25Index {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val avgdl = handle.totalTokens.toDouble / handle.nDocs.toDouble
     val id = col(handle.idCol)
+    // the metadata predicate restricts CANDIDATES only — df above is
+    // deliberately computed over the unfiltered slice (see scaladoc)
+    val candidates = docFilter match {
+      case None => pruned
+      case Some(f) =>
+        require(f.columns.contains(handle.idCol),
+          s"docFilter must carry '${handle.idCol}', " +
+            s"has ${f.columns.mkString(", ")}")
+        pruned.join(f.select(id), Seq(handle.idCol), "left_semi")
+    }
     // pivot each term's tf to its own column so the per-term scores
     // add LEFT-TO-RIGHT in query-term order — bit-identical to
     // Retrieval.scoreWith's column reduce, independent of row layout
-    val pivoted = pruned.groupBy(id, col("n_tok")).agg(
+    val pivoted = candidates.groupBy(id, col("n_tok")).agg(
       max(when(col("term") === queryTerms.head, col("tf"))).as("__tf0"),
       queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
         max(when(col("term") === t, col("tf"))).as(s"__tf$i") }: _*)

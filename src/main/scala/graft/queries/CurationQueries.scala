@@ -4504,11 +4504,43 @@ object CurationQueries {
       benchFn = Some((s, dir) => probe(importedIdVocab.get(dir))(s, dir)))
   }
 
+  /** Filtered BM25 probe (library `Bm25Index.topK` with `docFilter` —
+    * the "top-k where lang = 'en'" production shape on the LEXICAL
+    * side; q170 is the vector twin): the probe ranks the k best
+    * QUALIFYING docs (`doc_id % 3 = 1` standing in for the caller's
+    * attribute predicate), while collection statistics — N, avgdl,
+    * df — deliberately stay CORPUS-wide (idf describes the
+    * collection, so a qualifying doc's score is bit-identical to its
+    * unfiltered q145 score; only the selection changes). The oracle
+    * is q70/q145's derivation with the predicate spliced into the
+    * final selection ONLY — a filter leaking into the stats CTE, or a
+    * non-qualifying doc occupying a slot, breaks the hash. */
+  val q184 = {
+    def probe(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Bm25Index.topK(
+          s, graft.ops.Bm25Index.load(s, bm25IdxDir(dir)),
+          Seq("data", "the", "query"), k = 25,
+          docFilter = Some(t(s, dir, "documents")
+            .filter(col("doc_id") % 3 === 1).select(col("doc_id"))))
+        .select(col("doc_id"), col("n_tok"), round(col("score"), 6).as("score"))
+        .oracleOrderBy("doc_id")
+    val sel = "FROM (SELECT * FROM sc WHERE score > CAST(0 AS DOUBLE)"
+    require(bm25TopkOracleDuck.contains(sel),
+      "q70's oracle selection clause drifted — update q184's splice")
+    QueryDef(
+      "q184_bm25_filtered_topk",
+      (s, dir) => { ensureBm25Idx(s, dir); probe(s, dir) },
+      Some(bm25TopkOracleDuck.replace(sel, sel + " AND doc_id % 3 = 1")),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25Idx(s, dir)),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
       q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
       q154, q155, q156, q157, q160, q161, q163, q164, q165, q166, q167, q171,
-      q172, q173, q176, q178, q182, q183)
+      q172, q173, q176, q178, q182, q183, q184)
 }

@@ -1721,8 +1721,59 @@ object EmbeddingQueries {
       benchFn = Some(probe))
   }
 
+  /** Per-query filtered batch probe (library `AnnIndex.queryBatch`
+    * with `attrEquals` — the MULTI-TENANT production shape: q170's
+    * shared predicate filters the whole batch one way; here every
+    * query row carries its OWN required attribute value, "each query
+    * ranks k candidates with ITS label"): eight queries each demand
+    * candidates matching their own `label`, the equality prunes
+    * BEFORE the LUT joins and the per-query ranking window, so each
+    * query ranks k QUALIFYING candidates. The oracle composes q151's
+    * full batched derivation with the per-query label equality
+    * (candidates join the attribute table, queries join their own
+    * wanted value, rank RECOMPUTED over the qualifying slice) —
+    * equality leaking across queries, a non-qualifying candidate
+    * occupying a slot, or ranking before filtering all break the
+    * hash. */
+  val q185 = {
+    def probe(s: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame = {
+      val e = t(s, dir, "embeddings")
+      graft.ops.AnnIndex.queryBatch(s,
+          graft.ops.AnnIndex.load(s, annAttrIdxDir(dir)),
+          e.filter(col("vec_id") < 8)
+            .select(col("vec_id"), col("embedding"), col("label").as("want")),
+          "embedding", "vec_id", k = 5, nProbe = 2,
+          attrEquals = Some(("label", "want")))
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("pq_dist"), 6).as("adc_dist"), col("rank"))
+        .oracleOrderBy("query_id", "rank")
+    }
+    QueryDef(
+      "q185_ann_batch_filtered",
+      (s, dir) => { buildAnnAttrIdx(s, dir); probe(s, dir) },
+      Some(s"""WITH ${annBatchCtesDuck("vec_id < 8")},
+        want AS (SELECT vec_id AS qid, label FROM embeddings
+                 WHERE vec_id < 8),
+        fscored AS (
+          SELECT b.qid, b.vec_id, b.pq_dist FROM bscored b
+          JOIN embeddings e ON e.vec_id = b.vec_id
+          JOIN want w ON w.qid = b.qid
+          WHERE e.label = w.label),
+        frk AS (SELECT qid, vec_id, pq_dist,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY pq_dist ASC, vec_id) AS INT) AS rank
+          FROM fscored)
+      SELECT qid AS query_id, vec_id AS neighbor_id,
+        round(pq_dist, 6) AS adc_dist, rank
+      FROM frk WHERE rank <= 5 ORDER BY query_id, rank"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => buildAnnAttrIdx(s, dir)),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q33, q34, q44, q58, q59, q63, q64, q85, q88, q89, q92, q93, q129,
       q131, q135, q137, q149, q151, q152, q153, q158, q162, q169, q170,
-      q175, q177, q179, q180, q181)
+      q175, q177, q179, q180, q181, q185)
 }

@@ -1104,6 +1104,35 @@ object ProfileScale {
       ("q172 imported-bpe", () => q172(docs), () => q172(docs10)),
       ("q176 imported-ids", () => q176(docs), () => q176(docs10)),
       ("q183 id-decontam", () => q183(docs), () => q183(docs10)),
+      // round-13: lexical metadata filter — the allowlist join runs on
+      // the query-term-bounded slice; df stays corpus-wide (one
+      // unfiltered stats pass), so expected shape = q145's probe + one
+      // slice-sized semi-join
+      ("q184 bm25-filtered",
+        () => graft.ops.Bm25Index.topK(spark, bm25H1,
+          Seq("data", "the", "query"), k = 25,
+          docFilter = Some(docs.filter(col("doc_id") % 3 === 1)
+            .select("doc_id"))),
+        () => graft.ops.Bm25Index.topK(spark, bm25H10,
+          Seq("data", "the", "query"), k = 25,
+          docFilter = Some(docs10.filter(col("doc_id") % 3 === 1)
+            .select("doc_id")))),
+      // round-13: per-query attr equality in the batched ADC probe —
+      // the equality prunes the pruned-cell candidates before the LUT
+      // joins, so the expected shape is q151's batch arm
+      ("q185 ann-batch-filtered",
+        () => graft.ops.AnnIndex.queryBatch(spark, annAttrH1,
+          emb.filter(col("vec_id") < 8).select(col("vec_id"),
+            col("embedding"),
+            when(col("vec_id") % 2 === 0, "en").otherwise("pl").as("want")),
+          "embedding", "vec_id", k = 25, nProbe = 2,
+          attrEquals = Some(("lang", "want"))),
+        () => graft.ops.AnnIndex.queryBatch(spark, annAttrH10,
+          emb10.filter(col("vec_id") < 8).select(col("vec_id"),
+            col("embedding"),
+            when(col("vec_id") % 2 === 0, "en").otherwise("pl").as("want")),
+          "embedding", "vec_id", k = 25, nProbe = 2,
+          attrEquals = Some(("lang", "want")))),
       // round-13: tombstone reconcile — idempotent steady-state pass
       // over the repaired trio (the warm-up run performed the actual
       // repair); tombstone-table-sized reads + no-op deletes
@@ -1246,9 +1275,10 @@ object ProfileScale {
       if (name.startsWith("q169") || name.startsWith("q180")) {
         annDelH1.dir; annDelH10.dir; ()
       }
-      if (name.startsWith("q170")) {
+      if (name.startsWith("q170") || name.startsWith("q185")) {
         annAttrH1.dir; annAttrH10.dir; qv1.size; qv10.size; ()
       }
+      if (name.startsWith("q184")) { bm25H1.dir; bm25H10.dir; () }
       if (name.startsWith("q171")) {
         bm25H1.dir; bm25H10.dir
         trioDedupDir1; trioDedupDir10; trioAnnDir1; trioAnnDir10; ()

@@ -3216,6 +3216,110 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("AnnIndex.queryBatch attrEquals: each query ranks only ITS attribute's candidates") {
+    val dir = java.nio.file.Files.createTempDirectory("annperq").toString
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("lang",
+          when(col("vec_id") % 3 === 0, "en").otherwise("pl"))
+      val h = AnnIndex.build(emb, "embedding", "vec_id", dir,
+        nCells = 4, m = 4, k = 4, dim = 64, iters = 2,
+        attrCols = Seq("lang"))
+      // two queries demanding DIFFERENT langs in one batch
+      val queries = emb.filter(col("vec_id").isin(0L, 1L))
+        .select(col("vec_id"), col("embedding"),
+          when(col("vec_id") === 0L, "en").otherwise("pl").as("want"))
+      val batch = AnnIndex.queryBatch(spark, h, queries,
+          "embedding", "vec_id", k = 5, nProbe = 2,
+          attrEquals = Some(("lang", "want")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // ground truth: each query alone under the batch-wide filter
+      val single = Seq(0L -> "en", 1L -> "pl").flatMap { case (q, lang) =>
+        val qv = emb.filter(col("vec_id") === q)
+          .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .collect().head.getSeq[Double](0).toSeq
+        AnnIndex.query(spark, h, "vec_id", qv, k = 5, nProbe = 2,
+            filter = Some(col("lang") === lang))
+          .collect().map(r => (q, r.getLong(0)))
+      }.sorted
+      assert(batch == single, s"batch $batch vs single $single")
+      // the two queries' candidate sets are disjoint by construction
+      val byQ = batch.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert((byQ(0L) & byQ(1L)).isEmpty, byQ.toString)
+      assert(byQ(0L).forall(_ % 3 == 0) && byQ(1L).forall(_ % 3 != 0),
+        byQ.toString)
+      // refined pass-through: shortlist already qualifying
+      val refined = AnnIndex.queryBatchRefined(spark, h, queries, emb,
+          "embedding", "vec_id", k = 3, nProbe = 2, refine = 2,
+          attrEquals = Some(("lang", "want")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(refined.forall { case (q, n) =>
+        if (q == 0L) n % 3 == 0 else n % 3 != 0 }, refined.toString)
+      // a NULL wanted value matches nothing — zero rows, never a leak
+      val nullWant = AnnIndex.queryBatch(spark, h,
+          queries.withColumn("want",
+            when(col("vec_id") === 0L, lit(null).cast("string"))
+              .otherwise(col("want"))),
+          "embedding", "vec_id", k = 5, nProbe = 2,
+          attrEquals = Some(("lang", "want")))
+        .collect().map(_.getLong(0)).toSet
+      assert(nullWant == Set(1L), nullWant.toString)
+      // guards: missing query column, missing stored attribute
+      assert(intercept[IllegalArgumentException](
+        AnnIndex.queryBatch(spark, h, queries.drop("want"),
+          "embedding", "vec_id", attrEquals = Some(("lang", "want"))))
+        .getMessage.contains("want"))
+      assert(intercept[IllegalArgumentException](
+        AnnIndex.queryBatch(spark, h, queries, "embedding", "vec_id",
+          attrEquals = Some(("no_such", "want"))).collect())
+        .getMessage.contains("no_such"))
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
+  test("Bm25Index.topK docFilter: k qualifying docs, corpus-wide stats, scores unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25filter").toString
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val h = Bm25Index.build(docs, "doc_id", dir)
+      val terms = Seq("data", "the", "query")
+      val unfiltered = Bm25Index.topK(spark, h, terms, k = 500)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val allow = docs.filter(col("doc_id") % 3 === 1).select("doc_id")
+      val filtered = Bm25Index.topK(spark, h, terms, k = 10,
+          docFilter = Some(allow))
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(filtered.nonEmpty && filtered.forall(_._1 % 3 == 1),
+        filtered.toString)
+      // collection stats stay corpus-wide: a qualifying doc scores
+      // EXACTLY what it scores unfiltered (selection changes, idf
+      // does not)
+      filtered.foreach { case (id, s) =>
+        assert(s == unfiltered(id), s"score drifted for $id")
+      }
+      // the filtered top-10 is the first 10 qualifying entries of the
+      // unfiltered ranking — k qualifying results, not a post-filter
+      val expected = Bm25Index.topK(spark, h, terms, k = 500)
+        .collect().map(_.getLong(0)).filter(_ % 3 == 1).take(10).toSeq
+      assert(filtered.map(_._1) == expected)
+      // all-excluding filter yields empty, never an error
+      assert(Bm25Index.topK(spark, h, terms, k = 5,
+        docFilter = Some(docs.filter(lit(false)).select("doc_id"))).isEmpty)
+      // a filter frame without the id column refuses loudly
+      assert(intercept[IllegalArgumentException](
+        Bm25Index.topK(spark, h, terms, k = 5,
+          docFilter = Some(allow.withColumnRenamed("doc_id", "id"))))
+        .getMessage.contains("doc_id"))
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("AnnIndex.buildWith + merge: per-site encode under shared models unifies to a whole build") {
     val root = java.nio.file.Files.createTempDirectory("annmerge").toString
     try {
