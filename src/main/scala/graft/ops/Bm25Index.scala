@@ -631,15 +631,24 @@ object Bm25Index {
     * input guards hold here too, enforced IN-PLAN because the term
     * universe is unbounded: a NULL term element or a non-lowercase
     * term raises row-wise instead of silently matching nothing.
+    * `docFilter` restricts CANDIDATES for the whole batch to the
+    * qualifying-id frame while df/N/avgdl stay corpus-wide — exactly
+    * [[topK]]'s metadata-filter convention (per-query lexical filters
+    * would need attribute-keyed postings; pass the per-query form to
+    * [[AnnIndex.queryBatch]]'s `attrEquals` on the vector side).
     * Emits `(qidCol, idCol, n_tok, score_q, rank)`, ranks 1..k by
     * (score_q desc, id). */
   def topKBatch(
       spark: SparkSession, handle: Handle, queries: DataFrame,
       qidCol: String, termsCol: String, k: Int = 10,
       k1: Double = Retrieval.DefaultK1,
-      b: Double = Retrieval.DefaultB): DataFrame = {
+      b: Double = Retrieval.DefaultB,
+      docFilter: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(handle.nDocs > 0, "topKBatch over an empty index")
+    docFilter.foreach(f => require(f.columns.contains(handle.idCol),
+      s"docFilter must carry '${handle.idCol}', " +
+        s"has ${f.columns.mkString(", ")}"))
     val qt = queries
       .select(col(qidCol), explode(col(termsCol)).as("__t"))
       .select(col(qidCol),
@@ -669,7 +678,13 @@ object Bm25Index {
       (tf + lit(k1) * (lit(1.0 - b) +
         lit(b) * col("n_tok").cast("double") / lit(avgdl)))
     val id = col(handle.idCol)
-    val scored = qt.join(pruned, Seq("term")).join(dfs, Seq("term"))
+    // [[topK]]'s docFilter convention: candidates restricted, df from
+    // the UNFILTERED slice (collection statistics describe the corpus)
+    val candidates = docFilter match {
+      case None => pruned
+      case Some(f) => pruned.join(f.select(id), Seq(handle.idCol), "left_semi")
+    }
+    val scored = qt.join(candidates, Seq("term")).join(dfs, Seq("term"))
       .withColumn("__sq", round(termScore * lit(1048576.0d)).cast("long"))
       .groupBy(col(qidCol), id, col("n_tok"))
       .agg(sum(col("__sq")).as("score_q"))

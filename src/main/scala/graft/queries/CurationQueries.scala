@@ -4536,11 +4536,47 @@ object CurationQueries {
       benchFn = Some(probe))
   }
 
+  /** Filtered BATCHED BM25 (library `Bm25Index.topKBatch` with
+    * `docFilter` — q184's metadata filter for a query TABLE, closing
+    * the API symmetry with the ANN side's filtered batch): q148's
+    * three queries, all ranking only the qualifying docs
+    * (`doc_id % 3 = 1`), df/N/avgdl corpus-wide as always. The oracle
+    * is q148's derivation with the predicate spliced into the ranking
+    * CTE only — per-query ranks recomputed over the qualifying slice,
+    * the stats CTEs untouched. */
+  val q186 = {
+    def probe(s: SparkSession, dir: String): DataFrame = {
+      import s.implicits._
+      val queries = Seq(
+        (1L, Seq("data", "the")),
+        (2L, Seq("query", "query", "nosuchterm")),
+        (3L, Seq("the"))).toDF("qid", "terms")
+      graft.ops.Bm25Index.topKBatch(
+          s, graft.ops.Bm25Index.load(s, bm25IdxDir(dir)),
+          queries, "qid", "terms", k = 10,
+          docFilter = Some(t(s, dir, "documents")
+            .filter(col("doc_id") % 3 === 1).select(col("doc_id"))))
+        .select(col("qid"), col("doc_id"), col("n_tok"),
+          col("score_q"), col("rank"))
+        .oracleOrderBy("qid", "rank")
+    }
+    val sel = "FROM agg)"
+    require(q148.oracle.exists(_.contains(sel)),
+      "q148's oracle ranking clause drifted — update q186's splice")
+    QueryDef(
+      "q186_bm25_batch_filtered",
+      (s, dir) => { ensureBm25Idx(s, dir); probe(s, dir) },
+      q148.oracle.map(_.replace(sel, "FROM agg WHERE doc_id % 3 = 1)")),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25Idx(s, dir)),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
       q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
       q154, q155, q156, q157, q160, q161, q163, q164, q165, q166, q167, q171,
-      q172, q173, q176, q178, q182, q183, q184)
+      q172, q173, q176, q178, q182, q183, q184, q186)
 }

@@ -78,6 +78,11 @@ object ProfileScale {
       docs10, "doc_id", s"$scratch/bm25idx10")
     def q145probe(h: => graft.ops.Bm25Index.Handle) = graft.ops.Bm25Index.topK(
       spark, h, Seq("data", "the", "query"), k = 25)
+    lazy val batchQueries = {
+      import spark.implicits._
+      Seq((1L, Seq("data", "the")), (2L, Seq("query")),
+        (3L, Seq("the", "query", "data"))).toDF("qid", "terms")
+    }
     // the persistent ANN index, same discipline: nCells scales with
     // the corpus (the q85 rule) so cells stay constant-size — with
     // nProbe fixed the probe reads ~constant ABSOLUTE work (nProbe
@@ -884,18 +889,12 @@ object ProfileScale {
       ("q144 sft-mask", () => q144mask(docs), () => q144mask(docs10)),
       ("q145 bm25-index-probe",
         () => q145probe(bm25H1), () => q145probe(bm25H10)),
-      ("q148 bm25-batch", () => {
-          import spark.implicits._
-          val qs = Seq((1L, Seq("data", "the")), (2L, Seq("query")),
-            (3L, Seq("the", "query", "data"))).toDF("qid", "terms")
-          graft.ops.Bm25Index.topKBatch(spark, bm25H1, qs, "qid", "terms", k = 25)
-        },
-        () => {
-          import spark.implicits._
-          val qs = Seq((1L, Seq("data", "the")), (2L, Seq("query")),
-            (3L, Seq("the", "query", "data"))).toDF("qid", "terms")
-          graft.ops.Bm25Index.topKBatch(spark, bm25H10, qs, "qid", "terms", k = 25)
-        }),
+      // the q148/q186 shared batch — one definition, both arms
+      ("q148 bm25-batch",
+        () => graft.ops.Bm25Index.topKBatch(
+          spark, bm25H1, batchQueries, "qid", "terms", k = 25),
+        () => graft.ops.Bm25Index.topKBatch(
+          spark, bm25H10, batchQueries, "qid", "terms", k = 25)),
       ("q149 ann-index-probe",
         () => graft.ops.AnnIndex.query(spark, annH1, "vec_id", qv1,
           k = 25, nProbe = 2),
@@ -1117,6 +1116,17 @@ object ProfileScale {
           Seq("data", "the", "query"), k = 25,
           docFilter = Some(docs10.filter(col("doc_id") % 3 === 1)
             .select("doc_id")))),
+      // round-13: the batched lexical filter — q148's batch probe +
+      // one slice-sized semi-join, df corpus-wide
+      ("q186 bm25-batch-filtered",
+        () => graft.ops.Bm25Index.topKBatch(spark, bm25H1, batchQueries,
+          "qid", "terms", k = 25,
+          docFilter = Some(docs.filter(col("doc_id") % 3 === 1)
+            .select("doc_id"))),
+        () => graft.ops.Bm25Index.topKBatch(spark, bm25H10, batchQueries,
+          "qid", "terms", k = 25,
+          docFilter = Some(docs10.filter(col("doc_id") % 3 === 1)
+            .select("doc_id")))),
       // round-13: per-query attr equality in the batched ADC probe —
       // the equality prunes the pruned-cell candidates before the LUT
       // joins, so the expected shape is q151's batch arm
@@ -1278,7 +1288,9 @@ object ProfileScale {
       if (name.startsWith("q170") || name.startsWith("q185")) {
         annAttrH1.dir; annAttrH10.dir; qv1.size; qv10.size; ()
       }
-      if (name.startsWith("q184")) { bm25H1.dir; bm25H10.dir; () }
+      if (name.startsWith("q184") || name.startsWith("q186")) {
+        bm25H1.dir; bm25H10.dir; ()
+      }
       if (name.startsWith("q171")) {
         bm25H1.dir; bm25H10.dir
         trioDedupDir1; trioDedupDir10; trioAnnDir1; trioAnnDir10; ()

@@ -3320,6 +3320,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Bm25Index.topKBatch docFilter: every query ranks first-k qualifying, stats corpus-wide") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25bfilter").toString
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val h = Bm25Index.build(docs, "doc_id", dir)
+      val queries = Seq(
+        (1L, Seq("data", "the")), (2L, Seq("query"))).toDF("qid", "terms")
+      val allow = docs.filter(col("doc_id") % 3 === 1).select("doc_id")
+      val filtered = Bm25Index.topKBatch(spark, h, queries, "qid", "terms",
+          k = 5, docFilter = Some(allow))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+      assert(filtered.nonEmpty && filtered.forall(_._2 % 3 == 1),
+        filtered.toString)
+      // per query: exactly the first k qualifying entries of the
+      // unfiltered ranking, scores unchanged (df from the full slice)
+      val unfiltered = Bm25Index.topKBatch(spark, h, queries, "qid", "terms",
+          k = 500)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+      Seq(1L, 2L).foreach { q =>
+        val expected = unfiltered.filter(r => r._1 == q && r._2 % 3 == 1)
+          .sortBy(r => (-r._3, r._2)).take(5)
+        val got = filtered.filter(_._1 == q).sortBy(r => (-r._3, r._2))
+        assert(got == expected, s"qid $q: $got vs $expected")
+      }
+      // frame without the id column refuses loudly
+      assert(intercept[IllegalArgumentException](
+        Bm25Index.topKBatch(spark, h, queries, "qid", "terms", k = 5,
+          docFilter = Some(allow.withColumnRenamed("doc_id", "id"))))
+        .getMessage.contains("doc_id"))
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("AnnIndex.buildWith + merge: per-site encode under shared models unifies to a whole build") {
     val root = java.nio.file.Files.createTempDirectory("annmerge").toString
     try {
