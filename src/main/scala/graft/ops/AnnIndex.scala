@@ -674,10 +674,13 @@ object AnnIndex {
     * equals THAT query's `queryCol` value — tenant isolation, "each
     * query ranks k docs in ITS language", per-user corpora. The
     * equality prunes candidates BEFORE the m LUT joins and the
-    * ranking window, so every query still ranks k QUALIFYING
-    * candidates and pays only its qualifying slice. A NULL query
-    * value matches nothing (SQL equality), yielding zero rows for
-    * that query — the loud alternative is the caller's NULL guard. */
+    * ranking window, so each query ranks the k best qualifying
+    * candidates FROM ITS PROBED CELLS (fewer rows when those cells
+    * hold fewer qualifying vectors — the same IVF recall bound as
+    * [[query]]'s filter) and pays only its qualifying slice. A NULL
+    * query value matches nothing (SQL equality), yielding zero rows
+    * for that query — the loud alternative is the caller's NULL
+    * guard. */
   def queryBatch(
       spark: SparkSession, handle: Handle, queries: DataFrame,
       embCol: String, idCol: String, k: Int = 10, nProbe: Int = 2,
@@ -686,10 +689,20 @@ object AnnIndex {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nProbe >= 1 && nProbe <= handle.centroids.size,
       s"nProbe must be in [1, ${handle.centroids.size}], got $nProbe")
-    attrEquals.foreach { case (_, qc) =>
+    attrEquals.foreach { case (ac, qc) =>
       require(queries.columns.contains(qc),
         s"queryBatch: queries must carry the per-query attribute " +
           s"column '$qc', has ${queries.columns.mkString(", ")}")
+      // eager, schema-only (a parquet footer read, no job): a typo'd
+      // stored-attribute name must fail BEFORE the probe pays the
+      // query-side checkpoint and cells collect
+      val stored = spark.read.parquet(s"${handle.dir}/codes")
+        .schema.fieldNames
+      require(stored.contains(ac),
+        s"queryBatch: the code table carries no attribute column '$ac' " +
+          s"(stored attrs: ${stored.filterNot(c => c == "cell" ||
+            c.startsWith("code_")).filterNot(_ == idCol).mkString(", ")}) " +
+          "— build the index with attrCols to store it")
     }
     val m = handle.codebooks.size
     val subDim = handle.codebooks.head.head._2.length
@@ -752,16 +765,11 @@ object AnnIndex {
           lit(0.0), (acc, v) => acc + v).as("qd"))
       .localCheckpoint(true) // m·k·nQueries rows feed the m join slices
     // the per-query attribute equality prunes candidates BEFORE the m
-    // LUT joins — a non-qualifying row never pays a distance
+    // LUT joins — a non-qualifying row never pays a distance (the
+    // attr column's existence was guarded eagerly above)
     val paired = attrEquals match {
       case None => probed.join(codes, Seq("cell"))
       case Some((ac, _)) =>
-        require(codes.columns.contains(ac),
-          s"queryBatch: the code table carries no attribute column " +
-            s"'$ac' (stored attrs: " +
-            s"${codes.columns.filterNot(c => c == "cell" || c == idCol ||
-              c.startsWith("code_")).mkString(", ")}) — build the index " +
-            "with attrCols to store it")
         probed.join(codes, Seq("cell"))
           .filter(col(ac) === col("__qattr"))
     }

@@ -3162,16 +3162,23 @@ object CurationQueries {
     * qid-partitioned window. The oracle re-derives the postings,
     * df per term, the identical double polynomial quantized per
     * (query, doc, term), the integer sums and the ranks. */
+  /** The q148/q186 shared query table — ONE definition because q186's
+    * oracle is spliced from q148's text: the VALUES rows there and
+    * this Seq must stay in lockstep, and two hand-maintained copies
+    * would only be caught at oracle-gate runtime as a hash mismatch. */
+  private def batchProbeQueries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, Seq("data", "the")),
+      (2L, Seq("query", "query", "nosuchterm")),
+      (3L, Seq("the"))).toDF("qid", "terms")
+  }
+
   val q148 = {
     def probe(s: SparkSession, dir: String): DataFrame = {
-      import s.implicits._
-      val queries = Seq(
-        (1L, Seq("data", "the")),
-        (2L, Seq("query", "query", "nosuchterm")),
-        (3L, Seq("the"))).toDF("qid", "terms")
       graft.ops.Bm25Index.topKBatch(
           s, graft.ops.Bm25Index.load(s, bm25IdxDir(dir)),
-          queries, "qid", "terms", k = 10)
+          batchProbeQueries(s), "qid", "terms", k = 10)
         .select(col("qid"), col("doc_id"), col("n_tok"),
           col("score_q"), col("rank"))
         .oracleOrderBy("qid", "rank")
@@ -4546,14 +4553,9 @@ object CurationQueries {
     * the stats CTEs untouched. */
   val q186 = {
     def probe(s: SparkSession, dir: String): DataFrame = {
-      import s.implicits._
-      val queries = Seq(
-        (1L, Seq("data", "the")),
-        (2L, Seq("query", "query", "nosuchterm")),
-        (3L, Seq("the"))).toDF("qid", "terms")
       graft.ops.Bm25Index.topKBatch(
           s, graft.ops.Bm25Index.load(s, bm25IdxDir(dir)),
-          queries, "qid", "terms", k = 10,
+          batchProbeQueries(s), "qid", "terms", k = 10,
           docFilter = Some(t(s, dir, "documents")
             .filter(col("doc_id") % 3 === 1).select(col("doc_id"))))
         .select(col("qid"), col("doc_id"), col("n_tok"),

@@ -1285,9 +1285,12 @@ object ProfileScale {
       if (name.startsWith("q169") || name.startsWith("q180")) {
         annDelH1.dir; annDelH10.dir; ()
       }
-      if (name.startsWith("q170") || name.startsWith("q185")) {
+      if (name.startsWith("q170")) {
         annAttrH1.dir; annAttrH10.dir; qv1.size; qv10.size; ()
       }
+      // q185 builds its query batch from emb/emb10 — it needs only the
+      // attr indexes warm, not q170's query-vector memos
+      if (name.startsWith("q185")) { annAttrH1.dir; annAttrH10.dir; () }
       if (name.startsWith("q184") || name.startsWith("q186")) {
         bm25H1.dir; bm25H10.dir; ()
       }
