@@ -301,7 +301,7 @@ object AnnIndex {
     finally Maintenance.releaseCompactLock(fs, root)
   }
 
-  private def compactLocked(
+  private[ops] def compactLocked(
       spark: SparkSession, handle: Handle,
       fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val dir = handle.dir
@@ -433,6 +433,129 @@ object AnnIndex {
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     Handle(dir, centroids, codebooks)
+  }
+
+  /** NON-BLOCKING retrain-and-migrate — the 100 TB form of
+    * [[rebuild]]: rebuild holds the lock for its WHOLE
+    * retrain+encode span, so at scale ingest refuses for hours;
+    * shadow rebuild trains and encodes into a SIDECAR directory
+    * while the live index keeps serving AND accepting appends, then
+    * takes the lock only for a bounded catch-up window — ids that
+    * landed in the live code table after the sidecar encode (the
+    * append delta) are re-encoded from `source` under the NEW models
+    * and appended to the sidecar, and the three tables swap. The
+    * ingest-refusal window is the delta encode + three renames, not
+    * the retrain.
+    *
+    * `source` is a THUNK producing the corpus source of truth,
+    * invoked once for training + the sidecar encode and ONCE MORE
+    * under the lock for the delta fetch — a thunk, not a DataFrame,
+    * because a parquet read lists its files at DataFrame creation
+    * (an `InMemoryFileIndex` snapshot), so a plan built before the
+    * retrain would never see rows appended during it; re-invoking
+    * re-lists. A row appended to the index during the retrain must
+    * be present in the re-read source (the ingest contract: the code
+    * table is derived state; a row reaches the source table before
+    * or with its index append). A delta id the source cannot resolve
+    * fails loudly rather than silently dropping the row from the new
+    * index.
+    *
+    * Tombstones are NOT cleared (unlike [[rebuild]], whose corpus
+    * argument is post-delete by contract): a delete that raced the
+    * retrain keeps its tombstone, the probe-side anti-join keeps
+    * hiding the row even if the sidecar encode saw it, and the next
+    * [[compact]] purges physically. Tombstoned ids are excluded from
+    * the delta, so deleting a row mid-retrain never trips the
+    * missing-from-source guard.
+    *
+    * End state: code rows bit-identical to [[buildWith]] over
+    * source-at-swap-time under the new models — the q153 canonical
+    * equality, extended to mid-rebuild appends (OpsSpec interleaves
+    * one through `beforeLock`). Crash posture: before the lock —
+    * live tables untouched, inert `shadow_tmp` (cleared on the next
+    * attempt); inside the swap — a `<table>_precompact` aside, the
+    * [[rebuild]] recovery. `beforeLock` is a test seam invoked
+    * between the sidecar encode and the lock acquisition (where a
+    * concurrent append would land); `beforeSwap` between the first
+    * table's two renames; production leaves both default. */
+  def rebuildShadow(
+      source: () => DataFrame, embCol: String, idCol: String, dir: String,
+      nCells: Int, m: Int, k: Int, dim: Int, iters: Int = 3,
+      waitForAppendsMs: Long = 60000L,
+      beforeLock: () => Unit = () => (),
+      beforeSwap: () => Unit = () => ()): Handle = {
+    val snapshot0 = source()
+    val spark = snapshot0.sparkSession
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tables = Seq("codes", "ivf_centroids", "pq_codebooks")
+    tables.foreach { t => // refuse crashed state BEFORE the expensive retrain
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/${t}_precompact")),
+        s"$dir/${t}_precompact already exists — a prior rebuild/compact " +
+          "crashed mid-swap; recover it manually before rebuilding")
+    }
+    val tmp = s"$dir/shadow_tmp"
+    // a leftover sidecar from a pre-lock crash is inert — start over
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val attrs = attrColsOf(spark, dir, idCol)
+    // ---- phase 1, UNLOCKED: train + encode beside the live index
+    val centroids = Similarity.trainCodebook(
+      snapshot0, embCol, idCol, nCells, dim, iters, exactMean = true)
+    val codebooks =
+      Similarity.trainPqCodebooks(snapshot0, embCol, idCol, m, k, dim, iters)
+    centroids.toDF("cid", "cv")
+      .write.mode("overwrite").parquet(s"$tmp/ivf_centroids")
+    codebooks.zipWithIndex
+      .flatMap { case (cb, mi) => cb.map { case (cid, v) => (mi, cid, v) } }
+      .toDF("mi", "cid", "cv")
+      .write.mode("overwrite").parquet(s"$tmp/pq_codebooks")
+    encodeRows(snapshot0, embCol, idCol, centroids, codebooks, attrs)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
+    beforeLock()
+    // ---- phase 2, LOCKED: bounded catch-up + swap
+    val root = new org.apache.hadoop.fs.Path(dir)
+    Maintenance.acquireCompactLock(fs, root, waitForAppendsMs)
+    try {
+      val id = col(idCol)
+      // the append delta: live non-tombstoned ids the sidecar encode
+      // never saw (appends that landed during the retrain)
+      val delta = Tombstones.liveOnly(spark, dir, idCol,
+          spark.read.parquet(s"$dir/codes").select(id).distinct())
+        .join(spark.read.parquet(s"$tmp/codes").select(id).distinct(),
+          Seq(idCol), "left_anti")
+        .localCheckpoint(true) // feeds the count AND the semi-join
+      val nDelta = delta.count()
+      if (nDelta > 0L) {
+        // re-invoke the thunk: the delta rows landed AFTER snapshot0's
+        // file listing, so only a fresh read can resolve them
+        val rows = source().join(delta, Seq(idCol), "left_semi")
+          .localCheckpoint(true) // feeds the resolve check AND the encode
+        val nRows = rows.select(id).distinct().count()
+        require(nRows == nDelta,
+          s"rebuildShadow: ${nDelta - nRows} ids appended to the live " +
+            "index during the retrain are missing from `source` — the " +
+            "code table is derived state and every appended row must " +
+            "reach the source of truth; refusing to swap a table that " +
+            "would silently drop them")
+        encodeRows(rows, embCol, idCol, centroids, codebooks, attrs)
+          .repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(s"$tmp/codes")
+      }
+      tables.zipWithIndex.foreach { case (t, i) =>
+        val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
+        // snapshot under the held lock — appends are excluded for the
+        // swap span, so the fold-in set is provably empty
+        val snapshot = Maintenance.dataFiles(fs, live).toSet
+        Maintenance.swapCompacted(fs, live,
+          new org.apache.hadoop.fs.Path(s"$tmp/$t"), snapshot,
+          if (i == 0) beforeSwap else () => ())
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      Handle(dir, centroids, codebooks,
+        fs.exists(Tombstones.path(dir)))
+    } finally Maintenance.releaseCompactLock(fs, root)
   }
 
   /** Re-open a persisted index: the models are dimension-table-sized
@@ -695,13 +818,17 @@ object AnnIndex {
           s"column '$qc', has ${queries.columns.mkString(", ")}")
       // eager, schema-only (a parquet footer read, no job): a typo'd
       // stored-attribute name must fail BEFORE the probe pays the
-      // query-side checkpoint and cells collect
-      val stored = spark.read.parquet(s"${handle.dir}/codes")
+      // query-side checkpoint and cells collect. Membership is checked
+      // against the STORED ATTRIBUTES only — the layout columns (cell,
+      // code_*, the id) are in the schema too, and accepting one as
+      // `ac` would silently compare a layout value against the query
+      // attribute instead of failing loudly
+      val storedAttrs = spark.read.parquet(s"${handle.dir}/codes")
         .schema.fieldNames
-      require(stored.contains(ac),
+        .filterNot(c => c == "cell" || c.startsWith("code_") || c == idCol)
+      require(storedAttrs.contains(ac),
         s"queryBatch: the code table carries no attribute column '$ac' " +
-          s"(stored attrs: ${stored.filterNot(c => c == "cell" ||
-            c.startsWith("code_")).filterNot(_ == idCol).mkString(", ")}) " +
+          s"(stored attrs: ${storedAttrs.mkString(", ")}) " +
           "— build the index with attrCols to store it")
     }
     val m = handle.codebooks.size

@@ -99,24 +99,53 @@ object Bm25Index {
     * shared by [[topK]]/[[topKBatch]]/[[topKWeighted]], and the ONE
     * place the pre-compact duplicate-row semantics of an
     * at-least-once replayed [[append]] are decided for that family: a
-    * replayed append lays bit-identical posting rows, so the inner
-    * `max` collapses them (never a `sum`, which would double the
-    * doc's tf until [[compact]]), while the outer `sum` is the real
-    * v2 across-FIELDS total. On a clean index both levels aggregate
-    * one row per key — values, and therefore scores, bit-identical to
-    * the single-level form this replaces. Neither level reads the
-    * `positions` column, so the scan keeps its narrow projection. */
-  private def collapseTf(handle: Handle, raw: DataFrame): DataFrame =
-    if (handle.version >= 2)
-      raw.groupBy(col("term"), col(handle.idCol), col("field"), col("n_tok"))
-        .agg(max(col("tf")).as("tf"))
-        .groupBy(col("term"), col(handle.idCol), col("n_tok"))
-        .agg(sum(col("tf")).as("tf"))
+    * replayed append lays bit-identical posting rows, so duplicates
+    * must collapse (never a plain `sum`, which would double the doc's
+    * tf until [[compact]]) while the real v2 across-FIELDS total still
+    * sums. ONE shuffle either way: single-field slices (and v1) take
+    * `max` per (term, doc); multi-field slices collect the (field, tf)
+    * pairs as a SET — bit-identical replayed rows collapse in the set,
+    * two distinct fields always form distinct structs — and fold the
+    * across-field sum per-row (exact long addition, order-free). On a
+    * clean index both shapes aggregate the same rows the old two-level
+    * max-then-sum did — values, and therefore scores, bit-identical.
+    * Neither shape reads `positions`, so the scan stays narrow. */
+  private def collapseTf(handle: Handle, raw: DataFrame): DataFrame = {
+    val nFields =
+      if (handle.fields.nonEmpty) handle.fields.size else 1
+    if (handle.version >= 2 && nFields > 1)
+      raw.groupBy(col("term"), col(handle.idCol), col("n_tok"))
+        .agg(collect_set(struct(col("field"), col("tf"))).as("__fs"))
+        .select(col("term"), col(handle.idCol), col("n_tok"),
+          aggregate(col("__fs"), lit(0L),
+            (acc, x) => acc + x.getField("tf")).as("tf"))
     else
-      // v1 rows are already per (term, doc) — max collapses replay
-      // duplicates and equals the row's tf on a clean index
+      // one row per (term, doc) on a clean index — max collapses
+      // replay duplicates and equals the row's tf
       raw.groupBy(col("term"), col(handle.idCol), col("n_tok"))
         .agg(max(col("tf")).as("tf"))
+  }
+
+  /** The metadata-filter convention EVERY probe shares (see [[topK]]'s
+    * scaladoc for the full rationale): `docFilter` is a frame of
+    * QUALIFYING doc ids — the caller applies arbitrary predicates to
+    * their attribute table and passes the id projection — and it
+    * restricts the CANDIDATE set only, as a semi-join on the
+    * already-pruned slice. Collection statistics (N, avgdl, df)
+    * deliberately stay corpus-wide, so a qualifying doc's score is
+    * bit-identical to its unfiltered score; callers compute df BEFORE
+    * applying this. */
+  private def restrict(
+      handle: Handle, rows: DataFrame,
+      docFilter: Option[DataFrame]): DataFrame =
+    docFilter match {
+      case None => rows
+      case Some(f) =>
+        require(f.columns.contains(handle.idCol),
+          s"docFilter must carry '${handle.idCol}', " +
+            s"has ${f.columns.mkString(", ")}")
+        rows.join(f.select(col(handle.idCol)), Seq(handle.idCol), "left_semi")
+    }
 
   /** Driver-side bucket ids for the query's terms, computed by the
     * ENGINE's own murmur3 (one local-relation row, never a scan) so
@@ -434,7 +463,7 @@ object Bm25Index {
     finally Maintenance.releaseCompactLock(fs, root)
   }
 
-  private def compactLocked(
+  private[ops] def compactLocked(
       spark: SparkSession, handle: Handle,
       fs: org.apache.hadoop.fs.FileSystem): Handle = {
     val dir = handle.dir
@@ -580,14 +609,7 @@ object Bm25Index {
     val id = col(handle.idCol)
     // the metadata predicate restricts CANDIDATES only — df above is
     // deliberately computed over the unfiltered slice (see scaladoc)
-    val candidates = docFilter match {
-      case None => pruned
-      case Some(f) =>
-        require(f.columns.contains(handle.idCol),
-          s"docFilter must carry '${handle.idCol}', " +
-            s"has ${f.columns.mkString(", ")}")
-        pruned.join(f.select(id), Seq(handle.idCol), "left_semi")
-    }
+    val candidates = restrict(handle, pruned, docFilter)
     // pivot each term's tf to its own column so the per-term scores
     // add LEFT-TO-RIGHT in query-term order — bit-identical to
     // Retrieval.scoreWith's column reduce, independent of row layout
@@ -633,9 +655,20 @@ object Bm25Index {
     * term raises row-wise instead of silently matching nothing.
     * `docFilter` restricts CANDIDATES for the whole batch to the
     * qualifying-id frame while df/N/avgdl stay corpus-wide — exactly
-    * [[topK]]'s metadata-filter convention (per-query lexical filters
-    * would need attribute-keyed postings; pass the per-query form to
-    * [[AnnIndex.queryBatch]]'s `attrEquals` on the vector side).
+    * [[topK]]'s metadata-filter convention.
+    *
+    * `attrEquals = Some((attrs, attrCol, queryCol))` is the PER-QUERY
+    * metadata filter ([[AnnIndex.queryBatch]]'s `attrEquals`, on the
+    * lexical side): `attrs` is the caller's `(idCol, attrCol, …)`
+    * attribute table — the postings are term-partitioned and store no
+    * attributes, so per-query filters resolve through a doc-keyed
+    * side table — and a candidate qualifies for a query only when its
+    * `attrCol` equals THAT query's `queryCol` value. Each query ranks
+    * the k best docs in ITS slice; a doc with no attribute row (or a
+    * NULL on either side — SQL equality) qualifies for nothing. Rows
+    * sharing a qid must agree on the attribute value (conflicting
+    * values would silently merge two different filters into one
+    * query's scores — raises in-plan). Statistics stay corpus-wide.
     * Emits `(qidCol, idCol, n_tok, score_q, rank)`, ranks 1..k by
     * (score_q desc, id). */
   def topKBatch(
@@ -643,22 +676,53 @@ object Bm25Index {
       qidCol: String, termsCol: String, k: Int = 10,
       k1: Double = Retrieval.DefaultK1,
       b: Double = Retrieval.DefaultB,
-      docFilter: Option[DataFrame] = None): DataFrame = {
+      docFilter: Option[DataFrame] = None,
+      attrEquals: Option[(DataFrame, String, String)] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(handle.nDocs > 0, "topKBatch over an empty index")
     docFilter.foreach(f => require(f.columns.contains(handle.idCol),
       s"docFilter must carry '${handle.idCol}', " +
         s"has ${f.columns.mkString(", ")}"))
-    val qt = queries
-      .select(col(qidCol), explode(col(termsCol)).as("__t"))
-      .select(col(qidCol),
+    attrEquals.foreach { case (attrs, ac, qc) =>
+      require(queries.columns.contains(qc),
+        s"topKBatch: queries must carry the per-query attribute column " +
+          s"'$qc', has ${queries.columns.mkString(", ")}")
+      require(attrs.columns.contains(handle.idCol) && attrs.columns.contains(ac),
+        s"topKBatch: the attribute table must carry '${handle.idCol}' and " +
+          s"'$ac', has ${attrs.columns.mkString(", ")}")
+      require(ac != "term" && ac != handle.idCol && ac != "n_tok" &&
+          ac != "tf" && ac != qidCol && ac != "__qattr",
+        s"topKBatch: attribute column '$ac' collides with a probe column — " +
+          "alias it in the attribute table first")
+    }
+    val qattr = attrEquals.toSeq.map { case (_, _, qc) => col(qc).as("__qattr") }
+    val qtRaw = queries
+      .select(col(qidCol) +: explode(col(termsCol)).as("__t") +: qattr: _*)
+      .select(col(qidCol) +:
         when(col("__t").isNull, raise_error(lit(
           "topKBatch: NULL term element in the query terms array")))
           .when(col("__t") =!= lower(col("__t")), raise_error(concat(
             lit("topKBatch: query terms must be lowercase (documents are " +
               "lowercased before matching): "), col("__t"))))
-          .otherwise(col("__t")).as("term"))
+          .otherwise(col("__t")).as("term") +:
+        attrEquals.toSeq.map(_ => col("__qattr")): _*)
       .distinct()
+    val qt = attrEquals match {
+      case None => qtRaw
+      case Some(_) =>
+        // two rows sharing a qid but carrying different attribute
+        // values would merge two filters into one query — raise
+        // row-wise (the query table is unbounded, so in-plan)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(qidCol)
+        qtRaw
+          .withColumn("__na", size(collect_set(col("__qattr")).over(w)))
+          .select(col(qidCol),
+            when(col("__na") > 1, raise_error(concat(
+                lit("topKBatch: query id "), col(qidCol).cast("string"),
+                lit(" carries conflicting attribute values"))))
+              .otherwise(col("term")).as("term"),
+            col("__qattr"))
+    }
     // distinct buckets of the batch's terms: a <= numBuckets collect
     val buckets = qt
       .select(pmod(hash(col("term")), lit(handle.numBuckets)).cast("int").as("__b"))
@@ -680,11 +744,26 @@ object Bm25Index {
     val id = col(handle.idCol)
     // [[topK]]'s docFilter convention: candidates restricted, df from
     // the UNFILTERED slice (collection statistics describe the corpus)
-    val candidates = docFilter match {
-      case None => pruned
-      case Some(f) => pruned.join(f.select(id), Seq(handle.idCol), "left_semi")
+    val candidates = restrict(handle, pruned, docFilter)
+    // the PER-QUERY metadata equality ([[AnnIndex.queryBatch]]'s
+    // `attrEquals` on the lexical side): candidates join the caller's
+    // attribute table on the doc id, and each query keeps only the
+    // docs whose attribute equals ITS value — tenant isolation, "each
+    // query ranks k docs in ITS language". The attribute table is a
+    // caller-side projection (the postings are term-partitioned and
+    // carry no attributes), its predicate and projection push to ITS
+    // scan, and only the term-bounded candidate slice's ids join
+    // against it. Statistics stay corpus-wide, as always.
+    val candAttr = attrEquals match {
+      case None => candidates
+      case Some((attrs, ac, _)) =>
+        candidates.join(attrs.select(id, col(ac)), Seq(handle.idCol))
     }
-    val scored = qt.join(candidates, Seq("term")).join(dfs, Seq("term"))
+    val scored0 = qt.join(candAttr, Seq("term"))
+    val scored = (attrEquals match {
+        case None => scored0
+        case Some((_, ac, _)) => scored0.filter(col(ac) === col("__qattr"))
+      }).join(dfs, Seq("term"))
       .withColumn("__sq", round(termScore * lit(1048576.0d)).cast("long"))
       .groupBy(col(qidCol), id, col("n_tok"))
       .agg(sum(col("__sq")).as("score_q"))
@@ -720,13 +799,18 @@ object Bm25Index {
     * the slice): for a phrase probe the field is the document. Work
     * is proportional to the phrase terms' postings — the corpus is
     * never re-tokenized (the oracle re-derives positions from raw
-    * text and must agree with the index's). Emits
-    * `(id, n_tok, phrase_tf, score)`, top `k` by (score desc, id). */
+    * text and must agree with the index's). `docFilter` is [[topK]]'s
+    * metadata-filter convention — "this exact phrase, where
+    * lang = 'en'": candidates restricted, df/N/avgdl corpus-wide, a
+    * qualifying doc's score bit-identical to its unfiltered one.
+    * Emits `(id, n_tok, phrase_tf, score)`, top `k` by
+    * (score desc, id). */
   def phraseTopK(
       spark: SparkSession, handle: Handle, phrase: Seq[String],
       k: Int = 10, field: Option[String] = None,
       k1: Double = Retrieval.DefaultK1,
-      b: Double = Retrieval.DefaultB): DataFrame = {
+      b: Double = Retrieval.DefaultB,
+      docFilter: Option[DataFrame] = None): DataFrame = {
     requirePositional(handle, "phraseTopK")
     requireQueryTerms(phrase, "phraseTopK")
     require(phrase.size >= 2,
@@ -758,7 +842,9 @@ object Bm25Index {
       .agg(countDistinct(col(handle.idCol)).as("__df")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val id = col(handle.idCol)
-    val pivoted = pruned.groupBy(id, col("n_tok_f")).agg(
+    // candidates restricted AFTER the df collect — stats corpus-wide
+    val pivoted = restrict(handle, pruned, docFilter)
+      .groupBy(id, col("n_tok_f")).agg(
       max(when(col("term") === distinctTerms.head, col("tf"))).as("__tf0"),
       (distinctTerms.zipWithIndex.drop(1).map { case (t, i) =>
         max(when(col("term") === t, col("tf"))).as(s"__tf$i") } ++
@@ -807,13 +893,16 @@ object Bm25Index {
     * structs) — no explode, no self-join, codegen-friendly; work is
     * proportional to the top docs' occurrence counts. Scoring and
     * ranking are [[phraseTopK]]'s field-restricted polynomial over
-    * the same pruned slice. Emits `(id, n_tok, score, win_start,
-    * win_n_terms, win_n_hits)`, top `k` by (score desc, id). */
+    * the same pruned slice; `docFilter` is [[topK]]'s metadata-filter
+    * convention (candidates restricted, stats corpus-wide). Emits
+    * `(id, n_tok, score, win_start, win_n_terms, win_n_hits)`, top
+    * `k` by (score desc, id). */
   def snippetTopK(
       spark: SparkSession, handle: Handle, queryTerms: Seq[String],
       width: Int = 16, k: Int = 10, field: Option[String] = None,
       k1: Double = Retrieval.DefaultK1,
-      b: Double = Retrieval.DefaultB): DataFrame = {
+      b: Double = Retrieval.DefaultB,
+      docFilter: Option[DataFrame] = None): DataFrame = {
     requirePositional(handle, "snippetTopK")
     requireQueryTerms(queryTerms, "snippetTopK")
     require(queryTerms.distinct.size == queryTerms.size,
@@ -843,7 +932,9 @@ object Bm25Index {
       .agg(countDistinct(col(handle.idCol)).as("__df")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val id = col(handle.idCol)
-    val pivoted = pruned.groupBy(id, col("n_tok_f")).agg(
+    // candidates restricted AFTER the df collect — stats corpus-wide
+    val pivoted = restrict(handle, pruned, docFilter)
+      .groupBy(id, col("n_tok_f")).agg(
       max(when(col("term") === queryTerms.head, col("tf"))).as("__tf0"),
       (queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
         max(when(col("term") === t, col("tf"))).as(s"__tf$i") } ++
@@ -908,13 +999,16 @@ object Bm25Index {
     * over the k SURVIVORS per query only: survivors join back to the
     * pruned slice, positions collect per (query, doc), and the scan
     * is per-row higher-order-function arithmetic — no explode, no
-    * self-join. Emits `(qid, id, n_tok, score_q, rank, win_start,
+    * self-join. `docFilter` restricts CANDIDATES for the whole batch
+    * ([[topK]]'s metadata-filter convention: stats corpus-wide).
+    * Emits `(qid, id, n_tok, score_q, rank, win_start,
     * win_n_terms, win_n_hits)`, ranks 1..k by (score_q desc, id). */
   def snippetTopKBatch(
       spark: SparkSession, handle: Handle, queries: DataFrame,
       qidCol: String, termsCol: String, width: Int = 16, k: Int = 10,
       field: Option[String] = None, k1: Double = Retrieval.DefaultK1,
-      b: Double = Retrieval.DefaultB): DataFrame = {
+      b: Double = Retrieval.DefaultB,
+      docFilter: Option[DataFrame] = None): DataFrame = {
     requirePositional(handle, "snippetTopKBatch")
     require(width >= 1, s"width must be >= 1, got $width")
     require(k >= 1, s"k must be >= 1, got $k")
@@ -960,15 +1054,16 @@ object Bm25Index {
       .select(pmod(hash(col("term")), lit(handle.numBuckets)).cast("int").as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val id = col(handle.idCol)
-    // (term, doc)-keyed dropDuplicates — the collapseTf pre-compact
-    // convention for positional probes (see phraseTopKBatch)
+    // the collapseTf pre-compact convention, enforced at each consumer
+    // (see phraseTopKBatch) instead of via an extra wide shuffle of
+    // the positions-carrying slice: distinct-doc df, max-before-sum
+    // scoring, and a SET collect for the window arrays
     val pruned = liveOnly(spark, handle,
         spark.read.parquet(s"${handle.dir}/postings")
           .filter(col("term_bucket").isin(buckets: _*) && col("field") === fld)
           .join(qt.select("term").distinct(), Seq("term"), "left_semi"))
-      .dropDuplicates("term", handle.idCol)
       .localCheckpoint(true) // feeds df counts, the score join, the window join
-    val dfs = pruned.groupBy("term").agg(count(lit(1)).as("__df"))
+    val dfs = pruned.groupBy("term").agg(countDistinct(id).as("__df"))
     val avgdlF = handle.fieldTokens(fi).toDouble / handle.nDocs.toDouble
     val tf = col("tf").cast("double")
     val idf = log(lit(1.0) +
@@ -977,9 +1072,14 @@ object Bm25Index {
     val termScore = idf * (tf * lit(k1 + 1.0)) /
       (tf + lit(k1) * (lit(1.0 - b) +
         lit(b) * col("n_tok_f").cast("double") / lit(avgdlF)))
-    val cand = qt.join(pruned, Seq("term"))
+    // candidates restricted AFTER the df derivation — stats corpus-wide
+    val cand = qt.join(restrict(handle, pruned, docFilter), Seq("term"))
+    // per-(query, term, doc) max collapses replay-duplicate rows
+    // before the across-terms sum — narrow rows, map-side combine
     val scored = cand.join(dfs, Seq("term"))
       .withColumn("__sq", round(termScore * lit(1048576.0d)).cast("long"))
+      .groupBy(col(qidCol), id, col("n_tok_f"), col("term"))
+      .agg(max(col("__sq")).as("__sq"))
       .groupBy(col(qidCol), id, col("n_tok_f"))
       .agg(sum(col("__sq")).as("score_q"))
       .filter(col("score_q") > 0L)
@@ -991,12 +1091,16 @@ object Bm25Index {
     // window arithmetic on the survivors only: one positions array per
     // (query, DISTINCT term, doc) row collects per hit, then the scan
     // is order-free per-row arithmetic (nt/nh are sums over the
-    // arrays, array_max picks the lexicographic best)
+    // arrays, array_max picks the lexicographic best). collect_SET:
+    // replay-duplicate posting rows carry bit-identical arrays and
+    // must count once, while two distinct terms can never collide —
+    // a position holds exactly one term, so their position sets are
+    // disjoint and their arrays always differ
     val ps = surv
       .join(cand.select(col(qidCol), id, col("positions")),
         Seq(qidCol, handle.idCol))
       .groupBy(col(qidCol), id, col("n_tok_f"), col("score_q"), col("rank"))
-      .agg(collect_list(col("positions")).as("__ps"))
+      .agg(collect_set(col("positions")).as("__ps"))
     val starts = array_distinct(flatten(col("__ps")))
     val winStructs = transform(starts, p => struct(
       aggregate(col("__ps"), lit(0), (acc, ar) =>
@@ -1106,13 +1210,16 @@ object Bm25Index {
     * `max_t min{p ∈ pos_t : p ≥ s}`; the minimum over starts is the
     * answer — no explode, no self-join), emitted as a column for
     * auditing (NULL when a term is missing). One pruned pass; work
-    * proportional to the query terms' postings. Emits `(id, n_tok,
-    * minwin, score_q)`, top `k` by (score_q desc, id). */
+    * proportional to the query terms' postings; `docFilter` is
+    * [[topK]]'s metadata-filter convention (candidates restricted,
+    * stats corpus-wide). Emits `(id, n_tok, minwin, score_q)`, top
+    * `k` by (score_q desc, id). */
   def proximityTopK(
       spark: SparkSession, handle: Handle, queryTerms: Seq[String],
       k: Int = 10, proxWeight: Double = 1.0, field: Option[String] = None,
       k1: Double = Retrieval.DefaultK1,
-      b: Double = Retrieval.DefaultB): DataFrame = {
+      b: Double = Retrieval.DefaultB,
+      docFilter: Option[DataFrame] = None): DataFrame = {
     requirePositional(handle, "proximityTopK")
     requireQueryTerms(queryTerms, "proximityTopK")
     require(queryTerms.distinct.size == queryTerms.size,
@@ -1144,7 +1251,9 @@ object Bm25Index {
       .agg(countDistinct(col(handle.idCol)).as("__df")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val id = col(handle.idCol)
-    val pivoted = pruned.groupBy(id, col("n_tok_f")).agg(
+    // candidates restricted AFTER the df collect — stats corpus-wide
+    val pivoted = restrict(handle, pruned, docFilter)
+      .groupBy(id, col("n_tok_f")).agg(
       max(when(col("term") === queryTerms.head, col("tf"))).as("__tf0"),
       (queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
         max(when(col("term") === t, col("tf"))).as(s"__tf$i") } ++
@@ -1209,7 +1318,9 @@ object Bm25Index {
     * `score_q` convention (per-(query, doc, term) `round(s·2²⁰)`
     * BIGINT-summed — order-free), df stays a DataFrame (never
     * collected), ranking a qid-partitioned window over adjacency
-    * survivors only. Emits `(qidCol, idCol, n_tok, phrase_tf,
+    * survivors only. `docFilter` restricts CANDIDATES for the whole
+    * batch ([[topK]]'s metadata-filter convention: df/N/avgdl stay
+    * corpus-wide). Emits `(qidCol, idCol, n_tok, phrase_tf,
     * score_q, rank)`, ranks 1..k by (score_q desc, id); a phrase with
     * no matching doc simply emits nothing. */
   def phraseTopKBatch(
@@ -1217,7 +1328,8 @@ object Bm25Index {
       qidCol: String, phraseCol: String, k: Int = 10,
       field: Option[String] = None,
       k1: Double = Retrieval.DefaultK1,
-      b: Double = Retrieval.DefaultB): DataFrame = {
+      b: Double = Retrieval.DefaultB,
+      docFilter: Option[DataFrame] = None): DataFrame = {
     requirePositional(handle, "phraseTopKBatch")
     require(k >= 1, s"k must be >= 1, got $k")
     require(handle.nDocs > 0, "phraseTopKBatch over an empty index")
@@ -1255,27 +1367,30 @@ object Bm25Index {
       .select(pmod(hash(col("term")), lit(handle.numBuckets)).cast("int").as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val id = col(handle.idCol)
-    // (term, doc)-keyed dropDuplicates = the [[collapseTf]]
-    // pre-compact convention for a probe that also reads `positions`:
-    // an at-least-once replayed append lays bit-identical rows (so
-    // any survivor is THE row), which would otherwise inflate df,
-    // double every per-term score in the sum below AND double each
-    // base occurrence — this probe keeps the positions column either
-    // way, so the dedup costs one shuffle of the already-pruned
-    // slice, not a wider scan
+    // the [[collapseTf]] pre-compact convention, enforced at each
+    // consumer instead of via an extra wide shuffle of the
+    // positions-carrying slice: an at-least-once replayed append lays
+    // bit-identical posting rows, so df counts DISTINCT docs below,
+    // the base grouping collapses duplicate (slot, base) rows by
+    // construction, and the score aggregation takes a per-(query,
+    // term, doc) max before summing across terms — on a clean index
+    // every one of those degenerates to the plain single-row case
     val pruned = liveOnly(spark, handle,
         spark.read.parquet(s"${handle.dir}/postings")
           .filter(col("term_bucket").isin(buckets: _*) && col("field") === fld)
           .join(slots.select("term").distinct(), Seq("term"), "left_semi"))
-      .dropDuplicates("term", handle.idCol)
       .localCheckpoint(true) // feeds df counts, the slot join, the score join
-    // rows now unique per (term, doc) within the fixed field: row
-    // count == field df
-    val dfs = pruned.groupBy("term").agg(count(lit(1)).as("__df"))
+    // distinct docs per term within the fixed field == field df
+    // (replay-duplicate rows must not inflate it)
+    val dfs = pruned.groupBy("term")
+      .agg(countDistinct(id).as("__df"))
+    // candidates restricted AFTER the df derivation — stats stay
+    // corpus-wide ([[topK]]'s docFilter convention)
+    val candSlice = restrict(handle, pruned, docFilter)
     // one row per (query, slot, matching doc), exploded to the base
     // position each slot's occurrences would anchor: base where every
     // slot appears == one occurrence of the full phrase
-    val bases = slots.join(pruned, Seq("term"))
+    val bases = slots.join(candSlice, Seq("term"))
       .select(col(qidCol), col("__plen"), col("__slot"), id,
         explode(expr("transform(positions, x -> x - __slot)")).as("__base"))
     val matched = bases
@@ -1292,9 +1407,15 @@ object Bm25Index {
     val termScore = idf * (tf * lit(k1 + 1.0)) /
       (tf + lit(k1) * (lit(1.0 - b) +
         lit(b) * col("n_tok_f").cast("double") / lit(avgdlF)))
+    // per-(query, term, doc) max collapses replay-duplicate rows
+    // (their __sq is bit-identical) before the across-terms sum —
+    // both levels shuffle NARROW candidate rows only, and the first
+    // map-side-combines to one row per key per partition
     val scored = slots.select(col(qidCol), col("term")).distinct()
-      .join(pruned, Seq("term")).join(dfs, Seq("term"))
+      .join(candSlice, Seq("term")).join(dfs, Seq("term"))
       .withColumn("__sq", round(termScore * lit(1048576.0d)).cast("long"))
+      .groupBy(col(qidCol), id, col("n_tok_f"), col("term"))
+      .agg(max(col("__sq")).as("__sq"))
       .groupBy(col(qidCol), id, col("n_tok_f"))
       .agg(sum(col("__sq")).as("score_q"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1317,12 +1438,16 @@ object Bm25Index {
     * per (term, doc) `round(weight_q · s)` where `s` is the classic
     * per-term BM25 double and `weight_q` the term's 2²⁰-quantized
     * weight, BIGINT-summed per doc (order-free; `score_q2` is thus in
-    * units of 2⁻⁴⁰ of a weighted score). Emits `(id, n_tok,
-    * score_q2)`, top `k` by (score_q2 desc, id). */
+    * units of 2⁻⁴⁰ of a weighted score). `docFilter` is [[topK]]'s
+    * metadata-filter convention — the expanded second pass of a
+    * filtered RM3 retrieval ranks only qualifying docs while
+    * df/N/avgdl stay corpus-wide. Emits `(id, n_tok, score_q2)`,
+    * top `k` by (score_q2 desc, id). */
   def topKWeighted(
       spark: SparkSession, handle: Handle, weights: DataFrame,
       k: Int = 10, k1: Double = Retrieval.DefaultK1,
-      b: Double = Retrieval.DefaultB): DataFrame = {
+      b: Double = Retrieval.DefaultB,
+      docFilter: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(handle.nDocs > 0, "topKWeighted over an empty index")
     require(weights.columns.contains("term") && weights.columns.contains("weight_q"),
@@ -1361,7 +1486,9 @@ object Bm25Index {
       (tf + lit(k1) * (lit(1.0 - b) +
         lit(b) * col("n_tok").cast("double") / lit(avgdl)))
     val id = col(handle.idCol)
-    wt.join(pruned, Seq("term")).join(dfs, Seq("term"))
+    // candidates restricted AFTER the df derivation — stats corpus-wide
+    wt.join(restrict(handle, pruned, docFilter), Seq("term"))
+      .join(dfs, Seq("term"))
       .withColumn("__sq",
         round(col("weight_q").cast("double") * termScore).cast("long"))
       .groupBy(id, col("n_tok"))
@@ -1482,13 +1609,15 @@ object Bm25Index {
     * and integer-sums (order-free on any partitioning — the
     * [[topKBatch]] convention); cross-term addition is a
     * left-to-right column reduce. One pruned pass; work proportional
-    * to the query terms' postings. Emits `(id, score)`, top `k` by
-    * (score desc, id). */
+    * to the query terms' postings; `docFilter` is [[topK]]'s
+    * metadata-filter convention (candidates restricted, idf/df
+    * corpus-wide). Emits `(id, score)`, top `k` by (score desc, id). */
   def bm25fTopK(
       spark: SparkSession, handle: Handle, queryTerms: Seq[String],
       weights: Seq[(String, Double)], k: Int = 10,
       k1: Double = Retrieval.DefaultK1,
-      b: Double = Retrieval.DefaultB): DataFrame = {
+      b: Double = Retrieval.DefaultB,
+      docFilter: Option[DataFrame] = None): DataFrame = {
     requirePositional(handle, "bm25fTopK")
     requireQueryTerms(queryTerms, "bm25fTopK")
     require(queryTerms.distinct.size == queryTerms.size,
@@ -1526,7 +1655,8 @@ object Bm25Index {
     val bF = lit(1.0 - b) + lit(b) * col("n_tok_f").cast("double") /
       fieldChain(avgdlF)
     val wtf = fieldChain(weights.toMap) * col("tf").cast("double") / bF
-    val perTermDoc = pruned
+    // candidates restricted AFTER the df collect — stats corpus-wide
+    val perTermDoc = restrict(handle, pruned, docFilter)
       .withColumn("__wq", round(wtf * lit(1048576.0d)).cast("long"))
       // inner max collapses bit-identical replayed-append rows (the
       // [[collapseTf]] pre-compact convention), outer sum is the real

@@ -233,7 +233,7 @@ object DedupIndex {
     finally Maintenance.releaseCompactLock(fs, root)
   }
 
-  private def compactLocked(
+  private[ops] def compactLocked(
       spark: SparkSession, handle: Handle,
       fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val dir = handle.dir

@@ -346,12 +346,12 @@ private[graft] object Maintenance {
     * field — the AnnIndex write contract: id first, then
     * cell/codes/attrs), and require the three indexes agree on it
     * (a co-written trio screens and forgets ONE key). Returns the id
-    * column and the BM25 handle (the one whose meta the callers
-    * read). */
+    * column plus BOTH loaded handles, so callers never pay a second
+    * meta read for state this prologue already opened. */
   private def loadTrioIdCol(
       spark: org.apache.spark.sql.SparkSession,
       dedupDir: String, bm25Dir: String, annDir: String, what: String)
-      : (String, Bm25Index.Handle) = {
+      : (String, DedupIndex.Handle, Bm25Index.Handle) = {
     val dedupH = DedupIndex.load(spark, dedupDir)
     val bm25H = Bm25Index.load(spark, bm25Dir)
     val annId = spark.read.parquet(s"$annDir/codes").schema.fieldNames
@@ -360,7 +360,7 @@ private[graft] object Maintenance {
       s"$what: the indexes disagree on the id column " +
         s"(dedup '${dedupH.idCol}', bm25 '${bm25H.idCol}', ann '$annId') " +
         "— a co-written trio screens and forgets one key")
-    (dedupH.idCol, bm25H)
+    (dedupH.idCol, dedupH, bm25H)
   }
 
   /** One index's distinct tombstoned ids, or an id-typed EMPTY frame
@@ -381,7 +381,7 @@ private[graft] object Maintenance {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    val (idc, bm25H) = loadTrioIdCol(spark, dedupDir, bm25Dir, annDir,
+    val (idc, _, bm25H) = loadTrioIdCol(spark, dedupDir, bm25Dir, annDir,
       "crossFsck")
     def liveIds(raw: org.apache.spark.sql.DataFrame, dir: String) =
       Tombstones.liveOnly(spark, dir, idc, raw.select(col(idc)))
@@ -437,6 +437,51 @@ private[graft] object Maintenance {
     * gap). Cost shape: three tombstone-table reads + id-keyed
     * anti-joins + three deletes over the MISSING ids only — deletion
     * lists, never corpus-scaled. */
+  /** Trio compaction under ONE handshake — the deployment loop's
+    * maintenance pass (the LifecycleDemo sequence, productized): all
+    * THREE compaction locks are taken up front (dedup → bm25 → ann,
+    * a fixed order so two trio compactors can never deadlock), a
+    * [[crossFsck]] snapshots the pre-compact state, each index's
+    * compact body runs under its already-held lock, and a second
+    * [[crossFsck]] verifies the healed trio BEFORE any lock releases
+    * — no ingest or forget trigger can interleave between the three
+    * compacts, so the post report describes the compacted trio, not
+    * a moving target (three separate `compact()` calls leave two
+    * windows where a trigger lands in some indexes but not others,
+    * and the closing audit chases a moving id set). Emits the two
+    * reports as one `(check, value)` frame with `pre_`/`post_`
+    * prefixes; on a healthy trio every `post_*_drift`/`*_not_*`/
+    * `post_tombstone_disagreements` row is 0 and the live counts
+    * equal the metas. Crash/lock posture per index is unchanged —
+    * each body is the same code `compact()` runs. */
+  def compactTrio(
+      spark: org.apache.spark.sql.SparkSession,
+      dedupDir: String, bm25Dir: String, annDir: String,
+      waitForAppendsMs: Long = 60000L): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val (_, dedupH, bm25H) = loadTrioIdCol(spark, dedupDir, bm25Dir, annDir,
+      "compactTrio")
+    val annH = AnnIndex.load(spark, annDir)
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val roots = Seq(dedupDir, bm25Dir, annDir).map(new Path(_))
+    var held: List[Path] = Nil
+    val (pre, post) = try {
+      roots.foreach { p =>
+        acquireCompactLock(fs, p, waitForAppendsMs)
+        held ::= p
+      }
+      val pre = crossFsck(spark, dedupDir, bm25Dir, annDir).collect()
+      DedupIndex.compactLocked(spark, dedupH, fs)
+      Bm25Index.compactLocked(spark, bm25H, fs)
+      AnnIndex.compactLocked(spark, annH, fs)
+      val post = crossFsck(spark, dedupDir, bm25Dir, annDir).collect()
+      (pre, post)
+    } finally held.foreach(releaseCompactLock(fs, _))
+    (pre.map(r => ("pre_" + r.getString(0), r.getLong(1))) ++
+      post.map(r => ("post_" + r.getString(0), r.getLong(1))))
+      .toSeq.toDF("check", "value")
+  }
+
   def reconcileTombstones(
       spark: org.apache.spark.sql.SparkSession,
       dedupDir: String, bm25Dir: String, annDir: String,
@@ -444,9 +489,8 @@ private[graft] object Maintenance {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    val (idc, bm25H) = loadTrioIdCol(spark, dedupDir, bm25Dir, annDir,
+    val (idc, dedupH, bm25H) = loadTrioIdCol(spark, dedupDir, bm25Dir, annDir,
       "reconcileTombstones")
-    val dedupH = DedupIndex.load(spark, dedupDir)
     require(docs.columns.contains(idc) && docs.columns.contains("text"),
       s"reconcileTombstones: docs must carry '$idc' and 'text', " +
         s"has ${docs.columns.mkString(", ")}")

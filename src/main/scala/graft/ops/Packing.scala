@@ -276,12 +276,31 @@ object Packing {
       df: DataFrame, idCol: String, textCol: String,
       vocab: graft.plans.BpeVocab, ctxLen: Long, shardCol: String,
       eosId: Option[Int] = None): DataFrame = {
-    require(ctxLen >= 1, s"context length must be >= 1, got $ctxLen")
     val eos = eosId.getOrElse(vocab.idTableRows.map(_._2).max + 1)
-    val ids = TextAnalysis.bpeTokenIds(col(textCol), vocab)
+    packIds(
+      df.withColumn("__tok_ids", TextAnalysis.bpeTokenIds(col(textCol), vocab)),
+      idCol, "__tok_ids", ctxLen, shardCol, eos)
+  }
+
+  /** The TOKENIZER-AGNOSTIC core of [[packTokenIds]]: pack an
+    * already-tokenized `array<int>` id column into `ctxLen` training
+    * sequences with the same EOS/`doc_starts`/`position_ids`/
+    * `segment_ids` contract. [[packTokenIds]] wires
+    * [[TextAnalysis.bpeTokenIds]] into it; a SentencePiece-family
+    * pipeline passes [[UnigramTokenizer.tokenIds]]' column — any
+    * model whose ids fit an int packs identically, so id shards never
+    * depend on WHICH tokenizer produced the stream. Documents whose
+    * id array is NULL or empty are dropped (no token evidence — no
+    * stray EOS); `eosId` is the caller's, since only the vocabulary
+    * owner knows its id space. */
+  def packIds(
+      df: DataFrame, idCol: String, idsCol: String,
+      ctxLen: Long, shardCol: String, eosId: Int): DataFrame = {
+    require(ctxLen >= 1, s"context length must be >= 1, got $ctxLen")
+    val eos = eosId
     val withTok = df
-      .withColumn("__base", ids)
-      .filter(size(col("__base")) >= 1)
+      .withColumn("__base", col(idsCol))
+      .filter(col("__base").isNotNull && size(col("__base")) >= 1)
       .withColumn("__ids", concat(col("__base"), array(lit(eos))))
       .withColumn("__ntok", (size(col("__base")) + 1).cast("long"))
     val packed = packChunks(withTok, idCol, "__ntok", ctxLen, shardCol)

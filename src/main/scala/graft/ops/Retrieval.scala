@@ -229,21 +229,22 @@ object Retrieval {
     // duplicate-(qid, id) guards, in-plan because both tables are
     // unbounded (the topKBatch/queryBatch posture): a duplicate
     // judgment row would silently inflate n_rel and idcg_q, a
-    // duplicate result row hits_k and dcg_q — raise loudly instead
-    def dupGuard(df: DataFrame, what: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(qidCol, idCol)
-      df.withColumn("__n", count(lit(1)).over(w))
-        .select(df.columns.map(c =>
-          if (c == idCol)
-            when(col("__n") > 1, raise_error(concat(
-                lit(s"evalRanking: duplicate ($qidCol, $idCol) in $what: ("),
-                qid.cast("string"), lit(", "), col(idCol).cast("string"),
-                lit(")"))))
-              .otherwise(col(idCol)).as(idCol)
-          else col(c)): _*)
-    }
-    val rel = dupGuard(qrels, "qrels")
+    // duplicate result row hits_k and dcg_q — raise loudly instead.
+    // ONE (qid, id)-keyed aggregate per input (map-side combine, no
+    // sort) rather than a window: on a duplicate-free panel the
+    // `first` IS the row's value, and any key with two rows raises
+    // before a value could matter.
+    def dupGuard(df: DataFrame, valueCol: String, what: String): DataFrame =
+      df.groupBy(qid, col(idCol))
+        .agg(count(lit(1)).as("__n"), first(col(valueCol)).as(valueCol))
+        .select(qid,
+          when(col("__n") > 1, raise_error(concat(
+              lit(s"evalRanking: duplicate ($qidCol, $idCol) in $what: ("),
+              qid.cast("string"), lit(", "), col(idCol).cast("string"),
+              lit(")"))))
+            .otherwise(col(idCol)).as(idCol),
+          col(valueCol))
+    val rel = dupGuard(qrels, "grade", "qrels")
       .select(qid, col(idCol), col("grade").cast("long").as("grade"))
       .filter(col("grade") >= 1L)
     val perQuery = rel.groupBy(qidCol).agg(count(lit(1)).as("n_rel"))
@@ -255,7 +256,7 @@ object Retrieval {
     // over the FULL result table, not the rank<=k slice — a ranked
     // list carrying the same doc twice is malformed wherever the
     // copies sit)
-    val hits = dupGuard(results, "results")
+    val hits = dupGuard(results, rankCol, "results")
       .select(qid, col(idCol), col(rankCol).cast("long").as("__rank"))
       .filter(col("__rank") <= k)
       .join(rel, Seq(qidCol, idCol))

@@ -456,11 +456,19 @@ object TextAnalysis {
       idCol: String, idsCol: String,
       n: Int = 13, minOverlap: Long = 1L): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // NULL elements would be silently DROPPED by concat_ws — "[1,
+    // NULL, 3]" would gram as "1_3" and collide/miss across documents
+    // — so malformed input raises in-plan instead (the topKBatch
+    // NULL-term posture; bpeTokenIds-produced arrays never carry one)
     def grams(c: Column): Column =
-      when(c.isNotNull && size(c) >= n,
-        transform(sequence(lit(0), size(c) - n),
-          i => concat_ws("_",
-            transform(slice(c, i + lit(1), lit(n)), x => x.cast("string")))))
+      when(c.isNotNull && exists(c, x => x.isNull), raise_error(lit(
+        "decontaminateIds: NULL element in a token-id array — ids " +
+          "must be null-free (a dropped element would silently shift " +
+          "every gram)")))
+        .when(c.isNotNull && size(c) >= n,
+          transform(sequence(lit(0), size(c) - n),
+            i => concat_ws("_",
+              transform(slice(c, i + lit(1), lit(n)), x => x.cast("string")))))
         .otherwise(array().cast("array<string>"))
     val trainGrams = train.select(col(idCol),
       explode(array_distinct(grams(col(idsCol)))).as("gram"))

@@ -283,6 +283,49 @@ object UnigramTokenizer {
     v
   }
 
+  /** The deterministic piece→id table — the unigram stack's
+    * [[graft.plans.BpeVocab.idTableRows]]: `<unk>` at 0, the word
+    * boundary `<w>` at 1, the distinct pieces SORTED at 2.. (see
+    * [[graft.plans.UnigramVocab.idTableRows]] for why sorted order —
+    * a `.vocab` artifact carries no ids, so the library's table is
+    * the deterministic one shared by tokenize/decode/pack/
+    * decontaminate). Returns `(piece, id)` rows for the dataloader's
+    * sidecar vocabulary dump. */
+  def idTableRows(vocab: graft.plans.UnigramVocab): Seq[(String, Int)] =
+    vocab.idTableRows
+
+  /** Unigram segmentation straight to vocabulary IDS (`array<int>`)
+    * — the SentencePiece-family twin of
+    * [[TextAnalysis.bpeTokenIds]]: each word of `trim(lower(text))`
+    * segments by the [[score]] DP and maps through the deterministic
+    * [[idTableRows]] table; unknown single-char fallbacks emit id 0,
+    * word boundaries id 1, and words longer than `maxWordLen` code
+    * points are excluded (the `n_long` rule). Feed the result to
+    * [[Packing.packTokenIds]] for id shards and to
+    * [[TextAnalysis.decontaminateIds]] for id-level hygiene — the
+    * q117/q183 pipeline under a SentencePiece-family model. */
+  def tokenIds(
+      text: Column, vocab: graft.plans.UnigramVocab,
+      unkLnProb: Double = -25.0, maxWordLen: Int = 16): Column = {
+    require(unkLnProb < 0, s"unkLnProb must be negative, got $unkLnProb")
+    graft.plans.UnigramScore.register(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_unigram_ids", trim(lower(text)),
+      typedLit(vocab.pieces.map(_._1)), typedLit(vocab.pieces.map(_._2)),
+      lit(math.round(unkLnProb * 1048576.0d)), lit(maxWordLen))
+  }
+
+  /** Decode unigram vocabulary ids back to text — the inverse of
+    * [[tokenIds]] on its image: `decodeIds(tokenIds(text)) ==` the
+    * normalized text's space-joined words (long words excluded at
+    * encode). An id with no inverse — `<unk>`, out-of-range, NULL —
+    * yields NULL for the whole row ([[TextAnalysis.bpeDecodeIds]]'s
+    * loud posture). */
+  def decodeIds(ids: Column, vocab: graft.plans.UnigramVocab): Column = {
+    graft.plans.UnigramScore.register(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_unigram_decode", ids,
+      typedLit(vocab.pieces.map(_._1)), typedLit(vocab.pieces.map(_._2)))
+  }
+
   /** Viterbi score column over `trim(lower(text))` — see
     * [[graft.plans.UnigramScore]] for the exact DP and tie-break.
     * Returns a struct `(score_q, n_pieces, n_words, n_long)`. */

@@ -29,6 +29,39 @@ final case class UnigramVocab(pieces: Seq[(String, Long)]) extends Serializable 
   // SQL-side length()/substr() semantics (and the DuckDB oracle) agree
   @transient private[plans] lazy val maxPieceLen: Int =
     pieces.iterator.map { case (p, _) => p.codePointCount(0, p.length) }.max
+
+  /** The deterministic piece→id table — the unigram stack's
+    * [[BpeVocab.idTableRows]]: id [[UnigramVocab.UnkId]] (0) is the
+    * unknown fallback, [[UnigramVocab.WordSepId]] (1) the word
+    * boundary, and the DISTINCT pieces take 2.. in SORTED piece order.
+    * Sorted, not construction order, because a unigram vocabulary
+    * usually arrives from a DataFrame collect (order arbitrary) and a
+    * `.vocab` artifact carries no ids at all (SentencePiece ids are
+    * implementation ordinals) — the sorted table is deterministic for
+    * any construction path, stable across re-imports, and replayable
+    * by any engine as `row_number() OVER (ORDER BY piece) + 1`. */
+  @transient lazy val idTableRows: Seq[(String, Int)] =
+    pieces.map(_._1).distinct.sorted.zipWithIndex
+      .map { case (p, i) => p -> (UnigramVocab.FirstPieceId + i) }
+
+  @transient private[plans] lazy val idOf: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](pieces.size * 2)
+    idTableRows.foreach { case (p, i) => m.put(p, i) }
+    m
+  }
+
+  /** piece at index `id - FirstPieceId` — the decode inverse. */
+  @transient private[plans] lazy val pieceOfId: Array[String] =
+    idTableRows.map(_._1).toArray
+}
+
+object UnigramVocab {
+  /** Id of the unknown-character fallback (no surface — not decodable). */
+  val UnkId: Int = 0
+  /** Id of the word boundary separating consecutive words' pieces. */
+  val WordSepId: Int = 1
+  /** First real piece id; pieces occupy FirstPieceId.. in sorted order. */
+  val FirstPieceId: Int = 2
 }
 
 /** Viterbi unigram segmentation score over whitespace words —
@@ -175,6 +208,123 @@ case class UnigramSegment(
     copy(child = newChild)
 }
 
+/** Unigram segmentation straight to vocabulary IDS —
+  * `graft_unigram_ids(text) -> array<int>`: the column a
+  * SentencePiece-family training dataloader consumes, mirroring
+  * [[BpeTokenIds]] on the BPE side. Each whitespace word of the
+  * (caller-normalized) text segments by the SAME DP as
+  * [[UnigramSegment]] and its pieces map through the deterministic
+  * [[UnigramVocab.idTableRows]] table; a single-char UNK fallback
+  * piece (no vocabulary entry) emits [[UnigramVocab.UnkId]], and
+  * consecutive words' pieces are separated by
+  * [[UnigramVocab.WordSepId]] so the id stream preserves word
+  * boundaries (ids of "ab c" and "a bc" can never collide — the
+  * n-gram property [[graft.ops.TextAnalysis.decontaminateIds]]
+  * needs) and [[UnigramDecodeIds]] can invert it. Words longer than
+  * `maxWordLen` code points contribute nothing — the [[UnigramScore]]
+  * `n_long` exclusion. Same distributed shape as the whole family:
+  * vocabulary in the expression, narrow, per-thread LRU. */
+case class UnigramTokenIds(
+    child: Expression, vocab: UnigramVocab, unkLpQ: Long, maxWordLen: Int)
+  extends UnaryExpression with CodegenFallback with Serializable {
+  require(maxWordLen >= 1 && maxWordLen <= 1024,
+    s"maxWordLen out of [1,1024]: $maxWordLen")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_unigram_ids"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string argument, got ${child.dataType.catalogString}")
+
+  @transient private lazy val cache =
+    new ThreadLocal[java.util.LinkedHashMap[String, Array[Int]]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[String, Array[Int]](1024, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Array[Int]]): Boolean =
+            size() > 8192
+        }
+    }
+
+  private def idsOfWord(w: String): Array[Int] = {
+    val c = cache.get()
+    val hit = c.get(w)
+    if (hit != null) return hit
+    val out = UnigramScore.bestSegmentation(w, vocab, unkLpQ)._2.map { p =>
+      val id = vocab.idOf.get(p)
+      if (id == null) UnigramVocab.UnkId else id.intValue()
+    }
+    c.put(w, out)
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var firstWord = true
+    text.split("\\s+").foreach { w =>
+      if (w.nonEmpty && w.codePointCount(0, w.length) <= maxWordLen) {
+        if (!firstWord) buf += UnigramVocab.WordSepId
+        firstWord = false
+        idsOfWord(w).foreach(buf += _)
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramTokenIds =
+    copy(child = newChild)
+}
+
+/** Decode unigram vocabulary ids back to text —
+  * `graft_unigram_decode(ids) -> string`, the inverse of
+  * [[UnigramTokenIds]] and the unigram stack's [[BpeDecodeIds]]:
+  * piece ids map back through [[UnigramVocab.pieceOfId]], a
+  * [[UnigramVocab.WordSepId]] becomes one space, and
+  * `decode(tokenIds(text))` equals the normalized text's
+  * space-joined words (long words excluded at encode — decode is
+  * exact on the encoder's image). An id with no inverse —
+  * [[UnigramVocab.UnkId]] (the unknown fallback has no surface), an
+  * out-of-range id, a NULL element — yields NULL for the whole row:
+  * fail loudly downstream rather than silently dropping a token. */
+case class UnigramDecodeIds(child: Expression, vocab: UnigramVocab)
+  extends UnaryExpression with CodegenFallback with Serializable {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_unigram_decode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs an array<int> argument, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val id = arr.getInt(i)
+      if (id == UnigramVocab.WordSepId) sb.append(' ')
+      else {
+        val pi = id - UnigramVocab.FirstPieceId
+        if (pi < 0 || pi >= vocab.pieceOfId.length) return null
+        sb.append(vocab.pieceOfId(pi))
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramDecodeIds =
+    copy(child = newChild)
+}
+
 /** Best ALTERNATIVE segmentation score of one piece's surface —
   * `graft_unigram_alt(word) -> bigint`: the Viterbi DP with the
   * full-span candidate banned ([[UnigramScore.bestSegmentation]]'s
@@ -294,6 +444,21 @@ object UnigramScore {
         val (child, vocab, unk, _) = parseArgs("graft_unigram_alt",
           exprs :+ Literal(1, IntegerType))
         UnigramAltScore(child, vocab, unk)
+      })
+    NativeFunctions.registerOnce(spark, "graft_unigram_ids",
+      exprs => {
+        val (child, vocab, unk, mwl) = parseArgs("graft_unigram_ids", exprs)
+        UnigramTokenIds(child, vocab, unk, mwl)
+      })
+    // decode takes no unk/max_word_len (the id stream already encodes
+    // the exclusions); reuse the 5-arg decoder with dummy literals
+    NativeFunctions.registerOnce(spark, "graft_unigram_decode",
+      exprs => {
+        require(exprs.length == 3,
+          s"graft_unigram_decode takes 3 arguments, got ${exprs.length}")
+        val (child, vocab, _, _) = parseArgs("graft_unigram_decode",
+          exprs ++ Seq(Literal(-1L, LongType), Literal(1, IntegerType)))
+        UnigramDecodeIds(child, vocab)
       })
   }
 

@@ -2377,11 +2377,14 @@ object CurationQueries {
     * Ends with `ukept(piece, cnt)` and `uktot(tt, kk)`. */
   private def uniEmCtesDuck: String = uniEmCtesDuckFor("uvq", "u")
 
-  /** The backtrace + EM re-estimation parametrized like
+  /** The DP-state BACKTRACE alone, parametrized like
     * [[uniDpCtesDuckFor]] (same prefix `p` — reads `{p}d16`, emits
-    * `{p}bt*`, `{p}kept`, `{p}ktot`), so q128 can chain a second
-    * round over the first round's output vocabulary. */
-  private def uniEmCtesDuckFor(vocabTable: String, p: String): String = {
+    * `{p}bt0..{p}bt16` and `{p}pl(w, ps)` with each word's best
+    * segmentation's pieces IN ORDER — the walk runs end-to-start, so
+    * the p1..p16 slots are reversed into surface order): shared by
+    * the EM credit step (order-free) and the id-pipeline replay
+    * (order-preserving). */
+  private def uniBtCtesDuckFor(p: String): String = {
     val W = 16
     def low(b: String) = s"(($b % 1024 + 1024) % 1024)"
     def lenOf(b: String) = s"(${low(b)} // 32)"
@@ -2397,11 +2400,21 @@ object CurationQueries {
     }
     s"""${p}bt0 AS (SELECT *, len(w) AS q0 FROM ${p}d$W),
       ${steps.mkString(",\n      ")},
-      ${p}pc AS (
-        SELECT w, unnest(list_filter(
+      ${p}pl AS (
+        SELECT w, list_reverse(list_filter(
           [${(1 to W).map(i => s"p$i").mkString(", ")}],
-          x -> x IS NOT NULL)) AS piece
-        FROM ${p}bt$W),
+          x -> x IS NOT NULL)) AS ps
+        FROM ${p}bt$W)"""
+  }
+
+  /** The backtrace + EM re-estimation parametrized like
+    * [[uniDpCtesDuckFor]] (same prefix `p` — reads `{p}d16`, emits
+    * `{p}bt*`, `{p}kept`, `{p}ktot`), so q128 can chain a second
+    * round over the first round's output vocabulary. */
+  private def uniEmCtesDuckFor(vocabTable: String, p: String): String = {
+    s"""${uniBtCtesDuckFor(p)},
+      ${p}pc AS (
+        SELECT w, unnest(ps) AS piece FROM ${p}pl),
       ${p}cnt AS MATERIALIZED (
         SELECT u.piece, CAST(sum(r.wc) AS BIGINT) AS cnt_em
         FROM ${p}pc u JOIN uwrd r USING (w) GROUP BY u.piece),
@@ -4574,11 +4587,342 @@ object CurationQueries {
       benchFn = Some(probe))
   }
 
+  /** Filtered phrase retrieval (library `Bm25Index.phraseTopK` with
+    * `docFilter` — "this exact phrase, where the metadata qualifies":
+    * the production request right after q184's filtered bag-of-words,
+    * previously only expressible as over-fetch-and-post-filter with
+    * no fill-k guarantee). Candidates restrict to `doc_id % 3 = 1`;
+    * adjacency, `phrase_tf` and the field-restricted polynomial are
+    * q154's, and collection statistics stay CORPUS-wide, so a
+    * qualifying doc's score is bit-identical to its unfiltered q154
+    * score. The oracle is q154's derivation with the predicate
+    * spliced into the final selection ONLY — a leak into the stats
+    * CTE, or a non-qualifying doc occupying a slot, breaks the hash. */
+  val q187 = {
+    def probe(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Bm25Index.phraseTopK(
+          s, graft.ops.Bm25Index.load(s, bm25IdxDir(dir)),
+          Seq("the", "data"), k = 10,
+          docFilter = Some(t(s, dir, "documents")
+            .filter(col("doc_id") % 3 === 1).select(col("doc_id"))))
+        .select(col("doc_id"), col("n_tok"), col("phrase_tf"),
+          round(col("score"), 6).as("score"))
+        .oracleOrderBy("doc_id")
+    val sel = "FROM (SELECT * FROM sc ORDER BY"
+    require(q154.oracle.exists(_.contains(sel)),
+      "q154's oracle selection clause drifted — update q187's splice")
+    QueryDef(
+      "q187_bm25_phrase_filtered",
+      (s, dir) => { ensureBm25Idx(s, dir); probe(s, dir) },
+      q154.oracle.map(_.replace(sel,
+        "FROM (SELECT * FROM sc WHERE doc_id % 3 = 1 ORDER BY")),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25Idx(s, dir)),
+      benchFn = Some(probe))
+  }
+
+  /** Filtered proximity retrieval (library `Bm25Index.proximityTopK`
+    * with `docFilter` — q165's minimal-span weighting over a
+    * qualifying slice). Same convention as q187: selection
+    * restricted to `doc_id % 3 = 1`, per-term quantized scores,
+    * minwin and the proximity bonus all bit-identical to the
+    * unfiltered probe's; the oracle splices the predicate into
+    * q165's final selection only. */
+  val q188 = {
+    def probe(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Bm25Index.proximityTopK(
+          s, graft.ops.Bm25Index.load(s, bm25IdxDir(dir)),
+          Seq("data", "the", "query"), k = 10, proxWeight = 1.0,
+          docFilter = Some(t(s, dir, "documents")
+            .filter(col("doc_id") % 3 === 1).select(col("doc_id"))))
+        .select(col("doc_id"), col("n_tok"), col("minwin"), col("score_q"))
+        .oracleOrderBy("doc_id")
+    val sel = "FROM scored WHERE score_q > 0"
+    require(q165.oracle.exists(_.contains(sel)),
+      "q165's oracle selection clause drifted — update q188's splice")
+    QueryDef(
+      "q188_bm25_proximity_filtered",
+      (s, dir) => { ensureBm25Idx(s, dir); probe(s, dir) },
+      q165.oracle.map(_.replace(sel, sel + " AND doc_id % 3 = 1")),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25Idx(s, dir)),
+      benchFn = Some(probe))
+  }
+
+  /** Filtered RM3 second pass (library `Bm25Index.topKWeighted` with
+    * `docFilter` over q160's expansion — "expanded retrieval, where
+    * the metadata qualifies"): the feedback LOOP stays unfiltered
+    * (q160's relevance model describes the corpus — its weights are
+    * byte-identical here), the weighted second pass ranks only
+    * `doc_id % 3 = 1` docs, df/N/avgdl corpus-wide. The oracle chains
+    * q161's full derivation with the predicate spliced into the final
+    * ranking only. */
+  val q189 = {
+    def probe(s: SparkSession, dir: String): DataFrame = {
+      val h = graft.ops.Bm25Index.load(s, bm25IdxDir(dir))
+      graft.ops.Bm25Index.topKWeighted(s, h,
+          graft.ops.Bm25Index.rm3Expand(s, h, t(s, dir, "documents"),
+            Seq("data", "the", "query"), fbDocs = 5, fbTerms = 5, lambda = 0.5),
+          k = 10,
+          docFilter = Some(t(s, dir, "documents")
+            .filter(col("doc_id") % 3 === 1).select(col("doc_id"))))
+        .select(col("doc_id"), col("n_tok"), col("score_q2"))
+        .oracleOrderBy("doc_id")
+    }
+    val sel = "FROM agg2 ORDER BY"
+    require(q161.oracle.exists(_.contains(sel)),
+      "q161's oracle selection clause drifted — update q189's splice")
+    QueryDef(
+      "q189_rm3_filtered_topk",
+      (s, dir) => { ensureBm25Idx(s, dir); probe(s, dir) },
+      q161.oracle.map(_.replace(sel, "FROM agg2 WHERE doc_id % 3 = 1 ORDER BY")),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25Idx(s, dir)),
+      benchFn = Some(probe))
+  }
+
+  /** PER-QUERY filtered batch retrieval (library `Bm25Index.topKBatch`
+    * with `attrEquals` — the lexical twin of q185's ANN multi-tenant
+    * filter: each query ranks k docs in ITS language, resolved
+    * through the caller's doc-keyed attribute table since the
+    * postings are term-partitioned and store no attributes). q148's
+    * three queries, each pinned to a different `lang`; scores of
+    * qualifying (qid, doc) pairs are bit-identical to q148's
+    * (statistics corpus-wide, the equality prunes candidates only).
+    * The oracle is q148's derivation with the per-query attribute
+    * join spliced into the ranking CTE only. */
+  val q190 = {
+    def probe(s: SparkSession, dir: String): DataFrame = {
+      import s.implicits._
+      val queries = Seq(
+        (1L, Seq("data", "the"), "en"),
+        (2L, Seq("query", "query", "nosuchterm"), "de"),
+        (3L, Seq("the"), "es")).toDF("qid", "terms", "ql")
+      graft.ops.Bm25Index.topKBatch(
+          s, graft.ops.Bm25Index.load(s, bm25IdxDir(dir)),
+          queries, "qid", "terms", k = 10,
+          attrEquals = Some((t(s, dir, "documents"), "lang", "ql")))
+        .select(col("qid"), col("doc_id"), col("n_tok"),
+          col("score_q"), col("rank"))
+        .oracleOrderBy("qid", "rank")
+    }
+    val sel = "FROM agg)"
+    require(q148.oracle.exists(_.contains(sel)),
+      "q148's oracle ranking clause drifted — update q190's splice")
+    QueryDef(
+      "q190_bm25_batch_attr",
+      (s, dir) => { ensureBm25Idx(s, dir); probe(s, dir) },
+      q148.oracle.map(_.replace(sel,
+        """FROM agg
+          JOIN documents d USING (doc_id)
+          JOIN (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'en'),
+            (2, 'de'), (3, 'es')) w(qid, ql)) qa USING (qid)
+          WHERE d.lang = qa.ql)""")),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25Idx(s, dir)),
+      benchFn = Some(probe))
+  }
+
+  /** q191/q192/q193's shared model — the q122 seed vocabulary shipped
+    * THROUGH the SentencePiece `.vocab` artifact (export + re-import
+    * recovers every `lp_q` bit-exactly, the q146 contract), so the
+    * probed model is a genuine `fromSentencePieceLines` import: the
+    * id pipeline runs under an artifact-loaded SentencePiece-family
+    * model exactly as q172/q176 do for GPT-2 files. Memoized per
+    * corpus dir (the seed is a corpus aggregate). */
+  private val uniIdVocab =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.plans.UnigramVocab]()
+
+  private def ensureUniIdVocab(
+      s: SparkSession, dir: String): graft.plans.UnigramVocab =
+    uniIdVocab.computeIfAbsent(dir, _ => {
+      val v0 = graft.ops.UnigramTokenizer.buildVocab(
+        graft.ops.UnigramTokenizer.seedVocab(t(s, dir, "documents"), "text",
+          maxPieceLen = 4, vocabSize = 256, maxWordLen = 16))
+      graft.ops.UnigramTokenizer.fromSentencePieceLines(
+        graft.ops.UnigramTokenizer.toSentencePieceLines(v0, uniUnkQ))._1
+    })
+
+  /** The q191/q193 shared oracle CTEs: per-doc ORDERED words (q154's
+    * parallel-unnest trick), the q123 DP + the ORDER-PRESERVING
+    * backtrace ([[uniBtCtesDuckFor]]'s `upl`), the deterministic
+    * sorted id table (`row_number() OVER (ORDER BY piece) + 1` — ids
+    * from 2, matching `UnigramVocab.idTableRows`), and each word's
+    * id list. Ends with `uwords(doc_id, wp, w)` and `wid(w, ids)`. */
+  private val uniIdCtesDuck: String = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]+"
+    s"""$uniVocabCtesDuck,
+      uwords AS MATERIALIZED (
+        SELECT doc_id, wp, w FROM (
+          SELECT doc_id, unnest(toks) AS w, unnest(range(0, len(toks))) AS wp
+          FROM (SELECT doc_id,
+                  string_split_regex(trim(lower(text)), '$ws') AS toks
+                FROM documents WHERE text IS NOT NULL) tt) u
+        WHERE len(w) > 0),
+      udw AS MATERIALIZED (SELECT w FROM uwords GROUP BY w),
+      $uniDpCtesDuck,
+      ${uniBtCtesDuckFor("u")},
+      idt AS (SELECT piece,
+                CAST(row_number() OVER (ORDER BY piece) + 1 AS INT) AS id
+              FROM uvq),
+      wpp AS (SELECT w, unnest(ps) AS piece, unnest(range(0, len(ps))) AS pi
+              FROM upl),
+      wid AS (SELECT wpp.w,
+                list(CAST(coalesce(idt.id, 0) AS INT) ORDER BY wpp.pi) AS ids
+              FROM wpp LEFT JOIN idt USING (piece) GROUP BY wpp.w)"""
+  }
+
+  /** Unigram tokenization to VOCABULARY IDS (library
+    * `UnigramTokenizer.tokenIds`, native
+    * [[graft.plans.UnigramTokenIds]] — the SentencePiece-family twin
+    * of q113's BPE ids, under a `.vocab`-artifact-imported model):
+    * every word's q123 best segmentation mapped through the
+    * deterministic sorted id table (`<unk>` 0, word boundary 1,
+    * pieces at 2..), boundaries preserved so the id stream is
+    * invertible and n-gram-safe. The oracle re-derives the seed
+    * vocabulary, replays the DP AND its backtrace per word IN ORDER,
+    * assigns ids by the same sorted rule and rebuilds each document's
+    * exact id string — one wrong piece, id or boundary anywhere
+    * breaks the hash. */
+  val q191 = {
+    def probe(v: graft.plans.UnigramVocab)(s: SparkSession, dir: String)
+        : DataFrame =
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.UnigramTokenizer.tokenIds(col("text"), v).as("ids"))
+        .select(col("doc_id"),
+          when(col("ids").isNotNull, size(col("ids")).cast("long")).as("n_ids"),
+          when(col("ids").isNotNull,
+            concat_ws("\u001F", transform(col("ids"), i => i.cast("string"))))
+            .as("ids_str"))
+        .oracleOrderBy("doc_id")
+    QueryDef(
+      "q191_unigram_token_ids",
+      (s, dir) => probe(ensureUniIdVocab(s, dir))(s, dir),
+      Some(s"""WITH $uniIdCtesDuck,
+        dstr AS (
+          SELECT u.doc_id,
+            string_agg(array_to_string(wid.ids, chr(31)),
+              chr(31) || '1' || chr(31) ORDER BY u.wp) AS ids_str,
+            CAST(sum(len(wid.ids)) + count(*) - 1 AS BIGINT) AS n_ids
+          FROM uwords u JOIN wid ON wid.w = u.w
+          WHERE len(u.w) <= 16
+          GROUP BY u.doc_id)
+        SELECT d.doc_id,
+          CASE WHEN d.text IS NOT NULL THEN coalesce(s.n_ids, 0) END AS n_ids,
+          CASE WHEN d.text IS NOT NULL THEN coalesce(s.ids_str, '') END AS ids_str
+        FROM documents d LEFT JOIN dstr s ON s.doc_id = d.doc_id
+        ORDER BY d.doc_id"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => { ensureUniIdVocab(s, dir); () }),
+      benchFn = Some((s, dir) => probe(uniIdVocab.get(dir))(s, dir)))
+  }
+
+  /** The id round-trip (library `UnigramTokenizer.decodeIds` over
+    * [[q191]]'s ids — the unigram stack's q132): decode maps every
+    * piece id back through the sorted table and every boundary id to
+    * one space, so `decodeIds(tokenIds(text))` must equal the
+    * normalized text's space-joined tokenizable words — the oracle
+    * computes that surface INDEPENDENTLY from raw text (split, drop
+    * empties and >16-char words, join with ' '), so a segmentation
+    * that loses or duplicates a single character anywhere in the
+    * corpus breaks the hash. */
+  val q192 = {
+    def probe(v: graft.plans.UnigramVocab)(s: SparkSession, dir: String)
+        : DataFrame =
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.UnigramTokenizer.decodeIds(
+            graft.ops.UnigramTokenizer.tokenIds(col("text"), v), v)
+            .as("decoded"))
+        .oracleOrderBy("doc_id")
+    QueryDef(
+      "q192_unigram_decode_roundtrip",
+      (s, dir) => probe(ensureUniIdVocab(s, dir))(s, dir),
+      Some("""SELECT doc_id,
+          CASE WHEN text IS NOT NULL THEN
+            array_to_string(list_filter(
+              string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
+              w -> len(w) > 0 AND len(w) <= 16), ' ')
+          END AS decoded
+        FROM documents ORDER BY doc_id"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => { ensureUniIdVocab(s, dir); () }),
+      benchFn = Some((s, dir) => probe(uniIdVocab.get(dir))(s, dir)))
+  }
+
+  /** Unigram ID SHARDS (library `Packing.packIds` over
+    * `UnigramTokenizer.tokenIds` — q117's dataloader artifact under a
+    * SentencePiece-family model: the tokenizer-agnostic packing core
+    * consumes the unigram id stream, EOS = max assigned id + 1,
+    * 128-id sequences, `doc_starts` boundary map). The oracle chains
+    * the ENTIRE derivation — seed vocab, per-word DP + ordered
+    * backtrace, sorted id assignment, boundary interleave, EOS
+    * append, per-shard cumulative offsets, the chunk cut, each
+    * sequence's id-content md5 and boundary list. */
+  val q193 = {
+    def probe(v: graft.plans.UnigramVocab)(s: SparkSession, dir: String)
+        : DataFrame = {
+      val eos = graft.ops.UnigramTokenizer.idTableRows(v).map(_._2).max + 1
+      graft.ops.Packing.packIds(
+          t(s, dir, "documents").withColumn("uids",
+            graft.ops.UnigramTokenizer.tokenIds(col("text"), v)),
+          "doc_id", "uids", ctxLen = 128L, shardCol = "source", eosId = eos)
+        .select(col("shard"), col("chunk_id"), col("n_tok"),
+          md5(concat_ws(" ", transform(col("ids"), i => i.cast("string"))))
+            .as("ids_fp"),
+          concat_ws(",", transform(col("doc_starts"), i => i.cast("string")))
+            .as("doc_starts_str"),
+          col("n_docs_started"))
+        .oracleOrderBy("shard", "chunk_id")
+    }
+    QueryDef(
+      "q193_unigram_pack_ids",
+      (s, dir) => probe(ensureUniIdVocab(s, dir))(s, dir),
+      Some(s"""WITH $uniIdCtesDuck,
+        ueos AS (SELECT CAST(count(*) + 2 AS INT) AS e FROM uvq),
+        dw AS (
+          SELECT u.doc_id, u.wp, wid.ids,
+            row_number() OVER (PARTITION BY u.doc_id ORDER BY u.wp) AS rn
+          FROM uwords u JOIN wid ON wid.w = u.w
+          WHERE len(u.w) <= 16),
+        docids AS (
+          SELECT dw.doc_id, d.source,
+            flatten(list(
+              CASE WHEN dw.rn = 1 THEN dw.ids
+                ELSE [CAST(1 AS INT)] || dw.ids END ORDER BY dw.wp))
+              || [ueos.e] AS ids
+          FROM dw JOIN documents d USING (doc_id), ueos
+          GROUP BY dw.doc_id, d.source, ueos.e),
+        n AS (SELECT doc_id, source, ids, len(ids) AS ntok FROM docids),
+        cum AS (
+          SELECT *, sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - ntok AS start_tok FROM n),
+        ex AS (
+          SELECT source, start_tok + u.i - 1 AS pos, ids[u.i] AS id,
+            (u.i = 1) AS is_start
+          FROM cum, LATERAL unnest(generate_series(1, ntok)) u(i))
+        SELECT source AS shard,
+          CAST(floor(pos / CAST(128 AS DOUBLE)) AS BIGINT) AS chunk_id,
+          CAST(count(*) AS BIGINT) AS n_tok,
+          md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos)) AS ids_fp,
+          coalesce(array_to_string(
+            list(CAST(pos % 128 AS VARCHAR) ORDER BY pos) FILTER (WHERE is_start),
+            ','), '') AS doc_starts_str,
+          CAST(coalesce(count(*) FILTER (WHERE is_start), 0) AS BIGINT)
+            AS n_docs_started
+        FROM ex GROUP BY source, chunk_id ORDER BY shard, chunk_id"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => { ensureUniIdVocab(s, dir); () }),
+      benchFn = Some((s, dir) => probe(uniIdVocab.get(dir))(s, dir)))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
       q114, q116, q117, q118, q119, q122, q123, q124, q125, q126, q127,
       q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
       q154, q155, q156, q157, q160, q161, q163, q164, q165, q166, q167, q171,
-      q172, q173, q176, q178, q182, q183, q184, q186)
+      q172, q173, q176, q178, q182, q183, q184, q186, q187, q188, q189, q190,
+      q191, q192, q193)
 }

@@ -15,7 +15,9 @@ import graft.ops.{AnnIndex, Bm25Index, DedupIndex, Maintenance, Retrieval}
   *   -> refined probe -> tombstone delete -> probe the remainder ->
   *   per-index fsck + cross-index fsck -> a PARTIAL delete breaks the
   *   trio -> crossFsck flags it -> reconcileTombstones repairs it ->
-  *   compact all three -> cross-fsck clean -> cell stats -> rebuild
+  *   compactTrio (one handshake, pre/post crossFsck) -> cell stats ->
+  *   SHADOW rebuild with a live ingest trigger landing MID-RETRAIN
+  *   (the ingest-refusal window shrinks to the delta catch-up + swap)
   *   -> probe again.
   *
   * Each step's wall time prints, so the COMPOSITION — every
@@ -174,37 +176,64 @@ object LifecycleDemo {
         rep("added_bm25") == 0L && rep("dedup_unresolvable") == 0L,
         s"repair diverged from the contract: $rep")
     }
-    step("compact: purge tombstones in all three") {
-      Bm25Index.compact(Bm25Index.load(spark, s"$root/bm25"))
-      AnnIndex.compact(AnnIndex.load(spark, s"$root/ann"))
-      DedupIndex.compact(DedupIndex.load(spark, s"$root/dedup"))
-    }
-    val clean = step("audit: crossFsck (post-compact)") {
-      Maintenance.crossFsck(spark, s"$root/dedup", s"$root/bm25", s"$root/ann")
+    val trioReport = step("compact: trio under ONE handshake") {
+      // all three compacts + pre/post crossFsck with every lock held
+      // for the whole span — the deployment loop's single call (the
+      // three separate compact()s this replaces left two windows
+      // where a trigger could land in some indexes but not others)
+      Maintenance.compactTrio(spark, s"$root/dedup", s"$root/bm25", s"$root/ann")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     }
-    require(clean("tombstone_disagreements") == 0L &&
-      clean("bm25_live_docs") == clean("bm25_meta_ndocs"),
-      s"compact left disagreement: $clean")
+    require(trioReport("post_tombstone_disagreements") == 0L &&
+      trioReport("post_bm25_live_docs") == trioReport("post_bm25_meta_ndocs"),
+      s"trio compact left disagreement: $trioReport")
 
     // ---- 5. layout health, retrain --------------------------------
     step("stats: per-cell occupancy") {
       AnnIndex.cellStats(spark, s"$root/ann").count()
     }
-    step("rebuild: retrain + re-encode + swap") {
-      // the corpus argument is the post-delete source of truth: the
-      // original embeddings minus EVERY forgotten slice — both the
-      // co-written delete and the reconciled partial one (rebuild
-      // re-encodes whatever it is given; feeding it a resurrected id
-      // would silently diverge the trio the repair just healed). The
-      // ingested pair would also belong here in a real deployment —
-      // the demo retrains on the surviving base corpus.
-      val remainder = emb
-        .join(doomed.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .join(partial.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      AnnIndex.rebuild(remainder, "embedding", "doc_id", s"$root/ann",
-        nCells = 8, m = 4, k = 4, dim = 64, iters = 2)
+    // the retrain source of truth: the original embeddings minus
+    // EVERY forgotten slice (both the co-written delete and the
+    // reconciled partial one — feeding a resurrected id would
+    // silently diverge the trio the repair just healed) PLUS the
+    // ingested pair — persisted as a table so the shadow rebuild's
+    // thunk can RE-read it and see mid-retrain arrivals.
+    val remainder = emb
+      .join(doomed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(partial.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("embedding",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    remainder.unionByName(fresh.select("doc_id", "embedding", "tier"))
+      .write.mode("overwrite").parquet(s"$root/ann_src")
+    val fresh2 = Seq(
+      (900003L, "a third document arriving while the retrain is running"),
+      (900004L, "a fourth mid-retrain arrival with more distinct words"))
+      .toDF("doc_id", "text")
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)),
+        j => ((col("doc_id") % 97 + j * 13) % 41).cast("double") / lit(41.0)))
+      .withColumn("tier", lit("9"))
+    var lockT0 = 0L
+    step("rebuild: SHADOW retrain (ingest stays live)") {
+      AnnIndex.rebuildShadow(
+        () => spark.read.parquet(s"$root/ann_src"), "embedding", "doc_id",
+        s"$root/ann", nCells = 8, m = 4, k = 4, dim = 64, iters = 2,
+        beforeLock = () => {
+          // a REAL ingest trigger lands while the retrain runs — the
+          // whole point of the shadow path: source table + trio all
+          // take the rows, the sidecar catch-up replays them under
+          // the new models
+          fresh2.select("doc_id", "embedding", "tier")
+            .write.mode("append").parquet(s"$root/ann_src")
+          graft.streaming.CurationIngest.curationSink(
+            DedupIndex.load(spark, s"$root/dedup"),
+            Bm25Index.load(spark, s"$root/bm25"),
+            AnnIndex.load(spark, s"$root/ann"),
+            s"$root/verdicts2", "embedding",
+            qualityGate = length(col("text")) > 20)(fresh2, 2L)
+          lockT0 = System.nanoTime()
+        })
     }
+    println(f"[lifecycle]   ingest-refusal window   ${(System.nanoTime() - lockT0) / 1e9}%8.3f s (delta catch-up + swap; the retrain above never held the lock)")
     step("probe: post-rebuild answers") {
       AnnIndex.query(spark, AnnIndex.load(spark, s"$root/ann"),
         "doc_id", qv, k = 10, nProbe = 2).count()

@@ -182,6 +182,18 @@ object ProfileScale {
     // for every other arm; each timed run re-runs the full rebuild
     lazy val annRebDir1 = { copyDir(annH1.dir, s"$scratch/annreb1"); s"$scratch/annreb1" }
     lazy val annRebDir10 = { copyDir(annH10.dir, s"$scratch/annreb10"); s"$scratch/annreb10" }
+    lazy val annShadowDir1 = { copyDir(annH1.dir, s"$scratch/annshadow1"); s"$scratch/annshadow1" }
+    lazy val annShadowDir10 = { copyDir(annH10.dir, s"$scratch/annshadow10"); s"$scratch/annshadow10" }
+    // q190's per-query attr fixture: docs10 carries no lang column, so
+    // both scales derive the SAME synthetic attribute (plan shape is
+    // what the arm measures — the oracle proves values)
+    def attrTableOf(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+      concat(lit("l"), (col("doc_id") % 5).cast("string")).as("lang"))
+    lazy val attrBatchQueries = {
+      import spark.implicits._
+      Seq((1L, Seq("data", "the"), "l1"), (2L, Seq("query"), "l2"),
+        (3L, Seq("the", "query", "data"), "l3")).toDF("qid", "terms", "ql")
+    }
     // round-13: filtered-probe indexes — the attribute column stored
     // with the codes; nCells scales like annH so cells stay
     // constant-size and the filtered probe's expected ratio is ~flat
@@ -1143,6 +1155,112 @@ object ProfileScale {
             when(col("vec_id") % 2 === 0, "en").otherwise("pl").as("want")),
           "embedding", "vec_id", k = 25, nProbe = 2,
           attrEquals = Some(("lang", "want")))),
+      // round-14: filtered positional/weighted probes — each is its
+      // unfiltered twin's shape (q154/q165/q161) + one slice-sized
+      // semi-join; df/N/avgdl stay corpus-wide (one unfiltered stats
+      // derivation), so the expected ratios match the unfiltered arms
+      ("q187 phrase-filtered",
+        () => graft.ops.Bm25Index.phraseTopK(spark, bm25H1,
+          Seq("the", "data"), k = 10,
+          docFilter = Some(docs.filter(col("doc_id") % 3 === 1)
+            .select("doc_id"))),
+        () => graft.ops.Bm25Index.phraseTopK(spark, bm25H10,
+          Seq("the", "data"), k = 10,
+          docFilter = Some(docs10.filter(col("doc_id") % 3 === 1)
+            .select("doc_id")))),
+      ("q188 proximity-filtered",
+        () => graft.ops.Bm25Index.proximityTopK(spark, bm25H1,
+          Seq("data", "the", "query"), k = 10,
+          docFilter = Some(docs.filter(col("doc_id") % 3 === 1)
+            .select("doc_id"))),
+        () => graft.ops.Bm25Index.proximityTopK(spark, bm25H10,
+          Seq("data", "the", "query"), k = 10,
+          docFilter = Some(docs10.filter(col("doc_id") % 3 === 1)
+            .select("doc_id")))),
+      ("q189 rm3-filtered",
+        () => graft.ops.Bm25Index.topKWeighted(spark, bm25H1,
+          graft.ops.Bm25Index.rm3Expand(spark, bm25H1, docs,
+            Seq("data", "the", "query")), k = 10,
+          docFilter = Some(docs.filter(col("doc_id") % 3 === 1)
+            .select("doc_id"))),
+        () => graft.ops.Bm25Index.topKWeighted(spark, bm25H10,
+          graft.ops.Bm25Index.rm3Expand(spark, bm25H10, docs10,
+            Seq("data", "the", "query")), k = 10,
+          docFilter = Some(docs10.filter(col("doc_id") % 3 === 1)
+            .select("doc_id")))),
+      // round-14: per-query attr equality on the batched lexical probe
+      // — candidates join a doc-keyed attribute projection; the attr
+      // scan is corpus-sized but column-pruned, the join slice
+      // query-term-bounded
+      ("q190 bm25-batch-attr",
+        () => graft.ops.Bm25Index.topKBatch(spark, bm25H1,
+          attrBatchQueries, "qid", "terms", k = 25,
+          attrEquals = Some((attrTableOf(docs), "lang", "ql"))),
+        () => graft.ops.Bm25Index.topKBatch(spark, bm25H10,
+          attrBatchQueries, "qid", "terms", k = 25,
+          attrEquals = Some((attrTableOf(docs10), "lang", "ql")))),
+      // round-14: the unigram id pipeline — seed aggregate + narrow
+      // per-row DP expression (the q123 shape); pack adds the q117
+      // offset window + one (shard, chunk) shuffle
+      ("q191 unigram-ids", () => {
+          val v = graft.ops.UnigramTokenizer.buildVocab(
+            graft.ops.UnigramTokenizer.seedVocab(docs, "text", 4, 256, 16))
+          docs.select(col("doc_id"),
+            graft.ops.UnigramTokenizer.tokenIds(col("text"), v).as("ids"))
+        },
+        () => {
+          val v = graft.ops.UnigramTokenizer.buildVocab(
+            graft.ops.UnigramTokenizer.seedVocab(docs10, "text", 4, 256, 16))
+          docs10.select(col("doc_id"),
+            graft.ops.UnigramTokenizer.tokenIds(col("text"), v).as("ids"))
+        }),
+      ("q192 unigram-decode", () => {
+          val v = graft.ops.UnigramTokenizer.buildVocab(
+            graft.ops.UnigramTokenizer.seedVocab(docs, "text", 4, 256, 16))
+          docs.select(col("doc_id"), graft.ops.UnigramTokenizer.decodeIds(
+            graft.ops.UnigramTokenizer.tokenIds(col("text"), v), v))
+        },
+        () => {
+          val v = graft.ops.UnigramTokenizer.buildVocab(
+            graft.ops.UnigramTokenizer.seedVocab(docs10, "text", 4, 256, 16))
+          docs10.select(col("doc_id"), graft.ops.UnigramTokenizer.decodeIds(
+            graft.ops.UnigramTokenizer.tokenIds(col("text"), v), v))
+        }),
+      ("q193 unigram-pack", () => {
+          val v = graft.ops.UnigramTokenizer.buildVocab(
+            graft.ops.UnigramTokenizer.seedVocab(docs, "text", 4, 256, 16))
+          val eos = graft.ops.UnigramTokenizer.idTableRows(v).map(_._2).max + 1
+          graft.ops.Packing.packIds(
+            docs.withColumn("shard_key",
+              (graft.ops.Sampling.hashUnit(col("doc_id")) * 32).cast("int"))
+              .withColumn("uids",
+                graft.ops.UnigramTokenizer.tokenIds(col("text"), v)),
+            "doc_id", "uids", ctxLen = 128L, shardCol = "shard_key", eosId = eos)
+        },
+        () => {
+          val v = graft.ops.UnigramTokenizer.buildVocab(
+            graft.ops.UnigramTokenizer.seedVocab(docs10, "text", 4, 256, 16))
+          val eos = graft.ops.UnigramTokenizer.idTableRows(v).map(_._2).max + 1
+          graft.ops.Packing.packIds(
+            docs10.withColumn("shard_key",
+              (graft.ops.Sampling.hashUnit(col("doc_id")) * 32).cast("int"))
+              .withColumn("uids",
+                graft.ops.UnigramTokenizer.tokenIds(col("text"), v)),
+            "doc_id", "uids", ctxLen = 128L, shardCol = "shard_key", eosId = eos)
+        }),
+      // round-14: shadow rebuild — the retrain+encode is CORPUS-LINEAR
+      // BY CONTRACT (q153's shape); the point of the shadow form is
+      // WHERE the lock sits, not the total work (the LifecycleDemo
+      // measures the locked window at seconds)
+      ("shadow ann-rebuild",
+        () => { graft.ops.AnnIndex.rebuildShadow(() => emb, "embedding",
+            "vec_id", annShadowDir1, nCells = 4, m = 4, k = 4, dim = dim,
+            iters = 2)
+          spark.range(1).toDF() },
+        () => { graft.ops.AnnIndex.rebuildShadow(() => emb10, "embedding",
+            "vec_id", annShadowDir10, nCells = 4 * factor, m = 4, k = 4,
+            dim = dim, iters = 2)
+          spark.range(1).toDF() }),
       // round-13: tombstone reconcile — idempotent steady-state pass
       // over the repaired trio (the warm-up run performed the actual
       // repair); tombstone-table-sized reads + no-op deletes
@@ -1291,8 +1409,13 @@ object ProfileScale {
       // q185 builds its query batch from emb/emb10 — it needs only the
       // attr indexes warm, not q170's query-vector memos
       if (name.startsWith("q185")) { annAttrH1.dir; annAttrH10.dir; () }
-      if (name.startsWith("q184") || name.startsWith("q186")) {
+      if (name.startsWith("q184") || name.startsWith("q186") ||
+          name.startsWith("q187") || name.startsWith("q188") ||
+          name.startsWith("q189") || name.startsWith("q190")) {
         bm25H1.dir; bm25H10.dir; ()
+      }
+      if (name.startsWith("shadow")) {
+        annH1.dir; annH10.dir; annShadowDir1; annShadowDir10; ()
       }
       if (name.startsWith("q171")) {
         bm25H1.dir; bm25H10.dir

@@ -3356,6 +3356,154 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Bm25Index positional/weighted probes docFilter: fill-k qualifying, scores unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25posfilter").toString
+    val fDir = java.nio.file.Files.createTempDirectory("bm25ffilter").toString
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val h = Bm25Index.build(docs, "doc_id", dir)
+      val allow = docs.filter(col("doc_id") % 3 === 1).select("doc_id")
+      val qualifies = (id: Long) => id % 3 == 1
+      // every single-query probe: the filtered top-k must equal the
+      // first k QUALIFYING rows of the unfiltered ranking, row for row
+      // (scores/minwin/windows included — stats stay corpus-wide)
+      def check(name: String,
+          unfiltered: org.apache.spark.sql.DataFrame,
+          filtered: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+        val exp = unfiltered.collect().filter(r => qualifies(r.getLong(0))).take(k).toSeq
+        val got = filtered.collect().toSeq
+        assert(got.nonEmpty, s"$name: filter fixture matched nothing")
+        assert(got == exp, s"$name:\n got $got\n exp $exp")
+      }
+      check("phrase",
+        Bm25Index.phraseTopK(spark, h, Seq("the", "data"), k = 500),
+        Bm25Index.phraseTopK(spark, h, Seq("the", "data"), k = 3,
+          docFilter = Some(allow)), 3)
+      check("proximity",
+        Bm25Index.proximityTopK(spark, h, Seq("data", "the"), k = 500),
+        Bm25Index.proximityTopK(spark, h, Seq("data", "the"), k = 3,
+          docFilter = Some(allow)), 3)
+      check("snippet",
+        Bm25Index.snippetTopK(spark, h, Seq("data", "the"), width = 8, k = 500),
+        Bm25Index.snippetTopK(spark, h, Seq("data", "the"), width = 8, k = 3,
+          docFilter = Some(allow)), 3)
+      val weights = Seq(("data", 1048576L), ("the", 524288L))
+        .toDF("term", "weight_q")
+      check("weighted",
+        Bm25Index.topKWeighted(spark, h, weights, k = 500),
+        Bm25Index.topKWeighted(spark, h, weights, k = 3,
+          docFilter = Some(allow)), 3)
+      // batch forms: per qid the same first-k-qualifying contract
+      val phraseQs = Seq((1L, Seq("the", "data"))).toDF("qid", "phrase")
+      val pbU = Bm25Index.phraseTopKBatch(spark, h, phraseQs, "qid", "phrase",
+          k = 500).sort(col("rank")).collect()
+        .map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSeq
+      val pbF = Bm25Index.phraseTopKBatch(spark, h, phraseQs, "qid", "phrase",
+          k = 3, docFilter = Some(allow)).sort(col("rank")).collect()
+        .map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSeq
+      assert(pbF.nonEmpty && pbF.map(r => (r._1, r._2)) ==
+        pbU.filter(r => qualifies(r._1)).take(3).map(r => (r._1, r._2)),
+        s"phrase batch: $pbF vs $pbU")
+      val snipQs = Seq((1L, Seq("data", "the"))).toDF("qid", "terms")
+      val sbU = Bm25Index.snippetTopKBatch(spark, h, snipQs, "qid", "terms",
+          width = 8, k = 500).sort(col("rank")).collect()
+        .map(r => (r.getLong(1), r.getLong(3), r.getLong(5))).toSeq
+      val sbF = Bm25Index.snippetTopKBatch(spark, h, snipQs, "qid", "terms",
+          width = 8, k = 3, docFilter = Some(allow)).sort(col("rank")).collect()
+        .map(r => (r.getLong(1), r.getLong(3), r.getLong(5))).toSeq
+      assert(sbF.nonEmpty && sbF.map(r => (r._1, r._2, r._3)) ==
+        sbU.filter(r => qualifies(r._1)).take(3).map(r => (r._1, r._2, r._3)),
+        s"snippet batch: $sbF vs $sbU")
+      // bm25f on a multi-field index
+      val fCorpus = Seq(
+        (0L, "big title", "big table of data rows"),
+        (1L, "data digest", "table scan with data"),
+        (3L, "big data", "more data here"),
+        (4L, "big data", "other data here"),
+        (2L, "other", "nothing relevant"))
+        .toDF("doc_id", "title", "text")
+      val fh = Bm25Index.buildFields(
+        fCorpus, "doc_id", fDir, Seq("title", "text"), numBuckets = 8)
+      val fw = Seq("title" -> 2.0, "text" -> 1.0)
+      val fAllow = fCorpus.filter(col("doc_id") % 3 === 1).select("doc_id")
+      val fU = Bm25Index.bm25fTopK(spark, fh, Seq("big", "data"), fw, k = 500)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fF = Bm25Index.bm25fTopK(spark, fh, Seq("big", "data"), fw, k = 2,
+          docFilter = Some(fAllow))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(fF.nonEmpty && fF == fU.filter(r => qualifies(r._1)).take(2),
+        s"bm25f: $fF vs $fU")
+      // a filter frame without the id column refuses loudly, everywhere
+      assert(intercept[IllegalArgumentException](
+        Bm25Index.phraseTopK(spark, h, Seq("the", "data"), k = 3,
+          docFilter = Some(allow.withColumnRenamed("doc_id", "id"))))
+        .getMessage.contains("doc_id"))
+    } finally {
+      Seq(dir, fDir).foreach { d =>
+        val root = java.nio.file.Path.of(d)
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+    }
+  }
+
+  test("Bm25Index.topKBatch attrEquals: each query ranks only ITS attribute's docs") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25attr").toString
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val h = Bm25Index.build(docs, "doc_id", dir)
+      val queries = Seq(
+        (1L, Seq("data", "the"), "en"),
+        (2L, Seq("the"), "de")).toDF("qid", "terms", "ql")
+      val out = Bm25Index.topKBatch(spark, h, queries, "qid", "terms", k = 5,
+          attrEquals = Some((docs, "lang", "ql")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(4)))
+      assert(out.nonEmpty)
+      // equivalent to running each query alone under a docFilter on
+      // ITS language — same docs, same scores, same ranks
+      for ((qid, terms, lang) <- Seq((1L, Seq("data", "the"), "en"),
+          (2L, Seq("the"), "de"))) {
+        val solo = Bm25Index.topKBatch(spark, h,
+            Seq((qid, terms)).toDF("qid", "terms"), "qid", "terms", k = 5,
+            docFilter = Some(docs.filter(col("lang") === lang).select("doc_id")))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(4)))
+        assert(out.filter(_._1 == qid).sortBy(_._4).toSeq ==
+          solo.sortBy(_._4).toSeq, s"qid $qid drifted")
+        // and every result's stored attribute matches the query's
+        val hits = out.filter(_._1 == qid).map(_._2).toSeq
+        if (hits.nonEmpty) {
+          val langs = docs.filter(col("doc_id").isin(hits: _*))
+            .select("lang").distinct().collect().map(_.getString(0)).toSeq
+          assert(langs == Seq(lang), s"qid $qid leaked $langs")
+        }
+      }
+      // guards: missing query column, missing attr column, attr/probe
+      // collision, conflicting per-qid attribute values
+      assert(intercept[IllegalArgumentException](
+        Bm25Index.topKBatch(spark, h, queries, "qid", "terms",
+          attrEquals = Some((docs, "lang", "nope"))))
+        .getMessage.contains("nope"))
+      assert(intercept[IllegalArgumentException](
+        Bm25Index.topKBatch(spark, h, queries, "qid", "terms",
+          attrEquals = Some((docs, "no_such", "ql"))))
+        .getMessage.contains("no_such"))
+      assert(intercept[IllegalArgumentException](
+        Bm25Index.topKBatch(spark, h, queries, "qid", "terms",
+          attrEquals = Some((docs.withColumnRenamed("lang", "n_tok"), "n_tok", "ql"))))
+        .getMessage.contains("collides"))
+      val conflict = Seq(
+        (1L, Seq("data"), "en"), (1L, Seq("the"), "de")).toDF("qid", "terms", "ql")
+      assert(intercept[Exception](
+        Bm25Index.topKBatch(spark, h, conflict, "qid", "terms",
+          attrEquals = Some((docs, "lang", "ql"))).collect())
+        .getMessage.contains("conflicting"))
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("AnnIndex.buildWith + merge: per-site encode under shared models unifies to a whole build") {
     val root = java.nio.file.Files.createTempDirectory("annmerge").toString
     try {
@@ -3971,6 +4119,101 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("AnnIndex.rebuildShadow: a mid-retrain append survives the swap; end equals buildWith over the union") {
+    val dir = java.nio.file.Files.createTempDirectory("annshadow").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("annshadowsrc").toString
+    val cleanDir = java.nio.file.Files.createTempDirectory("annshadowref").toString
+    try {
+      val (old, drifted) = annDriftFixture
+      old.write.mode("overwrite").parquet(srcDir)
+      AnnIndex.build(old, "embedding", "vec_id", dir,
+        nCells = 2, m = 4, k = 4, dim = 8, iters = 2)
+      var interleaved = false
+      val h = AnnIndex.rebuildShadow(
+        () => spark.read.parquet(srcDir), "embedding", "vec_id", dir,
+        nCells = 2, m = 4, k = 4, dim = 8, iters = 2,
+        beforeLock = () => {
+          // a mid-retrain ingest trigger: the rows reach the SOURCE
+          // table and the LIVE index while the sidecar encode is
+          // already finished — exactly the window blocking rebuild()
+          // would have refused for hours at 100 TB
+          drifted.write.mode("append").parquet(srcDir)
+          AnnIndex.append(AnnIndex.load(spark, dir), drifted,
+            "embedding", "vec_id")
+          interleaved = true
+        })
+      assert(interleaved)
+      // end state: bit-identical to encoding the UNION under the new
+      // models — the appended rows were replayed under them, not lost
+      // and not carried over in old-model codes
+      AnnIndex.buildWith(old.unionByName(drifted), "embedding", "vec_id",
+        cleanDir, h.centroids, h.codebooks)
+      def rows(d: String) = spark.read.parquet(s"$d/codes")
+        .select(col("vec_id").cast("long"), col("cell").cast("long"),
+          col("code_0").cast("long"), col("code_1").cast("long"),
+          col("code_2").cast("long"), col("code_3").cast("long"))
+        .collect().map(r => (0 until 6).map(r.getLong)).toSet
+      assert(rows(dir) == rows(cleanDir))
+      // lock released: a follow-up append works
+      AnnIndex.append(AnnIndex.load(spark, dir),
+        drifted.withColumn("vec_id", col("vec_id") + 1000), "embedding", "vec_id")
+    } finally {
+      Seq(dir, srcDir, cleanDir).foreach { d =>
+        val root = java.nio.file.Path.of(d)
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+    }
+  }
+
+  test("AnnIndex.rebuildShadow: unresolvable delta refuses; a mid-retrain delete keeps its tombstone") {
+    val dir = java.nio.file.Files.createTempDirectory("annshadow2").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("annshadow2src").toString
+    try {
+      val (old, drifted) = annDriftFixture
+      old.write.mode("overwrite").parquet(srcDir)
+      AnnIndex.build(old, "embedding", "vec_id", dir,
+        nCells = 2, m = 4, k = 4, dim = 8, iters = 2)
+      // an append whose rows never reach the source of truth: the
+      // catch-up cannot re-encode them — refuse rather than swap in a
+      // table that silently drops them
+      val e = intercept[IllegalArgumentException](
+        AnnIndex.rebuildShadow(
+          () => spark.read.parquet(srcDir), "embedding", "vec_id", dir,
+          nCells = 2, m = 4, k = 4, dim = 8, iters = 2,
+          beforeLock = () => AnnIndex.append(AnnIndex.load(spark, dir),
+            drifted, "embedding", "vec_id")))
+      assert(e.getMessage.contains("missing from"), e.getMessage)
+      // the failure released the lock and left the LIVE table serving
+      assert(spark.read.parquet(s"$dir/codes").count() == 128L)
+      // heal the ingest bug the scenario simulated: the rows reach
+      // the source of truth, so the next shadow rebuild can resolve
+      drifted.write.mode("append").parquet(srcDir)
+      // a delete that lands mid-retrain: its tombstone survives the
+      // swap (shadow NEVER clears tombstones), so the deleted row
+      // stays hidden even though the sidecar encode saw it
+      import spark.implicits._
+      val doomed = Seq(100L).toDF("vec_id")
+      val h2 = AnnIndex.rebuildShadow(
+        () => spark.read.parquet(srcDir), "embedding", "vec_id", dir,
+        nCells = 2, m = 4, k = 4, dim = 8, iters = 2,
+        beforeLock = () =>
+          { AnnIndex.delete(AnnIndex.load(spark, dir), doomed, "vec_id"); () })
+      assert(h2.hasTombstones)
+      val qv = old.filter(col("vec_id") === 100L)
+        .select("embedding").head().getSeq[Double](0).toSeq
+      val got = AnnIndex.query(spark, h2, "vec_id", qv, k = 5,
+        nProbe = 2).collect().map(_.getLong(0)).toSet
+      assert(!got.contains(100L), s"deleted id served after shadow swap: $got")
+    } finally {
+      Seq(dir, srcDir).foreach { d =>
+        val root = java.nio.file.Path.of(d)
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+    }
+  }
+
   test("Bm25Index: build/load/topK bit-matches bm25TopK; probe scan prunes") {
     val corpus = Seq(
       (0L, "the quick data pipeline processes the query stream"),
@@ -4260,6 +4503,8 @@ class OpsSpec extends SparkSpec {
         sorted(Bm25Index.phraseTopK(spark, h, Seq("big", "table"), k = 10)),
         sorted(Bm25Index.phraseTopKBatch(spark, h, phraseQs, "qid", "phrase", k = 10)),
         sorted(Bm25Index.snippetTopK(spark, h, Seq("big", "data"), width = 4, k = 10)),
+        sorted(Bm25Index.snippetTopKBatch(spark, h, batchQs, "qid", "terms",
+          width = 4, k = 10)),
         sorted(Bm25Index.proximityTopK(spark, h, Seq("big", "data"), k = 10)))
       val before = probes()
       Bm25Index.append(h, extra) // the at-least-once replay
@@ -5408,6 +5653,63 @@ class OpsSpec extends SparkSpec {
 
     val eP = intercept[IllegalArgumentException](UnigramVocab(Seq("" -> -1L)))
     assert(eP.getMessage.contains("non-empty"))
+  }
+
+  test("UnigramTokenizer id pipeline: sorted deterministic ids, boundaries, unk, decode inverse, packIds") {
+    import graft.plans.UnigramVocab
+    // construction order scrambled on purpose: the id table SORTS
+    val vocab = UnigramVocab(Seq("b" -> -5L, "ab" -> -10L, "a" -> -5L, "c" -> -7L))
+    assert(UnigramTokenizer.idTableRows(vocab) ==
+      Seq("a" -> 2, "ab" -> 3, "b" -> 4, "c" -> 5))
+    val docs = Seq(
+      (0L, "ab c"),                    // [ab] <w> [c]
+      (1L, "abc ab"),                  // [ab, c] <w> [ab]
+      (2L, "az"),                      // z -> <unk>
+      (3L, "aaaaaaaaaaaaaaaaa a"),     // 17-char word skipped
+      (4L, null.asInstanceOf[String]),
+      (5L, "   ")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        UnigramTokenizer.tokenIds(col("text"), vocab, unkLnProb = -1.0).as("ids"),
+        UnigramTokenizer.decodeIds(
+          UnigramTokenizer.tokenIds(col("text"), vocab, unkLnProb = -1.0),
+          vocab).as("dec"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def idsOf(id: Long) = out(id).getSeq[Int](1)
+    assert(idsOf(0L) == Seq(3, 1, 5))
+    assert(idsOf(1L) == Seq(3, 5, 1, 3))
+    assert(idsOf(2L) == Seq(2, 0))
+    assert(idsOf(3L) == Seq(2))
+    assert(out(4L).isNullAt(1))
+    assert(idsOf(5L) == Seq())
+    // decode inverts the encoder's image; an <unk> (no surface) and a
+    // NULL input decode to NULL, empty to empty
+    assert(out(0L).getString(2) == "ab c")
+    assert(out(1L).getString(2) == "abc ab")
+    assert(out(2L).isNullAt(2))
+    assert(out(3L).getString(2) == "a")
+    assert(out(4L).isNullAt(2))
+    assert(out(5L).getString(2) == "")
+    // an out-of-range id yields NULL, never a silent drop
+    val bad = Seq((0L, Seq(3, 99)), (1L, Seq(3, 1, 5))).toDF("id", "ids")
+    val dec = bad.select(col("id"),
+        UnigramTokenizer.decodeIds(col("ids"), vocab).as("d"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(dec(0L).isNullAt(1) && dec(1L).getString(1) == "ab c")
+    // packIds consumes the unigram stream tokenizer-agnostically:
+    // eos = max id + 1 (6), null/empty docs dropped, stream
+    // [3,1,5,6][3,5,1,3,6][2,0,6][2,6] cut at 8
+    val eos = UnigramTokenizer.idTableRows(vocab).map(_._2).max + 1
+    val pk = graft.ops.Packing.packIds(
+        docs.withColumn("sh", lit("s")).withColumn("uids",
+          UnigramTokenizer.tokenIds(col("text"), vocab, unkLnProb = -1.0)),
+        "doc_id", "uids", ctxLen = 8L, shardCol = "sh", eosId = eos)
+      .sort("chunk_id").collect()
+    assert(pk.length == 2)
+    val chunkIds = pk.map(r => r.getSeq[Int](r.fieldIndex("ids")).toSeq).toSeq
+    assert(chunkIds == Seq(Seq(3, 1, 5, 6, 3, 5, 1, 3), Seq(6, 2, 0, 6, 2, 6)),
+      chunkIds.toString)
+    val starts = pk.map(r => r.getSeq[Int](r.fieldIndex("doc_starts")).toSeq).toSeq
+    assert(starts == Seq(Seq(0, 4), Seq(1, 4)), starts.toString)
   }
 
   test("UnigramTokenizer.emRound: Viterbi-EM counts, re-estimation, pruning, coverage") {

@@ -322,6 +322,63 @@ class CurationIngestSpec extends SparkSpec {
       healed("dedup_live_docs") == 3L, healed.toString)
   }
 
+  test("compactTrio: one handshake — replay duplicates collapse, tombstones purge, post audit clean, locks released") {
+    val root = java.nio.file.Files.createTempDirectory("compacttrio_").toString
+    val docs = Seq(
+      (0L, "completely different content about spark engines and data"),
+      (1L, "another seed document with distinct vocabulary here"),
+      (2L, "a third standing document carrying separate unique words"),
+      (3L, "fourth corpus member with yet another token inventory"))
+      .toDF("doc_id", "text")
+    val embs = Seq(0L, 1L, 2L, 3L).map(i => (i, emb(i))).toDF("doc_id", "embedding")
+    val dedupH = DedupIndex.build(docs, "doc_id", s"$root/dedup")
+    val bm25H = Bm25Index.build(docs, "doc_id", s"$root/bm25", numBuckets = 8)
+    val annH = AnnIndex.build(embs, "embedding", "doc_id", s"$root/ann",
+      nCells = 2, m = 4, k = 2, dim = 8, iters = 1)
+    // a co-written delete (consistent tombstones in all three) plus an
+    // at-least-once REPLAYED append (duplicate rows in all three)
+    Bm25Index.delete(bm25H, Seq(1L).toDF("doc_id"))
+    AnnIndex.delete(annH, Seq(1L).toDF("doc_id"), "doc_id")
+    DedupIndex.delete(dedupH, docs.filter(col("doc_id") === 1L))
+    val extra = Seq((4L, "a fifth document arriving through the ingest loop"))
+      .toDF("doc_id", "text")
+    val extraEmb = Seq((4L, emb(4L))).toDF("doc_id", "embedding")
+    (1 to 2).foreach { _ =>
+      Bm25Index.append(Bm25Index.load(spark, s"$root/bm25"), extra)
+      AnnIndex.append(AnnIndex.load(spark, s"$root/ann"), extraEmb,
+        "embedding", "doc_id")
+      DedupIndex.append(DedupIndex.load(spark, s"$root/dedup"), extra)
+    }
+    val rep = graft.ops.Maintenance.compactTrio(
+        spark, s"$root/dedup", s"$root/bm25", s"$root/ann")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the pre snapshot sees the consistent tombstones, the post one a
+    // purged, recounted, duplicate-free trio
+    assert(rep("pre_tombstone_disagreements") == 0L, rep.toString)
+    assert(rep("post_tombstone_disagreements") == 0L, rep.toString)
+    assert(rep("post_bm25_live_docs") == 4L &&
+      rep("post_bm25_meta_ndocs") == 4L &&
+      rep("post_ann_live_codes") == 4L &&
+      rep("post_dedup_live_docs") == 4L, rep.toString)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq("dedup", "bm25", "ann").foreach { i =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/$i/tombstones")),
+        s"$i tombstones survived the trio compact")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/$i/_compact.lock")),
+        s"$i lock leaked")
+    }
+    // physical purge + duplicate collapse, per table
+    assert(spark.read.parquet(s"$root/bm25/doclens")
+      .filter(col("doc_id") === 1L).count() == 0L)
+    assert(spark.read.parquet(s"$root/bm25/doclens")
+      .filter(col("doc_id") === 4L).count() == 1L)
+    assert(spark.read.parquet(s"$root/ann/codes")
+      .filter(col("doc_id") === 4L).count() == 1L)
+    // locks genuinely released: a follow-up per-index compact runs
+    Bm25Index.compact(Bm25Index.load(spark, s"$root/bm25"))
+  }
+
   test("reconcileTombstones: heals a partial deletion, reports unresolvable ids, replays to zero") {
     val root = java.nio.file.Files.createTempDirectory("reconcile_").toString
     val docs = Seq(
