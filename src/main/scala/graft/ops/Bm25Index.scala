@@ -1367,23 +1367,23 @@ object Bm25Index {
       .select(pmod(hash(col("term")), lit(handle.numBuckets)).cast("int").as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val id = col(handle.idCol)
-    // the [[collapseTf]] pre-compact convention, enforced at each
-    // consumer instead of via an extra wide shuffle of the
-    // positions-carrying slice: an at-least-once replayed append lays
-    // bit-identical posting rows, so df counts DISTINCT docs below,
-    // the base grouping collapses duplicate (slot, base) rows by
-    // construction, and the score aggregation takes a per-(query,
-    // term, doc) max before summing across terms — on a clean index
-    // every one of those degenerates to the plain single-row case
+    // the [[collapseTf]] pre-compact convention, enforced WITHOUT the
+    // old wide shuffle of the positions-carrying slice: an
+    // at-least-once replayed append lays bit-identical posting rows,
+    // so ONE narrow collapse (term/doc/length/tf — positions never
+    // shuffle) feeds both the df count and the scoring join, and the
+    // base grouping below collapses duplicate (slot, base) rows by
+    // construction — on a clean index every level degenerates to the
+    // plain single-row case
     val pruned = liveOnly(spark, handle,
         spark.read.parquet(s"${handle.dir}/postings")
           .filter(col("term_bucket").isin(buckets: _*) && col("field") === fld)
           .join(slots.select("term").distinct(), Seq("term"), "left_semi"))
       .localCheckpoint(true) // feeds df counts, the slot join, the score join
-    // distinct docs per term within the fixed field == field df
-    // (replay-duplicate rows must not inflate it)
-    val dfs = pruned.groupBy("term")
-      .agg(countDistinct(id).as("__df"))
+    val narrow = pruned
+      .groupBy(col("term"), id, col("n_tok_f")).agg(max(col("tf")).as("tf"))
+    // rows unique per (term, doc) within the fixed field: count == df
+    val dfs = narrow.groupBy("term").agg(count(lit(1)).as("__df"))
     // candidates restricted AFTER the df derivation — stats stay
     // corpus-wide ([[topK]]'s docFilter convention)
     val candSlice = restrict(handle, pruned, docFilter)
@@ -1407,15 +1407,12 @@ object Bm25Index {
     val termScore = idf * (tf * lit(k1 + 1.0)) /
       (tf + lit(k1) * (lit(1.0 - b) +
         lit(b) * col("n_tok_f").cast("double") / lit(avgdlF)))
-    // per-(query, term, doc) max collapses replay-duplicate rows
-    // (their __sq is bit-identical) before the across-terms sum —
-    // both levels shuffle NARROW candidate rows only, and the first
-    // map-side-combines to one row per key per partition
+    // scoring joins the already-collapsed narrow frame — one sum per
+    // (query, doc), no duplicate rows to guard against here
     val scored = slots.select(col(qidCol), col("term")).distinct()
-      .join(candSlice, Seq("term")).join(dfs, Seq("term"))
+      .join(restrict(handle, narrow, docFilter), Seq("term"))
+      .join(dfs, Seq("term"))
       .withColumn("__sq", round(termScore * lit(1048576.0d)).cast("long"))
-      .groupBy(col(qidCol), id, col("n_tok_f"), col("term"))
-      .agg(max(col("__sq")).as("__sq"))
       .groupBy(col(qidCol), id, col("n_tok_f"))
       .agg(sum(col("__sq")).as("score_q"))
     val w = org.apache.spark.sql.expressions.Window
