@@ -4917,6 +4917,117 @@ object CurationQueries {
       benchFn = Some((s, dir) => probe(uniIdVocab.get(dir))(s, dir)))
   }
 
+  /** Token-ID-level decontamination under the UNIGRAM id pipeline
+    * (library `TextAnalysis.decontaminateIds` fed by
+    * `UnigramTokenizer.tokenIds` — q183's GPT-3/PaLM id-gram protocol
+    * for a SentencePiece-family model: the hygiene pass runs on the
+    * ids THAT model's dataloader ships, word boundaries included, so
+    * two texts colliding or splitting at the piece level are judged
+    * exactly as the model sees them). Same split and window as q183
+    * (train `doc_id % 10 ≠ 7`, 20-gram id shingles); the oracle
+    * chains q191's full derivation — DP backtrace in order, sorted id
+    * table, boundary interleave — into q183's gram/overlap replay. */
+  val q194 = {
+    def probe(v: graft.plans.UnigramVocab)(s: SparkSession, dir: String)
+        : DataFrame = {
+      val ids = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.UnigramTokenizer.tokenIds(col("text"), v).as("ids"))
+      graft.ops.TextAnalysis.decontaminateIds(
+          ids.filter(col("doc_id") % 10 =!= 7),
+          ids.filter(col("doc_id") % 10 === 7),
+          "doc_id", "ids", n = 20)
+        .select(col("doc_id"), col("n_overlap"), col("contaminated"))
+        .oracleOrderBy("doc_id")
+    }
+    QueryDef(
+      "q194_unigram_id_decontaminate",
+      (s, dir) => probe(ensureUniIdVocab(s, dir))(s, dir),
+      Some(s"""WITH $uniIdCtesDuck,
+        dstr AS (
+          SELECT u.doc_id,
+            string_agg(array_to_string(wid.ids, chr(31)),
+              chr(31) || '1' || chr(31) ORDER BY u.wp) AS ids_str
+          FROM uwords u JOIN wid ON wid.w = u.w
+          WHERE len(u.w) <= 16
+          GROUP BY u.doc_id),
+        idarr AS (
+          SELECT d.doc_id, string_split(coalesce(s.ids_str, ''), chr(31)) AS arr
+          FROM documents d LEFT JOIN dstr s ON s.doc_id = d.doc_id
+          WHERE d.text IS NOT NULL),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(arr, gi, gi + 19), '_') AS g
+          FROM idarr, UNNEST(range(1, len(arr) - 18)) AS t(gi)
+          WHERE len(arr) >= 20),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 7),
+        ov AS (SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+               FROM grams gr JOIN ev ON gr.g = ev.g
+               WHERE gr.doc_id % 10 <> 7 GROUP BY gr.doc_id)
+        SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+               CAST(coalesce(ov.n_overlap, 0) >= 1 AS INT) AS contaminated
+        FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+        WHERE d.doc_id % 10 <> 7
+        ORDER BY d.doc_id"""),
+      bench = true,
+      benchPrepare = Some((s, dir) => { ensureUniIdVocab(s, dir); () }),
+      benchFn = Some((s, dir) => probe(uniIdVocab.get(dir))(s, dir)))
+  }
+
+  /** Filtered hybrid RAG (library `Bm25Index.topK(docFilter)` +
+    * `AnnIndex.query(filter)` + `Retrieval.rrfFuse` — q150's
+    * persisted-index hybrid probe with BOTH retrieval sides
+    * metadata-filtered, composing the round's filtered family end to
+    * end: the lexical side ranks 50 qualifying docs from its term
+    * buckets, the vector side 50 qualifying codes from its probed
+    * cells — each with fill-k, neither a post-filter — and RRF fuses
+    * the two QUALIFYING rankings). The oracle is q150's full chained
+    * derivation with the predicate spliced into each side's final
+    * ranking only (collection/ADC statistics untouched) — ranks are
+    * recomputed over the qualifying slices, so a leak anywhere
+    * breaks the hash. */
+  val q195 = {
+    def prep(s: SparkSession, dir: String): Unit = {
+      ensureBm25Idx(s, dir)
+      EmbeddingQueries.buildAnnIdx(s, dir)
+      EmbeddingQueries.queryVec0(s, dir)
+      ()
+    }
+    def probe(s: SparkSession, dir: String): DataFrame = {
+      val allow = t(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 1).select(col("doc_id"))
+      val lex = graft.util.Ids.withRowIndex(
+        graft.ops.Bm25Index.topK(s, graft.ops.Bm25Index.load(s, bm25IdxDir(dir)),
+          Seq("data", "the", "query"), k = 50, docFilter = Some(allow)),
+        "rank")
+      val sem = graft.util.Ids.withRowIndex(
+          graft.ops.AnnIndex.query(s,
+            graft.ops.AnnIndex.load(s, EmbeddingQueries.annIdxDir(dir)),
+            "vec_id", EmbeddingQueries.queryVec0(s, dir), k = 50, nProbe = 2,
+            filter = Some(col("vec_id") % 3 === 1)),
+          "rank")
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      graft.ops.Retrieval.rrfFuse(Seq(lex, sem), "doc_id", rrfK = 60, k = 10)
+        .select(col("rank"), col("doc_id"), col("rank_0"), col("rank_1"),
+          round(col("rrf_score"), 6).as("rrf_score"))
+        .oracleOrderBy("doc_id")
+    }
+    val lexSel = "FROM sc WHERE score > CAST(0 AS DOUBLE)"
+    val semSel = "FROM annscored"
+    require(q150.oracle.exists(o =>
+        o.split(java.util.regex.Pattern.quote(lexSel), -1).length == 2 &&
+        o.split(java.util.regex.Pattern.quote(semSel), -1).length == 2),
+      "q150's oracle selection anchors drifted — update q195's splices")
+    QueryDef(
+      "q195_hybrid_filtered_rag",
+      (s, dir) => { prep(s, dir); probe(s, dir) },
+      q150.oracle.map(_
+        .replace(lexSel, lexSel + " AND doc_id % 3 = 1")
+        .replace(semSel, semSel + " WHERE vec_id % 3 = 1")),
+      bench = true,
+      benchPrepare = Some((s, dir) => prep(s, dir)),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
@@ -4924,5 +5035,5 @@ object CurationQueries {
       q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
       q154, q155, q156, q157, q160, q161, q163, q164, q165, q166, q167, q171,
       q172, q173, q176, q178, q182, q183, q184, q186, q187, q188, q189, q190,
-      q191, q192, q193)
+      q191, q192, q193, q194, q195)
 }

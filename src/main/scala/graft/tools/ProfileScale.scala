@@ -1248,6 +1248,53 @@ object ProfileScale {
                 graft.ops.UnigramTokenizer.tokenIds(col("text"), v)),
             "doc_id", "uids", ctxLen = 128L, shardCol = "shard_key", eosId = eos)
         }),
+      // round-14: the q183 shape under unigram ids — eval id-gram set
+      // distinct + broadcast, one train-side explode + doc-keyed count
+      ("q194 unigram-decontam", () => {
+          val v = graft.ops.UnigramTokenizer.buildVocab(
+            graft.ops.UnigramTokenizer.seedVocab(docs, "text", 4, 256, 16))
+          val ids = docs.select(col("doc_id"),
+            graft.ops.UnigramTokenizer.tokenIds(col("text"), v).as("ids"))
+          graft.ops.TextAnalysis.decontaminateIds(
+            ids.filter(col("doc_id") % 10 =!= 7),
+            ids.filter(col("doc_id") % 10 === 7), "doc_id", "ids", n = 20)
+        },
+        () => {
+          val v = graft.ops.UnigramTokenizer.buildVocab(
+            graft.ops.UnigramTokenizer.seedVocab(docs10, "text", 4, 256, 16))
+          val ids = docs10.select(col("doc_id"),
+            graft.ops.UnigramTokenizer.tokenIds(col("text"), v).as("ids"))
+          graft.ops.TextAnalysis.decontaminateIds(
+            ids.filter(col("doc_id") % 10 =!= 7),
+            ids.filter(col("doc_id") % 10 === 7), "doc_id", "ids", n = 20)
+        }),
+      // round-14: both retrieval sides filtered + fused — q150's
+      // hybrid arm + one slice-sized semi-join per side
+      ("q195 hybrid-filtered",
+        () => {
+          val allow = docs.filter(col("doc_id") % 3 === 1).select("doc_id")
+          val lex = graft.util.Ids.withRowIndex(
+            graft.ops.Bm25Index.topK(spark, bm25H1,
+              Seq("data", "the", "query"), k = 50, docFilter = Some(allow)),
+            "rank")
+          val sem = graft.util.Ids.withRowIndex(
+              graft.ops.AnnIndex.query(spark, annH1, "vec_id", qv1, k = 50,
+                nProbe = 2, filter = Some(col("vec_id") % 3 === 1)), "rank")
+            .select(col("vec_id").as("doc_id"), col("rank"))
+          graft.ops.Retrieval.rrfFuse(Seq(lex, sem), "doc_id", rrfK = 60, k = 10)
+        },
+        () => {
+          val allow = docs10.filter(col("doc_id") % 3 === 1).select("doc_id")
+          val lex = graft.util.Ids.withRowIndex(
+            graft.ops.Bm25Index.topK(spark, bm25H10,
+              Seq("data", "the", "query"), k = 50, docFilter = Some(allow)),
+            "rank")
+          val sem = graft.util.Ids.withRowIndex(
+              graft.ops.AnnIndex.query(spark, annH10, "vec_id", qv10, k = 50,
+                nProbe = 2, filter = Some(col("vec_id") % 3 === 1)), "rank")
+            .select(col("vec_id").as("doc_id"), col("rank"))
+          graft.ops.Retrieval.rrfFuse(Seq(lex, sem), "doc_id", rrfK = 60, k = 10)
+        }),
       // round-14: shadow rebuild — the retrain+encode is CORPUS-LINEAR
       // BY CONTRACT (q153's shape); the point of the shadow form is
       // WHERE the lock sits, not the total work (the LifecycleDemo
@@ -1416,6 +1463,10 @@ object ProfileScale {
       }
       if (name.startsWith("shadow")) {
         annH1.dir; annH10.dir; annShadowDir1; annShadowDir10; ()
+      }
+      if (name.startsWith("q195")) {
+        bm25H1.dir; bm25H10.dir; annH1.dir; annH10.dir
+        qv1.size; qv10.size; ()
       }
       if (name.startsWith("q171")) {
         bm25H1.dir; bm25H10.dir
