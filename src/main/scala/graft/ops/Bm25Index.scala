@@ -1523,14 +1523,21 @@ object Bm25Index {
     *    `round((1−λ)·2²⁰·w_q/Σw_q)` (the relevance model normalized
     *    over the selected set) — both exact given the integer
     *    inputs.
-    * Emits `(term, weight_q, in_query, w_q)` — ready for
+    * `docFilter` restricts the FEEDBACK pool ([[topK]]'s metadata
+    * convention, applied to the first pass): the fbDocs relevant
+    * exemplars are the best QUALIFYING docs, so the relevance model
+    * is built from the caller's slice ("expand from English docs
+    * only") while df/N/avgdl stay corpus-wide — compose with
+    * [[topKWeighted]]'s own `docFilter` for a fully-filtered RM3
+    * retrieval. Emits `(term, weight_q, in_query, w_q)` — ready for
     * [[topKWeighted]], with the provenance columns for auditing. */
   def rm3Expand(
       spark: SparkSession, handle: Handle, corpus: DataFrame,
       queryTerms: Seq[String], fbDocs: Int = 5, fbTerms: Int = 5,
       lambda: Double = 0.5, textCol: String = "text",
       k1: Double = Retrieval.DefaultK1,
-      b: Double = Retrieval.DefaultB): DataFrame = {
+      b: Double = Retrieval.DefaultB,
+      docFilter: Option[DataFrame] = None): DataFrame = {
     require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
     require(fbTerms >= 1, s"fbTerms must be >= 1, got $fbTerms")
     require(lambda > 0.0 && lambda < 1.0,
@@ -1547,7 +1554,7 @@ object Bm25Index {
     // collected, and only for the isin pushdown literals
     val first = topKBatch(spark, handle,
         Seq((0L, queryTerms)).toDF("__qid", "__terms"), "__qid", "__terms",
-        k = fbDocs, k1 = k1, b = b)
+        k = fbDocs, k1 = k1, b = b, docFilter = docFilter)
       .select(col(handle.idCol), col("score_q").as("__sq_doc"))
       .localCheckpoint(true) // fbDocs rows; feeds the collect AND the join
     val fbIds: Seq[Any] = first.select(col(handle.idCol))

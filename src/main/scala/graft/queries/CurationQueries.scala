@@ -5028,6 +5028,98 @@ object CurationQueries {
       benchFn = Some(probe))
   }
 
+  /** Filtered RM3 FEEDBACK (library `rm3Expand(docFilter)` — the last
+    * asymmetry in the filtered family closed: q189 filters the
+    * weighted SECOND pass, this one filters the first — the feedback
+    * exemplars are the best QUALIFYING docs, so the relevance model
+    * itself is built from the caller's slice, "expand from English
+    * docs only"). df/N/avgdl corpus-wide as always; the oracle is
+    * q160's full exact-integer chain with the predicate spliced into
+    * the feedback-doc selection ONLY — different exemplars, different
+    * term statistics, different weights, all replayed. */
+  val q196 = {
+    def probe(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Bm25Index.rm3Expand(
+          s, graft.ops.Bm25Index.load(s, bm25IdxDir(dir)),
+          t(s, dir, "documents"), Seq("data", "the", "query"),
+          fbDocs = 5, fbTerms = 5, lambda = 0.5,
+          docFilter = Some(t(s, dir, "documents")
+            .filter(col("doc_id") % 3 === 1).select(col("doc_id"))))
+        .select(col("term"), col("weight_q"), col("in_query"), col("w_q"))
+        .oracleOrderBy("term")
+    val sel = "FROM docsq"
+    require(q160.oracle.exists(o =>
+        o.split(java.util.regex.Pattern.quote(sel), -1).length == 2),
+      "q160's oracle feedback clause drifted — update q196's splice")
+    QueryDef(
+      "q196_rm3_filtered_feedback",
+      (s, dir) => { ensureBm25Idx(s, dir); probe(s, dir) },
+      q160.oracle.map(_.replace(sel, sel + " WHERE doc_id % 3 = 1")),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25Idx(s, dir)),
+      benchFn = Some(probe))
+  }
+
+  /** q197's trio — SEPARATE on-disk state (compactTrio MUTATES all
+    * three indexes; q171/q182 must keep their constructions), built
+    * with the identical co-written + partial-delete shape, then
+    * compacted ONCE per JVM under the single handshake with the
+    * first pass's pre/post report memoized — the oracle grades THAT
+    * report. */
+  private val trioCompactReport =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+
+  private def ensureCompactedTrio(
+      s: SparkSession, dir: String): Seq[(String, Long)] =
+    trioCompactReport.computeIfAbsent(dir, _ => {
+      buildPartialDeleteTrio(s, dir, ("tcdedup", "tcbm25", "tcann"))
+      graft.ops.Maintenance.compactTrio(s,
+          trioDir("tcdedup", dir), trioDir("tcbm25", dir),
+          trioDir("tcann", dir))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    })
+
+  /** Trio compaction under one handshake (library
+    * `Maintenance.compactTrio` — all three locks up front, crossFsck
+    * before AND after with every lock held, the three compact bodies
+    * between them): run against q171's partial-delete construction,
+    * the report must show the PRE state exactly as q171's audit does
+    * (prefixed), and the POST state IDENTICAL except
+    * `tombstone_disagreements → 0` — compact purges every tombstone
+    * (the physical forget) but does NOT repair the partial delete's
+    * live-set divergence (that is reconcileTombstones' job, q182):
+    * the live counts and id-set diffs must survive the rewrite
+    * untouched. The oracle derives both halves from q171's predicate
+    * replay. */
+  val q197 = {
+    val sel = "ORDER BY \"check\""
+    require(q171.oracle.exists(_.endsWith(sel)),
+      "q171's oracle ordering clause drifted — update q197's wrapper")
+    val inner = q171.oracle.get.stripSuffix(sel)
+    QueryDef(
+      "q197_trio_compact",
+      (s, dir) => {
+        import s.implicits._
+        ensureCompactedTrio(s, dir).toDF("check", "value")
+          .oracleOrderBy("check")
+      },
+      Some(s"""SELECT "check", value FROM (
+          SELECT 'pre_' || "check" AS "check", value FROM ($inner) a
+          UNION ALL
+          SELECT 'post_' || "check" AS "check",
+            CASE WHEN "check" = 'tombstone_disagreements'
+              THEN CAST(0 AS BIGINT) ELSE value END AS value
+          FROM ($inner) b) u
+        ORDER BY "check""""),
+      bench = true,
+      benchPrepare = Some((s, dir) => { ensureCompactedTrio(s, dir); () }),
+      // the steady-state pass times the REAL trio rewrite (locks,
+      // three compact bodies, two audits) over already-clean state
+      benchFn = Some((s, dir) => graft.ops.Maintenance.compactTrio(s,
+        trioDir("tcdedup", dir), trioDir("tcbm25", dir),
+        trioDir("tcann", dir))))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
@@ -5035,5 +5127,5 @@ object CurationQueries {
       q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
       q154, q155, q156, q157, q160, q161, q163, q164, q165, q166, q167, q171,
       q172, q173, q176, q178, q182, q183, q184, q186, q187, q188, q189, q190,
-      q191, q192, q193, q194, q195)
+      q191, q192, q193, q194, q195, q196, q197)
 }

@@ -1248,6 +1248,17 @@ object ProfileScale {
                 graft.ops.UnigramTokenizer.tokenIds(col("text"), v)),
             "doc_id", "uids", ctxLen = 128L, shardCol = "shard_key", eosId = eos)
         }),
+      // round-14: filtered feedback — q160's rm3 shape + one
+      // slice-sized semi-join in the first pass
+      ("q196 rm3-filtered-feedback",
+        () => graft.ops.Bm25Index.rm3Expand(spark, bm25H1, docs,
+          Seq("data", "the", "query"),
+          docFilter = Some(docs.filter(col("doc_id") % 3 === 1)
+            .select("doc_id"))),
+        () => graft.ops.Bm25Index.rm3Expand(spark, bm25H10, docs10,
+          Seq("data", "the", "query"),
+          docFilter = Some(docs10.filter(col("doc_id") % 3 === 1)
+            .select("doc_id")))),
       // round-14: the q183 shape under unigram ids — eval id-gram set
       // distinct + broadcast, one train-side explode + doc-keyed count
       ("q194 unigram-decontam", () => {
@@ -1468,6 +1479,7 @@ object ProfileScale {
         bm25H1.dir; bm25H10.dir; annH1.dir; annH10.dir
         qv1.size; qv10.size; ()
       }
+      if (name.startsWith("q196")) { bm25H1.dir; bm25H10.dir; () }
       if (name.startsWith("q171")) {
         bm25H1.dir; bm25H10.dir
         trioDedupDir1; trioDedupDir10; trioAnnDir1; trioAnnDir10; ()
