@@ -371,6 +371,82 @@ object Bm25Index {
       CurrentVersion, h0.fields, perField)
   }
 
+  /** Re-tokenize-and-swap — the rebuild every positional probe's
+    * "rebuild the index to upgrade" refusal points at, and the BM25
+    * member of the rebuild family ([[AnnIndex.rebuild]] retrains
+    * quantizer MODELS; BM25 has none, so its rebuild is one corpus
+    * pass under the CURRENT layout version written beside the live
+    * tables, then the locked swap). The two production uses:
+    *
+    *  - '''layout upgrade''' — a v1 index (no positions/fields)
+    *    becomes a v2 positional one without the caller hand-managing
+    *    a second directory and a cutover;
+    *  - '''disaster recovery''' — derived state suspected corrupt
+    *    (fsck findings, torn external writes) is replaced wholesale
+    *    from the source of truth.
+    *
+    * `corpus` is the post-delete source of truth; the rebuilt state
+    * is bit-identical to what [[buildFields]] writes for it at these
+    * parameters — tombstones are obsolete and clear with the swap,
+    * meta rewrites from a recount. The lock is held for the whole
+    * pass (appends refuse; at 100 TB prefer scheduling rebuilds in
+    * ingest gaps — the [[AnnIndex.rebuildShadow]] sidecar shape is
+    * about retrain SPANS, which BM25 does not have: its rebuild IS
+    * one corpus write). The new layout REPLACES the old wholesale —
+    * idCol/fields/numBuckets are the caller's; nothing is inherited
+    * from the possibly-corrupt old meta. Crash posture: before the
+    * first swap the live tables are untouched (an inert
+    * `rebuild_tmp` clears on the next attempt); mid-swap leaves a
+    * `<table>_precompact` aside, the [[compact]] recovery.
+    * `beforeSwap` is a test seam on the first table's swap. */
+  def rebuild(
+      corpus: DataFrame, idCol: String, dir: String,
+      fields: Seq[String] = Seq("text"),
+      numBuckets: Int = DefaultNumBuckets,
+      waitForAppendsMs: Long = 60000L,
+      beforeSwap: () => Unit = () => ()): Handle = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    require(fields.nonEmpty && fields.distinct.size == fields.size,
+      s"fields must be non-empty and distinct: $fields")
+    val spark = corpus.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    Maintenance.acquireCompactLock(fs, root, waitForAppendsMs)
+    try {
+      val tables = Seq("postings", "doclens")
+      tables.foreach { t => // refuse crashed state BEFORE the corpus pass
+        require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/${t}_precompact")),
+          s"$dir/${t}_precompact already exists — a prior rebuild/compact " +
+            "crashed mid-swap; recover it manually before rebuilding")
+      }
+      val tmp = s"$dir/rebuild_tmp"
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val (postings, doclens) = statFrames(corpus, idCol, fields, numBuckets)
+      postings.repartition(col("term_bucket")).sortWithinPartitions("term")
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$tmp/postings")
+      doclens.write.mode("overwrite").parquet(s"$tmp/doclens")
+      tables.zipWithIndex.foreach { case (t, i) =>
+        val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
+        // snapshot under the held lock — appends are excluded, so the
+        // swap's fold-in set is provably empty
+        val snapshot = Maintenance.dataFiles(fs, live).toSet
+        Maintenance.swapCompacted(fs, live,
+          new org.apache.hadoop.fs.Path(s"$tmp/$t"), snapshot,
+          if (i == 0) beforeSwap else () => ())
+      }
+      // the rebuilt state IS canonical for the post-delete corpus
+      fs.delete(Tombstones.path(dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val (n, total, perField) =
+        statsOf(spark.read.parquet(s"$dir/doclens"), idCol, fields)
+      writeMeta(spark, dir, idCol, numBuckets, n, total, fields, perField)
+      Handle(dir, idCol, fields.head, numBuckets, n, total,
+        CurrentVersion, fields, perField)
+    } finally Maintenance.releaseCompactLock(fs, root)
+  }
+
   /** Tombstone-delete documents from the index — the
     * right-to-be-forgotten path: at 100 TB a delete must not rewrite
     * the postings table (that is [[compact]]'s job). `ids` is a

@@ -5119,6 +5119,48 @@ object CurationQueries {
       // the unbenched tail like the other fixed-state reports.
   }
 
+  /** q198's index — built, partially deleted, then REBUILT from the
+    * full corpus, once per JVM (the bm25DelIdx discipline; rebuild
+    * mutates, so it gets its own state). */
+  private def bm25RebDir(dir: String): String =
+    QueryDef.idxScratchDir("bm25rebidx", dir)
+
+  private def ensureBm25RebIdx(s: SparkSession, dir: String): Unit =
+    if (bm25Built.add(bm25RebDir(dir))) {
+      val docs = t(s, dir, "documents")
+      val h = graft.ops.Bm25Index.build(docs, "doc_id", bm25RebDir(dir))
+      graft.ops.Bm25Index.delete(
+        h, docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+      graft.ops.Bm25Index.rebuild(docs, "doc_id", bm25RebDir(dir))
+      ()
+    }
+
+  /** In-place BM25 rebuild (library `Bm25Index.rebuild` — the
+    * re-tokenize-and-swap the positional probes' v1 refusal points
+    * at, and the disaster-recovery move for suspect derived state):
+    * the fixture builds the standing index, tombstones a slice, then
+    * rebuilds from the FULL corpus — the rebuilt state must be
+    * bit-identical to a clean build (tombstones cleared by design:
+    * `corpus` is the source of truth), so q145's probe answers q70's
+    * oracle text VERBATIM. One derivation now proves the scan, the
+    * build, the shard merge, delete-equals-remainder AND
+    * rebuild-equals-build against each other. */
+  val q198 = {
+    def probe(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Bm25Index.topK(
+          s, graft.ops.Bm25Index.load(s, bm25RebDir(dir)),
+          Seq("data", "the", "query"), k = 25)
+        .select(col("doc_id"), col("n_tok"), round(col("score"), 6).as("score"))
+        .oracleOrderBy("doc_id")
+    QueryDef(
+      "q198_bm25_rebuild",
+      (s, dir) => { ensureBm25RebIdx(s, dir); probe(s, dir) },
+      Some(bm25TopkOracleDuck),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureBm25RebIdx(s, dir)),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
@@ -5126,5 +5168,5 @@ object CurationQueries {
       q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
       q154, q155, q156, q157, q160, q161, q163, q164, q165, q166, q167, q171,
       q172, q173, q176, q178, q182, q183, q184, q186, q187, q188, q189, q190,
-      q191, q192, q193, q194, q195, q196, q197)
+      q191, q192, q193, q194, q195, q196, q197, q198)
 }

@@ -184,6 +184,8 @@ object ProfileScale {
     lazy val annRebDir10 = { copyDir(annH10.dir, s"$scratch/annreb10"); s"$scratch/annreb10" }
     lazy val annShadowDir1 = { copyDir(annH1.dir, s"$scratch/annshadow1"); s"$scratch/annshadow1" }
     lazy val annShadowDir10 = { copyDir(annH10.dir, s"$scratch/annshadow10"); s"$scratch/annshadow10" }
+    lazy val bm25RebArmDir1 = { copyDir(bm25H1.dir, s"$scratch/bm25reb1"); s"$scratch/bm25reb1" }
+    lazy val bm25RebArmDir10 = { copyDir(bm25H10.dir, s"$scratch/bm25reb10"); s"$scratch/bm25reb10" }
     // q190's per-query attr fixture: docs10 carries no lang column, so
     // both scales derive the SAME synthetic attribute (plan shape is
     // what the arm measures — the oracle proves values)
@@ -1306,6 +1308,14 @@ object ProfileScale {
             .select(col("vec_id").as("doc_id"), col("rank"))
           graft.ops.Retrieval.rrfFuse(Seq(lex, sem), "doc_id", rrfK = 60, k = 10)
         }),
+      // round-14: in-place BM25 rebuild — one corpus tokenize + the
+      // partitioned write + swap; corpus-linear BY CONTRACT (the
+      // build's own shape, run against standing state)
+      ("q198 bm25-rebuild",
+        () => { graft.ops.Bm25Index.rebuild(docs, "doc_id", bm25RebArmDir1)
+          spark.range(1).toDF() },
+        () => { graft.ops.Bm25Index.rebuild(docs10, "doc_id", bm25RebArmDir10)
+          spark.range(1).toDF() }),
       // round-14: shadow rebuild — the retrain+encode is CORPUS-LINEAR
       // BY CONTRACT (q153's shape); the point of the shadow form is
       // WHERE the lock sits, not the total work (the LifecycleDemo
@@ -1480,6 +1490,9 @@ object ProfileScale {
         qv1.size; qv10.size; ()
       }
       if (name.startsWith("q196")) { bm25H1.dir; bm25H10.dir; () }
+      if (name.startsWith("q198")) {
+        bm25H1.dir; bm25H10.dir; bm25RebArmDir1; bm25RebArmDir10; ()
+      }
       if (name.startsWith("q171")) {
         bm25H1.dir; bm25H10.dir
         trioDedupDir1; trioDedupDir10; trioAnnDir1; trioAnnDir10; ()

@@ -5018,6 +5018,42 @@ class OpsSpec extends SparkSpec {
       assert(e3.getMessage.contains("legacy"))
       val e4 = intercept[IllegalArgumentException](Bm25Index.compact(h))
       assert(e4.getMessage.contains("legacy"))
+      // THE upgrade path those refusals point at: rebuild re-tokenizes
+      // the corpus under the CURRENT layout in place — the positional
+      // probes work afterwards and the state equals a clean build
+      val up = Bm25Index.rebuild(corpus, "doc_id", dir, waitForAppendsMs = 0L)
+      assert(up.version == Bm25Index.CurrentVersion && up.nDocs == 3L, up.toString)
+      assert(Bm25Index.load(spark, dir) == up)
+      val ph = Bm25Index.phraseTopK(spark, up, Seq("the", "query"), k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(ph == Set((0L, 1L), (1L, 1L)), s"phrase after upgrade: $ph")
+      val cleanDir = java.nio.file.Files.createTempDirectory("bm25v1ref").toString
+      try {
+        Bm25Index.build(corpus, "doc_id", cleanDir)
+        def rows(d: String) = spark.read.parquet(s"$d/postings")
+          .collect().map(_.toString).sorted.toSeq
+        assert(rows(dir) == rows(cleanDir), "upgrade diverged from a clean build")
+      } finally {
+        val r2 = java.nio.file.Path.of(cleanDir)
+        java.nio.file.Files.walk(r2).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+      // an append inside the swap window is refused, never folded
+      var refused: Option[Throwable] = None
+      Bm25Index.rebuild(corpus, "doc_id", dir, waitForAppendsMs = 0L,
+        beforeSwap = () => {
+          refused = Some(intercept[IllegalStateException](
+            Bm25Index.append(up, corpus.filter(col("doc_id") === 0L))))
+        })
+      assert(refused.exists(_.getMessage.contains("_compact.lock")),
+        s"append was not refused mid-swap: $refused")
+      // and a rebuild clears tombstones: delete then rebuild over the
+      // full corpus resurrects by DESIGN (corpus is the source of truth)
+      Bm25Index.delete(Bm25Index.load(spark, dir), Seq(1L).toDF("doc_id"))
+      val healed = Bm25Index.rebuild(corpus, "doc_id", dir, waitForAppendsMs = 0L)
+      assert(healed.nDocs == 3L && healed.nTombstones == 0L)
+      assert(Bm25Index.topK(spark, healed, Seq("data"), k = 3)
+        .collect().map(_.getLong(0)).contains(1L))
     } finally {
       val root = java.nio.file.Path.of(dir)
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
