@@ -238,6 +238,23 @@ object LifecycleDemo {
       AnnIndex.query(spark, AnnIndex.load(spark, s"$root/ann"),
         "doc_id", qv, k = 10, nProbe = 2).count()
     }
+    step("rebuild: bm25 in place (recovery move)") {
+      // the lexical twin: one corpus pass + locked swap from the
+      // post-delete source of truth (base minus both forgotten
+      // slices, plus every ingested doc) — tombstones obsolete,
+      // meta recounted, the same probes keep answering
+      val corpusNow = docs
+        .join(doomed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(partial.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select("doc_id", "text")
+        .unionByName(fresh.select("doc_id", "text"))
+        .unionByName(fresh2.select("doc_id", "text"))
+      Bm25Index.rebuild(corpusNow, "doc_id", s"$root/bm25")
+    }
+    step("probe: post-bm25-rebuild answers") {
+      Bm25Index.topK(spark, Bm25Index.load(spark, s"$root/bm25"),
+        Seq("data", "the"), k = 20).count()
+    }
     val last = step("audit: crossFsck (post-rebuild)") {
       Maintenance.crossFsck(spark, s"$root/dedup", s"$root/bm25", s"$root/ann")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
