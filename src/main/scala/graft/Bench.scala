@@ -1,10 +1,32 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
 
 /** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line for the driver (BENCH_r{N}.json). */
 object Bench {
+
+  /** One zero-shuffle, data-independent contamination canary: range →
+    * xxhash64 → sum is a single whole-stage-codegen stage (32 tasks, a
+    * driver-side combine, no exchange, no disk), so its wall time
+    * tracks HOST CPU contention and nothing about the bench set. Two
+    * rounds running, the officially-filed artifact was captured in a
+    * contaminated host window (q70 median 55 s vs 0.6–0.7 s on the
+    * same tree; intra-sweep min/max spreads to 22×) — the canary gives
+    * the artifact its own validity bit: interleaved readings outside
+    * the multi-day band mark the adjacent queries suspect, the harness
+    * re-runs them after a settle wait, and the emitted JSON carries
+    * `contaminated` + the full canary trace either way. */
+  private def canarySec(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, CanaryRows, 1L, 32)
+      .select(xxhash64(col("id")).as("h")).agg(sum("h")).head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private val CanaryRows = 400000000L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,6 +55,19 @@ object Bench {
     def medianOf(sorted: Seq[Double]): Double =
       if (sorted.size % 2 == 1) sorted(sorted.size / 2)
       else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
+    // Canary protocol knobs. The band ceiling is a BAKED multi-day
+    // constant (idle-host readings ~0.20–0.35 s on this 32-thread
+    // host; the documented contamination fingerprint is ≥3× drift), so
+    // an in-band sweep proves the window was quiet without reference
+    // to the queries being timed. Env-overridable for other hosts.
+    val canaryEvery = sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "10")
+      .toIntOption.filter(_ >= 1).getOrElse(10)
+    val canaryBand = sys.env.getOrElse("SPARK_GRAFT_CANARY_BAND_SEC", "1.0")
+      .toDoubleOption.getOrElse(1.0)
+    val settleMs = sys.env.getOrElse("SPARK_GRAFT_CANARY_SETTLE_MS", "30000")
+      .toLongOption.getOrElse(30000L)
+    val maxSettles = 3
+    canarySec(spark) // untimed: the canary pays its own codegen warm-up
     // SPARK_GRAFT_BENCH_ONLY=q34_ann_lsh_bucket,q58_pq_codes restricts the
     // run to a named subset — the lever for fixed-code A/B experiments
     // (full set vs a historical round's subset isolates JIT/GC pressure
@@ -51,7 +86,10 @@ object Bench {
           s"SPARK_GRAFT_BENCH_ONLY names not found: ${missing.mkString(", ")}")
         want.toSeq.map(byName)
     }
-    val results = benchSet.map { q =>
+    final case class Timed(
+        name: String, med: Double, lo: Double, hi: Double,
+        phases: Seq[(Double, Double)], rerun: Boolean = false)
+    def timeOne(q: graft.queries.QueryDef, rerun: Boolean): Timed = {
       // input-materialization hook: runs ONCE, untimed, so queries whose
       // correctness form synthesizes input (q71) time only the operator
       try q.benchPrepare.foreach(p => p(spark, sfDir))
@@ -73,21 +111,85 @@ object Bench {
         graft.io.SaveGtfs.lastPhaseSeconds.foreach(phases += _)
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      (q.name, medianOf(times), times.head, times.last, phases.result())
+      Timed(q.name, medianOf(times), times.head, times.last, phases.result(),
+        rerun)
     }
-    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + med }
+    // ---- main pass, canary-interleaved: a block of queries is suspect
+    // when the canary reading on EITHER side of it is out of band
+    val canaryTrace = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val firstPass = scala.collection.mutable.LinkedHashMap.empty[String, Timed]
+    val suspects = scala.collection.mutable.LinkedHashSet.empty[String]
+    val block = scala.collection.mutable.ArrayBuffer.empty[String]
+    def runCanary(): Unit = {
+      val c = canarySec(spark)
+      canaryTrace += c
+      if (c > canaryBand) {
+        suspects ++= block
+        System.err.println(
+          f"[bench] canary $c%.2f s > band $canaryBand%.2f s — " +
+            s"${block.size} queries marked suspect")
+      }
+      block.clear()
+    }
+    runCanary() // a pre-sweep reading: a dirty START taints the first block
+    benchSet.zipWithIndex.foreach { case (q, i) =>
+      firstPass += q.name -> timeOne(q, rerun = false)
+      block += q.name
+      // leading-side taint: the reading BEFORE this block was dirty
+      if (canaryTrace.last > canaryBand) suspects += q.name
+      if ((i + 1) % canaryEvery == 0) runCanary()
+    }
+    runCanary() // close the final block (trailing-side taint)
+    // ---- flagged re-run: wait for the host to settle, then re-time the
+    // suspect queries with a clean canary on BOTH sides of each retry
+    var contaminated = suspects.nonEmpty
+    if (suspects.nonEmpty) {
+      System.err.println(s"[bench] ${suspects.size} suspect queries: " +
+        suspects.mkString(", "))
+      var settled = false
+      var attempts = 0
+      while (!settled && attempts < maxSettles) {
+        attempts += 1
+        Thread.sleep(settleMs)
+        val c = canarySec(spark)
+        canaryTrace += c
+        settled = c <= canaryBand
+      }
+      if (settled) {
+        val byName = benchSet.map(q => q.name -> q).toMap
+        var allClean = true
+        suspects.foreach { name =>
+          val redo = timeOne(byName(name), rerun = true)
+          val after = canarySec(spark)
+          canaryTrace += after
+          if (after <= canaryBand) firstPass += name -> redo
+          else allClean = false // the retry itself ran dirty — keep pass 1
+        }
+        contaminated = !allClean
+      }
+    }
+    val results = firstPass.values.toSeq
+    val qs = results.map(r => "\"" + r.name + "\":" + r.med)
       .mkString("{", ",", "}")
-    val stats = results.map { case (k, med, lo, hi, phases) =>
+    val stats = results.map { r =>
       val phaseJson =
-        if (phases.isEmpty) ""
+        if (r.phases.isEmpty) ""
         else {
-          val fw = medianOf(phases.map(_._1).sorted)
-          val zc = medianOf(phases.map(_._2).sorted)
+          val fw = medianOf(r.phases.map(_._1).sorted)
+          val zc = medianOf(r.phases.map(_._2).sorted)
           s""","phases":{"format_write_median":$fw,"zip_concat_median":$zc}"""
         }
-      "\"" + k + "\":{\"median\":" + med + ",\"min\":" + lo + ",\"max\":" + hi + phaseJson + "}"
+      val rerunJson = if (r.rerun) ""","rerun":true""" else ""
+      "\"" + r.name + "\":{\"median\":" + r.med + ",\"min\":" + r.lo +
+        ",\"max\":" + r.hi + phaseJson + rerunJson + "}"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_.med).sum
+    val trace = canaryTrace.toSeq
+    val canaryJson =
+      s"""{"band_sec":$canaryBand,"max":${trace.max},""" +
+        s""""readings":[${trace.map(t => f"$t%.3f").mkString(",")}]}"""
+    val validity =
+      s""""contaminated":$contaminated,"canary":$canaryJson"""
     // Persist the FULL stats object to the repo: the driver's stdout capture
     // is tail-capped (2,000 chars), which truncated q01–q32 out of
     // BENCH_r06.json. The stdout line stays compact (no per-query stats) so
@@ -97,7 +199,7 @@ object Bench {
     val statsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_STATS_OUT", "bench_stats_latest.json")
     val stamp = java.time.Instant.now().toString
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$n,"stats":$stats,"sf":"$sfDir","timestamp":"$stamp"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$n,$validity,"stats":$stats,"sf":"$sfDir","timestamp":"$stamp"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(statsPath),
@@ -110,7 +212,7 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not persist stats: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$n,"stats_file":"$statsPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$n,$validity,"stats_file":"$statsPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -321,8 +321,9 @@ object AnnIndex {
     // table itself: every column that is not `cell` or a `code_*` is
     // the id.
     val tombs = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val hadTombs = fs.exists(tombs)
     val purge: DataFrame => DataFrame =
-      if (fs.exists(tombs)) {
+      if (hadTombs) {
         val ts = spark.read.parquet(tombs.toString)
         val idCol = ts.schema.fieldNames.head
         df => df.join(ts, Seq(idCol), "left_anti")
@@ -336,6 +337,11 @@ object AnnIndex {
     Maintenance.swapCompacted(fs, live,
       new org.apache.hadoop.fs.Path(s"$dir/compact_tmp/codes"), snapshot.toSet)
     fs.delete(tombs, true)
+    // tombstoned rows are physically gone AND their tombstones cleared:
+    // a shadow rebuild whose sidecar predates this purge must not swap
+    // in (it would resurrect them) — see Maintenance.requireNoPurgeSince
+    if (hadTombs)
+      Maintenance.bumpPurgeEpoch(fs, new org.apache.hadoop.fs.Path(dir))
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/compact_tmp"), true)
   }
 
@@ -431,6 +437,9 @@ object AnnIndex {
     // the rebuilt state IS canonical for `corpus` (the caller's
     // post-delete source of truth) — tombstones are obsolete
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+    // wholesale replace: any concurrently-retraining shadow sidecar is
+    // now stale in every way — invalidate it at its lock-time check
+    Maintenance.bumpPurgeEpoch(fs, new org.apache.hadoop.fs.Path(dir))
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     Handle(dir, centroids, codebooks)
   }
@@ -466,7 +475,16 @@ object AnnIndex {
     * hiding the row even if the sidecar encode saw it, and the next
     * [[compact]] purges physically. Tombstoned ids are excluded from
     * the delta, so deleting a row mid-retrain never trips the
-    * missing-from-source guard.
+    * missing-from-source guard. A delete+COMPACT racing the retrain
+    * (or a standing tombstone plus a routine compact inside the
+    * hours-long window) is refused at the lock: the compact purged the
+    * rows AND removed the tombstones that hid them, while the sidecar
+    * — encoded from snapshot0 — may still carry them; the purge-epoch
+    * check ([[Maintenance.requireNoPurgeSince]]) discards the sidecar
+    * loudly instead of resurrecting deleted data (re-run the shadow
+    * rebuild — its next snapshot is post-purge). A pure small-file
+    * compact with no tombstones to purge does not bump the epoch and
+    * never invalidates a shadow.
     *
     * End state: code rows bit-identical to [[buildWith]] over
     * source-at-swap-time under the new models — the q153 canonical
@@ -489,6 +507,14 @@ object AnnIndex {
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    // the delete+compact race guard: a compact that PURGES tombstoned
+    // rows during the unlocked retrain also deletes the tombstone
+    // table, so the sidecar (encoded from snapshot0, which still holds
+    // those rows) would swap in with nothing left to hide them —
+    // silent resurrection. Record the purge epoch before the source
+    // listing; the lock-time check refuses if a purge ran since.
+    val epoch0 = Maintenance.purgeEpoch(
+      fs, new org.apache.hadoop.fs.Path(dir))
     val tables = Seq("codes", "ivf_centroids", "pq_codebooks")
     tables.foreach { t => // refuse crashed state BEFORE the expensive retrain
       require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/${t}_precompact")),
@@ -518,6 +544,7 @@ object AnnIndex {
     val root = new org.apache.hadoop.fs.Path(dir)
     Maintenance.acquireCompactLock(fs, root, waitForAppendsMs)
     try {
+      Maintenance.requireNoPurgeSince(fs, root, epoch0, "rebuildShadow")
       val id = col(idCol)
       // the append delta: live non-tombstoned ids the sidecar encode
       // never saw (appends that landed during the retrain)

@@ -397,7 +397,11 @@ object Bm25Index {
     * from the possibly-corrupt old meta. Crash posture: before the
     * first swap the live tables are untouched (an inert
     * `rebuild_tmp` clears on the next attempt); mid-swap leaves a
-    * `<table>_precompact` aside, the [[compact]] recovery.
+    * `<table>_precompact` aside, the [[compact]] recovery. Meta is
+    * written into the tmp dir and swapped as the THIRD table, so a
+    * crash between the swaps can no longer serve new-layout postings
+    * under a fully-committed stale meta; the remaining between-swap
+    * instants are caught by [[load]]'s partitioning cross-check.
     * `beforeSwap` is a test seam on the first table's swap. */
   def rebuild(
       corpus: DataFrame, idCol: String, dir: String,
@@ -414,7 +418,16 @@ object Bm25Index {
     val root = new org.apache.hadoop.fs.Path(dir)
     Maintenance.acquireCompactLock(fs, root, waitForAppendsMs)
     try {
-      val tables = Seq("postings", "doclens")
+      // meta swaps as a THIRD table (stats recounted from the tmp
+      // doclens BEFORE any swap): the old shape wrote meta only after
+      // both table swaps, so a crash in between served new-layout
+      // postings (possibly a different numBuckets/fields) under the
+      // stale meta — bucket pruning would silently miss terms. The
+      // residual window is now the instants BETWEEN the three swaps
+      // (renames, no recompute in between); load() cross-checks the
+      // postings partitioning against meta numBuckets as the loud
+      // backstop for a crash landing inside it.
+      val tables = Seq("postings", "doclens", "meta")
       tables.foreach { t => // refuse crashed state BEFORE the corpus pass
         require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/${t}_precompact")),
           s"$dir/${t}_precompact already exists — a prior rebuild/compact " +
@@ -427,6 +440,9 @@ object Bm25Index {
         .write.mode("overwrite").partitionBy("term_bucket")
         .parquet(s"$tmp/postings")
       doclens.write.mode("overwrite").parquet(s"$tmp/doclens")
+      val (n, total, perField) =
+        statsOf(spark.read.parquet(s"$tmp/doclens"), idCol, fields)
+      writeMeta(spark, tmp, idCol, numBuckets, n, total, fields, perField)
       tables.zipWithIndex.foreach { case (t, i) =>
         val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
         // snapshot under the held lock — appends are excluded, so the
@@ -438,12 +454,150 @@ object Bm25Index {
       }
       // the rebuilt state IS canonical for the post-delete corpus
       fs.delete(Tombstones.path(dir), true)
+      // wholesale replace: invalidate any pre-swap shadow sidecar
+      Maintenance.bumpPurgeEpoch(fs, root)
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      val (n, total, perField) =
-        statsOf(spark.read.parquet(s"$dir/doclens"), idCol, fields)
-      writeMeta(spark, dir, idCol, numBuckets, n, total, fields, perField)
       Handle(dir, idCol, fields.head, numBuckets, n, total,
         CurrentVersion, fields, perField)
+    } finally Maintenance.releaseCompactLock(fs, root)
+  }
+
+  /** NON-BLOCKING re-tokenize-and-migrate — the 100 TB form of
+    * [[rebuild]] ([[AnnIndex.rebuildShadow]] is the vector twin):
+    * rebuild holds the lock for its WHOLE corpus-write span, and a
+    * 100 TB postings write IS a span of hours even though BM25 has no
+    * model to retrain; shadow rebuild tokenizes into a SIDECAR
+    * directory while the live index keeps serving AND accepting
+    * appends, then takes the lock only for a bounded catch-up window
+    * — ids that landed in the live doclens after the sidecar pass
+    * (the append delta) are re-tokenized from `source` under the NEW
+    * layout and appended to the sidecar, stats recount from the final
+    * sidecar doclens (tombstoned ids excluded — meta describes the
+    * remainder, the [[delete]] contract), and the three tables
+    * (postings, doclens, meta) swap. The ingest-refusal window is the
+    * delta tokenize + three renames, not the corpus pass. BM25's
+    * catch-up is strictly easier than ANN's: tokenization is
+    * deterministic, so there is no frozen-model staleness — the delta
+    * rows' posting rows are bit-identical to what a clean build would
+    * write.
+    *
+    * `source` is a THUNK producing the corpus source of truth,
+    * invoked once for the sidecar pass and ONCE MORE under the lock
+    * for the delta fetch — a thunk because a parquet read lists its
+    * files at DataFrame creation (an `InMemoryFileIndex` snapshot), so
+    * a plan built before the pass would never see rows appended during
+    * it. A delta id the re-read source cannot resolve fails loudly
+    * rather than silently dropping the row from the new index.
+    *
+    * Tombstones are NOT cleared (unlike [[rebuild]], whose corpus is
+    * post-delete by contract): a delete racing the pass keeps its
+    * tombstone, probes keep hiding the row even if the sidecar saw
+    * it, and the next [[compact]] purges physically. A delete+COMPACT
+    * racing the pass — the purge removes the rows AND the tombstones
+    * that hid them while the sidecar may still carry them — is
+    * refused at the lock by the purge-epoch check
+    * ([[Maintenance.requireNoPurgeSince]]); a pure no-tombstone
+    * compact never invalidates a shadow.
+    *
+    * End state: postings/doclens row-identical to [[buildFields]]
+    * over source-at-swap-time (the q198 rebuild-equals-build
+    * equality, extended to mid-pass appends), meta counting the
+    * non-tombstoned remainder. Crash posture: before the lock — live
+    * tables untouched, inert `shadow_tmp` (cleared on the next
+    * attempt); inside the swap — a `<table>_precompact` aside, the
+    * [[rebuild]] recovery. `beforeLock` is a test seam between the
+    * sidecar pass and the lock; `beforeSwap` between the first
+    * table's two renames; production leaves both default. */
+  def rebuildShadow(
+      source: () => DataFrame, idCol: String, dir: String,
+      fields: Seq[String] = Seq("text"),
+      numBuckets: Int = DefaultNumBuckets,
+      waitForAppendsMs: Long = 60000L,
+      beforeLock: () => Unit = () => (),
+      beforeSwap: () => Unit = () => ()): Handle = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    require(fields.nonEmpty && fields.distinct.size == fields.size,
+      s"fields must be non-empty and distinct: $fields")
+    val snapshot0 = source()
+    val spark = snapshot0.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val epoch0 = Maintenance.purgeEpoch(fs, root)
+    val tables = Seq("postings", "doclens", "meta")
+    tables.foreach { t => // refuse crashed state BEFORE the corpus pass
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/${t}_precompact")),
+        s"$dir/${t}_precompact already exists — a prior rebuild/compact " +
+          "crashed mid-swap; recover it manually before rebuilding")
+    }
+    val tmp = s"$dir/shadow_tmp"
+    // a leftover sidecar from a pre-lock crash is inert — start over
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // ---- phase 1, UNLOCKED: tokenize beside the live index
+    val (postings0, doclens0) = statFrames(snapshot0, idCol, fields, numBuckets)
+    postings0.repartition(col("term_bucket")).sortWithinPartitions("term")
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$tmp/postings")
+    doclens0.write.mode("overwrite").parquet(s"$tmp/doclens")
+    beforeLock()
+    // ---- phase 2, LOCKED: bounded catch-up + swap
+    Maintenance.acquireCompactLock(fs, root, waitForAppendsMs)
+    try {
+      Maintenance.requireNoPurgeSince(fs, root, epoch0, "rebuildShadow")
+      val id = col(idCol)
+      // the append delta: live non-tombstoned ids the sidecar pass
+      // never saw (appends that landed during it). The live doclens
+      // projects to ONE column, so this reads v1 and v2 layouts alike
+      // — the shadow IS the v1→v2 upgrade path with ingest running.
+      val delta = Tombstones.liveOnly(spark, dir, idCol,
+          spark.read.parquet(s"$dir/doclens").select(id).distinct())
+        .join(spark.read.parquet(s"$tmp/doclens").select(id).distinct(),
+          Seq(idCol), "left_anti")
+        .localCheckpoint(true) // feeds the count AND the semi-join
+      val nDelta = delta.count()
+      if (nDelta > 0L) {
+        // re-invoke the thunk: the delta rows landed AFTER snapshot0's
+        // file listing, so only a fresh read can resolve them
+        val rows = source().join(delta, Seq(idCol), "left_semi")
+          .localCheckpoint(true) // feeds the resolve check AND the pass
+        val nRows = rows.select(id).distinct().count()
+        require(nRows == nDelta,
+          s"rebuildShadow: ${nDelta - nRows} ids appended to the live " +
+            "index during the sidecar pass are missing from `source` — " +
+            "the postings are derived state and every appended row must " +
+            "reach the source of truth; refusing to swap a table that " +
+            "would silently drop them")
+        val (dPostings, dDoclens) = statFrames(rows, idCol, fields, numBuckets)
+        dPostings.repartition(col("term_bucket")).sortWithinPartitions("term")
+          .write.mode("append").partitionBy("term_bucket")
+          .parquet(s"$tmp/postings")
+        dDoclens.write.mode("append").parquet(s"$tmp/doclens")
+      }
+      // meta describes the NON-TOMBSTONED remainder (the delete
+      // contract: N/avgdl/df cover what probes can return) — the
+      // sidecar may carry tombstoned rows (hidden by the anti-join
+      // until the next compact purges them)
+      val tombstones = Tombstones.read(spark, dir)
+      val liveDoclens = tombstones.foldLeft(
+          spark.read.parquet(s"$tmp/doclens")) {
+        (df, ts) => df.join(ts.select(idCol), Seq(idCol), "left_anti")
+      }
+      val (n, total, perField) = statsOf(liveDoclens, idCol, fields)
+      val nTombstones = tombstones.map(_.count()).getOrElse(0L)
+      writeMeta(spark, tmp, idCol, numBuckets, n, total, fields, perField,
+        nTombstones)
+      tables.zipWithIndex.foreach { case (t, i) =>
+        val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
+        // snapshot under the held lock — appends are excluded for the
+        // swap span, so the fold-in set is provably empty
+        val snapshot = Maintenance.dataFiles(fs, live).toSet
+        Maintenance.swapCompacted(fs, live,
+          new org.apache.hadoop.fs.Path(s"$tmp/$t"), snapshot,
+          if (i == 0) beforeSwap else () => ())
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      Handle(dir, idCol, fields.head, numBuckets, n, total,
+        CurrentVersion, fields, perField, nTombstones)
     } finally Maintenance.releaseCompactLock(fs, root)
   }
 
@@ -571,8 +725,9 @@ object Bm25Index {
     // stale tombstones anti-joining already-purged ids — harmless,
     // cleared by the next compact)
     val tombs = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val hadTombs = fs.exists(tombs)
     val purge: DataFrame => DataFrame =
-      if (fs.exists(tombs)) {
+      if (hadTombs) {
         val ts = spark.read.parquet(tombs.toString)
         df => df.join(ts, Seq(cur.idCol), "left_anti")
       } else identity
@@ -589,6 +744,10 @@ object Bm25Index {
         new org.apache.hadoop.fs.Path(s"$tmp/$t"), snapshots(t).toSet)
     }
     fs.delete(tombs, true)
+    // the purge invalidates any shadow sidecar encoded pre-purge — see
+    // Maintenance.requireNoPurgeSince
+    if (hadTombs)
+      Maintenance.bumpPurgeEpoch(fs, new org.apache.hadoop.fs.Path(dir))
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     val (n, total, perField) =
       statsOf(spark.read.parquet(s"$dir/doclens"), cur.idCol, cur.fields)
@@ -621,8 +780,30 @@ object Bm25Index {
     // metas written before delete() existed imply "no tombstones"
     val nTombstones = if (names.contains("nTombstones"))
       meta.head.getAs[Long]("nTombstones") else 0L
+    val numBuckets = meta.head.getAs[Long]("numBuckets").toInt
+    // cross-check the postings partitioning against the meta: a crash
+    // between rebuild()'s table swaps can land a new-numBuckets
+    // postings table beside a not-yet-swapped meta, and every probe
+    // would then prune with the WRONG bucket mod (silent misses). A
+    // partition value >= numBuckets is proof of the torn state in the
+    // upgrade direction — one directory listing, no data read.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val postingsRoot = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    if (fs.exists(postingsRoot)) {
+      val badBucket = fs.listStatus(postingsRoot).iterator
+        .map(_.getPath.getName)
+        .filter(_.startsWith("term_bucket="))
+        .flatMap(n => n.stripPrefix("term_bucket=").toIntOption)
+        .find(_ >= numBuckets)
+      require(badBucket.isEmpty,
+        s"$dir: postings carry partition term_bucket=${badBucket.get} but " +
+          s"meta says numBuckets=$numBuckets — a rebuild crashed between " +
+          "its table swaps (new postings under a stale meta). Recover by " +
+          "re-running rebuild() from the source of truth.")
+    }
     Handle(dir, meta.head.getAs[String]("idCol"), textCol,
-      meta.head.getAs[Long]("numBuckets").toInt,
+      numBuckets,
       meta.head.getAs[Long]("nDocs"), meta.head.getAs[Long]("totalTokens"),
       version, fields, fieldTokens, nTombstones)
   }
@@ -744,7 +925,11 @@ object Bm25Index {
     * NULL on either side — SQL equality) qualifies for nothing. Rows
     * sharing a qid must agree on the attribute value (conflicting
     * values would silently merge two different filters into one
-    * query's scores — raises in-plan). Statistics stay corpus-wide.
+    * query's scores — raises in-plan, NULL counted as a value); on
+    * the doc side, bit-identical duplicate attribute rows collapse
+    * and an id carrying conflicting rows raises in-plan (duplicates
+    * would otherwise multiply candidate rows through the join and
+    * silently double score_q). Statistics stay corpus-wide.
     * Emits `(qidCol, idCol, n_tok, score_q, rank)`, ranks 1..k by
     * (score_q desc, id). */
   def topKBatch(
@@ -788,10 +973,15 @@ object Bm25Index {
       case Some(_) =>
         // two rows sharing a qid but carrying different attribute
         // values would merge two filters into one query — raise
-        // row-wise (the query table is unbounded, so in-plan)
+        // row-wise (the query table is unbounded, so in-plan). The
+        // value is struct-wrapped because collect_set drops bare
+        // NULLs: a qid carrying both NULL and 'x' must count as TWO
+        // conflicting values (the NULL rows would match nothing while
+        // the 'x' rows filter — a silently half-filtered query), and
+        // struct(NULL) is a non-null element the set keeps.
         val w = org.apache.spark.sql.expressions.Window.partitionBy(qidCol)
         qtRaw
-          .withColumn("__na", size(collect_set(col("__qattr")).over(w)))
+          .withColumn("__na", size(collect_set(struct(col("__qattr"))).over(w)))
           .select(col(qidCol),
             when(col("__na") > 1, raise_error(concat(
                 lit("topKBatch: query id "), col(qidCol).cast("string"),
@@ -833,7 +1023,31 @@ object Bm25Index {
     val candAttr = attrEquals match {
       case None => candidates
       case Some((attrs, ac, _)) =>
-        candidates.join(attrs.select(id, col(ac)), Seq(handle.idCol))
+        // duplicate attribute rows per doc id — even bit-identical
+        // ones — would multiply candidate rows through this join and
+        // silently double score_q (AnnIndex stores attrs one-per-row;
+        // this table is the caller's). Exact duplicates collapse via
+        // distinct() on the candidate-bounded projection; an id still
+        // carrying >1 row after that holds CONFLICTING values and
+        // raises in-plan (the loud-failure posture — the attr table
+        // is unbounded, so no driver-side check). The semi-join
+        // bounds the distinct+window to the term-pruned candidate
+        // slice, never the corpus-scaled attribute table.
+        val proj = attrs.select(id, col(ac))
+          .join(candidates.select(id).distinct(), Seq(handle.idCol),
+            "left_semi")
+          .distinct()
+        val wA = org.apache.spark.sql.expressions.Window
+          .partitionBy(handle.idCol)
+        val guarded = proj
+          .withColumn("__nav", count(lit(1)).over(wA))
+          .select(id,
+            when(col("__nav") > 1, raise_error(concat(
+                lit("topKBatch: doc id "), id.cast("string"),
+                lit(" carries conflicting attribute rows in the " +
+                  "attribute table"))))
+              .otherwise(col(ac)).as(ac))
+        candidates.join(guarded, Seq(handle.idCol))
     }
     val scored0 = qt.join(candAttr, Seq("term"))
     val scored = (attrEquals match {

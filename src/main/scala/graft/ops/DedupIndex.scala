@@ -261,8 +261,9 @@ object DedupIndex {
     // leaves stale tombstones anti-joining already-purged state —
     // harmless, cleared by the next compact)
     val tombs = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val hadTombs = fs.exists(tombs)
     val (purgeFp, purgeId): (DataFrame => DataFrame, DataFrame => DataFrame) =
-      if (fs.exists(tombs)) {
+      if (hadTombs) {
         val ts = spark.read.parquet(tombs.toString)
         (df => df.join(ts.select("fp").na.drop(), Seq("fp"), "left_anti"),
          df => df.join(ts.select(handle.idCol), Seq(handle.idCol), "left_anti"))
@@ -286,7 +287,83 @@ object DedupIndex {
         new org.apache.hadoop.fs.Path(s"$tmp/$t"), snapshots(t).toSet)
     }
     fs.delete(tombs, true)
+    // the purge invalidates any shadow sidecar encoded pre-purge — see
+    // Maintenance.requireNoPurgeSince
+    if (hadTombs)
+      Maintenance.bumpPurgeEpoch(fs, new org.apache.hadoop.fs.Path(dir))
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Re-signature-and-swap — the dedup member of the rebuild family
+    * ([[Bm25Index.rebuild]] re-tokenizes, [[AnnIndex.rebuild]]
+    * retrains; this one re-fingerprints and re-minhashes). The two
+    * production uses:
+    *
+    *  - '''signature-parameter upgrade''' — more hashes, a different
+    *    band width (recall/precision retuning) without the caller
+    *    hand-managing a second directory and a cutover;
+    *  - '''disaster recovery''' — an [[fsck]] finding (band0 drift,
+    *    torn append) replaced wholesale from the source of truth.
+    *
+    * `corpus` is the post-delete source of truth; the rebuilt state is
+    * row-identical to what [[build]] writes for it at these parameters
+    * — tombstones are obsolete and clear with the swap. The new layout
+    * REPLACES the old wholesale; nothing is inherited from the
+    * possibly-corrupt old meta. The lock is held for the whole corpus
+    * pass (appends refuse — signature state has no retrain span, but
+    * at 100 TB schedule rebuilds in ingest gaps). Crash posture:
+    * before the first swap the live tables are untouched (an inert
+    * `rebuild_tmp` clears on the next attempt); mid-swap leaves a
+    * `<table>_precompact` aside, the [[compact]] recovery. Meta is
+    * written into the tmp dir and swapped as the FOURTH table, so a
+    * crash between swaps cannot serve new-bandSize signatures under a
+    * fully-committed stale meta for longer than the rename instants.
+    * `beforeSwap` is a test seam on the first table's swap. */
+  def rebuild(
+      corpus: DataFrame, idCol: String, dir: String,
+      numHashes: Int = 8, bandSize: Int = 4,
+      waitForAppendsMs: Long = 60000L,
+      beforeSwap: () => Unit = () => ()): Handle = {
+    require(bandSize >= 1 && numHashes >= bandSize && numHashes % bandSize == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bandSize ($bandSize)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    Maintenance.acquireCompactLock(fs, root, waitForAppendsMs)
+    try {
+      val tables = Seq("fingerprints", "signatures", "words", "meta")
+      tables.foreach { t => // refuse crashed state BEFORE the corpus pass
+        require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/${t}_precompact")),
+          s"$dir/${t}_precompact already exists — a prior rebuild/compact " +
+            "crashed mid-swap; recover it manually before rebuilding")
+      }
+      val tmp = s"$dir/rebuild_tmp"
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val (fps, sigs, words) = stateFrames(corpus, idCol, numHashes, bandSize)
+      fps.write.mode("overwrite").parquet(s"$tmp/fingerprints")
+      sigs.repartition(col("band0"))
+        .write.mode("overwrite").partitionBy("band0").parquet(s"$tmp/signatures")
+      words.write.mode("overwrite").parquet(s"$tmp/words")
+      Seq((idCol, numHashes, bandSize)).toDF("idCol", "numHashes", "bandSize")
+        .coalesce(1).write.mode("overwrite").json(s"$tmp/meta")
+      tables.zipWithIndex.foreach { case (t, i) =>
+        val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
+        // snapshot under the held lock — appends are excluded, so the
+        // swap's fold-in set is provably empty
+        val snapshot = Maintenance.dataFiles(fs, live).toSet
+        Maintenance.swapCompacted(fs, live,
+          new org.apache.hadoop.fs.Path(s"$tmp/$t"), snapshot,
+          if (i == 0) beforeSwap else () => ())
+      }
+      // the rebuilt state IS canonical for the post-delete corpus
+      fs.delete(Tombstones.path(dir), true)
+      // wholesale replace: invalidate any pre-swap shadow sidecar
+      Maintenance.bumpPurgeEpoch(fs, root)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      Handle(dir, idCol, numHashes, bandSize)
+    } finally Maintenance.releaseCompactLock(fs, root)
   }
 
   def load(spark: SparkSession, dir: String): Handle = {

@@ -81,6 +81,62 @@ private[graft] object Maintenance {
   private def lockFile(indexDir: Path): Path =
     new Path(indexDir, "_compact.lock")
 
+  private def purgeEpochFile(indexDir: Path): Path =
+    new Path(indexDir, "_purge_epoch")
+
+  /** Current purge-epoch token of an index dir — an opaque value that
+    * changes whenever an op PHYSICALLY PURGED tombstoned rows (a
+    * compact that found a tombstone table, or a wholesale rebuild).
+    * `None` until the first purge. A shadow rebuild compares the
+    * token it read before its unlocked retrain against the one it
+    * sees under the lock: a purge in between means the live table no
+    * longer carries the tombstoned rows AND the tombstone table that
+    * hid them is gone, while the sidecar (encoded from the pre-purge
+    * source snapshot) may still contain them — swapping it in would
+    * silently resurrect deleted data. Readers tolerate a concurrent
+    * overwrite (the file is tiny and rewritten atomically enough for
+    * an equality check; a torn read differs from both tokens, which
+    * refuses — the safe direction). */
+  def purgeEpoch(fs: FileSystem, indexDir: Path): Option[String] = {
+    val f = purgeEpochFile(indexDir)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  /** Record that tombstoned rows were physically purged (or the whole
+    * table replaced). Call ONLY while holding the compact lock — the
+    * write is a plain overwrite and relies on the lock for exclusion
+    * among writers. */
+  def bumpPurgeEpoch(fs: FileSystem, indexDir: Path): Unit = {
+    val out = fs.create(purgeEpochFile(indexDir), true)
+    try out.write(java.util.UUID.randomUUID().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The shadow-rebuild × purge race guard (call under the lock,
+    * passing the token read BEFORE the unlocked retrain started): a
+    * compact that purged tombstones — or a wholesale rebuild — ran
+    * during the retrain window, so the sidecar encoded from the
+    * pre-purge source snapshot may hold rows whose tombstones no
+    * longer exist; refuse the swap rather than resurrect them. */
+  def requireNoPurgeSince(
+      fs: FileSystem, indexDir: Path, epoch0: Option[String],
+      op: String): Unit = {
+    val now = purgeEpoch(fs, indexDir)
+    if (now != epoch0) throw new IllegalStateException(
+      s"$op: a compact purged tombstoned rows (or a rebuild replaced " +
+        s"the table) at $indexDir during the unlocked retrain window " +
+        s"(purge epoch ${epoch0.getOrElse("<none>")} -> " +
+        s"${now.getOrElse("<none>")}). The sidecar was encoded from a " +
+        "pre-purge source snapshot and could silently resurrect deleted " +
+        "rows if swapped in — discarding it; re-run the shadow rebuild.")
+  }
+
   /** The merge-side quiescence guard: a shard being COPIED must have
     * no in-flight append (its files would be copied mid-wave — a
     * partial parquet commit in the merged index) and no compactor

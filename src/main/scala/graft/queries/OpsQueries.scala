@@ -815,7 +815,55 @@ object OpsQueries {
     bench = true,
     benchPrepare = Some((s, dir) => { ensureDedupDelIdx(s, dir); () }))
 
+  /** q199's index — built over the even half, a slice tombstoned,
+    * then REBUILT from the full even half (the q198/bm25RebIdx
+    * discipline; rebuild mutates, so it gets its own state). */
+  private def dedupRebDir(dir: String): String =
+    QueryDef.idxScratchDir("dedupribidx", dir)
+
+  private def ensureDedupRebIdx(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.ops.DedupIndex.Handle = {
+    val d = dedupRebDir(dir)
+    if (dedupDelBuilt.add(d)) {
+      val even = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      val h = graft.ops.DedupIndex.build(even, "doc_id", d)
+      graft.ops.DedupIndex.delete(h, even.filter(col("doc_id") % 3 === 0))
+      graft.ops.DedupIndex.rebuild(even, "doc_id", d)
+      ()
+    }
+    graft.ops.DedupIndex.load(s, d)
+  }
+
+  /** In-place dedup-index rebuild (library `DedupIndex.rebuild` — the
+    * re-signature-and-swap completing the trio's recovery family:
+    * `Bm25Index.rebuild` is q198, `AnnIndex.rebuild` q153's shape;
+    * this is the third member, the recovery path an `fsck` finding
+    * (q168) or a signature-parameter change previously lacked): the
+    * fixture builds the even half, tombstones every `% 3 = 0` member,
+    * then rebuilds from the FULL even half — the rebuilt state must be
+    * row-identical to a clean `build` (tombstones cleared by design:
+    * `corpus` is the source of truth), so q95's odd-batch screen
+    * answers q95's oracle VERBATIM. A leftover tombstone, a dropped
+    * signature row, or a band0 drift under the new layout breaks the
+    * hash. */
+  val q199 = QueryDef(
+    "q199_dedup_rebuild",
+    (s, dir) => {
+      val h = ensureDedupRebIdx(s, dir)
+      graft.ops.DedupIndex.dedupBatch(spark = s, handle = h,
+          batch = t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+          threshold = 0.8)
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+          col("near_dup_of"), col("is_new"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(dedupIncrOracleDuck(
+      p => s"${p}doc_id % 2 = 0", p => s"${p}doc_id % 2 = 0")),
+    bench = true,
+    benchPrepare = Some((s, dir) => { ensureDedupRebIdx(s, dir); () }))
+
   val all: Seq[QueryDef] =
     Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51, q52, q53, q54, q87, q95,
-      q96, q97, q139, q140, q159, q168, q174)
+      q96, q97, q139, q140, q159, q168, q174, q199)
 }

@@ -35,6 +35,21 @@ object QueryDef {
     def oracleOrderBy(cols: String*): DataFrame =
       df.repartition(1).sortWithinPartitions(cols.map(col): _*)
   }
+  /** Prefix for DuckDB oracle SQLs whose evaluation materializes
+    * corpus-scaled intermediate state (the q183/q194 id-gram joins:
+    * every 20-gram of every document as a concatenated string). On a
+    * loaded host DuckDB's default budget (80 % of physical RAM, most
+    * of it already taken by neighbours) OOMs the oracle into an `err`
+    * — the r14 q183 failure — even though the SQL itself is fine. A
+    * fixed memory_limit plus a temp_directory makes the oracle degrade
+    * to out-of-core SLOW instead of dying. DuckDB's Python API runs
+    * multi-statement strings and returns the last statement's result
+    * (verified against con.execute / duckdb.sql / fetchdf), so the
+    * PRAGMA prefix is transparent to the driver's compare. */
+  def memBound(sql: String): String =
+    "PRAGMA memory_limit='16GB'; " +
+      "PRAGMA temp_directory='/tmp/graft_duckdb_spill.tmp'; " + sql
+
   /** The events table stores TIMESTAMP(NANOS), which Spark only reads
     * as raw int64 with this conf set — parquet footer reading fails
     * otherwise, even for queries that never touch `ts`. Entry points

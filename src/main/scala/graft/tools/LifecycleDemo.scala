@@ -16,9 +16,11 @@ import graft.ops.{AnnIndex, Bm25Index, DedupIndex, Maintenance, Retrieval}
   *   per-index fsck + cross-index fsck -> a PARTIAL delete breaks the
   *   trio -> crossFsck flags it -> reconcileTombstones repairs it ->
   *   compactTrio (one handshake, pre/post crossFsck) -> cell stats ->
-  *   SHADOW rebuild with a live ingest trigger landing MID-RETRAIN
+  *   ann SHADOW rebuild with a live ingest trigger landing MID-RETRAIN
   *   (the ingest-refusal window shrinks to the delta catch-up + swap)
-  *   -> probe again.
+  *   -> dedup in-place rebuild (the trio's third recovery move) ->
+  *   bm25 SHADOW rebuild with another live trigger landing MID-PASS
+  *   (the corpus-write span no longer refuses ingest) -> probe again.
   *
   * Each step's wall time prints, so the COMPOSITION — every
   * round-12/13 lifecycle operator chained against the same live
@@ -238,19 +240,54 @@ object LifecycleDemo {
       AnnIndex.query(spark, AnnIndex.load(spark, s"$root/ann"),
         "doc_id", qv, k = 10, nProbe = 2).count()
     }
-    step("rebuild: bm25 in place (recovery move)") {
-      // the lexical twin: one corpus pass + locked swap from the
-      // post-delete source of truth (base minus both forgotten
-      // slices, plus every ingested doc) — tombstones obsolete,
-      // meta recounted, the same probes keep answering
-      val corpusNow = docs
-        .join(doomed.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .join(partial.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .select("doc_id", "text")
-        .unionByName(fresh.select("doc_id", "text"))
-        .unionByName(fresh2.select("doc_id", "text"))
-      Bm25Index.rebuild(corpusNow, "doc_id", s"$root/bm25")
+    // the lexical/dedup source of truth after every forget + ingest:
+    // base minus both forgotten slices, plus every ingested doc —
+    // persisted as a table so the bm25 SHADOW rebuild's thunk can
+    // RE-read it and see mid-pass arrivals (the ann_src pattern)
+    val corpusNow = docs
+      .join(doomed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(partial.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select("doc_id", "text")
+      .unionByName(fresh.select("doc_id", "text"))
+      .unionByName(fresh2.select("doc_id", "text"))
+    step("rebuild: dedup in place (recovery move)") {
+      // the trio's THIRD rebuild: re-fingerprint + re-minhash from the
+      // post-delete source of truth under the lock — the recovery an
+      // fsck finding or a signature-parameter change points at;
+      // tombstones obsolete, band0 re-keyed, the same screens answer
+      DedupIndex.rebuild(corpusNow, "doc_id", s"$root/dedup")
     }
+    corpusNow.write.mode("overwrite").parquet(s"$root/bm25_src")
+    val fresh3 = Seq(
+      (900005L, "a fifth document arriving while the postings rewrite runs"),
+      (900006L, "a sixth mid-rewrite arrival carrying more novel vocabulary"))
+      .toDF("doc_id", "text")
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)),
+        j => ((col("doc_id") % 97 + j * 13) % 41).cast("double") / lit(41.0)))
+      .withColumn("tier", lit("9"))
+    var bmLockT0 = 0L
+    step("rebuild: bm25 SHADOW (ingest stays live)") {
+      // the lexical shadow: the corpus-write span no longer holds the
+      // lock — the sidecar tokenizes beside the live index, a REAL
+      // ingest trigger co-writes the trio mid-pass, and the catch-up
+      // re-tokenizes exactly the delta (deterministic tokenization:
+      // no model, so the caught-up rows are bit-identical to a clean
+      // build's)
+      Bm25Index.rebuildShadow(
+        () => spark.read.parquet(s"$root/bm25_src"), "doc_id", s"$root/bm25",
+        beforeLock = () => {
+          fresh3.select("doc_id", "text")
+            .write.mode("append").parquet(s"$root/bm25_src")
+          graft.streaming.CurationIngest.curationSink(
+            DedupIndex.load(spark, s"$root/dedup"),
+            Bm25Index.load(spark, s"$root/bm25"),
+            AnnIndex.load(spark, s"$root/ann"),
+            s"$root/verdicts3", "embedding",
+            qualityGate = length(col("text")) > 20)(fresh3, 3L)
+          bmLockT0 = System.nanoTime()
+        })
+    }
+    println(f"[lifecycle]   bm25 ingest-refusal window ${(System.nanoTime() - bmLockT0) / 1e9}%8.3f s (delta catch-up + swap; the corpus pass above never held the lock)")
     step("probe: post-bm25-rebuild answers") {
       Bm25Index.topK(spark, Bm25Index.load(spark, s"$root/bm25"),
         Seq("data", "the"), k = 20).count()

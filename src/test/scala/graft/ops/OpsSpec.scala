@@ -3497,6 +3497,34 @@ class OpsSpec extends SparkSpec {
         Bm25Index.topKBatch(spark, h, conflict, "qid", "terms",
           attrEquals = Some((docs, "lang", "ql"))).collect())
         .getMessage.contains("conflicting"))
+      // a qid carrying NULL-plus-nonNULL attribute values must ALSO
+      // raise: collect_set drops bare NULLs, so without the struct
+      // wrap the guard would count one value and the NULL rows would
+      // silently match nothing (a half-filtered query)
+      val nullConflict = Seq(
+        (1L, Seq("data"), Some("en")), (1L, Seq("the"), None))
+        .toDF("qid", "terms", "ql")
+      assert(intercept[Exception](
+        Bm25Index.topKBatch(spark, h, nullConflict, "qid", "terms",
+          attrEquals = Some((docs, "lang", "ql"))).collect())
+        .getMessage.contains("conflicting"))
+      // duplicate BIT-IDENTICAL attribute rows per doc id collapse —
+      // the doc-side join must not multiply candidate rows and
+      // silently double score_q
+      val dupOut = Bm25Index.topKBatch(spark, h, queries, "qid", "terms",
+          k = 5, attrEquals = Some((docs.select("doc_id", "lang")
+            .unionByName(docs.select("doc_id", "lang")), "lang", "ql")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(4)))
+      assert(dupOut.sorted.toSeq == out.sorted.toSeq,
+        s"duplicate attr rows changed the results: ${dupOut.toSeq} vs ${out.toSeq}")
+      // CONFLICTING attribute rows for one doc raise in-plan instead
+      // of silently qualifying the doc for two different filters
+      val conflictAttrs = docs.select("doc_id", "lang").unionByName(
+        docs.select(col("doc_id"), lit("xx").as("lang")))
+      assert(intercept[Exception](
+        Bm25Index.topKBatch(spark, h, queries, "qid", "terms",
+          attrEquals = Some((conflictAttrs, "lang", "ql"))).collect())
+        .getMessage.contains("conflicting attribute rows"))
     } finally {
       val root = java.nio.file.Path.of(dir)
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
@@ -4205,6 +4233,60 @@ class OpsSpec extends SparkSpec {
       val got = AnnIndex.query(spark, h2, "vec_id", qv, k = 5,
         nProbe = 2).collect().map(_.getLong(0)).toSet
       assert(!got.contains(100L), s"deleted id served after shadow swap: $got")
+    } finally {
+      Seq(dir, srcDir).foreach { d =>
+        val root = java.nio.file.Path.of(d)
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+    }
+  }
+
+  test("AnnIndex.rebuildShadow: a mid-retrain compact PURGE refuses at the lock (no resurrection)") {
+    val dir = java.nio.file.Files.createTempDirectory("annshadow3").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("annshadow3src").toString
+    try {
+      val (old, _) = annDriftFixture
+      old.write.mode("overwrite").parquet(srcDir)
+      AnnIndex.build(old, "embedding", "vec_id", dir,
+        nCells = 2, m = 4, k = 4, dim = 8, iters = 2)
+      import spark.implicits._
+      // a standing tombstone + a ROUTINE compact inside the retrain
+      // window: the compact purges row 100 AND deletes the tombstone
+      // table, while the sidecar — encoded from the pre-purge source
+      // snapshot — still carries it. Swapping would silently
+      // resurrect; the purge-epoch check must refuse at the lock.
+      AnnIndex.delete(AnnIndex.load(spark, dir), Seq(100L).toDF("vec_id"),
+        "vec_id")
+      val e = intercept[IllegalStateException](
+        AnnIndex.rebuildShadow(
+          () => spark.read.parquet(srcDir), "embedding", "vec_id", dir,
+          nCells = 2, m = 4, k = 4, dim = 8, iters = 2,
+          beforeLock = () => AnnIndex.compact(AnnIndex.load(spark, dir))))
+      assert(e.getMessage.contains("purge"), e.getMessage)
+      // the refusal left the LIVE post-compact table serving (63 rows,
+      // 100 purged) and released the lock
+      val live = spark.read.parquet(s"$dir/codes")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(live.size == 63 && !live.contains(100L), s"live: ${live.size}")
+      // retry from the NOW-current (post-delete) source of truth: the
+      // epoch was re-read fresh, so the shadow completes — and row 100
+      // stays gone
+      old.filter(col("vec_id") =!= 100L)
+        .write.mode("overwrite").parquet(srcDir)
+      AnnIndex.rebuildShadow(
+        () => spark.read.parquet(srcDir), "embedding", "vec_id", dir,
+        nCells = 2, m = 4, k = 4, dim = 8, iters = 2)
+      val after = spark.read.parquet(s"$dir/codes")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(after.size == 63 && !after.contains(100L), s"after: ${after.size}")
+      // a PURE small-file compact (no tombstones to purge) mid-retrain
+      // does NOT bump the epoch and never invalidates a shadow
+      AnnIndex.rebuildShadow(
+        () => spark.read.parquet(srcDir), "embedding", "vec_id", dir,
+        nCells = 2, m = 4, k = 4, dim = 8, iters = 2,
+        beforeLock = () => AnnIndex.compact(AnnIndex.load(spark, dir)))
+      assert(spark.read.parquet(s"$dir/codes").count() == 63L)
     } finally {
       Seq(dir, srcDir).foreach { d =>
         val root = java.nio.file.Path.of(d)
@@ -5058,6 +5140,167 @@ class OpsSpec extends SparkSpec {
       val root = java.nio.file.Path.of(dir)
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
+  test("Bm25Index.rebuildShadow: a mid-pass append survives the swap; end equals buildFields over the union") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25shadow").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("bm25shadowsrc").toString
+    val cleanDir = java.nio.file.Files.createTempDirectory("bm25shadowref").toString
+    try {
+      val old = Seq(
+        (0L, "the quick data pipeline processes the query stream"),
+        (1L, "a long document about nothing in particular"),
+        (2L, "query optimization for data systems"))
+        .toDF("doc_id", "text")
+      val fresh = Seq(
+        (10L, "data data data data the ultimate data document"))
+        .toDF("doc_id", "text")
+      old.write.mode("overwrite").parquet(srcDir)
+      Bm25Index.build(old, "doc_id", dir, numBuckets = 8)
+      var interleaved = false
+      val h = Bm25Index.rebuildShadow(
+        () => spark.read.parquet(srcDir), "doc_id", dir, numBuckets = 8,
+        beforeLock = () => {
+          // a mid-pass ingest trigger: the rows reach the SOURCE table
+          // and the LIVE index while the sidecar pass is already done
+          // — exactly the window blocking rebuild() would have refused
+          // for hours at 100 TB
+          fresh.write.mode("append").parquet(srcDir)
+          Bm25Index.append(Bm25Index.load(spark, dir), fresh)
+          interleaved = true
+        })
+      assert(interleaved)
+      assert(h.nDocs == 4L && h.nTombstones == 0L, h.toString)
+      // end state: row-identical to a clean build over the UNION — the
+      // appended doc was re-tokenized in the catch-up, not lost
+      Bm25Index.build(old.unionByName(fresh), "doc_id", cleanDir, numBuckets = 8)
+      def rows(d: String, t: String) = spark.read.parquet(s"$d/$t")
+        .collect().map(_.toString).sorted.toSeq
+      for (t <- Seq("postings", "doclens"))
+        assert(rows(dir, t) == rows(cleanDir, t), s"$t diverged from clean build")
+      assert(Bm25Index.load(spark, dir).copy(dir = "") ==
+        Bm25Index.load(spark, cleanDir).copy(dir = ""))
+      // the probe agrees with the scan op over the union
+      def topk(hh: Bm25Index.Handle) =
+        Bm25Index.topK(spark, hh, Seq("data", "the"), k = 4)
+          .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val direct = Retrieval.bm25TopK(old.unionByName(fresh), "doc_id", "text",
+        Seq("data", "the"), k = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(topk(h) == direct, s"${topk(h)} vs $direct")
+      // lock released: a follow-up append works
+      Bm25Index.append(Bm25Index.load(spark, dir),
+        fresh.withColumn("doc_id", col("doc_id") + 1000))
+    } finally {
+      Seq(dir, srcDir, cleanDir).foreach { d =>
+        val root = java.nio.file.Path.of(d)
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+    }
+  }
+
+  test("Bm25Index.rebuildShadow: unresolvable delta refuses; mid-pass delete keeps its tombstone; purge refuses") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25shadow2").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("bm25shadow2src").toString
+    try {
+      val old = Seq(
+        (0L, "the quick data pipeline processes the query stream"),
+        (1L, "a long document about nothing in particular"),
+        (2L, "query optimization for data systems"))
+        .toDF("doc_id", "text")
+      val fresh = Seq(
+        (10L, "data data data data the ultimate data document"))
+        .toDF("doc_id", "text")
+      old.write.mode("overwrite").parquet(srcDir)
+      Bm25Index.build(old, "doc_id", dir, numBuckets = 8)
+      // an append whose rows never reach the source of truth: the
+      // catch-up cannot re-tokenize them — refuse rather than swap in
+      // a table that silently drops them
+      val e = intercept[IllegalArgumentException](
+        Bm25Index.rebuildShadow(
+          () => spark.read.parquet(srcDir), "doc_id", dir, numBuckets = 8,
+          beforeLock = () =>
+            { Bm25Index.append(Bm25Index.load(spark, dir), fresh); () }))
+      assert(e.getMessage.contains("missing from"), e.getMessage)
+      // the failure released the lock and left the LIVE table serving
+      assert(Bm25Index.load(spark, dir).nDocs == 4L)
+      // heal the simulated ingest bug: the rows reach the source, so
+      // the next shadow pass resolves them
+      fresh.write.mode("append").parquet(srcDir)
+      // a delete landing mid-pass: its tombstone survives the swap
+      // (shadow NEVER clears tombstones) and meta counts the remainder
+      val h2 = Bm25Index.rebuildShadow(
+        () => spark.read.parquet(srcDir), "doc_id", dir, numBuckets = 8,
+        beforeLock = () => {
+          Bm25Index.delete(Bm25Index.load(spark, dir), Seq(0L).toDF("doc_id"))
+          ()
+        })
+      assert(h2.nTombstones == 1L && h2.nDocs == 3L, h2.toString)
+      val got = Bm25Index.topK(spark, h2, Seq("data", "the"), k = 5)
+        .collect().map(_.getLong(0)).toSet
+      assert(!got.contains(0L), s"deleted id served after shadow swap: $got")
+      // delete + COMPACT racing the pass: the purge removed the rows
+      // AND their tombstones while the sidecar still carries them —
+      // the purge-epoch check refuses at the lock (no resurrection)
+      val e2 = intercept[IllegalStateException](
+        Bm25Index.rebuildShadow(
+          () => spark.read.parquet(srcDir), "doc_id", dir, numBuckets = 8,
+          beforeLock = () => {
+            Bm25Index.delete(Bm25Index.load(spark, dir), Seq(1L).toDF("doc_id"))
+            Bm25Index.compact(Bm25Index.load(spark, dir))
+            ()
+          }))
+      assert(e2.getMessage.contains("purge"), e2.getMessage)
+      // live post-compact state serves; a retry from the now-current
+      // source completes (1 stays present: source still carries it —
+      // the caller's delete/source sync is their contract; the
+      // tombstone was CONSUMED by the compact, so the retry re-indexes
+      // the full source)
+      val h3 = Bm25Index.rebuildShadow(
+        () => spark.read.parquet(srcDir), "doc_id", dir, numBuckets = 8)
+      assert(h3.nTombstones == 0L && h3.nDocs == 4L, h3.toString)
+    } finally {
+      Seq(dir, srcDir).foreach { d =>
+        val root = java.nio.file.Path.of(d)
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+    }
+  }
+
+  test("Bm25Index.load: torn rebuild (new postings under a stale meta) is refused, not silently mis-pruned") {
+    val dirA = java.nio.file.Files.createTempDirectory("bm25tornA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("bm25tornB").toString
+    try {
+      val corpus = Seq(
+        (0L, "the quick data pipeline"),
+        (1L, "data data everywhere"),
+        (2L, "a quiet document"))
+        .toDF("doc_id", "text")
+      Bm25Index.build(corpus, "doc_id", dirA, numBuckets = 2)
+      Bm25Index.build(corpus, "doc_id", dirB, numBuckets = 8)
+      // simulate the crash between rebuild()'s postings and meta swaps:
+      // an 8-bucket postings table lands beside the 2-bucket meta —
+      // every probe would prune with the wrong bucket mod and silently
+      // miss terms; load must refuse instead
+      def rmTree(p: String): Unit =
+        java.nio.file.Files.walk(java.nio.file.Path.of(p))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { java.nio.file.Files.delete(q); () })
+      rmTree(s"$dirA/postings")
+      java.nio.file.Files.move(java.nio.file.Path.of(s"$dirB/postings"),
+        java.nio.file.Path.of(s"$dirA/postings"))
+      val e = intercept[IllegalArgumentException](Bm25Index.load(spark, dirA))
+      assert(e.getMessage.contains("term_bucket=") &&
+        e.getMessage.contains("numBuckets=2"), e.getMessage)
+    } finally {
+      Seq(dirA, dirB).foreach { d =>
+        val root = java.nio.file.Path.of(d)
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
     }
   }
 
@@ -6203,6 +6446,86 @@ class OpsSpec extends SparkSpec {
       spark, DedupIndex.load(spark, dir4), batch, threshold = 0.5, bandSize = 2))
     assert(idx4n == direct2, s"narrow probe of wide index $idx4n vs direct $direct2")
     assert(idx4n.values.count(_._2) > 0, "no near-dup surfaced at all")
+  }
+
+  test("DedupIndex.rebuild: delete-then-rebuild equals a clean build; parameter upgrade re-keys; crash posture") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and then naps"),
+      (2L, "completely different content about spark engines and data"),
+      (4L, "a third document with its own distinct vocabulary here"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog and then naps"),
+      (13L, "the quick brown fox jumps over the lazy cat and then naps"),
+      (15L, "unrelated fresh material with novel words nothing shared ok"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedupreb").toString
+    val cleanDir = java.nio.file.Files.createTempDirectory("deduprebref").toString
+    try {
+      def verdicts(hh: DedupIndex.Handle) =
+        DedupIndex.dedupBatch(spark, hh, probe, threshold = 0.5)
+          .select("doc_id", "exact_dup", "near_dup", "is_new")
+          .collect().map(r => r.getLong(0) ->
+            (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+      val h = DedupIndex.build(corpus, "doc_id", dir)
+      DedupIndex.delete(h, corpus.filter(col("doc_id") === 0L))
+      // rebuild from the FULL corpus: resurrection BY DESIGN (corpus
+      // is the source of truth), tombstones cleared with the swap
+      val rb = DedupIndex.rebuild(corpus, "doc_id", dir)
+      assert(!rb.hasTombstones &&
+        !java.nio.file.Files.exists(java.nio.file.Path.of(s"$dir/tombstones")))
+      // row-identical to a clean build over the same corpus
+      DedupIndex.build(corpus, "doc_id", cleanDir)
+      def rows(d: String, t: String) = spark.read.parquet(s"$d/$t")
+        .collect().map(_.toString).sorted.toSeq
+      for (t <- Seq("fingerprints", "signatures", "words"))
+        assert(rows(dir, t) == rows(cleanDir, t), s"$t diverged from clean build")
+      assert(verdicts(DedupIndex.load(spark, dir)) ==
+        verdicts(DedupIndex.load(spark, cleanDir)))
+      // parameter UPGRADE: re-signature at a narrower band width — the
+      // partition key re-derives from the new band0 (fsck must agree)
+      // and probes match the scan op at the new parameters
+      val up = DedupIndex.rebuild(corpus, "doc_id", dir,
+        numHashes = 8, bandSize = 2)
+      assert(up.bandSize == 2 && DedupIndex.load(spark, dir).bandSize == 2)
+      val f = DedupIndex.fsck(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(f("band0_hash_mismatch") == 0L && f("signature_docs") == 3L, f.toString)
+      val direct = Dedup.dedupAgainst(corpus, probe, "doc_id",
+          threshold = 0.5, bandSize = 2)
+        .select("doc_id", "exact_dup", "near_dup", "is_new")
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+      assert(verdicts(DedupIndex.load(spark, dir)) == direct)
+      // an append inside the swap window is refused, never folded
+      var refused: Option[Throwable] = None
+      DedupIndex.rebuild(corpus, "doc_id", dir, waitForAppendsMs = 0L,
+        beforeSwap = () => {
+          refused = Some(intercept[IllegalStateException](
+            DedupIndex.append(DedupIndex.load(spark, dir),
+              probe.filter(col("doc_id") === 15L))))
+        })
+      assert(refused.exists(_.getMessage.contains("_compact.lock")),
+        s"append was not refused mid-swap: $refused")
+      // crash posture: a leftover _precompact aside refuses BEFORE the
+      // corpus pass
+      val aside = java.nio.file.Path.of(s"$dir/signatures_precompact")
+      java.nio.file.Files.createDirectory(aside)
+      val e = intercept[IllegalArgumentException](
+        DedupIndex.rebuild(corpus, "doc_id", dir, waitForAppendsMs = 0L))
+      assert(e.getMessage.contains("_precompact"), e.getMessage)
+      java.nio.file.Files.delete(aside)
+      // ...and the refusal released the lock: a fresh rebuild works
+      DedupIndex.rebuild(corpus, "doc_id", dir, waitForAppendsMs = 0L)
+      assert(DedupIndex.load(spark, dir).bandSize == 4)
+    } finally {
+      Seq(dir, cleanDir).foreach { d =>
+        val root = java.nio.file.Path.of(d)
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+    }
   }
 
   test("Dedup.lshEvaluate: shingle-set truth, banding hit, guard fires") {
