@@ -27,6 +27,15 @@ import org.apache.spark.sql.functions._
   *    NULL text, mirroring [[Retrieval.collectionStats]]'s population
   *    accounting); read only by [[compact]] to re-derive the
   *    collection statistics.
+  *  - `termvecs/` — the FORWARD index: (id, field, n_tok_f, term, tf)
+  *    one row per (doc, field, term) — the postings minus positions,
+  *    re-keyed by doc — PARTITIONED BY `doc_bucket` (murmur3 of the
+  *    id mod [[NumDocBuckets]]) and id-sorted within partitions, so a
+  *    per-DOC term-frequency fetch ([[rm3Expand]]'s feedback docs)
+  *    prunes to the ids' buckets instead of re-reading and
+  *    re-tokenizing the caller's corpus per query. Written by
+  *    build/rebuild (and append, when present); indexes from before
+  *    it existed work unchanged and gain it on rebuild.
   *  - `meta/` — one JSON row: idCol, numBuckets, nDocs, totalTokens.
   *    N and the average doc length come from here at query time — no
   *    corpus-wide aggregate per query. Per-term document frequencies
@@ -93,6 +102,38 @@ object Bm25Index {
 
   private def bucketCol(numBuckets: Int) =
     pmod(hash(col("term")), lit(numBuckets)).as("term_bucket")
+
+  /** Bucket count for the termvecs table's doc partition key. */
+  val NumDocBuckets: Int = 64
+
+  private def docBucket(idCol: String) =
+    pmod(hash(col(idCol)), lit(NumDocBuckets)).cast("int")
+
+  /** The FORWARD index: a doc-keyed `(id, field, n_tok_f, term, tf)`
+    * projection of the postings (positions excluded), PARTITIONED BY
+    * `doc_bucket` (murmur3 of the id mod [[NumDocBuckets]]) and sorted
+    * by id within each partition, so a per-DOC term-frequency fetch
+    * ([[rm3Expand]]'s feedback expansion: "the top terms of THESE
+    * fbDocs docs") prunes to the ids' buckets and pushes an id filter
+    * into sorted row groups — the postings table is term-partitioned
+    * and cannot answer a doc-keyed question without a full scan, and
+    * before this table existed the RM3 family re-fetched and
+    * re-TOKENIZED the caller's corpus on every query (the measured
+    * cost dominator of the chain). Storage trade: one more
+    * postings-sized table (minus positions) — the classic
+    * inverted+forward pair every production engine ships. Derivation
+    * is a pure projection of the SAME statFrames output, so tf/length
+    * values are bit-identical to what re-tokenizing would compute and
+    * every probe's scores are unchanged. */
+  private def termvecsOf(postings: DataFrame, idCol: String): DataFrame =
+    postings.select(col(idCol), col("field"), col("n_tok_f"),
+        col("term"), col("tf"))
+      .withColumn("doc_bucket", docBucket(idCol))
+
+  private def writeTermvecs(
+      tv: DataFrame, idCol: String, path: String, mode: String): Unit =
+    tv.repartition(col("doc_bucket")).sortWithinPartitions(idCol)
+      .write.mode(mode).partitionBy("doc_bucket").parquet(path)
 
   /** Collapse a pruned postings slice to one `(term, doc, n_tok, tf)`
     * row per key — the classic-BM25 "concatenated document" view
@@ -246,6 +287,11 @@ object Bm25Index {
     postings.repartition(col("term_bucket")).sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$dir/postings")
     doclens.write.mode("overwrite").parquet(s"$dir/doclens")
+    // the forward index projects the WRITTEN postings (one narrow read,
+    // no re-tokenize) — see [[termvecsOf]]
+    writeTermvecs(
+      termvecsOf(spark.read.parquet(s"$dir/postings"), idCol), idCol,
+      s"$dir/termvecs", "overwrite")
     val (n, total, perField) =
       statsOf(spark.read.parquet(s"$dir/doclens"), idCol, fields)
     writeMeta(spark, dir, idCol, numBuckets, n, total, fields, perField)
@@ -304,6 +350,12 @@ object Bm25Index {
         .write.mode("append").partitionBy("term_bucket")
         .parquet(s"${handle.dir}/postings")
       doclens.write.mode("append").parquet(s"${handle.dir}/doclens")
+      // indexes built before the forward index existed stay without it
+      // (a half-covered table would silently under-count feedback
+      // terms) — rebuild to gain it
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"${handle.dir}/termvecs")))
+        writeTermvecs(termvecsOf(postings, cur.idCol), cur.idCol,
+          s"${handle.dir}/termvecs", "append")
       val (dn, dtotal, dPerField) = statsOf(doclens, cur.idCol, cur.fields)
       val n = cur.nDocs + dn
       val total = cur.totalTokens + dtotal
@@ -353,13 +405,23 @@ object Bm25Index {
     Maintenance.requireDisjointShardIds(spark, shardDirs, "doclens", h0.idCol,
       "doc sets must be disjoint (the merged index would double-count " +
         "its tf and N)")
+    // the forward index merges by the same file copy (doc_bucket dirs
+    // line up: every shard hashes ids with the same NumDocBuckets) —
+    // but only when EVERY shard carries it; a mixed set would leave a
+    // silently half-covered table
+    val haveTv = shardDirs.map(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$d/termvecs")))
+    require(haveTv.distinct.size == 1,
+      s"merge: shards disagree on the termvecs table (" +
+        shardDirs.zip(haveTv).map { case (d, h) => s"$d=$h" }.mkString(", ") +
+        ") — rebuild the legacy shards to add it, or merge without it")
+    val tvTables = if (haveTv.head) Seq("termvecs") else Seq.empty
     shardDirs.zipWithIndex.foreach { case (d, i) =>
-      Maintenance.copyDataFiles(fs,
-        new org.apache.hadoop.fs.Path(s"$d/postings"),
-        new org.apache.hadoop.fs.Path(s"$outDir/postings"), s"s$i", conf)
-      Maintenance.copyDataFiles(fs,
-        new org.apache.hadoop.fs.Path(s"$d/doclens"),
-        new org.apache.hadoop.fs.Path(s"$outDir/doclens"), s"s$i", conf)
+      (Seq("postings", "doclens") ++ tvTables).foreach { t =>
+        Maintenance.copyDataFiles(fs,
+          new org.apache.hadoop.fs.Path(s"$d/$t"),
+          new org.apache.hadoop.fs.Path(s"$outDir/$t"), s"s$i", conf)
+      }
     }
     val n = hs.map(_.nDocs).sum
     val total = hs.map(_.totalTokens).sum
@@ -427,7 +489,7 @@ object Bm25Index {
       // (renames, no recompute in between); load() cross-checks the
       // postings partitioning against meta numBuckets as the loud
       // backstop for a crash landing inside it.
-      val tables = Seq("postings", "doclens", "meta")
+      val tables = Seq("postings", "doclens", "termvecs", "meta")
       tables.foreach { t => // refuse crashed state BEFORE the corpus pass
         require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/${t}_precompact")),
           s"$dir/${t}_precompact already exists — a prior rebuild/compact " +
@@ -440,16 +502,16 @@ object Bm25Index {
         .write.mode("overwrite").partitionBy("term_bucket")
         .parquet(s"$tmp/postings")
       doclens.write.mode("overwrite").parquet(s"$tmp/doclens")
+      writeTermvecs(
+        termvecsOf(spark.read.parquet(s"$tmp/postings"), idCol), idCol,
+        s"$tmp/termvecs", "overwrite")
       val (n, total, perField) =
         statsOf(spark.read.parquet(s"$tmp/doclens"), idCol, fields)
       writeMeta(spark, tmp, idCol, numBuckets, n, total, fields, perField)
       tables.zipWithIndex.foreach { case (t, i) =>
-        val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
-        // snapshot under the held lock — appends are excluded, so the
-        // swap's fold-in set is provably empty
-        val snapshot = Maintenance.dataFiles(fs, live).toSet
-        Maintenance.swapCompacted(fs, live,
-          new org.apache.hadoop.fs.Path(s"$tmp/$t"), snapshot,
+        // a LEGACY index has no live termvecs to swap aside — the
+        // rebuilt table simply lands (rebuild IS the upgrade path)
+        swapOrLand(fs, dir, tmp, t,
           if (i == 0) beforeSwap else () => ())
       }
       // the rebuilt state IS canonical for the post-delete corpus
@@ -524,7 +586,7 @@ object Bm25Index {
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(dir)
     val epoch0 = Maintenance.purgeEpoch(fs, root)
-    val tables = Seq("postings", "doclens", "meta")
+    val tables = Seq("postings", "doclens", "termvecs", "meta")
     tables.foreach { t => // refuse crashed state BEFORE the corpus pass
       require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/${t}_precompact")),
         s"$dir/${t}_precompact already exists — a prior rebuild/compact " +
@@ -539,6 +601,9 @@ object Bm25Index {
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$tmp/postings")
     doclens0.write.mode("overwrite").parquet(s"$tmp/doclens")
+    writeTermvecs(
+      termvecsOf(spark.read.parquet(s"$tmp/postings"), idCol), idCol,
+      s"$tmp/termvecs", "overwrite")
     beforeLock()
     // ---- phase 2, LOCKED: bounded catch-up + swap
     Maintenance.acquireCompactLock(fs, root, waitForAppendsMs)
@@ -572,6 +637,8 @@ object Bm25Index {
           .write.mode("append").partitionBy("term_bucket")
           .parquet(s"$tmp/postings")
         dDoclens.write.mode("append").parquet(s"$tmp/doclens")
+        writeTermvecs(termvecsOf(dPostings, idCol), idCol,
+          s"$tmp/termvecs", "append")
       }
       // meta describes the NON-TOMBSTONED remainder (the delete
       // contract: N/avgdl/df cover what probes can return) — the
@@ -587,12 +654,9 @@ object Bm25Index {
       writeMeta(spark, tmp, idCol, numBuckets, n, total, fields, perField,
         nTombstones)
       tables.zipWithIndex.foreach { case (t, i) =>
-        val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
-        // snapshot under the held lock — appends are excluded for the
-        // swap span, so the fold-in set is provably empty
-        val snapshot = Maintenance.dataFiles(fs, live).toSet
-        Maintenance.swapCompacted(fs, live,
-          new org.apache.hadoop.fs.Path(s"$tmp/$t"), snapshot,
+        // a LEGACY index has no live termvecs to swap aside — the
+        // rebuilt table simply lands (the shadow IS the live upgrade)
+        swapOrLand(fs, dir, tmp, t,
           if (i == 0) beforeSwap else () => ())
       }
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -676,6 +740,26 @@ object Bm25Index {
       spark: SparkSession, handle: Handle, rows: DataFrame): DataFrame =
     Tombstones.liveOnly(spark, handle.dir, handle.idCol, rows)
 
+  /** Swap a rebuilt table into place, or — when no live table of that
+    * name exists (a legacy index gaining `termvecs`: rebuild IS the
+    * upgrade path) — land it with one checked rename. */
+  private def swapOrLand(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, tmp: String,
+      t: String, beforeSwap: () => Unit): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
+    if (!fs.exists(live))
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$t"), live),
+        s"rename $tmp/$t -> $live failed; the rebuilt table is intact " +
+          "under the tmp dir")
+    else {
+      // snapshot under the held lock — appends are excluded, so the
+      // swap's fold-in set is provably empty
+      val snapshot = Maintenance.dataFiles(fs, live).toSet
+      Maintenance.swapCompacted(fs, live,
+        new org.apache.hadoop.fs.Path(s"$tmp/$t"), snapshot, beforeSwap)
+    }
+  }
+
   /** Rewrite the index state deduplicated and re-sorted — the
     * maintenance pass for the append loop: posting rows collapse to
     * distinct (a replayed append re-derives identical rows under the
@@ -698,7 +782,9 @@ object Bm25Index {
       fs: org.apache.hadoop.fs.FileSystem): Handle = {
     val dir = handle.dir
     val tmp = s"$dir/compact_tmp"
-    val tables = Seq("postings", "doclens")
+    val hasTv = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/termvecs"))
+    val tables = Seq("postings", "doclens") ++
+      (if (hasTv) Seq("termvecs") else Nil)
     tables.foreach { t => // refuse crashed state BEFORE the expensive writes
       val aside = new org.apache.hadoop.fs.Path(s"$dir/${t}_precompact")
       require(!fs.exists(aside),
@@ -738,6 +824,9 @@ object Bm25Index {
       .groupBy(col(handle.idCol), col("field"))
       .agg(max(col("n_tok_f")).as("n_tok_f"))
       .write.mode("overwrite").parquet(s"$tmp/doclens")
+    if (hasTv) // replay duplicates collapse; tombstoned rows purge
+      writeTermvecs(purge(snap("termvecs")).distinct(), cur.idCol,
+        s"$tmp/termvecs", "overwrite")
     tables.foreach { t =>
       Maintenance.swapCompacted(
         fs, new org.apache.hadoop.fs.Path(s"$dir/$t"),
@@ -1466,7 +1555,32 @@ object Bm25Index {
         lit(0L)),
       count(lit(1))).head()
     val dupPostings = badRows.getLong(2) - postings.distinct().count()
-    Seq(
+    // the forward index, when present, must mirror the postings
+    // exactly: same row count (a 1:1 projection — a torn append leaves
+    // one table short), same (id, field, term) key set, and every
+    // stored doc_bucket re-deriving from the row's own id (a partition
+    // key drifting from its hash silently breaks the probe's pruning —
+    // the DedupIndex band0 rule)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tvChecks =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/termvecs")))
+        Seq.empty[(String, Long)]
+      else {
+        val tv = spark.read.parquet(s"$dir/termvecs")
+        val key = Seq(h.idCol, "field", "term")
+        val tvKeys = tv.select(key.map(col): _*)
+        val pKeys = postings.select(key.map(col): _*)
+        Seq(
+          ("termvec_rows", tv.count()),
+          ("termvec_keys_missing_postings",
+            tvKeys.join(pKeys, key, "left_anti").count()),
+          ("posting_keys_missing_termvecs",
+            pKeys.join(tvKeys, key, "left_anti").count()),
+          ("termvec_bucket_mismatch",
+            tv.filter(col("doc_bucket") =!= docBucket(h.idCol)).count()))
+      }
+    (Seq(
       ("doclens_rows", doclens.count()),
       ("posting_rows", badRows.getLong(2)),
       ("n_docs", h.nDocs),
@@ -1478,7 +1592,7 @@ object Bm25Index {
       ("tombstone_orphans", tombOrphans),
       ("positions_tf_mismatch", badRows.getLong(0)),
       ("positions_out_of_range", badRows.getLong(1)),
-      ("duplicate_posting_rows", dupPostings))
+      ("duplicate_posting_rows", dupPostings)) ++ tvChecks)
       .toDF("check", "value")
   }
 
@@ -1799,11 +1913,16 @@ object Bm25Index {
     *  - first pass: [[topK]]'s candidates in the [[topKBatch]]
     *    convention — doc score `s_q = Σ_t round(s_t·2²⁰)` (BIGINT),
     *    top `fbDocs` by (s_q desc, id);
-    *  - relevance model: for every term t of feedback doc d
-    *    (re-tokenized from `corpus` — the postings table is
-    *    term-partitioned, a by-doc read of it would scan every
-    *    bucket; fetching `fbDocs` rows by id from the corpus is the
-    *    production-shaped point lookup), the contribution
+    *  - relevance model: for every term t of feedback doc d — term
+    *    frequencies fetched from the INDEX-RESIDENT forward table
+    *    (`termvecs/`, fbDocs point lookups pruned to the ids'
+    *    doc_buckets; the postings table is term-partitioned and a
+    *    by-doc read of it would scan every bucket) when the index
+    *    carries it and `textCol` is one of its fields, else
+    *    re-tokenized from `corpus` (the pre-forward-index path,
+    *    kept for legacy indexes; both produce the same statFrames
+    *    tf/length values, so weights are bit-identical) — the
+    *    contribution
     *    `round(tf_td · s_q(d) / len_d)` — P(t|d) times the doc's
     *    (quantized) query likelihood — BIGINT-summed over the
     *    feedback set into `w_q(t)`;
@@ -1821,6 +1940,53 @@ object Bm25Index {
     * [[topKWeighted]]'s own `docFilter` for a fully-filtered RM3
     * retrieval. Emits `(term, weight_q, in_query, w_q)` — ready for
     * [[topKWeighted]], with the provenance columns for auditing. */
+  /** Single-query top-k in the BATCH quantized convention —
+    * [[rm3Expand]]'s first pass: score_q values and selection
+    * BIT-IDENTICAL to [[topKBatch]] for a one-row query table (same
+    * per-(doc, term) `round(s·2²⁰)` quantization, same integer sum,
+    * same (score_q desc, id) order), but in [[topK]]'s plan shape —
+    * driver-resident per-term df (one collect), no query-table
+    * distinct, no checkpoint, no window: TakeOrderedAndProject
+    * instead. At probe latency the chain's JOB COUNT is the cost;
+    * this is three fewer jobs than the batch machinery pays for one
+    * query. Terms are assumed validated by the caller. */
+  private def topKQuantizedSingle(
+      spark: SparkSession, handle: Handle, queryTerms: Seq[String], k: Int,
+      k1: Double, b: Double, docFilter: Option[DataFrame]): DataFrame = {
+    val buckets = bucketsFor(spark, queryTerms, handle.numBuckets).distinct
+    val pruned = collapseTf(handle, liveOnly(spark, handle,
+      spark.read.parquet(s"${handle.dir}/postings")
+        .filter(col("term_bucket").isin(buckets: _*) &&
+          col("term").isin(queryTerms: _*))))
+    val dfs: Map[String, Long] = pruned.groupBy("term")
+      .agg(countDistinct(col(handle.idCol)).as("__df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avgdl = handle.totalTokens.toDouble / handle.nDocs.toDouble
+    val id = col(handle.idCol)
+    val candidates = restrict(handle, pruned, docFilter)
+    val pivoted = candidates.groupBy(id, col("n_tok")).agg(
+      max(when(col("term") === queryTerms.head, col("tf"))).as("__tf0"),
+      queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
+        max(when(col("term") === t, col("tf"))).as(s"__tf$i") }: _*)
+    val perTerm = queryTerms.zipWithIndex.map { case (term, i) =>
+      val dft = dfs.getOrElse(term, 0L)
+      val idf = log(lit(1.0) + lit(handle.nDocs - dft + 0.5) / lit(dft + 0.5))
+      val tf = col(s"__tf$i").cast("double")
+      val termScore = idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("n_tok").cast("double") / lit(avgdl)))
+      // a term absent from the doc has NO (query, doc, term) row in
+      // the batch convention — it contributes exactly 0, not a
+      // quantized 0-tf score
+      when(col(s"__tf$i").isNull, lit(0L))
+        .otherwise(round(termScore * lit(1048576.0d)).cast("long"))
+    }
+    pivoted.select(id, perTerm.reduce(_ + _).as("score_q"))
+      .filter(col("score_q") > 0L)
+      .orderBy(col("score_q").desc, id)
+      .limit(k)
+  }
+
   def rm3Expand(
       spark: SparkSession, handle: Handle, corpus: DataFrame,
       queryTerms: Seq[String], fbDocs: Int = 5, fbTerms: Int = 5,
@@ -1840,55 +2006,96 @@ object Bm25Index {
     import spark.implicits._
     // first pass in the quantized convention (one row per query);
     // id-type-agnostic: the id column stays whatever the index was
-    // built with (long, string, …) — only the tiny feedback frame is
-    // collected, and only for the isin pushdown literals
-    val first = topKBatch(spark, handle,
-        Seq((0L, queryTerms)).toDF("__qid", "__terms"), "__qid", "__terms",
+    // built with (long, string, …). The feedback frame is fbDocs rows
+    // by contract — collected ONCE and re-entered as a local relation
+    // (one Spark job; the old localCheckpoint-then-collect shape paid
+    // an extra eager materialization, and at probe latencies the
+    // chain's job count IS the cost)
+    val first = topKQuantizedSingle(spark, handle, queryTerms,
         k = fbDocs, k1 = k1, b = b, docFilter = docFilter)
       .select(col(handle.idCol), col("score_q").as("__sq_doc"))
-      .localCheckpoint(true) // fbDocs rows; feeds the collect AND the join
-    val fbIds: Seq[Any] = first.select(col(handle.idCol))
-      .collect().map(_.get(0)).toSeq
-    require(fbIds.nonEmpty, s"rm3Expand: the query $queryTerms matched nothing")
-    // fbDocs point lookups by id — literal isin pushes to the scan
-    val fbScores = first
-    val toksOf = split(trim(lower(col(textCol))), "\\s+")
-    val wq = corpus.filter(col(handle.idCol).isin(fbIds: _*))
-      .select(col(handle.idCol), toksOf.as("__toks"))
-      .select(col(handle.idCol), size(col("__toks")).cast("long").as("__len"),
-        explode(col("__toks")).as("term"))
-      .groupBy(col(handle.idCol), col("__len"), col("term"))
-      .agg(count(lit(1)).as("__tf"))
+    val firstRows = first.collect()
+    require(firstRows.nonEmpty, s"rm3Expand: the query $queryTerms matched nothing")
+    val fbIds: Seq[Any] = firstRows.map(_.get(0)).toSeq
+    val fbScores = spark.createDataFrame(
+      java.util.Arrays.asList(firstRows: _*), first.schema)
+    // feedback term frequencies: INDEX-RESIDENT when the forward index
+    // exists (fbDocs point lookups into the doc-bucket-partitioned
+    // termvecs — partition pruning on the ids' buckets plus an id
+    // filter into id-sorted row groups; tf/length are the same
+    // statFrames values re-tokenizing would compute, so weights are
+    // bit-identical) — else the legacy corpus re-fetch+re-tokenize.
+    // This was the measured cost dominator of the RM3 chain: the
+    // corpus pass paid a full scan + tokenize per query.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val hasTv = fs.exists(
+        new org.apache.hadoop.fs.Path(s"${handle.dir}/termvecs")) &&
+      handle.fields.contains(textCol)
+    val termFreqs =
+      if (hasTv) {
+        val buckets = spark.range(1).select(fbIds.zipWithIndex.map {
+            case (v, i) => pmod(hash(lit(v)), lit(NumDocBuckets))
+              .cast("int").as(s"__b$i") }: _*)
+          .head() match { case r => fbIds.indices.map(r.getInt).distinct }
+        spark.read.parquet(s"${handle.dir}/termvecs")
+          .filter(col("doc_bucket").isin(buckets: _*) &&
+            col(handle.idCol).isin(fbIds: _*) && col("field") === textCol)
+          // replayed-append duplicates collapse (the collapseTf
+          // pre-compact convention); a clean index has one row per key
+          .groupBy(col(handle.idCol), col("n_tok_f").cast("long").as("__len"),
+            col("term"))
+          .agg(max(col("tf")).as("__tf"))
+      } else {
+        val toksOf = split(trim(lower(col(textCol))), "\\s+")
+        corpus.filter(col(handle.idCol).isin(fbIds: _*))
+          .select(col(handle.idCol), toksOf.as("__toks"))
+          .select(col(handle.idCol), size(col("__toks")).cast("long").as("__len"),
+            explode(col("__toks")).as("term"))
+          .groupBy(col(handle.idCol), col("__len"), col("term"))
+          .agg(count(lit(1)).as("__tf"))
+      }
+    val wq = termFreqs
       .join(broadcast(fbScores), Seq(handle.idCol))
       .withColumn("__c", round(col("__tf").cast("double") *
         col("__sq_doc").cast("double") / col("__len").cast("double")).cast("long"))
       .groupBy("term").agg(sum(col("__c")).as("w_q"))
-    val selected = wq
-      .orderBy(col("w_q").desc, col("term")) // TakeOrderedAndProject
+    // the selected set is fbTerms rows by contract: ONE
+    // TakeOrderedAndProject job collects it, and the normalization +
+    // interpolation tail runs in exact DRIVER arithmetic — the old
+    // shape paid three more jobs (checkpoint, Σw_q aggregate, the
+    // full_outer join) to compute a |Q|+fbTerms-row table
+    val selRows = wq
+      .orderBy(col("w_q").desc, col("term"))
       .limit(fbTerms)
-      .localCheckpoint(true) // tiny (fbTerms rows); feeds sum + join
-    val totalW = selected.agg(sum("w_q")).collect().head.getLong(0)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val totalW = selRows.map(_._2).sum
     require(totalW > 0L,
       s"rm3Expand: the feedback docs' relevance-model mass rounded to zero " +
         s"(every candidate term's tf·s/len < 0.5) — raise fbDocs or rethink " +
         s"the query $queryTerms")
     val origQ = math.round(lambda * 1048576.0 / queryTerms.size)
-    val orig = queryTerms.map(t => (t, origQ)).toDF("term", "__oq")
-    orig.join(selected.select(col("term"),
-          round(lit(1.0 - lambda) * lit(1048576.0) *
-            col("w_q").cast("double") / lit(totalW.toDouble)).cast("long")
-            .as("__eq"), col("w_q")),
-        Seq("term"), "full_outer")
-      .select(col("term"),
-        (coalesce(col("__oq"), lit(0L)) + coalesce(col("__eq"), lit(0L)))
-          .as("weight_q"),
-        col("__oq").isNotNull.as("in_query"),
-        coalesce(col("w_q"), lit(0L)).as("w_q"))
+    val sel = selRows.toMap
+    // Spark's round(double) is BigDecimal.valueOf half-up — replicated
+    // exactly so the driver tail is bit-identical to the old in-plan one
+    def roundHalfUp(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val out = (queryTerms ++ selRows.map(_._1).filterNot(queryTerms.contains))
+      .map { t =>
+        val inQ = queryTerms.contains(t)
+        val oq = if (inQ) origQ else 0L
+        val eq = sel.get(t).map(w =>
+          roundHalfUp((1.0 - lambda) * 1048576.0 * w.toDouble /
+            totalW.toDouble)).getOrElse(0L)
+        (t, oq + eq, inQ, sel.getOrElse(t, 0L))
+      }
       // a selected term whose interpolated weight rounds to zero
       // (w_q/Σw_q < 2⁻²¹ under a dominant sibling) contributes
       // nothing — drop it rather than hand topKWeighted a
       // zero-weight row its guard would (rightly) refuse
-      .filter(col("weight_q") > 0L)
+      .filter(_._2 > 0L)
+    out.toDF("term", "weight_q", "in_query", "w_q")
   }
 
   /** Field-weighted BM25F top-k (the simple Robertson form): per

@@ -4221,7 +4221,13 @@ object CurationQueries {
         UNION ALL SELECT 'tombstone_orphans', CAST(0 AS BIGINT)
         UNION ALL SELECT 'positions_tf_mismatch', CAST(0 AS BIGINT)
         UNION ALL SELECT 'positions_out_of_range', CAST(0 AS BIGINT)
-        UNION ALL SELECT 'duplicate_posting_rows', CAST(0 AS BIGINT)) r
+        UNION ALL SELECT 'duplicate_posting_rows', CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'termvec_rows', CAST(sum(len(list_distinct(toks))) AS BIGINT)
+        FROM tk
+        UNION ALL SELECT 'termvec_keys_missing_postings', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'posting_keys_missing_termvecs', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'termvec_bucket_mismatch', CAST(0 AS BIGINT)) r
       ORDER BY "check""""),
       bench = true,
       benchPrepare = Some((s, dir) => ensureBm25Idx(s, dir)),

@@ -45,9 +45,15 @@ object QueryDef {
     * to out-of-core SLOW instead of dying. DuckDB's Python API runs
     * multi-statement strings and returns the last statement's result
     * (verified against con.execute / duckdb.sql / fetchdf), so the
-    * PRAGMA prefix is transparent to the driver's compare. */
+    * PRAGMA prefix is transparent to the driver's compare. Sized for a
+    * SHARED long-lived connection (the checker runs every oracle on
+    * one con, so the limit persists and must also cover buffers held
+    * from the ~200 prior queries): q183 needs <16 GB standalone but a
+    * 16 GB cap starved it mid-suite; 48 GB is comfortable while still
+    * bounded far below the 80 %-of-RAM default that dies on a loaded
+    * host. */
   def memBound(sql: String): String =
-    "PRAGMA memory_limit='16GB'; " +
+    "PRAGMA memory_limit='48GB'; " +
       "PRAGMA temp_directory='/tmp/graft_duckdb_spill.tmp'; " + sql
 
   /** The events table stores TIMESTAMP(NANOS), which Spark only reads

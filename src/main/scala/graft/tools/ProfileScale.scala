@@ -186,6 +186,18 @@ object ProfileScale {
     lazy val annShadowDir10 = { copyDir(annH10.dir, s"$scratch/annshadow10"); s"$scratch/annshadow10" }
     lazy val bm25RebArmDir1 = { copyDir(bm25H1.dir, s"$scratch/bm25reb1"); s"$scratch/bm25reb1" }
     lazy val bm25RebArmDir10 = { copyDir(bm25H10.dir, s"$scratch/bm25reb10"); s"$scratch/bm25reb10" }
+    // round-15: the bm25 SHADOW rebuild and the dedup rebuild arms get
+    // their own mutable state, same copy discipline
+    lazy val bm25ShadowDir1 = { copyDir(bm25H1.dir, s"$scratch/bm25shadow1"); s"$scratch/bm25shadow1" }
+    lazy val bm25ShadowDir10 = { copyDir(bm25H10.dir, s"$scratch/bm25shadow10"); s"$scratch/bm25shadow10" }
+    lazy val dedupRebArmDir1 = {
+      graft.ops.DedupIndex.build(docs, "doc_id", s"$scratch/dedupreb1")
+      s"$scratch/dedupreb1"
+    }
+    lazy val dedupRebArmDir10 = {
+      graft.ops.DedupIndex.build(docs10, "doc_id", s"$scratch/dedupreb10")
+      s"$scratch/dedupreb10"
+    }
     // q190's per-query attr fixture: docs10 carries no lang column, so
     // both scales derive the SAME synthetic attribute (plan shape is
     // what the arm measures — the oracle proves values)
@@ -1329,6 +1341,24 @@ object ProfileScale {
             "vec_id", annShadowDir10, nCells = 4 * factor, m = 4, k = 4,
             dim = dim, iters = 2)
           spark.range(1).toDF() }),
+      // round-15: the bm25 SHADOW rebuild — corpus-linear by contract
+      // (one tokenize pass + three table writes, q198's work); the
+      // point is WHERE the lock sits (delta catch-up + renames), which
+      // LifecycleDemo measures at sub-second
+      ("q200 bm25-shadow-rebuild",
+        () => { graft.ops.Bm25Index.rebuildShadow(() => docs, "doc_id",
+            bm25ShadowDir1)
+          spark.range(1).toDF() },
+        () => { graft.ops.Bm25Index.rebuildShadow(() => docs10, "doc_id",
+            bm25ShadowDir10)
+          spark.range(1).toDF() }),
+      // round-15: dedup rebuild — corpus-linear by contract (one
+      // fingerprint+minhash pass + four table swaps, build()'s work)
+      ("q199 dedup-rebuild",
+        () => { graft.ops.DedupIndex.rebuild(docs, "doc_id", dedupRebArmDir1)
+          spark.range(1).toDF() },
+        () => { graft.ops.DedupIndex.rebuild(docs10, "doc_id", dedupRebArmDir10)
+          spark.range(1).toDF() }),
       // round-13: tombstone reconcile — idempotent steady-state pass
       // over the repaired trio (the warm-up run performed the actual
       // repair); tombstone-table-sized reads + no-op deletes
@@ -1493,6 +1523,10 @@ object ProfileScale {
       if (name.startsWith("q198")) {
         bm25H1.dir; bm25H10.dir; bm25RebArmDir1; bm25RebArmDir10; ()
       }
+      if (name.startsWith("q200")) {
+        bm25H1.dir; bm25H10.dir; bm25ShadowDir1; bm25ShadowDir10; ()
+      }
+      if (name.startsWith("q199")) { dedupRebArmDir1; dedupRebArmDir10; () }
       if (name.startsWith("q171")) {
         bm25H1.dir; bm25H10.dir
         trioDedupDir1; trioDedupDir10; trioAnnDir1; trioAnnDir10; ()

@@ -5270,6 +5270,84 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Bm25Index termvecs: the forward index mirrors postings across the lifecycle; rm3 stays bit-identical") {
+    val root = java.nio.file.Files.createTempDirectory("bm25tv").toString
+    try {
+      val corpus = Seq(
+        (0L, "the quick data pipeline processes the query stream"),
+        (1L, "a long document about nothing in particular"),
+        (2L, "data data data everywhere and the query too"),
+        (3L, "query optimization for data systems"),
+        (4L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")
+      val h = Bm25Index.build(corpus, "doc_id", s"$root/idx", numBuckets = 8)
+      def fsckMap(d: String) = Bm25Index.fsck(spark, d).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val f0 = fsckMap(s"$root/idx")
+      assert(f0("termvec_rows") == f0("posting_rows") &&
+        f0("termvec_keys_missing_postings") == 0L &&
+        f0("posting_keys_missing_termvecs") == 0L &&
+        f0("termvec_bucket_mismatch") == 0L, f0.toString)
+      // rm3 over the forward index is BIT-IDENTICAL to the legacy
+      // corpus re-tokenize path (same statFrames values) — simulate a
+      // legacy index by building one and removing its termvecs table
+      Bm25Index.build(corpus, "doc_id", s"$root/legacy", numBuckets = 8)
+      def rmTree(p: String): Unit =
+        java.nio.file.Files.walk(java.nio.file.Path.of(p))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { java.nio.file.Files.delete(q); () })
+      rmTree(s"$root/legacy/termvecs")
+      def rm3(d: String) = Bm25Index.rm3Expand(spark,
+          Bm25Index.load(spark, d), corpus, Seq("data", "query"),
+          fbDocs = 3, fbTerms = 4, lambda = 0.5)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+      assert(rm3(s"$root/idx") == rm3(s"$root/legacy"),
+        s"${rm3(s"$root/idx")} vs ${rm3(s"$root/legacy")}")
+      // append extends the forward index in step with the postings; a
+      // REPLAYED append doubles both, compact collapses both
+      val fresh = Seq((10L, "a brand new appended document about data"))
+        .toDF("doc_id", "text")
+      val h2 = Bm25Index.append(h, fresh)
+      val f1 = fsckMap(s"$root/idx")
+      assert(f1("termvec_rows") == f1("posting_rows") &&
+        f1("posting_keys_missing_termvecs") == 0L, f1.toString)
+      Bm25Index.append(h2, fresh) // the at-least-once replay
+      Bm25Index.compact(Bm25Index.load(spark, s"$root/idx"))
+      val f2 = fsckMap(s"$root/idx")
+      assert(f2("termvec_rows") == f2("posting_rows") &&
+        f2("duplicate_posting_rows") == 0L, f2.toString)
+      // a legacy index APPEND does not grow a half-covered table
+      Bm25Index.append(Bm25Index.load(spark, s"$root/legacy"), fresh)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Path.of(s"$root/legacy/termvecs")))
+      // ...and rebuild IS its upgrade path (termvecs lands)
+      Bm25Index.rebuild(corpus.unionByName(fresh), "doc_id", s"$root/legacy",
+        numBuckets = 8, waitForAppendsMs = 0L)
+      val f3 = fsckMap(s"$root/legacy")
+      assert(f3("termvec_rows") == f3("posting_rows"), f3.toString)
+      // merge: both-have shards unify the forward index by file copy;
+      // a MIXED shard set refuses
+      Bm25Index.build(corpus.filter(col("doc_id") < 2), "doc_id", s"$root/sa",
+        numBuckets = 8)
+      Bm25Index.build(corpus.filter(col("doc_id") >= 2), "doc_id", s"$root/sb",
+        numBuckets = 8)
+      Bm25Index.merge(spark, Seq(s"$root/sa", s"$root/sb"), s"$root/m")
+      val fm = fsckMap(s"$root/m")
+      assert(fm("termvec_rows") == fm("posting_rows") &&
+        fm("termvec_keys_missing_postings") == 0L &&
+        fm("posting_keys_missing_termvecs") == 0L, fm.toString)
+      rmTree(s"$root/sb/termvecs")
+      val e = intercept[IllegalArgumentException](
+        Bm25Index.merge(spark, Seq(s"$root/sa", s"$root/sb"), s"$root/m2"))
+      assert(e.getMessage.contains("termvecs"), e.getMessage)
+    } finally {
+      val r = java.nio.file.Path.of(root)
+      java.nio.file.Files.walk(r).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
   test("Bm25Index.load: torn rebuild (new postings under a stale meta) is refused, not silently mis-pruned") {
     val dirA = java.nio.file.Files.createTempDirectory("bm25tornA").toString
     val dirB = java.nio.file.Files.createTempDirectory("bm25tornB").toString

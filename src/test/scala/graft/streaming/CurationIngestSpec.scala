@@ -439,4 +439,126 @@ class CurationIngestSpec extends SparkSpec {
       "added_bm25" -> 0L, "added_ann" -> 0L, "dedup_unresolvable" -> 0L,
       "post_disagreements" -> 0L), r4.toString)
   }
+
+  test("rebuildShadow x live ingest: REPEATED triggers across the retrain/catch-up/swap timeline keep the clean-build equality") {
+    // the round-14 LifecycleDemo plants ONE append mid-retrain; this
+    // drives every interleaving the seams expose — a trigger BEFORE
+    // the sidecar pass (in snapshot0), several DURING it (the delta
+    // catch-up), a DELETE during it (tombstone survives), and a
+    // trigger inside the swap window (must refuse, never fold) — and
+    // asserts the q153-style equality at the end of each shadow: the
+    // swapped state is exactly a clean build over source-at-swap-time.
+    val root = java.nio.file.Files.createTempDirectory("shadowingest").toString
+    try {
+      val seed = Seq(
+        (0L, "alpha seed document about spark engines and data processing"),
+        (1L, "beta seed document with entirely different vocabulary here"),
+        (2L, "gamma seed text that covers retrieval and ranking topics"))
+        .toDF("doc_id", "text")
+      val seedEmb = Seq(0L, 1L, 2L).map(i => (i, emb(i)))
+        .toDF("doc_id", "embedding")
+      seed.write.mode("overwrite").parquet(s"$root/docs_src")
+      seedEmb.write.mode("overwrite").parquet(s"$root/emb_src")
+      DedupIndex.build(seed, "doc_id", s"$root/dedup")
+      Bm25Index.build(seed, "doc_id", s"$root/bm25", numBuckets = 8)
+      AnnIndex.build(seedEmb, "embedding", "doc_id", s"$root/ann",
+        nCells = 2, m = 4, k = 2, dim = 8, iters = 1)
+      var epoch = 0L
+      def trigger(id: Long, text: String): Unit = {
+        // the ingest contract: rows reach the SOURCE tables before (or
+        // with) their index appends — then one real curation trigger
+        val batch = Seq((id, text)).toDF("doc_id", "text")
+        batch.write.mode("append").parquet(s"$root/docs_src")
+        Seq((id, emb(id))).toDF("doc_id", "embedding")
+          .write.mode("append").parquet(s"$root/emb_src")
+        val withEmb = batch.withColumn("embedding",
+          transform(sequence(lit(0), lit(7)),
+            j => ((col("doc_id") * 7 + j) % 5).cast("double")))
+        epoch += 1
+        CurationIngest.curationSink(
+          DedupIndex.load(spark, s"$root/dedup"),
+          Bm25Index.load(spark, s"$root/bm25"),
+          AnnIndex.load(spark, s"$root/ann"),
+          s"$root/verdicts", "embedding",
+          qualityGate = col("text").isNotNull && length(col("text")) > 20,
+          threshold = 0.5)(withEmb, epoch)
+      }
+      def rows(d: String, t: String) = spark.read.parquet(s"$d/$t")
+        .collect().map(_.toString).sorted.toSeq
+
+      // ---- ANN shadow: pre-pass trigger, two mid-retrain triggers, a
+      // mid-retrain co-written DELETE, and a swap-window refusal
+      trigger(10L, "delta document arriving before the retrain even starts ok")
+      var swapRefused: Option[Throwable] = None
+      val annH = AnnIndex.rebuildShadow(
+        () => spark.read.parquet(s"$root/emb_src"), "embedding", "doc_id",
+        s"$root/ann", nCells = 2, m = 4, k = 2, dim = 8, iters = 1,
+        beforeLock = () => {
+          trigger(11L, "epsilon document landing while the retrain runs fine")
+          trigger(12L, "zeta document also landing inside the retrain window")
+          CurationIngest.deletionSink(
+            DedupIndex.load(spark, s"$root/dedup"),
+            Bm25Index.load(spark, s"$root/bm25"),
+            AnnIndex.load(spark, s"$root/ann"),
+            s"$root/audit")(seed.filter(col("doc_id") === 2L), 99L)
+        },
+        beforeSwap = () => {
+          swapRefused = Some(intercept[IllegalStateException](
+            AnnIndex.append(AnnIndex.load(spark, s"$root/ann"),
+              Seq((13L, emb(13L))).toDF("doc_id", "embedding"),
+              "embedding", "doc_id")))
+        })
+      assert(swapRefused.exists(_.getMessage.contains("_compact.lock")),
+        s"swap-window append was not refused: $swapRefused")
+      // q153 equality at source-at-swap: every trigger's row present,
+      // encoded under the NEW models — bit-identical to a clean
+      // buildWith over the re-read source (deleted row included: the
+      // source still carries it, the TOMBSTONE hides it from probes)
+      graft.ops.AnnIndex.buildWith(spark.read.parquet(s"$root/emb_src"),
+        "embedding", "doc_id", s"$root/ann_clean", annH.centroids,
+        annH.codebooks)
+      assert(rows(s"$root/ann", "codes") == rows(s"$root/ann_clean", "codes"))
+      assert(annH.hasTombstones)
+      val served = AnnIndex.query(spark, annH, "doc_id", emb(2L), k = 10,
+        nProbe = 2).collect().map(_.getLong(0)).toSet
+      assert(!served.contains(2L), s"deleted id served: $served")
+      assert(Set(10L, 11L, 12L).subsetOf(
+        spark.read.parquet(s"$root/ann/codes")
+          .select("doc_id").collect().map(_.getLong(0)).toSet))
+
+      // ---- BM25 shadow: same composition through the lexical side
+      var bmSwapRefused: Option[Throwable] = None
+      val bmH = Bm25Index.rebuildShadow(
+        () => spark.read.parquet(s"$root/docs_src"), "doc_id", s"$root/bm25",
+        numBuckets = 8,
+        beforeLock = () => {
+          trigger(14L, "eta document arriving during the postings rewrite ok")
+          trigger(15L, "theta text with separate unrelated fresh vocabulary set")
+        },
+        beforeSwap = () => {
+          bmSwapRefused = Some(intercept[IllegalStateException](
+            Bm25Index.append(Bm25Index.load(spark, s"$root/bm25"),
+              Seq((16L, "must refuse")).toDF("doc_id", "text"))))
+        })
+      assert(bmSwapRefused.exists(_.getMessage.contains("_compact.lock")),
+        s"swap-window append was not refused: $bmSwapRefused")
+      Bm25Index.build(spark.read.parquet(s"$root/docs_src"), "doc_id",
+        s"$root/bm25_clean", numBuckets = 8)
+      for (t <- Seq("postings", "doclens", "termvecs"))
+        assert(rows(s"$root/bm25", t) == rows(s"$root/bm25_clean", t),
+          s"$t diverged from the clean build")
+      // meta counts the REMAINDER (doc 2's tombstone survived the ANN
+      // round's co-written delete and this shadow kept it)
+      assert(bmH.nTombstones == 1L &&
+        bmH.nDocs == spark.read.parquet(s"$root/docs_src").count() - 1L,
+        bmH.toString)
+      val hits = Bm25Index.topK(spark, bmH, Seq("retrieval"), k = 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(!hits.contains(2L), s"deleted id served lexically: $hits")
+    } finally {
+      val r = java.nio.file.Path.of(root)
+      java.nio.file.Files.walk(r).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
 }
