@@ -537,11 +537,14 @@ object Bm25Index {
     * sidecar doclens (tombstoned ids excluded — meta describes the
     * remainder, the [[delete]] contract), and the three tables
     * (postings, doclens, meta) swap. The ingest-refusal window is the
-    * delta tokenize + three renames, not the corpus pass. BM25's
-    * catch-up is strictly easier than ANN's: tokenization is
-    * deterministic, so there is no frozen-model staleness — the delta
-    * rows' posting rows are bit-identical to what a clean build would
-    * write.
+    * delta tokenize + the stats recount + three renames — the recount
+    * scans the sidecar DOCLENS (a narrow (id, field, n_tok_f) table,
+    * docs×fields rows), never the corpus text: at 100 TB that is
+    * minutes of narrow-scan against the hours of tokenize the lock no
+    * longer covers. BM25's catch-up is strictly easier than ANN's:
+    * tokenization is deterministic, so there is no frozen-model
+    * staleness — the delta rows' posting rows are bit-identical to
+    * what a clean build would write.
     *
     * `source` is a THUNK producing the corpus source of truth,
     * invoked once for the sidecar pass and ONCE MORE under the lock
