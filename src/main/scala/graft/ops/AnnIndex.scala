@@ -69,6 +69,57 @@ object AnnIndex {
       .filterNot(f => f == idCol || f == "cell" || f.startsWith("code_"))
       .toSeq
 
+  /** Model-generation marker — the torn-rebuild detector: codes are
+    * meaningless under the WRONG codebooks (ADC would rank with
+    * garbage distances, silently), and a crash between [[rebuild]]'s
+    * three table swaps can land exactly that state — new codes beside
+    * not-yet-swapped models (the [[Bm25Index]] stale-meta window, with
+    * a worse failure mode: wrong RESULTS, not missed terms). Every
+    * build/rebuild/merge stamps the SAME fresh uuid as an
+    * `_model_gen.<uuid>` bookkeeping file inside all three table dirs
+    * (underscore-prefixed: parquet readers and [[Maintenance
+    * .dataFiles]] skip it, so swaps move it with the dir and merges
+    * never copy a shard's); [[compact]] PRESERVES the codes marker
+    * (frozen models); [[load]] refuses a mixed-generation dir. Pre-
+    * marker indexes carry none anywhere and load unchanged. */
+  private val GenPrefix = "_model_gen."
+
+  private val GenTables = Seq("codes", "ivf_centroids", "pq_codebooks")
+
+  private def stampGen(
+      fs: org.apache.hadoop.fs.FileSystem, base: String,
+      tables: Seq[String] = GenTables): String = {
+    val gen = java.util.UUID.randomUUID().toString
+    tables.foreach { t =>
+      fs.create(new org.apache.hadoop.fs.Path(s"$base/$t/$GenPrefix$gen"),
+        true).close()
+    }
+    gen
+  }
+
+  private def genOf(
+      fs: org.apache.hadoop.fs.FileSystem, tableDir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(tableDir)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).iterator.map(_.getPath.getName)
+      .find(_.startsWith(GenPrefix)).map(_.stripPrefix(GenPrefix))
+  }
+
+  private def requireOneGeneration(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val gens = GenTables.map(t => t -> genOf(fs, s"$dir/$t"))
+    val defined = gens.collect { case (t, Some(g)) => t -> g }
+    require(defined.isEmpty ||
+        (defined.size == GenTables.size && defined.map(_._2).distinct.size == 1),
+      s"$dir: the code and model tables carry MISMATCHED model " +
+        s"generations (${gens.map { case (t, g) =>
+          s"$t=${g.getOrElse("<none>")}" }.mkString(", ")}) — a rebuild " +
+        "crashed between its table swaps, so the codes do not decode " +
+        "under these codebooks (ADC distances would be silently wrong). " +
+        "Recover from any _precompact aside or re-run rebuild() from " +
+        "the source of truth.")
+  }
+
   /** Train both quantizers on the corpus, encode every row, persist.
     * One pass for IVF assignment + PQ codes (both are narrow
     * literal-codebook maps); the code table shuffles once on `cell`
@@ -96,6 +147,8 @@ object AnnIndex {
     encodeRows(df, embCol, idCol, centroids, codebooks, attrCols)
       .repartition(col("cell")) // one writer wave per cell, no tiny files
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    stampGen(org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration), dir)
     Handle(dir, centroids, codebooks)
   }
 
@@ -126,6 +179,8 @@ object AnnIndex {
     encodeRows(df, embCol, idCol, centroids, codebooks, attrCols)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    stampGen(org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration), dir)
     Handle(dir, centroids, codebooks)
   }
 
@@ -177,6 +232,9 @@ object AnnIndex {
         new org.apache.hadoop.fs.Path(s"$d/codes"),
         new org.apache.hadoop.fs.Path(s"$outDir/codes"), s"s$i", conf)
     }
+    // fresh generation for the merged index (copyDataFiles never
+    // carries a shard's marker — it skips bookkeeping files)
+    stampGen(fs, outDir)
     Handle(outDir, h0.centroids, h0.codebooks)
   }
 
@@ -334,6 +392,12 @@ object AnnIndex {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/compact_tmp/codes")
+    // compaction never changes the MODELS — the rewritten codes carry
+    // the live table's generation marker forward
+    genOf(fs, s"$dir/codes").foreach { g =>
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$dir/compact_tmp/codes/$GenPrefix$g"), true).close()
+    }
     Maintenance.swapCompacted(fs, live,
       new org.apache.hadoop.fs.Path(s"$dir/compact_tmp/codes"), snapshot.toSet)
     fs.delete(tombs, true)
@@ -424,6 +488,10 @@ object AnnIndex {
     encodeRows(corpus, embCol, idCol, centroids, codebooks, attrs)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
+    // one fresh generation across all three tmp tables: a crash
+    // between the swaps below leaves a mixed-generation dir that
+    // load() refuses instead of decoding under the wrong models
+    stampGen(fs, tmp)
     tables.zipWithIndex.foreach { case (t, i) =>
       val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
       // snapshot under the held lock: appends are excluded for the
@@ -539,6 +607,9 @@ object AnnIndex {
     encodeRows(snapshot0, embCol, idCol, centroids, codebooks, attrs)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
+    // one fresh generation across the sidecar tables (the delta append
+    // under the lock keeps the marker) — the rebuildLocked rule
+    stampGen(fs, tmp)
     beforeLock()
     // ---- phase 2, LOCKED: bounded catch-up + swap
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -589,6 +660,9 @@ object AnnIndex {
     * driver reads; the code table stays on disk until a query prunes
     * into it. */
   def load(spark: SparkSession, dir: String): Handle = {
+    // torn-rebuild gate: codes must decode under THESE models
+    requireOneGeneration(org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration), dir)
     val centroids = spark.read.parquet(s"$dir/ivf_centroids")
       .select(col("cid").cast("long"), col("cv"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)

@@ -366,6 +366,109 @@ object DedupIndex {
     } finally Maintenance.releaseCompactLock(fs, root)
   }
 
+  /** NON-BLOCKING re-signature-and-migrate — the 100 TB form of
+    * [[rebuild]], completing the shadow family across the trio
+    * ([[AnnIndex.rebuildShadow]] retrains, [[Bm25Index.rebuildShadow]]
+    * re-tokenizes, this re-fingerprints/re-minhashes): rebuild holds
+    * the lock for the whole corpus pass, and a 100 TB
+    * fingerprint+minhash pass IS a span of hours even with no model to
+    * retrain; the shadow form signs into a SIDECAR while the live
+    * index keeps screening AND accepting appends, then takes the lock
+    * only for the delta catch-up + four renames. Minhash/fingerprint
+    * derivation is deterministic, so caught-up rows are bit-identical
+    * to a clean [[build]]'s.
+    *
+    * `source` is a THUNK (the [[Bm25Index.rebuildShadow]]
+    * InMemoryFileIndex rule): re-invoked under the lock so appends
+    * that landed during the pass are visible. The delta is computed on
+    * SIGNATURE ids (null-text docs leave no dedup state at all, so
+    * they neither need nor trip the catch-up); a delta id the re-read
+    * source cannot resolve refuses loudly. Tombstones are NOT cleared
+    * (a delete racing the pass keeps its tombstone; the next
+    * [[compact]] purges) and a delete+COMPACT racing the pass is
+    * refused at the lock by the purge-epoch check
+    * ([[Maintenance.requireNoPurgeSince]]). Crash posture: before the
+    * lock — live tables untouched, inert `shadow_tmp`; inside the
+    * swap — a `<table>_precompact` aside, the [[compact]] recovery.
+    * Meta swaps as the FOURTH table (the [[rebuild]] rule).
+    * `beforeLock`/`beforeSwap` are the usual test seams. */
+  def rebuildShadow(
+      source: () => DataFrame, idCol: String, dir: String,
+      numHashes: Int = 8, bandSize: Int = 4,
+      waitForAppendsMs: Long = 60000L,
+      beforeLock: () => Unit = () => (),
+      beforeSwap: () => Unit = () => ()): Handle = {
+    require(bandSize >= 1 && numHashes >= bandSize && numHashes % bandSize == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bandSize ($bandSize)")
+    val snapshot0 = source()
+    val spark = snapshot0.sparkSession
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val epoch0 = Maintenance.purgeEpoch(fs, root)
+    val tables = Seq("fingerprints", "signatures", "words", "meta")
+    tables.foreach { t => // refuse crashed state BEFORE the corpus pass
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/${t}_precompact")),
+        s"$dir/${t}_precompact already exists — a prior rebuild/compact " +
+          "crashed mid-swap; recover it manually before rebuilding")
+    }
+    val tmp = s"$dir/shadow_tmp"
+    // a leftover sidecar from a pre-lock crash is inert — start over
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // ---- phase 1, UNLOCKED: sign beside the live index
+    val (fps0, sigs0, words0) =
+      stateFrames(snapshot0, idCol, numHashes, bandSize)
+    fps0.write.mode("overwrite").parquet(s"$tmp/fingerprints")
+    sigs0.repartition(col("band0"))
+      .write.mode("overwrite").partitionBy("band0").parquet(s"$tmp/signatures")
+    words0.write.mode("overwrite").parquet(s"$tmp/words")
+    beforeLock()
+    // ---- phase 2, LOCKED: bounded catch-up + swap
+    Maintenance.acquireCompactLock(fs, root, waitForAppendsMs)
+    try {
+      Maintenance.requireNoPurgeSince(fs, root, epoch0, "rebuildShadow")
+      val id = col(idCol)
+      val delta = Tombstones.liveOnly(spark, dir, idCol,
+          spark.read.parquet(s"$dir/signatures").select(id).distinct())
+        .join(spark.read.parquet(s"$tmp/signatures").select(id).distinct(),
+          Seq(idCol), "left_anti")
+        .localCheckpoint(true) // feeds the count AND the semi-join
+      val nDelta = delta.count()
+      if (nDelta > 0L) {
+        val rows = source().join(delta, Seq(idCol), "left_semi")
+          .localCheckpoint(true) // feeds the resolve check AND the pass
+        val nRows = rows.select(id).distinct().count()
+        require(nRows == nDelta,
+          s"rebuildShadow: ${nDelta - nRows} ids appended to the live " +
+            "index during the sidecar pass are missing from `source` — " +
+            "the signature state is derived and every appended row must " +
+            "reach the source of truth; refusing to swap a table that " +
+            "would silently drop them")
+        val (dFps, dSigs, dWords) =
+          stateFrames(rows, idCol, numHashes, bandSize)
+        dFps.write.mode("append").parquet(s"$tmp/fingerprints")
+        dSigs.repartition(col("band0"))
+          .write.mode("append").partitionBy("band0").parquet(s"$tmp/signatures")
+        dWords.write.mode("append").parquet(s"$tmp/words")
+      }
+      Seq((idCol, numHashes, bandSize)).toDF("idCol", "numHashes", "bandSize")
+        .coalesce(1).write.mode("overwrite").json(s"$tmp/meta")
+      tables.zipWithIndex.foreach { case (t, i) =>
+        val live = new org.apache.hadoop.fs.Path(s"$dir/$t")
+        // snapshot under the held lock — appends are excluded, so the
+        // swap's fold-in set is provably empty
+        val snapshot = Maintenance.dataFiles(fs, live).toSet
+        Maintenance.swapCompacted(fs, live,
+          new org.apache.hadoop.fs.Path(s"$tmp/$t"), snapshot,
+          if (i == 0) beforeSwap else () => ())
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      Handle(dir, idCol, numHashes, bandSize,
+        fs.exists(Tombstones.path(dir)))
+    } finally Maintenance.releaseCompactLock(fs, root)
+  }
+
   def load(spark: SparkSession, dir: String): Handle = {
     val metaDf = spark.read.json(s"$dir/meta")
     val meta = metaDf.collect()

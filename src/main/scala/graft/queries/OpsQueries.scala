@@ -863,7 +863,57 @@ object OpsQueries {
     bench = true,
     benchPrepare = Some((s, dir) => { ensureDedupRebIdx(s, dir); () }))
 
+  /** q201's index — built over a QUARTER of the screen corpus, then
+    * SHADOW-rebuilt from the full even half (sidecar sign + locked
+    * delta/swap), once per JVM. Its end state must be
+    * indistinguishable from a clean even-half build. */
+  private def dedupShadowDir(dir: String): String =
+    QueryDef.idxScratchDir("dedupshadowidx", dir)
+
+  private def ensureDedupShadowIdx(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.ops.DedupIndex.Handle = {
+    val d = dedupShadowDir(dir)
+    if (dedupDelBuilt.add(d)) {
+      val docs = t(s, dir, "documents")
+      graft.ops.DedupIndex.build(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", d)
+      graft.ops.DedupIndex.rebuildShadow(
+        () => t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        "doc_id", d)
+      ()
+    }
+    graft.ops.DedupIndex.load(s, d)
+  }
+
+  /** Non-blocking dedup rebuild (library `DedupIndex.rebuildShadow` —
+    * the 100 TB availability form of q199's in-place rebuild,
+    * completing the SHADOW family across the trio: the
+    * fingerprint+minhash pass runs unlocked beside the live index,
+    * ingest keeps landing, and the lock covers only the delta
+    * catch-up + four renames): the fixture builds the index over a
+    * quarter of the corpus, then shadow-rebuilds from the full even
+    * half — the swapped-in state must be row-identical to a clean
+    * even-half build, so q95's odd-batch screen answers q95's oracle
+    * VERBATIM. The mid-pass-append delta path is pinned by the
+    * OpsSpec interleaving test. */
+  val q201 = QueryDef(
+    "q201_dedup_shadow_rebuild",
+    (s, dir) => {
+      val h = ensureDedupShadowIdx(s, dir)
+      graft.ops.DedupIndex.dedupBatch(spark = s, handle = h,
+          batch = t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+          threshold = 0.8)
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+          col("near_dup_of"), col("is_new"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(dedupIncrOracleDuck(
+      p => s"${p}doc_id % 2 = 0", p => s"${p}doc_id % 2 = 0")),
+    bench = true,
+    benchPrepare = Some((s, dir) => { ensureDedupShadowIdx(s, dir); () }))
+
   val all: Seq[QueryDef] =
     Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51, q52, q53, q54, q87, q95,
-      q96, q97, q139, q140, q159, q168, q174, q199)
+      q96, q97, q139, q140, q159, q168, q174, q199, q201)
 }

@@ -198,6 +198,14 @@ object ProfileScale {
       graft.ops.DedupIndex.build(docs10, "doc_id", s"$scratch/dedupreb10")
       s"$scratch/dedupreb10"
     }
+    lazy val dedupShadowArmDir1 = {
+      graft.ops.DedupIndex.build(docs, "doc_id", s"$scratch/dedupshadow1")
+      s"$scratch/dedupshadow1"
+    }
+    lazy val dedupShadowArmDir10 = {
+      graft.ops.DedupIndex.build(docs10, "doc_id", s"$scratch/dedupshadow10")
+      s"$scratch/dedupshadow10"
+    }
     // q190's per-query attr fixture: docs10 carries no lang column, so
     // both scales derive the SAME synthetic attribute (plan shape is
     // what the arm measures — the oracle proves values)
@@ -1359,6 +1367,15 @@ object ProfileScale {
           spark.range(1).toDF() },
         () => { graft.ops.DedupIndex.rebuild(docs10, "doc_id", dedupRebArmDir10)
           spark.range(1).toDF() }),
+      // round-15: the dedup SHADOW rebuild — same corpus-linear work,
+      // the lock moved off the signing pass
+      ("q201 dedup-shadow-rebuild",
+        () => { graft.ops.DedupIndex.rebuildShadow(() => docs, "doc_id",
+            dedupShadowArmDir1)
+          spark.range(1).toDF() },
+        () => { graft.ops.DedupIndex.rebuildShadow(() => docs10, "doc_id",
+            dedupShadowArmDir10)
+          spark.range(1).toDF() }),
       // round-13: tombstone reconcile — idempotent steady-state pass
       // over the repaired trio (the warm-up run performed the actual
       // repair); tombstone-table-sized reads + no-op deletes
@@ -1527,6 +1544,9 @@ object ProfileScale {
         bm25H1.dir; bm25H10.dir; bm25ShadowDir1; bm25ShadowDir10; ()
       }
       if (name.startsWith("q199")) { dedupRebArmDir1; dedupRebArmDir10; () }
+      if (name.startsWith("q201")) {
+        dedupShadowArmDir1; dedupShadowArmDir10; ()
+      }
       if (name.startsWith("q171")) {
         bm25H1.dir; bm25H10.dir
         trioDedupDir1; trioDedupDir10; trioAnnDir1; trioAnnDir10; ()

@@ -4242,6 +4242,54 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("AnnIndex model generation: torn-rebuild codes refuse at load; compact preserves; legacy loads") {
+    val dirA = java.nio.file.Files.createTempDirectory("anngenA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("anngenB").toString
+    try {
+      val (old, drifted) = annDriftFixture
+      AnnIndex.build(old, "embedding", "vec_id", dirA,
+        nCells = 2, m = 4, k = 4, dim = 8, iters = 2)
+      AnnIndex.build(drifted, "embedding", "vec_id", dirB,
+        nCells = 2, m = 4, k = 4, dim = 8, iters = 2)
+      AnnIndex.load(spark, dirA) // consistent generation loads
+      // compact PRESERVES the generation (frozen models)
+      import spark.implicits._
+      AnnIndex.delete(AnnIndex.load(spark, dirA), Seq(100L).toDF("vec_id"),
+        "vec_id")
+      AnnIndex.compact(AnnIndex.load(spark, dirA))
+      AnnIndex.load(spark, dirA)
+      def markers(d: String): Seq[java.io.File] =
+        Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("_model_gen.")).toSeq
+      assert(markers(s"$dirA/codes").nonEmpty,
+        "compact dropped the generation marker")
+      // simulate the crash between rebuild()'s swaps: ANOTHER
+      // generation's codes land beside dirA's models — ADC would rank
+      // with garbage distances; load must refuse instead
+      def rmTree(p: String): Unit =
+        java.nio.file.Files.walk(java.nio.file.Path.of(p))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { java.nio.file.Files.delete(q); () })
+      rmTree(s"$dirA/codes")
+      java.nio.file.Files.move(java.nio.file.Path.of(s"$dirB/codes"),
+        java.nio.file.Path.of(s"$dirA/codes"))
+      val e = intercept[IllegalArgumentException](AnnIndex.load(spark, dirA))
+      assert(e.getMessage.contains("generations"), e.getMessage)
+      // pre-marker (legacy) indexes carry no markers anywhere and load
+      // unchanged — strip them all
+      Seq(s"$dirA/codes", s"$dirA/ivf_centroids", s"$dirA/pq_codebooks")
+        .foreach(d => markers(d).foreach(f =>
+          { java.nio.file.Files.delete(f.toPath); () }))
+      AnnIndex.load(spark, dirA)
+    } finally {
+      Seq(dirA, dirB).foreach { d =>
+        val root = java.nio.file.Path.of(d)
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+    }
+  }
+
   test("AnnIndex.rebuildShadow: a mid-retrain compact PURGE refuses at the lock (no resurrection)") {
     val dir = java.nio.file.Files.createTempDirectory("annshadow3").toString
     val srcDir = java.nio.file.Files.createTempDirectory("annshadow3src").toString
@@ -6599,6 +6647,86 @@ class OpsSpec extends SparkSpec {
       assert(DedupIndex.load(spark, dir).bandSize == 4)
     } finally {
       Seq(dir, cleanDir).foreach { d =>
+        val root = java.nio.file.Path.of(d)
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+    }
+  }
+
+  test("DedupIndex.rebuildShadow: mid-pass append survives; unresolvable delta and mid-pass purge refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupshadow").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("dedupshadowsrc").toString
+    val cleanDir = java.nio.file.Files.createTempDirectory("dedupshadowref").toString
+    try {
+      val old = Seq(
+        (0L, "the quick brown fox jumps over the lazy dog and then naps"),
+        (2L, "completely different content about spark engines and data"),
+        (4L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")
+      val fresh = Seq(
+        (10L, "a brand new appended document with its own fresh vocabulary"))
+        .toDF("doc_id", "text")
+      old.write.mode("overwrite").parquet(srcDir)
+      val h0 = DedupIndex.build(old, "doc_id", dir)
+      var interleaved = false
+      val h = DedupIndex.rebuildShadow(
+        () => spark.read.parquet(srcDir), "doc_id", dir,
+        beforeLock = () => {
+          // a mid-pass ingest: rows reach the SOURCE and the LIVE index
+          fresh.write.mode("append").parquet(srcDir)
+          DedupIndex.append(h0, fresh)
+          interleaved = true
+        })
+      assert(interleaved && !h.hasTombstones)
+      // end state: row-identical to a clean build over the union — the
+      // appended doc was re-signed in the catch-up, not lost
+      DedupIndex.build(old.unionByName(fresh), "doc_id", cleanDir)
+      def rows(d: String, t: String) = spark.read.parquet(s"$d/$t")
+        .collect().map(_.toString).sorted.toSeq
+      for (t <- Seq("fingerprints", "signatures", "words"))
+        assert(rows(dir, t) == rows(cleanDir, t), s"$t diverged from clean build")
+      // an append whose rows never reach the source: refuse, live serves
+      val e = intercept[IllegalArgumentException](
+        DedupIndex.rebuildShadow(
+          () => spark.read.parquet(srcDir), "doc_id", dir,
+          beforeLock = () => DedupIndex.append(DedupIndex.load(spark, dir),
+            Seq((11L, "another document that skips the source of truth ok"))
+              .toDF("doc_id", "text"))))
+      assert(e.getMessage.contains("missing from"), e.getMessage)
+      // heal the simulated ingest bug: the skipped row reaches the
+      // source, so later shadows can resolve their deltas
+      Seq((11L, "another document that skips the source of truth ok"))
+        .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+      // delete + COMPACT racing the pass: purge-epoch refusal — the
+      // sidecar still carries the purged row, nothing left to hide it
+      val e2 = intercept[IllegalStateException](
+        DedupIndex.rebuildShadow(
+          () => spark.read.parquet(srcDir), "doc_id", dir,
+          beforeLock = () => {
+            DedupIndex.delete(DedupIndex.load(spark, dir),
+              old.filter(col("doc_id") === 0L))
+            DedupIndex.compact(DedupIndex.load(spark, dir))
+          }))
+      assert(e2.getMessage.contains("purge"), e2.getMessage)
+      // a mid-pass DELETE (no compact) keeps its tombstone through the
+      // swap: the deleted doc's exact/near state stands down
+      val h3 = DedupIndex.rebuildShadow(
+        () => spark.read.parquet(srcDir), "doc_id", dir,
+        beforeLock = () => {
+          DedupIndex.delete(DedupIndex.load(spark, dir),
+            old.filter(col("doc_id") === 2L))
+          ()
+        })
+      assert(h3.hasTombstones)
+      val verdict = DedupIndex.dedupBatch(spark, h3,
+          Seq((21L, "completely different content about spark engines and data"))
+            .toDF("doc_id", "text"), threshold = 0.5)
+        .select("doc_id", "exact_dup", "is_new").collect().head
+      assert(!verdict.getBoolean(1) && verdict.getBoolean(2),
+        s"deleted doc still screened: $verdict")
+    } finally {
+      Seq(dir, srcDir, cleanDir).foreach { d =>
         val root = java.nio.file.Path.of(d)
         java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
           .forEach(p => { java.nio.file.Files.delete(p); () })
