@@ -107,10 +107,18 @@ object AnnIndex {
 
   private def requireOneGeneration(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
-    val gens = GenTables.map(t => t -> genOf(fs, s"$dir/$t"))
+    // only tables that EXIST participate: inside a swap window one dir
+    // is legitimately absent for two renames (append's refusal must
+    // stay the lock's, per its scaladoc), and a crashed single-table
+    // swap leaves a `_precompact` aside that the maintenance ops
+    // refuse on — this gate is for the BETWEEN-swaps crash, which
+    // leaves all three tables present but generation-mixed
+    val existing = GenTables.filter(t =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$t")))
+    val gens = existing.map(t => t -> genOf(fs, s"$dir/$t"))
     val defined = gens.collect { case (t, Some(g)) => t -> g }
     require(defined.isEmpty ||
-        (defined.size == GenTables.size && defined.map(_._2).distinct.size == 1),
+        (defined.size == existing.size && defined.map(_._2).distinct.size == 1),
       s"$dir: the code and model tables carry MISMATCHED model " +
         s"generations (${gens.map { case (t, g) =>
           s"$t=${g.getOrElse("<none>")}" }.mkString(", ")}) — a rebuild " +
