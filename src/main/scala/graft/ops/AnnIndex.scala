@@ -61,11 +61,90 @@ object AnnIndex {
           attrCols.map(col)): _*)
   }
 
+  /** One existing `cell=` partition dir under the code table, found
+    * via a PAGED child listing that stops at the first hit (HDFS
+    * serves listStatusIterator in pages) — the schema/existence
+    * anchor for [[codesSchema]] and the empty-probe fallback, costing
+    * one page instead of the recursive full-file enumeration a
+    * `spark.read.parquet(codes)` would pay. */
+  private def firstCellDir(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: String): Option[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    if (!fs.exists(p)) None
+    else {
+      val it = fs.listStatusIterator(p)
+      var found: Option[org.apache.hadoop.fs.Path] = None
+      while (found.isEmpty && it.hasNext) {
+        val st = it.next()
+        if (st.isDirectory && st.getPath.getName.startsWith("cell="))
+          found = Some(st.getPath)
+      }
+      found
+    }
+  }
+
+  /** The code table's schema from a SINGLE partition's footers: every
+    * file is written with the same schema (the append/buildWith
+    * contract), so one partition answers schema questions without
+    * enumerating all nCells dirs. Falls back to the plain read for a
+    * dir with no `cell=` children (never written through this API). */
+  private def codesSchema(
+      spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType = {
+    val base = s"$dir/codes"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    firstCellDir(fs, base) match {
+      case Some(d) =>
+        spark.read.option("basePath", base).parquet(d.toString).schema
+      case None => spark.read.parquet(base).schema
+    }
+  }
+
+  /** Pruned code scan for a probe: reads ONLY the probed cells'
+    * partition dirs (existence-checked, O(nProbe) RPCs) instead of
+    * letting `InMemoryFileIndex` enumerate every cell dir just so
+    * partition pruning can discard them — the r15 ×100 finding:
+    * queryBatch read 6.3× slower on constant absolute work, pure
+    * listing overhead, and at 100 TB (10⁵–10⁶ cells) every probe
+    * would pay that O(nCells) driver-side listing regardless of
+    * nProbe. Appends land inside existing cell dirs or create new
+    * ones — both visible here (fresh exists + listing per probe,
+    * nothing cached across calls, so a handle never serves stale
+    * file sets). A probed cell with no dir contributes no rows by
+    * construction; if NO probed dir exists the probe is empty with
+    * the live schema. When the probed set is a large fraction of all
+    * cells (a diverse batch), per-cell existence RPCs would exceed
+    * one child listing — the scan falls back to the classic full
+    * listing, which that batch amortizes anyway. */
+  private def prunedCodes(
+      spark: SparkSession, dir: String, cells: Seq[Long],
+      nCells: Int): DataFrame = {
+    val base = s"$dir/codes"
+    val distinctCells = cells.distinct
+    if (distinctCells.size.toLong * 8 >= nCells.toLong)
+      return spark.read.parquet(base)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dirs = distinctCells
+      .map(c => new org.apache.hadoop.fs.Path(s"$base/cell=$c"))
+      .filter(fs.exists)
+      .map(_.toString)
+    if (dirs.nonEmpty)
+      spark.read.option("basePath", base).parquet(dirs: _*)
+    else firstCellDir(fs, base) match {
+      case Some(d) =>
+        spark.read.option("basePath", base).parquet(d.toString)
+          .filter(lit(false))
+      case None => spark.read.parquet(base) // never-written dir: original path
+    }
+  }
+
   /** The attribute columns a persisted code table carries: everything
     * in its schema that is not the id (first data field, the write
     * contract), the partition key, or a code column. */
   private def attrColsOf(spark: SparkSession, dir: String, idCol: String): Seq[String] =
-    spark.read.parquet(s"$dir/codes").schema.fieldNames
+    codesSchema(spark, dir).fieldNames
       .filterNot(f => f == idCol || f == "cell" || f.startsWith("code_"))
       .toSeq
 
@@ -578,19 +657,23 @@ object AnnIndex {
       waitForAppendsMs: Long = 60000L,
       beforeLock: () => Unit = () => (),
       beforeSwap: () => Unit = () => ()): Handle = {
-    val snapshot0 = source()
-    val spark = snapshot0.sparkSession
-    import spark.implicits._
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     // the delete+compact race guard: a compact that PURGES tombstoned
     // rows during the unlocked retrain also deletes the tombstone
     // table, so the sidecar (encoded from snapshot0, which still holds
     // those rows) would swap in with nothing left to hide them —
-    // silent resurrection. Record the purge epoch before the source
-    // listing; the lock-time check refuses if a purge ran since.
+    // silent resurrection. The epoch is read BEFORE the thunk's file
+    // listing (a purge landing between the listing and the epoch read
+    // would be invisible to the lock-time check, and at 100 TB a
+    // listing takes minutes): the first invocation supplies only the
+    // session, and the retrain re-invokes the thunk so its
+    // InMemoryFileIndex snapshot postdates epoch0.
+    val spark = source().sparkSession
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
     val epoch0 = Maintenance.purgeEpoch(
       fs, new org.apache.hadoop.fs.Path(dir))
+    val snapshot0 = source()
     val tables = Seq("codes", "ivf_centroids", "pq_codebooks")
     tables.foreach { t => // refuse crashed state BEFORE the expensive retrain
       require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/${t}_precompact")),
@@ -797,7 +880,10 @@ object AnnIndex {
     // stored with the codes, so it pushes down to the reader; a
     // predicate naming a column the index was not built with fails
     // analysis loudly.
-    val scan = spark.read.parquet(s"${handle.dir}/codes")
+    // path-level pruning (listings ∝ nProbe, not nCells); the isin
+    // filter is kept in-plan so the scan still shows PartitionFilters
+    // on `cell` and stays correct under the large-probe-set fallback
+    val scan = prunedCodes(spark, handle.dir, probed, handle.centroids.size)
       .filter(col("cell").isin(probed: _*))
     val codes = liveOnly(spark, handle, idCol,
       filter.fold(scan)(scan.filter))
@@ -932,8 +1018,7 @@ object AnnIndex {
       // code_*, the id) are in the schema too, and accepting one as
       // `ac` would silently compare a layout value against the query
       // attribute instead of failing loudly
-      val storedAttrs = spark.read.parquet(s"${handle.dir}/codes")
-        .schema.fieldNames
+      val storedAttrs = codesSchema(spark, handle.dir).fieldNames
         .filterNot(c => c == "cell" || c.startsWith("code_") || c == idCol)
       require(storedAttrs.contains(ac),
         s"queryBatch: the code table carries no attribute column '$ac' " +
@@ -971,8 +1056,10 @@ object AnnIndex {
     val cells = probed.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
     // metadata predicate on the pruned scan — every query in the
-    // batch ranks k QUALIFYING candidates (see [[query]])
-    val scan = spark.read.parquet(s"${handle.dir}/codes")
+    // batch ranks k QUALIFYING candidates (see [[query]]). The read
+    // lists only the probed cells' dirs (path-level pruning; the
+    // isin stays in-plan for PartitionFilters and the fallback)
+    val scan = prunedCodes(spark, handle.dir, cells, handle.centroids.size)
       .filter(col("cell").isin(cells: _*))
     val codes = liveOnly(spark, handle, idCol,
       filter.fold(scan)(scan.filter))

@@ -583,12 +583,19 @@ object Bm25Index {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     require(fields.nonEmpty && fields.distinct.size == fields.size,
       s"fields must be non-empty and distinct: $fields")
-    val snapshot0 = source()
-    val spark = snapshot0.sparkSession
+    // The purge epoch must be read BEFORE the thunk's file listing: a
+    // compact purge completing between the listing and the epoch read
+    // would be invisible to requireNoPurgeSince, and at 100 TB a parquet
+    // listing takes minutes. The first invocation only supplies the
+    // session (the thunk is re-invoked under the lock anyway, so an
+    // extra pre-pass call is within its contract); the sidecar pass
+    // re-invokes it so its InMemoryFileIndex snapshot postdates epoch0.
+    val spark = source().sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(dir)
     val epoch0 = Maintenance.purgeEpoch(fs, root)
+    val snapshot0 = source()
     val tables = Seq("postings", "doclens", "termvecs", "meta")
     tables.foreach { t => // refuse crashed state BEFORE the corpus pass
       require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/${t}_precompact")),

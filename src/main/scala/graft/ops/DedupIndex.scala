@@ -400,13 +400,18 @@ object DedupIndex {
       beforeSwap: () => Unit = () => ()): Handle = {
     require(bandSize >= 1 && numHashes >= bandSize && numHashes % bandSize == 0,
       s"numHashes ($numHashes) must be a positive multiple of bandSize ($bandSize)")
-    val snapshot0 = source()
-    val spark = snapshot0.sparkSession
+    // Epoch BEFORE the listing (the Bm25Index.rebuildShadow rule): a
+    // purge landing between the thunk's file listing and the epoch
+    // read would be invisible to requireNoPurgeSince. First call
+    // supplies the session only; the sidecar pass re-invokes the
+    // thunk so its listing postdates epoch0.
+    val spark = source().sparkSession
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(dir)
     val epoch0 = Maintenance.purgeEpoch(fs, root)
+    val snapshot0 = source()
     val tables = Seq("fingerprints", "signatures", "words", "meta")
     tables.foreach { t => // refuse crashed state BEFORE the corpus pass
       require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/${t}_precompact")),
@@ -477,10 +482,49 @@ object DedupIndex {
     // 4-hash partition key — that is their effective build bandSize
     val bandSize = if (metaDf.schema.fieldNames.contains("bandSize"))
       meta.head.getAs[Long]("bandSize").toInt else 4
+    val numHashes = meta.head.getAs[Long]("numHashes").toInt
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    // torn-swap gate (the [[AnnIndex]] `_model_gen` twin): meta swaps
+    // FOURTH (the rebuild rule), so a crash between the signatures
+    // swap and the meta swap leaves NEW-layout signatures beside OLD
+    // meta — probes would compute the band key with the wrong width
+    // and prune to the WRONG partition, silently missing
+    // near-duplicates. Refuse that state here with two checks against
+    // what is actually on disk, both bounded (the signature table
+    // partitions on a FIXED 64-bucket key, so its listing never grows
+    // with the corpus): the schema must carry exactly the meta's
+    // numHashes minhash columns, and a LIMIT-bounded row sample's
+    // stored band0 must re-derive from its own minhashes under the
+    // meta's bandSize (rows in one partition share the stored value;
+    // the recomputed key varies row-wise, so 16 rows make a width
+    // mismatch all but certain to surface). Pre-band0 legacy layouts
+    // carry no partition column and skip the recompute.
+    val sigDir = s"$dir/signatures"
+    if (fs.exists(new org.apache.hadoop.fs.Path(sigDir))) {
+      val sigs = spark.read.parquet(sigDir)
+      val mhOnDisk = sigs.schema.fieldNames
+        .filter(_.matches("mh\\d+")).toSet
+      val expected = (0 until numHashes).map(i => s"mh$i").toSet
+      require(mhOnDisk == expected,
+        s"$dir: meta declares numHashes=$numHashes but the signatures " +
+          s"on disk carry ${mhOnDisk.toSeq.sorted.mkString(", ")} — a " +
+          "rebuild crashed between its table swaps (the probes would " +
+          "band-hash with the wrong layout). Recover from any " +
+          "_precompact aside or re-run rebuild() from the source of truth.")
+      if (sigs.schema.fieldNames.contains("band0")) {
+        val drifted = sigs.limit(16)
+          .filter(col("band0") =!= bandKey(numHashes, bandSize)).count()
+        require(drifted == 0L,
+          s"$dir: sampled signature rows' band0 does not re-derive from " +
+            s"their minhashes under meta's bandSize=$bandSize — a rebuild " +
+            "crashed between the signatures and meta swaps, so probes " +
+            "would prune to the wrong partition. Recover from any " +
+            "_precompact aside or re-run rebuild() from the source of truth.")
+      }
+    }
     Handle(dir, meta.head.getAs[String]("idCol"),
-      meta.head.getAs[Long]("numHashes").toInt, bandSize,
+      numHashes, bandSize,
       fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
   }
 

@@ -4290,6 +4290,109 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("AnnIndex pruned probe path: direct cell-dir reads equal the in-memory scoring") {
+    // nCells large enough that probes take the PATH-LEVEL pruned read
+    // (|probed cells| * 8 < nCells — the r16 O(nProbe)-listings probe):
+    // single query probes 2 of 64 cells, the batch 2 queries' union.
+    // Equality is against a computation that never touches the index,
+    // so a dir silently skipped by the exists() filter or a row lost
+    // to the basePath read would surface as a missing candidate.
+    val dir = java.nio.file.Files.createTempDirectory("annpruned").toString
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val dim = 64
+      val built = AnnIndex.build(emb, "embedding", "vec_id", dir,
+        nCells = 64, m = 4, k = 4, dim = dim, iters = 2)
+      val loaded = AnnIndex.load(spark, dir)
+      def qvOf(id: Long): Seq[Double] = emb.filter(col("vec_id") === id)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .collect().head.getSeq[Double](0).toSeq
+      def dot(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      val assigned = graft.ops.Similarity.ivfAssign(emb, "embedding", built.centroids)
+      def inMem(qv: Seq[Double]): Seq[(Long, Double)] = {
+        val qn = math.sqrt(dot(qv, qv))
+        val cells = built.centroids
+          .map { case (cid, cv) => cid -> dot(qv, cv) / (qn * math.sqrt(dot(cv, cv))) }
+          .sortBy { case (cid, sim) => (-sim, -cid) }.take(2).map(_._1)
+        graft.ops.Similarity.pqTopKFromCodes(
+          graft.ops.Similarity.pqEncode(
+            assigned.filter(col("cell").isin(cells: _*)), "embedding",
+            built.codebooks),
+          "vec_id", built.codebooks, qv, k = 5)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      }
+      Seq(0L, 7L).foreach { id =>
+        val got = AnnIndex.query(spark, loaded, "vec_id", qvOf(id), k = 5, nProbe = 2)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got == inMem(qvOf(id)), s"query $id: $got vs ${inMem(qvOf(id))}")
+      }
+      // batch form over the same two queries: per-query rows must match
+      // the single-query probes rank for rank
+      val batch = AnnIndex.queryBatch(spark, loaded,
+          emb.filter(col("vec_id").isin(0L, 7L)), "embedding", "vec_id",
+          k = 5, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+      Seq(0L, 7L).foreach { id =>
+        val single = AnnIndex.query(spark, loaded, "vec_id", qvOf(id), k = 5, nProbe = 2)
+          .collect().map(_.getLong(0)).toSeq
+        val fromBatch = (1 to single.size).map(rk => batch((id, rk)))
+        assert(fromBatch == single, s"query $id: $fromBatch vs $single")
+      }
+      // a trained centroid whose cell ended up EMPTY has no dir on
+      // disk — probing it must contribute nothing, not throw (the
+      // exists() filter path). Conditional: k-means at 64 cells over
+      // 500 vectors usually strands at least one
+      val diskCells = Option(new java.io.File(s"$dir/codes").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.startsWith("cell="))
+        .map(_.getName.stripPrefix("cell=").toLong).toSet
+      built.centroids.map(_._1).filterNot(diskCells).headOption.foreach { emptyCell =>
+        val cv = built.centroids.find(_._1 == emptyCell).get._2
+        val res = AnnIndex.query(spark, loaded, "vec_id", cv, k = 5, nProbe = 1)
+        assert(res.collect().isEmpty ||
+          res.collect().forall(_.getLong(0) >= 0)) // no throw is the assertion
+      }
+    } finally {
+      val root = java.nio.file.Path.of(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
+  test("DedupIndex layout gate: torn-rebuild signatures refuse at load (numHashes and bandSize)") {
+    def rmTree(p: String): Unit =
+      java.nio.file.Files.walk(java.nio.file.Path.of(p))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => { java.nio.file.Files.delete(q); () })
+    def swapSigs(from: String, into: String): Unit = {
+      rmTree(s"$into/signatures")
+      java.nio.file.Files.move(java.nio.file.Path.of(s"$from/signatures"),
+        java.nio.file.Path.of(s"$into/signatures"))
+    }
+    // simulate the crash between rebuild()'s swaps (meta swaps FOURTH):
+    // NEW-layout signatures beside OLD meta — probes would band-hash
+    // with the wrong width and prune to the wrong partition, silently
+    val dirA = java.nio.file.Files.createTempDirectory("dedupgateA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("dedupgateB").toString
+    val dirC = java.nio.file.Files.createTempDirectory("dedupgateC").toString
+    try {
+      DedupIndex.build(docs, "doc_id", dirA, numHashes = 8, bandSize = 4)
+      DedupIndex.load(spark, dirA) // healthy state loads
+      // (1) a different numHashes: the mh column set disagrees with meta
+      DedupIndex.build(docs, "doc_id", dirB, numHashes = 4, bandSize = 2)
+      swapSigs(dirB, dirA)
+      val e1 = intercept[IllegalArgumentException](DedupIndex.load(spark, dirA))
+      assert(e1.getMessage.contains("numHashes"), e1.getMessage)
+      // (2) same numHashes, different bandSize: the schema agrees but a
+      // sampled row's stored band0 no longer re-derives from its own
+      // minhashes under meta's band width
+      DedupIndex.build(docs, "doc_id", dirC, numHashes = 8, bandSize = 2)
+      swapSigs(dirC, dirA)
+      val e2 = intercept[IllegalArgumentException](DedupIndex.load(spark, dirA))
+      assert(e2.getMessage.contains("band0"), e2.getMessage)
+    } finally Seq(dirA, dirB, dirC).foreach(rmTree)
+  }
+
   test("AnnIndex.rebuildShadow: a mid-retrain compact PURGE refuses at the lock (no resurrection)") {
     val dir = java.nio.file.Files.createTempDirectory("annshadow3").toString
     val srcDir = java.nio.file.Files.createTempDirectory("annshadow3src").toString
