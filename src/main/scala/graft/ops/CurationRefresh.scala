@@ -1,0 +1,315 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental index refresh — the composition that closes the gap
+  * between [[StagedCuration]] (recompute curation stages when a config
+  * changes — the reference's resource-cache / InputNotModified
+  * discipline, `impuls/resource.py:574-694`) and the standing-index
+  * trio ([[DedupIndex]] / [[Bm25Index]] / [[AnnIndex]]): before this
+  * operator, a config change meant a manual rebuild of three indexes
+  * or silently stale retrieval state. Here the refreshed curated
+  * corpus is [[Dedup.corpusDiff]]ed against the snapshot of what the
+  * indexes actually hold, and ONLY the delta touches the trio:
+  *
+  *  - `removed` docs are tombstone-deleted from all three (the
+  *    [[graft.streaming.CurationIngest.deletionSink]] shape),
+  *  - `changed` docs are deleted (old content retired), physically
+  *    purged by ONE compact pass per index (the append contract: a
+  *    tombstoned id is not re-addable until compact), then re-ingested
+  *    with their new content,
+  *  - `added` docs are ingested,
+  *  - `unchanged` docs — the overwhelming bulk of any real refresh —
+  *    are never read, tokenized, encoded or rewritten (beyond the
+  *    compact rewrite when a purge is needed at all; a pure-add
+  *    refresh touches nothing but the appended rows).
+  *
+  * '''Mirror vs screen.''' By default (`screen = None`) the ingest
+  * MIRRORS the curated output: the staged chain already did the
+  * curation (its dedup/quality stages are the source of truth), so
+  * the upserts append directly and the refreshed trio's end state is
+  * row-identical to a clean build over the new curated corpus — the
+  * oracle-gated equality. `screen = Some(qualityGate)` instead routes
+  * the upserts through [[graft.streaming.CurationIngest.curationSink]]
+  * (near-dup screen + quality gate + verdict audit rows) for chains
+  * whose staged output is NOT pre-deduped; equality then holds only
+  * up to what the screen rejects, by design.
+  *
+  * '''State and crash safety.''' `stateDir` holds the managed
+  * snapshots and a phase marker:
+  *
+  *  - `indexed/` — the corpus the trio currently serves (full rows:
+  *    the delete phase needs the OLD text to retire fingerprints),
+  *  - `next/` — the incoming curated corpus, frozen BEFORE any index
+  *    is touched (the caller's frame may be a live parquet read that a
+  *    staged re-run overwrites mid-refresh),
+  *  - `_refresh_state` — `deleting` → `ingesting`, removed last.
+  *
+  * The diff is a pure function of the two on-disk snapshots, so every
+  * phase can recompute it after a crash and land on the same delta. A
+  * replayed DELETE phase is idempotent (re-tombstone + re-compact); a
+  * replayed INGEST phase re-appends, so mirror-mode duplicates from a
+  * crashed trigger persist until the next compact reclaims them (the
+  * [[graft.streaming.CurationIngest]] at-least-once posture — screen
+  * mode heals exactly, the replay re-screens). The snapshot swap runs
+  * AFTER ingest (`indexed` → `prev_tmp`, `next` → `indexed`, drop
+  * `prev_tmp`, drop marker) so a crash anywhere before it re-derives
+  * the same delta, and a crash inside it rolls FORWARD on resume.
+  * Calling [[refresh]] while a marker is pending first completes the
+  * pending refresh from ITS frozen `next`, then runs the new one —
+  * two well-formed refreshes, never a blended delta.
+  *
+  * '''100 TB shape.''' The diff is one id-keyed full-outer join with
+  * in-scan md5 (corpus-linear, columnar, no text shuffled — md5s
+  * only); deletes are deletion-list-sized; appends are
+  * delta-proportional; the compact rewrite is the one corpus-sized
+  * pass and runs ONLY when the delta contains removals/changes —
+  * still strictly cheaper than the rebuild it replaces (no
+  * re-tokenize, no re-train, no re-encode; models and unchanged rows
+  * are copied, not recomputed). The snapshots cost one corpus copy on
+  * cheap storage — exactly the reference's cached-intermediate trade.
+  * Concurrent stream ingest of ids OUTSIDE both snapshots is
+  * untouched by the delta and races only the index ops' own
+  * lock/marker handshakes.
+  */
+object CurationRefresh {
+
+  /** Per-status delta counts of a completed refresh. `resumed` — a
+    * crashed refresh was found pending and completed first. */
+  final case class Report(
+      added: Long, changed: Long, removed: Long, unchanged: Long,
+      resumed: Boolean)
+
+  private val Marker = "_refresh_state"
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  private def readMarker(
+      fs: org.apache.hadoop.fs.FileSystem, stateDir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/$Marker")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  private def writeMarker(
+      fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
+      state: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$stateDir/$Marker"), true)
+    try out.write(state.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Record `corpus` as what the trio currently serves — the seed for
+    * the FIRST [[refresh]] (build the trio over the initial curated
+    * output, snapshot it, refresh from then on). Refuses to clobber a
+    * mid-refresh state. */
+  def snapshot(corpus: DataFrame, stateDir: String): Unit = {
+    val fs = fsOf(corpus.sparkSession, stateDir)
+    require(readMarker(fs, stateDir).isEmpty,
+      s"$stateDir has a refresh in flight — complete it (refresh/" +
+        "resumePending) before re-seeding the snapshot")
+    corpus.write.mode("overwrite").parquet(s"$stateDir/indexed")
+  }
+
+  /** Diff + delete + compact + ingest + swap. See the object doc.
+    * The corpus frames must carry the dedup index's id column, a
+    * `text` column (the trio-wide dedup contract) and `embCol`, plus
+    * any attribute columns the ANN index stores. `beforeCompact` /
+    * `beforeIngest` / `beforeSwap` are test seams (crash-injection
+    * points for the resume contract); production leaves them default. */
+  def refresh(
+      spark: SparkSession,
+      newCorpus: DataFrame,
+      stateDir: String,
+      dedupDir: String, bm25Dir: String, annDir: String,
+      embCol: String,
+      screen: Option[Column] = None,
+      verdictsDir: Option[String] = None,
+      auditDir: Option[String] = None,
+      threshold: Double = 0.8,
+      batchId: Long = 0L,
+      beforeCompact: () => Unit = () => (),
+      beforeIngest: () => Unit = () => (),
+      beforeSwap: () => Unit = () => ()): Report = {
+    require(screen.isEmpty || verdictsDir.nonEmpty,
+      "screen mode writes verdict audit rows — pass verdictsDir")
+    val fs = fsOf(spark, stateDir)
+    // a crashed refresh completes FIRST, from its own frozen `next` —
+    // never blended with the incoming corpus
+    val resumed = readMarker(fs, stateDir).nonEmpty
+    if (resumed)
+      runPending(spark, stateDir, dedupDir, bm25Dir, annDir, embCol,
+        screen, verdictsDir, auditDir, threshold, batchId,
+        beforeCompact, beforeIngest, beforeSwap)
+    // freeze the incoming corpus BEFORE any index is touched, marker
+    // AFTER the freeze commits (a crash between leaves an inert next/)
+    newCorpus.write.mode("overwrite").parquet(s"$stateDir/next")
+    writeMarker(fs, stateDir, "deleting")
+    runPending(spark, stateDir, dedupDir, bm25Dir, annDir, embCol,
+      screen, verdictsDir, auditDir, threshold, batchId,
+      beforeCompact, beforeIngest, beforeSwap)
+      .copy(resumed = resumed)
+  }
+
+  /** Complete a crashed refresh from its persisted state, if any. */
+  def resumePending(
+      spark: SparkSession, stateDir: String,
+      dedupDir: String, bm25Dir: String, annDir: String,
+      embCol: String,
+      screen: Option[Column] = None,
+      verdictsDir: Option[String] = None,
+      auditDir: Option[String] = None,
+      threshold: Double = 0.8,
+      batchId: Long = 0L): Option[Report] = {
+    val fs = fsOf(spark, stateDir)
+    readMarker(fs, stateDir).map { _ =>
+      runPending(spark, stateDir, dedupDir, bm25Dir, annDir, embCol,
+        screen, verdictsDir, auditDir, threshold, batchId,
+        () => (), () => (), () => ()).copy(resumed = true)
+    }
+  }
+
+  /** The phase machine over the persisted state. Both snapshots are
+    * frozen on disk, so the diff — and therefore every slice each
+    * phase acts on — is identical across crash-replays. */
+  private def runPending(
+      spark: SparkSession, stateDir: String,
+      dedupDir: String, bm25Dir: String, annDir: String,
+      embCol: String,
+      screen: Option[Column],
+      verdictsDir: Option[String],
+      auditDir: Option[String],
+      threshold: Double,
+      batchId: Long,
+      beforeCompact: () => Unit,
+      beforeIngest: () => Unit,
+      beforeSwap: () => Unit): Report = {
+    val fs = fsOf(spark, stateDir)
+    val curDir = s"$stateDir/indexed"
+    val nextDir = s"$stateDir/next"
+    val prevTmp = s"$stateDir/prev_tmp"
+    val curPath = new org.apache.hadoop.fs.Path(curDir)
+    val nextPath = new org.apache.hadoop.fs.Path(nextDir)
+    val prevPath = new org.apache.hadoop.fs.Path(prevTmp)
+    val markerPath = new org.apache.hadoop.fs.Path(s"$stateDir/$Marker")
+    var state = readMarker(fs, stateDir).getOrElse(
+      sys.error(s"$stateDir: runPending with no $Marker"))
+    require(state == "deleting" || state == "ingesting",
+      s"$stateDir/$Marker holds unknown state '$state'")
+
+    // crash-inside-swap tails: roll FORWARD (ingest had finished —
+    // the swap only starts after it)
+    if (state == "ingesting" && fs.exists(prevPath)) {
+      if (fs.exists(nextPath)) { fs.delete(curPath, true); fs.rename(nextPath, curPath) }
+      fs.delete(prevPath, true)
+      fs.delete(markerPath, false)
+      return Report(0L, 0L, 0L, 0L, resumed = false)
+    }
+    if (state == "ingesting" && !fs.exists(nextPath)) {
+      fs.delete(markerPath, false) // swap finished, marker didn't
+      return Report(0L, 0L, 0L, 0L, resumed = false)
+    }
+
+    val dedup0 = DedupIndex.load(spark, dedupDir)
+    val idCol = dedup0.idCol
+    val next = spark.read.parquet(nextDir)
+    val hasCur = fs.exists(curPath)
+    // the delta — a pure function of the two frozen snapshots
+    val diff =
+      if (hasCur)
+        Dedup.corpusDiff(spark.read.parquet(curDir), next, idCol, "text")
+      else next.select(col(idCol), lit("added").as("status"))
+    val counts = diff.groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def n(s: String) = counts.getOrElse(s, 0L)
+
+    if (state == "deleting") {
+      val delIds = diff
+        .filter(col("status").isin("removed", "changed"))
+        .select(col(idCol))
+      val anyDeletes = hasCur && !delIds.isEmpty
+      if (anyDeletes) {
+        // OLD rows carry the text whose fingerprint must retire
+        val delRows = spark.read.parquet(curDir)
+          .join(delIds, Seq(idCol), "left_semi")
+          .localCheckpoint(true)
+        // fingerprint refcount at the refresh level: a deleted doc's
+        // text md5 retires ONLY when no doc of the new corpus carries
+        // the same text — [[DedupIndex.delete]]'s forget-the-content
+        // semantics are right for takedowns, but here a removed doc
+        // whose exact twin is retained must NOT make that text screen
+        // as new again (the clean-build equality). Nulling the text
+        // keeps the id tombstone (the row still leaves the index)
+        // while the null fp drops out of compact's purge list.
+        val retainedFps = next
+          .select(md5(col("text")).as("__fp")).na.drop().distinct()
+          .withColumn("__keep", lit(true))
+        val delForDedup = delRows
+          .withColumn("__fp", md5(col("text")))
+          .join(retainedFps, Seq("__fp"), "left")
+          .withColumn("text",
+            when(col("__keep"), lit(null).cast("string"))
+              .otherwise(col("text")))
+          .drop("__fp", "__keep")
+        DedupIndex.delete(dedup0, delForDedup)
+        Bm25Index.delete(Bm25Index.load(spark, bm25Dir),
+          delRows.select(col(idCol)))
+        AnnIndex.delete(AnnIndex.load(spark, annDir),
+          delRows.select(col(idCol)), idCol)
+        auditDir.foreach { d =>
+          delRows.select(col(idCol), md5(col("text")).as("fp"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(d)
+        }
+        beforeCompact()
+        // ONE physical purge per index: unlocks re-ingest of the
+        // changed ids (the append contract) and leaves no tombstone
+        // for a LATER refresh's re-add of a removed id to refuse on
+        DedupIndex.compact(DedupIndex.load(spark, dedupDir))
+        Bm25Index.compact(Bm25Index.load(spark, bm25Dir))
+        AnnIndex.compact(AnnIndex.load(spark, annDir))
+      }
+      writeMarker(fs, stateDir, "ingesting")
+      state = "ingesting"
+    }
+
+    beforeIngest()
+    val upsIds = diff
+      .filter(col("status").isin("added", "changed"))
+      .select(col(idCol))
+    if (!upsIds.isEmpty) {
+      val ups = next.join(upsIds, Seq(idCol), "left_semi")
+        .localCheckpoint(true)
+      screen match {
+        case Some(gate) =>
+          graft.streaming.CurationIngest.curationSink(
+            DedupIndex.load(spark, dedupDir),
+            Bm25Index.load(spark, bm25Dir),
+            AnnIndex.load(spark, annDir),
+            verdictsDir.get, embCol, gate, threshold)(ups, batchId)
+        case None =>
+          // mirror mode: retrieval indexes first, dedup fold-in LAST
+          // (the curationSink crash-ordering rule)
+          Bm25Index.append(Bm25Index.load(spark, bm25Dir), ups)
+          AnnIndex.append(AnnIndex.load(spark, annDir), ups, embCol, idCol)
+          DedupIndex.append(DedupIndex.load(spark, dedupDir), ups)
+      }
+    }
+
+    beforeSwap()
+    // swap: indexed ← next; every window rolls forward on resume
+    fs.delete(prevPath, true)
+    if (fs.exists(curPath)) fs.rename(curPath, prevPath)
+    fs.rename(nextPath, curPath)
+    fs.delete(prevPath, true)
+    fs.delete(markerPath, false)
+    Report(n("added"), n("changed"), n("removed"), n("unchanged"),
+      resumed = false)
+  }
+}

@@ -59,10 +59,17 @@ object CurationQueries {
 
   /** q70 and q145 share this derivation verbatim: q145's index-backed
     * top-k is defined to be result-identical to q70's direct scan, so
-    * ONE oracle text proves both (and proves them against each other). */
-  private val bm25TopkOracleDuck: String = """WITH tk AS MATERIALIZED (
+    * ONE oracle text proves both (and proves them against each other).
+    * [[bm25TopkOracleDuckFor]] parameterizes the corpus relation (the
+    * `raw` interpolator keeps the tokenizer regex's backslashes
+    * literal) so index states defined over a corpus SUBSET — q203's
+    * refreshed index — reuse the same derivation; the whole-corpus
+    * instance below is its `documents` application, byte-compatible
+    * with the pre-refactor text. */
+  private def bm25TopkOracleDuckFor(corpusFrom: String): String =
+    raw"""WITH tk AS MATERIALIZED (
         SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks
-        FROM documents),
+        FROM $corpusFrom),
       st AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS total,
                CAST(sum(CASE WHEN list_contains(toks, 'data') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
                CAST(sum(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END) AS BIGINT) AS df2,
@@ -87,6 +94,8 @@ object CurationQueries {
       FROM (SELECT * FROM sc WHERE score > CAST(0 AS DOUBLE)
             ORDER BY score DESC, doc_id LIMIT 25)
       ORDER BY doc_id"""
+
+  private val bm25TopkOracleDuck: String = bm25TopkOracleDuckFor("documents")
 
   /** BM25 top-k retrieval (library `Retrieval.bm25TopK`): collection
     * stats are one single-row aggregate, scoring is a pure narrow map
@@ -5218,6 +5227,138 @@ object CurationQueries {
       benchFn = Some(probe))
   }
 
+  /** q202–q204's refreshed trio — the [[graft.ops.CurationRefresh]]
+    * composition (SURVEY forward gap: StagedCuration and the standing
+    * indexes didn't compose): the trio is built over an OLD curated
+    * corpus (docs-with-embeddings, every `%7 = 0` doc missing and
+    * every `%5 = 0` doc carrying a ' [rev1]' text revision), then
+    * refreshed to the NEW curated corpus (`%11 <> 3`, unrevised) — so
+    * the delta exercises all four statuses: added (`%7=0` returns),
+    * removed (`%11=3` leaves), changed (`%5=0` loses its revision),
+    * unchanged (the bulk). Mirror mode: the refreshed end state must
+    * be indistinguishable from a clean build over the new corpus, so
+    * q202/q203's probes answer PREDICATE-parameterized instances of
+    * q95/q70's oracle derivations and q204's cross-audit counts come
+    * straight from the corpus predicates. Own dirs + per-JVM memo,
+    * the trio discipline. */
+  private[queries] def refreshTrioDir(kind: String, dir: String): String =
+    QueryDef.idxScratchDir(kind, dir)
+
+  private val refreshBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The new-corpus predicate, shared by all three oracles (doc side). */
+  private[queries] val refreshCorpusPred: String => String =
+    p => s"${p}doc_id % 11 <> 3 AND ${p}doc_id IN (SELECT vec_id FROM embeddings)"
+
+  private[queries] def ensureRefreshTrio(s: SparkSession, dir: String): Unit =
+    if (refreshBuilt.add(refreshTrioDir("refrdedup", dir))) {
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .join(t(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      val old = corpus.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" [rev1]"))).otherwise(col("text")))
+      val neu = corpus.filter(col("doc_id") % 11 =!= 3)
+      val dd = refreshTrioDir("refrdedup", dir)
+      val bd = refreshTrioDir("refrbm25", dir)
+      val ad = refreshTrioDir("refrann", dir)
+      val st = refreshTrioDir("refrstate", dir)
+      graft.ops.DedupIndex.build(old, "doc_id", dd)
+      graft.ops.Bm25Index.build(old, "doc_id", bd)
+      graft.ops.AnnIndex.build(old, "embedding", "doc_id", ad,
+        nCells = 4, m = 4, k = 4, dim = 64, iters = 1)
+      graft.ops.CurationRefresh.snapshot(old, st)
+      graft.ops.CurationRefresh.refresh(
+        s, neu, st, dd, bd, ad, "embedding")
+      ()
+    }
+
+  /** Incremental index refresh, lexical probe (library
+    * `CurationRefresh.refresh` — the StagedCuration→trio composition:
+    * diff the refreshed curated corpus against the indexed snapshot,
+    * tombstone-delete the removed/changed docs, ONE compact purge,
+    * re-ingest only the delta): after the refresh, the BM25 index
+    * must answer exactly as a clean build over the new corpus —
+    * q70's derivation over the new-corpus predicate. A leaked removed
+    * doc, a stale changed revision, a dropped added doc, or meta
+    * stats drifting through the delete/compact/append chain breaks
+    * the hash. */
+  val q203 = {
+    def probe(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Bm25Index.topK(
+          s, graft.ops.Bm25Index.load(s, refreshTrioDir("refrbm25", dir)),
+          Seq("data", "the", "query"), k = 25)
+        .select(col("doc_id"), col("n_tok"), round(col("score"), 6).as("score"))
+        .oracleOrderBy("doc_id")
+    QueryDef(
+      "q203_refresh_bm25",
+      (s, dir) => { ensureRefreshTrio(s, dir); probe(s, dir) },
+      Some(bm25TopkOracleDuckFor(
+        """(SELECT d.doc_id, d.text FROM documents d
+           WHERE d.doc_id % 11 <> 3
+             AND d.doc_id IN (SELECT vec_id FROM embeddings)) c""")),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureRefreshTrio(s, dir)),
+      benchFn = Some(probe))
+  }
+
+  /** Incremental index refresh, cross-audit (library
+    * `Maintenance.crossFsck` over the [[q203]] refreshed trio): the
+    * three indexes must agree on exactly the new corpus's live id
+    * set — every pairwise live-set difference involving the ANN side
+    * zero (pinning the vector index's delta handling without a
+    * DuckDB PQ replay), the dedup differences exactly the
+    * sub-3-token/null-text docs that never sign, and ZERO tombstone
+    * disagreements (the refresh's compact purged every deletion
+    * physically). A resurrection, a leaked tombstone, or a
+    * half-applied delete anywhere in the trio surfaces as a nonzero
+    * count. */
+  val q204 = {
+    def probe(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Maintenance.crossFsck(s,
+          refreshTrioDir("refrdedup", dir), refreshTrioDir("refrbm25", dir),
+          refreshTrioDir("refrann", dir))
+        .oracleOrderBy("check")
+    QueryDef(
+      "q204_refresh_cross_fsck",
+      (s, dir) => { ensureRefreshTrio(s, dir); probe(s, dir) },
+      Some(s"""WITH sig AS MATERIALIZED (${TextQueries.sigSqlDuck}),
+        corp AS (SELECT doc_id FROM documents
+                 WHERE ${refreshCorpusPred("")}),
+        dedup_live AS (SELECT doc_id FROM sig
+                       WHERE doc_id IN (SELECT doc_id FROM corp))
+      SELECT * FROM (
+        SELECT 'dedup_live_docs' AS "check",
+               CAST(count(*) AS BIGINT) AS value FROM dedup_live
+        UNION ALL
+        SELECT 'bm25_live_docs', CAST(count(*) AS BIGINT) FROM corp
+        UNION ALL
+        SELECT 'ann_live_codes', CAST(count(*) AS BIGINT) FROM corp
+        UNION ALL
+        SELECT 'bm25_meta_ndocs', CAST(count(*) AS BIGINT) FROM corp
+        UNION ALL
+        SELECT 'bm25_not_ann', CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'ann_not_bm25', CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'bm25_not_dedup', CAST(count(*) AS BIGINT) FROM corp
+        WHERE doc_id NOT IN (SELECT doc_id FROM dedup_live)
+        UNION ALL
+        SELECT 'dedup_not_bm25', CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'ann_not_dedup', CAST(count(*) AS BIGINT) FROM corp
+        WHERE doc_id NOT IN (SELECT doc_id FROM dedup_live)
+        UNION ALL
+        SELECT 'dedup_not_ann', CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'tombstone_disagreements', CAST(0 AS BIGINT)) r
+      ORDER BY "check""""),
+      bench = true,
+      benchPrepare = Some((s, dir) => ensureRefreshTrio(s, dir)),
+      benchFn = Some(probe))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q69, q70, q71, q72, q73, q74, q75, q76, q78, q79, q80, q81, q82, q83,
       q86, q90, q94, q99, q100, q101, q102, q105, q109, q110, q111, q112, q113,
@@ -5225,5 +5366,5 @@ object CurationQueries {
       q128, q130, q132, q136, q141, q143, q144, q145, q146, q147, q148, q150,
       q154, q155, q156, q157, q160, q161, q163, q164, q165, q166, q167, q171,
       q172, q173, q176, q178, q182, q183, q184, q186, q187, q188, q189, q190,
-      q191, q192, q193, q194, q195, q196, q197, q198, q200)
+      q191, q192, q193, q194, q195, q196, q197, q198, q200, q203, q204)
 }

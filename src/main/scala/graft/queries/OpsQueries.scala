@@ -913,7 +913,36 @@ object OpsQueries {
     bench = true,
     benchPrepare = Some((s, dir) => { ensureDedupShadowIdx(s, dir); () }))
 
+  /** Incremental index refresh, dedup probe (library
+    * `CurationRefresh.refresh` — see [[CurationQueries.q203]]'s
+    * Scaladoc for the fixture: trio built over an old revised corpus,
+    * refreshed to the new one; only the diff's delta touched the
+    * indexes): the refreshed dedup index must screen exactly as a
+    * clean build over the new corpus, so the odd-batch probe answers
+    * q95's oracle derivation over the new-corpus predicate. A changed
+    * doc's surviving ' [rev1]' signature, a removed doc still
+    * screening, a shared fingerprint wrongly retired with its removed
+    * twin (the refresh-level refcount), or a dropped added doc breaks
+    * the hash. */
+  val q202 = QueryDef(
+    "q202_refresh_dedup",
+    (s, dir) => {
+      CurationQueries.ensureRefreshTrio(s, dir)
+      graft.ops.DedupIndex.dedupBatch(spark = s,
+          handle = graft.ops.DedupIndex.load(
+            s, CurationQueries.refreshTrioDir("refrdedup", dir)),
+          batch = t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+          threshold = 0.8)
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+          col("near_dup_of"), col("is_new"))
+        .oracleOrderBy("doc_id")
+    },
+    Some(dedupIncrOracleDuck(
+      CurationQueries.refreshCorpusPred, CurationQueries.refreshCorpusPred)),
+    bench = true,
+    benchPrepare = Some((s, dir) => CurationQueries.ensureRefreshTrio(s, dir)))
+
   val all: Seq[QueryDef] =
     Seq(q39, q40, q41, q46, q47, q48, q49, q50, q51, q52, q53, q54, q87, q95,
-      q96, q97, q139, q140, q159, q168, q174, q199, q201)
+      q96, q97, q139, q140, q159, q168, q174, q199, q201, q202)
 }
