@@ -4,13 +4,22 @@ shipped library has no Python dependency).
 
 Runs each oracle SQL in DuckDB over the same sf dir, loads the Spark
 parquet dump, sorts columns by name and rows by values, and compares.
-Usage: local_check.py <sfDir> <verifyOutDir>
+Usage: local_check.py <sfDir> <verifyOutDir> [--json <out.json>]
+
+With --json, also writes a CORRECTNESS_RECHECK-style artifact: one row
+per query (rows, match, err) plus a host-state note (timestamp, load,
+MemAvailable), so an oracle-side `err` in the driver's own sweep can be
+adjudicated from the repo without redoing the work.
 """
-import json, math, sys
+import json, math, os, sys, time
 import duckdb
 import pandas as pd
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+json_out = None
+if "--json" in sys.argv:
+    json_out = sys.argv[sys.argv.index("--json") + 1]
+sfdir, outdir = args[0], args[1]
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
@@ -34,21 +43,29 @@ def cells_equal(a, b):
     return str(a) == str(b)
 
 fails = []
+report = {}
 for name, sql in sorted(oracle.items()):
+    row = {"match": False, "rows": None, "err": None}
+    report[name] = row
     try:
         want = canon(con.execute(sql).df())
     except Exception as e:
-        fails.append(name); print(f"FAIL {name}: oracle error: {e}"); continue
+        fails.append(name); row["err"] = f"oracle error: {e}"
+        print(f"FAIL {name}: oracle error: {e}"); continue
     try:
         got = canon(duckdb.query(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df())
     except Exception as e:
-        fails.append(name); print(f"FAIL {name}: spark dump missing: {e}"); continue
+        fails.append(name); row["err"] = f"spark dump missing: {e}"
+        print(f"FAIL {name}: spark dump missing: {e}"); continue
+    row["rows"] = len(got)
     if list(got.columns) != list(want.columns):
         fails.append(name)
+        row["err"] = f"columns {list(got.columns)} vs {list(want.columns)}"
         print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
         continue
     if len(got) != len(want):
         fails.append(name)
+        row["err"] = f"rows {len(got)} vs {len(want)}"
         print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
         continue
     bad = None
@@ -62,9 +79,34 @@ for name, sql in sorted(oracle.items()):
             break
     if bad:
         fails.append(name)
+        row["err"] = f"col {bad[0]} row {bad[1]}: spark={bad[2]!r} oracle={bad[3]!r}"
         print(f"FAIL {name}: col {bad[0]} row {bad[1]}: spark={bad[2]!r} oracle={bad[3]!r}")
     else:
+        row["match"] = True
         print(f"ok   {name} ({len(got)} rows)")
 
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} queries match")
+if json_out:
+    meminfo = {}
+    try:
+        for line in open("/proc/meminfo"):
+            k, v = line.split(":", 1)
+            if k in ("MemTotal", "MemAvailable"):
+                meminfo[k] = v.strip()
+    except OSError:
+        pass
+    artifact = {
+        "meta": {
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "sf_dir": sfdir, "verify_dir": outdir,
+            "loadavg": os.getloadavg(),
+            **meminfo,
+            "duckdb": duckdb.__version__,
+            "n_queries": len(oracle), "n_match": len(oracle) - len(fails),
+        },
+        "queries": report,
+    }
+    with open(json_out, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(f"wrote {json_out}")
 sys.exit(1 if fails else 0)

@@ -162,11 +162,26 @@ object Bench {
         val byName = benchSet.map(q => q.name -> q).toMap
         var allClean = true
         suspects.foreach { name =>
-          val redo = timeOne(byName(name), rerun = true)
-          val after = canarySec(spark)
-          canaryTrace += after
-          if (after <= canaryBand) firstPass += name -> redo
-          else allClean = false // the retry itself ran dirty — keep pass 1
+          // every accepted retry needs a clean reading on BOTH sides
+          // (the main pass's taint rule): if the previous retry's
+          // trailing canary was dirty, re-settle before timing this
+          // one instead of starting it in a known-dirty window
+          var preOk = canaryTrace.last <= canaryBand
+          var preAttempts = 0
+          while (!preOk && preAttempts < maxSettles) {
+            preAttempts += 1
+            Thread.sleep(settleMs)
+            val c = canarySec(spark)
+            canaryTrace += c
+            preOk = c <= canaryBand
+          }
+          if (preOk) {
+            val redo = timeOne(byName(name), rerun = true)
+            val after = canarySec(spark)
+            canaryTrace += after
+            if (after <= canaryBand) firstPass += name -> redo
+            else allClean = false // the retry itself ran dirty — keep pass 1
+          } else allClean = false // host never re-settled — keep pass 1
         }
         contaminated = !allClean
       }

@@ -50,8 +50,25 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // DuckDB resource guard, prepended to every oracle at dump time.
+    // The r14/r15 correctness artifacts carried driver-side DuckDB
+    // OutOfMemory `err` rows captured in host memory-pressure windows
+    // (r15: 11 rows in one contiguous alphabetical window — one a
+    // 5-row query failing a 32 KB allocation — all re-run MATCH on a
+    // quiet host). duckdb's execute() runs multi-statement SQL and
+    // fetches the LAST statement's result (verified against duckdb
+    // 1.0.0, this host's version; a 100 MB-limited distinct over the
+    // sf0.1 lineitem spills and completes), so a leading SET block
+    // caps the oracle's own footprint and gives it a spill path — a
+    // loaded host degrades to slow, not `err`. DuckDB creates the
+    // temp dir itself (one level deep). Result hashing is unaffected:
+    // SETs return no rows; .df() yields the SELECT's frame.
+    val oracleGuard =
+      "SET temp_directory='/tmp/graft_duckdb_spill'; " +
+        "SET memory_limit='8GB'; SET threads=8; "
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(oracleGuard + v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
