@@ -206,6 +206,75 @@ object ProfileScale {
       graft.ops.DedupIndex.build(docs10, "doc_id", s"$scratch/dedupshadow10")
       s"$scratch/dedupshadow10"
     }
+    // round-16: LOCKED-WINDOW scale arms (r15 verdict #3). The shadow
+    // family's design claim is "refusal window ∝ delta, never corpus" —
+    // previously measured only at sf0.1 (LifecycleDemo, 1.8–4.2 s).
+    // Each arm restores pristine index state, starts the unlocked
+    // sidecar pass, lands a FIXED 200-row ingest delta through the
+    // live append path right before the lock (the beforeLock seam, the
+    // OpsSpec interleaving), and prints the LOCKED span — delta
+    // catch-up + swap, measured from just before the lock acquisition —
+    // as its own `locked-span` line. The arm's wall line still tracks
+    // the corpus-linear unlocked pass (plus the untimed-in-spirit state
+    // restore); the locked-span line is the scaling claim and must stay
+    // ~flat from x1 to x10 to x100.
+    def rmThenCopy(src: String, dst: String): Unit = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      copyDir(src, dst)
+    }
+    lazy val lockDeltaDocs = docs.filter(col("doc_id") < 200)
+      .select((col("doc_id") + lit(50000000L)).as("doc_id"), col("text"))
+      .localCheckpoint(true)
+    lazy val lockDeltaEmb = emb.filter(col("vec_id") < 200)
+      .select((col("vec_id") + lit(50000000L)).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    def lockspanLine(tag: String, t0: Long): org.apache.spark.sql.DataFrame = {
+      println(f"[scale] $tag%-24s locked-span ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      spark.range(1).toDF()
+    }
+    def bm25Lockspan(src: org.apache.spark.sql.DataFrame, pristine: String,
+        dest: String, tag: String): org.apache.spark.sql.DataFrame = {
+      rmThenCopy(pristine, dest)
+      var t0 = 0L
+      graft.ops.Bm25Index.rebuildShadow(
+        () => src.unionByName(lockDeltaDocs), "doc_id", dest,
+        beforeLock = () => {
+          graft.ops.Bm25Index.append(
+            graft.ops.Bm25Index.load(spark, dest), lockDeltaDocs)
+          t0 = System.nanoTime()
+        })
+      lockspanLine(tag, t0)
+    }
+    def dedupLockspan(src: org.apache.spark.sql.DataFrame, pristine: String,
+        dest: String, tag: String): org.apache.spark.sql.DataFrame = {
+      rmThenCopy(pristine, dest)
+      var t0 = 0L
+      graft.ops.DedupIndex.rebuildShadow(
+        () => src.unionByName(lockDeltaDocs), "doc_id", dest,
+        beforeLock = () => {
+          graft.ops.DedupIndex.append(
+            graft.ops.DedupIndex.load(spark, dest), lockDeltaDocs)
+          t0 = System.nanoTime()
+        })
+      lockspanLine(tag, t0)
+    }
+    def annLockspan(src: org.apache.spark.sql.DataFrame, pristine: String,
+        dest: String, cells: Int, tag: String): org.apache.spark.sql.DataFrame = {
+      rmThenCopy(pristine, dest)
+      var t0 = 0L
+      graft.ops.AnnIndex.rebuildShadow(
+        () => src.unionByName(lockDeltaEmb), "embedding", "vec_id", dest,
+        nCells = cells, m = 4, k = 4, dim = dim, iters = 2,
+        beforeLock = () => {
+          graft.ops.AnnIndex.append(
+            graft.ops.AnnIndex.load(spark, dest), lockDeltaEmb,
+            "embedding", "vec_id")
+          t0 = System.nanoTime()
+        })
+      lockspanLine(tag, t0)
+    }
     // q190's per-query attr fixture: docs10 carries no lang column, so
     // both scales derive the SAME synthetic attribute (plan shape is
     // what the arm measures — the oracle proves values)
@@ -1376,6 +1445,25 @@ object ProfileScale {
         () => { graft.ops.DedupIndex.rebuildShadow(() => docs10, "doc_id",
             dedupShadowArmDir10)
           spark.range(1).toDF() }),
+      // round-16: the locked-window claim — see the helper block above.
+      // The wall ratio here is the corpus-linear sidecar pass plus a
+      // state restore; the claim lives in the printed locked-span
+      // lines (fixed 200-row delta at every scale → ~flat spans)
+      ("lockspan bm25",
+        () => bm25Lockspan(docs.select(col("doc_id"), col("text")),
+          bm25H1.dir, s"$scratch/bm25lock1", "lockspan bm25 x1"),
+        () => bm25Lockspan(docs10, bm25H10.dir, s"$scratch/bm25lock10",
+          s"lockspan bm25 x$factor")),
+      ("lockspan dedup",
+        () => dedupLockspan(docs.select(col("doc_id"), col("text")),
+          dedupRebArmDir1, s"$scratch/deduplock1", "lockspan dedup x1"),
+        () => dedupLockspan(docs10, dedupRebArmDir10,
+          s"$scratch/deduplock10", s"lockspan dedup x$factor")),
+      ("lockspan ann",
+        () => annLockspan(emb, annH1.dir, s"$scratch/annlock1", 4,
+          "lockspan ann x1"),
+        () => annLockspan(emb10, annH10.dir, s"$scratch/annlock10",
+          4 * factor, s"lockspan ann x$factor")),
       // round-13: tombstone reconcile — idempotent steady-state pass
       // over the repaired trio (the warm-up run performed the actual
       // repair); tombstone-table-sized reads + no-op deletes
@@ -1544,6 +1632,11 @@ object ProfileScale {
         bm25H1.dir; bm25H10.dir; bm25ShadowDir1; bm25ShadowDir10; ()
       }
       if (name.startsWith("q199")) { dedupRebArmDir1; dedupRebArmDir10; () }
+      if (name.startsWith("lockspan")) {
+        bm25H1.dir; bm25H10.dir; annH1.dir; annH10.dir
+        dedupRebArmDir1; dedupRebArmDir10
+        lockDeltaDocs.count(); lockDeltaEmb.count(); ()
+      }
       if (name.startsWith("q201")) {
         dedupShadowArmDir1; dedupShadowArmDir10; ()
       }
