@@ -275,6 +275,79 @@ object ProfileScale {
         })
       lockspanLine(tag, t0)
     }
+    // round-16: CurationRefresh scale arms (the in-round x10 invariant
+    // for the new corpus-scaled operator). Fixed ABSOLUTE delta at
+    // every scale — ids <200 added, [200,400) changed, [400,600)
+    // removed; the replicated copies never touch those ranges — so the
+    // two arms separate the operator's two cost regimes:
+    //   refresh add  — pure-add delta (no deletes → no compact): the
+    //                  span must stay ~flat across scales (delta-sized
+    //                  diff-join probe + 200-row appends);
+    //   refresh full — removes+changes present → the three compact
+    //                  purges run: corpus-linear BY CONTRACT, the
+    //                  honest comparator is the trio-build line printed
+    //                  at prep (refresh must stay well under a clean
+    //                  rebuild at the same scale — no re-tokenize of
+    //                  the bulk, no retrain, no re-encode).
+    // Each run restores pristine trio+snapshot state (inside the wall,
+    // like the lockspan arms) and prints the refresh span separately.
+    def refrOldOf(corpus: org.apache.spark.sql.DataFrame) = corpus
+      .filter(col("doc_id") >= 200)
+      .withColumn("text",
+        when(col("doc_id") >= 200 && col("doc_id") < 400,
+          concat(col("text"), lit(" [old]"))).otherwise(col("text")))
+    lazy val refrCorpus1 = {
+      docs.select(col("doc_id"), col("text"))
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$scratch/refrcorpus1")
+      spark.read.parquet(s"$scratch/refrcorpus1")
+    }
+    lazy val refrCorpus10 = {
+      val rc = refrCorpus1
+      val span = rc.agg(max("doc_id")).collect().head.getLong(0) + 1
+      (0 until factor).map { i =>
+        rc.select((col("doc_id") + lit(i * span)).as("doc_id"),
+          concat(col("text"), lit(s" copymarker$i")).as("text"),
+          col("embedding"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$scratch/refrcorpus10")
+      spark.read.parquet(s"$scratch/refrcorpus10")
+    }
+    def mkRefrPristine(corpus: org.apache.spark.sql.DataFrame, root: String,
+        cells: Int, tag: String): String = {
+      val old = refrOldOf(corpus)
+      val t0 = System.nanoTime()
+      graft.ops.DedupIndex.build(old, "doc_id", s"$root/dedup")
+      graft.ops.Bm25Index.build(old, "doc_id", s"$root/bm25")
+      graft.ops.AnnIndex.build(old, "embedding", "doc_id", s"$root/ann",
+        nCells = cells, m = 4, k = 4, dim = dim, iters = 2)
+      println(f"[scale] $tag%-24s trio-build ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      graft.ops.CurationRefresh.snapshot(old, s"$root/state")
+      root
+    }
+    lazy val refrPristine1 =
+      mkRefrPristine(refrCorpus1, s"$scratch/refrpris1", 4, "refresh x1")
+    lazy val refrPristine10 =
+      mkRefrPristine(refrCorpus10, s"$scratch/refrpris10", 4 * factor,
+        s"refresh x$factor")
+    def refreshArm(corpus: org.apache.spark.sql.DataFrame, pristine: String,
+        work: String, pureAdd: Boolean, tag: String): org.apache.spark.sql.DataFrame = {
+      Seq("dedup", "bm25", "ann", "state")
+        .foreach(t => rmThenCopy(s"$pristine/$t", s"$work/$t"))
+      val neu =
+        if (pureAdd) corpus.withColumn("text", // adds only: revisions stay
+          when(col("doc_id") >= 200 && col("doc_id") < 400,
+            concat(col("text"), lit(" [old]"))).otherwise(col("text")))
+        else corpus.filter(col("doc_id") < 400 || col("doc_id") >= 600)
+      val t0 = System.nanoTime()
+      val rep = graft.ops.CurationRefresh.refresh(
+        spark, neu, s"$work/state", s"$work/dedup", s"$work/bm25",
+        s"$work/ann", "embedding")
+      println(f"[scale] $tag%-24s refresh-span ${(System.nanoTime() - t0) / 1e9}%7.3f s " +
+        s"(+${rep.added} ~${rep.changed} -${rep.removed} =${rep.unchanged})")
+      spark.range(1).toDF()
+    }
     // q190's per-query attr fixture: docs10 carries no lang column, so
     // both scales derive the SAME synthetic attribute (plan shape is
     // what the arm measures — the oracle proves values)
@@ -1464,6 +1537,20 @@ object ProfileScale {
           "lockspan ann x1"),
         () => annLockspan(emb10, annH10.dir, s"$scratch/annlock10",
           4 * factor, s"lockspan ann x$factor")),
+      // round-16: CurationRefresh — see the helper block above. The
+      // add arm's refresh-span line is the delta-scaling claim; the
+      // full arm's is corpus-linear by contract (compact), graded
+      // against its own trio-build line
+      ("refresh add",
+        () => refreshArm(refrCorpus1, refrPristine1,
+          s"$scratch/refrworka1", pureAdd = true, "refresh add x1"),
+        () => refreshArm(refrCorpus10, refrPristine10,
+          s"$scratch/refrworka10", pureAdd = true, s"refresh add x$factor")),
+      ("refresh full",
+        () => refreshArm(refrCorpus1, refrPristine1,
+          s"$scratch/refrworkf1", pureAdd = false, "refresh full x1"),
+        () => refreshArm(refrCorpus10, refrPristine10,
+          s"$scratch/refrworkf10", pureAdd = false, s"refresh full x$factor")),
       // round-13: tombstone reconcile — idempotent steady-state pass
       // over the repaired trio (the warm-up run performed the actual
       // repair); tombstone-table-sized reads + no-op deletes
@@ -1632,6 +1719,10 @@ object ProfileScale {
         bm25H1.dir; bm25H10.dir; bm25ShadowDir1; bm25ShadowDir10; ()
       }
       if (name.startsWith("q199")) { dedupRebArmDir1; dedupRebArmDir10; () }
+      if (name.startsWith("refresh")) {
+        refrCorpus1.count(); refrCorpus10.count()
+        refrPristine1; refrPristine10; ()
+      }
       if (name.startsWith("lockspan")) {
         bm25H1.dir; bm25H10.dir; annH1.dir; annH10.dir
         dedupRebArmDir1; dedupRebArmDir10
