@@ -1,0 +1,112 @@
+package graft.tools
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+/** Round-16 optimization profiler: for each named query, time the bench
+  * form (benchFn if present, else fn) to the noop sink over N runs and
+  * report, alongside the wall medians, the HARNESS-LEVEL costs a plain
+  * timer cannot attribute — Spark job count, stage count, task count,
+  * summed task time, and shuffle bytes — from a listener on the last
+  * run. A query whose wall time is 10x its summed task time divided by
+  * cores is overhead-bound (job/stage round-trips), not compute-bound;
+  * the two need different fixes (guide §1).
+  *
+  *   sbt "runMain graft.tools.ProfileQuery q183_id_decontaminate,q112_minlen_refine /root/testdata/sf0.1 5 plans/r16 before"
+  *
+  * Arg 4 (optional): a directory to write `<name>_<tag>.txt` formatted
+  * plans into; arg 5: the tag (default "before").
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.getOrElse(sys.error("usage: names sfDir [runs] [planDir] [tag]"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val runs = args.lift(2).map(_.toInt).getOrElse(5)
+    val planDir = args.lift(3)
+    val tag = args.lift(4).getOrElse("before")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.queries.QueryDef.NanosConf, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val jobs = new AtomicInteger(0)
+    val stages = new AtomicInteger(0)
+    val tasks = new AtomicInteger(0)
+    val taskTimeMs = new AtomicLong(0L)
+    val shufReadB = new AtomicLong(0L)
+    val shufWriteB = new AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        val m = t.taskMetrics
+        if (m != null) {
+          taskTimeMs.addAndGet(m.executorRunTime)
+          shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    }
+    def resetCounters(): Unit = {
+      jobs.set(0); stages.set(0); tasks.set(0)
+      taskTimeMs.set(0); shufReadB.set(0); shufWriteB.set(0)
+    }
+
+    val byName = (graft.SparkEntry.allQueries ++ graft.SparkEntry.benchQueries)
+      .map(q => q.name -> q).toMap
+    // warm-up: flagship once, untimed (same as Bench)
+    try graft.SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
+
+    names.foreach { name =>
+      val q = byName.getOrElse(name, sys.error(s"unknown query $name"))
+      try q.benchPrepare.foreach(p => p(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[profile] $name prepare failed: ${e.getMessage}")
+      }
+      val timed = q.benchFn.getOrElse(q.fn)
+      val times = (0 until runs).map { i =>
+        val last = i == runs - 1
+        if (last) { spark.sparkContext.addSparkListener(listener); resetCounters() }
+        val t0 = System.nanoTime()
+        timed(spark, sfDir).write.mode("overwrite").format("noop").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (last) {
+          // listener bus is async and private — a short sleep drains the
+          // queued end-events before the counters are read (dev tool)
+          Thread.sleep(500)
+          spark.sparkContext.removeSparkListener(listener)
+        }
+        sec
+      }.sorted
+      val med =
+        if (runs % 2 == 1) times(runs / 2)
+        else (times(runs / 2 - 1) + times(runs / 2)) / 2
+      println(f"PROFILE $name%-32s med=${med}%7.3f min=${times.head}%7.3f " +
+        f"max=${times.last}%7.3f jobs=${jobs.get}%3d stages=${stages.get}%4d " +
+        f"tasks=${tasks.get}%5d taskSec=${taskTimeMs.get / 1e3}%8.2f " +
+        f"shufR=${shufReadB.get / 1e6}%8.1fMB shufW=${shufWriteB.get / 1e6}%8.1fMB")
+      planDir.foreach { d =>
+        val df = timed(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val p = java.nio.file.Paths.get(d)
+        java.nio.file.Files.createDirectories(p)
+        java.nio.file.Files.write(p.resolve(s"${name}_$tag.txt"),
+          txt.getBytes("UTF-8"))
+      }
+    }
+    spark.stop()
+  }
+}
