@@ -800,17 +800,31 @@ object AnnIndex {
       val ids = h.codebooks(mi).map(_._1)
       !col(s"code_$mi").isin(ids: _*)
     }.reduce(_ || _)
+    // TWO aggregate actions instead of the old five driver round-trips
+    // (job-count-bound audit; every value unchanged): the distinct-row
+    // count rides the main codes aggregate, and the tombstone row count
+    // + orphan diff ride one membership groupBy
+    val codeCols = codes.columns.map(col).toSeq
     val agg = codes.agg(
       count(lit(1)),
       coalesce(sum(when(!col("cell").isin(validCells: _*), 1L)), lit(0L)),
-      coalesce(sum(when(invalidCode, 1L)), lit(0L))).head()
-    val dupRows = agg.getLong(0) - codes.distinct().count()
-    val tombs = Tombstones.read(spark, dir)
-    val nTombstones = tombs.map(_.count()).getOrElse(0L)
-    val tombOrphans = tombs
-      .map(_.select(col(idCol)).distinct()
-        .join(codes.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
-        .count()).getOrElse(0L)
+      coalesce(sum(when(invalidCode, 1L)), lit(0L)),
+      countDistinct(struct(codeCols: _*))).head()
+    val dupRows = agg.getLong(0) - agg.getLong(3)
+    def cnt(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    val (nTombstones, tombOrphans) = Tombstones.read(spark, dir) match {
+      case None => (0L, 0L)
+      case Some(ts) =>
+        val tagged = codes.select(col(idCol), lit(0).as("__src"))
+          .unionByName(ts.select(col(idCol), lit(1).as("__src")))
+        val r = tagged.groupBy(col(idCol)).agg(
+            cnt(col("__src") === 0).as("__c0"),
+            cnt(col("__src") === 1).as("__c1"))
+          .agg(coalesce(sum(col("__c1")), lit(0L)),
+            cnt(col("__c1") > 0 && col("__c0") === 0)).head()
+        (r.getLong(0), r.getLong(1))
+    }
     Seq(
       ("code_rows", agg.getLong(0)),
       ("n_tombstones", nTombstones),

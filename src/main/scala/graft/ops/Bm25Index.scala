@@ -286,7 +286,10 @@ object Bm25Index {
     val (postings, doclens) = statFrames(corpus, idCol, fields, numBuckets)
     postings.repartition(col("term_bucket")).sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$dir/postings")
-    doclens.write.mode("overwrite").parquet(s"$dir/doclens")
+    // sized write (guide §6): an AQE-coalescable exchange so the file
+    // count tracks bytes, not the corpus scan's task count
+    doclens.repartition(col(idCol))
+      .write.mode("overwrite").parquet(s"$dir/doclens")
     // the forward index projects the WRITTEN postings (one narrow read,
     // no re-tokenize) — see [[termvecsOf]]
     writeTermvecs(
@@ -349,7 +352,8 @@ object Bm25Index {
       postings.repartition(col("term_bucket")).sortWithinPartitions("term")
         .write.mode("append").partitionBy("term_bucket")
         .parquet(s"${handle.dir}/postings")
-      doclens.write.mode("append").parquet(s"${handle.dir}/doclens")
+      doclens.repartition(col(cur.idCol)) // sized write (guide §6)
+        .write.mode("append").parquet(s"${handle.dir}/doclens")
       // indexes built before the forward index existed stay without it
       // (a half-covered table would silently under-count feedback
       // terms) — rebuild to gain it
@@ -501,7 +505,8 @@ object Bm25Index {
       postings.repartition(col("term_bucket")).sortWithinPartitions("term")
         .write.mode("overwrite").partitionBy("term_bucket")
         .parquet(s"$tmp/postings")
-      doclens.write.mode("overwrite").parquet(s"$tmp/doclens")
+      doclens.repartition(col(idCol)) // sized write (guide §6)
+        .write.mode("overwrite").parquet(s"$tmp/doclens")
       writeTermvecs(
         termvecsOf(spark.read.parquet(s"$tmp/postings"), idCol), idCol,
         s"$tmp/termvecs", "overwrite")
@@ -610,7 +615,8 @@ object Bm25Index {
     postings0.repartition(col("term_bucket")).sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$tmp/postings")
-    doclens0.write.mode("overwrite").parquet(s"$tmp/doclens")
+    doclens0.repartition(col(idCol)) // sized write (guide §6)
+      .write.mode("overwrite").parquet(s"$tmp/doclens")
     writeTermvecs(
       termvecsOf(spark.read.parquet(s"$tmp/postings"), idCol), idCol,
       s"$tmp/termvecs", "overwrite")
@@ -646,7 +652,8 @@ object Bm25Index {
         dPostings.repartition(col("term_bucket")).sortWithinPartitions("term")
           .write.mode("append").partitionBy("term_bucket")
           .parquet(s"$tmp/postings")
-        dDoclens.write.mode("append").parquet(s"$tmp/doclens")
+        dDoclens.repartition(col(idCol)) // sized write (guide §6)
+          .write.mode("append").parquet(s"$tmp/doclens")
         writeTermvecs(termvecsOf(dPostings, idCol), idCol,
           s"$tmp/termvecs", "append")
       }
@@ -856,30 +863,28 @@ object Bm25Index {
       nTombstones = 0L)
   }
 
-  /** Re-open a persisted index: one tiny JSON read, no data touched. */
+  /** Re-open a persisted index: one tiny JSON read, no data touched —
+    * driver-side ([[Maintenance.readMetaRow]]); the old spark.read.json
+    * cost two cluster jobs per handle open. */
   def load(spark: SparkSession, dir: String): Handle = {
-    val metaDf = spark.read.json(s"$dir/meta")
-    val meta = metaDf.collect()
-    require(meta.length == 1, s"$dir/meta must hold exactly one row")
-    val names = metaDf.schema.fieldNames.toSet
+    import scala.jdk.CollectionConverters._
+    val meta = Maintenance.readMetaRow(spark, s"$dir/meta")
     // indexes written before textCol was persisted were hardwired to
     // "text" — that is their effective build column (the DedupIndex
     // bandSize back-compat rule)
-    val textCol = if (names.contains("textCol"))
-      meta.head.getAs[String]("textCol") else "text"
+    val textCol = if (meta.has("textCol")) meta.get("textCol").asText else "text"
     // pre-v2 metas carry no version: their layout IS v1
-    val version = if (names.contains("version"))
-      meta.head.getAs[Long]("version").toInt else 1
-    val fields = if (names.contains("fields"))
-      meta.head.getAs[scala.collection.Seq[String]]("fields").toSeq
+    val version = if (meta.has("version")) meta.get("version").asInt else 1
+    val fields = if (meta.has("fields"))
+      meta.get("fields").elements().asScala.map(_.asText).toSeq
     else Seq(textCol)
-    val fieldTokens = if (names.contains("fieldTokens"))
-      meta.head.getAs[scala.collection.Seq[Long]]("fieldTokens").toSeq
-    else Seq(meta.head.getAs[Long]("totalTokens"))
+    val fieldTokens = if (meta.has("fieldTokens"))
+      meta.get("fieldTokens").elements().asScala.map(_.asLong).toSeq
+    else Seq(meta.get("totalTokens").asLong)
     // metas written before delete() existed imply "no tombstones"
-    val nTombstones = if (names.contains("nTombstones"))
-      meta.head.getAs[Long]("nTombstones") else 0L
-    val numBuckets = meta.head.getAs[Long]("numBuckets").toInt
+    val nTombstones = if (meta.has("nTombstones"))
+      meta.get("nTombstones").asLong else 0L
+    val numBuckets = meta.get("numBuckets").asInt
     // cross-check the postings partitioning against the meta: a crash
     // between rebuild()'s table swaps can land a new-numBuckets
     // postings table beside a not-yet-swapped meta, and every probe
@@ -901,9 +906,9 @@ object Bm25Index {
           "its table swaps (new postings under a stale meta). Recover by " +
           "re-running rebuild() from the source of truth.")
     }
-    Handle(dir, meta.head.getAs[String]("idCol"), textCol,
+    Handle(dir, meta.get("idCol").asText, textCol,
       numBuckets,
-      meta.head.getAs[Long]("nDocs"), meta.head.getAs[Long]("totalTokens"),
+      meta.get("nDocs").asLong, meta.get("totalTokens").asLong,
       version, fields, fieldTokens, nTombstones)
   }
 
@@ -1543,34 +1548,64 @@ object Bm25Index {
     val doclens = spark.read.parquet(s"$dir/doclens")
     val postings = spark.read.parquet(s"$dir/postings")
     val tombs = Tombstones.read(spark, dir)
-    val liveDoclens = tombs match {
-      case None => doclens
-      case Some(ts) => doclens.join(ts.select(col(h.idCol)),
-        Seq(h.idCol), "left_anti")
-    }
-    val dedupedLive = liveDoclens
-      .groupBy(col(h.idCol), col("field"))
-      .agg(max(col("n_tok_f")).as("n_tok_f"))
-    val (liveN, liveTokens, _) = statsOf(dedupedLive, h.idCol, h.fields)
-    val postingOrphans = postings.select(col(h.idCol)).distinct()
-      .join(doclens.select(col(h.idCol)).distinct(), Seq(h.idCol), "left_anti")
-      .count()
-    val tombOrphans = tombs.map(_.select(col(h.idCol)).distinct()
-      .join(doclens.select(col(h.idCol)).distinct(), Seq(h.idCol), "left_anti")
-      .count()).getOrElse(0L)
+    // FOUR aggregate actions instead of the old ten driver round-trips
+    // (the audit was job-count-bound, not data-bound; every reported
+    // value is unchanged):
+    def cnt(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    // 1. one postings pass — row count, tf/position invariants, AND the
+    //    distinct-row count (replay duplicates) in a single aggregate
+    val postCols = postings.columns.map(col).toSeq
     val badRows = postings.agg(
-      coalesce(sum(when(size(col("positions")) =!= col("tf"), 1L)), lit(0L)),
-      coalesce(sum(when(
-        array_max(col("positions")).cast("long") >= col("n_tok_f"), 1L)),
-        lit(0L)),
-      count(lit(1))).head()
-    val dupPostings = badRows.getLong(2) - postings.distinct().count()
-    // the forward index, when present, must mirror the postings
-    // exactly: same row count (a 1:1 projection — a torn append leaves
-    // one table short), same (id, field, term) key set, and every
-    // stored doc_bucket re-deriving from the row's own id (a partition
-    // key drifting from its hash silently breaks the probe's pruning —
-    // the DedupIndex band0 rule)
+      cnt(size(col("positions")) =!= col("tf")),
+      cnt(array_max(col("positions")).cast("long") >= col("n_tok_f")),
+      count(lit(1)),
+      countDistinct(struct(postCols: _*))).head()
+    val dupPostings = badRows.getLong(2) - badRows.getLong(3)
+    // 2. one doclens pass — total rows plus the LIVE deduped stats
+    //    (distinct per (id, field), tombstoned ids excluded) that the
+    //    meta-drift rows compare against
+    val withT = tombs match {
+      case None => doclens.withColumn("__t", lit(false))
+      case Some(ts) => doclens
+        .join(ts.select(col(h.idCol)).distinct().withColumn("__t", lit(true)),
+          Seq(h.idCol), "left")
+        .withColumn("__t", coalesce(col("__t"), lit(false)))
+    }
+    val dlAgg = withT
+      .groupBy(col(h.idCol), col("field"))
+      .agg(count(lit(1)).as("__n"), max(col("n_tok_f")).as("__ntf"),
+        max(col("__t")).as("__t"))
+      .agg(
+        coalesce(sum(col("__n")), lit(0L)),
+        countDistinct(when(!col("__t"), col(h.idCol))),
+        coalesce(sum(when(!col("__t"), col("__ntf"))), lit(0L))).head()
+    val (doclensRows, liveN, liveTokens) =
+      (dlAgg.getLong(0), dlAgg.getLong(1), dlAgg.getLong(2))
+    // 3. one id-membership pass (posting ids, doclens ids, tombstoned
+    //    ids) for both orphan checks
+    val tombIdFrame = tombs.map(_.select(col(h.idCol)))
+      .getOrElse(doclens.select(col(h.idCol)).limit(0))
+    val morph = Seq(
+        postings.select(col(h.idCol)), doclens.select(col(h.idCol)),
+        tombIdFrame)
+      .zipWithIndex
+      .map { case (df, i) => df.select(col(h.idCol), lit(i).as("__src")) }
+      .reduce(_ unionByName _)
+      .groupBy(col(h.idCol)).agg(
+        cnt(col("__src") === 0).as("__c0"),
+        cnt(col("__src") === 1).as("__c1"),
+        cnt(col("__src") === 2).as("__c2"))
+      .agg(
+        cnt(col("__c0") > 0 && col("__c1") === 0), // postings_orphan_docs
+        cnt(col("__c2") > 0 && col("__c1") === 0)).head() // tombstone_orphans
+    // 4. the forward index, when present, must mirror the postings
+    //    exactly: same row count (a 1:1 projection — a torn append
+    //    leaves one table short), same (id, field, term) key set, and
+    //    every stored doc_bucket re-deriving from the row's own id (a
+    //    partition key drifting from its hash silently breaks the
+    //    probe's pruning — the DedupIndex band0 rule). One tagged-union
+    //    groupBy carries all four checks.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val tvChecks =
@@ -1579,27 +1614,36 @@ object Bm25Index {
       else {
         val tv = spark.read.parquet(s"$dir/termvecs")
         val key = Seq(h.idCol, "field", "term")
-        val tvKeys = tv.select(key.map(col): _*)
-        val pKeys = postings.select(key.map(col): _*)
+        val r = tv.select(key.map(col) :+ lit(0).as("__src") :+
+            when(col("doc_bucket") =!= docBucket(h.idCol), 1L)
+              .otherwise(0L).as("__mm"): _*)
+          .unionByName(postings.select(
+            key.map(col) :+ lit(1).as("__src") :+ lit(0L).as("__mm"): _*))
+          .groupBy(key.map(col): _*).agg(
+            cnt(col("__src") === 0).as("__ctv"),
+            cnt(col("__src") === 1).as("__cp"),
+            coalesce(sum(col("__mm")), lit(0L)).as("__mm"))
+          .agg(
+            coalesce(sum(col("__ctv")), lit(0L)),
+            cnt(col("__ctv") > 0 && col("__cp") === 0),
+            cnt(col("__cp") > 0 && col("__ctv") === 0),
+            coalesce(sum(col("__mm")), lit(0L))).head()
         Seq(
-          ("termvec_rows", tv.count()),
-          ("termvec_keys_missing_postings",
-            tvKeys.join(pKeys, key, "left_anti").count()),
-          ("posting_keys_missing_termvecs",
-            pKeys.join(tvKeys, key, "left_anti").count()),
-          ("termvec_bucket_mismatch",
-            tv.filter(col("doc_bucket") =!= docBucket(h.idCol)).count()))
+          ("termvec_rows", r.getLong(0)),
+          ("termvec_keys_missing_postings", r.getLong(1)),
+          ("posting_keys_missing_termvecs", r.getLong(2)),
+          ("termvec_bucket_mismatch", r.getLong(3)))
       }
     (Seq(
-      ("doclens_rows", doclens.count()),
+      ("doclens_rows", doclensRows),
       ("posting_rows", badRows.getLong(2)),
       ("n_docs", h.nDocs),
       ("total_tokens", h.totalTokens),
       ("n_tombstones", h.nTombstones),
       ("meta_ndocs_drift", h.nDocs - liveN),
       ("meta_tokens_drift", h.totalTokens - liveTokens),
-      ("postings_orphan_docs", postingOrphans),
-      ("tombstone_orphans", tombOrphans),
+      ("postings_orphan_docs", morph.getLong(0)),
+      ("tombstone_orphans", morph.getLong(1)),
       ("positions_tf_mismatch", badRows.getLong(0)),
       ("positions_out_of_range", badRows.getLong(1)),
       ("duplicate_posting_rows", dupPostings)) ++ tvChecks)

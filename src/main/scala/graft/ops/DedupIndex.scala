@@ -81,7 +81,10 @@ object DedupIndex {
     fps.write.mode("overwrite").parquet(s"$dir/fingerprints")
     sigs.repartition(col("band0")) // one writer wave per bucket
       .write.mode("overwrite").partitionBy("band0").parquet(s"$dir/signatures")
-    words.write.mode("overwrite").parquet(s"$dir/words")
+    // sized write (guide §6): an AQE-coalescable exchange so the file
+    // count tracks bytes, not the corpus scan's task count
+    words.repartition(col(idCol))
+      .write.mode("overwrite").parquet(s"$dir/words")
     Seq((idCol, numHashes, bandSize)).toDF("idCol", "numHashes", "bandSize")
       .coalesce(1).write.mode("overwrite").json(s"$dir/meta")
     Handle(dir, idCol, numHashes, bandSize)
@@ -106,7 +109,8 @@ object DedupIndex {
       fps.write.mode("append").parquet(s"${handle.dir}/fingerprints")
       sigs.repartition(col("band0"))
         .write.mode("append").partitionBy("band0").parquet(s"${handle.dir}/signatures")
-      words.write.mode("append").parquet(s"${handle.dir}/words")
+      words.repartition(col(handle.idCol)) // sized write (guide §6)
+        .write.mode("append").parquet(s"${handle.dir}/words")
     }
   }
 
@@ -345,7 +349,8 @@ object DedupIndex {
       fps.write.mode("overwrite").parquet(s"$tmp/fingerprints")
       sigs.repartition(col("band0"))
         .write.mode("overwrite").partitionBy("band0").parquet(s"$tmp/signatures")
-      words.write.mode("overwrite").parquet(s"$tmp/words")
+      words.repartition(col(idCol)) // sized write (guide §6)
+        .write.mode("overwrite").parquet(s"$tmp/words")
       Seq((idCol, numHashes, bandSize)).toDF("idCol", "numHashes", "bandSize")
         .coalesce(1).write.mode("overwrite").json(s"$tmp/meta")
       tables.zipWithIndex.foreach { case (t, i) =>
@@ -427,7 +432,8 @@ object DedupIndex {
     fps0.write.mode("overwrite").parquet(s"$tmp/fingerprints")
     sigs0.repartition(col("band0"))
       .write.mode("overwrite").partitionBy("band0").parquet(s"$tmp/signatures")
-    words0.write.mode("overwrite").parquet(s"$tmp/words")
+    words0.repartition(col(idCol)) // sized write (guide §6)
+      .write.mode("overwrite").parquet(s"$tmp/words")
     beforeLock()
     // ---- phase 2, LOCKED: bounded catch-up + swap
     Maintenance.acquireCompactLock(fs, root, waitForAppendsMs)
@@ -455,7 +461,8 @@ object DedupIndex {
         dFps.write.mode("append").parquet(s"$tmp/fingerprints")
         dSigs.repartition(col("band0"))
           .write.mode("append").partitionBy("band0").parquet(s"$tmp/signatures")
-        dWords.write.mode("append").parquet(s"$tmp/words")
+        dWords.repartition(col(idCol)) // sized write (guide §6)
+          .write.mode("append").parquet(s"$tmp/words")
       }
       Seq((idCol, numHashes, bandSize)).toDF("idCol", "numHashes", "bandSize")
         .coalesce(1).write.mode("overwrite").json(s"$tmp/meta")
@@ -475,14 +482,13 @@ object DedupIndex {
   }
 
   def load(spark: SparkSession, dir: String): Handle = {
-    val metaDf = spark.read.json(s"$dir/meta")
-    val meta = metaDf.collect()
-    require(meta.length == 1, s"$dir/meta must hold exactly one row")
+    // driver-side meta read (Maintenance.readMetaRow): the old
+    // spark.read.json cost two cluster jobs per handle open
+    val meta = Maintenance.readMetaRow(spark, s"$dir/meta")
     // indexes written before bandSize was persisted used a fixed
     // 4-hash partition key — that is their effective build bandSize
-    val bandSize = if (metaDf.schema.fieldNames.contains("bandSize"))
-      meta.head.getAs[Long]("bandSize").toInt else 4
-    val numHashes = meta.head.getAs[Long]("numHashes").toInt
+    val bandSize = if (meta.has("bandSize")) meta.get("bandSize").asInt else 4
+    val numHashes = meta.get("numHashes").asInt
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     // torn-swap gate (the [[AnnIndex]] `_model_gen` twin): meta swaps
@@ -529,7 +535,7 @@ object DedupIndex {
             "re-run rebuild() from the source of truth.")
       }
     }
-    Handle(dir, meta.head.getAs[String]("idCol"),
+    Handle(dir, meta.get("idCol").asText,
       numHashes, bandSize,
       fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
   }
@@ -550,27 +556,48 @@ object DedupIndex {
     val words = spark.read.parquet(s"$dir/words")
     val fps = spark.read.parquet(s"$dir/fingerprints")
     val idc = col(h.idCol)
-    val sigIds = sigs.select(idc).distinct()
-    val wordIds = words.select(idc).distinct()
-    val sigsNotWords = sigIds.join(wordIds, Seq(h.idCol), "left_anti").count()
-    val wordsNotSigs = wordIds.join(sigIds, Seq(h.idCol), "left_anti").count()
-    val badBand = sigs.filter(
-      col("band0") =!= bandKey(h.numHashes, h.bandSize)).count()
-    val dupSigs = sigs.count() - sigs.distinct().count()
+    // THREE aggregate actions instead of the old ten driver round-trips
+    // (the audit was job-count-bound, every value unchanged):
+    // 1. one pass over signatures — row count, band-key drift, and the
+    //    distinct-row count (replay duplicates) in a single aggregate
+    def cnt(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    val sigCols = sigs.columns.map(col).toSeq
+    val sigAgg = sigs.agg(
+      count(lit(1)),
+      cnt(col("band0") =!= bandKey(h.numHashes, h.bandSize)),
+      countDistinct(struct(sigCols: _*))).head()
+    // 2. one per-id membership pass over (signature ids, word ids,
+    //    tombstoned ids): coverage diffs, doc counts and the raw
+    //    tombstone row count all ride one groupBy + one aggregate
     val tombs = Tombstones.read(spark, dir)
-    val nTombstones = tombs.map(_.count()).getOrElse(0L)
-    val tombOrphans = tombs
-      .map(_.select(idc).distinct()
-        .join(sigIds, Seq(h.idCol), "left_anti").count()).getOrElse(0L)
+    val tombIds = tombs.map(_.select(idc))
+      .getOrElse(sigs.select(idc).limit(0))
+    val tagged = Seq(sigs.select(idc), words.select(idc), tombIds)
+      .zipWithIndex
+      .map { case (df, i) => df.select(idc.as(h.idCol), lit(i).as("__src")) }
+      .reduce(_ unionByName _)
+    val m = tagged.groupBy(idc).agg(
+      cnt(col("__src") === 0).as("__c0"),
+      cnt(col("__src") === 1).as("__c1"),
+      cnt(col("__src") === 2).as("__c2"))
+    val mAgg = m.agg(
+      cnt(col("__c0") > 0), // signature_docs
+      cnt(col("__c0") > 0 && col("__c1") === 0), // sig_docs_missing_words
+      cnt(col("__c1") > 0 && col("__c0") === 0), // word_docs_missing_sigs
+      coalesce(sum(col("__c2")), lit(0L)), // n_tombstones (raw rows)
+      cnt(col("__c2") > 0 && col("__c0") === 0)).head() // tombstone_orphans
+    // 3. the fingerprint table's distinct row count
+    val fpRows = fps.distinct().count()
     Seq(
-      ("fingerprint_rows", fps.distinct().count()),
-      ("signature_docs", sigIds.count()),
-      ("n_tombstones", nTombstones),
-      ("sig_docs_missing_words", sigsNotWords),
-      ("word_docs_missing_sigs", wordsNotSigs),
-      ("band0_hash_mismatch", badBand),
-      ("duplicate_signature_rows", dupSigs),
-      ("tombstone_orphans", tombOrphans))
+      ("fingerprint_rows", fpRows),
+      ("signature_docs", mAgg.getLong(0)),
+      ("n_tombstones", mAgg.getLong(3)),
+      ("sig_docs_missing_words", mAgg.getLong(1)),
+      ("word_docs_missing_sigs", mAgg.getLong(2)),
+      ("band0_hash_mismatch", sigAgg.getLong(1)),
+      ("duplicate_signature_rows", sigAgg.getLong(0) - sigAgg.getLong(2)),
+      ("tombstone_orphans", mAgg.getLong(4)))
       .toDF("check", "value")
   }
 

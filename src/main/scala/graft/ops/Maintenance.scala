@@ -419,15 +419,43 @@ private[graft] object Maintenance {
     (dedupH.idCol, dedupH, bm25H)
   }
 
-  /** One index's distinct tombstoned ids, or an id-typed EMPTY frame
-    * (from `proto`) when no side table exists. */
+  /** Driver-side read of a ONE-ROW Spark-written JSON meta directory
+    * (`coalesce(1).write.json(dir)` layout: one `part-*` line file +
+    * `_SUCCESS`). The metas are ~100-byte single-line files; reading
+    * them through `spark.read.json` costs TWO cluster jobs per load
+    * (schema inference + collect), which every probe/audit pays on its
+    * handle open — at any scale this is driver metadata, not data.
+    * Returns the row as a Jackson node; callers check field presence
+    * for the back-compat defaults exactly as they did on the inferred
+    * schema. */
+  private[ops] def readMetaRow(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new Path(dir)).iterator
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath).toSeq
+    val lines = files.flatMap { f =>
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    }
+    require(lines.length == 1, s"$dir must hold exactly one row")
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(lines.head)
+  }
+
+  /** One index's tombstoned ids (NOT distinct'd — every consumer is a
+    * [[membershipFlags]] groupBy, which dedupes as part of its one
+    * exchange), or an id-typed EMPTY frame (from `proto`) when no side
+    * table exists. */
   private def tombstoneIdsOf(
       spark: org.apache.spark.sql.SparkSession, dir: String, idc: String,
       proto: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     Tombstones.read(spark, dir)
-      .map(_.select(col(idc)).distinct())
+      .map(_.select(col(idc)))
       .getOrElse(proto.select(col(idc)).limit(0))
   }
 
@@ -435,37 +463,73 @@ private[graft] object Maintenance {
       spark: org.apache.spark.sql.SparkSession,
       dedupDir: String, bm25Dir: String, annDir: String)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
     import spark.implicits._
     val (idc, _, bm25H) = loadTrioIdCol(spark, dedupDir, bm25Dir, annDir,
       "crossFsck")
+    // NOT distinct'd here: the membership groupBy below dedupes each
+    // stream as part of its one exchange
     def liveIds(raw: org.apache.spark.sql.DataFrame, dir: String) =
       Tombstones.liveOnly(spark, dir, idc, raw.select(col(idc)))
-        .distinct().localCheckpoint(true) // feeds counts + 2 anti-joins each
     val dedupIds = liveIds(
       spark.read.parquet(s"$dedupDir/signatures"), dedupDir)
     val bm25Ids = liveIds(
       spark.read.parquet(s"$bm25Dir/doclens"), bm25Dir)
     val annIds = liveIds(spark.read.parquet(s"$annDir/codes"), annDir)
-    def notIn(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
-      a.join(b, Seq(idc), "left_anti").count()
-    val tAll = Seq(dedupDir, bm25Dir, annDir)
-      .map(tombstoneIdsOf(spark, _, idc, dedupIds))
-    val tUnion = tAll.reduce(_ unionByName _).distinct().count()
-    val tInter = tAll.reduce((a, b) => a.join(b, Seq(idc), "left_semi")).count()
+    // ONE full-outer membership frame + ONE aggregate row instead of
+    // three checkpoints and eleven separate counting actions (the old
+    // shape paid a driver round-trip per check; the audit was
+    // job-count-bound, not data-bound). Every check's value is
+    // unchanged: a live count is a flag sum, an A-not-B count is a
+    // flag-pair sum over the same distinct id sets.
+    val m = membershipFlags(idc, Seq(dedupIds, bm25Ids, annIds))
+    def cnt(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    val d = col("__m0"); val b = col("__m1"); val a = col("__m2")
+    val live = m.agg(
+      cnt(d), cnt(b), cnt(a),
+      cnt(b && !a), cnt(a && !b), cnt(b && !d),
+      cnt(d && !b), cnt(a && !d), cnt(d && !a)).head()
+    // the three tombstone sets: union size = frame rows, intersection =
+    // the all-three-flags sum — one more aggregate action
+    val tm = membershipFlags(idc,
+      Seq(dedupDir, bm25Dir, annDir).map(tombstoneIdsOf(spark, _, idc, dedupIds)))
+    val t = tm.agg(count(lit(1)),
+      cnt(col("__m0") && col("__m1") && col("__m2"))).head()
     Seq(
-      ("dedup_live_docs", dedupIds.count()),
-      ("bm25_live_docs", bm25Ids.count()),
-      ("ann_live_codes", annIds.count()),
+      ("dedup_live_docs", live.getLong(0)),
+      ("bm25_live_docs", live.getLong(1)),
+      ("ann_live_codes", live.getLong(2)),
       ("bm25_meta_ndocs", bm25H.nDocs),
-      ("bm25_not_ann", notIn(bm25Ids, annIds)),
-      ("ann_not_bm25", notIn(annIds, bm25Ids)),
-      ("bm25_not_dedup", notIn(bm25Ids, dedupIds)),
-      ("dedup_not_bm25", notIn(dedupIds, bm25Ids)),
-      ("ann_not_dedup", notIn(annIds, dedupIds)),
-      ("dedup_not_ann", notIn(dedupIds, annIds)),
-      ("tombstone_disagreements", tUnion - tInter))
+      ("bm25_not_ann", live.getLong(3)),
+      ("ann_not_bm25", live.getLong(4)),
+      ("bm25_not_dedup", live.getLong(5)),
+      ("dedup_not_bm25", live.getLong(6)),
+      ("ann_not_dedup", live.getLong(7)),
+      ("dedup_not_ann", live.getLong(8)),
+      ("tombstone_disagreements", t.getLong(0) - t.getLong(1)))
       .toDF("check", "value")
+  }
+
+  /** Membership frame over n id frames (duplicates within a set are
+    * fine): one row per id appearing anywhere, with boolean flags
+    * `__m0..__m{n-1}` marking which inputs hold it. The consolidation
+    * vehicle for the audit paths: set counts and A-not-B counts become
+    * flag sums over ONE frame, so a whole report is one aggregate
+    * action instead of a driver round-trip per check — and the frame
+    * itself is ONE exchange (tagged union + groupBy, which also
+    * subsumes each input's distinct) instead of n distincts + n−1
+    * full-outer joins. */
+  private def membershipFlags(
+      idc: String, sets: Seq[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, max, when}
+    val tagged = sets.zipWithIndex
+      .map { case (df, i) => df.select(col(idc), lit(i).as("__src")) }
+      .reduce(_ unionByName _)
+    val aggs = sets.indices.map(i =>
+      max(when(col("__src") === i, true).otherwise(false)).as(s"__m$i"))
+    tagged.groupBy(col(idc)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** The repair half of [[crossFsck]]'s `tombstone_disagreements`:
@@ -545,41 +609,57 @@ private[graft] object Maintenance {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, count, countDistinct, lit, sum, when}
     val (idc, dedupH, bm25H) = loadTrioIdCol(spark, dedupDir, bm25Dir, annDir,
       "reconcileTombstones")
     require(docs.columns.contains(idc) && docs.columns.contains("text"),
       s"reconcileTombstones: docs must carry '$idc' and 'text', " +
         s"has ${docs.columns.mkString(", ")}")
     val proto = spark.read.parquet(s"$dedupDir/signatures")
-    def tombIds(dir: String): org.apache.spark.sql.DataFrame =
-      tombstoneIdsOf(spark, dir, idc, proto).localCheckpoint(true)
-    val before = Seq(dedupDir, bm25Dir, annDir).map(tombIds)
-    val union = before.reduce(_ unionByName _).distinct().localCheckpoint(true)
-    val nUnion = union.count()
+    def flags(): org.apache.spark.sql.DataFrame = membershipFlags(idc,
+      Seq(dedupDir, bm25Dir, annDir).map(tombstoneIdsOf(spark, _, idc, proto)))
+    def cnt(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    // ONE flagged union frame (checkpointed: it feeds the report
+    // aggregate, all three delete inputs, and the added-per-index
+    // comparison) + ONE aggregate per phase, instead of the old six
+    // per-set checkpoints and ~twelve counting actions — the replay
+    // path was job-count-bound (84 jobs, <1 s of task time at sf0.1).
+    // Every reported value and every delete input is unchanged.
+    val before = flags().localCheckpoint(true)
+    val pre = before.agg(count(lit(1)),
+      cnt(!col("__m0")), cnt(!col("__m1")), cnt(!col("__m2"))).head()
+    val nUnion = pre.getLong(0)
     // dedup: resolve missing ids to (id, text) through the corpus
-    val missDedup = union.join(before(0), Seq(idc), "left_anti")
     val dedupRows = docs.select(col(idc), col("text"))
-      .join(missDedup, Seq(idc), "left_semi").localCheckpoint(true)
-    val unresolvable =
-      missDedup.count() - dedupRows.select(col(idc)).distinct().count()
+      .join(before.filter(!col("__m0")).select(col(idc)), Seq(idc), "left_semi")
+      .localCheckpoint(true)
+    val unresolvable = pre.getLong(1) -
+      dedupRows.agg(countDistinct(col(idc))).head().getLong(0)
     DedupIndex.delete(dedupH, dedupRows)
-    Bm25Index.delete(bm25H, union.join(before(1), Seq(idc), "left_anti"))
+    Bm25Index.delete(bm25H, before.filter(!col("__m1")).select(col(idc)))
     AnnIndex.delete(
       AnnIndex.load(spark, annDir),
-      union.join(before(2), Seq(idc), "left_anti"), idc)
-    val after = Seq(dedupDir, bm25Dir, annDir).map(tombIds)
-    val added = before.zip(after).map { case (b, a) =>
-      a.join(b, Seq(idc), "left_anti").count()
-    }
-    val postDisagree = after.reduce(_ unionByName _).distinct().count() -
-      after.reduce((a, b) => a.join(b, Seq(idc), "left_semi")).count()
+      before.filter(!col("__m2")).select(col(idc)), idc)
+    // deletes only ever ADD tombstones, so the after frame covers every
+    // before id; added_* and the post disagreement both ride one join +
+    // one aggregate
+    val bFlags = before.select(col(idc) +: Seq(0, 1, 2).map(i =>
+      col(s"__m$i").as(s"__b$i")): _*)
+    val post = flags().join(bFlags, Seq(idc), "left")
+      .agg(
+        cnt(col("__m0") && !coalesce(col("__b0"), lit(false))),
+        cnt(col("__m1") && !coalesce(col("__b1"), lit(false))),
+        cnt(col("__m2") && !coalesce(col("__b2"), lit(false))),
+        count(lit(1)),
+        cnt(col("__m0") && col("__m1") && col("__m2"))).head()
     Seq(
       ("union_tombstones", nUnion),
-      ("added_dedup", added(0)),
-      ("added_bm25", added(1)),
-      ("added_ann", added(2)),
+      ("added_dedup", post.getLong(0)),
+      ("added_bm25", post.getLong(1)),
+      ("added_ann", post.getLong(2)),
       ("dedup_unresolvable", unresolvable),
-      ("post_disagreements", postDisagree))
+      ("post_disagreements", post.getLong(3) - post.getLong(4)))
       .toDF("check", "value")
   }
 }

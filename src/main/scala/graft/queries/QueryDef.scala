@@ -167,9 +167,21 @@ object QueryDef {
     // and restores full parallelism; the big fact tables are left
     // untouched — at real scale their parallelism comes from file
     // splits and a blanket repartition would be a 100 TB shuffle.
+    //
+    // The partition COUNT is pinned (repartition(n, col), not
+    // repartition(col)): AQE's partition coalescing is BYTE-based, and
+    // these tables are small in bytes but dense in compute (BPE
+    // tokenization, n-gram explodes, per-gram md5) — with an unpinned
+    // count AQE folded the ~1.5 MB exchange back to 1–2 partitions and
+    // the whole text family ran serially (q183 profile: 11 tasks,
+    // taskSec ≈ wall on a 32-core host). AQE never coalesces a
+    // user-specified count. n = defaultParallelism is scale-adaptive
+    // (cores of whatever cluster runs this), never a baked constant;
+    // 5000 keys over ≤ a few hundred partitions hash-spread fine.
+    val n = s.sparkContext.defaultParallelism
     name match {
-      case "documents"  => df.repartition(col("doc_id"))
-      case "embeddings" => df.repartition(col("vec_id"))
+      case "documents"  => df.repartition(n, col("doc_id"))
+      case "embeddings" => df.repartition(n, col("vec_id"))
       case _            => df
     }
   }

@@ -44,6 +44,7 @@ object ProfileQuery {
     val taskTimeMs = new AtomicLong(0L)
     val shufReadB = new AtomicLong(0L)
     val shufWriteB = new AtomicLong(0L)
+    val gcMs = new AtomicLong(0L)
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
@@ -55,12 +56,13 @@ object ProfileQuery {
           taskTimeMs.addAndGet(m.executorRunTime)
           shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          gcMs.addAndGet(m.jvmGCTime)
         }
       }
     }
     def resetCounters(): Unit = {
       jobs.set(0); stages.set(0); tasks.set(0)
-      taskTimeMs.set(0); shufReadB.set(0); shufWriteB.set(0)
+      taskTimeMs.set(0); shufReadB.set(0); shufWriteB.set(0); gcMs.set(0)
     }
 
     val byName = (graft.SparkEntry.allQueries ++ graft.SparkEntry.benchQueries)
@@ -96,6 +98,7 @@ object ProfileQuery {
       println(f"PROFILE $name%-32s med=${med}%7.3f min=${times.head}%7.3f " +
         f"max=${times.last}%7.3f jobs=${jobs.get}%3d stages=${stages.get}%4d " +
         f"tasks=${tasks.get}%5d taskSec=${taskTimeMs.get / 1e3}%8.2f " +
+        f"gcSec=${gcMs.get / 1e3}%6.2f " +
         f"shufR=${shufReadB.get / 1e6}%8.1fMB shufW=${shufWriteB.get / 1e6}%8.1fMB")
       planDir.foreach { d =>
         val df = timed(spark, sfDir)
