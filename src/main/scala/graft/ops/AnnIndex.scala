@@ -714,13 +714,13 @@ object AnnIndex {
           spark.read.parquet(s"$dir/codes").select(id).distinct())
         .join(spark.read.parquet(s"$tmp/codes").select(id).distinct(),
           Seq(idCol), "left_anti")
-        .localCheckpoint(true) // feeds the count AND the semi-join
+        .localCheckpoint(false) // feeds the count AND the semi-join
       val nDelta = delta.count()
       if (nDelta > 0L) {
         // re-invoke the thunk: the delta rows landed AFTER snapshot0's
         // file listing, so only a fresh read can resolve them
         val rows = source().join(delta, Seq(idCol), "left_semi")
-          .localCheckpoint(true) // feeds the resolve check AND the encode
+          .localCheckpoint(false) // feeds the resolve check AND the encode
         val nRows = rows.select(id).distinct().count()
         require(nRows == nDelta,
           s"rebuildShadow: ${nDelta - nRows} ids appended to the live " +
@@ -960,7 +960,7 @@ object AnnIndex {
         spark, handle, queries, embCol, idCol, k * refine, nProbe, filter,
         attrEquals)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(true) // ADC ran once; the exact pass reuses rows
+      .localCheckpoint(false) // ADC ran once; the exact pass reuses rows
     val qemb = queries.select(
       col(idCol).cast("long").as("query_id"),
       col(embCol).as("__qv"))
@@ -1060,7 +1060,7 @@ object AnnIndex {
             lit("queryBatch: NULL embedding for query id "), col("query_id"))))
           .otherwise(col("__q")).as("__q")) ++
         attrEquals.toSeq.map(_ => col("__qattr")): _*)
-      .localCheckpoint(true) // feeds the probe AND the m LUT builds
+      .localCheckpoint(false) // feeds the probe AND the m LUT builds
     val probed = qemb
       .withColumn("__cells", slice(reverse(array_sort(array(
         Similarity.bestCells(spark, "__q", handle.centroids): _*))), 1, nProbe))
@@ -1100,7 +1100,7 @@ object AnnIndex {
               col("mi") * subDim + 1, lit(subDim)),
             col("cv"), (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, v) => acc + v).as("qd"))
-      .localCheckpoint(true) // m·k·nQueries rows feed the m join slices
+      .localCheckpoint(false) // m·k·nQueries rows feed the m join slices
     // the per-query attribute equality prunes candidates BEFORE the m
     // LUT joins — a non-qualifying row never pays a distance (the
     // attr column's existence was guarded eagerly above)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persistent lexical (BM25) retrieval index: the production form of
@@ -188,16 +188,54 @@ object Bm25Index {
         rows.join(f.select(col(handle.idCol)), Seq(handle.idCol), "left_semi")
     }
 
-  /** Driver-side bucket ids for the query's terms, computed by the
-    * ENGINE's own murmur3 (one local-relation row, never a scan) so
-    * the probe's pruning predicate can never drift from the hash the
-    * build wrote. */
-  private def bucketsFor(
-      spark: SparkSession, terms: Seq[String], numBuckets: Int): Seq[Int] = {
-    val row = spark.range(1).select(terms.zipWithIndex.map { case (t, i) =>
-      pmod(hash(lit(t)), lit(numBuckets)).cast("int").as(s"__b$i") }: _*).head()
-    terms.indices.map(row.getInt)
+  /** Per-term document frequency attached IN-PLAN: `rows` gains a
+    * pivotable `__df` column — the distinct-doc count of its term over
+    * the (unrestricted) pruned slice, the [[collapseTf]] pre-compact
+    * convention. Replaces the probes' separate driver `.collect()` of
+    * a df map: one Spark action and one slice re-scan fewer per probe
+    * (the df aggregate rides the SAME plan and AQE reuses the slice's
+    * exchange), and the per-term idf literals become per-term pivoted
+    * columns carrying the identical BIGINT df — scores are
+    * bit-identical (same Long df, same double arithmetic in the same
+    * order). */
+  private def withDfColumn(rows: DataFrame, idCol: String): DataFrame =
+    rows.join(
+      rows.groupBy("term").agg(countDistinct(col(idCol)).as("__df")),
+      Seq("term"))
+
+  /** The Robertson idf over an in-plan per-term df column — the exact
+    * column form of the old driver literal
+    * `log(1 + (N - df + 0.5)/(df + 0.5))` (Long subtraction, then the
+    * double cast, then + 0.5, matching Scala's left-to-right literal
+    * evaluation bit-for-bit). `dfI` NULL (term absent from the pruned
+    * slice, or absent from THIS doc's pivot group) coalesces to 0 —
+    * those rows' tf is 0/NULL so the term contributes exactly 0 either
+    * way, as with the old global literal. */
+  private def idfOf(nDocs: Long, dfI: Column): Column = {
+    val dfc = coalesce(dfI, lit(0L))
+    val num = (lit(nDocs) - dfc).cast("double") + lit(0.5)
+    val den = dfc.cast("double") + lit(0.5)
+    log(lit(1.0) + num / den)
   }
+
+  /** Driver-side bucket ids for the query's terms, computed by the
+    * ENGINE's own murmur3 so the probe's pruning predicate can never
+    * drift from the hash the build wrote. Evaluates the SAME catalyst
+    * `Murmur3Hash(_, 42)` expression `pmod(hash(col), n)` compiles to,
+    * but on the driver — the old one-local-row `.head()` spelling cost
+    * one Spark job per probe, and at probe latency the chain's job
+    * count IS the cost (OpsSpec pins equality with the in-plan
+    * expression). */
+  private[ops] def engineBucketOf(value: Any, numBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val h = Murmur3Hash(Seq(Literal(value)), 42).eval(null).asInstanceOf[Int]
+    val m = h % numBuckets
+    if (m < 0) m + numBuckets else m
+  }
+
+  private def bucketsFor(
+      spark: SparkSession, terms: Seq[String], numBuckets: Int): Seq[Int] =
+    terms.map(engineBucketOf(_, numBuckets))
 
   /** v2 stat frames. Postings: one row per (term, field, doc) with
     * `tf`, sorted 0-based `positions`, the doc's field length
@@ -286,10 +324,13 @@ object Bm25Index {
     val (postings, doclens) = statFrames(corpus, idCol, fields, numBuckets)
     postings.repartition(col("term_bucket")).sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$dir/postings")
-    // sized write (guide §6): an AQE-coalescable exchange so the file
-    // count tracks bytes, not the corpus scan's task count
-    doclens.repartition(col(idCol))
-      .write.mode("overwrite").parquet(s"$dir/doclens")
+    // r17: the r16 "sized write" repartition(idCol) here is REVERTED —
+    // ProfileSizedWrite measured the exchange producing the SAME file
+    // count as the plain write (AQE's parallelism-first coalescing
+    // keeps partition count at core count either way), so it was pure
+    // shuffle cost; output sizing belongs to advisoryPartitionSize
+    // tuning on the deploying cluster, not a blanket exchange
+    doclens.write.mode("overwrite").parquet(s"$dir/doclens")
     // the forward index projects the WRITTEN postings (one narrow read,
     // no re-tokenize) — see [[termvecsOf]]
     writeTermvecs(
@@ -317,7 +358,7 @@ object Bm25Index {
     // otherwise land postings/doclens/meta that disagree with each
     // other — build() heals itself by re-reading the written doclens,
     // append must not rely on callers checkpointing first
-    val frozen = slice.localCheckpoint(true)
+    val frozen = slice.localCheckpoint(false)
     // a hand-built handle may omit `fields`; its textCol is the field
     val handleFields =
       if (handle.fields.nonEmpty) handle.fields else Seq(handle.textCol)
@@ -352,8 +393,7 @@ object Bm25Index {
       postings.repartition(col("term_bucket")).sortWithinPartitions("term")
         .write.mode("append").partitionBy("term_bucket")
         .parquet(s"${handle.dir}/postings")
-      doclens.repartition(col(cur.idCol)) // sized write (guide §6)
-        .write.mode("append").parquet(s"${handle.dir}/doclens")
+      doclens.write.mode("append").parquet(s"${handle.dir}/doclens")
       // indexes built before the forward index existed stay without it
       // (a half-covered table would silently under-count feedback
       // terms) — rebuild to gain it
@@ -505,8 +545,7 @@ object Bm25Index {
       postings.repartition(col("term_bucket")).sortWithinPartitions("term")
         .write.mode("overwrite").partitionBy("term_bucket")
         .parquet(s"$tmp/postings")
-      doclens.repartition(col(idCol)) // sized write (guide §6)
-        .write.mode("overwrite").parquet(s"$tmp/doclens")
+      doclens.write.mode("overwrite").parquet(s"$tmp/doclens")
       writeTermvecs(
         termvecsOf(spark.read.parquet(s"$tmp/postings"), idCol), idCol,
         s"$tmp/termvecs", "overwrite")
@@ -615,8 +654,7 @@ object Bm25Index {
     postings0.repartition(col("term_bucket")).sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$tmp/postings")
-    doclens0.repartition(col(idCol)) // sized write (guide §6)
-      .write.mode("overwrite").parquet(s"$tmp/doclens")
+    doclens0.write.mode("overwrite").parquet(s"$tmp/doclens")
     writeTermvecs(
       termvecsOf(spark.read.parquet(s"$tmp/postings"), idCol), idCol,
       s"$tmp/termvecs", "overwrite")
@@ -634,13 +672,13 @@ object Bm25Index {
           spark.read.parquet(s"$dir/doclens").select(id).distinct())
         .join(spark.read.parquet(s"$tmp/doclens").select(id).distinct(),
           Seq(idCol), "left_anti")
-        .localCheckpoint(true) // feeds the count AND the semi-join
+        .localCheckpoint(false) // feeds the count AND the semi-join
       val nDelta = delta.count()
       if (nDelta > 0L) {
         // re-invoke the thunk: the delta rows landed AFTER snapshot0's
         // file listing, so only a fresh read can resolve them
         val rows = source().join(delta, Seq(idCol), "left_semi")
-          .localCheckpoint(true) // feeds the resolve check AND the pass
+          .localCheckpoint(false) // feeds the resolve check AND the pass
         val nRows = rows.select(id).distinct().count()
         require(nRows == nDelta,
           s"rebuildShadow: ${nDelta - nRows} ids appended to the live " +
@@ -652,8 +690,7 @@ object Bm25Index {
         dPostings.repartition(col("term_bucket")).sortWithinPartitions("term")
           .write.mode("append").partitionBy("term_bucket")
           .parquet(s"$tmp/postings")
-        dDoclens.repartition(col(idCol)) // sized write (guide §6)
-          .write.mode("append").parquet(s"$tmp/doclens")
+        dDoclens.write.mode("append").parquet(s"$tmp/doclens")
         writeTermvecs(termvecsOf(dPostings, idCol), idCol,
           s"$tmp/termvecs", "append")
       }
@@ -723,7 +760,7 @@ object Bm25Index {
       // snapshot: a crashed delete leaves tombstones with no meta
       // update — its retry must not double-write them)
       val fresh = Tombstones.liveOnly(spark, handle.dir, cur.idCol, inIndex)
-        .localCheckpoint(true) // one materialization feeds write + delta
+        .localCheckpoint(false) // one materialization feeds write + delta
       val doomed = spark.read.parquet(s"${handle.dir}/doclens")
         .join(fresh, Seq(cur.idCol), "left_semi")
       val (dn, dtotal, dPerField) = statsOf(doomed, cur.idCol, cur.fields)
@@ -956,31 +993,29 @@ object Bm25Index {
       spark.read.parquet(s"${handle.dir}/postings")
         .filter(col("term_bucket").isin(buckets: _*) &&
           col("term").isin(queryTerms: _*)))
-    val pruned = collapseTf(handle, raw)
     // df(term) == distinct docs in the pruned slice (== posting-row
     // count on v1/single-field; a multi-field doc matching in two
-    // fields must still count once)
-    // distinct-doc df — the [[collapseTf]] pre-compact convention
-    // (see phraseTopK): replayed-append duplicate rows must not
-    // inflate df in the positional probes only
-    val dfs: Map[String, Long] = pruned.groupBy("term")
-      .agg(countDistinct(col(handle.idCol)).as("__df")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fields must still count once) — the [[collapseTf]] pre-compact
+    // convention (see phraseTopK), attached IN-PLAN ([[withDfColumn]])
+    // instead of a per-probe driver collect
+    val pruned = withDfColumn(collapseTf(handle, raw), handle.idCol)
     val avgdl = handle.totalTokens.toDouble / handle.nDocs.toDouble
     val id = col(handle.idCol)
     // the metadata predicate restricts CANDIDATES only — df above is
     // deliberately computed over the unfiltered slice (see scaladoc)
     val candidates = restrict(handle, pruned, docFilter)
-    // pivot each term's tf to its own column so the per-term scores
-    // add LEFT-TO-RIGHT in query-term order — bit-identical to
-    // Retrieval.scoreWith's column reduce, independent of row layout
+    // pivot each term's tf (and its df) to its own column so the
+    // per-term scores add LEFT-TO-RIGHT in query-term order —
+    // bit-identical to Retrieval.scoreWith's column reduce,
+    // independent of row layout
     val pivoted = candidates.groupBy(id, col("n_tok")).agg(
       max(when(col("term") === queryTerms.head, col("tf"))).as("__tf0"),
-      queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
-        max(when(col("term") === t, col("tf"))).as(s"__tf$i") }: _*)
-    val perTerm = queryTerms.zipWithIndex.map { case (term, i) =>
-      val dft = dfs.getOrElse(term, 0L)
-      val idf = log(lit(1.0) + lit(handle.nDocs - dft + 0.5) / lit(dft + 0.5))
+      (queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
+        max(when(col("term") === t, col("tf"))).as(s"__tf$i") } ++
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          max(when(col("term") === t, col("__df"))).as(s"__df$i") }): _*)
+    val perTerm = queryTerms.zipWithIndex.map { case (_, i) =>
+      val idf = idfOf(handle.nDocs, col(s"__df$i"))
       val tf = coalesce(col(s"__tf$i").cast("double"), lit(0.0))
       idf * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("n_tok").cast("double") / lit(avgdl)))
@@ -1101,7 +1136,7 @@ object Bm25Index {
         spark.read.parquet(s"${handle.dir}/postings")
           .filter(col("term_bucket").isin(buckets: _*))
           .join(qt.select("term").distinct(), Seq("term"), "left_semi")))
-      .localCheckpoint(true) // feeds df counts AND candidates
+      .localCheckpoint(false) // feeds df counts AND candidates
     val dfs = pruned.groupBy("term").agg(count(lit(1)).as("__df"))
     val avgdl = handle.totalTokens.toDouble / handle.nDocs.toDouble
     val tf = col("tf").cast("double")
@@ -1231,19 +1266,20 @@ object Bm25Index {
     // convention: an at-least-once replayed append lays bit-identical
     // posting rows, and a raw row count here would inflate df in the
     // positional probes only — the same index must score consistently
-    // across probe families until compact reclaims the duplicates
-    val dfs: Map[String, Long] = pruned.groupBy("term")
-      .agg(countDistinct(col(handle.idCol)).as("__df")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // across probe families until compact reclaims the duplicates.
+    // Attached IN-PLAN ([[withDfColumn]]) instead of a driver collect.
+    val prunedDf = withDfColumn(pruned, handle.idCol)
     val id = col(handle.idCol)
-    // candidates restricted AFTER the df collect — stats corpus-wide
-    val pivoted = restrict(handle, pruned, docFilter)
+    // candidates restricted AFTER the df derivation — stats corpus-wide
+    val pivoted = restrict(handle, prunedDf, docFilter)
       .groupBy(id, col("n_tok_f")).agg(
       max(when(col("term") === distinctTerms.head, col("tf"))).as("__tf0"),
       (distinctTerms.zipWithIndex.drop(1).map { case (t, i) =>
         max(when(col("term") === t, col("tf"))).as(s"__tf$i") } ++
         distinctTerms.zipWithIndex.map { case (t, i) =>
-          max(when(col("term") === t, col("positions"))).as(s"__pos$i") }): _*)
+          max(when(col("term") === t, col("positions"))).as(s"__pos$i") } ++
+        distinctTerms.zipWithIndex.map { case (t, i) =>
+          max(when(col("term") === t, col("__df"))).as(s"__df$i") }): _*)
     val present = distinctTerms.indices
       .map(i => col(s"__pos$i").isNotNull).reduce(_ && _)
     // an occurrence at position p needs slot j's term at p + j for all j
@@ -1253,9 +1289,8 @@ object Bm25Index {
         .map { case (d, j) => array_contains(col(s"__pos$d"), p + j) }
         .reduce(_ && _)))
     val avgdlF = handle.fieldTokens(fi).toDouble / handle.nDocs.toDouble
-    val perTerm = distinctTerms.zipWithIndex.map { case (term, i) =>
-      val dft = dfs.getOrElse(term, 0L)
-      val idf = log(lit(1.0) + lit(handle.nDocs - dft + 0.5) / lit(dft + 0.5))
+    val perTerm = distinctTerms.zipWithIndex.map { case (_, i) =>
+      val idf = idfOf(handle.nDocs, col(s"__df$i"))
       val tf = coalesce(col(s"__tf$i").cast("double"), lit(0.0))
       idf * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) +
@@ -1321,24 +1356,24 @@ object Bm25Index {
           col("term").isin(queryTerms: _*) && col("field") === fld))
     // distinct-doc df — the [[collapseTf]] pre-compact convention
     // (see phraseTopK): replayed-append duplicate rows must not
-    // inflate df in the positional probes only
-    val dfs: Map[String, Long] = pruned.groupBy("term")
-      .agg(countDistinct(col(handle.idCol)).as("__df")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // inflate df in the positional probes only. Attached IN-PLAN
+    // ([[withDfColumn]]) instead of a driver collect.
+    val prunedDf = withDfColumn(pruned, handle.idCol)
     val id = col(handle.idCol)
-    // candidates restricted AFTER the df collect — stats corpus-wide
-    val pivoted = restrict(handle, pruned, docFilter)
+    // candidates restricted AFTER the df derivation — stats corpus-wide
+    val pivoted = restrict(handle, prunedDf, docFilter)
       .groupBy(id, col("n_tok_f")).agg(
       max(when(col("term") === queryTerms.head, col("tf"))).as("__tf0"),
       (queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
         max(when(col("term") === t, col("tf"))).as(s"__tf$i") } ++
         queryTerms.zipWithIndex.map { case (t, i) =>
           max(when(col("term") === t,
-            col("positions"))).as(s"__pos$i") }): _*)
+            col("positions"))).as(s"__pos$i") } ++
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          max(when(col("term") === t, col("__df"))).as(s"__df$i") }): _*)
     val avgdlF = handle.fieldTokens(fi).toDouble / handle.nDocs.toDouble
-    val perTerm = queryTerms.zipWithIndex.map { case (term, i) =>
-      val dft = dfs.getOrElse(term, 0L)
-      val idf = log(lit(1.0) + lit(handle.nDocs - dft + 0.5) / lit(dft + 0.5))
+    val perTerm = queryTerms.zipWithIndex.map { case (_, i) =>
+      val idf = idfOf(handle.nDocs, col(s"__df$i"))
       val tf = coalesce(col(s"__tf$i").cast("double"), lit(0.0))
       idf * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) +
@@ -1443,7 +1478,7 @@ object Bm25Index {
             lit("snippetTopKBatch: query terms must be lowercase " +
               "(documents are lowercased before matching): "), col("__t"))))
           .otherwise(col("__t")).as("term"))
-      .localCheckpoint(true) // feeds buckets, the score join, the window join
+      .localCheckpoint(false) // feeds buckets, the score join, the window join
     val buckets = qt
       .select(pmod(hash(col("term")), lit(handle.numBuckets)).cast("int").as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -1456,7 +1491,7 @@ object Bm25Index {
         spark.read.parquet(s"${handle.dir}/postings")
           .filter(col("term_bucket").isin(buckets: _*) && col("field") === fld)
           .join(qt.select("term").distinct(), Seq("term"), "left_semi"))
-      .localCheckpoint(true) // feeds df counts, the score join, the window join
+      .localCheckpoint(false) // feeds df counts, the score join, the window join
     val dfs = pruned.groupBy("term").agg(countDistinct(id).as("__df"))
     val avgdlF = handle.fieldTokens(fi).toDouble / handle.nDocs.toDouble
     val tf = col("tf").cast("double")
@@ -1704,24 +1739,24 @@ object Bm25Index {
           col("term").isin(queryTerms: _*) && col("field") === fld))
     // distinct-doc df — the [[collapseTf]] pre-compact convention
     // (see phraseTopK): replayed-append duplicate rows must not
-    // inflate df in the positional probes only
-    val dfs: Map[String, Long] = pruned.groupBy("term")
-      .agg(countDistinct(col(handle.idCol)).as("__df")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // inflate df in the positional probes only. Attached IN-PLAN
+    // ([[withDfColumn]]) instead of a driver collect.
+    val prunedDf = withDfColumn(pruned, handle.idCol)
     val id = col(handle.idCol)
-    // candidates restricted AFTER the df collect — stats corpus-wide
-    val pivoted = restrict(handle, pruned, docFilter)
+    // candidates restricted AFTER the df derivation — stats corpus-wide
+    val pivoted = restrict(handle, prunedDf, docFilter)
       .groupBy(id, col("n_tok_f")).agg(
       max(when(col("term") === queryTerms.head, col("tf"))).as("__tf0"),
       (queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
         max(when(col("term") === t, col("tf"))).as(s"__tf$i") } ++
         queryTerms.zipWithIndex.map { case (t, i) =>
           max(when(col("term") === t,
-            col("positions"))).as(s"__pos$i") }): _*)
+            col("positions"))).as(s"__pos$i") } ++
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          max(when(col("term") === t, col("__df"))).as(s"__df$i") }): _*)
     val avgdlF = handle.fieldTokens(fi).toDouble / handle.nDocs.toDouble
-    val perTermQ = queryTerms.zipWithIndex.map { case (term, i) =>
-      val dft = dfs.getOrElse(term, 0L)
-      val idf = log(lit(1.0) + lit(handle.nDocs - dft + 0.5) / lit(dft + 0.5))
+    val perTermQ = queryTerms.zipWithIndex.map { case (_, i) =>
+      val idf = idfOf(handle.nDocs, col(s"__df$i"))
       val tf = coalesce(col(s"__tf$i").cast("double"), lit(0.0))
       round(idf * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) +
@@ -1820,7 +1855,7 @@ object Bm25Index {
             lit("phraseTopKBatch: phrase terms must be lowercase " +
               "(documents are lowercased before matching): "), col("__t"))))
           .otherwise(col("__t")).as("term"))
-      .localCheckpoint(true) // feeds buckets, the slot join, the score join
+      .localCheckpoint(false) // feeds buckets, the slot join, the score join
     val buckets = slots
       .select(pmod(hash(col("term")), lit(handle.numBuckets)).cast("int").as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -1837,7 +1872,7 @@ object Bm25Index {
         spark.read.parquet(s"${handle.dir}/postings")
           .filter(col("term_bucket").isin(buckets: _*) && col("field") === fld)
           .join(slots.select("term").distinct(), Seq("term"), "left_semi"))
-      .localCheckpoint(true) // feeds df counts, the slot join, the score join
+      .localCheckpoint(false) // feeds df counts, the slot join, the score join
     val narrow = pruned
       .groupBy(col("term"), id, col("n_tok_f")).agg(max(col("tf")).as("tf"))
     // rows unique per (term, doc) within the fixed field: count == df
@@ -1907,30 +1942,72 @@ object Bm25Index {
     require(handle.nDocs > 0, "topKWeighted over an empty index")
     require(weights.columns.contains("term") && weights.columns.contains("weight_q"),
       s"weights must carry (term, weight_q), has ${weights.columns.mkString(", ")}")
-    val dupW = org.apache.spark.sql.expressions.Window.partitionBy("term")
-    val wt = weights
-      .withColumn("__n", count(lit(1)).over(dupW))
-      .select(
-        when(col("term").isNull, raise_error(lit(
-            "topKWeighted: NULL term")))
-          .when(col("term") =!= lower(col("term")), raise_error(concat(
-            lit("topKWeighted: terms must be lowercase (documents are " +
-              "lowercased before matching): "), col("term"))))
-          .when(col("__n") > 1, raise_error(concat(
-            lit("topKWeighted: duplicate term "), col("term"))))
-          .otherwise(col("term")).as("term"),
-        when(col("weight_q") <= 0L, raise_error(concat(
-            lit("topKWeighted: weight_q must be positive for "), col("term"))))
-          .otherwise(col("weight_q").cast("long")).as("weight_q"))
-      .localCheckpoint(true) // feeds bucket collect AND the score join
-    val buckets = wt
-      .select(pmod(hash(col("term")), lit(handle.numBuckets)).cast("int").as("__b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val pruned = collapseTf(handle, liveOnly(spark, handle,
-        spark.read.parquet(s"${handle.dir}/postings")
-          .filter(col("term_bucket").isin(buckets: _*))
-          .join(wt.select("term"), Seq("term"), "left_semi")))
-      .localCheckpoint(true) // feeds df counts AND candidates
+    // Weights are a TERM TABLE — |Q| + fbTerms rows by the rm3Expand
+    // contract, and a LocalRelation whenever they come from rm3Expand
+    // (built on the driver). The fast path collects them WITHOUT a job
+    // (LocalTableScan.executeCollect is driver-side), validates on the
+    // driver, derives buckets via [[engineBucketOf]], and attaches the
+    // weight as a literal-map lookup — four fewer Spark jobs per probe
+    // (no weights checkpoint, no bucket collect, no weights-side
+    // exchange for the score join). Distributed weight frames keep the
+    // old in-plan validation path. Scores are bit-identical: the same
+    // Long weight multiplies the same per-term double.
+    val isLocal = weights.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    val (pruned, attachWeight: (DataFrame => DataFrame)) =
+      if (isLocal) {
+        // LocalTableScan.executeCollect is driver-side — no job
+        val rows = weights.select(col("term"), col("weight_q").cast("long")).collect()
+        rows.foreach { r =>
+          require(!r.isNullAt(0), "topKWeighted: NULL term")
+          val t = r.getString(0)
+          require(t == t.toLowerCase,
+            s"topKWeighted: terms must be lowercase (documents are " +
+              s"lowercased before matching): $t")
+          require(!r.isNullAt(1) && r.getLong(1) > 0L,
+            s"topKWeighted: weight_q must be positive for $t")
+        }
+        val dup = rows.groupBy(_.getString(0))
+          .collectFirst { case (t, g) if g.size > 1 => t }
+        require(dup.isEmpty, s"topKWeighted: duplicate term ${dup.getOrElse("")}")
+        val terms = rows.map(_.getString(0)).toSeq
+        val wmap = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+        val buckets = terms.map(engineBucketOf(_, handle.numBuckets)).distinct
+        val slice = collapseTf(handle, liveOnly(spark, handle,
+          spark.read.parquet(s"${handle.dir}/postings")
+            .filter(col("term_bucket").isin(buckets: _*) &&
+              col("term").isin(terms: _*))))
+        (slice, (df: DataFrame) =>
+          df.withColumn("weight_q", element_at(typedLit(wmap), col("term"))))
+      } else {
+        val dupW = org.apache.spark.sql.expressions.Window.partitionBy("term")
+        val wt = weights
+          .withColumn("__n", count(lit(1)).over(dupW))
+          .select(
+            when(col("term").isNull, raise_error(lit(
+                "topKWeighted: NULL term")))
+              .when(col("term") =!= lower(col("term")), raise_error(concat(
+                lit("topKWeighted: terms must be lowercase (documents are " +
+                  "lowercased before matching): "), col("term"))))
+              .when(col("__n") > 1, raise_error(concat(
+                lit("topKWeighted: duplicate term "), col("term"))))
+              .otherwise(col("term")).as("term"),
+            when(col("weight_q") <= 0L, raise_error(concat(
+                lit("topKWeighted: weight_q must be positive for "), col("term"))))
+              .otherwise(col("weight_q").cast("long")).as("weight_q"))
+          .localCheckpoint(false) // feeds bucket collect AND the score join
+        val buckets = wt
+          .select(pmod(hash(col("term")), lit(handle.numBuckets)).cast("int").as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val slice = collapseTf(handle, liveOnly(spark, handle,
+          spark.read.parquet(s"${handle.dir}/postings")
+            .filter(col("term_bucket").isin(buckets: _*))
+            .join(wt.select("term"), Seq("term"), "left_semi")))
+        (slice, (df: DataFrame) => df.join(wt, Seq("term")))
+      }
+    // one in-plan df per term over the UNRESTRICTED slice (count of
+    // collapsed rows — the original convention here); candidates
+    // restricted AFTER — stats corpus-wide
     val dfs = pruned.groupBy("term").agg(count(lit(1)).as("__df"))
     val avgdl = handle.totalTokens.toDouble / handle.nDocs.toDouble
     val tf = col("tf").cast("double")
@@ -1941,8 +2018,7 @@ object Bm25Index {
       (tf + lit(k1) * (lit(1.0 - b) +
         lit(b) * col("n_tok").cast("double") / lit(avgdl)))
     val id = col(handle.idCol)
-    // candidates restricted AFTER the df derivation — stats corpus-wide
-    wt.join(restrict(handle, pruned, docFilter), Seq("term"))
+    attachWeight(restrict(handle, pruned, docFilter))
       .join(dfs, Seq("term"))
       .withColumn("__sq",
         round(col("weight_q").cast("double") * termScore).cast("long"))
@@ -2008,23 +2084,24 @@ object Bm25Index {
       spark: SparkSession, handle: Handle, queryTerms: Seq[String], k: Int,
       k1: Double, b: Double, docFilter: Option[DataFrame]): DataFrame = {
     val buckets = bucketsFor(spark, queryTerms, handle.numBuckets).distinct
-    val pruned = collapseTf(handle, liveOnly(spark, handle,
+    // df attached IN-PLAN ([[withDfColumn]]) — this probe now costs
+    // ZERO actions of its own; the caller's one collect executes the
+    // whole chain
+    val pruned = withDfColumn(collapseTf(handle, liveOnly(spark, handle,
       spark.read.parquet(s"${handle.dir}/postings")
         .filter(col("term_bucket").isin(buckets: _*) &&
-          col("term").isin(queryTerms: _*))))
-    val dfs: Map[String, Long] = pruned.groupBy("term")
-      .agg(countDistinct(col(handle.idCol)).as("__df")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+          col("term").isin(queryTerms: _*)))), handle.idCol)
     val avgdl = handle.totalTokens.toDouble / handle.nDocs.toDouble
     val id = col(handle.idCol)
     val candidates = restrict(handle, pruned, docFilter)
     val pivoted = candidates.groupBy(id, col("n_tok")).agg(
       max(when(col("term") === queryTerms.head, col("tf"))).as("__tf0"),
-      queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
-        max(when(col("term") === t, col("tf"))).as(s"__tf$i") }: _*)
-    val perTerm = queryTerms.zipWithIndex.map { case (term, i) =>
-      val dft = dfs.getOrElse(term, 0L)
-      val idf = log(lit(1.0) + lit(handle.nDocs - dft + 0.5) / lit(dft + 0.5))
+      (queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
+        max(when(col("term") === t, col("tf"))).as(s"__tf$i") } ++
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          max(when(col("term") === t, col("__df"))).as(s"__df$i") }): _*)
+    val perTerm = queryTerms.zipWithIndex.map { case (_, i) =>
+      val idf = idfOf(handle.nDocs, col(s"__df$i"))
       val tf = col(s"__tf$i").cast("double")
       val termScore = idf * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) +
@@ -2088,10 +2165,9 @@ object Bm25Index {
       handle.fields.contains(textCol)
     val termFreqs =
       if (hasTv) {
-        val buckets = spark.range(1).select(fbIds.zipWithIndex.map {
-            case (v, i) => pmod(hash(lit(v)), lit(NumDocBuckets))
-              .cast("int").as(s"__b$i") }: _*)
-          .head() match { case r => fbIds.indices.map(r.getInt).distinct }
+        // driver-side engine murmur3 (see engineBucketOf) — the old
+        // one-local-row .head() spelling cost a job per expansion
+        val buckets = fbIds.map(engineBucketOf(_, NumDocBuckets)).distinct
         spark.read.parquet(s"${handle.dir}/termvecs")
           .filter(col("doc_bucket").isin(buckets: _*) &&
             col(handle.idCol).isin(fbIds: _*) && col("field") === textCol)
@@ -2196,10 +2272,9 @@ object Bm25Index {
         .filter(col("term_bucket").isin(buckets: _*) &&
           col("term").isin(queryTerms: _*) && col("field").isin(wFields: _*)))
     val id = col(handle.idCol)
-    // a doc matching the term in TWO fields still counts once
-    val dfs: Map[String, Long] = pruned.groupBy("term")
-      .agg(countDistinct(id).as("__df")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a doc matching the term in TWO fields still counts once —
+    // attached IN-PLAN ([[withDfColumn]]) instead of a driver collect
+    val prunedDf = withDfColumn(pruned, handle.idCol)
     val avgdlF: Map[String, Double] = handle.fields.zip(handle.fieldTokens)
       .map { case (f, t) => f -> t.toDouble / handle.nDocs.toDouble }.toMap
     def fieldChain(value: String => Double) =
@@ -2210,22 +2285,25 @@ object Bm25Index {
     val bF = lit(1.0 - b) + lit(b) * col("n_tok_f").cast("double") /
       fieldChain(avgdlF)
     val wtf = fieldChain(weights.toMap) * col("tf").cast("double") / bF
-    // candidates restricted AFTER the df collect — stats corpus-wide
-    val perTermDoc = restrict(handle, pruned, docFilter)
+    // candidates restricted AFTER the df derivation — stats corpus-wide
+    val perTermDoc = restrict(handle, prunedDf, docFilter)
       .withColumn("__wq", round(wtf * lit(1048576.0d)).cast("long"))
       // inner max collapses bit-identical replayed-append rows (the
       // [[collapseTf]] pre-compact convention), outer sum is the real
       // across-fields total; on a clean index both aggregate one row
       // per key — values unchanged
-      .groupBy(id, col("term"), col("field")).agg(max(col("__wq")).as("__wq"))
-      .groupBy(id, col("term")).agg(sum(col("__wq")).as("__twq"))
+      .groupBy(id, col("term"), col("field"))
+      .agg(max(col("__wq")).as("__wq"), max(col("__df")).as("__df"))
+      .groupBy(id, col("term"))
+      .agg(sum(col("__wq")).as("__twq"), max(col("__df")).as("__df"))
     val pivoted = perTermDoc.groupBy(id).agg(
       max(when(col("term") === queryTerms.head, col("__twq"))).as("__tw0"),
-      queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
-        max(when(col("term") === t, col("__twq"))).as(s"__tw$i") }: _*)
-    val perTerm = queryTerms.zipWithIndex.map { case (term, i) =>
-      val dft = dfs.getOrElse(term, 0L)
-      val idf = log(lit(1.0) + lit(handle.nDocs - dft + 0.5) / lit(dft + 0.5))
+      (queryTerms.zipWithIndex.drop(1).map { case (t, i) =>
+        max(when(col("term") === t, col("__twq"))).as(s"__tw$i") } ++
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          max(when(col("term") === t, col("__df"))).as(s"__df$i") }): _*)
+    val perTerm = queryTerms.zipWithIndex.map { case (_, i) =>
+      val idf = idfOf(handle.nDocs, col(s"__df$i"))
       val tft = coalesce(col(s"__tw$i"), lit(0L)).cast("double") / lit(1048576.0d)
       idf * tft / (lit(k1) + tft)
     }

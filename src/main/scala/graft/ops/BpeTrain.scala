@@ -54,7 +54,7 @@ object BpeTrain {
       .select(call_function("graft_bpe_syms", col("piece"), lit(byteLevel)).as("syms"),
         col("w"))
       .filter(size(col("syms")) >= 2)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
   }
 
   /** One distributed round's argmax: weighted adjacent-pair counts via
@@ -99,7 +99,7 @@ object BpeTrain {
         words = words
           .withColumn("syms", applyMerge(col("syms"), l, r))
           .filter(size(col("syms")) >= 2) // fully-merged pieces retire
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         rank += 1
       }
     }
@@ -192,7 +192,7 @@ object BpeTrain {
           words = words
             .withColumn("syms", applyMerge(col("syms"), l, r))
             .filter(size(col("syms")) >= 2)
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           rank += 1
           n = words.count()
       }

@@ -238,7 +238,7 @@ object CurationRefresh {
         // OLD rows carry the text whose fingerprint must retire
         val delRows = spark.read.parquet(curDir)
           .join(delIds, Seq(idCol), "left_semi")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         // fingerprint refcount at the refresh level: a deleted doc's
         // text md5 retires ONLY when no doc of the new corpus carries
         // the same text — [[DedupIndex.delete]]'s forget-the-content
@@ -285,7 +285,7 @@ object CurationRefresh {
       .select(col(idCol))
     if (!upsIds.isEmpty) {
       val ups = next.join(upsIds, Seq(idCol), "left_semi")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       screen match {
         case Some(gate) =>
           graft.streaming.CurationIngest.curationSink(

@@ -81,10 +81,10 @@ object DedupIndex {
     fps.write.mode("overwrite").parquet(s"$dir/fingerprints")
     sigs.repartition(col("band0")) // one writer wave per bucket
       .write.mode("overwrite").partitionBy("band0").parquet(s"$dir/signatures")
-    // sized write (guide §6): an AQE-coalescable exchange so the file
-    // count tracks bytes, not the corpus scan's task count
-    words.repartition(col(idCol))
-      .write.mode("overwrite").parquet(s"$dir/words")
+    // r17: the r16 "sized write" repartition(idCol) is reverted here —
+    // see Bm25Index doclens (ProfileSizedWrite: same file count either
+    // way, the exchange was pure cost)
+    words.write.mode("overwrite").parquet(s"$dir/words")
     Seq((idCol, numHashes, bandSize)).toDF("idCol", "numHashes", "bandSize")
       .coalesce(1).write.mode("overwrite").json(s"$dir/meta")
     Handle(dir, idCol, numHashes, bandSize)
@@ -109,8 +109,7 @@ object DedupIndex {
       fps.write.mode("append").parquet(s"${handle.dir}/fingerprints")
       sigs.repartition(col("band0"))
         .write.mode("append").partitionBy("band0").parquet(s"${handle.dir}/signatures")
-      words.repartition(col(handle.idCol)) // sized write (guide §6)
-        .write.mode("append").parquet(s"${handle.dir}/words")
+      words.write.mode("append").parquet(s"${handle.dir}/words")
     }
   }
 
@@ -349,8 +348,7 @@ object DedupIndex {
       fps.write.mode("overwrite").parquet(s"$tmp/fingerprints")
       sigs.repartition(col("band0"))
         .write.mode("overwrite").partitionBy("band0").parquet(s"$tmp/signatures")
-      words.repartition(col(idCol)) // sized write (guide §6)
-        .write.mode("overwrite").parquet(s"$tmp/words")
+      words.write.mode("overwrite").parquet(s"$tmp/words")
       Seq((idCol, numHashes, bandSize)).toDF("idCol", "numHashes", "bandSize")
         .coalesce(1).write.mode("overwrite").json(s"$tmp/meta")
       tables.zipWithIndex.foreach { case (t, i) =>
@@ -432,8 +430,7 @@ object DedupIndex {
     fps0.write.mode("overwrite").parquet(s"$tmp/fingerprints")
     sigs0.repartition(col("band0"))
       .write.mode("overwrite").partitionBy("band0").parquet(s"$tmp/signatures")
-    words0.repartition(col(idCol)) // sized write (guide §6)
-      .write.mode("overwrite").parquet(s"$tmp/words")
+    words0.write.mode("overwrite").parquet(s"$tmp/words")
     beforeLock()
     // ---- phase 2, LOCKED: bounded catch-up + swap
     Maintenance.acquireCompactLock(fs, root, waitForAppendsMs)
@@ -444,11 +441,11 @@ object DedupIndex {
           spark.read.parquet(s"$dir/signatures").select(id).distinct())
         .join(spark.read.parquet(s"$tmp/signatures").select(id).distinct(),
           Seq(idCol), "left_anti")
-        .localCheckpoint(true) // feeds the count AND the semi-join
+        .localCheckpoint(false) // feeds the count AND the semi-join
       val nDelta = delta.count()
       if (nDelta > 0L) {
         val rows = source().join(delta, Seq(idCol), "left_semi")
-          .localCheckpoint(true) // feeds the resolve check AND the pass
+          .localCheckpoint(false) // feeds the resolve check AND the pass
         val nRows = rows.select(id).distinct().count()
         require(nRows == nDelta,
           s"rebuildShadow: ${nDelta - nRows} ids appended to the live " +
@@ -461,8 +458,7 @@ object DedupIndex {
         dFps.write.mode("append").parquet(s"$tmp/fingerprints")
         dSigs.repartition(col("band0"))
           .write.mode("append").partitionBy("band0").parquet(s"$tmp/signatures")
-        dWords.repartition(col(idCol)) // sized write (guide §6)
-          .write.mode("append").parquet(s"$tmp/words")
+        dWords.write.mode("append").parquet(s"$tmp/words")
       }
       Seq((idCol, numHashes, bandSize)).toDF("idCol", "numHashes", "bandSize")
         .coalesce(1).write.mode("overwrite").json(s"$tmp/meta")
@@ -642,7 +638,7 @@ object DedupIndex {
       .filter(col("mh0").isNotNull)
       .select(col(idCol) +: (0 until numHashes).map(i => col(s"mh$i")): _*)
       .withColumn("band0", bandKey(numHashes, handle.bandSize))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val cSig = tombstones.foldLeft(
         spark.read.parquet(s"${handle.dir}/signatures")) {
       (df, ts) => df.join(ts.select(idCol), Seq(idCol), "left_anti")
@@ -665,7 +661,7 @@ object DedupIndex {
         cond && col("a.band0") === col("b.band0") else cond
       a.join(b, full)
         .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-    }.reduce(_ unionByName _).distinct().localCheckpoint(true)
+    }.reduce(_ unionByName _).distinct().localCheckpoint(false)
     // verify: batch word sets computed, corpus word sets READ — and
     // only for ids that appear in a candidate pair
     val bWords = batch.filter(col("text").isNotNull)

@@ -32,7 +32,7 @@ object Eval {
       .groupBy(col(truthCol).cast("string").as("truth"),
         col(predCol).cast("string").as("pred"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // classes^2-bounded; feeds three aggregates
+      .localCheckpoint(false) // classes^2-bounded; feeds three aggregates
     // null-safe (<=>) join keys throughout: equi-joins on `label` would
     // never match the NULL class against itself, splitting it into two
     // half-rows and losing its true positives — the doc promises NULL

@@ -498,7 +498,7 @@ object Multimodal {
       hashed0: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int): DataFrame = {
     val hashed = hashed0
-      .localCheckpoint(true) // hashes feed the band joins AND the final join
+      .localCheckpoint(false) // hashes feed the band joins AND the final join
     val pairs = Dedup.hammingNearDupPairs(hashed, idCol, hashCol, maxHamming)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val dupMap = Dedup.connectedComponents(pairs)

@@ -209,7 +209,7 @@ object NbClassifier {
       numBuckets, maxGram, delta, maxMarginNats)
       .groupBy("margin_nats")
       .agg(count(lit(1)).as("__n"), sum(col("__correct")).as("__c"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val th = bins
       .select(explode(sequence(lit(0), col("margin_nats"))).as("min_margin_nats"),
         col("__n"), col("__c"))

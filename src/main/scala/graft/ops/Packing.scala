@@ -519,7 +519,7 @@ object Packing {
       // both the assignment fold and the payload join consume this —
       // without the checkpoint the BPE encode (the expensive stage)
       // would run twice
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val asg = packGreedyNoSplit(toked, idCol, "__ntok", shardCol, ctxLen)
     val payload = toked.select(col(idCol).cast("long").as("doc_id"),
       col("__ids"), col("__plen"))

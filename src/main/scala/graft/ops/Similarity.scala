@@ -154,7 +154,7 @@ object Similarity {
       .withColumn("__scos", nCosine(s, col("projected"), qSketch))
       .orderBy(col("__scos").desc, col(idCol))
       .limit(shortlist)
-      .localCheckpoint(true) // stage 2 must not re-run the stage-1 scan
+      .localCheckpoint(false) // stage 2 must not re-run the stage-1 scan
     val q = array(queryVec.map(lit): _*)
     short
       .withColumn("cosine", nCosine(s, col(embCol), q))
@@ -703,12 +703,20 @@ object Similarity {
     * folding the cast into each aggregate re-runs it per column). */
   def sqFit(df: DataFrame, embCol: String, dim: Int): Seq[(Double, Double)] = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    val cast = df.select(asDouble(col(embCol)).as("__emb"))
-    val aggs = (0 until dim).flatMap(j => Seq(
-      min(element_at(col("__emb"), j + 1)).as(s"mn$j"),
-      max(element_at(col("__emb"), j + 1)).as(s"mx$j")))
-    val r = cast.agg(aggs.head, aggs.tail: _*).collect().head
-    (0 until dim).map(j => (r.getDouble(2 * j), r.getDouble(2 * j + 1)))
+    // r17: ONE posexplode + a dim-group aggregate instead of a 2·dim-
+    // expression-wide agg — 128 aggregate expressions exceed the
+    // whole-stage-codegen field limit (spark.sql.codegen.maxFields =
+    // 100), so the wide form ran INTERPRETED and paid ~0.15 s of
+    // per-task buffer setup on every partition (q89 profile: 15.7
+    // task-seconds on 2 000 rows). Same exact min/max per dimension;
+    // a position with no non-null value keeps the old
+    // getDouble(null)=0.0 reading.
+    val byDim = df
+      .select(posexplode(asDouble(col(embCol))).as(Seq("__j", "__x")))
+      .groupBy("__j").agg(min(col("__x")).as("mn"), max(col("__x")).as("mx"))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    (0 until dim).map(j => byDim.getOrElse(j, (0.0, 0.0)))
   }
 
   /** Int8 scalar quantization (SQ8 — the FAISS `ScalarQuantizer`
@@ -800,7 +808,7 @@ object Similarity {
       dim: Int, threshold: Double = 0.95, numPlanes: Int = 8): DataFrame = {
     val pairs = cosineNearDupPairs(df, embCol, idCol, dim, threshold, numPlanes)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val dupMap = Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol), col("comp").as("dup_of"))
@@ -852,7 +860,7 @@ object Similarity {
     val codebook = trainCodebook(df, embCol, idCol, k, dim, iters, exactMean = true)
     val cells = ivfAssign(df, embCol, codebook)
       .select(col(idCol), col(embCol), col("cell"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // the skew check is one aggregate over the k-bounded cell space
     val oversized = cells.groupBy("cell").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxCellSize)
@@ -883,7 +891,7 @@ object Similarity {
       // Dedup.nearDuplicates candidate discipline)
       val bb = lshBucket(cells.filter(col("cell").isin(overIds: _*)),
           embCol, dim, bands * planesPerBand)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val cand = bandedCandidates(bb, idCol, bands, planesPerBand)
       val emb = bb.select(col(idCol), col(embCol))
       val banded = cand
@@ -893,7 +901,7 @@ object Similarity {
         .filter(col("cosine") >= threshold)
         .select(col("doc_a"), col("doc_b"))
       healthy.unionByName(banded)
-    }).localCheckpoint(true)
+    }).localCheckpoint(false)
     val dupMap = Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol), col("comp").as("dup_of"))

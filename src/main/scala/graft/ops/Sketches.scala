@@ -112,7 +112,7 @@ object Sketches {
       df: DataFrame, textCol: String, probes: DataFrame, gramCol: String,
       gram: Int = 1, depth: Int = 4, width: Int = 1024): DataFrame = {
     val sketch = cmsBuild(df, textCol, gram, depth, width)
-      .localCheckpoint(true) // one build feeds every probe row
+      .localCheckpoint(false) // one build feeds every probe row
     val exact = gramRows(df, textCol, gram)
       .join(broadcast(probes.select(col(gramCol).as("g")).distinct()), Seq("g"))
       .groupBy(col("g").as(gramCol)).agg(count(lit(1)).as("true_cnt"))

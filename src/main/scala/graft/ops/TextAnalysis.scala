@@ -982,7 +982,7 @@ object TextAnalysis {
     // scalars, dimension-table sized)
     val uni = train.select(explode(charNgramsOf(col(textCol), 1)).as("__c1g"))
       .groupBy("__c1g").agg(count(lit(1)).as("__c1"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val (vocabV, totalT) = {
       val r = uni.agg(count(lit(1)), sum("__c1")).collect().head
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -1065,9 +1065,9 @@ object TextAnalysis {
     def toks(c: Column) = split(trim(lower(c)), "\\s+")
     val counts = train.select(explode(toks(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c_uni"))
-      .localCheckpoint(true) // feeds the top-K AND the total
+      .localCheckpoint(false) // feeds the top-K AND the total
     val vocab = counts.orderBy(col("c_uni").desc, col("w")).limit(maxVocab)
-      .localCheckpoint(true) // feeds two probe markers + the unigram model
+      .localCheckpoint(false) // feeds two probe markers + the unigram model
     val totalT = counts.agg(coalesce(sum("c_uni"), lit(0L))).collect().head.getLong(0)
     require(totalT > 0, "cannot train a word LM on an empty corpus")
     val vStats = vocab.agg(count(lit(1)), coalesce(sum("c_uni"), lit(0L))).collect().head
@@ -1099,7 +1099,7 @@ object TextAnalysis {
 
     val bi = mapped(bigramsOf(train, Seq.empty))
       .groupBy("mp", "mc").agg(count(lit(1)).as("__cbi"))
-      .localCheckpoint(true) // feeds the context counts AND the probe
+      .localCheckpoint(false) // feeds the context counts AND the probe
     val ctx = bi.groupBy("mp").agg(sum(col("__cbi")).as("__cctx"))
 
     val joined = mapped(bigramsOf(docs, Seq(col(idCol))))
@@ -1164,7 +1164,7 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("c_uni"))
     val vocab = counts.orderBy(col("c_uni").desc, col("w")).limit(maxVocab)
       .select("w")
-      .localCheckpoint(true) // feeds both probe markers + V
+      .localCheckpoint(false) // feeds both probe markers + V
     val vocabV = vocab.count() + 1 // + <unk>
 
     def bigramsOf(df: DataFrame, cols: Seq[Column]): DataFrame = {
@@ -1185,7 +1185,7 @@ object TextAnalysis {
 
     val bi = mapped(bigramsOf(train, Seq.empty))
       .groupBy("mp", "mc").agg(count(lit(1)).as("__cbi"))
-      .localCheckpoint(true) // feeds ctx, N1+ fwd/bwd, B and the probe
+      .localCheckpoint(false) // feeds ctx, N1+ fwd/bwd, B and the probe
     val ctx = bi.groupBy("mp").agg(sum(col("__cbi")).as("__cctx"))
     // KN's two type-count tables: each bi row IS one distinct pair, so
     // N1+(p·) / N1+(·c) are plain row counts per side
@@ -1280,7 +1280,7 @@ object TextAnalysis {
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // feeds totals AND the top-k
+      .localCheckpoint(false) // feeds totals AND the top-k
     val agg = counts.agg(
       coalesce(sum("c"), lit(0L)).as("n_tokens"),
       count(lit(1)).as("n_vocab"),
@@ -1330,8 +1330,8 @@ object TextAnalysis {
       .filter(length(col("g")) > 0)
       .groupBy(pmod(Sampling.hash28(col("g")), lit(numBuckets.toLong)).as("bucket"))
       .agg(count(lit(1)).as("c"))
-    val ca = buckets(a).localCheckpoint(true)
-    val cb = buckets(b).localCheckpoint(true)
+    val ca = buckets(a).localCheckpoint(false)
+    val cb = buckets(b).localCheckpoint(false)
     val ta = ca.agg(coalesce(sum("c"), lit(0L))).collect().head.getLong(0)
     val tb = cb.agg(coalesce(sum("c"), lit(0L))).collect().head.getLong(0)
     val denomA = (ta + numBuckets.toLong * delta).toDouble
@@ -1480,26 +1480,25 @@ object TextAnalysis {
           element_at(col("ws"), i + 1).as("w2")))).as("bg"))
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
-      .localCheckpoint(true) // feeds the N aggregate AND the output
-    val nRow = bigrams.agg(sum("c12")).collect().head
-    if (nRow.isNullAt(0)) {
-      // no document has two tokens: an empty result with the right
-      // schema, not an unboxing NPE on the NULL sum
-      return bigrams.filter(lit(false))
-        .select(col("w1"), col("w2"), col("c12"),
-          col("c12").as("c1"), col("c12").as("c2"), col("c12").as("pmi_q"))
-    }
-    val nTotal = nRow.getLong(0)
+      .localCheckpoint(false) // feeds the N aggregate AND the output
+    // the N normalizer rides IN-PLAN as a broadcast one-row frame
+    // (r17: the old collect was a separate action per call; Spark SQL
+    // log == JVM Math.log == DuckDB ln on these inputs — the
+    // library-wide ln-parity convention — so the quantized value is
+    // bit-identical to the old driver-baked literal). An empty bigram
+    // table yields an empty output through the joins, exactly as the
+    // old explicit empty-schema guard did.
+    val nn = bigrams.agg(
+      round(log(sum(col("c12")).cast("double")) * lnScale).cast("long")
+        .as("__lnn"))
     val unigrams = ws.select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    // JVM Math.log == Spark SQL log == DuckDB ln on these inputs (the
-    // library-wide ln-parity convention the LM scorers established)
-    val lnNq = math.round(math.log(nTotal.toDouble) * lnScale)
     bigrams.filter(col("c12") >= minCount)
       .join(broadcast(unigrams.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
       .join(broadcast(unigrams.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(nn))
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
-        (lnq(col("c12")) + lit(lnNq) - lnq(col("c1")) - lnq(col("c2")))
+        (lnq(col("c12")) + col("__lnn") - lnq(col("c1")) - lnq(col("c2")))
           .as("pmi_q"))
       .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
       .limit(topK)
@@ -1534,7 +1533,7 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(maxVocab)
       .select("w")
-      .localCheckpoint(true) // vocab-bounded; feeds two joins + the seeds
+      .localCheckpoint(false) // vocab-bounded; feeds two joins + the seeds
     val bg = ws.filter(size(col("ws")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
         i => struct(element_at(col("ws"), i).as("mp"),

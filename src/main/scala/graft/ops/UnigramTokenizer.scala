@@ -36,20 +36,35 @@ object UnigramTokenizer {
     * `lp_q = round(ln(cnt / total_selected) · 2²⁰)` where the
     * normalizer is the selected pieces' count mass.
     * Returns `(piece, cnt, lp_q)`. */
+  /** The weighted distinct-word table every corpus pass in this module
+    * derives — factored out so [[train]] (and [[shrinkToTarget]]) can
+    * tokenize the corpus ONCE and feed the same checkpointed table to
+    * the seed and every EM round, instead of re-deriving it per round
+    * (the q146 profile: each round re-paid the corpus explode +
+    * word aggregate). */
+  private def weightedWords(
+      docs: DataFrame, textCol: String, maxWordLen: Int): DataFrame =
+    docs
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+
   def seedVocab(
       docs: DataFrame, textCol: String,
       maxPieceLen: Int = 4, vocabSize: Int = 256,
-      maxWordLen: Int = 16): DataFrame = {
+      maxWordLen: Int = 16): DataFrame =
+    seedVocabFromWords(weightedWords(docs, textCol, maxWordLen),
+      maxPieceLen, vocabSize, maxWordLen)
+
+  private def seedVocabFromWords(
+      words: DataFrame, maxPieceLen: Int, vocabSize: Int,
+      maxWordLen: Int): DataFrame = {
     require(maxPieceLen >= 1 && maxPieceLen <= 16,
       s"maxPieceLen out of [1,16]: $maxPieceLen")
     require(vocabSize >= 1 && vocabSize <= MaxVocab,
       s"vocabSize out of [1,$MaxVocab]: $vocabSize")
     require(maxWordLen >= maxPieceLen,
       s"maxWordLen ($maxWordLen) must be >= maxPieceLen ($maxPieceLen)")
-    val words = docs
-      .select(explode(Dedup.tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
-      .groupBy("w").agg(count(lit(1)).as("wc"))
     val subs = words
       .select(col("wc"), explode(flatten(transform(
         sequence(lit(0), length(col("w")) - 1),
@@ -57,11 +72,11 @@ object UnigramTokenizer {
           sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - i)),
           l => substr(col("w"), i + 1, l))))).as("piece"))
       .groupBy("piece").agg(sum(col("wc")).as("cnt"))
-      .localCheckpoint(true) // feeds chars, the top-K sort, and nothing else twice
+      .localCheckpoint(false) // feeds chars, the top-K sort, and nothing else twice
     val sel = subs.filter(length(col("piece")) === 1)
       .unionByName(subs.filter(length(col("piece")) > 1)
         .orderBy(col("cnt").desc, col("piece")).limit(vocabSize))
-      .localCheckpoint(true) // feeds the normalizer agg AND the output
+      .localCheckpoint(false) // feeds the normalizer agg AND the output
     val tot = sel.agg(sum("cnt").as("__tot")).withColumn("__k", lit(1))
     sel.withColumn("__k", lit(1)).join(broadcast(tot), Seq("__k"))
       .select(col("piece"), col("cnt"),
@@ -119,16 +134,19 @@ object UnigramTokenizer {
   def emRound(
       docs: DataFrame, textCol: String, vocabDf: DataFrame,
       unkLnProb: Double = -25.0, maxWordLen: Int = 16,
-      minCount: Long = 1L, delta: Double = 1.0): DataFrame = {
+      minCount: Long = 1L, delta: Double = 1.0): DataFrame =
+    emRoundFromWords(weightedWords(docs, textCol, maxWordLen), vocabDf,
+      unkLnProb, maxWordLen, minCount, delta)
+
+  private def emRoundFromWords(
+      words: DataFrame, vocabDf: DataFrame,
+      unkLnProb: Double, maxWordLen: Int,
+      minCount: Long, delta: Double): DataFrame = {
     require(unkLnProb < 0, s"unkLnProb must be negative, got $unkLnProb")
     require(minCount >= 0, s"minCount must be >= 0, got $minCount")
     require(delta > 0, s"delta must be > 0, got $delta")
     val vocab = buildVocab(vocabDf)
     val unkQ = math.round(unkLnProb * 1048576.0d)
-    val words = docs
-      .select(explode(Dedup.tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
-      .groupBy("w").agg(count(lit(1)).as("wc"))
     val cnts = words
       .select(col("wc"),
         explode(segmentCol(col("w"), vocab, unkQ, maxWordLen)).as("piece"))
@@ -138,7 +156,7 @@ object UnigramTokenizer {
       .withColumn("cnt", coalesce(col("cnt_em"), lit(0L)))
       .filter(length(col("piece")) === 1 || col("cnt") >= minCount)
       .select(col("piece"), col("cnt"))
-      .localCheckpoint(true) // feeds the normalizer agg AND the output
+      .localCheckpoint(false) // feeds the normalizer agg AND the output
     // the normalizer is ONE row over the vocabulary-bounded kept
     // table — bake it as literals (this op already collects the
     // vocabulary, and a constant-key join of a single row plans as a
@@ -168,10 +186,14 @@ object UnigramTokenizer {
       unkLnProb: Double = -25.0, minCount: Long = 1L,
       delta: Double = 1.0): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    var v = seedVocab(docs, textCol, maxPieceLen, vocabSize, maxWordLen)
+    // ONE corpus tokenize pass for the seed AND every round — the
+    // word table is the same frame each step derives, checkpointed
+    // lazily (materializes inside the seed's first action)
+    val words = weightedWords(docs, textCol, maxWordLen).localCheckpoint(false)
+    var v = seedVocabFromWords(words, maxPieceLen, vocabSize, maxWordLen)
     var i = 0
     while (i < rounds) {
-      v = emRound(docs, textCol, v, unkLnProb, maxWordLen, minCount, delta)
+      v = emRoundFromWords(words, v, unkLnProb, maxWordLen, minCount, delta)
       i += 1
     }
     v
@@ -225,7 +247,7 @@ object UnigramTokenizer {
     require(targetVocab >= 1 && targetVocab <= MaxVocab,
       s"targetVocab out of [1,$MaxVocab]: $targetVocab")
     val losses = pieceLosses(vocabDf, unkLnProb)
-      .localCheckpoint(true) // feeds the single-count agg AND both arms
+      .localCheckpoint(false) // feeds the single-count agg AND both arms
     val nSingle = losses.filter(length(col("piece")) === 1).count()
     require(targetVocab >= nSingle,
       s"targetVocab ($targetVocab) below the single-char floor " +
@@ -266,6 +288,8 @@ object UnigramTokenizer {
       minCount: Long = 1L, delta: Double = 1.0): DataFrame = {
     require(shrinkKeep > 0.0 && shrinkKeep < 1.0,
       s"shrinkKeep out of (0,1): $shrinkKeep")
+    // one corpus tokenize pass shared by every shrink round (see train)
+    val words = weightedWords(docs, textCol, maxWordLen).localCheckpoint(false)
     var v = vocabDf
     var total = v.count()
     while (total > targetVocab) {
@@ -275,7 +299,7 @@ object UnigramTokenizer {
       val multis = (total - nSingle).toInt
       val keep = math.max(targetVocab - nSingle.toInt,
         (multis * shrinkKeep).toInt)
-      v = emRound(docs, textCol,
+      v = emRoundFromWords(words,
         pruneByLoss(v, nSingle.toInt + keep, unkLnProb),
         unkLnProb, maxWordLen, minCount, delta)
       total = v.count()

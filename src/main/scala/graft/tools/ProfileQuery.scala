@@ -28,13 +28,23 @@ object ProfileQuery {
     val planDir = args.lift(3)
     val tag = args.lift(4).getOrElse("before")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config(graft.queries.QueryDef.NanosConf, "true")
-      .config("spark.ui.enabled", "false")
+    // config A/B hook (dev tool): SPARK_GRAFT_CONF="k=v;k=v" overlays
+    // session confs so a guide-§9 config experiment doesn't need a
+    // recompile per variant
+    val extra = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF entry not k=v: '$kv'")
+        kv.substring(0, i) -> kv.substring(i + 1)
+      }
+    val spark = extra.foldLeft(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config(graft.queries.QueryDef.NanosConf, "true")
+        .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

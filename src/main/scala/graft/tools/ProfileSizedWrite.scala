@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** r17 A/B evidence for the §6 "sized write" question (VERDICT r16 #3):
+  * builds the dedup and bm25 indexes from the sf corpus and reports the
+  * words/doclens side-table FILE LAYOUT (count + bytes per file), next
+  * to the counterfactual — without the keyed AQE-coalescable exchange
+  * the writer emits one file PER INPUT PARTITION of the corpus scan
+  * (defaultParallelism here; at 100 TB, the scan's split count), i.e.
+  * file count tracks task count, not bytes.
+  *
+  *   sbt "runMain graft.tools.ProfileSizedWrite /root/testdata/sf0.1"
+  */
+object ProfileSizedWrite {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.queries.QueryDef.NanosConf, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.queries.QueryDef.t(spark, sfDir, "documents")
+    println(s"corpus scan partitions after loader: ${docs.rdd.getNumPartitions}")
+    val base = java.nio.file.Files.createTempDirectory("sizedwrite").toString
+    def listFiles(dir: String): Seq[Long] = {
+      val d = new java.io.File(dir)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(d).filter(f => f.getName.endsWith(".parquet") ||
+        f.getName.startsWith("part-")).map(_.length())
+    }
+    def report(tag: String, dir: String): Unit = {
+      val sizes = listFiles(dir)
+      println(f"$tag%-28s files=${sizes.size}%3d " +
+        f"totalKB=${sizes.sum / 1024}%6d avgKB=${
+          if (sizes.isEmpty) 0L else sizes.sum / sizes.size / 1024}%6d")
+    }
+    graft.ops.DedupIndex.build(docs, "doc_id", s"$base/dedup")
+    report("dedup words (sized)", s"$base/dedup/words")
+    report("dedup signatures", s"$base/dedup/signatures")
+    graft.ops.Bm25Index.build(docs, "doc_id", s"$base/bm25")
+    report("bm25 doclens (sized)", s"$base/bm25/doclens")
+    report("bm25 postings", s"$base/bm25/postings")
+    // counterfactual: the same word frame written WITHOUT the keyed
+    // exchange — file count = input partition count (the word table is
+    // re-derived here exactly as stateFrames derives it: distinct
+    // lowercased words per doc)
+    val words = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array_distinct(
+          graft.ops.Dedup.tokens(col("text")))).as("w"))
+    words.write.mode("overwrite").parquet(s"$base/words_unsized")
+    report("dedup words (unsized)", s"$base/words_unsized")
+    spark.stop()
+  }
+}

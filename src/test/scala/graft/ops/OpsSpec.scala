@@ -97,6 +97,27 @@ class OpsSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("Dedup.connectedComponents: driver union-find == distributed loop (long and string ids)") {
+    // r17: small edge lists take the driver union-find fast path; the
+    // distributed loop stays the >MaxDriverEdges fallback — pin label
+    // equality on both id types, including the engine's binary-UTF-8
+    // string order
+    val longEdges = Seq((5L, 2L), (2L, 9L), (7L, 8L), (3L, 3L)).toDF("doc_a", "doc_b")
+    val viaFast = Dedup.connectedComponents(longEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = Dedup.connectedComponentsLoop(longEdges, maxIters = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFast == viaLoop, s"$viaFast vs $viaLoop")
+    assert(viaFast == Map(5L -> 2L, 2L -> 2L, 9L -> 2L, 7L -> 7L, 8L -> 7L, 3L -> 3L))
+    val strEdges = Seq(("b", "a"), ("a", "c"), ("x", "y")).toDF("doc_a", "doc_b")
+    val sFast = Dedup.connectedComponents(strEdges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val sLoop = Dedup.connectedComponentsLoop(strEdges, maxIters = 30)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sFast == sLoop, s"$sFast vs $sLoop")
+    assert(sFast == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("Dedup.connectedComponents: label doubling converges in O(log d) rounds") {
     // a 20-node path has diameter 19: pure min-label propagation needs
     // ~19 rounds, pointer jumping collapses it within 8
@@ -3277,6 +3298,31 @@ class OpsSpec extends SparkSpec {
       val root = java.nio.file.Path.of(dir)
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+  }
+
+  test("Bm25Index.engineBucketOf == the in-plan pmod(hash(col), n) for strings and longs") {
+    // r17: probe bucket pruning moved driver-side — the driver hash
+    // must equal the catalyst murmur3 the BUILD wrote, for every id
+    // type the indexes key on, or probes silently read the wrong
+    // partition directories
+    val terms = Seq("alpha", "the", "データ", "", "a b", "zz9")
+    val inPlan = spark.range(1).select(terms.zipWithIndex.map { case (t, i) =>
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.lit(t)),
+          org.apache.spark.sql.functions.lit(64)).cast("int").as(s"b$i") }: _*)
+      .head()
+    terms.zipWithIndex.foreach { case (t, i) =>
+      assert(Bm25Index.engineBucketOf(t, 64) == inPlan.getInt(i), t)
+    }
+    val ids = Seq(0L, 1L, -17L, 123456789012L)
+    val inPlanL = spark.range(1).select(ids.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.lit(v)),
+          org.apache.spark.sql.functions.lit(32)).cast("int").as(s"b$i") }: _*)
+      .head()
+    ids.zipWithIndex.foreach { case (v, i) =>
+      assert(Bm25Index.engineBucketOf(v, 32) == inPlanL.getInt(i), v.toString)
     }
   }
 
